@@ -1,0 +1,199 @@
+"""Genotype-annotation column expressions.
+
+Each function here is the Spark-native (JVM, whole-stage-codegen) equivalent
+of a pandas row function in the reference implementation:
+
+  - phase_expr        <- get_phase            (reference variant_annotations.py:24-31)
+  - alleles_expr /
+    allele_expr       <- vector_GT_alleles    (reference variant_annotations.py:21-60)
+  - zygosity_expr     <- zygosity_fast        (reference variant_annotations.py:64-127)
+  - vartype_expr      <- vartype_map          (reference variant_annotations.py:130-162)
+  - multiallele_expr  <- ALT.str.count(',')   (reference variant_annotations.py:504)
+  - format_map_expr   <- _qual_preprocess     (reference variant_annotations.py:593-611)
+  - strip_chr         <- str.replace('chr','') (reference pandasvcf.py:177; anchored
+                         here — the reference's unanchored replace is a documented quirk)
+
+The reference computes these with Python functions mapped over numpy arrays
+(then deduplicates + joins back to amortize their cost). Expressed as native
+column expressions they are cheap enough to run per-row, which deletes the
+dedup/join machinery entirely and keeps the whole pipeline inside
+whole-stage codegen — no Python boundary, no shuffle.
+
+Documented semantic notes (see SURVEY.md §8.2):
+  * haploid calls (GT='1') get a2='.', zygosity 'het-miss' — reference parity.
+  * a '.' allele compared to a 1-char REF classifies as 'snp' — reference parity.
+  * missing-value sentinel is '.' throughout; engine maps it to NULL only where
+    the reference does (sample calls pre-explode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: The canonical variant-site key (reference pandasvcf.py:178-179).
+SITE_KEY = ["CHROM", "POS", "REF", "ALT"]
+
+#: Fixed VCF columns; everything else in a VCF body line is a sample column.
+FIXED_COLS = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
+
+#: GT strings the reference treats as fully-missing and drops
+#: (reference variant_annotations.py:614-622).
+MISSING_GT = ("./.", ".|.", ".")
+
+
+def strip_chr(col: Column | str) -> Column:
+    """Normalize 'chr22' -> '22'. Anchored (intended semantics; the reference's
+    unanchored str.replace is a documented bug, SURVEY §8.2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "^chr", "")
+
+
+def phase_expr(gt: Column | str) -> Column:
+    """'|' if phased, '/' if unphased, '-' if haploid (no separator)."""
+    g = F.col(gt) if isinstance(gt, str) else gt
+    return (
+        F.when(g.contains("|"), F.lit("|"))
+        .when(g.contains("/"), F.lit("/"))
+        .otherwise(F.lit("-"))
+    )
+
+
+def gt_parts_expr(gt: Column | str) -> Column:
+    """Split a genotype string on its phase separator: '0|1' -> ['0','1'],
+    '1' -> ['1'], './1' -> ['.','1']."""
+    g = F.col(gt) if isinstance(gt, str) else gt
+    return F.split(g, r"[/|]")
+
+
+def alleles_expr(ref: Column | str, alt: Column | str) -> Column:
+    """Allele base array: [REF, ALT1, ALT2, ...] — the lookup table GT indices
+    point into."""
+    r = F.col(ref) if isinstance(ref, str) else ref
+    a = F.col(alt) if isinstance(alt, str) else alt
+    return F.concat(F.array(r), F.split(a, ","))
+
+
+def allele_expr(alleles: Column, gt_idx: Column) -> Column:
+    """Resolve one genotype index against the allele array; '.' and NULL pass
+    through as '.' (missing-allele sentinel, reference parity). An
+    unresolvable index (out of range / non-numeric — malformed input the
+    reference would crash on) also maps to '.' so it classifies as a missing
+    call rather than leaking NULLs into the zygosity logic."""
+    return (
+        F.when(gt_idx.isNull() | (gt_idx == "."), F.lit("."))
+        .otherwise(
+            F.coalesce(
+                F.try_element_at(alleles, gt_idx.try_cast("int") + 1), F.lit(".")
+            )
+        )
+    )
+
+
+def gt_index_expr(gt_part: Column) -> Column:
+    """Genotype index as nullable int ('.' and haploid-missing -> NULL)."""
+    return F.when(gt_part == ".", F.lit(None).cast("int")).otherwise(
+        gt_part.try_cast("int")
+    )
+
+
+def zygosity_expr(a1: Column, a2: Column, ref: Column | str) -> Column:
+    """Classify a genotype call. Branch order matters and mirrors the
+    reference's subframe partition (variant_annotations.py:64-127):
+    hom-ref > hom-miss > het-miss > het-alt/hom-alt > het-ref.
+    Haploid calls (a2='.') land in het-miss — documented reference parity."""
+    r = F.col(ref) if isinstance(ref, str) else ref
+    miss1, miss2 = a1 == ".", a2 == "."
+    return (
+        F.when((a1 == r) & (a2 == r), F.lit("hom-ref"))
+        .when(miss1 & miss2, F.lit("hom-miss"))
+        .when(miss1 | miss2, F.lit("het-miss"))
+        .when((a1 != r) & (a2 != r) & (a1 != a2), F.lit("het-alt"))
+        .when((a1 != r) & (a2 != r) & (a1 == a2), F.lit("hom-alt"))
+        .otherwise(F.lit("het-ref"))
+    )
+
+
+def _char_diff_count(ref: Column, alt: Column) -> Column:
+    """Number of positions i where ref[i] != alt[i], iterating over alt's
+    length (alt is the shorter-or-equal string at every call site). Pure
+    higher-order-function expression — stays JVM-side."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(alt)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(ref.substr(i, F.lit(1)) != alt.substr(i, F.lit(1)), 1).otherwise(0),
+    )
+
+
+def vartype_expr(ref: Column | str, allele: Column) -> Column:
+    """Variant type of one allele vs REF: ref | snp | mnp | del | indel | ins.
+
+    Mirrors reference vartype_map (variant_annotations.py:130-162):
+      equal -> 'ref'; same length -> 1 differing char 'snp' else 'mnp';
+      REF longer -> any differing char in the overlap 'indel' else 'del';
+      REF shorter -> 'ins'. The "indel or SV" fallback is unreachable for
+      non-null strings but kept for parity.
+    Quirk kept: a '.' allele vs a 1-char REF classifies as 'snp'.
+    """
+    r = F.col(ref) if isinstance(ref, str) else ref
+    len_diff = F.length(r) - F.length(allele)
+    return (
+        F.when(allele == r, F.lit("ref"))
+        .when(
+            len_diff == 0,
+            F.when(_char_diff_count(r, allele) == 1, F.lit("snp")).otherwise(
+                F.lit("mnp")
+            ),
+        )
+        .when(
+            len_diff > 0,
+            F.when(_char_diff_count(r, allele) > 0, F.lit("indel")).otherwise(
+                F.lit("del")
+            ),
+        )
+        .when(len_diff < 0, F.lit("ins"))
+        .otherwise(F.lit("indel or SV"))
+    )
+
+
+def multiallele_expr(alt: Column | str) -> Column:
+    """Comma count of ALT: 0 for biallelic, n-1 for n alternate alleles.
+    (Count semantics kept — more informative than the reference docstring's
+    claimed {0,1}; SURVEY §8.2.)"""
+    a = F.col(alt) if isinstance(alt, str) else alt
+    return (F.size(F.split(a, ",")) - 1).cast("int")
+
+
+def format_map_expr(format_col: Column | str, call: Column | str) -> Column:
+    """Zip a FORMAT spec ('GT:AD:DP') with a sample call ('0/1:10,5:12') into
+    MAP<field,value>. Handles ragged calls (a bare '.' call against a 6-field
+    FORMAT) by null-padding: zip_with pads the shorter side, then entries with
+    null keys are dropped before map construction."""
+    f = F.col(format_col) if isinstance(format_col, str) else format_col
+    c = F.col(call) if isinstance(call, str) else call
+    entries = F.zip_with(
+        F.split(f, ":"),
+        F.split(c, ":"),
+        lambda k, v: F.struct(k.alias("key"), v.alias("value")),
+    )
+    return F.map_from_entries(F.filter(entries, lambda e: e["key"].isNotNull()))
+
+
+def hom_ref_call_indicator(call: Column, ref: Column, alt: Column) -> Column:
+    """1 if a raw sample call ('0|0:...' etc.) is a hom-ref genotype under the
+    reference's definition (both resolved alleles string-equal REF), else 0.
+
+    Evaluated against the *wide* row (before explode) so per-site hom-ref
+    counts can be computed with a per-row reduce over the sample map instead
+    of a post-explode window aggregate — removing the only shuffle from the
+    annotation pipeline. NULL/missing calls count 0. Haploid calls count 0
+    (reference parity: haploid is never hom-ref, SURVEY §8.2).
+    """
+    gt = F.split(F.split(call, ":").getItem(0), r"[/|]")
+    alleles = alleles_expr(ref, alt)
+    a1 = allele_expr(alleles, gt.getItem(0))
+    a2 = allele_expr(alleles, F.when(F.size(gt) > 1, gt.getItem(1)))
+    return F.when(
+        call.isNotNull() & (a1 == ref) & (a2 == ref), F.lit(1)
+    ).otherwise(F.lit(0))

@@ -1,0 +1,138 @@
+"""Text-analysis column expressions for large-scale document pipelines.
+
+Beyond-reference extension surface (north-star scope, SURVEY §2.11): the
+operations a training-data pipeline runs over a `documents` table at 100 TB.
+Everything here is a native column expression (JVM-side, codegen-friendly) —
+no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small English stopword list for ratio features (top function words).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+#: BPE-ish token pattern: words with contractions, numbers, or single
+#: non-space symbols — a practical approximation of subword pre-tokenizers.
+TOKEN_PATTERN = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_expr(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """ARRAY<STRING> of regex tokens."""
+    return F.regexp_extract_all(_c(text), F.lit(pattern), 0)
+
+
+def token_count_expr(text: Column | str) -> Column:
+    """Regex token count (BPE-ish proxy for LLM token budgeting)."""
+    return F.size(tokens_expr(text)).cast("long")
+
+
+def whitespace_token_count_expr(text: Column | str) -> Column:
+    """Whitespace-split token count."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def words_expr(text: Column | str) -> Column:
+    """Lowercased alphabetic words."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(r"[a-z]+"), 0)
+
+
+def word_ngrams_expr(text: Column | str, n: int = 3) -> Column:
+    """ARRAY<STRING> of space-joined word n-grams (shingles)."""
+    w = words_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(w, i, n), " ")
+    )
+
+
+def char_shingles_expr(text: Column | str, k: int = 5) -> Column:
+    """ARRAY<STRING> of lowercase character k-shingles (whitespace collapsed)."""
+    t = F.regexp_replace(F.lower(_c(text)), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+
+
+def punct_ratio_expr(text: Column | str) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    t = F.regexp_replace(_c(text), r"\s+", "")
+    n = F.length(t)
+    p = F.length(F.regexp_replace(t, r"[A-Za-z0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n.cast("double"))
+
+
+def stopword_ratio_expr(text: Column | str) -> Column:
+    """Fraction of alphabetic words that are English stopwords."""
+    w = words_expr(text)
+    sw = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+        sw / F.size(w).cast("double")
+    )
+
+
+def mean_word_len_expr(text: Column | str) -> Column:
+    w = words_expr(text)
+    return F.when(F.size(w) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        / F.size(w).cast("double")
+    )
+
+
+def quality_score_expr(text: Column | str) -> Column:
+    """Composite [0,1] document-quality heuristic: length band, sane mean
+    word length, moderate punctuation, nonzero stopword density (prose
+    signal). Deterministic and SQL-mirrorable for oracle checks."""
+    t = _c(text)
+    n = F.length(t)
+    len_score = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 20, 0.5).otherwise(0.0)
+    mwl = mean_word_len_expr(t)
+    wl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.0)
+    punct_score = F.when(punct_ratio_expr(t) <= 0.2, 1.0).otherwise(0.0)
+    stop_score = F.when(stopword_ratio_expr(t) >= 0.05, 1.0).otherwise(0.0)
+    return (len_score + wl_score + punct_score + stop_score) / F.lit(4.0)
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Cheap language-ID heuristic over function-word hit rates. Returns the
+    best of {en, de, fr, es} or 'und' when nothing matches. Designed for
+    obvious cases (the synthetic corpus); real pipelines swap in a model —
+    the operator shape (pure column expr, no shuffle) is the point."""
+    markers = {
+        "en": ["the", "and", "of", "to", "is", "with"],
+        "de": ["der", "die", "und", "das", "ist", "nicht"],
+        "fr": ["le", "la", "les", "et", "est", "une"],
+        "es": ["el", "los", "las", "es", "una", "que"],
+    }
+    w = words_expr(text)
+    scores = [
+        F.size(F.filter(w, lambda x, ms=ms: x.isin(*ms))).alias(lang)
+        for lang, ms in markers.items()
+    ]
+    pairs = F.array(
+        *[
+            F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in zip(markers, scores)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """64-bit document fingerprint: xxhash64 over the whitespace/case
+    normalized text. Identical normalized content -> identical fingerprint;
+    an exact-dedup key that's robust to whitespace noise."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+    return F.xxhash64(norm)

@@ -1,0 +1,238 @@
+"""The genotype-annotation pipeline: wide variants -> annotated long table.
+
+Spark-first re-expression of the reference's E3 pipeline
+(pandasvcf.py:186-288 -> variant_annotations.py:534-768). The reference runs:
+
+    stack -> qual set-aside -> missing filter -> dedup(site,GT) -> python
+    row-functions -> join-back -> groupby+join hom-ref counts -> filters ->
+    per-FORMAT group loop -> multiprocessing fan-out -> concat
+
+All of that machinery existed to amortize slow Python row functions. Here the
+same semantics are ONE lazy narrow plan:
+
+    filter(ALT!='.')                                    (P5)
+    per-row hom-ref count over the sample map           (A1, zero shuffle)
+    explode(samples)                                    (R1)
+    filter missing calls / GTs                          (P6, P7)
+    native column expressions for every annotation      (F2-F8)
+    optional filter(zygosity != 'hom-ref')              (P8)
+
+Zero joins, zero shuffles, zero Python row functions: the whole pipeline is a
+single whole-stage-codegen span over the scan, so it scales linearly with
+input splits — the profile you want at 100 TB. The per-FORMAT group dispatch
+(reference R4) is unnecessary because the FORMAT/call zip is a per-row
+map expression; heterogeneous FORMATs coexist in one plan.
+
+Output matches the reference's verified columns (SURVEY §3/E3) plus
+QUAL/FILTER/INFO which the reference's docstring promises but silently drops
+(SURVEY §8.1) — we implement the documented intent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.genomics import (
+    FIXED_COLS,
+    MISSING_GT,
+    SITE_KEY,
+    allele_expr,
+    alleles_expr,
+    format_map_expr,
+    gt_index_expr,
+    gt_parts_expr,
+    hom_ref_call_indicator,
+    multiallele_expr,
+    phase_expr,
+    vartype_expr,
+    zygosity_expr,
+)
+
+#: Annotation columns, in reference output order (SURVEY §3/E3 [verified]).
+ANNOTATION_COLS = [
+    "sample_ids",
+    "GT",
+    "multiallele",
+    "GT1",
+    "GT2",
+    "a1",
+    "a2",
+    "phase",
+    "zygosity",
+    "vartype1",
+    "vartype2",
+    "FORMAT",
+    "hom_ref_counts",
+]
+
+
+def explode_genotypes(
+    wide: DataFrame,
+    drop_missing_alt: bool = True,
+    drop_missing_calls: bool = True,
+    precompute_hom_ref: bool = True,
+) -> DataFrame:
+    """Wide (one row per site, samples MAP) -> long (one row per call).
+
+    precompute_hom_ref: fold the per-site hom-ref count over the sample map
+    *before* exploding — a per-row expression, so the count costs no shuffle.
+    Assumes one wide row per site key (standard VCF); pass False and let
+    `annotate_genotypes` compute it with a window when site keys repeat.
+    """
+    df = wide
+    if drop_missing_alt:
+        df = df.filter(F.col("ALT") != ".")  # reference P5
+    if precompute_hom_ref:
+        df = df.withColumn(
+            "hom_ref_counts",
+            F.aggregate(
+                F.map_values("samples"),
+                F.lit(0),
+                lambda acc, call: acc
+                + hom_ref_call_indicator(call, F.col("REF"), F.col("ALT")),
+            ).cast("int"),
+        )
+    keep = [c for c in df.columns if c != "samples"]
+    df = df.select(*keep, F.explode("samples").alias("sample_ids", "call"))
+    if drop_missing_calls:
+        # reference P6: '.' calls -> NaN so stack() drops them; NULL guards
+        # ragged lines.
+        df = df.filter(F.col("call").isNotNull() & (F.col("call") != "."))
+    return df
+
+
+def annotate_genotypes(
+    long_df: DataFrame,
+    drop_hom_ref: bool = True,
+    drop_missing_gt: bool = True,
+    split_columns: dict[str, int] | None = None,
+    format_fields: list[str] | str | None = "auto",
+    keep_fields_map: bool = False,
+) -> DataFrame:
+    """Annotate a long genotype table (needs SITE_KEY + FORMAT + sample_ids +
+    call columns; hom_ref_counts used if present, else computed by window).
+
+    format_fields: non-GT FORMAT sub-fields to materialize as columns
+        ('auto' = discover from the data via a distinct() over FORMAT —
+        cheap: the distinct set is tiny). None/[] = skip.
+    split_columns: {'AD': 2} -> comma-split AD into AD_0, AD_1 string columns,
+        dropping AD (reference F8, variant_annotations.py:718-735). Entries
+        with n <= 1 are skipped, extras truncated — reference parity.
+    """
+    df = long_df.withColumn("fields", format_map_expr("FORMAT", "call"))
+    df = df.withColumn("GT", F.try_element_at("fields", F.lit("GT")))
+    if drop_missing_gt:
+        # reference P7 (variant_annotations.py:614-622)
+        df = df.filter(
+            F.col("GT").isNotNull() & ~F.col("GT").isin(*MISSING_GT)
+        )
+
+    gt = gt_parts_expr("GT")
+    alleles = alleles_expr("REF", "ALT")
+    df = (
+        df.withColumn("phase", phase_expr("GT"))
+        .withColumn("_gtp", gt)
+        .withColumn("_gt1_raw", F.col("_gtp").getItem(0))
+        .withColumn(
+            "_gt2_raw",
+            F.when(F.size("_gtp") > 1, F.try_element_at("_gtp", F.lit(2))),
+        )
+        .withColumn("GT1", gt_index_expr(F.col("_gt1_raw")))
+        .withColumn("GT2", gt_index_expr(F.col("_gt2_raw")))
+        .withColumn("a1", allele_expr(alleles, F.col("_gt1_raw")))
+        .withColumn("a2", allele_expr(alleles, F.col("_gt2_raw")))
+    )
+    df = (
+        df.withColumn("multiallele", multiallele_expr("ALT"))
+        .withColumn("zygosity", zygosity_expr(F.col("a1"), F.col("a2"), "REF"))
+        .withColumn("vartype1", vartype_expr("REF", F.col("a1")))
+        .withColumn("vartype2", vartype_expr("REF", F.col("a2")))
+    )
+
+    if "hom_ref_counts" not in df.columns:
+        # Fallback for pre-long data: window aggregate — one shuffle on the
+        # site key (bounded per-key row count = n_samples, so no skew blowup).
+        # The wide path precomputes this per-row instead (reference A1/J3
+        # as a window, SURVEY §2.5).
+        site_w = Window.partitionBy(*SITE_KEY)
+        df = df.withColumn(
+            "hom_ref_counts",
+            F.sum(F.when(F.col("zygosity") == "hom-ref", 1).otherwise(0))
+            .over(site_w)
+            .cast("int"),
+        )
+
+    if drop_hom_ref:
+        # reference P8 — counts above are computed first, so they survive.
+        df = df.filter(F.col("zygosity") != "hom-ref")
+
+    if format_fields == "auto":
+        fmts = [r[0] for r in df.select("FORMAT").distinct().collect()]
+        seen: list[str] = []
+        for fmt in fmts:
+            for f_ in (fmt or "").split(":"):
+                if f_ and f_ != "GT" and f_ not in seen:
+                    seen.append(f_)
+        format_fields = seen
+    elif not format_fields:
+        format_fields = []
+
+    field_cols = []
+    split_columns = split_columns or {}
+    for name in format_fields:
+        n = split_columns.get(name, 0)
+        if n and n > 1:
+            # reference F8: comma-split into name_0..name_{n-1}, drop original
+            base = F.split(F.try_element_at("fields", F.lit(name)), ",")
+            field_cols += [
+                F.try_element_at(base, F.lit(i + 1)).alias(f"{name}_{i}")
+                for i in range(n)
+            ]
+        else:
+            field_cols.append(F.try_element_at("fields", F.lit(name)).alias(name))
+
+    passthrough = [
+        c for c in ("QUAL", "FILTER", "INFO", "ID") if c in long_df.columns
+    ]
+    out = df.select(
+        *SITE_KEY,
+        *ANNOTATION_COLS,
+        *passthrough,
+        *field_cols,
+        *(["fields"] if keep_fields_map else []),
+    )
+    return out
+
+
+def annotate_vcf(
+    spark,
+    path: str,
+    samples: str | list[str] = "all",
+    cols: list[str] | None = None,
+    drop_hom_ref: bool = True,
+    split_columns: dict[str, int] | None = None,
+    format_fields: list[str] | str | None = "auto",
+    ordered: bool = False,
+) -> DataFrame:
+    """End-to-end: VCF file -> annotated long genotype table (reference
+    `VCF(...)` + `add_variant_annotations(...)` in one lazy plan).
+
+    ordered: add the canonical deterministic sort (CHROM, POS, REF, ALT,
+    sample_ids). Off by default — a global sort is a shuffle + range
+    exchange; the reference's output order is an iteration artifact anyway
+    (SURVEY §2.7).
+    """
+    from pandasvcf_spark.sources.vcf import read_vcf
+
+    wide = read_vcf(spark, path, samples=samples, cols=cols)
+    long_df = explode_genotypes(wide)
+    out = annotate_genotypes(
+        long_df,
+        drop_hom_ref=drop_hom_ref,
+        split_columns=split_columns,
+        format_fields=format_fields,
+    )
+    if ordered:
+        out = out.orderBy(*SITE_KEY, "sample_ids")
+    return out

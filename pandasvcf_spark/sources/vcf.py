@@ -1,0 +1,228 @@
+"""VCF source: driver-side header parse + distributed body parse.
+
+Replaces the reference's scan layer (pandasvcf.py:76-184, vcf_metadata.py):
+
+  * Header read (reference S1, vcf_metadata.py:11-25): the reference shells
+    out to `tabix -H` (with a forced re-index side effect!) or `head -5000`.
+    Here: plain Python gzip/open on the driver, read until the first
+    non-'#' line. No subprocess, no side effects, no tabix dependency.
+  * Body scan (reference S4/S5, pandasvcf.py:94-99,162-184): the reference
+    pulls pandas CSV chunks imperatively. Here: `spark.read.text` ->
+    filter('##'/'#CHROM' lines out) -> split('\\t') -> typed select. Lazy,
+    partitioned, column-pruned by Catalyst. Chunking (reference S5)
+    disappears entirely — Spark partitions are the chunks.
+
+Schema strategy (the key departure from the reference — SURVEY §7.2): one
+STATIC schema for any VCF. Fixed columns are typed (QUAL as nullable double,
+fixing the reference's int8 bug), and all sample calls land in a single
+`samples MAP<STRING,STRING>` column instead of N dynamic columns. Sample
+pruning (reference P1 `usecols`) selects map entries at parse time so unused
+samples never leave the scan.
+
+Scale notes:
+  * A .gz VCF is one non-splittable input split; `read_vcf(repartition=...)`
+    (default: on for compressed inputs) redistributes raw lines before the
+    parse so the expensive split/typed-parse work is cluster-wide. For
+    repeated queries at 100 TB, `vcf_to_parquet` converts once to a
+    splittable columnar layout partitioned by CHROM; everything downstream
+    then gets splittable scans, column pruning, predicate pushdown and
+    partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.genomics import FIXED_COLS, strip_chr
+
+#: Columns the reference asserts present (pandasvcf.py:139) — minus '#'.
+MANDATORY_COLS = ["CHROM", "POS", "REF", "ALT", "FORMAT"]
+
+
+@dataclass
+class VCFHeader:
+    """Driver-side parse of the '##' metadata block + '#CHROM' header line."""
+
+    meta_lines: list[str] = field(default_factory=list)
+    columns: list[str] = field(default_factory=list)  # header line, '#' stripped
+
+    @property
+    def sample_ids(self) -> list[str]:
+        return self.columns[9:]
+
+    @property
+    def n_meta_lines(self) -> int:
+        return len(self.meta_lines)
+
+    def kv_pairs(self) -> list[tuple[str, str]]:
+        """'##key=value' pairs (split on the FIRST '='; values may contain
+        '='), plus the synthetic SampleIDs / ColumnHeader rows the reference
+        appends (pandasvcf.py:102-120)."""
+        pairs = []
+        for line in self.meta_lines:
+            body = line[2:]
+            key, _, value = body.partition("=")
+            pairs.append((key, value))
+        pairs.append(("SampleIDs", ",".join(self.sample_ids)))
+        pairs.append(("ColumnHeader", ",".join(self.columns)))
+        return pairs
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.kv_pairs(), "key string, value string")
+
+
+def read_vcf_header(path: str, max_lines: int = 100_000) -> VCFHeader:
+    """Read header lines driver-side. Gzip/BGZF handled by Python's gzip
+    module (BGZF is concatenated gzip members). Stops at the first
+    non-'#' line — headers are contiguous by spec."""
+    opener = gzip.open if path.endswith(".gz") else open
+    header = VCFHeader()
+    with opener(path, "rb") as fh:
+        text = io.TextIOWrapper(fh, encoding="utf-8", errors="replace")
+        for i, line in enumerate(text):
+            if i > max_lines:
+                break
+            line = line.rstrip("\n").rstrip("\r")
+            if line.startswith("##"):
+                header.meta_lines.append(line)
+            elif line.startswith("#"):
+                header.columns = line[1:].split("\t")
+                break
+            else:
+                break
+    if not header.columns:
+        raise ValueError(f"no '#CHROM' header line found in {path}")
+    missing = [c for c in MANDATORY_COLS if c not in header.columns]
+    if missing:
+        raise ValueError(f"VCF {path} missing mandatory columns {missing}")
+    return header
+
+
+def _typed_fixed_col(name: str, parts: Column, idx: int) -> Column:
+    """Type one fixed VCF column from the split line. '.' -> NULL for QUAL
+    (nullable double — fixes the reference's int8-QUAL bug, SURVEY §8.2);
+    CHROM gets the anchored chr-strip; POS is long (safer than the
+    reference's int32 for concatenated genomes)."""
+    raw = F.try_element_at(parts, F.lit(idx + 1))
+    if name == "CHROM":
+        return strip_chr(raw).alias(name)
+    if name == "POS":
+        return raw.try_cast("long").alias(name)
+    if name == "QUAL":
+        return F.nullif(raw, F.lit(".")).try_cast("double").alias(name)
+    return raw.alias(name)
+
+
+def read_vcf(
+    spark: SparkSession,
+    path: str,
+    samples: str | list[str] = "all",
+    cols: list[str] | None = None,
+    dedup: bool = True,
+    repartition: int | str | None = "auto",
+) -> DataFrame:
+    """Scan a VCF into the wide variants DataFrame.
+
+    Output schema: requested fixed columns (typed per above) + a
+    `samples MAP<STRING,STRING>` column holding the requested sample calls
+    keyed by sample id.
+
+    samples: 'all' | one id | list of ids (reference get_sample_ids,
+        pandasvcf.py:122-132). Selection is name-based, so an out-of-order
+        list cannot mislabel columns (fixes reference quirk, SURVEY §8.2).
+    cols: fixed columns to keep (default: all nine). MANDATORY_COLS are
+        always included, as the reference asserts (pandasvcf.py:139).
+    dedup: global full-row dropDuplicates (upgrade over the reference's
+        chunk-local dedup, pandasvcf.py:175).
+    repartition: 'auto' spreads a non-splittable compressed input across the
+        cluster before parsing; int forces a count; None leaves splits as-is.
+    """
+    header = read_vcf_header(path)
+
+    if samples == "all":
+        sample_ids = header.sample_ids
+    elif isinstance(samples, str):
+        sample_ids = [samples]
+    else:
+        sample_ids = list(samples)
+    unknown = [s for s in sample_ids if s not in header.columns]
+    if unknown:
+        raise ValueError(f"unknown sample ids {unknown}")
+
+    if cols is None:
+        fixed = [c for c in FIXED_COLS if c in header.columns]
+    else:
+        want = {c.lstrip("#") for c in cols} | set(MANDATORY_COLS)
+        fixed = [c for c in FIXED_COLS if c in want and c in header.columns]
+
+    lines = spark.read.text(path)
+    # Header lines are filtered, not skipped by count — no reliance on row
+    # order, works across any number of input splits.
+    body = lines.filter(~F.col("value").startswith("#"))
+    if dedup:
+        # Global full-row dedup on the raw line (upgrade over the reference's
+        # chunk-local dedup). Done pre-parse: duplicates never get parsed
+        # twice, and MAP output columns (which Spark can't dedup on) don't
+        # constrain it. One shuffle; skip with dedup=False when inputs are
+        # known duplicate-free.
+        body = body.dropDuplicates()
+    if repartition == "auto":
+        # The dedup shuffle already spread the lines cluster-wide; adding a
+        # repartition would be a second full shuffle of the raw text.
+        if path.endswith(".gz") and not dedup:
+            body = body.repartition(spark.sparkContext.defaultParallelism)
+    elif repartition:
+        body = body.repartition(int(repartition))
+
+    parts = F.split(F.col("value"), "\t")
+    out_cols = [
+        _typed_fixed_col(name, parts, header.columns.index(name)) for name in fixed
+    ]
+    if sample_ids:
+        if sample_ids == header.sample_ids:
+            # All samples: ONE slice expression over the split array, however
+            # many samples there are. Building this with N element_at calls
+            # blows the generated-code size limits at panel scale (observed:
+            # janino compile failure -> interpreted fallback at 209 samples),
+            # so the expression tree must stay O(1) in sample count. Null-pad
+            # first so ragged lines can't break map_from_arrays.
+            n = len(sample_ids)
+            padded = F.concat(
+                parts, F.array_repeat(F.lit(None).cast("string"), 9 + n)
+            )
+            keys = F.lit(sample_ids)
+            vals = F.slice(padded, 10, n)
+        else:
+            # Explicit subset (typically small): per-sample extraction keeps
+            # unneeded columns out of the row entirely.
+            keys = F.array(*[F.lit(s) for s in sample_ids])
+            vals = F.array(
+                *[
+                    F.try_element_at(parts, F.lit(header.columns.index(s) + 1))
+                    for s in sample_ids
+                ]
+            )
+        out_cols.append(F.map_from_arrays(keys, vals).alias("samples"))
+    return body.select(*out_cols)
+
+
+def vcf_to_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    partition_by: str | None = "CHROM",
+    **read_kwargs,
+) -> None:
+    """One-time ingest of a VCF to Parquet — the scale path. Downstream scans
+    become splittable and columnar with predicate pushdown + partition
+    pruning (by CHROM), which a .gz text VCF can never give."""
+    df = read_vcf(spark, path, **read_kwargs)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(out_path)

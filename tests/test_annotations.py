@@ -1,0 +1,92 @@
+"""Annotation pipeline vs the reference-verified goldens (SURVEY §8.4).
+
+Every expected value below was produced by EXECUTING the reference
+implementation on the same input during the survey — these are behavioral
+goldens, not aspirational.
+"""
+
+import os
+
+from pandasvcf_spark.operators.annotate import annotate_vcf
+
+from conftest import DATA_DIR
+
+GOLDEN = os.path.join(DATA_DIR, "golden.vcf")
+SPLIT = os.path.join(DATA_DIR, "split_cols.vcf")
+
+# (POS, sample) -> (GT, mult, GT1, GT2, a1, a2, phase, zyg, vt1, vt2, hrc, DP)
+EXPECTED = {
+    (100, "S1"): ("0|1", 0, 0, 1, "A", "G", "|", "het-ref", "ref", "snp", 1, "12"),
+    (100, "S2"): ("0|0", 0, 0, 0, "A", "A", "|", "hom-ref", "ref", "ref", 1, "7"),
+    (200, "S1"): ("1|2", 1, 1, 2, "G", "T", "|", "het-alt", "snp", "snp", 1, "30"),
+    (200, "S2"): ("0|0", 1, 0, 0, "A", "A", "|", "hom-ref", "ref", "ref", 1, "9"),
+    (300, "S1"): ("1/1", 0, 1, 1, "A", "A", "/", "hom-alt", "del", "del", 0, None),
+    (500, "S1"): ("1", 0, 1, None, "A", ".", "-", "het-miss", "snp", "snp", 0, None),
+    (500, "S2"): ("0", 0, 0, None, "G", ".", "-", "het-miss", "ref", "snp", 0, None),
+    (600, "S1"): ("./1", 0, None, 1, ".", "CTT", "/", "het-miss", "snp", "ins", 1, None),
+    (600, "S2"): ("0/0", 0, 0, 0, "C", "C", "/", "hom-ref", "ref", "ref", 1, None),
+}
+
+FIELDS = ["GT", "multiallele", "GT1", "GT2", "a1", "a2", "phase",
+          "zygosity", "vartype1", "vartype2", "hom_ref_counts", "DP"]
+
+
+def test_golden_full(spark):
+    df = annotate_vcf(spark, GOLDEN, drop_hom_ref=False)
+    got = {(r["POS"], r["sample_ids"]): tuple(r[f] for f in FIELDS)
+           for r in df.collect()}
+    # site 1:400 (ALT='.') dropped by P5; 1:300 S2 ('./.') dropped by P7
+    assert set(got) == set(EXPECTED)
+    for key in EXPECTED:
+        assert got[key] == EXPECTED[key], f"mismatch at {key}: {got[key]}"
+
+
+def test_golden_drop_hom_ref(spark):
+    df = annotate_vcf(spark, GOLDEN)  # drop_hom_ref defaults True
+    got = {(r["POS"], r["sample_ids"]): tuple(r[f] for f in FIELDS)
+           for r in df.collect()}
+    expected = {k: v for k, v in EXPECTED.items() if v[7] != "hom-ref"}
+    assert set(got) == set(expected)
+    for key in expected:  # hom_ref_counts computed pre-drop, so unchanged
+        assert got[key] == expected[key]
+
+
+def test_passthrough_cols(spark):
+    # QUAL/FILTER/INFO kept (documented intent; reference silently drops them
+    # — SURVEY §8.1)
+    df = annotate_vcf(spark, GOLDEN, drop_hom_ref=False)
+    r = {(x["POS"], x["sample_ids"]): x for x in df.collect()}
+    assert r[(100, "S1")]["QUAL"] == 50.0
+    assert r[(100, "S1")]["INFO"] == "AC=1"
+    assert r[(100, "S1")]["FORMAT"] == "GT:DP"
+    assert r[(300, "S1")]["QUAL"] is None
+
+
+def test_split_columns(spark):
+    df = annotate_vcf(
+        spark, SPLIT, drop_hom_ref=False, split_columns={"AD": 2, "HQ": 2}
+    )
+    assert "AD" not in df.columns and "HQ" not in df.columns
+    for c in ["AD_0", "AD_1", "HQ_0", "HQ_1"]:
+        assert c in df.columns
+    r = {(x["POS"], x["sample_ids"]): x for x in df.collect()}
+    assert r[(100, "SA")]["AD_0"] == "10"
+    assert r[(100, "SA")]["AD_1"] == "5"
+    assert r[(100, "SA")]["HQ_0"] == "40"
+    assert r[(100, "SB")]["HQ_1"] == "58"
+    # chr prefix stripped (anchored F1)
+    assert r[(100, "SA")]["CHROM"] == "1"
+
+
+def test_split_columns_skips_n1(spark):
+    df = annotate_vcf(spark, SPLIT, drop_hom_ref=False, split_columns={"AD": 1})
+    assert "AD" in df.columns and "AD_0" not in df.columns
+
+
+def test_row_identity_invariant(spark):
+    # per site with n samples: rows_out(drop=False) + dropped_missing = n;
+    # ALT='.' sites emit 0 rows (FIXTURES §4)
+    df = annotate_vcf(spark, GOLDEN, drop_hom_ref=False)
+    per_site = {r["POS"]: r["cnt"] for r in
+                df.groupBy("POS").count().withColumnRenamed("count", "cnt").collect()}
+    assert per_site == {100: 2, 200: 2, 300: 1, 500: 2, 600: 2}

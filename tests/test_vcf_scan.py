@@ -1,0 +1,69 @@
+"""Scan layer (sources/vcf.py) vs reference S1-S5/P1-P4 semantics."""
+
+import os
+
+import pytest
+
+from pandasvcf_spark.sources.vcf import read_vcf, read_vcf_header
+
+from conftest import DATA_DIR
+
+GOLDEN = os.path.join(DATA_DIR, "golden.vcf")
+GOLDEN_GZ = os.path.join(DATA_DIR, "golden.vcf.gz")
+
+
+def test_header_parse():
+    h = read_vcf_header(GOLDEN)
+    assert h.sample_ids == ["S1", "S2"]
+    assert h.columns[:9] == [
+        "CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT",
+    ]
+    kv = dict(h.kv_pairs())
+    assert kv["fileformat"] == "VCFv4.1"
+    # split on FIRST '=' only: value retains inner '='s (reference S3)
+    assert kv["contig"] == "<ID=1,length=249250621,assembly=b37>"
+    assert kv["SampleIDs"] == "S1,S2"
+
+
+def test_header_parse_gz():
+    h = read_vcf_header(GOLDEN_GZ)
+    assert h.sample_ids == ["S1", "S2"]
+
+
+@pytest.mark.parametrize("path", [GOLDEN, GOLDEN_GZ])
+def test_wide_scan(spark, path):
+    df = read_vcf(spark, path)
+    rows = {r["POS"]: r for r in df.collect()}
+    assert len(rows) == 6
+    assert df.schema["POS"].dataType.typeName() == "long"
+    assert df.schema["QUAL"].dataType.typeName() == "double"
+    assert df.schema["samples"].dataType.typeName() == "map"
+    assert rows[100]["QUAL"] == 50.0
+    assert rows[200]["QUAL"] is None  # '.' -> NULL (fixes reference int8 bug)
+    assert rows[100]["samples"] == {"S1": "0|1:12", "S2": "0|0:7"}
+    assert rows[500]["CHROM"] == "X"
+
+
+def test_sample_subset_and_cols(spark):
+    df = read_vcf(spark, GOLDEN, samples=["S2"], cols=["CHROM", "POS", "REF", "ALT", "FORMAT"])
+    assert set(df.columns) == {"CHROM", "POS", "REF", "ALT", "FORMAT", "samples"}
+    r = {x["POS"]: x for x in df.collect()}
+    assert r[100]["samples"] == {"S2": "0|0:7"}
+    # out-of-order sample list cannot mislabel (name-based select)
+    df2 = read_vcf(spark, GOLDEN, samples=["S2", "S1"])
+    r2 = {x["POS"]: x for x in df2.collect()}
+    assert r2[100]["samples"]["S1"] == "0|1:12"
+
+
+def test_unknown_sample_raises(spark):
+    with pytest.raises(ValueError):
+        read_vcf(spark, GOLDEN, samples=["NOPE"])
+
+
+def test_global_dedup(spark, tmp_path):
+    src = open(GOLDEN).read()
+    dup_line = [l for l in src.splitlines() if l.startswith("1\t100")][0]
+    p = tmp_path / "dup.vcf"
+    p.write_text(src + dup_line + "\n")
+    assert read_vcf(spark, str(p)).count() == 6
+    assert read_vcf(spark, str(p), dedup=False).count() == 7
