@@ -1,0 +1,110 @@
+"""Property-based tests for the GT parser / annotation expressions
+(SURVEY §5 test plan): random REF/ALT/ploidy/phase/missing combinations,
+checked against a pure-Python model of the reference semantics."""
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pandasvcf_spark.operators.annotate import annotate_genotypes, explode_genotypes
+
+BASES = st.text(alphabet="ACGT", min_size=1, max_size=4)
+
+
+@st.composite
+def vcf_site(draw):
+    ref = draw(BASES)
+    n_alt = draw(st.integers(1, 3))
+    alts = [draw(BASES) for _ in range(n_alt)]
+    n_alleles = 1 + n_alt
+    allele = st.one_of(st.just("."), st.integers(0, n_alleles - 1).map(str))
+    ploidy = draw(st.integers(1, 2))
+    sep = draw(st.sampled_from(["/", "|"]))
+    gt = sep.join(draw(allele) for _ in range(ploidy))
+    return ref, ",".join(alts), gt
+
+
+def model_annotations(ref, alt, gt):
+    """Pure-Python model of reference vector_GT_alleles + zygosity_fast +
+    vartype_map (variant_annotations.py:21-162)."""
+    if gt in ("./.", ".|.", "."):
+        return None
+    bases = [ref] + alt.split(",")
+    parts = gt.replace("|", "/").split("/")
+    a1 = "." if parts[0] == "." else bases[int(parts[0])]
+    a2 = "." if len(parts) < 2 or parts[1] == "." else bases[int(parts[1])]
+
+    if a1 == ref and a2 == ref:
+        zyg = "hom-ref"
+    elif a1 == "." and a2 == ".":
+        zyg = "hom-miss"
+    elif a1 == "." or a2 == ".":
+        zyg = "het-miss"
+    elif a1 != ref and a2 != ref and a1 != a2:
+        zyg = "het-alt"
+    elif a1 != ref and a2 != ref:
+        zyg = "hom-alt"
+    else:
+        zyg = "het-ref"
+
+    def vt(allele):
+        if allele == ref:
+            return "ref"
+        d = len(ref) - len(allele)
+        diff = sum(1 for i in range(min(len(ref), len(allele)))
+                   if ref[i] != allele[i])
+        if d == 0:
+            return "snp" if diff == 1 else "mnp"
+        if d > 0:
+            return "indel" if diff > 0 else "del"
+        return "ins"
+
+    return a1, a2, zyg, vt(a1), vt(a2)
+
+
+@given(st.lists(vcf_site(), min_size=1, max_size=20))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_annotations_match_model(spark, sites):
+    rows = [
+        ("1", 100 + i, ref, alt, "GT", {"S1": gt})
+        for i, (ref, alt, gt) in enumerate(sites)
+    ]
+    wide = spark.createDataFrame(
+        rows,
+        "CHROM string, POS long, REF string, ALT string, FORMAT string,"
+        " samples map<string,string>",
+    )
+    ann = annotate_genotypes(
+        explode_genotypes(wide), drop_hom_ref=False, format_fields=None
+    )
+    got = {r["POS"]: r for r in ann.collect()}
+    for i, (ref, alt, gt) in enumerate(sites):
+        pos = 100 + i
+        expected = model_annotations(ref, alt, gt)
+        if expected is None:
+            assert pos not in got, f"missing GT {gt} should be dropped"
+            continue
+        r = got[pos]
+        assert (r["a1"], r["a2"], r["zygosity"], r["vartype1"], r["vartype2"]) == expected, (
+            f"REF={ref} ALT={alt} GT={gt}"
+        )
+        # invariants: a1 in alleles or '.', multiallele = comma count
+        assert r["a1"] in {"."} | set([ref] + alt.split(","))
+        assert r["multiallele"] == alt.count(",")
+
+
+def test_pivot_roundtrip(spark):
+    from pandasvcf_spark.operators.annotate import annotate_vcf
+    from pandasvcf_spark.operators.reshape import pivot_genotypes
+
+    from conftest import DATA_DIR
+
+    ann = annotate_vcf(
+        spark, os.path.join(DATA_DIR, "golden.vcf"), drop_hom_ref=False
+    )
+    wide = pivot_genotypes(ann, "GT", sample_ids=["S1", "S2"])
+    r = {x["POS"]: x for x in wide.collect()}
+    assert r[100]["S1"] == "0|1" and r[100]["S2"] == "0|0"
+    assert r[300]["S1"] == "1/1" and r[300]["S2"] is None  # ./. dropped
