@@ -116,18 +116,20 @@ def lang_id_expr(text: Column | str) -> Column:
         "es": ["el", "los", "las", "es", "una", "que"],
     }
     w = words_expr(text)
-    scores = [
-        F.size(F.filter(w, lambda x, ms=ms: x.isin(*ms))).alias(lang)
+    score = {
+        lang: F.size(F.filter(w, lambda x, ms=ms: x.isin(*ms)))
         for lang, ms in markers.items()
-    ]
-    pairs = F.array(
-        *[
-            F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang"))
-            for lang, s in zip(markers, scores)
-        ]
+    }
+    # Deterministic tie precedence en > de > fr > es (mirrors the SQL oracle
+    # exactly — no reliance on struct-comparison ordering).
+    en, de, fr, es = score["en"], score["de"], score["fr"], score["es"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
     )
-    best = F.array_max(pairs)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def fingerprint_expr(text: Column | str) -> Column:
