@@ -77,16 +77,19 @@ def alleles_expr(ref: Column | str, alt: Column | str) -> Column:
 def allele_expr(alleles: Column, gt_idx: Column) -> Column:
     """Resolve one genotype index against the allele array; '.' and NULL pass
     through as '.' (missing-allele sentinel, reference parity). An
-    unresolvable index (out of range / non-numeric — malformed input the
-    reference would crash on) also maps to '.' so it classifies as a missing
-    call rather than leaking NULLs into the zygosity logic."""
-    return (
-        F.when(gt_idx.isNull() | (gt_idx == "."), F.lit("."))
-        .otherwise(
-            F.coalesce(
-                F.try_element_at(alleles, gt_idx.try_cast("int") + 1), F.lit(".")
-            )
-        )
+    unresolvable index (out of range / non-numeric / NEGATIVE — malformed
+    input the reference would crash on) also maps to '.' so it classifies as
+    a missing call rather than leaking NULLs into the zygosity logic.
+
+    The negative guard matters: element_at(arr, 0) raises
+    INVALID_INDEX_OF_ZERO even via try_element_at, and a negative index
+    silently resolves from the END of the array — either way one malformed
+    GT ('-1/0') must not abort or mis-annotate a 100 TB job."""
+    idx = gt_idx.try_cast("int")
+    return F.when(
+        gt_idx.isNull() | (gt_idx == ".") | idx.isNull() | (idx < 0), F.lit(".")
+    ).otherwise(
+        F.coalesce(F.try_element_at(alleles, idx + 1), F.lit("."))
     )
 
 
@@ -172,12 +175,21 @@ def format_map_expr(format_col: Column | str, call: Column | str) -> Column:
     null keys are dropped before map construction."""
     f = F.col(format_col) if isinstance(format_col, str) else format_col
     c = F.col(call) if isinstance(call, str) else call
+    keys = F.split(f, ":")
     entries = F.zip_with(
-        F.split(f, ":"),
+        keys,
         F.split(c, ":"),
         lambda k, v: F.struct(k.alias("key"), v.alias("value")),
     )
-    return F.map_from_entries(F.filter(entries, lambda e: e["key"].isNotNull()))
+    # Keep only the FIRST occurrence of each key: a malformed FORMAT spec
+    # that repeats a field ('GT:DP:DP') would otherwise abort the whole job
+    # with DUPLICATED_MAP_KEY under the default EXCEPTION map-dedup policy.
+    deduped = F.filter(
+        entries,
+        lambda e, i: e["key"].isNotNull()
+        & (F.array_position(keys, e["key"]) == i + 1),
+    )
+    return F.map_from_entries(deduped)
 
 
 def hom_ref_call_indicator(call: Column, ref: Column, alt: Column) -> Column:
