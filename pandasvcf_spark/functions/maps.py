@@ -1,0 +1,48 @@
+"""Key/value payload parsing: VCF INFO strings, JSON event props.
+
+The reference never parses INFO (SURVEY.md:184-186 — it stays an opaque
+string), which makes half the 1000G fixture unqueryable. Declared engine
+scope: `str_to_map` over `;`-separated `k=v` payloads (VCF INFO) and JSON
+extraction over `events.props`-style columns. All native expressions —
+`str_to_map` / `get_json_object` run JVM-side inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def info_map_expr(info: Column | str) -> Column:
+    """MAP<STRING,STRING> from a VCF INFO payload (`AC=1;AF=0.5;DB`).
+
+    Flag entries (no '=') map to value '' — check membership with
+    `map_contains_key`. A '.' (missing) INFO yields an empty map."""
+    cleaned = F.nullif(F.trim(_c(info)), F.lit("."))
+    return F.when(cleaned.isNull(), F.map_from_arrays(F.array(), F.array())).otherwise(
+        F.str_to_map(cleaned, F.lit(";"), F.lit("="))
+    )
+
+
+def info_field_expr(
+    info: Column | str, key: str, cast: str | None = None
+) -> Column:
+    """One INFO field by key; optionally try_cast to a type ('int',
+    'double', ...). Missing key → NULL, malformed value → NULL (never an
+    ANSI runtime error)."""
+    v = F.try_element_at(info_map_expr(info), F.lit(key))
+    return v.try_cast(cast) if cast else v
+
+
+def json_field_expr(
+    js: Column | str, key: str, cast: str | None = None
+) -> Column:
+    """Extract `$.key` from a JSON string column (events.props shape).
+    get_json_object is a streaming JSON path scan — no schema inference
+    pass, which matters when props is a 100 TB column."""
+    v = F.get_json_object(_c(js), f"$.{key}")
+    return v.try_cast(cast) if cast else v

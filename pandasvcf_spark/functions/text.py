@@ -50,19 +50,24 @@ def words_expr(text: Column | str) -> Column:
 
 
 def word_ngrams_expr(text: Column | str, n: int = 3) -> Column:
-    """ARRAY<STRING> of space-joined word n-grams (shingles)."""
+    """ARRAY<STRING> of space-joined word n-grams (shingles). Texts with
+    fewer than n words yield an empty array (guarded: Spark's
+    sequence(1, 0) counts DOWN, it is not empty)."""
     w = words_expr(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(w, i, n), " ")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
     )
 
 
 def char_shingles_expr(text: Column | str, k: int = 5) -> Column:
-    """ARRAY<STRING> of lowercase character k-shingles (whitespace collapsed)."""
+    """ARRAY<STRING> of lowercase character k-shingles (whitespace collapsed).
+    Texts shorter than k chars yield an empty array."""
     t = F.regexp_replace(F.lower(_c(text)), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+    idx = F.sequence(F.lit(1), F.length(t) - (k - 1))
+    return F.when(F.length(t) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+    )
 
 
 def punct_ratio_expr(text: Column | str) -> Column:
@@ -116,10 +121,13 @@ def lang_id_expr(text: Column | str) -> Column:
         "es": ["el", "los", "las", "es", "una", "que"],
     }
     w = words_expr(text)
-    score = {
-        lang: F.size(F.filter(w, lambda x, ms=ms: x.isin(*ms)))
-        for lang, ms in markers.items()
-    }
+
+    def _hits(ms):
+        # one-arg lambda: a two-arg lambda would make F.filter pass the
+        # element index as the second argument
+        return F.size(F.filter(w, lambda x: x.isin(*ms)))
+
+    score = {lang: _hits(ms) for lang, ms in markers.items()}
     # Deterministic tie precedence en > de > fr > es (mirrors the SQL oracle
     # exactly — no reliance on struct-comparison ordering).
     en, de, fr, es = score["en"], score["de"], score["fr"], score["es"]

@@ -1,0 +1,270 @@
+"""Document deduplication operators — exact, MinHash-LSH, SimHash.
+
+Beyond-reference extension surface (SURVEY §2.11): the dedup passes a
+training-data pipeline runs over a `documents` table. The reference's only
+dedup is full-row `drop_duplicates()` (pandasvcf.py:175); here that
+generalizes to content-defined keys and near-duplicate detection.
+
+Scale design (the whole point at 100 TB):
+  * Exact dedup groups on an 8-byte fingerprint (xxhash64 of normalized
+    text), never on the full text — the shuffle moves hashes, not documents.
+  * MinHash near-dup does shingles → per-row signature (pure column exprs,
+    JVM-side) → LSH banding → an equi-join on (band_index, band_hash).
+    Candidate generation is a bucketed join; there is NO all-pairs crossJoin
+    anywhere, so cost is O(sum of bucket² ) not O(n²).
+  * SimHash emits one 64-bit key per document; near-dups are found by exact
+    match on rotated keys or banded 16-bit chunks — again equi-join shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.text import fingerprint_expr, words_expr
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dedup_exact(
+    df: DataFrame,
+    key: Column | str,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per dedup key (first by `order_by` — give a
+    unique order for deterministic survivors). Equivalent declared query:
+    ``... QUALIFY row_number() OVER (PARTITION BY key ORDER BY ...) = 1``.
+    """
+    order_by = order_by or [F.monotonically_increasing_id()]
+    w = Window.partitionBy(_c(key)).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_stats(
+    df: DataFrame,
+    key: Column | str,
+    id_col: Column | str,
+) -> DataFrame:
+    """Grouped dedup summary: per dedup key, the kept (minimum) id and the
+    duplicate count. The aggregation-shaped twin of `dedup_exact` — map-side
+    partial aggregation makes this the cheapest possible dedup accounting.
+    Output: kept_id BIGINT, dup_cnt BIGINT."""
+    return df.groupBy(_c(key).alias("__key")).agg(
+        F.min(_c(id_col)).cast("long").alias("kept_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+    ).drop("__key")
+
+
+def dedup_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dedup a documents table on the normalized-text fingerprint
+    (whitespace/case noise ignored). Keeps the lowest doc_id per group."""
+    return dedup_exact(
+        df.withColumn("__fp", fingerprint_expr(text_col)),
+        "__fp",
+        order_by=[F.col("doc_id")],
+    ).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
+    """ARRAY<BIGINT> MinHash signature over a shingle array.
+
+    Hash family i (i = 0..num_hashes-1) is ``xxhash64(shingle, i)`` — the
+    seed column makes the families independent; the signature element is the
+    min over the row's shingles. Pure nested higher-order functions: the whole
+    signature is computed JVM-side inside one projection, no shuffle, no UDF.
+    Empty shingle arrays yield NULL elements (filtered by callers)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def lsh_band_keys_expr(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """ARRAY<STRUCT<band INT, key BIGINT>>: hash each band (contiguous slice
+    of `rows_per_band` signature elements) to one 64-bit bucket key. Two
+    documents sharing any band key are near-dup candidates."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+                b,
+            ).alias("key"),
+        ),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float | None = None,
+    shingle_col_out: str = "__sh",
+) -> DataFrame:
+    """Candidate near-duplicate id pairs via banded MinHash LSH.
+
+    Plan shape: project(signature, band keys) → explode(bands) →
+    self-equi-join on (band, key) → distinct pairs (id_a < id_b). The join is
+    a plain shuffled equi-join on the band bucket — never a crossJoin — so it
+    scales with bucket occupancy, not n². With `min_jaccard`, candidates are
+    verified with the exact shingle-set Jaccard (computed only on the
+    candidate pairs, which are few).
+
+    Output: id_a, id_b (+ jaccard DOUBLE when verifying).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles.alias(shingle_col_out),
+    ).withColumn(
+        "__band",
+        F.explode(
+            lsh_band_keys_expr(
+                minhash_signature_expr(F.col(shingle_col_out), num_hashes),
+                bands,
+                rows_per_band,
+            )
+        ),
+    ).select("__id", shingle_col_out, "__band")
+
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col(shingle_col_out).alias("__sh_a"),
+        F.col("__band").alias("__b"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col(shingle_col_out).alias("__sh_b"),
+        F.col("__band").alias("__b"),
+    )
+    pairs = (
+        a.join(b, on="__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if min_jaccard is None:
+        return pairs.select("id_a", "id_b")
+    inter = F.size(F.array_intersect(F.array_distinct("__sh_a"), F.array_distinct("__sh_b")))
+    union = F.size(F.array_union(F.array_distinct("__sh_a"), F.array_distinct("__sh_b")))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_expr(a_words: Column, b_words: Column) -> Column:
+    """Exact Jaccard similarity of two (already-tokenized) arrays."""
+    da, db = F.array_distinct(a_words), F.array_distinct(b_words)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(F.array_union(da, db))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(tokens: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over a token array, returned as BIGINT.
+
+    Per bit position: sum +1/-1 votes of each token's xxhash64 bit; the
+    fingerprint bit is 1 when the vote is positive. Near-duplicate documents
+    land within small Hamming distance. Entirely JVM-side HOF expressions.
+    """
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            tokens,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + (F.shiftright(F.xxhash64(t), 0) .bitwiseAND(F.lit(0)) * 0)  # no-op keeps types aligned
+            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_hamming_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit SimHash keys (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates by SimHash banding: split the 64-bit key into
+    64/band_bits chunks; pairs agreeing on any chunk are candidates
+    (guaranteed to include all pairs within Hamming distance
+    64/band_bits - 1), then filtered by exact Hamming distance. Equi-join on
+    (chunk index, chunk value) — no crossJoin."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        simhash_expr(words_expr(text_col)).alias("__sh"),
+    )
+    banded = keyed.withColumn(
+        "__chunk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.shiftright(F.col("__sh"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                ),
+            )
+        ),
+    )
+    a = banded.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"), "__chunk"
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"), "__chunk"
+    )
+    return (
+        a.join(b, on="__chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", simhash_hamming_expr(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

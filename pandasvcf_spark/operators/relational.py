@@ -1,0 +1,133 @@
+"""Generic relational operators (SURVEY §2.4/2.5/2.7, milestone M3).
+
+The reference's relational surface is tiny (left equi-joins used to re-attach
+derived data, one grouped count, no sorts/windows — SURVEY.md §2.4-2.7); a
+user of a general engine needs the full set. These are thin, deliberately
+boring wrappers over the DataFrame API: the value is the *declared plan shape*
+(broadcast hints for dimension tables, rank-not-row_number for determinism,
+tie-broken top-k) and the oracle-checked catalog entries built on them
+(`pandasvcf_spark/queries/`), not cleverness.
+
+Scale notes (100 TB posture):
+  * `join_dim` broadcasts the small side explicitly — a dimension table never
+    justifies shuffling the fact table.
+  * semi/anti joins use the native left_semi/left_anti join types, which keep
+    only the left schema and let AQE pick broadcast variants at runtime.
+  * `topk` / `rank_per_group` require a total order (tie-break columns) so a
+    LIMIT is deterministic across retries/partitionings — at scale a
+    nondeterministic top-k silently diverges between runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cols(cs: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Fact ⋈ dimension with an explicit broadcast hint on the dim side.
+
+    Reference J1/J2 are this shape (variant_annotations.py:683-685, 709-712):
+    a big table joined to a small derived/dimension table. At scale the
+    broadcast hint removes the fact-side shuffle entirely.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str] | Column) -> DataFrame:
+    """Rows of `left` with a match in `right` (left schema only)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str] | Column) -> DataFrame:
+    """Rows of `left` with NO match in `right` (left schema only)."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def dedup_annotate_join(
+    df: DataFrame,
+    keys: Sequence[str],
+    annotations: Sequence[Column],
+) -> DataFrame:
+    """Reference J1 (variant_annotations.py:667-685) as a generic operator:
+    compute `annotations` once per distinct key combination, then broadcast
+    the (small) distinct-annotated side back onto every row.
+
+    In the VCF core we fold annotations into per-row expressions instead
+    (operators/annotate.py) — this form exists for expensive annotation
+    functions where compute-once-per-distinct-key genuinely pays.
+    """
+    distinct = df.select(*keys).distinct().select(*_cols(keys), *annotations)
+    return df.join(F.broadcast(distinct), on=list(keys), how="left")
+
+
+def topk(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    k: int,
+) -> DataFrame:
+    """Deterministic global top-k. `order_by` must be a total order
+    (include a unique tie-break column). Spark plans this as TakeOrdered —
+    per-partition heaps + a k-row merge on the driver, no global sort."""
+    return df.orderBy(*_cols(order_by)).limit(k)
+
+
+def rank_per_group(
+    df: DataFrame,
+    partition_by: Sequence[Column | str],
+    order_by: Sequence[Column | str],
+    k: int | None = None,
+    method: str = "rank",
+    out: str = "rnk",
+) -> DataFrame:
+    """rank()/row_number()/dense_rank() within groups, optionally keeping
+    ranks <= k (top-k per group). One shuffle on the group key."""
+    fn = {"rank": F.rank, "row_number": F.row_number, "dense_rank": F.dense_rank}[
+        method
+    ]
+    w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+    out_df = df.withColumn(out, fn().over(w))
+    if k is not None:
+        out_df = out_df.filter(F.col(out) <= k)
+    return out_df
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: Sequence[Column | str],
+    order_by: Sequence[Column | str],
+    agg: Column,
+    out: str = "running",
+) -> DataFrame:
+    """Cumulative frame aggregate (rows unbounded preceding → current)."""
+    w = (
+        Window.partitionBy(*_cols(partition_by))
+        .orderBy(*_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, agg.over(w))
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_by: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+) -> DataFrame:
+    """Long → wide count pivot (reference R2 generalized). Passing explicit
+    `values` skips the distinct-discovery job and fixes output column order —
+    at scale the discovery pass is a full extra scan."""
+    out = df.groupBy(*group_by).pivot(pivot_col, list(values)).count()
+    # Missing (group, value) combinations are structural zeros, not unknowns.
+    return out.na.fill(0, [str(v) for v in values])

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT/DOUBLE>).
+
+Beyond-reference extension surface (SURVEY §2.11). Two tiers:
+
+  * Exact top-k: broadcast the (small) query set against the corpus, score
+    with the native `cosine`/`dot` higher-order-function expressions
+    (functions/vectors.py — JVM-side, codegen), rank per query, keep k.
+    The join is `corpus × broadcast(queries)` — a broadcast nested loop whose
+    cost is |corpus| · |queries|, the right shape when queries ≪ corpus.
+    This is the oracle-checkable baseline.
+  * ANN via random-projection LSH: bucket every vector by the sign pattern of
+    its dot products with a fixed set of hyperplanes, then search only within
+    buckets (equi-join on the bucket id). Candidate generation is a shuffled
+    equi-join — NEVER an all-pairs crossJoin — so it survives a 100× corpus.
+    Recall is tunable by bands of planes (probe multiple bucketings).
+
+All scoring math is cast to DOUBLE before accumulating so results are
+reproducible against external oracles regardless of the stored float width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.vectors import cosine_expr
+
+
+def _dc(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    queries: DataFrame with (query_id_col, vec_col) — broadcast, so keep it
+    small (the many-query case is a different operator: block-matrix multiply
+    via mapInPandas, not needed at this corpus scale).
+
+    Output: query_id, vec_id, cossim (DOUBLE, raw — round at the edge if
+    hashing). Deterministic: rank ties broken by vec_id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _dc(vec_col).alias("__qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col), _dc(vec_col).alias("__vec")
+    ).join(F.broadcast(q), on=F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col(id_col))
+    scored = scored.withColumn(
+        "cossim", cosine_expr(F.col("__vec"), F.col("__qvec"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("cossim"),
+        )
+    )
+
+
+def rp_bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+    """LSH bucket id (STRING of sign bits) from literal random hyperplanes.
+
+    Planes are plain Python lists baked into the plan as array literals —
+    deterministic, shipped with the plan, no side channel. Sign of the dot
+    product with each plane contributes one bit."""
+    v = _dc(vec)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_bucket_topk(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-neighbors ANN: for every vector, its top-k cosine neighbors among
+    vectors in the SAME LSH bucket. The self-join key is the bucket id, so
+    the shuffle is by bucket and the quadratic work is bounded per bucket.
+
+    Output: query_id, vec_id, cossim — same shape as `cosine_topk`, making
+    recall measurable by direct comparison (tests do exactly that).
+    """
+    bucketed = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        rp_bucket_expr(vec_col, planes).alias("__bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("__qvec"),
+        "__bucket",
+    )
+    pairs = a.join(bucketed, on="__bucket").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    pairs = pairs.withColumn("cossim", cosine_expr(F.col("__qvec"), F.col("__vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        pairs.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select("query_id", id_col, "cossim")
+    )
+
+
+def bucket_histogram(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket occupancy histogram — the ANN capacity-planning query (skewed
+    buckets = skewed join). Output: bucket STRING, n BIGINT."""
+    return (
+        corpus.select(rp_bucket_expr(vec_col, planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,146 @@
+"""Event-stream catalog entries over `events` (SURVEY §2.10 batch twins).
+
+Each entry is the deterministic batch twin of a streaming operator in
+`pandasvcf_spark.streaming.events`; the pytest suite separately asserts
+stream(availableNow) ≡ batch on the same input. Time arithmetic is integer
+epoch math (never raw timestamps) so engine timestamp canonicalization and
+session timezones can't skew the comparison: Spark casts its microsecond
+TIMESTAMP to epoch seconds, DuckDB integer-divides epoch_us.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.maps import json_field_expr
+from pandasvcf_spark.operators.relational import rank_per_group
+from pandasvcf_spark.queries.registry import register
+from pandasvcf_spark.queries.tables import load
+
+#: epoch seconds of ts, truncated — identical on both sides.
+_SEC = "(epoch_us(ts) // 1000000)"
+
+
+@register(
+    "e_tumbling_hourly",
+    headline=True,
+    oracle=f"""
+    SELECT ({_SEC} // 3600) * 3600 AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1h window counts — batch twin of
+    streaming.events.tumbling_counts (same grouped-agg plan; the streaming
+    variant adds watermarked state)."""
+    ev = load(spark, sf_dir, "events")
+    win = ((F.col("ts").cast("long") / 3600).cast("long") * 3600).alias("win_start")
+    return ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).cast("long").alias("__h"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        (F.col("__h") * 3600).alias("win_start"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "e_sliding_2h",
+    oracle=f"""
+    WITH h AS (SELECT ({_SEC} // 3600) * 3600 AS hs FROM events),
+    contrib AS (
+      SELECT hs AS win_start FROM h
+      UNION ALL
+      SELECT hs - 3600 FROM h)
+    SELECT win_start, count(*) AS n FROM contrib GROUP BY 1
+    """,
+)
+def e_sliding_2h(spark, sf_dir):
+    """Sliding 2h/1h window counts — each event lands in two overlapping
+    windows (epoch-aligned, matching Spark's window() alignment)."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("__w").start.cast("long").alias("win_start"), "n")
+    )
+
+
+@register(
+    "e_props_json",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def e_props_json(spark, sf_dir):
+    """JSON property extraction (functions/maps.json_field_expr) + grouped
+    stats — the events.props analogue of VCF INFO parsing."""
+    ev = load(spark, sf_dir, "events")
+    k = json_field_expr("props", "k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "e_sessionize",
+    headline=True,
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions
+    FROM t GROUP BY user_id
+    """,
+)
+def e_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min gap): the batch twin of the
+    streaming session_window operator. Session starts = rows whose gap to
+    the previous event exceeds the threshold."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("__ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("__ns").cast("long").alias("n_sessions"))
+    )
+
+
+@register(
+    "e_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def e_dedup_first(spark, sf_dir):
+    """Keyed dedup keeping the earliest event — deterministic batch twin of
+    streaming dropDuplicatesWithinWatermark (streaming.events.dedup_events)."""
+    ev = load(spark, sf_dir, "events")
+    out = rank_per_group(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], k=1, method="row_number"
+    )
+    return out.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )

@@ -1,0 +1,442 @@
+"""Genomics-operator catalog entries (SURVEY §2.6 F-series, A1, J1, P5/P7).
+
+The VCF testdata lives in `/root/reference/test_data` (covered by golden
+tests), but the driver's oracle runs on the TPC-H-ish tables — so these
+entries derive a deterministic genotype relation FROM lineitem/part (both
+engines build the identical strings), then run the REAL genomics expressions
+from `pandasvcf_spark.functions.genomics` on the Spark side while the oracle
+recomputes the expected answers from the derivation components with plain
+CASE SQL. This oracle-verifies the parser/classifier semantics themselves.
+
+Derivation (shared contract — keep the two sides in lockstep):
+    gt1  = '.'                    when l_orderkey % 19 = 0
+           (l_linenumber + l_orderkey) % 3   otherwise
+    gt2  = '.'                    when l_suppkey % 23 = 0
+           l_partkey % 3                     otherwise
+    sep  = '|' when l_suppkey % 2 = 0 else '/'
+    haploid (GT = gt1 alone)      when l_orderkey % 31 = 0
+    GT   = gt1 || sep || gt2      otherwise
+    REF  = 'A', ALT = 'G,T'  (alleles: 0->A, 1->G, 2->T)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.genomics import (
+    MISSING_GT,
+    allele_expr,
+    alleles_expr,
+    format_map_expr,
+    gt_index_expr,
+    gt_parts_expr,
+    multiallele_expr,
+    phase_expr,
+    strip_chr,
+    vartype_expr,
+    zygosity_expr,
+)
+from pandasvcf_spark.operators.relational import dedup_annotate_join
+from pandasvcf_spark.queries.registry import register
+from pandasvcf_spark.queries.tables import load
+
+
+def derived_genotypes(spark, sf_dir):
+    """The shared derived genotype relation (Spark side). Columns:
+    l_orderkey, l_linenumber, REF, ALT, GT."""
+    li = load(spark, sf_dir, "lineitem")
+    gt1 = F.when(F.col("l_orderkey") % 19 == 0, ".").otherwise(
+        ((F.col("l_linenumber") + F.col("l_orderkey")) % 3).cast("string")
+    )
+    gt2 = F.when(F.col("l_suppkey") % 23 == 0, ".").otherwise(
+        (F.col("l_partkey") % 3).cast("string")
+    )
+    sep = F.when(F.col("l_suppkey") % 2 == 0, "|").otherwise("/")
+    gt = F.when(F.col("l_orderkey") % 31 == 0, gt1).otherwise(
+        F.concat(gt1, sep, gt2)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit("A").alias("REF"),
+        F.lit("G,T").alias("ALT"),
+        gt.alias("GT"),
+    )
+
+
+#: Oracle-side twin of `derived_genotypes` + recomputed expected annotations.
+#: gt2v/a2/GT2 already account for haploid (NULL/'.'/NULL respectively).
+# NOTE: raw derivation columns are named p1/p2/p2v (not gt1/gt2) because
+# DuckDB identifiers are case-insensitive — `gt1` would collide with the
+# derived `GT1` output column.
+_GENO_CTE = """
+WITH geno AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 19 = 0 THEN '.'
+              ELSE CAST((l_linenumber + l_orderkey) % 3 AS VARCHAR) END AS p1,
+         CASE WHEN l_suppkey % 23 = 0 THEN '.'
+              ELSE CAST(l_partkey % 3 AS VARCHAR) END AS p2,
+         CASE WHEN l_suppkey % 2 = 0 THEN '|' ELSE '/' END AS sep,
+         (l_orderkey % 31 = 0) AS haploid
+  FROM lineitem
+), g AS (
+  SELECT l_orderkey, l_linenumber, haploid, p1, sep,
+         CASE WHEN haploid THEN p1 ELSE p1 || sep || p2 END AS GT,
+         CASE WHEN haploid THEN NULL ELSE p2 END AS p2v
+  FROM geno
+), ann AS (
+  SELECT l_orderkey, l_linenumber, haploid, GT,
+         CASE WHEN haploid THEN '-' ELSE sep END AS phase,
+         CASE WHEN p1 = '.' THEN NULL ELSE CAST(p1 AS INT) END AS GT1,
+         CASE WHEN p2v IS NULL OR p2v = '.' THEN NULL
+              ELSE CAST(p2v AS INT) END AS GT2,
+         CASE p1 WHEN '.' THEN '.' WHEN '0' THEN 'A'
+                 WHEN '1' THEN 'G' WHEN '2' THEN 'T' END AS a1,
+         CASE WHEN p2v IS NULL THEN '.'
+              ELSE CASE p2v WHEN '.' THEN '.' WHEN '0' THEN 'A'
+                            WHEN '1' THEN 'G' WHEN '2' THEN 'T' END END AS a2
+  FROM g
+)
+"""
+
+_ZYG_SQL = """CASE
+  WHEN a1 = 'A' AND a2 = 'A' THEN 'hom-ref'
+  WHEN a1 = '.' AND a2 = '.' THEN 'hom-miss'
+  WHEN a1 = '.' OR a2 = '.' THEN 'het-miss'
+  WHEN a1 <> 'A' AND a2 <> 'A' AND a1 <> a2 THEN 'het-alt'
+  WHEN a1 <> 'A' AND a2 <> 'A' AND a1 = a2 THEN 'hom-alt'
+  ELSE 'het-ref' END"""
+
+
+@register(
+    "f2f3_gt_parse",
+    oracle=_GENO_CTE
+    + """
+    SELECT l_orderkey, l_linenumber, GT, phase, GT1, GT2, a1, a2 FROM ann
+    """,
+)
+def f2f3_gt_parse(spark, sf_dir):
+    """Phase detection + GT split + allele lookup (reference F2/F3 —
+    get_phase variant_annotations.py:24-31, vector_GT_alleles :21-60),
+    parsing the GT *string* with the real engine expressions."""
+    df = derived_genotypes(spark, sf_dir)
+    gtp = gt_parts_expr("GT")
+    alleles = alleles_expr("REF", "ALT")
+    df = (
+        df.withColumn("phase", phase_expr("GT"))
+        .withColumn("_g1", gtp.getItem(0))
+        .withColumn("_g2", F.when(F.size(gtp) > 1, F.try_element_at(gtp, F.lit(2))))
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "GT",
+        "phase",
+        gt_index_expr(F.col("_g1")).alias("GT1"),
+        gt_index_expr(F.col("_g2")).alias("GT2"),
+        allele_expr(alleles, F.col("_g1")).alias("a1"),
+        allele_expr(alleles, F.col("_g2")).alias("a2"),
+    )
+
+
+@register(
+    "f4_zygosity",
+    headline=True,
+    oracle=_GENO_CTE
+    + f"""
+    SELECT {_ZYG_SQL} AS zygosity, count(*) AS n FROM ann GROUP BY 1
+    """,
+)
+def f4_zygosity(spark, sf_dir):
+    """Zygosity classification histogram (reference F4, zygosity_fast
+    variant_annotations.py:64-127)."""
+    df = f2f3_gt_parse(spark, sf_dir)
+    return (
+        df.select(zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A")).alias("zygosity"))
+        .groupBy("zygosity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+#: (REF, allele) pairs covering every vartype branch, chosen by p_partkey % 8.
+#: Expected labels per reference vartype_map semantics (SURVEY §2.6 F5,
+#: incl. the '.'-vs-1-char-REF -> snp quirk).
+_VT_PAIRS = [
+    ("A", "A", "ref"),
+    ("A", "G", "snp"),
+    ("CA", "AT", "mnp"),
+    ("AT", "A", "del"),
+    ("A", "AT", "ins"),
+    ("ACG", "AT", "indel"),
+    ("A", ".", "snp"),
+    ("TTT", "T", "del"),
+]
+
+
+@register(
+    "f5_vartype",
+    oracle="""
+    SELECT p_partkey,
+           CASE p_partkey % 8 {ref_cases} END AS ref,
+           CASE p_partkey % 8 {alt_cases} END AS allele,
+           CASE p_partkey % 8 {label_cases} END AS vartype
+    FROM part
+    """.format(
+        ref_cases=" ".join(
+            f"WHEN {i} THEN '{r}'" for i, (r, _, _) in enumerate(_VT_PAIRS)
+        ),
+        alt_cases=" ".join(
+            f"WHEN {i} THEN '{a}'" for i, (_, a, _) in enumerate(_VT_PAIRS)
+        ),
+        label_cases=" ".join(
+            f"WHEN {i} THEN '{l}'" for i, (_, _, l) in enumerate(_VT_PAIRS)
+        ),
+    ),
+)
+def f5_vartype(spark, sf_dir):
+    """Variant-type classification (reference F5, vartype_map
+    variant_annotations.py:130-162): the engine's HOF char-diff expression
+    vs hardcoded expected labels for a pair set covering every branch."""
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 8
+    ref_expr = None
+    alt_expr = None
+    for i, (r, a, _) in enumerate(_VT_PAIRS):
+        ref_expr = (
+            F.when(k == i, r) if ref_expr is None else ref_expr.when(k == i, r)
+        )
+        alt_expr = (
+            F.when(k == i, a) if alt_expr is None else alt_expr.when(k == i, a)
+        )
+    df = p.select(
+        "p_partkey", ref_expr.alias("ref"), alt_expr.alias("allele")
+    )
+    return df.withColumn("vartype", vartype_expr(F.col("ref"), F.col("allele")))
+
+
+@register(
+    "f6_multiallele",
+    oracle="""
+    SELECT p_partkey,
+           CASE p_partkey % 3 WHEN 0 THEN 'G' WHEN 1 THEN 'G,T'
+                              ELSE 'G,T,C' END AS alt,
+           CAST(len(string_split(CASE p_partkey % 3 WHEN 0 THEN 'G'
+                WHEN 1 THEN 'G,T' ELSE 'G,T,C' END, ',')) - 1 AS INT)
+             AS multiallele
+    FROM part
+    """,
+)
+def f6_multiallele(spark, sf_dir):
+    """Multiallelic comma count (reference F6, variant_annotations.py:504)."""
+    p = load(spark, sf_dir, "part")
+    alt = (
+        F.when(F.col("p_partkey") % 3 == 0, "G")
+        .when(F.col("p_partkey") % 3 == 1, "G,T")
+        .otherwise("G,T,C")
+    )
+    return p.select("p_partkey", alt.alias("alt")).withColumn(
+        "multiallele", multiallele_expr("alt")
+    )
+
+
+@register(
+    "f1_strip_chr",
+    oracle="""
+    SELECT n_nationkey,
+           regexp_replace(CASE n_nationkey % 3
+             WHEN 0 THEN 'chr' || CAST(n_nationkey AS VARCHAR)
+             WHEN 1 THEN CAST(n_nationkey AS VARCHAR)
+             ELSE 'chrchr' || CAST(n_nationkey AS VARCHAR) END,
+             '^chr', '') AS chrom
+    FROM nation
+    """,
+)
+def f1_strip_chr(spark, sf_dir):
+    """Anchored chr-prefix normalization (reference F1, pandasvcf.py:177 —
+    anchored here, the unanchored replace is a documented reference bug)."""
+    n = load(spark, sf_dir, "nation")
+    raw = (
+        F.when(F.col("n_nationkey") % 3 == 0, F.concat(F.lit("chr"), F.col("n_nationkey").cast("string")))
+        .when(F.col("n_nationkey") % 3 == 1, F.col("n_nationkey").cast("string"))
+        .otherwise(F.concat(F.lit("chrchr"), F.col("n_nationkey").cast("string")))
+    )
+    return n.select("n_nationkey", strip_chr(raw).alias("chrom"))
+
+
+@register(
+    "f7_format_map",
+    oracle="""
+    WITH fmt AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 5 = 0 THEN 'GT:DP' ELSE 'GT:DP:GQ' END AS fm,
+             CASE WHEN s_suppkey % 5 = 0
+                  THEN '0|1:' || CAST(s_suppkey % 100 AS VARCHAR)
+                  ELSE '0|1:' || CAST(s_suppkey % 100 AS VARCHAR) || ':'
+                       || CAST(s_suppkey % 60 AS VARCHAR) END AS call
+      FROM supplier)
+    SELECT s_suppkey,
+           string_split(call, ':')[list_position(string_split(fm, ':'), 'GT')] AS GT,
+           CAST(string_split(call, ':')[list_position(string_split(fm, ':'), 'DP')] AS INT) AS DP,
+           CASE WHEN list_position(string_split(fm, ':'), 'GQ') = 0 THEN NULL
+                ELSE CAST(string_split(call, ':')[list_position(string_split(fm, ':'), 'GQ')] AS INT)
+           END AS GQ
+    FROM fmt
+    """,
+)
+def f7_format_map(spark, sf_dir):
+    """FORMAT/call zip into a map + field extraction (reference F7,
+    _qual_preprocess variant_annotations.py:593-611) over heterogeneous
+    FORMAT layouts — no per-FORMAT dispatch (reference R4 eliminated)."""
+    s = load(spark, sf_dir, "supplier")
+    short = F.col("s_suppkey") % 5 == 0
+    fm = F.when(short, "GT:DP").otherwise("GT:DP:GQ")
+    dp = (F.col("s_suppkey") % 100).cast("string")
+    gq = (F.col("s_suppkey") % 60).cast("string")
+    call = F.when(short, F.concat(F.lit("0|1:"), dp)).otherwise(
+        F.concat(F.lit("0|1:"), dp, F.lit(":"), gq)
+    )
+    df = s.select("s_suppkey", fm.alias("fm"), call.alias("call"))
+    m = format_map_expr("fm", "call")
+    return df.select(
+        "s_suppkey",
+        F.try_element_at(m, F.lit("GT")).alias("GT"),
+        F.try_element_at(m, F.lit("DP")).try_cast("int").alias("DP"),
+        F.try_element_at(m, F.lit("GQ")).try_cast("int").alias("GQ"),
+    )
+
+
+@register(
+    "f8_split_columns",
+    oracle="""
+    WITH t AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 40 AS VARCHAR) || ',' ||
+             CAST(s_suppkey % 17 AS VARCHAR) AS AD
+      FROM supplier)
+    SELECT s_suppkey, string_split(AD, ',')[1] AS AD_0,
+           string_split(AD, ',')[2] AS AD_1
+    FROM t
+    """,
+)
+def f8_split_columns(spark, sf_dir):
+    """Comma sub-field split into indexed columns (reference F8,
+    variant_annotations.py:718-735)."""
+    s = load(spark, sf_dir, "supplier")
+    ad = F.concat(
+        (F.col("s_suppkey") % 40).cast("string"),
+        F.lit(","),
+        (F.col("s_suppkey") % 17).cast("string"),
+    )
+    df = s.select("s_suppkey", ad.alias("AD"))
+    parts = F.split("AD", ",")
+    return df.select(
+        "s_suppkey",
+        F.try_element_at(parts, F.lit(1)).alias("AD_0"),
+        F.try_element_at(parts, F.lit(2)).alias("AD_1"),
+    )
+
+
+@register(
+    "p5p7_missing_filters",
+    oracle=_GENO_CTE
+    + """
+    SELECT l_orderkey % 10 AS bucket, count(*) AS n FROM ann
+    WHERE GT NOT IN ('./.', '.|.', '.') AND GT IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def p5p7_missing_filters(spark, sf_dir):
+    """Missing-genotype filter (reference P7, variant_annotations.py:614-622)
+    over the derived relation."""
+    df = derived_genotypes(spark, sf_dir)
+    kept = df.filter(F.col("GT").isNotNull() & ~F.col("GT").isin(*MISSING_GT))
+    return kept.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "a1_homref_window",
+    oracle=_GENO_CTE
+    + f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(count(*) FILTER (WHERE {_ZYG_SQL} = 'hom-ref')
+                OVER (PARTITION BY l_orderkey) AS BIGINT) AS hom_ref_counts
+    FROM ann
+    """,
+)
+def a1_homref_window(spark, sf_dir):
+    """Per-site hom-ref count broadcast to every row (reference A1+J3 —
+    get_hom_ref_counts variant_annotations.py:165-180 + join :694-699) as a
+    single window aggregate: agg+join collapsed into one shuffle."""
+    df = f2f3_gt_parse(spark, sf_dir)
+    zyg = zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A"))
+    w = Window.partitionBy("l_orderkey")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.count(F.when(zyg == "hom-ref", F.lit(1))).over(w).alias("hom_ref_counts"),
+    )
+
+
+@register(
+    "j1_dedup_annotate",
+    oracle=_GENO_CTE
+    + """
+    SELECT g.l_orderkey, g.l_linenumber, g.GT, d.GT1
+    FROM g LEFT JOIN (
+      SELECT DISTINCT GT,
+             CASE WHEN string_split_regex(GT, '[/|]')[1] = '.' THEN NULL
+                  ELSE CAST(string_split_regex(GT, '[/|]')[1] AS INT) END AS GT1
+      FROM g) d USING (GT)
+    """,
+)
+def j1_dedup_annotate(spark, sf_dir):
+    """Dedup-then-annotate-then-join-back (reference J1,
+    variant_annotations.py:667-685) as a generic operator: annotations
+    computed once per distinct GT, broadcast back onto all rows."""
+    df = derived_genotypes(spark, sf_dir)
+    ann = dedup_annotate_join(
+        df,
+        keys=["GT"],
+        annotations=[gt_index_expr(gt_parts_expr("GT").getItem(0)).alias("GT1")],
+    )
+    return ann.select("l_orderkey", "l_linenumber", "GT", "GT1")
+
+
+@register(
+    "flagship_annotate",
+    headline=True,
+    oracle=_GENO_CTE
+    + f"""
+    SELECT {_ZYG_SQL} AS zygosity,
+           CASE WHEN a2 = 'A' THEN 'ref' ELSE 'snp' END AS vartype2,
+           count(*) AS n
+    FROM ann
+    WHERE GT NOT IN ('./.', '.|.', '.')
+    GROUP BY 1, 2
+    """,
+)
+def flagship_annotate(spark, sf_dir):
+    """The flagship pipeline shape on testdata: parse → filter missing →
+    annotate (phase/alleles/zygosity/vartype) → histogram. Mirrors the VCF
+    E3 pipeline (SURVEY §3) end-to-end with every F-series expression."""
+    df = derived_genotypes(spark, sf_dir)
+    df = df.filter(F.col("GT").isNotNull() & ~F.col("GT").isin(*MISSING_GT))
+    gtp = gt_parts_expr("GT")
+    alleles = alleles_expr("REF", "ALT")
+    df = (
+        df.withColumn("_g1", gtp.getItem(0))
+        .withColumn("_g2", F.when(F.size(gtp) > 1, F.try_element_at(gtp, F.lit(2))))
+        .withColumn("a1", allele_expr(alleles, F.col("_g1")))
+        .withColumn("a2", allele_expr(alleles, F.col("_g2")))
+    )
+    return (
+        df.select(
+            zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A")).alias("zygosity"),
+            vartype_expr(F.lit("A"), F.col("a2")).alias("vartype2"),
+        )
+        .groupBy("zygosity", "vartype2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

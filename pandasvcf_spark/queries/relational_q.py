@@ -1,0 +1,554 @@
+"""Generic relational catalog entries (SURVEY §2.2/2.4/2.5/2.7, milestone M3).
+
+Each entry exercises one operator family from the SURVEY §2 inventory as a
+declared, DuckDB-checkable query over the TPC-H-ish testdata tables, built on
+the operators in `pandasvcf_spark.operators.relational`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.operators.relational import (
+    anti_join,
+    join_dim,
+    pivot_counts,
+    rank_per_group,
+    running_agg,
+    semi_join,
+    topk,
+)
+from pandasvcf_spark.queries.registry import register
+from pandasvcf_spark.queries.tables import load
+
+
+# --- scans / projections / filters (S4, P1) --------------------------------
+
+@register(
+    "s4_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def s4_scan_project_filter(spark, sf_dir):
+    """Pruned, predicate-pushed scan: Catalyst pushes both the filter and the
+    4-column projection into the parquet reader (reference S4/P1 —
+    pandasvcf.py:94-99,134-151)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "p4_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def p4_distinct(spark, sf_dir):
+    """Global distinct (reference P4, pandasvcf.py:175 — upgraded from
+    chunk-local to global)."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- aggregations (A1, A2 + grouping sets) ---------------------------------
+
+@register(
+    "a2_value_counts",
+    oracle="SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def a2_value_counts(spark, sf_dir):
+    """Frequency count (reference A2 — Series.value_counts, notebook cells
+    22-24) as groupBy().count() with map-side partial aggregation."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_tpch_q1",
+    headline=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_tpch_q1(spark, sf_dir):
+    """Multi-aggregate group-by (TPC-H Q1 shape): the canonical partial-agg →
+    shuffle → final-agg plan; AQE coalesces the tiny result partitions."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """Grouping-sets cube — free in Spark, absent in the reference
+    (SURVEY §2.5 note)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- joins (J1-J3 generalized; SURVEY §2.4) --------------------------------
+
+@register(
+    "j_inner_broadcast",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j_inner_broadcast(spark, sf_dir):
+    """Fact ⋈ broadcast(dim): no shuffle of the orders side."""
+    j = join_dim(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        on=[F.col("o_custkey") == F.col("c_custkey")],
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "j_left_join",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(sum(coalesce(o_totalprice, 0)), 2) AS total
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def j_left_join(spark, sf_dir):
+    """Left outer join preserving order-less customers (reference J1/J2 are
+    left joins — variant_annotations.py:683-685)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, on=[c.c_custkey == o.o_custkey], how="left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "j_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def j_semi(spark, sf_dir):
+    """Left-semi join: keeps the probe-side schema, no row duplication."""
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return semi_join(
+        load(spark, sf_dir, "customer"),
+        big,
+        on=[F.col("c_custkey") == F.col("o_custkey")],
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j_anti(spark, sf_dir):
+    """Left-anti join: customers with no orders."""
+    return anti_join(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        on=[F.col("c_custkey") == F.col("o_custkey")],
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "j_multiway_q5",
+    headline=True,
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def j_multiway_q5(spark, sf_dir):
+    """Multiway star join (TPC-H Q5 shape): dims broadcast, fact shuffles at
+    most twice (orders⋈lineitem), AQE reorders/broadcasts the rest."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = join_dim(n, r, on=[F.col("n_regionkey") == F.col("r_regionkey")])
+    cust = join_dim(c, dims, on=[F.col("c_nationkey") == F.col("n_nationkey")])
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# --- windows / sort / limit (SURVEY §2.7) ----------------------------------
+
+@register(
+    "w_rank_topk",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def w_rank_topk(spark, sf_dir):
+    """Top-k per group via rank() — one shuffle on the group key."""
+    return rank_per_group(
+        load(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        k=3,
+        method="rank",
+        out="rnk",
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+
+
+@register(
+    "w_row_number_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def w_row_number_first(spark, sf_dir):
+    """Earliest row per key via row_number over a total order."""
+    return rank_per_group(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        k=1,
+        method="row_number",
+    ).select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+
+
+@register(
+    "w_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+    FROM orders
+    """,
+)
+def w_running_sum(spark, sf_dir):
+    """Cumulative frame aggregate (rows unbounded preceding)."""
+    out = running_agg(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        F.sum("o_totalprice"),
+        out="run_total",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("run_total", 2).alias("run_total")
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def sort_limit_topk(spark, sf_dir):
+    """Deterministic global top-k: TakeOrderedAndProject, not a full sort."""
+    return topk(
+        load(spark, sf_dir, "orders"),
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        15,
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --- set operations (R3 generalized) ---------------------------------------
+
+_SET_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SET_B = "SELECT c_custkey FROM customer WHERE c_acctbal > 9000"
+
+
+def _set_sides(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+        c.filter(F.col("c_acctbal") > 9000).select("c_custkey"),
+    )
+
+
+@register("set_union", oracle=f"{_SET_A} UNION {_SET_B}")
+def set_union(spark, sf_dir):
+    a, b = _set_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@register("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}")
+def set_intersect(spark, sf_dir):
+    a, b = _set_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@register("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}")
+def set_except(spark, sf_dir):
+    a, b = _set_sides(spark, sf_dir)
+    return a.subtract(b)
+
+
+# --- pivot (R2) ------------------------------------------------------------
+
+@register(
+    "r2_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def r2_pivot(spark, sf_dir):
+    """Long→wide pivot (reference R2, notebook cell 17) with explicit pivot
+    values — no distinct-discovery scan."""
+    j = join_dim(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        on=[F.col("o_custkey") == F.col("c_custkey")],
+    )
+    out = pivot_counts(j, ["c_mktsegment"], "o_orderstatus", ["F", "O", "P"])
+    return out.select(
+        "c_mktsegment",
+        F.col("F").alias("cnt_F"),
+        F.col("O").alias("cnt_O"),
+        F.col("P").alias("cnt_P"),
+    )
+
+
+# --- scalar function families (SURVEY §2.6 engine scope) -------------------
+
+@register(
+    "f_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 8)) AS name8,
+           length(p_name) AS name_len,
+           regexp_extract(p_name, '^[a-z]+') AS first_word,
+           p_brand || '#' || p_type AS brand_type
+    FROM part
+    """,
+)
+def f_string_funcs(spark, sf_dir):
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "f_date_funcs",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+def f_date_funcs(spark, sf_dir):
+    """Date bucketing. o_orderdate is a parquet NTZ timestamp, so formatting
+    is timezone-free on both engines."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "f_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 4) AS sqrt_qty,
+           round(pow(1 + l_discount, 2), 6) AS disc_sq,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           round(abs(l_quantity - 25), 2) AS qty_dev
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def f_math_funcs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.round(F.abs(F.col("l_quantity") - 25), 2).alias("qty_dev"),
+    )
+
+
+@register(
+    "f_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def f_case_when(spark, sf_dir):
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 250000, "mid")
+        .otherwise("high")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "info_str_to_map",
+    oracle="""
+    WITH info_t AS (
+      SELECT l_orderkey, l_linenumber,
+             'qty=' || CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
+             ';disc=' || CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR) ||
+             ';flag=' || l_returnflag AS info
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CAST(regexp_extract(info, 'qty=([0-9]+)', 1) AS INT) AS qty,
+           CAST(regexp_extract(info, 'disc=([0-9]+)', 1) AS INT) AS disc_pct,
+           regexp_extract(info, 'flag=([A-Z])', 1) AS flag
+    FROM info_t
+    """,
+)
+def info_str_to_map(spark, sf_dir):
+    """VCF-INFO-style `k=v;k=v` payload parsing via str_to_map (SURVEY
+    §2.6 note — the reference never parses INFO; declared engine scope).
+    The payload is derived from lineitem so the oracle can rebuild it."""
+    from pandasvcf_spark.functions.maps import info_field_expr
+
+    li = load(spark, sf_dir, "lineitem")
+    info = F.concat(
+        F.lit("qty="),
+        F.col("l_quantity").cast("int").cast("string"),
+        F.lit(";disc="),
+        F.round(F.col("l_discount") * 100).cast("int").cast("string"),
+        F.lit(";flag="),
+        F.col("l_returnflag"),
+    )
+    df = li.select("l_orderkey", "l_linenumber", info.alias("info"))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        info_field_expr("info", "qty", "int").alias("qty"),
+        info_field_expr("info", "disc", "int").alias("disc_pct"),
+        info_field_expr("info", "flag").alias("flag"),
+    )

@@ -1,0 +1,245 @@
+"""Text-analysis and dedup catalog entries over `documents` (SURVEY §2.11).
+
+The text expressions (functions/text.py) are deterministic and
+SQL-mirrorable by construction — the oracle recomputes them with DuckDB's
+list/regex functions. The dedup corpus doubles every document (one exact
+copy with whitespace noise under a shifted id), so dedup is non-trivial and
+the expected survivors are computable on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.text import (
+    TOKEN_PATTERN,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+    whitespace_token_count_expr,
+    word_ngrams_expr,
+)
+from pandasvcf_spark.operators.dedup import (
+    dedup_stats,
+    minhash_near_dup_pairs,
+    ngram_jaccard_expr,
+)
+from pandasvcf_spark.queries.registry import register
+from pandasvcf_spark.queries.tables import load
+
+
+def _noisy_corpus(spark, sf_dir):
+    """documents ∪ whitespace-noised exact copies under doc_id+1000."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    noisy = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit("  ")).alias("text"),
+    )
+    return d.unionByName(noisy)
+
+
+_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000, text || '  ' FROM documents
+)
+"""
+
+#: DuckDB twin of functions/text.py words_expr
+_WORDS = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+@register(
+    "t_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN.replace("'", "''")}')) AS BIGINT) AS re_tokens
+    FROM documents
+    """,
+)
+def t_token_counts(spark, sf_dir):
+    """Token counting — whitespace and BPE-ish regex (LLM budget proxies)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        whitespace_token_count_expr("text").alias("ws_tokens"),
+        token_count_expr("text").alias("re_tokens"),
+    )
+
+
+@register(
+    "t_quality_score",
+    headline=True,
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, text, {_WORDS} AS words,
+             regexp_replace(text, '\\s+', '', 'g') AS nospace
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0
+             WHEN length(text) >= 20 THEN 0.5 ELSE 0.0 END AS len_score,
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE list_sum(list_transform(words, w -> length(w)))
+                  / CAST(len(words) AS DOUBLE) END AS mwl,
+        CASE WHEN length(nospace) = 0 THEN 0.0
+             ELSE length(regexp_replace(nospace, '[A-Za-z0-9]', '', 'g'))
+                  / CAST(length(nospace) AS DOUBLE) END AS punct,
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_filter(words, w -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it',
+                     'that','for','on','with','as','was','at','by','be','this'], w)))
+                  / CAST(len(words) AS DOUBLE) END AS stop_ratio
+      FROM feats)
+    SELECT doc_id,
+           round((len_score
+                  + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) / 4.0,
+                 4) AS quality
+    FROM scores
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Composite quality heuristic (length band / mean word length /
+    punctuation / stopword density)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score_expr("text"), 4).alias("quality")
+    )
+
+
+@register(
+    "t_lang_id",
+    oracle=f"""
+    WITH sc AS (
+      SELECT doc_id,
+        len(list_filter({_WORDS}, w -> list_contains(['the','and','of','to','is','with'], w))) AS en,
+        len(list_filter({_WORDS}, w -> list_contains(['der','die','und','das','ist','nicht'], w))) AS de,
+        len(list_filter({_WORDS}, w -> list_contains(['le','la','les','et','est','une'], w))) AS fr,
+        len(list_filter({_WORDS}, w -> list_contains(['el','los','las','es','una','que'], w))) AS es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= es AND fr > 0 THEN 'fr'
+                WHEN es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM sc
+    """,
+)
+def t_lang_id(spark, sf_dir):
+    """Function-word language ID heuristic (deterministic tie precedence)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_expr("text").alias("lang_pred")
+    )
+
+
+@register(
+    "dedup_exact",
+    headline=True,
+    oracle=_CORPUS_CTE
+    + """
+    SELECT CAST(min(doc_id) AS BIGINT) AS kept_id, count(*) AS dup_cnt
+    FROM corpus
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup on the normalized-text fingerprint (SURVEY §2.11): group
+    on the 8-byte xxhash64 key — the shuffle moves hashes, not documents.
+    The oracle groups on the normalized text itself; identical partitioning
+    assuming no 64-bit collisions (500 docs)."""
+    from pandasvcf_spark.functions.text import fingerprint_expr
+
+    corpus = _noisy_corpus(spark, sf_dir)
+    return dedup_stats(corpus, fingerprint_expr("text"), "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    headline=True,
+    # The oracle recomputes the TRUE near-dup pair set with exact trigram
+    # Jaccard: the planted exact copies (i, i+1000, J=1 — LSH recall is
+    # guaranteed for identical shingle sets) plus the testdata's own
+    # near-dup pairs in all four id variants (the +1000 copy has the same
+    # word shingles as its original). At J >= 0.9 the per-pair LSH miss
+    # probability is (1 - J^4)^16 < 1e-7 and the pipeline is deterministic;
+    # equality of the two sets is verified, not assumed.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        ELSE list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS t
+      FROM d
+    ), keep AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             len(list_intersect(a.t, b.t))
+               / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) AS j
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.t, b.t))
+              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.9
+    )
+    SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000 AS BIGINT) AS id_b,
+           CAST(1.0 AS DOUBLE) AS jaccard FROM documents
+    UNION ALL SELECT ia, ib, round(j, 4) FROM keep
+    UNION ALL SELECT ia, ib + 1000, round(j, 4) FROM keep
+    UNION ALL SELECT ib, ia + 1000, round(j, 4) FROM keep
+    UNION ALL SELECT ia + 1000, ib + 1000, round(j, 4) FROM keep
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Banded MinHash-LSH near-dup detection over documents ∪ exact copies.
+    Candidates come from an equi-join on (band, key) — no crossJoin — and
+    are verified with exact shingle Jaccard ≥ 0.9, filtering incidental band
+    collisions. Finds both the planted copies and the corpus's own near-dup
+    pairs (the oracle recomputes that exact set)."""
+    corpus = _noisy_corpus(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(
+        corpus,
+        "doc_id",
+        word_ngrams_expr("text", 3),
+        num_hashes=64,
+        bands=16,
+        min_jaccard=0.9,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "t_bigram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents WHERE doc_id < 12
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 2 THEN []
+               ELSE list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1]) END) AS g
+      FROM d)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+                 ELSE len(list_intersect(a.g, b.g))
+                      / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+                 END, 4) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    """,
+)
+def t_bigram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard similarity on a bounded pair set (the verify
+    kernel the LSH pipeline reuses; bounded here — all-pairs at corpus scale
+    is exactly what the LSH path avoids)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 12)
+    g = d.select("doc_id", word_ngrams_expr("text", 2).alias("g"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(ngram_jaccard_expr(F.col("ga"), F.col("gb")), 4).alias("jaccard"),
+    )

@@ -1,0 +1,173 @@
+"""Similarity-search catalog entries over `embeddings` (SURVEY §2.11).
+
+All scoring is double-precision with identical operand order on both
+engines, so values match to the last bit before the edge rounding. The LSH
+hyperplanes are deterministic module-level literals (a tiny LCG) baked into
+both the Spark plan and the generated oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.operators.similarity import (
+    ann_bucket_topk,
+    bucket_histogram,
+    cosine_topk,
+    rp_bucket_expr,
+)
+from pandasvcf_spark.queries.registry import register
+from pandasvcf_spark.queries.tables import load
+
+DIM = 64
+N_PLANES = 8
+
+
+def _lcg_planes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1) — plain Python so
+    the exact float64 values embed in both the Spark plan and the SQL text."""
+    s = seed
+    out = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((s >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+PLANES = _lcg_planes()
+
+
+def _sql_dot(vec_a: str, vec_b: str) -> str:
+    """DuckDB double-precision dot product with left-to-right accumulation
+    (matches Spark's aggregate() fold order)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({vec_a}[i] AS DOUBLE) * CAST({vec_b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(vec: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * CAST({vec}[i] AS DOUBLE))))"
+    )
+
+
+def _sql_cos(vec_a: str, vec_b: str) -> str:
+    return f"({_sql_dot(vec_a, vec_b)} / ({_sql_norm(vec_a)} * {_sql_norm(vec_b)}))"
+
+
+def _sql_plane(plane: list[float]) -> str:
+    # Parenthesized so the result can be indexed: ([...]::DOUBLE[])[i]
+    return "([" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[])"
+
+
+def _sql_bucket(vec: str) -> str:
+    bits = [
+        f"CASE WHEN {_sql_dot(vec, _sql_plane(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in PLANES
+    ]
+    return "(" + " || ".join(bits) + ")"
+
+
+@register(
+    "v_l2_norms",
+    oracle=f"""
+    SELECT vec_id, label, round({_sql_norm('embedding')}, 4) AS l2
+    FROM embeddings
+    """,
+)
+def v_l2_norms(spark, sf_dir):
+    """Per-vector L2 norm (functions/vectors.py HOF expressions, cast to
+    double before accumulating)."""
+    from pandasvcf_spark.functions.vectors import norm_expr
+
+    e = load(spark, sf_dir, "embeddings")
+    vec_d = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id", "label", F.round(norm_expr(vec_d), 4).alias("l2")
+    )
+
+
+@register(
+    "v_cosine_topk",
+    headline=True,
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT CAST(0 AS BIGINT) AS query_id, e.vec_id,
+             {_sql_cos('e.embedding', 'q.qe')} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 20
+    """,
+)
+def v_cosine_topk(spark, sf_dir):
+    """Exact cosine top-k for one query vector: broadcast query × corpus,
+    native HOF dot products, deterministic rank (operators/similarity.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(e, q, k=20)
+    return out.select("query_id", "vec_id", F.round("cossim", 6).alias("cossim"))
+
+
+@register(
+    "v_ann_buckets",
+    oracle=f"""
+    SELECT {_sql_bucket('embedding')} AS bucket, count(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+)
+def v_ann_buckets(spark, sf_dir):
+    """Random-projection LSH bucket histogram — the ANN candidate-capacity
+    query (skewed buckets = skewed self-join)."""
+    return bucket_histogram(load(spark, sf_dir, "embeddings"), PLANES)
+
+
+@register(
+    "v_ann_topk",
+    headline=True,
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings)
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT a.vec_id AS query_id, c.vec_id AS vec_id,
+             {_sql_cos('a.embedding', 'c.embedding')} AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_sql_cos('a.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rn
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+    WHERE rn <= 3
+    """,
+)
+def v_ann_topk(spark, sf_dir):
+    """ANN all-neighbors top-3: candidates from an equi-join on the LSH
+    bucket id (never a crossJoin), exact cosine rerank within bucket."""
+    out = ann_bucket_topk(load(spark, sf_dir, "embeddings"), PLANES, k=3)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cossim", 6).alias("cossim"),
+    )
+
+
+@register(
+    "v_rp_bucket_of_query",
+    oracle=f"""
+    SELECT vec_id, {_sql_bucket('embedding')} AS bucket
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def v_rp_bucket_of_query(spark, sf_dir):
+    """Direct bucket assignment check for the first 50 vectors (isolates the
+    projection/sign logic from the join)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select("vec_id", rp_bucket_expr("embedding", PLANES).alias("bucket"))

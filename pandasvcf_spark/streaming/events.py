@@ -1,0 +1,153 @@
+"""Structured Streaming operators over the `events` table shape.
+
+Engine extension scope (SURVEY §2.10 — the reference has no streaming; its
+chunk iterator pandasvcf.py:162-174 is batch pull). Every operator here is
+written against a plain DataFrame so the SAME function body serves both the
+streaming DataFrame (from `read_events_stream`) and its batch twin (from
+`spark.read.parquet`) — that batch twin is what the DuckDB oracle checks,
+and the streaming tests assert stream-vs-batch equivalence under
+`trigger(availableNow=True)`.
+
+Watermarks are applied only when the input is actually streaming: on a batch
+DataFrame `withWatermark` is a no-op wrapped for clarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Explicit schema — a streaming source must not infer (and at 100 TB a
+#: batch source shouldn't either).
+EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path_dir)
+
+
+def _maybe_watermark(df: DataFrame, event_time: str, delay: str | None) -> DataFrame:
+    if delay and df.isStreaming:
+        return df.withWatermark(event_time, delay)
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+    event_time: str = "ts",
+) -> DataFrame:
+    """Per (window, event_type) count + value sum. Streaming: incremental
+    state per open window, closed by the watermark. Batch: a plain grouped
+    aggregate. Output: win_start STRING, event_type, n BIGINT, sum_value.
+    """
+    df = _maybe_watermark(events, event_time, watermark)
+    return (
+        df.groupBy(F.window(event_time, window).alias("__w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("__w").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = "2 hours",
+    event_time: str = "ts",
+) -> DataFrame:
+    """Overlapping-window counts (each event lands in window/slide windows).
+    Output: win_start STRING, n BIGINT."""
+    df = _maybe_watermark(events, event_time, watermark)
+    return (
+        df.groupBy(F.window(event_time, window, slide).alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("__w").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    event_time: str = "ts",
+) -> DataFrame:
+    """Per-user session windows (gap-based). Streaming uses the native
+    `session_window` state operator; the gaps-and-islands batch twin lives in
+    `pandasvcf_spark/queries/events_q.py` as the oracle-checked form.
+    Output: user_id, session_start STRING, n BIGINT."""
+    df = _maybe_watermark(events, event_time, watermark)
+    return (
+        df.groupBy(F.session_window(event_time, gap).alias("__w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format(F.col("__w").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    event_time: str = "ts",
+) -> DataFrame:
+    """Streaming dedup on business keys with bounded state:
+    `dropDuplicatesWithinWatermark` keeps state only inside the watermark
+    horizon — the operator a 100 TB/day stream needs (unbounded-state dedup
+    is a slow OOM). Batch inputs fall back to plain dropDuplicates on the
+    same keys (the deterministic batch twin keeping the earliest event is
+    the oracle-checked query in queries/events_q.py)."""
+    keys = keys or ["user_id", "event_type"]
+    if events.isStreaming:
+        return events.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a stream into an in-memory sink with availableNow (process all
+    available input, then stop) and return the materialized result — the
+    harness used by the stream-equals-batch tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
