@@ -113,9 +113,12 @@ def annotate_genotypes(
     """Annotate a long genotype table (needs SITE_KEY + FORMAT + sample_ids +
     call columns; hom_ref_counts used if present, else computed by window).
 
-    format_fields: non-GT FORMAT sub-fields to materialize as columns
-        ('auto' = discover from the data via a distinct() over FORMAT —
-        cheap: the distinct set is tiny). None/[] = skip.
+    format_fields: non-GT FORMAT sub-fields to materialize as columns.
+        'auto' = discover from the data via a distinct() over FORMAT — note
+        this is an EAGER extra pass over the input at plan-build time; for
+        file-backed pipelines prefer `annotate_vcf`, which derives the
+        fields from the '##FORMAT' header lines driver-side for free.
+        None/[] = skip.
     split_columns: {'AD': 2} -> comma-split AD into AD_0, AD_1 string columns,
         dropping AD (reference F8, variant_annotations.py:718-735). Entries
         with n <= 1 are skipped, extras truncated — reference parity.
@@ -218,13 +221,28 @@ def annotate_vcf(
     """End-to-end: VCF file -> annotated long genotype table (reference
     `VCF(...)` + `add_variant_annotations(...)` in one lazy plan).
 
+    hom_ref_counts are precomputed per WIDE row (zero-shuffle path), which
+    assumes site keys (CHROM,POS,REF,ALT) are unique across lines — standard
+    for real VCFs. If your input legally repeats a site key, build the
+    pipeline as explode_genotypes(precompute_hom_ref=False) |>
+    annotate_genotypes, which aggregates per site with a window instead.
+
     ordered: add the canonical deterministic sort (CHROM, POS, REF, ALT,
     sample_ids). Off by default — a global sort is a shuffle + range
     exchange; the reference's output order is an iteration artifact anyway
     (SURVEY §2.7).
-    """
-    from pandasvcf_spark.sources.vcf import read_vcf
 
+    format_fields='auto' resolves from the '##FORMAT=<ID=...>' header meta
+    lines (driver-side, no data scan — unlike annotate_genotypes' fallback,
+    which must run an eager distinct() over FORMAT). Headers without FORMAT
+    meta fall back to that scan.
+    """
+    from pandasvcf_spark.sources.vcf import read_vcf, read_vcf_header
+
+    if format_fields == "auto":
+        header_formats = read_vcf_header(path).format_ids
+        if header_formats:
+            format_fields = [f_ for f_ in header_formats if f_ != "GT"]
     wide = read_vcf(spark, path, samples=samples, cols=cols)
     long_df = explode_genotypes(wide)
     out = annotate_genotypes(

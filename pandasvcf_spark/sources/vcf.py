@@ -56,6 +56,23 @@ class VCFHeader:
         return self.columns[9:]
 
     @property
+    def format_ids(self) -> list[str]:
+        """FORMAT field IDs declared by '##FORMAT=<ID=...,' meta lines, in
+        declaration order. Lets the annotation planner know the FORMAT
+        sub-fields WITHOUT scanning the data (the reference discovers them
+        from the body; a driver-side header read is free at any scale)."""
+        ids = []
+        for line in self.meta_lines:
+            if line.startswith("##FORMAT=<"):
+                body = line[len("##FORMAT=<"):].rstrip(">")
+                for part in body.split(","):
+                    k, _, v = part.partition("=")
+                    if k == "ID" and v and v not in ids:
+                        ids.append(v)
+                        break
+        return ids
+
+    @property
     def n_meta_lines(self) -> int:
         return len(self.meta_lines)
 
@@ -123,7 +140,7 @@ def read_vcf(
     path: str,
     samples: str | list[str] = "all",
     cols: list[str] | None = None,
-    dedup: bool = True,
+    dedup: bool = False,
     repartition: int | str | None = "auto",
 ) -> DataFrame:
     """Scan a VCF into the wide variants DataFrame.
@@ -137,8 +154,11 @@ def read_vcf(
         list cannot mislabel columns (fixes reference quirk, SURVEY §8.2).
     cols: fixed columns to keep (default: all nine). MANDATORY_COLS are
         always included, as the reference asserts (pandasvcf.py:139).
-    dedup: global full-row dropDuplicates (upgrade over the reference's
-        chunk-local dedup, pandasvcf.py:175).
+    dedup: opt-in global full-row dropDuplicates (upgrade over the
+        reference's chunk-local dedup, pandasvcf.py:175). Default OFF: at
+        scale it is a full shuffle of the raw text before parsing, and real
+        VCFs are duplicate-free; turn it on for untrusted concatenated
+        inputs.
     repartition: 'auto' spreads a non-splittable compressed input across the
         cluster before parsing; int forces a count; None leaves splits as-is.
     """
@@ -164,20 +184,22 @@ def read_vcf(
     # Header lines are filtered, not skipped by count — no reliance on row
     # order, works across any number of input splits.
     body = lines.filter(~F.col("value").startswith("#"))
-    if dedup:
-        # Global full-row dedup on the raw line (upgrade over the reference's
-        # chunk-local dedup). Done pre-parse: duplicates never get parsed
-        # twice, and MAP output columns (which Spark can't dedup on) don't
-        # constrain it. One shuffle; skip with dedup=False when inputs are
-        # known duplicate-free.
-        body = body.dropDuplicates()
     if repartition == "auto":
-        # The dedup shuffle already spread the lines cluster-wide; adding a
-        # repartition would be a second full shuffle of the raw text.
+        # A .gz input is ONE split; spread raw lines across the cluster so
+        # the expensive split/typed-parse work is parallel. (When dedup is
+        # also requested its shuffle does the spreading — skip the extra
+        # round trip of the raw text.)
         if path.endswith(".gz") and not dedup:
             body = body.repartition(spark.sparkContext.defaultParallelism)
     elif repartition:
         body = body.repartition(int(repartition))
+    if dedup:
+        # Global full-row dedup on the raw line (upgrade over the reference's
+        # chunk-local dedup). Done pre-parse: duplicates never get parsed
+        # twice, and MAP output columns (which Spark can't dedup on) don't
+        # constrain it. One shuffle of the raw text — which is why it is
+        # opt-in.
+        body = body.dropDuplicates()
 
     parts = F.split(F.col("value"), "\t")
     out_cols = [

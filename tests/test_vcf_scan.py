@@ -65,5 +65,6 @@ def test_global_dedup(spark, tmp_path):
     dup_line = [l for l in src.splitlines() if l.startswith("1\t100")][0]
     p = tmp_path / "dup.vcf"
     p.write_text(src + dup_line + "\n")
-    assert read_vcf(spark, str(p)).count() == 6
-    assert read_vcf(spark, str(p), dedup=False).count() == 7
+    # dedup is opt-in (default off: a full raw-text shuffle at scale)
+    assert read_vcf(spark, str(p), dedup=True).count() == 6
+    assert read_vcf(spark, str(p)).count() == 7
