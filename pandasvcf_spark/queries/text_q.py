@@ -29,10 +29,10 @@ from pandasvcf_spark.queries.tables import load
 
 
 def _noisy_corpus(spark, sf_dir):
-    """documents ∪ whitespace-noised exact copies under doc_id+1000."""
+    """documents ∪ whitespace-noised exact copies under doc_id+10^7 (an offset no real doc_id reaches at any scale factor — id collisions would corrupt pair identity)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     noisy = d.select(
-        (F.col("doc_id") + 1000).alias("doc_id"),
+        (F.col("doc_id") + 10000000).alias("doc_id"),
         F.concat("text", F.lit("  ")).alias("text"),
     )
     return d.unionByName(noisy)
@@ -42,7 +42,7 @@ _CORPUS_CTE = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000, text || '  ' FROM documents
+  SELECT doc_id + 10000000, text || '  ' FROM documents
 )
 """
 
@@ -160,9 +160,9 @@ def dedup_exact_q(spark, sf_dir):
     "dedup_minhash_lsh",
     headline=True,
     # The oracle recomputes the TRUE near-dup pair set with exact trigram
-    # Jaccard: the planted exact copies (i, i+1000, J=1 — LSH recall is
+    # Jaccard: the planted exact copies (i, i+10^7, J=1 — LSH recall is
     # guaranteed for identical shingle sets) plus the testdata's own
-    # near-dup pairs in all four id variants (the +1000 copy has the same
+    # near-dup pairs in all four id variants (the offset copy has the same
     # word shingles as its original). At J >= 0.9 the per-pair LSH miss
     # probability is (1 - J^4)^16 < 1e-7 and the pipeline is deterministic;
     # equality of the two sets is verified, not assumed.
@@ -175,20 +175,25 @@ def dedup_exact_q(spark, sf_dir):
         ELSE list_transform(generate_series(1, len(w) - 2),
                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS t
       FROM d
-    ), keep AS (
+    ), cand AS (
+      -- lossless prefilter: J(A,B) >= 0.9 implies |A|,|B| within ratio 0.9
+      -- of each other, so skip the expensive list_intersect elsewhere
       SELECT a.doc_id AS ia, b.doc_id AS ib,
              len(list_intersect(a.t, b.t))
                / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) AS j
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.t, b.t))
-              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.9
+      FROM g a JOIN g b
+        ON a.doc_id < b.doc_id
+       AND len(a.t) * 10 >= len(b.t) * 9
+       AND len(b.t) * 10 >= len(a.t) * 9
+    ), keep AS (
+      SELECT ia, ib, j FROM cand WHERE j >= 0.9
     )
-    SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000 AS BIGINT) AS id_b,
+    SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 10000000 AS BIGINT) AS id_b,
            CAST(1.0 AS DOUBLE) AS jaccard FROM documents
     UNION ALL SELECT ia, ib, round(j, 4) FROM keep
-    UNION ALL SELECT ia, ib + 1000, round(j, 4) FROM keep
-    UNION ALL SELECT ib, ia + 1000, round(j, 4) FROM keep
-    UNION ALL SELECT ia + 1000, ib + 1000, round(j, 4) FROM keep
+    UNION ALL SELECT ia, ib + 10000000, round(j, 4) FROM keep
+    UNION ALL SELECT ib, ia + 10000000, round(j, 4) FROM keep
+    UNION ALL SELECT ia + 10000000, ib + 10000000, round(j, 4) FROM keep
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):

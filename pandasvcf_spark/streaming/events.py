@@ -26,10 +26,14 @@ EVENTS_DDL = (
 
 
 def read_events_stream(
-    spark: SparkSession, path_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
-    reader = spark.readStream.schema(EVENTS_DDL)
+    """File-source stream over a directory of events parquet files.
+    `schema` (StructType or DDL string) defaults to EVENTS_DDL."""
+    reader = spark.readStream.schema(schema or EVENTS_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path_dir)

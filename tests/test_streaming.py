@@ -1,0 +1,103 @@
+"""Structured Streaming operators: stream(availableNow) ≡ batch equivalence.
+
+The same operator functions (streaming/events.py) serve a streaming and a
+batch DataFrame; these tests run both over identical parquet input and
+assert identical results — the batch twin is what the DuckDB oracle checks
+in the catalog, so this closes the loop stream ≡ batch ≡ oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pandasvcf_spark.queries.tables import load
+from pandasvcf_spark.streaming.events import (
+    dedup_events,
+    read_events_stream,
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events with the ns->us converted ts, rewritten as a parquet dir the
+    file-source stream can watch (multiple files = multiple micro-batches
+    under maxFilesPerTrigger)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, batch_events, events_dir):
+    stream = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    got = run_stream_to_memory(
+        tumbling_counts(stream), "t_tumbling", output_mode="complete"
+    )
+    want = tumbling_counts(batch_events)
+    assert _sorted(got) == _sorted(want)
+    assert len(want.collect()) > 0
+
+
+def test_sliding_stream_equals_batch(spark, batch_events, events_dir):
+    stream = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    got = run_stream_to_memory(
+        sliding_counts(stream), "t_sliding", output_mode="complete"
+    )
+    want = sliding_counts(batch_events)
+    assert _sorted(got) == _sorted(want)
+    # sliding 2h/1h: every event lands in exactly two windows
+    n_events = batch_events.count()
+    assert sum(r["n"] for r in want.collect()) == 2 * n_events
+
+
+def test_session_stream_equals_batch(spark, batch_events, events_dir):
+    stream = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    got = run_stream_to_memory(
+        session_counts(stream), "t_session", output_mode="complete"
+    )
+    want = session_counts(batch_events)
+    assert _sorted(got) == _sorted(want)
+
+
+def test_session_window_matches_gaps_and_islands(spark, batch_events):
+    """The native session_window operator and the catalog's lag-based
+    gaps-and-islands twin (oracle-checked) agree on sessions per user."""
+    from collections import Counter
+
+    from pandasvcf_spark.queries import QUERIES
+
+    sw = Counter()
+    for r in session_counts(batch_events).collect():
+        sw[r["user_id"]] += 1
+    gi = {
+        r["user_id"]: r["n_sessions"]
+        for r in QUERIES["e_sessionize"].fn(spark, SF_DIR).collect()
+    }
+    assert dict(sw) == gi
+
+
+def test_dedup_within_watermark_stream(spark, batch_events, events_dir):
+    stream = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    got = run_stream_to_memory(
+        dedup_events(stream), "t_dedup", output_mode="append"
+    )
+    batch = dedup_events(batch_events)
+    # Which physical row survives differs (stream: first-arrival within
+    # watermark; batch: arbitrary) — the deduped KEY SET must match.
+    got_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    want_keys = {(r["user_id"], r["event_type"]) for r in batch.collect()}
+    assert got_keys == want_keys

@@ -1,0 +1,181 @@
+"""Unit tests: text analysis, vector math, dedup & similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.text import (
+    char_shingles_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+    whitespace_token_count_expr,
+    word_ngrams_expr,
+)
+from pandasvcf_spark.functions.vectors import (
+    cosine_expr,
+    dot_expr,
+    l2_distance_expr,
+    norm_expr,
+    unit_expr,
+)
+from pandasvcf_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    simhash_expr,
+    simhash_hamming_expr,
+)
+from pandasvcf_spark.operators.similarity import ann_bucket_topk, cosine_topk
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world, it's 42 degrees",), ("   ",), ("one",)], "text string"
+    )
+    rows = df.select(
+        whitespace_token_count_expr("text").alias("ws"),
+        token_count_expr("text").alias("re"),
+    ).collect()
+    assert [r["ws"] for r in rows] == [5, 0, 1]
+    # hello / world / , / it's / 42 / degrees
+    assert rows[0]["re"] == 6
+    assert rows[1]["re"] == 0
+
+
+def test_ngrams_and_shingles_short_input(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    rows = df.select(
+        word_ngrams_expr("text", 3).alias("g3"),
+        char_shingles_expr("text", 5).alias("c5"),
+    ).collect()
+    assert rows[0]["g3"] == ["a b c", "b c d"]
+    assert rows[1]["g3"] == []  # fewer than n words -> empty, not junk
+    assert rows[2]["g3"] == []
+    assert rows[1]["c5"] == []  # 3 chars < k=5
+    assert rows[0]["c5"][0] == "a b c"
+
+
+def test_quality_and_lang(spark):
+    good = (
+        "The quick brown fox jumps over the lazy dog and keeps running "
+        "through the field with a steady pace for quite a while now."
+    )
+    df = spark.createDataFrame([(good,), ("x!!!",)], "text string")
+    rows = df.select(
+        quality_score_expr("text").alias("q"), lang_id_expr("text").alias("l")
+    ).collect()
+    assert rows[0]["q"] == 1.0
+    assert rows[0]["l"] == "en"
+    assert rows[1]["q"] < 0.5
+    assert rows[1]["l"] == "und"
+    de = spark.createDataFrame(
+        [("der hund und die katze ist nicht das problem",)], "text string"
+    )
+    assert de.select(lang_id_expr("text")).first()[0] == "de"
+
+
+def test_fingerprint_whitespace_case_invariance(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world ",), ("hello worlds",)], "text string"
+    )
+    fps = [r[0] for r in df.select(fingerprint_expr("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_vector_exprs(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [1.0, 0.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        dot_expr("a", "b").alias("dot"),
+        norm_expr("a").alias("na"),
+        cosine_expr("a", "b").alias("cos"),
+        l2_distance_expr("a", "b").alias("l2"),
+        unit_expr("a").alias("unit"),
+    ).first()
+    assert r["dot"] == 3.0
+    assert r["na"] == 5.0
+    assert abs(r["cos"] - 0.6) < 1e-12
+    assert abs(r["l2"] - math.sqrt(4 + 16)) < 1e-12
+    assert [round(x, 6) for x in r["unit"]] == [0.6, 0.8]
+    # zero-norm guard: no division error, cosine 0
+    z = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert z.select(cosine_expr("a", "b")).first()[0] == 0.0
+
+
+def test_dedup_exact_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, k string"
+    )
+    out = dedup_exact(df, "k", order_by=[F.col("id")]).collect()
+    assert sorted((r["id"], r["k"]) for r in out) == [(1, "x"), (3, "y")]
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old barn every day"
+    near = base + " again"
+    other = "completely different words about spark shuffles and parquet column pruning here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = minhash_near_dup_pairs(
+        df, "doc_id", word_ngrams_expr("text", 2), num_hashes=64, bands=16,
+        min_jaccard=0.5,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_minhash_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(df, "doc_id", word_ngrams_expr("text", 2))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_identical_and_hamming(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta", "alpha beta gamma delta")], "a string, b string"
+    )
+    from pandasvcf_spark.functions.text import words_expr
+
+    r = df.select(
+        simhash_hamming_expr(
+            simhash_expr(words_expr("a")), simhash_expr(words_expr("b"))
+        ).alias("h")
+    ).first()
+    assert r["h"] == 0
+
+
+def test_cosine_topk_and_ann_recall(spark):
+    import random
+
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    # plant an exact near-neighbor of vector 0
+    vecs.append((99, [x * 1.001 for x in vecs[0][1]]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(df, q, k=1).first()
+    assert top["vec_id"] == 99 and top["cossim"] > 0.999999
+
+    planes = [[((i * 7 + j * 13) % 5 - 2) / 2.0 for j in range(16)] for i in range(4)]
+    ann = ann_bucket_topk(df, planes, k=1).collect()
+    got = {r["query_id"]: r["vec_id"] for r in ann}
+    # scaled copy lands in the same bucket (same signs) -> perfect recall there
+    assert got.get(0) == 99 and got.get(99) == 0
+
+
+def test_ann_plan_is_bucket_equijoin(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = ann_bucket_topk(df, [[1.0, -1.0]], k=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
