@@ -14,11 +14,17 @@ Layout:
     sources/    VCF reader (driver-side header parse + distributed body parse),
                 parquet ingest.
     functions/  Column-expression builders: genomics (GT/zygosity/vartype),
-                text analysis, vector math.
+                text analysis, vector math, map/JSON parsing, pandas-UDF
+                extension surface.
     operators/  Composite dataflows: annotate (wide->long genotype pipeline),
-                dedup, similarity.
-    plans/      SparkSession factory, tuning defaults, plan-inspection helpers.
-    streaming/  Structured Streaming versions of the event operators.
+                generic relational layer, dedup (exact/MinHash-LSH/SimHash),
+                similarity search (cosine top-k, LSH ANN), TF-IDF,
+                multimodal binary columns.
+    plans/      SparkSession factory, tuning defaults.
+    streaming/  Structured Streaming event operators (windows, sessions,
+                watermark dedup) with oracle-checked batch twins.
+    queries/    The declared catalog: one oracle-checked query per operator
+                (drives __spark_entry__.py and bench.py).
 """
 
 from pandasvcf_spark.plans.session import get_spark

@@ -1,3 +1,3 @@
-from pandasvcf_spark.functions import genomics, text, vectors
+from pandasvcf_spark.functions import genomics, maps, text, udf_ext, vectors
 
-__all__ = ["genomics", "text", "vectors"]
+__all__ = ["genomics", "maps", "text", "udf_ext", "vectors"]

@@ -215,6 +215,45 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "t_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfc AS (
+      SELECT term, count(*) AS dfc FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, term, tf,
+             tf * (ln(((SELECT count(*) FROM documents) + 1.0) / (dfc + 1.0))
+                   + 1.0) AS tfidf
+      FROM tf JOIN dfc USING (term)
+      WHERE doc_id < 20
+    )
+    SELECT doc_id, term, tf, round(tfidf, 4) AS tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def t_tfidf_top_terms(spark, sf_dir):
+    """Smoothed TF-IDF (operators/text_features.py): top-3 weighted terms
+    per document for a bounded doc subset."""
+    from pandasvcf_spark.operators.relational import rank_per_group
+    from pandasvcf_spark.operators.text_features import tf_idf
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    scored = tf_idf(docs, n_docs=n).filter(F.col("doc_id") < 20)
+    top = rank_per_group(
+        scored, ["doc_id"], [F.desc("tfidf"), F.col("term")], k=3,
+        method="row_number",
+    )
+    return top.select("doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"))
+
+
+@register(
     "t_bigram_jaccard",
     oracle="""
     WITH d AS (

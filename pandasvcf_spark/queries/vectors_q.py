@@ -159,6 +159,68 @@ def v_ann_topk(spark, sf_dir):
     )
 
 
+#: corpus ∪ direction-preserving scaled copies (x2.0 is floating-point
+#: EXACT, so the copy has identical projection signs → same LSH bucket,
+#: guaranteed recall) under a collision-proof id offset.
+_EMB_CORPUS = """
+    corpus AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id + 10000000 AS BIGINT),
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+      FROM embeddings
+    )
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_EMB_CORPUS},
+    b AS (SELECT vec_id, emb, {_sql_bucket('emb')} AS bucket FROM corpus)
+    SELECT id_a, id_b, round(cos, 6) AS cossim FROM (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             {_sql_cos('a.emb', 'c.emb')} AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    WHERE cos >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    equi-join + exact cosine threshold — the embedding analogue of MinHash
+    dedup (SURVEY §2.11 'embedding-cosine near-dup'). Finds the planted
+    same-direction copies; unrelated vectors (max corpus cosine ~0.51)
+    never pass the threshold."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    scaled = F.transform("embedding", lambda x: x.cast("double") * 2.0)
+    corpus = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"), dbl.alias("emb")
+    ).unionByName(
+        e.select((F.col("vec_id") + 10000000).cast("long").alias("vec_id"), scaled.alias("emb"))
+    )
+    from pandasvcf_spark.functions.vectors import cosine_expr
+
+    bucketed = corpus.select(
+        "vec_id", "emb", rp_bucket_expr("emb", PLANES).alias("__bucket")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("__ea"), "__bucket"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("__eb"), "__bucket"
+    )
+    pairs = a.join(c, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("__ea"), F.col("__eb"))
+    return (
+        pairs.withColumn("__cos", cos)
+        .filter(F.col("__cos") >= 0.99)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cossim"))
+    )
+
+
 @register(
     "v_rp_bucket_of_query",
     oracle=f"""

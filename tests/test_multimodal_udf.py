@@ -1,0 +1,138 @@
+"""Tests: multimodal binary columns, pandas-UDF extension surface,
+reshape union, parquet sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.operators.multimodal import (
+    decode_external,
+    image_meta_expr,
+    image_stats,
+    resize_nearest,
+    sample_frames,
+    synthetic_images,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return synthetic_images(spark, 20, height=8, width=6, channels=3).cache()
+
+
+def test_native_header_parse_matches_pandas_decode(spark, images):
+    meta = images.select("img_id", image_meta_expr("img").alias("m"))
+    stats = image_stats(images)
+    j = meta.join(stats, on="img_id")
+    rows = j.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r["m"]["height"], r["m"]["width"], r["m"]["channels"]) == (
+            r["height"], r["width"], r["channels"]) == (8, 6, 3)
+        assert r["m"]["format"] == "img1"
+
+
+def test_image_stats_deterministic(spark, images):
+    r = {x["img_id"]: x for x in image_stats(images).collect()}
+    # pixel(0, y, x, c) = (y*7 + x*3 + c) % 256 — recompute expected mean
+    px = [(y * 7 + x * 3 + c) % 256 for y in range(8) for x in range(6) for c in range(3)]
+    assert abs(r[0]["mean_px"] - sum(px) / len(px)) < 1e-9
+    assert r[0]["max_px"] == max(px)
+
+
+def test_resize_shape_and_content(spark, images):
+    small = resize_nearest(images, 4, 3)
+    meta = small.select("img_id", image_meta_expr("img").alias("m")).collect()
+    for r in meta:
+        assert (r["m"]["height"], r["m"]["width"]) == (4, 3)
+    # resized payload stays decodable end to end
+    stats = image_stats(small).collect()
+    assert all(0 <= s["mean_px"] <= 255 for s in stats)
+
+
+def test_frame_sampling_native(spark, images):
+    # build "videos" of 6 frames each from the image corpus
+    vids = (
+        images.withColumn("video_id", F.col("img_id") % 4)
+        .groupBy("video_id")
+        .agg(F.collect_list("img").alias("video"))
+    )
+    sampled = sample_frames(vids, every_nth=2)
+    rows = sampled.collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r["video_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2, 4] for v in per_vid.values())
+
+
+def test_external_decode_is_explicit_stub(spark, images):
+    with pytest.raises(NotImplementedError):
+        decode_external(images)
+
+
+def test_pandas_udf_vartype_matches_native(spark):
+    """The pandas-UDF extension path agrees with the native HOF expression
+    on every reference F5 branch (SURVEY §2.6)."""
+    from pandasvcf_spark.functions.genomics import vartype_expr
+    from pandasvcf_spark.functions.udf_ext import py_vartype
+
+    cases = [
+        ("A", "A"), ("A", "G"), ("CA", "AT"), ("AT", "A"),
+        ("A", "AT"), ("ACG", "AT"), ("A", "."), ("TTT", "T"),
+    ]
+    df = spark.createDataFrame(cases, "ref string, allele string")
+    rows = df.select(
+        vartype_expr("ref", F.col("allele")).alias("native"),
+        py_vartype()("ref", "allele").alias("udf"),
+    ).collect()
+    assert all(r["native"] == r["udf"] for r in rows)
+
+
+def test_grouped_apply_zscore(spark):
+    from pandasvcf_spark.functions.udf_ext import grouped_apply, zscore_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double"
+    )
+    out = grouped_apply(
+        df, ["k"], zscore_group("v"), "k string, v double, zscore double"
+    ).collect()
+    got = {(r["k"], r["v"]): r["zscore"] for r in out}
+    assert got[("a", 1.0)] == -1.0 and got[("a", 3.0)] == 1.0
+    assert got[("b", 5.0)] == 0.0
+
+
+def test_union_genotypes(spark):
+    from pandasvcf_spark.operators.reshape import union_genotypes
+
+    a = spark.createDataFrame([(1, "x")], "POS long, GT string")
+    b = spark.createDataFrame([("y", 2, 9.5)], "GT string, POS long, extra double")
+    u = union_genotypes(a, b)
+    assert u.count() == 2
+    assert set(u.columns) == {"POS", "GT", "extra"}
+    assert u.filter(F.col("POS") == 1).first()["extra"] is None
+
+
+def test_vcf_to_parquet_roundtrip(spark, tmp_path):
+    import os
+
+    from pandasvcf_spark.operators import annotate_vcf
+    from pandasvcf_spark.sources.vcf import read_vcf, vcf_to_parquet
+
+    src = os.path.join(os.path.dirname(__file__), "data", "golden.vcf")
+    out = str(tmp_path / "pq")
+    vcf_to_parquet(spark, src, out)
+    back = spark.read.parquet(out)
+    direct = read_vcf(spark, src)
+    assert sorted(back.columns) == sorted(direct.columns)
+    assert back.count() == direct.count()
+    # CHROM partition dirs exist -> partition pruning is available downstream
+    assert any(d.startswith("CHROM=") for d in os.listdir(out))
+    # annotations over the parquet-backed wide table match the direct path
+    from pandasvcf_spark.operators.annotate import annotate_genotypes, explode_genotypes
+
+    ann_pq = annotate_genotypes(explode_genotypes(back), format_fields=["DP"])
+    ann_vcf = annotate_vcf(spark, src)
+    assert sorted(map(tuple, ann_pq.collect())) == sorted(map(tuple, ann_vcf.collect()))
