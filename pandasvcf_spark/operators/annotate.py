@@ -216,6 +216,7 @@ def annotate_vcf(
     drop_hom_ref: bool = True,
     split_columns: dict[str, int] | None = None,
     format_fields: list[str] | str | None = "auto",
+    info_fields: dict[str, str] | list[str] | None = None,
     ordered: bool = False,
 ) -> DataFrame:
     """End-to-end: VCF file -> annotated long genotype table (reference
@@ -236,6 +237,12 @@ def annotate_vcf(
     lines (driver-side, no data scan — unlike annotate_genotypes' fallback,
     which must run an eager distinct() over FORMAT). Headers without FORMAT
     meta fall back to that scan.
+
+    info_fields: typed INFO sub-fields to materialize as columns — a list of
+    keys (string-typed) or {key: cast} like {'AC': 'int', 'AF': 'double'}.
+    Parsed with str_to_map (functions/maps.py); the reference never parses
+    INFO (SURVEY.md:184-186), declared engine scope. Malformed values map to
+    NULL (try_cast), never an ANSI runtime error.
     """
     from pandasvcf_spark.sources.vcf import read_vcf, read_vcf_header
 
@@ -251,6 +258,15 @@ def annotate_vcf(
         split_columns=split_columns,
         format_fields=format_fields,
     )
+    if info_fields:
+        from pandasvcf_spark.functions.maps import info_field_expr
+
+        if "INFO" not in out.columns:
+            raise ValueError("info_fields requires the INFO column (cols=...)")
+        if not isinstance(info_fields, dict):
+            info_fields = {k: None for k in info_fields}
+        for key, cast in info_fields.items():
+            out = out.withColumn(key, info_field_expr("INFO", key, cast))
     if ordered:
         out = out.orderBy(*SITE_KEY, "sample_ids")
     return out

@@ -42,9 +42,26 @@ from pandasvcf_spark.queries.registry import register
 from pandasvcf_spark.queries.tables import load
 
 
+def _gen_barrier(col, name):
+    """Materialization barrier: route a (reused, expensive) expression
+    through explode(array(...)) — a Generate node. Catalyst will NOT push
+    predicates below a generator output nor substitute the expression into
+    downstream references, so the value is computed exactly once per row.
+
+    Why it's needed here: these catalog queries DERIVE genotype strings from
+    lineitem columns, then filter/classify on them. Plain projections get
+    predicate-pushdown substitution — the optimizer inlined the GT CASE tree
+    into a NOT-IN filter at the scan, producing a 55 KB filter node and a
+    janino 64 KB method overflow (silent interpreted fallback). A
+    non-deterministic fence column does not survive column pruning; the
+    generator barrier does. The real VCF pipeline never needs this: its GT
+    is a data column, not a derived expression."""
+    return F.explode(F.array(col)).alias(name)
+
+
 def derived_genotypes(spark, sf_dir):
     """The shared derived genotype relation (Spark side). Columns:
-    l_orderkey, l_linenumber, REF, ALT, GT."""
+    l_orderkey, l_linenumber, REF, ALT, GT (behind a generator barrier)."""
     li = load(spark, sf_dir, "lineitem")
     gt1 = F.when(F.col("l_orderkey") % 19 == 0, ".").otherwise(
         ((F.col("l_linenumber") + F.col("l_orderkey")) % 3).cast("string")
@@ -61,7 +78,7 @@ def derived_genotypes(spark, sf_dir):
         "l_linenumber",
         F.lit("A").alias("REF"),
         F.lit("G,T").alias("ALT"),
-        gt.alias("GT"),
+        _gen_barrier(gt, "GT"),
     )
 
 
@@ -109,17 +126,10 @@ _ZYG_SQL = """CASE
   ELSE 'het-ref' END"""
 
 
-@register(
-    "f2f3_gt_parse",
-    oracle=_GENO_CTE
-    + """
-    SELECT l_orderkey, l_linenumber, GT, phase, GT1, GT2, a1, a2 FROM ann
-    """,
-)
-def f2f3_gt_parse(spark, sf_dir):
-    """Phase detection + GT split + allele lookup (reference F2/F3 —
-    get_phase variant_annotations.py:24-31, vector_GT_alleles :21-60),
-    parsing the GT *string* with the real engine expressions."""
+def _gt_parsed(spark, sf_dir):
+    """GT-parse layer shared by the F-series queries. The parsed a1/a2 are
+    bounded expressions over the barrier-protected GT attribute, so
+    downstream zygosity references stay small."""
     df = derived_genotypes(spark, sf_dir)
     gtp = gt_parts_expr("GT")
     alleles = alleles_expr("REF", "ALT")
@@ -141,6 +151,20 @@ def f2f3_gt_parse(spark, sf_dir):
 
 
 @register(
+    "f2f3_gt_parse",
+    oracle=_GENO_CTE
+    + """
+    SELECT l_orderkey, l_linenumber, GT, phase, GT1, GT2, a1, a2 FROM ann
+    """,
+)
+def f2f3_gt_parse(spark, sf_dir):
+    """Phase detection + GT split + allele lookup (reference F2/F3 —
+    get_phase variant_annotations.py:24-31, vector_GT_alleles :21-60),
+    parsing the GT *string* with the real engine expressions."""
+    return _gt_parsed(spark, sf_dir)
+
+
+@register(
     "f4_zygosity",
     headline=True,
     oracle=_GENO_CTE
@@ -151,7 +175,7 @@ def f2f3_gt_parse(spark, sf_dir):
 def f4_zygosity(spark, sf_dir):
     """Zygosity classification histogram (reference F4, zygosity_fast
     variant_annotations.py:64-127)."""
-    df = f2f3_gt_parse(spark, sf_dir)
+    df = _gt_parsed(spark, sf_dir)
     return (
         df.select(zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A")).alias("zygosity"))
         .groupBy("zygosity")
@@ -370,7 +394,7 @@ def a1_homref_window(spark, sf_dir):
     """Per-site hom-ref count broadcast to every row (reference A1+J3 —
     get_hom_ref_counts variant_annotations.py:165-180 + join :694-699) as a
     single window aggregate: agg+join collapsed into one shuffle."""
-    df = f2f3_gt_parse(spark, sf_dir)
+    df = _gt_parsed(spark, sf_dir)
     zyg = zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A"))
     w = Window.partitionBy("l_orderkey")
     return df.select(
@@ -403,6 +427,89 @@ def j1_dedup_annotate(spark, sf_dir):
         annotations=[gt_index_expr(gt_parts_expr("GT").getItem(0)).alias("GT1")],
     )
     return ann.select("l_orderkey", "l_linenumber", "GT", "GT1")
+
+
+@register(
+    "r1_explode_map",
+    oracle="""
+    WITH calls AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 7 = 0 THEN '.' ELSE '0|1' END AS c1,
+             CASE WHEN s_suppkey % 3 = 0 THEN '.' ELSE '1|1' END AS c2
+      FROM supplier
+    ), long AS (
+      SELECT s_suppkey, 'S1' AS sample_ids, c1 AS call FROM calls
+      UNION ALL
+      SELECT s_suppkey, 'S2', c2 FROM calls
+    )
+    SELECT sample_ids, count(*) AS n FROM long
+    WHERE call <> '.'
+    GROUP BY sample_ids
+    """,
+)
+def r1_explode_map(spark, sf_dir):
+    """Wide→long stack (reference R1, variant_annotations.py:575-581): a
+    samples MAP exploded to one row per (site, sample) with '.' (missing)
+    calls dropped — exactly the engine's VCF explode path, on derived data."""
+    s = load(spark, sf_dir, "supplier")
+    c1 = F.when(F.col("s_suppkey") % 7 == 0, ".").otherwise("0|1")
+    c2 = F.when(F.col("s_suppkey") % 3 == 0, ".").otherwise("1|1")
+    wide = s.select(
+        "s_suppkey", F.create_map(F.lit("S1"), c1, F.lit("S2"), c2).alias("samples")
+    )
+    long_df = wide.select(
+        "s_suppkey", F.explode("samples").alias("sample_ids", "call")
+    ).filter(F.nullif(F.col("call"), F.lit(".")).isNotNull())
+    return long_df.groupBy("sample_ids").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "p6p8_sentinel_homref",
+    oracle=_GENO_CTE
+    + f"""
+    SELECT {_ZYG_SQL} AS zygosity, count(*) AS n FROM ann
+    WHERE GT NOT IN ('./.', '.|.', '.')
+      AND {_ZYG_SQL} <> 'hom-ref'
+    GROUP BY 1
+    """,
+)
+def p6p8_sentinel_homref(spark, sf_dir):
+    """Missing-sentinel mapping + hom-ref drop (reference P6/P8/F9 —
+    variant_annotations.py:571,704-706): the drop filter runs AFTER any
+    count that must survive it (plan order encoded explicitly)."""
+    df = _gt_parsed(spark, sf_dir)
+    df = df.filter(F.col("GT").isNotNull() & ~F.col("GT").isin(*MISSING_GT))
+    zyg = zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A"))
+    return (
+        df.select(zyg.alias("zygosity"))
+        .filter(F.col("zygosity") != "hom-ref")
+        .groupBy("zygosity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "udf_vartype_pandas",
+    oracle="""
+    SELECT p_partkey,
+           CASE p_partkey % 8 {label_cases} END AS vartype
+    FROM part
+    """.format(
+        label_cases=" ".join(
+            f"WHEN {i} THEN '{l}'" for i, (_, _, l) in enumerate(_VT_PAIRS)
+        ),
+    ),
+)
+def udf_vartype_pandas(spark, sf_dir):
+    """The §2.9 user-extension surface under oracle check: the Arrow-batched
+    pandas UDF twin of vartype_expr (functions/udf_ext.py) must reproduce
+    the same labels the SQL oracle hardcodes."""
+    from pandasvcf_spark.functions.udf_ext import py_vartype
+
+    df = f5_vartype(spark, sf_dir)
+    return df.select(
+        "p_partkey", py_vartype()(F.col("ref"), F.col("allele")).alias("vartype")
+    )
 
 
 @register(

@@ -90,3 +90,19 @@ def test_row_identity_invariant(spark):
     per_site = {r["POS"]: r["cnt"] for r in
                 df.groupBy("POS").count().withColumnRenamed("count", "cnt").collect()}
     assert per_site == {100: 2, 200: 2, 300: 1, 500: 2, 600: 2}
+
+
+def test_info_fields_extraction(spark):
+    """Typed INFO parsing (str_to_map engine scope — the reference leaves
+    INFO opaque, SURVEY.md:184-186)."""
+    from pandasvcf_spark.operators.annotate import annotate_vcf
+
+    ann = annotate_vcf(
+        spark, GOLDEN, drop_hom_ref=False,
+        info_fields={"AC": "int", "AF": "double", "MISSING_KEY": "int"},
+    )
+    r = {(row["POS"], row["sample_ids"]): row for row in ann.collect()}
+    assert r[(100, "S1")]["AC"] == 1
+    assert r[(100, "S1")]["MISSING_KEY"] is None
+    # INFO='.' rows parse to empty map -> NULLs, no errors
+    assert r[(200, "S1")]["AC"] is None
