@@ -119,6 +119,53 @@ def running_agg(
     return df.withColumn(out, agg.over(w))
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: when one join key dominates the fact table,
+    a plain shuffle join sends that key's entire volume to ONE reducer.
+    Salting splits it: the fact side gets a deterministic salt derived from a
+    high-cardinality column (`salt_src`), the dim side is replicated
+    n_salts×, and the join runs on (key, salt) — the hot key now spreads
+    over n_salts reducers. Result is row-identical to the unsalted join.
+
+    (AQE's skew-join handles this at runtime for sort-merge joins; the
+    explicit form remains necessary for skewed AGGREGATIONS and as the
+    portable fallback — and documents the technique for 100 TB planning.)
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    fact_s = fact.withColumn("__salt", salt)
+    # generators can't nest inside expressions (no .cast around explode);
+    # sequence of int literals already yields INT elements
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return fact_s.join(dim_s, on=[key, "__salt"]).drop("__salt")
+
+
+def salted_count(
+    df: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant grouped count: pre-aggregate on (key, salt) so a hot
+    key's partial counts spread across reducers, then combine the (tiny)
+    per-salt partials. Output: key, n BIGINT — identical to a plain
+    groupBy(key).count()."""
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__pn"))
+    )
+    return partial.groupBy(key).agg(F.sum("__pn").cast("long").alias("n"))
+
+
 def pivot_counts(
     df: DataFrame,
     group_by: Sequence[str],

@@ -134,6 +134,62 @@ def ann_bucket_topk(
     )
 
 
+def ivf_cell_expr(vec: Column | str, centroids: list[list[float]]) -> Column:
+    """IVF coarse-quantizer cell id (1-based INT): index of the nearest
+    centroid by squared-L2, ties to the lowest index. Centroids are literal
+    arrays baked into the plan (deterministic, oracle-reproducible).
+
+    Computed as array_position(dists, array_min(dists)) over a literal-sized
+    distance array — one pass, no shuffle, whole-stage codegen."""
+    v = _dc(vec)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF all-neighbors ANN: assign every vector to its nearest-centroid
+    cell, then search only within the cell (equi-join on cell id, exact
+    cosine rerank). The inverted-file analogue of `ann_bucket_topk`: where
+    LSH buckets by random-projection signs, IVF partitions by a trained/
+    chosen coarse quantizer — better recall when the corpus is clustered.
+    Output: query_id, vec_id, cossim."""
+    cells = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        ivf_cell_expr(vec_col, centroids).alias("__cell"),
+    )
+    a = cells.select(
+        F.col(id_col).alias("query_id"), F.col("__vec").alias("__qvec"), "__cell"
+    )
+    pairs = a.join(cells, on="__cell").filter(F.col("query_id") != F.col(id_col))
+    pairs = pairs.withColumn("cossim", cosine_expr(F.col("__qvec"), F.col("__vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        pairs.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select("query_id", id_col, "cossim")
+    )
+
+
 def bucket_histogram(
     corpus: DataFrame,
     planes: list[list[float]],

@@ -514,6 +514,45 @@ def f_case_when(spark, sf_dir):
 
 
 @register(
+    "skew_salted_count",
+    oracle="SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def skew_salted_count(spark, sf_dir):
+    """Skew-resistant grouped count (3 hot keys over 60k+ rows): pre-agg on
+    (key, salt) spreads each hot key over 16 reducers; result is identical
+    to the plain groupBy — which is exactly what the oracle checks."""
+    from pandasvcf_spark.operators.relational import salted_count
+
+    return salted_count(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", "l_orderkey"
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-resistant equi-join: fact salted on a high-cardinality column,
+    dim replicated per salt; row-identical to the plain join (oracle uses
+    the plain form)."""
+    from pandasvcf_spark.operators.relational import salted_join
+
+    li = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k")
+    j = salted_join(li, o, key="k", salt_src="l_linenumber", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@register(
     "info_str_to_map",
     oracle="""
     WITH info_t AS (

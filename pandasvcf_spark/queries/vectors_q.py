@@ -159,6 +159,53 @@ def v_ann_topk(spark, sf_dir):
     )
 
 
+#: IVF coarse-quantizer centroids: deterministic LCG points scaled into the
+#: data's magnitude range (cells stay balanced: 35-104 of 500 at sf0.01).
+CENTROIDS = [[x * 0.15 for x in row] for row in _lcg_planes(8, DIM, seed=0xC3)]
+
+
+def _sql_sqdist(vec: str, cent: list[float]) -> str:
+    lit = "([" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"j -> (CAST({vec}[j] AS DOUBLE) - {lit}[j]) * (CAST({vec}[j] AS DOUBLE) - {lit}[j])))"
+    )
+
+
+def _sql_cell(vec: str) -> str:
+    dists = "[" + ", ".join(_sql_sqdist(vec, c) for c in CENTROIDS) + "]"
+    return f"CAST(list_position({dists}, list_aggregate({dists}, 'min')) AS INT)"
+
+
+@register(
+    "v_ivf_topk",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell
+      FROM embeddings)
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT a.vec_id AS query_id, c.vec_id AS vec_id,
+             {_sql_cos('a.embedding', 'c.embedding')} AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_sql_cos('a.embedding', 'c.embedding')} DESC, c.vec_id
+             ) AS rn
+      FROM cells a JOIN cells c ON a.cell = c.cell AND a.vec_id <> c.vec_id)
+    WHERE rn <= 3
+    """,
+)
+def v_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators/similarity.ivf_topk): nearest-centroid cell
+    assignment (one codegen pass), candidate equi-join on cell id, exact
+    cosine rerank — the inverted-file scale path next to the LSH one."""
+    from pandasvcf_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(load(spark, sf_dir, "embeddings"), CENTROIDS, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cossim", 6).alias("cossim")
+    )
+
+
 #: corpus ∪ direction-preserving scaled copies (x2.0 is floating-point
 #: EXACT, so the copy has identical projection signs → same LSH bucket,
 #: guaranteed recall) under a collision-proof id offset.

@@ -139,6 +139,57 @@ def dedup_events(
     return events.dropDuplicates(keys)
 
 
+def running_user_totals(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    event_time: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count and value sum, maintained in explicit GroupState across
+    micro-batches — the arbitrary-state API for logic that windowed aggs
+    can't express (per-key accumulators, custom eviction, ML feature state).
+
+    Emits one row per user per micro-batch in which the user appeared
+    (update semantics): user_id, n_events, total_value. On a batch
+    DataFrame, falls back to the equivalent grouped aggregate (the final
+    state equals the batch totals — asserted by the tests)."""
+    import pandas as pd  # local import: executors unpickle this module
+
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return (
+        events.withWatermark(event_time, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            stateStructType="n BIGINT, total DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -101,3 +101,31 @@ def test_dedup_within_watermark_stream(spark, batch_events, events_dir):
     got_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
     want_keys = {(r["user_id"], r["event_type"]) for r in batch.collect()}
     assert got_keys == want_keys
+
+
+def test_stateful_running_totals(spark, batch_events, events_dir):
+    """applyInPandasWithState: the last emitted row per user (update mode
+    across micro-batches) must equal the batch grouped totals."""
+    from pandasvcf_spark.streaming.events import running_user_totals
+
+    stream = read_events_stream(
+        spark, events_dir, schema=batch_events.schema, max_files_per_trigger=1
+    )
+    got = run_stream_to_memory(
+        running_user_totals(stream), "t_stateful", output_mode="update"
+    )
+    # update mode emits one row per user per micro-batch; counts are
+    # monotonic, so the max-count row per user is the final state (no
+    # reliance on sink row order)
+    final = {}
+    for r in got.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in running_user_totals(batch_events).collect()
+    }
+    assert final == want
+    # multiple micro-batches actually happened (otherwise this tests nothing)
+    assert len(got.collect()) > len(want)
