@@ -290,17 +290,21 @@ def simhash_near_dup_pairs(
             ).otherwise(F.lit(0).cast("long"))
         )
     keyed = votes.select("__id", key.alias("__sh"))
+    # bands unrolled as literals: shiftright's shift amount must be a Python
+    # int, not a lambda-bound column
     banded = keyed.withColumn(
         "__chunk",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band"),
-                    F.shiftright(F.col("__sh"), b * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftright(F.col("__sh"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
             )
         ),
     )

@@ -215,6 +215,22 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash",
+    # rows-only: the 64-bit SimHash key depends on Spark's xxhash64, which
+    # DuckDB cannot reproduce — correctness is covered by unit tests
+    # (identical text -> hamming 0) and the deterministic pipeline.
+    oracle=None,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidate pairs (banded 16-bit chunks → equi-join,
+    exact Hamming filter) over the noisy dedup corpus."""
+    from pandasvcf_spark.operators.dedup import simhash_near_dup_pairs
+
+    corpus = _noisy_corpus(spark, sf_dir)
+    return simhash_near_dup_pairs(corpus, "doc_id", max_hamming=3)
+
+
+@register(
     "t_tfidf_top_terms",
     oracle="""
     WITH toks AS (

@@ -238,12 +238,25 @@ def vcf_to_parquet(
     path: str,
     out_path: str,
     partition_by: str | None = "CHROM",
+    sort_within_partitions: str | list[str] | None = "POS",
     **read_kwargs,
 ) -> None:
     """One-time ingest of a VCF to Parquet — the scale path. Downstream scans
     become splittable and columnar with predicate pushdown + partition
-    pruning (by CHROM), which a .gz text VCF can never give."""
+    pruning (by CHROM), which a .gz text VCF can never give.
+
+    sort_within_partitions: cluster rows by POS inside each output file so
+    parquet row-group min/max statistics make positional range queries
+    (`POS BETWEEN ...`) skip row groups entirely — the poor man's Z-order
+    for the (CHROM, POS) access pattern."""
     df = read_vcf(spark, path, **read_kwargs)
+    if sort_within_partitions:
+        cols = (
+            [sort_within_partitions]
+            if isinstance(sort_within_partitions, str)
+            else list(sort_within_partitions)
+        )
+        df = df.sortWithinPartitions(*cols)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)

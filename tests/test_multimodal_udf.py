@@ -136,3 +136,25 @@ def test_vcf_to_parquet_roundtrip(spark, tmp_path):
     ann_pq = annotate_genotypes(explode_genotypes(back), format_fields=["DP"])
     ann_vcf = annotate_vcf(spark, src)
     assert sorted(map(tuple, ann_pq.collect())) == sorted(map(tuple, ann_vcf.collect()))
+
+
+def test_catalog_scan_pushdown(spark):
+    """The declared scan query must reach the parquet reader with its filter
+    and pruned 4-column schema (Catalyst pushdown, SURVEY §4)."""
+    from pandasvcf_spark.queries import QUERIES
+
+    df = QUERIES["s4_scan_project_filter"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_quantity" in plan and "PushedFilters" in plan
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # projection pruned to the 4 needed columns (no l_tax etc.)
+    assert "l_tax" not in scan_line
+
+
+def test_no_cartesian_in_similarity_catalog(spark):
+    from pandasvcf_spark.queries import QUERIES
+
+    for q in ["v_ann_topk", "v_ivf_topk", "dedup_embedding_cosine"]:
+        df = QUERIES[q].fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q
