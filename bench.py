@@ -7,9 +7,16 @@ tracked against BASELINE.md (~244k/s reference) every round.
 
 Output: {"metric": "catalog_total_wall", "value": <sec>, "unit": "sec",
          "queries": {name: sec, ...}, "sf": <sf>,
+         "duckdb": {name: sec, ...}, "duckdb_total_wall": <sec>,
          "vcf_genotypes_per_sec": <rate>}
 
-Set SPARK_GRAFT_BENCH_VCF=0 to skip the VCF fixture stage.
+The DuckDB column runs the same headline queries' oracle SQL on the same
+parquet — a single-node columnar anchor for the per-query numbers (the
+reference has no numbers on these tables; BASELINE.md's comparable metric
+is vcf_genotypes_per_sec).
+
+Set SPARK_GRAFT_BENCH_VCF=0 to skip the VCF fixture stage,
+SPARK_GRAFT_BENCH_DUCKDB=0 to skip the DuckDB anchor.
 """
 
 from __future__ import annotations
@@ -65,6 +72,34 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
     }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        import duckdb
+
+        con = duckdb.connect()
+        for name in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        # near-dup oracles verify with an all-pairs N^2 SQL — a correctness
+        # cross-check, not a comparable engine path (DuckDB has no LSH);
+        # at sf0.1 it runs for minutes, so it stays out of the anchor.
+        skip_anchor = {"dedup_minhash_lsh"}
+        duck: dict[str, float] = {}
+        dtotal = 0.0
+        for name, spec in QUERIES.items():
+            if not spec.headline or spec.oracle is None or name in skip_anchor:
+                continue
+            t0 = time.time()
+            con.sql(spec.oracle).fetchall()
+            dt = time.time() - t0
+            duck[name] = round(dt, 3)
+            dtotal += dt
+        result["duckdb"] = duck
+        result["duckdb_total_wall"] = round(dtotal, 3)
 
     if os.environ.get("SPARK_GRAFT_BENCH_VCF", "1") != "0" and os.path.exists(KG_VCF):
         from pandasvcf_spark.operators import annotate_vcf

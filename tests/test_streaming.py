@@ -129,3 +129,59 @@ def test_stateful_running_totals(spark, batch_events, events_dir):
     assert final == want
     # multiple micro-batches actually happened (otherwise this tests nothing)
     assert len(got.collect()) > len(want)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg: rows arriving behind the watermark for an
+    already-finalized window are dropped (SURVEY §2.10 late-data handling).
+
+    Batch 1 carries window 01:00-02:00 (n=4) plus an 03:00 event whose
+    watermark (02:30 after the 30-min delay) COMMITS at the end of the
+    batch; the watermark a batch observes lags one commit, so batch 2 is a
+    spacer that runs under the committed 02:30 watermark and finalizes the
+    01:00 window. Batch 3 then delivers 3 LATE rows for that closed window
+    (dropped) plus rows for the still-open 03:00 window (accepted but never
+    finalized before the stream drains). Expected appended output: exactly
+    {01:00: 4}."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    def mk(ids_ts):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in ids_ts],
+            "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    d = str(tmp_path / "late_events")
+    batches = [
+        mk([(1, "2024-06-01 01:00:00"), (2, "2024-06-01 01:05:00"),
+            (3, "2024-06-01 01:10:00"), (4, "2024-06-01 01:20:00"),
+            (5, "2024-06-01 03:00:00")]),
+        mk([(6, "2024-06-01 03:20:00")]),
+        mk([(7, "2024-06-01 01:10:00"), (8, "2024-06-01 01:15:00"),
+            (9, "2024-06-01 01:30:00"), (10, "2024-06-01 03:25:00")]),
+    ]
+    # one directory of files with controlled mtimes -> deterministic batch order
+    os.makedirs(d + "/in")
+    now = _time.time()
+    for bi, bdf in enumerate(batches):
+        bdf.coalesce(1).write.parquet(d + f"/b{bi}")
+        for fn in os.listdir(d + f"/b{bi}"):
+            if fn.endswith(".parquet"):
+                dst = d + f"/in/b{bi}_{fn}"
+                os.rename(d + f"/b{bi}/{fn}", dst)
+                os.utime(dst, (now - 100 + 10 * bi, now - 100 + 10 * bi))
+    f0 = batches[0]
+
+    stream = read_events_stream(
+        spark, d + "/in", schema=f0.schema, max_files_per_trigger=1
+    )
+    got = run_stream_to_memory(
+        tumbling_counts(stream, watermark="30 minutes"),
+        "t_late",
+        output_mode="append",
+    )
+    rows = {(r["win_start"], r["event_type"]): r["n"] for r in got.collect()}
+    assert rows == {("2024-06-01 01:00:00", "click"): 4}
