@@ -174,14 +174,21 @@ def minhash_near_dup_pairs(
     )
     if min_jaccard is None:
         return pairs
-    # Exact-Jaccard verification only on the (few) candidates: re-attach the
-    # shingle sets by id.
-    sh_a = keyed.select(
-        F.col("__id").alias("id_a"), F.array_distinct(shingle_col_out).alias("__sh_a")
+    # Exact-Jaccard verification only on the (few) candidates. Semi-join the
+    # corpus down to candidate ids BEFORE computing the verification shingle
+    # sets — otherwise the (expensive) shingle arrays are materialized and
+    # shuffled for every document in the corpus twice.
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
     )
-    sh_b = keyed.select(
-        F.col("__id").alias("id_b"), F.array_distinct(shingle_col_out).alias("__sh_b")
+    cand_docs = keyed.join(cand_ids, on="__id", how="left_semi")
+    sh = cand_docs.select(
+        "__id", F.array_distinct(shingle_col_out).alias("__sh")
     )
+    sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     verified = pairs.join(sh_a, on="id_a").join(sh_b, on="id_b")
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
