@@ -106,3 +106,29 @@ def test_info_fields_extraction(spark):
     assert r[(100, "S1")]["MISSING_KEY"] is None
     # INFO='.' rows parse to empty map -> NULLs, no errors
     assert r[(200, "S1")]["AC"] is None
+
+
+def test_compat_facade_matches_direct_pipeline(spark):
+    """The reference-shaped VCF class produces the same annotated table as
+    the direct operator pipeline (drop-in migration path)."""
+    from pandasvcf_spark.compat import VCF
+    from pandasvcf_spark.operators.annotate import annotate_vcf
+
+    vcf = VCF(GOLDEN, spark=spark)
+    hdr = {r["key"]: r["value"] for r in vcf.get_header_df().collect()}
+    assert "SampleIDs" in hdr and hdr["SampleIDs"] == "S1,S2"
+
+    assert not vcf.stopIteration
+    wide = vcf.get_vcf_df_chunk()
+    assert vcf.stopIteration  # whole file in one lazy pass
+    assert wide.count() == 6
+
+    vcf.add_variant_annotations(drop_hom_ref=True)
+    got = sorted(map(tuple, vcf.df_annot.collect()))
+    want = sorted(map(tuple, annotate_vcf(spark, GOLDEN, drop_hom_ref=True).collect()))
+    assert got == want
+
+    # inplace=True replaces .df, reference behavior
+    vcf2 = VCF(GOLDEN, spark=spark)
+    vcf2.add_variant_annotations(inplace=True, drop_hom_ref=False)
+    assert "zygosity" in vcf2.df.columns
