@@ -140,6 +140,32 @@ def lang_id_expr(text: Column | str) -> Column:
     )
 
 
+def winnowing_fingerprints_expr(
+    text: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """ARRAY<BIGINT> winnowing fingerprint set (Schleimer et al., MOSS):
+    hash every character k-shingle (rolling window over the normalized
+    text), then keep the minimum hash of each `window`-length run —
+    guaranteeing two documents sharing a run of >= k+window-1 characters
+    share a fingerprint. The standard plagiarism/near-dup sketch whose size
+    adapts to document length.
+
+    Pure nested HOFs over a per-row array — the shingle hash array is built
+    once (single transform), window minima slice it."""
+    sh = char_shingles_expr(text, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n_windows = F.size(hashes) - (window - 1)
+    mins = F.when(F.size(hashes) == 0, F.array().cast("array<bigint>")).when(
+        n_windows <= 0, F.array(F.array_min(hashes))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    return F.array_distinct(mins)
+
+
 def fingerprint_expr(text: Column | str) -> Column:
     """64-bit document fingerprint: xxhash64 over the whitespace/case
     normalized text. Identical normalized content -> identical fingerprint;

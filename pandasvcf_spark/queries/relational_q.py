@@ -89,7 +89,11 @@ def agg_tpch_q1(spark, sf_dir):
     shuffle → final-agg plan; AQE coalesces the tiny result partitions."""
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(
+            # NTZ literal: l_shipdate reads as TIMESTAMP_NTZ; a zoned literal
+            # would coerce through the session timezone
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

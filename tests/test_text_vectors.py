@@ -179,3 +179,29 @@ def test_ann_plan_is_bucket_equijoin(spark):
     out = ann_bucket_topk(df, [[1.0, -1.0]], k=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_fingerprints(spark):
+    from pandasvcf_spark.functions.text import winnowing_fingerprints_expr
+
+    base = "the quick brown fox jumps over the lazy dog by the river bank today"
+    shared = base + " and then some extra trailing words appended here"
+    other = "entirely unrelated content with no overlapping character runs at all"
+    df = spark.createDataFrame(
+        [(1, base), (2, shared), (3, other), (4, "abcdef"), (5, "ab")],
+        "id long, text string",
+    )
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select(
+            "id", winnowing_fingerprints_expr("text").alias("fp")
+        ).collect()
+    }
+    # long shared prefix -> large fingerprint overlap; unrelated -> tiny/none
+    overlap_near = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    overlap_far = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert overlap_near > 0.5 > overlap_far
+    # fewer shingles than one window -> single-min fallback, still nonempty
+    assert len(fps[4]) == 1
+    # shorter than one shingle -> genuinely empty fingerprint set
+    assert len(fps[5]) == 0
