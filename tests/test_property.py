@@ -108,3 +108,71 @@ def test_pivot_roundtrip(spark):
     r = {x["POS"]: x for x in wide.collect()}
     assert r[100]["S1"] == "0|1" and r[100]["S2"] == "0|0"
     assert r[300]["S1"] == "1/1" and r[300]["S2"] is None  # ./. dropped
+
+
+MALFORMED_GT = st.text(
+    alphabet="0123456789./|-abcXY ", min_size=0, max_size=8
+)
+
+
+@given(st.lists(MALFORMED_GT, min_size=1, max_size=25))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_malformed_gt_never_aborts(spark, gts):
+    """ANSI-robustness: arbitrary junk GT strings (negative indices,
+    out-of-range, non-numeric, empty) must never raise — every resolved
+    allele is a real allele or the '.' sentinel, and zygosity stays in the
+    closed label set. One bad row must not kill a 100 TB job."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.genomics import (
+        allele_expr,
+        alleles_expr,
+        gt_parts_expr,
+        zygosity_expr,
+    )
+
+    df = spark.createDataFrame([(g,) for g in gts], "gt string")
+    gtp = gt_parts_expr("gt")
+    alleles = alleles_expr(F.lit("A"), F.lit("G,T"))
+    out = df.select(
+        "gt",
+        allele_expr(alleles, gtp.getItem(0)).alias("a1"),
+        allele_expr(
+            alleles, F.when(F.size(gtp) > 1, F.try_element_at(gtp, F.lit(2)))
+        ).alias("a2"),
+    )
+    out = out.withColumn(
+        "zyg", zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A"))
+    )
+    rows = out.collect()  # must not raise
+    labels = {"hom-ref", "hom-miss", "het-miss", "het-alt", "hom-alt", "het-ref"}
+    for r in rows:
+        assert r["a1"] in {"A", "G", "T", "."}, r
+        assert r["a2"] in {"A", "G", "T", "."}, r
+        assert r["zyg"] in labels, r
+
+
+@given(
+    st.text(alphabet="ABCDEFGHPQ:", min_size=0, max_size=12),
+    st.text(alphabet="0123456789,.:|/", min_size=0, max_size=12),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_format_map_never_aborts(spark, fmt, call):
+    """format_map_expr must survive arbitrary FORMAT/call shapes: repeated
+    keys, ragged lengths, empty strings — no DUPLICATED_MAP_KEY, no errors;
+    values zip positionally for the first occurrence of each key."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.genomics import format_map_expr
+
+    df = spark.createDataFrame([(fmt, call)], "f string, c string")
+    m = df.select(format_map_expr("f", "c").alias("m")).first()["m"]
+    keys = fmt.split(":")
+    vals = call.split(":")
+    expected = {}
+    for i, k in enumerate(keys):
+        if k not in expected:
+            expected[k] = vals[i] if i < len(vals) else None
+    assert m == expected
