@@ -202,10 +202,23 @@ def hom_ref_call_indicator(call: Column, ref: Column, alt: Column) -> Column:
     annotation pipeline. NULL/missing calls count 0. Haploid calls count 0
     (reference parity: haploid is never hom-ref, SURVEY §8.2).
     """
+    # Fast path: GT index 0 resolves to REF by definition, so a literal
+    # '0|0' / '0/0' call is hom-ref without any allele resolution. In a
+    # population panel the overwhelming majority of calls are exactly that
+    # (1000G: ~98%), and when() evaluates lazily per row — the split/lookup
+    # machinery below only runs for the rare non-trivial calls.
+    fast_hom_ref = (
+        call.isin("0|0", "0/0")
+        | call.startswith("0|0:")
+        | call.startswith("0/0:")
+    )
     gt = F.split(F.split(call, ":").getItem(0), r"[/|]")
     alleles = alleles_expr(ref, alt)
     a1 = allele_expr(alleles, gt.getItem(0))
     a2 = allele_expr(alleles, F.when(F.size(gt) > 1, gt.getItem(1)))
-    return F.when(
-        call.isNotNull() & (a1 == ref) & (a2 == ref), F.lit(1)
-    ).otherwise(F.lit(0))
+    return (
+        F.when(call.isNull(), F.lit(0))
+        .when(fast_hom_ref, F.lit(1))
+        .when((a1 == ref) & (a2 == ref), F.lit(1))
+        .otherwise(F.lit(0))
+    )

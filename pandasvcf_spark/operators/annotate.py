@@ -124,7 +124,18 @@ def annotate_genotypes(
         with n <= 1 are skipped, extras truncated — reference parity.
     """
     df = long_df.withColumn("fields", format_map_expr("FORMAT", "call"))
-    df = df.withColumn("GT", F.try_element_at("fields", F.lit("GT")))
+    # GT fast path: when neither FORMAT nor the call carries sub-fields
+    # (':'), the call IS the genotype — skip the per-row map construction
+    # entirely. For a GT-only panel (e.g. 1000G: 24.4M calls) this removes
+    # the dominant per-call expression cost; mixed/ragged rows fall through
+    # to the map.
+    df = df.withColumn(
+        "GT",
+        F.when(
+            ~F.col("FORMAT").contains(":") & ~F.col("call").contains(":"),
+            F.col("call"),
+        ).otherwise(F.try_element_at("fields", F.lit("GT"))),
+    )
     if drop_missing_gt:
         # reference P7 (variant_annotations.py:614-622)
         df = df.filter(
