@@ -175,17 +175,18 @@ def minhash_near_dup_pairs(
     if min_jaccard is None:
         return pairs
     # Exact-Jaccard verification only on the (few) candidates. Semi-join the
-    # corpus down to candidate ids BEFORE computing the verification shingle
-    # sets — otherwise the (expensive) shingle arrays are materialized and
-    # shuffled for every document in the corpus twice.
+    # RAW input down to candidate ids BEFORE the shingle expression is even
+    # projected — joining after a select(shingles) would still tokenize every
+    # document (Catalyst does not push a join below a projection), so the
+    # semi join goes under the shingle computation, not over it.
     cand_ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .union(pairs.select(F.col("id_b").alias("__id")))
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    cand_docs = keyed.join(cand_ids, on="__id", how="left_semi")
-    sh = cand_docs.select(
-        "__id", F.array_distinct(shingle_col_out).alias("__sh")
+    cand_raw = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = cand_raw.select(
+        F.col(id_col).alias("__id"), F.array_distinct(shingles).alias("__sh")
     )
     sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))

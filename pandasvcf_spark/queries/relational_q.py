@@ -350,6 +350,55 @@ def w_running_sum(spark, sf_dir):
 
 
 @register(
+    "w_dense_rank_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS drnk,
+           lag(o_orderkey) OVER w AS prev_ok,
+           lead(o_orderkey) OVER w AS next_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w_dense_rank_lead_lag(spark, sf_dir):
+    """dense_rank + lead/lag over one window spec (SURVEY §2.7 engine
+    scope) — all three share a single sort within one shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind cube/rollup), via the
+    SQL surface over a registered view — both entry styles are first-class."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
     "sort_limit_topk",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
