@@ -20,8 +20,10 @@ def _c(col: Column | str) -> Column:
 def info_map_expr(info: Column | str) -> Column:
     """MAP<STRING,STRING> from a VCF INFO payload (`AC=1;AF=0.5;DB`).
 
-    Flag entries (no '=') map to value '' — check membership with
-    `map_contains_key`. A '.' (missing) INFO yields an empty map."""
+    Flag entries (no '=', e.g. 'DB') map to a NULL value — check flag
+    membership with `map_contains_key`, not the value. A '.' (missing)
+    INFO yields an empty map. Values containing '=' split on the FIRST
+    one only."""
     cleaned = F.nullif(F.trim(_c(info)), F.lit("."))
     return F.when(cleaned.isNull(), F.map_from_arrays(F.array(), F.array())).otherwise(
         F.str_to_map(cleaned, F.lit(";"), F.lit("="))

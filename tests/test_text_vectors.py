@@ -205,3 +205,29 @@ def test_winnowing_fingerprints(spark):
     assert len(fps[4]) == 1
     # shorter than one shingle -> genuinely empty fingerprint set
     assert len(fps[5]) == 0
+
+
+def test_info_map_edges(spark):
+    """info_map_expr: flag entries (no '=') map to NULL (membership via
+    map_contains_key), '.' INFO yields an empty map, values containing '='
+    keep everything after the first."""
+    from pandasvcf_spark.functions.maps import info_field_expr, info_map_expr
+
+    df = spark.createDataFrame(
+        [("AC=1;DB;AF=0.5",), (".",), ("  .  ",), ("K=a=b",)], "info string"
+    )
+    rows = df.select(info_map_expr("info").alias("m")).collect()
+    assert rows[0]["m"] == {"AC": "1", "DB": None, "AF": "0.5"}
+    has_db = df.select(
+        F.map_contains_key(info_map_expr("info"), "DB").alias("x")
+    ).collect()
+    assert [r["x"] for r in has_db] == [True, False, False, False]
+    assert rows[1]["m"] == {} and rows[2]["m"] == {}
+    assert rows[3]["m"] == {"K": "a=b"}
+    typed = df.select(
+        info_field_expr("info", "AC", "int").alias("ac"),
+        info_field_expr("info", "AF", "double").alias("af"),
+        info_field_expr("info", "NOPE", "int").alias("nope"),
+    ).collect()
+    assert typed[0]["ac"] == 1 and typed[0]["af"] == 0.5
+    assert typed[0]["nope"] is None and typed[1]["ac"] is None
