@@ -1,0 +1,46 @@
+"""Bucketed-table layout: pre-shuffled storage for co-located joins.
+
+At 100 TB the dominant cost of a fact⋈fact equi-join is shuffling both
+sides. Bucketing pays that shuffle ONCE at write time: both tables are
+hash-partitioned into the same number of buckets on the join key, so every
+subsequent join (and aggregation) on that key reads co-located buckets and
+skips the exchange entirely — the plan shows SortMergeJoin with NO Exchange
+on either side (asserted by tests/test_multimodal_udf.py).
+
+The VCF analogue: bucket the long genotype table by the site key so
+repeated per-site analyses (hom-ref windows, per-site joins against
+annotation tables bucketed the same way) never re-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (optionally bucket-sorted) table. `sort_by`
+    additionally orders rows inside each bucket file, letting sort-merge
+    joins skip their sort step too."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *cols
+    )
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*scols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back (bucket metadata comes from the catalog —
+    reading the bare parquet path would lose it)."""
+    return spark.table(table)

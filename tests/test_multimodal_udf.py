@@ -158,3 +158,30 @@ def test_no_cartesian_in_similarity_catalog(spark):
         df = QUERIES[q].fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, q
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join without
+    ANY Exchange (the pre-shuffled 100 TB co-location strategy)."""
+    from pandasvcf_spark.plans.bucketing import read_table, write_bucketed
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_bucketed(li, "li_b", "l_orderkey", 8,
+                   path=str(tmp_path / "li_b"), sort_by="l_orderkey")
+    write_bucketed(o, "o_b", "o_orderkey", 8,
+                   path=str(tmp_path / "o_b"), sort_by="o_orderkey")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = read_table(spark, "li_b"), read_table(spark, "o_b")
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:800]
+        # and it actually computes the right thing
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
