@@ -18,6 +18,9 @@ migration is a one-line import change. Differences, all documented:
     still terminates, after one pass that covers everything.
   * `n_cores` is accepted and ignored (cluster parallelism replaces the
     multiprocessing fan-out, reference variant_annotations.py:391-453).
+  * The reference's per-chunk `drop_duplicates` (pandasvcf.py:175) becomes
+    a GLOBAL dedup — strictly stronger (duplicates spanning the old 5000-row
+    chunk boundary are also dropped).
   * QUAL/FILTER/INFO survive into the annotated output when requested via
     `cols` (the reference silently dropped them — SURVEY §8.1; we implement
     the documented intent).
@@ -68,9 +71,21 @@ class VCF:
     def get_vcf_df_chunk(self) -> DataFrame:
         """Expose the (whole) file as the wide variants DataFrame. The
         reference pulled one pandas chunk per call; here the lazy plan covers
-        every row, so EOF is immediate."""
+        every row, so EOF is immediate.
+
+        dedup=True for parity with the reference's per-chunk
+        drop_duplicates (pandasvcf.py:175) — and strictly stronger: the
+        reference deduped only within each 5000-row chunk, this dedups
+        globally. The direct `read_vcf` API defaults dedup OFF (it costs a
+        full shuffle of the raw text and real VCFs are duplicate-free);
+        the façade pays it because duplicate-line dropping is observable
+        reference behavior a migrating user may rely on."""
         self.df = read_vcf(
-            self.spark, self.filename, samples=self.sample_id, cols=self.cols
+            self.spark,
+            self.filename,
+            samples=self.sample_id,
+            cols=self.cols,
+            dedup=True,
         )
         self.stopIteration = True
         return self.df

@@ -21,13 +21,39 @@ def info_map_expr(info: Column | str) -> Column:
     """MAP<STRING,STRING> from a VCF INFO payload (`AC=1;AF=0.5;DB`).
 
     Flag entries (no '=', e.g. 'DB') map to a NULL value — check flag
-    membership with `map_contains_key`, not the value. A '.' (missing)
-    INFO yields an empty map. Values containing '=' split on the FIRST
-    one only."""
+    membership with `map_contains_key`, not the value. A '.' (missing) or
+    empty INFO yields an empty map. Values containing '=' split on the
+    FIRST one only.
+
+    Built with split + zip + first-occurrence dedup rather than
+    `str_to_map`: a malformed INFO that repeats a key ('AC=1;AC=2') would
+    otherwise abort the whole job with DUPLICATED_MAP_KEY under the default
+    EXCEPTION map-dedup policy (same guard `format_map_expr` has). Repeated
+    keys degrade to first-wins; never an ANSI runtime error."""
     cleaned = F.nullif(F.trim(_c(info)), F.lit("."))
-    return F.when(cleaned.isNull(), F.map_from_arrays(F.array(), F.array())).otherwise(
-        F.str_to_map(cleaned, F.lit(";"), F.lit("="))
+    parts = F.filter(F.split(cleaned, ";"), lambda e: e != "")
+    keys = F.transform(parts, lambda e: F.substring_index(e, "=", 1))
+    entries = F.transform(
+        parts,
+        lambda e: F.struct(
+            F.substring_index(e, "=", 1).alias("key"),
+            # value = everything after the FIRST '='; flags (no '=') -> NULL
+            F.when(
+                e.contains("="),
+                e.substr(
+                    F.length(F.substring_index(e, "=", 1)) + F.lit(2),
+                    F.length(e),
+                ),
+            ).alias("value"),
+        ),
     )
+    deduped = F.filter(
+        entries,
+        lambda ent, i: F.array_position(keys, ent["key"]) == i + 1,
+    )
+    return F.when(
+        cleaned.isNull(), F.map_from_arrays(F.array(), F.array())
+    ).otherwise(F.map_from_entries(deduped))
 
 
 def info_field_expr(

@@ -107,32 +107,35 @@ def annotate_genotypes(
     drop_hom_ref: bool = True,
     drop_missing_gt: bool = True,
     split_columns: dict[str, int] | None = None,
-    format_fields: list[str] | str | None = "auto",
+    format_fields: list[str] | str | None = None,
     keep_fields_map: bool = False,
 ) -> DataFrame:
     """Annotate a long genotype table (needs SITE_KEY + FORMAT + sample_ids +
     call columns; hom_ref_counts used if present, else computed by window).
 
     format_fields: non-GT FORMAT sub-fields to materialize as columns.
-        'auto' = discover from the data via a distinct() over FORMAT — note
-        this is an EAGER extra pass over the input at plan-build time; for
+        None/[] (default) = skip — plan construction stays lazy (zero Spark
+        jobs). 'auto' = OPT-IN discovery from the data via a distinct() over
+        FORMAT — an EAGER extra pass over the input at plan-build time; for
         file-backed pipelines prefer `annotate_vcf`, which derives the
         fields from the '##FORMAT' header lines driver-side for free.
-        None/[] = skip.
     split_columns: {'AD': 2} -> comma-split AD into AD_0, AD_1 string columns,
         dropping AD (reference F8, variant_annotations.py:718-735). Entries
         with n <= 1 are skipped, extras truncated — reference parity.
     """
     df = long_df.withColumn("fields", format_map_expr("FORMAT", "call"))
-    # GT fast path: when neither FORMAT nor the call carries sub-fields
-    # (':'), the call IS the genotype — skip the per-row map construction
-    # entirely. For a GT-only panel (e.g. 1000G: 24.4M calls) this removes
-    # the dominant per-call expression cost; mixed/ragged rows fall through
-    # to the map.
+    # GT fast path: when FORMAT's FIRST field is GT and the call carries no
+    # sub-fields (':'), the call IS the genotype — skip the per-row map
+    # lookup. For a GT-only panel (e.g. 1000G: 24.4M calls) this removes the
+    # dominant per-call expression cost; mixed/ragged rows fall through to
+    # the map. FORMAT must actually name GT: a colon-free non-GT FORMAT
+    # (e.g. FORMAT='DP', call='12') is spec-legal and has NO genotype — the
+    # map lookup correctly yields NULL so the missing-GT filter drops it.
     df = df.withColumn(
         "GT",
         F.when(
-            ~F.col("FORMAT").contains(":") & ~F.col("call").contains(":"),
+            ((F.col("FORMAT") == "GT") | F.col("FORMAT").startswith("GT:"))
+            & ~F.col("call").contains(":"),
             F.col("call"),
         ).otherwise(F.try_element_at("fields", F.lit("GT"))),
     )

@@ -73,14 +73,16 @@ def synthetic_images(
 
 def _be_int(col: Column, pos: int, nbytes: int) -> Column:
     """Big-endian unsigned int from binary bytes [pos, pos+nbytes) — native
-    expression (hex → base-10), no Python."""
-    return F.conv(F.hex(F.expr(f"substring({col._jc.toString()}, {pos}, {nbytes})")), 16, 10).cast("int")
+    expression (hex → base-10), no Python. Public API only (F.substring
+    operates on BINARY directly) — no `_jc` internals, so this survives
+    Spark Connect."""
+    return F.conv(F.hex(F.substring(col, pos, nbytes)), 16, 10).cast("int")
 
 
 def image_meta_expr(img_col: str) -> Column:
     """STRUCT(height, width, channels, format) parsed from the header with
     native binary expressions — the cheap path for metadata-only queries."""
-    magic_ok = F.expr(f"substring({img_col}, 1, 4)") == F.lit(MAGIC)
+    magic_ok = F.substring(F.col(img_col), 1, 4) == F.lit(MAGIC)
     h = _be_int(F.col(img_col), 5, 2)
     w = _be_int(F.col(img_col), 7, 2)
     c = _be_int(F.col(img_col), 9, 1)

@@ -188,8 +188,11 @@ def dedup_exact_q(spark, sf_dir):
     ), keep AS (
       SELECT ia, ib, j FROM cand WHERE j >= 0.9
     )
+    -- planted pairs: only docs with >= 3 words have a non-empty trigram
+    -- set (mirrors the Spark side, which emits no signature rows — hence
+    -- no pair — for shorter documents)
     SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 10000000 AS BIGINT) AS id_b,
-           CAST(1.0 AS DOUBLE) AS jaccard FROM documents
+           CAST(1.0 AS DOUBLE) AS jaccard FROM d WHERE len(w) >= 3
     UNION ALL SELECT ia, ib, round(j, 4) FROM keep
     UNION ALL SELECT ia, ib + 10000000, round(j, 4) FROM keep
     UNION ALL SELECT ib, ia + 10000000, round(j, 4) FROM keep

@@ -1,0 +1,99 @@
+"""Plan construction must be lazy: building any public operator's plan
+triggers ZERO Spark jobs (round-2 VERDICT item 3 — the residual eager
+defaults were annotate_genotypes(format_fields='auto')'s distinct().collect()
+and tf_idf(n_docs=None)'s count(); both are now opt-in / in-plan).
+
+Jobs are counted via the status tracker: every job in these tests runs in
+the default (None) job group, so the known-id set must not grow while
+plans are constructed.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _job_ids(spark):
+    return set(spark.sparkContext.statusTracker().getJobIdsForGroup())
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+
+
+def test_operator_plan_construction_runs_no_jobs(spark, corpus):
+    from pandasvcf_spark.operators.annotate import (
+        annotate_genotypes,
+        explode_genotypes,
+    )
+    from pandasvcf_spark.operators.dedup import (
+        dedup_stats,
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from pandasvcf_spark.operators.similarity import cosine_topk
+    from pandasvcf_spark.operators.text_features import tf_idf
+    from pandasvcf_spark.functions.text import fingerprint_expr, word_ngrams_expr
+
+    wide = spark.createDataFrame(
+        [("1", 100, "A", "T", "GT", {"s1": "0/1", "s2": "0/0"})],
+        "CHROM string, POS int, REF string, ALT string, FORMAT string, "
+        "samples map<string,string>",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "query_id bigint, embedding array<double>"
+    )
+
+    before = _job_ids(spark)
+    plans = [
+        annotate_genotypes(explode_genotypes(wide)),  # default: no discovery scan
+        tf_idf(corpus),  # n_docs=None: N is an in-plan broadcast scalar
+        dedup_stats(corpus, fingerprint_expr("text"), "doc_id"),
+        minhash_near_dup_pairs(
+            corpus, "doc_id", word_ngrams_expr("text", 3), num_hashes=8, bands=4
+        ),
+        simhash_near_dup_pairs(corpus, "doc_id"),
+        cosine_topk(emb, queries, k=1),
+    ]
+    assert _job_ids(spark) == before, "plan construction submitted Spark jobs"
+    # and the plans are real: each one executes
+    for p in plans:
+        p.limit(1).collect()
+
+
+def test_tfidf_lazy_n_matches_explicit_n(spark, corpus):
+    from pandasvcf_spark.operators.text_features import tf_idf
+
+    lazy = {
+        (r["doc_id"], r["term"]): (r["tf"], round(r["tfidf"], 9))
+        for r in tf_idf(corpus).collect()
+    }
+    explicit = {
+        (r["doc_id"], r["term"]): (r["tf"], round(r["tfidf"], 9))
+        for r in tf_idf(corpus, n_docs=2).collect()
+    }
+    assert lazy == explicit
+
+
+def test_annotate_auto_discovery_is_opt_in(spark):
+    """format_fields='auto' still works when explicitly requested."""
+    from pandasvcf_spark.operators.annotate import (
+        annotate_genotypes,
+        explode_genotypes,
+    )
+
+    wide = spark.createDataFrame(
+        [("1", 100, "A", "T", "GT:DP", {"s1": "0/1:7"})],
+        "CHROM string, POS int, REF string, ALT string, FORMAT string, "
+        "samples map<string,string>",
+    )
+    out = annotate_genotypes(explode_genotypes(wide), format_fields="auto")
+    row = out.collect()[0]
+    assert row["DP"] == "7" and row["GT"] == "0/1"

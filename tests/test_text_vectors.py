@@ -231,3 +231,20 @@ def test_info_map_edges(spark):
     ).collect()
     assert typed[0]["ac"] == 1 and typed[0]["af"] == 0.5
     assert typed[0]["nope"] is None and typed[1]["ac"] is None
+
+
+def test_info_map_malformed_never_aborts(spark):
+    """Repeated keys ('AC=1;AC=2') must degrade to first-wins, not abort
+    with DUPLICATED_MAP_KEY; empty-string INFO is an empty map (like '.');
+    stray separators are ignored; NULL INFO stays an empty map."""
+    from pandasvcf_spark.functions.maps import info_map_expr
+
+    df = spark.createDataFrame(
+        [("AC=1;AC=2;DB",), ("",), (";;",), ("A=1;;B=2",), (None,)],
+        "info string",
+    )
+    rows = df.select(info_map_expr("info").alias("m")).collect()
+    assert rows[0]["m"] == {"AC": "1", "DB": None}
+    assert rows[1]["m"] == {} and rows[2]["m"] == {}
+    assert rows[3]["m"] == {"A": "1", "B": "2"}
+    assert rows[4]["m"] == {}
