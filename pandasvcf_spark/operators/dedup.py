@@ -75,6 +75,23 @@ def dedup_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 # MinHash + LSH near-duplicate detection
 # ---------------------------------------------------------------------------
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal hash family
+    (a*h + b) mod 2^31-1, from a fixed LCG so signatures are reproducible
+    across sessions without depending on Python's `random` internals."""
+    coeffs, state = [], 0x5DEECE66D
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE31 - 1) + 1  # a in [1, p-1]
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE31  # b in [0, p-1]
+        coeffs.append((a, b))
+    return coeffs
+
+
 def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
     """ARRAY<BIGINT> MinHash signature over a shingle array.
 
@@ -119,35 +136,88 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     min_jaccard: float | None = None,
     shingle_col_out: str = "__sh",
+    repartition_to: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate id pairs via banded MinHash LSH.
 
-    Plan shape: project(signature, band keys) → explode(bands) →
-    self-equi-join on (band, key) → distinct pairs (id_a < id_b). The join is
-    a plain shuffled equi-join on the band bucket — never a crossJoin — so it
-    scales with bucket occupancy, not n². With `min_jaccard`, candidates are
-    verified with the exact shingle-set Jaccard (computed only on the
-    candidate pairs, which are few).
+    Plan shape: explode(shingles) → hash-once → signature agg → band keys →
+    groupBy(band, key) collecting each bucket's ids → in-bucket pair
+    expansion → distinct pairs (id_a < id_b). Candidate generation is ONE
+    grouped aggregation over |docs|×bands rows — never a crossJoin, and (by
+    collecting buckets instead of self-joining on the band key) the
+    signature pipeline is computed exactly once. A band self-join reads the
+    signature subtree twice, and Spark does not reuse the exchange across
+    the two sides (measured: the full verify plan re-scanned the corpus 40×);
+    the grouped form is both the faster and the more scale-honest shape —
+    cost is O(sum of bucket²) pairs, materialized as array expansion within
+    each bucket row.
+
+    With `min_jaccard`, candidates are verified with the exact shingle-set
+    Jaccard (computed only on the candidate pairs, which are few) in one
+    linear stack→join→regroup pass — see the inline comment for why the
+    plan deliberately avoids any reuse diamond over the pair set.
+
+    repartition_to: spread the corpus over N partitions before the
+    per-shingle hash work. The tokenize/hash stages inherit the SCAN's
+    partitioning; a small-file corpus (one parquet row group) otherwise runs
+    them on 1-2 tasks regardless of cluster size. At real scale the scan
+    already yields thousands of partitions — leave None there; set it (e.g.
+    to defaultParallelism) when the input is few-files-small.
+
+    max_bucket_size: drop band buckets holding more than this many docs
+    before pair expansion. A mega-bucket means a near-identical cluster
+    (better handled by exact dedup first) and would expand to bucket²
+    pairs; capping bounds both memory and output skew. None = lossless
+    (required when an oracle recomputes the exact pair set).
 
     Output: id_a, id_b (+ jaccard DOUBLE when verifying).
     """
     rows_per_band = num_hashes // bands
-    keyed = df.select(F.col(id_col).alias("__id"), shingles.alias(shingle_col_out))
+    if repartition_to:
+        df = df.repartition(repartition_to, F.col(id_col))
+    # explode(array(...)) is a Generate BARRIER around the shingle
+    # expression: the downstream explode makes InferFiltersFromGenerate
+    # synthesize `size(shingles) > 0`, and without the barrier that filter —
+    # carrying the full tokenize/n-gram subtree — is substituted through the
+    # projection and repartition exchange down to the scan, where it
+    # re-tokenizes every document on the (few) input partitions. Measured:
+    # the inferred filter alone was 19s of the 24s wall at sf0.1. Predicates
+    # on a Generate's output cannot be pushed below the Generate.
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(shingles)).alias(shingle_col_out),
+    )
 
     # Signature plan: explode shingles -> hash each shingle string ONCE ->
-    # 64 cheap re-hashes of the 8-byte base per family -> min-aggregate by
-    # doc. Map-side combine collapses each doc to one 64-long row before the
-    # shuffle, so the exchange is |docs| x 520B regardless of shingle count.
-    # (The pure-expression form `minhash_signature_expr` is kept as API, but
-    # a nested-HOF signature re-evaluates the shingle subtree per hash
-    # family — 64x the regex/string work; measured 70s -> 3s at sf0.1.)
+    # num_hashes affine re-hashes of the base -> min-aggregate by doc.
+    # Map-side combine collapses each doc to one num_hashes-long row before
+    # the shuffle, so the exchange is |docs| x ~8*num_hashes B regardless of
+    # shingle count. (The pure-expression form `minhash_signature_expr` is
+    # kept as API, but a nested-HOF signature re-evaluates the shingle
+    # subtree per hash family — 64x the regex/string work; measured 70s ->
+    # 3s at sf0.1.)
+    #
+    # The per-family hash is the classic universal family
+    # (a_i*h + b_i) mod (2^31-1) over the 31-bit fold of the base xxhash64
+    # — NOT another xxhash64(h, i): 64 inlined xxhash64 calls blow the
+    # generated aggregate past the JIT's huge-method limit and the stage
+    # runs interpreted (measured 6x slower cold). The affine form is three
+    # arithmetic ops per family, stays ANSI-overflow-safe (operands < 2^31,
+    # products < 2^62), and is a standard minwise family; exactness never
+    # depends on it because candidates are Jaccard-verified.
     hashed = keyed.select(
         "__id", F.explode(F.col(shingle_col_out)).alias("__s")
-    ).select("__id", F.xxhash64("__s").alias("__h"))
+    ).select(
+        "__id",
+        (F.xxhash64("__s").bitwiseAND(F.lit(_MERSENNE31))).cast("long").alias("__h"),
+    )
     sig = hashed.groupBy("__id").agg(
         *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MERSENNE31)).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(_affine_coeffs(num_hashes))
         ]
     )
     # Band key = one xxhash64 over the band's signature slice (+ band index).
@@ -164,38 +234,63 @@ def minhash_near_dup_pairs(
         ]
     )
     bands_df = sig.select("__id", F.explode(band_structs).alias("__band"))
-    a = bands_df.select(F.col("__id").alias("id_a"), F.col("__band").alias("__b"))
-    b = bands_df.select(F.col("__id").alias("id_b"), F.col("__band").alias("__b"))
+    # One grouped agg per (band, key) bucket; docs are unique within a bucket
+    # (each doc emits one key per band), sorted for deterministic id_a < id_b.
+    buckets = (
+        bands_df.groupBy("__band")
+        .agg(F.sort_array(F.collect_set("__id")).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    # In-bucket i<j pair expansion: (element, index) HOF lambda + 1-based
+    # slice; slice lengths past the end are clamped by Spark.
+    ids = F.col("__ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, on="__b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     if min_jaccard is None:
         return pairs
-    # Exact-Jaccard verification only on the (few) candidates. Semi-join the
-    # RAW input down to candidate ids BEFORE the shingle expression is even
-    # projected — joining after a select(shingles) would still tokenize every
-    # document (Catalyst does not push a join below a projection), so the
-    # semi join goes under the shingle computation, not over it.
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # Exact-Jaccard verification only on the (few) candidates, as ONE linear
+    # pipeline: stack each pair into two (pair, id) rows, broadcast-join the
+    # stacked ids against the per-doc shingle table (tokenizing each doc at
+    # most once), then group the pair back together and compare its two
+    # shingle sets. The earlier diamond shape (pairs feeding a semi-join
+    # prune AND two id-keyed joins) planned `pairs` as three racing
+    # broadcast-subquery jobs, each recomputing the whole signature pipeline
+    # — measured 3× the work of this form. Broadcasting the stacked pairs is
+    # the operator's contract (candidates are few by LSH construction;
+    # `max_bucket_size` bounds the worst case); the corpus side is never
+    # shuffled, and only matched candidates reach the regroup exchange.
+    stacked = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
     )
-    cand_raw = df.join(cand_ids, on=id_col, how="left_semi")
-    sh = cand_raw.select(
+    sh = df.select(
         F.col(id_col).alias("__id"), F.array_distinct(shingles).alias("__sh")
     )
-    sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
-    verified = pairs.join(sh_a, on="id_a").join(sh_b, on="id_b")
-    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
-    union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b")))
+    both = F.collect_list("__sh")  # exactly 2 entries; Jaccard is symmetric
+    regroup = (
+        sh.join(F.broadcast(stacked), on="__id")
+        .groupBy("id_a", "id_b")
+        .agg(both.alias("__both"))
+    )
+    s0, s1 = F.col("__both").getItem(0), F.col("__both").getItem(1)
+    inter = F.size(F.array_intersect(s0, s1))
+    union = F.size(F.array_union(s0, s1))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
     return (
-        verified.withColumn("jaccard", jac)
+        regroup.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
@@ -266,20 +361,34 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 16,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding: split the 64-bit key into
     64/band_bits chunks; pairs agreeing on any chunk are candidates
     (guaranteed to include all pairs within Hamming distance
     64/band_bits - 1), then filtered by exact Hamming distance. Equi-join on
-    (chunk index, chunk value) — no crossJoin."""
+    (chunk index, chunk value) — no crossJoin.
+
+    repartition_to: see `minhash_near_dup_pairs` — spreads a small-file
+    corpus before the per-token hash stages; leave None on real-scale scans.
+    """
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    if repartition_to:
+        df = df.repartition(repartition_to, F.col(id_col))
     # Scale plan (mirrors the MinHash operator): explode tokens, hash each
     # once, 64 sum-aggregates with map-side combine, then assemble the
     # 64-bit key from the vote signs.
-    toks = df.select(
-        F.col(id_col).alias("__id"), F.explode(words_expr(text_col)).alias("__t")
-    ).select("__id", F.xxhash64("__t").alias("__h"))
+    # Same Generate barrier as minhash_near_dup_pairs: keep the inferred
+    # size(tokens) > 0 filter from dragging the tokenizer below the exchange.
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array(words_expr(text_col))).alias("__w"),
+        )
+        .select("__id", F.explode("__w").alias("__t"))
+        .select("__id", F.xxhash64("__t").alias("__h"))
+    )
     votes = toks.groupBy("__id").agg(
         *[
             F.sum(

@@ -213,6 +213,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         num_hashes=64,
         bands=16,
         min_jaccard=0.9,
+        # testdata is one small parquet file -> 2 scan partitions; spread the
+        # tokenize/hash stages across the local cores (no-op at real scale)
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -230,7 +233,12 @@ def dedup_simhash(spark, sf_dir):
     from pandasvcf_spark.operators.dedup import simhash_near_dup_pairs
 
     corpus = _noisy_corpus(spark, sf_dir)
-    return simhash_near_dup_pairs(corpus, "doc_id", max_hamming=3)
+    return simhash_near_dup_pairs(
+        corpus,
+        "doc_id",
+        max_hamming=3,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
