@@ -134,6 +134,87 @@ def ann_bucket_topk(
     )
 
 
+def adaptive_n_planes(
+    corpus_size: int,
+    target_occupancy: int = 64,
+    lo: int = 4,
+    hi: int = 24,
+) -> int:
+    """Plane count sized to the corpus: 2^planes buckets ≈ corpus /
+    target_occupancy, clamped to [lo, hi]. This is the scale knob the fixed
+    literal misses — per-bucket rerank work is O(occupancy²), so holding
+    occupancy constant as the corpus grows (instead of holding the bucket
+    COUNT constant) is what keeps the equi-join's quadratic term flat at
+    100× the data. At 10⁹ vectors / occupancy 64 → 24 planes (16M buckets)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(corpus_size / target_occupancy, 2.0)))))
+
+
+def banded_bucket_keys_expr(
+    vec: Column | str, planes: list[list[float]], bands: int
+) -> Column:
+    """ARRAY<STRUCT<band INT, key STRING>>: split `planes` into `bands`
+    contiguous groups of r = len(planes)/bands and emit one sign-pattern
+    bucket key per band — the random-projection mirror of MinHash's LSH
+    banding. A vector probes `bands` buckets instead of one, so a
+    neighbor is found when ANY band's r signs all agree: recall
+    1-(1-p^r)^bands instead of the single-bucket p^(r*bands), while each
+    band's 2^r-way split keeps per-bucket occupancy bounded."""
+    r = len(planes) // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                rp_bucket_expr(vec, planes[b * r : (b + 1) * r]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def ann_banded_topk(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN: all-neighbors top-k where candidates share at least
+    one banded bucket (equi-join on the exploded (band, key) struct — never
+    a crossJoin), deduplicated across bands, exact-cosine reranked. Combine
+    with `adaptive_n_planes` to hold bucket occupancy constant as the corpus
+    grows: planes = adaptive_n_planes(n) total, bands of r planes each.
+
+    Output: query_id, vec_id, cossim — comparable row-for-row with
+    `cosine_topk` for recall measurement."""
+    bucketed = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        F.explode(banded_bucket_keys_expr(vec_col, planes, bands)).alias("__bk"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("__qvec"),
+        "__bk",
+    )
+    pairs = (
+        a.join(bucketed, on="__bk")
+        .filter(F.col("query_id") != F.col(id_col))
+        # a pair can collide in several bands; dedup BEFORE the cosine so
+        # the rerank scores each candidate once
+        .dropDuplicates(["query_id", id_col])
+    )
+    pairs = pairs.withColumn("cossim", cosine_expr(F.col("__qvec"), F.col("__vec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        pairs.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select("query_id", id_col, "cossim")
+    )
+
+
 def ivf_cell_expr(vec: Column | str, centroids: list[list[float]]) -> Column:
     """IVF coarse-quantizer cell id (1-based INT): index of the nearest
     centroid by squared-L2, ties to the lowest index. Centroids are literal

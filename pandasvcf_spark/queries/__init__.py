@@ -64,10 +64,10 @@ _PRIORITY = [
     "dedup_simhash",
     "t_tfidf_top_terms",
     "t_bigram_jaccard",
-    # §2.11 vectors: exact + ANN + embedding dedup
+    # §2.11 vectors: exact + ANN (single-bucket, multi-probe, IVF) + dedup
     "v_l2_norms",
     "v_cosine_topk",
-    "v_ann_buckets",
+    "v_ann_multiprobe",
     "v_ann_topk",
     "v_ivf_topk",
     "dedup_embedding_cosine",

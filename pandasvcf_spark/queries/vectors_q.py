@@ -65,10 +65,10 @@ def _sql_plane(plane: list[float]) -> str:
     return "([" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[])"
 
 
-def _sql_bucket(vec: str) -> str:
+def _sql_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
     bits = [
         f"CASE WHEN {_sql_dot(vec, _sql_plane(p))} >= 0 THEN '1' ELSE '0' END"
-        for p in PLANES
+        for p in (planes if planes is not None else PLANES)
     ]
     return "(" + " || ".join(bits) + ")"
 
@@ -156,6 +156,58 @@ def v_ann_topk(spark, sf_dir):
         "query_id",
         "vec_id",
         F.round("cossim", 6).alias("cossim"),
+    )
+
+
+#: 16 planes consumed as 4 bands × 4 planes by the multi-probe entry (the
+#: first 8 are exactly PLANES — same LCG stream).
+PLANES16 = _lcg_planes(16)
+
+_BAND_KEYS_SQL = [
+    _sql_bucket("embedding", PLANES16[b * 4 : (b + 1) * 4]) for b in range(4)
+]
+
+
+@register(
+    "v_ann_multiprobe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_BAND_KEYS_SQL[0]} AS k0, {_BAND_KEYS_SQL[1]} AS k1,
+             {_BAND_KEYS_SQL[2]} AS k2, {_BAND_KEYS_SQL[3]} AS k3
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS vec_id
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id
+       AND (a.k0 = c.k0 OR a.k1 = c.k1 OR a.k2 = c.k2 OR a.k3 = c.k3))
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT cand.query_id, cand.vec_id,
+             {_sql_cos('qa.embedding', 'qc.embedding')} AS cos,
+             row_number() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY {_sql_cos('qa.embedding', 'qc.embedding')} DESC,
+                        cand.vec_id
+             ) AS rn
+      FROM cand
+      JOIN embeddings qa ON qa.vec_id = cand.query_id
+      JOIN embeddings qc ON qc.vec_id = cand.vec_id)
+    WHERE rn <= 3
+    """,
+)
+def v_ann_multiprobe(spark, sf_dir):
+    """Banded multi-probe ANN (operators/similarity.ann_banded_topk): 16
+    planes as 4 bands × 4 — candidates agree on ALL 4 signs of ANY band, so
+    recall is 1-(1-p⁴)⁴ instead of the single-bucket p⁸ while each band
+    still splits the corpus 16 ways. Pair with `adaptive_n_planes`, which
+    holds bucket occupancy (hence per-bucket quadratic rerank) constant as
+    the corpus grows."""
+    from pandasvcf_spark.operators.similarity import ann_banded_topk
+
+    out = ann_banded_topk(
+        load(spark, sf_dir, "embeddings"), PLANES16, bands=4, k=3
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cossim", 6).alias("cossim")
     )
 
 

@@ -23,6 +23,7 @@ def test_extension_surface_inside_window():
         "dedup_embedding_cosine",
         "v_cosine_topk",
         "v_ann_topk",
+        "v_ann_multiprobe",
         "v_ivf_topk",
         "t_tfidf_top_terms",
         "t_lang_id",
@@ -55,6 +56,7 @@ def test_tail_entries_are_redundant_variants_only():
         "e_sliding_2h",          # windowed agg: e_tumbling_hourly
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
+        "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk
         "skew_salted_count",     # salting: skew_salted_join
         "w_row_number_first",    # window fns: w_rank_topk
         "w_dense_rank_lead_lag", # window fns: w_rank_topk / w_running_sum
@@ -66,7 +68,6 @@ def test_tail_entries_are_redundant_variants_only():
         "f_math_funcs",          # exercised by vector queries
         "f_case_when",           # exercised by every zygosity query
         "v_cosine_topk_manyquery",  # exact cosine: v_cosine_topk (block-matrix variant)
-        "v_ann_adaptive",        # ANN: v_ann_topk (scale-adaptive variant)
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

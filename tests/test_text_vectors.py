@@ -172,6 +172,66 @@ def test_cosine_topk_and_ann_recall(spark):
     assert got.get(0) == 99 and got.get(99) == 0
 
 
+def test_ann_adaptive_multiprobe_recall_at_10x(spark):
+    """Scale story for ANN bucketing: (1) adaptive_n_planes grows the bucket
+    count with the corpus so per-bucket occupancy (the quadratic rerank
+    term) stays bounded at 10× the data; (2) banded multi-probe candidates
+    are a strict superset of the single-bucket scheme's on the same planes,
+    so recall never regresses while each band still splits the corpus."""
+    import random
+
+    from pandasvcf_spark.operators.similarity import (
+        adaptive_n_planes,
+        ann_banded_topk,
+        banded_bucket_keys_expr,
+    )
+
+    # adaptive sizing: bucket count tracks corpus growth, occupancy doesn't
+    assert adaptive_n_planes(1_000, target_occupancy=8) == 7
+    assert adaptive_n_planes(10_000, target_occupancy=8) > adaptive_n_planes(
+        1_000, target_occupancy=8
+    )
+    assert adaptive_n_planes(10**9) <= 24  # clamped
+
+    rnd = random.Random(13)
+    n = 1000  # 10x the small-corpus test above
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(n)]
+    planted = list(range(0, 100))
+    vecs += [
+        (i + 10_000, [x * 1.001 for x in vecs[i][1]]) for i in planted
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    planes = [
+        [((i * 7 + j * 13) % 9 - 4) / 4.0 for j in range(16)] for i in range(8)
+    ]
+
+    def recall(out_rows):
+        got = {r["query_id"]: r["vec_id"] for r in out_rows}
+        return sum(got.get(i) == i + 10_000 for i in planted) / len(planted)
+
+    single = recall(ann_bucket_topk(df, planes, k=1).collect())
+    banded = recall(ann_banded_topk(df, planes, bands=2, k=1).collect())
+    # same-direction copies share every sign, so both find them; banded
+    # candidates ⊇ single-bucket candidates guarantees banded >= single
+    assert banded >= single == 1.0
+
+    # bounded occupancy: no (band, key) bucket collects a runaway share
+    occ = (
+        df.select(
+            F.explode(
+                banded_bucket_keys_expr("embedding", planes, 2)
+            ).alias("bk")
+        )
+        .groupBy("bk")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # 2 bands x 16 buckets, 1100 vectors -> expected ~69/bucket; allow 4x skew
+    assert occ <= 4 * (len(vecs) / 16)
+
+
 def test_ann_plan_is_bucket_equijoin(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [2.0, 1.0])], "vec_id long, embedding array<double>"
