@@ -43,8 +43,8 @@ def cosine_topk(
     """Exact cosine top-k neighbors for each query vector.
 
     queries: DataFrame with (query_id_col, vec_col) — broadcast, so keep it
-    small (the many-query case is a different operator: block-matrix multiply
-    via mapInPandas, not needed at this corpus scale).
+    small (the many-query case is `cosine_topk_blocked`: block-matrix
+    multiply via mapInPandas, same output contract).
 
     Output: query_id, vec_id, cossim (DOUBLE, raw — round at the edge if
     hashing). Deterministic: rank ties broken by vec_id.
@@ -68,6 +68,108 @@ def cosine_topk(
             F.col("__qid").alias(query_id_col),
             F.col(id_col),
             F.col("cossim"),
+        )
+    )
+
+
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    query_block: int = 1024,
+) -> DataFrame:
+    """Exact cosine top-k for a LARGE query set — the many-query companion
+    to `cosine_topk` (same output contract: query_id, vec_id, cossim DOUBLE,
+    ties by vec_id).
+
+    `cosine_topk`'s broadcast nested loop materializes |corpus|·|queries|
+    joined ROWS through the plan; at 10⁵ queries that row explosion — not
+    the arithmetic — is the bottleneck. Here the query set is materialized
+    once driver-side (the build side, exactly like a broadcast hash join's
+    build) into a numpy matrix and shipped via `sparkContext.broadcast`;
+    the corpus streams through `mapInPandas` in Arrow batches and each
+    batch is scored as ONE BLAS matmul (C[b×d] @ Q.T[d×m], chunked
+    `query_block` queries at a time so the score block stays ~b×1024).
+    Per batch only the per-query top-k candidate rows are emitted, so the
+    shuffle into the final global rank is |partitions|·|queries|·k rows —
+    independent of corpus size. Scales to a 100× corpus by adding
+    partitions; scales in queries until Q (m×d doubles) outgrows executor
+    memory, which is the documented boundary of exact many-query search
+    (beyond it: `ann_banded_topk`).
+
+    The driver-side `queries.collect()` is an eager action at plan-build
+    time — inherent to building a broadcast side, same as Spark's own
+    broadcast join, and worth it only when queries ≫ broadcast-literal
+    scale."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(query_id_col), _dc(vec_col).alias("__v")
+    ).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r["__v"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    # cosine_expr parity: zero-norm vectors score 0.0 against everything
+    Qn = np.where(qn[:, None] == 0.0, 0.0, Q / np.where(qn == 0.0, 1.0, qn)[:, None])
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+    need = k + 1 if exclude_self else k  # self may occupy one slot
+
+    def score(batches):
+        bqids, bQn = bc.value
+        m = len(bqids)
+        for pdf in batches:
+            b = len(pdf)
+            if b == 0 or m == 0:
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            Cn = np.where(
+                cn[:, None] == 0.0, 0.0, C / np.where(cn == 0.0, 1.0, cn)[:, None]
+            )
+            vids = pdf[id_col].to_numpy()
+            kk = min(need, b)
+            out_q, out_v, out_s = [], [], []
+            for q0 in range(0, m, query_block):
+                S = Cn @ bQn[q0 : q0 + query_block].T  # [b, qblock]
+                for j in range(S.shape[1]):
+                    col = S[:, j]
+                    if b > kk:
+                        # kth-largest threshold, then EVERY candidate >= it:
+                        # argpartition alone may drop a boundary tie with a
+                        # smaller vec_id and break rank determinism
+                        thresh = np.partition(col, b - kk)[b - kk]
+                        cand = np.flatnonzero(col >= thresh)
+                    else:
+                        cand = np.arange(b)
+                    order = np.lexsort((vids[cand], -col[cand]))
+                    take = cand[order[:kk]]
+                    out_q.append(np.full(len(take), bqids[q0 + j]))
+                    out_v.append(vids[take])
+                    out_s.append(col[take])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_v),
+                    "cossim": np.concatenate(out_s),
+                }
+            )
+
+    cands = corpus.select(F.col(id_col), _dc(vec_col).alias(vec_col)).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cossim double"
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        cands.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("query_id").alias(query_id_col), F.col(id_col), F.col("cossim")
         )
     )
 

@@ -118,6 +118,38 @@ def v_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "v_cosine_topk_manyquery",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 100),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {_sql_cos('e.embedding', 'q.qe')} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def v_cosine_topk_manyquery(spark, sf_dir):
+    """Many-query exact cosine top-k via `cosine_topk_blocked`: the query
+    set ships once as a numpy broadcast, the corpus streams through
+    mapInPandas and each Arrow batch is scored as one BLAS matmul — no
+    |corpus|x|queries| row explosion through the plan. Oracle is the
+    generalized `v_cosine_topk` SQL (100 queries, k=3)."""
+    from pandasvcf_spark.operators.similarity import cosine_topk_blocked
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_blocked(e, q, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cossim", 6).alias("cossim")
+    )
+
+
+@register(
     "v_ann_buckets",
     oracle=f"""
     SELECT {_sql_bucket('embedding')} AS bucket, count(*) AS n

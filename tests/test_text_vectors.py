@@ -172,6 +172,41 @@ def test_cosine_topk_and_ann_recall(spark):
     assert got.get(0) == 99 and got.get(99) == 0
 
 
+def test_cosine_topk_blocked_matches_broadcast(spark):
+    """cosine_topk_blocked (mapInPandas block-matmul) must reproduce
+    cosine_topk (broadcast nested loop) row-for-row: same neighbors, same
+    rank, cossim equal to float tolerance (BLAS vs fold summation order).
+    Includes zero vectors (cosine 0.0 by contract) and a planted tie."""
+    import random
+
+    from pandasvcf_spark.operators.similarity import cosine_topk_blocked
+
+    rnd = random.Random(11)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    vecs.append((60, [0.0] * 8))  # zero vector: scores 0.0 everywhere
+    vecs.append((61, [x * 2.0 for x in vecs[5][1]]))  # fp-exact tie with 5
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    ref = {
+        (r["query_id"], r["vec_id"]): r["cossim"]
+        for r in cosine_topk(df, q, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"]): r["cossim"]
+        for r in cosine_topk_blocked(df, q, k=3, query_block=4).collect()
+    }
+    assert set(got) == set(ref)  # identical (query, neighbor, rank) sets
+    for key, c in got.items():
+        assert abs(c - ref[key]) < 1e-9, key
+    # tie determinism: query 5's top hit is the scaled copy, broken by id
+    assert (5, 61) in got and abs(got[(5, 61)] - 1.0) < 1e-12
+
+
 def test_ann_adaptive_multiprobe_recall_at_10x(spark):
     """Scale story for ANN bucketing: (1) adaptive_n_planes grows the bucket
     count with the corpus so per-bucket occupancy (the quadratic rerank
