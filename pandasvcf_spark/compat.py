@@ -44,10 +44,12 @@ class VCF:
         cols: list[str] | None = None,
         chunksize: int = 5000,  # accepted for signature parity; unused
         spark: SparkSession | None = None,
+        dedup: bool = True,
     ) -> None:
         self.filename = filename
         self.sample_id = sample_id
         self.cols = cols
+        self.dedup = dedup
         self.header = read_vcf_header(filename)
         self.sample_ids = (
             self.header.sample_ids
@@ -73,19 +75,23 @@ class VCF:
         reference pulled one pandas chunk per call; here the lazy plan covers
         every row, so EOF is immediate.
 
-        dedup=True for parity with the reference's per-chunk
-        drop_duplicates (pandasvcf.py:175) — and strictly stronger: the
-        reference deduped only within each 5000-row chunk, this dedups
-        globally. The direct `read_vcf` API defaults dedup OFF (it costs a
-        full shuffle of the raw text and real VCFs are duplicate-free);
-        the façade pays it because duplicate-line dropping is observable
-        reference behavior a migrating user may rely on."""
+        The constructor's `dedup` flag (default True) mirrors the
+        reference's per-chunk drop_duplicates (pandasvcf.py:175) — and is
+        strictly stronger: the reference deduped only within each 5000-row
+        chunk, this dedups globally. COST: the global dedup is one full
+        shuffle of the raw parsed rows — at scale, prefer `dedup=False`
+        here (real VCFs are duplicate-free) or bypass the façade and call
+        `read_vcf` directly, which defaults dedup OFF. Pass `dedup=False`
+        also when you need exact reference ROW COUNTS on inputs whose
+        duplicates span farther apart than the reference's old 5000-row
+        chunk (e.g. concatenated VCF fragments the reference would have
+        kept)."""
         self.df = read_vcf(
             self.spark,
             self.filename,
             samples=self.sample_id,
             cols=self.cols,
-            dedup=True,
+            dedup=self.dedup,
         )
         self.stopIteration = True
         return self.df

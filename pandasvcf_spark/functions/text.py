@@ -166,6 +166,28 @@ def winnowing_fingerprints_expr(
     return F.array_distinct(mins)
 
 
+#: Largest 31-bit Mersenne prime — modulus of the portable hash family.
+POLY_MOD = (1 << 31) - 1
+
+
+def poly_hash_expr(s: Column | str, p: int = POLY_MOD) -> Column:
+    """Portable 31-bit polynomial string hash as BIGINT: fold
+    ``(acc * 31 + code_point) mod p`` over the characters.
+
+    Three arithmetic ops per character, and — unlike xxhash64 — exactly
+    reproducible in ANSI SQL (DuckDB twin:
+    ``list_reduce(list_prepend(0, list_transform(string_split(s, ''),
+    c -> ascii(c))), (acc, c) -> (acc * 31 + c) % p)``), which is what lets
+    hash-keyed operators built on it keep an exact external oracle. All
+    intermediates stay below 2^36 (acc < 2^31), so the fold is safe under
+    ANSI overflow checking on both engines."""
+    return F.aggregate(
+        F.transform(F.split(_c(s), ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31).cast("long") + c) % F.lit(p).cast("long"),
+    )
+
+
 def fingerprint_expr(text: Column | str) -> Column:
     """64-bit document fingerprint: xxhash64 over the whitespace/case
     normalized text. Identical normalized content -> identical fingerprint;

@@ -8,12 +8,12 @@ generalizes to content-defined keys and near-duplicate detection.
 Scale design (the whole point at 100 TB):
   * Exact dedup groups on an 8-byte fingerprint (xxhash64 of normalized
     text), never on the full text — the shuffle moves hashes, not documents.
-  * MinHash near-dup does shingles → per-row signature (pure column exprs,
-    JVM-side) → LSH banding → an equi-join on (band_index, band_hash).
-    Candidate generation is a bucketed join; there is NO all-pairs crossJoin
-    anywhere, so cost is O(sum of bucket² ) not O(n²).
-  * SimHash emits one 64-bit key per document; near-dups are found by exact
-    match on rotated keys or banded 16-bit chunks — again equi-join shaped.
+  * MinHash near-dup does shingles → hash-once → signature aggregation →
+    LSH banding → ONE grouped aggregation per (band, key) bucket with
+    streaming in-bucket pair expansion. There is NO all-pairs crossJoin
+    anywhere, so cost is O(sum of bucket²) pairs, not O(n²).
+  * SimHash mirrors that exact plan over banded 16-bit key chunks, with a
+    portable (ANSI-SQL-reproducible) hash family so it stays oracle-checked.
 """
 
 from __future__ import annotations
@@ -36,8 +36,14 @@ def dedup_exact(
     """Keep exactly one row per dedup key (first by `order_by` — give a
     unique order for deterministic survivors). Equivalent declared query:
     ``... QUALIFY row_number() OVER (PARTITION BY key ORDER BY ...) = 1``.
+
+    Without `order_by` the tie-break is the stable hash of the FULL row —
+    deterministic across partitionings, retries and runs (unlike
+    `monotonically_increasing_id`, whose value depends on task layout).
+    Rows identical in every column tie under the hash; whichever survives,
+    the surviving CONTENT is identical, so the output is still stable.
     """
-    order_by = order_by or [F.monotonically_increasing_id()]
+    order_by = order_by or [F.xxhash64(*[F.col(c) for c in df.columns])]
     w = Window.partitionBy(_c(key)).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -243,21 +249,21 @@ def minhash_near_dup_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
-    # In-bucket i<j pair expansion: (element, index) HOF lambda + 1-based
-    # slice; slice lengths past the end are clamped by Spark.
-    ids = F.col("__ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Streaming i<j pair expansion in two chained generators: posexplode the
+    # bucket's id array (keeping the array), then explode each element's
+    # suffix slice. Peak per-row state is O(bucket) — one id array per
+    # element row — never the O(bucket²) single flattened pair array a
+    # one-shot expansion would build, so an uncapped mega-bucket degrades
+    # into many small rows instead of one task-OOM-sized row. Both explodes
+    # run in the same stage; no extra shuffle.
     pairs = (
-        buckets.select(F.explode(pair_arr).alias("__p"))
-        .select("__p.id_a", "__p.id_b")
+        buckets.select("__ids", F.posexplode("__ids").alias("__i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
+            ).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     if min_jaccard is None:
@@ -276,16 +282,29 @@ def minhash_near_dup_pairs(
     stacked = pairs.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("__id")
     )
+    # Precondition: id_col is unique per document (any sane corpus key).
+    # Each side's shingle set is picked by a conditional aggregate keyed on
+    # its OWN id — a duplicated id can at worst supply either duplicate's
+    # shingles; it can never pair a document's shingles with themselves the
+    # way a positional collect_list().getItem(0/1) silently would.
     sh = df.select(
         F.col(id_col).alias("__id"), F.array_distinct(shingles).alias("__sh")
     )
-    both = F.collect_list("__sh")  # exactly 2 entries; Jaccard is symmetric
     regroup = (
         sh.join(F.broadcast(stacked), on="__id")
         .groupBy("id_a", "id_b")
-        .agg(both.alias("__both"))
+        .agg(
+            F.first(
+                F.when(F.col("__id") == F.col("id_a"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("__sa"),
+            F.first(
+                F.when(F.col("__id") == F.col("id_b"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("__sb"),
+        )
     )
-    s0, s1 = F.col("__both").getItem(0), F.col("__both").getItem(1)
+    s0, s1 = F.col("__sa"), F.col("__sb")
     inter = F.size(F.array_intersect(s0, s1))
     union = F.size(F.array_union(s0, s1))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
@@ -362,23 +381,55 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     band_bits: int = 16,
     repartition_to: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash banding: split the 64-bit key into
-    64/band_bits chunks; pairs agreeing on any chunk are candidates
-    (guaranteed to include all pairs within Hamming distance
-    64/band_bits - 1), then filtered by exact Hamming distance. Equi-join on
-    (chunk index, chunk value) — no crossJoin.
+    """Near-dup pairs by banded 64-bit SimHash, exact-Hamming filtered.
+
+    Hash family (portable by design): each token's base hash is the
+    polynomial 31-bit hash `poly_hash_expr` and bit i's vote sign is the
+    parity of the affine transform (a_i*h + b_i) mod 2^31-1 over the shared
+    `_affine_coeffs` family — three arithmetic ops per (token, bit), fully
+    reproducible in ANSI SQL, so the catalog entry carries an exact DuckDB
+    oracle (the previous xxhash64 base had no SQL twin and left this the
+    one rows-only catalog row). The 64-bit key is never assembled into one
+    BIGINT: it lives as 64/band_bits chunk values (< 2^band_bits), which
+    sidesteps the bit-63 sign problem on both engines and feeds banding
+    directly; Hamming distance = sum of per-chunk XOR popcounts.
+
+    Plan shape (mirrors `minhash_near_dup_pairs` — single scan, no
+    self-join): explode tokens → hash each once → 64 parity-vote sums in
+    ONE grouped aggregation (map-side combined; the exchange is
+    |docs| × 64 longs) → chunk assembly → explode (band, val) → ONE grouped
+    aggregation collecting each bucket's (id, chunks) structs → streaming
+    in-bucket i<j pair expansion → exact Hamming filter. The corpus is
+    scanned once: the previous shape self-joined on the banded key, and
+    Spark does not reuse the exchange across the two sides of a self-join —
+    the same double-compute defect measured and fixed for MinHash in round
+    3 (commit be2d3a6), now carried over.
+
+    Banding losslessness: a pair within Hamming max_hamming differs in at
+    most max_hamming chunks, so with 64/band_bits > max_hamming chunks they
+    agree on at least one — every true pair is a candidate (pigeonhole).
+    Raises when the parameters break that guarantee.
 
     repartition_to: see `minhash_near_dup_pairs` — spreads a small-file
     corpus before the per-token hash stages; leave None on real-scale scans.
+    max_bucket_size: drop (band, val) buckets above this size before pair
+    expansion — same skew cap and same lossless-when-None contract as
+    MinHash.
+
+    Output: id_a, id_b, hamming INT (id_a < id_b).
     """
+    from pandasvcf_spark.functions.text import poly_hash_expr
+
     n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding is lossy: max_hamming={max_hamming} needs more than "
+            f"{n_bands} bands (lower band_bits)"
+        )
     if repartition_to:
         df = df.repartition(repartition_to, F.col(id_col))
-    # Scale plan (mirrors the MinHash operator): explode tokens, hash each
-    # once, 64 sum-aggregates with map-side combine, then assemble the
-    # 64-bit key from the vote signs.
     # Same Generate barrier as minhash_near_dup_pairs: keep the inferred
     # size(tokens) > 0 filter from dragging the tokenizer below the exchange.
     toks = (
@@ -387,55 +438,81 @@ def simhash_near_dup_pairs(
             F.explode(F.array(words_expr(text_col))).alias("__w"),
         )
         .select("__id", F.explode("__w").alias("__t"))
-        .select("__id", F.xxhash64("__t").alias("__h"))
+        .select("__id", poly_hash_expr(F.col("__t")).alias("__h"))
     )
+    p = F.lit(_MERSENNE31).cast("long")
     votes = toks.groupBy("__id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    ((F.lit(a).cast("long") * F.col("__h") + F.lit(b).cast("long")) % p)
+                    % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"__v{i}")
-            for i in range(64)
+            for i, (a, b) in enumerate(_affine_coeffs(64))
         ]
     )
-    key = F.when(
-        F.col("__v0") > 0, F.shiftleft(F.lit(1).cast("long"), 0)
-    ).otherwise(F.lit(0).cast("long"))
-    for i in range(1, 64):
-        key = key.bitwiseOR(
-            F.when(
-                F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    keyed = votes.select("__id", key.alias("__sh"))
-    # bands unrolled as literals: shiftright's shift amount must be a Python
-    # int, not a lambda-bound column
-    banded = keyed.withColumn(
-        "__chunk",
+    # Chunk c = the band_bits-wide slice of the key, as a plain sum of
+    # literal powers of two (vote tie → bit 0, mirrored by the oracle).
+    def _chunk(c: int) -> Column:
+        total = F.lit(0)
+        for j in range(band_bits):
+            total = total + F.when(
+                F.col(f"__v{c * band_bits + j}") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        return total.cast("long").alias(f"__c{c}")
+
+    chunks = votes.select("__id", *[_chunk(c) for c in range(n_bands)])
+    entry = F.struct(
+        F.col("__id"), *[F.col(f"__c{c}") for c in range(n_bands)]
+    )
+    banded = chunks.select(
+        entry.alias("__e"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).cast("int").alias("band"),
-                        F.shiftright(F.col("__sh"), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
+                        F.lit(c).cast("int").alias("band"),
+                        F.col(f"__c{c}").alias("val"),
                     )
-                    for b in range(n_bands)
+                    for c in range(n_bands)
                 ]
             )
-        ),
+        ).alias("__bk"),
     )
-    a = banded.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"), "__chunk"
+    # One grouped agg per (band, val) bucket; each doc emits one struct per
+    # band so ids are unique within a bucket; sorted (struct sort = by first
+    # field, the id) for deterministic pair order.
+    buckets = (
+        banded.groupBy("__bk")
+        .agg(F.sort_array(F.collect_list("__e")).alias("__es"))
+        .filter(F.size("__es") > 1)
     )
-    b = banded.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"), "__chunk"
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__es") <= max_bucket_size)
+    # Streaming i<j expansion (same shape and O(bucket)-per-row bound as the
+    # MinHash operator).
+    pairs = buckets.select(
+        "__es", F.posexplode("__es").alias("__i", "__a")
+    ).select(
+        "__a",
+        F.explode(
+            F.slice(F.col("__es"), F.col("__i") + 2, F.size("__es"))
+        ).alias("__b"),
     )
+    ham = F.lit(0)
+    for c in range(n_bands):
+        ham = ham + F.bit_count(
+            F.col(f"__a.__c{c}").bitwiseXOR(F.col(f"__b.__c{c}"))
+        )
     return (
-        a.join(b, on="__chunk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", simhash_hamming_expr(F.col("__sh_a"), F.col("__sh_b")))
+        pairs.select(
+            F.col("__a.__id").alias("id_a"),
+            F.col("__b.__id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

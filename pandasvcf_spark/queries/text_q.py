@@ -220,16 +220,64 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@register(
-    "dedup_simhash",
-    # rows-only: the 64-bit SimHash key depends on Spark's xxhash64, which
-    # DuckDB cannot reproduce — correctness is covered by unit tests
-    # (identical text -> hamming 0) and the deterministic pipeline.
-    oracle=None,
-)
+def _simhash_oracle() -> str:
+    """DuckDB twin of `simhash_near_dup_pairs` over the noisy corpus,
+    generated from the SAME `_affine_coeffs` family the Spark operator
+    uses — the 64 parity-vote aggregates and 4 chunk assemblies are unrolled
+    into SQL, so the two engines compute bit-identical keys (the base hash
+    is the portable polynomial fold, not xxhash64)."""
+    from pandasvcf_spark.operators.dedup import _MERSENNE31, _affine_coeffs
+
+    p = _MERSENNE31
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN ((CAST({a} AS BIGINT) * h + {b}) % {p}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i, (a, b) in enumerate(_affine_coeffs(64))
+    )
+    chunks = ",\n             ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN v{c * 16 + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(16)
+        )
+        + f" AS BIGINT) AS c{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    same = " OR ".join(f"a.c{c} = b.c{c}" for c in range(4))
+    return (
+        _CORPUS_CTE
+        + f"""
+    , tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+      FROM corpus
+    ), th AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {p}) AS h
+      FROM tok
+    ), v AS (
+      SELECT doc_id, {votes}
+      FROM th GROUP BY doc_id
+    ), ch AS (
+      SELECT doc_id, {chunks}
+      FROM v
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM ch a JOIN ch b ON a.doc_id < b.doc_id AND ({same})
+    WHERE {ham} <= 3
+    """
+    )
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidate pairs (banded 16-bit chunks → equi-join,
-    exact Hamming filter) over the noisy dedup corpus."""
+    """SimHash near-dup pairs (portable polynomial/affine hash family,
+    banded 16-bit chunks → one grouped bucket aggregation → streaming pair
+    expansion, exact Hamming filter) over the noisy dedup corpus. The
+    oracle recomputes the exact pair set in SQL — see `_simhash_oracle`."""
     from pandasvcf_spark.operators.dedup import simhash_near_dup_pairs
 
     corpus = _noisy_corpus(spark, sf_dir)

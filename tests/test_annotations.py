@@ -132,3 +132,8 @@ def test_compat_facade_matches_direct_pipeline(spark):
     vcf2 = VCF(GOLDEN, spark=spark)
     vcf2.add_variant_annotations(inplace=True, drop_hom_ref=False)
     assert "zygosity" in vcf2.df.columns
+
+    # dedup is a façade-level opt-out: skipping the global dedup shuffle
+    # must not change a duplicate-free file's row count
+    vcf3 = VCF(GOLDEN, spark=spark, dedup=False)
+    assert vcf3.get_vcf_df_chunk().count() == 6
