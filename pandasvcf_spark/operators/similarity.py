@@ -104,9 +104,28 @@ def cosine_topk_blocked(
     The driver-side `queries.collect()` is an eager action at plan-build
     time — inherent to building a broadcast side, same as Spark's own
     broadcast join, and worth it only when queries ≫ broadcast-literal
-    scale."""
+    scale.
+
+    Restriction (checked, not silent): both id columns must be integral
+    types — ids ride through numpy int64 arrays inside the matmul kernel,
+    and a non-integer id would be corrupted by that cast. Use `cosine_topk`
+    (type-agnostic broadcast join) for string/decimal ids."""
     import numpy as np
     import pandas as pd
+
+    if id_col == "query_id":
+        raise ValueError(
+            "id_col='query_id' collides with the output's query id column; "
+            "alias the corpus id first"
+        )
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+    for df_, col_, side in ((corpus, id_col, "corpus"), (queries, query_id_col, "queries")):
+        dtype = dict(df_.dtypes)[col_]
+        if dtype not in _INTEGRAL:
+            raise ValueError(
+                f"cosine_topk_blocked requires an integral {side} id column; "
+                f"{col_} is {dtype} — use cosine_topk for non-integer ids"
+            )
 
     qrows = queries.select(
         F.col(query_id_col), _dc(vec_col).alias("__v")

@@ -64,9 +64,13 @@ _PRIORITY = [
     "dedup_simhash",
     "t_tfidf_top_terms",
     "t_bigram_jaccard",
-    # §2.11 vectors: exact + ANN (single-bucket, multi-probe, IVF) + dedup
+    # §2.11 vectors: exact (broadcast + block-matmul impls), ANN
+    # (single-bucket, multi-probe, IVF), dedup. v_cosine_topk_manyquery is
+    # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
+    # implementation (cosine_topk_blocked) and needs its own driver row.
     "v_l2_norms",
     "v_cosine_topk",
+    "v_cosine_topk_manyquery",
     "v_ann_multiprobe",
     "v_ann_topk",
     "v_ivf_topk",
@@ -79,11 +83,12 @@ _PRIORITY = [
     "agg_cube",
     "agg_rollup",
     "agg_count_distinct",
-    # join family + skew mitigation
+    # join family + skew mitigation (j_anti sits past the window: its
+    # 0-row result passes rows/schema/hash trivially, so its slot carried
+    # no signal — check_contract still exact-checks it every run)
     "j_inner_broadcast",
     "j_left_join",
     "j_semi",
-    "j_anti",
     "j_multiway_q5",
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing

@@ -22,6 +22,7 @@ def test_extension_surface_inside_window():
         "dedup_simhash",
         "dedup_embedding_cosine",
         "v_cosine_topk",
+        "v_cosine_topk_manyquery",  # separate block-matmul implementation
         "v_ann_topk",
         "v_ann_multiprobe",
         "v_ivf_topk",
@@ -67,7 +68,9 @@ def test_tail_entries_are_redundant_variants_only():
         "f_date_funcs",          # exercised by events queries
         "f_math_funcs",          # exercised by vector queries
         "f_case_when",           # exercised by every zygosity query
-        "v_cosine_topk_manyquery",  # exact cosine: v_cosine_topk (block-matrix variant)
+        "j_anti",                # 0-row result: window slot carried no
+                                 # signal; same hash-join machinery as
+                                 # j_semi, exact-checked by check_contract
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
