@@ -5,25 +5,41 @@ Runs the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
 pipeline on the reference 1000G fixture so the genotypes/s headline is
 tracked against BASELINE.md (~244k/s reference) every round.
 
+Each headline query runs TWICE and reports the min: the first execution
+pays that query's whole-stage-codegen compile (and, for the first query of
+the session, residual JVM warmup) — round 3 showed a first-slot query
+carrying ~3-4 s of one-time cost that masqueraded as a regression. min-of-2
+is the steady-state number a long-lived cluster session sees.
+
 Output: {"metric": "catalog_total_wall", "value": <sec>, "unit": "sec",
          "queries": {name: sec, ...}, "sf": <sf>,
          "duckdb": {name: sec, ...}, "duckdb_total_wall": <sec>,
-         "vcf_genotypes_per_sec": <rate>}
+         "vcf_genotypes_per_sec": <rate>, "vcf_parquet_genotypes_per_sec":
+         <rate>, "ann_recall_at_10": <frac>}
 
 The DuckDB column runs the same headline queries' oracle SQL on the same
 parquet — a single-node columnar anchor for the per-query numbers (the
 reference has no numbers on these tables; BASELINE.md's comparable metric
 is vcf_genotypes_per_sec).
 
-Set SPARK_GRAFT_BENCH_VCF=0 to skip the VCF fixture stage,
-SPARK_GRAFT_BENCH_DUCKDB=0 to skip the DuckDB anchor.
+The VCF stage reports TWO rates: the .gz text path (bounded by the
+non-splittable gzip decompress — the fixture's physical format) and the
+parquet path (`vcf_to_parquet` once, then the same annotate pipeline from
+columnar storage — the 100×-scale shape, where the scan is splittable and
+pruned). The one-time ingest cost is reported separately.
+
+Set SPARK_GRAFT_BENCH_VCF=0 to skip the VCF fixture stages,
+SPARK_GRAFT_BENCH_DUCKDB=0 to skip the DuckDB anchor,
+SPARK_GRAFT_BENCH_RECALL=0 to skip the ANN recall telemetry.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -49,7 +65,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/session with one tiny action so the first timed query
-    # doesn't pay session startup.
+    # doesn't pay session startup (per-query codegen warmup is the min-of-2).
     spark.range(1).count()
 
     per_query: dict[str, float] = {}
@@ -57,13 +73,19 @@ def main() -> None:
     for name, spec in QUERIES.items():
         if not spec.headline:
             continue
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
+        times, n = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            times.append(time.time() - t0)
+        dt = min(times)
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.2f}s min-of-2 (first {times[0]:.2f}s, {n} rows)",
+            file=sys.stderr,
+        )
 
     result = {
         "metric": "catalog_total_wall",
@@ -93,23 +115,72 @@ def main() -> None:
         for name, spec in QUERIES.items():
             if not spec.headline or spec.oracle is None or name in skip_anchor:
                 continue
-            t0 = time.time()
-            con.sql(spec.oracle).fetchall()
-            dt = time.time() - t0
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                con.sql(spec.oracle).fetchall()
+                times.append(time.time() - t0)
+            dt = min(times)
             duck[name] = round(dt, 3)
             dtotal += dt
         result["duckdb"] = duck
         result["duckdb_total_wall"] = round(dtotal, 3)
 
+    if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
+        from pandasvcf_spark.queries.vectors_q import ann_recall_at_10
+
+        t0 = time.time()
+        recall = ann_recall_at_10(spark, sf_dir)
+        result["ann_recall_at_10"] = round(recall, 4)
+        print(
+            f"# ann_recall_at_10: {recall:.4f} ({time.time() - t0:.1f}s, "
+            "banded multi-probe vs exact cosine, 200-query sample)",
+            file=sys.stderr,
+        )
+
     if os.environ.get("SPARK_GRAFT_BENCH_VCF", "1") != "0" and os.path.exists(KG_VCF):
         from pandasvcf_spark.operators import annotate_vcf
+        from pandasvcf_spark.operators.annotate import (
+            annotate_genotypes,
+            explode_genotypes,
+        )
+        from pandasvcf_spark.sources.vcf import read_vcf_header, vcf_to_parquet
 
+        # Stage 1: the .gz text path (one decompress task feeding the
+        # repartition spread — the fixture's physical format bound).
         t0 = time.time()
         n = annotate_vcf(spark, KG_VCF, drop_hom_ref=True).count()
         dt = time.time() - t0
         result["vcf_genotypes_per_sec"] = round(KG_GENOTYPES / dt)
         result["vcf_wall_sec"] = round(dt, 3)
-        print(f"# vcf flagship: {dt:.2f}s, {n} rows", file=sys.stderr)
+        print(f"# vcf flagship (.gz): {dt:.2f}s, {n} rows", file=sys.stderr)
+
+        # Stage 2: the scale path — ingest once to parquet, run the same
+        # annotate pipeline from columnar storage.
+        pq_dir = tempfile.mkdtemp(prefix="pandasvcf_bench_pq_")
+        try:
+            t0 = time.time()
+            vcf_to_parquet(spark, KG_VCF, pq_dir)
+            ingest = time.time() - t0
+            fmt = [f for f in read_vcf_header(KG_VCF).format_ids if f != "GT"]
+            t0 = time.time()
+            n2 = annotate_genotypes(
+                explode_genotypes(spark.read.parquet(pq_dir)),
+                drop_hom_ref=True,
+                format_fields=fmt or None,
+            ).count()
+            dt2 = time.time() - t0
+            result["vcf_parquet_genotypes_per_sec"] = round(KG_GENOTYPES / dt2)
+            result["vcf_parquet_wall_sec"] = round(dt2, 3)
+            result["vcf_to_parquet_sec"] = round(ingest, 3)
+            print(
+                f"# vcf flagship (parquet): {dt2:.2f}s, {n2} rows "
+                f"(one-time ingest {ingest:.2f}s)",
+                file=sys.stderr,
+            )
+            assert n2 == n, (n, n2)  # the two paths must agree exactly
+        finally:
+            shutil.rmtree(pq_dir, ignore_errors=True)
 
     print(json.dumps(result))
 

@@ -336,6 +336,53 @@ def ann_banded_topk(
     )
 
 
+def ann_banded_query_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Banded multi-probe ANN for an explicit QUERY SET (the query-driven
+    companion to `ann_banded_topk`, which searches all-neighbors): each
+    query probes its `bands` buckets and scores only the corpus vectors
+    sharing at least one — an equi-join on the exploded (band, key) struct,
+    never a crossJoin. Probe cost is |queries| × bands × occupancy cosine
+    evaluations, independent of |corpus|² — the shape that makes measuring
+    recall on a query sample cheap at any corpus size.
+
+    Output: query_id, vec_id, cossim — row-comparable with `cosine_topk`
+    on the same queries for recall measurement."""
+    bucketed = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        F.explode(banded_bucket_keys_expr(vec_col, planes, bands)).alias("__bk"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        _dc(vec_col).alias("__qvec"),
+        F.explode(banded_bucket_keys_expr(vec_col, planes, bands)).alias("__bk"),
+    )
+    pairs = probes.join(bucketed, on="__bk")
+    if exclude_self:
+        pairs = pairs.filter(F.col("__qid") != F.col(id_col))
+    # a pair can collide in several bands; dedup BEFORE the cosine so the
+    # rerank scores each candidate once
+    pairs = pairs.dropDuplicates(["__qid", id_col]).withColumn(
+        "cossim", cosine_expr(F.col("__qvec"), F.col("__vec"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        pairs.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(F.col("__qid").alias(query_id_col), F.col(id_col), F.col("cossim"))
+    )
+
+
 def ivf_cell_expr(vec: Column | str, centroids: list[list[float]]) -> Column:
     """IVF coarse-quantizer cell id (1-based INT): index of the nearest
     centroid by squared-L2, ties to the lowest index. Centroids are literal

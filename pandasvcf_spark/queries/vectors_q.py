@@ -364,3 +364,43 @@ def v_rp_bucket_of_query(spark, sf_dir):
     projection/sign logic from the join)."""
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     return e.select("vec_id", rp_bucket_expr("embedding", PLANES).alias("bucket"))
+
+
+def ann_recall_at_10(
+    spark, sf_dir: str, n_queries: int = 200, k: int = 10, bands: int = 12
+) -> float:
+    """Measured recall@k of the banded multi-probe ANN against exact cosine
+    ground truth on the REAL `embeddings` table — the bench-scale telemetry
+    the synthetic planted-copy tests can't give (genuine neighbors here are
+    weak, max cosine ~0.5, the hard case for RP-LSH).
+
+    Parameters follow the operator's scale story: planes-per-band r comes
+    from `adaptive_n_planes` (held-occupancy knob — per-band bucket
+    occupancy, and with it per-probe rerank cost, stays ~constant as the
+    corpus grows), recall is then tuned by the band count
+    (1 - (1 - p^r)^bands). Ground truth is `cosine_topk` on an n_queries
+    sample; the ANN side probes ONLY those queries via
+    `ann_banded_query_topk`, so measurement cost is |queries| × bands ×
+    occupancy, not all-neighbors quadratic."""
+    from pandasvcf_spark.operators.similarity import (
+        adaptive_n_planes,
+        ann_banded_query_topk,
+        cosine_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    r = adaptive_n_planes(n, target_occupancy=1024, lo=2, hi=16)
+    planes = _lcg_planes(bands * r, DIM, seed=0xA55)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = {
+        (row["query_id"], row["vec_id"])
+        for row in cosine_topk(e, q, k=k).collect()
+    }
+    ann = {
+        (row["query_id"], row["vec_id"])
+        for row in ann_banded_query_topk(e, q, planes, bands, k=k).collect()
+    }
+    return len(gt & ann) / len(gt) if gt else 1.0

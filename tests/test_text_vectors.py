@@ -329,6 +329,24 @@ def test_ann_adaptive_multiprobe_recall_at_10x(spark):
     assert occ <= 4 * (len(vecs) / 16)
 
 
+def test_ann_recall_at_10_on_real_embeddings(spark):
+    """Recall telemetry on the REAL embeddings table (no planted copies —
+    genuine neighbors are weak, max cosine ~0.5, the hard case for RP-LSH):
+    banded multi-probe ANN with adaptive plane sizing must recover >= 0.9
+    of exact-cosine top-10. Measured 0.997 at sf0.1 / 0.9945 at sf0.01 with
+    the pinned deterministic planes; bench.py reports the same number."""
+    import os
+
+    from pandasvcf_spark.queries.vectors_q import ann_recall_at_10
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.exists(sf_dir + "/embeddings.parquet"):
+        sf_dir = "/root/testdata/sf0.01"
+        if not os.path.exists(sf_dir + "/embeddings.parquet"):
+            pytest.skip("no testdata embeddings available")
+    assert ann_recall_at_10(spark, sf_dir) >= 0.9
+
+
 def test_ann_plan_is_bucket_equijoin(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [2.0, 1.0])], "vec_id long, embedding array<double>"
