@@ -1,10 +1,12 @@
 """Testdata table loaders (see TESTDATA.md).
 
-One quirk worth a loader: `events.parquet` stores `ts` as parquet
-TIMESTAMP(NANOS) which Spark cannot read natively (PARQUET_TYPE_ILLEGAL).
-The loader flips the legacy nanos-as-long conf (runtime-settable) and
-rebuilds a proper TIMESTAMP at microsecond precision — the same truncation
-DuckDB's epoch_us applies, so the two engines agree on derived values.
+One quirk worth a loader: `events.parquet` has stored `ts` either as parquet
+TIMESTAMP(NANOS) (unreadable natively — PARQUET_TYPE_ILLEGAL) or as
+microsecond timestamp with isAdjustedToUTC=false (read back as
+TIMESTAMP_NTZ, which `withWatermark` rejects). The loader normalizes both
+to a session-tz TIMESTAMP at microsecond precision; with the session
+timezone pinned to UTC (plans/session.py) the wall-clock values are
+identical to DuckDB's naive timestamps, so derived values agree.
 """
 
 from __future__ import annotations
@@ -23,8 +25,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # ns since epoch -> microsecond TIMESTAMP (matches DuckDB epoch_us)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ wall clock -> session-tz (UTC) TIMESTAMP: same instant, and
+            # the streaming operators can watermark it.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

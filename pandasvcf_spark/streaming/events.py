@@ -19,8 +19,11 @@ from pyspark.sql import functions as F
 
 #: Explicit schema — a streaming source must not infer (and at 100 TB a
 #: batch source shouldn't either).
+#: ts is session-tz TIMESTAMP (not NTZ): event-time watermarks reject
+#: TIMESTAMP_NTZ, and with the session timezone pinned to UTC the wall-clock
+#: values match the testdata's naive microsecond timestamps.
 EVENTS_DDL = (
-    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
@@ -41,6 +44,10 @@ def read_events_stream(
 
 def _maybe_watermark(df: DataFrame, event_time: str, delay: str | None) -> DataFrame:
     if delay and df.isStreaming:
+        if dict(df.dtypes).get(event_time) == "timestamp_ntz":
+            # Watermarks require session-tz TIMESTAMP; same instant under the
+            # pinned-UTC session, so stream results still equal the batch twin.
+            df = df.withColumn(event_time, F.col(event_time).cast("timestamp"))
         return df.withWatermark(event_time, delay)
     return df
 
@@ -133,7 +140,7 @@ def dedup_events(
     the oracle-checked query in queries/events_q.py)."""
     keys = keys or ["user_id", "event_type"]
     if events.isStreaming:
-        return events.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+        return _maybe_watermark(events, event_time, watermark).dropDuplicatesWithinWatermark(
             keys
         )
     return events.dropDuplicates(keys)
@@ -178,7 +185,7 @@ def running_user_totals(
         )
 
     return (
-        events.withWatermark(event_time, watermark)
+        _maybe_watermark(events, event_time, watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
