@@ -146,36 +146,50 @@ def main() -> None:
         )
         from pandasvcf_spark.sources.vcf import read_vcf_header, vcf_to_parquet
 
+        # Min-of-2 for the VCF stages too — round 4's .gz number regressed
+        # 19.8 -> 25.8 s on a single-shot measurement while every min-of-2
+        # catalog query (and the DuckDB anchor) improved; the same first-run
+        # codegen/JIT cost the catalog discipline was added for applies to
+        # these stages verbatim.
+        def _min_of(fn, runs=2):
+            times, out = [], None
+            for _ in range(runs):
+                t0 = time.time()
+                out = fn()
+                times.append(round(time.time() - t0, 3))
+            return min(times), times, out
+
         # Stage 1: the .gz text path (one decompress task feeding the
         # repartition spread — the fixture's physical format bound).
-        t0 = time.time()
-        n = annotate_vcf(spark, KG_VCF, drop_hom_ref=True).count()
-        dt = time.time() - t0
+        dt, times, n = _min_of(
+            lambda: annotate_vcf(spark, KG_VCF, drop_hom_ref=True).count()
+        )
         result["vcf_genotypes_per_sec"] = round(KG_GENOTYPES / dt)
         result["vcf_wall_sec"] = round(dt, 3)
-        print(f"# vcf flagship (.gz): {dt:.2f}s, {n} rows", file=sys.stderr)
+        print(
+            f"# vcf flagship (.gz): {dt:.2f}s min-of-2 (runs {times}), {n} rows",
+            file=sys.stderr,
+        )
 
         # Stage 2: the scale path — ingest once to parquet, run the same
         # annotate pipeline from columnar storage.
         pq_dir = tempfile.mkdtemp(prefix="pandasvcf_bench_pq_")
         try:
-            t0 = time.time()
-            vcf_to_parquet(spark, KG_VCF, pq_dir)
-            ingest = time.time() - t0
+            ingest, itimes, _ = _min_of(lambda: vcf_to_parquet(spark, KG_VCF, pq_dir))
             fmt = [f for f in read_vcf_header(KG_VCF).format_ids if f != "GT"]
-            t0 = time.time()
-            n2 = annotate_genotypes(
-                explode_genotypes(spark.read.parquet(pq_dir)),
-                drop_hom_ref=True,
-                format_fields=fmt or None,
-            ).count()
-            dt2 = time.time() - t0
+            dt2, times2, n2 = _min_of(
+                lambda: annotate_genotypes(
+                    explode_genotypes(spark.read.parquet(pq_dir)),
+                    drop_hom_ref=True,
+                    format_fields=fmt or None,
+                ).count()
+            )
             result["vcf_parquet_genotypes_per_sec"] = round(KG_GENOTYPES / dt2)
             result["vcf_parquet_wall_sec"] = round(dt2, 3)
             result["vcf_to_parquet_sec"] = round(ingest, 3)
             print(
-                f"# vcf flagship (parquet): {dt2:.2f}s, {n2} rows "
-                f"(one-time ingest {ingest:.2f}s)",
+                f"# vcf flagship (parquet): {dt2:.2f}s min-of-2 (runs {times2}), "
+                f"{n2} rows (one-time ingest {ingest:.2f}s min-of-2 {itimes})",
                 file=sys.stderr,
             )
             assert n2 == n, (n, n2)  # the two paths must agree exactly

@@ -72,6 +72,7 @@ def explode_genotypes(
     drop_missing_alt: bool = True,
     drop_missing_calls: bool = True,
     precompute_hom_ref: bool = True,
+    drop_hom_ref_calls: bool = False,
 ) -> DataFrame:
     """Wide (one row per site, samples MAP) -> long (one row per call).
 
@@ -79,20 +80,79 @@ def explode_genotypes(
     *before* exploding — a per-row expression, so the count costs no shuffle.
     Assumes one wide row per site key (standard VCF); pass False and let
     `annotate_genotypes` compute it with a window when site keys repeat.
+
+    drop_hom_ref_calls: filter hom-ref calls out of the sample map BEFORE
+    the explode (map_filter with the same `hom_ref_call_indicator` the
+    counts use, so counts and filter can never disagree). In a population
+    panel ~97% of calls are hom-ref, so this shrinks the Generate's output
+    ~30x — the explode copies the wide columns once per emitted row, which
+    is the dominant cost of the whole pipeline (measured on 1000G/24.4M
+    calls: explode 15-19 s full vs ~2 s filtered). Only set together with a
+    downstream `drop_hom_ref` annotation pass (annotate_vcf wires this);
+    the zygosity filter there then just confirms the survivors. Like the
+    precompute, it reads the genotype as the call's first ':'-field (GT
+    first — guaranteed by the VCF spec when GT is present).
     """
     df = wide
     if drop_missing_alt:
         df = df.filter(F.col("ALT") != ".")  # reference P5
-    if precompute_hom_ref:
-        df = df.withColumn(
-            "hom_ref_counts",
-            F.aggregate(
-                F.map_values("samples"),
-                F.lit(0),
-                lambda acc, call: acc
-                + hom_ref_call_indicator(call, F.col("REF"), F.col("ALT")),
-            ).cast("int"),
+
+    def _is_missing(v):
+        return v.isNull() | (v == ".")
+
+    def _not_hom_ref(v):
+        return (
+            hom_ref_call_indicator(v, F.col("REF"), F.col("ALT")) == 0
         )
+
+    if precompute_hom_ref and drop_hom_ref_calls and drop_missing_calls:
+        # Fused single-indicator-pass form: the kept map drops missing AND
+        # hom-ref calls in ONE map_filter, and the hom-ref count is derived
+        # arithmetically — hom_ref = |samples| - |kept| - |missing| (the
+        # three classes partition the map: `missing` is indicator-0 and
+        # dropped; `kept` is indicator-0 and not missing; the remainder is
+        # exactly the indicator-1 calls). The missing-count fold is a cheap
+        # null/'.' test per entry, so the expensive allele-resolving
+        # indicator runs once per call instead of twice (measured ~3 s/pass
+        # on 1000G's 24.4M calls).
+        missing_n = F.aggregate(
+            F.map_values("samples"),
+            F.lit(0),
+            lambda acc, v: acc + F.when(_is_missing(v), 1).otherwise(0),
+        )
+        kept = F.map_filter(
+            "samples", lambda _k, v: ~_is_missing(v) & _not_hom_ref(v)
+        )
+        df = df.select(
+            "*",
+            kept.alias("__kept"),
+            missing_n.alias("__missing_n"),
+        ).select(
+            *[c for c in df.columns if c != "samples"],
+            (F.size("samples") - F.size("__kept") - F.col("__missing_n"))
+            .cast("int")
+            .alias("hom_ref_counts"),
+            F.col("__kept").alias("samples"),
+        )
+    else:
+        if precompute_hom_ref:
+            df = df.withColumn(
+                "hom_ref_counts",
+                F.aggregate(
+                    F.map_values("samples"),
+                    F.lit(0),
+                    lambda acc, call: acc
+                    + hom_ref_call_indicator(call, F.col("REF"), F.col("ALT")),
+                ).cast("int"),
+            )
+        if drop_hom_ref_calls:
+            # Evaluated AFTER the count fold (which reads the original map) —
+            # the chained withColumn collapses into one projection, original
+            # map feeding both, so the counts still cover every sample.
+            df = df.withColumn(
+                "samples",
+                F.map_filter("samples", lambda _k, v: _not_hom_ref(v)),
+            )
     keep = [c for c in df.columns if c != "samples"]
     df = df.select(*keep, F.explode("samples").alias("sample_ids", "call"))
     if drop_missing_calls:
@@ -265,7 +325,7 @@ def annotate_vcf(
         if header_formats:
             format_fields = [f_ for f_ in header_formats if f_ != "GT"]
     wide = read_vcf(spark, path, samples=samples, cols=cols)
-    long_df = explode_genotypes(wide)
+    long_df = explode_genotypes(wide, drop_hom_ref_calls=drop_hom_ref)
     out = annotate_genotypes(
         long_df,
         drop_hom_ref=drop_hom_ref,

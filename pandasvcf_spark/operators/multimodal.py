@@ -189,14 +189,70 @@ def _png_chunks(blob: bytes):
         i += 12 + ln  # length + type + data + crc
 
 
+def _avg_unfilter(line, prev, channels):
+    """Average unfilter of one scanline. The left-neighbor dependence makes
+    this inherently sequential along x, so each channel lane runs as a plain
+    Python int loop over `.tolist()` values (numpy scalar indexing in a hot
+    loop is slower than list indexing); the up-neighbor term is precomputed
+    list-side."""
+    import numpy as np
+
+    w = line.size // channels
+    r2 = line.reshape(w, channels)
+    u2 = prev.reshape(w, channels)
+    out = np.empty((w, channels), dtype=np.uint8)
+    for ch in range(channels):
+        r, u = r2[:, ch].tolist(), u2[:, ch].tolist()
+        o, left = [], 0
+        for i in range(w):
+            left = (r[i] + ((left + u[i]) >> 1)) & 0xFF
+            o.append(left)
+        out[:, ch] = o
+    return out.reshape(-1)
+
+
+def _paeth_unfilter(line, prev, channels):
+    """Paeth unfilter of one scanline — same sequential-along-x structure as
+    `_avg_unfilter`; up and up-left lanes come from the (fully known)
+    previous scanline."""
+    import numpy as np
+
+    w = line.size // channels
+    r2 = line.reshape(w, channels)
+    u2 = prev.reshape(w, channels)
+    out = np.empty((w, channels), dtype=np.uint8)
+    for ch in range(channels):
+        r, u = r2[:, ch].tolist(), u2[:, ch].tolist()
+        ul = [0] + u[:-1]
+        o, left = [], 0
+        for i in range(w):
+            b, c = u[i], ul[i]
+            p = left + b - c
+            pa = abs(p - left)
+            pb = abs(p - b)
+            pc = abs(p - c)
+            pred = left if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            left = (r[i] + pred) & 0xFF
+            o.append(left)
+        out[:, ch] = o
+    return out.reshape(-1)
+
+
 def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Stdlib-only PNG decode → (height, width, channels, raw pixel bytes).
+    """Codec-library-free PNG decode → (height, width, channels, raw pixels).
 
     zlib inflate of the IDAT stream + per-scanline unfilter (all five PNG
-    filter types: None/Sub/Up/Average/Paeth) — no codec library needed.
+    filter types: None/Sub/Up/Average/Paeth) — stdlib + numpy only. The
+    unfilter is numpy-vectorized where the data dependence allows: Sub is a
+    per-channel-lane cumulative sum (sum mod 256 distributes over the
+    prefix), Up is one wrapping uint8 vector add, None is a copy; Average
+    and Paeth depend on the just-reconstructed left neighbor, so they run
+    as per-lane integer loops (w iterations, not w*channels byte ops in
+    bytearrays as before). Palette expansion is one numpy fancy-index.
     Supports 8-bit gray / gray+alpha / RGB / RGBA / palette (expanded to
     RGB), non-interlaced; 16-bit and Adam7 raise NotImplementedError
     explicitly (at decode, with the offending parameter named)."""
+    import numpy as np
     ihdr, plte, idat = None, None, bytearray()
     for typ, data in _png_chunks(bytes(blob)):
         if typ == b"IHDR":
@@ -221,44 +277,38 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     stride = w * channels
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray()
-    prev = bytearray(stride)
-    pos = 0
-    for _ in range(h):
-        f = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if f == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:]
+        if f == 0:
+            cur = line.copy()
+        elif f == 1:  # Sub: prefix sum per channel lane (mod-256 distributes)
+            cur = (
+                (line.reshape(w, channels).astype(np.int32).cumsum(axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up: wrapping uint8 vector add
+            cur = line + prev
         elif f == 3:  # Average
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            cur = _avg_unfilter(line, prev, channels)
         elif f == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
-                b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        elif f != 0:
+            cur = _paeth_unfilter(line, prev, channels)
+        else:
             raise ValueError(f"bad PNG filter byte {f}")
-        out += line
-        prev = line
-    if ctype == 3:  # palette indices -> RGB
+        out[y] = cur
+        prev = out[y]
+    if ctype == 3:  # palette indices -> RGB, one fancy-index gather
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        rgb = bytearray()
-        for ix in out:
-            rgb += plte[ix * 3 : ix * 3 + 3]
-        out, channels = rgb, 3
-    return h, w, channels, bytes(out)
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        out = pal[out.reshape(-1)]
+        channels = 3
+    return h, w, channels, out.tobytes()
 
 
 def decode_external(

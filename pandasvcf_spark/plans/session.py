@@ -21,6 +21,11 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMP(NANOS) columns as BIGINT instead of failing with
+    # PARQUET_TYPE_ILLEGAL — set at session birth (not mutated in loaders) so
+    # it is a declared property of the session, alongside the UTC pin.
+    # queries/tables.load converts the raw nanos to microsecond TIMESTAMP.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # 128 MB input splits: big enough to amortize task overhead, small enough
     # that a partition's working set fits executor memory at 100 TB inputs.
     "spark.sql.files.maxPartitionBytes": "134217728",

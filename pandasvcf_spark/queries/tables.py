@@ -23,8 +23,18 @@ TABLE_NAMES = [
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # Sessions built by get_spark are born with nanosAsLong=true
+        # (plans/session.py). For an externally-built session reading a
+        # genuinely nanos-typed file, schema resolution raises here
+        # (PARQUET_TYPE_ILLEGAL) — only then flip the conf, and leave it
+        # set: the returned DataFrame is lazy, so a save/restore around
+        # this call would be re-read as the OLD value at action time and
+        # fail mid-job. Never mutated on the normal (micros/NTZ) path.
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             # ns since epoch -> microsecond TIMESTAMP (matches DuckDB epoch_us)

@@ -184,6 +184,7 @@ def read_vcf(
     # Header lines are filtered, not skipped by count — no reliance on row
     # order, works across any number of input splits.
     body = lines.filter(~F.col("value").startswith("#"))
+    spread = False
     if repartition == "auto":
         # A .gz input is ONE split; spread raw lines across the cluster so
         # the expensive split/typed-parse work is parallel. (When dedup is
@@ -191,8 +192,11 @@ def read_vcf(
         # round trip of the raw text.)
         if path.endswith(".gz") and not dedup:
             body = body.repartition(spark.sparkContext.defaultParallelism)
+            spread = True
     elif repartition:
         body = body.repartition(int(repartition))
+        spread = True
+
     if dedup:
         # Global full-row dedup on the raw line (upgrade over the reference's
         # chunk-local dedup). Done pre-parse: duplicates never get parsed
@@ -200,6 +204,7 @@ def read_vcf(
         # constrain it. One shuffle of the raw text — which is why it is
         # opt-in.
         body = body.dropDuplicates()
+        spread = True
 
     parts = F.split(F.col("value"), "\t")
     out_cols = [
@@ -230,6 +235,22 @@ def read_vcf(
                 ]
             )
         out_cols.append(F.map_from_arrays(keys, vals).alias("samples"))
+    if spread:
+        # Pushdown BARRIER: when the plan contains a pre-parse exchange
+        # (repartition/dedup), downstream predicates must not be substituted
+        # through the parse projection to below it — an inferred filter like
+        # `size(samples) > 0` (from a later explode) or a user `ALT != '.'`
+        # carries the whole split/map-build subtree and would run on the
+        # pre-shuffle side: for a .gz input that is ONE task re-parsing every
+        # line (measured: the map-build-under-repartition filter turned a
+        # ~7 s flagship into minutes). explode(array(struct(row))) emits
+        # exactly one row and predicates cannot cross a Generate; the
+        # inferred size(array(...)) > 0 on the barrier itself constant-folds
+        # to true. Same trick, same reason as operators/dedup.py:186-192.
+        # Without an exchange (splittable input) pushdown to the scan is
+        # parallel and row-pruning — keep it.
+        row = F.explode(F.array(F.struct(*out_cols))).alias("__row")
+        return body.select(row).select("__row.*")
     return body.select(*out_cols)
 
 

@@ -43,11 +43,13 @@ def read_events_stream(
 
 
 def _maybe_watermark(df: DataFrame, event_time: str, delay: str | None) -> DataFrame:
+    if dict(df.dtypes).get(event_time) == "timestamp_ntz":
+        # Watermarks require session-tz TIMESTAMP; same instant under the
+        # pinned-UTC session. Cast unconditionally (batch too) so a batch
+        # frame and its streaming twin carry the SAME ts dtype — agreement
+        # must hold at the schema level, not just after string formatting.
+        df = df.withColumn(event_time, F.col(event_time).cast("timestamp"))
     if delay and df.isStreaming:
-        if dict(df.dtypes).get(event_time) == "timestamp_ntz":
-            # Watermarks require session-tz TIMESTAMP; same instant under the
-            # pinned-UTC session, so stream results still equal the batch twin.
-            df = df.withColumn(event_time, F.col(event_time).cast("timestamp"))
         return df.withWatermark(event_time, delay)
     return df
 
@@ -135,15 +137,30 @@ def dedup_events(
     """Streaming dedup on business keys with bounded state:
     `dropDuplicatesWithinWatermark` keeps state only inside the watermark
     horizon — the operator a 100 TB/day stream needs (unbounded-state dedup
-    is a slow OOM). Batch inputs fall back to plain dropDuplicates on the
-    same keys (the deterministic batch twin keeping the earliest event is
-    the oracle-checked query in queries/events_q.py)."""
+    is a slow OOM). Batch inputs take the DETERMINISTIC keep-earliest form
+    (row_number over event_time, remaining columns as tie-break) — the same
+    survivor rule as the oracle-checked `e_dedup_first` in
+    queries/events_q.py, so both batch twins of this operator agree."""
     keys = keys or ["user_id", "event_type"]
     if events.isStreaming:
+        if not watermark:
+            # Without a watermark, dropDuplicatesWithinWatermark fails deep
+            # in analysis with an obscure error; fail at the call site with
+            # the actual requirement instead.
+            raise ValueError(
+                "dedup_events on a stream requires a non-empty watermark "
+                "(bounded state is the point of the operator)"
+            )
         return _maybe_watermark(events, event_time, watermark).dropDuplicatesWithinWatermark(
             keys
         )
-    return events.dropDuplicates(keys)
+    from pandasvcf_spark.operators.relational import rank_per_group
+
+    tiebreak = [c for c in events.columns if c not in keys and c != event_time]
+    out = rank_per_group(
+        events, keys, [event_time, *tiebreak], k=1, method="row_number", out="__rn"
+    )
+    return out.drop("__rn")
 
 
 def running_user_totals(

@@ -1,0 +1,36 @@
+"""Continuous guard for the FULL query catalog — every `queries()` entry vs
+its DuckDB oracle, including the 15 entries outside the driver's correctness
+window (e.g. e_props_json, f_date_funcs, v_ann_buckets), which previously
+were only exact-checked when someone remembered to run
+tools/check_contract.py by hand.
+
+Runs at sf0.001 (cheap, same generator as the driver's sf0.01 gate); set
+SPARK_GRAFT_CONTRACT_SF_DIR to re-point. Marked `contract` so it can be
+selected (`-m contract`) or skipped (`-m "not contract"`) explicitly; it
+runs in the default suite on purpose — that is the continuity the guard
+exists for.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_CONTRACT_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+@pytest.mark.contract
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata {SF_DIR} not present"
+)
+def test_full_catalog_matches_oracles(spark):
+    from tools.check_contract import run_contract
+
+    lines: list[str] = []
+    failures = run_contract(SF_DIR, spark=spark, out=lines.append)
+    assert not failures, "catalog↔oracle divergence:\n" + "\n".join(
+        ln for ln in lines if ln.startswith("FAIL")
+    )

@@ -36,11 +36,14 @@ def rows_key(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="contract-check")
-    spark.sparkContext.setLogLevel("ERROR")
+def run_contract(sf_dir, only=None, spark=None, out=print):
+    """Run every catalog entry vs its DuckDB oracle; returns the list of
+    failing entry names (importable — the pytest contract guard calls this
+    with the suite's shared session)."""
+    only = set(only or ())
+    if spark is None:
+        spark = get_spark(app_name="contract-check")
+        spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for name in [
         "region", "nation", "customer", "supplier", "part",
@@ -63,10 +66,10 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name:24s} spark error: {str(e).splitlines()[0][:160]}")
+            out(f"FAIL  {name:24s} spark error: {str(e).splitlines()[0][:160]}")
             continue
         if name not in oracles:
-            print(f"weak  {name:24s} rows={len(srows)} (no oracle) "
+            out(f"weak  {name:24s} rows={len(srows)} (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
@@ -75,7 +78,7 @@ def main():
             drows = cur.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name:24s} duckdb error: {str(e).splitlines()[0][:160]}")
+            out(f"FAIL  {name:24s} duckdb error: {str(e).splitlines()[0][:160]}")
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
@@ -95,11 +98,17 @@ def main():
                 )
         if problems:
             failures.append(name)
-            print(f"FAIL  {name:24s} {'; '.join(problems)[:300]}")
+            out(f"FAIL  {name:24s} {'; '.join(problems)[:300]}")
         else:
-            print(f"ok    {name:24s} rows={len(srows)} [{time.time()-t0:.1f}s]")
+            out(f"ok    {name:24s} rows={len(srows)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    out(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    failures = run_contract(sf_dir, only=sys.argv[2:])
     if failures:
         print("failing:", " ".join(failures))
         sys.exit(1)
