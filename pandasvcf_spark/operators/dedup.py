@@ -28,6 +28,23 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _dropped_bucket_stats(buckets: DataFrame, ids_col: str, cap: int) -> DataFrame:
+    """Accounting for the buckets a `max_bucket_size` cap discards: one row
+    (n_buckets BIGINT, n_entries BIGINT, max_bucket BIGINT). `n_entries`
+    counts bucket membership, not distinct docs — a doc in two dropped
+    mega-buckets counts twice (distinct-doc accounting would need another
+    explode+distinct over exactly the rows the cap exists to avoid).
+    Returned LAZY and sharing the bucket-aggregation subtree; materializing
+    it is a separate job that recomputes that subtree (Spark does not reuse
+    exchanges across jobs) — opt-in telemetry, not a hot-path cost."""
+    over = buckets.filter(F.size(ids_col) > cap)
+    return over.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum(F.size(ids_col)), F.lit(0)).alias("n_entries"),
+        F.coalesce(F.max(F.size(ids_col)), F.lit(0)).alias("max_bucket"),
+    )
+
+
 def dedup_exact(
     df: DataFrame,
     key: Column | str,
@@ -144,6 +161,7 @@ def minhash_near_dup_pairs(
     shingle_col_out: str = "__sh",
     repartition_to: int | None = None,
     max_bucket_size: int | None = None,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate id pairs via banded MinHash LSH.
 
@@ -177,8 +195,14 @@ def minhash_near_dup_pairs(
     pairs; capping bounds both memory and output skew. None = lossless
     (required when an oracle recomputes the exact pair set).
 
+    return_dropped: also return the accounting DataFrame for what the cap
+    discarded (see `_dropped_bucket_stats`) as (pairs, dropped) — at scale
+    a silent cap reads as "covered everything" when it didn't.
+
     Output: id_a, id_b (+ jaccard DOUBLE when verifying).
     """
+    if return_dropped and max_bucket_size is None:
+        raise ValueError("return_dropped requires max_bucket_size")
     rows_per_band = num_hashes // bands
     if repartition_to:
         df = df.repartition(repartition_to, F.col(id_col))
@@ -247,7 +271,10 @@ def minhash_near_dup_pairs(
         .agg(F.sort_array(F.collect_set("__id")).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
+    dropped = None
     if max_bucket_size is not None:
+        if return_dropped:
+            dropped = _dropped_bucket_stats(buckets, "__ids", max_bucket_size)
         buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     # Streaming i<j pair expansion in two chained generators: posexplode the
     # bucket's id array (keeping the array), then explode each element's
@@ -267,7 +294,7 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if min_jaccard is None:
-        return pairs
+        return (pairs, dropped) if return_dropped else pairs
     # Exact-Jaccard verification only on the (few) candidates, as ONE linear
     # pipeline: stack each pair into two (pair, id) rows, broadcast-join the
     # stacked ids against the per-doc shingle table (tokenizing each doc at
@@ -308,11 +335,12 @@ def minhash_near_dup_pairs(
     inter = F.size(F.array_intersect(s0, s1))
     union = F.size(F.array_union(s0, s1))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
-    return (
+    verified = (
         regroup.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+    return (verified, dropped) if return_dropped else verified
 
 
 def ngram_jaccard_expr(a_words: Column, b_words: Column) -> Column:
@@ -382,6 +410,7 @@ def simhash_near_dup_pairs(
     band_bits: int = 16,
     repartition_to: int | None = None,
     max_bucket_size: int | None = None,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by banded 64-bit SimHash, exact-Hamming filtered.
 
@@ -416,10 +445,13 @@ def simhash_near_dup_pairs(
     corpus before the per-token hash stages; leave None on real-scale scans.
     max_bucket_size: drop (band, val) buckets above this size before pair
     expansion — same skew cap and same lossless-when-None contract as
-    MinHash.
+    MinHash. return_dropped: as in `minhash_near_dup_pairs` — returns
+    (pairs, dropped-accounting DataFrame).
 
     Output: id_a, id_b, hamming INT (id_a < id_b).
     """
+    if return_dropped and max_bucket_size is None:
+        raise ValueError("return_dropped requires max_bucket_size")
     from pandasvcf_spark.functions.text import poly_hash_expr
 
     n_bands = 64 // band_bits
@@ -490,7 +522,10 @@ def simhash_near_dup_pairs(
         .agg(F.sort_array(F.collect_list("__e")).alias("__es"))
         .filter(F.size("__es") > 1)
     )
+    dropped = None
     if max_bucket_size is not None:
+        if return_dropped:
+            dropped = _dropped_bucket_stats(buckets, "__es", max_bucket_size)
         buckets = buckets.filter(F.size("__es") <= max_bucket_size)
     # Streaming i<j expansion (same shape and O(bucket)-per-row bound as the
     # MinHash operator).
@@ -507,7 +542,7 @@ def simhash_near_dup_pairs(
         ham = ham + F.bit_count(
             F.col(f"__a.__c{c}").bitwiseXOR(F.col(f"__b.__c{c}"))
         )
-    return (
+    out = (
         pairs.select(
             F.col("__a.__id").alias("id_a"),
             F.col("__b.__id").alias("id_b"),
@@ -516,3 +551,4 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return (out, dropped) if return_dropped else out

@@ -31,8 +31,10 @@ Scale notes:
 
 from __future__ import annotations
 
+import glob
 import gzip
 import io
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -93,10 +95,39 @@ class VCFHeader:
         return spark.createDataFrame(self.kv_pairs(), "key string, value string")
 
 
-def read_vcf_header(path: str, max_lines: int = 100_000) -> VCFHeader:
+def resolve_vcf_paths(path: str | list[str]) -> list[str]:
+    """Expand a VCF input spec into concrete file paths, sorted for
+    determinism: a list passes through; a glob pattern expands; a directory
+    yields its *.vcf / *.vcf.gz entries; anything else is a single file.
+    The multi-file path is the sanctioned answer to the non-splittable-.gz
+    ceiling: real pipelines shard a cohort per chromosome/region, and N
+    shard files give the scan N input splits with no custom source."""
+    if isinstance(path, (list, tuple)):
+        return [str(p) for p in path]
+    if glob.has_magic(path):
+        found = sorted(glob.glob(path))
+        if not found:
+            raise FileNotFoundError(f"no files match {path!r}")
+        return found
+    if os.path.isdir(path):
+        found = sorted(
+            p
+            for p in glob.glob(os.path.join(path, "*"))
+            if p.endswith((".vcf", ".vcf.gz"))
+        )
+        if not found:
+            raise FileNotFoundError(f"no *.vcf/*.vcf.gz files in {path!r}")
+        return found
+    return [path]
+
+
+def read_vcf_header(path: str | list[str], max_lines: int = 100_000) -> VCFHeader:
     """Read header lines driver-side. Gzip/BGZF handled by Python's gzip
     module (BGZF is concatenated gzip members). Stops at the first
-    non-'#' line — headers are contiguous by spec."""
+    non-'#' line — headers are contiguous by spec. A glob/directory/list
+    input resolves to its first shard (shard-consistency is enforced by
+    `read_vcf`, which checks every shard's '#CHROM' line)."""
+    path = resolve_vcf_paths(path)[0]
     opener = gzip.open if path.endswith(".gz") else open
     header = VCFHeader()
     with opener(path, "rb") as fh:
@@ -137,17 +168,28 @@ def _typed_fixed_col(name: str, parts: Column, idx: int) -> Column:
 
 def read_vcf(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     samples: str | list[str] = "all",
     cols: list[str] | None = None,
     dedup: bool = False,
     repartition: int | str | None = "auto",
 ) -> DataFrame:
-    """Scan a VCF into the wide variants DataFrame.
+    """Scan a VCF (single file, glob, directory, or explicit shard list)
+    into the wide variants DataFrame.
 
     Output schema: requested fixed columns (typed per above) + a
     `samples MAP<STRING,STRING>` column holding the requested sample calls
     keyed by sample id.
+
+    Multi-file inputs are shards of ONE logical VCF (per-chromosome /
+    per-region splits of the same cohort): every shard must carry an
+    identical '#CHROM' header line (same samples, same order), checked
+    driver-side before any job runs — column indices drive the parse, so a
+    reordered shard would silently mislabel calls otherwise. Shards with
+    different cohorts should be read separately and unioned/joined
+    explicitly. Each shard is at least one input split, so N .gz shards
+    parse with N-way parallelism even though each is non-splittable —
+    the real-world route around the single-.gz ceiling (SURVEY §7.4).
 
     samples: 'all' | one id | list of ids (reference get_sample_ids,
         pandasvcf.py:122-132). Selection is name-based, so an out-of-order
@@ -159,10 +201,20 @@ def read_vcf(
         scale it is a full shuffle of the raw text before parsing, and real
         VCFs are duplicate-free; turn it on for untrusted concatenated
         inputs.
-    repartition: 'auto' spreads a non-splittable compressed input across the
-        cluster before parsing; int forces a count; None leaves splits as-is.
+    repartition: 'auto' spreads non-splittable compressed input across the
+        cluster before parsing when the file count alone can't (fewer
+        shards than cores); int forces a count; None leaves splits as-is.
     """
-    header = read_vcf_header(path)
+    files = resolve_vcf_paths(path)
+    header = read_vcf_header(files[0])
+    for shard in files[1:]:
+        other = read_vcf_header(shard)
+        if other.columns != header.columns:
+            raise ValueError(
+                f"shard {shard!r} has a different '#CHROM' header than "
+                f"{files[0]!r} — multi-file read_vcf requires identical "
+                "column/sample layout; read differing cohorts separately"
+            )
 
     if samples == "all":
         sample_ids = header.sample_ids
@@ -180,18 +232,25 @@ def read_vcf(
         want = {c.lstrip("#") for c in cols} | set(MANDATORY_COLS)
         fixed = [c for c in FIXED_COLS if c in want and c in header.columns]
 
-    lines = spark.read.text(path)
+    lines = spark.read.text(files)
     # Header lines are filtered, not skipped by count — no reliance on row
-    # order, works across any number of input splits.
+    # order, works across any number of input splits (each shard's own
+    # header block is dropped here too).
     body = lines.filter(~F.col("value").startswith("#"))
     spread = False
     if repartition == "auto":
-        # A .gz input is ONE split; spread raw lines across the cluster so
-        # the expensive split/typed-parse work is parallel. (When dedup is
-        # also requested its shuffle does the spreading — skip the extra
-        # round trip of the raw text.)
-        if path.endswith(".gz") and not dedup:
-            body = body.repartition(spark.sparkContext.defaultParallelism)
+        # A .gz file is ONE split; spread raw lines across the cluster so
+        # the expensive split/typed-parse work is parallel. With many .gz
+        # shards the file count already provides the splits — only shuffle
+        # when it doesn't. (When dedup is also requested its shuffle does
+        # the spreading — skip the extra round trip of the raw text.)
+        parallelism = spark.sparkContext.defaultParallelism
+        if (
+            any(f.endswith(".gz") for f in files)
+            and len(files) < parallelism
+            and not dedup
+        ):
+            body = body.repartition(parallelism)
             spread = True
     elif repartition:
         body = body.repartition(int(repartition))

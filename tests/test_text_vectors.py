@@ -423,3 +423,46 @@ def test_info_map_malformed_never_aborts(spark):
     assert rows[1]["m"] == {} and rows[2]["m"] == {}
     assert rows[3]["m"] == {"A": "1", "B": "2"}
     assert rows[4]["m"] == {}
+
+
+def test_minhash_bucket_cap_accounting(spark):
+    """max_bucket_size silently discarding mega-buckets is a coverage lie at
+    scale; return_dropped must report what the cap removed. Planted: 12
+    identical docs (one mega-bucket per band) + one true small near-dup
+    pair that must survive the cap."""
+    base = "the quick brown fox jumps over the lazy dog near the old barn every day"
+    rows = [(i, "spam " * 30) for i in range(12)]
+    rows += [(100, base), (101, base + " again")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, dropped = minhash_near_dup_pairs(
+        df, "doc_id", word_ngrams_expr("text", 2), num_hashes=64, bands=16,
+        max_bucket_size=10, return_dropped=True,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert not any(a < 12 and b < 12 for a, b in got)  # mega-bucket capped
+    d = dropped.collect()[0]
+    assert d["n_buckets"] >= 1
+    assert d["max_bucket"] == 12
+    assert d["n_entries"] >= 12
+    # lossless default: no cap -> no accounting frame requested, API errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        minhash_near_dup_pairs(
+            df, "doc_id", word_ngrams_expr("text", 2), return_dropped=True
+        )
+
+
+def test_simhash_bucket_cap_accounting(spark):
+    from pandasvcf_spark.operators.dedup import simhash_near_dup_pairs
+
+    rows = [(i, "same exact spam text repeated here") for i in range(8)]
+    rows += [(50, "an entirely different document about column pruning today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs, dropped = simhash_near_dup_pairs(
+        df, "doc_id", max_hamming=3, max_bucket_size=5, return_dropped=True
+    )
+    assert pairs.count() == 0  # the only dups live in capped buckets
+    d = dropped.collect()[0]
+    assert d["n_buckets"] >= 1 and d["max_bucket"] == 8

@@ -68,3 +68,60 @@ def test_global_dedup(spark, tmp_path):
     # dedup is opt-in (default off: a full raw-text shuffle at scale)
     assert read_vcf(spark, str(p), dedup=True).count() == 6
     assert read_vcf(spark, str(p)).count() == 7
+
+
+def _write_shards(tmp_path, n_shards=2, gz=False, mutate_header=None):
+    """Split golden.vcf's body across n shards, each carrying the full
+    header block."""
+    import gzip as gz_mod
+
+    lines = open(GOLDEN).read().splitlines()
+    header = [ln for ln in lines if ln.startswith("#")]
+    body = [ln for ln in lines if ln and not ln.startswith("#")]
+    paths = []
+    for i in range(n_shards):
+        chunk = body[i::n_shards]
+        hdr = list(header)
+        if mutate_header and i == n_shards - 1:
+            hdr[-1] = mutate_header
+        text = "\n".join(hdr + chunk) + "\n"
+        p = tmp_path / f"shard_{i}.vcf{'.gz' if gz else ''}"
+        if gz:
+            with gz_mod.open(p, "wt") as fh:
+                fh.write(text)
+        else:
+            p.write_text(text)
+        paths.append(str(p))
+    return paths
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_multi_file_shards_equal_single(spark, tmp_path, gz):
+    """A directory / glob / list of shards must parse row-for-row equal to
+    the single-file read (reference is single-file only, pandasvcf.py:94-99;
+    sharded ingest is the engine's parallel route around non-splittable
+    .gz)."""
+    shards = _write_shards(tmp_path, gz=gz)
+    single = read_vcf(spark, GOLDEN).collect()
+
+    def key(rows):
+        return sorted(tuple(str(x) for x in r) for r in rows)
+
+    want = key(single)
+    assert key(read_vcf(spark, shards).collect()) == want  # explicit list
+    assert key(read_vcf(spark, str(tmp_path)).collect()) == want  # directory
+    assert (
+        key(read_vcf(spark, str(tmp_path / "shard_*.vcf*")).collect()) == want
+    )  # glob
+
+
+def test_multi_file_mismatched_header_raises(spark, tmp_path):
+    """Shards whose '#CHROM' lines disagree (different samples/order) must
+    be rejected driver-side — indices drive the parse, so a reordered shard
+    would silently mislabel calls."""
+    shards = _write_shards(
+        tmp_path,
+        mutate_header="#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS2\tS1",
+    )
+    with pytest.raises(ValueError, match="different '#CHROM' header"):
+        read_vcf(spark, shards)
