@@ -179,7 +179,9 @@ def main() -> None:
             fmt = [f for f in read_vcf_header(KG_VCF).format_ids if f != "GT"]
             dt2, times2, n2 = _min_of(
                 lambda: annotate_genotypes(
-                    explode_genotypes(spark.read.parquet(pq_dir)),
+                    explode_genotypes(
+                        spark.read.parquet(pq_dir), drop_hom_ref_calls=True
+                    ),
                     drop_hom_ref=True,
                     format_fields=fmt or None,
                 ).count()
