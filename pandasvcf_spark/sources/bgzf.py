@@ -1,0 +1,255 @@
+"""Splittable BGZF text source — parallel ingest of a SINGLE .vcf.gz file.
+
+BGZF (the blocked-gzip variant htslib writes — 1000 Genomes VCFs, BAM/BCF
+sidecars) is a sequence of independent ≤64 KiB gzip members, each header
+carrying its own compressed size in a 'BC' extra subfield. That makes the
+file random-access at block granularity: index the block offsets once
+driver-side (18-byte header reads + seeks — no decompression), group blocks
+into chunk ranges, and let every executor decompress its own range
+independently. A plain `spark.read.text` treats any .gz as ONE unsplittable
+split; this source turns the same bytes into cluster-wide parallel work —
+the missing piece of the single-file scale story (SURVEY §7.4 deferred it;
+reference is single-threaded line iteration, pandasvcf.py:94-99).
+
+Line protocol across chunk boundaries (blocks do NOT align to lines),
+Hadoop-text style: every task except the first discards bytes up to and
+including the first newline of its decompressed range; every task completes
+its final partial line by decompressing FORWARD into the next blocks until
+the newline shows up. Each line is thus emitted by exactly one task, in
+order, regardless of where block boundaries fall.
+
+Scale notes:
+  * The driver index is O(n_blocks) seeks (~18 B each). A 100 GiB BGZF at
+    64 KiB/block is ~1.6M seeks — seconds against a local filesystem.
+    The index is offsets-only (8 B/block) — no pickling of data.
+  * Chunk size targets bytes, not blocks, so task count tracks input size;
+    `target_chunk_bytes=None` auto-sizes to ~2 chunks/core with a 4 MiB
+    floor so small files still fan out and big files stay at sane task
+    counts (AQE coalesces downstream anyway).
+  * Decompression is zlib (C speed) inside Arrow-batched mapInPandas —
+    32 cores decompress ~32x faster than the one JVM task the non-split
+    path gets. Python is the right side for this: the work is pure C calls
+    on opaque bytes, and predicates cannot be pushed below a mapInPandas
+    (so no pushdown-below-exchange hazard — see sources/vcf.py barrier).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BGZF_HEADER = struct.Struct("<4BIBBH")  # magic(4), mtime, xfl, os, xlen
+
+
+def is_bgzf(path: str) -> bool:
+    """True when the file starts with a gzip member carrying the BGZF 'BC'
+    extra subfield (plain gzip lacks FEXTRA or the subfield)."""
+    try:
+        with open(path, "rb") as fh:
+            return _block_size(fh.read(64)) is not None
+    except OSError:
+        return False
+
+
+def _block_size(header: bytes) -> int | None:
+    """Total compressed size of the BGZF block whose header starts the
+    given bytes, or None when it is not a BGZF block header."""
+    if len(header) < 18 or header[:2] != b"\x1f\x8b" or header[2] != 8:
+        return None
+    if not header[3] & 4:  # FEXTRA
+        return None
+    xlen = struct.unpack_from("<H", header, 10)[0]
+    extra = header[12 : 12 + xlen]
+    i = 0
+    while i + 4 <= len(extra):
+        si1, si2, slen = extra[i], extra[i + 1], struct.unpack_from("<H", extra, i + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:  # 'BC'
+            return struct.unpack_from("<H", extra, i + 4)[0] + 1
+        i += 4 + slen
+    return None
+
+
+def bgzf_block_offsets(path: str) -> list[int]:
+    """Driver-side block index: byte offset of every BGZF block. Reads only
+    the 18+ byte header of each block (seek + tiny read, no inflate)."""
+    offsets = []
+    with open(path, "rb") as fh:
+        pos = 0
+        while True:
+            header = fh.read(64)
+            if len(header) < 18:
+                break
+            size = _block_size(header)
+            if size is None:
+                raise ValueError(
+                    f"{path!r} is not BGZF at offset {pos} — use the "
+                    "non-split gzip path for plain .gz files"
+                )
+            offsets.append(pos)
+            pos += size
+            fh.seek(pos)
+    return offsets
+
+
+def _read_one_block(fh) -> bytes | None:
+    """Decompress the single BGZF block at the file's current position;
+    None at EOF. Leaves the handle positioned at the next block."""
+    import zlib
+
+    start = fh.tell()
+    header = fh.read(64)
+    if len(header) < 18:
+        return None
+    size = _block_size(header)
+    if size is None:
+        return None
+    fh.seek(start)
+    comp = fh.read(size)
+    return zlib.decompress(comp, wbits=31)
+
+
+#: 28-byte empty final block marking BGZF EOF (htslib convention).
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def write_bgzf(path: str, data: bytes, block_raw_bytes: int = 65280) -> None:
+    """Write bytes as a BGZF file (independent gzip members, each with the
+    'BC' size subfield, htslib EOF block). Driver-side utility — used by
+    tests to build splittable fixtures, and small enough to serve as the
+    reference for what the reader expects."""
+    import zlib
+
+    with open(path, "wb") as out:
+        for i in range(0, len(data), block_raw_bytes):
+            chunk = data[i : i + block_raw_bytes]
+            comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate
+            crc = zlib.crc32(chunk)
+            bsize = len(comp) + 25 + 1  # header(18) + deflate + crc+isize(8)
+            out.write(
+                b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                + struct.pack("<H", 6)  # XLEN
+                + b"BC" + struct.pack("<H", 2) + struct.pack("<H", bsize - 1)
+                + comp
+                + struct.pack("<II", crc, len(chunk) & 0xFFFFFFFF)
+            )
+        out.write(BGZF_EOF)
+
+
+def read_bgzf_lines(
+    spark: SparkSession,
+    path: str,
+    target_chunk_bytes: int | None = None,
+) -> DataFrame:
+    """Distributed line scan of a BGZF file: DataFrame of (value STRING),
+    byte-equal to `spark.read.text` on the same file (trailing '\\r'
+    stripped, final unterminated line kept) but with chunk-level instead of
+    file-level parallelism."""
+    import pandas as pd
+
+    offsets = bgzf_block_offsets(path)  # noqa: F841 (used below)
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        eof = fh.tell()
+    if not offsets:
+        return spark.createDataFrame([], "value string")
+
+    if target_chunk_bytes is not None:
+        ranges = []  # (start, end) compressed-byte ranges aligned to blocks
+        start = offsets[0]
+        for off in offsets[1:]:
+            if off - start >= target_chunk_bytes:
+                ranges.append((start, off))
+                start = off
+        ranges.append((start, eof))
+    else:
+        # Chunk by BLOCK COUNT, not compressed bytes: downstream work
+        # (decompress, parse, explode) scales with RAW size, and BGZF
+        # blocks cap at 64 KiB raw regardless of how well the data
+        # compresses (VCF text compresses ~80x, so compressed-byte chunks
+        # wildly under-split small-but-dense files). ~2 chunks per core;
+        # floor 4 blocks (~256 KiB raw) amortizes task overhead; cap 4096
+        # blocks (~256 MiB raw) bounds a worker's text + Arrow copy.
+        par = spark.sparkContext.defaultParallelism
+        bpc = max(4, min(4096, len(offsets) // max(1, par * 2) or 1))
+        ranges = [
+            (
+                offsets[i],
+                offsets[i + bpc] if i + bpc < len(offsets) else eof,
+            )
+            for i in range(0, len(offsets), bpc)
+        ]
+
+    meta = pd.DataFrame(
+        {
+            "start": [r[0] for r in ranges],
+            "end": [r[1] for r in ranges],
+            "first": [i == 0 for i in range(len(ranges))],
+        }
+    )
+
+    def scan(batches):
+        import zlib as _z
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            cols = batch.to_pydict()
+            for start, end, first in zip(cols["start"], cols["end"], cols["first"]):
+                with open(path, "rb") as fh:
+                    fh.seek(int(start))
+                    # A range is whole gzip members by construction; inflate
+                    # them member-by-member (decompressobj exposes
+                    # unused_data for the member boundary).
+                    comp = fh.read(int(end) - int(start))
+                    parts = []
+                    while comp:
+                        d = _z.decompressobj(wbits=31)
+                        parts.append(d.decompress(comp))
+                        comp = d.unused_data
+                    text = b"".join(parts)
+                    # forward-complete the final line from following blocks
+                    if text and not text.endswith(b"\n"):
+                        fh.seek(int(end))
+                        while True:
+                            blk = _read_one_block(fh)
+                            if blk is None:
+                                break
+                            nl = blk.find(b"\n")
+                            if nl >= 0:
+                                text += blk[: nl + 1]
+                                break
+                            text += blk
+                # drop the partial first line (it belongs to the previous
+                # chunk's forward read)
+                if not first:
+                    nl = text.find(b"\n")
+                    text = text[nl + 1 :] if nl >= 0 else b""
+                had_newline = text.endswith(b"\n")
+                if had_newline:
+                    # strip exactly one: inner/extra empty lines are real rows
+                    text = text[:-1]
+                if not text and not had_newline:
+                    continue
+                if b"\r\n" in text:
+                    # normalize like spark.read.text's LineRecordReader
+                    text = text.replace(b"\r\n", b"\n")
+                # Build the Arrow string column entirely in C: one utf8
+                # validation/decode of the chunk, one vectorized newline
+                # split, zero per-line Python objects. (The pandas version
+                # of this function boxed every line into a Python str —
+                # measured ~3x slower end-to-end on a 1.5 GB-raw file.)
+                try:
+                    chunk_arr = pa.array([text.decode("utf-8")])
+                except UnicodeDecodeError:
+                    chunk_arr = pa.array([text.decode("utf-8", "replace")])
+                lines = pc.list_flatten(
+                    pc.split_pattern(chunk_arr, pattern="\n")
+                )
+                yield pa.RecordBatch.from_arrays([lines], ["value"])
+
+    df = spark.createDataFrame(meta)
+    return df.repartition(len(ranges)).mapInArrow(scan, "value string")

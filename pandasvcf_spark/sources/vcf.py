@@ -173,6 +173,7 @@ def read_vcf(
     cols: list[str] | None = None,
     dedup: bool = False,
     repartition: int | str | None = "auto",
+    bgzf: bool | str = "auto",
 ) -> DataFrame:
     """Scan a VCF (single file, glob, directory, or explicit shard list)
     into the wide variants DataFrame.
@@ -204,6 +205,11 @@ def read_vcf(
     repartition: 'auto' spreads non-splittable compressed input across the
         cluster before parsing when the file count alone can't (fewer
         shards than cores); int forces a count; None leaves splits as-is.
+    bgzf: 'auto' (default) scans a single htslib-blocked .gz through the
+        splittable BGZF source (sources/bgzf.py) — chunk-parallel
+        decompression with NO pre-parse shuffle, the single-file scale
+        path. True forces it (raises on non-BGZF), False disables (plain
+        `spark.read.text` + repartition spread).
     """
     files = resolve_vcf_paths(path)
     header = read_vcf_header(files[0])
@@ -232,12 +238,37 @@ def read_vcf(
         want = {c.lstrip("#") for c in cols} | set(MANDATORY_COLS)
         fixed = [c for c in FIXED_COLS if c in want and c in header.columns]
 
-    lines = spark.read.text(files)
+    from pandasvcf_spark.sources.bgzf import is_bgzf, read_bgzf_lines
+
+    # auto: only worth it when the single-task decompress actually hurts —
+    # below ~64 MB compressed the JVM text scan + repartition spread wins
+    # (the BGZF path pays Arrow transfer of the raw text; the JVM path's
+    # one-task decompress is sub-second at that size).
+    use_bgzf = bgzf is True or (
+        bgzf == "auto"
+        and len(files) == 1
+        and files[0].endswith(".gz")
+        and os.path.getsize(files[0]) >= (64 << 20)
+        and is_bgzf(files[0])
+    )
+    if use_bgzf:
+        # Splittable path for a single blocked-gzip file: parallelism comes
+        # from block-aligned chunk ranges — no repartition shuffle of the
+        # raw text. Predicates cannot cross the Arrow source, but an
+        # inferred filter (size(samples)>0 from the downstream explode)
+        # would still sit as a separate FilterExec carrying the whole parse
+        # subtree right above it — the same double-evaluation the barrier
+        # below prevents, so mark the plan spread here too.
+        lines = read_bgzf_lines(spark, files[0])
+        spread_source = True
+    else:
+        lines = spark.read.text(files)
+        spread_source = False
     # Header lines are filtered, not skipped by count — no reliance on row
     # order, works across any number of input splits (each shard's own
     # header block is dropped here too).
     body = lines.filter(~F.col("value").startswith("#"))
-    spread = False
+    spread = spread_source
     if repartition == "auto":
         # A .gz file is ONE split; spread raw lines across the cluster so
         # the expensive split/typed-parse work is parallel. With many .gz
@@ -246,7 +277,8 @@ def read_vcf(
         # the spreading — skip the extra round trip of the raw text.)
         parallelism = spark.sparkContext.defaultParallelism
         if (
-            any(f.endswith(".gz") for f in files)
+            not use_bgzf
+            and any(f.endswith(".gz") for f in files)
             and len(files) < parallelism
             and not dedup
         ):

@@ -1,0 +1,88 @@
+"""Splittable BGZF source (sources/bgzf.py) — the single-file .gz scale
+path. Equality contract: read_bgzf_lines must be row-equal to
+spark.read.text on the same bytes, for any block/chunk geometry (lines
+span blocks; blocks span chunks)."""
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.sources.bgzf import (
+    bgzf_block_offsets,
+    is_bgzf,
+    read_bgzf_lines,
+    write_bgzf,
+)
+from pandasvcf_spark.sources.vcf import read_vcf
+
+from conftest import DATA_DIR
+
+GOLDEN = os.path.join(DATA_DIR, "golden.vcf")
+GOLDEN_GZ = os.path.join(DATA_DIR, "golden.vcf.gz")
+KG = (
+    "/root/reference/test_data/"
+    "ALL.chr22.phase3_shapeit2_mvncall_integrated_v4.20130502.genotypes_10k.vcf.gz"
+)
+
+
+def _line_digest(df):
+    return tuple(
+        df.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("value").cast("decimal(38,0)")),
+        ).collect()[0]
+    )
+
+
+def test_writer_reader_roundtrip_python_side(tmp_path):
+    """write_bgzf output must be plain-gzip-readable (BGZF IS gzip) and
+    block-indexable."""
+    data = open(GOLDEN, "rb").read()
+    p = str(tmp_path / "golden.bgzf.vcf.gz")
+    write_bgzf(p, data, block_raw_bytes=100)  # tiny blocks: lines span blocks
+    assert is_bgzf(p)
+    assert not is_bgzf(GOLDEN_GZ)  # plain gzip: no BC subfield
+    assert len(bgzf_block_offsets(p)) > 3
+    assert gzip.open(p, "rb").read() == data
+
+
+def test_lines_equal_text_scan_across_boundaries(spark, tmp_path):
+    """Tiny blocks AND tiny chunk ranges force every boundary case: partial
+    first lines, forward completion through multiple blocks, empty chunks."""
+    data = open(GOLDEN, "rb").read()
+    p = str(tmp_path / "golden.bgzf.vcf.gz")
+    write_bgzf(p, data, block_raw_bytes=64)
+    want = _line_digest(spark.read.text(GOLDEN))
+    for chunk in (150, 400, 10_000_000):
+        got = _line_digest(read_bgzf_lines(spark, p, target_chunk_bytes=chunk))
+        assert got == want, f"chunk={chunk}"
+
+
+def test_read_vcf_bgzf_equals_plain(spark, tmp_path):
+    p = str(tmp_path / "golden.bgzf.vcf.gz")
+    write_bgzf(p, open(GOLDEN, "rb").read(), block_raw_bytes=256)
+    want = sorted(
+        tuple(str(x) for x in r) for r in read_vcf(spark, GOLDEN).collect()
+    )
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in read_vcf(spark, p, bgzf=True).collect()
+    )
+    assert got == want
+
+
+@pytest.mark.skipif(not os.path.exists(KG), reason="1000G fixture absent")
+def test_real_bgzf_fixture_line_equality(spark):
+    """The 1000G fixture is real htslib BGZF — the reader must agree with
+    spark.read.text on all 10k lines."""
+    assert is_bgzf(KG)
+    assert _line_digest(read_bgzf_lines(spark, KG)) == _line_digest(
+        spark.read.text(KG)
+    )
+
+
+def test_non_bgzf_raises(spark):
+    with pytest.raises(ValueError, match="not BGZF"):
+        read_bgzf_lines(spark, GOLDEN_GZ).count()
