@@ -178,3 +178,84 @@ def pivot_counts(
     out = df.groupBy(*group_by).pivot(pivot_col, list(values)).count()
     # Missing (group, value) combinations are structural zeros, not unknowns.
     return out.na.fill(0, [str(v) for v in values])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance=None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the single right row with the
+    greatest `on` <= left.`on` (direction='backward'; 'forward' takes the
+    least `on` >= left.`on`), matched within the same `by` keys. The
+    operator the reference family lacks and time-series/feature pipelines
+    need (point-in-time correctness: "the latest signal known at event
+    time" — never a future leak).
+
+    Spark-first plan — UNION + ONE WINDOW, no join node at all: tag rows by
+    side, pack each side's payload into ONE struct (so all matched columns
+    come from the SAME right row — per-column last() could mix rows), union,
+    then per-key window ordered by (on, side) with right-before-left at
+    equal timestamps (an exactly-simultaneous right row IS matchable) and
+    last(payload, ignorenulls) over rows unbounded-preceding..current;
+    finally keep the left rows. Cost is one shuffle on the `by` keys — the
+    same exchange a plain equi-join pays, but with no range explosion (a
+    naive range join is O(|L|·|R|) per key), and a hot key streams through
+    the running-last frame instead of buffering.
+
+    tolerance: optional callable (left_on Column, matched_on Column) ->
+    BOOLEAN Column; matches failing it become NULL (left rows are always
+    kept — left-outer semantics throughout).
+
+    Right columns (all but `on`/`by`) return as `matched_<name>`; the
+    matched timestamp itself as `matched_<on>`.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    rcols = [c for c in right.columns if c != on and c not in by]
+    rpay = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in rcols])
+    lpay = F.struct(*[F.col(c).alias(c) for c in left.columns])
+    # dtype probes are plan-only (no jobs)
+    rpay_t = right.select(rpay.alias("x")).schema[0].dataType
+    lpay_t = left.select(lpay.alias("x")).schema[0].dataType
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        rpay.alias("__rpay"),
+        F.lit(None).cast(lpay_t).alias("__lpay"),
+    )
+    l_ = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rpay_t).alias("__rpay"),
+        lpay.alias("__lpay"),
+    )
+    order = (
+        [F.col("__t").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__side").asc()]
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        r.unionByName(l_)
+        .withColumn("__m", F.last(F.col("__rpay"), ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        ok = tolerance(F.col("__t"), F.col("__m").getField(on))
+        out = out.withColumn("__m", F.when(ok, F.col("__m")))
+    return out.select(
+        *[F.col("__lpay").getField(c).alias(c) for c in left.columns],
+        F.col("__m").getField(on).alias(f"matched_{on}"),
+        *[F.col("__m").getField(c).alias(f"matched_{c}") for c in rcols],
+    )

@@ -81,11 +81,14 @@ _PRIORITY = [
     "a2_value_counts",
     "agg_tpch_q1",
     "agg_cube",
-    "agg_rollup",
     "agg_count_distinct",
     # join family + skew mitigation (j_anti sits past the window: its
     # 0-row result passes rows/schema/hash trivially, so its slot carried
-    # no signal — check_contract still exact-checks it every run)
+    # no signal — check_contract still exact-checks it every run.
+    # agg_rollup likewise moved past the window in round 5 to make room for
+    # the as-of join: its grouping-sets machinery stays driver-covered by
+    # agg_cube, and check_contract exact-checks it every run.)
+    "j_asof_events",
     "j_inner_broadcast",
     "j_left_join",
     "j_semi",

@@ -125,6 +125,50 @@ def e_sessionize(spark, sf_dir):
 
 
 @register(
+    "j_asof_events",
+    headline=True,
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts, round(max(value), 2) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, ({_SEC.replace('ts', 'c.ts')}) AS ts_s,
+           (epoch_us(v.ts) // 1000000) AS view_ts_s, v.view_value
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def j_asof_events(spark, sf_dir):
+    """Point-in-time as-of join (operators/relational.asof_join): each
+    purchase matched to the user's LATEST view at-or-before purchase time —
+    the no-future-leak lookup feature pipelines need. The right side is
+    pre-aggregated unique per (user_id, ts) so the greatest-<= match is a
+    single deterministic row on both engines (DuckDB ASOF JOIN is the
+    oracle). Spark plan: union + one per-user window, zero join nodes."""
+    from pandasvcf_spark.operators.relational import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, views, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.col("matched_ts").cast("long").alias("view_ts_s"),
+        F.col("matched_view_value").alias("view_value"),
+    )
+
+
+@register(
     "e_dedup_first",
     oracle="""
     SELECT user_id, event_type, event_id AS first_event_id FROM (

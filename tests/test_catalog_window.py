@@ -62,6 +62,8 @@ def test_tail_entries_are_redundant_variants_only():
         "w_row_number_first",    # window fns: w_rank_topk
         "w_dense_rank_lead_lag", # window fns: w_rank_topk / w_running_sum
         "agg_grouping_sets",     # agg_cube / agg_rollup
+        "agg_rollup",            # grouping-sets machinery: agg_cube (moved
+                                 # out in round 5 for the as-of join slot)
         "set_intersect",         # set_union
         "set_except",            # set_union
         "f_string_funcs",        # exercised by every text/genomics query
