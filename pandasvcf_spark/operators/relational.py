@@ -259,3 +259,57 @@ def asof_join(
         F.col("__m").getField(on).alias(f"matched_{on}"),
         *[F.col("__m").getField(c).alias(f"matched_{c}") for c in rcols],
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Interval containment join: every (interval, point) pair with
+    start <= point <= end (and equal `by` keys), WITHOUT a theta join — a
+    naive range predicate plans as BroadcastNestedLoop/Cartesian and dies
+    at scale.
+
+    Banded plan: pick a bin width, explode each interval onto the bins it
+    covers (sequence(floor(start/w), floor(end/w)) — explode factor is
+    len/width + 1), bucket each point into its single bin, EQUI-join on
+    (by..., bin), then filter exact containment. Each true pair meets in
+    exactly one bin (the point's), so no dedup pass is needed. The join is
+    a plain hash/sort-merge equi-join Catalyst can reorder, broadcast, or
+    AQE-skew-split like any other.
+
+    point_col/start_col/end_col must be integral (cast timestamps to epoch
+    seconds first). bin_width defaults to a heuristic the caller should
+    override with ~the median interval length: too wide puts many
+    intervals in one bin (bigger post-filter), too narrow explodes long
+    intervals into many rows. A pathologically long interval's explode
+    cost is len/width rows — bound interval lengths upstream or raise
+    bin_width for such data.
+
+    Output: all interval columns + all point columns (name collisions on
+    the `by` keys collapse to one).
+    """
+    if bin_width is None:
+        bin_width = 3600
+    by = list(by)
+    b = int(bin_width)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("long"),
+                (F.col(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", (F.col(point_col) / b).cast("long"))
+    joined = iv.join(pt, on=by + ["__bin"]).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bin")

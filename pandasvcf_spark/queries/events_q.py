@@ -169,6 +169,58 @@ def j_asof_events(spark, sf_dir):
 
 
 @register(
+    "j_range_events",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id AS error_id, user_id, {_SEC} AS s FROM events
+      WHERE event_type = 'error'),
+    c AS (
+      SELECT event_id, user_id, {_SEC} AS s FROM events
+      WHERE event_type = 'click')
+    SELECT e.error_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks
+    FROM e LEFT JOIN c
+      ON e.user_id = c.user_id AND c.s BETWEEN e.s AND e.s + 600
+    GROUP BY 1
+    """,
+)
+def j_range_events(spark, sf_dir):
+    """Interval-containment join (operators/relational.range_join): per
+    error event, how many clicks the same user made in the following 10
+    minutes. Spark side is the banded equi-join (bin-bucketed, zero theta
+    joins); DuckDB oracle is the plain BETWEEN left join. Past the driver
+    window by design — exact-checked every run by check_contract and the
+    tests/test_contract.py guard."""
+    from pandasvcf_spark.operators.relational import range_join
+
+    ev = load(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        sec.alias("start_s"),
+        (sec + 600).alias("end_s"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", sec.alias("s")
+    )
+    matched = range_join(
+        clicks, errors, "s", "start_s", "end_s", by=["user_id"], bin_width=600
+    )
+    counts = matched.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # left-complete: errors with zero clicks keep a row (count 0)
+    return (
+        errors.select("error_id")
+        .join(F.broadcast(counts), on="error_id", how="left")
+        .select(
+            "error_id", F.coalesce(F.col("__n"), F.lit(0)).alias("n_clicks")
+        )
+    )
+
+
+@register(
     "e_dedup_first",
     oracle="""
     SELECT user_id, event_type, event_id AS first_event_id FROM (

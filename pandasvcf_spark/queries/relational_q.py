@@ -644,3 +644,34 @@ def info_str_to_map(spark, sf_dir):
         info_field_expr("info", "disc", "int").alias("disc_pct"),
         info_field_expr("info", "flag").alias("flag"),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           round(median(l_discount), 4) AS med_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """EXACT grouped percentiles (Spark `percentile`, linear interpolation
+    — the same definition as DuckDB quantile_cont/median, so the check is
+    exact, unlike approx_percentile whose sketch is engine-specific). The
+    ordered-statistics surface of the aggregate family; at scale prefer
+    percentile_approx for one-pass sketching — this entry pins the exact
+    semantics the approximation targets. Past the driver window by design
+    (continuously exact-checked by the contract guard)."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(price, F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(price, F.lit(0.99)), 4).alias("p99"),
+        F.round(F.percentile(F.col("l_discount"), F.lit(0.5)), 4).alias(
+            "med_disc"
+        ),
+    )

@@ -77,3 +77,22 @@ def test_plan_has_no_join_node(spark, frames):
     )
     assert "Join" not in plan  # union + window only
     assert plan.count("Exchange") <= 2  # one per union branch, same key
+
+
+def test_range_join_banded_no_theta_join(spark):
+    from pandasvcf_spark.operators.relational import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5, "p1"), (1, 100, "p2"), (1, 650, "p3"), (2, 5, "p4")],
+        "k long, s long, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 120, "i1"), (1, 600, 700, "i2"), (3, 0, 1000, "i3")],
+        "k long, lo long, hi long, iid string",
+    )
+    out = range_join(points, intervals, "s", "lo", "hi", by=["k"], bin_width=100)
+    pairs = {(r["iid"], r["pid"]) for r in out.collect()}
+    assert pairs == {("i1", "p1"), ("i1", "p2"), ("i2", "p3")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
