@@ -221,6 +221,41 @@ def j_range_events(spark, sf_dir):
 
 
 @register(
+    "e_join_recent",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view')
+    SELECT c.event_id AS click_id, CAST(count(*) AS BIGINT) AS n_recent_views
+    FROM c JOIN v ON c.user_id = v.user_id
+       AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+    GROUP BY 1
+    """,
+)
+def e_join_recent(spark, sf_dir):
+    """Batch twin of the stream-stream interval join
+    (streaming/events.join_recent): per click, the user's views in the
+    preceding 10 minutes. The streaming variant watermarks BOTH sides so
+    the join state stays bounded; the pytest suite asserts stream ≡ batch,
+    and this entry closes the loop batch ≡ oracle. Past the driver window
+    (contract-guard covered)."""
+    from pandasvcf_spark.streaming.events import join_recent
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = join_recent(clicks, views, within="10 minutes")
+    return joined.groupBy(F.col("event_id").alias("click_id")).agg(
+        F.count(F.lit(1)).alias("n_recent_views")
+    )
+
+
+@register(
     "e_dedup_first",
     oracle="""
     SELECT user_id, event_type, event_id AS first_event_id FROM (

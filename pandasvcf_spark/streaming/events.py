@@ -214,6 +214,57 @@ def running_user_totals(
     )
 
 
+def join_recent(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | None = None,
+    within: str = "10 minutes",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    watermark: str = "2 hours",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — same body) interval join: each left
+    row paired with right rows sharing the keys whose event time falls in
+    [left_time - within, left_time]. The enrichment join a real pipeline
+    runs between two live streams ("clicks joined to the views of the last
+    10 minutes").
+
+    Streaming semantics: BOTH sides get watermarks and the join carries the
+    time-range condition — that is exactly what lets Spark bound the join
+    state (right rows older than watermark+within are evicted; an
+    unconstrained stream-stream join would buffer forever). Batch inputs
+    run the identical plan minus state: an equi-join on the keys with the
+    range as a post-condition — still a plain hash/sort-merge join on the
+    key, never a theta join.
+
+    Right's time column and any name collisions come back suffixed."""
+    keys = keys or ["user_id"]
+    lw = _maybe_watermark(left, left_time, watermark)
+    rw = _maybe_watermark(right, right_time, watermark)
+    rt = right_time + right_suffix
+    ren = {right_time: rt}
+    for c in rw.columns:
+        if c in lw.columns and c not in keys and c != right_time:
+            ren[c] = c + right_suffix
+    for old, new in ren.items():
+        rw = rw.withColumnRenamed(old, new)
+    cond = None
+    for k in keys:
+        eq = lw[k] == rw[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (rw[rt] >= lw[left_time] - F.expr(f"INTERVAL {within}"))
+        & (rw[rt] <= lw[left_time])
+    )
+    out = lw.join(rw, cond, "inner")
+    # collapse the duplicated key columns (kept from the left side)
+    for k in keys:
+        out = out.drop(rw[k])
+    return out
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -77,6 +77,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # guarded continuously by the contract
                                  # pytest (round 5); window stays pinned
         "agg_percentiles",       # exact ordered stats: same guard
+        "e_join_recent",         # stream-stream join batch twin: stream ≡
+                                 # batch asserted in test_streaming; same
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

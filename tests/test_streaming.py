@@ -185,3 +185,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     rows = {(r["win_start"], r["event_type"]): r["n"] for r in got.collect()}
     assert rows == {("2024-06-01 01:00:00", "click"): 4}
+
+
+def test_join_recent_stream_stream_equals_batch(spark, batch_events, events_dir):
+    """Stream-stream interval join (watermarked both sides, bounded state)
+    must equal the identical operator body run batch-batch."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.streaming.events import join_recent
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+
+    def views(df):
+        return df.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+
+    ls = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    rs = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    got = run_stream_to_memory(
+        join_recent(clicks(ls), views(rs), within="30 minutes"),
+        "t_join_recent",
+        output_mode="append",  # stream-stream inner join emits append-only
+    )
+    want = join_recent(
+        clicks(batch_events), views(batch_events), within="30 minutes"
+    )
+    assert _sorted(got.select("event_id", "event_id_r")) == _sorted(
+        want.select("event_id", "event_id_r")
+    )
+    assert want.count() > 0
