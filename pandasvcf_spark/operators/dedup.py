@@ -552,3 +552,65 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return (out, dropped) if return_dropped else out
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: (id, component) with
+    component = the minimum id reachable from each vertex. The step a dedup
+    pipeline needs between pair generation (minhash/simhash) and survivor
+    selection — transitive closure, so A~B, B~C dedups all three together
+    even when A~C was never a candidate pair.
+
+    Iterative min-label propagation, each round: one join of labels onto
+    the bidirected edge list + one min-aggregate, i.e. 2 shuffles; rounds
+    needed = graph diameter (near-dup components are shallow — duplicate
+    clusters, not social graphs; for web-scale graphs with long chains use
+    the large-star/small-star contraction instead, which converges in
+    O(log n) rounds). Each round `localCheckpoint`s the labels: an
+    iterative DataFrame loop otherwise stacks 2 shuffles of LINEAGE per
+    round and the planner re-executes the whole history on every action.
+    Convergence is detected by an exact changed-row count (an action per
+    round, intrinsic to iterate-until-fixpoint).
+
+    Raises RuntimeError if max_iter rounds don't converge — a silent
+    partial closure would merge too few duplicates and look "done"."""
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    )
+    bidir = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        bidir.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(labels, bidir["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["id2"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
+                (F.col("nmin") < F.col("lbl")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the bound; raise max_iter or use a "
+        "star-contraction variant for long-chain graphs"
+    )

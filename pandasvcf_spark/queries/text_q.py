@@ -362,3 +362,61 @@ def t_bigram_jaccard(spark, sf_dir):
         "id_b",
         F.round(ngram_jaccard_expr(F.col("ga"), F.col("gb")), 4).alias("jaccard"),
     )
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents WHERE doc_id < 200
+    ), grams AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(w) < 2 THEN []
+        ELSE list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) END) AS g
+      FROM d),
+    prs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+            ELSE len(list_intersect(a.g, b.g))
+                 / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+            END >= 0.2),
+    edges AS (SELECT ia AS a, ib AS b FROM prs
+              UNION ALL SELECT ib, ia FROM prs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id)
+    SELECT id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Transitive near-dup clustering (operators/dedup.connected_components,
+    iterative min-label propagation) over an exact-Jaccard pair graph on a
+    bounded doc subset; the DuckDB oracle recomputes the same closure with
+    a recursive CTE. The bounded all-pairs here is the PAIR SOURCE for the
+    check only — at corpus scale pairs come from the LSH operators and the
+    component step's cost is per-ROUND shuffles on the (small) pair graph,
+    not the corpus."""
+    from pandasvcf_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_expr,
+    )
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = d.select("doc_id", word_ngrams_expr("text", 2).alias("g"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", ngram_jaccard_expr(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= 0.2)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs).select(
+        "id", F.col("component").cast("long").alias("component")
+    )

@@ -80,6 +80,9 @@ def test_tail_entries_are_redundant_variants_only():
         "e_join_recent",         # stream-stream join batch twin: stream ≡
                                  # batch asserted in test_streaming; same
                                  # contract guard
+        "dedup_components",      # transitive closure over near-dup pairs:
+                                 # recursive-CTE oracle + chain pytest;
+                                 # same contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -466,3 +466,30 @@ def test_simhash_bucket_cap_accounting(spark):
     assert pairs.count() == 0  # the only dups live in capped buckets
     d = dropped.collect()[0]
     assert d["n_buckets"] >= 1 and d["max_bucket"] == 8
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C must cluster all three even though A~C was never a pair —
+    the property that makes components the right post-LSH step."""
+    from pandasvcf_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 40)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from pandasvcf_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=2)
