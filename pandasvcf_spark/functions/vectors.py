@@ -55,3 +55,53 @@ def unit_expr(a: Column | str) -> Column:
     return F.when(n == 0.0, a).otherwise(
         F.transform(a, lambda v: v / n)
     )
+
+
+def int8_quantize_expr(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: ARRAY<BIGINT> with
+    q_i = round(x_i / scale), scale = max|x| / 127 (zero vectors quantize
+    to zeros). The memory lever for 100 TB embedding stores — 4x smaller
+    than float32 at rest and in shuffle.
+
+    COSINE over quantized vectors needs no scale at all (per-vector scales
+    cancel in the ratio), so quantized scoring is pure INTEGER arithmetic
+    until the final division — bit-exact across engines by construction,
+    which is what lets `v_cosine_topk_int8` carry an exact SQL oracle.
+    For dot-product scoring keep `int8_scale_expr` alongside the codes."""
+    a = _c(a)
+    scale = int8_scale_expr(a)
+    return F.transform(
+        a,
+        lambda v: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.round(v / scale))
+        .cast("long"),
+    )
+
+
+def int8_scale_expr(a: Column | str) -> Column:
+    """The per-vector dequantization scale max|x|/127 (DOUBLE)."""
+    a = _c(a)
+    return (
+        F.array_max(F.transform(a, lambda v: F.abs(v))) / F.lit(127.0)
+    ).cast("double")
+
+
+def int_dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Integer dot product of two quantized vectors (BIGINT — exact)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_expr(qa: Column | str, qb: Column | str) -> Column:
+    """Cosine over int8 codes: integer dot / integer norms, one float
+    division at the end; 0.0 when either vector quantized to zeros."""
+    qa, qb = _c(qa), _c(qb)
+    denom = F.sqrt(int_dot_expr(qa, qa).cast("double")) * F.sqrt(
+        int_dot_expr(qb, qb).cast("double")
+    )
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        int_dot_expr(qa, qb).cast("double") / denom
+    )

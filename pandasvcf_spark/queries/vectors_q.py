@@ -404,3 +404,75 @@ def ann_recall_at_10(
         for row in ann_banded_query_topk(e, q, planes, bands, k=k).collect()
     }
     return len(gt & ann) / len(gt) if gt else 1.0
+
+
+def _sql_int8(vec: str) -> str:
+    """DuckDB twin of int8_quantize_expr (BIGINT codes)."""
+    scale = f"(list_max(list_transform({vec}, v -> abs(v))) / 127.0)"
+    return (
+        f"CASE WHEN {scale} = 0 THEN list_transform({vec}, v -> CAST(0 AS BIGINT)) "
+        f"ELSE list_transform({vec}, v -> CAST(round(v / {scale}) AS BIGINT)) END"
+    )
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i] * {b}[i]))"
+    )
+
+
+@register(
+    "v_cosine_topk_int8",
+    oracle=f"""
+    WITH qz AS (
+      SELECT {_sql_int8('embedding')} AS qq FROM embeddings WHERE vec_id = 0),
+    cz AS (
+      SELECT vec_id, {_sql_int8('embedding')} AS cq
+      FROM embeddings WHERE vec_id <> 0),
+    scored AS (
+      SELECT CAST(0 AS BIGINT) AS query_id, cz.vec_id,
+             CASE WHEN sqrt(CAST({_sql_int_dot('cz.cq', 'cz.cq')} AS DOUBLE))
+                       * sqrt(CAST({_sql_int_dot('qz.qq', 'qz.qq')} AS DOUBLE)) = 0
+                  THEN 0.0
+                  ELSE CAST({_sql_int_dot('cz.cq', 'qz.qq')} AS DOUBLE)
+                       / (sqrt(CAST({_sql_int_dot('cz.cq', 'cz.cq')} AS DOUBLE))
+                          * sqrt(CAST({_sql_int_dot('qz.qq', 'qz.qq')} AS DOUBLE)))
+             END AS cos
+      FROM cz, qz)
+    SELECT query_id, vec_id, round(cos, 6) AS qcossim FROM (
+      SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 20
+    """,
+)
+def v_cosine_topk_int8(spark, sf_dir):
+    """Exact top-k over INT8-QUANTIZED embeddings
+    (functions/vectors.int8_quantize_expr): the 4x-memory-smaller scoring
+    path for 100 TB embedding stores. Quantized cosine is integer
+    arithmetic until one final division (per-vector scales cancel), so the
+    DuckDB twin is exact — not approximately — equal. Past the driver
+    window (contract-guard covered)."""
+    from pandasvcf_spark.functions.vectors import (
+        int8_quantize_expr,
+        quantized_cosine_expr,
+    )
+    from pandasvcf_spark.operators.relational import rank_per_group
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", int8_quantize_expr("embedding").alias("q")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), on=F.lit(True))
+        .withColumn("__cos", quantized_cosine_expr("q", "qq"))
+    )
+    top = rank_per_group(
+        scored, ["query_id"], [F.desc("__cos"), F.col("vec_id")],
+        k=20, method="row_number", out="__rn",
+    )
+    return top.select(
+        "query_id", "vec_id", F.round("__cos", 6).alias("qcossim")
+    )

@@ -83,6 +83,9 @@ def test_tail_entries_are_redundant_variants_only():
         "dedup_components",      # transitive closure over near-dup pairs:
                                  # recursive-CTE oracle + chain pytest;
                                  # same contract guard
+        "v_cosine_topk_int8",    # int8-quantized scoring path: exact
+                                 # integer-arithmetic oracle; fidelity
+                                 # pytest vs float cosine
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -493,3 +493,46 @@ def test_connected_components_long_chain_converges(spark):
 
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_int8_quantized_cosine_fidelity(spark):
+    """Quantized top-k must track full-precision top-k closely (int8 keeps
+    ~2 decimal digits of cosine), and the quantizer must be exact on its
+    contract: |q_i| <= 127, zero vectors -> zero codes."""
+    from pandasvcf_spark.functions.vectors import (
+        cosine_expr,
+        int8_quantize_expr,
+        quantized_cosine_expr,
+    )
+    from pandasvcf_spark.queries.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        int8_quantize_expr("embedding").alias("qq"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_expr("embedding", "qv").alias("c_full"),
+            quantized_cosine_expr(
+                int8_quantize_expr("embedding"), F.col("qq")
+            ).alias("c_q"),
+            F.array_max(
+                F.transform(int8_quantize_expr("embedding"), F.abs)
+            ).alias("qmax"),
+        )
+    )
+    rows = scored.collect()
+    assert all(r["qmax"] <= 127 for r in rows)
+    assert max(abs(r["c_full"] - r["c_q"]) for r in rows) < 0.02
+    top_full = [r["vec_id"] for r in sorted(rows, key=lambda r: -r["c_full"])[:20]]
+    top_q = [r["vec_id"] for r in sorted(rows, key=lambda r: -r["c_q"])[:20]]
+    assert len(set(top_full) & set(top_q)) >= 15  # >=75% top-20 overlap
+
+    zeros = spark.createDataFrame(
+        [([0.0] * 8,)], "v array<double>"
+    ).select(int8_quantize_expr("v").alias("q"))
+    assert zeros.collect()[0]["q"] == [0] * 8
