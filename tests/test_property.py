@@ -176,3 +176,67 @@ def test_format_map_never_aborts(spark, fmt, call):
         if k not in expected:
             expected[k] = vals[i] if i < len(vals) else None
     assert m == expected
+
+
+@given(
+    st.lists(  # left: (key, t, tag)
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(  # right: (key, t, value)
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0, max_size=15, unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_naive_model(spark, left_rows, right_rows):
+    """asof_join (union + window) vs the obvious O(n^2) per-row model:
+    greatest right t <= left t within the key, else NULL."""
+    from pandasvcf_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "k long, t long, idx long",
+    )
+    right = spark.createDataFrame(right_rows, "k long, t long, val long")
+    got = {
+        r["idx"]: (r["matched_t"], r["matched_val"])
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= t]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+@given(
+    st.binary(min_size=0, max_size=4000),
+    st.integers(10, 200),
+    st.integers(30, 500),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bgzf_roundtrip_random_geometry(spark, tmp_path_factory, data, block, chunk):
+    """write_bgzf -> read_bgzf_lines must reproduce spark.read.text for
+    arbitrary bytes and any block/chunk geometry (lines spanning blocks,
+    blocks spanning chunks, no trailing newline, empty payloads)."""
+    import gzip
+
+    from pandasvcf_spark.sources.bgzf import read_bgzf_lines, write_bgzf
+
+    tmp = tmp_path_factory.mktemp("bgzf_prop")
+    # keep it text-ish so line semantics are exercised; raw binary would
+    # just exercise the replace-decode path
+    text = bytes(b % 94 + 32 if b % 7 else 10 for b in data)  # ~1/7 newlines
+    p = str(tmp / "t.gz")
+    write_bgzf(p, text, block_raw_bytes=block)
+    assert gzip.open(p, "rb").read() == text
+    plain = str(tmp / "t.txt")
+    open(plain, "wb").write(text)
+    want = sorted(r["value"] for r in spark.read.text(plain).collect())
+    got = sorted(
+        r["value"]
+        for r in read_bgzf_lines(spark, p, target_chunk_bytes=chunk).collect()
+    )
+    assert got == want
