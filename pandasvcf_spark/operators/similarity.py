@@ -193,6 +193,24 @@ def cosine_topk_blocked(
     )
 
 
+def default_planes(
+    n_planes: int = 8, dim: int = 64, seed: int = 0x5EED
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1) from a tiny LCG —
+    plain Python floats so the same exact values can be baked into a Spark
+    plan, a SQL oracle, or a storage layout (write_ann_partitioned) and
+    reproduced anywhere."""
+    s = seed
+    out = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((s >> 20) / float(1 << 42) - 1.0)
+        out.append(row)
+    return out
+
+
 def rp_bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
     """LSH bucket id (STRING of sign bits) from literal random hyperplanes.
 

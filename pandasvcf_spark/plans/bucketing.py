@@ -44,3 +44,35 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata comes from the catalog —
     reading the bare parquet path would lose it)."""
     return spark.table(table)
+
+
+def write_ann_partitioned(
+    df: DataFrame,
+    out_path: str,
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Storage-level ANN pruning: write the embedding corpus parquet-
+    PARTITIONED by its random-projection LSH bucket, so an ANN probe that
+    filters `bucket = <h(q)>` prunes to ONE directory at the SCAN — the
+    other 2^n_planes partitions are never opened, turning probe I/O from
+    O(corpus) into O(corpus / 2^n_planes) with zero index structure, just
+    file layout. (The in-memory operators hash-and-shuffle per query run;
+    this pays the bucketing once at write, the right trade for a corpus
+    queried many times — same philosophy as `write_bucketed` for joins.)
+
+    Returns the hyperplanes used (pass them back into `rp_bucket_expr`
+    at query time — the layout is only as good as hashing queries with
+    the SAME planes)."""
+    from pandasvcf_spark.operators.similarity import default_planes, rp_bucket_expr
+
+    planes = planes or default_planes(n_planes, dim)
+    (
+        df.withColumn("bucket", rp_bucket_expr(vec_col, planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+    return planes

@@ -373,3 +373,82 @@ def vcf_to_parquet(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(out_path)
+
+
+def write_vcf(
+    wide: DataFrame,
+    out_path: str,
+    header: VCFHeader,
+    n_shards: int | None = None,
+    sort: bool = False,
+) -> None:
+    """Export a wide variants DataFrame back to VCF text — a DIRECTORY of
+    shard files, each carrying the full '##' header block (so every shard
+    is a valid standalone VCF, and `read_vcf` on the directory round-trips
+    it; the reference has no writer at all).
+
+    Line assembly is O(1) in sample count: sample calls come from
+    `map_values(samples)` joined with tab + '.'-for-null, which relies on
+    the map preserving its construction order (true for maps built by
+    `read_vcf` — keys in header order — and preserved through parquet).
+    If your map was built in a different key order, re-order it first with
+    map_from_arrays over the header's sample ids.
+
+    QUAL serializes via its string cast ('50.0'): byte-different from a
+    source '50' but value-identical after re-parse — round-trip fidelity
+    is at the DataFrame level, asserted by tests.
+
+    n_shards: repartition count (keeps every shard non-empty provided
+    rows >= shards — an empty text part would be header-less and fail a
+    later multi-file read). sort: global CHROM/POS order across shards
+    (range exchange; off by default, same rationale as annotate_vcf)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    fixed = [c for c in FIXED_COLS if c in wide.columns]
+
+    def _fmt(name):
+        return F.coalesce(F.col(name).cast("string"), F.lit("."))
+
+    pieces = [_fmt(c) for c in fixed]
+    cols = F.concat_ws("\t", *pieces)
+    if "samples" in wide.columns:
+        calls = F.array_join(
+            F.map_values("samples"), "\t", null_replacement="."
+        )
+        line = F.when(
+            F.size(F.map_values("samples")) > 0,
+            F.concat_ws("\t", cols, calls),
+        ).otherwise(cols)
+    else:
+        line = cols
+    if sort:
+        wide = wide.orderBy("CHROM", "POS")
+    elif n_shards:
+        wide = wide.repartition(n_shards)
+    body = wide.select(line.alias("value"))
+
+    header_lines = list(header.meta_lines) + ["#" + "\t".join(header.columns)]
+
+    def add_header(batches):
+        import pyarrow as pa
+
+        first = True
+        for batch in batches:
+            if first:
+                # mirror the incoming batch's exact schema (string vs
+                # large_string differs by Arrow config; a mismatched batch
+                # schema fails the stream writer)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            header_lines, type=batch.schema.field(0).type
+                        )
+                    ],
+                    schema=batch.schema,
+                )
+                first = False
+            yield batch
+
+    body.mapInArrow(add_header, "value string").write.mode(
+        "overwrite"
+    ).text(out_path)

@@ -566,3 +566,35 @@ def test_kmeans_fit_trains_usable_ivf_centroids(spark):
     )
     assert len(cells) >= 4  # not collapsed into a couple of cells
     assert sum(r["count"] for r in cells) == e.count()
+
+
+def test_ann_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """write_ann_partitioned + a bucket filter must prune partitions at the
+    parquet SCAN (PartitionFilters), reading one bucket directory instead
+    of the corpus — the storage-level ANN path."""
+    import os
+
+    from pandasvcf_spark.operators.similarity import rp_bucket_expr
+    from pandasvcf_spark.plans.bucketing import write_ann_partitioned
+    from pandasvcf_spark.queries.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    out = str(tmp_path / "ann_parts")
+    planes = write_ann_partitioned(e, out, n_planes=4)
+    assert len(os.listdir(out)) > 4  # multiple bucket=... dirs exist
+
+    corpus = spark.read.parquet(out)
+    q = e.filter(F.col("vec_id") == 0)
+    qbucket = q.select(rp_bucket_expr("embedding", planes)).collect()[0][0]
+    probe = corpus.filter(F.col("bucket") == qbucket)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    # pruned scan returns exactly the query's home-bucket rows
+    full = {
+        r["vec_id"]
+        for r in e.select(
+            "vec_id", rp_bucket_expr("embedding", planes).alias("b")
+        ).collect()
+        if r["b"] == qbucket
+    }
+    assert {r["vec_id"] for r in probe.collect()} == full
