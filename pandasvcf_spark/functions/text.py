@@ -194,3 +194,57 @@ def fingerprint_expr(text: Column | str) -> Column:
     an exact-dedup key that's robust to whitespace noise."""
     norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
     return F.xxhash64(norm)
+
+
+#: (kind, pattern, replacement) — patterns restricted to the Java-regex ∩
+#: RE2 common dialect (no lookaround, no backrefs) so the SAME literal
+#: pattern runs in Spark and any RE2 engine (DuckDB oracle) identically.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii_expr(text: Column | str, kinds: tuple = ("email", "url", "phone")) -> Column:
+    """Replace emails / URLs / phone-ish numbers with typed placeholder
+    tokens — the standard PII scrub a training-data pipeline runs before
+    anything else. Pure chained regexp_replace: JVM-side, order fixed
+    (email before phone so the digits inside a mailbox never half-match).
+    """
+    out = _c(text)
+    wanted = set(kinds)
+    for kind, pat, rep in PII_PATTERNS:
+        if kind in wanted:
+            out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def chunk_windows_expr(
+    text: Column | str, size: int = 50, stride: int | None = None
+) -> Column:
+    """ARRAY<STRING> of token-window chunks: whitespace tokens sliced into
+    windows of `size` tokens every `stride` tokens (stride < size =
+    overlapping windows — the standard context-window chunking for
+    training/embedding pipelines). A document shorter than one window
+    yields exactly one chunk; empty text yields none. Pure HOF expression:
+    sequence over window starts -> slice -> array_join, no Python, no
+    explode until the caller asks (pair with posexplode for
+    (chunk_idx, chunk) rows)."""
+    stride = stride or size
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = words_expr(text)
+    n = F.size(toks)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(
+            F.lit(0),
+            F.greatest(
+                F.floor((n.cast("double") - 1) / stride).cast("int"), F.lit(0)
+            ),
+        )
+    )
+    return F.transform(
+        starts,
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+    )

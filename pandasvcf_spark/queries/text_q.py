@@ -420,3 +420,84 @@ def dedup_components(spark, sf_dir):
     return connected_components(pairs).select(
         "id", F.col("component").cast("long").alias("component")
     )
+
+
+@register(
+    "t_redact_pii",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id ||
+             '@example.com or https://ex.org/p/' || doc_id ||
+             ' tel +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+             AS t
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+             '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM d
+    """,
+)
+def t_redact_pii(spark, sf_dir):
+    """PII scrubbing (functions/text.redact_pii_expr) — the preprocessing
+    step every training corpus runs first. Deterministic synthetic PII is
+    appended per doc so every pattern fires; patterns live in the
+    Java-regex ∩ RE2 common dialect, so the oracle runs the SAME literal
+    patterns ('g' = Spark's replace-all default). Past the driver window
+    (contract-guard covered)."""
+    from pandasvcf_spark.functions.text import redact_pii_expr
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" tel +1 (555) 010-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    return d.select("doc_id", redact_pii_expr(t).alias("redacted"))
+
+
+@register(
+    "t_chunk_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents WHERE doc_id < 40),
+    s AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= 0 THEN []
+                  ELSE generate_series(0,
+                         greatest(CAST(floor((len(w) - 1) / 30.0) AS INT), 0))
+             END AS starts
+      FROM d)
+    SELECT doc_id,
+           CAST(unnest(list_transform(generate_series(1, len(starts)),
+                                      i -> i - 1)) AS INT) AS chunk_idx,
+           unnest(list_transform(starts,
+                  st -> array_to_string(w[(st * 30 + 1):(st * 30 + 40)], ' ')))
+             AS chunk
+    FROM s
+    """,
+)
+def t_chunk_windows(spark, sf_dir):
+    """Token-window chunking (functions/text.chunk_windows_expr): 40-token
+    windows every 30 tokens (10-token overlap) — the context-window split
+    a training/embedding pipeline applies before tokenization. Pure HOF
+    expression; posexplode only at the edge. Past the driver window
+    (contract-guard covered)."""
+    from pandasvcf_spark.functions.text import chunk_windows_expr
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return d.select(
+        "doc_id",
+        F.posexplode(chunk_windows_expr("text", size=40, stride=30)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk")

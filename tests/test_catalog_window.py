@@ -86,6 +86,9 @@ def test_tail_entries_are_redundant_variants_only():
         "v_cosine_topk_int8",    # int8-quantized scoring path: exact
                                  # integer-arithmetic oracle; fidelity
                                  # pytest vs float cosine
+        "t_redact_pii",          # PII scrub: same-literal-pattern oracle;
+                                 # contract guard
+        "t_chunk_windows",       # token-window chunking: same guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -598,3 +598,45 @@ def test_ann_partitioned_layout_prunes_at_scan(spark, tmp_path):
         if r["b"] == qbucket
     }
     assert {r["vec_id"] for r in probe.collect()} == full
+
+
+def test_chunk_windows_edges(spark):
+    from pandasvcf_spark.functions.text import chunk_windows_expr
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, ""), (4, "  123  ")],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", chunk_windows_expr("t", size=3, stride=2).alias("c")
+        ).collect()
+    }
+    # 7 tokens, starts 0,2,4,6: overlapping windows, ragged tail kept
+    assert got[1] == ["a b c", "c d e", "e f g", "g"]
+    assert got[2] == ["x"]  # shorter than one window -> one chunk
+    assert got[3] == []  # empty -> no chunks
+    assert got[4] == []  # no alphabetic tokens -> no chunks
+
+
+def test_redact_pii_expr(spark):
+    from pandasvcf_spark.functions.text import redact_pii_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co.uk now"),
+            (2, "see https://a.b/c?d=1 and http://q.r"),
+            (3, "call +1 (555) 010-1234 today"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["r"]
+        for r in df.select("id", redact_pii_expr("t").alias("r")).collect()
+    }
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "see <URL> and <URL>"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays clean"
