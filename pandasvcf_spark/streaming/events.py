@@ -265,6 +265,37 @@ def join_recent(
     return out
 
 
+def write_stream_partitioned(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    query_name: str = "sink",
+    available_now: bool = True,
+):
+    """Exactly-once parquet sink via foreachBatch: every micro-batch lands
+    in `out_path/batch_id=N`, so a replayed batch (failure between sink
+    write and checkpoint commit) OVERWRITES its own directory instead of
+    duplicating rows — idempotence from layout, the standard pattern when
+    the sink itself has no transactions. The checkpoint directory carries
+    the source offsets; together they give end-to-end exactly-once for
+    file sources. Returns the started StreamingQuery (await it yourself
+    for availableNow drains)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

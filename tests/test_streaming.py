@@ -218,3 +218,34 @@ def test_join_recent_stream_stream_equals_batch(spark, batch_events, events_dir)
         want.select("event_id", "event_id_r")
     )
     assert want.count() > 0
+
+
+def test_foreachbatch_sink_idempotent_layout(spark, batch_events, events_dir, tmp_path):
+    """The foreachBatch parquet sink must (a) land every input row exactly
+    once across batch_id directories, (b) leave nothing behind on a no-op
+    restart (offsets committed in the checkpoint)."""
+    from pandasvcf_spark.streaming.events import write_stream_partitioned
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(
+        spark, events_dir, schema=batch_events.schema, max_files_per_trigger=2
+    )
+    q = write_stream_partitioned(stream, out, ckpt, query_name="t_sink")
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == batch_events.count()
+    assert _sorted(got.select("event_id")) == _sorted(
+        batch_events.select("event_id")
+    )
+    assert got.select("batch_id").distinct().count() >= 2  # multi-batch run
+
+    # restart with the same checkpoint: no new input -> no change
+    q2 = write_stream_partitioned(
+        read_events_stream(spark, events_dir, schema=batch_events.schema),
+        out,
+        ckpt,
+        query_name="t_sink2",
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == batch_events.count()
