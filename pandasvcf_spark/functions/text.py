@@ -52,21 +52,53 @@ def words_expr(text: Column | str) -> Column:
 def word_ngrams_expr(text: Column | str, n: int = 3) -> Column:
     """ARRAY<STRING> of space-joined word n-grams (shingles). Texts with
     fewer than n words yield an empty array (guarded: Spark's
-    sequence(1, 0) counts DOWN, it is not empty)."""
+    sequence(1, 0) counts DOWN, it is not empty). The token array is bound
+    once (`bound_expr`) — slice-per-index must not re-tokenize."""
     w = words_expr(text)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return bound_expr(
+        w,
+        lambda ww: F.when(
+            F.size(ww) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ww) - (n - 1)),
+                lambda i: F.array_join(F.slice(ww, i, n), " "),
+            )
+        ),
     )
 
 
+
+def bound_expr(expr: Column, fn) -> Column:
+    """Evaluate `expr` ONCE and pass it to `fn` as a HOF lambda variable.
+
+    A non-lambda subexpression captured inside a higher-order-function
+    lambda is re-evaluated on EVERY element (HOF bodies run interpreted,
+    no common-subexpression elimination): `transform(idx, i ->
+    slice(shingles, i, k))` recomputes the whole `shingles` subtree per
+    window — quadratic in document length (measured: the winnowing catalog
+    entry spent 97 s at sf0.01 before this, 3 s after). Wrapping the
+    subtree as the single element of an array and binding it as the outer
+    transform's lambda variable forces one evaluation; `getItem(0)`
+    unwraps."""
+    return F.transform(F.array(expr), fn).getItem(0)
+
 def char_shingles_expr(text: Column | str, k: int = 5) -> Column:
     """ARRAY<STRING> of lowercase character k-shingles (whitespace collapsed).
-    Texts shorter than k chars yield an empty array."""
+    Texts shorter than k chars yield an empty array. The normalized text is
+    bound once (`bound_expr`) — substr-per-index must not re-run the
+    normalization regex per shingle."""
     t = F.regexp_replace(F.lower(_c(text)), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.length(t) - (k - 1))
-    return F.when(F.length(t) < k, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+    return bound_expr(
+        t,
+        lambda tt: F.when(
+            F.length(tt) < k, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(tt) - (k - 1)),
+                lambda i: tt.substr(i, F.lit(k)),
+            )
+        ),
     )
 
 
@@ -141,7 +173,7 @@ def lang_id_expr(text: Column | str) -> Column:
 
 
 def winnowing_fingerprints_expr(
-    text: Column | str, k: int = 5, window: int = 4
+    text: Column | str, k: int = 5, window: int = 4, portable: bool = False
 ) -> Column:
     """ARRAY<BIGINT> winnowing fingerprint set (Schleimer et al., MOSS):
     hash every character k-shingle (rolling window over the normalized
@@ -151,17 +183,34 @@ def winnowing_fingerprints_expr(
     adapts to document length.
 
     Pure nested HOFs over a per-row array — the shingle hash array is built
-    once (single transform), window minima slice it."""
+    once (single transform), window minima slice it.
+
+    portable: hash shingles with the 31-bit polynomial family
+    (`poly_hash_expr`) instead of xxhash64 — ANSI-reproducible, which is
+    what lets the catalog entry carry an exact SQL oracle (the same move
+    that gave SimHash its oracle). Default stays xxhash64: better
+    dispersion, fine whenever fingerprints only meet other fingerprints
+    from the same engine."""
     sh = char_shingles_expr(text, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    n_windows = F.size(hashes) - (window - 1)
-    mins = F.when(F.size(hashes) == 0, F.array().cast("array<bigint>")).when(
-        n_windows <= 0, F.array(F.array_min(hashes))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
+    if portable:
+        hashes = F.transform(sh, lambda s: poly_hash_expr(s))
+    else:
+        hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # Bind the hash array once: slice-per-window over a CAPTURED `hashes`
+    # re-hashes the whole document per window (quadratic; measured 97 s ->
+    # 3 s on the winnowing catalog entry at sf0.01).
+    mins = bound_expr(
+        hashes,
+        lambda hh: F.when(
+            F.size(hh) == 0, F.array().cast("array<bigint>")
         )
+        .when(F.size(hh) - (window - 1) <= 0, F.array(F.array_min(hh)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hh) - (window - 1)),
+                lambda i: F.array_min(F.slice(hh, i, window)),
+            )
+        ),
     )
     return F.array_distinct(mins)
 
@@ -234,17 +283,25 @@ def chunk_windows_expr(
     stride = stride or size
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    toks = words_expr(text)
-    n = F.size(toks)
-    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(
-            F.lit(0),
-            F.greatest(
-                F.floor((n.cast("double") - 1) / stride).cast("int"), F.lit(0)
-            ),
-        )
-    )
-    return F.transform(
-        starts,
-        lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+    # token array bound once (`bound_expr`): slicing per window over a
+    # captured token expr would re-tokenize the document per chunk
+    return bound_expr(
+        words_expr(text),
+        lambda toks: F.when(
+            F.size(toks) <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.floor((F.size(toks).cast("double") - 1) / stride)
+                        .cast("int"),
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.array_join(
+                    F.slice(toks, i * stride + 1, size), " "
+                ),
+            )
+        ),
     )

@@ -501,3 +501,54 @@ def t_chunk_windows(spark, sf_dir):
             "chunk_idx", "chunk"
         ),
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk")
+
+
+@register(
+    "t_winnow_fingerprints",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 80),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) < 5 THEN []
+        ELSE list_transform(generate_series(1, len(t) - 4),
+                            i -> substr(t, i, 5)) END AS sgl
+      FROM d),
+    hs AS (
+      SELECT doc_id,
+        list_transform(sgl, s ->
+          (CAST(ord(substr(s, 1, 1)) AS BIGINT) * 923521
+           + CAST(ord(substr(s, 2, 1)) AS BIGINT) * 29791
+           + CAST(ord(substr(s, 3, 1)) AS BIGINT) * 961
+           + CAST(ord(substr(s, 4, 1)) AS BIGINT) * 31
+           + CAST(ord(substr(s, 5, 1)) AS BIGINT)) % 2147483647) AS h
+      FROM sh),
+    mins AS (
+      SELECT doc_id,
+        CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+             WHEN len(h) < 4 THEN [list_min(h)]
+             ELSE list_transform(generate_series(1, len(h) - 3),
+                                 i -> list_min(h[i:i+3])) END AS m
+      FROM hs)
+    SELECT doc_id, list_sort(list_distinct(m)) AS fp FROM mins
+    """,
+)
+def t_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint sets under EXACT oracle check via the
+    portable polynomial hash family (`winnowing_fingerprints_expr(
+    portable=True)`) — the oracle expands the k=5 fold to its closed
+    polynomial form, exact because mod distributes and the pre-mod sum
+    fits BIGINT. Closes the last no-oracle row of the text family (the
+    same move that gave SimHash its oracle in round 4). Fingerprints
+    sorted on both sides for a canonical array value. Past the driver
+    window (contract-guard covered)."""
+    from pandasvcf_spark.functions.text import winnowing_fingerprints_expr
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return d.select(
+        "doc_id",
+        F.array_sort(
+            winnowing_fingerprints_expr("text", k=5, window=4, portable=True)
+        ).alias("fp"),
+    )

@@ -89,6 +89,8 @@ def test_tail_entries_are_redundant_variants_only():
         "t_redact_pii",          # PII scrub: same-literal-pattern oracle;
                                  # contract guard
         "t_chunk_windows",       # token-window chunking: same guard
+        "t_winnow_fingerprints", # winnowing under exact oracle (portable
+                                 # poly-hash family); same guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
