@@ -12,11 +12,16 @@ the missing piece of the single-file scale story (SURVEY §7.4 deferred it;
 reference is single-threaded line iteration, pandasvcf.py:94-99).
 
 Line protocol across chunk boundaries (blocks do NOT align to lines),
-Hadoop-text style: every task except the first discards bytes up to and
-including the first newline of its decompressed range; every task completes
-its final partial line by decompressing FORWARD into the next blocks until
-the newline shows up. Each line is thus emitted by exactly one task, in
-order, regardless of where block boundaries fall.
+Hadoop LineRecordReader style: every task except the first discards bytes
+up to and including the first newline of ITS OWN decompressed range, and
+every task except the last ALWAYS decompresses FORWARD into the following
+blocks through one newline — even when its own range ends exactly at a
+newline, because the line starting at the boundary belongs to it (the next
+task drops that line unconditionally). Each line is thus emitted by exactly
+one task, in order, regardless of where block boundaries fall. Conditioning
+the forward read on "my text doesn't end with a newline" (an earlier
+revision's bug) silently loses every line that starts exactly on a chunk
+boundary.
 
 Scale notes:
   * The driver index is O(n_blocks) seeks (~18 B each). A 100 GiB BGZF at
@@ -211,23 +216,30 @@ def read_bgzf_lines(
                         parts.append(d.decompress(comp))
                         comp = d.unused_data
                     text = b"".join(parts)
-                    # forward-complete the final line from following blocks
-                    if text and not text.endswith(b"\n"):
-                        fh.seek(int(end))
-                        while True:
-                            blk = _read_one_block(fh)
-                            if blk is None:
-                                break
-                            nl = blk.find(b"\n")
-                            if nl >= 0:
-                                text += blk[: nl + 1]
-                                break
-                            text += blk
-                # drop the partial first line (it belongs to the previous
-                # chunk's forward read)
-                if not first:
-                    nl = text.find(b"\n")
-                    text = text[nl + 1 :] if nl >= 0 else b""
+                    # Drop the first line of OUR OWN bytes — before any
+                    # forward read, so a newline-free chunk (interior of
+                    # one long line) emits nothing instead of stealing the
+                    # next chunk's first line. The dropped line belongs to
+                    # the previous task's unconditional forward read.
+                    if not first:
+                        nl = text.find(b"\n")
+                        if nl < 0:
+                            continue
+                        text = text[nl + 1 :]
+                    # ALWAYS claim one line past our end boundary — even
+                    # when our own text ends exactly at a newline, the line
+                    # starting at the boundary is ours (the next task drops
+                    # it unconditionally). Terminates naturally at EOF.
+                    fh.seek(int(end))
+                    while True:
+                        blk = _read_one_block(fh)
+                        if blk is None:
+                            break
+                        nl = blk.find(b"\n")
+                        if nl >= 0:
+                            text += blk[: nl + 1]
+                            break
+                        text += blk
                 had_newline = text.endswith(b"\n")
                 if had_newline:
                     # strip exactly one: inner/extra empty lines are real rows

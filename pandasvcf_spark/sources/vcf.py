@@ -110,13 +110,22 @@ def resolve_vcf_paths(path: str | list[str]) -> list[str]:
             raise FileNotFoundError(f"no files match {path!r}")
         return found
     if os.path.isdir(path):
+        # *.vcf / *.vcf.gz, plus write_vcf's own output shards (Spark's
+        # text writer names them part-*.txt) so a written directory
+        # round-trips through read_vcf directly.
         found = sorted(
             p
             for p in glob.glob(os.path.join(path, "*"))
             if p.endswith((".vcf", ".vcf.gz"))
+            or (
+                os.path.basename(p).startswith("part-")
+                and not p.endswith(".crc")
+            )
         )
         if not found:
-            raise FileNotFoundError(f"no *.vcf/*.vcf.gz files in {path!r}")
+            raise FileNotFoundError(
+                f"no *.vcf/*.vcf.gz/part-* files in {path!r}"
+            )
         return found
     return [path]
 
@@ -252,14 +261,23 @@ def read_vcf(
         and is_bgzf(files[0])
     )
     if use_bgzf:
-        # Splittable path for a single blocked-gzip file: parallelism comes
-        # from block-aligned chunk ranges — no repartition shuffle of the
-        # raw text. Predicates cannot cross the Arrow source, but an
-        # inferred filter (size(samples)>0 from the downstream explode)
-        # would still sit as a separate FilterExec carrying the whole parse
-        # subtree right above it — the same double-evaluation the barrier
-        # below prevents, so mark the plan spread here too.
-        lines = read_bgzf_lines(spark, files[0])
+        # Splittable path for blocked-gzip files: parallelism comes from
+        # block-aligned chunk ranges — no repartition shuffle of the raw
+        # text. With bgzf=True and multiple shards, EVERY shard goes
+        # through the splittable source and the line streams are unioned
+        # (each shard independently chunk-parallel; an earlier revision
+        # silently read only files[0]). Predicates cannot cross the Arrow
+        # source, but an inferred filter (size(samples)>0 from the
+        # downstream explode) would still sit as a separate FilterExec
+        # carrying the whole parse subtree right above it — the same
+        # double-evaluation the barrier below prevents, so mark the plan
+        # spread here too.
+        from functools import reduce
+
+        lines = reduce(
+            DataFrame.unionAll,
+            [read_bgzf_lines(spark, f) for f in files],
+        )
         spread_source = True
     else:
         lines = spark.read.text(files)
@@ -398,10 +416,14 @@ def write_vcf(
     source '50' but value-identical after re-parse — round-trip fidelity
     is at the DataFrame level, asserted by tests.
 
-    n_shards: repartition count (keeps every shard non-empty provided
-    rows >= shards — an empty text part would be header-less and fail a
-    later multi-file read). sort: global CHROM/POS order across shards
-    (range exchange; off by default, same rationale as annotate_vcf)."""
+    n_shards: shard-file count, honored with or without sort (under sort
+    it becomes the range-partition count, so the global order still holds
+    across exactly n_shards files). A partition that ends up empty (e.g.
+    n_shards > rows) still gets the full header block, so every emitted
+    shard — including empty ones — is a valid standalone VCF and the
+    directory read-back never sees a header-less file. sort: global
+    CHROM/POS order across shards (range exchange; off by default, same
+    rationale as annotate_vcf)."""
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     fixed = [c for c in FIXED_COLS if c in wide.columns]
@@ -421,7 +443,17 @@ def write_vcf(
         ).otherwise(cols)
     else:
         line = cols
-    if sort:
+    if sort and n_shards:
+        # repartitionByRange + sortWithinPartitions == orderBy with an
+        # explicit partition count: contiguous key ranges per shard,
+        # sorted within, so concatenating shards in filename order is the
+        # globally sorted file — and the shard count is the caller's, not
+        # spark.sql.shuffle.partitions (an earlier revision silently
+        # ignored n_shards under sort).
+        wide = wide.repartitionByRange(
+            n_shards, "CHROM", "POS"
+        ).sortWithinPartitions("CHROM", "POS")
+    elif sort:
         wide = wide.orderBy("CHROM", "POS")
     elif n_shards:
         wide = wide.repartition(n_shards)
@@ -448,6 +480,14 @@ def write_vcf(
                 )
                 first = False
             yield batch
+        if first:
+            # Empty partition (n_shards > rows): emit the header anyway so
+            # the shard is a valid standalone VCF instead of a header-less
+            # empty file that breaks a later multi-file read.
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(header_lines, type=pa.string())],
+                ["value"],
+            )
 
     body.mapInArrow(add_header, "value string").write.mode(
         "overwrite"

@@ -60,6 +60,49 @@ def test_lines_equal_text_scan_across_boundaries(spark, tmp_path):
         assert got == want, f"chunk={chunk}"
 
 
+def test_newline_aligned_boundaries_lose_nothing(spark, tmp_path):
+    """Regression: when a chunk boundary falls EXACTLY on a newline, the
+    line starting at the boundary must still be emitted by exactly one
+    task (the previous one, via its unconditional forward read). An
+    earlier revision forward-read only when its text did not end with a
+    newline, so every boundary-starting line was silently dropped — with
+    8-byte blocks (one line per block) and 2-block chunks, 4 of 10 lines
+    vanished."""
+    lines = [f"line{i:03d}" for i in range(10)]  # 7 chars + \n = 8 bytes
+    data = ("\n".join(lines) + "\n").encode()
+    p = str(tmp_path / "aligned.bgzf.gz")
+    write_bgzf(p, data, block_raw_bytes=8)  # every block boundary == newline
+    # target_chunk_bytes small enough that every chunk is a handful of
+    # blocks; sweep several geometries including 1-block chunks
+    for chunk in (1, 40, 80, 200):
+        got = sorted(
+            r.value
+            for r in read_bgzf_lines(
+                spark, p, target_chunk_bytes=chunk
+            ).collect()
+        )
+        assert got == lines, f"chunk={chunk}: {got}"
+
+
+def test_drop_consumes_entire_chunk_text(spark, tmp_path):
+    """A non-first chunk whose own text is exactly one terminated line must
+    still claim the line starting at its end boundary (drop leaves empty
+    text; the forward read must run anyway)."""
+    lines = [f"{i}" * (i + 1) for i in range(12)]  # ragged lengths
+    data = ("\n".join(lines) + "\n").encode()
+    p = str(tmp_path / "ragged.bgzf.gz")
+    for blk in (3, 5, 8, 13):
+        write_bgzf(p, data, block_raw_bytes=blk)
+        for chunk in (1, 2 * blk, 5 * blk):
+            got = sorted(
+                r.value
+                for r in read_bgzf_lines(
+                    spark, p, target_chunk_bytes=chunk
+                ).collect()
+            )
+            assert got == sorted(lines), f"blk={blk} chunk={chunk}"
+
+
 def test_read_vcf_bgzf_equals_plain(spark, tmp_path):
     p = str(tmp_path / "golden.bgzf.vcf.gz")
     write_bgzf(p, open(GOLDEN, "rb").read(), block_raw_bytes=256)

@@ -155,3 +155,83 @@ def test_write_vcf_roundtrip(spark, tmp_path):
         return sorted(tuple(str(x) for x in r) for r in df.collect())
 
     assert key(back) == key(wide)
+    # directory read-back also works (part-* files resolve in dir mode)
+    assert key(read_vcf(spark, out)) == key(wide)
+
+
+def test_write_vcf_sorted_honors_n_shards(spark, tmp_path):
+    """sort=True with n_shards must produce exactly n_shards range-sorted
+    shard files (an earlier revision let the orderBy's shuffle-partition
+    count silently override n_shards), and concatenating the shards in
+    filename order must be globally CHROM/POS sorted."""
+    import glob as _glob
+
+    from pandasvcf_spark.sources.vcf import read_vcf_header, write_vcf
+
+    wide = read_vcf(spark, GOLDEN)
+    header = read_vcf_header(GOLDEN)
+    out = str(tmp_path / "sorted_export")
+    write_vcf(wide, out, header, n_shards=4, sort=True)
+
+    parts = sorted(_glob.glob(out + "/part-*"))
+    assert len(parts) == 4
+    body_rows = []
+    for p in parts:
+        for ln in open(p).read().splitlines():
+            assert ln != ""  # no stray blank lines
+            if not ln.startswith("#"):
+                f = ln.split("\t")
+                body_rows.append((f[0], int(f[1])))
+    assert body_rows == sorted(body_rows)  # global order across shards
+    assert len(body_rows) == wide.count()
+
+    def key(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    assert key(read_vcf(spark, out)) == key(wide)
+
+
+def test_write_vcf_more_shards_than_rows(spark, tmp_path):
+    """n_shards > rows: empty partitions still emit the full header, so
+    every shard is a valid standalone VCF and the directory reads back."""
+    import glob as _glob
+
+    from pandasvcf_spark.sources.vcf import read_vcf_header, write_vcf
+
+    wide = read_vcf(spark, GOLDEN).limit(3)
+    header = read_vcf_header(GOLDEN)
+    out = str(tmp_path / "tiny_export")
+    write_vcf(wide, out, header, n_shards=8)
+
+    parts = sorted(_glob.glob(out + "/part-*"))
+    assert len(parts) == 8
+    for p in parts:
+        lines = open(p).read().splitlines()
+        assert lines[0].startswith("##fileformat")
+        assert any(ln.startswith("#CHROM") for ln in lines)
+
+    def key(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    assert key(read_vcf(spark, out)) == key(wide)
+
+
+def test_read_vcf_bgzf_forced_multi_file(spark, tmp_path):
+    """bgzf=True with a shard LIST must read every shard through the
+    splittable source (an earlier revision silently read only files[0])."""
+    from pandasvcf_spark.sources.bgzf import write_bgzf
+
+    raw = open(GOLDEN, "rb").read().splitlines(keepends=True)
+    header = b"".join(ln for ln in raw if ln.startswith(b"#"))
+    body = [ln for ln in raw if not ln.startswith(b"#")]
+    mid = len(body) // 2
+    p1 = str(tmp_path / "shard_a.vcf.gz")
+    p2 = str(tmp_path / "shard_b.vcf.gz")
+    write_bgzf(p1, header + b"".join(body[:mid]), block_raw_bytes=128)
+    write_bgzf(p2, header + b"".join(body[mid:]), block_raw_bytes=128)
+
+    def key(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    want = key(read_vcf(spark, GOLDEN))
+    assert key(read_vcf(spark, [p1, p2], bgzf=True)) == want
