@@ -40,6 +40,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import struct
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,17 +76,71 @@ def _block_size(header: bytes) -> int | None:
     return None
 
 
-def bgzf_block_offsets(path: str) -> list[int]:
-    """Driver-side block index: byte offset of every BGZF block. Reads only
-    the 18+ byte header of each block (seek + tiny read, no inflate)."""
+def _read_gzi(gzi_path: str, file_size: int) -> list[int] | None:
+    """Parse a bgzip `.gzi` sidecar index into block offsets, or None when
+    absent/implausible. Format (bgzip -r): little-endian uint64 entry
+    count, then one (compressed_offset, uncompressed_offset) uint64 pair
+    per block AFTER the first (block 0 at offset 0 is implicit)."""
+    try:
+        with open(gzi_path, "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return None
+    if len(raw) < 8:
+        return None
+    (n,) = struct.unpack_from("<Q", raw, 0)
+    if len(raw) < 8 + 16 * n:
+        return None
+    offsets = [0]
+    for i in range(n):
+        offsets.append(struct.unpack_from("<Q", raw, 8 + 16 * i)[0])
+    if offsets != sorted(set(offsets)) or (
+        len(offsets) > 1 and offsets[-1] >= file_size
+    ):
+        return None
+    return offsets
+
+
+def bgzf_block_offsets(path: str, buf_bytes: int = 8 << 20) -> list[int]:
+    """Driver-side block index: byte offset of every BGZF block.
+
+    An existing bgzip `.gzi` sidecar is honored (spot-checked, not blindly
+    trusted: the first and last recorded offsets must carry valid BGZF
+    headers — a stale index from a rewritten file fails that and falls
+    through to the scan). Otherwise the file is read in `buf_bytes`
+    sequential chunks and block headers are walked in-memory — O(size /
+    buf_bytes) reads. An earlier revision issued one seek+read PER BLOCK
+    (~1.6M round trips for 100 GiB at 64 KiB/block): invisible on local
+    disk, hours of GET latency on object storage."""
+    file_size = os.path.getsize(path)
+    gzi = _read_gzi(path + ".gzi", file_size)
+    if gzi is not None:
+        with open(path, "rb") as fh:
+            ok = True
+            for off in {gzi[0], gzi[-1]}:
+                fh.seek(off)
+                if _block_size(fh.read(64)) is None:
+                    ok = False
+                    break
+        if ok:
+            return gzi
     offsets = []
     with open(path, "rb") as fh:
-        pos = 0
+        pos = 0  # absolute offset of the next block header
+        buf = b""
+        buf_start = 0  # absolute offset of buf[0]
         while True:
-            header = fh.read(64)
-            if len(header) < 18:
+            rel = pos - buf_start
+            if rel + 64 > len(buf):
+                # refill from the current position — strictly forward, so
+                # reads stay sequential and count ~ceil(size/buf_bytes)
+                fh.seek(pos)
+                buf = fh.read(buf_bytes)
+                buf_start = pos
+                rel = 0
+            if len(buf) - rel < 18:
                 break
-            size = _block_size(header)
+            size = _block_size(buf[rel : rel + 64])
             if size is None:
                 raise ValueError(
                     f"{path!r} is not BGZF at offset {pos} — use the "
@@ -93,7 +148,6 @@ def bgzf_block_offsets(path: str) -> list[int]:
                 )
             offsets.append(pos)
             pos += size
-            fh.seek(pos)
     return offsets
 
 
@@ -120,15 +174,24 @@ BGZF_EOF = bytes.fromhex(
 )
 
 
-def write_bgzf(path: str, data: bytes, block_raw_bytes: int = 65280) -> None:
+def write_bgzf(
+    path: str,
+    data: bytes,
+    block_raw_bytes: int = 65280,
+    emit_gzi: bool = False,
+) -> None:
     """Write bytes as a BGZF file (independent gzip members, each with the
     'BC' size subfield, htslib EOF block). Driver-side utility — used by
     tests to build splittable fixtures, and small enough to serve as the
-    reference for what the reader expects."""
+    reference for what the reader expects. emit_gzi also writes the bgzip
+    `.gzi` sidecar (entry count + (caddr, uaddr) pairs, block 0 implicit)
+    so `bgzf_block_offsets` can skip the header scan entirely."""
     import zlib
 
+    entries = []  # (compressed_offset, uncompressed_offset) per data block
     with open(path, "wb") as out:
         for i in range(0, len(data), block_raw_bytes):
+            entries.append((out.tell(), i))
             chunk = data[i : i + block_raw_bytes]
             comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate
             crc = zlib.crc32(chunk)
@@ -141,6 +204,11 @@ def write_bgzf(path: str, data: bytes, block_raw_bytes: int = 65280) -> None:
                 + struct.pack("<II", crc, len(chunk) & 0xFFFFFFFF)
             )
         out.write(BGZF_EOF)
+    if emit_gzi:
+        with open(path + ".gzi", "wb") as gz:
+            gz.write(struct.pack("<Q", max(0, len(entries) - 1)))
+            for caddr, uaddr in entries[1:]:
+                gz.write(struct.pack("<QQ", caddr, uaddr))
 
 
 def read_bgzf_lines(
