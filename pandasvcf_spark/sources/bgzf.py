@@ -333,3 +333,85 @@ def read_bgzf_lines(
 
     df = spark.createDataFrame(meta)
     return df.repartition(len(ranges)).mapInArrow(scan, "value string")
+
+
+def read_bgzf_virtual_ranges(
+    spark: SparkSession,
+    path: str,
+    vranges: list[tuple[int, int]],
+) -> DataFrame:
+    """Distributed line scan of tabix virtual-offset ranges of a BGZF
+    file: DataFrame of (value STRING) holding exactly the records between
+    each range's begin and end voffsets.
+
+    Every voffset (`coffset << 16 | uoffset`) is required to point at a
+    record boundary — true for tabix chunk begin/end offsets by spec — so
+    the slice between them can never yield a partial line. One task per
+    merged range: region queries are selective by construction (a few
+    chunk ranges per region), so range count IS the right parallelism;
+    a query wide enough to defeat that should use the full splittable
+    scan (`read_bgzf_lines`) + filter instead."""
+    import pandas as pd
+
+    if not vranges:
+        return spark.createDataFrame([], "value string")
+    meta = pd.DataFrame(
+        {
+            "vbeg": [int(v[0]) for v in vranges],
+            "vend": [int(v[1]) for v in vranges],
+        }
+    )
+
+    def scan(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            cols = batch.to_pydict()
+            for vbeg, vend in zip(cols["vbeg"], cols["vend"]):
+                cbeg, ubeg = vbeg >> 16, vbeg & 0xFFFF
+                cend, uend = vend >> 16, vend & 0xFFFF
+                parts = []
+                end_block_text_start = None
+                with open(path, "rb") as fh:
+                    fh.seek(cbeg)
+                    pos = cbeg
+                    while True:
+                        if pos == cend and uend == 0:
+                            end_block_text_start = sum(map(len, parts))
+                            break
+                        blk = _read_one_block(fh)
+                        if blk is None:  # EOF before cend: vend == file end
+                            end_block_text_start = sum(map(len, parts))
+                            uend = 0
+                            break
+                        if pos == cend:
+                            end_block_text_start = sum(map(len, parts))
+                            parts.append(blk)
+                            break
+                        parts.append(blk)
+                        pos = fh.tell()
+                        if pos > cend:
+                            raise ValueError(
+                                f"virtual offset {vend} does not land on a "
+                                f"block boundary of {path!r} — stale index?"
+                            )
+                text = b"".join(parts)
+                text = text[ubeg : end_block_text_start + uend]
+                if text.endswith(b"\n"):
+                    text = text[:-1]
+                if not text:
+                    continue
+                if b"\r\n" in text:
+                    text = text.replace(b"\r\n", b"\n")
+                try:
+                    chunk_arr = pa.array([text.decode("utf-8")])
+                except UnicodeDecodeError:
+                    chunk_arr = pa.array([text.decode("utf-8", "replace")])
+                lines = pc.list_flatten(
+                    pc.split_pattern(chunk_arr, pattern="\n")
+                )
+                yield pa.RecordBatch.from_arrays([lines], ["value"])
+
+    df = spark.createDataFrame(meta)
+    return df.repartition(len(vranges)).mapInArrow(scan, "value string")

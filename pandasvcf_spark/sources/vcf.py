@@ -183,6 +183,7 @@ def read_vcf(
     dedup: bool = False,
     repartition: int | str | None = "auto",
     bgzf: bool | str = "auto",
+    region: str | None = None,
 ) -> DataFrame:
     """Scan a VCF (single file, glob, directory, or explicit shard list)
     into the wide variants DataFrame.
@@ -219,6 +220,16 @@ def read_vcf(
         decompression with NO pre-parse shuffle, the single-file scale
         path. True forces it (raises on non-BGZF), False disables (plain
         `spark.read.text` + repartition spread).
+    region: 'chr22' | '22:16050075-16654125' (1-based inclusive, tabix
+        syntax). Always applied as an EXACT overlap filter on the parsed
+        rows (record spans POS..POS+len(REF)-1, the tabix VCF preset).
+        When every input shard is BGZF with a `.tbi` sidecar, the scan is
+        additionally PRUNED to the index's blocks for the region
+        (sources/tabix.py) — the result is identical either way, the
+        index only changes how many bytes are touched. The reference
+        ships .tbi files but never uses them (vcf_metadata.py:18 shells
+        to tabix for headers only); at 100 GB-single-file scale this is
+        the difference between a full scan and a few dozen block reads.
     """
     files = resolve_vcf_paths(path)
     header = read_vcf_header(files[0])
@@ -247,20 +258,59 @@ def read_vcf(
         want = {c.lstrip("#") for c in cols} | set(MANDATORY_COLS)
         fixed = [c for c in FIXED_COLS if c in want and c in header.columns]
 
-    from pandasvcf_spark.sources.bgzf import is_bgzf, read_bgzf_lines
+    from pandasvcf_spark.sources.bgzf import (
+        is_bgzf,
+        read_bgzf_lines,
+        read_bgzf_virtual_ranges,
+    )
 
-    # auto: only worth it when the single-task decompress actually hurts —
+    region_parts = None
+    if region is not None:
+        from pandasvcf_spark.sources.tabix import parse_region
+
+        region_parts = parse_region(region)
+
+    # Index-pruned region scan: only when EVERY shard is BGZF with a .tbi
+    # sidecar (a mixed fleet falls back to the full scan — the exact
+    # filter below makes the result identical, pruning is purely a
+    # bytes-touched optimization).
+    use_tabix = region_parts is not None and all(
+        f.endswith(".gz") and os.path.exists(f + ".tbi") and is_bgzf(f)
+        for f in files
+    )
     # below ~64 MB compressed the JVM text scan + repartition spread wins
     # (the BGZF path pays Arrow transfer of the raw text; the JVM path's
     # one-task decompress is sub-second at that size).
-    use_bgzf = bgzf is True or (
-        bgzf == "auto"
-        and len(files) == 1
-        and files[0].endswith(".gz")
-        and os.path.getsize(files[0]) >= (64 << 20)
-        and is_bgzf(files[0])
+    use_bgzf = not use_tabix and (
+        bgzf is True
+        or (
+            bgzf == "auto"
+            and len(files) == 1
+            and files[0].endswith(".gz")
+            and os.path.getsize(files[0]) >= (64 << 20)
+            and is_bgzf(files[0])
+        )
     )
-    if use_bgzf:
+    if use_tabix:
+        from functools import reduce
+
+        from pandasvcf_spark.sources.tabix import read_tabix, region_chunks
+
+        seq, beg1, end1 = region_parts
+        shard_lines = []
+        for f in files:
+            idx = read_tabix(f + ".tbi")
+            rid = idx.ref_id(seq)
+            if rid is None:
+                vr = []  # contig absent from this shard
+            elif beg1 is None:
+                vr = region_chunks(idx, rid, 0, 1 << 29)
+            else:
+                vr = region_chunks(idx, rid, beg1 - 1, end1)
+            shard_lines.append(read_bgzf_virtual_ranges(spark, f, vr))
+        lines = reduce(DataFrame.unionAll, shard_lines)
+        spread_source = True
+    elif use_bgzf:
         # Splittable path for blocked-gzip files: parallelism comes from
         # block-aligned chunk ranges — no repartition shuffle of the raw
         # text. With bgzf=True and multiple shards, EVERY shard goes
@@ -296,6 +346,7 @@ def read_vcf(
         parallelism = spark.sparkContext.defaultParallelism
         if (
             not use_bgzf
+            and not use_tabix
             and any(f.endswith(".gz") for f in files)
             and len(files) < parallelism
             and not dedup
@@ -344,6 +395,27 @@ def read_vcf(
                 ]
             )
         out_cols.append(F.map_from_arrays(keys, vals).alias("samples"))
+    region_cond = None
+    if region_parts is not None:
+        # Exact overlap filter, applied on BOTH the pruned and full-scan
+        # routes (the index may only over-select — bins are coarse).
+        # Record span is POS .. POS+len(REF)-1, the tabix VCF preset;
+        # CHROM is already chr-stripped by the parse, so normalize the
+        # queried name the same way.
+        seq, beg1, end1 = region_parts
+        seq_norm = seq[3:] if seq.startswith("chr") else seq
+        region_cond = F.col("CHROM") == F.lit(seq_norm)
+        if beg1 is not None:
+            region_cond = (
+                region_cond
+                & (F.col("POS") <= F.lit(end1))
+                & (
+                    F.col("POS")
+                    + F.greatest(F.length("REF"), F.lit(1))
+                    - F.lit(1)
+                    >= F.lit(beg1)
+                )
+            )
     if spread:
         # Pushdown BARRIER: when the plan contains a pre-parse exchange
         # (repartition/dedup), downstream predicates must not be substituted
@@ -359,8 +431,12 @@ def read_vcf(
         # Without an exchange (splittable input) pushdown to the scan is
         # parallel and row-pruning — keep it.
         row = F.explode(F.array(F.struct(*out_cols))).alias("__row")
-        return body.select(row).select("__row.*")
-    return body.select(*out_cols)
+        out = body.select(row).select("__row.*")
+    else:
+        out = body.select(*out_cols)
+    if region_cond is not None:
+        out = out.filter(region_cond)
+    return out
 
 
 def vcf_to_parquet(
