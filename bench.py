@@ -28,9 +28,16 @@ parquet path (`vcf_to_parquet` once, then the same annotate pipeline from
 columnar storage — the 100×-scale shape, where the scan is splittable and
 pruned). The one-time ingest cost is reported separately.
 
+The BGZF stage re-blocks the 1000G fixture to 56x its size (~63 MB
+compressed / ~5.5 GB raw — BGZF files concatenate at the byte level, so
+this is a byte copy, not a recompress) and times the splittable
+chunk-parallel scan against the single-task JVM text scan, recording the
+measured basis for read_vcf's 64 MiB auto-threshold every round.
+
 Set SPARK_GRAFT_BENCH_VCF=0 to skip the VCF fixture stages,
 SPARK_GRAFT_BENCH_DUCKDB=0 to skip the DuckDB anchor,
-SPARK_GRAFT_BENCH_RECALL=0 to skip the ANN recall telemetry.
+SPARK_GRAFT_BENCH_RECALL=0 to skip the ANN recall telemetry,
+SPARK_GRAFT_BENCH_BGZF=0 to skip the BGZF splittable-scan stage.
 """
 
 from __future__ import annotations
@@ -197,6 +204,62 @@ def main() -> None:
             assert n2 == n, (n, n2)  # the two paths must agree exactly
         finally:
             shutil.rmtree(pq_dir, ignore_errors=True)
+
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_BGZF", "1") != "0"
+        and os.path.exists(KG_VCF)
+    ):
+        from pandasvcf_spark.sources.bgzf import (
+            BGZF_EOF,
+            is_bgzf,
+            read_bgzf_lines,
+        )
+
+        # Build (once, cached) a >=64 MiB BGZF fixture by repeating the
+        # 1000G bytes sans EOF marker — BGZF members concatenate, so this
+        # is a byte copy, not a recompress. 56 copies ~= 63 MB compressed,
+        # ~5.5 GB raw: right at the auto-threshold boundary.
+        fixture = os.path.join(
+            tempfile.gettempdir(), "pandasvcf_bench_bgzf56.vcf.gz"
+        )
+        src = open(KG_VCF, "rb").read()
+        assert src.endswith(BGZF_EOF)
+        want_size = (len(src) - len(BGZF_EOF)) * 56 + len(BGZF_EOF)
+        if (
+            not os.path.exists(fixture)
+            or os.path.getsize(fixture) != want_size
+        ):
+            with open(fixture, "wb") as out:
+                for _ in range(56):
+                    out.write(src[: -len(BGZF_EOF)])
+                out.write(BGZF_EOF)
+        assert is_bgzf(fixture)
+
+        def _min_of2(fn):
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                n = fn()
+                times.append(time.time() - t0)
+            return min(times), n
+
+        split_s, n_split = _min_of2(
+            lambda: read_bgzf_lines(spark, fixture).count()
+        )
+        single_s, n_single = _min_of2(lambda: spark.read.text(fixture).count())
+        assert n_split == n_single, (n_split, n_single)
+        comp_mb = os.path.getsize(fixture) / 2**20
+        result["bgzf_fixture_mb"] = round(comp_mb, 1)
+        result["bgzf_split_scan_sec"] = round(split_s, 3)
+        result["bgzf_single_task_scan_sec"] = round(single_s, 3)
+        print(
+            f"# bgzf scan ({comp_mb:.0f} MB compressed, {n_split} lines): "
+            f"splittable {split_s:.2f}s vs single-task {single_s:.2f}s — "
+            "local[32] single-JVM numbers; the splittable path's win is "
+            "cluster-shape (no raw-text exchange, no one-task decompress "
+            "of the whole file), see sources/vcf.py threshold comment",
+            file=sys.stderr,
+        )
 
     print(json.dumps(result))
 

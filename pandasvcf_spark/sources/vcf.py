@@ -278,9 +278,21 @@ def read_vcf(
         f.endswith(".gz") and os.path.exists(f + ".tbi") and is_bgzf(f)
         for f in files
     )
-    # below ~64 MB compressed the JVM text scan + repartition spread wins
-    # (the BGZF path pays Arrow transfer of the raw text; the JVM path's
-    # one-task decompress is sub-second at that size).
+    # auto-threshold, MEASURED (round 6, local[32], 1000G x56 re-blocked
+    # fixture, 62.8 MB compressed / ~5.5 GB raw, min-of-2; re-recorded
+    # every round by bench.py's BGZF stage): end-to-end read_vcf+parse is
+    # 48.6 s (splittable) vs 43.7 s (JVM text + repartition) — break-even
+    # within the bench's ~30% ambient swing. Scan-only: 18.3 s vs 9.2 s —
+    # the JVM route wins locally because its "shuffle" is memory-speed
+    # inside one JVM while the splittable path pays Arrow transfer of the
+    # raw text. The split path's win is CLUSTER-shape, growing with size:
+    # the JVM route is one task decompressing the whole file (a 100 GB
+    # .gz is ~8.7 TB raw through one core) plus a full raw-text exchange
+    # (network on a real cluster; local spill once raw > memory), while
+    # the BGZF route is embarrassingly parallel with no exchange. 64 MiB
+    # is the measured local break-even and the smallest size where the
+    # cluster-shape argument dominates; below it the one-task decompress
+    # is sub-second and not worth the split path's fixed overhead.
     use_bgzf = not use_tabix and (
         bgzf is True
         or (
