@@ -145,6 +145,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        from pandasvcf_spark.queries.vectors_q import ivf_recall_at_10
+
+        t0 = time.time()
+        ivf_recall = ivf_recall_at_10(spark, sf_dir)
+        result["ivf_recall_at_10"] = round(ivf_recall, 4)
+        print(
+            f"# ivf_recall_at_10: {ivf_recall:.4f} ({time.time() - t0:.1f}s, "
+            "trained k-means centroids, 3-probe, 200-query sample)",
+            file=sys.stderr,
+        )
+
     if os.environ.get("SPARK_GRAFT_BENCH_VCF", "1") != "0" and os.path.exists(KG_VCF):
         from pandasvcf_spark.operators import annotate_vcf
         from pandasvcf_spark.operators.annotate import (

@@ -559,6 +559,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    method: str = "label",
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: (id, component) with
     component = the minimum id reachable from each vertex. The step a dedup
@@ -578,7 +579,19 @@ def connected_components(
     round, intrinsic to iterate-until-fixpoint).
 
     Raises RuntimeError if max_iter rounds don't converge — a silent
-    partial closure would merge too few duplicates and look "done"."""
+    partial closure would merge too few duplicates and look "done".
+
+    method="star" switches to alternating large-star/small-star
+    contraction (the MapReduce connected-components algorithm of Kiveris
+    et al., 2014): each round rewires every vertex's neighbors toward its
+    local minimum, halving component diameter, so convergence is
+    O(log n) ROUNDS regardless of chain length — the variant to use when
+    the graph may have long paths (label propagation needs diameter
+    rounds). Same output contract, same convergence error."""
+    if method == "star":
+        return _cc_star(pairs, src, dst, max_iter)
+    if method != "label":
+        raise ValueError(f"unknown method {method!r}: use 'label' or 'star'")
     edges = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     )
@@ -611,6 +624,99 @@ def connected_components(
             return labels.select("id", F.col("lbl").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
-        "graph diameter exceeds the bound; raise max_iter or use a "
-        "star-contraction variant for long-chain graphs"
+        "graph diameter exceeds the bound; raise max_iter or use "
+        "method='star' for long-chain graphs"
+    )
+
+
+def _cc_star(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014). Per round:
+
+      * large-star: group the BIDIRECTED adjacency by vertex u, compute
+        m = min(Γ(u) ∪ {u}), and rewire every strictly-LARGER neighbor
+        v > u to m — one groupBy + one join (2 shuffles);
+      * small-star: orient every edge (larger → smaller), group by the
+        larger endpoint u, m = min(Γ(u) ∪ {u}), rewire every neighbor
+        (all ≤ u) plus u itself to m.
+
+    Each round at least halves the height of every tree in the hooking
+    forest, so the edge set reaches a fixpoint — a forest of stars whose
+    center IS the component minimum — in O(log n) rounds even on a pure
+    chain, where label propagation needs diameter rounds. Fixpoint is
+    detected by (count, xxhash64-sum) of the canonical edge set — a
+    single-row action per round; `localCheckpoint` bounds lineage exactly
+    as the label-propagation loop does.
+
+    Vertices whose only pair was a self-loop never appear in the edge
+    set; the final left-join against the input vertex set restores them
+    as singleton components, matching method='label'."""
+    vertices = (
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star over the bidirected adjacency
+        bidir = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = bidir.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            bidir.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the (larger → smaller) orientation
+        oriented = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins2 = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        rewired = (
+            oriented.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = rewired.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        edges = rewired
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in "
+            f"{max_iter} rounds — raise max_iter"
+        )
+    # fixpoint edge set is a star forest: a = member, b = component min
+    labels = edges.select(F.col("a").alias("id"), F.col("b").alias("lbl"))
+    return vertices.join(labels, "id", "left").select(
+        "id", F.coalesce("lbl", F.col("id")).alias("component")
     )

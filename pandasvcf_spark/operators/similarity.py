@@ -72,6 +72,57 @@ def cosine_topk(
     )
 
 
+def _topk_rows(ST, vids, kk, chunk: int = 64):
+    """Vectorized per-ROW top-k of a score block ST[q, b] with the exact
+    deterministic tie contract of the window rank (descending score,
+    ascending vec_id) — zero Python-level per-query work. Replaces the
+    round-5 per-query loop (one partition+lexsort per query; at 10⁴
+    queries that loop, not the BLAS, dominated the kernel — the probe
+    test in test_text_vectors.py measures the speedup).
+
+    Selection is threshold-based so ties are NEVER decided by which
+    element a partition happened to keep:
+
+      1. a cheap per-row LOWER bound t0 of the kth-largest value: the
+         kth-largest of per-chunk maxima (>= kk chunks have max >= t0,
+         hence >= kk elements >= t0, hence kth-largest >= t0) — one
+         contiguous max pass over the block plus a partition of the
+         small [q, b/chunk] maxima matrix, ~5× cheaper than a direct
+         [q, b] partition;
+      2. candidate mask ST >= t0 — a strict SUPERSET of the tie-inclusive
+         top set (~k+1 candidates/row on real score distributions; a
+         degenerate all-equal row degrades to sorting that row in full,
+         slower but still exact);
+      3. ONE global lexsort keyed (row, -score, vec_id), first kk per
+         row — boundary ties resolve to the smallest vec_id.
+
+    Returns (row_idx, vec_ids, scores) as flat aligned arrays."""
+    import numpy as np
+
+    q, b = ST.shape
+    g = b // chunk
+    if b <= kk:
+        t0 = np.full(q, -np.inf)
+    elif g >= kk and g > 1:
+        M = ST[:, : g * chunk].reshape(q, g, chunk).max(axis=2)
+        if b % chunk:
+            M = np.concatenate(
+                [M, ST[:, g * chunk :].max(axis=1, keepdims=True)], axis=1
+            )
+        t0 = np.partition(M, M.shape[1] - kk, axis=1)[:, M.shape[1] - kk]
+    else:  # small b: direct partition is already cheap
+        t0 = np.partition(ST, b - kk, axis=1)[:, b - kk]
+    rows, cols = np.nonzero(ST >= t0[:, None])
+    sc, vd = ST[rows, cols], vids[cols]
+    order = np.lexsort((vd, -sc, rows))
+    rows_s = rows[order]
+    counts = np.bincount(rows_s, minlength=q)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    keep = np.arange(len(order)) - starts[rows_s] < kk
+    take = order[keep]
+    return rows[take], vd[take], sc[take]
+
+
 def cosine_topk_blocked(
     corpus: DataFrame,
     queries: DataFrame,
@@ -154,22 +205,15 @@ def cosine_topk_blocked(
             kk = min(need, b)
             out_q, out_v, out_s = [], [], []
             for q0 in range(0, m, query_block):
-                S = Cn @ bQn[q0 : q0 + query_block].T  # [b, qblock]
-                for j in range(S.shape[1]):
-                    col = S[:, j]
-                    if b > kk:
-                        # kth-largest threshold, then EVERY candidate >= it:
-                        # argpartition alone may drop a boundary tie with a
-                        # smaller vec_id and break rank determinism
-                        thresh = np.partition(col, b - kk)[b - kk]
-                        cand = np.flatnonzero(col >= thresh)
-                    else:
-                        cand = np.arange(b)
-                    order = np.lexsort((vids[cand], -col[cand]))
-                    take = cand[order[:kk]]
-                    out_q.append(np.full(len(take), bqids[q0 + j]))
-                    out_v.append(vids[take])
-                    out_s.append(col[take])
+                # Query-major matmul: [qblock, b], C-contiguous, so every
+                # per-query operation below streams contiguous memory
+                # (the previous corpus-major orientation made the old
+                # per-query selection loop walk strided columns).
+                S = bQn[q0 : q0 + query_block] @ Cn.T
+                qrel, vd, sc = _topk_rows(S, vids, kk)
+                out_q.append(bqids[q0 + qrel])
+                out_v.append(vd)
+                out_s.append(sc)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -454,6 +498,85 @@ def ivf_topk(
         pairs.withColumn("__rnk", F.row_number().over(w))
         .filter(F.col("__rnk") <= k)
         .select("query_id", id_col, "cossim")
+    )
+
+
+def ivf_cells_expr(
+    vec: Column | str, centroids: list[list[float]], n_probe: int = 1
+) -> Column:
+    """ARRAY<INT> of the `n_probe` nearest-centroid cell ids (1-based),
+    nearest first, distance ties to the lowest index — the multi-probe
+    generalization of `ivf_cell_expr`. Computed natively: literal distance
+    array → array_sort of (dist, idx) structs (struct ordering is
+    field-by-field, giving exactly the tie rule) → slice → project idx.
+    One codegen pass, no shuffle, no Python."""
+    v = _dc(vec)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i + 1).cast("int").alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe), lambda s: s["i"]
+    )
+
+
+def ivf_query_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN for an explicit QUERY SET (the query-driven companion to
+    `ivf_topk`, mirroring `ann_banded_query_topk` for RP-LSH): each query
+    probes its `n_probe` nearest cells and scores only the corpus vectors
+    assigned there — an equi-join on cell id, never a crossJoin. Probe
+    cost is |queries| × n_probe × cell-occupancy cosine evaluations,
+    independent of |corpus|²; n_probe is the recall knob (a query near a
+    cell boundary finds its cross-boundary neighbors in its 2nd/3rd cell).
+
+    Output: query_id, vec_id, cossim — row-comparable with `cosine_topk`
+    on the same queries, which is how `ivf_recall_at_10` measures it."""
+    cells = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        ivf_cell_expr(vec_col, centroids).alias("__cell"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        _dc(vec_col).alias("__qvec"),
+        F.explode(ivf_cells_expr(vec_col, centroids, n_probe)).alias("__cell"),
+    )
+    pairs = probes.join(cells, on="__cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("__qid") != F.col(id_col))
+    # corpus vectors live in ONE cell each, so multi-probe never produces
+    # duplicate (query, candidate) pairs — no dedup needed before rerank
+    pairs = pairs.withColumn(
+        "cossim", cosine_expr(F.col("__qvec"), F.col("__vec"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        pairs.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(F.col("__qid").alias(query_id_col), F.col(id_col), F.col("cossim"))
     )
 
 

@@ -406,6 +406,44 @@ def ann_recall_at_10(
     return len(gt & ann) / len(gt) if gt else 1.0
 
 
+def ivf_recall_at_10(
+    spark,
+    sf_dir: str,
+    n_queries: int = 200,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+) -> float:
+    """Measured recall@k of TRAINED-centroid IVF against exact cosine
+    ground truth on the real `embeddings` table — the companion telemetry
+    to `ann_recall_at_10` (RP-LSH), so the trained-IVF-vs-LSH choice is
+    evidence-based per round instead of asserted. Centroids come from
+    `kmeans_fit` (deterministic init, DataFrame-native Lloyd's); queries
+    probe their `n_probe` nearest cells via `ivf_query_topk`, so
+    measurement cost is |queries| × n_probe × cell-occupancy — bounded at
+    any corpus size."""
+    from pandasvcf_spark.operators.similarity import (
+        cosine_topk,
+        ivf_query_topk,
+        kmeans_fit,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, _ = kmeans_fit(e, k=n_cells, max_iter=5)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = {
+        (row["query_id"], row["vec_id"])
+        for row in cosine_topk(e, q, k=k).collect()
+    }
+    ivf = {
+        (row["query_id"], row["vec_id"])
+        for row in ivf_query_topk(e, q, cents, k=k, n_probe=n_probe).collect()
+    }
+    return len(gt & ivf) / len(gt) if gt else 1.0
+
+
 def _sql_int8(vec: str) -> str:
     """DuckDB twin of int8_quantize_expr (BIGINT codes)."""
     scale = f"(list_max(list_transform({vec}, v -> abs(v))) / 127.0)"

@@ -249,3 +249,74 @@ def test_foreachbatch_sink_idempotent_layout(spark, batch_events, events_dir, tm
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == batch_events.count()
+
+
+def test_foreachbatch_sink_crash_replay_no_duplicates(
+    spark, batch_events, events_dir, tmp_path
+):
+    """Crash-replay drill for the exactly-once claim (streaming/events.py
+    write_stream_partitioned): a failure BETWEEN the sink write and the
+    checkpoint commit is simulated by deleting the checkpoint's last
+    commits/N marker while keeping offsets/N — on restart Spark re-runs
+    exactly batch N. Two crash shapes:
+
+      (a) sink output survived the crash: the replay OVERWRITES
+          out/batch_id=N — same rows, no duplicates;
+      (b) sink output was lost too (batch_id=N dir deleted): the replay
+          rewrites it — no missing rows.
+    """
+    import shutil
+    from pathlib import Path
+
+    from pandasvcf_spark.streaming.events import write_stream_partitioned
+
+    out = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    total = batch_events.count()
+    want_ids = _sorted(batch_events.select("event_id"))
+
+    def drain():
+        q = write_stream_partitioned(
+            read_events_stream(
+                spark,
+                events_dir,
+                schema=batch_events.schema,
+                max_files_per_trigger=1,
+            ),
+            str(out),
+            str(ckpt),
+            query_name="t_sink_replay",
+        )
+        q.awaitTermination()
+
+    def uncommit_last() -> int:
+        commits = sorted(
+            (p for p in (ckpt / "commits").iterdir() if p.name.isdigit()),
+            key=lambda p: int(p.name),
+        )
+        last = commits[-1]
+        last.unlink()
+        # the local checksum FS keeps a .N.crc sidecar; a stale one fails
+        # the commit rename on replay
+        crc = last.parent / f".{last.name}.crc"
+        if crc.exists():
+            crc.unlink()
+        return int(last.name)
+
+    drain()
+    assert spark.read.parquet(str(out)).count() == total
+
+    # (a) replayed batch lands on its own surviving directory: idempotent
+    n = uncommit_last()
+    drain()
+    got = spark.read.parquet(str(out))
+    assert got.count() == total, "replayed batch duplicated rows"
+    assert _sorted(got.select("event_id")) == want_ids
+
+    # (b) replayed batch rebuilds its lost directory: no missing rows
+    n = uncommit_last()
+    shutil.rmtree(out / f"batch_id={n}")
+    drain()
+    got = spark.read.parquet(str(out))
+    assert got.count() == total, "lost batch not rebuilt on replay"
+    assert _sorted(got.select("event_id")) == want_ids

@@ -640,3 +640,160 @@ def test_redact_pii_expr(spark):
     assert got[2] == "see <URL> and <URL>"
     assert got[3] == "call <PHONE> today"
     assert got[4] == "clean text stays clean"
+
+
+def test_blocked_topk_selection_vectorized_speedup():
+    """Perf probe for the round-6 kernel change in cosine_topk_blocked
+    (operators/similarity.py): per-block top-k selection is now ONE stable
+    column-wise argsort over the score block instead of a Python loop doing
+    partition+lexsort per query. Measures both on a 10^4-query block and
+    asserts the vectorized path is >=2x faster; the exact ratio is printed
+    for the bench log. Tie semantics (smaller vec_id wins) are asserted
+    identical on the same block."""
+    import time
+
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import _topk_rows
+
+    rng = np.random.default_rng(7)
+    b, m, kk = 4096, 10_000, 11
+    # corpus-major [b, m] block exactly as the round-5 kernel computed it
+    S = rng.standard_normal((b, m))
+    # plant exact score ties so the determinism comparison is non-trivial
+    S[100, :50] = S[200, :50]
+    vids = rng.permutation(b).astype(np.int64)
+
+    def loop_select(S, vids, kk):
+        # the round-5 kernel verbatim: per-QUERY partition+lexsort over
+        # strided columns of the corpus-major score block
+        out_v, out_s = [], []
+        bb = S.shape[0]
+        for j in range(S.shape[1]):
+            col = S[:, j]
+            thresh = np.partition(col, bb - kk)[bb - kk]
+            cand = np.flatnonzero(col >= thresh)
+            order = np.lexsort((vids[cand], -col[cand]))
+            take = cand[order[:kk]]
+            out_v.append(vids[take])
+            out_s.append(col[take])
+        return np.concatenate(out_v), np.concatenate(out_s)
+
+    ST = np.ascontiguousarray(S.T)  # the kernel now produces this directly
+
+    def timed(fn, runs=2):  # min-of-2: same first-run-cost discipline as bench.py
+        best, out = float("inf"), None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_loop, (lv, ls) = timed(lambda: loop_select(S, vids, kk))
+    t_vec, (qrel, vv, vs) = timed(lambda: _topk_rows(ST, vids, kk))
+
+    # _topk_rows emits rows grouped by query in-order; loop emits per query
+    assert (np.diff(qrel) >= 0).all()
+    np.testing.assert_array_equal(lv, vv)
+    np.testing.assert_array_equal(ls, vs)
+    ratio = t_loop / t_vec
+    print(f"\nblocked-topk selection: loop {t_loop:.3f}s vec {t_vec:.3f}s "
+          f"({ratio:.1f}x) on b={b} m={m} k={kk}")
+    assert ratio >= 2.0, f"vectorized selection only {ratio:.2f}x faster"
+
+
+def test_connected_components_star_chain_and_equivalence(spark):
+    """method='star' (large-star/small-star contraction) must (1) converge
+    in O(log n) rounds on a 2,000-node CHAIN — the graph shape where label
+    propagation needs diameter rounds and raises — and (2) produce the
+    exact same (id, component) labeling as method='label' on a random
+    graph with mixed component shapes, plus the same self-loop singleton
+    handling."""
+    import random
+
+    from pandasvcf_spark.operators.dedup import connected_components
+
+    # (1) 2,000-node chain: diameter 1,999, so label propagation's default
+    # 25-round budget cannot close it, while star contraction converges
+    # well inside max_iter=25 (log2(2000) ~ 11).
+    n = 2000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).repartition(8)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(chain, method="star").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    # (2) random graph: both methods agree exactly
+    rnd = random.Random(42)
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    edges.append((199, 199))  # self-loop-only vertices stay singletons
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lbl = {
+        r["id"]: r["component"]
+        # sparse random graphs have long paths: give label propagation the
+        # diameter-rounds budget it needs to serve as ground truth here
+        for r in connected_components(pairs, max_iter=200).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, method="star").collect()
+    }
+    assert star == lbl
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown method"):
+        connected_components(pairs, method="bogus")
+
+
+def test_ivf_query_topk_probe_semantics(spark):
+    """ivf_query_topk (query-set IVF with n_probe): (1) n_probe=1 cell
+    choice agrees exactly with ivf_cell_expr (same argmin, same tie rule);
+    (2) probing ALL cells degenerates to exact search — identical rows to
+    cosine_topk; (3) recall is monotone in n_probe on a real sample."""
+    import random
+
+    from pandasvcf_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cell_expr,
+        ivf_cells_expr,
+        ivf_query_topk,
+    )
+
+    rnd = random.Random(3)
+    cents = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    both = df.select(
+        ivf_cell_expr("embedding", cents).alias("one"),
+        ivf_cells_expr("embedding", cents, 1).alias("many"),
+    ).collect()
+    assert all(r["one"] == r["many"][0] for r in both)
+    ordered = df.select(ivf_cells_expr("embedding", cents, 4).alias("c")).collect()
+    assert all(sorted(r["c"]) == [1, 2, 3, 4] for r in ordered)
+
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(df, q, k=3).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_topk(df, q, cents, k=3, n_probe=4).collect()
+    }
+    assert full_probe == exact
+
+    r1 = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_topk(df, q, cents, k=3, n_probe=1).collect()
+    }
+    r2 = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_query_topk(df, q, cents, k=3, n_probe=2).collect()
+    }
+    assert len(r1 & exact) <= len(r2 & exact) <= len(exact)
