@@ -24,7 +24,7 @@ from pandasvcf_spark.operators.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_expr,
 )
-from pandasvcf_spark.queries.registry import register
+from pandasvcf_spark.queries.registry import QUERIES, register
 from pandasvcf_spark.queries.tables import load
 
 
@@ -418,6 +418,40 @@ def dedup_components(spark, sf_dir):
         .select("id_a", "id_b")
     )
     return connected_components(pairs).select(
+        "id", F.col("component").cast("long").alias("component")
+    )
+
+
+# Same pair graph and the same recursive-CTE oracle as dedup_components —
+# the entry exists to drive the method='star' implementation (large-star/
+# small-star contraction, operators/dedup._cc_star) through the driver's
+# exact-value gate alongside the label-propagation default.
+_COMPONENTS_ORACLE = QUERIES["dedup_components"].oracle
+
+
+@register("dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def dedup_components_star(spark, sf_dir):
+    """connected_components(method='star'): O(log n)-round large-star/
+    small-star contraction over the same exact-Jaccard pair graph as
+    `dedup_components` — identical labeling contract (component = min id),
+    verified against the identical recursive-CTE oracle."""
+    from pandasvcf_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_expr,
+    )
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = d.select("doc_id", word_ngrams_expr("text", 2).alias("g"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", ngram_jaccard_expr(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= 0.2)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs, method="star").select(
         "id", F.col("component").cast("long").alias("component")
     )
 

@@ -290,6 +290,63 @@ def v_ivf_topk(spark, sf_dir):
     )
 
 
+#: one row per (query, centroid) — the SQL mirror of ivf_cells_expr's
+#: literal distance array, unrolled as a UNION ALL so the probe ranking
+#: (ORDER BY d, cell — same tie rule as the struct sort) is plain SQL.
+_QD_UNION = "\n      UNION ALL\n      ".join(
+    f"SELECT vec_id AS query_id, embedding, {i + 1} AS cell, "
+    f"{_sql_sqdist('embedding', c)} AS d FROM embeddings WHERE vec_id < 50"
+    for i, c in enumerate(CENTROIDS)
+)
+
+
+@register(
+    "v_ivf_query_topk",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell
+      FROM embeddings),
+    qd AS (
+      {_QD_UNION}),
+    probes AS (
+      SELECT query_id, embedding, cell FROM (
+        SELECT query_id, embedding, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cell)
+                 AS rn
+        FROM qd) WHERE rn <= 2)
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT p.query_id, c.vec_id,
+             {_sql_cos('p.embedding', 'c.embedding')} AS cos,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_sql_cos('p.embedding', 'c.embedding')} DESC,
+                        c.vec_id
+             ) AS rn
+      FROM probes p JOIN cells c
+        ON p.cell = c.cell AND p.query_id <> c.vec_id)
+    WHERE rn <= 3
+    """,
+)
+def v_ivf_query_topk(spark, sf_dir):
+    """Query-set IVF ANN with multi-probe (operators/similarity.
+    ivf_query_topk): each of the 50 sample queries probes its 2 nearest
+    cells (ivf_cells_expr — one codegen pass, no Python) and candidates
+    come from an equi-join on cell id, exact cosine rerank. The recall
+    knob `n_probe` is what `ivf_recall_at_10` in bench.py sweeps with
+    trained centroids; this entry pins the 2-probe literal-centroid plan
+    under the exact oracle."""
+    from pandasvcf_spark.operators.similarity import ivf_query_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_query_topk(e, q, CENTROIDS, k=3, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cossim", 6).alias("cossim")
+    )
+
+
 #: corpus ∪ direction-preserving scaled copies (x2.0 is floating-point
 #: EXACT, so the copy has identical projection signs → same LSH bucket,
 #: guaranteed recall) under a collision-proof id offset.

@@ -91,6 +91,13 @@ def test_tail_entries_are_redundant_variants_only():
         "t_chunk_windows",       # token-window chunking: same guard
         "t_winnow_fingerprints", # winnowing under exact oracle (portable
                                  # poly-hash family); same guard
+        "dedup_components_star", # star-contraction variant of
+                                 # dedup_components (same recursive-CTE
+                                 # oracle, method='star'); chain +
+                                 # equivalence pytest; contract guard
+        "v_ivf_query_topk",      # multi-probe query-set IVF: same cell
+                                 # machinery as v_ivf_topk (in window);
+                                 # full-probe==exact pytest; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
