@@ -361,3 +361,343 @@ def decode_external(
             yield pd.DataFrame({"img_id": ids, "img": blobs})
 
     return df.mapInPandas(dec, "img_id BIGINT, img BINARY")
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAV payloads (public container spec; PCM only, no codec libs)
+# ---------------------------------------------------------------------------
+
+#: Typed metadata schema for audio columns.
+WAV_META_DDL = (
+    "channels INT, sample_rate INT, bits_per_sample INT, "
+    "n_samples BIGINT, duration_sec DOUBLE, format STRING"
+)
+
+
+def _le_int(col: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int from binary bytes [pos, pos+nbytes) —
+    native expression (per-byte hex → base-10, positional weights), the LE
+    twin of `_be_int`. RIFF is little-endian throughout."""
+    def byte(i: int) -> Column:
+        return F.conv(F.hex(F.substring(col, pos + i, 1)), 16, 10).cast(
+            "bigint"
+        )
+
+    expr = byte(0)
+    for i in range(1, nbytes):
+        expr = expr + byte(i) * (256 ** i)
+    return expr
+
+
+def pack_wav(sample_rate: int, channels: int, samples: bytes) -> bytes:
+    """Encode canonical 16-bit PCM WAV: RIFF header, `fmt ` chunk at byte
+    12 (PCM, size 16), `data` chunk immediately after — the layout every
+    mainstream encoder emits and `wav_meta_expr` parses natively.
+    `samples` is raw interleaved int16-LE frames."""
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthetic_audio(
+    spark: SparkSession, n: int, n_samples: int = 256,
+    sample_rate: int = 8000, channels: int = 1,
+) -> DataFrame:
+    """Deterministic distributed corpus of canonical PCM WAVs: (audio_id
+    BIGINT, wav BINARY). Sample (i, t, c) is an integer triangle wave —
+    pure integer arithmetic, so every engine regenerates identical bytes
+    (the same reproducibility contract as `synthetic_images`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for aid in pdf["id"]:
+                frames = bytearray()
+                for t in range(n_samples):
+                    for c in range(channels):
+                        phase = (aid * 37 + t * 97 + c * 11) % 256
+                        val = (phase - 128) * 200  # triangle in int16 range
+                        frames += struct.pack("<h", val)
+                ids.append(aid)
+                blobs.append(pack_wav(sample_rate, channels, bytes(frames)))
+            yield pd.DataFrame({"audio_id": ids, "wav": blobs})
+
+    return spark.range(n).mapInPandas(gen, "audio_id BIGINT, wav BINARY")
+
+
+def wav_meta_expr(wav_col: str) -> Column:
+    """STRUCT(channels, sample_rate, bits_per_sample, n_samples,
+    duration_sec, format) parsed with NATIVE binary expressions from the
+    canonical WAV layout (`fmt ` at 12, `data` directly after) — the
+    metadata fast path: filters on sample_rate/duration stay in codegen
+    and Catalyst prunes the payload column out of metadata-only scans.
+
+    Non-canonical files (extra LIST/fact chunks before `data`) fail the
+    tag guards and yield NULL — route those through `wav_meta`, the
+    mapInPandas chunk walk that handles any chunk order."""
+    col = F.col(wav_col)
+    fmt_size = _le_int(col, 17, 4)
+    channels = _le_int(col, 23, 2).cast("int")
+    rate = _le_int(col, 25, 4).cast("int")
+    bits = _le_int(col, 35, 2).cast("int")
+    block_align = _le_int(col, 33, 2)
+    canonical = (
+        (F.substring(col, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(col, 9, 4) == F.lit(b"WAVE"))
+        & (F.substring(col, 13, 4) == F.lit(b"fmt "))
+        & (fmt_size == 16)
+        & (F.substring(col, 37, 4) == F.lit(b"data"))
+        # positive clock/frame sizes: keeps the divisions below off the
+        # ANSI division-by-zero path on malformed-but-tagged payloads
+        & (rate > 0)
+        & (block_align > 0)
+    )
+    data_size = _le_int(col, 41, 4)
+    n_samp = (data_size / block_align).cast("bigint")
+    return F.when(
+        canonical,
+        F.struct(
+            channels.alias("channels"),
+            rate.alias("sample_rate"),
+            bits.alias("bits_per_sample"),
+            n_samp.alias("n_samples"),
+            (n_samp / rate).alias("duration_sec"),
+            F.lit("wav-pcm").alias("format"),
+        ),
+    )
+
+
+def _wav_walk(blob: bytes):
+    """Full RIFF chunk walk -> (channels, rate, bits, n_samples) or None.
+    Handles any chunk order/padding (chunks are word-aligned)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        if tag == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", blob[pos + 8 : pos + 24])
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data_size is None:
+        return None
+    _, channels, rate, _, block_align, bits = fmt
+    return channels, rate, bits, data_size // max(block_align, 1)
+
+
+def wav_meta(
+    df: DataFrame, wav_col: str = "wav", id_col: str = "audio_id"
+) -> DataFrame:
+    """Metadata for ANY RIFF chunk layout via an Arrow-batched chunk walk —
+    the slow-path twin of `wav_meta_expr` (same output fields, plus rows
+    the native guard nulls out). One Python round trip per batch."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "audio_id", "channels", "sample_rate",
+                    "bits_per_sample", "n_samples", "duration_sec", "format",
+                )
+            }
+            for aid, blob in zip(pdf[id_col], pdf[wav_col]):
+                meta = _wav_walk(bytes(blob))
+                out["audio_id"].append(aid)
+                if meta is None:
+                    for k in list(out)[1:]:
+                        out[k].append(None)
+                    continue
+                channels, rate, bits, n_samp = meta
+                out["channels"].append(channels)
+                out["sample_rate"].append(rate)
+                out["bits_per_sample"].append(bits)
+                out["n_samples"].append(n_samp)
+                out["duration_sec"].append(n_samp / rate if rate else None)
+                out["format"].append("wav-pcm")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(walk, f"audio_id BIGINT, {WAV_META_DDL}")
+
+
+def audio_stats(
+    df: DataFrame, wav_col: str = "wav", id_col: str = "audio_id"
+) -> DataFrame:
+    """Per-clip PCM features via Arrow-batched mapInPandas: (audio_id,
+    n_samples, rms DOUBLE, peak INT, zero_crossings BIGINT) — the audio
+    twin of `image_stats`. 16-bit PCM only (the honest boundary: decoding
+    compressed audio needs codec libs this container does not ship —
+    raise, never guess)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("audio_id", "n_samples", "rms", "peak", "zero_crossings")
+            }
+            for aid, blob in zip(pdf[id_col], pdf[wav_col]):
+                blob = bytes(blob)
+                meta = _wav_walk(blob)
+                if meta is None or meta[2] != 16:
+                    raise NotImplementedError(
+                        "audio_stats handles 16-bit PCM WAV only; got "
+                        f"bits_per_sample={None if meta is None else meta[2]}"
+                    )
+                # data chunk bytes: re-walk to find the payload offset
+                pos = 12
+                pcm = b""
+                while pos + 8 <= len(blob):
+                    tag = blob[pos : pos + 4]
+                    size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+                    if tag == b"data":
+                        pcm = blob[pos + 8 : pos + 8 + size]
+                        break
+                    pos += 8 + size + (size & 1)
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                out["audio_id"].append(aid)
+                out["n_samples"].append(len(x) // max(meta[0], 1))
+                out["rms"].append(float(np.sqrt(np.mean(x.astype(np.float64) ** 2))) if x.size else 0.0)
+                out["peak"].append(int(np.abs(x).max()) if x.size else 0)
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        stats,
+        "audio_id BIGINT, n_samples BIGINT, rms DOUBLE, peak INT, "
+        "zero_crossings BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: MP4 / ISO-BMFF payloads (public container spec; box metadata only)
+# ---------------------------------------------------------------------------
+
+MP4_META_DDL = (
+    "major_brand STRING, timescale BIGINT, duration BIGINT, "
+    "duration_sec DOUBLE, n_tracks INT"
+)
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def pack_mp4(
+    timescale: int, duration: int, n_tracks: int = 1, brand: bytes = b"isom"
+) -> bytes:
+    """Minimal valid ISO-BMFF skeleton: ftyp + moov(mvhd + n empty trak
+    boxes) — enough structure for every metadata query a pipeline runs
+    (brand, clock, duration, track count) without any codec payload."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,  # rate/volume/matrix/next_track — zeroed
+    )
+    moov = _box(b"moov", mvhd + b"".join(_box(b"trak", b"") for _ in range(n_tracks)))
+    return ftyp + moov
+
+
+def _mp4_walk(blob: bytes):
+    """Top-level + moov box walk -> (brand, timescale, duration, n_tracks)
+    or None. Handles 64-bit largesize (size==1) and to-EOF (size==0)
+    boxes per the ISO-BMFF spec."""
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            size = struct.unpack(">I", buf[pos : pos + 4])[0]
+            tag = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                size = struct.unpack(">Q", buf[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return  # corrupt size: stop, never over-read
+            yield tag, pos + hdr, pos + size
+            pos += size
+
+    brand = timescale = duration = None
+    n_tracks = 0
+    for tag, body, bend in boxes(blob, 0, len(blob)):
+        if tag == b"ftyp" and bend - body >= 4:
+            brand = blob[body : body + 4].decode("ascii", "replace")
+        elif tag == b"moov":
+            for t2, b2, e2 in boxes(blob, body, bend):
+                if t2 == b"mvhd" and e2 - b2 >= 20:
+                    version = blob[b2]
+                    if version == 1:  # 64-bit times
+                        timescale = struct.unpack(">I", blob[b2 + 20 : b2 + 24])[0]
+                        duration = struct.unpack(">Q", blob[b2 + 24 : b2 + 32])[0]
+                    else:
+                        timescale = struct.unpack(">I", blob[b2 + 12 : b2 + 16])[0]
+                        duration = struct.unpack(">I", blob[b2 + 16 : b2 + 20])[0]
+                elif t2 == b"trak":
+                    n_tracks += 1
+    if brand is None and timescale is None:
+        return None
+    return brand, timescale, duration, n_tracks
+
+
+def mp4_meta(
+    df: DataFrame, video_col: str = "mp4", id_col: str = "video_id"
+) -> DataFrame:
+    """Container metadata for MP4/ISO-BMFF payloads via an Arrow-batched
+    box walk: (video_id, major_brand, timescale, duration, duration_sec,
+    n_tracks). Codec-free by design — the box structure is public spec;
+    frame DECODE needs external codecs and stays behind `decode_external`'s
+    explicit NotImplementedError boundary."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "video_id", "major_brand", "timescale", "duration",
+                    "duration_sec", "n_tracks",
+                )
+            }
+            for vid, blob in zip(pdf[id_col], pdf[video_col]):
+                meta = _mp4_walk(bytes(blob))
+                out["video_id"].append(vid)
+                if meta is None:
+                    for k in list(out)[1:]:
+                        out[k].append(None)
+                    continue
+                brand, ts, dur, n_trk = meta
+                out["major_brand"].append(brand)
+                out["timescale"].append(ts)
+                out["duration"].append(dur)
+                out["duration_sec"].append(
+                    dur / ts if ts else None
+                )
+                out["n_tracks"].append(n_trk)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(walk, f"video_id BIGINT, {MP4_META_DDL}")
+
+
+def mp4_brand_expr(video_col: str) -> Column:
+    """Major brand from a leading ftyp box with native binary expressions —
+    the pruning-friendly fast path for brand filters (every conformant
+    file leads with ftyp). NULL when the first box is not ftyp."""
+    col = F.col(video_col)
+    return F.when(
+        F.substring(col, 5, 4) == F.lit(b"ftyp"),
+        F.substring(col, 9, 4).cast("string"),
+    )

@@ -387,3 +387,164 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+# ---------------------------------------------------------------------------
+# Audio (RIFF/WAV) + video (MP4/ISO-BMFF) metadata and features
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def audio(spark):
+    from pandasvcf_spark.operators.multimodal import synthetic_audio
+
+    return synthetic_audio(
+        spark, 12, n_samples=200, sample_rate=8000, channels=2
+    ).cache()
+
+
+def test_wav_native_meta_matches_chunk_walk(spark, audio):
+    """The native canonical-layout parse (wav_meta_expr) and the
+    mapInPandas chunk walk (wav_meta) must agree field-for-field on
+    canonical files."""
+    from pandasvcf_spark.operators.multimodal import wav_meta, wav_meta_expr
+
+    native = {
+        r["audio_id"]: r["m"]
+        for r in audio.select("audio_id", wav_meta_expr("wav").alias("m")).collect()
+    }
+    walked = {r["audio_id"]: r for r in wav_meta(audio).collect()}
+    assert len(native) == len(walked) == 12
+    for aid, m in native.items():
+        w = walked[aid]
+        assert m is not None, aid
+        assert (m["channels"], m["sample_rate"], m["bits_per_sample"]) == (
+            w["channels"], w["sample_rate"], w["bits_per_sample"]) == (2, 8000, 16)
+        assert m["n_samples"] == w["n_samples"] == 200
+        assert abs(m["duration_sec"] - 200 / 8000) < 1e-12
+
+
+def test_wav_noncanonical_null_native_ok_in_walk(spark):
+    """A LIST chunk before `data` breaks the canonical layout: the native
+    guard must yield NULL (never wrong numbers), the chunk walk must still
+    parse it, and a malformed rate-0 canonical-looking payload must not
+    trip an ANSI division error."""
+    import struct
+
+    from pandasvcf_spark.operators.multimodal import (
+        pack_wav, wav_meta, wav_meta_expr,
+    )
+
+    pcm = struct.pack("<4h", 100, -100, 200, -200)
+    good = pack_wav(8000, 1, pcm)
+    # splice a LIST chunk between fmt and data
+    info = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    noncanon = good[:36] + info + good[36:]
+    noncanon = noncanon[:4] + struct.pack("<I", len(noncanon) - 8) + noncanon[8:]
+    rate0 = bytearray(good)
+    rate0[24:28] = struct.pack("<I", 0)  # sample_rate = 0
+    df = spark.createDataFrame(
+        [(1, bytes(noncanon)), (2, bytes(rate0))], "audio_id long, wav binary"
+    )
+    rows = {
+        r["audio_id"]: r["m"]
+        for r in df.select("audio_id", wav_meta_expr("wav").alias("m")).collect()
+    }
+    assert rows[1] is None and rows[2] is None
+    walked = {r["audio_id"]: r for r in wav_meta(df).collect()}
+    assert walked[1]["n_samples"] == 4 and walked[1]["sample_rate"] == 8000
+
+
+def test_wav_meta_expr_is_native_no_python(spark, audio):
+    """Metadata-only audio queries must stay JVM-side: no Arrow/Python
+    eval node in the plan (the same pruning contract as image_meta_expr)."""
+    from pandasvcf_spark.operators.multimodal import wav_meta_expr
+
+    q = audio.select("audio_id", wav_meta_expr("wav").alias("m")).filter(
+        F.col("m.sample_rate") > 0
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert q.count() == 12
+
+
+def test_audio_stats_exact(spark):
+    """rms/peak/zero-crossings computed by the Arrow kernel must equal a
+    direct numpy reference on a known waveform."""
+    import numpy as np
+    import struct
+
+    from pandasvcf_spark.operators.multimodal import audio_stats, pack_wav
+
+    vals = [1000, -1000, 1000, -1000, 500, 500, -500, 0]
+    pcm = struct.pack(f"<{len(vals)}h", *vals)
+    df = spark.createDataFrame(
+        [(7, pack_wav(16000, 1, pcm))], "audio_id long, wav binary"
+    )
+    r = audio_stats(df).first()
+    x = np.array(vals, dtype=np.int64)
+    assert r["n_samples"] == 8
+    assert abs(r["rms"] - float(np.sqrt(np.mean(x.astype(float) ** 2)))) < 1e-9
+    assert r["peak"] == 1000
+    # signbit treats 0 as non-negative: flips at 0→1,1→2,2→3,3→4,5→6,6→7
+    assert r["zero_crossings"] == 6
+
+
+def test_audio_stats_rejects_non_16bit(spark):
+    from pandasvcf_spark.operators.multimodal import audio_stats
+
+    df = spark.createDataFrame([(1, b"junk")], "audio_id long, wav binary")
+    with pytest.raises(Exception, match="16-bit PCM|NotImplementedError"):
+        audio_stats(df).collect()
+
+
+def test_mp4_meta_walk_and_brand_expr(spark):
+    """pack_mp4 -> mp4_meta round-trip: brand/timescale/duration/tracks
+    exact; the native ftyp brand expr agrees; 64-bit largesize and
+    version-1 mvhd variants parse; corrupt payloads yield NULL rows."""
+    import struct
+
+    from pandasvcf_spark.operators.multimodal import (
+        _box, mp4_brand_expr, mp4_meta, pack_mp4,
+    )
+
+    v0 = pack_mp4(timescale=600, duration=1200, n_tracks=2)
+    # version-1 mvhd (64-bit times) inside moov
+    mvhd1 = _box(
+        b"mvhd",
+        struct.pack(">B3x", 1) + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 1000) + struct.pack(">Q", 5000) + b"\x00" * 80,
+    )
+    v1 = _box(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5") + _box(
+        b"moov", mvhd1 + _box(b"trak", b"")
+    )
+    # 64-bit largesize on the moov box
+    moov_body = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 90000, 270000) + b"\x00" * 80,
+    )
+    big = _box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42") + (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_body))
+        + moov_body
+    )
+    df = spark.createDataFrame(
+        [(1, v0), (2, v1), (3, big), (4, b"\x00\x00\x00\x08haha")],
+        "video_id long, mp4 binary",
+    )
+    got = {r["video_id"]: r for r in mp4_meta(df).collect()}
+    assert (got[1]["major_brand"], got[1]["timescale"], got[1]["duration"],
+            got[1]["n_tracks"]) == ("isom", 600, 1200, 2)
+    assert abs(got[1]["duration_sec"] - 2.0) < 1e-12
+    assert (got[2]["major_brand"], got[2]["timescale"], got[2]["duration"],
+            got[2]["n_tracks"]) == ("iso5", 1000, 5000, 1)
+    assert (got[3]["timescale"], got[3]["duration"]) == (90000, 270000)
+    assert abs(got[3]["duration_sec"] - 3.0) < 1e-12
+    assert got[4]["major_brand"] is None and got[4]["timescale"] is None
+
+    brands = {
+        r["video_id"]: r["b"]
+        for r in df.select("video_id", mp4_brand_expr("mp4").alias("b")).collect()
+    }
+    assert brands[1] == "isom" and brands[2] == "iso5" and brands[3] == "mp42"
+    assert brands[4] is None

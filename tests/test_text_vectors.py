@@ -797,3 +797,34 @@ def test_ivf_query_topk_probe_semantics(spark):
         for r in ivf_query_topk(df, q, cents, k=3, n_probe=2).collect()
     }
     assert len(r1 & exact) <= len(r2 & exact) <= len(exact)
+
+
+def test_topk_rows_fuzz_vs_bruteforce():
+    """Property check for _topk_rows: against a brute-force per-row
+    lexsort over random shapes with HEAVY planted ties (quantized scores,
+    duplicate columns), incl. the b<=k and b<chunk*k fallback paths."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import _topk_rows
+
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        q = int(rng.integers(1, 40))
+        b = int(rng.integers(1, 700))
+        kk = int(rng.integers(1, 20))
+        # quantize to force score ties; occasionally make whole rows equal
+        S = np.round(rng.standard_normal((q, b)) * 2) / 2.0
+        if trial % 5 == 0:
+            S[:] = 0.25  # fully degenerate: every score tied
+        vids = rng.permutation(10_000)[:b].astype(np.int64)
+        rows, vd, sc = _topk_rows(S, vids, kk)
+        pos = 0
+        for r in range(q):
+            order = np.lexsort((vids, -S[r]))
+            take = order[: min(kk, b)]
+            n = len(take)
+            assert (rows[pos : pos + n] == r).all(), (trial, r)
+            np.testing.assert_array_equal(vd[pos : pos + n], vids[take])
+            np.testing.assert_array_equal(sc[pos : pos + n], S[r][take])
+            pos += n
+        assert pos == len(rows), trial
