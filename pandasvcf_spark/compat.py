@@ -119,3 +119,26 @@ class VCF:
             self.df = out
         else:
             self.df_annot = out
+
+
+class VCFMetadata:
+    """Shape-compatible port of the reference's header-metadata class
+    (vcf_metadata.py:4-25): `.compression` ('gzip' | 'infer') and
+    `.header` (the raw '##'/'#CHROM' lines, newline-terminated, with the
+    reference's '#CHROM' → 'CHROM' rewrite).
+
+    The reference shells out to `tabix -H` (and SIDE-EFFECTFULLY builds a
+    .tbi with `tabix -p vcf`) just to read the header; here the header
+    comes from the engine's own driver-side scan (sources/vcf.py
+    read_vcf_header — bounded read, BGZF/gzip aware), no subprocess, no
+    index mutation. Region queries that needed that .tbi go through
+    `read_vcf(region=...)`, which honors an existing index instead of
+    rebuilding one."""
+
+    def __init__(self, filename: str) -> None:
+        self.compression = "gzip" if filename.endswith(".gz") else "infer"
+        h = read_vcf_header(filename)
+        lines = list(h.meta_lines) + ["#" + "\t".join(h.columns)]
+        self.header = [
+            line.replace("#CHROM", "CHROM") + "\n" for line in lines
+        ]

@@ -611,6 +611,7 @@ def kmeans_fit(
     k: int = 16,
     max_iter: int = 10,
     tol: float = 1e-4,
+    assign: str = "auto",
 ) -> tuple[list[list[float]], list[float]]:
     """Train IVF coarse-quantizer centroids with Lloyd's k-means,
     DataFrame-native: per iteration ONE job computes every point's nearest
@@ -628,8 +629,25 @@ def kmeans_fit(
 
     Scale notes: cost/iter = one scan + one (cell, dim)-key shuffle of
     k·dim partial sums per task. The distance expression is O(k·dim) per
-    row inside codegen — for k beyond ~256 move assignment into a
-    numpy/Arrow batch kernel (same loop, different assign expr)."""
+    row inside codegen, and the GENERATED code grows with k — beyond a few
+    hundred centroids the expression tree blows the JIT method limit.
+    `assign` picks the kernel:
+
+      * "expr" — the literal-centroid codegen expression (shared with
+        `ivf_cell_expr`, oracle-reproducible fold arithmetic);
+      * "arrow" — a mapInPandas kernel: per Arrow batch, ONE BLAS
+        ||x||²+||c||²−2xCᵀ distance block + argmin + np.add.at partial
+        sums, emitting k partial rows per PARTITION (shuffle is
+        partitions×k rows — smaller than the expr path's posexplode).
+        Distance arithmetic is matmul-reassociated, so assignments can
+        differ from "expr" at floating-point-tie boundaries; argmin's
+        first-minimum matches array_position's tie rule.
+      * "auto" — "expr" for k ≤ 256, "arrow" above.
+    """
+    if assign == "auto":
+        assign = "expr" if k <= 256 else "arrow"
+    if assign not in ("expr", "arrow"):
+        raise ValueError(f"unknown assign {assign!r}: use 'expr'/'arrow'/'auto'")
     vec = F.col(vec_col)
     seed_rows = (
         df.select(vec.alias("v"))
@@ -642,7 +660,10 @@ def kmeans_fit(
         raise ValueError(f"corpus has fewer than k={k} vectors")
     dim = len(cents[0])
     inertias: list[float] = []
-    for _ in range(max_iter):
+
+    def _stats_expr(cents):
+        """(sums, counts, inertia) via the codegen distance expression +
+        posexplode partial aggregation — k·dim aggregate rows collected."""
         dists = F.array(
             *[
                 F.aggregate(
@@ -662,7 +683,7 @@ def kmeans_fit(
             F.array_position(dists, F.array_min(dists)).cast("int").alias("c"),
             F.array_min(dists).alias("d"),
         )
-        stats = (
+        rows = (
             assigned.select("c", "d", F.posexplode("v").alias("p", "x"))
             .groupBy("c", "p")
             .agg(
@@ -672,19 +693,85 @@ def kmeans_fit(
             )
             .collect()
         )
-        by_cell: dict[int, dict[int, tuple[float, int]]] = {}
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
         inertia = 0.0
-        for r in stats:
-            by_cell.setdefault(r["c"] - 1, {})[r["p"]] = (r["sx"], r["n"])
+        for r in rows:
+            sums[r["c"] - 1][r["p"]] = r["sx"]
             if r["p"] == 0:
+                counts[r["c"] - 1] = r["n"]
                 inertia += r["sd"]
+        return sums, counts, inertia
+
+    def _stats_arrow(cents):
+        """(sums, counts, inertia) via a mapInPandas kernel: one BLAS
+        distance block + argmin per Arrow batch, k partial rows emitted
+        per PARTITION (no posexplode, no wide aggregate codegen — the
+        path that scales in k)."""
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cents, dtype=np.float64)
+        bc = df.sparkSession.sparkContext.broadcast(C)
+
+        def partial(batches):
+            Cv = bc.value
+            kk, d = Cv.shape
+            c2 = (Cv * Cv).sum(axis=1)
+            sums = np.zeros((kk, d))
+            counts = np.zeros(kk, dtype=np.int64)
+            inert = np.zeros(kk)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["v"].tolist(), dtype=np.float64)
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; clamp the
+                # reassociation's tiny negatives so inertia stays >= 0
+                D = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cv.T) + c2
+                np.maximum(D, 0.0, out=D)
+                a = D.argmin(axis=1)  # first-min tie rule, as array_position
+                np.add.at(sums, a, X)
+                np.add.at(counts, a, 1)
+                inert += np.bincount(
+                    a, weights=D[np.arange(len(a)), a], minlength=kk
+                )
+            yield pd.DataFrame(
+                {
+                    "c": np.arange(kk),
+                    "sx": list(sums),
+                    "n": counts,
+                    "sd": inert,
+                }
+            )
+
+        rows = (
+            df.select(vec.alias("v"))
+            .mapInPandas(
+                partial, "c int, sx array<double>, n long, sd double"
+            )
+            .collect()
+        )
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
+        inertia = 0.0
+        for r in rows:
+            i = r["c"]
+            counts[i] += r["n"]
+            inertia += r["sd"]
+            sx = r["sx"]
+            acc = sums[i]
+            for p in range(dim):
+                acc[p] += sx[p]
+        return sums, counts, inertia
+
+    stats_of = _stats_expr if assign == "expr" else _stats_arrow
+    for _ in range(max_iter):
+        sums, counts, inertia = stats_of(cents)
         inertias.append(inertia)
         new_cents, shift = [], 0.0
         for i in range(k):
-            if i in by_cell and by_cell[i]:
-                cell = by_cell[i]
-                n = cell[0][1]
-                cnew = [cell[p][0] / n for p in range(dim)]
+            if counts[i] > 0:
+                cnew = [sums[i][p] / counts[i] for p in range(dim)]
             else:  # empty cluster: keep previous centroid
                 cnew = cents[i]
             shift = max(

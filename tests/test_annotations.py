@@ -137,3 +137,20 @@ def test_compat_facade_matches_direct_pipeline(spark):
     # must not change a duplicate-free file's row count
     vcf3 = VCF(GOLDEN, spark=spark, dedup=False)
     assert vcf3.get_vcf_df_chunk().count() == 6
+
+
+def test_compat_vcf_metadata_header_parity():
+    """VCFMetadata (reference vcf_metadata.py:4-25 call shape): gzip
+    detection, newline-terminated raw header lines, '#CHROM'->'CHROM'
+    rewrite — without the reference's tabix subprocess or index-building
+    side effect."""
+    from pandasvcf_spark.compat import VCFMetadata
+
+    m = VCFMetadata(
+        "/root/reference/test_data/SWGR_titin.vcf.gz"
+    )
+    assert m.compression == "gzip"
+    assert m.header[0].startswith("##fileformat=")
+    assert m.header[-1].startswith("CHROM\t")  # reference's rewrite
+    assert all(line.endswith("\n") for line in m.header)
+    assert not any("#CHROM" in line for line in m.header)

@@ -828,3 +828,38 @@ def test_topk_rows_fuzz_vs_bruteforce():
             np.testing.assert_array_equal(sc[pos : pos + n], S[r][take])
             pos += n
         assert pos == len(rows), trial
+
+
+def test_kmeans_arrow_assignment_matches_expr(spark):
+    """The Arrow assignment kernel (the k>256 scale path) must train the
+    same model as the codegen expression path: same per-iteration inertia
+    to float tolerance, same centroids (matmul-reassociated distances can
+    flip only exact fp ties, absent in real data), deterministic across
+    repartitionings — and 'auto' must dispatch by k."""
+    from pandasvcf_spark.operators.similarity import kmeans_fit
+    from pandasvcf_spark.queries.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    ce, ie = kmeans_fit(e, "embedding", k=8, max_iter=5, assign="expr")
+    ca, ia = kmeans_fit(e, "embedding", k=8, max_iter=5, assign="arrow")
+    assert len(ia) == len(ie)
+    for a, b in zip(ia, ie):
+        assert abs(a - b) <= 1e-6 * max(abs(b), 1.0), (ia, ie)
+    for va, vb in zip(ca, ce):
+        for x, y in zip(va, vb):
+            assert abs(x - y) <= 1e-9, (x, y)
+    # partitioning-independence: per-partition partial sums reduce to the
+    # same model (np.add.at accumulation is within-partition only)
+    ca2, ia2 = kmeans_fit(
+        e.repartition(7), "embedding", k=8, max_iter=5, assign="arrow"
+    )
+    for a, b in zip(ia2, ia):
+        assert abs(a - b) <= 1e-6 * max(abs(b), 1.0)
+    assert all(
+        b <= a + 1e-6 for a, b in zip(ia, ia[1:])
+    ), ia  # Lloyd's guarantee holds on the arrow path too
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown assign"):
+        kmeans_fit(e, "embedding", k=8, assign="bogus")
