@@ -48,3 +48,50 @@ def tf_idf(
         + F.lit(1.0)
     )
     return scored.select(id_col, "term", "tf", tfidf.alias("tfidf"))
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-grams also appear anywhere in the evaluation set —
+    (id, total_grams, shared_grams, overlap DOUBLE in [0,1]). Filter on
+    `overlap` to drop contaminated docs before training.
+
+    Plan: the eval set's distinct n-grams are a small relation (benchmarks
+    are tiny next to a corpus) — build it once, broadcast it, and
+    equi-join the exploded doc n-grams against it; per-doc counts come
+    back from one grouped aggregation. Cost is one corpus tokenize pass +
+    a broadcast probe per gram; the corpus is never shuffled by content,
+    only the (doc, matched-gram) hits reach the count shuffle."""
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+
+    grams = F.array_distinct(word_ngrams_expr(text_col, n))
+    eval_grams = (
+        eval_df.select(F.explode(grams).alias("__g")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(grams).alias("__g"), F.size(grams).alias("__tot")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), on="__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(grams).alias("total_grams")
+    )
+    shared = F.coalesce(F.col("shared_grams"), F.lit(0)).cast("long")
+    overlap = F.when(F.col("total_grams") == 0, F.lit(0.0)).otherwise(
+        shared / F.col("total_grams").cast("double")
+    )
+    return totals.join(hits, on=id_col, how="left").select(
+        id_col,
+        F.col("total_grams").cast("long").alias("total_grams"),
+        shared.alias("shared_grams"),
+        overlap.alias("overlap"),
+    )

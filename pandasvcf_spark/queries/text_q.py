@@ -586,3 +586,163 @@ def t_winnow_fingerprints(spark, sf_dir):
             winnowing_fingerprints_expr("text", k=5, window=4, portable=True)
         ).alias("fp"),
     )
+
+
+_SQL_POLY_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+
+
+@register(
+    "t_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")} % 10000 < 1000
+    """,
+)
+def t_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample (operators/sampling.hash_sample):
+    keyed on the portable content hash, not RAND() — identical row set on
+    every run, partitioning and engine (the oracle literally recomputes
+    it), and nested (the 1% sample is a subset of the 10%). The pushdown-
+    friendly predicate form every reproducible-subsampling step needs."""
+    from pandasvcf_spark.operators.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    return hash_sample(d, F.col("doc_id"), 0.10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "t_cap_per_group",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def t_cap_per_group(spark, sf_dir):
+    """Per-(lang, source) quota of 5 docs, longest first (operators/
+    sampling.cap_per_group) — corpus balancing. One window shuffle on the
+    group key; the order includes doc_id so the kept set is a total-order
+    function of the data, and WindowGroupLimit cuts mega-groups below the
+    sort."""
+    from pandasvcf_spark.operators.sampling import cap_per_group
+
+    d = load(spark, sf_dir, "documents")
+    return cap_per_group(
+        d,
+        ["lang", "source"],
+        cap=5,
+        order_by=[F.desc("n_chars"), F.col("doc_id")],
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "t_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS tokens
+      FROM documents WHERE trim(text) <> ''),
+    packed AS (
+      SELECT doc_id, shard, tokens,
+             COALESCE(SUM(tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS excl
+      FROM toks)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, tokens,
+           -- // : DuckDB's '/' is FLOAT division and CAST rounds to
+           -- nearest, so CAST(excl/512 AS BIGINT) would round UP half the
+           -- bins; integer floor-div matches Spark's floor()
+           CAST(excl // 512 AS BIGINT) AS bin_id,
+           CAST(excl % 512 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def t_pack_sequences(spark, sf_dir):
+    """Sharded next-fit sequence packing (operators/sampling.
+    pack_sequences): 8 shards pack independently (the window partitions
+    by shard — parallel, never a global single-partition sort), docs laid
+    end-to-end by doc_id into 512-token bins; each doc carries its
+    (bin_id, bin_offset) layout. The oracle recomputes the identical
+    prefix-sum layout in SQL."""
+    from pandasvcf_spark.operators.sampling import pack_sequences
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            whitespace_token_count_expr("text").cast("long").alias("tokens"),
+        )
+    )
+    out = pack_sequences(
+        d, "tokens", budget=512, order_by=[F.col("doc_id")], shard_col="shard"
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "tokens",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
+@register(
+    "t_contamination",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(ws) < 2 THEN []
+        ELSE list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1]) END) AS g
+      FROM w),
+    ev AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id < 10),
+    docs AS (SELECT doc_id, g FROM grams WHERE doc_id >= 10),
+    hits AS (
+      SELECT d.doc_id, count(*) AS shared
+      FROM (SELECT doc_id, unnest(g) AS gram FROM docs) d
+      JOIN ev ON d.gram = ev.gram GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.g) AS BIGINT) AS total_grams,
+           CAST(COALESCE(h.shared, 0) AS BIGINT) AS shared_grams,
+           round(CASE WHEN len(d.g) = 0 THEN 0.0
+                 ELSE COALESCE(h.shared, 0) / CAST(len(d.g) AS DOUBLE) END,
+                 4) AS overlap
+    FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def t_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/text_features.
+    contamination_overlap): docs 0-9 stand in as the eval set; every
+    other doc reports how many of its distinct word bigrams appear in it.
+    The eval gram set is built once and BROADCAST — the corpus is never
+    shuffled by content, only (doc, matched-gram) hits reach the count
+    aggregation. Filter `overlap >= t` upstream of training."""
+    from pandasvcf_spark.operators.text_features import contamination_overlap
+
+    d = load(spark, sf_dir, "documents")
+    out = contamination_overlap(
+        d.filter(F.col("doc_id") >= 10), d.filter(F.col("doc_id") < 10), n=2
+    )
+    return out.select(
+        "doc_id",
+        "total_grams",
+        "shared_grams",
+        F.round("overlap", 4).alias("overlap"),
+    )

@@ -98,6 +98,19 @@ def test_tail_entries_are_redundant_variants_only():
         "v_ivf_query_topk",      # multi-probe query-set IVF: same cell
                                  # machinery as v_ivf_topk (in window);
                                  # full-probe==exact pytest; contract guard
+        "t_hash_sample",         # deterministic content-hash sampling:
+                                 # portable-poly-hash predicate (oracle
+                                 # recomputes the exact sample); contract
+                                 # guard + unit tests
+        "t_cap_per_group",       # per-group quota: same window machinery
+                                 # as w_rank_topk (in window); contract
+                                 # guard
+        "t_pack_sequences",      # sharded next-fit token packing: prefix-
+                                 # sum window layout, exact SQL twin;
+                                 # contract guard + unit tests
+        "t_contamination",       # eval-set n-gram decontamination:
+                                 # broadcast-join overlap counts; contract
+                                 # guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -863,3 +863,103 @@ def test_kmeans_arrow_assignment_matches_expr(spark):
 
     with _pytest.raises(ValueError, match="unknown assign"):
         kmeans_fit(e, "embedding", k=8, assign="bogus")
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    """hash_sample: identical row set across partitionings (content-keyed,
+    unlike df.sample), nested fractions (1% subset of 10%), fraction
+    bounds validated."""
+    from pandasvcf_spark.operators.sampling import hash_sample
+
+    df1 = spark.range(0, 2000).coalesce(1)
+    df2 = spark.range(0, 2000).repartition(16)
+    s10a = {r["id"] for r in hash_sample(df1, F.col("id"), 0.10).collect()}
+    s10b = {r["id"] for r in hash_sample(df2, F.col("id"), 0.10).collect()}
+    assert s10a == s10b and 0 < len(s10a) < 2000
+    s01 = {r["id"] for r in hash_sample(df1, F.col("id"), 0.01).collect()}
+    assert s01 <= s10a  # residue classes nest
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df1, F.col("id"), 1.5)
+
+
+def test_cap_per_group_total_order(spark):
+    from pandasvcf_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}", i * 7 % 11) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, g string, score long")
+    out = cap_per_group(
+        df.repartition(8), ["g"], cap=4,
+        order_by=[F.desc("score"), F.col("id")],
+    ).collect()
+    assert len(out) == 12
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["score"], r["id"]))
+    import itertools
+    for g, kept in by_g.items():
+        want = sorted(
+            ((s, i) for i, gg, s in rows if gg == g),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        assert sorted(kept, key=lambda t: (-t[0], t[1])) == want, g
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """pack_sequences: per-shard exclusive prefix sums; bin_id*budget +
+    bin_offset reconstructs each doc's start token; starts are contiguous
+    (sorted starts diff == token lengths); global (no shard) form works;
+    straddling docs keep the bin of their FIRST token."""
+    from pandasvcf_spark.operators.sampling import pack_sequences
+
+    rows = [(i, i % 2, (i * 37) % 90 + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, shard int, tokens long")
+    out = pack_sequences(
+        df.repartition(8), "tokens", budget=100,
+        order_by=[F.col("doc_id")], shard_col="shard",
+    ).collect()
+    for shard in (0, 1):
+        docs = sorted(
+            (r for r in out if r["shard"] == shard), key=lambda r: r["doc_id"]
+        )
+        start = 0
+        for r in docs:
+            assert r["bin_id"] * 100 + r["bin_offset"] == start, r
+            start += r["tokens"]
+    single = pack_sequences(
+        df, "tokens", budget=100, order_by=[F.col("doc_id")]
+    ).collect()
+    assert len(single) == 40  # global window form runs too
+    big = spark.createDataFrame(
+        [(1, 350), (2, 10)], "doc_id long, tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(
+            big, "tokens", budget=100, order_by=[F.col("doc_id")]
+        ).collect()
+    }
+    assert got[1] == (0, 0)
+    assert got[2] == (3, 50)  # starts where the straddler ends
+
+
+def test_contamination_overlap_exact(spark):
+    from pandasvcf_spark.operators.text_features import contamination_overlap
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # grams: 4, shared: 3
+            (2, "a completely different doc"),  # shared: 0
+            (3, "x"),                           # no bigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["total_grams"], r["shared_grams"], r["overlap"])
+        for r in contamination_overlap(docs, eval_df, n=2).collect()
+    }
+    assert got[1] == (4, 3, 0.75)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
