@@ -100,20 +100,50 @@ def gt_index_expr(gt_part: Column) -> Column:
     )
 
 
-def zygosity_expr(a1: Column, a2: Column, ref: Column | str) -> Column:
+def zygosity_expr(
+    a1: Column,
+    a2: Column,
+    ref: Column | str,
+    haploid: Column | None = None,
+    haploid_mode: str = "miss",
+) -> Column:
     """Classify a genotype call. Branch order matters and mirrors the
     reference's subframe partition (variant_annotations.py:64-127):
     hom-ref > hom-miss > het-miss > het-alt/hom-alt > het-ref.
-    Haploid calls (a2='.') land in het-miss — documented reference parity."""
+    Haploid calls (a2='.') land in het-miss — documented reference parity.
+
+    The opt-in SURVEY §7.2 `hemi` mode: pass `haploid` (a BOOLEAN column
+    marking true single-allele calls — e.g. `phase == '-'` or `GT2 IS
+    NULL`; a1/a2 alone cannot distinguish haploid from diploid-with-
+    missing-second, both surface a2='.') and haploid_mode='hemi' to
+    classify those calls as hemi-ref / hemi-alt / hemi-miss instead of
+    folding them into the diploid missing branches. Default keeps exact
+    reference behavior."""
     r = F.col(ref) if isinstance(ref, str) else ref
     miss1, miss2 = a1 == ".", a2 == "."
-    return (
+    base = (
         F.when((a1 == r) & (a2 == r), F.lit("hom-ref"))
         .when(miss1 & miss2, F.lit("hom-miss"))
         .when(miss1 | miss2, F.lit("het-miss"))
         .when((a1 != r) & (a2 != r) & (a1 != a2), F.lit("het-alt"))
         .when((a1 != r) & (a2 != r) & (a1 == a2), F.lit("hom-alt"))
         .otherwise(F.lit("het-ref"))
+    )
+    if haploid_mode == "miss" or haploid is None:
+        if haploid_mode not in ("miss", "hemi"):
+            raise ValueError(
+                f"unknown haploid_mode {haploid_mode!r}: use 'miss' or 'hemi'"
+            )
+        return base
+    if haploid_mode != "hemi":
+        raise ValueError(
+            f"unknown haploid_mode {haploid_mode!r}: use 'miss' or 'hemi'"
+        )
+    return (
+        F.when(haploid & miss1, F.lit("hemi-miss"))
+        .when(haploid & (a1 == r), F.lit("hemi-ref"))
+        .when(haploid, F.lit("hemi-alt"))
+        .otherwise(base)
     )
 
 

@@ -183,6 +183,40 @@ def f4_zygosity(spark, sf_dir):
     )
 
 
+@register(
+    "f4_zygosity_hemi",
+    oracle=_GENO_CTE
+    + f"""
+    SELECT CASE WHEN haploid AND a1 = '.' THEN 'hemi-miss'
+                WHEN haploid AND a1 = 'A' THEN 'hemi-ref'
+                WHEN haploid THEN 'hemi-alt'
+                ELSE {_ZYG_SQL} END AS zygosity,
+           count(*) AS n
+    FROM ann GROUP BY 1
+    """,
+)
+def f4_zygosity_hemi(spark, sf_dir):
+    """Zygosity histogram under the opt-in haploid='hemi' mode (SURVEY
+    §7.2's deferred design decision, closed round 6): true single-allele
+    calls (phase '-') classify as hemi-ref/hemi-alt/hemi-miss instead of
+    folding into het-miss; diploid rows are untouched (same branches as
+    `f4_zygosity`, which stays the reference-parity default)."""
+    df = _gt_parsed(spark, sf_dir)
+    return (
+        df.select(
+            zygosity_expr(
+                F.col("a1"),
+                F.col("a2"),
+                F.lit("A"),
+                haploid=F.col("phase") == "-",
+                haploid_mode="hemi",
+            ).alias("zygosity")
+        )
+        .groupBy("zygosity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 #: (REF, allele) pairs covering every vartype branch, chosen by p_partkey % 8.
 #: Expected labels per reference vartype_map semantics (SURVEY §2.6 F5,
 #: incl. the '.'-vs-1-char-REF -> snp quirk).

@@ -154,3 +154,45 @@ def test_compat_vcf_metadata_header_parity():
     assert m.header[-1].startswith("CHROM\t")  # reference's rewrite
     assert all(line.endswith("\n") for line in m.header)
     assert not any("#CHROM" in line for line in m.header)
+
+
+def test_zygosity_hemi_mode(spark):
+    """haploid='hemi' (SURVEY §7.2 opt-in): true haploid calls become
+    hemi-ref/hemi-alt/hemi-miss; diploid rows are byte-identical to the
+    default reference-parity classification; bad mode rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.genomics import zygosity_expr
+
+    rows = [
+        # a1, a2, haploid
+        ("A", ".", True),   # hemi-ref
+        ("G", ".", True),   # hemi-alt
+        (".", ".", True),   # hemi-miss
+        ("A", "G", False),  # het-ref (diploid, untouched)
+        ("A", ".", False),  # het-miss (diploid missing-second, untouched)
+    ]
+    df = spark.createDataFrame(rows, "a1 string, a2 string, h boolean")
+    hemi = [
+        r[0]
+        for r in df.select(
+            zygosity_expr(
+                F.col("a1"), F.col("a2"), F.lit("A"),
+                haploid=F.col("h"), haploid_mode="hemi",
+            )
+        ).collect()
+    ]
+    assert hemi == ["hemi-ref", "hemi-alt", "hemi-miss", "het-ref", "het-miss"]
+    base = [
+        r[0]
+        for r in df.select(
+            zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A"))
+        ).collect()
+    ]
+    assert base == ["het-miss", "het-miss", "hom-miss", "het-ref", "het-miss"]
+    with _pytest.raises(ValueError, match="haploid_mode"):
+        zygosity_expr(
+            F.col("a1"), F.col("a2"), F.lit("A"),
+            haploid=F.col("h"), haploid_mode="bogus",
+        )

@@ -111,6 +111,9 @@ def test_tail_entries_are_redundant_variants_only():
         "t_contamination",       # eval-set n-gram decontamination:
                                  # broadcast-join overlap counts; contract
                                  # guard
+        "f4_zygosity_hemi",      # opt-in haploid='hemi' zygosity mode:
+                                 # same branch machinery as f4_zygosity
+                                 # (in window); contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
