@@ -61,8 +61,19 @@ def _gen_barrier(col, name):
 
 def derived_genotypes(spark, sf_dir):
     """The shared derived genotype relation (Spark side). Columns:
-    l_orderkey, l_linenumber, REF, ALT, GT (behind a generator barrier)."""
-    li = load(spark, sf_dir, "lineitem")
+    l_orderkey, l_linenumber, REF, ALT, GT (behind a generator barrier).
+
+    The scan is spread across the session's cores BEFORE the derive/parse:
+    sf0.1's lineitem is one parquet file → 3 scan partitions, and because
+    every downstream projection (GT derive, split, allele lookup, CASE
+    classify) collapses onto the scan stage, 29 of 32 cores sat idle —
+    measured 1.48 → 1.05 s on the zygosity histogram (round 6). A
+    repartition AFTER the parse does nothing (the projections stay below
+    the new exchange). No-op at real scale, where scans yield thousands
+    of partitions — same rationale as minhash's repartition_to."""
+    li = load(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     gt1 = F.when(F.col("l_orderkey") % 19 == 0, ".").otherwise(
         ((F.col("l_linenumber") + F.col("l_orderkey")) % 3).cast("string")
     )
