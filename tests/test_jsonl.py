@@ -1,0 +1,80 @@
+"""JSONL document source: schema-enforced scan, corrupt-line policies,
+gzip shards, round-trip into the text operators."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from pandasvcf_spark.sources.jsonl import (
+    DOCUMENTS_DDL,
+    jsonl_corrupt_stats,
+    read_jsonl,
+)
+
+
+@pytest.fixture(scope="module")
+def jsonl_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jsonl")
+    rows = [
+        {"doc_id": i, "text": f"doc number {i} has words", "lang": "en",
+         "source": "web", "n_chars": 24}
+        for i in range(20)
+    ]
+    # shard 0: plain, with one malformed line spliced in
+    lines = [json.dumps(r) for r in rows[:10]]
+    lines.insert(5, '{"doc_id": 999, "text": broken')
+    (d / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+    # shard 1: gzip-compressed
+    with gzip.open(d / "part-1.jsonl.gz", "wt") as f:
+        for r in rows[10:]:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_read_jsonl_keep_drop_fail(spark, jsonl_dir):
+    kept = read_jsonl(spark, jsonl_dir)
+    assert kept.columns == DOCUMENTS_DDL.replace(" BIGINT", "").replace(
+        " STRING", ""
+    ).split(", ") + ["corrupt"]
+    rows = kept.collect()
+    assert len(rows) == 21  # 20 good + 1 corrupt (gzip shard included)
+    good = [r for r in rows if r["corrupt"] is None]
+    assert {r["doc_id"] for r in good} == set(range(20))
+    bad = [r for r in rows if r["corrupt"] is not None]
+    assert len(bad) == 1 and "broken" in bad[0]["corrupt"]
+
+    stats = jsonl_corrupt_stats(kept).first()
+    assert (stats["n_rows"], stats["n_corrupt"]) == (21, 1)
+    assert abs(stats["corrupt_frac"] - 1 / 21) < 1e-6
+    assert stats["filled_doc_id"] == 20  # schema-drift tripwire columns
+    assert stats["filled_text"] == 20
+
+    dropped = read_jsonl(spark, jsonl_dir, bad_records="drop")
+    assert "corrupt" not in dropped.columns
+    assert dropped.count() == 20
+
+    with pytest.raises(Exception):  # FAILFAST surfaces the malformed line
+        read_jsonl(spark, jsonl_dir, bad_records="fail").collect()
+
+    with pytest.raises(ValueError, match="bad_records"):
+        read_jsonl(spark, jsonl_dir, bad_records="bogus")
+
+
+def test_read_jsonl_feeds_text_operators(spark, jsonl_dir):
+    """JSONL shards drop straight into the dedup/text surface — the whole
+    point of sharing DOCUMENTS_DDL with the documents table."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.text import token_count_expr
+    from pandasvcf_spark.operators.dedup import dedup_exact
+
+    docs = read_jsonl(spark, jsonl_dir, bad_records="drop")
+    toks = docs.select("doc_id", token_count_expr("text").alias("t")).collect()
+    assert all(r["t"] == 5 for r in toks)
+    survivors = dedup_exact(
+        docs, F.col("text"), order_by=[F.col("doc_id")]
+    )
+    assert survivors.count() == 20  # all texts distinct -> all survive
