@@ -240,3 +240,54 @@ def test_bgzf_roundtrip_random_geometry(spark, tmp_path_factory, data, block, ch
         for r in read_bgzf_lines(spark, p, target_chunk_bytes=chunk).collect()
     )
     assert got == want
+
+
+@given(
+    st.lists(st.integers(1, 200), min_size=1, max_size=30),
+    st.integers(10, 300),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_sequential_model(spark, lengths, budget):
+    """pack_sequences (prefix-sum window) vs the obvious sequential model:
+    walk docs in order accumulating tokens; each doc's bin/offset is where
+    its first token lands."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)], "doc_id long, tokens long"
+    ).repartition(4)
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(
+            df, "tokens", budget=budget, order_by=[F.col("doc_id")]
+        ).collect()
+    }
+    start = 0
+    for i, n in enumerate(lengths):
+        assert got[i] == (start // budget, start % budget), (i, n, budget)
+        start += n
+
+
+@given(
+    st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=60,
+             unique=True),
+    st.floats(0.0, 1.0),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_sample_fraction_monotone(spark, ids, frac):
+    """hash_sample at any fraction is a subset of every larger fraction
+    (residue classes nest), empty at 0.0, total at 1.0."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    s = {r["id"] for r in hash_sample(df, F.col("id"), frac).collect()}
+    half = {r["id"] for r in hash_sample(df, F.col("id"), frac / 2).collect()}
+    assert half <= s
+    assert {r["id"] for r in hash_sample(df, F.col("id"), 0.0).collect()} == set()
+    assert {r["id"] for r in hash_sample(df, F.col("id"), 1.0).collect()} == set(ids)
