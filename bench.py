@@ -169,7 +169,11 @@ def main() -> None:
         # catalog query (and the DuckDB anchor) improved; the same first-run
         # codegen/JIT cost the catalog discipline was added for applies to
         # these stages verbatim.
-        def _min_of(fn, runs=2):
+        def _min_of(fn, runs=3):
+            # min-of-3 (not 2) for the VCF stages: they are the headline
+            # numbers and single runs here have caught multi-second ambient
+            # interference twice (round 4's 25.8 s, a round-6 13.6 s parquet
+            # outlier) that min-of-2 didn't fully absorb
             times, out = [], None
             for _ in range(runs):
                 t0 = time.time()
@@ -248,7 +252,9 @@ def main() -> None:
 
         def _min_of2(fn):
             times = []
-            for _ in range(2):
+            # min-of-3: the split-vs-single comparison decides the 64 MiB
+            # auto-threshold claim; one interfered run must not flip it
+            for _ in range(3):
                 t0 = time.time()
                 n = fn()
                 times.append(time.time() - t0)
