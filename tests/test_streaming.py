@@ -320,3 +320,23 @@ def test_foreachbatch_sink_crash_replay_no_duplicates(
     got = spark.read.parquet(str(out))
     assert got.count() == total, "lost batch not rebuilt on replay"
     assert _sorted(got.select("event_id")) == want_ids
+
+
+def test_hash_sample_stream_equals_batch(spark, batch_events, events_dir):
+    """hash_sample is a pure deterministic predicate, so it composes with
+    Structured Streaming unchanged: the sampled id set from a streamed
+    scan equals the batch sample exactly (a seeded df.sample cannot make
+    this promise)."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sampling import hash_sample
+
+    stream = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    got = run_stream_to_memory(
+        hash_sample(stream, F.col("event_id"), 0.2).select("event_id"),
+        "t_sample_stream",
+        output_mode="append",
+    )
+    want = hash_sample(batch_events, F.col("event_id"), 0.2).select("event_id")
+    assert _sorted(got) == _sorted(want)
+    assert 0 < want.count() < batch_events.count()
