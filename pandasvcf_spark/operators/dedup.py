@@ -94,6 +94,48 @@ def dedup_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("__fp")
 
 
+def near_dedup_documents(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.9,
+    method: str = "label",
+    repartition_to: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """END-TO-END near-duplicate removal — the one-call pipeline a corpus
+    cleaning job actually runs: MinHash-LSH candidate pairs (Jaccard-
+    verified) → connected components (so A~B, B~C drops BOTH B and C even
+    though A~C was never a pair) → keep the minimum-id survivor of every
+    cluster. Returns the surviving rows of `df`, all columns intact.
+
+    Composition of `minhash_near_dup_pairs` + `connected_components`
+    (see each for the plan-shape and scale story); the survivor drop is
+    one broadcast-able anti-join against the non-minimum component
+    members — a relation sized by the number of DUPLICATES, not the
+    corpus. `method='star'` switches the closure to star contraction for
+    adversarially-chained duplicate clusters."""
+    pairs = minhash_near_dup_pairs(
+        df,
+        id_col,
+        shingles,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        repartition_to=repartition_to,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, method=method)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == F.col("__loser"), "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection
 # ---------------------------------------------------------------------------

@@ -746,3 +746,56 @@ def t_contamination(spark, sf_dir):
         "shared_grams",
         F.round("overlap", 4).alias("overlap"),
     )
+
+
+#: survivors = corpus minus every non-minimum member of a near-dup
+#: component; the pair relation is the (already exact-value-verified)
+#: dedup_minhash_lsh oracle embedded as a CTE, closed transitively with
+#: the same recursive CTE as dedup_components.
+_NEAR_PIPELINE_ORACLE = f"""
+WITH RECURSIVE pr AS (
+  -- derived-table wrapper: under WITH RECURSIVE, a CTE body containing a
+  -- top-level UNION ALL is parsed as anchor+recursive-part and its nested
+  -- CTEs vanish from the recursive scope; one subquery level restores
+  -- ordinary scoping
+  SELECT * FROM ({QUERIES["dedup_minhash_lsh"].oracle}) AS sub
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+verts AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS lbl FROM verts
+  UNION
+  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+losers AS (SELECT id FROM comp WHERE id <> component),
+corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
+@register("dedup_near_pipeline", oracle=_NEAR_PIPELINE_ORACLE)
+def dedup_near_pipeline(spark, sf_dir):
+    """The one-call corpus-cleaning pipeline (operators/dedup.
+    near_dedup_documents): MinHash-LSH pairs (exact-Jaccard verified at
+    0.9) → connected components → minimum-id survivor per cluster, run
+    over the noisy corpus (every doc + a planted whitespace-noised copy).
+    The oracle recomputes survivors from the independently-verified exact
+    pair set closed with a recursive CTE — end-to-end, not per-stage."""
+    from pandasvcf_spark.operators.dedup import near_dedup_documents
+
+    corpus = _noisy_corpus(spark, sf_dir)
+    out = near_dedup_documents(
+        corpus,
+        "doc_id",
+        word_ngrams_expr("text", 3),
+        num_hashes=64,
+        bands=16,
+        min_jaccard=0.9,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))

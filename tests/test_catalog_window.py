@@ -114,6 +114,10 @@ def test_tail_entries_are_redundant_variants_only():
         "f4_zygosity_hemi",      # opt-in haploid='hemi' zygosity mode:
                                  # same branch machinery as f4_zygosity
                                  # (in window); contract guard
+        "dedup_near_pipeline",   # end-to-end near-dedup (pairs→components
+                                 # →survivors): composes dedup_minhash_lsh
+                                 # + dedup_components, both in/guarded;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -963,3 +963,27 @@ def test_contamination_overlap_exact(spark):
     assert got[1] == (4, 3, 0.75)
     assert got[2] == (3, 0, 0.0)
     assert got[3] == (0, 0, 0.0)
+
+
+def test_near_dedup_documents_end_to_end(spark):
+    """near_dedup_documents: A~B, B~C collapses all three to the min id
+    even though A~C was never a candidate pair; unrelated docs survive;
+    all original columns come through; method='star' agrees."""
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import near_dedup_documents
+
+    base = "the quick brown fox jumps over the lazy dog near the old barn every day"
+    rows = [
+        (10, base, "a"),
+        (20, base + " x", "b"),           # ~10
+        (30, base + " x y", "c"),         # ~20 (and transitively ~10)
+        (40, "completely different words about spark shuffles and parquet column pruning here", "d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    for method in ("label", "star"):
+        out = near_dedup_documents(
+            df, "doc_id", word_ngrams_expr("text", 2),
+            min_jaccard=0.5, method=method,
+        ).collect()
+        got = {r["doc_id"]: r["tag"] for r in out}
+        assert got == {10: "a", 40: "d"}, (method, got)
