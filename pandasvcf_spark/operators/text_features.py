@@ -95,3 +95,70 @@ def contamination_overlap(
         shared.alias("shared_grams"),
         overlap.alias("overlap"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document — the quality gate that
+    catches boilerplate/spam (a page repeating one phrase) which
+    length/stopword heuristics miss:
+
+      * total_grams / distinct_grams — word n-gram occurrence counts;
+      * dup_gram_frac = 1 - distinct/total (0 = no repetition);
+      * top_gram, top_gram_count — the most frequent n-gram (ties break
+        to the lexicographically smallest gram, so the answer is a pure
+        function of the text);
+      * top_gram_char_frac — characters covered by occurrences of the top
+        gram over all word characters (the "fraction of characters in the
+        most frequent n-gram" filter).
+
+    Docs with fewer than n words (no grams) drop out — there is nothing
+    to measure. Plan: explode n-grams → per-(doc, gram) counts → one
+    window over doc (rank + totals) → join back to the per-doc word-char
+    sum. Two shuffles on the doc key; the window never sees more than one
+    doc's distinct grams per partition group."""
+    from pyspark.sql import Window
+
+    from pandasvcf_spark.functions.text import word_ngrams_expr, words_expr
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams_expr(text_col, n)).alias("__g")
+    )
+    counts = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(id_col)
+    ranked = (
+        counts.withColumn(
+            "__rn",
+            F.row_number().over(w.orderBy(F.desc("__c"), F.col("__g"))),
+        )
+        .withColumn("total_grams", F.sum("__c").over(w))
+        .withColumn("distinct_grams", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    chars = df.select(
+        F.col(id_col),
+        F.aggregate(
+            words_expr(text_col),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("__wchars"),
+    )
+    top_chars = F.col("__c") * F.length(F.replace(F.col("__g"), F.lit(" "), F.lit("")))
+    return ranked.join(chars, on=id_col).select(
+        id_col,
+        F.col("total_grams").cast("long").alias("total_grams"),
+        F.col("distinct_grams").cast("long").alias("distinct_grams"),
+        F.round(
+            F.lit(1.0) - F.col("distinct_grams") / F.col("total_grams").cast("double"),
+            4,
+        ).alias("dup_gram_frac"),
+        F.col("__g").alias("top_gram"),
+        F.col("__c").cast("long").alias("top_gram_count"),
+        F.when(F.col("__wchars") == 0, F.lit(0.0))
+        .otherwise(F.round(top_chars / F.col("__wchars").cast("double"), 4))
+        .alias("top_gram_char_frac"),
+    )

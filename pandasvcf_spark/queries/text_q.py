@@ -799,3 +799,48 @@ def dedup_near_pipeline(spark, sf_dir):
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
+    "t_repetition_stats",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(ws) < 2 THEN []
+        ELSE list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1]) END) AS gram
+      FROM w),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+    r AS (
+      SELECT doc_id, gram, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS total,
+             COUNT(*) OVER (PARTITION BY doc_id) AS dist
+      FROM c),
+    ch AS (SELECT doc_id,
+                  list_sum(list_transform(ws, x -> length(x))) AS wchars
+           FROM w)
+    SELECT r.doc_id,
+           CAST(total AS BIGINT) AS total_grams,
+           CAST(dist AS BIGINT) AS distinct_grams,
+           round(1.0 - dist / CAST(total AS DOUBLE), 4) AS dup_gram_frac,
+           gram AS top_gram,
+           CAST(cnt AS BIGINT) AS top_gram_count,
+           CASE WHEN wchars = 0 THEN 0.0
+                ELSE round(cnt * length(replace(gram, ' ', ''))
+                           / CAST(wchars AS DOUBLE), 4) END
+             AS top_gram_char_frac
+    FROM r JOIN ch ON r.doc_id = ch.doc_id
+    WHERE rn = 1
+    """,
+)
+def t_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics (operators/text_features.
+    repetition_stats): duplicate-bigram fraction and the fraction of word
+    characters covered by the most frequent bigram (deterministic tie to
+    the lexicographically smallest gram) — the boilerplate/spam gate of a
+    corpus quality pipeline."""
+    from pandasvcf_spark.operators.text_features import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"), n=2)

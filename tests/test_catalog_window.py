@@ -118,6 +118,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # →survivors): composes dedup_minhash_lsh
                                  # + dedup_components, both in/guarded;
                                  # contract guard
+        "t_repetition_stats",    # Gopher-style repetition metrics: same
+                                 # explode/group/window machinery as
+                                 # in-window entries; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -987,3 +987,28 @@ def test_near_dedup_documents_end_to_end(spark):
         ).collect()
         got = {r["doc_id"]: r["tag"] for r in out}
         assert got == {10: "a", 40: "d"}, (method, got)
+
+
+def test_repetition_stats_exact(spark):
+    from pandasvcf_spark.operators.text_features import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),      # grams: 3x 'spam spam'
+            (2, "all words are different"),  # 3 distinct grams
+            (3, "one"),                      # < 2 words: no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert set(got) == {1, 2}  # gram-less doc drops out
+    r1 = got[1]
+    assert (r1["total_grams"], r1["distinct_grams"]) == (3, 1)
+    assert r1["dup_gram_frac"] == round(1 - 1 / 3, 4)
+    assert r1["top_gram"] == "spam spam" and r1["top_gram_count"] == 3
+    # 3 occurrences x 8 non-space chars / 16 word chars
+    assert r1["top_gram_char_frac"] == round(3 * 8 / 16, 4)
+    r2 = got[2]
+    assert (r2["total_grams"], r2["distinct_grams"]) == (3, 3)
+    assert r2["dup_gram_frac"] == 0.0
+    assert r2["top_gram"] == "all words"  # ties -> lexicographically least
