@@ -38,6 +38,8 @@ HEAVY = [
     "j_asof_events",
     "t_pack_sequences",
     "t_contamination",
+    "dedup_near_pipeline",
+    "t_repetition_stats",
 ]
 ALERT = 1.3
 
