@@ -66,6 +66,39 @@ def read_jsonl(
     return df
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_DDL,
+    bad_records: str = "keep",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of `read_jsonl` — watch a directory of
+    JSONL shards and ingest them incrementally (the continuous-arrival
+    shape of a live corpus feed). Same schema requirement, same
+    corrupt-line policies, same output columns; every downstream text/
+    dedup/sampling expression composes unchanged because they are pure
+    column plans. Pair with `write_stream_partitioned` for an
+    exactly-once landing zone."""
+    if bad_records not in _MODES:
+        raise ValueError(
+            f"bad_records must be one of {sorted(_MODES)}, got {bad_records!r}"
+        )
+    reader = (
+        spark.readStream.schema(
+            schema + (f", {_CORRUPT} STRING" if bad_records == "keep" else "")
+        )
+        .option("mode", _MODES[bad_records])
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.json(path)
+    if bad_records == "keep":
+        df = df.withColumnRenamed(_CORRUPT, "corrupt")
+    return df
+
+
 def jsonl_corrupt_stats(df: DataFrame) -> DataFrame:
     """One-row audit for a `read_jsonl(bad_records='keep')` frame:
     (n_rows, n_corrupt, corrupt_frac, filled_<col>...) — the corrupt-line

@@ -78,3 +78,24 @@ def test_read_jsonl_feeds_text_operators(spark, jsonl_dir):
         docs, F.col("text"), order_by=[F.col("doc_id")]
     )
     assert survivors.count() == 20  # all texts distinct -> all survive
+
+
+def test_read_jsonl_stream_equals_batch(spark, jsonl_dir):
+    """Streamed JSONL ingest (availableNow drain) must produce the same
+    rows as the batch scan, and the text expressions compose on the
+    stream unchanged."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.text import token_count_expr
+    from pandasvcf_spark.sources.jsonl import read_jsonl_stream
+    from pandasvcf_spark.streaming.events import run_stream_to_memory
+
+    stream = read_jsonl_stream(
+        spark, jsonl_dir, bad_records="drop", max_files_per_trigger=1
+    ).select("doc_id", token_count_expr("text").alias("t"))
+    got = run_stream_to_memory(stream, "t_jsonl_stream", output_mode="append")
+    want = read_jsonl(spark, jsonl_dir, bad_records="drop").select(
+        "doc_id", token_count_expr("text").alias("t")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert want.count() == 20
