@@ -249,8 +249,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     and Paeth depend on the just-reconstructed left neighbor, so they run
     as per-lane integer loops (w iterations, not w*channels byte ops in
     bytearrays as before). Palette expansion is one numpy fancy-index.
-    Supports 8-bit gray / gray+alpha / RGB / RGBA / palette (expanded to
-    RGB), non-interlaced; 16-bit and Adam7 raise NotImplementedError
+    Supports 8- and 16-bit gray / gray+alpha / RGB / RGBA and 8-bit
+    palette (expanded to RGB), non-interlaced; 16-bit samples unfilter at
+    their native byte lanes then downconvert to the 8-bit IMG1 payload
+    via each sample's MSB (floor(v/256)); Adam7 raises NotImplementedError
     explicitly (at decode, with the offending parameter named)."""
     import numpy as np
     ihdr, plte, idat = None, None, bytearray()
@@ -266,15 +268,21 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8 and 16 supported)")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
+    if ctype == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit (spec)")
+    # PNG filters operate on BYTES with a lane distance of bpp bytes per
+    # pixel — at depth 16 each sample is two big-endian bytes, so the
+    # unfilter lanes double while the pixel math below stays byte-wise
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
+    stride = w * bpp
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -285,18 +293,18 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         line = arr[y, 1:]
         if f == 0:
             cur = line.copy()
-        elif f == 1:  # Sub: prefix sum per channel lane (mod-256 distributes)
+        elif f == 1:  # Sub: prefix sum per byte lane (mod-256 distributes)
             cur = (
-                (line.reshape(w, channels).astype(np.int32).cumsum(axis=0) & 0xFF)
+                (line.reshape(w, bpp).astype(np.int32).cumsum(axis=0) & 0xFF)
                 .astype(np.uint8)
                 .reshape(stride)
             )
         elif f == 2:  # Up: wrapping uint8 vector add
             cur = line + prev
         elif f == 3:  # Average
-            cur = _avg_unfilter(line, prev, channels)
+            cur = _avg_unfilter(line, prev, bpp)
         elif f == 4:  # Paeth
-            cur = _paeth_unfilter(line, prev, channels)
+            cur = _paeth_unfilter(line, prev, bpp)
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur
@@ -308,6 +316,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
         out = pal[out.reshape(-1)]
         channels = 3
+    elif depth == 16:
+        # IMG1 payloads are 8-bit: take each big-endian sample's MSB
+        # (floor(v/256) — the standard 16->8 reduction), one strided view
+        out = np.ascontiguousarray(out.reshape(h, w * channels, 2)[:, :, 0])
     return h, w, channels, out.tobytes()
 
 

@@ -548,3 +548,77 @@ def test_mp4_meta_walk_and_brand_expr(spark):
     }
     assert brands[1] == "isom" and brands[2] == "iso5" and brands[3] == "mp42"
     assert brands[4] is None
+
+
+def test_decode_png_16bit_all_filters():
+    """16-bit PNG: filters operate on byte lanes of width channels*2, and
+    samples downconvert to the IMG1 8-bit payload via their MSB. Built
+    with a byte-level encoder twin (lane = bpp), exercised across every
+    filter type and gray/RGB/RGBA."""
+    import struct
+    import zlib
+
+    from pandasvcf_spark.operators.multimodal import decode_png
+
+    def encode16(h, w, channels, samples16, filters):
+        ctype = {1: 0, 3: 2, 4: 6}[channels]
+        bpp = channels * 2
+        stride = w * bpp
+        line_bytes = []
+        for y in range(h):
+            row = b"".join(
+                struct.pack(">H", samples16[(y * w + x) * channels + c])
+                for x in range(w)
+                for c in range(channels)
+            )
+            line_bytes.append(row)
+        raw = bytearray()
+        prev = bytes(stride)
+        for y, line in enumerate(line_bytes):
+            f = filters[y]
+            enc = bytearray()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] - a
+                elif f == 2:
+                    v = line[x] - b
+                elif f == 3:
+                    v = line[x] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] - pred
+                enc.append(v & 0xFF)
+            raw.append(f)
+            raw += enc
+            prev = line
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    for channels in (1, 3, 4):
+        h, w = 5, 4
+        vals = [
+            ((y * 7919 + x * 104729 + c * 31337) * 257) % 65536
+            for y in range(h) for x in range(w) for c in range(channels)
+        ]
+        blob = encode16(h, w, channels, vals, filters=[0, 1, 2, 3, 4])
+        gh, gw, gc, px = decode_png(blob)
+        assert (gh, gw, gc) == (h, w, channels)
+        want = bytes(v >> 8 for v in vals)
+        assert px == want, f"channels={channels}"
