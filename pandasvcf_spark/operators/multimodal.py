@@ -238,54 +238,34 @@ def _paeth_unfilter(line, prev, channels):
     return out.reshape(-1)
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Codec-library-free PNG decode → (height, width, channels, raw pixels).
+#: Adam7 pass lattice per the PNG spec: (x0, dx, y0, dy) per pass.
+_ADAM7_PASSES = [
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+]
 
-    zlib inflate of the IDAT stream + per-scanline unfilter (all five PNG
-    filter types: None/Sub/Up/Average/Paeth) — stdlib + numpy only. The
-    unfilter is numpy-vectorized where the data dependence allows: Sub is a
-    per-channel-lane cumulative sum (sum mod 256 distributes over the
-    prefix), Up is one wrapping uint8 vector add, None is a copy; Average
-    and Paeth depend on the just-reconstructed left neighbor, so they run
-    as per-lane integer loops (w iterations, not w*channels byte ops in
-    bytearrays as before). Palette expansion is one numpy fancy-index.
-    Supports 8- and 16-bit gray / gray+alpha / RGB / RGBA and 8-bit
-    palette (expanded to RGB), non-interlaced; 16-bit samples unfilter at
-    their native byte lanes then downconvert to the 8-bit IMG1 payload
-    via each sample's MSB (floor(v/256)); Adam7 raises NotImplementedError
-    explicitly (at decode, with the offending parameter named)."""
+
+def _unfilter_pass(raw: bytes, pos: int, h: int, w: int, bpp: int):
+    """Unfilter one (sub-)image of `h` scanlines × `w` pixels of `bpp`
+    bytes starting at `raw[pos]` → (next_pos, uint8[h, w*bpp]). Each
+    Adam7 pass — and the whole image when non-interlaced — filters
+    independently with its own per-scanline filter bytes, so this is the
+    shared kernel for both layouts. Vectorization per filter type as
+    documented on `decode_png`."""
     import numpy as np
-    ihdr, plte, idat = None, None, bytearray()
-    for typ, data in _png_chunks(bytes(blob)):
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat.extend(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {depth} (8 and 16 supported)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"bad PNG color type {ctype}")
-    if ctype == 3 and depth == 16:
-        raise ValueError("palette PNG cannot be 16-bit (spec)")
-    # PNG filters operate on BYTES with a lane distance of bpp bytes per
-    # pixel — at depth 16 each sample is two big-endian bytes, so the
-    # unfilter lanes double while the pixel math below stays byte-wise
-    bpp = channels * (depth // 8)
-    raw = zlib.decompress(bytes(idat))
+
     stride = w * bpp
-    if len(raw) != (stride + 1) * h:
+    need = (stride + 1) * h
+    if pos + need > len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    arr = np.frombuffer(raw, dtype=np.uint8, count=need, offset=pos).reshape(
+        h, stride + 1
+    )
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -309,6 +289,74 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur
         prev = out[y]
+    return pos + need, out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Codec-library-free PNG decode → (height, width, channels, raw pixels).
+
+    zlib inflate of the IDAT stream + per-scanline unfilter (all five PNG
+    filter types: None/Sub/Up/Average/Paeth) — stdlib + numpy only. The
+    unfilter is numpy-vectorized where the data dependence allows: Sub is a
+    per-channel-lane cumulative sum (sum mod 256 distributes over the
+    prefix), Up is one wrapping uint8 vector add, None is a copy; Average
+    and Paeth depend on the just-reconstructed left neighbor, so they run
+    as per-lane integer loops (w iterations, not w*channels byte ops in
+    bytearrays as before). Palette expansion is one numpy fancy-index.
+    Supports 8- and 16-bit gray / gray+alpha / RGB / RGBA and 8-bit
+    palette (expanded to RGB), both non-interlaced and Adam7-interlaced
+    (seven independently-filtered passes scattered back by each pass's
+    lattice — one strided numpy assignment per pass); 16-bit samples
+    unfilter at their native byte lanes then downconvert to the 8-bit
+    IMG1 payload via each sample's MSB (floor(v/256))."""
+    import numpy as np
+    ihdr, plte, idat = None, None, bytearray()
+    for typ, data in _png_chunks(bytes(blob)):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8 and 16 supported)")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if ctype == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit (spec)")
+    # PNG filters operate on BYTES with a lane distance of bpp bytes per
+    # pixel — at depth 16 each sample is two big-endian bytes, so the
+    # unfilter lanes double while the pixel math below stays byte-wise
+    bpp = channels * (depth // 8)
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) != (w * bpp + 1) * h:
+            raise ValueError("PNG pixel data length mismatch")
+        out = _unfilter_pass(raw, 0, h, w, bpp)[1]
+    else:
+        # Adam7: seven independently-filtered sub-images concatenated in
+        # the IDAT stream, scattered back onto the full grid by each
+        # pass's (x0, dx, y0, dy) lattice
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        grid = out.reshape(h, w, bpp)
+        pos = 0
+        for x0, dx, y0, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pos, sub = _unfilter_pass(raw, pos, ph, pw, bpp)
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     if ctype == 3:  # palette indices -> RGB, one fancy-index gather
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")

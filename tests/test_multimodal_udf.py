@@ -622,3 +622,82 @@ def test_decode_png_16bit_all_filters():
         assert (gh, gw, gc) == (h, w, channels)
         want = bytes(v >> 8 for v in vals)
         assert px == want, f"channels={channels}"
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7: seven independently-filtered passes must reassemble to the
+    exact image, across sizes that exercise empty and partial passes
+    (1x1, 3x2, 8x8, 9x5), RGB and grayscale, mixed filter types."""
+    import struct
+    import zlib
+
+    from pandasvcf_spark.operators.multimodal import _ADAM7_PASSES, decode_png
+
+    def encode_adam7(h, w, channels, pixels):
+        ctype = {1: 0, 3: 2, 4: 6}[channels]
+        img = [
+            [
+                [pixels[(y * w + x) * channels + c] for c in range(channels)]
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        raw = bytearray()
+        for pi, (x0, dx, y0, dy) in enumerate(_ADAM7_PASSES):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * channels
+            prev = bytes(stride)
+            for py in range(ph):
+                line = bytes(
+                    img[y0 + py * dy][x0 + px * dx][c]
+                    for px in range(pw)
+                    for c in range(channels)
+                )
+                f = (pi + py) % 5  # vary filters across passes and rows
+                enc = bytearray()
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    cc = prev[x - channels] if x >= channels else 0
+                    if f == 0:
+                        v = line[x]
+                    elif f == 1:
+                        v = line[x] - a
+                    elif f == 2:
+                        v = line[x] - b
+                    elif f == 3:
+                        v = line[x] - ((a + b) >> 1)
+                    else:
+                        p = a + b - cc
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                        pred = (
+                            a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                        )
+                        v = line[x] - pred
+                    enc.append(v & 0xFF)
+                raw.append(f)
+                raw += enc
+                prev = line
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlace=1
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    for h, w, channels in [(1, 1, 3), (3, 2, 1), (8, 8, 3), (9, 5, 4)]:
+        pixels = bytes(
+            (y * 31 + x * 7 + c * 3 + h * 11 + w) % 256
+            for y in range(h) for x in range(w) for c in range(channels)
+        )
+        blob = encode_adam7(h, w, channels, pixels)
+        assert decode_png(blob) == (h, w, channels, pixels), (h, w, channels)
