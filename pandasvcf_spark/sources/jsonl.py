@@ -66,6 +66,29 @@ def read_jsonl(
     return df
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    n_shards: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Export a corpus as JSONL shards — the other half of the ingest
+    round trip (a cleaned/deduped corpus ships in the same wire format it
+    arrived in). Thin wrapper over the distributed json sink with the
+    pipeline defaults made explicit: gzip shards (splittable BY FILE,
+    which is how JSONL corpora parallelize), optional `n_shards`
+    repartition to control shard count/size (None keeps the upstream
+    partitioning — right when the plan already repartitioned), and
+    Spark's write modes ('error'/'overwrite'/'append')."""
+    if n_shards is not None:
+        df = df.repartition(n_shards)
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def read_jsonl_stream(
     spark: SparkSession,
     path: str,

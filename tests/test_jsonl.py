@@ -99,3 +99,24 @@ def test_read_jsonl_stream_equals_batch(spark, jsonl_dir):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert want.count() == 20
+
+
+def test_write_jsonl_roundtrip(spark, jsonl_dir, tmp_path):
+    """write_jsonl -> read_jsonl round trip: gzip shards, shard-count
+    control, zero corrupt lines, exact row equality."""
+    import os
+
+    from pandasvcf_spark.sources.jsonl import jsonl_corrupt_stats, write_jsonl
+
+    docs = read_jsonl(spark, jsonl_dir, bad_records="drop")
+    out = str(tmp_path / "export")
+    write_jsonl(docs, out, n_shards=3)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 3 and all(f.endswith(".gz") for f in parts)
+
+    back = read_jsonl(spark, out)
+    stats = jsonl_corrupt_stats(back).first()
+    assert (stats["n_rows"], stats["n_corrupt"]) == (20, 0)
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, back.drop("corrupt").collect()), key=lambda t: t[0]) == \
+           sorted(map(tuple, docs.collect()), key=lambda t: t[0])
