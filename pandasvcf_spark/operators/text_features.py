@@ -162,3 +162,48 @@ def repetition_stats(
         .otherwise(F.round(top_chars / F.col("__wchars").cast("double"), 4))
         .alias("top_gram_char_frac"),
     )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Inter-document boilerplate detection: for each document, the
+    fraction of its distinct word n-gram chunks that also appear in at
+    least `min_docs - 1` OTHER documents — (id, total_chunks,
+    boiler_chunks, boiler_frac). High fractions flag templated/mirrored
+    pages (navigation, license blocks, syndicated text) that per-document
+    repetition metrics cannot see, because the repetition lives ACROSS
+    documents.
+
+    Plan: explode distinct chunks → per-chunk distinct-doc counts (one
+    shuffle on the chunk key, map-side combined) → join the shared-chunk
+    set back onto the per-doc chunk list (same chunk-key partitioning, so
+    the join reuses the aggregation's exchange) → per-doc counts. Docs
+    with no chunks (< n words) drop out, as in `repetition_stats`."""
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+
+    ch = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams_expr(text_col, n))
+        ).alias("__c"),
+    )
+    shared = (
+        ch.groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__nd"))  # docs per chunk (chunks are
+        # distinct WITHIN a doc, so plain count == distinct-doc count)
+        .filter(F.col("__nd") >= min_docs)
+        .select("__c")
+    )
+    flagged = ch.join(shared.withColumn("__hit", F.lit(1)), on="__c", how="left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.count("__hit").alias("boiler_chunks"),
+        F.round(
+            F.count("__hit") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("boiler_frac"),
+    )

@@ -844,3 +844,36 @@ def t_repetition_stats(spark, sf_dir):
     from pandasvcf_spark.operators.text_features import repetition_stats
 
     return repetition_stats(load(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "t_boilerplate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) < 8 THEN []
+        ELSE list_transform(generate_series(1, len(ws) - 7),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+               || ' ' || ws[i+7]) END)) AS c
+      FROM w),
+    shared AS (SELECT c FROM g GROUP BY c HAVING count(*) >= 2)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(s.c) AS BIGINT) AS boiler_chunks,
+           round(count(s.c) / CAST(count(*) AS DOUBLE), 4) AS boiler_frac
+    FROM g LEFT JOIN shared s ON g.c = s.c
+    GROUP BY g.doc_id
+    """,
+)
+def t_boilerplate(spark, sf_dir):
+    """Inter-document boilerplate fraction (operators/text_features.
+    boilerplate_stats): distinct word 8-grams appearing in >= 2 documents
+    mark templated/mirrored text — the cross-document filter per-doc
+    repetition metrics cannot see. Two chunk-key shuffles, join co-
+    partitioned with the counting aggregation."""
+    from pandasvcf_spark.operators.text_features import boilerplate_stats
+
+    return boilerplate_stats(
+        load(spark, sf_dir, "documents"), n=8, min_docs=2
+    )

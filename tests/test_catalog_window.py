@@ -121,6 +121,9 @@ def test_tail_entries_are_redundant_variants_only():
         "t_repetition_stats",    # Gopher-style repetition metrics: same
                                  # explode/group/window machinery as
                                  # in-window entries; contract guard
+        "t_boilerplate",         # cross-document boilerplate fraction:
+                                 # explode/group/join machinery covered
+                                 # in-window; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

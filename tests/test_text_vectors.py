@@ -1012,3 +1012,26 @@ def test_repetition_stats_exact(spark):
     assert (r2["total_grams"], r2["distinct_grams"]) == (3, 3)
     assert r2["dup_gram_frac"] == 0.0
     assert r2["top_gram"] == "all words"  # ties -> lexicographically least
+
+
+def test_boilerplate_stats_exact(spark):
+    from pandasvcf_spark.operators.text_features import boilerplate_stats
+
+    shared = "one two three four"  # the 4-gram both docs carry
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),   # grams: 3, shared: 1
+            (2, shared + " gamma delta"),  # grams: 3, shared: 1
+            (3, "totally unrelated words here now"),  # grams: 2, shared: 0
+            (4, "shorty"),                 # < 4 words: drops out
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["total_chunks"], r["boiler_chunks"], r["boiler_frac"])
+        for r in boilerplate_stats(df, n=4, min_docs=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, 1, round(1 / 3, 4))
+    assert got[2] == (3, 1, round(1 / 3, 4))
+    assert got[3] == (2, 0, 0.0)
