@@ -207,3 +207,40 @@ def boilerplate_stats(
             F.count("__hit") / F.count(F.lit(1)).cast("double"), 4
         ).alias("boiler_frac"),
     )
+
+
+def word_logprob_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-trained unigram log-probability score per document — the
+    perplexity-proxy quality signal (no external model needed): word
+    frequencies come from THIS corpus, each document scores the mean
+    log10 probability of its own words, and outliers (gibberish,
+    wrong-language, OCR noise — full of corpus-rare words) surface as
+    low scores. Output: (id, n_words, avg_logprob DOUBLE) — filter the
+    left tail before training.
+
+    Plan: explode words → corpus-level word counts (one shuffle,
+    map-side combined) + the corpus total as a scalar broadcast-style
+    cross join of a 1-row aggregate → join word frequencies back onto
+    the per-doc word list (co-partitioned with the counting aggregation)
+    → per-doc mean. Docs with no words drop out."""
+    from pandasvcf_spark.functions.text import words_expr
+
+    wd = df.select(F.col(id_col), F.explode(words_expr(text_col)).alias("__w"))
+    freq = wd.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+    total = freq.agg(F.sum("__n").alias("__tot"))
+    scored = (
+        wd.join(freq, on="__w")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log10(F.col("__n") / F.col("__tot").cast("double")).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+    )

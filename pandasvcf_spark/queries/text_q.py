@@ -877,3 +877,28 @@ def t_boilerplate(spark, sf_dir):
     return boilerplate_stats(
         load(spark, sf_dir, "documents"), n=8, min_docs=2
     )
+
+
+@register(
+    "t_word_logprob",
+    oracle=f"""
+    WITH wd AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS n FROM wd GROUP BY w),
+    tot AS (SELECT sum(n) AS t FROM freq)
+    SELECT wd.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(log10(freq.n / CAST(tot.t AS DOUBLE))), 4)
+             AS avg_logprob
+    FROM wd JOIN freq ON wd.w = freq.w CROSS JOIN tot
+    GROUP BY wd.doc_id
+    """,
+)
+def t_word_logprob(spark, sf_dir):
+    """Corpus-trained unigram log-probability quality score (operators/
+    text_features.word_logprob_stats): mean log10 word probability per
+    document under the corpus's own unigram distribution — the
+    perplexity proxy that flags gibberish/rare-word-heavy docs without
+    an external model."""
+    from pandasvcf_spark.operators.text_features import word_logprob_stats
+
+    return word_logprob_stats(load(spark, sf_dir, "documents"))

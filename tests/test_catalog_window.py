@@ -124,6 +124,9 @@ def test_tail_entries_are_redundant_variants_only():
         "t_boilerplate",         # cross-document boilerplate fraction:
                                  # explode/group/join machinery covered
                                  # in-window; contract guard
+        "t_word_logprob",        # corpus-trained unigram logprob quality
+                                 # score: same explode/group/join shape;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

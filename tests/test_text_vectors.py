@@ -1035,3 +1035,24 @@ def test_boilerplate_stats_exact(spark):
     assert got[1] == (3, 1, round(1 / 3, 4))
     assert got[2] == (3, 1, round(1 / 3, 4))
     assert got[3] == (2, 0, 0.0)
+
+
+def test_word_logprob_stats_exact(spark):
+    import math
+
+    from pandasvcf_spark.operators.text_features import word_logprob_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    # corpus counts: a=4, b=1, total=5
+    got = {
+        r["doc_id"]: (r["n_words"], r["avg_logprob"])
+        for r in word_logprob_stats(df).collect()
+    }
+    assert set(got) == {1, 2}  # wordless doc drops out
+    assert got[1] == (3, round(math.log10(4 / 5), 4))
+    assert got[2] == (
+        2,
+        round((math.log10(4 / 5) + math.log10(1 / 5)) / 2, 4),
+    )
