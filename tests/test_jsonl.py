@@ -120,3 +120,46 @@ def test_write_jsonl_roundtrip(spark, jsonl_dir, tmp_path):
     key = lambda r: r["doc_id"]
     assert sorted(map(tuple, back.drop("corrupt").collect()), key=lambda t: t[0]) == \
            sorted(map(tuple, docs.collect()), key=lambda t: t[0])
+
+
+def test_read_csv_docs(spark, tmp_path):
+    """CSV/TSV ingest: schema-enforced, quoted fields, corrupt-row
+    policies shared with jsonl, TSV via sep, audit composes."""
+    from pandasvcf_spark.sources.csvdocs import read_csv_docs
+    from pandasvcf_spark.sources.jsonl import jsonl_corrupt_stats
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "part-0.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        '1,"hello, quoted world",en,web,19\n'
+        "2,plain text,en,web,10\n"
+        "3,bad,row,with,too,many,fields,entirely\n"
+    )
+    kept = read_csv_docs(spark, str(d))
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert rows[1]["text"] == "hello, quoted world"  # RFC 4180 quoting
+    assert rows[2]["lang"] == "en"
+    stats = jsonl_corrupt_stats(kept).first()
+    assert (stats["n_rows"], stats["n_corrupt"]) == (3, 1)
+
+    dropped = read_csv_docs(spark, str(d), bad_records="drop")
+    assert "corrupt" not in dropped.columns
+    # the documented gotcha: a bare count() prunes every column, parses
+    # nothing, and sees the malformed row; a full-row read drops it
+    assert dropped.count() == 3
+    assert len(dropped.collect()) == 2
+
+    t = tmp_path / "tsv"
+    t.mkdir()
+    (t / "part-0.tsv").write_text(
+        "doc_id\ttext\tlang\tsource\tn_chars\n4\ttab text\tde\tnews\t8\n"
+    )
+    tsv = read_csv_docs(spark, str(t), sep="\t", bad_records="fail")
+    r = tsv.first()
+    assert (r["doc_id"], r["text"], r["lang"]) == (4, "tab text", "de")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad_records"):
+        read_csv_docs(spark, str(d), bad_records="nope")
