@@ -541,7 +541,8 @@ def _wav_walk(blob: bytes):
     while pos + 8 <= len(blob):
         tag = blob[pos : pos + 4]
         size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
-        if tag == b"fmt " and size >= 16:
+        # size may CLAIM >= 16 on a truncated file: check the bytes exist
+        if tag == b"fmt " and size >= 16 and pos + 24 <= len(blob):
             fmt = struct.unpack("<HHIIHH", blob[pos + 8 : pos + 24])
         elif tag == b"data":
             data_size = size

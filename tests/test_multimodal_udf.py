@@ -701,3 +701,41 @@ def test_decode_png_adam7_interlaced():
         )
         blob = encode_adam7(h, w, channels, pixels)
         assert decode_png(blob) == (h, w, channels, pixels), (h, w, channels)
+
+
+def test_media_walkers_never_throw_on_garbage():
+    """_wav_walk and _mp4_walk are the per-row kernels of wav_meta /
+    mp4_meta: on a 100 TB scan a corrupt payload must come back as a NULL
+    metadata row, never as an executor exception. Fuzz with random bytes,
+    truncations of VALID payloads at every boundary, and adversarial
+    size fields."""
+    import random
+    import struct
+
+    from pandasvcf_spark.operators.multimodal import (
+        _box, _mp4_walk, _wav_walk, pack_mp4, pack_wav,
+    )
+
+    rnd = random.Random(99)
+    good_wav = pack_wav(8000, 2, struct.pack("<8h", *range(8)))
+    good_mp4 = pack_mp4(600, 1200, n_tracks=2)
+
+    for blob in (good_wav, good_mp4):
+        for cut in range(len(blob) + 1):  # every truncation boundary
+            _wav_walk(blob[:cut])
+            _mp4_walk(blob[:cut])
+    for _ in range(300):  # random garbage, some with valid magic prefixes
+        n = rnd.randrange(0, 200)
+        junk = bytes(rnd.randrange(256) for _ in range(n))
+        for payload in (junk, b"RIFF" + junk, good_wav[:12] + junk,
+                        _box(b"ftyp", b"isom") + junk):
+            _wav_walk(payload)
+            _mp4_walk(payload)
+    # adversarial sizes: zero-size chunk (would loop forever if unguarded),
+    # size pointing past EOF, 64-bit largesize overrunning the buffer
+    evil_riff = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"junk" + struct.pack("<I", 0) * 10
+    _wav_walk(evil_riff)
+    evil_mp4 = struct.pack(">I", 0xFFFFFFF0) + b"moov" + b"x" * 8
+    assert _mp4_walk(evil_mp4) is None
+    evil_large = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 2**60) + b"x" * 8
+    assert _mp4_walk(evil_large) is None
