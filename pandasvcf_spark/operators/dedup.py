@@ -104,18 +104,28 @@ def near_dedup_documents(
     method: str = "label",
     repartition_to: int | None = None,
     max_bucket_size: int | None = None,
+    quality: Column | None = None,
 ) -> DataFrame:
     """END-TO-END near-duplicate removal — the one-call pipeline a corpus
     cleaning job actually runs: MinHash-LSH candidate pairs (Jaccard-
     verified) → connected components (so A~B, B~C drops BOTH B and C even
-    though A~C was never a pair) → keep the minimum-id survivor of every
-    cluster. Returns the surviving rows of `df`, all columns intact.
+    though A~C was never a pair) → keep one survivor per cluster. Returns
+    the surviving rows of `df`, all columns intact.
+
+    Survivor selection: minimum id by default; pass `quality` (any column
+    expression over `df`'s rows — a score, a length, a source-priority
+    rank) to instead keep each cluster's HIGHEST-quality member (ties
+    break to the minimum id, so selection stays total and deterministic).
+    Keep-best is what production cleaning actually wants — dropping the
+    well-formatted original because its mojibake copy had a smaller id is
+    a real corpus-quality bug of keep-min pipelines.
 
     Composition of `minhash_near_dup_pairs` + `connected_components`
-    (see each for the plan-shape and scale story); the survivor drop is
-    one broadcast-able anti-join against the non-minimum component
-    members — a relation sized by the number of DUPLICATES, not the
-    corpus. `method='star'` switches the closure to star contraction for
+    (see each for the plan-shape and scale story); survivor selection
+    touches only COMPONENT MEMBERS — a relation sized by the number of
+    duplicates, not the corpus: the quality ranking is a window over the
+    members-only join, and the final drop is one broadcast-able anti-join.
+    `method='star'` switches the closure to star contraction for
     adversarially-chained duplicate clusters."""
     pairs = minhash_near_dup_pairs(
         df,
@@ -128,9 +138,26 @@ def near_dedup_documents(
         max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
     comp = connected_components(pairs, method=method)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("__loser")
-    )
+    if quality is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("__loser")
+        )
+    else:
+        # Rank only the members (|members| ~ duplicates << corpus): one
+        # join pulls each member's quality, one window per component picks
+        # the best. The join build side is the component map — broadcast-
+        # sized in the same regime the anti-join below already assumes.
+        members = df.select(
+            _c(id_col).alias("__mid"), quality.alias("__q")
+        ).join(comp, F.col("__mid") == comp["id"], "inner")
+        w = Window.partitionBy("component").orderBy(
+            F.col("__q").desc_nulls_last(), F.col("__mid")
+        )
+        losers = (
+            members.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") > 1)
+            .select(F.col("__mid").alias("__loser"))
+        )
     return df.join(
         losers, df[id_col] == F.col("__loser"), "left_anti"
     )

@@ -1,8 +1,9 @@
-"""Deterministic sampling, per-group capping, and sequence packing —
-the corpus-shaping operators of a training-data pipeline (beyond-reference
+"""Deterministic sampling, source mixing, per-group capping, token-budget
+selection, filter-funnel accounting, and sequence packing — the
+corpus-shaping operators of a training-data pipeline (beyond-reference
 extension surface, same family as operators/dedup.py).
 
-Design rules shared by all three:
+Design rules shared by all of them:
   * determinism is a feature, not an accident: sampling keys on a portable
     content hash (`poly_hash_expr` — exactly reproducible in ANSI SQL, so
     the oracle recomputes the same sample), never on RAND() or partition
@@ -39,7 +40,16 @@ def hash_sample(
     engines, and composable (a 1% sample is a subset of the same key's
     10% sample because the residue classes nest). The filter is a plain
     predicate — it pushes into scans of tables materialized with the hash
-    column. Selection granularity is 1/buckets."""
+    column. Selection granularity is 1/buckets.
+
+    Rate accuracy depends on key entropy: the portable polynomial is
+    affine in a string's tail characters, so a small CONTIGUOUS block of
+    decimal ids lands in a narrow residue band and its local sampling
+    rate can deviate far from `fraction` (measured in
+    tests/test_corpus_shaping.py). Over a wide id range the bands wrap
+    the modulus many times and the aggregate rate converges; for
+    rate-critical sampling of short sequential keys, key on content
+    (e.g. a text fingerprint) instead."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     k = F.col(key) if isinstance(key, str) else key
@@ -47,6 +57,155 @@ def hash_sample(
     return df.filter(
         poly_hash_expr(k.cast("string")) % F.lit(buckets) < F.lit(threshold)
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    group_col: Column | str,
+    weights: dict[str, float],
+    key: Column | str,
+    buckets: int = 10_000,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Weighted source mixing: keep `weights[source]` of each source's rows
+    (deterministically, via the same portable content-hash predicate as
+    `hash_sample`) — the "20% of web, 100% of books, 5% of forums" step
+    every pretraining mixture specifies. Groups absent from `weights` get
+    `default_fraction` (0.0 = drop unknown sources, the safe default for a
+    curated mixture; 1.0 = pass them through).
+
+    The per-group threshold is a small literal map looked up per row
+    (`element_at` on a CREATE_MAP — no join, no second scan), and the
+    whole operator is one pure predicate: it pushes into scans, it
+    composes with itself (re-weighting a source re-uses the same nested
+    residue classes, so lowering 20% -> 10% keeps a subset of the same
+    rows — stable corpus diffs across mixture revisions), and two runs
+    on different partitionings keep identical row sets."""
+    for src, frac in weights.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"weight for {src!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    k = F.col(key) if isinstance(key, str) else key
+    pairs: list[Column] = []
+    for src, frac in sorted(weights.items()):
+        pairs.append(F.lit(src))
+        pairs.append(F.lit(int(round(frac * buckets))))
+    default_t = F.lit(int(round(default_fraction * buckets)))
+    threshold = (
+        F.coalesce(F.element_at(F.create_map(*pairs), g.cast("string")), default_t)
+        if pairs
+        else default_t
+    )
+    return df.filter(poly_hash_expr(k.cast("string")) % F.lit(buckets) < threshold)
+
+
+def filter_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+) -> DataFrame:
+    """One-pass filter-funnel accounting: for an ordered list of (name,
+    predicate) quality gates, report how many rows survive each prefix of
+    the pipeline — the "input 10B docs -> 7.2B after lang-id -> 5.1B after
+    quality -> ..." table every corpus-cleaning run publishes.
+
+    Returns (stage_idx INT, stage STRING, survivors BIGINT), row 0 being
+    the unfiltered input count. Survivors at stage i are rows passing
+    predicates 1..i CONJOINED — the funnel is monotone by construction,
+    which per-stage independent counts (a common accounting bug) are not.
+    The plan is ONE scan with a partial-aggregated conditional sum per
+    stage (no per-stage job, no cache dance); the long output shape comes
+    from exploding the single aggregated row, so the whole report costs
+    exactly one pass over the data at any corpus size. NULL predicate
+    results count as failures (filter semantics), not as missing data."""
+    aggs = [F.count(F.lit(1)).alias("__s0")]
+    conj: Column | None = None
+    for i, (_, pred) in enumerate(stages, start=1):
+        conj = pred if conj is None else (conj & pred)
+        aggs.append(
+            F.sum(F.when(conj, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__s{i}")
+        )
+    row = df.agg(*aggs)
+    names = ["input"] + [name for name, _ in stages]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(names[i]).alias("stage"),
+                F.coalesce(F.col(f"__s{i}"), F.lit(0)).cast("long").alias("survivors"),
+            )
+            for i in range(len(names))
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select(
+        "e.stage_idx", "e.stage", "e.survivors"
+    )
+
+
+def take_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key: Column | str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic token-budget selection: order the corpus by
+    (portable_hash(key) % buckets, key) and keep documents while the
+    EXCLUSIVE running token sum is under `budget` — "give me the first
+    1T tokens of this corpus, reproducibly". The one document straddling
+    the boundary is kept (its first token is inside the budget), so the
+    selection is exactly the prefix a sequential reader would take.
+
+    Scale story — the global prefix sum never happens: per-bucket token
+    totals are one tiny aggregation (`buckets` rows to the driver — a
+    documented model-size collect, same class as the k-means stats);
+    the driver's cumulative walk finds the single boundary bucket, and
+    only THAT bucket (~1/buckets of the corpus) pays a window sort. Every
+    earlier bucket is admitted by a pure pushdown-able predicate and
+    every later bucket is pruned by the same predicate; rerunning with a
+    bigger budget keeps a superset (the order is content-keyed, not
+    partition-dependent)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    k = F.col(key) if isinstance(key, str) else key
+    bucket = (poly_hash_expr(k.cast("string")) % F.lit(buckets)).alias("__bkt")
+    toks = F.col(token_col).cast("long")
+    with_b = df.withColumn("__bkt", bucket)
+    totals = {
+        r["__bkt"]: r["t"]
+        for r in with_b.groupBy("__bkt").agg(F.sum(toks).alias("t")).collect()
+    }
+    running = 0
+    full_max = -1  # highest bucket id admitted wholesale
+    boundary = None  # (bucket_id, tokens_already_spent) for the window bucket
+    for b in sorted(totals):
+        if running >= budget:
+            break
+        if running + totals[b] < budget:
+            full_max = b
+        else:
+            boundary = (b, running)
+            break
+        running += totals[b]
+    if boundary is None:
+        return with_b.filter(F.col("__bkt") <= F.lit(full_max)).drop("__bkt")
+    b_star, spent = boundary
+    w = Window.partitionBy("__bkt").orderBy(k)
+    excl = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    full = with_b.filter(F.col("__bkt") <= F.lit(full_max))
+    edge = (
+        with_b.filter(F.col("__bkt") == F.lit(b_star))
+        .withColumn("__excl", excl)
+        .filter(F.col("__excl") < F.lit(budget - spent))
+        .drop("__excl")
+    )
+    return full.unionByName(edge).drop("__bkt")
 
 
 def cap_per_group(

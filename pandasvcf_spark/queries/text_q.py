@@ -902,3 +902,165 @@ def t_word_logprob(spark, sf_dir):
     from pandasvcf_spark.operators.text_features import word_logprob_stats
 
     return word_logprob_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t_mix_sources",
+    oracle=f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE {_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2000 WHEN 'src3' THEN 0
+                  ELSE 1000 END
+    """,
+)
+def t_mix_sources(spark, sf_dir):
+    """Weighted pretraining mixture (operators/sampling.mix_sources):
+    keep 100% of src0, 50% of src1, 20% of src2, none of src3 and 10% of
+    everything else — one pure pushdown-able predicate whose per-source
+    threshold is a literal-map lookup (no join, no second scan), keyed on
+    the portable content hash so the oracle recomputes the exact row set
+    and re-weighting keeps nested samples."""
+    from pandasvcf_spark.operators.sampling import mix_sources
+
+    d = load(spark, sf_dir, "documents")
+    out = mix_sources(
+        d,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.2, "src3": 0.0},
+        key="doc_id",
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+@register(
+    "t_filter_funnel",
+    oracle="""
+    SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS survivors
+    FROM documents
+    UNION ALL
+    SELECT 1, 'min_length', sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+    FROM documents
+    UNION ALL
+    SELECT 2, 'english',
+           sum(CASE WHEN n_chars >= 100 AND lang = 'en' THEN 1 ELSE 0 END)
+    FROM documents
+    UNION ALL
+    SELECT 3, 'has_article',
+           sum(CASE WHEN n_chars >= 100 AND lang = 'en'
+                     AND contains(lower(text), ' the ') THEN 1 ELSE 0 END)
+    FROM documents
+    """,
+)
+def t_filter_funnel(spark, sf_dir):
+    """Corpus-cleaning funnel report (operators/sampling.filter_funnel):
+    per-stage survivor counts for length -> lang-id -> content gates,
+    CONJOINED so the funnel is monotone, computed in ONE scan (one
+    conditional partial-aggregated sum per stage — never a job per
+    stage). The oracle recomputes each prefix conjunction independently."""
+    from pandasvcf_spark.operators.sampling import filter_funnel
+
+    d = load(spark, sf_dir, "documents")
+    out = filter_funnel(
+        d,
+        [
+            ("min_length", F.col("n_chars") >= 100),
+            ("english", F.col("lang") == "en"),
+            ("has_article", F.lower(F.col("text")).contains(" the ")),
+        ],
+    )
+    return out.select(
+        "stage_idx", "stage", F.col("survivors").cast("long").alias("survivors")
+    )
+
+
+@register(
+    "t_token_budget",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               ORDER BY {_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")} % 32,
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM documents)
+    WHERE excl < 8000
+    """,
+)
+def t_token_budget(spark, sf_dir):
+    """Deterministic token-budget prefix (operators/sampling.
+    take_token_budget): the first 8,000 chars' worth of documents in
+    content-hash order, straddling doc included. The Spark plan never
+    runs a global prefix sum — per-bucket totals (32 rows) find the one
+    boundary bucket, full buckets are admitted by a pushdown-able
+    predicate, and only the boundary bucket pays a window; the oracle
+    IS the global prefix sum, proving the bucketed plan equals it."""
+    from pandasvcf_spark.operators.sampling import take_token_budget
+
+    d = load(spark, sf_dir, "documents")
+    out = take_token_budget(d, "n_chars", budget=8000, key="doc_id", buckets=32)
+    return out.select("doc_id", "source", "n_chars")
+
+
+#: keep-best variant of _NEAR_PIPELINE_ORACLE: survivors maximize
+#: length(text) per component (tie -> min id) instead of minimizing id —
+#: on the noisy corpus the planted copy is 2 chars longer, so keep-best
+#: provably selects the OPPOSITE member from keep-min, exercising the
+#: quality path end to end.
+_NEAR_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pr AS (
+  SELECT * FROM ({{minhash}}) AS sub
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pr
+          UNION ALL SELECT id_b, id_a FROM pr),
+verts AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS lbl FROM verts
+  UNION
+  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text || '  ' FROM documents),
+members AS (
+  SELECT c.id, c.component, length(co.text) AS q
+  FROM comp c JOIN corpus co ON co.doc_id = c.id),
+losers AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (PARTITION BY component
+                                  ORDER BY q DESC, id) AS rk
+    FROM members) WHERE rk > 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
+@register(
+    "dedup_near_keep_best",
+    oracle=_NEAR_KEEP_BEST_ORACLE.format(
+        minhash=QUERIES["dedup_minhash_lsh"].oracle
+    ),
+)
+def dedup_near_keep_best(spark, sf_dir):
+    """near_dedup_documents with quality-based survivor selection
+    (`quality=length(text)`): each near-dup cluster keeps its highest-
+    quality member, tie-broken to min id. The ranking window runs over
+    COMPONENT MEMBERS only (sized by duplicates, not the corpus). On the
+    planted corpus this keeps the longer noisy copy where keep-min keeps
+    the original — the oracle verifies the flip, not just the count."""
+    from pandasvcf_spark.operators.dedup import near_dedup_documents
+
+    corpus = _noisy_corpus(spark, sf_dir)
+    out = near_dedup_documents(
+        corpus,
+        "doc_id",
+        word_ngrams_expr("text", 3),
+        num_hashes=64,
+        bands=16,
+        min_jaccard=0.9,
+        repartition_to=spark.sparkContext.defaultParallelism,
+        quality=F.length("text"),
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))

@@ -127,6 +127,22 @@ def test_tail_entries_are_redundant_variants_only():
         "t_word_logprob",        # corpus-trained unigram logprob quality
                                  # score: same explode/group/join shape;
                                  # contract guard
+        "t_mix_sources",         # weighted source mixing: same portable-
+                                 # hash predicate as t_hash_sample (in
+                                 # tail, contract-guarded) + literal-map
+                                 # threshold; contract guard
+        "t_filter_funnel",       # one-scan funnel accounting: conditional
+                                 # aggregation shape covered by agg
+                                 # entries in window; contract guard
+        "t_token_budget",        # bucketed token-budget prefix: window +
+                                 # predicate machinery covered in window;
+                                 # exact global-prefix-sum oracle;
+                                 # contract guard
+        "dedup_near_keep_best",  # quality-survivor variant of
+                                 # dedup_near_pipeline (same pairs +
+                                 # closure, argmax selection); oracle
+                                 # verifies the keep-best flip; contract
+                                 # guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

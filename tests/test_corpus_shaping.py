@@ -1,0 +1,232 @@
+"""Unit tests for the round-6 corpus-shaping additions: weighted source
+mixing, filter-funnel accounting, token-budget selection, and quality-based
+near-dedup survivors — the semantics the SQL oracles can't probe (nesting,
+monotonicity, equivalence with a sequential model, edge budgets)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.operators.sampling import (
+    filter_funnel,
+    mix_sources,
+    take_token_budget,
+)
+
+
+def _docs(spark, n=200):
+    # spread ids multiplicatively so the portable hash's residues spread:
+    # a CONTIGUOUS id block clusters (the polynomial is affine in the few
+    # varying tail digits), which is measurement noise here, not a bug —
+    # real corpora key on content ids spanning the full digit range
+    return spark.range(n).select(
+        (F.col("id") * 31337).alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+        ((F.col("id") * 37) % 211 + 1).alias("tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mix_sources
+# ---------------------------------------------------------------------------
+
+
+def test_mix_sources_nested_reweighting(spark):
+    """Lowering a source's weight keeps a SUBSET of the higher-weight
+    sample (residue classes nest) — the property that makes mixture
+    revisions diffable."""
+    d = _docs(spark)
+    hi = mix_sources(d, "source", {"src0": 0.6}, key="doc_id")
+    lo = mix_sources(d, "source", {"src0": 0.3}, key="doc_id")
+    hi_ids = {r.doc_id for r in hi.filter(F.col("source") == "src0").collect()}
+    lo_ids = {r.doc_id for r in lo.filter(F.col("source") == "src0").collect()}
+    assert lo_ids <= hi_ids
+    assert len(lo_ids) < len(hi_ids)
+
+
+def test_mix_sources_default_fraction(spark):
+    d = _docs(spark)
+    # unknown sources dropped by default
+    out = mix_sources(d, "source", {"src0": 1.0}, key="doc_id")
+    assert out.select("source").distinct().collect() == [("src0",)]
+    assert out.count() == d.filter(F.col("source") == "src0").count()
+    # default_fraction=1.0 passes unknowns through untouched
+    all_through = mix_sources(
+        d, "source", {"src0": 1.0}, key="doc_id", default_fraction=1.0
+    )
+    assert all_through.count() == d.count()
+
+
+def test_mix_sources_validates_weights(spark):
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="weight"):
+        mix_sources(d, "source", {"src0": 1.5}, key="doc_id")
+    with pytest.raises(ValueError, match="default_fraction"):
+        mix_sources(d, "source", {}, key="doc_id", default_fraction=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# filter_funnel
+# ---------------------------------------------------------------------------
+
+
+def test_filter_funnel_monotone_and_conjoined(spark):
+    d = _docs(spark)
+    out = filter_funnel(
+        d,
+        [
+            ("big", F.col("tokens") >= 50),
+            ("src0", F.col("source") == "src0"),
+            ("even", F.col("doc_id") % 2 == 0),
+        ],
+    ).orderBy("stage_idx")
+    rows = out.collect()
+    assert [r.stage for r in rows] == ["input", "big", "src0", "even"]
+    counts = [r.survivors for r in rows]
+    assert counts[0] == d.count()
+    assert counts == sorted(counts, reverse=True)  # monotone funnel
+    # conjunction, not independent counts
+    expected = d.filter(
+        (F.col("tokens") >= 50) & (F.col("source") == "src0")
+    ).count()
+    assert counts[2] == expected
+
+
+def test_filter_funnel_null_predicate_counts_as_fail(spark):
+    d = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, s string"
+    )
+    out = filter_funnel(d, [("nonnull_a", F.col("s") == "a")]).orderBy(
+        "stage_idx"
+    )
+    assert [r.survivors for r in out.collect()] == [3, 1]
+
+
+def test_filter_funnel_empty_input(spark):
+    d = spark.range(0).select(F.col("id").alias("doc_id"))
+    out = filter_funnel(d, [("any", F.col("doc_id") > 0)]).orderBy("stage_idx")
+    assert [r.survivors for r in out.collect()] == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# take_token_budget
+# ---------------------------------------------------------------------------
+
+
+def _sequential_model(rows, budget, buckets):
+    """The obvious single-threaded model: walk (bucket, key) order, keep
+    while the exclusive running token sum is under budget."""
+    from pandasvcf_spark.functions.text import POLY_MOD
+
+    def phash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % POLY_MOD
+        return acc
+
+    ordered = sorted(rows, key=lambda r: (phash(str(r[0])) % buckets, r[0]))
+    kept, running = [], 0
+    for key, tokens in ordered:
+        if running < budget:
+            kept.append(key)
+        running += tokens
+    return set(kept)
+
+
+@pytest.mark.parametrize("budget", [0, 1, 500, 4000, 10**9])
+def test_take_token_budget_matches_sequential_model(spark, budget):
+    d = _docs(spark, n=150)
+    rows = [(r.doc_id, r.tokens) for r in d.collect()]
+    got = {
+        r.doc_id
+        for r in take_token_budget(
+            d, "tokens", budget=budget, key="doc_id", buckets=8
+        ).collect()
+    }
+    assert got == _sequential_model(rows, budget, buckets=8)
+
+
+def test_take_token_budget_monotone_in_budget(spark):
+    d = _docs(spark, n=150)
+    small = {
+        r.doc_id
+        for r in take_token_budget(
+            d, "tokens", budget=2000, key="doc_id", buckets=8
+        ).collect()
+    }
+    big = {
+        r.doc_id
+        for r in take_token_budget(
+            d, "tokens", budget=6000, key="doc_id", buckets=8
+        ).collect()
+    }
+    assert small <= big and len(small) < len(big)
+
+
+def test_take_token_budget_rejects_negative(spark):
+    with pytest.raises(ValueError, match="budget"):
+        take_token_budget(_docs(spark), "tokens", budget=-1, key="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# near_dedup_documents(quality=...)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dedup_keep_best_flips_survivor(spark):
+    """Three near-identical docs: keep-min keeps id 1; keep-best by length
+    keeps the longest (id 3). Non-duplicates survive either way."""
+    from pandasvcf_spark.operators.dedup import near_dedup_documents
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the quiet green field past the old stone wall"
+    )
+    d = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " x"),
+            (3, base + " x y"),
+            (9, "completely different content about spark query planning "
+                "and distributed shuffle execution strategies at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    shingles = word_ngrams_expr("text", 3)
+    keep_min = {
+        r.doc_id
+        for r in near_dedup_documents(
+            d, "doc_id", shingles, min_jaccard=0.5
+        ).collect()
+    }
+    keep_best = {
+        r.doc_id
+        for r in near_dedup_documents(
+            d, "doc_id", shingles, min_jaccard=0.5, quality=F.length("text")
+        ).collect()
+    }
+    assert keep_min == {1, 9}
+    assert keep_best == {3, 9}
+
+
+def test_near_dedup_keep_best_tie_breaks_to_min_id(spark):
+    from pandasvcf_spark.operators.dedup import near_dedup_documents
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    d = spark.createDataFrame(
+        [(5, base), (2, base), (7, base)], "doc_id long, text string"
+    )
+    out = near_dedup_documents(
+        d,
+        "doc_id",
+        word_ngrams_expr("text", 3),
+        min_jaccard=0.5,
+        quality=F.length("text"),
+    )
+    assert [r.doc_id for r in out.collect()] == [2]
