@@ -313,3 +313,31 @@ def range_join(
         & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def merge_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins upsert (the MERGE a corpus-refresh job runs without a
+    table format): union base and updates, keep the highest-`version_col`
+    row per key. New keys insert, existing keys take the newest version;
+    ties prefer the UPDATES side (the batch being applied), so replaying
+    an already-applied batch is idempotent rather than partition-lottery.
+
+    One window shuffle on the key — the declarative twin of Delta/Iceberg
+    MERGE for the common CDC shape. Schemas must match (unionByName); the
+    priority column is internal and dropped."""
+    b = base.withColumn("__pri", F.lit(0))
+    u = updates.withColumn("__pri", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc_nulls_last(), F.col("__pri").desc()
+    )
+    return (
+        b.unionByName(u)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pri")
+    )

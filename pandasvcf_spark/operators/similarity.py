@@ -782,3 +782,79 @@ def kmeans_fit(
         if shift <= tol:
             break
     return cents, inertias
+
+
+# ---------------------------------------------------------------------------
+# Embedding aggregation: per-group centroids and centroid similarity
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: Column | str,
+    vec_col: Column | str,
+    centroid_col: str = "centroid",
+    count_col: str = "n",
+) -> DataFrame:
+    """Per-group mean embedding (mean pooling): one ARRAY<DOUBLE> centroid
+    per label — cluster prototypes, class embeddings, per-source drift
+    monitors. Output: (label, centroid ARRAY<DOUBLE>, n BIGINT).
+
+    Plan: posexplode the vector and aggregate per (label, dim). Partial
+    (map-side) aggregation reduces the shuffle to
+    partitions x labels x dim rows REGARDLESS of corpus size — the same
+    scale shape as `kmeans_fit`'s stats pass, but fully declarative and
+    dim-agnostic (no per-dimension generated aggregate columns, which
+    stress codegen past ~hundreds of dims). The second groupBy
+    reassembles (dim, mean) pairs into an ordered array; it moves only
+    labels x dim rows."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    e = df.select(
+        lab.alias("__lab"), F.posexplode(_dc(vec_col)).alias("__pos", "__x")
+    )
+    per_dim = e.groupBy("__lab", "__pos").agg(
+        F.avg("__x").alias("__m"), F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_dim.groupBy("__lab")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias(centroid_col),
+            # every dim of a row explodes together: count per dim == rows
+            F.max("__c").alias(count_col),
+        )
+        .withColumnRenamed("__lab", label_col if isinstance(label_col, str) else "label")
+    )
+
+
+def centroid_similarity(
+    centroids: DataFrame,
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Pairwise cosine similarity between group centroids: (label_a,
+    label_b, cos) for label_a < label_b — the confusion-structure /
+    source-drift report over the output of `label_centroids`.
+
+    The input is one row per GROUP (tiny by construction), so the
+    pairwise self-join is broadcast and the quadratic term is
+    labels², never corpus² — the cheap final step of a two-stage plan
+    whose expensive step (the corpus scan) was linear."""
+    from pandasvcf_spark.functions.vectors import cosine_expr
+
+    a = centroids.select(
+        F.col(label_col).alias("label_a"), F.col(centroid_col).alias("__va")
+    )
+    b = centroids.select(
+        F.col(label_col).alias("label_b"), F.col(centroid_col).alias("__vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            cosine_expr("__va", "__vb").alias("cos"),
+        )
+    )

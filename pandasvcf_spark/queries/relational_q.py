@@ -675,3 +675,61 @@ def agg_percentiles(spark, sf_dir):
             "med_disc"
         ),
     )
+
+
+@register(
+    "m_upsert_latest",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, 0 AS version FROM orders),
+    upd AS (
+      SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice,
+             1 AS version
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 900000000, round(o_totalprice, 2), 1
+      FROM orders WHERE o_orderkey % 11 = 0),
+    merged AS (
+      SELECT *, 0 AS pri FROM base
+      UNION ALL
+      SELECT *, 1 AS pri FROM upd)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           version
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey
+            ORDER BY version DESC, pri DESC) AS rn
+          FROM merged)
+    WHERE rn = 1
+    """,
+)
+def m_upsert_latest(spark, sf_dir):
+    """Latest-wins upsert (operators/relational.merge_latest) — the MERGE
+    a corpus-refresh job runs without a table format: a CDC batch that
+    doubles every 7th order's price and inserts new keys for every 11th,
+    applied over the base table. Existing keys take the newest version,
+    new keys insert, ties prefer the update side (idempotent replay).
+    One window shuffle on the key; the oracle replays the same merge as
+    a SQL window."""
+    from pandasvcf_spark.operators.relational import merge_latest
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(0))
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("version", F.lit(1))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 900000000)
+            .withColumn("version", F.lit(1))
+        )
+    )
+    out = merge_latest(base, upd, ["o_orderkey"], "version")
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "version",
+    )

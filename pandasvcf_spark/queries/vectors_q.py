@@ -580,3 +580,77 @@ def v_cosine_topk_int8(spark, sf_dir):
     return top.select(
         "query_id", "vec_id", F.round("__cos", 6).alias("qcossim")
     )
+
+
+@register(
+    "v_label_centroids",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, i AS pos, embedding[i] AS x
+      FROM embeddings, generate_series(1, {DIM}) AS g(i)),
+    per_dim AS (
+      SELECT label, pos, avg(x) AS m, count(*) AS c
+      FROM e GROUP BY label, pos)
+    SELECT label,
+           list(round(m, 6) ORDER BY pos) AS centroid,
+           CAST(max(c) AS BIGINT) AS n
+    FROM per_dim GROUP BY label
+    """,
+)
+def v_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (operators/similarity.label_centroids):
+    mean pooling into one 64-dim centroid per label. The plan is
+    posexplode -> partial-aggregated (label, dim) means — the shuffle
+    carries partitions x labels x dims rows at ANY corpus size, and no
+    per-dimension generated aggregates (codegen-safe past hundreds of
+    dims). The oracle recomputes the same means via a generate_series
+    unnest."""
+    from pandasvcf_spark.operators.similarity import label_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    out = label_centroids(e, "label", "embedding")
+    return out.select(
+        "label",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        "n",
+    )
+
+
+@register(
+    "v_centroid_similarity",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, i AS pos, embedding[i] AS x
+      FROM embeddings, generate_series(1, {DIM}) AS g(i)),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS c FROM (
+        SELECT label, pos, avg(x) AS m FROM e GROUP BY label, pos)
+      GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(
+             list_sum(list_transform(generate_series(1, {DIM}),
+                                     i -> a.c[i] * b.c[i]))
+             / (sqrt(list_sum(list_transform(a.c, v -> v * v)))
+                * sqrt(list_sum(list_transform(b.c, v -> v * v)))),
+             4) AS cos
+    FROM cent a JOIN cent b ON a.label < b.label
+    """,
+)
+def v_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between label centroids (operators/similarity.
+    centroid_similarity over label_centroids): the confusion-structure
+    report. Two-stage plan: the corpus pays one LINEAR partial-agged
+    scan; the quadratic term is labels² over a broadcast self-join of 10
+    rows. Full double-precision on both sides, rounded only at the
+    edge."""
+    from pandasvcf_spark.operators.similarity import (
+        centroid_similarity,
+        label_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = label_centroids(e, "label", "embedding")
+    out = centroid_similarity(cents)
+    return out.select(
+        "label_a", "label_b", F.round("cos", 4).alias("cos")
+    )

@@ -143,6 +143,17 @@ def test_tail_entries_are_redundant_variants_only():
                                  # closure, argmax selection); oracle
                                  # verifies the keep-best flip; contract
                                  # guard
+        "v_label_centroids",     # per-label mean pooling: partial-agged
+                                 # (label, dim) means, dim-agnostic;
+                                 # exact avg oracle; contract guard
+        "v_centroid_similarity", # pairwise centroid cosine: broadcast
+                                 # labels² self-join over
+                                 # v_label_centroids' output; contract
+                                 # guard
+        "m_upsert_latest",       # latest-wins MERGE: window machinery
+                                 # covered by w_rank_topk (in window);
+                                 # SQL-window replay oracle; contract
+                                 # guard + idempotent-replay unit test
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

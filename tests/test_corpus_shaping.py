@@ -230,3 +230,69 @@ def test_near_dedup_keep_best_tie_breaks_to_min_id(spark):
         quality=F.length("text"),
     )
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# label_centroids / centroid_similarity / merge_latest
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import label_centroids
+
+    rows = [(i, [float(i), float(i * 2), 1.0], i % 2) for i in range(10)]
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r.label: (r.centroid, r.n)
+        for r in label_centroids(d, "label", "embedding").collect()
+    }
+    for lab in (0, 1):
+        vecs = np.array([v for _, v, l in rows if l == lab])
+        got, n = out[lab]
+        assert n == len(vecs)
+        assert np.allclose(got, vecs.mean(axis=0))
+
+
+def test_centroid_similarity_pairs(spark):
+    from pandasvcf_spark.operators.similarity import centroid_similarity
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "label int, centroid array<double>",
+    )
+    rows = {
+        (r.label_a, r.label_b): r.cos
+        for r in centroid_similarity(cents).collect()
+    }
+    assert set(rows) == {(0, 1), (0, 2), (1, 2)}  # a < b only, no self
+    assert abs(rows[(0, 1)]) < 1e-12  # orthogonal
+    assert abs(rows[(0, 2)] - 2 ** -0.5) < 1e-12
+
+
+def test_merge_latest_semantics(spark):
+    from pandasvcf_spark.operators.relational import merge_latest
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 5)], "k long, v string, ver int"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 1), (3, "C", 5), (4, "D", 1)], "k long, v string, ver int"
+    )
+    out = {r.k: (r.v, r.ver) for r in merge_latest(base, upd, ["k"], "ver").collect()}
+    assert out == {
+        1: ("a", 0),  # untouched
+        2: ("B", 1),  # newer version wins
+        3: ("C", 5),  # tie -> update side wins
+        4: ("D", 1),  # insert
+    }
+    # replaying the same batch over the merged result changes nothing
+    merged = merge_latest(base, upd, ["k"], "ver")
+    replay = {
+        r.k: (r.v, r.ver)
+        for r in merge_latest(merged, upd, ["k"], "ver").collect()
+    }
+    assert replay == out
