@@ -208,6 +208,27 @@ def take_token_budget(
     return full.unionByName(edge).drop("__bkt")
 
 
+def epoch_shuffle_key(
+    key: Column | str,
+    epoch: int,
+) -> Column:
+    """Deterministic per-epoch shuffle key: the portable hash of
+    ``epoch || ':' || key``. Sorting by (this, key) gives each training
+    epoch its own reproducible global permutation of the corpus — the
+    "reshuffle every epoch, but identically on every rerun" contract a
+    training-data server needs. Changing `epoch` decorrelates the order;
+    keeping it reproduces the order exactly (any engine, any partitioning).
+
+    Use with a plain ``df.orderBy(epoch_shuffle_key(...), key)`` — Spark's
+    orderBy is a range-partitioned DISTRIBUTED sort (sampled boundaries,
+    no single-task funnel), which is exactly the right plan for laying a
+    corpus out in serving order, and writers preserve it per output shard."""
+    k = F.col(key) if isinstance(key, str) else key
+    return poly_hash_expr(
+        F.concat(F.lit(str(int(epoch))), F.lit(":"), k.cast("string"))
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: list[str],

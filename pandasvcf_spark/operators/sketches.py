@@ -1,0 +1,81 @@
+"""Deterministic sketches for corpus analytics (beyond-reference extension
+surface, SURVEY §2.11 family).
+
+The house discipline is exact external oracles, which rules out the usual
+randomized/HLL sketches (their estimates depend on engine-internal hash
+families). The KMV (k-minimum-values) sketch keeps an exact oracle anyway:
+built on the portable polynomial hash, its k smallest distinct hash values —
+and therefore its ESTIMATE, to the last bit — are a pure function of the
+data, reproducible in ANSI SQL. Same accuracy class as HLL's predecessors
+(relative error ~1/sqrt(k-2), Bar-Yossef et al. 2002 "Counting distinct
+elements in a data stream"), with determinism as a feature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.text import POLY_MOD, poly_hash_expr
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key: Column | str,
+    k: int = 1024,
+) -> DataFrame:
+    """KMV distinct-count estimate: one row
+    (k_used INT, kth_hash BIGINT, estimate DOUBLE).
+
+    Hash every key with the portable polynomial (uniform-ish over
+    [0, POLY_MOD)), take the k smallest DISTINCT hash values; if the k-th
+    is h_k, the density k/h_k extrapolates to estimate = (k-1) *
+    POLY_MOD / h_k. Fewer than k distinct keys means the sketch saw
+    everything — the estimate is then the exact distinct count.
+
+    Plan shape at 100 TB: the shuffle moves 8-byte hashes, never keys
+    (map-side partial DISTINCT collapses duplicates first), and the
+    ORDER BY h LIMIT k is Spark's TakeOrdered — per-partition top-k then
+    a k-row driver merge, NOT a global sort. The oracle recomputes the
+    identical k-th hash, so even the floating-point estimate matches.
+
+    The raw polynomial clusters into bands on shared-prefix keys (see
+    hash_sample's caveat), which collapses a KMV estimate by ~10x
+    (measured: est 672 for 5,000 true on 'document-content-<i>' keys).
+    The sketch therefore scrambles with a Knuth multiplicative step,
+    ``h' = (h * 2654435761) mod P``: a BIJECTION mod the prime (gcd = 1,
+    distinct count untouched) that spreads each band into a
+    low-discrepancy Weyl sequence across [0, P) — measured error after
+    scrambling: <2.5% on prefix+counter, pure-decimal and mixed key
+    shapes at k=512. The scramble is two integer ops, reproduced
+    verbatim in the oracle SQL."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    kc = F.col(key) if isinstance(key, str) else key
+    scrambled = (
+        poly_hash_expr(kc.cast("string")) * F.lit(2654435761)
+    ) % F.lit(POLY_MOD)
+    # NULL-filter the raw key, not the hash: filtering on h would clone
+    # the whole HOF hash expression into the Filter node (2x per-row
+    # evaluation; the hash is NULL iff the key is NULL anyway)
+    hashes = (
+        df.filter(kc.isNotNull())
+        .select(scrambled.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return hashes.agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        F.when(
+            F.col("k_used") < k, F.col("k_used").cast("double")
+        )
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(POLY_MOD))) / F.col("kth_hash")
+        )
+        .alias("estimate"),
+    )

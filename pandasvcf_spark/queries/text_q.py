@@ -1064,3 +1064,68 @@ def dedup_near_keep_best(spark, sf_dir):
         quality=F.length("text"),
     )
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
+    "sk_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+        ({_SQL_POLY_HASH.format(s="text")} * 2654435761) % 2147483647 AS h
+      FROM documents WHERE text IS NOT NULL
+      ORDER BY h LIMIT 256),
+    agg AS (SELECT CAST(count(*) AS INT) AS k_used, max(h) AS kth_hash
+            FROM h)
+    SELECT k_used, kth_hash,
+           CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                ELSE 255.0 * 2147483647.0 / kth_hash END AS estimate
+    FROM agg
+    """,
+)
+def sk_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketches.kmv_distinct) over
+    document texts, k=256: deterministic cardinality estimation whose
+    estimate — not just row counts — the oracle reproduces to the last
+    bit (portable hash, k smallest distinct values). The shuffle moves
+    8-byte hashes only and the top-k is TakeOrdered (per-partition k +
+    k-row driver merge, no global sort) — the sketch costs the same at
+    any corpus size."""
+    from pandasvcf_spark.operators.sketches import kmv_distinct
+
+    d = load(spark, sf_dir, "documents")
+    return kmv_distinct(d, "text", k=256)
+
+
+@register(
+    "t_epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id, shuffle_key, position FROM (
+      SELECT doc_id,
+             {_SQL_POLY_HASH.format(s="'1:' || CAST(doc_id AS VARCHAR)")}
+               AS shuffle_key,
+             row_number() OVER (
+               ORDER BY {_SQL_POLY_HASH.format(s="'1:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS position
+      FROM documents)
+    WHERE position <= 100
+    """,
+)
+def t_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order (operators/sampling.
+    epoch_shuffle_key): the first 100 documents of epoch 1's global
+    permutation, with their positions. The full-corpus form is a plain
+    orderBy on the salted hash — a range-partitioned distributed sort;
+    here the head is TakeOrdered-d first so the position window runs
+    over 100 rows, never the corpus. Epoch in the salt: same epoch =
+    identical order on any engine, next epoch = fresh permutation."""
+    from pandasvcf_spark.operators.sampling import epoch_shuffle_key
+
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", epoch_shuffle_key("doc_id", epoch=1).alias("shuffle_key")
+    )
+    head = keyed.orderBy("shuffle_key", "doc_id").limit(100)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return head.withColumn("position", F.row_number().over(w))

@@ -154,6 +154,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # covered by w_rank_topk (in window);
                                  # SQL-window replay oracle; contract
                                  # guard + idempotent-replay unit test
+        "sk_kmv_distinct",       # deterministic KMV cardinality sketch:
+                                 # TakeOrdered top-k of scrambled
+                                 # portable hashes; bit-exact estimate
+                                 # oracle; accuracy + partition-
+                                 # invariance unit tests
+        "t_epoch_shuffle",       # per-epoch deterministic training
+                                 # order: sort/limit/window machinery
+                                 # covered in window; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

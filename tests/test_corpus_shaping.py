@@ -296,3 +296,65 @@ def test_merge_latest_semantics(spark):
         for r in merge_latest(merged, upd, ["k"], "ver").collect()
     }
     assert replay == out
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct / epoch_shuffle_key
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    from pandasvcf_spark.operators.sketches import kmv_distinct
+
+    d = spark.range(40).select(
+        F.concat(F.lit("key-"), (F.col("id") % 17).cast("string")).alias("k")
+    )
+    row = kmv_distinct(d, "k", k=256).first()
+    assert row.k_used == 17
+    assert row.estimate == 17.0  # sketch saw everything -> exact
+
+
+def test_kmv_estimate_accuracy_and_partition_invariance(spark):
+    from pandasvcf_spark.operators.sketches import kmv_distinct
+
+    n = 5000
+    d = spark.range(n * 2).select(  # every key appears twice
+        F.concat(
+            F.lit("document-content-"), (F.col("id") % n).cast("string")
+        ).alias("k")
+    )
+    row = kmv_distinct(d, "k", k=512).first()
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 4.4%; allow 4 sigma
+    assert abs(row.estimate - n) / n < 0.18, row.estimate
+    # deterministic under any partitioning
+    row2 = kmv_distinct(d.repartition(13), "k", k=512).first()
+    assert (row2.k_used, row2.kth_hash, row2.estimate) == (
+        row.k_used,
+        row.kth_hash,
+        row.estimate,
+    )
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from pandasvcf_spark.operators.sketches import kmv_distinct
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(spark.range(5), "id", k=1)
+
+
+def test_epoch_shuffle_reproducible_and_decorrelated(spark):
+    from pandasvcf_spark.operators.sampling import epoch_shuffle_key
+
+    d = _docs(spark, n=100)
+    order = lambda ep: [
+        r.doc_id
+        for r in d.select(
+            "doc_id", epoch_shuffle_key("doc_id", ep).alias("sk")
+        )
+        .orderBy("sk", "doc_id")
+        .collect()
+    ]
+    e1a, e1b, e2 = order(1), order(1), order(2)
+    assert e1a == e1b  # same epoch: identical order, any run
+    assert e1a != e2  # next epoch: fresh permutation
+    assert sorted(e1a) == sorted(e2)  # ... of the same corpus
