@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandasvcf_spark.functions.text import poly_hash_expr
+from pandasvcf_spark.functions.text import POLY_MOD, poly_hash_expr
 
 
 def hash_sample(
@@ -176,7 +176,9 @@ def take_token_budget(
     with_b = df.withColumn("__bkt", bucket)
     totals = {
         r["__bkt"]: r["t"]
-        for r in with_b.groupBy("__bkt").agg(F.sum(toks).alias("t")).collect()
+        for r in with_b.groupBy("__bkt")
+        .agg(F.coalesce(F.sum(toks), F.lit(0)).alias("t"))
+        .collect()
     }
     running = 0
     full_max = -1  # highest bucket id admitted wholesale
@@ -206,6 +208,56 @@ def take_token_budget(
         .drop("__excl")
     )
     return full.unionByName(edge).drop("__bkt")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: Column | str,
+    k: int,
+    max_weight: int = 64,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample of k rows: integer-weight bottom-k.
+    Each row draws `weight` salted hashes of its key and ranks by the
+    MINIMUM — a row with weight w holds w lottery tickets, so inclusion
+    odds scale ~linearly with w, yet everything stays INTEGER arithmetic:
+    no pow/ln whose float rounding could flip a boundary row between
+    engines (the reason the classic Efraimidis-Spirakis exponential rank
+    can't keep an exact cross-engine oracle; this bottom-k-of-replicas
+    scheme is the integer-stable member of the same family).
+
+    Deterministic given (key, weight): rerunning, repartitioning or
+    re-running on another engine selects the identical row set, and the
+    selection composes with upstream hash operators (independent salts).
+    Weights are clamped to [1, max_weight] (clamping documented rather
+    than a data-dependent runtime error; raise `max_weight` for wider
+    dynamic range — cost is one O(len(key)) hash per unit of weight).
+    Plan: per-row rank expression, then global top-k = TakeOrdered
+    (per-partition k + k-row driver merge — no global sort, no shuffle
+    of the corpus). Pass `rank_col` to keep the rank for inspection."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    w_eff = F.greatest(F.least(wc.cast("int"), F.lit(max_weight)), F.lit(1))
+    rank = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w_eff),
+            lambda i: (
+                poly_hash_expr(
+                    F.concat(kc.cast("string"), F.lit(":"), i.cast("string"))
+                )
+                * F.lit(2654435761)
+            )
+            % F.lit(POLY_MOD),
+        )
+    )
+    name = rank_col or "__rank"
+    out = df.withColumn(name, rank).orderBy(name, kc).limit(k)
+    return out if rank_col else out.drop(name)
 
 
 def epoch_shuffle_key(

@@ -1129,3 +1129,34 @@ def t_epoch_shuffle(spark, sf_dir):
     head = keyed.orderBy("shuffle_key", "doc_id").limit(100)
     w = Window.orderBy("shuffle_key", "doc_id")
     return head.withColumn("position", F.row_number().over(w))
+
+
+@register(
+    "t_weighted_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+        list_min(list_transform(
+          generate_series(1, GREATEST(LEAST(CAST(floor(n_chars / 100) + 1
+                                             AS INT), 6), 1)),
+          i -> ({_SQL_POLY_HASH.format(
+              s="CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+                * 2654435761) % 2147483647)) AS r
+      FROM documents)
+    SELECT doc_id, n_chars FROM ranked
+    ORDER BY r, doc_id LIMIT 50
+    """,
+)
+def t_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (operators/sampling.
+    weighted_sample): 50 docs, weight = 1 + floor(n_chars/100) capped at
+    6 — longer docs hold proportionally more lottery tickets. Integer
+    bottom-k-of-salted-hashes ranking (no pow/ln float knife-edges), so
+    the oracle reproduces the exact selected SET; the plan's top-k is
+    TakeOrdered, never a global sort."""
+    from pandasvcf_spark.operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents")
+    w = F.least(F.floor(F.col("n_chars") / 100) + 1, F.lit(6))
+    out = weighted_sample(d, "doc_id", w, k=50, max_weight=6)
+    return out.select("doc_id", "n_chars")

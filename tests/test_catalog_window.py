@@ -162,6 +162,11 @@ def test_tail_entries_are_redundant_variants_only():
         "t_epoch_shuffle",       # per-epoch deterministic training
                                  # order: sort/limit/window machinery
                                  # covered in window; contract guard
+        "t_weighted_sample",     # integer bottom-k weighted sampling:
+                                 # TakeOrdered machinery covered by
+                                 # sort_limit_topk (in window); exact
+                                 # selected-set oracle; inclusion-ratio
+                                 # + determinism unit tests
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

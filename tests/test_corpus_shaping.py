@@ -358,3 +358,81 @@ def test_epoch_shuffle_reproducible_and_decorrelated(spark):
     assert e1a == e1b  # same epoch: identical order, any run
     assert e1a != e2  # next epoch: fresh permutation
     assert sorted(e1a) == sorted(e2)  # ... of the same corpus
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_inclusion_scales_with_weight(spark):
+    """Rows with weight 8 should be sampled ~8x as often as weight 1:
+    sample 200 of 2000 rows (half weight 1, half weight 8) and check the
+    heavy group's share. Deterministic data -> deterministic assertion."""
+    from pandasvcf_spark.operators.sampling import weighted_sample
+
+    d = spark.range(2000).select(
+        (F.col("id") * 7919).alias("k"),
+        F.when(F.col("id") % 2 == 0, 8).otherwise(1).alias("w"),
+    )
+    out = weighted_sample(d, "k", "w", k=200, max_weight=8)
+    heavy = out.filter(F.col("w") == 8).count()
+    # expectation ~ 200 * 8/9 ≈ 178; generous deterministic band
+    assert 150 <= heavy <= 200, heavy
+
+
+def test_weighted_sample_deterministic_and_clamped(spark):
+    from pandasvcf_spark.operators.sampling import weighted_sample
+
+    d = spark.range(500).select(
+        (F.col("id") * 104729).alias("k"), (F.col("id") % 300).alias("w")
+    )
+    a = {r.k for r in weighted_sample(d, "k", "w", k=40).collect()}
+    b = {r.k for r in weighted_sample(d.repartition(7), "k", "w", k=40).collect()}
+    assert a == b and len(a) == 40
+    # weight <= 0 clamps to 1 instead of emitting an empty ticket array
+    z = spark.range(10).select(F.col("id").alias("k"), F.lit(0).alias("w"))
+    assert weighted_sample(z, "k", "w", k=5).count() == 5
+
+
+def test_weighted_sample_validates(spark):
+    from pandasvcf_spark.operators.sampling import weighted_sample
+
+    d = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(d, "k", "w", k=0)
+    with pytest.raises(ValueError, match="max_weight"):
+        weighted_sample(d, "k", "w", k=1, max_weight=0)
+
+
+# ---------------------------------------------------------------------------
+# NULL-edge semantics of the shaping operators
+# ---------------------------------------------------------------------------
+
+
+def test_mix_sources_null_group_gets_default(spark):
+    from pandasvcf_spark.operators.sampling import mix_sources
+
+    d = spark.createDataFrame(
+        [(i * 31337, None) for i in range(100)], "doc_id long, source string"
+    )
+    # default 0 -> NULL-source rows dropped; default 1 -> all kept
+    assert mix_sources(d, "source", {"a": 1.0}, key="doc_id").count() == 0
+    assert (
+        mix_sources(
+            d, "source", {"a": 1.0}, key="doc_id", default_fraction=1.0
+        ).count()
+        == 100
+    )
+
+
+def test_take_token_budget_null_tokens_count_as_zero(spark):
+    from pandasvcf_spark.operators.sampling import take_token_budget
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10)], "k long, t int"
+    )
+    # budget 15: all three buckets' totals sum with NULL ignored (== 0
+    # tokens), so the NULL row never exhausts the budget by itself
+    out = take_token_budget(d, "t", budget=1000, key="k", buckets=4)
+    assert out.count() == 3
