@@ -38,3 +38,62 @@ def union_genotypes(*dfs: DataFrame) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def split_multiallelic(
+    df: DataFrame,
+    alt_col: str = "ALT",
+    gt_col: str = "GT",
+    others: str = "missing",
+    alt_index_col: str = "alt_index",
+    alt_out_col: str = "alt_allele",
+    gt_out_col: str = "gt_split",
+) -> DataFrame:
+    """Decompose multi-ALT rows into biallelic records — the engine form
+    of "split multiallelic sites" (bcftools `norm -m-` / GATK
+    `--split-multi-allelics` family). Each input row with ALT "G,T"
+    yields one row per alternate allele, carrying:
+
+      * `alt_index` — 1-based index of this allele in the original ALT,
+      * `alt_allele` — the allele string (default name avoids Spark's
+        case-insensitive collision with an input column named ALT),
+      * `gt_split`  — the genotype re-expressed against the biallelic
+        site: allele 0 stays 0, THIS allele's index becomes 1, and an
+        allele pointing at a DIFFERENT alternate becomes '.' (missing,
+        `others='missing'`, the GATK-style default) or '0' (ref,
+        `others='ref'` — the other published convention; tools disagree,
+        so the choice is explicit). '.' stays '.'. Phase separators and
+        haploid calls are preserved.
+
+    Pure column expressions: posexplode over the split ALT list, one
+    transform over the GT tokens, rejoin on the original separator — no
+    shuffle at all (a Generate node, row-parallel at any scale). GT
+    sub-field re-slicing (AD/PL index remapping) is out of scope here;
+    split those with annotate's FORMAT machinery first. Assumes one
+    separator style per call (true for diploid GTs; mixed-phase
+    polyploids like '0/1|2' would need token-wise separators)."""
+    if others not in ("missing", "ref"):
+        raise ValueError(f"others must be 'missing' or 'ref', got {others!r}")
+    other_token = "." if others == "missing" else "0"
+    alts = F.split(F.col(alt_col), ",")
+    tokens = F.split(F.col(gt_col), r"[/|]")
+    exploded = df.select(
+        "*", F.posexplode(alts).alias("__pos", alt_out_col)
+    ).withColumn(alt_index_col, (F.col("__pos") + 1).cast("int"))
+    j_str = F.col(alt_index_col).cast("string")
+    remapped = F.transform(
+        tokens,
+        lambda t: F.when(t == "0", "0")
+        .when(t == j_str, "1")
+        .when(t == ".", ".")
+        .otherwise(F.lit(other_token)),
+    )
+    # array_join's delimiter must be a literal; branch on the (single)
+    # phase separator instead. The remapped transform inlines into both
+    # branches — a 2x constant on a small scalar expression, not the
+    # quadratic HOF-capture trap (functions/text.py bound_expr) since
+    # nothing here grows with data or array size.
+    joined = F.when(
+        F.col(gt_col).contains("|"), F.array_join(remapped, "|")
+    ).otherwise(F.array_join(remapped, "/"))
+    return exploded.withColumn(gt_out_col, joined).drop("__pos")

@@ -592,3 +592,40 @@ def flagship_annotate(spark, sf_dir):
         .groupBy("zygosity", "vartype2")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "g_split_multiallelic",
+    oracle=_GENO_CTE
+    + """
+    SELECT l_orderkey, l_linenumber, GT,
+           CAST(j AS INT) AS alt_index,
+           CASE j WHEN 1 THEN 'G' ELSE 'T' END AS alt_allele,
+           CASE WHEN contains(GT, '|')
+                THEN array_to_string(
+                  list_transform(string_split_regex(GT, '[/|]'), t ->
+                    CASE WHEN t = '0' THEN '0'
+                         WHEN t = CAST(j AS VARCHAR) THEN '1'
+                         ELSE '.' END), '|')
+                ELSE array_to_string(
+                  list_transform(string_split_regex(GT, '[/|]'), t ->
+                    CASE WHEN t = '0' THEN '0'
+                         WHEN t = CAST(j AS VARCHAR) THEN '1'
+                         ELSE '.' END), '/')
+           END AS gt_split
+    FROM g, generate_series(1, 2) AS s(j)
+    """,
+)
+def g_split_multiallelic(spark, sf_dir):
+    """Multiallelic site splitting (operators/reshape.split_multiallelic):
+    every ALT='G,T' call becomes two biallelic records with remapped
+    genotypes — 1/2 splits to 1/. (vs G) and ./1 (vs T) under the default
+    others='missing' convention. Pure Generate + token transform, zero
+    shuffle; the oracle replays the remap token-by-token in SQL."""
+    from pandasvcf_spark.operators.reshape import split_multiallelic
+
+    d = derived_genotypes(spark, sf_dir)
+    out = split_multiallelic(d, alt_col="ALT", gt_col="GT")
+    return out.select(
+        "l_orderkey", "l_linenumber", "GT", "alt_index", "alt_allele", "gt_split"
+    )

@@ -167,6 +167,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # sort_limit_topk (in window); exact
                                  # selected-set oracle; inclusion-ratio
                                  # + determinism unit tests
+        "g_split_multiallelic",  # biallelic decomposition with GT remap:
+                                 # Generate + token transform, zero
+                                 # shuffle; token-replay oracle; real-
+                                 # fixture invariant pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

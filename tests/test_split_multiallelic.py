@@ -1,0 +1,91 @@
+"""split_multiallelic (operators/reshape.py): biallelic decomposition of
+multi-ALT sites with genotype remapping — hand-built semantic cases plus
+invariants on a real 1000G fixture slice."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.operators.reshape import split_multiallelic
+
+
+def _d(spark, rows):
+    return spark.createDataFrame(rows, "site long, ALT string, GT string")
+
+
+def test_split_remaps_genotypes_missing_convention(spark):
+    d = _d(spark, [(1, "G,T", "1/2"), (2, "G,T", "0|2"), (3, "C", "0/1")])
+    out = {
+        (r.site, r.alt_index): (r.alt_allele, r.gt_split)
+        for r in split_multiallelic(d).collect()
+    }
+    assert out == {
+        (1, 1): ("G", "1/."),  # allele 2 points at the other alt -> missing
+        (1, 2): ("T", "./1"),
+        (2, 1): ("G", "0|."),  # phase separator preserved
+        (2, 2): ("T", "0|1"),
+        (3, 1): ("C", "0/1"),  # biallelic site passes through unchanged
+    }
+
+
+def test_split_ref_convention_haploid_and_missing(spark):
+    d = _d(spark, [(1, "G,T", "2"), (2, "G,T", "./1")])
+    out = {
+        (r.site, r.alt_index): r.gt_split
+        for r in split_multiallelic(d, others="ref").collect()
+    }
+    assert out == {
+        (1, 1): "0",  # haploid, other alt -> ref under others='ref'
+        (1, 2): "1",
+        (2, 1): "./1",  # '.' stays '.', allele 1 IS this alt
+        (2, 2): "./0",  # ... and becomes ref in the other record
+    }
+
+
+def test_split_multidigit_allele_indices(spark):
+    # 11 alternates: token '10' must match alt_index 10 as a WHOLE token,
+    # never via any prefix logic
+    alts = ",".join(f"A{i}" for i in range(1, 12))
+    d = _d(spark, [(1, alts, "10/11")])
+    out = {r.alt_index: r.gt_split for r in split_multiallelic(d).collect()}
+    assert len(out) == 11
+    assert out[10] == "1/."
+    assert out[11] == "./1"
+    assert out[1] == "./."
+
+
+def test_split_validates_others(spark):
+    with pytest.raises(ValueError, match="others"):
+        split_multiallelic(_d(spark, [(1, "G", "0/1")]), others="zero")
+
+
+def test_split_real_fixture_invariants(spark):
+    """On real 1000G multiallelic sites: output rows = sum of ALT counts,
+    and every split genotype only references {0, 1, .}."""
+    from pandasvcf_spark.operators.annotate import explode_genotypes
+    from pandasvcf_spark.sources.vcf import read_vcf
+
+    kg = "/root/reference/test_data/" \
+        "ALL.chr22.phase3_shapeit2_mvncall_integrated_v4.20130502." \
+        "genotypes_10k.vcf.gz"
+    long = (
+        explode_genotypes(read_vcf(spark, kg))
+        .withColumn("GT", F.split("call", ":").getItem(0))
+        .filter(F.col("ALT").contains(","))
+        .limit(2000)
+    )
+    n_in = long.count()
+    assert n_in > 0
+    expected = long.select(
+        F.sum(F.size(F.split("ALT", ","))).alias("s")
+    ).first()["s"]
+    out = split_multiallelic(long)
+    assert out.count() == expected
+    bad = out.filter(
+        F.exists(
+            F.split("gt_split", r"[/|]"),
+            lambda t: ~t.isin("0", "1", "."),
+        )
+    ).count()
+    assert bad == 0
