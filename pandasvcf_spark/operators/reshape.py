@@ -48,6 +48,8 @@ def split_multiallelic(
     alt_index_col: str = "alt_index",
     alt_out_col: str = "alt_allele",
     gt_out_col: str = "gt_split",
+    info_col: str | None = None,
+    a_fields: list[str] | None = None,
 ) -> DataFrame:
     """Decompose multi-ALT rows into biallelic records — the engine form
     of "split multiallelic sites" (bcftools `norm -m-` / GATK
@@ -65,12 +67,17 @@ def split_multiallelic(
         so the choice is explicit). '.' stays '.'. Phase separators and
         haploid calls are preserved.
 
+    Number=A INFO fields (one comma-separated value per alternate: AC,
+    AF, MLEAC, ...) split alongside the site: pass `info_col` (the raw
+    INFO payload) and `a_fields` to get one `<field>_split` column per
+    name holding THIS record's slice (missing field / short list → NULL,
+    never an error). Per-sample Number=A/G FORMAT re-slicing (AD, PL) is
+    out of scope — split those with annotate's FORMAT machinery first.
+
     Pure column expressions: posexplode over the split ALT list, one
     transform over the GT tokens, rejoin on the original separator — no
-    shuffle at all (a Generate node, row-parallel at any scale). GT
-    sub-field re-slicing (AD/PL index remapping) is out of scope here;
-    split those with annotate's FORMAT machinery first. Assumes one
-    separator style per call (true for diploid GTs; mixed-phase
+    shuffle at all (a Generate node, row-parallel at any scale). Assumes
+    one separator style per call (true for diploid GTs; mixed-phase
     polyploids like '0/1|2' would need token-wise separators)."""
     if others not in ("missing", "ref"):
         raise ValueError(f"others must be 'missing' or 'ref', got {others!r}")
@@ -96,4 +103,19 @@ def split_multiallelic(
     joined = F.when(
         F.col(gt_col).contains("|"), F.array_join(remapped, "|")
     ).otherwise(F.array_join(remapped, "/"))
-    return exploded.withColumn(gt_out_col, joined).drop("__pos")
+    out = exploded.withColumn(gt_out_col, joined)
+    if a_fields:
+        if info_col is None:
+            raise ValueError("a_fields requires info_col")
+        from pandasvcf_spark.functions.maps import info_map_expr
+
+        imap = info_map_expr(F.col(info_col))
+        for field in a_fields:
+            out = out.withColumn(
+                f"{field}_split",
+                F.try_element_at(
+                    F.split(F.try_element_at(imap, F.lit(field)), ","),
+                    F.col(alt_index_col),
+                ),
+            )
+    return out.drop("__pos")

@@ -89,3 +89,33 @@ def test_split_real_fixture_invariants(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_split_a_type_info_fields(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "G,T", "1/2", "AC=5,9;AF=0.1,0.2;DB"),
+            (2, "G,T", "0/1", "AC=3"),  # short list -> NULL for alt 2
+            (3, "C", "0/1", None),  # missing INFO -> NULLs
+        ],
+        "site long, ALT string, GT string, INFO string",
+    )
+    out = {
+        (r.site, r.alt_index): (r.AC_split, r.AF_split)
+        for r in split_multiallelic(
+            d, info_col="INFO", a_fields=["AC", "AF"]
+        ).collect()
+    }
+    assert out == {
+        (1, 1): ("5", "0.1"),
+        (1, 2): ("9", "0.2"),
+        (2, 1): ("3", None),
+        (2, 2): (None, None),
+        (3, 1): (None, None),
+    }
+
+
+def test_split_a_fields_requires_info_col(spark):
+    d = _d(spark, [(1, "G", "0/1")])
+    with pytest.raises(ValueError, match="info_col"):
+        split_multiallelic(d, a_fields=["AC"])
