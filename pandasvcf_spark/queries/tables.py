@@ -45,3 +45,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, suffix: str = ""
+) -> list[str]:
+    """Register every testdata table as a temp view so the whole engine
+    surface is drivable from plain ``spark.sql`` — the declarative entry
+    point the DataFrame catalog queries compile to anyway. Views are
+    session-scoped and lazy (no data is read until queried); `suffix`
+    namespaces two scale factors side by side (``register_views(spark,
+    sf001, "_a")``). Returns the registered view names.
+
+    The same `load` normalizations apply (events ts handling), so SQL
+    over the views agrees with the DataFrame loaders and the DuckDB
+    oracle to the value."""
+    names = []
+    for name in TABLE_NAMES:
+        view = f"{name}{suffix}"
+        load(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names

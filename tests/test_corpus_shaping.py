@@ -436,3 +436,32 @@ def test_take_token_budget_null_tokens_count_as_zero(spark):
     # tokens), so the NULL row never exhausts the budget by itself
     out = take_token_budget(d, "t", budget=1000, key="k", buckets=4)
     assert out.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: register_views
+# ---------------------------------------------------------------------------
+
+
+def test_register_views_sql_surface(spark):
+    """spark.sql over the registered views matches the DataFrame loaders
+    — the declarative entry point users drive the engine from."""
+    from pandasvcf_spark.queries.tables import TABLE_NAMES, load, register_views
+
+    sf = "/root/testdata/sf0.001"
+    views = register_views(spark, sf)
+    assert views == TABLE_NAMES
+    got = spark.sql(
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+    ).collect()
+    want = (
+        load(spark, sf, "documents").groupBy("lang").count().collect()
+    )
+    assert {(r.lang, r.n) for r in got} == {(r.lang, r["count"]) for r in want}
+    # suffixed registration namespaces a second scale factor
+    v2 = register_views(spark, sf, suffix="_b")
+    assert v2[0] == "region_b"
+    assert (
+        spark.sql("SELECT count(*) FROM documents_b").first()[0]
+        == spark.sql("SELECT count(*) FROM documents").first()[0]
+    )

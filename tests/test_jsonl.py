@@ -163,3 +163,38 @@ def test_read_csv_docs(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="bad_records"):
         read_csv_docs(spark, str(d), bad_records="nope")
+
+
+def test_corpus_shaping_predicates_on_stream(spark, jsonl_dir):
+    """The corpus-shaping predicates (mix_sources, quality gates) are
+    stateless column predicates, so they run on the JSONL STREAM
+    unchanged and agree with the batch pipeline row-for-row — streaming
+    corpus ingest + shaping in one plan."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sampling import mix_sources
+    from pandasvcf_spark.sources.jsonl import read_jsonl, read_jsonl_stream
+    from pandasvcf_spark.streaming.events import run_stream_to_memory
+
+    def shape(df):
+        return mix_sources(
+            df.filter(F.length("text") > 10),
+            "source",
+            {"web": 0.8, "books": 1.0},
+            key="doc_id",
+            default_fraction=0.5,
+        ).select("doc_id", "source")
+
+    got = run_stream_to_memory(
+        shape(
+            read_jsonl_stream(
+                spark, jsonl_dir, bad_records="drop", max_files_per_trigger=1
+            )
+        ),
+        "t_shape_stream",
+        output_mode="append",
+    )
+    want = shape(read_jsonl(spark, jsonl_dir, bad_records="drop"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
