@@ -244,3 +244,40 @@ def word_logprob_stats(
         F.count(F.lit(1)).alias("n_words"),
         F.round(F.avg("__lp"), 4).alias("avg_logprob"),
     )
+
+
+def corpus_report(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    lang_col: str = "lang",
+):
+    """One-pass corpus health report, per group and overall (ROLLUP): doc
+    count, total/mean characters, English fraction, and the exact-dup
+    rate within the group (1 - distinct normalized fingerprints / docs).
+
+    The whole report is ONE aggregation over ONE scan — every metric is
+    a partial-aggregable sum/count (the dup rate uses count_distinct of
+    the 8-byte fingerprint, the only shuffle-widening term, still bytes
+    per doc). The ROLLUP grand-total row has NULL group (standard SQL
+    semantics). This is the table a corpus curation run prints first."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.text import fingerprint_expr
+
+    return (
+        df.withColumn("__fp", fingerprint_expr(text_col))
+        .rollup(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(chars_col).cast("long")).alias("total_chars"),
+            F.round(F.avg(chars_col), 2).alias("mean_chars"),
+            F.round(
+                F.avg(F.when(F.col(lang_col) == "en", 1.0).otherwise(0.0)), 4
+            ).alias("en_frac"),
+            F.round(
+                1.0 - F.countDistinct("__fp") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+    )

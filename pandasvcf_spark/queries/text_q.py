@@ -1160,3 +1160,31 @@ def t_weighted_sample(spark, sf_dir):
     w = F.least(F.floor(F.col("n_chars") / 100) + 1, F.lit(6))
     out = weighted_sample(d, "doc_id", w, k=50, max_weight=6)
     return out.select("doc_id", "n_chars")
+
+
+@register(
+    "t_corpus_report",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 2) AS mean_chars,
+           round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4)
+             AS en_frac,
+           round(1.0 - count(DISTINCT
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+    FROM documents
+    GROUP BY ROLLUP(source)
+    """,
+)
+def t_corpus_report(spark, sf_dir):
+    """Per-source + grand-total corpus health report (operators/
+    text_features.corpus_report): doc/char counts, English fraction,
+    exact-dup rate — one aggregation over one scan, every metric
+    partial-aggregable. The oracle's dup rate counts distinct normalized
+    texts where Spark counts distinct 64-bit fingerprints of the same
+    normalization — equal barring a 2^-64 collision."""
+    from pandasvcf_spark.operators.text_features import corpus_report
+
+    return corpus_report(load(spark, sf_dir, "documents"))

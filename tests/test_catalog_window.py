@@ -171,6 +171,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # Generate + token transform, zero
                                  # shuffle; token-replay oracle; real-
                                  # fixture invariant pytest
+        "t_corpus_report",       # one-pass rollup health report: agg
+                                 # machinery covered by agg_rollup/
+                                 # agg_count_distinct; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
