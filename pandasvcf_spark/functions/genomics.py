@@ -252,3 +252,24 @@ def hom_ref_call_indicator(call: Column, ref: Column, alt: Column) -> Column:
         .when((a1 == ref) & (a2 == ref), F.lit(1))
         .otherwise(F.lit(0))
     )
+
+
+def is_transition_expr(ref: Column | str, alt: Column | str) -> Column:
+    """BOOLEAN: the REF>ALT change is a transition (purine<->purine A<->G
+    or pyrimidine<->pyrimidine C<->T); False = transversion; NULL when
+    either side is not a single A/C/G/T base (indels, multi-base, '.',
+    symbolic alleles) — filter on `isNotNull` to restrict to SNPs.
+
+    The Ts/Tv ratio over a callset (genome-wide expectation ~2.0-2.1,
+    higher in exonic regions) is the standard variant-QC screen: a ratio
+    far below expectation means the callset is noise-heavy."""
+    r = F.col(ref) if isinstance(ref, str) else ref
+    a = F.col(alt) if isinstance(alt, str) else alt
+
+    def base(c):
+        return c.isin("A", "C", "G", "T")
+
+    def purine(c):
+        return c.isin("A", "G")
+
+    return F.when(base(r) & base(a) & (r != a), purine(r) == purine(a))

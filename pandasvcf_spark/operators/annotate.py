@@ -344,3 +344,59 @@ def annotate_vcf(
     if ordered:
         out = out.orderBy(*SITE_KEY, "sample_ids")
     return out
+
+
+def sample_qc(
+    df: DataFrame,
+    sample_col: str = "sample_ids",
+    zygosity_col: str = "zygosity",
+) -> DataFrame:
+    """Per-sample QC metrics over the long annotated genotype table — the
+    screen every callset runs before analysis (a sample with a low call
+    rate or an outlier het rate is a failed library or a contamination):
+
+      n_sites     sites observed for the sample
+      n_called    fully-called genotypes (no missing allele)
+      call_rate   n_called / n_sites
+      het_rate    heterozygous fraction AMONG called
+      hom_alt_rate homozygous-alt fraction AMONG called
+
+    Consumes the `zygosity` categories of annotate/zygosity_expr
+    ('hom-ref'/'hom-alt'/'het-ref'/'het-alt'/'hom-miss'/'het-miss', plus
+    the opt-in 'hemi-*' set). Hemizygous calls count toward n_called and
+    call_rate but are EXCLUDED from het/hom-alt rates — the denominator
+    stays diploid-called, the convention sex-chromosome-aware QC uses.
+
+    One groupBy on the sample key — partial-aggregated conditional sums,
+    so the shuffle is samples x 5 counters regardless of site count."""
+    z = F.col(zygosity_col)
+    missing = z.contains("miss")
+    called = ~missing
+    diploid_called = called & ~z.startswith("hemi")
+    het = z.isin("het-ref", "het-alt")
+    hom_alt = z == "hom-alt"
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return (
+        df.groupBy(sample_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            cnt(called).alias("n_called"),
+            cnt(diploid_called).alias("__dip"),
+            cnt(het).alias("__het"),
+            cnt(hom_alt).alias("__hom_alt"),
+        )
+        .select(
+            sample_col,
+            "n_sites",
+            "n_called",
+            F.round(F.col("n_called") / F.col("n_sites"), 4).alias("call_rate"),
+            F.when(
+                F.col("__dip") > 0,
+                F.round(F.col("__het") / F.col("__dip"), 4),
+            ).alias("het_rate"),
+            F.when(
+                F.col("__dip") > 0,
+                F.round(F.col("__hom_alt") / F.col("__dip"), 4),
+            ).alias("hom_alt_rate"),
+        )
+    )

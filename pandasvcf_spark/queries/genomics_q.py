@@ -629,3 +629,101 @@ def g_split_multiallelic(spark, sf_dir):
     return out.select(
         "l_orderkey", "l_linenumber", "GT", "alt_index", "alt_allele", "gt_split"
     )
+
+
+@register(
+    "g_sample_qc",
+    oracle=_GENO_CTE
+    + f"""
+    , zyg AS (SELECT l_linenumber, {_ZYG_SQL} AS z FROM ann)
+    SELECT l_linenumber,
+           count(*) AS n_sites,
+           sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END) AS n_called,
+           round(sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS call_rate,
+           CASE WHEN sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN z IN ('het-ref', 'het-alt')
+                               THEN 1 ELSE 0 END)
+                     / CAST(sum(CASE WHEN z NOT LIKE '%miss%'
+                                THEN 1 ELSE 0 END) AS DOUBLE), 4)
+           END AS het_rate,
+           CASE WHEN sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN z = 'hom-alt' THEN 1 ELSE 0 END)
+                     / CAST(sum(CASE WHEN z NOT LIKE '%miss%'
+                                THEN 1 ELSE 0 END) AS DOUBLE), 4)
+           END AS hom_alt_rate
+    FROM zyg GROUP BY l_linenumber
+    """,
+)
+def g_sample_qc(spark, sf_dir):
+    """Per-sample QC metrics (operators/annotate.sample_qc): call rate,
+    het rate and hom-alt rate per pseudo-sample (l_linenumber stands in
+    for the sample key on the derived relation; the real-fixture pytest
+    runs the same operator over 2,504 actual 1000G samples). One
+    partial-aggregated groupBy — samples x 5 counters of shuffle at any
+    site count. No hemi calls in this relation, so diploid-called ==
+    called in the oracle."""
+    from pandasvcf_spark.operators.annotate import sample_qc
+
+    df = _gt_parsed(spark, sf_dir).withColumn(
+        "zygosity", zygosity_expr(F.col("a1"), F.col("a2"), F.lit("A"))
+    )
+    return sample_qc(df, sample_col="l_linenumber")
+
+
+@register(
+    "g_tstv",
+    oracle="""
+    WITH snp AS (
+      SELECT p_brand,
+             CASE p_partkey % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'C'
+                                WHEN 2 THEN 'G' ELSE 'T' END AS ref,
+             CASE (p_partkey % 4 + 1 + (p_partkey // 4) % 3) % 4
+                  WHEN 0 THEN 'A' WHEN 1 THEN 'C'
+                  WHEN 2 THEN 'G' ELSE 'T' END AS alt
+      FROM part),
+    cls AS (
+      SELECT p_brand,
+             CASE WHEN (ref IN ('A', 'G')) = (alt IN ('A', 'G'))
+                  THEN 1 ELSE 0 END AS is_ts
+      FROM snp)
+    SELECT p_brand,
+           CAST(sum(is_ts) AS BIGINT) AS ts,
+           CAST(sum(1 - is_ts) AS BIGINT) AS tv,
+           round(sum(is_ts) / CAST(sum(1 - is_ts) AS DOUBLE), 4)
+             AS tstv_ratio
+    FROM cls GROUP BY p_brand
+    """,
+)
+def g_tstv(spark, sf_dir):
+    """Transition/transversion ratio per group (functions/genomics.
+    is_transition_expr) — the standard callset-quality screen. SNP
+    REF/ALT pairs are synthesized from part keys (alt index shifted
+    1..3 past ref so REF != ALT always, covering all 12 ordered base
+    pairs); the classification and ratio are the engine expressions
+    under test."""
+    from pandasvcf_spark.functions.genomics import is_transition_expr
+
+    base = lambda c: (
+        F.when(c == 0, "A").when(c == 1, "C").when(c == 2, "G").otherwise("T")
+    )
+    p = load(spark, sf_dir, "part").select(
+        "p_brand",
+        base(F.col("p_partkey") % 4).alias("ref"),
+        base(
+            (F.col("p_partkey") % 4 + 1 + (F.col("p_partkey") / 4).cast("long") % 3)
+            % 4
+        ).alias("alt"),
+    )
+    ts = F.when(is_transition_expr("ref", "alt"), 1).otherwise(0)
+    return (
+        p.withColumn("is_ts", ts)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("is_ts").cast("long").alias("ts"),
+            F.sum(1 - F.col("is_ts")).cast("long").alias("tv"),
+            F.round(
+                F.sum("is_ts") / F.sum(1 - F.col("is_ts")).cast("double"), 4
+            ).alias("tstv_ratio"),
+        )
+    )

@@ -196,3 +196,53 @@ def test_zygosity_hemi_mode(spark):
             F.col("a1"), F.col("a2"), F.lit("A"),
             haploid=F.col("h"), haploid_mode="bogus",
         )
+
+
+def test_sample_qc_real_fixture(spark):
+    """sample_qc over the titin callset (454 real samples): rates are
+    well-formed, denominators consistent, and a hand-check of one sample
+    agrees with a direct filter count."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators import annotate_vcf
+    from pandasvcf_spark.operators.annotate import sample_qc
+
+    ann = annotate_vcf(
+        spark, "/root/reference/test_data/SWGR_titin.vcf.gz"
+    )
+    qc = sample_qc(ann).cache()
+    assert qc.count() == 454
+    bad = qc.filter(
+        (F.col("call_rate") < 0) | (F.col("call_rate") > 1)
+        | (F.col("n_called") > F.col("n_sites"))
+    ).count()
+    assert bad == 0
+    one = qc.orderBy("sample_ids").first()
+    direct_called = ann.filter(
+        (F.col("sample_ids") == one["sample_ids"])
+        & ~F.col("zygosity").contains("miss")
+    ).count()
+    assert one["n_called"] == direct_called
+    qc.unpersist()
+
+
+def test_is_transition_expr_cases(spark):
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.genomics import is_transition_expr
+
+    rows = [
+        ("A", "G", True), ("G", "A", True), ("C", "T", True), ("T", "C", True),
+        ("A", "C", False), ("A", "T", False), ("G", "C", False),
+        ("G", "T", False), ("C", "A", False), ("T", "G", False),
+        ("A", "A", None),   # not a variant
+        ("AT", "A", None),  # indel
+        (".", "G", None), ("A", "<DEL>", None),
+    ]
+    d = spark.createDataFrame(
+        [(r, a) for r, a, _ in rows], "ref string, alt string"
+    )
+    got = [
+        r.ts for r in d.select(is_transition_expr("ref", "alt").alias("ts")).collect()
+    ]
+    assert got == [e for _, _, e in rows]

@@ -174,6 +174,12 @@ def test_tail_entries_are_redundant_variants_only():
         "t_corpus_report",       # one-pass rollup health report: agg
                                  # machinery covered by agg_rollup/
                                  # agg_count_distinct; contract guard
+        "g_sample_qc",           # per-sample QC rates: conditional-sum
+                                 # groupBy covered in window; real-454-
+                                 # sample pytest; contract guard
+        "g_tstv",                # Ts/Tv classification + ratio: CASE/agg
+                                 # machinery covered; 14-case unit test;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
