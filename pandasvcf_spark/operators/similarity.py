@@ -858,3 +858,45 @@ def centroid_similarity(
             cosine_expr("__va", "__vb").alias("cos"),
         )
     )
+
+
+def maxsim_score(
+    df: DataFrame,
+    doc_col: Column | str,
+    vec_col: Column | str,
+    queries: list[tuple[int, list[float]]],
+    score_col: str = "maxsim",
+) -> DataFrame:
+    """ColBERT-style MaxSim late interaction: each document is a BAG of
+    vectors (multi-vector representation — per-token, per-chunk, or
+    per-view embeddings) and its score against a multi-vector query is
+    sum over query vectors of the max cosine against any document
+    vector. Output: (doc, maxsim DOUBLE), one row per document.
+
+    Plan: the query set (small by construction — a query is tens of
+    vectors) is broadcast; every corpus vector scores all query vectors
+    in one projection, then two partial-aggregated groupBys fold
+    max-per-(doc, query) and sum-per-doc. The shuffle after partial
+    aggregation is docs x queries rows, then docs rows — corpus size
+    only appears in the linear scan. Exact by construction (this is the
+    brute-force tier; bucket the corpus with the ANN machinery first
+    when the doc set itself needs pruning)."""
+    from pandasvcf_spark.functions.vectors import cosine_expr
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "q_id int, q_vec array<double>",
+    )
+    doc = F.col(doc_col) if isinstance(doc_col, str) else doc_col
+    scored = df.join(F.broadcast(qdf), on=F.lit(True)).select(
+        doc.alias("__doc"),
+        F.col("q_id"),
+        cosine_expr(_dc(vec_col), F.col("q_vec")).alias("__cos"),
+    )
+    per_q = scored.groupBy("__doc", "q_id").agg(F.max("__cos").alias("__m"))
+    return (
+        per_q.groupBy("__doc")
+        .agg(F.sum("__m").alias(score_col))
+        .withColumnRenamed("__doc", doc_col if isinstance(doc_col, str) else "doc")
+    )

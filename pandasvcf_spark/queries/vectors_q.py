@@ -654,3 +654,55 @@ def v_centroid_similarity(spark, sf_dir):
     return out.select(
         "label_a", "label_b", F.round("cos", 4).alias("cos")
     )
+
+
+#: deterministic 3-vector "query document" for MaxSim: the same LCG family
+#: as the LSH planes, different seed — literal floats embed identically in
+#: the Spark plan and the oracle SQL.
+_MAXSIM_QUERIES = _lcg_planes(n_planes=3, dim=DIM, seed=0xC01BE47)
+
+
+def _maxsim_sql_vec(v: list[float]) -> str:
+    # ::DOUBLE per element: bare float literals parse as DECIMAL in
+    # DuckDB and the list dot product overflows HUGEINT
+    return "[" + ", ".join(f"{x!r}::DOUBLE" for x in v) + "]"
+
+
+@register(
+    "v_maxsim",
+    oracle=f"""
+    WITH qs AS (
+      SELECT * FROM (VALUES
+        (0, {_maxsim_sql_vec(_MAXSIM_QUERIES[0])}),
+        (1, {_maxsim_sql_vec(_MAXSIM_QUERIES[1])}),
+        (2, {_maxsim_sql_vec(_MAXSIM_QUERIES[2])})
+      ) AS t(q_id, q_vec)),
+    scored AS (
+      SELECT e.label, q.q_id,
+             list_sum(list_transform(generate_series(1, {DIM}),
+                                     i -> e.embedding[i] * q.q_vec[i]))
+             / (sqrt(list_sum(list_transform(e.embedding, v -> v * v)))
+                * sqrt(list_sum(list_transform(q.q_vec, v -> v * v))))
+               AS c
+      FROM embeddings e CROSS JOIN qs q),
+    per_q AS (SELECT label, q_id, max(c) AS m FROM scored
+              GROUP BY label, q_id)
+    SELECT label, round(sum(m), 4) AS maxsim
+    FROM per_q GROUP BY label
+    """,
+)
+def v_maxsim(spark, sf_dir):
+    """ColBERT-style MaxSim late interaction (operators/similarity.
+    maxsim_score): each label's vector bag scored against a 3-vector
+    query — sum over query vectors of the max cosine within the bag.
+    Broadcast query side, two partial-aggregated folds; after partial
+    aggregation the shuffle is labels x queries rows, corpus size only
+    in the linear scan. Exact brute-force tier (compose with the ANN
+    bucketing when the doc set needs pruning)."""
+    from pandasvcf_spark.operators.similarity import maxsim_score
+
+    e = load(spark, sf_dir, "embeddings")
+    out = maxsim_score(
+        e, "label", "embedding", list(enumerate(_MAXSIM_QUERIES))
+    )
+    return out.select("label", F.round("maxsim", 4).alias("maxsim"))

@@ -180,6 +180,11 @@ def test_tail_entries_are_redundant_variants_only():
         "g_tstv",                # Ts/Tv classification + ratio: CASE/agg
                                  # machinery covered; 14-case unit test;
                                  # contract guard
+        "v_maxsim",              # ColBERT-style MaxSim late interaction:
+                                 # broadcast join + two partial-agged
+                                 # folds, machinery covered by
+                                 # v_cosine_topk (in window); hand-
+                                 # computed unit test; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

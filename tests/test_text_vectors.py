@@ -1056,3 +1056,27 @@ def test_word_logprob_stats_exact(spark):
         2,
         round((math.log10(4 / 5) + math.log10(1 / 5)) / 2, 4),
     )
+
+
+def test_maxsim_hand_computed(spark):
+    """MaxSim on a 2-doc, 2-query toy: doc A holds the x and y axes, doc
+    B the diagonal; query = {x, y}. A scores max(1,0)+max(0,1)=2, B
+    scores 2/sqrt(2)."""
+    from pandasvcf_spark.operators.similarity import maxsim_score
+
+    d = spark.createDataFrame(
+        [
+            ("A", [1.0, 0.0]),
+            ("A", [0.0, 1.0]),
+            ("B", [1.0, 1.0]),
+        ],
+        "doc string, vec array<double>",
+    )
+    out = {
+        r.doc: r.maxsim
+        for r in maxsim_score(
+            d, "doc", "vec", [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        ).collect()
+    }
+    assert abs(out["A"] - 2.0) < 1e-12
+    assert abs(out["B"] - 2 ** 0.5) < 1e-12
