@@ -152,7 +152,11 @@ def main() -> None:
         result["ivf_recall_at_10"] = round(ivf_recall, 4)
         print(
             f"# ivf_recall_at_10: {ivf_recall:.4f} ({time.time() - t0:.1f}s, "
-            "trained k-means centroids, 3-probe, 200-query sample)",
+            "trained k-means centroids, 3-probe, 200-query sample; low on "
+            "THIS corpus by design — near-uniform embeddings spread true "
+            "neighbors across cells (measured n_probe curve closes at 1.0 "
+            "under full probe, vectors_q.ivf_recall_at_10 docstring), which "
+            "is why banded RP-LSH at 0.997 is the default here)",
             file=sys.stderr,
         )
 
