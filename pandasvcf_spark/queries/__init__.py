@@ -35,13 +35,19 @@ DRIVER_WINDOW = 50
 # The first DRIVER_WINDOW names, in the order the driver will see them.
 # One row per §2 component; §2.11 extension surface (dedup / similarity /
 # text analysis / vectors) is inside the window by construction.
+# Round 6 promoted the new operator classes (multiallelic split, sample
+# QC, MaxSim, KMV sketch, token budget, corpus report, MERGE upsert) over
+# seven redundant variants (strip_chr, multiallele flag, token counts,
+# l2 norms, value counts, count_distinct, running frames) — every demoted
+# row's machinery stays driver-covered by another window entry and all
+# remain continuously exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
     "f4_zygosity",
     "f5_vartype",
-    "f6_multiallele",
-    "f1_strip_chr",
+    "g_sample_qc",
+    "g_split_multiallelic",
     "f7_format_map",
     "f8_split_columns",
     "p5p7_missing_filters",
@@ -56,7 +62,7 @@ _PRIORITY = [
     "e_sessionize",
     "e_dedup_first",
     # §2.11 text analysis + dedup family
-    "t_token_counts",
+    "v_maxsim",
     "t_quality_score",
     "t_lang_id",
     "dedup_exact",
@@ -68,7 +74,7 @@ _PRIORITY = [
     # (single-bucket, multi-probe, IVF), dedup. v_cosine_topk_manyquery is
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
-    "v_l2_norms",
+    "sk_kmv_distinct",
     "v_cosine_topk",
     "v_cosine_topk_manyquery",
     "v_ann_multiprobe",
@@ -78,10 +84,10 @@ _PRIORITY = [
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
     "p4_distinct",
-    "a2_value_counts",
+    "t_token_budget",
     "agg_tpch_q1",
     "agg_cube",
-    "agg_count_distinct",
+    "t_corpus_report",
     # join family + skew mitigation (j_anti sits past the window: its
     # 0-row result passes rows/schema/hash trivially, so its slot carried
     # no signal — check_contract still exact-checks it every run.
@@ -96,7 +102,7 @@ _PRIORITY = [
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
     "w_rank_topk",
-    "w_running_sum",
+    "m_upsert_latest",
     "sort_limit_topk",
     "set_union",
     "r2_pivot",
