@@ -163,6 +163,73 @@ def near_dedup_documents(
     )
 
 
+def near_dedup_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.9,
+    method: str = "label",
+    repartition_to: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-duplicate removal: dedup a NEW batch against an
+    already-clean BASE corpus — the recurring-crawl pipeline shape.
+    Returns the SURVIVING rows of `new` (base is kept as-is by contract):
+    a new doc is dropped when its near-dup component contains any base
+    doc (the corpus already has a representative), and all-new components
+    keep their minimum-id member. Ids must be unique across both sides;
+    schemas must match.
+
+    Scale story — the reason this exists instead of "union and rerun
+    near_dedup_documents": pair expansion filters old×old pairs INSIDE
+    the bucket stage (see minhash_near_dup_pairs' incremental_col), so
+    the historical corpus contributes a linear signature pass but no
+    quadratic pair term, and candidate verification + closure +
+    survivor selection all run on relations sized by the NEW batch's
+    duplicates. Closing over cross pairs only is lossless for survivor
+    selection: a base-base edge can only merge components that each
+    already contain a base doc, and both verdicts ("has base → drop new
+    members") are identical merged or not; all-new components never
+    involve base edges."""
+    b = base.withColumn("__nw", F.lit(False))
+    n = new.withColumn("__nw", F.lit(True))
+    u = b.unionByName(n)
+    pairs = minhash_near_dup_pairs(
+        u,
+        id_col,
+        shingles,
+        num_hashes=num_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        repartition_to=repartition_to,
+        max_bucket_size=max_bucket_size,
+        incremental_col="__nw",
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, method=method)
+    # Component members are duplicates-sized: broadcast them to one scan
+    # of the union for the base/new flag, never shuffling the corpus.
+    flagged = u.select(F.col(id_col).alias("id"), "__nw").join(
+        F.broadcast(comp.select("id")), "id"
+    )
+    members = flagged.join(comp, "id")
+    stats = members.groupBy("component").agg(
+        F.max(F.when(~F.col("__nw"), True).otherwise(False)).alias("__has_base"),
+        F.min(F.when(F.col("__nw"), F.col("id"))).alias("__min_new"),
+    )
+    losers = (
+        members.join(stats, "component")
+        .filter(
+            F.col("__nw")
+            & (F.col("__has_base") | (F.col("id") != F.col("__min_new")))
+        )
+        .select(F.col("id").alias("__loser"))
+    )
+    return new.join(losers, new[id_col] == F.col("__loser"), "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate detection
 # ---------------------------------------------------------------------------
@@ -231,8 +298,17 @@ def minhash_near_dup_pairs(
     repartition_to: int | None = None,
     max_bucket_size: int | None = None,
     return_dropped: bool = False,
+    incremental_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate id pairs via banded MinHash LSH.
+
+    incremental_col: name of a BOOLEAN column in `df` marking the "new"
+    side. When set, only pairs touching at least one marked doc are
+    emitted — the recurring-crawl shape ("dedup this batch against the
+    corpus") where re-pairing the historical corpus with itself is pure
+    waste: the old×old quadratic term vanishes from pair expansion while
+    signatures still cost one linear pass over both sides. None (the
+    default) keeps the exact original plan.
 
     Plan shape: explode(shingles) → hash-once → signature agg → band keys →
     groupBy(band, key) collecting each bucket's ids → in-bucket pair
@@ -283,8 +359,10 @@ def minhash_near_dup_pairs(
     # re-tokenizes every document on the (few) input partitions. Measured:
     # the inferred filter alone was 19s of the 24s wall at sf0.1. Predicates
     # on a Generate's output cannot be pushed below the Generate.
+    marker = [F.col(incremental_col).alias("__nw")] if incremental_col else []
     keyed = df.select(
         F.col(id_col).alias("__id"),
+        *marker,
         F.explode(F.array(shingles)).alias(shingle_col_out),
     )
 
@@ -305,13 +383,15 @@ def minhash_near_dup_pairs(
     # arithmetic ops per family, stays ANSI-overflow-safe (operands < 2^31,
     # products < 2^62), and is a standard minwise family; exactness never
     # depends on it because candidates are Jaccard-verified.
+    carry = ["__nw"] if incremental_col else []
     hashed = keyed.select(
-        "__id", F.explode(F.col(shingle_col_out)).alias("__s")
+        "__id", *carry, F.explode(F.col(shingle_col_out)).alias("__s")
     ).select(
         "__id",
+        *carry,
         (F.xxhash64("__s").bitwiseAND(F.lit(_MERSENNE31))).cast("long").alias("__h"),
     )
-    sig = hashed.groupBy("__id").agg(
+    sig = hashed.groupBy("__id", *carry).agg(
         *[
             F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_MERSENNE31)).alias(
                 f"__m{i}"
@@ -332,12 +412,18 @@ def minhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    bands_df = sig.select("__id", F.explode(band_structs).alias("__band"))
+    bands_df = sig.select("__id", *carry, F.explode(band_structs).alias("__band"))
     # One grouped agg per (band, key) bucket; docs are unique within a bucket
     # (each doc emits one key per band), sorted for deterministic id_a < id_b.
+    # Incremental mode collects (id, new) structs instead of bare ids —
+    # sort_array orders structs by their first field, so id order (and with
+    # it the id_a < id_b contract) is unchanged.
+    elem = (
+        F.struct(F.col("__id"), F.col("__nw")) if incremental_col else F.col("__id")
+    )
     buckets = (
         bands_df.groupBy("__band")
-        .agg(F.sort_array(F.collect_set("__id")).alias("__ids"))
+        .agg(F.sort_array(F.collect_set(elem)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
     dropped = None
@@ -352,16 +438,34 @@ def minhash_near_dup_pairs(
     # one-shot expansion would build, so an uncapped mega-bucket degrades
     # into many small rows instead of one task-OOM-sized row. Both explodes
     # run in the same stage; no extra shuffle.
-    pairs = (
-        buckets.select("__ids", F.posexplode("__ids").alias("__i", "id_a"))
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
-            ).alias("id_b"),
+    if incremental_col:
+        pairs = (
+            buckets.select("__ids", F.posexplode("__ids").alias("__i", "__ea"))
+            .select(
+                F.col("__ea.__id").alias("id_a"),
+                F.col("__ea.__nw").alias("__na"),
+                F.explode(
+                    F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
+                ).alias("__eb"),
+            )
+            # the whole point: old×old pairs never materialize past this
+            # in-stage filter, so the historical corpus carries no
+            # quadratic term
+            .filter(F.col("__na") | F.col("__eb.__nw"))
+            .select("id_a", F.col("__eb.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    else:
+        pairs = (
+            buckets.select("__ids", F.posexplode("__ids").alias("__i", "id_a"))
+            .select(
+                "id_a",
+                F.explode(
+                    F.slice(F.col("__ids"), F.col("__i") + 2, F.size("__ids"))
+                ).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
     if min_jaccard is None:
         return (pairs, dropped) if return_dropped else pairs
     # Exact-Jaccard verification only on the (few) candidates, as ONE linear

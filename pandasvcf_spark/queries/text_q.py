@@ -1188,3 +1188,109 @@ def t_corpus_report(spark, sf_dir):
     from pandasvcf_spark.operators.text_features import corpus_report
 
     return corpus_report(load(spark, sf_dir, "documents"))
+
+
+#: incremental near-dedup oracle: TRUE exact-Jaccard cross pairs (>= one
+#: new side) over base + three new variants, closed transitively, then the
+#: has-base-drop / all-new-keep-min survivor rule. The scramble (vowels ->
+#: digits) makes the +2e7/+3e7 pair dissimilar from base without any
+#: unicode-direction hazard (ASCII-only; Spark translate == chained
+#: replaces here by construction).
+_INCR_SCRAMBLE = (
+    "replace(replace(replace(replace(replace(text,"
+    " 'a', '0'), 'e', '1'), 'i', '2'), 'o', '3'), 'u', '4')"
+)
+
+_INCR_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, 0 AS nw FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text || '  ', 1 FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, {_INCR_SCRAMBLE}, 1 FROM documents
+  UNION ALL
+  SELECT doc_id + 30000000, {_INCR_SCRAMBLE} || '  ', 1 FROM documents),
+w AS (
+  SELECT doc_id, nw, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM corpus),
+g AS (
+  SELECT doc_id, nw, list_distinct(CASE WHEN len(ws) < 3 THEN []
+    ELSE list_transform(generate_series(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END)
+    AS t
+  FROM w),
+pr AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM g a JOIN g b
+    ON a.doc_id < b.doc_id
+   AND (a.nw = 1 OR b.nw = 1)
+   AND len(a.t) > 0 AND len(b.t) > 0
+   AND len(a.t) * 10 >= len(b.t) * 9
+   AND len(b.t) * 10 >= len(a.t) * 9
+  WHERE len(list_intersect(a.t, b.t))
+        / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.9),
+edges AS (SELECT ia AS a, ib AS b FROM pr
+          UNION ALL SELECT ib, ia FROM pr),
+verts AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS lbl FROM verts
+  UNION
+  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+members AS (
+  SELECT c.id, c.component, co.nw FROM comp c
+  JOIN corpus co ON co.doc_id = c.id),
+stats AS (
+  SELECT component,
+         max(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS has_base,
+         min(CASE WHEN nw = 1 THEN id END) AS min_new
+  FROM members GROUP BY component),
+losers AS (
+  SELECT m.id FROM members m JOIN stats s USING (component)
+  WHERE m.nw = 1 AND (s.has_base = 1 OR m.id <> s.min_new))
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus
+WHERE nw = 1 AND doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE)
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup (operators/dedup.near_dedup_incremental):
+    a 3x-sized "new crawl" (noisy copies of the corpus + a planted
+    all-new duplicate pair per doc) deduped against the base documents.
+    Copies of base docs drop (the corpus already has them), all-new
+    duplicate pairs keep their min id, unpaired new docs survive. The
+    old x old pair term never materializes (filtered inside the bucket
+    stage); the oracle recomputes TRUE cross pairs with exact Jaccard
+    and replays the survivor rule."""
+    from pandasvcf_spark.operators.dedup import near_dedup_incremental
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scr = F.translate(F.col("text"), "aeiou", "01234")
+    new = (
+        d.select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat("text", F.lit("  ")).alias("text"),
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 20000000).alias("doc_id"),
+                scr.alias("text"),
+            )
+        )
+        .unionByName(
+            d.select(
+                (F.col("doc_id") + 30000000).alias("doc_id"),
+                F.concat(scr, F.lit("  ")).alias("text"),
+            )
+        )
+    )
+    out = near_dedup_incremental(
+        d,
+        new,
+        "doc_id",
+        word_ngrams_expr("text", 3),
+        min_jaccard=0.9,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))

@@ -157,6 +157,11 @@ def test_tail_entries_are_redundant_variants_only():
         "g_tstv",                # Ts/Tv classification + ratio: CASE/agg
                                  # machinery covered; 14-case unit test;
                                  # contract guard
+        "dedup_incremental",     # batch-vs-corpus near-dedup: same LSH
+                                 # machinery as dedup_minhash_lsh (in
+                                 # window) + cross-only pair filter;
+                                 # exact-Jaccard survivor oracle; 3 unit
+                                 # tests incl. base-base suppression
         # demoted in round 6 to make room for the new operator classes —
         # machinery still driver-covered per the comments below, all
         # continuously exact-checked by the contract pytest

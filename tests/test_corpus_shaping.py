@@ -465,3 +465,99 @@ def test_register_views_sql_surface(spark):
         spark.sql("SELECT count(*) FROM documents_b").first()[0]
         == spark.sql("SELECT count(*) FROM documents").first()[0]
     )
+
+
+# ---------------------------------------------------------------------------
+# near_dedup_incremental
+# ---------------------------------------------------------------------------
+
+
+def _incr_fixture(spark):
+    base_txt = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen"
+    )
+    pair_txt = (
+        "shared new duplicate content pair here we go again and again yes"
+    )
+    base = spark.createDataFrame(
+        [(1, base_txt), (2, other)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base_txt + " "),  # dup of base 1 -> dropped
+            (102, "unique content entirely different from everything else "
+                  "in this corpus today"),  # survives
+            (103, other),  # dup of base 2 -> dropped
+            (201, pair_txt),
+            (202, pair_txt + " "),  # all-new pair -> 201 survives
+        ],
+        "doc_id long, text string",
+    )
+    return base, new
+
+
+def test_near_dedup_incremental_survivor_rule(spark):
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import near_dedup_incremental
+
+    base, new = _incr_fixture(spark)
+    out = near_dedup_incremental(
+        base, new, "doc_id", word_ngrams_expr("text", 3), min_jaccard=0.8
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [102, 201]
+
+
+def test_incremental_pairs_exclude_base_base(spark):
+    """The operator's scale contract: a base-base near-dup pair must
+    never materialize — only pairs touching the new side exist."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import minhash_near_dup_pairs
+
+    base, new = _incr_fixture(spark)
+    base3 = base.unionByName(
+        spark.createDataFrame(
+            [(3, base.collect()[0].text)], "doc_id long, text string"
+        )
+    )  # ids 1 and 3 are base-base near-dups
+    u = base3.withColumn("__nw", F.lit(False)).unionByName(
+        new.withColumn("__nw", F.lit(True))
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            u,
+            "doc_id",
+            word_ngrams_expr("text", 3),
+            min_jaccard=0.8,
+            incremental_col="__nw",
+        ).collect()
+    }
+    assert (1, 3) not in pairs  # old x old suppressed in-stage
+    assert (1, 101) in pairs and (3, 101) in pairs and (201, 202) in pairs
+
+
+def test_incremental_chain_through_new_doc(spark):
+    """n1 ~ n2 and n2 ~ base closes transitively: BOTH new docs drop even
+    though n1 never paired with base directly."""
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import near_dedup_incremental
+
+    t = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through quiet fields"
+    )
+    base = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(11, t + " x"), (12, t + " x y")], "doc_id long, text string"
+    )
+    out = near_dedup_incremental(
+        base, new, "doc_id", word_ngrams_expr("text", 3), min_jaccard=0.5
+    )
+    assert out.count() == 0
