@@ -174,6 +174,7 @@ def near_dedup_incremental(
     method: str = "label",
     repartition_to: int | None = None,
     max_bucket_size: int | None = None,
+    base_band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-duplicate removal: dedup a NEW batch against an
     already-clean BASE corpus — the recurring-crawl pipeline shape.
@@ -193,10 +194,36 @@ def near_dedup_incremental(
     selection: a base-base edge can only merge components that each
     already contain a base doc, and both verdicts ("has base → drop new
     members") are identical merged or not; all-new components never
-    involve base edges."""
+    involve base edges.
+
+    base_band_keys: the corpus's persisted LSH index (`minhash_band_keys`
+    output, written once at corpus-build time). With it, the base is
+    never re-tokenized or re-hashed — each batch pays signatures for
+    ITSELF plus a scan of 12-byte index rows and a candidate-pruned
+    lookup of base texts for verification. This is the production
+    recurring-crawl shape; without it the base still pays a linear
+    signature pass per batch (and at fixture scale the extra survivor
+    jobs outweigh the pair savings — the win needs the index or a base
+    that dwarfs the batch)."""
     b = base.withColumn("__nw", F.lit(False))
     n = new.withColumn("__nw", F.lit(True))
     u = b.unionByName(n)
+    keys = None
+    if base_band_keys is not None:
+        keys = (
+            base_band_keys.select("id", "band", "key")
+            .withColumn("new", F.lit(False))
+            .unionByName(
+                minhash_band_keys(
+                    new,
+                    id_col,
+                    shingles,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    repartition_to=repartition_to,
+                ).withColumn("new", F.lit(True))
+            )
+        )
     pairs = minhash_near_dup_pairs(
         u,
         id_col,
@@ -207,6 +234,7 @@ def near_dedup_incremental(
         repartition_to=repartition_to,
         max_bucket_size=max_bucket_size,
         incremental_col="__nw",
+        band_keys=keys,
     ).select("id_a", "id_b")
     comp = connected_components(pairs, method=method)
     # Component members are duplicates-sized: broadcast them to one scan
@@ -287,67 +315,21 @@ def lsh_band_keys_expr(signature: Column, bands: int, rows_per_band: int) -> Col
     )
 
 
-def minhash_near_dup_pairs(
+def _bands_df(
     df: DataFrame,
     id_col: str,
     shingles: Column,
-    num_hashes: int = 64,
-    bands: int = 16,
-    min_jaccard: float | None = None,
+    num_hashes: int,
+    bands: int,
+    repartition_to: int | None,
+    incremental_col: str | None,
     shingle_col_out: str = "__sh",
-    repartition_to: int | None = None,
-    max_bucket_size: int | None = None,
-    return_dropped: bool = False,
-    incremental_col: str | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate id pairs via banded MinHash LSH.
-
-    incremental_col: name of a BOOLEAN column in `df` marking the "new"
-    side. When set, only pairs touching at least one marked doc are
-    emitted — the recurring-crawl shape ("dedup this batch against the
-    corpus") where re-pairing the historical corpus with itself is pure
-    waste: the old×old quadratic term vanishes from pair expansion while
-    signatures still cost one linear pass over both sides. None (the
-    default) keeps the exact original plan.
-
-    Plan shape: explode(shingles) → hash-once → signature agg → band keys →
-    groupBy(band, key) collecting each bucket's ids → in-bucket pair
-    expansion → distinct pairs (id_a < id_b). Candidate generation is ONE
-    grouped aggregation over |docs|×bands rows — never a crossJoin, and (by
-    collecting buckets instead of self-joining on the band key) the
-    signature pipeline is computed exactly once. A band self-join reads the
-    signature subtree twice, and Spark does not reuse the exchange across
-    the two sides (measured: the full verify plan re-scanned the corpus 40×);
-    the grouped form is both the faster and the more scale-honest shape —
-    cost is O(sum of bucket²) pairs, materialized as array expansion within
-    each bucket row.
-
-    With `min_jaccard`, candidates are verified with the exact shingle-set
-    Jaccard (computed only on the candidate pairs, which are few) in one
-    linear stack→join→regroup pass — see the inline comment for why the
-    plan deliberately avoids any reuse diamond over the pair set.
-
-    repartition_to: spread the corpus over N partitions before the
-    per-shingle hash work. The tokenize/hash stages inherit the SCAN's
-    partitioning; a small-file corpus (one parquet row group) otherwise runs
-    them on 1-2 tasks regardless of cluster size. At real scale the scan
-    already yields thousands of partitions — leave None there; set it (e.g.
-    to defaultParallelism) when the input is few-files-small.
-
-    max_bucket_size: drop band buckets holding more than this many docs
-    before pair expansion. A mega-bucket means a near-identical cluster
-    (better handled by exact dedup first) and would expand to bucket²
-    pairs; capping bounds both memory and output skew. None = lossless
-    (required when an oracle recomputes the exact pair set).
-
-    return_dropped: also return the accounting DataFrame for what the cap
-    discarded (see `_dropped_bucket_stats`) as (pairs, dropped) — at scale
-    a silent cap reads as "covered everything" when it didn't.
-
-    Output: id_a, id_b (+ jaccard DOUBLE when verifying).
-    """
-    if return_dropped and max_bucket_size is None:
-        raise ValueError("return_dropped requires max_bucket_size")
+    """(__id [, __nw], __band STRUCT<band INT, key BIGINT>) — the LSH band
+    keys of every document, one row per (doc, band). Factored out of
+    `minhash_near_dup_pairs` unchanged (see its docstring for the measured
+    plan rationale: Generate barrier, hash-once signature agg, affine
+    family instead of 64 inlined xxhash64 calls)."""
     rows_per_band = num_hashes // bands
     if repartition_to:
         df = df.repartition(repartition_to, F.col(id_col))
@@ -365,7 +347,6 @@ def minhash_near_dup_pairs(
         *marker,
         F.explode(F.array(shingles)).alias(shingle_col_out),
     )
-
     # Signature plan: explode shingles -> hash each shingle string ONCE ->
     # num_hashes affine re-hashes of the base -> min-aggregate by doc.
     # Map-side combine collapses each doc to one num_hashes-long row before
@@ -412,7 +393,129 @@ def minhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    bands_df = sig.select("__id", *carry, F.explode(band_structs).alias("__band"))
+    return sig.select("__id", *carry, F.explode(band_structs).alias("__band"))
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 64,
+    bands: int = 16,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """The persistable LSH INDEX of a corpus: (id, band INT, key BIGINT),
+    one row per (doc, band). Write this once at corpus-build time and
+    hand it to `near_dedup_incremental(base_band_keys=...)` — each
+    incoming batch then computes signatures only for ITSELF and the
+    historical corpus contributes a table scan of precomputed 12-byte
+    rows instead of a full re-tokenize/re-hash pass. The parameters
+    (num_hashes, bands and the shingle definition) are part of the
+    index's identity — a batch checked with different parameters against
+    a stored index silently finds nothing; store them alongside."""
+    b = _bands_df(
+        df, id_col, shingles, num_hashes, bands, repartition_to, None
+    )
+    return b.select(
+        F.col("__id").alias("id"),
+        F.col("__band.band").alias("band"),
+        F.col("__band.key").alias("key"),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_jaccard: float | None = None,
+    shingle_col_out: str = "__sh",
+    repartition_to: int | None = None,
+    max_bucket_size: int | None = None,
+    return_dropped: bool = False,
+    incremental_col: str | None = None,
+    band_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate id pairs via banded MinHash LSH.
+
+    incremental_col: name of a BOOLEAN column in `df` marking the "new"
+    side. When set, only pairs touching at least one marked doc are
+    emitted — the recurring-crawl shape ("dedup this batch against the
+    corpus") where re-pairing the historical corpus with itself is pure
+    waste: the old×old quadratic term vanishes from pair expansion while
+    signatures still cost one linear pass over both sides. None (the
+    default) keeps the exact original plan.
+
+    Plan shape: explode(shingles) → hash-once → signature agg → band keys →
+    groupBy(band, key) collecting each bucket's ids → in-bucket pair
+    expansion → distinct pairs (id_a < id_b). Candidate generation is ONE
+    grouped aggregation over |docs|×bands rows — never a crossJoin, and (by
+    collecting buckets instead of self-joining on the band key) the
+    signature pipeline is computed exactly once. A band self-join reads the
+    signature subtree twice, and Spark does not reuse the exchange across
+    the two sides (measured: the full verify plan re-scanned the corpus 40×);
+    the grouped form is both the faster and the more scale-honest shape —
+    cost is O(sum of bucket²) pairs, materialized as array expansion within
+    each bucket row.
+
+    With `min_jaccard`, candidates are verified with the exact shingle-set
+    Jaccard (computed only on the candidate pairs, which are few) in one
+    linear stack→join→regroup pass — see the inline comment for why the
+    plan deliberately avoids any reuse diamond over the pair set.
+
+    repartition_to: spread the corpus over N partitions before the
+    per-shingle hash work. The tokenize/hash stages inherit the SCAN's
+    partitioning; a small-file corpus (one parquet row group) otherwise runs
+    them on 1-2 tasks regardless of cluster size. At real scale the scan
+    already yields thousands of partitions — leave None there; set it (e.g.
+    to defaultParallelism) when the input is few-files-small.
+
+    max_bucket_size: drop band buckets holding more than this many docs
+    before pair expansion. A mega-bucket means a near-identical cluster
+    (better handled by exact dedup first) and would expand to bucket²
+    pairs; capping bounds both memory and output skew. None = lossless
+    (required when an oracle recomputes the exact pair set).
+
+    return_dropped: also return the accounting DataFrame for what the cap
+    discarded (see `_dropped_bucket_stats`) as (pairs, dropped) — at scale
+    a silent cap reads as "covered everything" when it didn't.
+
+    band_keys: precomputed LSH index (id, band, key — `minhash_band_keys`
+    output; plus a BOOLEAN `new` column when incremental_col is set) that
+    REPLACES the internal signature pipeline; `df` then serves only
+    Jaccard verification (scanned with the candidate prune, never
+    re-hashed). num_hashes/bands/shingles must match the index's build
+    parameters.
+
+    Output: id_a, id_b (+ jaccard DOUBLE when verifying).
+    """
+    if return_dropped and max_bucket_size is None:
+        raise ValueError("return_dropped requires max_bucket_size")
+    if band_keys is not None:
+        carry = ["__nw"] if incremental_col else []
+        bands_df = band_keys.select(
+            F.col("id").alias("__id"),
+            *(["new"] if incremental_col else []),
+            F.struct(
+                F.col("band").cast("int").alias("band"),
+                F.col("key").cast("long").alias("key"),
+            ).alias("__band"),
+        )
+        if incremental_col:
+            bands_df = bands_df.withColumnRenamed("new", "__nw")
+    else:
+        bands_df = _bands_df(
+            df,
+            id_col,
+            shingles,
+            num_hashes,
+            bands,
+            repartition_to,
+            incremental_col,
+            shingle_col_out,
+        )
+        carry = ["__nw"] if incremental_col else []
     # One grouped agg per (band, key) bucket; docs are unique within a bucket
     # (each doc emits one key per band), sorted for deterministic id_a < id_b.
     # Incremental mode collects (id, new) structs instead of bare ids —
@@ -780,9 +883,19 @@ def connected_components(
     edges = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     )
-    bidir = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # Checkpoint the edge list BEFORE iterating (as _cc_star always did):
+    # labels were already checkpointed per round, but bidir kept its full
+    # lineage, so every round's join re-executed the whole upstream pair
+    # pipeline (LSH signatures + bucket expansion + Jaccard verify) —
+    # exchange reuse does not span the per-round count() jobs. Edges are
+    # duplicates-sized, so materializing them is cheap at any scale;
+    # measured 25.1 s → 9.1 s on the sf0.1 incremental-dedup pipeline
+    # (and 15.3 s → 7.3 s on the equivalent union re-dedup).
+    bidir = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()

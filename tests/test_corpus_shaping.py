@@ -561,3 +561,53 @@ def test_incremental_chain_through_new_doc(spark):
         base, new, "doc_id", word_ngrams_expr("text", 3), min_jaccard=0.5
     )
     assert out.count() == 0
+
+
+def test_incremental_with_stored_index_matches(spark, tmp_path):
+    """near_dedup_incremental(base_band_keys=stored parquet index) selects
+    the identical survivor set as the self-computing path — the corpus
+    index round-trips through storage without changing semantics."""
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import (
+        minhash_band_keys,
+        near_dedup_incremental,
+    )
+
+    base, new = _incr_fixture(spark)
+    sh = word_ngrams_expr("text", 3)
+    idx_path = str(tmp_path / "baseidx")
+    minhash_band_keys(base, "doc_id", sh).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    with_idx = {
+        r.doc_id
+        for r in near_dedup_incremental(
+            base, new, "doc_id", sh, min_jaccard=0.8, base_band_keys=idx
+        ).collect()
+    }
+    without = {
+        r.doc_id
+        for r in near_dedup_incremental(
+            base, new, "doc_id", sh, min_jaccard=0.8
+        ).collect()
+    }
+    assert with_idx == without == {102, 201}
+
+
+def test_band_keys_shape_and_determinism(spark):
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import minhash_band_keys
+
+    base, _ = _incr_fixture(spark)
+    k1 = minhash_band_keys(base, "doc_id", word_ngrams_expr("text", 3))
+    assert k1.columns == ["id", "band", "key"]
+    rows1 = sorted(map(tuple, k1.collect()))
+    rows2 = sorted(
+        map(
+            tuple,
+            minhash_band_keys(
+                base.repartition(5), "doc_id", word_ngrams_expr("text", 3)
+            ).collect(),
+        )
+    )
+    assert rows1 == rows2  # index is a pure function of content
+    assert len(rows1) == 2 * 16  # 2 docs x 16 bands
