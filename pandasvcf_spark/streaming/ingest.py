@@ -1,0 +1,118 @@
+"""Streaming corpus ingest with incremental near-dedup — the composition
+a continuously-crawling training-data pipeline runs: documents arrive as a
+stream, each micro-batch is deduped (a) within itself and (b) against
+everything already accepted, and only the survivors land in the corpus.
+
+Built from pieces that are each already correctness-checked: the JSONL/file
+stream sources, `near_dedup_documents` (intra-batch), `near_dedup_incremental`
+(batch vs accumulated corpus, old×old pair term eliminated in-stage), and
+the batch_id-directory idempotence of `write_stream_partitioned` — a
+replayed micro-batch (failure between sink write and checkpoint commit)
+overwrites its own directory instead of double-inserting, and because the
+replay re-reads the SAME accumulated corpus state (its own earlier partial
+write is excluded by reading only smaller batch_ids), it reproduces the
+same survivor set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def dedup_ingest_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    checkpoint_path: str,
+    id_col: str,
+    shingle_fn,
+    seed_df: DataFrame | None = None,
+    min_jaccard: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    query_name: str = "dedup_ingest",
+):
+    """Start a streaming query that appends near-dedup survivors of every
+    micro-batch to `corpus_path/batch_id=N`.
+
+    Per micro-batch (inside foreachBatch, so plain batch operators apply):
+      1. intra-batch near-dedup (`near_dedup_documents`, min-id survivor);
+      2. incremental dedup of the remainder against the accumulated
+         corpus = `seed_df` (optional initial clean corpus) ∪ all
+         batch_id < N survivor directories — strictly-smaller batch ids
+         only, so a replayed batch never sees its own earlier partial
+         output and replays are deterministic;
+      3. overwrite `corpus_path/batch_id=N` with the survivors.
+
+    `shingle_fn` is a zero-arg callable returning the shingle Column
+    (e.g. ``lambda: word_ngrams_expr("text", 3)``) — a callable because
+    the expression must be rebuilt inside each micro-batch's plan.
+
+    Scale notes: the accumulated corpus is read per batch but never
+    re-shuffled by content — `near_dedup_incremental` pays it as one
+    linear signature pass (persist a `minhash_band_keys` index and swap
+    it in via the base_band_keys path when the corpus outgrows that).
+    Batch-local state lives in the checkpoint; the sink's idempotence is
+    layout-based, same contract as `write_stream_partitioned`."""
+    from pandasvcf_spark.operators.dedup import (
+        near_dedup_documents,
+        near_dedup_incremental,
+    )
+
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        shingles = shingle_fn()
+        batch_clean = near_dedup_documents(
+            batch_df,
+            id_col,
+            shingles,
+            num_hashes=num_hashes,
+            bands=bands,
+            min_jaccard=min_jaccard,
+        )
+        bases = []
+        if seed_df is not None:
+            bases.append(seed_df)
+        # read only strictly-smaller batch ids: a replayed batch must not
+        # see its own earlier partial write (glob on the driver — local
+        # paths; an object-store deployment would list via the Hadoop
+        # FileSystem API instead)
+        import glob
+        import re as _re
+
+        prior_dirs = [
+            p
+            for p in glob.glob(f"{corpus_path}/batch_id=*")
+            if (m := _re.search(r"batch_id=(\d+)$", p))
+            and int(m.group(1)) < batch_id
+        ]
+        if prior_dirs:
+            bases.append(spark.read.parquet(*prior_dirs))
+        if bases:
+            base = bases[0]
+            for extra in bases[1:]:
+                base = base.unionByName(extra)
+            survivors = near_dedup_incremental(
+                base,
+                batch_clean,
+                id_col,
+                shingle_fn(),
+                num_hashes=num_hashes,
+                bands=bands,
+                min_jaccard=min_jaccard,
+            )
+        else:
+            survivors = batch_clean
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

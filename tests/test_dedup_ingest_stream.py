@@ -1,0 +1,143 @@
+"""Streaming corpus ingest with incremental near-dedup
+(streaming/ingest.dedup_ingest_stream): end-to-end micro-batch behavior —
+intra-batch dedup, dedup against the seed corpus, dedup against earlier
+batches' survivors — plus the crash-replay drill for the batch_id-layout
+idempotence claim."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while seventeen other "
+    "animals watch from the quiet hillside"
+)
+OTHER = (
+    "completely different material about distributed query planning and "
+    "shuffle topology in large analytical engines"
+)
+FRESH = (
+    "a third unrelated passage describing tidal patterns along rocky "
+    "northern coastlines during early spring"
+)
+
+
+def _write_batch_file(dirpath, name, rows, mtime):
+    p = os.path.join(dirpath, name)
+    with open(p, "w") as fh:
+        for doc_id, text in rows:
+            fh.write(
+                json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "lang": "en",
+                        "source": "crawl",
+                        "n_chars": len(text),
+                    }
+                )
+                + "\n"
+            )
+    os.utime(p, (mtime, mtime))
+    return p
+
+
+def _drain(spark, in_dir, corpus, ckpt, seed):
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.sources.jsonl import read_jsonl_stream
+    from pandasvcf_spark.streaming.ingest import dedup_ingest_stream
+
+    stream = read_jsonl_stream(
+        spark, in_dir, bad_records="drop", max_files_per_trigger=1
+    )
+    q = dedup_ingest_stream(
+        stream,
+        str(corpus),
+        str(ckpt),
+        "doc_id",
+        lambda: word_ngrams_expr("text", 3),
+        seed_df=seed,
+        min_jaccard=0.8,
+        query_name="t_dedup_ingest",
+    )
+    q.awaitTermination()
+
+
+def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    seed = spark.createDataFrame(
+        [(1, DOC), (2, OTHER)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("seed").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    now = time.time()
+    # batch 0: a seed dup, a fresh doc, and an intra-batch dup of it
+    _write_batch_file(
+        str(in_dir),
+        "b0.jsonl",
+        [(101, DOC + " "), (102, FRESH), (103, FRESH + " ")],
+        now - 20,
+    )
+    # batch 1: a dup of batch 0's survivor, plus a genuinely new doc
+    _write_batch_file(
+        str(in_dir),
+        "b1.jsonl",
+        [(201, FRESH + "  "), (202, OTHER.replace("tidal", "thermal")
+          .replace("completely different material", "some wholly new notes"))],
+        now - 10,
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, seed)
+
+    got = spark.read.parquet(str(corpus))
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    # 101 dropped (dup of seed 1); 102 survives; 103 dropped (intra-batch
+    # dup of 102); 201 dropped (dup of accepted 102); 202 survives
+    assert ids == [102, 202], ids
+
+
+def test_dedup_ingest_stream_crash_replay_idempotent(spark, tmp_path):
+    """Delete the checkpoint's last commit marker (crash between sink
+    write and commit) and re-drain: the replayed batch overwrites its own
+    batch_id directory and re-reads only earlier batches, so the corpus
+    is unchanged — no duplicates, no missing rows."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    now = time.time()
+    _write_batch_file(str(in_dir), "b0.jsonl", [(11, DOC)], now - 20)
+    _write_batch_file(
+        str(in_dir), "b1.jsonl", [(21, DOC + " "), (22, OTHER)], now - 10
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, seed=None)
+    before = sorted(
+        r.doc_id for r in spark.read.parquet(str(corpus)).collect()
+    )
+    assert before == [11, 22]  # 21 deduped against batch 0's survivor
+
+    commits = sorted(
+        (p for p in (ckpt / "commits").iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+
+    _drain(spark, str(in_dir), corpus, ckpt, seed=None)
+    after = sorted(
+        r.doc_id for r in spark.read.parquet(str(corpus)).collect()
+    )
+    assert after == before, "replayed batch changed the corpus"
