@@ -291,3 +291,44 @@ def test_hash_sample_fraction_monotone(spark, ids, frac):
     assert half <= s
     assert {r["id"] for r in hash_sample(df, F.col("id"), 0.0).collect()} == set()
     assert {r["id"] for r in hash_sample(df, F.col("id"), 1.0).collect()} == set(ids)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_alts=st.integers(min_value=1, max_value=12),
+    gt_tokens=st.lists(
+        st.one_of(st.just("."), st.integers(min_value=0, max_value=12).map(str)),
+        min_size=1,
+        max_size=3,
+    ),
+    phased=st.booleans(),
+    others=st.sampled_from(["missing", "ref"]),
+)
+def test_split_multiallelic_matches_model(spark, n_alts, gt_tokens, phased, others):
+    """split_multiallelic vs the obvious per-token Python model, across
+    random ALT counts (incl. multi-digit indices), ploidies, phases,
+    missing tokens and both other-allele conventions."""
+    from pandasvcf_spark.operators.reshape import split_multiallelic
+
+    sep = "|" if phased else "/"
+    gt = sep.join(gt_tokens)
+    alts = ",".join(f"A{i}" for i in range(1, n_alts + 1))
+    d = spark.createDataFrame(
+        [(1, alts, gt)], "site long, ALT string, GT string"
+    )
+    got = {
+        r.alt_index: (r.alt_allele, r.gt_split)
+        for r in split_multiallelic(d, others=others).collect()
+    }
+    other_tok = "." if others == "missing" else "0"
+
+    def remap(tok, j):
+        if tok == "0" or tok == ".":
+            return tok
+        return "1" if tok == str(j) else other_tok
+
+    want = {
+        j: (f"A{j}", sep.join(remap(t, j) for t in gt_tokens))
+        for j in range(1, n_alts + 1)
+    }
+    assert got == want
