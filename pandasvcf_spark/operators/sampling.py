@@ -210,6 +210,39 @@ def take_token_budget(
     return full.unionByName(edge).drop("__bkt")
 
 
+def split_label_expr(
+    key: Column | str,
+    fractions: dict[str, float],
+    buckets: int = 10_000,
+) -> Column:
+    """Deterministic train/val/test assignment: a STRING label column
+    mapping each row to one split by content-hash residue bands —
+    ``fractions={'train': 0.98, 'val': 0.01, 'test': 0.01}``. Splits are
+    DISJOINT and EXHAUSTIVE by construction (consecutive residue bands in
+    the given dict order; fractions must sum to 1 within 1/buckets), and,
+    like all the hash-keyed operators, a pure function of row content:
+    the same doc lands in the same split on every run, engine and
+    partitioning, and membership is a pushdown-friendly predicate
+    (`label == 'val'` folds to a residue-range check). Band granularity
+    is 1/buckets. The polynomial's banding caveat applies (see
+    `hash_sample`): on tiny contiguous-decimal-id corpora local split
+    rates deviate; key on content for rate-critical splits."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1.0 / buckets:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    k = F.col(key) if isinstance(key, str) else key
+    residue = poly_hash_expr(k.cast("string")) % F.lit(buckets)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for i, name in enumerate(names):
+        cum += fractions[name]
+        hi = buckets if i == len(names) - 1 else int(round(cum * buckets))
+        cond = residue < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
 def weighted_sample(
     df: DataFrame,
     key: Column | str,

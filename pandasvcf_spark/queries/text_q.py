@@ -1294,3 +1294,31 @@ def dedup_incremental(spark, sf_dir):
         repartition_to=spark.sparkContext.defaultParallelism,
     )
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
+    "t_corpus_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}
+                     % 10000 < 9800 THEN 'train'
+                WHEN {_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}
+                     % 10000 < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def t_corpus_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment (operators/
+    sampling.split_label_expr): disjoint, exhaustive content-hash residue
+    bands — same doc, same split, every run and engine. The oracle
+    recomputes the exact assignment."""
+    from pandasvcf_spark.operators.sampling import split_label_expr
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        split_label_expr(
+            "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}
+        ).alias("split"),
+    )

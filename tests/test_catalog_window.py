@@ -162,6 +162,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "t_corpus_split",        # train/val/test residue-band labels:
+                                 # same portable-hash predicate family
+                                 # as t_hash_sample; exact assignment
+                                 # oracle; disjoint/exhaustive/stable
+                                 # unit test
         # demoted in round 6 to make room for the new operator classes —
         # machinery still driver-covered per the comments below, all
         # continuously exact-checked by the contract pytest

@@ -611,3 +611,25 @@ def test_band_keys_shape_and_determinism(spark):
     )
     assert rows1 == rows2  # index is a pure function of content
     assert len(rows1) == 2 * 16  # 2 docs x 16 bands
+
+
+def test_split_label_disjoint_exhaustive_stable(spark):
+    from pandasvcf_spark.operators.sampling import split_label_expr
+
+    d = _docs(spark, n=500)
+    lab = split_label_expr("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = d.select("doc_id", lab.alias("s"))
+    counts = dict(
+        (r.s, r["count"]) for r in out.groupBy("s").count().collect()
+    )
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 500  # exhaustive, no NULLs for non-null keys
+    # stable under repartitioning
+    again = dict(
+        (r.doc_id, r.s)
+        for r in d.repartition(7).select("doc_id", lab.alias("s")).collect()
+    )
+    first = dict((r.doc_id, r.s) for r in out.collect())
+    assert again == first
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_label_expr("doc_id", {"train": 0.5, "val": 0.1})
