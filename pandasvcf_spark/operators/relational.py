@@ -341,3 +341,55 @@ def merge_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__pri")
     )
+
+
+def event_funnel(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the furthest PREFIX of `steps`
+    completed in order — the "viewed → signed up → purchased" progression
+    report. Output: (user, steps_completed INT); aggregate downstream for
+    the funnel histogram. Each event advances the funnel only when its
+    type matches the NEXT outstanding step; order is event time (ties
+    break by step position, deterministically). Users with no qualifying
+    events do not appear.
+
+    Plan: one groupBy(user) collecting the user's (ts, step-index) events
+    sorted, then a single HOF fold over the array — sequential-pattern
+    matching as a pure column expression, no window re-scan per step, no
+    self-join per transition (the naive k-step funnel is k-1 self-joins;
+    this is ONE shuffle regardless of k). Per-user state is the user's
+    OWN event list — bounded by per-user activity, the same contract as
+    sessionization; events not in `steps` are filtered out before the
+    collect."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    idx = F.col(type_col)
+    step_idx = None
+    for i, s in enumerate(steps, start=1):
+        cond = idx == s
+        step_idx = (
+            F.when(cond, i) if step_idx is None else step_idx.when(cond, i)
+        )
+    step_idx = step_idx.otherwise(0)
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(F.col(ts_col).alias("ts"), step_idx.alias("s")).alias("e"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    completed = F.aggregate(
+        F.transform("evs", lambda e: e["s"]),
+        F.lit(0),
+        lambda acc, s: F.when(s == acc + 1, acc + 1).otherwise(acc),
+    )
+    return per_user.select(
+        "user", completed.cast("int").alias("steps_completed")
+    )

@@ -275,3 +275,52 @@ def e_dedup_first(spark, sf_dir):
     return out.select(
         "user_id", "event_type", F.col("event_id").alias("first_event_id")
     )
+
+
+@register(
+    "e_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             list(CASE event_type WHEN 'view' THEN 1 WHEN 'signup' THEN 2
+                                  WHEN 'purchase' THEN 3 END
+                  ORDER BY ts,
+                           CASE event_type WHEN 'view' THEN 1
+                                WHEN 'signup' THEN 2
+                                WHEN 'purchase' THEN 3 END) AS evs
+      FROM events
+      WHERE event_type IN ('view', 'signup', 'purchase')
+        AND event_id % 17 = 0
+      GROUP BY user_id),
+    done AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(evs, s -> CAST(s AS BIGINT))),
+               (acc, s) -> CASE WHEN s = acc + 1 THEN acc + 1 ELSE acc END)
+               AS steps_completed
+      FROM per_user)
+    SELECT CAST(steps_completed AS INT) AS steps_completed,
+           count(*) AS n_users
+    FROM done GROUP BY 1
+    """,
+)
+def e_funnel(spark, sf_dir):
+    """Ordered funnel histogram (operators/relational.event_funnel):
+    how many users progressed view → signup → purchase IN ORDER. One
+    groupBy + one HOF fold — never the k-1 self-joins of the naive
+    k-step funnel; per-user state is the user's own event list (the
+    sessionization contract). The oracle replays the same fold with
+    DuckDB's list_reduce."""
+    from pandasvcf_spark.operators.relational import event_funnel
+
+    # thin the stream deterministically so the histogram discriminates
+    # (every user completes any fixed 3-sequence on the full dense table)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    per_user = event_funnel(
+        ev, "user_id", "event_type", "ts", ["view", "signup", "purchase"]
+    )
+    return (
+        per_user.groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

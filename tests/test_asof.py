@@ -96,3 +96,44 @@ def test_range_join_banded_no_theta_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_funnel_hand_cases(spark):
+    """event_funnel on hand-built sequences: in-order completes, out-of-
+    order stalls, repeats don't double-advance, later re-attempts do
+    advance, non-step events ignored."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.relational import event_funnel
+
+    rows = [
+        # u1: full in-order completion (with noise)
+        (1, "view", 1), (1, "noise", 2), (1, "signup", 3), (1, "purchase", 4),
+        # u2: the early purchase never counts (out of order); the later
+        # signup still advances to 2, but nothing completes step 3
+        (2, "view", 1), (2, "purchase", 2), (2, "signup", 3),
+        # u3: repeat of step 1 doesn't advance past it
+        (3, "view", 1), (3, "view", 2), (3, "view", 3),
+        # u4: stall then later completion
+        (4, "signup", 1), (4, "view", 2), (4, "signup", 3), (4, "purchase", 4),
+        # u5: only noise -> absent from output
+        (5, "noise", 1),
+    ]
+    d = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        r.user: r.steps_completed
+        for r in event_funnel(
+            d, "user_id", "event_type", "ts", ["view", "signup", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1, 4: 3}
+
+
+def test_event_funnel_validates_steps(spark):
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import event_funnel
+
+    d = spark.createDataFrame([(1, "a", 1)], "u long, t string, ts long")
+    with _pytest.raises(ValueError, match="steps"):
+        event_funnel(d, "u", "t", "ts", [])

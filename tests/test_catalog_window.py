@@ -162,6 +162,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "e_funnel",              # ordered k-step funnel: one groupBy +
+                                 # HOF fold (no per-step self-joins);
+                                 # list_reduce replay oracle; hand-case
+                                 # unit tests
         "t_corpus_split",        # train/val/test residue-band labels:
                                  # same portable-hash predicate family
                                  # as t_hash_sample; exact assignment
