@@ -119,3 +119,64 @@ def split_multiallelic(
                 ),
             )
     return out.drop("__pos")
+
+
+def merge_vcf_panels(
+    left: DataFrame,
+    right: DataFrame,
+    left_samples: list[str],
+    right_samples: list[str],
+    missing: str = "./.",
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Merge two sample panels over the same reference — the engine form
+    of combining per-cohort VCFs (reference surface: one file, one panel;
+    real studies genotype cohorts separately and merge). Rows join FULL
+    OUTER on the site key (CHROM, POS, REF, ALT); the merged sample map
+    is the concatenation of both panels' maps, with a panel that lacks
+    the site contributing `missing` ('./.') for every one of ITS samples
+    — which is why the sample lists are required arguments: an absent row
+    carries no map to read the sample ids from (they come from the VCF
+    header, `VCFHeader.sample_ids`). Sample ids must be DISJOINT across
+    panels: a duplicated id makes map_concat raise DUPLICATED_MAP_KEY
+    under the session's default dedup policy — an explicit error, not a
+    silent partition-dependent pick; rename collisions upstream.
+
+    Fixed columns beyond the key (ID/QUAL/FILTER/INFO/FORMAT, when
+    present in both) resolve by COALESCE(left, right). One shuffle on
+    the site key; panels co-partitioned by a prior `write_bucketed` on
+    the key merge with zero exchanges."""
+
+    def fill(samples: list[str]):
+        return F.map_from_arrays(
+            F.array(*[F.lit(s) for s in samples]),
+            F.array_repeat(F.lit(missing), len(samples)),
+        )
+
+    l = left.withColumnRenamed(samples_col, "__ls")
+    r = right.withColumnRenamed(samples_col, "__rs")
+    shared = [
+        c
+        for c in l.columns
+        if c in set(r.columns) and c not in SITE_KEY and c != "__rs"
+    ]
+    l = l.select(
+        *SITE_KEY, "__ls", *[F.col(c).alias(f"__l_{c}") for c in shared]
+    )
+    r = r.select(
+        *SITE_KEY, "__rs", *[F.col(c).alias(f"__r_{c}") for c in shared]
+    )
+    joined = l.join(r, on=SITE_KEY, how="full_outer")
+    merged_samples = F.map_concat(
+        F.coalesce(F.col("__ls"), fill(left_samples)),
+        F.coalesce(F.col("__rs"), fill(right_samples)),
+    )
+    out = joined.select(
+        *SITE_KEY,
+        *[
+            F.coalesce(F.col(f"__l_{c}"), F.col(f"__r_{c}")).alias(c)
+            for c in shared
+        ],
+        merged_samples.alias(samples_col),
+    )
+    return out

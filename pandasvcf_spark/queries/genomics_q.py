@@ -727,3 +727,66 @@ def g_tstv(spark, sf_dir):
             ).alias("tstv_ratio"),
         )
     )
+
+
+@register(
+    "g_merge_panels",
+    oracle="""
+    WITH sites AS (
+      SELECT DISTINCT p_partkey AS pos FROM part
+      WHERE p_partkey % 3 <> 0 OR p_partkey % 2 = 0),
+    longf AS (
+      SELECT pos, 'sA1' AS sample_id,
+             CASE WHEN pos % 3 <> 0
+                  THEN CAST(pos % 3 AS VARCHAR) || '|0' ELSE './.' END AS call
+      FROM sites
+      UNION ALL
+      SELECT pos, 'sA2',
+             CASE WHEN pos % 3 <> 0
+                  THEN '0/' || CAST(pos % 2 AS VARCHAR) ELSE './.' END
+      FROM sites
+      UNION ALL
+      SELECT pos, 'sB1',
+             CASE WHEN pos % 2 = 0
+                  THEN CAST(pos % 5 AS VARCHAR) || '/1' ELSE './.' END
+      FROM sites)
+    SELECT CAST(pos AS BIGINT) AS pos, sample_id, call FROM longf
+    """,
+)
+def g_merge_panels(spark, sf_dir):
+    """Cohort panel merge (operators/reshape.merge_vcf_panels): panel A
+    (samples sA1, sA2; sites with partkey % 3 != 0) full-outer-merged
+    with panel B (sample sB1; even-partkey sites). A site absent from a
+    panel reads './.' for that panel's samples — the bcftools-merge
+    semantics. One site-key shuffle; the merged map is exploded to long
+    form for the value compare. Real-fixture split/merge round-trip and
+    fill tests live in test_merge_panels.py."""
+    from pandasvcf_spark.operators.reshape import merge_vcf_panels
+
+    p = load(spark, sf_dir, "part").select(
+        F.lit("1").alias("CHROM"),
+        F.col("p_partkey").alias("POS"),
+        F.lit("A").alias("REF"),
+        F.lit("G").alias("ALT"),
+    )
+    key = F.col("POS")
+    a = p.filter(key % 3 != 0).withColumn(
+        "samples",
+        F.create_map(
+            F.lit("sA1"),
+            F.concat((key % 3).cast("string"), F.lit("|0")),
+            F.lit("sA2"),
+            F.concat(F.lit("0/"), (key % 2).cast("string")),
+        ),
+    )
+    b = p.filter(key % 2 == 0).withColumn(
+        "samples",
+        F.create_map(
+            F.lit("sB1"), F.concat((key % 5).cast("string"), F.lit("/1"))
+        ),
+    )
+    merged = merge_vcf_panels(a, b, ["sA1", "sA2"], ["sB1"])
+    return merged.select(
+        F.col("POS").cast("long").alias("pos"),
+        F.explode("samples").alias("sample_id", "call"),
+    )

@@ -162,6 +162,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "g_merge_panels",        # cohort panel merge: full-outer join
+                                 # + map_concat with missing fill; long-
+                                 # form oracle; real-fixture round-trip
+                                 # + fill tests
         "e_funnel",              # ordered k-step funnel: one groupBy +
                                  # HOF fold (no per-step self-joins);
                                  # list_reduce replay oracle; hand-case
