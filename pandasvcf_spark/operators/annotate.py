@@ -400,3 +400,60 @@ def sample_qc(
             ).alias("hom_alt_rate"),
         )
     )
+
+
+def genotype_concordance(
+    a: DataFrame,
+    b: DataFrame,
+    sample_col: str = "sample_ids",
+    gt_col: str = "GT",
+) -> DataFrame:
+    """Per-sample genotype concordance between two callsets of the same
+    cohort (two pipelines, two chip batches, imputed vs sequenced) — the
+    bcftools-gtcheck / GATK-Concordance style QC gate. Join key is
+    (site, sample); genotypes compare PHASE-INSENSITIVELY (allele
+    multiset: 1/0 == 0|1) and any '.' allele marks the call missing.
+
+    Output per sample:
+      n_a, n_b          calls present in each callset
+      n_comparable      sites where BOTH are called
+      n_match           comparable sites with equal allele multisets
+      concordance       n_match / n_comparable (NULL when 0 comparable)
+
+    One full-outer join on (site, sample) — co-located and exchange-free
+    when both sides were bucket-written on the site key — then one
+    partial-aggregated groupBy(sample): the shuffle after partial agg is
+    samples x 4 counters regardless of site count."""
+    from pandasvcf_spark.functions.genomics import SITE_KEY
+
+    def norm(gt):
+        toks = F.split(F.col(gt), r"[/|]")
+        called = ~F.exists(toks, lambda t: (t == ".") | (t == ""))
+        return F.when(called, F.array_join(F.array_sort(toks), "/"))
+
+    key = SITE_KEY + [sample_col]
+    an = a.select(*key, norm(gt_col).alias("__ga"))
+    bn = b.select(*key, norm(gt_col).alias("__gb"))
+    j = an.join(bn, on=key, how="full_outer")
+    both = F.col("__ga").isNotNull() & F.col("__gb").isNotNull()
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return (
+        j.groupBy(sample_col)
+        .agg(
+            cnt(F.col("__ga").isNotNull()).alias("n_a"),
+            cnt(F.col("__gb").isNotNull()).alias("n_b"),
+            cnt(both).alias("n_comparable"),
+            cnt(both & (F.col("__ga") == F.col("__gb"))).alias("n_match"),
+        )
+        .select(
+            sample_col,
+            "n_a",
+            "n_b",
+            "n_comparable",
+            "n_match",
+            F.when(
+                F.col("n_comparable") > 0,
+                F.round(F.col("n_match") / F.col("n_comparable"), 4),
+            ).alias("concordance"),
+        )
+    )

@@ -790,3 +790,79 @@ def g_merge_panels(spark, sf_dir):
         F.col("POS").cast("long").alias("pos"),
         F.explode("samples").alias("sample_id", "call"),
     )
+
+
+@register(
+    "g_concordance",
+    oracle=_GENO_CTE
+    + """
+    , av AS (
+      SELECT l_orderkey AS pos, l_linenumber AS sid,
+             string_split_regex(GT, '[/|]') AS t FROM g),
+    bv AS (
+      SELECT l_orderkey AS pos, l_linenumber AS sid,
+             string_split_regex(
+               CASE WHEN l_orderkey % 11 = 0 THEN '0/0' ELSE GT END,
+               '[/|]') AS t FROM g),
+    an AS (SELECT pos, sid,
+                  CASE WHEN NOT list_contains(t, '.')
+                        AND NOT list_contains(t, '')
+                       THEN array_to_string(list_sort(t), '/') END AS ga
+           FROM av),
+    bn AS (SELECT pos, sid,
+                  CASE WHEN NOT list_contains(t, '.')
+                        AND NOT list_contains(t, '')
+                       THEN array_to_string(list_sort(t), '/') END AS gb
+           FROM bv),
+    j AS (SELECT an.sid, an.ga, bn.gb
+          FROM an FULL OUTER JOIN bn USING (pos, sid))
+    SELECT sid AS l_linenumber,
+           sum(CASE WHEN ga IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
+           sum(CASE WHEN gb IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
+           sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
+               THEN 1 ELSE 0 END) AS n_comparable,
+           sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL AND ga = gb
+               THEN 1 ELSE 0 END) AS n_match,
+           CASE WHEN sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
+                         THEN 1 ELSE 0 END) > 0
+                THEN round(
+                  sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
+                            AND ga = gb THEN 1 ELSE 0 END)
+                  / CAST(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE), 4)
+           END AS concordance
+    FROM j GROUP BY sid
+    """,
+)
+def g_concordance(spark, sf_dir):
+    """Per-sample genotype concordance (operators/annotate.
+    genotype_concordance) between the derived callset and a perturbed
+    re-call of it (every 11th site forced to 0/0): phase-insensitive
+    allele-multiset compare (1|0 == 0/1 — exercised, the relation mixes
+    separators), missing alleles excluded from the comparable set.
+    One (site, sample) join + one partial-aggregated groupBy; the
+    perturbed hom-ref sites still MATCH when the original was hom-ref —
+    the oracle replays exactly that subtlety."""
+    from pandasvcf_spark.operators.annotate import genotype_concordance
+
+    base = derived_genotypes(spark, sf_dir).select(
+        F.lit("1").alias("CHROM"),
+        F.col("l_orderkey").alias("POS"),
+        F.lit("A").alias("REF"),
+        F.lit("G,T").alias("ALT"),
+        F.col("l_linenumber"),
+        "GT",
+    )
+    pert = base.withColumn(
+        "GT",
+        F.when(F.col("POS") % 11 == 0, F.lit("0/0")).otherwise(F.col("GT")),
+    )
+    out = genotype_concordance(base, pert, sample_col="l_linenumber")
+    return out.select(
+        "l_linenumber",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_comparable").cast("long").alias("n_comparable"),
+        F.col("n_match").cast("long").alias("n_match"),
+        "concordance",
+    )

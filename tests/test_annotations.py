@@ -246,3 +246,54 @@ def test_is_transition_expr_cases(spark):
         r.ts for r in d.select(is_transition_expr("ref", "alt").alias("ts")).collect()
     ]
     assert got == [e for _, _, e in rows]
+
+
+def test_genotype_concordance_hand_cases(spark):
+    """Phase-insensitive matching, missing exclusion, one-sided calls."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.annotate import genotype_concordance
+
+    def d(rows):
+        return spark.createDataFrame(
+            rows, "CHROM string, POS long, REF string, ALT string, "
+                  "sample_ids string, GT string"
+        )
+
+    a = d([
+        ("1", 1, "A", "G", "s1", "0|1"),   # matches 1/0 phase-insensitively
+        ("1", 2, "A", "G", "s1", "1/1"),   # mismatch vs 0/1
+        ("1", 3, "A", "G", "s1", "./1"),   # missing in a -> not comparable
+        ("1", 4, "A", "G", "s1", "0/0"),   # only in a
+        ("1", 1, "A", "G", "s2", "0/0"),   # s2: single comparable match
+    ])
+    b = d([
+        ("1", 1, "A", "G", "s1", "1/0"),
+        ("1", 2, "A", "G", "s1", "0/1"),
+        ("1", 3, "A", "G", "s1", "0/1"),
+        ("1", 5, "A", "G", "s1", "1/1"),   # only in b
+        ("1", 1, "A", "G", "s2", "0|0"),
+    ])
+    out = {
+        r.sample_ids: (r.n_a, r.n_b, r.n_comparable, r.n_match, r.concordance)
+        for r in genotype_concordance(a, b).collect()
+    }
+    assert out["s1"] == (3, 4, 2, 1, 0.5)
+    assert out["s2"] == (1, 1, 1, 1, 1.0)
+
+
+def test_genotype_concordance_self_is_perfect(spark):
+    """A callset against itself: concordance 1.0 for every sample on the
+    real titin fixture (restricted to a slice for speed)."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators import annotate_vcf
+    from pandasvcf_spark.operators.annotate import genotype_concordance
+
+    ann = annotate_vcf(
+        spark, "/root/reference/test_data/SWGR_titin.vcf.gz",
+        drop_hom_ref=False,
+    ).select("CHROM", "POS", "REF", "ALT", "sample_ids", "GT").limit(20000)
+    out = genotype_concordance(ann, ann)
+    assert out.filter(F.col("concordance") != 1.0).count() == 0
+    assert out.filter(F.col("n_comparable") != F.col("n_a")).count() == 0

@@ -162,6 +162,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "g_concordance",         # per-sample callset concordance:
+                                 # (site,sample) join + partial-agged
+                                 # counters; phase-insensitive oracle;
+                                 # hand-case + self-identity tests
         "g_merge_panels",        # cohort panel merge: full-outer join
                                  # + map_concat with missing fill; long-
                                  # form oracle; real-fixture round-trip
