@@ -102,7 +102,8 @@ def run_contract(sf_dir, only=None, spark=None, out=print):
         else:
             out(f"ok    {name:24s} rows={len(srows)} [{time.time()-t0:.1f}s]")
 
-    out(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    n_run = len([n for n in qs if not only or n in only])
+    out(f"\n{n_run - len(failures)}/{n_run} green" + (" (subset)" if only else ""))
     return failures
 
 
