@@ -1,0 +1,91 @@
+"""Graph ranking for crawl prioritization — PageRank over a link graph.
+
+Beyond-reference extension surface (SURVEY §2.11 family): large-scale
+pretraining pipelines rank crawl frontiers by link centrality (the Common
+Crawl releases ship host-level harmonic centrality and PageRank for
+exactly this). The dedup family already covers transitive closure
+(`connected_components`); this adds the weighted-propagation member of the
+iterative-graph family.
+
+Deterministic by construction: fixed iteration count (no float-threshold
+convergence test whose outcome could differ across engines), dangling
+mass redistributed uniformly every round (the standard correction — a
+sink node otherwise leaks rank out of the system), uniform 1/N
+initialization. Each round is two joins + one aggregation, all
+partial-agged; `localCheckpoint` bounds lineage exactly as the
+connected-components loop does (and the edge/degree relations are
+checkpointed ONCE up front — the lesson of the round-6 CC fix: lineage
+re-execution does not show up in `explain`, only in round wall times).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank: (id, rank DOUBLE) over the node set
+    src ∪ dst. rank_0 = 1/N; each round
+
+        rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/outdeg(u)
+                                  + dangling_mass/N)
+
+    with dangling_mass = Σ rank over nodes with no out-edges. Duplicate
+    edges collapse (a link counts once); self-loops count as ordinary
+    edges. Ranks sum to 1 every round (the dangling correction is what
+    preserves that invariant).
+
+    Per round: one join of ranks onto the out-degree-weighted edge list,
+    one partial-aggregated groupBy(dst), one broadcast-able left join
+    back onto the node set, plus a single-row dangling-mass action
+    (intrinsic to the correction, same class as the CC loop's
+    convergence count). Edges and degrees are checkpointed once; ranks
+    per round — no lineage re-execution of upstream pipelines."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(deg, ranks["id"] == deg["a"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(deg, "a")
+            .join(ranks, F.col("a") == ranks["id"])
+            .groupBy("b")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, nodes["id"] == contribs["b"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -733,3 +733,56 @@ def m_upsert_latest(spark, sf_dir):
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "version",
     )
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in SQL: one (dangling, contrib,
+    ranks) CTE triple per round — the oracle IS the definition, no
+    recursion, no convergence test."""
+    parts = [
+        """
+    WITH e AS (SELECT DISTINCT l_suppkey AS a, l_partkey + 10000000 AS b
+               FROM lineitem),
+    nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+    deg AS (SELECT a, count(*) AS dg FROM e GROUP BY a),
+    p AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / n AS rank FROM nodes, p)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+    d{i} AS (SELECT COALESCE(sum(rank), 0) AS m FROM r{i}
+             LEFT JOIN deg ON r{i}.id = deg.a WHERE deg.a IS NULL),
+    c{i} AS (SELECT e.b AS id, sum(r{i}.rank / deg.dg) AS inflow
+             FROM e JOIN deg ON e.a = deg.a JOIN r{i} ON e.a = r{i}.id
+             GROUP BY e.b),
+    r{i + 1} AS (SELECT nodes.id,
+                 (1 - {d}) / p.n + {d} * (d{i}.m / p.n
+                                          + COALESCE(c{i}.inflow, 0)) AS rank
+                 FROM nodes CROSS JOIN p CROSS JOIN d{i}
+                 LEFT JOIN c{i} ON nodes.id = c{i}.id)""")
+    parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS id, round(rank, 9) AS rank FROM r{iters}
+    """)
+    return "".join(parts)
+
+
+@register("g_pagerank", oracle=_pagerank_oracle())
+def g_pagerank(spark, sf_dir):
+    """Crawl-priority link ranking (operators/graph.pagerank): 3
+    fixed-iteration PageRank rounds over the supplier→part link graph
+    (every part node is dangling — the uniform redistribution the
+    correction exists for is fully exercised). Per round: two joins +
+    one partial-agged aggregation, edge/degree relations checkpointed
+    once; the oracle is the UNROLLED definition, one CTE triple per
+    round. Ranks agree to 1e-9."""
+    from pandasvcf_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 10000000).alias("dst"),
+    )
+    out = pagerank(li, damping=0.85, iters=3)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.round("rank", 9).alias("rank"),
+    )

@@ -162,6 +162,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "g_pagerank",            # fixed-iteration link ranking: two
+                                 # joins + partial-agg per round, edges/
+                                 # degrees checkpointed once; unrolled-
+                                 # definition oracle to 1e-9; numpy
+                                 # power-iteration + invariant tests
         "g_concordance",         # per-sample callset concordance:
                                  # (site,sample) join + partial-agged
                                  # counters; phase-insensitive oracle;

@@ -633,3 +633,65 @@ def test_split_label_disjoint_exhaustive_stable(spark):
     assert again == first
     with pytest.raises(ValueError, match="sum to 1"):
         split_label_expr("doc_id", {"train": 0.5, "val": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    from pandasvcf_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r.id: r.rank for r in pagerank(e, iters=5).collect()}
+    assert abs(out[1] - 0.5) < 1e-12 and abs(out[2] - 0.5) < 1e-12
+
+
+def test_pagerank_sink_attracts_and_mass_conserved(spark):
+    """Star into a sink: the sink outranks the sources; total rank stays
+    1.0 (the dangling correction's invariant)."""
+    from pandasvcf_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "src long, dst long"
+    )
+    out = {r.id: r.rank for r in pagerank(e, iters=3).collect()}
+    assert out[9] > out[1] == out[2] == out[3]
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Against the dense transition-matrix model on a random-ish digraph."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 3) % 10) for i in range(10)] + [
+        (i, (i * 3 + 1) % 10) for i in range(10)
+    ]
+    edges = sorted(set(edges))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(e, iters=4, damping=0.85).collect()}
+
+    n = 10
+    M = np.zeros((n, n))
+    outdeg = {}
+    for s, t in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for s, t in edges:
+        M[t, s] += 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        dangling = sum(r[i] for i in range(n) if i not in outdeg)
+        r = (1 - 0.85) / n + 0.85 * (M @ r + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_pagerank_validates_iters(spark):
+    from pandasvcf_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(e, iters=0)
