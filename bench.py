@@ -160,6 +160,26 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "1") != "0":
+        # end-to-end one-call corpus cleaner (pairs -> components ->
+        # survivors) on the doubled noisy corpus — additive key, not part
+        # of catalog_total_wall, so round-over-round comparability of the
+        # headline metric is preserved. First recorded round 6, after the
+        # connected-components edge-checkpoint fix.
+        from pandasvcf_spark.queries.text_q import dedup_near_pipeline
+
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            dedup_near_pipeline(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        result["near_dedup_sec"] = round(min(times), 3)
+        print(
+            f"# near_dedup_sec: {min(times):.2f}s min-of-2 (one-call "
+            "pairs->components->survivors on the doubled corpus)",
+            file=sys.stderr,
+        )
+
     if os.environ.get("SPARK_GRAFT_BENCH_VCF", "1") != "0" and os.path.exists(KG_VCF):
         from pandasvcf_spark.operators import annotate_vcf
         from pandasvcf_spark.operators.annotate import (
