@@ -368,27 +368,30 @@ def event_funnel(
     collect."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    idx = F.col(type_col)
-    step_idx = None
-    for i, s in enumerate(steps, start=1):
-        cond = idx == s
-        step_idx = (
-            F.when(cond, i) if step_idx is None else step_idx.when(cond, i)
-        )
-    step_idx = step_idx.otherwise(0)
     per_user = (
-        events.filter(F.col(type_col).isin(list(steps)))
+        events.filter(F.col(type_col).isin(list(set(steps))))
         .select(
             F.col(user_col).alias("user"),
-            F.struct(F.col(ts_col).alias("ts"), step_idx.alias("s")).alias("e"),
+            F.struct(
+                F.col(ts_col).alias("ts"), F.col(type_col).alias("t")
+            ).alias("e"),
         )
         .groupBy("user")
         .agg(F.array_sort(F.collect_list("e")).alias("evs"))
     )
+    # General fold: an event advances the funnel when it equals the NEXT
+    # outstanding step BY POSITION — comparing against element_at of the
+    # literal step array (not a type->index map) so REPEATED steps
+    # ('purchase', 'purchase') work; the accumulator and elements have
+    # different types, which Spark's aggregate permits.
+    steps_arr = F.array(*[F.lit(s) for s in steps])
     completed = F.aggregate(
-        F.transform("evs", lambda e: e["s"]),
+        F.transform("evs", lambda e: e["t"]),
         F.lit(0),
-        lambda acc, s: F.when(s == acc + 1, acc + 1).otherwise(acc),
+        lambda acc, t: F.when(
+            (acc < len(steps)) & (t == F.element_at(steps_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
     )
     return per_user.select(
         "user", completed.cast("int").alias("steps_completed")

@@ -137,3 +137,22 @@ def test_event_funnel_validates_steps(spark):
     d = spark.createDataFrame([(1, "a", 1)], "u long, t string, ts long")
     with _pytest.raises(ValueError, match="steps"):
         event_funnel(d, "u", "t", "ts", [])
+
+
+def test_event_funnel_repeated_steps(spark):
+    """A funnel step can repeat ('purchase' twice): each occurrence must
+    be satisfied by a distinct later event."""
+    from pandasvcf_spark.operators.relational import event_funnel
+
+    rows = [
+        (1, "view", 1), (1, "purchase", 2), (1, "purchase", 3),  # completes
+        (2, "view", 1), (2, "purchase", 2),  # only one purchase -> 2
+    ]
+    d = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        r.user: r.steps_completed
+        for r in event_funnel(
+            d, "user_id", "event_type", "ts", ["view", "purchase", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2}
