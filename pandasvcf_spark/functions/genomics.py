@@ -273,3 +273,32 @@ def is_transition_expr(ref: Column | str, alt: Column | str) -> Column:
         return c.isin("A", "G")
 
     return F.when(base(r) & base(a) & (r != a), purine(r) == purine(a))
+
+
+def slice_a_field_expr(value: Column | str, alt_index: Column | int) -> Column:
+    """Number=A FORMAT/INFO sub-field slice for a biallelic-split record:
+    'a1,a2,...' keeps element `alt_index` (1-based alternate position) —
+    AF/MLEAC-shaped per-alternate values. Short or missing lists yield
+    NULL (try_element_at), never an ANSI error. Compose with
+    `reshape.split_multiallelic`'s alt_index column on the long table:
+    ``slice_a_field_expr(fields['AF'], F.col('alt_index'))``."""
+    v = F.col(value) if isinstance(value, str) else value
+    j = F.lit(alt_index) if isinstance(alt_index, int) else alt_index
+    return F.try_element_at(F.split(v, ","), j.cast("int"))
+
+
+def slice_r_field_expr(value: Column | str, alt_index: Column | int) -> Column:
+    """Number=R FORMAT/INFO sub-field slice: 'ref,a1,a2,...' keeps the
+    REF element plus this record's alternate — the AD (allelic depth)
+    shape, whose biallelic form is 'ref_depth,alt_depth'. NULL when
+    either element is absent (a partial 'ref-only' slice would silently
+    change the field's arity and corrupt downstream parsers)."""
+    v = F.col(value) if isinstance(value, str) else value
+    j = F.lit(alt_index) if isinstance(alt_index, int) else alt_index
+    parts = F.split(v, ",")
+    ref_part = F.try_element_at(parts, F.lit(1))
+    alt_part = F.try_element_at(parts, (j + 1).cast("int"))
+    return F.when(
+        ref_part.isNotNull() & alt_part.isNotNull(),
+        F.concat_ws(",", ref_part, alt_part),
+    )

@@ -71,8 +71,11 @@ def split_multiallelic(
     AF, MLEAC, ...) split alongside the site: pass `info_col` (the raw
     INFO payload) and `a_fields` to get one `<field>_split` column per
     name holding THIS record's slice (missing field / short list → NULL,
-    never an error). Per-sample Number=A/G FORMAT re-slicing (AD, PL) is
-    out of scope — split those with annotate's FORMAT machinery first.
+    never an error). Per-sample FORMAT sub-fields re-slice on the LONG
+    table with `functions.genomics.slice_a_field_expr` (Number=A) and
+    `slice_r_field_expr` (Number=R: AD's 'ref,alt' shape) against this
+    operator's `alt_index`; Number=G (PL's genotype-indexed triangle) is
+    not provided.
 
     Pure column expressions: posexplode over the split ALT list, one
     transform over the GT tokens, rejoin on the original separator — no

@@ -119,3 +119,55 @@ def test_split_a_fields_requires_info_col(spark):
     d = _d(spark, [(1, "G", "0/1")])
     with pytest.raises(ValueError, match="info_col"):
         split_multiallelic(d, a_fields=["AC"])
+
+
+def test_slice_a_and_r_field_exprs(spark):
+    from pandasvcf_spark.functions.genomics import (
+        slice_a_field_expr,
+        slice_r_field_expr,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "0.1,0.2", "10,3,2", 1),
+            (2, "0.1,0.2", "10,3,2", 2),
+            (3, "0.1", "10,3", 2),      # short lists -> NULL at index 2
+            (4, None, None, 1),          # missing fields -> NULL
+        ],
+        "id long, af string, ad string, alt_index int",
+    )
+    out = {
+        r.id: (r.af_s, r.ad_s)
+        for r in d.select(
+            "id",
+            slice_a_field_expr("af", F.col("alt_index")).alias("af_s"),
+            slice_r_field_expr("ad", F.col("alt_index")).alias("ad_s"),
+        ).collect()
+    }
+    assert out == {
+        1: ("0.1", "10,3"),
+        2: ("0.2", "10,2"),
+        3: (None, None),
+        4: (None, None),
+    }
+
+
+def test_slice_fields_compose_with_split(spark):
+    """End to end: split a multiallelic site and re-slice a per-call AD
+    (Number=R) against each record's alt_index."""
+    from pandasvcf_spark.functions.genomics import slice_r_field_expr
+    from pandasvcf_spark.operators.reshape import split_multiallelic
+
+    d = spark.createDataFrame(
+        [(1, "G,T", "1/2", "12,5,7")],
+        "site long, ALT string, GT string, AD string",
+    )
+    out = {
+        r.alt_index: (r.gt_split, r.ad_split)
+        for r in split_multiallelic(d)
+        .withColumn(
+            "ad_split", slice_r_field_expr("AD", F.col("alt_index"))
+        )
+        .collect()
+    }
+    assert out == {1: ("1/.", "12,5"), 2: ("./1", "12,7")}
