@@ -292,6 +292,7 @@ def annotate_vcf(
     format_fields: list[str] | str | None = "auto",
     info_fields: dict[str, str] | list[str] | None = None,
     ordered: bool = False,
+    region: str | None = None,
 ) -> DataFrame:
     """End-to-end: VCF file -> annotated long genotype table (reference
     `VCF(...)` + `add_variant_annotations(...)` in one lazy plan).
@@ -312,6 +313,10 @@ def annotate_vcf(
     which must run an eager distinct() over FORMAT). Headers without FORMAT
     meta fall back to that scan.
 
+    region: tabix-pruned region read ('22:16050075-16654125'), forwarded
+    to `read_vcf(region=...)` — the annotation pipeline then touches only
+    the region's BGZF blocks (requires the .tbi sidecar).
+
     info_fields: typed INFO sub-fields to materialize as columns — a list of
     keys (string-typed) or {key: cast} like {'AC': 'int', 'AF': 'double'}.
     Parsed with str_to_map (functions/maps.py); the reference never parses
@@ -324,7 +329,7 @@ def annotate_vcf(
         header_formats = read_vcf_header(path).format_ids
         if header_formats:
             format_fields = [f_ for f_ in header_formats if f_ != "GT"]
-    wide = read_vcf(spark, path, samples=samples, cols=cols)
+    wide = read_vcf(spark, path, samples=samples, cols=cols, region=region)
     long_df = explode_genotypes(wide, drop_hom_ref_calls=drop_hom_ref)
     out = annotate_genotypes(
         long_df,

@@ -143,3 +143,21 @@ def test_region_titin_fixture(spark, tmp_path):
     assert key(read_vcf(spark, TITIN, region=region)) == key(
         read_vcf(spark, noidx, region=region)
     )
+
+
+def test_annotate_vcf_region_passthrough(spark):
+    """annotate_vcf(region=...) ≡ full annotate + POS filter on the 1000G
+    fixture (SNV-dominated, so overlap == POS-in-range here)."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators import annotate_vcf
+
+    kg = ("/root/reference/test_data/ALL.chr22.phase3_shapeit2_mvncall_"
+          "integrated_v4.20130502.genotypes_10k.vcf.gz")
+    reg = annotate_vcf(spark, kg, region="22:16050075-16104125")
+    full = annotate_vcf(spark, kg).filter(
+        F.col("POS").between(16050075, 16104125)
+    )
+    n = reg.count()
+    assert n > 0
+    assert n == full.count()
