@@ -396,3 +396,66 @@ def event_funnel(
     return per_user.select(
         "user", completed.cast("int").alias("steps_completed")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    bin_width: int | None = None,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Interval × interval overlap join — the bedtools-intersect family
+    (feature annotation: which genes does each variant region touch,
+    which ad sessions overlap which outages). Emits every (left, right)
+    pair of intervals with CLOSED-interval overlap of at least
+    `min_overlap` units (and equal `by` keys), plus an `overlap_len`
+    column (overlap in integer units, inclusive of both endpoints —
+    genomics convention for base-pair counts).
+
+    Banded like `range_join` — never a theta join: both sides explode
+    onto the bins they cover and EQUI-join on (by..., bin). Unlike the
+    point form, a true pair can meet in EVERY shared bin, so the join
+    keeps only the pair's FIRST shared bin (bin == max of the two start
+    bins — computable per row, no dedup shuffle: the distinct() a naive
+    banded overlap needs is usually its most expensive stage). Explode
+    factor is len/bin_width per interval; pick bin_width ~ the median
+    interval length, and bound pathological interval lengths upstream.
+
+    Output: all `left` columns + all `right` columns (shared `by` keys
+    collapse to one) + overlap_len LONG."""
+    if bin_width is None:
+        bin_width = 3600
+    by = list(by)
+    b = int(bin_width)
+
+    def binned(df, start, end):
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    (F.col(start) / b).cast("long"),
+                    (F.col(end) / b).cast("long"),
+                )
+            ),
+        )
+
+    l = binned(left, left_start, left_end)
+    r = binned(right, right_start, right_end)
+    joined = l.join(r, on=by + ["__bin"])
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(right_start), F.col(right_end)
+    overlap = F.least(le, re_) - F.greatest(ls, rs) + 1
+    first_shared_bin = (F.greatest(ls, rs) / b).cast("long")
+    return (
+        joined.filter(
+            (overlap >= F.lit(int(min_overlap)))
+            & (F.col("__bin") == first_shared_bin)
+        )
+        .withColumn("overlap_len", overlap.cast("long"))
+        .drop("__bin")
+    )

@@ -321,3 +321,54 @@ def e_funnel(spark, sf_dir):
         per_user.groupBy("steps_completed")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "j_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_id AS a_id,
+             epoch_us(ts) // 1000000 AS a_s,
+             epoch_us(ts) // 1000000 + 300 AS a_e
+      FROM events WHERE event_type = 'signup'),
+    b AS (
+      SELECT user_id, event_id AS b_id,
+             epoch_us(ts) // 1000000 AS b_s,
+             epoch_us(ts) // 1000000 + 600 AS b_e
+      FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id, a_id, b_id,
+           CAST(least(a_e, b_e) - greatest(a_s, b_s) + 1 AS BIGINT)
+             AS overlap_len
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND least(a_e, b_e) - greatest(a_s, b_s) + 1 >= 1
+    """,
+)
+def j_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (operators/relational.
+    interval_overlap_join — the bedtools-intersect family): signup
+    5-minute windows overlapped with purchase 10-minute windows per
+    user. Banded equi-join; a pair meeting in many shared bins is kept
+    at its FIRST shared bin by a per-row predicate — no distinct()
+    dedup shuffle. The oracle is the direct theta join (fine at oracle
+    scale; the theta plan is exactly what the operator exists to avoid
+    at 100 TB)."""
+    from pandasvcf_spark.operators.relational import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+    epoch = (F.unix_timestamp("ts")).cast("long")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        epoch.alias("a_s"),
+        (epoch + 300).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        epoch.alias("b_s"),
+        (epoch + 600).alias("b_e"),
+    )
+    out = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", by=["user_id"], bin_width=600
+    )
+    return out.select("user_id", "a_id", "b_id", "overlap_len")

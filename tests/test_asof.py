@@ -156,3 +156,43 @@ def test_event_funnel_repeated_steps(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 2}
+
+
+def test_interval_overlap_join_model_and_plan(spark):
+    """interval_overlap_join vs the brute-force model on hand intervals
+    spanning multiple shared bins (the dedup-free first-shared-bin trick
+    must emit each pair exactly once), plus the no-theta-join plan check."""
+    from pandasvcf_spark.operators.relational import interval_overlap_join
+
+    A = [(1, 0, 1000, "a1"), (1, 500, 520, "a2"), (2, 0, 100, "a3")]
+    B = [(1, 900, 2500, "b1"), (1, 0, 2000, "b2"), (2, 200, 300, "b3")]
+    a = spark.createDataFrame(A, "k long, s long, e long, aid string")
+    b = spark.createDataFrame(B, "k long, bs long, be long, bid string")
+    out = interval_overlap_join(
+        a, b, "s", "e", "bs", "be", by=["k"], bin_width=100
+    )
+    got = {(r.aid, r.bid): r.overlap_len for r in out.collect()}
+    want = {}
+    for k1, s, e, aid in A:
+        for k2, bs, be, bid in B:
+            ov = min(e, be) - max(s, bs) + 1
+            if k1 == k2 and ov >= 1:
+                want[(aid, bid)] = ov
+    assert got == want  # exactly once per pair, correct lengths
+    assert ("a1", "b2") in got and got[("a1", "b2")] == 1001  # many shared bins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_min_overlap_threshold(spark):
+    from pandasvcf_spark.operators.relational import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10, "a")], "k long, s long, e long, aid string")
+    b = spark.createDataFrame([(1, 10, 20, "b")], "k long, bs long, be long, bid string")
+    one = interval_overlap_join(a, b, "s", "e", "bs", "be", by=["k"], bin_width=5)
+    assert one.count() == 1  # closed intervals touch at 10 -> overlap 1
+    none = interval_overlap_join(
+        a, b, "s", "e", "bs", "be", by=["k"], bin_width=5, min_overlap=2
+    )
+    assert none.count() == 0

@@ -162,6 +162,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "j_interval_overlap",    # interval x interval overlap (bedtools
+                                 # intersect family): banded equi-join,
+                                 # first-shared-bin dedup-free emit;
+                                 # theta-join oracle; model + plan tests
         "g_pagerank",            # fixed-iteration link ranking: two
                                  # joins + partial-agg per round, edges/
                                  # degrees checkpointed once; unrolled-
