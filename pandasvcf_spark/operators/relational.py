@@ -408,6 +408,8 @@ def interval_overlap_join(
     by: Sequence[str] = (),
     bin_width: int | None = None,
     min_overlap: int = 1,
+    min_frac_left: float | None = None,
+    min_frac_right: float | None = None,
 ) -> DataFrame:
     """Interval × interval overlap join — the bedtools-intersect family
     (feature annotation: which genes does each variant region touch,
@@ -425,6 +427,12 @@ def interval_overlap_join(
     banded overlap needs is usually its most expensive stage). Explode
     factor is len/bin_width per interval; pick bin_width ~ the median
     interval length, and bound pathological interval lengths upstream.
+
+    min_frac_left / min_frac_right: additionally require the overlap to
+    cover at least this fraction of the left / right interval's length
+    (bedtools -f / -r reciprocal-overlap semantics) — "a variant region
+    counts as hitting a gene only if 50% of it lies inside". Fractions
+    compose with min_overlap; all are plain post-join predicates.
 
     Output: all `left` columns + all `right` columns (shared `by` keys
     collapse to one) + overlap_len LONG."""
@@ -451,11 +459,19 @@ def interval_overlap_join(
     rs, re_ = F.col(right_start), F.col(right_end)
     overlap = F.least(le, re_) - F.greatest(ls, rs) + 1
     first_shared_bin = (F.greatest(ls, rs) / b).cast("long")
-    return (
-        joined.filter(
-            (overlap >= F.lit(int(min_overlap)))
-            & (F.col("__bin") == first_shared_bin)
+    cond = (overlap >= F.lit(int(min_overlap))) & (
+        F.col("__bin") == first_shared_bin
+    )
+    if min_frac_left is not None:
+        cond = cond & (
+            overlap >= F.lit(float(min_frac_left)) * (le - ls + 1)
         )
+    if min_frac_right is not None:
+        cond = cond & (
+            overlap >= F.lit(float(min_frac_right)) * (re_ - rs + 1)
+        )
+    return (
+        joined.filter(cond)
         .withColumn("overlap_len", overlap.cast("long"))
         .drop("__bin")
     )

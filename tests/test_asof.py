@@ -196,3 +196,26 @@ def test_interval_overlap_min_overlap_threshold(spark):
         a, b, "s", "e", "bs", "be", by=["k"], bin_width=5, min_overlap=2
     )
     assert none.count() == 0
+
+
+def test_interval_overlap_reciprocal_fractions(spark):
+    """bedtools -f/-r semantics: the overlap must cover the given
+    fraction of each side's length."""
+    from pandasvcf_spark.operators.relational import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 99, "a")], "k long, s long, e long, aid string"
+    )  # len 100
+    b = spark.createDataFrame(
+        [(1, 50, 1049, "b")], "k long, bs long, be long, bid string"
+    )  # len 1000, overlap 50
+    kw = dict(by=["k"], bin_width=100)
+    assert interval_overlap_join(
+        a, b, "s", "e", "bs", "be", min_frac_left=0.5, **kw
+    ).count() == 1  # 50 >= 0.5 * 100
+    assert interval_overlap_join(
+        a, b, "s", "e", "bs", "be", min_frac_left=0.6, **kw
+    ).count() == 0
+    assert interval_overlap_join(
+        a, b, "s", "e", "bs", "be", min_frac_left=0.5, min_frac_right=0.5, **kw
+    ).count() == 0  # reciprocal: 50 < 0.5 * 1000
