@@ -475,3 +475,50 @@ def interval_overlap_join(
         .withColumn("overlap_len", overlap.cast("long"))
         .drop("__bin")
     )
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics classic: users
+    grouped by their FIRST-activity period (the cohort), each later
+    period reporting how many of them came back. Output:
+    (cohort_period BIGINT, age BIGINT, n_active BIGINT, retention DOUBLE)
+    with age in periods since the cohort and retention = n_active /
+    cohort size (age 0 is the cohort itself, retention 1.0).
+
+    Periods are integer epoch buckets (epoch // period_seconds) — no
+    calendar truncation, so the bucketing is timezone-proof and
+    reproducible on any engine. Plan: one user-partitioned window for
+    the cohort anchor, distinct (user, period), one partial-aggregated
+    count-distinct, and a broadcast join of the (tiny, one row per
+    cohort) size relation — the events table is shuffled once, by
+    user."""
+    per = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(int(period_seconds))).cast(
+        "long"
+    )
+    w = Window.partitionBy("__u")
+    act = (
+        events.select(F.col(user_col).alias("__u"), per.alias("__p"))
+        .withColumn("__cohort", F.min("__p").over(w))
+        .select("__u", "__cohort", (F.col("__p") - F.col("__cohort")).alias("age"))
+        .distinct()
+    )
+    m = act.groupBy(F.col("__cohort").alias("cohort_period"), "age").agg(
+        F.countDistinct("__u").alias("n_active")
+    )
+    sizes = m.filter(F.col("age") == 0).select(
+        F.col("cohort_period").alias("__c"), F.col("n_active").alias("__size")
+    )
+    return (
+        m.join(F.broadcast(sizes), m["cohort_period"] == F.col("__c"))
+        .select(
+            "cohort_period",
+            "age",
+            "n_active",
+            F.round(F.col("n_active") / F.col("__size"), 4).alias("retention"),
+        )
+    )

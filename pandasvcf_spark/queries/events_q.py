@@ -372,3 +372,36 @@ def j_interval_overlap(spark, sf_dir):
         a, b, "a_s", "a_e", "b_s", "b_e", by=["user_id"], bin_width=600
     )
     return out.select("user_id", "a_id", "b_id", "overlap_len")
+
+
+@register(
+    "e_retention",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS per
+      FROM events),
+    c AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT p.user_id, c.cohort, p.per - c.cohort AS age
+      FROM p JOIN c USING (user_id)),
+    m AS (SELECT cohort, age, count(DISTINCT user_id) AS n_active
+          FROM act GROUP BY 1, 2),
+    s AS (SELECT cohort, n_active AS cohort_size FROM m WHERE age = 0)
+    SELECT CAST(m.cohort AS BIGINT) AS cohort_period,
+           CAST(m.age AS BIGINT) AS age,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           round(m.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+    FROM m JOIN s USING (cohort)
+    """,
+)
+def e_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/relational.
+    retention_matrix): users bucketed by first-activity epoch week, each
+    later week reporting the returning fraction. Integer epoch buckets
+    (no calendar truncation — timezone-proof on both engines); one
+    user shuffle + one partial-agged count-distinct + a broadcast of the
+    per-cohort sizes."""
+    from pandasvcf_spark.operators.relational import retention_matrix
+
+    ev = load(spark, sf_dir, "events")
+    return retention_matrix(ev, "user_id", "ts")

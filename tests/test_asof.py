@@ -219,3 +219,31 @@ def test_interval_overlap_reciprocal_fractions(spark):
     assert interval_overlap_join(
         a, b, "s", "e", "bs", "be", min_frac_left=0.5, min_frac_right=0.5, **kw
     ).count() == 0  # reciprocal: 50 < 0.5 * 1000
+
+
+def test_retention_matrix_hand_case(spark):
+    """Two cohorts, hand-checkable comebacks (epoch seconds, 10s period):
+    cohort 0 = {u1, u2} (u1 returns at ages 1 and 2, u2 only at 2);
+    cohort 1 = {u3} (never returns)."""
+    from pandasvcf_spark.operators.relational import retention_matrix
+
+    rows = [
+        (1, 0), (1, 12), (1, 25),   # u1: periods 0, 1, 2
+        (2, 5), (2, 29),            # u2: periods 0, 2
+        (3, 15),                    # u3: period 1 only
+    ]
+    d = spark.createDataFrame(rows, "user_id long, epoch long").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts")
+    )
+    out = {
+        (r.cohort_period, r.age): (r.n_active, r.retention)
+        for r in retention_matrix(
+            d, "user_id", "ts", period_seconds=10
+        ).collect()
+    }
+    assert out == {
+        (0, 0): (2, 1.0),
+        (0, 1): (1, 0.5),
+        (0, 2): (2, 1.0),
+        (1, 0): (1, 1.0),
+    }

@@ -162,6 +162,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "e_retention",           # cohort retention matrix: window +
+                                 # count-distinct + broadcast sizes,
+                                 # machinery covered in window; exact
+                                 # epoch-bucket oracle; hand-case test
         "j_interval_overlap",    # interval x interval overlap (bedtools
                                  # intersect family): banded equi-join,
                                  # first-shared-bin dedup-free emit;
