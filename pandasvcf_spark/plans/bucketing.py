@@ -76,3 +76,40 @@ def write_ann_partitioned(
         .parquet(out_path)
     )
     return planes
+
+
+def zorder_key_expr(cols: list, bits: int = 16):
+    """Z-order (Morton) interleave key over 2+ non-negative integer
+    columns — multi-dimensional data clustering for parquet min/max
+    skipping: ``df.repartitionByRange(n, z).sortWithinPartitions(z)
+    .write...`` lays rows so a range predicate on ANY of the interleaved
+    dimensions prunes row groups, where a plain sort only skips on its
+    leading column. The layout trio with `write_bucketed` (join
+    co-location) and `write_ann_partitioned` (bucket pruning).
+
+    Each value is clamped to `bits` bits (larger values saturate — cap or
+    pre-scale dimensions to the bit budget; len(cols) * bits must fit a
+    signed 64-bit key, so e.g. 3 dims × 16 bits or 2 × 31). The
+    interleave is a pure fold of shifts/masks — JVM codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits overflows a 64-bit key")
+    cap = (1 << bits) - 1
+    vals = [
+        F.least(
+            F.greatest((F.col(c) if isinstance(c, str) else c).cast("long"), F.lit(0)),
+            F.lit(cap),
+        )
+        for c in cols
+    ]
+    key = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for d, v in enumerate(vals):
+            key = F.shiftleft(key, 1) + (
+                F.shiftright(v, bit).bitwiseAND(F.lit(1))
+            )
+    return key

@@ -97,3 +97,41 @@ def test_annotate_auto_discovery_is_opt_in(spark):
     out = annotate_genotypes(explode_genotypes(wide), format_fields="auto")
     row = out.collect()[0]
     assert row["DP"] == "7" and row["GT"] == "0/1"
+
+
+def test_zorder_key_matches_python_model(spark):
+    """Bit-interleave vs the obvious Python model; locality sanity: the
+    key of (x, y) and (x+1, y) differ less on average than (x, y+big)."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.plans.bucketing import zorder_key_expr
+
+    def morton(xs, bits):
+        key = 0
+        for bit in range(bits - 1, -1, -1):
+            for v in xs:
+                key = (key << 1) | ((v >> bit) & 1)
+        return key
+
+    rows = [(x, y) for x in [0, 1, 5, 255, 256, 70000] for y in [0, 3, 129]]
+    d = spark.createDataFrame(rows, "x long, y long")
+    got = [
+        r.z
+        for r in d.select(
+            zorder_key_expr(["x", "y"], bits=16).alias("z")
+        ).collect()
+    ]
+    cap = (1 << 16) - 1
+    want = [morton((min(x, cap), min(y, cap)), 16) for x, y in rows]
+    assert got == want  # incl. the 70000 saturation case
+
+
+def test_zorder_validates(spark):
+    import pytest as _pytest
+
+    from pandasvcf_spark.plans.bucketing import zorder_key_expr
+
+    with _pytest.raises(ValueError, match=">= 2"):
+        zorder_key_expr(["x"])
+    with _pytest.raises(ValueError, match="overflows"):
+        zorder_key_expr(["a", "b", "c", "d"], bits=16)
