@@ -522,3 +522,37 @@ def retention_matrix(
             F.round(F.col("n_active") / F.col("__size"), 4).alias("retention"),
         )
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """First-order transition (Markov bigram) counts over per-user event
+    sequences: (from_type, to_type, n) for every consecutive pair in
+    event-time order — the path-analysis / next-action model behind
+    "what do users do after signup". Ties at equal timestamps order by
+    type (deterministic, same contract as `event_funnel`); each user's
+    last event has no successor and contributes nothing.
+
+    One window shuffle on the user key (lead over the per-user order),
+    then a partial-aggregated pair count — the shuffle after partial agg
+    is |type-vocabulary|² rows regardless of event count."""
+    return (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("from_type"),
+            F.col(ts_col).alias("__ts"),
+        )
+        .withColumn(
+            "to_type",
+            F.lead("from_type").over(
+                Window.partitionBy("__u").orderBy("__ts", "from_type")
+            ),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

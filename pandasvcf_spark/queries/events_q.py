@@ -405,3 +405,29 @@ def e_retention(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return retention_matrix(ev, "user_id", "ts")
+
+
+@register(
+    "e_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type) AS to_type
+      FROM events)
+    SELECT from_type, to_type, count(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def e_transitions(spark, sf_dir):
+    """Markov transition counts over per-user event sequences
+    (operators/relational.transition_counts): one lead window on the
+    user key + a partial-aggregated pair count (vocab² rows of shuffle
+    after partial agg). Deterministic tie order (ts, type) replayed by
+    the oracle's lead window."""
+    from pandasvcf_spark.operators.relational import transition_counts
+
+    return transition_counts(
+        load(spark, sf_dir, "events"), "user_id", "event_type", "ts"
+    )

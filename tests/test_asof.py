@@ -247,3 +247,19 @@ def test_retention_matrix_hand_case(spark):
         (0, 2): (2, 1.0),
         (1, 0): (1, 1.0),
     }
+
+
+def test_transition_counts_hand_case(spark):
+    from pandasvcf_spark.operators.relational import transition_counts
+
+    rows = [
+        (1, "a", 1), (1, "b", 2), (1, "a", 3),   # a->b, b->a
+        (2, "a", 1), (2, "b", 2),                 # a->b
+        (3, "c", 1),                              # no successor
+    ]
+    d = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        (r.from_type, r.to_type): r.n
+        for r in transition_counts(d, "user_id", "event_type", "ts").collect()
+    }
+    assert out == {("a", "b"): 2, ("b", "a"): 1}

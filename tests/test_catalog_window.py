@@ -162,6 +162,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "e_transitions",         # Markov bigram transitions: lead
+                                 # window machinery covered by
+                                 # w_dense_rank_lead_lag; exact oracle;
+                                 # hand-case test
         "e_retention",           # cohort retention matrix: window +
                                  # count-distinct + broadcast sizes,
                                  # machinery covered in window; exact
