@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandasvcf_spark.functions.genomics import (
-    FIXED_COLS,
     MISSING_GT,
     SITE_KEY,
     allele_expr,
