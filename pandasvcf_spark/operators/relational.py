@@ -320,6 +320,7 @@ def merge_latest(
     updates: DataFrame,
     key_cols: list[str],
     version_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Latest-wins upsert (the MERGE a corpus-refresh job runs without a
     table format): union base and updates, keep the highest-`version_col`
@@ -327,13 +328,28 @@ def merge_latest(
     ties prefer the UPDATES side (the batch being applied), so replaying
     an already-applied batch is idempotent rather than partition-lottery.
 
+    Determinism contract: the survivor is fully determined only when
+    (key, version) is unique WITHIN each side — the usual CDC shape. If a
+    side can carry duplicate (key, version) rows, pass `tiebreak_cols`
+    (columns forming a total order within the tie, e.g. an offset or a
+    content hash) or the within-side tie falls back to ascending order of
+    all non-key columns — deterministic, but an arbitrary choice the
+    caller should make explicit.
+
     One window shuffle on the key — the declarative twin of Delta/Iceberg
     MERGE for the common CDC shape. Schemas must match (unionByName); the
     priority column is internal and dropped."""
     b = base.withColumn("__pri", F.lit(0))
     u = updates.withColumn("__pri", F.lit(1))
+    if tiebreak_cols is None:
+        tiebreak_cols = [
+            c for c in base.columns
+            if c not in set(key_cols) | {version_col}
+        ]
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc_nulls_last(), F.col("__pri").desc()
+        F.col(version_col).desc_nulls_last(),
+        F.col("__pri").desc(),
+        *[F.col(c).asc_nulls_last() for c in tiebreak_cols],
     )
     return (
         b.unionByName(u)
@@ -368,12 +384,19 @@ def event_funnel(
     collect."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    # The sort struct carries the event's FIRST position in `steps` so
+    # equal-timestamp ties order by step position (the documented rule):
+    # a simultaneous signup+purchase processes signup first and advances
+    # BOTH steps, instead of whichever type string sorts lower.
     per_user = (
         events.filter(F.col(type_col).isin(list(set(steps))))
         .select(
             F.col(user_col).alias("user"),
             F.struct(
-                F.col(ts_col).alias("ts"), F.col(type_col).alias("t")
+                F.col(ts_col).alias("ts"),
+                F.array_position(steps_arr, F.col(type_col)).alias("i"),
+                F.col(type_col).alias("t"),
             ).alias("e"),
         )
         .groupBy("user")
@@ -384,7 +407,6 @@ def event_funnel(
     # literal step array (not a type->index map) so REPEATED steps
     # ('purchase', 'purchase') work; the accumulator and elements have
     # different types, which Spark's aggregate permits.
-    steps_arr = F.array(*[F.lit(s) for s in steps])
     completed = F.aggregate(
         F.transform("evs", lambda e: e["t"]),
         F.lit(0),

@@ -167,13 +167,18 @@ def take_token_budget(
     earlier bucket is admitted by a pure pushdown-able predicate and
     every later bucket is pruned by the same predicate; rerunning with a
     bigger budget keeps a superset (the order is content-keyed, not
-    partition-dependent)."""
+    partition-dependent).
+
+    NULL-key policy: rows with a NULL key are excluded, matching the
+    other hash-keyed operators here (hash_sample / mix_sources /
+    split_label_expr) — a NULL key has no stable content identity, so it
+    cannot participate in a reproducible content-ordered prefix."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     k = F.col(key) if isinstance(key, str) else key
     bucket = (poly_hash_expr(k.cast("string")) % F.lit(buckets)).alias("__bkt")
     toks = F.col(token_col).cast("long")
-    with_b = df.withColumn("__bkt", bucket)
+    with_b = df.filter(k.isNotNull()).withColumn("__bkt", bucket)
     totals = {
         r["__bkt"]: r["t"]
         for r in with_b.groupBy("__bkt")
@@ -268,7 +273,13 @@ def weighted_sample(
     dynamic range — cost is one O(len(key)) hash per unit of weight).
     Plan: per-row rank expression, then global top-k = TakeOrdered
     (per-partition k + k-row driver merge — no global sort, no shuffle
-    of the corpus). Pass `rank_col` to keep the rank for inspection."""
+    of the corpus). Pass `rank_col` to keep the rank for inspection.
+
+    NULL-key policy: rows with a NULL key are excluded before ranking
+    (matching hash_sample / mix_sources / take_token_budget). Without the
+    filter a NULL key would yield a NULL rank, and ascending-nulls-first
+    ordering would hand every NULL-keyed row a guaranteed sample slot
+    regardless of weight."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if max_weight < 1:
@@ -289,7 +300,12 @@ def weighted_sample(
         )
     )
     name = rank_col or "__rank"
-    out = df.withColumn(name, rank).orderBy(name, kc).limit(k)
+    out = (
+        df.filter(kc.isNotNull())
+        .withColumn(name, rank)
+        .orderBy(name, kc)
+        .limit(k)
+    )
     return out if rank_col else out.drop(name)
 
 

@@ -284,7 +284,9 @@ def e_dedup_first(spark, sf_dir):
       SELECT user_id,
              list(CASE event_type WHEN 'view' THEN 1 WHEN 'signup' THEN 2
                                   WHEN 'purchase' THEN 3 END
-                  ORDER BY ts, event_type) AS evs
+                  ORDER BY ts, CASE event_type WHEN 'view' THEN 1
+                               WHEN 'signup' THEN 2
+                               WHEN 'purchase' THEN 3 END) AS evs
       FROM events
       WHERE event_type IN ('view', 'signup', 'purchase')
         AND event_id % 17 = 0

@@ -638,7 +638,8 @@ def g_split_multiallelic(spark, sf_dir):
     , zyg AS (SELECT l_linenumber, {_ZYG_SQL} AS z FROM ann)
     SELECT l_linenumber,
            count(*) AS n_sites,
-           sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END) AS n_called,
+           CAST(sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_called,
            round(sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 4) AS call_rate,
            CASE WHEN sum(CASE WHEN z NOT LIKE '%miss%' THEN 1 ELSE 0 END) > 0
@@ -817,12 +818,14 @@ def g_merge_panels(spark, sf_dir):
     j AS (SELECT an.sid, an.ga, bn.gb
           FROM an FULL OUTER JOIN bn USING (pos, sid))
     SELECT sid AS l_linenumber,
-           sum(CASE WHEN ga IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
-           sum(CASE WHEN gb IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
-           sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
-               THEN 1 ELSE 0 END) AS n_comparable,
-           sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL AND ga = gb
-               THEN 1 ELSE 0 END) AS n_match,
+           CAST(sum(CASE WHEN ga IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN gb IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_comparable,
+           CAST(sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL AND ga = gb
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
            CASE WHEN sum(CASE WHEN ga IS NOT NULL AND gb IS NOT NULL
                          THEN 1 ELSE 0 END) > 0
                 THEN round(

@@ -940,16 +940,19 @@ def t_mix_sources(spark, sf_dir):
     SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS survivors
     FROM documents
     UNION ALL
-    SELECT 1, 'min_length', sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+    SELECT 1, 'min_length',
+           CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
     FROM documents
     UNION ALL
     SELECT 2, 'english',
-           sum(CASE WHEN n_chars >= 100 AND lang = 'en' THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN n_chars >= 100 AND lang = 'en'
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM documents
     UNION ALL
     SELECT 3, 'has_article',
-           sum(CASE WHEN n_chars >= 100 AND lang = 'en'
-                     AND contains(lower(text), ' the ') THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN n_chars >= 100 AND lang = 'en'
+                     AND contains(lower(text), ' the ')
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM documents
     """,
 )

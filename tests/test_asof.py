@@ -158,6 +158,27 @@ def test_event_funnel_repeated_steps(spark):
     assert out == {1: 3, 2: 2}
 
 
+def test_event_funnel_ties_break_by_step_position(spark):
+    """Equal-timestamp ties order by step POSITION, not event-type
+    string: a simultaneous signup+purchase after a view advances both
+    steps even though 'purchase' < 'signup' lexicographically."""
+    from pandasvcf_spark.operators.relational import event_funnel
+
+    rows = [
+        (1, "view", 1), (1, "signup", 5), (1, "purchase", 5),
+        # u2: simultaneous view+signup at the very start
+        (2, "signup", 1), (2, "view", 1), (2, "purchase", 2),
+    ]
+    d = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        r.user: r.steps_completed
+        for r in event_funnel(
+            d, "user_id", "event_type", "ts", ["view", "signup", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 3}
+
+
 def test_interval_overlap_join_model_and_plan(spark):
     """interval_overlap_join vs the brute-force model on hand intervals
     spanning multiple shared bins (the dedup-free first-shared-bin trick

@@ -303,6 +303,25 @@ def test_merge_latest_semantics(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_merge_latest_duplicate_version_deterministic(spark):
+    """Duplicate (key, version) rows on one side must not pick a
+    partition-lottery survivor: the non-key-column tie-breaker makes the
+    result identical across partitionings."""
+    from pandasvcf_spark.operators.relational import merge_latest
+
+    rows = [(1, 5, f"v{i}") for i in range(8)]
+    base = spark.createDataFrame(rows, "k long, ver long, payload string")
+    upd = spark.createDataFrame([], "k long, ver long, payload string")
+    a = merge_latest(base, upd, ["k"], "ver").collect()
+    b = merge_latest(base.repartition(7), upd, ["k"], "ver").collect()
+    assert a == b and a[0].payload == "v0"  # ascending non-key order
+    # explicit tiebreak column wins over the fallback
+    c = merge_latest(
+        base, upd, ["k"], "ver", tiebreak_cols=["payload"]
+    ).collect()
+    assert c[0].payload == "v0"
+
+
 def test_kmv_exact_below_k(spark):
     from pandasvcf_spark.operators.sketches import kmv_distinct
 
@@ -436,6 +455,35 @@ def test_take_token_budget_null_tokens_count_as_zero(spark):
     # tokens), so the NULL row never exhausts the budget by itself
     out = take_token_budget(d, "t", budget=1000, key="k", buckets=4)
     assert out.count() == 3
+
+
+def test_take_token_budget_null_keys_excluded(spark):
+    """A NULL key has no content identity: the row is excluded (same
+    policy as hash_sample / mix_sources) instead of crashing the
+    driver-side bucket walk on a None bucket id."""
+    from pandasvcf_spark.operators.sampling import take_token_budget
+
+    d = spark.createDataFrame(
+        [(1, 10), (None, 10), (3, 10)], "k long, t int"
+    )
+    out = take_token_budget(d, "t", budget=1000, key="k", buckets=4)
+    assert sorted(r.k for r in out.collect()) == [1, 3]
+    # boundary-bucket path too (budget smaller than the total)
+    out2 = take_token_budget(d, "t", budget=15, key="k", buckets=1)
+    assert all(r.k is not None for r in out2.collect())
+
+
+def test_weighted_sample_null_keys_excluded(spark):
+    """NULL-keyed rows must not win the bottom-k lottery: a NULL key
+    makes the salted-hash rank NULL, and nulls-first ordering would hand
+    such rows guaranteed slots regardless of weight."""
+    from pandasvcf_spark.operators.sampling import weighted_sample
+
+    rows = [(f"k{i}", 1) for i in range(50)] + [(None, 1)] * 10
+    d = spark.createDataFrame(rows, "k string, w int")
+    out = weighted_sample(d, "k", "w", k=20)
+    got = [r.k for r in out.collect()]
+    assert len(got) == 20 and None not in got
 
 
 # ---------------------------------------------------------------------------

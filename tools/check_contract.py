@@ -2,8 +2,15 @@
 
 Runs every __spark_entry__.queries() entry at a given sf dir on Spark AND
 its oracle_sql() twin on DuckDB, then compares row count, sorted column
-names, and exact sorted values (stricter than any hash the driver could
-use — if this passes, any canonicalization matches).
+names, exact sorted values, AND result-type signatures.  The value compare
+canonicalizes through Python objects (`repr(round(v, 9))`), which by
+construction cannot see an integer-width divergence — a DuckDB HUGEINT and
+a Spark BIGINT fetch as the same Python int.  The driver's hash IS
+type-aware (round 6's `g_sample_qc` escaped exactly this way), so the type
+check below enforces the repo convention from `queries/registry.py`:
+DuckDB sums must be BIGINT-cast (HUGEINT never matches any Spark type) and
+each column's type class (int/float/string/bool/date/timestamp/array<...>)
+must agree between the oracle and the Spark schema.
 
 Usage: python tools/check_contract.py [sf_dir] [query ...]
 """
@@ -29,6 +36,66 @@ def _canon(v):
             return "NaN"
         return repr(round(v, 9))
     return repr(v)
+
+
+def _duck_class(t):
+    """Type class of a DuckDB logical type (str(DuckDBPyType))."""
+    s = str(t).upper()
+    if s == "HUGEINT":
+        # Never matches: the repo convention is CAST(sum(...) AS BIGINT).
+        return "hugeint(cast-to-BIGINT per registry convention)"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal(round/cast to DOUBLE per registry convention)"
+    if s == "VARCHAR":
+        return "string"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s.endswith("[]"):
+        return "array<%s>" % _duck_class(s[:-2])
+    return s.lower()
+
+
+def _spark_class(dt):
+    """Type class of a Spark DataType, aligned with _duck_class."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal-spark"
+    if s.startswith("array<"):
+        inner = s[len("array<"):-1]
+        for a, b in (("tinyint", "int"), ("smallint", "int"),
+                     ("bigint", "int"), ("double", "float")):
+            if inner == a:
+                inner = b
+        return "array<%s>" % inner
+    return s
+
+
+def type_problems(sdf, dcols, dtypes):
+    """Compare DuckDB result types against the Spark schema by column name
+    under the registry's cast conventions; returns problem strings."""
+    sparkt = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
+    problems = []
+    for col, dt in zip(dcols, dtypes):
+        if col not in sparkt:
+            continue  # name mismatch is reported by the column check
+        dc = _duck_class(dt)
+        if dc != sparkt[col]:
+            problems.append(
+                f"type[{col}] duckdb {str(dt)}({dc}) != spark {sparkt[col]}"
+            )
+    return problems
 
 
 def rows_key(cols, rows):
@@ -74,7 +141,8 @@ def run_contract(sf_dir, only=None, spark=None, out=print):
             continue
         try:
             cur = con.sql(oracles[name])
-            dcols = [d[0] for d in cur.description]
+            dcols = list(cur.columns)
+            dtypes = list(cur.types)
             drows = cur.fetchall()
         except Exception as e:
             failures.append(name)
@@ -83,6 +151,7 @@ def run_contract(sf_dir, only=None, spark=None, out=print):
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
+        problems += type_problems(sdf, dcols, dtypes)
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} != {len(drows)}")
         if not problems:
