@@ -302,3 +302,45 @@ def slice_r_field_expr(value: Column | str, alt_index: Column | int) -> Column:
         ref_part.isNotNull() & alt_part.isNotNull(),
         F.concat_ws(",", ref_part, alt_part),
     )
+
+
+def slice_g_field_expr(
+    value: Column | str, alt_index: Column | int, ploidy: int = 2
+) -> Column:
+    """Number=G (genotype-indexed) FORMAT/INFO sub-field slice — the PL/GL
+    shape (one value per possible genotype). For the biallelic record of
+    alternate `alt_index` (1-based allele index k), the surviving
+    genotypes are those over the allele subset {0, k}; with the VCF spec's
+    diploid ordering (genotype (i,j), i<=j, stored at index j(j+1)/2 + i)
+    the biallelic triple is the original elements at 0-based indices
+
+        0            -> (0,0)
+        k(k+1)/2     -> (0,k)
+        k(k+1)/2 + k -> (k,k)
+
+    so ALT='G,T' PL='a,b,c,d,e,f' slices to 'a,b,c' for k=1 and 'a,d,f'
+    for k=2 — exactly bcftools `norm -m-`'s PL handling. `ploidy=1`
+    (haploid GL: one value per ALLELE) keeps elements {1, k+1}.
+
+    NULL when any required element is absent (a too-short list — e.g. a
+    haploid PL fed to the diploid slicer — yields NULL rather than a
+    silently mis-indexed triple), the same arity rule as
+    `slice_r_field_expr`. Pure column expression, composes with
+    `reshape.split_multiallelic`'s `alt_index` on the long table."""
+    if ploidy not in (1, 2):
+        raise ValueError(f"ploidy must be 1 or 2, got {ploidy}")
+    v = F.col(value) if isinstance(value, str) else value
+    j = (
+        F.lit(alt_index) if isinstance(alt_index, int) else alt_index
+    ).cast("int")
+    parts = F.split(v, ",")
+    if ploidy == 1:
+        picks = [F.lit(1), j + 1]
+    else:
+        tri = ((j * (j + 1)) / 2).cast("int")  # j(j+1) is even: exact
+        picks = [F.lit(1), tri + 1, tri + j + 1]
+    vals = [F.try_element_at(parts, p.cast("int")) for p in picks]
+    all_present = vals[0].isNotNull()
+    for x in vals[1:]:
+        all_present = all_present & x.isNotNull()
+    return F.when(all_present, F.concat_ws(",", *vals))

@@ -74,8 +74,9 @@ def split_multiallelic(
     never an error). Per-sample FORMAT sub-fields re-slice on the LONG
     table with `functions.genomics.slice_a_field_expr` (Number=A) and
     `slice_r_field_expr` (Number=R: AD's 'ref,alt' shape) against this
-    operator's `alt_index`; Number=G (PL's genotype-indexed triangle) is
-    not provided.
+    operator's `alt_index`; Number=G (PL/GL's genotype-indexed triangle)
+    with `slice_g_field_expr` (diploid index j(j+1)/2+i restricted to the
+    allele subset {0, alt_index}).
 
     Pure column expressions: posexplode over the split ALT list, one
     transform over the GT tokens, rejoin on the original separator — no

@@ -632,6 +632,68 @@ def g_split_multiallelic(spark, sf_dir):
 
 
 @register(
+    "g_split_pl",
+    oracle=_GENO_CTE
+    + """
+    , plv AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 29 = 0
+                  THEN CAST((l_orderkey + 1*l_linenumber) % 83 AS VARCHAR)
+                    || ',' || CAST((l_orderkey + 2*l_linenumber) % 83 AS VARCHAR)
+                    || ',' || CAST((l_orderkey + 3*l_linenumber) % 83 AS VARCHAR)
+                  ELSE CAST((l_orderkey + 1*l_linenumber) % 83 AS VARCHAR)
+                    || ',' || CAST((l_orderkey + 2*l_linenumber) % 83 AS VARCHAR)
+                    || ',' || CAST((l_orderkey + 3*l_linenumber) % 83 AS VARCHAR)
+                    || ',' || CAST((l_orderkey + 4*l_linenumber) % 83 AS VARCHAR)
+                    || ',' || CAST((l_orderkey + 5*l_linenumber) % 83 AS VARCHAR)
+                    || ',' || CAST((l_orderkey + 6*l_linenumber) % 83 AS VARCHAR)
+             END AS pls
+      FROM g),
+    sp AS (
+      SELECT l_orderkey, l_linenumber, j, string_split(pls, ',') AS parts
+      FROM plv, generate_series(1, 2) AS s(j))
+    SELECT l_orderkey, l_linenumber, CAST(j AS INT) AS alt_index,
+           CASE WHEN parts[1] IS NOT NULL
+                 AND parts[CAST((j*(j+1))//2 + 1 AS INT)] IS NOT NULL
+                 AND parts[CAST((j*(j+1))//2 + j + 1 AS INT)] IS NOT NULL
+                THEN parts[1]
+                  || ',' || parts[CAST((j*(j+1))//2 + 1 AS INT)]
+                  || ',' || parts[CAST((j*(j+1))//2 + j + 1 AS INT)]
+           END AS pl_split
+    FROM sp
+    """,
+)
+def g_split_pl(spark, sf_dir):
+    """Number=G (PL) re-slicing through the multiallelic split
+    (functions/genomics.slice_g_field_expr over
+    operators/reshape.split_multiallelic): the genotype-indexed likelihood
+    triangle keeps elements {(0,0),(0,k),(k,k)} = 0-based indices
+    {0, k(k+1)/2, k(k+1)/2+k} for alternate k — bcftools `norm -m-`'s PL
+    handling. A deterministic PL is derived per site (every 29th site
+    carries a biallelic-arity 3-list, exercising the too-short→NULL rule
+    for k=2 and the identity slice for k=1); the oracle replays the index
+    map element-by-element in SQL. Reference parity anchor: FORMAT blocks
+    like SWGR_titin's GT:FT:GQ:HQ:DP:AD motivate the per-field Number
+    dispatch (reference test_data/SWGR_titin.vcf.gz)."""
+    from pandasvcf_spark.functions.genomics import slice_g_field_expr
+    from pandasvcf_spark.operators.reshape import split_multiallelic
+
+    d = derived_genotypes(spark, sf_dir)
+    o, l = F.col("l_orderkey"), F.col("l_linenumber")
+    parts6 = [((o + i * l) % 83).cast("string") for i in range(1, 7)]
+    pl = F.when(o % 29 == 0, F.concat_ws(",", *parts6[:3])).otherwise(
+        F.concat_ws(",", *parts6)
+    )
+    out = split_multiallelic(d.withColumn("PL", pl))
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "alt_index",
+        slice_g_field_expr("PL", F.col("alt_index")).alias("pl_split"),
+    )
+
+
+@register(
     "g_sample_qc",
     oracle=_GENO_CTE
     + f"""

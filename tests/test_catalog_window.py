@@ -196,6 +196,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "g_split_pl",            # Number=G (PL) slice through the
+                                 # multiallelic split: same Generate +
+                                 # token machinery as
+                                 # g_split_multiallelic (in window);
+                                 # index-map replay oracle; 4 unit tests
+                                 # incl. titin-style mixed FORMAT
         # demoted in round 6 to make room for the new operator classes —
         # machinery still driver-covered per the comments below, all
         # continuously exact-checked by the contract pytest

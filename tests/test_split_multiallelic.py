@@ -171,3 +171,87 @@ def test_slice_fields_compose_with_split(spark):
         .collect()
     }
     assert out == {1: ("1/.", "12,5"), 2: ("./1", "12,7")}
+
+
+def test_slice_g_field_expr_diploid(spark):
+    """PL (Number=G) slicing: the biallelic triple keeps the genotype-
+    indexed elements over alleles {0, k} — (0,0), (0,k), (k,k)."""
+    from pandasvcf_spark.functions.genomics import slice_g_field_expr
+
+    d = spark.createDataFrame(
+        [
+            # triallelic PL: indices (0,0)(0,1)(1,1)(0,2)(1,2)(2,2)
+            (1, "0,30,40,45,50,60", 1),
+            (2, "0,30,40,45,50,60", 2),
+            (3, "0,30,40", 1),    # already biallelic: identity for k=1
+            (4, "0,30,40", 2),    # too short for k=2 -> NULL
+            (5, "0,30", 1),       # haploid-arity fed to diploid -> NULL
+            (6, None, 1),         # missing field -> NULL
+        ],
+        "id long, pl string, alt_index int",
+    )
+    out = {
+        r.id: r.pl_s
+        for r in d.select(
+            "id", slice_g_field_expr("pl", F.col("alt_index")).alias("pl_s")
+        ).collect()
+    }
+    assert out == {
+        1: "0,30,40",
+        2: "0,45,60",
+        3: "0,30,40",
+        4: None,
+        5: None,
+        6: None,
+    }
+
+
+def test_slice_g_field_expr_haploid(spark):
+    from pandasvcf_spark.functions.genomics import slice_g_field_expr
+
+    d = spark.createDataFrame(
+        [(1, "0,30,40", 2), (2, "0,30", 2)],
+        "id long, gl string, alt_index int",
+    )
+    out = {
+        r.id: r.s
+        for r in d.select(
+            "id",
+            slice_g_field_expr("gl", F.col("alt_index"), ploidy=1).alias("s"),
+        ).collect()
+    }
+    assert out == {1: "0,40", 2: None}
+
+
+def test_slice_g_field_expr_validates_ploidy(spark):
+    from pandasvcf_spark.functions.genomics import slice_g_field_expr
+
+    with pytest.raises(ValueError, match="ploidy"):
+        slice_g_field_expr("pl", 1, ploidy=3)
+
+
+def test_split_with_pl_mixed_format_titin_style(spark):
+    """End to end on a titin-shaped mixed FORMAT (GT:DP:AD:PL): split a
+    triallelic site and re-slice AD (Number=R) and PL (Number=G) against
+    each record's alt_index."""
+    from pandasvcf_spark.functions.genomics import (
+        slice_g_field_expr,
+        slice_r_field_expr,
+    )
+    from pandasvcf_spark.operators.reshape import split_multiallelic
+
+    d = spark.createDataFrame(
+        [(1, "G,T", "1/2", "12,5,7", "90,60,50,45,20,0")],
+        "site long, ALT string, GT string, AD string, PL string",
+    )
+    out = {
+        r.alt_index: (r.gt_split, r.ad_split, r.pl_split)
+        for r in split_multiallelic(d)
+        .withColumn("ad_split", slice_r_field_expr("AD", F.col("alt_index")))
+        .withColumn("pl_split", slice_g_field_expr("PL", F.col("alt_index")))
+        .collect()
+    }
+    assert out == {
+        1: ("1/.", "12,5", "90,60,50"),
+        2: ("./1", "12,7", "90,45,0"),
+    }
