@@ -16,7 +16,30 @@ same survivor set.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+
+def _list_prior_batch_dirs(spark, corpus_path: str, batch_id: int) -> list[str]:
+    """List `corpus_path/batch_id=K` directories with K < batch_id through
+    the Hadoop FileSystem API — resolved from the path's own scheme, so the
+    same code lists local paths, `file://` URIs, HDFS, and s3a/gs object
+    stores (the deployment the 100 TB ingest story assumes). Driver-side,
+    one RPC per micro-batch over ~#batches entries — metadata-sized."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(corpus_path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"batch_id=(\d+)", name)
+        if st.isDirectory() and m and int(m.group(1)) < batch_id:
+            out.append(st.getPath().toString())
+    return out
 
 
 def dedup_ingest_stream(
@@ -30,9 +53,18 @@ def dedup_ingest_stream(
     num_hashes: int = 64,
     bands: int = 16,
     query_name: str = "dedup_ingest",
+    trigger: dict | None = None,
 ):
     """Start a streaming query that appends near-dedup survivors of every
     micro-batch to `corpus_path/batch_id=N`.
+
+    `trigger` passes through to `writeStream.trigger(...)`; the default
+    ``{"availableNow": True}`` drains currently-available input and stops
+    (the batch-backfill / test mode). A continuously-crawling deployment
+    passes ``{"processingTime": "1 minute"}`` to keep the query live.
+    Prior-batch discovery goes through the Hadoop FileSystem API resolved
+    from `corpus_path`'s scheme, so local paths, `file://` URIs, HDFS and
+    s3a/gs object stores all work.
 
     Per micro-batch (inside foreachBatch, so plain batch operators apply):
       1. intra-batch near-dedup (`near_dedup_documents`, min-id survivor);
@@ -76,18 +108,8 @@ def dedup_ingest_stream(
         if seed_df is not None:
             bases.append(seed_df)
         # read only strictly-smaller batch ids: a replayed batch must not
-        # see its own earlier partial write (glob on the driver — local
-        # paths; an object-store deployment would list via the Hadoop
-        # FileSystem API instead)
-        import glob
-        import re as _re
-
-        prior_dirs = [
-            p
-            for p in glob.glob(f"{corpus_path}/batch_id=*")
-            if (m := _re.search(r"batch_id=(\d+)$", p))
-            and int(m.group(1)) < batch_id
-        ]
+        # see its own earlier partial write
+        prior_dirs = _list_prior_batch_dirs(spark, corpus_path, batch_id)
         if prior_dirs:
             bases.append(spark.read.parquet(*prior_dirs))
         if bases:
@@ -113,6 +135,6 @@ def dedup_ingest_stream(
         stream_df.writeStream.foreachBatch(process)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

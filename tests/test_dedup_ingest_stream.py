@@ -141,3 +141,39 @@ def test_dedup_ingest_stream_crash_replay_idempotent(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(str(corpus)).collect()
     )
     assert after == before, "replayed batch changed the corpus"
+
+
+def test_dedup_ingest_stream_scheme_prefixed_corpus(spark, tmp_path):
+    """Prior-batch discovery goes through the Hadoop FileSystem API: a
+    scheme-prefixed corpus URI (file://...) must list and dedup exactly
+    like a bare local path — the object-store deployment shape."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus_uri = f"file://{tmp_path}/corpus"
+    ckpt = tmp_path / "ckpt"
+    now = time.time()
+    _write_batch_file(str(in_dir), "b0.jsonl", [(11, DOC)], now - 20)
+    _write_batch_file(
+        str(in_dir), "b1.jsonl", [(21, DOC + " "), (22, OTHER)], now - 10
+    )
+    _drain(spark, str(in_dir), corpus_uri, ckpt, seed=None)
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus_uri).collect())
+    assert got == [11, 22]  # 21 deduped against batch 0 THROUGH the URI
+
+
+def test_list_prior_batch_dirs_fs_api(spark, tmp_path):
+    from pandasvcf_spark.streaming.ingest import _list_prior_batch_dirs
+
+    # missing root -> empty, not an error
+    assert _list_prior_batch_dirs(spark, str(tmp_path / "nope"), 5) == []
+    root = tmp_path / "c"
+    for k in (0, 1, 3):
+        (root / f"batch_id={k}").mkdir(parents=True)
+    (root / "not_a_batch").mkdir()
+    (root / "batch_id=xyz").mkdir()
+    got = sorted(_list_prior_batch_dirs(spark, str(root), 3))
+    assert [p.rsplit("/", 1)[-1] for p in got] == ["batch_id=0", "batch_id=1"]
+    # strictly smaller: the in-flight batch's own directory is excluded
+    got2 = _list_prior_batch_dirs(spark, f"file://{root}", 1)
+    assert [p.rsplit("/", 1)[-1] for p in got2] == ["batch_id=0"]
+    assert got2[0].startswith("file:")
