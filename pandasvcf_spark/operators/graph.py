@@ -44,10 +44,17 @@ def pagerank(
 
     Per round: one join of ranks onto the out-degree-weighted edge list,
     one partial-aggregated groupBy(dst), one broadcast-able left join
-    back onto the node set, plus a single-row dangling-mass action
-    (intrinsic to the correction, same class as the CC loop's
-    convergence count). Edges and degrees are checkpointed once; ranks
-    per round — no lineage re-execution of upstream pipelines."""
+    back onto the node set. The dangling-mass sum is NOT a separate
+    Python action: it's a 1-row aggregate broadcast-cross-joined into the
+    same rank-update plan, so each round is ONE declarative query — the
+    JVM schedules the broadcast build inside that query's execution
+    (2 jobs/round with AQE off: checkpoint + in-query broadcast build,
+    pinned by test) with no driver round-trip serializing the mass sum
+    against the update. A formulation with fewer jobs isn't available:
+    the dangling scalar inherently needs a full aggregation plus a
+    redistribution to every node, whatever the plan shape. Edges and
+    degrees are checkpointed once; ranks per round — no lineage
+    re-execution of upstream pipelines."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select(
@@ -65,24 +72,31 @@ def pagerank(
     deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        dangling = (
-            ranks.join(deg, ranks["id"] == deg["a"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
+        # 1-row dangling-mass aggregate, broadcast into the update plan —
+        # evaluated inside the round's single job, never collected. The
+        # arithmetic mirrors the former driver-side float expression
+        # term-for-term ((d*dm)/n, left-assoc sum) so results are
+        # bit-identical to the two-job formulation.
+        dangling = ranks.join(
+            deg, ranks["id"] == deg["a"], "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         contribs = (
             e.join(deg, "a")
             .join(ranks, F.col("a") == ranks["id"])
             .groupBy("b")
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("__dm") / F.lit(float(n))
+        )
         ranks = (
             nodes.join(contribs, nodes["id"] == contribs["b"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
-                    F.lit(base)
+                    base
                     + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -432,6 +432,7 @@ def interval_overlap_join(
     min_overlap: int = 1,
     min_frac_left: float | None = None,
     min_frac_right: float | None = None,
+    max_bins_per_row: int = 8192,
 ) -> DataFrame:
     """Interval × interval overlap join — the bedtools-intersect family
     (feature annotation: which genes does each variant region touch,
@@ -447,8 +448,15 @@ def interval_overlap_join(
     keeps only the pair's FIRST shared bin (bin == max of the two start
     bins — computable per row, no dedup shuffle: the distinct() a naive
     banded overlap needs is usually its most expensive stage). Explode
-    factor is len/bin_width per interval; pick bin_width ~ the median
-    interval length, and bound pathological interval lengths upstream.
+    factor is len/bin_width per interval: pass bin_width ~ the median
+    interval length, or leave it None to DERIVE exactly that (an
+    approx-median over both sides' lengths — one extra cheap aggregation
+    job; pass the width explicitly in iterating pipelines to skip it).
+    Either way, a row that would explode onto more than
+    `max_bins_per_row` bins (a pathological interval ≫ the bin width —
+    e.g. millisecond timestamps against a seconds-scale width) raises a
+    clear runtime error naming the fix instead of silently detonating
+    the shuffle.
 
     min_frac_left / min_frac_right: additionally require the overlap to
     cover at least this fraction of the left / right interval's length
@@ -459,19 +467,51 @@ def interval_overlap_join(
     Output: all `left` columns + all `right` columns (shared `by` keys
     collapse to one) + overlap_len LONG."""
     if bin_width is None:
-        bin_width = 3600
+        lens = left.select(
+            (F.col(left_end) - F.col(left_start) + 1).cast("double").alias("l")
+        ).union(
+            right.select(
+                (F.col(right_end) - F.col(right_start) + 1)
+                .cast("double")
+                .alias("l")
+            )
+        )
+        med = lens.approxQuantile("l", [0.5], 0.1)
+        bin_width = max(1, int(med[0])) if med and med[0] else 1
     by = list(by)
     b = int(bin_width)
+    if b < 1:
+        raise ValueError(f"bin_width must be >= 1, got {b}")
 
     def binned(df, start, end):
+        start_bin = (F.col(start) / b).cast("long")
+        end_bin = (F.col(end) / b).cast("long")
+        # assert_true raises (with the remedy in the message) on a row
+        # whose bin span exceeds the cap; nested inside the sequence
+        # bound so column pruning can't drop the guard
+        guarded_end = F.when(
+            F.assert_true(
+                end_bin - start_bin < F.lit(int(max_bins_per_row)),
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval spans more than "
+                        f"{int(max_bins_per_row)} bins of width {b} "
+                        "(interval ["
+                    ),
+                    F.col(start).cast("string"),
+                    F.lit(", "),
+                    F.col(end).cast("string"),
+                    F.lit(
+                        "]); pass a larger bin_width (~median interval "
+                        "length), raise max_bins_per_row, or bound "
+                        "interval lengths upstream"
+                    ),
+                ),
+            ).isNull(),
+            end_bin,
+        )
         return df.withColumn(
-            "__bin",
-            F.explode(
-                F.sequence(
-                    (F.col(start) / b).cast("long"),
-                    (F.col(end) / b).cast("long"),
-                )
-            ),
+            "__bin", F.explode(F.sequence(start_bin, guarded_end))
         )
 
     l = binned(left, left_start, left_end)

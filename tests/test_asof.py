@@ -284,3 +284,42 @@ def test_transition_counts_hand_case(spark):
         for r in transition_counts(d, "user_id", "event_type", "ts").collect()
     }
     assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_interval_overlap_derived_bin_width_and_guard(spark):
+    """bin_width=None derives ~the median interval length (results
+    identical to an explicit width); a pathological interval spanning
+    more than max_bins_per_row bins raises with the remedy named instead
+    of silently exploding the shuffle."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import interval_overlap_join
+
+    A = [(1, 0, 1000, "a1"), (1, 500, 520, "a2"), (2, 0, 100, "a3")]
+    B = [(1, 900, 2500, "b1"), (1, 0, 2000, "b2"), (2, 200, 300, "b3")]
+    a = spark.createDataFrame(A, "k long, s long, e long, aid string")
+    b = spark.createDataFrame(B, "k long, bs long, be long, bid string")
+    derived = {
+        (r.aid, r.bid): r.overlap_len
+        for r in interval_overlap_join(
+            a, b, "s", "e", "bs", "be", by=["k"]
+        ).collect()
+    }
+    explicit = {
+        (r.aid, r.bid): r.overlap_len
+        for r in interval_overlap_join(
+            a, b, "s", "e", "bs", "be", by=["k"], bin_width=100
+        ).collect()
+    }
+    assert derived == explicit and derived
+
+    # millisecond-scale interval against a seconds-scale width: error,
+    # with the offending interval and the remedies in the message
+    wide = spark.createDataFrame(
+        [(1, 0, 10_000_000, "w")], "k long, s long, e long, aid string"
+    )
+    with _pytest.raises(Exception, match="bin_width"):
+        interval_overlap_join(
+            wide, b, "s", "e", "bs", "be", by=["k"], bin_width=5,
+            max_bins_per_row=1000,
+        ).collect()

@@ -696,6 +696,37 @@ def test_pagerank_symmetric_cycle_uniform(spark):
     assert abs(out[1] - 0.5) < 1e-12 and abs(out[2] - 0.5) < 1e-12
 
 
+def test_pagerank_two_jobs_per_iteration(spark):
+    """Each round is one declarative query: with AQE off (AQE splits one
+    query into per-stage jobs) an extra iteration costs exactly 2 jobs —
+    the eager checkpoint plus its in-query broadcast build of the 1-row
+    dangling-mass aggregate. Guards against reintroducing a per-round
+    driver action (a third job) or lineage re-execution (job blowup)."""
+    from pandasvcf_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(60)], "src long, dst long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+
+    def jobs_for(iters):
+        group = f"pr-jobs-{iters}"
+        spark.sparkContext.setJobGroup(group, "pagerank job-count probe")
+        try:
+            pagerank(e, iters=iters).collect()
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        j2, j5 = jobs_for(2), jobs_for(5)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    assert (j5 - j2) == 6, (j2, j5)  # two jobs per extra iteration
+
+
 def test_pagerank_sink_attracts_and_mass_conserved(spark):
     """Star into a sink: the sink outranks the sources; total rank stays
     1.0 (the dangling correction's invariant)."""
