@@ -79,3 +79,77 @@ def kmv_distinct(
         )
         .alias("estimate"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of a key's frequency distribution: (d INT,
+    cell INT, n BIGINT), one row per NON-EMPTY cell of a depth × width
+    counter grid (Cormode & Muthukrishnan 2005). Row d hashes the key
+    with the portable polynomial over ``d || ':' || key`` (the seed
+    prefix makes the rows independent, same device as
+    `epoch_shuffle_key`), Knuth-scrambled for uniformity (the banding
+    caveat — see `kmv_distinct`) and reduced mod `width`.
+
+    The sketch is a pure groupBy: |rows| × depth hash evaluations, one
+    partial-agged shuffle of at most depth × width cells — a
+    fixed-size summary regardless of corpus size, mergeable across
+    partitions/batches by cell-wise addition (union two sketches and
+    re-aggregate). Estimates (see `countmin_estimate`) overcount only:
+    est(x) >= true(x), with error <= 2N/width at ~e^-depth probability.
+    Deterministic hash family → the whole grid, and therefore every
+    estimate, is reproducible in ANSI SQL."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    kc = (F.col(key) if isinstance(key, str) else key).cast("string")
+    rows = df.filter(kc.isNotNull()).select(kc.alias("__k")).select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"), "__k"
+    )
+    return (
+        rows.select("d", _cms_cell(F.col("d"), F.col("__k"), width).alias("cell"))
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _cms_cell(d: Column, k: Column, width: int) -> Column:
+    h = poly_hash_expr(F.concat(d.cast("string"), F.lit(":"), k))
+    return (
+        ((h * F.lit(2654435761)) % F.lit(POLY_MOD)) % F.lit(width)
+    ).cast("int")
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    key: Column | str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a `countmin_sketch`: for each row of `items`, the
+    estimated frequency ``est = min over d of grid[d][h_d(key)]`` —
+    all `items` columns are kept, plus est BIGINT. depth/width must
+    match the sketch's build parameters (they are part of its identity).
+
+    Plan: items expand × depth (tiny — items is a probe set), broadcast
+    the sketch (bounded by depth × width rows by construction) onto the
+    (d, cell) lookups, min per item. An absent cell means count 0."""
+    kc = (F.col(key) if isinstance(key, str) else key).cast("string")
+    probes = items.withColumn(
+        "__d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn("__cell", _cms_cell(F.col("__d"), kc, width))
+    joined = probes.join(
+        F.broadcast(sketch.select(
+            F.col("d").alias("__d"), F.col("cell").alias("__cell"), "n"
+        )),
+        ["__d", "__cell"],
+        "left",
+    )
+    return (
+        joined.groupBy(*items.columns)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )

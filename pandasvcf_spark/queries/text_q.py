@@ -1099,6 +1099,58 @@ def sk_kmv_distinct(spark, sf_dir):
     return kmv_distinct(d, "text", k=256)
 
 
+_CMS_HASH = _SQL_POLY_HASH.format(s="CAST(d AS VARCHAR) || ':' || w")
+_CMS_PROBE_TERMS = "['the', 'data', 'model', 'queries', 'zzz_absent_term']"
+
+
+@register(
+    "sk_countmin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    cells AS (
+      SELECT d, (({_CMS_HASH} * 2654435761) % 2147483647) % 512 AS cell
+      FROM toks, generate_series(0, 2) AS s(d)),
+    grid AS (SELECT d, cell, count(*) AS n FROM cells GROUP BY d, cell),
+    probes AS (SELECT unnest({_CMS_PROBE_TERMS}) AS term),
+    pc AS (
+      SELECT term, d,
+             (({_SQL_POLY_HASH.format(s="CAST(d AS VARCHAR) || ':' || term")}
+               * 2654435761) % 2147483647) % 512 AS cell
+      FROM probes, generate_series(0, 2) AS s(d))
+    SELECT term, CAST(min(coalesce(n, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN grid USING (d, cell)
+    GROUP BY term
+    """,
+)
+def sk_countmin(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketches.countmin_sketch +
+    countmin_estimate) over the corpus's word stream, probed with a fixed
+    term set (including an absent term → est 0). depth=3 × width=512: the
+    grid is a fixed-size partial-agged summary whatever the corpus size,
+    mergeable cell-wise across batches; estimates only ever OVERCOUNT
+    (collisions add, never subtract). Deterministic seeded portable
+    hashes → the oracle replays the entire grid and every probe min to
+    the last bit."""
+    from pandasvcf_spark.functions.text import words_expr
+    from pandasvcf_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(words_expr("text")).alias("w")
+    )
+    sk = countmin_sketch(toks, "w", depth=3, width=512)
+    probes = spark.createDataFrame(
+        [("the",), ("data",), ("model",), ("queries",), ("zzz_absent_term",)],
+        "term string",
+    )
+    return countmin_estimate(sk, probes, "term", depth=3, width=512)
+
+
 @register(
     "t_epoch_shuffle",
     oracle=f"""

@@ -196,6 +196,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "sk_countmin",           # Count-Min frequency grid: same
+                                 # portable-seeded-hash + partial-agg
+                                 # machinery as sk_kmv_distinct (in
+                                 # window); bit-exact grid replay
+                                 # oracle; overcount-only unit tests
         "g_split_pl",            # Number=G (PL) slice through the
                                  # multiallelic split: same Generate +
                                  # token machinery as

@@ -774,3 +774,63 @@ def test_pagerank_validates_iters(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="iters"):
         pagerank(e, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_overcounts_only_and_zero_for_absent(spark):
+    from pandasvcf_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(f"k{i % 50}",) for i in range(5000)]  # 50 keys x 100 each
+    d = spark.createDataFrame(rows, "k string")
+    sk = countmin_sketch(d, "k", depth=4, width=256)
+    assert sk.count() <= 4 * 256
+    probes = spark.createDataFrame(
+        [("k0",), ("k7",), ("k49",), ("absent",)], "k string"
+    )
+    est = {
+        r.k: r.est
+        for r in countmin_estimate(sk, probes, "k", depth=4, width=256).collect()
+    }
+    assert est["absent"] == 0
+    for k in ("k0", "k7", "k49"):
+        assert est[k] >= 100  # CMS never undercounts
+
+
+def test_countmin_merges_cell_wise(spark):
+    """Sketch(A union B) == cell-wise sum of Sketch(A) and Sketch(B) — the
+    property that lets per-batch sketches aggregate without the raw data."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sketches import countmin_sketch
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(70)], "k string")
+    b = spark.createDataFrame([(f"k{i % 11}",) for i in range(55)], "k string")
+    merged = (
+        countmin_sketch(a, "k", depth=3, width=64)
+        .unionByName(countmin_sketch(b, "k", depth=3, width=64))
+        .groupBy("d", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = countmin_sketch(a.unionByName(b), "k", depth=3, width=64)
+    got = {(r.d, r.cell): r.n for r in merged.collect()}
+    want = {(r.d, r.cell): r.n for r in direct.collect()}
+    assert got == want
+
+
+def test_countmin_validates(spark):
+    from pandasvcf_spark.operators.sketches import countmin_sketch
+
+    d = spark.createDataFrame([("a",)], "k string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        countmin_sketch(d, "k", depth=0)
+    with _pytest.raises(ValueError, match="depth"):
+        countmin_sketch(d, "k", width=1)
