@@ -8,7 +8,7 @@ terms-sized (small) and broadcasts back onto the term counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandasvcf_spark.functions.text import words_expr
@@ -280,4 +280,71 @@ def corpus_report(
                 1.0 - F.countDistinct("__fp") / F.count(F.lit(1)), 4
             ).alias("dup_rate"),
         )
+    )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated passages — the exact-substring-dedup family
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): per document, the maximal runs of word positions whose
+    n-grams each appear in at least `min_docs` DISTINCT documents. Output
+    (id, start_gram INT 1-based, end_tok INT inclusive token position,
+    n_grams BIGINT) — the spans a cleaning pass would excise (templated
+    headers, license boilerplate, syndicated paragraphs), leaving the
+    document's unique prose alone. The suffix-array construction of the
+    paper finds byte-exact runs; this word-n-gram form trades sub-word
+    precision for a pure relational plan.
+
+    Plan: positional n-grams (one Generate per doc, 1-based positions) →
+    per-gram distinct-doc counts (one partial-agged shuffle; counting
+    doc-distinct, so a phrase repeated WITHIN one document is not
+    "repeated" here) → semi-ish join of gram occurrences onto the
+    repeated-gram set (shuffle equi-join on the gram string) → per-doc
+    gap-and-island window (pos - row_number is constant within a
+    consecutive run) → one groupBy for span bounds. No self-joins, no
+    crossJoin; everything partial-aggregates."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    w = words_expr(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col).alias("id"), w.alias("__w"))
+        .filter(F.size("__w") >= n)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - n + 1),
+                    lambda j: F.concat_ws(" ", F.slice("__w", j, n)),
+                )
+            ).alias("__p0", "gram"),
+        )
+        .select("id", (F.col("__p0") + 1).alias("pos"), "gram")
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("gram")
+    )
+    flagged = grams.join(rep, "gram").select("id", "pos")
+    win = Window.partitionBy("id").orderBy("pos")
+    islands = flagged.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(win)
+    )
+    return (
+        islands.groupBy("id", "__grp")
+        .agg(
+            F.min("pos").cast("int").alias("start_gram"),
+            (F.max("pos") + n - 1).cast("int").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("__grp")
     )

@@ -1099,6 +1099,47 @@ def sk_kmv_distinct(spark, sf_dir):
     return kmv_distinct(d, "text", k=256)
 
 
+@register(
+    "t_repeated_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents WHERE text IS NOT NULL),
+    positions AS (
+      SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS pos, w
+      FROM toks WHERE len(w) >= 5),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+4], ' ') AS gram
+      FROM positions),
+    rep AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS dfc FROM grams GROUP BY 1)
+      WHERE dfc >= 2),
+    fl AS (SELECT doc_id, pos FROM grams JOIN rep USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM fl)
+    SELECT doc_id AS id, CAST(min(pos) AS INT) AS start_gram,
+           CAST(max(pos) + 4 AS INT) AS end_tok, count(*) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def t_repeated_spans(spark, sf_dir):
+    """Cross-document repeated passages
+    (operators/text_features.repeated_ngram_spans): maximal word-position
+    runs whose 5-grams each occur in >= 2 distinct documents — the
+    excise-list of the exact-substring-dedup family (Lee et al. 2022) in
+    word-n-gram form. One Generate per doc, one partial-agged
+    distinct-doc count, one equi-join, one gap-and-island window; the
+    oracle replays the identical pipeline in SQL."""
+    from pandasvcf_spark.operators.text_features import repeated_ngram_spans
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return repeated_ngram_spans(d, "doc_id", "text", n=5, min_docs=2)
+
+
 _CMS_HASH = _SQL_POLY_HASH.format(s="CAST(d AS VARCHAR) || ':' || w")
 _CMS_PROBE_TERMS = "['the', 'data', 'model', 'queries', 'zzz_absent_term']"
 

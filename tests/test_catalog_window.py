@@ -196,6 +196,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "t_repeated_spans",      # cross-doc repeated-passage spans:
+                                 # explode/count/join/window machinery
+                                 # all covered in window; identical-
+                                 # pipeline SQL oracle; hand-case tests
         "sk_countmin",           # Count-Min frequency grid: same
                                  # portable-seeded-hash + partial-agg
                                  # machinery as sk_kmv_distinct (in

@@ -834,3 +834,55 @@ def test_countmin_validates(spark):
         countmin_sketch(d, "k", depth=0)
     with _pytest.raises(ValueError, match="depth"):
         countmin_sketch(d, "k", width=1)
+
+
+# ---------------------------------------------------------------------------
+# repeated_ngram_spans
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_spans_hand_case(spark):
+    """A 5-token phrase shared by two docs at different offsets yields one
+    merged span per doc covering the phrase's token range; a unique doc
+    yields nothing; a phrase repeated only WITHIN one doc doesn't count."""
+    from pandasvcf_spark.operators.text_features import repeated_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, shared + " unique one two three"),
+        (2, "start " + shared + " end words here"),
+        (3, "totally different content with no common phrases at all"),
+        (4, "self repeat self repeat self repeat self repeat self repeat"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.id, r.start_gram, r.end_tok, r.n_grams)
+        for r in repeated_ngram_spans(d, n=3, min_docs=2).collect()
+    }
+    assert out == {(1, 1, 5, 3), (2, 2, 6, 3)}
+
+
+def test_repeated_spans_merges_adjacent_and_validates(spark):
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.text_features import repeated_ngram_spans
+
+    # two shared phrases separated by unique filler -> TWO spans per doc
+    a = "one two three"
+    b = "seven eight nine"
+    d = spark.createDataFrame(
+        [
+            (1, f"{a} foo bar baz qux {b}"),
+            (2, f"{b} pad pad2 pad3 pad4 {a}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.id, r.start_gram, r.end_tok)
+        for r in repeated_ngram_spans(d, n=3, min_docs=2).collect()
+    )
+    assert got == [(1, 1, 3), (1, 8, 10), (2, 1, 3), (2, 8, 10)]
+    with _pytest.raises(ValueError, match="min_docs"):
+        repeated_ngram_spans(d, min_docs=1)
+    with _pytest.raises(ValueError, match="n must"):
+        repeated_ngram_spans(d, n=0)
