@@ -461,3 +461,83 @@ def genotype_concordance(
             ).alias("concordance"),
         )
     )
+
+
+def hwe_stats(
+    df: DataFrame,
+    site_cols: list[str],
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    ref_col: str = "REF",
+    missing: str = ".",
+) -> DataFrame:
+    """Per-site Hardy-Weinberg equilibrium statistics over the long
+    parsed-genotype table (a1/a2 allele strings, `allele_expr` output) —
+    the population-genetics QC screen: a site far off HWE is usually a
+    genotyping artifact (allelic dropout, paralog collapse), and callset
+    pipelines filter on exactly this chi-square.
+
+    Genotype classes collapse alternates (multiallelic sites fold to
+    ref/non-ref, the convention plink's --hardy uses for its collapsed
+    mode): hom_ref = both alleles equal REF, het = exactly one REF,
+    hom_alt = neither REF. Only fully-called diploid genotypes count
+    (either allele missing → excluded, which also drops haploids). With
+    p = ref-allele frequency = (2·hom_ref + het) / 2n, expected counts
+    are (p²n, 2p(1−p)n, (1−p)²n) and
+
+        chi2 = Σ_classes (obs − exp)² / exp   (terms with exp = 0
+                                               contribute 0: fixed sites
+                                               have chi2 = 0, not NULL)
+
+    Output: site_cols + n_hom_ref/n_het/n_hom_alt/n_called BIGINT,
+    af_alt DOUBLE (collapsed alt frequency, round 4), chi2 DOUBLE
+    (round 4; NULL when no called genotypes). One partial-aggregated
+    groupBy on the site key — sites × 3 counters of shuffle, every
+    downstream quantity a pure projection of the three counts."""
+    a1, a2, ref = F.col(a1_col), F.col(a2_col), F.col(ref_col)
+    ok1 = a1.isNotNull() & (a1 != missing)
+    ok2 = a2.isNotNull() & (a2 != missing)
+    called = ok1 & ok2
+    is_ref1 = (a1 == ref).cast("int")
+    is_ref2 = (a2 == ref).cast("int")
+    nref = F.when(called, is_ref1 + is_ref2)  # 2 / 1 / 0, NULL uncalled
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    agg = df.groupBy(*site_cols).agg(
+        cnt(nref == 2).alias("n_hom_ref"),
+        cnt(nref == 1).alias("n_het"),
+        cnt(nref == 0).alias("n_hom_alt"),
+    )
+    n = (F.col("n_hom_ref") + F.col("n_het") + F.col("n_hom_alt")).cast(
+        "double"
+    )
+    # guarded: at a zero-called site p would be 0/0 (NaN); NULL instead,
+    # so every downstream expression nulls out under the n > 0 gate the
+    # same way the SQL oracle's CASE does
+    p = F.when(
+        n > 0, (2.0 * F.col("n_hom_ref") + F.col("n_het")) / (2.0 * n)
+    )
+    exp_hr = p * p * n
+    exp_het = 2.0 * p * (1.0 - p) * n
+    exp_ha = (1.0 - p) * (1.0 - p) * n
+
+    def term(obs, exp):
+        return F.when(
+            exp > 0, (obs - exp) * (obs - exp) / exp
+        ).otherwise(F.lit(0.0))
+
+    chi2 = (
+        term(F.col("n_hom_ref"), exp_hr)
+        + term(F.col("n_het"), exp_het)
+        + term(F.col("n_hom_alt"), exp_ha)
+    )
+    return agg.select(
+        *site_cols,
+        "n_hom_ref",
+        "n_het",
+        "n_hom_alt",
+        (F.col("n_hom_ref") + F.col("n_het") + F.col("n_hom_alt")).alias(
+            "n_called"
+        ),
+        F.when(n > 0, F.round(F.lit(1.0) - p, 4)).alias("af_alt"),
+        F.when(n > 0, F.round(chi2, 4)).alias("chi2"),
+    )

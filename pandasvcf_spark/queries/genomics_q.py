@@ -694,6 +694,69 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_hwe",
+    oracle=_GENO_CTE
+    + """
+    , cls AS (
+      SELECT l_orderkey,
+             CASE WHEN a1 <> '.' AND a2 <> '.' THEN
+               (CASE WHEN a1 = 'A' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 = 'A' THEN 1 ELSE 0 END)
+             END AS nref
+      FROM ann),
+    agg AS (
+      SELECT l_orderkey,
+             CAST(sum(CASE WHEN nref = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hom_ref,
+             CAST(sum(CASE WHEN nref = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_het,
+             CAST(sum(CASE WHEN nref = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hom_alt
+      FROM cls GROUP BY l_orderkey),
+    withp AS (
+      SELECT *, CAST(n_hom_ref + n_het + n_hom_alt AS DOUBLE) AS n,
+             CASE WHEN n_hom_ref + n_het + n_hom_alt > 0
+                  THEN (2.0 * n_hom_ref + n_het)
+                       / (2.0 * CAST(n_hom_ref + n_het + n_hom_alt
+                                     AS DOUBLE))
+             END AS p
+      FROM agg)
+    SELECT l_orderkey, n_hom_ref, n_het, n_hom_alt,
+           n_hom_ref + n_het + n_hom_alt AS n_called,
+           CASE WHEN n > 0 THEN round(1.0 - p, 4) END AS af_alt,
+           CASE WHEN n > 0 THEN round(
+             (CASE WHEN p * p * n > 0
+                   THEN (n_hom_ref - p * p * n) * (n_hom_ref - p * p * n)
+                        / (p * p * n) ELSE 0.0 END)
+             + (CASE WHEN 2.0 * p * (1.0 - p) * n > 0
+                     THEN (n_het - 2.0 * p * (1.0 - p) * n)
+                          * (n_het - 2.0 * p * (1.0 - p) * n)
+                          / (2.0 * p * (1.0 - p) * n) ELSE 0.0 END)
+             + (CASE WHEN (1.0 - p) * (1.0 - p) * n > 0
+                     THEN (n_hom_alt - (1.0 - p) * (1.0 - p) * n)
+                          * (n_hom_alt - (1.0 - p) * (1.0 - p) * n)
+                          / ((1.0 - p) * (1.0 - p) * n) ELSE 0.0 END), 4)
+           END AS chi2
+    FROM withp
+    """,
+)
+def g_hwe(spark, sf_dir):
+    """Per-site Hardy-Weinberg chi-square (operators/annotate.hwe_stats)
+    over the parsed derived genotypes — the population-genetics QC screen
+    (plink --hardy's collapsed ref/non-ref mode): observed hom-ref / het /
+    hom-alt counts vs the p², 2p(1−p), (1−p)² expectation from the
+    ref-allele frequency; fixed sites score 0, zero-called sites NULL.
+    One partial-aggregated groupBy on the site key — sites × 3 counters
+    of shuffle; the oracle replays counts, frequency and the chi-square
+    arithmetic term-for-term."""
+    from pandasvcf_spark.operators.annotate import hwe_stats
+
+    d = _gt_parsed(spark, sf_dir).withColumn("REF", F.lit("A"))
+    return hwe_stats(d, ["l_orderkey"], a1_col="a1", a2_col="a2",
+                     ref_col="REF")
+
+
+@register(
     "g_sample_qc",
     oracle=_GENO_CTE
     + f"""

@@ -297,3 +297,36 @@ def test_genotype_concordance_self_is_perfect(spark):
     out = genotype_concordance(ann, ann)
     assert out.filter(F.col("concordance") != 1.0).count() == 0
     assert out.filter(F.col("n_comparable") != F.col("n_a")).count() == 0
+
+
+def test_hwe_stats_hand_cases(spark):
+    """Known chi-squares: exact equilibrium scores 0, a fixed site scores
+    0 (not NULL), all-het scores n, missing/haploid calls are excluded,
+    zero-called sites yield NULL stats."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.annotate import hwe_stats
+
+    rows = (
+        # site 1: perfect HWE at p=0.5 over 4 calls: 1 AA, 2 het, 1 GG
+        [(1, "A", "A"), (1, "A", "G"), (1, "G", "A"), (1, "G", "G")]
+        # site 2: fixed ref (p=1) -> expected het/hom_alt are 0 -> chi2 0
+        + [(2, "A", "A")] * 3
+        # site 3: ALL het over 8 calls -> chi2 = n = 8 (classic extreme)
+        + [(3, "A", "G")] * 8
+        # site 4: only missing / half-calls -> excluded -> NULL row
+        + [(4, ".", "."), (4, "A", "."), (4, None, "G")]
+    )
+    d = spark.createDataFrame(rows, "site long, a1 string, a2 string")
+    d = d.withColumn("REF", F.lit("A"))
+    out = {r.site: r for r in hwe_stats(d, ["site"]).collect()}
+    s1 = out[1]
+    assert (s1.n_hom_ref, s1.n_het, s1.n_hom_alt) == (1, 2, 1)
+    assert s1.chi2 == 0.0 and s1.af_alt == 0.5
+    s2 = out[2]
+    assert (s2.n_hom_ref, s2.chi2, s2.af_alt) == (3, 0.0, 0.0)
+    s3 = out[3]
+    assert (s3.n_het, s3.n_called) == (8, 8)
+    assert s3.chi2 == 8.0 and s3.af_alt == 0.5
+    s4 = out[4]
+    assert (s4.n_called, s4.af_alt, s4.chi2) == (0, None, None)

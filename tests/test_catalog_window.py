@@ -205,6 +205,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery as sk_kmv_distinct (in
                                  # window); bit-exact grid replay
                                  # oracle; overcount-only unit tests
+        "g_hwe",                 # Hardy-Weinberg chi-square per site:
+                                 # same conditional-agg machinery as
+                                 # g_sample_qc (in window); term-for-term
+                                 # arithmetic replay oracle; hand-case
+                                 # tests incl. equilibrium + fixed sites
         "g_split_pl",            # Number=G (PL) slice through the
                                  # multiallelic split: same Generate +
                                  # token machinery as
