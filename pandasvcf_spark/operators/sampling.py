@@ -387,3 +387,31 @@ def pack_sequences(
     return df.withColumn(bin_col, F.floor(excl / F.lit(budget))).withColumn(
         offset_col, excl % F.lit(budget)
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    count_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity suppression (Sweeney 2002): keep only rows whose
+    quasi-identifier combination occurs in at least `k` rows — the
+    release-gate a privacy review applies before corpus publication
+    (a (lang, region, age-bucket) combo seen twice re-identifies; seen
+    10,000 times it doesn't). NULL is a legitimate quasi-value here:
+    NULL combos group together (a suppressed-attribute row is itself a
+    disclosure shape), matching SQL GROUP BY semantics on both engines.
+
+    Plan: ONE window count over the quasi key — no join back, no second
+    scan of the corpus; with `count_col` the group size is kept as a
+    column (the auditors' report wants it). Mega-groups are fine: count
+    over an unordered window needs no sort, only the hash exchange."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*quasi_cols)
+    name = count_col or "__qn"
+    out = df.withColumn(name, F.count(F.lit(1)).over(w)).filter(
+        F.col(name) >= k
+    )
+    return out if count_col else out.drop(name)

@@ -1100,6 +1100,40 @@ def sk_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "t_k_anonymize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang, source, n_chars // 200 AS size_bucket
+      FROM documents),
+    c AS (
+      SELECT *, count(*) OVER (PARTITION BY lang, source, size_bucket)
+                  AS q_count
+      FROM b)
+    SELECT doc_id, lang, source, size_bucket, q_count
+    FROM c WHERE q_count >= 5
+    """,
+)
+def t_k_anonymize(spark, sf_dir):
+    """k-anonymity suppression (operators/sampling.k_anonymize): release
+    only rows whose (lang, source, size-bucket) quasi-identifier combo
+    occurs >= 5 times — the privacy release-gate, as one unordered window
+    count (hash exchange only, no sort, no join-back). The oracle replays
+    the window and the threshold."""
+    from pandasvcf_spark.operators.sampling import k_anonymize
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(200)).cast("long")
+        .alias("size_bucket"),
+    )
+    return k_anonymize(
+        d, ["lang", "source", "size_bucket"], k=5, count_col="q_count"
+    )
+
+
+@register(
     "t_repeated_spans",
     oracle="""
     WITH toks AS (

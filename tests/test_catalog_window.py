@@ -196,6 +196,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "t_k_anonymize",         # k-anonymity suppression: one unordered
+                                 # window count (machinery covered by
+                                 # window-fn entries); window+threshold
+                                 # replay oracle; NULL-combo + threshold
+                                 # unit tests
         "t_repeated_spans",      # cross-doc repeated-passage spans:
                                  # explode/count/join/window machinery
                                  # all covered in window; identical-

@@ -886,3 +886,36 @@ def test_repeated_spans_merges_adjacent_and_validates(spark):
         repeated_ngram_spans(d, min_docs=1)
     with _pytest.raises(ValueError, match="n must"):
         repeated_ngram_spans(d, n=0)
+
+
+# ---------------------------------------------------------------------------
+# k_anonymize
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymize_threshold_and_null_combos(spark):
+    """Rows below the k threshold are suppressed; NULL quasi-values group
+    together (a suppressed attribute is itself a disclosure shape); the
+    optional count column reports group sizes."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.sampling import k_anonymize
+
+    rows = (
+        [(i, "en", "web") for i in range(5)]
+        + [(10, "en", "books")]                 # singleton -> suppressed
+        + [(20, None, "web"), (21, None, "web"), (22, None, "web")]
+    )
+    d = spark.createDataFrame(rows, "id long, lang string, source string")
+    out = k_anonymize(d, ["lang", "source"], k=3, count_col="qn")
+    got = {(r.id, r.qn) for r in out.collect()}
+    assert got == {(0, 5), (1, 5), (2, 5), (3, 5), (4, 5),
+                   (20, 3), (21, 3), (22, 3)}
+    # without count_col the helper column is dropped
+    assert k_anonymize(d, ["lang", "source"], k=3).columns == [
+        "id", "lang", "source"
+    ]
+    # k=1 keeps everything
+    assert k_anonymize(d, ["lang", "source"], k=1).count() == len(rows)
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymize(d, ["lang"], k=0)
