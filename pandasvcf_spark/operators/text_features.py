@@ -348,3 +348,45 @@ def repeated_ngram_spans(
         )
         .drop("__grp")
     )
+
+
+def group_balance(
+    df: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Single-row balance report of a categorical distribution — the
+    "is this mixture what the recipe says" check a pretraining data
+    committee reads next to `corpus_report`:
+
+      n_groups      distinct group values (NULL is its own group)
+      entropy       Shannon entropy −Σ p·ln p (nats)
+      entropy_norm  entropy / ln(n_groups) ∈ [0,1] (1 = uniform;
+                    NULL for a single group, where balance is undefined)
+      herfindahl    Σ p² concentration (1 = one group dominates,
+                    1/n_groups = uniform) — the Gini-Simpson complement
+
+    Two partial-aggregated stages over group-count rows only: groupBy
+    (groups × 8-byte counts of shuffle) then a single-row agg — the
+    corpus itself is scanned once and never re-shuffled."""
+    counts = df.groupBy(
+        F.col(group_col).alias("__g")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    agg = counts.agg(
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+        F.sum("__n").alias("__total"),
+        F.sum(F.col("__n") * F.log(F.col("__n"))).alias("__sum_nlogn"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__sum_n2"),
+    )
+    # entropy = ln(total) - sum(n ln n)/total  (algebraic form: one agg
+    # pass, no per-row p = n/total division before the total is known)
+    t = F.col("__total").cast("double")
+    entropy = F.log(t) - F.col("__sum_nlogn") / t
+    return agg.select(
+        "n_groups",
+        F.round(entropy, 4).alias("entropy"),
+        F.when(
+            F.col("n_groups") > 1,
+            F.round(entropy / F.log(F.col("n_groups").cast("double")), 4),
+        ).alias("entropy_norm"),
+        F.round(F.col("__sum_n2") / (t * t), 4).alias("herfindahl"),
+    )

@@ -1100,6 +1100,38 @@ def sk_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "t_source_balance",
+    oracle="""
+    WITH c AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),
+    a AS (SELECT CAST(count(*) AS INT) AS n_groups,
+                 CAST(sum(n) AS DOUBLE) AS t,
+                 sum(n * ln(n)) AS snl,
+                 CAST(sum(n * n) AS DOUBLE) AS sn2
+          FROM c)
+    SELECT n_groups,
+           round(ln(t) - snl / t, 4) AS entropy,
+           CASE WHEN n_groups > 1
+                THEN round((ln(t) - snl / t)
+                           / ln(CAST(n_groups AS DOUBLE)), 4)
+           END AS entropy_norm,
+           round(sn2 / (t * t), 4) AS herfindahl
+    FROM a
+    """,
+)
+def t_source_balance(spark, sf_dir):
+    """Mixture balance report (operators/text_features.group_balance):
+    Shannon entropy (raw + normalized) and Herfindahl concentration of
+    the corpus's source distribution — the "is the mixture what the
+    recipe says" single-row check. Two partial-agged stages over
+    group-count rows only (the corpus is scanned once, never
+    re-shuffled); entropy uses the one-pass algebraic form
+    ln(T) − Σ n·ln n / T, replayed identically by the oracle."""
+    from pandasvcf_spark.operators.text_features import group_balance
+
+    return group_balance(load(spark, sf_dir, "documents"), "source")
+
+
+@register(
     "t_k_anonymize",
     oracle="""
     WITH b AS (

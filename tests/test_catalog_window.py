@@ -196,6 +196,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "t_source_balance",      # mixture entropy/Herfindahl: same
+                                 # two-stage partial-agg machinery as
+                                 # t_corpus_report (in window);
+                                 # algebraic-form replay oracle;
+                                 # uniform/single-group unit tests
         "t_k_anonymize",         # k-anonymity suppression: one unordered
                                  # window count (machinery covered by
                                  # window-fn entries); window+threshold

@@ -919,3 +919,28 @@ def test_k_anonymize_threshold_and_null_combos(spark):
     assert k_anonymize(d, ["lang", "source"], k=1).count() == len(rows)
     with _pytest.raises(ValueError, match="k must"):
         k_anonymize(d, ["lang"], k=0)
+
+
+def test_group_balance_known_distributions(spark):
+    """Uniform two-group corpus: entropy ln 2, norm 1, Herfindahl 0.5;
+    single group: entropy 0, norm NULL (undefined), Herfindahl 1; NULL
+    group values count as their own group."""
+    import math
+
+    from pandasvcf_spark.operators.text_features import group_balance
+
+    d = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "s string")
+    r = group_balance(d, "s").collect()[0]
+    assert r.n_groups == 2 and r.entropy == round(math.log(2), 4)
+    assert r.entropy_norm == 1.0 and r.herfindahl == 0.5
+    one = group_balance(
+        spark.createDataFrame([("a",)] * 9, "s string"), "s"
+    ).collect()[0]
+    assert (one.n_groups, one.entropy, one.entropy_norm, one.herfindahl) == (
+        1, 0.0, None, 1.0,
+    )
+    withnull = spark.createDataFrame(
+        [("a",)] * 3 + [(None,)] * 3, "s string"
+    )
+    rn = group_balance(withnull, "s").collect()[0]
+    assert rn.n_groups == 2 and rn.herfindahl == 0.5
