@@ -541,3 +541,66 @@ def hwe_stats(
         F.when(n > 0, F.round(F.lit(1.0) - p, 4)).alias("af_alt"),
         F.when(n > 0, F.round(chi2, 4)).alias("chi2"),
     )
+
+
+def mendel_check(
+    df: DataFrame,
+    site_cols: list[str],
+    sample_col: str,
+    child,
+    father,
+    mother,
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    missing: str = ".",
+) -> DataFrame:
+    """Mendelian-consistency screen for a trio over the long parsed
+    genotype table — the family-study QC (bcftools +mendelian / plink
+    --mendel family): a child genotype is consistent when one allele can
+    come from the father and the other from the mother (either
+    assignment). Output: site_cols + c1/c2 (child alleles) + status
+    STRING ∈ {'consistent', 'violation', 'incomplete'} — incomplete when
+    any trio member is absent at the site or carries a missing allele
+    (haploid calls included: no diploid transmission model applies).
+
+    Plan: one partial-aggregated groupBy pivots the trio's six alleles
+    onto the site row (max over ≤1 value per slot — deterministic), then
+    the verdict is a pure CASE over the six strings. One shuffle of
+    sites × 6 short strings regardless of cohort width; violation rate
+    per child is a groupBy away."""
+    s = F.col(sample_col)
+    a1, a2 = F.col(a1_col), F.col(a2_col)
+
+    def slot(member, a):
+        return F.max(F.when(s == F.lit(member), a))
+
+    piv = df.filter(
+        s.isin([child, father, mother])
+    ).groupBy(*site_cols).agg(
+        slot(child, a1).alias("c1"),
+        slot(child, a2).alias("c2"),
+        slot(father, a1).alias("__f1"),
+        slot(father, a2).alias("__f2"),
+        slot(mother, a1).alias("__m1"),
+        slot(mother, a2).alias("__m2"),
+    )
+
+    def called(x1, x2):
+        return (
+            x1.isNotNull() & x2.isNotNull()
+            & (x1 != missing) & (x2 != missing)
+        )
+
+    c1, c2 = F.col("c1"), F.col("c2")
+    f1, f2 = F.col("__f1"), F.col("__f2")
+    m1, m2 = F.col("__m1"), F.col("__m2")
+    complete = called(c1, c2) & called(f1, f2) & called(m1, m2)
+    from_f = lambda x: (x == f1) | (x == f2)
+    from_m = lambda x: (x == m1) | (x == m2)
+    consistent = (from_f(c1) & from_m(c2)) | (from_m(c1) & from_f(c2))
+    status = (
+        F.when(~complete, "incomplete")
+        .when(consistent, "consistent")
+        .otherwise("violation")
+    )
+    return piv.select(*site_cols, "c1", "c2", status.alias("status"))

@@ -694,6 +694,47 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_mendel",
+    oracle=_GENO_CTE
+    + """
+    , piv AS (
+      SELECT l_orderkey,
+        max(CASE WHEN l_linenumber = 1 THEN a1 END) AS c1,
+        max(CASE WHEN l_linenumber = 1 THEN a2 END) AS c2,
+        max(CASE WHEN l_linenumber = 2 THEN a1 END) AS f1,
+        max(CASE WHEN l_linenumber = 2 THEN a2 END) AS f2,
+        max(CASE WHEN l_linenumber = 3 THEN a1 END) AS m1,
+        max(CASE WHEN l_linenumber = 3 THEN a2 END) AS m2
+      FROM ann WHERE l_linenumber IN (1, 2, 3) GROUP BY l_orderkey)
+    SELECT l_orderkey, c1, c2,
+      CASE WHEN c1 IS NULL OR c2 IS NULL OR f1 IS NULL OR f2 IS NULL
+             OR m1 IS NULL OR m2 IS NULL
+             OR c1 = '.' OR c2 = '.' OR f1 = '.' OR f2 = '.'
+             OR m1 = '.' OR m2 = '.'
+           THEN 'incomplete'
+           WHEN ((c1 = f1 OR c1 = f2) AND (c2 = m1 OR c2 = m2))
+             OR ((c1 = m1 OR c1 = m2) AND (c2 = f1 OR c2 = f2))
+           THEN 'consistent' ELSE 'violation' END AS status
+    FROM piv
+    """,
+)
+def g_mendel(spark, sf_dir):
+    """Mendelian trio consistency (operators/annotate.mendel_check;
+    bcftools +mendelian / plink --mendel family) over the parsed derived
+    genotypes with pseudo-samples 1/2/3 as child/father/mother: a child
+    genotype is consistent when one allele can come from each parent
+    (either assignment); absent members or missing alleles → incomplete.
+    One partial-aggregated pivot groupBy (sites × 6 short strings of
+    shuffle) + a pure CASE verdict; the oracle replays pivot and verdict
+    verbatim. Real-fixture form: the same operator over the 1000G long
+    table with actual sample ids."""
+    from pandasvcf_spark.operators.annotate import mendel_check
+
+    d = _gt_parsed(spark, sf_dir)
+    return mendel_check(d, ["l_orderkey"], "l_linenumber", 1, 2, 3)
+
+
+@register(
     "g_hwe",
     oracle=_GENO_CTE
     + """

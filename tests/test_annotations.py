@@ -330,3 +330,37 @@ def test_hwe_stats_hand_cases(spark):
     assert s3.chi2 == 8.0 and s3.af_alt == 0.5
     s4 = out[4]
     assert (s4.n_called, s4.af_alt, s4.chi2) == (0, None, None)
+
+
+def test_mendel_check_hand_cases(spark):
+    """Transmission rules: both-parents-contribute passes (either
+    assignment), impossible child allele flags a violation, any missing
+    allele or absent member is incomplete."""
+    from pandasvcf_spark.operators.annotate import mendel_check
+
+    rows = [
+        # site 1: child A/G, father A/A, mother G/G -> consistent
+        (1, "c", "A", "G"), (1, "f", "A", "A"), (1, "m", "G", "G"),
+        # site 2: child G/G, father A/A, mother A/G -> violation
+        #         (father cannot contribute a G)
+        (2, "c", "G", "G"), (2, "f", "A", "A"), (2, "m", "A", "G"),
+        # site 3: swapped-assignment consistency: child G/A with
+        #         father G/G, mother A/A (c1 from father, c2 from mother)
+        (3, "c", "G", "A"), (3, "f", "G", "G"), (3, "m", "A", "A"),
+        # site 4: missing child allele -> incomplete
+        (4, "c", "A", "."), (4, "f", "A", "A"), (4, "m", "A", "A"),
+        # site 5: mother absent entirely -> incomplete
+        (5, "c", "A", "A"), (5, "f", "A", "A"),
+    ]
+    d = spark.createDataFrame(rows, "site long, s string, a1 string, a2 string")
+    out = {
+        r.site: r.status
+        for r in mendel_check(d, ["site"], "s", "c", "f", "m").collect()
+    }
+    assert out == {
+        1: "consistent",
+        2: "violation",
+        3: "consistent",
+        4: "incomplete",
+        5: "incomplete",
+    }

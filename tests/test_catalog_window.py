@@ -215,6 +215,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery as sk_kmv_distinct (in
                                  # window); bit-exact grid replay
                                  # oracle; overcount-only unit tests
+        "g_mendel",              # Mendelian trio consistency: pivot
+                                 # groupBy + pure CASE verdict (same
+                                 # conditional-agg machinery as
+                                 # g_sample_qc, in window); verbatim
+                                 # replay oracle; hand-case tests
         "g_hwe",                 # Hardy-Weinberg chi-square per site:
                                  # same conditional-agg machinery as
                                  # g_sample_qc (in window); term-for-term
