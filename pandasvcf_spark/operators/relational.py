@@ -618,3 +618,73 @@ def transition_counts(
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _bloom_positions(i: int, key: Column, m: int) -> Column:
+    """Bit position of hash family i for `key`: seeded scrambled portable
+    hash mod m — deterministic, replayable in ANSI SQL."""
+    from pandasvcf_spark.functions.text import POLY_MOD, poly_hash_expr
+
+    h = poly_hash_expr(F.concat(F.lit(str(i)), F.lit(":"), key.cast("string")))
+    return ((h * F.lit(2654435761)) % F.lit(POLY_MOD)) % F.lit(m)
+
+
+def bloom_prune(
+    big: DataFrame,
+    big_key: Column | str,
+    small: DataFrame,
+    small_key: Column | str,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Runtime-filter join pruning: keep only `big` rows whose key MIGHT
+    appear in `small`'s key set, tested against a Bloom filter built from
+    the small side — the pre-shuffle prune Spark's own runtime filters
+    apply, exposed as an operator so any join (or a sink, or a later
+    stage) can reuse one cheap membership test instead of shuffling
+    non-matching rows across the cluster. False positives pass (join
+    correctness is unaffected — the real join still decides); false
+    negatives cannot happen.
+
+    Build: the small side's k seeded positions collapse to a DISTINCT set
+    (one tiny aggregation) collected to the driver — ≤ m integers, a
+    documented model-size collect, the same thing Spark broadcasts for
+    its InSubquery/bloom runtime filters — and packed into an
+    array<int> literal bitmask of ⌈m/32⌉ words. Probe: per row, k hash
+    positions, each tested with pure integer arithmetic
+    (word div 2^(p%32)) % 2 — no join, no Python, pushdown-compatible.
+    With the deterministic portable hash family the surviving row set —
+    including the false positives — is reproducible in ANSI SQL.
+
+    Sizing: false-positive rate ≈ (1 − e^(−kn/m))^k; default 8192×3 is
+    ~1.1% at n=1000. Raise m for bigger small sides (driver cost stays
+    m bits)."""
+    if m < 32 or k < 1:
+        raise ValueError(f"need m >= 32 and k >= 1, got m={m}, k={k}")
+    sk = (F.col(small_key) if isinstance(small_key, str) else small_key)
+    bk = (F.col(big_key) if isinstance(big_key, str) else big_key)
+    pos_rows = (
+        small.filter(sk.isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_bloom_positions(i, sk, m) for i in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    n_words = (m + 31) // 32
+    words = [0] * n_words
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // 32] |= 1 << (p % 32)
+    mask = F.array(*[F.lit(w).cast("long") for w in words])
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    cond = None
+    for i in range(k):
+        p = _bloom_positions(i, bk, m)
+        word = F.element_at(mask, (p / 32).cast("int") + 1)
+        bit = ((word / F.element_at(pow2, (p % 32).cast("int") + 1))
+               .cast("long") % 2) == 1
+        cond = bit if cond is None else (cond & bit)
+    return big.filter(bk.isNotNull() & cond)

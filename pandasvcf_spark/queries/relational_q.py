@@ -230,6 +230,59 @@ def j_semi(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
+_BLOOM_H_BUILD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split("
+    "CAST(i AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR), ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+_BLOOM_H_PROBE = _BLOOM_H_BUILD.replace("o_orderkey", "l_orderkey")
+
+
+@register(
+    "j_bloom_prune",
+    oracle=f"""
+    WITH sk AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 50 = 0),
+    pos AS (
+      SELECT DISTINCT (({_BLOOM_H_BUILD} * 2654435761) % 2147483647) % 8192
+               AS p
+      FROM sk, generate_series(0, 2) AS s(i)),
+    keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    kp AS (
+      SELECT l_orderkey, i,
+             (({_BLOOM_H_PROBE} * 2654435761) % 2147483647) % 8192 AS p
+      FROM keys, generate_series(0, 2) AS s(i)),
+    passk AS (
+      SELECT l_orderkey FROM kp JOIN pos USING (p)
+      GROUP BY l_orderkey HAVING count(DISTINCT i) = 3)
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN passk USING (l_orderkey)
+    """,
+)
+def j_bloom_prune(spark, sf_dir):
+    """Runtime-filter join pruning (operators/relational.bloom_prune):
+    lineitem pre-filtered by a deterministic 8192-bit / 3-hash Bloom
+    filter of a small urgent-orders key set — the pre-shuffle prune that
+    keeps non-matching fact rows off the exchange entirely. The probe is
+    pure integer arithmetic against a broadcast bitmask literal (no join,
+    no Python); false positives pass by design and the oracle reproduces
+    the EXACT surviving set, false positives included, by replaying the
+    position-set membership in SQL."""
+    from pandasvcf_spark.operators.relational import bloom_prune
+
+    small = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderkey") % 50 == 0)
+    )
+    out = bloom_prune(
+        load(spark, sf_dir, "lineitem"), "l_orderkey",
+        small, "o_orderkey", m=8192, k=3,
+    )
+    return out.select("l_orderkey", "l_linenumber")
+
+
 @register(
     "j_anti",
     oracle="""

@@ -323,3 +323,33 @@ def test_interval_overlap_derived_bin_width_and_guard(spark):
             wide, b, "s", "e", "bs", "be", by=["k"], bin_width=5,
             max_bins_per_row=1000,
         ).collect()
+
+
+def test_bloom_prune_no_false_negatives_and_join_equivalence(spark):
+    """Every true match survives the prune (false negatives impossible);
+    joining after the prune equals joining without it; false positives
+    exist but are rare at the default sizing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.relational import bloom_prune
+
+    big = spark.range(20000).select(F.col("id").alias("k"),
+                                    (F.col("id") % 7).alias("v"))
+    small = spark.range(150).select((F.col("id") * 131).alias("k"))
+    pruned = bloom_prune(big, "k", small, "k", m=8192, k=3)
+    kept = {r.k for r in pruned.select("k").collect()}
+    true_keys = {i * 131 for i in range(150) if i * 131 < 20000}
+    assert true_keys <= kept  # no false negatives, ever
+    fp = len(kept) - len(true_keys)
+    assert fp < 2000  # sanity: ~1% regime, not a pass-through
+    # composition: join after prune == join without prune
+    direct = sorted(
+        tuple(r) for r in big.join(small, "k").collect()
+    )
+    via_prune = sorted(
+        tuple(r) for r in pruned.join(small, "k").collect()
+    )
+    assert direct == via_prune
+    with _pytest.raises(ValueError, match="m >= 32"):
+        bloom_prune(big, "k", small, "k", m=16)

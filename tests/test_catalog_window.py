@@ -215,6 +215,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery as sk_kmv_distinct (in
                                  # window); bit-exact grid replay
                                  # oracle; overcount-only unit tests
+        "j_bloom_prune",         # Bloom runtime-filter prune: literal-
+                                 # bitmask probe, same portable-hash +
+                                 # join machinery covered in window;
+                                 # exact-surviving-set oracle (false
+                                 # positives replayed); no-false-negative
+                                 # + join-equivalence unit tests
         "g_mendel",              # Mendelian trio consistency: pivot
                                  # groupBy + pure CASE verdict (same
                                  # conditional-agg machinery as
