@@ -604,3 +604,38 @@ def mendel_check(
         .otherwise("violation")
     )
     return piv.select(*site_cols, "c1", "c2", status.alias("status"))
+
+
+def af_spectrum(
+    df: DataFrame,
+    site_cols: list[str],
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    ref_col: str = "REF",
+    missing: str = ".",
+) -> DataFrame:
+    """Site-frequency spectrum: how many sites carry each (allele number,
+    alternate allele count) combination — population genetics' first
+    summary plot (the SFS shape separates neutral drift from selection
+    and calling artifacts). Builds on `hwe_stats`' per-site genotype
+    counts: ac = n_het + 2·n_hom_alt, an = 2·n_called, then one count per
+    (an, ac) cell. Stratifying by `an` keeps the spectrum exact when
+    sites differ in call number (the conventional fixed-n SFS assumes
+    complete calls; mixing ans would silently blur it). All-integer
+    arithmetic end to end. Output: (an BIGINT, ac BIGINT,
+    n_sites BIGINT); zero-called sites land in the (0, 0) cell.
+
+    Two partial-aggregated shuffles: sites × 3 counters, then the tiny
+    (an, ac) histogram."""
+    per_site = hwe_stats(
+        df, site_cols, a1_col=a1_col, a2_col=a2_col,
+        ref_col=ref_col, missing=missing,
+    )
+    return (
+        per_site.select(
+            (2 * F.col("n_called")).alias("an"),
+            (F.col("n_het") + 2 * F.col("n_hom_alt")).alias("ac"),
+        )
+        .groupBy("an", "ac")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+    )

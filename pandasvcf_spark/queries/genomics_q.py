@@ -694,6 +694,45 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_af_spectrum",
+    oracle=_GENO_CTE
+    + """
+    , cls AS (
+      SELECT l_orderkey,
+             CASE WHEN a1 <> '.' AND a2 <> '.' THEN
+               (CASE WHEN a1 = 'A' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 = 'A' THEN 1 ELSE 0 END)
+             END AS nref
+      FROM ann),
+    agg AS (
+      SELECT l_orderkey,
+             CAST(sum(CASE WHEN nref IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_called,
+             CAST(sum(CASE WHEN nref = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_het,
+             CAST(sum(CASE WHEN nref = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hom_alt
+      FROM cls GROUP BY l_orderkey)
+    SELECT 2 * n_called AS an, n_het + 2 * n_hom_alt AS ac,
+           count(*) AS n_sites
+    FROM agg GROUP BY 1, 2
+    """,
+)
+def g_af_spectrum(spark, sf_dir):
+    """Site-frequency spectrum (operators/annotate.af_spectrum): sites
+    per (allele number, alternate allele count) cell over the parsed
+    derived genotypes — population genetics' first summary, stratified by
+    call number so incomplete sites never blur the spectrum. All-integer:
+    the oracle replays the genotype-class counts and the (an, ac)
+    histogram exactly. Two partial-aggregated shuffles (sites × 3
+    counters, then the tiny histogram)."""
+    from pandasvcf_spark.operators.annotate import af_spectrum
+
+    d = _gt_parsed(spark, sf_dir).withColumn("REF", F.lit("A"))
+    return af_spectrum(d, ["l_orderkey"])
+
+
+@register(
     "g_mendel",
     oracle=_GENO_CTE
     + """

@@ -364,3 +364,26 @@ def test_mendel_check_hand_cases(spark):
         4: "incomplete",
         5: "incomplete",
     }
+
+
+def test_af_spectrum_hand_case(spark):
+    """SFS cells: a fully-called 3-sample locus set with known allele
+    counts; an incomplete site lands in its own an stratum."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.annotate import af_spectrum
+
+    rows = [
+        # site 1: AA, AG, GG -> an 6, ac 3
+        (1, "A", "A"), (1, "A", "G"), (1, "G", "G"),
+        # site 2: AA, AA, AA -> an 6, ac 0
+        (2, "A", "A"), (2, "A", "A"), (2, "A", "A"),
+        # site 3: AG, AG, GG -> an 6, ac 4
+        (3, "A", "G"), (3, "G", "A"), (3, "G", "G"),
+        # site 4: one called het + one missing -> an 2, ac 1
+        (4, "A", "G"), (4, ".", "."),
+    ]
+    d = spark.createDataFrame(rows, "site long, a1 string, a2 string")
+    d = d.withColumn("REF", F.lit("A"))
+    got = {(r.an, r.ac): r.n_sites for r in af_spectrum(d, ["site"]).collect()}
+    assert got == {(6, 3): 1, (6, 0): 1, (6, 4): 1, (2, 1): 1}

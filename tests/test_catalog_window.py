@@ -226,6 +226,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional-agg machinery as
                                  # g_sample_qc, in window); verbatim
                                  # replay oracle; hand-case tests
+        "g_af_spectrum",         # site-frequency spectrum: built on
+                                 # g_hwe's genotype-class counts (same
+                                 # machinery), all-integer exact oracle;
+                                 # hand-case unit test
         "g_hwe",                 # Hardy-Weinberg chi-square per site:
                                  # same conditional-agg machinery as
                                  # g_sample_qc (in window); term-for-term
