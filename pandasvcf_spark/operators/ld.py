@@ -1,0 +1,131 @@
+"""Linkage-disequilibrium r² between nearby variant pairs (beyond-reference
+extension surface; plink --r2 / bcftools +prune family).
+
+LD is the canonical quadratic-looking genomics computation — naive form is
+a site × site correlation matrix — made tractable by locality: LD decays
+with distance, so real pipelines only score pairs within a window. The plan
+here is the banded-join discipline the repo uses everywhere (range_join /
+interval_overlap_join): never a theta join, never sample-level pair
+explosion.
+
+Plan shape:
+  1. one groupBy(site) packs each site's calls into a sample→dosage MAP
+     (dosage = alt-allele count 0/1/2, genotype-based composite LD — what
+     plink computes without phase);
+  2. sites self-join on position bins of width = the window (each left row
+     probes bins b and b+1, so every ordered pair within the window matches
+     exactly once — no distinct());
+  3. per pair, one HOF fold over the two maps' common samples accumulates
+     the six integer sums (n, Σx, Σy, Σxy, Σx², Σy²) — pairwise deletion
+     of samples missing at either site, all-integer until the final r²
+     division.
+
+Shuffle cost: sites × panel-width maps through one equi-join; the
+correlation never touches a per-sample pair row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ld_r2(
+    df: DataFrame,
+    site_col: str,
+    pos_col: str,
+    sample_col: str,
+    dosage_col: str,
+    max_dist: int,
+    min_samples: int = 2,
+) -> DataFrame:
+    """Pairwise genotype r² for all site pairs with 0 < pos_b − pos_a ≤
+    `max_dist` (ordered: each unordered pair appears once, a-side first).
+
+    Input: long table of called dosages (rows with NULL dosage are
+    ignored), UNIQUE per (site, sample) — a duplicated sample raises
+    DUPLICATED_MAP_KEY under the session's default policy (an explicit
+    error, never a partition-dependent pick; aggregate duplicates away
+    upstream). A sample contributes to a pair only when called at BOTH
+    sites (pairwise deletion). Output: site_a, site_b, pos_a, pos_b,
+    n_samples BIGINT, r2 DOUBLE (round 4; NULL when fewer than
+    `min_samples` common samples or either site is monomorphic across
+    the common set — correlation is undefined there, and a silent 0
+    would read as linkage equilibrium, which is a claim, not a gap)."""
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    b = int(max_dist)
+    site, pos = F.col(site_col), F.col(pos_col)
+    per_site = (
+        df.filter(F.col(dosage_col).isNotNull())
+        .groupBy(site.alias("s"), pos.alias("p"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(sample_col).alias("k"),
+                            F.col(dosage_col).cast("long").alias("v"),
+                        )
+                    )
+                )
+            ).alias("g")
+        )
+    )
+    left = per_site.select(
+        F.col("s").alias("site_a"),
+        F.col("p").alias("pos_a"),
+        F.col("g").alias("__ga"),
+        F.explode(
+            F.array((F.col("p") / b).cast("long"), (F.col("p") / b).cast("long") + 1)
+        ).alias("__bin"),
+    )
+    right = per_site.select(
+        F.col("s").alias("site_b"),
+        F.col("p").alias("pos_b"),
+        F.col("g").alias("__gb"),
+        (F.col("p") / b).cast("long").alias("__bin"),
+    )
+    pairs = left.join(right, "__bin").filter(
+        (F.col("pos_b") > F.col("pos_a"))
+        & (F.col("pos_b") - F.col("pos_a") <= b)
+    )
+    common = F.filter(
+        F.map_keys(F.col("__ga")),
+        lambda k: F.map_contains_key(F.col("__gb"), k),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("n"), zero.alias("sx"), zero.alias("sy"),
+        zero.alias("sxy"), zero.alias("sxx"), zero.alias("syy"),
+    )
+
+    def step(acc, k):
+        x = F.element_at(F.col("__ga"), k)
+        y = F.element_at(F.col("__gb"), k)
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["sx"] + x).alias("sx"),
+            (acc["sy"] + y).alias("sy"),
+            (acc["sxy"] + x * y).alias("sxy"),
+            (acc["sxx"] + x * x).alias("sxx"),
+            (acc["syy"] + y * y).alias("syy"),
+        )
+
+    st = F.aggregate(common, init, step)
+    n, sx, sy = st["n"], st["sx"], st["sy"]
+    cov_n = n * st["sxy"] - sx * sy        # n²·cov — integers, exact
+    var_x = n * st["sxx"] - sx * sx        # n²·var — integers, exact
+    var_y = n * st["syy"] - sy * sy
+    r2 = F.when(
+        (n >= min_samples) & (var_x > 0) & (var_y > 0),
+        F.round(
+            (cov_n * cov_n).cast("double")
+            / (var_x * var_y).cast("double"),
+            4,
+        ),
+    )
+    return pairs.select(
+        "site_a", "site_b", "pos_a", "pos_b",
+        n.alias("n_samples"), r2.alias("r2"),
+    ).filter(F.col("n_samples") >= 1)  # no common data -> no pair row

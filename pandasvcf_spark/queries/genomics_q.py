@@ -694,6 +694,70 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_ld",
+    oracle=_GENO_CTE
+    + """
+    , dos AS (
+      SELECT l_orderkey AS s, l_linenumber AS k,
+             min(CASE WHEN a1 <> '.' AND a2 <> '.' THEN
+               (CASE WHEN a1 <> 'A' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 <> 'A' THEN 1 ELSE 0 END)
+             END) AS d
+      FROM ann GROUP BY 1, 2),
+    called AS (SELECT * FROM dos WHERE d IS NOT NULL),
+    pr AS (
+      SELECT a.s AS site_a, b.s AS site_b,
+             count(*) AS n,
+             sum(a.d) AS sx, sum(b.d) AS sy, sum(a.d * b.d) AS sxy,
+             sum(a.d * a.d) AS sxx, sum(b.d * b.d) AS syy
+      FROM called a JOIN called b
+        ON a.k = b.k AND b.s > a.s AND b.s - a.s <= 40
+      GROUP BY 1, 2)
+    SELECT site_a, site_b, site_a AS pos_a, site_b AS pos_b,
+           n AS n_samples,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                  AND n * syy - sy * sy > 0
+                THEN round(
+                  CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                  / CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                         AS DOUBLE), 4)
+           END AS r2
+    FROM pr
+    """,
+)
+def g_ld(spark, sf_dir):
+    """Pairwise linkage-disequilibrium r² (operators/ld.ld_r2; plink
+    --r2 family) for site pairs within 40 positions on the derived
+    relation: genotype-dosage correlation with pairwise deletion,
+    monomorphic pairs NULL. The engine plan is the banded-join
+    discipline (sites self-join on window bins, each ordered pair
+    matching exactly once; one HOF fold per pair over the two sample→
+    dosage maps — all-integer sums, one division at the end); the
+    oracle affords the naive per-sample pair join and replays the same
+    integer sums and formula."""
+    from pandasvcf_spark.operators.ld import ld_r2
+
+    d = _gt_parsed(spark, sf_dir)
+    a1, a2 = F.col("a1"), F.col("a2")
+    dosage = F.when(
+        (a1 != ".") & (a2 != "."),
+        (a1 != "A").cast("int") + (a2 != "A").cast("int"),
+    )
+    # the derived relation repeats (site, sample) (duplicate lineitem
+    # rows with different partkeys) — LD needs one genotype per slot, so
+    # collapse with min (NULL-ignoring on both engines)
+    dd = (
+        d.withColumn("dosage", dosage)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("dosage").alias("dosage"))
+        .withColumn("pos", F.col("l_orderkey"))
+    )
+    return ld_r2(
+        dd, "l_orderkey", "pos", "l_linenumber", "dosage", max_dist=40
+    )
+
+
+@register(
     "g_af_spectrum",
     oracle=_GENO_CTE
     + """

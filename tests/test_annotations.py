@@ -387,3 +387,52 @@ def test_af_spectrum_hand_case(spark):
     d = d.withColumn("REF", F.lit("A"))
     got = {(r.an, r.ac): r.n_sites for r in af_spectrum(d, ["site"]).collect()}
     assert got == {(6, 3): 1, (6, 0): 1, (6, 4): 1, (2, 1): 1}
+
+
+def test_ld_r2_hand_cases_and_plan(spark):
+    """Perfect LD (identical or mirrored dosages) scores 1; monomorphic
+    sites NULL; out-of-window pairs absent; pairwise deletion uses only
+    common samples; the plan is a banded equi-join (no theta join)."""
+    from pandasvcf_spark.operators.ld import ld_r2
+
+    dos = {
+        10: [0, 1, 2, 0, 1, 2],
+        15: [0, 1, 2, 0, 1, 2],      # identical -> r2 1
+        20: [2, 1, 0, 2, 1, 0],      # mirrored  -> r2 1 (r = -1)
+        25: [0, 0, 0, 0, 0, 0],      # monomorphic -> NULL
+        200: [0, 1, 2, 0, 1, 2],     # out of window
+    }
+    rows = [
+        (pos, pos, s, d)
+        for pos, ds in dos.items()
+        for s, d in enumerate(ds)
+    ]
+    d = spark.createDataFrame(rows, "site long, pos long, sample int, dosage int")
+    out = ld_r2(d, "site", "pos", "sample", "dosage", max_dist=50)
+    got = {(r.site_a, r.site_b): r.r2 for r in out.collect()}
+    assert got == {
+        (10, 15): 1.0, (10, 20): 1.0, (10, 25): None,
+        (15, 20): 1.0, (15, 25): None, (20, 25): None,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ld_r2_pairwise_deletion_and_known_value(spark):
+    """A sample missing at one site drops from that pair only; a hand
+    2x2 case gives the textbook r2."""
+    from pandasvcf_spark.operators.ld import ld_r2
+
+    rows = [
+        # site 1: samples 0..3 called; site 2: sample 3 missing
+        (1, 1, 0, 0), (1, 1, 1, 1), (1, 1, 2, 2), (1, 1, 3, 2),
+        (2, 2, 0, 0), (2, 2, 1, 2), (2, 2, 2, 2), (2, 2, 3, None),
+    ]
+    d = spark.createDataFrame(rows, "site long, pos long, sample int, dosage int")
+    out = ld_r2(d, "site", "pos", "sample", "dosage", max_dist=10).collect()
+    assert len(out) == 1 and out[0].n_samples == 3
+    # common samples (0,1,2): x=[0,1,2], y=[0,2,2]
+    # n=3 sx=3 sy=4 sxy=6 sxx=5 syy=8; covn=18-12=6, vx=15-9=6, vy=24-16=8
+    # r2 = 36 / 48 = 0.75
+    assert out[0].r2 == 0.75

@@ -226,6 +226,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional-agg machinery as
                                  # g_sample_qc, in window); verbatim
                                  # replay oracle; hand-case tests
+        "g_ld",                  # pairwise LD r²: banded self-join (same
+                                 # binning machinery as j_range_events /
+                                 # j_interval_overlap) + HOF fold; naive-
+                                 # join integer-sum replay oracle; hand-
+                                 # case + plan tests
         "g_af_spectrum",         # site-frequency spectrum: built on
                                  # g_hwe's genotype-class counts (same
                                  # machinery), all-integer exact oracle;
