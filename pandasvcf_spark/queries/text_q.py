@@ -429,6 +429,66 @@ def dedup_components(spark, sf_dir):
 _COMPONENTS_ORACLE = QUERIES["dedup_components"].oracle
 
 
+@register(
+    "dedup_cluster_sizes",
+    oracle=_COMPONENTS_ORACLE.replace(
+        """    SELECT id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+        """    , comp AS (SELECT id, min(lbl) AS component
+             FROM reach GROUP BY id),
+    sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY 1)
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters
+    FROM sizes GROUP BY 1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           (SELECT count(*) FROM d) - (SELECT count(*) FROM comp)
+    """,
+    ),
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — the diagnostic a dedup run
+    publishes next to its survivor count ("how much of the corpus sits
+    in 2-clusters vs one giant template family"): component sizes from
+    the same exact-Jaccard pair graph as `dedup_components`, plus the
+    singleton row (docs in no cluster) computed arithmetically from two
+    1-row aggregates — never an anti-join over the corpus. Output:
+    (cluster_size BIGINT, n_clusters BIGINT)."""
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_expr,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = d.select("doc_id", word_ngrams_expr("text", 2).alias("g"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", ngram_jaccard_expr(F.col("ga"), F.col("gb")))
+        .filter(F.col("j") >= 0.2)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    hist = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(F.col("n").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    singles = (
+        d.agg(F.count(F.lit(1)).alias("__all"))
+        .crossJoin(comp.agg(F.count(F.lit(1)).alias("__in")))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("__all") - F.col("__in")).alias("n_clusters"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
 @register("dedup_components_star", oracle=_COMPONENTS_ORACLE)
 def dedup_components_star(spark, sf_dir):
     """connected_components(method='star'): O(log n)-round large-star/

@@ -196,6 +196,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "dedup_cluster_sizes",   # component-size histogram: same
+                                 # closure machinery as dedup_components
+                                 # (tail, contract-guarded) + arithmetic
+                                 # singleton row; extended recursive-CTE
+                                 # oracle; singleton-accounting unit test
         "t_source_balance",      # mixture entropy/Herfindahl: same
                                  # two-stage partial-agg machinery as
                                  # t_corpus_report (in window);

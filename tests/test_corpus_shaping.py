@@ -944,3 +944,22 @@ def test_group_balance_known_distributions(spark):
     )
     rn = group_balance(withnull, "s").collect()[0]
     assert rn.n_groups == 2 and rn.herfindahl == 0.5
+
+
+def test_cluster_size_histogram_accounts_for_singletons(spark):
+    """Histogram rows cover every document exactly once: sum of
+    cluster_size x n_clusters equals the doc count, and the singleton
+    row equals docs minus clustered members."""
+    from pandasvcf_spark.queries.text_q import dedup_cluster_sizes
+
+    out = dedup_cluster_sizes(spark, "/root/testdata/sf0.001")
+    rows = {r.cluster_size: r.n_clusters for r in out.collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    total = con.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id < 200"
+    ).fetchone()[0]
+    assert sum(size * n for size, n in rows.items()) == total
+    assert all(size >= 1 and n >= 0 for size, n in rows.items())
