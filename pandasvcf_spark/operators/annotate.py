@@ -639,3 +639,52 @@ def af_spectrum(
         .groupBy("an", "ac")
         .agg(F.count(F.lit(1)).alias("n_sites"))
     )
+
+
+def roh_runs(
+    df: DataFrame,
+    sample_col: str,
+    pos_col: str,
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    missing: str = ".",
+    min_sites: int = 2,
+) -> DataFrame:
+    """Runs of homozygosity per sample (plink --homozyg family): maximal
+    runs of CONSECUTIVE called sites — in the sample's own position
+    order — where both alleles agree (hom-ref and hom-alt both count;
+    ROH is about autozygosity, not the allele). Long stretches flag
+    consanguinity, deletions, or reference bias; uncalled sites are
+    skipped (they carry no evidence either way), heterozygous sites
+    break the run. Output: (sample, start_pos, end_pos, n_sites BIGINT),
+    runs shorter than `min_sites` dropped.
+
+    Plan: two row_numbers over the SAME (sample, pos) window (one over
+    called sites, one over the homozygous subset) — their difference is
+    constant within a run (gap-and-island, the `repeated_ngram_spans`
+    device) — then one groupBy for run bounds. One shuffle on the sample
+    key; samples process in parallel."""
+    if min_sites < 1:
+        raise ValueError(f"min_sites must be >= 1, got {min_sites}")
+    a1, a2 = F.col(a1_col), F.col(a2_col)
+    called = (
+        a1.isNotNull() & a2.isNotNull() & (a1 != missing) & (a2 != missing)
+    )
+    w = Window.partitionBy(sample_col).orderBy(pos_col)
+    ranked = (
+        df.filter(called)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(a1 == a2)
+        .withColumn("__rh", F.row_number().over(w))
+        .withColumn("__grp", F.col("__rn") - F.col("__rh"))
+    )
+    return (
+        ranked.groupBy(F.col(sample_col).alias("sample"), "__grp")
+        .agg(
+            F.min(pos_col).alias("start_pos"),
+            F.max(pos_col).alias("end_pos"),
+            F.count(F.lit(1)).alias("n_sites"),
+        )
+        .filter(F.col("n_sites") >= min_sites)
+        .drop("__grp")
+    )

@@ -694,6 +694,63 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_roh",
+    oracle=_GENO_CTE
+    + """
+    , uniq AS (
+      SELECT l_linenumber AS k, l_orderkey AS pos,
+             min(a1 || '|' || a2) AS pair
+      FROM ann GROUP BY 1, 2),
+    alle AS (
+      SELECT k, pos, string_split(pair, '|')[1] AS a1,
+             string_split(pair, '|')[2] AS a2
+      FROM uniq),
+    calld AS (
+      SELECT k, pos, a1, a2,
+             row_number() OVER (PARTITION BY k ORDER BY pos) AS rn
+      FROM alle WHERE a1 <> '.' AND a2 <> '.'),
+    hom AS (
+      SELECT k, pos,
+             rn - row_number() OVER (PARTITION BY k ORDER BY pos) AS grp
+      FROM calld WHERE a1 = a2)
+    SELECT k AS sample, min(pos) AS start_pos, max(pos) AS end_pos,
+           count(*) AS n_sites
+    FROM hom GROUP BY k, grp HAVING count(*) >= 3
+    """,
+)
+def g_roh(spark, sf_dir):
+    """Runs of homozygosity (operators/annotate.roh_runs; plink
+    --homozyg family) per pseudo-sample over the parsed derived
+    genotypes: maximal consecutive-called-site runs where both alleles
+    agree, uncalled sites skipped, het sites breaking the run, runs
+    under 25 sites dropped. Duplicate (sample, site) rows collapse to
+    the lexicographically-min allele pair first (deterministic on both
+    engines). Gap-and-island plan: two row_numbers over one (sample,
+    pos) window, one groupBy — a single shuffle on the sample key."""
+    from pandasvcf_spark.operators.annotate import roh_runs
+
+    d = _gt_parsed(spark, sf_dir)
+    uniq = (
+        d.groupBy(
+            F.col("l_linenumber").alias("k"),
+            F.col("l_orderkey").alias("pos"),
+        )
+        .agg(
+            F.min(
+                F.concat(F.col("a1"), F.lit("|"), F.col("a2"))
+            ).alias("pair")
+        )
+        .select(
+            "k",
+            "pos",
+            F.split(F.col("pair"), r"\|").getItem(0).alias("a1"),
+            F.split(F.col("pair"), r"\|").getItem(1).alias("a2"),
+        )
+    )
+    return roh_runs(uniq, "k", "pos", min_sites=3)
+
+
+@register(
     "g_ld",
     oracle=_GENO_CTE
     + """

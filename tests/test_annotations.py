@@ -436,3 +436,28 @@ def test_ld_r2_pairwise_deletion_and_known_value(spark):
     # n=3 sx=3 sy=4 sxy=6 sxx=5 syy=8; covn=18-12=6, vx=15-9=6, vy=24-16=8
     # r2 = 36 / 48 = 0.75
     assert out[0].r2 == 0.75
+
+
+def test_roh_runs_hand_case(spark):
+    """Uncalled sites bridge a run (no evidence either way), het sites
+    break it, min_sites drops short runs."""
+    from pandasvcf_spark.operators.annotate import roh_runs
+
+    rows = [
+        ("s1", 10, "A", "A"), ("s1", 20, "G", "G"), ("s1", 25, ".", "."),
+        ("s1", 30, "A", "A"), ("s1", 40, "A", "G"),
+        ("s1", 50, "T", "T"), ("s1", 60, "A", "A"),
+        ("s2", 5, "A", "A"), ("s2", 6, "A", "G"),
+    ]
+    d = spark.createDataFrame(rows, "s string, pos long, a1 string, a2 string")
+    got = {
+        (r.sample, r.start_pos, r.end_pos, r.n_sites)
+        for r in roh_runs(d, "s", "pos", min_sites=2).collect()
+    }
+    assert got == {("s1", 10, 30, 3), ("s1", 50, 60, 2)}
+    # min_sites=3 keeps only the bridged run
+    got3 = {
+        (r.sample, r.start_pos, r.end_pos)
+        for r in roh_runs(d, "s", "pos", min_sites=3).collect()
+    }
+    assert got3 == {("s1", 10, 30)}

@@ -231,6 +231,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional-agg machinery as
                                  # g_sample_qc, in window); verbatim
                                  # replay oracle; hand-case tests
+        "g_roh",                 # runs of homozygosity: gap-and-island
+                                 # window (same device as
+                                 # t_repeated_spans); island replay
+                                 # oracle; hand-case unit test
         "g_ld",                  # pairwise LD r²: banded self-join (same
                                  # binning machinery as j_range_events /
                                  # j_interval_overlap) + HOF fold; naive-
