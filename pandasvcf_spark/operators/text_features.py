@@ -390,3 +390,67 @@ def group_balance(
         ).alias("entropy_norm"),
         F.round(F.col("__sum_n2") / (t * t), 4).alias("herfindahl"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking of a corpus against a bag-of-terms query — the
+    classic lexical retrieval scorer (Robertson-Spärck Jones; the
+    Lucene-style idf variant ln(1 + (N − df + 0.5)/(df + 0.5)), always
+    positive):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+
+    Output: top-`k` (id, score DOUBLE round 4), deterministic total
+    order (rounded score desc, id asc). Documents matching no query term
+    score nothing and never reach the sort.
+
+    Plan: ONE tokenize pass computes both the per-doc length and the
+    per-(doc, query-term) tf (terms filtered against a literal array
+    before the count shuffle, so only query-term hits leave the scan);
+    df, N and avgdl are term-count-sized / single-row broadcast
+    aggregates; the final top-k is TakeOrdered. The corpus shuffles only
+    its (doc, matched-term) hits — never full text."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = [t.lower() for t in query_terms]
+    w = words_expr(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"), w.alias("__w")
+    ).select("id", F.explode("__w").alias("term"), F.size("__w").alias("dl"))
+    stats = base.groupBy().agg(
+        F.count_distinct("id").alias("__n"),
+        (F.count(F.lit(1)) / F.count_distinct("id")).alias("__avgdl"),
+    )
+    hits = base.filter(F.col("term").isin(terms))
+    tf = hits.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        1.0 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )

@@ -1160,6 +1160,48 @@ def sk_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "t_bm25_topk",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+      FROM documents WHERE text IS NOT NULL),
+    stats AS (
+      SELECT count(DISTINCT id) AS n,
+             count(*) / CAST(count(DISTINCT id) AS DOUBLE) AS avgdl
+      FROM base),
+    tf AS (
+      SELECT id, term, count(*) AS tf, min(dl) AS dl
+      FROM base WHERE term IN ('data', 'model', 'queries')
+      GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS dfx FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT id,
+             ln(1.0 + (n - dfx + 0.5) / (dfx + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS c
+      FROM tf JOIN dfc USING (term), stats)
+    SELECT id, round(sum(c), 4) AS score
+    FROM contrib GROUP BY id
+    ORDER BY score DESC, id LIMIT 10
+    """,
+)
+def t_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/text_features.bm25_topk,
+    Lucene-style always-positive idf): top-10 documents for a fixed
+    bag-of-terms query. One tokenize pass yields doc length and
+    query-term tf (terms filtered before the count shuffle — only hits
+    leave the scan); df / N / avgdl broadcast; TakeOrdered top-k with a
+    rounded-score + id total order. The oracle replays the formula
+    term-for-term."""
+    from pandasvcf_spark.operators.text_features import bm25_topk
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bm25_topk(d, ["data", "model", "queries"], k=10)
+
+
+@register(
     "t_source_balance",
     oracle="""
     WITH c AS (SELECT source AS g, count(*) AS n FROM documents GROUP BY 1),

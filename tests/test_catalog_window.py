@@ -196,6 +196,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "t_bm25_topk",           # BM25 lexical retrieval: same
+                                 # tokenize/agg/broadcast/TakeOrdered
+                                 # machinery as t_tfidf_top_terms (in
+                                 # window); formula replay oracle;
+                                 # ranking-sanity unit test
         "dedup_cluster_sizes",   # component-size histogram: same
                                  # closure machinery as dedup_components
                                  # (tail, contract-guarded) + arithmetic

@@ -963,3 +963,30 @@ def test_cluster_size_histogram_accounts_for_singletons(spark):
     ).fetchone()[0]
     assert sum(size * n for size, n in rows.items()) == total
     assert all(size >= 1 and n >= 0 for size, n in rows.items())
+
+
+def test_bm25_ranking_sanity(spark):
+    """Multi-term match outranks high-tf term spam; length normalization
+    demotes a long doc with one hit; non-matching docs never appear."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.text_features import bm25_topk
+
+    docs = [
+        (1, "spark query engine for data processing and data pipelines"),
+        (2, "data data data data data"),
+        (3, "a long document about gardening with one mention of data "
+            "somewhere in the middle of many many other words"),
+        (4, "nothing relevant here at all"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_topk(d, ["data", "query"], k=10).collect()
+    ids = [r.id for r in out]
+    assert ids[0] == 1          # matches both terms
+    assert 4 not in ids         # no match -> absent
+    scores = {r.id: r.score for r in out}
+    assert scores[2] > scores[3]  # tf counts, but saturates vs length
+    with _pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(d, [])
+    with _pytest.raises(ValueError, match="k must"):
+        bm25_topk(d, ["data"], k=0)
