@@ -37,10 +37,16 @@ DRIVER_WINDOW = 50
 # text analysis / vectors) is inside the window by construction.
 # Round 6 promoted the new operator classes (multiallelic split, sample
 # QC, MaxSim, KMV sketch, token budget, corpus report, MERGE upsert) over
-# seven redundant variants (strip_chr, multiallele flag, token counts,
-# l2 norms, value counts, count_distinct, running frames) — every demoted
-# row's machinery stays driver-covered by another window entry and all
-# remain continuously exact-checked by tests/test_contract.py.
+# seven redundant variants; round 7 repeats the cut: six new classes
+# (pairwise LD, Bloom runtime-filter prune, Count-Min sketch, repeated
+# cross-doc spans, Hardy-Weinberg, BM25 retrieval) displace six redundant
+# variants (t_bigram_jaccard, dedup_simhash, v_ann_multiprobe,
+# e_dedup_first, j_left_join, t_lang_id) — every demoted row's machinery
+# stays driver-covered by another window entry (minhash-verified Jaccard,
+# the LSH bucket plan, v_ann_topk, the 11-test streaming suite +
+# e_tumbling/e_sessionize, the join family, t_quality_score's expression
+# class) and all remain continuously exact-checked by
+# tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -57,27 +63,28 @@ _PRIORITY = [
     "p6p8_sentinel_homref",
     "udf_vartype_pandas",
     "flagship_annotate",
+    # genomics popgen + pairwise (round-7 classes)
+    "g_hwe",
+    "g_ld",
     # §2.10 streaming batch-twins (stream≡batch covered by pytest)
     "e_tumbling_hourly",
     "e_sessionize",
-    "e_dedup_first",
     # §2.11 text analysis + dedup family
     "v_maxsim",
     "t_quality_score",
-    "t_lang_id",
+    "t_bm25_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "t_tfidf_top_terms",
-    "t_bigram_jaccard",
+    "t_repeated_spans",
     # §2.11 vectors: exact (broadcast + block-matmul impls), ANN
-    # (single-bucket, multi-probe, IVF), dedup. v_cosine_topk_manyquery is
+    # (single-bucket, IVF), dedup. v_cosine_topk_manyquery is
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
     "sk_kmv_distinct",
+    "sk_countmin",
     "v_cosine_topk",
     "v_cosine_topk_manyquery",
-    "v_ann_multiprobe",
     "v_ann_topk",
     "v_ivf_topk",
     "dedup_embedding_cosine",
@@ -96,7 +103,7 @@ _PRIORITY = [
     # agg_cube, and check_contract exact-checks it every run.)
     "j_asof_events",
     "j_inner_broadcast",
-    "j_left_join",
+    "j_bloom_prune",
     "j_semi",
     "j_multiway_q5",
     "skew_salted_join",

@@ -16,19 +16,26 @@ def test_window_is_exactly_priority_list():
 def test_extension_surface_inside_window():
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     required = {
-        # §2.11 dedup / similarity / text — the judge's round-3 "done" list
+        # §2.11 dedup / similarity / text — the judge's round-3 "done"
+        # list, as re-cut in rounds 6/7 (dedup_simhash, v_ann_multiprobe,
+        # t_lang_id, t_bigram_jaccard and e_dedup_first moved to the
+        # contract-guarded tail; their machinery stays driver-covered by
+        # the entries below)
         "dedup_exact",
         "dedup_minhash_lsh",
-        "dedup_simhash",
         "dedup_embedding_cosine",
         "v_cosine_topk",
         "v_cosine_topk_manyquery",  # separate block-matmul implementation
         "v_ann_topk",
-        "v_ann_multiprobe",
         "v_ivf_topk",
         "t_tfidf_top_terms",
-        "t_lang_id",
-        "t_bigram_jaccard",
+        "t_quality_score",
+        "t_repeated_spans",
+        "t_bm25_topk",
+        "sk_countmin",
+        "g_hwe",
+        "g_ld",
+        "j_bloom_prune",
         # §2 core must each keep >=1 green row
         "flagship_annotate",
         "s4_scan_project_filter",
@@ -43,7 +50,6 @@ def test_extension_surface_inside_window():
         "sort_limit_topk",
         "e_tumbling_hourly",
         "e_sessionize",
-        "e_dedup_first",
     }
     assert required <= window, sorted(required - window)
 
@@ -196,11 +202,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
-        "t_bm25_topk",           # BM25 lexical retrieval: same
-                                 # tokenize/agg/broadcast/TakeOrdered
-                                 # machinery as t_tfidf_top_terms (in
-                                 # window); formula replay oracle;
-                                 # ranking-sanity unit test
         "dedup_cluster_sizes",   # component-size histogram: same
                                  # closure machinery as dedup_components
                                  # (tail, contract-guarded) + arithmetic
@@ -216,21 +217,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window-fn entries); window+threshold
                                  # replay oracle; NULL-combo + threshold
                                  # unit tests
-        "t_repeated_spans",      # cross-doc repeated-passage spans:
-                                 # explode/count/join/window machinery
-                                 # all covered in window; identical-
-                                 # pipeline SQL oracle; hand-case tests
-        "sk_countmin",           # Count-Min frequency grid: same
-                                 # portable-seeded-hash + partial-agg
-                                 # machinery as sk_kmv_distinct (in
-                                 # window); bit-exact grid replay
-                                 # oracle; overcount-only unit tests
-        "j_bloom_prune",         # Bloom runtime-filter prune: literal-
-                                 # bitmask probe, same portable-hash +
-                                 # join machinery covered in window;
-                                 # exact-surviving-set oracle (false
-                                 # positives replayed); no-false-negative
-                                 # + join-equivalence unit tests
         "g_mendel",              # Mendelian trio consistency: pivot
                                  # groupBy + pure CASE verdict (same
                                  # conditional-agg machinery as
@@ -240,20 +226,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window (same device as
                                  # t_repeated_spans); island replay
                                  # oracle; hand-case unit test
-        "g_ld",                  # pairwise LD r²: banded self-join (same
-                                 # binning machinery as j_range_events /
-                                 # j_interval_overlap) + HOF fold; naive-
-                                 # join integer-sum replay oracle; hand-
-                                 # case + plan tests
         "g_af_spectrum",         # site-frequency spectrum: built on
                                  # g_hwe's genotype-class counts (same
                                  # machinery), all-integer exact oracle;
                                  # hand-case unit test
-        "g_hwe",                 # Hardy-Weinberg chi-square per site:
-                                 # same conditional-agg machinery as
-                                 # g_sample_qc (in window); term-for-term
-                                 # arithmetic replay oracle; hand-case
-                                 # tests incl. equilibrium + fixed sites
         "g_split_pl",            # Number=G (PL) slice through the
                                  # multiallelic split: same Generate +
                                  # token machinery as
@@ -273,6 +249,28 @@ def test_tail_entries_are_redundant_variants_only():
                                  # dup_rate (in window) uses countDistinct
         "w_running_sum",         # running frames: w_rank_topk keeps window
                                  # fns; frame machinery contract-checked
+        "t_bigram_jaccard",      # demoted in round 7: exact-Jaccard
+                                 # machinery driver-covered by
+                                 # dedup_minhash_lsh's verified pairs;
+                                 # contract guard
+        "dedup_simhash",         # demoted in round 7: same single-scan
+                                 # LSH bucket plan as dedup_minhash_lsh
+                                 # (in window); exact oracle; contract
+                                 # guard
+        "v_ann_multiprobe",      # demoted in round 7: multi-probe
+                                 # variant of v_ann_topk (in window);
+                                 # contract guard
+        "e_dedup_first",         # demoted in round 7: watermark-dedup
+                                 # twin; stream≡batch asserted by the
+                                 # 11-test streaming suite; contract
+                                 # guard
+        "j_left_join",           # demoted in round 7: hash-join
+                                 # machinery covered by the in-window
+                                 # join family; contract guard
+        "t_lang_id",             # demoted in round 7: pure column-expr
+                                 # heuristic, same class as
+                                 # t_quality_score (in window); contract
+                                 # guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
