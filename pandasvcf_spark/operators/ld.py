@@ -38,6 +38,7 @@ def ld_r2(
     dosage_col: str,
     max_dist: int,
     min_samples: int = 2,
+    materialize_sites: bool = True,
 ) -> DataFrame:
     """Pairwise genotype r² for all site pairs with 0 < pos_b − pos_a ≤
     `max_dist` (ordered: each unordered pair appears once, a-side first).
@@ -51,7 +52,16 @@ def ld_r2(
     n_samples BIGINT, r2 DOUBLE (round 4; NULL when fewer than
     `min_samples` common samples or either site is monomorphic across
     the common set — correlation is undefined there, and a silent 0
-    would read as linkage equilibrium, which is a claim, not a gap)."""
+    would read as linkage equilibrium, which is a claim, not a gap).
+
+    materialize_sites: the self-join's two sides are non-identical
+    subtrees (the left adds the bin explode), so Catalyst's
+    ReuseExchange never fires and the per-site map aggregation — the
+    heaviest stage, one full pass over the call table — would run TWICE.
+    True (default) localCheckpoints the per-site relation so both sides
+    read the materialized rows (one eager job at call time, the
+    connected-components precedent); pass False to stay fully lazy when
+    the input is already a materialized site-map table."""
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     b = int(max_dist)
@@ -72,6 +82,8 @@ def ld_r2(
             ).alias("g")
         )
     )
+    if materialize_sites:
+        per_site = per_site.localCheckpoint()
     left = per_site.select(
         F.col("s").alias("site_a"),
         F.col("p").alias("pos_a"),
