@@ -308,7 +308,14 @@ def repeated_ngram_spans(
     repeated-gram set (shuffle equi-join on the gram string) → per-doc
     gap-and-island window (pos - row_number is constant within a
     consecutive run) → one groupBy for span bounds. No self-joins, no
-    crossJoin; everything partial-aggregates."""
+    crossJoin; everything partial-aggregates.
+
+    The grams subtree is referenced twice (the df-count aggregation and
+    the occurrence probe), so the corpus tokenizes twice — deliberate:
+    materializing the exploded positional-gram relation to save the
+    second pass would persist tokens × positions rows, usually far more
+    expensive than re-tokenizing; cache `df` upstream if the input scan
+    itself is the bottleneck."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
@@ -417,7 +424,11 @@ def bm25_topk(
     before the count shuffle, so only query-term hits leave the scan);
     df, N and avgdl are term-count-sized / single-row broadcast
     aggregates; the final top-k is TakeOrdered. The corpus shuffles only
-    its (doc, matched-term) hits — never full text."""
+    its (doc, matched-term) hits — never full text. The tokenize subtree
+    is referenced three times (corpus stats, tf, and df-via-tf), so the
+    scan runs thrice — deliberate, same trade-off as
+    `repeated_ngram_spans`: the exploded token relation dwarfs the text;
+    pass a cached `df` when the input scan dominates."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if k < 1:
