@@ -371,6 +371,82 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     return h, w, channels, out.tobytes()
 
 
+def pack_bmp(height: int, width: int, rgb: bytes) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (BITMAPINFOHEADER, bottom-up,
+    4-byte row padding) — test/fixture twin of `decode_bmp`, same role
+    `pack_image`/`pack_wav` play for their decoders."""
+    import struct
+
+    assert len(rgb) == height * width * 3
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * row_raw:(y + 1) * row_raw]
+        # RGB -> BGR per pixel
+        for x in range(width):
+            r, g, b = row[x * 3:x * 3 + 3]
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return hdr + dib + bytes(body)
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Codec-library-free BMP decode → (height, width, channels, raw RGB)
+    — stdlib only, the same contract as `decode_png`. Supports the
+    uncompressed (BI_RGB) BITMAPINFOHEADER family that covers virtually
+    every .bmp in the wild: 24-bit BGR, 32-bit BGRX (alpha byte dropped),
+    and 8-bit palette (expanded to RGB via the BGRX color table);
+    bottom-up (positive height, the default) and top-down (negative)
+    row orders, 4-byte row padding. RLE/bitfields compression and other
+    bit depths raise NotImplementedError with the offending value named
+    — the honest-boundary convention of this module."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    off = struct.unpack_from("<I", blob, 10)[0]
+    dib_size = struct.unpack_from("<I", blob, 14)[0]
+    if dib_size < 40:
+        raise NotImplementedError(
+            f"BMP DIB header size {dib_size} (BITMAPINFOHEADER 40+ supported)"
+        )
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} (only BI_RGB=0 supported)"
+        )
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp} (8/24/32 supported)")
+    top_down = height < 0
+    h, w = abs(height), width
+    row_raw = (w * bpp + 7) // 8
+    stride = row_raw + ((-row_raw) % 4)
+    data = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, :row_raw]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=n_colors * 4, offset=14 + dib_size
+        ).reshape(n_colors, 4)
+        rgb = pal[rows.reshape(-1)][:, [2, 1, 0]]  # BGRX -> RGB
+        return h, w, 3, rgb.astype(np.uint8).tobytes()
+    px = rows.reshape(h, w, bpp // 8)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(X) -> RGB, alpha dropped
+    return h, w, 3, np.ascontiguousarray(rgb).tobytes()
+
+
 def decode_external(
     df: DataFrame,
     img_col: str = "img",
@@ -383,13 +459,14 @@ def decode_external(
     one Python round trip per batch, never per row.
 
     PNG decodes with the stdlib-only `decode_png` (zlib inflate +
-    unfilter) — no external codec library required. Other formats (JPEG,
-    WebP, ...) need PIL, which this container does not ship; they raise
+    unfilter) and BMP with `decode_bmp` (BI_RGB 8/24/32-bit) — no external
+    codec library required for either. Other formats (JPEG, WebP, ...)
+    need PIL, which this container does not ship; they raise
     NotImplementedError at plan-BUILD time (not mid-job on an executor)
     until pillow is installed, at which point the PIL branch below handles
     any format it can open."""
     fmt = fmt.lower()
-    use_pil = fmt != "png"
+    use_pil = fmt not in ("png", "bmp")
     if use_pil:
         try:
             import PIL.Image  # noqa: F401
@@ -414,6 +491,8 @@ def decode_external(
                     h, w = arr.shape[:2]
                     c = 1 if arr.ndim == 2 else arr.shape[2]
                     px = arr.astype("uint8").tobytes()
+                elif fmt == "bmp":
+                    h, w, c, px = decode_bmp(bytes(blob))
                 else:
                     h, w, c, px = decode_png(bytes(blob))
                 ids.append(img_id)

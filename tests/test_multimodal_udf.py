@@ -739,3 +739,59 @@ def test_media_walkers_never_throw_on_garbage():
     assert _mp4_walk(evil_mp4) is None
     evil_large = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 2**60) + b"x" * 8
     assert _mp4_walk(evil_large) is None
+
+
+def test_bmp_roundtrip_and_variants(spark):
+    """BI_RGB BMP decodes codec-free: 24-bit bottom-up round-trips, a
+    top-down (negative height) variant gives identical pixels, 8-bit
+    palette expands via the color table, compressed raises."""
+    import struct
+
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.multimodal import (
+        decode_bmp,
+        decode_external,
+        image_meta_expr,
+        pack_bmp,
+    )
+
+    rgb = bytes(
+        v for y in range(2) for x in range(3)
+        for v in (10 * y + x, 100 + x, 200 - y)
+    )
+    bottom_up = pack_bmp(2, 3, rgb)
+    assert decode_bmp(bottom_up) == (2, 3, 3, rgb)
+
+    # top-down: flip the height sign and reorder rows
+    off = 14 + 40
+    stride = 3 * 3 + ((-9) % 4)
+    body = bytearray(bottom_up[off:])
+    flipped = bytes(
+        b for y in range(1, -1, -1) for b in body[y * stride:(y + 1) * stride]
+    )
+    hdr = bytearray(bottom_up[:off])
+    struct.pack_into("<i", hdr, 22, -2)
+    assert decode_bmp(bytes(hdr) + flipped) == (2, 3, 3, rgb)
+
+    # 8-bit palette: 2 colors, 1x2 image
+    pal = bytes((255, 0, 0, 0)) + bytes((0, 0, 255, 0))  # blue, red (BGRX)
+    row = bytes((0, 1)) + b"\x00\x00"  # padded to 4
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, len(row), 0, 0, 2, 0)
+    poff = 14 + 40 + len(pal)
+    head = struct.pack("<2sIHHI", b"BM", poff + len(row), 0, 0, poff)
+    h, w, c, px = decode_bmp(head + dib + pal + row)
+    assert (h, w, c) == (1, 2, 3)
+    assert px == bytes((0, 0, 255)) + bytes((255, 0, 0))  # blue then red
+
+    # compression refused with the value named
+    bad = bytearray(bottom_up)
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+    with _pytest.raises(NotImplementedError, match="compression 1"):
+        decode_bmp(bytes(bad))
+
+    # Spark path: decode_external(fmt='bmp') -> IMG1 metadata matches
+    d = spark.createDataFrame([(1, bytearray(bottom_up))], "img_id long, img binary")
+    out = decode_external(d, fmt="bmp")
+    meta = out.select(image_meta_expr("img").alias("m")).collect()[0].m
+    assert (meta.height, meta.width, meta.channels) == (2, 3, 3)
