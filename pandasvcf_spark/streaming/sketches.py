@@ -1,0 +1,70 @@
+"""Streaming sketch maintenance — a Count-Min frequency grid kept current
+over an arriving corpus.
+
+The CMS is cell-wise mergeable (proven in tests/test_corpus_shaping.py:
+Sketch(A ∪ B) == cellwise-sum(Sketch(A), Sketch(B))), which makes the
+streaming form almost free: each micro-batch writes ITS OWN grid under
+`sketch_path/batch_id=N` (overwrite — the batch_id-directory idempotence
+contract of `write_stream_partitioned`/`dedup_ingest_stream`: a replayed
+batch after a crash between sink write and checkpoint commit overwrites
+its own directory instead of double-counting), and the queryable sketch is
+one re-aggregation over all batch directories. No per-batch read of
+historical state, no state store: the merge happens at QUERY time over
+depth × width × n_batches tiny rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sketch_ingest_stream(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    key,
+    depth: int = 4,
+    width: int = 1024,
+    query_name: str = "cms_ingest",
+    trigger: dict | None = None,
+):
+    """Maintain a Count-Min sketch of `key`'s frequency over a stream:
+    per micro-batch, build the batch's own grid (`countmin_sketch`) and
+    overwrite `sketch_path/batch_id=N`. Crash-replay safe by layout —
+    a replayed batch reproduces the identical directory, never a double
+    count. `key` is a column name or a zero-arg callable returning the
+    key Column (callable when the expression must rebuild inside each
+    micro-batch plan, the `dedup_ingest_stream` shingle convention).
+
+    Read the current sketch back with `read_sketch` — depth/width are
+    part of the sketch's identity, store them alongside."""
+    from pandasvcf_spark.operators.sketches import countmin_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        k = key() if callable(key) else key
+        countmin_sketch(batch_df, k, depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The current merged grid: cell-wise sum over every batch directory
+    — (d, cell, n), the exact `countmin_sketch` output shape, directly
+    consumable by `countmin_estimate`."""
+    return (
+        spark.read.option("basePath", sketch_path)
+        .parquet(f"{sketch_path}/batch_id=*")
+        .groupBy("d", "cell")
+        .agg(F.sum("n").alias("n"))
+    )

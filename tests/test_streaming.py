@@ -340,3 +340,82 @@ def test_hash_sample_stream_equals_batch(spark, batch_events, events_dir):
     want = hash_sample(batch_events, F.col("event_id"), 0.2).select("event_id")
     assert _sorted(got) == _sorted(want)
     assert 0 < want.count() < batch_events.count()
+
+
+def test_sketch_ingest_stream_matches_batch_and_replays(spark, tmp_path):
+    """Streamed Count-Min grid == one-shot batch grid over the same rows
+    (cell-wise mergeability end-to-end), and a crash-replayed batch
+    overwrites its own directory instead of double-counting."""
+    import json
+    import os
+    import time
+
+    from pandasvcf_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from pandasvcf_spark.sources.jsonl import read_jsonl_stream
+    from pandasvcf_spark.streaming.sketches import (
+        read_sketch,
+        sketch_ingest_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = [("w%d" % (i % 17)) for i in range(400)]
+    now = time.time()
+    for b in range(2):
+        p = os.path.join(str(in_dir), f"b{b}.jsonl")
+        with open(p, "w") as fh:
+            for i, w in enumerate(rows[b * 200:(b + 1) * 200]):
+                fh.write(json.dumps({
+                    "doc_id": b * 200 + i, "text": w, "lang": "en",
+                    "source": "s", "n_chars": len(w),
+                }) + "\n")
+        os.utime(p, (now - 20 + b, now - 20 + b))
+    sk_dir = str(tmp_path / "sk")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = read_jsonl_stream(
+            spark, str(in_dir), bad_records="drop", max_files_per_trigger=1
+        )
+        q = sketch_ingest_stream(
+            stream, sk_dir, ck, "text", depth=3, width=64,
+            query_name="t_cms_ingest",
+        )
+        q.awaitTermination()
+
+    drain()
+    merged = {(r.d, r.cell): r.n for r in read_sketch(spark, sk_dir).collect()}
+    batch_rows = spark.createDataFrame([(w,) for w in rows], "text string")
+    direct = {
+        (r.d, r.cell): r.n
+        for r in countmin_sketch(batch_rows, "text", depth=3, width=64).collect()
+    }
+    assert merged == direct
+
+    # crash replay: drop the last commit marker and re-drain
+    commits = sorted(
+        (p for p in (tmp_path / "ck" / "commits").iterdir()
+         if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    drain()
+    again = {(r.d, r.cell): r.n for r in read_sketch(spark, sk_dir).collect()}
+    assert again == direct, "replayed batch double-counted"
+
+    # the merged grid estimates like any countmin_sketch output
+    probes = spark.createDataFrame([("w0",), ("absent",)], "term string")
+    est = {
+        r.term: r.est
+        for r in countmin_estimate(
+            read_sketch(spark, sk_dir), probes, "term", depth=3, width=64
+        ).collect()
+    }
+    assert est["w0"] >= rows.count("w0") and est["absent"] == 0
