@@ -688,3 +688,63 @@ def roh_runs(
         .filter(F.col("n_sites") >= min_sites)
         .drop("__grp")
     )
+
+
+def inbreeding_stats(
+    df: DataFrame,
+    site_cols: list[str],
+    sample_col: str,
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    ref_col: str = "REF",
+    missing: str = ".",
+) -> DataFrame:
+    """Per-sample inbreeding coefficient F (plink --het's
+    method-of-moments): over the sample's called diploid genotypes,
+
+        F = 1 − O(het) / E(het),   E(het) = Σ_sites 2·p̂(1−p̂)
+
+    with p̂ the site's collapsed ref-allele frequency estimated from ALL
+    called genotypes at that site (the cohort is its own reference
+    panel). F ≈ 0 for an outbred sample, > 0 under consanguinity or
+    DNA-quality het deficit, < 0 with contamination's het excess — the
+    third leg of the QC triad next to `sample_qc` and `hwe_stats`.
+    Output: (sample, n_called BIGINT, obs_het BIGINT, exp_het DOUBLE
+    round 4, f DOUBLE round 4; f NULL when E(het) = 0 — a cohort with no
+    polymorphic sites supports no estimate).
+
+    Plan: the per-site frequency relation (sites × 2 counters, one
+    partial-agged groupBy) joins BACK onto the calls on the site key —
+    the reference's J-series join-back shape — then one per-sample
+    aggregation; the calls table is scanned twice (frequency pass +
+    join), the co-partitioned-join cost every genotype pipeline pays."""
+    a1, a2, ref = F.col(a1_col), F.col(a2_col), F.col(ref_col)
+    called = (
+        a1.isNotNull() & a2.isNotNull() & (a1 != missing) & (a2 != missing)
+    )
+    nref = F.when(called, (a1 == ref).cast("int") + (a2 == ref).cast("int"))
+    calls = df.withColumn("__nref", nref).filter(F.col("__nref").isNotNull())
+    freq = calls.groupBy(*site_cols).agg(
+        F.sum("__nref").alias("__sum_ref"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    p = F.col("__sum_ref") / (2.0 * F.col("__n"))
+    freq = freq.select(
+        *site_cols, (2.0 * p * (1.0 - p)).alias("__ehet")
+    )
+    joined = calls.join(freq, on=site_cols)
+    agg = joined.groupBy(F.col(sample_col).alias("sample")).agg(
+        F.count(F.lit(1)).alias("n_called"),
+        F.sum(F.when(F.col("__nref") == 1, 1).otherwise(0)).alias("obs_het"),
+        F.sum("__ehet").alias("__e"),
+    )
+    return agg.select(
+        "sample",
+        "n_called",
+        "obs_het",
+        F.round(F.col("__e"), 4).alias("exp_het"),
+        F.when(
+            F.col("__e") > 0,
+            F.round(1.0 - F.col("obs_het") / F.col("__e"), 4),
+        ).alias("f"),
+    )

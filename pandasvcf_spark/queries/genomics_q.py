@@ -694,6 +694,48 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_inbreeding",
+    oracle=_GENO_CTE
+    + """
+    , calls AS (
+      SELECT l_orderkey, l_linenumber,
+             (CASE WHEN a1 = 'A' THEN 1 ELSE 0 END)
+             + (CASE WHEN a2 = 'A' THEN 1 ELSE 0 END) AS nref
+      FROM ann WHERE a1 <> '.' AND a2 <> '.'),
+    freq AS (
+      SELECT l_orderkey,
+             2.0 * (sum(nref) / (2.0 * count(*)))
+               * (1.0 - sum(nref) / (2.0 * count(*))) AS ehet
+      FROM calls GROUP BY 1),
+    agg AS (
+      SELECT l_linenumber AS sample,
+             count(*) AS n_called,
+             CAST(sum(CASE WHEN nref = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS obs_het,
+             sum(ehet) AS e
+      FROM calls JOIN freq USING (l_orderkey)
+      GROUP BY 1)
+    SELECT sample, n_called, obs_het,
+           round(e, 4) AS exp_het,
+           CASE WHEN e > 0 THEN round(1.0 - obs_het / e, 4) END AS f
+    FROM agg
+    """,
+)
+def g_inbreeding(spark, sf_dir):
+    """Per-sample inbreeding coefficient F
+    (operators/annotate.inbreeding_stats; plink --het's
+    method-of-moments): observed vs expected heterozygosity with the
+    cohort as its own frequency panel — the third leg of the QC triad
+    beside g_sample_qc and g_hwe. Frequency pass + J-series join-back +
+    per-sample aggregation; the oracle replays p-hat, the expected-het
+    sum and F term-for-term."""
+    from pandasvcf_spark.operators.annotate import inbreeding_stats
+
+    d = _gt_parsed(spark, sf_dir).withColumn("REF", F.lit("A"))
+    return inbreeding_stats(d, ["l_orderkey"], "l_linenumber")
+
+
+@register(
     "g_roh",
     oracle=_GENO_CTE
     + """

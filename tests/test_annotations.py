@@ -461,3 +461,35 @@ def test_roh_runs_hand_case(spark):
         for r in roh_runs(d, "s", "pos", min_sites=3).collect()
     }
     assert got3 == {("s1", 10, 30)}
+
+
+def test_inbreeding_stats_hand_case(spark):
+    """F against a tiny python model: the all-hom sample scores F = 1,
+    the het-excess sample scores F < 0, and a cohort with no polymorphic
+    sites yields NULL (E(het) = 0)."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.annotate import inbreeding_stats
+
+    rows = [
+        # site 1: s1 AA, s2 AG  (p = 3/4, ehet = 0.375)
+        (1, "s1", "A", "A"), (1, "s2", "A", "G"),
+        # site 2: s1 GG, s2 AG  (p = 1/4, ehet = 0.375)
+        (2, "s1", "G", "G"), (2, "s2", "G", "A"),
+        # site 3: missing for s1, het for s2 (p = 1/2, ehet = 0.5)
+        (3, "s1", ".", "."), (3, "s2", "A", "G"),
+    ]
+    d = spark.createDataFrame(rows, "site long, s string, a1 string, a2 string")
+    d = d.withColumn("REF", F.lit("A"))
+    out = {r.sample: r for r in inbreeding_stats(d, ["site"], "s").collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1.n_called, s1.obs_het, s1.exp_het, s1.f) == (2, 0, 0.75, 1.0)
+    # s2: obs 3, E = 0.375 + 0.375 + 0.5 = 1.25 -> F = 1 - 2.4 = -1.4
+    assert (s2.n_called, s2.obs_het, s2.exp_het, s2.f) == (3, 3, 1.25, -1.4)
+
+    mono = spark.createDataFrame(
+        [(1, "s1", "A", "A"), (1, "s2", "A", "A")],
+        "site long, s string, a1 string, a2 string",
+    ).withColumn("REF", F.lit("A"))
+    r = inbreeding_stats(mono, ["site"], "s").collect()[0]
+    assert r.exp_het == 0.0 and r.f is None

@@ -222,6 +222,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional-agg machinery as
                                  # g_sample_qc, in window); verbatim
                                  # replay oracle; hand-case tests
+        "g_inbreeding",          # per-sample F: frequency pass +
+                                 # J-series join-back + per-sample agg
+                                 # (machinery covered by g_sample_qc /
+                                 # j1_dedup_annotate in window); term-
+                                 # for-term replay oracle; hand-case test
         "g_roh",                 # runs of homozygosity: gap-and-island
                                  # window (same device as
                                  # t_repeated_spans); island replay
