@@ -688,3 +688,58 @@ def bloom_prune(
                .cast("long") % 2) == 1
         cond = bit if cond is None else (cond & bit)
     return big.filter(bk.isNotNull() & cond)
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, final value — the
+    smoothed per-user/per-device signal a monitoring or feature pipeline
+    reads last ("current smoothed spend"): walk the key's rows in
+    `order_cols` order and fold
+
+        ewma_0 = x_0;   ewma_i = α·x_i + (1−α)·ewma_{i−1}
+
+    (initialize-with-first-observation convention). `order_cols` must be
+    a total order — include a unique id — or the fold order, and
+    therefore the float result, is partition-lottery. Output: (key,
+    n_events BIGINT, ewma DOUBLE round 4). NULL values are excluded
+    before the fold (no observation, no update).
+
+    Plan: one groupBy(key) collecting the key's ordered values, one HOF
+    fold — sequential per-key state as a pure column expression, the
+    sessionization/funnel contract (state bounded by per-key activity),
+    never a window re-scan per row and never applyInPandas."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    ordered = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                *[
+                    (F.col(c) if isinstance(c, str) else c).alias(f"o{i}")
+                    for i, c in enumerate(order_cols)
+                ],
+                F.col(value_col).cast("double").alias("x"),
+            ).alias("e"),
+        )
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    xs = F.transform("evs", lambda e: e["x"])
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(float(alpha)) * x
+        + F.lit(1.0 - float(alpha)) * acc,
+    )
+    return ordered.select(
+        "key",
+        F.size("evs").cast("long").alias("n_events"),
+        F.round(folded, 4).alias("ewma"),
+    )

@@ -377,6 +377,33 @@ def j_interval_overlap(spark, sf_dir):
 
 
 @register(
+    "e_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id AS key,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           round(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 4)
+             AS ewma
+    FROM seq
+    """,
+)
+def e_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (operators/relational.ewma_last,
+    α=0.3, initialize-with-first convention): sequential per-key state
+    as one groupBy + one HOF fold over the user's own ts-ordered values
+    — the sessionization/funnel contract, never a per-row window
+    re-scan. The oracle replays the identical fold with DuckDB's
+    list_reduce (which also inits with the first element)."""
+    from pandasvcf_spark.operators.relational import ewma_last
+
+    ev = load(spark, sf_dir, "events")
+    return ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+
+
+@register(
     "e_retention",
     oracle="""
     WITH p AS (

@@ -353,3 +353,25 @@ def test_bloom_prune_no_false_negatives_and_join_equivalence(spark):
     assert direct == via_prune
     with _pytest.raises(ValueError, match="m >= 32"):
         bloom_prune(big, "k", small, "k", m=16)
+
+
+def test_ewma_last_hand_case(spark):
+    """Fold order and init-with-first: 10,20,30 at alpha 0.5 gives 22.5;
+    NULL values never update; alpha validated."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import ewma_last
+
+    rows = [
+        (1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0),
+        (2, 1, 5.0), (2, 2, None),
+        (3, 1, None),
+    ]
+    d = spark.createDataFrame(rows, "u long, t long, v double")
+    out = {
+        r.key: (r.n_events, r.ewma)
+        for r in ewma_last(d, "u", ["t"], "v", alpha=0.5).collect()
+    }
+    assert out == {1: (3, 22.5), 2: (1, 5.0)}  # u3 all-NULL -> absent
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_last(d, "u", ["t"], "v", alpha=0.0)

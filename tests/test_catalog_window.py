@@ -168,6 +168,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "e_ewma",                # per-key EWMA: same groupBy + HOF fold
+                                 # machinery as e_funnel (in window);
+                                 # list_reduce replay oracle; hand-case
+                                 # unit test
         "e_transitions",         # Markov bigram transitions: lead
                                  # window machinery covered by
                                  # w_dense_rank_lead_lag; exact oracle;
