@@ -743,3 +743,45 @@ def ewma_last(
         F.size("evs").cast("long").alias("n_events"),
         F.round(folded, 4).alias("ewma"),
     )
+
+
+def rate_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly screen over an event stream: bucket events into
+    epoch-aligned windows, z-score each bucket's count against the
+    stream's own bucket-count distribution (population stddev), flag
+    |z| ≥ `z_threshold` — the pager rule "this hour is 4σ off". Output:
+    (bucket BIGINT epoch-bucket index, n BIGINT, z DOUBLE round 4,
+    is_anomaly BOOLEAN); z NULL (and is_anomaly NULL) when the stream
+    has a single bucket or zero variance — a constant history supports
+    no anomaly claim.
+
+    Plan: one partial-aggregated groupBy to bucket counts (the corpus
+    never leaves the scan stage un-aggregated), a 1-row broadcast for
+    mean/stddev, pure projections after. Integer epoch buckets, the
+    events-family convention — timezone-proof on both engines."""
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    sec = (F.unix_micros(F.col(ts_col)) / 1_000_000).cast("long")
+    counts = df.groupBy(
+        (sec / bucket_seconds).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.avg("n").alias("__mu"), F.stddev_pop("n").alias("__sd")
+    )
+    z = F.when(
+        F.col("__sd") > 0, (F.col("n") - F.col("__mu")) / F.col("__sd")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            "n",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
+        )
+    )

@@ -377,6 +377,33 @@ def j_interval_overlap(spark, sf_dir):
 
 
 @register(
+    "e_rate_anomaly",
+    oracle="""
+    WITH c AS (
+      SELECT (epoch_us(ts) // 1000000) // 3600 AS bucket, count(*) AS n
+      FROM events GROUP BY 1),
+    s AS (SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM c)
+    SELECT bucket, n,
+           CASE WHEN sd > 0 THEN round((n - mu) / sd, 4) END AS z,
+           CASE WHEN sd > 0 THEN abs((n - mu) / sd) >= 2.0 END
+             AS is_anomaly
+    FROM c, s
+    """,
+)
+def e_rate_anomaly(spark, sf_dir):
+    """Hourly volume-anomaly screen (operators/relational.rate_anomaly):
+    z-score of each epoch-hour's event count against the stream's own
+    bucket distribution, |z| >= 2 flagged. One partial-agged bucket
+    count + a 1-row broadcast of mean/stddev — the corpus never leaves
+    the scan un-aggregated. The oracle replays buckets, moments and the
+    threshold."""
+    from pandasvcf_spark.operators.relational import rate_anomaly
+
+    ev = load(spark, sf_dir, "events")
+    return rate_anomaly(ev, "ts", bucket_seconds=3600, z_threshold=2.0)
+
+
+@register(
     "e_ewma",
     oracle="""
     WITH seq AS (

@@ -375,3 +375,34 @@ def test_ewma_last_hand_case(spark):
     assert out == {1: (3, 22.5), 2: (1, 5.0)}  # u3 all-NULL -> absent
     with _pytest.raises(ValueError, match="alpha"):
         ewma_last(d, "u", ["t"], "v", alpha=0.0)
+
+
+def test_rate_anomaly_flags_spike_and_handles_constant(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import rate_anomaly
+
+    def ts(h, i):
+        return datetime(2026, 1, 1, h, 0, i)
+
+    rows = (
+        [(ts(h, i),) for h in range(6) for i in range(10)]  # 10/hour
+        + [(ts(6, i),) for i in range(50)]                   # spike hour
+    )
+    d = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.bucket: (r.n, r.is_anomaly) for r in
+           rate_anomaly(d, "ts", 3600, z_threshold=2.0).collect()}
+    assert len(out) == 7
+    spike = [b for b, (n, a) in out.items() if n == 50]
+    assert len(spike) == 1 and out[spike[0]][1] is True
+    assert all(a is False for b, (n, a) in out.items() if n == 10)
+
+    const = spark.createDataFrame(
+        [(ts(h, i),) for h in range(3) for i in range(5)], "ts timestamp"
+    )
+    rc = rate_anomaly(const, "ts").collect()
+    assert all(r.z is None and r.is_anomaly is None for r in rc)
+    with _pytest.raises(ValueError, match="bucket_seconds"):
+        rate_anomaly(d, "ts", 0)

@@ -168,6 +168,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window) + cross-only pair filter;
                                  # exact-Jaccard survivor oracle; 3 unit
                                  # tests incl. base-base suppression
+        "e_rate_anomaly",        # hourly volume z-score: bucket count +
+                                 # 1-row moments broadcast (machinery
+                                 # covered by e_tumbling_hourly + agg
+                                 # entries in window); moments replay
+                                 # oracle; hand-case unit test
         "e_ewma",                # per-key EWMA: same groupBy + HOF fold
                                  # machinery as e_funnel (in window);
                                  # list_reduce replay oracle; hand-case

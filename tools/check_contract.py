@@ -70,6 +70,8 @@ def _spark_class(dt):
         return "int"
     if s in ("float", "double"):
         return "float"
+    if s == "boolean":
+        return "bool"
     if s.startswith("decimal"):
         return "decimal-spark"
     if s.startswith("array<"):
