@@ -141,3 +141,90 @@ def ld_r2(
         "site_a", "site_b", "pos_a", "pos_b",
         n.alias("n_samples"), r2.alias("r2"),
     ).filter(F.col("n_samples") >= 1)  # no common data -> no pair row
+
+
+def king_kinship(
+    df: DataFrame,
+    site_col: str,
+    sample_col: str,
+    dosage_col: str,
+    min_sites: int = 10,
+) -> DataFrame:
+    """Pairwise KING-robust kinship over a sample panel (Manichaikul et
+    al. 2010; plink2 --make-king family): for samples i < j over their
+    shared called sites,
+
+        φ̂ = (N_het_both − 2·N_opposite_hom) / (N_het_i + N_het_j)
+
+    — ≈0.25 parent-offspring/full sibs, ≈0 unrelated, negative for
+    population-structure divergence. Output: (sample_a, sample_b,
+    n_shared BIGINT, phi DOUBLE round 4; NULL when fewer than
+    `min_sites` shared sites or neither sample is ever het across them —
+    the estimator is undefined, and 0 would claim "unrelated").
+
+    Kinship is inherently all-pairs in the PANEL (n² in samples, the
+    algorithm's own complexity class — every published tool pays it);
+    what must never happen is all-pairs in SITES or a shuffle of
+    site×sample×sample rows. Plan: one groupBy(site) collects the site's
+    called (sample, dosage) list — bounded by panel width, the
+    minhash-bucket contract — a HOF expression expands each site's
+    within-site pairs with integer per-site counter structs, and ONE
+    partial-aggregated groupBy(pair) sums them. The corpus shuffles
+    (site, panel-list) rows once and pairs×counters once; dosage maps
+    per sample (sites-sized rows) never materialize."""
+    if min_sites < 1:
+        raise ValueError(f"min_sites must be >= 1, got {min_sites}")
+    per_site = (
+        df.filter(F.col(dosage_col).isNotNull())
+        .groupBy(F.col(site_col).alias("s"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(sample_col).alias("k"),
+                        F.col(dosage_col).cast("int").alias("d"),
+                    )
+                )
+            ).alias("g")
+        )
+    )
+    n = F.size("g")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("g"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("g"), i)["k"].alias("ka"),
+                    y["k"].alias("kb"),
+                    F.element_at(F.col("g"), i)["d"].alias("da"),
+                    y["d"].alias("db"),
+                ),
+            ),
+        )
+    )
+    expanded = (
+        per_site.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.ka", "p.kb", "p.da", "p.db")
+    )
+    da, db = F.col("da"), F.col("db")
+    agg = expanded.groupBy(
+        F.col("ka").alias("sample_a"), F.col("kb").alias("sample_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum(((da == 1) & (db == 1)).cast("int")).alias("__hb"),
+        F.sum((F.abs(da - db) == 2).cast("int")).alias("__opp"),
+        F.sum((da == 1).cast("int")).alias("__ha"),
+        F.sum((db == 1).cast("int")).alias("__hbj"),
+    )
+    denom = F.col("__ha") + F.col("__hbj")
+    phi = F.when(
+        (F.col("n_shared") >= min_sites) & (denom > 0),
+        F.round(
+            (F.col("__hb") - 2 * F.col("__opp")).cast("double")
+            / denom.cast("double"),
+            4,
+        ),
+    )
+    return agg.select("sample_a", "sample_b", "n_shared", phi.alias("phi"))

@@ -694,6 +694,65 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_kinship",
+    oracle=_GENO_CTE
+    + """
+    , dos AS (
+      SELECT l_orderkey AS s, l_linenumber AS k,
+             min(CASE WHEN a1 <> '.' AND a2 <> '.' THEN
+               (CASE WHEN a1 <> 'A' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 <> 'A' THEN 1 ELSE 0 END)
+             END) AS d
+      FROM ann GROUP BY 1, 2),
+    called AS (SELECT * FROM dos WHERE d IS NOT NULL),
+    pr AS (
+      SELECT a.k AS sample_a, b.k AS sample_b,
+             count(*) AS n_shared,
+             CAST(sum(CASE WHEN a.d = 1 AND b.d = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hb,
+             CAST(sum(CASE WHEN abs(a.d - b.d) = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS opp,
+             CAST(sum(CASE WHEN a.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ha,
+             CAST(sum(CASE WHEN b.d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hj
+      FROM called a JOIN called b ON a.s = b.s AND a.k < b.k
+      GROUP BY 1, 2)
+    SELECT sample_a, sample_b, n_shared,
+           CASE WHEN n_shared >= 10 AND ha + hj > 0
+                THEN round(CAST(hb - 2 * opp AS DOUBLE)
+                           / CAST(ha + hj AS DOUBLE), 4)
+           END AS phi
+    FROM pr
+    """,
+)
+def g_kinship(spark, sf_dir):
+    """Pairwise KING-robust kinship (operators/ld.king_kinship; plink2
+    --make-king family) over the pseudo-sample panel: per-site
+    within-panel pair expansion (bounded by panel width, the
+    minhash-bucket contract) into one partial-aggregated per-pair
+    counter sum — never a shuffle of site×sample×sample rows, never
+    per-sample site-length maps. The oracle affords the naive
+    per-site self-join and replays the counters and the φ formula."""
+    from pandasvcf_spark.operators.ld import king_kinship
+
+    d = _gt_parsed(spark, sf_dir)
+    a1, a2 = F.col("a1"), F.col("a2")
+    dosage = F.when(
+        (a1 != ".") & (a2 != "."),
+        (a1 != "A").cast("int") + (a2 != "A").cast("int"),
+    )
+    dd = (
+        d.withColumn("dosage", dosage)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("dosage").alias("dosage"))
+    )
+    return king_kinship(
+        dd, "l_orderkey", "l_linenumber", "dosage", min_sites=10
+    )
+
+
+@register(
     "g_inbreeding",
     oracle=_GENO_CTE
     + """

@@ -493,3 +493,30 @@ def test_inbreeding_stats_hand_case(spark):
     ).withColumn("REF", F.lit("A"))
     r = inbreeding_stats(mono, ["site"], "s").collect()[0]
     assert r.exp_het == 0.0 and r.f is None
+
+
+def test_king_kinship_hand_cases(spark):
+    """Identical genotype vectors score phi = 0.5 (monozygotic-twin
+    signature); a sample sharing too few sites yields NULL; pairs orient
+    sample_a < sample_b exactly once."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.ld import king_kinship
+
+    rows = []
+    pattern = [0, 1, 2, 1, 0, 1, 2, 1, 1, 0, 2, 1]
+    for s, dval in enumerate(pattern):
+        rows += [(s, 1, dval), (s, 2, dval)]        # twins
+        rows += [(s, 3, pattern[(s + 5) % len(pattern)])]  # shifted
+    rows += [(0, 4, 1), (1, 4, 1)]                   # only 2 shared sites
+    d = spark.createDataFrame(rows, "site long, k int, dosage int")
+    out = {
+        (r.sample_a, r.sample_b): (r.n_shared, r.phi)
+        for r in king_kinship(d, "site", "k", "dosage", min_sites=5).collect()
+    }
+    assert out[(1, 2)] == (12, 0.5)
+    assert out[(1, 4)][1] is None and out[(1, 4)][0] == 2  # below min_sites
+    assert all(a < b for a, b in out)
+    assert len(out) == 6  # C(4,2) pairs, each exactly once
+    with _pytest.raises(ValueError, match="min_sites"):
+        king_kinship(d, "site", "k", "dosage", min_sites=0)

@@ -231,6 +231,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional-agg machinery as
                                  # g_sample_qc, in window); verbatim
                                  # replay oracle; hand-case tests
+        "g_kinship",             # KING-robust pairwise kinship: per-site
+                                 # panel-bounded pair expansion (same
+                                 # device as the minhash bucket agg, in
+                                 # window) + one per-pair counter sum;
+                                 # naive-join replay oracle; twin/unrel
+                                 # hand-case test
         "g_inbreeding",          # per-sample F: frequency pass +
                                  # J-series join-back + per-sample agg
                                  # (machinery covered by g_sample_qc /
