@@ -785,3 +785,46 @@ def rate_anomaly(
             (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[Column | str] = (),
+    out: str = "qnorm",
+) -> DataFrame:
+    """Quantile normalization across groups — the microarray/omics
+    classic, equally at home normalizing per-shard feature distributions
+    before training: rank each group's values, replace every value by
+    the MEAN of the values holding that rank across all groups. After
+    it, every group has an identical value distribution (exactly
+    identical when group sizes match; with ragged sizes a rank's mean is
+    taken over the groups that reach it — the well-defined restriction
+    of the classic algorithm, stated rather than silently interpolated).
+
+    NULL values are left out of ranking and come back with NULL `out`.
+    Ranking needs a total order: ties on `value_col` break by
+    `tiebreak_cols` — include a unique id, or equal values land on
+    partition-lottery ranks (their rank-mean targets differ even though
+    the SET of targets does not).
+
+    Plan: one row_number window per group (shuffle on the group key),
+    one rank-mean aggregation (ranks × 8-byte shuffle), one broadcast-
+    able join back on the rank. Output: all input columns + `out`
+    DOUBLE."""
+    order = [F.col(value_col).asc()] + [
+        (F.col(c) if isinstance(c, str) else c) for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    nn = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    means = nn.groupBy("__rk").agg(
+        F.avg(F.col(value_col).cast("double")).alias(out)
+    )
+    normed = nn.join(F.broadcast(means), "__rk").drop("__rk")
+    nulls = df.filter(F.col(value_col).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    return normed.unionByName(nulls)

@@ -1160,6 +1160,37 @@ def sk_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "t_qnorm",
+    oracle="""
+    WITH nn AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rk
+      FROM documents WHERE n_chars IS NOT NULL),
+    m AS (SELECT rk, avg(CAST(n_chars AS DOUBLE)) AS q FROM nn GROUP BY rk)
+    SELECT doc_id, source, n_chars, round(q, 4) AS qnorm
+    FROM nn JOIN m USING (rk)
+    """,
+)
+def t_qnorm(spark, sf_dir):
+    """Quantile normalization (operators/relational.quantile_normalize):
+    per-source document-length distributions aligned to their cross-
+    source rank means — the omics-classic normalization, here as the
+    per-shard feature-distribution equalizer. One window per group, one
+    rank-mean aggregation, one broadcast join back; the oracle replays
+    rank, mean and join."""
+    from pandasvcf_spark.operators.relational import quantile_normalize
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = quantile_normalize(
+        d, "source", "n_chars", tiebreak_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", F.round("qnorm", 4).alias("qnorm")
+    )
+
+
+@register(
     "t_bm25_topk",
     oracle="""
     WITH base AS (

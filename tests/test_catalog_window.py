@@ -211,6 +211,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # as t_hash_sample; exact assignment
                                  # oracle; disjoint/exhaustive/stable
                                  # unit test
+        "t_qnorm",               # quantile normalization: window +
+                                 # rank-mean agg + broadcast join-back
+                                 # (machinery covered by w_rank_topk /
+                                 # j1_dedup_annotate in window); full
+                                 # replay oracle; equal-distribution
+                                 # unit test
         "dedup_cluster_sizes",   # component-size histogram: same
                                  # closure machinery as dedup_components
                                  # (tail, contract-guarded) + arithmetic

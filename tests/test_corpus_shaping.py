@@ -990,3 +990,27 @@ def test_bm25_ranking_sanity(spark):
         bm25_topk(d, [])
     with _pytest.raises(ValueError, match="k must"):
         bm25_topk(d, ["data"], k=0)
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    """Equal-size groups end up with IDENTICAL value multisets (the
+    defining property); NULL values pass through with NULL output."""
+    from pandasvcf_spark.operators.relational import quantile_normalize
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 90.0),
+        ("b", 4, 1.0), ("b", 5, 2.0), ("b", 6, 3.0),
+        ("b", 7, None),
+    ]
+    d = spark.createDataFrame(rows, "g string, id long, v double")
+    out = quantile_normalize(d, "g", "v", tiebreak_cols=["id"])
+    rowsb = out.collect()
+    by_g = {}
+    for r in rowsb:
+        if r.v is not None:
+            by_g.setdefault(r.g, []).append(r.qnorm)
+    assert sorted(by_g["a"]) == sorted(by_g["b"])  # identical distribution
+    # rank means: (1+10)/2=5.5, (2+20)/2=11, (3+90)/2=46.5
+    assert sorted(by_g["a"]) == [5.5, 11.0, 46.5]
+    nulls = [r for r in rowsb if r.v is None]
+    assert len(nulls) == 1 and nulls[0].qnorm is None
