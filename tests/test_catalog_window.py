@@ -300,3 +300,17 @@ def test_tail_entries_are_redundant_variants_only():
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
+
+
+def test_coverage_totals_match_registry():
+    """COVERAGE.md's totals line must track the registry — a stale count
+    misreports the surface to the reader."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "COVERAGE.md"
+    ).read_text()
+    m = re.search(r"Totals: (\d+) registered catalog queries", text)
+    assert m, "totals line missing"
+    assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
