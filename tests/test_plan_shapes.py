@@ -81,3 +81,66 @@ def test_merge_latest_single_window_shuffle(spark):
     # one key-partitioned exchange feeding the row_number window; union
     # itself must not add extra shuffles
     assert plan.count("Exchange hashpartitioning(k") == 1
+
+
+def test_king_kinship_no_cartesian_one_pair_shuffle(spark):
+    """Kinship's pair expansion happens INSIDE the per-site row (HOF over
+    the panel-bounded list) — the plan must hold zero join nodes of any
+    kind and exactly two aggregation shuffles (site collect, pair sum)."""
+    from pandasvcf_spark.operators.ld import king_kinship
+
+    d = spark.range(300).select(
+        (F.col("id") % 100).alias("site"),
+        (F.col("id") % 3).cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("dosage"),
+    )
+    plan = _plan(king_kinship(d, "site", "k", "dosage"))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # no join nodes at all
+    assert plan.count("Exchange") == 2  # site collect + pair sum
+
+
+def test_countmin_is_single_partial_aggregated_shuffle(spark):
+    from pandasvcf_spark.operators.sketches import countmin_sketch
+
+    d = spark.range(500).select(F.concat(F.lit("k"), "id").alias("k"))
+    plan = _plan(countmin_sketch(d, "k", depth=3, width=64))
+    assert plan.count("Exchange") == 1  # one grid shuffle
+    assert "HashAggregate" in plan
+
+
+def test_bloom_prune_zero_exchange_pure_filter(spark):
+    """The probe is a literal-bitmask expression: after the build collect
+    the pruned plan must be scan + filter — zero exchanges, zero joins."""
+    from pandasvcf_spark.operators.relational import bloom_prune
+
+    big = spark.range(2000).select(F.col("id").alias("k"))
+    small = spark.range(50).select((F.col("id") * 31).alias("k"))
+    plan = _plan(bloom_prune(big, "k", small, "k"))
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+
+
+def test_k_anonymize_single_unordered_window(spark):
+    """One hash exchange for the window, no sort (unordered frame), no
+    join-back."""
+    from pandasvcf_spark.operators.sampling import k_anonymize
+
+    d = spark.range(200).select(
+        (F.col("id") % 7).alias("a"), (F.col("id") % 3).alias("b")
+    )
+    plan = _plan(k_anonymize(d, ["a", "b"], k=3))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_ewma_single_groupby_no_window(spark):
+    from pandasvcf_spark.operators.relational import ewma_last
+
+    d = spark.range(100).select(
+        (F.col("id") % 10).alias("u"), F.col("id").alias("t"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    plan = _plan(ewma_last(d, "u", ["t"], "v", alpha=0.5))
+    assert "Window" not in plan  # fold, not a per-row window re-scan
+    assert plan.count("Exchange") == 1
