@@ -259,6 +259,23 @@ def main() -> None:
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
 
+    if os.environ.get("SPARK_GRAFT_BENCH_LD", "1") != "0":
+        # Round-7 flagship: banded pairwise LD over the derived genotype
+        # relation — additive key (frozen-roster discipline). The pair
+        # count is reported so wall is readable against output size.
+        times, n_pairs = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            n_pairs = QUERIES["g_ld"].fn(spark, sf_dir).count()
+            times.append(time.time() - t0)
+        result["ld_pairs_sec"] = round(min(times), 3)
+        result["ld_pairs"] = n_pairs
+        print(
+            f"# ld_pairs_sec: {min(times):.2f}s min-of-2 ({n_pairs} pairs, "
+            "banded self-join + per-pair HOF fold)",
+            file=sys.stderr,
+        )
+
     if os.environ.get("SPARK_GRAFT_BENCH_VCF", "1") != "0" and os.path.exists(KG_VCF):
         from pandasvcf_spark.operators import annotate_vcf
         from pandasvcf_spark.operators.annotate import (
