@@ -748,3 +748,57 @@ def inbreeding_stats(
             F.round(1.0 - F.col("obs_het") / F.col("__e"), 4),
         ).alias("f"),
     )
+
+
+def cohort_qc(
+    df: DataFrame,
+    site_cols: list[str],
+    sample_col: str,
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    ref_col: str = "REF",
+    missing: str = ".",
+) -> DataFrame:
+    """One-call per-sample cohort QC table — the screen a genetics study
+    reads before anything else, combining the collapsed-class metrics of
+    this module's QC family over the parsed long table:
+
+      n_sites     rows observed for the sample
+      n_called    fully-called diploid genotypes
+      call_rate   n_called / n_sites (round 4)
+      obs_het     heterozygous genotypes (exactly one REF allele)
+      het_rate    obs_het / n_called (round 4; NULL when nothing called)
+      exp_het     Σ 2·p̂(1−p̂) over the sample's called sites (round 4)
+      f           1 − obs_het / exp_het (`inbreeding_stats`; NULL when
+                  exp_het = 0)
+
+    Plan: `inbreeding_stats`' frequency pass + join-back + per-sample
+    aggregation, plus ONE extra per-sample count for the n_sites
+    denominator (uncalled rows never reach the frequency join), joined
+    on the sample key — samples-sized relations, broadcast-able."""
+    inb = inbreeding_stats(
+        df, site_cols, sample_col,
+        a1_col=a1_col, a2_col=a2_col, ref_col=ref_col, missing=missing,
+    )
+    totals = df.groupBy(F.col(sample_col).alias("sample")).agg(
+        F.count(F.lit(1)).alias("n_sites")
+    )
+    out = totals.join(inb, "sample", "left")
+    n_called = F.coalesce(F.col("n_called"), F.lit(0)).alias("n_called")
+    return out.select(
+        "sample",
+        "n_sites",
+        n_called,
+        F.round(
+            F.coalesce(F.col("n_called"), F.lit(0))
+            / F.col("n_sites").cast("double"),
+            4,
+        ).alias("call_rate"),
+        F.coalesce(F.col("obs_het"), F.lit(0)).alias("obs_het"),
+        F.when(
+            F.col("n_called") > 0,
+            F.round(F.col("obs_het") / F.col("n_called").cast("double"), 4),
+        ).alias("het_rate"),
+        "exp_het",
+        "f",
+    )

@@ -694,6 +694,56 @@ def g_split_pl(spark, sf_dir):
 
 
 @register(
+    "g_cohort_qc",
+    oracle=_GENO_CTE
+    + """
+    , calls AS (
+      SELECT l_orderkey, l_linenumber,
+             (CASE WHEN a1 = 'A' THEN 1 ELSE 0 END)
+             + (CASE WHEN a2 = 'A' THEN 1 ELSE 0 END) AS nref
+      FROM ann WHERE a1 <> '.' AND a2 <> '.'),
+    freq AS (
+      SELECT l_orderkey,
+             2.0 * (sum(nref) / (2.0 * count(*)))
+               * (1.0 - sum(nref) / (2.0 * count(*))) AS ehet
+      FROM calls GROUP BY 1),
+    inb AS (
+      SELECT l_linenumber AS sample,
+             count(*) AS n_called,
+             CAST(sum(CASE WHEN nref = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS obs_het,
+             sum(ehet) AS e
+      FROM calls JOIN freq USING (l_orderkey)
+      GROUP BY 1),
+    tot AS (
+      SELECT l_linenumber AS sample, count(*) AS n_sites
+      FROM ann GROUP BY 1)
+    SELECT sample, n_sites,
+           coalesce(n_called, 0) AS n_called,
+           round(coalesce(n_called, 0) / CAST(n_sites AS DOUBLE), 4)
+             AS call_rate,
+           coalesce(obs_het, 0) AS obs_het,
+           CASE WHEN n_called > 0
+                THEN round(obs_het / CAST(n_called AS DOUBLE), 4)
+           END AS het_rate,
+           round(e, 4) AS exp_het,
+           CASE WHEN e > 0 THEN round(1.0 - obs_het / e, 4) END AS f
+    FROM tot LEFT JOIN inb USING (sample)
+    """,
+)
+def g_cohort_qc(spark, sf_dir):
+    """One-call per-sample cohort QC table (operators/annotate.cohort_qc):
+    call rate, het rate, expected heterozygosity and inbreeding F in a
+    single composition — the table a study reads first. The oracle
+    replays the whole composition (counts, p̂, expected-het join-back,
+    rates) term-for-term."""
+    from pandasvcf_spark.operators.annotate import cohort_qc
+
+    d = _gt_parsed(spark, sf_dir).withColumn("REF", F.lit("A"))
+    return cohort_qc(d, ["l_orderkey"], "l_linenumber")
+
+
+@register(
     "g_kinship",
     oracle=_GENO_CTE
     + """

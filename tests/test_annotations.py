@@ -520,3 +520,26 @@ def test_king_kinship_hand_cases(spark):
     assert len(out) == 6  # C(4,2) pairs, each exactly once
     with _pytest.raises(ValueError, match="min_sites"):
         king_kinship(d, "site", "k", "dosage", min_sites=0)
+
+
+def test_cohort_qc_all_missing_sample_keeps_row(spark):
+    """A sample with zero called genotypes still appears: counts zeroed,
+    rates/F NULL where undefined, call_rate 0."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.annotate import cohort_qc
+
+    rows = [
+        (1, "s1", "A", "G"), (2, "s1", "A", "A"),
+        (1, "s2", ".", "."), (2, "s2", ".", "."),
+    ]
+    d = spark.createDataFrame(rows, "site long, s string, a1 string, a2 string")
+    d = d.withColumn("REF", F.lit("A"))
+    out = {r.sample: r for r in cohort_qc(d, ["site"], "s").collect()}
+    s2 = out["s2"]
+    assert (s2.n_sites, s2.n_called, s2.call_rate) == (2, 0, 0.0)
+    assert s2.het_rate is None and s2.f is None
+    s1 = out["s1"]
+    assert (s1.n_called, s1.obs_het, s1.call_rate, s1.het_rate) == (
+        2, 1, 1.0, 0.5,
+    )

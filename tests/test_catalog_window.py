@@ -237,6 +237,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional-agg machinery as
                                  # g_sample_qc, in window); verbatim
                                  # replay oracle; hand-case tests
+        "g_cohort_qc",           # one-call per-sample QC composition:
+                                 # inbreeding_stats + totals join (both
+                                 # constituents contract-guarded); full
+                                 # composition replay oracle; empty-
+                                 # sample edge unit test
         "g_kinship",             # KING-robust pairwise kinship: per-site
                                  # panel-bounded pair expansion (same
                                  # device as the minhash bucket agg, in
