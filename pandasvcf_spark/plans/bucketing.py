@@ -113,3 +113,46 @@ def zorder_key_expr(cols: list, bits: int = 16):
                 F.shiftright(v, bit).bitwiseAND(F.lit(1))
             )
     return key
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 128,
+    sort_by: list | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into ~`target_mb`
+    output files — the maintenance pass every incremental sink eventually
+    needs (a streaming/batch-append corpus accretes thousands of tiny
+    files, and at scan time each costs a task launch, a footer read and an
+    object-store GET; compaction restores scan efficiency without touching
+    values). Returns the number of output files written.
+
+    Sizing reads the INPUT's total byte size through the Hadoop
+    FileSystem API (any scheme — local, HDFS, s3a/gs; metadata-only, one
+    listing) and repartitions to ceil(bytes / target_mb). `sort_by`
+    optionally lays rows out sorted WITHIN each output file
+    (sortWithinPartitions — no global sort, but min/max footer stats
+    become selective, the cheap cousin of a Z-order rewrite). Writes to a
+    NEW directory — atomic adoption (rename/pointer swap) is the caller's
+    table-format concern, deliberately out of scope here."""
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = root.getFileSystem(hconf)
+    total = fs.getContentSummary(root).getLength()
+    n_files = max(1, -(-int(total) // (int(target_mb) * 2**20)))
+    df = spark.read.parquet(in_path).repartition(n_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    df.write.mode("error").parquet(out_path)
+    out_root = jvm.org.apache.hadoop.fs.Path(out_path)
+    written = [
+        st
+        for st in fs.listStatus(out_root)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    return len(written)

@@ -135,3 +135,29 @@ def test_zorder_validates(spark):
         zorder_key_expr(["x"])
     with _pytest.raises(ValueError, match="overflows"):
         zorder_key_expr(["a", "b", "c", "d"], bits=16)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Many tiny input files compact to few sized outputs with the exact
+    same rows; scheme-prefixed paths work (FS-API sizing); existing
+    output refuses to be clobbered."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.plans.bucketing import compact_parquet
+
+    src = str(tmp_path / "tiny")
+    d = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    d.repartition(64).write.parquet(src)  # 64 tiny files
+    out = str(tmp_path / "compact")
+    n = compact_parquet(spark, f"file://{src}", f"file://{out}", target_mb=64)
+    assert n == 1  # tiny corpus -> one file
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert a == b
+    with _pytest.raises(Exception):  # mode('error'): never clobbers
+        compact_parquet(spark, src, out)
+    with _pytest.raises(ValueError, match="target_mb"):
+        compact_parquet(spark, src, str(tmp_path / "x"), target_mb=0)
