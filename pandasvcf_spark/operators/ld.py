@@ -228,3 +228,141 @@ def king_kinship(
         ),
     )
     return agg.select("sample_a", "sample_b", "n_shared", phi.alias("phi"))
+
+
+def grm(
+    df: DataFrame,
+    site_col: str,
+    sample_col: str,
+    dosage_col: str,
+    include_diagonal: bool = True,
+) -> DataFrame:
+    """Genetic relatedness matrix (GCTA --make-grm / VanRaden 2008): for
+    samples j ≤ k over their shared called polymorphic sites,
+
+        G_jk = (1 / N_jk) Σ_i  (x_ij − 2p̂_i)(x_ik − 2p̂_i)
+                               / (2 p̂_i (1 − p̂_i))
+
+    with x the alt-allele dosage (0/1/2), p̂_i the site's alt frequency
+    estimated from ALL called genotypes at that site, and N_jk the
+    pairwise-complete site count (GCTA's missing policy: a site missing
+    in either sample contributes to neither numerator nor denominator).
+    Monomorphic sites (p̂ ∈ {0,1}) carry zero variance and are excluded
+    before pairing. Diagonal G_jj ≈ 1 + F (the inbreeding coefficient);
+    off-diagonal ≈ 2φ (twice [[king_kinship]]'s φ, but frequency-weighted
+    — rare-allele sharing counts for more, KING's robustness trade-off in
+    the other direction). Output: (sample_a ≤ sample_b, n_shared BIGINT,
+    grm DOUBLE round 6; NULL when no shared polymorphic calls).
+
+    Plan: same shape as `king_kinship` — the relatedness matrix is
+    inherently panel², never sites². One groupBy(site) computes p̂ AND
+    packs the site's called (sample, dosage) list in the same partial
+    aggregation; a HOF expression expands each site's within-site pairs
+    (j ≤ k when `include_diagonal`) carrying the standardized product as
+    a double; ONE partial-aggregated groupBy(pair) averages. The corpus
+    shuffles (site, panel-list) rows once and pairs×(sum, count) once;
+    no site×site term, no sample-dosage matrix on the driver."""
+    per_site = (
+        df.filter(F.col(dosage_col).isNotNull())
+        .groupBy(F.col(site_col).alias("s"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(sample_col).alias("k"),
+                        F.col(dosage_col).cast("double").alias("d"),
+                    )
+                )
+            ).alias("g"),
+            F.sum(F.col(dosage_col).cast("double")).alias("__sum_d"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    p = F.col("__sum_d") / (2.0 * F.col("__n"))
+    per_site = per_site.withColumn("__p", p).filter(
+        (F.col("__p") > 0.0) & (F.col("__p") < 1.0)
+    )
+    # standardized per-call z = (d - 2p) / sqrt(2p(1-p)), computed once
+    # per (site, sample) before pair expansion so each product is a
+    # single multiply inside the HOF.
+    z = F.transform(
+        F.col("g"),
+        lambda e: F.struct(
+            e["k"].alias("k"),
+            (
+                (e["d"] - 2.0 * F.col("__p"))
+                / F.sqrt(2.0 * F.col("__p") * (1.0 - F.col("__p")))
+            ).alias("z"),
+        ),
+    )
+    per_site = per_site.select(F.col("s"), z.alias("g"))
+    n = F.size("g")
+    self_off = 0 if include_diagonal else 1
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - self_off),
+            lambda i: F.transform(
+                F.slice(F.col("g"), i + self_off, n),
+                lambda y: F.struct(
+                    F.element_at(F.col("g"), i)["k"].alias("ka"),
+                    y["k"].alias("kb"),
+                    (F.element_at(F.col("g"), i)["z"] * y["z"]).alias("zz"),
+                ),
+            ),
+        )
+    )
+    expanded = (
+        per_site.filter(n >= (1 if include_diagonal else 2))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.ka", "p.kb", "p.zz")
+    )
+    agg = expanded.groupBy(
+        F.col("ka").alias("sample_a"), F.col("kb").alias("sample_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum("zz").alias("__szz"),
+    )
+    return agg.select(
+        "sample_a",
+        "sample_b",
+        "n_shared",
+        F.round(F.col("__szz") / F.col("n_shared"), 6).alias("grm"),
+    )
+
+
+def pca_from_grm(grm_df: DataFrame, n_components: int = 2):
+    """Principal components of population structure from a GRM (the
+    smartpca / plink --pca composition): eigendecompose the S×S
+    relatedness matrix and return per-sample coordinates
+    PC_c = v_c · sqrt(λ_c) for the top `n_components` non-negative
+    eigenvalues. Returns a list of (sample, [pc1, pc2, ...]) tuples
+    sorted by sample key.
+
+    The GRM collect is a MODEL-SIZED driver action by construction —
+    S samples yield S(S+1)/2 rows (2,504 1000G samples ≈ 3.1M rows /
+    ~50 MB), independent of site count; the sites-sized relation never
+    leaves the cluster. Eigenvector sign is canonicalized (first
+    nonzero loading positive) so results are deterministic across BLAS
+    implementations."""
+    import numpy as np
+
+    rows = grm_df.select("sample_a", "sample_b", "grm").collect()
+    samples = sorted({r["sample_a"] for r in rows} | {r["sample_b"] for r in rows})
+    idx = {s: i for i, s in enumerate(samples)}
+    m = np.zeros((len(samples), len(samples)))
+    for r in rows:
+        v = 0.0 if r["grm"] is None else float(r["grm"])
+        i, j = idx[r["sample_a"]], idx[r["sample_b"]]
+        m[i, j] = v
+        m[j, i] = v
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][:n_components]
+    coords = np.zeros((len(samples), len(order)))
+    for c, ei in enumerate(order):
+        lam = max(float(vals[ei]), 0.0)
+        v = vecs[:, ei]
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        coords[:, c] = v * np.sqrt(lam)
+    return [(s, [float(x) for x in coords[idx[s]]]) for s in samples]

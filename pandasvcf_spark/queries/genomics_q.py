@@ -1346,3 +1346,58 @@ def g_concordance(spark, sf_dir):
         F.col("n_match").cast("long").alias("n_match"),
         "concordance",
     )
+
+
+@register(
+    "g_grm",
+    oracle=_GENO_CTE
+    + """
+    , dos AS (
+      SELECT l_orderkey AS s, l_linenumber AS k,
+             min(CASE WHEN a1 <> '.' AND a2 <> '.' THEN
+               (CASE WHEN a1 <> 'A' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 <> 'A' THEN 1 ELSE 0 END)
+             END) AS d
+      FROM ann GROUP BY 1, 2),
+    called AS (SELECT * FROM dos WHERE d IS NOT NULL),
+    freq AS (
+      SELECT s, CAST(sum(d) AS DOUBLE) / (2.0 * count(*)) AS p
+      FROM called GROUP BY s),
+    poly AS (SELECT s, p FROM freq WHERE p > 0 AND p < 1),
+    z AS (
+      SELECT c.s, c.k,
+             (c.d - 2.0 * p.p) / sqrt(2.0 * p.p * (1.0 - p.p)) AS z
+      FROM called c JOIN poly p USING (s)),
+    pairs AS (
+      SELECT a.k AS sample_a, b.k AS sample_b, a.z * b.z AS zz
+      FROM z a JOIN z b ON a.s = b.s AND a.k <= b.k)
+    SELECT sample_a, sample_b, count(*) AS n_shared,
+           round(sum(zz) / count(*), 6) AS grm
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def g_grm(spark, sf_dir):
+    """Genetic relatedness matrix (operators/ld.grm; GCTA --make-grm /
+    VanRaden 2008) over the pseudo-sample panel: per-site frequency +
+    panel-list in ONE partial aggregation, standardized dosages, HOF
+    within-site pair expansion (j ≤ k, diagonal = 1+F), one per-pair
+    mean — the king_kinship plan shape with double products instead of
+    integer counters. Duplicate (site, sample) rows in the derived
+    relation are collapsed (min dosage, NULLs ignored) before packing,
+    the repo's derived-genotype convention. The oracle affords the
+    naive per-site self-join and replays standardization term-for-term;
+    pairwise sums round at 6dp to absorb accumulation-order noise."""
+    from pandasvcf_spark.operators.ld import grm
+
+    d = _gt_parsed(spark, sf_dir)
+    a1, a2 = F.col("a1"), F.col("a2")
+    dosage = F.when(
+        (a1 != ".") & (a2 != "."),
+        (a1 != "A").cast("int") + (a2 != "A").cast("int"),
+    )
+    dd = (
+        d.withColumn("dosage", dosage)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("dosage").alias("dosage"))
+    )
+    return grm(dd, "l_orderkey", "l_linenumber", "dosage")

@@ -543,3 +543,82 @@ def test_cohort_qc_all_missing_sample_keeps_row(spark):
     assert (s1.n_called, s1.obs_het, s1.call_rate, s1.het_rate) == (
         2, 1, 1.0, 0.5,
     )
+
+
+def test_grm_matches_numpy_model(spark):
+    """GRM entries (incl. diagonal) reproduce the VanRaden formula
+    computed by a dense numpy model: z = (x - 2p)/sqrt(2p(1-p)) with p
+    per-site from all called dosages, pairwise-complete means; a
+    monomorphic site contributes nothing."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.ld import grm
+
+    rng = [0, 1, 2, 1, 0, 2, 1, 1, 0, 1]
+    rows = []
+    X = {}
+    for s in range(10):
+        for k in range(4):
+            dval = rng[(s * (k + 3) + k) % len(rng)]
+            rows.append((s, k, dval))
+            X[(s, k)] = dval
+    rows.append((10, 0, 2))  # site 10: only sample 0 called
+    rows.append((11, 0, 1))
+    rows.append((11, 1, 1))  # monomorphic among called (p=0.5? no: 1,1 -> p=0.5 ok)
+    rows += [(12, k, 2) for k in range(4)]  # monomorphic p=1 -> excluded
+    d = spark.createDataFrame(rows, "site long, k int, dosage int")
+    out = {
+        (r.sample_a, r.sample_b): (r.n_shared, r.grm)
+        for r in grm(d, "site", "k", "dosage").collect()
+    }
+    # numpy replay
+    import collections
+
+    by_site = collections.defaultdict(dict)
+    for s, k, dv in rows:
+        by_site[s][k] = dv
+    acc = collections.defaultdict(lambda: [0, 0.0])
+    for s, calls in by_site.items():
+        p = sum(calls.values()) / (2.0 * len(calls))
+        if p <= 0.0 or p >= 1.0:
+            continue
+        z = {k: (v - 2 * p) / np.sqrt(2 * p * (1 - p)) for k, v in calls.items()}
+        ks = sorted(z)
+        for i, ka in enumerate(ks):
+            for kb in ks[i:]:
+                acc[(ka, kb)][0] += 1
+                acc[(ka, kb)][1] += z[ka] * z[kb]
+    for pair, (n, szz) in acc.items():
+        assert out[pair][0] == n
+        assert abs(out[pair][1] - szz / n) < 1e-6, pair
+    assert set(out) == set(acc)
+    assert all(a <= b for a, b in out)
+    # site 12 (p=1) excluded: pairs among the 4 samples count only
+    # the 10 polymorphic shared sites (+site 11 for (0,1))
+    assert out[(2, 3)][0] == 10
+
+
+def test_pca_from_grm_separates_planted_clusters(spark):
+    """Two planted dosage populations (alt-rich vs ref-rich on
+    alternating sites) land on opposite sides of PC1; output is
+    deterministic (sign-canonicalized) and one coordinate list per
+    sample."""
+    from pandasvcf_spark.operators.ld import grm, pca_from_grm
+
+    rows = []
+    for s in range(40):
+        for k in range(6):
+            pop = k < 3
+            base = 2 if (s % 2 == 0) == pop else 0
+            if (s + k) % 7 == 0:
+                base = 1  # noise keeps sites polymorphic within pop
+            rows.append((s, k, base))
+    d = spark.createDataFrame(rows, "site long, k int, dosage int")
+    coords = pca_from_grm(grm(d, "site", "k", "dosage"), n_components=2)
+    assert [s for s, _ in coords] == list(range(6))
+    pc1 = {s: c[0] for s, c in coords}
+    left = {pc1[k] for k in (0, 1, 2)}
+    right = {pc1[k] for k in (3, 4, 5)}
+    assert max(left) < min(right) or min(left) > max(right)
+    again = pca_from_grm(grm(d, "site", "k", "dosage"), n_components=2)
+    assert coords == again

@@ -302,6 +302,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # heuristic, same class as
                                  # t_quality_score (in window); contract
                                  # guard
+        "g_grm",                 # relatedness matrix: king_kinship's
+                                 # panel-pair plan shape (g_kinship in
+                                 # window) with double products;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -144,3 +144,20 @@ def test_ewma_single_groupby_no_window(spark):
     plan = _plan(ewma_last(d, "u", ["t"], "v", alpha=0.5))
     assert "Window" not in plan  # fold, not a per-row window re-scan
     assert plan.count("Exchange") == 1
+
+
+def test_grm_no_cartesian_one_pair_shuffle(spark):
+    """GRM shares king_kinship's shape: standardized pair expansion is a
+    HOF inside the per-site row — zero join nodes, exactly two
+    aggregation shuffles (site collect+freq, pair mean)."""
+    from pandasvcf_spark.operators.ld import grm
+
+    d = spark.range(300).select(
+        (F.col("id") % 100).alias("site"),
+        (F.col("id") % 3).cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("dosage"),
+    )
+    plan = _plan(grm(d, "site", "k", "dosage"))
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
