@@ -802,3 +802,58 @@ def cohort_qc(
         "exp_het",
         "f",
     )
+
+
+def burden_counts(
+    df: DataFrame,
+    site_cols: list[str],
+    sample_col: str,
+    dosage_col: str,
+    gene_col: str,
+    max_af: float = 0.05,
+) -> DataFrame:
+    """Rare-variant burden collapsing (the CAST / gene-burden-test
+    aggregation; rvtests / regenie's first stage): restrict to sites
+    whose cohort alt-allele frequency p̂ ≤ `max_af`, then per (sample,
+    gene) accumulate
+
+        n_sites    — rare sites in the gene where the sample is called,
+        burden     — Σ alt dosage (the CAST statistic's genotype sum),
+        n_carrier  — rare sites where the sample carries ≥1 alt allele.
+
+    `gene_col` is the site-level grouping key (a gene id from an
+    interval join, or a positional window). p̂ is estimated from ALL
+    called genotypes at the site, the cohort-as-its-own-panel convention
+    shared with [[inbreeding_stats]]. Only (sample, gene) pairs with at
+    least one called rare site appear — the zero-row is the caller's
+    left join if a dense matrix is wanted (samples × genes is the
+    association test's own materialization, not this operator's).
+
+    Plan: the site-frequency relation (sites × 2 counters, one partial
+    agg) filters to the rare subset BEFORE the join back — at 5% MAF on
+    real exomes that is a large scan cut — then one partial-aggregated
+    groupBy(sample, gene). Two shuffles of site-keyed rows, counters
+    only."""
+    if not 0.0 < max_af <= 1.0:
+        raise ValueError(f"max_af must be in (0, 1], got {max_af}")
+    dcol = F.col(dosage_col)
+    calls = df.filter(dcol.isNotNull())
+    freq = calls.groupBy(*site_cols).agg(
+        F.sum(dcol.cast("double")).alias("__sum_d"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rare = freq.filter(
+        F.col("__sum_d") / (2.0 * F.col("__n")) <= F.lit(float(max_af))
+    ).select(*site_cols)
+    joined = calls.join(rare, on=site_cols)
+    return (
+        joined.groupBy(
+            F.col(sample_col).alias("sample"),
+            F.col(gene_col).alias("gene"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum(dcol.cast("long")).alias("burden"),
+            F.sum((dcol > 0).cast("long")).alias("n_carrier"),
+        )
+    )

@@ -1401,3 +1401,54 @@ def g_grm(spark, sf_dir):
         .agg(F.min("dosage").alias("dosage"))
     )
     return grm(dd, "l_orderkey", "l_linenumber", "dosage")
+
+
+@register(
+    "g_burden",
+    oracle=_GENO_CTE
+    + """
+    , dos AS (
+      SELECT l_orderkey AS s, l_linenumber AS k,
+             min(CASE WHEN a1 <> '.' AND a2 <> '.' THEN
+               (CASE WHEN a1 <> 'A' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 <> 'A' THEN 1 ELSE 0 END)
+             END) AS d
+      FROM ann GROUP BY 1, 2),
+    called AS (SELECT * FROM dos WHERE d IS NOT NULL),
+    freq AS (
+      SELECT s FROM called GROUP BY s
+      HAVING CAST(sum(d) AS DOUBLE) / (2.0 * count(*)) <= 0.6)
+    SELECT c.k AS sample, c.s // 1000 AS gene,
+           count(*) AS n_sites,
+           CAST(sum(c.d) AS BIGINT) AS burden,
+           CAST(sum(CASE WHEN c.d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_carrier
+    FROM called c JOIN freq USING (s)
+    GROUP BY 1, 2
+    """,
+)
+def g_burden(spark, sf_dir):
+    """Rare-variant burden collapsing (operators/annotate.burden_counts;
+    rvtests / regenie stage-1 family) over positional 1000-site gene
+    windows at a 0.6 alt-frequency ceiling (the derived relation's alt
+    alleles are common — real exomes pass 0.01-0.05): site-frequency
+    partial agg filters the rare subset BEFORE the join back, then one
+    per-(sample, gene) counter aggregation. The oracle replays the
+    frequency gate and the three counters."""
+    from pandasvcf_spark.operators.annotate import burden_counts
+
+    d = _gt_parsed(spark, sf_dir)
+    a1, a2 = F.col("a1"), F.col("a2")
+    dosage = F.when(
+        (a1 != ".") & (a2 != "."),
+        (a1 != "A").cast("int") + (a2 != "A").cast("int"),
+    )
+    dd = (
+        d.withColumn("dosage", dosage)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("dosage").alias("dosage"))
+        .withColumn("gene", F.expr("l_orderkey div 1000"))
+    )
+    return burden_counts(
+        dd, ["l_orderkey"], "l_linenumber", "dosage", "gene", max_af=0.6
+    )

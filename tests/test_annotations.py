@@ -622,3 +622,38 @@ def test_pca_from_grm_separates_planted_clusters(spark):
     assert max(left) < min(right) or min(left) > max(right)
     again = pca_from_grm(grm(d, "site", "k", "dosage"), n_components=2)
     assert coords == again
+
+
+def test_burden_counts_hand_case(spark):
+    """The AF gate keeps a site at exactly max_af, drops one just above;
+    counters: n_sites counts called rare sites, burden sums dosage,
+    n_carrier counts dosage>0; a sample uncalled at a rare site gets no
+    credit for it."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.annotate import burden_counts
+
+    rows = [
+        # site 0 (gene 0): dosages 1,0,0,0 over 4 samples -> p=0.125 rare
+        (0, 0, 1), (0, 1, 0), (0, 2, 0), (0, 3, 0),
+        # site 1 (gene 0): 2,2,1,1 -> p=0.75 > 0.25 dropped
+        (1, 0, 2), (1, 1, 2), (1, 2, 1), (1, 3, 1),
+        # site 2 (gene 0): 1,1,0,0 -> p=0.25 == max_af kept (<=)
+        (2, 0, 1), (2, 1, 1), (2, 2, 0), (2, 3, 0),
+        # site 100 (gene 1): sample 3 uncalled; 1,0,0 over 3 -> p=1/6
+        (100, 0, 1), (100, 1, 0), (100, 2, 0), (100, 3, None),
+    ]
+    d = spark.createDataFrame(rows, "site long, k int, dosage int")
+    gened = d.selectExpr("site", "k", "dosage", "site div 100 as gene")
+    out = {
+        (r.sample, r.gene): (r.n_sites, r.burden, r.n_carrier)
+        for r in burden_counts(
+            gened, ["site"], "k", "dosage", "gene", max_af=0.25
+        ).collect()
+    }
+    assert out[(0, 0)] == (2, 2, 2)   # sites 0+2, dosage 1+1
+    assert out[(2, 0)] == (2, 0, 0)   # called, zero burden -> row kept
+    assert out[(0, 1)] == (1, 1, 1)
+    assert (3, 1) not in out          # uncalled at the only rare site
+    with _pytest.raises(ValueError, match="max_af"):
+        burden_counts(gened, ["site"], "k", "dosage", "gene", max_af=0.0)

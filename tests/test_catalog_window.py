@@ -306,6 +306,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # panel-pair plan shape (g_kinship in
                                  # window) with double products;
                                  # contract guard
+        "g_burden",              # burden collapsing: inbreeding_stats'
+                                 # freq-gate + join-back shape
+                                 # (g_inbreeding in window); contract
+                                 # guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
