@@ -1018,3 +1018,65 @@ def _cc_star(
     return vertices.join(labels, "id", "left").select(
         "id", F.coalesce("lbl", F.col("id")).alias("component")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n\n",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4 cleaning step,
+    Raffel et al. 2020: drop every repeated occurrence of a paragraph
+    across the whole corpus, keeping the FIRST by (doc id, position);
+    reference parity: the reference's full-row `drop_duplicates` family
+    at sub-document granularity). Documents are split on the literal
+    `delim` (real corpora pass "\\n\\n"; any literal token works),
+    duplicate paragraphs beyond their first occurrence are removed, and
+    each document is reassembled from its surviving paragraphs in
+    original order with the same delimiter. Paragraphs shorter than
+    `min_chars` are exempt (kept everywhere) — short strings repeat
+    naturally and deduping them shreds documents. Documents whose every
+    paragraph was a repeat disappear from the output (C4 drops them);
+    left-join against the input ids to keep empties.
+
+    Output: (id_col, text_col) — the cleaned corpus.
+
+    Plan: posexplode → one window over the paragraph CONTENT key (the
+    shuffle that makes the decision global; the paragraph string rides
+    the exchange exactly once, and must — the survivor's text is the
+    payload) → one reassembly groupBy(doc). Two shuffles, both
+    paragraph-sized; no joins, no driver state. Skew: a pathological
+    mega-duplicate paragraph lands one key on one reducer — row_number
+    over it is a sort of that key's occurrence list only; the dropped
+    rows never re-shuffle."""
+    import re
+
+    if not delim:
+        raise ValueError("delim must be a non-empty literal string")
+    parts = F.split(F.col(text_col), re.escape(delim), -1)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(parts).alias("__pos", "__para")
+    )
+    w = Window.partitionBy("__para").orderBy(id_col, "__pos")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1) | (F.length("__para") < F.lit(min_chars))
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                delim,
+            ).alias(text_col)
+        )
+    )

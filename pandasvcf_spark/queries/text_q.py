@@ -1617,3 +1617,37 @@ def t_corpus_split(spark, sf_dir):
             "doc_id", {"train": 0.98, "val": 0.01, "test": 0.01}
         ).alias("split"),
     )
+
+
+@register(
+    "t_paragraph_dedup",
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
+    paras AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(ps))) AS pos,
+             unnest(ps) AS para
+      FROM sel),
+    ranked AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+               AS rn
+      FROM paras),
+    kept AS (SELECT * FROM ranked WHERE rn = 1 OR len(para) < 8)
+    SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def t_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (operators/dedup.paragraph_dedup; the
+    C4 cleaning step, Raffel et al. 2020) — the synthetic corpus has no
+    newlines, so the catalog splits on the literal token ' the '
+    (min_chars=8 exempts short fragments, C4's short-line rule). One
+    content-keyed window + one reassembly groupBy; the oracle replays
+    split positions, the global first-occurrence rank and the ordered
+    re-join."""
+    from pandasvcf_spark.operators.dedup import paragraph_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(d, "doc_id", "text", delim=" the ", min_chars=8)

@@ -310,6 +310,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # freq-gate + join-back shape
                                  # (g_inbreeding in window); contract
                                  # guard
+        "t_paragraph_dedup",     # C4 paragraph dedup: content-keyed
+                                 # window + reassembly; dedup family
+                                 # machinery in window via
+                                 # dedup_minhash_lsh; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1080,3 +1080,40 @@ def test_maxsim_hand_computed(spark):
     }
     assert abs(out["A"] - 2.0) < 1e-12
     assert abs(out["B"] - 2 ** 0.5) < 1e-12
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Cross-doc and within-doc repeats beyond the first occurrence are
+    removed; short paragraphs are exempt; fully-shredded docs drop; a
+    duplicate-free corpus round-trips identically."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.dedup import paragraph_dedup
+
+    docs = [
+        (1, "alpha paragraph one\n\nshared paragraph body\n\nok"),
+        (2, "shared paragraph body\n\nbeta paragraph two\n\nok"),
+        (3, "shared paragraph body"),  # only a repeat -> doc drops
+        (4, "gamma paragraph\n\ngamma paragraph\n\nok"),  # within-doc
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in paragraph_dedup(
+            d, "doc_id", "text", delim="\n\n", min_chars=5
+        ).collect()
+    }
+    # doc 1 keeps everything (first occurrence of 'shared...'); 'ok' is
+    # short-exempt everywhere
+    assert out[1] == "alpha paragraph one\n\nshared paragraph body\n\nok"
+    assert out[2] == "beta paragraph two\n\nok"
+    assert 3 not in out
+    assert out[4] == "gamma paragraph\n\nok"
+    # round-trip: no duplicates -> identity
+    clean = spark.createDataFrame(
+        [(1, "unique one\n\nunique two")], "doc_id long, text string"
+    )
+    r = paragraph_dedup(clean, "doc_id", "text").collect()[0]
+    assert r.text == "unique one\n\nunique two"
+    with _pytest.raises(ValueError, match="delim"):
+        paragraph_dedup(d, "doc_id", "text", delim="")
