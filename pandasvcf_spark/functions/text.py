@@ -305,3 +305,27 @@ def chunk_windows_expr(
             )
         ),
     )
+
+
+def mix32_expr(h: Column) -> Column:
+    """Avalanche finalizer over a non-negative 32-bit-range BIGINT (the
+    public xor-shift-multiply integer hash, Wellons' lowbias32 family):
+
+        x = ((h XOR h div 2^16) * 73244475) mod 2^32   — twice —
+        x =   x XOR x div 2^16
+
+    The polynomial hash's Knuth scramble is a BIJECTION onto a Weyl
+    sequence — equidistributed, which order-statistics consumers (KMV,
+    sampling) want, but systematically missing the extreme gaps that
+    leading-zero statistics (HyperLogLog's rho) are made of. This mixer
+    avalanches instead: each output bit depends on every input bit.
+    Integer-division shifts and a 27-bit multiplier keep every
+    intermediate below 2^59 (ANSI-overflow-safe) and the whole chain
+    reproducible in ANSI SQL (DuckDB twin: xor(x, x // 65536) etc.)."""
+    x = h.cast("long")
+    for _ in range(2):
+        x = (
+            x.bitwiseXOR(F.floor(x / F.lit(65536)).cast("long"))
+            * F.lit(73244475)
+        ) % F.lit(4294967296)
+    return x.bitwiseXOR(F.floor(x / F.lit(65536)).cast("long"))

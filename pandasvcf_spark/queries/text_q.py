@@ -1651,3 +1651,48 @@ def t_paragraph_dedup(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return paragraph_dedup(d, "doc_id", "text", delim=" the ", min_chars=8)
+
+
+@register(
+    "sk_hll_distinct",
+    oracle=f"""
+    WITH ph AS (
+      SELECT {_SQL_POLY_HASH.format(s="text")} AS h0
+      FROM documents WHERE text IS NOT NULL),
+    m1 AS (SELECT (xor(h0, h0 // 65536) * 73244475) % 4294967296 AS x
+           FROM ph),
+    m2 AS (SELECT (xor(x, x // 65536) * 73244475) % 4294967296 AS x
+           FROM m1),
+    mx AS (SELECT xor(x, x // 65536) AS h FROM m2),
+    regs AS (
+      SELECT CAST(h % 256 AS INT) AS bucket,
+             max(CASE WHEN h // 256 > 0
+                      THEN 24 - CAST(floor(log2(h // 256)) AS INT)
+                      ELSE 25 END) AS rho
+      FROM mx GROUP BY 1),
+    agg AS (SELECT CAST(count(*) AS INT) AS hit,
+                   sum(power(2.0, -rho)) AS s FROM regs)
+    SELECT CAST(256 AS INT) AS m, CAST(256 - hit AS INT) AS n_zero,
+           round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 65536
+                           / (s + (256 - hit)) <= 640.0
+                       AND hit < 256
+                      THEN 256.0 * ln(256.0 / (256 - hit))
+                      ELSE (0.7213 / (1.0 + 1.079 / 256)) * 65536
+                           / (s + (256 - hit)) END, 4) AS estimate
+    FROM agg
+    """,
+)
+def sk_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count (operators/sketches.hll_sketch +
+    hll_estimate, m=256) over document texts — the mergeable
+    (cell-wise-MAX) counterpart of sk_kmv_distinct. Every register and
+    the final bias-corrected/linear-counting estimate replay in the
+    oracle to the last bit: the mix32 chain is integer-exact, and the
+    harmonic sum's 2^-rho terms are dyadic rationals whose ≤256-term
+    sum is exact in doubles regardless of accumulation order (round 4dp
+    is belt-and-braces)."""
+    from pandasvcf_spark.operators.sketches import hll_estimate, hll_sketch
+
+    d = load(spark, sf_dir, "documents")
+    est = hll_estimate(hll_sketch(d, "text", m=256), m=256)
+    return est.select("m", "n_zero", F.round("estimate", 4).alias("estimate"))

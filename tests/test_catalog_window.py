@@ -314,6 +314,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window + reassembly; dedup family
                                  # machinery in window via
                                  # dedup_minhash_lsh; contract guard
+        "sk_hll_distinct",       # HLL: mergeable twin of
+                                 # sk_kmv_distinct (in window);
+                                 # bit-exact estimate replay; contract
+                                 # guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

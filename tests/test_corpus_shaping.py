@@ -1014,3 +1014,35 @@ def test_quantile_normalize_aligns_distributions(spark):
     assert sorted(by_g["a"]) == [5.5, 11.0, 46.5]
     nulls = [r for r in rowsb if r.v is None]
     assert len(nulls) == 1 and nulls[0].qnorm is None
+
+
+def test_hll_merge_accuracy_and_regimes(spark):
+    """Union-of-grids + cell-wise MAX equals the whole-corpus grid
+    (the 100 TB combine); estimates land within the ~1.04/sqrt(m) error
+    class on hostile sequential keys; below ~m distinct the
+    linear-counting regime is near-exact; validation rejects non-power
+    m."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.sketches import hll_estimate, hll_sketch
+
+    d = spark.range(5000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("k")
+    )
+    whole = hll_sketch(d, "k", m=256)
+    est = hll_estimate(whole, m=256).collect()[0]
+    assert abs(est.estimate - 5000) / 5000 < 0.10  # deterministic, no flake
+    assert est.m == 256 and est.n_zero == 0
+    h1 = hll_sketch(d.filter(F.col("k") < "doc-3"), "k", 256)
+    h2 = hll_sketch(d.filter(F.col("k") >= "doc-3"), "k", 256)
+    merged = h1.union(h2).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    small = spark.range(30).select(F.concat(F.lit("s"), F.col("id")).alias("k"))
+    rs = hll_estimate(hll_sketch(small, "k", 256), 256).collect()[0]
+    assert rs.n_zero > 200 and abs(rs.estimate - 30) < 3
+    with _pytest.raises(ValueError, match="power of two"):
+        hll_sketch(d, "k", m=100)
+    with _pytest.raises(ValueError, match="power of two"):
+        hll_estimate(whole, m=0)
