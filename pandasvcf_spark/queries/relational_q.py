@@ -839,3 +839,48 @@ def g_pagerank(spark, sf_dir):
         F.col("id").cast("long").alias("id"),
         F.round("rank", 9).alias("rank"),
     )
+
+
+@register(
+    "g_triangles",
+    oracle="""
+    WITH raw AS (
+      SELECT least(l_orderkey % 1000, l_partkey % 1000) AS u,
+             greatest(l_orderkey % 1000, l_partkey % 1000) AS v
+      FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000
+      GROUP BY 1, 2),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT u AS n FROM raw UNION ALL SELECT v AS n FROM raw)
+      GROUP BY 1),
+    s1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges
+      FROM deg),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS triangles
+      FROM raw e1
+      JOIN raw e2 ON e2.u = e1.v
+      JOIN raw e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT n_nodes, n_edges, wedges, triangles,
+           CASE WHEN wedges > 0
+                THEN round(3.0 * triangles / wedges, 6) END AS global_cc
+    FROM s1, tri
+    """,
+)
+def g_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient
+    (operators/graph.triangle_stats; Schank & Wagner 2005 node-iterator
+    with degree orientation) over a synthetic 1000-node co-occurrence
+    graph from lineitem. The orientation bounds wedge expansion by
+    m^1.5 — the skew protection a star-heavy crawl graph needs; the
+    oracle affords the naive u<v<w three-way self-join and the
+    closed-form wedge sum."""
+    from pandasvcf_spark.operators.graph import triangle_stats
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return triangle_stats(li)

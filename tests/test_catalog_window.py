@@ -318,6 +318,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # sk_kmv_distinct (in window);
                                  # bit-exact estimate replay; contract
                                  # guard
+        "g_triangles",           # triangle census: iterative-graph
+                                 # family in window via g_pagerank;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1046,3 +1046,30 @@ def test_hll_merge_accuracy_and_regimes(spark):
         hll_sketch(d, "k", m=100)
     with _pytest.raises(ValueError, match="power of two"):
         hll_estimate(whole, m=0)
+
+
+def test_triangle_stats_hand_graphs(spark):
+    """Triangle+pendant graph under direction/duplicate/self-loop noise
+    gives the known census; K4 gives 4 triangles at clustering 1.0; a
+    star (wedge-rich, triangle-free) gives 0 with cc 0."""
+    from pandasvcf_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1), (4, 4), (1, 2)],
+        "src long, dst long",
+    )
+    r = triangle_stats(e).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.wedges, r.triangles, r.global_cc) == (
+        4, 4, 5, 1, 0.6,
+    )
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long",
+    )
+    r2 = triangle_stats(k4).collect()[0]
+    assert (r2.n_edges, r2.wedges, r2.triangles, r2.global_cc) == (6, 12, 4, 1.0)
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "src long, dst long"
+    )
+    r3 = triangle_stats(star).collect()[0]
+    assert (r3.wedges, r3.triangles, r3.global_cc) == (21, 0, 0.0)
