@@ -828,3 +828,54 @@ def quantile_normalize(
         out, F.lit(None).cast("double")
     )
     return normed.unionByName(nulls)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history build (the Kimball SCD2
+    load a warehouse runs on every dimension refresh; also the
+    change-log → validity-interval compaction of a CDC feed): from an
+    update log (key, version, attributes), emit one row per CHANGE —
+    consecutive updates with identical attributes collapse into the
+    first — with
+
+        valid_from  = the change's version,
+        valid_to    = the NEXT change's version (NULL while current),
+        is_current  = valid_to IS NULL.
+
+    Attribute comparison is null-safe (NULL → NULL is "no change";
+    NULL → value is a change). Precondition, as for `merge_latest`:
+    (key, version) unique per input — duplicate versions tie on the
+    window order and would pick a partition-dependent survivor.
+
+    Plan: two windows over the SAME (key × version-order) partitioning
+    — lag to detect changes, lead on the filtered rows to close
+    intervals — so the plan pays ONE shuffle; the second window reuses
+    the first's exchange and sort (same keys, same order). No joins,
+    no self-diamond: the change filter sits between the windows in one
+    linear pipeline."""
+    if not attr_cols:
+        raise ValueError("attr_cols must name at least one attribute")
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    vc = F.col(version_col)
+    changed = F.lag(vc).over(w).isNull()  # first version per key
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    kept = (
+        df.withColumn("__chg", changed)
+        .filter(F.col("__chg"))
+        .select(*key_cols, vc.alias("valid_from"), *attr_cols)
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("valid_from")
+    out = kept.withColumn("valid_to", F.lead("valid_from").over(w2))
+    return out.select(
+        *key_cols,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        *attr_cols,
+    )

@@ -321,6 +321,9 @@ def test_tail_entries_are_redundant_variants_only():
         "g_triangles",           # triangle census: iterative-graph
                                  # family in window via g_pagerank;
                                  # contract guard
+        "m_scd2_history",        # SCD2 build: window machinery in
+                                 # window via w_rank_topk /
+                                 # m_upsert_latest; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1073,3 +1073,37 @@ def test_triangle_stats_hand_graphs(spark):
     )
     r3 = triangle_stats(star).collect()[0]
     assert (r3.wedges, r3.triangles, r3.global_cc) == (21, 0, 0.0)
+
+
+def test_scd2_history_semantics_and_plan(spark):
+    """No-op updates collapse into the opening change row; NULL→value
+    and value→NULL transitions are changes (null-safe compare); the last
+    change per key stays open (valid_to NULL, is_current); the whole
+    build pays exactly one exchange."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import scd2_history
+
+    rows = [
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "B"), (1, 50, "A"),
+        (2, 5, None), (2, 6, None), (2, 7, "X"),
+    ]
+    d = spark.createDataFrame(rows, "k long, v long, status string")
+    out = sorted(
+        (r.k, r.valid_from, r.valid_to, r.is_current, r.status)
+        for r in scd2_history(d, ["k"], "v", ["status"]).collect()
+    )
+    assert out == [
+        (1, 10, 30, False, "A"), (1, 30, 50, False, "B"),
+        (1, 50, None, True, "A"),
+        (2, 5, 7, False, None), (2, 7, None, True, "X"),
+    ]
+    plan = (
+        scd2_history(d, ["k"], "v", ["status"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    with _pytest.raises(ValueError, match="attr_cols"):
+        scd2_history(d, ["k"], "v", [])
