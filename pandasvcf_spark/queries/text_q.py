@@ -1696,3 +1696,65 @@ def sk_hll_distinct(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     est = hll_estimate(hll_sketch(d, "text", m=256), m=256)
     return est.select("m", "n_zero", F.round("estimate", 4).alias("estimate"))
+
+
+def _bpe_oracle(n_rounds: int = 3) -> str:
+    """Unrolled BPE-training replay (the pagerank-oracle device): one
+    (pair-count, argmax, fold-apply) CTE triple per round. The merge
+    application folds a sentinel-joined accumulator string through
+    DuckDB's init-with-first list_reduce — byte-equal to the engine's
+    array fold (probed: 'aaaa' under (a,a) → [aa, aa])."""
+    fold = (
+        "string_split(list_reduce(list_transform(ss, s -> chr(31) || s), "
+        "(acc, x) -> CASE WHEN x = chr(31) || m{k}.lb "
+        "AND ends_with(acc, chr(31) || m{k}.la) "
+        "THEN acc[:len(acc) - len(chr(31) || m{k}.la)] "
+        "|| chr(31) || m{k}.la || m{k}.lb "
+        "ELSE acc || x END), chr(31))[2:]"
+    )
+    parts = [
+        """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents),
+    wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+    w0 AS (SELECT string_split(w, '') AS ss, f FROM wf)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+    , p{k} AS (
+      SELECT la, lb, CAST(sum(f) AS BIGINT) AS cnt FROM (
+        SELECT f,
+          unnest(list_transform(generate_series(1, len(ss) - 1),
+                                i -> ss[i])) AS la,
+          unnest(list_transform(generate_series(1, len(ss) - 1),
+                                i -> ss[i + 1])) AS lb
+        FROM w{k - 1} WHERE len(ss) >= 2)
+      GROUP BY 1, 2),
+    m{k} AS (SELECT la, lb, cnt FROM p{k} ORDER BY cnt DESC, la, lb LIMIT 1),
+    w{k} AS (
+      SELECT {fold.format(k=k)} AS ss, f
+      FROM w{k - 1}, m{k})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {k} AS step, la AS left_sym, lb AS right_sym, "
+        f"la || lb AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + "\n    " + selects
+
+
+@register("t_bpe_merges", oracle=_bpe_oracle(3))
+def t_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.bpe_train;
+    Sennrich et al. 2016), 3 merge rounds over the corpus: the
+    working set collapses to the distinct-word frequency table before
+    iteration — the property that makes tokenizer training feasible at
+    corpus scale — and each round is one pair-count shuffle + a 1-row
+    argmax collect (the rule IS the model). Deterministic (count DESC,
+    pair ASC) tie-break; the oracle unrolls the three rounds."""
+    from pandasvcf_spark.operators.bpe import bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_train(d, "text", n_merges=3)

@@ -324,6 +324,9 @@ def test_tail_entries_are_redundant_variants_only():
         "m_scd2_history",        # SCD2 build: window machinery in
                                  # window via w_rank_topk /
                                  # m_upsert_latest; contract guard
+        "t_bpe_merges",          # BPE training: iterative agg family
+                                 # in window via g_pagerank-style
+                                 # unrolled oracle; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1117,3 +1117,44 @@ def test_paragraph_dedup_semantics(spark):
     assert r.text == "unique one\n\nunique two"
     with _pytest.raises(ValueError, match="delim"):
         paragraph_dedup(d, "doc_id", "text", delim="")
+
+
+def test_bpe_train_classic_corpus_and_encode(spark):
+    """The low/lower corpus learns (l,o) then (lo,w) first — the
+    textbook Sennrich example; encoding replays rules exhaustively
+    ('aaaa' under (a,a) → [aa, aa]); training stops early once every
+    word is a single symbol; n_merges validates."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.bpe import (
+        bpe_encode_expr,
+        bpe_train,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "id long, text string",
+    )
+    rules = bpe_train(d, "text", n_merges=5).collect()
+    got = [(r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+           for r in rules]
+    assert got[:2] == [(1, "l", "o", "lo", 6), (2, "lo", "w", "low", 6)]
+    assert [r[0] for r in got] == [1, 2, 3, 4, 5]
+    merges = [(r.left_sym, r.right_sym) for r in rules]
+    enc = d.filter(F.col("id") == 1).select(
+        bpe_encode_expr(F.col("text"), merges).alias("t")
+    ).collect()[0].t
+    # words: [low, low, low, lower, lowest]
+    assert enc[0] == ["low"] and enc[3] == ["low", "er"]
+    assert enc[4] == ["low", "e", "s", "t"]
+    # exhaustive left-to-right application
+    aa = spark.createDataFrame([(1, "aaaa")], "id long, text string")
+    enc2 = aa.select(
+        bpe_encode_expr(F.col("text"), [("a", "a")]).alias("t")
+    ).collect()[0].t
+    assert enc2 == [["aa", "aa"]]
+    # early stop: 1-char vocabulary exhausts after 0 possible merges
+    tiny = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    assert bpe_train(tiny, "text", n_merges=4).count() == 0
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(d, "text", n_merges=0)
