@@ -68,3 +68,52 @@ def read_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("d", "cell")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def hll_ingest_stream(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    key,
+    m: int = 256,
+    query_name: str = "hll_ingest",
+    trigger: dict | None = None,
+):
+    """Streaming distinct-count maintenance — the HyperLogLog twin of
+    `sketch_ingest_stream`, with the same batch_id-directory idempotence
+    contract: each micro-batch overwrites its OWN register grid
+    (`hll_sketch`) under `sketch_path/batch_id=N`, and the live estimate
+    is a query-time cell-wise MAX merge over all batches
+    (`read_hll_sketch` → `hll_estimate`). MAX is idempotent as well as
+    associative, so this sketch tolerates not just replayed batches but
+    OVERLAPPING ones (a re-crawled shard never inflates the count —
+    the property cell-wise-SUM sketches cannot offer)."""
+    from pandasvcf_spark.operators.sketches import hll_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        k = key() if callable(key) else key
+        hll_sketch(batch_df, k, m=m).write.mode("overwrite").parquet(
+            f"{sketch_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_hll_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The current merged HLL grid: cell-wise MAX over every batch
+    directory — (bucket, rho), the exact `hll_sketch` output shape,
+    directly consumable by `hll_estimate`."""
+    return (
+        spark.read.option("basePath", sketch_path)
+        .parquet(f"{sketch_path}/batch_id=*")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

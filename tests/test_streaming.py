@@ -419,3 +419,62 @@ def test_sketch_ingest_stream_matches_batch_and_replays(spark, tmp_path):
         ).collect()
     }
     assert est["w0"] >= rows.count("w0") and est["absent"] == 0
+
+
+def test_hll_ingest_stream_matches_batch_and_tolerates_overlap(
+    spark, tmp_path
+):
+    """Streamed HLL grid == one-shot batch grid over the same rows
+    (cell-wise MAX mergeability end-to-end), and OVERLAPPING batches —
+    the same shard crawled twice — leave the estimate unchanged, the
+    idempotence a SUM-merged sketch cannot offer."""
+    import json
+    import os
+    import time
+
+    from pandasvcf_spark.operators.sketches import hll_estimate, hll_sketch
+    from pandasvcf_spark.sources.jsonl import read_jsonl_stream
+    from pandasvcf_spark.streaming.sketches import (
+        hll_ingest_stream,
+        read_hll_sketch,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    words = ["item-%d" % i for i in range(300)]
+    now = time.time()
+    # batch 0: words[0:200]; batch 1: words[100:300] — 100-word overlap
+    for b, lo, hi in ((0, 0, 200), (1, 100, 300)):
+        p = os.path.join(str(in_dir), f"b{b}.jsonl")
+        with open(p, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(json.dumps({
+                    "doc_id": i, "text": words[i], "lang": "en",
+                    "source": "s", "n_chars": len(words[i]),
+                }) + "\n")
+        os.utime(p, (now - 20 + b, now - 20 + b))
+    sk_dir = str(tmp_path / "sk")
+    ck = str(tmp_path / "ck")
+    stream = read_jsonl_stream(
+        spark, str(in_dir), bad_records="drop", max_files_per_trigger=1
+    )
+    q = hll_ingest_stream(
+        stream, sk_dir, ck, "text", m=64, query_name="t_hll_ingest"
+    )
+    q.awaitTermination()
+    merged = sorted(
+        map(tuple, read_hll_sketch(spark, sk_dir).collect())
+    )
+    direct = sorted(
+        map(
+            tuple,
+            hll_sketch(
+                spark.createDataFrame([(w,) for w in words], "text string"),
+                "text",
+                m=64,
+            ).collect(),
+        )
+    )
+    assert merged == direct  # overlap absorbed by MAX, union == whole
+    est = hll_estimate(read_hll_sketch(spark, sk_dir), m=64).collect()[0]
+    assert abs(est.estimate - 300) / 300 < 0.2
