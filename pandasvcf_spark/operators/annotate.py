@@ -857,3 +857,64 @@ def burden_counts(
             F.sum((dcol > 0).cast("long")).alias("n_carrier"),
         )
     )
+
+
+def pi_windows(
+    df: DataFrame,
+    site_col: str,
+    pos_col: str,
+    window_size: int,
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    ref_col: str = "REF",
+    missing: str = ".",
+) -> DataFrame:
+    """Windowed nucleotide diversity π (vcftools --window-pi family):
+    per genomic window of `window_size` positions,
+
+        π_site = (2j(n−j)) / (n(n−1)),   j = alt alleles, n = called
+                                          alleles at the site
+        (the unbiased pairwise-difference form; 0 for monomorphic or
+         n < 2 sites),
+        pi_sum  = Σ π_site over the window's variant sites,
+        pi      = pi_sum / window_size  (invariant positions count as
+                  zero diversity — vcftools' denominator convention).
+
+    Output: (win BIGINT = floor(pos / window_size), n_sites,
+    n_variant BIGINT, pi_sum DOUBLE round 6, pi DOUBLE round 6) —
+    the diversity track a selection scan or diversity map plots.
+
+    Plan: one per-site counter aggregation (collapses the sample
+    dimension map-side), then one per-window partial agg over
+    site-sized rows — the inbreeding_stats frequency pass re-keyed by
+    window, no joins."""
+    if window_size < 1:
+        raise ValueError(f"window_size must be >= 1, got {window_size}")
+    a1, a2, ref = F.col(a1_col), F.col(a2_col), F.col(ref_col)
+    called1 = a1.isNotNull() & (a1 != missing)
+    called2 = a2.isNotNull() & (a2 != missing)
+    alt = F.when(called1, (a1 != ref).cast("int")).otherwise(0) + F.when(
+        called2, (a2 != ref).cast("int")
+    ).otherwise(0)
+    n_called = called1.cast("int") + called2.cast("int")
+    per_site = df.groupBy(
+        F.col(site_col).alias("__s"),
+        (F.floor(F.col(pos_col) / F.lit(window_size))).alias("win"),
+    ).agg(
+        F.sum(alt).alias("__j"),
+        F.sum(n_called).alias("__n"),
+    )
+    j, n = F.col("__j").cast("double"), F.col("__n").cast("double")
+    pi_site = F.when(
+        F.col("__n") >= 2, 2.0 * j * (n - j) / (n * (n - 1.0))
+    ).otherwise(F.lit(0.0))
+    return (
+        per_site.withColumn("__pi", pi_site)
+        .groupBy("win")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum((F.col("__pi") > 0).cast("long")).alias("n_variant"),
+            F.round(F.sum("__pi"), 6).alias("pi_sum"),
+            F.round(F.sum("__pi") / F.lit(float(window_size)), 6).alias("pi"),
+        )
+    )

@@ -1452,3 +1452,62 @@ def g_burden(spark, sf_dir):
     return burden_counts(
         dd, ["l_orderkey"], "l_linenumber", "dosage", "gene", max_af=0.6
     )
+
+
+@register(
+    "g_pi_windows",
+    oracle=_GENO_CTE
+    + """
+    , gcol AS (
+      SELECT l_orderkey, l_linenumber, min(a1 || '|' || a2) AS gp
+      FROM ann GROUP BY 1, 2),
+    g2 AS (
+      SELECT l_orderkey,
+             string_split(gp, '|')[1] AS a1,
+             string_split(gp, '|')[2] AS a2
+      FROM gcol),
+    per_site AS (
+      SELECT l_orderkey AS s, l_orderkey // 1000 AS win,
+             CAST(sum((CASE WHEN a1 <> '.' AND a1 <> 'A' THEN 1 ELSE 0 END)
+                  + (CASE WHEN a2 <> '.' AND a2 <> 'A' THEN 1 ELSE 0 END))
+                  AS BIGINT) AS j,
+             CAST(sum((CASE WHEN a1 <> '.' THEN 1 ELSE 0 END)
+                  + (CASE WHEN a2 <> '.' THEN 1 ELSE 0 END))
+                  AS BIGINT) AS n
+      FROM g2 GROUP BY 1, 2),
+    ps AS (
+      SELECT win,
+             CASE WHEN n >= 2 THEN 2.0 * j * (n - j) / (n * (n - 1.0))
+                  ELSE 0.0 END AS pi
+      FROM per_site)
+    SELECT win, count(*) AS n_sites,
+           CAST(sum(CASE WHEN pi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_variant,
+           round(sum(pi), 6) AS pi_sum,
+           round(sum(pi) / 1000.0, 6) AS pi
+    FROM ps GROUP BY win
+    """,
+)
+def g_pi_windows(spark, sf_dir):
+    """Windowed nucleotide diversity π (operators/annotate.pi_windows;
+    vcftools --window-pi family) over 1000-position windows of the
+    derived cohort: unbiased pairwise-difference π per site from the
+    cohort's own allele counts, summed per window and normalized by
+    window length. Duplicate (site, sample) rows collapse to the min
+    allele-pair string first (the derived-relation convention). Two
+    partial-agged groupBys, no joins; the oracle replays allele
+    counters and the π arithmetic term-for-term."""
+    from pandasvcf_spark.operators.annotate import pi_windows
+
+    d = _gt_parsed(spark, sf_dir)
+    dd = (
+        d.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min(F.concat_ws("|", "a1", "a2")).alias("gp"))
+        .select(
+            "l_orderkey",
+            F.split("gp", "\\|").getItem(0).alias("a1"),
+            F.split("gp", "\\|").getItem(1).alias("a2"),
+        )
+        .withColumn("REF", F.lit("A"))
+    )
+    return pi_windows(dd, "l_orderkey", "l_orderkey", 1000)

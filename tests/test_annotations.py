@@ -657,3 +657,30 @@ def test_burden_counts_hand_case(spark):
     assert (3, 1) not in out          # uncalled at the only rare site
     with _pytest.raises(ValueError, match="max_af"):
         burden_counts(gened, ["site"], "k", "dosage", "gene", max_af=0.0)
+
+
+def test_pi_windows_hand_case(spark):
+    """A window of 4 samples all het at one site gives the textbook
+    pi_site = 2*4*4/(8*7) = 4/7; a monomorphic site adds 0; a site with
+    a single called allele (n<2) is guarded to 0; pi normalizes by
+    window length including invariant positions."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.annotate import pi_windows
+
+    rows = []
+    for k in range(4):
+        rows.append((0, k, "A", "G"))    # site 0: all het -> j=4, n=8
+        rows.append((1, k, "A", "A"))    # site 1: monomorphic
+    rows.append((2, 0, "G", "."))        # site 2: one called allele
+    d = spark.createDataFrame(rows, "pos long, k int, a1 string, a2 string")
+    d = d.withColumn("REF", F.lit("A"))
+    out = {r.win: r for r in pi_windows(d, "pos", "pos", 10).collect()}
+    w = out[0]
+    assert w.n_sites == 3 and w.n_variant == 1
+    expected = 2.0 * 4 * 4 / (8 * 7)
+    assert abs(w.pi_sum - round(expected, 6)) < 1e-9
+    assert abs(w.pi - round(expected / 10, 6)) < 1e-9
+    with _pytest.raises(ValueError, match="window_size"):
+        pi_windows(d, "pos", "pos", 0)

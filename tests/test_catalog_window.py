@@ -327,6 +327,9 @@ def test_tail_entries_are_redundant_variants_only():
         "t_bpe_merges",          # BPE training: iterative agg family
                                  # in window via g_pagerank-style
                                  # unrolled oracle; contract guard
+        "g_pi_windows",          # windowed diversity: freq-pass family
+                                 # in window via g_inbreeding / g_hwe;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
