@@ -276,6 +276,29 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if os.environ.get("SPARK_GRAFT_BENCH_R7B", "1") != "0":
+        # Round-7 continuation additive keys (frozen-roster discipline):
+        # the three new heavy operators — relatedness matrix (panel-pair
+        # HOF), triangle census (oriented wedge expansion), BPE training
+        # (3 iterative pair-count rounds) — each min-of-2 with its output
+        # size so wall reads against work done.
+        for key, qname in (
+            ("grm_sec", "g_grm"),
+            ("triangles_sec", "g_triangles"),
+            ("bpe_train_sec", "t_bpe_merges"),
+        ):
+            times, n_out = [], 0
+            for _ in range(2):
+                t0 = time.time()
+                n_out = QUERIES[qname].fn(spark, sf_dir).count()
+                times.append(time.time() - t0)
+            result[key] = round(min(times), 3)
+            print(
+                f"# {key}: {min(times):.2f}s min-of-2 ({qname}, "
+                f"{n_out} rows)",
+                file=sys.stderr,
+            )
+
     if os.environ.get("SPARK_GRAFT_BENCH_VCF", "1") != "0" and os.path.exists(KG_VCF):
         from pandasvcf_spark.operators import annotate_vcf
         from pandasvcf_spark.operators.annotate import (

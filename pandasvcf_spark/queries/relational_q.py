@@ -844,11 +844,13 @@ def g_pagerank(spark, sf_dir):
 @register(
     "g_triangles",
     oracle="""
-    WITH raw AS (
-      SELECT least(l_orderkey % 1000, l_partkey % 1000) AS u,
-             greatest(l_orderkey % 1000, l_partkey % 1000) AS v
-      FROM lineitem WHERE l_orderkey % 1000 <> l_partkey % 1000
-      GROUP BY 1, 2),
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+    raw AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
     deg AS (
       SELECT n, count(*) AS d
       FROM (SELECT u AS n FROM raw UNION ALL SELECT v AS n FROM raw)
@@ -872,55 +874,28 @@ def g_pagerank(spark, sf_dir):
 def g_triangles(spark, sf_dir):
     """Triangle census + global clustering coefficient
     (operators/graph.triangle_stats; Schank & Wagner 2005 node-iterator
-    with degree orientation) over a synthetic 1000-node co-occurrence
-    graph from lineitem. The orientation bounds wedge expansion by
-    m^1.5 — the skew protection a star-heavy crawl graph needs; the
-    oracle affords the naive u<v<w three-way self-join and the
-    closed-form wedge sum."""
+    with degree orientation) over the parts CO-PURCHASE graph (parts
+    sharing an order, a deterministic quarter of orders): nodes and
+    edges both grow linearly with data — the graph shape a real corpus
+    link graph has — unlike a fixed-node-set derivation whose density
+    saturates into a clique and whose wedge work then grows as m^1.5
+    with no new nodes (measured: 60 s at sf0.1 before this re-cut).
+    The orientation bounds wedge expansion by m^1.5 against hot-part
+    skew; the oracle affords the naive u<v<w three-way self-join and
+    the closed-form wedge sum."""
     from pandasvcf_spark.operators.graph import triangle_stats
 
-    li = load(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") % 1000).alias("src"),
-        (F.col("l_partkey") % 1000).alias("dst"),
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
     )
-    return triangle_stats(li)
-
-
-@register(
-    "m_scd2_history",
-    oracle="""
-    WITH base AS (
-      SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
-             lag(o_orderstatus) OVER w AS ps,
-             lag(o_orderpriority) OVER w AS pp,
-             lag(o_orderkey) OVER w AS pv
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)),
-    kept AS (
-      SELECT o_custkey, o_orderkey AS valid_from,
-             o_orderstatus, o_orderpriority
-      FROM base
-      WHERE pv IS NULL OR o_orderstatus IS DISTINCT FROM ps
-         OR o_orderpriority IS DISTINCT FROM pp)
-    SELECT o_custkey, valid_from,
-           lead(valid_from) OVER w2 AS valid_to,
-           lead(valid_from) OVER w2 IS NULL AS is_current,
-           o_orderstatus, o_orderpriority
-    FROM kept
-    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from)
-    """,
-)
-def m_scd2_history(spark, sf_dir):
-    """SCD Type-2 history build (operators/relational.scd2_history; the
-    Kimball dimension load / CDC change-log compaction) over the orders
-    update log per customer: consecutive no-op updates collapse,
-    change rows carry [valid_from, valid_to) with an is_current flag.
-    One shuffle — the change-detect and interval-close windows share
-    the (key, version-order) exchange and sort. The oracle replays the
-    null-safe change filter and both windows."""
-    from pandasvcf_spark.operators.relational import scd2_history
-
-    d = load(spark, sf_dir, "orders")
-    return scd2_history(
-        d, ["o_custkey"], "o_orderkey", ["o_orderstatus", "o_orderpriority"]
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
+    return triangle_stats(edges)
