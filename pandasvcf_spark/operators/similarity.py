@@ -900,3 +900,191 @@ def maxsim_score(
         .agg(F.sum("__m").alias(score_col))
         .withColumnRenamed("__doc", doc_col if isinstance(doc_col, str) else "doc")
     )
+
+
+def pq_code_expr(
+    vec: Column | str, codebooks: list[list[list[float]]]
+) -> Column:
+    """ARRAY<INT> of per-subspace nearest-centroid codes (1-based) —
+    product-quantization encoding (Jégou et al. 2011): the vector is cut
+    into len(codebooks) contiguous subvectors and each is assigned to
+    its subspace codebook's nearest centroid, distance ties to the
+    lowest code (the `ivf_cells_expr` struct-sort tie rule). One codegen
+    pass, no shuffle, no Python; a 64-dim float vector compresses to
+    8 small ints — the memory layout that lets an ANN index hold a
+    corpus RAM-resident at 100 TB scale."""
+    v = _dc(vec)
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, cents in enumerate(codebooks):
+        vs = F.slice(v, s * sub + 1, sub)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vs,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(ci + 1).cast("int").alias("i"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        codes.append(F.element_at(F.array_sort(pairs), 1)["i"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a corpus to PQ codes: (id_col, codes ARRAY<INT>) — the
+    stored form an ADC index scans instead of raw vectors (8 ints vs 64
+    floats: ~8× narrower scan, the point of PQ)."""
+    return df.select(
+        F.col(id_col), pq_code_expr(vec_col, codebooks).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-encoded corpus (Jégou et al.
+    2011 ADC): per query, a distance TABLE T[s][c] = sqdist(query
+    subvector s, codebook[s][c]) is computed once (subspaces × centroids
+    doubles — the model-sized lookup table), broadcast with the query,
+    and every corpus row scores as Σ_s T[s][codes[s]] — table lookups
+    and adds only, never a touch of the original vectors. Output:
+    (query_id, vec_id, adc_dist DOUBLE) ascending-is-nearer, rank ties
+    by vec_id via one window per query partition.
+
+    Plan: the codes relation (8 ints/row) broadcast-NL-joins the query
+    set (small, `cosine_topk`'s contract) — the scan IS the index probe;
+    shuffle is the per-query top-k window only. Approximation error is
+    the quantization error; rerank survivors against raw vectors when
+    exactness matters (compose with `cosine_topk` on the k·queries
+    survivor set)."""
+    n_sub = len(codebooks)
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(
+                                    _dc(vec_col),
+                                    s * len(codebooks[0][0]) + 1,
+                                    len(codebooks[0][0]),
+                                ),
+                                F.array(*[F.lit(float(x)) for x in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        for c in cents
+                    ]
+                )
+                for s, cents in enumerate(codebooks)
+            ]
+        ).alias("__t"),
+    )
+    scored = corpus_codes.join(F.broadcast(q), on=F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col(id_col))
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_sub)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("__t"), s), F.element_at(F.col("codes"), s)
+        ),
+    )
+    scored = scored.withColumn("adc_dist", adc)
+    w = Window.partitionBy("__qid").orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("adc_dist"),
+        )
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 20000,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: per-subspace Lloyd k-means on a deterministic
+    corpus sample (the `tail(sample_rows)`-free form: ascending-hash
+    first rows via sort on xxhash — stable under partitioning). A
+    MODEL-SIZED driver action by design — the sample (≤ sample_rows ×
+    dim floats) and the codebooks (subspaces × centroids × subdim) are
+    the model, exactly like the IVF trainer's k×dim stats; the corpus
+    never collects. Deterministic: sample order, farthest-point-free
+    evenly-strided init over the hash-sorted sample, fixed `iters`,
+    empty clusters re-seeded to the largest cluster's farthest member.
+
+    On clustered data this is where PQ earns its recall; on
+    structureless (uniform/Gaussian) embeddings no codebook placement
+    can beat distance concentration — measured on the synthetic corpus
+    in tests and reported as bench telemetry, the `ivf_recall_at_10`
+    honesty convention. Sample-based training is the faiss norm; to
+    train on the FULL corpus instead, run the DataFrame-native
+    `kmeans_fit` once per subspace over `F.slice(vec, s*sub+1, sub)`
+    and stack the results — same output shape."""
+    import numpy as np
+
+    rows = (
+        df.select(_dc(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<string>")))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r.v for r in rows])
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    books: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        stride = max(1, len(Xs) // n_centroids)
+        C = Xs[::stride][:n_centroids].copy()
+        while len(C) < n_centroids:  # tiny sample fallback
+            C = np.vstack([C, Xs[: n_centroids - len(C)]])
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(n_centroids):
+                m = a == c
+                if m.any():
+                    C[c] = Xs[m].mean(0)
+                else:
+                    big = np.bincount(a, minlength=n_centroids).argmax()
+                    far = d2[a == big, big].argmax()
+                    C[c] = Xs[a == big][far]
+        books.append([[float(x) for x in row] for row in C])
+    return books

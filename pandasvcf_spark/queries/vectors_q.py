@@ -706,3 +706,82 @@ def v_maxsim(spark, sf_dir):
         e, "label", "embedding", list(enumerate(_MAXSIM_QUERIES))
     )
     return out.select("label", F.round("maxsim", 4).alias("maxsim"))
+
+
+#: PQ codebooks — 8 subspaces × 16 centroids × 8 dims, deterministic LCG
+#: scaled to the synthetic embeddings' spread (the CENTROIDS device:
+#: plain-Python floats embed identically in the Spark plan and the SQL).
+PQ_BOOKS = [
+    [
+        [x * 0.35 for x in row]
+        for row in _lcg_planes(16, 8, seed=0xBEEF + s)
+    ]
+    for s in range(8)
+]
+
+
+def _pq_cand_union(table_filter: str = "") -> str:
+    """UNION ALL of per-(subspace, centroid) squared distances — the SQL
+    mirror of pq_code_expr's literal distance arrays."""
+    arms = []
+    for s, cents in enumerate(PQ_BOOKS):
+        for c, cent in enumerate(cents):
+            lit = "([" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+            arms.append(
+                f"SELECT vec_id, {s + 1} AS s, {c + 1} AS c, "
+                f"list_sum(list_transform(generate_series(1, 8), "
+                f"j -> (CAST(embedding[{s * 8} + j] AS DOUBLE) - {lit}[j]) "
+                f"* (CAST(embedding[{s * 8} + j] AS DOUBLE) - {lit}[j]))) "
+                f"AS d FROM embeddings{table_filter}"
+            )
+    return "\n      UNION ALL\n      ".join(arms)
+
+
+@register(
+    "v_pq_topk",
+    oracle=f"""
+    WITH cand AS (
+      {_pq_cand_union()}),
+    code AS (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c)
+                 AS rn
+        FROM cand)
+      WHERE rn = 1),
+    qt AS (SELECT vec_id AS query_id, s, c, d FROM cand WHERE vec_id < 10),
+    scored AS (
+      SELECT qt.query_id, co.vec_id, sum(qt.d) AS adc
+      FROM code co JOIN qt ON qt.s = co.s AND qt.c = co.c
+      WHERE qt.query_id <> co.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id, round(adc, 6) AS adc_dist FROM (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def v_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.pq_encode +
+    pq_adc_topk; Jégou et al. 2011) with the deterministic literal
+    codebooks: the corpus scans as 8 small ints per vector and scores as
+    8 table lookups per (query, vector) — the RAM-resident index layout
+    at 100 TB. Untrained codebooks on structureless uniform embeddings
+    are the honesty caveat (quantization resolves clusters, not
+    within-cluster noise; the pytest proves cluster-level correctness
+    and `pq_train_codebooks` is the real-data path); the ORACLE, though,
+    replays encode and ADC bit-for-bit — correctness of the machinery,
+    not of the approximation."""
+    from pandasvcf_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, PQ_BOOKS)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(codes, qs, PQ_BOOKS, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )

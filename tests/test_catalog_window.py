@@ -330,6 +330,10 @@ def test_tail_entries_are_redundant_variants_only():
         "g_pi_windows",          # windowed diversity: freq-pass family
                                  # in window via g_inbreeding / g_hwe;
                                  # contract guard
+        "v_pq_topk",             # PQ ADC: third ANN family beside
+                                 # v_ann_topk / v_ivf_topk (in window);
+                                 # bit-exact encode+ADC replay;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1158,3 +1158,78 @@ def test_bpe_train_classic_corpus_and_encode(spark):
     assert bpe_train(tiny, "text", n_merges=4).count() == 0
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_train(d, "text", n_merges=0)
+
+
+def test_pq_adc_zero_quantization_error_equals_exact(spark):
+    """Vectors placed exactly ON codebook points make ADC lossless:
+    adc_dist equals true squared L2 and the top-k equals brute-force
+    top-k. 2 subspaces x 4 centroids x 2 dims, distinct code points."""
+    import itertools
+
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    books = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        [[0.0, 0.0], [2.0, 0.0], [0.0, 2.0], [2.0, 2.0]],
+    ]
+    vecs = [
+        a + b for a, b in itertools.product(books[0], books[1])
+    ]  # all 16 exact code points
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r.vec_id: r.codes for r in pq_encode(d, books).collect()}
+    for i, v in enumerate(vecs):
+        assert codes[i] == [
+            books[0].index(v[:2]) + 1,
+            books[1].index(v[2:]) + 1,
+        ]
+    qs = d.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(pq_encode(d, books), qs, books, k=3).collect()
+    X = np.array(vecs)
+    for r in out:
+        true = float(((X[r.query_id] - X[r.vec_id]) ** 2).sum())
+        assert abs(r.adc_dist - true) < 1e-9
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for q, got in by_q.items():
+        dists = [((X[q] - X[j]) ** 2).sum() for j in range(16)]
+        dists[q] = float("inf")
+        order = sorted(range(16), key=lambda j: (dists[j], j))[:3]
+        assert got == order
+
+
+def test_pq_trained_books_resolve_planted_clusters(spark):
+    """Trained codebooks on 20 planted clusters: every ADC neighbor of a
+    query comes from the query's own cluster (quantization resolves
+    cluster structure; within-cluster noise is below code resolution —
+    the documented PQ contract), and training is deterministic."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-1, 1, (20, 64))
+    V = np.repeat(centers, 25, axis=0) + rng.normal(0, 0.02, (500, 64))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train_codebooks(d, sample_rows=500)
+    assert books == pq_train_codebooks(d, sample_rows=500)
+    qs = d.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(pq_encode(d, books), qs, books, k=5).collect()
+    assert len(out) == 50
+    assert all(r.vec_id // 25 == r.query_id // 25 for r in out)
