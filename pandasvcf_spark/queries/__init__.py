@@ -41,17 +41,22 @@ DRIVER_WINDOW = 50
 # (pairwise LD, Bloom runtime-filter prune, Count-Min sketch, repeated
 # cross-doc spans, Hardy-Weinberg, BM25 retrieval) displace six redundant
 # variants (t_bigram_jaccard, dedup_simhash, v_ann_multiprobe,
-# e_dedup_first, j_left_join, t_lang_id) — every demoted row's machinery
-# stays driver-covered by another window entry (minhash-verified Jaccard,
-# the LSH bucket plan, v_ann_topk, the 11-test streaming suite +
-# e_tumbling/e_sessionize, the join family, t_quality_score's expression
-# class) and all remain continuously exact-checked by
+# e_dedup_first, j_left_join, t_lang_id); the round-7 continuation cuts
+# again: six new classes (BPE training, PQ/ADC ANN, relatedness matrix,
+# SCD2 history, HyperLogLog, C4 paragraph dedup) displace six redundant
+# variants (f5_vartype, sk_kmv_distinct, t_tfidf_top_terms,
+# dedup_embedding_cosine, j_inner_broadcast, set_union) — every demoted
+# row's machinery stays driver-covered by another window entry
+# (flagship_annotate's vartype histogram, sk_hll_distinct +
+# sk_countmin's sketch grids, t_bm25_topk's idf·tf ranking, v_ann_topk's
+# bucketed equi-join, j_multiway_q5's broadcast inners, m_upsert_latest's
+# union) and all remain continuously exact-checked by
 # tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
     "f4_zygosity",
-    "f5_vartype",
+    "t_bpe_merges",
     "g_sample_qc",
     "g_split_multiallelic",
     "f7_format_map",
@@ -75,19 +80,19 @@ _PRIORITY = [
     "t_bm25_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "t_tfidf_top_terms",
+    "t_paragraph_dedup",
     "t_repeated_spans",
     # §2.11 vectors: exact (broadcast + block-matmul impls), ANN
     # (single-bucket, IVF), dedup. v_cosine_topk_manyquery is
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
-    "sk_kmv_distinct",
+    "sk_hll_distinct",
     "sk_countmin",
     "v_cosine_topk",
     "v_cosine_topk_manyquery",
     "v_ann_topk",
     "v_ivf_topk",
-    "dedup_embedding_cosine",
+    "v_pq_topk",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
     "p4_distinct",
@@ -102,7 +107,7 @@ _PRIORITY = [
     # the as-of join: its grouping-sets machinery stays driver-covered by
     # agg_cube, and check_contract exact-checks it every run.)
     "j_asof_events",
-    "j_inner_broadcast",
+    "g_grm",
     "j_bloom_prune",
     "j_semi",
     "j_multiway_q5",
@@ -111,7 +116,7 @@ _PRIORITY = [
     "w_rank_topk",
     "m_upsert_latest",
     "sort_limit_topk",
-    "set_union",
+    "m_scd2_history",
     "r2_pivot",
     "info_str_to_map",
 ]

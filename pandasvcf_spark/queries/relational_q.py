@@ -899,3 +899,43 @@ def g_triangles(spark, sf_dir):
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return triangle_stats(edges)
+
+
+@register(
+    "m_scd2_history",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+             lag(o_orderstatus) OVER w AS ps,
+             lag(o_orderpriority) OVER w AS pp,
+             lag(o_orderkey) OVER w AS pv
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)),
+    kept AS (
+      SELECT o_custkey, o_orderkey AS valid_from,
+             o_orderstatus, o_orderpriority
+      FROM base
+      WHERE pv IS NULL OR o_orderstatus IS DISTINCT FROM ps
+         OR o_orderpriority IS DISTINCT FROM pp)
+    SELECT o_custkey, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           o_orderstatus, o_orderpriority
+    FROM kept
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from)
+    """,
+)
+def m_scd2_history(spark, sf_dir):
+    """SCD Type-2 history build (operators/relational.scd2_history; the
+    Kimball dimension load / CDC change-log compaction) over the orders
+    update log per customer: consecutive no-op updates collapse,
+    change rows carry [valid_from, valid_to) with an is_current flag.
+    One shuffle — the change-detect and interval-close windows share
+    the (key, version-order) exchange and sort. The oracle replays the
+    null-safe change filter and both windows."""
+    from pandasvcf_spark.operators.relational import scd2_history
+
+    d = load(spark, sf_dir, "orders")
+    return scd2_history(
+        d, ["o_custkey"], "o_orderkey", ["o_orderstatus", "o_orderpriority"]
+    )

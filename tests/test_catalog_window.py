@@ -23,25 +23,28 @@ def test_extension_surface_inside_window():
         # the entries below)
         "dedup_exact",
         "dedup_minhash_lsh",
-        "dedup_embedding_cosine",
+        "t_paragraph_dedup",
         "v_cosine_topk",
         "v_cosine_topk_manyquery",  # separate block-matmul implementation
         "v_ann_topk",
         "v_ivf_topk",
-        "t_tfidf_top_terms",
+        "v_pq_topk",
         "t_quality_score",
         "t_repeated_spans",
         "t_bm25_topk",
+        "t_bpe_merges",
         "sk_countmin",
+        "sk_hll_distinct",
         "g_hwe",
         "g_ld",
+        "g_grm",
         "j_bloom_prune",
+        "m_scd2_history",
         # §2 core must each keep >=1 green row
         "flagship_annotate",
         "s4_scan_project_filter",
         "p4_distinct",
         "r2_pivot",
-        "set_union",
         "info_str_to_map",
         "j_multiway_q5",
         "skew_salted_join",
@@ -302,38 +305,36 @@ def test_tail_entries_are_redundant_variants_only():
                                  # heuristic, same class as
                                  # t_quality_score (in window); contract
                                  # guard
-        "g_grm",                 # relatedness matrix: king_kinship's
-                                 # panel-pair plan shape (g_kinship in
-                                 # window) with double products;
-                                 # contract guard
         "g_burden",              # burden collapsing: inbreeding_stats'
                                  # freq-gate + join-back shape
                                  # (g_inbreeding in window); contract
                                  # guard
-        "t_paragraph_dedup",     # C4 paragraph dedup: content-keyed
-                                 # window + reassembly; dedup family
-                                 # machinery in window via
-                                 # dedup_minhash_lsh; contract guard
-        "sk_hll_distinct",       # HLL: mergeable twin of
-                                 # sk_kmv_distinct (in window);
-                                 # bit-exact estimate replay; contract
-                                 # guard
         "g_triangles",           # triangle census: iterative-graph
                                  # family in window via g_pagerank;
                                  # contract guard
-        "m_scd2_history",        # SCD2 build: window machinery in
-                                 # window via w_rank_topk /
-                                 # m_upsert_latest; contract guard
-        "t_bpe_merges",          # BPE training: iterative agg family
-                                 # in window via g_pagerank-style
-                                 # unrolled oracle; contract guard
         "g_pi_windows",          # windowed diversity: freq-pass family
                                  # in window via g_inbreeding / g_hwe;
                                  # contract guard
-        "v_pq_topk",             # PQ ADC: third ANN family beside
-                                 # v_ann_topk / v_ivf_topk (in window);
-                                 # bit-exact encode+ADC replay;
+        "f5_vartype",            # demoted in round-7 continuation:
+                                 # vartype HOF machinery driver-covered
+                                 # by flagship_annotate (in window);
                                  # contract guard
+        "sk_kmv_distinct",       # demoted: distinct-count sketching in
+                                 # window via sk_hll_distinct (+
+                                 # sk_countmin frequency grid);
+                                 # TakeOrdered plan via sort_limit_topk;
+                                 # contract guard
+        "t_tfidf_top_terms",     # demoted: idf-weighted term ranking in
+                                 # window via t_bm25_topk; contract
+                                 # guard
+        "dedup_embedding_cosine",  # demoted: LSH-bucketed equi-join in
+                                 # window via v_ann_topk +
+                                 # dedup_minhash_lsh; contract guard
+        "j_inner_broadcast",     # demoted: broadcast inner joins in
+                                 # window via j_multiway_q5; contract
+                                 # guard
+        "set_union",             # demoted: union machinery in window
+                                 # via m_upsert_latest; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
