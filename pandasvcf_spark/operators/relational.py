@@ -879,3 +879,96 @@ def scd2_history(
         F.col("valid_to").isNull().alias("is_current"),
         *attr_cols,
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules over baskets (the Agrawal & Srikant
+    1994 market-basket analysis, restricted to the 2-itemsets that
+    cover the overwhelming share of real use): for every ordered pair
+    of distinct items (a → b),
+
+        support    = baskets containing both / total baskets,
+        confidence = baskets with both / baskets with a,
+        lift       = confidence / (baskets with b / total baskets)
+
+    — lift > 1 means a and b co-occur more than independence predicts.
+    Rules below `min_support` are dropped AFTER counting (their counts
+    still derive from the full basket set). Output: (item_a, item_b,
+    n_both BIGINT, support / confidence / lift DOUBLE round 6), both
+    orientations of each pair (confidence is asymmetric).
+
+    Plan: one groupBy(basket) packs the basket's DISTINCT items —
+    bounded by vocabulary, the king_kinship panel contract — a HOF
+    expands within-basket ordered pairs, ONE partial-agged
+    groupBy(pair) counts, and the per-item basket counts (vocabulary-
+    sized) broadcast back onto the pair relation twice. No basket×
+    basket term, no item×item shuffle beyond the pair counts."""
+    b = F.col(basket_col)
+    it = F.col(item_col)
+    baskets = (
+        df.filter(b.isNotNull() & it.isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(F.sort_array(F.collect_set(it)).alias("g"))
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("__n"))
+    item_counts = (
+        baskets.select(F.explode("g").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__n_item"))
+    )
+    n = F.size("g")
+    pairs = F.flatten(
+        F.transform(
+            F.col("g"),
+            lambda x: F.transform(
+                F.filter(F.col("g"), lambda y: y != x),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    counted = (
+        baskets.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        counted.join(F.broadcast(n_baskets))
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("item").alias("item_a"),
+                    F.col("__n_item").alias("__na"),
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("item").alias("item_b"),
+                    F.col("__n_item").alias("__nb"),
+                )
+            ),
+            "item_b",
+        )
+    )
+    support = F.col("n_both") / F.col("__n")
+    confidence = F.col("n_both") / F.col("__na")
+    lift = confidence / (F.col("__nb") / F.col("__n"))
+    return (
+        out.filter(support >= F.lit(float(min_support)))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(support, 6).alias("support"),
+            F.round(confidence, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

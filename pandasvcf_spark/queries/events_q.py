@@ -487,3 +487,42 @@ def e_transitions(spark, sf_dir):
     return transition_counts(
         load(spark, sf_dir, "events"), "user_id", "event_type", "ts"
     )
+
+
+@register(
+    "e_assoc_rules",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    nb AS (SELECT count(DISTINCT user_id) AS n FROM bi),
+    ic AS (SELECT event_type AS item, count(*) AS ni FROM bi GROUP BY 1),
+    pr AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM bi a JOIN bi b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY 1, 2)
+    SELECT item_a, item_b, n_both,
+           round(n_both / CAST(nb.n AS DOUBLE), 6) AS support,
+           round(n_both / CAST(ia.ni AS DOUBLE), 6) AS confidence,
+           round((n_both / CAST(ia.ni AS DOUBLE))
+                 / (CAST(ib.ni AS DOUBLE) / CAST(nb.n AS DOUBLE)), 6)
+             AS lift
+    FROM pr, nb
+    JOIN ic ia ON ia.item = pr.item_a
+    JOIN ic ib ON ib.item = pr.item_b
+    """,
+)
+def e_assoc_rules(spark, sf_dir):
+    """Pairwise association rules (operators/relational.assoc_rules;
+    Agrawal & Srikant 1994 market-basket 2-itemsets) over per-user
+    event-type baskets: one basket groupBy packs vocabulary-bounded
+    item sets, a HOF expands within-basket ordered pairs (the
+    king_kinship panel shape), one partial-agged pair count, and
+    vocabulary-sized item counts broadcast back for
+    support/confidence/lift. The oracle affords the naive per-basket
+    self-join and replays the three ratios in Spark's division order."""
+    from pandasvcf_spark.operators.relational import assoc_rules
+
+    return assoc_rules(load(spark, sf_dir, "events"), "user_id", "event_type")

@@ -335,6 +335,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # guard
         "set_union",             # demoted: union machinery in window
                                  # via m_upsert_latest; contract guard
+        "e_assoc_rules",         # market-basket 2-itemsets: the
+                                 # king_kinship panel-pair shape (in
+                                 # window via g_grm) over event
+                                 # baskets; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

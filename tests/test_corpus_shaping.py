@@ -1107,3 +1107,38 @@ def test_scd2_history_semantics_and_plan(spark):
     assert plan.count("Exchange") == 1
     with _pytest.raises(ValueError, match="attr_cols"):
         scd2_history(d, ["k"], "v", [])
+
+
+def test_assoc_rules_hand_case(spark):
+    """Three baskets with known co-occurrence: support/confidence/lift
+    match hand arithmetic; confidence is asymmetric (both orientations
+    emitted); min_support gates after counting; duplicate items in a
+    basket count once."""
+    from pandasvcf_spark.operators.relational import assoc_rules
+
+    rows = [
+        (1, "bread"), (1, "butter"), (1, "bread"),   # dup counts once
+        (2, "bread"), (2, "butter"), (2, "milk"),
+        (3, "bread"), (3, "milk"),
+    ]
+    d = spark.createDataFrame(rows, "u long, item string")
+    out = {
+        (r.item_a, r.item_b): (r.n_both, r.support, r.confidence, r.lift)
+        for r in assoc_rules(d, "u", "item").collect()
+    }
+    # bread in 3/3 baskets, butter 2/3, both 2
+    assert out[("bread", "butter")] == (
+        2, round(2 / 3, 6), round(2 / 3, 6), round((2 / 3) / (2 / 3), 6),
+    )
+    # butter -> bread: confidence 2/2 = 1, lift 1/(3/3) = 1
+    assert out[("butter", "bread")] == (2, round(2 / 3, 6), 1.0, 1.0)
+    # milk & butter co-occur once: support 1/3, conf(milk->butter) 1/2,
+    # lift (1/2)/(2/3) = 0.75
+    assert out[("milk", "butter")] == (
+        1, round(1 / 3, 6), 0.5, 0.75,
+    )
+    gated = assoc_rules(d, "u", "item", min_support=0.5).collect()
+    assert {(r.item_a, r.item_b) for r in gated} == {
+        ("bread", "butter"), ("butter", "bread"),
+        ("bread", "milk"), ("milk", "bread"),
+    }
