@@ -1745,6 +1745,28 @@ def _bpe_oracle(n_rounds: int = 3) -> str:
     return "".join(parts) + "\n    " + selects
 
 
+def _bpe_cte_prefix(n_rounds: int = 3) -> str:
+    """The training CTE chain alone (w0..m{n}) — reused by entries that
+    compose the trained rules downstream (encode replay)."""
+    full = _bpe_oracle(n_rounds)
+    return full[: full.rindex("\n    SELECT 1 AS step")]
+
+
+def _bpe_fold_sql(inner: str, k: int) -> str:
+    """Apply merge rule m{k} to a symbol-LIST SQL expression (the
+    sentinel-string fold device of _bpe_oracle, parameterized over its
+    input so rules chain: fold3(fold2(fold1(chars))))."""
+    pre = f"list_transform({inner}, s -> chr(31) || s)"
+    return (
+        f"string_split(list_reduce({pre}, "
+        f"(acc, x) -> CASE WHEN x = chr(31) || m{k}.lb "
+        f"AND ends_with(acc, chr(31) || m{k}.la) "
+        f"THEN acc[:len(acc) - len(chr(31) || m{k}.la)] "
+        f"|| chr(31) || m{k}.la || m{k}.lb "
+        f"ELSE acc || x END), chr(31))[2:]"
+    )
+
+
 @register("t_bpe_merges", oracle=_bpe_oracle(3))
 def t_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.bpe_train;
@@ -1758,3 +1780,46 @@ def t_bpe_merges(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return bpe_train(d, "text", n_merges=3)
+
+
+_BPE_ENC = _bpe_fold_sql(
+    _bpe_fold_sql(_bpe_fold_sql("string_split(w, '')", 1), 2), 3
+)
+
+
+@register(
+    "t_bpe_token_counts",
+    oracle=_bpe_cte_prefix(3)
+    + f"""
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(enc, x -> len(x))), 0)
+                AS BIGINT) AS bpe_tokens
+    FROM (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+                            w -> {_BPE_ENC}) AS enc
+      FROM documents, m1, m2, m3)
+    """,
+)
+def t_bpe_token_counts(spark, sf_dir):
+    """Per-document token counts under the TRAINED BPE tokenizer
+    (operators/bpe.bpe_train + bpe_encode_expr): the composition a
+    token-budget pipeline actually runs — train 3 rules (driver-side
+    model, 3 rows), replay them as HOF folds over every document, count
+    resulting tokens. This entry puts the ENCODE path under the oracle
+    (t_bpe_merges covers training): the SQL chains the same three
+    sentinel-string folds inside a per-word lambda."""
+    from pandasvcf_spark.operators.bpe import bpe_encode_expr, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(d, "text", n_merges=3).collect()
+    ]
+    enc = bpe_encode_expr(F.col("text"), merges)
+    return d.select(
+        "doc_id",
+        F.coalesce(F.size(F.flatten(enc)), F.lit(0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )

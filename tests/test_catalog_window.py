@@ -339,6 +339,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # king_kinship panel-pair shape (in
                                  # window via g_grm) over event
                                  # baskets; contract guard
+        "t_bpe_token_counts",    # BPE encode replay: trained-rule
+                                 # composition of t_bpe_merges (in
+                                 # window); contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
