@@ -972,3 +972,58 @@ def assoc_rules(
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization + robust z-score — the outlier-handling
+    step a corpus pipeline runs before thresholding a heavy-tailed
+    metric (doc lengths, perplexities, QUAL scores): per group,
+
+        clamped  = clip(x, P_lo, P_hi)        (winsorize, exact
+                                               percentiles, linear
+                                               interpolation)
+        robust_z = (x − median) / (1.4826·MAD),  MAD = median(|x −
+                                               median|); NULL when
+                                               MAD = 0 (degenerate
+                                               group — a z would be
+                                               ±inf noise)
+
+    1.4826 makes MAD σ-consistent under normality — the standard robust
+    alternative to mean/stddev, immune to the very outliers being
+    clipped. All input columns pass through, plus (clamped, robust_z).
+
+    Plan: two grouped EXACT-percentile aggregations (groups × 3 values
+    each — Spark's sort-based `percentile`, the `agg_percentiles`
+    exactness precedent) with the deviation pass keyed on the first's
+    broadcast join-back; group stats stay group-count-sized, the corpus
+    shuffles never."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(float(p_lo))).alias("__plo"),
+        F.percentile(v, F.lit(float(p_hi))).alias("__phi"),
+        F.percentile(v, F.lit(0.5)).alias("__med"),
+    )
+    with_med = df.join(F.broadcast(stats), on=group_cols)
+    mad = (
+        with_med.groupBy(*group_cols)
+        .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).alias("__mad"))
+    )
+    out = with_med.join(F.broadcast(mad), on=group_cols)
+    clamped = F.least(F.greatest(v, F.col("__plo")), F.col("__phi"))
+    z = F.when(
+        F.col("__mad") > 0,
+        (v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")),
+    )
+    return out.select(
+        *df.columns,
+        F.round(clamped, 6).alias("clamped"),
+        F.round(z, 6).alias("robust_z"),
+    )

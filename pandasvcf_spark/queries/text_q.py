@@ -1823,3 +1823,40 @@ def t_bpe_token_counts(spark, sf_dir):
         .cast("long")
         .alias("bpe_tokens"),
     )
+
+
+@register(
+    "t_robust_scale",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    st AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.01) AS plo,
+             quantile_cont(n_chars, 0.99) AS phi,
+             quantile_cont(n_chars, 0.5) AS med
+      FROM d GROUP BY source),
+    wm AS (SELECT d.doc_id, d.source, d.n_chars, st.plo, st.phi, st.med
+           FROM d JOIN st USING (source)),
+    md AS (
+      SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+      FROM wm GROUP BY source)
+    SELECT doc_id, source, n_chars,
+           round(least(greatest(CAST(n_chars AS DOUBLE), plo), phi), 6)
+             AS clamped,
+           CASE WHEN mad > 0
+                THEN round((n_chars - med) / (1.4826 * mad), 6)
+           END AS robust_z
+    FROM wm JOIN md USING (source)
+    """,
+)
+def t_robust_scale(spark, sf_dir):
+    """Per-source winsorization + MAD robust z of document lengths
+    (operators/relational.robust_scale) — the outlier-clipping step
+    before any length/quality threshold. Two grouped exact-percentile
+    aggs (the agg_percentiles exactness precedent: Spark `percentile`
+    == DuckDB quantile_cont) with broadcast join-backs; group stats
+    stay source-count-sized."""
+    from pandasvcf_spark.operators.relational import robust_scale
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return robust_scale(d, ["source"], "n_chars")

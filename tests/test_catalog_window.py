@@ -342,6 +342,10 @@ def test_tail_entries_are_redundant_variants_only():
         "t_bpe_token_counts",    # BPE encode replay: trained-rule
                                  # composition of t_bpe_merges (in
                                  # window); contract guard
+        "t_robust_scale",        # winsorize + MAD z: exact-percentile
+                                 # machinery (agg_percentiles family,
+                                 # contract-guarded) + broadcast
+                                 # join-backs; contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1142,3 +1142,33 @@ def test_assoc_rules_hand_case(spark):
         ("bread", "butter"), ("butter", "bread"),
         ("bread", "milk"), ("milk", "bread"),
     }
+
+
+def test_robust_scale_hand_case(spark):
+    """Known group: clamp to [P01, P99] (linear interpolation), robust z
+    matches (x − median)/(1.4826·MAD) by hand; a constant group gets
+    NULL z (MAD = 0) but still clamps; validation rejects bad bounds."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import robust_scale
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]  # outlier at 1000
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    rows += [("c", 100 + i, 5) for i in range(4)]  # constant group
+    d = spark.createDataFrame(rows, "grp string, id long, x long")
+    out = {
+        (r.grp, r.id): (r.clamped, r.robust_z)
+        for r in robust_scale(d, ["grp"], "x").collect()
+    }
+    import numpy as np
+
+    med = float(np.percentile(vals, 50))            # 5.5
+    mad = float(np.percentile(np.abs(np.array(vals) - med), 50))
+    plo = float(np.percentile(vals, 1))
+    phi = float(np.percentile(vals, 99))
+    assert out[("g", 9)][0] == round(phi, 6)        # outlier clamped
+    assert out[("g", 0)][0] == round(max(1.0, plo), 6)
+    assert out[("g", 4)][1] == round((5 - med) / (1.4826 * mad), 6)
+    assert out[("c", 100)] == (5.0, None)
+    with _pytest.raises(ValueError, match="p_lo"):
+        robust_scale(d, ["grp"], "x", p_lo=0.9, p_hi=0.5)
