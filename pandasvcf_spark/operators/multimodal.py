@@ -459,14 +459,15 @@ def decode_external(
     one Python round trip per batch, never per row.
 
     PNG decodes with the stdlib-only `decode_png` (zlib inflate +
-    unfilter) and BMP with `decode_bmp` (BI_RGB 8/24/32-bit) — no external
-    codec library required for either. Other formats (JPEG, WebP, ...)
+    unfilter), BMP with `decode_bmp` (BI_RGB 8/24/32-bit) and GIF with
+    `decode_gif` (full LZW, first frame) — no external codec library
+    required for any of the three. Other formats (JPEG, WebP, ...)
     need PIL, which this container does not ship; they raise
     NotImplementedError at plan-BUILD time (not mid-job on an executor)
     until pillow is installed, at which point the PIL branch below handles
     any format it can open."""
     fmt = fmt.lower()
-    use_pil = fmt not in ("png", "bmp")
+    use_pil = fmt not in ("png", "bmp", "gif")
     if use_pil:
         try:
             import PIL.Image  # noqa: F401
@@ -493,6 +494,8 @@ def decode_external(
                     px = arr.astype("uint8").tobytes()
                 elif fmt == "bmp":
                     h, w, c, px = decode_bmp(bytes(blob))
+                elif fmt == "gif":
+                    h, w, c, px = decode_gif(bytes(blob))
                 else:
                     h, w, c, px = decode_png(bytes(blob))
                 ids.append(img_id)
@@ -841,3 +844,151 @@ def mp4_brand_expr(video_col: str) -> Column:
         F.substring(col, 5, 4) == F.lit(b"ftyp"),
         F.substring(col, 9, 4).cast("string"),
     )
+
+
+def pack_gif(height: int, width: int, indices: bytes, palette: bytes) -> bytes:
+    """Minimal GIF87a encoder (test-side fixture builder, the `pack_bmp`
+    convention): global color table from `palette` (RGB triplets, padded
+    to a power of two), one non-interlaced image of `indices`, LZW
+    stream of pure literal codes with a clear code before each so the
+    code size never grows — byte-inefficient, spec-valid."""
+    import struct
+
+    n_pal = len(palette) // 3
+    bits = max(2, (n_pal - 1).bit_length())
+    pal = palette + b"\x00" * ((1 << bits) * 3 - len(palette))
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code = bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    cw = min_code + 1
+    acc = bitpos = 0
+    stream = bytearray()
+
+    def emit(code):
+        nonlocal acc, bitpos
+        acc |= code << bitpos
+        bitpos += cw
+        while bitpos >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+
+    for b in indices:
+        emit(clear)
+        emit(b)
+    emit(end)
+    if bitpos:
+        stream.append(acc & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Codec-library-free GIF decode → (height, width, 3, raw RGB) —
+    stdlib+numpy only, the `decode_png`/`decode_bmp` contract. Full LZW
+    decompression (variable code width, clear/EOI codes, dictionary
+    growth to 4096), global and local color tables, first image
+    descriptor of a GIF87a/89a stream (extensions skipped; later frames
+    of an animation ignored — the 'first frame' convention a thumbnail
+    pipeline wants). Interlaced images raise NotImplementedError, the
+    honest-boundary convention of this module."""
+    import struct
+
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (missing GIF87a/89a magic)")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos]:
+                pos += blob[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos]:
+                ln = blob[pos]
+                data += blob[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            rgb = pal[np.frombuffer(idx, np.uint8)]
+            return ih, iw, 3, rgb.astype(np.uint8).tobytes()
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x} at {pos}")
+    raise ValueError("GIF contains no image descriptor")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bitstream, clear = 2^min, EOI = 2^min+1,
+    code width grows after the table fills each power of two, capped at
+    12 bits until the next clear."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    table = list(base)
+    cw = min_code + 1
+    acc = bits = 0
+    prev = None
+    out = bytearray()
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= cw:
+            code = acc & ((1 << cw) - 1)
+            acc >>= cw
+            bits -= cw
+            if code == clear:
+                table = list(base)
+                cw = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:n_pixels])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out += entry
+            prev = entry
+            if len(table) == (1 << cw) and cw < 12:
+                cw += 1
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    return bytes(out[:n_pixels])

@@ -795,3 +795,96 @@ def test_bmp_roundtrip_and_variants(spark):
     out = decode_external(d, fmt="bmp")
     meta = out.select(image_meta_expr("img").alias("m")).collect()[0].m
     assert (meta.height, meta.width, meta.channels) == (2, 3, 3)
+
+
+def test_gif_roundtrip_and_real_lzw():
+    """pack_gif(literal codes) round-trips through decode_gif; a REAL
+    LZW stream (dictionary growth through code-width increases) decodes
+    identically; interlace and bad magic raise the honest boundaries."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.multimodal import (
+        _lzw_decode,
+        decode_gif,
+        pack_gif,
+    )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = bytes([(i * 7) % 4 for i in range(24)])
+    h, w, c, rgb = decode_gif(pack_gif(4, 6, idx, pal))
+    assert (h, w, c) == (4, 6, 3)
+    want = np.frombuffer(pal, np.uint8).reshape(4, 3)[
+        np.frombuffer(idx, np.uint8)
+    ].tobytes()
+    assert rgb == want
+
+    # real LZW encoder (dictionary growth + width changes) vs decoder
+    def lzw_encode(seq, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code = end + 1
+        cw = min_code + 1
+        acc = bits = 0
+        out = bytearray()
+
+        def emit(code):
+            nonlocal acc, bits, cw
+            acc |= code << bits
+            bits += cw
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+
+        emit(clear)
+        cur = b""
+        for b in seq:
+            nxt = cur + bytes([b])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur])
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << cw) and cw < 12:
+                cw += 1
+            cur = bytes([b])
+        if cur:
+            emit(table[cur])
+        emit(end)
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    seq = bytes([(i * i + i // 3) % 4 for i in range(3000)])
+    enc = lzw_encode(seq, 2)
+    assert len(enc) < len(seq)  # actually compresses
+    assert _lzw_decode(enc, 2, len(seq)) == seq
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    g = bytearray(pack_gif(2, 2, bytes(4), bytes(6)))
+    di = g.index(b"\x2c")
+    g[di + 9] |= 0x40  # set interlace flag
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(g))
+
+
+def test_decode_external_gif_feeds_image_stats(spark):
+    """GIF payloads decode through the same mapInPandas plumbing into
+    IMG1 rows that image_stats consumes (the decode_external contract,
+    codec-library-free)."""
+    from pandasvcf_spark.operators.multimodal import (
+        decode_external,
+        image_stats,
+        pack_gif,
+    )
+
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    idx = bytes([i % 2 for i in range(12)])
+    g = pack_gif(3, 4, idx, pal)
+    df = spark.createDataFrame([(1, bytearray(g))], "img_id long, img binary")
+    out = image_stats(decode_external(df, fmt="gif")).collect()[0]
+    assert (out.height, out.width, out.channels) == (3, 4, 3)
+    assert out.max_px == 255 and abs(out.mean_px - 127.5) < 1e-9
