@@ -895,11 +895,10 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
     """Codec-library-free GIF decode → (height, width, 3, raw RGB) —
     stdlib+numpy only, the `decode_png`/`decode_bmp` contract. Full LZW
     decompression (variable code width, clear/EOI codes, dictionary
-    growth to 4096), global and local color tables, first image
-    descriptor of a GIF87a/89a stream (extensions skipped; later frames
-    of an animation ignored — the 'first frame' convention a thumbnail
-    pipeline wants). Interlaced images raise NotImplementedError, the
-    honest-boundary convention of this module."""
+    growth to 4096), global and local color tables, Adam-style 4-pass
+    interlacing, first image descriptor of a GIF87a/89a stream
+    (extensions skipped; later frames of an animation ignored — the
+    'first frame' convention a thumbnail pipeline wants)."""
     import struct
 
     import numpy as np
@@ -923,8 +922,6 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
         elif b0 == 0x2C:  # image descriptor
             _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF")
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -940,8 +937,16 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
                 data += blob[pos + 1:pos + 1 + ln]
                 pos += ln + 1
             pos += 1
-            idx = _lzw_decode(bytes(data), min_code, iw * ih)
-            rgb = pal[np.frombuffer(idx, np.uint8)]
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), min_code, iw * ih), np.uint8
+            ).reshape(ih, iw)
+            if iflags & 0x40:  # GIF 4-pass interlace: stored pass order
+                order = [r for st, sp in ((0, 8), (4, 8), (2, 4), (1, 2))
+                         for r in range(st, ih, sp)]
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            rgb = pal[idx.reshape(-1)]
             return ih, iw, 3, rgb.astype(np.uint8).tobytes()
         elif b0 == 0x3B:
             break

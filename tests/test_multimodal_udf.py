@@ -864,11 +864,22 @@ def test_gif_roundtrip_and_real_lzw():
 
     with _pytest.raises(ValueError, match="magic"):
         decode_gif(b"NOTAGIF" + b"\x00" * 20)
-    g = bytearray(pack_gif(2, 2, bytes(4), bytes(6)))
-    di = g.index(b"\x2c")
+
+    # 4-pass interlace: store rows in pass order, decoder de-interlaces
+    h2, w2 = 11, 3
+    pal2 = bytes(range(48))  # 16 colors
+    img = np.arange(h2 * w2, dtype=np.uint8).reshape(h2, w2) % 16
+    order = [r for st, sp in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(st, h2, sp)]
+    g = bytearray(pack_gif(h2, w2, img[order].tobytes(), pal2))
+    di = 13 + 48  # header + global color table -> image descriptor
+    assert g[di] == 0x2C
     g[di + 9] |= 0x40  # set interlace flag
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(g))
+    hh, ww, cc, rgb2 = decode_gif(bytes(g))
+    want2 = np.frombuffer(pal2, np.uint8).reshape(16, 3)[
+        img.reshape(-1)
+    ].tobytes()
+    assert (hh, ww, cc) == (h2, w2, 3) and rgb2 == want2
 
 
 def test_decode_external_gif_feeds_image_stats(spark):
