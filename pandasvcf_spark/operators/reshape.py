@@ -184,3 +184,27 @@ def merge_vcf_panels(
         merged_samples.alias(samples_col),
     )
     return out
+
+
+def unpivot_columns(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Generic wide→long melt (the inverse of `pivot_genotypes` /
+    `pivot_counts`; pandas `melt`, ANSI UNPIVOT): one output row per
+    (input row × value column), with the column NAME in `var_name` and
+    its value cast to a common type in `value_name`. Built on Spark's
+    native `unpivot` — a zero-shuffle Expand node (each input row fans
+    out locally), never a union of per-column scans: the input is read
+    ONCE however many columns melt."""
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

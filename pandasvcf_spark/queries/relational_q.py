@@ -939,3 +939,33 @@ def m_scd2_history(spark, sf_dir):
     return scd2_history(
         d, ["o_custkey"], "o_orderkey", ["o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "r_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def r_unpivot(spark, sf_dir):
+    """Generic wide→long melt (operators/reshape.unpivot_columns; the
+    inverse of the R2 pivot family) over three lineitem measures: one
+    local Expand node — the input scans ONCE however many columns melt,
+    where the oracle's UNION ALL form (the only portable SQL spelling)
+    scans once per column. Same rows either way; the plan is the
+    point."""
+    from pandasvcf_spark.operators.reshape import unpivot_columns
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    return unpivot_columns(
+        li, ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+    )

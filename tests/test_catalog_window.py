@@ -346,6 +346,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery (agg_percentiles family,
                                  # contract-guarded) + broadcast
                                  # join-backs; contract guard
+        "r_unpivot",             # generic melt: inverse of r2_pivot
+                                 # (in window), zero-shuffle Expand;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

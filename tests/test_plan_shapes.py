@@ -161,3 +161,18 @@ def test_grm_no_cartesian_one_pair_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_unpivot_single_scan_expand_no_union(spark):
+    """The melt must be ONE scan + a local Expand — not the UNION ALL of
+    per-column scans the portable SQL spelling implies."""
+    from pandasvcf_spark.operators.reshape import unpivot_columns
+
+    d = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2.0).alias("a"), (F.col("id") + 0.5).alias("b")
+    )
+    plan = _plan(unpivot_columns(d, ["id"], ["a", "b"]))
+    assert "Expand" in plan
+    assert "Union" not in plan
+    scans = [l for l in plan.splitlines() if "Range (" in l or "Scan" in l]
+    assert len(scans) == 1, plan
