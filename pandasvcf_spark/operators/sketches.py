@@ -242,3 +242,60 @@ def hll_estimate(sketch: DataFrame, m: int = 256) -> DataFrame:
         n_zero.cast("int").alias("n_zero"),
         est.alias("estimate"),
     )
+
+
+def hll_group_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column | str,
+    m: int = 256,
+) -> DataFrame:
+    """Grouped HyperLogLog distinct counts — `hll_sketch` + `hll_estimate`
+    per group key in ONE aggregation pipeline: (group cols..., n_zero
+    INT, estimate DOUBLE). The production shape of the sketch (distinct
+    users per page, distinct documents per shard): a per-(group, bucket)
+    MAX-rho partial agg (at most groups × m cells after map-side
+    combine), then a per-group collapse of ≤ m register rows computing
+    the bias-corrected harmonic mean with the linear-counting switch.
+    Exactly `hll_estimate`'s arithmetic, so the same bit-exact SQL
+    replay holds group-wise."""
+    if m < 16 or m & (m - 1):
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    p_bits = m.bit_length() - 1
+    width = 32 - p_bits
+    kc = F.col(key) if isinstance(key, str) else key
+    mixed = mix32_expr(poly_hash_expr(kc.cast("string")))
+    h = df.filter(kc.isNotNull()).select(*group_cols, mixed.alias("h"))
+    w = F.floor(F.col("h") / F.lit(m)).cast("long")
+    rho = F.when(
+        w > 0, F.lit(width) - F.floor(F.log2(w)).cast("int")
+    ).otherwise(F.lit(width + 1))
+    regs = (
+        h.select(
+            *group_cols,
+            (F.col("h") % F.lit(m)).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("__hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+    )
+    n_zero = F.lit(m) - F.col("__hit")
+    s = F.col("__s") + n_zero.cast("double")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        n_zero.cast("int").alias("n_zero"),
+        est.alias("estimate"),
+    )

@@ -526,3 +526,62 @@ def e_assoc_rules(spark, sf_dir):
     from pandasvcf_spark.operators.relational import assoc_rules
 
     return assoc_rules(load(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+_HLL_MIX = (
+    "xor((xor((xor(h0, h0 // 65536) * 73244475) % 4294967296, "
+    "((xor(h0, h0 // 65536) * 73244475) % 4294967296) // 65536) "
+    "* 73244475) % 4294967296, "
+    "((xor((xor(h0, h0 // 65536) * 73244475) % 4294967296, "
+    "((xor(h0, h0 // 65536) * 73244475) % 4294967296) // 65536) "
+    "* 73244475) % 4294967296) // 65536)"
+)
+
+_POLY_UID = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(CAST(user_id AS VARCHAR), ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) "
+    "% 2147483647)"
+)
+
+
+@register(
+    "sk_hll_groups",
+    oracle=f"""
+    WITH ph AS (
+      SELECT event_type, {_POLY_UID} AS h0
+      FROM events WHERE user_id IS NOT NULL),
+    mx AS (SELECT event_type, {_HLL_MIX} AS h FROM ph),
+    regs AS (
+      SELECT event_type, CAST(h % 256 AS INT) AS bucket,
+             max(CASE WHEN h // 256 > 0
+                      THEN 24 - CAST(floor(log2(h // 256)) AS INT)
+                      ELSE 25 END) AS rho
+      FROM mx GROUP BY 1, 2),
+    agg AS (SELECT event_type, CAST(count(*) AS INT) AS hit,
+                   sum(power(2.0, -rho)) AS s
+            FROM regs GROUP BY 1)
+    SELECT event_type, CAST(256 - hit AS INT) AS n_zero,
+           round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 65536
+                           / (s + (256 - hit)) <= 640.0
+                       AND hit < 256
+                      THEN 256.0 * ln(256.0 / (256 - hit))
+                      ELSE (0.7213 / (1.0 + 1.079 / 256)) * 65536
+                           / (s + (256 - hit)) END, 4) AS estimate
+    FROM agg
+    """,
+)
+def sk_hll_groups(spark, sf_dir):
+    """Grouped HyperLogLog (operators/sketches.hll_group_estimate):
+    distinct users per event type in one register pipeline — at most
+    groups × 256 cells after map-side combine, whatever the event
+    volume. Same bit-exact replay as sk_hll_distinct, group-wise: the
+    mix chain is integer arithmetic and the harmonic sum's dyadic terms
+    are order-independent-exact in doubles."""
+    from pandasvcf_spark.operators.sketches import hll_group_estimate
+
+    d = load(spark, sf_dir, "events")
+    out = hll_group_estimate(d, ["event_type"], "user_id", m=256)
+    return out.select(
+        "event_type", "n_zero", F.round("estimate", 4).alias("estimate")
+    )

@@ -349,6 +349,9 @@ def test_tail_entries_are_redundant_variants_only():
         "r_unpivot",             # generic melt: inverse of r2_pivot
                                  # (in window), zero-shuffle Expand;
                                  # contract guard
+        "sk_hll_groups",         # grouped HLL: sk_hll_distinct's
+                                 # machinery (in window) per group key;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

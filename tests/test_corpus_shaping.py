@@ -1172,3 +1172,22 @@ def test_robust_scale_hand_case(spark):
     assert out[("c", 100)] == (5.0, None)
     with _pytest.raises(ValueError, match="p_lo"):
         robust_scale(d, ["grp"], "x", p_lo=0.9, p_hi=0.5)
+
+
+def test_hll_group_estimate_matches_per_group_truth(spark):
+    """Grouped HLL: each group's estimate tracks its own distinct count
+    (deterministic — no flake), groups don't bleed into each other, and
+    a group in the linear-counting regime is near-exact."""
+    from pandasvcf_spark.operators.sketches import hll_group_estimate
+
+    rows = [("big", f"user-{i:05d}") for i in range(4000)]
+    rows += [("small", f"user-{i:05d}") for i in range(25)]
+    rows += [("small", "user-00003") for _ in range(10)]  # duplicates
+    d = spark.createDataFrame(rows, "grp string, user string")
+    out = {
+        r.grp: (r.n_zero, r.estimate)
+        for r in hll_group_estimate(d, ["grp"], "user", m=256).collect()
+    }
+    # deterministic single draw; ~1.04/sqrt(256) = 6.5% sigma, allow 3 sigma
+    assert abs(out["big"][1] - 4000) / 4000 < 0.20
+    assert abs(out["small"][1] - 25) < 3 and out["small"][0] > 200
