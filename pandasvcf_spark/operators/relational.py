@@ -1027,3 +1027,116 @@ def robust_scale(
         F.round(clamped, 6).alias("clamped"),
         F.round(z, 6).alias("robust_z"),
     )
+
+
+def hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    k: int = 1,
+) -> DataFrame:
+    """Fuzzy equi-length string join under Hamming distance ≤ k (the
+    record-linkage / barcode-demultiplexing matcher: sequencing reads
+    against a barcode manifest, noisy keys against a reference list).
+    Output: (left_id, right_id, hamming INT), every cross pair of
+    equal-length strings differing in at most k positions, exactly once.
+
+    Candidate generation is the pigeonhole partition scheme (the
+    PassJoin family, Li et al. 2011, specialized to Hamming where it is
+    EXACT): split every string into k+1 contiguous segments at
+    length-determined positions — two equal-length strings within
+    Hamming k MUST agree on at least one segment (k errors cannot touch
+    k+1 segments), and since Hamming never shifts alignment the
+    agreement is at identical positions. So candidates are ONE
+    equi-join on (length, segment index, segment text), verified with
+    one zip_with mismatch count, deduplicated by the FIRST agreeing
+    segment (a cheaper filter than distinct: keep the pair only at its
+    smallest agreeing segment index — no shuffle-sized distinct).
+
+    Skew warning (in the operator contract, not just the fixture): keys
+    sharing a long constant run put that run's segments in one bucket
+    and the join degenerates toward n² through it. Put the entropy
+    where the segments are — strip constant prefixes or reverse the
+    key before joining (the catalog entry does exactly this, and the
+    docstring is the documentation of why)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    n_seg = k + 1
+
+    def segs(df, idc, sc, side):
+        s = F.col(sc)
+        ln = F.length(s)
+        seg_len = F.floor(ln / F.lit(n_seg))
+        rem = ln % F.lit(n_seg)
+        out = []
+        for i in range(n_seg):
+            # first `rem` segments get one extra char (positions are a
+            # pure function of length, identical on both sides)
+            start = (
+                F.lit(i) * seg_len
+                + F.least(F.lit(i), rem)
+                + F.lit(1)
+            ).cast("int")
+            width = (seg_len + (F.lit(i) < rem).cast("long")).cast("int")
+            out.append(
+                F.struct(
+                    F.lit(i).alias("si"),
+                    s.substr(start, width).alias("seg"),
+                )
+            )
+        return df.select(
+            F.col(idc).alias(f"{side}_id"),
+            s.alias(f"{side}_s"),
+            ln.alias(f"{side}_len"),
+            F.explode(F.array(*out)).alias("p"),
+        ).select(
+            f"{side}_id",
+            f"{side}_s",
+            f"{side}_len",
+            F.col("p.si").alias("si"),
+            F.col("p.seg").alias("seg"),
+        )
+
+    ls = segs(left, left_id, left_str, "l")
+    rs = segs(right, right_id, right_str, "r")
+    cand = ls.join(rs, ["si", "seg"]).filter(
+        F.col("l_len") == F.col("r_len")
+    )
+    a = F.split(F.col("l_s"), "")
+    b = F.split(F.col("r_s"), "")
+    ham = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # keep each pair once: at its FIRST agreeing segment. Recompute
+    # whether any earlier segment also agreed; cheaper than a distinct
+    # over the candidate relation.
+    ln = F.col("l_len")
+    seg_len = F.floor(ln / F.lit(n_seg))
+    rem = ln % F.lit(n_seg)
+    earlier_agrees = F.lit(False)
+    for i in range(n_seg):
+        start = (F.lit(i) * seg_len + F.least(F.lit(i), rem) + F.lit(1)).cast(
+            "int"
+        )
+        width = (seg_len + (F.lit(i) < rem).cast("long")).cast("int")
+        agrees_i = F.col("l_s").substr(start, width) == F.col("r_s").substr(
+            start, width
+        )
+        earlier_agrees = earlier_agrees | (
+            (F.lit(i) < F.col("si")) & agrees_i
+        )
+    first_match = ~earlier_agrees
+    return (
+        cand.withColumn("__ham", ham)
+        .filter((F.col("__ham") <= k) & first_match)
+        .select(
+            F.col("l_id").alias(left_id),
+            F.col("r_id").alias(right_id),
+            F.col("__ham").cast("int").alias("hamming"),
+        )
+    )

@@ -969,3 +969,50 @@ def r_unpivot(spark, sf_dir):
         li, ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_discount", "l_tax"],
     )
+
+
+@register(
+    "j_hamming_fuzzy",
+    oracle="""
+    WITH l AS (SELECT c_custkey AS lid, reverse(c_name) AS s
+               FROM customer),
+    r AS (SELECT c_custkey + 10000000 AS rid,
+                 substr(reverse(c_name), 1, c_custkey % 9) || 'X'
+                 || substr(reverse(c_name), (c_custkey % 9) + 2) AS t
+          FROM customer)
+    SELECT lid, rid,
+           CAST(list_sum(list_transform(generate_series(1, len(s)),
+                i -> CASE WHEN s[i] <> t[i] THEN 1 ELSE 0 END)) AS INT)
+             AS hamming
+    FROM l JOIN r ON len(s) = len(t)
+    WHERE list_sum(list_transform(generate_series(1, len(s)),
+          i -> CASE WHEN s[i] <> t[i] THEN 1 ELSE 0 END)) <= 1
+    """,
+)
+def j_hamming_fuzzy(spark, sf_dir):
+    """Fuzzy Hamming-distance join (operators/relational.hamming_join;
+    PassJoin pigeonhole, exact for Hamming) matching customers against
+    a 1-character-corrupted copy of themselves — the barcode-
+    demultiplexing / noisy-key-linkage shape. Keys are REVERSED names:
+    'Customer#0000...' shares a long constant prefix, and constant runs
+    put their segments in one bucket (the operator docstring's skew
+    warning) — reversing moves the digit entropy to the front, the
+    standard key-design mitigation. The oracle affords the naive
+    length-gated theta join with a per-pair mismatch fold."""
+    from pandasvcf_spark.operators.relational import hamming_join
+
+    c = load(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_custkey").alias("lid"), F.reverse(F.col("c_name")).alias("s")
+    )
+    p0 = (F.col("c_custkey") % 9).cast("int")
+    rev = F.reverse(F.col("c_name"))
+    noised = F.concat(
+        rev.substr(F.lit(1), p0),
+        F.lit("X"),
+        rev.substr(p0 + F.lit(2), F.length(rev)),
+    )
+    right = c.select(
+        (F.col("c_custkey") + 10000000).alias("rid"), noised.alias("t")
+    )
+    return hamming_join(left, right, "lid", "s", "rid", "t", k=1)

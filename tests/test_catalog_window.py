@@ -352,6 +352,10 @@ def test_tail_entries_are_redundant_variants_only():
         "sk_hll_groups",         # grouped HLL: sk_hll_distinct's
                                  # machinery (in window) per group key;
                                  # contract guard
+        "j_hamming_fuzzy",       # fuzzy join: pigeonhole segment
+                                 # equi-join (the bucketed-candidate
+                                 # family in window via v_ann_topk /
+                                 # dedup_minhash_lsh); contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

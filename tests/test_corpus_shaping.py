@@ -1191,3 +1191,34 @@ def test_hll_group_estimate_matches_per_group_truth(spark):
     # deterministic single draw; ~1.04/sqrt(256) = 6.5% sigma, allow 3 sigma
     assert abs(out["big"][1] - 4000) / 4000 < 0.20
     assert abs(out["small"][1] - 25) < 3 and out["small"][0] > 200
+
+
+def test_hamming_join_matches_brute_force(spark):
+    """Pigeonhole candidates + verify equal brute force at k=1 and k=2;
+    each qualifying pair appears exactly once; length mismatches never
+    pair; k validates."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import hamming_join
+
+    L = [(1, "ACGTACGT"), (2, "TTTTTTTT"), (3, "ACGTACGA"), (4, "ACG")]
+    R = [(10, "ACGTACGT"), (11, "ACGAACGT"), (12, "GGGGGGGG"), (13, "ACT")]
+    l = spark.createDataFrame(L, "lid long, s string")
+    r = spark.createDataFrame(R, "rid long, t string")
+    for k in (0, 1, 2):
+        out = [
+            (x.lid, x.rid, x.hamming)
+            for x in hamming_join(l, r, "lid", "s", "rid", "t", k=k).collect()
+        ]
+        pairs = [(a, b) for a, b, _ in out]
+        assert len(pairs) == len(set(pairs))
+        truth = sorted(
+            (a, c, sum(1 for p, q in zip(b, d) if p != q))
+            for a, b in L
+            for c, d in R
+            if len(b) == len(d)
+            and sum(1 for p, q in zip(b, d) if p != q) <= k
+        )
+        assert sorted(out) == truth, (k, sorted(out), truth)
+    with _pytest.raises(ValueError, match="k must"):
+        hamming_join(l, r, "lid", "s", "rid", "t", k=-1)
