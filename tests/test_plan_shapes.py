@@ -176,3 +176,52 @@ def test_unpivot_single_scan_expand_no_union(spark):
     assert "Union" not in plan
     scans = [l for l in plan.splitlines() if "Range (" in l or "Scan" in l]
     assert len(scans) == 1, plan
+
+
+def test_paragraph_dedup_two_shuffles_no_join(spark):
+    """Content-keyed window + reassembly groupBy: exactly two exchanges,
+    zero join nodes."""
+    from pandasvcf_spark.operators.dedup import paragraph_dedup
+
+    d = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string"
+    )
+    plan = _plan(paragraph_dedup(d, "doc_id", "text"))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_assoc_rules_no_cartesian_hof_pairs(spark):
+    """Basket pair expansion is a HOF inside the basket row; item/total
+    counts come back as broadcasts — no cartesian, no shuffle join."""
+    from pandasvcf_spark.operators.relational import assoc_rules
+
+    d = spark.range(300).select(
+        (F.col("id") % 40).alias("b"),
+        F.concat(F.lit("i"), (F.col("id") % 5).cast("string")).alias("it"),
+    )
+    plan = _plan(assoc_rules(d, "b", "it"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_hamming_join_single_equi_join_no_cartesian(spark):
+    """Candidates come from ONE (segment) equi-join — no cartesian, no
+    nested-loop; the verify is a post-join expression."""
+    from pandasvcf_spark.operators.relational import hamming_join
+
+    l = spark.range(50).select(
+        F.col("id").alias("lid"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("s"),
+    )
+    r = spark.range(50).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("t"),
+    )
+    plan = _plan(hamming_join(l, r, "lid", "s", "rid", "t", k=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [ln for ln in plan.splitlines()
+             if "Join" in ln and "BroadcastExchange" not in ln]
+    assert len(joins) == 1, plan
