@@ -974,12 +974,19 @@ def r_unpivot(spark, sf_dir):
 @register(
     "j_hamming_fuzzy",
     oracle="""
-    WITH l AS (SELECT c_custkey AS lid, reverse(c_name) AS s
-               FROM customer),
+    WITH ph AS (
+      SELECT c_custkey,
+             lpad(CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647)
+               * 2654435761) % 2147483647 AS VARCHAR), 10, '0') AS key
+      FROM customer),
+    l AS (SELECT c_custkey AS lid, key AS s FROM ph),
     r AS (SELECT c_custkey + 10000000 AS rid,
-                 substr(reverse(c_name), 1, c_custkey % 9) || 'X'
-                 || substr(reverse(c_name), (c_custkey % 9) + 2) AS t
-          FROM customer)
+                 substr(key, 1, c_custkey % 10) || 'X'
+                 || substr(key, (c_custkey % 10) + 2) AS t
+          FROM ph)
     SELECT lid, rid,
            CAST(list_sum(list_transform(generate_series(1, len(s)),
                 i -> CASE WHEN s[i] <> t[i] THEN 1 ELSE 0 END)) AS INT)
@@ -991,28 +998,37 @@ def r_unpivot(spark, sf_dir):
 )
 def j_hamming_fuzzy(spark, sf_dir):
     """Fuzzy Hamming-distance join (operators/relational.hamming_join;
-    PassJoin pigeonhole, exact for Hamming) matching customers against
-    a 1-character-corrupted copy of themselves — the barcode-
-    demultiplexing / noisy-key-linkage shape. Keys are REVERSED names:
-    'Customer#0000...' shares a long constant prefix, and constant runs
-    put their segments in one bucket (the operator docstring's skew
-    warning) — reversing moves the digit entropy to the front, the
-    standard key-design mitigation. The oracle affords the naive
-    length-gated theta join with a per-pair mismatch fold."""
+    PassJoin pigeonhole, exact for Hamming) matching a 10-digit key per
+    customer against a 1-character-corrupted copy — the barcode-
+    demultiplexing / noisy-key-linkage shape. The key is the customer
+    id's SCRAMBLED portable hash, zero-padded: raw names share the
+    constant run 'Customer#', which parks one whole segment in a single
+    bucket and degenerates candidates toward n² (measured: the first
+    fixture cut timed out at sf0.1 exactly as the operator docstring's
+    skew warning predicts) — a scrambled-hash key spreads entropy over
+    BOTH segments. The oracle affords the naive length-gated theta join
+    with a per-pair mismatch fold."""
+    from pandasvcf_spark.functions.text import POLY_MOD, poly_hash_expr
     from pandasvcf_spark.operators.relational import hamming_join
 
     c = load(spark, sf_dir, "customer")
-    left = c.select(
-        F.col("c_custkey").alias("lid"), F.reverse(F.col("c_name")).alias("s")
+    key = F.lpad(
+        (
+            (poly_hash_expr(F.col("c_custkey").cast("string"))
+             * F.lit(2654435761)) % F.lit(POLY_MOD)
+        ).cast("string"),
+        10,
+        "0",
     )
-    p0 = (F.col("c_custkey") % 9).cast("int")
-    rev = F.reverse(F.col("c_name"))
+    ph = c.select("c_custkey", key.alias("key"))
+    left = ph.select(F.col("c_custkey").alias("lid"), F.col("key").alias("s"))
+    p0 = (F.col("c_custkey") % 10).cast("int")
     noised = F.concat(
-        rev.substr(F.lit(1), p0),
+        F.col("key").substr(F.lit(1), p0),
         F.lit("X"),
-        rev.substr(p0 + F.lit(2), F.length(rev)),
+        F.col("key").substr(p0 + F.lit(2), F.length(F.col("key"))),
     )
-    right = c.select(
+    right = ph.select(
         (F.col("c_custkey") + 10000000).alias("rid"), noised.alias("t")
     )
     return hamming_join(left, right, "lid", "s", "rid", "t", k=1)
