@@ -276,6 +276,44 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if os.environ.get("SPARK_GRAFT_BENCH_PIPE", "1") != "0":
+        # full one-call corpus-preparation funnel (lang/quality filter ->
+        # exact dedup -> near dedup -> decontamination -> token budget)
+        # on the doubled noisy corpus — the end-to-end composition
+        # number, additive key. Single run: the funnel localCheckpoints
+        # every stage by contract (its docstring's cost statement), so a
+        # second run re-pays real materialization, not warmup.
+        from pyspark.sql import functions as F
+
+        from pandasvcf_spark.operators.pipeline import prepare_corpus
+        from pandasvcf_spark.queries.tables import load as _load
+        from pandasvcf_spark.queries.text_q import _noisy_corpus
+
+        t0 = time.time()
+        docs = _noisy_corpus(spark, sf_dir)
+        eval_df = (
+            _load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 97 == 0)
+            .select("doc_id", "text")
+        )
+        cleaned, report = prepare_corpus(
+            docs,
+            min_quality=0.1,
+            near_dup=True,
+            min_jaccard=0.8,
+            eval_df=eval_df,
+            max_overlap=0.8,
+            budget_tokens=10_000_000,
+        )
+        rows_out = cleaned.count()
+        result["corpus_pipeline_sec"] = round(time.time() - t0, 3)
+        print(
+            f"# corpus_pipeline_sec: {result['corpus_pipeline_sec']:.2f}s "
+            f"(6-stage funnel on the doubled corpus, {rows_out} survivors; "
+            "per-stage counts in the report frame)",
+            file=sys.stderr,
+        )
+
     if os.environ.get("SPARK_GRAFT_BENCH_R7B", "1") != "0":
         # Round-7 continuation additive keys (frozen-roster discipline):
         # the three new heavy operators — relatedness matrix (panel-pair

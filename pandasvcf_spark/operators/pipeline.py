@@ -1,0 +1,172 @@
+"""One-call training-corpus preparation — the composition the §2.11
+operator families exist for, packaged the way `cohort_qc` packages the
+genomics QC stack: ingest-ready DataFrame in, cleaned corpus + funnel
+report out.
+
+The stage order is the one large published pipelines converge on (C4,
+Gopher/MassiveText, RefinedWeb): cheap row-local filters first (language,
+quality — pure column expressions, no shuffle), then exact dedup (one
+fingerprint groupBy), then sub-document cleanup (paragraph dedup), then
+the expensive corpus-global pass (MinHash near-dedup), then benchmark
+decontamination (broadcast n-gram overlap), and token-budget selection
+last so the budget is spent on documents that survived everything else.
+
+Every stage is an existing oracle-checked operator; the composition adds
+lineage control (`localCheckpoint` between stages — the connected-
+components lesson: an iterative/multi-stage plan silently re-executes its
+whole upstream otherwise, and the funnel counts would each re-run the
+pipeline) and the per-stage survivor accounting every production corpus
+job is asked for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.functions.text import (
+    lang_id_expr,
+    quality_score_expr,
+    whitespace_token_count_expr,
+    word_ngrams_expr,
+)
+from pandasvcf_spark.operators.dedup import (
+    dedup_documents,
+    near_dedup_documents,
+    paragraph_dedup,
+)
+from pandasvcf_spark.operators.sampling import take_token_budget
+from pandasvcf_spark.operators.text_features import contamination_overlap
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    langs: list[str] | None = None,
+    min_quality: float | None = None,
+    paragraph_delim: str | None = None,
+    paragraph_min_chars: int = 50,
+    near_dup: bool = True,
+    min_jaccard: float = 0.9,
+    keep_best: bool = False,
+    eval_df: DataFrame | None = None,
+    max_overlap: float = 0.1,
+    contamination_ngram: int = 3,
+    budget_tokens: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the standard corpus-cleaning funnel; returns
+    ``(cleaned, report)`` where `cleaned` keeps the input schema (text
+    possibly rewritten by the paragraph stage) and `report` is the
+    per-stage survivor table (stage INT, name STRING, rows BIGINT) —
+    the accounting a data card quotes.
+
+    Stages (each optional via its parameter, skipped stages keep their
+    report row with the pass-through count):
+
+      1 input
+      2 lang_quality  — `langs` whitelist + `quality_score_expr` ≥
+                        `min_quality` (row-local, no shuffle)
+      3 exact_dedup   — normalized-fingerprint dedup_documents
+      4 paragraph_dedup — corpus-wide C4 pass when `paragraph_delim`
+                        is given (short lines exempt)
+      5 near_dedup    — MinHash-LSH + components; `keep_best` keeps
+                        each cluster's highest quality_score instead of
+                        min id
+      6 decontaminate — drop docs whose `contamination_ngram`-gram
+                        overlap with `eval_df` exceeds `max_overlap`
+      7 token_budget  — deterministic hash-ordered selection of
+                        `budget_tokens` whitespace tokens
+
+    Each stage boundary is `localCheckpoint`-ed: the funnel counts are
+    then one cheap job per stage instead of re-executing the whole
+    upstream per count, and the MinHash stage never recomputes the
+    filters. Cost: the corpus materializes once per enabled stage —
+    exactly what a checkpointed production job does on purpose."""
+    stages: list[tuple[str, int]] = []
+    cur = df.localCheckpoint()
+    stages.append(("input", cur.count()))
+
+    cond: Column = F.lit(True)
+    if langs is not None:
+        cond = cond & lang_id_expr(F.col(text_col)).isin(list(langs))
+    if min_quality is not None:
+        cond = cond & (
+            quality_score_expr(F.col(text_col)) >= F.lit(float(min_quality))
+        )
+    if langs is not None or min_quality is not None:
+        cur = cur.filter(cond).localCheckpoint()
+    stages.append(("lang_quality", cur.count()))
+
+    cur = dedup_documents(cur, text_col=text_col).localCheckpoint()
+    stages.append(("exact_dedup", cur.count()))
+
+    if paragraph_delim is not None:
+        kept_text = paragraph_dedup(
+            cur,
+            id_col,
+            text_col,
+            delim=paragraph_delim,
+            min_chars=paragraph_min_chars,
+        )
+        cur = (
+            cur.drop(text_col)
+            .join(kept_text, on=id_col)
+            .select(*df.columns)
+            .localCheckpoint()
+        )
+    stages.append(("paragraph_dedup", cur.count()))
+
+    if near_dup:
+        cur = near_dedup_documents(
+            cur,
+            id_col,
+            word_ngrams_expr(F.col(text_col), 2),
+            min_jaccard=min_jaccard,
+            quality=(
+                quality_score_expr(F.col(text_col)) if keep_best else None
+            ),
+        ).localCheckpoint()
+    stages.append(("near_dedup", cur.count()))
+
+    if eval_df is not None:
+        ov = contamination_overlap(
+            cur,
+            eval_df,
+            n=contamination_ngram,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(id_col, "overlap")
+        cur = (
+            cur.join(ov, on=id_col, how="left")
+            .filter(
+                F.coalesce(F.col("overlap"), F.lit(0.0))
+                <= F.lit(float(max_overlap))
+            )
+            .drop("overlap")
+            .localCheckpoint()
+        )
+    stages.append(("decontaminate", cur.count()))
+
+    if budget_tokens is not None:
+        cur = (
+            cur.withColumn(
+                "__tok", whitespace_token_count_expr(F.col(text_col))
+            )
+            .transform(
+                lambda d: take_token_budget(
+                    d, "__tok", budget_tokens, F.col(id_col)
+                )
+            )
+            .drop("__tok")
+            .localCheckpoint()
+        )
+    stages.append(("token_budget", cur.count()))
+
+    spark = df.sparkSession
+    report = spark.createDataFrame(
+        [(i + 1, name, int(n)) for i, (name, n) in enumerate(stages)],
+        "stage INT, name STRING, rows BIGINT",
+    )
+    return cur, report

@@ -1222,3 +1222,57 @@ def test_hamming_join_matches_brute_force(spark):
         assert sorted(out) == truth, (k, sorted(out), truth)
     with _pytest.raises(ValueError, match="k must"):
         hamming_join(l, r, "lid", "s", "rid", "t", k=-1)
+
+
+def test_prepare_corpus_funnel(spark):
+    """The one-call cleaning funnel: each stage drops exactly the planted
+    offender (language, quality, exact dup, near dup, contaminated),
+    counts are monotone non-increasing, the survivor keeps the input
+    schema, and disabling every stage passes everything through."""
+    from pandasvcf_spark.operators.pipeline import prepare_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the field with a steady pace for quite a while now"
+    )
+    other = (
+        "completely different words about spark shuffles and parquet "
+        "column pruning with plenty of steady readable prose to pass "
+        "the quality screen for this synthetic corpus row here"
+    )
+    rows = [
+        (1, good + " alpha version", "en", "s1"),
+        (2, good + " alpha version", "en", "s1"),      # exact dup
+        (3, good + " alpha version more", "en", "s1"),  # near dup
+        (4, "x!!! ???", "en", "s2"),                    # low quality
+        (5, other, "en", "s2"),                         # contaminated
+        (6, "der hund und die katze ist nicht das "
+            "problem oder doch vielleicht heute", "de", "s3"),  # lang
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    ev = spark.createDataFrame(
+        [(100, "words about spark shuffles and parquet column pruning")],
+        "doc_id long, text string",
+    )
+    cleaned, report = prepare_corpus(
+        d,
+        langs=["en"],
+        min_quality=0.5,
+        near_dup=True,
+        min_jaccard=0.5,
+        eval_df=ev,
+        max_overlap=0.15,
+    )
+    rep = {r.name: r.rows for r in report.collect()}
+    assert rep["input"] == 6
+    assert rep["lang_quality"] == 4      # -4 (quality), -6 (lang)
+    assert rep["exact_dedup"] == 3       # -2
+    assert rep["near_dedup"] == 2        # -3 (clustered with 1)
+    assert rep["decontaminate"] == 1     # -5 (eval overlap)
+    counts = [r.rows for r in report.orderBy("stage").collect()]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert sorted(r.doc_id for r in cleaned.collect()) == [1]
+    assert cleaned.columns == d.columns
+    allpass, rep2 = prepare_corpus(d, near_dup=False)
+    assert allpass.count() == 5  # only the exact dup ever drops
+    assert {r.rows for r in rep2.filter(F.col("stage") >= 3).collect()} == {5}
