@@ -366,3 +366,53 @@ def pca_from_grm(grm_df: DataFrame, n_components: int = 2):
             v = -v
         coords[:, c] = v * np.sqrt(lam)
     return [(s, [float(x) for x in coords[idx[s]]]) for s in samples]
+
+
+def kinship_prune(
+    pairs: DataFrame,
+    cutoff: float,
+    a_col: str = "sample_a",
+    b_col: str = "sample_b",
+    phi_col: str = "phi",
+):
+    """Greedy relatedness pruning (plink2 --king-cutoff): from a pairwise
+    kinship table ([[king_kinship]] / `grm` output), iteratively remove
+    the sample participating in the MOST pairs with φ ≥ `cutoff` until
+    no such pair remains — the minimum-vertex-cover heuristic every
+    association study runs so no two retained samples are close
+    relatives. Returns the ordered removal list as
+    [(sample, n_pairs_at_removal)], ties broken by sample id (a total
+    order — the pruned set is a pure function of the kinship table).
+
+    The collect is MODEL-SIZED by construction: only pairs ABOVE the
+    cutoff come to the driver — the related subgraph, vanishingly small
+    in a real cohort (and bounded by panel², never by sites). The
+    greedy loop is pure Python over that edge list; the sites-sized
+    genotype relation never leaves the cluster — this is the same
+    division of labor as `pca_from_grm`."""
+    rows = (
+        pairs.filter(F.col(phi_col) >= F.lit(float(cutoff)))
+        .filter(F.col(a_col) != F.col(b_col))  # GRM diagonals, if fed
+        .select(a_col, b_col)
+        .collect()
+    )
+    edges = {(r[0], r[1]) for r in rows}
+    removed = []
+    while edges:
+        counts: dict = {}
+        for a, b in edges:
+            counts[a] = counts.get(a, 0) + 1
+            counts[b] = counts.get(b, 0) + 1
+        victim = max(counts, key=lambda s: (counts[s], _neg_key(s)))
+        removed.append((victim, counts[victim]))
+        edges = {(a, b) for a, b in edges if a != victim and b != victim}
+    return removed
+
+
+def _neg_key(s):
+    """Tie-break helper: prefer the SMALLEST id among equal counts, via
+    max() — numeric ids negate; other types fall back to a stable
+    string inversion."""
+    if isinstance(s, (int, float)):
+        return -s
+    return tuple(-ord(c) for c in str(s))

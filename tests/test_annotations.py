@@ -684,3 +684,26 @@ def test_pi_windows_hand_case(spark):
     assert abs(w.pi - round(expected / 10, 6)) < 1e-9
     with _pytest.raises(ValueError, match="window_size"):
         pi_windows(d, "pos", "pos", 0)
+
+
+def test_kinship_prune_greedy_cover(spark):
+    """Greedy --king-cutoff: the triangle's highest-degree (tie -> lowest
+    id) goes first, the loop re-counts after each removal, sub-cutoff
+    pairs never matter, and the result is deterministic."""
+    from pandasvcf_spark.operators.ld import kinship_prune
+
+    pairs = [
+        (1, 2, 0.3), (1, 3, 0.3), (2, 3, 0.28),
+        (7, 8, 0.26), (4, 5, 0.01),
+    ]
+    d = spark.createDataFrame(pairs, "sample_a long, sample_b long, phi double")
+    out = kinship_prune(d, 0.177)
+    assert out == [(1, 2), (2, 1), (7, 1)]
+    assert kinship_prune(d, 0.177) == out  # deterministic
+    assert kinship_prune(d, 0.5) == []     # nothing above cutoff
+    # hub: one sample related to three others -> only the hub goes
+    hub = spark.createDataFrame(
+        [(9, 10, 0.3), (9, 11, 0.3), (9, 12, 0.3)],
+        "sample_a long, sample_b long, phi double",
+    )
+    assert kinship_prune(hub, 0.2) == [(9, 3)]
