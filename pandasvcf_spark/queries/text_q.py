@@ -1860,3 +1860,62 @@ def t_robust_scale(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return robust_scale(d, ["source"], "n_chars")
+
+
+def _psi_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(CAST(n_chars AS DOUBLE), {(i + 1) / 10}) AS q{i}"
+        for i in range(9)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN CAST(n_chars AS DOUBLE) <= q.q{i} THEN {i}"
+        for i in range(9)
+    ) + " ELSE 9 END"
+    qlist = ", ".join(f"q.q{i}" for i in range(9))
+    p_b = "greatest(n_base / CAST(tb AS DOUBLE), 1e-06)"
+    p_c = "greatest(n_cur / CAST(tc AS DOUBLE), 1e-06)"
+    return f"""
+    WITH cur AS (
+      SELECT doc_id, CAST(n_chars + (doc_id % 40) AS BIGINT) AS n_chars
+      FROM documents),
+    q AS (SELECT {qs} FROM documents),
+    bb AS (SELECT {case} AS bin FROM documents, q),
+    cb AS (SELECT {case} AS bin FROM cur, q),
+    hb AS (SELECT bin, count(*) AS n_base FROM bb GROUP BY 1),
+    hc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY 1),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    jj AS (
+      SELECT b.bin,
+             CAST(coalesce(hb.n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(hc.n_cur, 0) AS BIGINT) AS n_cur
+      FROM bins b LEFT JOIN hb USING (bin) LEFT JOIN hc USING (bin)),
+    tt AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                  CAST(sum(n_cur) AS BIGINT) AS tc FROM jj)
+    SELECT jj.bin AS bin,
+           list_value(CAST(NULL AS DOUBLE), {qlist})[jj.bin + 1] AS lo,
+           list_value({qlist}, CAST(NULL AS DOUBLE))[jj.bin + 1] AS hi,
+           n_base, n_cur,
+           round(({p_c} - {p_b}) * ln({p_c} / {p_b}), 6) AS psi_term
+    FROM jj, tt, q
+    """
+
+
+@register("t_psi_drift", oracle=_psi_oracle())
+def t_psi_drift(spark, sf_dir):
+    """Population Stability Index (operators/relational.psi_report; the
+    standard 0.1/0.25 drift monitor) between the document-length
+    distribution and a shifted snapshot (+doc_id%40 chars): base-
+    quantile bin edges (exact percentiles, the agg_percentiles
+    precedent), one histogram pass per snapshot, per-bin PSI terms so
+    the report says WHERE the mass moved. The oracle replays edges,
+    the CASE-ladder binning, eps flooring and the term arithmetic."""
+    from pandasvcf_spark.operators.relational import psi_report
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cur = base.select(
+        "doc_id",
+        (F.col("n_chars") + F.col("doc_id") % 40)
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return psi_report(base, cur, "n_chars", n_bins=10)

@@ -356,6 +356,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # equi-join (the bucketed-candidate
                                  # family in window via v_ann_topk /
                                  # dedup_minhash_lsh); contract guard
+        "t_psi_drift",           # PSI drift monitor: exact-percentile
+                                 # + histogram machinery
+                                 # (agg_percentiles / a2_value_counts
+                                 # families, contract-guarded);
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1276,3 +1276,29 @@ def test_prepare_corpus_funnel(spark):
     allpass, rep2 = prepare_corpus(d, near_dup=False)
     assert allpass.count() == 5  # only the exact dup ever drops
     assert {r.rows for r in rep2.filter(F.col("stage") >= 3).collect()} == {5}
+
+
+def test_psi_report_identical_and_shifted(spark):
+    """Identical snapshots give PSI == 0 in every bin; a planted shift
+    concentrated above the median moves mass where it should; bins
+    cover the full range (counts sum to row counts); n_bins validates."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import psi_report
+
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    same = psi_report(base, base, "x", n_bins=10).collect()
+    assert len(same) == 10
+    assert all(r.psi_term == 0.0 for r in same)
+    assert sum(r.n_base for r in same) == 1000
+    shifted = base.select("id", (F.col("x") + 50.0).alias("x"))
+    rep = psi_report(base, shifted, "x", n_bins=10).collect()
+    total = sum(r.psi_term for r in rep)
+    assert total > 0.25  # alarm-level drift for a half-range shift
+    lowest = min(rep, key=lambda r: r.bin)
+    assert lowest.n_cur < lowest.n_base  # mass left the bottom bins
+    assert sum(r.n_cur for r in rep) == 1000
+    with _pytest.raises(ValueError, match="n_bins"):
+        psi_report(base, base, "x", n_bins=1)
