@@ -1230,3 +1230,72 @@ def psi_report(
         "n_cur",
         F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill (pandas
+    ``resample().ffill()`` / timescaledb time_bucket + locf): per key,
+    emit one row per `step_seconds` grid point from the key's first
+    observation (floored to the grid) through its last, carrying the
+    most recent observed value at-or-before each point. Output:
+    (key_col, grid_ts BIGINT epoch-seconds, value_col — NULL exactly
+    on leading grid points before the key's first observation, which
+    the floored grid start can produce; strict LOCF never invents a
+    value it has not seen). The gap-filling step every downstream
+    fixed-frequency consumer (feature windows, charting, joins on
+    aligned clocks) needs.
+
+    Plan — the `asof_join` device, no join node for the fill: per-key
+    min/max (one partial agg) → grid rows via an exploded sequence
+    (epoch ints end to end, the catalog's timestamp convention) →
+    UNION with observations tagged obs-first-at-equal-ts → ONE window
+    (key, ts-order) carrying ``last(value, ignorenulls)`` → keep grid
+    rows. Shuffle: the minmax agg plus one (key × ts-sorted) exchange
+    shared by the window; grid size is bounded by span/step per key,
+    the operator's own output size.
+
+    Precondition (the `merge_latest` convention): one observation per
+    (key, second) — equal-timestamp duplicates tie in the fill order
+    and the carried value becomes partition-dependent; collapse them
+    first (max/avg per key-second) as the catalog entry does."""
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
+    k = F.col(key_col)
+    ts = F.col(ts_col).cast("timestamp").cast("long")
+    obs = df.select(
+        k.alias("__k"), ts.alias("__ts"), F.col(value_col).alias("__v")
+    )
+    span = obs.groupBy("__k").agg(
+        F.min("__ts").alias("__lo"), F.max("__ts").alias("__hi")
+    )
+    step = F.lit(int(step_seconds))
+    grid = span.select(
+        "__k",
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("__lo") / step) * step).cast("long"),
+                F.col("__hi"),
+                step,
+            )
+        ).alias("__ts"),
+    ).select("__k", "__ts", F.lit(None).cast(obs.schema["__v"].dataType).alias("__v"), F.lit(1).alias("__g"))
+    tagged = obs.withColumn("__g", F.lit(0)).unionByName(grid)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "__f", F.last("__v", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("__g") == 1).select(
+        F.col("__k").alias(key_col),
+        F.col("__ts").alias("grid_ts"),
+        F.col("__f").alias(value_col),
+    )

@@ -585,3 +585,56 @@ def sk_hll_groups(spark, sf_dir):
     return out.select(
         "event_type", "n_zero", F.round("estimate", 4).alias("estimate")
     )
+
+
+@register(
+    "e_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             max(value) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT k, min(t) AS lo, max(t) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, unnest(generate_series(
+        CAST(floor(lo / 21600) * 21600 AS BIGINT), hi, 21600)) AS t
+      FROM span),
+    u AS (
+      SELECT k, t, v, 0 AS g FROM obs
+      UNION ALL
+      SELECT k, t, CAST(NULL AS DOUBLE), 1 FROM grid),
+    f AS (
+      SELECT k, t, g,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+      FROM u)
+    SELECT k AS user_id, t AS grid_ts, fv AS value
+    FROM f WHERE g = 1
+    """,
+)
+def e_resample_ffill(spark, sf_dir):
+    """Regular-grid resampling with forward fill (operators/relational.
+    resample_ffill; pandas resample().ffill() / timescaledb locf) of
+    per-user event values onto a 6-hour grid: per-key span agg, epoch-
+    int grid explode, one union+window fill — the asof_join device, no
+    join node. Duplicate (user, second) observations collapse to max
+    first (the documented precondition). Values pass through
+    unchanged, so no rounding is needed; the oracle replays the grid,
+    the tag order and the IGNORE NULLS carry."""
+    from pandasvcf_spark.operators.relational import resample_ffill
+
+    d = load(spark, sf_dir, "events")
+    obs = (
+        d.select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("long").alias("sec"),
+            "value",
+        )
+        .groupBy("user_id", "sec")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id", F.col("sec").cast("timestamp").alias("ts"), "value"
+        )
+    )
+    return resample_ffill(obs, "user_id", "ts", "value", 21600)

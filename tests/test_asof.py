@@ -406,3 +406,28 @@ def test_rate_anomaly_flags_spike_and_handles_constant(spark):
     assert all(r.z is None and r.is_anomaly is None for r in rc)
     with _pytest.raises(ValueError, match="bucket_seconds"):
         rate_anomaly(d, "ts", 0)
+
+
+def test_resample_ffill_hand_case(spark):
+    """Grid points carry the latest at-or-before observation; a leading
+    grid point before the first observation stays NULL (strict LOCF);
+    keys fill independently; step validates."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.relational import resample_ffill
+
+    rows = [(1, 105, 10.0), (1, 128, 20.0), (1, 131, 30.0), (2, 50, 5.0)]
+    d = spark.createDataFrame(rows, "k long, e long, v double").select(
+        "k", F.col("e").cast("timestamp").alias("ts"), "v"
+    )
+    out = sorted(
+        (r.k, r.grid_ts, r.v)
+        for r in resample_ffill(d, "k", "ts", "v", 10).collect()
+    )
+    assert out == [
+        (1, 100, None), (1, 110, 10.0), (1, 120, 10.0), (1, 130, 20.0),
+        (2, 50, 5.0),
+    ]
+    with _pytest.raises(ValueError, match="step_seconds"):
+        resample_ffill(d, "k", "ts", "v", 0)

@@ -361,6 +361,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # (agg_percentiles / a2_value_counts
                                  # families, contract-guarded);
                                  # contract guard
+        "e_resample_ffill",      # grid resample + LOCF: the asof_join
+                                 # union+window device (j_asof_events
+                                 # in window); contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
