@@ -1299,3 +1299,44 @@ def resample_ffill(
         F.col("__ts").alias("grid_ts"),
         F.col("__f").alias(value_col),
     )
+
+
+def cusum_scores(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    drift: float,
+    threshold: float | None = None,
+) -> DataFrame:
+    """One-sided CUSUM change-point scores per key (Page 1954; the
+    sequential upward-shift detector a metrics pipeline runs beside the
+    windowed z-score of `rate_anomaly`): the textbook recursion
+
+        S_t = max(0, S_{t-1} + x_t − drift),   S_0 = 0
+
+    computed in CLOSED FORM — S_t = P_t − min_{j ≤ t} P_j with
+    P_t = Σ_{i ≤ t}(x_i − drift) — so the nonlinear recursion becomes
+    two cumulative windows over the SAME (key, order) exchange and
+    sort: a prefix sum and a running minimum. No fold state, no
+    per-key list materialization (the EWMA collect-fold shape is not
+    needed here), arbitrarily long histories stream through the
+    window. Output: all input rows plus cusum DOUBLE (round 6) and,
+    when `threshold` is given, alarm BOOLEAN (S_t > threshold).
+    Ordering ties on (key, order) make prefix sums partition-dependent
+    — `order_col` must be unique per key (the `merge_latest`
+    precondition convention)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col(value_col).cast("double") - F.lit(float(drift))).over(w)
+    out = df.withColumn("__p", p).withColumn(
+        "cusum", F.round(F.col("__p") - F.min("__p").over(w), 6)
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            "alarm", F.col("cusum") > F.lit(float(threshold))
+        )
+    return out.drop("__p")

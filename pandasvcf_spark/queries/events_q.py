@@ -638,3 +638,37 @@ def e_resample_ffill(spark, sf_dir):
         )
     )
     return resample_ffill(obs, "user_id", "ts", "value", 21600)
+
+
+@register(
+    "e_cusum",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, value,
+             sum(value - 55.0) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      FROM events)
+    SELECT user_id, event_id,
+           round(pp - min(pp) OVER w2, 6) AS cusum,
+           round(pp - min(pp) OVER w2, 6) > 500.0 AS alarm
+    FROM p
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def e_cusum(spark, sf_dir):
+    """One-sided CUSUM change-point scores (operators/relational.
+    cusum_scores; Page 1954) per user over event values, drift 55
+    (≈ mean + 0.1σ of the fixture), alarm at 500: the nonlinear
+    S_t = max(0, S_{t-1} + x − k) recursion in its prefix-sum closed
+    form — two cumulative windows sharing ONE (user, event-order)
+    exchange, no fold state, arbitrarily long histories. The oracle
+    replays both windows and the rounded-threshold alarm."""
+    from pandasvcf_spark.operators.relational import cusum_scores
+
+    d = load(spark, sf_dir, "events")
+    out = cusum_scores(
+        d, "user_id", "event_id", "value", drift=55.0, threshold=500.0
+    )
+    return out.select("user_id", "event_id", "cusum", "alarm")

@@ -364,6 +364,10 @@ def test_tail_entries_are_redundant_variants_only():
         "e_resample_ffill",      # grid resample + LOCF: the asof_join
                                  # union+window device (j_asof_events
                                  # in window); contract guard
+        "e_cusum",               # CUSUM change-point: cumulative-frame
+                                 # machinery (w_running_sum family,
+                                 # contract-guarded) in closed form;
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1302,3 +1302,34 @@ def test_psi_report_identical_and_shifted(spark):
     assert sum(r.n_cur for r in rep) == 1000
     with _pytest.raises(ValueError, match="n_bins"):
         psi_report(base, base, "x", n_bins=1)
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The closed-form (prefix sum − running min) reproduces the
+    textbook max(0, S+x−k) recursion value-for-value, including resets
+    to zero; the alarm fires above threshold on the rounded score; the
+    whole computation pays one exchange."""
+    from pandasvcf_spark.operators.relational import cusum_scores
+
+    vals = [0.5, -1.0, 2.0, 2.0, -0.5, 3.0, -10.0, 1.0]
+    d = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, t long, x double"
+    )
+    out = {
+        r.t: (r.cusum, r.alarm)
+        for r in cusum_scores(
+            d, "k", "t", "x", drift=0.5, threshold=3.0
+        ).collect()
+    }
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + v - 0.5)
+        assert abs(out[i][0] - round(s, 6)) < 1e-9, (i, out[i], s)
+        assert out[i][1] == (round(s, 6) > 3.0)
+    plan = (
+        cusum_scores(d, "k", "t", "x", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
