@@ -193,3 +193,70 @@ def triangle_stats(
             F.round(3.0 * F.col("triangles") / F.col("wedges"), 6),
         ).alias("global_cc"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph (Seidman 1983; the standard
+    "dense part" extraction beside [[pagerank]] and `triangle_stats` —
+    crawl-graph spam rings and community nuclei live in high cores):
+    iteratively peel every node of degree < k until the fixed point,
+    returning the surviving nodes with their WITHIN-CORE degree
+    (node BIGINT, degree BIGINT). Empty result when no k-core exists.
+    Direction, duplicate edges and self-loops normalize away first.
+
+    Plan: the connected-components loop discipline — per round one
+    degree aggregation + one semi-join edge filter, `localCheckpoint`
+    to pin each round's edge set (lineage re-execution is invisible in
+    explain and deadly across rounds), driver-side convergence test on
+    the edge count (a scalar action per round, the documented cost of
+    every fixed-point loop here). Rounds are data-bounded: each
+    non-final round removes ≥1 node, and real graphs converge in a
+    handful. No SQL oracle: peeling needs per-round aggregation over
+    the recursive relation, which recursive CTEs cannot express — the
+    pytest hand graphs (known cores, peel-cascade case) are the
+    evidence, the `connected_components` precedent."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = F.col(src).cast("long")
+    b = F.col(dst).cast("long")
+    e = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+    return deg

@@ -1333,3 +1333,31 @@ def test_cusum_closed_form_matches_recursion(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_kcore_hand_graphs(spark):
+    """K4 plus a pendant tail: 3-core is exactly K4 (within-core degree
+    3); a pure path fully cascades away at k=2 (the peel must iterate,
+    not one-shot); triangle+tail keeps the triangle at k=2; validation
+    rejects k=0."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    g = spark.createDataFrame(
+        k4 + [(3, 10), (10, 11)], "src long, dst long"
+    )
+    out = {r.node: r.degree for r in kcore(g, 3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert kcore(path, 2).count() == 0  # cascade: one-shot would keep 1-2-3
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out2 = {r.node: r.degree for r in kcore(tri, 2).collect()}
+    assert out2 == {0: 2, 1: 2, 2: 2}
+    with _pytest.raises(ValueError, match="k must"):
+        kcore(tri, 0)
