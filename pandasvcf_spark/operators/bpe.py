@@ -138,7 +138,14 @@ def bpe_encode_expr(
     one per word, produced by replaying every merge rule in training
     order as pure HOF folds. The inference-side counterpart of
     `bpe_train`, enabling `token_count`-style budgeting under the real
-    tokenizer instead of the whitespace proxy."""
+    tokenizer instead of the whitespace proxy.
+
+    Expression-depth boundary: each rule adds one nested transform, so
+    this form suits rule lists up to the low hundreds (codegen falls
+    back to interpreted evaluation beyond ~a few hundred nested HOFs);
+    a production 30k-merge vocabulary should apply the rule table
+    inside an Arrow-batched pandas UDF instead — the plumbing
+    `functions/udf_ext.py` provides."""
     words = F.regexp_extract_all(F.lower(text), F.lit(token_pattern), F.lit(0))
     out = F.transform(words, lambda w: F.split(w, ""))
 
