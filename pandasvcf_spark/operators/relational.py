@@ -1100,11 +1100,16 @@ def hamming_join(
             F.col("p.seg").alias("seg"),
         )
 
-    ls = segs(left, left_id, left_str, "l")
-    rs = segs(right, right_id, right_str, "r")
-    cand = ls.join(rs, ["si", "seg"]).filter(
-        F.col("l_len") == F.col("r_len")
+    ls = segs(left, left_id, left_str, "l").withColumnRenamed(
+        "l_len", "len"
     )
+    rs = segs(right, right_id, right_str, "r").withColumnRenamed(
+        "r_len", "len"
+    )
+    # length is part of the BUCKET key, not a post-join filter: two
+    # strings of different lengths can share (si, seg) and would
+    # otherwise materialize as candidates only to be discarded
+    cand = ls.join(rs, ["si", "seg", "len"])
     a = F.split(F.col("l_s"), "")
     b = F.split(F.col("r_s"), "")
     ham = F.aggregate(
@@ -1115,7 +1120,7 @@ def hamming_join(
     # keep each pair once: at its FIRST agreeing segment. Recompute
     # whether any earlier segment also agreed; cheaper than a distinct
     # over the candidate relation.
-    ln = F.col("l_len")
+    ln = F.col("len")
     seg_len = F.floor(ln / F.lit(n_seg))
     rem = ln % F.lit(n_seg)
     earlier_agrees = F.lit(False)
