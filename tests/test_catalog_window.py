@@ -385,3 +385,17 @@ def test_coverage_totals_match_registry():
     m = re.search(r"Totals: (\d+) registered catalog queries", text)
     assert m, "totals line missing"
     assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+
+
+def test_readme_count_matches_registry():
+    """README's catalog count must track the registry too (drifted once
+    in round 7: said 138 at 146)."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath(
+        "README.md"
+    ).read_text()
+    m = re.search(r"declares (\d+) catalog queries", text)
+    assert m, "README catalog-count sentence missing"
+    assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
