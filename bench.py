@@ -299,6 +299,8 @@ def main() -> None:
         cleaned, report = prepare_corpus(
             docs,
             min_quality=0.1,
+            paragraph_delim=" the ",  # no newlines in the synthetic
+            paragraph_min_chars=8,    # corpus; the catalog convention
             near_dup=True,
             min_jaccard=0.8,
             eval_df=eval_df,
@@ -309,7 +311,7 @@ def main() -> None:
         result["corpus_pipeline_sec"] = round(time.time() - t0, 3)
         print(
             f"# corpus_pipeline_sec: {result['corpus_pipeline_sec']:.2f}s "
-            f"(6-stage funnel on the doubled corpus, {rows_out} survivors; "
+            f"(7-stage funnel on the doubled corpus, {rows_out} survivors; "
             "per-stage counts in the report frame)",
             file=sys.stderr,
         )
