@@ -489,9 +489,14 @@ def interval_overlap_join(
         # assert_true raises (with the remedy in the message) on a row
         # whose bin span exceeds the cap; nested inside the sequence
         # bound so column pruning can't drop the guard
+        # NULL-bounded rows must keep dropping (sequence(NULL, ...) is
+        # NULL and explode skips it) — assert_true raises on NULL
+        # conditions, so the guard passes them through explicitly
         guarded_end = F.when(
             F.assert_true(
-                end_bin - start_bin < F.lit(int(max_bins_per_row)),
+                F.col(start).isNull()
+                | F.col(end).isNull()
+                | (end_bin - start_bin < F.lit(int(max_bins_per_row))),
                 F.concat(
                     F.lit(
                         "interval_overlap_join: interval spans more than "
@@ -1169,7 +1174,10 @@ def psi_report(
     (bin INT, lo/hi DOUBLE — NULL at the open ends, n_base/n_cur
     BIGINT, psi_term DOUBLE round 6) plus the caller sums psi_term for
     the headline number (keeping terms per bin is the point: the
-    report says WHERE the mass moved).
+    report says WHERE the mass moved). Duplicate quantile edges (a
+    low-cardinality base) are deduplicated, so the report may carry
+    fewer than `n_bins` rows; an all-null base raises ValueError
+    (edges would be undefined).
 
     Plan: one exact-percentile agg on base (the `agg_percentiles`
     exactness precedent) collected as ~n_bins edges (model-sized), then
@@ -1187,6 +1195,17 @@ def psi_report(
         ]
     ).collect()[0]
     edges = [edges_row[i] for i in range(len(probs))]
+    if any(e is None for e in edges):
+        raise ValueError(
+            "psi_report: base snapshot has no non-null values in "
+            f"{value_col!r} — quantile edges are undefined"
+        )
+    # Low-cardinality bases repeat quantile edges; duplicates would
+    # create unreachable bins whose psi_term is the eps floor on both
+    # sides (phantom drift). Deduplicate (order-preserving) and report
+    # the effective bin count instead.
+    edges = sorted({float(e) for e in edges})
+    n_bins = len(edges) + 1
 
     def bin_expr():
         e = F.when(v <= F.lit(float(edges[0])), F.lit(0))
@@ -1320,8 +1339,12 @@ def cusum_scores(
 
         S_t = max(0, S_{t-1} + x_t − drift),   S_0 = 0
 
-    computed in CLOSED FORM — S_t = P_t − min_{j ≤ t} P_j with
-    P_t = Σ_{i ≤ t}(x_i − drift) — so the nonlinear recursion becomes
+    computed in CLOSED FORM — S_t = P_t − min_{0 ≤ j ≤ t} P_j with
+    P_t = Σ_{i ≤ t}(x_i − drift) and P_0 = 0 (the empty prefix: the
+    running min is clamped at 0, else a history whose first values
+    exceed drift — exactly the early-shift case CUSUM exists to catch
+    — would have its scores understated by the positive prefix min)
+    — so the nonlinear recursion becomes
     two cumulative windows over the SAME (key, order) exchange and
     sort: a prefix sum and a running minimum. No fold state, no
     per-key list materialization (the EWMA collect-fold shape is not
@@ -1338,7 +1361,10 @@ def cusum_scores(
     )
     p = F.sum(F.col(value_col).cast("double") - F.lit(float(drift))).over(w)
     out = df.withColumn("__p", p).withColumn(
-        "cusum", F.round(F.col("__p") - F.min("__p").over(w), 6)
+        "cusum",
+        F.round(
+            F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w)), 6
+        ),
     )
     if threshold is not None:
         out = out.withColumn(

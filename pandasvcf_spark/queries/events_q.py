@@ -650,8 +650,8 @@ def e_resample_ffill(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
       FROM events)
     SELECT user_id, event_id,
-           round(pp - min(pp) OVER w2, 6) AS cusum,
-           round(pp - min(pp) OVER w2, 6) > 500.0 AS alarm
+           round(pp - least(0, min(pp) OVER w2), 6) AS cusum,
+           round(pp - least(0, min(pp) OVER w2), 6) > 500.0 AS alarm
     FROM p
     WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -431,3 +431,46 @@ def test_resample_ffill_hand_case(spark):
     ]
     with _pytest.raises(ValueError, match="step_seconds"):
         resample_ffill(d, "k", "ts", "v", 0)
+
+
+def test_interval_overlap_null_bounds_drop_not_crash(spark):
+    """Rows with NULL start/end silently drop (sequence(NULL,...) is
+    NULL, explode skips it) — the bin-span guard must not raise on the
+    NULL condition (assert_true raises on NULL, so the guard carries an
+    explicit isNull disjunct); non-NULL rows still match and the
+    pathological-span error still fires."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, None, 100, "a_null_s"), (1, 50, None, "a_null_e"),
+         (1, 10, 20, "a_ok")],
+        "k long, s long, e long, aid string",
+    )
+    b = spark.createDataFrame(
+        [(1, 15, 30, "b1")], "k long, bs long, be long, bid string"
+    )
+    out = interval_overlap_join(
+        a, b, "s", "e", "bs", "be", by=["k"], bin_width=10
+    ).collect()
+    assert {(r.aid, r.bid) for r in out} == {("a_ok", "b1")}
+    # NULL-bounded on the right side too
+    b2 = spark.createDataFrame(
+        [(1, 15, 30, "b1"), (1, None, None, "bnull")],
+        "k long, bs long, be long, bid string",
+    )
+    out2 = interval_overlap_join(
+        a, b2, "s", "e", "bs", "be", by=["k"], bin_width=10
+    ).collect()
+    assert {(r.aid, r.bid) for r in out2} == {("a_ok", "b1")}
+    # the span guard still fires for real offenders alongside NULL rows
+    mixed = spark.createDataFrame(
+        [(1, None, 100, "n"), (1, 0, 10_000_000, "w")],
+        "k long, s long, e long, aid string",
+    )
+    with _pytest.raises(Exception, match="bin_width"):
+        interval_overlap_join(
+            mixed, b, "s", "e", "bs", "be", by=["k"], bin_width=5,
+            max_bins_per_row=1000,
+        ).collect()

@@ -1326,6 +1326,24 @@ def test_cusum_closed_form_matches_recursion(spark):
         s = max(0.0, s + v - 0.5)
         assert abs(out[i][0] - round(s, 6)) < 1e-9, (i, out[i], s)
         assert out[i][1] == (round(s, 6) > 3.0)
+    # Positive-prefix case: the FIRST value exceeds drift, so the
+    # running prefix min is positive and only the P_0 = 0 empty-prefix
+    # term keeps the score honest (S_1 = 4, not 0). This is the
+    # early-shift case CUSUM exists for.
+    vals2 = [5.0, 2.0, 3.0, -1.0]
+    d2 = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals2)],
+        "k long, t long, x double",
+    )
+    out2 = {
+        r.t: r.cusum
+        for r in cusum_scores(d2, "k", "t", "x", drift=1.0).collect()
+    }
+    s = 0.0
+    for i, v in enumerate(vals2):
+        s = max(0.0, s + v - 1.0)
+        assert abs(out2[i] - round(s, 6)) < 1e-9, (i, out2[i], s)
+    assert out2[0] == 4.0  # the missing-P_0 bug returned 0 here
     plan = (
         cusum_scores(d, "k", "t", "x", 0.5)
         ._jdf.queryExecution()
@@ -1361,3 +1379,32 @@ def test_kcore_hand_graphs(spark):
     assert out2 == {0: 2, 1: 2, 2: 2}
     with _pytest.raises(ValueError, match="k must"):
         kcore(tri, 0)
+
+
+def test_psi_report_null_base_and_duplicate_edges(spark):
+    """An all-null base raises a named ValueError (quantile edges are
+    undefined) instead of a bare float(None) TypeError; a
+    low-cardinality base deduplicates repeated quantile edges, so no
+    unreachable bin contributes a phantom eps-floor psi_term."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.relational import psi_report
+
+    allnull = spark.range(10).select(
+        "id", F.lit(None).cast("double").alias("x")
+    )
+    cur = spark.range(10).select(
+        "id", F.col("id").cast("double").alias("x")
+    )
+    with _pytest.raises(ValueError, match="non-null"):
+        psi_report(allnull, cur, "x", n_bins=4)
+
+    # constant base: every quantile edge identical -> 2 effective bins
+    const = spark.range(100).select(
+        "id", F.lit(5.0).alias("x")
+    )
+    rep = psi_report(const, const, "x", n_bins=10).collect()
+    assert len(rep) == 2  # deduped: (-inf, 5] and (5, inf)
+    assert sum(r.n_base for r in rep) == 100
+    assert all(r.psi_term == 0.0 for r in rep)  # identical snapshots
