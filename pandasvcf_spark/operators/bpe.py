@@ -157,3 +157,170 @@ def bpe_encode_expr(
     for left, right in merges:
         out = F.transform(out, _rule(left, right))
     return out
+
+
+def _encode_word_rank(
+    w: str, rank: dict[tuple[str, str], int]
+) -> list[str]:
+    """Encode one word under a TRAINED rule table by the standard
+    lowest-rank-first loop (the `tokenizers`/GPT-2 encode algorithm):
+    repeatedly find the present adjacent pair with the smallest rank and
+    merge every occurrence greedily left-to-right. For trained tables
+    this is EXACTLY sequential-exhaustive rule application (the HOF
+    semantics of `apply_merge_expr`): a merge at step i creates the
+    symbol left_i||right_i, which no earlier rule j < i can reference
+    (it did not exist at step j), so applying rule i never resurrects an
+    already-exhausted earlier rule — lowest-rank-first and in-order
+    replay perform the identical merge sequence. Cost O(L^2) per word,
+    INDEPENDENT of vocabulary size — the property that makes 30k-merge
+    production vocabularies feasible where the nested-HOF replay caps at
+    ~low hundreds (bpe_encode_expr's documented ceiling)."""
+    sym = list(w)
+    while len(sym) >= 2:
+        best_rank = None
+        best = None
+        for pair in zip(sym, sym[1:]):
+            rk = rank.get(pair)
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best = rk, pair
+        if best is None:
+            break
+        left, right = best
+        out: list[str] = []
+        i, n = 0, len(sym)
+        while i < n:
+            if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def _encode_word_sequential(
+    w: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Literal sequential-exhaustive replay (one greedy left-to-right
+    pass per rule, in training order) — the semantics of
+    `apply_merge_expr` in plain Python. Fallback for ad-hoc rule lists
+    that violate the trained-table property (a rule referencing a symbol
+    a LATER rule creates), where lowest-rank-first would diverge.
+    O(rules × L) per word — fine for hand lists, not the 30k path."""
+    sym = list(w)
+    for left, right in merges:
+        if len(sym) < 2:
+            break
+        out: list[str] = []
+        i, n = 0, len(sym)
+        while i < n:
+            if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode_udf(
+    merges: list[tuple[str, str]], token_pattern: str = "[a-z]+"
+):
+    """Production-vocabulary BPE tokenizer as an Arrow-batched pandas
+    UDF (text STRING → array<array<string>>, same shape and semantics as
+    `bpe_encode_expr`): the rule table — hundreds to 30k+ merges, i.e.
+    the model — is captured in the closure and shipped once per
+    executor, each Arrow batch is encoded in vectorized Python with an
+    LRU cache over DISTINCT words (natural text repeats words heavily;
+    the cache converts per-token cost to per-distinct-word cost, the
+    same collapse `bpe_train` leans on). This is the named production
+    path beyond `bpe_encode_expr`'s nested-HOF depth ceiling
+    (~low-hundreds of merges before codegen falls back / analysis
+    blows up); equivalence of the two paths on the same trained rules
+    is oracle-checked by the `t_bpe_tokens_arrow` catalog entry.
+
+    Rule tables produced by `bpe_train` use the O(L^2)-per-word
+    lowest-rank-first loop (vocabulary-size-independent); an ad-hoc
+    list where a rule references a symbol a LATER rule creates falls
+    back to literal in-order replay so the HOF equivalence still holds.
+
+    Returns the UDF; apply as `bpe_encode_udf(merges)(F.col("text"))`.
+    NULL text → NULL (matching the HOF path's propagation)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    merges = [(str(a), str(b)) for a, b in merges]
+    rank: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(merges):
+        rank.setdefault(pair, i)
+    created: dict[str, int] = {}
+    for i, (a, b) in enumerate(merges):
+        created.setdefault(a + b, i)
+    trained_order = all(
+        created.get(s, -1) <= i
+        for i, pair in enumerate(merges)
+        for s in pair
+    )
+    pat = re.compile(token_pattern)
+    # plain capped dict, not functools.lru_cache: lru_cache's
+    # __reduce__ serializes by qualname, which breaks cloudpickle's
+    # closure shipping for executor-side locals
+    cache: dict[str, list[str]] = {}
+    cache_cap = 1 << 20
+
+    def _enc(w: str) -> list[str]:
+        hit = cache.get(w)
+        if hit is None:
+            if len(cache) >= cache_cap:
+                cache.clear()
+            hit = (
+                _encode_word_rank(w, rank)
+                if trained_order
+                else _encode_word_sequential(w, merges)
+            )
+            cache[w] = hit
+        return hit
+
+    @pandas_udf("array<array<string>>")
+    def _udf(text):
+        return text.map(
+            lambda t: None
+            if t is None
+            else [_enc(w) for w in pat.findall(t.lower())]
+        )
+
+    return _udf
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    token_pattern: str = "[a-z]+",
+    engine: str = "auto",
+) -> DataFrame:
+    """Append per-row token counts under a trained BPE rule table — the
+    column `take_token_budget` consumes, computed under the REAL
+    tokenizer instead of the whitespace proxy. engine='hof' replays the
+    rules as nested HOFs (pure column expressions, zero Python — best
+    for small rule lists), 'arrow' uses the Arrow-batched UDF (the only
+    path for production vocabularies), 'auto' picks HOF up to 200 rules
+    (the documented depth ceiling, `bpe_encode_expr`) and Arrow beyond.
+    Empty text counts 0; NULL text counts 0 (budget semantics: a NULL
+    document consumes nothing)."""
+    if engine not in ("auto", "hof", "arrow"):
+        raise ValueError(f"engine must be auto|hof|arrow, got {engine!r}")
+    if engine == "auto":
+        engine = "hof" if len(merges) <= 200 else "arrow"
+    if engine == "hof":
+        enc = bpe_encode_expr(F.col(text_col), list(merges), token_pattern)
+    else:
+        enc = bpe_encode_udf(list(merges), token_pattern)(F.col(text_col))
+    return df.withColumn(
+        out_col,
+        F.coalesce(F.size(F.flatten(enc)), F.lit(0)).cast("long"),
+    )

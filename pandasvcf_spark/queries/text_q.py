@@ -1787,9 +1787,8 @@ _BPE_ENC = _bpe_fold_sql(
 )
 
 
-@register(
-    "t_bpe_token_counts",
-    oracle=_bpe_cte_prefix(3)
+_BPE_COUNTS_ORACLE = (
+    _bpe_cte_prefix(3)
     + f"""
     SELECT doc_id,
            CAST(coalesce(list_sum(list_transform(enc, x -> len(x))), 0)
@@ -1799,8 +1798,11 @@ _BPE_ENC = _bpe_fold_sql(
              list_transform(regexp_extract_all(lower(text), '[a-z]+'),
                             w -> {_BPE_ENC}) AS enc
       FROM documents, m1, m2, m3)
-    """,
+    """
 )
+
+
+@register("t_bpe_token_counts", oracle=_BPE_COUNTS_ORACLE)
 def t_bpe_token_counts(spark, sf_dir):
     """Per-document token counts under the TRAINED BPE tokenizer
     (operators/bpe.bpe_train + bpe_encode_expr): the composition a
@@ -1822,6 +1824,30 @@ def t_bpe_token_counts(spark, sf_dir):
         F.coalesce(F.size(F.flatten(enc)), F.lit(0))
         .cast("long")
         .alias("bpe_tokens"),
+    )
+
+
+@register("t_bpe_tokens_arrow", oracle=_BPE_COUNTS_ORACLE)
+def t_bpe_tokens_arrow(spark, sf_dir):
+    """The SAME per-document BPE token counts as `t_bpe_token_counts`,
+    computed through the PRODUCTION encode path (operators/bpe.
+    bpe_encode_udf — Arrow-batched pandas UDF, rule table in the
+    closure, LRU cache over distinct words, lowest-rank-first loop):
+    sharing `t_bpe_token_counts`'s oracle makes the driver prove
+    HOF-path ≡ Arrow-path ≡ ANSI-SQL replay on the same trained rules —
+    the equivalence that licenses switching engines at the
+    `bpe_encode_expr` depth ceiling (30k-merge vocabularies run only
+    here; the ≥1k-merge case is pytest-covered where the HOF form
+    cannot even be built)."""
+    from pandasvcf_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(d, "text", n_merges=3).collect()
+    ]
+    return bpe_token_counts(d, merges, "text", engine="arrow").select(
+        "doc_id", "bpe_tokens"
     )
 
 

@@ -342,6 +342,9 @@ def test_tail_entries_are_redundant_variants_only():
         "t_bpe_token_counts",    # BPE encode replay: trained-rule
                                  # composition of t_bpe_merges (in
                                  # window); contract guard
+        "t_bpe_tokens_arrow",    # Arrow-batched production encode:
+                                 # same oracle as t_bpe_token_counts —
+                                 # proves HOF ≡ Arrow ≡ SQL replay
         "t_robust_scale",        # winsorize + MAD z: exact-percentile
                                  # machinery (agg_percentiles family,
                                  # contract-guarded) + broadcast
@@ -385,6 +388,11 @@ def test_coverage_totals_match_registry():
     m = re.search(r"Totals: (\d+) registered catalog queries", text)
     assert m, "totals line missing"
     assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+    # the follow-on "All N green" sentence drifted once (round 7: said
+    # 109 at 146) — pin every count in the totals paragraph
+    m2 = re.search(r"All (\d+) green against DuckDB", text)
+    assert m2, "'All N green' sentence missing"
+    assert int(m2.group(1)) == len(QUERIES), (m2.group(1), len(QUERIES))
 
 
 def test_readme_count_matches_registry():

