@@ -20,7 +20,13 @@ Output: {"metric": "catalog_total_wall", "value": <sec>, "unit": "sec",
 The DuckDB column runs the same headline queries' oracle SQL on the same
 parquet — a single-node columnar anchor for the per-query numbers (the
 reference has no numbers on these tables; BASELINE.md's comparable metric
-is vcf_genotypes_per_sec).
+is vcf_genotypes_per_sec). Because both engines run in the SAME process on
+the SAME machine in the SAME session, the `ratio_vs_duckdb` keys
+(per-query and total spark_wall / duckdb_wall) are the CROSS-ROUND
+comparison metric: raw walls move with ambient machine load (round 7's
++41% wall was pure environment — the DuckDB anchor moved +14% with it),
+the ratio cancels the machine out. Compare ratios across rounds; read raw
+walls only within a round.
 
 The VCF stage reports TWO rates: the .gz text path (bounded by the
 non-splittable gzip decompress — the fixture's physical format) and the
@@ -132,6 +138,24 @@ def main() -> None:
             dtotal += dt
         result["duckdb"] = duck
         result["duckdb_total_wall"] = round(dtotal, 3)
+        # machine-normalized cross-round metric (see module docstring):
+        # per-query and total spark/duckdb wall ratios over the queries
+        # both engines ran
+        result["ratio_vs_duckdb"] = {
+            name: round(per_query[name] / duck[name], 3)
+            for name in duck
+            if duck[name] > 0
+        }
+        shared_spark = sum(per_query[n] for n in duck)
+        result["ratio_vs_duckdb_total"] = (
+            round(shared_spark / dtotal, 3) if dtotal > 0 else None
+        )
+        print(
+            f"# ratio_vs_duckdb_total: {result['ratio_vs_duckdb_total']} "
+            f"(spark {shared_spark:.2f}s / duckdb {dtotal:.2f}s over "
+            f"{len(duck)} shared queries) — the cross-round number",
+            file=sys.stderr,
+        )
 
     if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
         from pandasvcf_spark.queries.vectors_q import ann_recall_at_10
