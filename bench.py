@@ -184,6 +184,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        from pandasvcf_spark.queries.vectors_q import ivfpq_recall_at_10
+
+        t0 = time.time()
+        ivfpq_recall = ivfpq_recall_at_10(spark, sf_dir)
+        result["ivfpq_recall_at_10"] = round(ivfpq_recall, 4)
+        print(
+            f"# ivfpq_recall_at_10: {ivfpq_recall:.4f} "
+            f"({time.time() - t0:.1f}s, trained cells + residual-trained "
+            "PQ books, 3-probe ADC vs exact L2, 200-query sample; tracks "
+            "the corpus like ivf_recall_at_10 — machinery is bit-exact-"
+            "oracled by v_ivfpq_topk)",
+            file=sys.stderr,
+        )
+
     if os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "1") != "0":
         # end-to-end one-call corpus cleaner (pairs -> components ->
         # survivors) on the doubled noisy corpus — additive key, not part

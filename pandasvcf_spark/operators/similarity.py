@@ -953,6 +953,48 @@ def pq_encode(
     )
 
 
+def _adc_table_expr(
+    v: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """ARRAY<ARRAY<DOUBLE>> ADC lookup table T[s][c] = sqdist(v's
+    subvector s, codebooks[s][c]) — the model-sized per-query table both
+    `pq_adc_topk` (flat) and `ivfpq_topk` (per probed cell, over the
+    residual) broadcast with the query."""
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(v, s * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in cents
+                ]
+            )
+            for s, cents in enumerate(codebooks)
+        ]
+    )
+
+
+def _adc_sum_expr(n_sub: int) -> Column:
+    """Σ_s __t[s][codes[s]] — the table-lookup ADC score over the
+    joined (codes, __t) row."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_sub)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("__t"), s), F.element_at(F.col("codes"), s)
+        ),
+    )
+
+
 def pq_adc_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -978,45 +1020,16 @@ def pq_adc_topk(
     the quantization error; rerank survivors against raw vectors when
     exactness matters (compose with `cosine_topk` on the k·queries
     survivor set)."""
-    n_sub = len(codebooks)
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
-        F.array(
-            *[
-                F.array(
-                    *[
-                        F.aggregate(
-                            F.zip_with(
-                                F.slice(
-                                    _dc(vec_col),
-                                    s * len(codebooks[0][0]) + 1,
-                                    len(codebooks[0][0]),
-                                ),
-                                F.array(*[F.lit(float(x)) for x in c]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                        for c in cents
-                    ]
-                )
-                for s, cents in enumerate(codebooks)
-            ]
-        ).alias("__t"),
+        _adc_table_expr(_dc(vec_col), codebooks).alias("__t"),
     )
     scored = corpus_codes.join(F.broadcast(q), on=F.lit(True))
     if exclude_self:
         scored = scored.filter(F.col("__qid") != F.col(id_col))
-    adc = F.aggregate(
-        F.sequence(F.lit(1), F.lit(n_sub)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("__t"), s), F.element_at(F.col("codes"), s)
-        ),
+    scored = scored.withColumn(
+        "adc_dist", _adc_sum_expr(len(codebooks))
     )
-    scored = scored.withColumn("adc_dist", adc)
     w = Window.partitionBy("__qid").orderBy("adc_dist", F.col(id_col))
     return (
         scored.withColumn("__rnk", F.row_number().over(w))
@@ -1088,3 +1101,112 @@ def pq_train_codebooks(
                     C[c] = Xs[a == big][far]
         books.append([[float(x) for x in row] for row in C])
     return books
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    """Literal ARRAY<ARRAY<DOUBLE>> of coarse centroids (1-based
+    element_at lookup by cell id)."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ index layout (Jégou et al. 2011 §IV; the faiss `IVFPQ`
+    shape): every vector stores its coarse cell id plus the PQ codes of
+    its RESIDUAL v − centroid[cell] — residual encoding is the detail
+    that makes the composition beat either half alone (the residual's
+    spread is the within-cell spread, so the same codebook bits resolve
+    much finer structure than raw-vector PQ). Output: (id_col,
+    cell INT, codes ARRAY<INT>) — ~9 small ints per vector, the
+    RAM-resident posting-list row at 100 TB. One codegen pass, no
+    shuffle, no Python."""
+    cents = _centroid_lit(centroids)
+    with_cell = df.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+    )
+    resid = F.zip_with(
+        F.col("__vec"),
+        F.element_at(cents, F.col("cell")),
+        lambda a, b: a - b,
+    )
+    return with_cell.select(
+        F.col(id_col),
+        "cell",
+        pq_code_expr(resid, codebooks).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF+PQ ANN — coarse cells PRUNE, ADC reranks within probed cells
+    (the standard faiss IVFPQ composition; `pq_adc_topk` alone is a
+    full-corpus scan per query, the honest objection to flat ADC at
+    100 TB). Per query: its `n_probe` nearest cells are probed; for
+    EACH probed cell an ADC table is built from the residual
+    q − centroid[cell] (matching `ivfpq_encode`'s residual codes — the
+    per-cell table is what makes residual ADC asymmetric-exact); corpus
+    rows score as table lookups. ADC distances approximate
+    ‖q − (centroid + decode(codes))‖² and are comparable ACROSS probed
+    cells, so one top-k window finishes the query.
+
+    Plan: queries × n_probe probe rows (each carrying a subspaces ×
+    centroids double table — model-sized) BROADCAST onto an EQUI-JOIN
+    with the codes relation on cell id — the scan touches only probed
+    cells' postings, never the corpus; shuffle is the per-query top-k
+    window only. A corpus vector lives in exactly one cell, so
+    multi-probe never duplicates a (query, candidate) pair. Probe cost:
+    |queries| × n_probe × cell-occupancy table lookups. Output:
+    (query_id, vec_id, adc_dist DOUBLE) ascending-is-nearer, ties by
+    vec_id. Rerank survivors against raw vectors (`cosine_topk` on the
+    k·|queries| survivor set) when exactness matters."""
+    cents = _centroid_lit(centroids)
+    probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        _dc(vec_col).alias("__qvec"),
+        F.explode(
+            ivf_cells_expr(vec_col, centroids, n_probe)
+        ).alias("cell"),
+    )
+    rq = F.zip_with(
+        F.col("__qvec"),
+        F.element_at(cents, F.col("cell")),
+        lambda a, b: a - b,
+    )
+    probes = probes.select(
+        "__qid", "cell", _adc_table_expr(rq, codebooks).alias("__t")
+    )
+    scored = corpus_codes.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col(id_col))
+    scored = scored.withColumn(
+        "adc_dist", _adc_sum_expr(len(codebooks))
+    )
+    w = Window.partitionBy("__qid").orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("adc_dist"),
+        )
+    )

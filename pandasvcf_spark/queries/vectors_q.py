@@ -785,3 +785,210 @@ def v_pq_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist")
     )
+
+
+def _sql_cents_cte() -> str:
+    """cents(cell, cent DOUBLE[]) — the coarse centroids as literal rows,
+    the SQL mirror of ivfpq's element_at(centroid-array, cell) lookup."""
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT {i + 1} AS cell, "
+        "([" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]) AS cent"
+        for i, c in enumerate(CENTROIDS)
+    )
+
+
+def _pq_resid_union(table: str, id_sql: str) -> str:
+    """UNION ALL of per-(subspace, centroid) squared distances over a
+    relation carrying a `resid` DOUBLE[] column — the residual-space
+    twin of `_pq_cand_union` (`{id_sql}` projects the carried keys)."""
+    arms = []
+    for s, cents in enumerate(PQ_BOOKS):
+        for c, cent in enumerate(cents):
+            lit = "([" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+            arms.append(
+                f"SELECT {id_sql}, {s + 1} AS s, {c + 1} AS c, "
+                f"list_sum(list_transform(generate_series(1, 8), "
+                f"j -> (resid[{s * 8} + j] - {lit}[j]) "
+                f"* (resid[{s * 8} + j] - {lit}[j]))) AS d FROM {table}"
+            )
+    return "\n      UNION ALL\n      ".join(arms)
+
+
+_QD10_UNION = "\n      UNION ALL\n      ".join(
+    f"SELECT vec_id AS query_id, embedding, {i + 1} AS cell, "
+    f"{_sql_sqdist('embedding', c)} AS d FROM embeddings WHERE vec_id < 10"
+    for i, c in enumerate(CENTROIDS)
+)
+
+
+@register(
+    "v_ivfpq_topk",
+    oracle=f"""
+    WITH cents AS (
+      {_sql_cents_cte()}),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell
+      FROM embeddings),
+    rc AS MATERIALIZED (
+      SELECT c.vec_id, c.cell,
+             list_transform(generate_series(1, {DIM}),
+                            j -> CAST(c.embedding[j] AS DOUBLE) - ct.cent[j])
+               AS resid
+      FROM cells c JOIN cents ct USING (cell)),
+    cand AS (
+      {_pq_resid_union('rc', 'vec_id, cell')}),
+    code AS MATERIALIZED (
+      SELECT vec_id, cell, s, c FROM (
+        SELECT vec_id, cell, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c)
+                 AS rn
+        FROM cand)
+      WHERE rn = 1),
+    qd AS (
+      {_QD10_UNION}),
+    probes AS (
+      SELECT query_id, embedding, cell FROM (
+        SELECT query_id, embedding, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cell)
+                 AS rn
+        FROM qd) WHERE rn <= 2),
+    rq AS MATERIALIZED (
+      SELECT p.query_id, p.cell,
+             list_transform(generate_series(1, {DIM}),
+                            j -> CAST(p.embedding[j] AS DOUBLE) - ct.cent[j])
+               AS resid
+      FROM probes p JOIN cents ct USING (cell)),
+    qt AS (
+      {_pq_resid_union('rq', 'query_id, cell')}),
+    scored AS (
+      SELECT qt.query_id, co.vec_id, sum(qt.d) AS adc
+      FROM code co
+      JOIN qt ON qt.cell = co.cell AND qt.s = co.s AND qt.c = co.c
+      WHERE qt.query_id <> co.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id, round(adc, 6) AS adc_dist FROM (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def v_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ ANN (operators/similarity.ivfpq_encode + ivfpq_topk;
+    Jégou et al. 2011 §IV — the standard faiss IVFPQ composition):
+    coarse cells prune the scan, PQ codes of the RESIDUAL
+    v − centroid[cell] score by per-probed-cell ADC tables, one top-k
+    window finishes each query. Closes round-7's named gap (flat ADC is
+    a full-corpus scan per query; here the codes relation equi-joins
+    the probe set on cell id). 2-probe, k=3, queries vec_id < 10, the
+    deterministic literal CENTROIDS + PQ_BOOKS; the oracle replays
+    cell assignment, residual encoding, probe ranking, and the
+    table-lookup sum bit-for-bit."""
+    from pandasvcf_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = ivfpq_encode(emb, CENTROIDS, PQ_BOOKS)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(codes, qs, CENTROIDS, PQ_BOOKS, k=3, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
+
+
+def ivfpq_recall_at_10(
+    spark,
+    sf_dir: str,
+    n_queries: int = 200,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+) -> float:
+    """Measured recall@k of TRAINED IVF+PQ (kmeans_fit coarse cells +
+    pq_train_codebooks on the RESIDUALS — the faiss training recipe)
+    against exact squared-L2 ground truth on the real `embeddings`
+    table. Ground truth is L2, not cosine: ADC approximates
+    ‖q − v‖², so this telemetry isolates quantization + pruning loss
+    from metric mismatch (the `ann_recall_at_10` cosine number stays
+    the cross-method comparison). Cost: |queries| × n_probe ×
+    cell-occupancy lookups for the index side; the exact side is one
+    broadcast nested loop over the query sample — bounded at any
+    corpus size. Same honesty convention as `ivf_recall_at_10`:
+    near-uniform synthetic embeddings concentrate distances, so the
+    absolute number tracks the corpus, not the machinery (the
+    machinery is bit-exact-oracled by `v_ivfpq_topk`)."""
+    from pandasvcf_spark.operators.similarity import (
+        _centroid_lit,
+        _dc,
+        ivfpq_encode,
+        ivfpq_topk,
+        kmeans_fit,
+        pq_train_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, _ = kmeans_fit(e, k=n_cells, max_iter=5)
+    from pandasvcf_spark.operators.similarity import ivf_cell_expr
+
+    resid_df = e.select(
+        "vec_id",
+        F.zip_with(
+            _dc("embedding"),
+            F.element_at(
+                _centroid_lit(cents), ivf_cell_expr("embedding", cents)
+            ),
+            lambda a, b: a - b,
+        ).alias("embedding"),
+    )
+    books = pq_train_codebooks(
+        resid_df, n_subspaces=n_subspaces, n_centroids=n_centroids
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # exact squared-L2 ground truth: broadcast the query sample, one
+    # window top-k — the cosine_topk shape with a sqdist score
+    qb = q.select(
+        F.col("query_id").alias("__qid"), _dc("embedding").alias("__qvec")
+    )
+    scored = (
+        e.select("vec_id", _dc("embedding").alias("__vec"))
+        .join(F.broadcast(qb), on=F.lit(True))
+        .filter(F.col("__qid") != F.col("vec_id"))
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__vec"),
+                    F.col("__qvec"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy("__d", F.col("vec_id"))
+    gt = {
+        (r["__qid"], r["vec_id"])
+        for r in scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .collect()
+    }
+    codes = ivfpq_encode(e, cents, books)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            codes, q, cents, books, k=k, n_probe=n_probe
+        ).collect()
+    }
+    return len(gt & got) / len(gt) if gt else 1.0

@@ -345,6 +345,9 @@ def test_tail_entries_are_redundant_variants_only():
         "t_bpe_tokens_arrow",    # Arrow-batched production encode:
                                  # same oracle as t_bpe_token_counts —
                                  # proves HOF ≡ Arrow ≡ SQL replay
+        "v_ivfpq_topk",          # IVF+PQ composition: coarse-prune +
+                                 # residual ADC (v_pq_topk + v_ivf_topk
+                                 # machinery, both in window)
         "t_robust_scale",        # winsorize + MAD z: exact-percentile
                                  # machinery (agg_percentiles family,
                                  # contract-guarded) + broadcast

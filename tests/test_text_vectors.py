@@ -1389,3 +1389,115 @@ def test_bpe_token_counts_budget_wiring(spark):
     total = kept.agg(F.sum("bpe_tokens")).collect()[0][0]
     assert 0 < total
     assert kept.count() < d.count()
+
+
+def test_ivfpq_zero_quantization_error_and_pruning(spark):
+    """IVFPQ on exact code points: with residual codebooks that contain
+    every residual exactly, ADC is lossless — adc_dist equals true
+    squared L2 within probed cells and top-k equals brute force over
+    those cells. Also: a vector in an unprobed cell never appears
+    (the prune), multi-probe produces no duplicate pairs, and the plan
+    joins on cell id (equi-join), never cartesian."""
+    import itertools
+
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    # two far-apart coarse cells at (0,0,0,0) and (100,100,100,100);
+    # residual codebooks shared: 2 subspaces x 4 centroids x 2 dims
+    cents = [[0.0] * 4, [100.0] * 4]
+    books = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        [[0.0, 0.0], [2.0, 0.0], [0.0, 2.0], [2.0, 2.0]],
+    ]
+    resids = [a + b for a, b in itertools.product(books[0], books[1])]
+    vecs = [[x + 0.0 for x in r] for r in resids] + [
+        [x + 100.0 for x in r] for r in resids
+    ]  # 16 per cell, residuals exactly on code points
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    enc = ivfpq_encode(d, cents, books)
+    rows = {r.vec_id: (r.cell, r.codes) for r in enc.collect()}
+    for i in range(32):
+        cell, codes = rows[i]
+        assert cell == (1 if i < 16 else 2)
+        assert codes == [
+            books[0].index(resids[i % 16][:2]) + 1,
+            books[1].index(resids[i % 16][2:]) + 1,
+        ]
+    qs = d.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # 1-probe: only the query's own cell is scanned
+    out1 = ivfpq_topk(enc, qs, cents, books, k=3, n_probe=1)
+    X = np.array(vecs)
+    got1 = out1.collect()
+    assert all(r.vec_id < 16 for r in got1)  # far cell pruned
+    for r in got1:
+        true = float(((X[r.query_id] - X[r.vec_id]) ** 2).sum())
+        assert abs(r.adc_dist - true) < 1e-9  # lossless ADC
+    for q in range(4):
+        dists = [((X[q] - X[j]) ** 2).sum() for j in range(16)]
+        dists[q] = float("inf")
+        order = sorted(range(16), key=lambda j: (dists[j], j))[:3]
+        assert [r.vec_id for r in got1 if r.query_id == q] == order
+    # 2-probe reaches both cells, no duplicate (query, candidate) pairs
+    out2 = ivfpq_topk(enc, qs, cents, books, k=40, n_probe=2).collect()
+    pairs = [(r.query_id, r.vec_id) for r in out2]
+    assert len(pairs) == len(set(pairs))
+    assert {r.vec_id for r in out2} == set(range(32)) - set()
+    # plan shape: the probe join is an equi-join on cell — no cartesian
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_trained_resolves_planted_clusters(spark):
+    """The trained composition (kmeans cells + residual-trained books)
+    on 20 planted clusters: every 1-probe neighbor comes from the
+    query's own cluster — coarse cells absorb the cluster structure,
+    residual codes the within-cell detail (the faiss recipe)."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import (
+        _centroid_lit,
+        _dc,
+        ivf_cell_expr,
+        ivfpq_encode,
+        ivfpq_topk,
+        kmeans_fit,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-1, 1, (20, 64))
+    V = np.repeat(centers, 25, axis=0) + rng.normal(0, 0.02, (500, 64))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, _ = kmeans_fit(d, k=8, max_iter=5)
+    resid_df = d.select(
+        "vec_id",
+        F.zip_with(
+            _dc("embedding"),
+            F.element_at(
+                _centroid_lit(cents), ivf_cell_expr("embedding", cents)
+            ),
+            lambda a, b: a - b,
+        ).alias("embedding"),
+    )
+    books = pq_train_codebooks(resid_df, sample_rows=500)
+    qs = d.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        ivfpq_encode(d, cents, books), qs, cents, books, k=5, n_probe=1
+    ).collect()
+    assert len(out) == 50
+    assert all(r.vec_id // 25 == r.query_id // 25 for r in out)
