@@ -901,6 +901,76 @@ def g_triangles(spark, sf_dir):
     return triangle_stats(edges)
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled bounded-round k-core peel (the g_pagerank device: the
+    oracle IS the fixed-round definition — no recursion, no convergence
+    test; a peel round is idempotent once the core is reached, so extra
+    unrolled rounds never change the answer)."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT least(l_suppkey, l_partkey + 10000000) AS u,
+             greatest(l_suppkey, l_partkey + 10000000) AS v
+      FROM lineitem
+      WHERE ((l_suppkey * 2654435761 + l_partkey * 40503)
+             % 2147483647) % 5 = 0)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+    d{i} AS (SELECT n, count(*) AS deg
+             FROM (SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i})
+             GROUP BY 1),
+    k{i} AS (SELECT n FROM d{i} WHERE deg >= {k}),
+    e{i + 1} AS (SELECT u, v FROM e{i}
+                 WHERE u IN (SELECT n FROM k{i})
+                   AND v IN (SELECT n FROM k{i}))""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(degree AS BIGINT) AS degree
+    FROM (SELECT n AS node, count(*) AS degree
+          FROM (SELECT u AS n FROM e{rounds}
+                UNION ALL SELECT v FROM e{rounds})
+          GROUP BY 1)
+    WHERE degree >= {k}
+    """)
+    return "".join(parts)
+
+
+@register("g_kcore", oracle=_kcore_oracle())
+def g_kcore(spark, sf_dir):
+    """Bounded-round k-core extraction (operators/graph.kcore; Seidman
+    1983) — the g_pagerank fixed-round device closes round 7's one
+    oracle gap: 3 peel rounds at k=3 over a hash-thinned supplier→part
+    graph (the scramble-thinned derivation gives mean degree ~2.5, so
+    round 1 peels ~7% of nodes and later rounds exercise the
+    idempotent-once-converged property). `max_iters=3` makes the Spark
+    loop and the 3-round unrolled SQL the SAME function of the input at
+    any SF — convergence earlier than the bound is absorbed because a
+    peel round at the fixed point is a no-op on both sides. The
+    UNBOUNDED fixpoint loop (the production entry point) keeps its
+    pytest hand-graph evidence (peel-cascade path graph, K4+tail)."""
+    from pandasvcf_spark.operators.graph import kcore
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (
+                (
+                    F.col("l_suppkey") * F.lit(2654435761)
+                    + F.col("l_partkey") * 40503
+                )
+                % 2147483647
+            )
+            % 5
+            == 0
+        )
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 10000000).alias("dst"),
+        )
+    )
+    return kcore(li, k=3, max_iters=3)
+
+
 @register(
     "m_scd2_history",
     oracle="""

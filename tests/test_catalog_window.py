@@ -348,6 +348,9 @@ def test_tail_entries_are_redundant_variants_only():
         "v_ivfpq_topk",          # IVF+PQ composition: coarse-prune +
                                  # residual ADC (v_pq_topk + v_ivf_topk
                                  # machinery, both in window)
+        "g_kcore",               # bounded-round peel replay: iterative
+                                 # loop machinery shared with g_pagerank
+                                 # (in window); contract guard
         "t_robust_scale",        # winsorize + MAD z: exact-percentile
                                  # machinery (agg_percentiles family,
                                  # contract-guarded) + broadcast
