@@ -389,6 +389,85 @@ def pack_sequences(
     )
 
 
+def pack_sequences_global(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key: Column | str,
+    buckets: int = 1024,
+    bin_col: str = "bin_id",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """GLOBAL next-fit sequence packing in one call — the corpus-wide
+    form `pack_sequences` documents as out of scope for a single window
+    (a global order is inherently sequential; a single-partition window
+    over 100 TB is not a plan). The corpus order is the canonical
+    content-derived order of `take_token_budget` —
+    (poly_hash(key) % buckets, key) — and the layout is EXACTLY what a
+    sequential reader walking that order would assign: global bin ids,
+    continuous across bucket boundaries (a doc straddles a bucket edge
+    the same way it straddles any bin edge).
+
+    The take_token_budget trick, generalized from one boundary to every
+    boundary: pass 1 aggregates per-bucket token totals (`buckets` rows
+    to the driver — the documented model-size collect), the driver's
+    cumulative walk yields each bucket's global start offset; pass 2 is
+    ONE per-bucket window (parallel across buckets) whose local
+    exclusive prefix sum plus the bucket's literal start offset IS the
+    global prefix sum — bin = floor(global_excl / budget), offset =
+    global_excl % budget. No global sort ever happens; the oracle
+    replays the single sequential window and proves the two-pass layout
+    equals it. Composes with `take_token_budget(same key, same
+    buckets)`: the budget prefix packs to a prefix of the full corpus
+    layout.
+
+    NULL-key rows are excluded (the hash-keyed-operator convention —
+    no stable content identity, no reproducible position)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    k = F.col(key) if isinstance(key, str) else key
+    toks = F.col(token_col).cast("long")
+    with_b = df.filter(k.isNotNull()).withColumn(
+        "__bkt", poly_hash_expr(k.cast("string")) % F.lit(buckets)
+    )
+    totals = (
+        with_b.groupBy("__bkt")
+        .agg(F.coalesce(F.sum(toks), F.lit(0)).alias("t"))
+        .collect()
+    )
+    if not totals:
+        return with_b.drop("__bkt").withColumn(
+            bin_col, F.lit(0).cast("long")
+        ).withColumn(offset_col, F.lit(0).cast("long"))
+    by_bucket = {r["__bkt"]: r["t"] for r in totals}
+    starts: dict[int, int] = {}
+    running = 0
+    for b in sorted(by_bucket):
+        starts[b] = running
+        running += by_bucket[b]
+    start_expr = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for b in starts
+                for x in (b, starts[b])
+            ]
+        ),
+        F.col("__bkt"),
+    ).cast("long")
+    w = Window.partitionBy("__bkt").orderBy(k)
+    excl_local = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    gexcl = start_expr + excl_local
+    return (
+        with_b.withColumn(bin_col, F.floor(gexcl / F.lit(budget)))
+        .withColumn(offset_col, gexcl % F.lit(budget))
+        .drop("__bkt")
+    )
+
+
 def k_anonymize(
     df: DataFrame,
     quasi_cols: list[str],

@@ -761,6 +761,52 @@ def t_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "t_pack_global",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS tokens FROM documents),
+    packed AS (
+      SELECT doc_id, tokens,
+             COALESCE(SUM(tokens) OVER (
+               ORDER BY {_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")} % 32,
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM toks)
+    SELECT doc_id, tokens,
+           CAST(excl // 2048 AS BIGINT) AS bin_id,
+           CAST(excl % 2048 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def t_pack_global(spark, sf_dir):
+    """GLOBAL one-call sequence packing (operators/sampling.
+    pack_sequences_global) — closes round 7's named gap (the sharded
+    form's global variant was documented single-shard-only): the whole
+    corpus lays end-to-end in the canonical content-hash order
+    (poly_hash(doc_id) % 32, doc_id) into 2048-token bins with
+    CONTINUOUS global bin ids, computed hierarchically — per-bucket
+    totals to the driver, literal start offsets back, one PARALLEL
+    per-bucket window; no global sort. The ORACLE is the sequential
+    model itself (one global window over the same order), so the
+    driver proves the two-pass layout is layout-invariant equal to the
+    sequential walk."""
+    from pandasvcf_spark.operators.sampling import pack_sequences_global
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("tokens")
+    )
+    out = pack_sequences_global(
+        d, "tokens", budget=2048, key="doc_id", buckets=32
+    )
+    return out.select(
+        "doc_id",
+        "tokens",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
+@register(
     "t_contamination",
     oracle="""
     WITH w AS (

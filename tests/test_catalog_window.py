@@ -351,6 +351,9 @@ def test_tail_entries_are_redundant_variants_only():
         "g_kcore",               # bounded-round peel replay: iterative
                                  # loop machinery shared with g_pagerank
                                  # (in window); contract guard
+        "t_pack_global",         # global pack: t_pack_sequences window
+                                 # machinery + the t_token_budget
+                                 # bucket-offset device; contract guard
         "t_robust_scale",        # winsorize + MAD z: exact-percentile
                                  # machinery (agg_percentiles family,
                                  # contract-guarded) + broadcast

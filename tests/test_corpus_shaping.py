@@ -1408,3 +1408,83 @@ def test_psi_report_null_base_and_duplicate_edges(spark):
     assert len(rep) == 2  # deduped: (-inf, 5] and (5, inf)
     assert sum(r.n_base for r in rep) == 100
     assert all(r.psi_term == 0.0 for r in rep)  # identical snapshots
+
+
+def test_pack_sequences_global_equals_sequential_model(spark):
+    """The hierarchical global pack (per-bucket totals -> driver
+    offsets -> parallel per-bucket windows) equals the one-window
+    sequential pack over the same canonical order, bucket count
+    included in the order definition; NULL keys drop; budget
+    validates; empty input keeps the schema."""
+    import pytest as _pytest
+    from pandasvcf_spark.functions.text import poly_hash_expr
+    from pandasvcf_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_global,
+    )
+
+    d = _docs(spark, n=300).withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 1, F.lit(None)).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in pack_sequences_global(
+            d, "tokens", budget=256, key="doc_id", buckets=16
+        ).collect()
+    }
+    # sequential model: ONE global window ordered by (hash%16, doc_id)
+    seq = d.filter(F.col("doc_id").isNotNull()).withColumn(
+        "__o", poly_hash_expr(F.col("doc_id").cast("string")) % 16
+    )
+    want = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in pack_sequences(
+            seq, "tokens", budget=256,
+            order_by=[F.col("__o"), F.col("doc_id")],
+        ).collect()
+    }
+    assert got == want and got
+    assert None not in got  # NULL keys excluded
+    # bins are continuous across bucket boundaries: every bin id in
+    # 0..max appears
+    bins = {b for b, _ in got.values()}
+    assert bins == set(range(max(bins) + 1))
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences_global(d, "tokens", 0, key="doc_id")
+    empty = pack_sequences_global(
+        d.filter(F.lit(False)), "tokens", 256, key="doc_id"
+    )
+    assert empty.columns == d.columns + ["bin_id", "bin_offset"]
+    assert empty.count() == 0
+
+
+def test_pack_sequences_global_composes_with_token_budget(spark):
+    """take_token_budget(same key, same buckets) selects a PREFIX of
+    the global layout: every kept doc's (bin_id, bin_offset) in the
+    packed selection equals its layout in the packed full corpus."""
+    from pandasvcf_spark.operators.sampling import (
+        pack_sequences_global,
+        take_token_budget,
+    )
+
+    d = _docs(spark, n=200)
+    full = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in pack_sequences_global(
+            d, "tokens", budget=256, key="doc_id", buckets=16
+        ).collect()
+    }
+    kept = take_token_budget(
+        d, "tokens", budget=5000, key="doc_id", buckets=16
+    )
+    packed_kept = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in pack_sequences_global(
+            kept, "tokens", budget=256, key="doc_id", buckets=16
+        ).collect()
+    }
+    assert packed_kept and len(packed_kept) < len(full)
+    assert all(full[k] == v for k, v in packed_kept.items())
