@@ -51,7 +51,15 @@ DRIVER_WINDOW = 50
 # sk_countmin's sketch grids, t_bm25_topk's idf·tf ranking, v_ann_topk's
 # bucketed equi-join, j_multiway_q5's broadcast inners, m_upsert_latest's
 # union) and all remain continuously exact-checked by
-# tests/test_contract.py.
+# tests/test_contract.py. Round 8 cuts again: four new classes (Arrow-
+# batched BPE encode, IVF+PQ composition, bounded-round k-core, global
+# sequence packing) displace four variants whose machinery each promoted
+# entry subsumes or that stays covered in-window (udf_vartype_pandas →
+# t_bpe_tokens_arrow carries the Arrow-batched pandas-UDF path;
+# v_pq_topk → v_ivfpq_topk replays PQ encode + ADC as a strict subset;
+# t_corpus_report → its constituent metrics stay covered by
+# t_quality_score; t_token_budget → t_pack_global generalizes the same
+# bucket-offset device to every boundary).
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -66,7 +74,7 @@ _PRIORITY = [
     "j1_dedup_annotate",
     "r1_explode_map",
     "p6p8_sentinel_homref",
-    "udf_vartype_pandas",
+    "t_bpe_tokens_arrow",
     "flagship_annotate",
     # genomics popgen + pairwise (round-7 classes)
     "g_hwe",
@@ -92,14 +100,14 @@ _PRIORITY = [
     "v_cosine_topk_manyquery",
     "v_ann_topk",
     "v_ivf_topk",
-    "v_pq_topk",
+    "v_ivfpq_topk",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
     "p4_distinct",
-    "t_token_budget",
+    "t_pack_global",
     "agg_tpch_q1",
     "agg_cube",
-    "t_corpus_report",
+    "g_kcore",
     # join family + skew mitigation (j_anti sits past the window: its
     # 0-row result passes rows/schema/hash trivially, so its slot carried
     # no signal — check_contract still exact-checks it every run.

@@ -28,7 +28,7 @@ def test_extension_surface_inside_window():
         "v_cosine_topk_manyquery",  # separate block-matmul implementation
         "v_ann_topk",
         "v_ivf_topk",
-        "v_pq_topk",
+        "v_ivfpq_topk",
         "t_quality_score",
         "t_repeated_spans",
         "t_bm25_topk",
@@ -40,6 +40,9 @@ def test_extension_surface_inside_window():
         "g_grm",
         "j_bloom_prune",
         "m_scd2_history",
+        "t_bpe_tokens_arrow",
+        "g_kcore",
+        "t_pack_global",
         # §2 core must each keep >=1 green row
         "flagship_annotate",
         "s4_scan_project_filter",
@@ -64,6 +67,21 @@ def test_tail_entries_are_redundant_variants_only():
     # _PRIORITY, displacing a redundant variant if the window is full).
     allowed_tail = {
         "e_sliding_2h",          # windowed agg: e_tumbling_hourly
+        "udf_vartype_pandas",    # scalar pandas-UDF twin of the native
+                                 # vartype HOF: Arrow-batched UDF path
+                                 # driver-covered by t_bpe_tokens_arrow
+                                 # (round-8 re-cut); equivalence pytest +
+                                 # contract guard
+        "v_pq_topk",             # flat PQ/ADC: strict subset of
+                                 # v_ivfpq_topk's replay (round-8 re-cut);
+                                 # contract guard
+        "t_corpus_report",       # composed text metrics: constituents
+                                 # driver-covered by t_quality_score
+                                 # (round-8 re-cut); contract guard
+        "t_token_budget",        # budget prefix: bucket-offset device
+                                 # generalized by t_pack_global (round-8
+                                 # re-cut); sequential-model pytest +
+                                 # contract guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk
@@ -342,18 +360,6 @@ def test_tail_entries_are_redundant_variants_only():
         "t_bpe_token_counts",    # BPE encode replay: trained-rule
                                  # composition of t_bpe_merges (in
                                  # window); contract guard
-        "t_bpe_tokens_arrow",    # Arrow-batched production encode:
-                                 # same oracle as t_bpe_token_counts —
-                                 # proves HOF ≡ Arrow ≡ SQL replay
-        "v_ivfpq_topk",          # IVF+PQ composition: coarse-prune +
-                                 # residual ADC (v_pq_topk + v_ivf_topk
-                                 # machinery, both in window)
-        "g_kcore",               # bounded-round peel replay: iterative
-                                 # loop machinery shared with g_pagerank
-                                 # (in window); contract guard
-        "t_pack_global",         # global pack: t_pack_sequences window
-                                 # machinery + the t_token_budget
-                                 # bucket-offset device; contract guard
         "t_robust_scale",        # winsorize + MAD z: exact-percentile
                                  # machinery (agg_percentiles family,
                                  # contract-guarded) + broadcast
