@@ -1371,3 +1371,152 @@ def cusum_scores(
             "alarm", F.col("cusum") > F.lit(float(threshold))
         )
     return out.drop("__p")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Snapshot delta between two corpus versions (the recurring-crawl
+    companion to `scd2_history`/`merge_latest`: "what changed since the
+    last refresh" is the question every incremental pipeline asks before
+    re-running dedup/tokenize/pack on 100 TB it already processed).
+    Classifies every key as added (new only), removed (old only),
+    changed (present in both, any compare column differs — NULL-safe via
+    IS DISTINCT FROM semantics), or unchanged. Output: (key, change
+    STRING) — by default only the delta rows (at corpus scale unchanged
+    is the bulk and emitting it defeats the point); pass
+    `include_unchanged=True` for the full audit.
+
+    compare_cols defaults to the columns the snapshots share (minus the
+    key). Precondition: `key` is unique within each snapshot (the
+    `merge_latest` convention — collapse duplicates first or the outer
+    join multiplies).
+
+    Plan: ONE full-outer shuffle join on the key; the classification is
+    a pure CASE over existence markers and column comparisons — no
+    second scan, no window. Downstream: feed the 'added'+'changed' keys
+    to `near_dedup_incremental` and the 'removed' keys to index
+    retirement."""
+    shared = [c for c in new.columns if c != key and c in old.columns]
+    cols = list(compare_cols) if compare_cols is not None else shared
+    missing = [c for c in cols if c not in shared]
+    if missing:
+        raise ValueError(
+            f"compare_cols not in both snapshots: {missing}"
+        )
+    o = old.select(
+        F.col(key),
+        F.lit(True).alias("__eo"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(True).alias("__en"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    j = o.join(n, on=key, how="full_outer")
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~F.col(f"__o_{c}").eqNullSafe(
+            F.col(f"__n_{c}")
+        )
+    change = (
+        F.when(F.col("__eo").isNull(), F.lit("added"))
+        .when(F.col("__en").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col(key), change.alias("change"))
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT discrete quantiles of a numeric column at corpus scale —
+    the order statistic `F.percentile` cannot honestly provide there
+    (Spark's exact percentile aggregate buffers every group value in
+    executor memory; fine for `agg_percentiles`-sized groups, not for a
+    10¹¹-row column). Convention: value at 0-indexed rank
+    floor((n−1)·p) of the sorted non-null values — the lower discrete
+    (type-1) quantile, which is DuckDB's `quantile_disc`, so the oracle
+    replays it directly. Output: (p DOUBLE, value DOUBLE), one row per
+    requested prob.
+
+    The `take_token_budget` bucket device on the VALUE axis: pass 1 is
+    one (count, min, max) agg + one per-bucket histogram over
+    equal-width value buckets (`n_buckets` rows to the driver — the
+    documented model-size collect); the driver's cumulative walk maps
+    each target rank to its bucket and residual rank; pass 2 sorts ONLY
+    the ≤ len(probs) target buckets (~1/n_buckets of the data each)
+    with a per-bucket window and keeps the residual-rank row via a
+    broadcast join against the (p, bucket, rank) targets. No global
+    sort, no full-column buffering. Degenerate distributions (one value
+    dominating a bucket) degrade that bucket's sort toward the naive
+    cost but never break exactness; a constant column short-circuits.
+
+    Raises ValueError on an all-null/empty column (quantiles
+    undefined — the `psi_report` convention) or probs outside [0, 1]."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull())
+    stats = nn.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    ).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if n == 0:
+        raise ValueError(
+            f"exact_quantiles: no non-null values in {value_col!r}"
+        )
+    spark = df.sparkSession
+    if lo == hi:  # constant column: every quantile is that value
+        return spark.createDataFrame(
+            [(float(p), float(lo)) for p in probs], "p double, value double"
+        )
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(n_buckets - 1)
+    ).cast("int")
+    hist = {
+        r["__b"]: r["c"]
+        for r in nn.select(bucket.alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    targets = []  # (p, bucket, residual 1-based rank)
+    for p in probs:
+        r = int((n - 1) * p) + 1  # 1-based global rank (type-1 floor)
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= r:
+                targets.append((float(p), b, r - cum))
+                break
+            cum += hist[b]
+    tdf = spark.createDataFrame(targets, "p double, __b int, __r int")
+    needed = sorted({b for _, b, _ in targets})
+    w = Window.partitionBy("__b").orderBy(v)
+    ranked = (
+        nn.withColumn("__b", bucket)
+        .filter(F.col("__b").isin(needed))
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return ranked.join(
+        F.broadcast(tdf),
+        (ranked["__b"] == tdf["__b"]) & (ranked["__rn"] == tdf["__r"]),
+    ).select("p", v.alias("value"))

@@ -1102,3 +1102,106 @@ def j_hamming_fuzzy(spark, sf_dir):
         (F.col("c_custkey") + 10000000).alias("rid"), noised.alias("t")
     )
     return hamming_join(left, right, "lid", "s", "rid", "t", k=1)
+
+
+@register(
+    "m_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice, 2) AS price
+      FROM orders),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(round(o_totalprice, 2) * 2, 2)
+                  ELSE round(o_totalprice, 2) END AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 900000000, o_orderstatus,
+             round(o_totalprice, 2)
+      FROM orders WHERE o_orderkey % 11 = 0),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.price IS DISTINCT FROM n.price
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT CAST(k AS BIGINT) AS o_orderkey, change
+    FROM j WHERE change <> 'unchanged'
+    """,
+)
+def m_corpus_diff(spark, sf_dir):
+    """Snapshot delta (operators/relational.corpus_diff) between a base
+    orders snapshot and a refreshed one (every 13th key dropped →
+    removed, every 7th price doubled → changed, every 11th key
+    re-inserted shifted → added): the question an incremental pipeline
+    asks before re-processing 100 TB it already processed. One
+    full-outer shuffle join + a pure CASE; unchanged rows (the bulk)
+    never leave the plan. The oracle replays the identical join and
+    NULL-safe comparisons."""
+    from pandasvcf_spark.operators.relational import corpus_diff
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "price",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.round(F.col("price") * 2, 2)
+            ).otherwise(F.col("price")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 900000000
+            )
+        )
+    )
+    out = corpus_diff(o, new, "o_orderkey")
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"), "change"
+    )
+
+
+@register(
+    "agg_exact_quantiles",
+    oracle="""
+    SELECT 0.01::DOUBLE AS p, CAST(quantile_disc(l_extendedprice, 0.01) AS DOUBLE)
+             AS value FROM lineitem
+    UNION ALL
+    SELECT 0.25::DOUBLE, CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 0.5::DOUBLE, CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 0.75::DOUBLE, CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 0.99::DOUBLE, CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def agg_exact_quantiles(spark, sf_dir):
+    """Bucketed two-pass EXACT quantiles (operators/relational.
+    exact_quantiles) of lineitem prices — the scale-honest order
+    statistic: Spark's exact percentile aggregate buffers the whole
+    column per group, so at 10¹¹ rows the only exact path is this
+    bucket device (histogram to the driver, sort only the ≤|probs|
+    target buckets). Type-1 lower discrete convention == DuckDB
+    quantile_disc, which the oracle calls directly — the strongest
+    equivalence form: the oracle doesn't replay the algorithm, it
+    states the definition."""
+    from pandasvcf_spark.operators.relational import exact_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
+    )

@@ -474,3 +474,77 @@ def test_interval_overlap_null_bounds_drop_not_crash(spark):
             mixed, b, "s", "e", "bs", "be", by=["k"], bin_width=5,
             max_bins_per_row=1000,
         ).collect()
+
+
+def test_corpus_diff_classification_and_null_safety(spark):
+    """added/removed/changed classify against a hand fixture; a value
+    changing to/from NULL counts as changed (IS DISTINCT FROM
+    semantics); include_unchanged emits the full audit; compare_cols
+    validates against both snapshots."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.change for r in corpus_diff(old, new, "k").collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+    full = {
+        r.k: r.change
+        for r in corpus_diff(
+            old, new, "k", include_unchanged=True
+        ).collect()
+    }
+    assert full[1] == "unchanged" and len(full) == 5
+    only_v = {
+        r.k: r.change
+        for r in corpus_diff(old, new, "k", compare_cols=["v"]).collect()
+    }
+    assert only_v == {3: "removed", 5: "added"}  # v never changed
+    with _pytest.raises(ValueError, match="compare_cols"):
+        corpus_diff(old, new, "k", compare_cols=["nope"])
+
+
+def test_exact_quantiles_matches_sorted_definition(spark):
+    """The bucketed two-pass result equals the type-1 definition
+    (sorted[floor((n-1)p)]) on data with duplicates and skew, at bucket
+    counts above and below n; constant column short-circuits; all-null
+    raises; probs validate."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import exact_quantiles
+
+    vals = sorted(
+        [(i * 37) % 211 for i in range(500)] + [7] * 100 + [211] * 3
+    )
+    d = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).repartition(8)
+    probs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    n = len(vals)
+    want = {p: float(vals[int((n - 1) * p)]) for p in probs}
+    for buckets in (4, 64, 2048):
+        got = {
+            r.p: r.value
+            for r in exact_quantiles(d, "x", probs, n_buckets=buckets)
+            .collect()
+        }
+        assert got == want, (buckets, got, want)
+    const = spark.range(50).select(F.lit(5.0).alias("x"))
+    got_c = {
+        r.p: r.value for r in exact_quantiles(const, "x", [0.1, 0.9]).collect()
+    }
+    assert got_c == {0.1: 5.0, 0.9: 5.0}
+    allnull = spark.range(5).select(F.lit(None).cast("double").alias("x"))
+    with _pytest.raises(ValueError, match="non-null"):
+        exact_quantiles(allnull, "x", [0.5])
+    with _pytest.raises(ValueError, match="probs"):
+        exact_quantiles(d, "x", [])
+    with _pytest.raises(ValueError, match="probs"):
+        exact_quantiles(d, "x", [1.5])

@@ -82,6 +82,13 @@ def test_tail_entries_are_redundant_variants_only():
                                  # generalized by t_pack_global (round-8
                                  # re-cut); sequential-model pytest +
                                  # contract guard
+        "m_corpus_diff",         # snapshot delta: full-outer join + CASE,
+                                 # machinery covered by m_upsert_latest /
+                                 # j_left_join family; contract guard
+        "agg_exact_quantiles",   # bucketed two-pass exact order stats:
+                                 # agg_percentiles family + the
+                                 # t_pack_global bucket-offset device;
+                                 # definition-level oracle (quantile_disc)
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk
