@@ -1205,3 +1205,74 @@ def agg_exact_quantiles(spark, sf_dir):
     return exact_quantiles(
         li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
     )
+
+
+@register(
+    "j_edit_fuzzy",
+    oracle="""
+    WITH ph AS (
+      SELECT c_custkey,
+             lpad(CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(CAST(c_custkey AS VARCHAR), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647)
+               * 2654435761) % 2147483647 AS VARCHAR), 10, '0') AS key
+      FROM customer),
+    l AS (SELECT c_custkey AS lid, key AS s FROM ph),
+    r AS (SELECT c_custkey + 10000000 AS rid,
+             CASE c_custkey % 3
+               WHEN 0 THEN substr(key, 1, c_custkey % 10)
+                        || substr(key, (c_custkey % 10) + 2)
+               WHEN 1 THEN substr(key, 1, c_custkey % 10) || 'X'
+                        || substr(key, (c_custkey % 10) + 2)
+               ELSE substr(key, 1, (c_custkey % 10) + 1) || 'X'
+                        || substr(key, (c_custkey % 10) + 2)
+             END AS t
+          FROM ph)
+    SELECT lid, rid, CAST(levenshtein(s, t) AS INT) AS dist
+    FROM l JOIN r ON abs(len(s) - len(t)) <= 1
+    WHERE levenshtein(s, t) <= 1
+    """,
+)
+def j_edit_fuzzy(spark, sf_dir):
+    """Fuzzy Levenshtein-distance join (operators/relational.
+    edit_distance_join; symmetric-delete blocking, SymSpell device)
+    matching each customer's scrambled 10-digit hash key against a
+    1-edit-corrupted copy — a third each deleted / substituted /
+    INSERTED at a key-dependent position, so alignment-shifting edits
+    (the case `hamming_join`'s pigeonhole cannot express) are
+    exercised on every row. Candidates come from ONE equi-join on the
+    deletion-neighborhood variant; the oracle affords the naive
+    length-gated theta join with DuckDB's levenshtein."""
+    from pandasvcf_spark.functions.text import POLY_MOD, poly_hash_expr
+    from pandasvcf_spark.operators.relational import edit_distance_join
+
+    c = load(spark, sf_dir, "customer")
+    key = F.lpad(
+        (
+            (poly_hash_expr(F.col("c_custkey").cast("string"))
+             * F.lit(2654435761)) % F.lit(POLY_MOD)
+        ).cast("string"),
+        10,
+        "0",
+    )
+    ph = c.select("c_custkey", key.alias("key"))
+    left = ph.select(F.col("c_custkey").alias("lid"), F.col("key").alias("s"))
+    kcol = F.col("key")
+    p0 = (F.col("c_custkey") % 10).cast("int")  # 0..9; edit pos = p0+1
+    pre = kcol.substr(F.lit(1), p0)
+    post = kcol.substr(p0 + F.lit(2), F.length(kcol))
+    mode = F.col("c_custkey") % 3
+    t = (
+        F.when(mode == 0, F.concat(pre, post))
+        .when(mode == 1, F.concat(pre, F.lit("X"), post))
+        .otherwise(
+            F.concat(
+                kcol.substr(F.lit(1), p0 + F.lit(1)), F.lit("X"), post
+            )
+        )
+    )
+    right = ph.select(
+        (F.col("c_custkey") + 10000000).alias("rid"), t.alias("t")
+    )
+    return edit_distance_join(left, right, "lid", "s", "rid", "t", k=1)

@@ -548,3 +548,58 @@ def test_exact_quantiles_matches_sorted_definition(spark):
         exact_quantiles(d, "x", [])
     with _pytest.raises(ValueError, match="probs"):
         exact_quantiles(d, "x", [1.5])
+
+
+def test_edit_distance_join_exactness_k1_k2(spark):
+    """Symmetric-delete candidates + levenshtein verify equal the
+    brute-force model for k=1 and k=2 on a hand set exercising
+    substitution, insertion, deletion, transposition (dist 2 under
+    plain Levenshtein), and no-match; NULLs drop; k validates."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import edit_distance_join
+
+    L = [(1, "spark"), (2, "table"), (3, "abc"), (4, None)]
+    R = [
+        (10, "spark"),   # dist 0
+        (11, "sparc"),   # substitution: 1
+        (12, "sparky"),  # insertion: 1
+        (13, "spak"),    # deletion: 1
+        (14, "aspkr"),   # jumbled: >2 from spark? lev(spark,aspkr)
+        (15, "tabel"),   # transposition: 2 (no damerau)
+        (16, "cab"),     # lev(abc,cab)=2
+        (17, None),
+    ]
+    left = spark.createDataFrame(L, "lid long, s string")
+    right = spark.createDataFrame(R, "rid long, t string")
+
+    def brute(k):
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        return {
+            (i, j, lev(a, b))
+            for i, a in L
+            if a is not None
+            for j, b in R
+            if b is not None
+            if lev(a, b) <= k
+        }
+
+    for k in (1, 2):
+        got = {
+            (r.lid, r.rid, r.dist)
+            for r in edit_distance_join(
+                left, right, "lid", "s", "rid", "t", k=k
+            ).collect()
+        }
+        assert got == brute(k), (k, got, brute(k))
+    with _pytest.raises(ValueError, match="k must be"):
+        edit_distance_join(left, right, "lid", "s", "rid", "t", k=3)

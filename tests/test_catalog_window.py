@@ -89,6 +89,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # agg_percentiles family + the
                                  # t_pack_global bucket-offset device;
                                  # definition-level oracle (quantile_disc)
+        "j_edit_fuzzy",          # Levenshtein join via symmetric-delete
+                                 # blocking: fuzzy-join family with
+                                 # j_hamming_fuzzy (tail, contract-
+                                 # guarded); brute-force-model pytest
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk
