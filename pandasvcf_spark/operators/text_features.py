@@ -465,3 +465,77 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def bigram_lm_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Self-trained BIGRAM language-model score per document with
+    stupid backoff (Brants et al. 2007 — the smoothing scheme built for
+    corpus scale: no discounting mass to renormalize, so counts stay
+    mergeable partial aggregates): the context-aware upgrade of
+    `word_logprob_stats` (a doc of real words in gibberish ORDER scores
+    low here and fine there — the CCNet-style fluency signal). Per
+    position: P(w₁) = c(w₁)/N; P(wᵢ|wᵢ₋₁) = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) when the
+    bigram was seen, else α·c(wᵢ)/N. Output: (id, n_words BIGINT,
+    avg_logprob DOUBLE round 4 — mean log10 over positions). Docs with
+    no words drop out; scoring is over the SAME corpus the counts come
+    from, so every unigram exists (score a foreign snapshot by training
+    here and joining there, flooring OOV — not this entry's contract).
+
+    Plan: one posexplode → bigram counts (one shuffle) + unigram counts
+    (one shuffle) + 1-row total; the per-position relation LEFT-joins
+    the bigram table on (prev, w) and inner-joins the unigram tables;
+    per-doc mean. All count relations are vocabulary-sized — partial
+    aggregation collapses the corpus before any join."""
+    from pandasvcf_spark.functions.text import words_expr
+
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(words_expr(text_col)).alias("__p", "__w"),
+    )
+    # previous token within the doc: one window over (doc, position)
+    w = Window.partitionBy(id_col).orderBy("__p")
+    seq = pos.withColumn("__prev", F.lag("__w").over(w))
+    uni = seq.groupBy("__w").agg(F.count(F.lit(1)).alias("__cu"))
+    big = (
+        seq.filter(F.col("__prev").isNotNull())
+        .groupBy("__prev", "__w")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    total = uni.agg(F.sum("__cu").alias("__tot"))
+    prev_uni = uni.select(
+        F.col("__w").alias("__prev"), F.col("__cu").alias("__cprev")
+    )
+    scored = (
+        seq.join(uni, on="__w")
+        .join(prev_uni, on="__prev", how="left")
+        .join(big, on=["__prev", "__w"], how="left")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__prev").isNull(),
+                F.log10(F.col("__cu") / F.col("__tot").cast("double")),
+            )
+            .when(
+                F.col("__cb").isNotNull(),
+                F.log10(F.col("__cb") / F.col("__cprev").cast("double")),
+            )
+            .otherwise(
+                F.log10(
+                    F.lit(float(alpha))
+                    * F.col("__cu")
+                    / F.col("__tot").cast("double")
+                )
+            )
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+    )

@@ -1991,3 +1991,50 @@ def t_psi_drift(spark, sf_dir):
         .alias("n_chars"),
     )
     return psi_report(base, cur, "n_chars", n_bins=10)
+
+
+@register(
+    "t_bigram_lm",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents),
+    wd AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws
+      FROM docs WHERE len(ws) >= 1),
+    seq AS (
+      SELECT doc_id, p, ws[p] AS w,
+             CASE WHEN p > 1 THEN ws[p - 1] END AS prev
+      FROM wd),
+    uni AS (SELECT w, count(*) AS cu FROM seq GROUP BY w),
+    big AS (SELECT prev, w, count(*) AS cb FROM seq
+            WHERE prev IS NOT NULL GROUP BY prev, w),
+    tot AS (SELECT sum(cu) AS t FROM uni),
+    sc AS (
+      SELECT s.doc_id,
+             CASE WHEN s.prev IS NULL
+                    THEN log10(u.cu / CAST(tot.t AS DOUBLE))
+                  WHEN b.cb IS NOT NULL
+                    THEN log10(b.cb / CAST(pu.cu AS DOUBLE))
+                  ELSE log10(0.4 * u.cu / CAST(tot.t AS DOUBLE)) END AS lp
+      FROM seq s
+      JOIN uni u ON s.w = u.w
+      LEFT JOIN uni pu ON s.prev = pu.w
+      LEFT JOIN big b ON s.prev = b.prev AND s.w = b.w
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(lp), 4) AS avg_logprob
+    FROM sc GROUP BY doc_id
+    """,
+)
+def t_bigram_lm(spark, sf_dir):
+    """Self-trained bigram LM fluency score with stupid backoff
+    (operators/text_features.bigram_lm_stats; Brants et al. 2007) —
+    the context-aware upgrade of t_word_logprob: real words in
+    gibberish ORDER score low here and fine there. Counts are
+    vocabulary-sized partial aggregates (no discount renormalization —
+    the property stupid backoff exists for at corpus scale); the
+    oracle replays position extraction, both count tables, and the
+    three-branch backoff CASE."""
+    from pandasvcf_spark.operators.text_features import bigram_lm_stats
+
+    return bigram_lm_stats(load(spark, sf_dir, "documents"))

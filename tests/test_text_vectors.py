@@ -1501,3 +1501,49 @@ def test_ivfpq_trained_resolves_planted_clusters(spark):
     ).collect()
     assert len(out) == 50
     assert all(r.vec_id // 25 == r.query_id // 25 for r in out)
+
+
+def test_bigram_lm_stats_model_and_ordering_signal(spark):
+    """Hand-verifiable stupid-backoff model on a 3-doc corpus; a doc of
+    real words in scrambled order scores BELOW the same words in
+    corpus-typical order (the signal unigram scoring cannot see);
+    no-word docs drop."""
+    import math
+
+    from pandasvcf_spark.operators.text_features import bigram_lm_stats
+
+    corpus = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "sat cat the"),  # same words, scrambled order
+        (4, "...!!!"),       # no words
+    ]
+    d = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.avg_logprob)
+        for r in bigram_lm_stats(d).collect()
+    }
+    assert 4 not in got
+    # manual model: N=9 tokens; c(the)=3 c(cat)=3 c(sat)=2 c(ran)=1
+    # bigrams: the,cat:2  cat,sat:1  cat,ran:1  sat,cat:1  cat,the:1
+    N = 9.0
+    cu = {"the": 3, "cat": 3, "sat": 2, "ran": 1}
+    cb = {("the", "cat"): 2, ("cat", "sat"): 1, ("cat", "ran"): 1,
+          ("sat", "cat"): 1, ("cat", "the"): 1}
+
+    def score(words):
+        lps = [math.log10(cu[words[0]] / N)]
+        for a, b in zip(words, words[1:]):
+            if (a, b) in cb:
+                lps.append(math.log10(cb[(a, b)] / cu[a]))
+            else:
+                lps.append(math.log10(0.4 * cu[b] / N))
+        return round(sum(lps) / len(lps), 4)
+
+    assert got[1] == (3, score(["the", "cat", "sat"]))
+    assert got[2] == (3, score(["the", "cat", "ran"]))
+    assert got[3] == (3, score(["sat", "cat", "the"]))
+    # doc 3's bigrams exist (sat,cat) (cat,the) once each vs doc 1's
+    # (the,cat)=2 (cat,sat)=1 — and its first token 'sat' is rarer:
+    # scrambled order scores strictly lower
+    assert got[3][1] < got[1][1]
