@@ -1080,3 +1080,86 @@ def paragraph_dedup(
             ).alias(text_col)
         )
     )
+
+
+def dedup_semantic(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quality: Column | None = None,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (the SemDeDup
+    recipe, Abbas et al. 2023: MinHash catches COPIES, embeddings catch
+    PARAPHRASES — same content re-worded shares no shingles but sits on
+    the same direction): assign every vector to its nearest-centroid
+    cluster, compare pairs ONLY within a cluster (the cluster-bounded
+    quadratic that makes SemDeDup feasible — k clusters cut candidate
+    pairs by ~k versus all-pairs), and drop every row that has a
+    higher-priority neighbor with cosine ≥ threshold in its cluster.
+    Returns the SURVIVING rows of `df`, all columns intact, plus the
+    cluster id (`cell` INT).
+
+    Priority: minimum id by default; pass `quality` (a column over
+    `df`'s rows) to keep the highest-quality member instead (ties to
+    minimum id — the `near_dedup_documents` keep-best convention and
+    rationale). NOTE the drop rule is pairwise-beats: a row drops when
+    ANY higher-priority row sits within the threshold, whether or not
+    that witness itself survives — so a chain A~B~C with cos(A,C) below
+    threshold keeps only A (B drops to A, C drops to B). Slightly more
+    aggressive than a components-closure with one survivor per
+    component would be ambiguous about; it is the standard SemDeDup
+    simplification and keeps the plan join-shaped (no iterative
+    closure).
+
+    Plan: one cell assignment pass (literal centroids, codegen), one
+    within-cell self-equi-join on cell id (never a crossJoin; cost is
+    Σ|cell|² — train enough centroids to bound occupancy, the
+    `adaptive_n_planes` argument), one broadcast-able anti-join to drop
+    losers. Centroids come from `kmeans_fit` in production; literal
+    centroids keep the catalog entry oracle-replayable."""
+    from pandasvcf_spark.operators.similarity import ivf_cell_expr
+    from pandasvcf_spark.functions.vectors import cosine_expr
+
+    pri = (quality if quality is not None else F.lit(0)).alias("__q")
+    cells = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__v"
+        ),
+        pri,
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+    )
+    a = cells.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__q").alias("__qa"),
+        "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__q").alias("__qb"),
+        "cell",
+    )
+    # b loses to a: a is strictly higher priority (better quality, ties
+    # to smaller id) and they are near-duplicates within the cell
+    beats = (F.col("__qa") > F.col("__qb")) | (
+        (F.col("__qa") == F.col("__qb"))
+        & (F.col("__ida") < F.col("__idb"))
+    )
+    losers = (
+        a.join(b, on="cell")
+        .filter(beats)
+        .filter(
+            cosine_expr(F.col("__va"), F.col("__vb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    kept = cells.join(losers, on=id_col, how="left_anti").select(
+        id_col, "cell"
+    )
+    return df.join(kept, on=id_col)

@@ -992,3 +992,48 @@ def ivfpq_recall_at_10(
         ).collect()
     }
     return len(gt & got) / len(gt) if gt else 1.0
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id + 10000000 AS BIGINT), embedding
+      FROM embeddings WHERE vec_id % 3 = 0),
+    cells AS (
+      SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell
+      FROM corpus),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.99)
+    SELECT c.vec_id, c.cell FROM cells c
+    LEFT JOIN losers l ON c.vec_id = l.vec_id
+    WHERE l.vec_id IS NULL
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """Semantic deduplication (operators/dedup.dedup_semantic; the
+    SemDeDup recipe, Abbas et al. 2023) over the embeddings corpus with
+    every 3rd vector re-inserted as an exact copy: cluster-scoped
+    pairwise cosine (nearest-centroid cells bound the quadratic — never
+    all-pairs), keep-min-id survivors, pairwise (not transitive) drop
+    rule. The deterministic literal CENTROIDS keep the oracle
+    replayable: cell assignment, within-cell pairs, the ≥ 0.99
+    threshold, and the anti-join all replay verbatim. MinHash catches
+    copies; this catches paraphrases — the two dedup tiers a training
+    corpus runs in sequence."""
+    from pandasvcf_spark.operators.dedup import dedup_semantic as _ds
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(
+        e.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 10000000).alias("vec_id"), "embedding"
+        )
+    )
+    out = _ds(corpus, CENTROIDS, threshold=0.99)
+    return out.select("vec_id", "cell")

@@ -96,6 +96,9 @@ def test_tail_entries_are_redundant_variants_only():
         "t_bigram_lm",           # stupid-backoff bigram LM: context
                                  # upgrade of t_word_logprob (tail,
                                  # contract-guarded); hand-model pytest
+        "dedup_semantic",        # SemDeDup cluster-scoped cosine dedup:
+                                 # cell machinery of v_ivf_topk (window)
+                                 # + dedup family; contract guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk

@@ -1547,3 +1547,55 @@ def test_bigram_lm_stats_model_and_ordering_signal(spark):
     # (the,cat)=2 (cat,sat)=1 — and its first token 'sat' is rarer:
     # scrambled order scores strictly lower
     assert got[3][1] < got[1][1]
+
+
+def test_dedup_semantic_clusters_quality_and_pairwise_rule(spark):
+    """Exact and near-direction copies inside a cluster collapse to one
+    survivor (keep-min by default, keep-best with quality); vectors in
+    different cells never compare; the drop rule is pairwise, not
+    transitive (A~B, B~C with cos(A,C) below threshold keeps A and C)."""
+    from pandasvcf_spark.operators.dedup import dedup_semantic
+
+    cents = [[10.0, 0.0], [0.0, 10.0]]
+    rows = [
+        (1, [9.0, 0.0]),      # cell 1
+        (2, [9.0, 0.001]),    # near-copy of 1, same cell
+        (3, [0.0, 9.0]),      # cell 2 — same DIRECTION distance apart
+        (4, [0.001, 9.0]),    # near-copy of 3
+        (5, [6.0, 6.2]),      # cell 2 (closer to [0,10]? dist²: (6-10)²+6.2²=54.4 vs 6²+(6.2-10)²=50.4 -> cell 2), unrelated direction
+    ]
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup_semantic(d, cents, threshold=0.999)
+    kept = {r.vec_id: r.cell for r in out.collect()}
+    assert set(kept) == {1, 3, 5}
+    assert kept[1] == 1 and kept[3] == 2 and kept[5] == 2
+    # keep-best: quality flips the cluster survivor
+    out_q = dedup_semantic(
+        d, cents, threshold=0.999, quality=F.col("vec_id")
+    )
+    assert {r.vec_id for r in out_q.collect()} == {2, 4, 5}
+    # pairwise, not transitive: chain A~B~C with cos(A,C) < t
+    import math
+
+    def unit(theta):
+        return [math.cos(theta) * 9.0, math.sin(theta) * 9.0]
+
+    chain = spark.createDataFrame(
+        [
+            (1, [float(x) for x in unit(0.00)]),
+            (2, [float(x) for x in unit(0.02)]),
+            (3, [float(x) for x in unit(0.04)]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    t = math.cos(0.03)  # A~B and B~C pass; A~C (0.04 rad) fails
+    kept_chain = {
+        r.vec_id
+        for r in dedup_semantic(chain, cents, threshold=t).collect()
+    }
+    # pairwise-beats: B drops to A, C drops to B (a dropped witness
+    # still counts) — the chain collapses to its head
+    assert kept_chain == {1}
