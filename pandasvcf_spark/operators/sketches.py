@@ -299,3 +299,103 @@ def hll_group_estimate(
         n_zero.cast("int").alias("n_zero"),
         est.alias("estimate"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: Column | str,
+    support: float = 0.001,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters — every key with frequency >=
+    ceil(support * N) and its exact count — via the two-pass
+    Misra-Gries candidate protocol (Misra & Gries 1982; merge rule
+    from Agarwal et al. 2013, "Mergeable summaries"). Output:
+    (<key col>, cnt BIGINT), unordered.
+
+    The naive plan (groupBy every key, filter) shuffles the ENTIRE
+    key stream — at 100 TB that is the corpus. This plan never
+    shuffles the long tail:
+
+      * Pass 1 — candidates. Each partition folds its key stream
+        through a k-counter Misra-Gries summary inside one
+        `mapInPandas` pass (Arrow batches; per-batch vectorized
+        value_counts merged into the running summary, then the
+        standard reduction: subtract the (k+1)-th largest counter,
+        drop the non-positive). Only the <= k surviving candidate
+        keys per partition leave the executor — k*P rows total, no
+        shuffle of the stream itself. The summary also emits its
+        partition's row count, so N costs no extra scan.
+      * Pass 2 — exact recount. The candidate union (distinct,
+        <= k*P keys) broadcast-semi-joins the stream; only rows
+        whose key IS a candidate reach the groupBy, so the shuffle
+        carries heavy keys only. Exact counts, then the threshold
+        filter.
+
+    Why no false negatives: MG with k counters undercounts any key
+    by at most N_i/(k+1) on partition i (total decrement mass is
+    bounded by the partition's stream length). A key with global
+    frequency >= support*N has, on SOME partition (averaging
+    argument), local frequency >= support*N_i; with
+    k >= ceil(2/support) (the default) that exceeds the maximum
+    undercount, so the key survives that partition's summary. False
+    positives cannot survive pass 2's exact recount — the sketch is
+    used ONLY to prune, never to report a count, which is what makes
+    the final relation deterministic (partitioning-independent) and
+    exactly oracle-checkable as GROUP BY ... HAVING.
+
+    The two driver-side scalars (N, threshold) are 1-row collects —
+    the model-sized-collect convention (percentile edges, bucket
+    totals)."""
+    import math
+
+    if not (0.0 < support < 1.0):
+        raise ValueError(f"support must be in (0,1), got {support}")
+    if k is None:
+        k = int(math.ceil(2.0 / support))
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    name = key if isinstance(key, str) else df.select(key).columns[0]
+    kc = F.col(name)
+    keyed = df.filter(kc.isNotNull()).select(kc.alias("__k"))
+    ktype = keyed.schema["__k"].dataType.simpleString()
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            col = pdf["__k"]
+            n_rows += len(col)
+            for val, c in col.value_counts().items():
+                counts[val] = counts.get(val, 0) + int(c)
+            if len(counts) > k:
+                sub = sorted(counts.values(), reverse=True)[k]
+                counts = {x: c - sub for x, c in counts.items() if c > sub}
+        yield pd.DataFrame(
+            {
+                "__k": list(counts.keys()) + [None],
+                "__pn": [None] * len(counts) + [n_rows],
+            }
+        )
+
+    summary = keyed.mapInPandas(
+        mg, schema=f"__k {ktype}, __pn bigint"
+    ).persist()
+    n_total = summary.agg(F.sum("__pn").alias("n")).collect()[0]["n"] or 0
+    if n_total == 0:
+        summary.unpersist()
+        return keyed.select(F.col("__k").alias(name)).limit(0).withColumn(
+            "cnt", F.lit(0).cast("long")
+        )
+    threshold = int(math.ceil(support * n_total))
+    cands = summary.filter(F.col("__k").isNotNull()).select("__k").distinct()
+    out = (
+        keyed.join(F.broadcast(cands), "__k", "leftsemi")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+        .select(F.col("__k").alias(name), "cnt")
+    )
+    return out

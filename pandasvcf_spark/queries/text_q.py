@@ -1438,6 +1438,45 @@ def sk_countmin(spark, sf_dir):
 
 
 @register(
+    "sk_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY w
+    HAVING count(*) >= ceil((SELECT n FROM tot) * 0.002)
+    ORDER BY cnt DESC, term
+    """,
+)
+def sk_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy hitters (operators/sketches.heavy_hitters;
+    Misra & Gries 1982 / Agarwal et al. 2013 two-pass protocol) over
+    the corpus word stream at support 0.002: per-partition k-counter
+    Misra-Gries summaries inside one mapInPandas pass (only <= k
+    candidates per partition ever leave an executor — the long tail
+    is never shuffled), then a broadcast-semi-join EXACT recount of
+    the candidate union. The sketch only prunes; the output relation
+    — every word with frequency >= ceil(0.002*N) and its exact count
+    — is partitioning-independent, so the oracle is plain
+    GROUP BY ... HAVING over the same stream, no hash replay needed.
+    Both sides compute the threshold from the same IEEE-double
+    product, so the ceil boundary agrees bit-for-bit."""
+    from pandasvcf_spark.functions.text import words_expr
+    from pandasvcf_spark.operators.sketches import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(words_expr("text")).alias("w")
+    )
+    out = heavy_hitters(toks, "w", support=0.002)
+    return out.select(F.col("w").alias("term"), "cnt").orderBy(
+        F.desc("cnt"), "term"
+    )
+
+
+@register(
     "t_epoch_shuffle",
     oracle=f"""
     SELECT doc_id, shuffle_key, position FROM (

@@ -99,6 +99,10 @@ def test_tail_entries_are_redundant_variants_only():
         "dedup_semantic",        # SemDeDup cluster-scoped cosine dedup:
                                  # cell machinery of v_ivf_topk (window)
                                  # + dedup family; contract guard
+        "sk_heavy_hitters",      # exact two-pass Misra-Gries heavy
+                                 # hitters: sketch family (sk_countmin /
+                                 # sk_hll_distinct in window); contract
+                                 # guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk

@@ -1488,3 +1488,74 @@ def test_pack_sequences_global_composes_with_token_budget(spark):
     }
     assert packed_kept and len(packed_kept) < len(full)
     assert all(full[k] == v for k, v in packed_kept.items())
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (two-pass Misra-Gries)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """The final relation must equal exact GROUP BY/HAVING semantics —
+    identical keys AND counts — whatever the partition layout (the MG
+    sketch is only a pruner; a layout-dependent result would mean a
+    false negative slipped through a partition summary)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sketches import heavy_hitters
+
+    # skewed stream: 3 heavy keys, a 200-key tail
+    rows = (
+        [("alpha",)] * 400 + [("beta",)] * 150 + [("gamma",)] * 60
+        + [(f"tail{i % 200}",) for i in range(800)]
+    )
+    d = spark.createDataFrame(rows, "k string")
+    n = len(rows)
+    sup = 0.03
+    thr = int(math.ceil(sup * n))
+    exact = {
+        r.k: r.cnt
+        for r in d.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .collect()
+    }
+    assert "alpha" in exact and "beta" in exact
+    for parts in (1, 7):
+        got = {
+            r.k: r.cnt
+            for r in heavy_hitters(d.repartition(parts), "k", support=sup).collect()
+        }
+        assert got == exact, (parts, got, exact)
+
+
+def test_heavy_hitters_forced_pruning_still_no_false_negatives(spark):
+    """k far below the distinct-key count forces the per-partition
+    reduction step repeatedly; the guarantee (k >= 2/support keeps every
+    globally-heavy key in some summary) must still hold."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 500 + [(f"t{i}",) for i in range(2000)]
+    d = spark.createDataFrame(rows, "k string").repartition(5)
+    got = {r.k: r.cnt for r in heavy_hitters(d, "k", support=0.1, k=25).collect()}
+    assert got == {"hot": 500}
+
+
+def test_heavy_hitters_validation_and_empty(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sketches import heavy_hitters
+
+    d = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(d, "k", support=1.5)
+    empty = spark.createDataFrame([], "k string")
+    out = heavy_hitters(empty, "k", support=0.5)
+    assert out.columns == ["k", "cnt"]
+    assert out.count() == 0
