@@ -539,3 +539,118 @@ def bigram_lm_stats(
         F.count(F.lit(1)).alias("n_words"),
         F.round(F.avg("__lp"), 4).alias("avg_logprob"),
     )
+
+
+def zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 5,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary (Zipf 1949):
+    one row (n_tokens BIGINT, n_types BIGINT, fitted_types BIGINT,
+    zipf_slope DOUBLE). Natural-language corpora fit
+    ln f ≈ c − s·ln r with s ≈ 1; a synthetic or templated corpus
+    shows up immediately as a slope far from 1 — the cheap corpus-level
+    "is this distribution natural?" diagnostic next to the per-document
+    quality scores.
+
+    Ranks are row_number over (freq DESC, term ASC) — a total order, so
+    the fit is deterministic. The OLS slope is the population-moment
+    closed form cov(ln r, ln f)/var(ln r) over types with
+    freq >= min_freq (the hapax tail is not Zipfian and would dominate
+    an all-types fit).
+
+    Plan shape: one vocab-sized groupBy (the corpus collapses to the
+    type table before anything quadratic in tokens), one vocab-sized
+    window sort for ranks, one 1-row moment agg. Nothing after the
+    first agg scales with tokens — at 100 TB the vocabulary is millions
+    of rows, executor-trivial."""
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(words_expr(text_col)).alias("__w")
+    )
+    types = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__f"))
+    ranked = types.withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy(F.desc("__f"), F.asc("__w"))),
+    )
+    fit = ranked.filter(F.col("__f") >= F.lit(int(min_freq))).select(
+        F.log("__r").alias("__lr"), F.log("__f").alias("__lf")
+    )
+    moments = fit.agg(
+        F.count(F.lit(1)).alias("fitted_types"),
+        F.covar_pop("__lr", "__lf").alias("__cov"),
+        F.var_pop("__lr").alias("__var"),
+    )
+    totals = types.agg(
+        F.sum("__f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return totals.crossJoin(moments).select(
+        "n_tokens",
+        "n_types",
+        "fitted_types",
+        F.round(F.col("__cov") / F.col("__var"), 6).alias("zipf_slope"),
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): one row
+    (docs BIGINT, n_tokens BIGINT, n_types BIGINT, heaps_beta DOUBLE,
+    heaps_k DOUBLE). V(n) ≈ K·n^β with β ≈ 0.4-0.6 for natural text;
+    β near 1 means the corpus keeps minting new types (OCR noise, ids,
+    boilerplate churn) — the vocabulary-side companion to `zipf_stats`.
+
+    The growth curve is computed WITHOUT any sequential scan: order
+    documents by `id_col`, then
+      * N(d) = cumulative token count      — per-doc counts + one
+        cumulative window over the docs-sized relation;
+      * V(d) = cumulative distinct types   — each type contributes at
+        its FIRST document (min doc id per type, a vocab-sized agg),
+        histogram per first-doc, same cumulative window.
+    OLS of ln V on ln N over all doc checkpoints gives β and
+    K = exp(mean(lnV) − β·mean(lnN)). Every stage is vocab- or
+    docs-sized after the token groupBys; nothing quadratic, nothing
+    driver-side."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("__d"), F.explode(words_expr(text_col)).alias("__w"))
+    )
+    per_doc = toks.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+    first_doc = (
+        toks.groupBy("__w")
+        .agg(F.min("__d").alias("__d"))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(first_doc, "__d", "left")
+        .select(
+            "__d",
+            F.sum("__n").over(w).alias("__N"),
+            F.sum(F.coalesce(F.col("__v"), F.lit(0))).over(w).alias("__V"),
+        )
+        .select(F.log("__N").alias("__ln"), F.log("__V").alias("__lv"), "__N", "__V")
+    )
+    return curve.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.max("__N").cast("long").alias("n_tokens"),
+        F.max("__V").cast("long").alias("n_types"),
+        F.round(
+            F.covar_pop("__ln", "__lv") / F.var_pop("__ln"), 6
+        ).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                F.avg("__lv")
+                - (F.covar_pop("__ln", "__lv") / F.var_pop("__ln"))
+                * F.avg("__ln")
+            ),
+            4,
+        ).alias("heaps_k"),
+    )

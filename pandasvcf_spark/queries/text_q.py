@@ -1438,6 +1438,82 @@ def sk_countmin(spark, sf_dir):
 
 
 @register(
+    "t_zipf_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    types AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+    ranked AS (
+      SELECT w, f, row_number() OVER (ORDER BY f DESC, w ASC) AS r
+      FROM types),
+    fit AS (SELECT ln(r) AS lr, ln(f) AS lf FROM ranked WHERE f >= 5),
+    m AS (SELECT count(*) AS ft, covar_pop(lr, lf) AS c, var_pop(lr) AS v
+          FROM fit),
+    t AS (SELECT CAST(sum(f) AS BIGINT) AS n_tokens, count(*) AS n_types
+          FROM types)
+    SELECT n_tokens, n_types, ft AS fitted_types,
+           round(c / v, 6) AS zipf_slope
+    FROM t, m
+    """,
+)
+def t_zipf_stats(spark, sf_dir):
+    """Zipf rank-frequency fit (operators/text_features.zipf_stats):
+    the corpus collapses to its vocabulary (one groupBy), ranks are a
+    total-order row_number over the vocab-sized relation, and the OLS
+    slope is the population-moment closed form over types with
+    freq >= 5. A natural corpus fits slope ~ -1; this synthetic
+    corpus's templated vocabulary does not — which is exactly what the
+    diagnostic is for. The oracle replays ranks, the min-freq cut and
+    both moments; 6dp rounding absorbs accumulation-order drift."""
+    from pandasvcf_spark.operators.text_features import zipf_stats
+
+    return zipf_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t_heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS d,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    per_doc AS (SELECT d, count(*) AS n FROM toks GROUP BY d),
+    first_doc AS (
+      SELECT d, count(*) AS v
+      FROM (SELECT w, min(d) AS d FROM toks GROUP BY w) GROUP BY d),
+    curve AS (
+      SELECT sum(n) OVER win AS cn, sum(coalesce(v, 0)) OVER win AS cv
+      FROM per_doc LEFT JOIN first_doc USING (d)
+      WINDOW win AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT count(*) AS docs,
+           CAST(max(cn) AS BIGINT) AS n_tokens,
+           CAST(max(cv) AS BIGINT) AS n_types,
+           round(covar_pop(ln(cn), ln(cv)) / var_pop(ln(cn)), 6)
+             AS heaps_beta,
+           round(exp(avg(ln(cv))
+                     - (covar_pop(ln(cn), ln(cv)) / var_pop(ln(cn)))
+                       * avg(ln(cn))), 4) AS heaps_k
+    FROM curve
+    """,
+)
+def t_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (operators/text_features.
+    heaps_law): V(n) ~ K*n^beta estimated with NO sequential scan —
+    per-doc token counts and per-type first-document histograms feed
+    one docs-sized cumulative window, then a 1-row OLS moment agg.
+    beta near 0 here (templated vocab saturates instantly) is the
+    honest reading; on crawl text beta ~ 0.5 and a drift toward 1
+    flags type-minting noise. The oracle replays the curve and both
+    regression moments; window is named win (DuckDB reserves
+    `window`)."""
+    from pandasvcf_spark.operators.text_features import heaps_law
+
+    return heaps_law(load(spark, sf_dir, "documents"))
+
+
+@register(
     "sk_heavy_hitters",
     oracle="""
     WITH toks AS (

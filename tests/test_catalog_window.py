@@ -103,6 +103,13 @@ def test_tail_entries_are_redundant_variants_only():
                                  # hitters: sketch family (sk_countmin /
                                  # sk_hll_distinct in window); contract
                                  # guard
+        "t_zipf_stats",          # corpus-distribution diagnostic:
+                                 # vocab-sized rank + moment agg
+                                 # (t_corpus_report family); contract
+                                 # guard
+        "t_heaps_law",           # vocabulary-growth fit: docs-sized
+                                 # cumulative window + moment agg;
+                                 # contract guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk

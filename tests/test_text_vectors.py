@@ -1599,3 +1599,84 @@ def test_dedup_semantic_clusters_quality_and_pairwise_rule(spark):
     # pairwise-beats: B drops to A, C drops to B (a dropped witness
     # still counts) — the chain collapses to its head
     assert kept_chain == {1}
+
+
+# ---------------------------------------------------------------------------
+# Corpus-distribution diagnostics: Zipf slope + Heaps growth
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_recovers_planted_power_law(spark):
+    """A corpus built with freq(rank r) = floor(2000/r) must fit
+    slope ~ -1 (the planted exponent); discretization keeps it within
+    a few percent."""
+    from pandasvcf_spark.operators.text_features import zipf_stats
+
+    def alpha(n):
+        return "".join(chr(97 + int(c)) for c in str(n))
+
+    words = []
+    for r in range(1, 61):
+        words += [f"w{alpha(r)}x"] * (2000 // r)
+    # chunk into docs of 500 tokens
+    docs = [
+        (i, " ".join(words[i * 500 : (i + 1) * 500]))
+        for i in range((len(words) + 499) // 500)
+    ]
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    row = zipf_stats(d, "text", min_freq=5).collect()[0]
+    assert row.n_tokens == len(words)
+    assert row.n_types == 60
+    assert -1.08 < row.zipf_slope < -0.92, row.zipf_slope
+
+
+def test_heaps_law_matches_sequential_model(spark):
+    """The windowed first-occurrence curve must equal the sequential
+    scan model exactly, and the fitted beta must recover a planted
+    sublinear growth."""
+    import math
+
+    from pandasvcf_spark.operators.text_features import heaps_law
+
+    rng_words = []
+    docs = []
+    # doc d introduces ~ceil(sqrt growth) new types: vocab ~ n^0.5-ish
+    next_type = 0
+    for d in range(1, 41):
+        target_vocab = int(round(8 * (d ** 0.55)))
+        new = max(0, target_vocab - next_type)
+        toks = [
+            "t" + "".join(chr(97 + int(c)) for c in str(j)) + "q"
+            for j in range(next_type, next_type + new)
+        ]
+        next_type += new
+        while len(toks) < 30:
+            j = (d * 7 + len(toks)) % next_type
+            toks.append(
+                "t" + "".join(chr(97 + int(c)) for c in str(j)) + "q"
+            )
+        docs.append((d, " ".join(toks)))
+    d_df = spark.createDataFrame(docs, "doc_id int, text string")
+    row = heaps_law(d_df).collect()[0]
+
+    # sequential model
+    seen: set = set()
+    big_n = 0
+    curve = []
+    for _, text in sorted(docs):
+        toks = text.split()
+        big_n += len(toks)
+        seen.update(toks)
+        curve.append((big_n, len(seen)))
+    assert row.docs == len(curve)
+    assert row.n_tokens == big_n
+    assert row.n_types == len(seen)
+    ln = [math.log(n) for n, _ in curve]
+    lv = [math.log(v) for _, v in curve]
+    mean_ln = sum(ln) / len(ln)
+    mean_lv = sum(lv) / len(lv)
+    cov = sum((a - mean_ln) * (b - mean_lv) for a, b in zip(ln, lv)) / len(ln)
+    var = sum((a - mean_ln) ** 2 for a in ln) / len(ln)
+    beta = cov / var
+    assert abs(row.heaps_beta - round(beta, 6)) < 1e-4, (row.heaps_beta, beta)
+    assert 0.35 < row.heaps_beta < 0.75, row.heaps_beta
