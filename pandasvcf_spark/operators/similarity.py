@@ -1210,3 +1210,54 @@ def ivfpq_topk(
             F.col("adc_dist"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "vec_id",
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of any
+    number of retriever result lists — the standard hybrid-retrieval
+    combiner (BM25 ∪ dense ANN feeding a training-data retrieval or
+    RAG pipeline): score(d) = Σ_lists 1/(k + rank_list(d)), k=60 per
+    the paper. Rank-based, so the lists' raw scores never need
+    calibrating against each other — exactly why RRF is the default
+    fusion baseline.
+
+    Each input DataFrame carries (id_col, rank INT) — a top-N list
+    with ranks starting at 1. Output: (id_col, n_lists INT — how many
+    lists surfaced the id, rrf_score DOUBLE raw — round at the edge if
+    hashing, fused_rank INT), ordered by fused_rank; `topn` truncates.
+
+    Plan shape: the inputs are top-N lists (retriever output, never
+    corpus-sized), so this is a union of tiny relations, ONE groupBy,
+    one list-sized rank window. Ties in rrf_score break by id — with
+    ≤ a handful of IEEE-double reciprocal terms per id the sum is
+    order-independent, so the order is deterministic and replayable."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = []
+    for r in rankings:
+        if id_col not in r.columns or "rank" not in r.columns:
+            raise ValueError(f"each ranking needs ({id_col}, rank) columns")
+        parts.append(r.select(F.col(id_col), F.col("rank").cast("int")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias(
+            "rrf_score"
+        ),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )
+    if topn is not None:
+        out = out.filter(F.col("fused_rank") <= int(topn))
+    return out.orderBy("fused_rank")

@@ -1037,3 +1037,89 @@ def dedup_semantic(spark, sf_dir):
     )
     out = _ds(corpus, CENTROIDS, threshold=0.99)
     return out.select("vec_id", "cell")
+
+
+@register(
+    "v_rrf_fusion",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+      FROM documents WHERE text IS NOT NULL),
+    stats AS (
+      SELECT count(DISTINCT id) AS n,
+             count(*) / CAST(count(DISTINCT id) AS DOUBLE) AS avgdl
+      FROM base),
+    tf AS (
+      SELECT id, term, count(*) AS tf, min(dl) AS dl
+      FROM base WHERE term IN ('data', 'model', 'queries')
+      GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS dfx FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT id,
+             ln(1.0 + (n - dfx + 0.5) / (dfx + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS c
+      FROM tf JOIN dfc USING (term), stats),
+    lex AS (
+      SELECT id, round(sum(c), 4) AS s
+      FROM contrib GROUP BY id ORDER BY s DESC, id LIMIT 50),
+    lexr AS (
+      SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rnk FROM lex),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dsc AS (
+      SELECT e.vec_id AS id, {_sql_cos('e.embedding', 'q.qe')} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    den AS (
+      SELECT id, cos FROM dsc ORDER BY cos DESC, id LIMIT 50),
+    denr AS (
+      SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rnk
+      FROM den),
+    u AS (SELECT id, rnk FROM lexr UNION ALL SELECT id, rnk FROM denr),
+    f AS (
+      SELECT id, CAST(count(*) AS INT) AS n_lists,
+             sum(1.0 / (60 + rnk)) AS s
+      FROM u GROUP BY id)
+    SELECT id, n_lists, round(s, 6) AS rrf_score,
+           CAST(row_number() OVER (ORDER BY s DESC, id) AS INT)
+             AS fused_rank
+    FROM f ORDER BY fused_rank LIMIT 15
+    """,
+)
+def v_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval fusion (operators/similarity.rrf_fuse; Cormack
+    et al. 2009 RRF, k=60): BM25 top-50 for a fixed term query and
+    exact-cosine top-50 for embedding 0 (vec_id ≡ the document's
+    embedding id, the table convention), fused by reciprocal rank —
+    top 15. Both retrievers keep their own deterministic total orders
+    (rounded score desc, id), so the derived ranks, the ≤2-term IEEE
+    reciprocal sums, and therefore the fused order are all exactly
+    replayable; the oracle re-runs both retrievers and the fusion
+    term-for-term."""
+    from pandasvcf_spark.operators.similarity import cosine_topk, rrf_fuse
+    from pandasvcf_spark.operators.text_features import bm25_topk
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lex = bm25_topk(docs, ["data", "model", "queries"], k=50).select(
+        F.col("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.col("id")))
+        .alias("rank"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "embedding"
+    )
+    den = cosine_topk(e, qv, k=50).select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cossim"), F.col("vec_id")))
+        .alias("rank"),
+    )
+    out = rrf_fuse([lex, den], id_col="id", k=60, topn=15)
+    return out.select(
+        "id", "n_lists", F.round("rrf_score", 6).alias("rrf_score"),
+        "fused_rank",
+    )

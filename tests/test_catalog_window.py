@@ -110,6 +110,10 @@ def test_tail_entries_are_redundant_variants_only():
         "t_heaps_law",           # vocabulary-growth fit: docs-sized
                                  # cumulative window + moment agg;
                                  # contract guard
+        "v_rrf_fusion",          # hybrid-retrieval fusion: composes
+                                 # t_bm25_topk + v_cosine_topk (both in
+                                 # window) through one tiny groupBy;
+                                 # contract guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk

@@ -1680,3 +1680,29 @@ def test_heaps_law_matches_sequential_model(spark):
     beta = cov / var
     assert abs(row.heaps_beta - round(beta, 6)) < 1e-4, (row.heaps_beta, beta)
     assert 0.35 < row.heaps_beta < 0.75, row.heaps_beta
+
+
+def test_rrf_fuse_order_and_single_list_ids(spark):
+    """Fusion must rank an id that appears mid-list in BOTH retrievers
+    above one that tops a single list (1/61+1/63 > 1/61), count lists
+    per id, and keep deterministic id tie-breaks."""
+    import pytest
+
+    from pandasvcf_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (30, 3)], "id long, rank int"
+    )
+    out = rrf_fuse([a, b], id_col="id", k=60).collect()
+    got = [(r.id, r.n_lists, r.fused_rank) for r in out]
+    # 20: 1/62+1/61 best; 30: 1/63+1/63 second; 10: 1/61; 40: 1/62
+    assert got == [(20, 2, 1), (30, 2, 2), (10, 1, 3), (40, 1, 4)]
+    top = rrf_fuse([a, b], id_col="id", k=60, topn=2)
+    assert [r.id for r in top.collect()] == [20, 30]
+    with pytest.raises(ValueError, match="ranking"):
+        rrf_fuse([], id_col="id")
+    with pytest.raises(ValueError, match="columns"):
+        rrf_fuse([a.select("id")], id_col="id")
