@@ -1599,3 +1599,67 @@ def edit_distance_join(
             F.col("__d").cast("int").alias("dist"),
         )
     )
+
+
+def group_auc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC-AUC of a score against a binary label via the
+    Mann-Whitney rank form — the evaluation loop of classifier-based
+    corpus quality filtering (FastText/logreg quality scores, toxicity
+    screens): per source/domain/shard, how well does the score separate
+    kept from dropped?
+
+        AUC = (Σ ranks(positives) − P(P+1)/2) / (P·N)
+
+    with average ranks on score ties (the tie-corrected U statistic —
+    equivalently, ties count 1/2). label must be 0/1 (cast to int);
+    rows with NULL score or label are dropped. Groups with no positives
+    or no negatives yield auc NULL (undefined, not 0.5 — the caller
+    should see the hole). Output: (*group_cols, n_pos BIGINT,
+    n_neg BIGINT, auc DOUBLE round 6).
+
+    Plan shape: ONE exchange on the group keys serves both windows (the
+    score-rank window and the tie-count window sort within the same
+    partitioning), then one groupBy on the same keys — no joins, no
+    driver state, group cardinality bounds nothing (a group's rows
+    stream through the sort). AUC is exactly an expression over rank
+    sums, so the whole statistic replays in ANSI SQL."""
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    sc = F.col(score_col).cast("double")
+    lc = F.col(label_col).cast("int")
+    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
+        *gcols, sc.alias("__s"), lc.alias("__y")
+    )
+    w_rank = Window.partitionBy(*gcols).orderBy("__s")
+    w_tie = Window.partitionBy(*gcols, "__s")
+    ranked = base.select(
+        *gcols,
+        "__y",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("__r"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__rp"),
+    )
+    auc = (
+        F.col("__rp")
+        - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    return agg.select(
+        *gcols,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), 6
+        ).alias("auc"),
+    )

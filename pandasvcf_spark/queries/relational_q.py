@@ -1276,3 +1276,53 @@ def j_edit_fuzzy(spark, sf_dir):
         (F.col("c_custkey") + 10000000).alias("rid"), t.alias("t")
     )
     return edit_distance_join(left, right, "lid", "s", "rid", "t", k=1)
+
+
+@register(
+    "m_group_auc",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id % 4 AS shard,
+             embedding[1] AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    ranked AS (
+      SELECT shard, y,
+             CAST(rank() OVER (PARTITION BY shard ORDER BY s) AS DOUBLE)
+               + (count(*) OVER (PARTITION BY shard, s) - 1) / 2.0 AS r
+      FROM base),
+    agg AS (
+      SELECT shard,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg,
+             sum(CASE WHEN y = 1 THEN r END) AS rp
+      FROM ranked GROUP BY shard)
+    SELECT shard, n_pos, n_neg,
+           round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             (rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+               / (CAST(n_pos AS DOUBLE) * n_neg) END, 6) AS auc
+    FROM agg ORDER BY shard
+    """,
+)
+def m_group_auc(spark, sf_dir):
+    """Per-group ROC-AUC (operators/relational.group_auc; Mann-Whitney
+    rank form with tie-averaged ranks) — the quality-classifier
+    evaluation loop: per shard (vec_id % 4), how well does the first
+    embedding coordinate separate labels 0-4 from 5-9? Expected ~0.5
+    on this synthetic corpus — the entry checks the statistic, not the
+    classifier. One group-keyed exchange serves the rank window, the
+    tie window and the final agg; AUC is a pure rank-sum expression,
+    replayed exactly (average-rank tie term included) by the oracle.
+    embedding[1] in DuckDB == embedding[0] in Spark (1- vs 0-based)."""
+    from pandasvcf_spark.operators.relational import group_auc
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    d = e.select(
+        (F.col("vec_id") % 4).alias("shard"),
+        F.col("embedding")[0].cast("double").alias("s"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    return group_auc(d, ["shard"], "s", "y").orderBy("shard")

@@ -603,3 +603,37 @@ def test_edit_distance_join_exactness_k1_k2(spark):
         assert got == brute(k), (k, got, brute(k))
     with _pytest.raises(ValueError, match="k must be"):
         edit_distance_join(left, right, "lid", "s", "rid", "t", k=3)
+
+
+# ---------------------------------------------------------------------------
+# group_auc (Mann-Whitney rank AUC)
+# ---------------------------------------------------------------------------
+
+
+def test_group_auc_ties_one_class_and_perfect_separation(spark):
+    import pytest
+
+    from pandasvcf_spark.operators.relational import group_auc
+
+    rows = [
+        # group a: ties on 0.2 and 0.3 -> tie-averaged AUC 7/9
+        ("a", 0.1, 0), ("a", 0.2, 0), ("a", 0.2, 1),
+        ("a", 0.3, 1), ("a", 0.3, 0), ("a", 0.9, 1),
+        # group b: positives only -> NULL (undefined, not 0.5)
+        ("b", 1.0, 1), ("b", 1.0, 1),
+        # group c: perfect separation -> 1.0
+        ("c", 0.5, 0), ("c", 0.7, 1),
+        # group d: anti-separation -> 0.0
+        ("d", 0.9, 0), ("d", 0.1, 1),
+    ]
+    d = spark.createDataFrame(rows, "g string, s double, y int")
+    out = {
+        r.g: (r.n_pos, r.n_neg, r.auc)
+        for r in group_auc(d, ["g"], "s", "y").collect()
+    }
+    assert out["a"] == (3, 3, round(7.0 / 9.0, 6))
+    assert out["b"] == (2, 0, None)
+    assert out["c"] == (1, 1, 1.0)
+    assert out["d"] == (1, 1, 0.0)
+    with pytest.raises(ValueError, match="group_cols"):
+        group_auc(d, [], "s", "y")
