@@ -105,3 +105,55 @@ def quantized_cosine_expr(qa: Column | str, qb: Column | str) -> Column:
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(
         int_dot_expr(qa, qb).cast("double") / denom
     )
+
+
+def random_projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 1
+) -> list[list[float]]:
+    """Deterministic Achlioptas-style ±1 sign matrix (Achlioptas 2003:
+    database-friendly random projections — ±1 entries satisfy the
+    Johnson-Lindenstrauss lemma with the same distortion bounds as
+    Gaussian matrices and multiply-free arithmetic). Rows are generated
+    by a fixed LCG seeded per (seed, row), so the matrix is a pure
+    function of (in_dim, out_dim, seed): the SAME literal matrix can be
+    inlined into Spark expressions and oracle SQL (the `PLANES`
+    precedent) and regenerated bit-identically on any driver."""
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError(f"dims must be >= 1, got {in_dim}x{out_dim}")
+    rows = []
+    for j in range(out_dim):
+        h = (seed * 1000003 + j * 7919 + 12345) % 2147483647
+        row = []
+        for _ in range(in_dim):
+            h = (h * 1103515245 + 12345) % 2147483647
+            row.append(1.0 if (h >> 7) & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def random_project_expr(
+    vec: Column | str, matrix: list[list[float]]
+) -> Column:
+    """ARRAY<DOUBLE> Johnson-Lindenstrauss projection of an embedding
+    onto `len(matrix)` output dimensions: out[j] = <vec, matrix[j]> /
+    sqrt(out_dim) — with a ±1 `random_projection_matrix` this preserves
+    pairwise distances within JL distortion while cutting the stored
+    / shuffled embedding width (the cheap pre-LSH / pre-cluster
+    shrinker for 100 TB embedding stores).
+
+    Pure higher-order-function arithmetic: one zip_with + fold per
+    output dimension over literal sign rows — stays in whole-stage
+    codegen, no Python, exactly replayable (left-to-right fold order
+    matches the oracle's list_sum). Keep out_dim modest (<= 32): the
+    expression tree grows as out_dim × in_dim literals (the janino
+    64KB-per-method boundary, see the check_contract gotchas)."""
+    import math
+
+    if not matrix:
+        raise ValueError("matrix must be non-empty")
+    scale = 1.0 / math.sqrt(len(matrix))
+    comps = [
+        dot_expr(_c(vec), F.array(*[F.lit(x) for x in row])) * F.lit(scale)
+        for row in matrix
+    ]
+    return F.array(*comps)

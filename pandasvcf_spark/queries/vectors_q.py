@@ -16,7 +16,7 @@ from pandasvcf_spark.operators.similarity import (
     cosine_topk,
     rp_bucket_expr,
 )
-from pandasvcf_spark.queries.registry import register
+from pandasvcf_spark.queries.registry import QUERIES, register
 from pandasvcf_spark.queries.tables import load
 
 DIM = 64
@@ -1123,3 +1123,51 @@ def v_rrf_fusion(spark, sf_dir):
         "id", "n_lists", F.round("rrf_score", 6).alias("rrf_score"),
         "fused_rank",
     )
+
+
+@register(
+    "v_rand_proj",
+    oracle=None,  # placeholder, generated below
+)
+def v_rand_proj(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection (functions/vectors.
+    random_project_expr; Achlioptas 2003): the first 50 embeddings
+    projected 64 -> 8 dims with the deterministic seed-1 sign matrix,
+    exploded to (vec_id, dim, val). The matrix is a pure function of
+    (dims, seed) inlined as literals on BOTH sides (the PLANES device),
+    and the per-component fold is left-to-right on both engines, so
+    values replay exactly at 6dp. Projection runs fully inside
+    whole-stage codegen — no Python, no shuffle; the explode is
+    presentation only."""
+    from pandasvcf_spark.functions.vectors import (
+        random_project_expr,
+        random_projection_matrix,
+    )
+
+    m = random_projection_matrix(64, 8, seed=1)
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    proj = e.select(
+        "vec_id", random_project_expr("embedding", m).alias("p")
+    )
+    return proj.select(
+        "vec_id", F.posexplode("p").alias("dim", "val")
+    ).select("vec_id", "dim", F.round("val", 6).alias("val"))
+
+
+def _rand_proj_oracle() -> str:
+    from pandasvcf_spark.functions.vectors import random_projection_matrix
+
+    m = random_projection_matrix(64, 8, seed=1)
+    rows = ", ".join(
+        f"({j}, {_sql_plane(row)})" for j, row in enumerate(m)
+    )
+    scale = repr(1.0 / (8 ** 0.5))
+    return f"""
+    SELECT e.vec_id, m.dim,
+           round({_sql_dot('e.embedding', 'm.row')} * {scale}, 6) AS val
+    FROM embeddings e, (VALUES {rows}) AS m(dim, row)
+    WHERE e.vec_id < 50
+    """
+
+
+QUERIES["v_rand_proj"].oracle = _rand_proj_oracle()

@@ -1706,3 +1706,54 @@ def test_rrf_fuse_order_and_single_list_ids(spark):
         rrf_fuse([], id_col="id")
     with pytest.raises(ValueError, match="columns"):
         rrf_fuse([a.select("id")], id_col="id")
+
+
+def test_random_projection_preserves_distances_and_is_deterministic(spark):
+    """JL property: with out_dim=32 of in_dim=64, pairwise L2 distances
+    survive within loose distortion; the matrix is a pure function of
+    the seed (same seed = identical projection, different seed
+    differs)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.vectors import (
+        l2_distance_expr,
+        random_project_expr,
+        random_projection_matrix,
+    )
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)
+    ]
+    d = spark.createDataFrame(vecs, "id int, v array<double>")
+    m = random_projection_matrix(64, 32, seed=3)
+    p = d.select("id", random_project_expr("v", m).alias("p"))
+    joined = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+            l2_distance_expr("a.v", "b.v").alias("orig"),
+        )
+    )
+    pj = (
+        p.alias("a")
+        .join(p.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+            l2_distance_expr("a.p", "b.p").alias("proj"),
+        )
+    )
+    both = {(r.i, r.j): r.orig for r in joined.collect()}
+    ratios = [
+        r.proj / both[(r.i, r.j)] for r in pj.collect() if both[(r.i, r.j)] > 0
+    ]
+    # JL with k=32: distortion well within [0.5, 1.5] at n=20 points
+    assert all(0.5 < x < 1.5 for x in ratios), (min(ratios), max(ratios))
+    assert random_projection_matrix(64, 32, seed=3) == m
+    assert random_projection_matrix(64, 32, seed=4) != m
+    # sign matrix really is ±1
+    assert {x for row in m for x in row} == {1.0, -1.0}
