@@ -1163,3 +1163,89 @@ def dedup_semantic(
         id_col, "cell"
     )
     return df.join(kept, on=id_col)
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric shingle-containment join — the quote/excerpt detector
+    MinHash cannot be: containment(a→b) = |grams(a) ∩ grams(b)| /
+    |grams(a)| stays 1.0 when a short document is wholly quoted inside
+    a much longer one, exactly the case where symmetric Jaccard (and
+    the MinHash LSH built on it) collapses toward 0 (Broder 1997
+    distinguishes resemblance from containment for precisely this).
+    Training-data use: drop excerpts/quote-wrappers of retained
+    documents, catch train-on-test containment that `contamination_
+    overlap`'s fixed-set form misses.
+
+    Exact, via an inverted index: per-doc DISTINCT word n-grams →
+    gram-keyed equi-join (hits only — disjoint pairs never meet a
+    shuffle) → per-ordered-pair intersection counts → divide by the
+    source doc's gram count. Grams appearing in more than `max_df`
+    documents are dropped from BOTH the intersection and the
+    denominator first (the df-cap: a boilerplate gram joins everything
+    and says nothing; with it, pair-generation work is bounded by
+    Σ df² over surviving grams instead of the worst posting list
+    squared). Both directions are emitted — containment is not
+    symmetric. Docs with zero surviving grams emit nothing.
+
+    Output: (a_id, b_id, a_grams BIGINT, inter BIGINT,
+    containment DOUBLE round 4) with containment >= threshold."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(word_ngrams_expr(F.col(text_col), n))
+            ).alias("__g"),
+        )
+    )
+    kept = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= F.lit(int(max_df)))
+        .select("__g")
+    )
+    idx = grams.join(kept, "__g", "leftsemi")
+    sizes = idx.groupBy("__id").agg(F.count(F.lit(1)).alias("a_grams"))
+    pairs = (
+        idx.select(F.col("__id").alias("__a"), "__g")
+        .join(
+            idx.select(F.col("__id").alias("__b"), "__g"), "__g"
+        )
+        .filter(F.col("__a") != F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(F.col("__id").alias("__a"), "a_grams"), "__a"
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter") / F.col("a_grams").cast("double"), 4
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+    )
+    return out.select(
+        F.col("__a").alias("a_id"),
+        F.col("__b").alias("b_id"),
+        F.col("a_grams").cast("long").alias("a_grams"),
+        F.col("inter").cast("long").alias("inter"),
+        "containment",
+    )

@@ -1438,6 +1438,66 @@ def sk_countmin(spark, sf_dir):
 
 
 @register(
+    "t_containment_join",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id AS id, lower(text) AS t
+      FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 20000000,
+             array_to_string(
+               list_slice(regexp_extract_all(lower(text), '[a-z]+'),
+                          1, 25), ' ')
+      FROM documents WHERE text IS NOT NULL AND doc_id < 20),
+    w AS (SELECT id, regexp_extract_all(t, '[a-z]+') AS w FROM docs),
+    g AS (
+      SELECT id, unnest(list_distinct(
+        CASE WHEN len(w) < 4 THEN []
+        ELSE list_transform(generate_series(1, len(w) - 3),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        END)) AS gr
+      FROM w),
+    kept AS (
+      SELECT gr FROM (SELECT gr, count(*) AS c FROM g GROUP BY gr)
+      WHERE c <= 50),
+    idx AS (SELECT id, gr FROM g WHERE gr IN (SELECT gr FROM kept)),
+    sizes AS (SELECT id, count(*) AS a_grams FROM idx GROUP BY id),
+    pairs AS (
+      SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+      FROM idx a JOIN idx b USING (gr)
+      WHERE a.id <> b.id GROUP BY 1, 2)
+    SELECT a_id, b_id, CAST(a_grams AS BIGINT) AS a_grams,
+           CAST(inter AS BIGINT) AS inter,
+           round(inter / CAST(a_grams AS DOUBLE), 4) AS containment
+    FROM pairs JOIN sizes ON sizes.id = pairs.a_id
+    WHERE round(inter / CAST(a_grams AS DOUBLE), 4) >= 0.8
+    """,
+)
+def t_containment_join(spark, sf_dir):
+    """Asymmetric shingle containment (operators/dedup.containment_join;
+    Broder 1997's resemblance-vs-containment distinction): documents
+    plus planted 25-word excerpts (doc_id+2*10^7 of each doc_id<20) —
+    each excerpt's 4-gram set is a subset of its source, so
+    containment(excerpt→source) = 1.0 while symmetric Jaccard (and
+    MinHash on it) is small. Exact inverted-index plan: distinct grams,
+    df-cap 50, gram-keyed equi-join (hits only), ordered-pair counts,
+    divide by the SOURCE side's gram count. The oracle replays grams,
+    cap, pairs and the rounded threshold."""
+    from pandasvcf_spark.functions.text import words_expr
+    from pandasvcf_spark.operators.dedup import containment_join
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    excerpts = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.array_join(F.slice(words_expr("text"), 1, 25), " ").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(excerpts)
+    return containment_join(
+        corpus, "doc_id", "text", n=4, threshold=0.8, max_df=50
+    )
+
+
+@register(
     "t_zipf_stats",
     oracle="""
     WITH toks AS (

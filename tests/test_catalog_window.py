@@ -120,6 +120,10 @@ def test_tail_entries_are_redundant_variants_only():
         "v_rand_proj",           # JL sign projection: HOF dot-product
                                  # machinery (v_cosine_topk in window)
                                  # over a literal matrix; contract guard
+        "t_containment_join",    # asymmetric-containment join:
+                                 # inverted-index machinery (dedup /
+                                 # t_bigram_jaccard family); contract
+                                 # guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk

@@ -1757,3 +1757,38 @@ def test_random_projection_preserves_distances_and_is_deterministic(spark):
     assert random_projection_matrix(64, 32, seed=4) != m
     # sign matrix really is ±1
     assert {x for row in m for x in row} == {1.0, -1.0}
+
+
+def test_containment_join_detects_excerpt_df_cap_and_asymmetry(spark):
+    """A short excerpt wholly inside a long doc must score
+    containment(excerpt->doc)=1.0 while the reverse direction is small;
+    a boilerplate gram present everywhere must be neutralized by the
+    df-cap rather than joining all pairs."""
+    import pytest
+
+    from pandasvcf_spark.operators.dedup import containment_join
+
+    boiler = "shared footer boiler plate line"
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            + boiler),
+        (2, "alpha beta gamma delta epsilon"),  # pure prefix excerpt of 1
+        (3, "totally different words entirely unrelated content here "
+            + boiler),
+        (4, boiler),  # boilerplate-only doc: all grams df-capped away
+    ]
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_join(
+            d, "doc_id", "text", n=3, threshold=0.05, max_df=2
+        ).collect()
+    }
+    # doc2's capped grams are all inside doc1
+    assert out[(2, 1)] == 1.0
+    # reverse direction much smaller (doc1 has many grams doc2 lacks)
+    assert out[(1, 2)] < 0.5
+    # boilerplate (df=3 > max_df=2) must not link docs 3/4 to anything
+    assert not any(3 in pair or 4 in pair for pair in out)
+    with pytest.raises(ValueError, match="threshold"):
+        containment_join(d, threshold=0.0)
