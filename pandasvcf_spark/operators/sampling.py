@@ -494,3 +494,62 @@ def k_anonymize(
         F.col(name) >= k
     )
     return out if count_col else out.drop(name)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key: Column | str,
+    fraction: float,
+    min_per_stratum: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exact proportional stratified sample: per stratum, KEEP exactly
+    ``max(ceil(fraction * n_h), min(min_per_stratum, n_h))`` rows — the
+    corpus-balancing sampler that guarantees per-source/-language/
+    -domain quotas instead of `df.sampleBy`'s Bernoulli draws (whose
+    per-stratum counts fluctuate and whose seeded RNG changes row sets
+    under repartitioning; at 100 TB the rerun-stability matters more
+    than the randomness).
+
+    Rows are chosen by scrambled portable hash of `key` (the Knuth
+    multiplicative step — order statistics want the scramble, see
+    kmv_distinct's banding note) with `key` itself as tie-break, so
+    the selection is a pure function of content: deterministic across
+    runs, partitionings and engines, and nested (a stratum's 10%
+    sample contains its 5% sample — same order, shorter prefix).
+
+    Plan shape: ONE exchange on the strata keys serves the rank window
+    AND the stratum-count window (same partitioning); the cutoff is a
+    per-row expression — no second pass, no driver-side stratum table,
+    any number of strata. NULL-keyed rows are excluded before ranking
+    (the weighted_sample convention); NULL strata form their own group.
+    Pass `rank_col` to keep the within-stratum rank for inspection."""
+    if not strata_cols:
+        raise ValueError("strata_cols must be non-empty")
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if min_per_stratum < 0:
+        raise ValueError(
+            f"min_per_stratum must be >= 0, got {min_per_stratum}"
+        )
+    kc = F.col(key) if isinstance(key, str) else key
+    ks = kc.cast("string")
+    scrambled = (
+        poly_hash_expr(ks) * F.lit(2654435761)
+    ) % F.lit(POLY_MOD)
+    w_rank = Window.partitionBy(*strata_cols).orderBy(
+        scrambled.asc(), ks.asc()
+    )
+    w_n = Window.partitionBy(*strata_cols)
+    ranked = df.filter(kc.isNotNull()).withColumn(
+        "__rk", F.row_number().over(w_rank)
+    ).withColumn("__n", F.count(F.lit(1)).over(w_n))
+    take = F.greatest(
+        F.ceil(F.col("__n") * F.lit(float(fraction))),
+        F.least(F.lit(int(min_per_stratum)).cast("long"), F.col("__n")),
+    )
+    out = ranked.filter(F.col("__rk") <= take)
+    if rank_col is not None:
+        return out.withColumnRenamed("__rk", rank_col).drop("__n")
+    return out.drop("__rk", "__n")

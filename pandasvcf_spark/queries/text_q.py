@@ -1498,6 +1498,42 @@ def t_containment_join(spark, sf_dir):
 
 
 @register(
+    "t_stratified_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             ({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}
+              * 2654435761) % 2147483647 AS h
+      FROM documents WHERE doc_id IS NOT NULL),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY h, CAST(doc_id AS VARCHAR)) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM base)
+    SELECT source, doc_id FROM r
+    WHERE rk <= greatest(CAST(ceil(n * 0.2) AS BIGINT), least(5, n))
+    """,
+)
+def t_stratified_sample(spark, sf_dir):
+    """Exact proportional stratified sample (operators/sampling.
+    stratified_sample): per source, exactly max(ceil(0.2*n_h),
+    min(5, n_h)) documents chosen by scrambled-portable-hash order of
+    doc_id — deterministic per-stratum quotas where sampleBy's
+    Bernoulli draws fluctuate and change under repartitioning. One
+    strata-keyed exchange serves rank window + count window + the
+    per-row cutoff expression. The oracle replays the scramble, both
+    windows and the ceil/min floor; both engines compute the cutoff
+    from the same IEEE product."""
+    from pandasvcf_spark.operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = stratified_sample(d, ["source"], "doc_id", 0.2, min_per_stratum=5)
+    return out.select("source", "doc_id")
+
+
+@register(
     "t_zipf_stats",
     oracle="""
     WITH toks AS (

@@ -124,6 +124,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # inverted-index machinery (dedup /
                                  # t_bigram_jaccard family); contract
                                  # guard
+        "t_stratified_sample",   # exact per-stratum quota sampling:
+                                 # hash-order window machinery
+                                 # (t_hash_sample / t_cap_per_group
+                                 # family); contract guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk

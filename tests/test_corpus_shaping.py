@@ -1559,3 +1559,61 @@ def test_heavy_hitters_validation_and_empty(spark):
     out = heavy_hitters(empty, "k", support=0.5)
     assert out.columns == ["k", "cnt"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_exact_quota_nesting_and_determinism(spark):
+    """Per-stratum counts must hit the quota formula exactly, the 10%
+    sample must nest inside the 20% sample, and repartitioning must not
+    change the selected row set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sampling import stratified_sample
+
+    rows = [(f"s{i % 3}", i) for i in range(200)] + [("tiny", 999)]
+    d = spark.createDataFrame(rows, "src string, id int")
+
+    def sample_ids(frac, parts, floor=2):
+        out = stratified_sample(
+            d.repartition(parts), ["src"], "id", frac, min_per_stratum=floor
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.src, set()).add(r.id)
+        return got
+
+    got = sample_ids(0.2, 4)
+    sizes = {k: len(v) for k, v in got.items()}
+    # strata s0 (67 rows), s1 (67), s2 (66), tiny (1)
+    assert sizes == {
+        "s0": math.ceil(0.2 * 67),
+        "s1": math.ceil(0.2 * 67),
+        "s2": math.ceil(0.2 * 66),
+        "tiny": 1,  # min(floor, n_h) = 1
+    }
+    # determinism under a different partitioning
+    assert got == sample_ids(0.2, 1)
+    # nesting: 10% selection is a subset of 20%
+    small = sample_ids(0.1, 4)
+    for k in small:
+        assert small[k] <= got[k], k
+
+
+def test_stratified_sample_validation(spark):
+    import pytest
+
+    from pandasvcf_spark.operators.sampling import stratified_sample
+
+    d = spark.createDataFrame([("a", 1)], "src string, id int")
+    with pytest.raises(ValueError, match="strata_cols"):
+        stratified_sample(d, [], "id", 0.5)
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(d, ["src"], "id", 1.5)
+    with pytest.raises(ValueError, match="min_per_stratum"):
+        stratified_sample(d, ["src"], "id", 0.5, min_per_stratum=-1)
