@@ -1663,3 +1663,85 @@ def group_auc(
             F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc), 6
         ).alias("auc"),
     )
+
+
+def sorted_neighborhood_join(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    bucket_expr: Column | None = None,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking for record linkage (Hernández &
+    Stolfo 1995): sort records by a blocking key, then candidate pairs
+    are exactly the records within `window` positions of each other —
+    the linkage blocker for typo-adjacent keys that hash blocking
+    (which needs an exact segment match, cf. `hamming_join` /
+    `edit_distance_join`) scatters apart. Candidates per record are
+    bounded by `window`, so total pair work is n·(window−1) whatever
+    the key distribution — the property that makes SNM the default
+    blocker for messy entity resolution.
+
+    Output: (a_id, b_id, a_key, b_key[, dist INT]) for every ordered-
+    by-rank pair 0 < rank(b) − rank(a) < window; with `max_dist` the
+    pairs are verified with Levenshtein and filtered to dist <=
+    max_dist.
+
+    Scale shape — the global sort never runs in one task: `bucket_expr`
+    (default: first 2 chars of the key; REQUIRED to be monotone
+    non-decreasing in the key, or ranks interleave) splits the sort
+    into per-bucket window sorts that run in parallel; exact global
+    ranks come from adding per-bucket offsets computed by ONE
+    buckets-sized cumulative window (the take_token_budget /
+    pack_global bucket-offset device — no driver collect). Pair
+    generation is an explode(1..window−1) + rank EQUI-join — never a
+    range self-join. NULL key or id rows are excluded."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    kc, ic = F.col(key_col), F.col(id_col)
+    b = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.substring(kc.cast("string"), 1, 2)
+    )
+    base = df.filter(kc.isNotNull() & ic.isNotNull()).select(
+        ic.alias("__id"), kc.cast("string").alias("__k"), b.alias("__b")
+    )
+    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_rank = Window.partitionBy("__b").orderBy("__k", "__id")
+    ranked = (
+        base.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "__r", F.row_number().over(w_rank) + F.col("__off")
+        )
+        .select("__id", "__k", "__r")
+    )
+    left = ranked.select(
+        F.col("__id").alias("a_id"),
+        F.col("__k").alias("a_key"),
+        F.explode(
+            F.sequence(F.col("__r") + 1, F.col("__r") + (window - 1))
+        ).alias("__t"),
+    )
+    pairs = left.join(
+        ranked.select(
+            F.col("__id").alias("b_id"),
+            F.col("__k").alias("b_key"),
+            F.col("__r").alias("__t"),
+        ),
+        "__t",
+    ).select("a_id", "b_id", "a_key", "b_key")
+    if max_dist is None:
+        return pairs
+    return pairs.withColumn(
+        "dist", F.levenshtein("a_key", "b_key").cast("int")
+    ).filter(F.col("dist") <= F.lit(int(max_dist)))

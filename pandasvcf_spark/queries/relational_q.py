@@ -1326,3 +1326,44 @@ def m_group_auc(spark, sf_dir):
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
     )
     return group_auc(d, ["shard"], "s", "y").orderBy("shard")
+
+
+@register(
+    "j_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey AS id, c_name AS k,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+      FROM customer WHERE c_name IS NOT NULL),
+    p AS (
+      SELECT a.id AS a_id, b.id AS b_id, a.k AS a_key, b.k AS b_key
+      FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 2)
+    SELECT a_id, b_id, CAST(levenshtein(a_key, b_key) AS INT) AS dist
+    FROM p WHERE levenshtein(a_key, b_key) <= 2
+    """,
+)
+def j_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/relational.
+    sorted_neighborhood_join; Hernández-Stolfo 1995) over customer
+    names, window 3, Levenshtein-verified at <= 2: candidate pairs are
+    the <= 2 records ahead in name order — n·(window−1) pair work
+    whatever the distribution. The Spark side never runs the global
+    sort in one task (monotone digit-prefix buckets sort in parallel;
+    exact global ranks from one buckets-sized offset window — the
+    bucket-offset device); the oracle's single-window global
+    row_number defines the same total order, and the explode+equi-join
+    pair generation must reproduce its band-join pairs exactly."""
+    from pandasvcf_spark.operators.relational import (
+        sorted_neighborhood_join,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    out = sorted_neighborhood_join(
+        c,
+        "c_custkey",
+        "c_name",
+        window=3,
+        bucket_expr=F.substring(F.col("c_name"), 10, 3),
+        max_dist=2,
+    )
+    return out.select("a_id", "b_id", "dist")

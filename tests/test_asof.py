@@ -637,3 +637,62 @@ def test_group_auc_ties_one_class_and_perfect_separation(spark):
     assert out["d"] == (1, 1, 0.0)
     with pytest.raises(ValueError, match="group_cols"):
         group_auc(d, [], "s", "y")
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_join
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_single_window_model(spark):
+    """Bucketed ranks + offsets must reproduce exactly the pairs a
+    single global sort would produce, for every window size."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.relational import (
+        sorted_neighborhood_join,
+    )
+
+    rows = [
+        (1, "anna"), (2, "annc"), (3, "annz"), (4, "bob"),
+        (5, "bobb"), (6, "carl"), (7, "carla"), (8, "zed"),
+    ]
+    d = spark.createDataFrame(rows, "id int, k string").repartition(3)
+
+    for w in (2, 3, 4):
+        got = {
+            (r.a_id, r.b_id)
+            for r in sorted_neighborhood_join(d, "id", "k", window=w).collect()
+        }
+        # sequential model on the same total order (k, id)
+        order = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+        expect = {
+            (order[i], order[j])
+            for i in range(len(order))
+            for j in range(i + 1, min(i + w, len(order)))
+        }
+        assert got == expect, (w, got ^ expect)
+
+
+def test_sorted_neighborhood_verify_and_validation(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.relational import (
+        sorted_neighborhood_join,
+    )
+
+    rows = [(1, "smith"), (2, "smyth"), (3, "smythe"), (4, "jones")]
+    d = spark.createDataFrame(rows, "id int, k string")
+    out = {
+        (r.a_id, r.b_id): r.dist
+        for r in sorted_neighborhood_join(
+            d, "id", "k", window=3, max_dist=1
+        ).collect()
+    }
+    # name order: jones, smith, smyth, smythe -> verified pairs are
+    # smith~smyth (1) and smyth~smythe (1); every jones pair exceeds 1
+    assert out == {(1, 2): 1, (2, 3): 1}
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_join(d, "id", "k", window=1)

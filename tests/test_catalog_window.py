@@ -128,6 +128,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # hash-order window machinery
                                  # (t_hash_sample / t_cap_per_group
                                  # family); contract guard
+        "j_sorted_neighborhood", # SNM blocking: fuzzy-join family
+                                 # (j_hamming_fuzzy / j_edit_fuzzy in
+                                 # tail, bucketed-candidate machinery
+                                 # in window); contract guard
         "e_props_json",          # json parse: covered by e_sessionize path + pytest
         "v_rp_bucket_of_query",  # diagnostic of v_ann_topk's bucketing
         "v_ann_buckets",         # bucket histogram: diagnostic of v_ann_topk
