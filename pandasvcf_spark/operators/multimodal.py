@@ -997,3 +997,91 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
             if len(out) >= n_pixels:
                 return bytes(out[:n_pixels])
     return bytes(out[:n_pixels])
+
+
+def image_phash(
+    df: DataFrame,
+    img_col: str = "img",
+    id_col: str = "img_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual image hashes over IMG1 payloads: (img_id,
+    dhash STRING, ahash STRING) — each a hash_size² bit string
+    ('0'/'1', hamming_join-ready). dHash (difference hash: grayscale →
+    nearest-resize to hash_size×(hash_size+1) → horizontal-neighbor
+    comparisons) survives re-encoding, mild noise and rescaling; aHash
+    (mean-threshold) is the cruder second opinion. Together they are
+    the standard cheap near-duplicate-image signature (the pHash
+    family; dHash per Krawetz's public description) — the image-side
+    twin of MinHash for text.
+
+    Same Arrow-batched mapInPandas plumbing as `image_stats` (numpy
+    per batch, one Python round trip per batch, never per row); feed
+    real formats through `decode_external` first. Channels collapse to
+    luminance by mean — deterministic, codec-free."""
+    import numpy as np
+
+    if hash_size < 2:
+        raise ValueError(f"hash_size must be >= 2, got {hash_size}")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize(g, oh, ow):
+            h, w = g.shape
+            ys = (np.arange(oh) * h) // oh
+            xs = (np.arange(ow) * w) // ow
+            return g[ys][:, xs]
+
+        for pdf in batches:
+            ids, dh, ah = [], [], []
+            for img_id, blob in zip(pdf[id_col], pdf[img_col]):
+                h, w, c, px = _decode(bytes(blob))
+                arr = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, c)
+                    .astype(np.float64)
+                    .mean(axis=2)
+                )
+                d = resize(arr, hash_size, hash_size + 1)
+                dbits = (d[:, 1:] > d[:, :-1]).astype(np.uint8).ravel()
+                a = resize(arr, hash_size, hash_size)
+                abits = (a > a.mean()).astype(np.uint8).ravel()
+                ids.append(img_id)
+                dh.append("".join("1" if b else "0" for b in dbits))
+                ah.append("".join("1" if b else "0" for b in abits))
+            yield pd.DataFrame({"img_id": ids, "dhash": dh, "ahash": ah})
+
+    return df.mapInPandas(
+        hashes, "img_id BIGINT, dhash STRING, ahash STRING"
+    )
+
+
+def near_dup_images(
+    df: DataFrame,
+    img_col: str = "img",
+    id_col: str = "img_id",
+    k: int = 6,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs: `image_phash` dHash signatures fed
+    through the EXACT pigeonhole `hamming_join` (operators/relational)
+    — (a_id, b_id, hamming INT), each unordered pair once (a_id <
+    b_id). The composition is the image dedup pipeline at 100 TB
+    shape: one mapInPandas hashing pass (pixels never shuffle — 64-bit
+    signatures do), then the segment-keyed equi-join whose candidate
+    work is bounded by matching pigeonhole buckets, never all-pairs.
+    k is the dHash Hamming budget (6/64 ≈ the usual re-encode noise
+    band; raise for aggressive crops at the cost of candidates)."""
+    from pandasvcf_spark.operators.relational import hamming_join
+
+    hp = image_phash(df, img_col=img_col, id_col=id_col, hash_size=hash_size)
+    left = hp.select(F.col("img_id").alias("__a"), F.col("dhash").alias("__ha"))
+    right = hp.select(F.col("img_id").alias("__b"), F.col("dhash").alias("__hb"))
+    pairs = hamming_join(left, right, "__a", "__ha", "__b", "__hb", k=k)
+    return (
+        pairs.filter(F.col("__a") < F.col("__b"))
+        .select(
+            F.col("__a").alias("a_id"),
+            F.col("__b").alias("b_id"),
+            "hamming",
+        )
+    )

@@ -899,3 +899,76 @@ def test_decode_external_gif_feeds_image_stats(spark):
     out = image_stats(decode_external(df, fmt="gif")).collect()[0]
     assert (out.height, out.width, out.channels) == (3, 4, 3)
     assert out.max_px == 255 and abs(out.mean_px - 127.5) < 1e-9
+
+
+def test_image_phash_matches_numpy_reference(spark):
+    """dHash/aHash bit strings must equal an independent numpy
+    reimplementation (integer nearest-resize, luminance by channel mean,
+    horizontal-difference / mean-threshold bits) on a non-trivial image."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.multimodal import image_phash, pack_image
+
+    h, w, c = 11, 13, 3
+    px = bytes((y * y * 5 + x * 17 + c_ * 29) % 256
+               for y in range(h) for x in range(w) for c_ in range(c))
+    df = spark.createDataFrame([(7, bytearray(pack_image(h, w, c, px)))],
+                               "img_id long, img binary")
+    row = image_phash(df, hash_size=8).collect()[0]
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+    gray = arr.astype(np.float64).mean(axis=2)
+
+    def ref_resize(g, oh, ow):
+        ys = (np.arange(oh) * g.shape[0]) // oh
+        xs = (np.arange(ow) * g.shape[1]) // ow
+        return g[ys][:, xs]
+
+    d = ref_resize(gray, 8, 9)
+    want_d = "".join("1" if b else "0"
+                     for b in (d[:, 1:] > d[:, :-1]).ravel())
+    a = ref_resize(gray, 8, 8)
+    want_a = "".join("1" if b else "0" for b in (a > a.mean()).ravel())
+    assert row["dhash"] == want_d and len(row["dhash"]) == 64
+    assert row["ahash"] == want_a and len(row["ahash"]) == 64
+
+
+def test_near_dup_images_finds_planted_pairs_only(spark):
+    """Planted corpus: id 0 gradient, id 1 exact copy (hamming 0), id 2
+    copy perturbed in one corner (small hamming — a localized edit, the
+    re-encode/watermark case dHash is built for), id 3 inverted gradient
+    (hamming 64 — every horizontal difference reverses sign).
+    near_dup_images must return exactly the planted pairs at k=6 and only
+    the exact pair at k=0."""
+    from pandasvcf_spark.operators.multimodal import near_dup_images, pack_image
+
+    h, w, c = 16, 16, 3
+
+    def grad(flip=False, bump=0):
+        out = bytearray()
+        for y in range(h):
+            for x in range(w):
+                for ch in range(c):
+                    v = (y * 9 + x * 5 + ch) % 256
+                    if flip:
+                        v = 255 - v
+                    out.append(min(255, v + (bump if (x < 1 and y < 8) else 0)))
+        return bytes(out)
+
+    rows = [
+        (0, bytearray(pack_image(h, w, c, grad()))),
+        (1, bytearray(pack_image(h, w, c, grad()))),          # exact dup
+        (2, bytearray(pack_image(h, w, c, grad(bump=12)))),   # near dup
+        (3, bytearray(pack_image(h, w, c, grad(flip=True)))), # far
+    ]
+    df = spark.createDataFrame(rows, "img_id long, img binary")
+
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in near_dup_images(df, k=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and (1, 2) in pairs and pairs[(0, 2)] <= 6
+    assert not any(3 in p for p in pairs)
+
+    exact_only = {(r["a_id"], r["b_id"])
+                  for r in near_dup_images(df, k=0).collect()}
+    assert exact_only == {(0, 1)}
