@@ -416,3 +416,85 @@ def _neg_key(s):
     if isinstance(s, (int, float)):
         return -s
     return tuple(-ord(c) for c in str(s))
+
+
+def hudson_fst(
+    df: DataFrame,
+    site_cols: list[str],
+    pop_col: str,
+    pop_a: str,
+    pop_b: str,
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    ref_col: str = "REF",
+    missing: str = ".",
+) -> DataFrame:
+    """Per-site Hudson Fst between two populations over the long
+    parsed-genotype table (a1/a2 allele strings, `allele_expr` output +
+    a population label column) — the standard population-differentiation
+    scan (Bhatia, Patterson, Sankararaman & Price 2013, "Estimating and
+    interpreting FST", eq. 10; what scikit-allel's
+    `hudson_fst` and EIGENSOFT's smartpca compute):
+
+        num = (p1−p2)² − p1(1−p1)/(n1−1) − p2(1−p2)/(n2−1)
+        den = p1(1−p2) + p2(1−p1)
+        fst = num / den
+
+    with p = collapsed non-ref allele frequency and n = called allele
+    count in each population (haploid rows contribute one allele,
+    half-missing genotypes contribute their called allele — allele-based
+    counting, multiallelics fold to ref/non-ref like `hwe_stats`). Rows
+    whose population label is neither pop_a nor pop_b are ignored, so a
+    many-population panel can be scanned pairwise without pre-filtering.
+
+    Output: site_cols + n1/n2 BIGINT (allele counts), af_a/af_b DOUBLE
+    (round 4), fst_num/fst_den/fst DOUBLE (round 6; NULL unless both
+    populations have ≥2 called alleles and den > 0 — fixed-everywhere
+    sites have den = 0 and are uninformative). Keep num and den in the
+    output because genome-wide / windowed Fst is the RATIO OF SUMS of
+    exactly these columns (Bhatia et al.'s "ratio of averages" — never
+    average per-site fst), so any window rollup is one further groupBy.
+
+    Plan: one conditional-sum groupBy on the site key — sites × 4
+    counters of shuffle, Fst arithmetic a pure projection after the
+    partial agg. At biobank scale the shuffle is sites-sized, never
+    samples × sites."""
+    a1, a2, ref = F.col(a1_col), F.col(a2_col), F.col(ref_col)
+    ok1 = a1.isNotNull() & (a1 != missing)
+    ok2 = a2.isNotNull() & (a2 != missing)
+    n_ct = ok1.cast("int") + ok2.cast("int")
+    alt_ct = (ok1 & (a1 != ref)).cast("int") + (ok2 & (a2 != ref)).cast("int")
+    in_a = F.col(pop_col) == pop_a
+    in_b = F.col(pop_col) == pop_b
+
+    tot = lambda cond, c: F.sum(F.when(cond, c).otherwise(0))
+    agg = df.groupBy(*site_cols).agg(
+        tot(in_a, n_ct).cast("bigint").alias("n1"),
+        tot(in_a, alt_ct).cast("bigint").alias("x1"),
+        tot(in_b, n_ct).cast("bigint").alias("n2"),
+        tot(in_b, alt_ct).cast("bigint").alias("x2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    p1 = F.when(F.col("n1") > 0, F.col("x1") / n1)
+    p2 = F.when(F.col("n2") > 0, F.col("x2") / n2)
+    est_ok = (F.col("n1") >= 2) & (F.col("n2") >= 2)
+    num = F.when(
+        est_ok,
+        (p1 - p2) * (p1 - p2)
+        - p1 * (1.0 - p1) / (n1 - 1.0)
+        - p2 * (1.0 - p2) / (n2 - 1.0),
+    )
+    den = F.when(est_ok, p1 * (1.0 - p2) + p2 * (1.0 - p1))
+    return agg.select(
+        *site_cols,
+        "n1",
+        "n2",
+        F.round(p1, 4).alias("af_a"),
+        F.round(p2, 4).alias("af_b"),
+        # + 0.0 canonicalizes IEEE -0.0 (a tiny negative num rounds to
+        # -0.0) so engines that print the sign bit agree
+        (F.round(num, 6) + 0.0).alias("fst_num"),
+        F.round(den, 6).alias("fst_den"),
+        (F.round(F.when(den > 0, num / den), 6) + 0.0).alias("fst"),
+    )

@@ -1511,3 +1511,72 @@ def g_pi_windows(spark, sf_dir):
         .withColumn("REF", F.lit("A"))
     )
     return pi_windows(dd, "l_orderkey", "l_orderkey", 1000)
+
+
+@register(
+    "g_fst",
+    oracle=_GENO_CTE
+    + """
+    , cls AS (
+      SELECT l_orderkey,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'P1' ELSE 'P2' END AS pop,
+             (CASE WHEN a1 <> '.' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 <> '.' THEN 1 ELSE 0 END) AS n_ct,
+             (CASE WHEN a1 <> '.' AND a1 <> 'A' THEN 1 ELSE 0 END)
+               + (CASE WHEN a2 <> '.' AND a2 <> 'A' THEN 1 ELSE 0 END)
+               AS alt_ct
+      FROM ann),
+    agg AS (
+      SELECT l_orderkey,
+             CAST(sum(CASE WHEN pop = 'P1' THEN n_ct ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN pop = 'P1' THEN alt_ct ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN pop = 'P2' THEN n_ct ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN pop = 'P2' THEN alt_ct ELSE 0 END)
+                  AS BIGINT) AS x2
+      FROM cls GROUP BY l_orderkey),
+    freqs AS (
+      SELECT l_orderkey, n1, n2,
+             CASE WHEN n1 > 0 THEN CAST(x1 AS DOUBLE) / n1 END AS pa,
+             CASE WHEN n2 > 0 THEN CAST(x2 AS DOUBLE) / n2 END AS pb
+      FROM agg),
+    est AS (
+      SELECT *,
+             CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               (pa - pb) * (pa - pb)
+               - pa * (1.0 - pa) / (n1 - 1.0)
+               - pb * (1.0 - pb) / (n2 - 1.0) END AS num,
+             CASE WHEN n1 >= 2 AND n2 >= 2
+                  THEN pa * (1.0 - pb) + pb * (1.0 - pa) END AS den
+      FROM freqs)
+    SELECT l_orderkey, n1, n2,
+           round(pa, 4) AS af_a, round(pb, 4) AS af_b,
+           round(num, 6) + 0.0 AS fst_num, round(den, 6) AS fst_den,
+           round(CASE WHEN den > 0 THEN num / den END, 6) + 0.0 AS fst
+    FROM est
+    """,
+)
+def g_fst(spark, sf_dir):
+    """Per-site Hudson Fst between two derived populations
+    (operators/ld.hudson_fst; Bhatia et al. 2013 eq. 10 — the
+    scikit-allel / smartpca population-differentiation scan). Samples
+    split into P1/P2 by l_linenumber parity; allele-based counting
+    (haploids contribute one allele, half-missing their called allele);
+    num and den stay in the output because windowed/genome-wide Fst is
+    the ratio of THEIR sums, never the mean of per-site fst. One
+    conditional-sum groupBy on the site key — sites × 4 counters of
+    shuffle; the oracle replays counts, frequencies and the estimator
+    arithmetic term-for-term."""
+    from pandasvcf_spark.operators.ld import hudson_fst
+
+    d = (
+        _gt_parsed(spark, sf_dir)
+        .withColumn("REF", F.lit("A"))
+        .withColumn(
+            "pop",
+            F.when(F.col("l_linenumber") % 2 == 0, "P1").otherwise("P2"),
+        )
+    )
+    return hudson_fst(d, ["l_orderkey"], "pop", "P1", "P2")

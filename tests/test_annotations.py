@@ -707,3 +707,47 @@ def test_kinship_prune_greedy_cover(spark):
         "sample_a long, sample_b long, phi double",
     )
     assert kinship_prune(hub, 0.2) == [(9, 3)]
+
+
+def test_hudson_fst_hand_cases(spark):
+    """Bhatia et al. eq. 10 on hand-computed sites: a differentiated
+    site, a site fixed in both pops (den 0 -> fst NULL), an
+    undersized pop (n < 2 -> NULL estimator), haploid/missing allele
+    counting, and a third population that must be ignored."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.ld import hudson_fst
+
+    rows = [
+        # site 1: P1 = 0/0, 0/1, 1/1 (n1=6, x1=3, p=0.5);
+        #         P2 = 0/0, 0/0 (n2=4, x2=0)
+        (1, "P1", "A", "A"), (1, "P1", "A", "G"), (1, "P1", "G", "G"),
+        (1, "P2", "A", "A"), (1, "P2", "A", "A"),
+        # site 2: fixed ref in both pops -> den = 0 -> fst NULL
+        (2, "P1", "A", "A"), (2, "P1", "A", "A"),
+        (2, "P2", "A", "A"), (2, "P2", "A", "A"),
+        # site 3: P2 has a single called allele (haploid + half-missing)
+        (3, "P1", "A", "G"), (3, "P1", "A", "A"),
+        (3, "P2", "G", "."),
+        # site 1 extras: a third pop and a fully-missing row, both inert
+        (1, "P3", "G", "G"), (1, "P1", ".", "."),
+    ]
+    df = spark.createDataFrame(rows, "site int, pop string, a1 string, a2 string")
+    df = df.withColumn("REF", F.lit("A"))
+    out = {r["site"]: r for r in
+           hudson_fst(df, ["site"], "pop", "P1", "P2").collect()}
+
+    s1 = out[1]
+    assert (s1["n1"], s1["n2"]) == (6, 4)
+    assert s1["af_a"] == 0.5 and s1["af_b"] == 0.0
+    # num = 0.25 - 0.5*0.5/5 - 0 = 0.2 ; den = 0.5 ; fst = 0.4
+    assert abs(s1["fst_num"] - 0.2) < 1e-9
+    assert abs(s1["fst_den"] - 0.5) < 1e-9
+    assert abs(s1["fst"] - 0.4) < 1e-9
+
+    s2 = out[2]
+    assert s2["fst_den"] == 0.0 and s2["fst"] is None
+
+    s3 = out[3]
+    assert (s3["n1"], s3["n2"]) == (4, 1)  # haploid row = 1 allele
+    assert s3["fst"] is None and s3["fst_num"] is None

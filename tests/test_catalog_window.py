@@ -436,6 +436,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery (w_running_sum family,
                                  # contract-guarded) in closed form;
                                  # contract guard
+        "g_fst",                 # Hudson Fst: conditional-sum groupBy
+                                 # machinery (g_hwe in window family);
+                                 # term-for-term estimator oracle;
+                                 # hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
