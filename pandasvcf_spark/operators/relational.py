@@ -1745,3 +1745,81 @@ def sorted_neighborhood_join(
     return pairs.withColumn(
         "dist", F.levenshtein("a_key", "b_key").cast("int")
     ).filter(F.col("dist") <= F.lit(int(max_dist)))
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Association between two categorical columns in one row:
+    (n BIGINT, r, c BIGINT distinct levels, mi DOUBLE nats,
+    chi2 DOUBLE, dof BIGINT, cramers_v DOUBLE) — the feature-relevance /
+    leakage screen a pipeline runs before trusting a grouping column
+    (is `source` predictive of `lang`? is a fold assignment independent
+    of the label?).
+
+        mi   = Σ_xy (n_xy/n) · ln(n_xy · n / (n_x · n_y))
+        chi2 = n · (Σ_xy n_xy²/(n_x·n_y) − 1)
+        V    = sqrt(chi2 / (n · (min(r,c) − 1)))
+
+    The chi-square uses the closed form above because it is exact over
+    SPARSE contingency tables: absent (x, y) cells contribute their full
+    expected count to Pearson's statistic, and Σ n_xy²/(n_x n_y) over
+    observed cells only already accounts for that — no dense r×c
+    cross join materializes. MI's zero cells contribute 0 by limit.
+
+    Rows with a NULL in either column are excluded (n counts complete
+    pairs). Degenerate tables (r = 1 or c = 1) return mi = 0, chi2 = 0
+    and NULL cramers_v (dof = 0 — independence is unfalsifiable).
+
+    Plan: one groupBy(x, y) collapses the data to cell counts (the only
+    data-sized shuffle); marginals are two window sums OVER THE CELLS
+    table (|X|·|Y| rows, not data rows); the final reduce is a 1-row
+    aggregation. MI uses the rearranged form
+    Σ n_xy·ln(n_xy/(n_x·n_y))/n + ln(n) so the grand total n is an
+    ordinary aggregate, not a partition-free window over the cells.
+    All JVM-side column arithmetic."""
+    x, y = F.col(x_col), F.col(y_col)
+    cells = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__x"), y.alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__nxy"))
+    )
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    cells = cells.withColumn("__nx", F.sum("__nxy").over(wx)).withColumn(
+        "__ny", F.sum("__nxy").over(wy)
+    )
+    nxy = F.col("__nxy").cast("double")
+    nx = F.col("__nx").cast("double")
+    ny = F.col("__ny").cast("double")
+    mi_term = nxy * F.log(nxy / (nx * ny))
+    chi_term = nxy * nxy / (nx * ny)
+    out = cells.agg(
+        F.sum("__nxy").cast("bigint").alias("n"),
+        F.countDistinct("__x").alias("r"),
+        F.countDistinct("__y").alias("c"),
+        F.sum(mi_term).alias("__mi_raw"),
+        F.sum(chi_term).alias("__chi_frac"),
+    )
+    r, c = F.col("r").cast("double"), F.col("c").cast("double")
+    nn = F.col("n").cast("double")
+    mi = F.when(nn > 0, F.col("__mi_raw") / nn + F.log(nn))
+    # greatest(…, 0): chi_frac is 1 up to float error on independent
+    # tables, and a -1e-16 under the sqrt would be NaN, not 0
+    chi2 = F.greatest(nn * (F.col("__chi_frac") - 1.0), F.lit(0.0))
+    dof = ((r - 1.0) * (c - 1.0)).cast("bigint")
+    v = F.when(
+        (F.least(r, c) > 1.0) & (nn > 0),
+        F.sqrt(chi2 / (nn * (F.least(r, c) - 1.0))),
+    )
+    return out.select(
+        "n",
+        "r",
+        "c",
+        # + 0.0 canonicalizes IEEE -0.0 (mi/chi2 are 0 up to float
+        # error on independent columns and can round to -0.0)
+        (F.round(mi, 6) + 0.0).alias("mi"),
+        (F.round(chi2, 4) + 0.0).alias("chi2"),
+        dof.alias("dof"),
+        (F.round(v, 6) + 0.0).alias("cramers_v"),
+    )

@@ -1367,3 +1367,53 @@ def j_sorted_neighborhood(spark, sf_dir):
         max_dist=2,
     )
     return out.select("a_id", "b_id", "dist")
+
+
+@register(
+    "m_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT lang AS x, source AS y, CAST(count(*) AS DOUBLE) AS nxy
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY lang, source),
+    marg AS (
+      SELECT x, y, nxy,
+             sum(nxy) OVER (PARTITION BY x) AS nx,
+             sum(nxy) OVER (PARTITION BY y) AS ny
+      FROM cells),
+    agg AS (
+      SELECT CAST(sum(nxy) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS r,
+             CAST(count(DISTINCT y) AS BIGINT) AS c,
+             sum(nxy * ln(nxy / (nx * ny))) AS mi_raw,
+             sum(nxy * nxy / (nx * ny)) AS chi_frac
+      FROM marg),
+    stats AS (
+      SELECT n, r, c,
+             CASE WHEN n > 0 THEN mi_raw / n + ln(n) END AS mi_v,
+             greatest(n * (chi_frac - 1.0), 0.0) AS chi2_v
+      FROM agg)
+    SELECT n, r, c,
+           round(mi_v, 6) + 0.0 AS mi,
+           round(chi2_v, 4) + 0.0 AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(CASE WHEN least(r, c) > 1 AND n > 0 THEN
+             sqrt(chi2_v / (n * (least(r, c) - 1.0))) END, 6) + 0.0
+             AS cramers_v
+    FROM stats
+    """,
+)
+def m_mutual_info(spark, sf_dir):
+    """Mutual information + chi-square association between lang and
+    source on documents (operators/relational.mutual_information) —
+    the feature-relevance / leakage screen. One groupBy(x, y) collapses
+    the corpus to cell counts (the only data-sized shuffle); marginals
+    are window sums over the cells table; the sparse-exact closed form
+    n·(Σ n_xy²/(n_x·n_y) − 1) makes Pearson's chi-square correct
+    without materializing absent cells. The oracle replays cells,
+    marginals and both statistics term-for-term."""
+    from pandasvcf_spark.operators.relational import mutual_information
+
+    d = load(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source")

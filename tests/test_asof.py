@@ -696,3 +696,44 @@ def test_sorted_neighborhood_verify_and_validation(spark):
     assert out == {(1, 2): 1, (2, 3): 1}
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_join(d, "id", "k", window=1)
+
+
+# mutual_information (categorical association)
+
+
+def test_mutual_information_hand_cases(spark):
+    """Perfect dependence (y = f(x), uniform 2x2 diagonal): mi = ln 2,
+    chi2 = n, V = 1. Independence (balanced product table): mi = 0,
+    chi2 = 0, V = 0. Degenerate single-level column: dof 0, NULL V.
+    NULL rows excluded from n."""
+    import math
+
+    from pandasvcf_spark.operators.relational import mutual_information
+
+    # perfect dependence: (a,p) x10, (b,q) x10
+    dep = spark.createDataFrame(
+        [("a", "p")] * 10 + [("b", "q")] * 10 + [(None, "p"), ("a", None)],
+        "x string, y string",
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert r["n"] == 20 and (r["r"], r["c"]) == (2, 2) and r["dof"] == 1
+    assert abs(r["mi"] - round(math.log(2), 6)) < 1e-9
+    assert abs(r["chi2"] - 20.0) < 1e-9
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+
+    # independence: every (x, y) combination equally often
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "pqr" for _ in range(5)],
+        "x string, y string",
+    )
+    r = mutual_information(ind, "x", "y").collect()[0]
+    assert r["n"] == 30 and (r["r"], r["c"]) == (2, 3) and r["dof"] == 2
+    assert r["mi"] == 0.0 and r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+    # degenerate: one x level
+    deg = spark.createDataFrame(
+        [("a", "p")] * 3 + [("a", "q")] * 3, "x string, y string"
+    )
+    r = mutual_information(deg, "x", "y").collect()[0]
+    assert (r["r"], r["c"], r["dof"]) == (1, 2, 0)
+    assert r["mi"] == 0.0 and r["chi2"] == 0.0 and r["cramers_v"] is None

@@ -440,6 +440,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery (g_hwe in window family);
                                  # term-for-term estimator oracle;
                                  # hand-case pytest
+        "m_mutual_info",         # MI + chi-square association: cells
+                                 # groupBy + marginal windows (metrics
+                                 # family with m_group_auc); sparse-
+                                 # exact closed form; hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
