@@ -1823,3 +1823,87 @@ def mutual_information(
         dof.alias("dof"),
         (F.round(v, 6) + 0.0).alias("cramers_v"),
     )
+
+
+def ks_lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile lift/gain table + Kolmogorov-Smirnov separation for a
+    score against a binary label — the model-evaluation report every
+    quality-classifier gate reads (with `group_auc` as the scalar
+    summary): per score-decile, how concentrated are the positives,
+    and what is the maximum cumulative separation between the positive
+    and negative score distributions (KS = max_t |F_pos(t) − F_neg(t)|,
+    the industry credit-scoring statistic)?
+
+    Binning is by EXACT quantile thresholds (`exact_quantiles`, type-1 /
+    `quantile_disc` semantics), not equal-count ntile: bin b(s) =
+    n_bins + 1 − (1 + Σ_k [s > e_k]) over the n_bins−1 edges, so bin 1
+    is the top scores and TIED SCORES ALWAYS SHARE A BIN — deterministic
+    under any row order, replayable by an engine-independent oracle,
+    and free of the global sort a true ntile needs (the scale killer:
+    ranking 10¹¹ eval rows through one window). Heavily tied scores make
+    unequal or empty bins — empty bins are simply absent rows.
+
+    Output, one row per non-empty bin ordered by bin: bin INT,
+    n / n_pos BIGINT, pos_rate, cum_pos_frac, cum_neg_frac, ks, lift,
+    cum_lift DOUBLE (round 6; lift NULL when the corpus has no
+    positives, ks NULL when either class is empty — separation is
+    undefined). max(ks) over the rows is the KS statistic.
+
+    Plan: edges are a ≤ n_bins-row driver collect (exact_quantiles'
+    bucketed two-pass — no global sort); binning is a literal
+    comparison fold at the scan; one groupBy(bin) collapses the data to
+    ≤ n_bins rows; totals broadcast back as a 1-row cross join and the
+    cumulative window runs over the bins table only. Rows with a NULL
+    score or label are excluded."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    nn = df.filter(s.isNotNull() & y.isNotNull())
+    probs = [k / n_bins for k in range(1, n_bins)]
+    edges = [
+        r["value"]
+        for r in exact_quantiles(nn, score_col, probs).orderBy("p").collect()
+    ]
+    asc = F.lit(1)
+    for e in edges:
+        asc = asc + (s > F.lit(float(e))).cast("int")
+    bins = (
+        nn.select((F.lit(n_bins + 1) - asc).alias("bin"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").alias("__tn"), F.sum("n_pos").alias("__tp")
+    )
+    b = bins.crossJoin(F.broadcast(tot))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum_n = F.sum("n").over(w).cast("double")
+    cum_p = F.sum("n_pos").over(w).cast("double")
+    tn = F.col("__tn").cast("double")
+    tp = F.col("__tp").cast("double")
+    neg = tn - tp
+    pos_rate = F.col("n_pos") / F.col("n")
+    base = F.when(tp > 0, tp / tn)
+    cum_pos_frac = F.when(tp > 0, cum_p / tp)
+    cum_neg_frac = F.when(neg > 0, (cum_n - cum_p) / neg)
+    r6 = lambda c: (F.round(c, 6) + 0.0)
+    return b.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_pos",
+        r6(pos_rate).alias("pos_rate"),
+        r6(cum_pos_frac).alias("cum_pos_frac"),
+        r6(cum_neg_frac).alias("cum_neg_frac"),
+        r6(F.abs(cum_pos_frac - cum_neg_frac)).alias("ks"),
+        r6(pos_rate / base).alias("lift"),
+        r6((cum_p / cum_n) / base).alias("cum_lift"),
+    ).orderBy("bin")

@@ -1417,3 +1417,69 @@ def m_mutual_info(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return mutual_information(d, "lang", "source")
+
+
+@register(
+    "m_ks_lift",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, value AS sc,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    ed AS (
+      SELECT unnest(quantile_disc(sc,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS e
+      FROM s),
+    binned AS (
+      SELECT s.event_id, s.y, 11 - (1 + count(ed.e)) AS bin
+      FROM s LEFT JOIN ed ON s.sc > ed.e
+      GROUP BY s.event_id, s.y),
+    agg AS (
+      SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin),
+    tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS tn,
+             CAST(sum(n_pos) AS DOUBLE) AS tp
+      FROM agg),
+    cum AS (
+      SELECT bin, n, n_pos, tn, tp, tn - tp AS neg,
+             CAST(sum(n) OVER (ORDER BY bin) AS DOUBLE) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY bin) AS DOUBLE) AS cum_p
+      FROM agg, tot),
+    fr AS (
+      SELECT bin, n, n_pos, cum_n, cum_p,
+             CAST(n_pos AS DOUBLE) / n AS pos_rate,
+             CASE WHEN tp > 0 THEN tp / tn END AS base,
+             CASE WHEN tp > 0 THEN cum_p / tp END AS cpf,
+             CASE WHEN neg > 0 THEN (cum_n - cum_p) / neg END AS cnf
+      FROM cum)
+    SELECT CAST(bin AS INT) AS bin, n, n_pos,
+           round(pos_rate, 6) + 0.0 AS pos_rate,
+           round(cpf, 6) + 0.0 AS cum_pos_frac,
+           round(cnf, 6) + 0.0 AS cum_neg_frac,
+           round(abs(cpf - cnf), 6) + 0.0 AS ks,
+           round(pos_rate / base, 6) + 0.0 AS lift,
+           round((cum_p / cum_n) / base, 6) + 0.0 AS cum_lift
+    FROM fr ORDER BY bin
+    """,
+)
+def m_ks_lift(spark, sf_dir):
+    """Decile lift/gain + KS separation for events.value scoring the
+    'error' label (operators/relational.ks_lift_table) — the
+    model-evaluation report beside m_group_auc's scalar AUC. Exact
+    quantile-threshold binning (type-1 / quantile_disc semantics, tied
+    scores share a bin) instead of a global-sort ntile; one groupBy(bin)
+    collapses the corpus, totals broadcast back as a 1-row cross join,
+    cumulative window over the ≤10-row bins table. Expected ~1.0 lift
+    on this synthetic corpus — the entry checks the statistics, not the
+    classifier. The oracle rebuilds edges with quantile_disc and
+    replays binning, cumulative fractions, KS and lift term-for-term."""
+    from pandasvcf_spark.operators.relational import ks_lift_table
+
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        F.col("value").alias("sc"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    ).filter(F.col("sc").isNotNull())
+    return ks_lift_table(d, "sc", "y", n_bins=10)

@@ -737,3 +737,55 @@ def test_mutual_information_hand_cases(spark):
     r = mutual_information(deg, "x", "y").collect()[0]
     assert (r["r"], r["c"], r["dof"]) == (1, 2, 0)
     assert r["mi"] == 0.0 and r["chi2"] == 0.0 and r["cramers_v"] is None
+
+
+# ks_lift_table (decile lift/gain + KS separation)
+
+
+def test_ks_lift_table_hand_case(spark):
+    """Perfectly separating score: 20 rows, scores 1..20, positives =
+    top 5 scores, 4 bins. KS must reach 1.0 at the last all-positive
+    cumulative bin; lift of the top bin = pos_rate/base = 1/0.25 = 4."""
+    from pandasvcf_spark.operators.relational import ks_lift_table
+
+    rows = [(float(i), 1 if i > 15 else 0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "sc double, y int")
+    out = {r["bin"]: r for r in ks_lift_table(df, "sc", "y", n_bins=4).collect()}
+
+    assert sorted(out) == [1, 2, 3, 4]
+    assert all(out[b]["n"] == 5 for b in out)
+    top = out[1]
+    assert top["n_pos"] == 5 and top["pos_rate"] == 1.0
+    assert abs(top["lift"] - 4.0) < 1e-9
+    assert abs(top["cum_pos_frac"] - 1.0) < 1e-9
+    assert abs(top["cum_neg_frac"] - 0.0) < 1e-9
+    assert abs(top["ks"] - 1.0) < 1e-9          # full separation
+    assert out[4]["n_pos"] == 0
+    assert abs(out[4]["cum_lift"] - 1.0) < 1e-9  # full corpus: lift 1
+    assert abs(out[4]["ks"] - 0.0) < 1e-9
+
+
+def test_ks_lift_table_ties_share_a_bin_and_one_class(spark):
+    """A massively tied score collapses bins (ties never split across a
+    boundary); an all-negative corpus yields NULL lift/ks columns."""
+    from pandasvcf_spark.operators.relational import ks_lift_table
+
+    tied = spark.createDataFrame(
+        [(1.0, 1)] * 12 + [(0.0, 0)] * 4, "sc double, y int"
+    )
+    out = ks_lift_table(tied, "sc", "y", n_bins=4).collect()
+    assert sum(r["n"] for r in out) == 16
+    # the 12 tied 1.0 scores never split across a bin boundary
+    sizes = sorted(r["n"] for r in out)
+    assert sizes == [4, 12]
+    big = next(r for r in out if r["n"] == 12)
+    assert big["n_pos"] == 12
+    small = next(r for r in out if r["n"] == 4)
+    assert big["bin"] < small["bin"]   # higher scores in the lower bin id
+
+    noneg = spark.createDataFrame(
+        [(float(i), 0) for i in range(8)], "sc double, y int"
+    )
+    for r in ks_lift_table(noneg, "sc", "y", n_bins=2).collect():
+        assert r["lift"] is None and r["ks"] is None
+        assert r["cum_neg_frac"] is not None

@@ -444,6 +444,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # groupBy + marginal windows (metrics
                                  # family with m_group_auc); sparse-
                                  # exact closed form; hand-case pytest
+        "m_ks_lift",             # decile lift/gain + KS: exact_quantiles
+                                 # edge binning (agg_exact_quantiles
+                                 # machinery) + bins-table window;
+                                 # hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
