@@ -1446,11 +1446,13 @@ def exact_quantiles(
     the order statistic `F.percentile` cannot honestly provide there
     (Spark's exact percentile aggregate buffers every group value in
     executor memory; fine for `agg_percentiles`-sized groups, not for a
-    10¹¹-row column). Convention: value at 0-indexed rank
-    floor((n−1)·p) of the sorted non-null values — the lower discrete
-    (type-1) quantile, which is DuckDB's `quantile_disc`, so the oracle
-    replays it directly. Output: (p DOUBLE, value DOUBLE), one row per
-    requested prob.
+    10¹¹-row column). Convention: value at 1-based rank
+    max(1, ceil(n·p)) of the sorted non-null values — the inverse-ECDF
+    (Hyndman-Fan type-1) quantile, which IS DuckDB's `quantile_disc`
+    (verified by an index-by-index probe across n × p grids; the
+    superficially similar floor((n−1)·p) convention disagrees whenever
+    frac(n·p) ∈ (0, p]), so the oracle replays it directly. Output:
+    (p DOUBLE, value DOUBLE), one row per requested prob.
 
     The `take_token_budget` bucket device on the VALUE axis: pass 1 is
     one (count, min, max) agg + one per-bucket histogram over
@@ -1499,9 +1501,11 @@ def exact_quantiles(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
+    import math
+
     targets = []  # (p, bucket, residual 1-based rank)
     for p in probs:
-        r = int((n - 1) * p) + 1  # 1-based global rank (type-1 floor)
+        r = max(1, math.ceil(n * p))  # 1-based rank (type-1 / inv-ECDF)
         cum = 0
         for b in sorted(hist):
             if cum + hist[b] >= r:
@@ -1907,3 +1911,99 @@ def ks_lift_table(
         r6(pos_rate / base).alias("lift"),
         r6((cum_p / cum_n) / base).alias("cum_lift"),
     ).orderBy("bin")
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT per-group discrete quantiles at corpus scale — the grouped
+    form of `exact_quantiles`, closing the gap its docstring names:
+    Spark's exact `percentile` aggregate buffers every group value in
+    executor memory (fine for `agg_percentiles`-sized groups, fatal for
+    a group holding 10⁹ rows), and `approx_percentile` is not an
+    oracle-checkable answer. Same type-1 / inverse-ECDF convention
+    (value at 1-based rank max(1, ceil(n_g·p)) of the group's sorted
+    non-null values = DuckDB's per-group `quantile_disc`). Output:
+    group_cols + (p DOUBLE, value DOUBLE), one row per (group, prob);
+    groups with no non-null values yield no rows.
+
+    Unlike the global form, NOTHING is collected — the bucket walk is
+    distributed: (1) per-group (n, lo, hi) agg; (2) join-back prices
+    each row's equal-width value bucket (constant groups collapse to
+    bucket 0); (3) per-(group, bucket) histogram + a cumulative window
+    ALONG THE BUCKET AXIS of each group maps every target rank
+    r = max(1, ceil(n_g·p)) to its bucket and residual rank; (4) only
+    rows of targeted buckets (~len(probs)/n_buckets of each group) are
+    ranked by a per-(group, bucket) window and kept at the residual
+    rank. Shuffles are keyed on the group (stats, histogram) and
+    (group, bucket) (final rank) — partial-agged, skew-bounded by
+    bucket granularity, with no global sort and no driver round trip,
+    so the operator composes inside a larger lazy plan."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull())
+    stats = nn.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / n_buckets
+    bucket = F.when(width > 0, F.least(
+        F.floor((v - F.col("__lo")) / width), F.lit(n_buckets - 1)
+    ).cast("int")).otherwise(F.lit(0))
+    binned = nn.join(stats, on=group_cols).withColumn("__b", bucket)
+    hist = binned.groupBy(*group_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__c"), F.max("__n").alias("__n")
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum))
+    # targets: one row per (group, p) with its 1-based type-1 rank
+    pcol = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("p")
+    targets = stats.select(*group_cols, "__n", pcol).select(
+        *group_cols,
+        "p",
+        F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.col("__n") * F.col("p"))
+        ).alias("__r"),
+    )
+    located = (
+        cum.join(targets, on=group_cols)
+        .filter(
+            (F.col("__cum") >= F.col("__r"))
+            & (F.col("__cum") - F.col("__c") < F.col("__r"))
+        )
+        .select(
+            *group_cols,
+            "p",
+            "__b",
+            (F.col("__r") - (F.col("__cum") - F.col("__c"))).alias("__rr"),
+        )
+    )
+    wrank = Window.partitionBy(*group_cols, "__b").orderBy(v)
+    ranked = (
+        binned.join(
+            located.select(*group_cols, "__b").distinct(),
+            on=group_cols + ["__b"],
+        )
+        .withColumn("__rn", F.row_number().over(wrank))
+    )
+    return ranked.join(
+        located,
+        on=group_cols + ["__b"],
+    ).filter(F.col("__rn") == F.col("__rr")).select(
+        *group_cols, "p", v.alias("value")
+    )

@@ -1483,3 +1483,47 @@ def m_ks_lift(spark, sf_dir):
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
     ).filter(F.col("sc").isNotNull())
     return ks_lift_table(d, "sc", "y", n_bins=10)
+
+
+@register(
+    "agg_grouped_quantiles",
+    oracle="""
+    WITH nn AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+    SELECT l_returnflag, 0.25::DOUBLE AS p,
+           CAST(quantile_disc(v, 0.25) AS DOUBLE) AS value
+    FROM nn GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 0.5::DOUBLE,
+           CAST(quantile_disc(v, 0.5) AS DOUBLE)
+    FROM nn GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 0.75::DOUBLE,
+           CAST(quantile_disc(v, 0.75) AS DOUBLE)
+    FROM nn GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 0.95::DOUBLE,
+           CAST(quantile_disc(v, 0.95) AS DOUBLE)
+    FROM nn GROUP BY l_returnflag
+    """,
+)
+def agg_grouped_quantiles(spark, sf_dir):
+    """Fully distributed EXACT per-group quantiles (operators/
+    relational.grouped_exact_quantiles) of lineitem prices by return
+    flag — the grouped twin of agg_exact_quantiles, with the bucket
+    walk distributed instead of collected: per-group stats join-back,
+    (group, bucket) histogram, cumulative window along each group's
+    bucket axis locates every target rank, and only targeted buckets
+    get ranked. No global sort, no driver round trip, no per-group
+    value buffering (the failure mode of Spark's exact percentile on a
+    10⁹-row group). Oracle states the definition: per-group
+    quantile_disc."""
+    from pandasvcf_spark.operators.relational import (
+        grouped_exact_quantiles,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return grouped_exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    )

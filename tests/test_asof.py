@@ -512,13 +512,28 @@ def test_corpus_diff_classification_and_null_safety(spark):
 
 
 def test_exact_quantiles_matches_sorted_definition(spark):
-    """The bucketed two-pass result equals the type-1 definition
-    (sorted[floor((n-1)p)]) on data with duplicates and skew, at bucket
-    counts above and below n; constant column short-circuits; all-null
-    raises; probs validate."""
+    """The bucketed two-pass result equals the type-1 / inverse-ECDF
+    definition (sorted[max(0, ceil(n*p)-1)] — DuckDB quantile_disc; the
+    floor((n-1)p) convention disagrees whenever frac(n*p) lands in
+    (0, p], which an all-distinct column exposes) on data with
+    duplicates and skew, at bucket counts above and below n; constant
+    column short-circuits; all-null raises; probs validate."""
+    import math
+
     import pytest as _pytest
 
     from pandasvcf_spark.operators.relational import exact_quantiles
+
+    # all-distinct: every rank convention difference changes the VALUE
+    distinct = list(range(1962))
+    dd = spark.createDataFrame(
+        [(float(v),) for v in distinct], "x double"
+    ).repartition(8)
+    got_d = {
+        r.p: r.value for r in exact_quantiles(dd, "x", [0.75]).collect()
+    }
+    # ceil(1962*0.75)-1 = 1471 (floor((n-1)p) would give 1470)
+    assert got_d == {0.75: 1471.0}
 
     vals = sorted(
         [(i * 37) % 211 for i in range(500)] + [7] * 100 + [211] * 3
@@ -528,7 +543,7 @@ def test_exact_quantiles_matches_sorted_definition(spark):
     ).repartition(8)
     probs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
     n = len(vals)
-    want = {p: float(vals[int((n - 1) * p)]) for p in probs}
+    want = {p: float(vals[max(0, math.ceil(n * p) - 1)]) for p in probs}
     for buckets in (4, 64, 2048):
         got = {
             r.p: r.value
@@ -789,3 +804,47 @@ def test_ks_lift_table_ties_share_a_bin_and_one_class(spark):
     for r in ks_lift_table(noneg, "sc", "y", n_bins=2).collect():
         assert r["lift"] is None and r["ks"] is None
         assert r["cum_neg_frac"] is not None
+
+
+def test_grouped_exact_quantiles_matches_definition(spark):
+    """Fully distributed grouped quantiles equal the per-group type-1 /
+    inverse-ECDF definition across skewed group sizes (including the
+    n=1962/p=0.75 rank-convention witness), a constant group, and a
+    group of all NULLs (absent from output). Validation raises on bad
+    probs."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import grouped_exact_quantiles
+
+    rnd = random.Random(11)
+    rows = []
+    for g, sz in [("a", 1962), ("b", 17), ("c", 300)]:
+        rows += [(g, float(int(rnd.uniform(0, 500)))) for _ in range(sz)]
+    rows += [("const", 5.0)] * 9
+    rows += [("nulls", None)] * 4
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    probs = [0.0, 0.25, 0.5, 0.75, 0.95, 1.0]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in grouped_exact_quantiles(df, ["g"], "v", probs,
+                                         n_buckets=64).collect()
+    }
+    byg = {}
+    for g, x in rows:
+        if x is not None:
+            byg.setdefault(g, []).append(x)
+    for g, vals in byg.items():
+        vals.sort()
+        n = len(vals)
+        for p in probs:
+            assert got[(g, p)] == vals[max(0, math.ceil(n * p) - 1)], (g, p)
+    assert len(got) == 4 * len(probs)
+    assert not any(g == "nulls" for g, _ in got)
+
+    with _pytest.raises(ValueError):
+        grouped_exact_quantiles(df, ["g"], "v", [1.5])
+    with _pytest.raises(ValueError):
+        grouped_exact_quantiles(df, ["g"], "v", [])

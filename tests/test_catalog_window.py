@@ -448,6 +448,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # edge binning (agg_exact_quantiles
                                  # machinery) + bins-table window;
                                  # hand-case pytest
+        "agg_grouped_quantiles", # distributed grouped exact quantiles:
+                                 # bucket-walk device of
+                                 # agg_exact_quantiles, group-keyed;
+                                 # definition-level oracle
+                                 # (quantile_disc); hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
