@@ -654,3 +654,84 @@ def heaps_law(
             4,
         ).alias("heaps_k"),
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+    max_words: int | None = None,
+) -> DataFrame:
+    """Top word-pair associations by document-level PMI — the collocation
+    / association-mining pass (Church & Hanks 1990's pointwise mutual
+    information over co-occurrence counts): which words appear in the
+    SAME DOCUMENT far more often than their marginal frequencies
+    predict? Output: (w1, w2, n_pair, n_w1, n_w2 BIGINT, pmi DOUBLE),
+    the top_n pairs by pmi = ln(n_pair·D / (n_w1·n_w2)) under the total
+    order (pmi DESC, w1, w2), pairs below min_count dropped (PMI of
+    rare pairs is noise — the standard Church-Hanks caveat).
+
+    Counting is doc-level and binary (distinct words per doc; n_w =
+    doc frequency, D = docs with non-null text), the stable convention
+    for corpus-scale association. Pair generation is an index-slice HOF
+    over each doc's sorted distinct word array — no self-join, one
+    shuffle to the (w1, w2) count; per-doc cost is O(L²) in DISTINCT
+    words, so for long-document corpora set max_words (a head-slice
+    cap, applied after sort for determinism) — unbounded only because
+    the testdata docs are ~30 words.
+
+    Plan: words explode once for doc frequencies (vocab-sized agg);
+    pairs groupBy is the data-sized shuffle; marginal join-back is
+    vocab-keyed; D broadcasts as one row; TakeOrdered keeps top_n."""
+    wcol = words_expr(text_col)
+    arr = F.array_sort(F.array_distinct(wcol))
+    if max_words is not None:
+        if max_words < 2:
+            raise ValueError(f"max_words must be >= 2, got {max_words}")
+        arr = F.slice(arr, 1, max_words)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__d"), arr.alias("__ws")
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("__D"))
+    words = base.select(F.explode("__ws").alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("__nw"))
+    pairs = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ws, (w1, i) -> "
+                    "transform(slice(__ws, i + 2, size(__ws)), "
+                    "w2 -> struct(w1, w2))))"
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    j = (
+        pairs.join(wc.withColumnRenamed("w", "w1"), on="w1")
+        .withColumnRenamed("__nw", "__n1")
+        .join(wc.withColumnRenamed("w", "w2"), on="w2")
+        .withColumnRenamed("__nw", "__n2")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("__D"))
+        / (F.col("__n1").cast("double") * F.col("__n2"))
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.col("__n1").alias("n_w1"),
+            F.col("__n2").alias("n_w2"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_n)
+    )

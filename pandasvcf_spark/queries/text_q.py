@@ -2249,3 +2249,43 @@ def t_bigram_lm(spark, sf_dir):
     from pandasvcf_spark.operators.text_features import bigram_lm_stats
 
     return bigram_lm_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t_pmi_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_sort(list_distinct({_WORDS})) AS ws
+      FROM documents WHERE text IS NOT NULL),
+    dd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM w GROUP BY w),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w HAVING count(*) >= 5),
+    j AS (
+      SELECT w1, w2, n_pair, c1.nw AS n_w1, c2.nw AS n_w2
+      FROM pairs
+      JOIN wc c1 ON pairs.w1 = c1.w
+      JOIN wc c2 ON pairs.w2 = c2.w)
+    SELECT w1, w2, n_pair, n_w1, n_w2,
+           round(ln((CAST(n_pair AS DOUBLE) * nd)
+                    / (CAST(n_w1 AS DOUBLE) * n_w2)), 6) AS pmi
+    FROM j, dd
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def t_pmi_pairs(spark, sf_dir):
+    """Top document-level word-pair PMI collocations (operators/
+    text_features.pmi_pairs; Church & Hanks 1990) over documents —
+    association mining for corpus analysis. Pair generation is an
+    index-slice HOF over each doc's sorted distinct word array (no
+    self-join; the oracle's a.doc_id = b.doc_id self-join states the
+    same pair set declaratively); marginals join back vocab-keyed, D
+    broadcasts as one row, TakeOrdered under the total order
+    (pmi DESC, w1, w2) keeps 50."""
+    from pandasvcf_spark.operators.text_features import pmi_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return pmi_pairs(d, min_count=5, top_n=50)

@@ -453,6 +453,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # agg_exact_quantiles, group-keyed;
                                  # definition-level oracle
                                  # (quantile_disc); hand-case pytest
+        "t_pmi_pairs",           # PMI collocations: HOF pair expansion
+                                 # (grm device) + vocab-keyed joins
+                                 # (t_tfidf/t_bigram family); self-join
+                                 # declarative oracle; hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1792,3 +1792,43 @@ def test_containment_join_detects_excerpt_df_cap_and_asymmetry(spark):
     assert not any(3 in pair or 4 in pair for pair in out)
     with pytest.raises(ValueError, match="threshold"):
         containment_join(d, threshold=0.0)
+
+
+def test_pmi_pairs_hand_case(spark):
+    """Planted collocation: 'alpha beta' co-occur in 4 of 8 docs while
+    each appears in 6 -> pmi = ln(4*8/36). 'gamma' pairs fall below
+    min_count. Doc-level binary counting: repeated words in one doc
+    count once."""
+    import math
+
+    from pandasvcf_spark.operators.text_features import pmi_pairs
+
+    docs = (
+        [(i, "alpha beta beta alpha") for i in range(4)]          # together
+        + [(4, "alpha x"), (5, "alpha y"), (6, "beta x"), (7, "beta y")]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_pairs(df, min_count=4, top_n=10).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    ab = got[("alpha", "beta")]
+    assert ab["n_pair"] == 4 and ab["n_w1"] == 6 and ab["n_w2"] == 6
+    assert abs(ab["pmi"] - round(math.log(4 * 8 / 36), 6)) < 1e-12
+    # no pair below min_count
+    assert all(r["n_pair"] >= 4 for r in out)
+
+
+def test_pmi_pairs_order_and_validation(spark):
+    """Total order (pmi DESC, w1, w2) and max_words validation."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.text_features import pmi_pairs
+
+    docs = [(i, "a b c") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_pairs(df, min_count=1, top_n=10).collect()
+    # all three pairs have identical pmi -> lexicographic order
+    assert [(r["w1"], r["w2"]) for r in out] == [
+        ("a", "b"), ("a", "c"), ("b", "c")
+    ]
+    with _pytest.raises(ValueError, match="max_words"):
+        pmi_pairs(df, max_words=1)
