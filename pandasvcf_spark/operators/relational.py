@@ -2007,3 +2007,104 @@ def grouped_exact_quantiles(
     ).filter(F.col("__rn") == F.col("__rr")).select(
         *group_cols, "p", v.alias("value")
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-call column profiling report — the data-quality screen a
+    pipeline runs on an unfamiliar or freshly-landed table (the
+    expectation-suite / dbt-test shape): one row per column with
+    (col_name, dtype STRING, n_rows, n_null BIGINT, null_frac DOUBLE,
+    n_distinct BIGINT, min_num/max_num/mean DOUBLE for numeric columns,
+    min_str/max_str STRING for string columns; the inapplicable family
+    is NULL). Numeric and string stats stay in TYPED columns rather
+    than casting everything to display strings — cross-engine float
+    formatting is exactly the non-determinism an oracle-checked report
+    must not contain.
+
+    ALL columns profile in ONE aggregation pass over the data (a single
+    wide agg, then a stack() unpivot of the 1-row result — the unpivot
+    runs over one row, not the data). exact_distinct=True uses
+    count(DISTINCT col) per column — Spark expands the input once per
+    distinct aggregate, so at true corpus scale (10¹¹ rows × many
+    columns) set exact_distinct=False to switch every column to
+    approx_count_distinct (HLL, one expand total) and treat n_distinct
+    as an estimate; the flag exists precisely because the exact form is
+    the oracle-checkable one and the approximate form is the 100 TB
+    one."""
+    from pyspark.sql import types as T
+
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in schema:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    num_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    aggs, rows = [], []
+    nd = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        is_num = isinstance(schema[c], num_types)
+        is_str = isinstance(schema[c], T.StringType)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(col.isNull().cast("bigint")).alias(f"__nl_{i}"),
+            nd(c).alias(f"__nd_{i}"),
+            (F.min(col.cast("double")) if is_num else F.lit(None).cast(
+                "double")).alias(f"__mn_{i}"),
+            (F.max(col.cast("double")) if is_num else F.lit(None).cast(
+                "double")).alias(f"__mx_{i}"),
+            (F.round(F.avg(col.cast("double")), 6) if is_num
+             else F.lit(None).cast("double")).alias(f"__av_{i}"),
+            (F.min(col) if is_str else F.lit(None).cast("string")).alias(
+                f"__ms_{i}"),
+            (F.max(col) if is_str else F.lit(None).cast("string")).alias(
+                f"__xs_{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for i, c in enumerate(cols):
+        stack_args += [
+            f"'{c}'", f"'{schema[c].simpleString()}'",
+            f"__n_{i}", f"__nl_{i}", f"__nd_{i}",
+            f"__mn_{i}", f"__mx_{i}", f"__av_{i}",
+            f"__ms_{i}", f"__xs_{i}",
+        ]
+    stacked = one.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+            "(col_name, dtype, n_rows, n_null, n_distinct, "
+            "min_num, max_num, mean, min_str, max_str)"
+        )
+    )
+    return stacked.select(
+        "col_name",
+        "dtype",
+        "n_rows",
+        "n_null",
+        F.round(
+            F.when(
+                F.col("n_rows") > 0,
+                F.col("n_null").cast("double") / F.col("n_rows"),
+            ),
+            6,
+        ).alias("null_frac"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "mean",
+        "min_str",
+        "max_str",
+    )

@@ -1527,3 +1527,71 @@ def agg_grouped_quantiles(spark, sf_dir):
     return grouped_exact_quantiles(
         li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
     )
+
+
+@register(
+    "m_profile",
+    oracle="""
+    SELECT 'event_id' AS col_name, 'bigint' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           round(CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS null_frac,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num,
+           CAST(max(event_id) AS DOUBLE) AS max_num,
+           round(avg(CAST(event_id AS DOUBLE)), 6) AS mean,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', 'bigint', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+           round(avg(CAST(user_id AS DOUBLE)), 6),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', 'string', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', 'double', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6),
+           CAST(count(DISTINCT value) AS BIGINT),
+           CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+           round(avg(CAST(value AS DOUBLE)), 6),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM events
+    """,
+)
+def m_profile(spark, sf_dir):
+    """One-call column profiling of events (operators/relational.
+    profile_table) — the data-quality screen on a freshly-landed table:
+    per column, null fraction, exact distinct count, typed min/max/mean
+    (numeric) or lexicographic min/max (string). ONE aggregation pass
+    however many columns profile (the stack() unpivot runs over the
+    1-row agg result, never the data); exact_distinct=False documents
+    the HLL path for true corpus scale. The oracle recomputes every
+    column's row with plain SQL aggregates."""
+    from pandasvcf_spark.operators.relational import profile_table
+
+    e = load(spark, sf_dir, "events")
+    return profile_table(
+        e, ["event_id", "user_id", "event_type", "value"]
+    )

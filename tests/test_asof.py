@@ -848,3 +848,41 @@ def test_grouped_exact_quantiles_matches_definition(spark):
         grouped_exact_quantiles(df, ["g"], "v", [1.5])
     with _pytest.raises(ValueError):
         grouped_exact_quantiles(df, ["g"], "v", [])
+
+
+# profile_table (one-pass column profiling)
+
+
+def test_profile_table_hand_case(spark):
+    """Typed stats per column family: numeric rows carry min/max/mean
+    with NULL string stats and vice versa; null_frac exact; validation
+    raises on unknown columns; approx mode still returns a row per
+    column."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", None), (None, "a", 4.0)],
+        "id long, s string, v double",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    rid = got["id"]
+    assert (rid["dtype"], rid["n_rows"], rid["n_null"]) == ("bigint", 4, 1)
+    assert rid["null_frac"] == 0.25 and rid["n_distinct"] == 3
+    assert (rid["min_num"], rid["max_num"], rid["mean"]) == (1.0, 3.0, 2.0)
+    assert rid["min_str"] is None and rid["max_str"] is None
+    rs = got["s"]
+    assert (rs["min_str"], rs["max_str"]) == ("a", "b")
+    assert rs["min_num"] is None and rs["mean"] is None
+    rv = got["v"]
+    assert (rv["min_num"], rv["max_num"]) == (1.5, 4.0)
+    assert abs(rv["mean"] - round((1.5 + 2.5 + 4.0) / 3, 6)) < 1e-12
+
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        profile_table(df, ["nope"])
+
+    approx = {r["col_name"]: r for r in
+              profile_table(df, exact_distinct=False).collect()}
+    assert all(approx[c]["n_distinct"] >= 1 for c in approx)

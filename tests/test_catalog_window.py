@@ -457,6 +457,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # (grm device) + vocab-keyed joins
                                  # (t_tfidf/t_bigram family); self-join
                                  # declarative oracle; hand-case pytest
+        "m_profile",             # one-pass column profiling: wide agg +
+                                 # 1-row stack unpivot (agg family);
+                                 # per-column SQL aggregate oracle;
+                                 # hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
