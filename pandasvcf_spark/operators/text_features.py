@@ -735,3 +735,58 @@ def pmi_pairs(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(top_n)
     )
+
+
+def readability_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document readability scores — the classic Flesch reading
+    ease and Flesch-Kincaid grade level (Kincaid et al. 1975), the
+    interpretable complement to model-based quality scores in a corpus
+    filter stack:
+
+        FRE = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        FKG = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    with W = word count ([a-z]+ runs of the lowercased text, the
+    `words_expr` convention), S = sentence count (non-blank segments
+    between [.!?]+ terminator runs, floored at 1 so unpunctuated text
+    is one long sentence — the conservative reading), Y = syllable
+    count by the standard vowel-group heuristic ([aeiouy]+ runs, each
+    vowelless word floored at 1 syllable). Output: (id, n_words,
+    n_sentences, n_syllables BIGINT, flesch, fk_grade DOUBLE round 4;
+    NULL scores for wordless docs).
+
+    Pure native column expressions — no shuffle, no Python, scales as a
+    projection over the scan like the rest of the quality family."""
+    text = F.col(text_col)
+    lower = F.lower(text)
+    words = words_expr(text_col)
+    n_words = F.size(words).cast("bigint")
+    segs = F.split(text, r"[.!?]+")
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.filter(segs, lambda s: F.trim(s) != "")).cast("bigint"),
+    )
+    groups = F.size(F.regexp_extract_all(lower, F.lit(r"[aeiouy]+"), 0))
+    no_vowel = F.size(
+        F.filter(words, lambda w: ~w.rlike("[aeiouy]"))
+    )
+    n_syll = (groups + no_vowel).cast("bigint")
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    flesch = F.when(
+        n_words > 0, 206.835 - 1.015 * wps - 84.6 * spw
+    )
+    fkg = F.when(n_words > 0, 0.39 * wps + 11.8 * spw - 15.59)
+    return df.filter(text.isNotNull()).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        F.when(n_words > 0, n_syll).otherwise(F.lit(0)).cast("bigint")
+         .alias("n_syllables"),
+        (F.round(flesch, 4) + 0.0).alias("flesch"),
+        (F.round(fkg, 4) + 0.0).alias("fk_grade"),
+    )

@@ -2289,3 +2289,51 @@ def t_pmi_pairs(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return pmi_pairs(d, min_count=5, top_n=50)
+
+
+@register(
+    "t_readability",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_WORDS} AS ws,
+             greatest(1, len(list_filter(
+               string_split_regex(text, '[.!?]+'),
+               s -> trim(s) <> ''))) AS n_sent,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               + len(list_filter({_WORDS},
+                   w -> NOT regexp_matches(w, '[aeiouy]'))) AS n_syll
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(n_sent AS BIGINT) AS n_sentences,
+             CAST(n_syll AS BIGINT) AS n_syll
+      FROM base),
+    f AS (
+      SELECT doc_id, n_words, n_sentences,
+             CASE WHEN n_words > 0 THEN n_syll ELSE 0 END AS n_syllables,
+             CAST(n_words AS DOUBLE) / n_sentences AS wps,
+             CAST(n_syll AS DOUBLE) / n_words AS spw
+      FROM c)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(CASE WHEN n_words > 0
+                 THEN 206.835 - 1.015 * wps - 84.6 * spw END, 4) + 0.0
+             AS flesch,
+           round(CASE WHEN n_words > 0
+                 THEN 0.39 * wps + 11.8 * spw - 15.59 END, 4) + 0.0
+             AS fk_grade
+    FROM f
+    """,
+)
+def t_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document
+    (operators/text_features.readability_stats; Kincaid et al. 1975) —
+    the interpretable quality-filter complement to t_quality_score.
+    Vowel-group syllable heuristic with vowelless words floored at one
+    syllable; unpunctuated text reads as one sentence. Pure native
+    column expressions, zero shuffle; the oracle replays counts and
+    both formulas term-for-term."""
+    from pandasvcf_spark.operators.text_features import readability_stats
+
+    d = load(spark, sf_dir, "documents")
+    return readability_stats(d)

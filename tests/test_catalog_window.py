@@ -461,6 +461,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # 1-row stack unpivot (agg family);
                                  # per-column SQL aggregate oracle;
                                  # hand-case pytest
+        "t_readability",         # Flesch/FK readability: pure column
+                                 # exprs (t_quality_score family);
+                                 # term-for-term formula oracle;
+                                 # hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

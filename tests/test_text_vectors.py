@@ -1832,3 +1832,35 @@ def test_pmi_pairs_order_and_validation(spark):
     ]
     with _pytest.raises(ValueError, match="max_words"):
         pmi_pairs(df, max_words=1)
+
+
+def test_readability_stats_hand_case(spark):
+    """Hand-computed Flesch/FK on a two-sentence doc, a vowelless word
+    (floors at 1 syllable), an unpunctuated doc (1 sentence), and a
+    wordless doc (NULL scores, zero counts)."""
+    from pandasvcf_spark.operators.text_features import readability_stats
+
+    docs = [
+        (0, "The cat sat. The dog ran!"),   # 6 words, 2 sentences, 6 syll
+        (1, "grr hmm pfft"),                # vowelless x3 -> 3 syllables
+        (2, "banana banana"),               # 1 sentence, 6 syllables
+        (3, "123 !!"),                      # wordless
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability_stats(df).collect()}
+
+    r0 = got[0]
+    assert (r0["n_words"], r0["n_sentences"], r0["n_syllables"]) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert abs(r0["flesch"] - round(206.835 - 1.015 * wps - 84.6 * spw, 4)) < 1e-9
+    assert abs(r0["fk_grade"] - round(0.39 * wps + 11.8 * spw - 15.59, 4)) < 1e-9
+
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (3, 1, 3)
+
+    r2 = got[2]
+    assert (r2["n_sentences"], r2["n_syllables"]) == (1, 6)
+
+    r3 = got[3]
+    assert (r3["n_words"], r3["n_syllables"]) == (0, 0)
+    assert r3["flesch"] is None and r3["fk_grade"] is None
