@@ -1261,3 +1261,87 @@ def rrf_fuse(
     if topn is not None:
         out = out.filter(F.col("fused_rank") <= int(topn))
     return out.orderBy("fused_rank")
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """One-pass covariance statistics of an embedding column — the
+    whitening / PCA-preprocessing matrix retrieval stacks fit before
+    re-projecting vectors (Jégou & Chum 2012's whitening observation;
+    also the input to OPQ rotation training). Output: upper triangle
+    (i, j INT 0-based, i <= j, n BIGINT, mean_i, mean_j, cov DOUBLE)
+    with the unbiased estimator cov = (Σx_i·x_j − Σx_i·Σx_j/n)/(n−1);
+    NULL cov when n < 2.
+
+    Plan — the blocked-BLAS discipline of `cosine_topk_blocked`: one
+    mapInPandas pass computes per-Arrow-batch partial sums (count, Σx,
+    X'X by one numpy matmul per batch), emitting D·(D+1)/2 partial rows
+    PER BATCH, not per vector — vectors never shuffle, only D²-sized
+    partial grids do, and the grouped sum that merges them is
+    partial-agged. No per-row Python, no data×D² explode (the naive
+    unnest self-join the oracle uses declaratively).
+
+    Rows with NULL or wrong-length vectors are dropped (dims inferred
+    from the first row when not given — one tiny job)."""
+    import numpy as np
+    import pandas as pd
+
+    if dims is None:
+        first = df.filter(F.col(vec_col).isNotNull()).select(
+            F.size(vec_col).alias("d")
+        ).first()
+        if first is None:
+            raise ValueError(f"no non-null vectors in {vec_col!r}")
+        dims = first["d"]
+    d = int(dims)
+    nn = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == d)
+    ).select(F.col(vec_col).alias("__v"))
+
+    iu = np.triu_indices(d)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            n = M.shape[0]
+            s = M.sum(axis=0)
+            S = M.T @ M
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "c": np.full(len(iu[0]), n, dtype="int64"),
+                    "si": s[iu[0]],
+                    "sj": s[iu[1]],
+                    "sij": S[iu],
+                }
+            )
+
+    grid = nn.mapInPandas(
+        partials,
+        "i int, j int, c bigint, si double, sj double, sij double",
+    )
+    agg = grid.groupBy("i", "j").agg(
+        F.sum("c").alias("n"),
+        F.sum("si").alias("__si"),
+        F.sum("sj").alias("__sj"),
+        F.sum("sij").alias("__sij"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.when(
+        F.col("n") >= 2,
+        (F.col("__sij") - F.col("__si") * F.col("__sj") / n) / (n - 1.0),
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        (F.round(F.col("__si") / n, 6) + 0.0).alias("mean_i"),
+        (F.round(F.col("__sj") / n, 6) + 0.0).alias("mean_j"),
+        (F.round(cov, 6) + 0.0).alias("cov"),
+    )

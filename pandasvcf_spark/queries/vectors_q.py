@@ -1171,3 +1171,49 @@ def _rand_proj_oracle() -> str:
 
 
 QUERIES["v_rand_proj"].oracle = _rand_proj_oracle()
+
+
+@register(
+    "v_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding[1:8] AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+    u AS (
+      SELECT vec_id, CAST(gs.i - 1 AS INT) AS i,
+             CAST(v[gs.i] AS DOUBLE) AS x
+      FROM e, (SELECT unnest(range(1, 9)) AS i) gs),
+    cells AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(a.x) AS si, sum(b.x) AS sj, sum(a.x * b.x) AS sij
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i)
+    SELECT i, j, n,
+           round(si / n, 6) + 0.0 AS mean_i,
+           round(sj / n, 6) + 0.0 AS mean_j,
+           round(CASE WHEN n >= 2
+                 THEN (sij - si * sj / n) / (n - 1.0) END, 6) + 0.0
+             AS cov
+    FROM cells
+    """,
+)
+def v_covariance(spark, sf_dir):
+    """Upper-triangle covariance of the first 8 embedding dimensions
+    (operators/similarity.embedding_covariance) — the whitening / OPQ
+    preprocessing statistic. One mapInPandas pass emits per-Arrow-batch
+    partial (count, Σx, X'X) grids via a single numpy matmul per batch
+    — vectors never shuffle, D²-sized partials do; a partial-agged
+    grouped sum merges them. The oracle states the same cells
+    declaratively with a data×D unnest self-join (fine at sf0.01,
+    exactly the explode the operator exists to avoid at 100 TB). The
+    8-dim slice keeps the oracle's quadratic unnest tractable; the
+    operator itself is dimension-generic."""
+    from pandasvcf_spark.operators.similarity import embedding_covariance
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    sliced = e.select(F.slice("embedding", 1, 8).alias("embedding"))
+    return embedding_covariance(sliced, dims=8)

@@ -465,6 +465,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # exprs (t_quality_score family);
                                  # term-for-term formula oracle;
                                  # hand-case pytest
+        "v_covariance",          # one-pass embedding covariance: Arrow-
+                                 # batch partial X'X grids (blocked-BLAS
+                                 # device of v_cosine_topk_manyquery);
+                                 # declarative unnest-self-join oracle;
+                                 # numpy.cov pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

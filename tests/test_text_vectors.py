@@ -1864,3 +1864,43 @@ def test_readability_stats_hand_case(spark):
     r3 = got[3]
     assert (r3["n_words"], r3["n_syllables"]) == (0, 0)
     assert r3["flesch"] is None and r3["fk_grade"] is None
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Upper-triangle covariance equals numpy.cov (ddof=1) on a small
+    corpus; wrong-length and NULL vectors are dropped; n < 2 covs are
+    NULL; dims inference works."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(3)
+    M = rng.randn(40, 5)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(40)]
+    rows.append((100, [1.0, 2.0]))       # wrong length -> dropped
+    rows.append((101, None))             # NULL -> dropped
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {(r["i"], r["j"]): r for r in
+           embedding_covariance(df, dims=5).collect()}
+    C = np.cov(M, rowvar=False, ddof=1)
+    mu = M.mean(axis=0)
+    assert len(got) == 15
+    for (i, j), r in got.items():
+        assert r["n"] == 40
+        assert abs(r["cov"] - round(C[i, j], 6)) < 1e-9, (i, j)
+        assert abs(r["mean_i"] - round(mu[i], 6)) < 1e-9
+        assert abs(r["mean_j"] - round(mu[j], 6)) < 1e-9
+
+    # dims inference drops the ragged row and still matches
+    inferred = {(r["i"], r["j"]): r["cov"] for r in
+                embedding_covariance(
+                    spark.createDataFrame(rows[:40],
+                        "vec_id long, embedding array<double>")
+                ).collect()}
+    assert abs(inferred[(0, 0)] - round(C[0, 0], 6)) < 1e-9
+
+    single = spark.createDataFrame([(0, [1.0, 2.0])],
+                                   "vec_id long, embedding array<double>")
+    for r in embedding_covariance(single, dims=2).collect():
+        assert r["cov"] is None and r["n"] == 1
