@@ -553,3 +553,102 @@ def stratified_sample(
     if rank_col is not None:
         return out.withColumnRenamed("__rk", rank_col).drop("__n")
     return out.drop("__rk", "__n")
+
+
+#: P(Poisson(1) <= k) scaled to the 32-bit hash range: floor(cdf * 2^32)
+#: for k = 0..7 — integer thresholds so the weight ladder is bit-exact
+#: across engines (tail beyond 8 has mass < 1.2e-8 and is truncated).
+_POISSON1_CDF_U32 = [
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_reps: int = 20,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean
+    of a column — THE bootstrap that works on data too large to resample
+    by index (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams"; equivalent in the limit to the classic multinomial
+    bootstrap): in replicate r every row independently carries weight
+    w ~ Poisson(1), and the spread of the R weighted means estimates the
+    sampling distribution of the mean.
+
+    Weights are a PURE FUNCTION of (key, replicate): u32 =
+    mix32(poly_hash(key ∥ '#' ∥ r)) and w = #{k : u32 ≥ CDF_k} over
+    integer thresholds — bit-exact across engines, runs, and
+    partitionings (df.sample's per-partition RNG is none of these), so
+    the whole simulation replays in an external SQL oracle. Output one
+    row: (n BIGINT data rows, n_reps INT, mean point estimate, boot_se
+    stddev of replicate means, ci_lo/ci_hi DOUBLE — type-1 quantiles of
+    the replicate means at alpha/2 and 1−alpha/2, round 6). Replicates
+    whose total weight is 0 (only possible on tiny data) are excluded.
+
+    Plan: the corpus explodes × n_reps but collapses to n_reps rows in
+    the SAME stage (partial-agged groupBy(rep) of (Σw·x, Σw)) — the
+    shuffle carries n_reps rows, and everything after runs on the
+    replicate-means table. n_reps × hash cost per row is the honest
+    price of bootstrap resampling; the row is pruned to (key, value)
+    before the explode."""
+    if n_reps < 2:
+        raise ValueError(f"n_reps must be >= 2, got {n_reps}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    import math
+
+    from pandasvcf_spark.functions.text import mix32_expr, poly_hash_expr
+
+    v = F.col(value_col).cast("double")
+    k = F.col(key_col).cast("string")
+    nn = df.filter(v.isNotNull()).select(v.alias("__x"), k.alias("__k"))
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("__r")
+    ex = nn.select("__x", "__k", rep)
+    u32 = mix32_expr(
+        poly_hash_expr(F.concat(F.col("__k"), F.lit("#"),
+                                F.col("__r").cast("string")))
+    )
+    w = sum(
+        (u32 >= F.lit(t)).cast("int") for t in _POISSON1_CDF_U32
+    )
+    means = (
+        ex.select("__r", "__x", w.alias("__w"))
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__w") * F.col("__x")).alias("__wx"),
+            F.sum("__w").alias("__sw"),
+        )
+        .filter(F.col("__sw") > 0)
+        .select((F.col("__wx") / F.col("__sw")).alias("__m"))
+    )
+    wq = Window.orderBy("__m")
+    ranked = means.withColumn("__rn", F.row_number().over(wq)).crossJoin(
+        F.broadcast(means.agg(F.count(F.lit(1)).alias("__R")))
+    )
+    lo_rank = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.col("__R") * (alpha / 2.0))
+    )
+    hi_rank = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.col("__R") * (1.0 - alpha / 2.0))
+    )
+    band = ranked.agg(
+        F.max(F.when(F.col("__rn") == lo_rank, F.col("__m"))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi_rank, F.col("__m"))).alias("__hi"),
+        F.stddev_samp("__m").alias("__se"),
+        F.count(F.lit(1)).alias("__R"),
+    )
+    stats = nn.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__x").alias("__mean")
+    )
+    return stats.crossJoin(F.broadcast(band)).select(
+        "n",
+        F.col("__R").cast("int").alias("n_reps"),
+        (F.round(F.col("__mean"), 6) + 0.0).alias("mean"),
+        (F.round(F.col("__se"), 6) + 0.0).alias("boot_se"),
+        (F.round(F.col("__lo"), 6) + 0.0).alias("ci_lo"),
+        (F.round(F.col("__hi"), 6) + 0.0).alias("ci_hi"),
+    )

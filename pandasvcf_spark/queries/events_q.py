@@ -672,3 +672,77 @@ def e_cusum(spark, sf_dir):
         d, "user_id", "event_id", "value", drift=55.0, threshold=500.0
     )
     return out.select("user_id", "event_id", "cusum", "alarm")
+
+
+_POLY_BOOT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split("
+    "CAST(event_id AS VARCHAR) || '#' || CAST(r AS VARCHAR), ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) "
+    "% 2147483647)"
+)
+
+_BOOT_W = (
+    "(CASE WHEN u32 >= 1580030168 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN u32 >= 3160060337 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN u32 >= 3950075421 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN u32 >= 4213413783 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN u32 >= 4279248373 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN u32 >= 4292415291 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN u32 >= 4294609777 THEN 1 ELSE 0 END)"
+    " + (CASE WHEN u32 >= 4294923276 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "m_bootstrap_ci",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL),
+    ex AS (
+      SELECT s.event_id, s.x, reps.r
+      FROM s, (SELECT unnest(range(0, 20)) AS r) reps),
+    hh AS (SELECT x, r, {_POLY_BOOT} AS h0 FROM ex),
+    uu AS (SELECT x, r, {_HLL_MIX} AS u32 FROM hh),
+    ww AS (SELECT r, x, {_BOOT_W} AS w FROM uu),
+    m AS (
+      SELECT r, sum(w * x) / sum(w) AS mv
+      FROM ww GROUP BY r HAVING sum(w) > 0),
+    ranked AS (
+      SELECT mv, row_number() OVER (ORDER BY mv) AS rn,
+             count(*) OVER () AS nr
+      FROM m),
+    band AS (
+      SELECT max(CASE WHEN rn = greatest(1, CAST(ceil(nr * 0.025)
+                   AS BIGINT)) THEN mv END) AS lo,
+             max(CASE WHEN rn = greatest(1, CAST(ceil(nr * 0.975)
+                   AS BIGINT)) THEN mv END) AS hi,
+             stddev_samp(mv) AS se,
+             CAST(count(*) AS BIGINT) AS nr
+      FROM ranked),
+    pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(x) AS mean_v FROM s)
+    SELECT n, CAST(nr AS INT) AS n_reps,
+           round(mean_v, 6) + 0.0 AS mean,
+           round(se, 6) + 0.0 AS boot_se,
+           round(lo, 6) + 0.0 AS ci_lo,
+           round(hi, 6) + 0.0 AS ci_hi
+    FROM pt, band
+    """,
+)
+def m_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson-bootstrap 95% CI for mean(events.value)
+    (operators/sampling.poisson_bootstrap_ci; Chamandy et al. 2012) —
+    uncertainty quantification that resamples by HASH WEIGHT, the only
+    bootstrap that distributes: weight(key, replicate) =
+    Poisson⁻¹(mix32(poly_hash(key∥'#'∥r))/2³²) via an all-integer
+    threshold ladder, bit-exact across engines. The corpus explodes
+    ×20 replicates but collapses to 20 partial-agged rows in the same
+    stage; everything downstream runs on the replicate-means table.
+    The oracle replays hash, ladder, weighted means, type-1 band ranks
+    and the bootstrap SE term-for-term."""
+    from pandasvcf_spark.operators.sampling import poisson_bootstrap_ci
+
+    e = load(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(e, "value", "event_id", n_reps=20)

@@ -470,6 +470,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # device of v_cosine_topk_manyquery);
                                  # declarative unnest-self-join oracle;
                                  # numpy.cov pytest
+        "m_bootstrap_ci",        # Poisson-bootstrap CI: portable-hash
+                                 # weight ladder (t_hash_sample family)
+                                 # + partial-agged replicate collapse;
+                                 # full simulation replay oracle;
+                                 # analytic-SE pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1617,3 +1617,42 @@ def test_stratified_sample_validation(spark):
         stratified_sample(d, ["src"], "id", 1.5)
     with pytest.raises(ValueError, match="min_per_stratum"):
         stratified_sample(d, ["src"], "id", 0.5, min_per_stratum=-1)
+
+
+# poisson_bootstrap_ci (deterministic distributed bootstrap)
+
+
+def test_poisson_bootstrap_ci_statistical_and_deterministic(spark):
+    """The bootstrap SE must track the analytic SE (sigma/sqrt(n)) on a
+    gaussian corpus; the result is a pure function of content (identical
+    after repartition); the CI brackets the point estimate; validation
+    raises."""
+    import random
+    import statistics
+
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.sampling import poisson_bootstrap_ci
+
+    rnd = random.Random(5)
+    rows = [(i, rnd.gauss(10, 2)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = poisson_bootstrap_ci(df, "v", "id", n_reps=50).collect()[0]
+
+    vals = [x for _, x in rows]
+    analytic_se = statistics.stdev(vals) / (len(vals) ** 0.5)
+    assert r["n"] == 2000 and r["n_reps"] == 50
+    assert abs(r["mean"] - round(statistics.mean(vals), 6)) < 1e-9
+    # bootstrap SE within 40% of analytic (50 reps is noisy but close)
+    assert 0.6 * analytic_se < r["boot_se"] < 1.4 * analytic_se
+    assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+
+    r2 = poisson_bootstrap_ci(
+        df.repartition(7), "v", "id", n_reps=50
+    ).collect()[0]
+    assert r == r2
+
+    with _pytest.raises(ValueError, match="n_reps"):
+        poisson_bootstrap_ci(df, "v", "id", n_reps=1)
+    with _pytest.raises(ValueError, match="alpha"):
+        poisson_bootstrap_ci(df, "v", "id", alpha=1.5)
