@@ -1345,3 +1345,39 @@ def embedding_covariance(
         (F.round(F.col("__sj") / n, 6) + 0.0).alias("mean_j"),
         (F.round(cov, 6) + 0.0).alias("cov"),
     )
+
+
+def mutual_knn(
+    pairs: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    sim_col: str = "cossim",
+) -> DataFrame:
+    """Reciprocal nearest-neighbor filter over a self-kNN pair table —
+    keep (a, b) only when b is in a's top-k AND a is in b's top-k. The
+    standard precision upgrade for similarity graphs before clustering
+    or dedup (mutual-kNN graphs drop the hub/asymmetry false positives
+    one-directional kNN is full of; the device behind RNN-descent and
+    image-dedup pipelines' reciprocal check). Composes with ANY kNN
+    producer — `cosine_topk`, `cosine_topk_blocked`, `ivf_topk`,
+    `ann_banded_topk` — because it only sees the pair table.
+
+    Output: (a_id, b_id, sim), each unordered mutual pair ONCE
+    (a_id < b_id), sim taken from the a→b direction (symmetric metrics
+    make the two directions equal; for asymmetric producers document
+    which direction you feed). Plan: one equi-join of the pair table
+    against its own reversal on the composite pair key — pairs are
+    |corpus|·k rows, so the shuffle is k-bounded, never corpus²."""
+    a = pairs.select(
+        F.col(query_col).alias("a_id"),
+        F.col(id_col).alias("b_id"),
+        F.col(sim_col).alias("sim"),
+    )
+    rev = pairs.select(
+        F.col(id_col).alias("a_id"), F.col(query_col).alias("b_id")
+    )
+    return (
+        a.join(rev, on=["a_id", "b_id"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sim")
+    )

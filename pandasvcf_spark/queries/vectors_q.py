@@ -1217,3 +1217,46 @@ def v_covariance(spark, sf_dir):
     )
     sliced = e.select(F.slice("embedding", 1, 8).alias("embedding"))
     return embedding_covariance(sliced, dims=8)
+
+
+@register(
+    "v_mutual_knn",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+             {_sql_cos('e.embedding', 'q.embedding')} AS cos
+      FROM sub e, sub q WHERE e.vec_id <> q.vec_id),
+    knn AS (
+      SELECT query_id, vec_id, cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 5),
+    mutual AS (
+      SELECT a.query_id AS a_id, a.vec_id AS b_id, a.cos
+      FROM knn a JOIN knn b
+        ON a.query_id = b.vec_id AND a.vec_id = b.query_id
+      WHERE a.query_id < a.vec_id)
+    SELECT a_id, b_id, round(cos, 6) AS sim FROM mutual
+    """,
+)
+def v_mutual_knn(spark, sf_dir):
+    """Reciprocal nearest-neighbor pairs (operators/similarity.
+    mutual_knn) over a 300-vector corpus slice: b in a's top-5 AND a in
+    b's top-5 — the mutual-kNN precision filter similarity graphs apply
+    before clustering/dedup (kills hub false positives). Composes the
+    blocked-BLAS self-kNN with one pair-keyed equi-join of the kNN
+    table against its own reversal — the shuffle is corpus×k rows,
+    never corpus². The oracle replays kNN both ways and the mutual
+    join declaratively."""
+    from pandasvcf_spark.operators.similarity import (
+        cosine_topk_blocked,
+        mutual_knn,
+    )
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    knn = cosine_topk_blocked(e, q, k=5)
+    out = mutual_knn(knn)
+    return out.select("a_id", "b_id", F.round("sim", 6).alias("sim"))

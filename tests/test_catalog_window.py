@@ -475,6 +475,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # + partial-agged replicate collapse;
                                  # full simulation replay oracle;
                                  # analytic-SE pytest
+        "v_mutual_knn",          # reciprocal-kNN filter: one pair-keyed
+                                 # self-join over v_cosine_topk_manyquery
+                                 # machinery (in window); declarative
+                                 # both-ways oracle; hub hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

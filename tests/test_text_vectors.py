@@ -1904,3 +1904,21 @@ def test_embedding_covariance_matches_numpy(spark):
                                    "vec_id long, embedding array<double>")
     for r in embedding_covariance(single, dims=2).collect():
         assert r["cov"] is None and r["n"] == 1
+
+
+def test_mutual_knn_hand_case(spark):
+    """Hand-built asymmetric kNN table: hub node 9 appears in everyone's
+    list but reciprocates only node 1 -> only (1, 9) survives; symmetric
+    pair (2, 3) survives; one-directional (4 -> 5) does not. Each
+    mutual pair appears once with a_id < b_id."""
+    from pandasvcf_spark.operators.similarity import mutual_knn
+
+    pairs = [
+        (1, 9, 0.9), (9, 1, 0.9),          # reciprocal with the hub
+        (2, 3, 0.8), (3, 2, 0.8),          # symmetric pair
+        (4, 5, 0.7),                        # one-directional
+        (4, 9, 0.6), (5, 9, 0.5),           # hub doesn't reciprocate
+    ]
+    df = spark.createDataFrame(pairs, "query_id long, vec_id long, cossim double")
+    got = {(r["a_id"], r["b_id"]): r["sim"] for r in mutual_knn(df).collect()}
+    assert got == {(1, 9): 0.9, (2, 3): 0.8}
