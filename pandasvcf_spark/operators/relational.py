@@ -2108,3 +2108,72 @@ def profile_table(
         "min_str",
         "max_str",
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    intercept: bool = True,
+) -> DataFrame:
+    """Ordinary least squares at corpus scale — one pass of
+    partial-aggregated normal-equation sums, then a driver-side d×d
+    solve (the documented model-sized collect: d features, never data).
+    The regression every pipeline eventually runs on its own telemetry
+    (trend fits, mixture-weight calibration, throughput models), in the
+    only shape that distributes: X'X and X'y are sums of per-row outer
+    products, so ONE .agg() with d(d+1)/2 + d + 2 sum expressions
+    collapses the corpus map-side; no row ever shuffles.
+
+    Output: one row per coefficient (term STRING — '(intercept)' or the
+    feature name, beta DOUBLE round 6) plus diagnostics rows
+    ('(n)', '(r2)') — long form so the schema is d-agnostic. R² =
+    1 − SSR/SST (NULL for a constant y). Rows with any NULL among
+    y/x are excluded (complete-case). Raises on singular X'X (collinear
+    features) — a silent pseudo-inverse would hide a modeling bug.
+
+    Exactness note: the driver solve uses numpy's LAPACK; the SQL
+    oracle replays Cramer's rule — both on the SAME aggregated sums, so
+    agreement to 1e-6 holds for any well-conditioned design, and the
+    sums themselves (the distributed part) are exact replays."""
+    import numpy as np
+
+    if not x_cols:
+        raise ValueError("x_cols must be non-empty")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    terms = ([F.lit(1.0)] if intercept else []) + xs
+    names = (["(intercept)"] if intercept else []) + list(x_cols)
+    d = len(terms)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"__xx_{i}_{j}"))
+        aggs.append(F.sum(terms[i] * y).alias(f"__xy_{i}"))
+    aggs.append(F.sum(y).alias("__sy"))
+    aggs.append(F.sum(y * y).alias("__syy"))
+    row = nn.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n == 0:
+        raise ValueError("no complete-case rows to fit")
+    XX = np.zeros((d, d))
+    Xy = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            XX[i, j] = XX[j, i] = row[f"__xx_{i}_{j}"]
+        Xy[i] = row[f"__xy_{i}"]
+    if abs(np.linalg.det(XX)) < 1e-10 * max(1.0, abs(XX).max()) ** d:
+        raise ValueError("singular design matrix (collinear features)")
+    beta = np.linalg.solve(XX, Xy)
+    ssr = row["__syy"] - float(beta @ Xy)
+    sst = row["__syy"] - row["__sy"] ** 2 / n
+    r2 = 1.0 - ssr / sst if sst > 0 else None
+    spark = df.sparkSession
+    out = [(nm, round(float(b), 6) + 0.0) for nm, b in zip(names, beta)]
+    out.append(("(n)", float(n)))
+    out.append(("(r2)", round(r2, 6) + 0.0 if r2 is not None else None))
+    return spark.createDataFrame(out, "term string, beta double")

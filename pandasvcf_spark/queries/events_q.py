@@ -746,3 +746,76 @@ def m_bootstrap_ci(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return poisson_bootstrap_ci(e, "value", "event_id", n_reps=20)
+
+
+@register(
+    "m_ols",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS y,
+             CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(user_id % 7 AS DOUBLE) AS x2
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(y * y) AS syy
+      FROM s),
+    det AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS d0
+      FROM m),
+    beta AS (
+      SELECT *,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) / d0 AS b0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) / d0 AS b1,
+             (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) / d0 AS b2
+      FROM det),
+    fit AS (
+      SELECT *,
+             syy - (b0 * sy + b1 * s1y + b2 * s2y) AS ssr,
+             syy - sy * sy / n AS sst
+      FROM beta)
+    SELECT '(intercept)' AS term, round(b0, 6) + 0.0 AS beta FROM fit
+    UNION ALL SELECT 'hour_of_day', round(b1, 6) + 0.0 FROM fit
+    UNION ALL SELECT 'user_mod7', round(b2, 6) + 0.0 FROM fit
+    UNION ALL SELECT '(n)', n FROM fit
+    UNION ALL
+    SELECT '(r2)', CASE WHEN sst > 0
+                   THEN round(1.0 - ssr / sst, 6) + 0.0 END FROM fit
+    """,
+)
+def m_ols(spark, sf_dir):
+    """Distributed OLS of events.value on hour-of-day and user_id%7
+    (operators/relational.ols_fit) — one partial-aggregated pass builds
+    the normal-equation sums (nothing ever shuffles but the d²-sized
+    agg), a model-sized driver solve inverts the 3×3 system. Expected
+    near-zero slopes on this synthetic corpus — the entry checks the
+    estimator, not the model. The oracle solves the SAME sums with
+    Cramer's rule; agreement to 6dp holds because the distributed part
+    (the sums) is an exact replay and both solvers act on identical
+    well-conditioned 3×3 inputs."""
+    from pandasvcf_spark.operators.relational import ols_fit
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("y"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        (F.col("user_id") % 7).cast("double").alias("user_mod7"),
+    )
+    return ols_fit(d, "y", ["hour_of_day", "user_mod7"])

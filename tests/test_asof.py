@@ -886,3 +886,45 @@ def test_profile_table_hand_case(spark):
     approx = {r["col_name"]: r for r in
               profile_table(df, exact_distinct=False).collect()}
     assert all(approx[c]["n_distinct"] >= 1 for c in approx)
+
+
+# ols_fit (one-pass distributed OLS)
+
+
+def test_ols_fit_recovers_coefficients(spark):
+    """OLS on a planted linear model recovers the coefficients to the
+    noise floor and matches numpy lstsq exactly on the same data;
+    complete-case filtering drops NULL rows; collinear features raise;
+    constant-y r2 is NULL."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import ols_fit
+
+    rng = np.random.RandomState(0)
+    x1 = rng.uniform(0, 10, 2000)
+    x2 = rng.uniform(-5, 5, 2000)
+    yv = 3.0 + 2.0 * x1 - 0.5 * x2 + rng.randn(2000)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, yv)]
+    rows.append((None, 1.0, 1.0))  # dropped
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = {r["term"]: r["beta"] for r in
+           ols_fit(df, "y", ["x1", "x2"]).collect()}
+    A = np.column_stack([np.ones(2000), x1, x2])
+    want, *_ = np.linalg.lstsq(A, yv, rcond=None)
+    assert got["(n)"] == 2000.0
+    assert abs(got["(intercept)"] - round(want[0], 6)) < 1e-6
+    assert abs(got["x1"] - round(want[1], 6)) < 1e-6
+    assert abs(got["x2"] - round(want[2], 6)) < 1e-6
+    assert 0.9 < got["(r2)"] <= 1.0
+
+    dup = df.withColumn("x3", F.col("x1") * 2)
+    with _pytest.raises(ValueError, match="singular"):
+        ols_fit(dup, "y", ["x1", "x3"])
+
+    const = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(10)], "x1 double, y double"
+    )
+    gotc = {r["term"]: r["beta"] for r in
+            ols_fit(const, "y", ["x1"]).collect()}
+    assert gotc["(r2)"] is None

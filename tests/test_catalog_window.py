@@ -479,6 +479,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # self-join over v_cosine_topk_manyquery
                                  # machinery (in window); declarative
                                  # both-ways oracle; hub hand-case pytest
+        "m_ols",                 # one-pass OLS normal equations:
+                                 # partial-agged sums (agg family) +
+                                 # model-sized driver solve; Cramer
+                                 # replay oracle; lstsq-equality pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
