@@ -2177,3 +2177,118 @@ def ols_fit(
     out.append(("(n)", float(n)))
     out.append(("(r2)", round(r2, 6) + 0.0 if r2 is not None else None))
     return spark.createDataFrame(out, "term string, beta double")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Hour-of-day seasonal profile per key with deviation z-scores —
+    the seasonality-aware companion to `rate_anomaly` (whose global
+    hourly z treats 3am and 3pm as exchangeable): per (key,
+    hour-of-day), the mean DAILY event count across the dates that hour
+    actually fired, and how far that hour's mean sits from the key's
+    own across-hours distribution:
+
+        hourly  = count per (key, date, hour)
+        profile = mean over dates per (key, hour)     (absent
+                  (date, hour) cells are MISSING, not zero — a day
+                  with no 3am events doesn't drag the 3am mean down;
+                  n_days says how much support each cell has)
+        z       = (profile − mean_h(profile)) / stddev_h(profile)
+
+    Output: (key, hod INT, n_days BIGINT, mean_cnt DOUBLE round 6,
+    z DOUBLE round 6; NULL z for keys whose 24 profile cells are
+    constant). The peak/trough hours a traffic pipeline alerts on are
+    exactly the |z| tails.
+
+    Plan: one groupBy(key, date, hod) collapses the data (the only
+    data-sized shuffle); the profile agg and the per-key window run
+    over ≤ keys×24 rows."""
+    k = F.col(key_col)
+    ts = F.col(ts_col)
+    nn = df.filter(k.isNotNull() & ts.isNotNull())
+    hourly = nn.groupBy(
+        k.alias("key"),
+        F.to_date(ts).alias("__d"),
+        F.hour(ts).alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    prof = hourly.groupBy("key", "hod").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("__c").alias("__m"),
+    )
+    w = Window.partitionBy("key")
+    mu = F.avg("__m").over(w)
+    sd = F.stddev_samp("__m").over(w)
+    z = F.when(sd > 0, (F.col("__m") - mu) / sd)
+    return prof.select(
+        "key",
+        F.col("hod").cast("int").alias("hod"),
+        "n_days",
+        (F.round(F.col("__m"), 6) + 0.0).alias("mean_cnt"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+
+
+#: P(first significant digit = d) under Benford's law, d = 1..9
+_BENFORD = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_screen(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    data-forensics screen for fabricated or truncated numeric columns
+    (Nigrini's audit test; a synthetic uniform column fails it loudly,
+    which is itself the signal that a column is NOT organic magnitude
+    data). Digits come from the absolute value's scientific-notation
+    lead digit (zero and NULL rows excluded — they have no first
+    significant digit). Output: one row per digit 1..9 with n BIGINT,
+    freq, expected DOUBLE, dev (freq − expected), plus the per-digit
+    chi-square term; sum(chi2_term) is the 8-dof statistic a gate
+    thresholds.
+
+    Plan: one groupBy over a 9-value key after a pure-projection digit
+    extraction; totals broadcast back as one row. The digit expression
+    is log10-free: format the absolute value with `format_number`-style
+    scientific printing? No — printing is engine-specific, so the digit
+    is computed ARITHMETICALLY: y = |x| / 10^floor(log10(|x|)) then a
+    ±1-decade correction CASE (y ≥ 10 → y/10, y < 1 → y·10) — so a
+    1-ulp log10 disagreement between engines at exact powers of 10
+    cannot flip the digit."""
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull() & (v != 0.0) & ~F.isnan(v))
+    mag = F.floor(F.log10(F.abs(v)))
+    y = F.abs(v) / F.pow(F.lit(10.0), mag)
+    digit = (
+        F.when(y >= 10.0, F.floor(y / 10.0))
+        .when(y < 1.0, F.floor(y * 10.0))
+        .otherwise(F.floor(y))
+    ).cast("int")
+    counts = nn.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    b = counts.crossJoin(F.broadcast(tot))
+    freq = F.col("n").cast("double") / F.col("__t")
+    exp_map = F.map_from_arrays(
+        F.array(*[F.lit(i + 1) for i in range(9)]),
+        F.array(*[F.lit(p) for p in _BENFORD]),
+    )
+    expected = exp_map[F.col("digit")]
+    chi = (
+        (freq - expected) * (freq - expected) / expected * F.col("__t")
+    )
+    return b.select(
+        "digit",
+        "n",
+        (F.round(freq, 6) + 0.0).alias("freq"),
+        F.round(expected, 6).alias("expected"),
+        (F.round(freq - expected, 6) + 0.0).alias("dev"),
+        (F.round(chi, 6) + 0.0).alias("chi2_term"),
+    ).orderBy("digit")

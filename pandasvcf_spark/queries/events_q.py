@@ -819,3 +819,91 @@ def m_ols(spark, sf_dir):
         (F.col("user_id") % 7).cast("double").alias("user_mod7"),
     )
     return ols_fit(d, "y", ["hour_of_day", "user_mod7"])
+
+
+@register(
+    "e_seasonal_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS d,
+             hour(ts) AS hod, CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE), hour(ts)),
+    prof AS (
+      SELECT key, hod, CAST(count(*) AS BIGINT) AS n_days,
+             avg(CAST(c AS DOUBLE)) AS m
+      FROM hourly GROUP BY key, hod),
+    wz AS (
+      SELECT key, hod, n_days, m,
+             avg(m) OVER (PARTITION BY key) AS mu,
+             stddev_samp(m) OVER (PARTITION BY key) AS sd
+      FROM prof)
+    SELECT key, CAST(hod AS INT) AS hod, n_days,
+           round(m, 6) + 0.0 AS mean_cnt,
+           round(CASE WHEN sd > 0 THEN (m - mu) / sd END, 6) + 0.0 AS z
+    FROM wz
+    """,
+)
+def e_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal traffic profile per event type
+    (operators/relational.seasonal_profile) — the seasonality-aware
+    companion to e_rate_anomaly: mean daily count per (type, hour)
+    across the dates that hour fired, z-scored within each type's
+    24-cell profile. One groupBy(key, date, hour) collapses the corpus;
+    the profile agg and the per-key window run over keys×24 rows. The
+    oracle replays hourly counts, per-cell means and the windowed z."""
+    from pandasvcf_spark.operators.relational import seasonal_profile
+
+    return seasonal_profile(load(spark, sf_dir, "events"),
+                            "event_type", "ts")
+
+
+@register(
+    "m_benford",
+    oracle="""
+    WITH nn AS (
+      SELECT abs(CAST(value AS DOUBLE)) AS a
+      FROM events
+      WHERE value IS NOT NULL AND value <> 0 AND NOT isnan(value)),
+    yy AS (
+      SELECT a / pow(10.0, floor(log10(a))) AS y FROM nn),
+    dd AS (
+      SELECT CAST(CASE WHEN y >= 10.0 THEN floor(y / 10.0)
+                       WHEN y < 1.0 THEN floor(y * 10.0)
+                       ELSE floor(y) END AS INT) AS digit
+      FROM yy),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n
+      FROM dd GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+    ben(digit, expected) AS (VALUES
+      (1, 0.3010299956639812), (2, 0.17609125905568124),
+      (3, 0.12493873660829993), (4, 0.09691001300805642),
+      (5, 0.07918124604762482), (6, 0.06694678963061322),
+      (7, 0.05799194697768673), (8, 0.05115252244738129),
+      (9, 0.04575749056067514))
+    SELECT c.digit, c.n,
+           round(CAST(c.n AS DOUBLE) / t, 6) + 0.0 AS freq,
+           CAST(round(b.expected, 6) AS DOUBLE) AS expected,
+           round(CAST(c.n AS DOUBLE) / t - b.expected, 6) + 0.0 AS dev,
+           round((CAST(c.n AS DOUBLE) / t - b.expected)
+                 * (CAST(c.n AS DOUBLE) / t - b.expected)
+                 / b.expected * t, 6) + 0.0 AS chi2_term
+    FROM counts c JOIN ben b ON c.digit = b.digit, tot
+    ORDER BY c.digit
+    """,
+)
+def m_benford(spark, sf_dir):
+    """Benford first-significant-digit screen on events.value
+    (operators/relational.benford_screen; Nigrini's audit family) —
+    the data-forensics check for fabricated/truncated numerics (the
+    synthetic uniform column here FAILS Benford loudly, which is the
+    point: the statistic detects non-organic magnitudes). Digit
+    extraction is pure arithmetic with a ±1-decade correction so a
+    1-ulp cross-engine log10 difference can't flip a digit; one
+    9-key groupBy + a 1-row totals broadcast. The oracle replays
+    extraction, frequencies and chi-square terms."""
+    from pandasvcf_spark.operators.relational import benford_screen
+
+    return benford_screen(load(spark, sf_dir, "events"), "value")

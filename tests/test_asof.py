@@ -928,3 +928,60 @@ def test_ols_fit_recovers_coefficients(spark):
     gotc = {r["term"]: r["beta"] for r in
             ols_fit(const, "y", ["x1"]).collect()}
     assert gotc["(r2)"] is None
+
+
+# seasonal_profile + benford_screen
+
+
+def test_seasonal_profile_hand_case(spark):
+    """Two days of traffic: type A fires 3x at hour 2 and 1x at hour 5
+    each day; missing (date, hour) cells are missing, not zero (hour 5
+    on day 2 absent -> n_days 1). z is computed within each key's own
+    profile; a constant profile gives NULL z."""
+    from pandasvcf_spark.operators.relational import seasonal_profile
+
+    rows = []
+    for d in ["2024-01-01", "2024-01-02"]:
+        rows += [("A", f"{d} 02:0{i}:00") for i in range(3)]
+    rows += [("A", "2024-01-01 05:00:00")]
+    rows += [("B", "2024-01-01 07:00:00"), ("B", "2024-01-02 07:30:00")]
+    df = spark.createDataFrame(rows, "k string, ts_s string").select(
+        "k", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = {(r["key"], r["hod"]): r for r in
+           seasonal_profile(df, "k", "ts").collect()}
+    a2, a5 = got[("A", 2)], got[("A", 5)]
+    assert (a2["n_days"], a2["mean_cnt"]) == (2, 3.0)
+    assert (a5["n_days"], a5["mean_cnt"]) == (1, 1.0)
+    assert a2["z"] > 0 > a5["z"]
+    # B fires once per day at hour 7 only -> constant 1-cell profile
+    b7 = got[("B", 7)]
+    assert b7["n_days"] == 2 and b7["mean_cnt"] == 1.0 and b7["z"] is None
+
+
+def test_benford_screen_organic_vs_uniform(spark):
+    """A log-uniform (organic-magnitude) sample passes Benford (small
+    chi2); a narrow uniform sample fails loudly; digits cover 1..9 and
+    frequencies sum to 1; zeros/NULLs excluded."""
+    import math
+    import random
+
+    from pandasvcf_spark.operators.relational import benford_screen
+
+    rnd = random.Random(2)
+    organic = [(10 ** rnd.uniform(0, 4),) for _ in range(20000)]
+    df = spark.createDataFrame(organic + [(0.0,), (None,)], "v double")
+    rows = benford_screen(df, "v").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    assert sum(r["n"] for r in rows) == 20000
+    assert abs(sum(r["freq"] for r in rows) - 1.0) < 1e-6
+    chi_organic = sum(r["chi2_term"] for r in rows)
+    assert chi_organic < 30  # 8 dof, organic data
+
+    uniform = spark.createDataFrame(
+        [(rnd.uniform(40, 50),) for _ in range(5000)], "v double"
+    )
+    chi_uniform = sum(
+        r["chi2_term"] for r in benford_screen(uniform, "v").collect()
+    )
+    assert chi_uniform > 1000  # all mass on digit 4 -> loud failure

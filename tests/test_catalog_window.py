@@ -483,6 +483,15 @@ def test_tail_entries_are_redundant_variants_only():
                                  # partial-agged sums (agg family) +
                                  # model-sized driver solve; Cramer
                                  # replay oracle; lstsq-equality pytest
+        "e_seasonal_profile",    # hour-of-day seasonal z profile:
+                                 # groupBy collapse + keys*24 window
+                                 # (e_rate_anomaly family); replay
+                                 # oracle; hand-case pytest
+        "m_benford",             # Benford first-digit screen: 9-key
+                                 # groupBy + 1-row totals broadcast
+                                 # (a2_value_counts family); arithmetic
+                                 # digit replay oracle; organic-vs-
+                                 # uniform pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
