@@ -2292,3 +2292,62 @@ def benford_screen(
         (F.round(freq - expected, 6) + 0.0).alias("dev"),
         (F.round(chi, 6) + 0.0).alias("chi2_term"),
     ).orderBy("digit")
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Per-key rolling Pearson correlation of two columns over the last
+    `window` rows in `order_col` order — the co-movement monitor
+    (metric-vs-metric drift, price-vs-volume, latency-vs-load) in its
+    streaming-friendly form. Output: all input columns + n_w BIGINT
+    (rows in the frame) and corr DOUBLE (round 6; NULL while the frame
+    holds < 2 rows or either column is constant within it).
+
+    corr is assembled from FIVE frame sums (Σx, Σy, Σxy, Σx², Σy², all
+    over the same rowsBetween frame, all served by ONE exchange on the
+    key + one sort — Catalyst collapses same-frame window functions
+    into a single Window node):
+
+        corr = (n·Σxy − Σx·Σy) /
+               sqrt(n·Σx² − (Σx)²) / sqrt(n·Σy² − (Σy)²)
+
+    Rows where x or y is NULL keep their place in the ordering but
+    contribute nothing to the sums (count counts complete pairs) — the
+    pairwise-deletion convention of `ld_r2`. Variance guards use
+    greatest(·, 0) against float-negative zero variance."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    k, o = F.col(key_col), F.col(order_col)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    xv = F.when(both, x)
+    yv = F.when(both, y)
+    w = (
+        Window.partitionBy(k)
+        .orderBy(o)
+        .rowsBetween(-(window - 1), 0)
+    )
+    n = F.count(xv).over(w).cast("double")
+    sx = F.sum(xv).over(w)
+    sy = F.sum(yv).over(w)
+    sxy = F.sum(xv * yv).over(w)
+    sxx = F.sum(xv * xv).over(w)
+    syy = F.sum(yv * yv).over(w)
+    vx = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    vy = F.greatest(n * syy - sy * sy, F.lit(0.0))
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx) / F.sqrt(vy),
+    )
+    return df.select(
+        "*",
+        F.count(xv).over(w).alias("n_w"),
+        (F.round(corr, 6) + 0.0).alias("corr"),
+    )

@@ -652,3 +652,78 @@ def poisson_bootstrap_ci(
         (F.round(F.col("__lo"), 6) + 0.0).alias("ci_lo"),
         (F.round(F.col("__hi"), 6) + 0.0).alias("ci_hi"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit per quasi-identifier group (Machanavajjhala et
+    al. 2007) — the privacy check k-anonymity misses: a group can be
+    large (k-anonymous) yet carry ONE sensitive value, so membership
+    alone discloses it (the homogeneity attack). Per quasi group:
+    group size, number of distinct sensitive values, the largest single
+    value's share, the entropy of the sensitive distribution, and the
+    pass/fail flags both definitions use:
+
+        distinct_l_ok = n_sensitive >= l          (distinct
+                                                   l-diversity)
+        entropy_l_ok  = entropy >= ln(l)          (entropy
+                                                   l-diversity —
+                                                   strictly stronger)
+
+    Rows with a NULL sensitive value are excluded from the diversity
+    counts but still counted in group size (a suppressed sensitive
+    attribute protects, it doesn't diversify). Groups whose every
+    sensitive value is NULL report n_sensitive 0 and NULL
+    entropy/top_share. Output: quasi_cols + (n BIGINT, n_sensitive
+    BIGINT, top_share, entropy DOUBLE round 6, distinct_l_ok,
+    entropy_l_ok BOOLEAN).
+
+    Plan: one groupBy(quasi, sensitive) collapses the corpus to value
+    cells; per-group rollup + a max/entropy fold run over the cells
+    table (groups × values rows, not data rows)."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+
+    s = F.col(sensitive_col)
+    cells = df.groupBy(
+        *[F.col(c) for c in quasi_cols], s.alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    g = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__sv").isNotNull(), F.col("__c"))
+              .otherwise(0)).alias("__ns_rows"),
+        F.count(F.when(F.col("__sv").isNotNull(), F.lit(1)))
+         .cast("bigint").alias("n_sensitive"),
+        F.max(F.when(F.col("__sv").isNotNull(), F.col("__c")))
+         .alias("__top"),
+        F.sum(
+            F.when(F.col("__sv").isNotNull(),
+                   F.col("__c").cast("double")
+                   * F.log(F.col("__c").cast("double")))
+        ).alias("__clogc"),
+    )
+    ns = F.col("__ns_rows").cast("double")
+    top_share = F.when(F.col("n_sensitive") > 0, F.col("__top") / ns)
+    # entropy of p_i = c_i/ns:  ln(ns) − Σ c·ln(c)/ns
+    entropy = F.when(
+        F.col("n_sensitive") > 0, F.log(ns) - F.col("__clogc") / ns
+    )
+    return g.select(
+        *quasi_cols,
+        "n",
+        "n_sensitive",
+        (F.round(top_share, 6) + 0.0).alias("top_share"),
+        (F.round(entropy, 6) + 0.0).alias("entropy"),
+        (F.col("n_sensitive") >= l).alias("distinct_l_ok"),
+        # threshold via the ENGINE's own ln, not a Python literal: a
+        # group of l equally-frequent values has entropy exactly
+        # this engine's ln(l), and a 1-ulp cross-library difference
+        # would flip the boundary case
+        F.when(F.col("n_sensitive") > 0,
+               entropy >= F.log(F.lit(float(l)))).otherwise(F.lit(False))
+         .alias("entropy_l_ok"),
+    )

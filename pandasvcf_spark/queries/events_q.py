@@ -907,3 +907,54 @@ def m_benford(spark, sf_dir):
     from pandasvcf_spark.operators.relational import benford_screen
 
     return benford_screen(load(spark, sf_dir, "events"), "value")
+
+
+@register(
+    "e_rolling_corr",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE) END
+               AS xv,
+             CASE WHEN value IS NOT NULL
+                  THEN CAST(event_id % 100 AS DOUBLE) END AS yv
+      FROM events),
+    win AS (
+      SELECT user_id, event_id,
+             CAST(count(xv) OVER w AS DOUBLE) AS n,
+             sum(xv) OVER w AS sx, sum(yv) OVER w AS sy,
+             sum(xv * yv) OVER w AS sxy,
+             sum(xv * xv) OVER w AS sxx,
+             sum(yv * yv) OVER w AS syy
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    g AS (
+      SELECT user_id, event_id, n,
+             greatest(n * sxx - sx * sx, 0.0) AS vx,
+             greatest(n * syy - sy * sy, 0.0) AS vy,
+             n * sxy - sx * sy AS cv
+      FROM win)
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n_w,
+           round(CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+                 THEN cv / sqrt(vx) / sqrt(vy) END, 6) + 0.0 AS corr
+    FROM g
+    """,
+)
+def e_rolling_corr(spark, sf_dir):
+    """Per-user rolling 10-row Pearson correlation of value against
+    event_id%100 (operators/relational.rolling_corr) — the co-movement
+    monitor. Five same-frame window sums collapse into ONE Window node
+    on one key exchange (plan-guaranteed by Catalyst's same-frame
+    collapse); pairwise deletion keeps NULL-valued rows in the ordering
+    without contributing. Expected ~0 correlation on this synthetic
+    corpus — the entry checks the estimator. The oracle replays the
+    frame sums and the guarded quotient."""
+    from pandasvcf_spark.operators.relational import rolling_corr
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        (F.col("event_id") % 100).cast("double").alias("y2"),
+    )
+    out = rolling_corr(e, "user_id", "event_id", "value", "y2", window=10)
+    return out.select("user_id", "event_id", "n_w", "corr")

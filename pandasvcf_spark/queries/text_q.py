@@ -2337,3 +2337,53 @@ def t_readability(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return readability_stats(d)
+
+
+@register(
+    "t_l_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(n_chars % 7 AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents
+      GROUP BY lang, source, n_chars % 7),
+    g AS (
+      SELECT lang, source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN sv IS NOT NULL THEN c ELSE 0 END)
+                  AS DOUBLE) AS ns,
+             CAST(count(CASE WHEN sv IS NOT NULL THEN 1 END)
+                  AS BIGINT) AS n_sensitive,
+             max(CASE WHEN sv IS NOT NULL THEN c END) AS topc,
+             sum(CASE WHEN sv IS NOT NULL
+                 THEN CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) END)
+               AS clogc
+      FROM cells GROUP BY lang, source)
+    SELECT lang, source, n, n_sensitive,
+           round(CASE WHEN n_sensitive > 0 THEN topc / ns END, 6) + 0.0
+             AS top_share,
+           round(CASE WHEN n_sensitive > 0 THEN ln(ns) - clogc / ns END,
+                 6) + 0.0 AS entropy,
+           n_sensitive >= 3 AS distinct_l_ok,
+           CASE WHEN n_sensitive > 0
+                THEN (ln(ns) - clogc / ns) >= ln(3.0)
+                ELSE FALSE END AS entropy_l_ok
+    FROM g
+    """,
+)
+def t_l_diversity(spark, sf_dir):
+    """l-diversity audit of (lang, source) quasi-groups with
+    n_chars%7 as the stand-in sensitive attribute (operators/
+    sampling.l_diversity_report; Machanavajjhala et al. 2007) — the
+    homogeneity-attack check that completes the t_k_anonymize privacy
+    gate: group size alone doesn't protect a group holding one
+    sensitive value. One groupBy(quasi, sensitive) collapses the
+    corpus to value cells; rollup + entropy fold run over cells. The
+    oracle replays cells, shares, the entropy identity
+    ln(n) − Σ c·ln(c)/n and both pass flags at l=3."""
+    from pandasvcf_spark.operators.sampling import l_diversity_report
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "sv", (F.col("n_chars") % 7).cast("bigint")
+    )
+    return l_diversity_report(d, ["lang", "source"], "sv", l=3)

@@ -985,3 +985,35 @@ def test_benford_screen_organic_vs_uniform(spark):
         r["chi2_term"] for r in benford_screen(uniform, "v").collect()
     )
     assert chi_uniform > 1000  # all mass on digit 4 -> loud failure
+
+
+def test_rolling_corr_hand_case(spark):
+    """Perfectly correlated segment gives corr 1, anti-correlated -1;
+    frames shorter than 2 complete pairs and constant-column frames are
+    NULL; NULL rows hold their slot without contributing."""
+    from pandasvcf_spark.operators.relational import rolling_corr
+
+    rows = [
+        # key A: y = 2x -> corr 1 once the frame has 2 points
+        (1, 1, 1.0, 2.0), (1, 2, 2.0, 4.0), (1, 3, 3.0, 6.0),
+        # a NULL x at t=4 contributes nothing but stays in the ordering
+        (1, 4, None, 9.0), (1, 5, 4.0, 8.0),
+        # key B: y = -x -> corr -1
+        (2, 1, 1.0, -1.0), (2, 2, 2.0, -2.0), (2, 3, 3.0, -3.0),
+        # key C: constant y -> NULL corr
+        (3, 1, 1.0, 5.0), (3, 2, 2.0, 5.0), (3, 3, 3.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, x double, y double")
+    out = {(r["k"], r["t"]): r for r in
+           rolling_corr(df, "k", "t", "x", "y", window=3).collect()}
+    assert out[(1, 1)]["corr"] is None and out[(1, 1)]["n_w"] == 1
+    assert abs(out[(1, 2)]["corr"] - 1.0) < 1e-9
+    assert abs(out[(1, 3)]["corr"] - 1.0) < 1e-9
+    assert out[(1, 4)]["n_w"] == 2          # frame t=2..4, null dropped
+    assert abs(out[(1, 5)]["corr"] - 1.0) < 1e-9  # frame t=3..5: two pts
+    assert abs(out[(2, 3)]["corr"] + 1.0) < 1e-9
+    assert out[(3, 3)]["corr"] is None      # zero variance in y
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        rolling_corr(df, "k", "t", "x", "y", window=1)

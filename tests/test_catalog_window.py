@@ -492,6 +492,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # (a2_value_counts family); arithmetic
                                  # digit replay oracle; organic-vs-
                                  # uniform pytest
+        "e_rolling_corr",        # rolling Pearson corr: five same-frame
+                                 # window sums, one exchange
+                                 # (w_running_sum family); frame-sum
+                                 # replay oracle; hand-case pytest
+        "t_l_diversity",         # l-diversity audit: cells groupBy +
+                                 # rollup (t_k_anonymize privacy
+                                 # family); entropy-identity replay
+                                 # oracle; boundary hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1656,3 +1656,46 @@ def test_poisson_bootstrap_ci_statistical_and_deterministic(spark):
         poisson_bootstrap_ci(df, "v", "id", n_reps=1)
     with _pytest.raises(ValueError, match="alpha"):
         poisson_bootstrap_ci(df, "v", "id", alpha=1.5)
+
+
+# l_diversity_report (homogeneity-attack audit)
+
+
+def test_l_diversity_report_hand_case(spark):
+    """Hand groups: homogeneous (1 value, fails both), diverse-uniform
+    (3 equal values: entropy EXACTLY ln 3 passes entropy-l at l=3 —
+    the boundary case), skewed (3 values but lopsided: distinct passes,
+    entropy fails), and all-NULL sensitive (0 diversity, NULL stats)."""
+    import math
+
+    from pandasvcf_spark.operators.sampling import l_diversity_report
+
+    rows = (
+        [("g1", "a")] * 5                       # homogeneous
+        + [("g2", "a"), ("g2", "b"), ("g2", "c")]  # uniform 3-diverse
+        + [("g3", "a")] * 8 + [("g3", "b"), ("g3", "c")]  # skewed
+        + [("g4", None)] * 3                     # all-NULL
+        + [("g2", None)]                         # NULL counts in n only
+    )
+    df = spark.createDataFrame(rows, "q string, sv string")
+    got = {r["q"]: r for r in
+           l_diversity_report(df, ["q"], "sv", l=3).collect()}
+
+    g1 = got["g1"]
+    assert (g1["n"], g1["n_sensitive"], g1["top_share"]) == (5, 1, 1.0)
+    assert g1["entropy"] == 0.0
+    assert not g1["distinct_l_ok"] and not g1["entropy_l_ok"]
+
+    g2 = got["g2"]
+    assert (g2["n"], g2["n_sensitive"]) == (4, 3)     # NULL in n only
+    assert abs(g2["entropy"] - round(math.log(3), 6)) < 1e-9
+    assert g2["distinct_l_ok"] and g2["entropy_l_ok"]  # exact boundary
+
+    g3 = got["g3"]
+    assert g3["n_sensitive"] == 3 and g3["distinct_l_ok"]
+    assert g3["top_share"] == 0.8 and not g3["entropy_l_ok"]
+
+    g4 = got["g4"]
+    assert (g4["n"], g4["n_sensitive"]) == (3, 0)
+    assert g4["entropy"] is None and g4["top_share"] is None
+    assert not g4["distinct_l_ok"] and not g4["entropy_l_ok"]
