@@ -59,7 +59,15 @@ DRIVER_WINDOW = 50
 # v_pq_topk → v_ivfpq_topk replays PQ encode + ADC as a strict subset;
 # t_corpus_report → its constituent metrics stay covered by
 # t_quality_score; t_token_budget → t_pack_global generalizes the same
-# bucket-offset device to every boundary).
+# bucket-offset device to every boundary). The round-8 continuation
+# cuts once more: three new classes (distributed grouped exact
+# quantiles, deterministic Poisson-bootstrap CI, Hudson Fst) displace
+# three variants whose machinery stays in-window (v_maxsim → HOF
+# dot-product scoring lives in v_cosine_topk, per-pair partial agg in
+# the agg family; v_ivf_topk → v_ivfpq_topk replays the same coarse
+# cell equi-join before ADC; m_upsert_latest → m_scd2_history's
+# current-row slice is the same latest-per-key MERGE shape) and remain
+# exact-checked by tests/test_contract.py every run.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -83,7 +91,7 @@ _PRIORITY = [
     "e_tumbling_hourly",
     "e_sessionize",
     # §2.11 text analysis + dedup family
-    "v_maxsim",
+    "g_fst",
     "t_quality_score",
     "t_bm25_topk",
     "dedup_exact",
@@ -99,7 +107,7 @@ _PRIORITY = [
     "v_cosine_topk",
     "v_cosine_topk_manyquery",
     "v_ann_topk",
-    "v_ivf_topk",
+    "agg_grouped_quantiles",
     "v_ivfpq_topk",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
@@ -122,7 +130,7 @@ _PRIORITY = [
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
     "w_rank_topk",
-    "m_upsert_latest",
+    "m_bootstrap_ci",
     "sort_limit_topk",
     "m_scd2_history",
     "r2_pivot",

@@ -27,8 +27,8 @@ def test_extension_surface_inside_window():
         "v_cosine_topk",
         "v_cosine_topk_manyquery",  # separate block-matmul implementation
         "v_ann_topk",
-        "v_ivf_topk",
-        "v_ivfpq_topk",
+        "v_ivfpq_topk",  # carries v_ivf_topk's coarse-cell machinery
+                         # since the round-8 continuation re-cut
         "t_quality_score",
         "t_repeated_spans",
         "t_bm25_topk",
@@ -38,6 +38,10 @@ def test_extension_surface_inside_window():
         "g_hwe",
         "g_ld",
         "g_grm",
+        "g_fst",
+        # round-8 continuation classes
+        "agg_grouped_quantiles",
+        "m_bootstrap_ci",
         "j_bloom_prune",
         "m_scd2_history",
         "t_bpe_tokens_arrow",
@@ -436,10 +440,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery (w_running_sum family,
                                  # contract-guarded) in closed form;
                                  # contract guard
-        "g_fst",                 # Hudson Fst: conditional-sum groupBy
-                                 # machinery (g_hwe in window family);
-                                 # term-for-term estimator oracle;
-                                 # hand-case pytest
         "m_mutual_info",         # MI + chi-square association: cells
                                  # groupBy + marginal windows (metrics
                                  # family with m_group_auc); sparse-
@@ -448,11 +448,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # edge binning (agg_exact_quantiles
                                  # machinery) + bins-table window;
                                  # hand-case pytest
-        "agg_grouped_quantiles", # distributed grouped exact quantiles:
-                                 # bucket-walk device of
-                                 # agg_exact_quantiles, group-keyed;
-                                 # definition-level oracle
-                                 # (quantile_disc); hand-case pytest
         "t_pmi_pairs",           # PMI collocations: HOF pair expansion
                                  # (grm device) + vocab-keyed joins
                                  # (t_tfidf/t_bigram family); self-join
@@ -470,11 +465,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # device of v_cosine_topk_manyquery);
                                  # declarative unnest-self-join oracle;
                                  # numpy.cov pytest
-        "m_bootstrap_ci",        # Poisson-bootstrap CI: portable-hash
-                                 # weight ladder (t_hash_sample family)
-                                 # + partial-agged replicate collapse;
-                                 # full simulation replay oracle;
-                                 # analytic-SE pytest
         "v_mutual_knn",          # reciprocal-kNN filter: one pair-keyed
                                  # self-join over v_cosine_topk_manyquery
                                  # machinery (in window); declarative
@@ -500,6 +490,19 @@ def test_tail_entries_are_redundant_variants_only():
                                  # rollup (t_k_anonymize privacy
                                  # family); entropy-identity replay
                                  # oracle; boundary hand case
+        "v_maxsim",              # MaxSim late interaction: HOF dot
+                                 # scoring (v_cosine_topk in window) +
+                                 # per-pair partial agg (agg family);
+                                 # demoted in the round-8 continuation
+                                 # re-cut; contract guard
+        "v_ivf_topk",            # IVF cell probe: strict subset of
+                                 # v_ivfpq_topk's coarse-cell + ADC
+                                 # replay (round-8 continuation
+                                 # re-cut); contract guard
+        "m_upsert_latest",       # MERGE latest-per-key: same shape as
+                                 # m_scd2_history's current-row slice
+                                 # (round-8 continuation re-cut);
+                                 # contract guard
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
