@@ -790,3 +790,104 @@ def readability_stats(
         (F.round(flesch, 4) + 0.0).alias("flesch"),
         (F.round(fkg, 4) + 0.0).alias("fk_grade"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources — the
+    corpus-comparison matrix a mixture designer reads before weighting
+    sources (two sources with Jaccard ≈ 1 are the same crawl twice;
+    ≈ 0 means genuinely complementary coverage). Per unordered source
+    pair (a < b): vocabulary sizes, intersection, union, Jaccard and
+    both containment directions (|A∩B|/|A| — the asymmetric "is A a
+    subset of B" signal Jaccard hides). Output: (src_a, src_b,
+    vocab_a, vocab_b, n_common BIGINT, jaccard, contain_a_in_b,
+    contain_b_in_a DOUBLE round 6). SPARSE: a pair sharing no words is
+    ABSENT, not a zero row — the inner-join form is what stays bounded
+    when sources number in the thousands (per-domain overlap maps).
+
+    Plan: one groupBy(source, word) collapses the corpus to its
+    source-vocabulary cells (the only data-sized shuffle); the
+    intersection is a word-keyed self-join of THAT table (each word
+    contributes its source-pair combinations — bounded by
+    sources-per-word², never corpus rows); vocabulary sizes join back
+    source-keyed. No corpus×corpus anything."""
+    w = F.explode(words_expr(text_col)).alias("w")
+    cells = (
+        df.filter(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("src"), w)
+        .distinct()
+    )
+    vocab = cells.groupBy("src").agg(F.count(F.lit(1)).alias("v"))
+    a = cells.select(F.col("src").alias("src_a"), "w")
+    b = cells.select(F.col("src").alias("src_b"), "w")
+    inter = (
+        a.join(b, on="w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    va = vocab.select(F.col("src").alias("src_a"), F.col("v").alias("vocab_a"))
+    vb = vocab.select(F.col("src").alias("src_b"), F.col("v").alias("vocab_b"))
+    j = inter.join(va, on="src_a").join(vb, on="src_b")
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    r6 = lambda c: (F.round(c, 6) + 0.0)
+    return j.select(
+        "src_a",
+        "src_b",
+        "vocab_a",
+        "vocab_b",
+        "n_common",
+        r6(F.col("n_common") / union.cast("double")).alias("jaccard"),
+        r6(F.col("n_common") / F.col("vocab_a").cast("double"))
+        .alias("contain_a_in_b"),
+        r6(F.col("n_common") / F.col("vocab_b").cast("double"))
+        .alias("contain_b_in_a"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini coefficient of the corpus's word-frequency distribution —
+    the single-number concentration diagnostic beside `zipf_stats`'
+    slope fit (Gini ≈ 0: tokens spread evenly over the vocabulary;
+    → 1: a handful of types carry all the mass; natural language sits
+    high, templated/boilerplate corpora sit higher still, and a JUMP
+    between snapshots means the crawl mix changed). One row:
+    (vocab BIGINT types, tokens BIGINT, gini DOUBLE round 6; NULL for
+    an empty corpus) using the sorted-rank identity
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    over counts ascending with the deterministic total order
+    (count, word). Plan: the corpus collapses to the vocabulary count
+    table first (one explode + groupBy); the rank window sorts
+    VOCAB-sized rows, never tokens; the final fold is a 1-row agg."""
+    w = F.explode(words_expr(text_col)).alias("w")
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(w)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rw = Window.orderBy("c", "w")
+    ranked = counts.withColumn("i", F.row_number().over(rw))
+    out = ranked.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("tokens"),
+        F.sum(F.col("i").cast("double") * F.col("c")).alias("__ic"),
+    )
+    n = F.col("vocab").cast("double")
+    sx = F.col("tokens").cast("double")
+    gini = F.when(
+        (F.col("vocab") > 0) & (F.col("tokens") > 0),
+        (2.0 * F.col("__ic") - (n + 1.0) * sx) / (n * sx),
+    )
+    return out.select(
+        "vocab", "tokens", (F.round(gini, 6) + 0.0).alias("gini")
+    )

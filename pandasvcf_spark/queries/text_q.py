@@ -2387,3 +2387,79 @@ def t_l_diversity(spark, sf_dir):
         "sv", (F.col("n_chars") % 7).cast("bigint")
     )
     return l_diversity_report(d, ["lang", "source"], "sv", l=3)
+
+
+@register(
+    "t_source_overlap",
+    oracle=f"""
+    WITH cells AS (
+      SELECT DISTINCT source AS src, unnest({_WORDS}) AS w
+      FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL),
+    vocab AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS v FROM cells GROUP BY src),
+    inter AS (
+      SELECT a.src AS src_a, b.src AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM cells a JOIN cells b ON a.w = b.w AND a.src < b.src
+      GROUP BY a.src, b.src)
+    SELECT i.src_a, i.src_b, va.v AS vocab_a, vb.v AS vocab_b,
+           i.n_common,
+           round(i.n_common
+                 / CAST(va.v + vb.v - i.n_common AS DOUBLE), 6) + 0.0
+             AS jaccard,
+           round(i.n_common / CAST(va.v AS DOUBLE), 6) + 0.0
+             AS contain_a_in_b,
+           round(i.n_common / CAST(vb.v AS DOUBLE), 6) + 0.0
+             AS contain_b_in_a
+    FROM inter i
+    JOIN vocab va ON i.src_a = va.src
+    JOIN vocab vb ON i.src_b = vb.src
+    """,
+)
+def t_source_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary overlap matrix (operators/
+    text_features.source_overlap) — Jaccard + both containments per
+    source pair, the mixture designer's duplication map. The corpus
+    collapses to (source, word) cells in one groupBy; the intersection
+    self-join is word-keyed over that table (bounded by
+    sources-per-word², never corpus rows). The oracle states the same
+    cells and joins declaratively."""
+    from pandasvcf_spark.operators.text_features import source_overlap
+
+    return source_overlap(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "t_gini",
+    oracle=f"""
+    WITH counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_WORDS}) AS w
+        FROM documents WHERE text IS NOT NULL)
+      GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, w) AS i FROM counts),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS tokens,
+             sum(CAST(i AS DOUBLE) * c) AS ic
+      FROM ranked)
+    SELECT vocab, tokens,
+           round(CASE WHEN vocab > 0 AND tokens > 0 THEN
+             (2.0 * ic - (CAST(vocab AS DOUBLE) + 1.0) * tokens)
+             / (CAST(vocab AS DOUBLE) * tokens) END, 6) + 0.0 AS gini
+    FROM agg
+    """,
+)
+def t_gini(spark, sf_dir):
+    """Gini concentration of the word-frequency distribution
+    (operators/text_features.gini_concentration) — the one-number
+    companion to t_zipf_stats: how unequally do tokens spread over the
+    vocabulary? Sorted-rank identity over the VOCAB-sized count table
+    under the deterministic (count, word) order; the corpus collapses
+    before anything sorts. The oracle replays counts, ranks and the
+    identity."""
+    from pandasvcf_spark.operators.text_features import gini_concentration
+
+    return gini_concentration(load(spark, sf_dir, "documents"))

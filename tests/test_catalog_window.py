@@ -503,6 +503,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # m_scd2_history's current-row slice
                                  # (round-8 continuation re-cut);
                                  # contract guard
+        "t_source_overlap",      # source-vocab Jaccard matrix: cells
+                                 # groupBy + word-keyed self-join
+                                 # (t_containment_join family); sparse
+                                 # contract; hand-case pytest
+        "t_gini",                # Gini concentration: vocab-sized rank
+                                 # window + 1-row fold (t_zipf_stats
+                                 # family); rank-identity oracle;
+                                 # equal/skewed/empty hand cases
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

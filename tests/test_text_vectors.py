@@ -1922,3 +1922,54 @@ def test_mutual_knn_hand_case(spark):
     df = spark.createDataFrame(pairs, "query_id long, vec_id long, cossim double")
     got = {(r["a_id"], r["b_id"]): r["sim"] for r in mutual_knn(df).collect()}
     assert got == {(1, 9): 0.9, (2, 3): 0.8}
+
+
+def test_source_overlap_hand_case(spark):
+    """Three planted sources: s1/s2 share half their vocabularies, s3 is
+    a subset of s1 (containment 1.0 one way); each unordered pair once;
+    the zero-overlap pair (s2, s3) is ABSENT (sparse contract)."""
+    from pandasvcf_spark.operators.text_features import source_overlap
+
+    docs = [
+        (0, "s1", "alpha beta gamma delta"),
+        (1, "s2", "gamma delta epsilon zeta"),
+        (2, "s3", "alpha beta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {(r["src_a"], r["src_b"]): r for r in
+           source_overlap(df, "source", "text").collect()}
+    assert set(got) == {("s1", "s2"), ("s1", "s3")}
+    p = got[("s1", "s2")]
+    assert (p["vocab_a"], p["vocab_b"], p["n_common"]) == (4, 4, 2)
+    assert abs(p["jaccard"] - round(2 / 6, 6)) < 1e-9
+    q = got[("s1", "s3")]
+    assert q["n_common"] == 2
+    assert q["contain_b_in_a"] == 1.0   # s3 fully inside s1
+    assert q["contain_a_in_b"] == 0.5
+
+
+def test_gini_concentration_hand_cases(spark):
+    """Uniform distribution gives the exact closed form (n-1)/(2n)...
+    no: equal counts give G = 0 by the rank identity's correction; a
+    single dominant type pushes G toward 1; empty corpus is NULL."""
+    from pandasvcf_spark.operators.text_features import gini_concentration
+
+    # 4 words, each once -> perfectly equal -> G = (2*(1+2+3+4) - 5*4)/(4*4)
+    eq = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    r = gini_concentration(eq).collect()[0]
+    assert (r["vocab"], r["tokens"]) == (4, 4)
+    assert abs(r["gini"] - round((2 * 10 - 5 * 4) / 16.0, 6)) < 1e-12
+    assert r["gini"] == 0.0
+
+    # one word 97 times + 3 singletons -> highly concentrated
+    sk = spark.createDataFrame(
+        [(0, " ".join(["the"] * 97 + ["a", "b", "c"]))],
+        "doc_id long, text string",
+    )
+    r2 = gini_concentration(sk).collect()[0]
+    assert (r2["vocab"], r2["tokens"]) == (4, 100)
+    assert r2["gini"] > 0.7
+
+    empty = spark.createDataFrame([(0, "123 456")], "doc_id long, text string")
+    r3 = gini_concentration(empty).collect()[0]
+    assert r3["vocab"] == 0 and r3["gini"] is None
