@@ -2351,3 +2351,123 @@ def rolling_corr(
         F.count(xv).over(w).alias("n_w"),
         (F.round(corr, 6) + 0.0).alias("corr"),
     )
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    variant_a: str,
+    variant_b: str,
+) -> DataFrame:
+    """Two-proportion A/B comparison in one row — the experiment
+    readout (conversion-rate difference between variants) with the
+    pooled two-proportion z statistic and the unpooled Wald 95% CI of
+    the difference:
+
+        z  = (p_b − p_a) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),
+             p̂ = pooled rate
+        CI = (p_b − p_a) ± 1.96·sqrt(p_a(1−p_a)/n_a + p_b(1−p_b)/n_b)
+
+    success is any column castable to int (nonzero/true = success;
+    NULL rows excluded). Rows of other variants are ignored, so a
+    multi-arm table scans pairwise without pre-filtering. Output:
+    (n_a, succ_a, n_b, succ_b BIGINT, rate_a, rate_b, diff, z, ci_lo,
+    ci_hi DOUBLE round 6; z and the CI are NULL when either arm is
+    empty or the pooled rate is degenerate 0/1 — no information, not
+    infinite certainty).
+
+    Plan: ONE conditional-sum aggregation (4 counters) — the corpus
+    collapses map-side; every statistic is a projection of the four
+    counts. The z threshold itself (1.96) is the caller's concern;
+    this reports the statistic, not a verdict."""
+    v = F.col(variant_col)
+    s = F.col(success_col).cast("int")
+    nn = df.filter(v.isNotNull() & s.isNotNull())
+    ina = v == variant_a
+    inb = v == variant_b
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    agg = nn.agg(
+        cnt(ina).alias("n_a"),
+        cnt(ina & (s != 0)).alias("succ_a"),
+        cnt(inb).alias("n_b"),
+        cnt(inb & (s != 0)).alias("succ_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.when(F.col("n_a") > 0, F.col("succ_a") / na)
+    pb = F.when(F.col("n_b") > 0, F.col("succ_b") / nb)
+    pool = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("succ_a") + F.col("succ_b")) / (na + nb),
+    )
+    se_pool = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    z = F.when(se_pool > 0, (pb - pa) / se_pool)
+    se_wald = F.sqrt(
+        pa * (1.0 - pa) / na + pb * (1.0 - pb) / nb
+    )
+    diff = pb - pa
+    r6 = lambda c: (F.round(c, 6) + 0.0)
+    return agg.select(
+        "n_a",
+        "succ_a",
+        "n_b",
+        "succ_b",
+        r6(pa).alias("rate_a"),
+        r6(pb).alias("rate_b"),
+        r6(diff).alias("diff"),
+        r6(z).alias("z"),
+        r6(diff - 1.96 * se_wald).alias("ci_lo"),
+        r6(diff + 1.96 * se_wald).alias("ci_hi"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    trim: float = 0.05,
+    winsorize: bool = False,
+) -> DataFrame:
+    """Trimmed (or winsorized) mean of a column at corpus scale — the
+    robust location estimate for heavy-tailed metrics where the plain
+    mean is one outlier away from useless. trim=0.05 drops (trimmed) or
+    clamps (winsorized) the values beyond the exact 5th/95th
+    percentiles; cut points are EXACT type-1 quantiles via
+    `exact_quantiles`' bucketed two-pass (no global sort), and the
+    estimate itself is one conditional aggregation after that. Output
+    one row: (n BIGINT all non-null rows, n_used BIGINT rows inside
+    the cuts — equal to n when winsorizing, lo_cut, hi_cut, mean
+    DOUBLE round 6).
+
+    Boundary convention: values EQUAL to a cut point are kept (closed
+    interval) — with heavy ties this can retain more than 1−2·trim of
+    the mass, which is the standard, well-defined behavior of
+    quantile-based trimming on discrete data."""
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull())
+    qs = exact_quantiles(nn, value_col, [trim, 1.0 - trim])
+    cuts = {r["p"]: r["value"] for r in qs.collect()}
+    lo, hi = cuts[trim], cuts[1.0 - trim]
+    if winsorize:
+        clamped = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+        agg = nn.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_used"),
+            F.avg(clamped).alias("__m"),
+        )
+    else:
+        inside = (v >= lo) & (v <= hi)
+        agg = nn.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(inside.cast("bigint")).alias("n_used"),
+            F.avg(F.when(inside, v)).alias("__m"),
+        )
+    return agg.select(
+        "n",
+        "n_used",
+        F.lit(float(lo)).alias("lo_cut"),
+        F.lit(float(hi)).alias("hi_cut"),
+        (F.round(F.col("__m"), 6) + 0.0).alias("mean"),
+    )

@@ -958,3 +958,104 @@ def e_rolling_corr(spark, sf_dir):
     )
     out = rolling_corr(e, "user_id", "event_id", "value", "y2", window=10)
     return out.select("user_id", "event_id", "n_w", "corr")
+
+
+@register(
+    "m_ab_test",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS var,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN var = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(sum(CASE WHEN var = 'A' AND y <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS succ_a,
+        CAST(sum(CASE WHEN var = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(sum(CASE WHEN var = 'B' AND y <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS succ_b
+      FROM s),
+    r AS (
+      SELECT *,
+             CASE WHEN n_a > 0 THEN succ_a / CAST(n_a AS DOUBLE) END
+               AS pa,
+             CASE WHEN n_b > 0 THEN succ_b / CAST(n_b AS DOUBLE) END
+               AS pb,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               (succ_a + succ_b) / (CAST(n_a AS DOUBLE)
+                                    + CAST(n_b AS DOUBLE)) END AS pool
+      FROM c),
+    f AS (
+      SELECT *,
+             sqrt(pool * (1.0 - pool)
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) AS sep,
+             sqrt(pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
+                  + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)) AS sew
+      FROM r)
+    SELECT n_a, succ_a, n_b, succ_b,
+           round(pa, 6) + 0.0 AS rate_a,
+           round(pb, 6) + 0.0 AS rate_b,
+           round(pb - pa, 6) + 0.0 AS diff,
+           round(CASE WHEN sep > 0 THEN (pb - pa) / sep END, 6) + 0.0
+             AS z,
+           round((pb - pa) - 1.96 * sew, 6) + 0.0 AS ci_lo,
+           round((pb - pa) + 1.96 * sew, 6) + 0.0 AS ci_hi
+    FROM f
+    """,
+)
+def m_ab_test(spark, sf_dir):
+    """Two-proportion A/B readout (operators/relational.
+    ab_test_proportions): purchase rate of even vs odd user ids —
+    expected z ≈ 0 on this synthetic corpus; the entry checks the
+    statistic pipeline, not an effect. ONE conditional-sum aggregation
+    (4 counters) collapses the corpus map-side; every statistic is a
+    projection of the counts. The oracle replays counts, pooled z and
+    the Wald CI term-for-term."""
+    from pandasvcf_spark.operators.relational import ab_test_proportions
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("var"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return ab_test_proportions(d, "var", "y", "A", "B")
+
+
+@register(
+    "m_trimmed_mean",
+    oracle="""
+    WITH nn AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL),
+    cuts AS (
+      SELECT CAST(quantile_disc(v, 0.05) AS DOUBLE) AS lo,
+             CAST(quantile_disc(v, 0.95) AS DOUBLE) AS hi
+      FROM nn)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_used,
+           lo AS lo_cut, hi AS hi_cut,
+           round(avg(CASE WHEN v >= lo AND v <= hi THEN v END), 6)
+             + 0.0 AS mean
+    FROM nn, cuts
+    GROUP BY lo, hi
+    """,
+)
+def m_trimmed_mean(spark, sf_dir):
+    """5% two-sided trimmed mean of events.value (operators/
+    relational.trimmed_mean) — the robust location estimate: exact
+    type-1 cut points from exact_quantiles' bucketed two-pass (no
+    global sort), then one conditional aggregation; closed-interval
+    boundary (values equal to a cut are kept). The oracle states the
+    cuts with quantile_disc and replays the conditional mean."""
+    from pandasvcf_spark.operators.relational import trimmed_mean
+
+    return trimmed_mean(load(spark, sf_dir, "events"), "value",
+                        trim=0.05)

@@ -1017,3 +1017,57 @@ def test_rolling_corr_hand_case(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="window"):
         rolling_corr(df, "k", "t", "x", "y", window=1)
+
+
+# ab_test_proportions + trimmed_mean
+
+
+def test_ab_test_proportions_hand_case(spark):
+    """Planted effect: A converts 20/100, B converts 35/100 -> diff
+    0.15, z from the pooled SE by hand; a third arm is ignored; empty
+    arm gives NULL z/CI."""
+    import math
+
+    from pandasvcf_spark.operators.relational import ab_test_proportions
+
+    rows = (
+        [("A", 1)] * 20 + [("A", 0)] * 80
+        + [("B", 1)] * 35 + [("B", 0)] * 65
+        + [("C", 1)] * 10                      # ignored arm
+    )
+    df = spark.createDataFrame(rows, "var string, y int")
+    r = ab_test_proportions(df, "var", "y", "A", "B").collect()[0]
+    assert (r["n_a"], r["succ_a"], r["n_b"], r["succ_b"]) == (100, 20, 100, 35)
+    assert r["rate_a"] == 0.2 and r["rate_b"] == 0.35
+    assert abs(r["diff"] - 0.15) < 1e-9
+    pool = 55 / 200
+    se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert abs(r["z"] - round(0.15 / se, 6)) < 1e-9
+    sew = math.sqrt(0.2 * 0.8 / 100 + 0.35 * 0.65 / 100)
+    assert abs(r["ci_lo"] - round(0.15 - 1.96 * sew, 6)) < 1e-9
+    assert abs(r["ci_hi"] - round(0.15 + 1.96 * sew, 6)) < 1e-9
+
+    onearm = spark.createDataFrame([("A", 1)] * 5, "var string, y int")
+    r2 = ab_test_proportions(onearm, "var", "y", "A", "B").collect()[0]
+    assert r2["n_b"] == 0 and r2["z"] is None and r2["ci_lo"] is None
+
+
+def test_trimmed_mean_hand_case(spark):
+    """Outliers beyond the cuts vanish from the trimmed mean but only
+    get clamped under winsorize; n_used reflects the difference."""
+    from pandasvcf_spark.operators.relational import trimmed_mean
+
+    vals = [float(i) for i in range(1, 100)] + [10000.0]  # one outlier
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    t = trimmed_mean(df, "v", trim=0.05).collect()[0]
+    assert t["n"] == 100 and t["n_used"] < 100
+    assert t["hi_cut"] < 10000.0 and t["mean"] < 100.0
+
+    w = trimmed_mean(df, "v", trim=0.05, winsorize=True).collect()[0]
+    assert w["n_used"] == 100
+    # winsorized mean includes the outlier clamped to hi_cut
+    assert t["mean"] < w["mean"] < 10000.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="trim"):
+        trimmed_mean(df, "v", trim=0.5)

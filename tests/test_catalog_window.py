@@ -511,6 +511,15 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window + 1-row fold (t_zipf_stats
                                  # family); rank-identity oracle;
                                  # equal/skewed/empty hand cases
+        "m_ab_test",             # two-proportion z + Wald CI: one
+                                 # 4-counter conditional agg (metrics
+                                 # family); term-for-term oracle;
+                                 # planted-effect hand case
+        "m_trimmed_mean",        # robust trimmed/winsorized mean:
+                                 # exact_quantiles cuts + conditional
+                                 # agg (agg_exact_quantiles family);
+                                 # quantile_disc-cut oracle; outlier
+                                 # hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
