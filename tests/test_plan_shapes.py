@@ -225,3 +225,81 @@ def test_hamming_join_single_equi_join_no_cartesian(spark):
     joins = [ln for ln in plan.splitlines()
              if "Join" in ln and "BroadcastExchange" not in ln]
     assert len(joins) == 1, plan
+
+
+def test_rolling_corr_single_window_node_one_exchange(spark):
+    """The five same-frame sums must collapse into ONE Window node on
+    one key exchange (the docstring's Catalyst same-frame-collapse
+    claim) — five separate Window nodes would re-sort five times."""
+    from pandasvcf_spark.operators.relational import rolling_corr
+
+    d = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("t"),
+        (F.col("id") % 13).cast("double").alias("x"),
+        (F.col("id") % 5).cast("double").alias("y"),
+    )
+    plan = _plan(rolling_corr(d, "k", "t", "x", "y", window=10))
+    assert plan.count("Window ") + plan.count("Window\n") <= 2  # node + refs
+    assert plan.count("Exchange") == 1
+
+
+def test_mutual_knn_equi_join_no_cartesian(spark):
+    from pandasvcf_spark.operators.similarity import mutual_knn
+
+    pairs = spark.range(500).select(
+        (F.col("id") % 50).alias("query_id"),
+        (F.col("id") % 37).alias("vec_id"),
+        F.rand(1).alias("cossim"),
+    )
+    plan = _plan(mutual_knn(pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_exact_quantiles_no_single_partition_no_global_sort(spark):
+    """The distributed bucket walk must never funnel data through one
+    partition (the scale claim: no collect, no global sort — windows
+    are (group)- and (group, bucket)-partitioned)."""
+    from pandasvcf_spark.operators.relational import grouped_exact_quantiles
+
+    d = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    out = grouped_exact_quantiles(d, ["g"], "v", [0.25, 0.5, 0.9])
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_pairs_no_cartesian_hof_expansion(spark):
+    """Pair generation is a HOF over the per-doc word array — the plan
+    must carry no join at all until the vocab-keyed marginal joins,
+    and never a cartesian."""
+    from pandasvcf_spark.operators.text_features import pmi_pairs
+
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma w"), F.col("id") % 7).alias("text"),
+    )
+    plan = _plan(pmi_pairs(d, min_count=1, top_n=10))
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ is expected: the 1-row doc-total broadcast
+    # (the documented totals device) — pair generation itself is a HOF
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan  # top_n never global-sorts
+
+
+def test_ab_test_single_aggregation_no_shuffle_of_rows(spark):
+    """One conditional-sum aggregate: exactly one pair of
+    HashAggregates (partial + final) and a SinglePartition exchange of
+    the 1-row partials only."""
+    from pandasvcf_spark.operators.relational import ab_test_proportions
+
+    d = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("v"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    plan = _plan(ab_test_proportions(d, "v", "y", "A", "B"))
+    assert plan.count("HashAggregate") == 2
+    assert "Join" not in plan
