@@ -377,6 +377,27 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    if os.environ.get("SPARK_GRAFT_BENCH_R8B", "1") != "0":
+        # Round-8 continuation additive keys (frozen-roster discipline):
+        # the promoted window classes — distributed grouped exact
+        # quantiles (the no-collect bucket walk) and the 20-replicate
+        # Poisson bootstrap (corpus x reps hash ladder) — each min-of-2.
+        for key, qname in (
+            ("grouped_quantiles_sec", "agg_grouped_quantiles"),
+            ("bootstrap_ci_sec", "m_bootstrap_ci"),
+        ):
+            times, n_out = [], 0
+            for _ in range(2):
+                t0 = time.time()
+                n_out = QUERIES[qname].fn(spark, sf_dir).count()
+                times.append(time.time() - t0)
+            result[key] = round(min(times), 3)
+            print(
+                f"# {key}: {min(times):.2f}s min-of-2 ({qname}, "
+                f"{n_out} rows)",
+                file=sys.stderr,
+            )
+
     if os.environ.get("SPARK_GRAFT_BENCH_VCF", "1") != "0" and os.path.exists(KG_VCF):
         from pandasvcf_spark.operators import annotate_vcf
         from pandasvcf_spark.operators.annotate import (
