@@ -329,3 +329,45 @@ def mix32_expr(h: Column) -> Column:
             * F.lit(73244475)
         ) % F.lit(4294967296)
     return x.bitwiseXOR(F.floor(x / F.lit(65536)).cast("long"))
+
+
+#: (name, pattern, replacement) applied IN ORDER — restricted to the
+#: Java-regex ∩ RE2 common dialect (the PII_PATTERNS discipline: no
+#: lookaround, no backrefs) so the SAME literals run identically in
+#: Spark and the DuckDB oracle. Order matters: script/style bodies
+#: must vanish before generic tags, entities after tags (so "&lt;p&gt;"
+#: decodes to a literal "<p>" TEXT, never becomes a strippable tag).
+HTML_STRIP_STEPS = [
+    ("comment", r"<!--[\s\S]*?-->", " "),
+    ("script", r"(?i)<script[\s\S]*?</script\s*>", " "),
+    ("style", r"(?i)<style[\s\S]*?</style\s*>", " "),
+    ("tag", r"<[^>]+>", " "),
+    ("amp_lt", r"&lt;", "<"),
+    ("amp_gt", r"&gt;", ">"),
+    ("amp_nbsp", r"&nbsp;", " "),
+    ("amp_quot", r"&quot;", "\""),
+    ("amp_apos", r"&#39;", "'"),
+    ("amp_amp", r"&amp;", "&"),
+    ("ws", r"\s+", " "),
+]
+
+
+def html_text_expr(html: Column | str) -> Column:
+    """Extract visible text from HTML — the first transformation every
+    web-crawl pipeline applies (the trafilatura/jusText job, in its
+    deterministic regex-core form): drop comments, script and style
+    BODIES (their content is code, not text), strip remaining tags,
+    decode the six dominant entities, collapse whitespace, trim. Pure
+    chained regexp_replace — JVM-side, zero Python, and every pattern
+    sits in the Java∩RE2 dialect so the SQL oracle replays the
+    identical literals (the PII_PATTERNS discipline).
+
+    This is the honest 95% extractor, not a DOM parser: malformed
+    nesting degrades to extra whitespace, never to an exception —
+    the property that matters at 100 TB, where one exotic page must
+    not kill an executor. Boilerplate REMOVAL (nav/footer pruning) is
+    a separate, model-or-frequency-based stage (`boilerplate_stats`)."""
+    out = _c(html)
+    for _, pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

@@ -2463,3 +2463,58 @@ def t_gini(spark, sf_dir):
     from pandasvcf_spark.operators.text_features import gini_concentration
 
     return gini_concentration(load(spark, sf_dir, "documents"))
+
+
+def _html_strip_sql(col: str) -> str:
+    """DuckDB twin of functions/text.html_text_expr: the same literal
+    patterns in the same order, with the 'g' flag DuckDB needs for
+    replace-all (Spark's regexp_replace is always global)."""
+    from pandasvcf_spark.functions.text import HTML_STRIP_STEPS
+
+    out = col
+    for _, pat, rep in HTML_STRIP_STEPS:
+        # DuckDB standard strings are backslash-literal: only quotes
+        # need escaping, the regex backslashes pass through verbatim
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return f"trim({out})"
+
+
+@register(
+    "t_html_extract",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             '<html><head><style>p {{{{color: red}}}}</style>'
+             || '<script>var x = "<p>no</p>";</script></head>'
+             || '<body><!-- c --><h1>' || lang || '</h1><p>'
+             || text || '&nbsp;&amp; more</p></body></html>' AS html
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+    SELECT doc_id, {_html_strip_sql('html')} AS clean
+    FROM synth
+    """,
+)
+def t_html_extract(spark, sf_dir):
+    """HTML→text extraction (functions/text.html_text_expr) — the
+    first transformation of every web-crawl pipeline, in its
+    deterministic regex-core form: each document is wrapped in a
+    synthesized page (style + script bodies, a comment, entities) and
+    must come back as clean visible text. Pure chained regexp_replace
+    in the Java∩RE2 dialect; the oracle replays the IDENTICAL pattern
+    literals (generated from the same list) with DuckDB's 'g' flag."""
+    from pandasvcf_spark.functions.text import html_text_expr
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    html = F.concat(
+        F.lit('<html><head><style>p {color: red}</style>'
+              '<script>var x = "<p>no</p>";</script></head>'
+              '<body><!-- c --><h1>'),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("&nbsp;&amp; more</p></body></html>"),
+    )
+    return d.select("doc_id", html_text_expr(html).alias("clean"))

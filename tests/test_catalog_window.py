@@ -520,6 +520,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # agg (agg_exact_quantiles family);
                                  # quantile_disc-cut oracle; outlier
                                  # hand case
+        "t_html_extract",        # HTML->text regex core: chained
+                                 # regexp_replace (t_redact_pii
+                                 # dialect discipline); same-literals
+                                 # oracle; script/entity/malformed
+                                 # hand cases
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1973,3 +1973,31 @@ def test_gini_concentration_hand_cases(spark):
     empty = spark.createDataFrame([(0, "123 456")], "doc_id long, text string")
     r3 = gini_concentration(empty).collect()[0]
     assert r3["vocab"] == 0 and r3["gini"] is None
+
+
+def test_html_text_expr_extraction(spark):
+    """Script/style BODIES vanish (their content is code), comments
+    vanish, tags strip, entities decode AFTER tags (&lt;p&gt; stays
+    literal text), whitespace collapses; malformed nesting degrades to
+    whitespace, never an error."""
+    from pandasvcf_spark.functions.text import html_text_expr
+
+    html = (
+        '<html><head><title>T</title><style>p {color:red}</style>'
+        '<script>var x = "<p>evil</p>";</script></head>'
+        "<body><!-- note --><h1>Hello &amp; welcome</h1>"
+        "<p>Line&nbsp;one</p><p>a &lt;tag&gt; stays &#39;text&#39;</p>"
+        "<div><span>un<closed</span></body>"
+    )
+    df = spark.createDataFrame([(1, html)], "i long, h string")
+    out = df.select(html_text_expr("h").alias("t")).collect()[0]["t"]
+    assert "evil" not in out and "color" not in out and "note" not in out
+    assert "Hello & welcome" in out
+    assert "Line one" in out
+    assert "a <tag> stays 'text'" in out   # decoded AFTER tag strip
+    assert "  " not in out                  # whitespace collapsed
+
+    # SCRIPT in caps + multiline body
+    caps = "<SCRIPT>\nwhile(1){}\n</SCRIPT>ok<STYLE>x</STYLE>"
+    df2 = spark.createDataFrame([(1, caps)], "i long, h string")
+    assert df2.select(html_text_expr("h").alias("t")).collect()[0]["t"] == "ok"
