@@ -2471,3 +2471,59 @@ def trimmed_mean(
         F.lit(float(hi)).alias("hi_cut"),
         (F.round(F.col("__m"), 6) + 0.0).alias("mean"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    gap: int = 0,
+) -> DataFrame:
+    """Merge overlapping/adjacent intervals per key — the generic
+    `bedtools merge` / calendar-consolidation operator (the relational
+    form of the gap-and-island device `roh_runs` and `sessionize` use
+    for their domains): closed intervals [start, end] merge when the
+    next start is within `gap` of the running maximum end seen so far
+    (gap=0: touching intervals [1,5],[5,9] merge; [1,5],[6,9] need
+    gap >= 1). Output: key_cols + (start, end, n_merged BIGINT) per
+    merged run.
+
+    The running-max-end formulation (not lag(end)) is what makes this
+    CORRECT for nested/contained intervals: after [1, 100], [2, 3],
+    the next interval [50, 60] must compare against 100, not 3 —
+    the classic island-detection bug.
+
+    Plan: one window stack on a single (key)-keyed exchange — ordered
+    running max → island flag → cumulative island id — then one
+    groupBy((key, island)). Rows with NULL start/end are dropped;
+    start > end raises at the first action (assert_true guarded to
+    non-null rows, the `interval_overlap_join` convention)."""
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    nn = df.filter(s.isNotNull() & e.isNotNull()).select(
+        *key_cols,
+        F.assert_true(s <= e, F.lit("merge_intervals: start > end"))
+         .alias("__chk"),
+        s.alias("__s"),
+        e.alias("__e"),
+    ).drop("__chk")
+    wo = Window.partitionBy(*key_cols).orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = F.when(
+        prev_max.isNull() | (F.col("__s") > prev_max + gap), 1
+    ).otherwise(0)
+    isl = nn.withColumn("__new", flag).withColumn(
+        "__isl", F.sum("__new").over(wo)
+    )
+    return (
+        isl.groupBy(*key_cols, "__isl")
+        .agg(
+            F.min("__s").alias("start"),
+            F.max("__e").alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(*key_cols, "start", "end", "n_merged")
+    )

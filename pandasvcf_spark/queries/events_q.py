@@ -1059,3 +1059,55 @@ def m_trimmed_mean(spark, sf_dir):
 
     return trimmed_mean(load(spark, sf_dir, "events"), "value",
                         trim=0.05)
+
+
+@register(
+    "e_merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id % 20 AS k,
+             CAST(event_id % 1000 AS BIGINT) AS s,
+             CAST(event_id % 1000 + user_id % 30 AS BIGINT) AS e
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+    m AS (
+      SELECT k, s, e,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+    fl AS (
+      SELECT k, s, e,
+             CASE WHEN pm IS NULL OR s > pm + 0 THEN 1 ELSE 0 END AS f
+      FROM m),
+    isl AS (
+      SELECT k, s, e,
+             sum(f) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS i
+      FROM fl)
+    SELECT k, min(s) AS start, max(e) AS "end",
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY k, i
+    """,
+)
+def e_merge_intervals(spark, sf_dir):
+    """Generic interval merging (operators/relational.merge_intervals;
+    the bedtools-merge / calendar-consolidation operator) over
+    event-derived [start, start + len] spans per user bucket. The
+    running-MAX-end island device (not lag(end)) keeps nested intervals
+    correct; one window stack on a single key exchange + one island
+    groupBy. The oracle replays running max, flags, island ids and the
+    rollup."""
+    from pandasvcf_spark.operators.relational import merge_intervals
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    iv = e.select(
+        (F.col("user_id") % 20).alias("k"),
+        (F.col("event_id") % 1000).cast("long").alias("s"),
+        (F.col("event_id") % 1000 + F.col("user_id") % 30).cast("long")
+        .alias("e"),
+    )
+    return merge_intervals(iv, ["k"], "s", "e", gap=0)

@@ -1071,3 +1071,36 @@ def test_trimmed_mean_hand_case(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="trim"):
         trimmed_mean(df, "v", trim=0.5)
+
+
+# merge_intervals (gap-and-island generic)
+
+
+def test_merge_intervals_nested_and_gap(spark):
+    """The running-max-end device: after [1,100] a contained [2,3] must
+    NOT end the island — [50,60] still merges into it (the lag(end)
+    bug). Touching intervals merge at gap=0; gap=2 bridges a 2-unit
+    hole; keys independent; NULL-bounded rows drop."""
+    from pandasvcf_spark.operators.relational import merge_intervals
+
+    rows = [
+        ("a", 1, 100), ("a", 2, 3), ("a", 50, 60),   # one island
+        ("a", 101, 110),                              # touches? 101 > 100 -> gap
+        ("a", 200, 210),
+        ("b", 5, 5), ("b", 5, 7),                     # touching at a point
+        ("b", None, 9),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    out = {(r["k"], r["start"]): r for r in
+           merge_intervals(df, ["k"], "s", "e", gap=0).collect()}
+    assert out[("a", 1)]["end"] == 100 and out[("a", 1)]["n_merged"] == 3
+    assert out[("a", 101)]["end"] == 110
+    assert out[("a", 200)]["end"] == 210
+    assert out[("b", 5)]["end"] == 7 and out[("b", 5)]["n_merged"] == 2
+    assert len(out) == 4
+
+    bridged = {(r["k"], r["start"]): r for r in
+               merge_intervals(df, ["k"], "s", "e", gap=2).collect()}
+    # gap=2 bridges 100 -> 101 but not 110 -> 200
+    assert bridged[("a", 1)]["end"] == 110 and bridged[("a", 1)]["n_merged"] == 4
+    assert ("a", 200) in bridged and len(bridged) == 3

@@ -525,6 +525,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # dialect discipline); same-literals
                                  # oracle; script/entity/malformed
                                  # hand cases
+        "e_merge_intervals",     # generic interval merge: running-max
+                                 # gap-and-island (e_sessionize / g_roh
+                                 # device, relational form); window +
+                                 # island replay oracle; nested-interval
+                                 # hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
