@@ -2527,3 +2527,70 @@ def merge_intervals(
         )
         .select(*key_cols, "start", "end", "n_merged")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right censoring — the standard
+    nonparametric time-to-event estimate (user churn, session lifetime,
+    hardware failure, subscription survival): at each distinct observed
+    EVENT time t, with n at risk and d events,
+
+        S(t) = Π_{t_j <= t} (1 − d_j / n_j)
+
+    computed as exp(Σ ln(1 − d/n)) over the DISTINCT-TIMES table, with
+    the d = n boundary (everyone at risk dies) handled by a cumulative
+    zero-flag — survival is exactly 0.0 from that time on, never a NaN
+    from ln(0). Censored observations (event = 0) leave the risk set
+    after their time without contributing an event — the whole point
+    of KM over a naive empirical CDF.
+
+    Output, one row per distinct time with >= 1 event, time-ascending:
+    (t DOUBLE, n_risk, n_events, n_censored BIGINT, survival DOUBLE
+    round 6). Rows with NULL duration/event are excluded.
+
+    Plan: one groupBy(duration) collapses the corpus to per-time
+    (events, censored) counters — the only data-sized shuffle; the
+    at-risk ladder and the product are cumulative windows over the
+    distinct-times table, ordered ascending with n_risk derived from
+    total − cumulative-preceding (no second scan)."""
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    nn = df.filter(t.isNotNull() & ev.isNotNull())
+    per_t = nn.groupBy(t.alias("t")).agg(
+        F.sum(F.when(ev != 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(ev == 0, 1).otherwise(0)).cast("bigint").alias("c"),
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("__N"))
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    b = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("__N")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev),
+                     F.lit(0)),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    log_term = F.when(F.col("d") < F.col("n_risk"), F.log(1.0 - frac))
+    hit_zero = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(
+        w_cum
+    )
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(w_cum))
+    )
+    return (
+        b.filter(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            (F.round(surv, 6) + 0.0).alias("survival"),
+        )
+        .orderBy("t")
+    )

@@ -1111,3 +1111,63 @@ def e_merge_intervals(spark, sf_dir):
         .alias("e"),
     )
     return merge_intervals(iv, ["k"], "s", "e", gap=0)
+
+
+@register(
+    "m_kaplan_meier",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS t,
+             CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS ev
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ev <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+      FROM s GROUP BY t),
+    tot AS (SELECT sum(d + c) AS N FROM per_t),
+    risk AS (
+      SELECT t, d, c,
+             N - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t, tot),
+    curve AS (
+      SELECT t, d, c, n_risk,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS hz,
+             sum(CASE WHEN d < n_risk
+                 THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk
+                                                        AS DOUBLE))
+                 END) OVER w AS lsum
+      FROM risk
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           c AS n_censored,
+           round(CASE WHEN hz = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+             + 0.0 AS survival
+    FROM curve WHERE d > 0
+    """,
+)
+def m_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve (operators/relational.kaplan_meier)
+    over events: duration = value, observed = event_type <> 'error'
+    (errors right-censor) — the churn/lifetime estimator. The corpus
+    collapses to per-time (event, censored) counters in one groupBy;
+    the at-risk ladder and exp(Σ ln(1−d/n)) product run as cumulative
+    windows over the distinct-times table, with the d = n boundary
+    pinned to exactly 0.0 by a cumulative flag. The oracle replays
+    counters, ladder, log-sum product and the flag."""
+    from pandasvcf_spark.operators.relational import kaplan_meier
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("t"),
+        F.when(F.col("event_type") != "error", 1).otherwise(0).alias("ev"),
+    )
+    return kaplan_meier(d, "t", "ev")

@@ -1104,3 +1104,32 @@ def test_merge_intervals_nested_and_gap(spark):
     # gap=2 bridges 100 -> 101 but not 110 -> 200
     assert bridged[("a", 1)]["end"] == 110 and bridged[("a", 1)]["n_merged"] == 4
     assert ("a", 200) in bridged and len(bridged) == 3
+
+
+# kaplan_meier (right-censored survival)
+
+
+def test_kaplan_meier_textbook_case(spark):
+    """The classic worked example: events at 1, 2, 4 with a censor at 3
+    -> S = 0.75, 0.5, 0.0 (the last subject's event drives S to exactly
+    zero via the d = n flag, never NaN). Censored-only times emit no
+    row; ties at one time fold into one step."""
+    from pandasvcf_spark.operators.relational import kaplan_meier
+
+    rows = [(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 1)]
+    df = spark.createDataFrame(rows, "t double, e int")
+    out = [r.asDict() for r in kaplan_meier(df, "t", "e").collect()]
+    assert [(r["t"], r["n_risk"], r["survival"]) for r in out] == [
+        (1.0, 4, 0.75), (2.0, 3, 0.5), (4.0, 1, 0.0)
+    ]
+
+    # ties: two events + one censor at t=1 of five subjects
+    tied = [(1.0, 1), (1.0, 1), (1.0, 0), (2.0, 1), (3.0, 0)]
+    df2 = spark.createDataFrame(tied, "t double, e int")
+    out2 = {r["t"]: r for r in kaplan_meier(df2, "t", "e").collect()}
+    r1 = out2[1.0]
+    assert (r1["n_risk"], r1["n_events"], r1["n_censored"]) == (5, 2, 1)
+    assert abs(r1["survival"] - 0.6) < 1e-9      # 1 - 2/5
+    r2 = out2[2.0]
+    assert r2["n_risk"] == 2                     # censor left at t=1
+    assert abs(r2["survival"] - 0.3) < 1e-9      # 0.6 * (1 - 1/2)

@@ -530,6 +530,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # device, relational form); window +
                                  # island replay oracle; nested-interval
                                  # hand case
+        "m_kaplan_meier",        # KM survival curve: per-time counter
+                                 # groupBy + distinct-times cumulative
+                                 # windows (metrics family);
+                                 # ladder+product replay oracle;
+                                 # textbook hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
