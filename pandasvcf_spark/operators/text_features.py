@@ -891,3 +891,72 @@ def gini_concentration(
     return out.select(
         "vocab", "tokens", (F.round(gini, 6) + 0.0).alias("gini")
     )
+
+
+def naive_bayes_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial Naive Bayes text classifier — the
+    embarrassingly-parallel baseline every corpus-labeling pipeline
+    starts from (fastText's ancestor; the lang-id/topic/quality
+    bootstrap model), trained in TWO aggregations however large the
+    corpus:
+
+        log P(w|y) = ln((count(w, y) + α) / (tokens(y) + α·|V|))
+        log P(y)   = ln(docs(y) / docs)
+
+    with Laplace smoothing α over the GLOBAL vocabulary V (absent
+    (word, label) pairs are implicit — score-time lookups fall back to
+    the per-label default ln(α / (tokens(y) + α·|V|)), kept as the
+    `log_default` column, so the model table stays SPARSE: observed
+    pairs only, never |V|·|labels| rows).
+
+    Returns (likelihoods, priors): likelihoods = (label, w,
+    n_wy BIGINT, log_lik DOUBLE round 6, log_default DOUBLE round 6 —
+    constant within label), priors = (label, n_docs BIGINT, log_prior
+    DOUBLE round 6). Plan: explode → groupBy(label, word) is the only
+    data-sized shuffle; label totals and |V| are label-sized /
+    1-row broadcasts joined back."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    lab = F.col(label_col)
+    nn = df.filter(lab.isNotNull() & F.col(text_col).isNotNull())
+    words = nn.select(
+        lab.alias("label"), F.explode(words_expr(text_col)).alias("w")
+    )
+    wc = words.groupBy("label", "w").agg(
+        F.count(F.lit(1)).alias("n_wy")
+    )
+    label_tot = wc.groupBy("label").agg(F.sum("n_wy").alias("__ty"))
+    vocab = wc.select("w").distinct().agg(
+        F.count(F.lit(1)).alias("__V")
+    )
+    lik = (
+        wc.join(label_tot, on="label")
+        .crossJoin(F.broadcast(vocab))
+    )
+    denom = F.col("__ty").cast("double") + alpha * F.col("__V")
+    likelihoods = lik.select(
+        "label",
+        "w",
+        "n_wy",
+        (F.round(F.log((F.col("n_wy") + alpha) / denom), 6) + 0.0)
+        .alias("log_lik"),
+        (F.round(F.log(F.lit(alpha) / denom), 6) + 0.0)
+        .alias("log_default"),
+    )
+    docs = nn.groupBy(lab.alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dtot = docs.agg(F.sum("n_docs").alias("__D"))
+    priors = docs.crossJoin(F.broadcast(dtot)).select(
+        "label",
+        "n_docs",
+        (F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("__D")), 6
+        ) + 0.0).alias("log_prior"),
+    )
+    return likelihoods, priors

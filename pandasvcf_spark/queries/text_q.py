@@ -2518,3 +2518,49 @@ def t_html_extract(spark, sf_dir):
         F.lit("&nbsp;&amp; more</p></body></html>"),
     )
     return d.select("doc_id", html_text_expr(html).alias("clean"))
+
+
+@register(
+    "t_naive_bayes",
+    oracle=f"""
+    WITH nn AS (
+      SELECT lang AS label, text FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL),
+    words AS (
+      SELECT label, unnest({_WORDS}) AS w FROM nn),
+    wc AS (
+      SELECT label, w, CAST(count(*) AS BIGINT) AS n_wy
+      FROM words GROUP BY label, w),
+    lt AS (SELECT label, sum(n_wy) AS ty FROM wc GROUP BY label),
+    vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS V FROM wc),
+    docs AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+      FROM nn GROUP BY label),
+    dt AS (SELECT sum(n_docs) AS D FROM docs)
+    SELECT wc.label, wc.w, wc.n_wy,
+           round(ln((wc.n_wy + 1.0)
+                    / (CAST(lt.ty AS DOUBLE) + 1.0 * vv.V)), 6) + 0.0
+             AS log_lik,
+           round(ln(1.0 / (CAST(lt.ty AS DOUBLE) + 1.0 * vv.V)), 6)
+             + 0.0 AS log_default,
+           round(ln(CAST(docs.n_docs AS DOUBLE) / dt.D), 6) + 0.0
+             AS log_prior
+    FROM wc
+    JOIN lt ON wc.label = lt.label
+    JOIN docs ON wc.label = docs.label, vv, dt
+    """,
+)
+def t_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes trained on documents with lang as the
+    label (operators/text_features.naive_bayes_train, α=1 Laplace) —
+    the two-aggregation distributed classifier baseline: the ONLY
+    data-sized shuffle is groupBy(label, word); label totals, |V| and
+    doc priors are label-sized/1-row broadcasts; the model table stays
+    sparse (observed pairs + a per-label default for unseen words).
+    The entry emits likelihoods joined with priors; the oracle replays
+    counts, smoothing and all three log quantities."""
+    from pandasvcf_spark.operators.text_features import naive_bayes_train
+
+    d = load(spark, sf_dir, "documents")
+    lik, pri = naive_bayes_train(d, "lang")
+    return lik.join(pri.select("label", "log_prior"), on="label")

@@ -535,6 +535,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # windows (metrics family);
                                  # ladder+product replay oracle;
                                  # textbook hand case
+        "t_naive_bayes",         # multinomial NB training: two-agg
+                                 # sparse model (t_word_logprob /
+                                 # t_bigram_lm family); smoothing
+                                 # replay oracle; hand-computed +
+                                 # scoring round trip
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

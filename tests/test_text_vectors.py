@@ -2001,3 +2001,45 @@ def test_html_text_expr_extraction(spark):
     caps = "<SCRIPT>\nwhile(1){}\n</SCRIPT>ok<STYLE>x</STYLE>"
     df2 = spark.createDataFrame([(1, caps)], "i long, h string")
     assert df2.select(html_text_expr("h").alias("t")).collect()[0]["t"] == "ok"
+
+
+def test_naive_bayes_train_hand_case(spark):
+    """Hand-computed smoothed likelihoods on a 2-label toy corpus:
+    P(w|y) = (c+1)/(ty+V), priors from doc counts, sparse model (no
+    cross-label zero rows), per-label default for unseen words. A
+    scoring round trip classifies an unambiguous doc correctly."""
+    import math
+
+    from pandasvcf_spark.operators.text_features import naive_bayes_train
+
+    docs = [
+        ("spam", "buy cheap pills"), ("spam", "cheap pills now"),
+        ("ham", "meeting notes attached"), ("ham", "notes for meeting"),
+    ]
+    df = spark.createDataFrame(docs, "y string, text string")
+    lik, pri = naive_bayes_train(df, "y")
+    L = {(r["label"], r["w"]): r for r in lik.collect()}
+    P = {r["label"]: r for r in pri.collect()}
+
+    V = 8  # buy cheap pills now meeting notes attached for
+    # spam: 6 tokens; cheap appears twice
+    want = math.log((2 + 1) / (6 + V))
+    assert abs(L[("spam", "cheap")]["log_lik"] - round(want, 6)) < 1e-9
+    assert ("spam", "meeting") not in L            # sparse
+    dflt = math.log(1 / (6 + V))
+    assert abs(L[("spam", "buy")]["log_default"] - round(dflt, 6)) < 1e-9
+    assert abs(P["spam"]["log_prior"] - round(math.log(0.5), 6)) < 1e-9
+
+    # scoring round trip: "cheap pills" must score spam > ham
+    # (log_default is constant within a label — any row provides it)
+    s_spam = P["spam"]["log_prior"] + sum(
+        L.get(("spam", w), L[("spam", "cheap")])["log_lik"]
+        if ("spam", w) in L else L[("spam", "cheap")]["log_default"]
+        for w in ["cheap", "pills"]
+    )
+    s_ham = P["ham"]["log_prior"] + sum(
+        L[("ham", w)]["log_lik"] if ("ham", w) in L
+        else L[("ham", "notes")]["log_default"]
+        for w in ["cheap", "pills"]
+    )
+    assert s_spam > s_ham
