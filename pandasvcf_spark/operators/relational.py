@@ -2594,3 +2594,72 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def confusion_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Thresholded binary-classification report in one row — the
+    operating-point summary beside `group_auc` (threshold-free) and
+    `ks_lift_table` (all deciles): confusion counts and the derived
+    metrics at `score >= threshold`:
+
+        precision = TP/(TP+FP)   recall = TP/(TP+FN)
+        f1 = 2PR/(P+R)           accuracy = (TP+TN)/n
+        mcc = (TP·TN − FP·FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    MCC included because accuracy and F1 both mislead on imbalanced
+    corpora (the norm for quality filters) and MCC is the one
+    single-number summary that doesn't. Degenerate denominators yield
+    NULL, not 0 (an undefined precision is not a zero precision).
+    Output: (n, tp, fp, tn, fn BIGINT, precision, recall, f1,
+    accuracy, mcc DOUBLE round 6).
+
+    Plan: ONE conditional-sum aggregation (4 counters) collapsing
+    map-side; every metric is a projection. NULL score/label rows are
+    excluded."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    nn = df.filter(s.isNotNull() & y.isNotNull())
+    pred = s >= threshold
+    pos = y != 0
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    agg = nn.agg(
+        cnt(pred & pos).alias("tp"),
+        cnt(pred & ~pos).alias("fp"),
+        cnt(~pred & ~pos).alias("tn"),
+        cnt(~pred & pos).alias("fn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    tn = F.col("tn").cast("double")
+    fn = F.col("fn").cast("double")
+    n = tp + fp + tn + fn
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    acc = F.when(n > 0, (tp + tn) / n)
+    mcc_den = F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    mcc = F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den)
+    r6 = lambda c: (F.round(c, 6) + 0.0)
+    return agg.select(
+        (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"))
+        .alias("n"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        r6(prec).alias("precision"),
+        r6(rec).alias("recall"),
+        r6(f1).alias("f1"),
+        r6(acc).alias("accuracy"),
+        r6(mcc).alias("mcc"),
+    )

@@ -1171,3 +1171,68 @@ def m_kaplan_meier(spark, sf_dir):
         F.when(F.col("event_type") != "error", 1).otherwise(0).alias("ev"),
     )
     return kaplan_meier(d, "t", "ev")
+
+
+@register(
+    "m_confusion",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS sc,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN sc >= 5.0 AND y <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN sc >= 5.0 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN sc < 5.0 AND y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn,
+        CAST(sum(CASE WHEN sc < 5.0 AND y <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn
+      FROM s),
+    d AS (
+      SELECT *,
+             CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+             CAST(tn AS DOUBLE) AS tnd, CAST(fn AS DOUBLE) AS fnd
+      FROM c),
+    m AS (
+      SELECT *,
+             CASE WHEN tpd + fpd > 0 THEN tpd / (tpd + fpd) END AS p,
+             CASE WHEN tpd + fnd > 0 THEN tpd / (tpd + fnd) END AS r,
+             sqrt((tpd + fpd) * (tpd + fnd) * (tnd + fpd)
+                  * (tnd + fnd)) AS md
+      FROM d)
+    SELECT tp + fp + tn + fn AS n, tp, fp, tn, fn,
+           round(p, 6) + 0.0 AS precision,
+           round(r, 6) + 0.0 AS recall,
+           round(CASE WHEN p IS NOT NULL AND r IS NOT NULL
+                      AND p + r > 0
+                 THEN 2.0 * p * r / (p + r) END, 6) + 0.0 AS f1,
+           round(CASE WHEN tpd + fpd + tnd + fnd > 0
+                 THEN (tpd + tnd) / (tpd + fpd + tnd + fnd) END, 6)
+             + 0.0 AS accuracy,
+           round(CASE WHEN md > 0
+                 THEN (tpd * tnd - fpd * fnd) / md END, 6) + 0.0
+             AS mcc
+    FROM m
+    """,
+)
+def m_confusion(spark, sf_dir):
+    """Thresholded binary-classification report (operators/relational.
+    confusion_report): value >= 5.0 predicting the 'error' label —
+    the operating-point summary beside m_group_auc and m_ks_lift,
+    with MCC for the imbalanced case. ONE 4-counter conditional
+    aggregation; every metric a projection; degenerate denominators
+    NULL. The oracle replays counters and all five metrics."""
+    from pandasvcf_spark.operators.relational import confusion_report
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("sc"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+    return confusion_report(d, "sc", "y", threshold=5.0)

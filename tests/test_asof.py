@@ -1133,3 +1133,35 @@ def test_kaplan_meier_textbook_case(spark):
     r2 = out2[2.0]
     assert r2["n_risk"] == 2                     # censor left at t=1
     assert abs(r2["survival"] - 0.3) < 1e-9      # 0.6 * (1 - 1/2)
+
+
+# confusion_report (thresholded operating point)
+
+
+def test_confusion_report_hand_case(spark):
+    """Hand-counted 2x2 at threshold 0.5: tp=3 fp=1 tn=4 fn=2; all five
+    metrics verified; all-negative corpus yields NULL precision (not
+    zero) and NULL mcc."""
+    import math
+
+    from pandasvcf_spark.operators.relational import confusion_report
+
+    rows = (
+        [(0.9, 1)] * 3 + [(0.8, 0)]            # tp=3, fp=1
+        + [(0.1, 0)] * 4 + [(0.2, 1)] * 2      # tn=4, fn=2
+    )
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = confusion_report(df, "s", "y").collect()[0]
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (3, 1, 4, 2)
+    assert r["precision"] == 0.75
+    assert abs(r["recall"] - 0.6) < 1e-9
+    p, rc = 0.75, 0.6
+    assert abs(r["f1"] - round(2 * p * rc / (p + rc), 6)) < 1e-9
+    assert r["accuracy"] == 0.7
+    mcc = (3 * 4 - 1 * 2) / math.sqrt(4 * 5 * 5 * 6)
+    assert abs(r["mcc"] - round(mcc, 6)) < 1e-9
+
+    neg = spark.createDataFrame([(0.1, 0)] * 5, "s double, y int")
+    r2 = confusion_report(neg, "s", "y").collect()[0]
+    assert r2["precision"] is None and r2["mcc"] is None
+    assert r2["accuracy"] == 1.0

@@ -540,6 +540,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # t_bigram_lm family); smoothing
                                  # replay oracle; hand-computed +
                                  # scoring round trip
+        "m_confusion",           # thresholded P/R/F1/MCC: one
+                                 # 4-counter agg (m_ab_test family);
+                                 # all-five-metrics replay oracle;
+                                 # hand-counted 2x2
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
