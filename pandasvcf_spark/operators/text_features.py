@@ -960,3 +960,78 @@ def naive_bayes_train(
         ) + 0.0).alias("log_prior"),
     )
     return likelihoods, priors
+
+
+def naive_bayes_score(
+    df: DataFrame,
+    likelihoods: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a trained multinomial Naive Bayes model
+    (`naive_bayes_train`'s output) — the distributed predict half of
+    the classifier: per (doc, label),
+
+        score = log_prior(y) + Σ_w cnt(w)·log_lik(w|y)
+                             + (tokens − matched)·log_default(y)
+
+    i.e. every token of a word UNSEEN for that label contributes the
+    label's smoothed default — exactly the dense-model math, computed
+    off the SPARSE table. Output: (id, label, score DOUBLE round 6,
+    is_pred BOOLEAN — the argmax under the deterministic tie order
+    (score DESC, label)). Wordless documents score on priors alone.
+
+    Plan: per-doc word counts join the model VOCAB-KEYED (the only
+    data-sized join — each word row meets just the labels that saw the
+    word); the (doc × label) scaffold comes from a labels-sized
+    broadcast cross join; the argmax is one per-doc window. No
+    |V|·|labels| densification anywhere."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    )
+    w = F.explode(words_expr("__t")).alias("w")
+    wc = (
+        base.select("__id", w)
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    doc_tok = wc.groupBy("__id").agg(F.sum("__cnt").alias("__tok"))
+    matched = (
+        wc.join(likelihoods, on="w")
+        .groupBy("__id", "label")
+        .agg(
+            F.sum(F.col("__cnt") * F.col("log_lik")).alias("__mscore"),
+            F.sum("__cnt").alias("__mtok"),
+        )
+    )
+    # per-label constants: default + prior (labels-sized)
+    consts = (
+        likelihoods.groupBy("label")
+        .agg(F.max("log_default").alias("__dflt"))
+        .join(priors.select("label", "log_prior"), on="label")
+    )
+    scaffold = (
+        base.select("__id")
+        .distinct()
+        .join(doc_tok, on="__id", how="left")
+        .na.fill({"__tok": 0})
+        .crossJoin(F.broadcast(consts))
+    )
+    scored = scaffold.join(matched, on=["__id", "label"], how="left")
+    mscore = F.coalesce(F.col("__mscore"), F.lit(0.0))
+    mtok = F.coalesce(F.col("__mtok"), F.lit(0))
+    score = (
+        F.col("log_prior")
+        + mscore
+        + (F.col("__tok") - mtok).cast("double") * F.col("__dflt")
+    )
+    out = scored.select(
+        F.col("__id").alias(id_col),
+        "label",
+        (F.round(score, 6) + 0.0).alias("score"),
+    )
+    wr = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("label")
+    )
+    return out.withColumn("is_pred", F.row_number().over(wr) == 1)

@@ -2564,3 +2564,84 @@ def t_naive_bayes(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     lik, pri = naive_bayes_train(d, "lang")
     return lik.join(pri.select("label", "log_prior"), on="label")
+
+
+@register(
+    "t_nb_predict",
+    oracle=f"""
+    WITH nn AS (
+      SELECT lang AS label, text FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL),
+    tw AS (SELECT label, unnest({_WORDS}) AS w FROM nn),
+    wcnt AS (
+      SELECT label, w, CAST(count(*) AS BIGINT) AS n_wy
+      FROM tw GROUP BY label, w),
+    lt AS (SELECT label, sum(n_wy) AS ty FROM wcnt GROUP BY label),
+    vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS V FROM wcnt),
+    docs AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+      FROM nn GROUP BY label),
+    dtot AS (SELECT sum(n_docs) AS D FROM docs),
+    lik AS (
+      SELECT wcnt.label, wcnt.w,
+             round(ln((wcnt.n_wy + 1.0)
+                      / (CAST(lt.ty AS DOUBLE) + 1.0 * vv.V)), 6)
+               + 0.0 AS log_lik
+      FROM wcnt JOIN lt ON wcnt.label = lt.label, vv),
+    consts AS (
+      SELECT lt.label,
+             round(ln(1.0 / (CAST(lt.ty AS DOUBLE) + 1.0 * vv.V)), 6)
+               + 0.0 AS dflt,
+             round(ln(CAST(docs.n_docs AS DOUBLE) / dtot.D), 6) + 0.0
+               AS lp
+      FROM lt JOIN docs ON lt.label = docs.label, vv, dtot),
+    q AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND text IS NOT NULL),
+    qw AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, unnest({_WORDS}) AS w FROM q) GROUP BY doc_id, w),
+    qtok AS (SELECT doc_id, sum(cnt) AS tok FROM qw GROUP BY doc_id),
+    matched AS (
+      SELECT qw.doc_id, lik.label,
+             sum(qw.cnt * lik.log_lik) AS ms,
+             sum(qw.cnt) AS mt
+      FROM qw JOIN lik ON qw.w = lik.w
+      GROUP BY qw.doc_id, lik.label),
+    scaffold AS (
+      SELECT q.doc_id, coalesce(qtok.tok, 0) AS tok,
+             consts.label, consts.dflt, consts.lp
+      FROM q LEFT JOIN qtok ON q.doc_id = qtok.doc_id, consts),
+    scored AS (
+      SELECT s.doc_id, s.label,
+             round(s.lp + coalesce(m.ms, 0.0)
+                   + CAST(s.tok - coalesce(m.mt, 0) AS DOUBLE)
+                     * s.dflt, 6) + 0.0 AS score
+      FROM scaffold s
+      LEFT JOIN matched m
+        ON s.doc_id = m.doc_id AND s.label = m.label)
+    SELECT doc_id, label, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, label) = 1
+             AS is_pred
+    FROM scored
+    """,
+)
+def t_nb_predict(spark, sf_dir):
+    """Naive Bayes scoring (operators/text_features.naive_bayes_score)
+    of the first 200 documents against the lang-labeled model trained
+    on the full corpus — the distributed predict half completing
+    t_naive_bayes: sparse-model math made dense-equivalent by the
+    per-label unseen-word default, vocab-keyed model join, labels-sized
+    scaffold broadcast, one per-doc argmax window (deterministic tie
+    order on the ROUNDED score). The oracle replays training AND
+    scoring end to end."""
+    from pandasvcf_spark.operators.text_features import (
+        naive_bayes_score,
+        naive_bayes_train,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lik, pri = naive_bayes_train(d, "lang")
+    q = d.filter(F.col("doc_id") < 200)
+    return naive_bayes_score(q, lik, pri)

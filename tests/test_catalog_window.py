@@ -544,6 +544,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # 4-counter agg (m_ab_test family);
                                  # all-five-metrics replay oracle;
                                  # hand-counted 2x2
+        "t_nb_predict",          # NB scoring: vocab-keyed model join +
+                                 # labels-scaffold broadcast + per-doc
+                                 # argmax (t_naive_bayes family);
+                                 # train+score end-to-end oracle;
+                                 # round-trip pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

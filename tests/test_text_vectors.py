@@ -2043,3 +2043,37 @@ def test_naive_bayes_train_hand_case(spark):
         for w in ["cheap", "pills"]
     )
     assert s_spam > s_ham
+
+
+def test_naive_bayes_score_round_trip(spark):
+    """Train on a labeled toy corpus, score held-out docs: an
+    unambiguous spam doc predicts spam, an unambiguous ham doc predicts
+    ham, a wordless doc falls back to the (uniform) prior with the
+    deterministic label tie-break, and every doc has exactly one
+    is_pred row over all labels."""
+    from pandasvcf_spark.operators.text_features import (
+        naive_bayes_score,
+        naive_bayes_train,
+    )
+
+    train = spark.createDataFrame(
+        [("spam", "buy cheap pills now"), ("spam", "cheap pills cheap"),
+         ("ham", "meeting notes attached"), ("ham", "notes for the meeting")],
+        "y string, text string",
+    )
+    lik, pri = naive_bayes_train(train, "y")
+    test = spark.createDataFrame(
+        [(1, "cheap pills"), (2, "meeting notes"), (3, "???"),
+         (4, "pills attached")],
+        "doc_id long, text string",
+    )
+    rows = naive_bayes_score(test, lik, pri).collect()
+    pred = {r["doc_id"]: r["label"] for r in rows if r["is_pred"]}
+    assert pred[1] == "spam" and pred[2] == "ham"
+    assert pred[3] == "ham"  # wordless: equal priors, 'ham' < 'spam'
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["is_pred"])
+    assert all(sum(flags) == 1 for flags in per_doc.values())
+    # mixed doc: one word from each label still yields a single argmax
+    assert 4 in pred
