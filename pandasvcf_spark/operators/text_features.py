@@ -1035,3 +1035,76 @@ def naive_bayes_score(
         F.desc("score"), F.col("label")
     )
     return out.withColumn("is_pred", F.row_number().over(wr) == 1)
+
+
+def chi2_terms(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-label chi-square feature selection — the classic
+    "which words DISTINGUISH this label" ranking (sklearn chi2 /
+    Yang & Pedersen 1997's best text-feature criterion; the NB/quality-
+    classifier companion that tells you WHY a label separates): for
+    each (word, label), the 2×2 document-presence table
+
+        a = docs of y containing w     b = other docs containing w
+        c = docs of y without w        d = other docs without w
+        chi2 = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    Output: the top_n terms per label under the total order (chi2 DESC,
+    w): (label, w, n_docs_with BIGINT = a, chi2 DOUBLE round 4;
+    degenerate margins — a word in every doc, a label owning all docs —
+    yield chi2 NULL and rank last). Presence is binary per doc
+    (`source_overlap`'s convention).
+
+    Plan: one distinct (label, doc, word) explode collapses the corpus;
+    per-(label, word) doc counts are the only data-sized shuffle;
+    word doc-frequency and label doc counts are vocab-/labels-sized
+    join-backs; b, c, d are ARITHMETIC from those margins — the 2×2
+    never materializes its zero cells. Top-n is a per-label rank
+    window over the cells table."""
+    lab = F.col(label_col)
+    nn = df.filter(lab.isNotNull() & F.col(text_col).isNotNull())
+    cells = (
+        nn.select(
+            lab.alias("label"),
+            F.explode(F.array_distinct(words_expr(text_col))).alias("w"),
+        )
+        .groupBy("label", "w")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    n_y = nn.groupBy(lab.alias("label")).agg(
+        F.count(F.lit(1)).alias("__ny")
+    )
+    n_tot = n_y.agg(F.sum("__ny").alias("__N"))
+    df_w = cells.groupBy("w").agg(F.sum("a").alias("__dfw"))
+    j = (
+        cells.join(df_w, on="w")
+        .join(n_y, on="label")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("__dfw") - F.col("a")).cast("double")
+    c = (F.col("__ny") - F.col("a")).cast("double")
+    d = (F.col("__N") - F.col("__ny")).cast("double") - b
+    n = F.col("__N").cast("double")
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(
+        den > 0, n * (a * d - b * c) * (a * d - b * c) / den
+    )
+    scored = j.select(
+        "label",
+        "w",
+        F.col("a").alias("n_docs_with"),
+        (F.round(chi2, 4) + 0.0).alias("chi2"),
+    )
+    wr = Window.partitionBy("label").orderBy(
+        F.desc_nulls_last("chi2"), F.col("w")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") <= top_n)
+        .drop("__r")
+    )

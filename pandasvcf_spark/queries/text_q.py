@@ -2645,3 +2645,56 @@ def t_nb_predict(spark, sf_dir):
     lik, pri = naive_bayes_train(d, "lang")
     q = d.filter(F.col("doc_id") < 200)
     return naive_bayes_score(q, lik, pri)
+
+
+@register(
+    "t_chi2_terms",
+    oracle=f"""
+    WITH nn AS (
+      SELECT lang AS label, text FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL),
+    cells AS (
+      SELECT label, w, CAST(count(*) AS BIGINT) AS a FROM (
+        SELECT label, unnest(list_distinct({_WORDS})) AS w FROM nn)
+      GROUP BY label, w),
+    ny AS (SELECT label, CAST(count(*) AS BIGINT) AS n_y
+           FROM nn GROUP BY label),
+    nt AS (SELECT sum(n_y) AS N FROM ny),
+    dfw AS (SELECT w, sum(a) AS dw FROM cells GROUP BY w),
+    m AS (
+      SELECT c.label, c.w, c.a,
+             CAST(c.a AS DOUBLE) AS ad,
+             CAST(dfw.dw - c.a AS DOUBLE) AS bd,
+             CAST(ny.n_y - c.a AS DOUBLE) AS cd,
+             CAST(nt.N - ny.n_y AS DOUBLE)
+               - CAST(dfw.dw - c.a AS DOUBLE) AS dd,
+             CAST(nt.N AS DOUBLE) AS nd
+      FROM cells c
+      JOIN dfw ON c.w = dfw.w
+      JOIN ny ON c.label = ny.label, nt),
+    scored AS (
+      SELECT label, w, a AS n_docs_with,
+             round(CASE WHEN (ad+bd)*(cd+dd)*(ad+cd)*(bd+dd) > 0
+                   THEN nd * (ad*dd - bd*cd) * (ad*dd - bd*cd)
+                        / ((ad+bd)*(cd+dd)*(ad+cd)*(bd+dd)) END, 4)
+               + 0.0 AS chi2
+      FROM m)
+    SELECT label, w, n_docs_with, chi2 FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY chi2 DESC NULLS LAST, w) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+)
+def t_chi2_terms(spark, sf_dir):
+    """Top chi-square label-distinctive terms per language
+    (operators/text_features.chi2_terms; Yang & Pedersen 1997 / sklearn
+    chi2) — the feature-selection readout beside t_naive_bayes. One
+    distinct-presence explode + (label, word) count is the only
+    data-sized shuffle; margins join back vocab-/labels-sized and the
+    2×2's absent cells stay arithmetic. Expected near-flat chi2 on
+    this synthetic corpus — the entry checks the statistic. The oracle
+    replays cells, margins, the chi-square and the per-label rank."""
+    from pandasvcf_spark.operators.text_features import chi2_terms
+
+    return chi2_terms(load(spark, sf_dir, "documents"), "lang",
+                      top_n=10)

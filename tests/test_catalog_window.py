@@ -549,6 +549,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # argmax (t_naive_bayes family);
                                  # train+score end-to-end oracle;
                                  # round-trip pytest
+        "t_chi2_terms",          # chi2 feature selection: presence
+                                 # cells + arithmetic margins
+                                 # (m_mutual_info family); 2x2 replay
+                                 # oracle; exclusive-word hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

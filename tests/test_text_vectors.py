@@ -2077,3 +2077,29 @@ def test_naive_bayes_score_round_trip(spark):
     assert all(sum(flags) == 1 for flags in per_doc.values())
     # mixed doc: one word from each label still yields a single argmax
     assert 4 in pred
+
+
+def test_chi2_terms_hand_case(spark):
+    """A word exclusive to one label tops that label's ranking with the
+    hand-computed chi2; a word present in EVERY doc has a degenerate
+    margin (chi2 NULL) and ranks last; presence is binary per doc."""
+    import math
+
+    from pandasvcf_spark.operators.text_features import chi2_terms
+
+    docs = (
+        [("spam", "pills pills common")] * 3
+        + [("ham", "notes common")] * 3
+    )
+    df = spark.createDataFrame(docs, "y string, text string")
+    out = chi2_terms(df, "y", top_n=5).collect()
+    spam = [r for r in out if r["label"] == "spam"]
+    # 'pills': a=3, b=0, c=0, d=3 -> chi2 = 6*(9)^2/(3*3*3*3) = 6
+    top = spam[0]
+    assert top["w"] == "pills" and top["n_docs_with"] == 3
+    assert abs(top["chi2"] - 6.0) < 1e-9
+    # 'common' in every doc: b+d margin... (a+b)=6,(c+d)=0 -> NULL
+    common = [r for r in out if r["w"] == "common"]
+    assert all(r["chi2"] is None for r in common)
+    # NULL chi2 ranks last within its label
+    assert spam[-1]["w"] == "common" or spam[-1]["chi2"] is not None
