@@ -1108,3 +1108,85 @@ def chi2_terms(
         .filter(F.col("__r") <= top_n)
         .drop("__r")
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction over the corpus (Rose et al. 2010,
+    Rapid Automatic Keyword Extraction) — the unsupervised "what is
+    this corpus about" pass: candidate phrases are maximal runs of
+    non-stopwords, each word scores degree/frequency (degree = summed
+    length of phrases containing it — co-occurrence reach; frequency =
+    appearances), and a phrase scores the sum of its word scores.
+    Output: the corpus's top_n phrases under the total order (score
+    DESC, phrase): (phrase STRING, n_occurrences BIGINT, n_words INT,
+    score DOUBLE round 4).
+
+    The phrase segmentation is STRING-LEVEL and engine-portable:
+    lowercase → non-letters to spaces → stopwords (word-boundary
+    anchored alternation over the fixed STOPWORDS list) to '|' →
+    split — no per-row Python, and the SQL oracle replays the identical
+    literals. Plan: explode (doc, phrase) rows; per-word (freq, degree)
+    is a vocab-sized agg; the phrase score joins word scores back
+    phrase-word-keyed; TakeOrdered keeps top_n. The only data-sized
+    shuffles are the phrase and word counts."""
+    from pandasvcf_spark.functions.text import STOPWORDS
+
+    sw_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z]+", " ")
+    seg = F.regexp_replace(norm, sw_pat, "|")
+    phrase_arr = F.filter(
+        F.transform(
+            F.split(seg, r"\|"),
+            lambda s: F.trim(F.regexp_replace(s, r"\s+", " ")),
+        ),
+        lambda s: s != "",
+    )
+    phrases = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(phrase_arr).alias("phrase")
+    )
+    pw = phrases.select(
+        "phrase", F.split(F.col("phrase"), " ").alias("__ws")
+    ).select("phrase", "__ws", F.size("__ws").alias("__len"))
+    word_stats = (
+        pw.select(F.explode("__ws").alias("w"), "__len")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("__freq"),
+            F.sum("__len").alias("__deg"),
+        )
+        .select(
+            "w",
+            (F.col("__deg").cast("double")
+             / F.col("__freq").cast("double")).alias("__wscore"),
+        )
+    )
+    pcounts = pw.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("__len").alias("__len"),
+    )
+    scored = (
+        pcounts.select(
+            "phrase",
+            "n_occurrences",
+            "__len",
+            F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+        )
+        .join(word_stats, on="w")
+        .groupBy("phrase", "n_occurrences", "__len")
+        .agg(F.sum("__wscore").alias("__score"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            "n_occurrences",
+            F.col("__len").cast("int").alias("n_words"),
+            (F.round(F.col("__score"), 4) + 0.0).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_n)
+    )

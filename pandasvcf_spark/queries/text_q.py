@@ -2698,3 +2698,58 @@ def t_chi2_terms(spark, sf_dir):
 
     return chi2_terms(load(spark, sf_dir, "documents"), "lang",
                       top_n=10)
+
+
+def _rake_phrases_sql() -> str:
+    """DuckDB twin of rake_keyphrases' string-level segmentation —
+    generated from the SAME STOPWORDS list so the literals match."""
+    from pandasvcf_spark.functions.text import STOPWORDS
+
+    sw = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return (
+        "list_filter(list_transform(string_split("
+        "regexp_replace(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), "
+        f"'{sw}', '|', 'g'), '|'), "
+        "s -> trim(regexp_replace(s, '\\s+', ' ', 'g'))), s -> s <> '')"
+    )
+
+
+@register(
+    "t_rake_phrases",
+    oracle=f"""
+    WITH phrases AS (
+      SELECT unnest({_rake_phrases_sql()}) AS phrase
+      FROM documents WHERE text IS NOT NULL),
+    pw AS (
+      SELECT phrase, string_split(phrase, ' ') AS ws,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phrases),
+    wstat AS (
+      SELECT w, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+      FROM (SELECT unnest(ws) AS w, plen FROM pw) GROUP BY w),
+    pc AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             max(plen) AS plen
+      FROM pw GROUP BY phrase),
+    scored AS (
+      SELECT pc.phrase, pc.n_occurrences, pc.plen,
+             sum(wstat.wscore) AS score
+      FROM pc, unnest(string_split(pc.phrase, ' ')) AS u(w)
+      JOIN wstat ON u.w = wstat.w
+      GROUP BY pc.phrase, pc.n_occurrences, pc.plen)
+    SELECT phrase, n_occurrences, CAST(plen AS INT) AS n_words,
+           round(score, 4) + 0.0 AS score
+    FROM scored
+    ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def t_rake_phrases(spark, sf_dir):
+    """Corpus RAKE keyphrases (operators/text_features.rake_keyphrases;
+    Rose et al. 2010): maximal non-stopword runs scored by summed
+    word degree/frequency. Engine-portable string-level segmentation
+    (the oracle's patterns generate from the SAME stopword list);
+    vocab-sized word-score agg, phrase-word-keyed score join,
+    TakeOrdered top-20 under (score DESC, phrase)."""
+    from pandasvcf_spark.operators.text_features import rake_keyphrases
+
+    return rake_keyphrases(load(spark, sf_dir, "documents"), top_n=20)

@@ -553,6 +553,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cells + arithmetic margins
                                  # (m_mutual_info family); 2x2 replay
                                  # oracle; exclusive-word hand case
+        "t_rake_phrases",        # RAKE keyphrases: string-level
+                                 # segmentation + vocab-keyed joins
+                                 # (t_tfidf family); same-literals
+                                 # oracle; worked-example hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2103,3 +2103,34 @@ def test_chi2_terms_hand_case(spark):
     assert all(r["chi2"] is None for r in common)
     # NULL chi2 ranks last within its label
     assert spam[-1]["w"] == "common" or spam[-1]["chi2"] is not None
+
+
+def test_rake_keyphrases_hand_case(spark):
+    """The RAKE worked logic on a tiny corpus: a repeated two-word
+    phrase outscores singletons (degree rewards co-occurrence);
+    stopwords split phrases and never appear inside one; consecutive
+    stopwords produce no empty phrases."""
+    from pandasvcf_spark.operators.text_features import rake_keyphrases
+
+    docs = [
+        (0, "deep learning is the deep learning"),
+        (1, "learning for a deep learning"),
+        (2, "shallow ponds and the a deep learning"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = rake_keyphrases(df, top_n=10).collect()
+    rows = {r["phrase"]: r for r in out}
+    # 'deep learning' occurs 4x; word scores: deep 8/4=2,
+    # learning (4*2 + 1)/5 = 1.8 -> phrase 3.8
+    dl = rows["deep learning"]
+    assert dl["n_occurrences"] == 4 and dl["n_words"] == 2
+    assert abs(dl["score"] - 3.8) < 1e-9
+    assert rows["learning"]["score"] == 1.8
+    # 'shallow ponds' (two once-seen words, degree 2 each) tops at 4.0
+    # — RAKE's known bias toward rare long phrases, asserted as spec
+    assert out[0]["phrase"] == "shallow ponds"
+    assert abs(out[0]["score"] - 4.0) < 1e-9
+    assert out[1]["phrase"] == "deep learning"
+    assert "" not in rows
+    assert all("the" not in p.split() and "a" not in p.split()
+               for p in rows)
