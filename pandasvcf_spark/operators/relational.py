@@ -2663,3 +2663,92 @@ def confusion_report(
         r6(acc).alias("accuracy"),
         r6(mcc).alias("mcc"),
     )
+
+
+def logistic_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    iters: int = 3,
+) -> DataFrame:
+    """Logistic regression by IRLS (iteratively reweighted least
+    squares — Newton's method on the log-likelihood), the
+    quality-classifier trainer in its distributed shape: each iteration
+    is ONE partial-aggregated pass collecting the weighted
+    normal-equation sums
+
+        μ = σ(Xβ),  w = μ(1−μ),  z = Xβ + (y−μ)/w
+        β ← solve(X'WX, X'Wz)
+
+    with the d×d solve on the driver (model-sized, like `ols_fit` and
+    the k-means stats). Fixed `iters` Newton steps from β = 0 — on
+    separable-ish data 3-5 steps sit within 1e-6 of the optimum, and a
+    FIXED count is what makes the whole fit replayable by an unrolled
+    SQL oracle (the `g_pagerank` fixed-iteration precedent). Intercept
+    always included. Output: long form (term STRING, beta DOUBLE round
+    6) + an '(n)' diagnostics row.
+
+    Complete-case rows only; y must be 0/1 (validated in the first
+    pass); singular X'WX raises. iters × one-scan cost is the honest
+    price of a second-order method — each pass shuffles only the
+    d(d+1)/2 + d partial sums."""
+    import numpy as np
+
+    if not x_cols:
+        raise ValueError("x_cols must be non-empty")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    terms = [F.lit(1.0)] + xs
+    names = ["(intercept)"] + list(x_cols)
+    d = len(terms)
+    beta = np.zeros(d)
+    n_rows = None
+    for it in range(iters):
+        eta = sum(
+            (F.lit(float(beta[i])) * terms[i] for i in range(1, d)),
+            F.lit(float(beta[0])),
+        )
+        mu = 1.0 / (1.0 + F.exp(-eta))
+        wgt = mu * (1.0 - mu)
+        z = eta + (y - mu) / wgt
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        if it == 0:
+            aggs.append(
+                F.sum(F.when((y != 0.0) & (y != 1.0), 1).otherwise(0))
+                .alias("__bad")
+            )
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(wgt * terms[i] * terms[j]).alias(f"__xx_{i}_{j}")
+                )
+            aggs.append(F.sum(wgt * terms[i] * z).alias(f"__xz_{i}"))
+        row = nn.agg(*aggs).collect()[0]
+        n_rows = row["__n"]
+        if n_rows == 0:
+            raise ValueError("no complete-case rows to fit")
+        if it == 0 and row["__bad"]:
+            raise ValueError(
+                f"y must be 0/1; found {row['__bad']} other values"
+            )
+        XX = np.zeros((d, d))
+        Xz = np.zeros(d)
+        for i in range(d):
+            for j in range(i, d):
+                XX[i, j] = XX[j, i] = row[f"__xx_{i}_{j}"]
+            Xz[i] = row[f"__xz_{i}"]
+        if abs(np.linalg.det(XX)) < 1e-12 * max(1.0, abs(XX).max()) ** d:
+            raise ValueError("singular weighted design (collinear features)")
+        beta = np.linalg.solve(XX, Xz)
+    spark = df.sparkSession
+    out = [
+        (nm, round(float(b), 6) + 0.0) for nm, b in zip(names, beta)
+    ]
+    out.append(("(n)", float(n_rows)))
+    return spark.createDataFrame(out, "term string, beta double")

@@ -1236,3 +1236,88 @@ def m_confusion(spark, sf_dir):
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
     )
     return confusion_report(d, "sc", "y", threshold=5.0)
+
+
+def _irls_round_sql(src: str, b: str, out_m: str, out_b: str) -> str:
+    """One unrolled IRLS round: weighted normal-equation sums over
+    `src` using the 1-row beta table `b` (columns b0, b1, b2), solved
+    by Cramer's rule into `out_b` (b0, b1, b2). Generic formula —
+    round 1 passes a zero beta table and reduces to w = 0.25."""
+    return f"""
+    {out_m} AS (
+      SELECT sum(w * 1.0) AS s00, sum(w * x1) AS s01,
+             sum(w * x2) AS s02,
+             sum(w * x1 * x1) AS s11, sum(w * x1 * x2) AS s12,
+             sum(w * x2 * x2) AS s22,
+             sum(w * z * 1.0) AS z0, sum(w * z * x1) AS z1,
+             sum(w * z * x2) AS z2
+      FROM (
+        SELECT y, x1, x2, eta, mu, mu * (1.0 - mu) AS w,
+               eta + (y - mu) / (mu * (1.0 - mu)) AS z
+        FROM (
+          SELECT y, x1, x2, eta, 1.0 / (1.0 + exp(-eta)) AS mu
+          FROM (
+            SELECT y, x1, x2, {b}.b0 + {b}.b1 * x1 + {b}.b2 * x2
+                     AS eta
+            FROM {src}, {b})))),
+    {out_b} AS (
+      SELECT
+        (z0 * (s11 * s22 - s12 * s12)
+         - s01 * (z1 * s22 - s12 * z2)
+         + s02 * (z1 * s12 - s11 * z2)) / det AS b0,
+        (s00 * (z1 * s22 - s12 * z2)
+         - z0 * (s01 * s22 - s12 * s02)
+         + s02 * (s01 * z2 - z1 * s02)) / det AS b1,
+        (s00 * (s11 * z2 - z1 * s12)
+         - s01 * (s01 * z2 - z1 * s02)
+         + z0 * (s01 * s12 - s11 * s02)) / det AS b2
+      FROM (SELECT *,
+              s00 * (s11 * s22 - s12 * s12)
+              - s01 * (s01 * s22 - s12 * s02)
+              + s02 * (s01 * s12 - s11 * s02) AS det
+            FROM {out_m}))"""
+
+
+@register(
+    "m_logit",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(user_id % 7 AS DOUBLE) AS x2
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    bz AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    {_irls_round_sql('s', 'bz', 'm1', 'beta1')},
+    {_irls_round_sql('s', 'beta1', 'm2', 'beta2')},
+    nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s)
+    SELECT '(intercept)' AS term, round(b0, 6) + 0.0 AS beta FROM beta2
+    UNION ALL SELECT 'hour_of_day', round(b1, 6) + 0.0 FROM beta2
+    UNION ALL SELECT 'user_mod7', round(b2, 6) + 0.0 FROM beta2
+    UNION ALL SELECT '(n)', n FROM nrow
+    """,
+)
+def m_logit(spark, sf_dir):
+    """Logistic regression of the 'error' label on hour-of-day and
+    user_id%7 (operators/relational.logistic_fit) — IRLS / Newton with
+    a FIXED 2-iteration budget so the entire optimization replays as
+    an unrolled SQL oracle (the g_pagerank fixed-iteration precedent):
+    each round is one partial-aggregated weighted-sums pass + a
+    model-sized Cramer/LAPACK 3×3 solve. Near-zero slopes expected on
+    this synthetic corpus — the entry checks the optimizer, not the
+    model."""
+    from pandasvcf_spark.operators.relational import logistic_fit
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+        .alias("y"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        (F.col("user_id") % 7).cast("double").alias("user_mod7"),
+    )
+    return logistic_fit(d, "y", ["hour_of_day", "user_mod7"], iters=2)

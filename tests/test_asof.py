@@ -1165,3 +1165,48 @@ def test_confusion_report_hand_case(spark):
     r2 = confusion_report(neg, "s", "y").collect()[0]
     assert r2["precision"] is None and r2["mcc"] is None
     assert r2["accuracy"] == 1.0
+
+
+# logistic_fit (IRLS Newton)
+
+
+def test_logistic_fit_recovers_planted_model(spark):
+    """4 IRLS steps on a planted logistic model match a numpy reference
+    IRLS exactly and land near the true coefficients; y validation and
+    collinearity raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import logistic_fit
+
+    rng = np.random.RandomState(1)
+    n = 3000
+    x1 = rng.uniform(-2, 2, n)
+    x2 = rng.uniform(-2, 2, n)
+    p = 1 / (1 + np.exp(-(0.5 + 1.5 * x1 - 0.8 * x2)))
+    yv = (rng.uniform(size=n) < p).astype(float)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, yv)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = {r["term"]: r["beta"] for r in
+           logistic_fit(df, "y", ["x1", "x2"], iters=4).collect()}
+
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.zeros(3)
+    for _ in range(4):
+        eta = X @ beta
+        mu = 1 / (1 + np.exp(-eta))
+        w = mu * (1 - mu)
+        z = eta + (yv - mu) / w
+        beta = np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (w * z))
+    assert abs(got["(intercept)"] - round(beta[0], 6)) < 1e-5
+    assert abs(got["x1"] - round(beta[1], 6)) < 1e-5
+    assert abs(got["x2"] - round(beta[2], 6)) < 1e-5
+    assert abs(got["x1"] - 1.5) < 0.2          # near the planted truth
+    assert got["(n)"] == float(n)
+
+    bad = spark.createDataFrame([(1.0, 2.0)], "x1 double, y double")
+    with _pytest.raises(ValueError, match="0/1"):
+        logistic_fit(bad, "y", ["x1"])
+    dup = df.withColumn("x3", F.col("x1") * 2)
+    with _pytest.raises(ValueError, match="singular"):
+        logistic_fit(dup, "y", ["x1", "x3"])

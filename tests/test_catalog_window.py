@@ -557,6 +557,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # segmentation + vocab-keyed joins
                                  # (t_tfidf family); same-literals
                                  # oracle; worked-example hand case
+        "m_logit",               # IRLS logistic regression: per-round
+                                 # weighted-sums pass + model-sized
+                                 # solve (m_ols family, g_pagerank
+                                 # fixed-iteration precedent); unrolled
+                                 # 2-round Cramer oracle; planted-model
+                                 # pytest vs numpy IRLS
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
