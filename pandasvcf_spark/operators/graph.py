@@ -260,3 +260,82 @@ def kcore(
         .filter(F.col("degree") >= k)
     )
     return deg
+
+
+def assortativity(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002) — the
+    one-number mixing diagnostic a crawl/link/co-occurrence graph gets
+    screened with: r > 0 means high-degree nodes attach to high-degree
+    nodes (social-network-like), r < 0 means hubs attach to leaves
+    (web/biology-like), and a SHIFT between snapshots means the graph's
+    growth regime changed. Computed as the Pearson correlation of the
+    endpoint degrees over the DIRECTED edge list (both orientations of
+    every undirected edge — the standard symmetrization):
+
+        r = (L·Σxy − Σx·Σy) / sqrt(L·Σx² − (Σx)²) / sqrt(L·Σy² − (Σy)²)
+
+    Output one row: (n_nodes, n_edges BIGINT, mean_degree DOUBLE,
+    assortativity DOUBLE round 6; NULL for a degree-regular graph —
+    zero variance means mixing is undefined, not zero). Input edges
+    are deduplicated to canonical (min, max) pairs; self-loops drop.
+
+    Plan: degrees are one exploded groupBy; each edge joins its two
+    endpoint degrees node-keyed; the correlation is a 1-row closed-form
+    agg over the 2·m orientation rows. Everything is edge-/node-sized —
+    no adjacency materialization."""
+    u, v = F.col(src), F.col(dst)
+    und = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(
+            F.least(u, v).alias("__u"), F.greatest(u, v).alias("__v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("__u").alias("n"))
+        .unionAll(und.select(F.col("__v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = und.unionAll(
+        und.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
+    )
+    j = (
+        both.join(deg.withColumnRenamed("n", "__u")
+                  .withColumnRenamed("d", "__dx"), on="__u")
+        .join(deg.withColumnRenamed("n", "__v")
+              .withColumnRenamed("d", "__dy"), on="__v")
+    )
+    dx = F.col("__dx").cast("double")
+    dy = F.col("__dy").cast("double")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("__L"),
+        F.sum(dx).alias("__sx"),
+        F.sum(dy).alias("__sy"),
+        F.sum(dx * dy).alias("__sxy"),
+        F.sum(dx * dx).alias("__sxx"),
+        F.sum(dy * dy).alias("__syy"),
+    ).crossJoin(
+        F.broadcast(deg.agg(
+            F.count(F.lit(1)).alias("__nn"), F.sum("d").alias("__sd")
+        ))
+    )
+    L = F.col("__L").cast("double")
+    vx = F.greatest(L * F.col("__sxx") - F.col("__sx") * F.col("__sx"),
+                    F.lit(0.0))
+    vy = F.greatest(L * F.col("__syy") - F.col("__sy") * F.col("__sy"),
+                    F.lit(0.0))
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (L * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        / F.sqrt(vx) / F.sqrt(vy),
+    )
+    return agg.select(
+        F.col("__nn").alias("n_nodes"),
+        (F.col("__L") / 2).cast("bigint").alias("n_edges"),
+        (F.round(F.col("__sd").cast("double") / F.col("__nn"), 6) + 0.0)
+        .alias("mean_degree"),
+        (F.round(r, 6) + 0.0).alias("assortativity"),
+    )

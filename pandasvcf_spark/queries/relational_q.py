@@ -1595,3 +1595,76 @@ def m_profile(spark, sf_dir):
     return profile_table(
         e, ["event_id", "user_id", "event_type", "value"]
     )
+
+
+@register(
+    "g_assortativity",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+    raw AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM raw UNION ALL SELECT v AS n FROM raw)
+      GROUP BY 1),
+    sym AS (
+      SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw),
+    j AS (
+      SELECT CAST(da.d AS DOUBLE) AS dx, CAST(db.d AS DOUBLE) AS dy
+      FROM sym
+      JOIN deg da ON sym.u = da.n
+      JOIN deg db ON sym.v = db.n),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS L,
+             sum(dx) AS sx, sum(dy) AS sy, sum(dx * dy) AS sxy,
+             sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+      FROM j),
+    g AS (
+      SELECT L, sxy, sx, sy,
+             greatest(L * sxx - sx * sx, 0.0) AS vx,
+             greatest(L * syy - sy * sy, 0.0) AS vy
+      FROM m),
+    dd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS sd
+      FROM deg)
+    SELECT dd.n_nodes,
+           CAST(g.L / 2 AS BIGINT) AS n_edges,
+           round(CAST(dd.sd AS DOUBLE) / dd.n_nodes, 6) + 0.0
+             AS mean_degree,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN (L * sxy - sx * sy) / sqrt(vx) / sqrt(vy) END, 6)
+             + 0.0 AS assortativity
+    FROM g, dd
+    """,
+)
+def g_assortativity(spark, sf_dir):
+    """Degree assortativity of the parts co-purchase graph
+    (operators/graph.assortativity; Newman 2002) — the mixing
+    diagnostic beside g_triangles' clustering coefficient, on the SAME
+    linearly-growing edge derivation. Degrees join node-keyed onto
+    both orientations of each edge; the Pearson closed form is a 1-row
+    agg. The oracle replays degrees, the symmetrized join and the
+    guarded quotient."""
+    from pandasvcf_spark.operators.graph import assortativity
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.least(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("u"),
+            F.greatest(F.col("a.l_partkey"), F.col("b.l_partkey"))
+            .alias("v"),
+        )
+        .distinct()
+    )
+    return assortativity(edges)

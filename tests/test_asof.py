@@ -1210,3 +1210,30 @@ def test_logistic_fit_recovers_planted_model(spark):
     dup = df.withColumn("x3", F.col("x1") * 2)
     with _pytest.raises(ValueError, match="singular"):
         logistic_fit(dup, "y", ["x1", "x3"])
+
+
+# assortativity (Newman degree mixing)
+
+
+def test_assortativity_hand_cases(spark):
+    """A star graph is maximally disassortative (r = -1); a cycle is
+    degree-regular (NULL — mixing undefined, not zero); duplicate and
+    reversed edge rows and self-loops are cleaned before counting."""
+    from pandasvcf_spark.operators.graph import assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(2, 0), (0, 0)],  # rev dup + loop
+        "u long, v long",
+    )
+    r = assortativity(star).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (6, 5)
+    assert abs(r["assortativity"] + 1.0) < 1e-9
+    assert abs(r["mean_degree"] - 10 / 6) < 1e-6
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "u long, v long"
+    )
+    r2 = assortativity(cycle).collect()[0]
+    assert (r2["n_nodes"], r2["n_edges"]) == (6, 6)
+    assert r2["mean_degree"] == 2.0
+    assert r2["assortativity"] is None

@@ -563,6 +563,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # fixed-iteration precedent); unrolled
                                  # 2-round Cramer oracle; planted-model
                                  # pytest vs numpy IRLS
+        "g_assortativity",       # Newman degree mixing: node-keyed
+                                 # degree joins + 1-row Pearson
+                                 # (g_triangles edge family); symmetric
+                                 # replay oracle; star/-1 and
+                                 # regular/NULL hand cases
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
