@@ -371,3 +371,56 @@ def html_text_expr(html: Column | str) -> Column:
     for _, pat, rep in HTML_STRIP_STEPS:
         out = F.regexp_replace(out, pat, rep)
     return F.trim(out)
+
+
+#: query parameters stripped by url_normalize_expr — the tracking
+#: decorations that make one page look like many (the crawl-dedup
+#: canonicalization list; extend per corpus).
+URL_TRACKING_PARAMS_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def url_normalize_expr(url: Column | str) -> Column:
+    """Canonicalize a URL for crawl deduplication — the normalization
+    under which `http://WWW.Example.com:80/a/?utm_source=x&b=2&a=1#f`
+    and `http://example.com/a?a=1&b=2` are the SAME page:
+
+      * fragment dropped (never sent to the server);
+      * scheme + host lowercased; leading `www.` and default ports
+        (:80, :443) dropped;
+      * trailing path slashes dropped (path case PRESERVED — many
+        servers are case-sensitive);
+      * tracking parameters removed (URL_TRACKING_PARAMS_RE), the
+        REMAINING query parameters sorted so parameter order can't
+        split a dedup group; an emptied query drops its '?'.
+
+    Pure native expressions (regexp + array HOFs), engine-portable in
+    the Java∩RE2 dialect; NULL and scheme-less strings pass through
+    the same path unharmed (host rules simply don't match). This is
+    the canonical-key producer for exact URL dedup — content-level
+    near-dup (MinHash etc.) is the complementary stage."""
+    u = _c(url)
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    base = F.regexp_extract(nofrag, r"^[^?]*", 0)
+    query = F.regexp_extract(nofrag, r"^[^?]*\?(.*)$", 1)
+    schemehost = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0
+    )
+    rest = F.substring(base, F.length(schemehost) + 1, F.lit(2 ** 31 - 1))
+    host_norm = F.regexp_replace(
+        F.regexp_replace(F.lower(schemehost), r"://www\.", "://"),
+        r":(80|443)$",
+        "",
+    )
+    rest_norm = F.regexp_replace(rest, r"/+$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAMS_RE),
+    )
+    q_norm = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host_norm,
+        rest_norm,
+        F.when(q_norm != "", F.concat(F.lit("?"), q_norm)).otherwise(
+            F.lit("")
+        ),
+    )

@@ -2753,3 +2753,69 @@ def t_rake_phrases(spark, sf_dir):
     from pandasvcf_spark.operators.text_features import rake_keyphrases
 
     return rake_keyphrases(load(spark, sf_dir, "documents"), top_n=20)
+
+
+@register(
+    "t_url_normalize",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'HTTP://WWW.' || source || '.COM:80/Docs/'
+             || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b='
+             || lang || '&a=1#sec' AS u
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL),
+    st AS (
+      SELECT doc_id,
+             regexp_extract(regexp_replace(u, '#.*$', ''),
+                            '^[^?]*', 0) AS base,
+             regexp_extract(regexp_replace(u, '#.*$', ''),
+                            '^[^?]*\?(.*)$', 1) AS query
+      FROM synth),
+    sh AS (
+      SELECT doc_id, base, query,
+             regexp_extract(base,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0) AS schemehost
+      FROM st),
+    parts AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(schemehost), '://www\.', '://'),
+               ':(80|443)$', '') AS host_norm,
+             regexp_replace(substr(base, length(schemehost) + 1),
+                            '/+$', '') AS rest_norm,
+             array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&')
+               AS q_norm
+      FROM sh)
+    SELECT doc_id,
+           host_norm || rest_norm
+           || CASE WHEN q_norm <> '' THEN '?' || q_norm ELSE '' END
+             AS canonical
+    FROM parts
+    """,
+)
+def t_url_normalize(spark, sf_dir):
+    """URL canonicalization (functions/text.url_normalize_expr) — the
+    crawl-dedup key: each document gets a synthesized messy URL (upper
+    scheme/host, www, default port, tracking params, unsorted query,
+    fragment) that must normalize to its canonical form. Pure native
+    regexp + array-HOF expressions in the Java∩RE2 dialect; the oracle
+    replays every step with the identical literals."""
+    from pandasvcf_spark.functions.text import url_normalize_expr
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    u = F.concat(
+        F.lit("HTTP://WWW."),
+        F.col("source"),
+        F.lit(".COM:80/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&b="),
+        F.col("lang"),
+        F.lit("&a=1#sec"),
+    )
+    return d.select("doc_id", url_normalize_expr(u).alias("canonical"))

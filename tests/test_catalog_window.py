@@ -568,6 +568,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # (g_triangles edge family); symmetric
                                  # replay oracle; star/-1 and
                                  # regular/NULL hand cases
+        "t_url_normalize",       # URL canonicalization: pure regexp +
+                                 # array-HOF exprs (t_html_extract
+                                 # dialect family); step-for-step
+                                 # same-literals oracle; invariant
+                                 # hand cases
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2134,3 +2134,26 @@ def test_rake_keyphrases_hand_case(spark):
     assert "" not in rows
     assert all("the" not in p.split() and "a" not in p.split()
                for p in rows)
+
+
+def test_url_normalize_expr_cases(spark):
+    """Canonicalization invariants: the messy and clean forms of one
+    page collapse to one key; path case survives; scheme-less strings
+    pass through the same path; an emptied query drops its '?'."""
+    from pandasvcf_spark.functions.text import url_normalize_expr
+
+    pairs = [
+        ("HTTP://WWW.Example.com:80/A/Path/?utm_source=x&b=2&a=1#f",
+         "http://example.com/A/Path?a=1&b=2"),
+        ("http://example.com/A/Path?a=1&b=2",
+         "http://example.com/A/Path?a=1&b=2"),
+        ("https://Site.ORG:443/", "https://site.org"),
+        ("https://example.com/?utm_campaign=z&fbclid=abc",
+         "https://example.com"),
+        ("relative/path/?x=1", "relative/path?x=1"),
+        ("https://example.com:8080/keep", "https://example.com:8080/keep"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in pairs], "u string")
+    got = [r["n"] for r in
+           df.select(url_normalize_expr("u").alias("n")).collect()]
+    assert got == [want for _, want in pairs]
