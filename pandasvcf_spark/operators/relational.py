@@ -2752,3 +2752,58 @@ def logistic_fit(
     ]
     out.append(("(n)", float(n_rows)))
     return spark.createDataFrame(out, "term string, beta double")
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 0.0,
+) -> DataFrame:
+    """Leave-one-out target encoding of a categorical column — the
+    feature-engineering staple done WITHOUT the leakage that makes the
+    naive version overfit: each row's encoding is its category's target
+    mean computed over the OTHER rows,
+
+        enc = (Σ_cat y − y_row + s·ȳ) / (n_cat − 1 + s)
+
+    with optional smoothing s toward the global mean (s = 0: pure LOO;
+    singleton categories then have no other rows and encode NULL — the
+    honest answer; with s > 0 they shrink to the global mean).
+    NULL categories form their own group (a missing attribute is a
+    real cohort); NULL targets are excluded from the sums but their
+    rows still receive an encoding.
+
+    Output: all input columns + (enc DOUBLE round 6). Plan: one
+    groupBy(cat) builds (Σy, n) — category-sized — joined back on the
+    category key; the global mean is a 1-row broadcast. The LOO
+    subtraction is per-row arithmetic, NOT a per-row window (the naive
+    window formulation re-sorts every category; the join-back is one
+    hash exchange)."""
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    y = F.col(target_col).cast("double")
+    cat = F.col(cat_col)
+    stats = df.groupBy(cat.alias("__cat")).agg(
+        F.sum(y).alias("__sy"),
+        F.count(y).alias("__ny"),
+    )
+    glob = df.agg(
+        (F.sum(y) / F.count(y)).alias("__gmean")
+    )
+    j = df.join(
+        stats, df[cat_col].eqNullSafe(stats["__cat"]), "left"
+    ).crossJoin(F.broadcast(glob))
+    sy = F.coalesce(F.col("__sy"), F.lit(0.0))
+    ny = F.coalesce(F.col("__ny"), F.lit(0)).cast("double")
+    own = F.when(y.isNotNull(), y).otherwise(F.lit(0.0))
+    own_n = y.isNotNull().cast("int").cast("double")
+    denom = ny - own_n + smoothing
+    enc = F.when(
+        denom > 0,
+        (sy - own + smoothing * F.col("__gmean")) / denom,
+    )
+    return j.select(
+        *[df[c] for c in df.columns],
+        (F.round(enc, 6) + 0.0).alias("enc"),
+    )

@@ -1321,3 +1321,44 @@ def m_logit(spark, sf_dir):
         (F.col("user_id") % 7).cast("double").alias("user_mod7"),
     )
     return logistic_fit(d, "y", ["hour_of_day", "user_mod7"], iters=2)
+
+
+@register(
+    "m_target_encode",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type AS cat, sum(value) AS sy,
+             CAST(count(value) AS BIGINT) AS ny
+      FROM events GROUP BY event_type),
+    gm AS (SELECT sum(value) / count(value) AS gmean FROM events)
+    SELECT e.event_id,
+           round(CASE WHEN
+               coalesce(ny, 0) - (CASE WHEN e.value IS NOT NULL
+                                  THEN 1 ELSE 0 END) + 2.0 > 0
+             THEN (coalesce(sy, 0.0)
+                   - (CASE WHEN e.value IS NOT NULL
+                      THEN e.value ELSE 0.0 END)
+                   + 2.0 * gmean)
+                  / (coalesce(ny, 0)
+                     - (CASE WHEN e.value IS NOT NULL
+                        THEN 1 ELSE 0 END) + 2.0)
+             END, 6) + 0.0 AS enc
+    FROM events e
+    LEFT JOIN stats s ON e.event_type IS NOT DISTINCT FROM s.cat,
+    gm
+    """,
+)
+def m_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding of event_type against value
+    (operators/relational.target_encode_loo, smoothing 2 toward the
+    global mean) — the leakage-aware feature-engineering staple: each
+    row's own target is subtracted from its category's sum before the
+    mean. One category-sized stats join-back + a 1-row global-mean
+    broadcast; the LOO subtraction is per-row arithmetic, never a
+    per-row window. The oracle replays sums, the null-safe join and
+    the subtraction term-for-term."""
+    from pandasvcf_spark.operators.relational import target_encode_loo
+
+    e = load(spark, sf_dir, "events")
+    out = target_encode_loo(e, "event_type", "value", smoothing=2.0)
+    return out.select("event_id", "enc")

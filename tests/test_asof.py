@@ -1237,3 +1237,34 @@ def test_assortativity_hand_cases(spark):
     assert (r2["n_nodes"], r2["n_edges"]) == (6, 6)
     assert r2["mean_degree"] == 2.0
     assert r2["assortativity"] is None
+
+
+# target_encode_loo (leakage-aware categorical encoding)
+
+
+def test_target_encode_loo_hand_case(spark):
+    """Pure LOO: each row's encoding excludes its own target; singleton
+    categories encode NULL at s=0 but shrink to the global mean with
+    smoothing; NULL categories form a cohort; NULL-target rows get the
+    full category mean."""
+    from pandasvcf_spark.operators.relational import target_encode_loo
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0),
+            (None, 5.0), (None, 7.0), ("a", None)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = {(r["cat"], r["y"]): r["enc"]
+           for r in target_encode_loo(df, "cat", "y").collect()}
+    assert got[("a", 1.0)] == 2.5 and got[("a", 3.0)] == 1.5
+    assert got[("b", 10.0)] is None          # singleton, s=0
+    assert got[(None, 5.0)] == 7.0           # NULL cohort LOO
+    assert got[("a", None)] == 2.0           # full category mean
+
+    sm = {(r["cat"], r["y"]): r["enc"]
+          for r in target_encode_loo(df, "cat", "y",
+                                     smoothing=2.0).collect()}
+    gmean = (1 + 2 + 3 + 10 + 5 + 7) / 6
+    assert abs(sm[("b", 10.0)] - round((2 * gmean) / 2, 6)) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="smoothing"):
+        target_encode_loo(df, "cat", "y", smoothing=-1)

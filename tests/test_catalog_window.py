@@ -573,6 +573,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # dialect family); step-for-step
                                  # same-literals oracle; invariant
                                  # hand cases
+        "m_target_encode",       # LOO target encoding: category-sized
+                                 # stats join-back (j1_dedup_annotate
+                                 # family) + per-row subtraction;
+                                 # null-safe join replay oracle;
+                                 # hand-case pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
