@@ -2807,3 +2807,63 @@ def target_encode_loo(
         *[df[c] for c in df.columns],
         (F.round(enc, 6) + 0.0).alias("enc"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/groupBy-key skew diagnosis in one row — the report to run
+    BEFORE shipping a shuffle on this key at 100 TB (the repo's
+    `skew_salted_join` is the cure; this is the screen that says
+    whether and how much): (n_rows, n_keys, max_key_rows BIGINT,
+    top1_share, topk_share DOUBLE — mass in the single / `top_k`
+    hottest keys, gini DOUBLE — inequality of the key-size
+    distribution, recommended_salt INT = ceil(max_key_rows /
+    target_rows_per_task), the salt factor that caps the hottest key's
+    per-task rows at the target; 1 = no salting needed).
+
+    NULL keys count as a key (they hash to one partition like any hot
+    key — the classic accidental-skew source, and this report is where
+    it shows up). Plan: one groupBy(key) collapses the data to the
+    key-size table; everything else (top-k TakeOrdered, the Gini rank
+    window, the 1-row fold) runs key-sized."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    rw = Window.orderBy(F.desc("__c"), "__k")
+    ranked = counts.withColumn("__r", F.row_number().over(rw))
+    agg = ranked.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+        F.sum(F.when(F.col("__r") == 1, F.col("__c")).otherwise(0))
+        .alias("__t1"),
+        F.sum(F.when(F.col("__r") <= top_k, F.col("__c")).otherwise(0))
+        .alias("__tk"),
+        F.sum((F.col("__c") * F.col("__r")).cast("double")).alias("__cr"),
+    )
+    n = F.col("n_rows").cast("double")
+    k = F.col("n_keys").cast("double")
+    # Gini needs Σ c·(ascending rank) = (K+1)·Σc − Σ c·(desc rank)
+    ic = (k + 1.0) * n - F.col("__cr")
+    gini = F.when(
+        (F.col("n_keys") > 0) & (F.col("n_rows") > 0),
+        (2.0 * ic - (k + 1.0) * n) / (k * n),
+    )
+    salt = F.ceil(
+        F.col("max_key_rows").cast("double") / target_rows_per_task
+    ).cast("int")
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        (F.round(F.col("__t1") / n, 6) + 0.0).alias("top1_share"),
+        (F.round(F.col("__tk") / n, 6) + 0.0).alias("topk_share"),
+        (F.round(gini, 6) + 0.0).alias("gini"),
+        F.greatest(F.lit(1), salt).alias("recommended_salt"),
+    )

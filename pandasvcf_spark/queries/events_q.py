@@ -1362,3 +1362,53 @@ def m_target_encode(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     out = target_encode_loo(e, "event_type", "value", smoothing=2.0)
     return out.select("event_id", "enc")
+
+
+@register(
+    "m_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, k) AS r
+      FROM counts),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_key_rows,
+             CAST(sum(CASE WHEN r = 1 THEN c ELSE 0 END) AS BIGINT)
+               AS t1,
+             CAST(sum(CASE WHEN r <= 10 THEN c ELSE 0 END) AS BIGINT)
+               AS tk,
+             sum(CAST(c AS DOUBLE) * r) AS cr
+      FROM ranked),
+    g AS (
+      SELECT *,
+             (CAST(n_keys AS DOUBLE) + 1.0) * n_rows - cr AS ic
+      FROM agg)
+    SELECT n_rows, n_keys, max_key_rows,
+           round(CAST(t1 AS DOUBLE) / n_rows, 6) + 0.0 AS top1_share,
+           round(CAST(tk AS DOUBLE) / n_rows, 6) + 0.0 AS topk_share,
+           round(CASE WHEN n_keys > 0 AND n_rows > 0 THEN
+             (2.0 * ic - (CAST(n_keys AS DOUBLE) + 1.0) * n_rows)
+             / (CAST(n_keys AS DOUBLE) * n_rows) END, 6) + 0.0 AS gini,
+           CAST(greatest(1, CAST(ceil(CAST(max_key_rows AS DOUBLE)
+                                      / 50.0) AS BIGINT)) AS INT)
+             AS recommended_salt
+    FROM g
+    """,
+)
+def m_skew_report(spark, sf_dir):
+    """Shuffle-key skew screen for events.user_id (operators/
+    relational.skew_report) — the diagnosis that says whether this key
+    needs skew_salted_join's cure and with what salt factor
+    (target 50 rows/task here so the synthetic corpus exercises the
+    arithmetic). One groupBy collapses the data to key sizes;
+    TakeOrdered-style ranks, the Gini identity and the 1-row fold run
+    key-sized. The oracle replays counts, ranks, shares, Gini and the
+    salt recommendation."""
+    from pandasvcf_spark.operators.relational import skew_report
+
+    return skew_report(load(spark, sf_dir, "events"), "user_id",
+                       top_k=10, target_rows_per_task=50)

@@ -1268,3 +1268,33 @@ def test_target_encode_loo_hand_case(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="smoothing"):
         target_encode_loo(df, "cat", "y", smoothing=-1)
+
+
+# skew_report (shuffle-key diagnosis)
+
+
+def test_skew_report_hand_cases(spark):
+    """A 90%-hot key reports its share, a high Gini and a salt factor
+    that caps per-task rows; a uniform key distribution reports Gini 0
+    and salt 1; NULL keys count as a (hot) key."""
+    from pandasvcf_spark.operators.relational import skew_report
+
+    hot = spark.createDataFrame(
+        [("hot",)] * 90 + [(f"k{i}",) for i in range(10)], "k string"
+    )
+    r = skew_report(hot, "k", top_k=3, target_rows_per_task=40).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == (100, 11, 90)
+    assert r["top1_share"] == 0.9 and r["topk_share"] == 0.92
+    assert r["gini"] > 0.8 and r["recommended_salt"] == 3
+
+    uni = spark.createDataFrame(
+        [(f"k{i % 10}",) for i in range(100)], "k string"
+    )
+    r2 = skew_report(uni, "k").collect()[0]
+    assert r2["gini"] == 0.0 and r2["recommended_salt"] == 1
+
+    nulls = spark.createDataFrame(
+        [(None,)] * 50 + [("a",)] * 2, "k string"
+    )
+    r3 = skew_report(nulls, "k").collect()[0]
+    assert r3["n_keys"] == 2 and r3["max_key_rows"] == 50

@@ -578,6 +578,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # family) + per-row subtraction;
                                  # null-safe join replay oracle;
                                  # hand-case pytest
+        "m_skew_report",         # shuffle-key skew screen: key-sized
+                                 # rank + Gini fold (skew_salted_join's
+                                 # diagnosis side); rank + identity
+                                 # replay oracle; hot/uniform/NULL
+                                 # hand cases
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
