@@ -2867,3 +2867,49 @@ def skew_report(
         (F.round(gini, 6) + 0.0).alias("gini"),
         F.greatest(F.lit(1), salt).alias("recommended_salt"),
     )
+
+
+def path_ngrams(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    event_col: str,
+    n: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Frequent event paths — the length-n sequential patterns users
+    actually walk (the funnel-DISCOVERY tool, where `event_funnel`
+    measures a funnel you already hypothesized): consecutive event
+    n-grams within each key's ordered stream, counted corpus-wide,
+    top_n under the total order (count DESC, path). Output: (path
+    STRING 'a>b>c', n_keys BIGINT distinct keys that walked it,
+    n_total BIGINT occurrences).
+
+    Paths NEVER cross keys (lead() respects the partition — the
+    windowed twin of `transition_counts`' bigram guarantee), and the
+    ordering must be total per key (pass a tiebreaker in order_cols or
+    ties make the path undefined). Plan: n−1 lead() columns on ONE
+    key-keyed window exchange, then one path groupBy; count-distinct
+    on the key is the only extra aggregate."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    ev = F.col(event_col)
+    parts = [ev] + [F.lead(ev, i).over(w) for i in range(1, n)]
+    path = F.concat_ws(">", *parts)
+    complete = parts[-1].isNotNull()
+    for p in parts[:-1]:
+        complete = complete & p.isNotNull()
+    grams = df.select(
+        F.col(key_col).alias("__k"),
+        F.when(complete, path).alias("path"),
+    ).filter(F.col("path").isNotNull())
+    return (
+        grams.groupBy("path")
+        .agg(
+            F.countDistinct("__k").alias("n_keys"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy(F.desc("n_total"), "path")
+        .limit(top_n)
+    )

@@ -1412,3 +1412,42 @@ def m_skew_report(spark, sf_dir):
 
     return skew_report(load(spark, sf_dir, "events"), "user_id",
                        top_k=10, target_rows_per_task=50)
+
+
+@register(
+    "e_path_ngrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    grams AS (
+      SELECT user_id, event_type || '>' || e2 || '>' || e3 AS path
+      FROM s
+      WHERE event_type IS NOT NULL AND e2 IS NOT NULL
+        AND e3 IS NOT NULL)
+    SELECT path, CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM grams GROUP BY path
+    ORDER BY n_total DESC, path LIMIT 20
+    """,
+)
+def e_path_ngrams(spark, sf_dir):
+    """Top length-3 event paths per user stream (operators/relational.
+    path_ngrams) — sequential-pattern discovery beside e_transitions'
+    bigram matrix and e_funnel's hypothesis check. Two lead() columns
+    on ONE user-keyed window exchange (paths never cross users), one
+    path groupBy, TakeOrdered top-20 under (count DESC, path). The
+    oracle replays leads, completeness filter and counts."""
+    from pandasvcf_spark.operators.relational import path_ngrams
+
+    return path_ngrams(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        n=3,
+        top_n=20,
+    )

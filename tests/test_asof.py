@@ -1298,3 +1298,27 @@ def test_skew_report_hand_cases(spark):
     )
     r3 = skew_report(nulls, "k").collect()[0]
     assert r3["n_keys"] == 2 and r3["max_key_rows"] == 50
+
+
+# path_ngrams (sequential pattern discovery)
+
+
+def test_path_ngrams_hand_case(spark):
+    """Paths stay inside a key's stream (no cross-user grams), n_keys
+    counts distinct walkers, incomplete tails drop, ties order by
+    path."""
+    from pandasvcf_spark.operators.relational import path_ngrams
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 5, "c"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        (3, 1, "x"), (3, 2, "y"),          # too short for n=3
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    out = {r["path"]: r for r in
+           path_ngrams(df, "u", ["t"], "e", n=3, top_n=10).collect()}
+    assert out["a>b>c"]["n_total"] == 2 and out["a>b>c"]["n_keys"] == 2
+    assert out["b>c>b"]["n_total"] == 1
+    assert out["c>b>c"]["n_total"] == 1
+    assert "y>a>b" not in out          # never crosses users
+    assert "x>y" not in out and len(out) == 3

@@ -583,6 +583,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # diagnosis side); rank + identity
                                  # replay oracle; hot/uniform/NULL
                                  # hand cases
+        "e_path_ngrams",         # length-n event paths: lead() windows
+                                 # on one key exchange (e_transitions
+                                 # family); lead + count replay oracle;
+                                 # cross-user-guard hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
