@@ -18,7 +18,7 @@ of the data, reproducible in ANSI SQL. Determinism as a feature:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pandasvcf_spark.functions.text import POLY_MOD, mix32_expr, poly_hash_expr
@@ -399,3 +399,86 @@ def heavy_hitters(
         .select(F.col("__k").alias(name), "cnt")
     )
     return out
+
+
+def quantile_grid(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_cells: int = 256,
+) -> DataFrame:
+    """Mergeable equal-width quantile sketch — the fourth standard
+    sketch beside KMV (distinct), HLL (mergeable distinct) and
+    Count-Min (frequency): a fixed-domain histogram grid (cell INT,
+    c BIGINT), one row per NON-EMPTY cell of an `n_cells`-cell
+    equal-width partition of [lo, hi). Out-of-domain values clamp into
+    the edge cells — fixed bounds are the PRICE of additivity (get
+    them from `profile_table`; a data-dependent domain would make two
+    sketches unmergeable), and the deterministic grid is what keeps
+    the estimate oracle-replayable where a t-digest's
+    insertion-order-dependent centroids are not.
+
+    Merge = cell-wise SUM (union grids, re-aggregate) — the additive
+    combine of `countmin_sketch`, so per-shard/per-day grids roll up
+    in O(n_cells); the shuffle moves at most n_cells cells after
+    map-side partial sums. Query with `quantile_grid_estimate`;
+    value-domain error ≤ one cell width. NULL values are excluded."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if n_cells < 2:
+        raise ValueError(f"n_cells must be >= 2, got {n_cells}")
+    v = F.col(value_col).cast("double")
+    w = (hi - lo) / n_cells
+    cell = F.least(
+        F.greatest(F.floor((v - lo) / w), F.lit(0)), F.lit(n_cells - 1)
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(cell.alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def quantile_grid_estimate(
+    grid: DataFrame,
+    probs: list[float],
+    lo: float,
+    hi: float,
+    n_cells: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a `quantile_grid` sketch: for each prob,
+    the MIDPOINT of the cell containing the type-1 rank max(1,
+    ceil(N·p)) under the cumulative cell walk — a deterministic rule
+    (no interpolation heuristics), so the whole estimate replays in
+    SQL. Output: (p DOUBLE, est DOUBLE round 6, cell INT). Error ≤
+    half a cell width for in-domain data by construction. Runs
+    entirely on the ≤ n_cells-row grid."""
+    for p in probs:
+        if not (0.0 <= p <= 1.0):
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    w = (hi - lo) / n_cells
+    wc = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("__cum", F.sum("c").over(wc)).crossJoin(
+        F.broadcast(grid.agg(F.sum("c").alias("__N")))
+    )
+    pcol = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("p")
+    targets = cum.select("cell", "__cum", "__N", "c", pcol).withColumn(
+        "__r",
+        F.greatest(F.lit(1).cast("bigint"),
+                   F.ceil(F.col("__N") * F.col("p"))),
+    )
+    hit = targets.filter(
+        (F.col("__cum") >= F.col("__r"))
+        & (F.col("__cum") - F.col("c") < F.col("__r"))
+    )
+    est = F.lit(lo) + (F.col("cell") + 0.5) * F.lit(w)
+    return hit.select(
+        "p",
+        (F.round(est, 6) + 0.0).alias("est"),
+        "cell",
+    )

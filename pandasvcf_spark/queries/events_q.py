@@ -1451,3 +1451,55 @@ def e_path_ngrams(spark, sf_dir):
         n=3,
         top_n=20,
     )
+
+
+@register(
+    "sk_quantile_grid",
+    oracle="""
+    WITH nn AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL),
+    grid AS (
+      SELECT CAST(least(greatest(
+               CAST(floor((v - 0.0) / (500.0 / 256)) AS BIGINT),
+               0), 255) AS INT) AS cell,
+             CAST(count(*) AS BIGINT) AS c
+      FROM nn GROUP BY 1),
+    cum AS (
+      SELECT cell, c,
+             sum(c) OVER (ORDER BY cell
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cm,
+             sum(c) OVER () AS N
+      FROM grid),
+    t AS (
+      SELECT cum.*, pr.p,
+             greatest(1, CAST(ceil(N * pr.p) AS BIGINT)) AS r
+      FROM cum, (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p) pr),
+    hit AS (
+      SELECT p, cell FROM t WHERE cm >= r AND cm - c < r)
+    SELECT CAST(p AS DOUBLE) AS p,
+           round(0.0 + (cell + 0.5) * (500.0 / 256), 6) + 0.0 AS est,
+           cell
+    FROM hit
+    """,
+)
+def sk_quantile_grid(spark, sf_dir):
+    """Mergeable equal-width quantile sketch over events.value
+    (operators/sketches.quantile_grid + quantile_grid_estimate,
+    domain [0, 500), 256 cells) — the additive quantile companion to
+    sk_countmin/sk_hll: per-shard grids roll up by cell-wise SUM, and
+    the deterministic midpoint-of-type-1-cell estimate replays exactly
+    in SQL (value error ≤ half a cell by construction, asserted in
+    pytest against the exact quantiles). The shuffle is ≤ 256 cells
+    after map-side partial sums."""
+    from pandasvcf_spark.operators.sketches import (
+        quantile_grid,
+        quantile_grid_estimate,
+    )
+
+    e = load(spark, sf_dir, "events")
+    g = quantile_grid(e, "value", 0.0, 500.0, n_cells=256)
+    return quantile_grid_estimate(
+        g, [0.25, 0.5, 0.9, 0.99], 0.0, 500.0, n_cells=256
+    )

@@ -587,6 +587,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # on one key exchange (e_transitions
                                  # family); lead + count replay oracle;
                                  # cross-user-guard hand case
+        "sk_quantile_grid",      # mergeable quantile sketch: additive
+                                 # cell grid (sk_countmin family) +
+                                 # cumulative walk; grid + walk replay
+                                 # oracle; accuracy + merge pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

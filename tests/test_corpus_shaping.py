@@ -1699,3 +1699,59 @@ def test_l_diversity_report_hand_case(spark):
     assert (g4["n"], g4["n_sensitive"]) == (3, 0)
     assert g4["entropy"] is None and g4["top_share"] is None
     assert not g4["distinct_l_ok"] and not g4["entropy_l_ok"]
+
+
+# quantile_grid (mergeable equal-width quantile sketch)
+
+
+def test_quantile_grid_accuracy_and_merge(spark):
+    """The sketch estimate stays within half a cell width of the exact
+    type-1 quantile; two shard grids merged by cell-wise sum equal the
+    whole-corpus grid (additivity); out-of-domain values clamp to edge
+    cells; validation raises."""
+    import math
+    import random
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sketches import (
+        quantile_grid,
+        quantile_grid_estimate,
+    )
+
+    rnd = random.Random(9)
+    vals = [rnd.uniform(0, 100) for _ in range(5000)] + [-5.0, 1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    lo, hi, nc = 0.0, 100.0, 128
+    w = (hi - lo) / nc
+    g = quantile_grid(df, "v", lo, hi, n_cells=nc)
+    cells = {r["cell"]: r["c"] for r in g.collect()}
+    assert min(cells) == 0 and max(cells) == nc - 1   # clamped extremes
+    assert sum(cells.values()) == len(vals)
+
+    probs = [0.1, 0.5, 0.9]
+    est = {r["p"]: r["est"] for r in
+           quantile_grid_estimate(g, probs, lo, hi, n_cells=nc).collect()}
+    svals = sorted(vals)
+    for p in probs:
+        exact = svals[max(0, math.ceil(len(svals) * p) - 1)]
+        assert abs(est[p] - exact) <= w, (p, est[p], exact)
+
+    # additive merge: shard grids sum to the whole-corpus grid
+    half = len(vals) // 2
+    g1 = quantile_grid(
+        spark.createDataFrame([(v,) for v in vals[:half]], "v double"),
+        "v", lo, hi, n_cells=nc)
+    g2 = quantile_grid(
+        spark.createDataFrame([(v,) for v in vals[half:]], "v double"),
+        "v", lo, hi, n_cells=nc)
+    merged = {
+        r["cell"]: r["c"]
+        for r in g1.unionAll(g2).groupBy("cell")
+        .agg(F.sum("c").alias("c")).collect()
+    }
+    assert merged == cells
+
+    with _pytest.raises(ValueError, match="lo < hi"):
+        quantile_grid(df, "v", 5.0, 5.0)
