@@ -261,10 +261,6 @@ def hll_group_estimate(
     replay holds group-wise."""
     if m < 16 or m & (m - 1):
         raise ValueError(f"m must be a power of two >= 16, got {m}")
-    if m >= 128:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-    else:
-        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
     p_bits = m.bit_length() - 1
     width = 32 - p_bits
     kc = F.col(key) if isinstance(key, str) else key
@@ -283,6 +279,18 @@ def hll_group_estimate(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+    return _hll_collapse(regs, group_cols, m)
+
+
+def _hll_collapse(regs: DataFrame, group_cols: list[str], m: int) -> DataFrame:
+    """Collapse per-(group, bucket) MAX-rho registers into per-group
+    bias-corrected HLL estimates (the shared tail of hll_group_estimate
+    and sliding_distinct_hll): (group cols..., n_zero INT, estimate
+    DOUBLE), exactly hll_estimate's arithmetic."""
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("int").alias("__hit"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
@@ -481,4 +489,90 @@ def quantile_grid_estimate(
         "p",
         (F.round(est, 6) + 0.0).alias("est"),
         "cell",
+    )
+
+
+def sliding_distinct_hll(
+    df: DataFrame,
+    ts_col: str,
+    key: Column | str,
+    window_hours: int = 24,
+    m: int = 256,
+) -> DataFrame:
+    """Sliding-window distinct counts via mergeable HLL grids — the
+    "distinct users in the trailing 24 h, per hour" metric that EXACT
+    distinct cannot provide at scale (every slide re-counts the whole
+    window) and that the MAX-merge property solves in one pass: build
+    each hour's register grid ONCE, replicate grid CELLS (never rows
+    of data) into the ≤ `window_hours` windows they serve, cell-wise
+    MAX, collapse. Output: (win_end TIMESTAMP — the hour the window
+    ends in, inclusive; n_hours BIGINT — hours of data actually inside
+    the window; n_zero INT; estimate DOUBLE), one row per hour present
+    in the data (leading windows are PARTIAL — n_hours says how
+    partial, the honest convention for the stream's warm-up).
+
+    Why this beats re-counting: the shuffle after the per-hour grid is
+    hours × m × window_hours CELLS, independent of corpus size; exact
+    sliding distinct shuffles the key stream window_hours times.
+    Accuracy is `hll_estimate`'s ~1.04/√m, identical across slides
+    because every window's grid is exactly what a from-scratch build
+    would produce (MAX-merge is idempotent and lossless)."""
+    if window_hours < 1:
+        raise ValueError(
+            f"window_hours must be >= 1, got {window_hours}"
+        )
+    if m < 16 or m & (m - 1):
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    p_bits = m.bit_length() - 1
+    width = 32 - p_bits
+    kc = F.col(key) if isinstance(key, str) else key
+    ts = F.col(ts_col)
+    base = df.filter(kc.isNotNull() & ts.isNotNull())
+    hour = F.date_trunc("hour", ts)
+    mixed = mix32_expr(poly_hash_expr(kc.cast("string")))
+    h = base.select(hour.alias("__h"), mixed.alias("h"))
+    w = F.floor(F.col("h") / F.lit(m)).cast("long")
+    rho = F.when(
+        w > 0, F.lit(width) - F.floor(F.log2(w)).cast("int")
+    ).otherwise(F.lit(width + 1))
+    grid = (
+        h.select(
+            "__h",
+            (F.col("h") % F.lit(m)).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("__h", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # replicate grid CELLS into the windows they serve, then keep only
+    # windows ending at an hour that exists in the data
+    tgt = grid.select(
+        F.explode(
+            F.sequence(
+                F.col("__h"),
+                F.col("__h")
+                + F.expr(f"INTERVAL {window_hours - 1} HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_end"),
+        "__h",
+        "bucket",
+        "rho",
+    )
+    present = grid.select(F.col("__h").alias("win_end")).distinct()
+    merged = (
+        tgt.join(present, on="win_end")
+        .groupBy("win_end", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    hours_in = (
+        tgt.join(present, on="win_end")
+        .select("win_end", "__h")
+        .distinct()
+        .groupBy("win_end")
+        .agg(F.count(F.lit(1)).alias("n_hours"))
+    )
+    est = _hll_collapse(merged, ["win_end"], m)
+    return est.join(hours_in, on="win_end").select(
+        "win_end", "n_hours", "n_zero", "estimate"
     )

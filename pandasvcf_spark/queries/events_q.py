@@ -1503,3 +1503,70 @@ def sk_quantile_grid(spark, sf_dir):
     return quantile_grid_estimate(
         g, [0.25, 0.5, 0.9, 0.99], 0.0, 500.0, n_cells=256
     )
+
+
+@register(
+    "e_sliding_distinct",
+    oracle=f"""
+    WITH ph AS (
+      SELECT date_trunc('hour', ts) AS h0t, {_POLY_UID} AS h0
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    mx AS (SELECT h0t, {_HLL_MIX} AS h FROM ph),
+    grid AS (
+      SELECT h0t, CAST(h % 256 AS INT) AS bucket,
+             max(CASE WHEN h // 256 > 0
+                      THEN 24 - CAST(floor(log2(h // 256)) AS INT)
+                      ELSE 25 END) AS rho
+      FROM mx GROUP BY 1, 2),
+    tgt AS (
+      SELECT unnest(generate_series(h0t,
+               h0t + INTERVAL 5 HOUR, INTERVAL 1 HOUR)) AS win_end,
+             h0t, bucket, rho
+      FROM grid),
+    present AS (SELECT DISTINCT h0t AS win_end FROM grid),
+    merged AS (
+      SELECT t.win_end, t.bucket, max(t.rho) AS rho
+      FROM tgt t JOIN present p ON t.win_end = p.win_end
+      GROUP BY t.win_end, t.bucket),
+    hrs AS (
+      SELECT win_end, CAST(count(*) AS BIGINT) AS n_hours FROM (
+        SELECT DISTINCT t.win_end, t.h0t
+        FROM tgt t JOIN present p ON t.win_end = p.win_end)
+      GROUP BY win_end),
+    agg AS (
+      SELECT win_end, CAST(count(*) AS INT) AS hit,
+             sum(power(2.0, -rho)) AS s
+      FROM merged GROUP BY 1)
+    SELECT CAST(floor(epoch(agg.win_end)) AS BIGINT) AS win_end_epoch,
+           hrs.n_hours,
+           CAST(256 - hit AS INT) AS n_zero,
+           round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 65536
+                           / (s + (256 - hit)) <= 640.0
+                       AND hit < 256
+                      THEN 256.0 * ln(256.0 / (256 - hit))
+                      ELSE (0.7213 / (1.0 + 1.079 / 256)) * 65536
+                           / (s + (256 - hit)) END, 4) AS estimate
+    FROM agg JOIN hrs ON agg.win_end = hrs.win_end
+    """,
+)
+def e_sliding_distinct(spark, sf_dir):
+    """Trailing-6-hour distinct users per hour via mergeable HLL grids
+    (operators/sketches.sliding_distinct_hll) — the sliding-distinct
+    metric exact counting can't afford at scale: each hour's register
+    grid builds once, grid CELLS (never data rows) replicate into the
+    ≤6 windows they serve, cell-wise MAX, collapse. The shuffle after
+    the per-hour grid is hours × 256 × 6 cells regardless of event
+    volume. Same bit-exact register replay as sk_hll_groups, plus the
+    window replication; timestamps compare as epoch ints (registry
+    convention)."""
+    from pandasvcf_spark.operators.sketches import sliding_distinct_hll
+
+    e = load(spark, sf_dir, "events")
+    out = sliding_distinct_hll(e, "ts", "user_id", window_hours=6,
+                               m=256)
+    return out.select(
+        F.col("win_end").cast("long").alias("win_end_epoch"),
+        "n_hours",
+        "n_zero",
+        F.round("estimate", 4).alias("estimate"),
+    )

@@ -591,6 +591,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cell grid (sk_countmin family) +
                                  # cumulative walk; grid + walk replay
                                  # oracle; accuracy + merge pytest
+        "e_sliding_distinct",    # trailing-window distinct via HLL
+                                 # cell replication + MAX-merge
+                                 # (sk_hll_groups machinery); register
+                                 # replay oracle; idempotence pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1755,3 +1755,43 @@ def test_quantile_grid_accuracy_and_merge(spark):
 
     with _pytest.raises(ValueError, match="lo < hi"):
         quantile_grid(df, "v", 5.0, 5.0)
+
+
+def test_sliding_distinct_hll_accuracy_and_idempotence(spark):
+    """The trailing-window estimate tracks exact sliding distinct
+    within HLL error (~1.04/sqrt(256) ~ 6.5%); every window's grid
+    equals a from-scratch build (MAX-merge losslessness) so estimates
+    for full windows are IDENTICAL to directly sketching the window's
+    rows; n_hours reports warm-up."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sketches import (
+        hll_group_estimate,
+        sliding_distinct_hll,
+    )
+
+    rows = []
+    for hr in range(6):
+        for u in range(200):
+            rows.append(
+                (datetime.datetime(2024, 1, 1, hr, 30), hr * 1000 + u)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, uid long")
+    out = {r["win_end"].hour: r for r in
+           sliding_distinct_hll(df, "ts", "uid", window_hours=3,
+                                m=256).collect()}
+    assert out[0]["n_hours"] == 1 and out[2]["n_hours"] == 3
+    for h in range(2, 6):
+        true = 600  # 3 hours x 200 disjoint users
+        assert abs(out[h]["estimate"] - true) / true < 0.15
+
+    # idempotence: window ending hour 5 == direct sketch of hours 3-5
+    direct = (
+        df.filter(F.hour("ts") >= 3)
+        .withColumn("g", F.lit(1))
+    )
+    d_est = hll_group_estimate(direct, ["g"], "uid", m=256).collect()[0]
+    assert abs(out[5]["estimate"] - d_est["estimate"]) < 1e-9
+    assert out[5]["n_zero"] == d_est["n_zero"]
