@@ -2913,3 +2913,76 @@ def path_ngrams(
         .orderBy(F.desc("n_total"), "path")
         .limit(top_n)
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    max_lag: int = 10,
+) -> DataFrame:
+    """Autocorrelation function of an ordered series — the seasonality
+    and persistence fingerprint (a daily-seasonal traffic series spikes
+    at lag 24; white noise sits inside ±2/√n): for lags 1..max_lag,
+
+        r_k = Σ_{t} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    — the standard biased ACF estimator (denominator over the FULL
+    series, which keeps |r_k| ≤ 1 and the sequence positive
+    semidefinite; the "unbiased" per-lag denominator does neither).
+    Output: (lag INT, n_pairs BIGINT, acf DOUBLE round 6; NULL for a
+    constant series — persistence of nothing is undefined) plus the
+    lag-0 row (acf exactly 1) as the conventional anchor.
+
+    The input is usually ALREADY aggregated (an hourly count series —
+    build it with one groupBy first), so every window here runs over
+    the series table, not raw data. One exchange serves the mean
+    broadcast, the max_lag lead() columns and the 1-row folds."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    x = F.col(value_col).cast("double")
+    nn = df.filter(x.isNotNull() & F.col(order_col).isNotNull())
+    mean = nn.agg(F.avg(x).alias("__mu"))
+    w = Window.orderBy(order_col)
+    leads = nn.crossJoin(F.broadcast(mean)).select(
+        (x - F.col("__mu")).alias("__d0"),
+        *[
+            (F.lead(x, k).over(w) - F.col("__mu")).alias(f"__d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.sum(F.col("__d0") * F.col("__d0")).alias("__den"),
+        F.count(F.lit(1)).alias("__n"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs += [
+            F.sum(F.col("__d0") * F.col(f"__d{k}")).alias(f"__num{k}"),
+            F.count(F.col(f"__d{k}")).alias(f"__np{k}"),
+        ]
+    row = leads.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(0).alias("lag"),
+            F.col("__n").alias("n_pairs"),
+            F.when(F.col("__den") > 0, F.lit(1.0)).alias("acf"),
+        )
+    ]
+    for k in range(1, max_lag + 1):
+        entries.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"__np{k}").alias("n_pairs"),
+                F.when(
+                    F.col("__den") > 0,
+                    F.col(f"__num{k}") / F.col("__den"),
+                ).alias("acf"),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*entries)).alias("e")
+    ).select(
+        F.col("e.lag").alias("lag"),
+        F.col("e.n_pairs").alias("n_pairs"),
+        (F.round(F.col("e.acf"), 6) + 0.0).alias("acf"),
+    )

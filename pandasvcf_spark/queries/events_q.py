@@ -1570,3 +1570,67 @@ def e_sliding_distinct(spark, sf_dir):
         "n_zero",
         F.round("estimate", 4).alias("estimate"),
     )
+
+
+@register(
+    "m_acf",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    mu AS (SELECT avg(x) AS m FROM hourly),
+    d AS (
+      SELECT x - mu.m AS d0,
+             lead(x, 1) OVER w - mu.m AS d1,
+             lead(x, 2) OVER w - mu.m AS d2,
+             lead(x, 3) OVER w - mu.m AS d3,
+             lead(x, 4) OVER w - mu.m AS d4,
+             lead(x, 5) OVER w - mu.m AS d5,
+             lead(x, 6) OVER w - mu.m AS d6
+      FROM hourly, mu
+      WINDOW w AS (ORDER BY h)),
+    agg AS (
+      SELECT sum(d0 * d0) AS den, CAST(count(*) AS BIGINT) AS n,
+             sum(d0 * d1) AS n1, CAST(count(d1) AS BIGINT) AS p1,
+             sum(d0 * d2) AS n2, CAST(count(d2) AS BIGINT) AS p2,
+             sum(d0 * d3) AS n3, CAST(count(d3) AS BIGINT) AS p3,
+             sum(d0 * d4) AS n4, CAST(count(d4) AS BIGINT) AS p4,
+             sum(d0 * d5) AS n5, CAST(count(d5) AS BIGINT) AS p5,
+             sum(d0 * d6) AS n6, CAST(count(d6) AS BIGINT) AS p6
+      FROM d)
+    SELECT 0 AS lag, n AS n_pairs,
+           round(CASE WHEN den > 0 THEN 1.0 END, 6) + 0.0 AS acf
+    FROM agg
+    UNION ALL SELECT 1, p1,
+      round(CASE WHEN den > 0 THEN n1 / den END, 6) + 0.0 FROM agg
+    UNION ALL SELECT 2, p2,
+      round(CASE WHEN den > 0 THEN n2 / den END, 6) + 0.0 FROM agg
+    UNION ALL SELECT 3, p3,
+      round(CASE WHEN den > 0 THEN n3 / den END, 6) + 0.0 FROM agg
+    UNION ALL SELECT 4, p4,
+      round(CASE WHEN den > 0 THEN n4 / den END, 6) + 0.0 FROM agg
+    UNION ALL SELECT 5, p5,
+      round(CASE WHEN den > 0 THEN n5 / den END, 6) + 0.0 FROM agg
+    UNION ALL SELECT 6, p6,
+      round(CASE WHEN den > 0 THEN n6 / den END, 6) + 0.0 FROM agg
+    """,
+)
+def m_acf(spark, sf_dir):
+    """Autocorrelation of the hourly event-count series at lags 0-6
+    (operators/relational.autocorrelation; the standard biased ACF
+    keeping |r| <= 1) — the seasonality/persistence fingerprint beside
+    e_seasonal_profile's hour-of-day means. The corpus collapses to
+    the hourly series first; mean broadcast, lead() columns and the
+    1-row folds all run over the series table on one ordering. The
+    oracle replays deviations, lag products and the shared
+    denominator."""
+    from pandasvcf_spark.operators.relational import autocorrelation
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    return autocorrelation(hourly, "x", "h", max_lag=6)

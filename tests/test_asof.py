@@ -1322,3 +1322,30 @@ def test_path_ngrams_hand_case(spark):
     assert out["c>b>c"]["n_total"] == 1
     assert "y>a>b" not in out          # never crosses users
     assert "x>y" not in out and len(out) == 3
+
+
+# autocorrelation (series fingerprint)
+
+
+def test_autocorrelation_periodic_and_constant(spark):
+    """A period-4 sine shows acf ~ -1 at lag 2 and ~ +1 at lag 4 (the
+    biased estimator shrinks slightly with lag); lag 0 is exactly 1;
+    a constant series yields NULL acf everywhere (zero variance)."""
+    import math
+
+    from pandasvcf_spark.operators.relational import autocorrelation
+
+    rows = [(t, math.sin(2 * math.pi * t / 4)) for t in range(200)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    out = {r["lag"]: r for r in
+           autocorrelation(df, "v", "t", max_lag=4).collect()}
+    assert out[0]["acf"] == 1.0 and out[0]["n_pairs"] == 200
+    assert out[2]["acf"] < -0.95
+    assert out[4]["acf"] > 0.95
+    assert abs(out[1]["acf"]) < 0.05
+    assert out[4]["n_pairs"] == 196
+
+    const = spark.createDataFrame([(t, 5.0) for t in range(20)],
+                                  "t long, v double")
+    for r in autocorrelation(const, "v", "t", max_lag=2).collect():
+        assert r["acf"] is None

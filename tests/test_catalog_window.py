@@ -595,6 +595,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cell replication + MAX-merge
                                  # (sk_hll_groups machinery); register
                                  # replay oracle; idempotence pytest
+        "m_acf",                 # series autocorrelation: lead()
+                                 # columns + 1-row folds over the
+                                 # pre-aggregated series
+                                 # (e_rolling_corr family); deviation
+                                 # replay oracle; sine hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
