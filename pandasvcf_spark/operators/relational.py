@@ -2986,3 +2986,62 @@ def autocorrelation(
         F.col("e.n_pairs").alias("n_pairs"),
         (F.round(F.col("e.acf"), 6) + 0.0).alias("acf"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings of the same items (two annotators, two
+    classifier versions, model-vs-heuristic): with observed agreement
+    p_o and the chance agreement p_e implied by each rater's marginal
+    distribution,
+
+        kappa = (p_o − p_e) / (1 − p_e)
+
+    Output one row: (n BIGINT, po, pe, kappa DOUBLE round 6; NULL
+    kappa when p_e = 1 — both raters constant with the same label,
+    agreement is vacuous). Rows with a NULL on either side are
+    excluded (un-labeled items carry no agreement information).
+
+    Plan: one groupBy(a, b) collapses the items to the confusion
+    cells; marginals are window sums over the cells (the
+    `mutual_information` device); the final fold is 1-row. p_e is
+    Σ_k P_a(k)·P_b(k) computed as a cells-table sum over the DIAGONAL
+    candidates — every (k, k) pair of marginals, present or not, via
+    joining the two marginal vectors, which are label-sized."""
+    a, b = F.col(rater_a_col), F.col(rater_b_col)
+    nn = df.filter(a.isNotNull() & b.isNotNull())
+    cells = nn.groupBy(
+        a.cast("string").alias("__a"), b.cast("string").alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    ma = cells.groupBy("__a").agg(F.sum("__c").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    agree = cells.filter(F.col("__a") == F.col("__b")).agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__agree")
+    )
+    pe_cells = ma.join(
+        mb, ma["__a"] == mb["__b"]
+    ).agg(
+        F.coalesce(
+            F.sum(F.col("__na").cast("double") * F.col("__nb")),
+            F.lit(0.0),
+        ).alias("__pesum")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(pe_cells))
+    )
+    n = F.col("__n").cast("double")
+    po = F.col("__agree") / n
+    pe = F.col("__pesum") / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return j.select(
+        F.col("__n").alias("n"),
+        (F.round(po, 6) + 0.0).alias("po"),
+        (F.round(pe, 6) + 0.0).alias("pe"),
+        (F.round(kappa, 6) + 0.0).alias("kappa"),
+    )

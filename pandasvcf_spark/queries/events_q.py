@@ -1634,3 +1634,55 @@ def m_acf(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("double").alias("x"))
     )
     return autocorrelation(hourly, "x", "h", max_lag=6)
+
+
+@register(
+    "m_cohens_kappa",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN value >= 5.0 THEN 'hi' ELSE 'lo' END AS ra,
+             CASE WHEN user_id % 2 = 0 THEN 'hi' ELSE 'lo' END AS rb
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    cells AS (
+      SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY ra, rb),
+    ma AS (SELECT ra, sum(c) AS na FROM cells GROUP BY ra),
+    mb AS (SELECT rb, sum(c) AS nb FROM cells GROUP BY rb),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    agr AS (
+      SELECT coalesce(sum(c), 0) AS agree
+      FROM cells WHERE ra = rb),
+    pes AS (
+      SELECT coalesce(sum(CAST(ma.na AS DOUBLE) * mb.nb), 0.0) AS pesum
+      FROM ma JOIN mb ON ma.ra = mb.rb)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(agree AS DOUBLE) / n, 6) + 0.0 AS po,
+           round(pesum / (CAST(n AS DOUBLE) * n), 6) + 0.0 AS pe,
+           round(CASE WHEN pesum / (CAST(n AS DOUBLE) * n) < 1.0
+                 THEN (CAST(agree AS DOUBLE) / n
+                       - pesum / (CAST(n AS DOUBLE) * n))
+                      / (1.0 - pesum / (CAST(n AS DOUBLE) * n)) END, 6)
+             + 0.0 AS kappa
+    FROM tot, agr, pes
+    """,
+)
+def m_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two derived labelings of events (a
+    value-threshold rater vs a user-parity rater — expected ~0 kappa
+    on this synthetic corpus; the entry checks the chance correction,
+    not the raters). One groupBy collapses items to confusion cells;
+    marginals, the diagonal agreement and the p_e sum are all
+    cells-/label-sized. The oracle replays cells, marginals and the
+    chance-corrected quotient."""
+    from pandasvcf_spark.operators.relational import cohens_kappa
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.when(F.col("value") >= 5.0, "hi").otherwise("lo").alias("ra"),
+        F.when(F.col("user_id") % 2 == 0, "hi").otherwise("lo")
+        .alias("rb"),
+    )
+    return cohens_kappa(d, "ra", "rb")

@@ -1349,3 +1349,37 @@ def test_autocorrelation_periodic_and_constant(spark):
                                   "t long, v double")
     for r in autocorrelation(const, "v", "t", max_lag=2).collect():
         assert r["acf"] is None
+
+
+# cohens_kappa (chance-corrected agreement)
+
+
+def test_cohens_kappa_hand_cases(spark):
+    """Perfect agreement gives kappa 1; independent raters with the
+    textbook 2x2 give the hand-computed value; identical constant
+    raters give NULL (vacuous agreement); NULL rows excluded."""
+    from pandasvcf_spark.operators.relational import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 6 + [("y", "y")] * 4 + [(None, "x")],
+        "a string, b string",
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r["n"] == 10 and r["po"] == 1.0
+    assert abs(r["kappa"] - 1.0) < 1e-9
+
+    # classic worked example: po=0.7, pe=0.5 -> kappa=0.4
+    rows = (
+        [("y", "y")] * 4 + [("y", "n")] * 1
+        + [("n", "y")] * 2 + [("n", "n")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r2 = cohens_kappa(df, "a", "b").collect()[0]
+    assert r2["po"] == 0.7
+    # pe = P_a(y)*P_b(y) + P_a(n)*P_b(n) = .5*.6 + .5*.4 = 0.5
+    assert abs(r2["pe"] - 0.5) < 1e-9
+    assert abs(r2["kappa"] - 0.4) < 1e-9
+
+    const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r3 = cohens_kappa(const, "a", "b").collect()[0]
+    assert r3["pe"] == 1.0 and r3["kappa"] is None

@@ -600,6 +600,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # pre-aggregated series
                                  # (e_rolling_corr family); deviation
                                  # replay oracle; sine hand case
+        "m_cohens_kappa",        # chance-corrected agreement: cells
+                                 # groupBy + label-sized marginals
+                                 # (m_mutual_info family); quotient
+                                 # replay oracle; textbook hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
