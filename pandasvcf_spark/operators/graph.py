@@ -339,3 +339,87 @@ def assortativity(
         .alias("mean_degree"),
         (F.round(r, 6) + 0.0).alias("assortativity"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    node_col: str = "n",
+    comm_col: str = "c",
+) -> DataFrame:
+    """Modularity of a community assignment (Newman & Girvan 2004) —
+    the score every community-detection result is judged by, and the
+    audit for ANY grouping you impose on a graph (do near-dup clusters
+    respect the link structure? did sharding cut across communities?):
+    per community c, the fraction of edges inside it minus the
+    fraction expected at random given its degree mass,
+
+        q_c = e_c / m − (d_c / 2m)²      Q = Σ_c q_c
+
+    Output, one row per community: (community, n_nodes BIGINT,
+    inner_edges BIGINT, degree_sum BIGINT, q DOUBLE round 6);
+    sum(q) is the modularity. Unassigned nodes form no community rows
+    but their degree still counts in m (document your coverage);
+    self-loops drop, edges deduplicate to canonical pairs.
+
+    Plan: degrees are one exploded groupBy; community joins are
+    NODE-KEYED (two for the edge endpoints, one for the degree table);
+    everything aggregates to community-sized rows. No adjacency
+    materialization, no per-community subgraph extraction."""
+    u, v = F.col(src), F.col(dst)
+    und = (
+        edges.filter(u.isNotNull() & v.isNotNull() & (u != v))
+        .select(
+            F.least(u, v).alias("__u"), F.greatest(u, v).alias("__v")
+        )
+        .distinct()
+    )
+    m_tot = und.agg(F.count(F.lit(1)).alias("__m"))
+    deg = (
+        und.select(F.col("__u").alias("node"))
+        .unionAll(und.select(F.col("__v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    cm = communities.select(
+        F.col(node_col).alias("node"), F.col(comm_col).alias("community")
+    )
+    dstats = (
+        deg.join(cm, on="node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("__d").alias("degree_sum"),
+        )
+    )
+    cu = cm.select(F.col("node").alias("__u"),
+                   F.col("community").alias("__cu"))
+    cv = cm.select(F.col("node").alias("__v"),
+                   F.col("community").alias("__cv"))
+    inner = (
+        und.join(cu, on="__u")
+        .join(cv, on="__v")
+        .filter(F.col("__cu") == F.col("__cv"))
+        .groupBy(F.col("__cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("inner_edges"))
+    )
+    j = (
+        dstats.join(inner, on="community", how="left")
+        .na.fill({"inner_edges": 0})
+        .crossJoin(F.broadcast(m_tot))
+    )
+    m = F.col("__m").cast("double")
+    q = (
+        F.col("inner_edges").cast("double") / m
+        - (F.col("degree_sum").cast("double") / (2.0 * m))
+        * (F.col("degree_sum").cast("double") / (2.0 * m))
+    )
+    return j.select(
+        "community",
+        "n_nodes",
+        F.col("inner_edges").cast("bigint").alias("inner_edges"),
+        F.col("degree_sum").cast("bigint").alias("degree_sum"),
+        (F.round(q, 6) + 0.0).alias("q"),
+    )

@@ -1668,3 +1668,70 @@ def g_assortativity(spark, sf_dir):
         .distinct()
     )
     return assortativity(edges)
+
+
+@register(
+    "g_modularity",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+    raw AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    mt AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM raw),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS n FROM raw UNION ALL SELECT v AS n FROM raw)
+      GROUP BY 1),
+    dstats AS (
+      SELECT n % 8 AS community,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS degree_sum
+      FROM deg GROUP BY n % 8),
+    inner_e AS (
+      SELECT u % 8 AS community, CAST(count(*) AS BIGINT) AS inner_edges
+      FROM raw WHERE u % 8 = v % 8 GROUP BY u % 8)
+    SELECT d.community, d.n_nodes,
+           CAST(coalesce(i.inner_edges, 0) AS BIGINT) AS inner_edges,
+           d.degree_sum,
+           round(CAST(coalesce(i.inner_edges, 0) AS DOUBLE) / m
+                 - (CAST(d.degree_sum AS DOUBLE) / (2.0 * m))
+                   * (CAST(d.degree_sum AS DOUBLE) / (2.0 * m)), 6)
+             + 0.0 AS q
+    FROM dstats d LEFT JOIN inner_e i ON d.community = i.community, mt
+    """,
+)
+def g_modularity(spark, sf_dir):
+    """Per-community modularity terms of a hash partition (node % 8)
+    of the co-purchase graph (operators/graph.modularity; Newman &
+    Girvan 2004) — expected ~0 total Q for a structure-blind hash
+    split, which is the point: the entry checks the audit arithmetic
+    that scores ANY imposed grouping against the link structure.
+    Degrees + both community joins are node-keyed; everything
+    aggregates community-sized. The oracle replays degrees, inner
+    edges and the q terms."""
+    from pandasvcf_spark.operators.graph import modularity
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    ).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.least(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("u"),
+            F.greatest(F.col("a.l_partkey"), F.col("b.l_partkey"))
+            .alias("v"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    cm = nodes.select("n", (F.col("n") % 8).alias("c"))
+    return modularity(edges, cm)

@@ -1383,3 +1383,42 @@ def test_cohens_kappa_hand_cases(spark):
     const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
     r3 = cohens_kappa(const, "a", "b").collect()[0]
     assert r3["pe"] == 1.0 and r3["kappa"] is None
+
+
+# modularity (community-assignment audit)
+
+
+def test_modularity_double_clique_hand_case(spark):
+    """Two K4 cliques joined by one bridge, split at the bridge:
+    hand-computed q terms (e_c/m - (d_c/2m)^2 = 6/13 - 0.25); the
+    structure-blind one-community assignment scores Q = 0 exactly;
+    unassigned nodes keep their degree mass in m."""
+    from pandasvcf_spark.operators.graph import modularity
+
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 4))
+    e = spark.createDataFrame(edges, "u long, v long")
+
+    cm = spark.createDataFrame([(i, i // 4) for i in range(8)],
+                               "n long, c long")
+    rows = {r["community"]: r for r in modularity(e, cm).collect()}
+    for c in (0, 1):
+        r = rows[c]
+        assert (r["n_nodes"], r["inner_edges"], r["degree_sum"]) == (4, 6, 13)
+        assert abs(r["q"] - round(6 / 13 - 0.25, 6)) < 1e-9
+
+    # everything in one community: Q = m/m - (2m/2m)^2 = 0
+    one = spark.createDataFrame([(i, 0) for i in range(8)],
+                                "n long, c long")
+    r1 = modularity(e, one).collect()[0]
+    assert r1["inner_edges"] == 13 and r1["q"] == 0.0
+
+    # partial assignment: community 0 only; its q uses the FULL m
+    part = spark.createDataFrame([(i, 0) for i in range(4)],
+                                 "n long, c long")
+    rp = {r["community"]: r for r in modularity(e, part).collect()}
+    assert list(rp) == [0] and rp[0]["degree_sum"] == 13

@@ -604,6 +604,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # groupBy + label-sized marginals
                                  # (m_mutual_info family); quotient
                                  # replay oracle; textbook hand case
+        "g_modularity",          # community-assignment audit: node-
+                                 # keyed joins + community-sized aggs
+                                 # (g_assortativity edge family);
+                                 # q-term replay oracle; double-clique
+                                 # hand case
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
