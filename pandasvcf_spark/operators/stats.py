@@ -1,0 +1,494 @@
+"""Statistics / evaluation operators (beyond-reference extension surface).
+
+The reference engine (SURVEY §2) stops at per-site counts; a corpus or
+experiment pipeline at scale needs the classical evaluation statistics as
+first-class distributed operators: ranking metrics (NDCG@k, average
+precision), rank-based two-sample tests (Mann-Whitney U), rank correlation
+(Spearman), one-way ANOVA, and a fixed-iteration Lloyd k-means whose whole
+optimization replays as an unrolled SQL oracle (the g_pagerank / m_logit
+precedent).
+
+Scale notes (100 TB posture):
+  * every metric here is "one exchange on the group keys" — rank windows and
+    tie windows share the same partitioning, then one groupBy on the same
+    keys; no joins, no driver state, no per-group cardinality limits.
+  * k-means per iteration is one map-side assignment (broadcast centroid
+    literals, pure column arithmetic) + one partial-aggregated groupBy over
+    k keys; the only driver traffic is the k x d centroid table per round
+    (model-sized, the BPE 1-row-argmax precedent).
+  * everything stays in whole-stage codegen: zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group NDCG@k of a score ranking against graded relevance —
+    the retrieval-evaluation loop for embedding / BM25 rankers: per
+    query group, how close is the score order to the ideal order?
+
+        DCG@k  = sum_{r<=k} (2^rel - 1) / log2(r + 1)   (score desc)
+        IDCG@k = same over the ideal (rel desc) order
+        NDCG@k = DCG / IDCG   (NULL when IDCG = 0)
+
+    Ranks are row_number with `id_col` as the tie-break, so the metric
+    is deterministic across retries/partitionings (the repo's top-k
+    rule). The ideal order ties on equal rel are position-equivalent,
+    so IDCG is deterministic regardless of tie order. Rows with NULL
+    score or rel are dropped.
+
+    Output: (*group_cols, n BIGINT, dcg, idcg, ndcg DOUBLE round 6).
+
+    Plan: ONE exchange on the group keys serves both rank windows and
+    the final groupBy — no joins, pure expressions.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(rel_col).cast("double").alias("__rel"),
+        F.col(id_col).alias("__id"),
+    )
+    w_score = Window.partitionBy(*gcols).orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    w_ideal = Window.partitionBy(*gcols).orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    gain = F.pow(F.lit(2.0), F.col("__rel")) - F.lit(1.0)
+    ranked = base.select(
+        *gcols,
+        "__rel",
+        F.row_number().over(w_score).alias("__r"),
+        F.row_number().over(w_ideal).alias("__ri"),
+        gain.alias("__g"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("__r") <= k,
+                F.col("__g") / F.log2(F.col("__r") + F.lit(1.0)),
+            )
+        ).alias("__dcg"),
+        F.sum(
+            F.when(
+                F.col("__ri") <= k,
+                F.col("__g") / F.log2(F.col("__ri") + F.lit(1.0)),
+            )
+        ).alias("__idcg"),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        (F.round(F.coalesce(F.col("__dcg"), F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "dcg"
+        ),
+        (F.round(F.coalesce(F.col("__idcg"), F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "idcg"
+        ),
+        (
+            F.round(
+                F.when(
+                    F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ndcg"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group average precision (the area under the precision-recall
+    curve at observed operating points) — the binary-relevance partner
+    of `ndcg_at_k` and the ranking-aware complement of `group_auc`:
+
+        AP = sum_i ( precision@i * y_i ) / n_pos
+
+    over rows ordered by score desc (id asc tie-break), where
+    precision@i = (# positives in the first i rows) / i. Groups with
+    no positives yield ap NULL. Rows with NULL score or label drop.
+
+    Output: (*group_cols, n BIGINT, n_pos BIGINT, ap DOUBLE round 6).
+
+    Plan: one exchange on the group keys — a row_number window and a
+    running-sum window over the same sort, then one groupBy.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ranked = base.select(
+        *gcols,
+        "__y",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__y").over(w).alias("__cum"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("__y") == 1,
+                F.col("__cum").cast("double") / F.col("__i"),
+            )
+        ).alias("__ap_num"),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "n_pos",
+        F.round(
+            F.when(
+                F.col("n_pos") > 0, F.col("__ap_num") / F.col("n_pos")
+            ),
+            6,
+        ).alias("ap"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) two-sample test of
+    `value_col` between flag=1 and flag=0 rows — the nonparametric
+    A/B-test partner of `ab_test_proportions`: does treatment shift
+    the value distribution, without assuming normality?
+
+        U1 = R1 - n1(n1+1)/2          (R1 = tie-averaged rank sum of flag=1)
+        mu = n1*n2/2
+        sigma^2 = (n1*n2/12) * ((n+1) - sum(t^3-t) / (n(n-1)))
+        z = (U1 - mu) / sigma          (no continuity correction)
+
+    where t ranges over the tie-group sizes. z is NULL when either
+    sample is empty or all values are tied (sigma = 0). Rows with NULL
+    value or flag drop. flag must be 0/1 (cast to int).
+
+    Output: (*group_cols, n1 BIGINT, n2 BIGINT, u DOUBLE round 4,
+    z DOUBLE round 6).
+
+    Plan: one exchange on the group keys serves the rank window and the
+    tie window; the tie-correction term comes from a (group, value)
+    partial-aggregated count — no joins, no driver state.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    vc = F.col(value_col).cast("double")
+    fc = F.col(flag_col).cast("int")
+    base = df.filter(vc.isNotNull() & fc.isNotNull()).select(
+        *gcols, vc.alias("__v"), fc.alias("__f")
+    )
+    w_rank = Window.partitionBy(*gcols).orderBy("__v")
+    w_tie = Window.partitionBy(*gcols, "__v")
+    ranked = base.select(
+        *gcols,
+        "__f",
+        "__v",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("__r"),
+    )
+    # tie-group sizes: one (group, value)-keyed agg (map-side combinable)
+    ties = (
+        base.groupBy(*gcols, "__v")
+        .agg(F.count(F.lit(1)).cast("double").alias("__t"))
+        .groupBy(*gcols)
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            ).alias("__tsum")
+        )
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__f").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("__f")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("__f") == 1, F.col("__r"))).alias("__r1"),
+    )
+    j = agg.join(ties, gcols, "inner")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u1 = F.col("__r1") - n1d * (n1d + F.lit(1.0)) / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    var = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("__tsum") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return j.select(
+        *gcols,
+        "n1",
+        "n2",
+        (
+            F.round(F.when((F.col("n1") > 0) & (F.col("n2") > 0), u1), 4)
+            + F.lit(0.0)
+        ).alias("u"),
+        (
+            F.round(
+                F.when(
+                    (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+                    (u1 - mu) / F.sqrt(var),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation of two columns — Pearson
+    correlation over tie-averaged ranks, the monotone-association
+    measure robust to outliers and nonlinearity (the screening
+    statistic for feature/quality-signal monotonicity at corpus
+    scale).
+
+        rho = (n*Sab - Sa*Sb)
+              / sqrt((n*Saa - Sa^2) * (n*Sbb - Sb^2))
+
+    over rank pairs (a, b); NULL when either rank variance is 0.
+    Rows with NULL x or y drop.
+
+    Output: (*group_cols, n BIGINT, rho DOUBLE round 6).
+
+    Plan: one exchange on the group keys serves all four windows (two
+    rank sorts + two tie partitions within the same partitioning) and
+    the final groupBy; rho is a pure moment expression over ranks.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.filter(xc.isNotNull() & yc.isNotNull()).select(
+        *gcols, xc.alias("__x"), yc.alias("__y")
+    )
+    wx = Window.partitionBy(*gcols).orderBy("__x")
+    wxt = Window.partitionBy(*gcols, "__x")
+    wy = Window.partitionBy(*gcols).orderBy("__y")
+    wyt = Window.partitionBy(*gcols, "__y")
+    ranked = base.select(
+        *gcols,
+        (
+            F.rank().over(wx).cast("double")
+            + (F.count(F.lit(1)).over(wxt) - F.lit(1)) / F.lit(2.0)
+        ).alias("__a"),
+        (
+            F.rank().over(wy).cast("double")
+            + (F.count(F.lit(1)).over(wyt) - F.lit(1)) / F.lit(2.0)
+        ).alias("__b"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__a").alias("__sa"),
+        F.sum("__b").alias("__sb"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__saa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("__sbb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("__sab"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("__saa") - F.col("__sa") * F.col("__sa")
+    vy = nd * F.col("__sbb") - F.col("__sb") * F.col("__sb")
+    num = nd * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    return agg.select(
+        *gcols,
+        "n",
+        (
+            F.round(
+                F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)), 6
+            )
+            + F.lit(0.0)
+        ).alias("rho"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic of `value_col` across the levels of
+    `group_col` — the k-sample mean-difference screen (does segment /
+    source / shard matter for this metric?), computed entirely from
+    per-level (n, sum, sum-of-squares) partials:
+
+        SSB = sum_g(S_g^2 / n_g) - S^2 / N      (between groups)
+        SSW = Q - sum_g(S_g^2 / n_g)            (within groups)
+        F   = (SSB / (k-1)) / (SSW / (N-k))
+        eta^2 = SSB / (SSB + SSW)               (effect size)
+
+    with S_g/S the level/grand sums, Q the grand sum of squares. F is
+    NULL when k < 2, N <= k, or SSW = 0. NULL values/levels drop.
+
+    Output: ONE row (k BIGINT, n BIGINT, f_stat DOUBLE round 6,
+    eta_sq DOUBLE round 6). Raw SS terms are deliberately NOT output:
+    their absolute magnitude (~Q) makes fixed-decimal rounding
+    unstable across engine accumulation orders, while the two ratios
+    carry only ~1e-10 relative error and round exactly.
+
+    Plan: one partial-aggregated groupBy over the levels, then a 1-row
+    global agg — the classic two-level combiner tree; nothing scales
+    with row count on the driver.
+    """
+    vc = F.col(value_col).cast("double")
+    base = df.filter(vc.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), vc.alias("__v")
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s").alias("__S"),
+        F.sum("__q").alias("__Q"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__W"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("__W") - F.col("__S") * F.col("__S") / nd
+    ssw = F.col("__Q") - F.col("__W")
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    ok = (F.col("k") >= 2) & (nd > kd) & (ssw > 0)
+    return g.select(
+        "k",
+        "n",
+        (F.round(F.when(ok, f_stat), 6) + F.lit(0.0)).alias("f_stat"),
+        (
+            F.round(F.when(ssb + ssw > 0, ssb / (ssb + ssw)), 6)
+            + F.lit(0.0)
+        ).alias("eta_sq"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    feat_cols: Sequence[str],
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over numeric feature columns —
+    the clustering showpiece of the fixed-budget-iteration family
+    (g_pagerank, m_logit): with a FIXED iteration count and a
+    deterministic seed (the k rows with the smallest `id_col` are the
+    initial centroids), the entire optimization replays as an unrolled
+    SQL oracle.
+
+    Per iteration:
+      1. assignment — each row goes to the nearest centroid by squared
+         L2 distance, smallest centroid index on exact ties; this is
+         pure broadcast-literal column arithmetic (no join, no UDF);
+      2. update — one partial-aggregated groupBy over <= k keys takes
+         per-dimension means, ROUNDED TO 6dp (the rounding pins the
+         replayed trajectory: both engines see bit-identical centroid
+         literals next round, so the discrete assignments cannot drift
+         on accumulation-order ulps); clusters that lose all members
+         drop out (both sides see the same survivor set).
+
+    Driver traffic is the k x d rounded centroid table per round —
+    model-sized (the BPE argmax-collect precedent); the data never
+    leaves the executors. Rows with any NULL feature drop.
+
+    Output after `iters` assignment rounds: one row per non-empty
+    cluster (cluster INT, n BIGINT, c_<feat> DOUBLE round 6 — the
+    mean of the final assignment, i.e. the next centroid).
+    """
+    feats = list(feat_cols)
+    if not feats or k < 1 or iters < 1:
+        raise ValueError("need features, k >= 1, iters >= 1")
+    cond = F.col(id_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).cast("double").alias(c) for c in feats],
+    )
+    # deterministic seed: the k smallest-id rows, in id order
+    seed = base.orderBy("__id").limit(k).collect()
+    centroids = [
+        (j, [float(r[c]) for c in feats]) for j, r in enumerate(seed)
+    ]
+
+    def assign(cents):
+        dists = [
+            sum(
+                (F.col(c) - F.lit(cv)) * (F.col(c) - F.lit(cv))
+                for c, cv in zip(feats, vec)
+            )
+            for _, vec in cents
+        ]
+        best_c = F.lit(cents[0][0])
+        best_d = dists[0]
+        for (cid, _), d in zip(cents[1:], dists[1:]):
+            best_c = F.when(d < best_d, F.lit(cid)).otherwise(best_c)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+        return base.select(
+            "__id", *feats, best_c.cast("int").alias("cluster")
+        )
+
+    for it in range(iters):
+        assigned = assign(centroids)
+        means = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                (F.round(F.avg(c), 6) + F.lit(0.0)).alias(f"c_{c}")
+                for c in feats
+            ],
+        )
+        if it == iters - 1:
+            return means.orderBy("cluster")
+        rows = sorted(means.collect(), key=lambda r: r["cluster"])
+        centroids = [
+            (int(r["cluster"]), [float(r[f"c_{c}"]) for c in feats])
+            for r in rows
+        ]

@@ -1735,3 +1735,283 @@ def g_modularity(spark, sf_dir):
     )
     cm = nodes.select("n", (F.col("n") % 8).alias("c"))
     return modularity(edges, cm)
+
+
+# --- ranking-metric / classical-statistics family (operators/stats) --------
+
+@register(
+    "m_ndcg",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id % 5 AS qid, vec_id AS id,
+             CAST(embedding[2] AS DOUBLE) AS s,
+             CAST(label AS DOUBLE) AS rel
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    r AS (
+      SELECT qid, rel,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY s DESC, id) AS r1,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY rel DESC, id) AS r2,
+             power(2.0, rel) - 1.0 AS g
+      FROM b),
+    a AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n,
+             sum(CASE WHEN r1 <= 10
+                 THEN g / log2(r1 + 1.0) END) AS dcg,
+             sum(CASE WHEN r2 <= 10
+                 THEN g / log2(r2 + 1.0) END) AS idcg
+      FROM r GROUP BY qid)
+    SELECT qid, n,
+           round(coalesce(dcg, 0.0), 6) + 0.0 AS dcg,
+           round(coalesce(idcg, 0.0), 6) + 0.0 AS idcg,
+           round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) + 0.0
+             AS ndcg
+    FROM a ORDER BY qid
+    """,
+)
+def m_ndcg(spark, sf_dir):
+    """Per-query NDCG@10 (operators/stats.ndcg_at_k) of the second
+    embedding coordinate ranking graded relevance = label, queries =
+    vec_id % 5 — the retrieval-evaluation loop for ranker tuning.
+    Expected ~mid-range NDCG on this structure-free corpus — the
+    entry checks the metric, not the ranker. One group-keyed exchange
+    serves the score-rank window, the ideal-rank window and the final
+    agg; gains/discounts are pure expressions. embedding[2] in DuckDB
+    == embedding[1] in Spark (1- vs 0-based)."""
+    from pandasvcf_spark.operators.stats import ndcg_at_k
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    d = e.select(
+        (F.col("vec_id") % 5).alias("qid"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding")[1].cast("double").alias("s"),
+        F.col("label").alias("rel"),
+    )
+    return ndcg_at_k(d, ["qid"], "s", "rel", "id", k=10).orderBy("qid")
+
+
+@register(
+    "m_avg_precision",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id % 5 AS qid, vec_id AS id,
+             CAST(embedding[3] AS DOUBLE) AS s,
+             CASE WHEN label < 3 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    r AS (
+      SELECT qid, y,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY s DESC, id) AS i,
+             sum(y) OVER (
+               PARTITION BY qid ORDER BY s DESC, id) AS cum
+      FROM b),
+    a AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             sum(CASE WHEN y = 1
+                 THEN CAST(cum AS DOUBLE) / i END) AS apn
+      FROM r GROUP BY qid)
+    SELECT qid, n, n_pos,
+           round(CASE WHEN n_pos > 0 THEN apn / n_pos END, 6) AS ap
+    FROM a ORDER BY qid
+    """,
+)
+def m_avg_precision(spark, sf_dir):
+    """Per-query average precision (operators/stats.average_precision)
+    of the third embedding coordinate against binary relevance
+    label < 3, queries = vec_id % 5 — the PR-curve-area partner of
+    m_ndcg and the ranking-aware complement of m_group_auc's AUC.
+    One exchange: row_number + running-positive-count over the same
+    (score DESC, id) sort, then one groupBy. Expected ~base-rate AP
+    on this synthetic corpus — the entry checks the metric."""
+    from pandasvcf_spark.operators.stats import average_precision
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    d = e.select(
+        (F.col("vec_id") % 5).alias("qid"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding")[2].cast("double").alias("s"),
+        F.when(F.col("label") < 3, 1).otherwise(0).alias("y"),
+    )
+    return average_precision(d, ["qid"], "s", "y", "id").orderBy("qid")
+
+
+@register(
+    "m_mann_whitney",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey AS nation, c_acctbal AS v,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS f
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+    r AS (
+      SELECT nation, f,
+             CAST(rank() OVER (
+               PARTITION BY nation ORDER BY v) AS DOUBLE)
+               + (count(*) OVER (PARTITION BY nation, v) - 1) / 2.0
+               AS rk
+      FROM b),
+    t AS (
+      SELECT nation, sum(tt * tt * tt - tt) AS tsum
+      FROM (SELECT nation, CAST(count(*) AS DOUBLE) AS tt
+            FROM b GROUP BY nation, v)
+      GROUP BY nation),
+    a AS (
+      SELECT nation, CAST(sum(f) AS BIGINT) AS n1,
+             CAST(sum(1 - f) AS BIGINT) AS n2,
+             sum(CASE WHEN f = 1 THEN rk END) AS r1
+      FROM r GROUP BY nation),
+    m AS (
+      SELECT a.nation AS nation, n1, n2,
+             r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u1,
+             CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu,
+             CAST(n1 AS DOUBLE) * n2 / 12.0
+               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                  - tsum / (CAST(n1 + n2 AS DOUBLE)
+                            * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS vv
+      FROM a JOIN t ON a.nation = t.nation)
+    SELECT nation, n1, n2,
+           round(CASE WHEN n1 > 0 AND n2 > 0 THEN u1 END, 4) + 0.0
+             AS u,
+           round(CASE WHEN n1 > 0 AND n2 > 0 AND vv > 0
+                 THEN (u1 - mu) / sqrt(vv) END, 6) + 0.0 AS z
+    FROM m ORDER BY nation
+    """,
+)
+def m_mann_whitney(spark, sf_dir):
+    """Per-nation Mann-Whitney U test (operators/stats.mann_whitney_u,
+    tie-corrected normal approximation, no continuity correction) of
+    account balance between BUILDING-segment customers and the rest —
+    the nonparametric A/B partner of m_ab_test. Rank + tie windows on
+    one exchange; the tie-correction term is a (group, value)-keyed
+    partial agg; U and z replay exactly (rank sums of halves are
+    exact doubles, the z expression is operand-identical)."""
+    from pandasvcf_spark.operators.stats import mann_whitney_u
+
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    d = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_acctbal").alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("f"),
+    )
+    return mann_whitney_u(d, ["nation"], "v", "f").orderBy("nation")
+
+
+@register(
+    "m_spearman",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS rf, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    r AS (
+      SELECT rf,
+             CAST(rank() OVER (PARTITION BY rf ORDER BY x) AS DOUBLE)
+               + (count(*) OVER (PARTITION BY rf, x) - 1) / 2.0 AS a,
+             CAST(rank() OVER (PARTITION BY rf ORDER BY y) AS DOUBLE)
+               + (count(*) OVER (PARTITION BY rf, y) - 1) / 2.0 AS bb
+      FROM b),
+    g AS (
+      SELECT rf, CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(bb) AS sb,
+             sum(a * a) AS saa, sum(bb * bb) AS sbb,
+             sum(a * bb) AS sab
+      FROM r GROUP BY rf),
+    m AS (
+      SELECT rf, n,
+             CAST(n AS DOUBLE) * saa - sa * sa AS vx,
+             CAST(n AS DOUBLE) * sbb - sb * sb AS vy,
+             CAST(n AS DOUBLE) * sab - sa * sb AS num
+      FROM g)
+    SELECT rf, n,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN num / sqrt(vx * vy) END, 6) + 0.0 AS rho
+    FROM m ORDER BY rf
+    """,
+)
+def m_spearman(spark, sf_dir):
+    """Per-returnflag Spearman rank correlation (operators/stats.
+    spearman_corr) between quantity and extended price — the
+    monotone-association screen for feature/quality signals. Four
+    windows (two rank sorts + two tie partitions) on ONE group-keyed
+    exchange, then a moment-formula groupBy; tie-averaged ranks are
+    exact doubles (multiples of 1/2), their products multiples of
+    1/4, and every sum stays below 2^53/4 at the gated scale — the
+    statistic replays bit-for-bit."""
+    from pandasvcf_spark.operators.stats import spearman_corr
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    d = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    return spearman_corr(d, ["rf"], "x", "y").orderBy("rf")
+
+
+@register(
+    "m_anova",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS g, c_acctbal AS v FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+    p AS (
+      SELECT g, CAST(count(*) AS DOUBLE) AS n,
+             sum(v) AS s, sum(v * v) AS q
+      FROM b GROUP BY g),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n,
+             sum(s) AS gs, sum(q) AS gq,
+             sum(s * s / n) AS w
+      FROM p),
+    m AS (
+      SELECT k, n,
+             w - gs * gs / CAST(n AS DOUBLE) AS ssb,
+             gq - w AS ssw
+      FROM t)
+    SELECT k, n,
+           round(CASE WHEN k >= 2 AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+                      AND ssw > 0
+                 THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                 END, 6) + 0.0 AS f_stat,
+           round(CASE WHEN ssb + ssw > 0
+                 THEN ssb / (ssb + ssw) END, 6) + 0.0 AS eta_sq
+    FROM m
+    """,
+)
+def m_anova(spark, sf_dir):
+    """One-way ANOVA (operators/stats.anova_oneway) of account balance
+    across market segments — the k-sample does-the-grouping-matter
+    screen. Two-level combiner tree (per-level partials, 1-row global
+    agg); only the ratio statistics (F, eta-squared) are output — raw
+    SS terms at ~sum-of-squares magnitude cannot round stably across
+    engine accumulation orders, the ratios carry ~1e-10 relative
+    error. Expected F ~ 1 on this segment-blind synthetic data."""
+    from pandasvcf_spark.operators.stats import anova_oneway
+
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    d = c.select(
+        F.col("c_mktsegment").alias("g"), F.col("c_acctbal").alias("v")
+    )
+    return anova_oneway(d, "g", "v")

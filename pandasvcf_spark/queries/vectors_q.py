@@ -1260,3 +1260,79 @@ def v_mutual_knn(spark, sf_dir):
     knn = cosine_topk_blocked(e, q, k=5)
     out = mutual_knn(knn)
     return out.select("a_id", "b_id", F.round("sim", 6).alias("sim"))
+
+
+def _kmeans_assign_sql(cents: str, out: str) -> str:
+    """One unrolled Lloyd assignment round: nearest centroid from the
+    table `cents` (c, c1..c4) for every row of `v` (id, x1..x4), with
+    the smallest centroid index winning exact distance ties."""
+    return f"""
+    {out} AS (
+      SELECT id, x1, x2, x3, x4, c FROM (
+        SELECT v.id, v.x1, v.x2, v.x3, v.x4, {cents}.c,
+               row_number() OVER (PARTITION BY v.id ORDER BY
+                 (v.x1 - {cents}.c1) * (v.x1 - {cents}.c1)
+                 + (v.x2 - {cents}.c2) * (v.x2 - {cents}.c2)
+                 + (v.x3 - {cents}.c3) * (v.x3 - {cents}.c3)
+                 + (v.x4 - {cents}.c4) * (v.x4 - {cents}.c4),
+                 {cents}.c) AS rn
+        FROM v CROSS JOIN {cents}) WHERE rn = 1)"""
+
+
+@register(
+    "v_kmeans",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2,
+             CAST(embedding[3] AS DOUBLE) AS x3,
+             CAST(embedding[4] AS DOUBLE) AS x4
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS c,
+             x1 AS c1, x2 AS c2, x3 AS c3, x4 AS c4
+      FROM (SELECT * FROM v ORDER BY id LIMIT 4)),
+    {_kmeans_assign_sql('c0', 'a1')},
+    c1 AS (
+      SELECT c, round(avg(x1), 6) + 0.0 AS c1,
+             round(avg(x2), 6) + 0.0 AS c2,
+             round(avg(x3), 6) + 0.0 AS c3,
+             round(avg(x4), 6) + 0.0 AS c4
+      FROM a1 GROUP BY c),
+    {_kmeans_assign_sql('c1', 'a2')}
+    SELECT CAST(c AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(x1), 6) + 0.0 AS c_f1,
+           round(avg(x2), 6) + 0.0 AS c_f2,
+           round(avg(x3), 6) + 0.0 AS c_f3,
+           round(avg(x4), 6) + 0.0 AS c_f4
+    FROM a2 GROUP BY c ORDER BY cluster
+    """,
+)
+def v_kmeans(spark, sf_dir):
+    """Fixed-budget Lloyd k-means (operators/stats.kmeans_fit, k=4,
+    iters=2, seed = the 4 smallest-vec_id rows) over the first four
+    embedding coordinates — the clustering member of the
+    fixed-iteration family (g_pagerank, m_logit): rounding the
+    intermediate centroids to 6dp pins the replayed trajectory, so
+    the oracle unrolls both assignment rounds and the centroid update
+    as plain SQL and matches the discrete assignments exactly. Per
+    iteration: broadcast-literal arithmetic assignment + one
+    partial-aggregated groupBy over <= k keys; driver traffic is the
+    k x d centroid table per round (model-sized). embedding[i+1] in
+    DuckDB == embedding[i] in Spark."""
+    from pandasvcf_spark.operators.stats import kmeans_fit
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    d = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding")[0].cast("double").alias("f1"),
+        F.col("embedding")[1].cast("double").alias("f2"),
+        F.col("embedding")[2].cast("double").alias("f3"),
+        F.col("embedding")[3].cast("double").alias("f4"),
+    )
+    return kmeans_fit(d, "id", ["f1", "f2", "f3", "f4"], k=4, iters=2)

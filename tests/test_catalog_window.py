@@ -609,6 +609,25 @@ def test_tail_entries_are_redundant_variants_only():
                                  # (g_assortativity edge family);
                                  # q-term replay oracle; double-clique
                                  # hand case
+        "m_ndcg",                # per-query NDCG@10: two rank windows
+                                 # on one exchange (group_auc family);
+                                 # gain/discount replay oracle
+        "m_avg_precision",       # PR-curve area: row_number + running
+                                 # positive count on one sort; replay
+                                 # oracle
+        "m_mann_whitney",        # rank-sum U test: tie-averaged rank
+                                 # windows + (group,value) tie agg;
+                                 # operand-identical z replay
+        "m_spearman",            # rank correlation: four windows on
+                                 # one exchange + moment formula;
+                                 # bit-exact (ranks are half-integers)
+        "m_anova",               # one-way F: two-level combiner tree;
+                                 # ratio-only output (SS magnitudes
+                                 # don't round stably)
+        "v_kmeans",              # fixed-budget Lloyd: broadcast
+                                 # assignment + k-key groupBy per
+                                 # round, 6dp-pinned trajectory;
+                                 # unrolled 2-round SQL replay
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

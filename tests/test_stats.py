@@ -1,0 +1,212 @@
+"""Hand-case tests for the ranking-metric / classical-statistics family
+(`operators/stats.py`) — closed-form textbook values the SQL oracles can't
+probe (degenerate groups, tie handling, seed determinism, empty-cluster
+drop), computed by hand in the comments."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandasvcf_spark.operators.stats import (
+    anova_oneway,
+    average_precision,
+    kmeans_fit,
+    mann_whitney_u,
+    ndcg_at_k,
+    spearman_corr,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# --- ndcg_at_k -------------------------------------------------------------
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    # q=1: score order == rel order (3,2,1) -> ndcg 1.0
+    # q=2: score order inverts rel (1,2,3) ->
+    #   dcg  = (2^1-1)/log2(2) + (2^2-1)/log2(3) + (2^3-1)/log2(4)
+    #        = 1 + 3/1.5849625007211562 + 3.5
+    #   idcg = 7/1 + 3/1.5849625007211562 + 1/2
+    df = spark.createDataFrame(
+        [(1, 1, 9.0, 3.0), (1, 2, 8.0, 2.0), (1, 3, 7.0, 1.0),
+         (2, 4, 9.0, 1.0), (2, 5, 8.0, 2.0), (2, 6, 7.0, 3.0)],
+        "q int, id int, s double, rel double",
+    )
+    out = {r["q"]: r for r in ndcg_at_k(df, ["q"], "s", "rel", "id", k=10).collect()}
+    assert out[1]["ndcg"] == 1.0
+    dcg = 1 + 3 / math.log2(3) + 7 / 2
+    idcg = 7 + 3 / math.log2(3) + 0.5
+    assert out[2]["dcg"] == round(dcg, 6)
+    assert out[2]["idcg"] == round(idcg, 6)
+    assert out[2]["ndcg"] == round(dcg / idcg, 6)
+
+
+def test_ndcg_k_cutoff_and_zero_rel(spark):
+    # k=1 keeps only the top-scored row; all-zero rel -> idcg 0 -> ndcg NULL
+    df = spark.createDataFrame(
+        [(1, 1, 2.0, 0.0), (1, 2, 1.0, 0.0)],
+        "q int, id int, s double, rel double",
+    )
+    r = ndcg_at_k(df, ["q"], "s", "rel", "id", k=1).collect()[0]
+    assert r["dcg"] == 0.0 and r["idcg"] == 0.0 and r["ndcg"] is None
+
+
+# --- average_precision -----------------------------------------------------
+
+
+def test_average_precision_hand(spark):
+    # order by score desc: y = 1,0,1 -> AP = (1/1 + 2/3)/2 = 0.833333
+    df = spark.createDataFrame(
+        [(1, 1, 3.0, 1), (1, 2, 2.0, 0), (1, 3, 1.0, 1)],
+        "q int, id int, s double, y int",
+    )
+    r = average_precision(df, ["q"], "s", "y", "id").collect()[0]
+    assert r["n"] == 3 and r["n_pos"] == 2
+    assert r["ap"] == round((1.0 + 2.0 / 3.0) / 2.0, 6)
+
+
+def test_average_precision_no_positives_null(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 3.0, 0), (1, 2, 2.0, 0)], "q int, id int, s double, y int"
+    )
+    r = average_precision(df, ["q"], "s", "y", "id").collect()[0]
+    assert r["ap"] is None and r["n_pos"] == 0
+
+
+# --- mann_whitney_u --------------------------------------------------------
+
+
+def test_mann_whitney_hand_no_ties(spark):
+    # sample1 = {1, 2}, sample0 = {3, 4}: ranks 1,2 vs 3,4
+    # R1 = 3, U1 = 3 - 2*3/2 = 0, mu = 2, var = 4/12*5 = 5/3
+    # z = (0-2)/sqrt(5/3) = -1.549193
+    df = spark.createDataFrame(
+        [(0, 1.0, 1), (0, 2.0, 1), (0, 3.0, 0), (0, 4.0, 0)],
+        "g int, v double, f int",
+    )
+    r = mann_whitney_u(df, ["g"], "v", "f").collect()[0]
+    assert r["n1"] == 2 and r["n2"] == 2
+    assert r["u"] == 0.0
+    assert r["z"] == round(-2.0 / math.sqrt(5.0 / 3.0), 6)
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    # every value equal -> sigma = 0 -> z NULL; U from average ranks
+    df = spark.createDataFrame(
+        [(0, 5.0, 1), (0, 5.0, 1), (0, 5.0, 0), (0, 5.0, 0)],
+        "g int, v double, f int",
+    )
+    r = mann_whitney_u(df, ["g"], "v", "f").collect()[0]
+    # all ranks 2.5 -> R1 = 5, U1 = 5 - 3 = 2
+    assert r["u"] == 2.0 and r["z"] is None
+
+
+def test_mann_whitney_one_empty_sample(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0, 1), (0, 2.0, 1)], "g int, v double, f int"
+    )
+    r = mann_whitney_u(df, ["g"], "v", "f").collect()[0]
+    assert r["n2"] == 0 and r["u"] is None and r["z"] is None
+
+
+# --- spearman_corr ---------------------------------------------------------
+
+
+def test_spearman_monotone_and_reversed(spark):
+    # perfectly increasing -> rho 1; reversed -> rho -1
+    rows = [(1, float(i), float(i * i)) for i in range(1, 6)]
+    rows += [(2, float(i), float(-i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    out = {r["g"]: r["rho"] for r in spearman_corr(df, ["g"], "x", "y").collect()}
+    assert out[1] == 1.0 and out[2] == -1.0
+
+
+def test_spearman_ties_hand(spark):
+    # x = (1, 2, 2, 3) -> ranks (1, 2.5, 2.5, 4); y = (1, 2, 3, 4)
+    # rho = cov/sd ratio over ranks: num = 4*29.5 - 10*10 = 18
+    # vx = 4*27.5 - 100 = 10, vy = 4*30 - 100 = 20
+    # rho = 18/sqrt(200) = 1.272792... wait sqrt(10*20)=14.142136
+    # rho = 18/14.1421356 = 1.27279 > 1? recompute:
+    # a = (1, 2.5, 2.5, 4), b = (1, 2, 3, 4)
+    # sab = 1 + 5 + 7.5 + 16 = 29.5 ; saa = 1+6.25+6.25+16 = 29.5
+    # sbb = 30 ; sa = 10 ; sb = 10
+    # num = 4*29.5 - 100 = 18; vx = 4*29.5 - 100 = 18; vy = 20
+    # rho = 18/sqrt(360) = 0.948683
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (0, 2.0, 2.0), (0, 2.0, 3.0), (0, 3.0, 4.0)],
+        "g int, x double, y double",
+    )
+    r = spearman_corr(df, ["g"], "x", "y").collect()[0]
+    assert r["rho"] == round(18.0 / math.sqrt(360.0), 6)
+
+
+def test_spearman_constant_column_null(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (0, 1.0, 2.0)], "g int, x double, y double"
+    )
+    assert spearman_corr(df, ["g"], "x", "y").collect()[0]["rho"] is None
+
+
+# --- anova_oneway ----------------------------------------------------------
+
+
+def test_anova_hand(spark):
+    # groups a=(1,2,3) b=(4,5,6): SSB = 2*3*... by hand:
+    # means 2 and 5, grand 3.5; SSB = 3*(1.5^2)*2 = 13.5; SSW = 2+2 = 4
+    # F = (13.5/1)/(4/4) = 13.5 ; eta = 13.5/17.5
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert r["k"] == 2 and r["n"] == 6
+    assert r["f_stat"] == 13.5
+    assert r["eta_sq"] == round(13.5 / 17.5, 6)
+
+
+def test_anova_single_group_null_f(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert r["k"] == 1 and r["f_stat"] is None
+
+
+# --- kmeans_fit ------------------------------------------------------------
+
+
+def test_kmeans_separated_clusters(spark):
+    # two tight blobs; k=2 seeded by the two smallest ids (one per blob)
+    rows = [(1, 0.0, 0.0), (3, 0.1, 0.0), (5, 0.0, 0.1),
+            (2, 9.0, 9.0), (4, 9.1, 9.0), (6, 9.0, 9.1)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    out = {r["cluster"]: r for r in kmeans_fit(df, "id", ["x", "y"], k=2, iters=3).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n"] == 3 and out[1]["n"] == 3
+    assert out[0]["c_x"] == round((0.0 + 0.1 + 0.0) / 3, 6)
+    assert out[1]["c_y"] == round((9.0 + 9.0 + 9.1) / 3, 6)
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    # both seeds inside one blob; second centroid captures nothing after
+    # the far blob pulls centroid 0 -> by construction here, centroid 1
+    # (seeded at the duplicate point) ties and loses every row to the
+    # smaller index, so cluster 1 vanishes from the output
+    rows = [(1, 0.0), (2, 0.0), (3, 0.0), (4, 0.0)]
+    df = spark.createDataFrame(rows, "id int, x double")
+    out = kmeans_fit(df, "id", ["x"], k=2, iters=2).collect()
+    assert [r["cluster"] for r in out] == [0]
+    assert out[0]["n"] == 4
+
+
+def test_kmeans_validates(spark):
+    df = spark.createDataFrame([(1, 0.0)], "id int, x double")
+    with pytest.raises(ValueError):
+        kmeans_fit(df, "id", [], k=2)
+    with pytest.raises(ValueError):
+        kmeans_fit(df, "id", ["x"], k=0)
