@@ -492,3 +492,190 @@ def kmeans_fit(
             (int(r["cluster"]), [float(r[f"c_{c}"]) for c in feats])
             for r in rows
         ]
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration audit behind ECE: fixed-width score bins, and per bin
+    the observed positive rate vs the mean predicted score.
+
+    ``score_col`` must already be in [0, 1); bin = floor(score *
+    n_bins) capped at n_bins - 1 (binning is pure arithmetic on the
+    raw score — no transcendental reshaping here, so the bin edges are
+    engine-exact). Rows with NULL score or label drop.
+
+    Output: one row per non-empty bin (bin INT, n BIGINT, avg_score
+    DOUBLE round 6, frac_pos DOUBLE round 6, gap DOUBLE round 6 =
+    |frac_pos - avg_score|, the per-bin ECE contribution before
+    weighting).
+
+    Plan: one partial-aggregated groupBy over <= n_bins keys — nothing
+    else.
+    """
+    sc = F.col(score_col).cast("double")
+    lc = F.col(label_col).cast("int")
+    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
+        sc.alias("__s"), lc.alias("__y")
+    )
+    b = F.least(
+        F.floor(F.col("__s") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    agg = (
+        base.select(b.alias("bin"), "__s", "__y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__s"), 6).alias("avg_score"),
+            F.round(F.avg(F.col("__y").cast("double")), 6).alias(
+                "frac_pos"
+            ),
+        )
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "avg_score",
+        "frac_pos",
+        F.round(F.abs(F.col("frac_pos") - F.col("avg_score")), 6).alias(
+            "gap"
+        ),
+    ).orderBy("bin")
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    [0, 1]-normalized cousin of the chi-square statistic (the
+    m_mutual_info family's effect-size view): V = sqrt(chi2 / (n *
+    (min(r, c) - 1))) with chi2 = sum (o - e)^2 / e over the
+    contingency cells, e = rowsum * colsum / n.
+
+    Output: ONE row (r BIGINT, c BIGINT, n BIGINT, chi2 DOUBLE
+    round 4, v DOUBLE round 6). V is NULL when min(r, c) < 2. NULL
+    categories drop.
+
+    Plan: one (a, b)-keyed cell count (partial-aggregated), two
+    marginal re-aggs of the CELL table (category-sized, not
+    corpus-sized), then the FULL r x c grid is rebuilt as the
+    marginal cross join (zero cells contribute (0-e)^2/e = e — a
+    chi-square over observed cells only understates the statistic)
+    with observed counts left-joined on, and a 1-row final agg.
+    """
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("double").alias("__oc")
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__oc").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__oc").alias("__cb"))
+    grid = ra.crossJoin(cb)
+    j = grid.join(cells, ["__a", "__b"], "left").withColumn(
+        "__o", F.coalesce(F.col("__oc"), F.lit(0.0))
+    )
+    n = cells.agg(
+        F.sum("__oc").alias("__n"),
+        F.countDistinct("__a").cast("long").alias("r"),
+        F.countDistinct("__b").cast("long").alias("c"),
+    )
+    chi = j.join(F.broadcast(n)).select(
+        (
+            (F.col("__o") - F.col("__ra") * F.col("__cb") / F.col("__n"))
+            * (F.col("__o") - F.col("__ra") * F.col("__cb") / F.col("__n"))
+            / (F.col("__ra") * F.col("__cb") / F.col("__n"))
+        ).alias("__t"),
+        "r",
+        "c",
+        "__n",
+    )
+    out = chi.groupBy("r", "c", "__n").agg(F.sum("__t").alias("__chi2"))
+    mind = F.least(F.col("r"), F.col("c")).cast("double") - F.lit(1.0)
+    return out.select(
+        "r",
+        "c",
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.col("__chi2"), 4).alias("chi2"),
+        F.round(
+            F.when(
+                mind > 0,
+                F.sqrt(F.col("__chi2") / (F.col("__n") * mind)),
+            ),
+            6,
+        ).alias("v"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    cat_col: str,
+    side_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence (log base 2, so JS in [0, 1]) between
+    the categorical distributions of side 0 and side 1 — the symmetric,
+    finite drift measure to set beside `psi_report` (PSI blows up on
+    empty bins; JS never does): JS = (KL(P||M) + KL(Q||M)) / 2 with
+    M = (P + Q) / 2.
+
+    ``side_col`` must be 0/1 (cast to int). Categories present on only
+    one side contribute only their own side's KL term (the other term
+    is 0 by continuity). NULL categories/sides drop.
+
+    Output: ONE row (n0 BIGINT, n1 BIGINT, k BIGINT, kl_pm DOUBLE
+    round 6, kl_qm DOUBLE round 6, js DOUBLE round 6). NULL js when
+    either side is empty.
+
+    Plan: one (category)-keyed two-counter agg (partial-aggregated,
+    vocabulary-sized), a 1-row totals broadcast, then a 1-row final
+    agg of the per-category terms.
+    """
+    sc = F.col(side_col).cast("int")
+    base = df.filter(F.col(cat_col).isNotNull() & sc.isNotNull()).select(
+        F.col(cat_col).alias("__c"), sc.alias("__f")
+    )
+    cells = base.groupBy("__c").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("__a"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("__b"),
+    )
+    tot = cells.agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb")
+    )
+    j = cells.join(F.broadcast(tot))
+    p = F.col("__a") / F.col("__ta")
+    q = F.col("__b") / F.col("__tb")
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    term_q = F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    agg = j.groupBy().agg(
+        F.max("__ta").alias("__ta"),
+        F.max("__tb").alias("__tb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(term_p).alias("__kp"),
+        F.sum(term_q).alias("__kq"),
+    )
+    ok = (F.col("__ta") > 0) & (F.col("__tb") > 0)
+    return agg.select(
+        F.col("__ta").cast("long").alias("n0"),
+        F.col("__tb").cast("long").alias("n1"),
+        "k",
+        (F.round(F.when(ok, F.col("__kp")), 6) + F.lit(0.0)).alias("kl_pm"),
+        (F.round(F.when(ok, F.col("__kq")), 6) + F.lit(0.0)).alias("kl_qm"),
+        (
+            F.round(
+                F.when(ok, (F.col("__kp") + F.col("__kq")) / F.lit(2.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("js"),
+    )

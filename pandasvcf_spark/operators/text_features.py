@@ -1190,3 +1190,134 @@ def rake_keyphrases(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_n)
     )
+
+
+def corpus_bleu2(
+    pairs: DataFrame,
+    id_col: str = "pair_id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+) -> DataFrame:
+    """Corpus-level BLEU-2 (Papineni et al. 2002) + ROUGE-2 recall
+    (Lin 2004) of candidate texts against references — the
+    generation-quality loop for model-output evaluation at corpus
+    scale. Corpus (not sentence) aggregation: clipped n-gram matches
+    and totals are summed over ALL pairs before the ratio, so no
+    per-sentence smoothing is needed:
+
+        p_n  = sum_pairs clipped_n / sum_pairs cand_total_n   (n = 1, 2)
+        BP   = min(1, exp(1 - ref_len / cand_len))
+        BLEU = BP * exp((ln p1 + ln p2) / 2)     (NULL if any p_n = 0)
+        ROUGE-2 recall = sum clipped_2 / sum ref_total_2
+
+    Tokens are the repo-standard `[a-z]+` runs of the lowercased text
+    (functions/text.words_expr); clipping is per pair per gram:
+    min(cand count, ref count).
+
+    Output: ONE row (n_pairs BIGINT, cand_len BIGINT, ref_len BIGINT,
+    p1, p2, bp, bleu2, rouge2 DOUBLE round 6).
+
+    Plan shape: candidate and reference n-grams are counted by
+    (pair, n, gram) — two partial-aggregated shuffles on the SAME key,
+    so the clip join is co-partitioned; everything after is a 1-row
+    global agg. The gram relations are pair x distinct-gram sized,
+    never corpus x corpus.
+    """
+    from pandasvcf_spark.functions.text import words_expr
+
+    def grams(col, tag):
+        ws = words_expr(col)
+        uni = ws
+        big = F.zip_with(
+            F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return (
+            pairs.select(
+                F.col(id_col).alias("__pid"),
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            uni,
+                            lambda g: F.struct(
+                                F.lit(1).alias("n"), g.alias("g")
+                            ),
+                        ),
+                        F.transform(
+                            big,
+                            lambda g: F.struct(
+                                F.lit(2).alias("n"), g.alias("g")
+                            ),
+                        ),
+                    )
+                ).alias("__ng"),
+            )
+            .select(
+                "__pid",
+                F.col("__ng.n").alias("__n"),
+                F.col("__ng.g").alias("__g"),
+            )
+            .groupBy("__pid", "__n", "__g")
+            .agg(F.count(F.lit(1)).alias(tag))
+        )
+
+    base = pairs.filter(
+        F.col(id_col).isNotNull()
+        & F.col(cand_col).isNotNull()
+        & F.col(ref_col).isNotNull()
+    )
+    pairs = base  # grams() closes over the filtered frame
+    c = grams(cand_col, "__cc")
+    r = grams(ref_col, "__rc")
+    j = c.join(r, ["__pid", "__n", "__g"], "full_outer").select(
+        "__n",
+        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+        F.coalesce(F.col("__rc"), F.lit(0)).alias("__rc"),
+    )
+    agg = j.groupBy().agg(
+        F.sum(F.when(F.col("__n") == 1, F.least("__cc", "__rc")))
+        .cast("double")
+        .alias("__m1"),
+        F.sum(F.when(F.col("__n") == 2, F.least("__cc", "__rc")))
+        .cast("double")
+        .alias("__m2"),
+        F.sum(F.when(F.col("__n") == 1, F.col("__cc")))
+        .cast("long")
+        .alias("cand_len"),
+        F.sum(F.when(F.col("__n") == 2, F.col("__cc")))
+        .cast("double")
+        .alias("__t2"),
+        F.sum(F.when(F.col("__n") == 1, F.col("__rc")))
+        .cast("long")
+        .alias("ref_len"),
+        F.sum(F.when(F.col("__n") == 2, F.col("__rc")))
+        .cast("double")
+        .alias("__rt2"),
+    )
+    np = base.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    a = agg.join(F.broadcast(np))
+    cl = F.col("cand_len").cast("double")
+    rl = F.col("ref_len").cast("double")
+    p1 = F.col("__m1") / cl
+    p2 = F.col("__m2") / F.col("__t2")
+    bp = F.least(F.lit(1.0), F.exp(F.lit(1.0) - rl / cl))
+    ok = (
+        (F.col("cand_len") > 0)
+        & (F.col("__t2") > 0)
+        & (F.col("__m1") > 0)
+        & (F.col("__m2") > 0)
+    )
+    bleu = bp * F.exp((F.log(p1) + F.log(p2)) / F.lit(2.0))
+    return a.select(
+        "n_pairs",
+        "cand_len",
+        "ref_len",
+        F.round(F.when(F.col("cand_len") > 0, p1), 6).alias("p1"),
+        F.round(F.when(F.col("__t2") > 0, p2), 6).alias("p2"),
+        F.round(F.when(F.col("cand_len") > 0, bp), 6).alias("bp"),
+        F.round(F.when(ok, bleu), 6).alias("bleu2"),
+        F.round(
+            F.when(F.col("__rt2") > 0, F.col("__m2") / F.col("__rt2")), 6
+        ).alias("rouge2"),
+    )

@@ -1686,3 +1686,160 @@ def m_cohens_kappa(spark, sf_dir):
         .alias("rb"),
     )
     return cohens_kappa(d, "ra", "rb")
+
+
+@register(
+    "m_calibration",
+    oracle="""
+    WITH b AS (
+      SELECT value / 500.0 AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    a AS (
+      SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(s), 6) AS avg_score,
+             round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+      FROM b GROUP BY 1)
+    SELECT bin, n, avg_score, frac_pos,
+           round(abs(frac_pos - avg_score), 6) AS gap
+    FROM a ORDER BY bin
+    """,
+)
+def m_calibration(spark, sf_dir):
+    """Reliability-diagram calibration bins (operators/stats.
+    calibration_bins) of value/500 as a pseudo-probability predicting
+    the 'purchase' label — the ECE audit beside m_confusion's single
+    operating point. One partial-aggregated groupBy over 10 fixed-
+    width bins; binning is raw-score arithmetic (engine-exact edges);
+    the oracle replays bins, means and gaps. A wildly miscalibrated
+    pseudo-score is expected — the entry checks the audit."""
+    from pandasvcf_spark.operators.stats import calibration_bins
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.col("value") / 500.0).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return calibration_bins(d, "s", "y", n_bins=10)
+
+
+@register(
+    "m_cramers_v",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS a, c_nationkey % 5 AS g FROM customer
+      WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+    cells AS (
+      SELECT a, g, CAST(count(*) AS DOUBLE) AS o
+      FROM b GROUP BY a, g),
+    ra AS (SELECT a, sum(o) AS sra FROM cells GROUP BY a),
+    cb AS (SELECT g, sum(o) AS scb FROM cells GROUP BY g),
+    t AS (SELECT sum(o) AS tn,
+                 CAST(count(DISTINCT a) AS BIGINT) AS r,
+                 CAST(count(DISTINCT g) AS BIGINT) AS c
+          FROM cells),
+    grid AS (
+      SELECT ra.a, cb.g, sra, scb,
+             coalesce(cells.o, 0.0) AS o
+      FROM ra CROSS JOIN cb
+      LEFT JOIN cells ON cells.a = ra.a AND cells.g = cb.g),
+    m AS (
+      SELECT (o - sra * scb / tn) * (o - sra * scb / tn)
+               / (sra * scb / tn) AS term, r, c, tn
+      FROM grid CROSS JOIN t),
+    f AS (SELECT r, c, tn, sum(term) AS chi2 FROM m GROUP BY r, c, tn)
+    SELECT r, c, CAST(tn AS BIGINT) AS n,
+           round(chi2, 4) AS chi2,
+           round(CASE WHEN least(r, c) >= 2
+                 THEN sqrt(chi2 / (tn * (CAST(least(r, c) AS DOUBLE)
+                                         - 1.0))) END, 6) AS v
+    FROM f
+    """,
+)
+def m_cramers_v(spark, sf_dir):
+    """Cramér's V association (operators/stats.cramers_v) between
+    market segment and nation-hash (c_nationkey % 5) — the effect-size
+    view of the m_mutual_info / t_chi2_terms contingency family,
+    normalized to [0, 1]. Cell counts partial-aggregate first; both
+    marginals re-aggregate the CELL table (category-sized), then one
+    1-row agg. Expected ~0 on this independent synthetic pairing.
+    The oracle replays cells, marginals and the chi-square terms."""
+    from pandasvcf_spark.operators.stats import cramers_v
+
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isNotNull()
+        & F.col("c_nationkey").isNotNull()
+    )
+    d = c.select(
+        F.col("c_mktsegment").alias("a"),
+        (F.col("c_nationkey") % 5).alias("g"),
+    )
+    return cramers_v(d, "a", "g")
+
+
+@register(
+    "m_js_divergence",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS c, CAST(user_id % 2 AS INTEGER) AS f
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    cells AS (
+      SELECT c,
+             CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS ca,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS cb
+      FROM cells_src GROUP BY c),
+    t AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cells),
+    terms AS (
+      SELECT CASE WHEN ca / t.ta > 0
+               THEN (ca / t.ta)
+                    * log2((ca / t.ta)
+                           / ((ca / t.ta + cb / t.tb) / 2.0))
+               ELSE 0.0 END AS tp,
+             CASE WHEN cb / t.tb > 0
+               THEN (cb / t.tb)
+                    * log2((cb / t.tb)
+                           / ((ca / t.ta + cb / t.tb) / 2.0))
+               ELSE 0.0 END AS tq,
+             t.ta, t.tb
+      FROM cells, t),
+    g AS (SELECT max(ta) AS ta, max(tb) AS tb,
+                 CAST(count(*) AS BIGINT) AS k,
+                 sum(tp) AS kp, sum(tq) AS kq
+          FROM terms)
+    SELECT CAST(ta AS BIGINT) AS n0, CAST(tb AS BIGINT) AS n1, k,
+           round(CASE WHEN ta > 0 AND tb > 0 THEN kp END, 6) + 0.0
+             AS kl_pm,
+           round(CASE WHEN ta > 0 AND tb > 0 THEN kq END, 6) + 0.0
+             AS kl_qm,
+           round(CASE WHEN ta > 0 AND tb > 0
+                 THEN (kp + kq) / 2.0 END, 6) + 0.0 AS js
+    FROM g
+    """.replace("cells_src", "b"),
+)
+def m_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence (operators/stats.js_divergence,
+    log2 so JS is in [0, 1]) between the event-type distributions of
+    even vs odd users — the symmetric, finite drift measure beside
+    t_psi_drift (PSI diverges on empty bins, JS never does).
+    Vocabulary-sized two-counter cells + a 1-row totals broadcast +
+    a 1-row term agg. Expected ~0 on this user-blind synthetic split.
+    The oracle replays cells, mixture and both KL terms."""
+    from pandasvcf_spark.operators.stats import js_divergence
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type").alias("c"),
+        (F.col("user_id") % 2).cast("int").alias("f"),
+    )
+    return js_divergence(d, "c", "f")

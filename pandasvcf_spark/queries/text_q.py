@@ -2819,3 +2819,91 @@ def t_url_normalize(spark, sf_dir):
         F.lit("&a=1#sec"),
     )
     return d.select("doc_id", url_normalize_expr(u).alias("canonical"))
+
+
+@register(
+    "t_bleu_rouge",
+    oracle="""
+    WITH pr AS (
+      SELECT a.doc_id AS pid,
+             regexp_extract_all(lower(a.text), '[a-z]+') AS cw,
+             regexp_extract_all(lower(b.text), '[a-z]+') AS rw
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+        AND a.text IS NOT NULL AND b.text IS NOT NULL),
+    cg AS (
+      SELECT pid, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        SELECT pid, 1 AS n, unnest(cw) AS g FROM pr
+        UNION ALL
+        SELECT pid, 2 AS n, cw[p] || ' ' || cw[p + 1] AS g
+        FROM (SELECT pid, cw,
+                     unnest(generate_series(1, len(cw) - 1)) AS p
+              FROM pr WHERE len(cw) >= 2))
+      GROUP BY pid, n, g),
+    rg AS (
+      SELECT pid, n, g, CAST(count(*) AS BIGINT) AS rc FROM (
+        SELECT pid, 1 AS n, unnest(rw) AS g FROM pr
+        UNION ALL
+        SELECT pid, 2 AS n, rw[p] || ' ' || rw[p + 1] AS g
+        FROM (SELECT pid, rw,
+                     unnest(generate_series(1, len(rw) - 1)) AS p
+              FROM pr WHERE len(rw) >= 2))
+      GROUP BY pid, n, g),
+    j AS (
+      SELECT coalesce(cg.n, rg.n) AS n,
+             coalesce(cc, 0) AS cc, coalesce(rc, 0) AS rc
+      FROM cg FULL OUTER JOIN rg
+        ON cg.pid = rg.pid AND cg.n = rg.n AND cg.g = rg.g),
+    a AS (
+      SELECT CAST(sum(CASE WHEN n = 1 THEN least(cc, rc) END)
+                  AS DOUBLE) AS m1,
+             CAST(sum(CASE WHEN n = 2 THEN least(cc, rc) END)
+                  AS DOUBLE) AS m2,
+             CAST(sum(CASE WHEN n = 1 THEN cc END) AS BIGINT)
+               AS cand_len,
+             CAST(sum(CASE WHEN n = 2 THEN cc END) AS DOUBLE) AS t2,
+             CAST(sum(CASE WHEN n = 1 THEN rc END) AS BIGINT)
+               AS ref_len,
+             CAST(sum(CASE WHEN n = 2 THEN rc END) AS DOUBLE) AS rt2
+      FROM j),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr)
+    SELECT n_pairs, cand_len, ref_len,
+           round(CASE WHEN cand_len > 0
+                 THEN m1 / CAST(cand_len AS DOUBLE) END, 6) AS p1,
+           round(CASE WHEN t2 > 0 THEN m2 / t2 END, 6) AS p2,
+           round(CASE WHEN cand_len > 0
+                 THEN least(1.0, exp(1.0 - CAST(ref_len AS DOUBLE)
+                                     / CAST(cand_len AS DOUBLE)))
+                 END, 6) AS bp,
+           round(CASE WHEN cand_len > 0 AND t2 > 0 AND m1 > 0
+                      AND m2 > 0
+                 THEN least(1.0, exp(1.0 - CAST(ref_len AS DOUBLE)
+                                     / CAST(cand_len AS DOUBLE)))
+                      * exp((ln(m1 / CAST(cand_len AS DOUBLE))
+                             + ln(m2 / t2)) / 2.0) END, 6) AS bleu2,
+           round(CASE WHEN rt2 > 0 THEN m2 / rt2 END, 6) AS rouge2
+    FROM a, np
+    """,
+)
+def t_bleu_rouge(spark, sf_dir):
+    """Corpus BLEU-2 + ROUGE-2 recall (operators/text_features.
+    corpus_bleu2; Papineni 2002, Lin 2004) of even-id documents
+    against their odd-id successors — the generation-evaluation loop
+    run as a distributed metric: clipped n-gram matches are corpus-
+    aggregated (no sentence smoothing), the clip join is
+    co-partitioned on the (pair, n, gram) count key, and the final
+    statistic is a 1-row agg. High overlap expected on this shared-
+    vocabulary synthetic corpus — the entry checks the metric
+    arithmetic, not generation quality."""
+    from pandasvcf_spark.operators.text_features import corpus_bleu2
+
+    d = load(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("cand")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("text").alias("ref"),
+    )
+    pairs = a.join(b, "pair_id")
+    return corpus_bleu2(pairs, "pair_id", "cand", "ref")

@@ -628,6 +628,17 @@ def test_tail_entries_are_redundant_variants_only():
                                  # assignment + k-key groupBy per
                                  # round, 6dp-pinned trajectory;
                                  # unrolled 2-round SQL replay
+        "t_bleu_rouge",          # corpus BLEU-2 + ROUGE-2: clipped
+                                 # n-gram counts co-partitioned on
+                                 # (pair, n, gram); 1-row statistic
+        "m_calibration",         # reliability bins: one n_bins-key
+                                 # groupBy, engine-exact bin edges
+        "m_cramers_v",           # contingency effect size: cell
+                                 # counts + cell-table marginals
+                                 # (m_mutual_info family)
+        "m_js_divergence",       # symmetric drift: vocab-sized
+                                 # two-counter cells + 1-row KL terms
+                                 # (psi_report's finite cousin)
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -210,3 +210,133 @@ def test_kmeans_validates(spark):
         kmeans_fit(df, "id", [], k=2)
     with pytest.raises(ValueError):
         kmeans_fit(df, "id", ["x"], k=0)
+
+
+# --- calibration_bins ------------------------------------------------------
+
+
+def test_calibration_perfect_and_gap(spark):
+    from pandasvcf_spark.operators.stats import calibration_bins
+
+    # bin 0: scores 0.05 with y=0 -> frac 0, gap 0.05
+    # bin 9: score 0.95/1.0-capped with y=1 -> frac 1, gap |1-avg|
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.05, 0), (0.95, 1), (0.99, 1)], "s double, y int"
+    )
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y").collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["frac_pos"] == 0.0 and out[0]["gap"] == 0.05
+    assert out[9]["avg_score"] == 0.97 and out[9]["frac_pos"] == 1.0
+    assert out[9]["gap"] == round(1.0 - 0.97, 6)
+
+
+def test_calibration_top_edge_capped(spark):
+    from pandasvcf_spark.operators.stats import calibration_bins
+
+    # score exactly 1.0 would index bin 10 -> capped into bin 9
+    df = spark.createDataFrame([(1.0, 1)], "s double, y int")
+    assert calibration_bins(df, "s", "y").collect()[0]["bin"] == 9
+
+
+# --- cramers_v -------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association(spark):
+    from pandasvcf_spark.operators.stats import cramers_v
+
+    # 2x2 diagonal: V = 1
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["r"] == 2 and r["c"] == 2 and r["n"] == 10
+    assert r["chi2"] == 10.0 and r["v"] == 1.0
+
+
+def test_cramers_v_independent_zero(spark):
+    from pandasvcf_spark.operators.stats import cramers_v
+
+    # perfectly balanced 2x2: chi2 = 0, V = 0
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 3
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["v"] == 0.0
+
+
+def test_cramers_v_single_level_null(spark):
+    from pandasvcf_spark.operators.stats import cramers_v
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], "a string, b string"
+    )
+    assert cramers_v(df, "a", "b").collect()[0]["v"] is None
+
+
+# --- js_divergence ---------------------------------------------------------
+
+
+def test_js_identical_zero(spark):
+    from pandasvcf_spark.operators.stats import js_divergence
+
+    rows = [("a", 0), ("b", 0), ("a", 1), ("b", 1)]
+    df = spark.createDataFrame(rows, "c string, f int")
+    r = js_divergence(df, "c", "f").collect()[0]
+    assert r["js"] == 0.0 and r["n0"] == 2 and r["n1"] == 2
+
+
+def test_js_disjoint_is_one(spark):
+    from pandasvcf_spark.operators.stats import js_divergence
+
+    # disjoint supports -> JS = 1 bit exactly (log2)
+    rows = [("a", 0), ("b", 0), ("c", 1), ("d", 1)]
+    df = spark.createDataFrame(rows, "c string, f int")
+    r = js_divergence(df, "c", "f").collect()[0]
+    assert r["js"] == 1.0 and r["k"] == 4
+
+
+# --- corpus_bleu2 ----------------------------------------------------------
+
+
+def test_bleu_identity_pair(spark):
+    from pandasvcf_spark.operators.text_features import corpus_bleu2
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "the cat sat")],
+        "pair_id int, cand string, ref string",
+    )
+    r = corpus_bleu2(df).collect()[0]
+    assert r["p1"] == 1.0 and r["p2"] == 1.0
+    assert r["bp"] == 1.0 and r["bleu2"] == 1.0 and r["rouge2"] == 1.0
+
+
+def test_bleu_clipping_and_brevity(spark):
+    from pandasvcf_spark.operators.text_features import corpus_bleu2
+
+    import math
+
+    # cand "the the" vs ref "the cat sat on the mat":
+    # unigrams: cand 'the'x2, ref has 'the'x2 -> clipped m1=2, t1=2, p1=1
+    # bigrams: cand 'the the'x1 not in ref -> m2=0 -> bleu NULL
+    # bp = exp(1 - 6/2)
+    df = spark.createDataFrame(
+        [(1, "the the", "the cat sat on the mat")],
+        "pair_id int, cand string, ref string",
+    )
+    r = corpus_bleu2(df).collect()[0]
+    assert r["p1"] == 1.0 and r["p2"] == 0.0
+    assert r["bp"] == round(math.exp(1.0 - 6.0 / 2.0), 6)
+    assert r["bleu2"] is None
+    assert r["rouge2"] == 0.0
+
+
+def test_bleu_corpus_aggregation(spark):
+    from pandasvcf_spark.operators.text_features import corpus_bleu2
+
+    # two pairs aggregate counts BEFORE the ratio (corpus BLEU), so
+    # p1 = (2 + 1) / (2 + 2), not mean(1, 0.5)
+    df = spark.createDataFrame(
+        [(1, "a b", "a b"), (2, "c d", "c x")],
+        "pair_id int, cand string, ref string",
+    )
+    r = corpus_bleu2(df).collect()[0]
+    assert r["n_pairs"] == 2
+    assert r["p1"] == round(3.0 / 4.0, 6)
