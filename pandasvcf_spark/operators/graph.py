@@ -423,3 +423,233 @@ def modularity(
         F.col("degree_sum").cast("bigint").alias("degree_sum"),
         (F.round(q, 6) + 0.0).alias("q"),
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_n: int = 50,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbors / Adamic-Adar link prediction (Adamic & Adar
+    2003; Liben-Nowell & Kleinberg 2003) — score non-adjacent node
+    pairs at distance 2 by their shared neighborhood, the classic
+    "which edge is missing" ranking for graph cleanup and
+    crawl-frontier discovery:
+
+        CN(u,v) = |N(u) ∩ N(v)|
+        AA(u,v) = sum_{w in N(u) ∩ N(v)} 1 / ln(deg w)
+
+    (a common neighbor has degree >= 2 by construction, so ln(deg w)
+    is never 0). Directions/dups/self-loops normalize away first.
+
+    Output: top_n rows (u, v BIGINT, cn BIGINT, aa DOUBLE round 6),
+    ordered by (round(aa, 6) DESC, u, v) — the rounded score orders
+    the cut so an accumulation-order ulp can never flip the top-k
+    membership across engines/retries (the repo's total-order rule).
+
+    Plan shape: evidence pairs are generated per common neighbor w
+    from w's sorted adjacency list (one grouped agg; each unordered
+    pair emitted exactly once per witness), cost = sum_w C(deg w, 2)
+    — the wedge count, which IS the information content of the
+    statistic. `max_degree` (optional) skips hub witnesses above the
+    cap, the standard guard on skewed corpus graphs (a 10^6-degree
+    hub contributes ~1/ln(10^6) ≈ 0.07 per pair across 10^12 pairs —
+    all cost, no signal). Existing edges leave via one anti-join;
+    the cut is a TakeOrdered, never a full sort.
+    """
+    a = F.col(src).cast("long")
+    b = F.col(dst).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj_dir = und.select(
+        F.col("u").alias("w"), F.col("v").alias("x")
+    ).unionAll(und.select(F.col("v").alias("w"), F.col("u").alias("x")))
+    neigh = adj_dir.groupBy("w").agg(
+        F.sort_array(F.collect_list("x")).alias("g")
+    )
+    if max_degree is not None:
+        neigh = neigh.filter(F.size("g") <= max_degree)
+    n = F.size("g")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("g"), i + 1, n),
+                lambda y: F.struct(
+                    F.element_at(F.col("g"), i).alias("u"), y.alias("v")
+                ),
+            ),
+        )
+    )
+    wedges = (
+        neigh.filter(n >= 2)
+        .select(
+            (F.lit(1.0) / F.log(n.cast("double"))).alias("__w_aa"),
+            F.explode(pairs).alias("p"),
+        )
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "__w_aa")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.round(F.sum("__w_aa"), 6).alias("aa"),
+    )
+    cand = scored.join(und, ["u", "v"], "left_anti")
+    return cand.orderBy(
+        F.col("aa").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(top_n)
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node clustering coefficient — the local companion of
+    `triangle_stats`' global transitivity: for each node,
+    cc = T_v / C(deg v, 2), the fraction of its neighbor pairs that
+    are themselves linked (community-embeddedness per node; the
+    spam-farm / bridge-node discriminator). cc is NULL for deg < 2.
+    Directions/dups/self-loops normalize away first.
+
+    Output: one row per node (node BIGINT, deg BIGINT, triangles
+    BIGINT, cc DOUBLE round 6).
+
+    Plan shape: triangles are enumerated ONCE by the Schank-Wagner
+    degree-oriented wedge expansion (bounded m^1.5 — the
+    triangle_stats plan), keeping the apex; closing the wedge is an
+    inner equi-join on the canonical (u, v) edge key; each closed
+    triangle then credits its three corners via one 3-element
+    posexplode and a node-keyed count. No per-node neighborhood
+    intersection ever materializes.
+    """
+    a = F.col(src).cast("long")
+    b = F.col(dst).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("n").alias("u"), F.col("deg").alias("__du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("deg").alias("__dv")), "v")
+    u_first = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))
+    )
+    fwd = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    adj = fwd.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("g"))
+    nsz = F.size("g")
+    wedge_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), nsz - 1),
+            lambda i: F.transform(
+                F.slice(F.col("g"), i + 1, nsz),
+                lambda y: F.struct(
+                    F.least(F.element_at(F.col("g"), i), y).alias("u"),
+                    F.greatest(F.element_at(F.col("g"), i), y).alias("v"),
+                ),
+            ),
+        )
+    )
+    tri = (
+        adj.filter(nsz >= 2)
+        .select(F.col("s").alias("apex"), F.explode(wedge_pairs).alias("w"))
+        .select("apex", F.col("w.u").alias("u"), F.col("w.v").alias("v"))
+        .join(und, ["u", "v"])  # closing edge exists -> a triangle
+        .select(
+            F.explode(
+                F.array(F.col("apex"), F.col("u"), F.col("v"))
+            ).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = deg.join(tri, "n", "left").select(
+        F.col("n").alias("node"),
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+            "triangles"
+        ),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+                / (F.col("deg").cast("double") * (F.col("deg") - 1) / 2.0),
+            ),
+            6,
+        ).alias("cc"),
+    )
+    return out
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded multi-source BFS distances over an undirected graph —
+    hop counts from a seed set, the reachability/locality primitive
+    (crawl-depth labeling, contamination-radius checks around flagged
+    nodes). Fixed `max_depth` rounds of min-distance relaxation make
+    the loop the SAME function of the input as an unrolled replay at
+    any SF (the kcore/g_pagerank fixed-round device): a relaxation
+    round at the fixed point is a no-op, so converging early is
+    absorbed. Nodes not reached within max_depth are absent from the
+    output (no +inf sentinel).
+
+    Output: (node BIGINT, dist INT), dist in [0, max_depth].
+
+    Plan: per round ONE node-keyed min-aggregation over
+    (current ∪ frontier-neighbors) — the frontier join is an equi-join
+    on the adjacency key; `localCheckpoint` per round bounds lineage
+    (the connected-components loop discipline). Distances propagate as
+    partial-agged MIN — no driver state, no collect.
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    a = F.col(src).cast("long")
+    b = F.col(dst).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    adj = adj.localCheckpoint(eager=False)
+    dist = (
+        sources.select(F.col(node_col).cast("long").alias("n"))
+        .distinct()
+        .select("n", F.lit(0).alias("d"))
+    )
+    for _ in range(max_depth):
+        hop = (
+            dist.join(adj, dist["n"] == adj["a"])
+            .select(F.col("b").alias("n"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(hop)
+            .groupBy("n")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.col("n").alias("node"), F.col("d").cast("int").alias("dist")
+    )

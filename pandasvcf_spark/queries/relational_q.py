@@ -2015,3 +2015,183 @@ def m_anova(spark, sf_dir):
         F.col("c_mktsegment").alias("g"), F.col("c_acctbal").alias("v")
     )
     return anova_oneway(d, "g", "v")
+
+
+# --- graph: link prediction / local clustering / bounded BFS ----------------
+
+_COPURCHASE_EDGES = """
+    li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 4 = 0),
+    e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey)"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+
+
+@register(
+    "g_link_pred",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES},
+    adj AS (SELECT u AS w, v AS x FROM e0
+            UNION ALL SELECT v AS w, u AS x FROM e0),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY w),
+    wed AS (
+      SELECT a.w AS w, a.x AS u, b.x AS v
+      FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x),
+    sc AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+             round(sum(1.0 / ln(CAST(d AS DOUBLE))), 6) AS aa
+      FROM wed JOIN deg ON wed.w = deg.w
+      GROUP BY u, v),
+    cand AS (
+      SELECT sc.u, sc.v, sc.cn, sc.aa FROM sc
+      WHERE NOT EXISTS (SELECT 1 FROM e0
+                        WHERE e0.u = sc.u AND e0.v = sc.v))
+    SELECT u, v, cn, aa FROM cand
+    ORDER BY aa DESC, u, v LIMIT 50
+    """,
+)
+def g_link_pred(spark, sf_dir):
+    """Adamic-Adar link prediction (operators/graph.link_prediction)
+    over the co-purchase part graph — top-50 non-adjacent pairs by
+    shared-neighbor evidence, the "which edge is missing" ranking.
+    Evidence pairs generate per witness from its sorted adjacency
+    list (cost = the wedge count, the statistic's information
+    content); existing edges leave via one anti-join; the cut is a
+    TakeOrdered on the ROUNDED score (ulp-proof ordering) with a
+    (u, v) total order. The oracle replays wedges, degrees, the
+    1/ln weights and the anti-exists."""
+    from pandasvcf_spark.operators.graph import link_prediction
+
+    return link_prediction(
+        _copurchase_edges(spark, sf_dir), top_n=50
+    )
+
+
+@register(
+    "g_local_cc",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES},
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+            (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+            GROUP BY n),
+    tri AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM e0 a JOIN e0 b ON b.u = a.v
+      JOIN e0 c ON c.u = a.u AND c.v = b.v),
+    tn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+             SELECT x AS n FROM tri
+             UNION ALL SELECT y AS n FROM tri
+             UNION ALL SELECT z AS n FROM tri)
+           GROUP BY n)
+    SELECT deg.n AS node, deg.deg AS deg,
+           CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN deg.deg >= 2
+                 THEN CAST(coalesce(t, 0) AS DOUBLE)
+                      / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1) / 2.0)
+                 END, 6) AS cc
+    FROM deg LEFT JOIN tn ON deg.n = tn.n
+    ORDER BY node
+    """,
+)
+def g_local_cc(spark, sf_dir):
+    """Per-node clustering coefficient (operators/graph.
+    local_clustering) over the co-purchase part graph — the local
+    companion of g_triangles' global census: community-embeddedness
+    per node. Triangles enumerate ONCE via the Schank-Wagner oriented
+    wedge expansion (m^1.5 bound) keeping the apex; each closed
+    triangle credits its three corners through a 3-element explode +
+    node-keyed count. The oracle replays the naive u<v<w three-way
+    join and the corner credit."""
+    from pandasvcf_spark.operators.graph import local_clustering
+
+    return local_clustering(_copurchase_edges(spark, sf_dir)).orderBy(
+        "node"
+    )
+
+
+@register(
+    "g_bfs",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS u, l_partkey + 10000000 AS v
+      FROM lineitem
+      WHERE ((l_suppkey * 2654435761 + l_partkey * 40503)
+             % 2147483647) % 5 = 0),
+    adj AS (SELECT u AS a, v AS b FROM e0
+            UNION ALL SELECT v AS a, u AS b FROM e0),
+    d0 AS (SELECT DISTINCT u AS n, 0 AS d FROM e0 WHERE u % 25 = 0),
+    d1 AS (SELECT n, min(d) AS d FROM (
+             SELECT n, d FROM d0
+             UNION ALL
+             SELECT adj.b AS n, d0.d + 1 AS d
+             FROM d0 JOIN adj ON adj.a = d0.n) GROUP BY n),
+    d2 AS (SELECT n, min(d) AS d FROM (
+             SELECT n, d FROM d1
+             UNION ALL
+             SELECT adj.b AS n, d1.d + 1 AS d
+             FROM d1 JOIN adj ON adj.a = d1.n) GROUP BY n),
+    d3 AS (SELECT n, min(d) AS d FROM (
+             SELECT n, d FROM d2
+             UNION ALL
+             SELECT adj.b AS n, d2.d + 1 AS d
+             FROM d2 JOIN adj ON adj.a = d2.n) GROUP BY n)
+    SELECT n AS node, CAST(d AS INTEGER) AS dist FROM d3
+    ORDER BY node
+    """,
+)
+def g_bfs(spark, sf_dir):
+    """Bounded 3-round multi-source BFS (operators/graph.bfs_levels)
+    from every 25th supplier over the hash-thinned supplier→part
+    graph (the g_kcore fixture) — hop-count labeling from a seed set,
+    fixed-round so the Spark loop and the 3-round unrolled relaxation
+    replay are the SAME function of the input at any SF (a relaxation
+    round at the fixed point is a no-op). Per round: one adjacency
+    equi-join + one node-keyed MIN agg, localCheckpoint lineage
+    control. Unreached nodes are absent, not +inf."""
+    from pandasvcf_spark.operators.graph import bfs_levels
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (
+                (
+                    F.col("l_suppkey") * F.lit(2654435761)
+                    + F.col("l_partkey") * 40503
+                )
+                % 2147483647
+            )
+            % 5
+            == 0
+        )
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 10000000).alias("dst"),
+        )
+    )
+    sources = (
+        li.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 25 == 0)
+    )
+    return bfs_levels(li, sources, max_depth=3).orderBy("node")

@@ -639,6 +639,15 @@ def test_tail_entries_are_redundant_variants_only():
         "m_js_divergence",       # symmetric drift: vocab-sized
                                  # two-counter cells + 1-row KL terms
                                  # (psi_report's finite cousin)
+        "g_link_pred",           # Adamic-Adar: per-witness wedge
+                                 # expansion + anti-join + rounded-
+                                 # score TakeOrdered
+        "g_local_cc",            # per-node clustering coefficient:
+                                 # oriented wedges keep the apex,
+                                 # 3-corner credit explode
+        "g_bfs",                 # bounded multi-source BFS: min-
+                                 # relaxation rounds, unrolled replay
+                                 # (kcore fixed-round device)
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -340,3 +340,91 @@ def test_bleu_corpus_aggregation(spark):
     r = corpus_bleu2(df).collect()[0]
     assert r["n_pairs"] == 2
     assert r["p1"] == round(3.0 / 4.0, 6)
+
+
+# --- graph: link_prediction / local_clustering / bfs_levels ----------------
+
+
+def test_link_prediction_square(spark):
+    from pandasvcf_spark.operators.graph import link_prediction
+
+    import math
+
+    # 4-cycle 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4) each have
+    # two common neighbors of degree 2 -> cn=2, aa=2/ln(2)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    out = link_prediction(df, top_n=10).collect()
+    got = {(r["u"], r["v"]): (r["cn"], r["aa"]) for r in out}
+    exp_aa = round(2.0 / math.log(2.0), 6)
+    assert got == {(1, 3): (2, exp_aa), (2, 4): (2, exp_aa)}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from pandasvcf_spark.operators.graph import link_prediction
+
+    # triangle: every distance-2 pair is already an edge -> empty
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src int, dst int"
+    )
+    assert link_prediction(df, top_n=10).count() == 0
+
+
+def test_link_prediction_hub_cap(spark):
+    from pandasvcf_spark.operators.graph import link_prediction
+
+    # star center degree 4; capping below it removes all evidence
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src int, dst int"
+    )
+    assert link_prediction(df, top_n=10).count() == 6  # C(4,2) spokes
+    assert link_prediction(df, top_n=10, max_degree=3).count() == 0
+
+
+def test_local_clustering_k4_and_star(spark):
+    from pandasvcf_spark.operators.graph import local_clustering
+
+    # K4: every node cc = 1 (3 triangles each, deg 3)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    out = {r["node"]: r for r in local_clustering(
+        spark.createDataFrame(k4, "src int, dst int")).collect()}
+    assert all(out[n]["cc"] == 1.0 and out[n]["triangles"] == 3
+               for n in range(4))
+    # star: center cc = 0, leaves deg 1 -> cc NULL
+    star = [(0, i) for i in range(1, 4)]
+    out = {r["node"]: r for r in local_clustering(
+        spark.createDataFrame(star, "src int, dst int")).collect()}
+    assert out[0]["cc"] == 0.0 and out[1]["cc"] is None
+
+
+def test_bfs_path_graph_levels(spark):
+    from pandasvcf_spark.operators.graph import bfs_levels
+
+    # path 1-2-3-4-5, source {1}: dist = index; depth 2 stops at 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    src = spark.createDataFrame([(1,)], "node int")
+    out = {r["node"]: r["dist"] for r in
+           bfs_levels(edges, src, max_depth=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+    # depth 4 == depth 5 (fixed point is a no-op)
+    o4 = {r["node"]: r["dist"] for r in
+          bfs_levels(edges, src, max_depth=4).collect()}
+    o5 = {r["node"]: r["dist"] for r in
+          bfs_levels(edges, src, max_depth=5).collect()}
+    assert o4 == o5 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_min(spark):
+    from pandasvcf_spark.operators.graph import bfs_levels
+
+    # sources at both ends of a path: middle node takes the MIN hop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src int, dst int"
+    )
+    src = spark.createDataFrame([(1,), (5,)], "node int")
+    out = {r["node"]: r["dist"] for r in
+           bfs_levels(edges, src, max_depth=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
