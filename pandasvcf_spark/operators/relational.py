@@ -3045,3 +3045,150 @@ def cohens_kappa(
         (F.round(pe, 6) + 0.0).alias("pe"),
         (F.round(kappa, 6) + 0.0).alias("kappa"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate with right censoring —
+    the additive companion of `kaplan_meier` (H(t) estimates
+    -ln S(t) but is defined and well-behaved even when a risk set
+    empties): at each distinct observed EVENT time,
+
+        H(t) = sum_{t_j <= t} d_j / n_j
+        var(H(t)) = sum_{t_j <= t} d_j / n_j^2      (Poisson form)
+
+    Censored observations (event = 0) leave the risk set after their
+    time without contributing an event. Rows with NULL duration/event
+    are excluded.
+
+    Output, one row per distinct time with >= 1 event, time-ascending:
+    (t DOUBLE, n_risk, n_events, n_censored BIGINT, cum_hazard DOUBLE
+    round 6, var_hazard DOUBLE round 6).
+
+    Plan: identical to kaplan_meier — one groupBy(duration) collapses
+    the corpus to per-time counters (the only data-sized shuffle),
+    then cumulative windows over the distinct-times table. The
+    cumulative sums run over the SAME ascending order on both engines,
+    so they replay bit-for-bit, not just to rounding."""
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    nn = df.filter(t.isNotNull() & ev.isNotNull())
+    per_t = nn.groupBy(t.alias("t")).agg(
+        F.sum(F.when(ev != 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(ev == 0, 1).otherwise(0)).cast("bigint").alias("c"),
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("__N"))
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    b = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("__N")
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+        ),
+    )
+    nr = F.col("n_risk").cast("double")
+    dd = F.col("d").cast("double")
+    haz = F.sum(dd / nr).over(w_cum)
+    var = F.sum(dd / (nr * nr)).over(w_cum)
+    return (
+        b.withColumn("__h", haz)
+        .withColumn("__v", var)
+        .filter(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.round(F.col("__h"), 6).alias("cum_hazard"),
+            F.round(F.col("__v"), 6).alias("var_hazard"),
+        )
+        .orderBy("t")
+    )
+
+
+def attribution_report(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts_s",
+    channel_col: str = "channel",
+    conv_id_col: str = "conv_id",
+    touch_id_col: str = "touch_id",
+    lookback_s: int = 7 * 86400,
+) -> DataFrame:
+    """Multi-touch marketing attribution — credit each conversion to
+    the channels that touched the user within the lookback window,
+    under the three standard models at once:
+
+        last-touch  : 1 credit to the latest prior touch
+        first-touch : 1 credit to the earliest prior touch
+        linear      : 1/n credit to each of the n prior touches
+
+    A touch qualifies when conv_time - lookback_s <= touch_time <
+    conv_time for the same user; ties on touch time break by touch id
+    (the repo's total-order rule), so last/first are deterministic.
+    Conversions with no qualifying touch contribute nothing (report
+    them separately by anti-join if needed). Times are epoch-second
+    BIGINTs — never raw timestamps.
+
+    Output: one row per credited channel (channel, n_last BIGINT,
+    n_first BIGINT, linear DOUBLE round 4), plus the invariant that
+    sum(n_last) = sum(n_first) = round(sum(linear)) = # attributed
+    conversions.
+
+    Plan shape: ONE user-keyed equi-join with the range predicate as
+    a post-join filter (the j_range_events shape — per-user event
+    counts bound the pair fan-out, never corpus x corpus), then one
+    window over (conversion) for ranks/counts and one channel-keyed
+    final agg. At 100 TB the join key should be (user, day-bucket)
+    if per-user histories are unbounded; at bounded per-user history
+    the plain user key is the smaller shuffle."""
+    t = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(time_col).cast("long").alias("__tt"),
+        F.col(touch_id_col).alias("__tid"),
+        F.col(channel_col).alias("channel"),
+    )
+    c = conversions.select(
+        F.col(user_col).alias("__u"),
+        F.col(time_col).cast("long").alias("__ct"),
+        F.col(conv_id_col).alias("__cid"),
+    )
+    j = t.join(c, "__u").filter(
+        (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.lit(lookback_s))
+    )
+    w_last = Window.partitionBy("__cid").orderBy(
+        F.col("__tt").desc(), F.col("__tid").desc()
+    )
+    w_first = Window.partitionBy("__cid").orderBy(
+        F.col("__tt").asc(), F.col("__tid").asc()
+    )
+    w_all = Window.partitionBy("__cid")
+    r = j.select(
+        "channel",
+        F.row_number().over(w_last).alias("__rl"),
+        F.row_number().over(w_first).alias("__rf"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    return (
+        r.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("__rl") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_last"),
+            F.sum(F.when(F.col("__rf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_first"),
+            F.round(
+                F.sum(F.lit(1.0) / F.col("__n").cast("double")), 4
+            ).alias("linear"),
+        )
+        .orderBy("channel")
+    )

@@ -576,3 +576,113 @@ def sliding_distinct_hll(
     return est.join(hours_in, on="win_end").select(
         "win_end", "n_hours", "n_zero", "estimate"
     )
+
+
+def kmv_intersect(
+    df_a: DataFrame,
+    key_a: Column | str,
+    df_b: DataFrame,
+    key_b: Column | str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style set intersection from two KMV sketches
+    (Dasgupta et al. 2016, the DataSketches theta framework) — the
+    mergeable answer to "how much do these two corpora overlap?"
+    without shuffling either corpus: each side keeps its k smallest
+    distinct scrambled hashes, theta = min of the two k-th hashes
+    (P = POLY_MOD when a side saw fewer than k distinct keys — its
+    sketch is then exhaustive), and every sketch hash <= theta is a
+    uniform sample of the corresponding set at density theta / P:
+
+        est_intersection = n_common * P / theta
+        jaccard ~= n_common / n_union      (both within theta)
+
+    When BOTH sides are exhaustive the estimates are exact counts.
+
+    Output: ONE row (k_used_a, k_used_b INT, theta BIGINT, n_common,
+    n_union BIGINT, jaccard DOUBLE round 6, est_intersection DOUBLE
+    round 4, est_union DOUBLE round 4).
+
+    Plan shape at 100 TB: per side one map-side-distinct TakeOrdered
+    over 8-byte hashes (the kmv_distinct plan — per-partition top-k +
+    a k-row driver merge, no global sort); everything downstream is
+    sketch-sized (<= 2k rows) with 1-row broadcast combines. The
+    estimate replays bit-for-bit: all inputs are integers and the
+    scaling is one multiply + one divide."""
+    from pandasvcf_spark.functions.text import POLY_MOD, poly_hash_expr
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def sketch(df, key):
+        kc = F.col(key) if isinstance(key, str) else key
+        scrambled = (
+            poly_hash_expr(kc.cast("string")) * F.lit(2654435761)
+        ) % F.lit(POLY_MOD)
+        return (
+            df.filter(kc.isNotNull())
+            .select(scrambled.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+    ha = sketch(df_a, key_a)
+    hb = sketch(df_b, key_b)
+    ka = ha.agg(
+        F.count(F.lit(1)).cast("int").alias("k_used_a"),
+        F.max("h").alias("__kth_a"),
+    )
+    kb = hb.agg(
+        F.count(F.lit(1)).cast("int").alias("k_used_b"),
+        F.max("h").alias("__kth_b"),
+    )
+    p = F.lit(POLY_MOD).cast("long")
+    th = ka.join(F.broadcast(kb)).select(
+        "k_used_a",
+        "k_used_b",
+        F.least(
+            F.when(F.col("k_used_a") < k, p).otherwise(F.col("__kth_a")),
+            F.when(F.col("k_used_b") < k, p).otherwise(F.col("__kth_b")),
+        ).alias("theta"),
+    )
+    inter = (
+        ha.join(hb, "h")
+        .join(F.broadcast(th))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    uni = (
+        ha.unionAll(hb)
+        .distinct()
+        .join(F.broadcast(th))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    pd_ = F.lit(float(POLY_MOD))
+    return (
+        th.join(F.broadcast(inter))
+        .join(F.broadcast(uni))
+        .select(
+            "k_used_a",
+            "k_used_b",
+            "theta",
+            "n_common",
+            "n_union",
+            F.round(
+                F.when(
+                    F.col("n_union") > 0,
+                    F.col("n_common").cast("double") / F.col("n_union"),
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double") * pd_
+                / F.col("theta"),
+                4,
+            ).alias("est_intersection"),
+            F.round(
+                F.col("n_union").cast("double") * pd_ / F.col("theta"),
+                4,
+            ).alias("est_union"),
+        )
+    )

@@ -1843,3 +1843,141 @@ def m_js_divergence(spark, sf_dir):
         (F.col("user_id") % 2).cast("int").alias("f"),
     )
     return js_divergence(d, "c", "f")
+
+
+@register(
+    "m_nelson_aalen",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS t,
+             CASE WHEN event_type NOT IN ('error', 'signup')
+                  THEN 1 ELSE 0 END AS ev
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ev <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+      FROM s GROUP BY t),
+    tot AS (SELECT sum(d + c) AS N FROM per_t),
+    risk AS (
+      SELECT t, d, c,
+             N - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t, tot),
+    curve AS (
+      SELECT t, d, c, n_risk,
+             sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER w
+               AS h,
+             sum(CAST(d AS DOUBLE)
+                 / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+               OVER w AS v
+      FROM risk
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           c AS n_censored,
+           round(h, 6) AS cum_hazard, round(v, 6) AS var_hazard
+    FROM curve WHERE d > 0 ORDER BY t
+    """,
+)
+def m_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (operators/relational.
+    nelson_aalen) over events: duration = value, observed = neither
+    error nor signup (both right-censor) — the additive companion of
+    m_kaplan_meier, well-defined even when a risk set empties. Same
+    plan: one groupBy(duration) to per-time counters, cumulative
+    windows over the distinct-times table; the hazard sums run over
+    the SAME ascending order on both engines so they replay
+    bit-for-bit. The oracle replays counters, ladder and both sums."""
+    from pandasvcf_spark.operators.relational import nelson_aalen
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("t"),
+        F.when(~F.col("event_type").isin("error", "signup"), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return nelson_aalen(d, "t", "ev")
+
+
+@register(
+    "e_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id AS u, (epoch_us(ts) // 1000000) AS tt,
+             event_id AS tid, event_type AS channel
+      FROM events
+      WHERE event_type IN ('click', 'view', 'signup')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL),
+    c AS (
+      SELECT user_id AS u, (epoch_us(ts) // 1000000) AS ct,
+             event_id AS cid
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    j AS (
+      SELECT t.channel, c.cid, t.tt, t.tid
+      FROM t JOIN c ON t.u = c.u
+      WHERE t.tt < c.ct AND t.tt >= c.ct - 86400),
+    r AS (
+      SELECT channel,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tt DESC, tid DESC) AS rl,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY tt ASC, tid ASC) AS rf,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM j)
+    SELECT channel,
+           CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_last,
+           CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           round(sum(1.0 / CAST(n AS DOUBLE)), 4) AS linear
+    FROM r GROUP BY channel ORDER BY channel
+    """,
+)
+def e_attribution(spark, sf_dir):
+    """Multi-touch attribution (operators/relational.
+    attribution_report, 1-day lookback): purchases credited to the
+    click/view/signup touches that preceded them — last-touch,
+    first-touch and linear models in one pass. One user-keyed
+    equi-join with the range predicate as a post-join filter (the
+    j_range_events shape; per-user history bounds the fan-out), one
+    conversion-keyed window trio, one channel agg. Epoch-second
+    BIGINTs, event_id tie-breaks — fully deterministic. The oracle
+    replays the window ranks and all three credit models."""
+    from pandasvcf_spark.operators.relational import attribution_report
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+    )
+    touches = base.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        "ts_s",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    convs = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_s", F.col("event_id").alias("conv_id")
+    )
+    return attribution_report(
+        touches, convs, lookback_s=86400
+    )

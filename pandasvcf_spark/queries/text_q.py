@@ -2907,3 +2907,64 @@ def t_bleu_rouge(spark, sf_dir):
     )
     pairs = a.join(b, "pair_id")
     return corpus_bleu2(pairs, "pair_id", "cand", "ref")
+
+
+@register(
+    "sk_theta_intersect",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT
+        ({_SQL_POLY_HASH.format(s="c_name")} * 2654435761)
+          % 2147483647 AS h
+      FROM customer WHERE c_custkey <= 1200 AND c_name IS NOT NULL
+      ORDER BY h LIMIT 256),
+    b AS (
+      SELECT DISTINCT
+        ({_SQL_POLY_HASH.format(s="c_name")} * 2654435761)
+          % 2147483647 AS h
+      FROM customer WHERE c_custkey >= 400 AND c_name IS NOT NULL
+      ORDER BY h LIMIT 256),
+    ka AS (SELECT CAST(count(*) AS INT) AS k_used_a, max(h) AS kth_a
+           FROM a),
+    kb AS (SELECT CAST(count(*) AS INT) AS k_used_b, max(h) AS kth_b
+           FROM b),
+    th AS (
+      SELECT k_used_a, k_used_b,
+             least(CASE WHEN k_used_a < 256
+                        THEN CAST(2147483647 AS BIGINT) ELSE kth_a END,
+                   CASE WHEN k_used_b < 256
+                        THEN CAST(2147483647 AS BIGINT) ELSE kth_b END)
+               AS theta
+      FROM ka, kb),
+    i AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+          FROM a JOIN b ON a.h = b.h CROSS JOIN th
+          WHERE a.h <= th.theta),
+    u AS (SELECT CAST(count(*) AS BIGINT) AS n_union
+          FROM (SELECT h FROM a UNION SELECT h FROM b) s
+          CROSS JOIN th WHERE s.h <= th.theta)
+    SELECT k_used_a, k_used_b, theta, n_common, n_union,
+           round(CASE WHEN n_union > 0
+                 THEN CAST(n_common AS DOUBLE) / n_union END, 6)
+             AS jaccard,
+           round(CAST(n_common AS DOUBLE) * 2147483647.0 / theta, 4)
+             AS est_intersection,
+           round(CAST(n_union AS DOUBLE) * 2147483647.0 / theta, 4)
+             AS est_union
+    FROM th, i, u
+    """,
+)
+def sk_theta_intersect(spark, sf_dir):
+    """Theta-sketch set-intersection estimate (operators/sketches.
+    kmv_intersect, k=256) between two overlapping customer-name sets
+    (custkey <= 1200 vs >= 400; true overlap = the 400..1200 band) —
+    the "how much do these corpora overlap?" sketch that never
+    shuffles either corpus: two 8-byte-hash TakeOrdereds, then
+    sketch-sized combines under theta = min of the k-th hashes.
+    Integer inputs + one multiply/divide make the ESTIMATE replay
+    bit-for-bit, the sk_kmv_distinct discipline."""
+    from pandasvcf_spark.operators.sketches import kmv_intersect
+
+    cu = load(spark, sf_dir, "customer")
+    a = cu.filter(F.col("c_custkey") <= 1200)
+    b = cu.filter(F.col("c_custkey") >= 400)
+    return kmv_intersect(a, "c_name", b, "c_name", k=256)

@@ -648,6 +648,15 @@ def test_tail_entries_are_redundant_variants_only():
         "g_bfs",                 # bounded multi-source BFS: min-
                                  # relaxation rounds, unrolled replay
                                  # (kcore fixed-round device)
+        "sk_theta_intersect",    # theta-sketch overlap: two 8-byte
+                                 # TakeOrdereds + sketch-sized theta
+                                 # combine; bit-exact estimate
+        "m_nelson_aalen",        # cumulative hazard: per-time
+                                 # counters + cumulative windows
+                                 # (kaplan_meier plan, additive form)
+        "e_attribution",         # last/first/linear credit: user-
+                                 # keyed range join + conversion
+                                 # window trio + channel agg
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

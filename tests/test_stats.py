@@ -428,3 +428,90 @@ def test_bfs_multi_source_min(spark):
     out = {r["node"]: r["dist"] for r in
            bfs_levels(edges, src, max_depth=3).collect()}
     assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+# --- kmv_intersect / nelson_aalen / attribution_report ---------------------
+
+
+def test_kmv_intersect_exhaustive_exact(spark):
+    from pandasvcf_spark.operators.sketches import kmv_intersect
+
+    # both sides under k -> exact counts: A={a..e}, B={c..g}: common 3,
+    # union 7, jaccard 3/7
+    a = spark.createDataFrame([(x,) for x in "abcde"], "k string")
+    b = spark.createDataFrame([(x,) for x in "cdefg"], "k string")
+    r = kmv_intersect(a, "k", b, "k", k=64).collect()[0]
+    assert r["n_common"] == 3 and r["n_union"] == 7
+    assert r["est_intersection"] == 3.0 and r["est_union"] == 7.0
+    assert r["jaccard"] == round(3.0 / 7.0, 6)
+
+
+def test_kmv_intersect_sketched_mode_reasonable(spark):
+    from pandasvcf_spark.operators.sketches import kmv_intersect
+
+    # 2000 vs 2000 with 1000 shared keys; k=256 sketches: estimate
+    # within 20% of truth
+    a = spark.range(2000).selectExpr("cast(id * 31337 as string) as k")
+    b = spark.range(1000, 3000).selectExpr(
+        "cast(id * 31337 as string) as k"
+    )
+    r = kmv_intersect(a, "k", b, "k", k=256).collect()[0]
+    assert r["k_used_a"] == 256 and r["k_used_b"] == 256
+    assert 800 <= r["est_intersection"] <= 1200
+    assert 2400 <= r["est_union"] <= 3600
+
+
+def test_nelson_aalen_textbook(spark):
+    from pandasvcf_spark.operators.relational import nelson_aalen
+
+    # times (1 event), (2 censored), (3 event): n_risk 3, 2, 1
+    # H(1) = 1/3 ; H(3) = 1/3 + 1/1 ; var(3) = 1/9 + 1
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 0), (3.0, 1)], "t double, ev int"
+    )
+    out = {r["t"]: r for r in nelson_aalen(df, "t", "ev").collect()}
+    assert set(out) == {1.0, 3.0}  # censored-only time absent
+    assert out[1.0]["n_risk"] == 3
+    assert out[1.0]["cum_hazard"] == round(1.0 / 3.0, 6)
+    assert out[3.0]["cum_hazard"] == round(1.0 / 3.0 + 1.0, 6)
+    assert out[3.0]["var_hazard"] == round(1.0 / 9.0 + 1.0, 6)
+
+
+def test_attribution_credit_split(spark):
+    from pandasvcf_spark.operators.relational import attribution_report
+
+    # user 1: touches A(t=10), B(t=20), conversion at t=30 ->
+    #   last=B, first=A, linear 0.5 each
+    # user 2: touch C at t=5 outside the 20 s lookback of conv at t=30
+    # (window is [ct - lookback, ct) = [10, 30), inclusive left edge)
+    touches = spark.createDataFrame(
+        [(1, 10, 100, "A"), (1, 20, 101, "B"), (2, 5, 102, "C")],
+        "user_id int, ts_s long, touch_id int, channel string",
+    )
+    convs = spark.createDataFrame(
+        [(1, 30, 900), (2, 30, 901)],
+        "user_id int, ts_s long, conv_id int",
+    )
+    out = {r["channel"]: r for r in attribution_report(
+        touches, convs, lookback_s=20).collect()}
+    assert set(out) == {"A", "B"}
+    assert out["B"]["n_last"] == 1 and out["B"]["n_first"] == 0
+    assert out["A"]["n_first"] == 1 and out["A"]["n_last"] == 0
+    assert out["A"]["linear"] == 0.5 and out["B"]["linear"] == 0.5
+
+
+def test_attribution_tie_breaks_by_touch_id(spark):
+    from pandasvcf_spark.operators.relational import attribution_report
+
+    # two touches at the same second: higher touch_id wins last-touch,
+    # lower wins first-touch
+    touches = spark.createDataFrame(
+        [(1, 10, 100, "A"), (1, 10, 101, "B")],
+        "user_id int, ts_s long, touch_id int, channel string",
+    )
+    convs = spark.createDataFrame(
+        [(1, 30, 900)], "user_id int, ts_s long, conv_id int"
+    )
+    out = {r["channel"]: r for r in attribution_report(
+        touches, convs, lookback_s=100).collect()}
+    assert out["B"]["n_last"] == 1 and out["A"]["n_first"] == 1
