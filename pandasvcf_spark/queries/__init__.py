@@ -67,7 +67,18 @@ DRIVER_WINDOW = 50
 # the agg family; v_ivf_topk → v_ivfpq_topk replays the same coarse
 # cell equi-join before ADC; m_upsert_latest → m_scd2_history's
 # current-row slice is the same latest-per-key MERGE shape) and remain
-# exact-checked by tests/test_contract.py every run.
+# exact-checked by tests/test_contract.py every run. The second
+# round-8 continuation cuts a fourth time: four new classes
+# (fixed-budget Lloyd k-means, Adamic-Adar link prediction, NDCG@k
+# ranking metrics, theta-sketch set intersection) displace four
+# variants whose machinery each promoted entry carries or that stays
+# covered in-window (dedup_exact → its hash-groupBy keyed distinct is
+# p4_distinct's full-row shape; sort_limit_topk → the tie-broken
+# TakeOrdered cut is exactly g_link_pred's rounded-score top-50;
+# w_rank_topk → per-group rank windows + agg are m_ndcg's plan;
+# sk_countmin → the fixed-size partial-agged register grid stays
+# driver-covered by sk_hll_distinct) and all remain exact-checked by
+# tests/test_contract.py every run.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -94,7 +105,7 @@ _PRIORITY = [
     "g_fst",
     "t_quality_score",
     "t_bm25_topk",
-    "dedup_exact",
+    "v_kmeans",
     "dedup_minhash_lsh",
     "t_paragraph_dedup",
     "t_repeated_spans",
@@ -103,7 +114,7 @@ _PRIORITY = [
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
     "sk_hll_distinct",
-    "sk_countmin",
+    "sk_theta_intersect",
     "v_cosine_topk",
     "v_cosine_topk_manyquery",
     "v_ann_topk",
@@ -129,9 +140,9 @@ _PRIORITY = [
     "j_multiway_q5",
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
-    "w_rank_topk",
+    "m_ndcg",
     "m_bootstrap_ci",
-    "sort_limit_topk",
+    "g_link_pred",
     "m_scd2_history",
     "r2_pivot",
     "info_str_to_map",
