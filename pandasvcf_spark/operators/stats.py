@@ -679,3 +679,351 @@ def js_divergence(
             + F.lit(0.0)
         ).alias("js"),
     )
+
+
+def wilson_topk(
+    df: DataFrame,
+    item_cols: Sequence[str],
+    label_col: str,
+    k: int = 20,
+    z: float = 1.96,
+) -> DataFrame:
+    """Wilson-score lower-bound ranking of binary outcomes per item —
+    the "sort by positive rate without being fooled by tiny n" ranking
+    (comment/quality-vote ordering, CTR ranking, acceptance-rate
+    leaderboards):
+
+        lb = (p + z²/2n − z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n)
+
+    A 1-of-1 item (p = 1, n = 1) ranks below a 95-of-100 item — the
+    property naive rate sorting lacks. label must be 0/1.
+
+    Output: top-k rows (*item_cols, n BIGINT, pos BIGINT, rate DOUBLE
+    round 6, wilson_lb DOUBLE round 6), ordered by (wilson_lb DESC,
+    *item_cols) — the cut runs on the ROUNDED score (ulp-proof
+    membership, the repo's top-k rule).
+
+    Plan: one item-keyed two-counter agg, then pure arithmetic and a
+    TakeOrdered — no second shuffle.
+    """
+    icols = list(item_cols)
+    if not icols:
+        raise ValueError("item_cols must be non-empty")
+    lc = F.col(label_col).cast("int")
+    agg = (
+        df.filter(lc.isNotNull())
+        .groupBy(*icols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(lc).cast("long").alias("pos"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("pos").cast("double") / nd
+    z2 = F.lit(z * z)
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * nd)
+        - F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd)
+        )
+    ) / (F.lit(1.0) + z2 / nd)
+    scored = agg.select(
+        *icols,
+        "n",
+        "pos",
+        F.round(p, 6).alias("rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )
+    return scored.orderBy(
+        F.col("wilson_lb").desc(), *[F.col(c).asc() for c in icols]
+    ).limit(k)
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend — the median of all pairwise
+    slopes (Theil 1950, Sen 1968), the outlier-proof replacement for
+    OLS slope on monitoring series (one wild day cannot move it):
+
+        slope     = median over i<j of (y_j − y_i) / (x_j − x_i)
+        intercept = median over i of (y_i − slope·x_i)
+
+    using the repo's exact lower-median convention (inverse ECDF /
+    Hyndman-Fan type 1: index ceil(n/2) of the sorted values). Rows
+    with NULL x/y drop; pairs with equal x are skipped (vertical).
+
+    Output: (*group_cols, n_points BIGINT, n_pairs BIGINT, slope
+    DOUBLE round 6, intercept DOUBLE round 4); slope NULL when no
+    valid pair exists.
+
+    INTENDED FOR PRE-AGGREGATED SERIES (daily/hourly rollups): the
+    pair self-join is O(n²) per group by definition of the statistic
+    — aggregate the corpus to the series FIRST (the m_acf
+    discipline). The join is group-keyed; medians are windows over
+    the pair table.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in gcols]
+    pairs = (
+        a.join(b, cond)
+        .filter(F.col("b.__x") > F.col("a.__x"))
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in gcols],
+            (
+                (F.col("b.__y") - F.col("a.__y"))
+                / (F.col("b.__x") - F.col("a.__x"))
+            ).alias("__s"),
+        )
+    )
+    w_s = Window.partitionBy(*gcols).orderBy("__s")
+    w_n = Window.partitionBy(*gcols)
+    ranked = pairs.select(
+        *gcols,
+        "__s",
+        F.row_number().over(w_s).alias("__r"),
+        F.count(F.lit(1)).over(w_n).alias("__m"),
+    )
+    med = ranked.filter(
+        F.col("__r") == F.greatest(F.ceil(F.col("__m") / 2), F.lit(1))
+    ).select(*gcols, F.col("__s").alias("__slope"), F.col("__m"))
+    resid = base.join(med, gcols).select(
+        *gcols,
+        "__slope",
+        "__m",
+        (F.col("__y") - F.col("__slope") * F.col("__x")).alias("__e"),
+    )
+    w_e = Window.partitionBy(*gcols).orderBy("__e")
+    w_en = Window.partitionBy(*gcols)
+    er = resid.select(
+        *gcols,
+        "__slope",
+        "__m",
+        "__e",
+        F.row_number().over(w_e).alias("__r"),
+        F.count(F.lit(1)).over(w_en).alias("__k"),
+    )
+    picked = er.filter(
+        F.col("__r") == F.greatest(F.ceil(F.col("__k") / 2), F.lit(1))
+    )
+    counts = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    return counts.join(picked, gcols, "left").select(
+        *gcols,
+        "n_points",
+        F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias("n_pairs"),
+        (F.round(F.col("__slope"), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.col("__e"), 4) + F.lit(0.0)).alias("intercept"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group weighted quantiles — inverse weighted-ECDF (type-1):
+    q_p = the smallest value whose cumulative weight reaches p·W.
+    The token-weighted percentile ("the median TOKEN sits in a doc of
+    length …") that unweighted quantiles get wrong on skewed weights.
+    Rows with NULL value or weight, or weight <= 0, drop.
+
+    Output: (*group_cols, p DOUBLE, q DOUBLE) — one row per group per
+    requested prob, prob-ascending.
+
+    Plan: ONE exchange on the group keys serves the cumulative-weight
+    window and the final groupBy (one conditional MIN per prob) —
+    the agg_grouped_quantiles device with weights replacing row
+    counts. Integer weights keep the cumulative ladder engine-exact.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    ps = sorted(set(float(p) for p in probs))
+    if not ps or any(p <= 0 or p > 1 for p in ps):
+        raise ValueError("probs must be in (0, 1]")
+    vc = F.col(value_col).cast("double")
+    wc = F.col(weight_col).cast("long")
+    base = df.filter(vc.isNotNull() & wc.isNotNull() & (wc > 0)).select(
+        *gcols, vc.alias("__v"), wc.alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*gcols)
+    r = base.select(
+        *gcols,
+        "__v",
+        F.sum("__w").over(w_cum).alias("__cw"),
+        F.sum("__w").over(w_tot).alias("__W"),
+    )
+    aggs = []
+    for p in ps:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cw").cast("double")
+                    >= F.lit(p) * F.col("__W").cast("double"),
+                    F.col("__v"),
+                )
+            ).alias(f"__q{int(p * 10000)}")
+        )
+    g = r.groupBy(*gcols).agg(*aggs)
+    out = None
+    for p in ps:
+        row = g.select(
+            *gcols,
+            F.lit(p).alias("p"),
+            F.col(f"__q{int(p * 10000)}").alias("q"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: Sequence[str],
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability of k item
+    columns (Cronbach 1951) — do the items measure one underlying
+    construct? The survey/rubric/multi-judge-score sanity check:
+
+        alpha = k/(k−1) · (1 − sum_i var(item_i) / var(total))
+
+    with sample variances (n−1 denominator) and total = sum of items
+    per row. Rows with any NULL item drop.
+
+    Output: ONE row (k BIGINT, n BIGINT, alpha DOUBLE round 6) —
+    alpha NULL when n < 2 or var(total) = 0.
+
+    Plan: ONE 1-row aggregation of per-item sums/sum-of-squares and
+    the total's moments — 2k+3 partial-aggregated counters, no
+    shuffle beyond the combine tree. alpha is a variance RATIO, so
+    engine accumulation-order noise cancels to ~1e-10 relative (the
+    m_anova rounding argument).
+    """
+    items = list(item_cols)
+    if len(items) < 2:
+        raise ValueError("need >= 2 items")
+    cond = F.lit(True)
+    for c in items:
+        cond = cond & F.col(c).isNotNull()
+    tot = None
+    for c in items:
+        tc = F.col(c).cast("double")
+        tot = tc if tot is None else tot + tc
+    base = df.filter(cond).select(
+        *[F.col(c).cast("double").alias(c) for c in items],
+        tot.alias("__t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in items:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__q_{c}"))
+    aggs.append(F.sum("__t").alias("__st"))
+    aggs.append(F.sum(F.col("__t") * F.col("__t")).alias("__qt"))
+    g = base.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def var(s, q):
+        return (q - s * s / nd) / (nd - F.lit(1.0))
+
+    item_var = None
+    for c in items:
+        v = var(F.col(f"__s_{c}"), F.col(f"__q_{c}"))
+        item_var = v if item_var is None else item_var + v
+    tot_var = var(F.col("__st"), F.col("__qt"))
+    kk = float(len(items))
+    alpha = F.lit(kk / (kk - 1.0)) * (F.lit(1.0) - item_var / tot_var)
+    return g.select(
+        F.lit(len(items)).cast("long").alias("k"),
+        "n",
+        (
+            F.round(
+                F.when((F.col("n") >= 2) & (tot_var > 0), alpha), 6
+            )
+            + F.lit(0.0)
+        ).alias("alpha"),
+    )
+
+
+def diversity_indices(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group categorical diversity indices — the corpus-balance
+    report card (species-diversity math applied to sources, langs,
+    topics, token types):
+
+        richness  = distinct categories
+        shannon   = −sum p ln p                (nats)
+        simpson   = 1 − sum p²                 (Gini-Simpson)
+        evenness  = shannon / ln(richness)     (Pielou; NULL at k = 1)
+
+    Output: (*group_cols, n BIGINT, richness BIGINT, shannon,
+    simpson, evenness DOUBLE round 6).
+
+    Plan: one (group, category)-keyed partial-aggregated count
+    (vocabulary-sized), then one group-keyed agg of the p-terms.
+    evenness divides by the ENGINE's own ln(richness) — never a
+    Python literal (the t_l_diversity 1-ulp lesson).
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    base = df.filter(F.col(cat_col).isNotNull()).select(
+        *gcols, F.col(cat_col).alias("__c")
+    )
+    cells = base.groupBy(*gcols, "__c").agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt")
+    )
+    w = Window.partitionBy(*gcols)
+    withp = cells.withColumn("__n", F.sum("__cnt").over(w)).withColumn(
+        "__p", F.col("__cnt") / F.col("__n")
+    )
+    agg = withp.groupBy(*gcols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("richness"),
+        F.sum(-F.col("__p") * F.log("__p")).alias("__sh"),
+        F.sum(F.col("__p") * F.col("__p")).alias("__sp"),
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "richness",
+        (F.round(F.col("__sh"), 6) + F.lit(0.0)).alias("shannon"),
+        F.round(F.lit(1.0) - F.col("__sp"), 6).alias("simpson"),
+        (
+            F.round(
+                F.when(
+                    F.col("richness") >= 2,
+                    F.col("__sh")
+                    / F.log(F.col("richness").cast("double")),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("evenness"),
+    )
