@@ -1027,3 +1027,84 @@ def diversity_indices(
             + F.lit(0.0)
         ).alias("evenness"),
     )
+
+
+def silhouette_by_centroid(
+    df: DataFrame,
+    label_col: str,
+    feat_cols: Sequence[str],
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster — the
+    cluster-quality audit for `kmeans_fit` / label assignments at
+    corpus scale: per point, a = euclidean distance to its OWN
+    cluster centroid, b = to the NEAREST OTHER centroid,
+    s = (b − a) / max(a, b) (0 when both distances are 0). The full
+    silhouette's O(n²) pairwise distances never materialize — this is
+    the O(n·k) form every large-scale library ships.
+
+    Centroids are per-dimension means ROUNDED TO 6dp (the kmeans_fit
+    trajectory device: both engines then score against bit-identical
+    centroid literals). Requires >= 2 clusters (b is NULL otherwise —
+    the caller should see the hole, not a fake score). Rows with NULL
+    label/features drop.
+
+    Output: one row per cluster (label, n BIGINT, mean_sil DOUBLE
+    round 6).
+
+    Plan: one k-key groupBy for centroids (model-sized collect, the
+    BPE precedent), then per-point broadcast-literal arithmetic and
+    one label-keyed agg — the corpus is read twice and never joined.
+    """
+    feats = list(feat_cols)
+    if not feats:
+        raise ValueError("feat_cols must be non-empty")
+    cond = F.col(label_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        F.col(label_col).alias("__l"),
+        *[F.col(c).cast("double").alias(c) for c in feats],
+    )
+    cents = base.groupBy("__l").agg(
+        *[
+            (F.round(F.avg(c), 6) + F.lit(0.0)).alias(f"c_{c}")
+            for c in feats
+        ]
+    )
+    rows = cents.collect()  # model-sized: k x d
+    if len(rows) < 2:
+        raise ValueError("need >= 2 clusters for silhouette")
+
+    def dist(vec):
+        s = None
+        for c, cv in zip(feats, vec):
+            t = (F.col(c) - F.lit(cv)) * (F.col(c) - F.lit(cv))
+            s = t if s is None else s + t
+        return F.sqrt(s)
+
+    a_expr = None
+    b_expr = None
+    for r in rows:
+        lab = r["__l"]
+        d = dist([float(r[f"c_{c}"]) for c in feats])
+        own = F.when(F.col("__l") == F.lit(lab), d)
+        other = F.when(F.col("__l") != F.lit(lab), d)
+        a_expr = own if a_expr is None else F.coalesce(a_expr, own)
+        b_expr = other if b_expr is None else F.least(b_expr, other)
+    scored = base.select(
+        "__l",
+        a_expr.alias("__a"),
+        b_expr.alias("__b"),
+    )
+    s = F.when(
+        F.greatest(F.col("__a"), F.col("__b")) > 0,
+        (F.col("__b") - F.col("__a"))
+        / F.greatest(F.col("__a"), F.col("__b")),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.groupBy(F.col("__l").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.avg(s), 6) + F.lit(0.0)).alias("mean_sil"),
+        )
+    )

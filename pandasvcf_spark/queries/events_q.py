@@ -1981,3 +1981,120 @@ def e_attribution(spark, sf_dir):
     return attribution_report(
         touches, convs, lookback_s=86400
     )
+
+
+@register(
+    "m_wilson_topk",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS item,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    a AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM b GROUP BY item),
+    s AS (
+      SELECT item, n, pos,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+      FROM a)
+    SELECT item, n, pos, round(p, 6) AS rate,
+           round((p + z2 / (2.0 * nd)
+                  - 1.96 * sqrt(p * (1.0 - p) / nd
+                                + z2 / (4.0 * nd * nd)))
+                 / (1.0 + z2 / nd), 6) AS wilson_lb
+    FROM s ORDER BY wilson_lb DESC, item LIMIT 20
+    """,
+)
+def m_wilson_topk(spark, sf_dir):
+    """Wilson-score lower-bound ranking (operators/stats.wilson_topk,
+    z = 1.96): top-20 users by purchase rate, small-n-penalized — the
+    "sort by rate without being fooled by 3-for-3" leaderboard. One
+    item-keyed two-counter agg + pure arithmetic + a TakeOrdered on
+    the ROUNDED bound with an item tie-break. The oracle squares z as
+    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) — a decimal 3.8416
+    literal is NOT the IEEE double Python's 1.96*1.96 produces."""
+    from pandasvcf_spark.operators.stats import wilson_topk
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.col("user_id").alias("item"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return wilson_topk(d, ["item"], "y", k=20, z=1.96)
+
+
+@register(
+    "e_theil_sen",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             CAST((epoch_us(ts) // 1000000) // 86400 AS DOUBLE) AS x,
+             round(avg(value), 4) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+    p AS (
+      SELECT a.et AS et, (b.y - a.y) / (b.x - a.x) AS s
+      FROM d a JOIN d b ON a.et = b.et AND b.x > a.x),
+    r AS (
+      SELECT et, s,
+             row_number() OVER (PARTITION BY et ORDER BY s) AS rk,
+             count(*) OVER (PARTITION BY et) AS m
+      FROM p),
+    med AS (SELECT et, s AS slope, m FROM r
+            WHERE rk = greatest(CAST(ceil(m / 2.0) AS BIGINT), 1)),
+    res AS (
+      SELECT d.et AS et, med.slope, med.m,
+             d.y - med.slope * d.x AS e
+      FROM d JOIN med ON d.et = med.et),
+    er AS (
+      SELECT et, slope, m, e,
+             row_number() OVER (PARTITION BY et ORDER BY e) AS rk,
+             count(*) OVER (PARTITION BY et) AS kk
+      FROM res),
+    pick AS (SELECT et, slope, m, e FROM er
+             WHERE rk = greatest(CAST(ceil(kk / 2.0) AS BIGINT), 1)),
+    cnt AS (SELECT et, CAST(count(*) AS BIGINT) AS n_points
+            FROM d GROUP BY et)
+    SELECT cnt.et AS et, n_points,
+           CAST(coalesce(m, 0) AS BIGINT) AS n_pairs,
+           round(slope, 6) + 0.0 AS slope,
+           round(e, 4) + 0.0 AS intercept
+    FROM cnt LEFT JOIN pick ON cnt.et = pick.et
+    ORDER BY et
+    """,
+)
+def e_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend (operators/stats.theil_sen) of the
+    daily mean event value per event type — the outlier-proof slope
+    for monitoring series (one wild day cannot move the median of
+    pairwise slopes). The corpus pre-aggregates to the ~30-point
+    daily series FIRST (the m_acf discipline; the O(n²) pair join is
+    the statistic's definition and runs on the SERIES); daily means
+    are rounded to 4dp on BOTH sides so the pair slopes are
+    engine-exact inputs. Lower-median selection uses the repo's
+    inverse-ECDF ceil(n/2) convention. The oracle replays pairs,
+    both median windows and the residual intercept."""
+    from pandasvcf_spark.operators.stats import theil_sen
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400)
+        .cast("double")
+        .alias("x"),
+    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    return theil_sen(daily, ["et"], "x", "y").orderBy("et")

@@ -2195,3 +2195,65 @@ def g_bfs(spark, sf_dir):
         .filter(F.col("node") % 25 == 0)
     )
     return bfs_levels(li, sources, max_depth=3).orderBy("node")
+
+
+@register(
+    "agg_weighted_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS v, doc_id % 7 + 1 AS w
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        AND doc_id IS NOT NULL),
+    r AS (
+      SELECT lang, v,
+             sum(w) OVER (PARTITION BY lang ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(w) OVER (PARTITION BY lang) AS tw
+      FROM b),
+    g AS (
+      SELECT lang,
+             min(CASE WHEN CAST(cw AS DOUBLE)
+                      >= CAST(0.25 AS DOUBLE) * CAST(tw AS DOUBLE)
+                 THEN v END) AS q25,
+             min(CASE WHEN CAST(cw AS DOUBLE)
+                      >= CAST(0.5 AS DOUBLE) * CAST(tw AS DOUBLE)
+                 THEN v END) AS q50,
+             min(CASE WHEN CAST(cw AS DOUBLE)
+                      >= CAST(0.9 AS DOUBLE) * CAST(tw AS DOUBLE)
+                 THEN v END) AS q90
+      FROM r GROUP BY lang)
+    SELECT lang, CAST(0.25 AS DOUBLE) AS p, q25 AS q FROM g
+    UNION ALL
+    SELECT lang, CAST(0.5 AS DOUBLE) AS p, q50 AS q FROM g
+    UNION ALL
+    SELECT lang, CAST(0.9 AS DOUBLE) AS p, q90 AS q FROM g
+    ORDER BY lang, p
+    """,
+)
+def agg_weighted_quantiles(spark, sf_dir):
+    """Weighted quantiles (operators/stats.weighted_quantiles,
+    inverse weighted-ECDF type 1) of document length per language,
+    weighted by a synthetic doc_id%7+1 token weight — "the median
+    TOKEN sits in a doc of length …", which unweighted quantiles get
+    wrong on skewed weights. One group-keyed exchange serves the
+    RANGE cumulative-weight window (ties merge) and the conditional-
+    MIN groupBy; integer weights keep the ladder engine-exact, and
+    the p·W thresholds compare as doubles on BOTH sides (a DuckDB
+    DECIMAL 0.9 literal would flip exact integer boundaries)."""
+    from pandasvcf_spark.operators.stats import weighted_quantiles
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("doc_id").isNotNull()
+    )
+    base = d.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        (F.col("doc_id") % 7 + 1).alias("w"),
+    )
+    return weighted_quantiles(
+        base, ["lang"], "v", "w", probs=(0.25, 0.5, 0.9)
+    ).orderBy("lang", "p")

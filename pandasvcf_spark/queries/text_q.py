@@ -2968,3 +2968,51 @@ def sk_theta_intersect(spark, sf_dir):
     a = cu.filter(F.col("c_custkey") <= 1200)
     b = cu.filter(F.col("c_custkey") >= 400)
     return kmv_intersect(a, "c_name", b, "c_name", k=256)
+
+
+@register(
+    "t_diversity",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest({_WORDS}) AS c
+      FROM documents WHERE text IS NOT NULL),
+    cells AS (
+      SELECT source, c, CAST(count(*) AS DOUBLE) AS cnt
+      FROM w WHERE c IS NOT NULL GROUP BY source, c),
+    r AS (
+      SELECT source, cnt,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM cells),
+    p AS (SELECT source, n, cnt / n AS p FROM r),
+    agg AS (
+      SELECT source, CAST(max(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS richness,
+             sum(-p * ln(p)) AS sh,
+             sum(p * p) AS sp
+      FROM p GROUP BY source)
+    SELECT source, n, richness,
+           round(sh, 6) + 0.0 AS shannon,
+           round(1.0 - sp, 6) AS simpson,
+           round(CASE WHEN richness >= 2
+                 THEN sh / ln(CAST(richness AS DOUBLE)) END, 6) + 0.0
+             AS evenness
+    FROM agg ORDER BY source
+    """,
+)
+def t_diversity(spark, sf_dir):
+    """Per-source token-diversity report card (operators/stats.
+    diversity_indices): richness, Shannon entropy (nats), Gini-
+    Simpson, Pielou evenness — the corpus-balance audit beside
+    t_zipf_stats. One (source, token)-keyed vocabulary-sized count,
+    then a source-keyed agg of the p-terms; evenness divides by the
+    ENGINE's own ln(richness), never a Python literal (the
+    t_l_diversity 1-ulp lesson). The oracle replays cells, shares
+    and all four indices."""
+    from pandasvcf_spark.operators.stats import diversity_indices
+    from pandasvcf_spark.functions.text import words_expr
+
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "source", F.explode(words_expr("text")).alias("w")
+    )
+    return diversity_indices(toks, ["source"], "w").orderBy("source")

@@ -1336,3 +1336,140 @@ def v_kmeans(spark, sf_dir):
         F.col("embedding")[3].cast("double").alias("f4"),
     )
     return kmeans_fit(d, "id", ["f1", "f2", "f3", "f4"], k=4, iters=2)
+
+
+@register(
+    "v_silhouette",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id AS id, label AS l,
+             CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2,
+             CAST(embedding[3] AS DOUBLE) AS x3,
+             CAST(embedding[4] AS DOUBLE) AS x4
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        AND embedding IS NOT NULL),
+    c AS (
+      SELECT l AS cl,
+             round(avg(x1), 6) + 0.0 AS c1,
+             round(avg(x2), 6) + 0.0 AS c2,
+             round(avg(x3), 6) + 0.0 AS c3,
+             round(avg(x4), 6) + 0.0 AS c4
+      FROM v GROUP BY l),
+    d AS (
+      SELECT v.id, v.l, c.cl,
+             sqrt((x1 - c1) * (x1 - c1) + (x2 - c2) * (x2 - c2)
+                  + (x3 - c3) * (x3 - c3) + (x4 - c4) * (x4 - c4))
+               AS dist
+      FROM v CROSS JOIN c),
+    ab AS (
+      SELECT l, id,
+             min(CASE WHEN cl = l THEN dist END) AS a,
+             min(CASE WHEN cl <> l THEN dist END) AS b
+      FROM d GROUP BY l, id),
+    s AS (
+      SELECT l, CASE WHEN greatest(a, b) > 0
+                     THEN (b - a) / greatest(a, b)
+                     ELSE 0.0 END AS s
+      FROM ab)
+    SELECT l AS label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 6) + 0.0 AS mean_sil
+    FROM s GROUP BY l ORDER BY label
+    """,
+)
+def v_silhouette(spark, sf_dir):
+    """Centroid-based (simplified) silhouette score per label cluster
+    (operators/stats.silhouette_by_centroid) over the first four
+    embedding coordinates — the cluster-quality audit for v_kmeans /
+    v_label_centroids outputs: s = (b − a) / max(a, b) with a = the
+    point's distance to its own centroid, b = to the nearest other
+    centroid (the O(n·k) simplified form — full silhouette's O(n²)
+    pairwise distances never materialize). Centroids are 6dp-pinned
+    on both sides (the v_kmeans trajectory device); distances are
+    broadcast-literal arithmetic. Expected ~0 on this structureless
+    synthetic corpus — the entry checks the audit arithmetic."""
+    from pandasvcf_spark.operators.stats import silhouette_by_centroid
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("label").isNotNull()
+        & F.col("embedding").isNotNull()
+    )
+    d = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("l"),
+        F.col("embedding")[0].cast("double").alias("f1"),
+        F.col("embedding")[1].cast("double").alias("f2"),
+        F.col("embedding")[2].cast("double").alias("f3"),
+        F.col("embedding")[3].cast("double").alias("f4"),
+    )
+    out = silhouette_by_centroid(d, "l", ["f1", "f2", "f3", "f4"])
+    return out.select(
+        F.col("l").alias("label"), "n", "mean_sil"
+    ).orderBy("label")
+
+
+@register(
+    "m_cronbach",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS i1,
+             CAST(embedding[2] AS DOUBLE) AS i2,
+             CAST(embedding[3] AS DOUBLE) AS i3,
+             CAST(embedding[4] AS DOUBLE) AS i4,
+             CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+               + CAST(embedding[3] AS DOUBLE)
+               + CAST(embedding[4] AS DOUBLE) AS t
+      FROM embeddings WHERE embedding IS NOT NULL),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(i1) AS s1, sum(i1 * i1) AS q1,
+             sum(i2) AS s2, sum(i2 * i2) AS q2,
+             sum(i3) AS s3, sum(i3 * i3) AS q3,
+             sum(i4) AS s4, sum(i4 * i4) AS q4,
+             sum(t) AS st, sum(t * t) AS qt
+      FROM b),
+    m AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd,
+             (q1 - s1 * s1 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v1,
+             (q2 - s2 * s2 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v2,
+             (q3 - s3 * s3 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v3,
+             (q4 - s4 * s4 / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v4,
+             (qt - st * st / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS vt
+      FROM g)
+    SELECT CAST(4 AS BIGINT) AS k, n,
+           round(CASE WHEN n >= 2 AND vt > 0
+                 THEN (CAST(4 AS DOUBLE) / CAST(3 AS DOUBLE))
+                      * (1.0 - (v1 + v2 + v3 + v4) / vt) END, 6)
+             + 0.0 AS alpha
+    FROM m
+    """,
+)
+def m_cronbach(spark, sf_dir):
+    """Cronbach's alpha (operators/stats.cronbach_alpha) treating the
+    first four embedding coordinates as rubric items — the internal-
+    consistency check for multi-judge scores and survey scales.
+    ONE 1-row aggregation of 2k+3 counters; alpha is a variance
+    ratio, so accumulation-order noise cancels (the m_anova
+    argument). Expected ~0 on independent coordinates — the entry
+    checks the estimator, not the scale. The oracle replays sums,
+    sample variances and the k/(k−1) factor with the factor computed
+    in DOUBLE division (a DECIMAL 4/3 would diverge)."""
+    from pandasvcf_spark.operators.stats import cronbach_alpha
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    d = e.select(
+        F.col("embedding")[0].cast("double").alias("i1"),
+        F.col("embedding")[1].cast("double").alias("i2"),
+        F.col("embedding")[2].cast("double").alias("i3"),
+        F.col("embedding")[3].cast("double").alias("i4"),
+    )
+    return cronbach_alpha(d, ["i1", "i2", "i3", "i4"])

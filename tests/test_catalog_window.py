@@ -662,6 +662,23 @@ def test_tail_entries_are_redundant_variants_only():
                                  # windows + agg = m_ndcg's plan
         "sk_countmin",           # demoted re-cut #4: partial-agged
                                  # register grid stays via sk_hll
+        "m_wilson_topk",         # small-n-penalized rate ranking:
+                                 # two-counter agg + TakeOrdered on
+                                 # the rounded bound
+        "e_theil_sen",           # robust trend: median of pairwise
+                                 # slopes over the PRE-AGGREGATED
+                                 # daily series (m_acf discipline)
+        "agg_weighted_quantiles", # inverse weighted-ECDF: RANGE
+                                 # cumulative-weight window + cond-
+                                 # MIN (grouped-quantiles device)
+        "v_silhouette",          # centroid silhouette: 6dp-pinned
+                                 # centroids, broadcast-literal
+                                 # distances, O(n*k) not O(n^2)
+        "m_cronbach",            # reliability alpha: one 1-row
+                                 # 2k+3-counter agg, variance ratio
+        "t_diversity",           # Shannon/Simpson/evenness report:
+                                 # vocab-sized cells, engine-ln
+                                 # evenness (t_l_diversity lesson)
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

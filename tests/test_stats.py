@@ -515,3 +515,136 @@ def test_attribution_tie_breaks_by_touch_id(spark):
     out = {r["channel"]: r for r in attribution_report(
         touches, convs, lookback_s=100).collect()}
     assert out["B"]["n_last"] == 1 and out["A"]["n_first"] == 1
+
+
+# --- wilson_topk / theil_sen / weighted_quantiles --------------------------
+
+
+def test_wilson_small_n_penalized(spark):
+    from pandasvcf_spark.operators.stats import wilson_topk
+
+    # 1-of-1 must rank BELOW 95-of-100 despite the higher raw rate
+    rows = [("a", 1)] + [("b", 1)] * 95 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "item string, y int")
+    out = wilson_topk(df, ["item"], "y", k=10).collect()
+    assert [r["item"] for r in out] == ["b", "a"]
+    assert out[0]["rate"] == 0.95 and out[1]["rate"] == 1.0
+
+
+def test_theil_sen_outlier_immune(spark):
+    from pandasvcf_spark.operators.stats import theil_sen
+
+    # y = 2x except one wild outlier; median slope stays 2
+    rows = [(0, float(x), 2.0 * x) for x in range(1, 7)]
+    rows[3] = (0, 4.0, 1000.0)
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    r = theil_sen(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] == 2.0
+    assert r["n_points"] == 6 and r["n_pairs"] == 15
+
+
+def test_theil_sen_vertical_pairs_skipped(spark):
+    from pandasvcf_spark.operators.stats import theil_sen
+
+    # duplicate x contributes no pair with itself
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (0, 1.0, 5.0), (0, 2.0, 2.0)],
+        "g int, x double, y double",
+    )
+    r = theil_sen(df, ["g"], "x", "y").collect()[0]
+    assert r["n_pairs"] == 2  # (1,?)->(2,2) twice; (1,1)-(1,5) skipped
+
+
+def test_weighted_quantiles_hand(spark):
+    from pandasvcf_spark.operators.stats import weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7 (W=10):
+    # p=0.5 -> first v with cumw >= 5 is 4; p=0.3 -> cumw>=3 at v=3
+    df = spark.createDataFrame(
+        [(0, 1.0, 1), (0, 2.0, 1), (0, 3.0, 1), (0, 4.0, 7)],
+        "g int, v double, w long",
+    )
+    out = {r["p"]: r["q"] for r in weighted_quantiles(
+        df, ["g"], "v", "w", probs=(0.3, 0.5, 1.0)).collect()}
+    assert out[0.3] == 3.0 and out[0.5] == 4.0 and out[1.0] == 4.0
+
+
+def test_weighted_quantiles_ties_merge(spark):
+    from pandasvcf_spark.operators.stats import weighted_quantiles
+
+    # tied values: cumulative weight at a value includes ALL its rows
+    df = spark.createDataFrame(
+        [(0, 1.0, 4), (0, 1.0, 4), (0, 2.0, 2)],
+        "g int, v double, w long",
+    )
+    out = {r["p"]: r["q"] for r in weighted_quantiles(
+        df, ["g"], "v", "w", probs=(0.5,)).collect()}
+    assert out[0.5] == 1.0  # cumw at v=1 is 8 >= 5
+
+
+# --- silhouette / cronbach / diversity -------------------------------------
+
+
+def test_silhouette_separated_blobs(spark):
+    from pandasvcf_spark.operators.stats import silhouette_by_centroid
+
+    rows = [(0, 0.0, 0.1), (0, 0.1, 0.0), (0, 0.0, 0.0),
+            (1, 9.0, 9.0), (1, 9.1, 9.0), (1, 9.0, 9.1)]
+    df = spark.createDataFrame(rows, "l int, x double, y double")
+    out = {r["l"]: r["mean_sil"] for r in
+           silhouette_by_centroid(df, "l", ["x", "y"]).collect()}
+    assert out[0] > 0.9 and out[1] > 0.9
+
+
+def test_silhouette_single_cluster_raises(spark):
+    from pandasvcf_spark.operators.stats import silhouette_by_centroid
+
+    df = spark.createDataFrame([(0, 1.0)], "l int, x double")
+    with pytest.raises(ValueError):
+        silhouette_by_centroid(df, "l", ["x"])
+
+
+def test_cronbach_parallel_items_is_one(spark):
+    from pandasvcf_spark.operators.stats import cronbach_alpha
+
+    # identical items: k/(k-1)*(1 - k*v/(k^2*v)) = k/(k-1)*(1-1/k) = 1
+    rows = [(float(i), float(i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "i1 double, i2 double")
+    assert cronbach_alpha(df, ["i1", "i2"]).collect()[0]["alpha"] == 1.0
+
+
+def test_cronbach_anticorrelated_negative(spark):
+    from pandasvcf_spark.operators.stats import cronbach_alpha
+
+    # imperfectly anti-correlated items: alpha < 0 is legal and expected
+    rows = [(1.0, 4.0), (2.0, 3.5), (3.0, 2.0), (4.0, 1.0)]
+    df = spark.createDataFrame(rows, "i1 double, i2 double")
+    a = cronbach_alpha(df, ["i1", "i2"]).collect()[0]["alpha"]
+    assert a is not None and a < 0
+
+
+def test_cronbach_constant_total_null(spark):
+    from pandasvcf_spark.operators.stats import cronbach_alpha
+
+    # PERFECT anti-correlation makes the total constant -> var(total)=0
+    # -> alpha NULL (undefined), not an arbitrary number
+    rows = [(1.0, 4.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)]
+    df = spark.createDataFrame(rows, "i1 double, i2 double")
+    assert cronbach_alpha(df, ["i1", "i2"]).collect()[0]["alpha"] is None
+
+
+def test_diversity_uniform_vs_skewed(spark):
+    from pandasvcf_spark.operators.stats import diversity_indices
+
+    import math
+
+    rows = [("u", c) for c in "abcd"] * 3
+    rows += [("s", "a")] * 9 + [("s", "b")]
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in
+           diversity_indices(df, ["g"], "c").collect()}
+    assert out["u"]["richness"] == 4
+    assert out["u"]["evenness"] == 1.0  # uniform -> Pielou 1
+    assert out["u"]["shannon"] == round(math.log(4.0), 6)
+    assert out["s"]["simpson"] == round(1 - (0.81 + 0.01), 6)
+    assert out["s"]["evenness"] < 0.5
