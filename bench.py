@@ -385,6 +385,13 @@ def main() -> None:
         for key, qname in (
             ("grouped_quantiles_sec", "agg_grouped_quantiles"),
             ("bootstrap_ci_sec", "m_bootstrap_ci"),
+            # second round-8 continuation: the two heaviest promoted
+            # classes — fixed-budget Lloyd k-means (2 assignment rounds
+            # + model-sized centroid collect) and Adamic-Adar link
+            # prediction (the wedge-count-bound expansion, the worst
+            # probed exponent this round at 0.57)
+            ("kmeans_sec", "v_kmeans"),
+            ("link_pred_sec", "g_link_pred"),
         ):
             times, n_out = [], 0
             for _ in range(2):

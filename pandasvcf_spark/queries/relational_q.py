@@ -2257,3 +2257,174 @@ def agg_weighted_quantiles(spark, sf_dir):
     return weighted_quantiles(
         base, ["lang"], "v", "w", probs=(0.25, 0.5, 0.9)
     ).orderBy("lang", "p")
+
+
+@register(
+    "m_ks_test",
+    oracle="""
+    WITH b AS (
+      SELECT l_linestatus AS ls, l_extendedprice AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS f
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+        AND l_linestatus IS NOT NULL),
+    r AS (
+      SELECT ls,
+             sum(f) OVER (PARTITION BY ls ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c1,
+             sum(1 - f) OVER (PARTITION BY ls ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c0,
+             sum(f) OVER (PARTITION BY ls) AS t1,
+             sum(1 - f) OVER (PARTITION BY ls) AS t0
+      FROM b),
+    a AS (
+      SELECT ls, CAST(max(t1) AS BIGINT) AS n1,
+             CAST(max(t0) AS BIGINT) AS n0,
+             max(abs(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                     - CAST(c0 AS DOUBLE) / CAST(t0 AS DOUBLE)))
+               AS dd
+      FROM r GROUP BY ls)
+    SELECT ls, n1, n0,
+           round(CASE WHEN n1 > 0 AND n0 > 0 THEN dd END, 6) AS d,
+           round(CASE WHEN n1 > 0 AND n0 > 0
+                 THEN dd * sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                                / (CAST(n1 AS DOUBLE)
+                                   + CAST(n0 AS DOUBLE))) END, 6)
+             AS z
+    FROM a ORDER BY ls
+    """,
+)
+def m_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov test (operators/stats.
+    ks_test_2samp) of extended price between returned (R) and other
+    lineitems, per line status — the distribution-SHAPE drift
+    detector beside m_mann_whitney's location test and m_ks_lift's
+    binned table (this is the unbinned statistic). One group-keyed
+    exchange: two RANGE cumulative windows (ties carry the full
+    step) + a MAX agg; integer counts make D exact rational
+    arithmetic, replayed verbatim."""
+    from pandasvcf_spark.operators.stats import ks_test_2samp
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+        & F.col("l_linestatus").isNotNull()
+    )
+    d = li.select(
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_extendedprice").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("f"),
+    )
+    return ks_test_2samp(d, ["ls"], "v", "f").orderBy("ls")
+
+
+@register(
+    "m_mad_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+    m1 AS (SELECT source, v AS med FROM (
+             SELECT source, v,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY v) AS rk,
+                    count(*) OVER (PARTITION BY source) AS n
+             FROM b)
+           WHERE rk = greatest(CAST(ceil(n / 2.0) AS BIGINT), 1)),
+    d AS (SELECT b.source AS source, b.v, m1.med,
+                 abs(b.v - m1.med) AS dv
+          FROM b JOIN m1 ON b.source = m1.source),
+    m2 AS (SELECT source, dv AS mad FROM (
+             SELECT source, dv,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY dv) AS rk,
+                    count(*) OVER (PARTITION BY source) AS n
+             FROM d)
+           WHERE rk = greatest(CAST(ceil(n / 2.0) AS BIGINT), 1))
+    SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n,
+           max(d.med) AS med, max(m2.mad) AS mad,
+           CAST(sum(CASE WHEN abs(d.v - d.med)
+                         > 3.0 * CAST(1.4826 AS DOUBLE) * m2.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN m2 ON d.source = m2.source
+    GROUP BY d.source ORDER BY source
+    """,
+)
+def m_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier report (operators/stats.mad_outliers,
+    k = 3) of document lengths per source — the monitoring staple a
+    few wild points cannot recalibrate (unlike mean/stddev z-scores,
+    which move with the outliers they hunt). Two exact-median rank
+    windows on one source-keyed exchange + group-sized broadcast
+    join-backs; the threshold compare is exact IEEE arithmetic on
+    both engines (the 1.4826 consistency constant is CAST from the
+    same decimal on both sides). The oracle replays both medians
+    and the flag count."""
+    from pandasvcf_spark.operators.stats import mad_outliers
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    base = d.select("source", F.col("n_chars").alias("v"))
+    return mad_outliers(base, ["source"], "v", k=3.0).orderBy("source")
+
+
+@register(
+    "m_levene",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS g, CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+    m1 AS (SELECT g, v AS med FROM (
+             SELECT g, v,
+                    row_number() OVER (PARTITION BY g ORDER BY v)
+                      AS rk,
+                    count(*) OVER (PARTITION BY g) AS n
+             FROM b)
+           WHERE rk = greatest(CAST(ceil(n / 2.0) AS BIGINT), 1)),
+    z AS (SELECT b.g AS g, abs(b.v - m1.med) AS v
+          FROM b JOIN m1 ON b.g = m1.g),
+    p AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                 sum(v) AS s, sum(v * v) AS q
+          FROM z GROUP BY g),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 sum(s) AS gs, sum(q) AS gq,
+                 sum(s * s / n) AS w
+          FROM p),
+    m AS (SELECT k, n,
+                 w - gs * gs / CAST(n AS DOUBLE) AS ssb,
+                 gq - w AS ssw
+          FROM t)
+    SELECT k, n,
+           round(CASE WHEN k >= 2
+                      AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+                      AND ssw > 0
+                 THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+                      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                 END, 6) + 0.0 AS f_stat,
+           round(CASE WHEN ssb + ssw > 0
+                 THEN ssb / (ssb + ssw) END, 6) + 0.0 AS eta_sq
+    FROM m
+    """,
+)
+def m_levene(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (operators/stats.
+    levene_bf) of account balance across market segments — the
+    robust spread-difference check that is m_anova's precondition
+    (same fixture on purpose: mean test and spread test side by
+    side). One exact-median window + broadcast join-back, then
+    anova_oneway's combiner tree over |x − median|. The oracle
+    replays median, deviations and both ratio statistics."""
+    from pandasvcf_spark.operators.stats import levene_bf
+
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull() & F.col("c_mktsegment").isNotNull()
+    )
+    d = c.select(
+        F.col("c_mktsegment").alias("g"), F.col("c_acctbal").alias("v")
+    )
+    return levene_bf(d, "g", "v")

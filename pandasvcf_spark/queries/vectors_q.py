@@ -1473,3 +1473,58 @@ def m_cronbach(spark, sf_dir):
         F.col("embedding")[3].cast("double").alias("i4"),
     )
     return cronbach_alpha(d, ["i1", "i2", "i3", "i4"])
+
+
+@register(
+    "m_lin_ccc",
+    oracle="""
+    WITH b AS (
+      SELECT label AS l, CAST(embedding[6] AS DOUBLE) AS x,
+             CAST(embedding[7] AS DOUBLE) AS y
+      FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL),
+    g AS (
+      SELECT l, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(x * y) AS sxy
+      FROM b GROUP BY l),
+    m AS (
+      SELECT l, n,
+             sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+             syy - sy * sy / CAST(n AS DOUBLE) AS vy,
+             sxy - sx * sy / CAST(n AS DOUBLE) AS cv,
+             (sx - sy) / CAST(n AS DOUBLE) AS dm
+      FROM g)
+    SELECT l AS label, n,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN cv / sqrt(vx * vy) END, 6) + 0.0 AS pearson,
+           round(CASE WHEN vx + vy + CAST(n AS DOUBLE) * dm * dm > 0
+                 THEN 2.0 * cv
+                      / (vx + vy + CAST(n AS DOUBLE) * dm * dm)
+                 END, 6) + 0.0 AS ccc
+    FROM m ORDER BY label
+    """,
+)
+def m_lin_ccc(spark, sf_dir):
+    """Lin's concordance correlation (operators/stats.lin_ccc) between
+    the 6th and 7th embedding coordinates per label — numeric
+    AGREEMENT with the 45° line, the multi-judge score-consistency
+    metric beside m_cohens_kappa's categorical one (Pearson reported
+    alongside: perfectly correlated but offset judges show the gap).
+    One 5-sum partial-aggregated groupBy; both statistics are moment
+    ratios. Expected ~0 on independent coordinates."""
+    from pandasvcf_spark.operators.stats import lin_ccc
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
+    d = e.select(
+        F.col("label").alias("l"),
+        F.col("embedding")[5].cast("double").alias("x"),
+        F.col("embedding")[6].cast("double").alias("y"),
+    )
+    out = lin_ccc(d, ["l"], "x", "y")
+    return out.select(
+        F.col("l").alias("label"), "n", "pearson", "ccc"
+    ).orderBy("label")

@@ -679,6 +679,15 @@ def test_tail_entries_are_redundant_variants_only():
         "t_diversity",           # Shannon/Simpson/evenness report:
                                  # vocab-sized cells, engine-ln
                                  # evenness (t_l_diversity lesson)
+        "m_ks_test",             # exact 2-sample KS: two RANGE
+                                 # cumulative windows + MAX agg,
+                                 # integer-count-exact D
+        "m_mad_outliers",        # robust MAD flags: two exact-median
+                                 # windows + broadcast join-backs
+        "m_levene",              # Brown-Forsythe spread test: median
+                                 # window + anova combiner tree
+        "m_lin_ccc",             # concordance w/ 45-degree line:
+                                 # 5-sum groupBy moment ratios
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

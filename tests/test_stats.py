@@ -648,3 +648,77 @@ def test_diversity_uniform_vs_skewed(spark):
     assert out["u"]["shannon"] == round(math.log(4.0), 6)
     assert out["s"]["simpson"] == round(1 - (0.81 + 0.01), 6)
     assert out["s"]["evenness"] < 0.5
+
+
+# --- ks_test / mad_outliers / lin_ccc / levene_bf --------------------------
+
+
+def test_ks_identical_zero_and_disjoint_one(spark):
+    from pandasvcf_spark.operators.stats import ks_test_2samp
+
+    rows = [(0, float(v), 1) for v in range(5)]
+    rows += [(0, float(v), 0) for v in range(5)]        # identical
+    rows += [(1, float(v), 1) for v in range(5)]
+    rows += [(1, float(v) + 100, 0) for v in range(5)]  # disjoint
+    df = spark.createDataFrame(rows, "g int, v double, f int")
+    out = {r["g"]: r for r in ks_test_2samp(df, ["g"], "v", "f").collect()}
+    assert out[0]["d"] == 0.0
+    assert out[1]["d"] == 1.0
+
+
+def test_ks_hand_value(spark):
+    from pandasvcf_spark.operators.stats import ks_test_2samp
+
+    import math
+
+    # sample1 = {1,2}, sample0 = {2,3}: at v=1 |1/2-0|=.5; v=2 |1-1/2|=.5;
+    # v=3 |1-1|=0 -> D=0.5 ; z = 0.5*sqrt(4/4) = 0.5
+    df = spark.createDataFrame(
+        [(0, 1.0, 1), (0, 2.0, 1), (0, 2.0, 0), (0, 3.0, 0)],
+        "g int, v double, f int",
+    )
+    r = ks_test_2samp(df, ["g"], "v", "f").collect()[0]
+    assert r["d"] == 0.5 and r["z"] == 0.5
+
+
+def test_mad_outliers_planted(spark):
+    from pandasvcf_spark.operators.stats import mad_outliers
+
+    # values 1..9 (med 5, MAD 2) + one wild 1000:
+    # n=10 -> median index ceil(10/2)=5 -> med 5; dev med -> mad 2
+    # threshold 3*1.4826*2 = 8.8956: only 1000 exceeds
+    rows = [(0, float(v)) for v in range(1, 10)] + [(0, 1000.0)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    r = mad_outliers(df, ["g"], "v", k=3.0).collect()[0]
+    assert r["med"] == 5.0 and r["mad"] == 2.0
+    assert r["n_outliers"] == 1
+
+
+def test_lin_ccc_offset_judges(spark):
+    from pandasvcf_spark.operators.stats import lin_ccc
+
+    # y = x + 2: Pearson 1, CCC = 2v/(2v+4) with v = pop var of x
+    rows = [(0, float(i), float(i) + 2.0) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    r = lin_ccc(df, ["g"], "x", "y").collect()[0]
+    assert r["pearson"] == 1.0
+    v = sum((i - 3.0) ** 2 for i in range(1, 6))  # n*popvar = 10
+    assert r["ccc"] == round(2 * v / (2 * v + 5 * 4.0), 6)
+
+
+def test_levene_equal_vs_unequal_spread(spark):
+    from pandasvcf_spark.operators.stats import levene_bf
+
+    # same spread in both groups -> F ~ 0; one wide group -> F large
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+    rows += [("b", float(v) + 100) for v in (1, 2, 3, 4, 5)]
+    same = levene_bf(
+        spark.createDataFrame(rows, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert same["f_stat"] == 0.0  # identical deviation profiles
+    rows2 = [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+    rows2 += [("b", float(v) * 50) for v in (1, 2, 3, 4, 5)]
+    diff = levene_bf(
+        spark.createDataFrame(rows2, "g string, v double"), "g", "v"
+    ).collect()[0]
+    assert diff["f_stat"] > 5
