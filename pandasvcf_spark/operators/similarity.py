@@ -1381,3 +1381,45 @@ def mutual_knn(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "sim")
     )
+
+
+def knn_majority_vote(
+    knn: DataFrame,
+    labels: DataFrame,
+    query_id_col: str = "query_id",
+    vec_id_col: str = "vec_id",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over a kNN table — the
+    label-propagation / leave-one-out-evaluation step after
+    `cosine_topk_blocked`: each query takes the modal label of its
+    neighbors, ties broken to the smallest label (deterministic, the
+    repo's total-order rule).
+
+    Output: (query_id, pred_label, n_votes BIGINT).
+
+    Plan: one neighbor-id equi-join attaches labels (corpus×k rows,
+    never corpus²), one (query, label) partial-aggregated count, one
+    query-keyed rank window — all shuffles are kNN-table-sized.
+    """
+    lab = labels.select(
+        F.col(id_col).alias(vec_id_col), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        knn.join(lab, vec_id_col)
+        .groupBy(query_id_col, "__nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_votes").desc(), F.col("__nl").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            query_id_col,
+            F.col("__nl").alias("pred_label"),
+            "n_votes",
+        )
+    )

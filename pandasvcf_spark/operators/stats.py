@@ -1351,3 +1351,108 @@ def levene_bf(
         "__g", F.abs(F.col("__v") - F.col("med")).alias("__z")
     )
     return anova_oneway(dev, "__g", "__z")
+
+
+def pca_power_topvec(
+    df: DataFrame,
+    feat_cols: Sequence[str],
+    iters: int = 2,
+) -> DataFrame:
+    """Leading principal component by fixed-iteration power method —
+    PCA without a linear-algebra library, as pure 1-row column
+    arithmetic (the v_kmeans / m_logit fixed-budget family): the
+    sample covariance of the feature columns is built from one
+    partial-aggregated sums pass, ROUNDED TO 6dp (pinning the
+    trajectory on both engines), then `iters` rounds of v ← C·v /
+    ||C·v|| starting from e1 run as expressions ON THE 1-ROW FRAME —
+    no collect, no driver math, no MLlib.
+
+    Output: ONE row (n BIGINT, rayleigh DOUBLE round 6 — the Rayleigh
+    quotient v'Cv after the final round, the eigenvalue estimate —
+    and v_<feat> DOUBLE round 6 loading components). Sign convention: whatever the e1-seeded
+    trajectory produces (deterministic; callers wanting a canonical
+    sign flip on the first component's sign themselves).
+
+    The d² covariance expressions bound d to expression-tree scale
+    (fine to ~32 dims; use `embedding_covariance`'s mapInPandas grid
+    + a driver eigensolver beyond that — documented boundary, not a
+    silent cap).
+    """
+    feats = list(feat_cols)
+    d = len(feats)
+    if d < 2:
+        raise ValueError("need >= 2 features")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    cond = F.lit(True)
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        *[F.col(c).cast("double").alias(c) for c in feats]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, ci in enumerate(feats):
+        aggs.append(F.sum(F.col(ci)).alias(f"__s{i}"))
+        for j, cj in enumerate(feats):
+            if i <= j:
+                aggs.append(
+                    F.sum(F.col(ci) * F.col(cj)).alias(f"__q{i}{j}")
+                )
+    g = base.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def cov(i, j):
+        a, b = min(i, j), max(i, j)
+        raw = (
+            F.col(f"__q{a}{b}")
+            - F.col(f"__s{a}") * F.col(f"__s{b}") / nd
+        ) / (nd - F.lit(1.0))
+        return F.round(raw, 6) + F.lit(0.0)
+
+    withc = g.select(
+        "n",
+        *[
+            (cov(i, j)).alias(f"__c{i}{j}")
+            for i in range(d)
+            for j in range(d)
+            if i <= j
+        ],
+    )
+
+    def c_ref(i, j):
+        a, b = min(i, j), max(i, j)
+        return F.col(f"__c{a}{b}")
+
+    # power iterations as expressions on the 1-row frame
+    v = [F.lit(1.0)] + [F.lit(0.0)] * (d - 1)  # e1 seed
+    u = v
+    for _ in range(iters):
+        u = []
+        for i in range(d):
+            acc = None
+            for j in range(d):
+                t = c_ref(i, j) * v[j]
+                acc = t if acc is None else acc + t
+            u.append(acc)
+        norm = None
+        for i in range(d):
+            t = u[i] * u[i]
+            norm = t if norm is None else norm + t
+        norm = F.sqrt(norm)
+        v = [u[i] / norm for i in range(d)]
+    lam = None
+    for i in range(d):
+        acc = None
+        for j in range(d):
+            t = c_ref(i, j) * v[j]
+            acc = t if acc is None else acc + t
+        t = v[i] * acc
+        lam = t if lam is None else lam + t
+    return withc.select(
+        "n",
+        (F.round(lam, 6) + F.lit(0.0)).alias("rayleigh"),
+        *[
+            (F.round(v[i], 6) + F.lit(0.0)).alias(f"v_{feats[i]}")
+            for i in range(d)
+        ],
+    )

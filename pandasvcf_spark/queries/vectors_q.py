@@ -1528,3 +1528,181 @@ def m_lin_ccc(spark, sf_dir):
     return out.select(
         F.col("l").alias("label"), "n", "pearson", "ccc"
     ).orderBy("label")
+
+
+@register(
+    "v_knn_classify",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id < 300 AND label IS NOT NULL
+        AND embedding IS NOT NULL),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id, e.label AS nl,
+             {_sql_cos('e.embedding', 'q.embedding')} AS cos
+      FROM sub e, sub q WHERE e.vec_id <> q.vec_id),
+    knn AS (
+      SELECT query_id, nl FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 5),
+    votes AS (
+      SELECT query_id, nl, CAST(count(*) AS BIGINT) AS n_votes
+      FROM knn GROUP BY query_id, nl),
+    pred AS (
+      SELECT query_id, nl AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY n_votes DESC, nl) AS rn
+        FROM votes) WHERE rn = 1),
+    j AS (
+      SELECT s.label AS label,
+             CASE WHEN p.pred_label = s.label THEN 1 ELSE 0 END AS ok
+      FROM sub s JOIN pred p ON p.query_id = s.vec_id)
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ok) AS BIGINT) AS n_correct,
+           round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS acc
+    FROM j GROUP BY label ORDER BY label
+    """,
+)
+def v_knn_classify(spark, sf_dir):
+    """Leave-one-out 5-NN majority-vote classification accuracy per
+    label over a 300-vector slice (operators/similarity.
+    knn_majority_vote on cosine_topk_blocked's kNN table) — the
+    end-to-end label-propagation / embedding-quality eval: each
+    vector takes the modal label of its 5 nearest neighbors (ties to
+    the smallest label), scored against its true label. All shuffles
+    are kNN-table-sized; the blocked-BLAS scorer never materializes
+    corpus². Expected ~chance accuracy on this structureless corpus
+    — the entry checks the vote/eval machinery. The oracle replays
+    kNN, votes, the tie-broken argmax and the per-label accuracy."""
+    from pandasvcf_spark.operators.similarity import (
+        cosine_topk_blocked,
+        knn_majority_vote,
+    )
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 300)
+        & F.col("label").isNotNull()
+        & F.col("embedding").isNotNull()
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    knn = cosine_topk_blocked(e, q, k=5)
+    pred = knn_majority_vote(knn, e.select("vec_id", "label"))
+    truth = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label")
+    )
+    j = pred.join(truth, "query_id").select(
+        "label",
+        F.when(F.col("pred_label") == F.col("label"), 1)
+        .otherwise(0)
+        .alias("ok"),
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            F.round(
+                F.sum("ok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("acc"),
+        )
+        .orderBy("label")
+    )
+
+
+def _pca_cov_sql() -> str:
+    """Covariance CTE over the first 4 embedding dims, 6dp-pinned."""
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(4):
+        sums.append(f"sum(x{i}) AS s{i}")
+        for j in range(4):
+            if i <= j:
+                sums.append(f"sum(x{i} * x{j}) AS q{i}{j}")
+    cov = ["n"]
+    for i in range(4):
+        for j in range(4):
+            if i <= j:
+                cov.append(
+                    f"round((q{i}{j} - s{i} * s{j} / CAST(n AS DOUBLE))"
+                    f" / (CAST(n AS DOUBLE) - 1.0), 6) + 0.0 AS c{i}{j}"
+                )
+    return (
+        "v AS (SELECT "
+        + ", ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}"
+            for i in range(4)
+        )
+        + " FROM embeddings WHERE embedding IS NOT NULL),\n"
+        "    sums AS (SELECT " + ", ".join(sums) + " FROM v),\n"
+        "    cov AS (SELECT " + ", ".join(cov) + " FROM sums)"
+    )
+
+
+def _pca_iter_sql(src: str, vin: list[str], out: str) -> str:
+    """One power-iteration round: u = C·v, normalize."""
+    def c(i, j):
+        a, b = (i, j) if i <= j else (j, i)
+        return f"c{a}{b}"
+
+    us = []
+    for i in range(4):
+        us.append(
+            " + ".join(f"{c(i, j)} * {vin[j]}" for j in range(4))
+            + f" AS u{i}"
+        )
+    norm = " + ".join(f"u{i} * u{i}" for i in range(4))
+    return (
+        f"{out}_u AS (SELECT *, " + ", ".join(us) + f" FROM {src}),\n"
+        f"    {out} AS (SELECT *, "
+        + ", ".join(
+            f"u{i} / sqrt({norm}) AS {out}v{i}" for i in range(4)
+        )
+        + f" FROM {out}_u)"
+    )
+
+
+@register(
+    "v_pca_power",
+    oracle=f"""
+    WITH {_pca_cov_sql()},
+    {_pca_iter_sql('cov', ['1.0', '0.0', '0.0', '0.0'], 'r1')},
+    {_pca_iter_sql("(SELECT n, c00, c01, c02, c03, c11, c12, c13, c22, c23, c33, r1v0, r1v1, r1v2, r1v3 FROM r1)", ['r1v0', 'r1v1', 'r1v2', 'r1v3'], 'r2')},
+    ray AS (
+      SELECT n, r2v0, r2v1, r2v2, r2v3,
+             r2v0 * (c00 * r2v0 + c01 * r2v1 + c02 * r2v2 + c03 * r2v3)
+             + r2v1 * (c01 * r2v0 + c11 * r2v1 + c12 * r2v2 + c13 * r2v3)
+             + r2v2 * (c02 * r2v0 + c12 * r2v1 + c22 * r2v2 + c23 * r2v3)
+             + r2v3 * (c03 * r2v0 + c13 * r2v1 + c23 * r2v2 + c33 * r2v3)
+               AS lam
+      FROM r2)
+    SELECT n, round(lam, 6) + 0.0 AS rayleigh,
+           round(r2v0, 6) + 0.0 AS v_f1,
+           round(r2v1, 6) + 0.0 AS v_f2,
+           round(r2v2, 6) + 0.0 AS v_f3,
+           round(r2v3, 6) + 0.0 AS v_f4
+    FROM ray
+    """,
+)
+def v_pca_power(spark, sf_dir):
+    """Leading principal component of the first four embedding
+    coordinates by 2-round power iteration (operators/stats.
+    pca_power_topvec) — PCA without MLlib, entirely as 1-row column
+    arithmetic over a 6dp-pinned covariance (the fixed-budget
+    iteration family: g_pagerank, m_logit, v_kmeans). One
+    partial-aggregated sums pass builds the covariance; both v ←
+    C·v/||C·v|| rounds and the Rayleigh-quotient eigenvalue are
+    expressions on the 1-row frame — no collect, no driver math.
+    The oracle unrolls both rounds with operand-identical
+    arithmetic."""
+    from pandasvcf_spark.operators.stats import pca_power_topvec
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    d = e.select(
+        F.col("embedding")[0].cast("double").alias("f1"),
+        F.col("embedding")[1].cast("double").alias("f2"),
+        F.col("embedding")[2].cast("double").alias("f3"),
+        F.col("embedding")[3].cast("double").alias("f4"),
+    )
+    return pca_power_topvec(d, ["f1", "f2", "f3", "f4"], iters=2)

@@ -688,6 +688,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # window + anova combiner tree
         "m_lin_ccc",             # concordance w/ 45-degree line:
                                  # 5-sum groupBy moment ratios
+        "v_knn_classify",        # LOO 5-NN vote accuracy: kNN-table-
+                                 # sized joins, tie-broken argmax
+                                 # (cosine_topk_blocked composition)
+        "v_pca_power",           # power-iteration PC1: 6dp-pinned
+                                 # covariance, 1-row expression
+                                 # rounds, Rayleigh eigenvalue
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

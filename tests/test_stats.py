@@ -722,3 +722,48 @@ def test_levene_equal_vs_unequal_spread(spark):
         spark.createDataFrame(rows2, "g string, v double"), "g", "v"
     ).collect()[0]
     assert diff["f_stat"] > 5
+
+
+# --- knn_majority_vote / pca_power_topvec ----------------------------------
+
+
+def test_knn_majority_vote_and_tiebreak(spark):
+    from pandasvcf_spark.operators.similarity import knn_majority_vote
+
+    knn = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12),   # q1: labels a, a, b -> a
+         (2, 10), (2, 12)],           # q2: a, b tie -> smaller label
+        "query_id int, vec_id int",
+    )
+    labels = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (12, "b")], "vec_id int, label string"
+    )
+    out = {r["query_id"]: r for r in
+           knn_majority_vote(knn, labels).collect()}
+    assert out[1]["pred_label"] == "a" and out[1]["n_votes"] == 2
+    assert out[2]["pred_label"] == "a" and out[2]["n_votes"] == 1
+
+
+def test_pca_power_diagonal_recovery(spark):
+    from pandasvcf_spark.operators.stats import pca_power_topvec
+
+    # x dominates variance -> PC1 ~ e1, rayleigh ~ var(x)
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.gauss(0, 10.0), rng.gauss(0, 0.1)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = pca_power_topvec(df, ["x", "y"], iters=3).collect()[0]
+    assert abs(abs(r["v_x"]) - 1.0) < 1e-3
+    assert abs(r["v_y"]) < 1e-2
+    assert r["rayleigh"] > 50  # ~ var(x) ~ 100
+
+
+def test_pca_power_validates(spark):
+    from pandasvcf_spark.operators.stats import pca_power_topvec
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError):
+        pca_power_topvec(df, ["x"])
+    with pytest.raises(ValueError):
+        pca_power_topvec(df, ["x", "y"], iters=0)
