@@ -1456,3 +1456,182 @@ def pca_power_topvec(
             for i in range(d)
         ],
     )
+
+
+def pacf_stats(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelation of a regular series at lags 1-3 via the
+    closed-form Durbin-Levinson recursion — "is the lag-2 echo real
+    or just lag-1 twice?", the AR-order diagnostic beside the plain
+    ACF (`m_acf`): PACF removes the shorter-lag pathways, so an AR(1)
+    series shows phi_22 ~ 0 where its ACF still decays geometrically.
+
+        phi_11 = r1
+        phi_22 = (r2 − r1²) / (1 − r1²)
+        phi_21 = r1 − phi_22·r1
+        phi_33 = (r3 − phi_21·r2 − phi_22·r1)
+                 / (1 − phi_21·r1 − phi_22·r2)
+
+    with r_k the biased ACF (lag-k cross sums over the squared-
+    deviation denominator, the m_acf convention). INTENDED FOR
+    PRE-AGGREGATED SERIES (the corpus collapses to hourly/daily
+    points first).
+
+    Output: 3 rows (lag INT, acf DOUBLE round 6, pacf DOUBLE
+    round 6); NULL where a denominator vanishes.
+
+    Plan: lead() columns over one ordered window + ONE 1-row fold,
+    then pure closed-form projections — no joins, no iteration.
+    """
+    mu = series.agg(F.avg(F.col(value_col).cast("double")).alias("m"))
+    w = Window.orderBy(time_col)
+    x = F.col(value_col).cast("double")
+    d = series.join(F.broadcast(mu)).select(
+        (x - F.col("m")).alias("d0"),
+        (F.lead(x, 1).over(w) - F.col("m")).alias("d1"),
+        (F.lead(x, 2).over(w) - F.col("m")).alias("d2"),
+        (F.lead(x, 3).over(w) - F.col("m")).alias("d3"),
+    )
+    agg = d.agg(
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        F.sum(F.col("d0") * F.col("d1")).alias("n1"),
+        F.sum(F.col("d0") * F.col("d2")).alias("n2"),
+        F.sum(F.col("d0") * F.col("d3")).alias("n3"),
+    )
+    r1 = F.col("n1") / F.col("den")
+    r2 = F.col("n2") / F.col("den")
+    r3 = F.col("n3") / F.col("den")
+    p22_den = F.lit(1.0) - r1 * r1
+    p22 = (r2 - r1 * r1) / p22_den
+    p21 = r1 - p22 * r1
+    p33_den = F.lit(1.0) - p21 * r1 - p22 * r2
+    p33 = (r3 - p21 * r2 - p22 * r1) / p33_den
+    ok = F.col("den") > 0
+    base = agg.select(
+        (F.round(F.when(ok, r1), 6) + F.lit(0.0)).alias("a1"),
+        (F.round(F.when(ok, r2), 6) + F.lit(0.0)).alias("a2"),
+        (F.round(F.when(ok, r3), 6) + F.lit(0.0)).alias("a3"),
+        (F.round(F.when(ok, r1), 6) + F.lit(0.0)).alias("p1"),
+        (
+            F.round(F.when(ok & (p22_den != 0), p22), 6) + F.lit(0.0)
+        ).alias("p2"),
+        (
+            F.round(
+                F.when(ok & (p22_den != 0) & (p33_den != 0), p33), 6
+            )
+            + F.lit(0.0)
+        ).alias("p3"),
+    )
+    out = None
+    for lag in (1, 2, 3):
+        row = base.select(
+            F.lit(lag).alias("lag"),
+            F.col(f"a{lag}").alias("acf"),
+            F.col(f"p{lag}").alias("pacf"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance-reduction summary (Deng et al. 2013) — the
+    modern A/B-test practice of regressing out a pre-experiment
+    covariate: theta = cov(pre, post) / var(pre), adjusted metric
+    y − theta·(x − mean x), whose variance shrinks by exactly corr²:
+
+        var_reduction = corr(pre, post)²
+
+    Input: ONE ROW PER UNIT (pre-aggregate user metrics first — this
+    operator consumes the per-user table, not raw events). Units with
+    NULL pre/post drop.
+
+    Output: ONE row (n BIGINT, theta DOUBLE round 6, corr DOUBLE
+    round 6, var_reduction DOUBLE round 6) — all moment ratios (the
+    m_anova rounding-stability argument); NULL when var(pre) or
+    var(post) is 0.
+
+    Plan: one partial-aggregated 5-sum pass over the unit table.
+    """
+    xc = F.col(pre_col).cast("double")
+    yc = F.col(post_col).cast("double")
+    base = df.filter(
+        F.col(unit_col).isNotNull() & xc.isNotNull() & yc.isNotNull()
+    ).select(xc.alias("__x"), yc.alias("__y"))
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / nd
+    cv = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    ok = (vx > 0) & (vy > 0)
+    return g.select(
+        "n",
+        (F.round(F.when(ok, cv / vx), 6) + F.lit(0.0)).alias("theta"),
+        (
+            F.round(F.when(ok, cv / F.sqrt(vx * vy)), 6) + F.lit(0.0)
+        ).alias("corr"),
+        F.round(F.when(ok, cv * cv / (vx * vy)), 6).alias(
+            "var_reduction"
+        ),
+    )
+
+
+def seasonal_naive_eval(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — the no-model baseline every
+    forecasting effort must beat (pred(t) = x(t − period)), evaluated
+    in-sample per group:
+
+        MAE   = mean |x − pred|
+        sMAPE = mean ( 2·|x − pred| / (|x| + |pred|) )   (0 when both 0)
+
+    over the points that HAVE a period-lag ancestor. INTENDED FOR
+    PRE-AGGREGATED SERIES; `time_col` must step uniformly (the lag is
+    positional, not temporal — resample gaps first via
+    `resample_ffill`).
+
+    Output: (*group_cols, n_eval BIGINT, mae DOUBLE round 4, smape
+    DOUBLE round 6).
+
+    Plan: one lag() window per group on the series table + one
+    group-keyed agg. Integer counts make the errors exact rationals.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    d = series.select(
+        *gcols, x.alias("__x"), F.lag(x, period).over(w).alias("__p")
+    ).filter(F.col("__p").isNotNull())
+    err = F.abs(F.col("__x") - F.col("__p"))
+    den = F.abs(F.col("__x")) + F.abs(F.col("__p"))
+    smape_term = F.when(den > 0, F.lit(2.0) * err / den).otherwise(
+        F.lit(0.0)
+    )
+    return d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(smape_term), 6).alias("smape"),
+    )

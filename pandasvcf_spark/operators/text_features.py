@@ -1321,3 +1321,60 @@ def corpus_bleu2(
             F.when(F.col("__rt2") > 0, F.col("__m2") / F.col("__rt2")), 6
         ).alias("rouge2"),
     )
+
+
+def code_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sym_threshold: float = 0.02,
+    camel_threshold: int = 3,
+) -> DataFrame:
+    """Code-vs-prose heuristic signals per document — the corpus-
+    curation router that decides whether a document flows to the code
+    or the prose pipeline (tokenizer choice, quality filters and
+    dedup shingle size all differ):
+
+        sym_ratio   = density of {}();=<> characters
+        camel_pairs = count of lowercase->uppercase transitions
+        is_code     = sym_ratio > sym_threshold
+                      OR camel_pairs >= camel_threshold
+
+    Pure column expressions (one regexp strip + one extract-all per
+    row, zero Python); thresholds are heuristic by design — the
+    operator reports the raw signals so callers can re-cut offline.
+
+    Output: (id, n_chars BIGINT, sym_ratio DOUBLE round 6,
+    camel_pairs BIGINT, is_code BOOLEAN); sym_ratio NULL on empty
+    text.
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.length(
+            F.regexp_replace(F.col(text_col), "[^{}();=<>]", "")
+        ).alias("__sym"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit("[a-z][A-Z]"), 0
+            )
+        ).alias("__camel"),
+    )
+    ratio = F.col("__sym").cast("double") / F.col("n_chars")
+    return base.select(
+        id_col,
+        "n_chars",
+        F.round(F.when(F.col("n_chars") > 0, ratio), 6).alias(
+            "sym_ratio"
+        ),
+        F.col("__camel").cast("long").alias("camel_pairs"),
+        F.when(
+            F.col("n_chars") > 0,
+            (ratio > F.lit(sym_threshold))
+            | (F.col("__camel") >= F.lit(camel_threshold)),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_code"),
+    )

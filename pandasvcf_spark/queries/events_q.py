@@ -2098,3 +2098,171 @@ def e_theil_sen(spark, sf_dir):
         .alias("x"),
     ).agg(F.round(F.avg("value"), 4).alias("y"))
     return theil_sen(daily, ["et"], "x", "y").orderBy("et")
+
+
+@register(
+    "m_pacf",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    mu AS (SELECT avg(x) AS m FROM hourly),
+    d AS (
+      SELECT x - mu.m AS d0,
+             lead(x, 1) OVER w - mu.m AS d1,
+             lead(x, 2) OVER w - mu.m AS d2,
+             lead(x, 3) OVER w - mu.m AS d3
+      FROM hourly, mu WINDOW w AS (ORDER BY h)),
+    agg AS (SELECT sum(d0 * d0) AS den, sum(d0 * d1) AS n1,
+                   sum(d0 * d2) AS n2, sum(d0 * d3) AS n3 FROM d),
+    f AS (SELECT den, n1 / den AS r1, n2 / den AS r2,
+                 n3 / den AS r3 FROM agg),
+    g AS (SELECT den, r1, r2, r3,
+                 1.0 - r1 * r1 AS p22d,
+                 (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+          FROM f),
+    h2 AS (SELECT *, r1 - p22 * r1 AS p21 FROM g),
+    h3 AS (SELECT *,
+                  1.0 - p21 * r1 - p22 * r2 AS p33d,
+                  (r3 - p21 * r2 - p22 * r1)
+                    / (1.0 - p21 * r1 - p22 * r2) AS p33
+           FROM h2)
+    SELECT 1 AS lag,
+           round(CASE WHEN den > 0 THEN r1 END, 6) + 0.0 AS acf,
+           round(CASE WHEN den > 0 THEN r1 END, 6) + 0.0 AS pacf
+    FROM h3
+    UNION ALL SELECT 2,
+      round(CASE WHEN den > 0 THEN r2 END, 6) + 0.0,
+      round(CASE WHEN den > 0 AND p22d <> 0 THEN p22 END, 6) + 0.0
+    FROM h3
+    UNION ALL SELECT 3,
+      round(CASE WHEN den > 0 THEN r3 END, 6) + 0.0,
+      round(CASE WHEN den > 0 AND p22d <> 0 AND p33d <> 0
+            THEN p33 END, 6) + 0.0
+    FROM h3
+    ORDER BY lag
+    """,
+)
+def m_pacf(spark, sf_dir):
+    """Partial autocorrelation at lags 1-3 (operators/stats.
+    pacf_stats; closed-form Durbin-Levinson) of the hourly event-count
+    series — the AR-order diagnostic beside m_acf: PACF removes the
+    shorter-lag pathways, so "is the lag-2 echo real or lag-1 twice?"
+    gets a direct answer. Same series machinery as m_acf (lead()
+    columns + ONE 1-row fold); the recursion is pure closed-form
+    projection, replayed operand-for-operand by the oracle."""
+    from pandasvcf_spark.operators.stats import pacf_stats
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return pacf_stats(hourly, "h", "x").orderBy("lag")
+
+
+@register(
+    "m_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             avg(CASE WHEN (epoch_us(ts) // 1000000) // 86400 < 19738
+                 THEN value END) AS pre,
+             avg(CASE WHEN (epoch_us(ts) // 1000000) // 86400 >= 19738
+                 THEN value END) AS post
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY user_id),
+    b AS (SELECT user_id, pre AS x, post AS y FROM u
+          WHERE pre IS NOT NULL AND post IS NOT NULL),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM b),
+    m AS (SELECT n,
+                 sxx - sx * sx / CAST(n AS DOUBLE) AS vx,
+                 syy - sy * sy / CAST(n AS DOUBLE) AS vy,
+                 sxy - sx * sy / CAST(n AS DOUBLE) AS cv
+          FROM g)
+    SELECT n,
+           round(CASE WHEN vx > 0 AND vy > 0 THEN cv / vx END, 6)
+             + 0.0 AS theta,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN cv / sqrt(vx * vy) END, 6) + 0.0 AS corr,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN cv * cv / (vx * vy) END, 6) AS var_reduction
+    FROM m
+    """,
+)
+def m_cuped(spark, sf_dir):
+    """CUPED variance-reduction summary (operators/stats.cuped_adjust;
+    Deng et al. 2013): per-user mean event value in the first 15 days
+    as the pre-period covariate for the last 15 days' metric — how
+    much experiment variance would regressing out history remove?
+    (var_reduction = corr², exactly.) The corpus pre-aggregates to
+    the per-user table first; the summary is one 5-sum pass of
+    moment ratios. The oracle replays the split, both per-user
+    means and the theta/corr arithmetic."""
+    from pandasvcf_spark.operators.stats import cuped_adjust
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    day = F.floor(F.unix_timestamp("ts").cast("long") / 86400)
+    per_user = e.groupBy("user_id").agg(
+        F.avg(F.when(day < 19738, F.col("value"))).alias("pre"),
+        F.avg(F.when(day >= 19738, F.col("value"))).alias("post"),
+    )
+    return cuped_adjust(per_user, "user_id", "pre", "post")
+
+
+@register(
+    "e_forecast_baseline",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             (epoch_us(ts) // 1000000) // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+    l AS (
+      SELECT et, x,
+             lag(x, 7) OVER (PARTITION BY et ORDER BY day) AS p
+      FROM d),
+    e AS (SELECT et, x, p, abs(x - p) AS err,
+                 abs(x) + abs(p) AS den
+          FROM l WHERE p IS NOT NULL)
+    SELECT et, CAST(count(*) AS BIGINT) AS n_eval,
+           round(avg(err), 4) AS mae,
+           round(avg(CASE WHEN den > 0 THEN 2.0 * err / den
+                     ELSE 0.0 END), 6) AS smape
+    FROM e GROUP BY et ORDER BY et
+    """,
+)
+def e_forecast_baseline(spark, sf_dir):
+    """Seasonal-naive forecast backtest (operators/stats.
+    seasonal_naive_eval, period = 7): predict each event type's daily
+    count by its value a week earlier, score MAE + sMAPE — the
+    no-model baseline every forecasting effort must beat, and the
+    drift canary when yesterday's baseline suddenly degrades. The
+    corpus collapses to the 30-point daily series first; one lag()
+    window + one agg; integer counts make the errors exact
+    rationals. The oracle replays the lag and both metrics."""
+    from pandasvcf_spark.operators.stats import seasonal_naive_eval
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return seasonal_naive_eval(
+        daily, ["et"], "day", "x", period=7
+    ).orderBy("et")

@@ -3016,3 +3016,43 @@ def t_diversity(spark, sf_dir):
         "source", F.explode(words_expr("text")).alias("w")
     )
     return diversity_indices(toks, ["source"], "w").orderBy("source")
+
+
+@register(
+    "t_code_detect",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n_chars FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    f AS (
+      SELECT doc_id, n_chars,
+             length(regexp_replace(text, '[^{}();=<>]', '', 'g'))
+               AS sym,
+             len(regexp_extract_all(text, '[a-z][A-Z]')) AS camel
+      FROM b)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           round(CASE WHEN n_chars > 0
+                 THEN CAST(sym AS DOUBLE) / n_chars END, 6)
+             AS sym_ratio,
+           CAST(camel AS BIGINT) AS camel_pairs,
+           (CASE WHEN n_chars > 0
+                 THEN CAST(sym AS DOUBLE) / n_chars > 0.02
+                      OR camel >= 3
+                 ELSE FALSE END) AS is_code
+    FROM f ORDER BY doc_id
+    """,
+)
+def t_code_detect(spark, sf_dir):
+    """Code-vs-prose routing signals (operators/text_features.
+    code_signals): symbol density + camelCase transitions + the
+    routing verdict — the curation fork that sends documents to the
+    code or prose pipeline (different tokenizer, filters, shingle
+    size). Pure column expressions, zero Python; all-prose expected
+    on this corpus (the entry checks the signal arithmetic, and the
+    oracle replays the strip/extract counts and the threshold OR).
+    DuckDB's regexp_replace needs the explicit 'g' flag — Spark
+    replaces all matches by default."""
+    from pandasvcf_spark.operators.text_features import code_signals
+
+    d = load(spark, sf_dir, "documents")
+    return code_signals(d).orderBy("doc_id")

@@ -694,6 +694,18 @@ def test_tail_entries_are_redundant_variants_only():
         "v_pca_power",           # power-iteration PC1: 6dp-pinned
                                  # covariance, 1-row expression
                                  # rounds, Rayleigh eigenvalue
+        "m_pacf",                # Durbin-Levinson lags 1-3: m_acf
+                                 # series machinery + closed-form
+                                 # projections
+        "m_cuped",               # pre-period variance reduction:
+                                 # per-unit table + 5-sum moment
+                                 # ratios (corr^2 identity)
+        "e_forecast_baseline",   # seasonal-naive backtest: one lag
+                                 # window over the daily series,
+                                 # MAE + sMAPE
+        "t_code_detect",         # code-vs-prose router: symbol/
+                                 # camelCase expressions, zero
+                                 # Python
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

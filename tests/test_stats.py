@@ -767,3 +767,79 @@ def test_pca_power_validates(spark):
         pca_power_topvec(df, ["x"])
     with pytest.raises(ValueError):
         pca_power_topvec(df, ["x", "y"], iters=0)
+
+
+# --- pacf / cuped / seasonal_naive / code_signals --------------------------
+
+
+def test_pacf_ar1_second_partial_vanishes(spark):
+    from pandasvcf_spark.operators.stats import pacf_stats
+
+    # exact AR(1) with no noise: x_t = 0.8^t -> r_k = geometric-ish;
+    # on a PURE geometric series pacf_22 = (r2 - r1^2)/(1 - r1^2)
+    # with r2 == r1^2 exactly in the infinite case; finite series is
+    # close -> |pacf_22| << |pacf_11|
+    rows = [(t, 0.8 ** t) for t in range(60)]
+    df = spark.createDataFrame(rows, "t int, x double")
+    out = {r["lag"]: r for r in pacf_stats(df, "t", "x").collect()}
+    assert out[1]["pacf"] == out[1]["acf"]
+    assert abs(out[2]["pacf"]) < abs(out[1]["pacf"]) / 3
+
+
+def test_cuped_perfect_covariate(spark):
+    from pandasvcf_spark.operators.stats import cuped_adjust
+
+    # post = 2*pre exactly: corr 1, var_reduction 1, theta 2
+    rows = [(i, float(i), 2.0 * i) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "u int, pre double, post double")
+    r = cuped_adjust(df, "u", "pre", "post").collect()[0]
+    assert r["theta"] == 2.0 and r["corr"] == 1.0
+    assert r["var_reduction"] == 1.0
+
+
+def test_cuped_constant_pre_null(spark):
+    from pandasvcf_spark.operators.stats import cuped_adjust
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 2.0)], "u int, pre double, post double"
+    )
+    assert cuped_adjust(df, "u", "pre", "post").collect()[0][
+        "theta"
+    ] is None
+
+
+def test_seasonal_naive_exact_repeat(spark):
+    from pandasvcf_spark.operators.stats import seasonal_naive_eval
+
+    # period-3 exact repetition: MAE 0, sMAPE 0; 6 points -> 3 evals
+    rows = [(0, t, float([5, 7, 9][t % 3])) for t in range(6)]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    r = seasonal_naive_eval(df, ["g"], "t", "x", period=3).collect()[0]
+    assert r["n_eval"] == 3 and r["mae"] == 0.0 and r["smape"] == 0.0
+
+
+def test_seasonal_naive_known_error(spark):
+    from pandasvcf_spark.operators.stats import seasonal_naive_eval
+
+    # x = (10, 10, 14): period 1 -> errors |0|, |4| -> MAE 2
+    rows = [(0, 0, 10.0), (0, 1, 10.0), (0, 2, 14.0)]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    r = seasonal_naive_eval(df, ["g"], "t", "x", period=1).collect()[0]
+    assert r["n_eval"] == 2 and r["mae"] == 2.0
+    assert r["smape"] == round((0.0 + 2 * 4 / 24) / 2, 6)
+
+
+def test_code_signals_planted_snippet(spark):
+    from pandasvcf_spark.operators.text_features import code_signals
+
+    df = spark.createDataFrame(
+        [(1, "def f(x): return x*2 if (x)>0 else {};"),
+         (2, "the plain prose sentence with words only"),
+         (3, "someCamelCase otherCamelThing moreCamelHere")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in code_signals(df).collect()}
+    assert out[1]["is_code"] is True      # symbol density
+    assert out[2]["is_code"] is False
+    assert out[3]["is_code"] is True      # camel transitions >= 3
+    assert out[3]["camel_pairs"] == 6     # two per camel word
