@@ -653,3 +653,63 @@ def bfs_levels(
     return dist.select(
         F.col("n").alias("node"), F.col("d").cast("int").alias("dist")
     )
+
+
+def powerlaw_alpha(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    d_min: int = 1,
+) -> DataFrame:
+    """Degree-distribution power-law fit (continuous MLE, Clauset,
+    Shalizi & Newman 2009) — the graph-health scalar beside
+    `triangle_stats`: scale-free corpus graphs (links, co-purchase,
+    citation) show alpha ~ 2-3; a much larger alpha means the tail is
+    thin (no hubs), much smaller means hub-dominated skew the
+    partitioner must plan for:
+
+        alpha = 1 + n / sum ln(d_i / d_min)   over degrees >= d_min
+
+    Directions/dups/self-loops normalize away first.
+
+    Output: ONE row (n_nodes BIGINT, d_min INT, mean_deg DOUBLE
+    round 4, alpha DOUBLE round 6) — alpha NULL when every degree
+    equals d_min (the log-sum is 0).
+
+    Plan: one node-keyed degree count + ONE 1-row fold; alpha is a
+    scalar ratio.
+    """
+    if d_min < 1:
+        raise ValueError("d_min must be >= 1")
+    a = F.col(src).cast("long")
+    b = F.col(dst).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    kept = deg.filter(F.col("d") >= d_min)
+    g = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.avg("d").alias("__mean"),
+        F.sum(F.log(F.col("d") / F.lit(float(d_min)))).alias("__ls"),
+    )
+    return g.select(
+        "n_nodes",
+        F.lit(d_min).cast("int").alias("d_min"),
+        F.round(F.col("__mean"), 4).alias("mean_deg"),
+        F.round(
+            F.when(
+                F.col("__ls") > 0,
+                F.lit(1.0)
+                + F.col("n_nodes").cast("double") / F.col("__ls"),
+            ),
+            6,
+        ).alias("alpha"),
+    )

@@ -3192,3 +3192,147 @@ def attribution_report(
         )
         .orderBy("channel")
     )
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    prev_col: str = "prev",
+    next_col: str = "next",
+    count_col: str = "cnt",
+    iters: int = 2,
+) -> DataFrame:
+    """Stationary-distribution estimate of an event Markov chain by
+    fixed-round power iteration over the TRANSITION TABLE — where does
+    the user flow settle? The event-sequence cousin of `pagerank`
+    (same fixed-budget device), consuming `transition_counts`-shaped
+    input (prev, next, cnt):
+
+        pi_0 = uniform over states;  pi ← normalize(pi · P)
+
+    with P the row-normalized count matrix. States = every value seen
+    on either side; a state with no outgoing edges drops its mass at
+    each step (the renormalization absorbs it — documented, the
+    standard "remove absorbing leaks" choice for flow summaries).
+
+    Output: (state, pi DOUBLE round 6), one row per state reachable
+    after `iters` steps.
+
+    Plan: everything is vocabulary-sized — P is the count table with
+    a row-total window, each round is one state-keyed join + one
+    next-keyed partial agg + a 1-row normalization broadcast. No
+    matrix literals, no collect: the chain can have a million states.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    t = transitions.select(
+        F.col(prev_col).alias("__p"),
+        F.col(next_col).alias("__nx"),
+        F.col(count_col).cast("double").alias("__c"),
+    ).filter(
+        F.col("__p").isNotNull()
+        & F.col("__nx").isNotNull()
+        & (F.col("__c") > 0)
+    )
+    w = Window.partitionBy("__p")
+    P = t.withColumn("__prob", F.col("__c") / F.sum("__c").over(w))
+    states = (
+        t.select(F.col("__p").alias("state"))
+        .unionAll(t.select(F.col("__nx").alias("state")))
+        .distinct()
+    )
+    k = states.count()  # model-sized driver scalar (vocab cardinality)
+    if k == 0:
+        raise ValueError("no transitions")
+    pi = states.select("state", F.lit(1.0 / k).alias("pi"))
+    for _ in range(iters):
+        stepped = (
+            pi.join(P, pi["state"] == P["__p"])
+            .groupBy(F.col("__nx").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("__prob")).alias("__m"))
+        )
+        tot = stepped.agg(F.sum("__m").alias("__t"))
+        pi = stepped.join(F.broadcast(tot)).select(
+            "state", (F.col("__m") / F.col("__t")).alias("pi")
+        )
+    return pi.select(
+        "state", (F.round(F.col("pi"), 6) + F.lit(0.0)).alias("pi")
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    value_col: str,
+    n_buckets: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing rollup: per user, days since last event,
+    event count, and total value; each dimension cut into
+    `n_buckets` equal-population buckets (0 = best recency / highest
+    frequency / highest monetary), then segments summarized.
+
+    Bucket = floor((rank − 1) · n_buckets / n_users) from a
+    row_number with the user id as tie-break — explicit integer
+    arithmetic, NOT ntile() (whose remainder-distribution rule is
+    engine-specific). The monetary sum is ROUNDED TO 4dp BEFORE
+    ranking so accumulation-order ulps cannot flip a bucket boundary.
+    `time_col` must be an epoch-day/second integer.
+
+    Output: one row per non-empty (r_bucket, f_bucket, m_bucket)
+    segment (r_bucket, f_bucket, m_bucket INT, n_users BIGINT,
+    avg_monetary DOUBLE round 4).
+
+    Plan: one user-keyed agg collapses the corpus; everything after
+    is user-table-sized (three rank windows on the same frame, one
+    segment-keyed agg).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    per_user = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(time_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.max(F.col(time_col).cast("long")).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("__freq"),
+            F.round(F.sum(F.col(value_col).cast("double")), 4).alias(
+                "__mon"
+            ),
+        )
+    )
+    w_n = Window.partitionBy()
+    maxed = per_user.withColumn(
+        "__rec", F.max("__last").over(w_n) - F.col("__last")
+    ).withColumn("__n", F.count(F.lit(1)).over(w_n))
+
+    def bucket(order_cols, name):
+        w = Window.orderBy(*order_cols)
+        rn = F.row_number().over(w)
+        return (
+            F.floor(
+                (rn - F.lit(1)) * F.lit(n_buckets) / F.col("__n")
+            )
+            .cast("int")
+            .alias(name)
+        )
+
+    b = maxed.select(
+        "__mon",
+        bucket([F.col("__rec").asc(), F.col("__u").asc()], "r_bucket"),
+        bucket(
+            [F.col("__freq").desc(), F.col("__u").asc()], "f_bucket"
+        ),
+        bucket([F.col("__mon").desc(), F.col("__u").asc()], "m_bucket"),
+    )
+    return (
+        b.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("__mon"), 4).alias("avg_monetary"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )

@@ -1635,3 +1635,60 @@ def seasonal_naive_eval(
         F.round(F.avg(err), 4).alias("mae"),
         F.round(F.avg(smape_term), 6).alias("smape"),
     )
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC curve operating points at every distinct score threshold —
+    the full curve behind `group_auc`'s scalar: at threshold t
+    (classify positive when score >= t), TPR = positives scored >= t
+    over all positives, FPR likewise over negatives. Ties merge (a
+    RANGE cumulative frame over score DESCENDING), so each distinct
+    score yields exactly one point. label must be 0/1.
+
+    PRE-BUCKET the score for dense continuous scores (round/quantize
+    first) — the output has one row per distinct score by definition.
+
+    Output: (score DOUBLE, tpr DOUBLE round 6, fpr DOUBLE round 6),
+    score-descending (the curve from (0,0) toward (1,1)).
+
+    Plan: one exchange: two RANGE cumulative windows + a distinct —
+    integer counts make every point exact rational arithmetic.
+    """
+    sc = F.col(score_col).cast("double")
+    lc = F.col(label_col).cast("int")
+    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
+        sc.alias("__s"), lc.alias("__y")
+    )
+    w_cum = (
+        Window.orderBy(F.col("__s").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    r = base.select(
+        "__s",
+        F.sum("__y").over(w_cum).alias("__cp"),
+        F.sum(F.lit(1) - F.col("__y")).over(w_cum).alias("__cn"),
+        F.sum("__y").over(w_all).alias("__P"),
+        F.sum(F.lit(1) - F.col("__y")).over(w_all).alias("__N"),
+    ).distinct()
+    return r.select(
+        F.col("__s").alias("score"),
+        F.round(
+            F.when(
+                F.col("__P") > 0,
+                F.col("__cp").cast("double") / F.col("__P"),
+            ),
+            6,
+        ).alias("tpr"),
+        F.round(
+            F.when(
+                F.col("__N") > 0,
+                F.col("__cn").cast("double") / F.col("__N"),
+            ),
+            6,
+        ).alias("fpr"),
+    ).orderBy(F.col("score").desc())

@@ -2266,3 +2266,172 @@ def e_forecast_baseline(spark, sf_dir):
     return seasonal_naive_eval(
         daily, ["et"], "day", "x", period=7
     ).orderBy("et")
+
+
+def _markov_step_sql(pin: str, out: str) -> str:
+    """One unrolled stationary-power round: mass flows along the
+    row-normalized transition table `pr`, then renormalizes."""
+    return f"""
+    {out}_s AS (
+      SELECT pr.nx AS state, sum({pin}.pi * pr.prob) AS m
+      FROM {pin} JOIN pr ON {pin}.state = pr.p GROUP BY pr.nx),
+    {out}_t AS (SELECT sum(m) AS tt FROM {out}_s),
+    {out} AS (SELECT state, m / tt AS pi FROM {out}_s, {out}_t)"""
+
+
+@register(
+    "e_markov_stationary",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL),
+    t AS (SELECT event_type AS p, nxt AS nx,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt),
+    pr AS (SELECT p, nx, c / sum(c) OVER (PARTITION BY p) AS prob
+           FROM t),
+    st AS (SELECT p AS state FROM t UNION SELECT nx FROM t),
+    kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
+    pi0 AS (SELECT state, 1.0 / k AS pi FROM st, kk),
+    {_markov_step_sql('pi0', 'pi1')},
+    {_markov_step_sql('pi1', 'pi2')}
+    SELECT state, round(pi, 6) + 0.0 AS pi FROM pi2 ORDER BY state
+    """,
+)
+def e_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain
+    (operators/relational.markov_stationary, 2 fixed power rounds
+    from uniform) — where does the user flow settle? The
+    event-sequence cousin of g_pagerank, built on e_transitions'
+    bigram counts: every relation is vocabulary-sized (the
+    transition table + a row-total window; each round one
+    state-keyed join + one partial agg + a 1-row renormalization
+    broadcast — no matrix literals, a million-state chain costs the
+    same shape). The oracle unrolls both rounds."""
+    from pandasvcf_spark.operators.relational import markov_stationary
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("next"),
+    ).filter(F.col("next").isNotNull())
+    trans = seq.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return markov_stationary(trans, iters=2).orderBy("state")
+
+
+@register(
+    "e_rfm",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id AS u,
+             max((epoch_us(ts) // 1000000) // 86400) AS lastd,
+             CAST(count(*) AS BIGINT) AS freq,
+             round(sum(value), 4) AS mon
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY user_id),
+    m AS (SELECT *, max(lastd) OVER () - lastd AS rec,
+                 count(*) OVER () AS nn
+          FROM pu),
+    b AS (
+      SELECT mon,
+             CAST(floor((row_number() OVER (ORDER BY rec, u) - 1)
+                        * 5 / nn) AS INTEGER) AS r_bucket,
+             CAST(floor((row_number() OVER (ORDER BY freq DESC, u)
+                         - 1) * 5 / nn) AS INTEGER) AS f_bucket,
+             CAST(floor((row_number() OVER (ORDER BY mon DESC, u)
+                         - 1) * 5 / nn) AS INTEGER) AS m_bucket
+      FROM m)
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(mon), 4) AS avg_monetary
+    FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def e_rfm(spark, sf_dir):
+    """RFM customer segmentation (operators/relational.rfm_segments,
+    5 buckets/dimension) — the classic marketing rollup on the
+    events stream. One user-keyed agg collapses the corpus; buckets
+    are explicit floor((rank-1)·k/n) integer arithmetic with id
+    tie-breaks, NOT ntile() (engine-specific remainder rules), and
+    the monetary sum rounds to 4dp BEFORE ranking so accumulation
+    ulps can't flip a boundary. The oracle replays the user table,
+    all three rank windows and the segment rollup."""
+    from pandasvcf_spark.operators.relational import rfm_segments
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+        "value",
+    )
+    return rfm_segments(d, "user_id", "day", "value", n_buckets=5)
+
+
+@register(
+    "m_roc_points",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 0) AS s,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (
+      SELECT DISTINCT s,
+             sum(y) OVER (ORDER BY s DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp,
+             sum(1 - y) OVER (ORDER BY s DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn,
+             sum(y) OVER () AS pp,
+             sum(1 - y) OVER () AS np
+      FROM b)
+    SELECT s AS score,
+           round(CASE WHEN pp > 0
+                 THEN CAST(cp AS DOUBLE) / pp END, 6) AS tpr,
+           round(CASE WHEN np > 0
+                 THEN CAST(cn AS DOUBLE) / np END, 6) AS fpr
+    FROM r ORDER BY score DESC
+    """,
+)
+def m_roc_points(spark, sf_dir):
+    """Full ROC curve at every distinct (integer-rounded) score
+    threshold (operators/stats.roc_points): value predicting the
+    'error' label — the curve behind m_group_auc's scalar and
+    m_confusion's single operating point. Ties merge via RANGE
+    cumulative frames, one point per distinct score; integer counts
+    make every (tpr, fpr) exact rational arithmetic. Scores
+    pre-bucket to integers (the documented dense-score discipline).
+    The oracle replays the cumulative ladders point-for-point."""
+    from pandasvcf_spark.operators.stats import roc_points
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.round(F.col("value"), 0).alias("s"),
+        F.when(F.col("event_type") == "error", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return roc_points(d, "s", "y")

@@ -2428,3 +2428,34 @@ def m_levene(spark, sf_dir):
         F.col("c_mktsegment").alias("g"), F.col("c_acctbal").alias("v")
     )
     return levene_bf(d, "g", "v")
+
+
+@register(
+    "g_powerlaw",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES},
+    deg AS (SELECT n, CAST(count(*) AS DOUBLE) AS d FROM
+            (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+            GROUP BY n),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, avg(d) AS md,
+                 sum(ln(d / 1.0)) AS ls
+          FROM deg WHERE d >= 1)
+    SELECT n_nodes, CAST(1 AS INTEGER) AS d_min,
+           round(md, 4) AS mean_deg,
+           round(CASE WHEN ls > 0
+                 THEN 1.0 + CAST(n_nodes AS DOUBLE) / ls END, 6)
+             AS alpha
+    FROM g
+    """,
+)
+def g_powerlaw(spark, sf_dir):
+    """Power-law degree-distribution fit (operators/graph.
+    powerlaw_alpha; continuous MLE, Clauset-Shalizi-Newman 2009) of
+    the co-purchase part graph — the hub-tail health scalar beside
+    g_triangles: alpha says whether the partitioner must plan for
+    hub skew. One node-keyed degree count + ONE 1-row fold; alpha
+    is a scalar ratio. The oracle replays degrees, the log-sum and
+    the MLE."""
+    from pandasvcf_spark.operators.graph import powerlaw_alpha
+
+    return powerlaw_alpha(_copurchase_edges(spark, sf_dir), d_min=1)

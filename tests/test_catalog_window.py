@@ -706,6 +706,16 @@ def test_tail_entries_are_redundant_variants_only():
         "t_code_detect",         # code-vs-prose router: symbol/
                                  # camelCase expressions, zero
                                  # Python
+        "e_markov_stationary",   # chain power iteration over the
+                                 # vocab-sized transition TABLE (no
+                                 # matrix literals); unrolled replay
+        "e_rfm",                 # recency/frequency/monetary cut:
+                                 # explicit floor-rank buckets (not
+                                 # ntile), 4dp-pinned monetary
+        "m_roc_points",          # full ROC ladder: RANGE cumulative
+                                 # frames, exact rational points
+        "g_powerlaw",            # CSN degree-tail MLE: degree count
+                                 # + 1-row fold
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

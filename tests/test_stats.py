@@ -843,3 +843,84 @@ def test_code_signals_planted_snippet(spark):
     assert out[2]["is_code"] is False
     assert out[3]["is_code"] is True      # camel transitions >= 3
     assert out[3]["camel_pairs"] == 6     # two per camel word
+
+
+# --- markov_stationary / rfm / roc_points / powerlaw -----------------------
+
+
+def test_markov_two_state_exact(spark):
+    from pandasvcf_spark.operators.relational import markov_stationary
+
+    # P = [[0, 1], [1, 0]] from uniform: pi stays (0.5, 0.5) forever
+    t = spark.createDataFrame(
+        [("a", "b", 10), ("b", "a", 7)], "prev string, next string, cnt int"
+    )
+    out = {r["state"]: r["pi"] for r in
+           markov_stationary(t, iters=2).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_markov_absorbing_pull(spark):
+    from pandasvcf_spark.operators.relational import markov_stationary
+
+    # a->a 3x vs a->b 1x, b->a always: a should end up above 1/2
+    t = spark.createDataFrame(
+        [("a", "a", 3), ("a", "b", 1), ("b", "a", 4)],
+        "prev string, next string, cnt int",
+    )
+    out = {r["state"]: r["pi"] for r in
+           markov_stationary(t, iters=3).collect()}
+    assert out["a"] > 0.7 and abs(out["a"] + out["b"] - 1.0) < 2e-6
+
+
+def test_rfm_single_dimension_buckets(spark):
+    from pandasvcf_spark.operators.relational import rfm_segments
+
+    # 5 users, one event each on distinct days with distinct values:
+    # each bucket dimension gets exactly one user per bucket
+    rows = [(u, 100 + u, float(u * 10)) for u in range(1, 6)]
+    df = spark.createDataFrame(rows, "user_id int, day long, value double")
+    out = rfm_segments(df, "user_id", "day", "value", n_buckets=5).collect()
+    assert sum(r["n_users"] for r in out) == 5
+    assert {r["m_bucket"] for r in out} == {0, 1, 2, 3, 4}
+    # newest day (user 5) -> r_bucket 0; highest value (user 5) -> m 0
+    top = [r for r in out if r["m_bucket"] == 0][0]
+    assert top["r_bucket"] == 0 and top["avg_monetary"] == 50.0
+
+
+def test_roc_points_staircase(spark):
+    from pandasvcf_spark.operators.stats import roc_points
+
+    # scores desc: 4(y1), 3(y0), 2(y1), 1(y0) ->
+    # points: (.5,0), (.5,.5), (1,.5), (1,1)
+    df = spark.createDataFrame(
+        [(4.0, 1), (3.0, 0), (2.0, 1), (1.0, 0)], "s double, y int"
+    )
+    out = [(r["tpr"], r["fpr"]) for r in roc_points(df, "s", "y").collect()]
+    assert out == [(0.5, 0.0), (0.5, 0.5), (1.0, 0.5), (1.0, 1.0)]
+
+
+def test_powerlaw_regular_graph_null(spark):
+    from pandasvcf_spark.operators.graph import powerlaw_alpha
+
+    # 4-cycle: every degree 2; with d_min=2 the log-sum is 0 -> NULL
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    r = powerlaw_alpha(df, d_min=2).collect()[0]
+    assert r["alpha"] is None and r["n_nodes"] == 4
+    assert r["mean_deg"] == 2.0
+
+
+def test_powerlaw_star_alpha(spark):
+    from pandasvcf_spark.operators.graph import powerlaw_alpha
+
+    import math
+
+    # star with 4 leaves: degrees (4, 1, 1, 1, 1); d_min=1:
+    # alpha = 1 + 5/ln(4)
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src int, dst int"
+    )
+    r = powerlaw_alpha(df, d_min=1).collect()[0]
+    assert r["alpha"] == round(1 + 5 / math.log(4.0), 6)
