@@ -1692,3 +1692,322 @@ def roc_points(
             6,
         ).alias("fpr"),
     ).orderBy(F.col("score").desc())
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    feat_cols: Sequence[str],
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Final cluster ASSIGNMENTS of the `kmeans_fit` trajectory —
+    identical seed (k smallest ids), identical 6dp-pinned centroid
+    updates, identical tie-breaks, but returning the per-row label
+    (id, cluster INT) after `iters` assignment rounds instead of the
+    cluster summary — the input `rand_index`/downstream joins need.
+    Same plan economics as kmeans_fit: broadcast-literal assignment
+    arithmetic + one k-key groupBy per round, k x d driver traffic.
+    """
+    feats = list(feat_cols)
+    if not feats or k < 1 or iters < 1:
+        raise ValueError("need features, k >= 1, iters >= 1")
+    cond = F.col(id_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond).select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).cast("double").alias(c) for c in feats],
+    )
+    seed = base.orderBy("__id").limit(k).collect()
+    centroids = [
+        (j, [float(r[c]) for c in feats]) for j, r in enumerate(seed)
+    ]
+
+    def assign(cents):
+        dists = [
+            sum(
+                (F.col(c) - F.lit(cv)) * (F.col(c) - F.lit(cv))
+                for c, cv in zip(feats, vec)
+            )
+            for _, vec in cents
+        ]
+        best_c = F.lit(cents[0][0])
+        best_d = dists[0]
+        for (cid, _), d in zip(cents[1:], dists[1:]):
+            best_c = F.when(d < best_d, F.lit(cid)).otherwise(best_c)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+        return base.select(
+            "__id", *feats, best_c.cast("int").alias("cluster")
+        )
+
+    for it in range(iters):
+        assigned = assign(centroids)
+        if it == iters - 1:
+            return assigned.select(
+                F.col("__id").alias(id_col), "cluster"
+            )
+        means = assigned.groupBy("cluster").agg(
+            *[
+                (F.round(F.avg(c), 6) + F.lit(0.0)).alias(f"c_{c}")
+                for c in feats
+            ],
+        )
+        rows = sorted(means.collect(), key=lambda r: r["cluster"])
+        centroids = [
+            (int(r["cluster"]), [float(r[f"c_{c}"]) for c in feats])
+            for r in rows
+        ]
+
+
+def rand_index(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Rand index + adjusted Rand index between two labelings of the
+    same rows (Hubert & Arabie 1985) — does the clustering recover
+    the reference partition? The clustering-evaluation closer for
+    `kmeans_fit`/`kmeans_assign`: pair-counting agreement, chance-
+    corrected in the ARI.
+
+        RI  = (C(n,2) + 2·Σ C(n_ij,2) − Σ C(a_i,2) − Σ C(b_j,2))
+              / C(n,2)
+        ARI = (Σ C(n_ij,2) − E) / ((Σ C(a_i,2) + Σ C(b_j,2))/2 − E),
+        E   = Σ C(a_i,2) · Σ C(b_j,2) / C(n,2)
+
+    All pair counts are exact BIGINTs (no pair enumeration — the
+    contingency-table identity); ARI NULL when the denominator is 0
+    (both partitions trivial). NULL labels drop.
+
+    Output: ONE row (n, s_cells, s_a, s_b BIGINT, rand DOUBLE
+    round 6, ari DOUBLE round 6).
+
+    Plan: one (a, b)-keyed cell count + two category-sized marginal
+    re-aggs of the CELL table + a 1-row combine (the cramers_v
+    shape).
+    """
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+    cells = base.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+
+    def pairs(c):
+        return c * (c - F.lit(1)) / F.lit(2)
+
+    sc = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(pairs(F.col("__c"))).cast("long").alias("s_cells"),
+    )
+    sa = (
+        cells.groupBy("__a")
+        .agg(F.sum("__c").alias("__ai"))
+        .agg(F.sum(pairs(F.col("__ai"))).cast("long").alias("s_a"))
+    )
+    sb = (
+        cells.groupBy("__b")
+        .agg(F.sum("__c").alias("__bj"))
+        .agg(F.sum(pairs(F.col("__bj"))).cast("long").alias("s_b"))
+    )
+    g = sc.join(F.broadcast(sa)).join(F.broadcast(sb))
+    nd = F.col("n").cast("double")
+    total = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    sij = F.col("s_cells").cast("double")
+    sad = F.col("s_a").cast("double")
+    sbd = F.col("s_b").cast("double")
+    exp = sad * sbd / total
+    den = (sad + sbd) / F.lit(2.0) - exp
+    return g.select(
+        "n",
+        "s_cells",
+        "s_a",
+        "s_b",
+        F.round(
+            F.when(
+                total > 0,
+                (total + F.lit(2.0) * sij - sad - sbd) / total,
+            ),
+            6,
+        ).alias("rand"),
+        (
+            F.round(F.when(den != 0, (sij - exp) / den), 6)
+            + F.lit(0.0)
+        ).alias("ari"),
+    )
+
+
+def max_drawdown(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group maximum drawdown of a cumulative series — the
+    worst peak-to-trough drop of the running total, the
+    risk/regression-depth summary for any monotone-hope metric
+    (revenue, tokens accepted, capacity):
+
+        cum_t  = running sum;  peak_t = running max of cum
+        max_dd = max(peak_t − cum_t)
+
+    INTENDED FOR PRE-AGGREGATED SERIES whose per-step values are
+    already rounded (pin increments before calling — the running
+    sums then replay bit-for-bit over the shared time order).
+
+    Output: (*group_cols, n_steps BIGINT, final DOUBLE round 4,
+    max_dd DOUBLE round 4).
+
+    Plan: two cumulative windows over one group-keyed exchange + one
+    group agg.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    r = series.select(*gcols, F.col(time_col).alias("__t"), x.alias("__x"))
+    w2 = (
+        Window.partitionBy(*gcols)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = r.select(
+        *gcols, "__t", F.sum("__x").over(w2).alias("__cum")
+    ).select(
+        *gcols,
+        "__cum",
+        (F.max("__cum").over(w2) - F.col("__cum")).alias("__dd"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols).orderBy(F.col("__t").desc()))
+        .alias("__last"),
+    )
+    return c.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.round(F.max(F.when(F.col("__last") == 1, F.col("__cum"))), 4)
+        .alias("final"),
+        F.round(F.max("__dd"), 4).alias("max_dd"),
+    )
+
+
+def burstiness_stats(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group burstiness of a count series (Goh & Barabási 2008)
+    — is the activity Poisson-smooth or bursty? The stream-health
+    scalar pair:
+
+        fano       = var / mean            (1 = Poisson)
+        burstiness = (sd − mean) / (sd + mean)   in (−1, 1)
+
+    with sample variance over the series points. INTENDED FOR
+    PRE-AGGREGATED COUNT SERIES (integer values — the sums are then
+    engine-exact).
+
+    Output: (*group_cols, n BIGINT, mean DOUBLE round 4, fano DOUBLE
+    round 6, burstiness DOUBLE round 6); NULL statistics when n < 2
+    or mean/sd degenerate.
+
+    Plan: one 3-sum partial-aggregated groupBy; both scalars are
+    moment ratios.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    g = series.filter(x.isNotNull()).groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s") / nd
+    var = (F.col("__q") - F.col("__s") * F.col("__s") / nd) / (
+        nd - F.lit(1.0)
+    )
+    sd = F.sqrt(var)
+    return g.select(
+        *gcols,
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(
+            F.when((F.col("n") >= 2) & (mean > 0), var / mean), 6
+        ).alias("fano"),
+        (
+            F.round(
+                F.when(
+                    (F.col("n") >= 2) & (sd + mean > 0),
+                    (sd - mean) / (sd + mean),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("burstiness"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lorenz-curve points over equal-population value buckets — the
+    concentration picture behind `t_gini`'s scalar ("the top decile
+    holds X% of the mass"): rows sort by value ascending (id
+    tie-break), split into `n_buckets` equal-population buckets by
+    explicit floor-rank arithmetic (the rfm_segments device), and
+    each bucket reports the cumulative share of total value at and
+    below it. Values must be non-negative (checked: the curve is
+    meaningless otherwise — raise, don't mislead).
+
+    Output: (bucket INT, n BIGINT, cum_share DOUBLE round 6),
+    bucket-ascending; cum_share is 1.0 at the last bucket.
+
+    Plan: one rank window + one bucket agg + a cumulative window
+    over the <= n_buckets rows. Integer values keep the sums exact.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & F.col(id_col).isNotNull()).select(
+        v.alias("__v"), F.col(id_col).alias("__id")
+    )
+    w = Window.orderBy(F.col("__v").asc(), F.col("__id").asc())
+    wn = Window.partitionBy()
+    r = base.select(
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+        F.min("__v").over(wn).alias("__min"),
+    )
+    checked = r.withColumn(
+        "__v",
+        F.when(
+            F.col("__min") < 0,
+            F.raise_error(F.lit("lorenz_deciles: negative values")),
+        ).otherwise(F.col("__v")),
+    )
+    b = checked.select(
+        "__v",
+        F.floor(
+            (F.col("__rn") - F.lit(1)) * F.lit(n_buckets) / F.col("__n")
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("__bs"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy()
+    return agg.select(
+        "bucket",
+        "n",
+        F.round(
+            F.sum("__bs").over(w_cum) / F.sum("__bs").over(w_tot), 6
+        ).alias("cum_share"),
+    ).orderBy("bucket")

@@ -2435,3 +2435,106 @@ def m_roc_points(spark, sf_dir):
         .alias("y"),
     )
     return roc_points(d, "s", "y")
+
+
+@register(
+    "e_drawdown",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             (epoch_us(ts) // 1000000) // 86400 AS day,
+             round(sum(value), 4) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+    cc AS (
+      SELECT et, day,
+             sum(x) OVER (PARTITION BY et ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM d),
+    c AS (
+      SELECT et, cum,
+             max(cum) OVER (PARTITION BY et ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cum AS dd,
+             row_number() OVER (PARTITION BY et ORDER BY day DESC)
+               AS lastr
+      FROM cc)
+    SELECT et, CAST(count(*) AS BIGINT) AS n_steps,
+           round(max(CASE WHEN lastr = 1 THEN cum END), 4) AS final,
+           round(max(dd), 4) AS max_dd
+    FROM c GROUP BY et ORDER BY et
+    """,
+)
+def e_drawdown(spark, sf_dir):
+    """Maximum drawdown of each event type's cumulative daily value
+    (operators/stats.max_drawdown) — the worst peak-to-trough drop of
+    the running total, the regression-depth summary for monotone-hope
+    metrics. Daily increments are 4dp-pinned BEFORE accumulation, so
+    the running sums replay bit-for-bit over the shared day order;
+    two cumulative windows on one exchange + one agg. The oracle
+    replays the ladder, the running peak and the final row."""
+    from pandasvcf_spark.operators.stats import max_drawdown
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    return max_drawdown(daily, ["et"], "day", "x").orderBy("et")
+
+
+@register(
+    "e_burstiness",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             (epoch_us(ts) // 1000000) // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+    g AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS s, sum(x * x) AS q
+      FROM d GROUP BY et),
+    m AS (
+      SELECT et, n, s / CAST(n AS DOUBLE) AS mean,
+             (q - s * s / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS vv
+      FROM g)
+    SELECT et, n, round(mean, 4) AS mean,
+           round(CASE WHEN n >= 2 AND mean > 0
+                 THEN vv / mean END, 6) AS fano,
+           round(CASE WHEN n >= 2 AND sqrt(vv) + mean > 0
+                 THEN (sqrt(vv) - mean) / (sqrt(vv) + mean) END, 6)
+             + 0.0 AS burstiness
+    FROM m ORDER BY et
+    """,
+)
+def e_burstiness(spark, sf_dir):
+    """Burstiness + Fano factor of each event type's daily count
+    series (operators/stats.burstiness_stats; Goh-Barabási 2008) —
+    Poisson-smooth or bursty? The stream-health scalar pair beside
+    e_rate_anomaly's pointwise z-scores. Integer counts make the
+    3-sum moments engine-exact; both scalars are moment ratios.
+    The oracle replays the daily rollup and both formulas."""
+    from pandasvcf_spark.operators.stats import burstiness_stats
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return burstiness_stats(daily, ["et"], "x").orderBy("et")

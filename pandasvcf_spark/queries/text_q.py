@@ -3056,3 +3056,46 @@ def t_code_detect(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return code_signals(d).orderBy("doc_id")
+
+
+@register(
+    "t_lorenz",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v, doc_id AS id
+      FROM documents
+      WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+    r AS (SELECT v, row_number() OVER (ORDER BY v, id) AS rn,
+                 count(*) OVER () AS n
+          FROM b),
+    k AS (SELECT v, CAST(floor((rn - 1) * 10 / n) AS INTEGER)
+                      AS bucket
+          FROM r),
+    a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, sum(v) AS bs
+          FROM k GROUP BY bucket)
+    SELECT bucket, n,
+           round(sum(bs) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(bs) OVER (), 6) AS cum_share
+    FROM a ORDER BY bucket
+    """,
+)
+def t_lorenz(spark, sf_dir):
+    """Lorenz-curve deciles of document length (operators/stats.
+    lorenz_deciles) — the concentration picture behind t_gini's
+    scalar: how much of the corpus mass sits in the longest decile?
+    Equal-population buckets by explicit floor-rank arithmetic (the
+    e_rfm device, not ntile); integer lengths keep the bucket sums
+    exact, and the cumulative share ladder runs over the shared
+    bucket order. The oracle replays ranks, buckets and shares."""
+    from pandasvcf_spark.operators.stats import lorenz_deciles
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    return lorenz_deciles(
+        d.select(F.col("n_chars").alias("v"), F.col("doc_id").alias("id")),
+        "v",
+        "id",
+        n_buckets=10,
+    )

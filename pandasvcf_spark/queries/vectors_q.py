@@ -1706,3 +1706,87 @@ def v_pca_power(spark, sf_dir):
         F.col("embedding")[3].cast("double").alias("f4"),
     )
     return pca_power_topvec(d, ["f1", "f2", "f3", "f4"], iters=2)
+
+
+@register(
+    "m_rand_index",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2,
+             CAST(embedding[3] AS DOUBLE) AS x3,
+             CAST(embedding[4] AS DOUBLE) AS x4
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS c,
+             x1 AS c1, x2 AS c2, x3 AS c3, x4 AS c4
+      FROM (SELECT * FROM v ORDER BY id LIMIT 4)),
+    {_kmeans_assign_sql('c0', 'a1')},
+    c1 AS (
+      SELECT c, round(avg(x1), 6) + 0.0 AS c1,
+             round(avg(x2), 6) + 0.0 AS c2,
+             round(avg(x3), 6) + 0.0 AS c3,
+             round(avg(x4), 6) + 0.0 AS c4
+      FROM a1 GROUP BY c),
+    {_kmeans_assign_sql('c1', 'a2')},
+    lab AS (
+      SELECT vec_id AS id, label FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND label IS NOT NULL),
+    p AS (SELECT a2.c AS a, lab.label AS b
+          FROM a2 JOIN lab ON a2.id = lab.id),
+    cells AS (SELECT a, b, count(*) AS c FROM p GROUP BY a, b),
+    sc AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(c * (c - 1) / 2) AS BIGINT) AS s_cells
+           FROM cells),
+    sa AS (SELECT CAST(sum(ai * (ai - 1) / 2) AS BIGINT) AS s_a
+           FROM (SELECT sum(c) AS ai FROM cells GROUP BY a)),
+    sb AS (SELECT CAST(sum(bj * (bj - 1) / 2) AS BIGINT) AS s_b
+           FROM (SELECT sum(c) AS bj FROM cells GROUP BY b)),
+    g AS (SELECT n, s_cells, s_a, s_b,
+                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                   AS total,
+                 CAST(s_cells AS DOUBLE) AS sij,
+                 CAST(s_a AS DOUBLE) AS sad,
+                 CAST(s_b AS DOUBLE) AS sbd
+          FROM sc, sa, sb)
+    SELECT n, s_cells, s_a, s_b,
+           round(CASE WHEN total > 0
+                 THEN (total + 2.0 * sij - sad - sbd) / total END, 6)
+             AS rand,
+           round(CASE WHEN (sad + sbd) / 2.0 - sad * sbd / total <> 0
+                 THEN (sij - sad * sbd / total)
+                      / ((sad + sbd) / 2.0 - sad * sbd / total)
+                 END, 6) + 0.0 AS ari
+    FROM g
+    """,
+)
+def m_rand_index(spark, sf_dir):
+    """Rand index + ARI (operators/stats.rand_index; Hubert-Arabie
+    1985) between v_kmeans' 2-round cluster assignments
+    (operators/stats.kmeans_assign, same 6dp-pinned trajectory) and
+    the true labels — the clustering-evaluation closer: does Lloyd
+    recover the reference partition? All pair counts come from the
+    contingency-table identity (exact BIGINTs, no pair enumeration);
+    ARI ~ 0 expected on this structureless corpus. The oracle
+    replays the FULL kmeans trajectory and the pair-count algebra."""
+    from pandasvcf_spark.operators.stats import kmeans_assign, rand_index
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    d = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding")[0].cast("double").alias("f1"),
+        F.col("embedding")[1].cast("double").alias("f2"),
+        F.col("embedding")[2].cast("double").alias("f3"),
+        F.col("embedding")[3].cast("double").alias("f4"),
+    )
+    assign = kmeans_assign(d, "id", ["f1", "f2", "f3", "f4"], k=4, iters=2)
+    lab = e.filter(F.col("label").isNotNull()).select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    j = assign.join(lab, "id")
+    return rand_index(j, "cluster", "label")

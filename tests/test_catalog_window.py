@@ -716,6 +716,15 @@ def test_tail_entries_are_redundant_variants_only():
                                  # frames, exact rational points
         "g_powerlaw",            # CSN degree-tail MLE: degree count
                                  # + 1-row fold
+        "m_rand_index",          # clustering agreement: contingency
+                                 # pair-count identity over the
+                                 # kmeans_assign trajectory
+        "e_drawdown",            # peak-to-trough of 4dp-pinned
+                                 # cumulative ladders
+        "e_burstiness",          # Fano + Goh-Barabasi scalars:
+                                 # 3-sum moment ratios
+        "t_lorenz",              # concentration deciles: floor-rank
+                                 # buckets + cumulative share ladder
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

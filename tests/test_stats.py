@@ -924,3 +924,79 @@ def test_powerlaw_star_alpha(spark):
     )
     r = powerlaw_alpha(df, d_min=1).collect()[0]
     assert r["alpha"] == round(1 + 5 / math.log(4.0), 6)
+
+
+# --- rand_index / drawdown / burstiness / lorenz ---------------------------
+
+
+def test_rand_index_identical_and_permuted(spark):
+    from pandasvcf_spark.operators.stats import rand_index
+
+    # identical partitions (up to relabeling): RI = ARI = 1
+    rows = [(i, i % 3, (i % 3) * 10) for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    r = rand_index(df, "a", "b").collect()[0]
+    assert r["rand"] == 1.0 and r["ari"] == 1.0
+
+
+def test_rand_index_split_partition(spark):
+    from pandasvcf_spark.operators.stats import rand_index
+
+    # a = one cluster, b = two equal halves of 4:
+    # n=4 total=6; s_cells: cells (0,0)=2,(0,1)=2 -> 1+1=2; s_a=6; s_b=2
+    # RI = (6 + 4 - 6 - 2)/6 = 1/3
+    rows = [(1, 0, 0), (2, 0, 0), (3, 0, 1), (4, 0, 1)]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    r = rand_index(df, "a", "b").collect()[0]
+    assert r["s_cells"] == 2 and r["s_a"] == 6 and r["s_b"] == 2
+    assert r["rand"] == round(1 / 3, 6)
+
+
+def test_max_drawdown_hand(spark):
+    from pandasvcf_spark.operators.stats import max_drawdown
+
+    # increments 5, -3, 1, -4, 10: cum 5,2,3,-1,9; peaks 5,5,5,5,9
+    # dd 0,3,2,6,0 -> max 6; final 9
+    rows = [(0, t, x) for t, x in
+            enumerate([5.0, -3.0, 1.0, -4.0, 10.0])]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    r = max_drawdown(df, ["g"], "t", "x").collect()[0]
+    assert r["max_dd"] == 6.0 and r["final"] == 9.0 and r["n_steps"] == 5
+
+
+def test_max_drawdown_monotone_zero(spark):
+    from pandasvcf_spark.operators.stats import max_drawdown
+
+    rows = [(0, t, 1.0) for t in range(5)]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    assert max_drawdown(df, ["g"], "t", "x").collect()[0]["max_dd"] == 0.0
+
+
+def test_burstiness_constant_series(spark):
+    from pandasvcf_spark.operators.stats import burstiness_stats
+
+    # constant counts: var 0 -> fano 0, burstiness = -1
+    rows = [(0, 5.0)] * 6
+    df = spark.createDataFrame(rows, "g int, x double")
+    r = burstiness_stats(df, ["g"], "x").collect()[0]
+    assert r["fano"] == 0.0 and r["burstiness"] == -1.0
+    assert r["mean"] == 5.0
+
+
+def test_lorenz_uniform_diagonal(spark):
+    from pandasvcf_spark.operators.stats import lorenz_deciles
+
+    # equal values: cum_share at bucket b = (b+1)/10
+    rows = [(i, 7.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    out = {r["bucket"]: r["cum_share"] for r in
+           lorenz_deciles(df, "v", "id").collect()}
+    assert out[0] == 0.1 and out[4] == 0.5 and out[9] == 1.0
+
+
+def test_lorenz_negative_raises(spark):
+    from pandasvcf_spark.operators.stats import lorenz_deciles
+
+    df = spark.createDataFrame([(1, -1.0), (2, 3.0)], "id int, v double")
+    with pytest.raises(Exception):
+        lorenz_deciles(df, "v", "id").collect()
