@@ -2011,3 +2011,245 @@ def lorenz_deciles(
             F.sum("__bs").over(w_cum) / F.sum("__bs").over(w_tot), 6
         ).alias("cum_share"),
     ).orderBy("bucket")
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — ARE the two survival
+    curves different? The hypothesis-test closer for the
+    `kaplan_meier` / `nelson_aalen` family: at each distinct event
+    time, the observed group-1 events are compared to the
+    hypergeometric expectation given the at-risk split:
+
+        E1_t = d_t · n1_t / n_t
+        V_t  = d_t (n1_t/n_t)(1 − n1_t/n_t)(n_t − d_t)/(n_t − 1)
+        z    = (O1 − E1) / sqrt(sum V_t),   chi2 = z²
+
+    group must be 0/1; censored rows (event = 0) leave the risk sets
+    without contributing events. NULL duration/event/group drop.
+
+    Output: ONE row (n1, n2, o1 BIGINT, e1 DOUBLE round 4, chi2
+    DOUBLE round 6, z DOUBLE round 6); NULL statistics when the
+    variance sum is 0.
+
+    Plan: the kaplan_meier shape twice over — one groupBy(duration)
+    collapses the corpus to per-time 4-counter rows, the two at-risk
+    ladders are cumulative windows over the SAME distinct-times
+    order (bit-exact integer ladders), and the test statistic is a
+    1-row fold.
+    """
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    gr = F.col(group_col).cast("int")
+    nn = df.filter(t.isNotNull() & ev.isNotNull() & gr.isNotNull())
+    per_t = nn.groupBy(t.alias("t")).agg(
+        F.sum(F.when((ev != 0) & (gr == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when((ev != 0) & (gr == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+        F.sum(F.when(gr == 1, 1).otherwise(0)).cast("long").alias("a1"),
+        F.sum(F.when(gr == 0, 1).otherwise(0)).cast("long").alias("a0"),
+    )
+    tot = per_t.agg(
+        F.sum("a1").alias("__N1"), F.sum("a0").alias("__N0")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d0",
+        (
+            F.col("__N1")
+            - F.coalesce(F.sum("a1").over(w_prev), F.lit(0))
+        ).alias("n1t"),
+        (
+            F.col("__N0")
+            - F.coalesce(F.sum("a0").over(w_prev), F.lit(0))
+        ).alias("n0t"),
+        F.col("__N1"),
+        F.col("__N0"),
+    )
+    nt = (F.col("n1t") + F.col("n0t")).cast("double")
+    dt = (F.col("d1") + F.col("d0")).cast("double")
+    p1 = F.col("n1t").cast("double") / nt
+    e1t = dt * p1
+    vt = F.when(
+        nt > 1,
+        dt * p1 * (F.lit(1.0) - p1) * (nt - dt) / (nt - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    g = b.filter(F.col("d1") + F.col("d0") > 0).agg(
+        F.max("__N1").cast("long").alias("n1"),
+        F.max("__N0").cast("long").alias("n2"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1t).alias("__e1"),
+        F.sum(vt).alias("__v"),
+    )
+    z = (F.col("o1").cast("double") - F.col("__e1")) / F.sqrt(
+        F.col("__v")
+    )
+    return g.select(
+        "n1",
+        "n2",
+        "o1",
+        F.round(F.col("__e1"), 4).alias("e1"),
+        F.round(F.when(F.col("__v") > 0, z * z), 6).alias("chi2"),
+        (F.round(F.when(F.col("__v") > 0, z), 6) + F.lit(0.0)).alias(
+            "z"
+        ),
+    )
+
+
+#: double literals shared with the SQL oracles (write these exact
+#: digits on both sides — pi()/engine constants are NOT guaranteed to
+#: be the same double as a parsed literal)
+GUMBEL_PI = 3.141592653589793
+GUMBEL_GAMMA = 0.5772156649015329
+
+
+def gumbel_extremes(
+    block_maxima: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    return_period: float = 100.0,
+) -> DataFrame:
+    """Gumbel (EV-I) fit of block maxima by the method of moments —
+    "how bad is the 1-in-100 day?" for latency/queue/load ceilings:
+
+        beta = sd · sqrt(6) / pi
+        mu   = mean − gamma · beta          (Euler-Mascheroni gamma)
+        RL_T = mu − beta · ln(−ln(1 − 1/T)) (the T-period return level)
+
+    Input is the BLOCK-MAXIMA series (pre-aggregate per day/hour
+    first). Sample sd; statistics NULL when n < 2 or sd = 0.
+
+    Output: (*group_cols, n BIGINT, mu DOUBLE round 4, beta DOUBLE
+    round 4, rl DOUBLE round 4).
+
+    Plan: one 3-sum partial-aggregated groupBy + pure arithmetic.
+    The pi/gamma constants are module literals mirrored digit-for-
+    digit in the oracle (an engine's pi() need not be the same
+    double as the parsed literal).
+    """
+    import math
+
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    if return_period <= 1:
+        raise ValueError("return_period must be > 1")
+    x = F.col(value_col).cast("double")
+    g = block_maxima.filter(x.isNotNull()).groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s") / nd
+    var = (F.col("__q") - F.col("__s") * F.col("__s") / nd) / (
+        nd - F.lit(1.0)
+    )
+    sd = F.sqrt(var)
+    beta = sd * F.lit(math.sqrt(6.0)) / F.lit(GUMBEL_PI)
+    mu = mean - F.lit(GUMBEL_GAMMA) * beta
+    rl = mu - beta * F.log(
+        -F.log(F.lit(1.0) - F.lit(1.0) / F.lit(return_period))
+    )
+    ok = (F.col("n") >= 2) & (var > 0)
+    return g.select(
+        *gcols,
+        "n",
+        F.round(F.when(ok, mu), 4).alias("mu"),
+        F.round(F.when(ok, beta), 4).alias("beta"),
+        F.round(F.when(ok, rl), 4).alias("rl"),
+    )
+
+
+def changepoint_single(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Best single mean-shift changepoint per group — the one-split
+    exact solution CUSUM's sequential scores approximate: choose the
+    split k (first segment = positions 1..k) maximizing the
+    between-segment sum-of-squares gain
+
+        gain(k) = S_k²/k + (S_n − S_k)²/(n − k) − S_n²/n
+
+    (equivalently the variance-reduction of a 2-segment fit; ties
+    break to the smallest k). INTENDED FOR PRE-AGGREGATED SERIES
+    with PINNED (rounded) values — gains then replay exactly enough
+    that the ROUNDED-gain argmax order is engine-stable (the repo's
+    rounded-score top-k rule).
+
+    Output: (*group_cols, n BIGINT, k_best BIGINT, t_split — the
+    time of the LAST point in the left segment, gain DOUBLE round 4,
+    mean_left DOUBLE round 4, mean_right DOUBLE round 4).
+
+    Plan: one cumulative window + one rank window on the same
+    group-keyed exchange; candidate splits never leave the series
+    table.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(*gcols)
+    r = series.select(
+        *gcols,
+        F.col(time_col).alias("__t"),
+        F.row_number().over(w).alias("__k"),
+        F.sum(x).over(w_cum).alias("__sk"),
+        F.sum(x).over(w_all).alias("__sn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    ).filter(F.col("__k") < F.col("__n"))
+    kd = F.col("__k").cast("double")
+    nd = F.col("__n").cast("double")
+    gain = (
+        F.col("__sk") * F.col("__sk") / kd
+        + (F.col("__sn") - F.col("__sk"))
+        * (F.col("__sn") - F.col("__sk"))
+        / (nd - kd)
+        - F.col("__sn") * F.col("__sn") / nd
+    )
+    scored = r.select(
+        *gcols,
+        "__t",
+        "__k",
+        "__n",
+        "__sk",
+        "__sn",
+        F.round(gain, 4).alias("__g"),
+    )
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.col("__g").desc(), F.col("__k").asc()
+    )
+    best = scored.withColumn(
+        "__rn", F.row_number().over(w_pick)
+    ).filter(F.col("__rn") == 1)
+    return best.select(
+        *gcols,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k_best"),
+        F.col("__t").alias("t_split"),
+        F.col("__g").alias("gain"),
+        F.round(F.col("__sk") / F.col("__k").cast("double"), 4).alias(
+            "mean_left"
+        ),
+        F.round(
+            (F.col("__sn") - F.col("__sk"))
+            / (F.col("__n") - F.col("__k")).cast("double"),
+            4,
+        ).alias("mean_right"),
+    )

@@ -2538,3 +2538,221 @@ def e_burstiness(spark, sf_dir):
         ),
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
     return burstiness_stats(daily, ["et"], "x").orderBy("et")
+
+
+@register(
+    "m_logrank",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS t,
+             CASE WHEN event_type NOT IN ('error', 'signup')
+                  THEN 1 ELSE 0 END AS ev,
+             CAST(user_id % 2 AS INTEGER) AS g
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ev <> 0 AND g = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN ev <> 0 AND g = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a1,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a0
+      FROM s GROUP BY t),
+    tot AS (SELECT sum(a1) AS t1, sum(a0) AS t0 FROM per_t),
+    b AS (
+      SELECT t, d1, d0,
+             t1 - coalesce(sum(a1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1t,
+             t0 - coalesce(sum(a0) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n0t,
+             t1, t0
+      FROM per_t, tot),
+    f AS (
+      SELECT t1, t0, d1, d0, n1t, n0t,
+             CAST(n1t + n0t AS DOUBLE) AS nt,
+             CAST(d1 + d0 AS DOUBLE) AS dt,
+             CAST(n1t AS DOUBLE) / CAST(n1t + n0t AS DOUBLE) AS p1
+      FROM b WHERE d1 + d0 > 0),
+    a AS (
+      SELECT CAST(max(t1) AS BIGINT) AS n1,
+             CAST(max(t0) AS BIGINT) AS n2,
+             CAST(sum(d1) AS BIGINT) AS o1,
+             sum(dt * p1) AS e1s,
+             sum(CASE WHEN nt > 1
+                 THEN dt * p1 * (1.0 - p1) * (nt - dt) / (nt - 1.0)
+                 ELSE 0.0 END) AS vs
+      FROM f)
+    SELECT n1, n2, o1, round(e1s, 4) AS e1,
+           round(CASE WHEN vs > 0
+                 THEN ((CAST(o1 AS DOUBLE) - e1s) / sqrt(vs))
+                      * ((CAST(o1 AS DOUBLE) - e1s) / sqrt(vs))
+                 END, 6) AS chi2,
+           round(CASE WHEN vs > 0
+                 THEN (CAST(o1 AS DOUBLE) - e1s) / sqrt(vs) END, 6)
+             + 0.0 AS z
+    FROM a
+    """,
+)
+def m_logrank(spark, sf_dir):
+    """Two-sample log-rank test (operators/stats.logrank_test; Mantel
+    1966) — ARE even and odd users' survival curves different?
+    Duration = value, error/signup right-censor (the m_nelson_aalen
+    fixture split by user parity) — the hypothesis-test closer for
+    the survival family. The kaplan_meier plan twice over: per-time
+    4-counter rows, two bit-exact integer at-risk ladders over the
+    shared time order, a 1-row O−E/variance fold. Expected z ~ 0 on
+    this parity-blind synthetic data. The oracle replays ladders,
+    expectations and the hypergeometric variance."""
+    from pandasvcf_spark.operators.stats import logrank_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("t"),
+        F.when(~F.col("event_type").isin("error", "signup"), 1)
+        .otherwise(0)
+        .alias("ev"),
+        (F.col("user_id") % 2).cast("int").alias("g"),
+    )
+    return logrank_test(d, "t", "ev", "g")
+
+
+@register(
+    "e_extremes",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             (epoch_us(ts) // 1000000) // 86400 AS day,
+             max(value) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+    g AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS s, sum(x * x) AS q
+          FROM d GROUP BY et),
+    m AS (SELECT et, n, s / CAST(n AS DOUBLE) AS mean,
+                 (q - s * s / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS vv
+          FROM g),
+    f AS (SELECT et, n, mean, vv,
+                 sqrt(vv) * CAST(2.449489742783178 AS DOUBLE)
+                   / CAST(3.141592653589793 AS DOUBLE) AS beta
+          FROM m),
+    h AS (SELECT et, n, vv, beta,
+                 mean - CAST(0.5772156649015329 AS DOUBLE) * beta
+                   AS mu
+          FROM f)
+    SELECT et, n,
+           round(CASE WHEN n >= 2 AND vv > 0 THEN mu END, 4) AS mu,
+           round(CASE WHEN n >= 2 AND vv > 0 THEN beta END, 4)
+             AS beta,
+           round(CASE WHEN n >= 2 AND vv > 0
+                 THEN mu - beta * ln(-ln(1.0 - CAST(1.0 AS DOUBLE)
+                                               / 100.0))
+                 END, 4) AS rl
+    FROM h ORDER BY et
+    """,
+)
+def e_extremes(spark, sf_dir):
+    """Gumbel extreme-value fit of daily maximum event values per
+    type (operators/stats.gumbel_extremes; method of moments,
+    100-day return level) — "how bad is the 1-in-100 day?" for
+    latency/load ceilings. The corpus collapses to ~30 block maxima
+    per group; one 3-sum groupBy + pure arithmetic, with the
+    pi/gamma/sqrt(6) constants mirrored DIGIT-FOR-DIGIT in the
+    oracle (an engine's pi() need not equal the parsed literal).
+    The oracle replays moments, both parameters and the return
+    level."""
+    from pandasvcf_spark.operators.stats import gumbel_extremes
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+    ).agg(F.max("value").alias("x"))
+    return gumbel_extremes(
+        daily, ["et"], "x", return_period=100.0
+    ).orderBy("et")
+
+
+@register(
+    "e_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             (epoch_us(ts) // 1000000) // 86400 AS day,
+             round(avg(value), 4) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+    r AS (
+      SELECT et, day AS t,
+             row_number() OVER (PARTITION BY et ORDER BY day) AS k,
+             sum(x) OVER (PARTITION BY et ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sk,
+             sum(x) OVER (PARTITION BY et) AS sn,
+             count(*) OVER (PARTITION BY et) AS n
+      FROM d),
+    c AS (
+      SELECT et, t, k, n, sk, sn,
+             round(sk * sk / CAST(k AS DOUBLE)
+                   + (sn - sk) * (sn - sk)
+                     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                   - sn * sn / CAST(n AS DOUBLE), 4) AS g
+      FROM r WHERE k < n),
+    p AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY et ORDER BY g DESC, k) AS rn
+        FROM c) WHERE rn = 1)
+    SELECT et, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_best,
+           t AS t_split, g AS gain,
+           round(sk / CAST(k AS DOUBLE), 4) AS mean_left,
+           round((sn - sk) / CAST(n - k AS DOUBLE), 4) AS mean_right
+    FROM p ORDER BY et
+    """,
+)
+def e_changepoint(spark, sf_dir):
+    """Best single mean-shift changepoint per event type
+    (operators/stats.changepoint_single) over the 4dp-pinned daily
+    mean-value series — the exact one-split solution CUSUM's
+    sequential scores approximate (e_cusum's offline closer): argmax
+    of the between-segment sum-of-squares gain from prefix sums.
+    Pinned increments make the cumulative ladders and gains
+    bit-exact, so the rounded-gain argmax is engine-stable; one
+    cumulative + one rank window on the same exchange. Expected a
+    noise split on this trendless synthetic series — the entry
+    checks the search. The oracle replays prefix sums, gains and
+    the tie-broken argmax."""
+    from pandasvcf_spark.operators.stats import changepoint_single
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+    ).agg(F.round(F.avg("value"), 4).alias("x"))
+    return changepoint_single(daily, ["et"], "day", "x").orderBy("et")

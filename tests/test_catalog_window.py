@@ -725,6 +725,15 @@ def test_tail_entries_are_redundant_variants_only():
                                  # 3-sum moment ratios
         "t_lorenz",              # concentration deciles: floor-rank
                                  # buckets + cumulative share ladder
+        "m_logrank",             # survival-curve difference test:
+                                 # kaplan_meier counters x2, integer
+                                 # at-risk ladders, 1-row O-E fold
+        "e_extremes",            # Gumbel block-maxima fit: 3-sum
+                                 # moments, digit-pinned constants,
+                                 # 100-day return level
+        "e_changepoint",         # exact one-split mean shift: prefix
+                                 # sums + rounded-gain argmax over
+                                 # pinned daily series
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

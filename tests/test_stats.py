@@ -1000,3 +1000,77 @@ def test_lorenz_negative_raises(spark):
     df = spark.createDataFrame([(1, -1.0), (2, 3.0)], "id int, v double")
     with pytest.raises(Exception):
         lorenz_deciles(df, "v", "id").collect()
+
+
+# --- logrank / gumbel / changepoint ----------------------------------------
+
+
+def test_logrank_identical_groups_zero(spark):
+    from pandasvcf_spark.operators.stats import logrank_test
+
+    # mirrored samples -> O1 = E1 -> z = 0
+    rows = [(float(t), 1, g) for t in (1, 2, 3, 4) for g in (0, 1)]
+    df = spark.createDataFrame(rows, "t double, ev int, g int")
+    r = logrank_test(df, "t", "ev", "g").collect()[0]
+    assert r["z"] == 0.0 and r["o1"] == 4
+
+
+def test_logrank_shifted_group_negative_z(spark):
+    from pandasvcf_spark.operators.stats import logrank_test
+
+    # group 1 dies strictly earlier -> O1 > E1 early... z sign: all
+    # group-1 events happen while both groups fully at risk -> O1 - E1 > 0
+    rows = [(float(t), 1, 1) for t in (1, 2, 3)]
+    rows += [(float(t), 1, 0) for t in (10, 11, 12)]
+    df = spark.createDataFrame(rows, "t double, ev int, g int")
+    r = logrank_test(df, "t", "ev", "g").collect()[0]
+    assert r["z"] is not None and r["z"] > 1.5
+    assert r["chi2"] == round(r["z"] ** 2, 6) or abs(
+        r["chi2"] - r["z"] ** 2) < 1e-4
+
+
+def test_gumbel_hand_moments(spark):
+    from pandasvcf_spark.operators.stats import (
+        GUMBEL_GAMMA,
+        GUMBEL_PI,
+        gumbel_extremes,
+    )
+
+    import math
+    import statistics
+
+    vals = [10.0, 12.0, 15.0, 11.0, 13.0, 20.0]
+    df = spark.createDataFrame([(0, v) for v in vals], "g int, x double")
+    r = gumbel_extremes(df, ["g"], "x", return_period=100.0).collect()[0]
+    sd = statistics.stdev(vals)
+    beta = sd * math.sqrt(6.0) / GUMBEL_PI
+    mu = statistics.mean(vals) - GUMBEL_GAMMA * beta
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / 100.0))
+    assert r["beta"] == round(beta, 4)
+    assert r["mu"] == round(mu, 4)
+    assert r["rl"] == round(rl, 4)
+    assert r["rl"] > max(vals)  # 100-day level beyond a 6-day sample
+
+
+def test_changepoint_planted_step(spark):
+    from pandasvcf_spark.operators.stats import changepoint_single
+
+    # 5 points at 10 then 5 at 50: best split after k=5
+    rows = [(0, t, 10.0) for t in range(5)]
+    rows += [(0, t + 5, 50.0) for t in range(5)]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    r = changepoint_single(df, ["g"], "t", "x").collect()[0]
+    assert r["k_best"] == 5 and r["t_split"] == 4
+    assert r["mean_left"] == 10.0 and r["mean_right"] == 50.0
+    # gain at the true split = n/4 * diff^2 = 10/4*1600 = 4000
+    assert r["gain"] == 4000.0
+
+
+def test_changepoint_tie_prefers_smallest_k(spark):
+    from pandasvcf_spark.operators.stats import changepoint_single
+
+    # constant series: every split gain 0 -> k_best = 1
+    rows = [(0, t, 3.0) for t in range(4)]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    r = changepoint_single(df, ["g"], "t", "x").collect()[0]
+    assert r["k_best"] == 1 and r["gain"] == 0.0
