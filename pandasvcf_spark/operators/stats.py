@@ -2253,3 +2253,202 @@ def changepoint_single(
             4,
         ).alias("mean_right"),
     )
+
+
+def dominant_period(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    max_lag: int = 30,
+) -> DataFrame:
+    """Dominant periodicity per group — the argmax of the biased ACF
+    over lags 1..max_lag (the m_acf machinery turned into a detector):
+    "does this stream breathe daily or weekly?" without a Fourier
+    library. Ties and near-ties resolve on the ROUNDED correlation
+    with the smallest lag winning (the rounded-score argmax rule).
+    INTENDED FOR PRE-AGGREGATED REGULAR SERIES.
+
+    Output: (*group_cols, n BIGINT, best_lag INT, acf DOUBLE
+    round 6); groups whose denominator is 0 (constant series) drop.
+
+    Plan: max_lag lead() columns over ONE group-keyed window + one
+    group agg + a lag-stacked argmax window over group x max_lag
+    rows.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    mu = series.groupBy(*gcols).agg(F.avg(x).alias("__m"))
+    j = series.join(F.broadcast(mu), gcols)
+    d = j.select(
+        *gcols,
+        (x - F.col("__m")).alias("d0"),
+        *[
+            (F.lead(x, k).over(w) - F.col("__m")).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d0") * F.col("d0")).alias("__den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"__n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = None
+    for k in range(1, max_lag + 1):
+        row = agg.filter(F.col("__den") > 0).select(
+            *gcols,
+            "n",
+            F.lit(k).alias("lag"),
+            (
+                F.round(F.col(f"__n{k}") / F.col("__den"), 6)
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+        stacked = row if stacked is None else stacked.unionAll(row)
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.col("acf").desc(), F.col("lag").asc()
+    )
+    return (
+        stacked.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(*gcols, "n", F.col("lag").cast("int").alias("best_lag"), "acf")
+    )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """2x2 odds ratio + relative risk with the Woolf log-normal CI —
+    the epidemiology-style exposure/outcome readout (feature flag vs
+    crash, segment vs churn) beside m_ab_test's difference-of-
+    proportions z:
+
+        OR = (a·d) / (b·c),  RR = (a/(a+b)) / (c/(c+d))
+        CI = exp(ln OR ± z·sqrt(1/a + 1/b + 1/c + 1/d))
+
+    with a = exposed+outcome, b = exposed−, c = unexposed+,
+    d = unexposed−. Any zero cell makes OR/CI NULL (no continuity
+    fudge — the caller should see the boundary). exposure/outcome
+    must be 0/1.
+
+    Output: ONE row (a, b, c, d BIGINT, odds_ratio, rel_risk, ci_lo,
+    ci_hi DOUBLE round 4).
+
+    Plan: one 4-counter conditional aggregation (the m_confusion
+    shape) + pure arithmetic.
+    """
+    ex = F.col(exposure_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    g = df.filter(ex.isNotNull() & oc.isNotNull()).agg(
+        F.sum(F.when((ex == 1) & (oc == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((ex == 1) & (oc == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((ex == 0) & (oc == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((ex == 0) & (oc == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    ad_, bd_, cd_, dd_ = (
+        F.col("a").cast("double"),
+        F.col("b").cast("double"),
+        F.col("c").cast("double"),
+        F.col("d").cast("double"),
+    )
+    ok = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    orr = ad_ * dd_ / (bd_ * cd_)
+    rr = (ad_ / (ad_ + bd_)) / (cd_ / (cd_ + dd_))
+    se = F.sqrt(
+        F.lit(1.0) / ad_
+        + F.lit(1.0) / bd_
+        + F.lit(1.0) / cd_
+        + F.lit(1.0) / dd_
+    )
+    return g.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.when(ok, orr), 4).alias("odds_ratio"),
+        F.round(F.when(ok, rr), 4).alias("rel_risk"),
+        F.round(F.when(ok, F.exp(F.log(orr) - F.lit(z) * se)), 4).alias(
+            "ci_lo"
+        ),
+        F.round(F.when(ok, F.exp(F.log(orr) + F.lit(z) * se)), 4).alias(
+            "ci_hi"
+        ),
+    )
+
+
+def capture_recapture(
+    df_a: DataFrame,
+    key_a,
+    df_b: DataFrame,
+    key_b,
+) -> DataFrame:
+    """Lincoln-Petersen / Chapman population estimate from two
+    overlapping samples — "how many distinct items exist in total?"
+    when you can only afford two partial crawls (the exact-count
+    sibling of `kmv_intersect`'s sketched overlap):
+
+        lincoln = n1·n2 / m
+        chapman = (n1+1)(n2+1)/(m+1) − 1    (bias-corrected, finite
+                                             even at m = 0)
+
+    with n1/n2 the distinct key counts and m the distinct overlap.
+    lincoln is NULL at m = 0. NULL keys drop.
+
+    Output: ONE row (n1, n2, m BIGINT, lincoln DOUBLE round 4,
+    chapman DOUBLE round 4).
+
+    Plan: two map-side-distinct counts + one distinct-key equi-join
+    for the overlap; everything combines in 1-row aggregates.
+    """
+    ka = F.col(key_a) if isinstance(key_a, str) else key_a
+    kb = F.col(key_b) if isinstance(key_b, str) else key_b
+    a = df_a.filter(ka.isNotNull()).select(ka.alias("__k")).distinct()
+    b = df_b.filter(kb.isNotNull()).select(kb.alias("__k")).distinct()
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = a.join(b, "__k").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    g = na.join(F.broadcast(nb)).join(F.broadcast(m))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    md = F.col("m").cast("double")
+    return g.select(
+        "n1",
+        "n2",
+        "m",
+        F.round(F.when(F.col("m") > 0, n1d * n2d / md), 4).alias(
+            "lincoln"
+        ),
+        F.round(
+            (n1d + F.lit(1.0))
+            * (n2d + F.lit(1.0))
+            / (md + F.lit(1.0))
+            - F.lit(1.0),
+            4,
+        ).alias("chapman"),
+    )

@@ -2756,3 +2756,132 @@ def e_changepoint(spark, sf_dir):
         ),
     ).agg(F.round(F.avg("value"), 4).alias("x"))
     return changepoint_single(daily, ["et"], "day", "x").orderBy("et")
+
+
+def _period_oracle(max_lag: int = 30) -> str:
+    leads = ",\n             ".join(
+        f"lead(x, {k}) OVER w - mu.m AS d{k}"
+        for k in range(1, max_lag + 1)
+    )
+    sums = ",\n             ".join(
+        f"sum(d0 * d{k}) AS n{k}" for k in range(1, max_lag + 1)
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT et, n, {k} AS lag,"
+        f" round(n{k} / den, 6) + 0.0 AS acf"
+        f" FROM agg WHERE den > 0"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type AS et, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)),
+    mu AS (SELECT et, avg(x) AS m FROM hourly GROUP BY et),
+    d AS (
+      SELECT hourly.et AS et, x - mu.m AS d0,
+             {leads}
+      FROM hourly JOIN mu ON hourly.et = mu.et
+      WINDOW w AS (PARTITION BY hourly.et ORDER BY h)),
+    agg AS (
+      SELECT et, CAST(count(*) AS BIGINT) AS n,
+             sum(d0 * d0) AS den,
+             {sums}
+      FROM d GROUP BY et),
+    stacked AS (
+    {rows}),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY et ORDER BY acf DESC, lag) AS rn
+        FROM stacked) WHERE rn = 1)
+    SELECT et, n, CAST(lag AS INTEGER) AS best_lag, acf
+    FROM best ORDER BY et
+    """
+
+
+@register("e_dominant_period", oracle=_period_oracle())
+def e_dominant_period(spark, sf_dir):
+    """Dominant periodicity of each event type's hourly count series
+    (operators/stats.dominant_period, lags 1-30) — the m_acf
+    machinery turned into a detector: which lag's autocorrelation
+    wins? (A daily rhythm shows as lag 24 on an hourly series.) 30
+    lead() columns over ONE group-keyed window + one agg + a
+    rounded-score argmax with smallest-lag ties. The oracle unrolls
+    all 30 correlations and the argmax."""
+    from pandasvcf_spark.operators.stats import dominant_period
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return dominant_period(hourly, ["et"], "h", "x", max_lag=30).orderBy(
+        "et"
+    )
+
+
+@register(
+    "m_odds_ratio",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS ex,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS oc
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    g AS (
+      SELECT
+        CAST(sum(CASE WHEN ex = 1 AND oc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(sum(CASE WHEN ex = 1 AND oc = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(sum(CASE WHEN ex = 0 AND oc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(sum(CASE WHEN ex = 0 AND oc = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM b),
+    m AS (
+      SELECT a, b, c, d,
+             CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+             CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+             (a > 0 AND b > 0 AND c > 0 AND d > 0) AS ok
+      FROM g),
+    f AS (
+      SELECT *, ad * dd / (bd * cd) AS orr,
+             (ad / (ad + bd)) / (cd / (cd + dd)) AS rr,
+             sqrt(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd) AS se
+      FROM m)
+    SELECT a, b, c, d,
+           round(CASE WHEN ok THEN orr END, 4) AS odds_ratio,
+           round(CASE WHEN ok THEN rr END, 4) AS rel_risk,
+           round(CASE WHEN ok
+                 THEN exp(ln(orr) - 1.96 * se) END, 4) AS ci_lo,
+           round(CASE WHEN ok
+                 THEN exp(ln(orr) + 1.96 * se) END, 4) AS ci_hi
+    FROM f
+    """,
+)
+def m_odds_ratio(spark, sf_dir):
+    """2x2 odds ratio / relative risk with the Woolf CI
+    (operators/stats.odds_ratio): odd-user exposure vs the 'error'
+    outcome — the feature-flag-vs-crash readout beside m_ab_test's
+    difference-of-proportions z. One 4-counter conditional agg (the
+    m_confusion shape) + pure arithmetic; zero cells yield NULL, no
+    continuity fudge. Expected OR ~ 1 on this parity-blind data.
+    The oracle replays counters, ratios and the log-normal CI."""
+    from pandasvcf_spark.operators.stats import odds_ratio
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("ex"),
+        F.when(F.col("event_type") == "error", 1)
+        .otherwise(0)
+        .alias("oc"),
+    )
+    return odds_ratio(d, "ex", "oc", z=1.96)

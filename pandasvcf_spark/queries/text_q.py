@@ -3099,3 +3099,42 @@ def t_lorenz(spark, sf_dir):
         "id",
         n_buckets=10,
     )
+
+
+@register(
+    "sk_capture_recapture",
+    oracle="""
+    WITH a AS (SELECT DISTINCT c_name AS k FROM customer
+               WHERE c_custkey <= 1200 AND c_name IS NOT NULL),
+    b AS (SELECT DISTINCT c_name AS k FROM customer
+          WHERE c_custkey >= 400 AND c_name IS NOT NULL),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM b),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m
+           FROM a JOIN b ON a.k = b.k)
+    SELECT n1, n2, m,
+           round(CASE WHEN m > 0
+                 THEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      / CAST(m AS DOUBLE) END, 4) AS lincoln,
+           round((CAST(n1 AS DOUBLE) + 1.0)
+                 * (CAST(n2 AS DOUBLE) + 1.0)
+                 / (CAST(m AS DOUBLE) + 1.0) - 1.0, 4) AS chapman
+    FROM na, nb, mm
+    """,
+)
+def sk_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen / Chapman population estimate
+    (operators/stats.capture_recapture) from the sk_theta_intersect
+    sample pair (custkey <= 1200 vs >= 400) — "how many distinct
+    names exist in total?" from two partial crawls; the true total
+    (1500) sits between the two estimators on this fixture, and the
+    exact-count machinery is the ground truth the theta sketch
+    approximates. Two map-side-distinct counts + one distinct-key
+    join; 1-row combines. The oracle replays counts and both
+    estimators."""
+    from pandasvcf_spark.operators.stats import capture_recapture
+
+    cu = load(spark, sf_dir, "customer")
+    a = cu.filter(F.col("c_custkey") <= 1200)
+    b = cu.filter(F.col("c_custkey") >= 400)
+    return capture_recapture(a, "c_name", b, "c_name")

@@ -734,6 +734,14 @@ def test_tail_entries_are_redundant_variants_only():
         "e_changepoint",         # exact one-split mean shift: prefix
                                  # sums + rounded-gain argmax over
                                  # pinned daily series
+        "e_dominant_period",     # ACF argmax over lags 1-30: 30 lead
+                                 # columns, one window, rounded-score
+                                 # argmax (m_acf machinery)
+        "m_odds_ratio",          # 2x2 OR/RR + Woolf CI: 4-counter
+                                 # agg (m_confusion shape)
+        "sk_capture_recapture",  # Lincoln-Petersen/Chapman totals:
+                                 # exact ground truth for the theta
+                                 # sketch's overlap fixture
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1074,3 +1074,74 @@ def test_changepoint_tie_prefers_smallest_k(spark):
     df = spark.createDataFrame(rows, "g int, t int, x double")
     r = changepoint_single(df, ["g"], "t", "x").collect()[0]
     assert r["k_best"] == 1 and r["gain"] == 0.0
+
+
+# --- dominant_period / odds_ratio / capture_recapture ----------------------
+
+
+def test_dominant_period_planted_sine(spark):
+    from pandasvcf_spark.operators.stats import dominant_period
+
+    import math
+
+    # period-8 sine sampled 64 times: lag 8 wins
+    rows = [(0, t, math.sin(2 * math.pi * t / 8)) for t in range(64)]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    r = dominant_period(df, ["g"], "t", "x", max_lag=12).collect()[0]
+    assert r["best_lag"] == 8 and r["acf"] > 0.8
+
+
+def test_dominant_period_constant_drops(spark):
+    from pandasvcf_spark.operators.stats import dominant_period
+
+    rows = [(0, t, 5.0) for t in range(20)]
+    df = spark.createDataFrame(rows, "g int, t int, x double")
+    assert dominant_period(df, ["g"], "t", "x", max_lag=5).count() == 0
+
+
+def test_odds_ratio_textbook(spark):
+    from pandasvcf_spark.operators.stats import odds_ratio
+
+    import math
+
+    # a=10 b=90 c=5 d=95: OR = 10*95/(90*5) = 2.1111
+    rows = [(1, 1)] * 10 + [(1, 0)] * 90 + [(0, 1)] * 5 + [(0, 0)] * 95
+    df = spark.createDataFrame(rows, "ex int, oc int")
+    r = odds_ratio(df, "ex", "oc").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (10, 90, 5, 95)
+    orr = 10 * 95 / (90 * 5)
+    assert r["odds_ratio"] == round(orr, 4)
+    se = math.sqrt(1 / 10 + 1 / 90 + 1 / 5 + 1 / 95)
+    assert r["ci_lo"] == round(math.exp(math.log(orr) - 1.96 * se), 4)
+    assert r["ci_lo"] < 1.0 < r["ci_hi"]  # not significant at n=200
+
+
+def test_odds_ratio_zero_cell_null(spark):
+    from pandasvcf_spark.operators.stats import odds_ratio
+
+    rows = [(1, 1), (1, 0), (0, 0)]
+    df = spark.createDataFrame(rows, "ex int, oc int")
+    r = odds_ratio(df, "ex", "oc").collect()[0]
+    assert r["odds_ratio"] is None and r["ci_lo"] is None
+
+
+def test_capture_recapture_known_overlap(spark):
+    from pandasvcf_spark.operators.stats import capture_recapture
+
+    # universe 0..99; sample A = 0..59, B = 40..99 -> overlap 20
+    a = spark.range(0, 60).selectExpr("cast(id as string) as k")
+    b = spark.range(40, 100).selectExpr("cast(id as string) as k")
+    r = capture_recapture(a, "k", b, "k").collect()[0]
+    assert (r["n1"], r["n2"], r["m"]) == (60, 60, 20)
+    assert r["lincoln"] == 180.0
+    assert r["chapman"] == round(61 * 61 / 21 - 1, 4)
+
+
+def test_capture_recapture_disjoint(spark):
+    from pandasvcf_spark.operators.stats import capture_recapture
+
+    a = spark.range(0, 5).selectExpr("cast(id as string) as k")
+    b = spark.range(10, 15).selectExpr("cast(id as string) as k")
+    r = capture_recapture(a, "k", b, "k").collect()[0]
+    assert r["m"] == 0 and r["lincoln"] is None
+    assert r["chapman"] == 35.0  # (6*6/1) - 1
