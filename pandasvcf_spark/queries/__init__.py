@@ -78,7 +78,11 @@ DRIVER_WINDOW = 50
 # w_rank_topk → per-group rank windows + agg are m_ndcg's plan;
 # sk_countmin → the fixed-size partial-agged register grid stays
 # driver-covered by sk_hll_distinct) and all remain exact-checked by
-# tests/test_contract.py every run.
+# tests/test_contract.py every run. A fifth cut promotes corpus
+# BLEU-2/ROUGE-2 (the generation-evaluation class) over j_semi, whose
+# left_semi machinery stays driver-covered by g_kcore (each peel round
+# filters the edge set with two left_semi joins, operators/graph.py
+# kcore) — j_semi stays exact-checked in the contract tail.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -136,7 +140,7 @@ _PRIORITY = [
     "j_asof_events",
     "g_grm",
     "j_bloom_prune",
-    "j_semi",
+    "t_bleu_rouge",
     "j_multiway_q5",
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing

@@ -53,6 +53,9 @@ def test_extension_surface_inside_window():
         "info_str_to_map",
         "j_multiway_q5",
         "skew_salted_join",
+        "t_bleu_rouge",  # promoted re-cut #5 (generation metrics);
+                         # j_semi's left_semi stays via g_kcore's
+                         # per-round peel filters
         "agg_tpch_q1",
         "e_tumbling_hourly",
         "e_sessionize",
@@ -624,9 +627,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # assignment + k-key groupBy per
                                  # round, 6dp-pinned trajectory;
                                  # unrolled 2-round SQL replay
-        "t_bleu_rouge",          # corpus BLEU-2 + ROUGE-2: clipped
-                                 # n-gram counts co-partitioned on
-                                 # (pair, n, gram); 1-row statistic
         "m_calibration",         # reliability bins: one n_bins-key
                                  # groupBy, engine-exact bin edges
         "m_cramers_v",           # contingency effect size: cell
@@ -742,6 +742,9 @@ def test_tail_entries_are_redundant_variants_only():
         "sk_capture_recapture",  # Lincoln-Petersen/Chapman totals:
                                  # exact ground truth for the theta
                                  # sketch's overlap fixture
+        "j_semi",                # demoted re-cut #5: left_semi
+                                 # machinery stays via g_kcore's
+                                 # peel-round semi filters
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
