@@ -2452,3 +2452,175 @@ def capture_recapture(
             4,
         ).alias("chapman"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions minimized) —
+    the multi-objective shortlist query ("no other option is at
+    least as good on both axes and better on one"): price/latency,
+    cost/error, size/loss fronts.
+
+    Algorithm: over DISTINCT points sorted by (x ASC, y ASC), a point
+    is on the skyline iff no preceding point has y <= its y — the
+    classic sort-based sweep, which makes the frontier ONE window
+    pass instead of the naive all-pairs dominance join (the oracle
+    states exactly that naive NOT EXISTS form as an independent
+    formulation). Exact comparisons — no rounding involved.
+
+    Output: (x DOUBLE, y DOUBLE), x-ascending.
+
+    Plan: one distinct + one cumulative-MIN window over a single
+    sort. At 100 TB pre-filter with a coarse grid (only cells on the
+    lower-left staircase can host skyline points) — the sweep itself
+    is already one pass.
+    """
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    pts = (
+        df.filter(xc.isNotNull() & yc.isNotNull())
+        .select(xc.alias("x"), yc.alias("y"))
+        .distinct()
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("y").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = pts.withColumn("__miny", F.min("y").over(w))
+    return (
+        swept.filter(
+            F.col("__miny").isNull() | (F.col("y") < F.col("__miny"))
+        )
+        .select("x", "y")
+        .orderBy("x")
+    )
+
+
+def sample_size_2prop(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    z_alpha: float = 1.96,
+    z_power: float = 0.8416212335729143,
+) -> DataFrame:
+    """A/B sample-size planner from observed proportions — "how many
+    units per arm would detecting THIS difference take?" (the
+    standard two-proportion formula at alpha = .05 two-sided, power
+    = .80 by default):
+
+        n/arm = (z_a + z_b)² · (p1·q1 + p2·q2) / (p1 − p2)²
+
+    with p1/p2 the observed outcome rates of group 1/0. The z
+    quantiles are caller-supplied DOUBLE literals (no inverse-normal
+    in either engine — mirror the digits in the oracle). n is NULL
+    when the observed difference is < 1e-6 (the answer would be
+    absurd and unstable, surface the hole).
+
+    Output: ONE row (n1, n2 BIGINT, p1, p2 DOUBLE round 6, diff
+    DOUBLE round 6, n_per_arm BIGINT).
+
+    Plan: one 4-counter conditional agg + pure arithmetic.
+    """
+    gr = F.col(group_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    g = df.filter(gr.isNotNull() & oc.isNotNull()).agg(
+        F.sum(F.when(gr == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(gr == 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when((gr == 1) & (oc == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__s1"),
+        F.sum(F.when((gr == 0) & (oc == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__s2"),
+    )
+    p1 = F.col("__s1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("__s2").cast("double") / F.col("n2").cast("double")
+    diff = p1 - p2
+    zz = F.lit(z_alpha) + F.lit(z_power)
+    n_arm = (
+        zz
+        * zz
+        * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+        / (diff * diff)
+    )
+    ok = (
+        (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+        & (F.abs(diff) >= 1e-6)
+    )
+    return g.select(
+        "n1",
+        "n2",
+        F.round(F.when(F.col("n1") > 0, p1), 6).alias("p1"),
+        F.round(F.when(F.col("n2") > 0, p2), 6).alias("p2"),
+        (
+            F.round(
+                F.when((F.col("n1") > 0) & (F.col("n2") > 0), diff), 6
+            )
+            + F.lit(0.0)
+        ).alias("diff"),
+        F.when(ok, F.ceil(n_arm)).cast("long").alias("n_per_arm"),
+    )
+
+
+def seasonal_strength(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    slot_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonality-strength scalar per group (the STL-style measure,
+    Wang/Smith/Hyndman):
+
+        strength = max(0, 1 − var(x − slot_mean) / var(x))
+
+    over a regular series with a seasonal slot label (hour-of-day,
+    day-of-week) — the one-number answer to "is this stream's rhythm
+    real?", the scalar partner of e_seasonal_profile's per-slot
+    means and e_dominant_period's lag argmax. Population variances;
+    NULL when var(x) = 0.
+
+    Output: (*group_cols, n BIGINT, strength DOUBLE round 6).
+
+    Plan: one (group, slot)-keyed mean (slot-sized), a broadcast
+    join-back, and one group-keyed moment agg — three
+    partial-aggregated passes, no windows.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    base = series.filter(
+        x.isNotNull() & F.col(slot_col).isNotNull()
+    ).select(*gcols, F.col(slot_col).alias("__slot"), x.alias("__x"))
+    slots = base.groupBy(*gcols, "__slot").agg(
+        F.avg("__x").alias("__sm")
+    )
+    j = base.join(F.broadcast(slots), [*gcols, "__slot"])
+    g = j.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+        F.sum(
+            (F.col("__x") - F.col("__sm"))
+            * (F.col("__x") - F.col("__sm"))
+        ).alias("__qr"),
+    )
+    nd = F.col("n").cast("double")
+    var_x = F.col("__q") / nd - (F.col("__s") / nd) * (F.col("__s") / nd)
+    var_r = F.col("__qr") / nd
+    return g.select(
+        *gcols,
+        "n",
+        F.round(
+            F.when(
+                var_x > 0,
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - var_r / var_x
+                ),
+            ),
+            6,
+        ).alias("strength"),
+    )

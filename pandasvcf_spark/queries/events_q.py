@@ -2885,3 +2885,118 @@ def m_odds_ratio(spark, sf_dir):
         .alias("oc"),
     )
     return odds_ratio(d, "ex", "oc", z=1.96)
+
+
+@register(
+    "m_sample_size",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS g,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS oc
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    a AS (
+      SELECT
+        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN g = 1 AND oc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN g = 0 AND oc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s2
+      FROM b),
+    m AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+      FROM a),
+    f AS (
+      SELECT n1, n2, p1, p2, p1 - p2 AS diff,
+             (CAST(1.96 AS DOUBLE)
+              + CAST(0.8416212335729143 AS DOUBLE)) AS zz
+      FROM m)
+    SELECT n1, n2,
+           round(CASE WHEN n1 > 0 THEN p1 END, 6) AS p1,
+           round(CASE WHEN n2 > 0 THEN p2 END, 6) AS p2,
+           round(CASE WHEN n1 > 0 AND n2 > 0 THEN diff END, 6) + 0.0
+             AS diff,
+           CAST(CASE WHEN n1 > 0 AND n2 > 0 AND abs(diff) >= 1e-6
+                THEN ceil(zz * zz * (p1 * (1.0 - p1)
+                                     + p2 * (1.0 - p2))
+                          / (diff * diff)) END AS BIGINT)
+             AS n_per_arm
+    FROM f
+    """,
+)
+def m_sample_size(spark, sf_dir):
+    """Two-proportion A/B sample-size planner (operators/stats.
+    sample_size_2prop; alpha .05 two-sided, power .80): how many
+    users per arm would detecting the observed even-vs-odd purchase
+    gap take? The z quantiles are digit-mirrored DOUBLE literals
+    (neither engine has an inverse normal); a sub-1e-6 observed
+    difference yields NULL rather than an absurd n. One 4-counter
+    agg + arithmetic; the oracle replays rates and the formula."""
+    from pandasvcf_spark.operators.stats import sample_size_2prop
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("oc"),
+    )
+    return sample_size_2prop(d, "g", "oc")
+
+
+@register(
+    "e_seasonal_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS et, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)),
+    b AS (SELECT et, hour(h) AS slot, x FROM hourly),
+    sm AS (SELECT et, slot, avg(x) AS m FROM b GROUP BY et, slot),
+    j AS (SELECT b.et AS et, b.x, sm.m
+          FROM b JOIN sm ON b.et = sm.et AND b.slot = sm.slot),
+    g AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS s, sum(x * x) AS q,
+                 sum((x - m) * (x - m)) AS qr
+          FROM j GROUP BY et)
+    SELECT et, n,
+           round(CASE WHEN q / CAST(n AS DOUBLE)
+                      - (s / CAST(n AS DOUBLE))
+                        * (s / CAST(n AS DOUBLE)) > 0
+                 THEN greatest(0.0, 1.0 - (qr / CAST(n AS DOUBLE))
+                      / (q / CAST(n AS DOUBLE)
+                         - (s / CAST(n AS DOUBLE))
+                           * (s / CAST(n AS DOUBLE))))
+                 END, 6) AS strength
+    FROM g ORDER BY et
+    """,
+)
+def e_seasonal_strength(spark, sf_dir):
+    """Seasonality-strength scalar per event type (operators/stats.
+    seasonal_strength; the STL-style 1 − var(resid)/var(x) over
+    hour-of-day slots) — "is this stream's rhythm real?" in one
+    number, the scalar partner of e_seasonal_profile's slot means
+    and e_dominant_period's lag argmax. Slot means are slot-sized
+    broadcast join-backs; the measure is a population-variance
+    ratio. The oracle replays slots, residuals and the ratio."""
+    from pandasvcf_spark.operators.stats import seasonal_strength
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = hourly.select(
+        "et", F.hour("h").alias("slot"), "x"
+    )
+    return seasonal_strength(series, ["et"], "slot", "x").orderBy("et")

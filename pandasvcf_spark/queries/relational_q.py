@@ -2459,3 +2459,37 @@ def g_powerlaw(spark, sf_dir):
     from pandasvcf_spark.operators.graph import powerlaw_alpha
 
     return powerlaw_alpha(_copurchase_edges(spark, sf_dir), d_min=1)
+
+
+@register(
+    "j_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS x,
+             CAST(l_quantity AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+    SELECT x, y FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x <= p.x AND q.y <= p.y
+        AND (q.x < p.x OR q.y < p.y))
+    ORDER BY x
+    """,
+)
+def j_skyline(spark, sf_dir):
+    """2-D skyline / Pareto frontier (operators/stats.skyline_2d) of
+    lineitems minimizing (extended price, quantity) — the
+    multi-objective shortlist query. The operator is the sort-based
+    sweep (one distinct + ONE cumulative-MIN window — no all-pairs
+    dominance join); the oracle deliberately states the NAIVE
+    NOT-EXISTS dominance form, so the compare proves the sweep ≡ the
+    definition, not a replay of itself (the independent-formulation
+    discipline)."""
+    from pandasvcf_spark.operators.stats import skyline_2d
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    return skyline_2d(li, "l_extendedprice", "l_quantity")

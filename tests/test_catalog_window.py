@@ -745,6 +745,13 @@ def test_tail_entries_are_redundant_variants_only():
         "j_semi",                # demoted re-cut #5: left_semi
                                  # machinery stays via g_kcore's
                                  # peel-round semi filters
+        "j_skyline",             # Pareto frontier: one-sweep
+                                 # cumulative-MIN window vs the
+                                 # oracle's naive NOT-EXISTS form
+        "m_sample_size",         # A/B planning: 4-counter agg,
+                                 # digit-mirrored z quantiles
+        "e_seasonal_strength",   # STL-style rhythm scalar: slot-mean
+                                 # join-back + variance ratio
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

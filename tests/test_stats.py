@@ -1145,3 +1145,76 @@ def test_capture_recapture_disjoint(spark):
     r = capture_recapture(a, "k", b, "k").collect()[0]
     assert r["m"] == 0 and r["lincoln"] is None
     assert r["chapman"] == 35.0  # (6*6/1) - 1
+
+
+# --- skyline / sample_size / seasonal_strength -----------------------------
+
+
+def test_skyline_staircase(spark):
+    from pandasvcf_spark.operators.stats import skyline_2d
+
+    # frontier (1,5), (2,3), (4,1); (3,4) dominated by (2,3);
+    # (2,6) dominated by (1,5)
+    rows = [(1.0, 5.0), (2.0, 3.0), (4.0, 1.0), (3.0, 4.0), (2.0, 6.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = [(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()]
+    assert out == [(1.0, 5.0), (2.0, 3.0), (4.0, 1.0)]
+
+
+def test_skyline_equal_x_keeps_min_y_only(spark):
+    from pandasvcf_spark.operators.stats import skyline_2d
+
+    rows = [(1.0, 5.0), (1.0, 3.0), (2.0, 4.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = [(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()]
+    assert out == [(1.0, 3.0)]  # (1,5) dominated; (2,4) dominated
+
+
+def test_sample_size_textbook(spark):
+    from pandasvcf_spark.operators.stats import sample_size_2prop
+
+    import math
+
+    # p1 = 0.5 (10/20), p2 = 0.25 (5/20)
+    rows = [(1, 1)] * 10 + [(1, 0)] * 10 + [(0, 1)] * 5 + [(0, 0)] * 15
+    df = spark.createDataFrame(rows, "g int, oc int")
+    r = sample_size_2prop(df, "g", "oc").collect()[0]
+    zz = 1.96 + 0.8416212335729143
+    n = math.ceil(zz * zz * (0.25 + 0.1875) / (0.25 * 0.25))
+    assert r["p1"] == 0.5 and r["p2"] == 0.25
+    assert r["n_per_arm"] == n  # = 55
+
+
+def test_sample_size_no_difference_null(spark):
+    from pandasvcf_spark.operators.stats import sample_size_2prop
+
+    rows = [(1, 1), (1, 0), (0, 1), (0, 0)]
+    df = spark.createDataFrame(rows, "g int, oc int")
+    assert sample_size_2prop(df, "g", "oc").collect()[0][
+        "n_per_arm"
+    ] is None
+
+
+def test_seasonal_strength_pure_and_noise(spark):
+    from pandasvcf_spark.operators.stats import seasonal_strength
+
+    # pure slot pattern -> residuals 0 -> strength 1
+    rows = [(0, t % 4, float([10, 20, 30, 40][t % 4]))
+            for t in range(32)]
+    # slot-free arithmetic ramp -> slot means explain ~nothing much
+    rows += [(1, t % 4, float(t)) for t in range(32)]
+    df = spark.createDataFrame(rows, "g int, slot int, x double")
+    out = {r["g"]: r["strength"] for r in
+           seasonal_strength(df, ["g"], "slot", "x").collect()}
+    assert out[0] == 1.0
+    assert out[1] < 0.1
+
+
+def test_seasonal_strength_constant_null(spark):
+    from pandasvcf_spark.operators.stats import seasonal_strength
+
+    rows = [(0, t % 4, 5.0) for t in range(16)]
+    df = spark.createDataFrame(rows, "g int, slot int, x double")
+    assert seasonal_strength(df, ["g"], "slot", "x").collect()[0][
+        "strength"
+    ] is None
