@@ -3336,3 +3336,72 @@ def rfm_segments(
         )
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+def longest_streaks(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    flag_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Longest consecutive run of flag=1 events per key — the
+    gaps-and-islands classic (login streaks, consecutive passing
+    runs, unbroken purchase chains): islands form where
+    row_number() − flag-partitioned row_number() is constant, so the
+    whole statistic is two rank windows on ONE key-ordered exchange
+    plus two aggs — no joins, no iteration.
+
+    Ordering is (time, tiebreak) — supply `tiebreak_col` when times
+    can tie (the repo's total-order rule). flag must be 0/1; NULL
+    key/time/flag rows drop.
+
+    Output: (key, n_events BIGINT, n_flagged BIGINT, longest_streak
+    BIGINT — 0 when the key never flags).
+    """
+    order_cols = [F.col(time_col).asc()]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col).asc())
+    fc = F.col(flag_col).cast("int")
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & fc.isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        *( [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else [] ),
+        fc.alias("__f"),
+    )
+    ocols = [F.col("__t").asc()] + (
+        [F.col("__tb").asc()] if tiebreak_col else []
+    )
+    w_all = Window.partitionBy("__k").orderBy(*ocols)
+    w_flag = Window.partitionBy("__k", "__f").orderBy(*ocols)
+    isl = base.select(
+        "__k",
+        "__f",
+        (
+            F.row_number().over(w_all) - F.row_number().over(w_flag)
+        ).alias("__isl"),
+    )
+    runs = (
+        isl.filter(F.col("__f") == 1)
+        .groupBy("__k", "__isl")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    per_key = base.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__f").cast("long").alias("n_flagged"),
+    )
+    best = runs.groupBy("__k").agg(
+        F.max("__len").cast("long").alias("longest_streak")
+    )
+    return per_key.join(best, "__k", "left").select(
+        F.col("__k").alias(key_col),
+        "n_events",
+        "n_flagged",
+        F.coalesce(F.col("longest_streak"), F.lit(0))
+        .cast("long")
+        .alias("longest_streak"),
+    )

@@ -2624,3 +2624,102 @@ def seasonal_strength(
             6,
         ).alias("strength"),
     )
+
+
+def runs_test(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a sequence — are
+    the above-median / below-median excursions independent, or does
+    the series trend/oscillate? (Too FEW runs = trending, too MANY =
+    oscillating.) The one-number sanity check before trusting any
+    i.i.d.-assuming statistic on a monitoring series:
+
+        R    = number of runs of same-side values (median excluded)
+        E[R] = 1 + 2·n1·n2 / n
+        Var  = 2·n1·n2·(2·n1·n2 − n) / (n²·(n − 1))
+        z    = (R − E) / sqrt(Var)
+
+    with n1/n2 the above/below counts and the exact lower median
+    (the repo's quantile convention) as the split. Values EQUAL to
+    the median are excluded (the standard treatment).
+
+    Output: ONE row (n1, n2, runs BIGINT, z DOUBLE round 6); z NULL
+    when either side is empty or Var = 0.
+
+    Plan: one median rank window + one lag window over the same
+    global sort + 1-row folds — series-sized, no joins.
+    """
+    x = F.col(value_col).cast("double")
+    base = series.filter(
+        x.isNotNull() & F.col(time_col).isNotNull()
+    ).select(F.col(time_col).alias("__t"), x.alias("__x"))
+    w_med = Window.orderBy("__x")
+    wn = Window.partitionBy()
+    med = (
+        base.select(
+            "__x",
+            F.row_number().over(w_med).alias("__r"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .filter(
+            F.col("__r")
+            == F.greatest(F.ceil(F.col("__n") / 2), F.lit(1))
+        )
+        .select(F.col("__x").alias("__med"))
+    )
+    sided = (
+        base.join(F.broadcast(med))
+        .filter(F.col("__x") != F.col("__med"))
+        .select(
+            "__t",
+            F.when(F.col("__x") > F.col("__med"), 1)
+            .otherwise(0)
+            .alias("__s"),
+        )
+    )
+    w_t = Window.orderBy("__t")
+    flagged = sided.select(
+        "__s",
+        F.when(
+            F.lag("__s").over(w_t).isNull()
+            | (F.lag("__s").over(w_t) != F.col("__s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    g = flagged.agg(
+        F.sum("__s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("__s")).cast("long").alias("n2"),
+        F.sum("__new_run").cast("long").alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    e = F.lit(1.0) + F.lit(2.0) * n1d * n2d / nd
+    var = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0)
+    return g.select(
+        "n1",
+        "n2",
+        "runs",
+        (
+            F.round(
+                F.when(
+                    ok,
+                    (F.col("runs").cast("double") - e) / F.sqrt(var),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )

@@ -3000,3 +3000,113 @@ def e_seasonal_strength(spark, sf_dir):
         "et", F.hour("h").alias("slot"), "x"
     )
     return seasonal_strength(series, ["et"], "slot", "x").orderBy("et")
+
+
+@register(
+    "e_streaks",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS k, ts, event_id AS eid,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL),
+    i AS (
+      SELECT k, f,
+             row_number() OVER (PARTITION BY k ORDER BY ts, eid)
+             - row_number() OVER (PARTITION BY k, f
+                                  ORDER BY ts, eid) AS isl
+      FROM b),
+    runs AS (SELECT k, isl, count(*) AS len
+             FROM i WHERE f = 1 GROUP BY k, isl),
+    pk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(f) AS BIGINT) AS n_flagged
+           FROM b GROUP BY k),
+    best AS (SELECT k, CAST(max(len) AS BIGINT) AS ls
+             FROM runs GROUP BY k)
+    SELECT pk.k AS user_id, n_events, n_flagged,
+           CAST(coalesce(ls, 0) AS BIGINT) AS longest_streak
+    FROM pk LEFT JOIN best ON pk.k = best.k
+    ORDER BY user_id
+    """,
+)
+def e_streaks(spark, sf_dir):
+    """Longest consecutive purchase streak per user
+    (operators/relational.longest_streaks) — the gaps-and-islands
+    classic: islands are constant values of row_number minus
+    flag-partitioned row_number, so the whole statistic is two rank
+    windows on ONE user-keyed exchange + two aggs. event_id breaks
+    timestamp ties (the total-order rule). The oracle replays
+    islands, run lengths and the zero-streak left join."""
+    from pandasvcf_spark.operators.relational import longest_streaks
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    d = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("f"),
+    )
+    return longest_streaks(
+        d, "user_id", "ts", "f", tiebreak_col="event_id"
+    ).orderBy("user_id")
+
+
+@register(
+    "m_runs_test",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    med AS (SELECT x AS m FROM (
+             SELECT x, row_number() OVER (ORDER BY x) AS r,
+                    count(*) OVER () AS n FROM hourly)
+            WHERE r = greatest(CAST(ceil(n / 2.0) AS BIGINT), 1)),
+    sided AS (SELECT h, CASE WHEN x > med.m THEN 1 ELSE 0 END AS s
+              FROM hourly, med WHERE x <> med.m),
+    fl AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY h) IS NULL
+                           OR lag(s) OVER (ORDER BY h) <> s
+                      THEN 1 ELSE 0 END AS nr
+           FROM sided),
+    g AS (SELECT CAST(sum(s) AS BIGINT) AS n1,
+                 CAST(sum(1 - s) AS BIGINT) AS n2,
+                 CAST(sum(nr) AS BIGINT) AS runs FROM fl),
+    m2 AS (SELECT n1, n2, runs, CAST(n1 AS DOUBLE) AS a,
+                  CAST(n2 AS DOUBLE) AS bb FROM g)
+    SELECT n1, n2, runs,
+           round(CASE WHEN n1 > 0 AND n2 > 0 AND
+                      2.0 * a * bb * (2.0 * a * bb - (a + bb))
+                      / ((a + bb) * (a + bb) * ((a + bb) - 1.0)) > 0
+                 THEN (CAST(runs AS DOUBLE)
+                       - (1.0 + 2.0 * a * bb / (a + bb)))
+                      / sqrt(2.0 * a * bb
+                             * (2.0 * a * bb - (a + bb))
+                             / ((a + bb) * (a + bb)
+                                * ((a + bb) - 1.0)))
+                 END, 6) + 0.0 AS z
+    FROM m2
+    """,
+)
+def m_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test (operators/stats.runs_test) on the
+    hourly event-count series — too few above/below-median runs
+    means trending, too many means oscillating; the i.i.d. sanity
+    check before trusting any independence-assuming statistic on
+    the stream. Exact lower-median split (equals excluded), one lag
+    window for run starts, 1-row folds. The oracle replays median,
+    sides, run boundaries and the z arithmetic operand-for-operand."""
+    from pandasvcf_spark.operators.stats import runs_test
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return runs_test(hourly, "h", "x")

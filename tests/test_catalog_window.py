@@ -752,6 +752,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # digit-mirrored z quantiles
         "e_seasonal_strength",   # STL-style rhythm scalar: slot-mean
                                  # join-back + variance ratio
+        "e_streaks",             # gaps-and-islands longest run: two
+                                 # rank windows on one exchange
+        "m_runs_test",           # Wald-Wolfowitz randomness check:
+                                 # median split + lag run starts
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

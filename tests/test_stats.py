@@ -1218,3 +1218,57 @@ def test_seasonal_strength_constant_null(spark):
     assert seasonal_strength(df, ["g"], "slot", "x").collect()[0][
         "strength"
     ] is None
+
+
+# --- longest_streaks / runs_test -------------------------------------------
+
+
+def test_longest_streaks_hand(spark):
+    from pandasvcf_spark.operators.relational import longest_streaks
+
+    # user 1: F S S S F S -> longest 3; user 2: never flags -> 0
+    rows = [(1, t, t, f) for t, f in
+            enumerate([0, 1, 1, 1, 0, 1])]
+    rows += [(2, t, t + 100, 0) for t in range(3)]
+    df = spark.createDataFrame(rows, "k int, t int, eid int, f int")
+    out = {r["k"]: r for r in
+           longest_streaks(df, "k", "t", "f", "eid").collect()}
+    assert out[1]["longest_streak"] == 3 and out[1]["n_flagged"] == 4
+    assert out[2]["longest_streak"] == 0 and out[2]["n_events"] == 3
+
+
+def test_longest_streaks_all_flagged(spark):
+    from pandasvcf_spark.operators.relational import longest_streaks
+
+    rows = [(1, t, t, 1) for t in range(5)]
+    df = spark.createDataFrame(rows, "k int, t int, eid int, f int")
+    r = longest_streaks(df, "k", "t", "f", "eid").collect()[0]
+    assert r["longest_streak"] == 5
+
+
+def test_runs_test_alternating_vs_sorted(spark):
+    from pandasvcf_spark.operators.stats import runs_test
+
+    # strictly alternating high/low: maximal runs -> z >> 0
+    alt = [(t, float(10 if t % 2 else 1)) for t in range(40)]
+    r = runs_test(
+        spark.createDataFrame(alt, "t int, x double"), "t", "x"
+    ).collect()[0]
+    assert r["z"] is not None and r["z"] > 4
+    # sorted series: 2 runs -> z << 0
+    srt = [(t, float(t)) for t in range(40)]
+    r2 = runs_test(
+        spark.createDataFrame(srt, "t int, x double"), "t", "x"
+    ).collect()[0]
+    assert r2["runs"] == 2 and r2["z"] < -4
+
+
+def test_runs_test_median_values_excluded(spark):
+    from pandasvcf_spark.operators.stats import runs_test
+
+    # values equal to the (lower) median drop from the sequence
+    rows = [(0, 1.0), (1, 2.0), (2, 2.0), (3, 3.0)]
+    r = runs_test(
+        spark.createDataFrame(rows, "t int, x double"), "t", "x"
+    ).collect()[0]
+    assert r["n1"] + r["n2"] == 2  # both 2.0s excluded
