@@ -1249,8 +1249,9 @@ def test_longest_streaks_all_flagged(spark):
 def test_runs_test_alternating_vs_sorted(spark):
     from pandasvcf_spark.operators.stats import runs_test
 
-    # strictly alternating high/low: maximal runs -> z >> 0
-    alt = [(t, float(10 if t % 2 else 1)) for t in range(40)]
+    # strictly alternating high/low (all values distinct so only the
+    # single median point drops): maximal runs -> z >> 0
+    alt = [(t, float(100 + t if t % 2 else t)) for t in range(40)]
     r = runs_test(
         spark.createDataFrame(alt, "t int, x double"), "t", "x"
     ).collect()[0]
