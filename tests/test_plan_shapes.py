@@ -303,3 +303,107 @@ def test_ab_test_single_aggregation_no_shuffle_of_rows(spark):
     plan = _plan(ab_test_proportions(d, "v", "y", "A", "B"))
     assert plan.count("HashAggregate") == 2
     assert "Join" not in plan
+
+
+# --- round-8 continuation stats family -------------------------------------
+
+
+def test_spearman_single_group_exchange(spark):
+    from pandasvcf_spark.operators.stats import spearman_corr
+
+    d = spark.range(500).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 7 % 97).cast("double").alias("x"),
+        (F.col("id") * 11 % 89).cast("double").alias("y"),
+    )
+    plan = _plan(spearman_corr(d, ["g"], "x", "y"))
+    # all four windows + the final agg share ONE hashpartitioning on g
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_test_no_join_single_exchange(spark):
+    from pandasvcf_spark.operators.stats import ks_test_2samp
+
+    d = spark.range(500).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 13 % 101).cast("double").alias("v"),
+        (F.col("id") % 2).cast("int").alias("f"),
+    )
+    plan = _plan(ks_test_2samp(d, ["g"], "v", "f"))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kmeans_assignment_no_join_no_python(spark):
+    from pandasvcf_spark.operators.stats import kmeans_fit
+
+    d = spark.range(200).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 3 % 17).cast("double").alias("x"),
+        (F.col("id") * 5 % 19).cast("double").alias("y"),
+    )
+    plan = _plan(kmeans_fit(d, "pid", ["x", "y"], k=3, iters=2))
+    # broadcast-literal assignment: no join, no Python evaluation
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    from pandasvcf_spark.operators.graph import link_prediction
+
+    e = spark.range(300).select(
+        (F.col("id") % 40).alias("src"),
+        ((F.col("id") * 7) % 40 + 100).alias("dst"),
+    )
+    plan = _plan(link_prediction(e, top_n=10))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # rounded-score cut
+
+
+def test_wilson_topk_is_take_ordered(spark):
+    from pandasvcf_spark.operators.stats import wilson_topk
+
+    d = spark.range(500).select(
+        (F.col("id") % 50).alias("item"), (F.col("id") % 2).alias("y")
+    )
+    plan = _plan(wilson_topk(d, ["item"], "y", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_markov_stationary_no_matrix_collect(spark):
+    from pandasvcf_spark.operators.relational import markov_stationary
+
+    t = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 2), ("a", "a", 1)],
+        "prev string, next string, cnt int",
+    )
+    plan = _plan(markov_stationary(t, iters=2))
+    # the 1-row renormalization rides as a broadcast, never cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_roc_points_single_exchange_no_join(spark):
+    from pandasvcf_spark.operators.stats import roc_points
+
+    d = spark.range(500).select(
+        (F.col("id") % 30).cast("double").alias("s"),
+        (F.col("id") % 2).cast("int").alias("y"),
+    )
+    plan = _plan(roc_points(d, "s", "y"))
+    assert "Join" not in plan
+
+
+def test_skyline_single_window_no_dominance_join(spark):
+    from pandasvcf_spark.operators.stats import skyline_2d
+
+    d = spark.range(500).select(
+        (F.col("id") * 13 % 211).cast("double").alias("x"),
+        (F.col("id") * 29 % 199).cast("double").alias("y"),
+    )
+    plan = _plan(skyline_2d(d, "x", "y"))
+    # the sweep formulation: no self-join, exactly one Window node
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
