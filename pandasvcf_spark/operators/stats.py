@@ -2723,3 +2723,70 @@ def runs_test(
             + F.lit(0.0)
         ).alias("z"),
     )
+
+
+def js_divergence_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    cat_col: str = "cat",
+    n_col: str = "n",
+) -> DataFrame:
+    """`js_divergence` over PRE-AGGREGATED category counts — the form
+    streaming monitors need (their per-batch state is the count cell
+    table, not the raw rows). Same output contract as js_divergence:
+    ONE row (n0, n1, k BIGINT, kl_pm, kl_qm, js DOUBLE round 6);
+    equivalence with the row-level form is pytest-pinned.
+
+    Plan: one full-outer join of two vocabulary-sized cell tables +
+    a 1-row totals broadcast + a 1-row term agg.
+    """
+    a = counts_a.select(
+        F.col(cat_col).alias("__c"),
+        F.col(n_col).cast("double").alias("__a"),
+    ).filter(F.col("__c").isNotNull())
+    b = counts_b.select(
+        F.col(cat_col).alias("__c"),
+        F.col(n_col).cast("double").alias("__b"),
+    ).filter(F.col("__c").isNotNull())
+    cells = a.join(b, "__c", "full_outer").select(
+        "__c",
+        F.coalesce(F.col("__a"), F.lit(0.0)).alias("__a"),
+        F.coalesce(F.col("__b"), F.lit(0.0)).alias("__b"),
+    )
+    tot = cells.agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb")
+    )
+    j = cells.join(F.broadcast(tot))
+    p = F.col("__a") / F.col("__ta")
+    q = F.col("__b") / F.col("__tb")
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    term_q = F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    agg = j.groupBy().agg(
+        F.max("__ta").alias("__ta"),
+        F.max("__tb").alias("__tb"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(term_p).alias("__kp"),
+        F.sum(term_q).alias("__kq"),
+    )
+    ok = (F.col("__ta") > 0) & (F.col("__tb") > 0)
+    return agg.select(
+        F.col("__ta").cast("long").alias("n0"),
+        F.col("__tb").cast("long").alias("n1"),
+        "k",
+        (F.round(F.when(ok, F.col("__kp")), 6) + F.lit(0.0)).alias(
+            "kl_pm"
+        ),
+        (F.round(F.when(ok, F.col("__kq")), 6) + F.lit(0.0)).alias(
+            "kl_qm"
+        ),
+        (
+            F.round(
+                F.when(
+                    ok, (F.col("__kp") + F.col("__kq")) / F.lit(2.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("js"),
+    )

@@ -117,3 +117,73 @@ def read_hll_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def drift_ingest_stream(
+    stream_df: DataFrame,
+    cells_path: str,
+    checkpoint_path: str,
+    cat,
+    query_name: str = "drift_ingest",
+    trigger: dict | None = None,
+):
+    """Maintain the categorical-distribution cells of a stream for
+    drift monitoring: per micro-batch, ONE (category → count) cell
+    table is written under `cells_path/batch_id=N` (overwrite — the
+    batch_id-directory idempotence contract: a crash-replayed batch
+    reproduces its own directory, never a double count). Counts are
+    trivially cell-wise mergeable, so the queryable distribution is
+    one re-aggregation over all batch directories at READ time — no
+    state store, no historical re-read per batch.
+
+    Compare against any baseline with `drift_report` (Jensen-Shannon
+    — finite even on categories the baseline never saw, unlike PSI).
+    `cat` is a column name or a zero-arg callable returning the
+    Column (the sketch_ingest_stream convention)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        c = cat() if callable(cat) else F.col(cat)
+        (
+            batch_df.filter(c.isNotNull())
+            .groupBy(c.alias("cat"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{cells_path}/batch_id={batch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_drift_cells(spark: SparkSession, cells_path: str) -> DataFrame:
+    """Merge every batch's cells into the stream's current (cat, n)
+    distribution — one vocabulary-sized re-aggregation."""
+    return (
+        spark.read.parquet(cells_path)
+        .groupBy("cat")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def drift_report(
+    spark: SparkSession,
+    cells_path: str,
+    baseline_cells: DataFrame,
+) -> DataFrame:
+    """Jensen-Shannon drift of the streamed distribution vs a baseline
+    cell table (cat, n) — ONE row (n0 = baseline mass, n1 = streamed
+    mass, k, kl_pm, kl_qm, js); js in [0, 1] bits and finite even when
+    either side has novel categories (the reason this monitor is JS,
+    not PSI)."""
+    from pandasvcf_spark.operators.stats import js_divergence_from_counts
+
+    return js_divergence_from_counts(
+        baseline_cells, read_drift_cells(spark, cells_path)
+    )

@@ -478,3 +478,104 @@ def test_hll_ingest_stream_matches_batch_and_tolerates_overlap(
     assert merged == direct  # overlap absorbed by MAX, union == whole
     est = hll_estimate(read_hll_sketch(spark, sk_dir), m=64).collect()[0]
     assert abs(est.estimate - 300) / 300 < 0.2
+
+
+def test_drift_ingest_stream_js_and_replay(spark, tmp_path):
+    """Streamed drift cells: merged distribution == batch groupBy; the
+    JS report flags a shifted second batch against a batch-1 baseline;
+    row-level js_divergence == count-level js_divergence_from_counts;
+    crash replay never double-counts."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.stats import (
+        js_divergence,
+        js_divergence_from_counts,
+    )
+    from pandasvcf_spark.sources.jsonl import read_jsonl_stream
+    from pandasvcf_spark.streaming.sketches import (
+        drift_ingest_stream,
+        drift_report,
+        read_drift_cells,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    langs_b0 = ["en"] * 80 + ["fr"] * 20
+    langs_b1 = ["en"] * 20 + ["fr"] * 20 + ["de"] * 60  # shifted
+    now = time.time()
+    for b, langs in enumerate([langs_b0, langs_b1]):
+        p = os.path.join(str(in_dir), f"b{b}.jsonl")
+        with open(p, "w") as fh:
+            for i, lg in enumerate(langs):
+                fh.write(json.dumps({
+                    "doc_id": b * 1000 + i, "text": "t", "lang": lg,
+                    "source": "s", "n_chars": 1,
+                }) + "\n")
+        os.utime(p, (now - 20 + b, now - 20 + b))
+    cells = str(tmp_path / "cells")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        stream = read_jsonl_stream(
+            spark, str(in_dir), bad_records="drop",
+            max_files_per_trigger=1,
+        )
+        q = drift_ingest_stream(
+            stream, cells, ck, "lang", query_name="t_drift_ingest"
+        )
+        q.awaitTermination()
+
+    drain()
+    merged = {
+        r["cat"]: r["n"] for r in read_drift_cells(spark, cells).collect()
+    }
+    assert merged == {"en": 100, "fr": 40, "de": 60}
+
+    baseline = spark.createDataFrame(
+        [("en", 80), ("fr", 20)], "cat string, n long"
+    )
+    rep = drift_report(spark, cells, baseline).collect()[0]
+    assert rep["n0"] == 100 and rep["n1"] == 200
+    assert rep["js"] is not None and rep["js"] > 0.05  # real shift
+    assert rep["k"] == 3  # 'de' is novel and still finite
+
+    # count-level == row-level JS on identical data
+    rows_a = spark.createDataFrame(
+        [(lg, 0) for lg in langs_b0], "c string, f int"
+    )
+    rows_b = spark.createDataFrame(
+        [(lg, 1) for lg in langs_b1], "c string, f int"
+    )
+    row_level = js_divergence(
+        rows_a.unionAll(rows_b), "c", "f"
+    ).collect()[0]
+    cnt_a = rows_a.groupBy(F.col("c").alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cnt_b = rows_b.groupBy(F.col("c").alias("cat")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cnt_level = js_divergence_from_counts(cnt_a, cnt_b).collect()[0]
+    assert row_level["js"] == cnt_level["js"]
+    assert row_level["kl_pm"] == cnt_level["kl_pm"]
+
+    # crash replay: drop the last commit marker, re-drain, no change
+    commits = sorted(
+        (p for p in (tmp_path / "ck" / "commits").iterdir()
+         if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    drain()
+    again = {
+        r["cat"]: r["n"] for r in read_drift_cells(spark, cells).collect()
+    }
+    assert again == merged, "replayed batch double-counted"
