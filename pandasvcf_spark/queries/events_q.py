@@ -2037,10 +2037,9 @@ def m_wilson_topk(spark, sf_dir):
     WITH d AS (
       SELECT event_type AS et,
              CAST((epoch_us(ts) // 1000000) // 86400 AS DOUBLE) AS x,
-             round(avg(value), 4) AS y
+             CAST(count(*) AS DOUBLE) AS y
       FROM events
-      WHERE ts IS NOT NULL AND value IS NOT NULL
-        AND event_type IS NOT NULL
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
       GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
     p AS (
       SELECT a.et AS et, (b.y - a.y) / (b.x - a.x) AS s
@@ -2075,28 +2074,27 @@ def m_wilson_topk(spark, sf_dir):
 )
 def e_theil_sen(spark, sf_dir):
     """Theil-Sen robust trend (operators/stats.theil_sen) of the
-    daily mean event value per event type — the outlier-proof slope
-    for monitoring series (one wild day cannot move the median of
+    daily event COUNT per event type — the outlier-proof slope for
+    monitoring series (one wild day cannot move the median of
     pairwise slopes). The corpus pre-aggregates to the ~30-point
     daily series FIRST (the m_acf discipline; the O(n²) pair join is
-    the statistic's definition and runs on the SERIES); daily means
-    are rounded to 4dp on BOTH sides so the pair slopes are
-    engine-exact inputs. Lower-median selection uses the repo's
+    the statistic's definition and runs on the SERIES); INTEGER
+    daily counts make every pairwise slope engine-exact (a
+    round(avg) "pin" can split at a 4dp boundary — the e_changepoint
+    sf0.001 lesson). Lower-median selection uses the repo's
     inverse-ECDF ceil(n/2) convention. The oracle replays pairs,
     both median windows and the residual intercept."""
     from pandasvcf_spark.operators.stats import theil_sen
 
     e = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
-        & F.col("value").isNotNull()
-        & F.col("event_type").isNotNull()
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     )
     daily = e.groupBy(
         F.col("event_type").alias("et"),
         F.floor(F.unix_timestamp("ts").cast("long") / 86400)
         .cast("double")
         .alias("x"),
-    ).agg(F.round(F.avg("value"), 4).alias("y"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
     return theil_sen(daily, ["et"], "x", "y").orderBy("et")
 
 
@@ -2338,7 +2336,8 @@ def e_markov_stationary(spark, sf_dir):
       SELECT user_id AS u,
              max((epoch_us(ts) // 1000000) // 86400) AS lastd,
              CAST(count(*) AS BIGINT) AS freq,
-             round(sum(value), 4) AS mon
+             round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS DOUBLE), 4) AS mon
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND value IS NOT NULL
@@ -2367,8 +2366,9 @@ def e_rfm(spark, sf_dir):
     events stream. One user-keyed agg collapses the corpus; buckets
     are explicit floor((rank-1)·k/n) integer arithmetic with id
     tie-breaks, NOT ntile() (engine-specific remainder rules), and
-    the monetary sum rounds to 4dp BEFORE ranking so accumulation
-    ulps can't flip a boundary. The oracle replays the user table,
+    monetary is INTEGER CENTS so its sum — the ranking key — is
+    engine-exact (a rounded float aggregate can split at a decimal
+    boundary, the e_changepoint sf0.001 lesson). The oracle replays the user table,
     all three rank windows and the segment rollup."""
     from pandasvcf_spark.operators.relational import rfm_segments
 
@@ -2382,7 +2382,11 @@ def e_rfm(spark, sf_dir):
         F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
             "day"
         ),
-        "value",
+        # integer cents: the monetary SUM is then exact, so the rank
+        # boundary can never flip on an accumulation ulp (the
+        # e_changepoint sf0.001 lesson — round(value*100) of the RAW
+        # value is deterministic, a rounded float aggregate is not)
+        F.round(F.col("value") * 100, 0).cast("long").alias("value"),
     )
     return rfm_segments(d, "user_id", "day", "value", n_buckets=5)
 
@@ -2441,13 +2445,15 @@ def m_roc_points(spark, sf_dir):
     "e_drawdown",
     oracle="""
     WITH d AS (
-      SELECT event_type AS et,
+      SELECT user_id % 4 AS et,
              (epoch_us(ts) // 1000000) // 86400 AS day,
-             round(sum(value), 4) AS x
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           WHEN event_type = 'error' THEN -1
+                           ELSE 0 END) AS DOUBLE) AS x
       FROM events
       WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        AND value IS NOT NULL
-      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+        AND user_id IS NOT NULL
+      GROUP BY user_id % 4, (epoch_us(ts) // 1000000) // 86400),
     cc AS (
       SELECT et, day,
              sum(x) OVER (PARTITION BY et ORDER BY day
@@ -2469,26 +2475,36 @@ def m_roc_points(spark, sf_dir):
     """,
 )
 def e_drawdown(spark, sf_dir):
-    """Maximum drawdown of each event type's cumulative daily value
-    (operators/stats.max_drawdown) — the worst peak-to-trough drop of
-    the running total, the regression-depth summary for monotone-hope
-    metrics. Daily increments are 4dp-pinned BEFORE accumulation, so
-    the running sums replay bit-for-bit over the shared day order;
-    two cumulative windows on one exchange + one agg. The oracle
-    replays the ladder, the running peak and the final row."""
+    """Maximum drawdown of each user cohort's cumulative daily
+    purchases-minus-errors balance (operators/stats.max_drawdown) —
+    the worst peak-to-trough drop of the running net total, the
+    regression-depth summary. SIGNED INTEGER daily increments make
+    the cumulative ladders bit-exact (and give the balance real
+    drawdowns — an all-positive value sum is monotone and its
+    drawdown trivially 0); two cumulative windows on one exchange +
+    one agg. The oracle replays the ladder, running peak and final
+    row."""
     from pandasvcf_spark.operators.stats import max_drawdown
 
     e = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("event_type").isNotNull()
-        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
     )
     daily = e.groupBy(
-        F.col("event_type").alias("et"),
+        (F.col("user_id") % 4).alias("et"),
         F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
             "day"
         ),
-    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1)
+            .when(F.col("event_type") == "error", -1)
+            .otherwise(0)
+        )
+        .cast("double")
+        .alias("x")
+    )
     return max_drawdown(daily, ["et"], "day", "x").orderBy("et")
 
 
@@ -2697,10 +2713,9 @@ def e_extremes(spark, sf_dir):
     WITH d AS (
       SELECT event_type AS et,
              (epoch_us(ts) // 1000000) // 86400 AS day,
-             round(avg(value), 4) AS x
+             CAST(count(*) AS DOUBLE) AS x
       FROM events
       WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        AND value IS NOT NULL
       GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
     r AS (
       SELECT et, day AS t,
@@ -2732,29 +2747,27 @@ def e_extremes(spark, sf_dir):
 )
 def e_changepoint(spark, sf_dir):
     """Best single mean-shift changepoint per event type
-    (operators/stats.changepoint_single) over the 4dp-pinned daily
-    mean-value series — the exact one-split solution CUSUM's
-    sequential scores approximate (e_cusum's offline closer): argmax
-    of the between-segment sum-of-squares gain from prefix sums.
-    Pinned increments make the cumulative ladders and gains
-    bit-exact, so the rounded-gain argmax is engine-stable; one
-    cumulative + one rank window on the same exchange. Expected a
-    noise split on this trendless synthetic series — the entry
-    checks the search. The oracle replays prefix sums, gains and
-    the tie-broken argmax."""
+    (operators/stats.changepoint_single) over the daily COUNT series
+    — the exact one-split solution CUSUM's sequential scores
+    approximate (e_cusum's offline closer): argmax of the
+    between-segment sum-of-squares gain from prefix sums. INTEGER
+    increments make the ladders and gains bit-exact (a round(avg)
+    "pin" is NOT safe for discrete argmax decisions — the exact mean
+    can sit on a 4dp boundary where engine ulps split the rounding,
+    which a driver run at sf0.001 actually hit); one cumulative +
+    one rank window on the same exchange. The oracle replays prefix
+    sums, gains and the tie-broken argmax."""
     from pandasvcf_spark.operators.stats import changepoint_single
 
     e = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull()
-        & F.col("event_type").isNotNull()
-        & F.col("value").isNotNull()
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     )
     daily = e.groupBy(
         F.col("event_type").alias("et"),
         F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
             "day"
         ),
-    ).agg(F.round(F.avg("value"), 4).alias("x"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
     return changepoint_single(daily, ["et"], "day", "x").orderBy("et")
 
 
