@@ -2790,3 +2790,211 @@ def js_divergence_from_counts(
             + F.lit(0.0)
         ).alias("js"),
     )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per item (Fleiss 1971), the n-rater generalization of
+    Cohen's kappa (m_cohens_kappa handles exactly 2): the multi-judge
+    labeling-consistency gate for annotation pipelines.
+
+    Input: one row per individual rating (item, category). Every item
+    must carry the same number of ratings n — validated with a 1-row
+    check (raise, don't silently mis-weight).
+
+        P_i   = (sum_j n_ij² − n) / (n(n−1))
+        p_j   = category share over all ratings
+        kappa = (mean P_i − sum p_j²) / (1 − sum p_j²)
+
+    Output: ONE row (n_items BIGINT, n_raters BIGINT, p_bar, p_e,
+    kappa DOUBLE round 6); kappa NULL at the p_e = 1 degeneracy
+    (all ratings one category).
+
+    Plan: one (item, category)-keyed count (partial-aggregated), an
+    item-keyed P_i agg, a category-keyed share agg, 1-row combines.
+    """
+    base = ratings.filter(
+        F.col(item_col).isNotNull() & F.col(cat_col).isNotNull()
+    ).select(F.col(item_col).alias("__i"), F.col(cat_col).alias("__c"))
+    cells = base.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    per_item = cells.groupBy("__i").agg(
+        F.sum("__n").alias("__ni"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__sq"),
+    )
+    chk = per_item.agg(
+        F.min("__ni").alias("lo"), F.max("__ni").alias("hi")
+    ).collect()[0]
+    if chk["lo"] != chk["hi"]:
+        raise ValueError(
+            f"fleiss_kappa: ratings per item vary ({chk['lo']}–{chk['hi']})"
+        )
+    n = float(chk["lo"])
+    if n < 2:
+        raise ValueError("fleiss_kappa: need >= 2 raters per item")
+    pi = per_item.select(
+        (
+            (F.col("__sq") - F.lit(n)) / F.lit(n * (n - 1.0))
+        ).alias("__pi")
+    )
+    pbar = pi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.avg("__pi").alias("__pbar"),
+    )
+    shares = cells.groupBy("__c").agg(F.sum("__n").alias("__cn"))
+    tot = shares.agg(F.sum("__cn").alias("__t"))
+    pe = (
+        shares.join(F.broadcast(tot))
+        .select(
+            (
+                (F.col("__cn") / F.col("__t"))
+                * (F.col("__cn") / F.col("__t"))
+            ).alias("__p2")
+        )
+        .agg(F.sum("__p2").alias("__pe"))
+    )
+    g = pbar.join(F.broadcast(pe))
+    kappa = (F.col("__pbar") - F.col("__pe")) / (
+        F.lit(1.0) - F.col("__pe")
+    )
+    return g.select(
+        "n_items",
+        F.lit(int(n)).cast("long").alias("n_raters"),
+        (F.round(F.col("__pbar"), 6) + F.lit(0.0)).alias("p_bar"),
+        F.round(F.col("__pe"), 6).alias("p_e"),
+        (
+            F.round(
+                F.when(F.col("__pe") < 1.0, kappa), 6
+            )
+            + F.lit(0.0)
+        ).alias("kappa"),
+    )
+
+
+def quantile_shift(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    probs: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Distributional shift function — per-quantile treatment effect
+    between flag=1 and flag=0 samples (the Doksum shift function the
+    mean difference hides: a treatment can move the tail and not the
+    median): q1(p) − q0(p) at each requested prob, with the repo's
+    exact inverse-ECDF (type-1) convention. flag must be 0/1; NULL
+    value/flag rows drop.
+
+    Output: (p DOUBLE, q0 DOUBLE, q1 DOUBLE, shift DOUBLE),
+    prob-ascending; quantile SELECTION is exact (no rounding — the
+    chosen values are input values, the shift their exact
+    difference).
+
+    Plan: one flag-partitioned cumulative-count RANGE window + one
+    conditional-MIN agg per (side, prob) — the weighted_quantiles
+    device at unit weight, both sides in the same pass.
+    """
+    ps = sorted(set(float(p) for p in probs))
+    if not ps or any(p <= 0 or p > 1 for p in ps):
+        raise ValueError("probs must be in (0, 1]")
+    vc = F.col(value_col).cast("double")
+    fc = F.col(flag_col).cast("int")
+    base = df.filter(vc.isNotNull() & fc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    w_cum = (
+        Window.partitionBy("__f")
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("__f")
+    r = base.select(
+        "__f",
+        "__v",
+        F.count(F.lit(1)).over(w_cum).alias("__cw"),
+        F.count(F.lit(1)).over(w_tot).alias("__W"),
+    )
+    aggs = []
+    for p in ps:
+        for side in (0, 1):
+            aggs.append(
+                F.min(
+                    F.when(
+                        (F.col("__f") == side)
+                        & (
+                            F.col("__cw").cast("double")
+                            >= F.lit(p) * F.col("__W").cast("double")
+                        ),
+                        F.col("__v"),
+                    )
+                ).alias(f"__q{side}_{int(p * 10000)}")
+            )
+    g = r.agg(*aggs)
+    out = None
+    for p in ps:
+        q0 = F.col(f"__q0_{int(p * 10000)}")
+        q1 = F.col(f"__q1_{int(p * 10000)}")
+        row = g.select(
+            F.lit(p).alias("p"),
+            q0.alias("q0"),
+            q1.alias("q1"),
+            (q1 - q0 + F.lit(0.0)).alias("shift"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def control_chart(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Shewhart c-chart summary for count series — the SPC classic
+    for defect/error streams: control limits at mean ± 3·sqrt(mean)
+    (the Poisson 3-sigma), and how many points breach them.
+
+        ucl = cl + 3·sqrt(cl),  lcl = max(0, cl − 3·sqrt(cl))
+
+    INTENDED FOR PRE-AGGREGATED COUNT SERIES (integer values — the
+    mean is then an exact-sum ratio and the limit compares are
+    engine-deterministic).
+
+    Output: (*group_cols, n BIGINT, cl DOUBLE round 4, lcl DOUBLE
+    round 4, ucl DOUBLE round 4, n_above BIGINT, n_below BIGINT).
+
+    Plan: one group agg for the mean (broadcast back) + one flagging
+    agg — two partial-aggregated passes, no windows.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    base = series.filter(x.isNotNull()).select(*gcols, x.alias("__x"))
+    m = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("__cl"),
+    )
+    j = base.join(F.broadcast(m), gcols)
+    ucl = F.col("__cl") + F.lit(3.0) * F.sqrt(F.col("__cl"))
+    lcl = F.greatest(
+        F.lit(0.0), F.col("__cl") - F.lit(3.0) * F.sqrt(F.col("__cl"))
+    )
+    return (
+        j.groupBy(*gcols)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("__cl"), 4).alias("cl"),
+            F.round(F.max(lcl), 4).alias("lcl"),
+            F.round(F.max(ucl), 4).alias("ucl"),
+            F.sum(F.when(F.col("__x") > ucl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("__x") < lcl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+        )
+    )

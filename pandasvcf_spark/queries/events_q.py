@@ -3123,3 +3123,110 @@ def m_runs_test(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
     return runs_test(hourly, "h", "x")
+
+
+def _qshift_oracle(probs=(0.1, 0.25, 0.5, 0.75, 0.9)) -> str:
+    mins = []
+    rows = []
+    for p in probs:
+        tag = int(p * 10000)
+        for side in (0, 1):
+            mins.append(
+                f"min(CASE WHEN f = {side} AND CAST(cw AS DOUBLE)"
+                f" >= CAST({p} AS DOUBLE) * CAST(w AS DOUBLE)"
+                f" THEN v END) AS q{side}_{tag}"
+            )
+        rows.append(
+            f"SELECT CAST({p} AS DOUBLE) AS p, q0_{tag} AS q0,"
+            f" q1_{tag} AS q1, q1_{tag} - q0_{tag} + 0.0 AS shift"
+            f" FROM g"
+        )
+    return f"""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    r AS (
+      SELECT f, v,
+             count(*) OVER (PARTITION BY f ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             count(*) OVER (PARTITION BY f) AS w
+      FROM b),
+    g AS (SELECT {", ".join(mins)} FROM r)
+    {" UNION ALL ".join(rows)}
+    ORDER BY p
+    """
+
+
+@register("m_quantile_shift", oracle=_qshift_oracle())
+def m_quantile_shift(spark, sf_dir):
+    """Doksum shift function (operators/stats.quantile_shift):
+    per-quantile treatment effect of user parity on event value at
+    p = .1/.25/.5/.75/.9 — the distributional view a mean difference
+    hides (a treatment can move the tail, not the median). One
+    flag-partitioned cumulative RANGE window + conditional MINs
+    (the weighted-quantiles device at unit weight, both sides in one
+    pass); quantile SELECTION is exact, the shift their exact
+    difference. Expected ~0 shifts on parity-blind data."""
+    from pandasvcf_spark.operators.stats import quantile_shift
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.col("value").alias("v"),
+    )
+    return quantile_shift(
+        d, "f", "v", probs=(0.1, 0.25, 0.5, 0.75, 0.9)
+    ).orderBy("p")
+
+
+@register(
+    "e_control_chart",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             (epoch_us(ts) // 1000000) // 86400 AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, (epoch_us(ts) // 1000000) // 86400),
+    m AS (SELECT et, CAST(count(*) AS BIGINT) AS n, avg(x) AS cl
+          FROM d GROUP BY et),
+    j AS (SELECT d.et AS et, d.x, m.n, m.cl,
+                 m.cl + 3.0 * sqrt(m.cl) AS ucl,
+                 greatest(0.0, m.cl - 3.0 * sqrt(m.cl)) AS lcl
+          FROM d JOIN m ON d.et = m.et)
+    SELECT et, max(n) AS n, round(max(cl), 4) AS cl,
+           round(max(lcl), 4) AS lcl, round(max(ucl), 4) AS ucl,
+           CAST(sum(CASE WHEN x > ucl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(sum(CASE WHEN x < lcl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below
+    FROM j GROUP BY et ORDER BY et
+    """,
+)
+def e_control_chart(spark, sf_dir):
+    """Shewhart c-chart summary (operators/stats.control_chart) of
+    each event type's daily counts — the SPC classic: Poisson
+    3-sigma control limits and breach counts, the alarm-threshold
+    companion of e_rate_anomaly's z-scores and e_burstiness'
+    dispersion scalars. Integer counts make the mean an exact-sum
+    ratio, so the limit compares are engine-deterministic. Two
+    partial-aggregated passes, no windows. The oracle replays
+    limits and flags."""
+    from pandasvcf_spark.operators.stats import control_chart
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return control_chart(daily, ["et"], "x").orderBy("et")

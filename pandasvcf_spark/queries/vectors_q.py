@@ -1790,3 +1790,72 @@ def m_rand_index(spark, sf_dir):
     )
     j = assign.join(lab, "id")
     return rand_index(j, "cluster", "label")
+
+
+@register(
+    "m_fleiss_kappa",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id AS i, label,
+             CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND label IS NOT NULL
+        AND embedding IS NOT NULL),
+    r AS (
+      SELECT i, label % 2 AS c FROM base
+      UNION ALL
+      SELECT i, CASE WHEN x1 > 0 THEN 1 ELSE 0 END FROM base
+      UNION ALL
+      SELECT i, CASE WHEN x2 > 0 THEN 1 ELSE 0 END FROM base),
+    cells AS (SELECT i, c, CAST(count(*) AS DOUBLE) AS n
+              FROM r GROUP BY i, c),
+    pi AS (SELECT i, (sum(n * n) - 3.0) / 6.0 AS p
+           FROM cells GROUP BY i),
+    pb AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                  avg(p) AS pbar FROM pi),
+    sh AS (SELECT c, sum(n) AS cn FROM cells GROUP BY c),
+    t AS (SELECT sum(cn) AS tt FROM sh),
+    pe AS (SELECT sum((cn / tt) * (cn / tt)) AS pev FROM sh, t)
+    SELECT n_items, CAST(3 AS BIGINT) AS n_raters,
+           round(pbar, 6) + 0.0 AS p_bar,
+           round(pev, 6) AS p_e,
+           round(CASE WHEN pev < 1.0
+                 THEN (pbar - pev) / (1.0 - pev) END, 6) + 0.0
+             AS kappa
+    FROM pb, pe
+    """,
+)
+def m_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (operators/stats.fleiss_kappa) among three
+    pseudo-raters of each vector — label parity, sign of coordinate
+    1, sign of coordinate 2 — the n-rater generalization completing
+    the agreement family (m_cohens_kappa 2-rater categorical,
+    m_lin_ccc numeric, m_rand_index partitions). Constant
+    ratings-per-item is VALIDATED (1-row check, raise not
+    mis-weight); all relations are (item, category)-cell sized.
+    Expected ~0 on independent raters. The oracle replays cells,
+    per-item agreement and the chance correction."""
+    from pandasvcf_spark.operators.stats import fleiss_kappa
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("label").isNotNull()
+        & F.col("embedding").isNotNull()
+    )
+    base = e.select(
+        F.col("vec_id").alias("i"),
+        (F.col("label") % 2).alias("r1"),
+        F.when(F.col("embedding")[0].cast("double") > 0, 1)
+        .otherwise(0)
+        .alias("r2"),
+        F.when(F.col("embedding")[1].cast("double") > 0, 1)
+        .otherwise(0)
+        .alias("r3"),
+    )
+    ratings = (
+        base.select("i", F.col("r1").alias("c"))
+        .unionAll(base.select("i", F.col("r2").alias("c")))
+        .unionAll(base.select("i", F.col("r3").alias("c")))
+    )
+    return fleiss_kappa(ratings, "i", "c")

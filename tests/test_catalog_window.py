@@ -756,6 +756,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # rank windows on one exchange
         "m_runs_test",           # Wald-Wolfowitz randomness check:
                                  # median split + lag run starts
+        "m_fleiss_kappa",        # n-rater agreement: (item, cat)
+                                 # cells, validated constant n,
+                                 # chance correction
+        "m_quantile_shift",      # Doksum shift function: one RANGE
+                                 # window, exact quantile selection
+                                 # both sides in one pass
+        "e_control_chart",       # c-chart 3-sigma limits + breach
+                                 # counts over exact count means
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1273,3 +1273,64 @@ def test_runs_test_median_values_excluded(spark):
         spark.createDataFrame(rows, "t int, x double"), "t", "x"
     ).collect()[0]
     assert r["n1"] + r["n2"] == 2  # both 2.0s excluded
+
+
+# --- fleiss_kappa / quantile_shift / control_chart -------------------------
+
+
+def test_fleiss_unanimous_is_one(spark):
+    from pandasvcf_spark.operators.stats import fleiss_kappa
+
+    # 3 raters, every item unanimous but categories split across items
+    rows = [(i, i % 2) for i in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, "i int, c int")
+    r = fleiss_kappa(df, "i", "c").collect()[0]
+    assert r["p_bar"] == 1.0 and r["kappa"] == 1.0
+    assert r["n_items"] == 10 and r["n_raters"] == 3
+
+
+def test_fleiss_single_category_null(spark):
+    from pandasvcf_spark.operators.stats import fleiss_kappa
+
+    rows = [(i, 0) for i in range(5) for _ in range(3)]
+    df = spark.createDataFrame(rows, "i int, c int")
+    r = fleiss_kappa(df, "i", "c").collect()[0]
+    assert r["p_e"] == 1.0 and r["kappa"] is None
+
+
+def test_fleiss_unequal_raters_raises(spark):
+    from pandasvcf_spark.operators.stats import fleiss_kappa
+
+    rows = [(1, 0), (1, 0), (1, 1), (2, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "i int, c int")
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, "i", "c")
+
+
+def test_quantile_shift_planted_tail(spark):
+    from pandasvcf_spark.operators.stats import quantile_shift
+
+    # side 1 = side 0 shifted by +100 only in the top half
+    v0 = [float(v) for v in range(1, 21)]
+    v1 = [v if v <= 10 else v + 100.0 for v in v0]
+    rows = [(0, v) for v in v0] + [(1, v) for v in v1]
+    df = spark.createDataFrame(rows, "f int, v double")
+    out = {r["p"]: r for r in
+           quantile_shift(df, "f", "v", probs=(0.25, 0.9)).collect()}
+    assert out[0.25]["shift"] == 0.0      # lower quartile untouched
+    assert out[0.9]["shift"] == 100.0     # tail moved
+
+
+def test_control_chart_breaches(spark):
+    from pandasvcf_spark.operators.stats import control_chart
+
+    import math
+
+    # 9 points at 9 + one spike 100: cl = 18.1, ucl = cl + 3*sqrt(cl)
+    rows = [(0, 9.0)] * 9 + [(0, 100.0)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    r = control_chart(df, ["g"], "x").collect()[0]
+    cl = (9.0 * 9 + 100.0) / 10
+    assert r["cl"] == round(cl, 4)
+    assert r["ucl"] == round(cl + 3 * math.sqrt(cl), 4)
+    assert r["n_above"] == 1 and r["n_below"] == 0
