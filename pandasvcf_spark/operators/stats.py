@@ -2998,3 +2998,132 @@ def control_chart(
             .alias("n_below"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    y1_col: str,
+    y2_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (McNemar 1947) — did
+    the same units change state between two conditions? (before/after
+    a launch, judge A vs judge B on the same items — the paired
+    counterpart of m_ab_test's independent-samples z). Only the
+    discordant cells carry information:
+
+        b = (1, 0) pairs,  c = (0, 1) pairs
+        chi2 = (b − c)² / (b + c)     (no continuity correction)
+        z    = (b − c) / sqrt(b + c)
+
+    Output: ONE row (n, n11, b, c, n00 BIGINT, chi2 DOUBLE round 6,
+    z DOUBLE round 6); NULL statistics when b + c = 0 (no discordant
+    pairs — nothing to test). NULL outcomes drop the pair.
+
+    Plan: one 4-counter conditional aggregation (the m_confusion
+    shape) + pure arithmetic.
+    """
+    a = F.col(y1_col).cast("int")
+    b = F.col(y2_col).cast("int")
+    g = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((a == 1) & (b == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((a == 0) & (b == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    ok = (F.col("b") + F.col("c")) > 0
+    return g.select(
+        "n",
+        "n11",
+        "b",
+        "c",
+        "n00",
+        F.round(
+            F.when(ok, (bd - cd) * (bd - cd) / (bd + cd)), 6
+        ).alias("chi2"),
+        (
+            F.round(F.when(ok, (bd - cd) / F.sqrt(bd + cd)), 6)
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def overlap_coeff(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Histogram overlap coefficient + Bhattacharyya coefficient
+    between flag=1 and flag=0 value distributions — the
+    covariate-balance / matching diagnostic ("how much common support
+    do these two populations share?"):
+
+        OVL = sum_bins min(p_i, q_i)      (1 = identical, 0 = disjoint)
+        BC  = sum_bins sqrt(p_i · q_i)
+
+    over `n_bins` fixed-width bins spanning the POOLED [min, max]
+    (exact extrema, so the bin edges are engine-identical). flag must
+    be 0/1; degenerate spans (min = max) put all mass in bin 0 (OVL
+    1 — identical by construction).
+
+    Output: ONE row (n0, n1 BIGINT, ovl DOUBLE round 6, bc DOUBLE
+    round 6); NULL when either side is empty.
+
+    Plan: a 1-row extrema broadcast + one bin-keyed two-counter agg
+    (n_bins cells) + a 1-row fold.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    ext = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    j = base.join(F.broadcast(ext))
+    span = F.col("__hi") - F.col("__lo")
+    b = F.when(span > 0, F.least(
+        F.floor((F.col("__v") - F.col("__lo")) / span * n_bins)
+        .cast("int"),
+        F.lit(n_bins - 1),
+    )).otherwise(F.lit(0))
+    cells = j.select(b.alias("__b"), "__f").groupBy("__b").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("__a"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("__c"),
+    )
+    tot = cells.agg(
+        F.sum("__a").alias("__ta"), F.sum("__c").alias("__tc")
+    )
+    t = cells.join(F.broadcast(tot))
+    p = F.col("__a") / F.col("__ta")
+    q = F.col("__c") / F.col("__tc")
+    g = t.groupBy().agg(
+        F.max("__ta").alias("__ta"),
+        F.max("__tc").alias("__tc"),
+        F.sum(F.least(p, q)).alias("__ovl"),
+        F.sum(F.sqrt(p * q)).alias("__bc"),
+    )
+    ok = (F.col("__ta") > 0) & (F.col("__tc") > 0)
+    return g.select(
+        F.col("__ta").cast("long").alias("n0"),
+        F.col("__tc").cast("long").alias("n1"),
+        F.round(F.when(ok, F.col("__ovl")), 6).alias("ovl"),
+        F.round(F.when(ok, F.col("__bc")), 6).alias("bc"),
+    )

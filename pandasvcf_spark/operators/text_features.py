@@ -1378,3 +1378,55 @@ def code_signals(
         .otherwise(F.lit(False))
         .alias("is_code"),
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    top_n: int = 30,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): collection frequency over
+    document frequency per word — content words BURST (appear many
+    times in few documents: cf/df high), function words spread
+    (cf/df ~ 1 per containing doc is low relative to their cf). The
+    corpus-linguistics signal behind stopword induction and keyword
+    weighting, complementing TF-IDF's document-level view.
+
+    Output: top_n rows (word, cf BIGINT, df BIGINT, burst DOUBLE
+    round 4 = cf/df), ordered by (burst DESC, word) over words with
+    df >= min_df — the rounded-score cut (exact rational burst, so
+    the order is engine-stable anyway).
+
+    Plan: one explode → one word-keyed two-counter agg (cf = count,
+    df = distinct docs via a (word, doc) pre-distinct) → TakeOrdered.
+    """
+    from pandasvcf_spark.functions.text import words_expr
+
+    toks = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__d"),
+        F.explode(words_expr(text_col)).alias("word"),
+    )
+    cf = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    dfreq = (
+        toks.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    j = cf.join(dfreq, "word").filter(F.col("df") >= min_df)
+    scored = j.select(
+        "word",
+        "cf",
+        "df",
+        F.round(
+            F.col("cf").cast("double") / F.col("df").cast("double"), 4
+        ).alias("burst"),
+    )
+    return scored.orderBy(
+        F.col("burst").desc(), F.col("word").asc()
+    ).limit(top_n)

@@ -3230,3 +3230,131 @@ def e_control_chart(spark, sf_dir):
         ),
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
     return control_chart(daily, ["et"], "x").orderBy("et")
+
+
+@register(
+    "m_mcnemar",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN (epoch_us(ts) // 1000000) // 86400 < 19738
+                      AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END) AS y1,
+             max(CASE WHEN (epoch_us(ts) // 1000000) // 86400 >= 19738
+                      AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END) AS y2
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY user_id),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y1 = 1 AND y2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN y1 = 1 AND y2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN y1 = 0 AND y2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN y1 = 0 AND y2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM u)
+    SELECT n, n11, b, c, n00,
+           round(CASE WHEN b + c > 0
+                 THEN (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+                 END, 6) AS chi2,
+           round(CASE WHEN b + c > 0
+                 THEN (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                      / sqrt(CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+                 END, 6) + 0.0 AS z
+    FROM g
+    """,
+)
+def m_mcnemar(spark, sf_dir):
+    """McNemar's paired test (operators/stats.mcnemar_test): did each
+    user's purchased-at-all state change between the first and last
+    15 days? The paired counterpart of m_ab_test (same units, two
+    conditions — only the discordant cells inform). One user-keyed
+    agg collapses the corpus to per-user binary pairs, then the
+    4-counter m_confusion shape. Expected z ~ 0 on this stationary
+    stream. The oracle replays the split, the pair cells and both
+    statistics."""
+    from pandasvcf_spark.operators.stats import mcnemar_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    day = F.floor(F.unix_timestamp("ts").cast("long") / 86400)
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (day < 19738) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("y1"),
+        F.max(
+            F.when(
+                (day >= 19738) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("y2"),
+    )
+    return mcnemar_test(per_user, "y1", "y2")
+
+
+@register(
+    "m_overlap",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    ext AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+    binned AS (
+      SELECT CASE WHEN ext.hi - ext.lo > 0
+                  THEN least(CAST(floor((v - ext.lo)
+                             / (ext.hi - ext.lo) * 20) AS INTEGER),
+                             19)
+                  ELSE 0 END AS bin,
+             f
+      FROM b, ext),
+    cells AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS a,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS c
+      FROM binned GROUP BY bin),
+    tot AS (SELECT sum(a) AS ta, sum(c) AS tc FROM cells),
+    g AS (
+      SELECT max(tot.ta) AS ta, max(tot.tc) AS tc,
+             sum(least(a / tot.ta, c / tot.tc)) AS ovl,
+             sum(sqrt((a / tot.ta) * (c / tot.tc))) AS bc
+      FROM cells, tot)
+    SELECT CAST(ta AS BIGINT) AS n0, CAST(tc AS BIGINT) AS n1,
+           round(CASE WHEN ta > 0 AND tc > 0 THEN ovl END, 6)
+             AS ovl,
+           round(CASE WHEN ta > 0 AND tc > 0 THEN bc END, 6) AS bc
+    FROM g
+    """,
+)
+def m_overlap(spark, sf_dir):
+    """Histogram overlap + Bhattacharyya coefficients
+    (operators/stats.overlap_coeff, 20 pooled-extrema bins) between
+    even and odd users' value distributions — the covariate-balance
+    / common-support diagnostic for matching and uplift work.
+    Exact pooled extrema make the bin edges engine-identical;
+    expected OVL ~ 1 on this parity-blind data. The oracle replays
+    bins, shares and both coefficients."""
+    from pandasvcf_spark.operators.stats import overlap_coeff
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.col("value").alias("v"),
+    )
+    return overlap_coeff(d, "f", "v", n_bins=20)

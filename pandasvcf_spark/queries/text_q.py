@@ -3138,3 +3138,38 @@ def sk_capture_recapture(spark, sf_dir):
     a = cu.filter(F.col("c_custkey") <= 1200)
     b = cu.filter(F.col("c_custkey") >= 400)
     return capture_recapture(a, "c_name", b, "c_name")
+
+
+@register(
+    "t_term_burst",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS d, unnest({_WORDS}) AS word
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    cf AS (SELECT word, CAST(count(*) AS BIGINT) AS cf
+           FROM toks GROUP BY word),
+    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT d, word FROM toks) GROUP BY word),
+    j AS (SELECT cf.word AS word, cf.cf, dfq.df,
+                 round(CAST(cf.cf AS DOUBLE)
+                       / CAST(dfq.df AS DOUBLE), 4) AS burst
+          FROM cf JOIN dfq ON cf.word = dfq.word
+          WHERE dfq.df >= 5)
+    SELECT word, cf, df, burst FROM j
+    ORDER BY burst DESC, word LIMIT 30
+    """,
+)
+def t_term_burst(spark, sf_dir):
+    """Term burstiness (operators/text_features.term_burstiness;
+    Church & Gale 1995): collection-frequency over document-frequency
+    per word — content words burst into few documents, function words
+    spread thin; the stopword-induction / keyword signal that
+    complements TF-IDF's document view and t_zipf_stats' rank law.
+    One explode + two word-keyed counts (the df side pre-distincts
+    (word, doc)) + a TakeOrdered on the exact-rational rounded
+    ratio."""
+    from pandasvcf_spark.operators.text_features import term_burstiness
+
+    d = load(spark, sf_dir, "documents")
+    return term_burstiness(d, min_df=5, top_n=30)

@@ -764,6 +764,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # both sides in one pass
         "e_control_chart",       # c-chart 3-sigma limits + breach
                                  # counts over exact count means
+        "m_mcnemar",             # paired before/after test: per-unit
+                                 # binary pairs, discordant cells
+        "m_overlap",             # common-support OVL/Bhattacharyya:
+                                 # exact pooled-extrema bins
+        "t_term_burst",          # Church-Gale cf/df: two word-keyed
+                                 # counts + exact-rational cut
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1334,3 +1334,60 @@ def test_control_chart_breaches(spark):
     assert r["cl"] == round(cl, 4)
     assert r["ucl"] == round(cl + 3 * math.sqrt(cl), 4)
     assert r["n_above"] == 1 and r["n_below"] == 0
+
+
+# --- mcnemar / overlap_coeff / term_burstiness -----------------------------
+
+
+def test_mcnemar_hand(spark):
+    from pandasvcf_spark.operators.stats import mcnemar_test
+
+    import math
+
+    # b=6, c=2: chi2 = 16/8 = 2; z = 4/sqrt(8)
+    rows = ([(1, 1)] * 3 + [(1, 0)] * 6 + [(0, 1)] * 2 + [(0, 0)] * 4)
+    df = spark.createDataFrame(rows, "y1 int, y2 int")
+    r = mcnemar_test(df, "y1", "y2").collect()[0]
+    assert (r["n11"], r["b"], r["c"], r["n00"]) == (3, 6, 2, 4)
+    assert r["chi2"] == 2.0
+    assert r["z"] == round(4.0 / math.sqrt(8.0), 6)
+
+
+def test_mcnemar_no_discordant_null(spark):
+    from pandasvcf_spark.operators.stats import mcnemar_test
+
+    rows = [(1, 1), (0, 0)]
+    df = spark.createDataFrame(rows, "y1 int, y2 int")
+    r = mcnemar_test(df, "y1", "y2").collect()[0]
+    assert r["chi2"] is None and r["z"] is None
+
+
+def test_overlap_identical_and_disjoint(spark):
+    from pandasvcf_spark.operators.stats import overlap_coeff
+
+    same = [(f, float(v)) for f in (0, 1) for v in range(20)]
+    r = overlap_coeff(
+        spark.createDataFrame(same, "f int, v double"), "f", "v"
+    ).collect()[0]
+    assert r["ovl"] == 1.0 and r["bc"] == 1.0
+    apart = [(0, float(v)) for v in range(10)]
+    apart += [(1, float(v) + 1000) for v in range(10)]
+    r2 = overlap_coeff(
+        spark.createDataFrame(apart, "f int, v double"), "f", "v"
+    ).collect()[0]
+    assert r2["ovl"] == 0.0 and r2["bc"] == 0.0
+
+
+def test_term_burstiness_planted(spark):
+    from pandasvcf_spark.operators.text_features import term_burstiness
+
+    # 'zzz' appears 10x in one doc (bursty); 'the' once in each of 10
+    docs = [(i, "the filler words here") for i in range(10)]
+    docs.append((99, " ".join(["zzz"] * 10)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = term_burstiness(df, min_df=1, top_n=5).collect()
+    assert out[0]["word"] == "zzz"
+    assert out[0]["cf"] == 10 and out[0]["df"] == 1
+    assert out[0]["burst"] == 10.0
+    the = [r for r in out if r["word"] == "the"]
+    assert not the or the[0]["burst"] == 1.0
