@@ -3127,3 +3127,203 @@ def overlap_coeff(
         F.round(F.when(ok, F.col("__ovl")), 6).alias("ovl"),
         F.round(F.when(ok, F.col("__bc")), 6).alias("bc"),
     )
+
+
+def classifier_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """One-call probabilistic-classifier report — AUC, KS separation,
+    Brier score and 10-bin ECE in a single pass, the "is this score
+    any good?" dashboard row (m_group_auc / m_ks_lift / m_calibration
+    each give one lens; this gives the row a monitoring table wants).
+
+    ``score_col`` must be in [0, 1]. The corpus collapses FIRST to a
+    distinct-score (pos, neg) count table — AUC and KS then come from
+    cumulative windows over that SMALL table (ties handled exactly:
+    AUC counts a tied pair 1/2, the rank-form identity), so no
+    corpus-sized global sort ever happens (an unpartitioned
+    row-number over raw rows would single-partition at scale; this
+    is the scale-honest formulation):
+
+        AUC   = sum_s neg_s · (cum_pos_<s + pos_s/2) / (P·N)
+        KS    = max_s |F1(s) − F0(s)|
+        Brier = mean (p − y)²          (row-level partial agg)
+        ECE   = sum_b (n_b/n) · |acc_b − conf_b|   (10 bins)
+
+    Output: ONE row (n, n_pos BIGINT, auc, ks, brier, ece DOUBLE
+    round 6); AUC/KS NULL when either class is empty.
+    """
+    sc = F.col(score_col).cast("double")
+    lc = F.col(label_col).cast("int")
+    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
+        sc.alias("__p"), lc.alias("__y")
+    )
+    # distinct-score class counts (vocabulary-sized)
+    cells = base.groupBy("__p").agg(
+        F.sum("__y").cast("long").alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__neg"),
+    )
+    w_prev = Window.orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    r = cells.select(
+        "__pos",
+        "__neg",
+        F.coalesce(F.sum("__pos").over(w_prev), F.lit(0)).alias(
+            "__cum_pos"
+        ),
+        F.sum("__pos").over(w_all).alias("__P"),
+        F.sum("__neg").over(w_all).alias("__N"),
+    )
+    pd_ = F.col("__P").cast("double")
+    nd_ = F.col("__N").cast("double")
+    auc_num = F.sum(
+        F.col("__neg").cast("double")
+        * (
+            F.col("__cum_pos").cast("double")
+            + F.col("__pos").cast("double") / F.lit(2.0)
+        )
+    )
+    ks_term = F.abs(
+        (F.col("__cum_pos") + F.col("__pos")).cast("double") / pd_
+        - (
+            F.coalesce(F.sum("__neg").over(w_prev), F.lit(0))
+            + F.col("__neg")
+        ).cast("double")
+        / nd_
+    )
+    curve = r.select(
+        "__pos", "__neg", "__cum_pos", "__P", "__N",
+        ks_term.alias("__ks"),
+    ).groupBy("__P", "__N").agg(
+        auc_num.alias("__auc_num"), F.max("__ks").alias("__ks_max")
+    )
+    # row-level Brier + binned ECE (one pass each, partial-aggregated)
+    b = F.least(F.floor(F.col("__p") * 10).cast("int"), F.lit(9))
+    bins = (
+        base.select(b.alias("__b"), "__p", "__y")
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__nb"),
+            F.avg("__p").alias("__conf"),
+            F.avg(F.col("__y").cast("double")).alias("__acc"),
+        )
+    )
+    brier = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.avg(
+            (F.col("__p") - F.col("__y").cast("double"))
+            * (F.col("__p") - F.col("__y").cast("double"))
+        ).alias("__brier"),
+    )
+    ece = bins.join(
+        F.broadcast(bins.agg(F.sum("__nb").alias("__tot")))
+    ).agg(
+        F.sum(
+            F.col("__nb")
+            / F.col("__tot")
+            * F.abs(F.col("__acc") - F.col("__conf"))
+        ).alias("__ece")
+    )
+    g = brier.join(F.broadcast(curve)).join(F.broadcast(ece))
+    ok = (F.col("__P") > 0) & (F.col("__N") > 0)
+    return g.select(
+        "n",
+        "n_pos",
+        F.round(
+            F.when(
+                ok,
+                F.col("__auc_num")
+                / (F.col("__P").cast("double") * F.col("__N").cast("double")),
+            ),
+            6,
+        ).alias("auc"),
+        F.round(F.when(ok, F.col("__ks_max")), 6).alias("ks"),
+        F.round(F.col("__brier"), 6).alias("brier"),
+        F.round(F.col("__ece"), 6).alias("ece"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over forecast
+    bins — WHY is the score what it is?
+
+        REL = sum_b (n_b/n)·(conf_b − acc_b)²   (calibration error)
+        RES = sum_b (n_b/n)·(acc_b − base)²     (discrimination)
+        UNC = base·(1 − base)                   (irreducible)
+        Brier = REL − RES + UNC + residual
+
+    where `residual` is the within-bin variance term binning
+    introduces (exactly 0 only when forecasts are constant within
+    bins) — reported honestly instead of pretending the identity is
+    exact. ``score_col`` must be in [0, 1].
+
+    Output: ONE row (n BIGINT, brier, rel, res, unc, residual DOUBLE
+    round 6).
+
+    Plan: one n_bins-cell agg + one 1-row base-rate/Brier agg — the
+    calibration_bins economics.
+    """
+    sc = F.col(score_col).cast("double")
+    lc = F.col(label_col).cast("int")
+    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
+        sc.alias("__p"), lc.alias("__y")
+    )
+    b = F.least(
+        F.floor(F.col("__p") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = (
+        base.select(b.alias("__b"), "__p", "__y")
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__nb"),
+            F.avg("__p").alias("__conf"),
+            F.avg(F.col("__y").cast("double")).alias("__acc"),
+        )
+    )
+    g0 = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("__y").cast("double")).alias("__base"),
+        F.avg(
+            (F.col("__p") - F.col("__y").cast("double"))
+            * (F.col("__p") - F.col("__y").cast("double"))
+        ).alias("__brier"),
+    )
+    terms = bins.join(F.broadcast(g0)).agg(
+        F.max("n").alias("n"),
+        F.max("__base").alias("__base"),
+        F.max("__brier").alias("__brier"),
+        F.sum(
+            F.col("__nb")
+            / F.col("n").cast("double")
+            * (F.col("__conf") - F.col("__acc"))
+            * (F.col("__conf") - F.col("__acc"))
+        ).alias("__rel"),
+        F.sum(
+            F.col("__nb")
+            / F.col("n").cast("double")
+            * (F.col("__acc") - F.col("__base"))
+            * (F.col("__acc") - F.col("__base"))
+        ).alias("__res"),
+    )
+    unc = F.col("__base") * (F.lit(1.0) - F.col("__base"))
+    resid = F.col("__brier") - (
+        F.col("__rel") - F.col("__res") + unc
+    )
+    return terms.select(
+        "n",
+        F.round(F.col("__brier"), 6).alias("brier"),
+        F.round(F.col("__rel"), 6).alias("rel"),
+        F.round(F.col("__res"), 6).alias("res"),
+        F.round(unc, 6).alias("unc"),
+        (F.round(resid, 6) + F.lit(0.0)).alias("residual"),
+    )

@@ -3358,3 +3358,136 @@ def m_overlap(spark, sf_dir):
         F.col("value").alias("v"),
     )
     return overlap_coeff(d, "f", "v", n_bins=20)
+
+
+@register(
+    "m_classifier_report",
+    oracle="""
+    WITH b AS (
+      SELECT value / 500.0 AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (SELECT p, CAST(sum(y) AS BIGINT) AS pos,
+                     CAST(sum(1 - y) AS BIGINT) AS neg
+              FROM b GROUP BY p),
+    r AS (
+      SELECT pos, neg,
+             coalesce(sum(pos) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_pos,
+             coalesce(sum(neg) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg,
+             sum(pos) OVER () AS tp, sum(neg) OVER () AS tn
+      FROM cells),
+    curve AS (
+      SELECT max(tp) AS tp, max(tn) AS tn,
+             sum(CAST(neg AS DOUBLE)
+                 * (CAST(cum_pos AS DOUBLE)
+                    + CAST(pos AS DOUBLE) / 2.0)) AS auc_num,
+             max(abs(CAST(cum_pos + pos AS DOUBLE)
+                     / CAST(tp AS DOUBLE)
+                     - CAST(cum_neg + neg AS DOUBLE)
+                       / CAST(tn AS DOUBLE))) AS ks
+      FROM r),
+    bins AS (SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+                    CAST(count(*) AS DOUBLE) AS nb, avg(p) AS conf,
+                    avg(CAST(y AS DOUBLE)) AS acc
+             FROM b GROUP BY 1),
+    tt AS (SELECT sum(nb) AS tot FROM bins),
+    ec AS (SELECT sum(nb / tt.tot * abs(acc - conf)) AS ece
+           FROM bins, tt),
+    br AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_pos,
+                  avg((p - CAST(y AS DOUBLE))
+                      * (p - CAST(y AS DOUBLE))) AS brier
+           FROM b)
+    SELECT n, n_pos,
+           round(CASE WHEN tp > 0 AND tn > 0
+                 THEN auc_num / (CAST(tp AS DOUBLE)
+                                 * CAST(tn AS DOUBLE)) END, 6)
+             AS auc,
+           round(CASE WHEN tp > 0 AND tn > 0 THEN ks END, 6) AS ks,
+           round(brier, 6) AS brier,
+           round(ece, 6) AS ece
+    FROM br, curve, ec
+    """,
+)
+def m_classifier_report(spark, sf_dir):
+    """One-call classifier dashboard row (operators/stats.
+    classifier_report): AUC + KS + Brier + 10-bin ECE of value/500
+    predicting 'purchase' — the m_group_auc / m_ks_lift /
+    m_calibration lenses in a single pass. AUC and KS come from
+    cumulative windows over the DISTINCT-SCORE class-count table
+    (ties exactly half-counted, the rank-form identity; no
+    corpus-sized single-partition window — pre-bucket dense scores
+    at production scale); Brier and ECE are partial-aggregated
+    passes. The oracle replays the count curve and all four
+    metrics."""
+    from pandasvcf_spark.operators.stats import classifier_report
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.col("value") / 500.0).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return classifier_report(d, "p", "y")
+
+
+@register(
+    "m_brier_decomp",
+    oracle="""
+    WITH b AS (
+      SELECT value / 500.0 AS p,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    bins AS (SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+                    CAST(count(*) AS DOUBLE) AS nb, avg(p) AS conf,
+                    avg(CAST(y AS DOUBLE)) AS acc
+             FROM b GROUP BY 1),
+    g0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  avg(CAST(y AS DOUBLE)) AS base,
+                  avg((p - CAST(y AS DOUBLE))
+                      * (p - CAST(y AS DOUBLE))) AS brier
+           FROM b),
+    t AS (
+      SELECT max(n) AS n, max(base) AS base, max(brier) AS brier,
+             sum(nb / CAST(n AS DOUBLE)
+                 * (conf - acc) * (conf - acc)) AS rel,
+             sum(nb / CAST(n AS DOUBLE)
+                 * (acc - base) * (acc - base)) AS res
+      FROM bins, g0)
+    SELECT n, round(brier, 6) AS brier, round(rel, 6) AS rel,
+           round(res, 6) AS res,
+           round(base * (1.0 - base), 6) AS unc,
+           round(brier - (rel - res + base * (1.0 - base)), 6) + 0.0
+             AS residual
+    FROM t
+    """,
+)
+def m_brier_decomp(spark, sf_dir):
+    """Murphy decomposition of the Brier score (operators/stats.
+    brier_decomposition): reliability − resolution + uncertainty,
+    with the within-bin variance RESIDUAL reported honestly (the
+    identity is exact only for bin-constant forecasts) — WHY the
+    m_classifier_report brier is what it is. One 10-cell bin agg +
+    one 1-row base/Brier agg. The oracle replays bins and all four
+    terms."""
+    from pandasvcf_spark.operators.stats import brier_decomposition
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.col("value") / 500.0).alias("p"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return brier_decomposition(d, "p", "y", n_bins=10)

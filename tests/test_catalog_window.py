@@ -770,6 +770,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # exact pooled-extrema bins
         "t_term_burst",          # Church-Gale cf/df: two word-keyed
                                  # counts + exact-rational cut
+        "m_classifier_report",   # AUC+KS+Brier+ECE in one pass over
+                                 # the distinct-score count table
+        "m_brier_decomp",        # Murphy REL-RES+UNC with an honest
+                                 # within-bin residual term
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

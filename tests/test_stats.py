@@ -1391,3 +1391,48 @@ def test_term_burstiness_planted(spark):
     assert out[0]["burst"] == 10.0
     the = [r for r in out if r["word"] == "the"]
     assert not the or the[0]["burst"] == 1.0
+
+
+# --- classifier_report / brier_decomposition -------------------------------
+
+
+def test_classifier_report_perfect_and_reversed(spark):
+    from pandasvcf_spark.operators.stats import classifier_report
+
+    # perfectly separating score: auc 1, ks 1, brier 0 at p in {0,1}
+    rows = [(1.0, 1)] * 5 + [(0.0, 0)] * 5
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = classifier_report(df, "p", "y").collect()[0]
+    assert r["auc"] == 1.0 and r["ks"] == 1.0
+    assert r["brier"] == 0.0 and r["ece"] == 0.0
+    # reversed score: auc 0
+    rows2 = [(0.0, 1)] * 5 + [(1.0, 0)] * 5
+    r2 = classifier_report(
+        spark.createDataFrame(rows2, "p double, y int"), "p", "y"
+    ).collect()[0]
+    assert r2["auc"] == 0.0 and r2["brier"] == 1.0
+
+
+def test_classifier_report_ties_half_counted(spark):
+    from pandasvcf_spark.operators.stats import classifier_report
+
+    # constant score: every pos/neg pair tied -> auc exactly 0.5
+    rows = [(0.5, 1)] * 4 + [(0.5, 0)] * 6
+    r = classifier_report(
+        spark.createDataFrame(rows, "p double, y int"), "p", "y"
+    ).collect()[0]
+    assert r["auc"] == 0.5
+
+
+def test_brier_decomposition_identity_on_constant_bins(spark):
+    from pandasvcf_spark.operators.stats import brier_decomposition
+
+    # forecasts constant within bins (0.05 and 0.95): residual == 0
+    rows = [(0.05, 0)] * 8 + [(0.05, 1)] * 2
+    rows += [(0.95, 1)] * 7 + [(0.95, 0)] * 3
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    assert r["residual"] == 0.0
+    # identity: brier = rel - res + unc
+    assert r["brier"] == round(r["rel"] - r["res"] + r["unc"], 6)
+    assert r["unc"] == round(0.45 * 0.55, 6)  # base = 9/20
