@@ -3180,10 +3180,19 @@ def classifier_report(
     )
     pd_ = F.col("__P").cast("double")
     nd_ = F.col("__N").cast("double")
+    # for each negative at score s: positives STRICTLY ABOVE s count 1,
+    # ties count 1/2 (the rank-form identity). The first cut of this
+    # operator used cum_pos BELOW s — that computes 1 − AUC, and the
+    # oracle replayed the same inversion (green against itself); the
+    # perfect-scorer hand test is what caught it.
     auc_num = F.sum(
         F.col("__neg").cast("double")
         * (
-            F.col("__cum_pos").cast("double")
+            (
+                F.col("__P").cast("double")
+                - F.col("__cum_pos").cast("double")
+                - F.col("__pos").cast("double")
+            )
             + F.col("__pos").cast("double") / F.lit(2.0)
         )
     )

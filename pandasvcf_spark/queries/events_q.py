@@ -3384,7 +3384,8 @@ def m_overlap(spark, sf_dir):
     curve AS (
       SELECT max(tp) AS tp, max(tn) AS tn,
              sum(CAST(neg AS DOUBLE)
-                 * (CAST(cum_pos AS DOUBLE)
+                 * ((CAST(tp AS DOUBLE) - CAST(cum_pos AS DOUBLE)
+                     - CAST(pos AS DOUBLE))
                     + CAST(pos AS DOUBLE) / 2.0)) AS auc_num,
              max(abs(CAST(cum_pos + pos AS DOUBLE)
                      / CAST(tp AS DOUBLE)
