@@ -1436,3 +1436,21 @@ def test_brier_decomposition_identity_on_constant_bins(spark):
     # identity: brier = rel - res + unc
     assert r["brier"] == round(r["rel"] - r["res"] + r["unc"], 6)
     assert r["unc"] == round(0.45 * 0.55, 6)  # base = 9/20
+
+
+def test_classifier_report_auc_matches_group_auc(spark):
+    """Cross-operator consistency: the distinct-score-curve AUC must
+    equal the rank-form group_auc on the same data (they are the same
+    statistic through different machinery — an orientation or tie bug
+    in either shows up here)."""
+    from pandasvcf_spark.operators.relational import group_auc
+    from pandasvcf_spark.operators.stats import classifier_report
+
+    rows = [((i * 37 % 100) / 100.0, 1 if (i * 53) % 7 < 3 else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    a1 = classifier_report(df, "p", "y").collect()[0]["auc"]
+    a2 = group_auc(
+        df.select(F.lit(0).alias("g"), "p", "y"), ["g"], "p", "y"
+    ).collect()[0]["auc"]
+    assert a1 == a2
