@@ -1423,3 +1423,70 @@ def knn_majority_vote(
             "n_votes",
         )
     )
+
+
+def dim_truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit — "can we search
+    with the first `dims` coordinates instead of the full vector?":
+    per query, the exact top-k under full-dimension cosine is
+    compared with the top-k under first-`dims` cosine, and the ONE
+    summary row reports how much of the true neighborhood survives:
+
+        recall@k = |topk_full ∩ topk_truncated| / k   (mean / min)
+
+    The answer drives the storage/latency tier choice (truncated
+    prefilter + full rerank is the standard two-stage shape; this
+    measures what the prefilter loses). Both kNN passes are the
+    exact broadcast scorer (`cosine_topk` — JVM fold-order cosine),
+    the intersection is one (query, neighbor)-keyed equi-join, and
+    everything after is queries x k sized.
+
+    Output: ONE row (n_queries BIGINT, k INT, dims INT, mean_recall
+    DOUBLE round 6, min_recall DOUBLE round 6).
+    """
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    trunc_c = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    trunc_q = queries.select(
+        F.col(query_id_col),
+        F.slice(F.col(vec_col), 1, dims).alias(vec_col),
+    )
+    full = cosine_topk(
+        corpus, queries, k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(F.col(query_id_col).alias("__q"), F.col(id_col).alias("__n"))
+    trunc = cosine_topk(
+        trunc_c, trunc_q, k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(F.col(query_id_col).alias("__q"), F.col(id_col).alias("__n"))
+    hits = full.join(trunc, ["__q", "__n"]).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__hit")
+    )
+    per_q = (
+        full.select("__q")
+        .distinct()
+        .join(hits, "__q", "left")
+        .select(
+            (
+                F.coalesce(F.col("__hit"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("__r")
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(dims).cast("int").alias("dims"),
+        F.round(F.avg("__r"), 6).alias("mean_recall"),
+        F.round(F.min("__r"), 6).alias("min_recall"),
+    )

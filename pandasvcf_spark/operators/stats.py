@@ -3336,3 +3336,67 @@ def brier_decomposition(
         F.round(unc, 6).alias("unc"),
         (F.round(resid, 6) + F.lit(0.0)).alias("residual"),
     )
+
+
+def equivalence_test(
+    df: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    margin: float,
+    z: float = 1.6448536269514722,
+) -> DataFrame:
+    """Two-proportion equivalence test (TOST via the 90% CI shortcut:
+    Schuirmann 1987) — "did this change do NOTHING?", the question a
+    significance test cannot answer (failing to reject is not
+    equivalence). The launch-safety gate for refactors and
+    infrastructure swaps:
+
+        equivalent <=> the (1 − 2·alpha) CI of p1 − p2 lies entirely
+                       inside (−margin, +margin)
+
+    with the default z the 90% two-sided quantile (alpha = .05 per
+    one-sided test), digit-mirrored in the oracle. group/outcome must
+    be 0/1.
+
+    Output: ONE row (n1, n2 BIGINT, p1, p2, diff, ci_lo, ci_hi
+    DOUBLE round 6, equivalent BOOLEAN — NULL when either arm is
+    empty).
+
+    Plan: one 4-counter agg (the m_confusion shape) + arithmetic.
+    """
+    if margin <= 0:
+        raise ValueError("margin must be > 0")
+    gr = F.col(group_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    g = df.filter(gr.isNotNull() & oc.isNotNull()).agg(
+        F.sum(F.when(gr == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(gr == 0, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when((gr == 1) & (oc == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__s1"),
+        F.sum(F.when((gr == 0) & (oc == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__s2"),
+    )
+    p1 = F.col("__s1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("__s2").cast("double") / F.col("n2").cast("double")
+    diff = p1 - p2
+    se = F.sqrt(
+        p1 * (F.lit(1.0) - p1) / F.col("n1").cast("double")
+        + p2 * (F.lit(1.0) - p2) / F.col("n2").cast("double")
+    )
+    lo = diff - F.lit(z) * se
+    hi = diff + F.lit(z) * se
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return g.select(
+        "n1",
+        "n2",
+        F.round(F.when(ok, p1), 6).alias("p1"),
+        F.round(F.when(ok, p2), 6).alias("p2"),
+        (F.round(F.when(ok, diff), 6) + F.lit(0.0)).alias("diff"),
+        (F.round(F.when(ok, lo), 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(F.when(ok, hi), 6) + F.lit(0.0)).alias("ci_hi"),
+        F.when(
+            ok, (lo > F.lit(-margin)) & (hi < F.lit(margin))
+        ).alias("equivalent"),
+    )

@@ -3492,3 +3492,70 @@ def m_brier_decomp(spark, sf_dir):
         .alias("y"),
     )
     return brier_decomposition(d, "p", "y", n_bins=10)
+
+
+@register(
+    "m_equivalence",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS g,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS oc
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    a AS (
+      SELECT
+        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN g = 1 AND oc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN g = 0 AND oc = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS s2
+      FROM b),
+    m AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+      FROM a),
+    f AS (
+      SELECT n1, n2, p1, p2, p1 - p2 AS diff,
+             sqrt(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE)
+                  + p2 * (1.0 - p2) / CAST(n2 AS DOUBLE)) AS se,
+             CAST(1.6448536269514722 AS DOUBLE) AS z
+      FROM m)
+    SELECT n1, n2,
+           round(CASE WHEN n1 > 0 THEN p1 END, 6) AS p1,
+           round(CASE WHEN n2 > 0 THEN p2 END, 6) AS p2,
+           round(CASE WHEN n1 > 0 AND n2 > 0 THEN diff END, 6) + 0.0
+             AS diff,
+           round(CASE WHEN n1 > 0 AND n2 > 0
+                 THEN diff - z * se END, 6) + 0.0 AS ci_lo,
+           round(CASE WHEN n1 > 0 AND n2 > 0
+                 THEN diff + z * se END, 6) + 0.0 AS ci_hi,
+           (CASE WHEN n1 > 0 AND n2 > 0
+                 THEN diff - z * se > -0.02 AND diff + z * se < 0.02
+            END) AS equivalent
+    FROM f
+    """,
+)
+def m_equivalence(spark, sf_dir):
+    """Two-proportion equivalence test (operators/stats.
+    equivalence_test; Schuirmann TOST via the 90% CI, margin 2pp):
+    is the even-vs-odd purchase-rate difference provably NEGLIGIBLE?
+    — the launch-safety question a significance test can't answer
+    (failing to reject is not equivalence). One 4-counter agg; the
+    90% z quantile is a digit-mirrored DOUBLE literal. On this
+    parity-blind data equivalence should hold. The oracle replays
+    rates, the CI and the margin verdict."""
+    from pandasvcf_spark.operators.stats import equivalence_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("oc"),
+    )
+    return equivalence_test(d, "g", "oc", margin=0.02)

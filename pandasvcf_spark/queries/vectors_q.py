@@ -1859,3 +1859,77 @@ def m_fleiss_kappa(spark, sf_dir):
         .unionAll(base.select("i", F.col("r3").alias("c")))
     )
     return fleiss_kappa(ratings, "i", "c")
+
+
+def _sql_cos8(a: str, b: str) -> str:
+    def dot(x, y):
+        return (
+            f"list_sum(list_transform(generate_series(1, 8), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+    return (
+        f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+    )
+
+
+@register(
+    "v_dim_truncation",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < 300 AND embedding IS NOT NULL),
+    q AS (SELECT vec_id AS qid, embedding FROM sub
+          WHERE vec_id < 100),
+    sf AS (
+      SELECT q.qid, e.vec_id,
+             {_sql_cos('e.embedding', 'q.embedding')} AS cos
+      FROM sub e, q WHERE e.vec_id <> q.qid),
+    kf AS (SELECT qid, vec_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             FROM sf) WHERE rn <= 5),
+    st AS (
+      SELECT q.qid, e.vec_id,
+             {_sql_cos8('e.embedding', 'q.embedding')} AS cos
+      FROM sub e, q WHERE e.vec_id <> q.qid),
+    kt AS (SELECT qid, vec_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             FROM st) WHERE rn <= 5),
+    hits AS (SELECT kf.qid, count(*) AS hit
+             FROM kf JOIN kt ON kf.qid = kt.qid
+                            AND kf.vec_id = kt.vec_id
+             GROUP BY kf.qid),
+    per AS (SELECT q2.qid,
+                   CAST(coalesce(hit, 0) AS DOUBLE) / 5.0 AS r
+            FROM (SELECT DISTINCT qid FROM kf) q2
+            LEFT JOIN hits ON q2.qid = hits.qid)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k, CAST(8 AS INTEGER) AS dims,
+           round(avg(r), 6) AS mean_recall,
+           round(min(r), 6) AS min_recall
+    FROM per
+    """,
+)
+def v_dim_truncation(spark, sf_dir):
+    """Matryoshka dimension-truncation audit (operators/similarity.
+    dim_truncation_recall): how much of the exact 64-dim top-5
+    neighborhood survives when scoring with only the first 8
+    coordinates? — the measurement behind the truncated-prefilter +
+    full-rerank storage tier. Both kNN passes are the exact JVM
+    fold-order cosine (broadcast scorer), the intersection one
+    (query, neighbor)-keyed join; everything after is queries x k
+    sized. Low recall expected on these isotropic synthetic vectors
+    — the entry measures, it doesn't flatter. The oracle replays
+    both neighborhoods and the overlap."""
+    from pandasvcf_spark.operators.similarity import (
+        dim_truncation_recall,
+    )
+
+    e = load(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 300) & F.col("embedding").isNotNull()
+    )
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return dim_truncation_recall(e, q, dims=8, k=5)

@@ -774,6 +774,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # the distinct-score count table
         "m_brier_decomp",        # Murphy REL-RES+UNC with an honest
                                  # within-bin residual term
+        "v_dim_truncation",      # Matryoshka audit: two exact kNN
+                                 # passes + (query, neighbor) join,
+                                 # queries x k sized after
+        "m_equivalence",         # Schuirmann TOST via the 90% CI:
+                                 # 4-counter agg, digit-mirrored z
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

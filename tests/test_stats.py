@@ -1454,3 +1454,58 @@ def test_classifier_report_auc_matches_group_auc(spark):
         df.select(F.lit(0).alias("g"), "p", "y"), ["g"], "p", "y"
     ).collect()[0]["auc"]
     assert a1 == a2
+
+
+# --- dim_truncation_recall / equivalence_test ------------------------------
+
+
+def test_dim_truncation_full_dims_recall_one(spark):
+    from pandasvcf_spark.operators.similarity import dim_truncation_recall
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = e.limit(10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = dim_truncation_recall(e, q, dims=8, k=3).collect()[0]
+    assert r["mean_recall"] == 1.0 and r["min_recall"] == 1.0
+    assert r["n_queries"] == 10
+
+
+def test_dim_truncation_orthogonal_tail_drops(spark):
+    from pandasvcf_spark.operators.similarity import dim_truncation_recall
+
+    import random
+
+    # signal lives in dims 3-8; first 2 dims are pure noise ->
+    # truncating to 2 dims must lose most of the neighborhood
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1)] * 2 + [rng.gauss(0, 1) for _ in range(6)])
+            for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = e.limit(15).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = dim_truncation_recall(e, q, dims=2, k=3).collect()[0]
+    assert r["mean_recall"] < 0.7
+
+
+def test_equivalence_verdicts(spark):
+    from pandasvcf_spark.operators.stats import equivalence_test
+
+    # identical rates, large n -> CI tight around 0 -> equivalent
+    rows = [(g, 1 if i % 10 == 0 else 0) for g in (0, 1)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "g int, oc int")
+    r = equivalence_test(df, "g", "oc", margin=0.05).collect()[0]
+    assert r["equivalent"] is True and abs(r["diff"]) < 1e-9
+    # blatant difference -> not equivalent
+    rows2 = [(1, 1)] * 500 + [(1, 0)] * 500 + [(0, 1)] * 100 + [(0, 0)] * 900
+    r2 = equivalence_test(
+        spark.createDataFrame(rows2, "g int, oc int"), "g", "oc",
+        margin=0.05,
+    ).collect()[0]
+    assert r2["equivalent"] is False and r2["diff"] == 0.4
