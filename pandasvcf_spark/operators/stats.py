@@ -1645,9 +1645,10 @@ def roc_points(
     """ROC curve operating points at every distinct score threshold —
     the full curve behind `group_auc`'s scalar: at threshold t
     (classify positive when score >= t), TPR = positives scored >= t
-    over all positives, FPR likewise over negatives. Ties merge (a
-    RANGE cumulative frame over score DESCENDING), so each distinct
-    score yields exactly one point. label must be 0/1.
+    over all positives, FPR likewise over negatives. Ties merge (the
+    groupBy collapses them before the score-descending cumulative
+    ladder), so each distinct score yields exactly one point. label
+    must be 0/1.
 
     PRE-BUCKET the score for dense continuous scores (round/quantize
     first) — the output has one row per distinct score by definition.
@@ -1655,26 +1656,33 @@ def roc_points(
     Output: (score DOUBLE, tpr DOUBLE round 6, fpr DOUBLE round 6),
     score-descending (the curve from (0,0) toward (1,1)).
 
-    Plan: one exchange: two RANGE cumulative windows + a distinct —
-    integer counts make every point exact rational arithmetic.
+    Plan: the corpus collapses FIRST to a distinct-score (pos, neg)
+    count table (one partial-aggregated groupBy); the cumulative
+    windows then run over that SMALL cell table only — the
+    `classifier_report` device, so no raw-row relation ever enters an
+    unpartitioned window (the round-8 single-partition-sort fix).
+    Integer counts make every point exact rational arithmetic.
     """
     sc = F.col(score_col).cast("double")
     lc = F.col(label_col).cast("int")
     base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
         sc.alias("__s"), lc.alias("__y")
     )
-    w_cum = (
-        Window.orderBy(F.col("__s").desc())
-        .rangeBetween(Window.unboundedPreceding, 0)
+    cells = base.groupBy("__s").agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+    )
+    w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
     w_all = Window.partitionBy()
-    r = base.select(
+    r = cells.select(
         "__s",
-        F.sum("__y").over(w_cum).alias("__cp"),
-        F.sum(F.lit(1) - F.col("__y")).over(w_cum).alias("__cn"),
-        F.sum("__y").over(w_all).alias("__P"),
-        F.sum(F.lit(1) - F.col("__y")).over(w_all).alias("__N"),
-    ).distinct()
+        F.sum("__pos").over(w_cum).alias("__cp"),
+        F.sum("__neg").over(w_cum).alias("__cn"),
+        F.sum("__pos").over(w_all).alias("__P"),
+        F.sum("__neg").over(w_all).alias("__N"),
+    )
     return r.select(
         F.col("__s").alias("score"),
         F.round(
@@ -1966,20 +1974,24 @@ def lorenz_deciles(
     Output: (bucket INT, n BIGINT, cum_share DOUBLE round 6),
     bucket-ascending; cum_share is 1.0 at the last bucket.
 
-    Plan: one rank window + one bucket agg + a cumulative window
-    over the <= n_buckets rows. Integer values keep the sums exact.
+    Plan: ranks come from the `bucketed_row_number` histogram device
+    (bucket-partitioned sort tasks — no corpus-sized relation ever
+    enters an unpartitioned window, the round-8 single-partition-sort
+    fix), totals ride a 1-row broadcast, then one bucket agg + a
+    cumulative window over the <= n_buckets rows. Integer values keep
+    the sums exact.
     """
+    from pandasvcf_spark.operators.relational import bucketed_row_number
+
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull() & F.col(id_col).isNotNull()).select(
         v.alias("__v"), F.col(id_col).alias("__id")
     )
-    w = Window.orderBy(F.col("__v").asc(), F.col("__id").asc())
-    wn = Window.partitionBy()
-    r = base.select(
-        "__v",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
-        F.min("__v").over(wn).alias("__min"),
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__v").alias("__min")
+    )
+    r = bucketed_row_number(
+        base.join(F.broadcast(tot)), "__v", ["__id"], "__rn"
     )
     checked = r.withColumn(
         "__v",
@@ -2894,10 +2906,20 @@ def quantile_shift(
     chosen values are input values, the shift their exact
     difference).
 
-    Plan: one flag-partitioned cumulative-count RANGE window + one
-    conditional-MIN agg per (side, prob) — the weighted_quantiles
-    device at unit weight, both sides in the same pass.
+    Plan: both sides' quantiles come from ONE `grouped_exact_quantiles`
+    call (group key = the flag) — the fully-distributed bucket walk
+    (group- and (group, bucket)-keyed shuffles only), replacing the
+    flag-partitioned cumulative window whose two partitions each
+    sorted half the corpus in one task (the round-8
+    single-partition-sort fix). Rank convention is identical: the
+    type-1 rank ceil(p·W) on the same double product, so the selected
+    values are bit-for-bit the old ones. Two tiny probs-keyed
+    broadcast joins pivot the sides together.
     """
+    from pandasvcf_spark.operators.relational import (
+        grouped_exact_quantiles,
+    )
+
     ps = sorted(set(float(p) for p in probs))
     if not ps or any(p <= 0 or p > 1 for p in ps):
         raise ValueError("probs must be in (0, 1]")
@@ -2906,46 +2928,27 @@ def quantile_shift(
     base = df.filter(vc.isNotNull() & fc.isNotNull()).select(
         fc.alias("__f"), vc.alias("__v")
     )
-    w_cum = (
-        Window.partitionBy("__f")
-        .orderBy("__v")
-        .rangeBetween(Window.unboundedPreceding, 0)
+    q = grouped_exact_quantiles(base, ["__f"], "__v", ps)
+    pdf = df.sparkSession.createDataFrame(
+        [(p,) for p in ps], "p double"
     )
-    w_tot = Window.partitionBy("__f")
-    r = base.select(
-        "__f",
-        "__v",
-        F.count(F.lit(1)).over(w_cum).alias("__cw"),
-        F.count(F.lit(1)).over(w_tot).alias("__W"),
+    q0 = q.filter(F.col("__f") == 0).select(
+        "p", F.col("value").alias("q0")
     )
-    aggs = []
-    for p in ps:
-        for side in (0, 1):
-            aggs.append(
-                F.min(
-                    F.when(
-                        (F.col("__f") == side)
-                        & (
-                            F.col("__cw").cast("double")
-                            >= F.lit(p) * F.col("__W").cast("double")
-                        ),
-                        F.col("__v"),
-                    )
-                ).alias(f"__q{side}_{int(p * 10000)}")
-            )
-    g = r.agg(*aggs)
-    out = None
-    for p in ps:
-        q0 = F.col(f"__q0_{int(p * 10000)}")
-        q1 = F.col(f"__q1_{int(p * 10000)}")
-        row = g.select(
-            F.lit(p).alias("p"),
-            q0.alias("q0"),
-            q1.alias("q1"),
-            (q1 - q0 + F.lit(0.0)).alias("shift"),
+    q1 = q.filter(F.col("__f") == 1).select(
+        "p", F.col("value").alias("q1")
+    )
+    return (
+        pdf.join(F.broadcast(q0), "p", "left")
+        .join(F.broadcast(q1), "p", "left")
+        .select(
+            "p",
+            "q0",
+            "q1",
+            (F.col("q1") - F.col("q0") + F.lit(0.0)).alias("shift"),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        .orderBy("p")
+    )
 
 
 def control_chart(

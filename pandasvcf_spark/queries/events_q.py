@@ -2422,10 +2422,12 @@ def m_roc_points(spark, sf_dir):
     """Full ROC curve at every distinct (integer-rounded) score
     threshold (operators/stats.roc_points): value predicting the
     'error' label — the curve behind m_group_auc's scalar and
-    m_confusion's single operating point. Ties merge via RANGE
-    cumulative frames, one point per distinct score; integer counts
-    make every (tpr, fpr) exact rational arithmetic. Scores
-    pre-bucket to integers (the documented dense-score discipline).
+    m_confusion's single operating point. The corpus collapses to
+    distinct-score (pos, neg) cells FIRST (the classifier_report
+    device — no raw rows enter the unpartitioned cumulative ladder);
+    one point per distinct score; integer counts make every
+    (tpr, fpr) exact rational arithmetic. Scores pre-bucket to
+    integers (the documented dense-score discipline).
     The oracle replays the cumulative ladders point-for-point."""
     from pandasvcf_spark.operators.stats import roc_points
 
@@ -3165,11 +3167,13 @@ def m_quantile_shift(spark, sf_dir):
     """Doksum shift function (operators/stats.quantile_shift):
     per-quantile treatment effect of user parity on event value at
     p = .1/.25/.5/.75/.9 — the distributional view a mean difference
-    hides (a treatment can move the tail, not the median). One
-    flag-partitioned cumulative RANGE window + conditional MINs
-    (the weighted-quantiles device at unit weight, both sides in one
-    pass); quantile SELECTION is exact, the shift their exact
-    difference. Expected ~0 shifts on parity-blind data."""
+    hides (a treatment can move the tail, not the median). Both
+    sides' type-1 quantiles come from ONE grouped_exact_quantiles
+    bucket walk (group key = the flag — fully distributed, no
+    flag-partitioned corpus sort); quantile SELECTION is exact, the
+    shift their exact difference. The oracle replays the equivalent
+    cumulative-window form — same ceil(p·W) rank on the same double
+    product. Expected ~0 shifts on parity-blind data."""
     from pandasvcf_spark.operators.stats import quantile_shift
 
     e = load(spark, sf_dir, "events").filter(

@@ -386,6 +386,12 @@ def test_markov_stationary_no_matrix_collect(spark):
 
 
 def test_roc_points_single_exchange_no_join(spark):
+    """The corpus must collapse to distinct-score cells BEFORE the
+    cumulative windows (the classifier_report device): the cells
+    shuffle (hashpartitioning on the score) sits BELOW the single
+    single-partition exchange, so only the vocabulary-sized cell
+    table ever crosses one partition — never raw rows (the round-8
+    fix for the unpartitioned RANGE window over the raw table)."""
     from pandasvcf_spark.operators.stats import roc_points
 
     d = spark.range(500).select(
@@ -394,6 +400,61 @@ def test_roc_points_single_exchange_no_join(spark):
     )
     plan = _plan(roc_points(d, "s", "y"))
     assert "Join" not in plan
+    assert "Exchange hashpartitioning" in plan
+    # parent-first tree dump: the single-partition exchange (window
+    # input) must appear ABOVE the cells shuffle feeding it
+    assert plan.index("Exchange SinglePartition") < plan.index(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_lorenz_rank_window_is_bucket_partitioned(spark):
+    """lorenz_deciles must rank via the bucketed_row_number histogram
+    device — the row_number window is partitioned by the value bucket,
+    never an unpartitioned global sort of the corpus."""
+    from pandasvcf_spark.operators.stats import lorenz_deciles
+
+    d = spark.range(2000).select(
+        F.col("id").alias("id"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    plan = _plan(lorenz_deciles(d, "v", "id"))
+    assert "windowspecdefinition(__bk" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_shift_no_flag_partitioned_corpus_window(spark):
+    """quantile_shift must route through grouped_exact_quantiles —
+    windows in the plan are (flag)- and (flag, bucket)-partitioned
+    over histogram cells, never a flag-partitioned cumulative window
+    over raw rows (two partitions each sorting half the corpus)."""
+    from pandasvcf_spark.operators.stats import quantile_shift
+
+    d = spark.range(2000).select(
+        (F.col("id") % 2).cast("int").alias("f"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    plan = _plan(quantile_shift(d, "f", "v", probs=(0.25, 0.5, 0.9)))
+    assert "CartesianProduct" not in plan
+    # the final-rank window must carry the bucket in its partition key
+    assert "windowspecdefinition(__f" in plan
+    assert "__b" in plan[plan.index("windowspecdefinition(__f"):][:80]
+
+
+def test_rfm_rank_windows_bucket_partitioned(spark):
+    """rfm_segments must rank each dimension via bucketed_row_number
+    (bucket-partitioned windows over the checkpointed user table),
+    never an unpartitioned rank window."""
+    from pandasvcf_spark.operators.relational import rfm_segments
+
+    d = spark.range(3000).select(
+        (F.col("id") % 400).alias("user_id"),
+        (F.col("id") % 37).alias("day"),
+        (F.col("id") % 53 + 1).alias("value"),
+    )
+    plan = _plan(rfm_segments(d, "user_id", "day", "value"))
+    assert "windowspecdefinition(__bk" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_skyline_single_window_no_dominance_join(spark):
