@@ -406,10 +406,15 @@ def url_normalize_expr(url: Column | str) -> Column:
         base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0
     )
     rest = F.substring(base, F.length(schemehost) + 1, F.lit(2 ** 31 - 1))
+    # default-port strip is SCHEME-ANCHORED: :80 only under http and
+    # :443 only under https — http://host:443/x is a DIFFERENT
+    # resource than http://host/x, and the unanchored form over-merged
+    # it in crawl dedup (round-8 advice)
+    lowered = F.regexp_replace(F.lower(schemehost), r"://www\.", "://")
     host_norm = F.regexp_replace(
-        F.regexp_replace(F.lower(schemehost), r"://www\.", "://"),
-        r":(80|443)$",
-        "",
+        F.regexp_replace(lowered, r"^(http://.*):80$", "$1"),
+        r"^(https://.*):443$",
+        "$1",
     )
     rest_norm = F.regexp_replace(rest, r"/+$", "")
     params = F.filter(

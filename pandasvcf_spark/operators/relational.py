@@ -2794,7 +2794,15 @@ def logistic_fit(
             (F.lit(float(beta[i])) * terms[i] for i in range(1, d)),
             F.lit(float(beta[0])),
         )
+        # clamp mu into [eps, 1−eps] (the standard IRLS guard): when a
+        # later iteration saturates eta, mu hits exactly 0/1 and the
+        # working-response division would NaN-poison the row — which
+        # then silently DROPS from the normal-equation sums instead of
+        # raising (round-8 advice). The oracle replays the same clamp.
         mu = 1.0 / (1.0 + F.exp(-eta))
+        mu = F.greatest(
+            F.lit(1e-10), F.least(F.lit(1.0 - 1e-10), mu)
+        )
         wgt = mu * (1.0 - mu)
         z = eta + (y - mu) / wgt
         aggs = [F.count(F.lit(1)).alias("__n")]

@@ -391,14 +391,30 @@ def heavy_hitters(
     summary = keyed.mapInPandas(
         mg, schema=f"__k {ktype}, __pn bigint"
     ).persist()
-    n_total = summary.agg(F.sum("__pn").alias("n")).collect()[0]["n"] or 0
-    if n_total == 0:
-        summary.unpersist()
-        return keyed.select(F.col("__k").alias(name)).limit(0).withColumn(
-            "cnt", F.lit(0).cast("long")
+    # materialize everything needed from the summary, then release the
+    # cache before returning — the candidate set is ≤ k·n_partitions
+    # rows, so pinning it via a local DataFrame (not the cached plan)
+    # keeps executor memory clean for the life of the session
+    try:
+        n_total = (
+            summary.agg(F.sum("__pn").alias("n")).collect()[0]["n"] or 0
         )
+        if n_total == 0:
+            return keyed.select(F.col("__k").alias(name)).limit(
+                0
+            ).withColumn("cnt", F.lit(0).cast("long"))
+        cand_rows = (
+            summary.filter(F.col("__k").isNotNull())
+            .select("__k")
+            .distinct()
+            .collect()
+        )
+    finally:
+        summary.unpersist()
     threshold = int(math.ceil(support * n_total))
-    cands = summary.filter(F.col("__k").isNotNull()).select("__k").distinct()
+    cands = keyed.sparkSession.createDataFrame(
+        cand_rows, schema=f"__k {ktype}"
+    )
     out = (
         keyed.join(F.broadcast(cands), "__k", "leftsemi")
         .groupBy("__k")

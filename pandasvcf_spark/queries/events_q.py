@@ -1255,7 +1255,13 @@ def _irls_round_sql(src: str, b: str, out_m: str, out_b: str) -> str:
         SELECT y, x1, x2, eta, mu, mu * (1.0 - mu) AS w,
                eta + (y - mu) / (mu * (1.0 - mu)) AS z
         FROM (
-          SELECT y, x1, x2, eta, 1.0 / (1.0 + exp(-eta)) AS mu
+          -- mu clamped into [1e-10, 1-1e-10] (the standard IRLS
+          -- guard, mirrored in logistic_fit): e-notation literals are
+          -- DOUBLE in both engines, and 1.0 is CAST (the DECIMAL
+          -- literal lesson) so the clamp bound is the same double
+          SELECT y, x1, x2, eta,
+                 greatest(1e-10, least(CAST(1.0 AS DOUBLE) - 1e-10,
+                          1.0 / (1.0 + exp(-eta)))) AS mu
           FROM (
             SELECT y, x1, x2, {b}.b0 + {b}.b1 * x1 + {b}.b2 * x2
                      AS eta

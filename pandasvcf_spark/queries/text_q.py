@@ -2780,8 +2780,10 @@ def t_rake_phrases(spark, sf_dir):
     parts AS (
       SELECT doc_id,
              regexp_replace(
-               regexp_replace(lower(schemehost), '://www\.', '://'),
-               ':(80|443)$', '') AS host_norm,
+               regexp_replace(
+                 regexp_replace(lower(schemehost), '://www\.', '://'),
+                 '^(http://.*):80$', '\1'),
+               '^(https://.*):443$', '\1') AS host_norm,
              regexp_replace(substr(base, length(schemehost) + 1),
                             '/+$', '') AS rest_norm,
              array_to_string(list_sort(list_filter(

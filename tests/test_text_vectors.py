@@ -2152,6 +2152,10 @@ def test_url_normalize_expr_cases(spark):
          "https://example.com"),
         ("relative/path/?x=1", "relative/path?x=1"),
         ("https://example.com:8080/keep", "https://example.com:8080/keep"),
+        # cross-scheme default ports are DIFFERENT resources — never
+        # stripped (the round-8 over-merge fix)
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in pairs], "u string")
     got = [r["n"] for r in
