@@ -156,6 +156,55 @@ def main() -> None:
             f"{len(duck)} shared queries) — the cross-round number",
             file=sys.stderr,
         )
+        # cross-round honesty: the headline roster rotates, so the total
+        # above is not directly comparable round-over-round. Recompute
+        # BOTH rounds' ratios over the INTERSECTION of rosters (queries
+        # with a DuckDB twin in this round AND the latest BENCH_r*.json):
+        #   ratio_vs_duckdb_total_shared_prev = this round, shared roster
+        #   ratio_vs_duckdb_total_prev        = last round, same roster
+        try:
+            import re as _re
+
+            benches = sorted(
+                Path(__file__).resolve().parent.glob("BENCH_r*.json"),
+                key=lambda p: int(
+                    _re.search(r"BENCH_r(\d+)", p.name).group(1)
+                ),
+            )
+            prev = json.loads(benches[-1].read_text()) if benches else None
+        except Exception:
+            prev = None
+        if (
+            prev
+            and isinstance(prev.get("duckdb"), dict)
+            and isinstance(prev.get("queries"), dict)
+        ):
+            shared = [
+                n
+                for n in duck
+                if prev["duckdb"].get(n, 0) > 0
+                and n in prev["queries"]
+                and duck[n] > 0
+            ]
+            if shared:
+                cur_s = sum(per_query[n] for n in shared)
+                cur_d = sum(duck[n] for n in shared)
+                pv_s = sum(prev["queries"][n] for n in shared)
+                pv_d = sum(prev["duckdb"][n] for n in shared)
+                result["ratio_vs_duckdb_total_shared_prev"] = round(
+                    cur_s / cur_d, 3
+                )
+                result["ratio_vs_duckdb_total_prev"] = round(
+                    pv_s / pv_d, 3
+                )
+                print(
+                    "# shared-roster cross-round ratio: this round "
+                    f"{result['ratio_vs_duckdb_total_shared_prev']} vs "
+                    f"last round {result['ratio_vs_duckdb_total_prev']} "
+                    f"over the {len(shared)} queries benched with twins "
+                    "in both rounds",
+                    file=sys.stderr,
+                )
 
     if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
         from pandasvcf_spark.queries.vectors_q import ann_recall_at_10
@@ -195,6 +244,21 @@ def main() -> None:
             "PQ books, 3-probe ADC vs exact L2, 200-query sample; tracks "
             "the corpus like ivf_recall_at_10 — machinery is bit-exact-"
             "oracled by v_ivfpq_topk)",
+            file=sys.stderr,
+        )
+
+        from pandasvcf_spark.queries.vectors_q import ivfpq_recall_planted
+
+        t0 = time.time()
+        planted = ivfpq_recall_planted(spark)
+        result["ivfpq_recall_planted"] = round(planted, 4)
+        print(
+            f"# ivfpq_recall_planted: {planted:.4f} "
+            f"({time.time() - t0:.1f}s, SAME trained IVF+PQ machinery on "
+            "a 20-cluster planted corpus, fraction of top-10 ADC hits in "
+            "the query's true cluster — read beside ivfpq_recall_at_10: "
+            "the near-uniform corpus number is distance-concentration "
+            "physics, not machinery loss)",
             file=sys.stderr,
         )
 
@@ -518,6 +582,14 @@ def main() -> None:
         result["bgzf_fixture_mb"] = round(comp_mb, 1)
         result["bgzf_split_scan_sec"] = round(split_s, 3)
         result["bgzf_single_task_scan_sec"] = round(single_s, 3)
+        # the split/single ratio tracks ambient machine load (the split
+        # scan wants 32 idle cores, the single-task scan wants one —
+        # round-9 paired A/Bs measured 0.63 at idle vs 1.49 at loadavg
+        # ~11); record the confounder beside the numbers
+        try:
+            result["bgzf_loadavg_1m"] = round(os.getloadavg()[0], 1)
+        except OSError:
+            pass
         print(
             f"# bgzf scan ({comp_mb:.0f} MB compressed, {n_split} lines): "
             f"splittable {split_s:.2f}s vs single-task {single_s:.2f}s — "

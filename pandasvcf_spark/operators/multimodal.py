@@ -4,9 +4,11 @@ Beyond-reference extension surface (north-star scope): a training-data
 pipeline treats media as opaque BINARY columns with structured metadata and
 runs decode / feature-extract / resize / frame-sample as Arrow-batched
 Pandas transforms (`mapInPandas`). The Spark-side plumbing here — schemas,
-header parsing, UDF signatures, batch iteration — is real and tested; only
-the *external-codec* decode (JPEG/PNG/audio) is stubbed behind a try-import,
-because the image/audio libraries are not in this container.
+header parsing, UDF signatures, batch iteration — is real and tested, and
+the common codecs are NATIVE (no pillow/libjpeg in this container): PNG,
+BMP, GIF, baseline JPEG (`operators/jpeg.py`), WAV, MP4 structure. Only
+genuinely exotic codecs (WebP, progressive JPEG, compressed audio) stay
+behind a try-import of PIL with a plan-build-time NotImplementedError.
 
 The testable payload is a tiny deterministic raw format:
 
@@ -459,15 +461,18 @@ def decode_external(
     one Python round trip per batch, never per row.
 
     PNG decodes with the stdlib-only `decode_png` (zlib inflate +
-    unfilter), BMP with `decode_bmp` (BI_RGB 8/24/32-bit) and GIF with
-    `decode_gif` (full LZW, first frame) — no external codec library
-    required for any of the three. Other formats (JPEG, WebP, ...)
-    need PIL, which this container does not ship; they raise
-    NotImplementedError at plan-BUILD time (not mid-job on an executor)
-    until pillow is installed, at which point the PIL branch below handles
-    any format it can open."""
+    unfilter), BMP with `decode_bmp` (BI_RGB 8/24/32-bit), GIF with
+    `decode_gif` (full LZW, first frame) and baseline JPEG with
+    `operators/jpeg.decode_jpeg` (T.81 baseline sequential: Huffman,
+    8-bit, 4:4:4/4:2:2/4:2:0, restart markers; progressive raises with
+    the marker named) — no external codec library required for any of
+    the four. Other formats (WebP, progressive JPEG, ...) need PIL,
+    which this container does not ship; they raise NotImplementedError
+    at plan-BUILD time (not mid-job on an executor) until pillow is
+    installed, at which point the PIL branch below handles any format
+    it can open."""
     fmt = fmt.lower()
-    use_pil = fmt not in ("png", "bmp", "gif")
+    use_pil = fmt not in ("png", "bmp", "gif", "jpeg", "jpg")
     if use_pil:
         try:
             import PIL.Image  # noqa: F401
@@ -496,6 +501,10 @@ def decode_external(
                     h, w, c, px = decode_bmp(bytes(blob))
                 elif fmt == "gif":
                     h, w, c, px = decode_gif(bytes(blob))
+                elif fmt in ("jpeg", "jpg"):
+                    from pandasvcf_spark.operators.jpeg import decode_jpeg
+
+                    h, w, c, px = decode_jpeg(bytes(blob))
                 else:
                     h, w, c, px = decode_png(bytes(blob))
                 ids.append(img_id)

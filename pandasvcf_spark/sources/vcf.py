@@ -282,10 +282,22 @@ def read_vcf(
     # fixture, 62.8 MB compressed / ~5.5 GB raw, min-of-2; re-recorded
     # every round by bench.py's BGZF stage): end-to-end read_vcf+parse is
     # 48.6 s (splittable) vs 43.7 s (JVM text + repartition) — break-even
-    # within the bench's ~30% ambient swing. Scan-only: 18.3 s vs 9.2 s —
-    # the JVM route wins locally because its "shuffle" is memory-speed
-    # inside one JVM while the splittable path pays Arrow transfer of the
-    # raw text. The split path's win is CLUSTER-shape, growing with size:
+    # within the bench's ~30% ambient swing. Round-9 re-adjudication of
+    # the round-8 1.27x scan-only regression (three paired A/B sessions,
+    # min-of-3 each, same fixture, same hour): split/single = 9.7/7.6
+    # (1.28), 4.9/7.8 (0.63, warm Python workers), 12.8/8.6 (1.49, at
+    # 1-minute loadavg ~11 on the shared 32-core box). The ratio TRACKS
+    # AMBIENT LOAD and worker-pool warmth, not plan shape: the split
+    # scan wants 32 idle cores + a spawned worker pool, the single-task
+    # scan wants one core, so under co-tenant load the split path
+    # starves first. At true idle + warm workers the split path WINS
+    # (0.63) — there is no local regression to tune away, and 64 MiB
+    # stands (bench.py now records loadavg_1m beside the BGZF numbers
+    # so future rounds can read the confounder directly). The JVM
+    # route's remaining local edge is that its "shuffle" is memory-speed
+    # inside one JVM while the splittable path pays Arrow transfer of
+    # the raw text. The split path's win is CLUSTER-shape, growing with
+    # size:
     # the JVM route is one task decompressing the whole file (a 100 GB
     # .gz is ~8.7 TB raw through one core) plus a full raw-text exchange
     # (network on a real cluster; local spill once raw > memory), while

@@ -229,7 +229,9 @@ def test_decode_png_vectorized_throughput():
     assert t_ref / t_new >= 10, (t_ref, t_new)
 
 
-def test_decode_external_non_png_needs_pil(spark, images):
+def test_decode_external_exotic_fmt_needs_pil(spark, images):
+    # jpeg moved to the native branch in round 9 (operators/jpeg.py);
+    # webp remains the representative pillow-gated format
     try:
         import PIL  # noqa: F401
 
@@ -237,7 +239,103 @@ def test_decode_external_non_png_needs_pil(spark, images):
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_external(images, fmt="jpeg")
+        decode_external(images, fmt="webp")
+
+
+# --- baseline JPEG codec (operators/jpeg.py — native, no pillow) -----------
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 / max(1, w - 1),
+            yy * 255 / max(1, h - 1),
+            (xx + yy) * 255 / max(1, w + h - 2),
+        ],
+        axis=2,
+    ).astype("uint8")
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Encode→decode round trip on a smooth gradient: 4:4:4 at q95 within
+    ±3 of the source, 4:2:0 within ±8 (chroma is box-meaned then
+    replicated); non-multiple-of-16 dims exercise edge padding."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 40, 56
+    img = _gradient_rgb(h, w)
+    for sub, tol in ((False, 3), (True, 8)):
+        blob = encode_jpeg(h, w, 3, img.tobytes(), quality=95, subsample=sub)
+        hh, ww, cc, px = decode_jpeg(blob)
+        assert (hh, ww, cc) == (h, w, 3)
+        out = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_jpeg_grayscale_and_restart_markers():
+    import numpy as np
+
+    from pandasvcf_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    g = _gradient_rgb(h, w)[:, :, 0]
+    blob = encode_jpeg(h, w, 1, g.tobytes(), quality=95)
+    hh, ww, cc, px = decode_jpeg(blob)
+    assert (hh, ww, cc) == (h, w, 1)
+    assert (
+        np.abs(
+            np.frombuffer(px, np.uint8).reshape(h, w).astype(int)
+            - g.astype(int)
+        ).max()
+        <= 3
+    )
+    # restart markers: DRI emitted, RSTn present, decode bit-identical
+    # to the restart-free stream's decode
+    img = _gradient_rgb(h, w)
+    plain = encode_jpeg(h, w, 3, img.tobytes(), quality=95)
+    rst = encode_jpeg(h, w, 3, img.tobytes(), quality=95, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    assert decode_jpeg(rst) == decode_jpeg(plain)
+
+
+def test_jpeg_progressive_raises_named_marker():
+    from pandasvcf_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(16, 16)
+    blob = bytearray(encode_jpeg(16, 16, 3, img.tobytes()))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="0xC2"):
+        decode_jpeg(bytes(blob))
+
+
+def test_decode_external_jpeg_native(spark):
+    """The decode_external fmt='jpeg' branch: JPEG blobs become IMG1
+    payloads whose image_stats match the source image statistics within
+    quantization tolerance — no pillow involved."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.jpeg import encode_jpeg
+    from pandasvcf_spark.operators.multimodal import image_stats
+
+    h, w = 32, 48
+    rows = []
+    means = {}
+    for img_id in range(4):
+        arr = np.roll(_gradient_rgb(h, w), img_id * 5, axis=1)
+        rows.append((img_id, encode_jpeg(h, w, 3, arr.tobytes(), quality=95)))
+        means[img_id] = float(arr.mean())
+    df = spark.createDataFrame(rows, "img_id long, img binary")
+    out = image_stats(decode_external(df, fmt="jpeg")).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["height"], r["width"], r["channels"]) == (h, w, 3)
+        assert abs(r["mean_px"] - means[r["img_id"]]) < 2.0
 
 
 def test_decode_external_pil_branch(spark):
