@@ -26,7 +26,12 @@ the SAME machine in the SAME session, the `ratio_vs_duckdb` keys
 comparison metric: raw walls move with ambient machine load (round 7's
 +41% wall was pure environment — the DuckDB anchor moved +14% with it),
 the ratio cancels the machine out. Compare ratios across rounds; read raw
-walls only within a round.
+walls only within a round. Because the headline roster rotates, two more
+keys make the cross-round compare apples-to-apples:
+`ratio_vs_duckdb_total_shared_prev` is THIS round's spark/duckdb ratio
+computed over only the queries that also carried twins in the latest
+recorded BENCH_r*.json, and `ratio_vs_duckdb_total_prev` is LAST round's
+ratio over that same intersection — read those two against each other.
 
 The VCF stage reports TWO rates: the .gz text path (bounded by the
 non-splittable gzip decompress — the fixture's physical format) and the
@@ -172,6 +177,10 @@ def main() -> None:
                 ),
             )
             prev = json.loads(benches[-1].read_text()) if benches else None
+            if prev is not None:
+                # the driver records bench output wrapped in an envelope
+                # with the JSON line under "parsed"
+                prev = prev.get("parsed", prev)
         except Exception:
             prev = None
         if (
