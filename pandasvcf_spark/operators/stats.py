@@ -3403,3 +3403,367 @@ def equivalence_test(
             ok, (lo > F.lit(-margin)) & (hi < F.lit(margin))
         ).alias("equivalent"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952) — the K-group
+    generalization of `mann_whitney_u`: do K treatment groups share a
+    value distribution, without assuming normality? Tie-averaged
+    mid-ranks, with the standard tie correction:
+
+        H = 12/(N(N+1)) * sum_k R_k^2/n_k - 3(N+1)
+        C = 1 - sum(t^3 - t)/(N^3 - N)        (t = tie-group sizes)
+        h = H / C
+
+    NULL value/treat rows drop. Output: (*group_cols, n BIGINT,
+    k BIGINT, h DOUBLE round 6); h NULL when N < 2, k < 2 or every
+    value ties (C = 0).
+
+    Plan: the corpus collapses FIRST to (value, treat) count cells,
+    mid-ranks come from a cumulative window over the DISTINCT-VALUE
+    cells only (the classifier_report / roc_points device — never a
+    rank window over raw rows), and the statistic is two cell-keyed
+    aggs + one join of vocabulary-sized relations.
+    """
+    gcols = list(group_cols)
+    vc = F.col(value_col).cast("double")
+    base = df.filter(
+        vc.isNotNull() & F.col(treat_col).isNotNull()
+    ).select(*gcols, vc.alias("__v"), F.col(treat_col).alias("__k"))
+    tcells = base.groupBy(*gcols, "__v", "__k").agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    vcells = tcells.groupBy(*gcols, "__v").agg(
+        F.sum("__n").alias("__t")
+    )
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mid = vcells.select(
+        *gcols,
+        "__v",
+        "__t",
+        (
+            F.coalesce(F.sum("__t").over(w_prev), F.lit(0.0))
+            + (F.col("__t") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("__mr"),
+    )
+    per_treat = (
+        tcells.join(mid, gcols + ["__v"])
+        .groupBy(*gcols, "__k")
+        .agg(
+            F.sum(F.col("__n") * F.col("__mr")).alias("__R"),
+            F.sum("__n").alias("__nk"),
+        )
+    )
+    tot = vcells.groupBy(*gcols).agg(
+        F.sum("__t").alias("__N"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tsum"),
+    )
+    stat = per_treat.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("__R") * F.col("__R") / F.col("__nk")
+        ).alias("__s"),
+    )
+    j = (
+        stat.join(tot, gcols)
+        if gcols
+        else stat.join(F.broadcast(tot))
+    )
+    nd = F.col("__N")
+    h_raw = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("__s")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tsum") / (nd * nd * nd - nd)
+    ok = (nd >= 2) & (F.col("k") >= 2) & (corr > 0)
+    return j.select(
+        *gcols,
+        nd.cast("long").alias("n"),
+        "k",
+        (F.round(F.when(ok, h_raw / corr), 6) + F.lit(0.0)).alias("h"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED
+    nonparametric test `mann_whitney_u` (independent samples) cannot
+    answer: did the paired difference x - y shift from zero? Zero
+    differences drop (the standard Wilcoxon convention); |d| gets
+    tie-averaged mid-ranks; the normal approximation carries the tie
+    correction:
+
+        W+   = sum of ranks where d > 0
+        mu   = n(n+1)/4
+        var  = n(n+1)(2n+1)/24 - sum(t^3 - t)/48
+        z    = (W+ - mu)/sqrt(var)
+
+    INTENDED FOR EXACT-INTEGER PAIRS (counts, cents — the e_rfm
+    lesson: a rounded float aggregate is not a safe pin for the
+    discrete tie structure ranks depend on). Output: (*group_cols,
+    n BIGINT, w_plus DOUBLE round 4, z DOUBLE round 6); NULL
+    statistics when n = 0 or var = 0.
+
+    Plan: collapses to |d| count cells first; the mid-rank ladder is
+    a cumulative window over the distinct-|d| cells only (the
+    kruskal_wallis device) — no raw-row windows.
+    """
+    gcols = list(group_cols)
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = (
+        df.filter(xc.isNotNull() & yc.isNotNull())
+        .select(*gcols, (xc - yc).alias("__d"))
+        .filter(F.col("__d") != 0)
+        .select(
+            *gcols,
+            F.abs(F.col("__d")).alias("__a"),
+            (F.col("__d") > 0).cast("double").alias("__p"),
+        )
+    )
+    acells = base.groupBy(*gcols, "__a").agg(
+        F.count(F.lit(1)).cast("double").alias("__t"),
+        F.sum("__p").alias("__tp"),
+    )
+    w_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy("__a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mid = acells.select(
+        *gcols,
+        "__t",
+        "__tp",
+        (
+            F.coalesce(F.sum("__t").over(w_prev), F.lit(0.0))
+            + (F.col("__t") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("__mr"),
+    )
+    g = mid.groupBy(*gcols).agg(
+        F.sum("__t").alias("__n"),
+        F.sum(F.col("__tp") * F.col("__mr")).alias("__wp"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tsum"),
+    )
+    nd = F.col("__n")
+    mu = nd * (nd + F.lit(1.0)) / F.lit(4.0)
+    var = (
+        nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0))
+        / F.lit(24.0)
+        - F.col("__tsum") / F.lit(48.0)
+    )
+    ok = (nd > 0) & (var > 0)
+    return g.select(
+        *gcols,
+        nd.cast("long").alias("n"),
+        (F.round(F.when(nd > 0, F.col("__wp")), 4) + F.lit(0.0)).alias(
+            "w_plus"
+        ),
+        (
+            F.round(
+                F.when(ok, (F.col("__wp") - mu) / F.sqrt(var)), 6
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test (Friedman 1937) — K related treatments measured
+    once per block (the repeated-measures / within-subject companion
+    of `kruskal_wallis`): rank the K values WITHIN each block
+    (tie-averaged), then test whether treatment rank sums diverge:
+
+        Q = 12/(nK(K+1)) * sum_j R_j^2 - 3n(K+1)
+        C = 1 - sum_blocks sum(t^3 - t) / (n K (K^2 - 1))
+        q = Q / C                         (tie-corrected)
+
+    Every block must carry EXACTLY one value per treatment — validated
+    with a 1-row check (raise, don't silently mis-rank; the
+    fleiss_kappa convention). Output: ONE row (n_blocks, k BIGINT,
+    q DOUBLE round 6); q NULL at the all-tied degeneracy (C = 0).
+
+    Plan: one (block, treat)-keyed input; rank windows partition BY
+    BLOCK (K rows per partition — bounded by the treatment count, the
+    definition of scale-safe); then one treat-keyed agg + 1-row
+    combines.
+    """
+    vc = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+        & vc.isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treat_col).alias("__k"),
+        vc.alias("__v"),
+    )
+    per_block = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.countDistinct("__k").alias("__kd"),
+    )
+    chk = per_block.agg(
+        F.min("__cnt").alias("clo"),
+        F.max("__cnt").alias("chi"),
+        F.min("__kd").alias("klo"),
+        F.max("__kd").alias("khi"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    ).collect()[0]
+    if chk["nb"] == 0:
+        raise ValueError("friedman_test: empty input")
+    if not (chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"]):
+        raise ValueError(
+            "friedman_test: blocks must hold exactly one value per "
+            f"treatment (counts {chk['clo']}-{chk['chi']}, distinct "
+            f"treatments {chk['klo']}-{chk['khi']})"
+        )
+    k = int(chk["klo"])
+    if k < 2:
+        raise ValueError("friedman_test: need >= 2 treatments")
+    n = int(chk["nb"])
+    w_rank = Window.partitionBy("__b").orderBy("__v")
+    w_tie = Window.partitionBy("__b", "__v")
+    ranked = base.select(
+        "__b",
+        "__k",
+        "__v",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("__r"),
+    )
+    rj = ranked.groupBy("__k").agg(F.sum("__r").alias("__R"))
+    ties = (
+        base.groupBy("__b", "__v")
+        .agg(F.count(F.lit(1)).cast("double").alias("__t"))
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t")
+                - F.col("__t")
+            ).alias("__tsum")
+        )
+    )
+    stat = rj.agg(
+        F.sum(F.col("__R") * F.col("__R")).alias("__s")
+    ).join(F.broadcast(ties))
+    q_raw = (
+        F.lit(12.0 / (n * k * (k + 1.0))) * F.col("__s")
+        - F.lit(3.0 * n * (k + 1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tsum") / F.lit(
+        n * k * (k * k - 1.0)
+    )
+    return stat.select(
+        F.lit(n).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        (
+            F.round(F.when(corr > 0, q_raw / corr), 6) + F.lit(0.0)
+        ).alias("q"),
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation (Kendall 1945 tie-corrected
+    form) — the concordance companion of `spearman_corr`: of all pairs,
+    how many agree in order on x and y?
+
+        tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2))
+        n0 = n(n-1)/2,  n1 = sum_x t(t-1)/2,  n2 = sum_y t(t-1)/2
+
+    PRE-BUCKET dense continuous columns (round/quantize first — the
+    roc_points discipline): the corpus collapses to (x, y) count
+    cells and concordant/discordant pairs come from a CELL-grid
+    comparison, so cost is |cells|^2 (vocabulary-squared), never
+    rows^2. Output: ONE row (n BIGINT, concordant BIGINT,
+    discordant BIGINT, tau_b DOUBLE round 6); NULL tau at the
+    all-tied degeneracy.
+
+    Plan: one (x, y)-keyed partial agg collapses the corpus; the grid
+    comparison is a broadcast join of the cell table against itself
+    (strictly-greater x), then 1-row folds — integer pair counts make
+    tau exact rational arithmetic.
+    """
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.filter(xc.isNotNull() & yc.isNotNull()).select(
+        xc.alias("__x"), yc.alias("__y")
+    )
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("__xb") > F.col("__xa"), "inner"
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("__yb") > F.col("__ya"),
+                F.col("__na") * F.col("__nb"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(
+                F.col("__yb") < F.col("__ya"),
+                F.col("__na") * F.col("__nb"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("discordant"),
+    )
+    tx = cells.groupBy("__x").agg(F.sum("__n").alias("__t")).agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__n1x2"),
+        F.sum("__t").cast("long").alias("n"),
+    )
+    ty = cells.groupBy("__y").agg(F.sum("__n").alias("__t")).agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__n2x2")
+    )
+    g = pairs.join(F.broadcast(tx)).join(F.broadcast(ty))
+    nd = F.col("n").cast("double")
+    n0x2 = nd * (nd - F.lit(1.0))  # 2*n0
+    den = F.sqrt(
+        (n0x2 - F.col("__n1x2")) * (n0x2 - F.col("__n2x2"))
+    )
+    num = (
+        F.col("concordant").cast("double")
+        - F.col("discordant").cast("double")
+    ) * F.lit(2.0)
+    return g.select(
+        "n",
+        "concordant",
+        "discordant",
+        (
+            F.round(F.when(den > 0, num / den), 6) + F.lit(0.0)
+        ).alias("tau_b"),
+    )

@@ -3569,3 +3569,217 @@ def m_equivalence(spark, sf_dir):
         .alias("oc"),
     )
     return equivalence_test(d, "g", "oc", margin=0.02)
+
+
+@register(
+    "m_kruskal_wallis",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 0) AS v, event_type AS k
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    tc AS (SELECT v, k, CAST(count(*) AS DOUBLE) AS n
+           FROM b GROUP BY v, k),
+    vc AS (SELECT v, sum(n) AS t FROM tc GROUP BY v),
+    m AS (SELECT v, t,
+            coalesce(sum(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (t + 1) / 2 AS mr
+          FROM vc),
+    pt AS (SELECT k, sum(tc.n * m.mr) AS R, sum(tc.n) AS nk
+           FROM tc JOIN m ON tc.v = m.v GROUP BY k),
+    tot AS (SELECT sum(t) AS N, sum(t*t*t - t) AS tsum FROM vc),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(R*R/nk) AS s2
+          FROM pt)
+    SELECT CAST(N AS BIGINT) AS n, k,
+           round(CASE WHEN N >= 2 AND k >= 2
+                       AND (1 - tsum/(N*N*N - N)) > 0
+                 THEN (12.0/(N*(N+1))*s2 - 3.0*(N+1))
+                      / (1 - tsum/(N*N*N - N)) END, 6) + 0.0 AS h
+    FROM s, tot
+    """,
+)
+def m_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across the five event types' value
+    distributions (operators/stats.kruskal_wallis) — the K-group
+    rank test completing the mann_whitney (2-group) family. Values
+    pre-bucket to integers (the roc_points dense-score discipline);
+    the corpus collapses to (value, type) count cells FIRST and
+    mid-ranks ladder over the distinct-value cells only — no raw-row
+    rank window anywhere (the round-9 collapse-first convention).
+    The oracle replays cells, mid-ranks, rank sums and the
+    tie-corrected statistic term-for-term."""
+    from pandasvcf_spark.operators.stats import kruskal_wallis
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.round(F.col("value"), 0).alias("v"),
+        F.col("event_type").alias("k"),
+    )
+    return kruskal_wallis(d, [], "k", "v")
+
+
+@register(
+    "m_wilcoxon",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS x,
+             sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY user_id),
+    d AS (SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+          FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+    nz AS (SELECT abs(d) AS a,
+                  CASE WHEN d > 0 THEN 1.0 ELSE 0.0 END AS p
+           FROM d WHERE d <> 0),
+    ac AS (SELECT a, CAST(count(*) AS DOUBLE) AS t, sum(p) AS tp
+           FROM nz GROUP BY a),
+    m AS (SELECT t, tp,
+            coalesce(sum(t) OVER (ORDER BY a
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (t + 1) / 2 AS mr
+          FROM ac),
+    g AS (SELECT sum(t) AS n, sum(tp * mr) AS wp,
+                 sum(t*t*t - t) AS tsum FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n > 0 THEN wp END, 4) + 0.0 AS w_plus,
+           round(CASE WHEN n > 0
+                       AND (n*(n+1)*(2.0*n+1)/24.0 - tsum/48.0) > 0
+                 THEN (wp - n*(n+1)/4.0)
+                      / sqrt(n*(n+1)*(2.0*n+1)/24.0 - tsum/48.0)
+                 END, 6) + 0.0 AS z
+    FROM g
+    """,
+)
+def m_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank test (operators/stats.
+    wilcoxon_signed_rank) on paired per-user view-vs-click spend —
+    the PAIRED shift test mann_whitney can't do. Pairs are INTEGER
+    CENTS sums (exact — the e_rfm lesson: rounded float aggregates
+    are not safe pins for a rank's tie structure); |d| collapses to
+    count cells and mid-ranks ladder over distinct cells only. The
+    oracle replays pairs, cells, the W+ sum and the tie-corrected
+    normal approximation."""
+    from pandasvcf_spark.operators.stats import wilcoxon_signed_rank
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", cents)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", cents)).alias("y"),
+    )
+    return wilcoxon_signed_rank(per, "x", "y")
+
+
+@register(
+    "m_friedman",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 5 AS INTEGER) AS blk, event_type AS k,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (SELECT blk, k, v,
+            rank() OVER (PARTITION BY blk ORDER BY v)
+            + (CAST(count(*) OVER (PARTITION BY blk, v) AS DOUBLE)
+               - 1) / 2.0 AS rr
+          FROM b),
+    rj AS (SELECT k, sum(rr) AS R FROM r GROUP BY k),
+    t AS (SELECT sum(t*t*t - t) AS tsum FROM
+            (SELECT CAST(count(*) AS DOUBLE) AS t
+             FROM b GROUP BY blk, v)),
+    nk AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n,
+                  CAST(count(DISTINCT k) AS BIGINT) AS kk FROM b),
+    s AS (SELECT sum(R*R) AS s2 FROM rj)
+    SELECT n AS n_blocks, kk AS k,
+           round(CASE WHEN (1 - tsum/(n*kk*(kk*kk - 1.0))) > 0
+                 THEN (12.0/(n*kk*(kk+1.0))*s2 - 3.0*n*(kk+1.0))
+                      / (1 - tsum/(n*kk*(kk*kk - 1.0))) END, 6)
+           + 0.0 AS q
+    FROM nk, t, s
+    """,
+)
+def m_friedman(spark, sf_dir):
+    """Friedman test (operators/stats.friedman_test) of whether the
+    five event types rank consistently across five user cohorts —
+    blocks = user_id%5, treatments = event_type, value = the block's
+    INTEGER activity count (exact rank pins). Ranks are within-block
+    windows (K = 5 rows per partition — bounded by the treatment
+    count, scale-safe by construction); block completeness is
+    validated with a 1-row check. The oracle replays ranks, rank
+    sums and the tie-corrected Q."""
+    from pandasvcf_spark.operators.stats import friedman_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.groupBy(
+        (F.col("user_id") % 5).cast("int").alias("blk"),
+        F.col("event_type").alias("k"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return friedman_test(d, "blk", "k", "v")
+
+
+@register(
+    "m_kendall_tau",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 0) AS x, CAST(hour(ts) AS DOUBLE) AS y
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL),
+    c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY x, y),
+    p AS (SELECT
+            CAST(sum(CASE WHEN bb.y > aa.y THEN aa.n * bb.n
+                     ELSE 0 END) AS BIGINT) AS concordant,
+            CAST(sum(CASE WHEN bb.y < aa.y THEN aa.n * bb.n
+                     ELSE 0 END) AS BIGINT) AS discordant
+          FROM c aa JOIN c bb ON bb.x > aa.x),
+    tx AS (SELECT sum(t * (t - 1)) AS n1x2,
+                  CAST(sum(t) AS BIGINT) AS n
+           FROM (SELECT sum(n) AS t FROM c GROUP BY x)),
+    ty AS (SELECT sum(t * (t - 1)) AS n2x2
+           FROM (SELECT sum(n) AS t FROM c GROUP BY y))
+    SELECT n, concordant, discordant,
+           round(CASE WHEN ((CAST(n AS DOUBLE) * (n - 1) - n1x2)
+                            * (CAST(n AS DOUBLE) * (n - 1) - n2x2))
+                           > 0
+                 THEN (CAST(concordant AS DOUBLE)
+                       - CAST(discordant AS DOUBLE)) * 2.0
+                      / sqrt((CAST(n AS DOUBLE) * (n - 1) - n1x2)
+                             * (CAST(n AS DOUBLE) * (n - 1) - n2x2))
+                 END, 6) + 0.0 AS tau_b
+    FROM p, tx, ty
+    """,
+)
+def m_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b (operators/stats.kendall_tau_b) between
+    integer-rounded event value and hour-of-day — the concordance
+    companion of m_spearman. The corpus collapses to (x, y) count
+    cells; concordant/discordant pairs come from a broadcast
+    CELL-grid comparison (|cells|^2, never rows^2 — values
+    pre-bucket to integers, the documented discipline), tie terms
+    from the marginals. Integer pair counts make tau exact rational
+    arithmetic; the oracle replays the grid term-for-term."""
+    from pandasvcf_spark.operators.stats import kendall_tau_b
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.select(
+        F.round(F.col("value"), 0).alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+    )
+    return kendall_tau_b(d, "x", "y")

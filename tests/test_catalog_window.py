@@ -779,6 +779,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # queries x k sized after
         "m_equivalence",         # Schuirmann TOST via the 90% CI:
                                  # 4-counter agg, digit-mirrored z
+        "m_kruskal_wallis",      # K-group rank test: (value, treat)
+                                 # cells + distinct-cell mid-ranks
+        "m_wilcoxon",            # paired signed-rank: |d| cells +
+                                 # tie-corrected normal z
+        "m_friedman",            # within-block ranks (K rows per
+                                 # partition) + tie-corrected Q
+        "m_kendall_tau",         # tau-b: cell-grid concordance,
+                                 # |cells|^2 never rows^2
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

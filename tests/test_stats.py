@@ -1509,3 +1509,172 @@ def test_equivalence_verdicts(spark):
         margin=0.05,
     ).collect()[0]
     assert r2["equivalent"] is False and r2["diff"] == 0.4
+
+
+# --- round-9 nonparametric family ------------------------------------------
+
+
+def test_kendall_tau_b_reference_with_ties(spark):
+    """Exact agreement with the O(n^2) pair-walk definition on a tied
+    sample, plus the perfect-concordance and reversal poles."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import kendall_tau_b
+
+    xs = [1, 2, 2, 3, 5, 5, 5, 7]
+    ys = [2, 1, 3, 3, 4, 4, 6, 5]
+    n = len(xs)
+    C = D = 0
+    for i, j in itertools.combinations(range(n), 2):
+        a = (xs[i] - xs[j]) * (ys[i] - ys[j])
+        C += a > 0
+        D += a < 0
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in Counter(xs).values())
+    n2 = sum(t * (t - 1) / 2 for t in Counter(ys).values())
+    ref = round((C - D) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+    df = spark.createDataFrame(list(zip(xs, ys)), "x int, y int")
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+    assert (got["concordant"], got["discordant"]) == (C, D)
+    assert got["tau_b"] == ref
+    ident = spark.createDataFrame([(i, i) for i in range(6)], "x int, y int")
+    assert kendall_tau_b(ident, "x", "y").collect()[0]["tau_b"] == 1.0
+    rev = spark.createDataFrame([(i, -i) for i in range(6)], "x int, y int")
+    assert kendall_tau_b(rev, "x", "y").collect()[0]["tau_b"] == -1.0
+
+
+def test_kruskal_wallis_reference_and_identical_groups(spark):
+    """Exact agreement with the mid-rank + tie-correction definition;
+    identical group distributions give h ~ 0 shape (small but defined),
+    all-tied values give NULL (C = 0)."""
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import kruskal_wallis
+
+    g1, g2, g3 = [1, 2, 2, 5], [3, 3, 4, 4, 9], [2, 6, 6, 8]
+    allv = [v for g in (g1, g2, g3) for v in g]
+    cnt = Counter(allv)
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = cum + (t + 1) / 2
+        cum += t
+    N = len(allv)
+    H = 12 / (N * (N + 1)) * sum(
+        sum(ranks[v] for v in g) ** 2 / len(g) for g in (g1, g2, g3)
+    ) - 3 * (N + 1)
+    Cc = 1 - sum(t**3 - t for t in cnt.values()) / (N**3 - N)
+    rows = (
+        [("a", v) for v in g1]
+        + [("b", v) for v in g2]
+        + [("c", v) for v in g3]
+    )
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = kruskal_wallis(df, [], "k", "v").collect()[0]
+    assert got["h"] == round(H / Cc, 6)
+    assert (got["n"], got["k"]) == (N, 3)
+    tied = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("b", 7), ("b", 7)], "k string, v int"
+    )
+    assert kruskal_wallis(tied, [], "k", "v").collect()[0]["h"] is None
+
+
+def test_wilcoxon_signed_rank_reference_zero_drop(spark):
+    """Exact agreement with the |d| mid-rank definition; zero
+    differences drop from n (the standard convention)."""
+    import math
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import wilcoxon_signed_rank
+
+    x = [10, 12, 9, 15, 14, 11, 8, 13]
+    y = [8, 12, 11, 11, 9, 12, 8, 9]  # two zero diffs
+    ds = [a - b for a, b in zip(x, y) if a != b]
+    n = len(ds)
+    cnt = Counter(abs(d) for d in ds)
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = cum + (t + 1) / 2
+        cum += t
+    wp = sum(ranks[abs(d)] for d in ds if d > 0)
+    var = n * (n + 1) * (2 * n + 1) / 24 - sum(
+        t**3 - t for t in cnt.values()
+    ) / 48
+    zref = round((wp - n * (n + 1) / 4) / math.sqrt(var), 6)
+    df = spark.createDataFrame(list(zip(x, y)), "x int, y int")
+    got = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert got["n"] == n == 6
+    assert got["w_plus"] == round(wp, 4)
+    assert got["z"] == zref
+
+
+def test_friedman_reference_and_block_validation(spark):
+    """Exact agreement with the within-block mid-rank definition on a
+    tied fixture; incomplete blocks raise (the fleiss convention)."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import friedman_test
+
+    blocks = [
+        {"a": 1, "b": 2, "c": 2},
+        {"a": 3, "b": 5, "c": 4},
+        {"a": 2, "b": 2, "c": 2},
+        {"a": 1, "b": 4, "c": 3},
+    ]
+    from collections import Counter
+
+    treats = ["a", "b", "c"]
+    K, nb = 3, 4
+    R = dict.fromkeys(treats, 0.0)
+    tsum = 0
+    for b in blocks:
+        cnt = Counter(b.values())
+        ranks, cum = {}, 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            ranks[v] = cum + (t + 1) / 2
+            cum += t
+        for t in treats:
+            R[t] += ranks[b[t]]
+        tsum += sum(t**3 - t for t in cnt.values())
+    Q = 12 / (nb * K * (K + 1)) * sum(r * r for r in R.values()) - 3 * nb * (
+        K + 1
+    )
+    Cc = 1 - tsum / (nb * K * (K * K - 1))
+    rows = [(i, t, v) for i, b in enumerate(blocks) for t, v in b.items()]
+    df = spark.createDataFrame(rows, "b int, k string, v int")
+    got = friedman_test(df, "b", "k", "v").collect()[0]
+    assert got["q"] == round(Q / Cc, 6)
+    assert (got["n_blocks"], got["k"]) == (nb, K)
+    bad = spark.createDataFrame(
+        rows + [(9, "a", 5)], "b int, k string, v int"
+    )
+    with _pytest.raises(ValueError, match="exactly one value"):
+        friedman_test(bad, "b", "k", "v")
+
+
+def test_kruskal_wilcoxon_no_raw_row_rank_window(spark):
+    """Collapse-first plan shape: the mid-rank windows run over count
+    cells (an aggregate sits BELOW the window in the plan tree), never
+    over raw rows."""
+    from pandasvcf_spark.operators.stats import (
+        kruskal_wallis,
+        wilcoxon_signed_rank,
+    )
+
+    d = spark.range(2000).select(
+        (F.col("id") % 40).alias("v"),
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") % 37).alias("x"),
+        (F.col("id") % 11).alias("y"),
+    )
+    for out in (
+        kruskal_wallis(d, [], "k", "v"),
+        wilcoxon_signed_rank(d, "x", "y"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        i_win = plan.index("Window")
+        assert "HashAggregate" in plan[i_win:]
