@@ -3767,3 +3767,216 @@ def kendall_tau_b(
             F.round(F.when(den > 0, num / den), 6) + F.lit(0.0)
         ).alias("tau_b"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 analysis (Mantel &
+    Haenszel 1959) — the confounder-adjusted companion of
+    `odds_ratio`: a common exposure-outcome odds ratio ACROSS strata,
+    immune to the Simpson's-paradox reversal a pooled 2x2 invites:
+
+        OR_mh = sum(a_i d_i / n_i) / sum(b_i c_i / n_i)
+        chi2  = (sum a_i - sum E_i)^2 / sum V_i     (no continuity corr.)
+        E_i   = (a+b)(a+c)/n
+        V_i   = (a+b)(c+d)(a+c)(b+d) / (n^2 (n-1))
+
+    exposure and outcome must be 0/1; NULL rows drop; single-row
+    strata contribute no variance (V undefined at n=1 — excluded from
+    all three sums, the standard convention).
+
+    Output: ONE row (n_strata BIGINT, n BIGINT, or_mh DOUBLE round 6,
+    chi2 DOUBLE round 6); NULLs when a denominator vanishes.
+
+    Plan: one stratum-keyed 4-counter partial agg + a 1-row fold —
+    cost is the stratum count, never the corpus.
+    """
+    ec = F.col(exposure_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    base = df.filter(
+        F.col(stratum_col).isNotNull()
+        & ec.isNotNull()
+        & oc.isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__s"), ec.alias("__e"), oc.alias("__o")
+    )
+    cells = base.groupBy("__s").agg(
+        F.sum(((F.col("__e") == 1) & (F.col("__o") == 1)).cast("long"))
+        .alias("__a"),
+        F.sum(((F.col("__e") == 1) & (F.col("__o") == 0)).cast("long"))
+        .alias("__b"),
+        F.sum(((F.col("__e") == 0) & (F.col("__o") == 1)).cast("long"))
+        .alias("__c"),
+        F.sum(((F.col("__e") == 0) & (F.col("__o") == 0)).cast("long"))
+        .alias("__d"),
+    )
+    a = F.col("__a").cast("double")
+    b = F.col("__b").cast("double")
+    c = F.col("__c").cast("double")
+    d = F.col("__d").cast("double")
+    n = a + b + c + d
+    usable = n > 1
+    e_i = (a + b) * (a + c) / n
+    v_i = (
+        (a + b) * (c + d) * (a + c) * (b + d)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    g = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(n).cast("long").alias("n"),
+        F.sum(F.when(usable, a * d / n)).alias("__ad"),
+        F.sum(F.when(usable, b * c / n)).alias("__bc"),
+        F.sum(F.when(usable, a)).alias("__sa"),
+        F.sum(F.when(usable, e_i)).alias("__se"),
+        F.sum(F.when(usable, v_i)).alias("__sv"),
+    )
+    dev = F.col("__sa") - F.col("__se")
+    return g.select(
+        "n_strata",
+        "n",
+        (
+            F.round(
+                F.when(F.col("__bc") > 0, F.col("__ad") / F.col("__bc")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("or_mh"),
+        (
+            F.round(
+                F.when(F.col("__sv") > 0, dev * dev / F.col("__sv")), 6
+            )
+            + F.lit(0.0)
+        ).alias("chi2"),
+    )
+
+
+def durbin_watson(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic per group —
+    the residual-independence check on a regular series (intercept-only
+    residuals, i.e. the demeaned series):
+
+        dw = sum_{t>=2} (v_t - v_{t-1})^2 / sum (v_t - mean)^2
+
+    dw ~ 2 means no lag-1 autocorrelation, -> 0 positive, -> 4
+    negative. INTENDED FOR PRE-AGGREGATED INTEGER SERIES (counts —
+    the numerator's successive differences and the denominator's
+    sum/sumsq are then exact-integer aggregates; the mean enters once
+    as a final double ratio). NULL time/value rows drop.
+
+    Output: (*group_cols, n BIGINT, dw DOUBLE round 6); NULL when
+    n < 2 or the series is constant.
+
+    Plan: one group-partitioned lag window + one group agg on the
+    same exchange — the seasonal_naive_error shape.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    d = series.filter(
+        x.isNotNull() & F.col(time_col).isNotNull()
+    ).select(
+        *gcols,
+        x.alias("__x"),
+        (x - F.lag(x, 1).over(w)).alias("__d"),
+    )
+    g = d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__num"),
+    )
+    nd = F.col("n").cast("double")
+    den = F.col("__q") - F.col("__s") * F.col("__s") / nd
+    return g.select(
+        *gcols,
+        "n",
+        (
+            F.round(
+                F.when(
+                    (F.col("n") >= 2) & (den > 0),
+                    F.col("__num") / den,
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dw"),
+    )
+
+
+def ljung_box(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) — "is this series
+    white noise?" across the first `max_lag` autocorrelations at once,
+    the residual-diagnostics closer for the m_acf / m_pacf family:
+
+        Q = n(n+2) * sum_{k=1..m} r_k^2 / (n - k)
+
+    with r_k the biased ACF (the m_acf/m_pacf convention: lag-k cross
+    sums of mean deviations over the squared-deviation sum). INTENDED
+    FOR PRE-AGGREGATED SERIES (collapse to hourly/daily points first —
+    the pacf_stats discipline). NULL time/value rows drop.
+
+    Output: ONE row (n BIGINT, m INT, q DOUBLE round 6); NULL q when
+    n <= max_lag or the series is constant.
+
+    Plan: the pacf_stats device at width m: lead() columns over one
+    ordered window (the series is pre-aggregated and small by
+    contract) + ONE 1-row fold.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    x = F.col(value_col).cast("double")
+    base = series.filter(x.isNotNull() & F.col(time_col).isNotNull())
+    mu = base.agg(
+        F.avg(x).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = Window.orderBy(time_col)
+    d = (
+        base
+        .join(F.broadcast(mu))
+        .select(
+            "__n",
+            (x - F.col("__m")).alias("d0"),
+            *[
+                (F.lead(x, k).over(w) - F.col("__m")).alias(f"d{k}")
+                for k in range(1, max_lag + 1)
+            ],
+        )
+    )
+    agg = d.agg(
+        F.max("__n").alias("__n"),
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    nd = F.col("__n").cast("double")
+    terms = None
+    for k in range(1, max_lag + 1):
+        r = F.col(f"n{k}") / F.col("den")
+        t = r * r / (nd - F.lit(float(k)))
+        terms = t if terms is None else terms + t
+    q = nd * (nd + F.lit(2.0)) * terms
+    ok = (F.col("den") > 0) & (nd > F.lit(float(max_lag)))
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.lit(max_lag).cast("int").alias("m"),
+        (F.round(F.when(ok, q), 6) + F.lit(0.0)).alias("q"),
+    )

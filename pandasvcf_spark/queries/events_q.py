@@ -3783,3 +3783,168 @@ def m_kendall_tau(spark, sf_dir):
         F.hour("ts").cast("double").alias("y"),
     )
     return kendall_tau_b(d, "x", "y")
+
+
+@register(
+    "m_cmh",
+    oracle="""
+    WITH b AS (
+      SELECT CAST((epoch_us(ts) // 1000000) // 86400 % 7 AS INTEGER)
+               AS s,
+             CAST(user_id % 2 AS INTEGER) AS e,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS o
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+    cells AS (
+      SELECT s,
+        CAST(sum(CASE WHEN e=1 AND o=1 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS a,
+        CAST(sum(CASE WHEN e=1 AND o=0 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS bb,
+        CAST(sum(CASE WHEN e=0 AND o=1 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS c,
+        CAST(sum(CASE WHEN e=0 AND o=0 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS d
+      FROM b GROUP BY s),
+    f AS (SELECT a, bb, c, d, a + bb + c + d AS n FROM cells),
+    g AS (SELECT
+        CAST(count(*) AS BIGINT) AS n_strata,
+        CAST(sum(n) AS BIGINT) AS n,
+        sum(CASE WHEN n > 1 THEN a * d / n END) AS ad,
+        sum(CASE WHEN n > 1 THEN bb * c / n END) AS bc,
+        sum(CASE WHEN n > 1 THEN a END) AS sa,
+        sum(CASE WHEN n > 1 THEN (a + bb) * (a + c) / n END) AS se,
+        sum(CASE WHEN n > 1 THEN (a + bb) * (c + d) * (a + c)
+                  * (bb + d) / (n * n * (n - 1.0)) END) AS sv
+      FROM f)
+    SELECT n_strata, n,
+           round(CASE WHEN bc > 0 THEN ad / bc END, 6) + 0.0 AS or_mh,
+           round(CASE WHEN sv > 0
+                 THEN (sa - se) * (sa - se) / sv END, 6) + 0.0 AS chi2
+    FROM g
+    """,
+)
+def m_cmh(spark, sf_dir):
+    """Cochran-Mantel-Haenszel common odds ratio + chi2 (operators/
+    stats.cmh_test) of user-parity exposure vs the 'error' outcome,
+    stratified by day-of-week — the confounder-adjusted companion of
+    m_odds_ratio (a pooled 2x2 invites Simpson's paradox; CMH
+    doesn't). Strata are epoch-day %% 7 (engine-portable — native
+    dayofweek numbering differs between engines). One stratum-keyed
+    4-counter agg + a 1-row fold; ~1 expected on parity-blind data.
+    The oracle replays the per-stratum terms and both folds."""
+    from pandasvcf_spark.operators.stats import cmh_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (
+            F.floor(F.unix_timestamp("ts").cast("long") / 86400) % 7
+        ).cast("int").alias("s"),
+        (F.col("user_id") % 2).cast("int").alias("e"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("o"),
+    )
+    return cmh_test(d, "s", "e", "o")
+
+
+@register(
+    "e_durbin_watson",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et,
+             (epoch_us(ts) // 1000000) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    l AS (SELECT et, CAST(v AS DOUBLE) AS x,
+                 CAST(v AS DOUBLE) - lag(CAST(v AS DOUBLE), 1)
+                   OVER (PARTITION BY et ORDER BY day) AS dd
+          FROM d),
+    g AS (SELECT et, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+                 sum(x * x) AS q, sum(dd * dd) AS num
+          FROM l GROUP BY et)
+    SELECT et, n,
+           round(CASE WHEN n >= 2 AND (q - s * s / n) > 0
+                 THEN num / (q - s * s / n) END, 6) + 0.0 AS dw
+    FROM g ORDER BY et
+    """,
+)
+def e_durbin_watson(spark, sf_dir):
+    """Durbin-Watson lag-1 autocorrelation (operators/stats.
+    durbin_watson) of each event type's daily count series — the
+    residual-independence diagnostic beside e_rate_anomaly's z-scores
+    (a trending series fools a mean-based alarm; DW says whether
+    successive days are independent). Integer daily counts keep every
+    aggregate exact; one group-partitioned lag window + one agg on
+    the same exchange. The oracle replays differences, moments and
+    the ratio."""
+    from pandasvcf_spark.operators.stats import durbin_watson
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.unix_timestamp("ts").cast("long") / 86400).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return durbin_watson(d, ["et"], "day", "v").orderBy("et")
+
+
+@register(
+    "m_ljung_box",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    mu AS (SELECT avg(x) AS m, CAST(count(*) AS BIGINT) AS n
+           FROM hourly),
+    d AS (
+      SELECT n, x - mu.m AS d0,
+             lead(x, 1) OVER w - mu.m AS d1,
+             lead(x, 2) OVER w - mu.m AS d2,
+             lead(x, 3) OVER w - mu.m AS d3,
+             lead(x, 4) OVER w - mu.m AS d4,
+             lead(x, 5) OVER w - mu.m AS d5,
+             lead(x, 6) OVER w - mu.m AS d6
+      FROM hourly, mu WINDOW w AS (ORDER BY h)),
+    agg AS (SELECT max(n) AS n, sum(d0*d0) AS den,
+                   sum(d0*d1) AS n1, sum(d0*d2) AS n2,
+                   sum(d0*d3) AS n3, sum(d0*d4) AS n4,
+                   sum(d0*d5) AS n5, sum(d0*d6) AS n6
+            FROM d)
+    SELECT CAST(n AS BIGINT) AS n, 6 AS m,
+           round(CASE WHEN den > 0 AND n > 6 THEN
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * (
+               (n1/den) * (n1/den) / (CAST(n AS DOUBLE) - 1.0)
+               + (n2/den) * (n2/den) / (CAST(n AS DOUBLE) - 2.0)
+               + (n3/den) * (n3/den) / (CAST(n AS DOUBLE) - 3.0)
+               + (n4/den) * (n4/den) / (CAST(n AS DOUBLE) - 4.0)
+               + (n5/den) * (n5/den) / (CAST(n AS DOUBLE) - 5.0)
+               + (n6/den) * (n6/den) / (CAST(n AS DOUBLE) - 6.0))
+             END, 6) + 0.0 AS q
+    FROM agg
+    """,
+)
+def m_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau Q over the first 6 autocorrelations of
+    the hourly event-count series (operators/stats.ljung_box) — the
+    "is it white noise?" closer for the m_acf / m_pacf family, one
+    scalar instead of six separate r_k reads. Same series machinery
+    (lead() columns over the pre-aggregated hourly points + ONE 1-row
+    fold); the oracle replays every r_k term and the weighted sum
+    operand-for-operand."""
+    from pandasvcf_spark.operators.stats import ljung_box
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return ljung_box(hourly, "h", "x", max_lag=6)

@@ -787,6 +787,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # partition) + tie-corrected Q
         "m_kendall_tau",         # tau-b: cell-grid concordance,
                                  # |cells|^2 never rows^2
+        "m_cmh",                 # stratified 2x2 fold: stratum-keyed
+                                 # 4-counter agg, Simpson-proof OR
+        "e_durbin_watson",       # lag-1 residual independence: one
+                                 # group window + same-exchange agg
+        "m_ljung_box",           # portmanteau Q over 6 ACF lags:
+                                 # lead() columns + 1-row fold
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

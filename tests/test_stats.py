@@ -1678,3 +1678,120 @@ def test_kruskal_wilcoxon_no_raw_row_rank_window(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         i_win = plan.index("Window")
         assert "HashAggregate" in plan[i_win:]
+
+
+def test_cmh_reference_two_strata_and_simpson(spark):
+    """Exact agreement with the Mantel-Haenszel fold on a 2-stratum
+    fixture; a Simpson's-paradox construction shows the stratified OR
+    on the correct side of 1 while the pooled 2x2 flips."""
+    from pandasvcf_spark.operators.stats import cmh_test
+
+    strata = {
+        0: dict(a=10, b=20, c=5, d=40),
+        1: dict(a=30, b=10, c=20, d=15),
+    }
+    rows = []
+    for s, t in strata.items():
+        rows += (
+            [(s, 1, 1)] * t["a"] + [(s, 1, 0)] * t["b"]
+            + [(s, 0, 1)] * t["c"] + [(s, 0, 0)] * t["d"]
+        )
+    df = spark.createDataFrame(rows, "s int, e int, o int")
+    got = cmh_test(df, "s", "e", "o").collect()[0]
+    num = den = sa = se = sv = 0.0
+    for t in strata.values():
+        a, b, c, d = t["a"], t["b"], t["c"], t["d"]
+        n = a + b + c + d
+        num += a * d / n
+        den += b * c / n
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    assert got["or_mh"] == round(num / den, 6)
+    assert got["chi2"] == round((sa - se) ** 2 / sv, 6)
+    assert (got["n_strata"], got["n"]) == (2, 150)
+    # Simpson: within each stratum exposure is protective (OR < 1),
+    # pooled OR > 1 because exposure concentrates in the high-risk
+    # stratum — CMH must stay < 1
+    simpson = {
+        0: dict(a=1, b=19, c=10, d=70),    # OR 0.368
+        1: dict(a=40, b=40, c=15, d=10),   # OR 0.667
+    }
+    rows = []
+    for s, t in simpson.items():
+        rows += (
+            [(s, 1, 1)] * t["a"] + [(s, 1, 0)] * t["b"]
+            + [(s, 0, 1)] * t["c"] + [(s, 0, 0)] * t["d"]
+        )
+    df = spark.createDataFrame(rows, "s int, e int, o int")
+    a = sum(t["a"] for t in simpson.values())
+    b = sum(t["b"] for t in simpson.values())
+    c = sum(t["c"] for t in simpson.values())
+    d = sum(t["d"] for t in simpson.values())
+    assert (a * d) / (b * c) > 1  # pooled flips
+    assert cmh_test(df, "s", "e", "o").collect()[0]["or_mh"] < 1
+
+
+def test_durbin_watson_reference_and_poles(spark):
+    """Exact agreement with the definition; an alternating series
+    pushes dw toward 4, a trending one toward 0."""
+    from pandasvcf_spark.operators.stats import durbin_watson
+
+    vs = [3, 5, 4, 6, 8, 7, 9, 12, 10, 11]
+    m = sum(vs) / len(vs)
+    ref = sum(
+        (vs[i] - vs[i - 1]) ** 2 for i in range(1, len(vs))
+    ) / sum((v - m) ** 2 for v in vs)
+    df = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(vs)], "g int, t int, v int"
+    )
+    assert durbin_watson(df, ["g"], "t", "v").collect()[0]["dw"] == round(
+        ref, 6
+    )
+    alt = spark.createDataFrame(
+        [(0, i, 10 if i % 2 else 0) for i in range(20)],
+        "g int, t int, v int",
+    )
+    assert durbin_watson(alt, ["g"], "t", "v").collect()[0]["dw"] > 3.5
+    trend = spark.createDataFrame(
+        [(0, i, i) for i in range(20)], "g int, t int, v int"
+    )
+    assert durbin_watson(trend, ["g"], "t", "v").collect()[0]["dw"] < 0.5
+
+
+def test_ljung_box_reference_and_white_noise(spark):
+    """Exact agreement with the r_k fold; a deterministic pseudo-random
+    series yields a small Q, a strongly periodic one a large Q."""
+    from pandasvcf_spark.operators.stats import ljung_box
+
+    vs = [5, 7, 6, 9, 8, 10, 12, 11, 13, 12, 14, 16]
+    n = len(vs)
+    m = sum(vs) / n
+    dev = [v - m for v in vs]
+    den = sum(d * d for d in dev)
+    Q = sum(
+        (sum(dev[i] * dev[i + k] for i in range(n - k)) / den) ** 2
+        / (n - k)
+        for k in range(1, 4)
+    ) * n * (n + 2)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vs)], "t int, v int"
+    )
+    got = ljung_box(df, "t", "v", max_lag=3).collect()[0]
+    assert got["q"] == round(Q, 6)
+    assert (got["n"], got["m"]) == (n, 3)
+    # mix32 scramble (the poly-hash-banding lesson: raw modular
+    # residues of consecutive ids are heavily autocorrelated — xor the
+    # high bits back in before the final mod)
+    noise = [
+        (i, ((i * 2654435761) ^ ((i * 2654435761) >> 16)) % 97)
+        for i in range(80)
+    ]
+    periodic = [(i, 10 if i % 2 else 0) for i in range(80)]
+    qn = ljung_box(
+        spark.createDataFrame(noise, "t int, v int"), "t", "v"
+    ).collect()[0]["q"]
+    qp = ljung_box(
+        spark.createDataFrame(periodic, "t int, v int"), "t", "v"
+    ).collect()[0]["q"]
+    assert qp > 10 * qn
