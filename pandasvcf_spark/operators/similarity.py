@@ -1490,3 +1490,137 @@ def dim_truncation_recall(
         F.round(F.avg("__r"), 6).alias("mean_recall"),
         F.round(F.min("__r"), 6).alias("min_recall"),
     )
+
+
+def sq8_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Train int8 scalar quantization: per-dimension (lo, hi) corpus
+    bounds — the simplest embedding-compression tier (4x smaller than
+    float32 at ~zero ranking loss on well-spread dims; the
+    coarse-but-cheap sibling of `pq_train_codebooks`, faiss's SQ8).
+
+    One aggregation pass (2·dim min/max expressions); the result is a
+    model-sized driver object (2 × dim doubles) to broadcast as
+    literals into `sq8_encode`/`sq8_topk` — the kmeans_fit contract."""
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("sq8_train: empty corpus")
+    dim = len(first[0])
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs.append(F.min(e).alias(f"__lo{i}"))
+        aggs.append(F.max(e).alias(f"__hi{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return (
+        [float(row[f"__lo{i}"]) for i in range(dim)],
+        [float(row[f"__hi{i}"]) for i in range(dim)],
+    )
+
+
+def _sq8_bounds_lits(lo: list[float], hi: list[float]):
+    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
+    hi_lit = F.array(*[F.lit(float(x)) for x in hi])
+    return lo_lit, hi_lit
+
+
+def sq8_encode(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize vectors to int8 codes against trained per-dim bounds:
+    code_j = clip(floor((x_j - lo_j)/(hi_j - lo_j) * 256), 0, 255)
+    (degenerate dims with hi = lo encode 0). Output: (id, codes
+    ARRAY<INT>) — 4x storage cut, pure column HOF arithmetic, zero
+    Python, zero shuffle."""
+    lo_lit, hi_lit = _sq8_bounds_lits(lo, hi)
+    x = _dc(vec_col)
+    code = F.transform(
+        x,
+        lambda v, i: F.when(
+            F.element_at(hi_lit, i + 1) > F.element_at(lo_lit, i + 1),
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (v - F.element_at(lo_lit, i + 1))
+                        / (
+                            F.element_at(hi_lit, i + 1)
+                            - F.element_at(lo_lit, i + 1)
+                        )
+                        * F.lit(256.0)
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return df.select(F.col(id_col), code.alias("codes"))
+
+
+def sq8_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k nearest (squared L2) over an SQ8-quantized corpus: each
+    code reconstructs to its cell midpoint r_j = lo_j + (code_j + 0.5)
+    * (hi_j - lo_j)/256 and scores against the raw query — the
+    asymmetric-distance convention (query stays exact, the pq_adc_topk
+    argument). Output: (query_id, vec_id, sq_dist DOUBLE round 6),
+    ascending-is-nearer, ties by vec_id.
+
+    Plan: the codes relation broadcast-NL-joins the small query set
+    (the cosine_topk contract); reconstruction is HOF arithmetic
+    against 2·dim broadcast literals; shuffle is the per-query top-k
+    window only. Quantization error is bounded by half a cell per dim
+    — rerank survivors against raw vectors when exactness matters."""
+    lo_lit, hi_lit = _sq8_bounds_lits(lo, hi)
+    recon = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(lo_lit, i + 1)
+        + (c.cast("double") + F.lit(0.5))
+        * (
+            F.element_at(hi_lit, i + 1) - F.element_at(lo_lit, i + 1)
+        )
+        / F.lit(256.0),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _dc(vec_col).alias("__qv")
+    )
+    scored = corpus_codes.withColumn("__r", recon).join(
+        F.broadcast(q), on=F.lit(True)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col(id_col))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__r"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = scored.withColumn("sq_dist", dist)
+    w = Window.partitionBy("__qid").orderBy("sq_dist", F.col(id_col))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round("sq_dist", 6).alias("sq_dist"),
+        )
+    )

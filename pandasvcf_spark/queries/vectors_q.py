@@ -2027,3 +2027,71 @@ def v_dim_truncation(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return dim_truncation_recall(e, q, dims=8, k=5)
+
+
+@register(
+    "v_sq_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    dims AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+             FROM e, range(1, {DIM + 1}) t(i) GROUP BY i),
+    bounds AS (SELECT list(lo ORDER BY i) AS lo,
+                      list(hi ORDER BY i) AS hi FROM dims),
+    codes AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {DIM}),
+               j -> CASE WHEN hi[j] > lo[j]
+                    THEN CAST(least(255, greatest(0,
+                      CAST(floor((v[j] - lo[j]) / (hi[j] - lo[j])
+                                 * 256.0) AS BIGINT))) AS INTEGER)
+                    ELSE 0 END) AS code
+      FROM e, bounds),
+    recon AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {DIM}),
+               j -> lo[j] + (CAST(code[j] AS DOUBLE) + 0.5)
+                    * (hi[j] - lo[j]) / 256.0) AS r
+      FROM codes, bounds),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, recon.vec_id,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               j -> (qv[j] - r[j]) * (qv[j] - r[j]))) AS d
+      FROM recon, q WHERE q.query_id <> recon.vec_id)
+    SELECT query_id, vec_id, round(d, 6) AS sq_dist FROM (
+      SELECT query_id, vec_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, vec_id
+    """,
+)
+def v_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantization top-k (operators/similarity.sq8_train
+    / sq8_encode / sq8_topk — faiss's SQ8 tier): per-dim corpus
+    (lo, hi) bounds, codes = clipped floor((x-lo)/(hi-lo)*256), and
+    asymmetric scoring of raw queries against cell-midpoint
+    reconstructions. The 4x-smaller always-on compression tier below
+    PQ (v_pq_topk: 32x, lossier) — the corpus scans as 64 ints and
+    never touches raw vectors. Training is one 2-dim-expression agg
+    (model-sized driver bounds, the kmeans_fit contract). The oracle
+    retrains the bounds from the same parquet and replays encode,
+    reconstruction and scoring bit-for-bit."""
+    from pandasvcf_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = sq8_train(emb)
+    codes = sq8_encode(emb, lo, hi)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq8_topk(codes, qs, lo, hi, k=5).orderBy(
+        "query_id", "vec_id"
+    )

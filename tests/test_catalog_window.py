@@ -793,6 +793,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # group window + same-exchange agg
         "m_ljung_box",           # portmanteau Q over 6 ACF lags:
                                  # lead() columns + 1-row fold
+        "v_sq_topk",             # int8 scalar quantization: trained
+                                 # bounds + midpoint ADC scoring
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2161,3 +2161,76 @@ def test_url_normalize_expr_cases(spark):
     got = [r["n"] for r in
            df.select(url_normalize_expr("u").alias("n")).collect()]
     assert got == [want for _, want in pairs]
+
+
+# --- SQ8 scalar quantization (round 9) --------------------------------------
+
+
+def test_sq8_roundtrip_error_bound_and_codes(spark):
+    """Codes stay in [0, 255]; midpoint reconstruction error is bounded
+    by half a cell per dimension; a constant dim encodes 0."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import sq8_encode, sq8_train
+
+    rng = np.random.default_rng(5)
+    V = rng.uniform(-2, 3, (60, 8))
+    V[:, 3] = 1.25  # constant dim
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    lo, hi = sq8_train(d)
+    assert lo[3] == hi[3] == np.float32(1.25)
+    rows = sq8_encode(d, lo, hi).collect()
+    assert len(rows) == 60
+    for r in rows:
+        cs = r["codes"]
+        assert all(0 <= c <= 255 for c in cs)
+        assert cs[3] == 0
+        recon = [
+            lo[j] + (cs[j] + 0.5) * (hi[j] - lo[j]) / 256.0
+            for j in range(8)
+        ]
+        src = V[r["vec_id"]].astype(np.float32)
+        for j in range(8):
+            if hi[j] > lo[j]:
+                cell = (hi[j] - lo[j]) / 256.0
+                assert abs(recon[j] - float(src[j])) <= cell / 2 + 1e-9
+
+
+def test_sq8_topk_matches_exact_on_separated_points(spark):
+    """On well-separated points the quantized top-k equals the exact
+    top-k (quantization error ≪ inter-point distance)."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.uniform(-10, 10, (10, 16))
+    V = np.repeat(centers, 5, axis=0) + rng.normal(0, 0.3, (50, 16))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    lo, hi = sq8_train(d)
+    codes = sq8_encode(d, lo, hi)
+    qs = d.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in sq8_topk(codes, qs, lo, hi, k=4).collect()
+    }
+    Vf = V.astype(np.float32).astype(np.float64)
+    want = set()
+    for q in range(5):
+        sq = ((Vf - Vf[q]) ** 2).sum(axis=1)
+        sq[q] = np.inf
+        for vi in np.argsort(sq, kind="stable")[:4]:
+            want.add((q, int(vi)))
+    assert got == want
