@@ -82,7 +82,22 @@ DRIVER_WINDOW = 50
 # BLEU-2/ROUGE-2 (the generation-evaluation class) over j_semi, whose
 # left_semi machinery stays driver-covered by g_kcore (each peel round
 # filters the edge set with two left_semi joins, operators/graph.py
-# kcore) — j_semi stays exact-checked in the contract tail.
+# kcore) — j_semi stays exact-checked in the contract tail. The round-9
+# cut (the sixth) promotes three new classes: m_roc_points (the
+# collapse-first rework — distinct-score cells before the cumulative
+# ladders, the round-9 plan-fix family's flagship), m_kruskal_wallis
+# (the distinct-cell mid-rank device carrying the new nonparametric
+# family: wilcoxon/friedman/kendall stay contract-checked in the
+# tail), and v_sq_topk (the int8 scalar-quantization tier: trained
+# bounds + midpoint-reconstruction scoring). Displaced:
+# sk_theta_intersect (KMV set-algebra machinery stays driver-covered
+# by sk_hll_distinct's mergeable-sketch grid and exact-checked in the
+# tail), g_hwe (per-site genotype-count agg + closed-form chi² — the
+# same per-site agg shape g_fst and g_sample_qc keep driver-green),
+# and t_repeated_spans (shingle→rolling-hash→groupBy winnowing — the
+# hash-fingerprint family stays driver-covered by dedup_minhash_lsh
+# and t_paragraph_dedup). All three remain continuously exact-checked
+# by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -100,7 +115,6 @@ _PRIORITY = [
     "t_bpe_tokens_arrow",
     "flagship_annotate",
     # genomics popgen + pairwise (round-7 classes)
-    "g_hwe",
     "g_ld",
     # §2.10 streaming batch-twins (stream≡batch covered by pytest)
     "e_tumbling_hourly",
@@ -112,18 +126,17 @@ _PRIORITY = [
     "v_kmeans",
     "dedup_minhash_lsh",
     "t_paragraph_dedup",
-    "t_repeated_spans",
     # §2.11 vectors: exact (broadcast + block-matmul impls), ANN
     # (single-bucket, IVF), dedup. v_cosine_topk_manyquery is
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
     "sk_hll_distinct",
-    "sk_theta_intersect",
     "v_cosine_topk",
     "v_cosine_topk_manyquery",
     "v_ann_topk",
     "agg_grouped_quantiles",
     "v_ivfpq_topk",
+    "v_sq_topk",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
     "p4_distinct",
@@ -145,6 +158,8 @@ _PRIORITY = [
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
     "m_ndcg",
+    "m_roc_points",
+    "m_kruskal_wallis",
     "m_bootstrap_ci",
     "g_link_pred",
     "m_scd2_history",

@@ -29,14 +29,17 @@ def test_extension_surface_inside_window():
         "v_ivfpq_topk",  # carries v_ivf_topk's coarse-cell machinery
                          # since the round-8 continuation re-cut
         "t_quality_score",
-        "t_repeated_spans",
         "t_bm25_topk",
         "t_bpe_merges",
         "sk_hll_distinct",
-        "g_hwe",
         "g_ld",
         "g_grm",
         "g_fst",
+        # round-9 re-cut: g_hwe and t_repeated_spans moved to the
+        # contract-guarded tail (per-site agg machinery stays via
+        # g_fst/g_sample_qc; hash-fingerprint machinery via
+        # dedup_minhash_lsh/t_paragraph_dedup); promoted in their
+        # place:
         # round-8 continuation classes
         "agg_grouped_quantiles",
         "m_bootstrap_ci",
@@ -793,6 +796,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # group window + same-exchange agg
         "m_ljung_box",           # portmanteau Q over 6 ACF lags:
                                  # lead() columns + 1-row fold
+        "sk_theta_intersect",    # KMV theta-intersection: sketch
+                                 # machinery stays via sk_hll_distinct
+                                 # (round-9 re-cut demotion)
+        "g_hwe",                 # per-site chi2 agg: same shape as
+                                 # g_fst/g_sample_qc (round-9 re-cut)
+        "t_repeated_spans",      # winnowing fingerprints: hash-family
+                                 # stays via dedup_minhash_lsh +
+                                 # t_paragraph_dedup (round-9 re-cut)
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }
