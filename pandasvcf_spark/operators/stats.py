@@ -3980,3 +3980,307 @@ def ljung_box(
         F.lit(max_lag).cast("int").alias("m"),
         (F.round(F.when(ok, q), 6) + F.lit(0.0)).alias("q"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere-Terpstra trend test (Jonckheere 1954) — does the
+    value distribution shift MONOTONICALLY with an ORDERED grouping
+    (dose, tier, time bucket)? The ordered-alternative power upgrade
+    over `kruskal_wallis` (which ignores group order):
+
+        J  = sum_{i<j} [ #(x_i < x_j) + 0.5 #(x_i = x_j) ]
+        mu = (N^2 - sum n_k^2) / 4
+        var = (N^2 (2N+3) - sum n_k^2 (2 n_k + 3)) / 72
+        z  = (J - mu) / sqrt(var)
+
+    (the classic no-tie variance approximation — documented; J itself
+    counts ties at 1/2). `group_col` must be numerically ordered.
+    PRE-BUCKET dense values (the kendall_tau_b discipline): the corpus
+    collapses to (group, value) count cells and J comes from a
+    broadcast CELL-grid comparison over ordered group pairs.
+
+    Output: ONE row (n BIGINT, k BIGINT, j_stat DOUBLE round 4,
+    z DOUBLE round 6); z NULL when var = 0.
+    """
+    gc = F.col(group_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(gc.isNotNull() & vc.isNotNull()).select(
+        gc.alias("__g"), vc.alias("__v")
+    )
+    cells = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.select(
+        F.col("__g").alias("__ga"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__g").alias("__gb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("__gb") > F.col("__ga"), "inner"
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("__va") < F.col("__vb"),
+                (F.col("__na") * F.col("__nb")).cast("double"),
+            )
+            .when(
+                F.col("__va") == F.col("__vb"),
+                (F.col("__na") * F.col("__nb")).cast("double")
+                / F.lit(2.0),
+            )
+            .otherwise(F.lit(0.0))
+        ).alias("__J")
+    )
+    per_g = cells.groupBy("__g").agg(F.sum("__n").alias("__nk"))
+    tot = per_g.agg(
+        F.sum("__nk").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__nk") * F.col("__nk")).alias("__sq"),
+        F.sum(
+            F.col("__nk")
+            * F.col("__nk")
+            * (F.lit(2) * F.col("__nk") + F.lit(3))
+        ).alias("__sq3"),
+    )
+    g = pairs.join(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mu = (nd * nd - F.col("__sq")) / F.lit(4.0)
+    var = (
+        nd * nd * (F.lit(2.0) * nd + F.lit(3.0)) - F.col("__sq3")
+    ) / F.lit(72.0)
+    return g.select(
+        "n",
+        "k",
+        (F.round(F.col("__J"), 4) + F.lit(0.0)).alias("j_stat"),
+        (
+            F.round(
+                F.when(var > 0, (F.col("__J") - mu) / F.sqrt(var)), 6
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cliff's delta (Cliff 1993) — the nonparametric EFFECT SIZE the
+    mann_whitney z cannot give (z grows with n; delta doesn't): the
+    probability a flag=1 value exceeds a flag=0 value minus the
+    reverse,
+
+        delta = [#(x1 > x0) - #(x1 < x0)] / (n1 * n0)   in [-1, 1]
+
+    PRE-BUCKET dense values (the kendall_tau_b cell discipline); flag
+    must be 0/1. Output: ONE row (n0, n1 BIGINT, delta DOUBLE
+    round 6); NULL when either side is empty.
+
+    Plan: one (flag, value)-keyed partial agg + a broadcast cell-grid
+    fold — integer dominance counts, exact rational delta.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    cells = base.groupBy("__f", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    c0 = cells.filter(F.col("__f") == 0).select(
+        F.col("__v").alias("__v0"), F.col("__n").alias("__n0")
+    )
+    c1 = cells.filter(F.col("__f") == 1).select(
+        F.col("__v").alias("__v1"), F.col("__n").alias("__n1")
+    )
+    grid = c1.join(F.broadcast(c0)).agg(
+        F.sum(
+            F.when(
+                F.col("__v1") > F.col("__v0"),
+                F.col("__n1") * F.col("__n0"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("__gt"),
+        F.sum(
+            F.when(
+                F.col("__v1") < F.col("__v0"),
+                F.col("__n1") * F.col("__n0"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("__lt"),
+    )
+    tots = cells.groupBy().agg(
+        F.sum(F.when(F.col("__f") == 0, F.col("__n"))).cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("__f") == 1, F.col("__n"))).cast("long")
+        .alias("n1"),
+    )
+    g = grid.join(F.broadcast(tots))
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    delta = (
+        F.col("__gt").cast("double") - F.col("__lt").cast("double")
+    ) / (F.col("n1").cast("double") * F.col("n0").cast("double"))
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, delta), 6) + F.lit(0.0)).alias("delta"),
+    )
+
+
+def bartlett_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity (Bartlett 1937) — ARE
+    the K groups' variances equal? The parametric sharp-tooth beside
+    `m_brown_forsythe`'s robust version (Bartlett is the more powerful
+    test when normality holds, and the one classic ANOVA assumes):
+
+        Sp2  = sum (n_k - 1) s_k^2 / (N - K)
+        stat = [(N-K) ln Sp2 - sum (n_k-1) ln s_k^2]
+               / [1 + (sum 1/(n_k-1) - 1/(N-K)) / (3(K-1))]
+
+    Groups with n_k < 2 or zero variance drop from the fold (ln
+    undefined — the standard treatment; remaining K must be >= 2).
+
+    Output: ONE row (n BIGINT, k BIGINT, stat DOUBLE round 6); NULL
+    when fewer than 2 usable groups. Plan: one group-keyed 3-moment
+    partial agg + a 1-row fold.
+    """
+    vc = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(group_col).isNotNull() & vc.isNotNull()
+    ).select(F.col(group_col).alias("__g"), vc.alias("__v"))
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__nk"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    var_k = (
+        F.col("__q") - F.col("__s") * F.col("__s") / F.col("__nk")
+    ) / (F.col("__nk") - F.lit(1.0))
+    usable = (F.col("__nk") >= 2) & (var_k > 0)
+    g = per.agg(
+        F.sum(F.when(usable, F.col("__nk"))).alias("__N"),
+        F.count(F.when(usable, 1)).cast("long").alias("k"),
+        F.sum(
+            F.when(usable, (F.col("__nk") - F.lit(1.0)) * var_k)
+        ).alias("__sw"),
+        F.sum(
+            F.when(
+                usable, (F.col("__nk") - F.lit(1.0)) * F.log(var_k)
+            )
+        ).alias("__slog"),
+        F.sum(
+            F.when(usable, F.lit(1.0) / (F.col("__nk") - F.lit(1.0)))
+        ).alias("__sinv"),
+    )
+    nd = F.col("__N")
+    kd = F.col("k").cast("double")
+    dof = nd - kd
+    sp2 = F.col("__sw") / dof
+    num = dof * F.log(sp2) - F.col("__slog")
+    den = F.lit(1.0) + (
+        F.col("__sinv") - F.lit(1.0) / dof
+    ) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    ok = (F.col("k") >= 2) & (dof > 0) & (sp2 > 0)
+    return g.select(
+        F.coalesce(nd, F.lit(0.0)).cast("long").alias("n"),
+        "k",
+        (F.round(F.when(ok, num / den), 6) + F.lit(0.0)).alias("stat"),
+    )
+
+
+def cochrans_q(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — K related BINARY treatments
+    measured once per block: do success rates differ across
+    treatments? The binary-outcome sibling of `friedman_test` (and the
+    K-treatment generalization of McNemar):
+
+        Q = K(K-1) sum_j (C_j - T/K)^2 / (K T - sum_i R_i^2)
+
+    with C_j the treatment success totals, R_i the block success
+    totals, T the grand total. outcome must be 0/1; every block must
+    carry exactly one outcome per treatment (validated with a 1-row
+    check, the friedman convention).
+
+    Output: ONE row (n_blocks, k BIGINT, q DOUBLE round 6); NULL q at
+    the degenerate denominator (all-0 or all-1 blocks only).
+
+    Plan: one (block, treat)-keyed input; two partial-aggregated
+    count folds (treatment totals, block totals) + 1-row combines —
+    counts only, exact integer arithmetic into one final ratio.
+    """
+    oc = F.col(outcome_col).cast("int")
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+        & oc.isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treat_col).alias("__k"),
+        oc.alias("__o"),
+    )
+    per_block = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.countDistinct("__k").alias("__kd"),
+        F.sum("__o").cast("long").alias("__R"),
+    )
+    chk = per_block.agg(
+        F.min("__cnt").alias("clo"),
+        F.max("__cnt").alias("chi"),
+        F.min("__kd").alias("klo"),
+        F.max("__kd").alias("khi"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    ).collect()[0]
+    if chk["nb"] == 0:
+        raise ValueError("cochrans_q: empty input")
+    if not (chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"]):
+        raise ValueError(
+            "cochrans_q: blocks must hold exactly one outcome per "
+            f"treatment (counts {chk['clo']}-{chk['chi']}, distinct "
+            f"treatments {chk['klo']}-{chk['khi']})"
+        )
+    k = int(chk["klo"])
+    if k < 2:
+        raise ValueError("cochrans_q: need >= 2 treatments")
+    n = int(chk["nb"])
+    cols = base.groupBy("__k").agg(
+        F.sum("__o").cast("long").alias("__C")
+    )
+    blocks = per_block.agg(
+        F.sum("__R").cast("long").alias("__T"),
+        F.sum(F.col("__R") * F.col("__R")).cast("long").alias("__R2"),
+    )
+    colsum = cols.agg(
+        F.sum(F.col("__C") * F.col("__C")).cast("long").alias("__C2"),
+    )
+    g = colsum.join(F.broadcast(blocks))
+    td = F.col("__T").cast("double")
+    # K(K-1) [sum C_j^2 - T^2/K] / (K T - sum R_i^2)  — the expanded
+    # equivalent of sum (C_j - T/K)^2 with exact integer C2/R2/T
+    num = F.lit(float(k * (k - 1))) * (
+        F.col("__C2").cast("double") - td * td / F.lit(float(k))
+    )
+    den = F.lit(float(k)) * td - F.col("__R2").cast("double")
+    return g.select(
+        F.lit(n).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        (
+            F.round(F.when(den > 0, num / den), 6) + F.lit(0.0)
+        ).alias("q"),
+    )

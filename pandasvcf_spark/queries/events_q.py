@@ -3948,3 +3948,207 @@ def m_ljung_box(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
     return ljung_box(hourly, "h", "x", max_lag=6)
+
+
+@register(
+    "m_jonckheere",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(hour(ts) // 6 AS DOUBLE) AS g, round(value, 0) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY g, v),
+    p AS (SELECT sum(CASE WHEN a.v < b2.v
+                          THEN CAST(a.n * b2.n AS DOUBLE)
+                          WHEN a.v = b2.v
+                          THEN CAST(a.n * b2.n AS DOUBLE) / 2.0
+                          ELSE 0.0 END) AS J
+          FROM c a JOIN c b2 ON b2.g > a.g),
+    pg AS (SELECT g, sum(n) AS nk FROM c GROUP BY g),
+    t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 sum(nk * nk) AS sq,
+                 sum(nk * nk * (2 * nk + 3)) AS sq3 FROM pg)
+    SELECT n, k, round(J, 4) + 0.0 AS j_stat,
+           round(CASE WHEN ((CAST(n AS DOUBLE) * n * (2.0 * n + 3.0)
+                             - sq3) / 72.0) > 0
+                 THEN (J - (CAST(n AS DOUBLE) * n - sq) / 4.0)
+                      / sqrt((CAST(n AS DOUBLE) * n * (2.0 * n + 3.0)
+                              - sq3) / 72.0) END, 6) + 0.0 AS z
+    FROM p, t
+    """,
+)
+def m_jonckheere(spark, sf_dir):
+    """Jonckheere-Terpstra ordered trend (operators/stats.
+    jonckheere_terpstra): does event value shift monotonically across
+    the four day quarters? The ordered-alternative power upgrade over
+    m_kruskal_wallis (which ignores group order). Values pre-bucket
+    to integers; J comes from the broadcast cell-grid over ordered
+    group pairs (the kendall_tau_b device — |cells|^2, never rows^2).
+    The oracle replays the grid, tie halves and the z fold."""
+    from pandasvcf_spark.operators.stats import jonckheere_terpstra
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.floor(F.hour("ts") / 6).cast("double").alias("g"),
+        F.round(F.col("value"), 0).alias("v"),
+    )
+    return jonckheere_terpstra(d, "g", "v")
+
+
+@register(
+    "m_cliffs_delta",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    c AS (SELECT f, v, CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY f, v),
+    g AS (SELECT
+        CAST(sum(CASE WHEN c1.v > c0.v THEN c1.n * c0.n ELSE 0 END)
+             AS BIGINT) AS gt,
+        CAST(sum(CASE WHEN c1.v < c0.v THEN c1.n * c0.n ELSE 0 END)
+             AS BIGINT) AS lt
+      FROM (SELECT v, n FROM c WHERE f = 1) c1,
+           (SELECT v, n FROM c WHERE f = 0) c0),
+    t AS (SELECT CAST(sum(CASE WHEN f = 0 THEN n END) AS BIGINT)
+                   AS n0,
+                 CAST(sum(CASE WHEN f = 1 THEN n END) AS BIGINT)
+                   AS n1 FROM c)
+    SELECT n0, n1,
+           round(CASE WHEN n0 > 0 AND n1 > 0
+                 THEN (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+                 END, 6) + 0.0 AS delta
+    FROM g, t
+    """,
+)
+def m_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size (operators/stats.cliffs_delta) of
+    user parity on event value — the magnitude companion the
+    mann_whitney z cannot give (z grows with n; delta is the
+    dominance probability difference, in [-1, 1]). Same cell-grid
+    device as m_kendall_tau; ~0 expected on parity-blind data.
+    Integer dominance counts make delta exact rational arithmetic;
+    the oracle replays the grid and the ratio."""
+    from pandasvcf_spark.operators.stats import cliffs_delta
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round(F.col("value"), 0).alias("v"),
+    )
+    return cliffs_delta(d, "f", "v")
+
+
+@register(
+    "m_bartlett",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS g,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)
+               AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    per AS (SELECT g, CAST(count(*) AS DOUBLE) AS nk, sum(v) AS s,
+                   sum(v * v) AS q FROM b GROUP BY g),
+    u AS (SELECT nk, (q - s * s / nk) / (nk - 1.0) AS vk FROM per),
+    f AS (SELECT
+        sum(CASE WHEN nk >= 2 AND vk > 0 THEN nk END) AS N,
+        CAST(count(CASE WHEN nk >= 2 AND vk > 0 THEN 1 END)
+             AS BIGINT) AS k,
+        sum(CASE WHEN nk >= 2 AND vk > 0
+            THEN (nk - 1.0) * vk END) AS sw,
+        sum(CASE WHEN nk >= 2 AND vk > 0
+            THEN (nk - 1.0) * ln(vk) END) AS slog,
+        sum(CASE WHEN nk >= 2 AND vk > 0
+            THEN 1.0 / (nk - 1.0) END) AS sinv
+      FROM u)
+    SELECT CAST(coalesce(N, 0.0) AS BIGINT) AS n, k,
+           round(CASE WHEN k >= 2 AND (N - k) > 0
+                       AND (sw / (N - k)) > 0
+                 THEN ((N - k) * ln(sw / (N - k)) - slog)
+                      / (1.0 + (sinv - 1.0 / (N - k))
+                         / (3.0 * (k - 1.0))) END, 6) + 0.0 AS stat
+    FROM f
+    """,
+)
+def m_bartlett(spark, sf_dir):
+    """Bartlett's variance-homogeneity test (operators/stats.
+    bartlett_test) across the five event types' spend (integer cents
+    — exact moments; the mean enters once as a final ratio) — the
+    parametric sharp-tooth beside m_brown_forsythe's robust version,
+    and the assumption check classic ANOVA (m_anova) leans on. One
+    group-keyed 3-moment agg + a 1-row fold; engine ln parity holds
+    at 6dp (the m_js_divergence precedent). The oracle replays
+    moments, logs and the correction term."""
+    from pandasvcf_spark.operators.stats import bartlett_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("double")
+        .alias("v"),
+    )
+    return bartlett_test(d, "g", "v")
+
+
+@register(
+    "m_cochrans_q",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(user_id % 12 AS INTEGER) AS blk,
+             CAST(hour(ts) // 6 AS INTEGER) AS qd,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    cells AS (SELECT blk, qd, max(e) AS o FROM base GROUP BY blk, qd),
+    pb AS (SELECT blk, CAST(sum(o) AS BIGINT) AS R
+           FROM cells GROUP BY blk),
+    t AS (SELECT CAST(sum(R) AS BIGINT) AS T, sum(R * R) AS R2,
+                 CAST(count(*) AS BIGINT) AS nb FROM pb),
+    ct AS (SELECT qd, CAST(sum(o) AS BIGINT) AS C
+           FROM cells GROUP BY qd),
+    c2 AS (SELECT sum(C * C) AS C2 FROM ct)
+    SELECT nb AS n_blocks, CAST(4 AS BIGINT) AS k,
+           round(CASE WHEN (4.0 * CAST(T AS DOUBLE)
+                            - CAST(R2 AS DOUBLE)) > 0
+                 THEN 12.0 * (CAST(C2 AS DOUBLE)
+                              - CAST(T AS DOUBLE) * T / 4.0)
+                      / (4.0 * CAST(T AS DOUBLE) - R2)
+                 END, 6) + 0.0 AS q
+    FROM t, c2
+    """,
+)
+def m_cochrans_q(spark, sf_dir):
+    """Cochran's Q (operators/stats.cochrans_q): do the four day
+    quarters differ in whether a user cohort hits an 'error'? Blocks
+    = user_id%%12, treatments = day quarter, outcome = any-error
+    indicator per (block, quarter) cell — the binary-outcome sibling
+    of m_friedman and the K-treatment McNemar. Counts only (exact
+    integers into one final ratio); block completeness validated with
+    a 1-row check. The oracle replays cells, totals and the expanded
+    Q identity."""
+    from pandasvcf_spark.operators.stats import cochrans_q
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    cells = e.groupBy(
+        (F.col("user_id") % 12).cast("int").alias("blk"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("qd"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("o")
+    )
+    return cochrans_q(cells, "blk", "qd", "o")

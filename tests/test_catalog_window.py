@@ -804,6 +804,14 @@ def test_tail_entries_are_redundant_variants_only():
         "t_repeated_spans",      # winnowing fingerprints: hash-family
                                  # stays via dedup_minhash_lsh +
                                  # t_paragraph_dedup (round-9 re-cut)
+        "m_jonckheere",          # ordered-trend J: cell-grid over
+                                 # ordered group pairs
+        "m_cliffs_delta",        # dominance effect size: the same
+                                 # cell-grid, exact rational delta
+        "m_bartlett",            # variance homogeneity: 3-moment
+                                 # group agg + ln fold
+        "m_cochrans_q",          # K related binary treatments:
+                                 # counts-only integer folds
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

@@ -1795,3 +1795,119 @@ def test_ljung_box_reference_and_white_noise(spark):
         spark.createDataFrame(periodic, "t int, v int"), "t", "v"
     ).collect()[0]["q"]
     assert qp > 10 * qn
+
+
+def test_jonckheere_reference_and_trend_direction(spark):
+    """Exact agreement with the pairwise definition (tie halves
+    included); a monotone-increasing arrangement gives positive z, its
+    reversal the negated z (J is antisymmetric around mu)."""
+    import itertools
+    import math
+
+    from pandasvcf_spark.operators.stats import jonckheere_terpstra
+
+    groups = {0: [1, 2, 2, 3], 1: [2, 3, 4, 4, 5], 2: [3, 5, 6, 6]}
+    J = 0.0
+    for i, j in itertools.combinations(sorted(groups), 2):
+        for x in groups[i]:
+            for y in groups[j]:
+                J += 1.0 if x < y else (0.5 if x == y else 0.0)
+    N = sum(len(g) for g in groups.values())
+    sq = sum(len(g) ** 2 for g in groups.values())
+    sq3 = sum(len(g) ** 2 * (2 * len(g) + 3) for g in groups.values())
+    mu = (N * N - sq) / 4
+    var = (N * N * (2 * N + 3) - sq3) / 72
+    df = spark.createDataFrame(
+        [(k, v) for k, g in groups.items() for v in g], "g int, v int"
+    )
+    got = jonckheere_terpstra(df, "g", "v").collect()[0]
+    assert got["j_stat"] == round(J, 4)
+    assert got["z"] == round((J - mu) / math.sqrt(var), 6)
+    rev = spark.createDataFrame(
+        [(-k, v) for k, g in groups.items() for v in g], "g int, v int"
+    )
+    assert jonckheere_terpstra(rev, "g", "v").collect()[0]["z"] == -got["z"]
+
+
+def test_cliffs_delta_reference_and_poles(spark):
+    from pandasvcf_spark.operators.stats import cliffs_delta
+
+    x0, x1 = [1, 2, 2, 4, 5], [3, 3, 5, 6]
+    gt = sum(1 for a in x1 for b in x0 if a > b)
+    lt = sum(1 for a in x1 for b in x0 if a < b)
+    rows = [(0, v) for v in x0] + [(1, v) for v in x1]
+    df = spark.createDataFrame(rows, "f int, v int")
+    got = cliffs_delta(df, "f", "v").collect()[0]
+    assert got["delta"] == round((gt - lt) / (len(x1) * len(x0)), 6)
+    sep = spark.createDataFrame(
+        [(0, v) for v in (1, 2)] + [(1, v) for v in (9, 10)],
+        "f int, v int",
+    )
+    assert cliffs_delta(sep, "f", "v").collect()[0]["delta"] == 1.0
+
+
+def test_bartlett_reference_and_zero_variance_drop(spark):
+    import math
+
+    from pandasvcf_spark.operators.stats import bartlett_test
+
+    groups = {0: [1, 2, 3, 4, 9], 1: [2, 2, 3, 3, 4, 4], 2: [1, 5, 9, 13]}
+    N = sum(len(g) for g in groups.values())
+    K = len(groups)
+    sw = slog = sinv = 0.0
+    for g in groups.values():
+        n = len(g)
+        m = sum(g) / n
+        s2 = sum((v - m) ** 2 for v in g) / (n - 1)
+        sw += (n - 1) * s2
+        slog += (n - 1) * math.log(s2)
+        sinv += 1 / (n - 1)
+    sp2 = sw / (N - K)
+    ref = ((N - K) * math.log(sp2) - slog) / (
+        1 + (sinv - 1 / (N - K)) / (3 * (K - 1))
+    )
+    rows = [(k, v) for k, g in groups.items() for v in g]
+    df = spark.createDataFrame(rows, "g int, v int")
+    got = bartlett_test(df, "g", "v").collect()[0]
+    assert got["stat"] == round(ref, 6)
+    assert (got["n"], got["k"]) == (N, K)
+    # a constant group drops from the fold (ln(0) undefined), and the
+    # remaining two groups still test
+    rows += [(9, 7), (9, 7), (9, 7)]
+    got2 = bartlett_test(
+        spark.createDataFrame(rows, "g int, v int"), "g", "v"
+    ).collect()[0]
+    assert got2["k"] == K and got2["n"] == N
+
+
+def test_cochrans_q_reference_and_validation(spark):
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import cochrans_q
+
+    blocks = [
+        {"a": 1, "b": 1, "c": 0}, {"a": 1, "b": 0, "c": 0},
+        {"a": 0, "b": 1, "c": 0}, {"a": 1, "b": 1, "c": 1},
+        {"a": 1, "b": 0, "c": 0}, {"a": 0, "b": 0, "c": 0},
+        {"a": 1, "b": 1, "c": 0}, {"a": 1, "b": 1, "c": 0},
+    ]
+    K, nb = 3, len(blocks)
+    C: dict = {}
+    R = []
+    for b in blocks:
+        for t, v in b.items():
+            C[t] = C.get(t, 0) + v
+        R.append(sum(b.values()))
+    T = sum(R)
+    num = K * (K - 1) * (sum(c * c for c in C.values()) - T * T / K)
+    den = K * T - sum(r * r for r in R)
+    rows = [(i, t, v) for i, b in enumerate(blocks) for t, v in b.items()]
+    df = spark.createDataFrame(rows, "b int, k string, o int")
+    got = cochrans_q(df, "b", "k", "o").collect()[0]
+    assert got["q"] == round(num / den, 6)
+    assert (got["n_blocks"], got["k"]) == (nb, K)
+    bad = spark.createDataFrame(
+        rows + [(99, "a", 1)], "b int, k string, o int"
+    )
+    with _pytest.raises(ValueError, match="exactly one outcome"):
+        cochrans_q(bad, "b", "k", "o")
