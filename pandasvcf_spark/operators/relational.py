@@ -3506,3 +3506,123 @@ def longest_streaks(
         .cast("long")
         .alias("longest_streak"),
     )
+
+
+def ohlc_candles(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """OHLC candle aggregation — the time-series rollup every metrics /
+    market pipeline ships: per (group, time bucket), the opening,
+    highest, lowest and closing value plus row count and volume sum.
+
+    Open/close need a TOTAL order inside the bucket: ties on the raw
+    timestamp break by VALUE (the repo's total-order rule for top-k),
+    so open = value at min (ts, value) — earliest observation, lowest
+    value on a timestamp collision — deterministically on both
+    engines. `time_col` must be an epoch-second BIGINT (pre-convert
+    timestamps — the registry's no-raw-timestamps rule).
+
+    Output: (*group_cols, bucket_start BIGINT, n BIGINT, open, high,
+    low, close DOUBLE, volume DOUBLE round 4), bucket-ascending.
+
+    Plan: ONE partial-aggregated groupBy — open/close are min/max over
+    (ts, value) STRUCTS (Spark orders structs lexicographically, so
+    the extremes carry their value along; no window, no second pass).
+    """
+    ts = F.col(time_col).cast("long")
+    v = F.col(value_col).cast("double")
+    base = df.filter(ts.isNotNull() & v.isNotNull()).select(
+        *group_cols,
+        (F.floor(ts / bucket_seconds) * bucket_seconds).alias(
+            "bucket_start"
+        ),
+        ts.alias("__t"),
+        v.alias("__v"),
+    )
+    pair = F.struct(F.col("__t"), F.col("__v"))
+    g = base.groupBy(*group_cols, "bucket_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(pair).alias("__first"),
+        F.max(pair).alias("__last"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.round(F.sum("__v"), 4).alias("volume"),
+    )
+    return g.select(
+        *group_cols,
+        "bucket_start",
+        "n",
+        F.col("__first.__v").alias("open"),
+        "high",
+        "low",
+        F.col("__last.__v").alias("close"),
+        "volume",
+    ).orderBy(*group_cols, "bucket_start")
+
+
+def twap(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average — the irregular-sampling mean a plain AVG
+    gets wrong (a value held for an hour must weigh 60x one held for a
+    minute): each observation weighs its holding interval to the NEXT
+    observation; the last observation carries no forward interval and
+    drops from the weighting (the standard last-tick convention).
+
+        twap = sum v_t (t_next - t) / (t_max - t_min)
+
+    Ordering ties on the timestamp break by VALUE (total-order rule:
+    zero-length intervals make permutations of a timestamp collision
+    sum identically once the order is fixed). `time_col` must be an
+    epoch-second BIGINT.
+
+    Output: (*group_cols, n BIGINT, span_sec BIGINT, twap DOUBLE
+    round 6); NULL twap when the group has < 2 observations or zero
+    span.
+
+    Plan: one group-partitioned lead window + one agg on the same
+    exchange (the durbin_watson shape).
+    """
+    ts = F.col(time_col).cast("long")
+    v = F.col(value_col).cast("double")
+    base = df.filter(ts.isNotNull() & v.isNotNull()).select(
+        *group_cols, ts.alias("__t"), v.alias("__v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__t", "__v")
+    d = base.select(
+        *group_cols,
+        "__t",
+        "__v",
+        (F.lead("__t", 1).over(w) - F.col("__t")).alias("__dt"),
+    )
+    g = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("__t") - F.min("__t")).cast("long").alias("span_sec"),
+        F.sum(
+            F.col("__v") * F.col("__dt").cast("double")
+        ).alias("__wsum"),
+    )
+    ok = (F.col("n") >= 2) & (F.col("span_sec") > 0)
+    return g.select(
+        *group_cols,
+        "n",
+        "span_sec",
+        (
+            F.round(
+                F.when(
+                    ok,
+                    F.col("__wsum")
+                    / F.col("span_sec").cast("double"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("twap"),
+    )

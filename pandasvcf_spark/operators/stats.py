@@ -4284,3 +4284,175 @@ def cochrans_q(
             F.round(F.when(den > 0, num / den), 6) + F.lit(0.0)
         ).alias("q"),
     )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test — do the K groups share a median? The
+    crudest-but-most-robust K-sample location test (only counts
+    above/at-or-below the POOLED median, so it survives wild outliers
+    that bend kruskal_wallis's ranks):
+
+        chi2 = sum over K x 2 cells (O - E)^2 / E
+
+    with the pooled median the repo's exact type-1 quantile (the
+    `exact_quantiles` bucket-walk — no global sort, documented
+    model-size collects) and E from the margins. Groups and cells
+    with E = 0 make chi2 NULL (degenerate margin).
+
+    Output: ONE row (n BIGINT, k BIGINT, median DOUBLE, chi2 DOUBLE
+    round 6).
+
+    Plan: the exact_quantiles device for the median + one group-keyed
+    2-counter agg + a 1-row fold.
+    """
+    from pandasvcf_spark.operators.relational import exact_quantiles
+
+    vc = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(group_col).isNotNull() & vc.isNotNull()
+    ).select(F.col(group_col).alias("__g"), vc.alias("__v"))
+    med_rows = exact_quantiles(base, "__v", [0.5]).collect()
+    med = float(med_rows[0]["value"])
+    cells = base.groupBy("__g").agg(
+        F.sum((F.col("__v") > F.lit(med)).cast("long")).alias("__a"),
+        F.sum((F.col("__v") <= F.lit(med)).cast("long")).alias("__b"),
+    )
+    tot = cells.agg(
+        F.sum("__a").alias("__ta"), F.sum("__b").alias("__tb")
+    )
+    j = cells.join(F.broadcast(tot))
+    nd = (F.col("__ta") + F.col("__tb")).cast("double")
+    rowt = (F.col("__a") + F.col("__b")).cast("double")
+    ea = rowt * F.col("__ta").cast("double") / nd
+    eb = rowt * F.col("__tb").cast("double") / nd
+    term = F.when(
+        (ea > 0) & (eb > 0),
+        (F.col("__a").cast("double") - ea)
+        * (F.col("__a").cast("double") - ea)
+        / ea
+        + (F.col("__b").cast("double") - eb)
+        * (F.col("__b").cast("double") - eb)
+        / eb,
+    )
+    g = j.agg(
+        F.sum(F.col("__a") + F.col("__b")).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.count(F.when(term.isNull(), 1)).alias("__bad"),
+        F.sum(term).alias("__chi2"),
+    )
+    return g.select(
+        "n",
+        "k",
+        F.lit(med).alias("median"),
+        (
+            F.round(
+                F.when(
+                    (F.col("__bad") == 0) & (F.col("k") >= 2),
+                    F.col("__chi2"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chi2"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L trend test (Page 1963) — the ORDERED-treatment upgrade
+    of `friedman_test` (as jonckheere_terpstra is to kruskal_wallis):
+    within-block mid-ranks, but weighted by the treatment ORDER, so a
+    monotone dose response scores where Friedman only sees "some
+    difference":
+
+        L  = sum_j j * R_j        (j = 1..K by ascending treat order)
+        mu = n K (K+1)^2 / 4
+        var = n K^2 (K+1) (K^2 - 1) / 144
+        z  = (L - mu) / sqrt(var)   (classic no-tie moments — documented
+                                     approximation under mid-rank ties)
+
+    `treat_col` must be numerically ordered; block completeness is
+    validated (the friedman convention). Output: ONE row (n_blocks,
+    k BIGINT, l_stat DOUBLE round 4, z DOUBLE round 6).
+
+    Plan: the friedman_test machinery — within-block rank windows
+    (K rows per partition) + one treat-keyed agg + a 1-row fold.
+    """
+    vc = F.col(value_col).cast("double")
+    tc = F.col(treat_col).cast("double")
+    base = df.filter(
+        F.col(block_col).isNotNull() & tc.isNotNull() & vc.isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        tc.alias("__k"),
+        vc.alias("__v"),
+    )
+    per_block = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.countDistinct("__k").alias("__kd"),
+    )
+    chk = per_block.agg(
+        F.min("__cnt").alias("clo"),
+        F.max("__cnt").alias("chi"),
+        F.min("__kd").alias("klo"),
+        F.max("__kd").alias("khi"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    ).collect()[0]
+    if chk["nb"] == 0:
+        raise ValueError("page_trend_test: empty input")
+    if not (chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"]):
+        raise ValueError(
+            "page_trend_test: blocks must hold exactly one value per "
+            f"treatment (counts {chk['clo']}-{chk['chi']}, distinct "
+            f"treatments {chk['klo']}-{chk['khi']})"
+        )
+    k = int(chk["klo"])
+    if k < 2:
+        raise ValueError("page_trend_test: need >= 2 treatments")
+    n = int(chk["nb"])
+    w_rank = Window.partitionBy("__b").orderBy("__v")
+    w_tie = Window.partitionBy("__b", "__v")
+    w_ord = Window.partitionBy(F.lit(1)).orderBy("__k")
+    ranked = base.select(
+        "__b",
+        "__k",
+        "__v",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+        ).alias("__r"),
+    )
+    rj = ranked.groupBy("__k").agg(F.sum("__r").alias("__R"))
+    # treatment order index 1..K over the K-row treatment table
+    rj = rj.select(
+        "__R", F.dense_rank().over(w_ord).cast("double").alias("__j")
+    )
+    stat = rj.agg(F.sum(F.col("__j") * F.col("__R")).alias("__L"))
+    mu = n * k * (k + 1.0) * (k + 1.0) / 4.0
+    var = n * k * k * (k + 1.0) * (k * k - 1.0) / 144.0
+    import math
+
+    sd = math.sqrt(var)
+    return stat.select(
+        F.lit(n).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        (F.round(F.col("__L"), 4) + F.lit(0.0)).alias("l_stat"),
+        (
+            F.round(
+                F.when(
+                    F.lit(sd > 0),
+                    (F.col("__L") - F.lit(mu)) / F.lit(sd),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )

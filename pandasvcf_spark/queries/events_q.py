@@ -4152,3 +4152,212 @@ def m_cochrans_q(spark, sf_dir):
         ).alias("o")
     )
     return cochrans_q(cells, "blk", "qd", "o")
+
+
+@register(
+    "e_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS et,
+             epoch_us(ts) // 1000000 AS t,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)
+               AS v
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL),
+    k AS (SELECT et, (t // 3600) * 3600 AS bucket_start, t, v FROM b),
+    r AS (SELECT et, bucket_start, v,
+            row_number() OVER (PARTITION BY et, bucket_start
+                               ORDER BY t, v) AS ra,
+            row_number() OVER (PARTITION BY et, bucket_start
+                               ORDER BY t DESC, v DESC) AS rd
+          FROM k)
+    SELECT et, bucket_start, CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN ra = 1 THEN v END) AS open,
+           max(v) AS high, min(v) AS low,
+           max(CASE WHEN rd = 1 THEN v END) AS close,
+           round(sum(v), 4) AS volume
+    FROM r GROUP BY et, bucket_start ORDER BY et, bucket_start
+    """,
+)
+def e_ohlc(spark, sf_dir):
+    """Hourly OHLC candles per event type (operators/relational.
+    ohlc_candles) on integer-cents values — the market/metrics rollup
+    classic. Open/close come from min/max over (ts, value) STRUCTS in
+    ONE partial-aggregated groupBy (struct extremes carry the value
+    along — no window, no second pass); timestamp collisions break by
+    value, the repo's total-order rule, replayed in the oracle as
+    tie-broken row_number picks."""
+    from pandasvcf_spark.operators.relational import ohlc_candles
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("double")
+        .alias("v"),
+    )
+    return ohlc_candles(d, ["et"], "t", "v", bucket_seconds=3600)
+
+
+@register(
+    "e_twap",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS et,
+             epoch_us(ts) // 1000000 AS t,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)
+               AS v
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL),
+    l AS (SELECT et, t, v,
+            lead(t, 1) OVER (PARTITION BY et ORDER BY t, v) - t
+              AS dt
+          FROM b),
+    g AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(t) - min(t) AS BIGINT) AS span_sec,
+                 sum(v * CAST(dt AS DOUBLE)) AS wsum
+          FROM l GROUP BY et)
+    SELECT et, n, span_sec,
+           round(CASE WHEN n >= 2 AND span_sec > 0
+                 THEN wsum / CAST(span_sec AS DOUBLE) END, 6) + 0.0
+             AS twap
+    FROM g ORDER BY et
+    """,
+)
+def e_twap(spark, sf_dir):
+    """Time-weighted average spend per event type (operators/
+    relational.twap) — the irregular-sampling mean a plain AVG gets
+    wrong: each observation weighs its holding interval to the next
+    (last-tick convention), timestamp ties ordered by value (zero-
+    length intervals make the collision order irrelevant once fixed).
+    One group-partitioned lead window + one agg on the same exchange.
+    The oracle replays intervals and the weighted fold."""
+    from pandasvcf_spark.operators.relational import twap
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("double")
+        .alias("v"),
+    )
+    return twap(d, ["et"], "t", "v").orderBy("et")
+
+
+@register(
+    "m_mood_median",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS g, round(value, 0) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    med AS (SELECT quantile_disc(v, 0.5) AS m FROM b),
+    cells AS (SELECT g,
+                CAST(sum(CASE WHEN v > med.m THEN 1 ELSE 0 END)
+                     AS BIGINT) AS a,
+                CAST(sum(CASE WHEN v <= med.m THEN 1 ELSE 0 END)
+                     AS BIGINT) AS bb
+              FROM b, med GROUP BY g),
+    t AS (SELECT sum(a) AS ta, sum(bb) AS tb FROM cells),
+    f AS (SELECT
+        CAST(cells.a + cells.bb AS DOUBLE)
+          * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE) AS ea,
+        CAST(cells.a + cells.bb AS DOUBLE)
+          * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE) AS eb,
+        CAST(a AS DOUBLE) AS a, CAST(bb AS DOUBLE) AS bb
+      FROM cells, t),
+    s AS (SELECT
+        CAST(sum(a + bb) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS k,
+        CAST(count(CASE WHEN ea <= 0 OR eb <= 0 THEN 1 END)
+             AS BIGINT) AS bad,
+        sum(CASE WHEN ea > 0 AND eb > 0
+            THEN (a - ea) * (a - ea) / ea
+                 + (bb - eb) * (bb - eb) / eb END) AS chi2
+      FROM f)
+    SELECT n, k, (SELECT m FROM med) AS median,
+           round(CASE WHEN bad = 0 AND k >= 2 THEN chi2 END, 6)
+           + 0.0 AS chi2
+    FROM s
+    """,
+)
+def m_mood_median(spark, sf_dir):
+    """Mood's median test (operators/stats.mood_median_test) across
+    the five event types — the outlier-proof K-sample location test
+    (only counts above/at-or-below the POOLED median, so wild tails
+    can't bend it the way they bend ranks). The pooled median is the
+    repo's exact type-1 quantile via the exact_quantiles bucket walk
+    (= DuckDB's quantile_disc, the verified convention); then one
+    group-keyed 2-counter agg + a 1-row chi2 fold. Values pre-bucket
+    to integers."""
+    from pandasvcf_spark.operators.stats import mood_median_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value"), 0).alias("v"),
+    )
+    return mood_median_test(d, "g", "v")
+
+
+@register(
+    "m_page_trend",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 5 AS INTEGER) AS blk,
+             CAST(hour(ts) // 6 AS DOUBLE) AS qd,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (SELECT blk, qd, v,
+            rank() OVER (PARTITION BY blk ORDER BY v)
+            + (CAST(count(*) OVER (PARTITION BY blk, v) AS DOUBLE)
+               - 1) / 2.0 AS rr
+          FROM b),
+    rj AS (SELECT qd, sum(rr) AS R FROM r GROUP BY qd),
+    o AS (SELECT R,
+            CAST(dense_rank() OVER (ORDER BY qd) AS DOUBLE) AS j
+          FROM rj),
+    s AS (SELECT sum(j * R) AS L FROM o),
+    nk AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n,
+                  CAST(count(DISTINCT qd) AS BIGINT) AS kk FROM b)
+    SELECT n AS n_blocks, kk AS k,
+           round(L, 4) + 0.0 AS l_stat,
+           round((L - n * kk * (kk + 1.0) * (kk + 1.0) / 4.0)
+                 / sqrt(n * kk * kk * (kk + 1.0)
+                        * (kk * kk - 1.0) / 144.0), 6) + 0.0 AS z
+    FROM s, nk
+    """,
+)
+def m_page_trend(spark, sf_dir):
+    """Page's L trend test (operators/stats.page_trend_test): do the
+    five user cohorts' activity counts rise MONOTONICALLY through the
+    four day quarters? The ordered-treatment upgrade of m_friedman
+    (as m_jonckheere is to m_kruskal_wallis) — within-block mid-ranks
+    weighted by treatment order. Blocks = user_id%%5, treatments =
+    ordered day quarter, values = integer counts (exact rank pins).
+    The oracle replays ranks, the order weighting and the classic
+    moments."""
+    from pandasvcf_spark.operators.stats import page_trend_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.groupBy(
+        (F.col("user_id") % 5).cast("int").alias("blk"),
+        F.floor(F.hour("ts") / 6).cast("double").alias("qd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return page_trend_test(d, "blk", "qd", "v")

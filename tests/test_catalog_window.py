@@ -812,6 +812,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # group agg + ln fold
         "m_cochrans_q",          # K related binary treatments:
                                  # counts-only integer folds
+        "e_ohlc",                # OHLC candles: struct-extreme
+                                 # open/close in ONE group agg
+        "e_twap",                # time-weighted mean: group lead
+                                 # window + same-exchange agg
+        "m_mood_median",         # pooled-median K-sample chi2 on
+                                 # the exact_quantiles median
+        "m_page_trend",          # ordered-treatment L: friedman
+                                 # ranks weighted by dose order
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

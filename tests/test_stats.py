@@ -1911,3 +1911,107 @@ def test_cochrans_q_reference_and_validation(spark):
     )
     with _pytest.raises(ValueError, match="exactly one outcome"):
         cochrans_q(bad, "b", "k", "o")
+
+
+def test_ohlc_struct_tie_break_and_buckets(spark):
+    """Open/close pick the (ts, value)-lexicographic extremes: on a
+    timestamp collision the open is the LOWER value, the close the
+    HIGHER; bucket boundaries split at exact multiples."""
+    from pandasvcf_spark.operators.relational import ohlc_candles
+
+    rows = [
+        (0, 10, 5.0), (0, 20, 3.0), (0, 15, 9.0),
+        (0, 3605, 4.0), (0, 10, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g int, t long, v double")
+    out = {
+        r["bucket_start"]: r
+        for r in ohlc_candles(df, ["g"], "t", "v").collect()
+    }
+    b0 = out[0]
+    assert (b0["open"], b0["close"], b0["high"], b0["low"], b0["n"]) == (
+        2.0, 3.0, 9.0, 2.0, 4,
+    )
+    assert out[3600]["open"] == out[3600]["close"] == 4.0
+    assert out[3600]["n"] == 1
+
+
+def test_twap_interval_weights_and_degenerates(spark):
+    from pandasvcf_spark.operators.relational import twap
+
+    rows = [(0, 0, 10.0), (0, 60, 20.0), (0, 180, 5.0), (1, 7, 3.0)]
+    df = spark.createDataFrame(rows, "g int, t long, v double")
+    out = {r["g"]: r for r in twap(df, ["g"], "t", "v").collect()}
+    # 10 held 60s + 20 held 120s over 180s; the last tick carries no
+    # forward interval
+    assert out[0]["twap"] == round((10 * 60 + 20 * 120) / 180, 6)
+    assert out[0]["span_sec"] == 180
+    assert out[1]["twap"] is None  # single observation
+
+
+def test_mood_median_reference(spark):
+    import math
+
+    from pandasvcf_spark.operators.stats import mood_median_test
+
+    groups = {0: [1, 2, 3, 4, 5], 1: [3, 4, 5, 6, 7, 8], 2: [2, 2, 9]}
+    allv = sorted(v for g in groups.values() for v in g)
+    n = len(allv)
+    med = allv[max(1, math.ceil(n * 0.5)) - 1]
+    ta = sum(1 for g in groups.values() for v in g if v > med)
+    tb = n - ta
+    chi2 = 0.0
+    for g in groups.values():
+        a = sum(1 for v in g if v > med)
+        b = len(g) - a
+        ea, eb = len(g) * ta / n, len(g) * tb / n
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    df = spark.createDataFrame(
+        [(k, v) for k, g in groups.items() for v in g], "g int, v int"
+    )
+    got = mood_median_test(df, "g", "v").collect()[0]
+    assert got["median"] == med
+    assert got["chi2"] == round(chi2, 6)
+    assert (got["n"], got["k"]) == (n, 3)
+
+
+def test_page_trend_reference_and_monotone_signal(spark):
+    """Exact agreement with the ordered-L definition on a tied fixture;
+    a perfectly monotone block set maxes L at n*sum(j*j)."""
+    import math
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import page_trend_test
+
+    blocks = [
+        {1: 3.0, 2: 5.0, 3: 7.0},
+        {1: 2.0, 2: 4.0, 3: 4.0},
+        {1: 1.0, 2: 3.0, 3: 6.0},
+    ]
+    K, nb = 3, 3
+    R = dict.fromkeys((1, 2, 3), 0.0)
+    for b in blocks:
+        cnt = Counter(b.values())
+        ranks, cum = {}, 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            ranks[v] = cum + (t + 1) / 2
+            cum += t
+        for t in (1, 2, 3):
+            R[t] += ranks[b[t]]
+    L = sum(j * R[t] for j, t in enumerate(sorted(R), start=1))
+    mu = nb * K * (K + 1) ** 2 / 4
+    var = nb * K * K * (K + 1) * (K * K - 1) / 144
+    df = spark.createDataFrame(
+        [(i, t, v) for i, b in enumerate(blocks) for t, v in b.items()],
+        "b int, k int, v double",
+    )
+    got = page_trend_test(df, "b", "k", "v").collect()[0]
+    assert got["l_stat"] == round(L, 4)
+    assert got["z"] == round((L - mu) / math.sqrt(var), 6)
+    mono = spark.createDataFrame(
+        [(i, t, float(t)) for i in range(4) for t in (1, 2, 3)],
+        "b int, k int, v double",
+    )
+    got2 = page_trend_test(mono, "b", "k", "v").collect()[0]
+    assert got2["l_stat"] == 4 * (1 + 4 + 9)  # n * sum j*j
