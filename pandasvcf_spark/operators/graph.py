@@ -713,3 +713,92 @@ def powerlaw_alpha(
             6,
         ).alias("alpha"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) — hub and authority
+    scores over a directed graph, the bipartite-flavored companion of
+    `pagerank` (a node can be a great DIRECTORY without being a great
+    DESTINATION; PageRank conflates the two):
+
+        a'(v) = sum_{u->v} h(u)      then L1-normalize
+        h'(u) = sum_{u->v} a'(v)     then L1-normalize
+
+    L1 normalization (not the textbook L2) keeps every round a pure
+    sum/divide — exactly replayable SQL, same fixed-budget showpiece
+    convention as `pagerank`/`kmeans_fit`. Duplicate edges collapse;
+    scores start uniform at 1.0.
+
+    Output: (id, hub DOUBLE round 6, authority DOUBLE round 6) over
+    src ∪ dst. Per round: two edge joins + two partial-aggregated
+    groupBys + two 1-row normalizer broadcasts; edges and the node
+    set checkpoint once, scores per round (the pagerank lineage
+    discipline)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("id", F.lit(1.0).alias("h")).localCheckpoint()
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("id", "a"), "a")
+            .groupBy("b")
+            .agg(F.sum("h").alias("__ar"))
+            .withColumnRenamed("b", "id")
+        )
+        s_a = a_raw.agg(F.sum("__ar").alias("__s"))
+        a = (
+            nodes.join(a_raw, "id", "left")
+            .join(F.broadcast(s_a))
+            .select(
+                "id",
+                F.when(
+                    F.col("__s") > 0,
+                    F.coalesce(F.col("__ar"), F.lit(0.0))
+                    / F.col("__s"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(a.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.sum("auth").alias("__hr"))
+            .withColumnRenamed("a", "id")
+        )
+        s_h = h_raw.agg(F.sum("__hr").alias("__s"))
+        h = (
+            nodes.join(h_raw, "id", "left")
+            .join(F.broadcast(s_h))
+            .select(
+                "id",
+                F.when(
+                    F.col("__s") > 0,
+                    F.coalesce(F.col("__hr"), F.lit(0.0))
+                    / F.col("__s"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return h.join(a, "id").select(
+        "id",
+        (F.round(F.col("h"), 6) + F.lit(0.0)).alias("hub"),
+        (F.round(F.col("auth"), 6) + F.lit(0.0)).alias("authority"),
+    )

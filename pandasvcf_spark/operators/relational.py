@@ -3626,3 +3626,102 @@ def twap(
             + F.lit(0.0)
         ).alias("twap"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 usage; the
+    integral the KM curve carries implicitly) — the average survival
+    time UP TO horizon tau, i.e. the area under the `kaplan_meier`
+    step curve on [0, tau]. The clinically-honest scalar when hazards
+    cross and a single hazard ratio misleads; in product terms: the
+    expected retained lifetime within the first tau periods.
+
+    Same ladder as `kaplan_meier` (per-time counters, cumulative
+    at-risk window, exp(sum ln) product with the d = n zero pin), then
+    one lead() segment fold: RMST = sum S(t_i) * (t_{i+1} - t_i) over
+    the step segments, with the initial [0, t_first) segment at
+    S = 1 and the last segment clipped at tau. A time-0 event orders
+    AFTER the synthetic start row (survival DESC tie-break), so its
+    segment carries the post-event survival.
+
+    Output: ONE row (tau DOUBLE, n BIGINT, n_events BIGINT, rmst
+    DOUBLE round 6).
+    """
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    nn = df.filter(t.isNotNull() & ev.isNotNull())
+    per_t = nn.groupBy(t.alias("t")).agg(
+        F.sum(F.when(ev != 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(ev == 0, 1).otherwise(0)).cast("bigint").alias("c"),
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("__N"))
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    b = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("__N")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev),
+                     F.lit(0)),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    log_term = F.when(F.col("d") < F.col("n_risk"), F.log(1.0 - frac))
+    hit_zero = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(
+        w_cum
+    )
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(w_cum))
+    )
+    ladder = b.filter(
+        (F.col("d") > 0) & (F.col("t") <= F.lit(float(tau)))
+    ).select(
+        "t",
+        surv.alias("__s"),
+        F.col("__N").alias("__n"),
+        F.col("d").alias("__d"),
+    )
+    spark = df.sparkSession
+    init = spark.createDataFrame(
+        [(0.0, 1.0, None, None)],
+        "t double, __s double, __n long, __d long",
+    )
+    rows = init.unionAll(
+        ladder.select(
+            "t", "__s", F.col("__n").cast("long"), F.col("__d")
+        )
+    )
+    w = Window.orderBy(F.col("t").asc(), F.col("__s").desc())
+    seg = rows.select(
+        "__n",
+        "__d",
+        (
+            (
+                F.coalesce(
+                    F.lead("t", 1).over(w), F.lit(float(tau))
+                )
+                - F.col("t")
+            )
+            * F.col("__s")
+        ).alias("__area"),
+    )
+    g = seg.agg(
+        F.max("__n").alias("n"),
+        F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+        F.sum("__area").alias("__rmst"),
+    )
+    return g.select(
+        F.lit(float(tau)).alias("tau"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "n_events",
+        (F.round(F.col("__rmst"), 6) + F.lit(0.0)).alias("rmst"),
+    )

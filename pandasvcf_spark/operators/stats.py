@@ -4456,3 +4456,53 @@ def page_trend_test(
             + F.lit(0.0)
         ).alias("z"),
     )
+
+
+def theil_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Theil inequality indices (Theil 1967) — the entropy-based
+    concentration pair beside `gini_concentration`'s rank-based
+    scalar, and the one that DECOMPOSES additively across subgroups
+    (why economists reach for it):
+
+        T (Theil-T / GE(1)) = (1/n) sum (x/mu) ln(x/mu)
+                            = (sum x ln x)/(n mu) - ln mu
+        L (Theil-L / MLD)   = ln mu - (1/n) sum ln x
+
+    Non-positive values DROP (ln undefined — the standard convention;
+    the dropped count reports so the denominator is never silent).
+
+    Output: (*group_cols, n BIGINT, n_dropped BIGINT, theil_t DOUBLE
+    round 6, theil_l DOUBLE round 6); NULL indices when n = 0.
+
+    Plan: one group-keyed 4-sum partial agg — moment ratios only (the
+    m_anova rounding-stability argument); engine ln parity holds at
+    6dp (the m_js_divergence precedent).
+    """
+    gcols = list(group_cols)
+    vc = F.col(value_col).cast("double")
+    base = df.filter(vc.isNotNull()).select(*gcols, vc.alias("__v"))
+    g = base.groupBy(*gcols).agg(
+        F.sum((F.col("__v") <= 0).cast("long")).alias("n_dropped"),
+        F.count(F.when(F.col("__v") > 0, 1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__v") > 0, F.col("__v"))).alias("__s"),
+        F.sum(
+            F.when(F.col("__v") > 0, F.col("__v") * F.log("__v"))
+        ).alias("__xlx"),
+        F.sum(F.when(F.col("__v") > 0, F.log("__v"))).alias("__lx"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("__s") / nd
+    t = F.col("__xlx") / (nd * mu) - F.log(mu)
+    l_ = F.log(mu) - F.col("__lx") / nd
+    ok = F.col("n") > 0
+    return g.select(
+        *gcols,
+        "n",
+        "n_dropped",
+        (F.round(F.when(ok, t), 6) + F.lit(0.0)).alias("theil_t"),
+        (F.round(F.when(ok, l_), 6) + F.lit(0.0)).alias("theil_l"),
+    )

@@ -4361,3 +4361,74 @@ def m_page_trend(spark, sf_dir):
         F.floor(F.hour("ts") / 6).cast("double").alias("qd"),
     ).agg(F.count(F.lit(1)).cast("long").alias("v"))
     return page_trend_test(d, "blk", "qd", "v")
+
+
+@register(
+    "m_rmst",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS t,
+             CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS ev
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ev <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+      FROM s GROUP BY t),
+    tot AS (SELECT sum(d + c) AS N FROM per_t),
+    risk AS (
+      SELECT t, d, c,
+             N - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t, tot),
+    curve AS (
+      SELECT t, d, n_risk,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS hz,
+             sum(CASE WHEN d < n_risk
+                 THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk
+                                                        AS DOUBLE))
+                 END) OVER w AS lsum
+      FROM risk
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    ladder AS (
+      SELECT t, CASE WHEN hz = 1 THEN 0.0 ELSE exp(lsum) END AS sv, d
+      FROM curve WHERE d > 0 AND t <= CAST(100.0 AS DOUBLE)),
+    rows0 AS (
+      SELECT CAST(0.0 AS DOUBLE) AS t, CAST(1.0 AS DOUBLE) AS sv,
+             CAST(NULL AS BIGINT) AS d
+      UNION ALL SELECT t, sv, d FROM ladder),
+    seg AS (SELECT d,
+              (coalesce(lead(t) OVER (ORDER BY t, sv DESC),
+                        CAST(100.0 AS DOUBLE)) - t) * sv AS area
+            FROM rows0),
+    nn AS (SELECT CAST(N AS BIGINT) AS n FROM tot)
+    SELECT CAST(100.0 AS DOUBLE) AS tau, nn.n,
+           CAST(coalesce(sum(d), 0) AS BIGINT) AS n_events,
+           round(sum(area), 6) + 0.0 AS rmst
+    FROM seg, nn GROUP BY nn.n
+    """,
+)
+def m_rmst(spark, sf_dir):
+    """Restricted mean survival time at tau = 100 (operators/
+    relational.rmst) on the m_kaplan_meier durations — the area under
+    the KM step curve, i.e. the expected retained lifetime within the
+    first 100 periods: the honest scalar when hazards cross and a
+    single ratio misleads. Same per-time ladder as m_kaplan_meier,
+    then one lead() segment fold with the [0, t_first) segment at
+    S = 1 and tau clipping. The oracle extends the KM replay with the
+    identical segment integration."""
+    from pandasvcf_spark.operators.relational import rmst
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("t"),
+        F.when(F.col("event_type") != "error", 1).otherwise(0).alias("ev"),
+    )
+    return rmst(d, "t", "ev", tau=100.0)

@@ -2493,3 +2493,63 @@ def j_skyline(spark, sf_dir):
         & F.col("l_quantity").isNotNull()
     )
     return skyline_2d(li, "l_extendedprice", "l_quantity")
+
+
+@register(
+    "g_hits",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_suppkey AS a,
+                      l_partkey + 10000000 AS b FROM lineitem),
+    nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+    a1r AS (SELECT b AS id, sum(1.0) AS ar FROM e GROUP BY b),
+    a1s AS (SELECT sum(ar) AS s FROM a1r),
+    a1 AS (SELECT n.id,
+             CASE WHEN s > 0 THEN coalesce(ar, 0.0) / s
+                  ELSE 0.0 END AS av
+           FROM nodes n LEFT JOIN a1r ON a1r.id = n.id, a1s),
+    h1r AS (SELECT e.a AS id, sum(a1.av) AS hr
+            FROM e JOIN a1 ON a1.id = e.b GROUP BY e.a),
+    h1s AS (SELECT sum(hr) AS s FROM h1r),
+    h1 AS (SELECT n.id,
+             CASE WHEN s > 0 THEN coalesce(hr, 0.0) / s
+                  ELSE 0.0 END AS hv
+           FROM nodes n LEFT JOIN h1r ON h1r.id = n.id, h1s),
+    a2r AS (SELECT e.b AS id, sum(h1.hv) AS ar
+            FROM e JOIN h1 ON h1.id = e.a GROUP BY e.b),
+    a2s AS (SELECT sum(ar) AS s FROM a2r),
+    a2 AS (SELECT n.id,
+             CASE WHEN s > 0 THEN coalesce(ar, 0.0) / s
+                  ELSE 0.0 END AS av
+           FROM nodes n LEFT JOIN a2r ON a2r.id = n.id, a2s),
+    h2r AS (SELECT e.a AS id, sum(a2.av) AS hr
+            FROM e JOIN a2 ON a2.id = e.b GROUP BY e.a),
+    h2s AS (SELECT sum(hr) AS s FROM h2r),
+    h2 AS (SELECT n.id,
+             CASE WHEN s > 0 THEN coalesce(hr, 0.0) / s
+                  ELSE 0.0 END AS hv
+           FROM nodes n LEFT JOIN h2r ON h2r.id = n.id, h2s)
+    SELECT CAST(h2.id AS BIGINT) AS id,
+           round(h2.hv, 6) + 0.0 AS hub,
+           round(a2.av, 6) + 0.0 AS authority
+    FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY id
+    """,
+)
+def g_hits(spark, sf_dir):
+    """Fixed-budget HITS hubs/authorities (operators/graph.hits, 2
+    rounds, L1-normalized) over the supplier→part link graph — the
+    bipartite-flavored companion of g_pagerank: suppliers are pure
+    hubs, parts pure authorities, so the mutual-reinforcement update
+    is fully exercised with zero mixed-role noise. Per round: two
+    edge joins + two partial-agged groupBys + two 1-row normalizer
+    broadcasts; edges/nodes checkpoint once. The oracle is the
+    UNROLLED definition, one CTE quadruple per round."""
+    from pandasvcf_spark.operators.graph import hits
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 10000000).alias("dst"),
+    )
+    out = hits(li, iters=2)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "hub", "authority"
+    ).orderBy("id")

@@ -3175,3 +3175,46 @@ def t_term_burst(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return term_burstiness(d, min_df=5, top_n=30)
+
+
+@register(
+    "t_theil",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE n_chars IS NOT NULL),
+    g AS (SELECT
+        CAST(sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        CAST(count(CASE WHEN v > 0 THEN 1 END) AS BIGINT) AS n,
+        sum(CASE WHEN v > 0 THEN v END) AS s,
+        sum(CASE WHEN v > 0 THEN v * ln(v) END) AS xlx,
+        sum(CASE WHEN v > 0 THEN ln(v) END) AS lx
+      FROM b)
+    SELECT n, n_dropped,
+           round(CASE WHEN n > 0
+                 THEN xlx / (CAST(n AS DOUBLE)
+                             * (s / CAST(n AS DOUBLE)))
+                      - ln(s / CAST(n AS DOUBLE)) END, 6) + 0.0
+             AS theil_t,
+           round(CASE WHEN n > 0
+                 THEN ln(s / CAST(n AS DOUBLE))
+                      - lx / CAST(n AS DOUBLE) END, 6) + 0.0
+             AS theil_l
+    FROM g
+    """,
+)
+def t_theil(spark, sf_dir):
+    """Theil-T and Theil-L (MLD) inequality of document lengths
+    (operators/stats.theil_index) — the entropy-based concentration
+    pair beside t_gini's rank-based scalar and t_lorenz's curve, and
+    the one that decomposes additively across subgroups. One 4-sum
+    partial agg, moment ratios only; engine ln parity holds at 6dp
+    (the m_js_divergence precedent). The oracle replays the sums and
+    both index folds."""
+    from pandasvcf_spark.operators.stats import theil_index
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    return theil_index(d.select(F.col("n_chars").alias("v")), "v")

@@ -820,6 +820,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # the exact_quantiles median
         "m_page_trend",          # ordered-treatment L: friedman
                                  # ranks weighted by dose order
+        "t_theil",               # entropy inequality pair: one
+                                 # 4-sum agg, ln-parity at 6dp
+        "m_rmst",                # KM area to tau: the km ladder +
+                                 # one lead() segment fold
+        "g_hits",                # fixed-budget hubs/authorities:
+                                 # L1-normalized, unrolled oracle
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

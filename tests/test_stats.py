@@ -2015,3 +2015,68 @@ def test_page_trend_reference_and_monotone_signal(spark):
     )
     got2 = page_trend_test(mono, "b", "k", "v").collect()[0]
     assert got2["l_stat"] == 4 * (1 + 4 + 9)  # n * sum j*j
+
+
+def test_theil_reference_and_equal_distribution(spark):
+    import math
+
+    from pandasvcf_spark.operators.stats import theil_index
+
+    xs = [1, 2, 3, 10, 10, 24]
+    n = len(xs)
+    mu = sum(xs) / n
+    T = sum((x / mu) * math.log(x / mu) for x in xs) / n
+    L = math.log(mu) - sum(math.log(x) for x in xs) / n
+    df = spark.createDataFrame([(x,) for x in xs] + [(0,), (-3,)], "v int")
+    got = theil_index(df, "v").collect()[0]
+    assert got["theil_t"] == round(T, 6)
+    assert got["theil_l"] == round(L, 6)
+    assert (got["n"], got["n_dropped"]) == (6, 2)
+    eq = spark.createDataFrame([(7,)] * 10, "v int")
+    got = theil_index(eq, "v").collect()[0]
+    assert got["theil_t"] == 0.0 and got["theil_l"] == 0.0
+
+
+def test_rmst_hand_curve_and_tau_clip(spark):
+    """Hand-integrated KM curve: censoring shrinks the risk set without
+    an event; tau clips the last segment; tau below the first event
+    gives exactly tau (survival 1 throughout)."""
+    from pandasvcf_spark.operators.relational import rmst
+
+    data = [(2.0, 1), (3.0, 0), (5.0, 1), (5.0, 1), (8.0, 0), (11.0, 1)]
+    df = spark.createDataFrame(data, "t double, ev int")
+    got = rmst(df, "t", "ev", tau=10.0).collect()[0]
+    # S: [0,2)=1, [2,5)=5/6, [5,10)=5/12
+    assert got["rmst"] == round(2 + 3 * (5 / 6) + 5 * (5 / 12), 6)
+    assert (got["n"], got["n_events"]) == (6, 3)
+    early = rmst(df, "t", "ev", tau=1.5).collect()[0]
+    assert early["rmst"] == 1.5 and early["n_events"] == 0
+
+
+def test_hits_reference_and_bipartite_roles(spark):
+    """2-iteration L1-normalized HITS agrees with the pure-Python
+    fold; on a bipartite graph sources are pure hubs (authority 0)
+    and sinks pure authorities (hub 0)."""
+    from pandasvcf_spark.operators.graph import hits
+
+    E = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12)]
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+    h = dict.fromkeys(nodes, 1.0)
+    a: dict = {}
+    for _ in range(2):
+        a = dict.fromkeys(nodes, 0.0)
+        for u, v in E:
+            a[v] += h[u]
+        s = sum(a.values())
+        a = {v: x / s for v, x in a.items()}
+        h2 = dict.fromkeys(nodes, 0.0)
+        for u, v in E:
+            h2[u] += a[v]
+        s = sum(h2.values())
+        h = {v: x / s for v, x in h2.items()}
+    df = spark.createDataFrame(E, "src int, dst int")
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(df).collect()}
+    for v in nodes:
+        assert got[v] == (round(h[v], 6), round(a[v], 6))
+    assert all(got[v][1] == 0.0 for v in (1, 2, 3))
+    assert all(got[v][0] == 0.0 for v in (10, 11, 12))
