@@ -1624,3 +1624,92 @@ def sq8_topk(
             F.round("sq_dist", 6).alias("sq_dist"),
         )
     )
+
+
+def bq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit binary quantization — the extreme end of the compression
+    ladder (float32 → SQ8 4x → PQ 32x → THIS, 64x at dim 64): each
+    dimension keeps only its SIGN (x > 0), the standard binarization
+    for centered embeddings, and the 64 bits pack into two BIGINT
+    words (two 32-bit halves — packing all 64 into one signed BIGINT
+    would need bit 63, and engines disagree on signed overflow, so
+    the split is the portable layout). Hamming distance then costs
+    two XOR + popcount ops per pair — the cheapest possible scan.
+
+    Output: (id, code_lo BIGINT, code_hi BIGINT) — pure column HOF/
+    bit arithmetic, zero Python, zero shuffle, exactly replayable.
+    """
+    x = _dc(vec_col)
+    dim_half = 32
+
+    def word(offset: int):
+        # bit weight 2^i via pow-double→long (exact through 2^31;
+        # shiftleft needs a literal shift count, pow takes the
+        # lambda's index column)
+        return F.aggregate(
+            F.transform(
+                F.slice(x, offset + 1, dim_half),
+                lambda v, i: F.when(
+                    v > 0,
+                    F.pow(F.lit(2.0), i).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + b,
+        )
+
+    return df.select(
+        F.col(id_col),
+        word(0).alias("code_lo"),
+        word(dim_half).alias("code_hi"),
+    )
+
+
+def bq_hamming_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over binary-quantized codes
+    (symmetric binary-to-binary — both sides quantize, unlike the
+    asymmetric SQ8/PQ scoring): dist = popcount(lo XOR lo') +
+    popcount(hi XOR hi'). The coarse-candidate stage of a two-tier
+    retrieval (rerank survivors with sq8_topk/cosine_topk when
+    exactness matters).
+
+    Output: (query_id, vec_id, hamming INT), ascending-is-nearer,
+    ties by vec_id. Plan: the 2-word codes relation broadcast-NL-joins
+    the small query set; distance is two XOR+popcount expressions;
+    shuffle is the per-query top-k window only."""
+    q = query_codes.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col("code_lo").alias("__qlo"),
+        F.col("code_hi").alias("__qhi"),
+    )
+    scored = corpus_codes.join(F.broadcast(q), on=F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col(id_col))
+    dist = (
+        F.bit_count(
+            F.col("code_lo").bitwiseXOR(F.col("__qlo"))
+        )
+        + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("__qhi")))
+    ).cast("int")
+    scored = scored.withColumn("hamming", dist)
+    w = Window.partitionBy("__qid").orderBy("hamming", F.col(id_col))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("hamming"),
+        )
+    )

@@ -2095,3 +2095,62 @@ def v_sq_topk(spark, sf_dir):
     return sq8_topk(codes, qs, lo, hi, k=5).orderBy(
         "query_id", "vec_id"
     )
+
+
+@register(
+    "v_bq_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(1, 32),
+               j -> CASE WHEN v[j] > 0
+                    THEN CAST(pow(2.0, j - 1) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS code_lo,
+             CAST(list_sum(list_transform(generate_series(33, 64),
+               j -> CASE WHEN v[j] > 0
+                    THEN CAST(pow(2.0, j - 33) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS code_hi
+      FROM e),
+    q AS (SELECT vec_id AS query_id, code_lo AS qlo, code_hi AS qhi
+          FROM codes WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(bit_count(xor(c.code_lo, q.qlo))
+                  + bit_count(xor(c.code_hi, q.qhi)) AS INTEGER)
+               AS hamming
+      FROM codes c, q WHERE q.query_id <> c.vec_id)
+    SELECT query_id, vec_id, hamming FROM (
+      SELECT query_id, vec_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, vec_id
+    """,
+)
+def v_bq_topk(spark, sf_dir):
+    """1-bit binary-quantization Hamming top-k (operators/similarity.
+    bq_encode + bq_hamming_topk) — the extreme end of the compression
+    ladder this catalog now carries end to end: float32 (v_cosine) →
+    int8 (v_sq_topk, 4x) → PQ codes (v_pq_topk, 32x) → sign bits
+    (THIS, 64x at dim 64; two XOR+popcount ops per pair). Signs pack
+    into two BIGINT words (portable layout — bit 63 overflow
+    semantics differ across engines); symmetric binary-to-binary
+    scoring; the coarse-candidate tier to rerank with sq8/cosine.
+    The oracle replays packing and popcounts bit-for-bit."""
+    from pandasvcf_spark.operators.similarity import (
+        bq_encode,
+        bq_hamming_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = bq_encode(emb)
+    qs = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "code_lo", "code_hi"
+    )
+    return bq_hamming_topk(codes, qs, k=5).orderBy(
+        "query_id", "vec_id"
+    )

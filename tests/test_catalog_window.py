@@ -826,6 +826,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # one lead() segment fold
         "g_hits",                # fixed-budget hubs/authorities:
                                  # L1-normalized, unrolled oracle
+        "v_bq_topk",             # 1-bit sign quantization: two-word
+                                 # pack + XOR/popcount Hamming scan
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

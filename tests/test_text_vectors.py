@@ -2234,3 +2234,50 @@ def test_sq8_topk_matches_exact_on_separated_points(spark):
         for vi in np.argsort(sq, kind="stable")[:4]:
             want.add((q, int(vi)))
     assert got == want
+
+
+def test_bq_pack_and_hamming_topk_match_numpy(spark):
+    """Sign packing into two BIGINT words matches the bit-by-bit numpy
+    reference, and Hamming top-k equals the exhaustive answer."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import (
+        bq_encode,
+        bq_hamming_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(0, 1, (40, 64)).astype(np.float32)
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = bq_encode(d)
+
+    def pack(v):
+        lo = sum(1 << i for i in range(32) if v[i] > 0)
+        hi = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        return lo, hi
+
+    rows = {r["vec_id"]: (r["code_lo"], r["code_hi"]) for r in codes.collect()}
+    assert all(rows[i] == pack(V[i]) for i in range(40))
+    qs = codes.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "code_lo", "code_hi"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["hamming"]
+        for r in bq_hamming_topk(codes, qs, k=5).collect()
+    }
+
+    def ham(i, j):
+        a, b = pack(V[i]), pack(V[j])
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    for q in range(3):
+        want = {
+            (q, v): h
+            for h, v in sorted(
+                (ham(q, v), v) for v in range(40) if v != q
+            )[:5]
+        }
+        assert {kk: vv for kk, vv in got.items() if kk[0] == q} == want
