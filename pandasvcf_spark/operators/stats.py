@@ -4506,3 +4506,64 @@ def theil_index(
         (F.round(F.when(ok, t), 6) + F.lit(0.0)).alias("theil_t"),
         (F.round(F.when(ok, l_), 6) + F.lit(0.0)).alias("theil_l"),
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    case_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test (Armitage 1955; R's
+    prop.trend.test) — does a BINARY outcome's rate trend linearly
+    with an ordinal score? The 2xK dose-response classic (and the
+    GWAS allelic trend test at genotype dosage scores 0/1/2):
+
+        chi2 = (sum s a - A (sum s n) / N)^2
+               / [ A/N (1 - A/N) (sum s^2 n - (sum s n)^2 / N) ]
+
+    with per-score-level cases a_k, totals n_k, A = sum a, N = sum n.
+    case must be 0/1; score numeric-ordinal. NULL rows drop.
+
+    Output: ONE row (n BIGINT, k BIGINT, chi2 DOUBLE round 6, slope
+    DOUBLE round 6 — the numerator's sign carrier, rate change per
+    score unit); NULL at degenerate margins.
+
+    Plan: one score-keyed 2-counter partial agg + a 1-row fold —
+    exact integer sums into one final rational expression.
+    """
+    sc = F.col(score_col).cast("double")
+    cc = F.col(case_col).cast("int")
+    base = df.filter(sc.isNotNull() & cc.isNotNull()).select(
+        sc.alias("__s"), cc.alias("__c")
+    )
+    cells = base.groupBy("__s").agg(
+        F.sum("__c").cast("long").alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    g = cells.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__a").cast("long").alias("__A"),
+        F.sum(F.col("__s") * F.col("__a")).alias("__sa"),
+        F.sum(F.col("__s") * F.col("__n")).alias("__sn"),
+        F.sum(F.col("__s") * F.col("__s") * F.col("__n")).alias(
+            "__ssn"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    ad = F.col("__A").cast("double")
+    num = F.col("__sa") - ad * F.col("__sn") / nd
+    svar = F.col("__ssn") - F.col("__sn") * F.col("__sn") / nd
+    p = ad / nd
+    den = p * (F.lit(1.0) - p) * svar
+    ok = (F.col("k") >= 2) & (den > 0)
+    return g.select(
+        "n",
+        "k",
+        (F.round(F.when(ok, num * num / den), 6) + F.lit(0.0)).alias(
+            "chi2"
+        ),
+        (F.round(F.when(ok, num / svar), 6) + F.lit(0.0)).alias(
+            "slope"
+        ),
+    )

@@ -4432,3 +4432,63 @@ def m_rmst(spark, sf_dir):
         F.when(F.col("event_type") != "error", 1).otherwise(0).alias("ev"),
     )
     return rmst(d, "t", "ev", tau=100.0)
+
+
+@register(
+    "m_armitage_trend",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(hour(ts) // 6 + 1 AS DOUBLE) AS s,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS c
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (SELECT s, CAST(sum(c) AS BIGINT) AS a,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY s),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(a) AS BIGINT) AS A,
+                 sum(s * a) AS sa, sum(s * n) AS sn,
+                 sum(s * s * n) AS ssn FROM cells)
+    SELECT n, k,
+           round(CASE WHEN k >= 2
+                       AND (CAST(A AS DOUBLE) / n)
+                           * (1.0 - CAST(A AS DOUBLE) / n)
+                           * (ssn - sn * sn / CAST(n AS DOUBLE)) > 0
+                 THEN (sa - CAST(A AS DOUBLE) * sn
+                            / CAST(n AS DOUBLE))
+                      * (sa - CAST(A AS DOUBLE) * sn
+                              / CAST(n AS DOUBLE))
+                      / ((CAST(A AS DOUBLE) / n)
+                         * (1.0 - CAST(A AS DOUBLE) / n)
+                         * (ssn - sn * sn / CAST(n AS DOUBLE)))
+                 END, 6) + 0.0 AS chi2,
+           round(CASE WHEN k >= 2
+                       AND (CAST(A AS DOUBLE) / n)
+                           * (1.0 - CAST(A AS DOUBLE) / n)
+                           * (ssn - sn * sn / CAST(n AS DOUBLE)) > 0
+                 THEN (sa - CAST(A AS DOUBLE) * sn
+                            / CAST(n AS DOUBLE))
+                      / (ssn - sn * sn / CAST(n AS DOUBLE))
+                 END, 6) + 0.0 AS slope
+    FROM g
+    """,
+)
+def m_armitage_trend(spark, sf_dir):
+    """Cochran-Armitage trend test (operators/stats.cochran_armitage;
+    R's prop.trend.test, pinned to its documented 8.2249 golden in
+    tests): does the 'error' rate trend linearly across the four day
+    quarters? The 2xK dose-response classic — and at genotype dosage
+    scores 0/1/2 the GWAS allelic trend test. One score-keyed
+    2-counter agg + a 1-row fold of exact integer sums; the oracle
+    replays the fold operand-for-operand."""
+    from pandasvcf_spark.operators.stats import cochran_armitage
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.floor(F.hour("ts") / 6) + 1).cast("double").alias("s"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("c"),
+    )
+    return cochran_armitage(d, "s", "c")

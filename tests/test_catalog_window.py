@@ -828,6 +828,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # L1-normalized, unrolled oracle
         "v_bq_topk",             # 1-bit sign quantization: two-word
                                  # pack + XOR/popcount Hamming scan
+        "m_armitage_trend",      # 2xK dose-response trend: 2-counter
+                                 # score cells, R-golden-pinned
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

@@ -2080,3 +2080,27 @@ def test_hits_reference_and_bipartite_roles(spark):
         assert got[v] == (round(h[v], 6), round(a[v], 6))
     assert all(got[v][1] == 0.0 for v in (1, 2, 3))
     assert all(got[v][0] == 0.0 for v in (10, 11, 12))
+
+
+def test_cochran_armitage_r_golden_and_direction(spark):
+    """Pinned to R prop.trend.test's documented example (smokers
+    83/90/129/70 of 86/93/136/82 patients, scores 1:4 -> X-squared
+    8.2249); a rate rising with score gives positive slope."""
+    from pandasvcf_spark.operators.stats import cochran_armitage
+
+    rows = []
+    for s, (a, n) in enumerate(
+        zip([83, 90, 129, 70], [86, 93, 136, 82]), start=1
+    ):
+        rows += [(s, 1)] * a + [(s, 0)] * (n - a)
+    df = spark.createDataFrame(rows, "s int, c int")
+    got = cochran_armitage(df, "s", "c").collect()[0]
+    assert abs(got["chi2"] - 8.2249) < 5e-4
+    assert (got["n"], got["k"]) == (397, 4)
+    rising = []
+    for s, rate in ((1, 1), (2, 3), (3, 5)):
+        rising += [(s, 1)] * rate + [(s, 0)] * (10 - rate)
+    got2 = cochran_armitage(
+        spark.createDataFrame(rising, "s int, c int"), "s", "c"
+    ).collect()[0]
+    assert got2["slope"] > 0
