@@ -4512,6 +4512,7 @@ def cochran_armitage(
     df: DataFrame,
     score_col: str,
     case_col: str,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Cochran-Armitage trend test (Armitage 1955; R's
     prop.trend.test) — does a BINARY outcome's rate trend linearly
@@ -4524,23 +4525,28 @@ def cochran_armitage(
     with per-score-level cases a_k, totals n_k, A = sum a, N = sum n.
     case must be 0/1; score numeric-ordinal. NULL rows drop.
 
-    Output: ONE row (n BIGINT, k BIGINT, chi2 DOUBLE round 6, slope
+    Output: one row per group — or ONE row with empty `group_cols` —
+    (*group_cols, n BIGINT, k BIGINT, chi2 DOUBLE round 6, slope
     DOUBLE round 6 — the numerator's sign carrier, rate change per
-    score unit); NULL at degenerate margins.
+    score unit); NULL at degenerate margins. The grouped form is the
+    SCAN shape (one trend test per site/stratum — the GWAS per-variant
+    allelic trend scan).
 
-    Plan: one score-keyed 2-counter partial agg + a 1-row fold —
-    exact integer sums into one final rational expression.
+    Plan: one (group, score)-keyed 2-counter partial agg + one
+    group-keyed fold — exact integer sums into one final rational
+    expression per group.
     """
+    gcols = list(group_cols)
     sc = F.col(score_col).cast("double")
     cc = F.col(case_col).cast("int")
     base = df.filter(sc.isNotNull() & cc.isNotNull()).select(
-        sc.alias("__s"), cc.alias("__c")
+        *gcols, sc.alias("__s"), cc.alias("__c")
     )
-    cells = base.groupBy("__s").agg(
+    cells = base.groupBy(*gcols, "__s").agg(
         F.sum("__c").cast("long").alias("__a"),
         F.count(F.lit(1)).cast("long").alias("__n"),
     )
-    g = cells.agg(
+    g = cells.groupBy(*gcols).agg(
         F.sum("__n").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("__a").cast("long").alias("__A"),
@@ -4558,6 +4564,7 @@ def cochran_armitage(
     den = p * (F.lit(1.0) - p) * svar
     ok = (F.col("k") >= 2) & (den > 0)
     return g.select(
+        *gcols,
         "n",
         "k",
         (F.round(F.when(ok, num * num / den), 6) + F.lit(0.0)).alias(

@@ -1580,3 +1580,72 @@ def g_fst(spark, sf_dir):
         )
     )
     return hudson_fst(d, ["l_orderkey"], "pop", "P1", "P2")
+
+
+@register(
+    "g_gwas_trend",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(l_partkey % 100 AS INTEGER) AS site,
+             CAST((l_linenumber + l_orderkey) % 3 AS DOUBLE) AS s,
+             CAST(l_suppkey % 2 AS INTEGER) AS c
+      FROM lineitem),
+    cells AS (SELECT site, s, CAST(sum(c) AS BIGINT) AS a,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY site, s),
+    g AS (SELECT site, CAST(sum(n) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(a) AS BIGINT) AS A,
+                 sum(s * a) AS sa, sum(s * n) AS sn,
+                 sum(s * s * n) AS ssn
+          FROM cells GROUP BY site),
+    f AS (SELECT site, n, k,
+            round(CASE WHEN k >= 2
+                        AND (CAST(A AS DOUBLE) / n)
+                            * (1.0 - CAST(A AS DOUBLE) / n)
+                            * (ssn - sn * sn / CAST(n AS DOUBLE)) > 0
+                  THEN (sa - CAST(A AS DOUBLE) * sn
+                             / CAST(n AS DOUBLE))
+                       * (sa - CAST(A AS DOUBLE) * sn
+                               / CAST(n AS DOUBLE))
+                       / ((CAST(A AS DOUBLE) / n)
+                          * (1.0 - CAST(A AS DOUBLE) / n)
+                          * (ssn - sn * sn / CAST(n AS DOUBLE)))
+                  END, 6) + 0.0 AS chi2,
+            round(CASE WHEN k >= 2
+                        AND (CAST(A AS DOUBLE) / n)
+                            * (1.0 - CAST(A AS DOUBLE) / n)
+                            * (ssn - sn * sn / CAST(n AS DOUBLE)) > 0
+                  THEN (sa - CAST(A AS DOUBLE) * sn
+                             / CAST(n AS DOUBLE))
+                       / (ssn - sn * sn / CAST(n AS DOUBLE))
+                  END, 6) + 0.0 AS slope
+          FROM g)
+    SELECT site, n, k, chi2, slope FROM f
+    ORDER BY chi2 DESC, site LIMIT 10
+    """,
+)
+def g_gwas_trend(spark, sf_dir):
+    """Per-site Cochran-Armitage allelic trend SCAN (operators/stats.
+    cochran_armitage grouped form) — the GWAS per-variant test: at
+    each of 100 synthetic sites, does case status (sample parity)
+    trend with the 0/1/2 genotype dosage? Top-10 sites by the
+    ROUNDED chi2 with site-id tie-break (the TakeOrdered total-order
+    rule). One (site, dosage)-keyed 2-counter agg + one site-keyed
+    fold — the scan costs two partial-aggregated passes at any panel
+    size. Expected ~null chi2s on this parity-blind synthesis; the
+    entry checks the grouped fold machinery, replayed per-site by
+    the oracle."""
+    from pandasvcf_spark.operators.stats import cochran_armitage
+
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 100).cast("int").alias("site"),
+        ((F.col("l_linenumber") + F.col("l_orderkey")) % 3)
+        .cast("double")
+        .alias("s"),
+        (F.col("l_suppkey") % 2).cast("int").alias("c"),
+    )
+    out = cochran_armitage(li, "s", "c", group_cols=["site"])
+    return out.orderBy(
+        F.col("chi2").desc(), F.col("site").asc()
+    ).limit(10)

@@ -830,6 +830,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # pack + XOR/popcount Hamming scan
         "m_armitage_trend",      # 2xK dose-response trend: 2-counter
                                  # score cells, R-golden-pinned
+        "g_gwas_trend",          # per-site allelic trend scan: the
+                                 # grouped armitage fold, top-10 cut
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

@@ -2104,3 +2104,26 @@ def test_cochran_armitage_r_golden_and_direction(spark):
         spark.createDataFrame(rising, "s int, c int"), "s", "c"
     ).collect()[0]
     assert got2["slope"] > 0
+
+
+def test_cochran_armitage_grouped_matches_single(spark):
+    """The grouped form computes per-group exactly what the single form
+    computes on each group's slice."""
+    from pandasvcf_spark.operators.stats import cochran_armitage
+
+    rows = []
+    for g in (0, 1):
+        for s, rate in ((1, 1 + g), (2, 3), (3, 5 - g)):
+            rows += [(g, s, 1)] * rate + [(g, s, 0)] * (10 - rate)
+    df = spark.createDataFrame(rows, "g int, s int, c int")
+    grouped = {
+        r["g"]: (r["chi2"], r["slope"], r["n"], r["k"])
+        for r in cochran_armitage(df, "s", "c", ["g"]).collect()
+    }
+    for g in (0, 1):
+        single = cochran_armitage(
+            df.filter(F.col("g") == g), "s", "c"
+        ).collect()[0]
+        assert grouped[g] == (
+            single["chi2"], single["slope"], single["n"], single["k"]
+        )
