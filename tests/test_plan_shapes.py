@@ -468,3 +468,49 @@ def test_skyline_single_window_no_dominance_join(spark):
     # the sweep formulation: no self-join, exactly one Window node
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_bucketed_row_number_equals_global_window(spark):
+    """The histogram-offset device must be BIT-IDENTICAL to the global
+    window row_number on (key, tiebreak) — including heavy ties, a
+    constant-key fallback, and NULL-key rejection."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import bucketed_row_number
+
+    d = spark.range(5000).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 2654435761) % 97).cast("double").alias("k"),
+    )
+    got = {
+        r["rid"]: r["rn"]
+        for r in bucketed_row_number(d, "k", ["rid"], "rn").collect()
+    }
+    from pyspark.sql import Window as W
+
+    want = {
+        r["rid"]: r["rn"]
+        for r in d.withColumn(
+            "rn",
+            F.row_number()
+            .over(W.orderBy(F.col("k").asc(), F.col("rid").asc()))
+            .cast("long"),
+        ).collect()
+    }
+    assert got == want
+    # the rank window must be bucket-partitioned (never one task)
+    plan = bucketed_row_number(d, "k", ["rid"], "rn")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "windowspecdefinition(__bk" in plan
+    # constant key: falls back to the plain window, still exact
+    c = spark.range(50).select(
+        F.col("id").alias("rid"), F.lit(3.0).alias("k")
+    )
+    rows = bucketed_row_number(c, "k", ["rid"], "rn").collect()
+    assert sorted(r["rn"] for r in rows) == list(range(1, 51))
+    # NULL keys raise, never silently mis-rank
+    n = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "rid int, k double"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        bucketed_row_number(n, "k", ["rid"], "rn")
