@@ -312,3 +312,49 @@ def run_stream_to_memory(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def ohlc_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+    event_time: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Windowed OHLC candles per event_type — the streaming twin of
+    `operators/relational.ohlc_candles` (same struct-extreme device:
+    open/close are min/max over (epoch-second, value) structs, so the
+    whole candle is ONE incremental aggregation state per open window
+    — no ordered buffer, no per-window sort at close). Batch: the same
+    grouped aggregate. Output: win_start STRING, event_type, n BIGINT,
+    open, high, low, close DOUBLE, volume DOUBLE round 2."""
+    df = _maybe_watermark(events, event_time, watermark)
+    v = F.col(value_col).cast("double")
+    pair = F.struct(
+        F.unix_timestamp(F.col(event_time)).cast("long").alias("__t"),
+        v.alias("__v"),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(F.window(event_time, window).alias("__w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(pair).alias("__first"),
+            F.max(pair).alias("__last"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.round(F.sum(v), 2).alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("__w").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            F.col("__first.__v").alias("open"),
+            "high",
+            "low",
+            F.col("__last.__v").alias("close"),
+            "volume",
+        )
+    )

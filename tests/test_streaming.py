@@ -579,3 +579,46 @@ def test_drift_ingest_stream_js_and_replay(spark, tmp_path):
         r["cat"]: r["n"] for r in read_drift_cells(spark, cells).collect()
     }
     assert again == merged, "replayed batch double-counted"
+
+
+def test_ohlc_stream_equals_batch(spark, batch_events, events_dir):
+    """Streaming OHLC candles (struct-extreme open/close as ONE
+    incremental aggregation state) ≡ the batch grouped aggregate over
+    the same files — and both agree with relational.ohlc_candles on
+    the epoch-second equivalent input."""
+    from pandasvcf_spark.streaming.events import ohlc_stream
+
+    stream = read_events_stream(spark, events_dir, schema=batch_events.schema)
+    got = run_stream_to_memory(
+        ohlc_stream(stream), "t_ohlc", output_mode="complete"
+    )
+    want = ohlc_stream(batch_events)
+    assert _sorted(got) == _sorted(want)
+    assert len(want.collect()) > 0
+    # cross-check open/close against the batch operator on one window
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.relational import ohlc_candles
+
+    d = batch_events.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("et"),
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.col("value").cast("double").alias("v"),
+    )
+    op = ohlc_candles(d, ["et"], "t", "v", bucket_seconds=3600)
+    one = want.orderBy("win_start", "event_type").first()
+    import datetime as _dt
+
+    epoch = int(
+        _dt.datetime.strptime(
+            one["win_start"], "%Y-%m-%d %H:%M:%S"
+        ).replace(tzinfo=_dt.timezone.utc).timestamp()
+    )
+    ref = op.filter(
+        (F.col("et") == one["event_type"])
+        & (F.col("bucket_start") == epoch)
+    ).first()
+    assert ref is not None
+    assert (ref["open"], ref["close"], ref["n"]) == (
+        one["open"], one["close"], one["n"],
+    )
