@@ -514,3 +514,51 @@ def test_bucketed_row_number_equals_global_window(spark):
     )
     with _pytest.raises(ValueError, match="NULL"):
         bucketed_row_number(n, "k", ["rid"], "rn")
+
+
+def test_ohlc_single_agg_no_window(spark):
+    """The candle is ONE partial-aggregated groupBy — struct extremes
+    carry open/close, so the plan holds no Window node at all."""
+    from pandasvcf_spark.operators.relational import ohlc_candles
+
+    d = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 7).alias("t"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    plan = _plan(ohlc_candles(d, ["g"], "t", "v"))
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_cmh_two_aggregation_exchanges_no_join(spark):
+    """Stratum-keyed 4-counter agg + 1-row fold: no join of data
+    relations, no cartesian."""
+    from pandasvcf_spark.operators.stats import cmh_test
+
+    d = spark.range(2000).select(
+        (F.col("id") % 7).alias("s"),
+        (F.col("id") % 2).cast("int").alias("e"),
+        (F.floor(F.col("id") / 2) % 2).cast("int").alias("o"),
+    )
+    plan = _plan(cmh_test(d, "s", "e", "o"))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kendall_grid_is_broadcast_never_cartesian(spark):
+    """The cell-grid comparison must ride a BroadcastNestedLoopJoin of
+    the aggregated cell table — never a CartesianProduct of rows."""
+    from pandasvcf_spark.operators.stats import kendall_tau_b
+
+    d = spark.range(3000).select(
+        (F.col("id") % 23).alias("x"), (F.col("id") % 17).alias("y")
+    )
+    plan = _plan(kendall_tau_b(d, "x", "y"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the grid inputs are aggregates, not raw rows: the BNLJ appears
+    # ABOVE the cell HashAggregates in the parent-first dump
+    assert plan.index("BroadcastNestedLoopJoin") < plan.index(
+        "HashAggregate"
+    )
