@@ -727,3 +727,55 @@ def l_diversity_report(
                entropy >= F.log(F.lit(float(l)))).otherwise(F.lit(False))
          .alias("entropy_l_ok"),
     )
+
+
+def curriculum_tiers(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_tiers: int = 4,
+) -> DataFrame:
+    """Curriculum ordering for training-data scheduling — cut the corpus
+    into `n_tiers` difficulty tiers at EXACT type-1 quantile edges of
+    the score (the ks_lift_table edge-comparison convention: a tier is
+    a predicate against collected edge literals, never a global rank),
+    and stamp every row a deterministic within-tier shuffle key (the
+    mix32 avalanche of its id), so a downstream sort by (tier,
+    order_key) replays the same easy→hard schedule on any cluster, any
+    partitioning, any round (the epoch_shuffle_key discipline).
+
+    tier = number of edges STRICTLY BELOW the score (0 = easiest /
+    lowest-score tier); heavily tied scores can collapse adjacent
+    tiers (duplicate edges) — populations stay deterministic either
+    way. Edges come from the `exact_quantiles` bucket walk (its
+    documented model-size collects).
+
+    Output: (id, score DOUBLE, tier INT, order_key BIGINT).
+    Plan: after the build-time edge walk, one pure projection — no
+    shuffle, no window, no join."""
+    if n_tiers < 2:
+        raise ValueError("n_tiers must be >= 2")
+    from pandasvcf_spark.functions.text import mix32_expr
+    from pandasvcf_spark.operators.relational import exact_quantiles
+
+    sc = F.col(score_col).cast("double")
+    base = df.filter(
+        F.col(id_col).isNotNull() & sc.isNotNull()
+    ).select(F.col(id_col), sc.alias("__score"))
+    probs = [k / n_tiers for k in range(1, n_tiers)]
+    edges = {
+        r["p"]: r["value"]
+        for r in exact_quantiles(base, "__score", probs).collect()
+    }
+    tier = F.lit(0)
+    for p in probs:
+        tier = tier + (F.col("__score") > F.lit(float(edges[p]))).cast(
+            "int"
+        )
+    h0 = (F.col(id_col).cast("long") % F.lit(4294967296)).cast("long")
+    return base.select(
+        F.col(id_col),
+        F.col("__score").alias("score"),
+        tier.cast("int").alias("tier"),
+        mix32_expr(h0).alias("order_key"),
+    )

@@ -3218,3 +3218,52 @@ def t_theil(spark, sf_dir):
         F.col("n_chars").isNotNull()
     )
     return theil_index(d.select(F.col("n_chars").alias("v")), "v")
+
+
+@register(
+    "t_curriculum",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS score
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+    e AS (SELECT quantile_disc(score, 0.25) AS e1,
+                 quantile_disc(score, 0.5) AS e2,
+                 quantile_disc(score, 0.75) AS e3 FROM b),
+    h AS (SELECT doc_id, score,
+            (CASE WHEN score > e1 THEN 1 ELSE 0 END
+             + CASE WHEN score > e2 THEN 1 ELSE 0 END
+             + CASE WHEN score > e3 THEN 1 ELSE 0 END) AS tier,
+            doc_id % 4294967296 AS h0
+          FROM b, e),
+    m1 AS (SELECT doc_id, score, tier,
+             (xor(h0, h0 // 65536) * 73244475) % 4294967296 AS x
+           FROM h),
+    m2 AS (SELECT doc_id, score, tier,
+             (xor(x, x // 65536) * 73244475) % 4294967296 AS x
+           FROM m1)
+    SELECT doc_id, score, CAST(tier AS INTEGER) AS tier,
+           xor(x, x // 65536) AS order_key
+    FROM m2 ORDER BY doc_id
+    """,
+)
+def t_curriculum(spark, sf_dir):
+    """Curriculum tier assignment (operators/sampling.curriculum_tiers)
+    over document length as the difficulty proxy: four tiers cut at
+    exact type-1 quartile edges (= DuckDB's quantile_disc, the
+    verified convention) + a deterministic mix32 within-tier shuffle
+    key — sort by (tier, order_key) and the easy→hard schedule
+    replays identically on any cluster. After the build-time edge
+    walk the operator is one pure projection. The oracle replays
+    edges, tier predicates and the full mix32 chain bit-for-bit."""
+    from pandasvcf_spark.operators.sampling import curriculum_tiers
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    return curriculum_tiers(
+        d.select("doc_id", F.col("n_chars").alias("s")),
+        "doc_id",
+        "s",
+        n_tiers=4,
+    ).orderBy("doc_id")

@@ -832,6 +832,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # score cells, R-golden-pinned
         "g_gwas_trend",          # per-site allelic trend scan: the
                                  # grouped armitage fold, top-10 cut
+        "t_curriculum",          # curriculum tiers: exact quantile
+                                 # edges + mix32 shuffle key
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }
