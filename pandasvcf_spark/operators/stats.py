@@ -3729,17 +3729,23 @@ def kendall_tau_b(
     pairs = a.join(
         F.broadcast(b), F.col("__xb") > F.col("__xa"), "inner"
     ).agg(
-        F.sum(
-            F.when(
-                F.col("__yb") > F.col("__ya"),
-                F.col("__na") * F.col("__nb"),
-            ).otherwise(F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__yb") > F.col("__ya"),
+                    F.col("__na") * F.col("__nb"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).cast("long").alias("concordant"),
-        F.sum(
-            F.when(
-                F.col("__yb") < F.col("__ya"),
-                F.col("__na") * F.col("__nb"),
-            ).otherwise(F.lit(0))
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__yb") < F.col("__ya"),
+                    F.col("__na") * F.col("__nb"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).cast("long").alias("discordant"),
     )
     tx = cells.groupBy("__x").agg(F.sum("__n").alias("__t")).agg(

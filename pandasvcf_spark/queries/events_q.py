@@ -3742,10 +3742,10 @@ def m_friedman(spark, sf_dir):
     c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
           FROM b GROUP BY x, y),
     p AS (SELECT
-            CAST(sum(CASE WHEN bb.y > aa.y THEN aa.n * bb.n
-                     ELSE 0 END) AS BIGINT) AS concordant,
-            CAST(sum(CASE WHEN bb.y < aa.y THEN aa.n * bb.n
-                     ELSE 0 END) AS BIGINT) AS discordant
+            CAST(coalesce(sum(CASE WHEN bb.y > aa.y THEN aa.n * bb.n
+                     ELSE 0 END), 0) AS BIGINT) AS concordant,
+            CAST(coalesce(sum(CASE WHEN bb.y < aa.y THEN aa.n * bb.n
+                     ELSE 0 END), 0) AS BIGINT) AS discordant
           FROM c aa JOIN c bb ON bb.x > aa.x),
     tx AS (SELECT sum(t * (t - 1)) AS n1x2,
                   CAST(sum(t) AS BIGINT) AS n

@@ -332,3 +332,88 @@ def test_split_multiallelic_matches_model(spark, n_alts, gt_tokens, phased, othe
         for j in range(1, n_alts + 1)
     }
     assert got == want
+
+
+# --- round-9 nonparametric property tests -----------------------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_kendall_tau_b_matches_pair_walk(spark, pairs):
+    """kendall_tau_b == the O(n^2) pair-walk definition on random
+    small-vocab samples (heavy ties by construction)."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import kendall_tau_b
+
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+    n = len(pairs)
+    C = D = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(pairs, 2):
+        s = (x1 - x2) * (y1 - y2)
+        C += s > 0
+        D += s < 0
+    assert (got["concordant"], got["discordant"]) == (C, D)
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in Counter(x for x, _ in pairs).values())
+    n2 = sum(t * (t - 1) / 2 for t in Counter(y for _, y in pairs).values())
+    den = (n0 - n1) * (n0 - n2)
+    if den > 0:
+        assert got["tau_b"] == round((C - D) / math.sqrt(den), 6)
+    else:
+        assert got["tau_b"] is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 8)),
+        min_size=6,
+        max_size=40,
+    ).filter(lambda ps: len({g for g, _ in ps}) >= 2)
+)
+def test_kruskal_wallis_matches_midrank_model(spark, pairs):
+    """kruskal_wallis == the pure-Python mid-rank + tie-correction
+    model on random small-vocab group samples."""
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(pairs, "k int, v int")
+    got = kruskal_wallis(df, [], "k", "v").collect()[0]
+    vals = [v for _, v in pairs]
+    N = len(vals)
+    cnt = Counter(vals)
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = cum + (t + 1) / 2
+        cum += t
+    groups: dict = {}
+    for g, v in pairs:
+        groups.setdefault(g, []).append(v)
+    H = 12 / (N * (N + 1)) * sum(
+        sum(ranks[v] for v in g) ** 2 / len(g) for g in groups.values()
+    ) - 3 * (N + 1)
+    corr = 1 - sum(t**3 - t for t in cnt.values()) / (N**3 - N)
+    if corr > 0 and N >= 2 and len(groups) >= 2:
+        assert got["h"] == round(H / corr, 6)
+    else:
+        assert got["h"] is None
