@@ -4580,3 +4580,117 @@ def cochran_armitage(
             "slope"
         ),
     )
+
+
+def welch_t_test(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Welch's two-sample t test (Welch 1947) — the unequal-variance
+    mean comparison that should be the DEFAULT over Student's t (it
+    costs nothing when variances match and stays honest when they
+    don't); the parametric partner of `mann_whitney_u`:
+
+        t  = (m1 - m0) / sqrt(s1^2/n1 + s0^2/n0)
+        df = (s1^2/n1 + s0^2/n0)^2
+             / [ (s1^2/n1)^2/(n1-1) + (s0^2/n0)^2/(n0-1) ]
+
+    (Welch-Satterthwaite degrees of freedom). flag must be 0/1; NULL
+    rows drop. Output: (*group_cols, n0, n1 BIGINT, mean_diff DOUBLE
+    round 6, t DOUBLE round 6, df DOUBLE round 4); NULL statistics
+    when either side has n < 2 or both variances are 0.
+
+    Plan: one group-keyed 6-sum conditional partial agg — moment
+    ratios only, no second pass.
+    """
+    gcols = list(group_cols)
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        *gcols, fc.alias("__f"), vc.alias("__v")
+    )
+    is1 = F.col("__f") == 1
+    is0 = F.col("__f") == 0
+    g = base.groupBy(*gcols).agg(
+        F.count(F.when(is0, 1)).cast("long").alias("n0"),
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(is0, F.col("__v"))).alias("__s0"),
+        F.sum(F.when(is1, F.col("__v"))).alias("__s1"),
+        F.sum(F.when(is0, F.col("__v") * F.col("__v"))).alias("__q0"),
+        F.sum(F.when(is1, F.col("__v") * F.col("__v"))).alias("__q1"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    m0 = F.col("__s0") / n0d
+    m1 = F.col("__s1") / n1d
+    v0 = (F.col("__q0") - F.col("__s0") * F.col("__s0") / n0d) / (
+        n0d - F.lit(1.0)
+    )
+    v1 = (F.col("__q1") - F.col("__s1") * F.col("__s1") / n1d) / (
+        n1d - F.lit(1.0)
+    )
+    se2 = v1 / n1d + v0 / n0d
+    t = (m1 - m0) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (v1 / n1d) * (v1 / n1d) / (n1d - F.lit(1.0))
+        + (v0 / n0d) * (v0 / n0d) / (n0d - F.lit(1.0))
+    )
+    ok = (F.col("n0") >= 2) & (F.col("n1") >= 2) & (se2 > 0)
+    return g.select(
+        *gcols,
+        "n0",
+        "n1",
+        (F.round(F.when(ok, m1 - m0), 6) + F.lit(0.0)).alias(
+            "mean_diff"
+        ),
+        (F.round(F.when(ok, t), 6) + F.lit(0.0)).alias("t"),
+        (F.round(F.when(ok, dof), 4) + F.lit(0.0)).alias("df"),
+    )
+
+
+def paired_t_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Paired t test — the parametric partner of
+    `wilcoxon_signed_rank` (same design: one difference per unit,
+    is its mean zero?):
+
+        t = mean(d) / (sd(d) / sqrt(n)),   d = x - y,  df = n - 1
+
+    NULL-incomplete pairs drop (both sides required). Output:
+    (*group_cols, n BIGINT, mean_diff DOUBLE round 6, t DOUBLE
+    round 6); NULL statistics when n < 2 or sd = 0.
+
+    Plan: one group-keyed 3-sum partial agg over the differences.
+    """
+    gcols = list(group_cols)
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.filter(xc.isNotNull() & yc.isNotNull()).select(
+        *gcols, (xc - yc).alias("__d")
+    )
+    g = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__d").alias("__s"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__q"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("__s") / nd
+    var = (F.col("__q") - F.col("__s") * F.col("__s") / nd) / (
+        nd - F.lit(1.0)
+    )
+    t = m / F.sqrt(var / nd)
+    ok = (F.col("n") >= 2) & (var > 0)
+    return g.select(
+        *gcols,
+        "n",
+        (F.round(F.when(F.col("n") >= 1, m), 6) + F.lit(0.0)).alias(
+            "mean_diff"
+        ),
+        (F.round(F.when(ok, t), 6) + F.lit(0.0)).alias("t"),
+    )

@@ -4492,3 +4492,112 @@ def m_armitage_trend(spark, sf_dir):
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("c"),
     )
     return cochran_armitage(d, "s", "c")
+
+
+@register(
+    "m_welch_t",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)
+               AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    g AS (SELECT
+        CAST(count(CASE WHEN f = 0 THEN 1 END) AS BIGINT) AS n0,
+        CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS n1,
+        sum(CASE WHEN f = 0 THEN v END) AS s0,
+        sum(CASE WHEN f = 1 THEN v END) AS s1,
+        sum(CASE WHEN f = 0 THEN v * v END) AS q0,
+        sum(CASE WHEN f = 1 THEN v * v END) AS q1
+      FROM b),
+    m AS (SELECT n0, n1,
+            s0 / n0 AS m0, s1 / n1 AS m1,
+            (q0 - s0 * s0 / n0) / (n0 - 1.0) AS v0,
+            (q1 - s1 * s1 / n1) / (n1 - 1.0) AS v1
+          FROM g),
+    f2 AS (SELECT n0, n1, m0, m1, v0, v1,
+             v1 / n1 + v0 / n0 AS se2 FROM m)
+    SELECT n0, n1,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se2 > 0
+                 THEN m1 - m0 END, 6) + 0.0 AS mean_diff,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se2 > 0
+                 THEN (m1 - m0) / sqrt(se2) END, 6) + 0.0 AS t,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se2 > 0
+                 THEN (se2 * se2)
+                      / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                         + (v0 / n0) * (v0 / n0) / (n0 - 1.0))
+                 END, 4) + 0.0 AS df
+    FROM f2
+    """,
+)
+def m_welch_t(spark, sf_dir):
+    """Welch's unequal-variance t test (operators/stats.welch_t_test)
+    of user parity on spend (integer cents — exact moments): the
+    parametric partner of m_mannwhitney, with the Welch-Satterthwaite
+    df that keeps the test honest when variances differ. One 6-sum
+    conditional agg, moment ratios only; ~0 t expected on
+    parity-blind data. The oracle replays moments, the pooled SE and
+    the df fold."""
+    from pandasvcf_spark.operators.stats import welch_t_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("double")
+        .alias("v"),
+    )
+    return welch_t_test(d, "f", "v")
+
+
+@register(
+    "m_paired_t",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS x,
+             sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY user_id),
+    d AS (SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS d
+          FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(d) AS s,
+                 sum(d * d) AS q FROM d)
+    SELECT n,
+           round(CASE WHEN n >= 1 THEN s / n END, 6) + 0.0
+             AS mean_diff,
+           round(CASE WHEN n >= 2
+                       AND ((q - s * s / n) / (n - 1.0)) > 0
+                 THEN (s / n)
+                      / sqrt(((q - s * s / n) / (n - 1.0))
+                             / CAST(n AS DOUBLE)) END, 6) + 0.0 AS t
+    FROM g
+    """,
+)
+def m_paired_t(spark, sf_dir):
+    """Paired t test (operators/stats.paired_t_test) on the
+    m_wilcoxon pairs — per-user view-vs-click integer-cents spend:
+    the parametric partner of the signed-rank test, one 3-sum agg
+    over the differences. Reading the two side by side is the classic
+    robustness check (they disagree exactly when the difference
+    distribution is heavy-tailed). The oracle replays pairs, moments
+    and the t fold."""
+    from pandasvcf_spark.operators.stats import paired_t_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", cents)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", cents)).alias("y"),
+    )
+    return paired_t_test(per, "x", "y")

@@ -834,6 +834,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # grouped armitage fold, top-10 cut
         "t_curriculum",          # curriculum tiers: exact quantile
                                  # edges + mix32 shuffle key
+        "m_welch_t",             # unequal-variance t: one 6-sum
+                                 # conditional agg, Satterthwaite df
+        "m_paired_t",            # paired t on differences: one
+                                 # 3-sum agg, wilcoxon's partner
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

@@ -2127,3 +2127,38 @@ def test_cochran_armitage_grouped_matches_single(spark):
         assert grouped[g] == (
             single["chi2"], single["slope"], single["n"], single["k"]
         )
+
+
+def test_welch_and_paired_t_references(spark):
+    import math
+
+    from pandasvcf_spark.operators.stats import paired_t_test, welch_t_test
+
+    x0 = [3.1, 2.8, 4.0, 3.5, 2.9, 3.3]
+    x1 = [4.2, 4.8, 3.9, 5.1]
+    n0, n1 = len(x0), len(x1)
+    m0, m1 = sum(x0) / n0, sum(x1) / n1
+    v0 = sum((v - m0) ** 2 for v in x0) / (n0 - 1)
+    v1 = sum((v - m1) ** 2 for v in x1) / (n1 - 1)
+    se2 = v1 / n1 + v0 / n0
+    t = (m1 - m0) / math.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v0 / n0) ** 2 / (n0 - 1))
+    df = spark.createDataFrame(
+        [(0, v) for v in x0] + [(1, v) for v in x1], "f int, v double"
+    )
+    got = welch_t_test(df, "f", "v").collect()[0]
+    assert got["t"] == round(t, 6) and got["df"] == round(dof, 4)
+    assert got["mean_diff"] == round(m1 - m0, 6)
+
+    xs = [10.0, 12.5, 9.0, 15.0]
+    ys = [8.0, 12.0, 11.0, 11.5]
+    ds = [a - b for a, b in zip(xs, ys)]
+    n = len(ds)
+    m = sum(ds) / n
+    var = sum((d - m) ** 2 for d in ds) / (n - 1)
+    got = paired_t_test(
+        spark.createDataFrame(list(zip(xs, ys)), "x double, y double"),
+        "x", "y",
+    ).collect()[0]
+    assert got["t"] == round(m / math.sqrt(var / n), 6)
+    assert got["n"] == n
