@@ -1713,3 +1713,55 @@ def bq_hamming_topk(
             F.col("hamming"),
         )
     )
+
+
+def rerank_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-cosine rerank of an ANN candidate set — the SECOND stage
+    every quantized tier implies (bq/sq8/PQ docstrings all say "rerank
+    survivors when exactness matters"; this is that operator):
+    `candidates` is any (query_id, vec_id) pair relation from a coarse
+    tier, and only THOSE vectors get exact scores.
+
+    Output: (query_id, vec_id, cossim DOUBLE), top-k per query,
+    descending, ties by vec_id — the cosine_topk contract.
+
+    Plan: one vec_id-keyed equi-join prices the candidate vectors
+    (queries x k_coarse rows — never the corpus), the query vectors
+    ride a broadcast, then one per-query top-k window over the
+    candidate-sized relation. Composes the ladder end-to-end:
+    bq_hamming_topk(k=50) -> rerank_exact(k=5) scans sign bits and
+    touches 50 raw vectors per query."""
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _dc(vec_col).alias("__qvec")
+    )
+    cand = candidates.select(
+        F.col(query_id_col).alias("__qid"), F.col(id_col)
+    )
+    vecs = corpus.select(F.col(id_col), _dc(vec_col).alias("__vec"))
+    scored = (
+        cand.join(vecs, id_col)
+        .join(F.broadcast(q), "__qid")
+        .withColumn(
+            "cossim", cosine_expr(F.col("__vec"), F.col("__qvec"))
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("cossim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("cossim"),
+        )
+    )

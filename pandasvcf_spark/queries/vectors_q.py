@@ -2154,3 +2154,81 @@ def v_bq_topk(spark, sf_dir):
     return bq_hamming_topk(codes, qs, k=5).orderBy(
         "query_id", "vec_id"
     )
+
+
+@register(
+    "v_two_stage",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    codes AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(1, 32),
+               j -> CASE WHEN v[j] > 0
+                    THEN CAST(pow(2.0, j - 1) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS code_lo,
+             CAST(list_sum(list_transform(generate_series(33, 64),
+               j -> CASE WHEN v[j] > 0
+                    THEN CAST(pow(2.0, j - 33) AS BIGINT)
+                    ELSE 0 END)) AS BIGINT) AS code_hi
+      FROM e),
+    qc AS (SELECT vec_id AS query_id, code_lo AS qlo, code_hi AS qhi
+           FROM codes WHERE vec_id < 10),
+    hs AS (
+      SELECT qc.query_id, c.vec_id,
+             CAST(bit_count(xor(c.code_lo, qc.qlo))
+                  + bit_count(xor(c.code_hi, qc.qhi)) AS INTEGER)
+               AS hamming
+      FROM codes c, qc WHERE qc.query_id <> c.vec_id),
+    cand AS (SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, vec_id) AS rn
+      FROM hs) WHERE rn <= 50),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             {{COS}} AS cos
+      FROM cand
+      JOIN embeddings emb ON emb.vec_id = cand.vec_id
+      JOIN qv ON qv.query_id = cand.query_id)
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 5 ORDER BY query_id, vec_id
+    """.replace("{COS}", _sql_cos("emb.embedding", "qv.qe")),
+)
+def v_two_stage(spark, sf_dir):
+    """Two-stage retrieval composing the quantization ladder end to
+    end (operators/similarity.bq_hamming_topk -> rerank_exact): stage
+    one scans SIGN BITS only (two XOR+popcount ops per pair) for 50
+    coarse candidates per query; stage two exact-cosine-scores just
+    those 50 raw vectors — the faiss two-tier recipe as two catalog
+    operators snapped together, touching 64x-compressed codes for the
+    scan and 50 raw vectors per query for the rerank. The oracle
+    replays packing, popcounts, the candidate cut and the exact
+    rerank bit-for-bit."""
+    from pandasvcf_spark.operators.similarity import (
+        bq_encode,
+        bq_hamming_topk,
+        rerank_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = bq_encode(emb)
+    qc = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "code_lo", "code_hi"
+    )
+    cands = bq_hamming_topk(codes, qc, k=50)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = rerank_exact(cands, emb, qs, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cossim", 6).alias("cossim")
+    ).orderBy("query_id", "vec_id")

@@ -838,6 +838,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional agg, Satterthwaite df
         "m_paired_t",            # paired t on differences: one
                                  # 3-sum agg, wilcoxon's partner
+        "v_two_stage",           # bq scan -> exact rerank: the
+                                 # composed two-tier retrieval
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

@@ -2281,3 +2281,42 @@ def test_bq_pack_and_hamming_topk_match_numpy(spark):
             )[:5]
         }
         assert {kk: vv for kk, vv in got.items() if kk[0] == q} == want
+
+
+def test_two_stage_bq_rerank_recovers_exact_topk(spark):
+    """bq coarse candidates (k=30) + exact rerank (k=5) recover the
+    exhaustive exact top-5 on clustered data — the two-tier recipe
+    actually composing, not just both halves existing."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import (
+        bq_encode,
+        bq_hamming_topk,
+        cosine_topk,
+        rerank_exact,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (8, 64))
+    V = np.repeat(centers, 10, axis=0) + rng.normal(0, 0.2, (80, 64))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = bq_encode(d)
+    qc = codes.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "code_lo", "code_hi"
+    )
+    cands = bq_hamming_topk(codes, qc, k=30)
+    qs = d.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    two = {
+        (r["query_id"], r["vec_id"])
+        for r in rerank_exact(cands, d, qs, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(d, qs, k=5).collect()
+    }
+    assert two == exact
