@@ -4694,3 +4694,125 @@ def paired_t_test(
         ),
         (F.round(F.when(ok, t), 6) + F.lit(0.0)).alias("t"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brunner-Munzel test (Brunner & Munzel 2000) — the modern
+    replacement for `mann_whitney_u` under the rank Behrens-Fisher
+    problem (MWU's variance assumes the two distributions differ only
+    by shift; BM stays honest when their SHAPES differ too — the
+    recommendation in current methods literature):
+
+        p_hat = P(X0 < X1) + 0.5 P(X0 = X1)
+              = (mean_rank_1 - (n1+1)/2) / n0
+        W = n0 n1 (m1 - m0) / N / sqrt(n0 S0^2 + n1 S1^2)
+
+    with m_g the group means of COMBINED mid-ranks and S_g^2 the
+    variances of the rank PLACEMENTS (combined minus within-group
+    mid-ranks) — the scipy/lawstat formulation, pinned to scipy's
+    documented example in tests. flag must be 0/1; PRE-BUCKET dense
+    values (the kendall_tau_b cell discipline).
+
+    Output: ONE row (n0, n1 BIGINT, p_hat DOUBLE round 6, w DOUBLE
+    round 6); NULL statistics when a group has n < 2 or the placement
+    variances both vanish.
+
+    Plan: everything computes over (flag, value) count cells — every
+    member of a cell shares its combined AND within-group mid-rank,
+    so the placement variance is a weighted cell fold. Two cumulative
+    windows over distinct-value cells, two cells-sized joins, 1-row
+    combines. No raw-row window anywhere.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    cells = base.groupBy("__f", "__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    vcells = cells.groupBy("__v").agg(F.sum("__n").alias("__t"))
+    w_all = (
+        Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rc = vcells.select(
+        "__v",
+        (
+            F.coalesce(F.sum("__t").over(w_all), F.lit(0.0))
+            + (F.col("__t") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("__rc"),
+    )
+    w_within = (
+        Window.partitionBy("__f")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = cells.select(
+        "__f",
+        "__v",
+        "__n",
+        (
+            F.coalesce(F.sum("__n").over(w_within), F.lit(0.0))
+            + (F.col("__n") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("__rw"),
+    )
+    j = wc.join(rc, "__v")
+    grp = j.groupBy("__f").agg(
+        F.sum("__n").alias("__ng"),
+        F.sum(F.col("__n") * F.col("__rc")).alias("__sr"),
+    )
+    grp = grp.select(
+        "__f",
+        "__ng",
+        (F.col("__sr") / F.col("__ng")).alias("__m"),
+    )
+    j2 = j.join(grp, "__f")
+    term = (
+        F.col("__rc")
+        - F.col("__rw")
+        - F.col("__m")
+        + (F.col("__ng") + F.lit(1.0)) / F.lit(2.0)
+    )
+    s = j2.groupBy("__f").agg(
+        F.max("__ng").alias("__ng"),
+        F.max("__m").alias("__m"),
+        (
+            F.sum(F.col("__n") * term * term)
+            / (F.max("__ng") - F.lit(1.0))
+        ).alias("__S"),
+    )
+    g0 = s.filter(F.col("__f") == 0).select(
+        F.col("__ng").alias("__n0"),
+        F.col("__m").alias("__m0"),
+        F.col("__S").alias("__S0"),
+    )
+    g1 = s.filter(F.col("__f") == 1).select(
+        F.col("__ng").alias("__n1"),
+        F.col("__m").alias("__m1"),
+        F.col("__S").alias("__S1"),
+    )
+    g = g0.join(F.broadcast(g1))
+    n0d = F.col("__n0")
+    n1d = F.col("__n1")
+    nd = n0d + n1d
+    p_hat = (F.col("__m1") - (n1d + F.lit(1.0)) / F.lit(2.0)) / n0d
+    den = F.sqrt(
+        n0d * F.col("__S0") + n1d * F.col("__S1")
+    )
+    w_stat = (
+        n0d * n1d * (F.col("__m1") - F.col("__m0")) / nd / den
+    )
+    ok = (n0d >= 2) & (n1d >= 2)
+    return g.select(
+        n0d.cast("long").alias("n0"),
+        n1d.cast("long").alias("n1"),
+        (F.round(F.when(ok, p_hat), 6) + F.lit(0.0)).alias("p_hat"),
+        (
+            F.round(F.when(ok & (den > 0), w_stat), 6) + F.lit(0.0)
+        ).alias("w"),
+    )

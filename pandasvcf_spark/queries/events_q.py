@@ -4601,3 +4601,73 @@ def m_paired_t(spark, sf_dir):
         F.sum(F.when(F.col("event_type") == "click", cents)).alias("y"),
     )
     return paired_t_test(per, "x", "y")
+
+
+@register(
+    "m_brunner_munzel",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT f, v, CAST(count(*) AS DOUBLE) AS n
+              FROM b GROUP BY f, v),
+    vc AS (SELECT v, sum(n) AS t FROM cells GROUP BY v),
+    rc AS (SELECT v,
+             coalesce(sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (t + 1) / 2 AS rc
+           FROM vc),
+    wc AS (SELECT f, v, n,
+             coalesce(sum(n) OVER (PARTITION BY f ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (n + 1) / 2 AS rw
+           FROM cells),
+    j AS (SELECT wc.f, wc.v, wc.n, wc.rw, rc.rc
+          FROM wc JOIN rc ON rc.v = wc.v),
+    grp AS (SELECT f, sum(n) AS ng,
+                   sum(n * rc) / sum(n) AS m
+            FROM j GROUP BY f),
+    s AS (SELECT j.f, max(grp.ng) AS ng, max(grp.m) AS m,
+            sum(j.n * (j.rc - j.rw - grp.m + (grp.ng + 1.0) / 2.0)
+                    * (j.rc - j.rw - grp.m + (grp.ng + 1.0) / 2.0))
+              / (max(grp.ng) - 1.0) AS S
+          FROM j JOIN grp ON grp.f = j.f GROUP BY j.f),
+    g AS (SELECT
+        (SELECT ng FROM s WHERE f = 0) AS n0,
+        (SELECT m  FROM s WHERE f = 0) AS m0,
+        (SELECT S  FROM s WHERE f = 0) AS s0,
+        (SELECT ng FROM s WHERE f = 1) AS n1,
+        (SELECT m  FROM s WHERE f = 1) AS m1,
+        (SELECT S  FROM s WHERE f = 1) AS s1)
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2
+                 THEN (m1 - (n1 + 1.0) / 2.0) / n0 END, 6) + 0.0
+             AS p_hat,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2
+                       AND sqrt(n0 * s0 + n1 * s1) > 0
+                 THEN n0 * n1 * (m1 - m0) / (n0 + n1)
+                      / sqrt(n0 * s0 + n1 * s1) END, 6) + 0.0 AS w
+    FROM g
+    """,
+)
+def m_brunner_munzel(spark, sf_dir):
+    """Brunner-Munzel rank Behrens-Fisher test (operators/stats.
+    brunner_munzel, pinned to scipy's documented example in tests) of
+    user parity on integer-rounded value — the shape-robust upgrade
+    of m_mannwhitney (whose variance assumes pure shift). Everything
+    computes over (flag, value) count cells: combined and within-
+    group mid-rank ladders over distinct values, placement variances
+    as weighted cell folds — no raw-row window anywhere. ~0 expected
+    on parity-blind data; the oracle replays ladders, placements and
+    both folds."""
+    from pandasvcf_spark.operators.stats import brunner_munzel
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round(F.col("value"), 0).alias("v"),
+    )
+    return brunner_munzel(d, "f", "v")

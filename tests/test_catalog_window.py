@@ -840,6 +840,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # 3-sum agg, wilcoxon's partner
         "v_two_stage",           # bq scan -> exact rerank: the
                                  # composed two-tier retrieval
+        "m_brunner_munzel",      # rank Behrens-Fisher: placement
+                                 # variances as weighted cell folds
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

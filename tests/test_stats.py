@@ -2162,3 +2162,29 @@ def test_welch_and_paired_t_references(spark):
     ).collect()[0]
     assert got["t"] == round(m / math.sqrt(var / n), 6)
     assert got["n"] == n
+
+
+def test_brunner_munzel_scipy_golden(spark):
+    """Pinned to scipy.stats.brunnermunzel's documented example:
+    W = 3.1374674823, p_hat = P(X0 < X1) + ties/2 = 0.7889610."""
+    from pandasvcf_spark.operators.stats import brunner_munzel
+
+    x = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1]
+    y = [3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4]
+    rows = [(0, v) for v in x] + [(1, v) for v in y]
+    df = spark.createDataFrame(rows, "f int, v int")
+    got = brunner_munzel(df, "f", "v").collect()[0]
+    assert got["w"] == 3.137467
+    assert got["p_hat"] == 0.788961
+    assert (got["n0"], got["n1"]) == (len(x), len(y))
+    # brute-force p_hat on a second fixture
+    x2, y2 = [1, 5, 5, 9], [2, 2, 8]
+    bf = sum(
+        (a < b) + 0.5 * (a == b) for a in x2 for b in y2
+    ) / (len(x2) * len(y2))
+    df2 = spark.createDataFrame(
+        [(0, v) for v in x2] + [(1, v) for v in y2], "f int, v int"
+    )
+    assert brunner_munzel(df2, "f", "v").collect()[0]["p_hat"] == round(
+        bf, 6
+    )
