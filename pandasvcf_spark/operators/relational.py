@@ -3725,3 +3725,88 @@ def rmst(
         "n_events",
         (F.round(F.col("__rmst"), 6) + F.lit(0.0)).alias("rmst"),
     )
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under COMPETING RISKS — the
+    estimator `kaplan_meier` users actually need when more than one
+    event type ends a subject's follow-up (churned-to-competitor vs
+    churned-to-cancellation; died-of-A vs died-of-B): 1 − KM per cause
+    OVERSTATES each cause's incidence because it treats the other
+    causes as censoring; AJ attributes each event time's hazard to its
+    cause against the ALL-CAUSE survival:
+
+        CIF_k(t) = sum_{t_j <= t} S(t_j-) * d_kj / n_j
+
+    with S the all-cause KM (the d = n zero pin included) and S(t-)
+    its value strictly before t_j. event = 0 means censored, any
+    positive integer is a cause id. The estimator satisfies
+    S(t) + sum_k CIF_k(t) = 1 at every event time — pinned by test.
+
+    Output, one row per (event time, cause with d > 0),
+    (t DOUBLE, cause INT, n_risk BIGINT, n_events BIGINT, cif DOUBLE
+    round 6), (cause, t)-ascending.
+
+    Plan: the kaplan_meier ladder (one groupBy(duration) collapse,
+    cumulative windows over distinct times) + one (time, cause)-keyed
+    count joined back + a cause-partitioned cumulative sum over the
+    distinct-time cells — no raw-row window anywhere.
+    """
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    nn = df.filter(t.isNotNull() & ev.isNotNull())
+    per_t = nn.groupBy(t.alias("t")).agg(
+        F.sum(F.when(ev > 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(ev == 0, 1).otherwise(0)).cast("bigint").alias("c"),
+    )
+    tot = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("__N"))
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("__N")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev),
+                     F.lit(0)),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    log_term = F.when(F.col("d") < F.col("n_risk"), F.log(1.0 - frac))
+    hit_zero_prev = F.coalesce(
+        F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_prev),
+        F.lit(0),
+    )
+    s_prev = F.when(hit_zero_prev == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.sum(log_term).over(w_prev), F.lit(0.0)))
+    )
+    ladder = b.select(
+        "t", "n_risk", s_prev.alias("__sprev")
+    )
+    tc = (
+        nn.filter(ev > 0)
+        .groupBy(t.alias("t"), ev.alias("cause"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    j = tc.join(ladder, "t").withColumn(
+        "__term",
+        F.col("__sprev")
+        * F.col("n_events").cast("double")
+        / F.col("n_risk").cast("double"),
+    )
+    w_cif = (
+        Window.partitionBy("cause")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "t",
+        F.col("cause").cast("int").alias("cause"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_events",
+        (
+            F.round(F.sum("__term").over(w_cif), 6) + F.lit(0.0)
+        ).alias("cif"),
+    ).orderBy("cause", "t")

@@ -4671,3 +4671,82 @@ def m_brunner_munzel(spark, sf_dir):
         F.round(F.col("value"), 0).alias("v"),
     )
     return brunner_munzel(d, "f", "v")
+
+
+@register(
+    "m_competing_risks",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS t,
+             CASE WHEN event_type = 'click' THEN 1
+                  WHEN event_type = 'purchase' THEN 2
+                  ELSE 0 END AS ev
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_t AS (
+      SELECT t,
+             CAST(sum(CASE WHEN ev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+      FROM s GROUP BY t),
+    tot AS (SELECT sum(d + c) AS N FROM per_t),
+    risk AS (
+      SELECT t, d,
+             N - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t, tot),
+    curve AS (
+      SELECT t, d, n_risk,
+             coalesce(max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER wp, 0) AS hzp,
+             coalesce(sum(CASE WHEN d < n_risk
+               THEN ln(1.0 - CAST(d AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE)) END)
+               OVER wp, 0.0) AS lsump
+      FROM risk
+      WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)),
+    ladder AS (
+      SELECT t, n_risk,
+             CASE WHEN hzp = 1 THEN 0.0 ELSE exp(lsump) END AS sprev
+      FROM curve),
+    tc AS (SELECT t, ev AS cause,
+                  CAST(count(*) AS BIGINT) AS n_events
+           FROM s WHERE ev > 0 GROUP BY t, ev),
+    j AS (SELECT tc.t, tc.cause, ladder.n_risk, tc.n_events,
+                 ladder.sprev * CAST(tc.n_events AS DOUBLE)
+                   / CAST(ladder.n_risk AS DOUBLE) AS term
+          FROM tc JOIN ladder ON ladder.t = tc.t)
+    SELECT t, CAST(cause AS INTEGER) AS cause,
+           CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           round(sum(term) OVER (PARTITION BY cause ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           + 0.0 AS cif
+    FROM j ORDER BY cause, t
+    """,
+)
+def m_competing_risks(spark, sf_dir):
+    """Aalen-Johansen cumulative incidence (operators/relational.
+    aalen_johansen) with clicks and purchases as competing event
+    causes and everything else censoring — the estimator 1−KM gets
+    WRONG under competing risks (it overstates each cause by treating
+    the others as censoring); AJ attributes each time's hazard to its
+    cause against the all-cause survival, and S + sum CIF_k = 1 holds
+    exactly (pinned by test). The kaplan_meier ladder + one
+    (time, cause) count join + a cause-partitioned cumulative sum
+    over distinct-time cells. The oracle replays the whole ladder."""
+    from pandasvcf_spark.operators.relational import aalen_johansen
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.col("value").alias("t"),
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return aalen_johansen(d, "t", "ev")

@@ -842,6 +842,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # composed two-tier retrieval
         "m_brunner_munzel",      # rank Behrens-Fisher: placement
                                  # variances as weighted cell folds
+        "m_competing_risks",     # Aalen-Johansen CIF: the km ladder
+                                 # + cause-partitioned cumsum
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

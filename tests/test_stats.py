@@ -2188,3 +2188,41 @@ def test_brunner_munzel_scipy_golden(spark):
     assert brunner_munzel(df2, "f", "v").collect()[0]["p_hat"] == round(
         bf, 6
     )
+
+
+def test_aalen_johansen_hand_curve_and_identity(spark):
+    """Exact agreement with the hand-integrated two-cause fixture,
+    and the structural identity S(t) + sum_k CIF_k(t) = 1 at the last
+    event time (S = 0 there)."""
+    from pandasvcf_spark.operators.relational import aalen_johansen
+
+    data = [
+        (1.0, 1), (2.0, 2), (2.0, 0), (3.0, 1),
+        (3.0, 1), (4.0, 2), (5.0, 0), (6.0, 1),
+    ]
+    df = spark.createDataFrame(data, "t double, ev int")
+    got = {
+        (r["cause"], r["t"]): r["cif"]
+        for r in aalen_johansen(df, "t", "ev").collect()
+    }
+    ref = {
+        (1, 1.0): 0.125, (1, 3.0): 0.425, (1, 6.0): 0.725,
+        (2, 2.0): 0.125, (2, 4.0): 0.275,
+    }
+    assert got == ref
+    assert got[(1, 6.0)] + got[(2, 4.0)] == 1.0
+    # single-cause input reduces to 1 - KM
+    from pandasvcf_spark.operators.relational import kaplan_meier
+
+    one = [(2.0, 1), (3.0, 0), (5.0, 1), (5.0, 1), (8.0, 0), (11.0, 1)]
+    df1 = spark.createDataFrame(one, "t double, ev int")
+    aj = {
+        r["t"]: r["cif"]
+        for r in aalen_johansen(df1, "t", "ev").collect()
+    }
+    km = {
+        r["t"]: r["survival"]
+        for r in kaplan_meier(df1, "t", "ev").collect()
+    }
+    for t in aj:
+        assert abs(aj[t] - (1.0 - km[t])) < 2e-6
