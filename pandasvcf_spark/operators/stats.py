@@ -4816,3 +4816,134 @@ def brunner_munzel(
             F.round(F.when(ok & (den > 0), w_stat), 6) + F.lit(0.0)
         ).alias("w"),
     )
+
+
+def tost_means(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    margin: float,
+) -> DataFrame:
+    """Mean-equivalence TOST (Schuirmann 1987) on the Welch footing —
+    the `equivalence_test` sibling for MEANS: is the two-group mean
+    difference provably NEGLIGIBLE (within ±margin), which failing to
+    reject a t test never shows? Verdict = the 90% Welch CI sitting
+    strictly inside the margin (the two-one-sided-tests identity):
+
+        ci = (m1 - m0) ± 1.6448536269514722 * sqrt(s1²/n1 + s0²/n0)
+
+    (z form of the TOST — the large-sample practice; the 90% normal
+    quantile is a digit-mirrored DOUBLE literal, the m_equivalence
+    convention). flag must be 0/1. Output: ONE row (n0, n1 BIGINT,
+    diff, ci_lo, ci_hi DOUBLE round 6, equivalent BOOLEAN); NULLs at
+    degenerate sides.
+
+    Plan: the welch_t_test 6-sum conditional agg, one pass.
+    """
+    if margin <= 0:
+        raise ValueError("margin must be > 0")
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    is1 = F.col("__f") == 1
+    is0 = F.col("__f") == 0
+    g = base.agg(
+        F.count(F.when(is0, 1)).cast("long").alias("n0"),
+        F.count(F.when(is1, 1)).cast("long").alias("n1"),
+        F.sum(F.when(is0, F.col("__v"))).alias("__s0"),
+        F.sum(F.when(is1, F.col("__v"))).alias("__s1"),
+        F.sum(F.when(is0, F.col("__v") * F.col("__v"))).alias("__q0"),
+        F.sum(F.when(is1, F.col("__v") * F.col("__v"))).alias("__q1"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    m0 = F.col("__s0") / n0d
+    m1 = F.col("__s1") / n1d
+    v0 = (F.col("__q0") - F.col("__s0") * F.col("__s0") / n0d) / (
+        n0d - F.lit(1.0)
+    )
+    v1 = (F.col("__q1") - F.col("__s1") * F.col("__s1") / n1d) / (
+        n1d - F.lit(1.0)
+    )
+    se = F.sqrt(v1 / n1d + v0 / n0d)
+    z90 = F.lit(1.6448536269514722)
+    diff = m1 - m0
+    lo = diff - z90 * se
+    hi = diff + z90 * se
+    ok = (F.col("n0") >= 2) & (F.col("n1") >= 2) & (se > 0)
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, diff), 6) + F.lit(0.0)).alias("diff"),
+        (F.round(F.when(ok, lo), 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(F.when(ok, hi), 6) + F.lit(0.0)).alias("ci_hi"),
+        F.when(
+            ok,
+            (lo > F.lit(-float(margin))) & (hi < F.lit(float(margin))),
+        ).alias("equivalent"),
+    )
+
+
+def rate_ratio(
+    df: DataFrame,
+    flag_col: str,
+    event_col: str,
+    exposure_col: str,
+) -> DataFrame:
+    """Poisson incidence-rate ratio — the two-RATE comparison
+    `odds_ratio` (2x2 counts) and `ab_test_proportions` (per-unit
+    binomial) don't cover: events per unit of EXPOSURE (person-time,
+    tokens processed, requests served), compared across two groups:
+
+        irr = (e1/x1) / (e0/x0)
+        z   = ln(irr) / sqrt(1/e1 + 1/e0)   (the classic log-IRR SE)
+
+    flag must be 0/1; event COUNTS and positive exposures per row
+    (pre-aggregated units are fine — sums are what matter). Output:
+    ONE row (events0, events1 BIGINT, exposure0, exposure1 DOUBLE
+    round 4, irr DOUBLE round 6, z DOUBLE round 6); NULLs when either
+    side has zero events or exposure.
+
+    Plan: one 4-sum conditional agg + a 1-row fold; engine ln parity
+    holds at 6dp (the m_js_divergence precedent).
+    """
+    fc = F.col(flag_col).cast("int")
+    ec = F.col(event_col).cast("long")
+    xc = F.col(exposure_col).cast("double")
+    base = df.filter(
+        fc.isNotNull() & ec.isNotNull() & xc.isNotNull() & (xc > 0)
+    ).select(fc.alias("__f"), ec.alias("__e"), xc.alias("__x"))
+    is1 = F.col("__f") == 1
+    is0 = F.col("__f") == 0
+    g = base.agg(
+        F.coalesce(F.sum(F.when(is0, F.col("__e"))), F.lit(0))
+        .cast("long").alias("events0"),
+        F.coalesce(F.sum(F.when(is1, F.col("__e"))), F.lit(0))
+        .cast("long").alias("events1"),
+        F.coalesce(F.sum(F.when(is0, F.col("__x"))), F.lit(0.0))
+        .alias("__x0"),
+        F.coalesce(F.sum(F.when(is1, F.col("__x"))), F.lit(0.0))
+        .alias("__x1"),
+    )
+    e0 = F.col("events0").cast("double")
+    e1 = F.col("events1").cast("double")
+    irr = (e1 / F.col("__x1")) / (e0 / F.col("__x0"))
+    z = F.log(irr) / F.sqrt(
+        F.lit(1.0) / e1 + F.lit(1.0) / e0
+    )
+    ok = (
+        (F.col("events0") > 0)
+        & (F.col("events1") > 0)
+        & (F.col("__x0") > 0)
+        & (F.col("__x1") > 0)
+    )
+    return g.select(
+        "events0",
+        "events1",
+        F.round(F.col("__x0"), 4).alias("exposure0"),
+        F.round(F.col("__x1"), 4).alias("exposure1"),
+        (F.round(F.when(ok, irr), 6) + F.lit(0.0)).alias("irr"),
+        (F.round(F.when(ok, z), 6) + F.lit(0.0)).alias("z"),
+    )

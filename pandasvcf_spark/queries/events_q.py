@@ -4750,3 +4750,117 @@ def m_competing_risks(spark, sf_dir):
         .alias("ev"),
     )
     return aalen_johansen(d, "t", "ev")
+
+
+@register(
+    "m_tost_means",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f,
+             CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE)
+               AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    g AS (SELECT
+        CAST(count(CASE WHEN f = 0 THEN 1 END) AS BIGINT) AS n0,
+        CAST(count(CASE WHEN f = 1 THEN 1 END) AS BIGINT) AS n1,
+        sum(CASE WHEN f = 0 THEN v END) AS s0,
+        sum(CASE WHEN f = 1 THEN v END) AS s1,
+        sum(CASE WHEN f = 0 THEN v * v END) AS q0,
+        sum(CASE WHEN f = 1 THEN v * v END) AS q1
+      FROM b),
+    m AS (SELECT n0, n1, s1 / n1 - s0 / n0 AS diff,
+            sqrt(((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
+                 + ((q0 - s0 * s0 / n0) / (n0 - 1.0)) / n0) AS se
+          FROM g)
+    SELECT n0, n1,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se > 0
+                 THEN diff END, 6) + 0.0 AS diff,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se > 0
+                 THEN diff - 1.6448536269514722 * se END, 6) + 0.0
+             AS ci_lo,
+           round(CASE WHEN n0 >= 2 AND n1 >= 2 AND se > 0
+                 THEN diff + 1.6448536269514722 * se END, 6) + 0.0
+             AS ci_hi,
+           (CASE WHEN n0 >= 2 AND n1 >= 2 AND se > 0
+             THEN diff - 1.6448536269514722 * se > -50.0
+                  AND diff + 1.6448536269514722 * se < 50.0 END)
+             AS equivalent
+    FROM m
+    """,
+)
+def m_tost_means(spark, sf_dir):
+    """Mean-equivalence TOST (operators/stats.tost_means; Schuirmann
+    via the 90%% Welch CI) — is parity's spend difference provably
+    within ±50 cents? The m_equivalence sibling for MEANS, same
+    digit-mirrored z quantile convention. Integer cents keep the
+    moments exact; one 6-sum conditional agg. On parity-blind data
+    equivalence should hold. The oracle replays moments, the CI and
+    the margin verdict."""
+    from pandasvcf_spark.operators.stats import tost_means
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("double")
+        .alias("v"),
+    )
+    return tost_means(d, "f", "v", margin=50.0)
+
+
+@register(
+    "m_rate_ratio",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS f,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                      END) AS BIGINT) AS e,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id),
+    g AS (SELECT
+        CAST(coalesce(sum(CASE WHEN f = 0 THEN e END), 0) AS BIGINT)
+          AS events0,
+        CAST(coalesce(sum(CASE WHEN f = 1 THEN e END), 0) AS BIGINT)
+          AS events1,
+        coalesce(sum(CASE WHEN f = 0 THEN x END), 0.0) AS x0,
+        coalesce(sum(CASE WHEN f = 1 THEN x END), 0.0) AS x1
+      FROM pu)
+    SELECT events0, events1,
+           round(x0, 4) AS exposure0, round(x1, 4) AS exposure1,
+           round(CASE WHEN events0 > 0 AND events1 > 0
+                       AND x0 > 0 AND x1 > 0
+                 THEN (events1 / x1) / (events0 / x0) END, 6) + 0.0
+             AS irr,
+           round(CASE WHEN events0 > 0 AND events1 > 0
+                       AND x0 > 0 AND x1 > 0
+                 THEN ln((events1 / x1) / (events0 / x0))
+                      / sqrt(1.0 / events1 + 1.0 / events0)
+                 END, 6) + 0.0 AS z
+    FROM g
+    """,
+)
+def m_rate_ratio(spark, sf_dir):
+    """Poisson incidence-rate ratio (operators/stats.rate_ratio) of
+    errors per event of exposure between user parities — the
+    two-RATE comparison m_odds_ratio (2x2) and the binomial A/B
+    readouts don't cover (person-time / tokens-processed exposure
+    denominators). Per-user (events, exposure) pre-agg, then one
+    4-sum conditional fold; ~1 expected on parity-blind data. The
+    oracle replays exposures, the ratio and the log-IRR z."""
+    from pandasvcf_spark.operators.stats import rate_ratio
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per = e.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("e"),
+        F.count(F.lit(1)).cast("double").alias("x"),
+    )
+    return rate_ratio(per, "f", "e", "x")

@@ -844,6 +844,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # variances as weighted cell folds
         "m_competing_risks",     # Aalen-Johansen CIF: the km ladder
                                  # + cause-partitioned cumsum
+        "m_tost_means",          # mean-equivalence TOST: Welch CI
+                                 # vs margin, 6-sum agg
+        "m_rate_ratio",          # Poisson IRR: exposure-normalized
+                                 # rates, log-IRR z fold
         "v_sq_topk",             # int8 scalar quantization: trained
                                  # bounds + midpoint ADC scoring
     }

@@ -2226,3 +2226,45 @@ def test_aalen_johansen_hand_curve_and_identity(spark):
     }
     for t in aj:
         assert abs(aj[t] - (1.0 - km[t])) < 2e-6
+
+
+def test_tost_means_and_rate_ratio_references(spark):
+    import math
+
+    from pandasvcf_spark.operators.stats import rate_ratio, tost_means
+
+    x0 = [10.0, 10.5, 9.8, 10.2, 9.9, 10.1]
+    x1 = [10.1, 10.3, 9.9, 10.0, 10.4]
+    n0, n1 = len(x0), len(x1)
+    m0, m1 = sum(x0) / n0, sum(x1) / n1
+    v0 = sum((v - m0) ** 2 for v in x0) / (n0 - 1)
+    v1 = sum((v - m1) ** 2 for v in x1) / (n1 - 1)
+    se = math.sqrt(v1 / n1 + v0 / n0)
+    z90 = 1.6448536269514722
+    lo, hi = (m1 - m0) - z90 * se, (m1 - m0) + z90 * se
+    df = spark.createDataFrame(
+        [(0, v) for v in x0] + [(1, v) for v in x1], "f int, v double"
+    )
+    got = tost_means(df, "f", "v", margin=0.5).collect()[0]
+    assert (got["ci_lo"], got["ci_hi"]) == (round(lo, 6), round(hi, 6))
+    assert got["equivalent"] == (lo > -0.5 and hi < 0.5)
+    # a clearly-shifted pair is NOT equivalent at a tight margin
+    wide = spark.createDataFrame(
+        [(0, v) for v in x0] + [(1, v + 5.0) for v in x1],
+        "f int, v double",
+    )
+    assert not tost_means(wide, "f", "v", margin=0.5).collect()[0][
+        "equivalent"
+    ]
+
+    rows = [(0, 10, 100.0), (0, 5, 50.0), (1, 30, 120.0), (1, 6, 30.0)]
+    got = rate_ratio(
+        spark.createDataFrame(rows, "f int, e long, x double"),
+        "f", "e", "x",
+    ).collect()[0]
+    irr = (36 / 150.0) / (15 / 150.0)
+    assert got["irr"] == round(irr, 6)
+    assert got["z"] == round(
+        math.log(irr) / math.sqrt(1 / 36 + 1 / 15), 6
+    )
+    assert (got["events0"], got["events1"]) == (15, 36)
