@@ -1532,6 +1532,7 @@ def bucketed_row_number(
     tiebreak_cols: list[str],
     out_col: str,
     n_buckets: int = 1024,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """EXACT global row_number over (key ASC, *tiebreaks ASC) — without
     the single-task global sort `row_number().over(Window.orderBy(...))`
@@ -1555,9 +1556,18 @@ def bucketed_row_number(
     distributions (one value dominating) degrade toward the naive sort
     cost but never break exactness; a CONSTANT key short-circuits to
     the plain window (the sort is then tie-break-only — unavoidable).
+    The input plan must be DETERMINISTIC across re-evaluation: the
+    operator runs three jobs against it (stats, histogram, final rank)
+    and a rand()/sample/un-checkpointed-shuffle input could hand them
+    inconsistent data, silently mis-ranking. Pass `checkpoint=True` to
+    localCheckpoint the input up front when the caller can't guarantee
+    this (all in-repo callers — rfm_segments, lorenz_deciles — read
+    deterministic parquet-derived plans and skip the materialization).
 
     Output: the input columns + `out_col` BIGINT (1-based dense rank
     by position, i.e. row_number semantics)."""
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
     k = F.col(key_col).cast("double")
     tb = [F.col(c).asc() for c in tiebreak_cols]
     st = df.agg(
@@ -3712,16 +3722,19 @@ def rmst(
             * F.col("__s")
         ).alias("__area"),
     )
+    # n comes from the 1-row per_t total, NOT max(__n) over ladder rows:
+    # with no event time <= tau the ladder is empty (only the synthetic
+    # start row survives, __n null) and a non-empty cohort would report
+    # n = 0.
     g = seg.agg(
-        F.max("__n").alias("n"),
         F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias(
             "n_events"
         ),
         F.sum("__area").alias("__rmst"),
-    )
+    ).crossJoin(F.broadcast(tot))
     return g.select(
         F.lit(float(tau)).alias("tau"),
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("__N"), F.lit(0)).cast("long").alias("n"),
         "n_events",
         (F.round(F.col("__rmst"), 6) + F.lit(0.0)).alias("rmst"),
     )

@@ -3629,14 +3629,20 @@ def friedman_test(
         F.min("__kd").alias("klo"),
         F.max("__kd").alias("khi"),
         F.count(F.lit(1)).cast("long").alias("nb"),
+    ).join(
+        F.broadcast(base.agg(F.countDistinct("__k").alias("kg")))
     ).collect()[0]
     if chk["nb"] == 0:
         raise ValueError("friedman_test: empty input")
-    if not (chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"]):
+    if not (
+        chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"] == chk["kg"]
+    ):
         raise ValueError(
             "friedman_test: blocks must hold exactly one value per "
             f"treatment (counts {chk['clo']}-{chk['chi']}, distinct "
-            f"treatments {chk['klo']}-{chk['khi']})"
+            f"treatments {chk['klo']}-{chk['khi']}, global "
+            f"{chk['kg']}) -- every block must cover the SAME "
+            "treatment set"
         )
     k = int(chk["klo"])
     if k < 2:
@@ -4252,14 +4258,20 @@ def cochrans_q(
         F.min("__kd").alias("klo"),
         F.max("__kd").alias("khi"),
         F.count(F.lit(1)).cast("long").alias("nb"),
+    ).join(
+        F.broadcast(base.agg(F.countDistinct("__k").alias("kg")))
     ).collect()[0]
     if chk["nb"] == 0:
         raise ValueError("cochrans_q: empty input")
-    if not (chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"]):
+    if not (
+        chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"] == chk["kg"]
+    ):
         raise ValueError(
             "cochrans_q: blocks must hold exactly one outcome per "
             f"treatment (counts {chk['clo']}-{chk['chi']}, distinct "
-            f"treatments {chk['klo']}-{chk['khi']})"
+            f"treatments {chk['klo']}-{chk['khi']}, global "
+            f"{chk['kg']}) -- every block must cover the SAME "
+            "treatment set"
         )
     k = int(chk["klo"])
     if k < 2:
@@ -4411,14 +4423,20 @@ def page_trend_test(
         F.min("__kd").alias("klo"),
         F.max("__kd").alias("khi"),
         F.count(F.lit(1)).cast("long").alias("nb"),
+    ).join(
+        F.broadcast(base.agg(F.countDistinct("__k").alias("kg")))
     ).collect()[0]
     if chk["nb"] == 0:
         raise ValueError("page_trend_test: empty input")
-    if not (chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"]):
+    if not (
+        chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"] == chk["kg"]
+    ):
         raise ValueError(
             "page_trend_test: blocks must hold exactly one value per "
             f"treatment (counts {chk['clo']}-{chk['chi']}, distinct "
-            f"treatments {chk['klo']}-{chk['khi']})"
+            f"treatments {chk['klo']}-{chk['khi']}, global "
+            f"{chk['kg']}) -- every block must cover the SAME "
+            "treatment set"
         )
     k = int(chk["klo"])
     if k < 2:

@@ -198,8 +198,15 @@ def http_payload(
     s = F.col(payload_col).cast("string")
     pos4 = F.instr(s, "\r\n\r\n")
     pos2 = F.instr(s, "\n\n")
-    sep_pos = F.when(pos4 > 0, pos4).otherwise(pos2)
-    sep_len = F.when(pos4 > 0, F.lit(4)).otherwise(F.lit(2))
+    # When BOTH separators occur, the header terminator is whichever
+    # comes FIRST: an LF-only-header response whose body happens to
+    # contain CRLFCRLF must still split at the early "\n\n", not at
+    # the body's "\r\n\r\n". ("\r\n\r\n" contains "\n\n" at offset+1,
+    # so pos4 > 0 implies pos2 > 0 and pos2 <= pos4 + 1 — comparing
+    # the two positions directly picks the true earliest terminator.)
+    use4 = (pos4 > 0) & ((pos2 <= 0) | (pos4 < pos2))
+    sep_pos = F.when(use4, pos4).otherwise(pos2)
+    sep_len = F.when(use4, F.lit(4)).otherwise(F.lit(2))
     head = F.when(
         sep_pos > 0, F.substr(s, F.lit(1), sep_pos - 1)
     ).otherwise(s)

@@ -2051,6 +2051,37 @@ def test_rmst_hand_curve_and_tau_clip(spark):
     assert (got["n"], got["n_events"]) == (6, 3)
     early = rmst(df, "t", "ev", tau=1.5).collect()[0]
     assert early["rmst"] == 1.5 and early["n_events"] == 0
+    # round-10 advice fix: n must come from the cohort total, not the
+    # (empty-below-tau) ladder — no event <= tau used to report n=0.
+    assert early["n"] == 6
+
+
+def test_friedman_family_rejects_disjoint_treatment_sets(spark):
+    """Per-block counts alone can't catch blocks covering DIFFERENT
+    treatment sets ({a,b} vs {c,d} passes min==max on both counts but
+    yields a negative Q): the global-distinct check must raise."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import (
+        cochrans_q,
+        friedman_test,
+        page_trend_test,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "c", 1.0), (2, "d", 0.0)],
+        "b int, k string, v double",
+    )
+    with _pytest.raises(ValueError, match="SAME treatment set"):
+        friedman_test(df, "b", "k", "v")
+    with _pytest.raises(ValueError, match="SAME treatment set"):
+        cochrans_q(df, "b", "k", "v")
+    dfn = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (2, 4, 0.0)],
+        "b int, k int, v double",
+    )
+    with _pytest.raises(ValueError, match="SAME treatment set"):
+        page_trend_test(dfn, "b", "k", "v")
 
 
 def test_hits_reference_and_bipartite_roles(spark):

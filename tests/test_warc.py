@@ -126,3 +126,32 @@ def test_uncompressed_warc_roundtrip(spark, tmp_path, warc_file):
     p = str(tmp_path / "plain.warc")
     open(p, "wb").write(raw)
     assert read_warc_gz(spark, p).count() == 6
+
+
+def test_http_payload_lf_only_headers_with_crlf_in_body(spark):
+    """LF-only HTTP headers whose BODY contains CRLFCRLF must split at
+    the earlier \\n\\n header terminator, not at the body's \\r\\n\\r\\n
+    (the round-9 advice case: unconditionally preferring pos4 put part
+    of the body into the headers)."""
+    lf_only = (
+        b"HTTP/1.1 200 OK\n"
+        b"Content-Type: text/plain\n"
+        b"\n"
+        b"first line\r\n\r\nsecond paragraph"
+    )
+    crlf = (
+        b"HTTP/1.1 404 Not Found\r\n"
+        b"Content-Type: text/html\r\n"
+        b"\r\n"
+        b"<html>gone</html>"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(lf_only)), (2, bytearray(crlf))],
+        "id int, payload binary",
+    )
+    rows = {r["id"]: r for r in http_payload(df).collect()}
+    assert rows[1]["http_status"] == 200
+    assert rows[1]["http_content_type"] == "text/plain"
+    assert rows[1]["body"] == "first line\r\n\r\nsecond paragraph"
+    assert rows[2]["http_status"] == 404
+    assert rows[2]["body"] == "<html>gone</html>"
