@@ -27,6 +27,64 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _assert_cell_bound(
+    df: DataFrame,
+    cols: Sequence[str],
+    op_name: str,
+    max_cells: int | None,
+    plan_word: str = "|cells|² broadcast-grid",
+) -> None:
+    """Collapse-contract TRIPWIRE (round-10 verdict ask: the
+    documented→enforced upgrade). The cell-collapse statistics are
+    scale-safe ONLY because the corpus collapses to distinct-value
+    cells before any grid/ladder plan; on raw dense float64 input
+    every value is distinct, cells ≈ rows, and the plan silently
+    degrades to rows² / a rows-sized single-task window — an executor
+    OOM, not a message. ONE cheap approx_count_distinct pass (2% rsd,
+    a single scan of the already-filtered base) converts that failure
+    mode into an actionable raise. `max_cells=None` disables the guard
+    for callers who have verified the plan cost."""
+    if max_cells is None:
+        return
+    cs = list(cols)
+    probe = F.struct(*cs) if len(cs) > 1 else F.col(cs[0])
+    est = df.agg(
+        F.approx_count_distinct(probe, 0.02).alias("__cells")
+    ).collect()[0]["__cells"]
+    if est > max_cells:
+        raise ValueError(
+            f"{op_name}: ~{est:,} distinct {tuple(cs)} cells exceed "
+            f"max_cells={max_cells:,} — the {plan_word} plan would "
+            "degrade toward rows². PRE-BUCKET dense continuous "
+            "columns first (round/quantize, e.g. F.round(col, 3) or "
+            "exact_quantiles bucket edges), or pass max_cells=None "
+            "after confirming the cost is acceptable."
+        )
+
+
+def _assert_series_sized(
+    df: DataFrame,
+    op_name: str,
+    max_rows: int | None,
+) -> None:
+    """Series-size TRIPWIRE — the `runs_test`/ACF family runs
+    global-sort windows documented as series-sized; fed a raw event
+    table they single-partition the whole corpus. One count job turns
+    that into a raise with the aggregation instruction.
+    `max_rows=None` disables."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op_name}: {n:,} rows exceed max_rows={max_rows:,} — "
+            "this operator global-sorts the series in one task and is "
+            "meant for PRE-AGGREGATED series (daily/hourly rollups). "
+            "groupBy your time bucket and aggregate first, or pass "
+            "max_rows=None after confirming the cost is acceptable."
+        )
+
+
 def ndcg_at_k(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -746,6 +804,7 @@ def theil_sen(
     group_cols: Sequence[str],
     x_col: str,
     y_col: str,
+    max_group_rows: int | None = 10_000,
 ) -> DataFrame:
     """Per-group Theil-Sen robust trend — the median of all pairwise
     slopes (Theil 1950, Sen 1968), the outlier-proof replacement for
@@ -765,8 +824,8 @@ def theil_sen(
     INTENDED FOR PRE-AGGREGATED SERIES (daily/hourly rollups): the
     pair self-join is O(n²) per group by definition of the statistic
     — aggregate the corpus to the series FIRST (the m_acf
-    discipline). The join is group-keyed; medians are windows over
-    the pair table.
+    discipline; ENFORCED by the `max_group_rows` tripwire). The join
+    is group-keyed; medians are windows over the pair table.
     """
     gcols = list(group_cols)
     if not gcols:
@@ -778,6 +837,22 @@ def theil_sen(
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
     )
+    if max_group_rows is not None:
+        mx = (
+            base.groupBy(*gcols)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        if mx is not None and mx > max_group_rows:
+            raise ValueError(
+                f"theil_sen: largest group holds {mx:,} points, over "
+                f"max_group_rows={max_group_rows:,} — the pairwise-"
+                "slope join is O(n²) PER GROUP by definition of the "
+                "statistic. Aggregate the corpus to the series first "
+                "(daily/hourly rollups, the m_acf discipline), or "
+                "pass max_group_rows=None after confirming the cost."
+            )
     a = base.alias("a")
     b = base.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in gcols]
@@ -2642,6 +2717,7 @@ def runs_test(
     series: DataFrame,
     time_col: str,
     value_col: str,
+    max_rows: int | None = 5_000_000,
 ) -> DataFrame:
     """Wald-Wolfowitz runs test for randomness of a sequence — are
     the above-median / below-median excursions independent, or does
@@ -2662,12 +2738,14 @@ def runs_test(
     when either side is empty or Var = 0.
 
     Plan: one median rank window + one lag window over the same
-    global sort + 1-row folds — series-sized, no joins.
+    global sort + 1-row folds — series-sized (ENFORCED by the
+    `max_rows` tripwire), no joins.
     """
     x = F.col(value_col).cast("double")
     base = series.filter(
         x.isNotNull() & F.col(time_col).isNotNull()
     ).select(F.col(time_col).alias("__t"), x.alias("__x"))
+    _assert_series_sized(base, "runs_test", max_rows)
     w_med = Window.orderBy("__x")
     wn = Window.partitionBy()
     med = (
@@ -3410,6 +3488,7 @@ def kruskal_wallis(
     group_cols: Sequence[str],
     treat_col: str,
     value_col: str,
+    max_cells: int | None = 1_000_000,
 ) -> DataFrame:
     """Kruskal-Wallis H test (Kruskal & Wallis 1952) — the K-group
     generalization of `mann_whitney_u`: do K treatment groups share a
@@ -3435,6 +3514,13 @@ def kruskal_wallis(
     base = df.filter(
         vc.isNotNull() & F.col(treat_col).isNotNull()
     ).select(*gcols, vc.alias("__v"), F.col(treat_col).alias("__k"))
+    _assert_cell_bound(
+        base,
+        [*gcols, "__v"],
+        "kruskal_wallis",
+        max_cells,
+        plan_word="distinct-value cell-ladder window",
+    )
     tcells = base.groupBy(*gcols, "__v", "__k").agg(
         F.count(F.lit(1)).cast("double").alias("__n")
     )
@@ -3693,6 +3779,7 @@ def kendall_tau_b(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_cells: int | None = 65536,
 ) -> DataFrame:
     """Kendall's tau-b rank correlation (Kendall 1945 tie-corrected
     form) — the concordance companion of `spearman_corr`: of all pairs,
@@ -3702,7 +3789,8 @@ def kendall_tau_b(
         n0 = n(n-1)/2,  n1 = sum_x t(t-1)/2,  n2 = sum_y t(t-1)/2
 
     PRE-BUCKET dense continuous columns (round/quantize first — the
-    roc_points discipline): the corpus collapses to (x, y) count
+    roc_points discipline; ENFORCED by the `max_cells` tripwire, which
+    raises on over-cardinality input): the corpus collapses to (x, y) count
     cells and concordant/discordant pairs come from a CELL-grid
     comparison, so cost is |cells|^2 (vocabulary-squared), never
     rows^2. Output: ONE row (n BIGINT, concordant BIGINT,
@@ -3719,6 +3807,7 @@ def kendall_tau_b(
     base = df.filter(xc.isNotNull() & yc.isNotNull()).select(
         xc.alias("__x"), yc.alias("__y")
     )
+    _assert_cell_bound(base, ["__x", "__y"], "kendall_tau_b", max_cells)
     cells = base.groupBy("__x", "__y").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
@@ -3998,6 +4087,7 @@ def jonckheere_terpstra(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    max_cells: int | None = 65536,
 ) -> DataFrame:
     """Jonckheere-Terpstra trend test (Jonckheere 1954) — does the
     value distribution shift MONOTONICALLY with an ORDERED grouping
@@ -4011,7 +4101,8 @@ def jonckheere_terpstra(
 
     (the classic no-tie variance approximation — documented; J itself
     counts ties at 1/2). `group_col` must be numerically ordered.
-    PRE-BUCKET dense values (the kendall_tau_b discipline): the corpus
+    PRE-BUCKET dense values (the kendall_tau_b discipline; ENFORCED by
+    the `max_cells` tripwire): the corpus
     collapses to (group, value) count cells and J comes from a
     broadcast CELL-grid comparison over ordered group pairs.
 
@@ -4022,6 +4113,9 @@ def jonckheere_terpstra(
     vc = F.col(value_col).cast("double")
     base = df.filter(gc.isNotNull() & vc.isNotNull()).select(
         gc.alias("__g"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__g", "__v"], "jonckheere_terpstra", max_cells
     )
     cells = base.groupBy("__g", "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
@@ -4086,6 +4180,7 @@ def cliffs_delta(
     df: DataFrame,
     flag_col: str,
     value_col: str,
+    max_cells: int | None = 65536,
 ) -> DataFrame:
     """Cliff's delta (Cliff 1993) — the nonparametric EFFECT SIZE the
     mann_whitney z cannot give (z grows with n; delta doesn't): the
@@ -4094,8 +4189,8 @@ def cliffs_delta(
 
         delta = [#(x1 > x0) - #(x1 < x0)] / (n1 * n0)   in [-1, 1]
 
-    PRE-BUCKET dense values (the kendall_tau_b cell discipline); flag
-    must be 0/1. Output: ONE row (n0, n1 BIGINT, delta DOUBLE
+    PRE-BUCKET dense values (the kendall_tau_b cell discipline;
+    ENFORCED by the `max_cells` tripwire); flag must be 0/1. Output: ONE row (n0, n1 BIGINT, delta DOUBLE
     round 6); NULL when either side is empty.
 
     Plan: one (flag, value)-keyed partial agg + a broadcast cell-grid
@@ -4106,6 +4201,7 @@ def cliffs_delta(
     base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
         fc.alias("__f"), vc.alias("__v")
     )
+    _assert_cell_bound(base, ["__f", "__v"], "cliffs_delta", max_cells)
     cells = base.groupBy("__f", "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
@@ -4308,6 +4404,7 @@ def mood_median_test(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    max_cells: int | None = 1_000_000,
 ) -> DataFrame:
     """Mood's median test — do the K groups share a median? The
     crudest-but-most-robust K-sample location test (only counts
@@ -4333,6 +4430,13 @@ def mood_median_test(
     base = df.filter(
         F.col(group_col).isNotNull() & vc.isNotNull()
     ).select(F.col(group_col).alias("__g"), vc.alias("__v"))
+    _assert_cell_bound(
+        base,
+        ["__g"],
+        "mood_median_test",
+        max_cells,
+        plan_word="K-group chi-square cell",
+    )
     med_rows = exact_quantiles(base, "__v", [0.5]).collect()
     med = float(med_rows[0]["value"])
     cells = base.groupBy("__g").agg(
@@ -4718,6 +4822,7 @@ def brunner_munzel(
     df: DataFrame,
     flag_col: str,
     value_col: str,
+    max_cells: int | None = 1_000_000,
 ) -> DataFrame:
     """Brunner-Munzel test (Brunner & Munzel 2000) — the modern
     replacement for `mann_whitney_u` under the rank Behrens-Fisher
@@ -4733,7 +4838,8 @@ def brunner_munzel(
     variances of the rank PLACEMENTS (combined minus within-group
     mid-ranks) — the scipy/lawstat formulation, pinned to scipy's
     documented example in tests. flag must be 0/1; PRE-BUCKET dense
-    values (the kendall_tau_b cell discipline).
+    values (the kendall_tau_b cell discipline; ENFORCED by the
+    `max_cells` tripwire on distinct values).
 
     Output: ONE row (n0, n1 BIGINT, p_hat DOUBLE round 6, w DOUBLE
     round 6); NULL statistics when a group has n < 2 or the placement
@@ -4749,6 +4855,13 @@ def brunner_munzel(
     vc = F.col(value_col).cast("double")
     base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
         fc.alias("__f"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base,
+        ["__v"],
+        "brunner_munzel",
+        max_cells,
+        plan_word="distinct-value cell-ladder window",
     )
     cells = base.groupBy("__f", "__v").agg(
         F.count(F.lit(1)).cast("double").alias("__n")

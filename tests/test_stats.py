@@ -2299,3 +2299,55 @@ def test_tost_means_and_rate_ratio_references(spark):
         math.log(irr) / math.sqrt(1 / 36 + 1 / 15), 6
     )
     assert (got["events0"], got["events1"]) == (15, 36)
+
+
+def test_cell_collapse_tripwire_dense_input_raises(spark):
+    """Round-10 verdict ask (documented→enforced): a dense continuous
+    column whose distinct-cell count exceeds the cap must RAISE with
+    the pre-bucket instruction instead of silently degrading the
+    cell-grid/ladder plan toward rows²; quantized input still runs."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import (
+        brunner_munzel,
+        cliffs_delta,
+        jonckheere_terpstra,
+        kendall_tau_b,
+        kruskal_wallis,
+        runs_test,
+        theil_sen,
+    )
+
+    n = 2000
+    dense = spark.range(n).select(
+        (F.col("id") % 2).alias("f"),
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("t"),
+        # every value distinct: the anti-pattern the guard exists for
+        (F.col("id") * 1.000001 + 0.123456).alias("v"),
+        (F.col("id") * 0.999 + 7.0).alias("v2"),
+    )
+    with _pytest.raises(ValueError, match="PRE-BUCKET"):
+        kendall_tau_b(dense, "v", "v2", max_cells=500)
+    with _pytest.raises(ValueError, match="PRE-BUCKET"):
+        jonckheere_terpstra(dense, "g", "v", max_cells=500)
+    with _pytest.raises(ValueError, match="PRE-BUCKET"):
+        cliffs_delta(dense, "f", "v", max_cells=500)
+    with _pytest.raises(ValueError, match="PRE-BUCKET"):
+        brunner_munzel(dense, "f", "v", max_cells=500)
+    with _pytest.raises(ValueError, match="PRE-BUCKET"):
+        kruskal_wallis(dense, [], "f", "v", max_cells=500)
+    with _pytest.raises(ValueError, match="PRE-AGGREGATED"):
+        runs_test(dense, "t", "v", max_rows=500)
+    with _pytest.raises(ValueError, match="O\\(n²\\) PER GROUP"):
+        theil_sen(dense, ["f"], "t", "v", max_group_rows=500)
+    # quantized input passes the same caps and returns the statistic
+    q = dense.select(
+        "f", "g", "t", F.round(F.col("v") / 100).alias("vq"),
+        F.round(F.col("v2") / 100).alias("vq2"),
+    )
+    assert kendall_tau_b(q, "vq", "vq2", max_cells=500).count() == 1
+    # max_cells=None disables the guard entirely (caller override)
+    assert (
+        cliffs_delta(dense, "f", "v", max_cells=None).count() == 1
+    )
