@@ -97,7 +97,19 @@ DRIVER_WINDOW = 50
 # and t_repeated_spans (shingle→rolling-hash→groupBy winnowing — the
 # hash-fingerprint family stays driver-covered by dedup_minhash_lsh
 # and t_paragraph_dedup). All three remain continuously exact-checked
-# by tests/test_contract.py.
+# by tests/test_contract.py. The round-10 cut (the seventh) promotes
+# two round-9 classes the driver has never hash-checked: v_two_stage
+# (the COMPOSED two-tier retrieval — 1-bit BQ Hamming scan feeding an
+# exact rerank join sized queries×k_coarse; the composition tier no
+# single-quantizer entry exercises) and m_competing_risks (the
+# Aalen-Johansen cumulative-incidence family — the km ladder with a
+# cause-partitioned hazard attribution; survival analysis previously
+# had NO window row). Displaced: v_sq_topk (quantized-ADC scoring
+# stays driver-covered by v_ivfpq_topk's PQ/ADC and v_two_stage's BQ
+# tier) and t_paragraph_dedup (explode→hash-groupBy dedup machinery
+# stays driver-covered by dedup_minhash_lsh's banded hash buckets and
+# p4_distinct's keyed distinct). Both remain continuously
+# exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -125,7 +137,6 @@ _PRIORITY = [
     "t_bm25_topk",
     "v_kmeans",
     "dedup_minhash_lsh",
-    "t_paragraph_dedup",
     # §2.11 vectors: exact (broadcast + block-matmul impls), ANN
     # (single-bucket, IVF), dedup. v_cosine_topk_manyquery is
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
@@ -136,7 +147,7 @@ _PRIORITY = [
     "v_ann_topk",
     "agg_grouped_quantiles",
     "v_ivfpq_topk",
-    "v_sq_topk",
+    "v_two_stage",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
     "p4_distinct",
@@ -160,6 +171,7 @@ _PRIORITY = [
     "m_ndcg",
     "m_roc_points",
     "m_kruskal_wallis",
+    "m_competing_risks",
     "m_bootstrap_ci",
     "g_link_pred",
     "m_scd2_history",

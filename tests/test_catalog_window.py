@@ -22,12 +22,15 @@ def test_extension_surface_inside_window():
         # contract-guarded tail; their machinery stays driver-covered by
         # the entries below)
         "dedup_minhash_lsh",
-        "t_paragraph_dedup",
         "v_cosine_topk",
         "v_cosine_topk_manyquery",  # separate block-matmul implementation
         "v_ann_topk",
         "v_ivfpq_topk",  # carries v_ivf_topk's coarse-cell machinery
                          # since the round-8 continuation re-cut
+        "v_two_stage",   # round-10 re-cut #7: the composed BQ-scan →
+                         # exact-rerank tier (v_sq_topk's ADC scoring
+                         # moved to the tail — quantization stays via
+                         # v_ivfpq_topk + the BQ stage here)
         "t_quality_score",
         "t_bm25_topk",
         "t_bpe_merges",
@@ -38,13 +41,19 @@ def test_extension_surface_inside_window():
         # round-9 re-cut: g_hwe and t_repeated_spans moved to the
         # contract-guarded tail (per-site agg machinery stays via
         # g_fst/g_sample_qc; hash-fingerprint machinery via
-        # dedup_minhash_lsh/t_paragraph_dedup); promoted in their
-        # place:
+        # dedup_minhash_lsh — and, until re-cut #7 demoted it too,
+        # t_paragraph_dedup, whose explode→hash-groupBy shape stays
+        # driver-covered by dedup_minhash_lsh + p4_distinct); promoted
+        # in their place:
         # round-8 continuation classes
         "agg_grouped_quantiles",
         "m_bootstrap_ci",
         "j_bloom_prune",
         "m_scd2_history",
+        "m_competing_risks",  # round-10 re-cut #7: Aalen-Johansen CIF
+                              # — the survival family's first window
+                              # row (km ladder + cause-partitioned
+                              # hazard attribution)
         "t_bpe_tokens_arrow",
         "g_kcore",
         "t_pack_global",
@@ -838,18 +847,20 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional agg, Satterthwaite df
         "m_paired_t",            # paired t on differences: one
                                  # 3-sum agg, wilcoxon's partner
-        "v_two_stage",           # bq scan -> exact rerank: the
-                                 # composed two-tier retrieval
         "m_brunner_munzel",      # rank Behrens-Fisher: placement
                                  # variances as weighted cell folds
-        "m_competing_risks",     # Aalen-Johansen CIF: the km ladder
-                                 # + cause-partitioned cumsum
         "m_tost_means",          # mean-equivalence TOST: Welch CI
                                  # vs margin, 6-sum agg
         "m_rate_ratio",          # Poisson IRR: exposure-normalized
                                  # rates, log-IRR z fold
         "v_sq_topk",             # int8 scalar quantization: trained
-                                 # bounds + midpoint ADC scoring
+                                 # bounds + midpoint ADC scoring —
+                                 # demoted re-cut #7 (ADC stays via
+                                 # v_ivfpq_topk; BQ via v_two_stage)
+        "t_paragraph_dedup",     # C4 paragraph dedup: explode +
+                                 # hash-groupBy — demoted re-cut #7
+                                 # (machinery stays via
+                                 # dedup_minhash_lsh + p4_distinct)
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
