@@ -343,7 +343,11 @@ def pca_from_grm(grm_df: DataFrame, n_components: int = 2):
     ~50 MB), independent of site count; the sites-sized relation never
     leaves the cluster. Eigenvector sign is canonicalized (first
     nonzero loading positive) so results are deterministic across BLAS
-    implementations."""
+    implementations. For biobank-scale panels (S > ~10^4, where the
+    S×S collect stops being model-sized) use `grm_pca_power`: the
+    distributed fixed-round power-iteration path over the pair table
+    — same scaling and sign convention, tested to agree with this
+    eigh on separated spectra."""
     import numpy as np
 
     rows = grm_df.select("sample_a", "sample_b", "grm").collect()
@@ -366,6 +370,188 @@ def pca_from_grm(grm_df: DataFrame, n_components: int = 2):
             v = -v
         coords[:, c] = v * np.sqrt(lam)
     return [(s, [float(x) for x in coords[idx[s]]]) for s in samples]
+
+
+def _grm_matvec(edges: DataFrame, x: DataFrame) -> DataFrame:
+    """One distributed GRM matvec: broadcast the S-row vector into an
+    equi-join against the symmetric pair table, then one
+    groupBy(sample) sum — the unit `grm_pca_power` iterates and the
+    plan the shape guard in tests/test_plan_shapes.py pins (broadcast
+    hash join; never a cartesian, never a driver-side matrix)."""
+    xb = x.select(F.col("s").alias("b"), F.col("v").alias("xb"))
+    return (
+        edges.join(F.broadcast(xb), "b")
+        .groupBy(F.col("a").alias("s"))
+        .agg(F.sum(F.col("g") * F.col("xb")).alias("v"))
+    )
+
+
+def grm_pca_power(
+    grm_df: DataFrame,
+    n_components: int = 2,
+    n_iterations: int = 30,
+    a_col: str = "sample_a",
+    b_col: str = "sample_b",
+    grm_col: str = "grm",
+) -> DataFrame:
+    """DISTRIBUTED principal components from the GRM pair relation —
+    the biobank-scale path `pca_from_grm` cannot take: that operator
+    collects the S×S matrix and runs a driver eigh (fine at S = 2,504
+    ≈ 3.1M pair rows; a driver OOM at S = 100k ≈ 5G rows). Here the
+    pair table NEVER leaves the cluster: fixed-round power iteration
+    (the `g_hits` / g_pagerank unrolled-round device) with Hotelling
+    deflation extracts the top `n_components` eigenpairs,
+
+        x ← (A − Σ_j λ_j v_j v_jᵀ) x / ‖·‖   (n_iterations rounds)
+        λ  = xᵀ A' x                          (Rayleigh quotient)
+        PC_c = v_c · sqrt(λ_c)                (pca_from_grm's scaling)
+
+    entirely as DataFrame ops: each matvec is one broadcast join of
+    the S-row vector against the pair table + one groupBy(sample) sum;
+    deflation needs only the scalar v_jᵀx (a broadcast 1-row agg), so
+    A − λvvᵀ is never materialized. Per-round state is localCheckpoint-
+    ed (the connected-components loop discipline) and the only driver
+    traffic is the per-component sign/λ canonicalization (1-row each).
+
+    Determinism: the start vector is the mix32-scrambled sample-id
+    hash (never orthogonal to a data eigenvector in practice, unlike
+    the all-ones vector), rounds are FIXED (no convergence collect),
+    and eigenvector sign is canonicalized exactly like `pca_from_grm`
+    (loading of the first sample key positive), so the two paths agree
+    on well-separated spectra — pinned by test on planted structure.
+
+    Convergence contract: component c resolves at rate
+    (λ_{c+1}/λ_c)^n_iterations — population-structure GRMs have
+    well-separated top eigenvalues and 30 rounds suffice; a NEAR-
+    DEGENERATE pair (λ2/λ1 → 1, e.g. two equal-size equal-Fst
+    subpopulations) mixes its two PCs within their shared eigenplane
+    regardless of rounds. Raise n_iterations (cost is linear) or fall
+    back to `pca_from_grm` when the spectrum is known degenerate and
+    S is driver-sized.
+
+    NULL grm pairs (no shared polymorphic calls) contribute 0. Output:
+    (sample, pc1..pcC DOUBLE round 6, eigenvalue_1..C in a companion
+    sense — λ_c is embedded in the PC scaling, matching pca_from_grm).
+
+    Scale: pair table S(S+1)/2 rows stays distributed; vector S rows
+    (model-sized broadcast: 100k samples ≈ 2 MB); cost = n_components
+    × n_iterations joins, each one shuffle on the sample key.
+    """
+    if n_components < 1:
+        raise ValueError("n_components must be >= 1")
+    g = F.coalesce(F.col(grm_col).cast("double"), F.lit(0.0))
+    upper = grm_df.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b"), g.alias("g")
+    )
+    # symmetric expansion: the pair table stores a <= b; the matvec
+    # needs both directions, the diagonal exactly once.
+    edges = upper.unionAll(
+        upper.filter(F.col("a") != F.col("b")).select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "g"
+        )
+    ).localCheckpoint(eager=True)
+    samples = edges.select(F.col("a").alias("s")).distinct()
+
+    def _matvec(x: DataFrame) -> DataFrame:
+        return _grm_matvec(edges, x)
+
+    def _normalized(y: DataFrame) -> DataFrame:
+        nrm = y.agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("__nrm")
+        )
+        return y.crossJoin(F.broadcast(nrm)).select(
+            "s",
+            F.when(
+                F.col("__nrm") > 0, F.col("v") / F.col("__nrm")
+            ).otherwise(F.lit(0.0)).alias("v"),
+        )
+
+    comps: list[tuple[float, DataFrame]] = []
+    for c in range(n_components):
+        # mix32-scrambled deterministic start, distinct per component
+        seed = F.xxhash64(F.col("s").cast("string"), F.lit(c))
+        x = _normalized(
+            samples.select(
+                "s",
+                (
+                    (F.pmod(seed, F.lit(2_000_003)).cast("double"))
+                    / F.lit(1_000_001.5)
+                    - F.lit(1.0)
+                ).alias("v"),
+            )
+        ).localCheckpoint(eager=True)
+        for _ in range(n_iterations):
+            y = _matvec(x)
+            for lam_j, vj in comps:
+                dot = (
+                    x.join(
+                        vj.select(
+                            F.col("s"), F.col("v").alias("__vj")
+                        ),
+                        "s",
+                    ).agg(
+                        F.sum(F.col("v") * F.col("__vj")).alias("__dj")
+                    )
+                )
+                y = (
+                    y.join(
+                        vj.select(F.col("s"), F.col("v").alias("__vj")),
+                        "s",
+                        "left",
+                    )
+                    .crossJoin(F.broadcast(dot))
+                    .select(
+                        "s",
+                        (
+                            F.col("v")
+                            - F.lit(lam_j)
+                            * F.col("__dj")
+                            * F.coalesce(F.col("__vj"), F.lit(0.0))
+                        ).alias("v"),
+                    )
+                )
+            x = _normalized(y).localCheckpoint(eager=True)
+        # Rayleigh quotient on the DEFLATED operator (x ⊥ previous
+        # components up to iteration error, so A and A' agree here)
+        lam_row = (
+            _matvec(x)
+            .join(x.select("s", F.col("v").alias("__x")), "s")
+            .agg(F.sum(F.col("v") * F.col("__x")).alias("lam"))
+            .collect()[0]
+        )
+        lam = max(float(lam_row["lam"] or 0.0), 0.0)
+        # sign canonicalization: first sample key's nonzero loading > 0
+        lead = (
+            x.filter(F.abs(F.col("v")) > 1e-12)
+            .orderBy(F.col("s").asc())
+            .limit(1)
+            .collect()
+        )
+        if lead and lead[0]["v"] < 0:
+            x = x.select("s", (-F.col("v")).alias("v")).localCheckpoint(
+                eager=True
+            )
+        comps.append((lam, x))
+
+    out = samples
+    for c, (lam, v) in enumerate(comps, start=1):
+        out = out.join(
+            v.select(
+                "s",
+                F.round(F.col("v") * F.lit(lam**0.5), 6).alias(
+                    f"pc{c}"
+                ),
+            ),
+            "s",
+            "left",
+        )
+    return out.select(
+        F.col("s").alias("sample"),
+        *[
+            F.coalesce(F.col(f"pc{c}"), F.lit(0.0)).alias(f"pc{c}")
+            for c in range(1, n_components + 1)
+        ],
+    )
 
 
 def kinship_prune(

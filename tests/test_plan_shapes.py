@@ -562,3 +562,38 @@ def test_kendall_grid_is_broadcast_never_cartesian(spark):
     assert plan.index("BroadcastNestedLoopJoin") < plan.index(
         "HashAggregate"
     )
+
+
+def test_grm_pca_power_matvec_is_broadcast_no_cartesian(spark):
+    """The distributed PCA matvec must broadcast the S-row vector into
+    an equi-join against the pair table (pair rows never funnel to the
+    driver or a cartesian); the only cross joins in the plan are the
+    1-row norm/deflation scalars."""
+    from pandasvcf_spark.operators.ld import grm_pca_power
+
+    rows = [
+        (f"s{i}", f"s{j}", 0.1 * ((i * 7 + j) % 5))
+        for i in range(12)
+        for j in range(i, 12)
+    ]
+    grm_df = spark.createDataFrame(
+        rows, "sample_a string, sample_b string, grm double"
+    )
+    out = grm_pca_power(grm_df, n_components=1, n_iterations=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the per-iteration matvec plans live behind localCheckpoints;
+    # guard the iterated unit directly
+    from pandasvcf_spark.operators.ld import _grm_matvec
+
+    edges = grm_df.select(
+        F.col("sample_a").alias("a"),
+        F.col("sample_b").alias("b"),
+        F.col("grm").alias("g"),
+    )
+    x = edges.select(F.col("a").alias("s")).distinct().withColumn(
+        "v", F.lit(1.0)
+    )
+    mv = _plan(_grm_matvec(edges, x))
+    assert "CartesianProduct" not in mv
+    assert "BroadcastHashJoin" in mv
