@@ -462,17 +462,20 @@ def decode_external(
 
     PNG decodes with the stdlib-only `decode_png` (zlib inflate +
     unfilter), BMP with `decode_bmp` (BI_RGB 8/24/32-bit), GIF with
-    `decode_gif` (full LZW, first frame) and baseline JPEG with
+    `decode_gif` (full LZW, first frame), baseline JPEG with
     `operators/jpeg.decode_jpeg` (T.81 baseline sequential: Huffman,
     8-bit, 4:4:4/4:2:2/4:2:0, restart markers; progressive raises with
-    the marker named) — no external codec library required for any of
-    the four. Other formats (WebP, progressive JPEG, ...) need PIL,
-    which this container does not ship; they raise NotImplementedError
-    at plan-BUILD time (not mid-job on an executor) until pillow is
-    installed, at which point the PIL branch below handles any format
-    it can open."""
+    the marker named) and LOSSLESS WebP with `operators/webp.decode_webp`
+    (full VP8L: transforms, color cache, LZ77, meta groups; lossy
+    'VP8 ' raises naming the chunk) — no external codec library
+    required for any of the five. Remaining formats (lossy WebP,
+    progressive JPEG, TIFF, ...) need PIL, which this container does
+    not ship BY DESIGN (the documented permanent gate, COVERAGE.md);
+    they raise NotImplementedError at plan-BUILD time (not mid-job on
+    an executor) unless pillow is installed, at which point the PIL
+    branch below handles any format it can open."""
     fmt = fmt.lower()
-    use_pil = fmt not in ("png", "bmp", "gif", "jpeg", "jpg")
+    use_pil = fmt not in ("png", "bmp", "gif", "jpeg", "jpg", "webp")
     if use_pil:
         try:
             import PIL.Image  # noqa: F401
@@ -505,6 +508,10 @@ def decode_external(
                     from pandasvcf_spark.operators.jpeg import decode_jpeg
 
                     h, w, c, px = decode_jpeg(bytes(blob))
+                elif fmt == "webp":
+                    from pandasvcf_spark.operators.webp import decode_webp
+
+                    h, w, c, px = decode_webp(bytes(blob))
                 else:
                     h, w, c, px = decode_png(bytes(blob))
                 ids.append(img_id)

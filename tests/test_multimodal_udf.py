@@ -230,8 +230,10 @@ def test_decode_png_vectorized_throughput():
 
 
 def test_decode_external_exotic_fmt_needs_pil(spark, images):
-    # jpeg moved to the native branch in round 9 (operators/jpeg.py);
-    # webp remains the representative pillow-gated format
+    # jpeg moved to the native branch in round 9 (operators/jpeg.py),
+    # lossless webp in round 10 (operators/webp.py); TIFF is now the
+    # representative pillow-gated format (the PERMANENT gate: the
+    # container ships no codec library by design, COVERAGE.md)
     try:
         import PIL  # noqa: F401
 
@@ -239,7 +241,7 @@ def test_decode_external_exotic_fmt_needs_pil(spark, images):
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="pillow"):
-        decode_external(images, fmt="webp")
+        decode_external(images, fmt="tiff")
 
 
 # --- baseline JPEG codec (operators/jpeg.py — native, no pillow) -----------
@@ -340,10 +342,17 @@ def test_decode_external_jpeg_native(spark):
 
 def test_decode_external_pil_branch(spark):
     """Exercise the use_pil branch of decode_external the day pillow shows
-    up in the environment (skipped until then). BMP is lossless, so decoded
-    pixel statistics must match the source array exactly."""
+    up in the environment. This skip is the PERMANENT documented gate
+    (round-10 ruling, COVERAGE.md): the container ships no codec library
+    by design; PNG/BMP/GIF/baseline-JPEG/lossless-WebP all decode
+    natively, and the PIL branch exists solely for user environments
+    that install pillow (lossy WebP, progressive JPEG, TIFF). BMP is
+    lossless, so decoded pixel statistics must match the source array
+    exactly."""
     Image = pytest.importorskip(
-        "PIL.Image", reason="pillow not installed; PIL branch untestable"
+        "PIL.Image",
+        reason="permanent by-design gate: container ships no pillow; "
+        "branch activates only in user environments that install it",
     )
     import io
 
