@@ -5078,3 +5078,538 @@ def rate_ratio(
         (F.round(F.when(ok, irr), 6) + F.lit(0.0)).alias("irr"),
         (F.round(F.when(ok, z), 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def ks_2sample(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (Smirnov 1939) — the
+    distribution-comparison workhorse: the supremum gap between the
+    two groups' empirical CDFs, with the classic asymptotic p-value
+
+        D   = sup_v |F0(v) - F1(v)|
+        lam = (sqrt(en) + 0.12 + 0.11/sqrt(en)) * D,  en = n0*n1/(n0+n1)
+        p   = 2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lam^2)   (100 terms)
+
+    (the Numerical-Recipes small-sample-corrected lambda; p clamped to
+    [0, 1]). flag must be 0/1. Output: ONE row (n0, n1 BIGINT, d
+    DOUBLE round 6, p_value DOUBLE round 6); NULL stats when either
+    group is empty.
+
+    Plan: collapse to distinct-value cells (the kendall/roc
+    discipline; ENFORCED by the `max_cells` tripwire), ONE cumulative
+    window over the value ladder for both ECDFs, 1-row folds — the
+    sup over a corpus never materializes raw-row ranks.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__v"], "ks_2sample", max_cells,
+        plan_word="distinct-value ECDF ladder",
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("long").alias("__c0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("long").alias("__c1"),
+    )
+    tot = cells.agg(
+        F.sum("__c0").cast("long").alias("n0"),
+        F.sum("__c1").cast("long").alias("n1"),
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lad = cells.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
+            - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+        ).alias("__gap"),
+        "n0",
+        "n1",
+    )
+    g = lad.groupBy("n0", "n1").agg(F.max("__gap").alias("__d"))
+    en = (
+        F.col("n0").cast("double") * F.col("n1")
+        / (F.col("n0") + F.col("n1"))
+    )
+    lam = (
+        F.sqrt(en) + F.lit(0.12) + F.lit(0.11) / F.sqrt(en)
+    ) * F.col("__d")
+    p_raw = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(k % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(F.lit(-2.0) * (k * k).cast("double") * lam * lam),
+    )
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, F.col("__d")), 6) + F.lit(0.0)).alias("d"),
+        (
+            F.round(
+                F.when(ok, F.greatest(F.least(p_raw, F.lit(1.0)), F.lit(0.0))),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """1-D earth mover's distance (Wasserstein-1, Monge 1781 /
+    Vaserstein 1969) between the two groups' value distributions —
+    the drift metric that, unlike KS's sup, weights HOW FAR mass must
+    move:  W1 = integral over v of |F0(v) - F1(v)| dv,  computed
+    exactly as the segment-weighted fold over the merged distinct-
+    value ladder (the CDF gap is constant between consecutive distinct
+    values). flag must be 0/1. Output: ONE row (n0, n1 BIGINT, w1
+    DOUBLE round 6); NULL when either group is empty.
+
+    Plan: same distinct-value collapse + ONE cumulative window as
+    `ks_2sample` (tripwire-enforced), plus one lead() for the segment
+    widths; exact — no binning.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__v"], "wasserstein_1d", max_cells,
+        plan_word="distinct-value ECDF ladder",
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("long").alias("__c0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("long").alias("__c1"),
+    )
+    tot = cells.agg(
+        F.sum("__c0").cast("long").alias("n0"),
+        F.sum("__c1").cast("long").alias("n1"),
+    )
+    w_ord = Window.orderBy("__v")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    lad = cells.crossJoin(F.broadcast(tot)).select(
+        "__v",
+        "n0",
+        "n1",
+        F.abs(
+            F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
+            - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+        ).alias("__gap"),
+        F.lead("__v", 1).over(w_ord).alias("__nxt"),
+    )
+    g = lad.groupBy("n0", "n1").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__nxt").isNotNull(),
+                    F.col("__gap") * (F.col("__nxt") - F.col("__v")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("__w1")
+    )
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, F.col("__w1")), 6) + F.lit(0.0)).alias("w1"),
+    )
+
+
+def ordinal_association(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int | None = 65536,
+) -> DataFrame:
+    """Ordinal-by-ordinal association family in one pass — Goodman-
+    Kruskal gamma (1954), Somers' D (1962, the asymmetric y|x form),
+    and Stuart-Kendall tau-c (1953): the three standard refinements of
+    `kendall_tau_b` that contingency-table users actually quote,
+
+        gamma = (C - D) / (C + D)                (ignores all ties)
+        d_yx  = (C - D) / (n0 - n_x_ties)        (penalizes x ties)
+        tau_c = 2 m (C - D) / (n^2 (m - 1)),  m = min(#x, #y) levels
+
+    PRE-BUCKET dense values (ENFORCED by the `max_cells` tripwire).
+    Output: ONE row (n, concordant, discordant BIGINT, gamma,
+    somers_dyx, tau_c DOUBLE round 6); NULLs at degenerate margins.
+
+    Plan: exactly the kendall_tau_b device — one (x, y) cell collapse,
+    one broadcast cell-grid fold for C/D, two marginal aggs; the three
+    statistics differ only in their 1-row denominators.
+    """
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.filter(xc.isNotNull() & yc.isNotNull()).select(
+        xc.alias("__x"), yc.alias("__y")
+    )
+    _assert_cell_bound(
+        base, ["__x", "__y"], "ordinal_association", max_cells
+    )
+    cells = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("__xb") > F.col("__xa"), "inner"
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__yb") > F.col("__ya"),
+                    F.col("__na") * F.col("__nb"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__yb") < F.col("__ya"),
+                    F.col("__na") * F.col("__nb"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("discordant"),
+    )
+    tx = cells.groupBy("__x").agg(F.sum("__n").alias("__t")).agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__n1x2"),
+        F.sum("__t").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("__r"),
+    )
+    ty = cells.groupBy("__y").agg(F.sum("__n").alias("__t")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    g = pairs.join(F.broadcast(tx)).join(F.broadcast(ty))
+    cd = (
+        F.col("concordant").cast("double")
+        - F.col("discordant").cast("double")
+    )
+    csum = (
+        F.col("concordant").cast("double")
+        + F.col("discordant").cast("double")
+    )
+    nd = F.col("n").cast("double")
+    n0x2 = nd * (nd - F.lit(1.0))
+    m = F.least(F.col("__r"), F.col("__c")).cast("double")
+    return g.select(
+        "n",
+        "concordant",
+        "discordant",
+        (
+            F.round(F.when(csum > 0, cd / csum), 6) + F.lit(0.0)
+        ).alias("gamma"),
+        (
+            F.round(
+                F.when(
+                    (n0x2 - F.col("__n1x2")) > 0,
+                    F.lit(2.0) * cd / (n0x2 - F.col("__n1x2")),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("somers_dyx"),
+        (
+            F.round(
+                F.when(
+                    (m > 1) & (nd > 0),
+                    F.lit(2.0) * m * cd / (nd * nd * (m - F.lit(1.0))),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("tau_c"),
+    )
+
+
+def harrell_c(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    max_cells: int | None = 65536,
+) -> DataFrame:
+    """Harrell's concordance index (Harrell et al. 1982) — THE ranking
+    metric for survival/churn risk scores: of all permissible pairs,
+    the fraction where the higher-risk score belongs to the subject
+    who failed earlier,
+
+        permissible = {(i, j): t_i < t_j and event_i = 1}
+        C = (#[s_i > s_j] + 0.5 #[s_i = s_j]) / #permissible
+
+    (the original definition: pairs tied on time are not permissible;
+    a censored i is never the early member — its true time is only
+    known to exceed t_i). PRE-BUCKET dense scores (ENFORCED by the
+    `max_cells` tripwire). Output: ONE row (n BIGINT, n_pairs,
+    concordant, tied BIGINT, c_index DOUBLE round 6); NULL c when no
+    permissible pair exists.
+
+    Plan: collapse to (time, event, score) cells, ONE broadcast
+    cell-grid fold over (early-event cell) x (later cell) — integer
+    pair counts, exact rational C.
+    """
+    tc = F.col(time_col).cast("double")
+    ec = F.col(event_col).cast("int")
+    sc = F.col(score_col).cast("double")
+    base = df.filter(
+        tc.isNotNull() & ec.isNotNull() & sc.isNotNull()
+    ).select(tc.alias("__t"), ec.alias("__e"), sc.alias("__s"))
+    _assert_cell_bound(
+        base, ["__t", "__e", "__s"], "harrell_c", max_cells
+    )
+    cells = base.groupBy("__t", "__e", "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.filter(F.col("__e") == 1).select(
+        F.col("__t").alias("__ta"),
+        F.col("__s").alias("__sa"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__t").alias("__tb"),
+        F.col("__s").alias("__sb"),
+        F.col("__n").alias("__nb"),
+    )
+    w = F.col("__na") * F.col("__nb")
+    grid = a.join(
+        F.broadcast(b), F.col("__tb") > F.col("__ta"), "inner"
+    ).agg(
+        F.coalesce(F.sum(w), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sa") > F.col("__sb"), w).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("concordant"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sa") == F.col("__sb"), w).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("tied"),
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = grid.crossJoin(F.broadcast(nrow))
+    c = (
+        F.col("concordant").cast("double")
+        + F.lit(0.5) * F.col("tied").cast("double")
+    ) / F.col("n_pairs").cast("double")
+    return g.select(
+        "n",
+        "n_pairs",
+        "concordant",
+        "tied",
+        (
+            F.round(F.when(F.col("n_pairs") > 0, c), 6) + F.lit(0.0)
+        ).alias("c_index"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_cells: int | None = 65536,
+) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945, Kendall 1975) — the
+    nonparametric monotone-trend standard of environmental/monitoring
+    statistics:  S = sum_{i<j} sign(v_j - v_i) over time order, with
+    the tie-corrected variance and continuity-corrected z,
+
+        var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+        z   = (S -/+ 1) / sqrt(var)   (0 when S = 0)
+
+    Pairs tied on TIME are excluded (the test assumes a sequence;
+    duplicate timestamps should be pre-aggregated). PRE-BUCKET dense
+    values (ENFORCED by the `max_cells` tripwire on (t, v) cells).
+    Output: ONE row (n BIGINT, s BIGINT, var_s DOUBLE, z DOUBLE
+    round 6); z NULL when var = 0.
+
+    Plan: the kendall_tau_b cell device with time as x — one (t, v)
+    collapse, one broadcast cell-grid sign fold, one v-marginal agg.
+    """
+    tc = F.col(time_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(tc.isNotNull() & vc.isNotNull()).select(
+        tc.alias("__t"), vc.alias("__v")
+    )
+    _assert_cell_bound(base, ["__t", "__v"], "mann_kendall", max_cells)
+    cells = base.groupBy("__t", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.select(
+        F.col("__t").alias("__ta"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__t").alias("__tb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    w = F.col("__na") * F.col("__nb")
+    s_fold = a.join(
+        F.broadcast(b), F.col("__tb") > F.col("__ta"), "inner"
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__vb") > F.col("__va"), w)
+                .when(F.col("__vb") < F.col("__va"), -w)
+                .otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("s")
+    )
+    ties = cells.groupBy("__v").agg(F.sum("__n").alias("__t")).agg(
+        F.sum(
+            F.col("__t")
+            * (F.col("__t") - 1)
+            * (2 * F.col("__t") + 5)
+        ).alias("__tsum"),
+        F.sum("__t").cast("long").alias("n"),
+    )
+    g = s_fold.join(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - 1) * (2 * nd + 5)
+        - F.col("__tsum").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s)).when(
+        F.col("s") < 0, (sd + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "n",
+        "s",
+        F.round(var_s, 4).alias("var_s"),
+        (
+            F.round(F.when(var_s > 0, z), 6) + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def grubbs_test(df: DataFrame, value_col: str) -> DataFrame:
+    """Grubbs' maximum-outlier test (Grubbs 1950): is the single most
+    extreme value an outlier under normality?  G = max|x - mean| / sd.
+    Output: ONE row (n BIGINT, suspect DOUBLE, g DOUBLE round 6) — the
+    suspect value is the extreme itself (ties broken toward the
+    smaller value for determinism); g NULL when n < 3 or sd = 0.
+
+    Plan: one moment agg + one TakeOrdered(1) on the deviation — no
+    window, no join."""
+    vc = F.col(value_col).cast("double")
+    base = df.filter(vc.isNotNull()).select(vc.alias("__v"))
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__v").alias("__m"),
+        F.stddev_samp("__v").alias("__sd"),
+    )
+    dev = base.crossJoin(F.broadcast(mom)).select(
+        "n",
+        "__m",
+        "__sd",
+        "__v",
+        F.abs(F.col("__v") - F.col("__m")).alias("__d"),
+    )
+    top = dev.orderBy(F.col("__d").desc(), F.col("__v").asc()).limit(1)
+    ok = (F.col("n") >= 3) & (F.col("__sd") > 0)
+    return top.select(
+        "n",
+        F.round(F.col("__v"), 6).alias("suspect"),
+        (
+            F.round(F.when(ok, F.col("__d") / F.col("__sd")), 6)
+            + F.lit(0.0)
+        ).alias("g"),
+    )
+
+
+def js_divergence_binned(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Jensen-Shannon divergence (Lin 1991) between the two groups'
+    binned CONTINUOUS value distributions — the equal-width-bin
+    companion of the categorical `js_divergence` (natural log here;
+    the drift monitor for numeric features) — the symmetric, bounded (<= ln 2)
+    drift metric:  JS = [KL(P||M) + KL(Q||M)] / 2,  M = (P+Q)/2, over
+    `n_bins` equal-width bins priced from the GLOBAL min/max (one
+    1-row agg; 0 ln 0 = 0 by convention; natural log). flag must be
+    0/1. Output: ONE row (n0, n1 BIGINT, js DOUBLE round 6); NULL
+    when either group is empty or min = max.
+
+    Plan: one bounds agg + one bin groupBy (<= n_bins cells) + 1-row
+    folds — two exchanges total, both cell-sized after the first."""
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    bounds = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "__f",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+                ),
+                F.lit(n_bins - 1),
+            ),
+        ).otherwise(F.lit(0)).alias("__b"),
+    )
+    hist = binned.groupBy("__b").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("double").alias("__h0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("double").alias("__h1"),
+    )
+    tot = hist.agg(
+        F.sum("__h0").alias("__n0"), F.sum("__h1").alias("__n1")
+    )
+    j = hist.crossJoin(F.broadcast(tot))
+    p = F.col("__h0") / F.col("__n0")
+    q = F.col("__h1") / F.col("__n1")
+    m = (p + q) / 2
+    term = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    g = j.groupBy().agg(
+        F.max("__n0").cast("long").alias("n0"),
+        F.max("__n1").cast("long").alias("n1"),
+        F.sum(term).alias("__js"),
+    )
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, F.col("__js")), 6) + F.lit(0.0)).alias("js"),
+    )

@@ -4864,3 +4864,352 @@ def m_rate_ratio(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("x"),
     )
     return rate_ratio(per, "f", "e", "x")
+
+
+@register(
+    "m_ks_2sample",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT v,
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM b GROUP BY v),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM cells),
+    lad AS (SELECT abs(
+        CAST(sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n0
+        - CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n1) AS gap,
+        tot.n0 AS n0, tot.n1 AS n1
+      FROM cells, tot),
+    g AS (SELECT max(n0) AS n0, max(n1) AS n1, max(gap) AS d
+          FROM lad),
+    lamt AS (SELECT n0, n1, d,
+        (sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)) + 0.12
+         + 0.11 / sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1))) * d
+          AS lam
+      FROM g)
+    SELECT n0, n1, round(d, 6) + 0.0 AS d,
+      round(greatest(least(2.0 * list_sum(list_transform(
+        generate_series(1, 100),
+        k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+             * exp(-2.0 * k * k * lam * lam))), 1.0), 0.0), 6)
+        + 0.0 AS p_value
+    FROM lamt
+    """,
+)
+def m_ks_2sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov (operators/stats.ks_2sample) of
+    user-parity value distributions on integer-rounded value — the
+    new distribution-comparison family's sup-gap member: distinct-
+    value cell collapse, ONE cumulative window for both ECDFs, and
+    the 100-term asymptotic p series as a closed-form HOF fold the
+    oracle replays term-for-term."""
+    from pandasvcf_spark.operators.stats import ks_2sample
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round("value", 0).alias("v"),
+    )
+    return ks_2sample(b, "f", "v")
+
+
+@register(
+    "m_wasserstein",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT v,
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM b GROUP BY v),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM cells),
+    lad AS (SELECT v,
+        abs(CAST(sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n0
+        - CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n1) AS gap,
+        lead(v) OVER (ORDER BY v) AS nxt,
+        tot.n0 AS n0, tot.n1 AS n1
+      FROM cells, tot)
+    SELECT max(n0) AS n0, max(n1) AS n1,
+           round(coalesce(sum(CASE WHEN nxt IS NOT NULL
+                 THEN gap * (nxt - v) END), 0.0), 6) + 0.0 AS w1
+    FROM lad
+    """,
+)
+def m_wasserstein(spark, sf_dir):
+    """1-D earth mover's distance (operators/stats.wasserstein_1d)
+    between the two user-parity value distributions — the
+    drift metric that weights HOW FAR mass moves where m_ks_2sample's
+    sup only sees the largest gap. Exact segment-weighted |F0-F1|
+    fold over the merged distinct-value ladder; the oracle replays
+    ladder, lead segments and the fold."""
+    from pandasvcf_spark.operators.stats import wasserstein_1d
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round("value", 0).alias("v"),
+    )
+    return wasserstein_1d(b, "f", "v")
+
+
+@register(
+    "m_ordinal_assoc",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 5 AS DOUBLE) AS x, round(value, 0) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY x, y),
+    grid AS (SELECT
+        CAST(coalesce(sum(CASE WHEN cb.y > ca.y
+          THEN ca.n * cb.n END), 0) AS BIGINT) AS concordant,
+        CAST(coalesce(sum(CASE WHEN cb.y < ca.y
+          THEN ca.n * cb.n END), 0) AS BIGINT) AS discordant
+      FROM cells ca JOIN cells cb ON cb.x > ca.x),
+    tx AS (SELECT sum(t * (t - 1)) AS n1x2,
+                  CAST(sum(t) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS r
+           FROM (SELECT CAST(sum(n) AS DOUBLE) AS t
+                 FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT y FROM cells GROUP BY y)),
+    g AS (SELECT * FROM grid, tx, ty)
+    SELECT n, concordant, discordant,
+      round(CASE WHEN concordant + discordant > 0
+            THEN CAST(concordant - discordant AS DOUBLE)
+                 / (concordant + discordant) END, 6) + 0.0 AS gamma,
+      round(CASE WHEN CAST(n AS DOUBLE) * (n - 1) - n1x2 > 0
+            THEN 2.0 * (concordant - discordant)
+                 / (CAST(n AS DOUBLE) * (n - 1) - n1x2) END, 6)
+        + 0.0 AS somers_dyx,
+      round(CASE WHEN least(r, c) > 1 AND n > 0
+            THEN 2.0 * least(r, c) * (concordant - discordant)
+                 / (CAST(n AS DOUBLE) * n * (least(r, c) - 1.0))
+            END, 6) + 0.0 AS tau_c
+    FROM g
+    """,
+)
+def m_ordinal_assoc(spark, sf_dir):
+    """Goodman-Kruskal gamma + Somers' D + Stuart tau-c in one pass
+    (operators/stats.ordinal_association) of user-bucket vs rounded
+    value — the contingency-table ordinal family on the kendall_tau_b
+    cell-grid device: the three statistics differ only in their 1-row
+    denominators, so one broadcast grid fold prices all of them. The
+    oracle replays grid, marginals and all three folds."""
+    from pandasvcf_spark.operators.stats import ordinal_association
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 5).cast("double").alias("x"),
+        F.round("value", 0).alias("y"),
+    )
+    return ordinal_association(b, "x", "y")
+
+
+@register(
+    "m_harrell_c",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 0) AS t,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS e,
+             CAST(user_id % 20 AS DOUBLE) AS s
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL),
+    cells AS (SELECT t, e, s, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY t, e, s),
+    grid AS (SELECT
+        CAST(coalesce(sum(ca.n * cb.n), 0) AS BIGINT) AS n_pairs,
+        CAST(coalesce(sum(CASE WHEN ca.s > cb.s
+          THEN ca.n * cb.n END), 0) AS BIGINT) AS concordant,
+        CAST(coalesce(sum(CASE WHEN ca.s = cb.s
+          THEN ca.n * cb.n END), 0) AS BIGINT) AS tied
+      FROM cells ca JOIN cells cb ON cb.t > ca.t AND ca.e = 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+    SELECT n, n_pairs, concordant, tied,
+      round(CASE WHEN n_pairs > 0
+            THEN (CAST(concordant AS DOUBLE) + 0.5 * tied) / n_pairs
+            END, 6) + 0.0 AS c_index
+    FROM grid, nn
+    """,
+)
+def m_harrell_c(spark, sf_dir):
+    """Harrell's concordance index (operators/stats.harrell_c) of a
+    user-bucket risk score against click-event timing — THE ranking
+    metric for survival/churn scores, on the same (time, event,
+    score) cell-grid device as the rank family: permissible pairs are
+    (early event, any later), concordant when the earlier failure
+    carries the higher score, score ties at half credit. The oracle
+    replays cells, grid and the rational C fold."""
+    from pandasvcf_spark.operators.stats import harrell_c
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    b = e.select(
+        F.round("value", 0).alias("t"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("e"),
+        (F.col("user_id") % 20).cast("double").alias("s"),
+    )
+    return harrell_c(b, "t", "e", "s")
+
+
+@register(
+    "m_mann_kendall",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS t,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    cells AS (SELECT t, v, CAST(count(*) AS BIGINT) AS n
+              FROM hourly GROUP BY t, v),
+    sfold AS (SELECT CAST(coalesce(sum(
+        CASE WHEN cb.v > ca.v THEN ca.n * cb.n
+             WHEN cb.v < ca.v THEN -(ca.n * cb.n)
+             ELSE 0 END), 0) AS BIGINT) AS s
+      FROM cells ca JOIN cells cb ON cb.t > ca.t),
+    ties AS (SELECT sum(tt * (tt - 1) * (2 * tt + 5)) AS tsum,
+                    CAST(sum(tt) AS BIGINT) AS n
+             FROM (SELECT CAST(sum(n) AS DOUBLE) AS tt
+                   FROM cells GROUP BY v)),
+    g AS (SELECT s, n,
+        (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tsum) / 18.0
+          AS var_s
+      FROM sfold, ties)
+    SELECT n, s, round(var_s, 4) AS var_s,
+      round(CASE WHEN var_s > 0 THEN
+        CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_s)
+             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_s)
+             ELSE 0.0 END END, 6) + 0.0 AS z
+    FROM g
+    """,
+)
+def m_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test (operators/stats.mann_kendall)
+    on the hourly event-count series — the nonparametric trend
+    standard of monitoring statistics, computed as the kendall cell
+    grid with time as x plus the tie-corrected variance and
+    continuity-corrected z. The oracle replays the hourly rollup,
+    grid sign fold, tie sum and z arithmetic."""
+    from pandasvcf_spark.operators.stats import mann_kendall
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    b = hourly.select(
+        F.unix_timestamp("h").cast("double").alias("t"), "v"
+    )
+    return mann_kendall(b, "t", "v")
+
+
+@register(
+    "m_grubbs",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                  AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id),
+    mom AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(v) AS m,
+                   stddev_samp(v) AS sd FROM pu),
+    dev AS (SELECT pu.v, mom.n, mom.m, mom.sd,
+                   abs(pu.v - mom.m) AS d
+            FROM pu, mom ORDER BY d DESC, v ASC LIMIT 1)
+    SELECT n, round(v, 6) AS suspect,
+           round(CASE WHEN n >= 3 AND sd > 0 THEN d / sd END, 6)
+             + 0.0 AS g
+    FROM dev
+    """,
+)
+def m_grubbs(spark, sf_dir):
+    """Grubbs' maximum-outlier test (operators/stats.grubbs_test) on
+    per-user integer-cents spend totals — is the single biggest
+    spender a statistical outlier under normality? One moment agg +
+    one deterministic TakeOrdered(1) on the deviation (value
+    tie-break). The oracle replays totals, moments and the top-1
+    cut."""
+    from pandasvcf_spark.operators.stats import grubbs_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pu = e.groupBy("user_id").agg(
+        F.sum(cents).cast("double").alias("v")
+    )
+    return grubbs_test(pu, "v")
+
+
+@register(
+    "m_js_binned",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, value AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+    binned AS (SELECT f,
+        CASE WHEN bounds.hi > bounds.lo THEN least(
+          CAST(floor((v - bounds.lo)
+               / ((bounds.hi - bounds.lo) / 20.0)) AS BIGINT),
+          19) ELSE 0 END AS bin
+      FROM b, bounds),
+    hist AS (SELECT bin,
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS h0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS h1
+      FROM binned GROUP BY bin),
+    tot AS (SELECT sum(h0) AS t0, sum(h1) AS t1 FROM hist),
+    terms AS (SELECT tot.t0, tot.t1,
+        (CASE WHEN h0 > 0 THEN (h0 / t0)
+          * ln((h0 / t0) / ((h0 / t0 + h1 / t1) / 2.0)) ELSE 0 END
+        + CASE WHEN h1 > 0 THEN (h1 / t1)
+          * ln((h1 / t1) / ((h0 / t0 + h1 / t1) / 2.0)) ELSE 0 END)
+        / 2.0 AS term
+      FROM hist, tot)
+    SELECT CAST(max(t0) AS BIGINT) AS n0, CAST(max(t1) AS BIGINT)
+             AS n1,
+           round(CASE WHEN max(t0) > 0 AND max(t1) > 0
+                 THEN sum(term) END, 6) + 0.0 AS js
+    FROM terms
+    """,
+)
+def m_js_binned(spark, sf_dir):
+    """Jensen-Shannon divergence over 20 global equal-width bins
+    (operators/stats.js_divergence_binned) between the two user-parity
+    CONTINUOUS value distributions — the numeric-feature companion of
+    m_js_divergence (which compares categorical event-type masses).
+    One bounds agg + one <=20-cell histogram + 1-row folds; the
+    oracle replays binning and both KL terms."""
+    from pandasvcf_spark.operators.stats import js_divergence_binned
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.col("value").alias("v"),
+    )
+    return js_divergence_binned(b, "f", "v", n_bins=20)

@@ -861,6 +861,23 @@ def test_tail_entries_are_redundant_variants_only():
                                  # hash-groupBy — demoted re-cut #7
                                  # (machinery stays via
                                  # dedup_minhash_lsh + p4_distinct)
+        # round-10 distribution-comparison / association / survival-
+        # ranking family (operators/stats.py)
+        "m_ks_2sample",          # two-sample KS: ECDF cell ladder +
+                                 # 100-term asymptotic p fold
+        "m_wasserstein",         # 1-D earth mover: segment-weighted
+                                 # |F0-F1| fold on the same ladder
+        "m_ordinal_assoc",       # gamma / Somers' D / tau-c: the
+                                 # kendall grid, three denominators
+        "m_harrell_c",           # survival concordance: (t, e, s)
+                                 # cell grid, half-credit ties
+        "m_mann_kendall",        # monotone trend: kendall grid with
+                                 # time as x + tie-corrected var
+        "m_grubbs",              # max-outlier G: moment agg +
+                                 # deterministic TakeOrdered(1)
+        "m_js_binned",           # symmetric binned drift on a
+                                 # CONTINUOUS feature: bounds agg +
+                                 # 20-cell histogram folds
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2351,3 +2351,103 @@ def test_cell_collapse_tripwire_dense_input_raises(spark):
     assert (
         cliffs_delta(dense, "f", "v", max_cells=None).count() == 1
     )
+
+
+def test_ks_wasserstein_js_binned_hand_references(spark):
+    """Distribution-comparison family vs hand-computed references:
+    KS d + the 100-term asymptotic p; W1 on scipy's documented pair
+    examples; binned JS at the identical (0) and disjoint (ln 2)
+    extremes."""
+    import math
+
+    from pandasvcf_spark.operators.stats import (
+        js_divergence_binned,
+        ks_2sample,
+        wasserstein_1d,
+    )
+
+    two = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 3.0), (0, 4.0),
+         (1, 3.0), (1, 4.0), (1, 5.0), (1, 6.0)],
+        "f int, v double",
+    )
+    r = ks_2sample(two, "f", "v").collect()[0]
+    assert (r["n0"], r["n1"], r["d"]) == (4, 4, 0.5)
+    lam = (math.sqrt(2) + 0.12 + 0.11 / math.sqrt(2)) * 0.5
+    p = 2 * sum(
+        (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    assert r["p_value"] == round(min(max(p, 0.0), 1.0), 6)
+
+    w12 = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 3.0), (1, 4.0)], "f int, v double"
+    )
+    assert wasserstein_1d(w12, "f", "v").collect()[0]["w1"] == 2.0
+    same = spark.createDataFrame(
+        [(0, 3.0), (0, 4.0), (1, 3.0), (1, 4.0)], "f int, v double"
+    )
+    assert wasserstein_1d(same, "f", "v").collect()[0]["w1"] == 0.0
+
+    assert js_divergence_binned(same, "f", "v").collect()[0]["js"] == 0.0
+    dis = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 100.0), (1, 101.0)], "f int, v double"
+    )
+    assert js_divergence_binned(dis, "f", "v").collect()[0][
+        "js"
+    ] == round(math.log(2), 6)
+
+
+def test_ordinal_assoc_harrell_mann_kendall_grubbs_hand(spark):
+    """Ordinal association on a hand 2x2 (gamma/D/tau-c all closed
+    form), Harrell C = 1 on a perfectly ranked cohort plus a
+    half-credit tie case, Mann-Kendall on a strictly increasing
+    4-series, Grubbs on a planted outlier."""
+    import statistics
+
+    from pandasvcf_spark.operators.stats import (
+        grubbs_test,
+        harrell_c,
+        mann_kendall,
+        ordinal_association,
+    )
+
+    rows = [(0, 0)] * 30 + [(1, 1)] * 30 + [(0, 1)] * 10 + [(1, 0)] * 10
+    od = spark.createDataFrame(rows, "x int, y int")
+    r = ordinal_association(od, "x", "y").collect()[0]
+    C, D = 900, 100
+    assert (r["concordant"], r["discordant"]) == (C, D)
+    assert r["gamma"] == round((C - D) / (C + D), 6)  # 0.8
+    # d_yx: x-tie pairs 2*(40*39) = 3120; n0*2 = 80*79 = 6320
+    assert r["somers_dyx"] == round(2 * (C - D) / (6320 - 3120), 6)
+    assert r["tau_c"] == round(2 * 2 * (C - D) / (80 * 80 * 1), 6)
+
+    hc = spark.createDataFrame(
+        [(1.0, 1, 4.0), (2.0, 1, 3.0), (3.0, 1, 2.0), (4.0, 1, 1.0)],
+        "t double, e int, s double",
+    )
+    r = harrell_c(hc, "t", "e", "s").collect()[0]
+    assert (r["n_pairs"], r["concordant"], r["c_index"]) == (6, 6, 1.0)
+    # censored subject never the early member; tied scores half-credit
+    hc2 = spark.createDataFrame(
+        [(1.0, 0, 9.0), (2.0, 1, 5.0), (3.0, 0, 5.0)],
+        "t double, e int, s double",
+    )
+    r2 = harrell_c(hc2, "t", "e", "s").collect()[0]
+    assert (r2["n_pairs"], r2["tied"], r2["c_index"]) == (1, 1, 0.5)
+
+    mk = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0)],
+        "t double, v double",
+    )
+    r = mann_kendall(mk, "t", "v").collect()[0]
+    assert (r["s"], r["var_s"]) == (6, round(4 * 3 * 13 / 18, 4))
+    assert r["z"] == round(5 / (4 * 3 * 13 / 18) ** 0.5, 6)
+
+    gb = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (100.0,)], "v double"
+    )
+    r = grubbs_test(gb, "v").collect()[0]
+    sd = statistics.stdev([1, 2, 3, 100])
+    assert (r["n"], r["suspect"]) == (4, 100.0)
+    assert r["g"] == round((100 - 26.5) / sd, 6)
