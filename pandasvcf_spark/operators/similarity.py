@@ -132,6 +132,7 @@ def cosine_topk_blocked(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
     query_block: int = 1024,
+    max_query_mb: int | None = 512,
 ) -> DataFrame:
     """Exact cosine top-k for a LARGE query set — the many-query companion
     to `cosine_topk` (same output contract: query_id, vec_id, cossim DOUBLE,
@@ -155,7 +156,12 @@ def cosine_topk_blocked(
     The driver-side `queries.collect()` is an eager action at plan-build
     time — inherent to building a broadcast side, same as Spark's own
     broadcast join, and worth it only when queries ≫ broadcast-literal
-    scale.
+    scale. The broadcast-build boundary is ENFORCED (round-10 contract
+    upgrade): a 1-row (count, dim) pre-check prices the query matrix
+    (m x d float64) and raises with the ann_banded_topk routing
+    instruction when it exceeds `max_query_mb` (default 512 MB), so the
+    failure mode past the boundary is a message, not an executor OOM.
+    Pass max_query_mb=None to skip the pre-check job.
 
     Restriction (checked, not silent): both id columns must be integral
     types — ids ride through numpy int64 arrays inside the matmul kernel,
@@ -178,6 +184,22 @@ def cosine_topk_blocked(
                 f"{col_} is {dtype} — use cosine_topk for non-integer ids"
             )
 
+    if max_query_mb is not None:
+        st = queries.agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.max(F.size(F.col(vec_col))).alias("__d"),
+        ).collect()[0]
+        est_mb = (st["__m"] or 0) * (st["__d"] or 0) * 8 / 2**20
+        if est_mb > max_query_mb:
+            raise ValueError(
+                f"cosine_topk_blocked: query matrix ~{est_mb:,.0f} MB "
+                f"({st['__m']:,} x {st['__d']} float64) exceeds "
+                f"max_query_mb={max_query_mb} — the broadcast-build "
+                "boundary of exact many-query search. Use "
+                "ann_banded_topk (bucketed LSH) for query sets this "
+                "large, or raise/disable the cap after sizing executor "
+                "memory for the broadcast."
+            )
     qrows = queries.select(
         F.col(query_id_col), _dc(vec_col).alias("__v")
     ).collect()

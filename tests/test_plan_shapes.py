@@ -597,3 +597,48 @@ def test_grm_pca_power_matvec_is_broadcast_no_cartesian(spark):
     mv = _plan(_grm_matvec(edges, x))
     assert "CartesianProduct" not in mv
     assert "BroadcastHashJoin" in mv
+
+
+def test_ks_wasserstein_ladder_no_raw_row_window(spark):
+    """The ECDF family must window over aggregated distinct-value
+    cells, never raw rows: the cumulative Window sits ABOVE the cell
+    HashAggregate, and no CartesianProduct appears (the 1-row totals
+    ride a broadcast)."""
+    from pandasvcf_spark.operators.stats import ks_2sample, wasserstein_1d
+
+    d = spark.range(5000).select(
+        (F.col("id") % 2).cast("int").alias("f"),
+        (F.col("id") % 37).cast("double").alias("v"),
+    )
+    for op in (ks_2sample, wasserstein_1d):
+        plan = _plan(op(d, "f", "v"))
+        assert "CartesianProduct" not in plan
+        assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_round10_grid_family_broadcast_never_cartesian(spark):
+    """ordinal_association / harrell_c / mann_kendall ride the
+    kendall cell-grid: BroadcastNestedLoopJoin of aggregated cells,
+    never a CartesianProduct of rows."""
+    from pandasvcf_spark.operators.stats import (
+        harrell_c,
+        mann_kendall,
+        ordinal_association,
+    )
+
+    d = spark.range(3000).select(
+        (F.col("id") % 23).cast("double").alias("x"),
+        (F.col("id") % 17).cast("double").alias("y"),
+        (F.col("id") % 2).cast("int").alias("e"),
+    )
+    plans = [
+        _plan(ordinal_association(d, "x", "y")),
+        _plan(harrell_c(d, "x", "e", "y")),
+        _plan(mann_kendall(d, "x", "y")),
+    ]
+    for plan in plans:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert plan.index("BroadcastNestedLoopJoin") < plan.index(
+            "HashAggregate"
+        )
