@@ -5613,3 +5613,286 @@ def js_divergence_binned(
         "n1",
         (F.round(F.when(ok, F.col("__js")), 6) + F.lit(0.0)).alias("js"),
     )
+
+
+def cvm_2sample(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises test (Anderson 1962) — the
+    quadratic companion completing the ECDF ladder triad (`ks_2sample`
+    takes the sup, `wasserstein_1d` the L1 area, this the weighted L2):
+
+        T = (n0 n1 / N²) * sum over the POOLED sample (with
+            multiplicity) of [F0(z) - F1(z)]²
+
+    i.e. each distinct value v contributes count(v) · gap(v)². More
+    sensitive than KS to distributed (non-localized) differences.
+    flag must be 0/1. Output: ONE row (n0, n1 BIGINT, t DOUBLE
+    round 6); NULL when either group is empty.
+
+    Plan: identical to ks_2sample — distinct-value cell collapse
+    (tripwire-enforced) + ONE cumulative window + a 1-row fold.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__v"], "cvm_2sample", max_cells,
+        plan_word="distinct-value ECDF ladder",
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("long").alias("__c0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("long").alias("__c1"),
+    )
+    tot = cells.agg(
+        F.sum("__c0").cast("long").alias("n0"),
+        F.sum("__c1").cast("long").alias("n1"),
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap = (
+        F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
+        - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+    )
+    lad = cells.crossJoin(F.broadcast(tot)).select(
+        "n0",
+        "n1",
+        ((F.col("__c0") + F.col("__c1")).cast("double") * gap * gap)
+        .alias("__w"),
+    )
+    g = lad.groupBy("n0", "n1").agg(F.sum("__w").alias("__s"))
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    nd = n0d + n1d
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return g.select(
+        "n0",
+        "n1",
+        (
+            F.round(
+                F.when(ok, n0d * n1d / (nd * nd) * F.col("__s")), 6
+            )
+            + F.lit(0.0)
+        ).alias("t"),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Ansari-Bradley rank SCALE test (Ansari & Bradley 1960) — do the
+    two groups share dispersion around a common median? The two-sample
+    nonparametric companion of `levene_bf`/`bartlett_test`: rank the
+    pooled sample from BOTH ends (score = min(rank, N+1-rank), ties by
+    run-average), then test whether group 1's score sum AB is what
+    exchangeability predicts,
+
+        AB   = sum of group-1 scores
+        E    = n1 * mean(score)                    (permutation form)
+        Var  = n0 n1 (sum s² - N mean²) / (N (N-1))
+        z    = (AB - E) / sqrt(Var)
+
+    (the tie-robust sampling-without-replacement moments — reduces to
+    the textbook even/odd-N constants when values are distinct). flag
+    must be 0/1. Output: ONE row (n0, n1 BIGINT, ab DOUBLE round 4,
+    z DOUBLE round 6); z NULL when Var = 0.
+
+    Plan: the tie-run score sum has a CLOSED FORM per distinct-value
+    cell (an arithmetic series split at the pooled center), so the
+    whole statistic is the cell ladder + 1-row folds — no raw-row
+    rank window (tripwire-enforced cells).
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__v"], "ansari_bradley", max_cells,
+        plan_word="distinct-value score ladder",
+    )
+    cells = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__t"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("long").alias("__t1"),
+    )
+    tot = cells.agg(F.sum("__t").cast("long").alias("__N"))
+    w_prev = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lad = cells.crossJoin(F.broadcast(tot)).select(
+        "__v",
+        "__t",
+        "__t1",
+        "__N",
+        (
+            F.coalesce(F.sum("__t").over(w_prev), F.lit(0)) + 1
+        ).cast("double").alias("__a"),  # run start position
+    )
+    # sum of min(i, N+1-i) for i in [a, b] and the matching sum of
+    # squares: split the run at m1 = floor((N+1)/2) — below it the
+    # score is i, above it N+1-i (an arithmetic series either side).
+    nd = F.col("__N").cast("double")
+    a = F.col("__a")
+    b = a + F.col("__t").cast("double") - 1
+    m1 = F.floor((nd + 1) / 2).cast("double")
+
+    def _series_sum(lo, hi):
+        # sum_{i=lo..hi} i, empty-safe
+        cnt = F.greatest(hi - lo + 1, F.lit(0.0))
+        return F.when(cnt > 0, cnt * (lo + hi) / 2).otherwise(F.lit(0.0))
+
+    def _series_sumsq(lo, hi):
+        # sum_{i=lo..hi} i² via the prefix cubes formula, empty-safe
+        def pref(x):  # sum_{i=1..x} i²
+            return x * (x + 1) * (2 * x + 1) / 6
+
+        return F.when(
+            hi >= lo, pref(hi) - pref(lo - 1)
+        ).otherwise(F.lit(0.0))
+
+    lo1, hi1 = a, F.least(b, m1)
+    lo2, hi2 = F.greatest(a, m1 + 1), b
+    run_sum = _series_sum(lo1, hi1) + (
+        _series_sum(F.lit(0.0) + (nd + 1 - hi2), nd + 1 - lo2)
+    )
+    run_sumsq = _series_sumsq(lo1, hi1) + _series_sumsq(
+        nd + 1 - hi2, nd + 1 - lo2
+    )
+    scored = lad.select(
+        "__t",
+        "__t1",
+        "__N",
+        (run_sum / F.col("__t")).alias("__s"),       # per-member score
+        run_sum.alias("__rs"),
+        run_sumsq.alias("__rq"),
+    )
+    # NOTE: within a tie run every member carries the AVERAGE score
+    # (mid-score), so sum s² uses t * mean² per run — the mid-rank
+    # convention (matches R's ansari.test tie treatment).
+    g = scored.agg(
+        F.sum(F.col("__t") - F.col("__t1")).cast("long").alias("n0"),
+        F.sum("__t1").cast("long").alias("n1"),
+        F.max("__N").cast("double").alias("__nd"),
+        F.sum(F.col("__t1") * F.col("__s")).alias("__ab"),
+        F.sum(F.col("__t") * F.col("__s")).alias("__ssum"),
+        F.sum(
+            F.col("__t") * F.col("__s") * F.col("__s")
+        ).alias("__ssq"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    nd2 = F.col("__nd")
+    mean_s = F.col("__ssum") / nd2
+    var = (
+        n0d
+        * n1d
+        * (F.col("__ssq") - nd2 * mean_s * mean_s)
+        / (nd2 * (nd2 - 1))
+    )
+    z = (F.col("__ab") - n1d * mean_s) / F.sqrt(var)
+    return g.select(
+        "n0",
+        "n1",
+        F.round(F.col("__ab"), 4).alias("ab"),
+        (
+            F.round(
+                F.when((F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0), z),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def pettitt_test(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Pettitt change-point test (Pettitt 1979) — the rank-based
+    single-change-point detector for monitoring series (the
+    nonparametric partner of `e_changepoint`'s mean-shift scan):
+
+        U_t = 2 * sum_{i<=t} r_i - t (n + 1)      (mid-ranks r)
+        K   = max_t |U_t|,   t* = argmax (earliest on ties)
+        p   = 2 exp(-6 K² / (n³ + n²))            (approximate)
+
+    using the rank identity U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j)
+    so the statistic needs only ONE cumulative rank sum, never a pair
+    grid. INTENDED FOR PRE-AGGREGATED SERIES (ENFORCED by `max_rows`).
+    Output: ONE row (n BIGINT, change_t DOUBLE, k DOUBLE round 4,
+    p_value DOUBLE round 6); NULL stats when n < 2.
+
+    Plan: mid-ranks from the distinct-value cell ladder broadcast back
+    onto the series, one time-ordered cumulative window, one 1-row
+    max fold with the earliest-t tie-break.
+    """
+    tc = F.col(time_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = series.filter(tc.isNotNull() & vc.isNotNull()).select(
+        tc.alias("__t"), vc.alias("__v")
+    )
+    _assert_series_sized(base, "pettitt_test", max_rows)
+    vcells = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = vcells.select(
+        "__v",
+        (
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0.0))
+            + (F.col("__c") + 1) / 2
+        ).alias("__r"),
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_t = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_idx = Window.orderBy("__t")
+    u = (
+        base.join(F.broadcast(ranks), "__v")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "__t",
+            "n",
+            (
+                F.lit(2.0) * F.sum("__r").over(w_t)
+                - F.row_number().over(w_idx).cast("double")
+                * (F.col("n") + 1)
+            ).alias("__u"),
+            F.row_number().over(w_idx).alias("__i"),
+        )
+        .filter(F.col("__i") < F.col("n"))  # U_n = 0 by construction
+    )
+    best = u.orderBy(
+        F.abs(F.col("__u")).desc(), F.col("__t").asc()
+    ).limit(1)
+    nd = F.col("n").cast("double")
+    k = F.abs(F.col("__u"))
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0) * k * k / (nd * nd * nd + nd * nd)
+    )
+    ok = F.col("n") >= 2
+    return best.select(
+        "n",
+        F.round(F.col("__t"), 6).alias("change_t"),
+        (F.round(F.when(ok, k), 4) + F.lit(0.0)).alias("k"),
+        (
+            F.round(F.when(ok, F.least(p, F.lit(1.0))), 6) + F.lit(0.0)
+        ).alias("p_value"),
+    )

@@ -5213,3 +5213,175 @@ def m_js_binned(spark, sf_dir):
         F.col("value").alias("v"),
     )
     return js_divergence_binned(b, "f", "v", n_bins=20)
+
+
+@register(
+    "m_cvm_2sample",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT v,
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM b GROUP BY v),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM cells),
+    lad AS (SELECT (c0 + c1) * pow(
+        CAST(sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n0
+        - CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n1, 2) AS w,
+        tot.n0 AS n0, tot.n1 AS n1
+      FROM cells, tot)
+    SELECT max(n0) AS n0, max(n1) AS n1,
+      round(CASE WHEN max(n0) > 0 AND max(n1) > 0
+            THEN CAST(max(n0) AS DOUBLE) * max(n1)
+                 / pow(max(n0) + max(n1), 2) * sum(w) END, 6)
+        + 0.0 AS t
+    FROM lad
+    """,
+)
+def m_cvm_2sample(spark, sf_dir):
+    """Two-sample Cramér-von Mises (operators/stats.cvm_2sample) of
+    the user-parity value distributions — the quadratic member
+    completing the ECDF ladder triad beside m_ks_2sample (sup) and
+    m_wasserstein (L1 area): each distinct value contributes
+    count x gap² to the weighted L2. Same cell ladder, same single
+    cumulative window; the oracle replays it cell-for-cell."""
+    from pandasvcf_spark.operators.stats import cvm_2sample
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round("value", 0).alias("v"),
+    )
+    return cvm_2sample(b, "f", "v")
+
+
+@register(
+    "m_ansari_bradley",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+      FROM b GROUP BY v),
+    tot AS (SELECT CAST(sum(t) AS BIGINT) AS N FROM cells),
+    lad AS (SELECT t, t1, tot.N,
+        CAST(coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) + 1 AS DOUBLE) AS a
+      FROM cells, tot),
+    sc AS (SELECT t, t1, N, a,
+        a + t - 1 AS bb, floor((N + 1) / 2.0) AS m1
+      FROM lad),
+    runs AS (SELECT t, t1, N,
+        (CASE WHEN least(bb, m1) >= a
+          THEN (least(bb, m1) - a + 1) * (a + least(bb, m1)) / 2.0
+          ELSE 0.0 END
+        + CASE WHEN bb >= greatest(a, m1 + 1)
+          THEN (bb - greatest(a, m1 + 1) + 1)
+               * ((N + 1 - bb) + (N + 1 - greatest(a, m1 + 1))) / 2.0
+          ELSE 0.0 END) AS rs,
+        (CASE WHEN least(bb, m1) >= a THEN
+            least(bb, m1) * (least(bb, m1) + 1)
+              * (2 * least(bb, m1) + 1) / 6.0
+          - (a - 1) * a * (2 * (a - 1) + 1) / 6.0 ELSE 0.0 END
+        + CASE WHEN bb >= greatest(a, m1 + 1) THEN
+            (N + 1 - greatest(a, m1 + 1))
+              * ((N + 1 - greatest(a, m1 + 1)) + 1)
+              * (2 * (N + 1 - greatest(a, m1 + 1)) + 1) / 6.0
+          - ((N + 1 - bb) - 1) * (N + 1 - bb)
+              * (2 * ((N + 1 - bb) - 1) + 1) / 6.0 ELSE 0.0 END) AS rq
+      FROM sc),
+    g AS (SELECT
+        CAST(sum(t - t1) AS BIGINT) AS n0,
+        CAST(sum(t1) AS BIGINT) AS n1,
+        CAST(max(N) AS DOUBLE) AS nd,
+        sum(t1 * rs / t) AS ab,
+        sum(rs) AS ssum,
+        sum(t * (rs / t) * (rs / t)) AS ssq
+      FROM runs)
+    SELECT n0, n1, round(ab, 4) AS ab,
+      round(CASE WHEN n0 > 0 AND n1 > 0 AND
+            n0 * n1 * (ssq - nd * (ssum / nd) * (ssum / nd))
+              / (nd * (nd - 1)) > 0
+            THEN (ab - n1 * ssum / nd)
+              / sqrt(n0 * n1 * (ssq - nd * (ssum / nd) * (ssum / nd))
+                     / (nd * (nd - 1))) END, 6) + 0.0 AS z
+    FROM g
+    """,
+)
+def m_ansari_bradley(spark, sf_dir):
+    """Ansari-Bradley rank scale test (operators/stats.ansari_bradley)
+    of user-parity value DISPERSION — the two-sample nonparametric
+    companion of m_levene/m_bartlett: pooled both-end scores with the
+    run-average tie convention, closed-form arithmetic-series score
+    sums per distinct-value cell (no raw-row rank window), and the
+    tie-robust permutation moments. The oracle replays run starts,
+    both series sums and the z fold."""
+    from pandasvcf_spark.operators.stats import ansari_bradley
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round("value", 0).alias("v"),
+    )
+    return ansari_bradley(b, "f", "v")
+
+
+@register(
+    "m_pettitt",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS t,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    vc AS (SELECT v, CAST(count(*) AS DOUBLE) AS c
+           FROM hourly GROUP BY v),
+    rk AS (SELECT v,
+        coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) + (c + 1) / 2 AS r
+      FROM vc),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hourly),
+    u AS (SELECT h.t, nn.n,
+        2.0 * sum(rk.r) OVER (ORDER BY h.t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW)
+        - row_number() OVER (ORDER BY h.t) * (nn.n + 1.0) AS uu,
+        row_number() OVER (ORDER BY h.t) AS i
+      FROM hourly h JOIN rk ON rk.v = h.v, nn),
+    best AS (SELECT n, t, abs(uu) AS k FROM u WHERE i < n
+             ORDER BY abs(uu) DESC, t ASC LIMIT 1)
+    SELECT n, round(t, 6) AS change_t, round(k, 4) + 0.0 AS k,
+      round(CASE WHEN n >= 2 THEN least(
+        2.0 * exp(-6.0 * k * k
+          / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+        1.0) END, 6) + 0.0 AS p_value
+    FROM best
+    """,
+)
+def m_pettitt(spark, sf_dir):
+    """Pettitt rank change-point test (operators/stats.pettitt_test)
+    on the hourly event-count series — where did the level shift? The
+    nonparametric partner of e_changepoint's mean-shift scan, using
+    the rank identity U_t = 2 cumsum(r) - t(n+1) so ONE cumulative
+    window prices every split point. Mid-ranks from the distinct-value
+    ladder, earliest-t tie-break, the 2exp(-6K²/(n³+n²)) approximate
+    p. The oracle replays ladder, U walk and the top-1 cut."""
+    from pandasvcf_spark.operators.stats import pettitt_test
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    b = hourly.select(
+        F.unix_timestamp("h").cast("double").alias("t"), "v"
+    )
+    return pettitt_test(b, "t", "v")

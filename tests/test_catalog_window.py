@@ -878,6 +878,12 @@ def test_tail_entries_are_redundant_variants_only():
         "m_js_binned",           # symmetric binned drift on a
                                  # CONTINUOUS feature: bounds agg +
                                  # 20-cell histogram folds
+        "m_cvm_2sample",         # Cramér-von Mises: count x gap² on
+                                 # the same ECDF cell ladder
+        "m_ansari_bradley",      # rank scale test: closed-form
+                                 # both-end score series per cell
+        "m_pettitt",             # rank change-point: ONE cumulative
+                                 # rank sum prices every split
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

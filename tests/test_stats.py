@@ -2451,3 +2451,47 @@ def test_ordinal_assoc_harrell_mann_kendall_grubbs_hand(spark):
     sd = statistics.stdev([1, 2, 3, 100])
     assert (r["n"], r["suspect"]) == (4, 100.0)
     assert r["g"] == round((100 - 26.5) / sd, 6)
+
+
+def test_cvm_ansari_pettitt_hand_references(spark):
+    """CvM on the KS fixture (hand ECDF integral 0.34375);
+    Ansari-Bradley both-end scores incl. a tie run STRADDLING the
+    pooled center (the case min(midrank, N+1-midrank) gets wrong);
+    Pettitt step series with the closed-form p."""
+    import math
+
+    from pandasvcf_spark.operators.stats import (
+        ansari_bradley,
+        cvm_2sample,
+        pettitt_test,
+    )
+
+    two = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, 3.0), (0, 4.0),
+         (1, 3.0), (1, 4.0), (1, 5.0), (1, 6.0)],
+        "f int, v double",
+    )
+    assert cvm_2sample(two, "f", "v").collect()[0]["t"] == 0.34375
+
+    ab = spark.createDataFrame(
+        [(0, 1.0), (0, 8.0), (1, 4.0), (1, 5.0)], "f int, v double"
+    )
+    r = ansari_bradley(ab, "f", "v").collect()[0]
+    # scores 1,2,2,1; AB=4, E=3, Var=1/3
+    assert (r["ab"], r["z"]) == (4.0, round(3 ** 0.5, 6))
+    tie = spark.createDataFrame(
+        [(0, 2.0), (0, 2.0), (1, 2.0), (1, 9.0)], "f int, v double"
+    )
+    r2 = ansari_bradley(tie, "f", "v").collect()[0]
+    # run v=2 covers positions 1-3: scores 1,2,2 -> run-average 5/3
+    # (min(midrank=2, N+1-2)=2 would be wrong); v=9 scores 1
+    assert r2["ab"] == round(5 / 3 + 1, 4)
+
+    pt = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0),
+         (4.0, 5.0), (5.0, 5.0), (6.0, 5.0)],
+        "t double, v double",
+    )
+    r = pettitt_test(pt, "t", "v").collect()[0]
+    assert (r["n"], r["change_t"], r["k"]) == (6, 3.0, 9.0)
+    assert r["p_value"] == round(2 * math.exp(-6 * 81 / (216 + 36)), 6)
