@@ -5896,3 +5896,128 @@ def pettitt_test(
             F.round(F.when(ok, F.least(p, F.lit(1.0))), 6) + F.lit(0.0)
         ).alias("p_value"),
     )
+
+
+def quade_test(
+    df: DataFrame,
+    block_col: str,
+    treat_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quade test (Quade 1979) — the block-weighted upgrade of
+    `friedman_test`: blocks with a LARGER within-block spread carry
+    more evidence about treatment differences, so each block's rank
+    signal is weighted by the rank of its range,
+
+        R_ij = within-block mid-rank of x_ij
+        Q_i  = across-block mid-rank of range_i = max_i - min_i
+        S_ij = Q_i (R_ij - (k+1)/2)
+        F = (n-1) B / (A - B),  A = sum S_ij²,  B = (1/n) sum_j S_j²/n
+
+    More powerful than Friedman at small k (<= ~5) when blocks differ
+    in scale. Complete blocks required — validated exactly like
+    `friedman_test` (per-block counts AND the global treatment set).
+    Output: ONE row (n_blocks, k BIGINT, f DOUBLE round 6); f NULL at
+    the A = B degeneracy (all blocks internally tied).
+
+    Plan: within-block rank windows (K rows per partition), one
+    block-keyed range agg, the across-block range ranking via the
+    distinct-range cell ladder (never a blocks-sized single-task
+    window), one broadcast join back + 1-row folds.
+    """
+    vc = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treat_col).isNotNull()
+        & vc.isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treat_col).alias("__k"),
+        vc.alias("__v"),
+    )
+    per_block = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.countDistinct("__k").alias("__kd"),
+        (F.max("__v") - F.min("__v")).alias("__rng"),
+    )
+    chk = per_block.agg(
+        F.min("__cnt").alias("clo"),
+        F.max("__cnt").alias("chi"),
+        F.min("__kd").alias("klo"),
+        F.max("__kd").alias("khi"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    ).join(
+        F.broadcast(base.agg(F.countDistinct("__k").alias("kg")))
+    ).collect()[0]
+    if chk["nb"] == 0:
+        raise ValueError("quade_test: empty input")
+    if not (
+        chk["clo"] == chk["chi"] == chk["klo"] == chk["khi"] == chk["kg"]
+    ):
+        raise ValueError(
+            "quade_test: blocks must hold exactly one value per "
+            f"treatment (counts {chk['clo']}-{chk['chi']}, distinct "
+            f"treatments {chk['klo']}-{chk['khi']}, global "
+            f"{chk['kg']}) -- every block must cover the SAME "
+            "treatment set"
+        )
+    k = int(chk["klo"])
+    if k < 2:
+        raise ValueError("quade_test: need >= 2 treatments")
+    n = int(chk["nb"])
+    # across-block mid-rank of the range via the distinct-range ladder
+    rcells = per_block.groupBy("__rng").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    w_prev = Window.orderBy("__rng").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rq = rcells.select(
+        "__rng",
+        (
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0.0))
+            + (F.col("__c") + 1) / 2
+        ).alias("__q"),
+    )
+    blocks = per_block.join(F.broadcast(rq), "__rng").select("__b", "__q")
+    w_rank = Window.partitionBy("__b").orderBy("__v")
+    w_tie = Window.partitionBy("__b", "__v")
+    s = (
+        base.select(
+            "__b",
+            "__k",
+            (
+                F.rank().over(w_rank).cast("double")
+                + (F.count(F.lit(1)).over(w_tie) - F.lit(1)) / F.lit(2.0)
+            ).alias("__r"),
+        )
+        .join(F.broadcast(blocks), "__b")
+        .select(
+            "__k",
+            (
+                F.col("__q") * (F.col("__r") - F.lit((k + 1) / 2.0))
+            ).alias("__s"),
+        )
+    )
+    a_fold = s.agg(F.sum(F.col("__s") * F.col("__s")).alias("__a"))
+    b_fold = s.groupBy("__k").agg(F.sum("__s").alias("__sj")).agg(
+        (F.sum(F.col("__sj") * F.col("__sj")) / F.lit(float(n))).alias(
+            "__bb"
+        )
+    )
+    g = a_fold.join(F.broadcast(b_fold))
+    f_stat = (
+        F.lit(float(n - 1))
+        * F.col("__bb")
+        / (F.col("__a") - F.col("__bb"))
+    )
+    return g.select(
+        F.lit(n).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        (
+            F.round(
+                F.when(F.col("__a") - F.col("__bb") > 0, f_stat), 6
+            )
+            + F.lit(0.0)
+        ).alias("f"),
+    )

@@ -5385,3 +5385,62 @@ def m_pettitt(spark, sf_dir):
         F.unix_timestamp("h").cast("double").alias("t"), "v"
     )
     return pettitt_test(b, "t", "v")
+
+
+@register(
+    "m_quade",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 5 AS INTEGER) AS blk, event_type AS k,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    pb AS (SELECT blk, max(v) - min(v) AS rng,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM b GROUP BY blk),
+    meta AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(max(cnt) AS BIGINT) AS k FROM pb),
+    rc AS (SELECT rng, CAST(count(*) AS DOUBLE) AS c
+           FROM pb GROUP BY rng),
+    rq AS (SELECT rng,
+        coalesce(sum(c) OVER (ORDER BY rng ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) + (c + 1) / 2 AS q
+      FROM rc),
+    blkq AS (SELECT pb.blk, rq.q FROM pb JOIN rq ON rq.rng = pb.rng),
+    ranked AS (SELECT b.blk, b.k,
+        rank() OVER (PARTITION BY b.blk ORDER BY b.v)
+          + (count(*) OVER (PARTITION BY b.blk, b.v) - 1) / 2.0 AS r
+      FROM b),
+    s AS (SELECT ranked.k,
+        blkq.q * (ranked.r - (meta.k + 1) / 2.0) AS s
+      FROM ranked JOIN blkq ON blkq.blk = ranked.blk, meta),
+    afold AS (SELECT sum(s * s) AS a FROM s),
+    bfold AS (SELECT sum(sj * sj) / (SELECT n FROM meta) AS bb FROM
+              (SELECT k, sum(s) AS sj FROM s GROUP BY k))
+    SELECT (SELECT n FROM meta) AS n_blocks,
+           (SELECT k FROM meta) AS k,
+           round(CASE WHEN a - bb > 0
+                 THEN ((SELECT n FROM meta) - 1.0) * bb / (a - bb)
+                 END, 6) + 0.0 AS f
+    FROM afold, bfold
+    """,
+)
+def m_quade(spark, sf_dir):
+    """Quade test (operators/stats.quade_test) on the m_friedman
+    fixture (user-bucket blocks x event-type treatments, per-cell
+    counts) — the block-weighted member completing the blocked-ranks
+    family (friedman / page / cochrans_q): blocks with larger spread
+    carry more weight via the rank of their range, priced on the
+    distinct-range cell ladder rather than a blocks-sized window. The
+    oracle replays ranges, both rank ladders, S_ij and the F fold."""
+    from pandasvcf_spark.operators.stats import quade_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.groupBy(
+        (F.col("user_id") % 5).cast("int").alias("blk"),
+        F.col("event_type").alias("k"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return quade_test(d, "blk", "k", "v")

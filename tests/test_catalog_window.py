@@ -884,6 +884,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # both-end score series per cell
         "m_pettitt",             # rank change-point: ONE cumulative
                                  # rank sum prices every split
+        "m_quade",               # block-weighted Friedman: range
+                                 # rank ladder x within-block ranks
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2495,3 +2495,28 @@ def test_cvm_ansari_pettitt_hand_references(spark):
     r = pettitt_test(pt, "t", "v").collect()[0]
     assert (r["n"], r["change_t"], r["k"]) == (6, 3.0, 9.0)
     assert r["p_value"] == round(2 * math.exp(-6 * 81 / (216 + 36)), 6)
+
+
+def test_quade_hand_case_and_block_validation(spark):
+    """Quade on a hand 3x3 (ranges 4,2,2 -> Q = 3, 1.5, 1.5; F =
+    21/16.5) and the friedman-family complete-block validation incl.
+    the round-10 global-treatment-set check."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import quade_test
+
+    rows = [
+        (1, "a", 1.0), (1, "b", 2.0), (1, "c", 5.0),
+        (2, "a", 2.0), (2, "b", 3.0), (2, "c", 4.0),
+        (3, "a", 3.0), (3, "b", 1.0), (3, "c", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "b int, k string, v double")
+    got = quade_test(df, "b", "k", "v").collect()[0]
+    assert (got["n_blocks"], got["k"]) == (3, 3)
+    assert got["f"] == round(21 / 16.5, 6)
+    bad = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "c", 1.0), (2, "d", 0.0)],
+        "b int, k string, v double",
+    )
+    with _pytest.raises(ValueError, match="SAME treatment set"):
+        quade_test(bad, "b", "k", "v")
