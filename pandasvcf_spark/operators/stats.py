@@ -6021,3 +6021,182 @@ def quade_test(
             + F.lit(0.0)
         ).alias("f"),
     )
+
+
+# Acklam's inverse-normal rational approximation (public algorithm,
+# |err| < 1.2e-8; verified against stdlib NormalDist.inv_cdf in tests).
+# The SAME constant list generates both the Spark expression and the
+# DuckDB oracle SQL so the two engines replay identical arithmetic.
+_ACKLAM_A = [-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00]
+_ACKLAM_B = [-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01]
+_ACKLAM_C = [-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00]
+_ACKLAM_D = [7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00]
+_ACKLAM_PLOW = 0.02425
+
+
+def norm_ppf_expr(p):
+    """Standard-normal quantile Φ⁻¹(p) as a pure column expression
+    (Acklam's piecewise rational approximation) — the normal-scores
+    ingredient for rank statistics (fligner_killeen, van der Waerden
+    scores) that keeps everything inside whole-stage codegen."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+
+    def horner(coefs, x):
+        acc = F.lit(coefs[0])
+        for co in coefs[1:]:
+            acc = acc * x + F.lit(co)
+        return acc
+
+    q_c = p - F.lit(0.5)
+    r_c = q_c * q_c
+    central = horner(a, r_c) * q_c / (horner(b, r_c) * r_c + F.lit(1.0))
+    q_l = F.sqrt(F.lit(-2.0) * F.log(p))
+    lower = horner(c, q_l) / (horner(d, q_l) * q_l + F.lit(1.0))
+    q_u = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    upper = -horner(c, q_u) / (horner(d, q_u) * q_u + F.lit(1.0))
+    return (
+        F.when(p < F.lit(_ACKLAM_PLOW), lower)
+        .when(p > F.lit(1.0 - _ACKLAM_PLOW), upper)
+        .otherwise(central)
+    )
+
+
+def norm_ppf_sql(expr: str) -> str:
+    """The DuckDB twin of `norm_ppf_expr`, generated from the SAME
+    constants with the SAME Horner nesting so the oracle replays the
+    Spark arithmetic operation-for-operation."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+
+    def horner(coefs, x):
+        acc = repr(coefs[0])
+        for co in coefs[1:]:
+            acc = f"(({acc}) * ({x}) + {co!r})"
+        return acc
+
+    p = f"({expr})"
+    q_c = f"({p} - 0.5)"
+    r_c = f"({q_c} * {q_c})"
+    central = (
+        f"(({horner(a, r_c)}) * {q_c}"
+        f" / (({horner(b, r_c)}) * {r_c} + 1.0))"
+    )
+    q_l = f"sqrt(-2.0 * ln({p}))"
+    lower = f"(({horner(c, q_l)}) / (({horner(d, q_l)}) * {q_l} + 1.0))"
+    q_u = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    upper = f"(-({horner(c, q_u)}) / (({horner(d, q_u)}) * {q_u} + 1.0))"
+    return (
+        f"CASE WHEN {p} < {_ACKLAM_PLOW!r} THEN {lower} "
+        f"WHEN {p} > {1.0 - _ACKLAM_PLOW!r} THEN {upper} "
+        f"ELSE {central} END"
+    )
+
+
+def fligner_killeen(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Fligner-Killeen variance-homogeneity test (Fligner & Killeen
+    1976; the scale test R recommends as most robust to non-normality,
+    `fligner.test`): normal scores of the pooled ranks of absolute
+    deviations from group MEDIANS,
+
+        z_i = |x_i - median_g|,  r_i = pooled mid-rank of z
+        a_i = Φ⁻¹(0.5 + r_i / (2(N+1)))
+        FK  = sum_g n_g (abar_g - abar)² / s²,   s² = var(a, ddof=1)
+
+    chi-square with k-1 df under H0. Output: ONE row (n, k BIGINT,
+    fk DOUBLE round 6); NULL when k < 2 or s² = 0.
+
+    Plan: per-group exact type-1 medians (the levene_bf rank device),
+    pooled mid-ranks from the distinct-|z| cell ladder (tripwire-
+    enforced; PRE-ROUND near-unique values), Φ⁻¹ as the pure
+    `norm_ppf_expr` column (no Python), then two group-keyed aggs.
+    """
+    gc = F.col(group_col)
+    vc = F.col(value_col).cast("double")
+    base = df.filter(gc.isNotNull() & vc.isNotNull()).select(
+        gc.alias("__g"), vc.alias("__v")
+    )
+    w_rank = Window.partitionBy("__g").orderBy("__v")
+    w_n = Window.partitionBy("__g")
+    med = (
+        base.select(
+            "__g",
+            "__v",
+            F.row_number().over(w_rank).alias("__r"),
+            F.count(F.lit(1)).over(w_n).alias("__cnt"),
+        )
+        .filter(
+            F.col("__r")
+            == F.greatest(F.ceil(F.col("__cnt") / 2), F.lit(1))
+        )
+        .select("__g", F.col("__v").alias("__med"))
+    )
+    z = base.join(F.broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__med")).alias("__z")
+    )
+    _assert_cell_bound(
+        z, ["__z"], "fligner_killeen", max_cells,
+        plan_word="distinct-|z| rank ladder",
+    )
+    zc = z.groupBy("__z").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    w_prev = Window.orderBy("__z").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = zc.select(
+        "__z",
+        (
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0.0))
+            + (F.col("__c") + 1) / 2
+        ).alias("__rk"),
+    )
+    nrow = z.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    scored = (
+        z.join(F.broadcast(ranks), "__z")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "__g",
+            "__N",
+            norm_ppf_expr(
+                F.lit(0.5)
+                + F.col("__rk") / (F.lit(2.0) * (F.col("__N") + 1))
+            ).alias("__a"),
+        )
+    )
+    per_g = scored.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__ng"),
+        F.avg("__a").alias("__ag"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__aq"),
+    )
+    g = per_g.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__ng") * F.col("__ag")).alias("__sa"),
+        F.sum(
+            F.col("__ng") * F.col("__ag") * F.col("__ag")
+        ).alias("__saa"),
+        F.sum("__aq").alias("__qq"),
+    )
+    nd = F.col("n").cast("double")
+    abar = F.col("__sa") / nd
+    s2 = (F.col("__qq") - nd * abar * abar) / (nd - 1)
+    fk = (
+        F.col("__saa") - F.col("__sa") * F.col("__sa") / nd
+    ) / s2
+    ok = (F.col("k") >= 2) & (s2 > 0)
+    return g.select(
+        "n",
+        "k",
+        (F.round(F.when(ok, fk), 6) + F.lit(0.0)).alias("fk"),
+    )

@@ -2553,3 +2553,69 @@ def g_hits(spark, sf_dir):
     return out.select(
         F.col("id").cast("long").alias("id"), "hub", "authority"
     ).orderBy("id")
+
+
+def _fligner_oracle() -> str:
+    from pandasvcf_spark.operators.stats import norm_ppf_sql
+
+    ppf = norm_ppf_sql("0.5 + rk / (2.0 * (N + 1))")
+    return f"""
+    WITH b AS (
+      SELECT c_mktsegment AS g, round(c_acctbal, 0) AS v
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+    med AS (SELECT g, v AS med FROM (
+        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v)
+                 AS r,
+               count(*) OVER (PARTITION BY g) AS cnt
+        FROM b) WHERE r = greatest(CAST(ceil(cnt / 2.0) AS BIGINT), 1)),
+    z AS (SELECT b.g, abs(b.v - med.med) AS z
+          FROM b JOIN med ON med.g = b.g),
+    zc AS (SELECT z, CAST(count(*) AS DOUBLE) AS c FROM z GROUP BY z),
+    rk AS (SELECT z,
+        coalesce(sum(c) OVER (ORDER BY z ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) + (c + 1) / 2 AS rk
+      FROM zc),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM z),
+    scored AS (SELECT z.g, ({ppf}) AS a
+               FROM z JOIN rk ON rk.z = z.z, nn),
+    per_g AS (SELECT g, CAST(count(*) AS DOUBLE) AS ng,
+                     avg(a) AS ag, sum(a * a) AS aq
+              FROM scored GROUP BY g),
+    g2 AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS k,
+                  sum(ng * ag) AS sa, sum(ng * ag * ag) AS saa,
+                  sum(aq) AS qq
+           FROM per_g)
+    SELECT n, k,
+      round(CASE WHEN k >= 2 AND
+            (qq - sa * sa / n) / (CAST(n AS DOUBLE) - 1) > 0
+            THEN (saa - sa * sa / n)
+                 / ((qq - sa * sa / n) / (CAST(n AS DOUBLE) - 1))
+            END, 6) + 0.0 AS fk
+    FROM g2
+    """
+
+
+@register("m_fligner", oracle=_fligner_oracle())
+def m_fligner(spark, sf_dir):
+    """Fligner-Killeen variance-homogeneity test (operators/stats.
+    fligner_killeen) of integer-rounded account balance across market
+    segments — the normal-scores scale test R recommends as most
+    robust, completing the spread-test ladder beside m_bartlett
+    (normal-theory) and m_levene (median-ANOVA). The inverse normal is
+    Acklam's rational approximation generated ONCE for both engines
+    (norm_ppf_expr / norm_ppf_sql share the constant list and Horner
+    nesting), so the oracle replays Φ⁻¹ bit-for-bit alongside the
+    median, ladder and FK folds."""
+    from pandasvcf_spark.operators.stats import fligner_killeen
+
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+    )
+    d = c.select(
+        F.col("c_mktsegment").alias("g"),
+        F.round("c_acctbal", 0).alias("v"),
+    )
+    return fligner_killeen(d, "g", "v")

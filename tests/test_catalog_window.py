@@ -886,6 +886,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # rank sum prices every split
         "m_quade",               # block-weighted Friedman: range
                                  # rank ladder x within-block ranks
+        "m_fligner",             # normal-scores scale test: shared
+                                 # Acklam ppf on both engines
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2520,3 +2520,60 @@ def test_quade_hand_case_and_block_validation(spark):
     )
     with _pytest.raises(ValueError, match="SAME treatment set"):
         quade_test(bad, "b", "k", "v")
+
+
+def test_fligner_killeen_and_acklam_ppf(spark):
+    """norm_ppf_expr matches the stdlib inverse normal to < 1e-8
+    across all three Acklam regions; fligner_killeen matches a pure-
+    python normal-scores replay built on NormalDist.inv_cdf."""
+    import collections
+    import math
+    import statistics as st
+    from statistics import NormalDist
+
+    from pandasvcf_spark.operators.stats import (
+        fligner_killeen,
+        norm_ppf_expr,
+    )
+
+    nd = NormalDist()
+    ps = [0.001, 0.024, 0.1, 0.5, 0.9, 0.976, 0.999]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    got = {
+        r["p"]: r["x"]
+        for r in df.select(
+            "p", norm_ppf_expr(F.col("p")).alias("x")
+        ).collect()
+    }
+    assert max(abs(got[p] - nd.inv_cdf(p)) for p in ps) < 1e-8
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 9.0),
+            ("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 31.0)]
+    groups = collections.defaultdict(list)
+    for g, v in rows:
+        groups[g].append(v)
+
+    def med(xs):
+        xs = sorted(xs)
+        return xs[max(1, math.ceil(len(xs) / 2)) - 1]
+
+    z = [(g, abs(v - med(groups[g]))) for g, v in rows]
+    zs = sorted(x for _, x in z)
+    n = len(z)
+
+    def midrank(x):
+        lo = sum(1 for y in zs if y < x)
+        c = sum(1 for y in zs if y == x)
+        return lo + (c + 1) / 2
+
+    a = [(g, nd.inv_cdf(0.5 + midrank(x) / (2 * (n + 1)))) for g, x in z]
+    abar = sum(x for _, x in a) / n
+    s2 = sum((x - abar) ** 2 for _, x in a) / (n - 1)
+    fk = sum(
+        len([1 for gg, _ in a if gg == g])
+        * (st.mean([x for gg, x in a if gg == g]) - abar) ** 2
+        for g in groups
+    ) / s2
+    df2 = spark.createDataFrame(rows, "g string, v double")
+    r = fligner_killeen(df2, "g", "v").collect()[0]
+    assert (r["n"], r["k"], r["fk"]) == (8, 2, round(fk, 6))
