@@ -6200,3 +6200,83 @@ def fligner_killeen(
         "k",
         (F.round(F.when(ok, fk), 6) + F.lit(0.0)).alias("fk"),
     )
+
+
+def van_der_waerden(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Van der Waerden normal-scores test (van der Waerden 1952) — the
+    k-sample LOCATION test on normal quantiles of pooled ranks: as
+    robust as `kruskal_wallis` but with ANOVA's efficiency when the
+    data really are normal (the textbook reason to prefer it),
+
+        a_i = Φ⁻¹(r_i / (N + 1))       (pooled mid-ranks r)
+        T   = sum_g (sum_{i in g} a_i)² / n_g / s²,
+        s²  = (1/(N-1)) sum a_i²        (scores are centered by design)
+
+    chi-square with k-1 df. Output: ONE row (n, k BIGINT, t DOUBLE
+    round 6); NULL when k < 2 or s² = 0.
+
+    Plan: the fligner_killeen machinery minus the median step — pooled
+    mid-ranks from the distinct-value cell ladder (tripwire-enforced),
+    `norm_ppf_expr` scores inside codegen, two group-keyed aggs.
+    """
+    gc = F.col(group_col)
+    vc = F.col(value_col).cast("double")
+    base = df.filter(gc.isNotNull() & vc.isNotNull()).select(
+        gc.alias("__g"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__v"], "van_der_waerden", max_cells,
+        plan_word="distinct-value rank ladder",
+    )
+    vcells = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = vcells.select(
+        "__v",
+        (
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0.0))
+            + (F.col("__c") + 1) / 2
+        ).alias("__rk"),
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    scored = (
+        base.join(F.broadcast(ranks), "__v")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "__g",
+            norm_ppf_expr(
+                F.col("__rk") / (F.col("__N") + F.lit(1.0))
+            ).alias("__a"),
+        )
+    )
+    per_g = scored.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__ng"),
+        F.sum("__a").alias("__sg"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__qg"),
+    )
+    g = per_g.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__sg") * F.col("__sg") / F.col("__ng")).alias(
+            "__t"
+        ),
+        F.sum("__qg").alias("__qq"),
+    )
+    nd = F.col("n").cast("double")
+    s2 = F.col("__qq") / (nd - 1)
+    ok = (F.col("k") >= 2) & (s2 > 0)
+    return g.select(
+        "n",
+        "k",
+        (
+            F.round(F.when(ok, F.col("__t") / s2), 6) + F.lit(0.0)
+        ).alias("t"),
+    )

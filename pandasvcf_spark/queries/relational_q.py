@@ -2619,3 +2619,56 @@ def m_fligner(spark, sf_dir):
         F.round("c_acctbal", 0).alias("v"),
     )
     return fligner_killeen(d, "g", "v")
+
+
+def _vdw_oracle() -> str:
+    from pandasvcf_spark.operators.stats import norm_ppf_sql
+
+    ppf = norm_ppf_sql("rk / (N + 1.0)")
+    return f"""
+    WITH b AS (
+      SELECT c_mktsegment AS g, round(c_acctbal, 0) AS v
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+    vc AS (SELECT v, CAST(count(*) AS DOUBLE) AS c FROM b GROUP BY v),
+    rk AS (SELECT v,
+        coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0) + (c + 1) / 2 AS rk
+      FROM vc),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM b),
+    scored AS (SELECT b.g, ({ppf}) AS a
+               FROM b JOIN rk ON rk.v = b.v, nn),
+    per_g AS (SELECT g, CAST(count(*) AS DOUBLE) AS ng,
+                     sum(a) AS sg, sum(a * a) AS qg
+              FROM scored GROUP BY g),
+    g2 AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS k,
+                  sum(sg * sg / ng) AS t, sum(qg) AS qq
+           FROM per_g)
+    SELECT n, k,
+      round(CASE WHEN k >= 2 AND qq / (CAST(n AS DOUBLE) - 1) > 0
+            THEN t / (qq / (CAST(n AS DOUBLE) - 1)) END, 6)
+        + 0.0 AS t
+    FROM g2
+    """
+
+
+@register("m_vdw", oracle=_vdw_oracle())
+def m_vdw(spark, sf_dir):
+    """Van der Waerden normal-scores location test (operators/stats.
+    van_der_waerden) of integer-rounded account balance across market
+    segments — the normal-scores LOCATION partner of m_fligner's scale
+    test and the efficiency upgrade of m_kruskal_wallis when data are
+    near-normal. Same shared-Acklam dual-engine Φ⁻¹; the oracle
+    replays ladder, scores and both folds."""
+    from pandasvcf_spark.operators.stats import van_der_waerden
+
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+        & F.col("c_mktsegment").isNotNull()
+    )
+    d = c.select(
+        F.col("c_mktsegment").alias("g"),
+        F.round("c_acctbal", 0).alias("v"),
+    )
+    return van_der_waerden(d, "g", "v")

@@ -888,6 +888,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # rank ladder x within-block ranks
         "m_fligner",             # normal-scores scale test: shared
                                  # Acklam ppf on both engines
+        "m_vdw",                 # normal-scores location test: the
+                                 # same ladder + Φ⁻¹, KW's upgrade
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2577,3 +2577,35 @@ def test_fligner_killeen_and_acklam_ppf(spark):
     df2 = spark.createDataFrame(rows, "g string, v double")
     r = fligner_killeen(df2, "g", "v").collect()[0]
     assert (r["n"], r["k"], r["fk"]) == (8, 2, round(fk, 6))
+
+
+def test_van_der_waerden_matches_stdlib_replay(spark):
+    """VdW normal-scores location statistic vs a pure-python
+    NormalDist replay (mid-rank ties included via the duplicated
+    value across groups)."""
+    import collections
+
+    from statistics import NormalDist
+
+    from pandasvcf_spark.operators.stats import van_der_waerden
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0),
+            ("b", 5.0), ("b", 6.0), ("c", 2.0), ("c", 5.0)]
+    nd = NormalDist()
+    vals = sorted(v for _, v in rows)
+    n = len(rows)
+
+    def midrank(x):
+        lo = sum(1 for y in vals if y < x)
+        c = sum(1 for y in vals if y == x)
+        return lo + (c + 1) / 2
+
+    a = [(g, nd.inv_cdf(midrank(v) / (n + 1))) for g, v in rows]
+    s2 = sum(x * x for _, x in a) / (n - 1)
+    groups = collections.defaultdict(list)
+    for g, x in a:
+        groups[g].append(x)
+    t = sum(sum(xs) ** 2 / len(xs) for xs in groups.values()) / s2
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = van_der_waerden(df, "g", "v").collect()[0]
+    assert (r["n"], r["k"], r["t"]) == (8, 3, round(t, 6))
