@@ -6280,3 +6280,56 @@ def van_der_waerden(
             F.round(F.when(ok, F.col("__t") / s2), 6) + F.lit(0.0)
         ).alias("t"),
     )
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980) — the
+    moments-only normality screen (the one test here that needs NO
+    ranks, ladder or grid):
+
+        g1 = m3 / m2^1.5,   g2 = m4 / m2² - 3     (biased moments)
+        JB = n/6 (g1² + g2²/4)                     ~ chi²(2) under H0
+
+    Output: ONE row (n BIGINT, skew, kurtosis, jb DOUBLE round 6);
+    NULL stats when n < 2 or variance = 0.
+
+    Plan: ONE partial-aggregated pass accumulating the four power
+    sums; everything else is a 1-row fold — the cheapest statistic in
+    the family, and the first normality gate before reaching for
+    m_fligner / m_vdw's rank machinery.
+    """
+    vc = F.col(value_col).cast("double")
+    base = df.filter(vc.isNotNull()).select(vc.alias("__v"))
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("__s1"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+        F.sum(F.col("__v") * F.col("__v") * F.col("__v")).alias("__s3"),
+        F.sum(
+            F.col("__v") * F.col("__v") * F.col("__v") * F.col("__v")
+        ).alias("__s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("__s1") / nd
+    m2 = F.col("__s2") / nd - mu * mu
+    m3 = (
+        F.col("__s3") / nd
+        - 3 * mu * F.col("__s2") / nd
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("__s4") / nd
+        - 4 * mu * F.col("__s3") / nd
+        + 6 * mu * mu * F.col("__s2") / nd
+        - 3 * mu * mu * mu * mu
+    )
+    g1 = m3 / F.pow(m2, 1.5)
+    g2 = m4 / (m2 * m2) - 3
+    jb = nd / 6 * (g1 * g1 + g2 * g2 / 4)
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    return g.select(
+        "n",
+        (F.round(F.when(ok, g1), 6) + F.lit(0.0)).alias("skew"),
+        (F.round(F.when(ok, g2), 6) + F.lit(0.0)).alias("kurtosis"),
+        (F.round(F.when(ok, jb), 6) + F.lit(0.0)).alias("jb"),
+    )

@@ -5444,3 +5444,46 @@ def m_quade(spark, sf_dir):
         F.col("event_type").alias("k"),
     ).agg(F.count(F.lit(1)).cast("double").alias("v"))
     return quade_test(d, "blk", "k", "v")
+
+
+@register(
+    "m_jarque_bera",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 2) AS v FROM events WHERE value IS NOT NULL),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(v) AS s1, sum(v * v) AS s2,
+                 sum(v * v * v) AS s3, sum(v * v * v * v) AS s4
+          FROM b),
+    m AS (SELECT n,
+        s1 / n AS mu,
+        s2 / n - (s1 / n) * (s1 / n) AS m2,
+        s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) AS m3,
+        s4 / n - 4 * (s1 / n) * s3 / n
+          + 6 * (s1 / n) * (s1 / n) * s2 / n - 3 * pow(s1 / n, 4)
+          AS m4
+      FROM g),
+    f AS (SELECT n, m2,
+        m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) - 3 AS g2
+      FROM m)
+    SELECT n,
+      round(CASE WHEN n >= 2 AND m2 > 0 THEN g1 END, 6) + 0.0 AS skew,
+      round(CASE WHEN n >= 2 AND m2 > 0 THEN g2 END, 6) + 0.0
+        AS kurtosis,
+      round(CASE WHEN n >= 2 AND m2 > 0
+            THEN CAST(n AS DOUBLE) / 6 * (g1 * g1 + g2 * g2 / 4)
+            END, 6) + 0.0 AS jb
+    FROM f
+    """,
+)
+def m_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality screen (operators/stats.jarque_bera) on
+    2dp-rounded event value — the moments-only gate run before the
+    rank machinery (m_vdw / m_fligner assume little; this costs ONE
+    power-sum pass). The oracle replays the four power sums, central
+    moments and the chi-square fold; identical (biased-moment)
+    convention on both sides."""
+    from pandasvcf_spark.operators.stats import jarque_bera
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return jarque_bera(e.select(F.round("value", 2).alias("v")), "v")

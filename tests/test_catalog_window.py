@@ -890,6 +890,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # Acklam ppf on both engines
         "m_vdw",                 # normal-scores location test: the
                                  # same ladder + Φ⁻¹, KW's upgrade
+        "m_jarque_bera",         # moments-only normality gate: one
+                                 # power-sum pass, chi²(2) fold
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2609,3 +2609,26 @@ def test_van_der_waerden_matches_stdlib_replay(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = van_der_waerden(df, "g", "v").collect()[0]
     assert (r["n"], r["k"], r["t"]) == (8, 3, round(t, 6))
+
+
+def test_jarque_bera_numpy_replay(spark):
+    """JB on a skewed exponential sample vs the numpy biased-moment
+    replay — exact at 6dp."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.stats import jarque_bera
+
+    rng = np.random.RandomState(0)
+    x = rng.exponential(2.0, 500)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    m4 = ((x - m) ** 4).mean()
+    g1 = m3 / m2 ** 1.5
+    g2 = m4 / m2 ** 2 - 3
+    jb = 500 / 6 * (g1 * g1 + g2 * g2 / 4)
+    df = spark.createDataFrame([(float(v),) for v in x], "v double")
+    r = jarque_bera(df, "v").collect()[0]
+    assert (r["skew"], r["kurtosis"], r["jb"]) == (
+        round(g1, 6), round(g2, 6), round(jb, 6),
+    )
