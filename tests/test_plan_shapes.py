@@ -642,3 +642,33 @@ def test_round10_grid_family_broadcast_never_cartesian(spark):
         assert plan.index("BroadcastNestedLoopJoin") < plan.index(
             "HashAggregate"
         )
+
+
+def test_round10_ladder_family_cells_only(spark):
+    """ansari_bradley / pettitt_test / fligner_killeen / van_der_waerden
+    / cvm_2sample rank over aggregated cells (Window above a
+    HashAggregate) and never cartesian-join data-sized relations."""
+    from pandasvcf_spark.operators.stats import (
+        ansari_bradley,
+        cvm_2sample,
+        fligner_killeen,
+        pettitt_test,
+        van_der_waerden,
+    )
+
+    d = spark.range(4000).select(
+        (F.col("id") % 2).cast("int").alias("f"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.col("id").cast("double").alias("t"),
+        (F.col("id") % 41).cast("double").alias("v"),
+    )
+    plans = [
+        _plan(cvm_2sample(d, "f", "v")),
+        _plan(ansari_bradley(d, "f", "v")),
+        _plan(pettitt_test(d.limit(2000), "t", "v")),
+        _plan(fligner_killeen(d, "g", "v")),
+        _plan(van_der_waerden(d, "g", "v")),
+    ]
+    for plan in plans:
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan and "HashAggregate" in plan
