@@ -436,9 +436,6 @@ def main() -> None:
         # one gzip member per record — the CC layout); the timed region
         # is the crawl-bytes-to-clean-corpus funnel incl. the survivor
         # count action.
-        import shutil
-        import tempfile
-
         from pyspark.sql import functions as F
 
         from pandasvcf_spark.functions.text import html_text_expr
