@@ -6333,3 +6333,92 @@ def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
         (F.round(F.when(ok, g2), 6) + F.lit(0.0)).alias("kurtosis"),
         (F.round(F.when(ok, jb), 6) + F.lit(0.0)).alias("jb"),
     )
+
+
+def fdr_correct(
+    df: DataFrame,
+    p_col: str,
+    method: str = "bh",
+    max_cells: int | None = 10_000_000,
+) -> DataFrame:
+    """Multiple-testing correction over a hypothesis table — the step
+    every p-value sweep (per-site GWAS scans, per-segment A/B grids,
+    per-term burst tests) needs before anyone reads its smallest p.
+    Adds `p_adj` to every input row:
+
+        bh         : Benjamini-Hochberg (1995) step-up FDR —
+                     p_adj(i) = min_{j >= i} m p_(j) / j, the suffix
+                     min taken from the largest p downward
+        holm       : Holm (1979) step-down FWER —
+                     p_adj(i) = max_{j <= i} (m - j + 1) p_(j)
+        bonferroni : m p, the one-liner baseline
+
+    all clamped to 1; tied p-values share one adjusted value (within a
+    tie run BH's min lands at the run's LAST position and Holm's max
+    at its FIRST, so both are per-run closed forms — no per-row rank).
+
+    Output: the input columns + p_adj DOUBLE (round 9). NULL p rows
+    pass through with NULL p_adj and do not count toward m (the R
+    p.adjust convention).
+
+    Plan: collapse to distinct-p cells (tripwire at `max_cells` — a
+    hypothesis table at 10M distinct p's is already suspicious), ONE
+    cumulative-count window up the ladder for positions, ONE
+    running-extreme window back down for the step-up/step-down
+    envelope, then a broadcast join of the cell table onto the rows —
+    the corpus never sorts.
+    """
+    method = method.lower()
+    if method not in ("bh", "holm", "bonferroni"):
+        raise ValueError(f"unknown method {method!r}")
+    pc = F.col(p_col).cast("double")
+    rows = df.withColumn("__p", pc)
+    cells = (
+        rows.filter(F.col("__p").isNotNull())
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    _assert_cell_bound(
+        cells, ["__p"], "fdr_correct", max_cells,
+        plan_word="distinct-p envelope ladder",
+    )
+    tot = cells.agg(F.sum("__c").alias("__m"))
+    w_cum = Window.orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pos = cells.crossJoin(F.broadcast(tot)).select(
+        "__p",
+        "__m",
+        F.sum("__c").over(w_cum).alias("__hi"),  # run END position
+    )
+    if method == "bonferroni":
+        adj = pos.select(
+            "__p",
+            F.least(F.col("__m") * F.col("__p"), F.lit(1.0)).alias(
+                "__adj"
+            ),
+        )
+    elif method == "bh":
+        cand = F.col("__m") * F.col("__p") / F.col("__hi")
+        w_sfx = Window.orderBy(F.col("__p").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        adj = pos.select(
+            "__p",
+            F.least(F.min(cand).over(w_sfx), F.lit(1.0)).alias("__adj"),
+        )
+    else:  # holm: run START position lo = hi - c + 1
+        lo = F.col("__hi") - F.col("__c") + 1
+        cand = (F.col("__m") - lo + 1) * F.col("__p")
+        w_pfx = Window.orderBy("__p").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        adj = pos.join(cells.select("__p", "__c"), "__p").select(
+            "__p",
+            F.least(F.max(cand).over(w_pfx), F.lit(1.0)).alias("__adj"),
+        )
+    return (
+        rows.join(F.broadcast(adj), "__p", "left")
+        .withColumn("p_adj", F.round(F.col("__adj"), 9))
+        .drop("__p", "__adj")
+    )

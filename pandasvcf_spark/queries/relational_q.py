@@ -2672,3 +2672,53 @@ def m_vdw(spark, sf_dir):
         F.round("c_acctbal", 0).alias("v"),
     )
     return van_der_waerden(d, "g", "v")
+
+
+@register(
+    "m_fdr_bh",
+    oracle="""
+    WITH hyp AS (
+      SELECT p_partkey AS id,
+             round(p_retailprice - floor(p_retailprice), 2) AS p
+      FROM part WHERE p_retailprice IS NOT NULL),
+    cells AS (SELECT p, CAST(count(*) AS DOUBLE) AS c
+              FROM hyp GROUP BY p),
+    tot AS (SELECT sum(c) AS m FROM cells),
+    pos AS (SELECT p, tot.m,
+        sum(c) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS hi
+      FROM cells, tot),
+    adj AS (SELECT p,
+        least(min(m * p / hi) OVER (ORDER BY p DESC ROWS BETWEEN
+          UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS padj
+      FROM pos)
+    SELECT hyp.id, round(hyp.p, 6) + 0.0 AS p,
+           round(adj.padj, 9) + 0.0 AS p_adj
+    FROM hyp JOIN adj ON adj.p = hyp.p
+    ORDER BY hyp.id
+    """,
+)
+def m_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR adjustment (operators/stats.fdr_correct,
+    R p.adjust semantics incl. tie runs) over a part-table hypothesis
+    sweep (p = the deterministic fractional retail-price digits — a
+    near-uniform p column exercising ties and the full envelope). The
+    step every per-site GWAS / per-segment A/B grid needs before its
+    smallest p is read: distinct-p ladder positions, the suffix-min
+    step-up envelope, broadcast join back — the corpus never sorts.
+    The oracle replays ladder, envelope and join row-for-row."""
+    from pandasvcf_spark.operators.stats import fdr_correct
+
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull()
+    )
+    hyp = p.select(
+        F.col("p_partkey").alias("id"),
+        F.round(
+            F.col("p_retailprice") - F.floor(F.col("p_retailprice")), 2
+        ).alias("p"),
+    )
+    out = fdr_correct(hyp, "p", method="bh")
+    return out.select(
+        "id", (F.round("p", 6) + F.lit(0.0)).alias("p"), "p_adj"
+    ).orderBy("id")

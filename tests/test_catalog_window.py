@@ -892,6 +892,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # same ladder + Φ⁻¹, KW's upgrade
         "m_jarque_bera",         # moments-only normality gate: one
                                  # power-sum pass, chi²(2) fold
+        "m_fdr_bh",              # BH multiple-testing envelope on
+                                 # the distinct-p ladder, R semantics
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2632,3 +2632,31 @@ def test_jarque_bera_numpy_replay(spark):
     assert (r["skew"], r["kurtosis"], r["jb"]) == (
         round(g1, 6), round(g2, 6), round(jb, 6),
     )
+
+
+def test_fdr_correct_r_padjust_vectors(spark):
+    """All three methods against R's p.adjust on c(.01,.02,.03,.04,.05)
+    plus the tie-run and NULL-pass-through conventions."""
+    from pandasvcf_spark.operators.stats import fdr_correct
+
+    ps = [0.01, 0.02, 0.03, 0.04, 0.05]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "id int, p double"
+    )
+    expect = {
+        "bh": [0.05] * 5,
+        "holm": [0.05, 0.08, 0.09, 0.09, 0.09],
+        "bonferroni": [0.05, 0.1, 0.15, 0.2, 0.25],
+    }
+    for m, exp in expect.items():
+        got = {r["id"]: r["p_adj"] for r in fdr_correct(df, "p", m).collect()}
+        assert [got[i] for i in range(5)] == [round(x, 9) for x in exp], m
+    # tie run: both p=.01 share the run-END position candidate; NULL
+    # does not count toward m and passes through
+    df2 = spark.createDataFrame(
+        [(0, 0.01), (1, 0.01), (2, 0.04), (3, None)], "id int, p double"
+    )
+    got = sorted(
+        (r["id"], r["p_adj"]) for r in fdr_correct(df2, "p", "bh").collect()
+    )
+    assert got == [(0, 0.015), (1, 0.015), (2, 0.04), (3, None)]
