@@ -6422,3 +6422,179 @@ def fdr_correct(
         .withColumn("p_adj", F.round(F.col("__adj"), 9))
         .drop("__p", "__adj")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Difference-in-differences (the 2x2 canonical form; Card &
+    Krueger 1994 usage) — the workhorse causal estimate when treatment
+    arrived at a point in time and a control group shares the trend:
+
+        DiD = (ybar_t,post - ybar_t,pre) - (ybar_c,post - ybar_c,pre)
+        SE  = sqrt(sum over the four cells of s²_cell / n_cell)
+
+    (the unequal-variance cell SE; t = DiD / SE). treat and post must
+    be 0/1. Output: ONE row (n00, n01, n10, n11 BIGINT — control/pre,
+    control/post, treated/pre, treated/post — did DOUBLE round 6,
+    se DOUBLE round 6, t DOUBLE round 6); NULLs when any cell is
+    empty (the design is undefined without all four).
+
+    Plan: ONE partial-aggregated pass over the corpus accumulating
+    the four cells' (n, sum, sumsq); everything else is a 1-row fold.
+    """
+    tc = F.col(treat_col).cast("int")
+    pc = F.col(post_col).cast("int")
+    yc = F.col(outcome_col).cast("double")
+    base = df.filter(
+        tc.isNotNull() & pc.isNotNull() & yc.isNotNull()
+    ).select(tc.alias("__t"), pc.alias("__p"), yc.alias("__y"))
+
+    def cell(t, p, what):
+        m = (F.col("__t") == t) & (F.col("__p") == p)
+        if what == "n":
+            return F.sum(F.when(m, 1).otherwise(0)).cast("long")
+        if what == "s":
+            return F.sum(F.when(m, F.col("__y")).otherwise(0.0))
+        return F.sum(
+            F.when(m, F.col("__y") * F.col("__y")).otherwise(0.0)
+        )
+
+    g = base.agg(
+        *[
+            cell(t, p, w).alias(f"__{w}{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+            for w in ("n", "s", "q")
+        ]
+    )
+
+    def mean(t, p):
+        return F.col(f"__s{t}{p}") / F.col(f"__n{t}{p}").cast("double")
+
+    def var_over_n(t, p):
+        n = F.col(f"__n{t}{p}").cast("double")
+        m = mean(t, p)
+        return ((F.col(f"__q{t}{p}") - n * m * m) / (n - 1)) / n
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        var_over_n(0, 0) + var_over_n(0, 1)
+        + var_over_n(1, 0) + var_over_n(1, 1)
+    )
+    ok = (
+        (F.col("__n00") >= 2) & (F.col("__n01") >= 2)
+        & (F.col("__n10") >= 2) & (F.col("__n11") >= 2)
+    )
+    return g.select(
+        F.col("__n00").alias("n00"),
+        F.col("__n01").alias("n01"),
+        F.col("__n10").alias("n10"),
+        F.col("__n11").alias("n11"),
+        (F.round(F.when(ok, did), 6) + F.lit(0.0)).alias("did"),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+        (
+            F.round(F.when(ok & (se > 0), did / se), 6) + F.lit(0.0)
+        ).alias("t"),
+    )
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    strata_cols: Sequence[str],
+    min_cell: int = 1,
+) -> DataFrame:
+    """Post-stratification average treatment effect — exact matching
+    on discrete covariate strata (the non-parametric ancestor of
+    propensity weighting; Cochran 1968):
+
+        ATE = sum_s w_s (ybar_{1,s} - ybar_{0,s}),
+        w_s = n_s / N over strata with BOTH arms present
+        SE  = sqrt(sum_s w_s² (s²_{1,s}/n_{1,s} + s²_{0,s}/n_{0,s}))
+
+    Strata missing either arm are EXCLUDED and accounted (the honest
+    overlap violation report — silently reweighting them would claim
+    support that isn't there). treat must be 0/1. Output: ONE row
+    (n_strata, n_used, n_dropped BIGINT, n BIGINT = rows in used
+    strata, ate, se DOUBLE round 6); NULL estimates when nothing
+    overlaps.
+
+    Plan: one (strata, arm)-keyed partial agg collapses the corpus to
+    per-stratum-arm moments; a strata-keyed pivot + 1-row folds do the
+    rest — cost is one exchange on the strata key.
+    """
+    scols = list(strata_cols)
+    if not scols:
+        raise ValueError("strata_cols must be non-empty")
+    tc = F.col(treat_col).cast("int")
+    yc = F.col(outcome_col).cast("double")
+    base = df.filter(tc.isNotNull() & yc.isNotNull()).select(
+        *scols, tc.alias("__t"), yc.alias("__y")
+    )
+    cells = base.groupBy(*scols, "__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__y").alias("__m"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+    )
+    strat = cells.groupBy(*scols).agg(
+        F.sum("__n").alias("__ns"),
+        F.max(F.when(F.col("__t") == 1, F.col("__n"))).alias("__n1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__n"))).alias("__n0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__m"))).alias("__m1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__m"))).alias("__m0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__q"))).alias("__q1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__q"))).alias("__q0"),
+    )
+    used = (
+        F.col("__n1").isNotNull()
+        & F.col("__n0").isNotNull()
+        & (F.col("__n1") >= min_cell)
+        & (F.col("__n0") >= min_cell)
+    )
+
+    def v_over_n(side):
+        n = F.col(f"__n{side}")
+        m = F.col(f"__m{side}")
+        q = F.col(f"__q{side}")
+        return F.when(
+            n >= 2, ((q - n * m * m) / (n - 1)) / n
+        ).otherwise(F.lit(0.0))
+
+    g = strat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias(
+            "n_used"
+        ),
+        F.sum(F.when(~used, 1).otherwise(0)).cast("long").alias(
+            "n_dropped"
+        ),
+        F.coalesce(
+            F.sum(F.when(used, F.col("__ns"))), F.lit(0.0)
+        ).alias("__N"),
+        F.sum(
+            F.when(used, F.col("__ns") * (F.col("__m1") - F.col("__m0")))
+        ).alias("__wd"),
+        F.sum(
+            F.when(
+                used,
+                F.col("__ns") * F.col("__ns")
+                * (v_over_n(1) + v_over_n(0)),
+            )
+        ).alias("__wv"),
+    )
+    ate = F.col("__wd") / F.col("__N")
+    se = F.sqrt(F.col("__wv")) / F.col("__N")
+    ok = F.col("n_used") > 0
+    return g.select(
+        "n_strata",
+        "n_used",
+        "n_dropped",
+        F.col("__N").cast("long").alias("n"),
+        (F.round(F.when(ok, ate), 6) + F.lit(0.0)).alias("ate"),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+    )

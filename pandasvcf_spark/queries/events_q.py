@@ -5487,3 +5487,141 @@ def m_jarque_bera(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return jarque_bera(e.select(F.round("value", 2).alias("v")), "v")
+
+
+@register(
+    "m_did",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS t,
+             CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END AS p,
+             value AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL),
+    g AS (SELECT
+        CAST(sum(CASE WHEN t=0 AND p=0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n00,
+        CAST(sum(CASE WHEN t=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n01,
+        CAST(sum(CASE WHEN t=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n10,
+        CAST(sum(CASE WHEN t=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n11,
+        sum(CASE WHEN t=0 AND p=0 THEN y ELSE 0 END) AS s00,
+        sum(CASE WHEN t=0 AND p=1 THEN y ELSE 0 END) AS s01,
+        sum(CASE WHEN t=1 AND p=0 THEN y ELSE 0 END) AS s10,
+        sum(CASE WHEN t=1 AND p=1 THEN y ELSE 0 END) AS s11,
+        sum(CASE WHEN t=0 AND p=0 THEN y*y ELSE 0 END) AS q00,
+        sum(CASE WHEN t=0 AND p=1 THEN y*y ELSE 0 END) AS q01,
+        sum(CASE WHEN t=1 AND p=0 THEN y*y ELSE 0 END) AS q10,
+        sum(CASE WHEN t=1 AND p=1 THEN y*y ELSE 0 END) AS q11
+      FROM b),
+    f AS (SELECT n00, n01, n10, n11,
+        (s11/n11 - s10/n10) - (s01/n01 - s00/n00) AS did,
+        sqrt(((q00 - n00*(s00/n00)*(s00/n00))/(n00-1))/n00
+           + ((q01 - n01*(s01/n01)*(s01/n01))/(n01-1))/n01
+           + ((q10 - n10*(s10/n10)*(s10/n10))/(n10-1))/n10
+           + ((q11 - n11*(s11/n11)*(s11/n11))/(n11-1))/n11) AS se
+      FROM g)
+    SELECT n00, n01, n10, n11,
+      round(CASE WHEN n00>=2 AND n01>=2 AND n10>=2 AND n11>=2
+            THEN did END, 6) + 0.0 AS did,
+      round(CASE WHEN n00>=2 AND n01>=2 AND n10>=2 AND n11>=2
+            THEN se END, 6) + 0.0 AS se,
+      round(CASE WHEN n00>=2 AND n01>=2 AND n10>=2 AND n11>=2
+                  AND se > 0
+            THEN did / se END, 6) + 0.0 AS t
+    FROM f
+    """,
+)
+def m_did(spark, sf_dir):
+    """Difference-in-differences (operators/stats.diff_in_diff) of
+    user-parity value with afternoon as the post period — the 2x2
+    canonical causal estimate (treated/control x pre/post), one
+    partial-aggregated pass over the corpus for all four cells'
+    moments + a 1-row fold. Expected ~0 on this synthetic split —
+    the honest A/A shape. The oracle replays cells, means, the
+    unequal-variance SE and t."""
+    from pandasvcf_spark.operators.stats import diff_in_diff
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.when(F.hour("ts") >= 12, 1).otherwise(0).alias("p"),
+        F.col("value").alias("y"),
+    )
+    return diff_in_diff(b, "t", "p", "y")
+
+
+@register(
+    "m_stratified_ate",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS s, CAST(user_id % 2 AS INTEGER) AS t,
+             value AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL),
+    cells AS (SELECT s, t, CAST(count(*) AS DOUBLE) AS n,
+                     avg(y) AS m, sum(y * y) AS q
+              FROM b GROUP BY s, t),
+    strat AS (SELECT s, sum(n) AS ns,
+        max(CASE WHEN t = 1 THEN n END) AS n1,
+        max(CASE WHEN t = 0 THEN n END) AS n0,
+        max(CASE WHEN t = 1 THEN m END) AS m1,
+        max(CASE WHEN t = 0 THEN m END) AS m0,
+        max(CASE WHEN t = 1 THEN q END) AS q1,
+        max(CASE WHEN t = 0 THEN q END) AS q0
+      FROM cells GROUP BY s),
+    mk AS (SELECT *,
+        (n1 IS NOT NULL AND n0 IS NOT NULL AND n1 >= 1 AND n0 >= 1)
+          AS used,
+        CASE WHEN n1 >= 2 THEN ((q1 - n1*m1*m1)/(n1-1))/n1
+             ELSE 0.0 END AS v1,
+        CASE WHEN n0 >= 2 THEN ((q0 - n0*m0*m0)/(n0-1))/n0
+             ELSE 0.0 END AS v0
+      FROM strat),
+    g AS (SELECT
+        CAST(count(*) AS BIGINT) AS n_strata,
+        CAST(sum(CASE WHEN used THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_used,
+        CAST(sum(CASE WHEN used THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_dropped,
+        coalesce(sum(CASE WHEN used THEN ns END), 0.0) AS N,
+        sum(CASE WHEN used THEN ns * (m1 - m0) END) AS wd,
+        sum(CASE WHEN used THEN ns * ns * (v1 + v0) END) AS wv
+      FROM mk)
+    SELECT n_strata, n_used, n_dropped, CAST(N AS BIGINT) AS n,
+      round(CASE WHEN n_used > 0 THEN wd / N END, 6) + 0.0 AS ate,
+      round(CASE WHEN n_used > 0 THEN sqrt(wv) / N END, 6) + 0.0
+        AS se
+    FROM g
+    """,
+)
+def m_stratified_ate(spark, sf_dir):
+    """Post-stratification ATE (operators/stats.stratified_ate) of
+    user-parity treatment on value, exactly matched within event-type
+    strata — the causal-inference family's non-parametric member
+    beside m_cuped (covariate adjustment) and m_did (parallel
+    trends): per-stratum arm means weighted by stratum share, strata
+    missing an arm EXCLUDED and counted (the overlap report). One
+    (strata, arm) exchange; expected ~0 on this synthetic split. The
+    oracle replays cells, overlap mask, weights and both folds."""
+    from pandasvcf_spark.operators.stats import stratified_ate
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = e.select(
+        F.col("event_type").alias("s"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        F.col("value").alias("y"),
+    )
+    return stratified_ate(b, "t", "y", ["s"])

@@ -894,6 +894,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # power-sum pass, chi²(2) fold
         "m_fdr_bh",              # BH multiple-testing envelope on
                                  # the distinct-p ladder, R semantics
+        "m_did",                 # 2x2 difference-in-differences: one
+                                 # 12-counter pass + 1-row fold
+        "m_stratified_ate",      # post-stratification ATE with the
+                                 # overlap-violation report
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

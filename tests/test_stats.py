@@ -2660,3 +2660,40 @@ def test_fdr_correct_r_padjust_vectors(spark):
         (r["id"], r["p_adj"]) for r in fdr_correct(df2, "p", "bh").collect()
     )
     assert got == [(0, 0.015), (1, 0.015), (2, 0.04), (3, None)]
+
+
+def test_did_and_stratified_ate_hand_cases(spark):
+    """DiD on a hand 2x2 (did=5, cell-variance SE); stratified ATE on
+    two overlapping strata plus one no-control stratum that must be
+    dropped AND counted."""
+    import statistics as st
+
+    from pandasvcf_spark.operators.stats import (
+        diff_in_diff,
+        stratified_ate,
+    )
+
+    data = {(0, 0): [10.0, 12.0, 11.0], (0, 1): [11.0, 13.0, 12.0],
+            (1, 0): [20.0, 22.0, 21.0], (1, 1): [26.0, 28.0, 27.0]}
+    rows = [(t, p, y) for (t, p), ys in data.items() for y in ys]
+    df = spark.createDataFrame(rows, "t int, p int, y double")
+    r = diff_in_diff(df, "t", "p", "y").collect()[0]
+    m = {k: st.mean(v) for k, v in data.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    se = sum(st.variance(v) / len(v) for v in data.values()) ** 0.5
+    assert (r["did"], r["se"], r["t"]) == (
+        round(did, 6), round(se, 6), round(did / se, 6),
+    )
+
+    rows = [
+        ("a", 1, 10.0), ("a", 1, 12.0), ("a", 0, 5.0), ("a", 0, 7.0),
+        ("b", 1, 20.0), ("b", 1, 22.0), ("b", 0, 10.0), ("b", 0, 14.0),
+        ("c", 1, 99.0), ("c", 1, 98.0),  # no control arm: dropped
+    ]
+    df2 = spark.createDataFrame(rows, "s string, t int, y double")
+    r2 = stratified_ate(df2, "t", "y", ["s"]).collect()[0]
+    assert (r2["n_strata"], r2["n_used"], r2["n_dropped"], r2["n"]) == (
+        3, 2, 1, 8,
+    )
+    assert r2["ate"] == 7.0
+    assert r2["se"] == round(112 ** 0.5 / 8, 6)
