@@ -684,3 +684,92 @@ def hudson_fst(
         F.round(den, 6).alias("fst_den"),
         (F.round(F.when(den > 0, num / den), 6) + 0.0).alias("fst"),
     )
+
+
+def prs_score(
+    df: DataFrame,
+    site_col: str,
+    sample_col: str,
+    dosage_col: str,
+    weights: DataFrame,
+    weight_site_col: str = "site",
+    weight_col: str = "weight",
+    mean_impute: bool = True,
+) -> DataFrame:
+    """Polygenic risk score (plink --score semantics): per sample, the
+    weighted average of effect-allele dosages over a score file's
+    sites,
+
+        score = sum_sites w * dosage / (2 * S)
+
+    with plink's default MEAN IMPUTATION for missing calls: a missing
+    (site, sample) contributes w * 2p-hat (the site's alt frequency
+    estimated from called dosages). The imputed form NEVER builds the
+    site x sample grid — rewrite
+
+        sum_called w*d + sum_missing w*2p
+          = [sum_scored w*2p] + sum_called w*(d - 2p)
+
+    so the first term is ONE broadcast constant and the per-sample
+    work is a single agg over CALLED rows only. `mean_impute=False`
+    gives plink's no-mean-imputation mode instead (average over the
+    sample's called scored sites: sum w*d / (2 * n_called)).
+
+    Sites absent from the score table drop; monomorphic sites
+    contribute no between-sample signal by construction (every called
+    d equals 2p-hat, so their adjustment is 0 and their imputed mass
+    is a constant shift — plink's behavior). Output:
+    (sample, n_called BIGINT, score DOUBLE round 9), one row per
+    sample appearing at any scored site.
+
+    Plan: broadcast join of the model-sized score table, one
+    site-keyed agg for p-hat (broadcast back — sites in a score file
+    are model-sized by definition), one sample-keyed agg. The corpus
+    shuffles once, on the sample key."""
+    st = F.col(site_col)
+    sa = F.col(sample_col)
+    dc = F.col(dosage_col).cast("double")
+    w = weights.select(
+        F.col(weight_site_col).alias("__site"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    base = df.select(
+        st.alias("__site"), sa.alias("__sample"), dc.alias("__d")
+    ).join(F.broadcast(w), "__site")
+    af = base.filter(F.col("__d").isNotNull()).groupBy("__site").agg(
+        (F.sum("__d") / (2 * F.count("__d"))).alias("__p"),
+        F.max("__w").alias("__w"),
+    )
+    scored = af.agg(
+        F.count(F.lit(1)).cast("long").alias("__S"),
+        F.sum(F.col("__w") * 2 * F.col("__p")).alias("__const"),
+    )
+    called = base.filter(F.col("__d").isNotNull()).join(
+        F.broadcast(af.select("__site", "__p")), "__site"
+    )
+    if mean_impute:
+        per = called.groupBy(F.col("__sample").alias("sample")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_called"),
+            F.sum(
+                F.col("__w") * (F.col("__d") - 2 * F.col("__p"))
+            ).alias("__adj"),
+        )
+        out = per.crossJoin(F.broadcast(scored)).select(
+            "sample",
+            "n_called",
+            F.round(
+                (F.col("__const") + F.col("__adj"))
+                / (2.0 * F.col("__S")),
+                9,
+            ).alias("score"),
+        )
+    else:
+        out = called.groupBy(F.col("__sample").alias("sample")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_called"),
+            F.round(
+                F.sum(F.col("__w") * F.col("__d"))
+                / (2.0 * F.count(F.lit(1))),
+                9,
+            ).alias("score"),
+        )
+    return out

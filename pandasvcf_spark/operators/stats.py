@@ -6598,3 +6598,66 @@ def stratified_ate(
         (F.round(F.when(ok, ate), 6) + F.lit(0.0)).alias("ate"),
         (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
     )
+
+
+def icc_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979 case 1) — how much of the variance is
+    BETWEEN subjects? The rater-reliability / repeated-measures
+    companion of `cronbach_alpha`:
+
+        MSB = SSB / (g - 1),   MSW = SSW / (N - g)
+        n0  = (N - sum n_g² / N) / (g - 1)     (unbalanced correction)
+        ICC = (MSB - MSW) / (MSB + (n0 - 1) MSW)
+
+    Output: ONE row (n BIGINT, groups BIGINT, msb, msw DOUBLE round 6,
+    icc DOUBLE round 6); NULL when g < 2, N <= g, or the denominator
+    vanishes. Groups with one observation still contribute to MSB.
+
+    Plan: one group-keyed moment agg + 1-row folds — the anova_oneway
+    combiner tree with the n0 correction added.
+    """
+    gc = F.col(group_col)
+    vc = F.col(value_col).cast("double")
+    base = df.filter(gc.isNotNull() & vc.isNotNull()).select(
+        gc.alias("__g"), vc.alias("__v")
+    )
+    per_g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    g = per_g.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("groups"),
+        F.sum("__s").alias("__ts"),
+        F.sum("__q").alias("__tq"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias(
+            "__sb"
+        ),
+        F.sum(F.col("__n") * F.col("__n")).alias("__nn"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("groups").cast("double")
+    ssb = F.col("__sb") - F.col("__ts") * F.col("__ts") / nd
+    ssw = F.col("__tq") - F.col("__sb")
+    msb = ssb / (kd - 1)
+    msw = ssw / (nd - kd)
+    n0 = (nd - F.col("__nn") / nd) / (kd - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    ok = (
+        (F.col("groups") >= 2)
+        & (nd > kd)
+        & ((msb + (n0 - 1) * msw) > 0)
+    )
+    return g.select(
+        "n",
+        "groups",
+        (F.round(F.when(ok, msb), 6) + F.lit(0.0)).alias("msb"),
+        (F.round(F.when(ok, msw), 6) + F.lit(0.0)).alias("msw"),
+        (F.round(F.when(ok, icc), 6) + F.lit(0.0)).alias("icc"),
+    )

@@ -5625,3 +5625,56 @@ def m_stratified_ate(spark, sf_dir):
         F.col("value").alias("y"),
     )
     return stratified_ate(b, "t", "y", ["s"])
+
+
+@register(
+    "m_icc",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS g, value AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    per_g AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                     sum(v) AS s, sum(v * v) AS q
+              FROM b GROUP BY g),
+    g2 AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS groups,
+                  sum(s) AS ts, sum(q) AS tq,
+                  sum(s * s / n) AS sb, sum(n * n) AS nn
+           FROM per_g),
+    f AS (SELECT n, groups,
+        (sb - ts * ts / n) / (groups - 1.0) AS msb,
+        (tq - sb) / (CAST(n AS DOUBLE) - groups) AS msw,
+        (CAST(n AS DOUBLE) - nn / n) / (groups - 1.0) AS n0
+      FROM g2)
+    SELECT n, groups,
+      round(CASE WHEN groups >= 2 AND n > groups
+                  AND msb + (n0 - 1) * msw > 0 THEN msb END, 6)
+        + 0.0 AS msb,
+      round(CASE WHEN groups >= 2 AND n > groups
+                  AND msb + (n0 - 1) * msw > 0 THEN msw END, 6)
+        + 0.0 AS msw,
+      round(CASE WHEN groups >= 2 AND n > groups
+                  AND msb + (n0 - 1) * msw > 0
+            THEN (msb - msw) / (msb + (n0 - 1) * msw) END, 6)
+        + 0.0 AS icc
+    FROM f
+    """,
+)
+def m_icc(spark, sf_dir):
+    """One-way random-effects ICC(1,1) (operators/stats.icc_oneway,
+    Shrout & Fleiss case 1 with the unbalanced n0 correction) of
+    event value within users — how much spend variance is BETWEEN
+    users? The rater-reliability / repeated-measures member beside
+    m_cronbach; one group-keyed moment agg + 1-row folds. The oracle
+    replays moments, mean squares, n0 and the ICC fold."""
+    from pandasvcf_spark.operators.stats import icc_oneway
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return icc_oneway(
+        e.select(F.col("user_id").alias("g"), F.col("value").alias("v")),
+        "g",
+        "v",
+    )

@@ -1649,3 +1649,75 @@ def g_gwas_trend(spark, sf_dir):
     return out.orderBy(
         F.col("chi2").desc(), F.col("site").asc()
     ).limit(10)
+
+
+@register(
+    "g_prs",
+    oracle=_GENO_CTE
+    + """
+    , dos AS (
+      SELECT l_orderkey AS site, l_linenumber AS smp,
+             min(CASE WHEN a1 <> '.' AND a2 <> '.'
+                 THEN CAST(a1 <> 'A' AS INT) + CAST(a2 <> 'A' AS INT)
+                 END) AS d
+      FROM ann GROUP BY 1, 2),
+    w AS (SELECT site,
+            CAST((site * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5
+              AS wt
+          FROM (SELECT DISTINCT site FROM dos)),
+    af AS (SELECT dos.site, max(w.wt) AS wt,
+                  sum(d) / (2.0 * count(d)) AS p
+           FROM dos JOIN w ON w.site = dos.site
+           WHERE d IS NOT NULL GROUP BY dos.site),
+    sc AS (SELECT CAST(count(*) AS BIGINT) AS S,
+                  sum(wt * 2 * p) AS cst FROM af),
+    called AS (SELECT dos.smp, af.wt, af.p, dos.d
+               FROM dos JOIN af ON af.site = dos.site
+               WHERE dos.d IS NOT NULL),
+    per AS (SELECT smp, CAST(count(*) AS BIGINT) AS n_called,
+                   sum(wt * (d - 2 * p)) AS adj
+            FROM called GROUP BY smp)
+    SELECT CAST(per.smp AS BIGINT) AS sample, per.n_called,
+           round((sc.cst + per.adj) / (2.0 * sc.S), 9) + 0.0 AS score
+    FROM per, sc ORDER BY sample
+    """,
+)
+def g_prs(spark, sf_dir):
+    """Polygenic risk score (operators/ld.prs_score; plink --score
+    with its default mean imputation) over the derived genotype
+    relation with a deterministic per-site effect-weight table (the
+    poly-hash residue device). The imputed form never builds the
+    site x sample grid: one broadcast constant carries every missing
+    call's w*2p mass and the per-sample agg runs over CALLED rows
+    only. The oracle replays dosages, weights, allele frequencies,
+    the constant and the per-sample fold."""
+    from pandasvcf_spark.operators.ld import prs_score
+
+    d = _gt_parsed(spark, sf_dir)
+    a1, a2 = F.col("a1"), F.col("a2")
+    dosage = F.when(
+        (a1 != ".") & (a2 != "."),
+        (a1 != "A").cast("int") + (a2 != "A").cast("int"),
+    )
+    dd = (
+        d.withColumn("dosage", dosage)
+        .groupBy(
+            F.col("l_orderkey").alias("site"),
+            F.col("l_linenumber").alias("smp"),
+        )
+        .agg(F.min("dosage").alias("d"))
+    )
+    w = dd.select("site").distinct().select(
+        "site",
+        (
+            ((F.col("site") * 2654435761) % 1000).cast("double")
+            / 1000.0
+            - 0.5
+        ).alias("wt"),
+    )
+    out = prs_score(dd, "site", "smp", "d", w, "site", "wt")
+    return out.select(
+        F.col("sample").cast("long").alias("sample"),
+        "n_called",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+    ).orderBy("sample")

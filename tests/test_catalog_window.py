@@ -898,6 +898,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # 12-counter pass + 1-row fold
         "m_stratified_ate",      # post-stratification ATE with the
                                  # overlap-violation report
+        "g_prs",                 # plink --score PRS: grid-free mean
+                                 # imputation via one broadcast const
+        "m_icc",                 # ICC(1,1) with the unbalanced n0
+                                 # correction: one moment agg
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -2697,3 +2697,46 @@ def test_did_and_stratified_ate_hand_cases(spark):
     )
     assert r2["ate"] == 7.0
     assert r2["se"] == round(112 ** 0.5 / 8, 6)
+
+
+def test_prs_and_icc_hand_cases(spark):
+    """PRS: 2 sites / 3 samples with a missing call — the broadcast-
+    constant imputation identity must equal the explicit grid sum in
+    BOTH modes; ICC(1,1) balanced hand case."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.ld import prs_score
+    from pandasvcf_spark.operators.stats import icc_oneway
+
+    rows = [
+        (1, "s1", 2.0), (1, "s2", 1.0), (1, "s3", 0.0),
+        (2, "s1", 1.0), (2, "s2", None),
+    ]
+    d = spark.createDataFrame(rows, "site int, sample string, dosage double")
+    w = spark.createDataFrame([(1, 0.5), (2, -1.0)], "site int, weight double")
+    got = {
+        r["sample"]: (r["n_called"], r["score"])
+        for r in prs_score(d, "site", "sample", "dosage", w).collect()
+    }
+    # p1=.5, p2=.5, const=-.5, S=2: imputed grid scores by hand
+    assert got == {"s1": (2, 0.0), "s2": (1, -0.125), "s3": (1, -0.25)}
+    ni = {
+        r["sample"]: r["score"]
+        for r in prs_score(
+            d, "site", "sample", "dosage", w, mean_impute=False
+        ).collect()
+    }
+    assert ni == {"s1": 0.0, "s2": 0.25, "s3": 0.0}
+
+    rows = [("a", 9.0), ("a", 10.0), ("a", 11.0),
+            ("b", 5.0), ("b", 6.0), ("b", 7.0),
+            ("c", 1.0), ("c", 2.0), ("c", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    vals = {g: [v for gg, v in rows if gg == g] for g in "abc"}
+    gm = np.mean([v for _, v in rows])
+    ssb = sum(len(v) * (np.mean(v) - gm) ** 2 for v in vals.values())
+    ssw = sum((x - np.mean(v)) ** 2 for v in vals.values() for x in v)
+    msb, msw = ssb / 2, ssw / 6
+    icc = (msb - msw) / (msb + 2 * msw)
+    r = icc_oneway(df, "g", "v").collect()[0]
+    assert (r["n"], r["groups"], r["icc"]) == (9, 3, round(icc, 6))
