@@ -3823,3 +3823,165 @@ def aalen_johansen(
             F.round(F.sum("__term").over(w_cif), 6) + F.lit(0.0)
         ).alias("cif"),
     ).orderBy("cause", "t")
+
+
+def geo_near_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 85.0,
+) -> DataFrame:
+    """All pairs within `radius_km` great-circle distance — the
+    spatial member of the banded-join family (range_join /
+    interval_overlap_join / ld_r2's position bins, on a sphere):
+    NEVER a theta join. Both sides bucket into a latitude-band grid
+    whose per-band longitude cell width is the EXACT chord bound
+    2·asin(sin(σ/2)/cos φ) at the band window's minimum cos(lat) (wider cells near the poles — extra
+    candidates, never a missed pair); the left side probes its 3x3
+    neighborhood (longitude wrapped at the antimeridian), candidates
+    equi-join on (lat_cell, lon_cell), and the exact haversine
+    (R = 6371.0088 km) filters.
+
+        hav = 2 R asin(sqrt(sin²(dφ/2) + cosφ1 cosφ2 sin²(dλ/2)))
+
+    |lat| above `max_abs_lat` raises (the lon-cell width diverges at
+    the poles; clamp or reproject polar data first — raise, don't
+    silently mis-bucket). `left_id`/`right_id` name each side's id
+    column. Output: (id_a, id_b, distance_km DOUBLE round 6), each
+    qualifying cross pair once.
+
+    Scale: shuffle = candidates within 3x3 cells, O(density x area),
+    never |L| x |R|; the plan guard pins the equi-join shape.
+    """
+    if radius_km <= 0:
+        raise ValueError("radius_km must be > 0")
+    import math
+
+    R = 6371.0088
+    sigma = radius_km / R  # central angle of the radius
+    # |dφ| <= σ exactly on the sphere; |dλ| <= 2 asin(sin(σ/2)/cos φ)
+    # (from the haversine identity with the window's max |lat| — the
+    # EXACT bound; the naive σ/cos φ undershoots by O(σ² tan²φ) and
+    # loses pairs near the clamp latitude)
+    dlat = math.degrees(sigma)
+    sin_half = math.sin(sigma / 2.0)
+
+    def prep(df, id_col, probe: bool):
+        la = F.col(lat_col).cast("double")
+        lo = F.col(lon_col).cast("double")
+        d = df.select(
+            F.col(id_col).alias("__id"), la.alias("__la"), lo.alias("__lo")
+        ).filter(F.col("__la").isNotNull() & F.col("__lo").isNotNull())
+        band = F.floor((F.col("__la") + 90.0) / F.lit(dlat)).cast("int")
+        d = d.withColumn("__band", band)
+        # conservative per-band lon cell width: min cos over the band
+        # AND its two neighbors (a pair in adjacent bands spans that
+        # 3-band window, so its longitude gap is <= this band's cell
+        # width and the +-1 probe is provably complete)
+        edge1 = F.abs((F.col("__band") - 1) * F.lit(dlat) - 90.0)
+        edge2 = F.abs((F.col("__band") + 2) * F.lit(dlat) - 90.0)
+        min_cos = F.cos(F.radians(F.greatest(edge1, edge2)))
+        dlon = F.degrees(
+            2 * F.asin(F.least(F.lit(sin_half) / min_cos, F.lit(1.0)))
+        )
+        # UNIFORM circular grid: floor (not ceil) keeps every cell at
+        # least dlon wide, so a pair within dlon is never 2 cells
+        # apart across the antimeridian seam (the ceil grid's partial
+        # last cell breaks exactly that)
+        ncells = F.greatest(
+            F.floor(F.lit(360.0) / dlon).cast("int"), F.lit(1)
+        )
+        cell = F.pmod(
+            F.floor(
+                (F.col("__lo") + 180.0) / (F.lit(360.0) / ncells)
+            ).cast("int"),
+            ncells,
+        )
+        d = d.withColumn("__nc", ncells)
+        if probe:
+            d = d.select(
+                "__id", "__la", "__lo", "__band", "__nc",
+                F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias(
+                    "__bi"
+                ),
+                cell.alias("__c0"),
+            )
+            # neighbor band: its OWN ncells prices the lon cell there
+            nb = F.col("__band") + F.col("__bi")
+            edge1n = F.abs((nb - 1) * F.lit(dlat) - 90.0)
+            edge2n = F.abs((nb + 2) * F.lit(dlat) - 90.0)
+            min_cos_n = F.cos(F.radians(F.greatest(edge1n, edge2n)))
+            dlon_n = F.degrees(
+                2
+                * F.asin(
+                    F.least(F.lit(sin_half) / min_cos_n, F.lit(1.0))
+                )
+            )
+            ncells_n = F.greatest(
+                F.floor(F.lit(360.0) / dlon_n).cast("int"), F.lit(1)
+            )
+            cell_n = F.floor(
+                (F.col("__lo") + 180.0) / (F.lit(360.0) / ncells_n)
+            ).cast("int")
+            d = d.select(
+                "__id", "__la", "__lo",
+                nb.alias("__band"),
+                F.explode(
+                    F.array(F.lit(-1), F.lit(0), F.lit(1))
+                ).alias("__ci"),
+                cell_n.alias("__cn"),
+                ncells_n.alias("__ncn"),
+            ).select(
+                "__id", "__la", "__lo", "__band",
+                F.pmod(F.col("__cn") + F.col("__ci"), F.col("__ncn"))
+                .alias("__cell"),
+            )
+        else:
+            d = d.select(
+                "__id", "__la", "__lo", "__band", cell.alias("__cell")
+            )
+        return d
+
+    # validate the lat clamp with one cheap agg on each side
+    for df, side in ((left, "left"), (right, "right")):
+        mx = df.agg(
+            F.max(F.abs(F.col(lat_col).cast("double"))).alias("m")
+        ).collect()[0]["m"]
+        if mx is not None and mx > max_abs_lat:
+            raise ValueError(
+                f"geo_near_join: {side} |lat| up to {mx:.3f} exceeds "
+                f"max_abs_lat={max_abs_lat} — longitude cells diverge "
+                "at the poles; clamp or handle polar points separately"
+            )
+    la = prep(left, left_id, probe=True)
+    rb = prep(right, right_id, probe=False).select(
+        F.col("__id").alias("__idb"),
+        F.col("__la").alias("__lab"),
+        F.col("__lo").alias("__lob"),
+        "__band",
+        "__cell",
+    )
+    j = la.join(rb, ["__band", "__cell"])
+    dphi = F.radians(F.col("__lab") - F.col("__la")) / 2
+    dlmb = F.radians(F.col("__lob") - F.col("__lo")) / 2
+    h = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(F.col("__la")))
+        * F.cos(F.radians(F.col("__lab")))
+        * F.sin(dlmb) * F.sin(dlmb)
+    )
+    dist = 2 * F.lit(6371.0088) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+    return (
+        j.withColumn("__dist", dist)
+        .filter(F.col("__dist") <= F.lit(float(radius_km)))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.round("__dist", 6).alias("distance_km"),
+        )
+        .distinct()
+    )

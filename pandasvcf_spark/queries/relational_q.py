@@ -2722,3 +2722,58 @@ def m_fdr_bh(spark, sf_dir):
     return out.select(
         "id", (F.round("p", 6) + F.lit(0.0)).alias("p"), "p_adj"
     ).orderBy("id")
+
+
+@register(
+    "j_geo_near",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 2654435761) % 140000 AS DOUBLE) / 1000.0
+               - 70.0 AS lat,
+             CAST((c_custkey * 40503) % 360000 AS DOUBLE) / 1000.0
+               - 180.0 AS lon
+      FROM customer),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             2 * 6371.0088 * asin(sqrt(least(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2), 1.0)))
+               AS d
+      FROM pts a JOIN pts b ON a.id < b.id)
+    SELECT id_a, id_b, round(d, 6) AS distance_km
+    FROM pairs WHERE d <= 1500.0
+    ORDER BY id_a, id_b
+    """,
+)
+def j_geo_near(spark, sf_dir):
+    """Great-circle neighbor join (operators/relational.geo_near_join)
+    over deterministic customer coordinates (poly-hash lat in ±70°,
+    lon in ±180°) at a 1500 km radius (the synthetic lattice has no closer pairs at small SFs) — the spatial member of the
+    banded-join family: latitude-band grid with the EXACT per-band
+    chord bound 2·asin(sin(σ/2)/cosφ) for longitude cells, a uniform
+    circular lon grid (floor cells — the ceil grid's partial seam
+    cell drops antimeridian pairs), 3x3 probes, haversine verify.
+    The oracle is the BRUTE-FORCE all-pairs haversine — the strongest
+    possible check that the banding misses nothing."""
+    from pandasvcf_spark.operators.relational import geo_near_join
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            ((F.col("c_custkey") * 2654435761) % 140000).cast("double")
+            / 1000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * 40503) % 360000).cast("double")
+            / 1000.0
+            - 180.0
+        ).alias("lon"),
+    )
+    out = geo_near_join(pts, pts, 1500.0, "id", "id")
+    return out.filter(F.col("id_a") < F.col("id_b")).orderBy(
+        "id_a", "id_b"
+    )

@@ -1422,3 +1422,62 @@ def test_modularity_double_clique_hand_case(spark):
                                  "n long, c long")
     rp = {r["community"]: r for r in modularity(e, part).collect()}
     assert list(rp) == [0] and rp[0]["degree_sum"] == 13
+
+
+def test_geo_near_join_equals_brute_force(spark):
+    """Property check: the banded spherical join must equal the
+    brute-force all-pairs haversine EXACTLY — including antimeridian
+    seam pairs and near-clamp latitudes (the two classes the grid can
+    silently drop: a ceil-sized partial seam cell and an undersized
+    chord bound were both caught by this test during development)."""
+    import math
+    import random
+
+    from pandasvcf_spark.operators.relational import geo_near_join
+
+    rng = random.Random(7)
+    pts = []
+    for i in range(250):
+        lat = rng.uniform(-84.9, 84.9) if i % 3 else rng.uniform(80, 84.9)
+        lon = (
+            rng.uniform(-180, 180)
+            if i % 5
+            else rng.uniform(178, 180) * rng.choice([1, -1])
+        )
+        pts.append((i, lat, lon))
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+
+    def hav(p, q):
+        R = 6371.0088
+        la1, lo1, la2, lo2 = map(
+            math.radians, (p[1], p[2], q[1], q[2])
+        )
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1)
+            * math.cos(la2)
+            * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * R * math.asin(min(1.0, math.sqrt(h)))
+
+    for radius in (50.0, 800.0):
+        truth = {
+            (p[0], q[0])
+            for p in pts
+            for q in pts
+            if p[0] != q[0] and hav(p, q) <= radius
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in geo_near_join(df, df, radius, "id", "id").collect()
+            if r["id_a"] != r["id_b"]
+        }
+        assert got == truth, (radius, len(truth - got), len(got - truth))
+    # polar clamp raises, not mis-buckets
+    import pytest as _pytest
+
+    polar = spark.createDataFrame(
+        [(0, 89.0, 0.0), (1, 88.9, 1.0)], "id int, lat double, lon double"
+    )
+    with _pytest.raises(ValueError, match="max_abs_lat"):
+        geo_near_join(polar, polar, 50.0, "id", "id")

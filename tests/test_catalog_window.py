@@ -902,6 +902,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # imputation via one broadcast const
         "m_icc",                 # ICC(1,1) with the unbalanced n0
                                  # correction: one moment agg
+        "j_geo_near",            # spherical banded join: exact chord
+                                 # bound cells vs brute-force oracle
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
