@@ -3985,3 +3985,174 @@ def geo_near_join(
         )
         .distinct()
     )
+
+
+def morans_i(
+    points: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    value_col: str = "value",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Moran's I spatial autocorrelation (Moran 1950) — do nearby
+    points carry similar values? THE first statistic run after any
+    spatial join (`geo_near_join` supplies the neighbor pairs):
+
+        I = (n / W) * sum_ij w_ij (x_i - xbar)(x_j - xbar)
+                    / sum_i (x_i - xbar)²,      E[I] = -1/(n-1)
+
+    with binary symmetric weights (each unordered neighbor pair
+    counts twice in W, the standard convention). Output: ONE row
+    (n BIGINT, w_sum BIGINT, i DOUBLE round 6, e_i DOUBLE round 6);
+    NULL when n < 2, no pairs, or zero variance.
+
+    Plan: one moment agg over points (broadcast 1-row), one broadcast
+    join of values onto the pair relation + a 1-row fold — cost is
+    the pair table, which the banded geo join already bounded.
+    """
+    vc = F.col(value_col).cast("double")
+    pts = points.select(
+        F.col(id_col).alias("__id"), vc.alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__v").alias("__m"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    sym = pairs.select(
+        F.col(pair_a).alias("__a"), F.col(pair_b).alias("__b")
+    ).filter(F.col("__a") != F.col("__b"))
+    sym = sym.unionAll(
+        sym.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ).distinct()
+    j = (
+        sym.join(
+            pts.select(
+                F.col("__id").alias("__a"), F.col("__v").alias("__va")
+            ),
+            "__a",
+        )
+        .join(
+            pts.select(
+                F.col("__id").alias("__b"), F.col("__v").alias("__vb")
+            ),
+            "__b",
+        )
+        .crossJoin(F.broadcast(mom))
+    )
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("w_sum"),
+        F.sum(
+            (F.col("__va") - F.col("__m")) * (F.col("__vb") - F.col("__m"))
+        ).alias("__cross"),
+        F.max("n").alias("n"),
+        F.max("__m").alias("__mm"),
+        F.max("__q").alias("__qq"),
+    )
+    nd = F.col("n").cast("double")
+    ss = F.col("__qq") - nd * F.col("__mm") * F.col("__mm")
+    i_stat = (
+        nd / F.col("w_sum").cast("double") * F.col("__cross") / ss
+    )
+    ok = (F.col("n") >= 2) & (F.col("w_sum") > 0) & (ss > 0)
+    return g.select(
+        "n",
+        "w_sum",
+        (F.round(F.when(ok, i_stat), 6) + F.lit(0.0)).alias("i"),
+        (
+            F.round(F.when(ok, F.lit(-1.0) / (nd - 1)), 6) + F.lit(0.0)
+        ).alias("e_i"),
+    )
+
+
+def dbscan_geo(
+    points: DataFrame,
+    radius_km: float,
+    min_pts: int,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """DBSCAN density clustering on the sphere (Ester et al. 1996) —
+    composed entirely from machinery this repo already trusts: the
+    eps-neighborhood graph comes from `geo_near_join` (banded
+    equi-join, never all-pairs), core points are one degree agg
+    (a point counts ITSELF toward min_pts, the original definition),
+    clusters are `connected_components` over the core-core edges, and
+    border points attach to the MINIMUM cluster label among their
+    core neighbors (a total order — DBSCAN's border assignment is
+    order-dependent in the original algorithm; min-label makes it a
+    pure function of the input). Noise keeps cluster NULL.
+
+    Output: (id, role STRING in core|border|noise, cluster BIGINT,
+    NULL for noise).
+
+    Plan: the geo join's banded shuffle + one degree agg + CC's
+    per-round pair-graph shuffles + two broadcast-sized joins (core
+    set and labels are cluster-population-sized).
+    """
+    from pandasvcf_spark.operators.dedup import connected_components
+
+    pts = points.select(
+        F.col(id_col).alias("id"), F.col(lat_col), F.col(lon_col)
+    )
+    nbrs = geo_near_join(
+        pts, pts, radius_km, "id", "id", lat_col, lon_col
+    ).filter(F.col("id_a") != F.col("id_b"))
+    deg = nbrs.groupBy(F.col("id_a").alias("id")).agg(
+        (F.count(F.lit(1)) + 1).alias("__deg")  # self counts
+    )
+    core = deg.filter(F.col("__deg") >= min_pts).select("id")
+    core_edges = (
+        nbrs.join(core.select(F.col("id").alias("id_a")), "id_a")
+        .join(core.select(F.col("id").alias("id_b")), "id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(core_edges)
+    # isolated cores (no core neighbor) form singleton clusters
+    core_lbl = (
+        core.join(comp.select(F.col("id"), "component"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+    )
+    border = (
+        nbrs.join(
+            core_lbl.select(
+                F.col("id").alias("id_b"), F.col("cluster")
+            ),
+            "id_b",
+        )
+        .join(core.select(F.col("id").alias("id_a")), "id_a", "left_anti")
+        .groupBy(F.col("id_a").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        pts.select("id")
+        .join(
+            core_lbl.select("id", "cluster").withColumn(
+                "role", F.lit("core")
+            ),
+            "id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("id"), F.col("cluster").alias("__bc")
+            ).withColumn("__brole", F.lit("border")),
+            "id",
+            "left",
+        )
+    )
+    return out.select(
+        "id",
+        F.coalesce(
+            F.col("role"), F.col("__brole"), F.lit("noise")
+        ).alias("role"),
+        F.coalesce(F.col("cluster"), F.col("__bc"))
+        .cast("long")
+        .alias("cluster"),
+    )

@@ -2777,3 +2777,150 @@ def j_geo_near(spark, sf_dir):
     return out.filter(F.col("id_a") < F.col("id_b")).orderBy(
         "id_a", "id_b"
     )
+
+
+_GEO_PTS_SQL = """
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 2654435761) % 140000 AS DOUBLE) / 1000.0
+               - 70.0 AS lat,
+             CAST((c_custkey * 40503) % 360000 AS DOUBLE) / 1000.0
+               - 180.0 AS lon,
+             c_acctbal AS val
+      FROM customer"""
+
+_GEO_PAIRS_SQL = """
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pts a JOIN pts b ON a.id < b.id
+      WHERE 2 * 6371.0088 * asin(sqrt(least(
+              pow(sin(radians(b.lat - a.lat) / 2), 2)
+              + cos(radians(a.lat)) * cos(radians(b.lat))
+                * pow(sin(radians(b.lon - a.lon) / 2), 2), 1.0)))
+            <= 1500.0"""
+
+
+@register(
+    "m_morans_i",
+    oracle=f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    prs AS ({_GEO_PAIRS_SQL}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL SELECT id_b, id_a FROM prs),
+    mom AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(val) AS m,
+                   sum(val * val) AS q FROM pts),
+    j AS (SELECT (pa.val - mom.m) * (pb.val - mom.m) AS cr,
+                 mom.n AS n, mom.m AS m, mom.q AS q
+          FROM sym
+          JOIN pts pa ON pa.id = sym.a
+          JOIN pts pb ON pb.id = sym.b, mom),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS w_sum, sum(cr) AS cross_s,
+                 max(n) AS n, max(m) AS m, max(q) AS q FROM j)
+    SELECT n, w_sum,
+      round(CASE WHEN n >= 2 AND w_sum > 0
+                  AND q - n * m * m > 0
+            THEN CAST(n AS DOUBLE) / w_sum * cross_s
+                 / (q - n * m * m) END, 6) + 0.0 AS i,
+      round(CASE WHEN n >= 2 AND w_sum > 0
+                  AND q - n * m * m > 0
+            THEN -1.0 / (CAST(n AS DOUBLE) - 1) END, 6) + 0.0 AS e_i
+    FROM g
+    """,
+)
+def m_morans_i(spark, sf_dir):
+    """Moran's I spatial autocorrelation (operators/relational.
+    morans_i) of account balance over the 1500 km geo neighbor graph
+    (the j_geo_near pairs) — THE first statistic after any spatial
+    join: is balance spatially clustered? Expected ~E[I] = -1/(n-1)
+    on this synthetic layout (coordinates are hash-derived, so no
+    true spatial signal — the honest null). Oracle: brute-force
+    neighbor pairs + the I fold."""
+    from pandasvcf_spark.operators.relational import (
+        geo_near_join,
+        morans_i,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            ((F.col("c_custkey") * 2654435761) % 140000).cast("double")
+            / 1000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * 40503) % 360000).cast("double")
+            / 1000.0
+            - 180.0
+        ).alias("lon"),
+        F.col("c_acctbal").alias("value"),
+    )
+    pairs = geo_near_join(pts, pts, 1500.0, "id", "id").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return morans_i(pts, pairs, "id", "value")
+
+
+@register(
+    "j_dbscan",
+    oracle=f"""
+    WITH RECURSIVE pts AS ({_GEO_PTS_SQL}),
+    prs AS ({_GEO_PAIRS_SQL}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL SELECT id_b, id_a FROM prs),
+    deg AS (SELECT a AS id, count(*) + 1 AS d FROM sym GROUP BY a),
+    core AS (SELECT id FROM deg WHERE d >= 3),
+    ce AS (SELECT s.a, s.b FROM sym s
+           JOIN core ca ON ca.id = s.a
+           JOIN core cb ON cb.id = s.b),
+    verts AS (SELECT DISTINCT a AS id FROM ce),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT e.b AS id, r.lbl FROM reach r JOIN ce e ON e.a = r.id),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    core_lbl AS (SELECT core.id,
+                        coalesce(comp.component, core.id) AS cluster
+                 FROM core LEFT JOIN comp ON comp.id = core.id),
+    border AS (SELECT s.a AS id, min(cl.cluster) AS cluster
+               FROM sym s
+               JOIN core_lbl cl ON cl.id = s.b
+               WHERE s.a NOT IN (SELECT id FROM core)
+               GROUP BY s.a)
+    SELECT pts.id,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN bo.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(cl.cluster, bo.cluster) AS BIGINT) AS cluster
+    FROM pts
+    LEFT JOIN core_lbl cl ON cl.id = pts.id
+    LEFT JOIN border bo ON bo.id = pts.id
+    ORDER BY pts.id
+    """,
+)
+def j_dbscan(spark, sf_dir):
+    """Spherical DBSCAN (operators/relational.dbscan_geo; Ester et
+    al. 1996) over the synthetic customer coordinates at eps = 1500 km
+    / min_pts = 3 — density clustering composed from trusted parts:
+    geo_near_join's banded eps-graph, one degree agg for cores,
+    connected_components over core-core edges, deterministic
+    min-label border attachment, noise NULL. The oracle rebuilds the
+    whole thing from brute-force pairs + a recursive-CTE closure."""
+    from pandasvcf_spark.operators.relational import dbscan_geo
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            ((F.col("c_custkey") * 2654435761) % 140000).cast("double")
+            / 1000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * 40503) % 360000).cast("double")
+            / 1000.0
+            - 180.0
+        ).alias("lon"),
+    )
+    out = dbscan_geo(pts, 1500.0, 3)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "role", "cluster"
+    ).orderBy("id")

@@ -1481,3 +1481,44 @@ def test_geo_near_join_equals_brute_force(spark):
     )
     with _pytest.raises(ValueError, match="max_abs_lat"):
         geo_near_join(polar, polar, 50.0, "id", "id")
+
+
+def test_morans_i_and_dbscan_hand_cases(spark):
+    """Moran's I on the 4-point line graph (I = 1/3 exactly; E[I] =
+    -1/3); spherical DBSCAN on planted clusters: a 2-core cluster
+    with two border points, a 4-core cluster, and an isolated noise
+    point — border attachment is the deterministic min core label."""
+    from pandasvcf_spark.operators.relational import dbscan_geo, morans_i
+
+    pts = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)], "id int, value double"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a int, id_b int"
+    )
+    r = morans_i(pts, pairs, "id", "value").collect()[0]
+    assert (r["n"], r["w_sum"], r["i"], r["e_i"]) == (
+        4, 6, 0.333333, -0.333333,
+    )
+
+    geo = spark.createDataFrame(
+        [
+            (1, 10.0, 10.0), (2, 10.05, 10.0),
+            (3, 10.0, 10.05), (4, 10.088, 10.0),
+            (5, 40.0, 40.0), (6, 40.01, 40.0),
+            (7, 40.0, 40.01), (8, 40.01, 40.01),
+            (9, 70.0, 70.0),
+        ],
+        "id int, lat double, lon double",
+    )
+    out = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_geo(geo, 10.0, 4).collect()
+    }
+    assert out == {
+        1: ("core", 1), 2: ("core", 1),
+        3: ("border", 1), 4: ("border", 1),
+        5: ("core", 5), 6: ("core", 5),
+        7: ("core", 5), 8: ("core", 5),
+        9: ("noise", None),
+    }

@@ -904,6 +904,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # correction: one moment agg
         "j_geo_near",            # spherical banded join: exact chord
                                  # bound cells vs brute-force oracle
+        "m_morans_i",            # spatial autocorrelation over the
+                                 # geo neighbor graph (honest null)
+        "j_dbscan",              # density clustering: geo eps-graph
+                                 # + degree cores + CC + min borders
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
