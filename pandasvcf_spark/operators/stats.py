@@ -6661,3 +6661,96 @@ def icc_oneway(
         (F.round(F.when(ok, msw), 6) + F.lit(0.0)).alias("msw"),
         (F.round(F.when(ok, icc), 6) + F.lit(0.0)).alias("icc"),
     )
+
+
+def hodges_lehmann_shift(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    max_grid: int = 4_000_000,
+) -> DataFrame:
+    """Two-sample Hodges-Lehmann shift estimator (Hodges & Lehmann
+    1963) — the EFFECT SIZE that belongs with `mann_whitney_u`'s test:
+    the median of all pairwise differences x1 - x0, the robust "how
+    much did the distribution move" number (a single wild outlier
+    cannot move it, unlike the difference of means):
+
+        HL = median over (i, j) of x1_i - x0_j
+
+    using the repo's weighted type-1 median (smallest difference
+    whose cumulative pair count reaches half). flag must be 0/1;
+    PRE-BUCKET dense values — the grid is |cells0| x |cells1| pairs,
+    ENFORCED against `max_grid` with one cheap two-sided distinct
+    count. Output: ONE row (n0, n1 BIGINT, hl_shift DOUBLE round 6);
+    NULL when either group is empty.
+
+    Plan: two distinct-value cell collapses, one broadcast cell grid
+    carrying integer pair WEIGHTS (never raw pairs), one cumulative
+    window over distinct differences, a 1-row fold.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    sizes = base.groupBy("__f").agg(
+        F.countDistinct("__v").alias("__d")
+    ).collect()
+    d = {r["__f"]: r["__d"] for r in sizes}
+    grid = d.get(0, 0) * d.get(1, 0)
+    if grid > max_grid:
+        raise ValueError(
+            f"hodges_lehmann_shift: {d.get(0, 0):,} x {d.get(1, 0):,} "
+            f"distinct-value cells = {grid:,} grid pairs exceed "
+            f"max_grid={max_grid:,} — the pairwise-difference grid "
+            "would degrade toward rows². PRE-BUCKET dense continuous "
+            "values first (round/quantize), or raise max_grid after "
+            "confirming the cost."
+        )
+    cells = base.groupBy("__f", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    c0 = cells.filter(F.col("__f") == 0).select(
+        F.col("__v").alias("__v0"), F.col("__n").alias("__n0")
+    )
+    c1 = cells.filter(F.col("__f") == 1).select(
+        F.col("__v").alias("__v1"), F.col("__n").alias("__n1")
+    )
+    diffs = (
+        c1.join(F.broadcast(c0))
+        .groupBy((F.col("__v1") - F.col("__v0")).alias("__d"))
+        .agg(F.sum(F.col("__n1") * F.col("__n0")).alias("__w"))
+    )
+    w_cum = Window.orderBy("__d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = diffs.agg(F.sum("__w").alias("__wtot"))
+    lad = diffs.crossJoin(F.broadcast(tot)).select(
+        "__d",
+        F.sum("__w").over(w_cum).alias("__cw"),
+        "__wtot",
+    )
+    g = lad.agg(
+        F.min(
+            F.when(
+                F.col("__cw").cast("double")
+                >= F.lit(0.5) * F.col("__wtot").cast("double"),
+                F.col("__d"),
+            )
+        ).alias("__hl"),
+    )
+    n01 = base.agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("long").alias("n0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+    )
+    out = g.crossJoin(F.broadcast(n01))
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return out.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, F.col("__hl")), 6) + F.lit(0.0)).alias(
+            "hl_shift"
+        ),
+    )

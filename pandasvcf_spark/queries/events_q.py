@@ -5678,3 +5678,56 @@ def m_icc(spark, sf_dir):
         "g",
         "v",
     )
+
+
+@register(
+    "m_hodges_lehmann",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT f, v, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY f, v),
+    diffs AS (SELECT c1.v - c0.v AS d,
+                     CAST(sum(c1.n * c0.n) AS BIGINT) AS w
+              FROM cells c1 JOIN cells c0
+                ON c1.f = 1 AND c0.f = 0
+              GROUP BY c1.v - c0.v),
+    tot AS (SELECT sum(w) AS wtot FROM diffs),
+    lad AS (SELECT d,
+        sum(w) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS cw, tot.wtot
+      FROM diffs, tot),
+    hl AS (SELECT min(CASE WHEN CAST(cw AS DOUBLE)
+                        >= 0.5 * CAST(wtot AS DOUBLE)
+                   THEN d END) AS hl FROM lad),
+    nn AS (SELECT
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM b)
+    SELECT n0, n1,
+      round(CASE WHEN n0 > 0 AND n1 > 0 THEN hl END, 6) + 0.0
+        AS hl_shift
+    FROM hl, nn
+    """,
+)
+def m_hodges_lehmann(spark, sf_dir):
+    """Two-sample Hodges-Lehmann shift (operators/stats.
+    hodges_lehmann_shift) of user-parity value — the robust effect
+    SIZE that belongs beside m_mann_whitney's test: the weighted
+    type-1 median of all pairwise differences, computed on a cell
+    grid carrying integer pair WEIGHTS (never raw pairs) with the
+    max_grid tripwire. Expected ~0 on this synthetic split. The
+    oracle replays cells, the weighted difference grid, the
+    cumulative ladder and the median cut."""
+    from pandasvcf_spark.operators.stats import hodges_lehmann_shift
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round("value", 0).alias("v"),
+    )
+    return hodges_lehmann_shift(b, "f", "v")

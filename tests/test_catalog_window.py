@@ -908,6 +908,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # geo neighbor graph (honest null)
         "j_dbscan",              # density clustering: geo eps-graph
                                  # + degree cores + CC + min borders
+        "m_hodges_lehmann",      # robust shift effect: weighted
+                                 # median over the difference grid
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

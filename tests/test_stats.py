@@ -2740,3 +2740,25 @@ def test_prs_and_icc_hand_cases(spark):
     icc = (msb - msw) / (msb + 2 * msw)
     r = icc_oneway(df, "g", "v").collect()[0]
     assert (r["n"], r["groups"], r["icc"]) == (9, 3, round(icc, 6))
+
+
+def test_hodges_lehmann_hand_case_and_grid_guard(spark):
+    """HL shift of x0=[1,2] vs x1=[4,7,9]: pairwise diffs sorted are
+    2,3,5,6,7,8 -> type-1 median 5; the dense-value grid guard raises
+    with the pre-bucket instruction."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import hodges_lehmann_shift
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 4.0), (1, 7.0), (1, 9.0)],
+        "f int, v double",
+    )
+    r = hodges_lehmann_shift(df, "f", "v").collect()[0]
+    assert (r["n0"], r["n1"], r["hl_shift"]) == (2, 3, 5.0)
+    dense = spark.range(4000).select(
+        (F.col("id") % 2).cast("int").alias("f"),
+        (F.col("id") * 1.0001).alias("v"),
+    )
+    with _pytest.raises(ValueError, match="PRE-BUCKET"):
+        hodges_lehmann_shift(dense, "f", "v", max_grid=1000)
