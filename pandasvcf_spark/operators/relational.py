@@ -4156,3 +4156,68 @@ def dbscan_geo(
         .cast("long")
         .alias("cluster"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    weight: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa (Cohen 1968) — chance-corrected
+    agreement for ORDINAL ratings, where a 1-step disagreement should
+    cost less than a 4-step one (the plain `cohens_kappa` treats both
+    as total disagreement):
+
+        kappa_w = 1 - sum O_ij v_ij / sum E_ij v_ij
+        v_ij = (i - j)²  (quadratic, the default)  or  |i - j|
+
+    with O the observed cell proportions and E the marginal-product
+    chance table. The quadratic form equals the ICC on the ratings —
+    the reason it is the reporting standard. Ratings must be numeric
+    (ordinal); NULL-on-either-side rows drop. Output: ONE row
+    (n BIGINT, obs_dis, exp_dis, kappa_w DOUBLE round 6; NULL when
+    the expected disagreement is 0 — both raters constant).
+
+    Plan: the `cohens_kappa` device with a label-sized marginal CROSS
+    grid for E (labels x labels, broadcast) — the corpus collapses to
+    confusion cells in one exchange."""
+    if weight not in ("quadratic", "linear"):
+        raise ValueError(f"unknown weight {weight!r}")
+    a = F.col(rater_a_col).cast("double")
+    b = F.col(rater_b_col).cast("double")
+    nn = df.filter(a.isNotNull() & b.isNotNull())
+    cells = nn.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+
+    def v(x, y):
+        d = F.abs(x - y)
+        return d * d if weight == "quadratic" else d
+
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    obs = cells.agg(
+        F.sum(F.col("__c") * v(F.col("__a"), F.col("__b"))).alias(
+            "__obs"
+        )
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__c").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    expd = ma.crossJoin(F.broadcast(mb)).agg(
+        F.sum(
+            F.col("__na") * F.col("__nb") * v(F.col("__a"), F.col("__b"))
+        ).alias("__exp")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(obs)).crossJoin(F.broadcast(expd))
+    )
+    n = F.col("__n")
+    obs_p = F.col("__obs") / n
+    exp_p = F.col("__exp") / (n * n)
+    kw = F.when(exp_p > 0, 1.0 - obs_p / exp_p)
+    return j.select(
+        F.col("__n").cast("long").alias("n"),
+        (F.round(obs_p, 6) + F.lit(0.0)).alias("obs_dis"),
+        (F.round(exp_p, 6) + F.lit(0.0)).alias("exp_dis"),
+        (F.round(kw, 6) + F.lit(0.0)).alias("kappa_w"),
+    )

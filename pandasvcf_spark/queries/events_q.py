@@ -5731,3 +5731,56 @@ def m_hodges_lehmann(spark, sf_dir):
         F.round("value", 0).alias("v"),
     )
     return hodges_lehmann_shift(b, "f", "v")
+
+
+@register(
+    "m_weighted_kappa",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST(floor(value) AS BIGINT) % 5 AS DOUBLE) AS a,
+             CAST((CAST(floor(value) AS BIGINT)
+                   + CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) % 5
+                  AS DOUBLE) AS bb
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    cells AS (SELECT a, bb, CAST(count(*) AS DOUBLE) AS c
+              FROM b GROUP BY a, bb),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    obs AS (SELECT sum(c * (a - bb) * (a - bb)) AS o FROM cells),
+    ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY a),
+    mb AS (SELECT bb, sum(c) AS nb FROM cells GROUP BY bb),
+    ex AS (SELECT sum(ma.na * mb.nb * (ma.a - mb.bb) * (ma.a - mb.bb))
+             AS e
+           FROM ma, mb)
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           round(obs.o / tot.n, 6) + 0.0 AS obs_dis,
+           round(ex.e / (tot.n * tot.n), 6) + 0.0 AS exp_dis,
+           round(CASE WHEN ex.e / (tot.n * tot.n) > 0
+                 THEN 1.0 - (obs.o / tot.n)
+                      / (ex.e / (tot.n * tot.n)) END, 6) + 0.0
+             AS kappa_w
+    FROM tot, obs, ex
+    """,
+)
+def m_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted Cohen's kappa (operators/relational.
+    weighted_kappa) between two derived ordinal ratings of each event
+    (value quintile vs a user-shifted copy — mostly-agreeing by
+    construction, the planted-signal fixture) — the ordinal upgrade
+    of m_cohens_kappa where near-misses cost less than far misses;
+    the quadratic form equals the ICC on the ratings. Confusion cells
+    in one exchange, label-sized marginal cross for E. The oracle
+    replays cells, marginals and both disagreement folds."""
+    from pandasvcf_spark.operators.relational import weighted_kappa
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    fl = F.floor("value").cast("long")
+    b = e.select(
+        (fl % 5).cast("double").alias("a"),
+        (
+            (fl + F.when(F.col("user_id") % 3 == 0, 1).otherwise(0)) % 5
+        ).cast("double").alias("b"),
+    )
+    return weighted_kappa(b, "a", "b")

@@ -910,6 +910,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # + degree cores + CC + min borders
         "m_hodges_lehmann",      # robust shift effect: weighted
                                  # median over the difference grid
+        "m_weighted_kappa",      # ordinal agreement: quadratic
+                                 # penalties, label-sized E grid
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

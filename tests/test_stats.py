@@ -2762,3 +2762,33 @@ def test_hodges_lehmann_hand_case_and_grid_guard(spark):
     )
     with _pytest.raises(ValueError, match="PRE-BUCKET"):
         hodges_lehmann_shift(dense, "f", "v", max_grid=1000)
+
+
+def test_weighted_kappa_numpy_replay(spark):
+    """Quadratic-weighted kappa vs the standard confusion-matrix
+    formula (sklearn's cohen_kappa_score weights='quadratic'
+    definition) on a hand table; the linear variant differs."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.relational import weighted_kappa
+
+    rows = [(0, 0), (0, 0), (1, 1), (1, 2), (2, 2),
+            (2, 1), (0, 1), (2, 2), (1, 1), (0, 0)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    n, k = len(rows), 3
+    O = np.zeros((k, k))
+    for a, b in rows:
+        O[a, b] += 1
+    V = np.array([[(i - j) ** 2 for j in range(k)] for i in range(k)],
+                 float)
+    obs = (O * V).sum() / n
+    exp = (np.outer(O.sum(1), O.sum(0)) * V).sum() / n ** 2
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["obs_dis"], r["exp_dis"], r["kappa_w"]) == (
+        n, round(obs, 6), round(exp, 6), round(1 - obs / exp, 6),
+    )
+    Vl = np.sqrt(V)
+    obs_l = (O * Vl).sum() / n
+    exp_l = (np.outer(O.sum(1), O.sum(0)) * Vl).sum() / n ** 2
+    rl = weighted_kappa(df, "a", "b", weight="linear").collect()[0]
+    assert rl["kappa_w"] == round(1 - obs_l / exp_l, 6)
