@@ -6754,3 +6754,75 @@ def hodges_lehmann_shift(
             "hl_shift"
         ),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cohen's d standardized mean difference (Cohen 1969) with
+    Hedges' g small-sample correction (Hedges 1981) — the effect size
+    every two-sample mean comparison must report beside its p-value
+    (m_welch_t says whether the difference is REAL; this says whether
+    it is BIG):
+
+        d = (m1 - m0) / s_pooled,
+        s_pooled² = [(n0-1)s0² + (n1-1)s1²] / (n0+n2-2)
+        g = d * (1 - 3 / (4(n0+n1) - 9))     (the standard J approx)
+
+    flag must be 0/1. Output: ONE row (n0, n1 BIGINT, mean_diff, d,
+    g DOUBLE round 6); NULL effect when either n < 2 or the pooled
+    variance is 0.
+
+    Plan: ONE conditional 6-sum pass (the welch_t device) + a 1-row
+    fold.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+
+    def side(f, what):
+        m = F.col("__f") == f
+        if what == "n":
+            return F.sum(F.when(m, 1).otherwise(0)).cast("long")
+        if what == "s":
+            return F.sum(F.when(m, F.col("__v")).otherwise(0.0))
+        return F.sum(
+            F.when(m, F.col("__v") * F.col("__v")).otherwise(0.0)
+        )
+
+    g = base.agg(
+        *[
+            side(f, w).alias(f"__{w}{f}")
+            for f in (0, 1)
+            for w in ("n", "s", "q")
+        ]
+    )
+    n0 = F.col("__n0").cast("double")
+    n1 = F.col("__n1").cast("double")
+    m0 = F.col("__s0") / n0
+    m1 = F.col("__s1") / n1
+    ss0 = F.col("__q0") - n0 * m0 * m0
+    ss1 = F.col("__q1") - n1 * m1 * m1
+    sp2 = (ss0 + ss1) / (n0 + n1 - 2)
+    d = (m1 - m0) / F.sqrt(sp2)
+    corr = 1 - F.lit(3.0) / (4 * (n0 + n1) - 9)
+    ok = (F.col("__n0") >= 2) & (F.col("__n1") >= 2) & (sp2 > 0)
+    return g.select(
+        F.col("__n0").alias("n0"),
+        F.col("__n1").alias("n1"),
+        (
+            F.round(
+                F.when(
+                    (F.col("__n0") >= 1) & (F.col("__n1") >= 1), m1 - m0
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_diff"),
+        (F.round(F.when(ok, d), 6) + F.lit(0.0)).alias("d"),
+        (F.round(F.when(ok, d * corr), 6) + F.lit(0.0)).alias("g"),
+    )

@@ -5784,3 +5784,54 @@ def m_weighted_kappa(spark, sf_dir):
         ).cast("double").alias("b"),
     )
     return weighted_kappa(b, "a", "b")
+
+
+@register(
+    "m_cohens_d",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, value AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    g AS (SELECT
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        sum(CASE WHEN f = 0 THEN v ELSE 0 END) AS s0,
+        sum(CASE WHEN f = 1 THEN v ELSE 0 END) AS s1,
+        sum(CASE WHEN f = 0 THEN v * v ELSE 0 END) AS q0,
+        sum(CASE WHEN f = 1 THEN v * v ELSE 0 END) AS q1
+      FROM b),
+    m AS (SELECT n0, n1, s1 / n1 - s0 / n0 AS md,
+        ((q0 - n0 * (s0 / n0) * (s0 / n0))
+         + (q1 - n1 * (s1 / n1) * (s1 / n1)))
+        / (CAST(n0 AS DOUBLE) + n1 - 2) AS sp2
+      FROM g)
+    SELECT n0, n1,
+      round(CASE WHEN n0 >= 1 AND n1 >= 1 THEN md END, 6) + 0.0
+        AS mean_diff,
+      round(CASE WHEN n0 >= 2 AND n1 >= 2 AND sp2 > 0
+            THEN md / sqrt(sp2) END, 6) + 0.0 AS d,
+      round(CASE WHEN n0 >= 2 AND n1 >= 2 AND sp2 > 0
+            THEN md / sqrt(sp2)
+                 * (1 - 3.0 / (4 * (CAST(n0 AS DOUBLE) + n1) - 9))
+            END, 6) + 0.0 AS g
+    FROM m
+    """,
+)
+def m_cohens_d(spark, sf_dir):
+    """Cohen's d + Hedges' g (operators/stats.cohens_d) of the
+    user-parity value split — the standardized effect size every mean
+    comparison must report beside m_welch_t's p-value; one conditional
+    6-sum pass, expected ~0 on this A/A-shaped fixture. The oracle
+    replays moments, pooled variance and the small-sample J
+    correction."""
+    from pandasvcf_spark.operators.stats import cohens_d
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.col("value").alias("v"),
+    )
+    return cohens_d(b, "f", "v")

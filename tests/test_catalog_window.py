@@ -912,6 +912,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # median over the difference grid
         "m_weighted_kappa",      # ordinal agreement: quadratic
                                  # penalties, label-sized E grid
+        "m_cohens_d",            # standardized effect size + Hedges
+                                 # g: one conditional 6-sum pass
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

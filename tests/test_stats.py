@@ -2792,3 +2792,22 @@ def test_weighted_kappa_numpy_replay(spark):
     exp_l = (np.outer(O.sum(1), O.sum(0)) * Vl).sum() / n ** 2
     rl = weighted_kappa(df, "a", "b", weight="linear").collect()[0]
     assert rl["kappa_w"] == round(1 - obs_l / exp_l, 6)
+
+
+def test_cohens_d_hedges_g_replay(spark):
+    """d and g vs the stdlib statistics replay (pooled SD + the J
+    correction) on unequal group sizes."""
+    import statistics as st
+
+    from pandasvcf_spark.operators.stats import cohens_d
+
+    x0 = [1.0, 2.0, 3.0, 4.0]
+    x1 = [4.0, 5.0, 7.0]
+    rows = [(0, v) for v in x0] + [(1, v) for v in x1]
+    df = spark.createDataFrame(rows, "f int, v double")
+    sp2 = (3 * st.variance(x0) + 2 * st.variance(x1)) / 5
+    d = (st.mean(x1) - st.mean(x0)) / sp2 ** 0.5
+    g = d * (1 - 3 / (4 * 7 - 9))
+    r = cohens_d(df, "f", "v").collect()[0]
+    assert (r["n0"], r["n1"]) == (4, 3)
+    assert (r["d"], r["g"]) == (round(d, 6), round(g, 6))
