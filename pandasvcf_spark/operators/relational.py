@@ -4221,3 +4221,79 @@ def weighted_kappa(
         (F.round(exp_p, 6) + F.lit(0.0)).alias("exp_dis"),
         (F.round(kw, 6) + F.lit(0.0)).alias("kappa_w"),
     )
+
+
+def gearys_c(
+    points: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    value_col: str = "value",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Geary's C spatial autocorrelation (Geary 1954) — the
+    local-difference companion of `morans_i` (Moran is a spatial
+    covariance, C a spatial variogram; C < 1 clustered, C > 1
+    dispersed, E[C] = 1):
+
+        C = (n - 1) sum_ij w_ij (x_i - x_j)²
+            / (2 W sum_i (x_i - xbar)²)
+
+    Same binary symmetric weights and the same plan as morans_i (one
+    moment agg + one pair-sized fold). Output: ONE row (n BIGINT,
+    w_sum BIGINT, c DOUBLE round 6, e_c DOUBLE round 6 = 1); NULL
+    when n < 2, no pairs, or zero variance."""
+    vc = F.col(value_col).cast("double")
+    pts = points.select(
+        F.col(id_col).alias("__id"), vc.alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__v").alias("__m"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__q"),
+    )
+    sym = pairs.select(
+        F.col(pair_a).alias("__a"), F.col(pair_b).alias("__b")
+    ).filter(F.col("__a") != F.col("__b"))
+    sym = sym.unionAll(
+        sym.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ).distinct()
+    j = (
+        sym.join(
+            pts.select(
+                F.col("__id").alias("__a"), F.col("__v").alias("__va")
+            ),
+            "__a",
+        )
+        .join(
+            pts.select(
+                F.col("__id").alias("__b"), F.col("__v").alias("__vb")
+            ),
+            "__b",
+        )
+        .crossJoin(F.broadcast(mom))
+    )
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("w_sum"),
+        F.sum(
+            (F.col("__va") - F.col("__vb"))
+            * (F.col("__va") - F.col("__vb"))
+        ).alias("__dd"),
+        F.max("n").alias("n"),
+        F.max("__m").alias("__mm"),
+        F.max("__q").alias("__qq"),
+    )
+    nd = F.col("n").cast("double")
+    ss = F.col("__qq") - nd * F.col("__mm") * F.col("__mm")
+    c_stat = (
+        (nd - 1)
+        * F.col("__dd")
+        / (2 * F.col("w_sum").cast("double") * ss)
+    )
+    ok = (F.col("n") >= 2) & (F.col("w_sum") > 0) & (ss > 0)
+    return g.select(
+        "n",
+        "w_sum",
+        (F.round(F.when(ok, c_stat), 6) + F.lit(0.0)).alias("c"),
+        (F.round(F.when(ok, F.lit(1.0)), 6) + F.lit(0.0)).alias("e_c"),
+    )

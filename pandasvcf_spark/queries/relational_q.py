@@ -2924,3 +2924,61 @@ def j_dbscan(spark, sf_dir):
     return out.select(
         F.col("id").cast("long").alias("id"), "role", "cluster"
     ).orderBy("id")
+
+
+@register(
+    "m_gearys_c",
+    oracle=f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    prs AS ({_GEO_PAIRS_SQL}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL SELECT id_b, id_a FROM prs),
+    mom AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(val) AS m,
+                   sum(val * val) AS q FROM pts),
+    j AS (SELECT (pa.val - pb.val) * (pa.val - pb.val) AS dd,
+                 mom.n AS n, mom.m AS m, mom.q AS q
+          FROM sym
+          JOIN pts pa ON pa.id = sym.a
+          JOIN pts pb ON pb.id = sym.b, mom),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS w_sum, sum(dd) AS dd,
+                 max(n) AS n, max(m) AS m, max(q) AS q FROM j)
+    SELECT n, w_sum,
+      round(CASE WHEN n >= 2 AND w_sum > 0 AND q - n * m * m > 0
+            THEN (CAST(n AS DOUBLE) - 1) * dd
+                 / (2.0 * w_sum * (q - n * m * m)) END, 6) + 0.0 AS c,
+      round(CASE WHEN n >= 2 AND w_sum > 0 AND q - n * m * m > 0
+            THEN CAST(1.0 AS DOUBLE) END, 6) + 0.0 AS e_c
+    FROM g
+    """,
+)
+def m_gearys_c(spark, sf_dir):
+    """Geary's C spatial autocorrelation (operators/relational.
+    gearys_c) of account balance over the same 1500 km neighbor graph
+    as m_morans_i — the variogram companion (Moran weights
+    cross-products, Geary squared differences; C is more sensitive to
+    LOCAL structure). Expected ~1 on the hash-derived layout — the
+    honest null beside Moran's ~E[I]. Same brute-force-pairs oracle."""
+    from pandasvcf_spark.operators.relational import (
+        gearys_c,
+        geo_near_join,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            ((F.col("c_custkey") * 2654435761) % 140000).cast("double")
+            / 1000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * 40503) % 360000).cast("double")
+            / 1000.0
+            - 180.0
+        ).alias("lon"),
+        F.col("c_acctbal").alias("value"),
+    )
+    pairs = geo_near_join(pts, pts, 1500.0, "id", "id").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return gearys_c(pts, pairs, "id", "value")

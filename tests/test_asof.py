@@ -1522,3 +1522,18 @@ def test_morans_i_and_dbscan_hand_cases(spark):
         7: ("core", 5), 8: ("core", 5),
         9: ("noise", None),
     }
+
+
+def test_gearys_c_line_graph(spark):
+    """Geary's C on the 4-point line graph: squared neighbor diffs all
+    1 -> C = 3*6/(2*6*5) = 0.3 exactly; E[C] = 1."""
+    from pandasvcf_spark.operators.relational import gearys_c
+
+    pts = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0)], "id int, value double"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a int, id_b int"
+    )
+    r = gearys_c(pts, pairs, "id", "value").collect()[0]
+    assert (r["n"], r["w_sum"], r["c"], r["e_c"]) == (4, 6, 0.3, 1.0)

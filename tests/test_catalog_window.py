@@ -914,6 +914,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # penalties, label-sized E grid
         "m_cohens_d",            # standardized effect size + Hedges
                                  # g: one conditional 6-sum pass
+        "m_gearys_c",            # spatial variogram companion of
+                                 # Moran's I, same pair-fold device
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
