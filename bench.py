@@ -45,6 +45,15 @@ this is a byte copy, not a recompress) and times the splittable
 chunk-parallel scan against the single-task JVM text scan, recording the
 measured basis for read_vcf's 64 MiB auto-threshold every round.
 
+Output contract (round-10 verdict ask #1): stdout's final line is a COMPACT
+headline JSON (<=1,900 chars — the driver's envelope captures only the last
+2,000 chars of stdout, which truncated every full dict through round 10);
+the FULL dict, including the per-query `duckdb` / `ratio_vs_duckdb` tables
+and the prose `ratio_note`, is written to BENCH_LOCAL.json at the repo root
+and committed. `loadavg_start_1m` / `loadavg_end_1m` stamp ambient machine
+load beside every run (ask #2) so hot-machine regressions are visible in
+the artifact.
+
 Set SPARK_GRAFT_BENCH_VCF=0 to skip the VCF fixture stages,
 SPARK_GRAFT_BENCH_DUCKDB=0 to skip the DuckDB anchor,
 SPARK_GRAFT_BENCH_RECALL=0 to skip the ANN recall telemetry,
@@ -81,6 +90,15 @@ def main() -> None:
         sf = None
     spark = get_spark(app_name="pandasvcf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Ambient-load stamp (round-10 verdict ask #2): the r10 driver run at
+    # loadavg 17.5 read as a ~35% regression that an idle re-run erased.
+    # Record the confounder WITH the numbers so a hot machine is visible
+    # in the artifact instead of requiring a burn-a-run adjudication.
+    try:
+        loadavg_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        loadavg_start = None
 
     # Warm the JVM/session with one tiny action so the first timed query
     # doesn't pay session startup (per-query codegen warmup is the min-of-2).
@@ -170,17 +188,28 @@ def main() -> None:
         try:
             import re as _re
 
-            benches = sorted(
-                Path(__file__).resolve().parent.glob("BENCH_r*.json"),
-                key=lambda p: int(
-                    _re.search(r"BENCH_r(\d+)", p.name).group(1)
-                ),
-            )
-            prev = json.loads(benches[-1].read_text()) if benches else None
-            if prev is not None:
-                # the driver records bench output wrapped in an envelope
-                # with the JSON line under "parsed"
-                prev = prev.get("parsed", prev)
+            # Prefer the committed full-resolution twin (BENCH_LOCAL.json,
+            # written by this script every run — round-10 verdict ask #1):
+            # the driver envelope's "parsed" was null for rounds 1-10
+            # because the full dict overflowed the 2,000-char tail capture.
+            local = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+            prev = json.loads(local.read_text()) if local.exists() else None
+            if prev is not None and prev.get("sf") != sf:
+                prev = None  # iterating at another sf must not anchor
+            if prev is None:
+                benches = sorted(
+                    Path(__file__).resolve().parent.glob("BENCH_r*.json"),
+                    key=lambda p: int(
+                        _re.search(r"BENCH_r(\d+)", p.name).group(1)
+                    ),
+                )
+                prev = (
+                    json.loads(benches[-1].read_text()) if benches else None
+                )
+                if prev is not None:
+                    # the driver records bench output wrapped in an
+                    # envelope with the JSON line under "parsed"
+                    prev = prev.get("parsed", prev)
         except Exception:
             prev = None
         if (
@@ -711,7 +740,36 @@ def main() -> None:
         "keys v_ann_topk (~0.07) and t_quality_score (~0.2) where the "
         "work dominates the overhead"
     )
-    print(json.dumps(result))
+    result["loadavg_start_1m"] = loadavg_start
+    try:
+        result["loadavg_end_1m"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+
+    # Full-resolution record (every key incl. the per-query duckdb and
+    # ratio dicts and the prose ratio_note) goes to a committed twin; the
+    # stdout line is a COMPACT headline that fits the driver's 2,000-char
+    # tail capture so BENCH_r{N}.json finally carries non-null "parsed"
+    # (round-10 verdict ask #1 — rounds 1-10 all lost their per-query
+    # walls to the tail truncation).
+    local_path = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    try:
+        local_path.write_text(json.dumps(result, indent=1) + "\n")
+        print(f"# full-resolution bench dict -> {local_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: headline line still works
+        print(f"# could not write {local_path}: {exc}", file=sys.stderr)
+
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("duckdb", "ratio_vs_duckdb", "ratio_note")
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never overflow the capture
+        compact.pop("queries", None)
+        compact["note"] = "see BENCH_LOCAL.json for per-query walls"
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
