@@ -471,9 +471,16 @@ def decode_external(
     required for any of the five. Remaining formats (lossy WebP,
     progressive JPEG, TIFF, ...) need PIL, which this container does
     not ship BY DESIGN (the documented permanent gate, COVERAGE.md);
-    they raise NotImplementedError at plan-BUILD time (not mid-job on
-    an executor) unless pillow is installed, at which point the PIL
-    branch below handles any format it can open."""
+    they raise NotImplementedError unless pillow is installed, at
+    which point the PIL branch below handles any format it can open.
+
+    Gating granularity (round-10 ADVICE): the plan-BUILD-time raise
+    applies to the `fmt` STRING — an unsupported fmt fails before any
+    job starts. Payload-dependent gates inside a supported fmt (a
+    lossy 'VP8 '/'VP8X' chunk under fmt='webp', a progressive SOF2
+    under fmt='jpeg') can only be seen when the bytes are read, so
+    they raise per-record at decode time on an executor, naming the
+    offending chunk/marker."""
     fmt = fmt.lower()
     use_pil = fmt not in ("png", "bmp", "gif", "jpeg", "jpg", "webp")
     if use_pil:

@@ -4041,15 +4041,18 @@ def morans_i(
         )
         .crossJoin(F.broadcast(mom))
     )
+    # n/mean/sumsq come from the broadcast moment row AFTER the pair
+    # fold: an empty neighbor relation folds to w_sum=0 with NULL
+    # max()s, which used to null the documented-BIGINT n column —
+    # only the statistics may be NULL on empty pairs (round-10 ADVICE).
     g = j.agg(
         F.count(F.lit(1)).cast("long").alias("w_sum"),
         F.sum(
             (F.col("__va") - F.col("__m")) * (F.col("__vb") - F.col("__m"))
         ).alias("__cross"),
-        F.max("n").alias("n"),
-        F.max("__m").alias("__mm"),
-        F.max("__q").alias("__qq"),
-    )
+    ).crossJoin(F.broadcast(mom.withColumnsRenamed(
+        {"__m": "__mm", "__q": "__qq"}
+    )))
     nd = F.col("n").cast("double")
     ss = F.col("__qq") - nd * F.col("__mm") * F.col("__mm")
     i_stat = (
@@ -4271,18 +4274,18 @@ def gearys_c(
             ),
             "__b",
         )
-        .crossJoin(F.broadcast(mom))
     )
+    # moments join AFTER the pair fold (see morans_i): an empty
+    # neighbor relation must still report the documented n BIGINT
     g = j.agg(
         F.count(F.lit(1)).cast("long").alias("w_sum"),
         F.sum(
             (F.col("__va") - F.col("__vb"))
             * (F.col("__va") - F.col("__vb"))
         ).alias("__dd"),
-        F.max("n").alias("n"),
-        F.max("__m").alias("__mm"),
-        F.max("__q").alias("__qq"),
-    )
+    ).crossJoin(F.broadcast(mom.withColumnsRenamed(
+        {"__m": "__mm", "__q": "__qq"}
+    )))
     nd = F.col("n").cast("double")
     ss = F.col("__qq") - nd * F.col("__mm") * F.col("__mm")
     c_stat = (

@@ -1,0 +1,647 @@
+"""Survival, causal and multiple-testing operators.
+
+Mechanically split from the former single-file operators/stats.py
+(round-11 verdict task 5) — bodies are verbatim; behavior, plans
+and oracles unchanged. See the package __init__ for the re-export
+surface and the original module docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ._guards import _assert_cell_bound
+
+
+def cuped_adjust(
+    df: DataFrame,
+    unit_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance-reduction summary (Deng et al. 2013) — the
+    modern A/B-test practice of regressing out a pre-experiment
+    covariate: theta = cov(pre, post) / var(pre), adjusted metric
+    y − theta·(x − mean x), whose variance shrinks by exactly corr²:
+
+        var_reduction = corr(pre, post)²
+
+    Input: ONE ROW PER UNIT (pre-aggregate user metrics first — this
+    operator consumes the per-user table, not raw events). Units with
+    NULL pre/post drop.
+
+    Output: ONE row (n BIGINT, theta DOUBLE round 6, corr DOUBLE
+    round 6, var_reduction DOUBLE round 6) — all moment ratios (the
+    m_anova rounding-stability argument); NULL when var(pre) or
+    var(post) is 0.
+
+    Plan: one partial-aggregated 5-sum pass over the unit table.
+    """
+    xc = F.col(pre_col).cast("double")
+    yc = F.col(post_col).cast("double")
+    base = df.filter(
+        F.col(unit_col).isNotNull() & xc.isNotNull() & yc.isNotNull()
+    ).select(xc.alias("__x"), yc.alias("__y"))
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / nd
+    cv = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    ok = (vx > 0) & (vy > 0)
+    return g.select(
+        "n",
+        (F.round(F.when(ok, cv / vx), 6) + F.lit(0.0)).alias("theta"),
+        (
+            F.round(F.when(ok, cv / F.sqrt(vx * vy)), 6) + F.lit(0.0)
+        ).alias("corr"),
+        F.round(F.when(ok, cv * cv / (vx * vy)), 6).alias(
+            "var_reduction"
+        ),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — ARE the two survival
+    curves different? The hypothesis-test closer for the
+    `kaplan_meier` / `nelson_aalen` family: at each distinct event
+    time, the observed group-1 events are compared to the
+    hypergeometric expectation given the at-risk split:
+
+        E1_t = d_t · n1_t / n_t
+        V_t  = d_t (n1_t/n_t)(1 − n1_t/n_t)(n_t − d_t)/(n_t − 1)
+        z    = (O1 − E1) / sqrt(sum V_t),   chi2 = z²
+
+    group must be 0/1; censored rows (event = 0) leave the risk sets
+    without contributing events. NULL duration/event/group drop.
+
+    Output: ONE row (n1, n2, o1 BIGINT, e1 DOUBLE round 4, chi2
+    DOUBLE round 6, z DOUBLE round 6); NULL statistics when the
+    variance sum is 0.
+
+    Plan: the kaplan_meier shape twice over — one groupBy(duration)
+    collapses the corpus to per-time 4-counter rows, the two at-risk
+    ladders are cumulative windows over the SAME distinct-times
+    order (bit-exact integer ladders), and the test statistic is a
+    1-row fold.
+    """
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    gr = F.col(group_col).cast("int")
+    nn = df.filter(t.isNotNull() & ev.isNotNull() & gr.isNotNull())
+    per_t = nn.groupBy(t.alias("t")).agg(
+        F.sum(F.when((ev != 0) & (gr == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when((ev != 0) & (gr == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+        F.sum(F.when(gr == 1, 1).otherwise(0)).cast("long").alias("a1"),
+        F.sum(F.when(gr == 0, 1).otherwise(0)).cast("long").alias("a0"),
+    )
+    tot = per_t.agg(
+        F.sum("a1").alias("__N1"), F.sum("a0").alias("__N0")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d0",
+        (
+            F.col("__N1")
+            - F.coalesce(F.sum("a1").over(w_prev), F.lit(0))
+        ).alias("n1t"),
+        (
+            F.col("__N0")
+            - F.coalesce(F.sum("a0").over(w_prev), F.lit(0))
+        ).alias("n0t"),
+        F.col("__N1"),
+        F.col("__N0"),
+    )
+    nt = (F.col("n1t") + F.col("n0t")).cast("double")
+    dt = (F.col("d1") + F.col("d0")).cast("double")
+    p1 = F.col("n1t").cast("double") / nt
+    e1t = dt * p1
+    vt = F.when(
+        nt > 1,
+        dt * p1 * (F.lit(1.0) - p1) * (nt - dt) / (nt - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    g = b.filter(F.col("d1") + F.col("d0") > 0).agg(
+        F.max("__N1").cast("long").alias("n1"),
+        F.max("__N0").cast("long").alias("n2"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1t).alias("__e1"),
+        F.sum(vt).alias("__v"),
+    )
+    z = (F.col("o1").cast("double") - F.col("__e1")) / F.sqrt(
+        F.col("__v")
+    )
+    return g.select(
+        "n1",
+        "n2",
+        "o1",
+        F.round(F.col("__e1"), 4).alias("e1"),
+        F.round(F.when(F.col("__v") > 0, z * z), 6).alias("chi2"),
+        (F.round(F.when(F.col("__v") > 0, z), 6) + F.lit(0.0)).alias(
+            "z"
+        ),
+    )
+
+
+def harrell_c(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    score_col: str,
+    max_cells: int | None = 65536,
+) -> DataFrame:
+    """Harrell's concordance index (Harrell et al. 1982) — THE ranking
+    metric for survival/churn risk scores: of all permissible pairs,
+    the fraction where the higher-risk score belongs to the subject
+    who failed earlier,
+
+        permissible = {(i, j): t_i < t_j and event_i = 1}
+        C = (#[s_i > s_j] + 0.5 #[s_i = s_j]) / #permissible
+
+    (the original definition: pairs tied on time are not permissible;
+    a censored i is never the early member — its true time is only
+    known to exceed t_i). PRE-BUCKET dense scores (ENFORCED by the
+    `max_cells` tripwire). Output: ONE row (n BIGINT, n_pairs,
+    concordant, tied BIGINT, c_index DOUBLE round 6); NULL c when no
+    permissible pair exists.
+
+    Plan: collapse to (time, event, score) cells, ONE broadcast
+    cell-grid fold over (early-event cell) x (later cell) — integer
+    pair counts, exact rational C.
+    """
+    tc = F.col(time_col).cast("double")
+    ec = F.col(event_col).cast("int")
+    sc = F.col(score_col).cast("double")
+    base = df.filter(
+        tc.isNotNull() & ec.isNotNull() & sc.isNotNull()
+    ).select(tc.alias("__t"), ec.alias("__e"), sc.alias("__s"))
+    _assert_cell_bound(
+        base, ["__t", "__e", "__s"], "harrell_c", max_cells
+    )
+    cells = base.groupBy("__t", "__e", "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.filter(F.col("__e") == 1).select(
+        F.col("__t").alias("__ta"),
+        F.col("__s").alias("__sa"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__t").alias("__tb"),
+        F.col("__s").alias("__sb"),
+        F.col("__n").alias("__nb"),
+    )
+    w = F.col("__na") * F.col("__nb")
+    grid = a.join(
+        F.broadcast(b), F.col("__tb") > F.col("__ta"), "inner"
+    ).agg(
+        F.coalesce(F.sum(w), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sa") > F.col("__sb"), w).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("concordant"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sa") == F.col("__sb"), w).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("tied"),
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = grid.crossJoin(F.broadcast(nrow))
+    c = (
+        F.col("concordant").cast("double")
+        + F.lit(0.5) * F.col("tied").cast("double")
+    ) / F.col("n_pairs").cast("double")
+    return g.select(
+        "n",
+        "n_pairs",
+        "concordant",
+        "tied",
+        (
+            F.round(F.when(F.col("n_pairs") > 0, c), 6) + F.lit(0.0)
+        ).alias("c_index"),
+    )
+
+
+def fdr_correct(
+    df: DataFrame,
+    p_col: str,
+    method: str = "bh",
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Multiple-testing correction over a hypothesis table — the step
+    every p-value sweep (per-site GWAS scans, per-segment A/B grids,
+    per-term burst tests) needs before anyone reads its smallest p.
+    Adds `p_adj` to every input row:
+
+        bh         : Benjamini-Hochberg (1995) step-up FDR —
+                     p_adj(i) = min_{j >= i} m p_(j) / j, the suffix
+                     min taken from the largest p downward
+        holm       : Holm (1979) step-down FWER —
+                     p_adj(i) = max_{j <= i} (m - j + 1) p_(j)
+        bonferroni : m p, the one-liner baseline
+
+    all clamped to 1; tied p-values share one adjusted value (within a
+    tie run BH's min lands at the run's LAST position and Holm's max
+    at its FIRST, so both are per-run closed forms — no per-row rank).
+
+    Output: the input columns + p_adj DOUBLE (round 9). NULL p rows
+    pass through with NULL p_adj and do not count toward m (the R
+    p.adjust convention).
+
+    Plan: collapse to distinct-p cells (tripwire at `max_cells` — a
+    hypothesis table at 10M distinct p's is already suspicious), ONE
+    cumulative-count window up the ladder for positions, ONE
+    running-extreme window back down for the step-up/step-down
+    envelope, then a join of the cell table onto the rows — the
+    corpus never sorts. The tripwire's cardinality estimate ROUTES
+    the plan (round-10 verdict task 6 + ADVICE): at <= `ladder_cells`
+    distinct p's the ladder is the plain global window and the
+    join-back broadcasts; above it the windows re-cut through the
+    `bucketed_row_number` equal-width-bucket device (per-bucket
+    running aggregates + a driver-walked <= `n_buckets`-row offset
+    table — bit-identical, no single-task sort, see
+    `relational.bucketed_row_number`) and the join-back is a plain
+    shuffle join (a multi-hundred-MB cell table must not broadcast).
+    `max_cells=None` disables both the tripwire and the routing
+    (plain windows + broadcast — the caller has priced the plan).
+    """
+    method = method.lower()
+    if method not in ("bh", "holm", "bonferroni"):
+        raise ValueError(f"unknown method {method!r}")
+    pc = F.col(p_col).cast("double")
+    rows = df.withColumn("__p", pc)
+    cells = (
+        rows.filter(F.col("__p").isNotNull())
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    est = _assert_cell_bound(
+        cells, ["__p"], "fdr_correct", max_cells,
+        plan_word="distinct-p envelope ladder",
+    )
+    big = est is not None and est > ladder_cells
+    if big:
+        adj = _fdr_adj_bucketed(cells, method, n_buckets)
+        if adj is None:  # degenerate distinct-p set: plain ladder
+            big = False
+    if not big:
+        tot = cells.agg(F.sum("__c").alias("__m"))
+        w_cum = Window.orderBy("__p").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        pos = cells.crossJoin(F.broadcast(tot)).select(
+            "__p",
+            "__m",
+            F.sum("__c").over(w_cum).alias("__hi"),  # run END position
+        )
+        if method == "bonferroni":
+            adj = pos.select(
+                "__p",
+                F.least(F.col("__m") * F.col("__p"), F.lit(1.0)).alias(
+                    "__adj"
+                ),
+            )
+        elif method == "bh":
+            cand = F.col("__m") * F.col("__p") / F.col("__hi")
+            w_sfx = Window.orderBy(F.col("__p").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            adj = pos.select(
+                "__p",
+                F.least(F.min(cand).over(w_sfx), F.lit(1.0)).alias(
+                    "__adj"
+                ),
+            )
+        else:  # holm: run START position lo = hi - c + 1
+            lo = F.col("__hi") - F.col("__c") + 1
+            cand = (F.col("__m") - lo + 1) * F.col("__p")
+            w_pfx = Window.orderBy("__p").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            adj = pos.join(cells.select("__p", "__c"), "__p").select(
+                "__p",
+                F.least(F.max(cand).over(w_pfx), F.lit(1.0)).alias(
+                    "__adj"
+                ),
+            )
+    joined = (
+        rows.join(F.broadcast(adj), "__p", "left")
+        if not big
+        else rows.join(adj, "__p", "left")  # cell table too big to ship
+    )
+    return (
+        joined
+        .withColumn("p_adj", F.round(F.col("__adj"), 9))
+        .drop("__p", "__adj")
+    )
+
+
+def _fdr_adj_bucketed(
+    cells: DataFrame, method: str, n_buckets: int
+) -> DataFrame | None:
+    """The > `ladder_cells` regime of `fdr_correct`: re-cut its three
+    global ladder windows (cumulative position count, BH suffix-min,
+    Holm prefix-max) through the equal-width-bucket offset device of
+    `relational.bucketed_row_number` so no single task ever sorts the
+    distinct-p cell table. Same arithmetic, same double ops, so the
+    result is bit-identical to the plain-window form:
+
+      1. one (min, max) pass prices equal-width p buckets; the cell
+         table localCheckpoints (the bucketed_row_number determinism
+         precondition — three jobs must see one snapshot);
+      2. per-bucket count sums (<= n_buckets rows collected) give each
+         bucket its exact global position offset by a driver walk;
+         the grand total m falls out of the same walk as a scalar —
+         positions are then offset + a per-BUCKET cumulative window;
+      3. the envelope re-cuts the same way: per-bucket candidate
+         extremes (<= n_buckets rows collected), a driver suffix-min
+         (BH) / prefix-max (Holm) walk over the STRICTLY later /
+         earlier buckets, and a per-bucket running extreme merged with
+         the broadcast cross-bucket offset.
+
+    Returns (__p, __adj), or None when the p range is degenerate
+    (empty / single distinct value — the plain window is then one
+    cell and costs nothing)."""
+    cells = cells.localCheckpoint(eager=True)
+    st = cells.agg(
+        F.min("__p").alias("lo"), F.max("__p").alias("hi")
+    ).collect()[0]
+    if st["lo"] is None or st["lo"] == st["hi"]:
+        return None
+    lo_p, hi_p = st["lo"], st["hi"]
+    width = (hi_p - lo_p) / n_buckets
+    bucket = F.least(
+        F.floor((F.col("__p") - F.lit(lo_p)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    binned = cells.withColumn("__bk", bucket)
+    csum = {
+        r["__bk"]: r["s"]
+        for r in binned.groupBy("__bk")
+        .agg(F.sum("__c").alias("s"))
+        .collect()
+    }
+    offs, cum = [], 0.0
+    for bk in sorted(csum):
+        offs.append((bk, cum))
+        cum += csum[bk]
+    m = cum  # grand total count — a scalar, not a 1-row relation
+    spark = cells.sparkSession
+    odf = spark.createDataFrame(offs, "__bk int, __coff double")
+    w_cum = Window.partitionBy("__bk").orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pos = binned.join(F.broadcast(odf), "__bk").select(
+        "__bk",
+        "__p",
+        "__c",
+        (F.col("__coff") + F.sum("__c").over(w_cum)).alias("__hi"),
+    )
+    if method == "bonferroni":
+        return pos.select(
+            "__p",
+            F.least(F.lit(m) * F.col("__p"), F.lit(1.0)).alias("__adj"),
+        )
+    if method == "bh":
+        cand = F.lit(m) * F.col("__p") / F.col("__hi")
+        w_run = Window.partitionBy("__bk").orderBy(
+            F.col("__p").desc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        later = True  # suffix envelope: offset from LATER buckets
+        agg_fn, run_fn, merge_fn = F.min, F.min, F.least
+    else:  # holm
+        lo_pos = F.col("__hi") - F.col("__c") + 1
+        cand = (F.lit(m) - lo_pos + 1) * F.col("__p")
+        w_run = Window.partitionBy("__bk").orderBy("__p").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        later = False  # prefix envelope: offset from EARLIER buckets
+        agg_fn, run_fn, merge_fn = F.max, F.max, F.greatest
+    scored = pos.withColumn("__cand", cand)
+    ext = {
+        r["__bk"]: r["e"]
+        for r in scored.groupBy("__bk")
+        .agg(agg_fn("__cand").alias("e"))
+        .collect()
+    }
+    eoffs, run = [], None
+    walk = sorted(ext, reverse=later)  # strictly-before in fold order
+    for bk in walk:
+        eoffs.append((bk, run))
+        run = ext[bk] if run is None else (
+            min(run, ext[bk]) if later else max(run, ext[bk])
+        )
+    edf = spark.createDataFrame(eoffs, "__bk int, __eoff double")
+    running = run_fn("__cand").over(w_run)
+    return (
+        scored.join(F.broadcast(edf), "__bk")
+        .select(
+            "__p",
+            F.least(
+                F.when(
+                    F.col("__eoff").isNotNull(),
+                    merge_fn(running, F.col("__eoff")),
+                ).otherwise(running),
+                F.lit(1.0),
+            ).alias("__adj"),
+        )
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Difference-in-differences (the 2x2 canonical form; Card &
+    Krueger 1994 usage) — the workhorse causal estimate when treatment
+    arrived at a point in time and a control group shares the trend:
+
+        DiD = (ybar_t,post - ybar_t,pre) - (ybar_c,post - ybar_c,pre)
+        SE  = sqrt(sum over the four cells of s²_cell / n_cell)
+
+    (the unequal-variance cell SE; t = DiD / SE). treat and post must
+    be 0/1. Output: ONE row (n00, n01, n10, n11 BIGINT — control/pre,
+    control/post, treated/pre, treated/post — did DOUBLE round 6,
+    se DOUBLE round 6, t DOUBLE round 6); NULLs when any cell is
+    empty (the design is undefined without all four).
+
+    Plan: ONE partial-aggregated pass over the corpus accumulating
+    the four cells' (n, sum, sumsq); everything else is a 1-row fold.
+    """
+    tc = F.col(treat_col).cast("int")
+    pc = F.col(post_col).cast("int")
+    yc = F.col(outcome_col).cast("double")
+    base = df.filter(
+        tc.isNotNull() & pc.isNotNull() & yc.isNotNull()
+    ).select(tc.alias("__t"), pc.alias("__p"), yc.alias("__y"))
+
+    def cell(t, p, what):
+        m = (F.col("__t") == t) & (F.col("__p") == p)
+        if what == "n":
+            return F.sum(F.when(m, 1).otherwise(0)).cast("long")
+        if what == "s":
+            return F.sum(F.when(m, F.col("__y")).otherwise(0.0))
+        return F.sum(
+            F.when(m, F.col("__y") * F.col("__y")).otherwise(0.0)
+        )
+
+    g = base.agg(
+        *[
+            cell(t, p, w).alias(f"__{w}{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+            for w in ("n", "s", "q")
+        ]
+    )
+
+    def mean(t, p):
+        return F.col(f"__s{t}{p}") / F.col(f"__n{t}{p}").cast("double")
+
+    def var_over_n(t, p):
+        n = F.col(f"__n{t}{p}").cast("double")
+        m = mean(t, p)
+        return ((F.col(f"__q{t}{p}") - n * m * m) / (n - 1)) / n
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        var_over_n(0, 0) + var_over_n(0, 1)
+        + var_over_n(1, 0) + var_over_n(1, 1)
+    )
+    ok = (
+        (F.col("__n00") >= 2) & (F.col("__n01") >= 2)
+        & (F.col("__n10") >= 2) & (F.col("__n11") >= 2)
+    )
+    return g.select(
+        F.col("__n00").alias("n00"),
+        F.col("__n01").alias("n01"),
+        F.col("__n10").alias("n10"),
+        F.col("__n11").alias("n11"),
+        (F.round(F.when(ok, did), 6) + F.lit(0.0)).alias("did"),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+        (
+            F.round(F.when(ok & (se > 0), did / se), 6) + F.lit(0.0)
+        ).alias("t"),
+    )
+
+
+def stratified_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    strata_cols: Sequence[str],
+    min_cell: int = 1,
+) -> DataFrame:
+    """Post-stratification average treatment effect — exact matching
+    on discrete covariate strata (the non-parametric ancestor of
+    propensity weighting; Cochran 1968):
+
+        ATE = sum_s w_s (ybar_{1,s} - ybar_{0,s}),
+        w_s = n_s / N over strata with BOTH arms present
+        SE  = sqrt(sum_s w_s² (s²_{1,s}/n_{1,s} + s²_{0,s}/n_{0,s}))
+
+    Strata missing either arm are EXCLUDED and accounted (the honest
+    overlap violation report — silently reweighting them would claim
+    support that isn't there). treat must be 0/1. Output: ONE row
+    (n_strata, n_used, n_dropped BIGINT, n BIGINT = rows in used
+    strata, ate, se DOUBLE round 6); NULL estimates when nothing
+    overlaps.
+
+    Plan: one (strata, arm)-keyed partial agg collapses the corpus to
+    per-stratum-arm moments; a strata-keyed pivot + 1-row folds do the
+    rest — cost is one exchange on the strata key.
+    """
+    scols = list(strata_cols)
+    if not scols:
+        raise ValueError("strata_cols must be non-empty")
+    tc = F.col(treat_col).cast("int")
+    yc = F.col(outcome_col).cast("double")
+    base = df.filter(tc.isNotNull() & yc.isNotNull()).select(
+        *scols, tc.alias("__t"), yc.alias("__y")
+    )
+    cells = base.groupBy(*scols, "__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__y").alias("__m"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+    )
+    strat = cells.groupBy(*scols).agg(
+        F.sum("__n").alias("__ns"),
+        F.max(F.when(F.col("__t") == 1, F.col("__n"))).alias("__n1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__n"))).alias("__n0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__m"))).alias("__m1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__m"))).alias("__m0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__q"))).alias("__q1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__q"))).alias("__q0"),
+    )
+    used = (
+        F.col("__n1").isNotNull()
+        & F.col("__n0").isNotNull()
+        & (F.col("__n1") >= min_cell)
+        & (F.col("__n0") >= min_cell)
+    )
+
+    def v_over_n(side):
+        n = F.col(f"__n{side}")
+        m = F.col(f"__m{side}")
+        q = F.col(f"__q{side}")
+        return F.when(
+            n >= 2, ((q - n * m * m) / (n - 1)) / n
+        ).otherwise(F.lit(0.0))
+
+    g = strat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias(
+            "n_used"
+        ),
+        F.sum(F.when(~used, 1).otherwise(0)).cast("long").alias(
+            "n_dropped"
+        ),
+        F.coalesce(
+            F.sum(F.when(used, F.col("__ns"))), F.lit(0.0)
+        ).alias("__N"),
+        F.sum(
+            F.when(used, F.col("__ns") * (F.col("__m1") - F.col("__m0")))
+        ).alias("__wd"),
+        F.sum(
+            F.when(
+                used,
+                F.col("__ns") * F.col("__ns")
+                * (v_over_n(1) + v_over_n(0)),
+            )
+        ).alias("__wv"),
+    )
+    ate = F.col("__wd") / F.col("__N")
+    se = F.sqrt(F.col("__wv")) / F.col("__N")
+    ok = F.col("n_used") > 0
+    return g.select(
+        "n_strata",
+        "n_used",
+        "n_dropped",
+        F.col("__N").cast("long").alias("n"),
+        (F.round(F.when(ok, ate), 6) + F.lit(0.0)).alias("ate"),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+    )

@@ -1,0 +1,910 @@
+"""Time-series and sequence statistics.
+
+Mechanically split from the former single-file operators/stats.py
+(round-11 verdict task 5) — bodies are verbatim; behavior, plans
+and oracles unchanged. See the package __init__ for the re-export
+surface and the original module docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ._guards import _assert_cell_bound, _assert_series_sized
+
+
+def pacf_stats(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelation of a regular series at lags 1-3 via the
+    closed-form Durbin-Levinson recursion — "is the lag-2 echo real
+    or just lag-1 twice?", the AR-order diagnostic beside the plain
+    ACF (`m_acf`): PACF removes the shorter-lag pathways, so an AR(1)
+    series shows phi_22 ~ 0 where its ACF still decays geometrically.
+
+        phi_11 = r1
+        phi_22 = (r2 − r1²) / (1 − r1²)
+        phi_21 = r1 − phi_22·r1
+        phi_33 = (r3 − phi_21·r2 − phi_22·r1)
+                 / (1 − phi_21·r1 − phi_22·r2)
+
+    with r_k the biased ACF (lag-k cross sums over the squared-
+    deviation denominator, the m_acf convention). INTENDED FOR
+    PRE-AGGREGATED SERIES (the corpus collapses to hourly/daily
+    points first).
+
+    Output: 3 rows (lag INT, acf DOUBLE round 6, pacf DOUBLE
+    round 6); NULL where a denominator vanishes.
+
+    Plan: lead() columns over one ordered window + ONE 1-row fold,
+    then pure closed-form projections — no joins, no iteration.
+    """
+    mu = series.agg(F.avg(F.col(value_col).cast("double")).alias("m"))
+    w = Window.orderBy(time_col)
+    x = F.col(value_col).cast("double")
+    d = series.join(F.broadcast(mu)).select(
+        (x - F.col("m")).alias("d0"),
+        (F.lead(x, 1).over(w) - F.col("m")).alias("d1"),
+        (F.lead(x, 2).over(w) - F.col("m")).alias("d2"),
+        (F.lead(x, 3).over(w) - F.col("m")).alias("d3"),
+    )
+    agg = d.agg(
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        F.sum(F.col("d0") * F.col("d1")).alias("n1"),
+        F.sum(F.col("d0") * F.col("d2")).alias("n2"),
+        F.sum(F.col("d0") * F.col("d3")).alias("n3"),
+    )
+    r1 = F.col("n1") / F.col("den")
+    r2 = F.col("n2") / F.col("den")
+    r3 = F.col("n3") / F.col("den")
+    p22_den = F.lit(1.0) - r1 * r1
+    p22 = (r2 - r1 * r1) / p22_den
+    p21 = r1 - p22 * r1
+    p33_den = F.lit(1.0) - p21 * r1 - p22 * r2
+    p33 = (r3 - p21 * r2 - p22 * r1) / p33_den
+    ok = F.col("den") > 0
+    base = agg.select(
+        (F.round(F.when(ok, r1), 6) + F.lit(0.0)).alias("a1"),
+        (F.round(F.when(ok, r2), 6) + F.lit(0.0)).alias("a2"),
+        (F.round(F.when(ok, r3), 6) + F.lit(0.0)).alias("a3"),
+        (F.round(F.when(ok, r1), 6) + F.lit(0.0)).alias("p1"),
+        (
+            F.round(F.when(ok & (p22_den != 0), p22), 6) + F.lit(0.0)
+        ).alias("p2"),
+        (
+            F.round(
+                F.when(ok & (p22_den != 0) & (p33_den != 0), p33), 6
+            )
+            + F.lit(0.0)
+        ).alias("p3"),
+    )
+    out = None
+    for lag in (1, 2, 3):
+        row = base.select(
+            F.lit(lag).alias("lag"),
+            F.col(f"a{lag}").alias("acf"),
+            F.col(f"p{lag}").alias("pacf"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def seasonal_naive_eval(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — the no-model baseline every
+    forecasting effort must beat (pred(t) = x(t − period)), evaluated
+    in-sample per group:
+
+        MAE   = mean |x − pred|
+        sMAPE = mean ( 2·|x − pred| / (|x| + |pred|) )   (0 when both 0)
+
+    over the points that HAVE a period-lag ancestor. INTENDED FOR
+    PRE-AGGREGATED SERIES; `time_col` must step uniformly (the lag is
+    positional, not temporal — resample gaps first via
+    `resample_ffill`).
+
+    Output: (*group_cols, n_eval BIGINT, mae DOUBLE round 4, smape
+    DOUBLE round 6).
+
+    Plan: one lag() window per group on the series table + one
+    group-keyed agg. Integer counts make the errors exact rationals.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    d = series.select(
+        *gcols, x.alias("__x"), F.lag(x, period).over(w).alias("__p")
+    ).filter(F.col("__p").isNotNull())
+    err = F.abs(F.col("__x") - F.col("__p"))
+    den = F.abs(F.col("__x")) + F.abs(F.col("__p"))
+    smape_term = F.when(den > 0, F.lit(2.0) * err / den).otherwise(
+        F.lit(0.0)
+    )
+    return d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(F.avg(err), 4).alias("mae"),
+        F.round(F.avg(smape_term), 6).alias("smape"),
+    )
+
+
+def max_drawdown(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group maximum drawdown of a cumulative series — the
+    worst peak-to-trough drop of the running total, the
+    risk/regression-depth summary for any monotone-hope metric
+    (revenue, tokens accepted, capacity):
+
+        cum_t  = running sum;  peak_t = running max of cum
+        max_dd = max(peak_t − cum_t)
+
+    INTENDED FOR PRE-AGGREGATED SERIES whose per-step values are
+    already rounded (pin increments before calling — the running
+    sums then replay bit-for-bit over the shared time order).
+
+    Output: (*group_cols, n_steps BIGINT, final DOUBLE round 4,
+    max_dd DOUBLE round 4).
+
+    Plan: two cumulative windows over one group-keyed exchange + one
+    group agg.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    r = series.select(*gcols, F.col(time_col).alias("__t"), x.alias("__x"))
+    w2 = (
+        Window.partitionBy(*gcols)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = r.select(
+        *gcols, "__t", F.sum("__x").over(w2).alias("__cum")
+    ).select(
+        *gcols,
+        "__cum",
+        (F.max("__cum").over(w2) - F.col("__cum")).alias("__dd"),
+        F.row_number()
+        .over(Window.partitionBy(*gcols).orderBy(F.col("__t").desc()))
+        .alias("__last"),
+    )
+    return c.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.round(F.max(F.when(F.col("__last") == 1, F.col("__cum"))), 4)
+        .alias("final"),
+        F.round(F.max("__dd"), 4).alias("max_dd"),
+    )
+
+
+def burstiness_stats(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group burstiness of a count series (Goh & Barabási 2008)
+    — is the activity Poisson-smooth or bursty? The stream-health
+    scalar pair:
+
+        fano       = var / mean            (1 = Poisson)
+        burstiness = (sd − mean) / (sd + mean)   in (−1, 1)
+
+    with sample variance over the series points. INTENDED FOR
+    PRE-AGGREGATED COUNT SERIES (integer values — the sums are then
+    engine-exact).
+
+    Output: (*group_cols, n BIGINT, mean DOUBLE round 4, fano DOUBLE
+    round 6, burstiness DOUBLE round 6); NULL statistics when n < 2
+    or mean/sd degenerate.
+
+    Plan: one 3-sum partial-aggregated groupBy; both scalars are
+    moment ratios.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    g = series.filter(x.isNotNull()).groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__q"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("__s") / nd
+    var = (F.col("__q") - F.col("__s") * F.col("__s") / nd) / (
+        nd - F.lit(1.0)
+    )
+    sd = F.sqrt(var)
+    return g.select(
+        *gcols,
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(
+            F.when((F.col("n") >= 2) & (mean > 0), var / mean), 6
+        ).alias("fano"),
+        (
+            F.round(
+                F.when(
+                    (F.col("n") >= 2) & (sd + mean > 0),
+                    (sd - mean) / (sd + mean),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("burstiness"),
+    )
+
+
+def changepoint_single(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Best single mean-shift changepoint per group — the one-split
+    exact solution CUSUM's sequential scores approximate: choose the
+    split k (first segment = positions 1..k) maximizing the
+    between-segment sum-of-squares gain
+
+        gain(k) = S_k²/k + (S_n − S_k)²/(n − k) − S_n²/n
+
+    (equivalently the variance-reduction of a 2-segment fit; ties
+    break to the smallest k). INTENDED FOR PRE-AGGREGATED SERIES
+    with PINNED (rounded) values — gains then replay exactly enough
+    that the ROUNDED-gain argmax order is engine-stable (the repo's
+    rounded-score top-k rule).
+
+    Output: (*group_cols, n BIGINT, k_best BIGINT, t_split — the
+    time of the LAST point in the left segment, gain DOUBLE round 4,
+    mean_left DOUBLE round 4, mean_right DOUBLE round 4).
+
+    Plan: one cumulative window + one rank window on the same
+    group-keyed exchange; candidate splits never leave the series
+    table.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(*gcols)
+    r = series.select(
+        *gcols,
+        F.col(time_col).alias("__t"),
+        F.row_number().over(w).alias("__k"),
+        F.sum(x).over(w_cum).alias("__sk"),
+        F.sum(x).over(w_all).alias("__sn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    ).filter(F.col("__k") < F.col("__n"))
+    kd = F.col("__k").cast("double")
+    nd = F.col("__n").cast("double")
+    gain = (
+        F.col("__sk") * F.col("__sk") / kd
+        + (F.col("__sn") - F.col("__sk"))
+        * (F.col("__sn") - F.col("__sk"))
+        / (nd - kd)
+        - F.col("__sn") * F.col("__sn") / nd
+    )
+    scored = r.select(
+        *gcols,
+        "__t",
+        "__k",
+        "__n",
+        "__sk",
+        "__sn",
+        F.round(gain, 4).alias("__g"),
+    )
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.col("__g").desc(), F.col("__k").asc()
+    )
+    best = scored.withColumn(
+        "__rn", F.row_number().over(w_pick)
+    ).filter(F.col("__rn") == 1)
+    return best.select(
+        *gcols,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k_best"),
+        F.col("__t").alias("t_split"),
+        F.col("__g").alias("gain"),
+        F.round(F.col("__sk") / F.col("__k").cast("double"), 4).alias(
+            "mean_left"
+        ),
+        F.round(
+            (F.col("__sn") - F.col("__sk"))
+            / (F.col("__n") - F.col("__k")).cast("double"),
+            4,
+        ).alias("mean_right"),
+    )
+
+
+def dominant_period(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    max_lag: int = 30,
+) -> DataFrame:
+    """Dominant periodicity per group — the argmax of the biased ACF
+    over lags 1..max_lag (the m_acf machinery turned into a detector):
+    "does this stream breathe daily or weekly?" without a Fourier
+    library. Ties and near-ties resolve on the ROUNDED correlation
+    with the smallest lag winning (the rounded-score argmax rule).
+    INTENDED FOR PRE-AGGREGATED REGULAR SERIES.
+
+    Output: (*group_cols, n BIGINT, best_lag INT, acf DOUBLE
+    round 6); groups whose denominator is 0 (constant series) drop.
+
+    Plan: max_lag lead() columns over ONE group-keyed window + one
+    group agg + a lag-stacked argmax window over group x max_lag
+    rows.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    mu = series.groupBy(*gcols).agg(F.avg(x).alias("__m"))
+    j = series.join(F.broadcast(mu), gcols)
+    d = j.select(
+        *gcols,
+        (x - F.col("__m")).alias("d0"),
+        *[
+            (F.lead(x, k).over(w) - F.col("__m")).alias(f"d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d0") * F.col("d0")).alias("__den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"__n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = None
+    for k in range(1, max_lag + 1):
+        row = agg.filter(F.col("__den") > 0).select(
+            *gcols,
+            "n",
+            F.lit(k).alias("lag"),
+            (
+                F.round(F.col(f"__n{k}") / F.col("__den"), 6)
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+        stacked = row if stacked is None else stacked.unionAll(row)
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.col("acf").desc(), F.col("lag").asc()
+    )
+    return (
+        stacked.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(*gcols, "n", F.col("lag").cast("int").alias("best_lag"), "acf")
+    )
+
+
+def seasonal_strength(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    slot_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonality-strength scalar per group (the STL-style measure,
+    Wang/Smith/Hyndman):
+
+        strength = max(0, 1 − var(x − slot_mean) / var(x))
+
+    over a regular series with a seasonal slot label (hour-of-day,
+    day-of-week) — the one-number answer to "is this stream's rhythm
+    real?", the scalar partner of e_seasonal_profile's per-slot
+    means and e_dominant_period's lag argmax. Population variances;
+    NULL when var(x) = 0.
+
+    Output: (*group_cols, n BIGINT, strength DOUBLE round 6).
+
+    Plan: one (group, slot)-keyed mean (slot-sized), a broadcast
+    join-back, and one group-keyed moment agg — three
+    partial-aggregated passes, no windows.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    base = series.filter(
+        x.isNotNull() & F.col(slot_col).isNotNull()
+    ).select(*gcols, F.col(slot_col).alias("__slot"), x.alias("__x"))
+    slots = base.groupBy(*gcols, "__slot").agg(
+        F.avg("__x").alias("__sm")
+    )
+    j = base.join(F.broadcast(slots), [*gcols, "__slot"])
+    g = j.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+        F.sum(
+            (F.col("__x") - F.col("__sm"))
+            * (F.col("__x") - F.col("__sm"))
+        ).alias("__qr"),
+    )
+    nd = F.col("n").cast("double")
+    var_x = F.col("__q") / nd - (F.col("__s") / nd) * (F.col("__s") / nd)
+    var_r = F.col("__qr") / nd
+    return g.select(
+        *gcols,
+        "n",
+        F.round(
+            F.when(
+                var_x > 0,
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - var_r / var_x
+                ),
+            ),
+            6,
+        ).alias("strength"),
+    )
+
+
+def runs_test(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a sequence — are
+    the above-median / below-median excursions independent, or does
+    the series trend/oscillate? (Too FEW runs = trending, too MANY =
+    oscillating.) The one-number sanity check before trusting any
+    i.i.d.-assuming statistic on a monitoring series:
+
+        R    = number of runs of same-side values (median excluded)
+        E[R] = 1 + 2·n1·n2 / n
+        Var  = 2·n1·n2·(2·n1·n2 − n) / (n²·(n − 1))
+        z    = (R − E) / sqrt(Var)
+
+    with n1/n2 the above/below counts and the exact lower median
+    (the repo's quantile convention) as the split. Values EQUAL to
+    the median are excluded (the standard treatment).
+
+    Output: ONE row (n1, n2, runs BIGINT, z DOUBLE round 6); z NULL
+    when either side is empty or Var = 0.
+
+    Plan: one median rank window + one lag window over the same
+    global sort + 1-row folds — series-sized (ENFORCED by the
+    `max_rows` tripwire), no joins.
+    """
+    x = F.col(value_col).cast("double")
+    base = series.filter(
+        x.isNotNull() & F.col(time_col).isNotNull()
+    ).select(F.col(time_col).alias("__t"), x.alias("__x"))
+    _assert_series_sized(base, "runs_test", max_rows)
+    w_med = Window.orderBy("__x")
+    wn = Window.partitionBy()
+    med = (
+        base.select(
+            "__x",
+            F.row_number().over(w_med).alias("__r"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .filter(
+            F.col("__r")
+            == F.greatest(F.ceil(F.col("__n") / 2), F.lit(1))
+        )
+        .select(F.col("__x").alias("__med"))
+    )
+    sided = (
+        base.join(F.broadcast(med))
+        .filter(F.col("__x") != F.col("__med"))
+        .select(
+            "__t",
+            F.when(F.col("__x") > F.col("__med"), 1)
+            .otherwise(0)
+            .alias("__s"),
+        )
+    )
+    w_t = Window.orderBy("__t")
+    flagged = sided.select(
+        "__s",
+        F.when(
+            F.lag("__s").over(w_t).isNull()
+            | (F.lag("__s").over(w_t) != F.col("__s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    g = flagged.agg(
+        F.sum("__s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("__s")).cast("long").alias("n2"),
+        F.sum("__new_run").cast("long").alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    e = F.lit(1.0) + F.lit(2.0) * n1d * n2d / nd
+    var = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0)
+    return g.select(
+        "n1",
+        "n2",
+        "runs",
+        (
+            F.round(
+                F.when(
+                    ok,
+                    (F.col("runs").cast("double") - e) / F.sqrt(var),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def control_chart(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Shewhart c-chart summary for count series — the SPC classic
+    for defect/error streams: control limits at mean ± 3·sqrt(mean)
+    (the Poisson 3-sigma), and how many points breach them.
+
+        ucl = cl + 3·sqrt(cl),  lcl = max(0, cl − 3·sqrt(cl))
+
+    INTENDED FOR PRE-AGGREGATED COUNT SERIES (integer values — the
+    mean is then an exact-sum ratio and the limit compares are
+    engine-deterministic).
+
+    Output: (*group_cols, n BIGINT, cl DOUBLE round 4, lcl DOUBLE
+    round 4, ucl DOUBLE round 4, n_above BIGINT, n_below BIGINT).
+
+    Plan: one group agg for the mean (broadcast back) + one flagging
+    agg — two partial-aggregated passes, no windows.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    base = series.filter(x.isNotNull()).select(*gcols, x.alias("__x"))
+    m = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("__cl"),
+    )
+    j = base.join(F.broadcast(m), gcols)
+    ucl = F.col("__cl") + F.lit(3.0) * F.sqrt(F.col("__cl"))
+    lcl = F.greatest(
+        F.lit(0.0), F.col("__cl") - F.lit(3.0) * F.sqrt(F.col("__cl"))
+    )
+    return (
+        j.groupBy(*gcols)
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("__cl"), 4).alias("cl"),
+            F.round(F.max(lcl), 4).alias("lcl"),
+            F.round(F.max(ucl), 4).alias("ucl"),
+            F.sum(F.when(F.col("__x") > ucl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("__x") < lcl, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+        )
+    )
+
+
+def durbin_watson(
+    series: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic per group —
+    the residual-independence check on a regular series (intercept-only
+    residuals, i.e. the demeaned series):
+
+        dw = sum_{t>=2} (v_t - v_{t-1})^2 / sum (v_t - mean)^2
+
+    dw ~ 2 means no lag-1 autocorrelation, -> 0 positive, -> 4
+    negative. INTENDED FOR PRE-AGGREGATED INTEGER SERIES (counts —
+    the numerator's successive differences and the denominator's
+    sum/sumsq are then exact-integer aggregates; the mean enters once
+    as a final double ratio). NULL time/value rows drop.
+
+    Output: (*group_cols, n BIGINT, dw DOUBLE round 6); NULL when
+    n < 2 or the series is constant.
+
+    Plan: one group-partitioned lag window + one group agg on the
+    same exchange — the seasonal_naive_error shape.
+    """
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*gcols).orderBy(time_col)
+    d = series.filter(
+        x.isNotNull() & F.col(time_col).isNotNull()
+    ).select(
+        *gcols,
+        x.alias("__x"),
+        (x - F.lag(x, 1).over(w)).alias("__d"),
+    )
+    g = d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__num"),
+    )
+    nd = F.col("n").cast("double")
+    den = F.col("__q") - F.col("__s") * F.col("__s") / nd
+    return g.select(
+        *gcols,
+        "n",
+        (
+            F.round(
+                F.when(
+                    (F.col("n") >= 2) & (den > 0),
+                    F.col("__num") / den,
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dw"),
+    )
+
+
+def ljung_box(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) — "is this series
+    white noise?" across the first `max_lag` autocorrelations at once,
+    the residual-diagnostics closer for the m_acf / m_pacf family:
+
+        Q = n(n+2) * sum_{k=1..m} r_k^2 / (n - k)
+
+    with r_k the biased ACF (the m_acf/m_pacf convention: lag-k cross
+    sums of mean deviations over the squared-deviation sum). INTENDED
+    FOR PRE-AGGREGATED SERIES (collapse to hourly/daily points first —
+    the pacf_stats discipline). NULL time/value rows drop.
+
+    Output: ONE row (n BIGINT, m INT, q DOUBLE round 6); NULL q when
+    n <= max_lag or the series is constant.
+
+    Plan: the pacf_stats device at width m: lead() columns over one
+    ordered window (the series is pre-aggregated and small by
+    contract) + ONE 1-row fold.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    x = F.col(value_col).cast("double")
+    base = series.filter(x.isNotNull() & F.col(time_col).isNotNull())
+    mu = base.agg(
+        F.avg(x).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = Window.orderBy(time_col)
+    d = (
+        base
+        .join(F.broadcast(mu))
+        .select(
+            "__n",
+            (x - F.col("__m")).alias("d0"),
+            *[
+                (F.lead(x, k).over(w) - F.col("__m")).alias(f"d{k}")
+                for k in range(1, max_lag + 1)
+            ],
+        )
+    )
+    agg = d.agg(
+        F.max("__n").alias("__n"),
+        F.sum(F.col("d0") * F.col("d0")).alias("den"),
+        *[
+            F.sum(F.col("d0") * F.col(f"d{k}")).alias(f"n{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    nd = F.col("__n").cast("double")
+    terms = None
+    for k in range(1, max_lag + 1):
+        r = F.col(f"n{k}") / F.col("den")
+        t = r * r / (nd - F.lit(float(k)))
+        terms = t if terms is None else terms + t
+    q = nd * (nd + F.lit(2.0)) * terms
+    ok = (F.col("den") > 0) & (nd > F.lit(float(max_lag)))
+    return agg.select(
+        F.col("__n").cast("long").alias("n"),
+        F.lit(max_lag).cast("int").alias("m"),
+        (F.round(F.when(ok, q), 6) + F.lit(0.0)).alias("q"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_cells: int | None = 65536,
+) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945, Kendall 1975) — the
+    nonparametric monotone-trend standard of environmental/monitoring
+    statistics:  S = sum_{i<j} sign(v_j - v_i) over time order, with
+    the tie-corrected variance and continuity-corrected z,
+
+        var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+        z   = (S -/+ 1) / sqrt(var)   (0 when S = 0)
+
+    Pairs tied on TIME are excluded (the test assumes a sequence;
+    duplicate timestamps should be pre-aggregated). PRE-BUCKET dense
+    values (ENFORCED by the `max_cells` tripwire on (t, v) cells).
+    Output: ONE row (n BIGINT, s BIGINT, var_s DOUBLE, z DOUBLE
+    round 6); z NULL when var = 0.
+
+    Plan: the kendall_tau_b cell device with time as x — one (t, v)
+    collapse, one broadcast cell-grid sign fold, one v-marginal agg.
+    """
+    tc = F.col(time_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(tc.isNotNull() & vc.isNotNull()).select(
+        tc.alias("__t"), vc.alias("__v")
+    )
+    _assert_cell_bound(base, ["__t", "__v"], "mann_kendall", max_cells)
+    cells = base.groupBy("__t", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.select(
+        F.col("__t").alias("__ta"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__t").alias("__tb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    w = F.col("__na") * F.col("__nb")
+    s_fold = a.join(
+        F.broadcast(b), F.col("__tb") > F.col("__ta"), "inner"
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__vb") > F.col("__va"), w)
+                .when(F.col("__vb") < F.col("__va"), -w)
+                .otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("s")
+    )
+    ties = cells.groupBy("__v").agg(F.sum("__n").alias("__t")).agg(
+        F.sum(
+            F.col("__t")
+            * (F.col("__t") - 1)
+            * (2 * F.col("__t") + 5)
+        ).alias("__tsum"),
+        F.sum("__t").cast("long").alias("n"),
+    )
+    g = s_fold.join(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - 1) * (2 * nd + 5)
+        - F.col("__tsum").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s)).when(
+        F.col("s") < 0, (sd + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "n",
+        "s",
+        F.round(var_s, 4).alias("var_s"),
+        (
+            F.round(F.when(var_s > 0, z), 6) + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def pettitt_test(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Pettitt change-point test (Pettitt 1979) — the rank-based
+    single-change-point detector for monitoring series (the
+    nonparametric partner of `e_changepoint`'s mean-shift scan):
+
+        U_t = 2 * sum_{i<=t} r_i - t (n + 1)      (mid-ranks r)
+        K   = max_t |U_t|,   t* = argmax (earliest on ties)
+        p   = 2 exp(-6 K² / (n³ + n²))            (approximate)
+
+    using the rank identity U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j)
+    so the statistic needs only ONE cumulative rank sum, never a pair
+    grid. INTENDED FOR PRE-AGGREGATED SERIES (ENFORCED by `max_rows`).
+    Output: ONE row (n BIGINT, change_t DOUBLE, k DOUBLE round 4,
+    p_value DOUBLE round 6); NULL stats when n < 2.
+
+    Plan: mid-ranks from the distinct-value cell ladder broadcast back
+    onto the series, one time-ordered cumulative window, one 1-row
+    max fold with the earliest-t tie-break.
+    """
+    tc = F.col(time_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = series.filter(tc.isNotNull() & vc.isNotNull()).select(
+        tc.alias("__t"), vc.alias("__v")
+    )
+    _assert_series_sized(base, "pettitt_test", max_rows)
+    vcells = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = vcells.select(
+        "__v",
+        (
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0.0))
+            + (F.col("__c") + 1) / 2
+        ).alias("__r"),
+    )
+    nrow = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_t = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_idx = Window.orderBy("__t")
+    u = (
+        base.join(F.broadcast(ranks), "__v")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "__t",
+            "n",
+            (
+                F.lit(2.0) * F.sum("__r").over(w_t)
+                - F.row_number().over(w_idx).cast("double")
+                * (F.col("n") + 1)
+            ).alias("__u"),
+            F.row_number().over(w_idx).alias("__i"),
+        )
+        .filter(F.col("__i") < F.col("n"))  # U_n = 0 by construction
+    )
+    best = u.orderBy(
+        F.abs(F.col("__u")).desc(), F.col("__t").asc()
+    ).limit(1)
+    nd = F.col("n").cast("double")
+    k = F.abs(F.col("__u"))
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0) * k * k / (nd * nd * nd + nd * nd)
+    )
+    ok = F.col("n") >= 2
+    return best.select(
+        "n",
+        F.round(F.col("__t"), 6).alias("change_t"),
+        (F.round(F.when(ok, k), 4) + F.lit(0.0)).alias("k"),
+        (
+            F.round(F.when(ok, F.least(p, F.lit(1.0))), 6) + F.lit(0.0)
+        ).alias("p_value"),
+    )

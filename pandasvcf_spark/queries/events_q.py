@@ -5287,17 +5287,7 @@ def m_cvm_2sample(spark, sf_dir):
         + CASE WHEN bb >= greatest(a, m1 + 1)
           THEN (bb - greatest(a, m1 + 1) + 1)
                * ((N + 1 - bb) + (N + 1 - greatest(a, m1 + 1))) / 2.0
-          ELSE 0.0 END) AS rs,
-        (CASE WHEN least(bb, m1) >= a THEN
-            least(bb, m1) * (least(bb, m1) + 1)
-              * (2 * least(bb, m1) + 1) / 6.0
-          - (a - 1) * a * (2 * (a - 1) + 1) / 6.0 ELSE 0.0 END
-        + CASE WHEN bb >= greatest(a, m1 + 1) THEN
-            (N + 1 - greatest(a, m1 + 1))
-              * ((N + 1 - greatest(a, m1 + 1)) + 1)
-              * (2 * (N + 1 - greatest(a, m1 + 1)) + 1) / 6.0
-          - ((N + 1 - bb) - 1) * (N + 1 - bb)
-              * (2 * ((N + 1 - bb) - 1) + 1) / 6.0 ELSE 0.0 END) AS rq
+          ELSE 0.0 END) AS rs
       FROM sc),
     g AS (SELECT
         CAST(sum(t - t1) AS BIGINT) AS n0,

@@ -1537,3 +1537,19 @@ def test_gearys_c_line_graph(spark):
     )
     r = gearys_c(pts, pairs, "id", "value").collect()[0]
     assert (r["n"], r["w_sum"], r["c"], r["e_c"]) == (4, 6, 0.3, 1.0)
+
+
+def test_spatial_autocorrelation_empty_pairs_keeps_n(spark):
+    """Output contract on an empty neighbor relation: n is the point
+    count (BIGINT, never NULL) — only the statistics go NULL (round-10
+    ADVICE: F.max('n') inside the pair fold nulled n on zero pairs)."""
+    from pandasvcf_spark.operators.relational import gearys_c, morans_i
+
+    pts = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0)], "id int, value double"
+    )
+    empty = spark.createDataFrame([], "id_a int, id_b int")
+    r = morans_i(pts, empty, "id", "value").collect()[0]
+    assert (r["n"], r["w_sum"], r["i"], r["e_i"]) == (3, 0, None, None)
+    r = gearys_c(pts, empty, "id", "value").collect()[0]
+    assert (r["n"], r["w_sum"], r["c"], r["e_c"]) == (3, 0, None, None)

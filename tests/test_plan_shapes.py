@@ -672,3 +672,33 @@ def test_round10_ladder_family_cells_only(spark):
     for plan in plans:
         assert "CartesianProduct" not in plan
         assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_fdr_bucketed_ladder_bit_identical_no_single_partition(spark):
+    """fdr_correct above `ladder_cells` re-cuts its three global ladder
+    windows through the bucketed-offset device and swaps the broadcast
+    join-back for a shuffle join (round-10 verdict task 6 + ADVICE).
+    Both regimes must be BIT-identical on all three methods, and the
+    big regime's executed plan must carry NO single-partition exchange
+    — no task ever sorts the whole distinct-p cell table."""
+    from pandasvcf_spark.operators.stats import fdr_correct
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 97 == 0, None).otherwise(
+            ((F.col("id") * 2654435761) % 7013).cast("double") / 7013.0
+        ).alias("p"),
+    )
+    for method in ("bh", "holm", "bonferroni"):
+        small = fdr_correct(df, "p", method).orderBy("id").collect()
+        big = fdr_correct(
+            df, "p", method, ladder_cells=500, n_buckets=32
+        ).orderBy("id").collect()
+        assert small == big, method
+    plan = (
+        fdr_correct(df, "p", "holm", ladder_cells=500, n_buckets=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    # the envelope window is bucket-partitioned, like bucketed_row_number
+    assert "windowspecdefinition(__bk" in plan
