@@ -632,30 +632,41 @@ def decode_webp(blob: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _code_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
-    """Huffman code lengths from frequencies (package-free: plain
-    huffman then a rarely-needed depth clamp; fixture-scale inputs)."""
-    import heapq
+    """Optimal length-limited prefix-code lengths via package-merge
+    (Larmore & Hirschberg 1990, the coin-collector algorithm) — the
+    lengths are cost-minimal under the `max_len` cap AND form a
+    COMPLETE code (Kraft sum exactly 1), which strict decoders
+    (libwebp rejects incomplete prefix tables) require. The previous
+    plain-Huffman + decrement/increment depth clamp broke Kraft
+    equality badly on skewed inputs (Fibonacci-weighted planes reached
+    Kraft sum 0.0066 — round-10 ADVICE); this repo's own tolerant
+    decoder round-tripped such files, external ones may refuse them.
 
+    Alphabets here are <= 280 symbols and max_len <= 15, so the
+    O(n * max_len) package lists stay tiny."""
     syms = [s for s, f in freqs.items() if f > 0]
     if len(syms) <= 1:
         return {s: 1 for s in syms}
-    heap = [(f, i, (s,)) for i, (s, f) in enumerate(
-        (s, freqs[s]) for s in syms)]
-    heapq.heapify(heap)
+    if len(syms) > (1 << max_len):  # unreachable at VP8L sizes
+        raise ValueError("alphabet too large for max_len")
+    # coin-collector: each item is (weight, leaf-multiset); one
+    # package pass per level from depth max_len up; a symbol's code
+    # length = how often its leaf appears among the 2n-2 cheapest
+    # items of the final top-level list.
+    leaves = sorted(
+        ((freqs[s], (s,)) for s in syms), key=lambda x: x[0]
+    )
+    lst = leaves
+    for _ in range(max_len - 1):
+        pkgs = [
+            (lst[i][0] + lst[i + 1][0], lst[i][1] + lst[i + 1][1])
+            for i in range(0, len(lst) - 1, 2)
+        ]
+        lst = sorted(pkgs + leaves, key=lambda x: x[0])
     depth = {s: 0 for s in syms}
-    i = len(heap)
-    while len(heap) > 1:
-        f1, _, g1 = heapq.heappop(heap)
-        f2, _, g2 = heapq.heappop(heap)
-        for s in g1 + g2:
+    for _, members in lst[: 2 * len(syms) - 2]:
+        for s in members:
             depth[s] += 1
-        heapq.heappush(heap, (f1 + f2, i, g1 + g2))
-        i += 1
-    while max(depth.values()) > max_len:  # crude clamp (tiny alphabets)
-        over = max(depth, key=lambda s: depth[s])
-        under = min(depth, key=lambda s: depth[s])
-        depth[over] -= 1
-        depth[under] += 1
     return depth
 
 

@@ -345,3 +345,60 @@ def test_decode_external_webp_native(spark):
     for r in out:
         assert (r["height"], r["width"], r["channels"]) == (h, w, 3)
         assert abs(r["mean_px"] - means[r["img_id"]]) < 1e-6
+
+
+def test_code_lengths_complete_kraft_and_skewed_round_trip():
+    """The encoder's length-limited code must be COMPLETE (Kraft sum
+    exactly 1 — strict decoders like libwebp reject incomplete prefix
+    tables) and cost-optimal under the 15-bit cap. The old
+    decrement/increment depth clamp collapsed the Kraft sum to 0.0066
+    on Fibonacci-weighted planes (round-10 ADVICE); package-merge
+    fixes both. Plus an end-to-end round trip on a Fibonacci-skewed
+    pixel histogram — the exact input class that broke the clamp."""
+    import random
+    from fractions import Fraction
+
+    from pandasvcf_spark.operators.webp import (
+        _code_lengths,
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    def kraft(lens):
+        return sum(Fraction(1, 2 ** l) for l in lens.values() if l > 0)
+
+    fib = [1, 1]
+    for _ in range(28):
+        fib.append(fib[-1] + fib[-2])
+    lens = _code_lengths({i: f for i, f in enumerate(fib)}, 15)
+    assert max(lens.values()) <= 15
+    assert kraft(lens) == 1
+
+    rng = random.Random(11)
+    for _ in range(50):
+        n = rng.randint(2, 280)
+        freqs = {s: rng.randint(1, 10 ** rng.randint(0, 6)) for s in range(n)}
+        lens = _code_lengths(freqs, 15)
+        assert kraft(lens) == 1 and max(lens.values()) <= 15
+    for _ in range(50):  # the 7-bit code-length-code regime
+        n = rng.randint(2, 19)
+        freqs = {s: rng.randint(1, 10 ** 6) for s in range(n)}
+        lens = _code_lengths(freqs, 7)
+        assert kraft(lens) == 1 and max(lens.values()) <= 7
+
+    # Fibonacci-skewed green plane, end-to-end
+    vals = []
+    for sym, f in enumerate(fib[:16]):
+        vals.extend([sym * 16] * f)
+    rng.shuffle(vals)
+    side = 1
+    while side * side < len(vals):
+        side += 1
+    vals.extend([0] * (side * side - len(vals)))
+    px = bytes(
+        b for v in vals for b in (v, (v * 7) % 256, (v * 13) % 256)
+    )
+    blob = encode_webp_lossless(side, side, 3, px)
+    h, w, c, out = decode_webp(blob)
+    assert (h, w, c) == (side, side, 3)
+    assert out == px
