@@ -110,6 +110,20 @@ DRIVER_WINDOW = 50
 # stays driver-covered by dedup_minhash_lsh's banded hash buckets and
 # p4_distinct's keyed distinct). Both remain continuously
 # exact-checked by tests/test_contract.py.
+# The round-11 cut (the eighth) promotes one representative per
+# never-driver-checked round-10 family: m_fdr_bh (the multiple-testing
+# envelope ladder — now also carrying the bucketed_row_number-routed
+# distributed ladder above 1M cells), m_did (the causal 2x2 family),
+# and m_morans_i (the spatial family — it consumes geo_near_join's
+# banded pairs, so one row exercises both the spherical banding join
+# and the autocorrelation fold). Displaced: m_roc_points (the
+# distinct-cell cumulative-ladder machinery stays driver-covered by
+# m_fdr_bh's position/envelope ladders and m_kruskal_wallis's mid-rank
+# cells), g_fst (per-site grouped-agg + closed-form fold stays via
+# g_sample_qc/g_ld), and m_ndcg (per-group rank-window + log fold
+# stays via t_bm25_topk's top-k windows and m_scd2_history's ordered
+# windows). All three remain continuously exact-checked by
+# tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -132,7 +146,6 @@ _PRIORITY = [
     "e_tumbling_hourly",
     "e_sessionize",
     # §2.11 text analysis + dedup family
-    "g_fst",
     "t_quality_score",
     "t_bm25_topk",
     "v_kmeans",
@@ -168,9 +181,10 @@ _PRIORITY = [
     "j_multiway_q5",
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
-    "m_ndcg",
-    "m_roc_points",
     "m_kruskal_wallis",
+    "m_fdr_bh",
+    "m_did",
+    "m_morans_i",
     "m_competing_risks",
     "m_bootstrap_ci",
     "g_link_pred",

@@ -37,7 +37,16 @@ def test_extension_surface_inside_window():
         "sk_hll_distinct",
         "g_ld",
         "g_grm",
-        "g_fst",
+        # round-11 re-cut #8: g_fst moved to the contract-guarded tail
+        # (per-site grouped-agg + closed-form fold stays driver-covered
+        # by g_sample_qc/g_ld); promoted in its place the round-10
+        # families below
+        "m_fdr_bh",     # multiple-testing envelope ladder (+ the
+                        # bucketed distributed regime above 1M cells)
+        "m_did",        # causal 2x2: one 12-counter pass + 1-row fold
+        "m_morans_i",   # spatial family: consumes geo_near_join's
+                        # banded pairs, so one row covers the spherical
+                        # banding join AND the autocorrelation fold
         # round-9 re-cut: g_hwe and t_repeated_spans moved to the
         # contract-guarded tail (per-site agg machinery stays via
         # g_fst/g_sample_qc; hash-fingerprint machinery via
@@ -724,8 +733,18 @@ def test_tail_entries_are_redundant_variants_only():
         "e_rfm",                 # recency/frequency/monetary cut:
                                  # explicit floor-rank buckets (not
                                  # ntile), 4dp-pinned monetary
-        "m_roc_points",          # full ROC ladder: RANGE cumulative
-                                 # frames, exact rational points
+        "m_roc_points",          # full ROC ladder (round-11 re-cut #8
+                                 # demotion): distinct-cell cumulative
+                                 # ladders stay driver-covered by
+                                 # m_fdr_bh + m_kruskal_wallis
+        "g_fst",                 # Fst per-site agg + ratio fold
+                                 # (round-11 re-cut #8 demotion): shape
+                                 # stays via g_sample_qc/g_ld
+        "m_ndcg",                # NDCG per-query rank window + log
+                                 # fold (round-11 re-cut #8 demotion):
+                                 # covered by t_bm25_topk's top-k
+                                 # windows + m_scd2_history's ordered
+                                 # windows
         "g_powerlaw",            # CSN degree-tail MLE: degree count
                                  # + 1-row fold
         "m_rand_index",          # clustering agreement: contingency
@@ -809,7 +828,8 @@ def test_tail_entries_are_redundant_variants_only():
                                  # machinery stays via sk_hll_distinct
                                  # (round-9 re-cut demotion)
         "g_hwe",                 # per-site chi2 agg: same shape as
-                                 # g_fst/g_sample_qc (round-9 re-cut)
+                                 # g_sample_qc (round-9 re-cut; g_fst
+                                 # itself moved to the tail in #8)
         "t_repeated_spans",      # winnowing fingerprints: hash-family
                                  # stays via dedup_minhash_lsh +
                                  # t_paragraph_dedup (round-9 re-cut)
@@ -892,10 +912,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # same ladder + Φ⁻¹, KW's upgrade
         "m_jarque_bera",         # moments-only normality gate: one
                                  # power-sum pass, chi²(2) fold
-        "m_fdr_bh",              # BH multiple-testing envelope on
-                                 # the distinct-p ladder, R semantics
-        "m_did",                 # 2x2 difference-in-differences: one
-                                 # 12-counter pass + 1-row fold
         "m_stratified_ate",      # post-stratification ATE with the
                                  # overlap-violation report
         "g_prs",                 # plink --score PRS: grid-free mean
@@ -904,8 +920,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # correction: one moment agg
         "j_geo_near",            # spherical banded join: exact chord
                                  # bound cells vs brute-force oracle
-        "m_morans_i",            # spatial autocorrelation over the
-                                 # geo neighbor graph (honest null)
         "j_dbscan",              # density clustering: geo eps-graph
                                  # + degree cores + CC + min borders
         "m_hodges_lehmann",      # robust shift effect: weighted
