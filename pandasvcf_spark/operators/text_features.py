@@ -357,6 +357,142 @@ def repeated_ngram_spans(
     )
 
 
+def exact_substring_remove(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" §4.1) — the rewrite
+    step downstream of `repeated_ngram_spans`: excise cross-document
+    verbatim spans from every document EXCEPT the first one carrying
+    them (keep-first), the standard post-dedup pass a CC-scale corpus
+    runs after document-level dedup (boilerplate, licenses, syndicated
+    paragraphs survive MinHash because the documents differ overall).
+
+    Keep-first at n-gram granularity: a word n-gram occurring in
+    >= `min_docs` DISTINCT documents is OWNED by the document with the
+    smallest id; every occurrence in a higher-id document is flagged,
+    flagged gram starts merge into maximal token intervals (interval
+    union, not just consecutive starts — two starts `n-1` apart still
+    overlap in token space), and the covered tokens are dropped. The
+    paper's suffix array finds byte-exact spans >= 50 tokens; this
+    word-n-gram form trades sub-word precision for a pure relational
+    plan (the `repeated_ngram_spans` precedent).
+
+    Output, one row per input document with non-NULL text:
+      id          (input id type)
+      n_tokens    BIGINT  word tokens before surgery
+      n_removed   BIGINT  tokens excised (0 for untouched docs and for
+                          every owner)
+      clean_text  STRING  surviving tokens space-joined (normalized
+                          token stream, like every word-token operator
+                          here — '' when everything was removed)
+
+    Plan: positional n-grams (one Generate per doc) → per-gram
+    (distinct-doc count, min-id owner) partial agg → equi-join of gram
+    occurrences onto the owned repeated-gram set, keeping non-owner
+    rows → per-doc running-max-end interval union window → span
+    groupBy → collect_list of the per-doc spans (document-sized, few)
+    → ONE left join back onto the corpus → pure HOF token surgery.
+    No self-joins, no all-pairs, nothing non-equi; the only shuffles
+    key on gram and id."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        words_expr(F.col(text_col)).alias("__w"),
+    )
+    grams = (
+        toks.filter(F.size("__w") >= n)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - n + 1),
+                    lambda j: F.concat_ws(" ", F.slice("__w", j, n)),
+                )
+            ).alias("__p0", "gram"),
+        )
+        .select("id", (F.col("__p0") + 1).alias("pos"), "gram")
+    )
+    owned = (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("id").alias("__df"),
+            F.min("id").alias("__owner"),
+        )
+        .filter(F.col("__df") >= min_docs)
+        .select("gram", "__owner")
+    )
+    flagged = (
+        grams.join(owned, "gram")
+        .filter(F.col("id") != F.col("__owner"))
+        .select("id", "pos")
+    )
+    # interval-union islands: a new island starts when this gram start
+    # lies beyond the running max covered-token end + 1
+    win = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n - 1).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        flagged.withColumn(
+            "__new",
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__new").over(win))
+        .groupBy("id", "__grp")
+        .agg(
+            F.min("pos").cast("int").alias("start_tok"),
+            (F.max("pos") + n - 1).cast("int").alias("end_tok"),
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_list(
+                F.struct("start_tok", "end_tok")
+            ).alias("__rm")
+        )
+    )
+    rm = F.coalesce(
+        F.col("__rm"),
+        F.array().cast("array<struct<start_tok:int,end_tok:int>>"),
+    )
+    indexed = F.transform(
+        F.col("__w"),
+        lambda t, i: F.struct(
+            t.alias("t"), (i + 1).cast("int").alias("p")
+        ),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            rm,
+            lambda sp: (s["p"] >= sp["start_tok"])
+            & (s["p"] <= sp["end_tok"]),
+        ),
+    )
+    return (
+        toks.join(spans, "id", "left")
+        .select(
+            "id",
+            F.size("__w").cast("long").alias("n_tokens"),
+            (F.size("__w") - F.size(kept)).cast("long").alias(
+                "n_removed"
+            ),
+            F.concat_ws(
+                " ", F.transform(kept, lambda s: s["t"])
+            ).alias("clean_text"),
+        )
+    )
+
+
 def group_balance(
     df: DataFrame,
     group_col: str = "source",

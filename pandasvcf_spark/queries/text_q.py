@@ -1385,6 +1385,76 @@ def t_repeated_spans(spark, sf_dir):
     return repeated_ngram_spans(d, "doc_id", "text", n=5, min_docs=2)
 
 
+@register(
+    "t_exact_substring_rm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+      FROM documents WHERE text IS NOT NULL),
+    positions AS (
+      SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS pos, w
+      FROM toks WHERE len(w) >= 5),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+4], ' ') AS gram
+      FROM positions),
+    own AS (
+      SELECT gram, min(doc_id) AS owner FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    fl AS (
+      SELECT doc_id, pos FROM grams JOIN own USING (gram)
+      WHERE doc_id <> owner),
+    isl AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + 4) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1) + 1
+        THEN 1 ELSE 0 END AS newg
+      FROM fl),
+    isl2 AS (
+      SELECT doc_id, pos, sum(newg) OVER (
+        PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+      FROM isl2 GROUP BY doc_id, grp),
+    tokpos AS (
+      SELECT doc_id, unnest(generate_series(1, len(w))) AS p, w
+      FROM toks),
+    kept AS (
+      SELECT t.doc_id, t.p, t.w[t.p] AS tok
+      FROM tokpos t LEFT JOIN spans s
+        ON t.doc_id = s.doc_id AND t.p >= s.s AND t.p <= s.e
+      WHERE s.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT toks.doc_id AS id,
+      CAST(len(toks.w) AS BIGINT) AS n_tokens,
+      CAST(len(toks.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      coalesce(agg.clean_text, '') AS clean_text
+    FROM toks LEFT JOIN agg USING (doc_id)
+    """,
+)
+def t_exact_substring_rm(spark, sf_dir):
+    """ExactSubstr span removal (operators/text_features.
+    exact_substring_remove; Lee et al. 2022 §4.1): rewrite every
+    document with cross-document verbatim word 5-gram runs excised,
+    keep-first (the min-doc_id owner of each repeated gram keeps it) —
+    the standard post-dedup surgery for CC-scale corpora, composed
+    from the t_repeated_spans shingle chain plus an interval-union
+    window and pure-HOF token surgery. The oracle replays the whole
+    chain: gram ownership, non-owner flags, running-max-end interval
+    islands, and the token-level anti-join rewrite."""
+    from pandasvcf_spark.operators.text_features import (
+        exact_substring_remove,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return exact_substring_remove(d, "doc_id", "text", n=5, min_docs=2)
+
+
 _CMS_HASH = _SQL_POLY_HASH.format(s="CAST(d AS VARCHAR) || ':' || w")
 _CMS_PROBE_TERMS = "['the', 'data', 'model', 'queries', 'zzz_absent_term']"
 

@@ -930,6 +930,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "t_exact_substring_rm",  # ExactSubstr keep-first rewrite:
+                                 # composes the t_repeated_spans
+                                 # shingle chain (dedup family in
+                                 # window via dedup_minhash_lsh) +
+                                 # interval-union window + HOF surgery
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -1795,3 +1795,74 @@ def test_sliding_distinct_hll_accuracy_and_idempotence(spark):
     d_est = hll_group_estimate(direct, ["g"], "uid", m=256).collect()[0]
     assert abs(out[5]["estimate"] - d_est["estimate"]) < 1e-9
     assert out[5]["n_zero"] == d_est["n_zero"]
+
+
+# exact_substring_remove
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_remove_keep_first_and_overlap(spark):
+    """Keep-first: the min-id document owning a repeated 5-gram keeps it;
+    every other document has the covered tokens excised. Interval union:
+    two flagged gram starts n-1 apart (non-consecutive, overlapping in
+    token space) merge into ONE removal span. NULL-text rows drop;
+    boilerplate-only docs rewrite to ''."""
+    from pandasvcf_spark.operators.text_features import (
+        exact_substring_remove,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, shared + " unique one two three four"),
+        (2, "start words " + shared + " tail words"),
+        (3, "no overlap with anything else in this corpus at all here"),
+        (4, shared),  # boilerplate-only
+        (5, None),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in exact_substring_remove(d, n=5, min_docs=2).collect()
+    }
+    assert out == {
+        1: (11, 0, "alpha beta gamma delta epsilon zeta unique one two "
+                   "three four"),
+        2: (10, 6, "start words tail words"),
+        3: (11, 0, "no overlap with anything else in this corpus at all "
+                   "here"),
+        4: (6, 6, ""),
+    }
+
+    # interval union across a gap < n in gram-start space: doc 11 owns,
+    # doc 12 shares two 3-grams whose starts sit 2 apart with one token
+    # in between differing -> spans [p, p+2] and [p+2, p+4] merge
+    a = "one two three x four five six"      # grams: "one two three",
+    d2 = spark.createDataFrame(                # "four five six" shared
+        [
+            (11, a),
+            (12, "pad " + a + " pad2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_removed"], r["clean_text"])
+        for r in exact_substring_remove(d2, n=3, min_docs=2).collect()
+    }
+    # doc 12's flagged starts are 2 and 6 (token spans [2,4], [6,8]) —
+    # disjoint by one token (pos 5 = 'x' is shared too? no: 'three x
+    # four' is also a shared gram at start 4 -> spans union to [2,8])
+    assert got[11] == (0, "one two three x four five six")
+    assert got[12] == (7, "pad pad")  # [a-z]+ tokenizer strips the digit
+
+    # plan guard: equi-joins only — no cartesian / broadcast NL join
+    plan = (
+        exact_substring_remove(d2, n=3, min_docs=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        exact_substring_remove(d2, min_docs=1)
