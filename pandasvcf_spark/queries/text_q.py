@@ -2322,6 +2322,68 @@ def t_bigram_lm(spark, sf_dir):
 
 
 @register(
+    "t_bigram_logprob",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_WORDS} AS ws FROM documents),
+    wd AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws
+      FROM docs WHERE len(ws) >= 1),
+    seq AS (
+      SELECT doc_id, p, ws[p] AS w,
+             CASE WHEN p > 1 THEN ws[p - 1] END AS prev
+      FROM wd),
+    uni AS (SELECT w, count(*) AS cu FROM seq GROUP BY w),
+    big AS (SELECT prev, w, count(*) AS cb FROM seq
+            WHERE prev IS NOT NULL GROUP BY prev, w),
+    tot AS (SELECT sum(cu) AS t FROM uni),
+    ctx AS (SELECT prev, sum(cb) AS s, count(*) AS n1fwd
+            FROM big GROUP BY prev),
+    cont AS (SELECT w, count(*) AS n1bwd FROM big GROUP BY w),
+    types AS (SELECT count(*) AS nt FROM big),
+    sc AS (
+      SELECT s.doc_id,
+             CASE WHEN s.prev IS NULL
+                    THEN log10(u.cu / CAST(tot.t AS DOUBLE))
+                  ELSE log10(
+                    greatest(coalesce(b.cb, 0) - CAST(0.75 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE))
+                      / CAST(c.s AS DOUBLE)
+                    + (CAST(0.75 AS DOUBLE) * c.n1fwd
+                       / CAST(c.s AS DOUBLE))
+                      * (k.n1bwd / CAST(ty.nt AS DOUBLE)))
+             END AS lp
+      FROM seq s
+      JOIN uni u ON s.w = u.w
+      LEFT JOIN big b ON s.prev = b.prev AND s.w = b.w
+      LEFT JOIN ctx c ON s.prev = c.prev
+      LEFT JOIN cont k ON s.w = k.w
+      CROSS JOIN types ty
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(lp), 4) AS avg_logprob
+    FROM sc GROUP BY doc_id
+    """,
+)
+def t_bigram_logprob(spark, sf_dir):
+    """Self-trained interpolated Kneser-Ney bigram score
+    (operators/text_features.bigram_kn_stats; Kneser & Ney 1995, the
+    Chen-Goodman-winning smoother) — the proper-LM upgrade of
+    t_bigram_lm's stupid backoff: every seen bigram discounts by
+    D = 0.75 and exactly that mass redistributes over the CONTINUATION
+    distribution (distinct-context counts), so each context
+    distribution sums to exactly 1 (context denominator = bigram-START
+    count, pinned in tests). Counts stay vocabulary/bigram-type-sized
+    partial aggregates; the oracle replays position extraction, all
+    five count tables, and the discount/interpolation arithmetic
+    term-for-term (0.75 CAST to DOUBLE — DECIMAL literal inference
+    would drift)."""
+    from pandasvcf_spark.operators.text_features import bigram_kn_stats
+
+    return bigram_kn_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
     "t_pmi_pairs",
     oracle=f"""
     WITH d AS (

@@ -930,6 +930,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "t_bigram_logprob",      # interpolated Kneser-Ney bigram LM:
+                                 # proper-smoothing upgrade of
+                                 # t_bigram_lm (tail) on the same
+                                 # count-table chain; replica pytest +
+                                 # contract guard
         "t_exact_substring_rm",  # ExactSubstr keep-first rewrite:
                                  # composes the t_repeated_spans
                                  # shingle chain (dedup family in

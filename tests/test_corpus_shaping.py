@@ -1866,3 +1866,65 @@ def test_exact_substring_remove_keep_first_and_overlap(spark):
 
     with _pytest.raises(ValueError, match="min_docs"):
         exact_substring_remove(d2, min_docs=1)
+
+
+def test_bigram_kn_matches_pure_python_replica(spark):
+    """Interpolated Kneser-Ney against a pure-Python replica — and the
+    smoothing invariant that distinguishes KN from stupid backoff:
+    every context's distribution sums to EXACTLY 1 (discount mass is
+    redistributed, not invented)."""
+    import math
+    import re
+    from collections import Counter
+
+    from pandasvcf_spark.operators.text_features import bigram_kn_stats
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog and a bird"),
+        (4, "completely different words here"),
+    ]
+    D = 0.75
+    toks = {i: re.findall(r"[a-z]+", t.lower()) for i, t in docs}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    n = sum(uni.values())
+    big = Counter()
+    for ws in toks.values():
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+    s = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (a, b), c in big.items():
+        s[a] += c
+        n1f[a] += 1
+        n1b[b] += 1
+    t = len(big)
+
+    def p_kn(a, b):
+        return max(big[(a, b)] - D, 0.0) / s[a] + (
+            D * n1f[a] / s[a]
+        ) * (n1b[b] / t)
+
+    for a in s:  # exact per-context normalization
+        assert abs(sum(p_kn(a, b) for b in uni) - 1.0) < 1e-12
+
+    expect = {}
+    for i, ws in toks.items():
+        lps = [math.log10(uni[ws[0]] / n)] + [
+            math.log10(p_kn(a, b)) for a, b in zip(ws, ws[1:])
+        ]
+        expect[i] = (len(ws), round(sum(lps) / len(lps), 4))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["avg_logprob"])
+        for r in bigram_kn_stats(df).collect()
+    }
+    assert got == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="discount"):
+        bigram_kn_stats(df, discount=1.0)
