@@ -645,3 +645,285 @@ def stratified_ate(
         (F.round(F.when(ok, ate), 6) + F.lit(0.0)).alias("ate"),
         (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
     )
+
+
+def iv_wald(
+    df: DataFrame,
+    instrument_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Instrumental-variable Wald estimator (Wald 1940; the binary-
+    instrument LATE of Imbens & Angrist 1994) — the causal estimate
+    when treatment is confounded but an INSTRUMENT moved it (an
+    encouragement email, a random eligibility threshold, a rollout
+    lottery):
+
+        ITT  = ybar_{z=1} - ybar_{z=0}        (reduced form)
+        FS   = tbar_{z=1} - tbar_{z=0}        (first stage)
+        LATE = ITT / FS
+        SE   = sqrt(v_itt + LATE² v_fs - 2 LATE c_cross) / |FS|
+
+    the delta-method SE with v_itt = s²y1/n1 + s²y0/n0, v_fs the same
+    on t, and c_cross = cov(y,t|z=1)/n1 + cov(y,t|z=0)/n0 (sample
+    covariances, n-1 denominators). z must be 0/1; t numeric (0/1
+    take-up is the classic case). Output: ONE row (n0, n1 BIGINT,
+    itt, fs, late, se DOUBLE round 6); late/se NULL when either arm
+    is empty, an arm has n < 2, or FS = 0 (no first stage — the
+    estimator is undefined, not zero).
+
+    Plan: ONE conditional partial-aggregated pass accumulating per-
+    arm (n, Σy, Σy², Σt, Σt², Σyt) — 12 counters — then a 1-row fold.
+    """
+    zc = F.col(instrument_col).cast("int")
+    tc = F.col(treat_col).cast("double")
+    yc = F.col(outcome_col).cast("double")
+    base = df.filter(
+        zc.isNotNull() & tc.isNotNull() & yc.isNotNull()
+    ).select(zc.alias("__z"), tc.alias("__t"), yc.alias("__y"))
+
+    def arm(z, expr):
+        return F.sum(F.when(F.col("__z") == z, expr).otherwise(0.0))
+
+    aggs = []
+    for z in (0, 1):
+        aggs += [
+            F.sum(F.when(F.col("__z") == z, 1).otherwise(0))
+            .cast("long").alias(f"n{z}"),
+            arm(z, F.col("__y")).alias(f"__sy{z}"),
+            arm(z, F.col("__y") * F.col("__y")).alias(f"__syy{z}"),
+            arm(z, F.col("__t")).alias(f"__st{z}"),
+            arm(z, F.col("__t") * F.col("__t")).alias(f"__stt{z}"),
+            arm(z, F.col("__y") * F.col("__t")).alias(f"__syt{z}"),
+        ]
+    g = base.agg(*aggs)
+
+    def moments(z):
+        n = F.col(f"n{z}").cast("double")
+        my = F.col(f"__sy{z}") / n
+        mt = F.col(f"__st{z}") / n
+        vy = (F.col(f"__syy{z}") - n * my * my) / (n - 1)
+        vt = (F.col(f"__stt{z}") - n * mt * mt) / (n - 1)
+        cyt = (F.col(f"__syt{z}") - n * my * mt) / (n - 1)
+        return n, my, mt, vy, vt, cyt
+
+    n0, my0, mt0, vy0, vt0, c0 = moments(0)
+    n1, my1, mt1, vy1, vt1, c1 = moments(1)
+    itt = my1 - my0
+    fs = mt1 - mt0
+    late = itt / fs
+    v_itt = vy1 / n1 + vy0 / n0
+    v_fs = vt1 / n1 + vt0 / n0
+    c_cross = c1 / n1 + c0 / n0
+    se = (
+        F.sqrt(v_itt + late * late * v_fs - 2 * late * c_cross)
+        / F.abs(fs)
+    )
+    ok = (F.col("n0") >= 2) & (F.col("n1") >= 2)
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, itt), 6) + F.lit(0.0)).alias("itt"),
+        (F.round(F.when(ok, fs), 6) + F.lit(0.0)).alias("fs"),
+        (
+            F.round(F.when(ok & (fs != 0), late), 6) + F.lit(0.0)
+        ).alias("late"),
+        (
+            F.round(F.when(ok & (fs != 0), se), 6) + F.lit(0.0)
+        ).alias("se"),
+    )
+
+
+def event_study(
+    df: DataFrame,
+    treat_col: str,
+    period_col: str,
+    outcome_col: str,
+    base_period: int = -1,
+) -> DataFrame:
+    """Event-study estimates — `diff_in_diff` unrolled over event time
+    (the leads-and-lags plot every modern DiD paper opens with): one
+    DiD per relative period k against the reference period (k = -1 by
+    convention, the last pre-treatment period),
+
+        effect_k = (ybar_{T,k} - ybar_{T,base})
+                 - (ybar_{C,k} - ybar_{C,base})
+        se_k     = sqrt(Σ over the four cells s²/n)
+
+    Pre-treatment effect_k ≈ 0 is the parallel-trends diagnostic; the
+    post-treatment path is the dynamic treatment effect. treat must be
+    0/1; period integer relative event time. Output: one row per
+    period present in the data EXCEPT the base (period INT, n_treat,
+    n_ctrl BIGINT — cell sizes at that period, effect, se DOUBLE
+    round 6); NULL estimates where any of the four cells is empty or a
+    variance is undefined (n < 2).
+
+    Plan: ONE (treat, period)-keyed partial agg collapses the corpus
+    to per-cell moments; the base-period cells broadcast back onto the
+    period rows; per-period closed forms. Cost = one exchange on
+    (treat, period)."""
+    tc = F.col(treat_col).cast("int")
+    pc = F.col(period_col).cast("int")
+    yc = F.col(outcome_col).cast("double")
+    base = df.filter(
+        tc.isNotNull() & pc.isNotNull() & yc.isNotNull()
+    ).select(tc.alias("__t"), pc.alias("__p"), yc.alias("__y"))
+    cells = base.groupBy("__t", "__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.avg("__y").alias("__m"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__q"),
+    )
+    # unbiased cell variance from the power sums
+    vcell = (
+        (F.col("__q") - F.col("__n") * F.col("__m") * F.col("__m"))
+        / (F.col("__n") - 1)
+    )
+    cells = cells.withColumn(
+        "__v", F.when(F.col("__n") >= 2, vcell)
+    )
+    b = cells.filter(F.col("__p") == base_period).select(
+        "__t",
+        F.col("__n").alias("__nb"),
+        F.col("__m").alias("__mb"),
+        F.col("__v").alias("__vb"),
+    )
+    j = (
+        cells.filter(F.col("__p") != base_period)
+        .join(F.broadcast(b), "__t")
+    )
+    piv = j.groupBy("__p").agg(
+        F.max(F.when(F.col("__t") == 1, F.col("__n"))).alias("n_treat"),
+        F.max(F.when(F.col("__t") == 0, F.col("__n"))).alias("n_ctrl"),
+        F.max(F.when(F.col("__t") == 1, F.col("__m"))).alias("__m1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__m"))).alias("__m0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__v"))).alias("__v1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__v"))).alias("__v0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__mb"))).alias("__mb1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__mb"))).alias("__mb0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__vb"))).alias("__vb1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__vb"))).alias("__vb0"),
+        F.max(F.when(F.col("__t") == 1, F.col("__nb"))).alias("__nb1"),
+        F.max(F.when(F.col("__t") == 0, F.col("__nb"))).alias("__nb0"),
+    )
+    effect = (F.col("__m1") - F.col("__mb1")) - (
+        F.col("__m0") - F.col("__mb0")
+    )
+    se = F.sqrt(
+        F.col("__v1") / F.col("n_treat")
+        + F.col("__vb1") / F.col("__nb1")
+        + F.col("__v0") / F.col("n_ctrl")
+        + F.col("__vb0") / F.col("__nb0")
+    )
+    ok = (
+        F.col("n_treat").isNotNull()
+        & F.col("n_ctrl").isNotNull()
+        & F.col("__nb1").isNotNull()
+        & F.col("__nb0").isNotNull()
+    )
+    return piv.select(
+        F.col("__p").cast("int").alias("period"),
+        F.coalesce(F.col("n_treat"), F.lit(0)).cast("long").alias(
+            "n_treat"
+        ),
+        F.coalesce(F.col("n_ctrl"), F.lit(0)).cast("long").alias(
+            "n_ctrl"
+        ),
+        (F.round(F.when(ok, effect), 6) + F.lit(0.0)).alias("effect"),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+    )
+
+
+def rdd_sharp(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; the local-linear form of Imbens & Lemieux 2008,
+    rectangular kernel) — the causal effect at an eligibility
+    threshold: fit y = a + b(x − c) by OLS separately on each side of
+    the cutoff within the bandwidth window and difference the
+    intercepts,
+
+        tau = a_right − a_left,
+        Var(a_side) = s² (1/n + xbar²/Sxx)      (homoskedastic OLS)
+        SE = sqrt(Var_left + Var_right)
+
+    with the LEFT window [c−h, c) and the RIGHT [c, c+h] (the cutoff
+    row treats, the sharp-design convention). Output: ONE row (n_left,
+    n_right BIGINT, tau, se, slope_left, slope_right DOUBLE round 6);
+    NULL estimates when either side has n < 3 (two OLS params + 1 df)
+    or zero running-variable variance.
+
+    Plan: ONE conditional partial-aggregated pass over the bandwidth
+    window accumulating per-side (n, Σx, Σx², Σy, Σy², Σxy) on the
+    centered running variable — 12 counters — then 1-row closed
+    forms. The window filter pushes to the scan."""
+    if bandwidth <= 0:
+        raise ValueError(f"bandwidth must be > 0, got {bandwidth}")
+    c = float(cutoff)
+    h = float(bandwidth)
+    xc = F.col(running_col).cast("double")
+    yc = F.col(outcome_col).cast("double")
+    base = (
+        df.filter(
+            xc.isNotNull()
+            & yc.isNotNull()
+            & (xc >= c - h)
+            & (xc <= c + h)
+        )
+        .select(
+            (xc - F.lit(c)).alias("__x"),
+            yc.alias("__y"),
+            F.when(xc >= c, 1).otherwise(0).alias("__s"),
+        )
+    )
+
+    def side(s, expr):
+        return F.sum(F.when(F.col("__s") == s, expr).otherwise(0.0))
+
+    aggs = []
+    for s, nm in ((0, "l"), (1, "r")):
+        aggs += [
+            F.sum(F.when(F.col("__s") == s, 1).otherwise(0))
+            .cast("long").alias(f"__n{nm}"),
+            side(s, F.col("__x")).alias(f"__sx{nm}"),
+            side(s, F.col("__x") * F.col("__x")).alias(f"__sxx{nm}"),
+            side(s, F.col("__y")).alias(f"__sy{nm}"),
+            side(s, F.col("__y") * F.col("__y")).alias(f"__syy{nm}"),
+            side(s, F.col("__x") * F.col("__y")).alias(f"__sxy{nm}"),
+        ]
+    g = base.agg(*aggs)
+
+    def ols(nm):
+        n = F.col(f"__n{nm}").cast("double")
+        mx = F.col(f"__sx{nm}") / n
+        my = F.col(f"__sy{nm}") / n
+        sxx = F.col(f"__sxx{nm}") - n * mx * mx
+        sxy = F.col(f"__sxy{nm}") - n * mx * my
+        syy = F.col(f"__syy{nm}") - n * my * my
+        b = sxy / sxx
+        a = my - b * mx
+        rss = syy - b * sxy
+        s2 = rss / (n - 2)
+        var_a = s2 * (1 / n + mx * mx / sxx)
+        return n, a, b, var_a, sxx
+
+    nl, al, bl, val, sxxl = ols("l")
+    nr, ar, br, var, sxxr = ols("r")
+    tau = ar - al
+    se = F.sqrt(val + var)
+    ok = (
+        (F.col("__nl") >= 3) & (F.col("__nr") >= 3)
+        & (sxxl > 0) & (sxxr > 0)
+    )
+    return g.select(
+        F.col("__nl").alias("n_left"),
+        F.col("__nr").alias("n_right"),
+        (F.round(F.when(ok, tau), 6) + F.lit(0.0)).alias("tau"),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+        (F.round(F.when(ok, bl), 6) + F.lit(0.0)).alias("slope_left"),
+        (F.round(F.when(ok, br), 6) + F.lit(0.0)).alias("slope_right"),
+    )

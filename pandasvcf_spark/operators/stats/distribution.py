@@ -945,6 +945,202 @@ def ks_2sample(
     )
 
 
+def kuiper_2sample(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kuiper test (Kuiper 1960) — the cyclic-sensitive
+    companion of `ks_2sample`: V = D+ + D− (the one-sided supremum
+    gaps ADDED, not maxed), equally sensitive at the distribution's
+    tails and median and invariant under cyclic shifts — the standard
+    choice for phase/time-of-day/angle-valued comparisons where KS
+    under-weights the wrap-around point:
+
+        V   = max_v(F0 - F1) + max_v(F1 - F0)
+        lam = (sqrt(en) + 0.155 + 0.24/sqrt(en)) * V
+        p   = 2 * sum_{k>=1} (4 k² lam² - 1) exp(-2 k² lam²)
+
+    (the Numerical-Recipes small-sample-corrected lambda; 100-term
+    fold; p clamped to [0, 1]). flag must be 0/1. Output: ONE row
+    (n0, n1 BIGINT, v DOUBLE round 6, p_value DOUBLE round 6); NULL
+    stats when either group is empty.
+
+    Plan: identical to `ks_2sample` — the distinct-value cell ladder
+    (tripwire-enforced), ONE cumulative window, 1-row folds; the only
+    difference is folding max of each SIGNED gap instead of max |gap|.
+    """
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__v"], "kuiper_2sample", max_cells,
+        plan_word="distinct-value ECDF ladder",
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("long").alias("__c0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("long").alias("__c1"),
+    )
+    tot = cells.agg(
+        F.sum("__c0").cast("long").alias("n0"),
+        F.sum("__c1").cast("long").alias("n1"),
+    )
+    w_cum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lad = cells.crossJoin(F.broadcast(tot)).select(
+        (
+            F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
+            - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+        ).alias("__gap"),
+        "n0",
+        "n1",
+    )
+    g = lad.groupBy("n0", "n1").agg(
+        F.greatest(F.max("__gap"), F.lit(0.0)).alias("__dp"),
+        F.greatest(F.max(-F.col("__gap")), F.lit(0.0)).alias("__dm"),
+    )
+    v = F.col("__dp") + F.col("__dm")
+    en = (
+        F.col("n0").cast("double") * F.col("n1")
+        / (F.col("n0") + F.col("n1"))
+    )
+    lam = (
+        F.sqrt(en) + F.lit(0.155) + F.lit(0.24) / F.sqrt(en)
+    ) * v
+    p_raw = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + (
+            F.lit(4.0) * (k * k).cast("double") * lam * lam - F.lit(1.0)
+        )
+        * F.exp(F.lit(-2.0) * (k * k).cast("double") * lam * lam),
+    )
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, v), 6) + F.lit(0.0)).alias("v"),
+        (
+            F.round(
+                F.when(
+                    ok,
+                    F.greatest(F.least(p_raw, F.lit(1.0)), F.lit(0.0)),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+def anderson_darling_2samp(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test statistic (Scholz & Stephens
+    1987, the tie-adjusted midrank form A²akN — scipy's
+    anderson_ksamp default) — the tail-weighted member of the
+    ECDF-ladder family: where KS sees only the largest gap and CvM the
+    mean-square gap, AD divides each gap by its binomial variance, so
+    tail disagreements (where H(1-H) is tiny) count heavily — THE
+    two-sample test to run when tail behavior is the question
+    (latency p99s, losses, extremes):
+
+      A² = (N-1)/N Σ_{i∈{0,1}} (1/n_i) Σ_j (l_j/N) ·
+             (N·M_aij − n_i·B_aj)² / (B_aj(N−B_aj) − N·l_j/4)
+
+    over distinct pooled values j with multiplicity l_j, where B_aj
+    (pooled) and M_aij (per-group) are cumulative counts THROUGH the
+    previous cell plus HALF this cell (the midrank convention).
+    Output: ONE row (n0, n1 BIGINT, a2 DOUBLE round 6) — the
+    standardized p-value needs the Scholz-Stephens variance +
+    interpolation table and is intentionally not emitted (scipy caps
+    it at [0.001, 0.25] for the same reason); compare a2 against the
+    k=2 critical points (1.960 at 5%, 3.752 at 1%). NULL a2 when
+    either group is empty or the pooled sample is constant.
+
+    Plan: the ks_2sample cell ladder (tripwire-enforced) with
+    previous-row cumulative windows; every term is a per-cell closed
+    form, then one 1-row fold."""
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__v"], "anderson_darling_2samp", max_cells,
+        plan_word="distinct-value ECDF ladder",
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast("double").alias("__c0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast("double").alias("__c1"),
+    )
+    tot = cells.agg(
+        F.sum("__c0").cast("long").alias("n0"),
+        F.sum("__c1").cast("long").alias("n1"),
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lj = F.col("__c0") + F.col("__c1")
+    lad = cells.crossJoin(F.broadcast(tot)).select(
+        "n0",
+        "n1",
+        lj.alias("__l"),
+        (
+            F.coalesce(F.sum(F.col("__c0") + F.col("__c1")).over(w_prev),
+                       F.lit(0.0))
+            + lj / 2
+        ).alias("__ba"),          # pooled midrank cumulative
+        (
+            F.coalesce(F.sum("__c0").over(w_prev), F.lit(0.0))
+            + F.col("__c0") / 2
+        ).alias("__ma0"),
+        (
+            F.coalesce(F.sum("__c1").over(w_prev), F.lit(0.0))
+            + F.col("__c1") / 2
+        ).alias("__ma1"),
+    )
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    denom = F.col("__ba") * (nn - F.col("__ba")) - nn * F.col("__l") / 4
+    term = (F.col("__l") / nn) * F.when(
+        denom > 0,
+        (
+            (nn * F.col("__ma0") - n0d * F.col("__ba"))
+            * (nn * F.col("__ma0") - n0d * F.col("__ba"))
+            / n0d
+            + (nn * F.col("__ma1") - n1d * F.col("__ba"))
+            * (nn * F.col("__ma1") - n1d * F.col("__ba"))
+            / n1d
+        )
+        / denom,
+    ).otherwise(F.lit(0.0))
+    g = lad.groupBy("n0", "n1").agg(
+        F.sum(term).alias("__s"),
+        F.count(F.lit(1)).alias("__cells"),
+    )
+    a2 = (nn - 1) / nn * F.col("__s")
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (F.col("__cells") > 1)
+    return g.select(
+        "n0",
+        "n1",
+        (F.round(F.when(ok, a2), 6) + F.lit(0.0)).alias("a2"),
+    )
+
+
 def wasserstein_1d(
     df: DataFrame,
     flag_col: str,

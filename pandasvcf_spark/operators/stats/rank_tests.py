@@ -1490,6 +1490,91 @@ def norm_ppf_sql(expr: str) -> str:
     )
 
 
+def conover_squared_ranks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Conover squared-ranks test for equal variances (Conover 1980
+    §5.3) — the K-sample rank SCALE test between `ansari_bradley`
+    (two-sample) and `fligner_killeen` (normal-scores): rank the
+    absolute deviations from each group's OWN mean, square the
+    midranks, and chi-square the per-group squared-rank sums,
+
+        u_ij = |x_ij − x̄_i|,  R_ij = pooled midrank of u_ij
+        S_i  = Σ_j R_ij²,      S̄ = (1/N) Σ R²
+        D²   = (1/(N−1)) (Σ R⁴ − N S̄²)
+        T    = (Σ_i S_i²/n_i − N S̄²) / D²   ~  chi²(k−1)
+
+    Output: ONE row (k, n BIGINT, t DOUBLE round 6); t NULL when
+    k < 2 or D² = 0 (all deviations tied).
+
+    Plan: one per-group moment agg (means), one join back (group-
+    keyed), then the collapse-first discipline — a (group, |dev|)
+    grid, the pooled distinct-|dev| midrank ladder (tripwire-enforced
+    cells), one grid↔ladder equi-join, per-group folds + a 1-row
+    fold. Midranks, R² and R⁴ are all per-cell closed forms."""
+    gc = F.col(group_col)
+    vc = F.col(value_col).cast("double")
+    base = df.filter(gc.isNotNull() & vc.isNotNull()).select(
+        gc.alias("__g"), vc.alias("__x")
+    )
+    means = base.groupBy("__g").agg(F.avg("__x").alias("__m"))
+    dev = base.join(means, "__g").select(
+        "__g", F.abs(F.col("__x") - F.col("__m")).alias("__u")
+    )
+    _assert_cell_bound(
+        dev, ["__u"], "conover_squared_ranks", max_cells,
+        plan_word="distinct-deviation midrank ladder",
+    )
+    grid = dev.groupBy("__g", "__u").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    cells = grid.groupBy("__u").agg(F.sum("__c").alias("__t"))
+    w_prev = Window.orderBy("__u").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lad = cells.select(
+        "__u",
+        (
+            F.coalesce(F.sum("__t").over(w_prev), F.lit(0.0))
+            + (F.col("__t") + 1) / 2
+        ).alias("__mr"),  # midrank of the tie run
+    )
+    j = grid.join(lad, "__u")
+    per_g = j.groupBy("__g").agg(
+        F.sum("__c").alias("__ni"),
+        F.sum(F.col("__c") * F.col("__mr") * F.col("__mr")).alias(
+            "__si"
+        ),
+        F.sum(
+            F.col("__c")
+            * F.col("__mr") * F.col("__mr")
+            * F.col("__mr") * F.col("__mr")
+        ).alias("__r4"),
+    )
+    g = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ni").cast("long").alias("n"),
+        F.sum("__si").alias("__stot"),
+        F.sum("__r4").alias("__r4tot"),
+        F.sum(F.col("__si") * F.col("__si") / F.col("__ni")).alias(
+            "__ssq"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sbar = F.col("__stot") / nd
+    d2 = (F.col("__r4tot") - nd * sbar * sbar) / (nd - 1)
+    t = (F.col("__ssq") - nd * sbar * sbar) / d2
+    ok = (F.col("k") >= 2) & (d2 > 0)
+    return g.select(
+        "k",
+        "n",
+        (F.round(F.when(ok, t), 6) + F.lit(0.0)).alias("t"),
+    )
+
+
 def fligner_killeen(
     df: DataFrame,
     group_col: str,

@@ -463,6 +463,75 @@ def seasonal_strength(
     )
 
 
+def cox_stuart(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Cox-Stuart trend test (Cox & Stuart 1955) — the sign-test
+    cousin of `mann_kendall`: pair the series' first half against its
+    second half position-by-position (x_i vs x_{i+m}, m = ceil(n/2);
+    the middle element of an odd-length series is unpaired) and sign-
+    test the differences. Needs only n/2 comparisons where Kendall's
+    grid prices every pair — the quick monotone-trend triage:
+
+        s_plus  = #(x_{i+m} > x_i)      (rises)
+        s_minus = #(x_{i+m} < x_i)      (falls; ties dropped)
+        z = (|s_plus - n'/2| - 0.5) / sqrt(n'/4),  n' = s_plus+s_minus
+
+    (the continuity-corrected normal approximation of the two-sided
+    binomial; sign(s_plus - s_minus) carries direction). Output: ONE
+    row (n_pairs, s_plus, s_minus BIGINT, z DOUBLE round 6 — SIGNED by
+    trend direction); z NULL when n' = 0.
+
+    Plan: one series-sized rank window (ENFORCED by the `max_rows`
+    tripwire — the runs_test discipline) + ONE equi-join of the series
+    on itself at offset m (rn = rn + m, never a cross pair grid) +
+    1-row folds."""
+    x = F.col(value_col).cast("double")
+    base = series.filter(
+        x.isNotNull() & F.col(time_col).isNotNull()
+    ).select(F.col(time_col).alias("__t"), x.alias("__x"))
+    _assert_series_sized(base, "cox_stuart", max_rows)
+    w = Window.orderBy("__t")
+    wn = Window.partitionBy()
+    rn = base.select(
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+        "__x",
+    )
+    m = F.ceil(F.col("__n") / 2).cast("int")
+    left = rn.filter(F.col("__r") <= F.col("__n") - m).select(
+        (F.col("__r") + m).alias("__k"), F.col("__x").alias("__x1")
+    )
+    right = rn.select(
+        F.col("__r").alias("__k"), F.col("__x").alias("__x2")
+    )
+    pairs = left.join(right, "__k")
+    g = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("__x2") > F.col("__x1"), 1).otherwise(0))
+        .cast("long").alias("s_plus"),
+        F.sum(F.when(F.col("__x2") < F.col("__x1"), 1).otherwise(0))
+        .cast("long").alias("s_minus"),
+    )
+    np_ = (F.col("s_plus") + F.col("s_minus")).cast("double")
+    sp = F.col("s_plus").cast("double")
+    zmag = (F.abs(sp - np_ / 2) - F.lit(0.5)) / F.sqrt(np_ / 4)
+    z = F.when(
+        F.col("s_plus") >= F.col("s_minus"), F.greatest(zmag, F.lit(0.0))
+    ).otherwise(-F.greatest(zmag, F.lit(0.0)))
+    return g.select(
+        "n_pairs",
+        "s_plus",
+        "s_minus",
+        (
+            F.round(F.when(np_ > 0, z), 6) + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
 def runs_test(
     series: DataFrame,
     time_col: str,

@@ -4922,6 +4922,469 @@ def m_ks_2sample(spark, sf_dir):
 
 
 @register(
+    "m_iv_wald",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS z,
+        CAST(CASE WHEN (user_id * 2654435761) % 100
+               < 20 + 50 * (user_id % 2) THEN 1 ELSE 0 END AS DOUBLE)
+          AS t,
+        value AS y0
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    c AS (SELECT z, t, y0 + 20.0 * t AS y FROM b),
+    g AS (SELECT
+        CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        sum(CASE WHEN z = 0 THEN y ELSE 0.0 END) AS sy0,
+        sum(CASE WHEN z = 0 THEN y * y ELSE 0.0 END) AS syy0,
+        sum(CASE WHEN z = 0 THEN t ELSE 0.0 END) AS st0,
+        sum(CASE WHEN z = 0 THEN t * t ELSE 0.0 END) AS stt0,
+        sum(CASE WHEN z = 0 THEN y * t ELSE 0.0 END) AS syt0,
+        sum(CASE WHEN z = 1 THEN y ELSE 0.0 END) AS sy1,
+        sum(CASE WHEN z = 1 THEN y * y ELSE 0.0 END) AS syy1,
+        sum(CASE WHEN z = 1 THEN t ELSE 0.0 END) AS st1,
+        sum(CASE WHEN z = 1 THEN t * t ELSE 0.0 END) AS stt1,
+        sum(CASE WHEN z = 1 THEN y * t ELSE 0.0 END) AS syt1
+      FROM c),
+    mm AS (SELECT n0, n1,
+        sy1 / n1 - sy0 / n0 AS itt,
+        st1 / n1 - st0 / n0 AS fs,
+        (syy1 - n1 * (sy1 / n1) * (sy1 / n1)) / (n1 - 1) / n1
+          + (syy0 - n0 * (sy0 / n0) * (sy0 / n0)) / (n0 - 1) / n0
+          AS v_itt,
+        (stt1 - n1 * (st1 / n1) * (st1 / n1)) / (n1 - 1) / n1
+          + (stt0 - n0 * (st0 / n0) * (st0 / n0)) / (n0 - 1) / n0
+          AS v_fs,
+        (syt1 - n1 * (sy1 / n1) * (st1 / n1)) / (n1 - 1) / n1
+          + (syt0 - n0 * (sy0 / n0) * (st0 / n0)) / (n0 - 1) / n0
+          AS c_cross
+      FROM g)
+    SELECT n0, n1,
+      round(CASE WHEN n0 >= 2 AND n1 >= 2 THEN itt END, 6) + 0.0
+        AS itt,
+      round(CASE WHEN n0 >= 2 AND n1 >= 2 THEN fs END, 6) + 0.0 AS fs,
+      round(CASE WHEN n0 >= 2 AND n1 >= 2 AND fs <> 0
+        THEN itt / fs END, 6) + 0.0 AS late,
+      round(CASE WHEN n0 >= 2 AND n1 >= 2 AND fs <> 0
+        THEN sqrt(v_itt + (itt / fs) * (itt / fs) * v_fs
+                  - 2 * (itt / fs) * c_cross) / abs(fs) END, 6) + 0.0
+        AS se
+    FROM mm
+    """,
+)
+def m_iv_wald(spark, sf_dir):
+    """Binary-instrument Wald/LATE estimator (operators/stats.iv_wald)
+    on a planted encouragement design over events: instrument = user
+    parity, take-up = a deterministic hash threshold shifted 50 points
+    by the instrument, outcome = value + 20·t. The point estimate
+    lands on the planted 20 up to the finite-sample parity imbalance
+    of the synthetic value baseline (measured ~16.3 with se ~1.9 at
+    sf0.01 — within 2 SE, which is exactly what the delta-method SE is
+    quantifying). ONE 12-counter conditional pass + a 1-row fold; the
+    oracle replays every moment and the delta-method arithmetic."""
+    from pandasvcf_spark.operators.stats import iv_wald
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    t = F.when(
+        (F.col("user_id") * 2654435761) % 100
+        < 20 + 50 * (F.col("user_id") % 2),
+        1,
+    ).otherwise(0).cast("double")
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("z"),
+        t.alias("t"),
+        (F.col("value") + F.lit(20.0) * t).alias("y"),
+    )
+    return iv_wald(b, "z", "t", "y")
+
+
+@register(
+    "m_event_study",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS t,
+        CAST((user_id * 40503) % 7 AS INTEGER) - 3 AS k,
+        value
+          + CASE WHEN user_id % 2 = 1
+                  AND CAST((user_id * 40503) % 7 AS INTEGER) - 3 >= 0
+             THEN CAST(25.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          AS y
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT t, k, CAST(count(*) AS BIGINT) AS n,
+        avg(y) AS m, sum(y * y) AS q
+      FROM b GROUP BY t, k),
+    cv AS (SELECT t, k, n, m,
+        CASE WHEN n >= 2 THEN (q - n * m * m) / (n - 1) END AS v
+      FROM cells),
+    bs AS (SELECT t, n AS nb, m AS mb, v AS vb FROM cv WHERE k = -1),
+    j AS (SELECT cv.t, cv.k, cv.n, cv.m, cv.v, bs.nb, bs.mb, bs.vb
+          FROM cv JOIN bs USING (t) WHERE cv.k <> -1),
+    piv AS (SELECT k,
+        max(CASE WHEN t = 1 THEN n END) AS n_treat,
+        max(CASE WHEN t = 0 THEN n END) AS n_ctrl,
+        max(CASE WHEN t = 1 THEN m END) AS m1,
+        max(CASE WHEN t = 0 THEN m END) AS m0,
+        max(CASE WHEN t = 1 THEN v END) AS v1,
+        max(CASE WHEN t = 0 THEN v END) AS v0,
+        max(CASE WHEN t = 1 THEN mb END) AS mb1,
+        max(CASE WHEN t = 0 THEN mb END) AS mb0,
+        max(CASE WHEN t = 1 THEN vb END) AS vb1,
+        max(CASE WHEN t = 0 THEN vb END) AS vb0,
+        max(CASE WHEN t = 1 THEN nb END) AS nb1,
+        max(CASE WHEN t = 0 THEN nb END) AS nb0
+      FROM j GROUP BY k)
+    SELECT CAST(k AS INTEGER) AS period,
+      CAST(coalesce(n_treat, 0) AS BIGINT) AS n_treat,
+      CAST(coalesce(n_ctrl, 0) AS BIGINT) AS n_ctrl,
+      round(CASE WHEN n_treat IS NOT NULL AND n_ctrl IS NOT NULL
+          AND nb1 IS NOT NULL AND nb0 IS NOT NULL
+        THEN (m1 - mb1) - (m0 - mb0) END, 6) + 0.0 AS effect,
+      round(CASE WHEN n_treat IS NOT NULL AND n_ctrl IS NOT NULL
+          AND nb1 IS NOT NULL AND nb0 IS NOT NULL
+        THEN sqrt(v1 / n_treat + vb1 / nb1 + v0 / n_ctrl + vb0 / nb0)
+        END, 6) + 0.0 AS se
+    FROM piv
+    """,
+)
+def m_event_study(spark, sf_dir):
+    """Event-study leads-and-lags (operators/stats.event_study) on a
+    planted dynamic design over events: treat = user parity, relative
+    period = a 7-residue hash in [-3, 3], outcome jumps 25 for treated
+    post-periods — so pre-period effects read ≈0 (the parallel-trends
+    diagnostic) and post-periods ≈25. One (treat, period) partial agg
+    + a broadcast of the k=-1 reference cells; the oracle replays the
+    cells, the base join and every per-period closed form."""
+    from pandasvcf_spark.operators.stats import event_study
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    k = ((F.col("user_id") * 40503) % 7).cast("int") - 3
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        k.alias("k"),
+        (
+            F.col("value")
+            + F.when(
+                ((F.col("user_id") % 2) == 1) & (k >= 0),
+                F.lit(25.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("y"),
+    )
+    return event_study(b, "t", "k", "y")
+
+
+@register(
+    "m_rdd",
+    oracle="""
+    WITH b AS (
+      SELECT value AS x,
+        0.5 * value
+          + CASE WHEN value >= 50.0 THEN CAST(30.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END
+          + CAST((user_id * 2654435761) % 11 AS DOUBLE) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND value >= 50.0 - 40.0 AND value <= 50.0 + 40.0),
+    c AS (SELECT x - 50.0 AS x, y,
+                 CASE WHEN x >= 50.0 THEN 1 ELSE 0 END AS s
+          FROM b),
+    g AS (SELECT
+        CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+        CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        sum(CASE WHEN s = 0 THEN x ELSE 0.0 END) AS sxl,
+        sum(CASE WHEN s = 0 THEN x * x ELSE 0.0 END) AS sxxl,
+        sum(CASE WHEN s = 0 THEN y ELSE 0.0 END) AS syl,
+        sum(CASE WHEN s = 0 THEN y * y ELSE 0.0 END) AS syyl,
+        sum(CASE WHEN s = 0 THEN x * y ELSE 0.0 END) AS sxyl,
+        sum(CASE WHEN s = 1 THEN x ELSE 0.0 END) AS sxr,
+        sum(CASE WHEN s = 1 THEN x * x ELSE 0.0 END) AS sxxr,
+        sum(CASE WHEN s = 1 THEN y ELSE 0.0 END) AS syr,
+        sum(CASE WHEN s = 1 THEN y * y ELSE 0.0 END) AS syyr,
+        sum(CASE WHEN s = 1 THEN x * y ELSE 0.0 END) AS sxyr
+      FROM c),
+    o AS (SELECT nl, nr,
+        (sxyl - nl * (sxl / nl) * (syl / nl))
+          / (sxxl - nl * (sxl / nl) * (sxl / nl)) AS bl,
+        (sxyr - nr * (sxr / nr) * (syr / nr))
+          / (sxxr - nr * (sxr / nr) * (sxr / nr)) AS br,
+        sxl / nl AS mxl, syl / nl AS myl,
+        sxr / nr AS mxr, syr / nr AS myr,
+        sxxl - nl * (sxl / nl) * (sxl / nl) AS ssxl,
+        sxxr - nr * (sxr / nr) * (sxr / nr) AS ssxr,
+        syyl - nl * (syl / nl) * (syl / nl) AS ssyl,
+        syyr - nr * (syr / nr) * (syr / nr) AS ssyr,
+        sxyl - nl * (sxl / nl) * (syl / nl) AS ssxyl,
+        sxyr - nr * (sxr / nr) * (syr / nr) AS ssxyr
+      FROM g),
+    fin AS (SELECT nl, nr, bl, br,
+        (myr - br * mxr) - (myl - bl * mxl) AS tau,
+        sqrt(
+          ((ssyl - bl * ssxyl) / (nl - 2))
+            * (1.0 / nl + mxl * mxl / ssxl)
+          + ((ssyr - br * ssxyr) / (nr - 2))
+            * (1.0 / nr + mxr * mxr / ssxr)) AS se
+      FROM o)
+    SELECT nl AS n_left, nr AS n_right,
+      round(CASE WHEN nl >= 3 AND nr >= 3 THEN tau END, 6) + 0.0
+        AS tau,
+      round(CASE WHEN nl >= 3 AND nr >= 3 THEN se END, 6) + 0.0 AS se,
+      round(CASE WHEN nl >= 3 AND nr >= 3 THEN bl END, 6) + 0.0
+        AS slope_left,
+      round(CASE WHEN nl >= 3 AND nr >= 3 THEN br END, 6) + 0.0
+        AS slope_right
+    FROM fin
+    """,
+)
+def m_rdd(spark, sf_dir):
+    """Sharp regression discontinuity (operators/stats.rdd_sharp) on a
+    planted threshold design over events: running variable = value,
+    cutoff 50, bandwidth 40, outcome = 0.5·x + 30·1(x ≥ 50) +
+    deterministic hash noise — the estimator must recover tau ≈ 30
+    with near-equal slopes. ONE 12-counter conditional pass over the
+    bandwidth window + 1-row OLS closed forms per side; the oracle
+    replays every moment, both regressions and the intercept-variance
+    arithmetic."""
+    from pandasvcf_spark.operators.stats import rdd_sharp
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        F.col("value").alias("x"),
+        (
+            F.lit(0.5) * F.col("value")
+            + F.when(F.col("value") >= 50.0, F.lit(30.0)).otherwise(
+                F.lit(0.0)
+            )
+            + ((F.col("user_id") * 2654435761) % 11).cast("double")
+        ).alias("y"),
+    )
+    return rdd_sharp(b, "x", "y", cutoff=50.0, bandwidth=40.0)
+
+
+@register(
+    "m_kuiper",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT v,
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM b GROUP BY v),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM cells),
+    lad AS (SELECT
+        CAST(sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n0
+        - CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS DOUBLE) / tot.n1 AS gap,
+        tot.n0 AS n0, tot.n1 AS n1
+      FROM cells, tot),
+    g AS (SELECT max(n0) AS n0, max(n1) AS n1,
+          greatest(max(gap), CAST(0.0 AS DOUBLE)) AS dp,
+          greatest(max(-gap), CAST(0.0 AS DOUBLE)) AS dm
+          FROM lad),
+    lamt AS (SELECT n0, n1, dp + dm AS v,
+        (sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)) + 0.155
+         + 0.24 / sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)))
+          * (dp + dm) AS lam
+      FROM g)
+    SELECT n0, n1, round(v, 6) + 0.0 AS v,
+      round(greatest(least(2.0 * list_sum(list_transform(
+        generate_series(1, 100),
+        k -> (4.0 * k * k * lam * lam - 1.0)
+             * exp(-2.0 * k * k * lam * lam))), 1.0), 0.0), 6)
+        + 0.0 AS p_value
+    FROM lamt
+    """,
+)
+def m_kuiper(spark, sf_dir):
+    """Two-sample Kuiper test (operators/stats.kuiper_2sample) of
+    user-parity value distributions — the cyclic/tail-balanced member
+    of the ECDF-ladder family: D+ + D− instead of sup|gap|, with the
+    Numerical-Recipes lambda and the 100-term Kuiper series as a HOF
+    fold the oracle replays term-for-term."""
+    from pandasvcf_spark.operators.stats import kuiper_2sample
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round("value", 0).alias("v"),
+    )
+    return kuiper_2sample(b, "f", "v")
+
+
+@register(
+    "m_anderson_darling",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS f, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT v,
+        CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
+      FROM b GROUP BY v),
+    tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+                   CAST(sum(c1) AS BIGINT) AS n1 FROM cells),
+    lad AS (SELECT tot.n0 AS n0, tot.n1 AS n1, c0 + c1 AS l,
+        coalesce(sum(c0 + c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0.0) + (c0 + c1) / 2 AS ba,
+        coalesce(sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0.0) + c0 / 2 AS ma0,
+        coalesce(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0.0) + c1 / 2 AS ma1
+      FROM cells, tot),
+    terms AS (SELECT n0, n1,
+        (l / (n0 + n1)) * (CASE WHEN
+            ba * ((n0 + n1) - ba) - (n0 + n1) * l / 4 > 0
+          THEN (((n0 + n1) * ma0 - n0 * ba)
+                  * ((n0 + n1) * ma0 - n0 * ba) / n0
+              + ((n0 + n1) * ma1 - n1 * ba)
+                  * ((n0 + n1) * ma1 - n1 * ba) / n1)
+            / (ba * ((n0 + n1) - ba) - (n0 + n1) * l / 4)
+          ELSE 0.0 END) AS term
+      FROM lad),
+    g AS (SELECT max(n0) AS n0, max(n1) AS n1, sum(term) AS s,
+                 count(*) AS cells FROM terms)
+    SELECT n0, n1,
+      round(CASE WHEN n0 > 0 AND n1 > 0 AND cells > 1
+        THEN CAST(n0 + n1 - 1 AS DOUBLE) / (n0 + n1) * s END, 6)
+        + 0.0 AS a2
+    FROM g
+    """,
+)
+def m_anderson_darling(spark, sf_dir):
+    """Two-sample Anderson-Darling statistic (operators/stats.
+    anderson_darling_2samp; Scholz-Stephens midrank A²akN) of
+    user-parity value distributions — the tail-weighted ECDF-ladder
+    member: per-cell gaps divided by their binomial variance, so tail
+    disagreement dominates. The oracle replays the midrank cumulative
+    ladder and every per-cell term."""
+    from pandasvcf_spark.operators.stats import anderson_darling_2samp
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("f"),
+        F.round("value", 0).alias("v"),
+    )
+    return anderson_darling_2samp(b, "f", "v")
+
+
+@register(
+    "m_cox_stuart",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    rn AS (SELECT row_number() OVER (ORDER BY h) AS r,
+                  count(*) OVER () AS n, v
+           FROM hourly),
+    m AS (SELECT CAST(ceil(CAST(max(n) AS DOUBLE) / 2) AS INTEGER)
+                   AS m FROM rn),
+    pairs AS (
+      SELECT l.v AS x1, r2.v AS x2
+      FROM (SELECT r + m.m AS k, v FROM rn, m
+            WHERE r <= n - m.m) l
+      JOIN (SELECT r AS k, v FROM rn) r2 USING (k)),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS s_plus,
+        CAST(sum(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS s_minus
+      FROM pairs)
+    SELECT n_pairs, s_plus, s_minus,
+      round(CASE WHEN s_plus + s_minus > 0 THEN
+        (CASE WHEN s_plus >= s_minus THEN 1.0 ELSE -1.0 END)
+        * greatest((abs(CAST(s_plus AS DOUBLE)
+                        - (s_plus + s_minus) / 2.0) - 0.5)
+                   / sqrt((s_plus + s_minus) / 4.0),
+                   CAST(0.0 AS DOUBLE))
+        END, 6) + 0.0 AS z
+    FROM g
+    """,
+)
+def m_cox_stuart(spark, sf_dir):
+    """Cox-Stuart trend test (operators/stats.cox_stuart) on the
+    hourly event-count series — the sign-test triage beside
+    m_mann_kendall's full Kendall grid: first half vs second half
+    position-paired, continuity-corrected binomial z. The oracle
+    replays the rollup, the rank/offset pairing join, and the z
+    arithmetic."""
+    from pandasvcf_spark.operators.stats import cox_stuart
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return cox_stuart(hourly, "h", "v")
+
+
+@register(
+    "m_conover",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 3 AS INTEGER) AS g, round(value, 0) AS x
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    means AS (SELECT g, avg(x) AS m FROM b GROUP BY g),
+    dev AS (SELECT b.g, abs(b.x - means.m) AS u
+            FROM b JOIN means USING (g)),
+    grid AS (SELECT g, u, CAST(count(*) AS DOUBLE) AS c
+             FROM dev GROUP BY g, u),
+    cells AS (SELECT u, sum(c) AS t FROM grid GROUP BY u),
+    lad AS (SELECT u,
+        coalesce(sum(t) OVER (ORDER BY u ROWS BETWEEN UNBOUNDED
+          PRECEDING AND 1 PRECEDING), 0.0) + (t + 1) / 2 AS mr
+      FROM cells),
+    per_g AS (SELECT g, sum(c) AS ni,
+        sum(c * mr * mr) AS si,
+        sum(c * mr * mr * mr * mr) AS r4
+      FROM grid JOIN lad USING (u) GROUP BY g),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        CAST(sum(ni) AS BIGINT) AS n,
+        sum(si) AS stot, sum(r4) AS r4tot,
+        sum(si * si / ni) AS ssq
+      FROM per_g)
+    SELECT k, n,
+      round(CASE WHEN k >= 2 AND
+          (r4tot - n * (stot / n) * (stot / n)) / (n - 1) > 0
+        THEN (ssq - n * (stot / n) * (stot / n))
+          / ((r4tot - n * (stot / n) * (stot / n)) / (n - 1)) END, 6)
+        + 0.0 AS t
+    FROM f
+    """,
+)
+def m_conover(spark, sf_dir):
+    """Conover squared-ranks K-sample variance test (operators/stats.
+    conover_squared_ranks) across three user-residue groups — the rank
+    scale test between ansari_bradley (two-sample) and fligner (normal
+    scores): midranks of |x − group mean| squared and chi-squared. The
+    oracle replays the group means, the deviation grid, the pooled
+    midrank ladder and all three folds."""
+    from pandasvcf_spark.operators.stats import conover_squared_ranks
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 3).cast("int").alias("g"),
+        F.round("value", 0).alias("x"),
+    )
+    return conover_squared_ranks(b, "g", "x")
+
+
+@register(
     "m_wasserstein",
     oracle="""
     WITH b AS (

@@ -930,6 +930,23 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "m_kuiper",              # cyclic ECDF sup-gaps: ks_2sample's
+                                 # ladder (m_ks_2sample in tail,
+                                 # m_fdr_bh's ladders in window)
+        "m_anderson_darling",    # tail-weighted ECDF ladder, same
+                                 # cell device; replica pytest
+        "m_conover",             # K-sample squared-rank variance:
+                                 # midrank ladder (m_kruskal_wallis in
+                                 # window)
+        "m_cox_stuart",          # sign-test trend triage: series
+                                 # window + offset equi-join
+                                 # (m_mann_kendall machinery in tail)
+        "m_iv_wald",             # binary-instrument LATE: the m_did
+                                 # (window) conditional-pass family
+        "m_event_study",         # per-period DiD leads-and-lags:
+                                 # m_did (window) unrolled over time
+        "m_rdd",                 # sharp RDD local-linear: m_ols-style
+                                 # closed-form fits, m_did family
         "t_bigram_logprob",      # interpolated Kneser-Ney bigram LM:
                                  # proper-smoothing upgrade of
                                  # t_bigram_lm (tail) on the same

@@ -2811,3 +2811,279 @@ def test_cohens_d_hedges_g_replay(spark):
     r = cohens_d(df, "f", "v").collect()[0]
     assert (r["n0"], r["n1"]) == (4, 3)
     assert (r["d"], r["g"]) == (round(d, 6), round(g, 6))
+
+
+def test_kuiper_and_anderson_darling_vs_replicas(spark):
+    """Kuiper V/p and Scholz-Stephens A2akN against pure-Python
+    replicas on a shifted+scaled two-group fixture, plus the
+    same-distribution sanity (small a2, p near 1)."""
+    import bisect
+    import math
+    import random
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import (
+        anderson_darling_2samp,
+        kuiper_2sample,
+    )
+
+    rng = random.Random(7)
+    data = [
+        (i % 2, round(rng.gauss(0.3 * (i % 2), 1 + 0.5 * (i % 2)), 1))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(data, "f int, v double")
+
+    x0 = sorted(v for f, v in data if f == 0)
+    x1 = sorted(v for f, v in data if f == 1)
+    vals = sorted(set(x0) | set(x1))
+
+    def ecdf(xs, v):
+        return bisect.bisect_right(xs, v) / len(xs)
+
+    dp = max(max(0.0, ecdf(x0, v) - ecdf(x1, v)) for v in vals)
+    dm = max(max(0.0, ecdf(x1, v) - ecdf(x0, v)) for v in vals)
+    vstat = dp + dm
+    en = len(x0) * len(x1) / (len(x0) + len(x1))
+    lam = (math.sqrt(en) + 0.155 + 0.24 / math.sqrt(en)) * vstat
+    p = 2 * sum(
+        (4 * k * k * lam * lam - 1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    p = max(0.0, min(1.0, p))
+    r = kuiper_2sample(df, "f", "v").collect()[0]
+    assert (r["v"], r["p_value"]) == (round(vstat, 6), round(p, 6))
+
+    n = len(x0) + len(x1)
+    pooled = Counter(v for _, v in data)
+    c0, c1 = Counter(x0), Counter(x1)
+    cum = cum0 = cum1 = 0
+    s = 0.0
+    for z in sorted(pooled):
+        lj = pooled[z]
+        ba = cum + lj / 2
+        ma0 = cum0 + c0[z] / 2
+        ma1 = cum1 + c1[z] / 2
+        denom = ba * (n - ba) - n * lj / 4
+        if denom > 0:
+            s += (
+                lj
+                / n
+                * (
+                    (n * ma0 - len(x0) * ba) ** 2 / len(x0)
+                    + (n * ma1 - len(x1) * ba) ** 2 / len(x1)
+                )
+                / denom
+            )
+        cum += lj
+        cum0 += c0[z]
+        cum1 += c1[z]
+    a2 = (n - 1) / n * s
+    r = anderson_darling_2samp(df, "f", "v").collect()[0]
+    assert r["a2"] == round(a2, 6)
+    assert r["a2"] > 3.752  # clearly different at the 1% point
+
+    same = spark.createDataFrame(
+        [(i % 2, float(i % 37)) for i in range(200)], "f int, v double"
+    )
+    assert anderson_darling_2samp(same, "f", "v").collect()[0]["a2"] < 1.0
+    assert kuiper_2sample(same, "f", "v").collect()[0]["p_value"] > 0.9
+
+
+def test_cox_stuart_and_conover_vs_replicas(spark):
+    """Cox-Stuart on a noisy monotone series (replica-exact, strongly
+    positive z; reversed series flips the sign) and Conover squared
+    ranks on a 3-group unequal-variance fixture (replica-exact)."""
+    import math
+    import random
+    from collections import Counter
+
+    from pandasvcf_spark.operators.stats import (
+        conover_squared_ranks,
+        cox_stuart,
+    )
+
+    rng = random.Random(7)
+    ser = [(i, float(i) + rng.gauss(0, 2)) for i in range(101)]
+    sdf = spark.createDataFrame(ser, "t int, v double")
+    n = len(ser)
+    m = (n + 1) // 2
+    xs = [v for _, v in ser]
+    sp = sum(1 for i in range(n - m) if xs[i + m] > xs[i])
+    sm = sum(1 for i in range(n - m) if xs[i + m] < xs[i])
+    np_ = sp + sm
+    zmag = (abs(sp - np_ / 2) - 0.5) / math.sqrt(np_ / 4)
+    z = max(zmag, 0.0) if sp >= sm else -max(zmag, 0.0)
+    r = cox_stuart(sdf, "t", "v").collect()[0]
+    assert (r["n_pairs"], r["s_plus"], r["s_minus"], r["z"]) == (
+        n - m, sp, sm, round(z, 6),
+    )
+    assert r["z"] > 3
+    rev = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(reversed(ser))],
+        "t int, v double",
+    )
+    assert cox_stuart(rev, "t", "v").collect()[0]["z"] == round(-z, 6)
+
+    groups = {
+        0: [round(rng.gauss(0, 1), 1) for _ in range(120)],
+        1: [round(rng.gauss(0, 2), 1) for _ in range(150)],
+        2: [round(rng.gauss(0, 4), 1) for _ in range(130)],
+    }
+    rows = [(g, x) for g, v in groups.items() for x in v]
+    df = spark.createDataFrame(rows, "g int, x double")
+    means = {g: sum(v) / len(v) for g, v in groups.items()}
+    us = [(g, abs(x - means[g])) for g, x in rows]
+    cnt = Counter(u for _, u in us)
+    cum = 0
+    mr = {}
+    for u in sorted(cnt):
+        mr[u] = cum + (cnt[u] + 1) / 2
+        cum += cnt[u]
+    nn = len(us)
+    s_i = {
+        g: sum(mr[u] ** 2 for gg, u in us if gg == g) for g in groups
+    }
+    r4 = sum(mr[u] ** 4 for _, u in us)
+    sbar = sum(s_i.values()) / nn
+    d2 = (r4 - nn * sbar * sbar) / (nn - 1)
+    t = (
+        sum(s_i[g] ** 2 / len(groups[g]) for g in groups)
+        - nn * sbar * sbar
+    ) / d2
+    r = conover_squared_ranks(df, "g", "x").collect()[0]
+    assert (r["k"], r["n"], r["t"]) == (3, nn, round(t, 6))
+    assert r["t"] > 50  # planted 1:2:4 sd spread is unmissable
+
+
+def test_iv_wald_event_study_rdd_vs_replicas(spark):
+    """The round-11 causal trio against pure-Python replicas on
+    planted designs: IV/Wald recovers a LATE of 2 on an encouragement
+    design; event_study reads ~0 pre-period and ~1.5 post-period
+    effects; sharp RDD recovers a 2.5 jump with matching slopes."""
+    import collections
+    import math
+    import random
+
+    from pandasvcf_spark.operators.stats import (
+        event_study,
+        iv_wald,
+        rdd_sharp,
+    )
+
+    rng = random.Random(3)
+
+    rows = []
+    for i in range(2000):
+        z = i % 2
+        t = 1 if (rng.random() < 0.2 + 0.5 * z) else 0
+        y = 2.0 * t + rng.gauss(0, 1)
+        rows.append((z, float(t), round(y, 3)))
+    df = spark.createDataFrame(rows, "z int, t double, y double")
+    arm = {z: [r for r in rows if r[0] == z] for z in (0, 1)}
+
+    def mom(a):
+        n = len(a)
+        ys = [r[2] for r in a]
+        ts = [r[1] for r in a]
+        my, mt = sum(ys) / n, sum(ts) / n
+        vy = sum((v - my) ** 2 for v in ys) / (n - 1)
+        vt = sum((v - mt) ** 2 for v in ts) / (n - 1)
+        cyt = sum((r[2] - my) * (r[1] - mt) for r in a) / (n - 1)
+        return n, my, mt, vy, vt, cyt
+
+    n0, my0, mt0, vy0, vt0, c0 = mom(arm[0])
+    n1, my1, mt1, vy1, vt1, c1 = mom(arm[1])
+    itt, fs = my1 - my0, mt1 - mt0
+    late = itt / fs
+    se = math.sqrt(
+        vy1 / n1 + vy0 / n0
+        + late * late * (vt1 / n1 + vt0 / n0)
+        - 2 * late * (c1 / n1 + c0 / n0)
+    ) / abs(fs)
+    r = iv_wald(df, "z", "t", "y").collect()[0]
+    assert (r["n0"], r["n1"], r["itt"], r["fs"], r["late"], r["se"]) == (
+        n0, n1, round(itt, 6), round(fs, 6), round(late, 6), round(se, 6),
+    )
+    assert abs(r["late"] - 2.0) < 3 * r["se"]
+
+    rows = []
+    for u in range(300):
+        t = u % 2
+        for k in range(-3, 4):
+            y = 0.5 * k + (1.5 if (t == 1 and k >= 0) else 0.0) + rng.gauss(0, 1)
+            rows.append((t, k, round(y, 3)))
+    df = spark.createDataFrame(rows, "t int, k int, y double")
+    out = {
+        r["period"]: (r["n_treat"], r["n_ctrl"], r["effect"], r["se"])
+        for r in event_study(df, "t", "k", "y").collect()
+    }
+    cells = collections.defaultdict(list)
+    for t, k, y in rows:
+        cells[(t, k)].append(y)
+
+    def m(c):
+        return sum(c) / len(c)
+
+    def v(c):
+        mm = m(c)
+        return sum((x - mm) ** 2 for x in c) / (len(c) - 1)
+
+    assert -1 not in out  # the reference period never reports on itself
+    for k in (-3, -2, 0, 1, 2, 3):
+        eff = (m(cells[(1, k)]) - m(cells[(1, -1)])) - (
+            m(cells[(0, k)]) - m(cells[(0, -1)])
+        )
+        sek = math.sqrt(
+            v(cells[(1, k)]) / len(cells[(1, k)])
+            + v(cells[(1, -1)]) / len(cells[(1, -1)])
+            + v(cells[(0, k)]) / len(cells[(0, k)])
+            + v(cells[(0, -1)]) / len(cells[(0, -1)])
+        )
+        assert out[k] == (
+            len(cells[(1, k)]), len(cells[(0, k)]),
+            round(eff, 6), round(sek, 6),
+        )
+    assert abs(out[-3][2]) < 0.5 and out[2][2] > 1.0  # flat pre, jump post
+
+    rows = []
+    for _ in range(3000):
+        x = rng.uniform(-2, 2)
+        y = 1.0 + 0.8 * x + (2.5 if x >= 0 else 0.0) + rng.gauss(0, 0.5)
+        rows.append((round(x, 4), round(y, 4)))
+    df = spark.createDataFrame(rows, "x double, y double")
+    h = 1.0
+
+    def ols(side):
+        pts = (
+            [(x, y) for x, y in rows if 0 <= x <= h]
+            if side == "r"
+            else [(x, y) for x, y in rows if -h <= x < 0]
+        )
+        n = len(pts)
+        mx = sum(p[0] for p in pts) / n
+        my = sum(p[1] for p in pts) / n
+        sxx = sum(p[0] ** 2 for p in pts) - n * mx * mx
+        sxy = sum(p[0] * p[1] for p in pts) - n * mx * my
+        syy = sum(p[1] ** 2 for p in pts) - n * my * my
+        b = sxy / sxx
+        a = my - b * mx
+        s2 = (syy - b * sxy) / (n - 2)
+        return n, a, b, s2 * (1 / n + mx * mx / sxx)
+
+    nl, al, bl, val_ = ols("l")
+    nr, ar, br, var_ = ols("r")
+    r = rdd_sharp(df, "x", "y", 0.0, h).collect()[0]
+    assert (
+        r["n_left"], r["n_right"], r["tau"], r["se"],
+        r["slope_left"], r["slope_right"],
+    ) == (
+        nl, nr, round(ar - al, 6), round(math.sqrt(val_ + var_), 6),
+        round(bl, 6), round(br, 6),
+    )
+    assert abs(r["tau"] - 2.5) < 3 * r["se"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bandwidth"):
+        rdd_sharp(df, "x", "y", 0.0, 0.0)
