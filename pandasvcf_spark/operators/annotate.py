@@ -606,6 +606,118 @@ def mendel_check(
     return piv.select(*site_cols, "c1", "c2", status.alias("status"))
 
 
+def tdt_test(
+    df: DataFrame,
+    site_cols: list[str],
+    sample_col: str,
+    child,
+    father,
+    mother,
+    a1_col: str = "a1",
+    a2_col: str = "a2",
+    ref: str = "A",
+    missing: str = ".",
+) -> DataFrame:
+    """Transmission disequilibrium test (Spielman, McGinnis & Ewens
+    1993; plink --tdt) for one trio — the family-based association
+    test immune to population stratification: across all sites, did
+    heterozygous parents transmit the alternate allele to the child
+    more often than the 50:50 Mendel expectation?
+
+        b    = alt transmissions from het parents
+        c    = ref transmissions from het parents
+        chi2 = (b - c)² / (b + c)          ~ chi²(1) (McNemar form)
+
+    Transmission counts come from pure dosage arithmetic on the
+    `mendel_check`-consistent complete trios (tc/tf/tm = alt-allele
+    dosage of child/father/mother, het = dosage 1): hom parents
+    transmit dosage/2 alt alleles deterministically, so het-parent alt
+    transmissions = tc − Σ_hom dosage/2 — exact for every consistent
+    trio, including both-parents-het (non-ref alleles lump as 'alt',
+    the biallelic-TDT convention for multi-alt sites). Inconsistent or
+    incomplete sites are excluded and accounted.
+
+    Output: ONE row (n_sites_used, n_informative, b, c BIGINT, chi2
+    DOUBLE round 6 — n_informative = het-parent transmissions = b + c;
+    chi2 NULL when no informative transmission exists).
+
+    Plan: the mendel_check pivot groupBy (sites × 6 short strings of
+    shuffle), the consistency CASE, dosage arithmetic per site, one
+    1-row fold."""
+    s = F.col(sample_col)
+    a1, a2 = F.col(a1_col), F.col(a2_col)
+
+    def slot(member, a):
+        return F.max(F.when(s == F.lit(member), a))
+
+    piv = df.filter(
+        s.isin([child, father, mother])
+    ).groupBy(*site_cols).agg(
+        slot(child, a1).alias("__c1"),
+        slot(child, a2).alias("__c2"),
+        slot(father, a1).alias("__f1"),
+        slot(father, a2).alias("__f2"),
+        slot(mother, a1).alias("__m1"),
+        slot(mother, a2).alias("__m2"),
+    )
+
+    def called(x1, x2):
+        return (
+            x1.isNotNull() & x2.isNotNull()
+            & (x1 != missing) & (x2 != missing)
+        )
+
+    c1, c2 = F.col("__c1"), F.col("__c2")
+    f1, f2 = F.col("__f1"), F.col("__f2")
+    m1, m2 = F.col("__m1"), F.col("__m2")
+    complete = called(c1, c2) & called(f1, f2) & called(m1, m2)
+    from_f = lambda x: (x == f1) | (x == f2)
+    from_m = lambda x: (x == m1) | (x == m2)
+    consistent = (from_f(c1) & from_m(c2)) | (from_m(c1) & from_f(c2))
+
+    def dose(x1, x2):
+        return (
+            F.when(x1 != ref, 1).otherwise(0)
+            + F.when(x2 != ref, 1).otherwise(0)
+        ).cast("long")
+
+    ok = complete & consistent
+    site = piv.select(
+        F.when(ok, 1).otherwise(0).cast("long").alias("__used"),
+        F.when(ok, dose(c1, c2)).alias("__tc"),
+        F.when(ok, dose(f1, f2)).alias("__tf"),
+        F.when(ok, dose(m1, m2)).alias("__tm"),
+    )
+    hf = F.when(F.col("__tf") == 1, 1).otherwise(0).cast("long")
+    hm = F.when(F.col("__tm") == 1, 1).otherwise(0).cast("long")
+    thom = (
+        (1 - hf) * F.col("__tf") + (1 - hm) * F.col("__tm")
+    ) / F.lit(2)
+    b_site = (F.col("__tc") - thom).cast("long")
+    g = site.agg(
+        F.sum("__used").cast("long").alias("n_sites_used"),
+        F.coalesce(F.sum(hf + hm), F.lit(0)).cast("long").alias(
+            "n_informative"
+        ),
+        F.coalesce(F.sum(b_site), F.lit(0)).cast("long").alias("b"),
+        F.coalesce(F.sum(hf + hm - b_site), F.lit(0)).cast("long")
+        .alias("c"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    chi2 = (bd - cd) * (bd - cd) / (bd + cd)
+    return g.select(
+        "n_sites_used",
+        "n_informative",
+        "b",
+        "c",
+        (
+            F.round(F.when(F.col("n_informative") > 0, chi2), 6)
+            + F.lit(0.0)
+        ).alias("chi2"),
+    )
+
+
 def af_spectrum(
     df: DataFrame,
     site_cols: list[str],

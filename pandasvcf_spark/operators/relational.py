@@ -3987,6 +3987,51 @@ def geo_near_join(
     )
 
 
+def geo_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    radius_km: float,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 85.0,
+) -> DataFrame:
+    """Radius-bounded k-nearest-neighbor geo join — "the k closest
+    stores/sensors/cells within r km of each point", the per-point
+    ranked refinement of `geo_near_join`: the banded candidate join
+    supplies every in-radius pair (never all-pairs), then one rank
+    window per left point keeps the k nearest with the deterministic
+    total order (distance_km ASC, right id ASC — equal-distance ties
+    never depend on partitioning). Self-pairs (same id on both sides)
+    are excluded.
+
+    BOUNDED-search contract: a point with fewer than k in-radius
+    neighbors returns fewer rows — by design (the radius is the
+    business rule; exact UNbounded kNN needs expanding-ring probes and
+    is a different cost class). Output: (id_a, id_b,
+    distance_km DOUBLE round 6, rank INT 1-based).
+
+    Plan: geo_near_join's lat-band grid + 3x3 equi-join + haversine
+    verify, then ONE window partitioned by id_a — per-point candidate
+    lists, never a global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = geo_near_join(
+        left, right, radius_km,
+        left_id=left_id, right_id=right_id,
+        lat_col=lat_col, lon_col=lon_col, max_abs_lat=max_abs_lat,
+    ).filter(F.col("id_a") != F.col("id_b"))
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("distance_km").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def morans_i(
     points: DataFrame,
     pairs: DataFrame,

@@ -677,6 +677,65 @@ def bigram_lm_stats(
     )
 
 
+def mattr_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010) — the
+    length-independent lexical-diversity score: plain TTR
+    (types/tokens) collapses as documents grow (Heaps' law), so MATTR
+    averages the TTR of every `window`-token sliding window instead,
+    making a 100-word note and a 10k-word article comparable — the
+    vocabulary-richness quality signal beside `repetition_stats` (a
+    spun/templated document shows low MATTR long before its global TTR
+    looks odd). Documents shorter than the window score their single
+    full-length TTR (the standard fallback). Output: (id, n_tokens
+    BIGINT, mattr DOUBLE round 6); docs with no words drop out.
+
+    Plan: pure per-row HOFs — the token array binds once
+    (`bound_expr`), each window position takes
+    size(array_distinct(slice)) — O(L·W) work per document with NO
+    shuffle at all (embarrassingly parallel over the corpus; W is a
+    constant). The oracle replays the same slices with DuckDB list
+    functions."""
+    from pandasvcf_spark.functions.text import bound_expr, words_expr
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = words_expr(F.col(text_col))
+    mattr = bound_expr(
+        w,
+        lambda ws: F.when(
+            F.size(ws) <= window,
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws),
+        ).otherwise(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - window + 1),
+                    lambda i: F.size(
+                        F.array_distinct(F.slice(ws, i, window))
+                    ).cast("double")
+                    / window,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / (F.size(ws) - window + 1).cast("double")
+        ),
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(w).cast("long").alias("n_tokens"),
+            F.round(mattr, 6).alias("mattr"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
 def bigram_kn_stats(
     df: DataFrame,
     id_col: str = "doc_id",

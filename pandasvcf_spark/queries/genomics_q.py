@@ -1046,6 +1046,78 @@ def g_mendel(spark, sf_dir):
 
 
 @register(
+    "g_tdt",
+    oracle=_GENO_CTE
+    + """
+    , piv AS (
+      SELECT l_orderkey,
+        max(CASE WHEN l_linenumber = 1 THEN a1 END) AS c1,
+        max(CASE WHEN l_linenumber = 1 THEN a2 END) AS c2,
+        max(CASE WHEN l_linenumber = 2 THEN a1 END) AS f1,
+        max(CASE WHEN l_linenumber = 2 THEN a2 END) AS f2,
+        max(CASE WHEN l_linenumber = 3 THEN a1 END) AS m1,
+        max(CASE WHEN l_linenumber = 3 THEN a2 END) AS m2
+      FROM ann WHERE l_linenumber IN (1, 2, 3) GROUP BY l_orderkey),
+    ok AS (
+      SELECT *,
+        (c1 IS NOT NULL AND c2 IS NOT NULL AND f1 IS NOT NULL
+         AND f2 IS NOT NULL AND m1 IS NOT NULL AND m2 IS NOT NULL
+         AND c1 <> '.' AND c2 <> '.' AND f1 <> '.' AND f2 <> '.'
+         AND m1 <> '.' AND m2 <> '.'
+         AND (((c1 = f1 OR c1 = f2) AND (c2 = m1 OR c2 = m2))
+           OR ((c1 = m1 OR c1 = m2) AND (c2 = f1 OR c2 = f2))))
+          AS used
+      FROM piv),
+    dos AS (
+      SELECT CASE WHEN used THEN 1 ELSE 0 END AS used,
+        CASE WHEN used THEN
+          (CASE WHEN c1 <> 'A' THEN 1 ELSE 0 END)
+          + (CASE WHEN c2 <> 'A' THEN 1 ELSE 0 END) END AS tc,
+        CASE WHEN used THEN
+          (CASE WHEN f1 <> 'A' THEN 1 ELSE 0 END)
+          + (CASE WHEN f2 <> 'A' THEN 1 ELSE 0 END) END AS tf,
+        CASE WHEN used THEN
+          (CASE WHEN m1 <> 'A' THEN 1 ELSE 0 END)
+          + (CASE WHEN m2 <> 'A' THEN 1 ELSE 0 END) END AS tm
+      FROM ok),
+    terms AS (
+      SELECT used,
+        CASE WHEN tf = 1 THEN 1 ELSE 0 END AS hf,
+        CASE WHEN tm = 1 THEN 1 ELSE 0 END AS hm,
+        tc, tf, tm
+      FROM dos),
+    site AS (
+      SELECT used, hf + hm AS inf,
+        tc - ((1 - hf) * tf + (1 - hm) * tm) / 2 AS b_site
+      FROM terms),
+    tdtg AS (
+      SELECT CAST(sum(used) AS BIGINT) AS n_sites_used,
+        CAST(coalesce(sum(inf), 0) AS BIGINT) AS n_informative,
+        CAST(coalesce(sum(b_site), 0) AS BIGINT) AS b,
+        CAST(coalesce(sum(inf - b_site), 0) AS BIGINT) AS c
+      FROM site)
+    SELECT n_sites_used, n_informative, b, c,
+      round(CASE WHEN n_informative > 0 THEN
+        (CAST(b AS DOUBLE) - c) * (CAST(b AS DOUBLE) - c)
+          / (CAST(b AS DOUBLE) + c) END, 6) + 0.0 AS chi2
+    FROM tdtg
+    """,
+)
+def g_tdt(spark, sf_dir):
+    """Transmission disequilibrium test (operators/annotate.tdt_test;
+    Spielman et al. 1993, plink --tdt) over the derived trio
+    (pseudo-samples 1/2/3 as child/father/mother): het-parent alt vs
+    ref transmissions, McNemar chi2 = (b-c)²/(b+c), with transmission
+    counts as exact dosage arithmetic over the mendel-consistent
+    complete sites. The oracle replays the pivot, the consistency
+    screen, the dosage fold and the chi2."""
+    from pandasvcf_spark.operators.annotate import tdt_test
+
+    d = _gt_parsed(spark, sf_dir)
+    return tdt_test(d, ["l_orderkey"], "l_linenumber", 1, 2, 3)
+
+
+@register(
     "g_hwe",
     oracle=_GENO_CTE
     + """

@@ -2725,6 +2725,60 @@ def m_fdr_bh(spark, sf_dir):
 
 
 @register(
+    "j_geo_knn",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 2654435761) % 140000 AS DOUBLE) / 1000.0
+               - 70.0 AS lat,
+             CAST((c_custkey * 40503) % 360000 AS DOUBLE) / 1000.0
+               - 180.0 AS lon
+      FROM customer),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             2 * 6371.0088 * asin(sqrt(least(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2), 1.0)))
+               AS d
+      FROM pts a JOIN pts b ON a.id <> b.id),
+    rk AS (
+      SELECT id_a, id_b, d,
+        CAST(row_number() OVER (PARTITION BY id_a
+          ORDER BY d ASC, id_b ASC) AS INTEGER) AS rank
+      FROM pairs WHERE d <= 1500.0)
+    SELECT id_a, id_b, round(d, 6) AS distance_km, rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def j_geo_knn(spark, sf_dir):
+    """Radius-bounded 3-nearest-neighbor geo join (operators/
+    relational.geo_knn_join) over the j_geo_near customer coordinates
+    at 1500 km: the banded candidate join + one per-point rank window
+    with the deterministic (distance, id) total order. The oracle is
+    the brute-force all-pairs haversine + the same window — the
+    strongest check that banding plus ranking misses nothing."""
+    from pandasvcf_spark.operators.relational import geo_knn_join
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            ((F.col("c_custkey") * 2654435761) % 140000).cast("double")
+            / 1000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * 40503) % 360000).cast("double")
+            / 1000.0
+            - 180.0
+        ).alias("lon"),
+    )
+    return geo_knn_join(pts, pts, k=3, radius_km=1500.0,
+                        left_id="id", right_id="id")
+
+
+@register(
     "j_geo_near",
     oracle="""
     WITH pts AS (

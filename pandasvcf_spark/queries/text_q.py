@@ -2384,6 +2384,111 @@ def t_bigram_logprob(spark, sf_dir):
 
 
 @register(
+    "t_mattr",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS} AS w FROM documents
+      WHERE text IS NOT NULL),
+    nz AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0)
+    SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens,
+      round(CASE WHEN n <= 50
+        THEN CAST(len(list_distinct(w)) AS DOUBLE) / n
+        ELSE list_sum(list_transform(generate_series(1, n - 50 + 1),
+          i -> CAST(len(list_distinct(w[i:i+49])) AS DOUBLE) / 50))
+          / (n - 50 + 1)
+        END, 6) AS mattr
+    FROM nz
+    """,
+)
+def t_mattr(spark, sf_dir):
+    """Moving-average type-token ratio (operators/text_features.
+    mattr_stats; Covington & McFall 2010) at window 50 — the
+    length-independent lexical-diversity quality signal: mean TTR over
+    every 50-token sliding window, full-length TTR for shorter docs.
+    Pure per-row HOFs, zero shuffle; the oracle replays every window
+    slice with DuckDB list functions in the same fold order."""
+    from pandasvcf_spark.operators.text_features import mattr_stats
+
+    return mattr_stats(load(spark, sf_dir, "documents"), window=50)
+
+
+def _textrank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank over the undirected
+    adjacent-word graph — the _pagerank_oracle device with a word-graph
+    edge CTE (string node ids)."""
+    parts = [
+        f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    wd AS (
+      SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws
+      FROM docs WHERE len(ws) >= 1),
+    seqt AS (
+      SELECT ws[p] AS w, CASE WHEN p > 1 THEN ws[p - 1] END AS prev
+      FROM wd),
+    eb AS (SELECT prev AS a, w AS b FROM seqt WHERE prev IS NOT NULL),
+    e AS (SELECT DISTINCT a, b FROM
+          (SELECT a, b FROM eb UNION ALL SELECT b AS a, a AS b FROM eb)),
+    nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+    deg AS (SELECT a, count(*) AS dg FROM e GROUP BY a),
+    p AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / n AS rank FROM nodes, p)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+    d{i} AS (SELECT COALESCE(sum(rank), 0) AS m FROM r{i}
+             LEFT JOIN deg ON r{i}.id = deg.a WHERE deg.a IS NULL),
+    c{i} AS (SELECT e.b AS id, sum(r{i}.rank / deg.dg) AS inflow
+             FROM e JOIN deg ON e.a = deg.a JOIN r{i} ON e.a = r{i}.id
+             GROUP BY e.b),
+    r{i + 1} AS (SELECT nodes.id,
+                 (1 - {d}) / p.n + {d} * (d{i}.m / p.n
+                                          + COALESCE(c{i}.inflow, 0)) AS rank
+                 FROM nodes CROSS JOIN p CROSS JOIN d{i}
+                 LEFT JOIN c{i} ON nodes.id = c{i}.id)""")
+    parts.append(f"""
+    SELECT id AS word, round(rank, 9) AS rank FROM r{iters}
+    """)
+    return "".join(parts)
+
+
+@register("t_textrank", oracle=_textrank_oracle())
+def t_textrank(spark, sf_dir):
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the undirected adjacent-word co-occurrence graph of the corpus —
+    graph-centrality keyword extraction, composed ENTIRELY from owned
+    machinery: the bigram position chain (t_bigram_lm) builds the edge
+    list, operators/graph.pagerank (3 fixed rounds, dangling-corrected)
+    ranks it. The catalog entry verifies the FULL (word, rank) vector
+    to 1e-9 (stronger than a top-k cut, and immune to float-tie
+    boundary order); keyword extraction is an ORDER BY rank DESC away.
+    The oracle is the unrolled PageRank definition over the same word
+    graph (the g_pagerank device with string node ids)."""
+    from pyspark.sql import Window
+
+    from pandasvcf_spark.functions.text import words_expr
+    from pandasvcf_spark.operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.posexplode(words_expr("text")).alias("__p", "__w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__p")
+    seq = d.withColumn("__prev", F.lag("__w").over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    eb = seq.select(
+        F.col("__prev").alias("src"), F.col("__w").alias("dst")
+    )
+    edges = eb.unionAll(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = pagerank(edges, damping=0.85, iters=3)
+    return out.select(
+        F.col("id").alias("word"), F.round("rank", 9).alias("rank")
+    )
+
+
+@register(
     "t_pmi_pairs",
     oracle=f"""
     WITH d AS (

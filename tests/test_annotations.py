@@ -791,3 +791,54 @@ def test_hudson_fst_hand_cases(spark):
     s3 = out[3]
     assert (s3["n1"], s3["n2"]) == (4, 1)  # haploid row = 1 allele
     assert s3["fst"] is None and s3["fst_num"] is None
+
+
+def test_tdt_hand_trio(spark):
+    """TDT transmission counts on hand-built trios covering every
+    informative configuration: single het parent with hom partner
+    (transmission identified exactly), both parents het with each
+    child outcome (hom-ref, het, hom-alt), an inconsistent site
+    (excluded), an incomplete site (excluded), and an uninformative
+    hom×hom site (used but contributing nothing)."""
+    from pandasvcf_spark.operators.annotate import tdt_test
+
+    # rows: (site, member, a1, a2) with members 1=child 2=father
+    # 3=mother, ref allele 'A'
+    rows = []
+
+    def trio(site, c, f, m):
+        rows.append((site, 1, c[0], c[1]))
+        rows.append((site, 2, f[0], f[1]))
+        rows.append((site, 3, m[0], m[1]))
+
+    trio(1, "AG", "AG", "AA")   # het father gave G  -> b+=1  (inf 1)
+    trio(2, "AA", "AG", "AA")   # het father gave A  -> c+=1  (inf 1)
+    trio(3, "GG", "AG", "AG")   # both het, both gave G -> b+=2 (inf 2)
+    trio(4, "AA", "AG", "AG")   # both het, both gave A -> c+=2 (inf 2)
+    trio(5, "AG", "AG", "AG")   # both het, one each -> b+=1, c+=1
+    trio(6, "AG", "GG", "AA")   # hom x hom: used, uninformative
+    trio(7, "GG", "AA", "AA")   # VIOLATION: excluded
+    trio(8, "A.", "AG", "AA")   # incomplete: excluded
+    d = spark.createDataFrame(
+        [(s, m, a1, a2) for s, m, (a1, a2) in
+         [(s, m, (x, y)) for s, m, x, y in rows]],
+        "site int, samp int, a1 string, a2 string",
+    )
+    r = tdt_test(d, ["site"], "samp", 1, 2, 3, ref="A").collect()[0]
+    # b = 1+2+1 = 4, c = 1+2+1 = 4, informative = 8, used sites = 6
+    assert (
+        r["n_sites_used"], r["n_informative"], r["b"], r["c"]
+    ) == (6, 8, 4, 4)
+    assert r["chi2"] == 0.0
+
+    # skewed transmissions: chi2 = (b-c)^2/(b+c)
+    rows.clear()
+    for s in range(1, 10):
+        trio(s, "AG", "AG", "AA")  # nine alt transmissions
+    trio(10, "AA", "AG", "AA")     # one ref transmission
+    d = spark.createDataFrame(
+        rows, "site int, samp int, a1 string, a2 string"
+    )
+    r = tdt_test(d, ["site"], "samp", 1, 2, 3, ref="A").collect()[0]
+    assert (r["b"], r["c"]) == (9, 1)
+    assert r["chi2"] == round((9 - 1) ** 2 / 10, 6)

@@ -1553,3 +1553,70 @@ def test_spatial_autocorrelation_empty_pairs_keeps_n(spark):
     assert (r["n"], r["w_sum"], r["i"], r["e_i"]) == (3, 0, None, None)
     r = gearys_c(pts, empty, "id", "value").collect()[0]
     assert (r["n"], r["w_sum"], r["c"], r["e_c"]) == (3, 0, None, None)
+
+
+def test_geo_knn_join_equals_brute_force(spark):
+    """Radius-bounded kNN against the brute-force ranking on a 200-pt
+    hash lattice: exact pair set, exact ranks (deterministic
+    (distance, id) ties), k-truncation, self-exclusion, and the
+    bounded-search contract (isolated points return < k rows)."""
+    import math
+
+    from pandasvcf_spark.operators.relational import geo_knn_join
+
+    pts = [
+        (
+            i,
+            ((i * 2654435761) % 140000) / 1000.0 - 70.0,
+            ((i * 40503) % 360000) / 1000.0 - 180.0,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    R = 6371.0088
+
+    def hav(a, b):
+        p1, l1 = math.radians(a[1]), math.radians(a[2])
+        p2, l2 = math.radians(b[1]), math.radians(b[2])
+        return 2 * R * math.asin(
+            math.sqrt(
+                min(
+                    math.sin((p2 - p1) / 2) ** 2
+                    + math.cos(p1)
+                    * math.cos(p2)
+                    * math.sin((l2 - l1) / 2) ** 2,
+                    1.0,
+                )
+            )
+        )
+
+    k, radius = 3, 2000.0
+    want = set()
+    for a in pts:
+        cands = sorted(
+            (
+                (hav(a, b), b[0])
+                for b in pts
+                if b[0] != a[0] and hav(a, b) <= radius
+            ),
+        )
+        for rank, (d, bid) in enumerate(cands[:k], 1):
+            want.add((a[0], bid, round(d, 6), rank))
+    got = {
+        (r["id_a"], r["id_b"], r["distance_km"], r["rank"])
+        for r in geo_knn_join(
+            df, df, k=k, radius_km=radius, left_id="id", right_id="id"
+        ).collect()
+    }
+    assert got == want
+    # some point must have fewer than k in-radius neighbors for the
+    # bounded-search contract to actually be exercised
+    from collections import Counter
+
+    per_point = Counter(a for a, _, _, _ in want)
+    assert min(per_point.values(), default=0) < k or len(per_point) < 200
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        geo_knn_join(df, df, k=0, radius_km=radius)

@@ -930,6 +930,18 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "g_tdt",                 # TDT trio association: the g_mendel
+                                 # pivot + dosage folds (g_mendel in
+                                 # tail, mendel machinery pinned)
+        "j_geo_knn",             # radius-bounded geo kNN: j_geo_near
+                                 # banding (tail) + per-point rank
+                                 # window; brute-force property test
+        "t_textrank",            # word-graph PageRank: g_pagerank
+                                 # machinery (tail) over the bigram
+                                 # chain; full vector vs unrolled SQL
+        "t_mattr",               # moving-average TTR: per-row HOF
+                                 # window slices, quality-signal
+                                 # family (t_quality_score in window)
         "m_kuiper",              # cyclic ECDF sup-gaps: ks_2sample's
                                  # ladder (m_ks_2sample in tail,
                                  # m_fdr_bh's ladders in window)

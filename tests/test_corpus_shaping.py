@@ -1928,3 +1928,34 @@ def test_bigram_kn_matches_pure_python_replica(spark):
 
     with _pytest.raises(ValueError, match="discount"):
         bigram_kn_stats(df, discount=1.0)
+
+
+def test_mattr_hand_cases(spark):
+    """MATTR window arithmetic: short doc = plain TTR; a repeated-token
+    long doc scores low; an all-distinct doc scores 1.0; window slides
+    are averaged exactly (hand 6-token / window-4 case)."""
+    from pandasvcf_spark.operators.text_features import mattr_stats
+
+    docs = [
+        (1, "a b c a b c"),           # 6 tokens, window 4:
+                                      # slices abca bcab cabc -> 3/4 each
+        (2, "x y z"),                 # short: TTR = 1.0
+        (3, "w w w w w w w w"),       # repeated: windows all 1/4
+        (4, None),
+        (5, ""),                      # zero tokens: dropped
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["id"]: (r["n_tokens"], r["mattr"])
+        for r in mattr_stats(d, window=4).collect()
+    }
+    assert out == {
+        1: (6, 0.75),
+        2: (3, 1.0),
+        3: (8, 0.25),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        mattr_stats(d, window=0)
