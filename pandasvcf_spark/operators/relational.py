@@ -750,6 +750,186 @@ def ewma_last(
     )
 
 
+def holt_linear_last(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    alpha: float = 0.4,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-key Holt linear-trend smoothing, final state (Holt 1957) —
+    `ewma_last` upgraded with a trend component, the standard
+    short-horizon forecaster for level+drift series (spend ramping,
+    queue growth):
+
+        l_1 = y_1,  b_1 = y_2 − y_1              (standard init)
+        l_t = α y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β (l_t − l_{t−1}) + (1−β) b_{t−1}
+        forecast(+h) = l_T + h b_T                (h = 1 emitted)
+
+    `order_cols` must be a total order (the ewma_last contract — fold
+    order decides the floats). Output: (key, n_events BIGINT, level,
+    trend, forecast DOUBLE round 4); NULL state when the key has fewer
+    than 2 observations (no trend is estimable).
+
+    Plan: one groupBy(key) collecting the key's ordered values + one
+    HOF fold with a STRUCT accumulator (level, trend) — sequential
+    per-key state as a pure column expression, state bounded by
+    per-key activity, never a window re-scan and never
+    applyInPandas."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    ordered = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                *[
+                    (F.col(c) if isinstance(c, str) else c).alias(f"o{i}")
+                    for i, c in enumerate(order_cols)
+                ],
+                F.col(value_col).cast("double").alias("x"),
+            ).alias("e"),
+        )
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    xs = F.transform("evs", lambda e: e["x"])
+    a = F.lit(float(alpha))
+    b = F.lit(float(beta))
+    init = F.struct(
+        F.element_at(xs, 2).alias("l"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+    )
+    # NOTE init uses l = y_2 (the first UPDATE has already consumed
+    # y_2): fold starts at y_3. Equivalent to l_1=y_1, b_1=y_2-y_1
+    # with the first smoothing step applied at t=2 under the common
+    # convention that (l_2, b_2) = (y_2, y_2-y_1) exactly — both
+    # engines replay this identical form.
+    folded = F.aggregate(
+        F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])).alias(
+                "l"
+            ),
+            (
+                b
+                * (
+                    a * x
+                    + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+                    - acc["l"]
+                )
+                + (F.lit(1.0) - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    ok = F.size("evs") >= 2
+    return ordered.select(
+        "key",
+        F.size("evs").cast("long").alias("n_events"),
+        (F.round(F.when(ok, folded["l"]), 4) + F.lit(0.0)).alias(
+            "level"
+        ),
+        (F.round(F.when(ok, folded["b"]), 4) + F.lit(0.0)).alias(
+            "trend"
+        ),
+        (
+            F.round(F.when(ok, folded["l"] + folded["b"]), 4)
+            + F.lit(0.0)
+        ).alias("forecast"),
+    )
+
+
+def croston_forecast(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) — the
+    standard forecaster when most periods are zero (spare parts, rare
+    SKU orders, sparse event streams), where plain EWMA chases zeros:
+    smooth the NONZERO demand sizes and the inter-demand intervals
+    separately and forecast their ratio,
+
+        z_hat = ewma(nonzero demands, α)     (init = first demand)
+        q_hat = ewma(inter-demand intervals, α)
+                (init = first demand's position — the cold-start
+                 convention; intervals measured in periods)
+        forecast = z_hat / q_hat              (demand per period)
+
+    Output: (key, n_periods, n_demands BIGINT, z_hat, q_hat, forecast
+    DOUBLE round 4); NULL estimates for keys with no nonzero demand.
+
+    Plan: one per-key rank window (positions), the nonzero filter, one
+    groupBy(key) collecting ordered (position, demand) pairs, two HOF
+    ewma folds — per-key state bounded by that key's DEMAND count, not
+    its period count."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    oc = [
+        (F.col(c) if isinstance(c, str) else c).asc()
+        for c in order_cols
+    ]
+    w = Window.partitionBy(key_col).orderBy(*oc)
+    pos = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__x", F.col(value_col).cast("double"))
+    )
+    per_key = pos.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__x") != 0.0,
+                    F.struct(
+                        F.col("__pos").alias("p"),
+                        F.col("__x").alias("x"),
+                    ),
+                )
+            )
+        ).alias("dem"),
+    )
+    zs = F.transform("dem", lambda e: e["x"])
+    ps = F.transform("dem", lambda e: e["p"].cast("double"))
+    # intervals: first = position of the first demand, then diffs
+    qs = F.zip_with(
+        ps,
+        F.concat(F.array(F.lit(0.0)), F.slice(
+            ps, 1, F.greatest(F.size(ps) - 1, F.lit(0))
+        )),
+        lambda cur, prev: cur - prev,
+    )
+    a = F.lit(float(alpha))
+
+    def ewma_fold(arr):
+        return F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+        )
+
+    z_hat = ewma_fold(zs)
+    q_hat = ewma_fold(qs)
+    ok = F.size("dem") > 0
+    return per_key.select(
+        "key",
+        "n_periods",
+        F.size("dem").cast("long").alias("n_demands"),
+        (F.round(F.when(ok, z_hat), 4) + F.lit(0.0)).alias("z_hat"),
+        (F.round(F.when(ok, q_hat), 4) + F.lit(0.0)).alias("q_hat"),
+        (
+            F.round(F.when(ok, z_hat / q_hat), 4) + F.lit(0.0)
+        ).alias("forecast"),
+    )
+
+
 def rate_anomaly(
     df: DataFrame,
     ts_col: str,

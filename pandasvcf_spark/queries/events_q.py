@@ -4922,6 +4922,128 @@ def m_ks_2sample(spark, sf_dir):
 
 
 @register(
+    "e_holt_linear",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT user_id AS key, event_id, value AS x
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    ser AS (
+      SELECT key,
+        row_number() OVER (PARTITION BY key ORDER BY event_id) AS i,
+        CAST(x AS DOUBLE) AS x
+      FROM b),
+    nn AS (SELECT key, CAST(count(*) AS BIGINT) AS n_events
+           FROM ser GROUP BY key),
+    step AS (
+      SELECT s2.key, 2 AS i, s2.x AS l, s2.x - s1.x AS tr
+      FROM ser s1 JOIN ser s2
+        ON s1.key = s2.key AND s1.i = 1 AND s2.i = 2
+      UNION ALL
+      SELECT st.key, st.i + 1,
+        CAST(0.4 AS DOUBLE) * sx.x
+          + CAST(0.6 AS DOUBLE) * (st.l + st.tr),
+        CAST(0.3 AS DOUBLE)
+          * (CAST(0.4 AS DOUBLE) * sx.x
+             + CAST(0.6 AS DOUBLE) * (st.l + st.tr) - st.l)
+          + CAST(0.7 AS DOUBLE) * st.tr
+      FROM step st JOIN ser sx
+        ON sx.key = st.key AND sx.i = st.i + 1),
+    fin AS (
+      SELECT step.key, l, tr FROM step
+      JOIN nn ON step.key = nn.key AND step.i = nn.n_events)
+    SELECT nn.key, nn.n_events,
+      round(fin.l, 4) + 0.0 AS level,
+      round(fin.tr, 4) + 0.0 AS trend,
+      round(fin.l + fin.tr, 4) + 0.0 AS forecast
+    FROM nn LEFT JOIN fin ON nn.key = fin.key
+    """,
+)
+def e_holt_linear(spark, sf_dir):
+    """Per-user Holt linear-trend smoothing (operators/relational.
+    holt_linear_last, α=0.4 β=0.3) over each user's event-value series
+    ordered by event_id — ewma_last upgraded with a trend state: one
+    collect + one struct-accumulator HOF fold per key. The oracle
+    replays the identical fold via list_reduce with a prepended init
+    struct (every literal CAST to DOUBLE — DECIMAL inference would
+    drift)."""
+    from pandasvcf_spark.operators.relational import holt_linear_last
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    return holt_linear_last(
+        e.select(F.col("user_id"), F.col("event_id"), F.col("value")),
+        "user_id", ["event_id"], "value", alpha=0.4, beta=0.3,
+    )
+
+
+@register(
+    "e_croston",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS key, event_id, floor(value / 300) AS x
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    pos AS (
+      SELECT key,
+        CAST(row_number() OVER (PARTITION BY key ORDER BY event_id)
+          AS DOUBLE) AS p,
+        CAST(x AS DOUBLE) AS x
+      FROM b),
+    per AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_periods,
+        list({'p': p, 'x': x} ORDER BY p) FILTER (WHERE x <> 0)
+          AS dem
+      FROM pos GROUP BY key),
+    lists AS (
+      SELECT key, n_periods,
+        CAST(coalesce(len(dem), 0) AS BIGINT) AS n_demands,
+        list_transform(dem, e -> e.x) AS zs,
+        list_transform(generate_series(1, len(dem)),
+          i -> dem[i].p - CASE WHEN i = 1 THEN CAST(0.0 AS DOUBLE)
+                               ELSE dem[i - 1].p END) AS qs
+      FROM per),
+    f AS (
+      SELECT key, n_periods, n_demands,
+        CASE WHEN n_demands > 0 THEN
+          list_reduce(zs, (acc, x) ->
+            CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)
+        END AS z_hat,
+        CASE WHEN n_demands > 0 THEN
+          list_reduce(qs, (acc, x) ->
+            CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)
+        END AS q_hat
+      FROM lists)
+    SELECT key, n_periods, n_demands,
+      round(z_hat, 4) + 0.0 AS z_hat,
+      round(q_hat, 4) + 0.0 AS q_hat,
+      round(z_hat / q_hat, 4) + 0.0 AS forecast
+    FROM f
+    """,
+)
+def e_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast (operators/relational.
+    croston_forecast, α=0.2) per user over the sparse demand series
+    floor(value/300) ordered by event_id (~mostly zeros — exactly the
+    regime plain EWMA chases): separate EWMA folds of nonzero demand
+    sizes and inter-demand intervals, forecast = ratio. The oracle
+    replays the rank positions, both list_reduce folds and the cold-
+    start first-interval convention."""
+    from pandasvcf_spark.operators.relational import croston_forecast
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.floor(F.col("value") / 300).alias("demand"),
+    )
+    return croston_forecast(
+        b, "user_id", ["event_id"], "demand", alpha=0.2
+    )
+
+
+@register(
     "m_iv_wald",
     oracle="""
     WITH b AS (

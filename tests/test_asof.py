@@ -1620,3 +1620,64 @@ def test_geo_knn_join_equals_brute_force(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         geo_knn_join(df, df, k=0, radius_km=radius)
+
+
+def test_holt_linear_and_croston_vs_replicas(spark):
+    """Holt linear-trend fold against the textbook recurrence
+    (l1=y1, b1=y2-y1, smoothing from y3) incl. the n<2 NULL contract;
+    Croston on a hand intermittent series (demands 4@3, 6@7, 2@9,
+    5@12: interval EWMA with the first-position cold start)."""
+    from pandasvcf_spark.operators.relational import (
+        croston_forecast,
+        holt_linear_last,
+    )
+
+    ys = [3.0, 5.0, 9.0, 12.0, 13.0]
+    a, b = 0.4, 0.3
+    lv, tr = ys[1], ys[1] - ys[0]
+    for x in ys[2:]:
+        ln = a * x + (1 - a) * (lv + tr)
+        tr = b * (ln - lv) + (1 - b) * tr
+        lv = ln
+    rows = [(1, i, y) for i, y in enumerate(ys)] + [(2, 0, 7.0)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = {
+        r["key"]: r for r in holt_linear_last(df, "k", ["t"], "v").collect()
+    }
+    assert (out[1]["level"], out[1]["trend"], out[1]["forecast"]) == (
+        round(lv, 4), round(tr, 4), round(lv + tr, 4),
+    )
+    assert out[2]["n_events"] == 1 and out[2]["level"] is None
+
+    series = [0, 0, 4, 0, 0, 0, 6, 0, 2, 0, 0, 5]
+    rows = [(1, i + 1, float(v)) for i, v in enumerate(series)]
+    rows += [(2, 1, 0.0)]  # no demand at all: NULL estimates
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    al = 0.2
+
+    def fold(arr):
+        acc = arr[0]
+        for x in arr[1:]:
+            acc = al * x + (1 - al) * acc
+        return acc
+
+    zh = fold([4.0, 6.0, 2.0, 5.0])
+    qh = fold([3.0, 4.0, 2.0, 3.0])
+    out = {
+        r["key"]: r
+        for r in croston_forecast(df, "k", ["t"], "v", alpha=0.2).collect()
+    }
+    assert (
+        out[1]["n_periods"], out[1]["n_demands"],
+        out[1]["z_hat"], out[1]["q_hat"], out[1]["forecast"],
+    ) == (12, 4, round(zh, 4), round(qh, 4), round(zh / qh, 4))
+    assert out[2]["n_demands"] == 0 and out[2]["forecast"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        holt_linear_last(df, "k", ["t"], "v", alpha=0.0)
+    with _pytest.raises(ValueError, match="beta"):
+        holt_linear_last(df, "k", ["t"], "v", beta=1.5)
+    with _pytest.raises(ValueError, match="alpha"):
+        croston_forecast(df, "k", ["t"], "v", alpha=2.0)

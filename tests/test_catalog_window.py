@@ -930,6 +930,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "e_holt_linear",         # level+trend smoothing: the
+                                 # e_ewma collect+fold device with a
+                                 # struct accumulator
+        "e_croston",             # intermittent-demand ratio: two
+                                 # e_ewma folds over the demand
+                                 # subsequence
         "g_tdt",                 # TDT trio association: the g_mendel
                                  # pivot + dosage folds (g_mendel in
                                  # tail, mendel machinery pinned)
