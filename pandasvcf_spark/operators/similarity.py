@@ -1234,6 +1234,123 @@ def ivfpq_topk(
     )
 
 
+def rq_encode(
+    df: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level RESIDUAL quantization encode (Chen, Guan & Wang 2010;
+    the RQ/additive-quantization family faiss ships as
+    `ResidualQuantizer`) — the compression rung between IVF (1 coarse
+    id) and PQ (subspace codes): level 1 snaps the vector to its
+    nearest FULL-DIMENSION centroid, level 2 quantizes the RESIDUAL
+    v − C1[c1] with a second full-dimension codebook, reconstruction =
+    C1[c1] + C2[c2]. Unlike PQ's per-subspace independence, both codes
+    see every dimension — RQ resolves global structure PQ splits
+    across subspaces. Output: (id_col, c1 INT, c2 INT 1-based) — two
+    small ints per vector. Training is two `kmeans_fit` calls (level 2
+    on the residuals); deterministic literal codebooks are the
+    oracle-replay path. One codegen pass, no shuffle, no Python.
+
+    Encode arithmetic (replayed term-for-term by the SQL twin): c2's
+    distances are ((v[j] − C1[j]) − C2[j])² — residual-first, NOT
+    v − (C1 + C2)."""
+    cents1 = _centroid_lit(cb1)
+    c1 = ivf_cell_expr(vec_col, cb1)
+    with_c1 = df.select(
+        F.col(id_col), _dc(vec_col).alias("__vec"), c1.alias("c1")
+    )
+    resid = F.zip_with(
+        F.col("__vec"),
+        F.element_at(cents1, F.col("c1")),
+        lambda a, b: a - b,
+    )
+    # bind the residual once: ivf_cell_expr replicates its argument
+    # into |cb2| distance folds + the argmin pair — inlining the
+    # zip_with subtree 18x is pure codegen/interpretation waste
+    from pandasvcf_spark.functions.text import bound_expr
+
+    return with_c1.select(
+        F.col(id_col),
+        "c1",
+        bound_expr(
+            resid, lambda r: ivf_cell_expr(r, cb2)
+        ).alias("c2"),
+    )
+
+
+def rq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    cb1: list[list[float]],
+    cb2: list[list[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric top-k over an `rq_encode` index: per query,
+    reconstruction distances to EVERY (c1, c2) code pair precompute as
+    a |cb1| × |cb2| probe table (model-sized — 256 rows at 16×16), and
+    the corpus scores as ONE equi-join on the code pair — the scan
+    touches two ints per vector, the distance work is queries ×
+    |cb1|·|cb2| folds TOTAL (not per corpus row; the ADC idea with the
+    code pair as the join key):
+
+        dist(q, v) ≈ ‖q − (C1[c1] + C2[c2])‖²
+
+    Output: (query_id, vec_id, rq_dist DOUBLE) ascending-is-nearer,
+    ties by vec_id, k per query via one rank window. Rerank survivors
+    against raw vectors when exactness matters (`rerank_exact`)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cents1 = _centroid_lit(cb1)
+    cents2 = _centroid_lit(cb2)
+    rec = F.zip_with(
+        F.element_at(cents1, F.col("c1")),
+        F.element_at(cents2, F.col("c2")),
+        lambda a, b: a + b,
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            _dc(vec_col).alias("__qvec"),
+        )
+        .withColumn(
+            "c1", F.explode(F.sequence(F.lit(1), F.lit(len(cb1))))
+        )
+        .withColumn(
+            "c2", F.explode(F.sequence(F.lit(1), F.lit(len(cb2))))
+        )
+        .select(
+            "__qid",
+            "c1",
+            "c2",
+            F.aggregate(
+                F.zip_with(F.col("__qvec"), rec, lambda a, b: a - b),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ).alias("rq_dist"),
+        )
+    )
+    scored = corpus_codes.join(F.broadcast(probes), on=["c1", "c2"])
+    if exclude_self:
+        scored = scored.filter(F.col("__qid") != F.col(id_col))
+    w = Window.partitionBy("__qid").orderBy("rq_dist", F.col(id_col))
+    return (
+        scored.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.col("rq_dist"),
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "vec_id",

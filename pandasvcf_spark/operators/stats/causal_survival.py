@@ -927,3 +927,119 @@ def rdd_sharp(
         (F.round(F.when(ok, bl), 6) + F.lit(0.0)).alias("slope_left"),
         (F.round(F.when(ok, br), 6) + F.lit(0.0)).alias("slope_right"),
     )
+
+
+def cox_ph_binary(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    iters: int = 5,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Cox proportional-hazards regression with ONE binary covariate
+    (Cox 1972; Breslow tie handling; fixed-round Newton) — THE
+    survival-analysis effect estimate: the log hazard ratio beta of
+    group 1 vs group 0, with the partial-likelihood closed forms a
+    binary covariate admits,
+
+        p_j(b)  = R1_j e^b / (R0_j + R1_j e^b)  (risk-set mean of x)
+        U(b)    = Σ_j (s_j − d_j p_j)           (score)
+        I(b)    = Σ_j d_j p_j (1 − p_j)         (information)
+        b ← b + U/I                              (`iters` Newton steps
+                                                  from b = 0)
+
+    over the distinct EVENT times j with d_j events (s_j of them in
+    group 1) and at-risk counts R0_j/R1_j (subjects with time >= t_j).
+    Fixed iteration count — the m_logit / pagerank showpiece
+    convention: the whole optimization replays as unrolled SQL, and
+    five Newton steps are far past convergence for one parameter
+    (quadratic convergence; the replica test pins |U(b_5)| ~ 0).
+
+    Output: ONE row (n, n_events BIGINT, beta, se, hr, z DOUBLE round
+    6) with se = 1/sqrt(I(b_final)), hr = e^beta, z = beta/se; NULL
+    estimates when there are no events or no group variation in any
+    risk set (I = 0 — the MLE is unbounded or undefined).
+
+    Plan: ONE (time)-keyed partial agg collapses the cohort to
+    distinct-time cells (tripwire-enforced), ONE suffix-cumulative
+    window prices every risk set, then each Newton round is a 1-row
+    aggregate over the cells crossJoined with the previous round's
+    1-row beta — cells never leave the executors, and nothing scales
+    with the cohort after the first agg."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    tc = F.col(time_col).cast("double")
+    ec = F.col(event_col).cast("int")
+    gc = F.col(group_col).cast("int")
+    base = df.filter(
+        tc.isNotNull() & ec.isNotNull() & gc.isNotNull()
+    ).select(tc.alias("__t"), ec.alias("__e"), gc.alias("__g"))
+    _assert_cell_bound(
+        base, ["__t"], "cox_ph_binary", max_cells,
+        plan_word="distinct-time risk-set ladder",
+    )
+    cells = base.groupBy("__t").agg(
+        F.sum("__e").cast("double").alias("__d"),
+        F.sum(F.col("__e") * F.col("__g")).cast("double").alias("__s"),
+        F.sum(F.when(F.col("__g") == 0, 1).otherwise(0))
+        .cast("double").alias("__c0"),
+        F.sum(F.when(F.col("__g") == 1, 1).otherwise(0))
+        .cast("double").alias("__c1"),
+    )
+    w_sfx = Window.orderBy(F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lad = cells.select(
+        "__d",
+        "__s",
+        F.sum("__c0").over(w_sfx).alias("__r0"),
+        F.sum("__c1").over(w_sfx).alias("__r1"),
+    ).filter(F.col("__d") > 0)
+    lad = lad.localCheckpoint(eager=True)  # 5 rounds re-read it
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__e").cast("long").alias("n_events"),
+    )
+    spark = df.sparkSession
+    beta = spark.createDataFrame([(0.0,)], "__b double")
+    for _ in range(iters):
+        eb = F.exp(F.col("__b"))
+        p = F.col("__r1") * eb / (F.col("__r0") + F.col("__r1") * eb)
+        stats = lad.crossJoin(F.broadcast(beta)).agg(
+            F.max("__b").alias("__b"),
+            F.sum(F.col("__s") - F.col("__d") * p).alias("__u"),
+            F.sum(
+                F.col("__d") * p * (F.lit(1.0) - p)
+            ).alias("__i"),
+        )
+        beta = stats.select(
+            F.when(
+                F.col("__i") > 0,
+                F.col("__b") + F.col("__u") / F.col("__i"),
+            ).otherwise(F.col("__b")).alias("__b")
+        )
+    eb = F.exp(F.col("__b"))
+    p = F.col("__r1") * eb / (F.col("__r0") + F.col("__r1") * eb)
+    fin = lad.crossJoin(F.broadcast(beta)).agg(
+        F.max("__b").alias("__b"),
+        F.sum(F.col("__d") * p * (F.lit(1.0) - p)).alias("__i"),
+        F.count(F.lit(1)).cast("long").alias("__cells"),
+    )
+    out = fin.crossJoin(F.broadcast(tot))
+    ok = (F.col("n_events") > 0) & (F.col("__i") > 0)
+    se = F.lit(1.0) / F.sqrt(F.col("__i"))
+    return out.select(
+        "n",
+        "n_events",
+        (F.round(F.when(ok, F.col("__b")), 6) + F.lit(0.0)).alias(
+            "beta"
+        ),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+        (
+            F.round(F.when(ok, F.exp(F.col("__b"))), 6) + F.lit(0.0)
+        ).alias("hr"),
+        (
+            F.round(F.when(ok, F.col("__b") / se), 6) + F.lit(0.0)
+        ).alias("z"),
+    )

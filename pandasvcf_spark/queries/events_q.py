@@ -4921,6 +4921,93 @@ def m_ks_2sample(spark, sf_dir):
     return ks_2sample(b, "f", "v")
 
 
+def _cox_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-round Newton for the binary-covariate Cox model
+    — the pagerank/m_logit device: one (stats, beta) CTE pair per
+    round over the distinct-time risk-set ladder."""
+    parts = [
+        """
+    WITH b AS (
+      SELECT value * (1 + 0.5 * (user_id % 2)) AS t,
+        CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS e,
+        CAST(user_id % 2 AS INTEGER) AS g
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL),
+    cells AS (
+      SELECT t, CAST(sum(e) AS DOUBLE) AS d,
+        CAST(sum(e * g) AS DOUBLE) AS s,
+        CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
+      FROM b GROUP BY t),
+    lad AS (
+      SELECT d, s,
+        sum(c0) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS r0,
+        sum(c1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS r1
+      FROM cells),
+    ev AS (SELECT * FROM lad WHERE d > 0),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_events FROM b),
+    bt0 AS (SELECT CAST(0.0 AS DOUBLE) AS bb)"""
+    ]
+    for i in range(iters):
+        parts.append(f""",
+    st{i} AS (SELECT max(bb) AS bb,
+        sum(s - d * (r1 * exp(bb) / (r0 + r1 * exp(bb)))) AS uu,
+        sum(d * (r1 * exp(bb) / (r0 + r1 * exp(bb)))
+              * (1 - r1 * exp(bb) / (r0 + r1 * exp(bb)))) AS ii
+      FROM ev CROSS JOIN bt{i}),
+    bt{i + 1} AS (SELECT CASE WHEN ii > 0 THEN bb + uu / ii
+                               ELSE bb END AS bb FROM st{i})""")
+    parts.append(f""",
+    fin AS (SELECT max(bb) AS bb,
+        sum(d * (r1 * exp(bb) / (r0 + r1 * exp(bb)))
+              * (1 - r1 * exp(bb) / (r0 + r1 * exp(bb)))) AS ii,
+        count(*) AS cells
+      FROM ev CROSS JOIN bt{iters})
+    SELECT tot.n, tot.n_events,
+      round(CASE WHEN tot.n_events > 0 AND fin.ii > 0
+        THEN fin.bb END, 6) + 0.0 AS beta,
+      round(CASE WHEN tot.n_events > 0 AND fin.ii > 0
+        THEN 1.0 / sqrt(fin.ii) END, 6) + 0.0 AS se,
+      round(CASE WHEN tot.n_events > 0 AND fin.ii > 0
+        THEN exp(fin.bb) END, 6) + 0.0 AS hr,
+      round(CASE WHEN tot.n_events > 0 AND fin.ii > 0
+        THEN fin.bb / (1.0 / sqrt(fin.ii)) END, 6) + 0.0 AS z
+    FROM fin CROSS JOIN tot
+    """)
+    return "".join(parts)
+
+
+@register("m_cox", oracle=_cox_oracle())
+def m_cox(spark, sf_dir):
+    """Cox proportional-hazards regression, binary covariate
+    (operators/stats.cox_ph_binary; Breslow ties, 5 fixed Newton
+    rounds) on a planted design over events: time = value stretched
+    1.5x for odd users (so the true log hazard ratio is negative),
+    event = 75% of rows, group = user parity. The cohort collapses to
+    the distinct-time risk-set ladder; each Newton round is a 1-row
+    fold, and the oracle is the UNROLLED optimization (one CTE pair
+    per round — the g_pagerank / m_logit convention)."""
+    from pandasvcf_spark.operators.stats import cox_ph_binary
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    b = e.select(
+        (
+            F.col("value") * (1 + 0.5 * (F.col("user_id") % 2))
+        ).alias("t"),
+        F.when(F.col("event_id") % 4 != 0, 1).otherwise(0).alias("e"),
+        (F.col("user_id") % 2).cast("int").alias("g"),
+    )
+    return cox_ph_binary(b, "t", "e", "g", iters=5)
+
+
 @register(
     "e_holt_linear",
     oracle="""

@@ -787,6 +787,98 @@ def v_pq_topk(spark, sf_dir):
     )
 
 
+RQ_CB1 = [[x * 0.15 for x in row] for row in _lcg_planes(16, DIM, seed=0xA11CE)]
+RQ_CB2 = [[x * 0.05 for x in row] for row in _lcg_planes(16, DIM, seed=0xFACADE)]
+
+
+def _rq_cents_cte(name: str, books: list[list[float]], col: str) -> str:
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT {i + 1} AS {name}, "
+        "([" + ", ".join(repr(x) for x in c) + f"]::DOUBLE[]) AS {col}"
+        for i, c in enumerate(books)
+    )
+
+
+@register(
+    "v_rq_topk",
+    oracle=f"""
+    WITH cb1 AS (
+      {_rq_cents_cte("c1", RQ_CB1, "cent1")}),
+    cb2 AS (
+      {_rq_cents_cte("c2", RQ_CB2, "cent2")}),
+    d1 AS (
+      SELECT e.vec_id, cb1.c1,
+        list_sum(list_transform(generate_series(1, {DIM}),
+          j -> (CAST(e.embedding[j] AS DOUBLE) - cb1.cent1[j])
+             * (CAST(e.embedding[j] AS DOUBLE) - cb1.cent1[j]))) AS d
+      FROM embeddings e CROSS JOIN cb1),
+    a1 AS (
+      SELECT vec_id, c1 FROM (
+        SELECT vec_id, c1,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, c1) AS rn
+        FROM d1) WHERE rn = 1),
+    d2 AS (
+      SELECT e.vec_id, a1.c1, cb2.c2,
+        list_sum(list_transform(generate_series(1, {DIM}),
+          j -> ((CAST(e.embedding[j] AS DOUBLE) - cb1.cent1[j])
+                 - cb2.cent2[j])
+             * ((CAST(e.embedding[j] AS DOUBLE) - cb1.cent1[j])
+                 - cb2.cent2[j]))) AS d
+      FROM embeddings e
+      JOIN a1 ON e.vec_id = a1.vec_id
+      JOIN cb1 ON a1.c1 = cb1.c1
+      CROSS JOIN cb2),
+    codes AS (
+      SELECT vec_id, c1, c2 FROM (
+        SELECT vec_id, c1, c2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d, c2) AS rn
+        FROM d2) WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, cb1.c1, cb2.c2,
+        list_sum(list_transform(generate_series(1, {DIM}),
+          j -> (CAST(q.embedding[j] AS DOUBLE)
+                 - (cb1.cent1[j] + cb2.cent2[j]))
+             * (CAST(q.embedding[j] AS DOUBLE)
+                 - (cb1.cent1[j] + cb2.cent2[j])))) AS rq_dist
+      FROM embeddings q CROSS JOIN cb1 CROSS JOIN cb2
+      WHERE q.vec_id < 10),
+    scored AS (
+      SELECT p.query_id, c.vec_id, p.rq_dist
+      FROM codes c JOIN probes p ON p.c1 = c.c1 AND p.c2 = c.c2
+      WHERE p.query_id <> c.vec_id)
+    SELECT query_id, vec_id, round(rq_dist, 6) AS rq_dist FROM (
+      SELECT query_id, vec_id, rq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY rq_dist, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def v_rq_topk(spark, sf_dir):
+    """Two-level residual-quantization ANN (operators/similarity.
+    rq_encode + rq_topk; Chen et al. 2010, faiss ResidualQuantizer)
+    with deterministic literal codebooks: level 1 snaps to a
+    full-dimension centroid, level 2 quantizes the residual, the
+    corpus stores TWO ints per vector, and queries score by ONE
+    equi-join on the (c1, c2) code pair against a 256-row broadcast
+    probe table — distance work is queries x 256 folds total, never
+    per corpus row. Same untrained-codebook honesty caveat as
+    v_pq_topk (the oracle proves the MACHINERY bit-for-bit: both
+    argmin ladders, the residual-first encode arithmetic, and the
+    reconstruction distances)."""
+    from pandasvcf_spark.operators.similarity import rq_encode, rq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = rq_encode(emb, RQ_CB1, RQ_CB2)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = rq_topk(codes, qs, RQ_CB1, RQ_CB2, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("rq_dist", 6).alias("rq_dist")
+    )
+
+
 def _sql_cents_cte() -> str:
     """cents(cell, cent DOUBLE[]) — the coarse centroids as literal rows,
     the SQL mirror of ivfpq's element_at(centroid-array, cell) lookup."""

@@ -930,6 +930,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "m_cox",                 # Cox PH (binary): the km risk-set
+                                 # ladder (m_kaplan_meier/m_logrank in
+                                 # tail) + unrolled-Newton convention
+                                 # (m_logit); replica + convergence
+                                 # pytest
+        "v_rq_topk",             # residual-quantization ANN: the
+                                 # PQ/IVF codebook family (v_ivfpq in
+                                 # window) with full-dim levels
         "e_holt_linear",         # level+trend smoothing: the
                                  # e_ewma collect+fold device with a
                                  # struct accumulator

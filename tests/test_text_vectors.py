@@ -2338,3 +2338,64 @@ def test_cosine_topk_blocked_query_matrix_cap(spark):
     with _pytest.raises(ValueError, match="ann_banded_topk"):
         cosine_topk_blocked(emb, q, 5, max_query_mb=0)
     assert cosine_topk_blocked(emb, q, 5, max_query_mb=None).count() > 0
+
+
+def test_rq_encode_topk_planted_clusters(spark):
+    """Residual quantization on planted clusters: (1) encode matches a
+    numpy replica of both argmin ladders (residual-first level-2
+    arithmetic); (2) two-level reconstruction error is strictly below
+    level-1-only (the reason RQ exists); (3) rq_topk's ranked result
+    equals the brute-force reconstruction-distance ranking."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import rq_encode, rq_topk
+
+    rng = np.random.default_rng(9)
+    dim, n_clusters = 16, 4
+    centers = rng.normal(0, 2.0, (n_clusters, dim))
+    sub = rng.normal(0, 0.5, (n_clusters, 2, dim))  # within-cluster split
+    vecs = []
+    for i in range(120):
+        c = i % n_clusters
+        v = centers[c] + sub[c][i % 2] + rng.normal(0, 0.05, dim)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    cb1 = [[float(x) for x in c] for c in centers]
+    cb2 = [[float(x) for x in s] for c in sub for s in c]
+
+    codes = {r["vec_id"]: (r["c1"], r["c2"])
+             for r in rq_encode(df, cb1, cb2).collect()}
+    V = np.array([v for _, v in vecs])
+    C1 = np.array(cb1)
+    C2 = np.array(cb2)
+    d1 = ((V[:, None, :] - C1[None]) ** 2).sum(-1)
+    a1 = d1.argmin(1)
+    resid = V - C1[a1]
+    d2 = ((resid[:, None, :] - C2[None]) ** 2).sum(-1)
+    a2 = d2.argmin(1)
+    assert codes == {i: (int(a1[i]) + 1, int(a2[i]) + 1)
+                     for i in range(len(vecs))}
+
+    rec1 = C1[a1]
+    rec2 = C1[a1] + C2[a2]
+    e1 = ((V - rec1) ** 2).sum()
+    e2 = ((V - rec2) ** 2).sum()
+    assert e2 < e1 * 0.5  # the residual stage must actually help
+
+    got = {}
+    out = rq_topk(
+        rq_encode(df, cb1, cb2),
+        df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        cb1, cb2, k=4,
+    ).collect()
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    for q in range(5):
+        dists = ((V[q] - rec2) ** 2).sum(-1)
+        order = sorted(
+            (float(dists[i]), i) for i in range(len(vecs)) if i != q
+        )[:4]
+        assert got[q] == [i for _, i in order]
