@@ -13,6 +13,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._guards import _assert_cell_bound
+
 
 
 def ndcg_at_k(
@@ -1180,4 +1182,102 @@ def icc_oneway(
         (F.round(F.when(ok, msb), 6) + F.lit(0.0)).alias("msb"),
         (F.round(F.when(ok, msw), 6) + F.lit(0.0)).alias("msw"),
         (F.round(F.when(ok, icc), 6) + F.lit(0.0)).alias("icc"),
+    )
+
+
+def auc_delong(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """AUC with the DeLong variance (DeLong, DeLong & Clarke-Pearson
+    1988) — the number every "is model A better than B" comparison
+    needs beside the point AUC: the standard error from the structural
+    components, so confidence intervals and paired tests don't lean on
+    the (badly biased) Hanley-McNeil approximation:
+
+        V10(pos at s) = (#neg < s + 0.5 #neg = s) / n     (placement)
+        V01(neg at s) = (#pos > s + 0.5 #pos = s) / m
+        AUC = mean(V10) = mean(V01)
+        SE² = var(V10)/m + var(V01)/n      (sample variances, n-1)
+
+    label must be 0/1. Output: ONE row (n_pos, n_neg BIGINT, auc, se
+    DOUBLE round 6); NULL when either class is empty (or a variance is
+    undefined at m or n = 1 → se NULL, auc still emitted).
+
+    Plan: the collapse-first discipline — distinct-score cells
+    (tripwire-enforced) carry per-class counts; ONE cumulative window
+    prices every placement (V10/V01 are constant within a cell, so the
+    variances are weighted cell folds); 1-row finish. No raw-row
+    ranks, no pos × neg pair relation."""
+    yc = F.col(label_col).cast("int")
+    sc = F.col(score_col).cast("double")
+    base = df.filter(yc.isNotNull() & sc.isNotNull()).select(
+        yc.alias("__y"), sc.alias("__s")
+    )
+    _assert_cell_bound(
+        base, ["__s"], "auc_delong", max_cells,
+        plan_word="distinct-score placement ladder",
+    )
+    cells = base.groupBy("__s").agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0))
+        .cast("double").alias("__p"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0))
+        .cast("double").alias("__q"),
+    )
+    tot = cells.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__q").cast("long").alias("n_neg"),
+    )
+    w_prev = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_after = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lad = cells.crossJoin(F.broadcast(tot)).select(
+        "__p",
+        "__q",
+        "n_pos",
+        "n_neg",
+        (
+            (
+                F.coalesce(F.sum("__q").over(w_prev), F.lit(0.0))
+                + F.col("__q") / 2
+            )
+            / F.col("n_neg")
+        ).alias("__v10"),
+        (
+            (
+                F.coalesce(F.sum("__p").over(w_after), F.lit(0.0))
+                + F.col("__p") / 2
+            )
+            / F.col("n_pos")
+        ).alias("__v01"),
+    )
+    g = lad.groupBy("n_pos", "n_neg").agg(
+        F.sum(F.col("__p") * F.col("__v10")).alias("__s10"),
+        F.sum(
+            F.col("__p") * F.col("__v10") * F.col("__v10")
+        ).alias("__ss10"),
+        F.sum(F.col("__q") * F.col("__v01")).alias("__s01"),
+        F.sum(
+            F.col("__q") * F.col("__v01") * F.col("__v01")
+        ).alias("__ss01"),
+    )
+    m = F.col("n_pos").cast("double")
+    n = F.col("n_neg").cast("double")
+    auc = F.col("__s10") / m
+    var10 = (F.col("__ss10") - m * auc * auc) / (m - 1)
+    mean01 = F.col("__s01") / n
+    var01 = (F.col("__ss01") - n * mean01 * mean01) / (n - 1)
+    se = F.sqrt(var10 / m + var01 / n)
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    ok_se = ok & (F.col("n_pos") > 1) & (F.col("n_neg") > 1)
+    return g.select(
+        "n_pos",
+        "n_neg",
+        (F.round(F.when(ok, auc), 6) + F.lit(0.0)).alias("auc"),
+        (F.round(F.when(ok_se, se), 6) + F.lit(0.0)).alias("se"),
     )

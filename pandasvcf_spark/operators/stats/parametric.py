@@ -1311,3 +1311,145 @@ def cohens_d(
         (F.round(F.when(ok, d), 6) + F.lit(0.0)).alias("d"),
         (F.round(F.when(ok, d * corr), 6) + F.lit(0.0)).alias("g"),
     )
+
+
+def fisher_exact_2x2(
+    df: DataFrame,
+    flag_a_col: str,
+    flag_b_col: str,
+    max_n: int | None = 100_000,
+) -> DataFrame:
+    """Fisher's exact test for a 2x2 table (Fisher 1935; R's
+    fisher.test two-sided "minimum-likelihood" convention) — the exact
+    small-sample association test where the chi-square approximation
+    (m_cramers_v / m_odds_ratio's z) breaks down:
+
+        p(k)  = C(ra,k) C(n−ra, ca−k) / C(n, ca)   (hypergeometric)
+        p_two = Σ_{k : p(k) <= p(a)·(1+1e-7)} p(k)
+
+    over the support k ∈ [max(0, ra+ca−n), min(ra, ca)], with
+    a = both-flags count, ra/ca the flag-A row and flag-B column
+    totals. Log-factorials evaluate as Σ ln i HOF folds; the support
+    walks INCREMENTALLY (log p(k) = log p(k−1) + ln(ra−k+1) +
+    ln(ca−k+1) − ln k − ln(n−ra−ca+k)) so the whole test is
+    O(n + support) single-row expression work — the `max_n` tripwire
+    raises beyond exact-test territory (use m_cmh / chi-square there).
+    Both flags must be 0/1. Output: ONE row (a, b, c, d BIGINT,
+    p_value DOUBLE round 8, odds_ratio DOUBLE round 6 — the sample OR
+    ad/bc, NULL when any margin is empty or b·c = 0).
+
+    Plan: ONE conditional 4-counter agg collapses the corpus; all the
+    combinatorics are 1-row column expressions (a struct-accumulator
+    HOF fold — fine in Spark; the SQL twin walks the same recurrence
+    with WITH RECURSIVE because DuckDB struct-LAMBDA accumulators
+    mis-evaluate sibling fields)."""
+    fa = F.col(flag_a_col).cast("int")
+    fb = F.col(flag_b_col).cast("int")
+    base = df.filter(fa.isNotNull() & fb.isNotNull()).select(
+        fa.alias("__a"), fb.alias("__b")
+    )
+    g = base.agg(
+        F.sum(F.when((F.col("__a") == 1) & (F.col("__b") == 1), 1)
+              .otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("__a") == 1) & (F.col("__b") == 0), 1)
+              .otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("__a") == 0) & (F.col("__b") == 1), 1)
+              .otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("__a") == 0) & (F.col("__b") == 0), 1)
+              .otherwise(0)).cast("long").alias("d"),
+    )
+    if max_n is not None:
+        n_rows = base.count()
+        if n_rows > max_n:
+            raise ValueError(
+                f"fisher_exact_2x2: {n_rows:,} rows exceed "
+                f"max_n={max_n:,} — the exact test is a small-sample "
+                "tool and its support walk is O(n) in one task; use "
+                "cmh_test / cramers_v at this scale, or pass "
+                "max_n=None after pricing the cost."
+            )
+
+    def lf(x):  # log-factorial as a HOF fold; lf(0) = lf(1) = 0
+        return F.when(x < 2, F.lit(0.0)).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(2).cast("long"), x.cast("long")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.log(i.cast("double")),
+            )
+        )
+
+    a = F.col("a").cast("long")
+    b = F.col("b").cast("long")
+    c = F.col("c").cast("long")
+    d = F.col("d").cast("long")
+    n = a + b + c + d
+    ra = a + b
+    ca = a + c
+    const = lf(ra) + lf(n - ra) + lf(ca) + lf(n - ca) - lf(n)
+
+    def logp(k):  # k a long Column
+        return const - lf(k) - lf(ra - k) - lf(ca - k) - lf(
+            n - ra - ca + k
+        )
+
+    lo = F.greatest(F.lit(0).cast("long"), ra + ca - n)
+    hi = F.least(ra, ca)
+    lp_obs = logp(a)
+    thresh = F.exp(lp_obs) * F.lit(1.0 + 1e-7)
+    init = F.struct(
+        logp(lo).alias("lp"),
+        F.when(F.exp(logp(lo)) <= thresh, F.exp(logp(lo)))
+        .otherwise(F.lit(0.0)).alias("s"),
+    )
+    walk = F.aggregate(
+        F.when(hi > lo, F.sequence(lo + 1, hi)).otherwise(
+            F.array().cast("array<long>")
+        ),
+        init,
+        lambda acc, k: F.struct(
+            (
+                acc["lp"]
+                + F.log((ra - k + 1).cast("double"))
+                + F.log((ca - k + 1).cast("double"))
+                - F.log(k.cast("double"))
+                - F.log((n - ra - ca + k).cast("double"))
+            ).alias("lp"),
+            (
+                acc["s"]
+                + F.when(
+                    F.exp(
+                        acc["lp"]
+                        + F.log((ra - k + 1).cast("double"))
+                        + F.log((ca - k + 1).cast("double"))
+                        - F.log(k.cast("double"))
+                        - F.log((n - ra - ca + k).cast("double"))
+                    )
+                    <= thresh,
+                    F.exp(
+                        acc["lp"]
+                        + F.log((ra - k + 1).cast("double"))
+                        + F.log((ca - k + 1).cast("double"))
+                        - F.log(k.cast("double"))
+                        - F.log((n - ra - ca + k).cast("double"))
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        ),
+    )
+    orat = (a.cast("double") * d) / (b.cast("double") * c)
+    ok = (ra > 0) & (ca > 0) & (n - ra > 0) & (n - ca > 0)
+    return g.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (
+            F.round(
+                F.when(ok, F.least(walk["s"], F.lit(1.0))), 8
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+        (
+            F.round(F.when(ok & (b * c > 0), orat), 6) + F.lit(0.0)
+        ).alias("odds_ratio"),
+    )

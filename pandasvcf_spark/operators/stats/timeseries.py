@@ -977,3 +977,69 @@ def pettitt_test(
             F.round(F.when(ok, F.least(p, F.lit(1.0))), 6) + F.lit(0.0)
         ).alias("p_value"),
     )
+
+
+def page_hinkley(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Page-Hinkley drift statistic (Page 1954; Hinkley 1971; the
+    standard concept-drift monitor in streaming ML) — has the series'
+    mean INCREASED somewhere? Accumulate deviations from the running
+    mean and measure the climb above the historical minimum:
+
+        xbar_t = (1/t) Σ_{i<=t} x_i           (running mean)
+        m_t    = Σ_{i<=t} (x_i − xbar_i − δ)  (cumulative deviation)
+        PH     = max_t (m_t − min_{i<=t} m_i)
+
+    (δ is the tolerated drift per step; alarm when PH exceeds a
+    business λ — this operator emits the peak statistic and where it
+    occurred, the monitoring dashboard's number). Output: ONE row
+    (n BIGINT, ph DOUBLE round 6, t_peak — the time at the maximizing
+    t, earliest on ties); ph NULL when the series is empty.
+
+    Plan: series-sized windows over ONE global sort (cumsum, running
+    mean, running min — tripwire-enforced like runs_test), one
+    TakeOrdered(1) finish. Pre-aggregate to your monitoring bucket
+    first; that is the contract."""
+    x = F.col(value_col).cast("double")
+    base = series.filter(
+        x.isNotNull() & F.col(time_col).isNotNull()
+    ).select(F.col(time_col).alias("__t"), x.alias("__x"))
+    _assert_series_sized(base, "page_hinkley", max_rows)
+    w = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy()
+    stepped = base.select(
+        "__t",
+        "__x",
+        F.count(F.lit(1)).over(wn).alias("__n"),
+        (F.col("__x") - F.sum("__x").over(w) / F.count(F.lit(1)).over(w)
+         - F.lit(float(delta))).alias("__dev"),
+    )
+    cum = stepped.select(
+        "__t",
+        "__n",
+        F.sum("__dev").over(w).alias("__m"),
+    )
+    ph = cum.select(
+        "__t",
+        "__n",
+        (
+            F.col("__m")
+            - F.min("__m").over(w)
+        ).alias("__ph"),
+    )
+    return (
+        ph.orderBy(F.col("__ph").desc(), F.col("__t").asc())
+        .limit(1)
+        .select(
+            F.col("__n").cast("long").alias("n"),
+            (F.round(F.col("__ph"), 6) + F.lit(0.0)).alias("ph"),
+            F.col("__t").alias("t_peak"),
+        )
+    )

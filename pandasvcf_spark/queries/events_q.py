@@ -4921,6 +4921,221 @@ def m_ks_2sample(spark, sf_dir):
     return ks_2sample(b, "f", "v")
 
 
+@register(
+    "m_auc_se",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS y,
+        round(value, 0) + 30.0 * (user_id % 2) AS s
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT s,
+        CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS p,
+        CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS q
+      FROM b GROUP BY s),
+    tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(sum(q) AS BIGINT) AS n_neg FROM cells),
+    lad AS (SELECT p, q, tot.n_pos, tot.n_neg,
+        (coalesce(sum(q) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+           PRECEDING AND 1 PRECEDING), 0.0) + q / 2) / tot.n_neg
+          AS v10,
+        (coalesce(sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+           PRECEDING AND 1 PRECEDING), 0.0) + p / 2) / tot.n_pos
+          AS v01
+      FROM cells, tot),
+    g AS (SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+        sum(p * v10) AS s10, sum(p * v10 * v10) AS ss10,
+        sum(q * v01) AS s01, sum(q * v01 * v01) AS ss01
+      FROM lad),
+    f AS (SELECT n_pos, n_neg,
+        CAST(n_pos AS DOUBLE) AS m, CAST(n_neg AS DOUBLE) AS n,
+        s10, ss10, s01, ss01 FROM g)
+    SELECT n_pos, n_neg,
+      round(CASE WHEN n_pos > 0 AND n_neg > 0
+        THEN s10 / m END, 6) + 0.0 AS auc,
+      round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+        sqrt((ss10 - m * (s10 / m) * (s10 / m)) / (m - 1) / m
+           + (ss01 - n * (s01 / n) * (s01 / n)) / (n - 1) / n)
+        END, 6) + 0.0 AS se
+    FROM f
+    """,
+)
+def m_auc_se(spark, sf_dir):
+    """AUC with the DeLong standard error (operators/stats.auc_delong)
+    on a planted separable scorer (value + 30·label, integer-rounded
+    for ties) — the structural-component variance every model
+    comparison needs: placements V10/V01 are constant per distinct-
+    score cell, so the whole statistic is the tripwired cell ladder +
+    weighted folds. The oracle replays the midcell placements and both
+    variances term-for-term."""
+    from pandasvcf_spark.operators.stats import auc_delong
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    b = e.select(
+        (F.col("user_id") % 2).cast("int").alias("y"),
+        (
+            F.round("value", 0) + 30.0 * (F.col("user_id") % 2)
+        ).alias("s"),
+    )
+    return auc_delong(b, "y", "s")
+
+
+@register(
+    "e_page_hinkley",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    stepped AS (
+      SELECT t,
+        count(*) OVER () AS n,
+        v - sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)
+            / count(*) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)
+          - 0.0 AS dev
+      FROM hourly),
+    cum AS (
+      SELECT t, n, sum(dev) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS m
+      FROM stepped),
+    ph AS (
+      SELECT t, n, m - min(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS ph
+      FROM cum)
+    SELECT CAST(n AS BIGINT) AS n, round(ph, 6) + 0.0 AS ph,
+           t AS t_peak
+    FROM ph ORDER BY ph DESC, t ASC LIMIT 1
+    """,
+)
+def e_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift statistic (operators/stats.page_hinkley,
+    δ=0) on the hourly event-count series — the streaming-ML
+    mean-increase monitor: cumulative deviations from the running mean
+    measured above their historical minimum, peak + location emitted.
+    Series-guarded windows over one sort; the oracle replays the
+    cumsum/running-mean/running-min chain and the (ph DESC, t ASC)
+    total-order cut."""
+    from pandasvcf_spark.operators.stats import page_hinkley
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts"))
+        .cast("long").alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return page_hinkley(hourly, "t", "v", delta=0.0)
+
+
+def _sql_lf(x: str) -> str:
+    """log-factorial as the identical HOF fold (Σ ln i from 2)."""
+    return (
+        f"CASE WHEN ({x}) < 2 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"list_sum(list_transform(generate_series(2, ({x})), "
+        f"i -> ln(CAST(i AS DOUBLE)))) END"
+    )
+
+
+def _fisher_oracle() -> str:
+    lf = _sql_lf
+    logp_lo = (
+        f"{lf('ra')} + {lf('n - ra')} + {lf('ca')} + {lf('n - ca')} "
+        f"- {lf('n')} - {lf('lo')} - {lf('ra - lo')} - {lf('ca - lo')} "
+        f"- {lf('n - ra - ca + lo')}"
+    )
+    logp_a = (
+        f"{lf('ra')} + {lf('n - ra')} + {lf('ca')} + {lf('n - ca')} "
+        f"- {lf('n')} - {lf('a')} - {lf('ra - a')} - {lf('ca - a')} "
+        f"- {lf('n - ra - ca + a')}"
+    )
+    step_lp = (
+        "wk.lp + ln(CAST(wk.ra - (wk.k + 1) + 1 AS DOUBLE)) "
+        "+ ln(CAST(wk.ca - (wk.k + 1) + 1 AS DOUBLE)) "
+        "- ln(CAST(wk.k + 1 AS DOUBLE)) "
+        "- ln(CAST(wk.n - wk.ra - wk.ca + (wk.k + 1) AS DOUBLE))"
+    )
+    return f"""
+    WITH RECURSIVE b AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS fa,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS fb
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id < 10
+        AND event_type IS NOT NULL AND value IS NOT NULL),
+    g AS (SELECT
+        CAST(sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS a,
+        CAST(sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS b,
+        CAST(sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS c,
+        CAST(sum(CASE WHEN fa = 0 AND fb = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS d
+      FROM b),
+    m AS (SELECT a, b, c, d, a + b + c + d AS n, a + b AS ra,
+                 a + c AS ca,
+                 greatest(CAST(0 AS BIGINT), a + b + a + c
+                          - (a + b + c + d)) AS lo,
+                 least(a + b, a + c) AS hi
+          FROM g),
+    prep AS (SELECT m.*,
+        ({logp_lo}) AS lp_lo,
+        exp({logp_a}) * CAST(1.0000001 AS DOUBLE) AS thresh
+      FROM m),
+    wk AS (
+      SELECT lo AS k, lp_lo AS lp,
+        CASE WHEN exp(lp_lo) <= thresh THEN exp(lp_lo)
+             ELSE CAST(0.0 AS DOUBLE) END AS s,
+        hi, ra, ca, n, thresh
+      FROM prep
+      UNION ALL
+      SELECT wk.k + 1, {step_lp},
+        wk.s + CASE WHEN exp({step_lp}) <= wk.thresh
+                 THEN exp({step_lp}) ELSE CAST(0.0 AS DOUBLE) END,
+        wk.hi, wk.ra, wk.ca, wk.n, wk.thresh
+      FROM wk WHERE wk.k < wk.hi),
+    fin AS (SELECT s FROM wk ORDER BY k DESC LIMIT 1)
+    SELECT m.a, m.b, m.c, m.d,
+      round(CASE WHEN m.ra > 0 AND m.ca > 0 AND m.n - m.ra > 0
+               AND m.n - m.ca > 0
+        THEN least(fin.s, CAST(1.0 AS DOUBLE)) END, 8) + 0.0
+        AS p_value,
+      round(CASE WHEN m.ra > 0 AND m.ca > 0 AND m.n - m.ra > 0
+               AND m.n - m.ca > 0 AND m.b * m.c > 0
+        THEN (CAST(m.a AS DOUBLE) * m.d) / (CAST(m.b AS DOUBLE) * m.c)
+        END, 6) + 0.0 AS odds_ratio
+    FROM m CROSS JOIN fin
+    """
+
+
+@register("m_fisher_exact", oracle=_fisher_oracle())
+def m_fisher_exact(spark, sf_dir):
+    """Fisher's exact 2x2 test (operators/stats.fisher_exact_2x2; R's
+    two-sided minimum-likelihood convention, pinned to fisher.test's
+    tea-tasting golden in pytest) on a small-cohort slice of events
+    (user_id < 10; click-vs-value flags) — the exact small-sample
+    association test beside m_odds_ratio's normal z. Log-factorials
+    are Σ ln i HOF folds and the hypergeometric support walks
+    incrementally; the oracle replays the identical recurrence with
+    WITH RECURSIVE (the DuckDB struct-lambda accumulator is avoided —
+    see e_holt_linear's note)."""
+    from pandasvcf_spark.operators.stats import fisher_exact_2x2
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") < 10)
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = e.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+        .alias("fa"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("fb"),
+    )
+    return fisher_exact_2x2(b, "fa", "fb")
+
+
 def _cox_oracle(iters: int = 5) -> str:
     """Unrolled fixed-round Newton for the binary-covariate Cox model
     — the pagerank/m_logit device: one (stats, beta) CTE pair per

@@ -930,6 +930,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "m_auc_se",              # DeLong AUC variance: the
+                                 # distinct-score placement ladder
+                                 # (m_roc_points family, tail)
+        "e_page_hinkley",        # drift monitor: series windows
+                                 # (e_cusum/e_changepoint in tail)
+        "m_fisher_exact",        # exact 2x2: odds-ratio family
+                                 # (m_odds_ratio in tail) with the
+                                 # hypergeometric support walk
         "m_cox",                 # Cox PH (binary): the km risk-set
                                  # ladder (m_kaplan_meier/m_logrank in
                                  # tail) + unrolled-Newton convention

@@ -3163,3 +3163,84 @@ def test_cox_ph_binary_vs_replica(spark):
     )
     r = cox_ph_binary(onegrp, "t", "e", "g").collect()[0]
     assert r["beta"] is None  # I = 0: unbounded MLE reported as NULL
+
+
+def test_auc_delong_page_hinkley_fisher_vs_replicas(spark):
+    """DeLong AUC/SE against the placement-value replica; Page-Hinkley
+    against the running-mean cumulative replica (peak lands after the
+    planted t=60 mean shift); Fisher exact pinned to R fisher.test
+    goldens (tea-tasting 3/1/1/3 -> p=0.4857143, OR 9;
+    1/9/11/3 -> p=0.0027595) plus the max_n tripwire."""
+    import bisect
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import (
+        auc_delong,
+        fisher_exact_2x2,
+        page_hinkley,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (1 if rng.random() < 0.4 else 0, round(rng.gauss(0, 1), 1))
+        for _ in range(600)
+    ]
+    rows = [(y, s + (0.8 if y else 0.0)) for y, s in rows]
+    df = spark.createDataFrame(rows, "y int, s double")
+    pos = sorted(s for y, s in rows if y == 1)
+    neg = sorted(s for y, s in rows if y == 0)
+
+    def v10(s):
+        lo, hi = bisect.bisect_left(neg, s), bisect.bisect_right(neg, s)
+        return (lo + 0.5 * (hi - lo)) / len(neg)
+
+    def v01(s):
+        lo, hi = bisect.bisect_left(pos, s), bisect.bisect_right(pos, s)
+        return ((len(pos) - hi) + 0.5 * (hi - lo)) / len(pos)
+
+    V10 = [v10(s) for s in pos]
+    V01 = [v01(s) for s in neg]
+    auc = sum(V10) / len(V10)
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    se = math.sqrt(var(V10) / len(pos) + var(V01) / len(neg))
+    r = auc_delong(df, "y", "s").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert abs(r["auc"] - auc) < 2e-6 and abs(r["se"] - se) < 2e-6
+
+    ser = [(i, round(rng.gauss(0, 1) + (3.0 if i >= 60 else 0.0), 4))
+           for i in range(100)]
+    df = spark.createDataFrame(ser, "t int, v double")
+    ms, m, s_run = [], 0.0, 0.0
+    for i, (_, x) in enumerate(ser, 1):
+        s_run += x
+        m += x - s_run / i
+        ms.append(m)
+    mn, ph = float("inf"), []
+    for mm in ms:
+        mn = min(mn, mm)
+        ph.append(mm - mn)
+    r = page_hinkley(df, "t", "v").collect()[0]
+    assert (r["n"], r["ph"], r["t_peak"]) == (
+        100, round(max(ph), 6), ph.index(max(ph)),
+    )
+    assert r["t_peak"] >= 60  # the shift is where the climb peaks
+
+    tea = [(1, 1)] * 3 + [(1, 0)] * 1 + [(0, 1)] * 1 + [(0, 0)] * 3
+    df = spark.createDataFrame(tea, "fa int, fb int")
+    r = fisher_exact_2x2(df, "fa", "fb").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 1, 1, 3)
+    assert abs(r["p_value"] - 0.48571429) < 1e-6
+    assert r["odds_ratio"] == 9.0
+    t2 = [(1, 1)] * 1 + [(1, 0)] * 9 + [(0, 1)] * 11 + [(0, 0)] * 3
+    df = spark.createDataFrame(t2, "fa int, fb int")
+    r = fisher_exact_2x2(df, "fa", "fb").collect()[0]
+    assert abs(r["p_value"] - 0.0027594561) < 1e-7
+    with _pytest.raises(ValueError, match="max_n"):
+        fisher_exact_2x2(df, "fa", "fb", max_n=5)
