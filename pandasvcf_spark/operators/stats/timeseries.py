@@ -1043,3 +1043,81 @@ def page_hinkley(
             F.col("__t").alias("t_peak"),
         )
     )
+
+
+def granger_causality(
+    series: DataFrame,
+    time_col: str,
+    y_col: str,
+    x_col: str,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Granger causality test, one lag (Granger 1969) — does the
+    HISTORY of x improve the prediction of y beyond y's own history?
+    The standard lead-lag screen between two monitoring series
+    (deploys→errors, marketing→signups):
+
+        restricted    y_t = a + b y_{t-1}
+        unrestricted  y_t = a + b y_{t-1} + c x_{t-1}
+        F = (RSS_r − RSS_u) / (RSS_u / (T − 3))   ~ F(1, T−3)
+
+    both fit by closed-form OLS on centered moment sums (the
+    two-regressor normal equations — no iteration). "Granger-causes"
+    is predictive, not mechanistic; the docstring states what the F
+    tests and nothing more. Output: ONE row (n BIGINT usable
+    (y_t, y_{t-1}, x_{t-1}) triples, f DOUBLE round 6, b_y, b_x DOUBLE
+    round 6 — the unrestricted coefficients); NULL when T <= 3, a
+    regressor is constant, or the regressor cross-moment matrix is
+    singular.
+
+    Plan: ONE ordered lag window over the (tripwire-guarded,
+    pre-aggregated) series + ONE 10-sum moment agg + 1-row closed
+    forms."""
+    yc = F.col(y_col).cast("double")
+    xc = F.col(x_col).cast("double")
+    base = series.filter(
+        yc.isNotNull() & xc.isNotNull() & F.col(time_col).isNotNull()
+    ).select(F.col(time_col).alias("__t"), yc.alias("__y"),
+             xc.alias("__x"))
+    _assert_series_sized(base, "granger_causality", max_rows)
+    w = Window.orderBy("__t")
+    lagged = base.select(
+        "__y",
+        F.lag("__y").over(w).alias("__u"),   # y_{t-1}
+        F.lag("__x").over(w).alias("__v"),   # x_{t-1}
+    ).filter(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+    g = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__u").alias("__su"),
+        F.sum("__v").alias("__sv"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__u") * F.col("__u")).alias("__suu"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__svv"),
+        F.sum(F.col("__y") * F.col("__u")).alias("__syu"),
+        F.sum(F.col("__y") * F.col("__v")).alias("__syv"),
+        F.sum(F.col("__u") * F.col("__v")).alias("__suv"),
+    )
+    nd = F.col("n").cast("double")
+    syy = F.col("__syy") - F.col("__sy") * F.col("__sy") / nd
+    suu = F.col("__suu") - F.col("__su") * F.col("__su") / nd
+    svv = F.col("__svv") - F.col("__sv") * F.col("__sv") / nd
+    syu = F.col("__syu") - F.col("__sy") * F.col("__su") / nd
+    syv = F.col("__syv") - F.col("__sy") * F.col("__sv") / nd
+    suv = F.col("__suv") - F.col("__su") * F.col("__sv") / nd
+    rss_r = syy - syu * syu / suu
+    det = suu * svv - suv * suv
+    b_y = (syu * svv - syv * suv) / det
+    b_x = (syv * suu - syu * suv) / det
+    rss_u = syy - b_y * syu - b_x * syv
+    f_stat = (rss_r - rss_u) / (rss_u / (nd - 3))
+    ok = (
+        (F.col("n") > 3) & (suu > 0) & (svv > 0) & (det > 0)
+        & (rss_u > 0)
+    )
+    return g.select(
+        "n",
+        (F.round(F.when(ok, f_stat), 6) + F.lit(0.0)).alias("f"),
+        (F.round(F.when(ok, b_y), 6) + F.lit(0.0)).alias("b_y"),
+        (F.round(F.when(ok, b_x), 6) + F.lit(0.0)).alias("b_x"),
+    )

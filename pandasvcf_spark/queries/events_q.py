@@ -4922,6 +4922,83 @@ def m_ks_2sample(spark, sf_dir):
 
 
 @register(
+    "m_granger",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS DOUBLE) AS y,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1),
+    lagged AS (
+      SELECT y, lag(y) OVER (ORDER BY t) AS u,
+             lag(x) OVER (ORDER BY t) AS v
+      FROM hourly),
+    trip AS (SELECT * FROM lagged
+             WHERE u IS NOT NULL AND v IS NOT NULL),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(y) AS sy, sum(u) AS su, sum(v) AS sv,
+        sum(y * y) AS syy0, sum(u * u) AS suu0, sum(v * v) AS svv0,
+        sum(y * u) AS syu0, sum(y * v) AS syv0, sum(u * v) AS suv0
+      FROM trip),
+    c AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        syy0 - sy * sy / CAST(n AS DOUBLE) AS syy,
+        suu0 - su * su / CAST(n AS DOUBLE) AS suu,
+        svv0 - sv * sv / CAST(n AS DOUBLE) AS svv,
+        syu0 - sy * su / CAST(n AS DOUBLE) AS syu,
+        syv0 - sy * sv / CAST(n AS DOUBLE) AS syv,
+        suv0 - su * sv / CAST(n AS DOUBLE) AS suv
+      FROM g),
+    o AS (SELECT n, nd, syy, suu, svv, syu, syv, suv,
+        syy - syu * syu / suu AS rss_r,
+        suu * svv - suv * suv AS det
+      FROM c),
+    f AS (SELECT n, nd, suu, svv, det, rss_r, syu, syv,
+        (syu * svv - syv * suv) / det AS b_y,
+        (syv * suu - syu * suv) / det AS b_x,
+        syy - ((syu * svv - syv * suv) / det) * syu
+            - ((syv * suu - syu * suv) / det) * syv AS rss_u
+      FROM o)
+    SELECT n,
+      round(CASE WHEN n > 3 AND suu > 0 AND svv > 0 AND det > 0
+               AND rss_u > 0
+        THEN (rss_r - rss_u) / (rss_u / (nd - 3)) END, 6) + 0.0 AS f,
+      round(CASE WHEN n > 3 AND suu > 0 AND svv > 0 AND det > 0
+               AND rss_u > 0 THEN b_y END, 6) + 0.0 AS b_y,
+      round(CASE WHEN n > 3 AND suu > 0 AND svv > 0 AND det > 0
+               AND rss_u > 0 THEN b_x END, 6) + 0.0 AS b_x
+    FROM f
+    """,
+)
+def m_granger(spark, sf_dir):
+    """Granger causality, one lag (operators/stats.granger_causality)
+    between the hourly click and view count series — does view history
+    improve click prediction beyond click history? One lag window over
+    the pre-aggregated series + one 10-sum moment agg + closed-form
+    two-regressor OLS (no iteration); the oracle replays every
+    centered moment, both regressions and the F arithmetic. Planted-
+    direction recovery is pinned in pytest (the fixture here is the
+    honest natural pair)."""
+    from pandasvcf_spark.operators.stats import granger_causality
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts"))
+        .cast("long").alias("t")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double").alias("y"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double").alias("x"),
+    )
+    return granger_causality(hourly, "t", "y", "x")
+
+
+@register(
     "m_auc_se",
     oracle="""
     WITH b AS (

@@ -930,6 +930,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "m_granger",             # lead-lag F screen: closed-form
+                                 # OLS moments (m_ols in tail,
+                                 # e_rolling_corr family)
         "m_auc_se",              # DeLong AUC variance: the
                                  # distinct-score placement ladder
                                  # (m_roc_points family, tail)

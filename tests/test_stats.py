@@ -3244,3 +3244,48 @@ def test_auc_delong_page_hinkley_fisher_vs_replicas(spark):
     assert abs(r["p_value"] - 0.0027594561) < 1e-7
     with _pytest.raises(ValueError, match="max_n"):
         fisher_exact_2x2(df, "fa", "fb", max_n=5)
+
+
+def test_granger_causality_vs_replica(spark):
+    """Granger (1 lag) on a planted y_t = 0.5 y_{t-1} + 0.8 x_{t-1} +
+    noise system: replica-exact F and coefficients, and the DIRECTION
+    asymmetry (x→y huge F, y→x small)."""
+    import random
+
+    from pandasvcf_spark.operators.stats import granger_causality
+
+    rng = random.Random(21)
+    xs = [rng.gauss(0, 1) for _ in range(300)]
+    ys = [0.0]
+    for t in range(1, 300):
+        ys.append(0.5 * ys[t - 1] + 0.8 * xs[t - 1] + rng.gauss(0, 0.3))
+    rows = [(t, round(ys[t], 4), round(xs[t], 4)) for t in range(300)]
+    df = spark.createDataFrame(rows, "t int, y double, x double")
+
+    trip = [
+        (rows[t][1], rows[t - 1][1], rows[t - 1][2])
+        for t in range(1, 300)
+    ]
+    n = len(trip)
+    sy = sum(a for a, _, _ in trip)
+    su = sum(b for _, b, _ in trip)
+    sv = sum(c for _, _, c in trip)
+    syy = sum(a * a for a, _, _ in trip) - sy * sy / n
+    suu = sum(b * b for _, b, _ in trip) - su * su / n
+    svv = sum(c * c for _, _, c in trip) - sv * sv / n
+    syu = sum(a * b for a, b, _ in trip) - sy * su / n
+    syv = sum(a * c for a, _, c in trip) - sy * sv / n
+    suv = sum(b * c for _, b, c in trip) - su * sv / n
+    rss_r = syy - syu * syu / suu
+    det = suu * svv - suv * suv
+    b_y = (syu * svv - syv * suv) / det
+    b_x = (syv * suu - syu * suv) / det
+    rss_u = syy - b_y * syu - b_x * syv
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    r = granger_causality(df, "t", "y", "x").collect()[0]
+    assert (r["n"], r["f"], r["b_y"], r["b_x"]) == (
+        n, round(f, 6), round(b_y, 6), round(b_x, 6),
+    )
+    assert abs(r["b_y"] - 0.5) < 0.1 and abs(r["b_x"] - 0.8) < 0.1
+    rev = granger_causality(df, "t", "x", "y").collect()[0]
+    assert r["f"] > 100 and rev["f"] < 10
