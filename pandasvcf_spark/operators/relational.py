@@ -4167,6 +4167,113 @@ def geo_near_join(
     )
 
 
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_size: float,
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    poly_id: str = "poly_id",
+    vertices_col: str = "vertices",
+) -> DataFrame:
+    """Point-in-polygon containment join — "which zone/geofence/
+    census tract is each point in?", the planar-geometry member of the
+    banded-join family: NEVER points × polygons. `vertices` is an
+    ARRAY<STRUCT<x DOUBLE, y DOUBLE>> ring (closing edge implied from
+    last back to first vertex).
+
+    Plan: every polygon EXPLODES onto the grid cells its bounding box
+    covers (a polygon touches few cells at a sane `cell_size` — size
+    cells near the typical polygon diameter); points map to their one
+    cell; candidates equi-join on the cell; the EXACT even-odd
+    ray-cast (crossing number, rightward ray) verifies as one HOF fold
+    over the vertex ring — pure column arithmetic, no Python, and the
+    fold is a scalar sum (replayable in SQL without struct
+    accumulators). Output: (point_id, poly_id) for every containing
+    polygon (overlapping polygons emit multiple rows).
+
+    Boundary convention: even-odd with half-open edge treatment
+    ((y1 > py) != (y2 > py)) — points exactly ON an edge or vertex are
+    implementation-defined, the standard ray-cast caveat; nudge or
+    snap boundary data upstream if edges carry meaning."""
+    if cell_size <= 0:
+        raise ValueError("cell_size must be > 0")
+    vx = F.col(vertices_col)
+    minx = F.array_min(F.transform(vx, lambda v: v["x"]))
+    maxx = F.array_max(F.transform(vx, lambda v: v["x"]))
+    miny = F.array_min(F.transform(vx, lambda v: v["y"]))
+    maxy = F.array_max(F.transform(vx, lambda v: v["y"]))
+    cs = F.lit(float(cell_size))
+    poly_cells = polygons.select(
+        F.col(poly_id).alias("__pid"),
+        vx.alias("__verts"),
+        F.explode(
+            F.sequence(
+                F.floor(minx / cs).cast("long"),
+                F.floor(maxx / cs).cast("long"),
+            )
+        ).alias("__cx"),
+        (
+            F.sequence(
+                F.floor(miny / cs).cast("long"),
+                F.floor(maxy / cs).cast("long"),
+            )
+        ).alias("__cys"),
+    ).select(
+        "__pid", "__verts", "__cx",
+        F.explode("__cys").alias("__cy"),
+    )
+    px = F.col(x_col).cast("double")
+    py = F.col(y_col).cast("double")
+    pts = points.select(
+        F.col(point_id).alias("__ptid"),
+        px.alias("__px"),
+        py.alias("__py"),
+        F.floor(px / cs).cast("long").alias("__cx"),
+        F.floor(py / cs).cast("long").alias("__cy"),
+    )
+    cand = pts.join(poly_cells, on=["__cx", "__cy"])
+    # crossing number: pair each vertex with its successor (ring
+    # closure via modular index), count rightward-ray crossings
+    n = F.size("__verts")
+    crossings = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.struct(
+                F.element_at("__verts", i).alias("a"),
+                F.element_at(
+                    "__verts", (i % F.size("__verts")) + 1
+                ).alias("b"),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            (
+                (e["a"]["y"] > F.col("__py"))
+                != (e["b"]["y"] > F.col("__py"))
+            )
+            & (
+                F.col("__px")
+                < (e["b"]["x"] - e["a"]["x"])
+                * (F.col("__py") - e["a"]["y"])
+                / (e["b"]["y"] - e["a"]["y"])
+                + e["a"]["x"]
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.withColumn("__cross", crossings)
+        .filter(F.col("__cross") % 2 == 1)
+        .select(
+            F.col("__ptid").alias(point_id),
+            F.col("__pid").alias(poly_id),
+        )
+    )
+
+
 def geo_knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -1121,3 +1121,93 @@ def granger_causality(
         (F.round(F.when(ok, b_y), 6) + F.lit(0.0)).alias("b_y"),
         (F.round(F.when(ok, b_x), 6) + F.lit(0.0)).alias("b_x"),
     )
+
+
+def classical_decompose(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    period: int,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931; R's decompose()) — split a regular series
+    into trend + seasonal + remainder, the first thing an analyst does
+    to a periodic monitoring signal:
+
+        trend_t    = centered MA over one period (even periods use
+                     half-weights at both ends — the standard 2xMA)
+        detrend_t  = x_t − trend_t
+        seasonal_k = mean(detrend over slot k) − grand mean of those
+                     slot means (indexes sum to ~0)
+        remainder  = x − trend − seasonal
+
+    The series must be REGULAR (positionally spaced — resample gaps
+    first); slots are row-position mod period. Output: one row per
+    input point (t, x DOUBLE, trend, seasonal, remainder DOUBLE round
+    6) — trend/remainder NULL at the edges where the centered window
+    is incomplete (the textbook convention).
+
+    Plan: series-guarded windows over ONE global sort (row positions +
+    the centered sum), a period-sized slot-mean groupBy broadcast back
+    — the runs_test cost discipline; pre-aggregate to your bucket
+    first."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    x = F.col(value_col).cast("double")
+    base = series.filter(
+        x.isNotNull() & F.col(time_col).isNotNull()
+    ).select(F.col(time_col).alias("__t"), x.alias("__x"))
+    _assert_series_sized(base, "classical_decompose", max_rows)
+    w = Window.orderBy("__t")
+    even = period % 2 == 0
+    h = period // 2 if even else (period - 1) // 2
+    w_ma = w.rowsBetween(-h, h)
+    pos = base.select(
+        "__t",
+        "__x",
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(w_ma).alias("__wn"),
+        F.sum("__x").over(w_ma).alias("__ws"),
+        F.first("__x").over(w_ma).alias("__wlo"),
+        F.last("__x").over(w_ma).alias("__whi"),
+    )
+    full = F.col("__wn") == (2 * h + 1)
+    if even:
+        trend = F.when(
+            full,
+            (
+                F.col("__ws")
+                - F.col("__wlo") / 2
+                - F.col("__whi") / 2
+            )
+            / period,
+        )
+    else:
+        trend = F.when(full, F.col("__ws") / period)
+    td = pos.select(
+        "__t",
+        "__x",
+        ((F.col("__i") - 1) % period).alias("__slot"),
+        trend.alias("__trend"),
+    )
+    slot_means = td.filter(F.col("__trend").isNotNull()).groupBy(
+        "__slot"
+    ).agg(F.avg(F.col("__x") - F.col("__trend")).alias("__sm"))
+    grand = slot_means.agg(F.avg("__sm").alias("__gm"))
+    seas = slot_means.crossJoin(F.broadcast(grand)).select(
+        "__slot", (F.col("__sm") - F.col("__gm")).alias("__seas")
+    )
+    out = td.join(F.broadcast(seas), "__slot", "left")
+    return out.select(
+        F.col("__t").alias("t"),
+        F.col("__x").alias("x"),
+        (F.round(F.col("__trend"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("__seas"), 6) + F.lit(0.0)).alias("seasonal"),
+        (
+            F.round(
+                F.col("__x") - F.col("__trend") - F.col("__seas"), 6
+            )
+            + F.lit(0.0)
+        ).alias("remainder"),
+    )

@@ -4922,6 +4922,59 @@ def m_ks_2sample(spark, sf_dir):
 
 
 @register(
+    "e_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    pos AS (
+      SELECT t, x,
+        row_number() OVER (ORDER BY t) AS i,
+        count(*) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND
+          12 FOLLOWING) AS wn,
+        sum(x) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND
+          12 FOLLOWING) AS ws,
+        first_value(x) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND
+          12 FOLLOWING) AS wlo,
+        last_value(x) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND
+          12 FOLLOWING) AS whi
+      FROM hourly),
+    td AS (
+      SELECT t, x, (i - 1) % 24 AS slot,
+        CASE WHEN wn = 25 THEN (ws - wlo / 2 - whi / 2) / 24 END
+          AS trend
+      FROM pos),
+    sm AS (SELECT slot, avg(x - trend) AS m FROM td
+           WHERE trend IS NOT NULL GROUP BY slot),
+    gm AS (SELECT avg(m) AS g FROM sm),
+    seas AS (SELECT slot, m - g AS s FROM sm CROSS JOIN gm)
+    SELECT td.t, td.x,
+      round(td.trend, 6) + 0.0 AS trend,
+      round(seas.s, 6) + 0.0 AS seasonal,
+      round(td.x - td.trend - seas.s, 6) + 0.0 AS remainder
+    FROM td LEFT JOIN seas ON td.slot = seas.slot
+    """,
+)
+def e_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition (operators/stats.
+    classical_decompose; R's decompose()) of the hourly event-count
+    series at period 24 — trend (centered 2x24 MA with half-weight
+    ends), daily seasonal indexes, remainder. Series-guarded windows
+    over one sort + a 24-row slot-mean broadcast; the oracle replays
+    the window frames, the slot means and the centering
+    term-for-term."""
+    from pandasvcf_spark.operators.stats import classical_decompose
+
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts"))
+        .cast("long").alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return classical_decompose(hourly, "t", "v", period=24)
+
+
+@register(
     "m_granger",
     oracle="""
     WITH hourly AS (

@@ -2725,6 +2725,99 @@ def m_fdr_bh(spark, sf_dir):
 
 
 @register(
+    "j_point_in_poly",
+    oracle="""
+    WITH polys AS (
+      SELECT n_nationkey AS poly_id,
+        [
+          {'x': CAST((n_nationkey * 40503) % 900 AS DOUBLE) / 10.0,
+           'y': CAST((n_nationkey * 69069) % 900 AS DOUBLE) / 10.0},
+          {'x': CAST((n_nationkey * 40503) % 900 AS DOUBLE) / 10.0
+                + 8.0 + CAST(n_nationkey % 5 AS DOUBLE),
+           'y': CAST((n_nationkey * 69069) % 900 AS DOUBLE) / 10.0
+                + 1.0},
+          {'x': CAST((n_nationkey * 40503) % 900 AS DOUBLE) / 10.0
+                + 9.0,
+           'y': CAST((n_nationkey * 69069) % 900 AS DOUBLE) / 10.0
+                + 7.0 + CAST(n_nationkey % 3 AS DOUBLE)},
+          {'x': CAST((n_nationkey * 40503) % 900 AS DOUBLE) / 10.0
+                + 2.0,
+           'y': CAST((n_nationkey * 69069) % 900 AS DOUBLE) / 10.0
+                + 9.0}
+        ] AS verts
+      FROM nation),
+    pts AS (
+      SELECT c_custkey AS point_id,
+        CAST((c_custkey * 2654435761) % 1000000 AS DOUBLE) / 10000.0
+          AS px,
+        CAST((c_custkey * 97) % 1000000 AS DOUBLE) / 10000.0 AS py
+      FROM customer),
+    cand AS (SELECT p.point_id, g.poly_id, p.px, p.py, g.verts
+             FROM pts p CROSS JOIN polys g),
+    crossed AS (
+      SELECT point_id, poly_id,
+        list_sum(list_transform(generate_series(1, len(verts)),
+          i -> CASE WHEN
+            (verts[i].y > py) <> (verts[(i % len(verts)) + 1].y > py)
+            AND px < (verts[(i % len(verts)) + 1].x - verts[i].x)
+                * (py - verts[i].y)
+                / (verts[(i % len(verts)) + 1].y - verts[i].y)
+                + verts[i].x
+          THEN 1 ELSE 0 END)) AS cross_n
+      FROM cand)
+    SELECT point_id, poly_id FROM crossed WHERE cross_n % 2 = 1
+    """,
+)
+def j_point_in_poly(spark, sf_dir):
+    """Point-in-polygon containment join (operators/relational.
+    point_in_polygon_join): deterministic quadrilateral zones derived
+    from nation keys (hash-placed, hash-skewed — convex but irregular)
+    against hash-placed customer points in the same 100x100 plane.
+    Polygons explode onto their bounding-box grid cells, points
+    equi-join on their cell, and the even-odd ray cast verifies as a
+    scalar HOF fold. The oracle is the BRUTE-FORCE points x polygons
+    cross join with the identical crossing arithmetic — the strongest
+    check that the cell prejoin misses nothing."""
+    from pandasvcf_spark.operators.relational import (
+        point_in_polygon_join,
+    )
+
+    n = load(spark, sf_dir, "nation")
+    bx = ((F.col("n_nationkey") * 40503) % 900).cast("double") / 10.0
+    by = ((F.col("n_nationkey") * 69069) % 900).cast("double") / 10.0
+    polys = n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.array(
+            F.struct(bx.alias("x"), by.alias("y")),
+            F.struct(
+                (bx + 8.0 + (F.col("n_nationkey") % 5).cast("double"))
+                .alias("x"),
+                (by + 1.0).alias("y"),
+            ),
+            F.struct(
+                (bx + 9.0).alias("x"),
+                (by + 7.0 + (F.col("n_nationkey") % 3).cast("double"))
+                .alias("y"),
+            ),
+            F.struct((bx + 2.0).alias("x"), (by + 9.0).alias("y")),
+        ).alias("vertices"),
+    )
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        (
+            ((F.col("c_custkey") * 2654435761) % 1000000)
+            .cast("double") / 10000.0
+        ).alias("x"),
+        (
+            ((F.col("c_custkey") * 97) % 1000000).cast("double")
+            / 10000.0
+        ).alias("y"),
+    )
+    return point_in_polygon_join(pts, polys, cell_size=10.0)
+
+
+@register(
     "j_geo_knn",
     oracle="""
     WITH pts AS (

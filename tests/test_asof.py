@@ -1681,3 +1681,54 @@ def test_holt_linear_and_croston_vs_replicas(spark):
         holt_linear_last(df, "k", ["t"], "v", beta=1.5)
     with _pytest.raises(ValueError, match="alpha"):
         croston_forecast(df, "k", ["t"], "v", alpha=2.0)
+
+
+def test_point_in_polygon_join_hand_cases(spark):
+    """Even-odd ray cast on a square, a triangle and a CONCAVE L
+    polygon (the notch must read outside), with the cell prejoin
+    verified against brute force and the no-cartesian plan guard."""
+    from pandasvcf_spark.operators.relational import (
+        point_in_polygon_join,
+    )
+
+    polys = [
+        (1, [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]),
+        (2, [(10.0, 0.0), (14.0, 0.0), (12.0, 3.0)]),
+        (3, [(20.0, 0.0), (26.0, 0.0), (26.0, 2.0), (22.0, 2.0),
+             (22.0, 6.0), (20.0, 6.0)]),
+    ]
+    pdf = spark.createDataFrame(
+        [(pid, [{"x": x, "y": y} for x, y in vs]) for pid, vs in polys],
+        "poly_id int, vertices array<struct<x:double,y:double>>",
+    )
+    pts = [
+        (1, 2.0, 2.0),    # in square
+        (2, 5.0, 5.0),    # outside all
+        (3, 12.0, 1.0),   # in triangle
+        (4, 12.0, 2.9),   # in triangle, near the apex
+        (5, 13.9, 2.9),   # outside the slanted edge
+        (6, 21.0, 5.0),   # in the L's vertical arm
+        (7, 25.0, 1.0),   # in the L's horizontal arm
+        (8, 25.0, 5.0),   # in the L's NOTCH -> outside (concavity)
+        (9, 0.5, 3.9),    # in square
+    ]
+    tdf = spark.createDataFrame(pts, "point_id int, x double, y double")
+    df = point_in_polygon_join(tdf, pdf, cell_size=3.0)
+    out = {(r["point_id"], r["poly_id"]) for r in df.collect()}
+    assert out == {(1, 1), (3, 2), (4, 2), (6, 3), (7, 3), (9, 1)}
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # cell size independence: a much finer grid gives the same answer
+    out2 = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon_join(tdf, pdf, cell_size=0.7).collect()
+    }
+    assert out2 == out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell_size"):
+        point_in_polygon_join(tdf, pdf, cell_size=0.0)

@@ -930,6 +930,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "j_point_in_poly",       # planar geofence containment:
+                                 # banded-join family (j_geo_near in
+                                 # tail), ray cast as scalar HOF fold
+        "e_decompose",           # classical trend/seasonal split:
+                                 # series windows (e_seasonal_profile
+                                 # / e_seasonal_strength in tail)
         "m_granger",             # lead-lag F screen: closed-form
                                  # OLS moments (m_ols in tail,
                                  # e_rolling_corr family)

@@ -3289,3 +3289,41 @@ def test_granger_causality_vs_replica(spark):
     assert abs(r["b_y"] - 0.5) < 0.1 and abs(r["b_x"] - 0.8) < 0.1
     rev = granger_causality(df, "t", "x", "y").collect()[0]
     assert r["f"] > 100 and rev["f"] < 10
+
+
+def test_classical_decompose_planted(spark):
+    """Planted trend + zero-sum seasonal recovered EXACTLY by the
+    centered MA on both parities: odd period 3 (plain MA) and even
+    period 4 (2xMA half-weight ends); edges NULL; remainder ~0."""
+    from pandasvcf_spark.operators.stats import classical_decompose
+
+    seas = [4.0, -1.0, -3.0]
+    rows = [(t, 0.5 * t + seas[t % 3]) for t in range(30)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {
+        r["t"]: r
+        for r in classical_decompose(df, "t", "v", period=3).collect()
+    }
+    assert len(out) == 30
+    assert out[0]["trend"] is None and out[29]["trend"] is None
+    for t in range(1, 29):
+        assert abs(out[t]["trend"] - 0.5 * t) < 1e-9
+        assert abs(out[t]["seasonal"] - seas[t % 3]) < 1e-9
+        assert abs(out[t]["remainder"]) < 1e-9
+
+    seas4 = [2.0, 0.0, -1.0, -1.0]
+    rows = [(t, 1.0 * t + seas4[t % 4]) for t in range(24)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    out = {
+        r["t"]: r
+        for r in classical_decompose(df, "t", "v", period=4).collect()
+    }
+    for t in range(2, 22):
+        assert abs(out[t]["trend"] - 1.0 * t) < 1e-9
+        assert abs(out[t]["seasonal"] - seas4[t % 4]) < 1e-9
+        assert abs(out[t]["remainder"]) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        classical_decompose(df, "t", "v", period=1)
