@@ -1453,3 +1453,170 @@ def fisher_exact_2x2(
             F.round(F.when(ok & (b * c > 0), orat), 6) + F.lit(0.0)
         ).alias("odds_ratio"),
     )
+
+
+def _binom_minlike_p(k, n, p0: float):
+    """Two-sided exact binomial p-value (R's minimum-likelihood
+    convention) as a pure column expression over BIGINT k, n: walk the
+    full support with the log-pmf recurrence
+
+        lp(0)   = n ln(1-p0)
+        lp(j+1) = lp(j) + ln(n-j) - ln(j+1) + ln(p0/(1-p0))
+
+    summing pmf(j) wherever pmf(j) <= pmf(k)·(1+1e-7). O(n) expression
+    work — callers own the n tripwire. Both engines replay the
+    identical recurrence (scalar struct fold in Spark; the SQL twin
+    uses WITH RECURSIVE per the DuckDB struct-lambda finding)."""
+    import math
+
+    lq = math.log1p(-p0)
+    lodds = math.log(p0) - lq
+    nd = n.cast("double")
+    kd = k.cast("double")
+    # lp(k) directly via the same partial sums the walk uses would be
+    # O(n) anyway — reuse one walk that carries (lp_j, p_obs-matching
+    # sum) and a FIRST pass value lp(k) computed by its own fold
+    lp_obs = (
+        nd * F.lit(lq)
+        + F.aggregate(
+            F.when(k >= 1, F.sequence(F.lit(1).cast("long"), k))
+            .otherwise(F.array().cast("array<long>")),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.log((n - j + 1).cast("double"))
+            - F.log(j.cast("double"))
+            + F.lit(lodds),
+        )
+    )
+    thresh = F.exp(lp_obs) * F.lit(1.0 + 1e-7)
+    init = F.struct(
+        (nd * F.lit(lq)).alias("lp"),
+        F.when(F.exp(nd * F.lit(lq)) <= thresh, F.exp(nd * F.lit(lq)))
+        .otherwise(F.lit(0.0)).alias("s"),
+    )
+    step_lp = lambda acc, j: (
+        acc["lp"]
+        + F.log((n - j + 1).cast("double"))
+        - F.log(j.cast("double"))
+        + F.lit(lodds)
+    )
+    walk = F.aggregate(
+        F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n))
+        .otherwise(F.array().cast("array<long>")),
+        init,
+        lambda acc, j: F.struct(
+            step_lp(acc, j).alias("lp"),
+            (
+                acc["s"]
+                + F.when(
+                    F.exp(step_lp(acc, j)) <= thresh,
+                    F.exp(step_lp(acc, j)),
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        ),
+    )
+    return F.least(walk["s"], F.lit(1.0))
+
+
+def binom_test_exact(
+    df: DataFrame,
+    success_col: str,
+    p0: float = 0.5,
+    max_n: int | None = 100_000,
+) -> DataFrame:
+    """Exact binomial test (R's binom.test two-sided minimum-
+    likelihood convention) — is the success rate p0? The exact
+    single-proportion companion of `sample_size_2prop`'s normal
+    machinery, correct at any n (and the only honest choice at small
+    n). success must be 0/1. Output: ONE row (n, k BIGINT, p_hat
+    DOUBLE round 6, p_value DOUBLE round 8); NULL p when n = 0.
+
+    Plan: ONE 2-counter agg + the O(n) log-pmf support walk as 1-row
+    expression work behind the `max_n` tripwire (a proportion at
+    n > 100k is normal-approximation territory — m_ab_test)."""
+    if not 0.0 < p0 < 1.0:
+        raise ValueError(f"p0 must be in (0, 1), got {p0}")
+    sc = F.col(success_col).cast("int")
+    base = df.filter(sc.isNotNull()).select(sc.alias("__s"))
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__s").cast("long").alias("k"),
+    )
+    if max_n is not None:
+        n_rows = base.count()
+        if n_rows > max_n:
+            raise ValueError(
+                f"binom_test_exact: {n_rows:,} rows exceed "
+                f"max_n={max_n:,} — the exact support walk is O(n) in "
+                "one task; use the normal-approximation machinery "
+                "(m_ab_test / sample_size_2prop) at this scale, or "
+                "pass max_n=None after pricing the cost."
+            )
+    p = _binom_minlike_p(F.col("k"), F.col("n"), p0)
+    return g.select(
+        "n",
+        "k",
+        (
+            F.round(
+                F.when(
+                    F.col("n") > 0,
+                    F.col("k").cast("double") / F.col("n"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p_hat"),
+        (
+            F.round(F.when(F.col("n") > 0, p), 8) + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+def mcnemar_exact(
+    df: DataFrame,
+    flag_a_col: str,
+    flag_b_col: str,
+    max_n: int | None = 100_000,
+) -> DataFrame:
+    """Exact McNemar test — the small-sample form of `mcnemar_test`'s
+    chi-square: under H0 the b discordant (1,0) pairs among the b + c
+    discordant pairs are Binomial(b + c, 1/2), so the p-value is the
+    exact two-sided binomial test on the discordant counts (the
+    standard exact convention; concordant pairs carry no information).
+    Flags must be 0/1 per paired observation row. Output: ONE row
+    (b, c BIGINT, p_value DOUBLE round 8); NULL p when b + c = 0 (no
+    discordance — the test is undefined, not significant).
+
+    Plan: ONE 2-counter agg + the shared `_binom_minlike_p` support
+    walk over b + c (discordant pairs, not rows — usually tiny) behind
+    the `max_n` tripwire on the DISCORDANT count."""
+    fa = F.col(flag_a_col).cast("int")
+    fb = F.col(flag_b_col).cast("int")
+    base = df.filter(fa.isNotNull() & fb.isNotNull()).select(
+        fa.alias("__a"), fb.alias("__b")
+    )
+    g = base.agg(
+        F.sum(F.when((F.col("__a") == 1) & (F.col("__b") == 0), 1)
+              .otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("__a") == 0) & (F.col("__b") == 1), 1)
+              .otherwise(0)).cast("long").alias("c"),
+    )
+    if max_n is not None:
+        nd = g.select((F.col("b") + F.col("c")).alias("nd")).collect()[
+            0
+        ]["nd"]
+        if nd is not None and nd > max_n:
+            raise ValueError(
+                f"mcnemar_exact: {nd:,} discordant pairs exceed "
+                f"max_n={max_n:,} — use mcnemar_test's chi-square at "
+                "this scale, or pass max_n=None."
+            )
+    p = _binom_minlike_p(F.col("b"), F.col("b") + F.col("c"), 0.5)
+    return g.select(
+        "b",
+        "c",
+        (
+            F.round(F.when(F.col("b") + F.col("c") > 0, p), 8)
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )

@@ -4921,6 +4921,141 @@ def m_ks_2sample(spark, sf_dir):
     return ks_2sample(b, "f", "v")
 
 
+def _binom_walk_oracle(counts_cte: str, p0: float, out_sql: str) -> str:
+    """Shared WITH RECURSIVE replay of `_binom_minlike_p`'s log-pmf
+    support walk (struct-lambda accumulators avoided — the
+    e_holt_linear finding). `counts_cte` must define g(k BIGINT,
+    n BIGINT) plus whatever `out_sql` projects from it."""
+    import math
+
+    lq = repr(math.log1p(-p0))
+    lodds = repr(math.log(p0) - math.log1p(-p0))
+    return f"""
+    WITH RECURSIVE {counts_cte},
+    prep AS (
+      SELECT g.*, CAST(g.n AS DOUBLE) * CAST({lq} AS DOUBLE) AS lp0,
+        exp(CAST(g.n AS DOUBLE) * CAST({lq} AS DOUBLE)
+          + coalesce(list_sum(list_transform(
+              generate_series(1, g.k),
+              j -> ln(CAST(g.n - j + 1 AS DOUBLE))
+                   - ln(CAST(j AS DOUBLE))
+                   + CAST({lodds} AS DOUBLE))), CAST(0.0 AS DOUBLE)))
+          * CAST(1.0000001 AS DOUBLE) AS thresh
+      FROM g),
+    wk AS (
+      SELECT CAST(0 AS BIGINT) AS j, lp0 AS lp,
+        CASE WHEN exp(lp0) <= thresh THEN exp(lp0)
+             ELSE CAST(0.0 AS DOUBLE) END AS s,
+        n, thresh
+      FROM prep
+      UNION ALL
+      SELECT wk.j + 1,
+        wk.lp + ln(CAST(wk.n - (wk.j + 1) + 1 AS DOUBLE))
+              - ln(CAST(wk.j + 1 AS DOUBLE)) + CAST({lodds} AS DOUBLE),
+        wk.s + CASE WHEN exp(wk.lp
+                + ln(CAST(wk.n - (wk.j + 1) + 1 AS DOUBLE))
+                - ln(CAST(wk.j + 1 AS DOUBLE))
+                + CAST({lodds} AS DOUBLE)) <= wk.thresh
+          THEN exp(wk.lp
+                + ln(CAST(wk.n - (wk.j + 1) + 1 AS DOUBLE))
+                - ln(CAST(wk.j + 1 AS DOUBLE))
+                + CAST({lodds} AS DOUBLE))
+          ELSE CAST(0.0 AS DOUBLE) END,
+        wk.n, wk.thresh
+      FROM wk WHERE wk.j < wk.n),
+    fin AS (SELECT s FROM wk ORDER BY j DESC LIMIT 1)
+    {out_sql}
+    """
+
+
+@register(
+    "m_binom_exact",
+    oracle=_binom_walk_oracle(
+        """b AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id < 30
+        AND event_type IS NOT NULL),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(s) AS BIGINT) AS k FROM b)""",
+        0.2,
+        """SELECT g.n, g.k,
+      round(CASE WHEN g.n > 0
+        THEN CAST(g.k AS DOUBLE) / g.n END, 6) + 0.0 AS p_hat,
+      round(CASE WHEN g.n > 0
+        THEN least(fin.s, CAST(1.0 AS DOUBLE)) END, 8) + 0.0
+        AS p_value
+    FROM g CROSS JOIN fin""",
+    ),
+)
+def m_binom_exact(spark, sf_dir):
+    """Exact binomial test (operators/stats.binom_test_exact; R's
+    binom.test two-sided minimum-likelihood convention, pinned to R's
+    documented 682/925 golden in pytest): is the click share of the
+    small cohort (user_id < 30) equal to p0 = 0.2? One 2-counter agg +
+    the O(n) log-pmf support walk behind the max_n tripwire; the
+    oracle replays the identical recurrence with WITH RECURSIVE."""
+    from pandasvcf_spark.operators.stats import binom_test_exact
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") < 30)
+        & F.col("event_type").isNotNull()
+    )
+    b = e.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+        .alias("s")
+    )
+    return binom_test_exact(b, "s", p0=0.2)
+
+
+@register(
+    "m_mcnemar_exact",
+    oracle=_binom_walk_oracle(
+        """b0 AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS fa,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS fb
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id < 10
+        AND event_type IS NOT NULL AND value IS NOT NULL),
+    cnt AS (SELECT
+        CAST(sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS bb,
+        CAST(sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS cc
+      FROM b0),
+    g AS (SELECT bb + cc AS n, bb AS k, bb, cc FROM cnt)""",
+        0.5,
+        """SELECT g.bb AS b, g.cc AS c,
+      round(CASE WHEN g.n > 0
+        THEN least(fin.s, CAST(1.0 AS DOUBLE)) END, 8) + 0.0
+        AS p_value
+    FROM g CROSS JOIN fin""",
+    ),
+)
+def m_mcnemar_exact(spark, sf_dir):
+    """Exact McNemar test (operators/stats.mcnemar_exact) on the
+    m_fisher_exact paired-flag fixture — the discordant counts are
+    Binomial(b+c, 1/2) under H0, so the p-value is the exact two-sided
+    binomial on them (the small-sample form of m_mcnemar's
+    chi-square). Same shared support walk; oracle replays it with
+    WITH RECURSIVE."""
+    from pandasvcf_spark.operators.stats import mcnemar_exact
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") < 10)
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = e.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+        .alias("fa"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("fb"),
+    )
+    return mcnemar_exact(b, "fa", "fb")
+
+
 @register(
     "e_decompose",
     oracle="""

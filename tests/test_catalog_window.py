@@ -930,6 +930,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "m_binom_exact",         # exact single-proportion test: the
+                                 # m_fisher_exact walk device
+        "m_mcnemar_exact",       # exact discordant-pair test: same
+                                 # walk at p=1/2 (m_mcnemar in tail)
         "j_point_in_poly",       # planar geofence containment:
                                  # banded-join family (j_geo_near in
                                  # tail), ray cast as scalar HOF fold

@@ -3327,3 +3327,52 @@ def test_classical_decompose_planted(spark):
 
     with _pytest.raises(ValueError, match="period"):
         classical_decompose(df, "t", "v", period=1)
+
+
+def test_binom_exact_and_mcnemar_exact_vs_goldens(spark):
+    """Exact binomial pinned to R's documented binom.test(682, 925,
+    3/4) golden via the integer-exact math.comb replica; exact McNemar
+    = two-sided binomial on the discordant counts (b=3, c=9 ->
+    598/4096); max_n tripwires raise."""
+    import math
+
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.stats import (
+        binom_test_exact,
+        mcnemar_exact,
+    )
+
+    def r_binom(k, n, p0):
+        pmf = [
+            math.comb(n, j) * p0 ** j * (1 - p0) ** (n - j)
+            for j in range(n + 1)
+        ]
+        thresh = pmf[k] * (1 + 1e-7)
+        return min(sum(q for q in pmf if q <= thresh), 1.0)
+
+    rows = [(1,)] * 682 + [(0,)] * (925 - 682)
+    df = spark.createDataFrame(rows, "s int")
+    r = binom_test_exact(df, "s", p0=0.75).collect()[0]
+    assert (r["n"], r["k"]) == (925, 682)
+    assert abs(r["p_value"] - r_binom(682, 925, 0.75)) < 1e-7
+    assert abs(r["p_value"] - 0.3824916) < 1e-6  # R's printed value
+
+    rows = [(1,)] * 7 + [(0,)] * 13
+    df = spark.createDataFrame(rows, "s int")
+    r = binom_test_exact(df, "s", p0=0.5).collect()[0]
+    assert abs(r["p_value"] - 0.26317596) < 1e-7
+    with _pytest.raises(ValueError, match="max_n"):
+        binom_test_exact(df, "s", max_n=5)
+
+    rows = [(1, 0)] * 3 + [(0, 1)] * 9 + [(1, 1)] * 5 + [(0, 0)] * 4
+    df = spark.createDataFrame(rows, "fa int, fb int")
+    r = mcnemar_exact(df, "fa", "fb").collect()[0]
+    assert (r["b"], r["c"]) == (3, 9)
+    assert abs(r["p_value"] - 598 / 4096) < 1e-8
+    with _pytest.raises(ValueError, match="max_n"):
+        mcnemar_exact(df, "fa", "fb", max_n=5)
+    # no discordance: NULL p
+    rows = [(1, 1)] * 4 + [(0, 0)] * 4
+    df = spark.createDataFrame(rows, "fa int, fb int")
+    assert mcnemar_exact(df, "fa", "fb").collect()[0]["p_value"] is None
