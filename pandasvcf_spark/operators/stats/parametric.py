@@ -1620,3 +1620,60 @@ def mcnemar_exact(
             + F.lit(0.0)
         ).alias("p_value"),
     )
+
+
+def sign_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_n: int | None = 100_000,
+) -> DataFrame:
+    """Exact paired sign test (Arbuthnott 1710 — the oldest test in
+    the book) — completes the paired triad beside `paired_t_test`
+    (parametric) and `wilcoxon_signed_rank` (rank): only the SIGN of
+    each within-pair difference counts, so it survives any monotone
+    distortion and arbitrary outliers. Ties (x = y) drop (the standard
+    convention); the positive count among the n_pos + n_neg informative
+    pairs is Binomial(·, 1/2) under H0, tested with the shared
+    `_binom_minlike_p` exact walk (R binom.test semantics — for
+    p0 = 1/2 minimum-likelihood equals the doubled smaller tail up to
+    clamping). Output: ONE row (n_pos, n_neg BIGINT, p_value DOUBLE
+    round 8); NULL p when no informative pair exists.
+
+    Plan: ONE 2-counter conditional agg + the O(n_informative) support
+    walk as 1-row expression work behind the `max_n` tripwire."""
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    base = df.filter(xc.isNotNull() & yc.isNotNull()).select(
+        (xc - yc).alias("__d")
+    )
+    g = base.agg(
+        F.sum(F.when(F.col("__d") > 0, 1).otherwise(0))
+        .cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("__d") < 0, 1).otherwise(0))
+        .cast("long").alias("n_neg"),
+    )
+    if max_n is not None:
+        ni = g.select(
+            (F.col("n_pos") + F.col("n_neg")).alias("ni")
+        ).collect()[0]["ni"]
+        if ni is not None and ni > max_n:
+            raise ValueError(
+                f"sign_test: {ni:,} informative pairs exceed "
+                f"max_n={max_n:,} — use the normal approximation "
+                "(wilcoxon_signed_rank's z) at this scale, or pass "
+                "max_n=None."
+            )
+    p = _binom_minlike_p(
+        F.col("n_pos"), F.col("n_pos") + F.col("n_neg"), 0.5
+    )
+    return g.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.round(
+                F.when(F.col("n_pos") + F.col("n_neg") > 0, p), 8
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )

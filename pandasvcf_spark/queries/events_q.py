@@ -4969,6 +4969,54 @@ def _binom_walk_oracle(counts_cte: str, p0: float, out_sql: str) -> str:
 
 
 @register(
+    "m_sign_test",
+    oracle=_binom_walk_oracle(
+        """b0 AS (
+      SELECT value AS x,
+        0.8 * value + CAST((user_id * 2654435761) % 23 AS DOUBLE) AS y
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id < 30
+        AND value IS NOT NULL),
+    cnt AS (SELECT
+        CAST(sum(CASE WHEN x - y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS np,
+        CAST(sum(CASE WHEN x - y < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS nn
+      FROM b0),
+    g AS (SELECT np + nn AS n, np AS k, np, nn FROM cnt)""",
+        0.5,
+        """SELECT g.np AS n_pos, g.nn AS n_neg,
+      round(CASE WHEN g.n > 0
+        THEN least(fin.s, CAST(1.0 AS DOUBLE)) END, 8) + 0.0
+        AS p_value
+    FROM g CROSS JOIN fin""",
+    ),
+)
+def m_sign_test(spark, sf_dir):
+    """Exact paired sign test (operators/stats.sign_test) on a planted
+    paired design over the small cohort (y = 0.8x + hash noise — the
+    median difference is positive, so the sign test must reject):
+    completes the paired triad beside m_paired_t and m_wilcoxon using
+    the shared exact-binomial support walk at p0 = 1/2. Oracle: the
+    same WITH RECURSIVE walk generator."""
+    from pandasvcf_spark.operators.stats import sign_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") < 30)
+        & F.col("value").isNotNull()
+    )
+    b = e.select(
+        F.col("value").alias("x"),
+        (
+            0.8 * F.col("value")
+            + ((F.col("user_id") * 2654435761) % 23).cast("double")
+        ).alias("y"),
+    )
+    return sign_test(b, "x", "y")
+
+
+@register(
     "m_binom_exact",
     oracle=_binom_walk_oracle(
         """b AS (

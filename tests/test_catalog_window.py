@@ -930,6 +930,9 @@ def test_tail_entries_are_redundant_variants_only():
                                  # g: one conditional 6-sum pass
         "m_gearys_c",            # spatial variogram companion of
                                  # Moran's I, same pair-fold device
+        "m_sign_test",           # exact paired sign test: the same
+                                 # walk device (m_paired_t/m_wilcoxon
+                                 # in tail complete the paired triad)
         "m_binom_exact",         # exact single-proportion test: the
                                  # m_fisher_exact walk device
         "m_mcnemar_exact",       # exact discordant-pair test: same

@@ -3376,3 +3376,28 @@ def test_binom_exact_and_mcnemar_exact_vs_goldens(spark):
     rows = [(1, 1)] * 4 + [(0, 0)] * 4
     df = spark.createDataFrame(rows, "fa int, fb int")
     assert mcnemar_exact(df, "fa", "fb").collect()[0]["p_value"] is None
+
+
+def test_sign_test_vs_golden(spark):
+    """Sign test = exact binomial on informative pairs at p0 = 1/2:
+    the 7-pos/13-neg case equals binom.test(7, 20, .5) = 0.26317596;
+    ties drop; no-informative-pairs -> NULL p."""
+    from pandasvcf_spark.operators.stats import sign_test
+
+    rows = (
+        [(2.0, 1.0)] * 7        # positive differences
+        + [(1.0, 2.0)] * 13     # negative
+        + [(5.0, 5.0)] * 4      # ties: dropped
+    )
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = sign_test(df, "x", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (7, 13)
+    assert abs(r["p_value"] - 0.26317596) < 1e-7
+
+    allties = spark.createDataFrame([(1.0, 1.0)] * 3, "x double, y double")
+    assert sign_test(allties, "x", "y").collect()[0]["p_value"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_n"):
+        sign_test(df, "x", "y", max_n=5)
