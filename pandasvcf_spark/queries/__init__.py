@@ -124,6 +124,32 @@ DRIVER_WINDOW = 50
 # stays via t_bm25_topk's top-k windows and m_scd2_history's ordered
 # windows). All three remain continuously exact-checked by
 # tests/test_contract.py.
+# The round-12 cut (the ninth) promotes one representative per
+# never-driver-checked round-11 family: m_cox (the survival family's
+# regression flagship — km risk-set ladder + unrolled Newton),
+# m_fisher_exact (the exact-test support-walk device carrying
+# m_binom_exact/m_mcnemar_exact/m_sign_test in the tail), m_granger
+# (the lead-lag closed-form OLS-F time-series screen), v_rq_topk (the
+# residual-quantization ANN rung — full-dim two-level codebooks, a
+# tier no other window entry replays), j_point_in_poly (planar
+# geofence banding + scalar-HOF ray cast — the spatial-join family's
+# only polygon entry), and t_exact_substring_rm (the cross-document
+# verbatim-excision pipeline — shingle chain + interval-union window
+# + HOF token surgery). Displaced, each with its machinery still
+# driver-covered: m_competing_risks (the Aalen-Johansen distinct-time
+# cumulative ladder is exactly m_cox's risk-set ladder),
+# m_bootstrap_ci (deterministic hash-seeded Poisson weights = the
+# portable-hash predicate family, resample agg = the window's agg
+# entries), j_bloom_prune (runtime-filter hash-join machinery stays
+# via j_multiway_q5 + skew_salted_join), agg_grouped_quantiles (the
+# bucket-offset device stays via t_pack_global; exact ordered stats
+# stay contract-checked via agg_exact_quantiles/agg_percentiles),
+# v_kmeans (fixed-budget broadcast-assignment rounds stay via
+# v_ivfpq_topk's trained codebooks and g_kcore's fixed-round peels),
+# and g_link_pred (per-witness wedge pair expansion = g_grm's
+# panel-bounded pair device; the rounded-score TakeOrdered cut stays
+# contract-checked via sort_limit_topk). All six remain continuously
+# exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -148,7 +174,7 @@ _PRIORITY = [
     # §2.11 text analysis + dedup family
     "t_quality_score",
     "t_bm25_topk",
-    "v_kmeans",
+    "t_exact_substring_rm",
     "dedup_minhash_lsh",
     # §2.11 vectors: exact (broadcast + block-matmul impls), ANN
     # (single-bucket, IVF), dedup. v_cosine_topk_manyquery is
@@ -158,7 +184,7 @@ _PRIORITY = [
     "v_cosine_topk",
     "v_cosine_topk_manyquery",
     "v_ann_topk",
-    "agg_grouped_quantiles",
+    "v_rq_topk",
     "v_ivfpq_topk",
     "v_two_stage",
     # §2.3-2.7 relational core: scan/distinct/aggs
@@ -176,7 +202,7 @@ _PRIORITY = [
     # agg_cube, and check_contract exact-checks it every run.)
     "j_asof_events",
     "g_grm",
-    "j_bloom_prune",
+    "j_point_in_poly",
     "t_bleu_rouge",
     "j_multiway_q5",
     "skew_salted_join",
@@ -185,9 +211,9 @@ _PRIORITY = [
     "m_fdr_bh",
     "m_did",
     "m_morans_i",
-    "m_competing_risks",
-    "m_bootstrap_ci",
-    "g_link_pred",
+    "m_cox",
+    "m_fisher_exact",
+    "m_granger",
     "m_scd2_history",
     "r2_pivot",
     "info_str_to_map",

@@ -31,6 +31,9 @@ def test_extension_surface_inside_window():
                          # exact-rerank tier (v_sq_topk's ADC scoring
                          # moved to the tail — quantization stays via
                          # v_ivfpq_topk + the BQ stage here)
+        "v_rq_topk",     # round-12 re-cut #9: residual quantization —
+                         # the full-dim two-level codebook tier no
+                         # other quantizer entry replays
         "t_quality_score",
         "t_bm25_topk",
         "t_bpe_merges",
@@ -54,15 +57,24 @@ def test_extension_surface_inside_window():
         # t_paragraph_dedup, whose explode→hash-groupBy shape stays
         # driver-covered by dedup_minhash_lsh + p4_distinct); promoted
         # in their place:
-        # round-8 continuation classes
-        "agg_grouped_quantiles",
-        "m_bootstrap_ci",
-        "j_bloom_prune",
         "m_scd2_history",
-        "m_competing_risks",  # round-10 re-cut #7: Aalen-Johansen CIF
-                              # — the survival family's first window
-                              # row (km ladder + cause-partitioned
-                              # hazard attribution)
+        # round-12 re-cut #9: one representative per round-11 family
+        # (displacing m_competing_risks — its Aalen-Johansen
+        # distinct-time ladder is exactly m_cox's risk-set ladder —
+        # plus m_bootstrap_ci, j_bloom_prune, agg_grouped_quantiles,
+        # v_kmeans, g_link_pred; see queries/__init__.py for each
+        # machinery-coverage justification)
+        "m_cox",            # survival regression: km risk-set ladder
+                            # + unrolled-Newton fixed rounds
+        "m_fisher_exact",   # exact-test support-walk device (carries
+                            # m_binom_exact / m_mcnemar_exact /
+                            # m_sign_test in the tail)
+        "m_granger",        # lead-lag closed-form OLS-F screen
+        "j_point_in_poly",  # planar geofence banding + scalar-HOF
+                            # ray cast — the polygon spatial join
+        "t_exact_substring_rm",  # cross-doc verbatim excision:
+                                 # shingle chain + interval-union
+                                 # window + HOF token surgery
         "t_bpe_tokens_arrow",
         "g_kcore",
         "t_pack_global",
@@ -937,31 +949,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # m_fisher_exact walk device
         "m_mcnemar_exact",       # exact discordant-pair test: same
                                  # walk at p=1/2 (m_mcnemar in tail)
-        "j_point_in_poly",       # planar geofence containment:
-                                 # banded-join family (j_geo_near in
-                                 # tail), ray cast as scalar HOF fold
         "e_decompose",           # classical trend/seasonal split:
                                  # series windows (e_seasonal_profile
                                  # / e_seasonal_strength in tail)
-        "m_granger",             # lead-lag F screen: closed-form
-                                 # OLS moments (m_ols in tail,
-                                 # e_rolling_corr family)
         "m_auc_se",              # DeLong AUC variance: the
                                  # distinct-score placement ladder
                                  # (m_roc_points family, tail)
         "e_page_hinkley",        # drift monitor: series windows
                                  # (e_cusum/e_changepoint in tail)
-        "m_fisher_exact",        # exact 2x2: odds-ratio family
-                                 # (m_odds_ratio in tail) with the
-                                 # hypergeometric support walk
-        "m_cox",                 # Cox PH (binary): the km risk-set
-                                 # ladder (m_kaplan_meier/m_logrank in
-                                 # tail) + unrolled-Newton convention
-                                 # (m_logit); replica + convergence
-                                 # pytest
-        "v_rq_topk",             # residual-quantization ANN: the
-                                 # PQ/IVF codebook family (v_ivfpq in
-                                 # window) with full-dim levels
         "e_holt_linear",         # level+trend smoothing: the
                                  # e_ewma collect+fold device with a
                                  # struct accumulator
@@ -1002,11 +997,28 @@ def test_tail_entries_are_redundant_variants_only():
                                  # t_bigram_lm (tail) on the same
                                  # count-table chain; replica pytest +
                                  # contract guard
-        "t_exact_substring_rm",  # ExactSubstr keep-first rewrite:
-                                 # composes the t_repeated_spans
-                                 # shingle chain (dedup family in
-                                 # window via dedup_minhash_lsh) +
-                                 # interval-union window + HOF surgery
+        # round-12 re-cut #9 demotions — machinery still
+        # driver-covered per queries/__init__.py; all six stay
+        # exact-checked by tests/test_contract.py every run
+        "m_competing_risks",     # Aalen-Johansen CIF: the distinct-
+                                 # time cumulative ladder is exactly
+                                 # m_cox's risk-set ladder (in window)
+        "m_bootstrap_ci",        # deterministic Poisson bootstrap:
+                                 # portable-hash weight family
+                                 # (t_hash_sample / t_corpus_split,
+                                 # contract-guarded) + in-window aggs
+        "j_bloom_prune",         # runtime-filter prune: hash-join +
+                                 # pushdown machinery stays via
+                                 # j_multiway_q5 + skew_salted_join
+        "agg_grouped_quantiles", # grouped exact order stats: the
+                                 # bucket-offset device stays via
+                                 # t_pack_global (in window); exact
+                                 # quantiles via agg_exact_quantiles
+                                 # / agg_percentiles (tail, guarded)
+        "g_link_pred",           # Adamic-Adar wedges: panel-bounded
+                                 # pair expansion = g_grm's device
+                                 # (in window); TakeOrdered cut via
+                                 # sort_limit_topk (tail, guarded)
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
