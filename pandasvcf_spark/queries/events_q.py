@@ -5536,6 +5536,125 @@ def m_cox(spark, sf_dir):
     return cox_ph_binary(b, "t", "e", "g", iters=5)
 
 
+def _cox_multi_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-round Newton for the TWO-covariate Cox model —
+    the m_cox device with a p=2 Cramer solve per round: each round is
+    a (weights, ladder, fold, solve) CTE quartet, and the solve's
+    operand order matches operators/stats/causal_survival.cox_ph's
+    p == 2 closed form exactly."""
+    head = """
+    WITH b AS (
+      SELECT value * (1 + 0.5 * (user_id % 2))
+               * (1 + 0.2 * (event_id % 3)) AS t,
+        CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS e,
+        CAST(user_id % 2 AS DOUBLE) AS x1,
+        CAST(event_id % 3 AS DOUBLE) AS x2
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL),
+    cells AS (
+      SELECT t, x1, x2, CAST(count(*) AS DOUBLE) AS cnt,
+        CAST(sum(e) AS DOUBLE) AS d
+      FROM b GROUP BY t, x1, x2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_events FROM b),
+    bt0 AS (SELECT CAST(0.0 AS DOUBLE) AS b1,
+                   CAST(0.0 AS DOUBLE) AS b2)"""
+    parts = [head]
+    # rounds 0..iters-1 update beta; the ladder at bt{iters} (same
+    # CTE shape) prices the final information for the SEs
+    for i in range(iters + 1):
+        parts.append(f""",
+    w{i} AS (SELECT c.t, c.x1, c.x2, c.d, bt.b1, bt.b2,
+        c.cnt * exp(bt.b1 * c.x1 + bt.b2 * c.x2) AS w
+      FROM cells c CROSS JOIN bt{i} bt),
+    lad{i} AS (SELECT d, x1, x2, b1, b2,
+        sum(w) OVER sfx AS s0,
+        sum(w * x1) OVER sfx AS s1a,
+        sum(w * x2) OVER sfx AS s1b,
+        sum(w * x1 * x1) OVER sfx AS s2aa,
+        sum(w * x1 * x2) OVER sfx AS s2ab,
+        sum(w * x2 * x2) OVER sfx AS s2bb
+      FROM w{i}
+      WINDOW sfx AS (ORDER BY t DESC
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    st{i} AS (SELECT max(b1) AS b1, max(b2) AS b2,
+        sum(d * x1 - d * s1a / s0) AS u1,
+        sum(d * x2 - d * s1b / s0) AS u2,
+        sum(d * (s2aa / s0 - (s1a / s0) * (s1a / s0))) AS i11,
+        sum(d * (s2ab / s0 - (s1a / s0) * (s1b / s0))) AS i12,
+        sum(d * (s2bb / s0 - (s1b / s0) * (s1b / s0))) AS i22
+      FROM lad{i} WHERE d > 0)""")
+        if i < iters:
+            parts.append(f""",
+    bt{i + 1} AS (SELECT
+        CASE WHEN (i11 * i22 - i12 * i12) > 0 AND i11 > 0
+          THEN b1 + (u1 * i22 - u2 * i12) / (i11 * i22 - i12 * i12)
+          ELSE b1 END AS b1,
+        CASE WHEN (i11 * i22 - i12 * i12) > 0 AND i11 > 0
+          THEN b2 + (u2 * i11 - u1 * i12) / (i11 * i22 - i12 * i12)
+          ELSE b2 END AS b2
+      FROM st{i})""")
+    parts.append(f""",
+    fin AS (SELECT b1, b2, i11, i12, i22,
+                   i11 * i22 - i12 * i12 AS det FROM st{iters})
+    SELECT v.covariate, tot.n, tot.n_events,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN CASE v.covariate WHEN 'x1' THEN fin.b1 ELSE fin.b2 END
+        END, 6) + 0.0 AS beta,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN sqrt(CASE v.covariate WHEN 'x1' THEN fin.i22 / fin.det
+                  ELSE fin.i11 / fin.det END)
+        END, 6) + 0.0 AS se,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN exp(CASE v.covariate WHEN 'x1' THEN fin.b1 ELSE fin.b2
+                 END)
+        END, 6) + 0.0 AS hr,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN (CASE v.covariate WHEN 'x1' THEN fin.b1 ELSE fin.b2 END)
+          / sqrt(CASE v.covariate WHEN 'x1' THEN fin.i22 / fin.det
+                 ELSE fin.i11 / fin.det END)
+        END, 6) + 0.0 AS z
+    FROM (VALUES ('x1'), ('x2')) AS v(covariate)
+    CROSS JOIN fin CROSS JOIN tot
+    """)
+    return "".join(parts)
+
+
+@register("m_cox_multi", oracle=_cox_multi_oracle())
+def m_cox_multi(spark, sf_dir):
+    """Multi-covariate Cox proportional hazards (operators/stats.
+    cox_ph; Breslow ties, p = 2 here, 5 fixed Newton rounds with the
+    Cramer closed-form solve) on a doubly-planted design over events:
+    time stretched 1.5x for odd users AND up to 1.4x by event_id % 3,
+    so BOTH covariates carry negative true log hazard ratios and the
+    fit must adjust for each while estimating the other — the
+    capability cox_ph_binary (m_cox) structurally lacks. The cohort
+    collapses to distinct (time, x1, x2) cells; every Newton round
+    re-prices the suffix RANGE risk-set ladder under the new beta and
+    folds to one row; the p x p system solves driver-side
+    (model-sized). Oracle: the UNROLLED optimization, one
+    ladder+fold+Cramer CTE quartet per round."""
+    from pandasvcf_spark.operators.stats import cox_ph
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    b = e.select(
+        (
+            F.col("value")
+            * (1 + 0.5 * (F.col("user_id") % 2))
+            * (1 + 0.2 * (F.col("event_id") % 3))
+        ).alias("t"),
+        F.when(F.col("event_id") % 4 != 0, 1).otherwise(0).alias("e"),
+        (F.col("user_id") % 2).cast("double").alias("x1"),
+        (F.col("event_id") % 3).cast("double").alias("x2"),
+    )
+    return cox_ph(b, "t", "e", ["x1", "x2"], iters=5)
+
+
 @register(
     "e_holt_linear",
     oracle="""

@@ -997,6 +997,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # t_bigram_lm (tail) on the same
                                  # count-table chain; replica pytest +
                                  # contract guard
+        "m_cox_multi",           # p-covariate Cox PH: m_cox's risk-set
+                                 # ladder (in window) re-priced per
+                                 # Newton round + model-sized driver
+                                 # solve; unrolled Cramer oracle;
+                                 # numpy-reference + binary-equivalence
+                                 # pytest
         # round-12 re-cut #9 demotions — machinery still
         # driver-covered per queries/__init__.py; all six stay
         # exact-checked by tests/test_contract.py every run
