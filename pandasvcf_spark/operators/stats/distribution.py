@@ -861,11 +861,83 @@ def theil_index(
     )
 
 
+def _ecdf_cells(
+    df: DataFrame,
+    flag_col: str,
+    value_col: str,
+    op_name: str,
+    max_cells: int | None,
+    count_type: str = "long",
+) -> tuple[DataFrame, int | None]:
+    """Shared front half of the two-sample ECDF family: filter, collapse
+    to distinct-value (c0, c1) cells, tripwire. Returns (cells, est)."""
+    fc = F.col(flag_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
+        fc.alias("__f"), vc.alias("__v")
+    )
+    est = _assert_cell_bound(
+        base, ["__v"], op_name, max_cells,
+        plan_word="distinct-value ECDF ladder",
+    )
+    cells = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
+        .cast(count_type).alias("__c0"),
+        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
+        .cast(count_type).alias("__c1"),
+    )
+    return cells, est
+
+
+def _ecdf_ladder(
+    cells: DataFrame,
+    est: int | None,
+    ladder_cells: int,
+    n_buckets: int,
+    with_next: bool = False,
+) -> DataFrame:
+    """Shared back half: cells + __cum0/__cum1 running counts through
+    the current distinct value ascending (+ __nxt, the next distinct
+    value, when `with_next`). At <= `ladder_cells` estimated cells the
+    ladder is the plain global window; above it the windows re-cut
+    through `_ladder.bucketed_running_sums` — bit-identical (integer
+    counts), no single-task sort (round-11 verdict ask #4, the
+    fdr_correct device generalized)."""
+    from ._ladder import bucketed_running_sums
+
+    lad = None
+    if est is not None and est > ladder_cells:
+        lad = bucketed_running_sums(
+            cells, "__v", ["__c0", "__c1"], ["__cum0", "__cum1"],
+            n_buckets=n_buckets,
+            next_col="__nxt" if with_next else None,
+        )
+    if lad is None:
+        w_ord = Window.orderBy("__v")
+        w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        extra = (
+            [F.lead("__v", 1).over(w_ord).alias("__nxt")]
+            if with_next
+            else []
+        )
+        lad = cells.select(
+            "__v",
+            "__c0",
+            "__c1",
+            F.sum("__c0").over(w_cum).alias("__cum0"),
+            F.sum("__c1").over(w_cum).alias("__cum1"),
+            *extra,
+        )
+    return lad
+
+
 def ks_2sample(
     df: DataFrame,
     flag_col: str,
     value_col: str,
-    max_cells: int | None = 1_000_000,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test (Smirnov 1939) — the
     distribution-comparison workhorse: the supremum gap between the
@@ -883,34 +955,23 @@ def ks_2sample(
     Plan: collapse to distinct-value cells (the kendall/roc
     discipline; ENFORCED by the `max_cells` tripwire), ONE cumulative
     window over the value ladder for both ECDFs, 1-row folds — the
-    sup over a corpus never materializes raw-row ranks.
+    sup over a corpus never materializes raw-row ranks. Above
+    `ladder_cells` estimated cells the ladder re-cuts through the
+    bucketed-offset device (`_ecdf_ladder`) — bit-identical, no
+    single-task sort.
     """
-    fc = F.col(flag_col).cast("int")
-    vc = F.col(value_col).cast("double")
-    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
-        fc.alias("__f"), vc.alias("__v")
-    )
-    _assert_cell_bound(
-        base, ["__v"], "ks_2sample", max_cells,
-        plan_word="distinct-value ECDF ladder",
-    )
-    cells = base.groupBy("__v").agg(
-        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
-        .cast("long").alias("__c0"),
-        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
-        .cast("long").alias("__c1"),
+    cells, est = _ecdf_cells(
+        df, flag_col, value_col, "ks_2sample", max_cells
     )
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    w_cum = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    lad = cells.crossJoin(F.broadcast(tot)).select(
+    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
+    lad = lad.crossJoin(F.broadcast(tot)).select(
         F.abs(
-            F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
-            - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+            F.col("__cum0").cast("double") / F.col("n0")
+            - F.col("__cum1").cast("double") / F.col("n1")
         ).alias("__gap"),
         "n0",
         "n1",
@@ -949,7 +1010,9 @@ def kuiper_2sample(
     df: DataFrame,
     flag_col: str,
     value_col: str,
-    max_cells: int | None = 1_000_000,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Two-sample Kuiper test (Kuiper 1960) — the cyclic-sensitive
     companion of `ks_2sample`: V = D+ + D− (the one-sided supremum
@@ -968,35 +1031,22 @@ def kuiper_2sample(
     stats when either group is empty.
 
     Plan: identical to `ks_2sample` — the distinct-value cell ladder
-    (tripwire-enforced), ONE cumulative window, 1-row folds; the only
-    difference is folding max of each SIGNED gap instead of max |gap|.
+    (tripwire-enforced; bucketed-offset re-cut above `ladder_cells`),
+    ONE cumulative window, 1-row folds; the only difference is
+    folding max of each SIGNED gap instead of max |gap|.
     """
-    fc = F.col(flag_col).cast("int")
-    vc = F.col(value_col).cast("double")
-    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
-        fc.alias("__f"), vc.alias("__v")
-    )
-    _assert_cell_bound(
-        base, ["__v"], "kuiper_2sample", max_cells,
-        plan_word="distinct-value ECDF ladder",
-    )
-    cells = base.groupBy("__v").agg(
-        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
-        .cast("long").alias("__c0"),
-        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
-        .cast("long").alias("__c1"),
+    cells, est = _ecdf_cells(
+        df, flag_col, value_col, "kuiper_2sample", max_cells
     )
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    w_cum = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    lad = cells.crossJoin(F.broadcast(tot)).select(
+    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
+    lad = lad.crossJoin(F.broadcast(tot)).select(
         (
-            F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
-            - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+            F.col("__cum0").cast("double") / F.col("n0")
+            - F.col("__cum1").cast("double") / F.col("n1")
         ).alias("__gap"),
         "n0",
         "n1",
@@ -1044,7 +1094,9 @@ def anderson_darling_2samp(
     df: DataFrame,
     flag_col: str,
     value_col: str,
-    max_cells: int | None = 1_000_000,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Two-sample Anderson-Darling test statistic (Scholz & Stephens
     1987, the tie-adjusted midrank form A²akN — scipy's
@@ -1068,47 +1120,35 @@ def anderson_darling_2samp(
     k=2 critical points (1.960 at 5%, 3.752 at 1%). NULL a2 when
     either group is empty or the pooled sample is constant.
 
-    Plan: the ks_2sample cell ladder (tripwire-enforced) with
-    previous-row cumulative windows; every term is a per-cell closed
-    form, then one 1-row fold."""
-    fc = F.col(flag_col).cast("int")
-    vc = F.col(value_col).cast("double")
-    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
-        fc.alias("__f"), vc.alias("__v")
-    )
-    _assert_cell_bound(
-        base, ["__v"], "anderson_darling_2samp", max_cells,
-        plan_word="distinct-value ECDF ladder",
-    )
-    cells = base.groupBy("__v").agg(
-        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
-        .cast("double").alias("__c0"),
-        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
-        .cast("double").alias("__c1"),
+    Plan: the ks_2sample cell ladder (tripwire-enforced;
+    bucketed-offset re-cut above `ladder_cells`); the previous-row
+    midrank cumulatives derive from the through-current running
+    counts as cum − cell (exact — integer-valued doubles); every term
+    is a per-cell closed form, then one 1-row fold."""
+    cells, est = _ecdf_cells(
+        df, flag_col, value_col, "anderson_darling_2samp", max_cells,
+        count_type="double",
     )
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    w_prev = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     lj = F.col("__c0") + F.col("__c1")
-    lad = cells.crossJoin(F.broadcast(tot)).select(
+    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
+    lad = lad.crossJoin(F.broadcast(tot)).select(
         "n0",
         "n1",
         lj.alias("__l"),
         (
-            F.coalesce(F.sum(F.col("__c0") + F.col("__c1")).over(w_prev),
-                       F.lit(0.0))
+            F.col("__cum0") + F.col("__cum1") - lj
             + lj / 2
         ).alias("__ba"),          # pooled midrank cumulative
         (
-            F.coalesce(F.sum("__c0").over(w_prev), F.lit(0.0))
+            F.col("__cum0") - F.col("__c0")
             + F.col("__c0") / 2
         ).alias("__ma0"),
         (
-            F.coalesce(F.sum("__c1").over(w_prev), F.lit(0.0))
+            F.col("__cum1") - F.col("__c1")
             + F.col("__c1") / 2
         ).alias("__ma1"),
     )
@@ -1145,7 +1185,9 @@ def wasserstein_1d(
     df: DataFrame,
     flag_col: str,
     value_col: str,
-    max_cells: int | None = 1_000_000,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """1-D earth mover's distance (Wasserstein-1, Monge 1781 /
     Vaserstein 1969) between the two groups' value distributions —
@@ -1157,39 +1199,30 @@ def wasserstein_1d(
     DOUBLE round 6); NULL when either group is empty.
 
     Plan: same distinct-value collapse + ONE cumulative window as
-    `ks_2sample` (tripwire-enforced), plus one lead() for the segment
-    widths; exact — no binning.
+    `ks_2sample` (tripwire-enforced; bucketed-offset re-cut above
+    `ladder_cells`, where the lead() becomes per-bucket with the
+    bucket-boundary next value read off the same driver walk), plus
+    one lead() for the segment widths; exact — no binning.
     """
-    fc = F.col(flag_col).cast("int")
-    vc = F.col(value_col).cast("double")
-    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
-        fc.alias("__f"), vc.alias("__v")
-    )
-    _assert_cell_bound(
-        base, ["__v"], "wasserstein_1d", max_cells,
-        plan_word="distinct-value ECDF ladder",
-    )
-    cells = base.groupBy("__v").agg(
-        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
-        .cast("long").alias("__c0"),
-        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
-        .cast("long").alias("__c1"),
+    cells, est = _ecdf_cells(
+        df, flag_col, value_col, "wasserstein_1d", max_cells
     )
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    w_ord = Window.orderBy("__v")
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    lad = cells.crossJoin(F.broadcast(tot)).select(
+    lad = _ecdf_ladder(
+        cells, est, ladder_cells, n_buckets, with_next=True
+    )
+    lad = lad.crossJoin(F.broadcast(tot)).select(
         "__v",
         "n0",
         "n1",
         F.abs(
-            F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
-            - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+            F.col("__cum0").cast("double") / F.col("n0")
+            - F.col("__cum1").cast("double") / F.col("n1")
         ).alias("__gap"),
-        F.lead("__v", 1).over(w_ord).alias("__nxt"),
+        "__nxt",
     )
     g = lad.groupBy("n0", "n1").agg(
         F.coalesce(
@@ -1283,7 +1316,9 @@ def cvm_2sample(
     df: DataFrame,
     flag_col: str,
     value_col: str,
-    max_cells: int | None = 1_000_000,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Two-sample Cramér-von Mises test (Anderson 1962) — the
     quadratic companion completing the ECDF ladder triad (`ks_2sample`
@@ -1298,35 +1333,22 @@ def cvm_2sample(
     round 6); NULL when either group is empty.
 
     Plan: identical to ks_2sample — distinct-value cell collapse
-    (tripwire-enforced) + ONE cumulative window + a 1-row fold.
+    (tripwire-enforced; bucketed-offset re-cut above `ladder_cells`)
+    + ONE cumulative window + a 1-row fold.
     """
-    fc = F.col(flag_col).cast("int")
-    vc = F.col(value_col).cast("double")
-    base = df.filter(fc.isNotNull() & vc.isNotNull()).select(
-        fc.alias("__f"), vc.alias("__v")
-    )
-    _assert_cell_bound(
-        base, ["__v"], "cvm_2sample", max_cells,
-        plan_word="distinct-value ECDF ladder",
-    )
-    cells = base.groupBy("__v").agg(
-        F.sum(F.when(F.col("__f") == 0, 1).otherwise(0))
-        .cast("long").alias("__c0"),
-        F.sum(F.when(F.col("__f") == 1, 1).otherwise(0))
-        .cast("long").alias("__c1"),
+    cells, est = _ecdf_cells(
+        df, flag_col, value_col, "cvm_2sample", max_cells
     )
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    w_cum = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     gap = (
-        F.sum("__c0").over(w_cum).cast("double") / F.col("n0")
-        - F.sum("__c1").over(w_cum).cast("double") / F.col("n1")
+        F.col("__cum0").cast("double") / F.col("n0")
+        - F.col("__cum1").cast("double") / F.col("n1")
     )
-    lad = cells.crossJoin(F.broadcast(tot)).select(
+    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
+    lad = lad.crossJoin(F.broadcast(tot)).select(
         "n0",
         "n1",
         ((F.col("__c0") + F.col("__c1")).cast("double") * gap * gap)

@@ -624,6 +624,9 @@ def roc_points(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """ROC curve operating points at every distinct score threshold —
     the full curve behind `group_auc`'s scalar: at threshold t
@@ -640,32 +643,60 @@ def roc_points(
     score-descending (the curve from (0,0) toward (1,1)).
 
     Plan: the corpus collapses FIRST to a distinct-score (pos, neg)
-    count table (one partial-aggregated groupBy); the cumulative
-    windows then run over that SMALL cell table only — the
-    `classifier_report` device, so no raw-row relation ever enters an
-    unpartitioned window (the round-8 single-partition-sort fix).
-    Integer counts make every point exact rational arithmetic.
+    count table (one partial-aggregated groupBy; ENFORCED by the
+    `max_cells` tripwire since round 12); the cumulative windows then
+    run over that SMALL cell table only — the `classifier_report`
+    device, so no raw-row relation ever enters an unpartitioned
+    window (the round-8 single-partition-sort fix). Above
+    `ladder_cells` estimated distinct scores the score-descending
+    ladder re-cuts through the bucketed-offset device
+    (`_ladder.bucketed_running_sums`, the fdr_correct re-cut
+    generalized) and the totals come from a 1-row broadcast agg —
+    bit-identical (integer counts), no single-task sort. Integer
+    counts make every point exact rational arithmetic.
     """
+    from ._guards import _assert_cell_bound
+    from ._ladder import bucketed_running_sums
+
     sc = F.col(score_col).cast("double")
     lc = F.col(label_col).cast("int")
     base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
         sc.alias("__s"), lc.alias("__y")
     )
+    est = _assert_cell_bound(
+        base, ["__s"], "roc_points", max_cells,
+        plan_word="distinct-score ROC ladder",
+    )
     cells = base.groupBy("__s").agg(
         F.sum("__y").alias("__pos"),
         F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
     )
-    w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.partitionBy()
-    r = cells.select(
-        "__s",
-        F.sum("__pos").over(w_cum).alias("__cp"),
-        F.sum("__neg").over(w_cum).alias("__cn"),
-        F.sum("__pos").over(w_all).alias("__P"),
-        F.sum("__neg").over(w_all).alias("__N"),
-    )
+    r = None
+    if est is not None and est > ladder_cells:
+        lad = bucketed_running_sums(
+            cells, "__s", ["__pos", "__neg"], ["__cp", "__cn"],
+            n_buckets=n_buckets, descending=True,
+        )
+        if lad is not None:
+            tot = cells.agg(
+                F.sum("__pos").alias("__P"),
+                F.sum("__neg").alias("__N"),
+            )
+            r = lad.crossJoin(F.broadcast(tot)).select(
+                "__s", "__cp", "__cn", "__P", "__N"
+            )
+    if r is None:
+        w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_all = Window.partitionBy()
+        r = cells.select(
+            "__s",
+            F.sum("__pos").over(w_cum).alias("__cp"),
+            F.sum("__neg").over(w_cum).alias("__cn"),
+            F.sum("__pos").over(w_all).alias("__P"),
+            F.sum("__neg").over(w_all).alias("__N"),
+        )
     return r.select(
         F.col("__s").alias("score"),
         F.round(
