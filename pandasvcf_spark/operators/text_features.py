@@ -363,6 +363,7 @@ def exact_substring_remove(
     text_col: str = "text",
     n: int = 5,
     min_docs: int = 2,
+    granularity: str = "word",
 ) -> DataFrame:
     """ExactSubstr span REMOVAL (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" §4.1) — the rewrite
@@ -382,14 +383,29 @@ def exact_substring_remove(
     word-n-gram form trades sub-word precision for a pure relational
     plan (the `repeated_ngram_spans` precedent).
 
+    `granularity='char'` (round-11 verdict ask #6) runs the SAME
+    device over the CHARACTER stream of the normalized text (lowercase
+    + whitespace collapsed — the `char_shingles_expr` convention):
+    char n-shingles replace word n-grams and the interval union /
+    surgery operate on character positions, approximating the paper's
+    byte-exact spans without the word-boundary snap (set n ~ 20-50;
+    a repeated word run always contains repeated char shingles, so
+    char mode is strictly more precise at its boundaries). Cost note:
+    the shingle explode shuffles ~n bytes per corpus character —
+    exact and fine through moderate corpora; at CC scale detect with
+    `winnowing_fingerprints_expr` (same char shingles, sampled) and
+    reserve this exact mode for the flagged partition.
+
     Output, one row per input document with non-NULL text:
       id          (input id type)
-      n_tokens    BIGINT  word tokens before surgery
-      n_removed   BIGINT  tokens excised (0 for untouched docs and for
-                          every owner)
-      clean_text  STRING  surviving tokens space-joined (normalized
-                          token stream, like every word-token operator
-                          here — '' when everything was removed)
+      n_tokens    BIGINT  word tokens (chars in char mode) before
+                          surgery
+      n_removed   BIGINT  tokens/chars excised (0 for untouched docs
+                          and for every owner)
+      clean_text  STRING  surviving tokens space-joined (surviving
+                          chars concatenated in char mode) over the
+                          normalized stream — '' when everything was
+                          removed
 
     Plan: positional n-grams (one Generate per doc) → per-gram
     (distinct-doc count, min-id owner) partial agg → equi-join of gram
@@ -403,9 +419,22 @@ def exact_substring_remove(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if granularity == "word":
+        arr = words_expr(F.col(text_col))
+        sep = " "
+    elif granularity == "char":
+        arr = F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+            "",
+        )
+        sep = ""
+    else:
+        raise ValueError(
+            f"granularity must be 'word' or 'char', got {granularity!r}"
+        )
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        words_expr(F.col(text_col)).alias("__w"),
+        arr.alias("__w"),
     )
     grams = (
         toks.filter(F.size("__w") >= n)
@@ -414,7 +443,7 @@ def exact_substring_remove(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("__w") - n + 1),
-                    lambda j: F.concat_ws(" ", F.slice("__w", j, n)),
+                    lambda j: F.concat_ws(sep, F.slice("__w", j, n)),
                 )
             ).alias("__p0", "gram"),
         )
@@ -487,7 +516,7 @@ def exact_substring_remove(
                 "n_removed"
             ),
             F.concat_ws(
-                " ", F.transform(kept, lambda s: s["t"])
+                sep, F.transform(kept, lambda s: s["t"])
             ).alias("clean_text"),
         )
     )

@@ -1455,6 +1455,79 @@ def t_exact_substring_rm(spark, sf_dir):
     return exact_substring_remove(d, "doc_id", "text", n=5, min_docs=2)
 
 
+@register(
+    "t_exact_substring_char",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        string_split(
+          regexp_replace(lower(text), '\\s+', ' ', 'g'), '') AS w
+      FROM documents WHERE text IS NOT NULL),
+    positions AS (
+      SELECT doc_id, unnest(generate_series(1, len(w) - 19)) AS pos, w
+      FROM toks WHERE len(w) >= 20),
+    grams AS (
+      SELECT doc_id, pos, array_to_string(w[pos:pos+19], '') AS gram
+      FROM positions),
+    own AS (
+      SELECT gram, min(doc_id) AS owner FROM grams
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    fl AS (
+      SELECT doc_id, pos FROM grams JOIN own USING (gram)
+      WHERE doc_id <> owner),
+    isl AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(max(pos + 19) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1) + 1
+        THEN 1 ELSE 0 END AS newg
+      FROM fl),
+    isl2 AS (
+      SELECT doc_id, pos, sum(newg) OVER (
+        PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+      FROM isl2 GROUP BY doc_id, grp),
+    tokpos AS (
+      SELECT doc_id, unnest(generate_series(1, len(w))) AS p, w
+      FROM toks),
+    kept AS (
+      SELECT t.doc_id, t.p, t.w[t.p] AS tok
+      FROM tokpos t LEFT JOIN spans s
+        ON t.doc_id = s.doc_id AND t.p >= s.s AND t.p <= s.e
+      WHERE s.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, '' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT toks.doc_id AS id,
+      CAST(len(toks.w) AS BIGINT) AS n_chars,
+      CAST(len(toks.w) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      coalesce(agg.clean_text, '') AS clean_text
+    FROM toks LEFT JOIN agg USING (doc_id)
+    """,
+)
+def t_exact_substring_char(spark, sf_dir):
+    """ExactSubstr span removal at CHARACTER granularity
+    (operators/text_features.exact_substring_remove with
+    granularity='char', n=20): the same keep-first ownership,
+    interval-union islands and HOF surgery as t_exact_substring_rm,
+    but over char 20-shingles of the normalized (lowercase,
+    whitespace-collapsed) text — approximating the Lee et al. 2022
+    byte-exact spans without the word-boundary snap. The oracle
+    replays the identical chain on DuckDB's character lists."""
+    from pandasvcf_spark.operators.text_features import (
+        exact_substring_remove,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return exact_substring_remove(
+        d, "doc_id", "text", n=20, min_docs=2, granularity="char"
+    ).withColumnRenamed("n_tokens", "n_chars")
+
+
 _CMS_HASH = _SQL_POLY_HASH.format(s="CAST(d AS VARCHAR) || ':' || w")
 _CMS_PROBE_TERMS = "['the', 'data', 'model', 'queries', 'zzz_absent_term']"
 

@@ -997,6 +997,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # t_bigram_lm (tail) on the same
                                  # count-table chain; replica pytest +
                                  # contract guard
+        "t_exact_substring_char",  # char-granularity ExactSubstr:
+                                 # the t_exact_substring_rm device (in
+                                 # window) over char shingles; word-
+                                 # subset equivalence pytest; contract
+                                 # guard
         "m_cox_multi",           # p-covariate Cox PH: m_cox's risk-set
                                  # ladder (in window) re-priced per
                                  # Newton round + model-sized driver

@@ -1868,6 +1868,78 @@ def test_exact_substring_remove_keep_first_and_overlap(spark):
         exact_substring_remove(d2, min_docs=1)
 
 
+def test_exact_substring_remove_char_mode(spark):
+    """granularity='char' (round-12): the same device over the
+    normalized character stream. (1) Word-subset equivalence: encode
+    each word as one unique character — char mode with the same n must
+    produce the encoded image of word mode's output (identical
+    ownership, islands and surgery, position-for-position). (2) Char
+    precision: a verbatim char run spanning word fragments is excised
+    where word mode's boundary snap would differ. (3) Bad granularity
+    raises."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.text_features import (
+        exact_substring_remove,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta unique one two"),
+        (2, "start words alpha beta gamma delta epsilon zeta tail"),
+        (3, "no overlap with anything else in this tiny corpus"),
+        (4, "alpha beta gamma delta epsilon zeta"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    word_out = {
+        r["id"]: r
+        for r in exact_substring_remove(d, n=5, min_docs=2).collect()
+    }
+
+    # bijective word -> single-char encoding; char mode on the encoded
+    # corpus (words become chars, spaces collapse away via n-gram
+    # arithmetic only if we DROP them — so encode WITHOUT separators)
+    vocab = sorted({w for _, t in docs for w in t.split()})
+    enc = {w: chr(ord("a") + i) for i, w in enumerate(vocab)}
+    assert len(enc) <= 26
+    enc_docs = [
+        (i, "".join(enc[w] for w in t.split())) for i, t in docs
+    ]
+    de = spark.createDataFrame(enc_docs, "doc_id long, text string")
+    char_out = {
+        r["id"]: r
+        for r in exact_substring_remove(
+            de, n=5, min_docs=2, granularity="char"
+        ).collect()
+    }
+    assert set(char_out) == set(word_out)
+    for i, t in docs:
+        w, c = word_out[i], char_out[i]
+        assert c["n_tokens"] == w["n_tokens"], i
+        assert c["n_removed"] == w["n_removed"], i
+        assert c["clean_text"] == "".join(
+            enc[tok] for tok in w["clean_text"].split()
+        ), i
+
+    # char mode is exact at sub-word boundaries: the repeated run
+    # "bbbbbbbbbb" (10 chars) is excised from the non-owner even though
+    # it starts/ends mid-word in word terms
+    d3 = spark.createDataFrame(
+        [(1, "xx" + "b" * 10 + "yy"), (2, "qq" + "b" * 10 + "rr")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_removed"], r["clean_text"])
+        for r in exact_substring_remove(
+            d3, n=10, min_docs=2, granularity="char"
+        ).collect()
+    }
+    assert got[1] == (0, "xx" + "b" * 10 + "yy")
+    assert got[2] == (10, "qqrr")
+
+    with _pytest.raises(ValueError, match="granularity"):
+        exact_substring_remove(d3, granularity="byte")
+
+
 def test_bigram_kn_matches_pure_python_replica(spark):
     """Interpolated Kneser-Ney against a pure-Python replica — and the
     smoothing invariant that distinguishes KN from stupid backoff:
