@@ -802,3 +802,82 @@ def hits(
         (F.round(F.col("h"), 6) + F.lit(0.0)).alias("hub"),
         (F.round(F.col("auth"), 6) + F.lit(0.0)).alias("authority"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) — the near-linear-time community member
+    rounding out the graph shelf (pagerank / k-core / triangles /
+    connected components / link prediction): every node starts in its
+    own community (label = node id) and each round SIMULTANEOUSLY
+    adopts the most frequent label among its neighbors,
+
+        label'(v) = argmax_l |{u ~ v : label(u) = l}|
+
+    with the DETERMINISTIC tie-break of the smallest label among the
+    argmax set (the classic async random tie-break is useless under an
+    oracle; min-label is also what makes the fixed point unique given
+    the schedule). Fixed `iters` rounds, synchronous schedule — the
+    pagerank/kcore discipline: no float-threshold convergence test,
+    the whole run replays as unrolled SQL, and extra rounds at a fixed
+    point are no-ops (though synchronous LPA can 2-cycle on bipartite
+    structures, which a FIXED round count also makes deterministic).
+
+    Input edges are treated as UNDIRECTED: (src, dst) symmetrizes and
+    dedups; self-loops drop (a node voting for itself would freeze
+    every island). Output: (node, label) — one row per node incident
+    to at least one surviving edge; community ids are label values
+    (min node id of the flooding community, typically), not
+    canonicalized ranks.
+
+    Plan per round: one equi-join of the current labels onto the
+    symmetrized edge list (neighbor label lookup), one
+    (node, label)-keyed partial-agged count, one node-keyed argmax
+    fold (max of a (count, -label) struct — the min-label tie-break as
+    a single aggregate, no rank window). Edges checkpoint once, labels
+    per round (the CC lineage lesson). Everything shuffles on node
+    ids; nothing is ever quadratic in degree."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sc = F.col(src).cast("long")
+    dc = F.col(dst).cast("long")
+    e = (
+        edges.filter(sc.isNotNull() & dc.isNotNull() & (sc != dc))
+        .select(sc.alias("u"), dc.alias("v"))
+    )
+    und = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for it in range(iters):
+        nb = und.join(
+            labels, und["v"] == labels["node"]
+        ).select(F.col("u").alias("node"), "label")
+        cnt = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        (-F.col("label")).alias("nl"),
+                    )
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.nl")).alias("label"))
+        )
+        if it < iters - 1:  # bound lineage BETWEEN rounds (the CC
+            labels = labels.localCheckpoint()  # lesson); the final
+            # round stays declarative so callers see the round plan
+    return labels

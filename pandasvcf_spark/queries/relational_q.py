@@ -971,6 +971,77 @@ def g_kcore(spark, sf_dir):
     return kcore(li, k=3, max_iters=3)
 
 
+def _communities_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation (the g_pagerank/g_kcore
+    fixed-round device): one (neighbor-count, per-node max,
+    min-label-argmax) CTE triple per round."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS su, l_partkey + 10000000 AS pv
+      FROM lineitem
+      WHERE ((l_suppkey * 2654435761 + l_partkey * 40503)
+             % 2147483647) % 5 = 0),
+    und AS (
+      SELECT su AS u, pv AS v FROM e UNION SELECT pv, su FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"""
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+    c{i} AS (SELECT und.u AS node, l.label, count(*) AS cnt
+             FROM und JOIN l{i} l ON und.v = l.node GROUP BY 1, 2),
+    m{i} AS (SELECT node, max(cnt) AS mc FROM c{i} GROUP BY node),
+    l{i + 1} AS (SELECT c.node, min(c.label) AS label
+                 FROM c{i} c JOIN m{i} m
+                   ON c.node = m.node AND c.cnt = m.mc
+                 GROUP BY c.node)""")
+    parts.append(f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{rounds}
+    """)
+    return "".join(parts)
+
+
+@register("g_communities", oracle=_communities_oracle())
+def g_communities(spark, sf_dir):
+    """Label-propagation community detection (operators/graph.
+    label_propagation; Raghavan et al. 2007, synchronous schedule,
+    min-label tie-break): 3 fixed rounds over the same hash-thinned
+    supplier→part graph as g_kcore — communities here are the
+    link-graph neighborhoods a crawl-prioritization or domain-level
+    dedup pass groups on (the detection-side complement of
+    g_modularity's assignment AUDIT). Per round: one neighbor-label
+    equi-join + one (node, label) count + one argmax fold (max of a
+    (count, -label) struct — no rank window); the oracle is the
+    UNROLLED schedule, one CTE triple per round, with the same
+    min-among-argmax tie-break as an explicit max-count join."""
+    from pandasvcf_spark.operators.graph import label_propagation
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (
+                (
+                    F.col("l_suppkey") * F.lit(2654435761)
+                    + F.col("l_partkey") * 40503
+                )
+                % 2147483647
+            )
+            % 5
+            == 0
+        )
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 10000000).alias("dst"),
+        )
+    )
+    out = label_propagation(li, iters=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
 @register(
     "m_scd2_history",
     oracle="""

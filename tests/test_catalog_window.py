@@ -997,6 +997,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # t_bigram_lm (tail) on the same
                                  # count-table chain; replica pytest +
                                  # contract guard
+        "g_communities",         # label-propagation communities: the
+                                 # g_pagerank/g_kcore fixed-round
+                                 # join+agg shape (g_kcore in window);
+                                 # unrolled-round oracle; double-clique
+                                 # + bipartite-determinism pytest; plan
+                                 # guard (no window, equi-joins only)
         "t_exact_substring_char",  # char-granularity ExactSubstr:
                                  # the t_exact_substring_rm device (in
                                  # window) over char shingles; word-

@@ -776,6 +776,56 @@ def test_pagerank_validates_iters(spark):
         pagerank(e, iters=0)
 
 
+def test_label_propagation_double_clique_and_determinism(spark):
+    """Synchronous LPA, min-label tie-break: two 4-cliques joined by a
+    bridge resolve to their min-node labels in 3 rounds (hand-traced
+    round by round); direction of the input edge list is irrelevant
+    (symmetrize); self-loops drop; a 4-cycle (bipartite, where the
+    synchronous schedule 2-cycles) is still DETERMINISTIC at any fixed
+    round count; iters < 1 raises."""
+    import itertools
+
+    from pandasvcf_spark.operators.graph import label_propagation
+
+    cliq = (
+        list(itertools.combinations([1, 2, 3, 4], 2))
+        + list(itertools.combinations([5, 6, 7, 8], 2))
+        + [(4, 5), (6, 6)]  # bridge + a self-loop that must drop
+    )
+    e = spark.createDataFrame(cliq, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+    # reversed edge directions give the identical result (undirected)
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in cliq], "src long, dst long"
+    )
+    assert got == {
+        r["node"]: r["label"]
+        for r in label_propagation(rev, iters=3).collect()
+    }
+
+    # bipartite 4-cycle: the synchronous schedule oscillates, but a
+    # fixed round count is a deterministic function of the input —
+    # hand-traced: labels after r1 are the neighbor minima
+    # {1:2, 2:1, 3:2, 4:1}, after r2 {1:1, 2:2, 3:1, 4:2}, after r3
+    # back to the r1 configuration
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    r3 = {
+        r["node"]: r["label"]
+        for r in label_propagation(cyc, iters=3).collect()
+    }
+    assert r3 == {1: 2, 2: 1, 3: 2, 4: 1}
+
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(e, iters=0)
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch
 # ---------------------------------------------------------------------------

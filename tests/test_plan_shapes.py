@@ -763,3 +763,23 @@ def test_ecdf_bucketed_ladder_bit_identical_no_single_partition(spark):
     plan = big_df._jdf.queryExecution().executedPlan().toString()
     _assert_no_single_partition_sort(plan)
     assert "windowspecdefinition(__bk" in plan
+
+
+def test_label_propagation_equi_joins_only(spark):
+    """LPA rounds must be equi-joins + partial-agged counts + a struct
+    argmax fold — never a cartesian/NL join, never a rank window (the
+    min-label tie-break is a single aggregate)."""
+    from pandasvcf_spark.operators.graph import label_propagation
+
+    e = spark.range(3000).select(
+        (F.col("id") % 97).alias("src"),
+        ((F.col("id") * 31) % 89 + 100).alias("dst"),
+    )
+    plan = (
+        label_propagation(e, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert "windowspecdefinition" not in plan  # argmax is an agg
