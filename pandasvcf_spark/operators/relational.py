@@ -20,6 +20,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -3015,6 +3016,101 @@ def logistic_fit(
             raise ValueError(
                 f"y must be 0/1; found {row['__bad']} other values"
             )
+        XX = np.zeros((d, d))
+        Xz = np.zeros(d)
+        for i in range(d):
+            for j in range(i, d):
+                XX[i, j] = XX[j, i] = row[f"__xx_{i}_{j}"]
+            Xz[i] = row[f"__xz_{i}"]
+        if abs(np.linalg.det(XX)) < 1e-12 * max(1.0, abs(XX).max()) ** d:
+            raise ValueError("singular weighted design (collinear features)")
+        beta = np.linalg.solve(XX, Xz)
+    spark = df.sparkSession
+    out = [
+        (nm, round(float(b), 6) + 0.0) for nm, b in zip(names, beta)
+    ]
+    out.append(("(n)", float(n_rows)))
+    return spark.createDataFrame(out, "term string, beta double")
+
+
+def poisson_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    iters: int = 2,
+) -> DataFrame:
+    """Poisson regression (log link) by IRLS — the count-model third of
+    the GLM trio beside `ols_fit` (identity/gaussian) and
+    `logistic_fit` (logit/binomial): event counts, defect counts,
+    tokens-per-document rates. Each Newton step is ONE
+    partial-aggregated pass collecting the weighted normal-equation
+    sums
+
+        η = Xβ (clamped to ±30 so exp never overflows),
+        μ = e^η,  w = μ,  z = η + (y−μ)/μ
+        β ← solve(X'WX, X'Wz)
+
+    with the d×d solve on the driver (model-sized, the ols_fit/
+    logistic_fit convention). β starts at the NULL MODEL — intercept
+    ln(ȳ), zero slopes (the standard GLM warm start; starting from 0
+    with large counts puts the first working response at y−1 and the
+    clamp path in play) — so a FIXED `iters` budget lands within 1e-6
+    on well-conditioned data and the whole fit replays as an unrolled
+    SQL oracle (the g_pagerank / m_logit fixed-iteration precedent).
+    Output: long form (term STRING, beta DOUBLE round 6) + '(n)'.
+
+    Complete-case rows only; y must be >= 0 (validated in the init
+    pass); singular X'WX raises. iters+1 one-scan passes total; each
+    shuffles only the d(d+1)/2 + d partial sums."""
+    import numpy as np
+
+    if not x_cols:
+        raise ValueError("x_cols must be non-empty")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    terms = [F.lit(1.0)] + xs
+    names = ["(intercept)"] + list(x_cols)
+    d = len(terms)
+    init = nn.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(y).alias("__sy"),
+        F.sum(F.when(y < 0.0, 1).otherwise(0)).alias("__bad"),
+    ).collect()[0]
+    n_rows = init["__n"]
+    if n_rows == 0:
+        raise ValueError("no complete-case rows to fit")
+    if init["__bad"]:
+        raise ValueError(
+            f"y must be >= 0; found {init['__bad']} negative values"
+        )
+    beta = np.zeros(d)
+    beta[0] = math.log(max(init["__sy"] / n_rows, 1e-10))
+    for _ in range(iters):
+        eta = sum(
+            (F.lit(float(beta[i])) * terms[i] for i in range(1, d)),
+            F.lit(float(beta[0])),
+        )
+        # clamp eta into [-30, 30]: e^30 ~ 1e13 stays finite and the
+        # working-response division stays well-posed even when a round
+        # overshoots — the logistic_fit mu-clamp lesson, log-link
+        # edition. The oracle replays the same clamp.
+        eta = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), eta))
+        mu = F.exp(eta)
+        z = eta + (y - mu) / mu
+        aggs = []
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(mu * terms[i] * terms[j]).alias(f"__xx_{i}_{j}")
+                )
+            aggs.append(F.sum(mu * terms[i] * z).alias(f"__xz_{i}"))
+        row = nn.agg(*aggs).collect()[0]
         XX = np.zeros((d, d))
         Xz = np.zeros(d)
         for i in range(d):

@@ -8,6 +8,7 @@ surface and the original module docstring.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -1676,4 +1677,161 @@ def sign_test(
             )
             + F.lit(0.0)
         ).alias("p_value"),
+    )
+
+
+def vif_screen(
+    df: DataFrame,
+    x_cols: Sequence[str],
+) -> DataFrame:
+    """Variance inflation factors — the collinearity screen every
+    regression (ols_fit / logistic_fit / poisson_fit) should run before
+    trusting its coefficients: VIF_j = 1/(1-R²_j) where R²_j regresses
+    feature j on the others. Computed the closed-form way — VIF_j is
+    the j-th diagonal of the INVERSE CORRELATION matrix — so the whole
+    screen is ONE partial-aggregated pass over the corpus collecting
+    the p(p+1)/2 cross-moments (nothing else ever shuffles), a
+    model-sized p×p driver inverse, and a p-row result:
+
+        (term STRING, vif DOUBLE round 6, r2_aux DOUBLE round 6)
+
+    with r2_aux = 1 - 1/VIF (the aux-regression R² the textbooks
+    quote). Complete-case rows only; a zero-variance feature or an
+    exactly-singular correlation matrix raises (VIF is infinite —
+    the honest answer is "drop the feature", not a number).
+
+    Scale: the data-sized work is one map-side agg of ~p² sums; the
+    inverse is p×p on the driver (model-sized, the ols_fit
+    convention)."""
+    import numpy as np
+
+    if len(x_cols) < 2:
+        raise ValueError("vif_screen needs >= 2 features")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = xs[0].isNotNull()
+    for x in xs[1:]:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    p = len(xs)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(p):
+        aggs.append(F.sum(xs[i]).alias(f"__s_{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"__ss_{i}_{j}"))
+    row = nn.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n < 3:
+        raise ValueError(f"vif_screen needs >= 3 complete rows, got {n}")
+    s = np.array([row[f"__s_{i}"] for i in range(p)])
+    ss = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            ss[i, j] = ss[j, i] = row[f"__ss_{i}_{j}"]
+    cov = ss - np.outer(s, s) / n
+    sd = np.sqrt(np.diag(cov))
+    if (sd <= 0).any():
+        bad = [x_cols[i] for i in range(p) if sd[i] <= 0]
+        raise ValueError(f"zero-variance feature(s): {bad}")
+    corr = cov / np.outer(sd, sd)
+    det = np.linalg.det(corr)
+    if abs(det) < 1e-12:
+        raise ValueError("singular correlation matrix (exact collinearity)")
+    inv = np.linalg.inv(corr)
+    spark = df.sparkSession
+    out = []
+    for i, nm in enumerate(x_cols):
+        vif = float(inv[i, i])
+        out.append(
+            (nm, round(vif, 6) + 0.0, round(1.0 - 1.0 / vif, 6) + 0.0)
+        )
+    return spark.createDataFrame(
+        out, "term string, vif double, r2_aux double"
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    y_col: str,
+    x_cols: Sequence[str],
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test — does the OLS residual
+    variance move with the regressors? The diagnostic that says whether
+    ols_fit's standard errors can be believed. Classic LM form:
+
+        stage 1: OLS of y on X       (one sums pass + driver solve)
+        stage 2: regress e² on X     (one more sums pass re-using the
+                                      SAME X'X; only X'u, Σu, Σu² are
+                                      new)
+        LM = n · R²_aux  ~  χ²(p)
+
+    Two partial-aggregated passes total; both collapse map-side to
+    p²-sized rows, and both solves are model-sized driver work (the
+    ols_fit convention). Stage 2 injects stage 1's β as literals, so
+    e² = (y − Xβ̂)² is pure column arithmetic — no residual column is
+    ever materialized or shuffled.
+
+    Output (1 row): n BIGINT, lm_stat DOUBLE round 6, df INT,
+    p_value DOUBLE round 6 (χ²(p) survival — closed form exp(−LM/2)
+    when p = 2, Wilson-Hilferty otherwise... p = 2 only for now: the
+    exact-replay oracle needs a closed-form tail, so this
+    implementation requires len(x_cols) == 2 and documents it).
+    Complete-case rows only; singular X'X raises."""
+    import numpy as np
+
+    if len(x_cols) != 2:
+        raise ValueError(
+            "breusch_pagan: exactly 2 regressors supported (the χ²(2) "
+            "closed-form tail exp(−LM/2) is what keeps the oracle an "
+            "exact replay)"
+        )
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    terms = [F.lit(1.0)] + xs
+    d = len(terms)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"__xx_{i}_{j}"))
+        aggs.append(F.sum(terms[i] * y).alias(f"__xy_{i}"))
+    row = nn.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n < d + 1:
+        raise ValueError(f"breusch_pagan needs > {d} complete rows, got {n}")
+    XX = np.zeros((d, d))
+    Xy = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            XX[i, j] = XX[j, i] = row[f"__xx_{i}_{j}"]
+        Xy[i] = row[f"__xy_{i}"]
+    if abs(np.linalg.det(XX)) < 1e-10 * max(1.0, abs(XX).max()) ** d:
+        raise ValueError("singular design matrix (collinear features)")
+    beta = np.linalg.solve(XX, Xy)
+    # stage 2: u = e² as pure arithmetic with beta literals
+    eta = sum(
+        (F.lit(float(beta[i])) * terms[i] for i in range(1, d)),
+        F.lit(float(beta[0])),
+    )
+    u = (y - eta) * (y - eta)
+    aggs2 = [F.sum(u).alias("__su"), F.sum(u * u).alias("__suu")]
+    for i in range(d):
+        aggs2.append(F.sum(terms[i] * u).alias(f"__xu_{i}"))
+    row2 = nn.agg(*aggs2).collect()[0]
+    Xu = np.array([row2[f"__xu_{i}"] for i in range(d)])
+    beta_aux = np.linalg.solve(XX, Xu)
+    ssr = row2["__suu"] - float(beta_aux @ Xu)
+    sst = row2["__suu"] - row2["__su"] ** 2 / n
+    r2 = 1.0 - ssr / sst if sst > 0 else 0.0
+    lm = n * r2
+    p_value = math.exp(-lm / 2.0)  # χ²(2) survival, closed form
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        # lm rounds at 4dp: LM = n·R²_aux amplifies the engines'
+        # ~1e-11 relative sum noise by n, so 6dp would sit inside the
+        # noise band at sf0.1
+        [(int(n), round(lm, 4) + 0.0, 2, round(p_value, 6) + 0.0)],
+        "n bigint, lm_stat double, df int, p_value double",
     )

@@ -1211,3 +1211,87 @@ def classical_decompose(
             + F.lit(0.0)
         ).alias("remainder"),
     )
+
+
+def chow_test(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    group_col,
+) -> DataFrame:
+    """Chow test for a structural break in a simple linear regression —
+    do two regimes (before/after a date, cohort A/B) share the same
+    (intercept, slope)? The parametric companion to pettitt_test
+    (rank-based location break) and changepoint_single (mean break):
+
+        F = ((SSR_pooled − SSR_a − SSR_b) / k)
+            / ((SSR_a + SSR_b) / (n − 2k)),   k = 2
+
+    Everything is closed-form from per-regime moment sums: for each
+    regime SSR = Syy − Sxy²/Sxx with the centered S's built from raw
+    sums, and the pooled SSR from the regime sums' totals — so the
+    ENTIRE test is ONE grouped aggregation over the two regimes plus a
+    2-row fold. No residuals are materialized; nothing data-sized
+    shuffles.
+
+    `group_col` must 2-partition the rows (boolean or any expression;
+    rows where it is NULL are excluded, as are NULL y/x). Output
+    (1 row): n_a, n_b BIGINT, ssr_split DOUBLE round 4, ssr_pooled
+    DOUBLE round 4, f_stat DOUBLE round 6, df1 INT, df2 BIGINT.
+    Raises if either regime has < 3 rows or zero x-variance (the
+    per-regime fit is under-determined)."""
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    nn = df.filter(y.isNotNull() & x.isNotNull() & g.isNotNull())
+    per = nn.groupBy(g.alias("__g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    rows = per.collect()  # 2 regime rows — model-sized by contract
+    if len(rows) != 2:
+        raise ValueError(
+            f"chow_test: group_col must 2-partition the rows, got "
+            f"{len(rows)} regime(s)"
+        )
+
+    def _ssr(r):
+        cxx = r["sxx"] - r["sx"] ** 2 / r["n"]
+        cxy = r["sxy"] - r["sx"] * r["sy"] / r["n"]
+        cyy = r["syy"] - r["sy"] ** 2 / r["n"]
+        if r["n"] < 3 or cxx <= 0:
+            raise ValueError(
+                "chow_test: a regime has < 3 rows or zero x-variance"
+            )
+        return cyy - cxy * cxy / cxx
+
+    rows = sorted(rows, key=lambda r: str(r["__g"]))
+    ra, rb = rows
+    ssr_a, ssr_b = _ssr(ra), _ssr(rb)
+    n = ra["n"] + rb["n"]
+    tot = {
+        f: ra[f] + rb[f] for f in ("sx", "sy", "sxx", "sxy", "syy")
+    }
+    cxx = tot["sxx"] - tot["sx"] ** 2 / n
+    cxy = tot["sxy"] - tot["sx"] * tot["sy"] / n
+    cyy = tot["syy"] - tot["sy"] ** 2 / n
+    ssr_p = cyy - cxy * cxy / cxx
+    k = 2
+    df2 = n - 2 * k
+    ssr_s = ssr_a + ssr_b
+    f_stat = ((ssr_p - ssr_s) / k) / (ssr_s / df2) if ssr_s > 0 else None
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(ra["n"]), int(rb["n"]),
+            round(ssr_s, 4) + 0.0, round(ssr_p, 4) + 0.0,
+            round(f_stat, 6) + 0.0 if f_stat is not None else None,
+            k, int(df2),
+        )],
+        "n_a bigint, n_b bigint, ssr_split double, ssr_pooled double, "
+        "f_stat double, df1 int, df2 bigint",
+    )

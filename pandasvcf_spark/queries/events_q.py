@@ -7144,3 +7144,341 @@ def m_cohens_d(spark, sf_dir):
         F.col("value").alias("v"),
     )
     return cohens_d(b, "f", "v")
+
+
+def _poisson_round_sql(src: str, b: str, out_m: str, out_b: str) -> str:
+    """One unrolled Poisson-IRLS round: log-link working weights
+    (w = mu = exp(eta), eta clamped to +/-30) and working response
+    z = eta + (y - mu)/mu, aggregated into weighted normal-equation
+    sums over `src` with the 1-row beta table `b` (b0, b1, b2),
+    solved by Cramer's rule into `out_b` — the _irls_round_sql device
+    with the logit link swapped for the log link."""
+    return f"""
+    {out_m} AS (
+      SELECT sum(w * 1.0) AS s00, sum(w * x1) AS s01,
+             sum(w * x2) AS s02,
+             sum(w * x1 * x1) AS s11, sum(w * x1 * x2) AS s12,
+             sum(w * x2 * x2) AS s22,
+             sum(w * z * 1.0) AS z0, sum(w * z * x1) AS z1,
+             sum(w * z * x2) AS z2
+      FROM (
+        SELECT y, x1, x2, eta, mu, mu AS w,
+               eta + (y - mu) / mu AS z
+        FROM (
+          SELECT y, x1, x2, eta, exp(eta) AS mu
+          FROM (
+            -- eta clamped into [-30, 30] (exp stays finite and the
+            -- working division well-posed); -30.0/30.0 CAST so the
+            -- clamp bound is the same double on both engines
+            SELECT y, x1, x2,
+                   greatest(CAST(-30.0 AS DOUBLE),
+                            least(CAST(30.0 AS DOUBLE),
+                                  {b}.b0 + {b}.b1 * x1 + {b}.b2 * x2))
+                     AS eta
+            FROM {src}, {b})))),
+    {out_b} AS (
+      SELECT
+        (z0 * (s11 * s22 - s12 * s12)
+         - s01 * (z1 * s22 - s12 * z2)
+         + s02 * (z1 * s12 - s11 * z2)) / det AS b0,
+        (s00 * (z1 * s22 - s12 * z2)
+         - z0 * (s01 * s22 - s12 * s02)
+         + s02 * (s01 * z2 - z1 * s02)) / det AS b1,
+        (s00 * (s11 * z2 - z1 * s12)
+         - s01 * (s01 * z2 - z1 * s02)
+         + z0 * (s01 * s12 - s11 * s02)) / det AS b2
+      FROM (SELECT *,
+              s00 * (s11 * s22 - s12 * s12)
+              - s01 * (s01 * s22 - s12 * s02)
+              + s02 * (s01 * s12 - s11 * s02) AS det
+            FROM {out_m}))"""
+
+
+@register(
+    "m_poisson",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(floor(value) AS DOUBLE) AS y,
+             CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(user_id % 7 AS DOUBLE) AS x2
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    bz AS (
+      SELECT ln(greatest(sum(y) / count(*), 1e-10)) AS b0,
+             0.0 AS b1, 0.0 AS b2
+      FROM s),
+    {_poisson_round_sql('s', 'bz', 'pm1', 'pbeta1')},
+    {_poisson_round_sql('s', 'pbeta1', 'pm2', 'pbeta2')},
+    nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s)
+    SELECT '(intercept)' AS term, round(b0, 6) + 0.0 AS beta FROM pbeta2
+    UNION ALL SELECT 'hour_of_day', round(b1, 6) + 0.0 FROM pbeta2
+    UNION ALL SELECT 'user_mod7', round(b2, 6) + 0.0 FROM pbeta2
+    UNION ALL SELECT '(n)', n FROM nrow
+    """,
+)
+def m_poisson(spark, sf_dir):
+    """Poisson regression of the integerized event value on hour-of-day
+    and user_id%7 (operators/relational.poisson_fit) — the count-model
+    third of the GLM trio (m_ols identity, m_logit logit, this log
+    link): IRLS with a FIXED 2-iteration budget from the null-model
+    warm start (intercept = ln(mean y)), so the entire optimization
+    replays as an unrolled SQL oracle (the m_logit device with the
+    link swapped). Each round is one partial-aggregated weighted-sums
+    pass + a model-sized 3x3 solve; near-zero slopes expected on this
+    synthetic corpus — the entry checks the optimizer, not the
+    model."""
+    from pandasvcf_spark.operators.relational import poisson_fit
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.floor(F.col("value")).cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        (F.col("user_id") % 7).cast("double").alias("user_mod7"),
+    )
+    return poisson_fit(d, "y", ["hour_of_day", "user_mod7"], iters=2)
+
+
+@register(
+    "m_vif",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(user_id % 7 AS DOUBLE) AS x2,
+             CAST(hour(ts) AS DOUBLE) + value / 10.0 AS x3
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x1 * x3) AS s13, sum(x2 * x2) AS s22,
+             sum(x2 * x3) AS s23, sum(x3 * x3) AS s33
+      FROM s),
+    c AS (
+      SELECT
+        (n * s12 - s1 * s2)
+          / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)) AS r12,
+        (n * s13 - s1 * s3)
+          / sqrt((n * s11 - s1 * s1) * (n * s33 - s3 * s3)) AS r13,
+        (n * s23 - s2 * s3)
+          / sqrt((n * s22 - s2 * s2) * (n * s33 - s3 * s3)) AS r23
+      FROM m),
+    d AS (
+      SELECT *,
+             1.0 + 2.0 * r12 * r13 * r23
+             - r12 * r12 - r13 * r13 - r23 * r23 AS det
+      FROM c)
+    SELECT 'hour_of_day' AS term,
+           round((1.0 - r23 * r23) / det, 6) + 0.0 AS vif,
+           round(1.0 - det / (1.0 - r23 * r23), 6) + 0.0 AS r2_aux
+    FROM d
+    UNION ALL
+    SELECT 'user_mod7',
+           round((1.0 - r13 * r13) / det, 6) + 0.0,
+           round(1.0 - det / (1.0 - r13 * r13), 6) + 0.0
+    FROM d
+    UNION ALL
+    SELECT 'hour_plus_value10',
+           round((1.0 - r12 * r12) / det, 6) + 0.0,
+           round(1.0 - det / (1.0 - r12 * r12), 6) + 0.0
+    FROM d
+    """,
+)
+def m_vif(spark, sf_dir):
+    """Variance inflation factors (operators/stats.vif_screen) over a
+    3-feature design with one DELIBERATELY collinear column
+    (hour + value/10 shares hour's variance) — the pre-regression
+    collinearity screen for m_ols/m_logit/m_poisson. VIF_j is the j-th
+    diagonal of the inverse correlation matrix: ONE p²-sum pass, a
+    model-sized 3x3 driver inverse. The oracle replays the same screen
+    through the closed-form 3x3 inverse-diagonal identities
+    (VIF_1 = (1-r23²)/det(R)); numpy-vs-closed-form agreement to 6dp
+    holds because both act on the same exactly-replayed sums."""
+    from pandasvcf_spark.operators.stats import vif_screen
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        (F.col("user_id") % 7).cast("double").alias("user_mod7"),
+        (F.hour("ts").cast("double") + F.col("value") / 10.0).alias(
+            "hour_plus_value10"
+        ),
+    )
+    return vif_screen(d, ["hour_of_day", "user_mod7", "hour_plus_value10"])
+
+
+@register(
+    "m_breusch_pagan",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS y,
+             CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(user_id % 7 AS DOUBLE) AS x2
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM s),
+    det AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS d0
+      FROM m),
+    beta AS (
+      SELECT *,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) / d0 AS b0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) / d0 AS b1,
+             (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) / d0 AS b2
+      FROM det),
+    aux AS (
+      SELECT sum(u) AS su, sum(u * u) AS suu,
+             sum(u * x1) AS u1, sum(u * x2) AS u2
+      FROM (
+        SELECT x1, x2,
+               (y - (b.b0 + b.b1 * x1 + b.b2 * x2))
+               * (y - (b.b0 + b.b1 * x1 + b.b2 * x2)) AS u
+        FROM s, beta b)),
+    ba AS (
+      SELECT
+        (su * (s11 * s22 - s12 * s12)
+         - s1 * (u1 * s22 - s12 * u2)
+         + s2 * (u1 * s12 - s11 * u2)) / d0 AS a0,
+        (n * (u1 * s22 - s12 * u2)
+         - su * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * u2 - u1 * s2)) / d0 AS a1,
+        (n * (s11 * u2 - u1 * s12)
+         - s1 * (s1 * u2 - u1 * s2)
+         + su * (s1 * s12 - s11 * s2)) / d0 AS a2,
+        n, su, suu, u1, u2
+      FROM det, aux),
+    fit AS (
+      SELECT n,
+             suu - (a0 * su + a1 * u1 + a2 * u2) AS ssr,
+             suu - su * su / n AS sst
+      FROM ba),
+    lm AS (
+      SELECT n,
+             n * (CASE WHEN sst > 0
+                  THEN 1.0 - ssr / sst ELSE 0.0 END) AS stat
+      FROM fit)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(stat, 4) + 0.0 AS lm_stat,
+           2 AS df,
+           round(exp(-stat / 2.0), 6) + 0.0 AS p_value
+    FROM lm
+    """,
+)
+def m_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroscedasticity LM test of the m_ols design
+    (operators/stats.breusch_pagan): regress value on hour-of-day and
+    user_id%7, then the squared residuals on the same X — LM = n.R²_aux
+    ~ chi²(2), with the closed-form tail exp(-LM/2) the 2-regressor
+    restriction buys. Two partial-aggregated passes (the second re-uses
+    the first's X'X and injects beta as literals so the residual is
+    pure arithmetic); both solves are model-sized. The oracle replays
+    both stages through Cramer's rule."""
+    from pandasvcf_spark.operators.stats import breusch_pagan
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.col("value").cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        (F.col("user_id") % 7).cast("double").alias("user_mod7"),
+    )
+    return breusch_pagan(d, "y", ["hour_of_day", "user_mod7"])
+
+
+@register(
+    "m_chow",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS y,
+             CAST(hour(ts) AS DOUBLE) AS x,
+             CAST(user_id % 2 AS INT) AS g
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    m AS (
+      SELECT g, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy,
+             sum(y * y) AS syy
+      FROM s GROUP BY g),
+    r AS (
+      SELECT g, n, sx, sy, sxx, sxy, syy,
+             (syy - sy * sy / n)
+             - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+               / (sxx - sx * sx / n) AS ssr
+      FROM m),
+    w AS (
+      SELECT
+        sum(CASE WHEN g = 0 THEN n END) AS na,
+        sum(CASE WHEN g = 1 THEN n END) AS nb,
+        sum(ssr) AS ssr_s,
+        sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+        sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
+      FROM r),
+    p AS (
+      SELECT *,
+             (syy - sy * sy / n)
+             - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+               / (sxx - sx * sx / n) AS ssr_p
+      FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ssr_s, 4) + 0.0 AS ssr_split,
+           round(ssr_p, 4) + 0.0 AS ssr_pooled,
+           round(((ssr_p - ssr_s) / 2.0) / (ssr_s / (n - 4.0)), 6)
+             + 0.0 AS f_stat,
+           2 AS df1, CAST(n - 4 AS BIGINT) AS df2
+    FROM p
+    """,
+)
+def m_chow(spark, sf_dir):
+    """Chow structural-break F test (operators/stats.chow_test) of the
+    value~hour regression across the user-parity cohorts — do both
+    halves share one (intercept, slope)? The parametric companion to
+    m_pettitt/e_changepoint: everything is closed-form from per-regime
+    moment sums, so the whole test is ONE 2-group aggregation + a
+    2-row driver fold; no residuals materialize. Expected F ~ 1 on
+    this A/A-shaped split — the entry checks the arithmetic, not the
+    break. The oracle replays regime sums, per-regime SSRs and the
+    pooled-vs-split F."""
+    from pandasvcf_spark.operators.stats import chow_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.col("value").cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("x"),
+        (F.col("user_id") % 2).cast("int").alias("parity"),
+    )
+    return chow_test(d, "y", "x", "parity")

@@ -3513,3 +3513,152 @@ def test_sign_test_vs_golden(spark):
 
     with _pytest.raises(ValueError, match="max_n"):
         sign_test(df, "x", "y", max_n=5)
+
+
+# --- poisson_fit / vif_screen / breusch_pagan / chow_test ------------------
+
+
+def test_poisson_fit_vs_numpy_irls(spark):
+    """poisson_fit == a numpy IRLS replica on the same data (same null-
+    model warm start, same 2-round budget, same eta clamp)."""
+    import numpy as np
+
+    rows = [
+        # y counts roughly exp(1 + 0.5*x1 - 0.3*x2) with deterministic
+        # jitter so slopes are decidedly non-zero
+        (float(max(0, int(math.exp(1.0 + 0.5 * x1 - 0.3 * x2))
+                   + ((i * 7) % 3) - 1)),
+         float(x1), float(x2))
+        for i, (x1, x2) in enumerate(
+            (a, b) for a in range(5) for b in range(4)
+        )
+    ]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    from pandasvcf_spark.operators.relational import poisson_fit
+
+    got = {r["term"]: r["beta"] for r in
+           poisson_fit(df, "y", ["x1", "x2"], iters=2).collect()}
+
+    y = np.array([r[0] for r in rows])
+    X = np.column_stack([np.ones(len(rows)),
+                         [r[1] for r in rows], [r[2] for r in rows]])
+    beta = np.array([math.log(max(y.mean(), 1e-10)), 0.0, 0.0])
+    for _ in range(2):
+        eta = np.clip(X @ beta, -30.0, 30.0)
+        mu = np.exp(eta)
+        z = eta + (y - mu) / mu
+        W = mu
+        XX = X.T @ (X * W[:, None])
+        Xz = X.T @ (W * z)
+        beta = np.linalg.solve(XX, Xz)
+    assert got["(n)"] == float(len(rows))
+    for nm, b in zip(["(intercept)", "x1", "x2"], beta):
+        assert got[nm] == pytest.approx(round(float(b), 6), abs=2e-6)
+
+
+def test_poisson_fit_rejects_negative_y(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (-1.0, 1.0)], "y double, x double"
+    )
+    from pandasvcf_spark.operators.relational import poisson_fit
+
+    with pytest.raises(ValueError, match="y must be >= 0"):
+        poisson_fit(df, "y", ["x"], iters=1)
+
+
+def test_vif_screen_known_design(spark):
+    """x3 = x1 + x2 exactly -> singular raise; x3 = x1 + small noise ->
+    VIF matches the closed-form 3x3 inverse-diagonal identity."""
+    from pandasvcf_spark.operators.stats import vif_screen
+
+    base = [(float(i % 7), float((i * 3) % 5)) for i in range(40)]
+    sing = spark.createDataFrame(
+        [(a, b, a + b) for a, b in base], "x1 double, x2 double, x3 double"
+    )
+    with pytest.raises(ValueError, match="singular"):
+        vif_screen(sing, ["x1", "x2", "x3"])
+
+    rows = [(a, b, a + 0.25 * ((i * 11) % 4)) for i, (a, b) in
+            enumerate(base)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double")
+    got = {r["term"]: (r["vif"], r["r2_aux"]) for r in
+           vif_screen(df, ["x1", "x2", "x3"]).collect()}
+
+    import numpy as np
+
+    X = np.array(rows)
+    R = np.corrcoef(X, rowvar=False)
+    inv = np.linalg.inv(R)
+    for j, nm in enumerate(["x1", "x2", "x3"]):
+        assert got[nm][0] == pytest.approx(round(float(inv[j, j]), 6),
+                                           abs=2e-6)
+        assert got[nm][1] == pytest.approx(
+            round(1.0 - 1.0 / float(inv[j, j]), 6), abs=2e-6)
+    # the collinear pair inflates, the independent column doesn't
+    assert got["x1"][0] > 5.0 and got["x3"][0] > 5.0
+    assert got["x2"][0] < 1.5
+
+
+def test_breusch_pagan_planted_heteroscedasticity(spark):
+    """Residual variance grows with x1 by construction -> LM far above
+    the homoscedastic expectation (E[LM] = df = 2); a constant-variance
+    twin stays small. Replica check against statsmodels' formula done
+    by hand: LM = n * R2 of e^2 on X."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.stats import breusch_pagan
+
+    n = 400
+    x1 = np.array([float(i % 20) for i in range(n)])
+    x2 = np.array([float((i * 7) % 11) for i in range(n)])
+    noise = np.array([((i * 2654435761) % 1000) / 500.0 - 1.0
+                      for i in range(n)])  # deterministic ~U(-1,1)
+    y_het = 2.0 + 0.5 * x1 + (0.2 + 0.3 * x1) * noise
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y_het, x1, x2)],
+        "y double, x1 double, x2 double",
+    )
+    out = breusch_pagan(df, "y", ["x1", "x2"]).collect()[0]
+    assert out["n"] == n and out["df"] == 2
+
+    # numpy replica of the two-stage LM
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.linalg.solve(X.T @ X, X.T @ y_het)
+    u = (y_het - X @ beta) ** 2
+    ba = np.linalg.solve(X.T @ X, X.T @ u)
+    ssr = u @ u - ba @ (X.T @ u)
+    sst = u @ u - u.sum() ** 2 / n
+    lm = n * (1.0 - ssr / sst)
+    assert out["lm_stat"] == pytest.approx(round(float(lm), 4), abs=2e-4)
+    assert out["p_value"] == pytest.approx(
+        round(math.exp(-float(lm) / 2.0), 6), abs=2e-6)
+    assert out["lm_stat"] > 20.0  # planted heteroscedasticity detected
+
+
+def test_chow_test_break_vs_stable(spark):
+    """Regime B gets a different slope -> F large; identical regimes ->
+    F ~ 0 (exactly 0 up to rounding when the halves are copies)."""
+    from pandasvcf_spark.operators.stats import chow_test
+
+    stable = [(2.0 + 0.5 * x + 0.1 * ((i * 3) % 5), float(x), g)
+              for g in (0, 1) for i, x in enumerate(range(30))]
+    df = spark.createDataFrame(stable, "y double, x double, g int")
+    out = chow_test(df, "y", "x", "g").collect()[0]
+    assert out["n_a"] == 30 and out["n_b"] == 30
+    assert out["df1"] == 2 and out["df2"] == 56
+    assert abs(out["f_stat"]) < 1e-6  # identical halves: no break
+
+    broken = [(2.0 + 0.5 * x + 0.1 * ((i * 3) % 5), float(x), 0)
+              for i, x in enumerate(range(30))]
+    broken += [(10.0 - 0.5 * x + 0.1 * ((i * 3) % 5), float(x), 1)
+               for i, x in enumerate(range(30))]
+    df2 = spark.createDataFrame(broken, "y double, x double, g int")
+    out2 = chow_test(df2, "y", "x", "g").collect()[0]
+    assert out2["f_stat"] > 100.0
+
+    one = spark.createDataFrame(
+        [(1.0, 1.0, 0), (2.0, 2.0, 0), (3.0, 3.0, 0)],
+        "y double, x double, g int",
+    )
+    with pytest.raises(ValueError, match="2-partition"):
+        chow_test(one, "y", "x", "g")
