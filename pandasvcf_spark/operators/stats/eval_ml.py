@@ -1312,3 +1312,94 @@ def auc_delong(
         (F.round(F.when(ok, auc), 6) + F.lit(0.0)).alias("auc"),
         (F.round(F.when(ok_se, se), 6) + F.lit(0.0)).alias("se"),
     )
+
+
+def mrr_eval(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Mean reciprocal rank + hit-rate@k over scored candidate lists —
+    the first-relevant-result retrieval metric beside ndcg_at_k
+    (graded gain) and average_precision (all-relevant): MRR rewards
+    putting ONE right answer first, the metric of record for QA /
+    entity-lookup / nearest-duplicate retrieval.
+
+    Computed WITHOUT per-query rank windows: under the total order
+    (score DESC, id ASC), the first relevant rank is
+
+        1 + #{candidates strictly ahead of the best relevant one}
+
+    so the whole metric is (a) one agg taking each query's best
+    relevant candidate via max(struct(score, -id)) — no sort; (b) one
+    query-keyed equi-join of that (query-sized) table back onto the
+    candidates; (c) one conditional count + the final fold. A rank
+    window would sort every query's full candidate list; this shape
+    never sorts anything.
+
+    Queries with NO relevant candidate contribute reciprocal rank 0
+    and miss @k (the standard convention — they stay in the
+    denominator). Output (1 row): n_queries BIGINT, mrr DOUBLE round
+    6, hit_rate_at_k DOUBLE round 6."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.col(query_col)
+    cid = F.col(id_col)
+    sc = F.col(score_col).cast("double")
+    rel = F.col(rel_col).cast("boolean")
+    nn = df.filter(q.isNotNull() & cid.isNotNull() & sc.isNotNull())
+    best = (
+        nn.filter(rel)
+        .groupBy(q.alias("__q"))
+        .agg(F.max(F.struct(sc.alias("s"), (-cid).alias("nid"))).alias("__b"))
+        .select(
+            "__q",
+            F.col("__b.s").alias("__bs"),
+            (-F.col("__b.nid")).alias("__bid"),
+        )
+    )
+    ranks = (
+        nn.join(best, nn[query_col] == best["__q"], "inner")
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                F.when(
+                    (sc > F.col("__bs"))
+                    | ((sc == F.col("__bs")) & (cid < F.col("__bid"))),
+                    1,
+                ).otherwise(0)
+            ).alias("__ahead")
+        )
+        .select("__q", (F.col("__ahead") + 1).alias("__rank"))
+    )
+    allq = nn.select(q.alias("__q")).distinct()
+    per = allq.join(ranks, on="__q", how="left")
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("__rank").isNotNull(),
+                        F.lit(1.0) / F.col("__rank"),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mrr"),
+        (
+            F.round(
+                F.avg(
+                    F.when(F.col("__rank") <= k, F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("hit_rate_at_k"),
+    )

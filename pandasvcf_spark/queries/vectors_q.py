@@ -2324,3 +2324,61 @@ def v_two_stage(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("cossim", 6).alias("cossim")
     ).orderBy("query_id", "vec_id")
+
+
+@register(
+    "m_mrr",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < 100),
+    s AS (
+      SELECT q.qid, e.vec_id AS id,
+             {_sql_cos('e.embedding', 'q.qe')} AS cos,
+             (e.label = q.ql) AS rel
+      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+    r AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, id) AS rn
+      FROM s),
+    fr AS (
+      SELECT qid, min(CASE WHEN rel THEN rn END) AS frank
+      FROM r GROUP BY qid)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN frank IS NOT NULL
+                     THEN 1.0 / frank ELSE 0.0 END), 6) + 0.0 AS mrr,
+           round(avg(CASE WHEN frank <= 10
+                     THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS hit_rate_at_k
+    FROM fr
+    """,
+)
+def m_mrr(spark, sf_dir):
+    """Mean reciprocal rank of the first SAME-LABEL neighbor under
+    exact cosine, 100 queries (operators/stats.mrr_eval) — the
+    retrieval-evaluation harness for the ANN shelf: run any v_*_topk
+    variant's candidates through the same metric to price its recall
+    loss in MRR terms. The operator never sorts: the first relevant
+    rank is 1 + count-of-better under the (cos DESC, vec_id) total
+    order — one max_by agg + one query-keyed join + one conditional
+    count (the query side is the bounded broadcast, the
+    v_cosine_topk device). The oracle replays through an explicit
+    rank window, pinning the count-better identity."""
+    from pandasvcf_spark.functions.vectors import cosine_expr
+    from pandasvcf_spark.operators.stats import mrr_eval
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qe"),
+        F.col("label").alias("__ql"),
+    )
+    pairs = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_expr("embedding", "__qe").alias("score"),
+        (F.col("label") == F.col("__ql")).alias("rel"),
+    )
+    return mrr_eval(pairs, "query_id", "vec_id", "score", "rel", k=10)

@@ -3662,3 +3662,27 @@ def test_chow_test_break_vs_stable(spark):
     )
     with pytest.raises(ValueError, match="2-partition"):
         chow_test(one, "y", "x", "g")
+
+
+def test_mrr_eval_hand_case(spark):
+    """q=1: relevant at rank 2 (rr .5, in @10); q=2: relevant at rank 1
+    via the id tie-break on equal scores (rr 1); q=3: no relevant row
+    (rr 0, miss). MRR = (0.5 + 1 + 0)/3 = 0.5; hit@10 = 2/3."""
+    from pandasvcf_spark.operators.stats import mrr_eval
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 0.9, False), (1, 11, 0.8, True), (1, 12, 0.7, True),
+            (2, 20, 0.5, True), (2, 21, 0.5, False),  # tie: id 20 wins
+            (3, 30, 0.4, False), (3, 31, 0.3, False),
+        ],
+        "q int, id int, s double, rel boolean",
+    )
+    out = mrr_eval(df, "q", "id", "s", "rel", k=10).collect()[0]
+    assert out["n_queries"] == 3
+    assert out["mrr"] == pytest.approx(0.5)
+    assert out["hit_rate_at_k"] == pytest.approx(round(2 / 3, 6))
+
+    # k=1: only q=2's rank-1 hit survives
+    out1 = mrr_eval(df, "q", "id", "s", "rel", k=1).collect()[0]
+    assert out1["hit_rate_at_k"] == pytest.approx(round(1 / 3, 6))
