@@ -1052,6 +1052,7 @@ def cox_ph(
     covariate_cols: Sequence[str],
     iters: int = 5,
     max_cells: int | None = 1_000_000,
+    strata_col: str | None = None,
 ) -> DataFrame:
     """Cox proportional-hazards regression with p covariates (Cox
     1972; Breslow ties; fixed-round Newton-Raphson) — the
@@ -1099,7 +1100,17 @@ def cox_ph(
     Scale shape: nothing after the first agg scales with the cohort —
     the per-round window runs over <= max_cells ladder rows (the
     single-task-sort watch item shared with the ECDF ladders; the
-    tripwire raise names the re-route) and every fold is 1 row."""
+    tripwire raise names the re-route) and every fold is 1 row.
+
+    `strata_col` fits the STRATIFIED model (Cox 1972 §7; the standard
+    cure for a covariate that violates proportional hazards: give each
+    stratum its own unconstrained baseline hazard, share beta): risk
+    sets form WITHIN each stratum — the ladder window gains a
+    PARTITION BY stratum (which also parallelizes the single-task-sort
+    watch item) and cells key on (stratum, time, covariates) — while
+    the score/information folds still sum across strata, so the Newton
+    arithmetic is otherwise unchanged and stratum never shuffles
+    anything data-sized."""
     p = len(covariate_cols)
     if p < 1:
         raise ValueError("need at least one covariate")
@@ -1111,16 +1122,23 @@ def cox_ph(
     keep = tc.isNotNull() & ec.isNotNull()
     for x in xs:
         keep = keep & x.isNotNull()
+    snames: list[str] = []
+    scols = []
+    if strata_col is not None:
+        keep = keep & F.col(strata_col).isNotNull()
+        snames = ["__s"]
+        scols = [F.col(strata_col).alias("__s")]
     xnames = [f"__x{i}" for i in range(p)]
     base = df.filter(keep).select(
         tc.alias("__t"), ec.alias("__e"),
+        *scols,
         *[x.alias(nm) for x, nm in zip(xs, xnames)],
     )
     _assert_cell_bound(
-        base, ["__t", *xnames], "cox_ph", max_cells,
+        base, [*snames, "__t", *xnames], "cox_ph", max_cells,
         plan_word="distinct (time, covariates) risk-set ladder",
     )
-    cells = base.groupBy("__t", *xnames).agg(
+    cells = base.groupBy(*snames, "__t", *xnames).agg(
         F.count(F.lit(1)).cast("double").alias("__cnt"),
         F.sum("__e").cast("double").alias("__d"),
     )
@@ -1133,7 +1151,10 @@ def cox_ph(
 
     # upper-triangle index pairs for S2 / I
     pairs = [(i, j) for i in range(p) for j in range(i, p)]
-    w_sfx = Window.orderBy(F.col("__t").desc()).rangeBetween(
+    w_base = (
+        Window.partitionBy(*snames) if snames else Window
+    )
+    w_sfx = w_base.orderBy(F.col("__t").desc()).rangeBetween(
         Window.unboundedPreceding, Window.currentRow
     )
 

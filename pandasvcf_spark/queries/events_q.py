@@ -7482,3 +7482,124 @@ def m_chow(spark, sf_dir):
         (F.col("user_id") % 2).cast("int").alias("parity"),
     )
     return chow_test(d, "y", "x", "parity")
+
+
+def _cox_strat_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-round Newton for the STRATIFIED two-covariate
+    Cox model — `_cox_multi_oracle` with the risk-set ladder
+    partitioned by stratum (cells key on (s, t, x1, x2); the suffix
+    RANGE window gains PARTITION BY s; the score/information folds
+    still sum across strata). Solve order matches cox_ph's p == 2
+    Cramer closed form exactly."""
+    head = """
+    WITH b AS (
+      SELECT value * (1 + 0.5 * (user_id % 2))
+               * (1 + 0.3 * (length(event_type) % 4)) AS t,
+        CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS e,
+        CAST(user_id % 2 AS DOUBLE) AS x1,
+        CAST(event_id % 3 AS DOUBLE) AS x2,
+        event_type AS s
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (
+      SELECT s, t, x1, x2, CAST(count(*) AS DOUBLE) AS cnt,
+        CAST(sum(e) AS DOUBLE) AS d
+      FROM b GROUP BY s, t, x1, x2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_events FROM b),
+    bt0 AS (SELECT CAST(0.0 AS DOUBLE) AS b1,
+                   CAST(0.0 AS DOUBLE) AS b2)"""
+    parts = [head]
+    for i in range(iters + 1):
+        parts.append(f""",
+    w{i} AS (SELECT c.s, c.t, c.x1, c.x2, c.d, bt.b1, bt.b2,
+        c.cnt * exp(bt.b1 * c.x1 + bt.b2 * c.x2) AS w
+      FROM cells c CROSS JOIN bt{i} bt),
+    lad{i} AS (SELECT d, x1, x2, b1, b2,
+        sum(w) OVER sfx AS s0,
+        sum(w * x1) OVER sfx AS s1a,
+        sum(w * x2) OVER sfx AS s1b,
+        sum(w * x1 * x1) OVER sfx AS s2aa,
+        sum(w * x1 * x2) OVER sfx AS s2ab,
+        sum(w * x2 * x2) OVER sfx AS s2bb
+      FROM w{i}
+      WINDOW sfx AS (PARTITION BY s ORDER BY t DESC
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    st{i} AS (SELECT max(b1) AS b1, max(b2) AS b2,
+        sum(d * x1 - d * s1a / s0) AS u1,
+        sum(d * x2 - d * s1b / s0) AS u2,
+        sum(d * (s2aa / s0 - (s1a / s0) * (s1a / s0))) AS i11,
+        sum(d * (s2ab / s0 - (s1a / s0) * (s1b / s0))) AS i12,
+        sum(d * (s2bb / s0 - (s1b / s0) * (s1b / s0))) AS i22
+      FROM lad{i} WHERE d > 0)""")
+        if i < iters:
+            parts.append(f""",
+    bt{i + 1} AS (SELECT
+        CASE WHEN (i11 * i22 - i12 * i12) > 0 AND i11 > 0
+          THEN b1 + (u1 * i22 - u2 * i12) / (i11 * i22 - i12 * i12)
+          ELSE b1 END AS b1,
+        CASE WHEN (i11 * i22 - i12 * i12) > 0 AND i11 > 0
+          THEN b2 + (u2 * i11 - u1 * i12) / (i11 * i22 - i12 * i12)
+          ELSE b2 END AS b2
+      FROM st{i})""")
+    parts.append(f""",
+    fin AS (SELECT b1, b2, i11, i12, i22,
+                   i11 * i22 - i12 * i12 AS det FROM st{iters})
+    SELECT v.covariate, tot.n, tot.n_events,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN CASE v.covariate WHEN 'x1' THEN fin.b1 ELSE fin.b2 END
+        END, 6) + 0.0 AS beta,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN sqrt(CASE v.covariate WHEN 'x1' THEN fin.i22 / fin.det
+                  ELSE fin.i11 / fin.det END)
+        END, 6) + 0.0 AS se,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN exp(CASE v.covariate WHEN 'x1' THEN fin.b1 ELSE fin.b2
+                 END)
+        END, 6) + 0.0 AS hr,
+      round(CASE WHEN tot.n_events > 0 AND fin.det > 0 AND fin.i11 > 0
+        THEN (CASE v.covariate WHEN 'x1' THEN fin.b1 ELSE fin.b2 END)
+          / sqrt(CASE v.covariate WHEN 'x1' THEN fin.i22 / fin.det
+                 ELSE fin.i11 / fin.det END)
+        END, 6) + 0.0 AS z
+    FROM (VALUES ('x1'), ('x2')) AS v(covariate)
+    CROSS JOIN fin CROSS JOIN tot
+    """)
+    return "".join(parts)
+
+
+@register("m_cox_strat", oracle=_cox_strat_oracle())
+def m_cox_strat(spark, sf_dir):
+    """STRATIFIED Cox proportional hazards (operators/stats.cox_ph
+    with strata_col; Breslow ties, p = 2, 5 fixed Newton rounds) —
+    event_type strata each get their own unconstrained baseline
+    hazard (the fixture plants a stratum-dependent time stretch the
+    shared-baseline m_cox_multi would have to absorb into beta),
+    while both covariates' log hazard ratios are shared across
+    strata. Risk sets form WITHIN strata: the suffix RANGE ladder is
+    PARTITION BY stratum (better-parallel than the unstratified
+    single ladder), the score/information folds sum across strata,
+    and the p x p Newton system still solves driver-side. Oracle:
+    the UNROLLED stratified optimization."""
+    from pandasvcf_spark.operators.stats import cox_ph
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    b = e.select(
+        (
+            F.col("value")
+            * (1 + 0.5 * (F.col("user_id") % 2))
+            * (1 + 0.3 * (F.length("event_type") % 4))
+        ).alias("t"),
+        F.when(F.col("event_id") % 4 != 0, 1).otherwise(0).alias("e"),
+        (F.col("user_id") % 2).cast("double").alias("x1"),
+        (F.col("event_id") % 3).cast("double").alias("x2"),
+        F.col("event_type").alias("stratum"),
+    )
+    return cox_ph(b, "t", "e", ["x1", "x2"], iters=5,
+                  strata_col="stratum")

@@ -3686,3 +3686,56 @@ def test_mrr_eval_hand_case(spark):
     # k=1: only q=2's rank-1 hit survives
     out1 = mrr_eval(df, "q", "id", "s", "rel", k=1).collect()[0]
     assert out1["hit_rate_at_k"] == pytest.approx(round(1 / 3, 6))
+
+
+def test_cox_ph_stratified_invariances(spark):
+    """Two exact invariances pin the stratified machinery:
+    (1) duplicating one cohort into two identical strata doubles both
+        the score and the information, so the Newton trajectory — and
+        the betas — are IDENTICAL to the single-cohort fit;
+    (2) Cox is rank-based per stratum: scaling one stratum's times by
+        any constant preserves its risk-set ladder, so the stratified
+        fit is bit-identical — while the UNSTRATIFIED fit on the same
+        scaled data moves (the baseline shift leaks into beta)."""
+    from pandasvcf_spark.operators.stats import cox_ph
+
+    cohort = [
+        (float(t), e, float(x1), float(x2))
+        for t, e, x1, x2 in [
+            (1, 1, 0, 1), (2, 1, 1, 0), (3, 0, 0, 2), (4, 1, 1, 1),
+            (5, 1, 0, 0), (6, 0, 1, 2), (7, 1, 1, 0), (9, 1, 0, 1),
+            (11, 0, 1, 1), (13, 1, 0, 2),
+        ]
+    ]
+    one = spark.createDataFrame(
+        cohort, "t double, e int, x1 double, x2 double"
+    )
+    two = spark.createDataFrame(
+        [(s,) + r for s in ("a", "b") for r in cohort],
+        "s string, t double, e int, x1 double, x2 double",
+    )
+    fit1 = {r["covariate"]: (r["beta"], r["z"]) for r in
+            cox_ph(one, "t", "e", ["x1", "x2"], iters=4).collect()}
+    fit2 = {r["covariate"]: (r["beta"], r["z"]) for r in
+            cox_ph(two, "t", "e", ["x1", "x2"], iters=4,
+                   strata_col="s").collect()}
+    assert fit1["x1"][0] == fit2["x1"][0]
+    assert fit1["x2"][0] == fit2["x2"][0]
+    # doubling the cohort doubles the information: z scales by sqrt(2)
+    assert fit2["x1"][1] == pytest.approx(
+        fit1["x1"][1] * math.sqrt(2), abs=5e-5)
+
+    scaled = spark.createDataFrame(
+        [("a",) + r for r in cohort]
+        + [("b", r[0] * 10.0, r[1], r[2], r[3]) for r in cohort],
+        "s string, t double, e int, x1 double, x2 double",
+    )
+    fit_s = {r["covariate"]: r["beta"] for r in
+             cox_ph(scaled, "t", "e", ["x1", "x2"], iters=4,
+                    strata_col="s").collect()}
+    assert fit_s["x1"] == fit2["x1"][0]  # per-stratum ranks unchanged
+    assert fit_s["x2"] == fit2["x2"][0]
+    pooled = {r["covariate"]: r["beta"] for r in
+              cox_ph(scaled.drop("s"), "t", "e", ["x1", "x2"],
+                     iters=4).collect()}
+    assert pooled["x1"] != fit_s["x1"]  # unstratified absorbs the shift
