@@ -702,3 +702,66 @@ def kmv_intersect(
             ).alias("est_union"),
         )
     )
+
+
+def ams_f2_sketch(
+    df: DataFrame,
+    key: Column | str,
+    rows: int = 32,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996):
+    (r INT, s BIGINT), one signed sum per estimator row,
+
+        s_r = sum_k sign_r(key_k) * count(key_k),   E[s_r²] = F2
+
+    where F2 = Σ c_k² is the self-join size / repeat rate of the key —
+    the statistic that prices a shuffle join's output and a key's skew
+    in ONE number. sign_r comes from one bit of the seeded portable
+    polynomial hash (`r || ':' || key`, Knuth-scrambled — the
+    countmin_sketch seeding device), so the whole sketch is
+    deterministic and ANSI-SQL-replayable.
+
+    Plan: one data-sized groupBy collapses to per-key counts; the
+    `rows`-way explode runs over DISTINCT KEYS only (never raw rows)
+    and partial-aggs into a fixed `rows`-cell grid. Mergeable: signed
+    sums add cell-wise across batches/shards (union + re-sum by r).
+    Estimate with `ams_f2_estimate`."""
+    if rows < 1:
+        raise ValueError(f"need rows >= 1, got {rows}")
+    kc = (F.col(key) if isinstance(key, str) else key).cast("string")
+    counts = (
+        df.filter(kc.isNotNull())
+        .groupBy(kc.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    exploded = counts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(rows - 1))).alias("r"),
+        "__k",
+        "__c",
+    )
+    h = poly_hash_expr(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("__k"))
+    )
+    sign = (
+        F.lit(2) * (((h * F.lit(2654435761)) % F.lit(POLY_MOD)) % F.lit(2))
+        - F.lit(1)
+    )
+    return (
+        exploded.select("r", (sign * F.col("__c")).alias("__sc"))
+        .groupBy("r")
+        .agg(F.sum("__sc").cast("long").alias("s"))
+    )
+
+
+def ams_f2_estimate(sketch: DataFrame) -> DataFrame:
+    """Fold an `ams_f2_sketch` into the F2 point estimate: the mean of
+    the squared signed sums (the basic unbiased AMS estimator;
+    variance ~ 2 F2²/rows — pick rows for the precision you need).
+    Output (1 row): f2_est DOUBLE round 2. Squares compute in DOUBLE
+    (exact for |s| < 2^26 ~ 67M repeat-pairs per row; beyond that the
+    2dp rounding absorbs the ulp) so BIGINT*BIGINT can never
+    overflow."""
+    s = F.col("s").cast("double")
+    return sketch.agg(
+        (F.round(F.avg(s * s), 2) + F.lit(0.0)).alias("f2_est")
+    )

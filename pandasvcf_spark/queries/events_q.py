@@ -7603,3 +7603,68 @@ def m_cox_strat(spark, sf_dir):
     )
     return cox_ph(b, "t", "e", ["x1", "x2"], iters=5,
                   strata_col="stratum")
+
+
+@register(
+    "sk_f2_moment",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) AS kk,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    sgn AS (
+      SELECT r, kk, c,
+             2 * (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(
+                  CAST(r AS VARCHAR) || ':' || kk, ''),
+                  c2 -> CAST(ascii(c2) AS BIGINT))),
+                (acc, c2) -> (acc * 31 + c2) % 2147483647)
+                * 2654435761) % 2147483647) % 2) - 1 AS sg
+      FROM k, generate_series(0, 31) AS s(r)),
+    sk AS (SELECT r, CAST(sum(sg * c) AS BIGINT) AS s
+           FROM sgn GROUP BY r),
+    ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM k)
+    SELECT round(avg(CAST(s AS DOUBLE) * s), 2) + 0.0 AS f2_est,
+           ex.f2 AS f2_exact,
+           round(abs(avg(CAST(s AS DOUBLE) * s) - ex.f2)
+                 / ex.f2, 4) + 0.0 AS rel_err
+    FROM sk, ex
+    GROUP BY ex.f2
+    """,
+)
+def sk_f2_moment(spark, sf_dir):
+    """AMS F2 (self-join-size / repeat-rate) sketch of events.user_id
+    (operators/sketches.ams_f2_sketch + ams_f2_estimate, 32 estimator
+    rows) beside the exact Σc² it approximates — the skew/join-size
+    statistic in O(rows) space: signed per-key sums whose squared mean
+    is unbiased for F2, mergeable cell-wise across shards like
+    sk_hll/sk_countmin's grids. One data-sized groupBy to per-key
+    counts; the 32-way explode runs over distinct keys only. The
+    deterministic seeded sign hash makes the whole sketch — and the
+    relative error it lands on — an exact SQL replay."""
+    from pandasvcf_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    e = load(spark, sf_dir, "events")
+    sk = ams_f2_sketch(e, "user_id", rows=32)
+    est = ams_f2_estimate(sk)
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "f2_est",
+        "f2_exact",
+        (
+            F.round(
+                F.abs(F.col("f2_est") - F.col("f2_exact"))
+                / F.col("f2_exact"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("rel_err"),
+    )

@@ -2399,3 +2399,50 @@ def test_rq_encode_topk_planted_clusters(spark):
             (float(dists[i]), i) for i in range(len(vecs)) if i != q
         )[:4]
         assert got[q] == [i for _, i in order]
+
+
+def test_ams_f2_sketch_unbiased_and_mergeable(spark):
+    """Exact hand properties: (a) a single key with count c gives every
+    row s = ±c, so the estimate is exactly c²; (b) union-merge of two
+    shard sketches == the whole-input sketch (signed sums add); (c) on
+    a many-key input the 32-row estimate lands within 3·sqrt(2/32)·F2
+    of the exact F2 (Chebyshev-ish sanity, deterministic hash)."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+
+    one = spark.createDataFrame([("k",)] * 7, "x string")
+    est = ams_f2_estimate(ams_f2_sketch(one, "x", rows=8)).collect()[0]
+    assert est["f2_est"] == 49.0
+
+    full = spark.createDataFrame(
+        [(f"u{i % 13}",) for i in range(200)], "x string"
+    )
+    sh1 = spark.createDataFrame(
+        [(f"u{i % 13}",) for i in range(0, 200, 2)], "x string"
+    )
+    sh2 = spark.createDataFrame(
+        [(f"u{i % 13}",) for i in range(1, 200, 2)], "x string"
+    )
+    sk_full = {r["r"]: r["s"] for r in
+               ams_f2_sketch(full, "x", rows=16).collect()}
+    merged = (
+        ams_f2_sketch(sh1, "x", rows=16)
+        .unionByName(ams_f2_sketch(sh2, "x", rows=16))
+        .groupBy("r").agg(F.sum("s").cast("long").alias("s"))
+    )
+    sk_merged = {r["r"]: r["s"] for r in merged.collect()}
+    assert sk_full == sk_merged
+
+    import math as _m
+
+    f2_exact = sum(c * c for c in
+                   [200 // 13 + (1 if i < 200 % 13 else 0)
+                    for i in range(13)])
+    est2 = ams_f2_estimate(
+        ams_f2_sketch(full, "x", rows=32)
+    ).collect()[0]["f2_est"]
+    assert abs(est2 - f2_exact) <= 3 * _m.sqrt(2 / 32) * f2_exact
