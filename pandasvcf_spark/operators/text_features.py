@@ -1751,3 +1751,92 @@ def term_burstiness(
     return scored.orderBy(
         F.col("burst").desc(), F.col("word").asc()
     ).limit(top_n)
+
+
+def ntile_bucket_stats(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    n_buckets: int = 3,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Per-group quantile-bucket aggregates — the CCNet head/middle/
+    tail device (Wenzek et al. 2020: split each language's documents
+    into perplexity terciles, keep the head): for every group, rows
+    are cut into `n_buckets` rank buckets with EXACT SQL ntile
+    semantics (larger buckets first), and each (group, bucket) reports
+    its size and score stats.
+
+    Never sorts rows. The input collapses to (group, score) CELLS
+    (tripwired via `max_cells` — scores are expected pre-rounded, the
+    ECDF-cell convention); one per-group running count over the cells
+    gives each cell its global rank interval [lo, hi]; ntile bucket
+    boundaries are pure arithmetic from the group size (q = n div B,
+    r = n mod B; bucket b holds ranks [(b-1)q + min(b-1, r) + 1, ...]),
+    so each cell's contribution to each bucket is an interval-overlap
+    count — no row-level tiebreak is ever materialized. Because rows
+    sharing a cell are ties, every rank-consistent assignment yields
+    these exact per-bucket counts and score sums: the result equals
+    ntile() OVER (PARTITION BY group ORDER BY score, any_tiebreak).
+
+    Output: (group_col, bucket INT 1-based, n_rows BIGINT, avg_score,
+    min_score, max_score DOUBLE round 4). Plan: one data-sized
+    groupBy; the cell window is PARTITION BY group (the per-group
+    cell ladder — the stats-shelf watch item, tripwired); the bucket
+    explode is x n_buckets over cells only."""
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
+    from pandasvcf_spark.operators.stats._guards import _assert_cell_bound
+
+    g = F.col(group_col)
+    s = F.col(score_col).cast("double")
+    nn = df.filter(g.isNotNull() & s.isNotNull())
+    base = nn.select(g.alias("__g"), s.alias("__s"))
+    _assert_cell_bound(
+        base, ["__g", "__s"], "ntile_bucket_stats", max_cells,
+        plan_word="per-group (group, score) rank-cell ladder",
+    )
+    cells = base.groupBy("__g", "__s").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    wp = Window.partitionBy("__g")
+    w_cum = wp.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ladder = cells.select(
+        "__g", "__s", "__cnt",
+        F.sum("__cnt").over(w_cum).alias("__hi"),
+        F.sum("__cnt").over(wp).alias("__n"),
+    ).withColumn("__lo", F.col("__hi") - F.col("__cnt") + 1)
+    b = F.col("__b")
+    n = F.col("__n")
+    q = F.floor(n / n_buckets)
+    r = n % n_buckets
+    start = (b - 1) * q + F.least(b - 1, r) + 1
+    size = q + F.when(b <= r, 1).otherwise(0)
+    end = start + size - 1
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__hi"), end) - F.greatest(F.col("__lo"), start) + 1,
+    )
+    per = (
+        ladder.select(
+            "__g", "__s", "__hi", "__lo", "__n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_buckets))
+            ).alias("__b"),
+        )
+        .withColumn("__ov", ov)
+        .filter(F.col("__ov") > 0)
+    )
+    return per.groupBy(
+        F.col("__g").alias(group_col), F.col("__b").cast("int").alias("bucket")
+    ).agg(
+        F.sum("__ov").cast("long").alias("n_rows"),
+        (
+            F.round(F.sum(F.col("__s") * F.col("__ov")) / F.sum("__ov"), 4)
+            + F.lit(0.0)
+        ).alias("avg_score"),
+        (F.round(F.min("__s"), 4) + F.lit(0.0)).alias("min_score"),
+        (F.round(F.max("__s"), 4) + F.lit(0.0)).alias("max_score"),
+    )

@@ -2394,10 +2394,11 @@ def t_bigram_lm(spark, sf_dir):
     return bigram_lm_stats(load(spark, sf_dir, "documents"))
 
 
-@register(
-    "t_bigram_logprob",
-    oracle=f"""
-    WITH docs AS (
+#: Shared Kneser-Ney per-position logprob CTE chain (ends at `sc`:
+#: one row per word position with its interpolated-KN log10 prob) —
+#: used by t_bigram_logprob (per-doc fold) and t_ccnet_buckets
+#: (per-language perplexity terciles).
+_KN_SC_CTES = f"""docs AS (
       SELECT doc_id, {_WORDS} AS ws FROM documents),
     wd AS (
       SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws
@@ -2432,7 +2433,13 @@ def t_bigram_lm(spark, sf_dir):
       LEFT JOIN ctx c ON s.prev = c.prev
       LEFT JOIN cont k ON s.w = k.w
       CROSS JOIN types ty
-      CROSS JOIN tot)
+      CROSS JOIN tot)"""
+
+
+@register(
+    "t_bigram_logprob",
+    oracle=f"""
+    WITH {_KN_SC_CTES}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
            round(avg(lp), 4) AS avg_logprob
     FROM sc GROUP BY doc_id
@@ -3577,3 +3584,61 @@ def t_curriculum(spark, sf_dir):
         "s",
         n_tiers=4,
     ).orderBy("doc_id")
+
+
+@register(
+    "t_ccnet_buckets",
+    oracle=f"""
+    WITH {_KN_SC_CTES},
+    perdoc AS (
+      SELECT doc_id, round(avg(lp), 4) AS alp
+      FROM sc GROUP BY doc_id),
+    wl AS (
+      SELECT p.doc_id, d.lang, p.alp
+      FROM perdoc p JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL),
+    nt AS (
+      SELECT lang, alp,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY alp, doc_id) AS bucket
+      FROM wl)
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(alp), 4) + 0.0 AS avg_logprob,
+           round(min(alp), 4) + 0.0 AS min_logprob,
+           round(max(alp), 4) + 0.0 AS max_logprob
+    FROM nt GROUP BY lang, bucket
+    """,
+)
+def t_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity terciles (Wenzek et al.
+    2020 — the head/middle/tail cut LLM pipelines keep/downsample/drop
+    by): every document scored by the self-trained interpolated-KN
+    bigram LM (operators/text_features.bigram_kn_stats — the
+    t_bigram_logprob scorer), then operators/text_features.
+    ntile_bucket_stats cuts each language's docs into 3 EXACT ntile
+    rank buckets WITHOUT sorting documents: (lang, rounded score)
+    cells get rank intervals from a per-lang cell ladder, bucket
+    boundaries are arithmetic, and each cell contributes
+    interval-overlap counts. The oracle replays the LM and pins the
+    tie-invariance claim by computing the same buckets through an
+    explicit ntile() window."""
+    from pandasvcf_spark.operators.text_features import (
+        bigram_kn_stats,
+        ntile_bucket_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = bigram_kn_stats(docs).select("doc_id", "avg_logprob")
+    wl = scored.join(
+        docs.filter(F.col("lang").isNotNull()).select("doc_id", "lang"),
+        "doc_id",
+    )
+    out = ntile_bucket_stats(wl, "lang", "avg_logprob", n_buckets=3)
+    return out.select(
+        "lang",
+        "bucket",
+        F.col("n_rows").alias("n_docs"),
+        F.col("avg_score").alias("avg_logprob"),
+        F.col("min_score").alias("min_logprob"),
+        F.col("max_score").alias("max_logprob"),
+    )

@@ -2081,3 +2081,56 @@ def test_mattr_hand_cases(spark):
 
     with _pytest.raises(ValueError, match="window"):
         mattr_stats(d, window=0)
+
+
+def test_ntile_bucket_stats_matches_window_ntile(spark):
+    """The cell/overlap arithmetic == an explicit ntile() window on
+    every (count, remainder, tie) shape: n=7 B=3 gives sizes 3/2/2;
+    a 4-way tie spanning a boundary splits exactly by rank; a group
+    smaller than B leaves later buckets absent (no zero rows)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from pandasvcf_spark.operators.text_features import ntile_bucket_stats
+
+    rows = [
+        # g1: scores 1,1,1,1,2,3,4 (n=7): ntile sizes 3,2,2 ->
+        # bucket1 = three 1s; bucket2 = one 1 + the 2; bucket3 = 3,4
+        ("g1", 1.0), ("g1", 1.0), ("g1", 1.0), ("g1", 1.0),
+        ("g1", 2.0), ("g1", 3.0), ("g1", 4.0),
+        # g2: n=2 < B: buckets 1 and 2 only
+        ("g2", 5.0), ("g2", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "lang string, s double")
+    got = {
+        (r["lang"], r["bucket"]): (r["n_rows"], r["avg_score"],
+                                   r["min_score"], r["max_score"])
+        for r in ntile_bucket_stats(df, "lang", "s", 3).collect()
+    }
+    assert got[("g1", 1)] == (3, 1.0, 1.0, 1.0)
+    assert got[("g1", 2)] == (2, 1.5, 1.0, 2.0)
+    assert got[("g1", 3)] == (2, 3.5, 3.0, 4.0)
+    assert got[("g2", 1)] == (1, 5.0, 5.0, 5.0)
+    assert got[("g2", 2)] == (1, 6.0, 6.0, 6.0)
+    assert ("g2", 3) not in got
+
+    # brute-force equivalence vs window ntile on a bigger mixed shape
+    big = spark.createDataFrame(
+        [(f"L{i % 4}", float((i * 7) % 11) / 2.0, i) for i in range(257)],
+        "lang string, s double, id int",
+    )
+    w = Window.partitionBy("lang").orderBy("s", "id")
+    ref = (
+        big.withColumn("bucket", F.ntile(5).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.round(F.avg("s"), 4) + F.lit(0.0)).alias("avg_score"),
+            (F.round(F.min("s"), 4) + F.lit(0.0)).alias("min_score"),
+            (F.round(F.max("s"), 4) + F.lit(0.0)).alias("max_score"),
+        )
+    )
+    got_big = {tuple(r) for r in
+               ntile_bucket_stats(big, "lang", "s", 5).collect()}
+    ref_big = {tuple(r) for r in ref.collect()}
+    assert got_big == ref_big
