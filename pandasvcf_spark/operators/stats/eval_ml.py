@@ -620,6 +620,66 @@ def pca_power_topvec(
     )
 
 
+def _cum_score_ladder(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    name: str,
+    max_cells: int | None,
+    ladder_cells: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Shared curve device behind `roc_points` / `pr_points`: collapse
+    to distinct-score (pos, neg) cells (tripwired), then the
+    score-DESCENDING cumulative ladder — through the bucketed-offset
+    re-cut above `ladder_cells`, else one plain window — returning
+    (__s, __cp, __cn, __P, __N): cumulative and total positive/
+    negative counts at every distinct score threshold."""
+    from ._guards import _assert_cell_bound
+    from ._ladder import bucketed_running_sums
+
+    sc = F.col(score_col).cast("double")
+    lc = F.col(label_col).cast("int")
+    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
+        sc.alias("__s"), lc.alias("__y")
+    )
+    est = _assert_cell_bound(
+        base, ["__s"], name, max_cells,
+        plan_word="distinct-score curve ladder",
+    )
+    cells = base.groupBy("__s").agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
+    )
+    r = None
+    if est is not None and est > ladder_cells:
+        lad = bucketed_running_sums(
+            cells, "__s", ["__pos", "__neg"], ["__cp", "__cn"],
+            n_buckets=n_buckets, descending=True,
+        )
+        if lad is not None:
+            tot = cells.agg(
+                F.sum("__pos").alias("__P"),
+                F.sum("__neg").alias("__N"),
+            )
+            r = lad.crossJoin(F.broadcast(tot)).select(
+                "__s", "__cp", "__cn", "__P", "__N"
+            )
+    if r is None:
+        w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_all = Window.partitionBy()
+        r = cells.select(
+            "__s",
+            F.sum("__pos").over(w_cum).alias("__cp"),
+            F.sum("__neg").over(w_cum).alias("__cn"),
+            F.sum("__pos").over(w_all).alias("__P"),
+            F.sum("__neg").over(w_all).alias("__N"),
+        )
+    return r
+
+
 def roc_points(
     df: DataFrame,
     score_col: str,
@@ -655,48 +715,10 @@ def roc_points(
     bit-identical (integer counts), no single-task sort. Integer
     counts make every point exact rational arithmetic.
     """
-    from ._guards import _assert_cell_bound
-    from ._ladder import bucketed_running_sums
-
-    sc = F.col(score_col).cast("double")
-    lc = F.col(label_col).cast("int")
-    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
-        sc.alias("__s"), lc.alias("__y")
+    r = _cum_score_ladder(
+        df, score_col, label_col, "roc_points",
+        max_cells, ladder_cells, n_buckets,
     )
-    est = _assert_cell_bound(
-        base, ["__s"], "roc_points", max_cells,
-        plan_word="distinct-score ROC ladder",
-    )
-    cells = base.groupBy("__s").agg(
-        F.sum("__y").alias("__pos"),
-        F.sum(F.lit(1) - F.col("__y")).alias("__neg"),
-    )
-    r = None
-    if est is not None and est > ladder_cells:
-        lad = bucketed_running_sums(
-            cells, "__s", ["__pos", "__neg"], ["__cp", "__cn"],
-            n_buckets=n_buckets, descending=True,
-        )
-        if lad is not None:
-            tot = cells.agg(
-                F.sum("__pos").alias("__P"),
-                F.sum("__neg").alias("__N"),
-            )
-            r = lad.crossJoin(F.broadcast(tot)).select(
-                "__s", "__cp", "__cn", "__P", "__N"
-            )
-    if r is None:
-        w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        w_all = Window.partitionBy()
-        r = cells.select(
-            "__s",
-            F.sum("__pos").over(w_cum).alias("__cp"),
-            F.sum("__neg").over(w_cum).alias("__cn"),
-            F.sum("__pos").over(w_all).alias("__P"),
-            F.sum("__neg").over(w_all).alias("__N"),
-        )
     return r.select(
         F.col("__s").alias("score"),
         F.round(
@@ -713,6 +735,50 @@ def roc_points(
             ),
             6,
         ).alias("fpr"),
+    ).orderBy(F.col("score").desc())
+
+
+def pr_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Precision-recall curve at every distinct score threshold — the
+    class-imbalance-honest companion to `roc_points` (on a 1:10³
+    positive:negative corpus the ROC curve can look perfect while
+    precision is 1%; retrieval and rare-event pipelines read THIS
+    curve): at threshold t (positive when score >= t),
+
+        precision = cum_pos / (cum_pos + cum_neg)
+        recall    = cum_pos / total_pos
+        f1        = harmonic mean (NULL when precision + recall = 0)
+
+    Same device as roc_points (`_cum_score_ladder`): distinct-score
+    cells first (tripwired), bucketed-offset ladder above
+    `ladder_cells`, integer counts → exact rational points. Ties
+    merge; pre-bucket dense scores. Output: (score DOUBLE,
+    precision, recall, f1 DOUBLE round 6), score-descending. The
+    denominator cum_pos + cum_neg is the number of rows scored >= t,
+    always > 0 at every emitted threshold."""
+    r = _cum_score_ladder(
+        df, score_col, label_col, "pr_points",
+        max_cells, ladder_cells, n_buckets,
+    )
+    prec = F.col("__cp").cast("double") / (F.col("__cp") + F.col("__cn"))
+    rec = F.when(
+        F.col("__P") > 0, F.col("__cp").cast("double") / F.col("__P")
+    )
+    f1 = F.when(
+        prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    )
+    return r.select(
+        F.col("__s").alias("score"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     ).orderBy(F.col("score").desc())
 
 

@@ -7668,3 +7668,54 @@ def sk_f2_moment(spark, sf_dir):
             + F.lit(0.0)
         ).alias("rel_err"),
     )
+
+
+@register(
+    "m_pr_points",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 0) AS s,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (
+      SELECT DISTINCT s,
+             sum(y) OVER (ORDER BY s DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp,
+             sum(1 - y) OVER (ORDER BY s DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn,
+             sum(y) OVER () AS pp
+      FROM b),
+    m AS (
+      SELECT s,
+             CAST(cp AS DOUBLE) / (cp + cn) AS prec,
+             CASE WHEN pp > 0 THEN CAST(cp AS DOUBLE) / pp END AS rec
+      FROM r)
+    SELECT s AS score,
+           round(prec, 6) AS precision,
+           round(rec, 6) AS recall,
+           round(CASE WHEN prec + rec > 0
+                 THEN 2.0 * prec * rec / (prec + rec) END, 6) AS f1
+    FROM m ORDER BY score DESC
+    """,
+)
+def m_pr_points(spark, sf_dir):
+    """Full precision-recall curve at every distinct (integer-rounded)
+    score threshold (operators/stats.pr_points): value predicting the
+    'error' label — the imbalance-honest companion to m_roc_points,
+    sharing its exact device (distinct-score cells first, cumulative
+    ladder through the bucketed re-cut above 1M cells, integer counts
+    → exact rational points). The oracle replays the ladders and the
+    precision/recall/F1 arithmetic point-for-point."""
+    from pandasvcf_spark.operators.stats import pr_points
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.round("value", 0).alias("s"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+    return pr_points(d, "s", "y")

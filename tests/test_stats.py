@@ -3739,3 +3739,29 @@ def test_cox_ph_stratified_invariances(spark):
               cox_ph(scaled.drop("s"), "t", "e", ["x1", "x2"],
                      iters=4).collect()}
     assert pooled["x1"] != fit_s["x1"]  # unstratified absorbs the shift
+
+
+def test_pr_points_hand_case_and_ladder_equivalence(spark):
+    """scores 3,3,2,1 labels 1,0,1,0: t=3 -> P=1/2 R=1/2; t=2 ->
+    P=2/3 R=1; t=1 -> P=1/2 R=1. And the bucketed-ladder re-cut
+    (ladder_cells=1) is bit-identical to the plain-window path."""
+    from pandasvcf_spark.operators.stats import pr_points
+
+    df = spark.createDataFrame(
+        [(3.0, 1), (3.0, 0), (2.0, 1), (1.0, 0)], "s double, y int"
+    )
+    got = {r["score"]: (r["precision"], r["recall"], r["f1"])
+           for r in pr_points(df, "s", "y").collect()}
+    assert got[3.0] == (0.5, 0.5, 0.5)
+    assert got[2.0] == (round(2 / 3, 6), 1.0, 0.8)
+    assert got[1.0] == (0.5, 1.0, round(2 / 3, 6))
+
+    big = spark.createDataFrame(
+        [(float((i * 13) % 97), (i * 7) % 3 == 0) for i in range(500)],
+        "s double, y boolean",
+    )
+    plain = sorted(map(tuple, pr_points(big, "s", "y").collect()))
+    recut = sorted(map(tuple,
+                       pr_points(big, "s", "y", ladder_cells=1,
+                                 n_buckets=8).collect()))
+    assert plain == recut
