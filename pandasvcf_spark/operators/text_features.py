@@ -1840,3 +1840,64 @@ def ntile_bucket_stats(
         (F.round(F.min("__s"), 4) + F.lit(0.0)).alias("min_score"),
         (F.round(F.max("__s"), 4) + F.lit(0.0)).alias("max_score"),
     )
+
+
+def moore_lewis_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    in_domain,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010) — THE classical targeted-data selector for LM
+    pipelines: score every document by
+
+        ce_diff = avg over tokens of
+                  [ log10 P_in(w) − log10 P_gen(w) ]
+
+    where P_in is an add-one-smoothed unigram LM over the IN-DOMAIN
+    slice (`in_domain`: boolean Column; NULL = out) and P_gen over the
+    whole corpus, both sharing one vocabulary (V = distinct corpus
+    words, so in-domain OOV mass is well-defined). Select the highest
+    ce_diff tail to build an in-domain-like subcorpus from general
+    data. Documents with no tokens drop (nothing to score).
+
+    Plan: one token explode; ONE word-keyed groupBy builds BOTH LMs
+    (c_all, conditional c_in — vocabulary-sized); totals are a 1-row
+    broadcast; scoring is the token stream equi-joined to the
+    vocabulary table + one per-doc agg. Two data-sized shuffles (word
+    key, doc key) — the t_bm25/t_tfidf shape; no LM ever materializes
+    per-doc state.
+
+    Output: (id_col, n_words BIGINT, ce_diff DOUBLE round 4)."""
+    ind = in_domain.cast("boolean")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(ind, 1).otherwise(0).alias("__in"),
+        F.explode(words_expr(text_col)).alias("__w"),
+    )
+    stats = toks.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__c_all"),
+        F.sum("__in").alias("__c_in"),
+    )
+    tot = stats.agg(
+        F.sum("__c_all").alias("__na"),
+        F.sum("__c_in").alias("__ni"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    lp = F.log10(
+        (F.col("__c_in") + 1)
+        / (F.col("__ni") + F.col("__v")).cast("double")
+    ) - F.log10(
+        (F.col("__c_all") + 1)
+        / (F.col("__na") + F.col("__v")).cast("double")
+    )
+    scored = (
+        toks.join(stats, on="__w")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), lp.alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        (F.round(F.avg("__lp"), 4) + F.lit(0.0)).alias("ce_diff"),
+    )

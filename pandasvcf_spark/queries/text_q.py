@@ -3642,3 +3642,48 @@ def t_ccnet_buckets(spark, sf_dir):
         F.col("min_score").alias("min_logprob"),
         F.col("max_score").alias("max_logprob"),
     )
+
+
+@register(
+    "t_moore_lewis",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ind,
+             unnest({_WORDS}) AS w
+      FROM documents WHERE text IS NOT NULL),
+    st AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(ind) AS BIGINT) AS c_in
+      FROM toks GROUP BY w),
+    tot AS (
+      SELECT sum(c_all) AS na, sum(c_in) AS ni,
+             CAST(count(*) AS BIGINT) AS v
+      FROM st),
+    sc AS (
+      SELECT t.doc_id,
+             log10((st.c_in + 1) / CAST(tot.ni + tot.v AS DOUBLE))
+             - log10((st.c_all + 1) / CAST(tot.na + tot.v AS DOUBLE))
+               AS lp
+      FROM toks t JOIN st ON t.w = st.w CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(lp), 4) + 0.0 AS ce_diff
+    FROM sc GROUP BY doc_id
+    """,
+)
+def t_moore_lewis(spark, sf_dir):
+    """Moore-Lewis cross-entropy-difference selection scores
+    (operators/text_features.moore_lewis_scores) with source 'src0'
+    as the in-domain slice: every document scored by how much more an
+    add-one unigram LM of src0 likes it than the general-corpus LM —
+    the classical targeted-selection device (keep the top tail to
+    synthesize in-domain training data). One vocabulary-sized
+    conditional groupBy builds both LMs; the oracle replays counts,
+    shared-vocabulary smoothing and the per-token log-ratio
+    term-for-term."""
+    from pandasvcf_spark.operators.text_features import moore_lewis_scores
+
+    d = load(spark, sf_dir, "documents")
+    return moore_lewis_scores(
+        d, "doc_id", "text", F.col("source") == "src0"
+    )

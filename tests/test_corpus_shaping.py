@@ -2134,3 +2134,37 @@ def test_ntile_bucket_stats_matches_window_ntile(spark):
                ntile_bucket_stats(big, "lang", "s", 5).collect()}
     ref_big = {tuple(r) for r in ref.collect()}
     assert got_big == ref_big
+
+
+def test_moore_lewis_prefers_in_domain_vocabulary(spark):
+    """Docs sharing the in-domain slice's vocabulary score higher than
+    docs made of general-only words; exact value check on a tiny
+    corpus against the closed-form add-one arithmetic."""
+    import math as _m
+
+    from pandasvcf_spark.operators.text_features import moore_lewis_scores
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta alpha", "tgt"),
+        (2, "alpha beta", "tgt"),
+        (3, "gamma delta gamma delta", "gen"),
+        (4, "alpha alpha beta", "gen"),   # in-domain-LIKE general doc
+        (5, "gamma delta", "gen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, src string")
+    got = {r["doc_id"]: (r["n_words"], r["ce_diff"]) for r in
+           moore_lewis_scores(df, "doc_id", "text",
+                              F.col("src") == "tgt").collect()}
+    # corpus: alpha x5, beta x3, gamma x3, delta x3 -> na=14, v=4
+    # in-domain: alpha x3, beta x2 -> ni=5
+    def lp(c_in, c_all):
+        return _m.log10((c_in + 1) / 9.0) - _m.log10((c_all + 1) / 18.0)
+
+    exp1 = round((2 * lp(3, 5) + lp(2, 3)) / 3, 4)
+    exp3 = round((2 * lp(0, 3) + 2 * lp(0, 3)) / 4, 4)
+    assert got[1] == (3, exp1)
+    assert got[3] == (4, exp3)
+    # ranking: in-domain-like docs above general-only docs
+    assert got[4][1] > got[3][1]
+    assert got[1][1] > got[5][1]
