@@ -4728,3 +4728,118 @@ def gearys_c(
         (F.round(F.when(ok, c_stat), 6) + F.lit(0.0)).alias("c"),
         (F.round(F.when(ok, F.lit(1.0)), 6) + F.lit(0.0)).alias("e_c"),
     )
+
+
+def holt_winters_last(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[Column | str],
+    value_col: str,
+    m: int = 4,
+    alpha: float = 0.4,
+    beta: float = 0.3,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Per-key additive Holt-Winters smoothing, final state (Winters
+    1960) — `holt_linear_last` upgraded with the seasonal component,
+    completing the forecasting ladder (EWMA → Holt → Holt-Winters):
+
+        l_t = α (y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β (l_t − l_{t−1}) + (1−β) b_{t−1}
+        s_t = γ (y_t − l_{t−1} − b_{t−1}) + (1−γ) s_{t−m}
+        forecast(+1) = l_T + b_T + s_{T+1−m}
+
+    Standard two-season init: l_m = mean(y_1..y_m), b_m =
+    (mean(y_{m+1}..y_{2m}) − l_m)/m, s_j = y_j − l_m; the fold then
+    consumes y_{m+1}..y_n. Keys with fewer than 2m observations emit
+    NULL state (the init is under-determined) but keep their count.
+
+    `order_cols` must be a total order (the ewma_last contract — fold
+    order decides the floats). Output: (key, n_events BIGINT, level,
+    trend, forecast DOUBLE round 4).
+
+    Plan: the holt_linear_last shape — one groupBy(key) collecting the
+    key's ordered values + one HOF fold whose STRUCT accumulator now
+    carries (level, trend, season ARRAY[m], season index); the season
+    array updates by slice surgery, so state stays m+3 doubles per key
+    and the whole recursion is a pure column expression — never a
+    window re-scan, never applyInPandas."""
+    if m < 2:
+        raise ValueError(f"season length m must be >= 2, got {m}")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"{nm} must be in (0, 1], got {v}")
+    ordered = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                *[
+                    (F.col(c) if isinstance(c, str) else c).alias(f"o{i}")
+                    for i, c in enumerate(order_cols)
+                ],
+                F.col(value_col).cast("double").alias("x"),
+            ).alias("e"),
+        )
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    xs = F.transform("evs", lambda e: e["x"])
+    a, b, g = F.lit(float(alpha)), F.lit(float(beta)), F.lit(float(gamma))
+    one_a = F.lit(1.0 - float(alpha))
+    one_b = F.lit(1.0 - float(beta))
+    one_g = F.lit(1.0 - float(gamma))
+    # try_element_at: out-of-range positions NULL-poison the state for
+    # short keys instead of raising under ANSI; the ok mask hides them
+    mean1 = sum(
+        (F.try_element_at(xs, F.lit(j)) for j in range(2, m + 1)),
+        F.try_element_at(xs, F.lit(1)),
+    ) / F.lit(float(m))
+    mean2 = sum(
+        (F.try_element_at(xs, F.lit(j)) for j in range(m + 2, 2 * m + 1)),
+        F.try_element_at(xs, F.lit(m + 1)),
+    ) / F.lit(float(m))
+    init = F.struct(
+        mean1.alias("l"),
+        ((mean2 - mean1) / F.lit(float(m))).alias("b"),
+        F.array(
+            *[
+                (F.try_element_at(xs, F.lit(j)) - mean1)
+                for j in range(1, m + 1)
+            ]
+        ).alias("s"),
+        F.lit(1).alias("i"),
+    )
+
+    def _step(acc, x):
+        s_i = F.element_at(acc["s"], acc["i"])
+        lnew = a * (x - s_i) + one_a * (acc["l"] + acc["b"])
+        bnew = b * (lnew - acc["l"]) + one_b * acc["b"]
+        snew = g * (x - acc["l"] - acc["b"]) + one_g * s_i
+        sarr = F.concat(
+            F.slice(acc["s"], F.lit(1), acc["i"] - 1),
+            F.array(snew),
+            F.slice(acc["s"], acc["i"] + 1, F.lit(m) - acc["i"]),
+        )
+        return F.struct(
+            lnew.alias("l"), bnew.alias("b"),
+            sarr.alias("s"),
+            ((acc["i"] % F.lit(m)) + 1).alias("i"),
+        )
+
+    folded = F.aggregate(
+        F.slice(
+            xs, m + 1, F.greatest(F.size(xs) - m, F.lit(0))
+        ),
+        init,
+        _step,
+    )
+    ok = F.size("evs") >= 2 * m
+    fc = folded["l"] + folded["b"] + F.element_at(folded["s"], folded["i"])
+    return ordered.select(
+        "key",
+        F.size("evs").cast("long").alias("n_events"),
+        (F.round(F.when(ok, folded["l"]), 4) + F.lit(0.0)).alias("level"),
+        (F.round(F.when(ok, folded["b"]), 4) + F.lit(0.0)).alias("trend"),
+        (F.round(F.when(ok, fc), 4) + F.lit(0.0)).alias("forecast"),
+    )

@@ -7719,3 +7719,74 @@ def m_pr_points(spark, sf_dir):
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
     )
     return pr_points(d, "s", "y")
+
+
+#: left-assoc first/second-season means for the HW oracle (m = 4)
+_HW_M1 = "(w[1] + w[2] + w[3] + w[4]) / CAST(4.0 AS DOUBLE)"
+_HW_M2 = "(w[5] + w[6] + w[7] + w[8]) / CAST(4.0 AS DOUBLE)"
+_HW_LNEW = (
+    "CAST(0.4 AS DOUBLE) * (w[t + 1] - s[i]) "
+    "+ CAST(0.6 AS DOUBLE) * (l + b)"
+)
+
+
+@register(
+    "e_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE ser AS (
+      SELECT user_id AS key,
+             list(CAST(value AS DOUBLE) ORDER BY event_id) AS w
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL
+      GROUP BY user_id),
+    base AS (SELECT key, w, len(w) AS n FROM ser),
+    st AS (
+      SELECT key, w, n, 4 AS t,
+        {_HW_M1} AS l,
+        ({_HW_M2} - {_HW_M1}) / CAST(4.0 AS DOUBLE) AS b,
+        [w[1] - {_HW_M1}, w[2] - {_HW_M1},
+         w[3] - {_HW_M1}, w[4] - {_HW_M1}] AS s,
+        1 AS i
+      FROM base WHERE n >= 8
+      UNION ALL
+      SELECT key, w, n, t + 1,
+        {_HW_LNEW},
+        CAST(0.3 AS DOUBLE) * (({_HW_LNEW}) - l)
+          + CAST(0.7 AS DOUBLE) * b,
+        s[1:i-1]
+          || [CAST(0.2 AS DOUBLE) * (w[t + 1] - l - b)
+              + CAST(0.8 AS DOUBLE) * s[i]]
+          || s[i+1:4],
+        (i % 4) + 1
+      FROM st WHERE t < n),
+    fin AS (SELECT key, l, b, s, i FROM st WHERE t = n)
+    SELECT b2.key, CAST(b2.n AS BIGINT) AS n_events,
+           round(f.l, 4) + 0.0 AS level,
+           round(f.b, 4) + 0.0 AS trend,
+           round(f.l + f.b + f.s[f.i], 4) + 0.0 AS forecast
+    FROM base b2 LEFT JOIN fin f USING (key)
+    """,
+)
+def e_holt_winters(spark, sf_dir):
+    """Per-user additive Holt-Winters final state (operators/
+    relational.holt_winters_last; m = 4, alpha .4, beta .3, gamma .2)
+    over each user's event_id-ordered values — the seasonal completion
+    of the forecasting ladder (e_ewma → e_holt_linear → this): the HOF
+    fold's struct accumulator carries (level, trend, season[4], index)
+    and updates the season array by slice surgery, so the whole
+    recursion is one column expression after one groupBy(key). Keys
+    with < 2m observations emit NULL state (under-determined init)
+    but keep their count. The oracle replays the recursion as a
+    RECURSIVE CTE with a LIST state column, term-for-term."""
+    from pandasvcf_spark.operators.relational import holt_winters_last
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    return holt_winters_last(
+        e, "user_id", ["event_id"], "value",
+        m=4, alpha=0.4, beta=0.3, gamma=0.2,
+    )

@@ -3765,3 +3765,41 @@ def test_pr_points_hand_case_and_ladder_equivalence(spark):
                        pr_points(big, "s", "y", ladder_cells=1,
                                  n_buckets=8).collect()))
     assert plain == recut
+
+
+def test_holt_winters_vs_replica_and_guards(spark):
+    """Pure-Python replica of the additive HW recursion (same init,
+    same fold order) matches to the 4dp output; a key shorter than 2m
+    emits NULL state but keeps its count; a planted exact-period
+    series forecasts its next seasonal value."""
+    from pandasvcf_spark.operators.relational import holt_winters_last
+
+    season = [3.0, -1.0, -4.0, 2.0]
+    rows = [("k", i, 10 + 0.5 * i + season[i % 4] + ((i * 7) % 5) * 0.1)
+            for i in range(14)]
+    rows += [("short", i, float(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "key string, o int, x double")
+    got = {r["key"]: (r["n_events"], r["level"], r["trend"], r["forecast"])
+           for r in holt_winters_last(df, "key", ["o"], "x", m=4).collect()}
+
+    xs = [x for k, _, x in rows if k == "k"]
+    m, a, b, g = 4, 0.4, 0.3, 0.2
+    lv = sum(xs[:4]) / 4
+    tr = (sum(xs[4:8]) / 4 - lv) / 4
+    s = [x - lv for x in xs[:4]]
+    i = 0
+    for x in xs[4:]:
+        ln = a * (x - s[i]) + (1 - a) * (lv + tr)
+        bn = b * (ln - lv) + (1 - b) * tr
+        s[i] = g * (x - lv - tr) + (1 - g) * s[i]
+        lv, tr, i = ln, bn, (i + 1) % 4
+    assert got["k"] == (14, round(lv, 4), round(tr, 4),
+                        round(lv + tr + s[i], 4))
+    assert got["short"] == (7, None, None, None)
+
+    # exact linear+seasonal series: the +1 forecast nails the truth
+    exact = [("e", i, 100.0 + 2.0 * i + season[i % 4]) for i in range(40)]
+    de = spark.createDataFrame(exact, "key string, o int, x double")
+    r = holt_winters_last(de, "key", ["o"], "x", m=4).collect()[0]
+    truth = 100.0 + 2.0 * 40 + season[0]
+    assert abs(r["forecast"] - truth) < 0.35
