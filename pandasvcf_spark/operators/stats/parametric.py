@@ -1835,3 +1835,134 @@ def breusch_pagan(
         [(int(n), round(lm, 4) + 0.0, 2, round(p_value, 6) + 0.0)],
         "n bigint, lm_stat double, df int, p_value double",
     )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z — the association between
+    x and y with the control z regressed out of both (the screen that
+    separates a direct relationship from one that merely rides a
+    common driver):
+
+        r_xy.z = (r_xy − r_xz r_zy)
+                 / sqrt((1 − r_xz²)(1 − r_zy²))
+
+    ONE partial-aggregated pass collects the 3x3 moment sums (the
+    vif_screen device); the three pairwise correlations and the
+    closed form are a 1-row fold. Complete-case rows only; a
+    zero-variance column or |r_xz| = 1 / |r_zy| = 1 (the control
+    determines a variable — partialling is undefined) yields NULL.
+
+    Output (1 row): n BIGINT, r_xy DOUBLE round 6, r_partial DOUBLE
+    round 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    nn = df.filter(x.isNotNull() & y.isNotNull() & z.isNotNull())
+    m = nn.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+        F.sum(z * y).alias("szy"),
+    )
+
+    def _r(sab, sa, sb, saa, sbb):
+        num = m["n"] * F.col(sab) - F.col(sa) * F.col(sb)
+        den = F.sqrt(
+            (m["n"] * F.col(saa) - F.col(sa) * F.col(sa))
+            * (m["n"] * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+        return F.when(den > 0, num / den)
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    rzy = _r("szy", "sz", "sy", "szz", "syy")
+    den_p = F.sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))
+    rp = F.when(den_p > 0, (rxy - rxz * rzy) / den_p)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (F.round(rxy, 6) + F.lit(0.0)).alias("r_xy"),
+        (F.round(rp, 6) + F.lit(0.0)).alias("r_partial"),
+    )
+
+
+def welch_anova(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) — the k-group
+    mean test that does NOT assume equal variances, the omnibus
+    companion to welch_t_test the way anova_oneway companions the
+    pooled t: with w_i = n_i/s_i²,
+
+        F* = [Σ w_i (x̄_i − x̄_w)² / (k−1)]
+             / [1 + 2(k−2)/(k²−1) · Λ],
+        Λ  = Σ (1 − w_i/W)² / (n_i − 1),
+        df2 = (k² − 1) / (3Λ)
+
+    Plan: ONE groupBy collapses the data to per-group (n, mean, var)
+    — group-count-sized; the weighted folds are two more aggs over
+    those k rows with a 1-row broadcast in between. Groups need
+    n_i >= 2 and s_i² > 0 (a constant group has infinite weight —
+    excluded with its honest NULL contribution impossible, so such
+    groups RAISE rather than silently skew). NULL group is its own
+    cohort; NULL values drop.
+
+    Output (1 row): k INT, f_stat DOUBLE round 6, df1 BIGINT,
+    df2 DOUBLE round 4."""
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull())
+    g = nn.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("double").alias("ni"),
+        F.avg(v).alias("mi"),
+        F.var_samp(v).alias("vi"),
+    )
+    bad = g.filter(
+        (F.col("ni") < 2) | F.col("vi").isNull() | (F.col("vi") <= 0)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"welch_anova: {bad} group(s) with n < 2 or zero variance — "
+            "their weights are undefined; drop or merge them first"
+        )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("ni") / F.col("vi")).alias("W"),
+        F.sum(F.col("ni") / F.col("vi") * F.col("mi")).alias("wm"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    wi = F.col("ni") / F.col("vi")
+    xw = F.col("wm") / F.col("W")
+    fold = j.agg(
+        F.max("k").alias("k"),
+        F.sum(wi * (F.col("mi") - xw) * (F.col("mi") - xw)).alias("num"),
+        F.sum(
+            (1.0 - wi / F.col("W")) * (1.0 - wi / F.col("W"))
+            / (F.col("ni") - 1.0)
+        ).alias("lam"),
+    )
+    k = F.col("k")
+    a = F.col("num") / (k - 1.0)
+    b = 1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * F.col("lam")
+    return fold.select(
+        k.cast("int").alias("k"),
+        (F.round(F.when(k >= 2, a / b), 6) + F.lit(0.0)).alias("f_stat"),
+        (k - 1).cast("long").alias("df1"),
+        (
+            F.round(
+                F.when(
+                    (k >= 2) & (F.col("lam") > 0),
+                    (k * k - 1.0) / (3.0 * F.col("lam")),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("df2"),
+    )

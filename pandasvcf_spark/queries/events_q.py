@@ -7790,3 +7790,103 @@ def e_holt_winters(spark, sf_dir):
         e, "user_id", ["event_id"], "value",
         m=4, alpha=0.4, beta=0.3, gamma=0.2,
     )
+
+
+@register(
+    "m_partial_corr",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(hour(ts) AS DOUBLE) AS x,
+             CAST(value AS DOUBLE) AS y,
+             CAST(user_id % 7 AS DOUBLE) AS z
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+        AND user_id IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+             sum(x * y) AS sxy, sum(x * z) AS sxz, sum(z * y) AS szy
+      FROM s),
+    c AS (
+      SELECT n,
+        (n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+        (n * sxz - sx * sz)
+          / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+        (n * szy - sz * sy)
+          / sqrt((n * szz - sz * sz) * (n * syy - sy * sy)) AS rzy
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(rxy, 6) + 0.0 AS r_xy,
+           round((rxy - rxz * rzy)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 6)
+             + 0.0 AS r_partial
+    FROM c
+    """,
+)
+def m_partial_corr(spark, sf_dir):
+    """First-order partial correlation of (hour-of-day, value)
+    controlling for user_id%7 (operators/stats.partial_corr) — the
+    common-driver screen beside m_spearman/m_kendall_tau: one 3x3
+    moment pass (the vif_screen device), three pairwise correlations
+    and the closed form as a 1-row fold. Near-equal r_xy and
+    r_partial expected on this independent-by-construction fixture —
+    the entry checks the partialling arithmetic. The oracle replays
+    sums, correlations and the formula term-for-term."""
+    from pandasvcf_spark.operators.stats import partial_corr
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").cast("double").alias("y"),
+        (F.col("user_id") % 7).cast("double").alias("z"),
+    )
+    return partial_corr(d, "x", "y", "z")
+
+
+@register(
+    "m_welch_anova",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL),
+    gr AS (
+      SELECT g, CAST(count(*) AS DOUBLE) AS n,
+             avg(v) AS m, var_samp(v) AS s2
+      FROM s GROUP BY g),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             sum(n / s2) AS W, sum(n / s2 * m) AS wm
+      FROM gr),
+    fold AS (
+      SELECT max(k) AS k,
+             sum(n / s2 * (m - wm / W) * (m - wm / W)) AS num,
+             sum((1.0 - (n / s2) / W) * (1.0 - (n / s2) / W)
+                 / (n - 1.0)) AS lam
+      FROM gr, tot)
+    SELECT CAST(k AS INT) AS k,
+           round((num / (k - 1.0))
+                 / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam), 6)
+             + 0.0 AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           round((k * k - 1.0) / (3.0 * lam), 4) + 0.0 AS df2
+    FROM fold
+    """,
+)
+def m_welch_anova(spark, sf_dir):
+    """Welch's heteroscedastic one-way ANOVA of value across the
+    event_type groups (operators/stats.welch_anova) — the
+    unequal-variance omnibus beside m_anova (pooled) and m_welch_t
+    (2-group): one group-count-sized collapse to (n, mean, var), a
+    1-row weight broadcast, one weighted fold. F ~ 1 expected on this
+    A/A-shaped fixture. The oracle replays weights, the weighted
+    grand mean, Λ and the Welch F/df2 arithmetic."""
+    from pandasvcf_spark.operators.stats import welch_anova
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return welch_anova(e, "event_type", "value")

@@ -3803,3 +3803,79 @@ def test_holt_winters_vs_replica_and_guards(spark):
     r = holt_winters_last(de, "key", ["o"], "x", m=4).collect()[0]
     truth = 100.0 + 2.0 * 40 + season[0]
     assert abs(r["forecast"] - truth) < 0.35
+
+
+def test_partial_corr_removes_common_driver(spark):
+    """x and y both driven by z: raw corr is strong, partial corr ~ 0;
+    exact value check vs the closed form on scipy-free arithmetic."""
+    from pandasvcf_spark.operators.stats import partial_corr
+
+    rows = []
+    for i in range(60):
+        z = float(i % 10)
+        noise_x = ((i * 7) % 5) * 0.3
+        noise_y = ((i * 11) % 7) * 0.2
+        rows.append((2.0 * z + noise_x, 3.0 * z + noise_y, z))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = partial_corr(df, "x", "y", "z").collect()[0]
+    assert out["n"] == 60
+    assert out["r_xy"] > 0.95          # driven by the shared z
+    assert abs(out["r_partial"]) < 0.3  # z partialled out
+
+    import math as _m
+
+    xs = [r[0] for r in rows]; ys = [r[1] for r in rows]
+    zs = [r[2] for r in rows]; n = 60.0
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        num = n * sum(u * v for u, v in zip(a, b)) - sa * sb
+        den = _m.sqrt(
+            (n * sum(u * u for u in a) - sa * sa)
+            * (n * sum(v * v for v in b) - sb * sb))
+        return num / den
+
+    rxy, rxz, rzy = corr(xs, ys), corr(xs, zs), corr(zs, ys)
+    rp = (rxy - rxz * rzy) / _m.sqrt((1 - rxz**2) * (1 - rzy**2))
+    assert out["r_xy"] == pytest.approx(round(rxy, 6), abs=2e-6)
+    assert out["r_partial"] == pytest.approx(round(rp, 6), abs=2e-6)
+
+
+def test_welch_anova_vs_replica_and_guard(spark):
+    """Planted mean shift with unequal variances -> large F; replica of
+    the Welch arithmetic matches to 6dp; a constant group raises."""
+    from pandasvcf_spark.operators.stats import welch_anova
+
+    rows = []
+    for g, (mu, spread) in enumerate([(0.0, 1.0), (0.2, 3.0), (5.0, 0.5)]):
+        for i in range(20):
+            rows.append((f"g{g}", mu + spread * (((i * 7) % 9) - 4) / 4.0))
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = welch_anova(df, "g", "v").collect()[0]
+    assert out["k"] == 3 and out["df1"] == 2
+    assert out["f_stat"] > 50.0
+
+    import statistics as st
+
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    ns = {g: len(v) for g, v in groups.items()}
+    ms = {g: sum(v) / len(v) for g, v in groups.items()}
+    vs = {g: st.variance(v) for g, v in groups.items()}
+    w = {g: ns[g] / vs[g] for g in groups}
+    W = sum(w.values())
+    xw = sum(w[g] * ms[g] for g in groups) / W
+    k = 3.0
+    num = sum(w[g] * (ms[g] - xw) ** 2 for g in groups) / (k - 1)
+    lam = sum((1 - w[g] / W) ** 2 / (ns[g] - 1) for g in groups)
+    f = num / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    assert out["f_stat"] == pytest.approx(round(f, 6), abs=2e-6)
+    assert out["df2"] == pytest.approx(round((k * k - 1) / (3 * lam), 4),
+                                       abs=2e-4)
+
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="zero variance"):
+        welch_anova(const, "g", "v")
