@@ -187,3 +187,51 @@ def drift_report(
     return js_divergence_from_counts(
         baseline_cells, read_drift_cells(spark, cells_path)
     )
+
+
+def ams_ingest_stream(
+    stream_df: DataFrame,
+    sketch_path: str,
+    checkpoint_path: str,
+    key,
+    rows: int = 32,
+    query_name: str = "ams_ingest",
+    trigger: dict | None = None,
+):
+    """Streaming F2 (self-join-size / skew) maintenance — the AMS twin
+    of `sketch_ingest_stream`, same batch_id-directory idempotence
+    contract: each micro-batch overwrites its OWN signed-sum grid
+    (`ams_f2_sketch`) under `sketch_path/batch_id=N`. The signed sum
+    s_r = Σ sign_r(k)·c_k is LINEAR in the counts, so the live sketch
+    is a query-time cell-wise SUM merge (`read_ams_sketch`) and the
+    estimate follows from `ams_f2_estimate` — the repeat-rate of the
+    whole stream so far, without ever re-reading history."""
+    from pandasvcf_spark.operators.sketches import ams_f2_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        k = key() if callable(key) else key
+        ams_f2_sketch(batch_df, k, rows=rows).write.mode(
+            "overwrite"
+        ).parquet(f"{sketch_path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_ams_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The current merged AMS grid: cell-wise SUM over every batch
+    directory — (r, s), the exact `ams_f2_sketch` output shape,
+    directly consumable by `ams_f2_estimate`."""
+    return (
+        spark.read.option("basePath", sketch_path)
+        .parquet(f"{sketch_path}/batch_id=*")
+        .groupBy("r")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )

@@ -622,3 +622,60 @@ def test_ohlc_stream_equals_batch(spark, batch_events, events_dir):
     assert (ref["open"], ref["close"], ref["n"]) == (
         one["open"], one["close"], one["n"],
     )
+
+
+def test_ams_ingest_stream_matches_batch(spark, tmp_path):
+    """Streamed AMS signed-sum grid == one-shot batch grid over the
+    same rows (the signed sums are linear in counts, so cell-wise SUM
+    merge is exact), and the merged grid estimates like any
+    ams_f2_sketch output."""
+    import json
+    import os
+    import time
+
+    from pandasvcf_spark.operators.sketches import (
+        ams_f2_estimate,
+        ams_f2_sketch,
+    )
+    from pandasvcf_spark.sources.jsonl import read_jsonl_stream
+    from pandasvcf_spark.streaming.sketches import (
+        ams_ingest_stream,
+        read_ams_sketch,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = [("w%d" % ((i * 7) % 23)) for i in range(300)]
+    now = time.time()
+    for b in range(3):
+        p = os.path.join(str(in_dir), f"b{b}.jsonl")
+        with open(p, "w") as fh:
+            for i, w in enumerate(rows[b * 100:(b + 1) * 100]):
+                fh.write(json.dumps({
+                    "doc_id": b * 100 + i, "text": w, "lang": "en",
+                    "source": "s", "n_chars": len(w),
+                }) + "\n")
+        os.utime(p, (now - 20 + b, now - 20 + b))
+    sk_dir = str(tmp_path / "sk_ams")
+    ck = str(tmp_path / "ck_ams")
+
+    stream = read_jsonl_stream(
+        spark, str(in_dir), bad_records="drop", max_files_per_trigger=1
+    )
+    q = ams_ingest_stream(
+        stream, sk_dir, ck, "text", rows=16, query_name="t_ams_ingest"
+    )
+    q.awaitTermination()
+
+    merged = {r.r: r.s for r in read_ams_sketch(spark, sk_dir).collect()}
+    batch_rows = spark.createDataFrame([(w,) for w in rows], "text string")
+    direct = {r.r: r.s for r in
+              ams_f2_sketch(batch_rows, "text", rows=16).collect()}
+    assert merged == direct
+
+    est = ams_f2_estimate(read_ams_sketch(spark, sk_dir)).collect()[0]
+    from collections import Counter
+
+    f2 = sum(c * c for c in Counter(rows).values())
+    assert est["f2_est"] > 0
+    assert abs(est["f2_est"] - f2) <= 3 * (2 / 16) ** 0.5 * f2
