@@ -1904,3 +1904,124 @@ def rerank_exact(
             F.col("cossim"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_candidates: int = 20,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the rerank tier that trades raw similarity for
+    coverage: after an exact cosine candidate stage (`cosine_topk`,
+    `k_candidates` per query), greedily select `k` results by
+
+        score(d) = λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+
+    (round 1: no selected set, the max term is 0). Deduplicates
+    near-identical hits a plain top-k would stack; the standard RAG /
+    search-results diversifier.
+
+    Pick a λ whose 1−λ is double-exact when an SQL oracle replays the
+    score (0.75, 0.5, 0.25 are; 0.7 is NOT — 1−0.7 =
+    0.30000000000000004 — and a `0.3` SQL literal would drift).
+    Fixed `k` greedy rounds, each a pure
+    DataFrame step over CANDIDATE-SIZED tables (queries×k_candidates
+    rows, localCheckpointed once): anti-join out the selected,
+    one pair-sim max per remaining candidate, one deterministic
+    argmax via max(struct(score, −id)) — never a per-query loop on
+    the driver, never a Python UDF, and the corpus is touched only by
+    the candidate stage.
+
+    Output: (query_id, rank INT 1..k, vec_id, score DOUBLE round 6),
+    rank in selection order."""
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    if k < 1 or k_candidates < k:
+        raise ValueError(
+            f"need 1 <= k <= k_candidates, got k={k}, "
+            f"k_candidates={k_candidates}"
+        )
+    one_m = 1.0 - float(lam)
+    topk = cosine_topk(
+        corpus, queries, k=k_candidates,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+    cand = (
+        topk.join(
+            corpus.select(
+                F.col(id_col), _dc(vec_col).alias("__emb")
+            ),
+            on=id_col,
+        )
+        .select(
+            F.col(query_id_col).alias("__q"),
+            F.col(id_col).alias("__v"),
+            F.col("cossim").alias("__rel"),
+            "__emb",
+        )
+        .localCheckpoint(eager=True)  # referenced 3x per greedy round
+    )
+    lam_c, one_c = F.lit(float(lam)), F.lit(one_m)
+    sel = None
+    for r in range(1, k + 1):
+        if sel is None:
+            rem = cand.withColumn(
+                "__sc", lam_c * F.col("__rel") - one_c * F.lit(0.0)
+            )
+        else:
+            rem = cand.join(
+                sel.select("__q", "__v"), on=["__q", "__v"],
+                how="left_anti",
+            )
+            mx = (
+                rem.join(
+                    F.broadcast(
+                        sel.select(
+                            "__q", F.col("__emb").alias("__semb")
+                        )
+                    ),
+                    on="__q",
+                )
+                .groupBy("__q", "__v")
+                .agg(
+                    F.max(
+                        cosine_expr(F.col("__emb"), F.col("__semb"))
+                    ).alias("__ms")
+                )
+            )
+            rem = rem.join(mx, on=["__q", "__v"]).withColumn(
+                "__sc",
+                lam_c * F.col("__rel") - one_c * F.col("__ms"),
+            )
+        pick = rem.groupBy("__q").agg(
+            F.max(
+                F.struct(
+                    F.col("__sc").alias("sc"),
+                    (-F.col("__v")).alias("nv"),
+                    F.col("__v").alias("v"),
+                    F.col("__emb").alias("emb"),
+                )
+            ).alias("__p")
+        )
+        sel_r = pick.select(
+            "__q",
+            F.col("__p.v").alias("__v"),
+            F.col("__p.emb").alias("__emb"),
+            F.lit(r).alias("__rank"),
+            F.col("__p.sc").alias("__sc"),
+        )
+        sel = (
+            sel_r if sel is None else sel.unionByName(sel_r)
+        ).localCheckpoint(eager=True)  # selection-sized (queries x r)
+    return sel.select(
+        F.col("__q").alias(query_id_col),
+        F.col("__rank").cast("int").alias("rank"),
+        F.col("__v").alias(id_col),
+        (F.round("__sc", 6) + F.lit(0.0)).alias("score"),
+    )

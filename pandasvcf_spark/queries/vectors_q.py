@@ -2382,3 +2382,89 @@ def m_mrr(spark, sf_dir):
         (F.col("label") == F.col("__ql")).alias("rel"),
     )
     return mrr_eval(pairs, "query_id", "vec_id", "score", "rel", k=10)
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled greedy MMR (fixed k rounds) — per round: anti-join out
+    the selected set, one pair-sim max per remaining candidate, one
+    deterministic argmax (score DESC, vec_id ASC). Round 1 is the
+    plain relevance argmax (empty selected set)."""
+    head = f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings WHERE vec_id < 50),
+    scored AS MATERIALIZED (
+      SELECT q.qid, e.vec_id AS vid,
+             {_sql_cos('e.embedding', 'q.qe')} AS rel,
+             e.embedding AS emb
+      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+    cand AS MATERIALIZED (
+      SELECT qid, vid, rel, emb FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY rel DESC, vid) AS rn
+        FROM scored) WHERE rn <= 20),
+    pick1 AS (
+      SELECT qid, vid, emb,
+             CAST(0.75 AS DOUBLE) * rel
+               - CAST(0.25 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS sc,
+             1 AS rank
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY
+          CAST(0.75 AS DOUBLE) * rel
+            - CAST(0.25 AS DOUBLE) * CAST(0.0 AS DOUBLE) DESC,
+          vid) AS rn
+        FROM cand) WHERE rn = 1),
+    selall1 AS (SELECT * FROM pick1)"""
+    parts = [head]
+    for r in range(2, k + 1):
+        parts.append(f""",
+    rem{r} AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN selall{r - 1} s ON c.qid = s.qid AND c.vid = s.vid
+      WHERE s.vid IS NULL),
+    mx{r} AS (
+      SELECT r2.qid, r2.vid,
+             max({_sql_cos('r2.emb', 's.emb')}) AS ms
+      FROM rem{r} r2 JOIN selall{r - 1} s ON r2.qid = s.qid
+      GROUP BY r2.qid, r2.vid),
+    pick{r} AS (
+      SELECT qid, vid, emb, sc, {r} AS rank FROM (
+        SELECT r2.qid, r2.vid, r2.emb,
+               CAST(0.75 AS DOUBLE) * r2.rel
+                 - CAST(0.25 AS DOUBLE) * m.ms AS sc,
+               row_number() OVER (PARTITION BY r2.qid ORDER BY
+                 CAST(0.75 AS DOUBLE) * r2.rel
+                   - CAST(0.25 AS DOUBLE) * m.ms DESC,
+                 r2.vid) AS rn
+        FROM rem{r} r2
+        JOIN mx{r} m ON r2.qid = m.qid AND r2.vid = m.vid)
+      WHERE rn = 1),
+    selall{r} AS (
+      SELECT * FROM selall{r - 1}
+      UNION ALL SELECT * FROM pick{r})""")
+    parts.append(f"""
+    SELECT qid AS query_id, CAST(rank AS INT) AS rank, vid AS vec_id,
+           round(sc, 6) + 0.0 AS score
+    FROM selall{k}
+    """)
+    return "".join(parts)
+
+
+@register("v_mmr_rerank", oracle=_mmr_oracle())
+def v_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-5 over an exact cosine top-20 candidate
+    stage, 50 queries, λ = 0.75 (operators/similarity.mmr_rerank —
+    Carbonell & Goldstein 1998): the rerank tier that completes the
+    retrieval shelf (v_two_stage recalls, m_mrr evaluates, this
+    DIVERSIFIES — near-duplicate hits that a plain top-k stacks get
+    penalized by their max similarity to the already-selected set).
+    Five fixed greedy rounds over candidate-sized tables: anti-join +
+    pair-sim max + deterministic argmax, all pure DataFrame steps.
+    The oracle replays the greedy unrolled, round for round."""
+    from pandasvcf_spark.operators.similarity import mmr_rerank
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(e, q, k=5, k_candidates=20, lam=0.75)

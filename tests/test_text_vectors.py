@@ -2446,3 +2446,45 @@ def test_ams_f2_sketch_unbiased_and_mergeable(spark):
         ams_f2_sketch(full, "x", rows=32)
     ).collect()[0]["f2_est"]
     assert abs(est2 - f2_exact) <= 3 * _m.sqrt(2 / 32) * f2_exact
+
+
+def test_mmr_rerank_diversifies_vs_plain_topk(spark):
+    """Hand 2-D geometry: an exact duplicate pair near the query and a
+    slightly-less-relevant diverse vector. Plain top-2 would stack the
+    duplicates; MMR's penalty (max sim to selected) pushes the diverse
+    vector to rank 2 and the duplicate to rank 3. All scores
+    hand-computed in the comments."""
+    from pandasvcf_spark.operators.similarity import mmr_rerank
+
+    # q=[1,0]; A1=A2=[2, .2] (rel .99504, exact dups), B=[2, -.3]
+    # (rel .98893, cos(A,B)=.96928). Round 1 -> A1 (rel, id tie-break).
+    # Round 2: A2 = .75*.99504 - .25*1 = .49628
+    #          B  = .75*.98893 - .25*.96928 = .49938 -> B wins.
+    # Round 3: A2 (.49628) vs orth [0,1] (rel 0, maxsim .0995 ->
+    #          -.02488) -> A2.
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.2]), (2, [2.0, 0.2]), (3, [2.0, -0.3]),
+         (5, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id bigint, embedding array<double>"
+    )
+    out = mmr_rerank(corpus, q, k=3, k_candidates=4, lam=0.75)
+    got = [(r["rank"], r["vec_id"], r["score"]) for r in
+           out.orderBy("rank").collect()]
+    assert [(r, v) for r, v, _ in got] == [(1, 1), (2, 3), (3, 2)]
+    assert got[0][2] == pytest.approx(0.75 * 2.0 / (4.04 ** 0.5), abs=1e-6)
+    assert got[1][2] == pytest.approx(0.499375, abs=1e-4)
+
+    # lam=0.5 kills an exact duplicate: v10=[3,1]/sqrt10 picked first
+    # (rel tie .94868 with v12, id wins); round 2: dup v11 scores
+    # .5*.94868 - .5*1 = -.02566; v12=[.9487,-.3162] scores
+    # .5*.94868 - .5*.8 = .07434 -> v12.
+    dup = spark.createDataFrame(
+        [(10, [3.0, 1.0]), (11, [3.0, 1.0]), (12, [3.0, -1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out2 = mmr_rerank(dup, q, k=2, k_candidates=3, lam=0.5)
+    got2 = [(r["rank"], r["vec_id"]) for r in out2.orderBy("rank").collect()]
+    assert got2 == [(1, 10), (2, 12)]
