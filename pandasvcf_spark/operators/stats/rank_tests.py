@@ -1850,3 +1850,99 @@ def hodges_lehmann_shift(
             "hl_shift"
         ),
     )
+
+
+def dunn_test(
+    df: DataFrame,
+    treat_col: str,
+    value_col: str,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn 1964) — WHICH groups
+    differ after `kruskal_wallis` rejects: for every treatment pair,
+    the tie-corrected normal statistic on pooled mid-rank means
+
+        z = (R̄_a − R̄_b) / sqrt(σ² (1/n_a + 1/n_b)),
+        σ² = N(N+1)/12 − Σ(t³−t) / (12(N−1))
+
+    Report z against a multiplicity-adjusted cut (feed |z|-derived
+    p-values to `fdr_correct` for the BH version) — k(k−1)/2 pairs.
+
+    Plan: identical collapse to `kruskal_wallis` (distinct-value count
+    cells, tripwired; the mid-rank ladder runs over cells only); the
+    pair expansion is a self-join of the K-row rank-sum table —
+    model-sized. Output: (treat_a, treat_b, n_a, n_b BIGINT, mr_a,
+    mr_b DOUBLE round 4, z DOUBLE round 6), pairs ordered
+    treat_a < treat_b by string order; z NULL when σ² is undefined
+    (N < 2 or all values tied)."""
+    vc = F.col(value_col).cast("double")
+    base = df.filter(
+        vc.isNotNull() & F.col(treat_col).isNotNull()
+    ).select(vc.alias("__v"), F.col(treat_col).alias("__k"))
+    _assert_cell_bound(
+        base, ["__v"], "dunn_test", max_cells,
+        plan_word="distinct-value cell-ladder window",
+    )
+    tcells = base.groupBy("__v", "__k").agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    vcells = tcells.groupBy("__v").agg(F.sum("__n").alias("__t"))
+    w_prev = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mid = vcells.select(
+        "__v",
+        "__t",
+        (
+            F.coalesce(F.sum("__t").over(w_prev), F.lit(0.0))
+            + (F.col("__t") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("__mr"),
+    )
+    pt = (
+        tcells.join(mid, "__v")
+        .groupBy("__k")
+        .agg(
+            F.sum(F.col("__n") * F.col("__mr")).alias("__R"),
+            F.sum("__n").alias("__nk"),
+        )
+    )
+    tot = vcells.agg(
+        F.sum("__t").alias("__N"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__tsum"),
+    )
+    a = pt.select(
+        F.col("__k").alias("treat_a"),
+        F.col("__R").alias("__Ra"),
+        F.col("__nk").alias("__na"),
+    )
+    b = pt.select(
+        F.col("__k").alias("treat_b"),
+        F.col("__R").alias("__Rb"),
+        F.col("__nk").alias("__nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        a["treat_a"].cast("string") < b["treat_b"].cast("string"),
+    ).crossJoin(F.broadcast(tot))
+    n = F.col("__N")
+    sig2 = n * (n + 1.0) / 12.0 - F.col("__tsum") / (12.0 * (n - 1.0))
+    z = F.when(
+        (n >= 2) & (sig2 > 0),
+        (F.col("__Ra") / F.col("__na") - F.col("__Rb") / F.col("__nb"))
+        / F.sqrt(sig2 * (1.0 / F.col("__na") + 1.0 / F.col("__nb"))),
+    )
+    return pairs.select(
+        "treat_a",
+        "treat_b",
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        (F.round(F.col("__Ra") / F.col("__na"), 4) + F.lit(0.0)).alias(
+            "mr_a"
+        ),
+        (F.round(F.col("__Rb") / F.col("__nb"), 4) + F.lit(0.0)).alias(
+            "mr_b"
+        ),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )

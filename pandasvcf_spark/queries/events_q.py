@@ -7890,3 +7890,57 @@ def m_welch_anova(spark, sf_dir):
 
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return welch_anova(e, "event_type", "value")
+
+
+@register(
+    "m_dunn",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 0) AS v, event_type AS k
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    tc AS (SELECT v, k, CAST(count(*) AS DOUBLE) AS n
+           FROM b GROUP BY v, k),
+    vc AS (SELECT v, sum(n) AS t FROM tc GROUP BY v),
+    m AS (SELECT v, t,
+            coalesce(sum(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (t + 1.0) / 2.0 AS mr
+          FROM vc),
+    pt AS (SELECT k, sum(tc.n * m.mr) AS R, sum(tc.n) AS nk
+           FROM tc JOIN m ON tc.v = m.v GROUP BY k),
+    tot AS (SELECT sum(t) AS N, sum(t*t*t - t) AS tsum FROM vc)
+    SELECT a.k AS treat_a, b2.k AS treat_b,
+           CAST(a.nk AS BIGINT) AS n_a, CAST(b2.nk AS BIGINT) AS n_b,
+           round(a.R / a.nk, 4) + 0.0 AS mr_a,
+           round(b2.R / b2.nk, 4) + 0.0 AS mr_b,
+           round(CASE WHEN N >= 2
+                  AND (N * (N + 1.0) / 12.0
+                       - tsum / (12.0 * (N - 1.0))) > 0
+                 THEN (a.R / a.nk - b2.R / b2.nk)
+                      / sqrt((N * (N + 1.0) / 12.0
+                              - tsum / (12.0 * (N - 1.0)))
+                             * (1.0 / a.nk + 1.0 / b2.nk))
+                 END, 6) + 0.0 AS z
+    FROM pt a JOIN pt b2 ON a.k < b2.k, tot
+    """,
+)
+def m_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise rank comparisons across the five event
+    types (operators/stats.dunn_test) — the WHICH-groups-differ
+    follow-up to m_kruskal_wallis, sharing its exact collapse
+    (distinct integer-rounded value cells, mid-rank ladder over cells
+    only); the 10 pairs come from a self-join of the 5-row rank-sum
+    table (model-sized, broadcast). Near-zero z expected on this
+    A/A-shaped fixture. The oracle replays cells, mid-ranks, σ² with
+    the tie correction, and every pair's z."""
+    from pandasvcf_spark.operators.stats import dunn_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.round(F.col("value"), 0).alias("v"),
+        F.col("event_type").alias("k"),
+    )
+    return dunn_test(d, "k", "v")

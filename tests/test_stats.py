@@ -3879,3 +3879,47 @@ def test_welch_anova_vs_replica_and_guard(spark):
     )
     with pytest.raises(ValueError, match="zero variance"):
         welch_anova(const, "g", "v")
+
+
+def test_dunn_test_vs_replica(spark):
+    """Three groups, planted location shift in one: its pairwise |z|
+    dominates; exact check vs a pure-Python mid-rank replica with tie
+    correction."""
+    from pandasvcf_spark.operators.stats import dunn_test
+
+    rows = (
+        [("a", float(v)) for v in [1, 2, 2, 3, 4, 5, 5, 6]]
+        + [("b", float(v)) for v in [2, 3, 3, 4, 5, 6, 6, 7]]
+        + [("c", float(v)) for v in [8, 9, 9, 10, 11, 12, 12, 13]]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["treat_a"], r["treat_b"]): r for r in
+           dunn_test(df, "g", "v").collect()}
+
+    # replica
+    from collections import Counter
+
+    vals = sorted({v for _, v in rows})
+    cnt = Counter(v for _, v in rows)
+    mid, run = {}, 0.0
+    for v in vals:
+        mid[v] = run + (cnt[v] + 1.0) / 2.0
+        run += cnt[v]
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(mid[v])
+    N = float(len(rows))
+    tsum = sum(c**3 - c for c in cnt.values())
+    sig2 = N * (N + 1) / 12.0 - tsum / (12.0 * (N - 1.0))
+
+    import math as _m
+
+    for (ga, gb), r in got.items():
+        ra = sum(groups[ga]) / len(groups[ga])
+        rb = sum(groups[gb]) / len(groups[gb])
+        zz = (ra - rb) / _m.sqrt(
+            sig2 * (1.0 / len(groups[ga]) + 1.0 / len(groups[gb])))
+        assert r["mr_a"] == pytest.approx(round(ra, 4))
+        assert r["z"] == pytest.approx(round(zz, 6), abs=2e-6)
+    assert abs(got[("a", "c")]["z"]) > abs(got[("a", "b")]["z"])
+    assert abs(got[("a", "c")]["z"]) > 2.5
