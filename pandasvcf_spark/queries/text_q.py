@@ -3687,3 +3687,93 @@ def t_moore_lewis(spark, sf_dir):
     return moore_lewis_scores(
         d, "doc_id", "text", F.col("source") == "src0"
     )
+
+
+@register(
+    "t_tokenizer_fertility",
+    oracle=_bpe_cte_prefix(3)
+    + f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           round(CASE WHEN sum(nw) > 0
+                 THEN sum(nt) / CAST(sum(nw) AS DOUBLE) END, 4)
+             + 0.0 AS fertility,
+           round(CASE WHEN sum(nt) > 0
+                 THEN sum(nc) / CAST(sum(nt) AS DOUBLE) END, 4)
+             + 0.0 AS chars_per_token
+    FROM (
+      SELECT lang, len(ws) AS nw,
+             coalesce(list_sum(list_transform(enc, x -> len(x))), 0)
+               AS nt,
+             coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+               AS nc
+      FROM (
+        SELECT lang,
+               regexp_extract_all(lower(text), '[a-z]+') AS ws,
+               list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+                              w -> {_BPE_ENC}) AS enc
+        FROM documents, m1, m2, m3
+        WHERE text IS NOT NULL AND lang IS NOT NULL))
+    GROUP BY lang
+    """,
+)
+def t_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility report under the trained BPE
+    (operators/bpe.bpe_train + bpe_encode_expr, 3 rules — the
+    t_bpe_token_counts composition aggregated the way tokenizer-equity
+    audits read it): tokens-per-word (fertility — how many pieces the
+    tokenizer shatters a language's words into) and chars-per-token
+    (compression). A language the vocabulary under-serves shows high
+    fertility — the signal for vocabulary rebalancing before training.
+    One scan + one language-sized agg after the HOF encode; the
+    oracle replays the trained folds and both ratios."""
+    from pandasvcf_spark.functions.text import words_expr
+    from pandasvcf_spark.operators.bpe import bpe_encode_expr, bpe_train
+
+    d = load(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(d, "text", n_merges=3).collect()
+    ]
+    nn = d.filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+    ws = words_expr("text")
+    enc = bpe_encode_expr(F.col("text"), merges)
+    per = nn.select(
+        "lang",
+        F.size(ws).alias("nw"),
+        F.coalesce(F.size(F.flatten(enc)), F.lit(0)).alias("nt"),
+        F.coalesce(
+            F.aggregate(
+                ws, F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ),
+            F.lit(0),
+        ).alias("nc"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        (
+            F.round(
+                F.when(
+                    F.sum("nw") > 0,
+                    F.sum("nt") / F.sum("nw").cast("double"),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("fertility"),
+        (
+            F.round(
+                F.when(
+                    F.sum("nt") > 0,
+                    F.sum("nc") / F.sum("nt").cast("double"),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("chars_per_token"),
+    )

@@ -2168,3 +2168,33 @@ def test_moore_lewis_prefers_in_domain_vocabulary(spark):
     # ranking: in-domain-like docs above general-only docs
     assert got[4][1] > got[3][1]
     assert got[1][1] > got[5][1]
+
+
+def test_tokenizer_fertility_identities(spark):
+    """Zero merges -> every char is a token: fertility == avg word
+    length and chars_per_token == 1 exactly; per-lang grouping splits
+    correctly."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.functions.text import words_expr
+    from pandasvcf_spark.operators.bpe import bpe_encode_expr
+
+    d = spark.createDataFrame(
+        [(1, "aa bbb", "x"), (2, "cccc", "x"), (3, "dd", "y")],
+        "doc_id int, text string, lang string",
+    )
+    ws = words_expr("text")
+    enc = bpe_encode_expr(F.col("text"), [])
+    per = d.select(
+        "lang",
+        F.size(ws).alias("nw"),
+        F.size(F.flatten(enc)).alias("nt"),
+        F.aggregate(ws, F.lit(0).cast("long"),
+                    lambda a, w: a + F.length(w)).alias("nc"),
+    )
+    got = {r["lang"]: (r["nw"], r["nt"], r["nc"]) for r in
+           per.groupBy("lang").agg(
+               F.sum("nw").alias("nw"), F.sum("nt").alias("nt"),
+               F.sum("nc").alias("nc")).collect()}
+    assert got["x"] == (3, 9, 9)   # aa bbb cccc: 3 words, 9 chars
+    assert got["y"] == (1, 2, 2)
