@@ -150,6 +150,36 @@ DRIVER_WINDOW = 50
 # panel-bounded pair device; the rounded-score TakeOrdered cut stays
 # contract-checked via sort_limit_topk). All six remain continuously
 # exact-checked by tests/test_contract.py.
+# The round-12 continuation cut (the tenth) promotes one
+# representative per family built THIS round, none of which has a
+# driver row yet: v_mmr_rerank (the diversified-rerank tier — fixed
+# greedy rounds over a checkpointed candidate table; no other entry
+# replays an iterative selection), sk_f2_moment (the AMS signed-sum
+# grid — a mergeable sketch ESTIMATOR family distinct from sk_hll's
+# max-register and sk_countmin's counter grids), e_holt_winters (the
+# deepest sequential-recursion class: struct accumulator with an
+# m-length seasonal array, carrying e_holt_linear/e_croston/e_ewma in
+# the tail), m_dunn (post-hoc pairwise ranks — replays
+# m_kruskal_wallis's collapse + mid-rank ladder VERBATIM and adds the
+# pairwise fold, so it strictly supersedes that row's machinery),
+# m_poisson (the log-link GLM — the weighted-normal-equation IRLS
+# family's only window row; m_logit/m_ols stay contract-checked), and
+# t_ccnet_buckets (per-group exact ntile buckets via rank-interval
+# overlap over score cells — a new bucketing device, composed over
+# the KN LM scorer). Displaced, each with machinery still
+# driver-covered: v_cosine_topk (replayed VERBATIM as v_mmr_rerank's
+# candidate stage; the separate block-matmul implementation keeps its
+# own row via v_cosine_topk_manyquery), v_two_stage (quantized-ADC
+# scoring stays via v_ivfpq_topk; the coarse→exact rerank-join
+# composition stays via v_mmr_rerank's pair-sim stage), g_ld
+# (pairwise conditional-agg machinery stays via g_grm's panel pairs;
+# per-site grouped agg via g_sample_qc), m_kruskal_wallis (subsumed
+# by m_dunn as above), m_did (one conditional-counter pass + 1-row
+# closed-form fold — the m_fisher_exact window row keeps the 2x2
+# family's driver coverage), and t_bleu_rouge (clipped n-gram overlap
+# counts — the n-gram join machinery stays via t_exact_substring_rm's
+# shingle chains and t_bm25_topk's term-stats joins). All six remain
+# continuously exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -166,13 +196,16 @@ _PRIORITY = [
     "p6p8_sentinel_homref",
     "t_bpe_tokens_arrow",
     "flagship_annotate",
-    # genomics popgen + pairwise (round-7 classes)
-    "g_ld",
+    # genomics popgen + pairwise (round-7 classes): g_ld demoted in
+    # re-cut #10 (pair machinery via g_grm), freeing a slot for the
+    # forecasting-recursion family:
+    "e_holt_winters",
     # §2.10 streaming batch-twins (stream≡batch covered by pytest)
     "e_tumbling_hourly",
     "e_sessionize",
     # §2.11 text analysis + dedup family
     "t_quality_score",
+    "t_ccnet_buckets",
     "t_bm25_topk",
     "t_exact_substring_rm",
     "dedup_minhash_lsh",
@@ -181,12 +214,12 @@ _PRIORITY = [
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
     "sk_hll_distinct",
-    "v_cosine_topk",
+    "sk_f2_moment",
     "v_cosine_topk_manyquery",
     "v_ann_topk",
     "v_rq_topk",
     "v_ivfpq_topk",
-    "v_two_stage",
+    "v_mmr_rerank",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
     "p4_distinct",
@@ -203,13 +236,12 @@ _PRIORITY = [
     "j_asof_events",
     "g_grm",
     "j_point_in_poly",
-    "t_bleu_rouge",
     "j_multiway_q5",
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
-    "m_kruskal_wallis",
+    "m_dunn",
     "m_fdr_bh",
-    "m_did",
+    "m_poisson",
     "m_morans_i",
     "m_cox",
     "m_fisher_exact",

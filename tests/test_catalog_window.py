@@ -22,31 +22,57 @@ def test_extension_surface_inside_window():
         # contract-guarded tail; their machinery stays driver-covered by
         # the entries below)
         "dedup_minhash_lsh",
-        "v_cosine_topk",
-        "v_cosine_topk_manyquery",  # separate block-matmul implementation
+        "v_cosine_topk_manyquery",  # separate block-matmul
+                                    # implementation; the broadcast-NLJ
+                                    # single-query form (v_cosine_topk,
+                                    # demoted re-cut #10) is replayed
+                                    # VERBATIM as v_mmr_rerank's
+                                    # candidate stage
         "v_ann_topk",
         "v_ivfpq_topk",  # carries v_ivf_topk's coarse-cell machinery
-                         # since the round-8 continuation re-cut
-        "v_two_stage",   # round-10 re-cut #7: the composed BQ-scan →
-                         # exact-rerank tier (v_sq_topk's ADC scoring
-                         # moved to the tail — quantization stays via
-                         # v_ivfpq_topk + the BQ stage here)
+                         # since the round-8 continuation re-cut, and
+                         # (re-cut #10) v_two_stage's quantized scoring
+        "v_mmr_rerank",  # round-12 re-cut #10: the diversified-rerank
+                         # tier — fixed greedy rounds (anti-join +
+                         # pair-sim max + argmax) over a checkpointed
+                         # candidate table; also carries v_two_stage's
+                         # coarse→exact rerank-join composition
         "v_rq_topk",     # round-12 re-cut #9: residual quantization —
                          # the full-dim two-level codebook tier no
                          # other quantizer entry replays
         "t_quality_score",
+        "t_ccnet_buckets",  # round-12 re-cut #10: per-language exact
+                            # ntile perplexity terciles — rank-interval
+                            # overlap over (lang, score) cells, composed
+                            # over the KN LM scorer
         "t_bm25_topk",
         "t_bpe_merges",
         "sk_hll_distinct",
-        "g_ld",
-        "g_grm",
+        "sk_f2_moment",  # round-12 re-cut #10: AMS signed-sum grid —
+                         # a third sketch-estimator family beside HLL
+                         # max-registers and CMS counters
+        "g_grm",  # since re-cut #10 also carries g_ld's pairwise
+                  # conditional-agg machinery (g_ld demoted to the
+                  # contract-guarded tail)
         # round-11 re-cut #8: g_fst moved to the contract-guarded tail
         # (per-site grouped-agg + closed-form fold stays driver-covered
         # by g_sample_qc/g_ld); promoted in its place the round-10
         # families below
         "m_fdr_bh",     # multiple-testing envelope ladder (+ the
                         # bucketed distributed regime above 1M cells)
-        "m_did",        # causal 2x2: one 12-counter pass + 1-row fold
+        "m_dunn",       # round-12 re-cut #10: post-hoc pairwise ranks —
+                        # replays m_kruskal_wallis's collapse + mid-rank
+                        # ladder VERBATIM, adds the pairwise fold (that
+                        # row demoted; m_did demoted too — the 2x2
+                        # conditional-counter family keeps
+                        # m_fisher_exact's driver row)
+        "m_poisson",    # round-12 re-cut #10: log-link GLM — the
+                        # weighted-normal-equation IRLS family's window
+                        # row (m_logit/m_ols stay contract-checked)
+        "e_holt_winters",  # round-12 re-cut #10: seasonal-array HOF
+                           # recursion, the deepest sequential-state
+                           # class (carries e_holt_linear/e_croston/
+                           # e_ewma in the tail)
         "m_morans_i",   # spatial family: consumes geo_near_join's
                         # banded pairs, so one row covers the spherical
                         # banding join AND the autocorrelation fold
@@ -86,9 +112,6 @@ def test_extension_surface_inside_window():
         "info_str_to_map",
         "j_multiway_q5",
         "skew_salted_join",
-        "t_bleu_rouge",  # promoted re-cut #5 (generation metrics);
-                         # j_semi's left_semi stays via g_kcore's
-                         # per-round peel filters
         "agg_tpch_q1",
         "e_tumbling_hourly",
         "e_sessionize",
@@ -1036,6 +1059,56 @@ def test_tail_entries_are_redundant_variants_only():
                                  # pair expansion = g_grm's device
                                  # (in window); TakeOrdered cut via
                                  # sort_limit_topk (tail, guarded)
+        # round-12 continuation (re-cut #10) demotions — machinery
+        # still driver-covered per queries/__init__.py; all six stay
+        # exact-checked by tests/test_contract.py every run
+        "v_cosine_topk",         # broadcast-NLJ exact top-k: replayed
+                                 # verbatim as v_mmr_rerank's candidate
+                                 # stage (in window); the block-matmul
+                                 # twin keeps its own row
+        "v_two_stage",           # BQ-scan → exact rerank: quantized
+                                 # scoring via v_ivfpq_topk, rerank-join
+                                 # composition via v_mmr_rerank
+        "g_ld",                  # pairwise LD: pair conditional-agg via
+                                 # g_grm; per-site agg via g_sample_qc
+        "m_kruskal_wallis",      # K-group rank test: collapse +
+                                 # mid-rank ladder replayed verbatim
+                                 # inside m_dunn (in window)
+        "m_did",                 # causal 2x2 fold: conditional-counter
+                                 # family keeps m_fisher_exact's row
+        "t_bleu_rouge",          # clipped n-gram overlap: n-gram join
+                                 # machinery via t_exact_substring_rm +
+                                 # t_bm25_topk
+        # round-12 continuation tail registrations (operator + oracle +
+        # pytest + SCALING row each; family representative in window)
+        "m_vif",                 # inverse-correlation diag: the
+                                 # m_poisson/m_ols moment-pass device,
+                                 # closed-form 3x3 oracle
+        "m_breusch_pagan",       # two-stage LM het. test: the same
+                                 # normal-equation sums as m_poisson's
+                                 # rounds, Cramer-replayed
+        "m_chow",                # structural-break F: one 2-group
+                                 # moment agg + closed-form fold
+                                 # (m_pettitt/e_changepoint family)
+        "m_partial_corr",        # 3x3 moment pass + closed form —
+                                 # the m_vif device, one row
+        "m_welch_anova",         # group-collapse + weighted fold
+                                 # (m_anova/m_welch_t family)
+        "m_cox_strat",           # stratified Cox: m_cox's ladder with
+                                 # PARTITION BY stratum; rank-invariance
+                                 # pytest pins the semantics
+        "m_mrr",                 # first-relevant rank WITHOUT sorting
+                                 # (count-of-better); retrieval-eval
+                                 # family with m_ndcg (tail)
+        "m_pr_points",           # precision-recall curve: shares
+                                 # roc_points' _cum_score_ladder device
+                                 # (m_fdr_bh's ladder family in window)
+        "t_moore_lewis",         # cross-entropy-difference selection:
+                                 # vocabulary-sized conditional groupBy
+                                 # + token-stats join (t_bm25 shape)
+        "t_tokenizer_fertility", # per-lang BPE fertility: the
+                                 # t_bpe_token_counts encode scan
+                                 # aggregated to a language-sized report
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
