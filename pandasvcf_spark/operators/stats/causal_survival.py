@@ -259,6 +259,14 @@ def fdr_correct(
         bh         : Benjamini-Hochberg (1995) step-up FDR —
                      p_adj(i) = min_{j >= i} m p_(j) / j, the suffix
                      min taken from the largest p downward
+        by         : Benjamini-Yekutieli (2001) — BH's envelope scaled
+                     by the harmonic factor c(m) = Σ 1/i, valid under
+                     ARBITRARY dependence between the hypotheses (the
+                     correlated-scan case BH's PRDS assumption
+                     excludes); c(m) is a driver scalar (one 1-row
+                     count collect), and min commutes with the
+                     positive scaling so the same suffix-min ladder
+                     serves both methods
         holm       : Holm (1979) step-down FWER —
                      p_adj(i) = max_{j <= i} (m - j + 1) p_(j)
         bonferroni : m p, the one-liner baseline
@@ -289,7 +297,7 @@ def fdr_correct(
     (plain windows + broadcast — the caller has priced the plan).
     """
     method = method.lower()
-    if method not in ("bh", "holm", "bonferroni"):
+    if method not in ("bh", "by", "holm", "bonferroni"):
         raise ValueError(f"unknown method {method!r}")
     pc = F.col(p_col).cast("double")
     rows = df.withColumn("__p", pc)
@@ -324,8 +332,11 @@ def fdr_correct(
                     "__adj"
                 ),
             )
-        elif method == "bh":
+        elif method in ("bh", "by"):
             cand = F.col("__m") * F.col("__p") / F.col("__hi")
+            if method == "by":
+                m_val = cells.agg(F.sum("__c")).collect()[0][0]
+                cand = F.lit(_harmonic(int(m_val or 0))) * cand
             w_sfx = Window.orderBy(F.col("__p").desc()).rowsBetween(
                 Window.unboundedPreceding, 0
             )
@@ -357,6 +368,17 @@ def fdr_correct(
         .withColumn("p_adj", F.round(F.col("__adj"), 9))
         .drop("__p", "__adj")
     )
+
+
+def _harmonic(m: int) -> float:
+    """c(m) = Σ_{i=1..m} 1/i, summed ASCENDING (the documented order —
+    an oracle replaying it sums the same magnitudes; the ~1e-16
+    relative order sensitivity sits five orders below the p_adj
+    rounding)."""
+    s = 0.0
+    for i in range(1, m + 1):
+        s += 1.0 / i
+    return s
 
 
 def _fdr_adj_bucketed(
@@ -425,8 +447,10 @@ def _fdr_adj_bucketed(
             "__p",
             F.least(F.lit(m) * F.col("__p"), F.lit(1.0)).alias("__adj"),
         )
-    if method == "bh":
+    if method in ("bh", "by"):
         cand = F.lit(m) * F.col("__p") / F.col("__hi")
+        if method == "by":
+            cand = F.lit(_harmonic(int(m))) * cand
         w_run = Window.partitionBy("__bk").orderBy(
             F.col("__p").desc()
         ).rowsBetween(Window.unboundedPreceding, 0)

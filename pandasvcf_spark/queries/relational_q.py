@@ -3200,3 +3200,55 @@ def m_gearys_c(spark, sf_dir):
         F.col("id_a") < F.col("id_b")
     )
     return gearys_c(pts, pairs, "id", "value")
+
+
+@register(
+    "m_fdr_by",
+    oracle="""
+    WITH hyp AS (
+      SELECT p_partkey AS id,
+             round(p_retailprice - floor(p_retailprice), 2) AS p
+      FROM part WHERE p_retailprice IS NOT NULL),
+    cells AS (SELECT p, CAST(count(*) AS DOUBLE) AS c
+              FROM hyp GROUP BY p),
+    tot AS (SELECT sum(c) AS m FROM cells),
+    h AS (SELECT sum(1.0 / CAST(rn AS DOUBLE)) AS cm
+          FROM (SELECT row_number() OVER () AS rn FROM hyp)),
+    pos AS (SELECT p, tot.m,
+        sum(c) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS hi
+      FROM cells, tot),
+    adj AS (SELECT p,
+        least(min(h.cm * (m * p / hi)) OVER (ORDER BY p DESC ROWS
+          BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS padj
+      FROM pos, h)
+    SELECT hyp.id, round(hyp.p, 6) + 0.0 AS p,
+           round(adj.padj, 9) + 0.0 AS p_adj
+    FROM hyp JOIN adj ON adj.p = hyp.p
+    ORDER BY hyp.id
+    """,
+)
+def m_fdr_by(spark, sf_dir):
+    """Benjamini-Yekutieli FDR adjustment (operators/stats.fdr_correct
+    method='by') over the same hypothesis sweep as m_fdr_bh — the
+    arbitrary-dependence-valid correction (BH's envelope scaled by the
+    harmonic factor c(m) = Σ 1/i; min commutes with the positive
+    scaling, so the identical suffix-min ladder serves both, including
+    the bucketed >1M-cell regime). c(m) is a driver scalar from one
+    1-row count. The oracle replays the harmonic sum, the scaled
+    envelope, and the join row-for-row."""
+    from pandasvcf_spark.operators.stats import fdr_correct
+
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull()
+    )
+    hyp = p.select(
+        F.col("p_partkey").alias("id"),
+        F.round(
+            F.col("p_retailprice") - F.floor(F.col("p_retailprice")), 2
+        ).alias("p"),
+    )
+    out = fdr_correct(hyp, "p", method="by")
+    return out.select(
+        "id", (F.round("p", 6) + F.lit(0.0)).alias("p"), "p_adj"
+    ).orderBy("id")

@@ -1109,6 +1109,11 @@ def test_tail_entries_are_redundant_variants_only():
         "t_tokenizer_fertility", # per-lang BPE fertility: the
                                  # t_bpe_token_counts encode scan
                                  # aggregated to a language-sized report
+        "m_fdr_by",              # Benjamini-Yekutieli: m_fdr_bh's
+                                 # suffix-min ladder (in window) scaled
+                                 # by the harmonic c(m) driver scalar;
+                                 # R p.adjust golden + regime-
+                                 # equivalence pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

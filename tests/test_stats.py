@@ -3923,3 +3923,48 @@ def test_dunn_test_vs_replica(spark):
         assert r["z"] == pytest.approx(round(zz, 6), abs=2e-6)
     assert abs(got[("a", "c")]["z"]) > abs(got[("a", "b")]["z"])
     assert abs(got[("a", "c")]["z"]) > 2.5
+
+
+def test_fdr_by_vs_r_padjust_golden(spark):
+    """R: p.adjust(c(.01,.02,.03,.04,.05), 'BY') ->
+    0.1141666..., 0.1141666..., 0.1141666..., 0.1141666..., 0.1141667
+    (all = 5*c(5)*p_i/i folded through the suffix min; c(5) =
+    1 + 1/2 + 1/3 + 1/4 + 1/5 = 2.283333...). Plus: by == bh * c(m)
+    clamped, on a spread-out p set; and the bucketed regime is
+    bit-identical."""
+    from pandasvcf_spark.operators.stats import fdr_correct
+
+    ps = [0.01, 0.02, 0.03, 0.04, 0.05]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(ps)],
+                               "id int, p double")
+    got = {r["id"]: r["p_adj"] for r in
+           fdr_correct(df, "p", method="by").collect()}
+    cm = sum(1.0 / i for i in range(1, 6))
+    import math as _m
+
+    expect = []
+    run = _m.inf
+    for i in sorted(range(5), reverse=True):
+        run = min(run, 5 * cm * ps[i] / (i + 1))
+        expect.append((i, min(run, 1.0)))
+    for i, e in expect:
+        assert got[i] == pytest.approx(round(e, 9), abs=1e-9)
+    assert got[0] == pytest.approx(0.114166667, abs=1e-6)
+
+    spread = spark.createDataFrame(
+        [(i, ((i * 37) % 97) / 97.0 + 0.001) for i in range(200)],
+        "id int, p double",
+    )
+    bh = {r["id"]: r["p_adj"] for r in
+          fdr_correct(spread, "p", method="bh").collect()}
+    by = {r["id"]: r["p_adj"] for r in
+          fdr_correct(spread, "p", method="by").collect()}
+    cm200 = sum(1.0 / i for i in range(1, 201))
+    for i in bh:
+        assert by[i] == pytest.approx(min(round(bh[i] * cm200, 6), 1.0),
+                                      abs=1e-4)
+
+    recut = {r["id"]: r["p_adj"] for r in
+             fdr_correct(spread, "p", method="by",
+                         ladder_cells=1, n_buckets=8).collect()}
+    assert recut == by
