@@ -1295,3 +1295,103 @@ def chow_test(
         "n_a bigint, n_b bigint, ssr_split double, ssr_pooled double, "
         "f_stat double, df1 int, df2 bigint",
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    season_col: str,
+    time_col: str,
+    value_col: str,
+    max_cells: int | None = 65536,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch, Slack & Smith 1982) —
+    the monotone-trend test for series with a seasonal cycle, where
+    plain `mann_kendall` confounds trend with seasonality: S and its
+    tie-corrected variance are computed WITHIN each season (Jan-vs-Jan,
+    3am-vs-3am) and summed,
+
+        S' = Σ_g S_g,   Var' = Σ_g Var_g,
+        z  = (S' ∓ 1) / sqrt(Var')       (continuity-corrected)
+
+    (the independent-seasons form — the serial-correlation covariance
+    extension is out of scope and documented as such). Pairs tied on
+    time within a season are excluded; PRE-BUCKET dense values
+    (ENFORCED by the `max_cells` tripwire on (season, t, v) cells).
+
+    Output: ONE row (n BIGINT, n_seasons BIGINT, s BIGINT, var_s
+    DOUBLE round 4, z DOUBLE round 6); z NULL when Var' = 0.
+
+    Plan: the mann_kendall cell device with season in every key — one
+    (season, t, v) collapse, one broadcast season-matched cell-grid
+    sign fold, one (season, v)-marginal tie agg, 1-row fold."""
+    gc = F.col(season_col)
+    tc = F.col(time_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(
+        gc.isNotNull() & tc.isNotNull() & vc.isNotNull()
+    ).select(gc.alias("__g"), tc.alias("__t"), vc.alias("__v"))
+    _assert_cell_bound(
+        base, ["__g", "__t", "__v"], "seasonal_mann_kendall", max_cells
+    )
+    cells = base.groupBy("__g", "__t", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.select(
+        F.col("__g").alias("__ga"), F.col("__t").alias("__ta"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__g").alias("__gb"), F.col("__t").alias("__tb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    w = F.col("__na") * F.col("__nb")
+    s_fold = a.join(
+        F.broadcast(b),
+        (F.col("__ga") == F.col("__gb"))
+        & (F.col("__tb") > F.col("__ta")),
+        "inner",
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__vb") > F.col("__va"), w)
+                .when(F.col("__vb") < F.col("__va"), -w)
+                .otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("long").alias("s")
+    )
+    per_season = (
+        cells.groupBy("__g", "__v")
+        .agg(F.sum("__n").alias("__t"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("__tsum"),
+            F.sum("__t").alias("__ng"),
+        )
+    )
+    ng = F.col("__ng").cast("double")
+    var_g = (
+        ng * (ng - 1) * (2 * ng + 5) - F.col("__tsum").cast("double")
+    ) / F.lit(18.0)
+    ties = per_season.agg(
+        F.sum(var_g).alias("__var"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+    )
+    g = s_fold.join(F.broadcast(ties))
+    sd = F.col("s").cast("double")
+    var_s = F.col("__var")
+    z = F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s)).when(
+        F.col("s") < 0, (sd + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "n",
+        "n_seasons",
+        "s",
+        F.round(var_s, 4).alias("var_s"),
+        (F.round(F.when(var_s > 0, z), 6) + F.lit(0.0)).alias("z"),
+    )

@@ -7944,3 +7944,72 @@ def m_dunn(spark, sf_dir):
         F.col("event_type").alias("k"),
     )
     return dunn_test(d, "k", "v")
+
+
+@register(
+    "e_seasonal_mk",
+    oracle="""
+    WITH ser AS (
+      SELECT hour(ts) AS g,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE)
+               AS t,
+             round(sum(value), 0) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY hour(ts), CAST(ts AS DATE)),
+    cells AS (SELECT g, t, v, CAST(count(*) AS BIGINT) AS n
+              FROM ser GROUP BY g, t, v),
+    sf AS (
+      SELECT CAST(coalesce(sum(CASE WHEN b.v > a.v THEN a.n * b.n
+                       WHEN b.v < a.v THEN -(a.n * b.n)
+                       ELSE 0 END), 0) AS BIGINT) AS s
+      FROM cells a JOIN cells b
+        ON a.g = b.g AND b.t > a.t),
+    pg AS (
+      SELECT g, sum(tt * (tt - 1) * (2 * tt + 5)) AS tsum,
+             sum(tt) AS ng
+      FROM (SELECT g, v, sum(n) AS tt FROM cells GROUP BY g, v)
+      GROUP BY g),
+    ties AS (
+      SELECT sum((CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1)
+                  * (2 * CAST(ng AS DOUBLE) + 5)
+                  - CAST(tsum AS DOUBLE)) / 18.0) AS var_s,
+             CAST(sum(ng) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_seasons
+      FROM pg)
+    SELECT n, n_seasons, s,
+           round(var_s, 4) AS var_s,
+           round(CASE WHEN var_s > 0 THEN
+             CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_s)
+                  ELSE 0.0 END END, 6) + 0.0 AS z
+    FROM sf, ties
+    """,
+)
+def e_seasonal_mk(spark, sf_dir):
+    """Seasonal Mann-Kendall trend test (operators/stats.
+    seasonal_mann_kendall) on the daily value totals with hour-of-day
+    as the season — is there a monotone cross-day trend once the
+    24-hour cycle is held fixed? The seasonality-honest upgrade of
+    m_mann_kendall (which would confound the cycle with trend): S and
+    the tie-corrected variance fold WITHIN each hour's day-series and
+    sum. The series pre-aggregates to (hour, date) cells; values
+    integer-round (the dense-value discipline). The oracle replays
+    cells, the season-matched sign fold, per-season tie terms and the
+    continuity-corrected z."""
+    from pandasvcf_spark.operators.stats import seasonal_mann_kendall
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ser = e.groupBy(
+        F.hour("ts").alias("g"),
+        F.to_date("ts").alias("__d"),
+    ).agg(F.round(F.sum("value"), 0).alias("v"))
+    ser = ser.select(
+        "g",
+        F.datediff(F.col("__d"), F.lit("2024-01-01")).cast("double")
+        .alias("t"),
+        "v",
+    )
+    return seasonal_mann_kendall(ser, "g", "t", "v")

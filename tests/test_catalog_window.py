@@ -1114,6 +1114,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # by the harmonic c(m) driver scalar;
                                  # R p.adjust golden + regime-
                                  # equivalence pytest
+        "e_seasonal_mk",         # seasonal Mann-Kendall: the
+                                 # m_mann_kendall cell-grid sign fold
+                                 # (tail) with season in every key;
+                                 # one-season identity pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

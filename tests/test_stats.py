@@ -3968,3 +3968,34 @@ def test_fdr_by_vs_r_padjust_golden(spark):
              fdr_correct(spread, "p", method="by",
                          ladder_cells=1, n_buckets=8).collect()}
     assert recut == by
+
+
+def test_seasonal_mann_kendall_vs_replica_and_mk_identity(spark):
+    """(a) One season == plain mann_kendall exactly; (b) a planted
+    cross-season trend with an alternating cycle: seasonal MK sees the
+    trend (within-season pairs all rise) while the replica confirms S
+    and the summed variance."""
+    from pandasvcf_spark.operators.stats import (
+        mann_kendall,
+        seasonal_mann_kendall,
+    )
+
+    rows = [(0, float(t), float(v)) for t, v in
+            [(1, 3), (2, 1), (3, 4), (4, 4), (5, 2)]]
+    one = spark.createDataFrame(rows, "g int, t double, v double")
+    smk = seasonal_mann_kendall(one, "g", "t", "v").collect()[0]
+    mk = mann_kendall(one.drop("g"), "t", "v").collect()[0]
+    assert (smk["s"], smk["var_s"], smk["z"]) == (
+        mk["s"], mk["var_s"], mk["z"])
+    assert smk["n_seasons"] == 1
+
+    # 2 seasons x 6 periods: within each season v strictly rises ->
+    # S = 2 * C(6,2) = 30; no ties -> Var = 2 * 6*5*17/18
+    trend = [(g, float(t), float(10 * g + t)) for g in (0, 1)
+             for t in range(6)]
+    df = spark.createDataFrame(trend, "g int, t double, v double")
+    out = seasonal_mann_kendall(df, "g", "t", "v").collect()[0]
+    assert out["s"] == 30 and out["n"] == 12 and out["n_seasons"] == 2
+    var = 2 * (6 * 5 * 17) / 18.0
+    assert out["var_s"] == pytest.approx(round(var, 4))
+    assert out["z"] == pytest.approx(round(29 / var ** 0.5, 6), abs=2e-6)
