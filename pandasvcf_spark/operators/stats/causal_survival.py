@@ -1334,3 +1334,72 @@ def cox_ph(
             F.round(F.when(okc, F.col("__b") / se), 6) + F.lit(0.0)
         ).alias("z"),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    x_cols: Sequence[str],
+    iters: int = 2,
+    clip: tuple[float, float] = (0.01, 0.99),
+) -> DataFrame:
+    """Inverse-propensity-weighted ATE (Horvitz-Thompson 1952 →
+    Rosenbaum & Rubin 1983), Hájek-stabilized — the observational
+    companion to `stratified_ate` when the confounders are continuous:
+
+        e(x)  = σ(xβ̂) clipped into `clip`   (overlap guard)
+        ATE   = Σ t y / e  ⁄  Σ t / e
+              − Σ (1−t) y / (1−e)  ⁄  Σ (1−t) / (1−e)
+
+    The propensity model is `relational.logistic_fit`'s fixed-`iters`
+    IRLS (its ROUNDED 6dp betas — deliberately: rounding makes the
+    model a replayable constant, the m_logit oracle convention), so
+    the whole estimator is: the IRLS passes + one 1-row weighted fold
+    with β as literals. Complete-case rows only; treatment must be
+    0/1 (the logistic_fit validation); a one-armed cohort yields NULL
+    ATE.
+
+    Output (1 row): n BIGINT, p_treated DOUBLE round 4, ate DOUBLE
+    round 6."""
+    from pandasvcf_spark.operators.relational import logistic_fit
+
+    lo, hi = clip
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"clip must satisfy 0 < lo < hi < 1, got {clip}")
+    t = F.col(treat_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = t.isNotNull() & y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    fit = {
+        r["term"]: r["beta"]
+        for r in logistic_fit(nn, treat_col, list(x_cols),
+                              iters=iters).collect()
+    }
+    eta = sum(
+        (F.lit(float(fit[c])) * x for c, x in zip(x_cols, xs)),
+        F.lit(float(fit["(intercept)"])),
+    )
+    e = 1.0 / (1.0 + F.exp(-eta))
+    e = F.greatest(F.lit(float(lo)), F.least(F.lit(float(hi)), e))
+    g = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(t).alias("__pt"),
+        F.sum(t * y / e).alias("__sy1"),
+        F.sum(t / e).alias("__sw1"),
+        F.sum((1.0 - t) * y / (1.0 - e)).alias("__sy0"),
+        F.sum((1.0 - t) / (1.0 - e)).alias("__sw0"),
+    )
+    ok = (F.col("__sw1") > 0) & (F.col("__sw0") > 0)
+    ate = (
+        F.col("__sy1") / F.col("__sw1")
+        - F.col("__sy0") / F.col("__sw0")
+    )
+    return g.select(
+        "n",
+        (F.round(F.col("__pt"), 4) + F.lit(0.0)).alias("p_treated"),
+        (F.round(F.when(ok, ate), 6) + F.lit(0.0)).alias("ate"),
+    )

@@ -8013,3 +8013,68 @@ def e_seasonal_mk(spark, sf_dir):
         "v",
     )
     return seasonal_mann_kendall(ser, "g", "t", "v")
+
+
+@register(
+    "m_ipw",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(user_id % 2 AS DOUBLE) AS y,
+             CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(event_id % 5 AS DOUBLE) AS x2,
+             CAST(value AS DOUBLE) AS yo
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND value IS NOT NULL),
+    bz AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    {_irls_round_sql('s', 'bz', 'im1', 'ibeta1')},
+    {_irls_round_sql('s', 'ibeta1', 'im2', 'ibeta2')},
+    br AS (SELECT round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1,
+                  round(b2, 6) + 0.0 AS b2
+           FROM ibeta2),
+    w AS (
+      SELECT s.y AS t, s.yo,
+             greatest(CAST(0.01 AS DOUBLE),
+                      least(CAST(0.99 AS DOUBLE),
+                            1.0 / (1.0 + exp(-(br.b0 + br.b1 * s.x1
+                                               + br.b2 * s.x2)))))
+               AS e
+      FROM s, br),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(t) AS pt,
+             sum(t * yo / e) AS sy1, sum(t / e) AS sw1,
+             sum((1.0 - t) * yo / (1.0 - e)) AS sy0,
+             sum((1.0 - t) / (1.0 - e)) AS sw0
+      FROM w)
+    SELECT n, round(pt, 4) + 0.0 AS p_treated,
+           round(CASE WHEN sw1 > 0 AND sw0 > 0
+                 THEN sy1 / sw1 - sy0 / sw0 END, 6) + 0.0 AS ate
+    FROM g
+    """,
+)
+def m_ipw(spark, sf_dir):
+    """Hájek-stabilized inverse-propensity-weighted ATE of the
+    user-parity 'treatment' on value, propensity fit on hour-of-day
+    and event_id%5 (operators/stats.ipw_ate) — the
+    continuous-confounder causal estimator beside m_stratified_ate
+    (discrete cells) and m_did (panel): the propensity model is
+    m_logit's fixed-2-round IRLS whose ROUNDED betas become literals
+    (the model is a replayable constant), then ONE weighted fold with
+    the 0.01/0.99 overlap clip. ATE ~ 0 expected on this A/A-shaped
+    parity split. The oracle replays the unrolled IRLS, the rounding,
+    the clip and the Hájek fold."""
+    from pandasvcf_spark.operators.stats import ipw_ate
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("double").alias("t"),
+        F.col("value").cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("x1"),
+        (F.col("event_id") % 5).cast("double").alias("x2"),
+    )
+    return ipw_ate(d, "t", "y", ["x1", "x2"], iters=2)

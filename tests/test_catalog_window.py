@@ -1118,6 +1118,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # m_mann_kendall cell-grid sign fold
                                  # (tail) with season in every key;
                                  # one-season identity pytest
+        "m_ipw",                 # IPW ATE: m_logit's unrolled IRLS
+                                 # (rounded betas as literals) + one
+                                 # weighted Hájek fold; planted-
+                                 # confounder recovery pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

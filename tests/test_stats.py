@@ -3999,3 +3999,33 @@ def test_seasonal_mann_kendall_vs_replica_and_mk_identity(spark):
     var = 2 * (6 * 5 * 17) / 18.0
     assert out["var_s"] == pytest.approx(round(var, 4))
     assert out["z"] == pytest.approx(round(29 / var ** 0.5, 6), abs=2e-6)
+
+
+def test_ipw_ate_recovers_planted_effect(spark):
+    """Confounded design: x drives BOTH treatment probability and the
+    outcome; the naive difference-in-means is badly biased, IPW
+    recovers the planted effect (+5). Deterministic assignment so the
+    whole fixture replays."""
+    from pandasvcf_spark.operators.stats import ipw_ate
+
+    rows = []
+    for i in range(400):
+        x = float(i % 10)
+        # treatment more likely at high x (deterministic "coin":
+        # threshold varies with x)
+        t = 1.0 if ((i * 7919) % 100) < 20 + 6 * x else 0.0
+        y = 2.0 * x + 5.0 * t + ((i * 31) % 5) * 0.1  # effect = +5
+        rows.append((t, y, x, float((i * 3) % 4)))
+    df = spark.createDataFrame(rows, "t double, y double, x1 double, x2 double")
+    out = ipw_ate(df, "t", "y", ["x1", "x2"], iters=3).collect()[0]
+    assert out["n"] == 400
+
+    naive = (
+        sum(y for t, y, *_ in rows if t == 1.0)
+        / sum(1 for t, *_ in rows if t == 1.0)
+        - sum(y for t, y, *_ in rows if t == 0.0)
+        / sum(1 for t, *_ in rows if t == 0.0)
+    )
+    assert naive - 5.0 > 1.5          # confounding bias is real
+    assert abs(out["ate"] - 5.0) < 1.0  # IPW mostly removes it
+    assert abs(out["ate"] - 5.0) < abs(naive - 5.0) / 2
