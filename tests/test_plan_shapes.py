@@ -783,3 +783,99 @@ def test_label_propagation_equi_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
     assert "windowspecdefinition" not in plan  # argmax is an agg
+
+
+def test_mrr_eval_never_sorts(spark):
+    """The count-of-better design claim: no Sort node anywhere — first
+    relevant rank comes from max_by + a conditional count, never a
+    rank window."""
+    from pandasvcf_spark.operators.stats import mrr_eval
+
+    d = spark.range(500).select(
+        (F.col("id") % 20).alias("q"),
+        F.col("id").alias("cid"),
+        (F.col("id") % 97).cast("double").alias("s"),
+        (F.col("id") % 7 == 0).alias("rel"),
+    )
+    plan = _plan(mrr_eval(d, "q", "cid", "s", "rel", k=10))
+    # no rank window, and no GLOBAL sort: max(struct(...)) lowers to
+    # SortAggregate (struct keys aren't hash-aggregable), whose sorts
+    # are per-partition on the GROUP key (global flag false) — the
+    # design claim is "never sort the candidate lists by score", i.e.
+    # no Window and no global Sort node
+    assert "Window" not in plan
+    assert "], true, 0" not in plan
+
+
+def test_ntile_bucket_stats_window_partitioned_by_group(spark):
+    """The cell ladder runs PARTITION BY group — no unpartitioned
+    window over the score cells, and the bucket explode follows the
+    collapse (Generate above the aggregate, not over raw rows)."""
+    from pandasvcf_spark.operators.text_features import ntile_bucket_stats
+
+    d = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 50).cast("double").alias("s"),
+    )
+    plan = _plan(ntile_bucket_stats(d, "g", "s", 3))
+    assert "windowspecdefinition(__g" in plan or "partitionBy" in plan or (
+        "Window" in plan and "windowspecdefinition()" not in plan
+    )
+
+
+def test_mmr_rerank_broadcast_stages_no_cartesian_after_candidates(spark):
+    """Greedy rounds: the selected set ships as a BroadcastExchange
+    (pair-sim stage) and the anti-join is a broadcast anti — no
+    CartesianProduct node anywhere; the only nested-loop join is the
+    bounded candidate stage's broadcast NLJ."""
+    from pandasvcf_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17).cast("double")
+                  for i in range(4)]).alias("embedding"),
+    )
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = mmr_rerank(corpus, q, k=3, k_candidates=5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_dunn_and_seasonal_mk_grids_broadcast_never_cartesian(spark):
+    from pandasvcf_spark.operators.stats import (
+        dunn_test,
+        seasonal_mann_kendall,
+    )
+
+    d = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 13).cast("double").alias("v"),
+        (F.col("id") % 29).cast("double").alias("t"),
+    )
+    p1 = _plan(dunn_test(d, "g", "v"))
+    assert "CartesianProduct" not in p1
+    assert "BroadcastExchange" in p1
+    p2 = _plan(seasonal_mann_kendall(d, "g", "t", "v"))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastExchange" in p2
+
+
+def test_pr_points_recut_no_single_partition_sort(spark):
+    """Above ladder_cells the PR ladder re-cuts through the bucketed
+    device: windows are partitioned by bucket, no SinglePartition
+    exchange feeds a Sort."""
+    from pandasvcf_spark.operators.stats import pr_points
+
+    d = spark.range(4000).select(
+        (F.col("id") % 977).cast("double").alias("s"),
+        (F.col("id") % 3 == 0).cast("int").alias("y"),
+    )
+    plan = _plan(pr_points(d, "s", "y", ladder_cells=1, n_buckets=16))
+    import re
+
+    # no Sort directly above a SinglePartition exchange
+    assert not re.search(
+        r"Sort \[[^\]]*\][\s\S]{0,200}Exchange SinglePartition", plan
+    )
