@@ -1369,3 +1369,82 @@ def cvm_2sample(
             + F.lit(0.0)
         ).alias("t"),
     )
+
+
+def energy_distance_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_cells: int | None = 65536,
+) -> DataFrame:
+    """Two-sample energy distance (Székely & Rizzo 2004) — the
+    metric-space divergence that completes the ECDF comparison family
+    (KS: sup gap; Wasserstein: area; CvM/AD: weighted L2; this:
+    pairwise-distance energy, consistent against ALL alternatives):
+
+        D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+        T  = (n m / (n+m)) · D²        (the permutation-test statistic)
+
+    group must be 0/1 (the logrank convention). PRE-BUCKET dense
+    values (ENFORCED by the `max_cells` tripwire): the corpus
+    collapses to (group, value) count cells, and every expectation is
+    ONE broadcast cell×cell grid fold with integer pair weights —
+    |cells|², never rows². Output: ONE row (n1, n2 BIGINT, e_dist
+    DOUBLE round 6 — that is D², the squared form — t_stat DOUBLE
+    round 6); NULL when either sample is empty."""
+    gc = F.col(group_col).cast("int")
+    vc = F.col(value_col).cast("double")
+    base = df.filter(gc.isNotNull() & vc.isNotNull()).select(
+        gc.alias("__g"), vc.alias("__v")
+    )
+    _assert_cell_bound(
+        base, ["__g", "__v"], "energy_distance_2samp", max_cells
+    )
+    cells = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    a = cells.select(
+        F.col("__g").alias("__ga"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__g").alias("__gb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    w = (F.col("__na") * F.col("__nb")).cast("double") * F.abs(
+        F.col("__va") - F.col("__vb")
+    )
+    pairs = a.join(F.broadcast(b), F.lit(True), "inner")
+    g = pairs.agg(
+        F.sum(
+            F.when((F.col("__ga") == 0) & (F.col("__gb") == 1), w)
+        ).alias("__sxy"),
+        F.sum(
+            F.when((F.col("__ga") == 0) & (F.col("__gb") == 0), w)
+        ).alias("__sxx"),
+        F.sum(
+            F.when((F.col("__ga") == 1) & (F.col("__gb") == 1), w)
+        ).alias("__syy"),
+    )
+    tot = cells.agg(
+        F.sum(F.when(F.col("__g") == 0, F.col("__n"))).alias("__n1"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__n"))).alias("__n2"),
+    )
+    g = g.join(F.broadcast(tot))
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    ok = (n1 > 0) & (n2 > 0)
+    d2 = (
+        2.0 * F.coalesce(F.col("__sxy"), F.lit(0.0)) / (n1 * n2)
+        - F.coalesce(F.col("__sxx"), F.lit(0.0)) / (n1 * n1)
+        - F.coalesce(F.col("__syy"), F.lit(0.0)) / (n2 * n2)
+    )
+    return g.select(
+        F.col("__n1").cast("long").alias("n1"),
+        F.col("__n2").cast("long").alias("n2"),
+        (F.round(F.when(ok, d2), 6) + F.lit(0.0)).alias("e_dist"),
+        (
+            F.round(F.when(ok, n1 * n2 / (n1 + n2) * d2), 6)
+            + F.lit(0.0)
+        ).alias("t_stat"),
+    )

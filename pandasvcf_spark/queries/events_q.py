@@ -8078,3 +8078,59 @@ def m_ipw(spark, sf_dir):
         (F.col("event_id") % 5).cast("double").alias("x2"),
     )
     return ipw_ate(d, "t", "y", ["x1", "x2"], iters=2)
+
+
+@register(
+    "m_energy_dist",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INT) AS g, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY g, v),
+    grid AS (
+      SELECT sum(CASE WHEN a.g = 0 AND c.g = 1 THEN
+               CAST(a.n * c.n AS DOUBLE) * abs(a.v - c.v) END) AS sxy,
+             sum(CASE WHEN a.g = 0 AND c.g = 0 THEN
+               CAST(a.n * c.n AS DOUBLE) * abs(a.v - c.v) END) AS sxx,
+             sum(CASE WHEN a.g = 1 AND c.g = 1 THEN
+               CAST(a.n * c.n AS DOUBLE) * abs(a.v - c.v) END) AS syy
+      FROM cells a CROSS JOIN cells c),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN g = 0 THEN n END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN g = 1 THEN n END) AS DOUBLE) AS n2
+      FROM cells),
+    fold AS (
+      SELECT n1, n2,
+             2.0 * coalesce(sxy, 0.0) / (n1 * n2)
+             - coalesce(sxx, 0.0) / (n1 * n1)
+             - coalesce(syy, 0.0) / (n2 * n2) AS d2
+      FROM grid, tot)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CASE WHEN n1 > 0 AND n2 > 0 THEN d2 END, 6)
+             + 0.0 AS e_dist,
+           round(CASE WHEN n1 > 0 AND n2 > 0
+                 THEN n1 * n2 / (n1 + n2) * d2 END, 6) + 0.0 AS t_stat
+    FROM fold
+    """,
+)
+def m_energy_dist(spark, sf_dir):
+    """Two-sample energy distance across the user-parity value split
+    (operators/stats.energy_distance_2samp) — the pairwise-distance
+    member completing the ECDF comparison family (m_ks_2sample /
+    m_wasserstein / m_cvm_2sample / m_anderson_darling): one
+    (group, integer-rounded value) collapse, ONE broadcast cell×cell
+    grid fold with integer pair weights — |cells|², never rows².
+    ~0 expected on this A/A split. The oracle replays cells, the
+    grid's three conditional sums and the D²/T fold."""
+    from pandasvcf_spark.operators.stats import energy_distance_2samp
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.round("value", 0).alias("v"),
+    )
+    return energy_distance_2samp(d, "g", "v")

@@ -1122,6 +1122,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # (rounded betas as literals) + one
                                  # weighted Hájek fold; planted-
                                  # confounder recovery pytest
+        "m_energy_dist",         # two-sample energy distance: the
+                                 # kendall/kuiper broadcast cell-grid
+                                 # device (m_kendall_tau family, tail;
+                                 # ECDF family rows in window via
+                                 # m_fdr_bh's ladders); pairwise
+                                 # replica pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

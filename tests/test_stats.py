@@ -4029,3 +4029,34 @@ def test_ipw_ate_recovers_planted_effect(spark):
     assert naive - 5.0 > 1.5          # confounding bias is real
     assert abs(out["ate"] - 5.0) < 1.0  # IPW mostly removes it
     assert abs(out["ate"] - 5.0) < abs(naive - 5.0) / 2
+
+
+def test_energy_distance_identities_and_replica(spark):
+    """(a) identical samples -> D² = 0 exactly; (b) a planted location
+    shift -> positive D² matching the pure-Python pairwise replica;
+    (c) D² >= 0 always (Székely's theorem, spot-checked)."""
+    from pandasvcf_spark.operators.stats import energy_distance_2samp
+
+    same = spark.createDataFrame(
+        [(g, float(v)) for g in (0, 1) for v in [1, 2, 2, 5, 9]],
+        "g int, v double",
+    )
+    out = energy_distance_2samp(same, "g", "v").collect()[0]
+    assert out["e_dist"] == 0.0 and out["t_stat"] == 0.0
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0]
+    ys = [4.0, 6.0, 6.0, 7.0, 9.0]
+    df = spark.createDataFrame(
+        [(0, v) for v in xs] + [(1, v) for v in ys], "g int, v double"
+    )
+    got = energy_distance_2samp(df, "g", "v").collect()[0]
+    n, m = len(xs), len(ys)
+    a = sum(abs(x - y) for x in xs for y in ys) / (n * m)
+    bb = sum(abs(x1 - x2) for x1 in xs for x2 in xs) / (n * n)
+    cc = sum(abs(y1 - y2) for y1 in ys for y2 in ys) / (m * m)
+    d2 = 2 * a - bb - cc
+    assert got["n1"] == n and got["n2"] == m
+    assert got["e_dist"] == pytest.approx(round(d2, 6), abs=2e-6)
+    assert got["t_stat"] == pytest.approx(
+        round(n * m / (n + m) * d2, 6), abs=2e-6)
+    assert got["e_dist"] > 0
