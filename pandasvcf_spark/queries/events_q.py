@@ -8134,3 +8134,59 @@ def m_energy_dist(spark, sf_dir):
         F.round("value", 0).alias("v"),
     )
     return energy_distance_2samp(d, "g", "v")
+
+
+@register(
+    "m_mmd_rbf",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 2 AS INT) AS g, round(value, 0) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY g, v),
+    grid AS (
+      SELECT
+        sum(CASE WHEN a.g = 0 AND c.g = 1 THEN
+          CAST(a.n * c.n AS DOUBLE)
+          * exp(-((a.v - c.v) * (a.v - c.v))
+                / CAST(200.0 AS DOUBLE)) END) AS kxy,
+        sum(CASE WHEN a.g = 0 AND c.g = 0 THEN
+          CAST(a.n * c.n AS DOUBLE)
+          * exp(-((a.v - c.v) * (a.v - c.v))
+                / CAST(200.0 AS DOUBLE)) END) AS kxx,
+        sum(CASE WHEN a.g = 1 AND c.g = 1 THEN
+          CAST(a.n * c.n AS DOUBLE)
+          * exp(-((a.v - c.v) * (a.v - c.v))
+                / CAST(200.0 AS DOUBLE)) END) AS kyy
+      FROM cells a CROSS JOIN cells c),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN g = 0 THEN n END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN g = 1 THEN n END) AS DOUBLE) AS n2
+      FROM cells)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(CASE WHEN n1 > 0 AND n2 > 0 THEN
+             coalesce(kxx, 0.0) / (n1 * n1)
+             + coalesce(kyy, 0.0) / (n2 * n2)
+             - 2.0 * coalesce(kxy, 0.0) / (n1 * n2) END, 6)
+             + 0.0 AS mmd2
+    FROM grid, tot
+    """,
+)
+def m_mmd_rbf(spark, sf_dir):
+    """Kernel two-sample MMD² (RBF, σ = 10 — 2σ² = 200) across the
+    user-parity value split (operators/stats.mmd_rbf_2samp) — the
+    kernel-embedding drift statistic beside m_energy_dist's distance
+    kernel, same broadcast cell×cell grid plan. ~0 expected on this
+    A/A split. The oracle replays cells, the three kernel-weighted
+    conditional sums and the V-statistic fold."""
+    from pandasvcf_spark.operators.stats import mmd_rbf_2samp
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.round("value", 0).alias("v"),
+    )
+    return mmd_rbf_2samp(d, "g", "v", sigma=10.0)

@@ -1128,6 +1128,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # ECDF family rows in window via
                                  # m_fdr_bh's ladders); pairwise
                                  # replica pytest
+        "m_mmd_rbf",             # RBF-kernel MMD²: the same broadcast
+                                 # cell-grid fold as m_energy_dist
+                                 # with the kernel swapped; kernel
+                                 # replica pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

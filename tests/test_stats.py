@@ -4060,3 +4060,39 @@ def test_energy_distance_identities_and_replica(spark):
     assert got["t_stat"] == pytest.approx(
         round(n * m / (n + m) * d2, 6), abs=2e-6)
     assert got["e_dist"] > 0
+
+
+def test_mmd_rbf_identities_and_replica(spark):
+    """Identical samples -> MMD² = 0; shifted samples -> positive,
+    matching the pure-Python kernel replica; sigma must be > 0."""
+    import math as _m
+
+    from pandasvcf_spark.operators.stats import mmd_rbf_2samp
+
+    same = spark.createDataFrame(
+        [(g, float(v)) for g in (0, 1) for v in [1, 2, 2, 7]],
+        "g int, v double",
+    )
+    assert mmd_rbf_2samp(same, "g", "v", sigma=2.0).collect()[0]["mmd2"] == 0.0
+
+    xs = [1.0, 2.0, 2.0, 3.0]
+    ys = [6.0, 7.0, 9.0]
+    df = spark.createDataFrame(
+        [(0, v) for v in xs] + [(1, v) for v in ys], "g int, v double"
+    )
+    got = mmd_rbf_2samp(df, "g", "v", sigma=2.0).collect()[0]
+
+    def k(x, y):
+        return _m.exp(-((x - y) ** 2) / 8.0)
+
+    n, m = len(xs), len(ys)
+    mmd = (
+        sum(k(a, b) for a in xs for b in xs) / (n * n)
+        + sum(k(a, b) for a in ys for b in ys) / (m * m)
+        - 2 * sum(k(a, b) for a in xs for b in ys) / (n * m)
+    )
+    assert got["mmd2"] == pytest.approx(round(mmd, 6), abs=2e-6)
+    assert got["mmd2"] > 0.3
+
+    with pytest.raises(ValueError, match="sigma"):
+        mmd_rbf_2samp(df, "g", "v", sigma=0.0)
