@@ -1966,3 +1966,104 @@ def welch_anova(
             + F.lit(0.0)
         ).alias("df2"),
     )
+
+
+def breslow_day(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Breslow-Day test of odds-ratio homogeneity across strata
+    (Breslow & Day 1980 §IV) — the check that LICENSES `cmh_test`'s
+    common odds ratio: CMH assumes one OR; this asks whether the
+    per-stratum 2x2 tables are consistent with it. Under the
+    Mantel-Haenszel common OR, each stratum's expected a-cell E_i
+    solves the margin-preserving quadratic
+
+        E(n − r1 − c1 + E) = OR·(r1 − E)(c1 − E)
+
+    (the root inside (max(0, r1+c1−n), min(r1, c1)) — exactly one is
+    valid for OR > 0; OR = 1 degenerates to the linear E = r1 c1/n),
+    with asymptotic variance 1/V = 1/E + 1/(r1−E) + 1/(c1−E) +
+    1/(n−r1−c1+E), and
+
+        X² = Σ (a_i − E_i)² V_i   ~   χ²(k−1)
+
+    (the Tarone correction is a documented non-goal — it shifts X² by
+    O(1/ΣV), negligible at these strata sizes). exposure/outcome must
+    be 0/1; NULL rows drop; strata with an empty margin contribute
+    nothing (their OR is undefined) and are excluded from k.
+
+    Output (1 row): k BIGINT, or_mh DOUBLE round 6, x2 DOUBLE round
+    6, df BIGINT. Plan: ONE stratum-keyed 4-counter aggregation
+    (stratum-count-sized), a 1-row common-OR broadcast, and per-row
+    closed-form arithmetic — the cmh_test shape plus the quadratic."""
+    ex = F.col(exposure_col).cast("int")
+    oc = F.col(outcome_col).cast("int")
+    st = F.col(stratum_col)
+    nn = df.filter(st.isNotNull() & ex.isNotNull() & oc.isNotNull())
+    g = nn.groupBy(st.alias("__s")).agg(
+        F.sum(F.when((ex == 1) & (oc == 1), 1).otherwise(0))
+        .cast("double").alias("a"),
+        F.sum(F.when((ex == 1) & (oc == 0), 1).otherwise(0))
+        .cast("double").alias("b"),
+        F.sum(F.when((ex == 0) & (oc == 1), 1).otherwise(0))
+        .cast("double").alias("c"),
+        F.sum(F.when((ex == 0) & (oc == 0), 1).otherwise(0))
+        .cast("double").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    # margin-degenerate strata (an all-zero row or column) are excluded
+    ok = (
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("c")) > 0)
+        & ((F.col("b") + F.col("d")) > 0)
+    )
+    g = g.filter(ok).withColumn("n", n)
+    mh = g.agg(
+        F.sum(F.col("a") * F.col("d") / F.col("n")).alias("__num"),
+        F.sum(F.col("b") * F.col("c") / F.col("n")).alias("__den"),
+    )
+    j = g.crossJoin(F.broadcast(mh)).withColumn(
+        "__or", F.col("__num") / F.col("__den")
+    )
+    r1 = F.col("a") + F.col("b")
+    c1 = F.col("a") + F.col("c")
+    orr = F.col("__or")
+    qa = 1.0 - orr
+    qb = (F.col("n") - r1 - c1) + orr * (r1 + c1)
+    qc = -(orr * r1 * c1)
+    disc = F.sqrt(qb * qb - 4.0 * qa * qc)
+    lo_b = F.greatest(F.lit(0.0), r1 + c1 - F.col("n"))
+    hi_b = F.least(r1, c1)
+    root1 = (-qb + disc) / (2.0 * qa)
+    root2 = (-qb - disc) / (2.0 * qa)
+    e_lin = r1 * c1 / F.col("n")
+    e = F.when(
+        F.abs(qa) < 1e-12, e_lin
+    ).when(
+        (root1 > lo_b) & (root1 < hi_b), root1
+    ).otherwise(root2)
+    vinv = (
+        1.0 / e
+        + 1.0 / (r1 - e)
+        + 1.0 / (c1 - e)
+        + 1.0 / (F.col("n") - r1 - c1 + e)
+    )
+    term = (F.col("a") - e) * (F.col("a") - e) * vinv
+    fold = j.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("__or").alias("__ormh"),
+        F.sum(term).alias("__x2"),
+    )
+    return fold.select(
+        "k",
+        (F.round(F.col("__ormh"), 6) + F.lit(0.0)).alias("or_mh"),
+        (
+            F.round(F.when(F.col("k") >= 2, F.col("__x2")), 6)
+            + F.lit(0.0)
+        ).alias("x2"),
+        (F.col("k") - 1).alias("df"),
+    )

@@ -8190,3 +8190,103 @@ def m_mmd_rbf(spark, sf_dir):
         F.round("value", 0).alias("v"),
     )
     return mmd_rbf_2samp(d, "g", "v", sigma=10.0)
+
+
+@register(
+    "m_breslow_day",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS st,
+             CAST(user_id % 2 AS INT) AS ex,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS oc
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL),
+    g0 AS (
+      SELECT st,
+        CAST(sum(CASE WHEN ex = 1 AND oc = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS a,
+        CAST(sum(CASE WHEN ex = 1 AND oc = 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS b,
+        CAST(sum(CASE WHEN ex = 0 AND oc = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS c,
+        CAST(sum(CASE WHEN ex = 0 AND oc = 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS d
+      FROM s GROUP BY st),
+    g AS (
+      SELECT *, a + b + c + d AS n FROM g0
+      WHERE (a + b) > 0 AND (c + d) > 0
+        AND (a + c) > 0 AND (b + d) > 0),
+    mh AS (SELECT sum(a * d / n) AS num, sum(b * c / n) AS den FROM g),
+    e AS (
+      SELECT a, n, (a + b) AS r1, (a + c) AS c1,
+             num / den AS orr
+      FROM g, mh),
+    q AS (
+      SELECT a,
+             CASE WHEN abs(1.0 - orr) < 1e-12
+               THEN r1 * c1 / n
+               ELSE CASE WHEN
+                 ((-((n - r1 - c1) + orr * (r1 + c1))
+                   + sqrt(((n - r1 - c1) + orr * (r1 + c1))
+                          * ((n - r1 - c1) + orr * (r1 + c1))
+                          - 4.0 * (1.0 - orr) * (-(orr * r1 * c1))))
+                  / (2.0 * (1.0 - orr)))
+                 > greatest(0.0, r1 + c1 - n)
+                 AND
+                 ((-((n - r1 - c1) + orr * (r1 + c1))
+                   + sqrt(((n - r1 - c1) + orr * (r1 + c1))
+                          * ((n - r1 - c1) + orr * (r1 + c1))
+                          - 4.0 * (1.0 - orr) * (-(orr * r1 * c1))))
+                  / (2.0 * (1.0 - orr)))
+                 < least(r1, c1)
+               THEN
+                 (-((n - r1 - c1) + orr * (r1 + c1))
+                  + sqrt(((n - r1 - c1) + orr * (r1 + c1))
+                         * ((n - r1 - c1) + orr * (r1 + c1))
+                         - 4.0 * (1.0 - orr) * (-(orr * r1 * c1))))
+                 / (2.0 * (1.0 - orr))
+               ELSE
+                 (-((n - r1 - c1) + orr * (r1 + c1))
+                  - sqrt(((n - r1 - c1) + orr * (r1 + c1))
+                         * ((n - r1 - c1) + orr * (r1 + c1))
+                         - 4.0 * (1.0 - orr) * (-(orr * r1 * c1))))
+                 / (2.0 * (1.0 - orr))
+               END END AS ee,
+             r1, c1, n, orr
+      FROM e),
+    fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, max(orr) AS ormh,
+             sum((a - ee) * (a - ee)
+                 * (1.0 / ee + 1.0 / (r1 - ee) + 1.0 / (c1 - ee)
+                    + 1.0 / (n - r1 - c1 + ee))) AS x2
+      FROM q)
+    SELECT k, round(ormh, 6) + 0.0 AS or_mh,
+           round(CASE WHEN k >= 2 THEN x2 END, 6) + 0.0 AS x2,
+           k - 1 AS df
+    FROM fold
+    """,
+)
+def m_breslow_day(spark, sf_dir):
+    """Breslow-Day odds-ratio homogeneity across the five event-type
+    strata (operators/stats.breslow_day; exposure = user parity,
+    outcome = value > 50) — the check that licenses m_cmh's common
+    odds ratio: per stratum the margin-preserving quadratic yields the
+    expected a-cell under the MH common OR, X² sums the standardized
+    deviations. ~χ²(4) central expected on this A/A fixture. One
+    stratum-keyed 4-counter agg + a 1-row OR broadcast + closed-form
+    per-stratum arithmetic; the oracle replays the quadratic,
+    root-selection window and fold."""
+    from pandasvcf_spark.operators.stats import breslow_day
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type").alias("st"),
+        (F.col("user_id") % 2).cast("int").alias("ex"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("oc"),
+    )
+    return breslow_day(d, "st", "ex", "oc")

@@ -1132,6 +1132,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cell-grid fold as m_energy_dist
                                  # with the kernel swapped; kernel
                                  # replica pytest
+        "m_breslow_day",         # OR-homogeneity: m_cmh's stratum
+                                 # 4-counter agg (tail) + closed-form
+                                 # quadratic; homogeneous/flipped-OR
+                                 # replica pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -4096,3 +4096,53 @@ def test_mmd_rbf_identities_and_replica(spark):
 
     with pytest.raises(ValueError, match="sigma"):
         mmd_rbf_2samp(df, "g", "v", sigma=0.0)
+
+
+def test_breslow_day_vs_replica(spark):
+    """Homogeneous strata (same OR) -> small X²; a flipped-OR stratum
+    -> X² blows up; exact check vs a pure-Python replica of the
+    quadratic + variance arithmetic."""
+    import math as _m
+
+    from pandasvcf_spark.operators.stats import breslow_day
+
+    def mk(tables):
+        rows = []
+        for s, (a, b, c, d) in enumerate(tables):
+            rows += [(f"s{s}", 1, 1)] * a + [(f"s{s}", 1, 0)] * b
+            rows += [(f"s{s}", 0, 1)] * c + [(f"s{s}", 0, 0)] * d
+        return spark.createDataFrame(rows, "st string, ex int, oc int")
+
+    homo = [(20, 10, 10, 20), (40, 20, 20, 40), (10, 5, 5, 10)]
+    het = [(20, 10, 10, 20), (10, 20, 20, 10), (10, 5, 5, 10)]
+    out_h = breslow_day(mk(homo), "st", "ex", "oc").collect()[0]
+    out_x = breslow_day(mk(het), "st", "ex", "oc").collect()[0]
+    assert out_h["k"] == 3 and out_h["df"] == 2
+    assert out_h["x2"] < 1e-6  # identical ORs: expected == observed
+    assert out_x["x2"] > 10.0
+
+    def replica(tables):
+        num = sum(a * d / (a + b + c + d) for a, b, c, d in tables)
+        den = sum(b * c / (a + b + c + d) for a, b, c, d in tables)
+        orr = num / den
+        x2 = 0.0
+        for a, b, c, d in tables:
+            n = a + b + c + d
+            r1, c1 = a + b, a + c
+            qa, qb, qc = (1 - orr), (n - r1 - c1) + orr * (r1 + c1), \
+                -(orr * r1 * c1)
+            if abs(qa) < 1e-12:
+                ee = r1 * c1 / n
+            else:
+                disc = _m.sqrt(qb * qb - 4 * qa * qc)
+                ee = (-qb + disc) / (2 * qa)
+                if not (max(0.0, r1 + c1 - n) < ee < min(r1, c1)):
+                    ee = (-qb - disc) / (2 * qa)
+            v = 1 / ee + 1 / (r1 - ee) + 1 / (c1 - ee) \
+                + 1 / (n - r1 - c1 + ee)
+            x2 += (a - ee) ** 2 * v
+        return orr, x2
+
+    orr, x2 = replica(het)
+    assert out_x["or_mh"] == pytest.approx(round(orr, 6), abs=2e-6)
+    assert out_x["x2"] == pytest.approx(round(x2, 6), abs=2e-5)
