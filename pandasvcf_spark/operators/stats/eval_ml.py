@@ -1469,3 +1469,94 @@ def mrr_eval(
             + F.lit(0.0)
         ).alias("hit_rate_at_k"),
     )
+
+
+def ece_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error — `calibration_bins` folded to the
+    headline pair every model card quotes:
+
+        ECE = Σ_b (n_b / N) |frac_pos_b − avg_score_b|
+        MCE = max_b |frac_pos_b − avg_score_b|
+
+    Same fixed-width binning contract as calibration_bins (score in
+    [0, 1); bin edges are pure arithmetic, engine-exact); gaps are
+    computed UNROUNDED per bin and rounded once at the fold. Output
+    (1 row): n BIGINT, n_bins_used INT, ece DOUBLE round 6, mce
+    DOUBLE round 6. Plan: one <= n_bins groupBy + a 1-row fold."""
+    sc = F.col(score_col).cast("double")
+    lc = F.col(label_col).cast("int")
+    base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
+        sc.alias("__s"), lc.alias("__y")
+    )
+    b = F.least(
+        F.floor(F.col("__s") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    bins = base.groupBy(b.alias("__b")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__s").alias("__ms"),
+        F.avg(F.col("__y").cast("double")).alias("__fp"),
+    )
+    gap = F.abs(F.col("__fp") - F.col("__ms"))
+    return bins.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_bins_used"),
+        (
+            F.round(F.sum(F.col("__n") * gap) / F.sum("__n"), 6)
+            + F.lit(0.0)
+        ).alias("ece"),
+        (F.round(F.max(gap), 6) + F.lit(0.0)).alias("mce"),
+    )
+
+
+def fairness_report(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Group-fairness gap summary for a binary classifier — the model-
+    governance screen beside the accuracy metrics: across the
+    protected groups,
+
+        dp_gap  = max − min of P(pred = 1 | group)   (demographic
+                                                      parity)
+        tpr_gap = max − min of P(pred = 1 | y = 1, group)   (equal
+                                                      opportunity)
+        fpr_gap = max − min of P(pred = 1 | y = 0, group)   (the other
+                                                      equalized-odds
+                                                      arm)
+
+    Groups missing a class (no positives / no negatives) contribute
+    NULL to that rate and are EXCLUDED from that gap's extremes (the
+    honest treatment — a group with no positives has no TPR). label
+    and pred must be 0/1; NULL rows drop.
+
+    Output (1 row): k BIGINT, dp_gap, tpr_gap, fpr_gap DOUBLE round
+    6. Plan: ONE group-keyed conditional aggregation (group-count-
+    sized) + a 1-row extremes fold."""
+    g = F.col(group_col)
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    nn = df.filter(g.isNotNull() & y.isNotNull() & p.isNotNull())
+    per = nn.groupBy(g.alias("__g")).agg(
+        F.avg(p.cast("double")).alias("__pr"),
+        F.avg(F.when(y == 1, p.cast("double"))).alias("__tpr"),
+        F.avg(F.when(y == 0, p.cast("double"))).alias("__fpr"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            F.round(F.max("__pr") - F.min("__pr"), 6) + F.lit(0.0)
+        ).alias("dp_gap"),
+        (
+            F.round(F.max("__tpr") - F.min("__tpr"), 6) + F.lit(0.0)
+        ).alias("tpr_gap"),
+        (
+            F.round(F.max("__fpr") - F.min("__fpr"), 6) + F.lit(0.0)
+        ).alias("fpr_gap"),
+    )

@@ -8290,3 +8290,89 @@ def m_breslow_day(spark, sf_dir):
         F.when(F.col("value") > 50.0, 1).otherwise(0).alias("oc"),
     )
     return breslow_day(d, "st", "ex", "oc")
+
+
+@register(
+    "m_ece",
+    oracle="""
+    WITH b AS (
+      SELECT value / 500.0 AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    a AS (
+      SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+             CAST(count(*) AS DOUBLE) AS n,
+             avg(s) AS ms, avg(CAST(y AS DOUBLE)) AS fp
+      FROM b GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(count(*) AS INT) AS n_bins_used,
+           round(sum(n * abs(fp - ms)) / sum(n), 6) + 0.0 AS ece,
+           round(max(abs(fp - ms)), 6) + 0.0 AS mce
+    FROM a
+    """,
+)
+def m_ece(spark, sf_dir):
+    """Expected + maximum calibration error (operators/stats.
+    ece_summary) of value/500 as a pseudo-probability predicting the
+    'purchase' label — m_calibration's reliability bins folded to the
+    model-card headline pair, with the per-bin gaps UNROUNDED until
+    the final fold. One <= 10-key groupBy + a 1-row fold. The oracle
+    replays bins, weights and both extremes."""
+    from pandasvcf_spark.operators.stats import ece_summary
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (F.col("value") / 500.0).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y"),
+    )
+    return ece_summary(d, "s", "y", n_bins=10)
+
+
+@register(
+    "m_fairness",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(user_id % 3 AS VARCHAR) AS g,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS p
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL),
+    per AS (
+      SELECT g, avg(CAST(p AS DOUBLE)) AS pr,
+             avg(CASE WHEN y = 1 THEN CAST(p AS DOUBLE) END) AS tpr,
+             avg(CASE WHEN y = 0 THEN CAST(p AS DOUBLE) END) AS fpr
+      FROM b GROUP BY g)
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           round(max(pr) - min(pr), 6) + 0.0 AS dp_gap,
+           round(max(tpr) - min(tpr), 6) + 0.0 AS tpr_gap,
+           round(max(fpr) - min(fpr), 6) + 0.0 AS fpr_gap
+    FROM per
+    """,
+)
+def m_fairness(spark, sf_dir):
+    """Group-fairness gap summary (operators/stats.fairness_report):
+    the value>50 classifier predicting 'purchase', audited across the
+    user_id%3 cohorts — demographic-parity, equal-opportunity (TPR)
+    and FPR gaps as max−min across groups, the model-governance
+    screen beside m_confusion/m_group_auc. Near-zero gaps expected on
+    this hash-cohort fixture. ONE group-keyed conditional agg + a
+    1-row extremes fold; the oracle replays rates and gaps."""
+    from pandasvcf_spark.operators.stats import fairness_report
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 3).cast("string").alias("g"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("p"),
+    )
+    return fairness_report(d, "g", "y", "p")

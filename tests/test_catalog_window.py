@@ -1136,6 +1136,13 @@ def test_tail_entries_are_redundant_variants_only():
                                  # 4-counter agg (tail) + closed-form
                                  # quadratic; homogeneous/flipped-OR
                                  # replica pytest
+        "m_ece",                 # ECE/MCE: m_calibration's bins (tail)
+                                 # folded with unrounded gaps; hand
+                                 # 2-bin pytest
+        "m_fairness",            # DP/TPR/FPR gaps: one group-keyed
+                                 # conditional agg + extremes fold
+                                 # (m_confusion family); degenerate-
+                                 # group exclusion pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

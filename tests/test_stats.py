@@ -4146,3 +4146,33 @@ def test_breslow_day_vs_replica(spark):
     orr, x2 = replica(het)
     assert out_x["or_mh"] == pytest.approx(round(orr, 6), abs=2e-6)
     assert out_x["x2"] == pytest.approx(round(x2, 6), abs=2e-5)
+
+
+def test_ece_and_fairness_hand_cases(spark):
+    """ECE: perfectly calibrated bins -> 0; a fixed miscalibration ->
+    the exact weighted gap. Fairness: a classifier that fires only for
+    one group -> dp_gap 1; group with no positives excluded from the
+    TPR extremes."""
+    from pandasvcf_spark.operators.stats import ece_summary, fairness_report
+
+    # bin 0: scores .05 x4, 1 positive -> fp .25, ms .05, gap .2
+    # bin 9: scores .95 x6, 3 positives -> fp .5, ms .95, gap .45
+    rows = [(0.05, 1)] + [(0.05, 0)] * 3 + [(0.95, 1)] * 3 + [(0.95, 0)] * 3
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = ece_summary(df, "s", "y", n_bins=10).collect()[0]
+    assert out["n"] == 10 and out["n_bins_used"] == 2
+    ece = (4 * 0.2 + 6 * 0.45) / 10
+    assert out["ece"] == pytest.approx(round(ece, 6))
+    assert out["mce"] == pytest.approx(0.45)
+
+    fair = spark.createDataFrame(
+        # group a: preds fire on everything; group b: never
+        [("a", 1, 1), ("a", 0, 1), ("b", 1, 0), ("b", 0, 0),
+         ("c", 0, 1)],  # c has NO positives -> excluded from tpr gap
+        "g string, y int, p int",
+    )
+    got = fairness_report(fair, "g", "y", "p").collect()[0]
+    assert got["k"] == 3
+    assert got["dp_gap"] == 1.0          # a fires 100%, b 0%
+    assert got["tpr_gap"] == 1.0         # a tpr 1, b tpr 0, c excluded
+    assert got["fpr_gap"] == 1.0
