@@ -1395,3 +1395,97 @@ def seasonal_mann_kendall(
         F.round(var_s, 4).alias("var_s"),
         (F.round(F.when(var_s > 0, z), 6) + F.lit(0.0)).alias("z"),
     )
+
+
+def kpss_test(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    lags: int = 4,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+    Shin 1992) — the NULL-of-stationarity complement to
+    `mann_kendall`'s null-of-no-trend (run both: MK asks "is there a
+    trend?", KPSS asks "is the level even stable?"):
+
+        e_t = y_t − ȳ,   S_t = Σ_{s<=t} e_s
+        s²(l) = γ₀ + 2 Σ_{j=1..l} (1 − j/(l+1)) γ_j,
+        γ_j  = Σ_t e_t e_{t+j} / n          (Bartlett long-run var)
+        η    = Σ_t S_t² / (n² s²(l))
+
+    Reject stationarity for large η (5% critical value 0.463 — the
+    caller compares; no p interpolation here). Input is a SERIES (one
+    row per time point — pre-aggregate, the runs_test contract;
+    ENFORCED by `max_rows`); ties on time raise implicitly through
+    the lag join multiplicity — keep time unique.
+
+    Output: ONE row (n BIGINT, eta DOUBLE round 6, s2_l DOUBLE round
+    4); NULL when s²(l) <= 0 or n <= lags.
+
+    Plan: one mean broadcast, ONE time-ordered cumulative window over
+    the series rows (series-sized by contract), and one lag
+    range-join (|t_b − t_a| in 1..l by POSITION — positions come from
+    the same window) folding the γ_j sums — series × (l+1) pair rows,
+    never rows²."""
+    if lags < 0:
+        raise ValueError(f"lags must be >= 0, got {lags}")
+    tc = F.col(time_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = series.filter(tc.isNotNull() & vc.isNotNull()).select(
+        tc.alias("__t"), vc.alias("__v")
+    )
+    _assert_series_sized(base, "kpss_test", max_rows)
+    mu = base.agg(
+        F.avg("__v").alias("__mu"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = base.crossJoin(F.broadcast(mu)).select(
+        "__t",
+        (F.col("__v") - F.col("__mu")).alias("__e"),
+        F.col("__n"),
+        F.row_number().over(Window.orderBy("__t")).alias("__i"),
+        F.sum(F.col("__v") - F.col("__mu")).over(w_cum).alias("__S"),
+    )
+    num = dev.agg(
+        F.max("__n").alias("n"),
+        F.sum(F.col("__S") * F.col("__S")).alias("__ss"),
+    )
+    a = dev.select(
+        F.col("__i").alias("__ia"), F.col("__e").alias("__ea")
+    )
+    b = dev.select(
+        F.col("__i").alias("__ib"), F.col("__e").alias("__eb")
+    )
+    gammas = a.join(
+        F.broadcast(b),
+        (F.col("__ib") >= F.col("__ia"))
+        & (F.col("__ib") - F.col("__ia") <= lags),
+    ).groupBy((F.col("__ib") - F.col("__ia")).alias("__j")).agg(
+        F.sum(F.col("__ea") * F.col("__eb")).alias("__g")
+    )
+    s2 = gammas.crossJoin(F.broadcast(num)).agg(
+        F.sum(
+            F.when(F.col("__j") == 0, F.col("__g"))
+            .otherwise(
+                2.0
+                * (1.0 - F.col("__j") / F.lit(float(lags + 1)))
+                * F.col("__g")
+            )
+            / F.col("n").cast("double")
+        ).alias("__s2")
+    )
+    out = num.crossJoin(F.broadcast(s2))
+    nd = F.col("n").cast("double")
+    ok = (F.col("__s2") > 0) & (F.col("n") > lags)
+    eta = F.col("__ss") / (nd * nd * F.col("__s2"))
+    return out.select(
+        "n",
+        (F.round(F.when(ok, eta), 6) + F.lit(0.0)).alias("eta"),
+        (F.round(F.when(ok, F.col("__s2")), 4) + F.lit(0.0)).alias(
+            "s2_l"
+        ),
+    )

@@ -8376,3 +8376,66 @@ def m_fairness(spark, sf_dir):
         F.when(F.col("value") > 50.0, 1).otherwise(0).alias("p"),
     )
     return fairness_report(d, "g", "y", "p")
+
+
+@register(
+    "e_kpss",
+    oracle="""
+    WITH ser AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE)
+               AS t,
+             round(sum(value), 2) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY CAST(ts AS DATE)),
+    mu AS (SELECT avg(v) AS m, CAST(count(*) AS BIGINT) AS n FROM ser),
+    dev AS (
+      SELECT t, v - mu.m AS e, mu.n,
+             row_number() OVER (ORDER BY t) AS i,
+             sum(v - mu.m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS S
+      FROM ser, mu),
+    num AS (SELECT max(n) AS n, sum(S * S) AS ss FROM dev),
+    g AS (
+      SELECT b.i - a.i AS j, sum(a.e * b.e) AS gsum
+      FROM dev a JOIN dev b
+        ON b.i >= a.i AND b.i - a.i <= 4
+      GROUP BY b.i - a.i),
+    s2 AS (
+      SELECT sum((CASE WHEN j = 0 THEN gsum
+                  ELSE 2.0 * (1.0 - j / CAST(5.0 AS DOUBLE)) * gsum
+                  END) / CAST(num.n AS DOUBLE)) AS s2
+      FROM g, num)
+    SELECT num.n AS n,
+           round(CASE WHEN s2.s2 > 0 AND num.n > 4
+                 THEN num.ss / (CAST(num.n AS DOUBLE)
+                                * CAST(num.n AS DOUBLE) * s2.s2)
+                 END, 6) + 0.0 AS eta,
+           round(CASE WHEN s2.s2 > 0 AND num.n > 4
+                 THEN s2.s2 END, 4) + 0.0 AS s2_l
+    FROM num, s2
+    """,
+)
+def e_kpss(spark, sf_dir):
+    """KPSS level-stationarity test (operators/stats.kpss_test,
+    Bartlett lags = 4) on the daily value-total series — the
+    null-of-stationarity complement to m_mann_kendall (trend) and
+    e_seasonal_mk (seasonal trend). The series pre-aggregates to one
+    row per date (the runs_test series contract, tripwired); the
+    cumulative-deviation ladder is one series-sized window, the
+    Bartlett autocovariances one position-banded self-join — series
+    × (l+1) pair rows. The oracle replays deviations, ladder, γ_j
+    weights and η."""
+    from pandasvcf_spark.operators.stats import kpss_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ser = e.groupBy(F.to_date("ts").alias("__d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    ).select(
+        F.datediff(F.col("__d"), F.lit("2024-01-01")).cast("double")
+        .alias("t"),
+        "v",
+    )
+    return kpss_test(ser, "t", "v", lags=4)

@@ -1143,6 +1143,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # conditional agg + extremes fold
                                  # (m_confusion family); degenerate-
                                  # group exclusion pytest
+        "e_kpss",                # KPSS stationarity: series-sized
+                                 # cumulative ladder (runs_test
+                                 # contract, tripwired) + position-
+                                 # banded lag join; replica pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -4176,3 +4176,46 @@ def test_ece_and_fairness_hand_cases(spark):
     assert got["dp_gap"] == 1.0          # a fires 100%, b 0%
     assert got["tpr_gap"] == 1.0         # a tpr 1, b tpr 0, c excluded
     assert got["fpr_gap"] == 1.0
+
+
+def test_kpss_vs_replica_and_regimes(spark):
+    """Stationary (alternating) series -> small eta; a strong trend ->
+    eta far above the 5% critical value 0.463; exact check vs a
+    pure-Python replica of the Bartlett long-run variance and ladder."""
+    from pandasvcf_spark.operators.stats import kpss_test
+
+    def run(vals, lags=4):
+        df = spark.createDataFrame(
+            [(float(i), float(v)) for i, v in enumerate(vals)],
+            "t double, v double",
+        )
+        return kpss_test(df, "t", "v", lags=lags).collect()[0]
+
+    def replica(vals, lags=4):
+        n = len(vals)
+        m = sum(vals) / n
+        e = [v - m for v in vals]
+        S, run_s, ss = [], 0.0, 0.0
+        for x in e:
+            run_s += x
+            S.append(run_s)
+            ss += run_s * run_s
+        s2 = 0.0
+        for j in range(lags + 1):
+            gj = sum(e[i] * e[i + j] for i in range(n - j)) / n
+            s2 += gj if j == 0 else 2 * (1 - j / (lags + 1)) * gj
+        return ss / (n * n * s2), s2
+
+    # aperiodic hash noise (a periodic cycle's negative
+    # autocovariances shrink the Bartlett s² and inflate eta — not
+    # the KPSS null)
+    stat = [((i * 2654435761) % 97) / 97.0 for i in range(40)]
+    trend = [0.5 * i + ((i * 2654435761) % 97) / 97.0
+             for i in range(40)]
+    out_s, out_t = run(stat), run(trend)
+    eta_s, s2_s = replica(stat)
+    eta_t, _ = replica(trend)
+    assert out_s["eta"] == pytest.approx(round(eta_s, 6), abs=2e-6)
+    assert out_s["s2_l"] == pytest.approx(round(s2_s, 4), abs=2e-4)
+    assert out_t["eta"] == pytest.approx(round(eta_t, 6), abs=2e-6)
+    assert out_s["eta"] < 0.463 < out_t["eta"]
