@@ -1489,3 +1489,73 @@ def kpss_test(
             "s2_l"
         ),
     )
+
+
+def adf_test(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_rows: int | None = 5_000_000,
+) -> DataFrame:
+    """Dickey-Fuller unit-root test (Dickey & Fuller 1979; the
+    0-augmentation-lag form) — the null-of-UNIT-ROOT partner KPSS is
+    always paired with (KPSS null: stationary; DF null: unit root —
+    agreement between them is what settles the question):
+
+        Δy_t = α + ρ y_{t−1} + ε_t,
+        t_ρ  = ρ̂ / SE(ρ̂)
+
+    with ρ̂/SE from the closed-form simple-OLS sums. Compare t_ρ to
+    the DICKEY-FULLER critical values (−2.86 at 5% with constant) —
+    NOT the t table; no p interpolation here. Input is a SERIES (one
+    row per time point, time unique — the kpss_test contract,
+    tripwired via `max_rows`).
+
+    Output: ONE row (n BIGINT — the differenced length, rho DOUBLE
+    round 6, t_stat DOUBLE round 6); NULL stats when n < 3 or x has
+    no variance.
+
+    Plan: one position window + ONE position self-join (i+1 — the
+    lag-1 pairing), one 6-sum fold; everything after the pre-agg is
+    series-sized."""
+    tc = F.col(time_col).cast("double")
+    vc = F.col(value_col).cast("double")
+    base = series.filter(tc.isNotNull() & vc.isNotNull()).select(
+        tc.alias("__t"), vc.alias("__v")
+    )
+    _assert_series_sized(base, "adf_test", max_rows)
+    pos = base.select(
+        F.row_number().over(Window.orderBy("__t")).alias("__i"), "__v"
+    )
+    a = pos.select(F.col("__i").alias("__ia"), F.col("__v").alias("__x"))
+    b = pos.select(F.col("__i").alias("__ib"), F.col("__v").alias("__vb"))
+    d = a.join(
+        F.broadcast(b), F.col("__ib") == F.col("__ia") + 1
+    ).select("__x", (F.col("__vb") - F.col("__x")).alias("__y"))
+    m = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    n = F.col("n")
+    det = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    alpha = (F.col("sy") - rho * F.col("sx")) / n
+    ssr = (
+        F.col("syy")
+        - alpha * F.col("sy")
+        - rho * F.col("sxy")
+    )
+    s2 = ssr / (n - 2.0)
+    se = F.sqrt(s2 * n / det)
+    ok = (n >= 3) & (det > 0)
+    return m.select(
+        n.cast("long").alias("n"),
+        (F.round(F.when(ok, rho), 6) + F.lit(0.0)).alias("rho"),
+        (
+            F.round(F.when(ok & (s2 > 0), rho / se), 6) + F.lit(0.0)
+        ).alias("t_stat"),
+    )

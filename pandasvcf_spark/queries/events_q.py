@@ -8439,3 +8439,65 @@ def e_kpss(spark, sf_dir):
         "v",
     )
     return kpss_test(ser, "t", "v", lags=4)
+
+
+@register(
+    "e_adf",
+    oracle="""
+    WITH ser AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE)
+               AS t,
+             round(sum(value), 2) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY CAST(ts AS DATE)),
+    pos AS (SELECT row_number() OVER (ORDER BY t) AS i, v FROM ser),
+    d AS (
+      SELECT a.v AS x, b.v - a.v AS y
+      FROM pos a JOIN pos b ON b.i = a.i + 1),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy,
+             sum(y * y) AS syy
+      FROM d),
+    f AS (
+      SELECT n, n * sxx - sx * sx AS det,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS rho,
+             sx, sy, sxy, syy
+      FROM m),
+    g AS (
+      SELECT n, det, rho,
+             syy - ((sy - rho * sx) / n) * sy - rho * sxy AS ssr
+      FROM f)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n >= 3 AND det > 0 THEN rho END, 6)
+             + 0.0 AS rho,
+           round(CASE WHEN n >= 3 AND det > 0
+                  AND ssr / (n - 2.0) > 0
+                 THEN rho / sqrt(ssr / (n - 2.0) * n / det)
+                 END, 6) + 0.0 AS t_stat
+    FROM g
+    """,
+)
+def e_adf(spark, sf_dir):
+    """Dickey-Fuller unit-root test (operators/stats.adf_test,
+    0 augmentation lags) on the daily value-total series — e_kpss's
+    classical partner: DF's null is a unit root, KPSS's null is
+    stationarity, and agreement between them settles the question.
+    One position window + one lag-1 position self-join + a 6-sum
+    closed-form OLS fold, all series-sized after the daily pre-agg.
+    The oracle replays the pairing, the sums and the t statistic."""
+    from pandasvcf_spark.operators.stats import adf_test
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    ser = e.groupBy(F.to_date("ts").alias("__d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    ).select(
+        F.datediff(F.col("__d"), F.lit("2024-01-01")).cast("double")
+        .alias("t"),
+        "v",
+    )
+    return adf_test(ser, "t", "v")

@@ -1147,6 +1147,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cumulative ladder (runs_test
                                  # contract, tripwired) + position-
                                  # banded lag join; replica pytest
+        "e_adf",                 # Dickey-Fuller: e_kpss's partner —
+                                 # lag-1 position self-join + 6-sum
+                                 # closed-form OLS; noise-vs-walk
+                                 # replica pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -4219,3 +4219,50 @@ def test_kpss_vs_replica_and_regimes(spark):
     assert out_s["s2_l"] == pytest.approx(round(s2_s, 4), abs=2e-4)
     assert out_t["eta"] == pytest.approx(round(eta_t, 6), abs=2e-6)
     assert out_s["eta"] < 0.463 < out_t["eta"]
+
+
+def test_adf_vs_replica_and_regimes(spark):
+    """Mean-reverting noise -> strongly negative t (reject unit root);
+    a random-walk-like cumulative series -> t near 0; exact check vs
+    the closed-form OLS replica."""
+    from pandasvcf_spark.operators.stats import adf_test
+
+    noise = [((i * 2654435761) % 97) / 97.0 for i in range(50)]
+    walk = []
+    acc = 0.0
+    for x in noise:
+        acc += x - 0.5
+        walk.append(acc)
+
+    def run(vals):
+        df = spark.createDataFrame(
+            [(float(i), float(v)) for i, v in enumerate(vals)],
+            "t double, v double",
+        )
+        return adf_test(df, "t", "v").collect()[0]
+
+    def replica(vals):
+        import math as _m
+
+        xs = vals[:-1]
+        ys = [b - a for a, b in zip(vals, vals[1:])]
+        n = float(len(xs))
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        syy = sum(y * y for y in ys)
+        det = n * sxx - sx * sx
+        rho = (n * sxy - sx * sy) / det
+        alpha = (sy - rho * sx) / n
+        ssr = syy - alpha * sy - rho * sxy
+        t = rho / _m.sqrt(ssr / (n - 2) * n / det)
+        return rho, t
+
+    got_n, got_w = run(noise), run(walk)
+    rho_n, t_n = replica(noise)
+    rho_w, t_w = replica(walk)
+    assert got_n["rho"] == pytest.approx(round(rho_n, 6), abs=2e-6)
+    assert got_n["t_stat"] == pytest.approx(round(t_n, 6), abs=2e-5)
+    assert got_w["t_stat"] == pytest.approx(round(t_w, 6), abs=2e-5)
+    assert got_n["t_stat"] < -2.86        # iid noise: no unit root
+    assert got_w["t_stat"] > got_n["t_stat"]
