@@ -2067,3 +2067,82 @@ def breslow_day(
         ).alias("x2"),
         (F.col("k") - 1).alias("df"),
     )
+
+
+def rake_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iters: int = 3,
+) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan
+    1940) to UNIFORM target margins — the survey-weighting staple: per
+    (row, col) cell, the weight that makes the weighted row and column
+    totals each match an equal share of N, alternating
+
+        w ← w · (N/k_r) / Σ_col (w n)     (row pass)
+        w ← w · (N/k_c) / Σ_row (w n)     (column pass)
+
+    for a FIXED `iters` rounds from w = 1 (the g_pagerank fixed-budget
+    convention — the whole fit replays as an unrolled SQL oracle;
+    uniform targets keep the operator a pure function of the data —
+    margin-table targets are a trivial extension). NULL row/col rows
+    drop; empty margins cannot occur (every present cell has mass).
+
+    Output: one row per cell (row_col, col_col, n BIGINT, weight
+    DOUBLE round 6, weighted_n DOUBLE round 4 = n·w). After
+    convergence each row margin's Σ weighted_n ≈ N/k_r and each
+    column's ≈ N/k_c.
+
+    Plan: ONE data-sized groupBy collapses to the margin-cell table;
+    every IPF pass is two window sums over those cells
+    (margin-count-sized) — no joins, no driver state."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    r = F.col(row_col)
+    c = F.col(col_col)
+    nn = df.filter(r.isNotNull() & c.isNotNull())
+    cells = nn.groupBy(r.alias("__r"), c.alias("__c")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    w_row = Window.partitionBy("__r")
+    w_col = Window.partitionBy("__c")
+    # N / k_r / k_c are a model-sized 1-row collect (joining the
+    # aggregate back would self-join cells with its own lineage, which
+    # Spark 4's reference dedup then flags ambiguous); the division
+    # happens here in the same double arithmetic the oracle replays
+    trow = cells.agg(
+        F.sum("__n").alias("N"),
+        F.countDistinct("__r").cast("double").alias("kr"),
+        F.countDistinct("__c").cast("double").alias("kc"),
+    ).collect()[0]
+    if not trow["N"]:
+        raise ValueError("rake_weights: no complete-case rows")
+    tr = F.lit(float(trow["N"]) / float(trow["kr"]))
+    tc2 = F.lit(float(trow["N"]) / float(trow["kc"]))
+    cur = cells.withColumn("__w", F.lit(1.0))
+    for _ in range(iters):
+        # fresh alias + rename per pass: replacing a column that the
+        # same projection's window expression reads trips Spark 4's
+        # stricter ambiguity check
+        row_tot = F.sum(F.col("__w") * F.col("__n")).over(w_row)
+        cur = (
+            cur.withColumn("__w2", F.col("__w") * tr / row_tot)
+            .drop("__w")
+            .withColumnRenamed("__w2", "__w")
+        )
+        col_tot = F.sum(F.col("__w") * F.col("__n")).over(w_col)
+        cur = (
+            cur.withColumn("__w2", F.col("__w") * tc2 / col_tot)
+            .drop("__w")
+            .withColumnRenamed("__w2", "__w")
+        )
+    return cur.select(
+        F.col("__r").alias(row_col),
+        F.col("__c").alias(col_col),
+        F.col("__n").cast("long").alias("n"),
+        (F.round(F.col("__w"), 6) + F.lit(0.0)).alias("weight"),
+        (
+            F.round(F.col("__n") * F.col("__w"), 4) + F.lit(0.0)
+        ).alias("weighted_n"),
+    )

@@ -8501,3 +8501,63 @@ def e_adf(spark, sf_dir):
         "v",
     )
     return adf_test(ser, "t", "v")
+
+
+def _rake_round_sql(src: str, out: str) -> str:
+    """One unrolled IPF round: the row pass then the column pass, each
+    one window sum over the margin cells (carrying N/kr/kc through)."""
+    return f"""
+    {out}_r AS (
+      SELECT r, c, n, tn, kr, kc,
+             w * (tn / kr) / sum(w * n) OVER (PARTITION BY r) AS w
+      FROM {src}),
+    {out} AS (
+      SELECT r, c, n, tn, kr, kc,
+             w * (tn / kc) / sum(w * n) OVER (PARTITION BY c) AS w
+      FROM {out}_r)"""
+
+
+@register(
+    "m_raking",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type AS r, CAST(user_id % 2 AS INT) AS c
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    cells AS (SELECT r, c, CAST(count(*) AS DOUBLE) AS n
+              FROM b GROUP BY r, c),
+    tot AS (SELECT sum(n) AS tn,
+                   CAST(count(DISTINCT r) AS DOUBLE) AS kr,
+                   CAST(count(DISTINCT c) AS DOUBLE) AS kc
+            FROM cells),
+    w0 AS (SELECT r, c, n, tn, kr, kc, CAST(1.0 AS DOUBLE) AS w
+           FROM cells, tot),
+    {_rake_round_sql('w0', 'w1')},
+    {_rake_round_sql('w1', 'w2')},
+    {_rake_round_sql('w2', 'w3')}
+    SELECT r AS event_type, c AS parity, CAST(n AS BIGINT) AS n,
+           round(w, 6) + 0.0 AS weight,
+           round(n * w, 4) + 0.0 AS weighted_n
+    FROM w3
+    """,
+)
+def m_raking(spark, sf_dir):
+    """Raking / iterative proportional fitting (operators/stats.
+    rake_weights, 3 fixed rounds, uniform targets) over the
+    event_type × user-parity margin grid — the survey-weighting
+    staple: after the alternating row/column scalings every
+    event_type's weighted total ≈ N/5 and every parity's ≈ N/2. The
+    corpus collapses ONCE to the margin-cell table; each IPF pass is
+    two margin-partitioned window sums over those cells. The oracle
+    unrolls all three rounds (the g_pagerank fixed-budget
+    convention)."""
+    from pandasvcf_spark.operators.stats import rake_weights
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.col("event_type"),
+        (F.col("user_id") % 2).cast("int").alias("parity"),
+    )
+    return rake_weights(d, "event_type", "parity", iters=3)

