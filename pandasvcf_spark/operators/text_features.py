@@ -1901,3 +1901,76 @@ def moore_lewis_scores(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         (F.round(F.avg("__lp"), 4) + F.lit(0.0)).alias("ce_diff"),
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    in_domain,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") — `moore_lewis_
+    scores`'s scale path: features are HASHED word BIGRAMS (feature
+    hashing bounds the model at `n_buckets` whatever the vocabulary —
+    the device that keeps a 100 TB corpus's "vocabulary" table a
+    fixed-size grid), and the weight is the per-feature log ratio of
+    add-one-smoothed in-domain vs corpus bucket models:
+
+        log w(doc) = avg over bigram buckets b of
+                     [ log10 P_in(b) − log10 P_gen(b) ]
+
+    Resample/keep the top tail to shift the corpus toward the target
+    (the resampling step is the caller's cut — this operator is the
+    scorer). Hash = the portable polynomial over the bigram,
+    Knuth-scrambled mod n_buckets (the countmin_sketch device), so
+    the whole model is ANSI-SQL-replayable. Docs with < 2 words drop
+    (no bigrams).
+
+    Output: (id_col, n_bigrams BIGINT, logw DOUBLE round 4). Plan:
+    one bigram explode; ONE n_buckets-bounded conditional groupBy
+    builds both models; scoring is the bigram stream equi-joined to
+    the bucket grid + one per-doc agg — the t_moore_lewis shape with
+    the vocabulary table swapped for a fixed grid."""
+    from pandasvcf_spark.functions.text import (
+        POLY_MOD,
+        poly_hash_expr,
+        word_ngrams_expr,
+    )
+
+    if n_buckets < 2:
+        raise ValueError(f"need n_buckets >= 2, got {n_buckets}")
+    ind = in_domain.cast("boolean")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(ind, 1).otherwise(0).alias("__in"),
+        F.explode(word_ngrams_expr(text_col, 2)).alias("__g"),
+    )
+    h = poly_hash_expr(F.col("__g"))
+    b = ((h * F.lit(2654435761)) % F.lit(POLY_MOD)) % F.lit(n_buckets)
+    buck = toks.select(F.col(id_col), "__in", b.alias("__b"))
+    stats = buck.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__c_all"),
+        F.sum("__in").alias("__c_in"),
+    )
+    tot = stats.agg(
+        F.sum("__c_all").alias("__na"),
+        F.sum("__c_in").alias("__ni"),
+    )
+    lw = F.log10(
+        (F.col("__c_in") + 1)
+        / (F.col("__ni") + F.lit(n_buckets)).cast("double")
+    ) - F.log10(
+        (F.col("__c_all") + 1)
+        / (F.col("__na") + F.lit(n_buckets)).cast("double")
+    )
+    scored = (
+        buck.join(stats, on="__b")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), lw.alias("__lw"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.round(F.avg("__lw"), 4) + F.lit(0.0)).alias("logw"),
+    )

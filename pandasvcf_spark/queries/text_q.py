@@ -3777,3 +3777,55 @@ def t_tokenizer_fertility(spark, sf_dir):
             + F.lit(0.0)
         ).alias("chars_per_token"),
     )
+
+
+_DSIR_HASH = _SQL_POLY_HASH.format(s="g")
+
+
+@register(
+    "t_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ind,
+             {_WORDS} AS ws
+      FROM documents WHERE text IS NOT NULL),
+    bg AS (
+      SELECT doc_id, ind,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS g
+      FROM toks),
+    bk AS (
+      SELECT doc_id, ind,
+             (({_DSIR_HASH} * 2654435761) % 2147483647) % 4096 AS b
+      FROM bg),
+    st AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(ind) AS BIGINT) AS c_in
+      FROM bk GROUP BY b),
+    tot AS (SELECT sum(c_all) AS na, sum(c_in) AS ni FROM st),
+    sc AS (
+      SELECT k.doc_id,
+             log10((st.c_in + 1) / CAST(tot.ni + 4096 AS DOUBLE))
+             - log10((st.c_all + 1) / CAST(tot.na + 4096 AS DOUBLE))
+               AS lw
+      FROM bk k JOIN st ON k.b = st.b CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lw), 4) + 0.0 AS logw
+    FROM sc GROUP BY doc_id
+    """,
+)
+def t_dsir(spark, sf_dir):
+    """DSIR-style hashed-bigram importance weights (operators/
+    text_features.dsir_scores, 4096 buckets) with source 'src1' as the
+    target distribution — t_moore_lewis's scale path: feature hashing
+    bounds the model grid at n_buckets whatever the vocabulary, the
+    device a 100 TB corpus needs where an exact bigram table would be
+    corpus-sized. Deterministic portable hash → the bucket models,
+    and every document's weight, replay exactly in SQL."""
+    from pandasvcf_spark.operators.text_features import dsir_scores
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_scores(
+        d, "doc_id", "text", F.col("source") == "src1", n_buckets=4096
+    )

@@ -1156,6 +1156,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cell table (the g_pagerank budget
                                  # convention); margin-convergence
                                  # pytest
+        "t_dsir",                # DSIR hashed-bigram weights:
+                                 # t_moore_lewis's two-LM shape with
+                                 # the vocabulary table swapped for a
+                                 # fixed hash grid (the countmin
+                                 # device); target-preference pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

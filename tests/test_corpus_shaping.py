@@ -2198,3 +2198,31 @@ def test_tokenizer_fertility_identities(spark):
                F.sum("nc").alias("nc")).collect()}
     assert got["x"] == (3, 9, 9)   # aa bbb cccc: 3 words, 9 chars
     assert got["y"] == (1, 2, 2)
+
+
+def test_dsir_scores_prefer_target_distribution(spark):
+    """Docs built from the target slice's bigrams outrank docs of
+    general-only bigrams; a doc with a single word has no bigrams and
+    drops; hash determinism: same text -> same logw."""
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.text_features import dsir_scores
+
+    rows = [
+        (1, "alpha beta alpha beta gamma", "tgt"),
+        (2, "alpha beta alpha", "tgt"),
+        (3, "delta epsilon delta epsilon", "gen"),
+        (4, "alpha beta gamma", "gen"),   # target-like general doc
+        (5, "delta epsilon", "gen"),
+        (6, "solo", "gen"),               # one word: no bigrams
+        (7, "alpha beta alpha", "gen"),   # identical text to doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, src string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["logw"]) for r in
+           dsir_scores(df, "doc_id", "text",
+                       F.col("src") == "tgt", n_buckets=64).collect()}
+    assert 6 not in got
+    assert got[2] == got[7]               # score is text-deterministic
+    assert got[4][1] > got[3][1]          # target-like beats general-only
+    assert got[1][1] > got[5][1]
+    assert got[1][0] == 4 and got[5][0] == 1
