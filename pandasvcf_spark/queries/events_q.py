@@ -8561,3 +8561,93 @@ def m_raking(spark, sf_dir):
         (F.col("user_id") % 2).cast("int").alias("parity"),
     )
     return rake_weights(d, "event_type", "parity", iters=3)
+
+
+@register(
+    "m_dml",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(user_id % 2 AS DOUBLE) AS t,
+             CAST(value AS DOUBLE) AS y,
+             CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(event_id % 5 AS DOUBLE) AS x2
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND ts IS NOT NULL AND event_id IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(t) AS st, sum(x1 * t) AS s1t, sum(x2 * t) AS s2t
+      FROM s),
+    det AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS d0
+      FROM m),
+    by AS (
+      SELECT *,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) / d0 AS yb0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) / d0 AS yb1,
+             (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) / d0 AS yb2,
+             (st * (s11 * s22 - s12 * s12)
+              - s1 * (s1t * s22 - s12 * s2t)
+              + s2 * (s1t * s12 - s11 * s2t)) / d0 AS tb0,
+             (n * (s1t * s22 - s12 * s2t)
+              - st * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2t - s1t * s2)) / d0 AS tb1,
+             (n * (s11 * s2t - s1t * s12)
+              - s1 * (s1 * s2t - s1t * s2)
+              + st * (s1 * s12 - s11 * s2)) / d0 AS tb2
+      FROM det),
+    r AS (
+      SELECT s.y - (b.yb0 + b.yb1 * s.x1 + b.yb2 * s.x2) AS ey,
+             s.t - (b.tb0 + b.tb1 * s.x1 + b.tb2 * s.x2) AS et
+      FROM s, by b),
+    g AS (
+      SELECT sum(et * ey) AS sty, sum(et * et) AS stt,
+             sum(et * et * ey * ey) AS s4,
+             CAST(count(*) AS BIGINT) AS n
+      FROM r)
+    SELECT n,
+           round(CASE WHEN stt > 0 THEN sty / stt END, 6)
+             + 0.0 AS theta,
+           round(CASE WHEN stt > 0 THEN sqrt(s4) / stt END, 6)
+             + 0.0 AS se
+    FROM g
+    """,
+)
+def m_dml(spark, sf_dir):
+    """Double-ML / Frisch-Waugh partialling-out ATE of the user-parity
+    'treatment' on value, controls hour-of-day and event_id%5
+    (operators/stats.dml_ate) — the residual-on-residual member of
+    the causal trio (m_stratified_ate cells, m_ipw weights, this):
+    two OLS nuisance fits SHARE one X'X pass (only the right-hand
+    sides differ), betas inject as literals, and θ = Σe_t e_y / Σe_t²
+    folds in one more pass with the conservative sandwich SE. θ ~ 0
+    expected on this A/A parity split. The oracle replays both Cramer
+    solves and the residual fold."""
+    from pandasvcf_spark.operators.stats import dml_ate
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    d = e.select(
+        (F.col("user_id") % 2).cast("double").alias("t"),
+        F.col("value").cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("x1"),
+        (F.col("event_id") % 5).cast("double").alias("x2"),
+    )
+    return dml_ate(d, "t", "y", ["x1", "x2"])

@@ -1156,6 +1156,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cell table (the g_pagerank budget
                                  # convention); margin-convergence
                                  # pytest
+        "m_dml",                 # double-ML partialling-out ATE:
+                                 # two shared-X'X Cramer fits + one
+                                 # residual fold (the breusch_pagan
+                                 # shape); confounder-recovery +
+                                 # numpy replica pytest
         "t_dsir",                # DSIR hashed-bigram weights:
                                  # t_moore_lewis's two-LM shape with
                                  # the vocabulary table swapped for a
