@@ -1560,3 +1560,118 @@ def fairness_report(
             F.round(F.max("__fpr") - F.min("__fpr"), 6) + F.lit(0.0)
         ).alias("fpr_gap"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    calib_col: str,
+    group_col: str,
+    y_col: str,
+    alpha: float = 0.1,
+    max_cells: int | None = 1_000_000,
+) -> DataFrame:
+    """Split conformal prediction (Vovk et al. 2005; Lei et al. 2018)
+    with a group-mean base model — the distribution-free interval
+    machinery every prediction service bolts on: on the CALIBRATION
+    slice (`calib_col` true) fit ŷ = per-`group_col` mean (unseen
+    groups fall back to the global calibration mean), take
+
+        q̂ = the k-th smallest |y − ŷ|,  k = ceil((n_cal + 1)(1 − α))
+
+    and the guarantee says P(|y_test − ŷ| <= q̂) >= 1 − α for
+    exchangeable data. This operator reports q̂ AND the realized test
+    coverage, the audit pair.
+
+    Scores round to 4dp BEFORE the ladder (the distinct-cell
+    discipline, tripwired via `max_cells`; the comparison uses the
+    same rounded scores on both slices, so coverage is exact for the
+    rounded score). k computes in the same double arithmetic an SQL
+    replay performs (ceil((n+1)·(1−α)) — both engines see identical
+    products). n_cal < k (tiny calibration) yields q̂ NULL and
+    coverage 1.0 (the honest infinite interval).
+
+    Output (1 row): n_cal, n_test BIGINT, qhat DOUBLE round 4,
+    coverage DOUBLE round 4. Plan: one group-mean agg + broadcast
+    join-back, one distinct-score cell ladder (cumulative count →
+    min cell with cum >= k), one test fold; one model-sized 1-row
+    collect for n_cal."""
+    import math
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    cal = F.col(calib_col).cast("boolean")
+    y = F.col(y_col).cast("double")
+    g = F.col(group_col)
+    nn = df.filter(
+        cal.isNotNull() & y.isNotNull() & g.isNotNull()
+    ).select(cal.alias("__cal"), g.alias("__g"), y.alias("__y"))
+    means = (
+        nn.filter(F.col("__cal"))
+        .groupBy("__g")
+        .agg(F.avg("__y").alias("__m"))
+    )
+    gm = nn.filter(F.col("__cal")).agg(
+        F.avg("__y").alias("__gm"),
+        F.count(F.lit(1)).cast("long").alias("__ncal"),
+    )
+    n_cal = gm.collect()[0]
+    if not n_cal["__ncal"]:
+        raise ValueError("conformal_interval: empty calibration slice")
+    ncal = int(n_cal["__ncal"])
+    k = math.ceil((ncal + 1) * (1.0 - float(alpha)))
+    scored = (
+        nn.join(means, on="__g", how="left")
+        .crossJoin(F.broadcast(gm.select("__gm")))
+        .select(
+            "__cal",
+            F.round(
+                F.abs(
+                    F.col("__y")
+                    - F.coalesce(F.col("__m"), F.col("__gm"))
+                ),
+                4,
+            ).alias("__s"),
+        )
+    )
+    cal_scores = scored.filter(F.col("__cal")).select("__s")
+    _assert_cell_bound(
+        cal_scores, ["__s"], "conformal_interval", max_cells,
+        plan_word="distinct-score order-statistic ladder",
+    )
+    cells = cal_scores.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    qhat_row = (
+        cells.select(
+            "__s", F.sum("__c").over(w_cum).alias("__cum")
+        )
+        .filter(F.col("__cum") >= k)
+        .agg(F.min("__s").alias("__q"))
+    )
+    test = scored.filter(~F.col("__cal"))
+    out = test.crossJoin(F.broadcast(qhat_row)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("__q").isNull()
+                        | (F.col("__s") <= F.col("__q")),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("coverage"),
+        (F.round(F.max("__q"), 4) + F.lit(0.0)).alias("qhat"),
+    )
+    return out.select(
+        F.lit(ncal).cast("long").alias("n_cal"),
+        "n_test",
+        "qhat",
+        "coverage",
+    )

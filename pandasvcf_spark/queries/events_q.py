@@ -8651,3 +8651,62 @@ def m_dml(spark, sf_dir):
         (F.col("event_id") % 5).cast("double").alias("x2"),
     )
     return dml_ate(d, "t", "y", ["x1", "x2"])
+
+
+@register(
+    "m_conformal",
+    oracle="""
+    WITH b AS (
+      SELECT (event_id % 2 = 0) AS cal, event_type AS g,
+             CAST(value AS DOUBLE) AS y
+      FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL),
+    means AS (SELECT g, avg(y) AS m FROM b WHERE cal GROUP BY g),
+    gm AS (SELECT avg(y) AS gmean, CAST(count(*) AS BIGINT) AS ncal
+           FROM b WHERE cal),
+    scored AS (
+      SELECT b.cal,
+             round(abs(b.y - coalesce(mm.m, gm.gmean)), 4) AS s
+      FROM b LEFT JOIN means mm ON b.g = mm.g, gm),
+    kk AS (SELECT CAST(ceil((ncal + 1)
+                  * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k,
+                  ncal
+           FROM gm),
+    cells AS (SELECT s, count(*) AS c FROM scored WHERE cal GROUP BY s),
+    lad AS (SELECT s, sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS cum
+            FROM cells),
+    q AS (SELECT min(s) AS qh FROM lad, kk WHERE cum >= kk.k)
+    SELECT kk.ncal AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(max(q.qh), 4) + 0.0 AS qhat,
+           round(avg(CASE WHEN q.qh IS NULL OR scored.s <= q.qh
+                     THEN 1.0 ELSE 0.0 END), 4) + 0.0 AS coverage
+    FROM scored, q, kk
+    WHERE NOT scored.cal
+    GROUP BY kk.ncal
+    """,
+)
+def m_conformal(spark, sf_dir):
+    """Split conformal prediction interval (operators/stats.
+    conformal_interval, α = 0.1) — calibration = even event_ids, base
+    model = per-event-type calibration mean, q̂ = the exact
+    ceil((n+1)·0.9)-th order statistic of the rounded absolute
+    residuals via the distinct-score cell ladder, audited by the
+    realized odd-event_id coverage (~0.9, the distribution-free
+    guarantee). One group-mean join-back + one cell ladder + one test
+    fold; the oracle replays split, model, k, ladder and coverage."""
+    from pandasvcf_spark.operators.stats import conformal_interval
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    d = e.select(
+        (F.col("event_id") % 2 == 0).alias("cal"),
+        F.col("event_type").alias("g"),
+        F.col("value").cast("double").alias("y"),
+    )
+    return conformal_interval(d, "cal", "g", "y", alpha=0.1)

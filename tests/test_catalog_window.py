@@ -1156,6 +1156,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cell table (the g_pagerank budget
                                  # convention); margin-convergence
                                  # pytest
+        "m_conformal",           # split conformal q-hat: group-mean
+                                 # join-back + the distinct-score
+                                 # order-statistic ladder (m_fdr_bh's
+                                 # ladder family) + coverage fold;
+                                 # exact order-stat pytest
         "m_dml",                 # double-ML partialling-out ATE:
                                  # two shared-X'X Cramer fits + one
                                  # residual fold (the breusch_pagan

@@ -4337,3 +4337,38 @@ def test_dml_ate_recovers_confounded_effect(spark):
     se = np.sqrt(np.sum(et * et * ey * ey)) / (et @ et)
     assert out["theta"] == pytest.approx(round(float(theta), 6), abs=2e-6)
     assert out["se"] == pytest.approx(round(float(se), 6), abs=2e-6)
+
+
+def test_conformal_interval_guarantee_and_order_stat(spark):
+    """Exact order-statistic check on a hand grid (n_cal = 9, α = 0.1
+    -> k = 9 = max residual), plus the coverage guarantee on a larger
+    exchangeable split (coverage >= 0.9 - slack) and the tiny-
+    calibration infinite-interval path."""
+    from pandasvcf_spark.operators.stats import conformal_interval
+
+    # n_cal = 9, scores 1..9 (group 'a' mean = 5 over 9 symmetric ys)
+    rows = [(True, "a", float(v)) for v in
+            [0, 1, 2, 3, 5, 7, 8, 9, 10]]  # mean = 5
+    rows += [(False, "a", 5.0 + d) for d in (0.5, 4.9, 5.1, -6.0)]
+    df = spark.createDataFrame(rows, "cal boolean, g string, y double")
+    out = conformal_interval(df, "cal", "g", "y", alpha=0.1).collect()[0]
+    # k = ceil(10 * 0.9) = 9 -> qhat = 9th smallest |y-5| = 5.0
+    assert out["n_cal"] == 9 and out["n_test"] == 4
+    assert out["qhat"] == 5.0
+    # test scores |y-5| = 0.5, 4.9, 5.1, 6.0 -> two of four <= 5.0
+    assert out["coverage"] == 0.5
+
+    big = spark.createDataFrame(
+        [((i % 2 == 0), f"g{i % 5}",
+          float((i * 2654435761) % 199) / 10.0) for i in range(600)],
+        "cal boolean, g string, y double",
+    )
+    got = conformal_interval(big, "cal", "g", "y", alpha=0.1).collect()[0]
+    assert got["coverage"] >= 0.85       # guarantee minus finite slack
+
+    tiny = spark.createDataFrame(
+        [(True, "a", 1.0), (False, "a", 99.0)],
+        "cal boolean, g string, y double",
+    )
+    t = conformal_interval(tiny, "cal", "g", "y", alpha=0.1).collect()[0]
+    assert t["qhat"] is None and t["coverage"] == 1.0
