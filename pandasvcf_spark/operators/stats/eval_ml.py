@@ -1675,3 +1675,72 @@ def conformal_interval(
         "qhat",
         "coverage",
     )
+
+
+def best_split(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Best binary split of a numeric feature against a 0/1 label by
+    information gain — the decision-stump / feature-screening
+    primitive (the inner loop of tree induction, and the quick "does
+    this feature carry signal at any threshold?" audit):
+
+        at threshold t (left branch: score >= t):
+        gain(t) = H(p) − (n_L/n) H(p_L) − (n_R/n) H(p_R)
+
+    evaluated at EVERY distinct score from the same cumulative ladder
+    roc_points/pr_points ride (`_cum_score_ladder`: distinct-score
+    cells, tripwired, bucketed re-cut above `ladder_cells`), then one
+    deterministic argmax (gain DESC, threshold ASC). Degenerate
+    branches (empty side) have gain 0 by construction of the entropy
+    guard. PRE-BUCKET dense scores.
+
+    Output (1 row): n BIGINT, threshold DOUBLE, gain DOUBLE round 6,
+    p_left, p_right DOUBLE round 6 (positive rates of the chosen
+    branches; NULL when a branch is empty)."""
+    r = _cum_score_ladder(
+        df, score_col, label_col, "best_split",
+        max_cells, ladder_cells, n_buckets,
+    )
+
+    def _h(p):
+        return F.when(
+            (p > 0) & (p < 1),
+            -(p * F.log2(p) + (1.0 - p) * F.log2(1.0 - p)),
+        ).otherwise(F.lit(0.0))
+
+    nl = (F.col("__cp") + F.col("__cn")).cast("double")
+    nr = (
+        F.col("__P") + F.col("__N") - F.col("__cp") - F.col("__cn")
+    ).cast("double")
+    n = (F.col("__P") + F.col("__N")).cast("double")
+    p_all = F.col("__P") / n
+    pl = F.when(nl > 0, F.col("__cp") / nl)
+    pr = F.when(nr > 0, (F.col("__P") - F.col("__cp")) / nr)
+    gain = (
+        _h(p_all)
+        - (nl / n) * F.coalesce(_h(pl), F.lit(0.0))
+        - (nr / n) * F.coalesce(_h(pr), F.lit(0.0))
+    )
+    best = r.select(
+        F.struct(
+            gain.alias("g"),
+            (-F.col("__s")).alias("ns"),
+            F.col("__s").alias("s"),
+            pl.alias("pl"),
+            pr.alias("pr"),
+            n.alias("n"),
+        ).alias("__cand")
+    ).agg(F.max("__cand").alias("__b"))
+    return best.select(
+        F.col("__b.n").cast("long").alias("n"),
+        F.col("__b.s").alias("threshold"),
+        (F.round(F.col("__b.g"), 6) + F.lit(0.0)).alias("gain"),
+        (F.round(F.col("__b.pl"), 6) + F.lit(0.0)).alias("p_left"),
+        (F.round(F.col("__b.pr"), 6) + F.lit(0.0)).alias("p_right"),
+    )

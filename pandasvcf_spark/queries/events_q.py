@@ -8710,3 +8710,76 @@ def m_conformal(spark, sf_dir):
         F.col("value").cast("double").alias("y"),
     )
     return conformal_interval(d, "cal", "g", "y", alpha=0.1)
+
+
+@register(
+    "m_best_split",
+    oracle="""
+    WITH b AS (
+      SELECT round(value, 0) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (
+      SELECT DISTINCT s,
+             sum(y) OVER (ORDER BY s DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cp,
+             sum(1 - y) OVER (ORDER BY s DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cn,
+             sum(y) OVER () AS pp,
+             sum(1 - y) OVER () AS np
+      FROM b),
+    g AS (
+      SELECT s,
+             CAST(cp + cn AS DOUBLE) AS nl,
+             CAST(pp + np - cp - cn AS DOUBLE) AS nr,
+             CAST(pp + np AS DOUBLE) AS n,
+             CAST(pp AS DOUBLE) / (pp + np) AS pa,
+             CASE WHEN cp + cn > 0
+               THEN CAST(cp AS DOUBLE) / (cp + cn) END AS pl,
+             CASE WHEN pp + np - cp - cn > 0
+               THEN CAST(pp - cp AS DOUBLE)
+                    / (pp + np - cp - cn) END AS pr
+      FROM r),
+    e AS (
+      SELECT s, n, pl, pr,
+             (CASE WHEN pa > 0 AND pa < 1
+               THEN -(pa * log2(pa) + (1.0 - pa) * log2(1.0 - pa))
+               ELSE 0.0 END)
+             - (nl / n) * coalesce(CASE WHEN pl > 0 AND pl < 1
+                 THEN -(pl * log2(pl) + (1.0 - pl) * log2(1.0 - pl))
+                 ELSE 0.0 END, 0.0)
+             - (nr / n) * coalesce(CASE WHEN pr > 0 AND pr < 1
+                 THEN -(pr * log2(pr) + (1.0 - pr) * log2(1.0 - pr))
+                 ELSE 0.0 END, 0.0) AS gain
+      FROM g)
+    SELECT CAST(n AS BIGINT) AS n, s AS threshold,
+           round(gain, 6) + 0.0 AS gain,
+           round(pl, 6) + 0.0 AS p_left,
+           round(pr, 6) + 0.0 AS p_right
+    FROM e ORDER BY gain DESC, s LIMIT 1
+    """,
+)
+def m_best_split(spark, sf_dir):
+    """Best information-gain threshold of the integer-rounded value
+    against the 'purchase' label (operators/stats.best_split) — the
+    decision-stump / feature-screening primitive riding the SAME
+    cumulative distinct-score ladder as m_roc_points/m_pr_points
+    (collapse first, bucketed re-cut above 1M cells), with a
+    deterministic (gain DESC, threshold ASC) argmax. Near-zero gain
+    expected on this independent fixture — the entry checks the
+    entropy arithmetic and the ladder reuse. The oracle replays gain
+    at every threshold and the argmax."""
+    from pandasvcf_spark.operators.stats import best_split
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        F.round("value", 0).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y"),
+    )
+    return best_split(d, "s", "y")

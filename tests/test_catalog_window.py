@@ -1156,6 +1156,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # cell table (the g_pagerank budget
                                  # convention); margin-convergence
                                  # pytest
+        "m_best_split",          # decision-stump info gain: rides
+                                 # _cum_score_ladder (the m_roc/
+                                 # m_pr_points device) + deterministic
+                                 # argmax; planted-threshold pytest
         "m_conformal",           # split conformal q-hat: group-mean
                                  # join-back + the distinct-score
                                  # order-statistic ladder (m_fdr_bh's

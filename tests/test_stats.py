@@ -4372,3 +4372,35 @@ def test_conformal_interval_guarantee_and_order_stat(spark):
     )
     t = conformal_interval(tiny, "cal", "g", "y", alpha=0.1).collect()[0]
     assert t["qhat"] is None and t["coverage"] == 1.0
+
+
+def test_best_split_finds_planted_threshold(spark):
+    """Label = (score >= 7): the split at 7 is pure (gain = H(p));
+    a label independent of score gives ~0 gain; ladder re-cut
+    bit-identical; exact entropy replica."""
+    import math as _m
+
+    from pandasvcf_spark.operators.stats import best_split
+
+    rows = [(float(i % 10), 1 if (i % 10) >= 7 else 0)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = best_split(df, "s", "y").collect()[0]
+    assert out["threshold"] == 7.0
+    p = 0.3
+    h = -(p * _m.log2(p) + (1 - p) * _m.log2(1 - p))
+    assert out["gain"] == pytest.approx(round(h, 6), abs=2e-6)
+    assert out["p_left"] == 1.0 and out["p_right"] == 0.0
+
+    # block parity is independent of the digit (the i*7 % 2 version
+    # equals i % 2 and hence the digit's parity — not independent!)
+    indep = spark.createDataFrame(
+        [(float(i % 10), (i // 10) % 2) for i in range(200)],
+        "s double, y int",
+    )
+    out2 = best_split(indep, "s", "y").collect()[0]
+    assert out2["gain"] < 0.02
+
+    recut = best_split(df, "s", "y", ladder_cells=1,
+                       n_buckets=4).collect()[0]
+    assert tuple(recut) == tuple(out)
