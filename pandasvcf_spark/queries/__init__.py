@@ -180,12 +180,33 @@ DRIVER_WINDOW = 50
 # counts — the n-gram join machinery stays via t_exact_substring_rm's
 # shingle chains and t_bm25_topk's term-stats joins). All six remain
 # continuously exact-checked by tests/test_contract.py.
+# A second round-12 continuation cut (the eleventh) promotes three
+# flagships built AFTER re-cut #10: m_conformal (split conformal
+# prediction — the distribution-free interval + realized-coverage
+# audit; an exact order-statistic ladder no other window row
+# replays), m_dml (double-ML partialling-out ATE — two shared-X'X
+# closed-form nuisance fits + residual fold, the causal trio's
+# residual-on-residual member), and t_dsir (DSIR hashed-bigram
+# importance weights — feature hashing bounds the LM grid at
+# n_buckets, the unbounded-vocabulary scale path of t_moore_lewis).
+# Displaced, machinery still driver-covered: t_bpe_merges (the
+# 3-rule training chain is replayed VERBATIM inside
+# t_bpe_tokens_arrow's fixture, which trains before encoding — the
+# training CTEs are a strict subset of that entry's oracle),
+# g_sample_qc (per-sample conditional-agg QC: the per-key grouped
+# conditional agg stays via flagship_annotate's histogram +
+# g_grm's panel stats; exact-checked in the tail), and v_ann_topk
+# (RP-LSH banded equi-join + per-bucket window: banding stays via
+# dedup_minhash_lsh's bucket join, quantized ANN via
+# v_rq_topk/v_ivfpq_topk, and the recall telemetry stays a bench
+# headline). All three remain continuously exact-checked by
+# tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
     "f4_zygosity",
-    "t_bpe_merges",
-    "g_sample_qc",
+    "m_conformal",
+    "m_dml",
     "g_split_multiallelic",
     "f7_format_map",
     "f8_split_columns",
@@ -216,7 +237,7 @@ _PRIORITY = [
     "sk_hll_distinct",
     "sk_f2_moment",
     "v_cosine_topk_manyquery",
-    "v_ann_topk",
+    "t_dsir",
     "v_rq_topk",
     "v_ivfpq_topk",
     "v_mmr_rerank",

@@ -28,7 +28,6 @@ def test_extension_surface_inside_window():
                                     # demoted re-cut #10) is replayed
                                     # VERBATIM as v_mmr_rerank's
                                     # candidate stage
-        "v_ann_topk",
         "v_ivfpq_topk",  # carries v_ivf_topk's coarse-cell machinery
                          # since the round-8 continuation re-cut, and
                          # (re-cut #10) v_two_stage's quantized scoring
@@ -46,7 +45,12 @@ def test_extension_surface_inside_window():
                             # overlap over (lang, score) cells, composed
                             # over the KN LM scorer
         "t_bm25_topk",
-        "t_bpe_merges",
+        "m_conformal",   # re-cut #11: split conformal — the exact
+                         # order-statistic ladder + coverage audit
+        "m_dml",         # re-cut #11: double-ML partialling-out —
+                         # shared-X'X nuisance fits + residual fold
+        "t_dsir",        # re-cut #11: DSIR hashed-bigram weights —
+                         # the fixed-grid scale path of t_moore_lewis
         "sk_hll_distinct",
         "sk_f2_moment",  # round-12 re-cut #10: AMS signed-sum grid —
                          # a third sketch-estimator family beside HLL
@@ -1055,6 +1059,18 @@ def test_tail_entries_are_redundant_variants_only():
                                  # t_pack_global (in window); exact
                                  # quantiles via agg_exact_quantiles
                                  # / agg_percentiles (tail, guarded)
+        "t_bpe_merges",          # BPE training chain: replayed
+                                 # verbatim inside t_bpe_tokens_arrow's
+                                 # fixture (trains before encoding);
+                                 # re-cut #11 demotion
+        "g_sample_qc",           # per-sample QC conditional aggs:
+                                 # grouped conditional-agg shape stays
+                                 # via flagship_annotate + g_grm;
+                                 # re-cut #11 demotion
+        "v_ann_topk",            # RP-LSH bucketed ANN: banding via
+                                 # dedup_minhash_lsh, quantized tiers
+                                 # via v_rq/v_ivfpq; recall stays a
+                                 # bench headline; re-cut #11 demotion
         "g_link_pred",           # Adamic-Adar wedges: panel-bounded
                                  # pair expansion = g_grm's device
                                  # (in window); TakeOrdered cut via
