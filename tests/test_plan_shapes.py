@@ -879,3 +879,64 @@ def test_pr_points_recut_no_single_partition_sort(spark):
     assert not re.search(
         r"Sort \[[^\]]*\][\s\S]{0,200}Exchange SinglePartition", plan
     )
+
+
+def test_round12_series_and_grid_family_no_cartesian(spark):
+    """The late round-12 shapes: KPSS/ADF position lag joins, energy/
+    MMD cell grids, Breslow-Day's stratum fold, raking's margin
+    windows, conformal's ladder, DML's pure-agg passes — broadcast or
+    bounded everywhere, never a CartesianProduct."""
+    from pandasvcf_spark.operators.stats import (
+        adf_test,
+        breslow_day,
+        conformal_interval,
+        energy_distance_2samp,
+        kpss_test,
+        mmd_rbf_2samp,
+        rake_weights,
+    )
+
+    ser = spark.range(60).select(
+        F.col("id").cast("double").alias("t"),
+        ((F.col("id") * 7) % 13).cast("double").alias("v"),
+    )
+    for df in (kpss_test(ser, "t", "v", lags=3), adf_test(ser, "t", "v")):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+
+    two = spark.range(300).select(
+        (F.col("id") % 2).cast("int").alias("g"),
+        (F.col("id") % 17).cast("double").alias("v"),
+    )
+    for df in (
+        energy_distance_2samp(two, "g", "v"),
+        mmd_rbf_2samp(two, "g", "v", sigma=2.0),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastExchange" in p
+
+    strat = spark.range(400).select(
+        (F.col("id") % 4).cast("string").alias("s"),
+        (F.col("id") % 2).cast("int").alias("e"),
+        ((F.col("id") * 7) % 2).cast("int").alias("o"),
+    )
+    p = _plan(breslow_day(strat, "s", "e", "o"))
+    assert "CartesianProduct" not in p
+
+    rk = spark.range(500).select(
+        (F.col("id") % 5).cast("string").alias("r"),
+        (F.col("id") % 2).cast("int").alias("c"),
+    )
+    p = _plan(rake_weights(rk, "r", "c", iters=2))
+    assert "CartesianProduct" not in p
+    # both margin passes are PARTITIONED windows over the cell table
+    assert "windowspecdefinition()" not in p
+
+    cf = spark.range(400).select(
+        (F.col("id") % 2 == 0).alias("cal"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        ((F.col("id") * 13) % 97).cast("double").alias("y"),
+    )
+    p = _plan(conformal_interval(cf, "cal", "g", "y"))
+    assert "CartesianProduct" not in p
