@@ -1947,6 +1947,15 @@ def mmr_rerank(
             f"need 1 <= k <= k_candidates, got k={k}, "
             f"k_candidates={k_candidates}"
         )
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(corpus.schema[id_col].dataType, NumericType):
+        raise ValueError(
+            f"mmr_rerank: {id_col!r} must be numeric — the greedy "
+            "argmax tie-break negates it inside a struct max (string "
+            "ids would ANSI-crash); map ids through a dense numeric "
+            "key first"
+        )
     one_m = 1.0 - float(lam)
     topk = cosine_topk(
         corpus, queries, k=k_candidates,

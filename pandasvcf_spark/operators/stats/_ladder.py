@@ -39,6 +39,7 @@ def bucketed_running_sums(
     n_buckets: int = 1024,
     descending: bool = False,
     next_col: str | None = None,
+    assume_checkpointed: bool = False,
 ) -> DataFrame | None:
     """cells + exact running sums of `sum_cols` through the current
     `value_col` row (ascending, or descending for the roc_points
@@ -69,7 +70,8 @@ def bucketed_running_sums(
     assert len(sum_cols) == len(out_cols)
     if next_col is not None and descending:
         raise ValueError("next_col is an ascending-ladder feature")
-    cells = cells.localCheckpoint(eager=True)
+    if not assume_checkpointed:
+        cells = cells.localCheckpoint(eager=True)
     v = F.col(value_col)
     st = cells.agg(
         F.min(value_col).alias("lo"), F.max(value_col).alias("hi")

@@ -316,15 +316,27 @@ def fdr_correct(
         if adj is None:  # degenerate distinct-p set: plain ladder
             big = False
     if not big:
-        tot = cells.agg(F.sum("__c").alias("__m"))
         w_cum = Window.orderBy("__p").rowsBetween(
             Window.unboundedPreceding, 0
         )
-        pos = cells.crossJoin(F.broadcast(tot)).select(
-            "__p",
-            "__m",
-            F.sum("__c").over(w_cum).alias("__hi"),  # run END position
-        )
+        if method == "by":
+            # one model-sized collect feeds BOTH the harmonic factor
+            # and m itself — a tot relation would re-scan cells
+            m_by = float(
+                cells.agg(F.sum("__c")).collect()[0][0] or 0.0
+            )
+            pos = cells.select(
+                "__p",
+                F.lit(m_by).alias("__m"),
+                F.sum("__c").over(w_cum).alias("__hi"),
+            )
+        else:
+            tot = cells.agg(F.sum("__c").alias("__m"))
+            pos = cells.crossJoin(F.broadcast(tot)).select(
+                "__p",
+                "__m",
+                F.sum("__c").over(w_cum).alias("__hi"),  # run END
+            )
         if method == "bonferroni":
             adj = pos.select(
                 "__p",
@@ -335,8 +347,7 @@ def fdr_correct(
         elif method in ("bh", "by"):
             cand = F.col("__m") * F.col("__p") / F.col("__hi")
             if method == "by":
-                m_val = cells.agg(F.sum("__c")).collect()[0][0]
-                cand = F.lit(_harmonic(int(m_val or 0))) * cand
+                cand = F.lit(_harmonic(int(m_by))) * cand
             w_sfx = Window.orderBy(F.col("__p").desc()).rowsBetween(
                 Window.unboundedPreceding, 0
             )

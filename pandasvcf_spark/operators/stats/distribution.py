@@ -895,22 +895,29 @@ def _ecdf_ladder(
     ladder_cells: int,
     n_buckets: int,
     with_next: bool = False,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Shared back half: cells + __cum0/__cum1 running counts through
     the current distinct value ascending (+ __nxt, the next distinct
     value, when `with_next`). At <= `ladder_cells` estimated cells the
     ladder is the plain global window; above it the windows re-cut
     through `_ladder.bucketed_running_sums` — bit-identical (integer
     counts), no single-task sort (round-11 verdict ask #4, the
-    fdr_correct device generalized)."""
+    fdr_correct device generalized).
+
+    Returns (lad, cells). In the big regime the returned cells are the
+    LOCALCHECKPOINTED snapshot the ladder rides — callers must build
+    their totals from it, or the data-sized distinct-value collapse
+    runs twice (review-caught)."""
     from ._ladder import bucketed_running_sums
 
     lad = None
     if est is not None and est > ladder_cells:
+        cells = cells.localCheckpoint(eager=True)
         lad = bucketed_running_sums(
             cells, "__v", ["__c0", "__c1"], ["__cum0", "__cum1"],
             n_buckets=n_buckets,
             next_col="__nxt" if with_next else None,
+            assume_checkpointed=True,
         )
     if lad is None:
         w_ord = Window.orderBy("__v")
@@ -928,7 +935,7 @@ def _ecdf_ladder(
             F.sum("__c1").over(w_cum).alias("__cum1"),
             *extra,
         )
-    return lad
+    return lad, cells
 
 
 def ks_2sample(
@@ -963,11 +970,11 @@ def ks_2sample(
     cells, est = _ecdf_cells(
         df, flag_col, value_col, "ks_2sample", max_cells
     )
+    lad, cells = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
     lad = lad.crossJoin(F.broadcast(tot)).select(
         F.abs(
             F.col("__cum0").cast("double") / F.col("n0")
@@ -1038,11 +1045,11 @@ def kuiper_2sample(
     cells, est = _ecdf_cells(
         df, flag_col, value_col, "kuiper_2sample", max_cells
     )
+    lad, cells = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
     lad = lad.crossJoin(F.broadcast(tot)).select(
         (
             F.col("__cum0").cast("double") / F.col("n0")
@@ -1129,12 +1136,12 @@ def anderson_darling_2samp(
         df, flag_col, value_col, "anderson_darling_2samp", max_cells,
         count_type="double",
     )
+    lj = F.col("__c0") + F.col("__c1")
+    lad, cells = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
     )
-    lj = F.col("__c0") + F.col("__c1")
-    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
     lad = lad.crossJoin(F.broadcast(tot)).select(
         "n0",
         "n1",
@@ -1207,12 +1214,12 @@ def wasserstein_1d(
     cells, est = _ecdf_cells(
         df, flag_col, value_col, "wasserstein_1d", max_cells
     )
+    lad, cells = _ecdf_ladder(
+        cells, est, ladder_cells, n_buckets, with_next=True
+    )
     tot = cells.agg(
         F.sum("__c0").cast("long").alias("n0"),
         F.sum("__c1").cast("long").alias("n1"),
-    )
-    lad = _ecdf_ladder(
-        cells, est, ladder_cells, n_buckets, with_next=True
     )
     lad = lad.crossJoin(F.broadcast(tot)).select(
         "__v",
@@ -1339,15 +1346,15 @@ def cvm_2sample(
     cells, est = _ecdf_cells(
         df, flag_col, value_col, "cvm_2sample", max_cells
     )
-    tot = cells.agg(
-        F.sum("__c0").cast("long").alias("n0"),
-        F.sum("__c1").cast("long").alias("n1"),
-    )
     gap = (
         F.col("__cum0").cast("double") / F.col("n0")
         - F.col("__cum1").cast("double") / F.col("n1")
     )
-    lad = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
+    lad, cells = _ecdf_ladder(cells, est, ladder_cells, n_buckets)
+    tot = cells.agg(
+        F.sum("__c0").cast("long").alias("n0"),
+        F.sum("__c1").cast("long").alias("n1"),
+    )
     lad = lad.crossJoin(F.broadcast(tot)).select(
         "n0",
         "n1",

@@ -653,9 +653,14 @@ def _cum_score_ladder(
     )
     r = None
     if est is not None and est > ladder_cells:
+        # one checkpointed snapshot serves BOTH the bucketed ladder and
+        # the totals (review-caught: an un-checkpointed tot re-ran the
+        # data-sized distinct-score collapse)
+        cells = cells.localCheckpoint(eager=True)
         lad = bucketed_running_sums(
             cells, "__s", ["__pos", "__neg"], ["__cp", "__cn"],
             n_buckets=n_buckets, descending=True,
+            assume_checkpointed=True,
         )
         if lad is not None:
             tot = cells.agg(
@@ -1399,12 +1404,13 @@ def mrr_eval(
 
         1 + #{candidates strictly ahead of the best relevant one}
 
-    so the whole metric is (a) one agg taking each query's best
-    relevant candidate via max(struct(score, -id)) — no sort; (b) one
+    so the whole metric is (a) two query-keyed aggs taking each
+    query's best relevant candidate (max score, then min id among the
+    score ties — type-generic, so string ids work); (b) one
     query-keyed equi-join of that (query-sized) table back onto the
     candidates; (c) one conditional count + the final fold. A rank
     window would sort every query's full candidate list; this shape
-    never sorts anything.
+    never globally sorts anything.
 
     Queries with NO relevant candidate contribute reciprocal rank 0
     and miss @k (the standard convention — they stay in the
@@ -1417,14 +1423,24 @@ def mrr_eval(
     sc = F.col(score_col).cast("double")
     rel = F.col(rel_col).cast("boolean")
     nn = df.filter(q.isNotNull() & cid.isNotNull() & sc.isNotNull())
-    best = (
+    # best relevant = max score, then MIN id among score ties — two
+    # query-keyed aggs so the tie-break works for ANY orderable id
+    # type (negating the id inside a struct-max would cast string ids
+    # to DOUBLE: an ANSI crash, or silent NULL misranks without ANSI)
+    bs = (
         nn.filter(rel)
         .groupBy(q.alias("__q"))
-        .agg(F.max(F.struct(sc.alias("s"), (-cid).alias("nid"))).alias("__b"))
+        .agg(F.max(sc).alias("__bs"))
+    )
+    best = (
+        nn.join(bs, nn[query_col] == bs["__q"], "inner")
+        .filter(rel & (sc == F.col("__bs")))
+        .groupBy("__q")
+        .agg(F.max(sc).alias("__bs2"), F.min(cid).alias("__bid"))
         .select(
             "__q",
-            F.col("__b.s").alias("__bs"),
-            (-F.col("__b.nid")).alias("__bid"),
+            F.col("__bs2").alias("__bs"),
+            "__bid",
         )
     )
     ranks = (
@@ -1619,19 +1635,19 @@ def conformal_interval(
         raise ValueError("conformal_interval: empty calibration slice")
     ncal = int(n_cal["__ncal"])
     k = math.ceil((ncal + 1) * (1.0 - float(alpha)))
-    scored = (
-        nn.join(means, on="__g", how="left")
-        .crossJoin(F.broadcast(gm.select("__gm")))
-        .select(
-            "__cal",
-            F.round(
-                F.abs(
-                    F.col("__y")
-                    - F.coalesce(F.col("__m"), F.col("__gm"))
-                ),
-                4,
-            ).alias("__s"),
-        )
+    # the global mean rides the SAME collected row as n_cal — joining
+    # gm back lazily would re-run the calibration aggregate
+    scored = nn.join(means, on="__g", how="left").select(
+        "__cal",
+        F.round(
+            F.abs(
+                F.col("__y")
+                - F.coalesce(
+                    F.col("__m"), F.lit(float(n_cal["__gm"]))
+                )
+            ),
+            4,
+        ).alias("__s"),
     )
     cal_scores = scored.filter(F.col("__cal")).select("__s")
     _assert_cell_bound(

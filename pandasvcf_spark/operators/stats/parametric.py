@@ -1923,7 +1923,8 @@ def welch_anova(
         F.count(F.lit(1)).cast("double").alias("ni"),
         F.avg(v).alias("mi"),
         F.var_samp(v).alias("vi"),
-    )
+    ).localCheckpoint(eager=True)  # group-count-sized; read 3x
+    # (validation count, weight totals, final fold)
     bad = g.filter(
         (F.col("ni") < 2) | F.col("vi").isNull() | (F.col("vi") <= 0)
     ).count()

@@ -1424,10 +1424,10 @@ def kpss_test(
     4); NULL when s²(l) <= 0 or n <= lags.
 
     Plan: one mean broadcast, ONE time-ordered cumulative window over
-    the series rows (series-sized by contract), and one lag
-    range-join (|t_b − t_a| in 1..l by POSITION — positions come from
-    the same window) folding the γ_j sums — series × (l+1) pair rows,
-    never rows²."""
+    the series rows (series-sized by contract), and the γ_j sums from
+    a position EQUI-join: each row explodes to its 0..l lag keys and
+    hash-joins back on position — series × (l+1) pair rows planned as
+    a hash join, never a nested-loop range predicate over rows²."""
     if lags < 0:
         raise ValueError(f"lags must be >= 0, got {lags}")
     tc = F.col(time_col).cast("double")
@@ -1454,19 +1454,23 @@ def kpss_test(
         F.max("__n").alias("n"),
         F.sum(F.col("__S") * F.col("__S")).alias("__ss"),
     )
+    # explode each position to its 0..lags lag keys so the pairing is
+    # a HASH-JOINABLE equi-join (a bare range predicate would plan a
+    # BroadcastNestedLoopJoin over n² pair evaluations — the adf_test
+    # lag-1 device generalized to l lags)
     a = dev.select(
-        F.col("__i").alias("__ia"), F.col("__e").alias("__ea")
+        F.col("__e").alias("__ea"),
+        F.explode(
+            F.sequence(F.col("__i"), F.col("__i") + lags)
+        ).alias("__ib"),
+        F.col("__i").alias("__ia"),
     )
     b = dev.select(
         F.col("__i").alias("__ib"), F.col("__e").alias("__eb")
     )
-    gammas = a.join(
-        F.broadcast(b),
-        (F.col("__ib") >= F.col("__ia"))
-        & (F.col("__ib") - F.col("__ia") <= lags),
-    ).groupBy((F.col("__ib") - F.col("__ia")).alias("__j")).agg(
-        F.sum(F.col("__ea") * F.col("__eb")).alias("__g")
-    )
+    gammas = a.join(b, on="__ib").groupBy(
+        (F.col("__ib") - F.col("__ia")).alias("__j")
+    ).agg(F.sum(F.col("__ea") * F.col("__eb")).alias("__g"))
     s2 = gammas.crossJoin(F.broadcast(num)).agg(
         F.sum(
             F.when(F.col("__j") == 0, F.col("__g"))

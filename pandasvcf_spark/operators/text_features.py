@@ -423,10 +423,13 @@ def exact_substring_remove(
         arr = words_expr(F.col(text_col))
         sep = " "
     elif granularity == "char":
-        arr = F.split(
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
-            "",
-        )
+        _norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        # split('', '') yields [''] (size 1) — an empty doc must report
+        # 0 tokens, not 1 (review-caught; the oracle guards identically)
+        arr = F.when(
+            F.length(_norm) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(F.split(_norm, ""))
         sep = ""
     else:
         raise ValueError(

@@ -1460,8 +1460,12 @@ def t_exact_substring_rm(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-        string_split(
-          regexp_replace(lower(text), '\\s+', ' ', 'g'), '') AS w
+        CASE WHEN length(regexp_replace(lower(text), '\\s+', ' ',
+                                        'g')) = 0
+          THEN []::VARCHAR[]
+          ELSE string_split(
+            regexp_replace(lower(text), '\\s+', ' ', 'g'), '')
+        END AS w
       FROM documents WHERE text IS NOT NULL),
     positions AS (
       SELECT doc_id, unnest(generate_series(1, len(w) - 19)) AS pos, w

@@ -2226,3 +2226,24 @@ def test_dsir_scores_prefer_target_distribution(spark):
     assert got[4][1] > got[3][1]          # target-like beats general-only
     assert got[1][1] > got[5][1]
     assert got[1][0] == 4 and got[5][0] == 1
+
+
+def test_exact_substring_char_empty_doc_zero_tokens(spark):
+    """An empty (or whitespace-only) document reports n_chars 0 in
+    char mode — split('', '') yields [''] without the guard
+    (review-caught)."""
+    from pandasvcf_spark.operators.text_features import (
+        exact_substring_remove,
+    )
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "abcdefghijklmnopqrstuvwxyz" * 2)],
+        "doc_id int, text string",
+    )
+    out = {r["id"]: r["n_tokens"] for r in
+           exact_substring_remove(d, "doc_id", "text", n=20,
+                                  min_docs=2,
+                                  granularity="char").collect()}
+    assert out[1] == 0
+    assert out[2] <= 1       # whitespace collapses to a single ' '
+    assert out[3] == 52

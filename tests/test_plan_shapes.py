@@ -903,6 +903,12 @@ def test_round12_series_and_grid_family_no_cartesian(spark):
     for df in (kpss_test(ser, "t", "v", lags=3), adf_test(ser, "t", "v")):
         p = _plan(df)
         assert "CartesianProduct" not in p
+    # kpss's lag pairing must be a HASH-joinable equi-join (the
+    # review-caught n² nested-loop regression guard): the only NLJ
+    # nodes allowed are the 1-row broadcast Cross folds
+    pk = _plan(kpss_test(ser, "t", "v", lags=3))
+    assert "BroadcastHashJoin [__ib" in pk
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" not in pk
 
     two = spark.range(300).select(
         (F.col("id") % 2).cast("int").alias("g"),

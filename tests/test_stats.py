@@ -4404,3 +4404,22 @@ def test_best_split_finds_planted_threshold(spark):
     recut = best_split(df, "s", "y", ladder_cells=1,
                        n_buckets=4).collect()[0]
     assert tuple(recut) == tuple(out)
+
+
+def test_mrr_eval_string_ids(spark):
+    """The tie-break must work for NON-NUMERIC ids (review-caught: a
+    negated-id struct max cast string ids to DOUBLE): equal scores ->
+    the lexicographically smaller id wins rank 1."""
+    from pandasvcf_spark.operators.stats import mrr_eval
+
+    df = spark.createDataFrame(
+        [
+            (1, "doc-b", 0.9, True), (1, "doc-a", 0.9, False),
+            (1, "doc-c", 0.1, False),
+            # doc-a ties doc-b at 0.9 and sorts ahead -> rank 2
+        ],
+        "q int, id string, s double, rel boolean",
+    )
+    out = mrr_eval(df, "q", "id", "s", "rel", k=10).collect()[0]
+    assert out["mrr"] == 0.5
+    assert out["hit_rate_at_k"] == 1.0
