@@ -2147,3 +2147,89 @@ def rake_weights(
             F.round(F.col("__n") * F.col("__w"), 4) + F.lit(0.0)
         ).alias("weighted_n"),
     )
+
+
+def cooks_screen(
+    df: DataFrame,
+    y_col: str,
+    x_cols: Sequence[str],
+    threshold_factor: float = 4.0,
+) -> DataFrame:
+    """Cook's-distance influence screen for an OLS fit — the
+    diagnostics-shelf closer beside vif_screen (collinearity) and
+    breusch_pagan (heteroscedasticity): which rows SINGLE-HANDEDLY
+    move the regression?
+
+        h_i = x_i' (X'X)⁻¹ x_i          (leverage)
+        D_i = e_i² h_i / (p s² (1−h_i)²),  s² = SSR/(n−p)
+
+    flagged when D_i > threshold_factor/n (the classical 4/n cut).
+    ONE normal-equation pass (the ols_fit sums), a model-sized driver
+    solve + p×p inverse, then ONE more pass where leverage, residual
+    and D are pure row arithmetic with the inverse's entries as
+    literals — no per-row matrix op ever ships.
+
+    Output (1 row): n BIGINT, n_influential BIGINT, max_d DOUBLE
+    round 6, cut DOUBLE round 8. Complete-case rows; singular X'X
+    raises; s² = 0 (perfect fit) yields zero influence."""
+    import numpy as np
+
+    if not x_cols:
+        raise ValueError("x_cols must be non-empty")
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    cond = y.isNotNull()
+    for x in xs:
+        cond = cond & x.isNotNull()
+    nn = df.filter(cond)
+    terms = [F.lit(1.0)] + xs
+    d = len(terms)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(terms[i] * terms[j]).alias(f"__xx_{i}_{j}"))
+        aggs.append(F.sum(terms[i] * y).alias(f"__xy_{i}"))
+    aggs.append(F.sum(y * y).alias("__syy"))
+    row = nn.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n <= d:
+        raise ValueError(f"cooks_screen needs > {d} complete rows, got {n}")
+    XX = np.zeros((d, d))
+    Xy = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            XX[i, j] = XX[j, i] = row[f"__xx_{i}_{j}"]
+        Xy[i] = row[f"__xy_{i}"]
+    if abs(np.linalg.det(XX)) < 1e-10 * max(1.0, abs(XX).max()) ** d:
+        raise ValueError("singular design matrix (collinear features)")
+    beta = np.linalg.solve(XX, Xy)
+    inv = np.linalg.inv(XX)
+    ssr = row["__syy"] - float(beta @ Xy)
+    s2 = ssr / (n - d)
+    eta = sum(
+        (F.lit(float(beta[i])) * terms[i] for i in range(1, d)),
+        F.lit(float(beta[0])),
+    )
+    e = y - eta
+    h = F.lit(0.0)
+    for i in range(d):
+        for j in range(d):
+            h = h + F.lit(float(inv[i, j])) * terms[i] * terms[j]
+    cut = float(threshold_factor) / n
+    if s2 > 0:
+        dd = (e * e) * h / (
+            F.lit(float(d) * s2) * (F.lit(1.0) - h) * (F.lit(1.0) - h)
+        )
+    else:
+        dd = F.lit(0.0)
+    g = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(dd > F.lit(cut), 1).otherwise(0))
+        .cast("long")
+        .alias("n_influential"),
+        (F.round(F.max(dd), 6) + F.lit(0.0)).alias("max_d"),
+    )
+    return g.select(
+        "n", "n_influential", "max_d",
+        (F.round(F.lit(cut), 8) + F.lit(0.0)).alias("cut"),
+    )

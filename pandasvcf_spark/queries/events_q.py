@@ -8783,3 +8783,96 @@ def m_best_split(spark, sf_dir):
         .alias("y"),
     )
     return best_split(d, "s", "y")
+
+
+@register(
+    "m_cooks",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DOUBLE) AS y,
+             CAST(hour(ts) AS DOUBLE) AS x1,
+             CAST(user_id % 7 AS DOUBLE) AS x2
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(y * y) AS syy
+      FROM s),
+    det AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS d0
+      FROM m),
+    beta AS (
+      SELECT *,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) / d0 AS b0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) / d0 AS b1,
+             (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) / d0 AS b2,
+             (s11 * s22 - s12 * s12) / d0 AS i00,
+             -(s1 * s22 - s12 * s2) / d0 AS i01,
+             (s1 * s12 - s11 * s2) / d0 AS i02,
+             (n * s22 - s2 * s2) / d0 AS i11,
+             -(n * s12 - s1 * s2) / d0 AS i12,
+             (n * s11 - s1 * s1) / d0 AS i22
+      FROM det),
+    fit AS (
+      SELECT *,
+             (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / (n - 3.0)
+               AS s2e
+      FROM beta),
+    rows_d AS (
+      SELECT f.n, f.s2e,
+             s.y - (f.b0 + f.b1 * s.x1 + f.b2 * s.x2) AS e,
+             f.i00 + f.i01 * s.x1 + f.i02 * s.x2
+               + f.i01 * s.x1 + f.i11 * s.x1 * s.x1
+               + f.i12 * s.x1 * s.x2 + f.i02 * s.x2
+               + f.i12 * s.x2 * s.x1 + f.i22 * s.x2 * s.x2 AS h
+      FROM s, fit f),
+    dd AS (
+      SELECT n,
+             CASE WHEN s2e > 0
+               THEN (e * e) * h / ((3.0 * s2e) * (1.0 - h) * (1.0 - h))
+               ELSE 0.0 END AS d
+      FROM rows_d)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d > 4.0 / max_n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_influential,
+           round(max(d), 6) + 0.0 AS max_d,
+           round(4.0 / max_n, 8) + 0.0 AS cut
+    FROM dd, (SELECT max(n) AS max_n FROM dd)
+    GROUP BY max_n
+    """,
+)
+def m_cooks(spark, sf_dir):
+    """Cook's-distance influence screen of the m_ols design
+    (operators/stats.cooks_screen; y = value on hour-of-day and
+    user_id%7, 4/n cut) — the diagnostics-shelf closer beside m_vif
+    and m_breusch_pagan: leverage from the (X'X)⁻¹ literals, residual
+    from the beta literals, D per row as pure arithmetic; one sums
+    pass + one screen pass. The oracle replays the Cramer inverse
+    entries, h in the same accumulation order, and the flag count."""
+    from pandasvcf_spark.operators.stats import cooks_screen
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = e.select(
+        F.col("value").cast("double").alias("y"),
+        F.hour("ts").cast("double").alias("x1"),
+        (F.col("user_id") % 7).cast("double").alias("x2"),
+    )
+    return cooks_screen(d, "y", ["x1", "x2"])

@@ -1176,6 +1176,10 @@ def test_tail_entries_are_redundant_variants_only():
                                  # _cum_score_ladder (the m_roc/
                                  # m_pr_points device) + deterministic
                                  # argmax; planted-threshold pytest
+        "m_cooks",               # Cook's-distance screen: the m_ols
+                                 # sums pass + (X'X)⁻¹-literal row
+                                 # arithmetic; planted-outlier numpy
+                                 # replica pytest
         "m_conformal",           # split conformal q-hat: group-mean
                                  # join-back + the distinct-score
                                  # order-statistic ladder (m_fdr_bh's

@@ -4423,3 +4423,34 @@ def test_mrr_eval_string_ids(spark):
     out = mrr_eval(df, "q", "id", "s", "rel", k=10).collect()[0]
     assert out["mrr"] == 0.5
     assert out["hit_rate_at_k"] == 1.0
+
+
+def test_cooks_screen_flags_planted_outlier(spark):
+    """A clean linear cloud plus one gross outlier: the outlier's D
+    dominates and is flagged; the clean-only fit flags ~nothing.
+    Exact check vs a numpy hat-matrix replica."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.stats import cooks_screen
+
+    clean = [(2.0 + 0.5 * (i % 20) + ((i * 7) % 5) * 0.05,
+              float(i % 20), float((i * 3) % 4)) for i in range(100)]
+    rows = clean + [(60.0, 19.0, 1.0)]  # gross y outlier at high x
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = cooks_screen(df, "y", ["x1", "x2"]).collect()[0]
+    assert out["n"] == 101
+    assert out["n_influential"] >= 1
+    assert out["cut"] == pytest.approx(round(4.0 / 101, 8))
+
+    X = np.column_stack([np.ones(101), [r[1] for r in rows],
+                         [r[2] for r in rows]])
+    yv = np.array([r[0] for r in rows])
+    beta = np.linalg.solve(X.T @ X, X.T @ yv)
+    e = yv - X @ beta
+    inv = np.linalg.inv(X.T @ X)
+    h = np.einsum("ij,jk,ik->i", X, inv, X)
+    s2 = (e @ e) / (101 - 3)
+    D = e * e * h / (3 * s2 * (1 - h) ** 2)
+    assert out["max_d"] == pytest.approx(round(float(D.max()), 6),
+                                         abs=2e-6)
+    assert out["n_influential"] == int((D > 4.0 / 101).sum())
