@@ -201,6 +201,33 @@ DRIVER_WINDOW = 50
 # v_rq_topk/v_ivfpq_topk, and the recall telemetry stays a bench
 # headline). All three remain continuously exact-checked by
 # tests/test_contract.py.
+# The round-13 cut (the twelfth) promotes one representative per
+# never-driver-checked round-12 contract-only family (the verdict's
+# standing rotation debt): m_cox_multi (the p-covariate Cox Newton —
+# the strongest never-checked entry; strictly generalizes m_cox's
+# risk-set ladder, with a p=1 bit-identity pytest pinning
+# equivalence), e_kpss (the banded position-lag join + series-sized
+# cumulative ladder — the stationarity family's device), m_mmd_rbf
+# (the broadcast kernel cell-grid fold — a device class with no
+# prior window row), m_ece (the calibration-bin fold), g_communities
+# (synchronous LPA — fixed unrolled rounds with a min-label struct
+# argmax, the graph family's only iterative-label entry), and
+# m_raking (IPF — fixed-round margin-window scalings over a cell
+# table). Displaced, each with machinery still driver-covered:
+# m_cox (subsumed VERBATIM by m_cox_multi at p>=1), m_granger (the
+# closed-form OLS-F fold stays via m_dml's shared-X'X Cramer fits
+# and m_poisson's normal equations; the time-series lag pairing now
+# driver-covered by e_kpss's banded lag join), m_morans_i (spatial
+# banding equi-join machinery stays via j_point_in_poly's planar
+# banding; the 1-row autocorrelation fold is the window's ubiquitous
+# closed-form fold shape), m_dunn (the rank collapse + mid-rank
+# ladder stays via m_conformal's order-statistic ladder and
+# m_fdr_bh's envelope ladders; the pairwise fold via g_grm's panel
+# pairs), v_rq_topk (two-level codebook ADC scoring stays via
+# v_ivfpq_topk's trained-codebook PQ/ADC replay), and sk_f2_moment
+# (the mergeable fixed-size sketch-grid family stays via
+# sk_hll_distinct's register grid). All six remain continuously
+# exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -235,10 +262,10 @@ _PRIORITY = [
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
     "sk_hll_distinct",
-    "sk_f2_moment",
+    "m_raking",
     "v_cosine_topk_manyquery",
     "t_dsir",
-    "v_rq_topk",
+    "g_communities",
     "v_ivfpq_topk",
     "v_mmr_rerank",
     # §2.3-2.7 relational core: scan/distinct/aggs
@@ -260,13 +287,13 @@ _PRIORITY = [
     "j_multiway_q5",
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
-    "m_dunn",
+    "m_ece",
     "m_fdr_bh",
     "m_poisson",
-    "m_morans_i",
-    "m_cox",
+    "m_mmd_rbf",
+    "m_cox_multi",
     "m_fisher_exact",
-    "m_granger",
+    "e_kpss",
     "m_scd2_history",
     "r2_pivot",
     "info_str_to_map",

@@ -36,9 +36,11 @@ def test_extension_surface_inside_window():
                          # pair-sim max + argmax) over a checkpointed
                          # candidate table; also carries v_two_stage's
                          # coarse→exact rerank-join composition
-        "v_rq_topk",     # round-12 re-cut #9: residual quantization —
-                         # the full-dim two-level codebook tier no
-                         # other quantizer entry replays
+        "g_communities",  # round-13 re-cut #12: synchronous LPA —
+                          # fixed unrolled rounds + min-label struct
+                          # argmax, the graph family's iterative-label
+                          # entry (v_rq_topk demoted: two-level ADC
+                          # scoring stays via v_ivfpq_topk)
         "t_quality_score",
         "t_ccnet_buckets",  # round-12 re-cut #10: per-language exact
                             # ntile perplexity terciles — rank-interval
@@ -52,9 +54,11 @@ def test_extension_surface_inside_window():
         "t_dsir",        # re-cut #11: DSIR hashed-bigram weights —
                          # the fixed-grid scale path of t_moore_lewis
         "sk_hll_distinct",
-        "sk_f2_moment",  # round-12 re-cut #10: AMS signed-sum grid —
-                         # a third sketch-estimator family beside HLL
-                         # max-registers and CMS counters
+        "m_raking",      # round-13 re-cut #12: IPF survey weights —
+                         # fixed-round margin-window scalings over the
+                         # cell table (sk_f2_moment demoted: the
+                         # mergeable fixed-size sketch-grid family
+                         # stays via sk_hll_distinct)
         "g_grm",  # since re-cut #10 also carries g_ld's pairwise
                   # conditional-agg machinery (g_ld demoted to the
                   # contract-guarded tail)
@@ -64,12 +68,11 @@ def test_extension_surface_inside_window():
         # families below
         "m_fdr_bh",     # multiple-testing envelope ladder (+ the
                         # bucketed distributed regime above 1M cells)
-        "m_dunn",       # round-12 re-cut #10: post-hoc pairwise ranks —
-                        # replays m_kruskal_wallis's collapse + mid-rank
-                        # ladder VERBATIM, adds the pairwise fold (that
-                        # row demoted; m_did demoted too — the 2x2
-                        # conditional-counter family keeps
-                        # m_fisher_exact's driver row)
+        "m_ece",        # round-13 re-cut #12: calibration-bin fold
+                        # (m_dunn demoted: the rank collapse +
+                        # mid-rank ladder stays via m_conformal's
+                        # order-statistic ladder and m_fdr_bh's
+                        # envelope ladders; pairwise fold via g_grm)
         "m_poisson",    # round-12 re-cut #10: log-link GLM — the
                         # weighted-normal-equation IRLS family's window
                         # row (m_logit/m_ols stay contract-checked)
@@ -77,9 +80,12 @@ def test_extension_surface_inside_window():
                            # recursion, the deepest sequential-state
                            # class (carries e_holt_linear/e_croston/
                            # e_ewma in the tail)
-        "m_morans_i",   # spatial family: consumes geo_near_join's
-                        # banded pairs, so one row covers the spherical
-                        # banding join AND the autocorrelation fold
+        "m_mmd_rbf",    # round-13 re-cut #12: broadcast kernel
+                        # cell-grid fold — a device class with no
+                        # prior window row (m_morans_i demoted:
+                        # spatial banding stays via j_point_in_poly's
+                        # planar banding; the autocorrelation fold is
+                        # the ubiquitous 1-row closed-form shape)
         # round-9 re-cut: g_hwe and t_repeated_spans moved to the
         # contract-guarded tail (per-site agg machinery stays via
         # g_fst/g_sample_qc; hash-fingerprint machinery via
@@ -94,12 +100,20 @@ def test_extension_surface_inside_window():
         # plus m_bootstrap_ci, j_bloom_prune, agg_grouped_quantiles,
         # v_kmeans, g_link_pred; see queries/__init__.py for each
         # machinery-coverage justification)
-        "m_cox",            # survival regression: km risk-set ladder
-                            # + unrolled-Newton fixed rounds
+        "m_cox_multi",      # round-13 re-cut #12: p-covariate Cox PH —
+                            # km risk-set ladder + unrolled-Newton
+                            # fixed rounds, strictly generalizing m_cox
+                            # (demoted; p=1 bit-identity pytest pins
+                            # the subsumption)
         "m_fisher_exact",   # exact-test support-walk device (carries
                             # m_binom_exact / m_mcnemar_exact /
                             # m_sign_test in the tail)
-        "m_granger",        # lead-lag closed-form OLS-F screen
+        "e_kpss",           # round-13 re-cut #12: KPSS stationarity —
+                            # series-sized cumulative ladder +
+                            # position-banded lag join (m_granger
+                            # demoted: the closed-form OLS-F fold
+                            # stays via m_dml's shared-X'X fits and
+                            # m_poisson's normal equations)
         "j_point_in_poly",  # planar geofence banding + scalar-HOF
                             # ray cast — the polygon spatial join
         "t_exact_substring_rm",  # cross-doc verbatim excision:
@@ -1195,6 +1209,28 @@ def test_tail_entries_are_redundant_variants_only():
                                  # the vocabulary table swapped for a
                                  # fixed hash grid (the countmin
                                  # device); target-preference pytest
+        # round-13 re-cut #12 demotions — machinery still
+        # driver-covered per queries/__init__.py; all six stay
+        # exact-checked by tests/test_contract.py every run
+        "m_cox",                 # single-covariate Cox: subsumed
+                                 # VERBATIM by m_cox_multi at p=1 (in
+                                 # window; bit-identity pytest)
+        "m_granger",             # lead-lag OLS-F: closed-form fold via
+                                 # m_dml's shared-X'X fits; lag pairing
+                                 # via e_kpss's banded lag join
+        "m_morans_i",            # spatial autocorrelation: banding via
+                                 # j_point_in_poly (in window); 1-row
+                                 # closed-form fold shape ubiquitous
+        "m_dunn",                # post-hoc pairwise ranks: mid-rank
+                                 # collapse + ladder via m_conformal /
+                                 # m_fdr_bh ladders; pairwise fold via
+                                 # g_grm's panel pairs
+        "v_rq_topk",             # residual quantization: two-level
+                                 # codebook ADC scoring stays via
+                                 # v_ivfpq_topk's PQ/ADC replay
+        "sk_f2_moment",          # AMS signed-sum grid: mergeable
+                                 # fixed-size sketch-grid family stays
+                                 # via sk_hll_distinct's registers
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
