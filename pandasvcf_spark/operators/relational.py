@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandasvcf_spark.operators.stats._guards import _assert_key_series_bound
+
 
 def _cols(cs: Sequence[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cs]
@@ -702,6 +704,7 @@ def ewma_last(
     order_cols: Sequence[Column | str],
     value_col: str,
     alpha: float,
+    max_key_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average, final value — the
     smoothed per-user/per-device signal a monitoring or feature pipeline
@@ -719,9 +722,15 @@ def ewma_last(
     Plan: one groupBy(key) collecting the key's ordered values, one HOF
     fold — sequential per-key state as a pure column expression, the
     sessionization/funnel contract (state bounded by per-key activity),
-    never a window re-scan per row and never applyInPandas."""
+    never a window re-scan per row and never applyInPandas. The
+    per-key array contract is ENFORCED: a cheap one-row-per-key probe
+    raises when any key exceeds `max_key_rows` observations (see
+    `stats._guards._assert_key_series_bound`)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    _assert_key_series_bound(
+        df, key_col, value_col, "ewma_last", max_key_rows
+    )
     ordered = (
         df.filter(F.col(value_col).isNotNull())
         .select(
@@ -758,6 +767,7 @@ def holt_linear_last(
     value_col: str,
     alpha: float = 0.4,
     beta: float = 0.3,
+    max_key_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Per-key Holt linear-trend smoothing, final state (Holt 1957) —
     `ewma_last` upgraded with a trend component, the standard
@@ -778,11 +788,15 @@ def holt_linear_last(
     HOF fold with a STRUCT accumulator (level, trend) — sequential
     per-key state as a pure column expression, state bounded by
     per-key activity, never a window re-scan and never
-    applyInPandas."""
+    applyInPandas. The per-key array contract is ENFORCED via
+    `max_key_rows` (the ewma_last tripwire)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if not 0.0 < beta <= 1.0:
         raise ValueError(f"beta must be in (0, 1], got {beta}")
+    _assert_key_series_bound(
+        df, key_col, value_col, "holt_linear_last", max_key_rows
+    )
     ordered = (
         df.filter(F.col(value_col).isNotNull())
         .select(
@@ -851,6 +865,7 @@ def croston_forecast(
     order_cols: Sequence[Column | str],
     value_col: str,
     alpha: float = 0.2,
+    max_key_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Croston's method for INTERMITTENT demand (Croston 1972) — the
     standard forecaster when most periods are zero (spare parts, rare
@@ -870,9 +885,14 @@ def croston_forecast(
     Plan: one per-key rank window (positions), the nonzero filter, one
     groupBy(key) collecting ordered (position, demand) pairs, two HOF
     ewma folds — per-key state bounded by that key's DEMAND count, not
-    its period count."""
+    its period count. The per-key position window AND demand array are
+    both bounded by the `max_key_rows` tripwire (the ewma_last
+    contract; probe counts PERIODS, the larger of the two)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    _assert_key_series_bound(
+        df, key_col, value_col, "croston_forecast", max_key_rows
+    )
     oc = [
         (F.col(c) if isinstance(c, str) else c).asc()
         for c in order_cols
@@ -4739,6 +4759,7 @@ def holt_winters_last(
     alpha: float = 0.4,
     beta: float = 0.3,
     gamma: float = 0.2,
+    max_key_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Per-key additive Holt-Winters smoothing, final state (Winters
     1960) — `holt_linear_last` upgraded with the seasonal component,
@@ -4763,12 +4784,16 @@ def holt_winters_last(
     carries (level, trend, season ARRAY[m], season index); the season
     array updates by slice surgery, so state stays m+3 doubles per key
     and the whole recursion is a pure column expression — never a
-    window re-scan, never applyInPandas."""
+    window re-scan, never applyInPandas. The per-key array contract
+    is ENFORCED via `max_key_rows` (the ewma_last tripwire)."""
     if m < 2:
         raise ValueError(f"season length m must be >= 2, got {m}")
     for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
         if not 0.0 < v <= 1.0:
             raise ValueError(f"{nm} must be in (0, 1], got {v}")
+    _assert_key_series_bound(
+        df, key_col, value_col, "holt_winters_last", max_key_rows
+    )
     ordered = (
         df.filter(F.col(value_col).isNotNull())
         .select(

@@ -77,3 +77,45 @@ def _assert_series_sized(
             "groupBy your time bucket and aggregate first, or pass "
             "max_rows=None after confirming the cost is acceptable."
         )
+
+
+def _assert_key_series_bound(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    op_name: str,
+    max_key_rows: int | None,
+) -> None:
+    """Per-key series-size TRIPWIRE — the forecasting family
+    (ewma_last / holt_linear_last / croston_forecast /
+    holt_winters_last) aggregates each key's FULL ordered series into
+    ONE array row before the sequential HOF fold; per-key state is the
+    scale contract ("bounded by per-key activity"), so one skewed key
+    at 100× silently builds a giant collect_list row — an executor OOM,
+    not a message. ONE cheap probe (partial-agged groupBy(key).count()
+    → max; the shuffle carries one row per key) converts that failure
+    mode into an actionable raise, the `_assert_series_sized`
+    discipline applied to the last unguarded collect shape.
+    `max_key_rows=None` disables for callers who have verified the
+    key-size distribution."""
+    if max_key_rows is None:
+        return
+    row = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__mx"))
+        .collect()[0]
+    )
+    mx = row["__mx"] or 0
+    if mx > max_key_rows:
+        raise ValueError(
+            f"{op_name}: a key carries {mx:,} observations, above "
+            f"max_key_rows={max_key_rows:,} — this operator collects "
+            "each key's FULL ordered series into one array row before "
+            "the fold, so a skewed key builds a giant row instead of "
+            "distributing. PRE-AGGREGATE to a coarser time bucket "
+            "(groupBy key + bucket, aggregate, then smooth the bucketed "
+            "series), or pass max_key_rows=None after confirming the "
+            "row size is acceptable."
+        )

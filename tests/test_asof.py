@@ -377,6 +377,52 @@ def test_ewma_last_hand_case(spark):
         ewma_last(d, "u", ["t"], "v", alpha=0.0)
 
 
+def test_forecasting_key_series_tripwire(spark):
+    """The per-key collect_list contract is ENFORCED (round-12 verdict
+    task 2): a skewed key above max_key_rows raises with the
+    pre-aggregate re-route instruction in every forecasting-family
+    operator; below the bound results are identical to the unguarded
+    (max_key_rows=None) path; NULL values don't count toward the
+    bound (they never enter the array)."""
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.relational import (
+        croston_forecast,
+        ewma_last,
+        holt_linear_last,
+        holt_winters_last,
+    )
+
+    rows = [(1, t, float(t % 7)) for t in range(50)] + [
+        (2, t, float(t)) for t in range(10)
+    ]
+    d = spark.createDataFrame(rows, "u long, t long, v double")
+    for op, kw in (
+        (ewma_last, {"alpha": 0.5}),
+        (holt_linear_last, {}),
+        (croston_forecast, {}),
+        (holt_winters_last, {"m": 3}),
+    ):
+        with _pytest.raises(ValueError, match="max_key_rows"):
+            op(d, "u", ["t"], "v", max_key_rows=20, **kw)
+        guarded = sorted(
+            map(tuple, op(d, "u", ["t"], "v", max_key_rows=100, **kw)
+                .collect())
+        )
+        unguarded = sorted(
+            map(tuple, op(d, "u", ["t"], "v", max_key_rows=None, **kw)
+                .collect())
+        )
+        assert guarded == unguarded and len(guarded) == 2
+    # NULLs are excluded before the fold, so they don't trip the bound
+    nulls = spark.createDataFrame(
+        [(1, t, None) for t in range(30)] + [(1, 30, 1.0)],
+        "u long, t long, v double",
+    )
+    assert ewma_last(nulls, "u", ["t"], "v", 0.5,
+                     max_key_rows=5).count() == 1
+
+
 def test_rate_anomaly_flags_spike_and_handles_constant(spark):
     from datetime import datetime
 
