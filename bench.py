@@ -326,18 +326,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
-        from pandasvcf_spark.queries.vectors_q import ivfpq_recall_at_10
+        from pandasvcf_spark.queries.vectors_q import (
+            ivfpq_recall_uniform_report,
+        )
 
         t0 = time.time()
-        ivfpq_recall = ivfpq_recall_at_10(spark, sf_dir)
+        rep = ivfpq_recall_uniform_report(spark, sf_dir)
+        ivfpq_recall = rep["uniform"]
         result["ivfpq_recall_at_10_uniform"] = round(ivfpq_recall, 4)
+        result["ivfpq_recall_at_10_uniform_mp"] = round(
+            rep["uniform_mp"], 4
+        )
         print(
             f"# ivfpq_recall_at_10_uniform: {ivfpq_recall:.4f} "
-            f"({time.time() - t0:.1f}s, trained cells + residual-trained "
+            f"(trained cells + residual-trained "
             "PQ books, 3-probe ADC vs exact L2, 200-query sample; tracks "
             "the near-uniform corpus like ivf_recall_at_10_uniform — "
             "distance-concentration physics, not machinery loss; read "
             "beside the clustered headline above)",
+            file=sys.stderr,
+        )
+        print(
+            f"# ivfpq_recall_at_10_uniform_mp: {rep['uniform_mp']:.4f} "
+            f"({time.time() - t0:.1f}s both variants, shared index; "
+            "6-probe ADC 50-candidate shortlist + exact-L2 rerank "
+            "(ivfpq_rerank_topk) — quantization error recovered, "
+            "recall ceilinged by cell coverage)",
             file=sys.stderr,
         )
 

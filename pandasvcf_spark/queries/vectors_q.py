@@ -256,6 +256,16 @@ def _sql_sqdist(vec: str, cent: list[float]) -> str:
     )
 
 
+def _sql_sqdist2(vec_a: str, vec_b: str) -> str:
+    """Pairwise squared L2 between two vector COLUMNS — the rerank
+    twin of `_sql_sqdist`'s column-vs-literal form."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"j -> (CAST({vec_a}[j] AS DOUBLE) - CAST({vec_b}[j] AS DOUBLE)) "
+        f"* (CAST({vec_a}[j] AS DOUBLE) - CAST({vec_b}[j] AS DOUBLE))))"
+    )
+
+
 def _sql_cell(vec: str) -> str:
     dists = "[" + ", ".join(_sql_sqdist(vec, c) for c in CENTROIDS) + "]"
     return f"CAST(list_position({dists}, list_aggregate({dists}, 'min')) AS INT)"
@@ -993,7 +1003,105 @@ def v_ivfpq_topk(spark, sf_dir):
     )
 
 
-def ivfpq_recall_at_10(
+@register(
+    "v_ivfpq_rerank",
+    oracle=f"""
+    WITH cents AS (
+      {_sql_cents_cte()}),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell
+      FROM embeddings),
+    rc AS MATERIALIZED (
+      SELECT c.vec_id, c.cell,
+             list_transform(generate_series(1, {DIM}),
+                            j -> CAST(c.embedding[j] AS DOUBLE) - ct.cent[j])
+               AS resid
+      FROM cells c JOIN cents ct USING (cell)),
+    cand AS (
+      {_pq_resid_union('rc', 'vec_id, cell')}),
+    code AS MATERIALIZED (
+      SELECT vec_id, cell, s, c FROM (
+        SELECT vec_id, cell, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c)
+                 AS rn
+        FROM cand)
+      WHERE rn = 1),
+    qd AS (
+      {_QD10_UNION}),
+    probes AS (
+      SELECT query_id, embedding, cell FROM (
+        SELECT query_id, embedding, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cell)
+                 AS rn
+        FROM qd) WHERE rn <= 3),
+    rq AS MATERIALIZED (
+      SELECT p.query_id, p.cell,
+             list_transform(generate_series(1, {DIM}),
+                            j -> CAST(p.embedding[j] AS DOUBLE) - ct.cent[j])
+               AS resid
+      FROM probes p JOIN cents ct USING (cell)),
+    qt AS (
+      {_pq_resid_union('rq', 'query_id, cell')}),
+    adc AS (
+      SELECT qt.query_id, co.vec_id, sum(qt.d) AS adc
+      FROM code co
+      JOIN qt ON qt.cell = co.cell AND qt.s = co.s AND qt.c = co.c
+      WHERE qt.query_id <> co.vec_id
+      GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= 8),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+    exact AS (
+      SELECT s.query_id, s.vec_id,
+             {_sql_sqdist2('emb.embedding', 'qv.qe')} AS d2
+      FROM shortlist s
+      JOIN embeddings emb ON emb.vec_id = s.vec_id
+      JOIN qv ON qv.query_id = s.query_id)
+    SELECT query_id, vec_id, round(d2, 6) AS sqdist FROM (
+      SELECT query_id, vec_id, d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, vec_id) AS rn
+      FROM exact)
+    WHERE rn <= 3 ORDER BY query_id, vec_id
+    """,
+)
+def v_ivfpq_rerank(spark, sf_dir):
+    """Multi-probe IVFPQ + exact-L2 rerank (operators/similarity.
+    ivfpq_rerank_topk — the faiss IVFPQ+refine composition; round-12
+    verdict task 3): 3-probe ADC builds an 8-candidate shortlist per
+    query, then ONLY those raw vectors get exact squared-L2 scores —
+    the recall recovery that lifts the quantization-limited uniform
+    ADC number toward the cell-coverage ceiling while touching
+    |queries| × k_candidates raw vectors. Queries vec_id < 10, k=3,
+    the deterministic literal CENTROIDS + PQ_BOOKS; the oracle
+    replays cell assignment, residual encoding, probe ranking, the
+    ADC shortlist cut AND the exact rerank bit-for-bit."""
+    from pandasvcf_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_rerank_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = ivfpq_encode(emb, CENTROIDS, PQ_BOOKS)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_rerank_topk(
+        codes, emb, qs, CENTROIDS, PQ_BOOKS,
+        k=3, k_candidates=8, n_probe=3,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("sqdist", 6).alias("sqdist")
+    ).orderBy("query_id", "vec_id")
+
+
+def ivfpq_recall_uniform_report(
     spark,
     sf_dir: str,
     n_queries: int = 200,
@@ -1002,7 +1110,10 @@ def ivfpq_recall_at_10(
     n_probe: int = 3,
     n_subspaces: int = 8,
     n_centroids: int = 16,
-) -> float:
+    mp_n_probe: int = 6,
+    mp_k_candidates: int = 50,
+    with_mp: bool = True,
+) -> dict:
     """Measured recall@k of TRAINED IVF+PQ (kmeans_fit coarse cells +
     pq_train_codebooks on the RESIDUALS — the faiss training recipe)
     against exact squared-L2 ground truth on the real `embeddings`
@@ -1015,11 +1126,20 @@ def ivfpq_recall_at_10(
     corpus size. Same honesty convention as `ivf_recall_at_10`:
     near-uniform synthetic embeddings concentrate distances, so the
     absolute number tracks the corpus, not the machinery (the
-    machinery is bit-exact-oracled by `v_ivfpq_topk`)."""
+    machinery is bit-exact-oracled by `v_ivfpq_topk`).
+
+    Returns {"uniform": plain n_probe ADC recall, "uniform_mp":
+    multi-probe + exact-rerank recall (`ivfpq_rerank_topk`,
+    mp_n_probe cells, mp_k_candidates shortlist — the round-12
+    verdict's recall lever, ceilinged by cell coverage instead of
+    quantization error)}. Ground truth and the trained index are
+    computed ONCE and shared by both variants; `with_mp=False` skips
+    the second retrieval."""
     from pandasvcf_spark.operators.similarity import (
         _centroid_lit,
         _dc,
         ivfpq_encode,
+        ivfpq_rerank_topk,
         ivfpq_topk,
         kmeans_fit,
         pq_train_codebooks,
@@ -1083,7 +1203,26 @@ def ivfpq_recall_at_10(
             codes, q, cents, books, k=k, n_probe=n_probe
         ).collect()
     }
-    return len(gt & got) / len(gt) if gt else 1.0
+    report = {"uniform": len(gt & got) / len(gt) if gt else 1.0}
+    if with_mp:
+        got_mp = {
+            (r["query_id"], r["vec_id"])
+            for r in ivfpq_rerank_topk(
+                codes, e, q, cents, books,
+                k=k, k_candidates=mp_k_candidates, n_probe=mp_n_probe,
+            ).collect()
+        }
+        report["uniform_mp"] = (
+            len(gt & got_mp) / len(gt) if gt else 1.0
+        )
+    return report
+
+
+def ivfpq_recall_at_10(spark, sf_dir: str, **kw) -> float:
+    """Back-compat scalar wrapper: the plain single-variant recall
+    (see `ivfpq_recall_uniform_report`)."""
+    kw.setdefault("with_mp", False)
+    return ivfpq_recall_uniform_report(spark, sf_dir, **kw)["uniform"]
 
 
 def ivfpq_recall_planted(

@@ -1209,6 +1209,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # the vocabulary table swapped for a
                                  # fixed hash grid (the countmin
                                  # device); target-preference pytest
+        # round-13 registrations
+        "v_ivfpq_rerank",        # multi-probe IVFPQ + exact-L2 rerank
+                                 # (ivfpq_rerank_topk): stage one is
+                                 # v_ivfpq_topk's replay (in window),
+                                 # stage two the v_two_stage rerank-join
+                                 # shape; recall telemetry is the
+                                 # ivfpq_recall_at_10_uniform_mp bench
+                                 # headline; contract guard
         # round-13 re-cut #12 demotions — machinery still
         # driver-covered per queries/__init__.py; all six stay
         # exact-checked by tests/test_contract.py every run
