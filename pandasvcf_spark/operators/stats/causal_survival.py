@@ -1121,8 +1121,13 @@ def cox_ph(
     the bound the verdict's design sketch names explicitly. p = 2
     solves via the fixed-op-order Cramer closed form so the catalog
     oracle (`m_cox_multi`, unrolled SQL) replays the identical
-    arithmetic; p != 2 uses partial-pivot Gaussian elimination (pure
-    Python, p^3 on p<=10 — nanoseconds).
+    arithmetic; p >= 3 uses NATURAL-ORDER (pivot-free) Gaussian
+    elimination (pure Python, p^3 on p<=10 — nanoseconds), valid
+    because the information matrix is SPD wherever the step is taken
+    (positive natural pivots ⟺ positive leading minors, Sylvester)
+    and chosen over partial pivoting precisely so the op order is
+    data-independent and an unrolled SQL oracle replays it
+    (`m_cox_multi3` at p=3).
 
     Output: ONE ROW PER COVARIATE (covariate STRING, n, n_events
     BIGINT, beta, se, hr, z DOUBLE round 6) with se_i =
@@ -1255,17 +1260,24 @@ def cox_ph(
                 (rhs[0] * i22 - rhs[1] * i12) / det,
                 (rhs[1] * i11 - rhs[0] * i12) / det,
             ]
-        # general p: partial-pivot Gaussian elimination on the
-        # symmetric system (p <= ~10 by the docstring contract)
+        # general p: NATURAL-ORDER (pivot-free) Gaussian elimination on
+        # the symmetric system (p <= ~10 by the docstring contract).
+        # No row swaps: the information matrix is symmetric
+        # POSITIVE-DEFINITE at a valid MLE step, where natural-order
+        # pivots are exactly the leading-principal-minor ratios
+        # (Sylvester) — all positive, so the positivity check below IS
+        # the p=2 path's (det > 0 AND i11 > 0) guard generalized, and
+        # the op order is FIXED so an unrolled SQL oracle replays the
+        # solve term-for-term (m_cox_multi3; round-12 verdict task 5 —
+        # partial pivoting's data-dependent row swaps were the one
+        # driver-side branch SQL could not replay).
         a = [
             [imat[(min(i, j), max(i, j))] for j in range(p)] + [rhs[i]]
             for i in range(p)
         ]
         for col in range(p):
-            piv = max(range(col, p), key=lambda r: abs(a[r][col]))
-            if abs(a[piv][col]) < 1e-300:
+            if not (a[col][col] > 0):
                 return None
-            a[col], a[piv] = a[piv], a[col]
             for r in range(col + 1, p):
                 f = a[r][col] / a[col][col]
                 for c in range(col, p + 1):

@@ -5655,6 +5655,175 @@ def m_cox_multi(spark, sf_dir):
     return cox_ph(b, "t", "e", ["x1", "x2"], iters=5)
 
 
+def _cox_multi3_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-round Newton for the THREE-covariate Cox model —
+    `_cox_multi_oracle` with the p=2 Cramer solve swapped for the
+    NATURAL-ORDER Gaussian elimination cox_ph uses at p >= 3 (round-12
+    verdict task 5: pivot-FREE by design, so the op order is
+    data-independent and each round's solve replays term-for-term as a
+    lateral-alias CTE: f1 = i12/i11, f2 = i13/i11 eliminate column 1;
+    f3 = m21/m11 eliminates column 2; positivity of the three natural
+    pivots i11, m11, q22 IS the SPD guard — Sylvester's criterion —
+    generalizing the p=2 (det > 0 AND i11 > 0) form). The SE columns
+    replay the three e_i solves, which share the eliminated matrix and
+    transform only the RHS."""
+    head = """
+    WITH b AS (
+      SELECT value * (1 + 0.5 * (user_id % 2))
+               * (1 + 0.2 * (event_id % 3))
+               * (1 + 0.1 * (user_id % 5)) AS t,
+        CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END AS e,
+        CAST(user_id % 2 AS DOUBLE) AS x1,
+        CAST(event_id % 3 AS DOUBLE) AS x2,
+        CAST(user_id % 5 AS DOUBLE) AS x3
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL),
+    cells AS (
+      SELECT t, x1, x2, x3, CAST(count(*) AS DOUBLE) AS cnt,
+        CAST(sum(e) AS DOUBLE) AS d
+      FROM b GROUP BY t, x1, x2, x3),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_events FROM b),
+    bt0 AS (SELECT CAST(0.0 AS DOUBLE) AS b1,
+                   CAST(0.0 AS DOUBLE) AS b2,
+                   CAST(0.0 AS DOUBLE) AS b3)"""
+    parts = [head]
+    for i in range(iters + 1):
+        parts.append(f""",
+    w{i} AS (SELECT c.t, c.x1, c.x2, c.x3, c.d, bt.b1, bt.b2, bt.b3,
+        c.cnt * exp(bt.b1 * c.x1 + bt.b2 * c.x2 + bt.b3 * c.x3) AS w
+      FROM cells c CROSS JOIN bt{i} bt),
+    lad{i} AS (SELECT d, x1, x2, x3, b1, b2, b3,
+        sum(w) OVER sfx AS s0,
+        sum(w * x1) OVER sfx AS s1a,
+        sum(w * x2) OVER sfx AS s1b,
+        sum(w * x3) OVER sfx AS s1c,
+        sum(w * x1 * x1) OVER sfx AS s2aa,
+        sum(w * x1 * x2) OVER sfx AS s2ab,
+        sum(w * x1 * x3) OVER sfx AS s2ac,
+        sum(w * x2 * x2) OVER sfx AS s2bb,
+        sum(w * x2 * x3) OVER sfx AS s2bc,
+        sum(w * x3 * x3) OVER sfx AS s2cc
+      FROM w{i}
+      WINDOW sfx AS (ORDER BY t DESC
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    st{i} AS (SELECT max(b1) AS b1, max(b2) AS b2, max(b3) AS b3,
+        sum(d * x1 - d * s1a / s0) AS u1,
+        sum(d * x2 - d * s1b / s0) AS u2,
+        sum(d * x3 - d * s1c / s0) AS u3,
+        sum(d * (s2aa / s0 - (s1a / s0) * (s1a / s0))) AS i11,
+        sum(d * (s2ab / s0 - (s1a / s0) * (s1b / s0))) AS i12,
+        sum(d * (s2ac / s0 - (s1a / s0) * (s1c / s0))) AS i13,
+        sum(d * (s2bb / s0 - (s1b / s0) * (s1b / s0))) AS i22,
+        sum(d * (s2bc / s0 - (s1b / s0) * (s1c / s0))) AS i23,
+        sum(d * (s2cc / s0 - (s1c / s0) * (s1c / s0))) AS i33
+      FROM lad{i} WHERE d > 0),
+    el{i} AS (SELECT b1, b2, b3, u1, u2, u3, i11, i12, i13,
+        i22 - (i12 / i11) * i12 AS m11,
+        i23 - (i12 / i11) * i13 AS m12,
+        u2  - (i12 / i11) * u1  AS r2,
+        i23 - (i13 / i11) * i12 AS m21,
+        i33 - (i13 / i11) * i13 AS m22,
+        u3  - (i13 / i11) * u1  AS r3,
+        m22 - (m21 / m11) * m12 AS q22,
+        r3  - (m21 / m11) * r2  AS q3
+      FROM st{i})""")
+        if i < iters:
+            parts.append(f""",
+    bt{i + 1} AS (SELECT
+        CASE WHEN i11 > 0 AND m11 > 0 AND q22 > 0 THEN
+          b1 + (u1 - ((i12 * ((r2 - m12 * (q3 / q22)) / m11))
+                      + (i13 * (q3 / q22)))) / i11
+        ELSE b1 END AS b1,
+        CASE WHEN i11 > 0 AND m11 > 0 AND q22 > 0 THEN
+          b2 + (r2 - m12 * (q3 / q22)) / m11
+        ELSE b2 END AS b2,
+        CASE WHEN i11 > 0 AND m11 > 0 AND q22 > 0 THEN
+          b3 + q3 / q22
+        ELSE b3 END AS b3
+      FROM el{i})""")
+    parts.append(f""",
+    fin AS (SELECT b1, b2, b3, i11, m11, q22,
+        (0.0 - (i12 / i11) * 1.0) AS e1r2,
+        (0.0 - (i13 / i11) * 1.0) AS e1r3,
+        (1.0 - (i12 / i11) * 0.0) AS e2r2,
+        (0.0 - (i13 / i11) * 0.0) AS e2r3,
+        (0.0 - (i12 / i11) * 0.0) AS e3r2,
+        (1.0 - (i13 / i11) * 0.0) AS e3r3,
+        e1r3 - (m21 / m11) * e1r2 AS e1q3,
+        e2r3 - (m21 / m11) * e2r2 AS e2q3,
+        e3r3 - (m21 / m11) * e3r2 AS e3q3,
+        (1.0 - ((i12 * ((e1r2 - m12 * (e1q3 / q22)) / m11))
+                + (i13 * (e1q3 / q22)))) / i11 AS v1,
+        (e2r2 - m12 * (e2q3 / q22)) / m11 AS v2,
+        e3q3 / q22 AS v3
+      FROM el{iters}),
+    ok AS (SELECT fin.*, tot.n, tot.n_events,
+        (tot.n_events > 0 AND fin.i11 > 0 AND fin.m11 > 0
+         AND fin.q22 > 0 AND fin.v1 > 0 AND fin.v2 > 0
+         AND fin.v3 > 0) AS g
+      FROM fin CROSS JOIN tot)
+    SELECT v.covariate, ok.n, ok.n_events,
+      round(CASE WHEN ok.g THEN
+        (CASE v.covariate WHEN 'x1' THEN ok.b1
+              WHEN 'x2' THEN ok.b2 ELSE ok.b3 END) END, 6) + 0.0
+        AS beta,
+      round(CASE WHEN ok.g THEN
+        sqrt(CASE v.covariate WHEN 'x1' THEN ok.v1
+             WHEN 'x2' THEN ok.v2 ELSE ok.v3 END) END, 6) + 0.0
+        AS se,
+      round(CASE WHEN ok.g THEN
+        exp(CASE v.covariate WHEN 'x1' THEN ok.b1
+            WHEN 'x2' THEN ok.b2 ELSE ok.b3 END) END, 6) + 0.0
+        AS hr,
+      round(CASE WHEN ok.g THEN
+        (CASE v.covariate WHEN 'x1' THEN ok.b1
+              WHEN 'x2' THEN ok.b2 ELSE ok.b3 END)
+        / sqrt(CASE v.covariate WHEN 'x1' THEN ok.v1
+               WHEN 'x2' THEN ok.v2 ELSE ok.v3 END) END, 6) + 0.0
+        AS z
+    FROM (VALUES ('x1'), ('x2'), ('x3')) AS v(covariate)
+    CROSS JOIN ok
+    """)
+    return "".join(parts)
+
+
+@register("m_cox_multi3", oracle=_cox_multi3_oracle())
+def m_cox_multi3(spark, sf_dir):
+    """THREE-covariate Cox proportional hazards (operators/stats.
+    cox_ph at p=3 — the natural-order Gaussian-elimination solve path,
+    which p=2's Cramer form never exercises) on a triply-planted
+    design over events: time stretched by user parity, event_id % 3
+    AND user_id % 5, so all three covariates carry true negative log
+    hazard ratios and the p>=3 solve must adjust each for the other
+    two. Same machinery as m_cox_multi (cell collapse, per-round
+    suffix RANGE ladder, 1-row fold, driver-side model-sized solve);
+    the oracle unrolls the elimination with its fixed pivot order
+    (i11, m11, q22) term-for-term — the replayability that motivated
+    choosing natural order over partial pivoting."""
+    from pandasvcf_spark.operators.stats import cox_ph
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    b = e.select(
+        (
+            F.col("value")
+            * (1 + 0.5 * (F.col("user_id") % 2))
+            * (1 + 0.2 * (F.col("event_id") % 3))
+            * (1 + 0.1 * (F.col("user_id") % 5))
+        ).alias("t"),
+        F.when(F.col("event_id") % 4 != 0, 1).otherwise(0).alias("e"),
+        (F.col("user_id") % 2).cast("double").alias("x1"),
+        (F.col("event_id") % 3).cast("double").alias("x2"),
+        (F.col("user_id") % 5).cast("double").alias("x3"),
+    )
+    return cox_ph(b, "t", "e", ["x1", "x2", "x3"], iters=5)
+
+
 @register(
     "e_holt_linear",
     oracle="""

@@ -1217,6 +1217,13 @@ def test_tail_entries_are_redundant_variants_only():
                                  # shape; recall telemetry is the
                                  # ivfpq_recall_at_10_uniform_mp bench
                                  # headline; contract guard
+        "m_cox_multi3",          # p=3 Cox PH: m_cox_multi's ladder +
+                                 # Newton (in window) exercising the
+                                 # p>=3 NATURAL-ORDER elimination solve
+                                 # the p=2 Cramer path never runs;
+                                 # numpy-parity + collinear-NULL
+                                 # pytest; unrolled-elimination oracle;
+                                 # contract guard
         # round-13 re-cut #12 demotions — machinery still
         # driver-covered per queries/__init__.py; all six stay
         # exact-checked by tests/test_contract.py every run
