@@ -26,7 +26,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandasvcf_spark.operators.stats._guards import _assert_key_series_bound
+from pandasvcf_spark.operators.stats._guards import (
+    _assert_cell_bound,
+    _assert_key_series_bound,
+)
+from pandasvcf_spark.operators.stats._ladder import bucketed_running_extreme
 
 
 def _cols(cs: Sequence[Column | str]) -> list[Column]:
@@ -4868,3 +4872,63 @@ def holt_winters_last(
         (F.round(F.when(ok, folded["b"]), 4) + F.lit(0.0)).alias("trend"),
         (F.round(F.when(ok, fc), 4) + F.lit(0.0)).alias("forecast"),
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int | None = 10_000_000,
+    ladder_cells: int = 1_000_000,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """2-D Pareto front (skyline), maximizing BOTH columns — the
+    quality-vs-cost frontier question every corpus/model sweep asks
+    ("which configurations are not strictly beaten on both axes?").
+    A point is ON the front iff no other point has x' >= x and
+    y' >= y with at least one strict.
+
+    Plan (the fdr_correct envelope discipline, round-12 verdict ask
+    #6's new `bucketed_running_extreme` consumer): ONE partial-agged
+    groupBy(x) keeping max(y) collapses the corpus to distinct-x
+    cells (dominated-within-x rows never reach the ladder; tripwire
+    at `max_cells`), then the front test is one STRICT suffix-max
+    envelope over descending x — a cell is on the front iff its y
+    exceeds the max y over all strictly larger x (NULL envelope =
+    largest x = on the front). At <= `ladder_cells` cells the
+    envelope is a plain global window; above it it re-cuts through
+    the shared equal-width-bucket device (per-bucket running max + a
+    driver-walked <= n_buckets offset table — bit-identical, extremes
+    are order-insensitive; no single-task sort). The corpus itself
+    never sorts.
+
+    Output: the front's (x_col, y_col) cells, one row per distinct x
+    on the front. Ties: equal-y cells at different x keep only the
+    larger x (the smaller is weakly dominated), matching the strict
+    skyline convention."""
+    xc = F.col(x_col).cast("double")
+    yc = F.col(y_col).cast("double")
+    cells = (
+        df.filter(xc.isNotNull() & yc.isNotNull())
+        .groupBy(xc.alias("__x"))
+        .agg(F.max(yc).alias("__y"))
+    )
+    est = _assert_cell_bound(
+        cells, ["__x"], "pareto_front", max_cells,
+        plan_word="distinct-x suffix-max envelope ladder",
+    )
+    env = None
+    if est is not None and est > ladder_cells:
+        env = bucketed_running_extreme(
+            cells, "__x", "__y", "__env",
+            suffix=True, op="max",
+            n_buckets=n_buckets, inclusive=False,
+        )
+    if env is None:  # small regime or degenerate x range
+        w = Window.orderBy(F.col("__x").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        env = cells.withColumn("__env", F.max("__y").over(w))
+    return env.filter(
+        F.col("__env").isNull() | (F.col("__y") > F.col("__env"))
+    ).select(F.col("__x").alias(x_col), F.col("__y").alias(y_col))

@@ -1,17 +1,23 @@
-"""Shared bucketed ECDF-ladder device (round-11 verdict ask #4).
+"""Shared bucketed ECDF-ladder device (round-11 verdict ask #4;
+round-12 ask #6 adds the envelope half).
 
 `fdr_correct` proved the re-cut bit-identical for its envelope
 ladders (`causal_survival._fdr_adj_bucketed`, plan-asserted in
 tests/test_plan_shapes.py): equal-width value buckets + per-BUCKET
 running windows + a driver-walked <= n_buckets offset table replace
 the unpartitioned global window, so no single task ever sorts the
-distinct-value cell table. This module generalizes the
+distinct-value cell table. `bucketed_running_sums` generalizes the
 CUMULATIVE-SUM half of that device — the only ladder shape the ECDF
 family (ks_2sample, kuiper_2sample, anderson_darling_2samp,
 wasserstein_1d, cvm_2sample, roc_points) needs: every member derives
 its per-cell term from counts-through-the-current-cell, then folds
-to one row (or, for roc_points, emits the cells themselves), with no
-suffix-min/prefix-max envelope.
+to one row (or, for roc_points, emits the cells themselves).
+`bucketed_running_extreme` is the ENVELOPE half (suffix-min /
+prefix-max / suffix-max running extremes) that previously lived only
+inside `_fdr_adj_bucketed` — shared so envelope consumers (BH/BY/Holm
+adjustment, Pareto fronts, isotonic-style monotone envelopes) get the
+distributed regime for free. Extremes are order-insensitive, so both
+regimes are bit-identical by construction.
 
 Exactness: the running sums are INTEGER counts (BIGINT, or
 integer-valued doubles < 2^53 in the Anderson-Darling midrank form),
@@ -135,3 +141,108 @@ def bucketed_running_sums(
         )
         drop.append("__bnxt")
     return res.drop(*drop)
+
+def bucketed_running_extreme(
+    cells: DataFrame,
+    value_col: str,
+    cand_col: str,
+    out_col: str,
+    suffix: bool,
+    op: str,
+    n_buckets: int = 1024,
+    bucket_col: str | None = None,
+    inclusive: bool = True,
+    assume_checkpointed: bool = False,
+) -> DataFrame | None:
+    """cells + the running EXTREME of `cand_col` through the ladder
+    ordered by `value_col` (prefix = through the current value
+    ascending; `suffix=True` = descending — i.e. the extreme over all
+    LATER values), computed WITHOUT an unpartitioned window — the
+    envelope half of the `_fdr_adj_bucketed` device, lifted (round-12
+    verdict ask #6):
+
+      1. equal-width value buckets (one (min, max) pass; the cell
+         table localCheckpoints first unless `assume_checkpointed` —
+         the bucketed determinism precondition). Pass `bucket_col` to
+         reuse a caller-computed bucket id and skip both jobs
+         (fdr_correct shares one binning across its position and
+         envelope ladders);
+      2. per-bucket candidate extremes (<= n_buckets rows — the
+         documented model-sized collect) give each bucket the extreme
+         over STRICTLY-earlier buckets in fold order by a driver walk
+         (NULL for the first bucket);
+      3. out_col = the per-bucket running extreme merged with that
+         broadcast cross-bucket offset — ~1/n_buckets of the cells
+         per sort task, never one task.
+
+    `op` is "min" or "max". `inclusive=False` excludes the current
+    row (the strict envelope a Pareto front needs: a row with no
+    earlier-in-fold-order cell gets NULL — "nothing dominates").
+    Unlike the cumulative-sum half, min/max are order-INSENSITIVE, so
+    this is bit-identical to the plain-window form for ANY doubles,
+    not just integer counts.
+
+    Returns None when the value range is degenerate (empty / constant
+    / NaN bounds) and no `bucket_col` was supplied — the caller falls
+    back to the plain global window, then at most a handful of
+    cells."""
+    if op not in ("min", "max"):
+        raise ValueError(f"op must be 'min' or 'max', got {op!r}")
+    agg_fn, merge_fn = (F.min, F.least) if op == "min" else (
+        F.max, F.greatest
+    )
+    v = F.col(value_col)
+    drop = []
+    if bucket_col is None:
+        if not assume_checkpointed:
+            cells = cells.localCheckpoint(eager=True)
+        st = cells.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).collect()[0]
+        lo, hi = st["lo"], st["hi"]
+        if lo is None or lo == hi or lo != lo or hi != hi:
+            return None
+        width = (hi - lo) / n_buckets
+        bucket_col = "__ebk"
+        drop.append(bucket_col)
+        cells = cells.withColumn(
+            bucket_col,
+            F.least(
+                F.floor((v - F.lit(lo)) / F.lit(width)),
+                F.lit(n_buckets - 1),
+            ).cast("int"),
+        )
+    ext = {
+        r[bucket_col]: r["e"]
+        for r in cells.groupBy(bucket_col)
+        .agg(agg_fn(cand_col).alias("e"))
+        .collect()
+    }
+    eoffs, run = [], None
+    pymerge = min if op == "min" else max
+    for bk in sorted(ext, reverse=suffix):  # fold order
+        eoffs.append((bk, run))
+        run = ext[bk] if run is None else pymerge(run, ext[bk])
+    edf = cells.sparkSession.createDataFrame(
+        eoffs, f"{bucket_col} int, __eoff double"
+    )
+    w_run = Window.partitionBy(bucket_col).orderBy(
+        v.desc() if suffix else v.asc()
+    ).rowsBetween(Window.unboundedPreceding, -1 if not inclusive else 0)
+    running = agg_fn(cand_col).over(w_run)
+    if inclusive:
+        # the exact _fdr_adj_bucketed merge expression (running is
+        # never NULL here) — kept verbatim so fdr stays bit-identical
+        env = F.when(
+            F.col("__eoff").isNotNull(),
+            merge_fn(running, F.col("__eoff")),
+        ).otherwise(running)
+    else:
+        # strict envelope: either side may be NULL; least/greatest
+        # skip NULLs on both engines, so the merge is the coalesce
+        env = merge_fn(running, F.col("__eoff"))
+    return (
+        cells.join(F.broadcast(edf), bucket_col)
+        .withColumn(out_col, env)
+        .drop("__eoff", *drop)
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._guards import _assert_cell_bound
+from ._ladder import bucketed_running_extreme
 
 
 def cuped_adjust(
@@ -462,47 +463,30 @@ def _fdr_adj_bucketed(
         cand = F.lit(m) * F.col("__p") / F.col("__hi")
         if method == "by":
             cand = F.lit(_harmonic(int(m))) * cand
-        w_run = Window.partitionBy("__bk").orderBy(
-            F.col("__p").desc()
-        ).rowsBetween(Window.unboundedPreceding, 0)
-        later = True  # suffix envelope: offset from LATER buckets
-        agg_fn, run_fn, merge_fn = F.min, F.min, F.least
+        later = True  # suffix-min envelope: offset from LATER buckets
     else:  # holm
         lo_pos = F.col("__hi") - F.col("__c") + 1
         cand = (F.lit(m) - lo_pos + 1) * F.col("__p")
-        w_run = Window.partitionBy("__bk").orderBy("__p").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        later = False  # prefix envelope: offset from EARLIER buckets
-        agg_fn, run_fn, merge_fn = F.max, F.max, F.greatest
+        later = False  # prefix-max envelope: offset from EARLIER ones
     scored = pos.withColumn("__cand", cand)
-    ext = {
-        r["__bk"]: r["e"]
-        for r in scored.groupBy("__bk")
-        .agg(agg_fn("__cand").alias("e"))
-        .collect()
-    }
-    eoffs, run = [], None
-    walk = sorted(ext, reverse=later)  # strictly-before in fold order
-    for bk in walk:
-        eoffs.append((bk, run))
-        run = ext[bk] if run is None else (
-            min(run, ext[bk]) if later else max(run, ext[bk])
-        )
-    edf = spark.createDataFrame(eoffs, "__bk int, __eoff double")
-    running = run_fn("__cand").over(w_run)
-    return (
-        scored.join(F.broadcast(edf), "__bk")
-        .select(
-            "__p",
-            F.least(
-                F.when(
-                    F.col("__eoff").isNotNull(),
-                    merge_fn(running, F.col("__eoff")),
-                ).otherwise(running),
-                F.lit(1.0),
-            ).alias("__adj"),
-        )
+    # envelope via the SHARED ladder helper (round-12 verdict ask #6:
+    # the suffix-min/prefix-max half lifted into _ladder.py beside the
+    # cumulative half). bucket_col="__bk" reuses this function's own
+    # binning, so the jobs, the window, and the merge expression are
+    # the ones this block previously inlined — bit-identical, and the
+    # test_plan_shapes assert is unchanged.
+    env = bucketed_running_extreme(
+        scored,
+        "__p",
+        "__cand",
+        "__env",
+        suffix=later,
+        op="min" if later else "max",
+        bucket_col="__bk",
+    )
+    return env.select(
+        "__p",
+        F.least(F.col("__env"), F.lit(1.0)).alias("__adj"),
     )
 
 

@@ -429,6 +429,50 @@ def w_dense_rank_lead_lag(spark, sf_dir):
 
 
 @register(
+    "w_pareto_front",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, CAST(count(*) AS DOUBLE) AS x,
+             CAST(sum(o_totalprice) AS DOUBLE) AS y
+      FROM orders GROUP BY o_custkey),
+    cells AS (SELECT x, max(y) AS y FROM per GROUP BY x),
+    env AS (SELECT x, y,
+        max(y) OVER (ORDER BY x DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS e
+      FROM cells)
+    SELECT x AS n_orders, round(y, 2) AS top_spend FROM env
+    WHERE e IS NULL OR y > e
+    ORDER BY n_orders
+    """,
+)
+def w_pareto_front(spark, sf_dir):
+    """2-D Pareto front (operators/relational.pareto_front — the
+    round-13 consumer of the shared `bucketed_running_extreme`
+    envelope ladder): the order-count vs total-spend frontier over
+    customers — which (n_orders, spend) cells are not beaten on both
+    axes. One partial-agged collapse to distinct-x cells with max(y),
+    one STRICT suffix-max envelope over descending x (plain window in
+    this small regime; the >1M-cell regime re-cuts through the
+    equal-width-bucket device, regime-equivalence pytest), front =
+    NULL envelope or y above it. The oracle replays collapse,
+    envelope and front filter with the same strict frame."""
+    from pandasvcf_spark.operators.relational import pareto_front
+
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("top_spend"),
+        )
+    )
+    out = pareto_front(per, "n_orders", "top_spend")
+    return out.select(
+        "n_orders", F.round("top_spend", 2).alias("top_spend")
+    ).orderBy("n_orders")
+
+
+@register(
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n,

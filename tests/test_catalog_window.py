@@ -1217,6 +1217,13 @@ def test_tail_entries_are_redundant_variants_only():
                                  # shape; recall telemetry is the
                                  # ivfpq_recall_at_10_uniform_mp bench
                                  # headline; contract guard
+        "w_pareto_front",        # 2-D skyline: one grouped collapse +
+                                 # the shared strict suffix-max
+                                 # envelope (bucketed_running_extreme —
+                                 # the lifted fdr envelope half, whose
+                                 # big regime m_fdr_bh drives in
+                                 # window); regime-equivalence +
+                                 # brute-force pytest; contract guard
         "m_cox_multi3",          # p=3 Cox PH: m_cox_multi's ladder +
                                  # Newton (in window) exercising the
                                  # p>=3 NATURAL-ORDER elimination solve

@@ -3362,6 +3362,53 @@ def test_cox_ph_p3_natural_order_vs_numpy(spark):
         assert r["beta"] is None and r["se"] is None
 
 
+def test_pareto_front_semantics_and_regime_equivalence(spark):
+    """Round-13 (verdict task 6): pareto_front against a brute-force
+    strict-dominance skyline on a hand grid (incl. the tie rule —
+    equal y at different x keeps the larger x); the big regime
+    (bucketed_running_extreme, the lifted envelope half of the fdr
+    ladder) is BIT-identical to the plain-window regime on 20k
+    pseudo-random points."""
+    from pandasvcf_spark.operators.relational import pareto_front
+
+    pts = [
+        (1.0, 5.0), (2.0, 7.0), (3.0, 7.0),   # (2,7) weakly dominated
+        (4.0, 4.0), (5.0, 6.0),               # (4,4) dominated
+        (6.0, 2.0), (2.0, 1.0),               # dup x: max-y collapse
+    ]
+    d = spark.createDataFrame(pts, "x double, y double")
+    got = {(r["x"], r["y"]) for r in pareto_front(d, "x", "y").collect()}
+    # brute force over collapsed cells
+    cells = {}
+    for x, y in pts:
+        cells[x] = max(cells.get(x, float("-inf")), y)
+    want = {
+        (x, y)
+        for x, y in cells.items()
+        if not any(
+            x2 > x and y2 >= y for x2, y2 in cells.items()
+        )
+    }
+    assert got == want and (3.0, 7.0) in got and (2.0, 7.0) not in got
+
+    big_df = spark.range(20000).select(
+        ((F.col("id") * 2654435761) % 9973).cast("double").alias("x"),
+        ((F.col("id") * 40503) % 8191).cast("double").alias("y"),
+    )
+    small = sorted(
+        map(tuple, pareto_front(big_df, "x", "y").collect())
+    )
+    big = sorted(
+        map(
+            tuple,
+            pareto_front(
+                big_df, "x", "y", ladder_cells=500, n_buckets=32
+            ).collect(),
+        )
+    )
+    assert small == big and len(small) > 1
+
+
 def test_auc_delong_page_hinkley_fisher_vs_replicas(spark):
     """DeLong AUC/SE against the placement-value replica; Page-Hinkley
     against the running-mean cumulative replica (peak lands after the
