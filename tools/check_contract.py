@@ -12,7 +12,13 @@ DuckDB sums must be BIGINT-cast (HUGEINT never matches any Spark type) and
 each column's type class (int/float/string/bool/date/timestamp/array<...>)
 must agree between the oracle and the Spark schema.
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [--changed-since GITREF]
+       [sf_dir] [query ...]
+
+--changed-since GITREF restricts the run to the catalog subset the
+git diff against GITREF can affect (see `changed_queries` — biased
+safe: shared-surface changes fall back to the full catalog), keeping
+the per-commit loop fast as the catalog grows.
 """
 
 from __future__ import annotations
@@ -178,9 +184,121 @@ def run_contract(sf_dir, only=None, spark=None, out=print):
     return failures
 
 
+def changed_queries(ref: str) -> set[str] | None:
+    """Map `git diff --name-only <ref>` onto the catalog subset it can
+    affect (the round-12 verdict's --changed-since ask: the full
+    383-entry contract is ~20 min local; the per-commit loop should
+    only pay for what the diff touches). Heuristic, biased SAFE:
+
+      * a changed `queries/<mod>.py` selects every entry whose
+        function is defined in that module;
+      * a changed operator/function/streaming module selects every
+        entry whose function SOURCE references it (catalog entries
+        import operators inside their bodies, so
+        `operators.similarity` appears verbatim) — after expanding
+        the changed set through module-to-module imports (relational
+        imports stats._ladder, etc.) to a transitive closure;
+      * any OTHER changed file under pandasvcf_spark/ (registry,
+        tables, plans, sources, package __init__s) is shared surface:
+        returns None = run everything;
+      * changes outside pandasvcf_spark/ (tests, tools, docs) select
+        nothing.
+    """
+    import inspect
+    import subprocess
+
+    names = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "*.py"],
+        cwd=Path(__file__).resolve().parent.parent,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    pkg = "pandasvcf_spark/"
+    qmods: set[str] = set()
+    opmods: set[str] = set()
+    for nm in names:
+        if not nm.startswith(pkg):
+            continue
+        rel = Path(nm).with_suffix("")
+        parts = rel.parts[1:]
+        if len(parts) >= 2 and parts[0] == "queries":
+            if parts[1] == "__init__":
+                return None  # registration order is shared surface
+            qmods.add(".".join(["pandasvcf_spark", *parts]))
+        elif parts[0] in ("operators", "functions", "streaming"):
+            stem = parts[-1]
+            if stem == "__init__":
+                return None
+            opmods.add("/".join(parts))
+        else:
+            return None  # shared surface — run the full catalog
+    # transitive closure over module-to-module imports: a query that
+    # references operators.relational must rerun when stats/_ladder
+    # changes, because relational imports it
+    root = Path(__file__).resolve().parent.parent / "pandasvcf_spark"
+    texts = {
+        str(f.relative_to(root).with_suffix("")): f.read_text()
+        for sub in ("operators", "functions", "streaming")
+        if (root / sub).exists()
+        for f in (root / sub).rglob("*.py")
+    }
+    grew = True
+    while grew:
+        grew = False
+        for mod, text in texts.items():
+            if mod in opmods:
+                continue
+            for changed in list(opmods):
+                token = changed.replace("/", ".")
+                short = ".".join(token.split(".")[-2:])
+                if token in text or f"from .{Path(changed).name} " in (
+                    text
+                ) or short in text:
+                    opmods.add(mod)
+                    grew = True
+                    break
+    sel: set[str] = set()
+    for name, fn in entrymod.queries().items():
+        if getattr(fn, "__module__", "") in qmods:
+            sel.add(name)
+            continue
+        try:
+            src = inspect.getsource(fn)
+        except OSError:
+            sel.add(name)  # can't inspect — be safe
+            continue
+        for mod in opmods:
+            if mod.replace("/", ".") in src:
+                sel.add(name)
+                break
+    return sel
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    failures = run_contract(sf_dir, only=sys.argv[2:])
+    args = list(sys.argv[1:])
+    since = None
+    if "--changed-since" in args:
+        i = args.index("--changed-since")
+        since = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:]
+    if since is not None:
+        sel = changed_queries(since)
+        if sel is None:
+            print(f"# --changed-since {since}: shared surface changed — "
+                  "running the FULL catalog")
+            only = []
+        elif not sel:
+            print(f"# --changed-since {since}: no catalog-affecting "
+                  "changes — nothing to run")
+            return
+        else:
+            print(f"# --changed-since {since}: {len(sel)} affected "
+                  f"entries: {' '.join(sorted(sel))}")
+            only = sorted(set(only) | sel) if only else sorted(sel)
+    failures = run_contract(sf_dir, only=only)
     if failures:
         print("failing:", " ".join(failures))
         sys.exit(1)
