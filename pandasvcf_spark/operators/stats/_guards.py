@@ -119,3 +119,34 @@ def _assert_key_series_bound(
             "series), or pass max_key_rows=None after confirming the "
             "row size is acceptable."
         )
+
+
+def _assert_unique_times(
+    df: DataFrame,
+    time_cols: Sequence[str],
+    op_name: str,
+    reason: str = (
+        "positions (and every lag pairing built on them) come from "
+        "row_number() over a non-unique order and would be "
+        "order-dependent and nondeterministic"
+    ),
+) -> None:
+    """Duplicate-timestamp TRIPWIRE (round-12 ADVICE: kpss_test /
+    adf_test docstrings claimed duplicate times 'raise implicitly
+    through the lag join multiplicity' — they never did, and
+    seasonal_mann_kendall's variance silently lacks a ties-in-time
+    correction). One (count, count_distinct) agg over the
+    already-filtered series turns the undefined-input case into an
+    actionable raise."""
+    cs = list(time_cols)
+    probe = F.struct(*cs) if len(cs) > 1 else F.col(cs[0])
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(probe).alias("__d"),
+    ).collect()[0]
+    if row["__n"] != row["__d"]:
+        raise ValueError(
+            f"{op_name}: {row['__n'] - row['__d']:,} duplicate "
+            f"{tuple(cs)} rows — {reason}. Pre-aggregate to ONE row "
+            "per time point (groupBy the time bucket) before calling."
+        )

@@ -1425,8 +1425,16 @@ def dml_ate(
     residual):
 
         e_y = y − X β̂_y,   e_t = t − X β̂_t      (OLS nuisance fits)
-        θ̂  = Σ e_t e_y / Σ e_t²                  (+ its robust-ish SE
-                                                  from Σ e_t² ε̂²)
+        θ̂  = Σ e_t e_y / Σ e_t²
+        SE  = sqrt(Σ e_t² (e_y − θ̂ e_t)²) / Σ e_t²   (HC0 sandwich on
+                                                  the residualized
+                                                  moment — the proper
+                                                  heteroscedasticity-
+                                                  robust form, round-12
+                                                  ADVICE; expanded into
+                                                  three extra sums so
+                                                  one pass still
+                                                  suffices)
 
     Everything is closed form: TWO normal-equation passes share one
     X'X (a single agg — both fits differ only in the right-hand
@@ -1483,13 +1491,25 @@ def dml_ate(
     g = nn.agg(
         F.sum(et * ey).alias("__sty"),
         F.sum(et * et).alias("__stt"),
-        F.sum(et * et * ey * ey).alias("__s4"),
+        F.sum(et * et * ey * ey).alias("__s22"),
+        F.sum(et * et * et * ey).alias("__s31"),
+        F.sum(et * et * et * et).alias("__s40"),
     )
     theta = F.col("__sty") / F.col("__stt")
-    # HC0-style sandwich on the residualized moment:
-    # Var ≈ Σ e_t² (e_y − θ e_t)² / (Σ e_t²)²  — expanded so ONE pass
-    # suffices is overkill; use the conservative Σ e_t² e_y² form
-    se = F.sqrt(F.col("__s4")) / F.col("__stt")
+    # HC0 sandwich on the residualized moment ψ = e_t (e_y − θ e_t):
+    # Var(θ̂) = Σ e_t² (e_y − θ e_t)² / (Σ e_t²)², with the square
+    # expanded (e_t²e_y² − 2θ e_t³e_y + θ² e_t⁴) so ONE pass still
+    # suffices (round-12 ADVICE: the previous Σ e_t² e_y² form
+    # silently dropped the cross terms and was only conservative).
+    # greatest(..., 0) guards the float-cancellation corner where the
+    # expansion lands a hair below zero.
+    hc0 = F.greatest(
+        F.col("__s22")
+        - 2.0 * theta * F.col("__s31")
+        + theta * theta * F.col("__s40"),
+        F.lit(0.0),
+    )
+    se = F.sqrt(hc0) / F.col("__stt")
     ok = F.col("__stt") > 0
     return g.select(
         F.lit(int(n)).cast("long").alias("n"),

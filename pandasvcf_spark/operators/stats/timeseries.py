@@ -13,7 +13,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ._guards import _assert_cell_bound, _assert_series_sized
+from ._guards import (
+    _assert_cell_bound,
+    _assert_series_sized,
+    _assert_unique_times,
+)
 
 
 def pacf_stats(
@@ -1314,9 +1318,12 @@ def seasonal_mann_kendall(
         z  = (S' ∓ 1) / sqrt(Var')       (continuity-corrected)
 
     (the independent-seasons form — the serial-correlation covariance
-    extension is out of scope and documented as such). Pairs tied on
-    time within a season are excluded; PRE-BUCKET dense values
-    (ENFORCED by the `max_cells` tripwire on (season, t, v) cells).
+    extension is out of scope and documented as such). Duplicate
+    (season, time) rows RAISE (enforced — S excludes time-tied pairs
+    but the Hirsch-Slack-Smith variance carries NO ties-in-time
+    correction term, so duplicates would silently inflate-variance /
+    bias z rather than error); PRE-BUCKET dense values (ENFORCED by
+    the `max_cells` tripwire on (season, t, v) cells).
 
     Output: ONE row (n BIGINT, n_seasons BIGINT, s BIGINT, var_s
     DOUBLE round 4, z DOUBLE round 6); z NULL when Var' = 0.
@@ -1332,6 +1339,16 @@ def seasonal_mann_kendall(
     ).select(gc.alias("__g"), tc.alias("__t"), vc.alias("__v"))
     _assert_cell_bound(
         base, ["__g", "__t", "__v"], "seasonal_mann_kendall", max_cells
+    )
+    _assert_unique_times(
+        base,
+        ["__g", "__t"],
+        "seasonal_mann_kendall",
+        reason=(
+            "S excludes time-tied pairs but the Hirsch-Slack-Smith "
+            "variance has no ties-in-time correction, so z would be "
+            "silently biased"
+        ),
     )
     cells = base.groupBy("__g", "__t", "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
@@ -1417,8 +1434,10 @@ def kpss_test(
     Reject stationarity for large η (5% critical value 0.463 — the
     caller compares; no p interpolation here). Input is a SERIES (one
     row per time point — pre-aggregate, the runs_test contract;
-    ENFORCED by `max_rows`); ties on time raise implicitly through
-    the lag join multiplicity — keep time unique.
+    ENFORCED by `max_rows`); duplicate times RAISE (enforced by one
+    count-vs-count_distinct probe — positions come from row_number()
+    over the time order, so with ties every γ_j would be silently
+    order-dependent, not an error).
 
     Output: ONE row (n BIGINT, eta DOUBLE round 6, s2_l DOUBLE round
     4); NULL when s²(l) <= 0 or n <= lags.
@@ -1436,6 +1455,7 @@ def kpss_test(
         tc.alias("__t"), vc.alias("__v")
     )
     _assert_series_sized(base, "kpss_test", max_rows)
+    _assert_unique_times(base, ["__t"], "kpss_test")
     mu = base.agg(
         F.avg("__v").alias("__mu"),
         F.count(F.lit(1)).cast("long").alias("__n"),
@@ -1512,8 +1532,9 @@ def adf_test(
     with ρ̂/SE from the closed-form simple-OLS sums. Compare t_ρ to
     the DICKEY-FULLER critical values (−2.86 at 5% with constant) —
     NOT the t table; no p interpolation here. Input is a SERIES (one
-    row per time point, time unique — the kpss_test contract,
-    tripwired via `max_rows`).
+    row per time point — the kpss_test contract, tripwired via
+    `max_rows`; duplicate times RAISE, same probe as kpss_test — the
+    lag-1 position pairing would otherwise be order-dependent).
 
     Output: ONE row (n BIGINT — the differenced length, rho DOUBLE
     round 6, t_stat DOUBLE round 6); NULL stats when n < 3 or x has
@@ -1528,6 +1549,7 @@ def adf_test(
         tc.alias("__t"), vc.alias("__v")
     )
     _assert_series_sized(base, "adf_test", max_rows)
+    _assert_unique_times(base, ["__t"], "adf_test")
     pos = base.select(
         F.row_number().over(Window.orderBy("__t")).alias("__i"), "__v"
     )

@@ -8784,15 +8784,19 @@ def m_raking(spark, sf_dir):
       FROM s, by b),
     g AS (
       SELECT sum(et * ey) AS sty, sum(et * et) AS stt,
-             sum(et * et * ey * ey) AS s4,
+             sum(et * et * ey * ey) AS s22,
+             sum(et * et * et * ey) AS s31,
+             sum(et * et * et * et) AS s40,
              CAST(count(*) AS BIGINT) AS n
-      FROM r)
+      FROM r),
+    th AS (
+      SELECT *, CASE WHEN stt > 0 THEN sty / stt END AS t0 FROM g)
     SELECT n,
-           round(CASE WHEN stt > 0 THEN sty / stt END, 6)
-             + 0.0 AS theta,
-           round(CASE WHEN stt > 0 THEN sqrt(s4) / stt END, 6)
-             + 0.0 AS se
-    FROM g
+           round(t0, 6) + 0.0 AS theta,
+           round(CASE WHEN stt > 0 THEN
+             sqrt(greatest(s22 - 2.0 * t0 * s31 + t0 * t0 * s40, 0.0))
+             / stt END, 6) + 0.0 AS se
+    FROM th
     """,
 )
 def m_dml(spark, sf_dir):
@@ -8802,9 +8806,9 @@ def m_dml(spark, sf_dir):
     the causal trio (m_stratified_ate cells, m_ipw weights, this):
     two OLS nuisance fits SHARE one X'X pass (only the right-hand
     sides differ), betas inject as literals, and θ = Σe_t e_y / Σe_t²
-    folds in one more pass with the conservative sandwich SE. θ ~ 0
-    expected on this A/A parity split. The oracle replays both Cramer
-    solves and the residual fold."""
+    folds in one more pass with the HC0 sandwich SE (expanded cross
+    terms, same pass). θ ~ 0 expected on this A/A parity split. The
+    oracle replays both Cramer solves and the residual fold."""
     from pandasvcf_spark.operators.stats import dml_ate
 
     e = load(spark, sf_dir, "events").filter(

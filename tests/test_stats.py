@@ -4436,6 +4436,64 @@ def test_rake_weights_margins_converge(spark):
         assert row["weight"] == 1.0
 
 
+def test_series_guards_duplicate_times_and_ece_range(spark):
+    """Round-13 ADVICE fixes: kpss_test / adf_test RAISE on duplicate
+    timestamps (the docstring's claimed 'implicit raise' never
+    existed — duplicates silently made positions order-dependent);
+    seasonal_mann_kendall raises on duplicate (season, time) rows
+    (no ties-in-time variance correction); ece_summary raises on
+    scores outside [0, 1) (negative floor bins / last-bin clamp were
+    silent). Valid inputs are unaffected."""
+    from pandasvcf_spark.operators.stats import (
+        adf_test,
+        ece_summary,
+        kpss_test,
+        seasonal_mann_kendall,
+    )
+
+    dup = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.0), (2.0, 4.0), (3.0, 1.0)],
+        "t double, v double",
+    )
+    for op in (kpss_test, adf_test):
+        with pytest.raises(ValueError, match="duplicate"):
+            op(dup, "t", "v")
+    uniq = spark.createDataFrame(
+        [(float(i), float((i * 7) % 5)) for i in range(30)],
+        "t double, v double",
+    )
+    assert kpss_test(uniq, "t", "v").count() == 1
+    assert adf_test(uniq, "t", "v").count() == 1
+
+    smk_dup = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 1.0, 3.0), ("a", 2.0, 4.0),
+         ("b", 1.0, 1.0)],
+        "g string, t double, v double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        seasonal_mann_kendall(smk_dup, "g", "t", "v")
+    smk_ok = spark.createDataFrame(
+        [("a", float(t), float(t % 3)) for t in range(8)]
+        + [("b", float(t), float((t * 2) % 5)) for t in range(8)],
+        "g string, t double, v double",
+    )
+    assert seasonal_mann_kendall(smk_ok, "g", "t", "v").count() == 1
+
+    bad_neg = spark.createDataFrame(
+        [(-0.1, 0), (0.5, 1)], "s double, y int"
+    )
+    bad_hi = spark.createDataFrame(
+        [(0.5, 0), (1.0, 1)], "s double, y int"
+    )
+    for bad in (bad_neg, bad_hi):
+        with pytest.raises(ValueError, match=r"\[0, 1\)"):
+            ece_summary(bad, "s", "y")
+    ok = spark.createDataFrame(
+        [(0.0, 0), (0.5, 1), (0.999, 1)], "s double, y int"
+    )
+    assert ece_summary(ok, "s", "y").collect()[0]["n"] == 3
+
+
 def test_dml_ate_recovers_confounded_effect(spark):
     """Same confounded design as the IPW test: x drives treatment and
     outcome; naive diff-in-means is biased, the partialling-out theta
@@ -4466,7 +4524,9 @@ def test_dml_ate_recovers_confounded_effect(spark):
     bt = np.linalg.solve(X.T @ X, X.T @ tv)
     ey, et = yv - X @ by, tv - X @ bt
     theta = (et @ ey) / (et @ et)
-    se = np.sqrt(np.sum(et * et * ey * ey)) / (et @ et)
+    # HC0 sandwich on the residualized moment (round-12 ADVICE: the
+    # cross terms are included, not dropped)
+    se = np.sqrt(np.sum(et * et * (ey - theta * et) ** 2)) / (et @ et)
     assert out["theta"] == pytest.approx(round(float(theta), 6), abs=2e-6)
     assert out["se"] == pytest.approx(round(float(se), 6), abs=2e-6)
 
