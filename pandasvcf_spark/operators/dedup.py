@@ -1249,3 +1249,122 @@ def containment_join(
         F.col("inter").cast("long").alias("inter"),
         "containment",
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far_from_centroid",
+    max_cluster_size: int | None = 100_000,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication") — the dedup tier
+    MinHash cannot reach: paraphrases and re-renders share no
+    shingles but land on near-identical embeddings. The recipe:
+
+      1. assign every vector to its nearest coarse centroid
+         (`similarity.ivf_cell_expr` — the k-means cells bound the
+         pair search exactly as the paper prescribes);
+      2. WITHIN each cell, pairs with cosine >= `threshold` become
+         duplicate edges (never across cells — the paper's
+         approximation, which is what makes the cost
+         Σ cell_size², not corpus²);
+      3. transitive closure over the edges (`connected_components`,
+         min-label rounds);
+      4. per component keep ONE representative: `keep=
+         "far_from_centroid"` keeps the member with the LOWEST
+         cosine to its cell centroid (the paper's choice — the
+         outlier preserves diversity; ties by min id);
+         `keep="min_id"` keeps the smallest id (the deterministic
+         baseline). Singletons always survive.
+
+    Output: (id_col, cell INT) — the SURVIVORS. Anti-join the input
+    on id_col for the dropped set.
+
+    Scale shape: the centroid list is a model-sized broadcast
+    literal; the only quadratic term is per-cell pairing, guarded by
+    `max_cluster_size` (one <= n_centroids-row agg; the raise names
+    the re-route: train MORE centroids — cost is Σ cell², so cells
+    must stay bounded exactly like LSH buckets). Components run on
+    the (sparse) duplicate-pair graph, not the corpus."""
+    from pandasvcf_spark.functions.vectors import cosine_expr
+    from pandasvcf_spark.operators.similarity import (
+        _centroid_lit,
+        _dc,
+        ivf_cell_expr,
+    )
+
+    if keep not in ("far_from_centroid", "min_id"):
+        raise ValueError(
+            f"keep must be 'far_from_centroid' or 'min_id', got {keep!r}"
+        )
+    cells = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+    ).localCheckpoint(eager=True)  # pairs + closure + keep share one view
+    if max_cluster_size is not None:
+        sizes = cells.groupBy("cell").count().collect()
+        worst = max((r["count"] for r in sizes), default=0)
+        if worst > max_cluster_size:
+            raise ValueError(
+                f"semantic_dedup: a cell holds {worst:,} vectors, above "
+                f"max_cluster_size={max_cluster_size:,} — within-cell "
+                "pairing is cell², so train MORE coarse centroids "
+                "(kmeans_fit with larger k) until cells are bounded, "
+                "or pass max_cluster_size=None after pricing the cost."
+            )
+    a = cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("__ia"),
+        F.col("__vec").alias("__va"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("__ib"),
+        F.col("__vec").alias("__vb"),
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .filter(
+            cosine_expr(F.col("__va"), F.col("__vb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
+    )
+    comp = connected_components(pairs, max_iter=max_iter)
+    members = cells.join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    )
+    if keep == "min_id":
+        # component label IS the min member id — the representative
+        kept = members.filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col(id_col))
+        )
+        return kept.select(F.col(id_col), F.col("cell"))
+    cosc = cosine_expr(
+        F.col("__vec"), F.element_at(_centroid_lit(centroids), F.col("cell"))
+    )
+    dup = members.filter(F.col("component").isNotNull()).select(
+        F.col(id_col), F.col("cell"), F.col("component"),
+        cosc.alias("__cosc"),
+    )
+    # one row per DUPLICATE component (sparse, but unbounded at corpus
+    # scale — a plain equi-join, never a broadcast)
+    reps = dup.groupBy("component").agg(
+        F.min(F.struct(F.col("__cosc"), F.col(id_col))).alias("__r")
+    ).select(F.col("__r")[id_col].alias(id_col))
+    kept_dup = dup.join(reps, on=id_col).select(
+        F.col(id_col), F.col("cell")
+    )
+    singletons = members.filter(F.col("component").isNull()).select(
+        F.col(id_col), F.col("cell")
+    )
+    return singletons.unionByName(kept_dup)

@@ -779,3 +779,69 @@ def curriculum_tiers(
         tier.cast("int").alias("tier"),
         mix32_expr(h0).alias("order_key"),
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    weight_col: Column | str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling weights — the multilingual /
+    multi-source rebalancing recipe of mBERT/XLM-R/mT5 (Devlin et al.
+    2019 exponential smoothing; Conneau et al. 2020 §3; Xue et al.
+    2021 use α ≈ 0.3): sample group l with probability
+
+        p_l = n_l^α / Σ_m n_m^α
+
+    so α = 1 reproduces the natural distribution, α = 0 is uniform,
+    and α in between up-samples the tail (low-resource languages /
+    rare sources) without flattening the head. `weight_col` sizes
+    groups by a mass column (token counts) instead of row counts.
+
+    Output: one row per group — (group_col, n BIGINT rows, mass
+    DOUBLE, p_natural, p_temp DOUBLE round 9, sample_factor DOUBLE
+    round 6 = p_temp / p_natural, the per-group multiplier a sampler
+    like `weighted_sample` or a loader's repeat factor consumes).
+
+    Plan: ONE partial-aggregated groupBy (group-count-sized) + a
+    1-row total fold broadcast back — nothing row-scale after the
+    first agg; the group table is the model."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    g = F.col(group_col)
+    mass = (
+        F.lit(1.0)
+        if weight_col is None
+        else (
+            F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        ).cast("double")
+    )
+    per = (
+        df.filter(g.isNotNull())
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(mass).alias("mass"),
+        )
+    )
+    pa = F.pow(F.col("mass"), F.lit(float(alpha)))
+    tot = per.agg(
+        F.sum("mass").alias("__tm"),
+        F.sum(pa).alias("__ta"),
+    )
+    p_nat = F.col("mass") / F.col("__tm")
+    p_tmp = pa / F.col("__ta")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n",
+            F.round("mass", 4).alias("mass"),
+            (F.round(p_nat, 9) + F.lit(0.0)).alias("p_natural"),
+            (F.round(p_tmp, 9) + F.lit(0.0)).alias("p_temp"),
+            (F.round(p_tmp / p_nat, 6) + F.lit(0.0)).alias(
+                "sample_factor"
+            ),
+        )
+    )

@@ -3833,3 +3833,37 @@ def t_dsir(spark, sf_dir):
     return dsir_scores(
         d, "doc_id", "text", F.col("source") == "src1", n_buckets=4096
     )
+
+
+@register(
+    "t_temperature_mix",
+    oracle="""
+    WITH per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(n_chars AS DOUBLE)) AS mass
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+    tot AS (SELECT sum(mass) AS tm, sum(pow(mass, 0.3)) AS ta FROM per)
+    SELECT lang, n, round(mass, 4) AS mass,
+           round(mass / tm, 9) + 0.0 AS p_natural,
+           round(pow(mass, 0.3) / ta, 9) + 0.0 AS p_temp,
+           round((pow(mass, 0.3) / ta) / (mass / tm), 6) + 0.0
+             AS sample_factor
+    FROM per CROSS JOIN tot ORDER BY lang
+    """,
+)
+def t_temperature_mix(spark, sf_dir):
+    """Temperature-based multilingual sampling weights (operators/
+    sampling.temperature_weights, α = 0.3 — the mT5 default) over the
+    documents table by language, sized by CHARACTER mass (n_chars):
+    p_l ∝ mass_l^0.3 renormalized, the up-sample-the-tail mixture
+    every multilingual pretraining run applies (Conneau et al. 2020;
+    Xue et al. 2021). sample_factor is the per-language multiplier a
+    loader or `weighted_sample` consumes: > 1 for low-resource
+    languages, < 1 for the head. One group-sized agg + a 1-row fold;
+    the oracle replays mass, pow and both normalizations."""
+    from pandasvcf_spark.operators.sampling import temperature_weights
+
+    d = load(spark, sf_dir, "documents")
+    return temperature_weights(
+        d, "lang", alpha=0.3, weight_col="n_chars"
+    ).orderBy("lang")

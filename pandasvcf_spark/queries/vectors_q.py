@@ -1101,6 +1101,71 @@ def v_ivfpq_rerank(spark, sf_dir):
     ).orderBy("query_id", "vec_id")
 
 
+@register(
+    "v_semdedup",
+    oracle=f"""
+    WITH RECURSIVE cells AS (
+      SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell
+      FROM embeddings),
+    prs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.3),
+    edges AS (SELECT ia AS a, ib AS b FROM prs
+              UNION ALL SELECT ib, ia FROM prs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    cents AS (
+      {_sql_cents_cte()}),
+    dup AS (
+      SELECT c.vec_id, c.cell, k.component,
+             {_sql_cos('c.embedding', 'ct.cent')} AS cosc
+      FROM cells c
+      JOIN comp k ON k.id = c.vec_id
+      JOIN cents ct USING (cell)),
+    reps AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (PARTITION BY component
+                                          ORDER BY cosc, vec_id) AS rn
+        FROM dup) WHERE rn = 1),
+    singles AS (
+      SELECT c.vec_id, c.cell FROM cells c
+      ANTI JOIN comp k ON k.id = c.vec_id)
+    SELECT vec_id, cell FROM singles
+    UNION ALL
+    SELECT d.vec_id, d.cell FROM dup d JOIN reps USING (vec_id)
+    ORDER BY vec_id
+    """,
+)
+def v_semdedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (operators/dedup.semantic_dedup;
+    Abbas et al. 2023): nearest-centroid cells bound the pair search,
+    within-cell cosine >= τ edges feed the transitive closure, and
+    each duplicate component keeps its FARTHEST-from-centroid member
+    (lowest cosine to the cell centroid, ties by min id — the paper's
+    diversity-preserving pick). τ = 0.3 here: the synthetic embeddings
+    are near-uniform (no true semantic dups; within-cell max cosine
+    ~0.49), so the threshold sits in the distribution's tail to drive
+    edges, closure and the keep policy through the exact gate — the
+    planted-duplicate pytest pins the realistic regime. The oracle
+    replays cells, pairs, a recursive-CTE closure and the keep-far
+    pick."""
+    from pandasvcf_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, CENTROIDS, threshold=0.3, keep="far_from_centroid"
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    ).orderBy("vec_id")
+
+
 def ivfpq_recall_uniform_report(
     spark,
     sf_dir: str,

@@ -1217,6 +1217,18 @@ def test_tail_entries_are_redundant_variants_only():
                                  # shape; recall telemetry is the
                                  # ivfpq_recall_at_10_uniform_mp bench
                                  # headline; contract guard
+        "t_temperature_mix",     # temperature mixture weights: one
+                                 # group-sized agg + 1-row fold
+                                 # (t_quality_score's grouped-report
+                                 # family); alpha-limit pytest;
+                                 # contract guard
+        "v_semdedup",            # SemDeDup semantic dedup: nearest-
+                                 # centroid cells (v_ivf machinery) +
+                                 # within-cell cosine edges +
+                                 # dedup_components' closure + a
+                                 # keep-far struct-argmin; planted-
+                                 # duplicate pytest; recursive-CTE
+                                 # oracle; contract guard
         "w_pareto_front",        # 2-D skyline: one grouped collapse +
                                  # the shared strict suffix-max
                                  # envelope (bucketed_running_extreme —

@@ -2247,3 +2247,45 @@ def test_exact_substring_char_empty_doc_zero_tokens(spark):
     assert out[1] == 0
     assert out[2] <= 1       # whitespace collapses to a single ' '
     assert out[3] == 52
+
+
+def test_temperature_weights_alpha_limits_and_tail(spark):
+    """Round-13 mixture weights: alpha=1 reproduces the natural
+    distribution (sample_factor 1 everywhere), alpha=0 is uniform
+    (p_temp = 1/k), alpha=0.3 up-samples the tail (factor > 1 for the
+    smallest group, < 1 for the head); p_temp sums to 1; weight_col
+    switches the mass from rows to a column; alpha < 0 raises."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from pandasvcf_spark.operators.sampling import temperature_weights
+
+    rows = (
+        [("en", 100)] * 80 + [("de", 10)] * 15 + [("sw", 1)] * 5
+    )
+    d = spark.createDataFrame(rows, "lang string, tok int")
+
+    nat = {r["lang"]: r for r in
+           temperature_weights(d, "lang", alpha=1.0).collect()}
+    assert all(abs(r["sample_factor"] - 1.0) < 1e-9 for r in nat.values())
+
+    uni = {r["lang"]: r for r in
+           temperature_weights(d, "lang", alpha=0.0).collect()}
+    for r in uni.values():
+        assert abs(r["p_temp"] - 1.0 / 3.0) < 1e-6
+
+    t = {r["lang"]: r for r in
+         temperature_weights(d, "lang", alpha=0.3).collect()}
+    assert abs(sum(r["p_temp"] for r in t.values()) - 1.0) < 1e-6
+    assert t["sw"]["sample_factor"] > 1.0 > t["en"]["sample_factor"]
+    assert t["en"]["n"] == 80 and t["sw"]["n"] == 5
+
+    # mass by token column: en mass 8000 vs sw mass 5
+    tm = {r["lang"]: r for r in
+          temperature_weights(d, "lang", 0.3, "tok").collect()}
+    assert tm["en"]["mass"] == 8000.0 and tm["sw"]["mass"] == 5.0
+    assert tm["sw"]["sample_factor"] > t["sw"]["sample_factor"]
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(d, "lang", alpha=-0.1)

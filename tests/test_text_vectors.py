@@ -468,6 +468,60 @@ def test_simhash_bucket_cap_accounting(spark):
     assert d["n_buckets"] >= 1 and d["max_bucket"] == 8
 
 
+def test_semantic_dedup_planted_duplicates(spark):
+    """Round-13 SemDeDup: planted near-duplicate groups (clusters of
+    vectors within ~1 degree) collapse to ONE survivor each under
+    keep='far_from_centroid' (the lowest-cosine-to-centroid member
+    survives) and to the min id under keep='min_id'; unrelated
+    vectors all survive; transitive chains dedup together; the
+    max_cluster_size guard and the keep validator raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.dedup import semantic_dedup
+    from pandasvcf_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, (6, 32))
+    rows = []
+    vid = 0
+    groups = []
+    for g in range(6):
+        size = 3 if g < 3 else 1  # three planted dup-triples
+        ids = []
+        for _ in range(size):
+            v = base[g] + rng.normal(0, 0.01, 32)  # ~same direction
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+            vid += 1
+        groups.append(ids)
+    d = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents, _ = kmeans_fit(d, k=4, max_iter=5)
+    surv_far = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            d, cents, threshold=0.99, keep="far_from_centroid"
+        ).collect()
+    )
+    surv_min = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            d, cents, threshold=0.99, keep="min_id"
+        ).collect()
+    )
+    # one survivor per planted group, all singletons survive
+    assert len(surv_far) == 6 and len(surv_min) == 6
+    for ids in groups:
+        assert sum(1 for i in ids if i in surv_far) == 1
+        assert min(ids) in surv_min  # min-id policy is the label
+    with _pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup(d, cents, threshold=0.99, max_cluster_size=1)
+    with _pytest.raises(ValueError, match="keep"):
+        semantic_dedup(d, cents, keep="random")
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C must cluster all three even though A~C was never a pair —
     the property that makes components the right post-LSH step."""
