@@ -852,7 +852,9 @@ def test_dunn_and_seasonal_mk_grids_broadcast_never_cartesian(spark):
     d = spark.range(500).select(
         (F.col("id") % 3).cast("string").alias("g"),
         (F.col("id") % 13).cast("double").alias("v"),
-        (F.col("id") % 29).cast("double").alias("t"),
+        # t = id keeps (g, t) unique — the round-13 duplicate-time
+        # tripwire raises eagerly on tied times
+        F.col("id").cast("double").alias("t"),
     )
     p1 = _plan(dunn_test(d, "g", "v"))
     assert "CartesianProduct" not in p1
