@@ -108,8 +108,29 @@ def main() -> None:
     # for a hot machine to settle, and if it stays hot, say so in the
     # artifact (ambient_load_note) and escalate every headline query to
     # min-of-3 so one contended run can't set the floor.
+    # Round-13 refinement: gate on the 5-minute average too. The r13
+    # local run passed the 1-minute gate (0.78) yet ran ~30% slow —
+    # the machine had just finished a 20-minute contract sweep and the
+    # 5-minute average (2.85) was the only stamp that knew. A recently
+    # hammered machine escalates to min-of-3 exactly like a currently
+    # loaded one.
+    try:
+        loadavg_5m = round(os.getloadavg()[1], 1)
+    except OSError:
+        loadavg_5m = None
     ambient_note = None
     headline_runs = 2
+    if loadavg_5m is not None and loadavg_5m > 2.0 and not (
+        loadavg_start is not None and loadavg_start > 1.0
+    ):
+        headline_runs = 3
+        ambient_note = (
+            f"1m loadavg {loadavg_start} but 5m {loadavg_5m}: the "
+            "machine was BUSY within the last few minutes (cache/"
+            "thermal state still settling); headline roster escalated "
+            "to min-of-3"
+        )
+        print(f"# ambient-load gate: {ambient_note}", file=sys.stderr)
     if loadavg_start is not None and loadavg_start > 1.0:
         settle_deadline = time.time() + 60.0
         load_now = loadavg_start
@@ -804,6 +825,7 @@ def main() -> None:
         "work dominates the overhead"
     )
     result["loadavg_start_1m"] = loadavg_start
+    result["loadavg_start_5m"] = loadavg_5m
     try:
         result["loadavg_end_1m"] = round(os.getloadavg()[0], 1)
     except OSError:
