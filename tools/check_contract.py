@@ -184,7 +184,9 @@ def run_contract(sf_dir, only=None, spark=None, out=print):
     return failures
 
 
-def changed_queries(ref: str) -> set[str] | None:
+def changed_queries(
+    ref: str | None = None, names: list[str] | None = None
+) -> set[str] | None:
     """Map `git diff --name-only <ref>` onto the catalog subset it can
     affect (the round-12 verdict's --changed-since ask: the full
     383-entry contract is ~20 min local; the per-commit loop should
@@ -203,17 +205,21 @@ def changed_queries(ref: str) -> set[str] | None:
         returns None = run everything;
       * changes outside pandasvcf_spark/ (tests, tools, docs) select
         nothing.
+
+    Pass `names` (repo-relative paths) to skip the git call — the
+    pytest seam.
     """
     import inspect
     import subprocess
 
-    names = subprocess.run(
-        ["git", "diff", "--name-only", ref, "--", "*.py"],
-        cwd=Path(__file__).resolve().parent.parent,
-        capture_output=True,
-        text=True,
-        check=True,
-    ).stdout.split()
+    if names is None:
+        names = subprocess.run(
+            ["git", "diff", "--name-only", ref, "--", "*.py"],
+            cwd=Path(__file__).resolve().parent.parent,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
     pkg = "pandasvcf_spark/"
     qmods: set[str] = set()
     opmods: set[str] = set()
@@ -258,6 +264,17 @@ def changed_queries(ref: str) -> set[str] | None:
                     opmods.add(mod)
                     grew = True
                     break
+    # a query importing `from ...operators.stats import fdr_correct`
+    # goes through the PACKAGE re-export, never naming the submodule —
+    # so a nested changed module also matches on its package path
+    # (safe over-selection: any stats-importing query reruns when any
+    # stats submodule changes)
+    tokens: set[str] = set()
+    for mod in opmods:
+        parts = mod.split("/")
+        tokens.add(".".join(parts))
+        if len(parts) >= 3:
+            tokens.add(".".join(parts[:-1]))
     sel: set[str] = set()
     for name, fn in entrymod.queries().items():
         if getattr(fn, "__module__", "") in qmods:
@@ -268,8 +285,8 @@ def changed_queries(ref: str) -> set[str] | None:
         except OSError:
             sel.add(name)  # can't inspect — be safe
             continue
-        for mod in opmods:
-            if mod.replace("/", ".") in src:
+        for tok in tokens:
+            if tok in src:
                 sel.add(name)
                 break
     return sel
