@@ -1260,6 +1260,7 @@ def semantic_dedup(
     keep: str = "far_from_centroid",
     max_cluster_size: int | None = 100_000,
     max_iter: int = 25,
+    cc_method: str = "label",
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication over an embedding column
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -1291,7 +1292,10 @@ def semantic_dedup(
     `max_cluster_size` (one <= n_centroids-row agg; the raise names
     the re-route: train MORE centroids — cost is Σ cell², so cells
     must stay bounded exactly like LSH buckets). Components run on
-    the (sparse) duplicate-pair graph, not the corpus."""
+    the (sparse) duplicate-pair graph, not the corpus; `cc_method=
+    "star"` switches the closure to large-star/small-star contraction
+    (O(log n) rounds — pick it when similarity chains make label
+    propagation's diameter-many rounds the wall, same output)."""
     from pandasvcf_spark.functions.vectors import cosine_expr
     from pandasvcf_spark.operators.similarity import (
         _centroid_lit,
@@ -1338,7 +1342,7 @@ def semantic_dedup(
         )
         .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
     )
-    comp = connected_components(pairs, max_iter=max_iter)
+    comp = connected_components(pairs, max_iter=max_iter, method=cc_method)
     members = cells.join(
         comp.withColumnRenamed("id", id_col), on=id_col, how="left"
     )

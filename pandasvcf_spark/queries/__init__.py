@@ -228,6 +228,21 @@ DRIVER_WINDOW = 50
 # (the mergeable fixed-size sketch-grid family stays via
 # sk_hll_distinct's register grid). All six remain continuously
 # exact-checked by tests/test_contract.py.
+# A round-13 continuation cut (the thirteenth) promotes the two
+# strongest entries BUILT this round, neither of which has a driver
+# row: v_semdedup (the SemDeDup semantic-dedup composition — cell
+# assignment + within-cell cosine edges + transitive closure + a
+# keep-far struct-argmin; no other window entry replays an
+# embedding-space dedup) and m_cox_multi3 (the p=3 Cox fit — the ONLY
+# entry exercising the natural-order Gaussian-elimination solve path;
+# m_cox_multi's p=2 Cramer form never runs it). Displaced, machinery
+# still driver-covered: g_kcore (fixed-round iterative join+agg
+# peeling stays via g_communities' LPA rounds, promoted in cut #12;
+# the degree-threshold agg via flagship_annotate's grouped
+# conditionals) and m_scd2_history (ordered-window change-detect +
+# interval-close stays via a1_homref_window's per-site windows and
+# j_asof_events' point-in-time ordering). Both remain continuously
+# exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -274,7 +289,7 @@ _PRIORITY = [
     "t_pack_global",
     "agg_tpch_q1",
     "agg_cube",
-    "g_kcore",
+    "v_semdedup",
     # join family + skew mitigation (j_anti sits past the window: its
     # 0-row result passes rows/schema/hash trivially, so its slot carried
     # no signal — check_contract still exact-checks it every run.
@@ -294,7 +309,7 @@ _PRIORITY = [
     "m_cox_multi",
     "m_fisher_exact",
     "e_kpss",
-    "m_scd2_history",
+    "m_cox_multi3",
     "r2_pivot",
     "info_str_to_map",
 ]

@@ -1104,25 +1104,26 @@ def v_ivfpq_rerank(spark, sf_dir):
 @register(
     "v_semdedup",
     oracle=f"""
-    WITH RECURSIVE cells AS (
+    WITH RECURSIVE cells AS MATERIALIZED (
       SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell
       FROM embeddings),
-    prs AS (
+    prs AS MATERIALIZED (
       SELECT a.vec_id AS ia, b.vec_id AS ib
       FROM cells a JOIN cells b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.3),
-    edges AS (SELECT ia AS a, ib AS b FROM prs
+    edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM prs
               UNION ALL SELECT ib, ia FROM prs),
     verts AS (SELECT DISTINCT a AS id FROM edges),
     reach AS (
       SELECT id, id AS lbl FROM verts
       UNION
       SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
-    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    comp AS MATERIALIZED (
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id),
     cents AS (
       {_sql_cents_cte()}),
-    dup AS (
+    dup AS MATERIALIZED (
       SELECT c.vec_id, c.cell, k.component,
              {_sql_cos('c.embedding', 'ct.cent')} AS cosc
       FROM cells c

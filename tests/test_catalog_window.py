@@ -93,7 +93,12 @@ def test_extension_surface_inside_window():
         # t_paragraph_dedup, whose explode→hash-groupBy shape stays
         # driver-covered by dedup_minhash_lsh + p4_distinct); promoted
         # in their place:
-        "m_scd2_history",
+        "m_cox_multi3",  # round-13 continuation cut (#13): the p=3
+                         # Cox fit — the ONLY entry exercising the
+                         # natural-order elimination solve path
+                         # (m_scd2_history demoted: ordered-window
+                         # change-detect + interval-close stays via
+                         # a1_homref_window + j_asof_events)
         # round-12 re-cut #9: one representative per round-11 family
         # (displacing m_competing_risks — its Aalen-Johansen
         # distinct-time ladder is exactly m_cox's risk-set ladder —
@@ -120,7 +125,11 @@ def test_extension_surface_inside_window():
                                  # shingle chain + interval-union
                                  # window + HOF token surgery
         "t_bpe_tokens_arrow",
-        "g_kcore",
+        "v_semdedup",  # round-13 continuation cut (#13): SemDeDup —
+                       # the embedding-space dedup composition no
+                       # other window entry replays (g_kcore demoted:
+                       # fixed-round iterative join+agg machinery
+                       # stays via g_communities' LPA rounds)
         "t_pack_global",
         # §2 core must each keep >=1 green row
         "flagship_annotate",
@@ -1243,6 +1252,15 @@ def test_tail_entries_are_redundant_variants_only():
                                  # numpy-parity + collinear-NULL
                                  # pytest; unrolled-elimination oracle;
                                  # contract guard
+        # round-13 continuation cut (#13) demotions — machinery still
+        # driver-covered per queries/__init__.py; both stay
+        # exact-checked by tests/test_contract.py every run
+        "g_kcore",               # fixed-round peel: iterative
+                                 # join+agg rounds stay via
+                                 # g_communities (in window)
+        "m_scd2_history",        # SCD2 interval-close: ordered-window
+                                 # machinery stays via a1_homref_window
+                                 # + j_asof_events (in window)
         # round-13 re-cut #12 demotions — machinery still
         # driver-covered per queries/__init__.py; all six stay
         # exact-checked by tests/test_contract.py every run

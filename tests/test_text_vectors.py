@@ -516,6 +516,14 @@ def test_semantic_dedup_planted_duplicates(spark):
     for ids in groups:
         assert sum(1 for i in ids if i in surv_far) == 1
         assert min(ids) in surv_min  # min-id policy is the label
+    # star contraction closure gives identical survivors
+    surv_star = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            d, cents, threshold=0.99, cc_method="star"
+        ).collect()
+    )
+    assert surv_star == surv_far
     with _pytest.raises(ValueError, match="max_cluster_size"):
         semantic_dedup(d, cents, threshold=0.99, max_cluster_size=1)
     with _pytest.raises(ValueError, match="keep"):
