@@ -1372,3 +1372,109 @@ def semantic_dedup(
         F.col(id_col), F.col("cell")
     )
     return singletons.unionByName(kept_dup)
+
+
+def semantic_dedup_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+    max_iter: int = 25,
+    cc_method: str = "label",
+) -> DataFrame:
+    """Incremental SemDeDup: semantically dedup a NEW batch against an
+    already-clean BASE corpus — `near_dedup_incremental`'s contract
+    carried to embedding space (the recurring-crawl shape for the
+    paraphrase tier). Returns the SURVIVING rows of `new` as
+    (id_col, cell); base is kept as-is by contract: a new vector drops
+    when its duplicate component contains ANY base vector (the corpus
+    already holds a representative), and all-new components keep their
+    minimum-id member. Ids must be unique across both sides.
+
+    Scale story — the base contributes a LINEAR cell-assignment pass
+    but no quadratic pair term: pair expansion keeps only edges with a
+    new endpoint (base×base pairs are filtered INSIDE the join, the
+    `minhash_near_dup_pairs` incremental_col device), which is
+    lossless for the verdicts exactly as in the LSH form — a base-base
+    edge can only merge components that each already contain a base
+    vector, and "has base → drop new members" is identical merged or
+    not, while all-new components never involve base edges. The
+    `max_cluster_size` guard prices the within-cell term on the
+    combined relation."""
+    from pandasvcf_spark.functions.vectors import cosine_expr
+    from pandasvcf_spark.operators.similarity import _dc, ivf_cell_expr
+
+    bb = base.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+        F.lit(False).alias("__nw"),
+    )
+    nn = new.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+        F.lit(True).alias("__nw"),
+    )
+    cells = bb.unionByName(nn).localCheckpoint(eager=True)
+    if max_cluster_size is not None:
+        worst = max(
+            (r["count"] for r in cells.groupBy("cell").count().collect()),
+            default=0,
+        )
+        if worst > max_cluster_size:
+            raise ValueError(
+                f"semantic_dedup_incremental: a cell holds {worst:,} "
+                f"vectors, above max_cluster_size={max_cluster_size:,} "
+                "— within-cell pairing is cell², so train MORE coarse "
+                "centroids until cells are bounded, or pass "
+                "max_cluster_size=None after pricing the cost."
+            )
+    a = cells.select(
+        "cell", F.col(id_col).alias("__ia"),
+        F.col("__vec").alias("__va"), F.col("__nw").alias("__nwa"),
+    )
+    b = cells.select(
+        "cell", F.col(id_col).alias("__ib"),
+        F.col("__vec").alias("__vb"), F.col("__nw").alias("__nwb"),
+    )
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .filter(F.col("__nwa") | F.col("__nwb"))  # never old×old
+        .filter(
+            cosine_expr(F.col("__va"), F.col("__vb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
+    )
+    comp = connected_components(pairs, max_iter=max_iter, method=cc_method)
+    flagged = cells.join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    )
+    verdicts = (
+        flagged.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.max(~F.col("__nw")).alias("__has_base"),
+            F.min(F.when(F.col("__nw"), F.col(id_col))).alias(
+                "__min_new"
+            ),
+        )
+    )
+    in_comp = (
+        flagged.filter(F.col("__nw") & F.col("component").isNotNull())
+        .join(verdicts, on="component")
+        .filter(
+            (~F.col("__has_base"))
+            & (F.col(id_col) == F.col("__min_new"))
+        )
+        .select(F.col(id_col), F.col("cell"))
+    )
+    singles = flagged.filter(
+        F.col("__nw") & F.col("component").isNull()
+    ).select(F.col(id_col), F.col("cell"))
+    return singles.unionByName(in_comp)

@@ -1167,6 +1167,71 @@ def v_semdedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+@register(
+    "v_semdedup_incr",
+    oracle=f"""
+    WITH RECURSIVE cells AS MATERIALIZED (
+      SELECT vec_id, embedding, {_sql_cell('embedding')} AS cell,
+             (vec_id % 3 = 0) AS nw
+      FROM embeddings),
+    prs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE (a.nw OR b.nw)
+        AND {_sql_cos('a.embedding', 'b.embedding')} >= 0.3),
+    edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM prs
+              UNION ALL SELECT ib, ia FROM prs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+    comp AS MATERIALIZED (
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    flag AS MATERIALIZED (
+      SELECT k.component,
+             max(CASE WHEN NOT c.nw THEN 1 ELSE 0 END) AS has_base,
+             min(CASE WHEN c.nw THEN c.vec_id END) AS min_new
+      FROM comp k JOIN cells c ON c.vec_id = k.id
+      GROUP BY 1),
+    in_comp AS (
+      SELECT c.vec_id, c.cell FROM cells c
+      JOIN comp k ON k.id = c.vec_id
+      JOIN flag f ON f.component = k.component
+      WHERE c.nw AND f.has_base = 0 AND c.vec_id = f.min_new),
+    singles AS (
+      SELECT c.vec_id, c.cell FROM cells c
+      ANTI JOIN comp k ON k.id = c.vec_id
+      WHERE c.nw)
+    SELECT vec_id, cell FROM singles
+    UNION ALL
+    SELECT vec_id, cell FROM in_comp
+    ORDER BY vec_id
+    """,
+)
+def v_semdedup_incr(spark, sf_dir):
+    """Incremental SemDeDup (operators/dedup.semantic_dedup_incremental)
+    — the recurring-crawl shape in embedding space: the NEW batch
+    (vec_id % 3 == 0) dedups against the already-clean BASE
+    (vec_id % 3 != 0); a new vector drops when its component contains
+    any base vector, all-new components keep the min id, and base×base
+    pairs are filtered INSIDE the pair join (the linear-base-cost
+    device, lossless for both verdicts — see the operator docstring).
+    τ = 0.3 into the near-uniform tail, the v_semdedup convention. The
+    oracle replays cells, new-endpoint pairs, the recursive closure
+    and both verdicts."""
+    from pandasvcf_spark.operators.dedup import semantic_dedup_incremental
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    out = semantic_dedup_incremental(base, new, CENTROIDS, threshold=0.3)
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    ).orderBy("vec_id")
+
+
 def ivfpq_recall_uniform_report(
     spark,
     sf_dir: str,

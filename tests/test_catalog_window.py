@@ -1226,6 +1226,12 @@ def test_tail_entries_are_redundant_variants_only():
                                  # shape; recall telemetry is the
                                  # ivfpq_recall_at_10_uniform_mp bench
                                  # headline; contract guard
+        "v_semdedup_incr",       # incremental SemDeDup: v_semdedup's
+                                 # cells+edges+closure (in window via
+                                 # cut #13) with the new-endpoint pair
+                                 # filter (the near_dedup_incremental
+                                 # device); union-equivalence pytest;
+                                 # contract guard
         "t_temperature_mix",     # temperature mixture weights: one
                                  # group-sized agg + 1-row fold
                                  # (t_quality_score's grouped-report

@@ -530,6 +530,60 @@ def test_semantic_dedup_planted_duplicates(spark):
         semantic_dedup(d, cents, keep="random")
 
 
+def test_semantic_dedup_incremental_verdicts(spark):
+    """Round-13 incremental SemDeDup: a new vector near a BASE vector
+    drops (corpus keeps its representative); an all-new duplicate pair
+    keeps its min id; unrelated new vectors survive; and with base ids
+    below new ids the survivors equal 'new ∩ semantic_dedup(union,
+    keep=min_id)' — the losslessness the old×old pair filter claims."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+    from pandasvcf_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(17)
+    dirs = rng.normal(0, 1, (5, 32))
+
+    def mk(vid, g):
+        v = dirs[g] + rng.normal(0, 0.01, 32)
+        return (vid, [float(x) for x in v])
+
+    # base: ids 0..3 covering groups 0..3 (clean: one per group)
+    base_rows = [mk(i, i) for i in range(4)]
+    # new: 10 dups group 0 (vs base), 11+12 all-new dup pair (group 4),
+    # 13 unrelated (group 3... wait that's in base) -> use group 4? no:
+    # 13 near base group 1 -> drops; 14 unrelated direction
+    new_rows = [mk(10, 0), mk(11, 4), mk(12, 4), mk(13, 1),
+                (14, [float(x) for x in dirs[2] * -1.0])]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<float>"
+    )
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<float>"
+    )
+    union = base.unionByName(new)
+    cents, _ = kmeans_fit(union, k=3, max_iter=5)
+    surv = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_incremental(
+            base, new, cents, threshold=0.99
+        ).collect()
+    )
+    # 10 and 13 drop (base has reps), 11 survives for the all-new
+    # pair, 14 survives (anti-parallel direction: cosine ~ -1)
+    assert surv == [11, 14]
+    full = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            union, cents, threshold=0.99, keep="min_id"
+        ).collect()
+    }
+    assert sorted(full & {10, 11, 12, 13, 14}) == surv
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C must cluster all three even though A~C was never a pair —
     the property that makes components the right post-LSH step."""
