@@ -138,3 +138,96 @@ def dedup_ingest_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def semdedup_ingest_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    checkpoint_path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    seed_df: DataFrame | None = None,
+    max_cluster_size: int | None = 100_000,
+    query_name: str = "semdedup_ingest",
+    trigger: dict | None = None,
+):
+    """Streaming SEMANTIC corpus ingest — `dedup_ingest_stream`'s
+    contract carried to embedding space (the SemDeDup tier for a
+    continuously-crawled corpus): append every micro-batch's semantic
+    survivors to `corpus_path/batch_id=N`.
+
+    Per micro-batch (inside foreachBatch, so plain batch operators
+    apply):
+      1. intra-batch `semantic_dedup` (keep="min_id" — the
+         DETERMINISTIC policy, so a replayed batch reproduces its
+         survivor set exactly; keep-far depends only on the batch
+         content too, but min-id is the simplest replay argument);
+      2. `semantic_dedup_incremental` of the remainder against the
+         accumulated corpus = `seed_df` ∪ all batch_id < N survivor
+         directories (strictly smaller ids — a replayed batch never
+         sees its own earlier partial output);
+      3. overwrite `corpus_path/batch_id=N` with the surviving FULL
+         rows (id + embedding + everything else — later batches read
+         them back as the base).
+
+    Same scale shape as the batch operators: the accumulated corpus
+    pays one linear cell-assignment pass per batch and never a
+    quadratic pair term; `centroids` is the model-sized broadcast
+    literal trained once at corpus-build time (re-train and re-shard
+    offline when drift moves the cells). Sink idempotence is
+    layout-based, the `write_stream_partitioned` contract."""
+    from pandasvcf_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keep = semantic_dedup(
+            batch_df,
+            centroids,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            keep="min_id",
+            max_cluster_size=max_cluster_size,
+        ).select(id_col)
+        batch_clean = batch_df.join(keep, on=id_col)
+        bases = []
+        if seed_df is not None:
+            bases.append(seed_df)
+        prior_dirs = _list_prior_batch_dirs(spark, corpus_path, batch_id)
+        if prior_dirs:
+            bases.append(spark.read.parquet(*prior_dirs))
+        if bases:
+            base = bases[0]
+            for extra in bases[1:]:
+                base = base.unionByName(extra)
+            surv_ids = semantic_dedup_incremental(
+                base,
+                batch_clean,
+                centroids,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                max_cluster_size=max_cluster_size,
+            ).select(id_col)
+            survivors = batch_clean.join(surv_ids, on=id_col)
+        else:
+            survivors = batch_clean
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_path}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -1,0 +1,134 @@
+"""Streaming semantic corpus ingest (streaming/ingest.
+semdedup_ingest_stream): micro-batch behavior — intra-batch semantic
+dedup, dedup against the seed corpus, dedup against earlier batches'
+survivors — plus the crash-replay idempotence drill, mirroring the
+MinHash ingest suite in embedding space."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from pyspark.sql import functions as F  # noqa: F401 (schema helpers)
+
+DIM = 16
+_rng = np.random.default_rng(23)
+_DIRS = _rng.normal(0, 1, (4, DIM))
+
+
+def _vec(g, eps=0.01):
+    v = _DIRS[g] + _rng.normal(0, eps, DIM)
+    return [float(x) for x in v]
+
+
+def _write_parquet_batch(spark, dirpath, name, rows, mtime):
+    df = spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>"
+    ).coalesce(1)
+    p = os.path.join(dirpath, name)
+    df.write.mode("overwrite").parquet(p)
+    for f_ in os.listdir(p):
+        os.utime(os.path.join(p, f_), (mtime, mtime))
+    os.utime(p, (mtime, mtime))
+    return p
+
+
+def _drain(spark, in_dir, corpus, ckpt, seed, cents):
+    from pandasvcf_spark.streaming.ingest import semdedup_ingest_stream
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    q = semdedup_ingest_stream(
+        stream,
+        str(corpus),
+        str(ckpt),
+        cents,
+        threshold=0.99,
+        seed_df=seed,
+        query_name="t_semdedup_ingest",
+    )
+    q.awaitTermination()
+
+
+def _cents(spark, vecs):
+    from pandasvcf_spark.operators.similarity import kmeans_fit
+
+    d = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    cents, _ = kmeans_fit(d, k=3, max_iter=5)
+    return cents
+
+
+def test_semdedup_ingest_stream_end_to_end(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    seed_rows = [(1, _vec(0)), (2, _vec(1))]
+    all_vecs = seed_rows + [(9, _vec(2)), (8, _vec(3))]
+    cents = _cents(spark, all_vecs)
+    seed = spark.createDataFrame(
+        seed_rows, "vec_id long, embedding array<float>"
+    )
+    now = time.time()
+    # batch 0: a seed dup (group 0), a fresh doc (group 2), and an
+    # intra-batch dup of it
+    _write_parquet_batch(
+        spark, str(in_dir), "b0",
+        [(101, _vec(0)), (102, _vec(2)), (103, _vec(2))], now - 20,
+    )
+    # batch 1: a dup of batch 0's survivor, plus a genuinely new doc
+    _write_parquet_batch(
+        spark, str(in_dir), "b1",
+        [(201, _vec(2)), (202, _vec(3))], now - 10,
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, seed, cents)
+    ids = sorted(
+        r.vec_id
+        for r in spark.read.parquet(str(corpus)).select("vec_id").collect()
+    )
+    # 101 dropped (seed has group 0); 102 survives; 103 dropped
+    # (intra-batch dup); 201 dropped (dup of accepted 102); 202 survives
+    assert ids == [102, 202], ids
+
+
+def test_semdedup_ingest_stream_crash_replay_idempotent(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    cents = _cents(spark, [(1, _vec(0)), (2, _vec(1)), (3, _vec(2))])
+    now = time.time()
+    _write_parquet_batch(
+        spark, str(in_dir), "b0", [(11, _vec(0))], now - 20
+    )
+    _write_parquet_batch(
+        spark, str(in_dir), "b1",
+        [(21, _vec(0)), (22, _vec(1))], now - 10,
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, None, cents)
+    before = sorted(
+        r.vec_id for r in spark.read.parquet(str(corpus)).collect()
+    )
+    assert before == [11, 22]  # 21 deduped against batch 0's survivor
+
+    commits = sorted(
+        (p for p in (ckpt / "commits").iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+
+    _drain(spark, str(in_dir), corpus, ckpt, None, cents)
+    after = sorted(
+        r.vec_id for r in spark.read.parquet(str(corpus)).collect()
+    )
+    assert after == before, "replayed batch changed the corpus"
