@@ -948,3 +948,78 @@ def test_round12_series_and_grid_family_no_cartesian(spark):
     )
     p = _plan(conformal_interval(cf, "cal", "g", "y"))
     assert "CartesianProduct" not in p
+
+
+def test_round13_shapes_no_cartesian(spark):
+    """The round-13 shapes: SemDeDup's within-cell pair join (+ the
+    incremental new-endpoint variant), the IVFPQ+refine composition's
+    cell probe + vec_id rerank joins, the Pareto front's bucketed
+    envelope, and the temperature-weights fold — equi-joins /
+    broadcasts / bounded grids everywhere, never a CartesianProduct,
+    and the big-regime envelope never sorts on a single partition."""
+    import re
+
+    import numpy as np
+
+    from pandasvcf_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+    from pandasvcf_spark.operators.relational import pareto_front
+    from pandasvcf_spark.operators.sampling import temperature_weights
+    from pandasvcf_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_rerank_topk,
+        pq_train_codebooks,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(29)
+    V = rng.normal(0, 1, (120, 32))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, _ = kmeans_fit(d, k=4, max_iter=3)
+
+    p = _plan(semantic_dedup(d, cents, threshold=0.9))
+    assert "CartesianProduct" not in p
+    p = _plan(
+        semantic_dedup_incremental(
+            d.filter(F.col("vec_id") < 60),
+            d.filter(F.col("vec_id") >= 60),
+            cents,
+            threshold=0.9,
+        )
+    )
+    assert "CartesianProduct" not in p
+
+    books = pq_train_codebooks(d, n_subspaces=4, n_centroids=8)
+    codes = ivfpq_encode(d, cents, books)
+    qs = d.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = _plan(
+        ivfpq_rerank_topk(codes, d, qs, cents, books,
+                          k=3, k_candidates=10, n_probe=2)
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # probe tables ride a broadcast
+
+    pts = spark.range(4000).select(
+        ((F.col("id") * 2654435761) % 997).cast("double").alias("x"),
+        ((F.col("id") * 40503) % 991).cast("double").alias("y"),
+    )
+    p = _plan(pareto_front(pts, "x", "y", ladder_cells=50, n_buckets=16))
+    assert "CartesianProduct" not in p
+    assert not re.search(
+        r"Sort \[[^\]]*\][\s\S]{0,200}Exchange SinglePartition", p
+    )
+
+    tw = spark.range(500).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 7).cast("double").alias("m"),
+    )
+    p = _plan(temperature_weights(tw, "g", 0.3, "m"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # the 1-row totals fold
