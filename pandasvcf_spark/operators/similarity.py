@@ -2107,3 +2107,75 @@ def mmr_rerank(
         F.col("__v").alias(id_col),
         (F.round("__sc", 6) + F.lit(0.0)).alias("score"),
     )
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified silhouette per cluster — the clustering-quality
+    telemetry for the trained-centroid stack (IVF cells, SemDeDup
+    cells, kmeans_fit itself): the classic silhouette's O(n²) pairwise
+    term replaced by centroid distances (the standard "simplified
+    silhouette", e.g. Hruschka et al. 2004 — what sklearn-scale
+    pipelines actually compute at corpus size):
+
+        a_i = ‖x_i − c_own‖        (L2 to the assigned centroid)
+        b_i = min over other centroids ‖x_i − c‖
+        s_i = (b_i − a_i) / max(a_i, b_i)     (0 when both are 0)
+
+    s near 1 = tight, well-separated cells (cell-pruned ANN and
+    SemDeDup's within-cell pairing work well); s near 0 = overlapping
+    cells (raise k or expect recall/pair-coverage loss — the knob this
+    number prices).
+
+    Output: one row per cell — (cell INT, n BIGINT, mean_sil DOUBLE
+    round 6, mean_a, mean_b DOUBLE round 6). Plan: the centroid list
+    is a literal (k × dim doubles); distances, the own/other split and
+    s_i are pure column expressions over ONE scan, then one
+    partial-aggregated groupBy(cell) — no join, no shuffle beyond the
+    k-row aggregate. Requires k >= 2 (b is undefined otherwise)."""
+    if len(centroids) < 2:
+        raise ValueError("silhouette needs >= 2 centroids")
+    k = len(centroids)
+    v = _dc(vec_col)
+    dists = F.array(
+        *[
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for c in centroids
+        ]
+    )
+    cell = ivf_cell_expr(vec_col, centroids)
+    rows = df.select(dists.alias("__d"), cell.alias("cell"))
+    a = F.element_at(F.col("__d"), F.col("cell"))
+    others = F.concat(
+        F.slice(F.col("__d"), F.lit(1), F.col("cell") - 1),
+        F.slice(
+            F.col("__d"), F.col("cell") + 1, F.lit(k) - F.col("cell")
+        ),
+    )
+    b = F.array_min(others)
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    return (
+        rows.select("cell", a.alias("__a"), b.alias("__b"), s.alias("__s"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.avg("__s"), 6) + F.lit(0.0)).alias("mean_sil"),
+            (F.round(F.avg("__a"), 6) + F.lit(0.0)).alias("mean_a"),
+            (F.round(F.avg("__b"), 6) + F.lit(0.0)).alias("mean_b"),
+        )
+    )

@@ -41,6 +41,17 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
 
     def deco(fn):
+        # Duplicate names are a silent-override foot-gun: the second
+        # registration would shadow the first AND inherit its driver-
+        # window slot (round 13 caught a collision exactly this way —
+        # a new v_silhouette silently lost to an existing one defined
+        # later in import order). Fail loudly instead.
+        if name in QUERIES:
+            raise ValueError(
+                f"catalog query {name!r} is already registered "
+                f"(by {QUERIES[name].fn.__module__}."
+                f"{QUERIES[name].fn.__qualname__}); pick a new name"
+            )
         QUERIES[name] = QuerySpec(fn, oracle, headline)
         return fn
 

@@ -1232,6 +1232,53 @@ def v_semdedup_incr(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+_SIL_DISTS = "[" + ", ".join(
+    f"sqrt({_sql_sqdist('embedding', c)})" for c in CENTROIDS
+) + "]"
+
+
+@register(
+    "v_cell_silhouette",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT vec_id, {_sql_cell('embedding')} AS cell,
+             {_SIL_DISTS} AS d
+      FROM embeddings),
+    sil AS (
+      SELECT cell,
+             d[cell] AS a,
+             list_min(list_concat(d[1:cell-1], d[cell+1:{len(CENTROIDS)}]))
+               AS b
+      FROM cells)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN greatest(a, b) > 0
+                     THEN (b - a) / greatest(a, b) ELSE 0.0 END), 6)
+             + 0.0 AS mean_sil,
+           round(avg(a), 6) + 0.0 AS mean_a,
+           round(avg(b), 6) + 0.0 AS mean_b
+    FROM sil GROUP BY cell ORDER BY cell
+    """,
+)
+def v_cell_silhouette(spark, sf_dir):
+    """Simplified silhouette per coarse CELL (operators/similarity.
+    kmeans_silhouette; Hruschka et al. 2004's centroid form — O(n·k),
+    the corpus-scale substitute for the O(n²) classic) over the
+    deterministic literal CENTROIDS: the clustering-quality telemetry
+    that prices the IVF/SemDeDup cell structure (mean_sil near 0 on
+    this near-uniform corpus is the honest reading — the same
+    distance-concentration physics the `_uniform` recall keys
+    document). The VECTOR-column, nearest-centroid-assignment twin of
+    `v_silhouette` (stats.silhouette_by_centroid scores GIVEN label
+    assignments over scalar feature columns; this assigns cells
+    itself from the literal centroid list — the ANN/SemDeDup shape).
+    One scan, pure column expressions, one k-row grouped agg; the
+    oracle replays distances, the own/other split and the fold."""
+    from pandasvcf_spark.operators.similarity import kmeans_silhouette
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, CENTROIDS).orderBy("cell")
+
+
 def ivfpq_recall_uniform_report(
     spark,
     sf_dir: str,

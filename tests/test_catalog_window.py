@@ -1226,6 +1226,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # shape; recall telemetry is the
                                  # ivfpq_recall_at_10_uniform_mp bench
                                  # headline; contract guard
+        "v_cell_silhouette",     # simplified silhouette per coarse
+                                 # CELL (vector-column twin of
+                                 # v_silhouette's label form): one
+                                 # scan + k-row agg; separated-vs-
+                                 # uniform pytest; contract guard
         "v_semdedup_incr",       # incremental SemDeDup: v_semdedup's
                                  # cells+edges+closure (in window via
                                  # cut #13) with the new-endpoint pair

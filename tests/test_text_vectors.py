@@ -584,6 +584,51 @@ def test_semantic_dedup_incremental_verdicts(spark):
     assert sorted(full & {10, 11, 12, 13, 14}) == surv
 
 
+def test_kmeans_silhouette_separated_vs_uniform(spark):
+    """Round-13 cell-quality telemetry: on well-separated planted
+    clusters the simplified silhouette is near 1 in every cell; on
+    near-uniform vectors it collapses toward 0 (distance
+    concentration — the same physics as the `_uniform` recall keys);
+    sizes sum to the corpus; k < 2 raises. Also pins the catalog
+    collision guard: re-registering an existing name raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pandasvcf_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_silhouette,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(0, 1, (3, 16)) * 10.0
+    V = np.repeat(centers, 30, axis=0) + rng.normal(0, 0.05, (90, 16))
+    sep = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, _ = kmeans_fit(sep, k=3, max_iter=5)
+    rows = kmeans_silhouette(sep, cents).collect()
+    assert sum(r["n"] for r in rows) == 90
+    assert all(r["mean_sil"] > 0.9 for r in rows), rows
+
+    U = rng.normal(0, 1, (90, 16))
+    uni = spark.createDataFrame(
+        [(i, [float(x) for x in U[i]]) for i in range(90)],
+        "vec_id long, embedding array<float>",
+    )
+    cu, _ = kmeans_fit(uni, k=3, max_iter=5)
+    urows = kmeans_silhouette(uni, cu).collect()
+    assert all(abs(r["mean_sil"]) < 0.5 for r in urows), urows
+
+    with _pytest.raises(ValueError, match="2 centroids"):
+        kmeans_silhouette(sep, cents[:1])
+
+    from pandasvcf_spark.queries.registry import register
+
+    with _pytest.raises(ValueError, match="already registered"):
+        register("v_silhouette")(lambda spark, sf_dir: None)
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C must cluster all three even though A~C was never a pair —
     the property that makes components the right post-LSH step."""
