@@ -2179,3 +2179,105 @@ def kmeans_silhouette(
             (F.round(F.avg("__b"), 6) + F.lit(0.0)).alias("mean_b"),
         )
     )
+
+
+def davies_bouldin_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies-Bouldin index for a trained-centroid clustering (Davies
+    & Bouldin 1979) — the second standard cluster-quality number
+    beside `kmeans_silhouette` (sklearn's pairing), lower is better:
+
+        s_i  = mean ‖x − c_i‖ over cell i's members   (scatter)
+        d_ij = ‖c_i − c_j‖                            (separation)
+        DB   = (1/k) Σ_i max_{j≠i} (s_i + s_j) / d_ij
+
+    Output: ONE row (k INT, n BIGINT, db_index DOUBLE round 6;
+    NULL when any pairwise centroid distance is 0 — duplicate
+    centroids make the ratio undefined — or when any cell is empty,
+    since its scatter is undefined).
+
+    Plan: cell assignment + per-cell mean distance is ONE scan with
+    literal-centroid arithmetic and a k-row grouped agg (the
+    kmeans_silhouette pass); the k scatters COLLECT driver-side
+    (model-sized, k doubles — the cox_ph discipline) and fold with
+    the k×k literal centroid distances in fixed index order, so an
+    unrolled SQL oracle replays the arithmetic."""
+    import math
+
+    k = len(centroids)
+    if k < 2:
+        raise ValueError("Davies-Bouldin needs >= 2 centroids")
+    v = _dc(vec_col)
+    own = F.sqrt(
+        F.element_at(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in centroids
+                ]
+            ),
+            ivf_cell_expr(vec_col, centroids),
+        )
+    )
+    per = (
+        df.select(
+            ivf_cell_expr(vec_col, centroids).alias("cell"),
+            own.alias("__a"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("__a").alias("s"),
+        )
+        .collect()
+    )
+    n_total = sum(r["n"] for r in per)
+    s = {r["cell"]: r["s"] for r in per}
+    db = None
+    if len(s) == k:
+        dmat = {}
+        ok = True
+        for i in range(1, k + 1):
+            for j in range(1, k + 1):
+                if i == j:
+                    continue
+                d = math.sqrt(
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(
+                            centroids[i - 1], centroids[j - 1]
+                        )
+                    )
+                )
+                if d == 0.0:
+                    ok = False
+                dmat[(i, j)] = d
+        if ok:
+            acc = 0.0
+            for i in range(1, k + 1):
+                worst = max(
+                    (s[i] + s[j]) / dmat[(i, j)]
+                    for j in range(1, k + 1)
+                    if j != i
+                )
+                acc += worst
+            db = acc / k
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(k, int(n_total), db)], "k int, n long, __db double"
+    )
+    return out.select(
+        "k", "n",
+        (F.round(F.col("__db"), 6) + F.lit(0.0)).alias("db_index"),
+    )

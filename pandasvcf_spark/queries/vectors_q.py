@@ -1279,6 +1279,71 @@ def v_cell_silhouette(spark, sf_dir):
     return kmeans_silhouette(emb, CENTROIDS).orderBy("cell")
 
 
+def _db_dist_values() -> str:
+    """Literal (i, j, dist) rows of pairwise CENTROID distances — the
+    identical fixed-order arithmetic davies_bouldin_index runs
+    driver-side (math.sqrt of the zip-order squared sum), so both
+    engines fold the same doubles."""
+    import math
+
+    rows = []
+    k = len(CENTROIDS)
+    for i in range(1, k + 1):
+        for j in range(1, k + 1):
+            if i == j:
+                continue
+            d = math.sqrt(
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(CENTROIDS[i - 1], CENTROIDS[j - 1])
+                )
+            )
+            rows.append(f"({i}, {j}, {d!r})")
+    return ",\n      ".join(rows)
+
+
+@register(
+    "v_davies_bouldin",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT {_sql_cell('embedding')} AS cell, {_SIL_DISTS} AS d
+      FROM embeddings),
+    per AS MATERIALIZED (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n, avg(d[cell]) AS s
+      FROM cells GROUP BY cell),
+    dm AS (SELECT * FROM (VALUES
+      {_db_dist_values()}) AS t(i, j, dist)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) AS INT) AS kk FROM per),
+    ratio AS (
+      SELECT p1.cell AS i, max((p1.s + p2.s) / dm.dist) AS worst
+      FROM per p1
+      JOIN dm ON dm.i = p1.cell
+      JOIN per p2 ON p2.cell = dm.j
+      GROUP BY 1)
+    SELECT {len(CENTROIDS)} AS k, tot.n,
+      round(CASE WHEN tot.kk = {len(CENTROIDS)}
+            THEN (SELECT sum(worst) FROM ratio)
+                 / {float(len(CENTROIDS))!r} END, 6) + 0.0 AS db_index
+    FROM tot
+    """,
+)
+def v_davies_bouldin(spark, sf_dir):
+    """Davies-Bouldin index over the deterministic literal CENTROIDS
+    (operators/similarity.davies_bouldin_index; Davies & Bouldin
+    1979 — the lower-is-better partner of v_cell_silhouette,
+    sklearn's standard pairing): per-cell mean distance to the own
+    centroid from ONE scan + k-row agg, then the k scatters collect
+    driver-side (model-sized — the cox_ph discipline) and fold with
+    the k×k LITERAL centroid distances. The oracle replays the
+    per-cell means in SQL and the max/avg fold over the identical
+    distance literals."""
+    from pandasvcf_spark.operators.similarity import davies_bouldin_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    return davies_bouldin_index(emb, CENTROIDS)
+
+
 def ivfpq_recall_uniform_report(
     spark,
     sf_dir: str,

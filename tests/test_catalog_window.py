@@ -1226,6 +1226,11 @@ def test_tail_entries_are_redundant_variants_only():
                                  # shape; recall telemetry is the
                                  # ivfpq_recall_at_10_uniform_mp bench
                                  # headline; contract guard
+        "v_davies_bouldin",      # Davies-Bouldin index: the cell-
+                                 # silhouette scan + a driver-side
+                                 # model-sized fold over literal
+                                 # centroid distances; numpy-replica
+                                 # pytest; contract guard
         "v_cell_silhouette",     # simplified silhouette per coarse
                                  # CELL (vector-column twin of
                                  # v_silhouette's label form): one

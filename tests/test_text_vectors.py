@@ -623,6 +623,35 @@ def test_kmeans_silhouette_separated_vs_uniform(spark):
     with _pytest.raises(ValueError, match="2 centroids"):
         kmeans_silhouette(sep, cents[:1])
 
+    # Davies-Bouldin agrees directionally: tight separated clusters
+    # score LOW, uniform HIGH; sklearn-style sanity via a numpy
+    # replica on the separated case
+    from pandasvcf_spark.operators.similarity import davies_bouldin_index
+
+    db_sep = davies_bouldin_index(sep, cents).collect()[0]
+    db_uni = davies_bouldin_index(uni, cu).collect()[0]
+    assert db_sep["n"] == 90 and db_sep["k"] == 3
+    assert db_sep["db_index"] < 0.2 < db_uni["db_index"]
+    # numpy replica of scatter/separation/max/avg
+    cells = {}
+    for i in range(90):
+        d = ((np.array(cents) - V[i]) ** 2).sum(axis=1)
+        c = int(d.argmin())
+        cells.setdefault(c, []).append(np.sqrt(d[c]))
+    s = {c: float(np.mean(v)) for c, v in cells.items()}
+    import math as _m
+    dm = {
+        (i, j): _m.sqrt(((np.array(cents[i]) - np.array(cents[j])) ** 2).sum())
+        for i in range(3) for j in range(3) if i != j
+    }
+    db_ref = np.mean([
+        max((s[i] + s[j]) / dm[(i, j)] for j in range(3) if j != i)
+        for i in range(3)
+    ])
+    assert abs(db_sep["db_index"] - db_ref) < 1e-4
+    with _pytest.raises(ValueError, match="2 centroids"):
+        davies_bouldin_index(sep, cents[:1])
+
     from pandasvcf_spark.queries.registry import register
 
     with _pytest.raises(ValueError, match="already registered"):
