@@ -4917,8 +4917,16 @@ def pareto_front(
         cells, ["__x"], "pareto_front", max_cells,
         plan_word="distinct-x suffix-max envelope ladder",
     )
+    if est is None:
+        # max_cells=None opts out of the RAISE, not of plan routing
+        # (round-14 ADVICE): the >10M-cell raise tells callers to pass
+        # None, and those callers need the bucketed regime MOST — so
+        # still pay the one approx_count_distinct scan to pick it.
+        est = cells.agg(
+            F.approx_count_distinct("__x", 0.02).alias("__cells")
+        ).collect()[0]["__cells"]
     env = None
-    if est is not None and est > ladder_cells:
+    if est > ladder_cells:
         env = bucketed_running_extreme(
             cells, "__x", "__y", "__env",
             suffix=True, op="max",

@@ -179,8 +179,17 @@ def bucketed_running_extreme(
     row (the strict envelope a Pareto front needs: a row with no
     earlier-in-fold-order cell gets NULL — "nothing dominates").
     Unlike the cumulative-sum half, min/max are order-INSENSITIVE, so
-    this is bit-identical to the plain-window form for ANY doubles,
-    not just integer counts.
+    this is bit-identical to the plain-window form — UNDER THE TIE
+    PRECONDITION (round-14 ADVICE): the running frames are ROWS
+    frames over `value_col` order, so rows with TIED `value_col`
+    values see each other in an arbitrary (nondeterministic) order.
+    Callers must feed either DISTINCT `value_col` values (pareto_front
+    pre-collapses to distinct-x cells) or tied rows whose `cand_col`
+    is constant within each tie (fdr_correct's rank-constant
+    candidates per tied p) — otherwise the strict (`inclusive=False`)
+    envelope especially is order-dependent for tied values. With that
+    precondition both regimes agree for ANY doubles, not just integer
+    counts.
 
     Returns None when the value range is degenerate (empty / constant
     / NaN bounds) and no `bucket_col` was supplied — the caller falls

@@ -1500,15 +1500,19 @@ def ece_summary(
         MCE = max_b |frac_pos_b − avg_score_b|
 
     Same fixed-width binning contract as calibration_bins (score in
-    [0, 1); bin edges are pure arithmetic, engine-exact) — and the
-    contract is VALIDATED (round-12 ADVICE): scores outside [0, 1)
-    RAISE via one (min, max) probe, because a negative score would
-    otherwise land silently in a negative floor-bin id and scores
-    >= 1 would clamp into bin n_bins-1, skewing ECE/MCE with no
-    error. Gaps are computed UNROUNDED per bin and rounded once at
-    the fold. Output (1 row): n BIGINT, n_bins_used INT, ece DOUBLE
-    round 6, mce DOUBLE round 6. Plan: one <= n_bins groupBy + a
-    1-row fold (+ the validation agg)."""
+    [0, 1]; bin edges are pure arithmetic, engine-exact) — and the
+    contract is VALIDATED (round-12 ADVICE; round-14 ADVICE relaxes
+    the upper edge): scores outside [0, 1] RAISE via one (min, max)
+    probe, because a negative score would otherwise land silently in
+    a negative floor-bin id and scores > 1 would clamp into bin
+    n_bins-1, skewing ECE/MCE with no error. A score of EXACTLY 1.0
+    is a legitimate probability endpoint (saturated sigmoids emit it
+    routinely; sklearn's calibration folds it into the last bin) and
+    is accepted — the least(floor(s*n_bins), n_bins-1) clamp places
+    it in bin n_bins-1. Gaps are computed UNROUNDED per bin and
+    rounded once at the fold. Output (1 row): n BIGINT, n_bins_used
+    INT, ece DOUBLE round 6, mce DOUBLE round 6. Plan: one <= n_bins
+    groupBy + a 1-row fold (+ the validation agg)."""
     sc = F.col(score_col).cast("double")
     lc = F.col(label_col).cast("int")
     base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
@@ -1518,14 +1522,14 @@ def ece_summary(
         F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
     ).collect()[0]
     if rng["__lo"] is not None and (
-        rng["__lo"] < 0.0 or rng["__hi"] >= 1.0
+        rng["__lo"] < 0.0 or rng["__hi"] > 1.0
         or rng["__lo"] != rng["__lo"] or rng["__hi"] != rng["__hi"]
     ):
         raise ValueError(
             f"ece_summary: scores span [{rng['__lo']}, {rng['__hi']}] "
-            "outside the documented [0, 1) binning contract — a "
+            "outside the documented [0, 1] binning contract — a "
             "negative score lands in a negative bin id and a score "
-            ">= 1 clamps into the last bin, silently skewing ECE/MCE. "
+            "> 1 clamps into the last bin, silently skewing ECE/MCE. "
             "Rescale (e.g. a sigmoid/min-max transform) or clamp "
             "explicitly before calling."
         )

@@ -56,3 +56,26 @@ def test_operator_closure_reaches_consumers():
     )
     assert sel2 is not None and "v_semdedup" in sel2
     assert "agg_tpch_q1" not in sel2
+
+
+def test_module_scope_imports_select_consumers():
+    # round-14 ADVICE: query modules import operators at MODULE scope
+    # (relational_q: rank_per_group/running_agg/topk/anti_join/
+    # semi_join/join_dim; events_q: rank_per_group; genomics_q:
+    # dedup_annotate_join) — a function body then uses only the bare
+    # name, invisible to the per-function token scan. These entries
+    # MUST be selected on an operators/relational.py diff.
+    sel = cc.changed_queries(
+        names=["pandasvcf_spark/operators/relational.py"]
+    )
+    assert sel is not None
+    for q in (
+        "w_rank_topk", "w_row_number_first", "w_running_sum",
+        "j_semi", "j_anti", "j_inner_broadcast", "j_multiway_q5",
+        "r2_pivot", "j1_dedup_annotate",
+    ):
+        assert q in sel, q
+    # and the selection stays a SUBSET — entries with no relational
+    # dependency anywhere must not be dragged in
+    assert "sk_hll_distinct" not in sel
+    assert "f2f3_gt_parse" not in sel

@@ -3408,6 +3408,25 @@ def test_pareto_front_semantics_and_regime_equivalence(spark):
     )
     assert small == big and len(small) > 1
 
+    # round-14 ADVICE: max_cells=None (the guard opt-out the >10M raise
+    # itself recommends) must still ROUTE by cardinality — above
+    # ladder_cells the plan must go through the bucketed envelope, not
+    # silently fall back to the unpartitioned global window
+    opted_out = sorted(
+        map(
+            tuple,
+            pareto_front(
+                big_df, "x", "y", max_cells=None,
+                ladder_cells=500, n_buckets=32,
+            ).collect(),
+        )
+    )
+    assert opted_out == small
+    plan = pareto_front(
+        big_df, "x", "y", max_cells=None, ladder_cells=500, n_buckets=32
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__ebk" in plan, "opt-out path skipped the bucketed envelope"
+
 
 def test_auc_delong_page_hinkley_fisher_vs_replicas(spark):
     """DeLong AUC/SE against the placement-value replica; Page-Hinkley
@@ -4483,15 +4502,27 @@ def test_series_guards_duplicate_times_and_ece_range(spark):
         [(-0.1, 0), (0.5, 1)], "s double, y int"
     )
     bad_hi = spark.createDataFrame(
-        [(0.5, 0), (1.0, 1)], "s double, y int"
+        [(0.5, 0), (1.0001, 1)], "s double, y int"
     )
     for bad in (bad_neg, bad_hi):
-        with pytest.raises(ValueError, match=r"\[0, 1\)"):
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
             ece_summary(bad, "s", "y")
     ok = spark.createDataFrame(
         [(0.0, 0), (0.5, 1), (0.999, 1)], "s double, y int"
     )
     assert ece_summary(ok, "s", "y").collect()[0]["n"] == 3
+    # round-14 ADVICE: a score of EXACTLY 1.0 is a legitimate
+    # probability endpoint (saturated sigmoid / perfect bin) — it must
+    # be ACCEPTED and clamp into bin n_bins-1, not raise
+    saturated = spark.createDataFrame(
+        [(0.0, 0), (0.95, 1), (1.0, 1), (1.0, 1)], "s double, y int"
+    )
+    sat = ece_summary(saturated, "s", "y", n_bins=10).collect()[0]
+    assert sat["n"] == 4
+    # 1.0 scores share bin 9 with 0.95: avg_score (0.95+1+1)/3,
+    # frac_pos 1.0 → bin-9 gap ≈ 0.0166667; bin-0 gap 0; weights 3/4
+    assert sat["n_bins_used"] == 2
+    assert abs(sat["ece"] - 0.0125) < 1e-6
 
 
 def test_dml_ate_recovers_confounded_effect(spark):

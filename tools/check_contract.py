@@ -275,9 +275,47 @@ def changed_queries(
         tokens.add(".".join(parts))
         if len(parts) >= 3:
             tokens.add(".".join(parts[:-1]))
+    # query modules also import operators at MODULE scope
+    # (`from pandasvcf_spark.operators.relational import rank_per_group`
+    # at the top of relational_q) — a function body then says only
+    # `rank_per_group(...)`, which the per-function token scan cannot
+    # see (round-14 ADVICE: --changed-since silently skipped
+    # w_rank_topk et al. on an operators/relational.py diff). Parse
+    # each query module's top-level ImportFrom statements and map the
+    # names imported FROM a changed module; a function whose source
+    # uses one of those names is selected. A module we cannot parse
+    # selects all of its entries (biased safe).
+    import ast
+    import re
+
+    def _changed_import_names(qmod: str) -> set[str] | None:
+        """Names the query module imports at top level from changed
+        operator modules; None = could not inspect (select all)."""
+        m = sys.modules.get(qmod)
+        if m is None:
+            return None
+        try:
+            tree = ast.parse(inspect.getsource(m))
+        except (OSError, SyntaxError, TypeError):
+            return None
+        hit: set[str] = set()
+        for node in tree.body:
+            if not isinstance(node, ast.ImportFrom) or not node.module:
+                continue
+            rel = node.module
+            if rel.startswith("pandasvcf_spark."):
+                rel = rel[len("pandasvcf_spark."):]
+            if node.level:  # relative import — be safe, select all
+                return None
+            if any(rel == t or rel.startswith(t + ".") for t in tokens):
+                hit.update(a.asname or a.name for a in node.names)
+        return hit
+
+    mod_names: dict[str, set[str] | None] = {}
     sel: set[str] = set()
     for name, fn in entrymod.queries().items():
-        if getattr(fn, "__module__", "") in qmods:
+        fmod = getattr(fn, "__module__", "")
+        if fmod in qmods:
             sel.add(name)
             continue
         try:
@@ -285,10 +323,18 @@ def changed_queries(
         except OSError:
             sel.add(name)  # can't inspect — be safe
             continue
-        for tok in tokens:
-            if tok in src:
-                sel.add(name)
-                break
+        if any(tok in src for tok in tokens):
+            sel.add(name)
+            continue
+        if fmod not in mod_names:
+            mod_names[fmod] = _changed_import_names(fmod)
+        names_hit = mod_names[fmod]
+        if names_hit is None:
+            sel.add(name)  # unparseable module — be safe
+        elif any(
+            re.search(rf"\b{re.escape(n)}\b", src) for n in names_hit
+        ):
+            sel.add(name)
     return sel
 
 
