@@ -243,6 +243,41 @@ DRIVER_WINDOW = 50
 # interval-close stays via a1_homref_window's per-site windows and
 # j_asof_events' point-in-time ordering). Both remain continuously
 # exact-checked by tests/test_contract.py.
+# The round-14 cut (the fourteenth; machine-readable twin in
+# WINDOW_HISTORY.json from this cut on) promotes the six round-13
+# builds that have never had a driver row — v_semdedup_incr (the
+# incremental-losslessness argument deserves the driver's hash),
+# v_ivfpq_rerank (probe-bounded ADC shortlist + exact-L2 rerank),
+# v_davies_bouldin and v_cell_silhouette (the cluster-quality
+# telemetry pair), w_pareto_front (the strict suffix-max envelope —
+# bucketed_running_extreme's only strict-mode consumer), and
+# t_temperature_mix (group-sized agg + 1-row broadcast fold) — plus
+# the two oldest never-driver-checked families: e_adf (the
+# Dickey-Fuller lag-1 position self-join + closed-form OLS) and
+# m_welch_anova (unequal-variance group-collapse + weighted
+# Satterthwaite fold). Displaced, each with machinery still
+# driver-covered: e_kpss (the banded position-lag join device stays
+# via e_adf — the SAME lag pairing plus the regression fold; the
+# series-sized cumulative ladder via m_conformal's order-statistic
+# ladder), m_cox_multi (the km risk-set ladder + unrolled Newton
+# stays via m_cox_multi3, which strictly generalizes it and
+# additionally exercises the p>=3 elimination solve; the p=2 Cramer
+# arm stays contract-checked), v_ivfpq_topk (replayed VERBATIM as
+# v_ivfpq_rerank's stage one — ivfpq_rerank_topk calls ivfpq_topk,
+# operators/similarity.py:1958), m_fdr_bh (the envelope-ladder device
+# stays via w_pareto_front, whose big regime drives the SAME
+# bucketed_running_extreme; the position ladder via m_conformal's
+# order-statistic ladder), m_ece (the <=n_bins groupBy + 1-row
+# unrounded-gap fold: the grouped-fold shape stays via
+# t_temperature_mix's group agg + broadcast fold and m_conformal's
+# coverage fold), m_poisson (the weighted-normal-equation IRLS
+# rounds stay via m_dml's shared-X'X Cramer fits and m_cox_multi3's
+# Newton normal equations), m_raking (fixed-round margin-window
+# scalings stay via g_communities' unrolled rounds; the margin
+# windows via a1_homref_window's per-key windows), and m_mmd_rbf
+# (the broadcast kernel cell-grid fold stays via g_grm's panel-pair
+# grid and v_davies_bouldin's literal centroid-distance fold). All
+# eight remain continuously exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -277,11 +312,11 @@ _PRIORITY = [
     # NOT redundant with v_cosine_topk: it is a separate numpy/mapInPandas
     # implementation (cosine_topk_blocked) and needs its own driver row.
     "sk_hll_distinct",
-    "m_raking",
+    "t_temperature_mix",
     "v_cosine_topk_manyquery",
     "t_dsir",
     "g_communities",
-    "v_ivfpq_topk",
+    "v_ivfpq_rerank",
     "v_mmr_rerank",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
@@ -290,6 +325,9 @@ _PRIORITY = [
     "agg_tpch_q1",
     "agg_cube",
     "v_semdedup",
+    "v_semdedup_incr",
+    "v_cell_silhouette",
+    "v_davies_bouldin",
     # join family + skew mitigation (j_anti sits past the window: its
     # 0-row result passes rows/schema/hash trivially, so its slot carried
     # no signal — check_contract still exact-checks it every run.
@@ -302,13 +340,10 @@ _PRIORITY = [
     "j_multiway_q5",
     "skew_salted_join",
     # windows / sort / sets / reshape / map parsing
-    "m_ece",
-    "m_fdr_bh",
-    "m_poisson",
-    "m_mmd_rbf",
-    "m_cox_multi",
+    "w_pareto_front",
+    "m_welch_anova",
     "m_fisher_exact",
-    "e_kpss",
+    "e_adf",
     "m_cox_multi3",
     "r2_pivot",
     "info_str_to_map",

@@ -28,9 +28,12 @@ def test_extension_surface_inside_window():
                                     # demoted re-cut #10) is replayed
                                     # VERBATIM as v_mmr_rerank's
                                     # candidate stage
-        "v_ivfpq_topk",  # carries v_ivf_topk's coarse-cell machinery
-                         # since the round-8 continuation re-cut, and
-                         # (re-cut #10) v_two_stage's quantized scoring
+        "v_ivfpq_rerank",  # round-14 cut (#14): multi-probe IVFPQ +
+                           # exact-L2 rerank — stage one replays
+                           # ivfpq_topk VERBATIM (similarity.py:1958),
+                           # so it carries v_ivfpq_topk's coarse-cell +
+                           # ADC machinery (demoted to the tail) plus
+                           # the refine join
         "v_mmr_rerank",  # round-12 re-cut #10: the diversified-rerank
                          # tier — fixed greedy rounds (anti-join +
                          # pair-sim max + argmax) over a checkpointed
@@ -54,11 +57,11 @@ def test_extension_surface_inside_window():
         "t_dsir",        # re-cut #11: DSIR hashed-bigram weights —
                          # the fixed-grid scale path of t_moore_lewis
         "sk_hll_distinct",
-        "m_raking",      # round-13 re-cut #12: IPF survey weights —
-                         # fixed-round margin-window scalings over the
-                         # cell table (sk_f2_moment demoted: the
-                         # mergeable fixed-size sketch-grid family
-                         # stays via sk_hll_distinct)
+        "t_temperature_mix",  # round-14 cut (#14): temperature
+                              # mixture weights — group-sized agg +
+                              # 1-row broadcast fold (m_raking demoted:
+                              # fixed-round margin scalings stay via
+                              # g_communities' unrolled rounds)
         "g_grm",  # since re-cut #10 also carries g_ld's pairwise
                   # conditional-agg machinery (g_ld demoted to the
                   # contract-guarded tail)
@@ -66,26 +69,32 @@ def test_extension_surface_inside_window():
         # (per-site grouped-agg + closed-form fold stays driver-covered
         # by g_sample_qc/g_ld); promoted in its place the round-10
         # families below
-        "m_fdr_bh",     # multiple-testing envelope ladder (+ the
-                        # bucketed distributed regime above 1M cells)
-        "m_ece",        # round-13 re-cut #12: calibration-bin fold
-                        # (m_dunn demoted: the rank collapse +
-                        # mid-rank ladder stays via m_conformal's
-                        # order-statistic ladder and m_fdr_bh's
-                        # envelope ladders; pairwise fold via g_grm)
-        "m_poisson",    # round-12 re-cut #10: log-link GLM — the
-                        # weighted-normal-equation IRLS family's window
-                        # row (m_logit/m_ols stay contract-checked)
+        "w_pareto_front",  # round-14 cut (#14): 2-D strict skyline —
+                           # drives the SAME bucketed_running_extreme
+                           # device as m_fdr_bh (demoted), in its only
+                           # strict-envelope mode; m_fdr_bh's position
+                           # ladder stays via m_conformal
+        "v_cell_silhouette",  # round-14 cut (#14): per-cell simplified
+                              # silhouette — cluster-quality telemetry
+        "v_davies_bouldin",   # round-14 cut (#14): Davies-Bouldin —
+                              # k-row agg + literal centroid-distance
+                              # fold (m_ece demoted: the grouped-bin +
+                              # 1-row fold shape stays via
+                              # t_temperature_mix + m_conformal)
+        "m_welch_anova",  # round-14 cut (#14): Welch ANOVA — oldest
+                          # never-driver-checked parametric family
+                          # (m_poisson demoted: IRLS normal equations
+                          # stay via m_dml + m_cox_multi3)
         "e_holt_winters",  # round-12 re-cut #10: seasonal-array HOF
                            # recursion, the deepest sequential-state
                            # class (carries e_holt_linear/e_croston/
                            # e_ewma in the tail)
-        "m_mmd_rbf",    # round-13 re-cut #12: broadcast kernel
-                        # cell-grid fold — a device class with no
-                        # prior window row (m_morans_i demoted:
-                        # spatial banding stays via j_point_in_poly's
-                        # planar banding; the autocorrelation fold is
-                        # the ubiquitous 1-row closed-form shape)
+        "v_semdedup_incr",  # round-14 cut (#14): incremental SemDeDup
+                            # — the base-edge-filter losslessness
+                            # argument gets the driver's hash
+                            # (m_mmd_rbf demoted: the broadcast
+                            # cell-grid fold stays via g_grm's panel
+                            # pairs + v_davies_bouldin's centroid fold)
         # round-9 re-cut: g_hwe and t_repeated_spans moved to the
         # contract-guarded tail (per-site agg machinery stays via
         # g_fst/g_sample_qc; hash-fingerprint machinery via
@@ -105,20 +114,14 @@ def test_extension_surface_inside_window():
         # plus m_bootstrap_ci, j_bloom_prune, agg_grouped_quantiles,
         # v_kmeans, g_link_pred; see queries/__init__.py for each
         # machinery-coverage justification)
-        "m_cox_multi",      # round-13 re-cut #12: p-covariate Cox PH —
-                            # km risk-set ladder + unrolled-Newton
-                            # fixed rounds, strictly generalizing m_cox
-                            # (demoted; p=1 bit-identity pytest pins
-                            # the subsumption)
         "m_fisher_exact",   # exact-test support-walk device (carries
                             # m_binom_exact / m_mcnemar_exact /
                             # m_sign_test in the tail)
-        "e_kpss",           # round-13 re-cut #12: KPSS stationarity —
-                            # series-sized cumulative ladder +
-                            # position-banded lag join (m_granger
-                            # demoted: the closed-form OLS-F fold
-                            # stays via m_dml's shared-X'X fits and
-                            # m_poisson's normal equations)
+        "e_adf",            # round-14 cut (#14): augmented
+                            # Dickey-Fuller — the SAME banded
+                            # position-lag join as e_kpss (demoted)
+                            # plus the closed-form OLS fold; the
+                            # stationarity family's driver row
         "j_point_in_poly",  # planar geofence banding + scalar-HOF
                             # ray cast — the polygon spatial join
         "t_exact_substring_rm",  # cross-doc verbatim excision:
@@ -1299,9 +1302,57 @@ def test_tail_entries_are_redundant_variants_only():
         "sk_f2_moment",          # AMS signed-sum grid: mergeable
                                  # fixed-size sketch-grid family stays
                                  # via sk_hll_distinct's registers
+        # round-14 cut (#14) demotions — justifications in
+        # WINDOW_HISTORY.json; all stay exact-checked by
+        # tests/test_contract.py every run
+        "m_fdr_bh",              # envelope ladder: w_pareto_front
+                                 # drives the same
+                                 # bucketed_running_extreme (in window)
+        "m_poisson",             # IRLS normal equations: m_dml +
+                                 # m_cox_multi3 (in window)
+        "m_cox_multi",           # p=2 Cox: subsumed by m_cox_multi3's
+                                 # general Newton (in window)
+        "v_ivfpq_topk",          # replayed verbatim as
+                                 # v_ivfpq_rerank's stage one (window)
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
+
+
+def test_window_history_is_consistent():
+    """WINDOW_HISTORY.json (round-13 verdict task 7) is the
+    machine-readable rotation record from cut 14 on — its window must
+    equal _PRIORITY, every promoted entry must be in the window with a
+    justification, every demoted entry must be out of it, and the
+    recorded rotation debt must match a recomputation from the
+    committed CORRECTNESS_r*.json files."""
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    doc = json.loads((root / "WINDOW_HISTORY.json").read_text())
+    assert doc["driver_window"] == DRIVER_WINDOW
+    assert doc["window"] == _PRIORITY
+    assert doc["catalog_size"] == len(QUERIES)
+    window = set(_PRIORITY)
+    for cut in doc["cuts"]:
+        for name, why in cut["promoted"].items():
+            assert name in window, name
+            assert name in QUERIES and why.strip()
+        for name, why in cut["demoted"].items():
+            assert name not in window, name
+            assert name in QUERIES and why.strip()
+    seen = set()
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        rnd = int(Path(f).stem.split("_r")[1])
+        if rnd <= 13:
+            seen |= set(json.loads(Path(f).read_text()))
+    debt = doc["rotation_debt"]
+    assert debt["never_driver_checked_count_before_r14"] == (
+        len(QUERIES) - len(seen)
+    )
+    assert set(doc["driver_green_ever_through_r13"]) == seen
 
 
 def test_coverage_totals_match_registry():
