@@ -1374,8 +1374,35 @@ def semantic_dedup(
     return singletons.unionByName(kept_dup)
 
 
+def semantic_cell_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable SEMANTIC index of a corpus: (id_col, cell INT,
+    vec_col ARRAY<DOUBLE>) — each vector's nearest-centroid cell plus
+    the (double-cast) vector itself. Write this once at corpus-build
+    time (partitioned by `cell` — later lookups prune to the cells a
+    batch touches) and hand it to
+    `semantic_dedup_incremental(base_cells=...)`: each incoming batch
+    then pays nearest-centroid assignment only for ITSELF; the
+    historical corpus contributes a pruned read of precomputed rows
+    instead of a per-batch k-dot-product re-assignment pass. The
+    centroid list is part of the index's identity — an index built
+    from different centroids silently mis-cells; store it alongside
+    (the `minhash_band_keys` convention)."""
+    from pandasvcf_spark.operators.similarity import _dc, ivf_cell_expr
+
+    return df.select(
+        F.col(id_col),
+        ivf_cell_expr(vec_col, centroids).alias("cell"),
+        _dc(vec_col).alias(vec_col),
+    )
+
+
 def semantic_dedup_incremental(
-    base: DataFrame,
+    base: DataFrame | None,
     new: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.95,
@@ -1384,6 +1411,7 @@ def semantic_dedup_incremental(
     max_cluster_size: int | None = 100_000,
     max_iter: int = 25,
     cc_method: str = "label",
+    base_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup: semantically dedup a NEW batch against an
     already-clean BASE corpus — `near_dedup_incremental`'s contract
@@ -1403,22 +1431,50 @@ def semantic_dedup_incremental(
     vector, and "has base → drop new members" is identical merged or
     not, while all-new components never involve base edges. The
     `max_cluster_size` guard prices the within-cell term on the
-    combined relation."""
+    combined relation.
+
+    base_cells: the corpus's persisted semantic index
+    (`semantic_cell_index` output: id, cell, vector). With it, `base`
+    is ignored (pass None) and the per-batch base cost drops from a
+    k-dot-product re-assignment scan to a read of precomputed rows —
+    pruned to the batch's own cells by the semi-join below, so an
+    index written partitioned by `cell` pays only the touched
+    partitions. The centroids must be the ones the index was built
+    with. Either way the base side is additionally PRUNED to the
+    cells the new batch touches (one <= n_centroids-row broadcast):
+    an untouched cell can produce no new-endpoint pair, so dropping
+    it is lossless for the verdicts — and the within-cell quadratic
+    term is priced (and paid) only where the batch actually lands."""
     from pandasvcf_spark.functions.vectors import cosine_expr
     from pandasvcf_spark.operators.similarity import _dc, ivf_cell_expr
 
-    bb = base.select(
-        F.col(id_col),
-        _dc(vec_col).alias("__vec"),
-        ivf_cell_expr(vec_col, centroids).alias("cell"),
-        F.lit(False).alias("__nw"),
-    )
+    if base is None and base_cells is None:
+        raise ValueError(
+            "semantic_dedup_incremental: pass base or base_cells"
+        )
+    if base_cells is not None:
+        bb = base_cells.select(
+            F.col(id_col),
+            _dc(vec_col).alias("__vec"),
+            F.col("cell").cast("int").alias("cell"),
+            F.lit(False).alias("__nw"),
+        )
+    else:
+        bb = base.select(
+            F.col(id_col),
+            _dc(vec_col).alias("__vec"),
+            ivf_cell_expr(vec_col, centroids).alias("cell"),
+            F.lit(False).alias("__nw"),
+        )
     nn = new.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
         ivf_cell_expr(vec_col, centroids).alias("cell"),
         F.lit(True).alias("__nw"),
-    )
+    ).localCheckpoint(eager=True)  # one assignment pass feeds both the
+    # touched-cell probe and the union
+    touched = nn.select("cell").distinct()  # <= n_centroids rows
+    bb = bb.join(F.broadcast(touched), on="cell", how="left_semi")
     cells = bb.unionByName(nn).localCheckpoint(eager=True)
     if max_cluster_size is not None:
         worst = max(

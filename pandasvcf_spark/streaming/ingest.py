@@ -42,6 +42,33 @@ def _list_prior_batch_dirs(spark, corpus_path: str, batch_id: int) -> list[str]:
     return out
 
 
+INDEX_DIR = "_index"  # hidden from parquet readers (underscore prefix),
+# so the corpus root and each batch directory still read as plain
+# survivor tables
+
+
+def _prior_index_dirs(spark, prior_dirs: list[str]) -> list[str] | None:
+    """`<dir>/_index` for every prior batch directory, or None when ANY
+    prior batch lacks a committed index (`_index/_SUCCESS`) — a corpus
+    written by an older layout, where the only lossless option is the
+    legacy full re-hash/re-assign path. All-or-nothing because a
+    partial index silently finds no candidates for the uncovered base
+    docs (the `minhash_band_keys` identity contract)."""
+    if not prior_dirs:
+        return []
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    out = []
+    for d in prior_dirs:
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{d}/{INDEX_DIR}/_SUCCESS"
+        )
+        if not marker.getFileSystem(hconf).exists(marker):
+            return None
+        out.append(f"{d}/{INDEX_DIR}")
+    return out
+
+
 def dedup_ingest_stream(
     stream_df: DataFrame,
     corpus_path: str,
@@ -54,6 +81,7 @@ def dedup_ingest_stream(
     bands: int = 16,
     query_name: str = "dedup_ingest",
     trigger: dict | None = None,
+    seed_band_keys: DataFrame | None = None,
 ):
     """Start a streaming query that appends near-dedup survivors of every
     micro-batch to `corpus_path/batch_id=N`.
@@ -73,24 +101,48 @@ def dedup_ingest_stream(
          batch_id < N survivor directories — strictly-smaller batch ids
          only, so a replayed batch never sees its own earlier partial
          output and replays are deterministic;
-      3. overwrite `corpus_path/batch_id=N` with the survivors.
+      3. overwrite `corpus_path/batch_id=N` with the survivors, then
+         `corpus_path/batch_id=N/_index` with THEIR `minhash_band_keys`
+         rows (underscore-hidden, so the corpus still reads as a plain
+         survivor table).
 
     `shingle_fn` is a zero-arg callable returning the shingle Column
     (e.g. ``lambda: word_ngrams_expr("text", 3)``) — a callable because
     the expression must be rebuilt inside each micro-batch's plan.
 
-    Scale notes: the accumulated corpus is read per batch but never
-    re-shuffled by content — `near_dedup_incremental` pays it as one
-    linear signature pass (persist a `minhash_band_keys` index and swap
-    it in via the base_band_keys path when the corpus outgrows that).
-    Batch-local state lives in the checkpoint; the sink's idempotence is
-    layout-based, same contract as `write_stream_partitioned`."""
+    Scale notes (round-13 verdict task 2 — the per-batch base re-hash
+    was the 100 TB wall): each batch persists its survivors' LSH index
+    beside them and passes the UNION of all prior indexes as
+    `base_band_keys` to `near_dedup_incremental`, so the accumulated
+    corpus is never re-tokenized or re-hashed — per batch it costs a
+    scan of 12-byte index rows plus a candidate-pruned text lookup for
+    Jaccard verification (its own bench shows indexed ≈ flat vs
+    re-hash ≈ linear in base size). The seed corpus gets the same
+    treatment: pass its persisted index as `seed_band_keys`, or it is
+    hashed ONCE at stream start (localCheckpoint) instead of once per
+    batch. A corpus written by the pre-index layout (any prior batch
+    missing `_index/_SUCCESS`) falls back to the legacy full re-hash
+    path — lossless, just linear. Batch-local state lives in the
+    checkpoint; the sink's idempotence is layout-based (a replayed
+    batch overwrites its own directory, index included), same contract
+    as `write_stream_partitioned`."""
     from pandasvcf_spark.operators.dedup import (
+        minhash_band_keys,
         near_dedup_documents,
         near_dedup_incremental,
     )
 
     spark = stream_df.sparkSession
+    seed_keys = seed_band_keys
+    if seed_df is not None and seed_keys is None:
+        # hash the seed ONCE per stream start, not once per micro-batch
+        seed_keys = minhash_band_keys(
+            seed_df,
+            id_col,
+            shingle_fn(),
+            num_hashes=num_hashes,
+            bands=bands,
+        ).localCheckpoint(eager=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -105,17 +157,29 @@ def dedup_ingest_stream(
             min_jaccard=min_jaccard,
         )
         bases = []
+        base_keys = []
         if seed_df is not None:
             bases.append(seed_df)
+            base_keys.append(seed_keys)
         # read only strictly-smaller batch ids: a replayed batch must not
         # see its own earlier partial write
         prior_dirs = _list_prior_batch_dirs(spark, corpus_path, batch_id)
         if prior_dirs:
             bases.append(spark.read.parquet(*prior_dirs))
+            idx_dirs = _prior_index_dirs(spark, prior_dirs)
+            if idx_dirs:
+                base_keys.append(spark.read.parquet(*idx_dirs))
+            elif idx_dirs is None:
+                base_keys = None  # legacy layout — full re-hash
         if bases:
             base = bases[0]
             for extra in bases[1:]:
                 base = base.unionByName(extra)
+            keys = None
+            if base_keys:
+                keys = base_keys[0]
+                for extra in base_keys[1:]:
+                    keys = keys.unionByName(extra)
             survivors = near_dedup_incremental(
                 base,
                 batch_clean,
@@ -124,11 +188,26 @@ def dedup_ingest_stream(
                 num_hashes=num_hashes,
                 bands=bands,
                 min_jaccard=min_jaccard,
+                base_band_keys=keys,
             )
         else:
             survivors = batch_clean
+        # survivors may be consumed twice (sink + index) and the index
+        # must describe exactly the rows the sink wrote
+        survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(
             f"{corpus_path}/batch_id={batch_id}"
+        )
+        # index AFTER the survivor overwrite (which clears the batch
+        # directory, _index included) so a replay rebuilds both
+        minhash_band_keys(
+            survivors,
+            id_col,
+            shingle_fn(),
+            num_hashes=num_hashes,
+            bands=bands,
+        ).write.mode("overwrite").parquet(
+            f"{corpus_path}/batch_id={batch_id}/{INDEX_DIR}"
         )
 
     return (
@@ -152,6 +231,7 @@ def semdedup_ingest_stream(
     max_cluster_size: int | None = 100_000,
     query_name: str = "semdedup_ingest",
     trigger: dict | None = None,
+    seed_cells: DataFrame | None = None,
 ):
     """Streaming SEMANTIC corpus ingest — `dedup_ingest_stream`'s
     contract carried to embedding space (the SemDeDup tier for a
@@ -170,20 +250,40 @@ def semdedup_ingest_stream(
          sees its own earlier partial output);
       3. overwrite `corpus_path/batch_id=N` with the surviving FULL
          rows (id + embedding + everything else — later batches read
-         them back as the base).
+         them back as the base), then `corpus_path/batch_id=N/_index`
+         with THEIR `semantic_cell_index` rows (id, cell, vector),
+         PARTITIONED BY cell.
 
-    Same scale shape as the batch operators: the accumulated corpus
-    pays one linear cell-assignment pass per batch and never a
-    quadratic pair term; `centroids` is the model-sized broadcast
-    literal trained once at corpus-build time (re-train and re-shard
-    offline when drift moves the cells). Sink idempotence is
-    layout-based, the `write_stream_partitioned` contract."""
+    Scale shape (round-13 verdict task 2 — the per-batch base
+    re-assignment was the standing 100× concern): each batch persists
+    its survivors' cell index beside them and passes the union of all
+    prior indexes as `base_cells` to `semantic_dedup_incremental`, so
+    the accumulated corpus never pays the k-dot-product nearest-
+    centroid pass again — and because the incremental operator prunes
+    the base to the cells the batch TOUCHES and the index is
+    partitioned by cell, a batch reads only the touched partitions
+    (partition pruning), making per-batch cost scale with the batch,
+    not the corpus. The seed gets the same treatment: pass its
+    persisted index as `seed_cells`, or it is assigned ONCE at stream
+    start. A corpus written by the pre-index layout falls back to the
+    legacy full re-assignment path — lossless, just linear.
+    `centroids` is the model-sized broadcast literal trained once at
+    corpus-build time and is part of the index identity (re-train →
+    rebuild the indexes). Sink idempotence is layout-based, the
+    `write_stream_partitioned` contract, index included."""
     from pandasvcf_spark.operators.dedup import (
+        semantic_cell_index,
         semantic_dedup,
         semantic_dedup_incremental,
     )
 
     spark = stream_df.sparkSession
+    seed_idx = seed_cells
+    if seed_df is not None and seed_idx is None:
+        # assign the seed ONCE per stream start, not once per batch
+        seed_idx = semantic_cell_index(
+            seed_df, centroids, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -199,29 +299,61 @@ def semdedup_ingest_stream(
         ).select(id_col)
         batch_clean = batch_df.join(keep, on=id_col)
         bases = []
+        base_idx = []
         if seed_df is not None:
             bases.append(seed_df)
+            base_idx.append(seed_idx)
         prior_dirs = _list_prior_batch_dirs(spark, corpus_path, batch_id)
         if prior_dirs:
             bases.append(spark.read.parquet(*prior_dirs))
+            idx_dirs = _prior_index_dirs(spark, prior_dirs)
+            if idx_dirs:
+                base_idx.append(
+                    spark.read.parquet(*idx_dirs).select(
+                        id_col, "cell", vec_col
+                    )
+                )
+            elif idx_dirs is None:
+                base_idx = None  # legacy layout — full re-assignment
         if bases:
-            base = bases[0]
-            for extra in bases[1:]:
-                base = base.unionByName(extra)
-            surv_ids = semantic_dedup_incremental(
-                base,
+            cells_arg = None
+            if base_idx:
+                cells_arg = base_idx[0]
+                for extra in base_idx[1:]:
+                    cells_arg = cells_arg.unionByName(extra)
+            base_arg = None
+            if cells_arg is None:
+                base_arg = bases[0]
+                for extra in bases[1:]:
+                    base_arg = base_arg.unionByName(extra)
+            surv = semantic_dedup_incremental(
+                base_arg,
                 batch_clean,
                 centroids,
                 threshold=threshold,
                 id_col=id_col,
                 vec_col=vec_col,
                 max_cluster_size=max_cluster_size,
-            ).select(id_col)
-            survivors = batch_clean.join(surv_ids, on=id_col)
+                base_cells=cells_arg,
+            ).select(id_col, "cell")
+            survivors = batch_clean.join(
+                surv.select(id_col), on=id_col
+            )
         else:
             survivors = batch_clean
+        # consumed by both writes; the index must describe exactly the
+        # rows the sink wrote
+        survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(
             f"{corpus_path}/batch_id={batch_id}"
+        )
+        # index AFTER the survivor overwrite (which clears the batch
+        # directory, _index included); partitioned by cell so later
+        # batches' touched-cell prune reads only those partitions
+        semantic_cell_index(
+            survivors, centroids, id_col=id_col, vec_col=vec_col
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{corpus_path}/batch_id={batch_id}/{INDEX_DIR}"
         )
 
     return (

@@ -161,6 +161,62 @@ def test_dedup_ingest_stream_scheme_prefixed_corpus(spark, tmp_path):
     assert got == [11, 22]  # 21 deduped against batch 0 THROUGH the URI
 
 
+def test_dedup_ingest_persists_band_index_and_falls_back(spark, tmp_path):
+    """Round-14 (verdict task 2): every batch directory carries a
+    committed `_index` holding the survivors' minhash_band_keys rows —
+    hidden from plain corpus reads, exactly matching a fresh
+    minhash_band_keys run over the written survivors — and when a
+    prior batch lacks it (pre-index layout) the stream falls back to
+    the legacy full re-hash path with identical survivor output."""
+    import shutil
+
+    from pandasvcf_spark.functions.text import word_ngrams_expr
+    from pandasvcf_spark.operators.dedup import minhash_band_keys
+    from pandasvcf_spark.streaming.ingest import INDEX_DIR
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    now = time.time()
+    _write_batch_file(str(in_dir), "b0.jsonl", [(11, DOC)], now - 20)
+    _write_batch_file(
+        str(in_dir), "b1.jsonl", [(21, DOC + " "), (22, OTHER)], now - 10
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, seed=None)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(str(corpus)).collect()
+    ) == [11, 22]
+    for k in (0, 1):
+        bdir = corpus / f"batch_id={k}"
+        idx_dir = bdir / INDEX_DIR
+        assert (idx_dir / "_SUCCESS").exists(), f"batch {k} lacks index"
+        got = {
+            (r.id, r.band, r.key)
+            for r in spark.read.parquet(str(idx_dir)).collect()
+        }
+        want = {
+            (r.id, r.band, r.key)
+            for r in minhash_band_keys(
+                spark.read.parquet(str(bdir)),
+                "doc_id",
+                word_ngrams_expr("text", 3),
+            ).collect()
+        }
+        assert got == want, f"batch {k} index mismatch"
+    # legacy-layout fallback: strip batch 0's index and drain another
+    # batch with a dup of batch 0's survivor — it must still drop
+    shutil.rmtree(corpus / "batch_id=0" / INDEX_DIR)
+    _write_batch_file(
+        str(in_dir), "b2.jsonl", [(31, DOC + "  "), (32, FRESH)], now - 5
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, seed=None)
+    ids = sorted(
+        r.doc_id for r in spark.read.parquet(str(corpus)).collect()
+    )
+    assert ids == [11, 22, 32], ids
+
+
 def test_list_prior_batch_dirs_fs_api(spark, tmp_path):
     from pandasvcf_spark.streaming.ingest import _list_prior_batch_dirs
 

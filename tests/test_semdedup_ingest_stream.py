@@ -132,3 +132,72 @@ def test_semdedup_ingest_stream_crash_replay_idempotent(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(str(corpus)).collect()
     )
     assert after == before, "replayed batch changed the corpus"
+
+
+def test_semdedup_ingest_persists_cell_index_and_falls_back(
+    spark, tmp_path
+):
+    """Round-14 (verdict task 2): every batch directory carries a
+    committed `_index` (id, cell, vector — partitioned by cell) that
+    (a) stays hidden from plain corpus reads, (b) matches
+    semantic_cell_index of the survivors exactly, and (c) when a prior
+    batch LACKS it (pre-index layout), the stream falls back to the
+    full re-assignment path and still produces the same survivors."""
+    import shutil
+
+    from pandasvcf_spark.operators.dedup import semantic_cell_index
+    from pandasvcf_spark.streaming.ingest import INDEX_DIR
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    cents = _cents(spark, [(1, _vec(0)), (2, _vec(1)), (3, _vec(2))])
+    now = time.time()
+    _write_parquet_batch(
+        spark, str(in_dir), "b0", [(11, _vec(0)), (12, _vec(1))], now - 20
+    )
+    _write_parquet_batch(
+        spark, str(in_dir), "b1",
+        [(21, _vec(0)), (22, _vec(2))], now - 10,
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, None, cents)
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(str(corpus)).collect()
+    ) == [11, 12, 22]
+    # (a)+(b): each batch dir has a committed index matching its
+    # survivors' semantic_cell_index rows
+    for k in (0, 1):
+        bdir = corpus / f"batch_id={k}"
+        idx_dir = bdir / INDEX_DIR
+        assert (idx_dir / "_SUCCESS").exists(), f"batch {k} lacks index"
+        got = {
+            (r.vec_id, r.cell)
+            for r in spark.read.parquet(str(idx_dir)).collect()
+        }
+        want = {
+            (r.vec_id, r.cell)
+            for r in semantic_cell_index(
+                spark.read.parquet(str(bdir)), cents
+            ).collect()
+        }
+        assert got == want, f"batch {k} index mismatch"
+        # partitioned by cell: the index dir holds cell=K subdirs
+        assert any(
+            p.name.startswith("cell=") for p in idx_dir.iterdir()
+        )
+    # (c): strip batch 0's index (pre-index layout) and drain a third
+    # batch — the fallback path must keep producing exact survivors
+    shutil.rmtree(corpus / "batch_id=0" / INDEX_DIR)
+    _write_parquet_batch(
+        spark, str(in_dir), "b2",
+        [(31, _vec(1)), (32, _vec(2), ), (33, [float(x) for x in -_DIRS[0]])],
+        now - 5,
+    )
+    _drain(spark, str(in_dir), corpus, ckpt, None, cents)
+    ids = sorted(
+        r.vec_id for r in spark.read.parquet(str(corpus)).collect()
+    )
+    # 31 dups seed-less base 12 (group 1), 32 dups 22 (group 2),
+    # 33 is anti-parallel to group 0 — survives
+    assert ids == [11, 12, 22, 33], ids

