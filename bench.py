@@ -352,7 +352,9 @@ def main() -> None:
         )
 
         t0 = time.time()
-        rep = ivfpq_recall_uniform_report(spark, sf_dir)
+        rep = ivfpq_recall_uniform_report(
+            spark, sf_dir, probe_curve=(3, 6, 12)
+        )
         ivfpq_recall = rep["uniform"]
         result["ivfpq_recall_at_10_uniform"] = round(ivfpq_recall, 4)
         result["ivfpq_recall_at_10_uniform_mp"] = round(
@@ -369,12 +371,30 @@ def main() -> None:
         )
         print(
             f"# ivfpq_recall_at_10_uniform_mp: {rep['uniform_mp']:.4f} "
-            f"({time.time() - t0:.1f}s both variants, shared index; "
+            f"({time.time() - t0:.1f}s all variants, shared index; "
             "6-probe ADC 50-candidate shortlist + exact-L2 rerank "
             "(ivfpq_rerank_topk) — quantization error recovered, "
             "recall ceilinged by cell coverage)",
             file=sys.stderr,
         )
+        # round-13 verdict task 5: the probe-count-vs-recall trade as
+        # a committed curve (same rerank composition, same shared
+        # index + ground truth), each point priced in wall seconds —
+        # recall rises with cell coverage, cost rises ~linearly in
+        # probes; where the curve flattens is the honest ceiling of
+        # this coarse quantizer on a near-uniform corpus
+        if "curve" in rep:
+            result["ivfpq_mp_probe_curve"] = {
+                str(p): v for p, v in sorted(rep["curve"].items())
+            }
+            curve_str = ", ".join(
+                f"{p}p={v['recall']:.3f}@{v['sec']:.1f}s"
+                for p, v in sorted(rep["curve"].items())
+            )
+            print(
+                f"# ivfpq_mp_probe_curve (recall@10 / wall): {curve_str}",
+                file=sys.stderr,
+            )
 
     if os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "1") != "0":
         # end-to-end one-call corpus cleaner (pairs -> components ->
@@ -488,6 +508,96 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SEMINCR", "1") != "0":
+        # Round-14 additive key (verdict task 2's Done clause): the
+        # SEMANTIC twin of the incremental_indexed/rehash pair — a 30×
+        # decade-up embedding base with a persisted semantic_cell_index
+        # (partitioned by cell, the streaming ingest's layout) vs the
+        # same batch deduped with a full base re-assignment. The
+        # indexed path replaces the base's per-batch k-dot-product
+        # nearest-centroid pass with a pruned read of precomputed
+        # rows; indexed wall is flat in base size, re-assign grows
+        # linearly — the number semdedup_ingest_stream's per-batch
+        # cost now follows.
+        from pyspark.sql import functions as F
+
+        from pandasvcf_spark.operators.dedup import (
+            semantic_cell_index,
+            semantic_dedup_incremental,
+        )
+        from pandasvcf_spark.queries.tables import load
+        from pandasvcf_spark.queries.vectors_q import DIM, _lcg_planes
+
+        sem_cents = [
+            [x * 0.15 for x in row]
+            for row in _lcg_planes(64, DIM, seed=0xB14)
+        ]
+        par = spark.sparkContext.defaultParallelism
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        sem_base = None
+        for i in range(30):
+            c = emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                F.col("embedding"),
+            )
+            sem_base = c if sem_base is None else sem_base.unionByName(c)
+        sem_base = sem_base.repartition(par).localCheckpoint()
+        sem_batch = (
+            emb.filter(F.col("vec_id") % 97 == 0)
+            .select(
+                (F.col("vec_id") + 900_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint()
+        )
+        cell_dir = tempfile.mkdtemp(prefix="pandasvcf_bench_cellidx_")
+        try:
+            build_times = []
+            for _ in range(headline_runs):
+                t0 = time.time()
+                semantic_cell_index(
+                    sem_base, sem_cents
+                ).write.mode("overwrite").partitionBy("cell").parquet(
+                    cell_dir
+                )
+                build_times.append(time.time() - t0)
+            cells_idx = spark.read.parquet(cell_dir).select(
+                "vec_id", "cell", "embedding"
+            )
+
+            def _sem_incr(indexed: bool):
+                t0 = time.time()
+                n = semantic_dedup_incremental(
+                    None if indexed else sem_base,
+                    sem_batch,
+                    sem_cents,
+                    threshold=0.99,
+                    base_cells=cells_idx if indexed else None,
+                ).count()
+                return time.time() - t0, n
+
+            runs_i = [_sem_incr(True) for _ in range(headline_runs)]
+            runs_r = [_sem_incr(False) for _ in range(headline_runs)]
+            assert runs_i[0][1] == runs_r[0][1], (runs_i, runs_r)
+            sem_idx = min(t for t, _ in runs_i)
+            sem_re = min(t for t, _ in runs_r)
+            result["semdedup_incr_index_build_sec"] = round(
+                min(build_times), 3
+            )
+            result["semdedup_incr_indexed_sec"] = round(sem_idx, 3)
+            result["semdedup_incr_reassign_sec"] = round(sem_re, 3)
+            print(
+                f"# semdedup incremental at 30x base: indexed "
+                f"{sem_idx:.2f}s vs re-assign {sem_re:.2f}s "
+                f"min-of-{headline_runs} ({runs_i[0][1]} survivors; "
+                f"one-time cell-index build {min(build_times):.2f}s)",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(cell_dir, ignore_errors=True)
 
     if os.environ.get("SPARK_GRAFT_BENCH_LD", "1") != "0":
         # Round-7 flagship: banded pairwise LD over the derived genotype

@@ -1251,6 +1251,25 @@ def containment_join(
     )
 
 
+def _assert_vec_dim(rows, cdim: int, op_name: str) -> None:
+    """Raise when any probed vector's length differs from the centroid
+    dim — `F.zip_with` truncates to the shorter side, so a mismatch
+    produces silently-wrong cosines/cells, never an error. Rows carry
+    dmin/dmax from whatever probe the caller already paid."""
+    dmin = min((r["dmin"] for r in rows if r["dmin"] is not None), default=None)
+    dmax = max((r["dmax"] for r in rows if r["dmax"] is not None), default=None)
+    if dmin is None:
+        return  # empty input — nothing to mis-pair
+    if dmin != cdim or dmax != cdim:
+        raise ValueError(
+            f"{op_name}: vector dims span [{dmin}, {dmax}] but the "
+            f"centroids are dim {cdim} — zip_with truncates to the "
+            "shorter side, so cell assignment and cosine silently "
+            "mis-pair. Pass centroids trained on THIS embedding "
+            "column (semantic_dedup_fit trains them in one call)."
+        )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -1312,8 +1331,19 @@ def semantic_dedup(
         _dc(vec_col).alias("__vec"),
         ivf_cell_expr(vec_col, centroids).alias("cell"),
     ).localCheckpoint(eager=True)  # pairs + closure + keep share one view
+    # dim-mismatch tripwire (round-13 verdict task 4): zip_with
+    # truncates to the shorter array, so centroids of the wrong dim
+    # silently mis-pair instead of erroring. FUSED into the same probe
+    # the size guard already pays (one <= n_centroids-row collect) —
+    # no extra job; with the size guard opted out it costs one 1-row agg.
+    cdim = len(centroids[0])
     if max_cluster_size is not None:
-        sizes = cells.groupBy("cell").count().collect()
+        sizes = cells.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min(F.size("__vec")).alias("dmin"),
+            F.max(F.size("__vec")).alias("dmax"),
+        ).collect()
+        _assert_vec_dim(sizes, cdim, "semantic_dedup")
         worst = max((r["count"] for r in sizes), default=0)
         if worst > max_cluster_size:
             raise ValueError(
@@ -1323,6 +1353,15 @@ def semantic_dedup(
                 "(kmeans_fit with larger k) until cells are bounded, "
                 "or pass max_cluster_size=None after pricing the cost."
             )
+    else:
+        _assert_vec_dim(
+            cells.agg(
+                F.min(F.size("__vec")).alias("dmin"),
+                F.max(F.size("__vec")).alias("dmax"),
+            ).collect(),
+            cdim,
+            "semantic_dedup",
+        )
     a = cells.select(
         F.col("cell"),
         F.col(id_col).alias("__ia"),
@@ -1372,6 +1411,83 @@ def semantic_dedup(
         F.col(id_col), F.col("cell")
     )
     return singletons.unionByName(kept_dup)
+
+
+def semantic_dedup_fit(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    keep: str = "far_from_centroid",
+    max_cluster_size: int | None = 100_000,
+    max_iter: int = 5,
+    tol: float = 1e-4,
+    train_sample: int | None = 262_144,
+    init_centroids: list[list[float]] | None = None,
+    round_to: int | None = None,
+    cc_method: str = "label",
+) -> tuple[DataFrame, list[list[float]]]:
+    """One-call SemDeDup (round-13 verdict task 4): train the coarse
+    centroids and dedup in a single composition —
+    `similarity.kmeans_fit` + `semantic_dedup` — so callers without a
+    pre-trained quantizer get the paper's recipe end-to-end. Returns
+    (survivors, centroids): persist the centroids beside the corpus
+    (they are the identity of every `semantic_cell_index` built on it).
+
+    k defaults to the `max_cluster_size` bound's own arithmetic: mean
+    cell size is ~n/k, and cells are uneven, so k is sized for a mean
+    of max_cluster_size/4 (4× skew headroom) — k = ceil(n / (mcs/4)),
+    clamped to [2, 4096] (the broadcast-literal regime; a guard raise
+    beyond that is the re-shard signal). With max_cluster_size=None
+    the default 100k bound still sizes k (the guard is off, the
+    sizing heuristic is not).
+
+    Training runs on a DETERMINISTIC sample when the corpus exceeds
+    `train_sample` rows: the `train_sample` smallest xxhash64(id)
+    rows — a TakeOrdered cut, reproducible across sessions, never a
+    full-corpus sort. Lloyd cost is per-iteration one scan of the
+    SAMPLE; the full corpus pays only the final assignment inside
+    semantic_dedup. `init_centroids`/`round_to` pass through to
+    kmeans_fit (the oracle-replay devices); `train_sample=None`
+    trains on the full corpus."""
+    from pandasvcf_spark.operators.similarity import kmeans_fit
+
+    n = corpus.count()
+    if n == 0:
+        return corpus.select(
+            F.col(id_col), F.lit(0).alias("cell")
+        ).limit(0), []
+    if k is None:
+        mcs = max_cluster_size if max_cluster_size is not None else 100_000
+        target = max(1, mcs // 4)
+        k = max(2, min(4096, -(-n // target)))
+    k = min(k, n)
+    train = corpus
+    if train_sample is not None and n > train_sample:
+        train = corpus.orderBy(
+            F.xxhash64(F.col(id_col).cast("string")), F.col(id_col)
+        ).limit(train_sample)
+    cents, _ = kmeans_fit(
+        train,
+        vec_col=vec_col,
+        k=k,
+        max_iter=max_iter,
+        tol=tol,
+        init_centroids=init_centroids,
+        round_to=round_to,
+    )
+    surv = semantic_dedup(
+        corpus,
+        cents,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep=keep,
+        max_cluster_size=max_cluster_size,
+        cc_method=cc_method,
+    )
+    return surv, cents
 
 
 def semantic_cell_index(
@@ -1476,11 +1592,15 @@ def semantic_dedup_incremental(
     touched = nn.select("cell").distinct()  # <= n_centroids rows
     bb = bb.join(F.broadcast(touched), on="cell", how="left_semi")
     cells = bb.unionByName(nn).localCheckpoint(eager=True)
+    cdim = len(centroids[0])
     if max_cluster_size is not None:
-        worst = max(
-            (r["count"] for r in cells.groupBy("cell").count().collect()),
-            default=0,
-        )
+        sizes = cells.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min(F.size("__vec")).alias("dmin"),
+            F.max(F.size("__vec")).alias("dmax"),
+        ).collect()
+        _assert_vec_dim(sizes, cdim, "semantic_dedup_incremental")
+        worst = max((r["count"] for r in sizes), default=0)
         if worst > max_cluster_size:
             raise ValueError(
                 f"semantic_dedup_incremental: a cell holds {worst:,} "
@@ -1489,6 +1609,15 @@ def semantic_dedup_incremental(
                 "centroids until cells are bounded, or pass "
                 "max_cluster_size=None after pricing the cost."
             )
+    else:
+        _assert_vec_dim(
+            cells.agg(
+                F.min(F.size("__vec")).alias("dmin"),
+                F.max(F.size("__vec")).alias("dmax"),
+            ).collect(),
+            cdim,
+            "semantic_dedup_incremental",
+        )
     a = cells.select(
         "cell", F.col(id_col).alias("__ia"),
         F.col("__vec").alias("__va"), F.col("__nw").alias("__nwa"),

@@ -634,6 +634,8 @@ def kmeans_fit(
     max_iter: int = 10,
     tol: float = 1e-4,
     assign: str = "auto",
+    init_centroids: list[list[float]] | None = None,
+    round_to: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Train IVF coarse-quantizer centroids with Lloyd's k-means,
     DataFrame-native: per iteration ONE job computes every point's nearest
@@ -665,21 +667,37 @@ def kmeans_fit(
         differ from "expr" at floating-point-tie boundaries; argmin's
         first-minimum matches array_position's tie rule.
       * "auto" — "expr" for k ≤ 256, "arrow" above.
+
+    init_centroids: explicit k×dim seeds replacing the xxhash64 spread
+    init — warm restarts, and the ORACLE-REPLAY device (xxhash64 is
+    not SQL-portable; caller-chosen seeds like "the k smallest-id
+    vectors" are). round_to: round every updated centroid to this many
+    decimals each iteration (the v_kmeans trajectory-pinning
+    convention — rounded centroids re-enter as literals, so a SQL twin
+    replaying the same rounds matches the discrete assignments
+    exactly). Both default off; results are unchanged when unset.
     """
     if assign == "auto":
         assign = "expr" if k <= 256 else "arrow"
     if assign not in ("expr", "arrow"):
         raise ValueError(f"unknown assign {assign!r}: use 'expr'/'arrow'/'auto'")
     vec = F.col(vec_col)
-    seed_rows = (
-        df.select(vec.alias("v"))
-        .orderBy(F.xxhash64(vec.cast("string")), vec.cast("string"))
-        .limit(k)
-        .collect()
-    )
-    cents = [list(map(float, r["v"])) for r in seed_rows]
-    if len(cents) < k:
-        raise ValueError(f"corpus has fewer than k={k} vectors")
+    if init_centroids is not None:
+        if len(init_centroids) != k:
+            raise ValueError(
+                f"init_centroids has {len(init_centroids)} rows, k={k}"
+            )
+        cents = [list(map(float, c)) for c in init_centroids]
+    else:
+        seed_rows = (
+            df.select(vec.alias("v"))
+            .orderBy(F.xxhash64(vec.cast("string")), vec.cast("string"))
+            .limit(k)
+            .collect()
+        )
+        cents = [list(map(float, r["v"])) for r in seed_rows]
+        if len(cents) < k:
+            raise ValueError(f"corpus has fewer than k={k} vectors")
     dim = len(cents[0])
     inertias: list[float] = []
 
@@ -796,6 +814,8 @@ def kmeans_fit(
                 cnew = [sums[i][p] / counts[i] for p in range(dim)]
             else:  # empty cluster: keep previous centroid
                 cnew = cents[i]
+            if round_to is not None:
+                cnew = [round(x, round_to) + 0.0 for x in cnew]
             shift = max(
                 shift, sum((a - b) ** 2 for a, b in zip(cnew, cents[i]))
             )

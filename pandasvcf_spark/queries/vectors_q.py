@@ -1232,6 +1232,139 @@ def v_semdedup_incr(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _sql_sqd_col(vec: str, cent: str) -> str:
+    """Squared L2 between a vector column and a DOUBLE[] centroid
+    COLUMN (the in-SQL-trained twin of `_sql_sqdist`'s literal form)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"j -> (CAST({vec}[j] AS DOUBLE) - {cent}[j]) "
+        f"* (CAST({vec}[j] AS DOUBLE) - {cent}[j])))"
+    )
+
+
+def _fit_assign_sql(cents_cte: str, out: str) -> str:
+    """Nearest-centroid assignment against an in-SQL centroid table —
+    row_number over (sqdist, c) replays array_position(array_min)'s
+    first-minimum tie rule."""
+    return f"""{out} AS MATERIALIZED (
+      SELECT vec_id, embedding, c FROM (
+        SELECT v.vec_id, v.embedding, {cents_cte}.c,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_sql_sqd_col('v.embedding', cents_cte + '.cent')},
+                 {cents_cte}.c) AS rn
+        FROM v CROSS JOIN {cents_cte}) WHERE rn = 1)"""
+
+
+def _fit_update_sql(prev: str, assign: str, out: str) -> str:
+    """Lloyd centroid update, 6dp-pinned (the v_kmeans trajectory
+    device), with the empty-cluster-keeps-previous rule as COALESCE."""
+    return f"""{out} AS MATERIALIZED (
+      SELECT {prev}.c, COALESCE(m.cent, {prev}.cent) AS cent
+      FROM {prev} LEFT JOIN (
+        SELECT c, list(round(mu, 6) + 0.0 ORDER BY j) AS cent
+        FROM (
+          SELECT a.c, t.j, avg(CAST(a.embedding[t.j] AS DOUBLE)) AS mu
+          FROM {assign} a CROSS JOIN generate_series(1, {DIM}) AS t(j)
+          GROUP BY a.c, t.j)
+        GROUP BY c) m ON m.c = {prev}.c)"""
+
+
+@register(
+    "v_semdedup_fit",
+    oracle=f"""
+    WITH RECURSIVE v AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS c,
+             list_transform(generate_series(1, {DIM}),
+                            j -> CAST(embedding[j] AS DOUBLE)) AS cent
+      FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT 4)),
+    {_fit_assign_sql('c0', 'a1')},
+    {_fit_update_sql('c0', 'a1', 'c1')},
+    {_fit_assign_sql('c1', 'a2')},
+    {_fit_update_sql('c1', 'a2', 'c2')},
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, c AS cell FROM (
+        SELECT v.vec_id, v.embedding, c2.c,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_sql_sqd_col('v.embedding', 'c2.cent')}, c2.c) AS rn
+        FROM v CROSS JOIN c2) WHERE rn = 1),
+    prs AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.3),
+    edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM prs
+              UNION ALL SELECT ib, ia FROM prs),
+    verts AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (
+      SELECT id, id AS lbl FROM verts
+      UNION
+      SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+    comp AS MATERIALIZED (
+      SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+    dup AS MATERIALIZED (
+      SELECT c.vec_id, c.cell, k.component,
+             {_sql_cos('c.embedding', 'ct.cent')} AS cosc
+      FROM cells c
+      JOIN comp k ON k.id = c.vec_id
+      JOIN c2 ct ON ct.c = c.cell),
+    reps AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (PARTITION BY component
+                                          ORDER BY cosc, vec_id) AS rn
+        FROM dup) WHERE rn = 1),
+    singles AS (
+      SELECT c.vec_id, c.cell FROM cells c
+      ANTI JOIN comp k ON k.id = c.vec_id)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INT) AS cell
+    FROM (SELECT vec_id, cell FROM singles
+          UNION ALL
+          SELECT d.vec_id, d.cell FROM dup d JOIN reps USING (vec_id))
+    ORDER BY vec_id
+    """,
+)
+def v_semdedup_fit(spark, sf_dir):
+    """One-call SemDeDup (operators/dedup.semantic_dedup_fit; round-13
+    verdict task 4): TRAIN the coarse quantizer and dedup in a single
+    composition — no externally-supplied centroids. Pinned fully
+    replayable: seeds = the 4 smallest-vec_id embeddings
+    (init_centroids — xxhash64 spread seeding is not SQL-portable),
+    exactly 2 Lloyd rounds (tol=0 disables early stop), intermediate
+    centroids 6dp-rounded (round_to — the v_kmeans trajectory device,
+    so the oracle's unrolled assign→update→assign→update matches the
+    discrete assignments bit-for-bit), then the v_semdedup recipe
+    (τ=0.3 tail threshold, keep-far, recursive-CTE closure) against
+    the TRAINED centroid table instead of the literal CENTROIDS."""
+    from pandasvcf_spark.operators.dedup import semantic_dedup_fit
+
+    emb = load(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    )
+    seeds = [list(map(float, r["v"])) for r in seed_rows]
+    surv, _cents = semantic_dedup_fit(
+        emb,
+        threshold=0.3,
+        k=4,
+        keep="far_from_centroid",
+        max_iter=2,
+        tol=0.0,
+        train_sample=None,
+        init_centroids=seeds,
+        round_to=6,
+    )
+    return surv.select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    ).orderBy("vec_id")
+
+
 _SIL_DISTS = "[" + ", ".join(
     f"sqrt({_sql_sqdist('embedding', c)})" for c in CENTROIDS
 ) + "]"
@@ -1356,6 +1489,7 @@ def ivfpq_recall_uniform_report(
     mp_n_probe: int = 6,
     mp_k_candidates: int = 50,
     with_mp: bool = True,
+    probe_curve: tuple = (),
 ) -> dict:
     """Measured recall@k of TRAINED IVF+PQ (kmeans_fit coarse cells +
     pq_train_codebooks on the RESIDUALS — the faiss training recipe)
@@ -1377,7 +1511,14 @@ def ivfpq_recall_uniform_report(
     verdict's recall lever, ceilinged by cell coverage instead of
     quantization error)}. Ground truth and the trained index are
     computed ONCE and shared by both variants; `with_mp=False` skips
-    the second retrieval."""
+    the second retrieval.
+
+    probe_curve: extra n_probe values to run through the SAME rerank
+    composition against the SAME shared index/ground-truth — the
+    round-13 verdict's priced probe-vs-recall trade made visible:
+    each point records recall AND wall seconds, so "more probes buy
+    recall at linear probe cost" is a committed curve, not prose.
+    Returned as {"curve": {n_probe: {"recall": r, "sec": s}}}."""
     from pandasvcf_spark.operators.similarity import (
         _centroid_lit,
         _dc,
@@ -1458,6 +1599,26 @@ def ivfpq_recall_uniform_report(
         report["uniform_mp"] = (
             len(gt & got_mp) / len(gt) if gt else 1.0
         )
+    if probe_curve:
+        import time as _time
+
+        curve = {}
+        for p in probe_curve:
+            t0 = _time.time()
+            got_p = {
+                (r["query_id"], r["vec_id"])
+                for r in ivfpq_rerank_topk(
+                    codes, e, q, cents, books,
+                    k=k, k_candidates=mp_k_candidates, n_probe=p,
+                ).collect()
+            }
+            curve[int(p)] = {
+                "recall": round(
+                    len(gt & got_p) / len(gt) if gt else 1.0, 4
+                ),
+                "sec": round(_time.time() - t0, 3),
+            }
+        report["curve"] = curve
     return report
 
 

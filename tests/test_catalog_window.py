@@ -1314,6 +1314,13 @@ def test_tail_entries_are_redundant_variants_only():
                                  # general Newton (in window)
         "v_ivfpq_topk",          # replayed verbatim as
                                  # v_ivfpq_rerank's stage one (window)
+        # round-14 registration
+        "v_semdedup_fit",        # one-call trained SemDeDup: composes
+                                 # kmeans_fit (v_kmeans's 6dp pinned
+                                 # trajectory, here with explicit
+                                 # seeds) into v_semdedup's recipe (in
+                                 # window); trained-centroid oracle;
+                                 # contract guard + fit/dim pytest
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected

@@ -604,6 +604,74 @@ def test_semantic_dedup_incremental_verdicts(spark):
         semantic_dedup_incremental(None, new, cents)
 
 
+def test_semantic_dedup_fit_and_dim_guard(spark):
+    """Round-14 (verdict task 4): the one-call semantic_dedup_fit
+    trains its own centroids — on planted duplicate clusters it keeps
+    one representative per group and equals semantic_dedup run with the
+    same trained centroids; k is auto-sized from the max_cluster_size
+    bound; and BOTH semantic ops now RAISE loudly on centroid/vector
+    dim mismatch (zip_with truncation used to mis-pair silently) —
+    fused into the size probe, no extra job when the guard is on."""
+    import numpy as np
+    import pytest
+
+    from pandasvcf_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_fit,
+        semantic_dedup_incremental,
+    )
+
+    rng = np.random.default_rng(41)
+    dirs = rng.normal(0, 1, (4, 24))
+    rows = []
+    for g in range(4):
+        for i in range(5):
+            v = dirs[g] + rng.normal(0, 0.01, 24)
+            rows.append((g * 100 + i, [float(x) for x in v]))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # deterministic init: one seed per planted group (the hash-spread
+    # default can drop two seeds in one group and split another across
+    # cells — the paper's within-cell approximation, not a defect)
+    seeds = [[float(x) for x in dirs[g]] for g in range(4)]
+    surv, cents = semantic_dedup_fit(
+        d, threshold=0.99, k=4, max_iter=4, train_sample=None,
+        init_centroids=seeds,
+    )
+    got = sorted(r["vec_id"] for r in surv.collect())
+    assert len(got) == 4  # one representative per planted group
+    assert len({vid // 100 for vid in got}) == 4
+    # composition equals the two-call form with the same centroids
+    two_call = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(d, cents, threshold=0.99).collect()
+    )
+    assert got == two_call
+
+    # k auto-sizing: 20 rows with max_cluster_size=8 -> target mean
+    # cell = 2 -> k = ceil(20/2) = 10
+    _, cents_auto = semantic_dedup_fit(
+        d, threshold=0.99, max_cluster_size=8, train_sample=None
+    )
+    assert len(cents_auto) == 10
+
+    # dim guard: 24-dim vectors vs 8-dim centroids must RAISE, with
+    # and without the size guard, on both ops
+    bad = [[0.0] * 8 for _ in range(3)]
+    bad[1][0] = 1.0
+    bad[2][1] = 1.0
+    for mcs in (100, None):
+        with pytest.raises(ValueError, match="dim"):
+            semantic_dedup(d, bad, max_cluster_size=mcs)
+        with pytest.raises(ValueError, match="dim"):
+            semantic_dedup_incremental(
+                d.filter(F.col("vec_id") < 200),
+                d.filter(F.col("vec_id") >= 200),
+                bad,
+                max_cluster_size=mcs,
+            )
+
+
 def test_kmeans_silhouette_separated_vs_uniform(spark):
     """Round-13 cell-quality telemetry: on well-separated planted
     clusters the simplified silhouette is near 1 in every cell; on
