@@ -15,6 +15,47 @@ from pyspark.sql import functions as F
 
 
 
+def _raise_cell_bound(
+    est: int, cs: Sequence[str], op_name: str, max_cells: int,
+    plan_word: str,
+) -> None:
+    raise ValueError(
+        f"{op_name}: ~{est:,} distinct {tuple(cs)} cells exceed "
+        f"max_cells={max_cells:,} — the {plan_word} plan would "
+        "degrade toward rows². PRE-BUCKET dense continuous "
+        "columns first (round/quantize, e.g. F.round(col, 3) or "
+        "exact_quantiles bucket edges), or pass max_cells=None "
+        "after confirming the cost is acceptable."
+    )
+
+
+def _raise_series_size(op_name: str, n: int, max_rows: int) -> None:
+    raise ValueError(
+        f"{op_name}: {n:,} rows exceed max_rows={max_rows:,} — "
+        "this operator global-sorts the series in one task and is "
+        "meant for PRE-AGGREGATED series (daily/hourly rollups). "
+        "groupBy your time bucket and aggregate first, or pass "
+        "max_rows=None after confirming the cost is acceptable."
+    )
+
+
+def _raise_dup_times(
+    op_name: str, cs: Sequence[str], n_dups: int, reason: str
+) -> None:
+    raise ValueError(
+        f"{op_name}: {n_dups:,} duplicate "
+        f"{tuple(cs)} rows — {reason}. Pre-aggregate to ONE row "
+        "per time point (groupBy the time bucket) before calling."
+    )
+
+
+_DUP_REASON = (
+    "positions (and every lag pairing built on them) come from "
+    "row_number() over a non-unique order and would be "
+    "order-dependent and nondeterministic"
+)
+
+
 def _assert_cell_bound(
     df: DataFrame,
     cols: Sequence[str],
@@ -45,14 +86,7 @@ def _assert_cell_bound(
         F.approx_count_distinct(probe, 0.02).alias("__cells")
     ).collect()[0]["__cells"]
     if est > max_cells:
-        raise ValueError(
-            f"{op_name}: ~{est:,} distinct {tuple(cs)} cells exceed "
-            f"max_cells={max_cells:,} — the {plan_word} plan would "
-            "degrade toward rows². PRE-BUCKET dense continuous "
-            "columns first (round/quantize, e.g. F.round(col, 3) or "
-            "exact_quantiles bucket edges), or pass max_cells=None "
-            "after confirming the cost is acceptable."
-        )
+        _raise_cell_bound(est, cs, op_name, max_cells, plan_word)
     return est
 
 
@@ -70,13 +104,7 @@ def _assert_series_sized(
         return
     n = df.count()
     if n > max_rows:
-        raise ValueError(
-            f"{op_name}: {n:,} rows exceed max_rows={max_rows:,} — "
-            "this operator global-sorts the series in one task and is "
-            "meant for PRE-AGGREGATED series (daily/hourly rollups). "
-            "groupBy your time bucket and aggregate first, or pass "
-            "max_rows=None after confirming the cost is acceptable."
-        )
+        _raise_series_size(op_name, n, max_rows)
 
 
 def _assert_key_series_bound(
@@ -125,11 +153,7 @@ def _assert_unique_times(
     df: DataFrame,
     time_cols: Sequence[str],
     op_name: str,
-    reason: str = (
-        "positions (and every lag pairing built on them) come from "
-        "row_number() over a non-unique order and would be "
-        "order-dependent and nondeterministic"
-    ),
+    reason: str = _DUP_REASON,
 ) -> None:
     """Duplicate-timestamp TRIPWIRE (round-12 ADVICE: kpss_test /
     adf_test docstrings claimed duplicate times 'raise implicitly
@@ -145,8 +169,47 @@ def _assert_unique_times(
         F.count_distinct(probe).alias("__d"),
     ).collect()[0]
     if row["__n"] != row["__d"]:
-        raise ValueError(
-            f"{op_name}: {row['__n'] - row['__d']:,} duplicate "
-            f"{tuple(cs)} rows — {reason}. Pre-aggregate to ONE row "
-            "per time point (groupBy the time bucket) before calling."
+        _raise_dup_times(op_name, cs, row["__n"] - row["__d"], reason)
+
+
+def _assert_series_contract(
+    df: DataFrame,
+    time_cols: Sequence[str],
+    op_name: str,
+    max_rows: int | None,
+    reason: str = _DUP_REASON,
+    max_cells: int | None = None,
+    cell_cols: Sequence[str] | None = None,
+    plan_word: str = "|cells|² broadcast-grid",
+) -> None:
+    """FUSED probe (round-13 verdict task 6 — guard-probe fusion):
+    the series-size, duplicate-time and (optionally) cell-bound
+    tripwires in ONE agg job instead of two or three back-to-back
+    probe jobs over the same already-filtered base. Raise precedence
+    matches the unfused call order the consumers used: cell bound
+    first (when requested), then size, then duplicates — messages
+    byte-identical (shared `_raise_*` bodies). `max_rows=None` skips
+    the size check but still pays nothing extra — count rides the
+    same agg the duplicate check needs."""
+    cs = list(time_cols)
+    probe = F.struct(*cs) if len(cs) > 1 else F.col(cs[0])
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(probe).alias("__d"),
+    ]
+    if max_cells is not None:
+        ccs = list(cell_cols or cs)
+        cprobe = F.struct(*ccs) if len(ccs) > 1 else F.col(ccs[0])
+        aggs.append(
+            F.approx_count_distinct(cprobe, 0.02).alias("__cells")
         )
+    row = df.agg(*aggs).collect()[0]
+    if max_cells is not None and row["__cells"] > max_cells:
+        _raise_cell_bound(
+            row["__cells"], list(cell_cols or cs), op_name, max_cells,
+            plan_word,
+        )
+    if max_rows is not None and row["__n"] > max_rows:
+        _raise_series_size(op_name, row["__n"], max_rows)
+    if row["__n"] != row["__d"]:
+        _raise_dup_times(op_name, cs, row["__n"] - row["__d"], reason)

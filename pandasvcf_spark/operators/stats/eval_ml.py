@@ -1511,35 +1511,57 @@ def ece_summary(
     is accepted — the least(floor(s*n_bins), n_bins-1) clamp places
     it in bin n_bins-1. Gaps are computed UNROUNDED per bin and
     rounded once at the fold. Output (1 row): n BIGINT, n_bins_used
-    INT, ece DOUBLE round 6, mce DOUBLE round 6. Plan: one <= n_bins
-    groupBy + a 1-row fold (+ the validation agg)."""
+    INT, ece DOUBLE round 6, mce DOUBLE round 6. Plan (round-13
+    verdict task 6 — the validation probe is FUSED into the bin agg):
+    ONE scan builds the <= n_bins bin table carrying per-bin min/max
+    score; the collected bins validate the range AND become a local
+    relation the final fold aggregates — the corpus is scanned once,
+    where the unfused form paid the (min, max) probe scan plus a
+    second full scan at action time. The bin key stays DOUBLE until
+    after validation (an ANSI int cast would throw on NaN scores
+    before the contract raise could)."""
     sc = F.col(score_col).cast("double")
     lc = F.col(label_col).cast("int")
     base = df.filter(sc.isNotNull() & lc.isNotNull()).select(
         sc.alias("__s"), lc.alias("__y")
     )
-    rng = base.agg(
-        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
-    ).collect()[0]
-    if rng["__lo"] is not None and (
-        rng["__lo"] < 0.0 or rng["__hi"] > 1.0
-        or rng["__lo"] != rng["__lo"] or rng["__hi"] != rng["__hi"]
+    b = F.least(
+        F.floor(F.col("__s") * n_bins), F.lit(float(n_bins - 1))
+    )
+    bin_rows = (
+        base.groupBy(b.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg("__s").alias("__ms"),
+            F.avg(F.col("__y").cast("double")).alias("__fp"),
+            F.min("__s").alias("__blo"),
+            F.max("__s").alias("__bhi"),
+        )
+        .collect()
+    )
+    lo = min((r["__blo"] for r in bin_rows), default=None)
+    # max() must see NaN the way Spark's global F.max does (NaN sorts
+    # largest): python max treats nan unreliably, so check explicitly
+    his = [r["__bhi"] for r in bin_rows]
+    hi = None
+    if his:
+        hi = next((x for x in his if x != x), None)
+        if hi is None:
+            hi = max(his)
+    if lo is not None and (
+        lo < 0.0 or hi > 1.0 or lo != lo or hi != hi
     ):
         raise ValueError(
-            f"ece_summary: scores span [{rng['__lo']}, {rng['__hi']}] "
+            f"ece_summary: scores span [{lo}, {hi}] "
             "outside the documented [0, 1] binning contract — a "
             "negative score lands in a negative bin id and a score "
             "> 1 clamps into the last bin, silently skewing ECE/MCE. "
             "Rescale (e.g. a sigmoid/min-max transform) or clamp "
             "explicitly before calling."
         )
-    b = F.least(
-        F.floor(F.col("__s") * n_bins).cast("int"), F.lit(n_bins - 1)
-    )
-    bins = base.groupBy(b.alias("__b")).agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.avg("__s").alias("__ms"),
-        F.avg(F.col("__y").cast("double")).alias("__fp"),
+    bins = df.sparkSession.createDataFrame(
+        [(r["__n"], r["__ms"], r["__fp"]) for r in bin_rows],
+        "__n double, __ms double, __fp double",
     )
     gap = F.abs(F.col("__fp") - F.col("__ms"))
     return bins.agg(

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from ._guards import (
     _assert_cell_bound,
+    _assert_series_contract,
     _assert_series_sized,
-    _assert_unique_times,
 )
 
 
@@ -1337,18 +1337,20 @@ def seasonal_mann_kendall(
     base = df.filter(
         gc.isNotNull() & tc.isNotNull() & vc.isNotNull()
     ).select(gc.alias("__g"), tc.alias("__t"), vc.alias("__v"))
-    _assert_cell_bound(
-        base, ["__g", "__t", "__v"], "seasonal_mann_kendall", max_cells
-    )
-    _assert_unique_times(
+    # fused cell-bound + duplicate probe: ONE agg job (round-13
+    # verdict task 6); raise precedence preserved (cells first)
+    _assert_series_contract(
         base,
         ["__g", "__t"],
         "seasonal_mann_kendall",
+        max_rows=None,
         reason=(
             "S excludes time-tied pairs but the Hirsch-Slack-Smith "
             "variance has no ties-in-time correction, so z would be "
             "silently biased"
         ),
+        max_cells=max_cells,
+        cell_cols=["__g", "__t", "__v"],
     )
     cells = base.groupBy("__g", "__t", "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
@@ -1454,8 +1456,8 @@ def kpss_test(
     base = series.filter(tc.isNotNull() & vc.isNotNull()).select(
         tc.alias("__t"), vc.alias("__v")
     )
-    _assert_series_sized(base, "kpss_test", max_rows)
-    _assert_unique_times(base, ["__t"], "kpss_test")
+    # fused size+duplicate probe: ONE agg job (round-13 verdict task 6)
+    _assert_series_contract(base, ["__t"], "kpss_test", max_rows)
     mu = base.agg(
         F.avg("__v").alias("__mu"),
         F.count(F.lit(1)).cast("long").alias("__n"),
@@ -1548,8 +1550,8 @@ def adf_test(
     base = series.filter(tc.isNotNull() & vc.isNotNull()).select(
         tc.alias("__t"), vc.alias("__v")
     )
-    _assert_series_sized(base, "adf_test", max_rows)
-    _assert_unique_times(base, ["__t"], "adf_test")
+    # fused size+duplicate probe: ONE agg job (round-13 verdict task 6)
+    _assert_series_contract(base, ["__t"], "adf_test", max_rows)
     pos = base.select(
         F.row_number().over(Window.orderBy("__t")).alias("__i"), "__v"
     )

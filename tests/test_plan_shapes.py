@@ -1023,3 +1023,72 @@ def test_round13_shapes_no_cartesian(spark):
     p = _plan(temperature_weights(tw, "g", 0.3, "m"))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # the 1-row totals fold
+
+
+def test_round14_guard_probe_fusion(spark):
+    """Round-14 (verdict task 6 — guard-probe fusion): the fused
+    series-contract tripwire pays ONE probe job where the kpss/adf/
+    seasonal-MK paths previously ran two (size + duplicates) or three
+    (+ cell bound) back-to-back aggs over the same base; semantics
+    (messages, precedence) unchanged — the round-13 guard pytest still
+    passes. ece_summary's validation is fused into its bin agg: the
+    returned fold runs on a LOCAL relation, so the corpus is scanned
+    once instead of probe-scan + action-scan."""
+    import uuid
+
+    from pandasvcf_spark.operators.stats import ece_summary
+    from pandasvcf_spark.operators.stats._guards import (
+        _assert_series_contract,
+        _assert_series_sized,
+        _assert_unique_times,
+    )
+
+    uniq = spark.createDataFrame(
+        [(float(i), float((i * 7) % 5)) for i in range(40)],
+        "t double, v double",
+    )
+    uniq = uniq.localCheckpoint(eager=True)  # isolate probe jobs
+    tracker = spark.sparkContext.statusTracker()
+
+    def count_jobs(fn):
+        group = f"fusion-probe-{uuid.uuid4()}"
+        spark.sparkContext.setJobGroup(group, "job-count probe")
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    unfused = count_jobs(
+        lambda: (
+            _assert_series_sized(uniq, "x", 100_000),
+            _assert_unique_times(uniq, ["t"], "x"),
+        )
+    )
+    fused = count_jobs(
+        lambda: _assert_series_contract(uniq, ["t"], "x", 100_000)
+    )
+    # one agg action instead of two: at least one fewer Spark job on
+    # the guarded path (AQE splits a single distinct-agg action into
+    # multiple jobs, so absolute counts float; the REDUCTION is the
+    # contract)
+    assert fused < unfused, (unfused, fused)
+    # the cell-bound variant (the seasonal-MK shape, formerly THREE
+    # probe aggs) is also a single action
+    fused_cells = count_jobs(
+        lambda: _assert_series_contract(
+            uniq, ["t"], "x", None, max_cells=100_000,
+            cell_cols=["t", "v"],
+        )
+    )
+    assert fused_cells < unfused, (unfused, fused_cells)
+
+    # ECE: the returned DataFrame folds a local relation — no second
+    # corpus scan at action time (validation rode the bin agg)
+    ok = spark.createDataFrame(
+        [(0.1 * i, i % 2) for i in range(10)], "s double, y int"
+    )
+    out = ece_summary(ok, "s", "y")
+    p = _plan(out)
+    assert "LocalTableScan" in p or "ExistingRDD" in p, p
+    assert out.collect()[0]["n"] == 10
