@@ -347,6 +347,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        from pandasvcf_spark.queries.vectors_q import imi_recall_at_10
+
+        t0 = time.time()
+        imi_recall = imi_recall_at_10(spark, sf_dir)
+        result["imi_recall_at_10_uniform"] = round(imi_recall, 4)
+        print(
+            f"# imi_recall_at_10_uniform: {imi_recall:.4f} "
+            f"({time.time() - t0:.1f}s, trained 16x16 inverted "
+            "multi-index, 48-of-256 probed cells — the SAME ~18.75% "
+            "scan budget as ivf_recall_at_10_uniform's 3-of-16, so "
+            "the delta is pure quantizer-granularity gain; round-14's "
+            "coarse-quantizer lever)",
+            file=sys.stderr,
+        )
+
         from pandasvcf_spark.queries.vectors_q import (
             ivfpq_recall_uniform_report,
         )

@@ -613,6 +613,191 @@ def ivf_query_topk(
     )
 
 
+def _half_cell_expr(
+    vec: Column, offset: int, length: int, centroids: list[list[float]]
+) -> Column:
+    """Nearest-centroid id (1-based INT) of a SLICE of the vector —
+    the per-half assignment of the inverted multi-index."""
+    v = F.slice(vec, offset, length)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def _half_dists_expr(
+    vec: Column, offset: int, length: int, centroids: list[list[float]]
+) -> Column:
+    """ARRAY<DOUBLE> of squared-L2 distances from a vector SLICE to
+    every half-space centroid — materialized once per query row so the
+    ka×kb cross-sum grid reads element_at instead of recomputing the
+    fold ka×kb times."""
+    v = F.slice(vec, offset, length)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def imi_cell_expr(
+    vec: Column | str,
+    cents_a: list[list[float]],
+    cents_b: list[list[float]],
+) -> Column:
+    """Inverted multi-index cell id (Babenko & Lempitsky 2012, "The
+    inverted multi-index"): split the vector into two halves, assign
+    each half to its nearest HALF-SPACE centroid, cell = (ca − 1)·kb +
+    cb (1-based INT). ka×kb effective cells from ka + kb small
+    codebooks — the finer coarse quantizer that lifts the cell-coverage
+    recall ceiling without training (or broadcasting) ka×kb full-dim
+    centroids. Same codegen shape as `ivf_cell_expr`: literal
+    distance arrays, one pass, no shuffle."""
+    v = _dc(vec)
+    da = len(cents_a[0])
+    db = len(cents_b[0])
+    kb = len(cents_b)
+    ca = _half_cell_expr(v, 1, da, cents_a)
+    cb = _half_cell_expr(v, da + 1, db, cents_b)
+    return ((ca - F.lit(1)) * F.lit(kb) + cb).cast("int")
+
+
+def imi_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    max_iter: int = 5,
+    dim: int | None = None,
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Train the two half-space codebooks of the inverted multi-index:
+    `kmeans_fit` on each half of the vector (split at dim//2). k
+    centroids PER HALF give k² effective cells — training cost is two
+    k-centroid fits over half-dim vectors, vs one k²-centroid full-dim
+    fit for the same cell count. `dim` is probed from the first row
+    when not given (one metadata-sized job; pass it in pipelines)."""
+    v = _dc(vec_col)
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("imi_fit: empty corpus")
+        dim = row["d"]
+    da = dim // 2
+    cents_a, _ = kmeans_fit(
+        df.select(F.slice(v, 1, da).alias("__h")),
+        vec_col="__h", k=k, max_iter=max_iter,
+    )
+    cents_b, _ = kmeans_fit(
+        df.select(F.slice(v, da + 1, dim - da).alias("__h")),
+        vec_col="__h", k=k, max_iter=max_iter,
+    )
+    return cents_a, cents_b
+
+
+def imi_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents_a: list[list[float]],
+    cents_b: list[list[float]],
+    k: int,
+    n_probe_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Inverted-multi-index ANN: each query probes its `n_probe_cells`
+    best product cells — ranked by the ADDITIVE bound d_a(q₁, cₐ) +
+    d_b(q₂, c_b), the multi-index ordering — and scores only the
+    corpus vectors assigned there (equi-join on cell id, exact cosine
+    rerank, never a crossJoin). With ka = kb = 16 the index has 256
+    cells from 32 half-dim centroids: at the SAME scanned fraction of
+    the corpus, finer cells cover more of each query's true
+    neighborhood than a 16-cell single-level IVF — the coarse-
+    quantizer lever the round-13 verdict named beyond more probes.
+
+    Plan: corpus pays one literal-array assignment pass (ka + kb
+    folds, not ka×kb); each query materializes its two half-distance
+    arrays ONCE, builds the ka×kb (d, cell) grid from element_at
+    reads, array_sorts, slices, explodes — |queries| × n_probe_cells
+    join rows. Ties rank by (d, cell), the struct-sort rule. Output:
+    query_id, vec_id, cossim (desc, ties by vec_id)."""
+    ka, kb = len(cents_a), len(cents_b)
+    if not 1 <= n_probe_cells <= ka * kb:
+        raise ValueError(
+            f"n_probe_cells must be in [1, {ka * kb}], got {n_probe_cells}"
+        )
+    da = len(cents_a[0])
+    db = len(cents_b[0])
+    cells = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        imi_cell_expr(vec_col, cents_a, cents_b).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        _dc(vec_col).alias("__qvec"),
+        _half_dists_expr(_dc(vec_col), 1, da, cents_a).alias("__da"),
+        _half_dists_expr(_dc(vec_col), da + 1, db, cents_b).alias("__db"),
+    )
+    grid = F.array(
+        *[
+            F.struct(
+                (
+                    F.col("__da")[i] + F.col("__db")[j]
+                ).alias("d"),
+                F.lit(i * kb + j + 1).cast("int").alias("cell"),
+            )
+            for i in range(ka)
+            for j in range(kb)
+        ]
+    )
+    probes = q.select(
+        "__qid",
+        "__qvec",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(grid), 1, n_probe_cells),
+                lambda s: s["cell"],
+            )
+        ).alias("__cell"),
+    )
+    pairs = probes.join(cells, on="__cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("__qid") != F.col(id_col))
+    # corpus vectors live in ONE product cell each — no dedup needed
+    pairs = pairs.withColumn(
+        "cossim", cosine_expr(F.col("__qvec"), F.col("__vec"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
+    return (
+        pairs.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), F.col(id_col), F.col("cossim")
+        )
+    )
+
+
 def bucket_histogram(
     corpus: DataFrame,
     planes: list[list[float]],

@@ -520,6 +520,50 @@ def ivf_recall_at_10(
     return len(gt & ivf) / len(gt) if gt else 1.0
 
 
+def imi_recall_at_10(
+    spark,
+    sf_dir: str,
+    n_queries: int = 200,
+    k: int = 10,
+    k_half: int = 16,
+    n_probe_cells: int = 48,
+    max_iter: int = 5,
+) -> float:
+    """Measured recall@k of the TRAINED inverted multi-index
+    (`imi_fit` + `imi_topk`: two k_half-centroid half-space codebooks
+    → k_half² product cells) against exact cosine ground truth on the
+    real `embeddings` table — the round-14 answer to the coarse-
+    quantizer ceiling: at the default 48-of-256 probed cells the
+    SCANNED FRACTION (~48/256 = 18.75% on a near-uniform corpus)
+    matches the 3-of-16 budget `ivf_recall_at_10_uniform` pays, so
+    the two keys read as an apples-to-apples quantizer comparison —
+    finer cells at equal scan budget recover more of each query's
+    true neighborhood. Trained halves; probe ranking by the additive
+    d_a + d_b multi-index bound."""
+    from pandasvcf_spark.operators.similarity import (
+        cosine_topk,
+        imi_fit,
+        imi_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ca, cb = imi_fit(e, k=k_half, max_iter=max_iter, dim=DIM)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = {
+        (row["query_id"], row["vec_id"])
+        for row in cosine_topk(e, q, k=k).collect()
+    }
+    got = {
+        (row["query_id"], row["vec_id"])
+        for row in imi_topk(
+            e, q, ca, cb, k=k, n_probe_cells=n_probe_cells
+        ).collect()
+    }
+    return len(gt & got) / len(gt) if gt else 1.0
+
+
 def _sql_int8(vec: str) -> str:
     """DuckDB twin of int8_quantize_expr (BIGINT codes)."""
     scale = f"(list_max(list_transform({vec}, v -> abs(v))) / 127.0)"
@@ -1230,6 +1274,97 @@ def v_semdedup_incr(spark, sf_dir):
     return out.select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     ).orderBy("vec_id")
+
+
+#: deterministic literal HALF-SPACE codebooks for the inverted
+#: multi-index entry (4 centroids per 32-dim half -> 16 product cells)
+IMI_A = [[x * 0.15 for x in row] for row in _lcg_planes(4, DIM // 2, seed=0xA1)]
+IMI_B = [[x * 0.15 for x in row] for row in _lcg_planes(4, DIM // 2, seed=0xB2)]
+
+
+def _sql_half_sqd(vec: str, offset: int, cent: list[float]) -> str:
+    """Squared L2 between a HALF of the vector column (32 dims at
+    `offset`) and a literal half-space centroid."""
+    lit = "([" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+    half = DIM // 2
+    return (
+        f"list_sum(list_transform(generate_series(1, {half}), "
+        f"j -> (CAST({vec}[j + {offset}] AS DOUBLE) - {lit}[j]) "
+        f"* (CAST({vec}[j + {offset}] AS DOUBLE) - {lit}[j])))"
+    )
+
+
+def _sql_imi_half_cell(vec: str, offset: int, cents: list[list[float]]) -> str:
+    dists = "[" + ", ".join(
+        _sql_half_sqd(vec, offset, c) for c in cents
+    ) + "]"
+    return (
+        f"CAST(list_position({dists}, list_aggregate({dists}, 'min')) AS INT)"
+    )
+
+
+_IMI_PROBE_UNION = "\n      UNION ALL\n      ".join(
+    f"SELECT vec_id AS query_id, embedding AS qe, "
+    f"{i * len(IMI_B) + j + 1} AS cell, "
+    f"{_sql_half_sqd('embedding', 0, IMI_A[i])} "
+    f"+ {_sql_half_sqd('embedding', DIM // 2, IMI_B[j])} AS d "
+    f"FROM embeddings WHERE vec_id < 10"
+    for i in range(len(IMI_A))
+    for j in range(len(IMI_B))
+)
+
+
+@register(
+    "v_imi_topk",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             ({_sql_imi_half_cell('embedding', 0, IMI_A)} - 1) * {len(IMI_B)}
+             + {_sql_imi_half_cell('embedding', DIM // 2, IMI_B)} AS cell
+      FROM embeddings),
+    qd AS MATERIALIZED (
+      {_IMI_PROBE_UNION}),
+    probes AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT query_id, qe, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, cell) AS rn
+        FROM qd) WHERE rn <= 3),
+    cand AS (
+      SELECT p.query_id, c.vec_id,
+             {_sql_cos('c.embedding', 'p.qe')} AS cos
+      FROM probes p JOIN cells c ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id)
+    SELECT query_id, vec_id, round(cos, 6) AS cossim FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM cand)
+    WHERE rn <= 3 ORDER BY query_id, vec_id
+    """,
+)
+def v_imi_topk(spark, sf_dir):
+    """Inverted-multi-index ANN (operators/similarity.imi_topk;
+    Babenko & Lempitsky 2012): two 4-centroid HALF-SPACE codebooks
+    give 16 product cells from 8 half-dim centroids; each query probes
+    its 3 best cells ranked by the additive d_a + d_b bound, then
+    exact-cosine-reranks only those cells' members — the finer coarse
+    quantizer that lifts cell-coverage recall at equal scanned
+    fraction (the round-13 verdict's 'better coarse quantizer' lever,
+    landed in round 14). Deterministic literal codebooks; the oracle
+    replays both half assignments, the 16-cell additive probe ranking
+    (ties by cell — the struct-sort rule) and the rerank cut
+    bit-for-bit."""
+    from pandasvcf_spark.operators.similarity import imi_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = imi_topk(emb, qs, IMI_A, IMI_B, k=3, n_probe_cells=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cossim", 6).alias("cossim")
+    ).orderBy("query_id", "vec_id")
 
 
 def _sql_sqd_col(vec: str, cent: str) -> str:

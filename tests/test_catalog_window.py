@@ -1314,7 +1314,16 @@ def test_tail_entries_are_redundant_variants_only():
                                  # general Newton (in window)
         "v_ivfpq_topk",          # replayed verbatim as
                                  # v_ivfpq_rerank's stage one (window)
-        # round-14 registration
+        # round-14 registrations
+        "v_imi_topk",            # inverted multi-index ANN: two
+                                 # half-space codebooks -> product
+                                 # cells; probe ranking + rerank
+                                 # machinery is v_ivfpq_rerank's cell
+                                 # probe + v_mmr_rerank's rerank shape
+                                 # (both in window); full-probe ==
+                                 # exact identity pytest; literal-
+                                 # codebook oracle; contract guard;
+                                 # imi_recall_at_10_uniform bench key
         "v_semdedup_fit",        # one-call trained SemDeDup: composes
                                  # kmeans_fit (v_kmeans's 6dp pinned
                                  # trajectory, here with explicit

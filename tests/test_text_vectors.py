@@ -604,6 +604,78 @@ def test_semantic_dedup_incremental_verdicts(spark):
         semantic_dedup_incremental(None, new, cents)
 
 
+def test_imi_topk_identity_and_planted(spark):
+    """Round-14 inverted multi-index (Babenko & Lempitsky 2012):
+    (1) probing ALL ka*kb product cells reproduces exhaustive exact
+    cosine top-k bit-for-bit (the full-probe identity every ANN rung
+    in the repo pins); (2) on planted clusters the trained index
+    resolves structure at a few probes; (3) the probe bound raises
+    out of range."""
+    import numpy as np
+    import pytest
+
+    from pandasvcf_spark.operators.similarity import (
+        imi_cell_expr,
+        imi_fit,
+        imi_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    V = rng.normal(0, 1, (240, 16)).astype(np.float64)
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(240)],
+        "vec_id long, embedding array<float>",
+    )
+    ca, cb = imi_fit(d, k=4, max_iter=3)
+    qs = d.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in imi_topk(d, qs, ca, cb, k=5, n_probe_cells=16).collect()
+    }
+    Vf = np.array(
+        [np.array(x, dtype=np.float32) for x in V], dtype=np.float64
+    )
+    Vn = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    exact = set()
+    for q in range(6):
+        s = S[q].copy()
+        s[q] = -np.inf
+        exact |= {
+            (q, i)
+            for i in sorted(range(240), key=lambda i: (-s[i], i))[:5]
+        }
+    assert got == exact
+    # every corpus vector lands in exactly one of the ka*kb cells
+    ncells = d.select(
+        imi_cell_expr("embedding", ca, cb).alias("c")
+    ).agg(F.min("c"), F.max("c")).collect()[0]
+    assert 1 <= ncells[0] and ncells[1] <= 16
+
+    # planted clusters: 8 tight groups; trained 4x4 IMI at 2 probes
+    # should return same-cluster neighbors overwhelmingly
+    centers = rng.uniform(-1, 1, (8, 16))
+    P = np.repeat(centers, 20, axis=0) + rng.normal(0, 0.02, (160, 16))
+    dp = spark.createDataFrame(
+        [(i, [float(x) for x in P[i]]) for i in range(160)],
+        "vec_id long, embedding array<float>",
+    )
+    ca2, cb2 = imi_fit(dp, k=4, max_iter=5)
+    qp = dp.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = imi_topk(dp, qp, ca2, cb2, k=5, n_probe_cells=2).collect()
+    same = sum(
+        1 for r in hits if r["vec_id"] // 20 == r["query_id"] // 20
+    )
+    assert same / len(hits) >= 0.9, same / len(hits)
+
+    with pytest.raises(ValueError, match="n_probe_cells"):
+        imi_topk(d, qs, ca, cb, k=5, n_probe_cells=17)
+
+
 def test_semantic_dedup_fit_and_dim_guard(spark):
     """Round-14 (verdict task 4): the one-call semantic_dedup_fit
     trains its own centroids — on planted duplicate clusters it keeps
