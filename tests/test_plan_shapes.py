@@ -1025,6 +1025,30 @@ def test_round13_shapes_no_cartesian(spark):
     assert "BroadcastExchange" in p  # the 1-row totals fold
 
 
+def test_round14_imi_no_cartesian(spark):
+    """Round-14 IMI plan shape: the probe→candidate stage is an
+    equi-join on the product-cell id — never a CartesianProduct — and
+    the corpus-side assignment carries no join at all (pure literal
+    arrays). The tiny query side rides a broadcast."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import imi_fit, imi_topk
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(0, 1, (200, 16))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    ca, cb = imi_fit(d, k=4, max_iter=2)
+    qs = d.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = _plan(imi_topk(d, qs, ca, cb, k=3, n_probe_cells=4))
+    assert "CartesianProduct" not in p
+    assert "__cell" in p  # the equi-join key survives into the plan
+
+
 def test_round14_guard_probe_fusion(spark):
     """Round-14 (verdict task 6 — guard-probe fusion): the fused
     series-contract tripwire pays ONE probe job where the kpss/adf/
