@@ -1023,7 +1023,19 @@ def main() -> None:
                 )
             }
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: never overflow the capture
+    # belt-and-braces: never overflow the driver's 2,000-char capture.
+    # Shed in value order: the probe curve and A/B summaries live in
+    # BENCH_LOCAL.json anyway; the per-query walls are the LAST thing
+    # to drop (they are what BENCH_r{N}.json exists to carry).
+    if len(line) > 1900:
+        compact.pop("ivfpq_mp_probe_curve", None)
+        compact["note"] = "probe curve in BENCH_LOCAL.json"
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        for k in [k for k in compact if k.startswith("ab_vs_")]:
+            compact[k] = compact[k].get("verdict")
+        line = json.dumps(compact)
+    if len(line) > 1900:
         compact.pop("queries", None)
         compact["note"] = "see BENCH_LOCAL.json for per-query walls"
         line = json.dumps(compact)
