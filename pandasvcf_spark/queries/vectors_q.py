@@ -1367,6 +1367,133 @@ def v_imi_topk(spark, sf_dir):
     ).orderBy("query_id", "vec_id")
 
 
+#: full-dim product centroids of the IMI grid (cell = i*kb + j + 1),
+#: plain-Python concat so the exact floats embed in plan and SQL alike
+IMI_PCENTS = [IMI_A[i] + IMI_B[j] for i in range(len(IMI_A)) for j in range(len(IMI_B))]
+
+
+def _imi_pc_cte() -> str:
+    return "\n      UNION ALL\n      ".join(
+        f"SELECT {cell + 1} AS cell, "
+        "([" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]) AS cent"
+        for cell, cent in enumerate(IMI_PCENTS)
+    )
+
+
+def _resid_pq_union(src: str, keys: str) -> str:
+    """UNION ALL of per-(subspace, centroid) squared distances over a
+    RESIDUAL list column `r` — the `_pq_cand_union` device re-pointed
+    at a precomputed residual relation (corpus rv or query qr)."""
+    arms = []
+    for s, cents in enumerate(PQ_BOOKS):
+        for c, cent in enumerate(cents):
+            lit = "([" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+            arms.append(
+                f"SELECT {keys}, {s + 1} AS s, {c + 1} AS c, "
+                f"list_sum(list_transform(generate_series(1, 8), "
+                f"j -> ({src}.r[{s * 8} + j] - {lit}[j]) "
+                f"* ({src}.r[{s * 8} + j] - {lit}[j]))) AS d FROM {src}"
+            )
+    return "\n      UNION ALL\n      ".join(arms)
+
+
+@register(
+    "v_imi_pq_rerank",
+    oracle=f"""
+    WITH pc AS MATERIALIZED (
+      {_imi_pc_cte()}),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             ({_sql_imi_half_cell('embedding', 0, IMI_A)} - 1) * {len(IMI_B)}
+             + {_sql_imi_half_cell('embedding', DIM // 2, IMI_B)} AS cell
+      FROM embeddings),
+    rv AS MATERIALIZED (
+      SELECT c.vec_id, c.cell,
+             list_transform(generate_series(1, {DIM}),
+               j -> CAST(c.embedding[j] AS DOUBLE) - pc.cent[j]) AS r
+      FROM cells c JOIN pc USING (cell)),
+    cand AS MATERIALIZED (
+      {_resid_pq_union('rv', 'rv.vec_id')}),
+    code AS MATERIALIZED (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c)
+                 AS rn
+        FROM cand) WHERE rn = 1),
+    qd AS MATERIALIZED (
+      {_IMI_PROBE_UNION}),
+    probes AS MATERIALIZED (
+      SELECT query_id, qe, cell FROM (
+        SELECT query_id, qe, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d, cell) AS rn
+        FROM qd) WHERE rn <= 3),
+    qr AS MATERIALIZED (
+      SELECT p.query_id, p.cell,
+             list_transform(generate_series(1, {DIM}),
+               j -> CAST(p.qe[j] AS DOUBLE) - pc.cent[j]) AS r
+      FROM probes p JOIN pc USING (cell)),
+    qt AS MATERIALIZED (
+      {_resid_pq_union('qr', 'qr.query_id, qr.cell')}),
+    scored AS MATERIALIZED (
+      SELECT qt.query_id, co.vec_id, sum(qt.d) AS adc
+      FROM cells cl
+      JOIN code co ON co.vec_id = cl.vec_id
+      JOIN qt ON qt.cell = cl.cell AND qt.s = co.s AND qt.c = co.c
+      WHERE qt.query_id <> cl.vec_id
+      GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc, vec_id) AS rn
+        FROM scored) WHERE rn <= 8),
+    qv AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+    exact AS (
+      SELECT s.query_id, s.vec_id,
+             {_sql_sqdist2('emb.embedding', 'qv.qe')} AS d2
+      FROM shortlist s
+      JOIN embeddings emb ON emb.vec_id = s.vec_id
+      JOIN qv ON qv.query_id = s.query_id)
+    SELECT query_id, vec_id, round(d2, 6) AS sqdist FROM (
+      SELECT query_id, vec_id, d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, vec_id) AS rn
+      FROM exact)
+    WHERE rn <= 3 ORDER BY query_id, vec_id
+    """,
+)
+def v_imi_pq_rerank(spark, sf_dir):
+    """IMI+PQ with exact-L2 rerank (operators/similarity.
+    imi_pq_rerank_topk — the faiss `IMI2xN,PQm` + refine stack, the
+    round-14 levers composed): vectors store (product cell, residual
+    PQ codes); queries rank the 16 product cells by the additive
+    d_a + d_b bound, probe 3, ADC-score ONLY the code relation for an
+    8-candidate shortlist, and exact-squared-L2 rerank just those raw
+    rows. Deterministic literal half-codebooks + PQ books; the oracle
+    replays both half assignments, product-centroid residual encode,
+    the additive probe ranking, the per-(query, cell) ADC tables, the
+    shortlist cut AND the exact rerank bit-for-bit."""
+    from pandasvcf_spark.operators.similarity import (
+        imi_pq_encode,
+        imi_pq_rerank_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes = imi_pq_encode(emb, IMI_A, IMI_B, PQ_BOOKS)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = imi_pq_rerank_topk(
+        codes, emb, qs, IMI_A, IMI_B, PQ_BOOKS,
+        k=3, k_candidates=8, n_probe_cells=3,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("sqdist", 6).alias("sqdist")
+    ).orderBy("query_id", "vec_id")
+
+
 def _sql_sqd_col(vec: str, cent: str) -> str:
     """Squared L2 between a vector column and a DOUBLE[] centroid
     COLUMN (the in-SQL-trained twin of `_sql_sqdist`'s literal form)."""

@@ -1315,6 +1315,13 @@ def test_tail_entries_are_redundant_variants_only():
         "v_ivfpq_topk",          # replayed verbatim as
                                  # v_ivfpq_rerank's stage one (window)
         # round-14 registrations
+        "v_imi_pq_rerank",       # IMI+PQ+refine composition: product
+                                 # cells carry residual PQ codes, ADC
+                                 # shortlist, exact rerank — machinery
+                                 # is v_imi_topk's probe grid +
+                                 # v_ivfpq_rerank's ADC/refine (window);
+                                 # full-probe identity pytest; composed
+                                 # oracle; contract guard
         "v_imi_topk",            # inverted multi-index ANN: two
                                  # half-space codebooks -> product
                                  # cells; probe ranking + rerank

