@@ -744,6 +744,138 @@ def audio_stats(
     )
 
 
+def _wav_pcm16(blob: bytes):
+    """(channels, rate, int16 sample array) of a 16-bit PCM WAV, or a
+    NotImplementedError for any other encoding — the shared decode the
+    featurizers build on (the honest boundary: compressed audio needs
+    codec libs this container does not ship; raise, never guess)."""
+    import numpy as np
+
+    meta = _wav_walk(blob)
+    if meta is None or meta[2] != 16:
+        raise NotImplementedError(
+            "16-bit PCM WAV only; got "
+            f"bits_per_sample={None if meta is None else meta[2]}"
+        )
+    pos, pcm = 12, b""
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        if tag == b"data":
+            pcm = blob[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    return meta[0], meta[1], np.frombuffer(pcm, dtype="<i2")
+
+
+def mel_filterbank(
+    sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
+    fmax: float | None = None,
+):
+    """Triangular HTK-mel filterbank matrix, shape (n_mels, n_fft//2+1)
+    — plain numpy, the Kaldi/librosa default recipe (mel = 2595 ·
+    log10(1 + f/700), band edges on FFT bin centers). Model-sized; the
+    featurizer caches one per sample rate."""
+    import numpy as np
+
+    fmax = float(fmax) if fmax is not None else sr / 2.0
+
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    pts = mel2hz(np.linspace(hz2mel(fmin), hz2mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), dtype=np.float64)
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, min(ctr, fb.shape[1])):
+            if ctr > lo:
+                fb[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(max(ctr, 0), min(hi, fb.shape[1])):
+            if hi > ctr:
+                fb[m - 1, k] = (hi - k) / (hi - ctr)
+    return fb
+
+
+def audio_logmel(
+    df: DataFrame,
+    wav_col: str = "wav",
+    id_col: str = "audio_id",
+    n_fft: int = 400,
+    hop: int = 160,
+    n_mels: int = 26,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> DataFrame:
+    """Log-mel filterbank features per clip — THE canonical audio-model
+    input (Whisper/Kaldi front-end shape: 25 ms window / 10 ms hop at
+    16 kHz with the defaults): channels downmix to mono by mean,
+    samples normalize to [−1, 1] (÷32768), periodic-Hann windowed
+    frames (1 + (n − n_fft)//hop of them; short clips yield 0 frames,
+    never a pad guess), rFFT power spectrum, HTK-mel triangular
+    filterbank (`mel_filterbank`, cached per sample rate), and
+    log10(max(energy, 1e−10)).
+
+    Output: (audio_id, sample_rate INT, n_frames INT, n_mels INT,
+    logmel ARRAY<ARRAY<FLOAT>> — frames × mels). Arrow-batched
+    mapInPandas; per-task state is one clip's frame matrix (bound
+    input clip length like every featurizer here — chunk hour-long
+    recordings upstream). 16-bit PCM only (`_wav_pcm16` raises on
+    anything else — the documented codec boundary)."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fbs: dict[int, "np.ndarray"] = {}
+        win = np.hanning(n_fft + 1)[:-1]  # periodic Hann
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "audio_id", "sample_rate", "n_frames", "n_mels",
+                    "logmel",
+                )
+            }
+            for aid, blob in zip(pdf[id_col], pdf[wav_col]):
+                channels, rate, x = _wav_pcm16(bytes(blob))
+                if channels > 1:
+                    usable = (len(x) // channels) * channels
+                    x = x[:usable].reshape(-1, channels).mean(axis=1)
+                x = x.astype(np.float64) / 32768.0
+                n = len(x)
+                n_frames = 1 + (n - n_fft) // hop if n >= n_fft else 0
+                if rate not in fbs:
+                    fbs[rate] = mel_filterbank(
+                        rate, n_fft, n_mels, fmin=fmin, fmax=fmax
+                    )
+                if n_frames <= 0:
+                    mat = np.zeros((0, n_mels), dtype=np.float32)
+                else:
+                    idx = (
+                        np.arange(n_fft)[None, :]
+                        + hop * np.arange(n_frames)[:, None]
+                    )
+                    frames = x[idx] * win[None, :]
+                    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                    mat = np.log10(
+                        np.maximum(spec @ fbs[rate].T, 1e-10)
+                    ).astype(np.float32)
+                out["audio_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(int(mat.shape[0]))
+                out["n_mels"].append(n_mels)
+                out["logmel"].append([row.tolist() for row in mat])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        feats,
+        "audio_id BIGINT, sample_rate INT, n_frames INT, n_mels INT, "
+        "logmel ARRAY<ARRAY<FLOAT>>",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Video: MP4 / ISO-BMFF payloads (public container spec; box metadata only)
 # ---------------------------------------------------------------------------

@@ -1079,3 +1079,69 @@ def test_near_dup_images_finds_planted_pairs_only(spark):
     exact_only = {(r["a_id"], r["b_id"])
                   for r in near_dup_images(df, k=0).collect()}
     assert exact_only == {(0, 1)}
+
+
+def test_audio_logmel_matches_numpy_replica(spark):
+    """Round-14 audio feature-extract: the Arrow log-mel kernel must
+    equal an independent numpy replay (framing, periodic Hann, rFFT
+    power, HTK-mel triangles, log floor) on a 440 Hz sine; a pure tone
+    concentrates energy in the mel band containing 440 Hz; stereo
+    downmixes by mean; short clips yield 0 frames; 8-bit raises."""
+    import struct as _struct
+
+    import numpy as np
+
+    from pandasvcf_spark.operators.multimodal import (
+        audio_logmel,
+        mel_filterbank,
+        pack_wav,
+    )
+
+    sr, n_fft, hop, n_mels = 8000, 256, 128, 20
+    t = np.arange(sr)  # 1 second
+    sine = (0.5 * np.sin(2 * np.pi * 440.0 * t / sr) * 32767).astype("<i2")
+    pcm = sine.tobytes()
+    stereo = np.repeat(sine, 2).tobytes()  # L == R -> downmix == mono
+    df = spark.createDataFrame(
+        [
+            (1, pack_wav(sr, 1, pcm)),
+            (2, pack_wav(sr, 2, stereo)),
+            (3, pack_wav(sr, 1, pcm[: 2 * 100])),  # 100 samples < n_fft
+        ],
+        "audio_id long, wav binary",
+    )
+    rows = {
+        r["audio_id"]: r
+        for r in audio_logmel(
+            df, n_fft=n_fft, hop=hop, n_mels=n_mels
+        ).collect()
+    }
+    # independent replica
+    x = sine.astype(np.float64) / 32768.0
+    n_frames = 1 + (len(x) - n_fft) // hop
+    win = np.hanning(n_fft + 1)[:-1]
+    frames = np.stack(
+        [x[i * hop : i * hop + n_fft] * win for i in range(n_frames)]
+    )
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = mel_filterbank(sr, n_fft, n_mels)
+    want = np.log10(np.maximum(spec @ fb.T, 1e-10)).astype(np.float32)
+    got = np.array(rows[1]["logmel"], dtype=np.float32)
+    assert rows[1]["n_frames"] == n_frames and got.shape == want.shape
+    assert np.allclose(got, want, atol=1e-5)
+    # tone concentration: the argmax mel band contains 440 Hz
+    mean_energy = got.mean(axis=0)
+    peak_band = int(mean_energy.argmax())
+    band_hz = fb[peak_band].nonzero()[0] * sr / n_fft
+    assert band_hz.min() - 100 <= 440 <= band_hz.max() + 100
+    # stereo L==R downmix == mono bit-for-bit
+    assert np.allclose(
+        np.array(rows[2]["logmel"], dtype=np.float32), got, atol=1e-6
+    )
+    assert rows[3]["n_frames"] == 0 and rows[3]["logmel"] == []
+
+    bad = spark.createDataFrame(
+        [(9, b"RIFFjunkWAVE")], "audio_id long, wav binary"
+    )
+    with pytest.raises(Exception, match="16-bit PCM|NotImplementedError"):
+        audio_logmel(bad).collect()
