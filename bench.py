@@ -666,7 +666,7 @@ def main() -> None:
         result["corpus_pipeline_sec"] = round(time.time() - t0, 3)
         print(
             f"# corpus_pipeline_sec: {result['corpus_pipeline_sec']:.2f}s "
-            f"(7-stage funnel on the doubled corpus, {rows_out} survivors; "
+            f"(8-stage funnel on the doubled corpus, {rows_out} survivors; "
             "per-stage counts in the report frame)",
             file=sys.stderr,
         )

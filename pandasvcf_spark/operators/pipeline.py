@@ -55,6 +55,11 @@ def prepare_corpus(
     max_overlap: float = 0.1,
     contamination_ngram: int = 3,
     budget_tokens: int | None = None,
+    semantic_df: DataFrame | None = None,
+    semantic_vec_col: str = "embedding",
+    semantic_threshold: float = 0.95,
+    semantic_centroids: list[list[float]] | None = None,
+    semantic_max_cluster_size: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-cleaning funnel; returns
     ``(cleaned, report)`` where `cleaned` keeps the input schema (text
@@ -74,9 +79,16 @@ def prepare_corpus(
       5 near_dedup    — MinHash-LSH + components; `keep_best` keeps
                         each cluster's highest quality_score instead of
                         min id
-      6 decontaminate — drop docs whose `contamination_ngram`-gram
+      6 semantic_dedup — SemDeDup paraphrase tier when `semantic_df`
+                        (id_col + `semantic_vec_col` embeddings) is
+                        given: survivors' embeddings dedup via
+                        `semantic_dedup` against `semantic_centroids`,
+                        or `semantic_dedup_fit` trains them when None;
+                        docs WITHOUT an embedding row pass through
+                        (missing metadata must not silently drop data)
+      7 decontaminate — drop docs whose `contamination_ngram`-gram
                         overlap with `eval_df` exceeds `max_overlap`
-      7 token_budget  — deterministic hash-ordered selection of
+      8 token_budget  — deterministic hash-ordered selection of
                         `budget_tokens` whitespace tokens
 
     Each stage boundary is `localCheckpoint`-ed: the funnel counts are
@@ -129,6 +141,41 @@ def prepare_corpus(
             ),
         ).localCheckpoint()
     stages.append(("near_dedup", cur.count()))
+
+    if semantic_df is not None:
+        from pandasvcf_spark.operators.dedup import (
+            semantic_dedup,
+            semantic_dedup_fit,
+        )
+
+        # embeddings restricted to CURRENT survivors: already-dropped
+        # docs must not influence which paraphrase representative wins
+        emb = (
+            semantic_df.select(F.col(id_col), F.col(semantic_vec_col))
+            .join(cur.select(id_col), on=id_col)
+            .localCheckpoint()
+        )
+        if semantic_centroids is not None:
+            keep = semantic_dedup(
+                emb,
+                semantic_centroids,
+                threshold=semantic_threshold,
+                id_col=id_col,
+                vec_col=semantic_vec_col,
+                max_cluster_size=semantic_max_cluster_size,
+            ).select(id_col)
+        else:
+            keep_df, _cents = semantic_dedup_fit(
+                emb,
+                threshold=semantic_threshold,
+                id_col=id_col,
+                vec_col=semantic_vec_col,
+                max_cluster_size=semantic_max_cluster_size,
+            )
+            keep = keep_df.select(id_col)
+        dropped = emb.select(id_col).join(keep, on=id_col, how="left_anti")
+        cur = cur.join(dropped, on=id_col, how="left_anti").localCheckpoint()
+    stages.append(("semantic_dedup", cur.count()))
 
     if eval_df is not None:
         ov = contamination_overlap(

@@ -1327,6 +1327,40 @@ def test_prepare_corpus_funnel(spark):
     assert allpass.count() == 5  # only the exact dup ever drops
     assert {r.rows for r in rep2.filter(F.col("stage") >= 3).collect()} == {5}
 
+    # round-14 stage 6: the SemDeDup paraphrase tier. Docs 1 and 5 get
+    # near-identical embeddings (paraphrases the shingle stages can't
+    # see), doc 6 an unrelated one, docs 2-4 NO embedding row (must
+    # pass through — missing metadata never silently drops data).
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    g1 = rng.normal(0, 1, 12)
+    g2 = rng.normal(0, 1, 12)
+    emb = spark.createDataFrame(
+        [
+            (1, [float(x) for x in g1]),
+            (5, [float(x) for x in g1 + rng.normal(0, 0.005, 12)]),
+            (6, [float(x) for x in g2]),
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    sem_clean, sem_rep = prepare_corpus(
+        d,
+        near_dup=False,
+        semantic_df=emb,
+        semantic_threshold=0.99,
+        semantic_centroids=[
+            [float(x) for x in g1], [float(x) for x in g2]
+        ],
+    )
+    ids = sorted(r.doc_id for r in sem_clean.collect())
+    # exact dup 2 drops at stage 3; paraphrase pair {1, 5} keeps the
+    # far-from-centroid member; 3, 4 (no embedding) and 6 survive
+    assert 3 in ids and 4 in ids and 6 in ids
+    assert len({1, 5} & set(ids)) == 1
+    srep = {r.name: r.rows for r in sem_rep.collect()}
+    assert srep["semantic_dedup"] == srep["near_dedup"] - 1
+
 
 def test_psi_report_identical_and_shifted(spark):
     """Identical snapshots give PSI == 0 in every bin; a planted shift
