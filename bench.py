@@ -362,6 +362,21 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        from pandasvcf_spark.queries.vectors_q import imi_opq_recall_at_10
+
+        t0 = time.time()
+        opq_recall = imi_opq_recall_at_10(spark, sf_dir)
+        result["imi_opq_recall_at_10_uniform"] = round(opq_recall, 4)
+        print(
+            f"# imi_opq_recall_at_10_uniform: {opq_recall:.4f} "
+            f"({time.time() - t0:.1f}s, OPQ-rotated 16x16 multi-index "
+            "at the SAME 48-of-256 probe budget as "
+            "imi_recall_at_10_uniform — the delta vs that key is the "
+            "pure Ge-et-al-2013 rotation gain; round-15's trained-"
+            "quantizer lever)",
+            file=sys.stderr,
+        )
+
         from pandasvcf_spark.queries.vectors_q import (
             ivfpq_recall_uniform_report,
         )
@@ -993,12 +1008,46 @@ def main() -> None:
     local_path = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
     # carry forward any tools/ab_bench.py adjudications (round-13 verdict
     # task 3): the A/B artifact must survive into the round's committed
-    # bench dict instead of living only in a commit message
+    # bench dict instead of living only in a commit message. Staleness
+    # guard (round-14 ADVICE): an adjudication made against a head SHA
+    # that is no longer an ancestor of the current HEAD is from an
+    # abandoned line — drop it; one still on this line but not AT HEAD
+    # is re-stamped with carried_from_head so readers can see its age.
     try:
         prev_local = json.loads(local_path.read_text())
+        cur_head = None
+        try:
+            import subprocess
+
+            cur_head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=Path(__file__).resolve().parent,
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except Exception:
+            pass
+
+        def _on_this_line(sha: str | None) -> bool:
+            if not sha or cur_head is None:
+                return True  # can't check — keep (biased lossless)
+            if sha == cur_head:
+                return True
+            return subprocess.run(
+                ["git", "merge-base", "--is-ancestor", sha, "HEAD"],
+                cwd=Path(__file__).resolve().parent, capture_output=True,
+            ).returncode == 0
+
         for k, v in prev_local.items():
-            if k.startswith("ab_vs_"):
-                result[k] = v
+            if not k.startswith("ab_vs_"):
+                continue
+            sha = v.get("head") if isinstance(v, dict) else None
+            if not _on_this_line(sha):
+                print(f"# dropping stale {k} (head {sha} not an ancestor "
+                      "of HEAD)", file=sys.stderr)
+                continue
+            if isinstance(v, dict) and sha and cur_head and sha != cur_head:
+                v = dict(v, carried_from_head=sha)
+            result[k] = v
     except (OSError, ValueError):
         pass
     try:

@@ -660,6 +660,76 @@ def _half_dists_expr(
     )
 
 
+# The ka×kb probe grid in imi_topk/imi_pq_topk is a literal struct array
+# PER QUERY ROW — the generated code grows multiplicatively in ka·kb and
+# blows the JVM JIT method limit past a few thousand structs (round-14
+# verdict watch item #2). 1024 (= 32×32) sits safely inside codegen.
+IMI_MAX_GRID_CELLS = 1024
+
+
+def _assert_imi_grid(ka: int, kb: int, where: str) -> None:
+    """Raise when the ka×kb probe grid would exceed the codegen bound,
+    with the priced re-route: fewer half-space centroids + more probes
+    hit the same scanned fraction of the corpus."""
+    if ka * kb > IMI_MAX_GRID_CELLS:
+        raise ValueError(
+            f"{where}: ka*kb = {ka}*{kb} = {ka * kb} product cells exceeds "
+            f"IMI_MAX_GRID_CELLS={IMI_MAX_GRID_CELLS} — the probe grid is "
+            "a ka*kb literal struct array per query and the generated "
+            "code grows multiplicatively past the JIT method limit. "
+            "Re-route: train FEWER half-space centroids and probe MORE "
+            "cells (halving ka,kb quarters the grid; scale n_probe_cells "
+            "by the cell-size ratio to keep the scanned fraction — "
+            "BENCH_LOCAL.json's ivfpq_mp_probe_curve prices the probe "
+            "lever)."
+        )
+
+
+def _assert_imi_codebooks(
+    cents_a: list[list[float]],
+    cents_b: list[list[float]],
+    where: str,
+    codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Driver-side structural validation of the IMI codebooks (free — no
+    Spark job): each half codebook must be rectangular, and the PQ
+    codebooks (when given) must be rectangular AND tile exactly the
+    full residual dim da + db. `F.slice` + `zip_with` silently truncate
+    on any mismatch, yielding wrong product cells and ADC/cosine scores
+    with no error — the same silent-mis-pair failure `_assert_vec_dim`
+    guards in semantic_dedup (round-14 ADVICE)."""
+    for label, cents in (("cents_a", cents_a), ("cents_b", cents_b)):
+        if not cents:
+            raise ValueError(f"{where}: {label} is empty")
+        dims = {len(c) for c in cents}
+        if len(dims) != 1:
+            raise ValueError(
+                f"{where}: {label} rows have ragged dims {sorted(dims)} — "
+                "every half-space centroid must share one length "
+                "(zip_with truncates to the shorter side, silently "
+                "mis-pairing the half assignment)"
+            )
+    if codebooks is not None:
+        if not codebooks or not codebooks[0]:
+            raise ValueError(f"{where}: codebooks is empty")
+        subs = {len(c) for cb in codebooks for c in cb}
+        if len(subs) != 1:
+            raise ValueError(
+                f"{where}: PQ codebook centroids have ragged subvector "
+                f"dims {sorted(subs)} — every subspace centroid must "
+                "share one length"
+            )
+        sub = next(iter(subs))
+        full = len(cents_a[0]) + len(cents_b[0])
+        if len(codebooks) * sub != full:
+            raise ValueError(
+                f"{where}: PQ codebooks tile {len(codebooks)}×{sub} = "
+                f"{len(codebooks) * sub} dims but the IMI residual is "
+                f"dim {full} (da+db) — F.slice would silently read a "
+                "short/shifted subvector, corrupting every code"
+            )
+
+
 def imi_cell_expr(
     vec: Column | str,
     cents_a: list[list[float]],
@@ -673,6 +743,7 @@ def imi_cell_expr(
     recall ceiling without training (or broadcasting) ka×kb full-dim
     centroids. Same codegen shape as `ivf_cell_expr`: literal
     distance arrays, one pass, no shuffle."""
+    _assert_imi_codebooks(cents_a, cents_b, "imi_cell_expr")
     v = _dc(vec)
     da = len(cents_a[0])
     db = len(cents_b[0])
@@ -694,13 +765,26 @@ def imi_fit(
     centroids PER HALF give k² effective cells — training cost is two
     k-centroid fits over half-dim vectors, vs one k²-centroid full-dim
     fit for the same cell count. `dim` is probed from the first row
-    when not given (one metadata-sized job; pass it in pipelines)."""
+    when not given — the probe is a fused min/max(size) agg that ALSO
+    trips on ragged vector dims (round-14 ADVICE: zip_with truncates
+    silently, so a mixed-dim corpus must raise here, not mis-train).
+    Pass `dim` in pipelines to skip the scan."""
     v = _dc(vec_col)
     if dim is None:
-        row = df.select(F.size(vec_col).alias("d")).first()
-        if row is None:
+        row = df.select(
+            F.min(F.size(vec_col)).alias("dmin"),
+            F.max(F.size(vec_col)).alias("dmax"),
+        ).first()
+        if row is None or row["dmin"] is None:
             raise ValueError("imi_fit: empty corpus")
-        dim = row["d"]
+        if row["dmin"] != row["dmax"]:
+            raise ValueError(
+                f"imi_fit: vector dims span [{row['dmin']}, {row['dmax']}]"
+                f" in {vec_col!r} — F.slice/zip_with truncate to the "
+                "shorter side, so half-space training would silently "
+                "mis-pair dimensions. Fix the embedding column first."
+            )
+        dim = row["dmin"]
     da = dim // 2
     cents_a, _ = kmeans_fit(
         df.select(F.slice(v, 1, da).alias("__h")),
@@ -740,8 +824,13 @@ def imi_topk(
     arrays ONCE, builds the ka×kb (d, cell) grid from element_at
     reads, array_sorts, slices, explodes — |queries| × n_probe_cells
     join rows. Ties rank by (d, cell), the struct-sort rule. Output:
-    query_id, vec_id, cossim (desc, ties by vec_id)."""
+    query_id, vec_id, cossim (desc, ties by vec_id). Bound: ka·kb ≤
+    IMI_MAX_GRID_CELLS (=1024) — the per-query literal grid grows
+    multiplicatively; beyond that, raise with the priced re-route
+    (fewer cells, more probes)."""
+    _assert_imi_codebooks(cents_a, cents_b, "imi_topk")
     ka, kb = len(cents_a), len(cents_b)
+    _assert_imi_grid(ka, kb, "imi_topk")
     if not 1 <= n_probe_cells <= ka * kb:
         raise ValueError(
             f"n_probe_cells must be in [1, {ka * kb}], got {n_probe_cells}"
@@ -831,6 +920,7 @@ def imi_pq_encode(
     retrieval then never touches raw vectors at all (the honest 100 TB
     posting-list row: ~9 small ints). Output: (id_col, cell INT,
     codes ARRAY<INT>). One codegen pass, no shuffle, no Python."""
+    _assert_imi_codebooks(cents_a, cents_b, "imi_pq_encode", codebooks)
     with_cell = df.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
@@ -871,8 +961,11 @@ def imi_pq_topk(
     ADC distances approximate ‖q − (product_centroid + decode)‖² and
     compare across probed cells. Output: (query_id, vec_id, adc_dist)
     ascending, ties by vec_id — compose with `rerank_exact` for the
-    refine stage (`imi_pq_rerank_topk`)."""
+    refine stage (`imi_pq_rerank_topk`). Bound: ka·kb ≤
+    IMI_MAX_GRID_CELLS, as `imi_topk`."""
+    _assert_imi_codebooks(cents_a, cents_b, "imi_pq_topk", codebooks)
     ka, kb = len(cents_a), len(cents_b)
+    _assert_imi_grid(ka, kb, "imi_pq_topk")
     if not 1 <= n_probe_cells <= ka * kb:
         raise ValueError(
             f"n_probe_cells must be in [1, {ka * kb}], got {n_probe_cells}"
@@ -1051,6 +1144,24 @@ def kmeans_fit(
         if len(init_centroids) != k:
             raise ValueError(
                 f"init_centroids has {len(init_centroids)} rows, k={k}"
+            )
+        seed_dims = {len(c) for c in init_centroids}
+        if len(seed_dims) != 1:
+            raise ValueError(
+                f"kmeans_fit: init_centroids rows have ragged dims "
+                f"{sorted(seed_dims)} — every seed must share one length "
+                "(zip_with truncates to the shorter side, silently "
+                "corrupting every assignment)"
+            )
+        probe = df.select(F.size(vec).alias("d")).first()
+        if probe is not None and probe["d"] != next(iter(seed_dims)):
+            raise ValueError(
+                f"kmeans_fit: init_centroids are dim "
+                f"{next(iter(seed_dims))} but the first {vec_col!r} row "
+                f"is dim {probe['d']} — zip_with truncates to the "
+                "shorter side, so wrong-dim seeds flow into silently "
+                "corrupted assignments (round-14 ADVICE; mirror of "
+                "_assert_vec_dim)"
             )
         cents = [list(map(float, c)) for c in init_centroids]
     else:
@@ -1490,24 +1601,165 @@ def pq_train_codebooks(
     sub = dim // n_subspaces
     books: list[list[list[float]]] = []
     for s in range(n_subspaces):
-        Xs = X[:, s * sub:(s + 1) * sub]
-        stride = max(1, len(Xs) // n_centroids)
-        C = Xs[::stride][:n_centroids].copy()
-        while len(C) < n_centroids:  # tiny sample fallback
-            C = np.vstack([C, Xs[: n_centroids - len(C)]])
-        for _ in range(iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            a = d2.argmin(1)
-            for c in range(n_centroids):
-                m = a == c
-                if m.any():
-                    C[c] = Xs[m].mean(0)
-                else:
-                    big = np.bincount(a, minlength=n_centroids).argmax()
-                    far = d2[a == big, big].argmax()
-                    C[c] = Xs[a == big][far]
+        C = _lloyd_np(X[:, s * sub:(s + 1) * sub], n_centroids, iters)
         books.append([[float(x) for x in row] for row in C])
     return books
+
+
+def _lloyd_np(Xs, n_centroids: int, iters: int):
+    """Driver-side deterministic Lloyd on a numpy sample — the shared
+    per-subspace trainer of `pq_train_codebooks` and `opq_fit`:
+    evenly-strided init over the (already hash-sorted) sample, fixed
+    `iters`, empty clusters re-seeded to the largest cluster's farthest
+    member. Returns the n_centroids×subdim array."""
+    import numpy as np
+
+    stride = max(1, len(Xs) // n_centroids)
+    C = Xs[::stride][:n_centroids].copy()
+    while len(C) < n_centroids:  # tiny sample fallback
+        C = np.vstack([C, Xs[: n_centroids - len(C)]])
+    for _ in range(iters):
+        d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(n_centroids):
+            m = a == c
+            if m.any():
+                C[c] = Xs[m].mean(0)
+            else:
+                big = np.bincount(a, minlength=n_centroids).argmax()
+                far = d2[a == big, big].argmax()
+                C[c] = Xs[a == big][far]
+    return C
+
+
+def opq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    sample_rows: int = 20000,
+    iters: int = 10,
+    np_iters: int = 5,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Optimized Product Quantization (Ge et al. 2013, CVPR — the public
+    faiss `OPQMatrix` shape): learn an ORTHOGONAL rotation R and PQ
+    codebooks over the ROTATED space x' = R·x, so the quantizer's
+    subspaces carry balanced, decorrelated variance — the trained
+    lever SCALING.md named past the round-14 IMI recall ceiling.
+
+    Parametric init (Ge et al. §4, OPQ-P): PCA of the hash-
+    deterministic sample covariance, eigenvector signs fixed (largest-
+    |component| entry positive — eigh's sign is arbitrary), principal
+    directions dealt to subspaces by EIGENVALUE ALLOCATION: descending
+    eigenvalues greedily land in the non-full bucket with the smallest
+    log-variance product, balancing per-subspace information.
+    Non-parametric refinement: `np_iters` alternations of per-subspace
+    Lloyd (`_lloyd_np`, the `pq_train_codebooks` trainer) on the
+    rotated sample and the orthogonal-Procrustes rotation update
+    R ← V·Uᵀ from SVD(Σ xᵢ·x̂ᵢᵀ) — monotone in sample reconstruction
+    error by construction (the pytest asserts it).
+
+    Returns (R rows-as-lists [dim][dim], codebooks [n_subspaces][
+    n_centroids][dim/n_subspaces]). Deterministic end to end. A
+    model-sized driver action BY DESIGN, exactly like
+    `pq_train_codebooks`: the sample (≤ sample_rows×dim floats) and
+    the d×d rotation are the model; the corpus never collects (the
+    faiss norm — OPQMatrix trains on a sample). Apply with
+    `opq_rotate_expr` (JVM codegen, SQL-replayable) and compose with
+    any PQ/IVF/IMI operator over the rotated column: with
+    n_subspaces=2 the two returned books ARE the IMI half-space
+    codebooks trained jointly with the rotation (Babenko & Lempitsky's
+    Multi-D-ADC + OPQ composition)."""
+    import numpy as np
+
+    rows = (
+        df.select(_dc(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<string>")))
+        .limit(sample_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_fit: empty corpus")
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+
+    # --- parametric init: PCA + eigenvalue allocation ---
+    C = np.cov(X.T) if len(X) > 1 else np.eye(dim)
+    w, V = np.linalg.eigh(C)
+    for j in range(dim):  # sign fix: eigh's eigenvector sign is arbitrary
+        i = int(np.abs(V[:, j]).argmax())
+        if V[i, j] < 0:
+            V[:, j] = -V[:, j]
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    buckets: list[list[int]] = [[] for _ in range(n_subspaces)]
+    logs = [0.0] * n_subspaces
+    for idx in range(dim):  # descending-eigenvalue greedy deal
+        b = min(
+            (b for b in range(n_subspaces) if len(buckets[b]) < sub),
+            key=lambda b: (logs[b], b),
+        )
+        buckets[b].append(idx)
+        logs[b] += float(np.log(max(w[idx], 1e-12)))
+    perm = [i for b in buckets for i in b]
+    R = V[:, perm].T  # rows are output dims: x' = R @ x
+
+    # --- non-parametric refinement: Lloyd <-> Procrustes ---
+    def _books_and_recon(R):
+        Xr = X @ R.T
+        Xhat = np.empty_like(Xr)
+        books = []
+        for s in range(n_subspaces):
+            Xs = Xr[:, s * sub:(s + 1) * sub]
+            Cb = _lloyd_np(Xs, n_centroids, iters)
+            a = ((Xs[:, None, :] - Cb[None, :, :]) ** 2).sum(-1).argmin(1)
+            Xhat[:, s * sub:(s + 1) * sub] = Cb[a]
+            books.append(Cb)
+        return books, Xhat
+
+    for _ in range(max(0, np_iters)):
+        books, Xhat = _books_and_recon(R)
+        # min_R Σ‖R·xᵢ − x̂ᵢ‖² = max tr(R·M), M = Σ xᵢ x̂ᵢᵀ → R* = V·Uᵀ
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = (U @ Vt).T
+    books, _ = _books_and_recon(R)
+    return (
+        [[float(x) for x in row] for row in R],
+        [[[float(x) for x in row] for row in Cb] for Cb in books],
+    )
+
+
+def opq_rotate_expr(vec: Column | str, R: list[list[float]]) -> Column:
+    """Rotated vector x' = R·x as ONE column expression — len(R) literal
+    dot-product folds, whole-stage codegen, SQL-replayable (the DuckDB
+    twin is a list_transform matmul over the same literals). O(d²) per
+    row JVM-side; at d=64 that is 4,096 mul-adds — cheaper than one
+    Python round-trip, and Catalyst prunes it when the rotated column
+    is unused. Rows of R must share the input dim (validated — slice/
+    zip_with truncate silently otherwise)."""
+    dims = {len(r) for r in R}
+    if len(dims) != 1:
+        raise ValueError(
+            f"opq_rotate_expr: R rows have ragged dims {sorted(dims)}"
+        )
+    v = _dc(vec)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for row in R
+        ]
+    )
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:

@@ -564,6 +564,61 @@ def imi_recall_at_10(
     return len(gt & got) / len(gt) if gt else 1.0
 
 
+def imi_opq_recall_at_10(
+    spark,
+    sf_dir: str,
+    n_queries: int = 200,
+    k: int = 10,
+    k_half: int = 16,
+    n_probe_cells: int = 48,
+    np_iters: int = 6,
+) -> float:
+    """Measured recall@k of the OPQ-ROTATED inverted multi-index
+    against exact cosine ground truth on the RAW `embeddings` table —
+    the round-15 answer to SCALING.md's 'better quantizer' lever:
+    `opq_fit(n_subspaces=2)` trains an orthogonal rotation jointly
+    with the two half-space codebooks (Ge et al. 2013 eigenvalue
+    allocation + Procrustes refinement), so the IMI halves carry
+    balanced, decorrelated variance (Babenko & Lempitsky's
+    Multi-D-ADC + OPQ composition). SAME probe budget as
+    `imi_recall_at_10` (48-of-256 cells ≈ 18.75% scan) — the delta
+    between the two keys is the pure rotation gain at unchanged probe
+    cost. Rotation is orthogonal, so rotated-space cosine order ==
+    raw-space cosine order; GT is exact cosine on the raw table and
+    candidate ids compare directly."""
+    from pandasvcf_spark.operators.similarity import (
+        cosine_topk,
+        imi_topk,
+        opq_fit,
+        opq_rotate_expr,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    R, half = opq_fit(
+        e, n_subspaces=2, n_centroids=k_half, np_iters=np_iters
+    )
+    rot = e.select(
+        "vec_id", opq_rotate_expr("embedding", R).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qrot = rot.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gt = {
+        (row["query_id"], row["vec_id"])
+        for row in cosine_topk(e, q, k=k).collect()
+    }
+    got = {
+        (row["query_id"], row["vec_id"])
+        for row in imi_topk(
+            rot, qrot, half[0], half[1], k=k, n_probe_cells=n_probe_cells
+        ).collect()
+    }
+    return len(gt & got) / len(gt) if gt else 1.0
+
+
 def _sql_int8(vec: str) -> str:
     """DuckDB twin of int8_quantize_expr (BIGINT codes)."""
     scale = f"(list_max(list_transform({vec}, v -> abs(v))) / 127.0)"
@@ -833,6 +888,140 @@ def v_pq_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     codes = pq_encode(emb, PQ_BOOKS)
     qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(codes, qs, PQ_BOOKS, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
+
+
+def _gram_schmidt(rows: list[list[float]]) -> list[list[float]]:
+    """Plain-Python Gram-Schmidt orthonormalization — deterministic
+    IEEE-double arithmetic so the exact rotation floats embed
+    identically in the Spark plan and the SQL text (the `_lcg_planes`
+    convention, lifted to a matrix)."""
+    out: list[list[float]] = []
+    for r in rows:
+        v = [float(x) for x in r]
+        for u in out:
+            d = sum(a * b for a, b in zip(v, u))
+            v = [a - d * b for a, b in zip(v, u)]
+        n = sum(a * a for a in v) ** 0.5
+        out.append([a / n for a in v])
+    return out
+
+
+#: deterministic literal ORTHOGONAL rotation for the OPQ entry —
+#: Gram-Schmidt of LCG rows (full-rank a.s.), exact floats both sides
+OPQ_R = _gram_schmidt(_lcg_planes(DIM, DIM, seed=0x0BC4))
+
+
+def _opq_rmat_cte() -> str:
+    """The rotation as a 64-row (i, r DOUBLE[]) VALUES table — one row
+    per OUTPUT dim. A 64×64 matrix literal inside a nested lambda makes
+    DuckDB rebuild the 4,096-element array per (i, j) evaluation
+    (measured: minutes for 500 rows); as a joined relation each row
+    vector is a plain column read."""
+    return "VALUES " + ",\n        ".join(
+        f"({i + 1}, [" + ", ".join(repr(x) for x in row) + "]::DOUBLE[])"
+        for i, row in enumerate(OPQ_R)
+    )
+
+
+def _opq_rot_cte() -> str:
+    """DuckDB twin of opq_rotate_expr(OPQ_R): x' = R·x as a per-(vector,
+    output-dim) dot product against the rmat relation, re-assembled in
+    output-dim order (list_sum replays the fold's sequential double
+    accumulation)."""
+    return (
+        "SELECT e.vec_id, "
+        "list(list_sum(list_transform(generate_series(1, "
+        f"{DIM}), j -> m.r[j] * CAST(e.embedding[j] AS DOUBLE))) "
+        "ORDER BY m.i) AS embedding "
+        "FROM embeddings e CROSS JOIN rmat m GROUP BY e.vec_id"
+    )
+
+
+def _opq_cand_union(src: str) -> str:
+    """`_pq_cand_union` re-pointed at the rotated relation (embedding
+    already DOUBLE[] there — no cast)."""
+    arms = []
+    for s, cents in enumerate(PQ_BOOKS):
+        for c, cent in enumerate(cents):
+            lit = "([" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[])"
+            arms.append(
+                f"SELECT vec_id, {s + 1} AS s, {c + 1} AS c, "
+                f"list_sum(list_transform(generate_series(1, 8), "
+                f"j -> ({src}.embedding[{s * 8} + j] - {lit}[j]) "
+                f"* ({src}.embedding[{s * 8} + j] - {lit}[j]))) "
+                f"AS d FROM {src}"
+            )
+    return "\n      UNION ALL\n      ".join(arms)
+
+
+@register(
+    "v_opq_adc_topk",
+    oracle=f"""
+    WITH rmat AS MATERIALIZED (
+      SELECT * FROM ({_opq_rmat_cte()}) AS t(i, r)),
+    rot AS MATERIALIZED (
+      {_opq_rot_cte()}),
+    cand AS MATERIALIZED (
+      {_opq_cand_union('rot')}),
+    code AS (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c)
+                 AS rn
+        FROM cand)
+      WHERE rn = 1),
+    qt AS (SELECT vec_id AS query_id, s, c, d FROM cand WHERE vec_id < 10),
+    scored AS (
+      SELECT qt.query_id, co.vec_id, sum(qt.d) AS adc
+      FROM code co JOIN qt ON qt.s = co.s AND qt.c = co.c
+      WHERE qt.query_id <> co.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id, round(adc, 6) AS adc_dist FROM (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def v_opq_adc_topk(spark, sf_dir):
+    """OPQ-rotated PQ/ADC top-k (operators/similarity.opq_rotate_expr +
+    pq_encode + pq_adc_topk; Ge et al. 2013 'Optimized Product
+    Quantization', the faiss `OPQMatrix,PQm` prefix): every vector is
+    rotated by a literal ORTHOGONAL 64×64 matrix inside whole-stage
+    codegen before PQ encode, and queries build their ADC tables in the
+    SAME rotated space — the round-15 trained-quantizer lever
+    (`opq_fit` trains R + books; `imi_opq_recall_at_10_uniform` is the
+    measured 0.578 → 0.63 recall lift at unchanged probe cost). The
+    entry pins the COMPOSITION deterministically: a Gram-Schmidt
+    rotation + literal books; the oracle replays the matmul, encode,
+    and ADC bit-for-bit — correctness of the machinery, not of the
+    approximation (the v_pq_topk honesty convention)."""
+    from pandasvcf_spark.operators.similarity import (
+        opq_rotate_expr,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    # Generate barrier (the genomics_q._gen_barrier device): without it
+    # Catalyst substitutes the 64-fold rotation into every one of the
+    # 128 subspace-distance expressions downstream — a codegen blowup;
+    # behind explode(array(...)) it computes once per row.
+    rot = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(opq_rotate_expr("embedding", OPQ_R))
+        ).alias("embedding"),
+    )
+    codes = pq_encode(rot, PQ_BOOKS)
+    qs = rot.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = pq_adc_topk(codes, qs, PQ_BOOKS, k=3)

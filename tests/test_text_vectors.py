@@ -2949,3 +2949,149 @@ def test_mmr_rerank_diversifies_vs_plain_topk(spark):
     out2 = mmr_rerank(dup, q, k=2, k_candidates=3, lam=0.5)
     got2 = [(r["rank"], r["vec_id"]) for r in out2.orderBy("rank").collect()]
     assert got2 == [(1, 10), (2, 12)]
+
+
+def test_round15_imi_dim_and_grid_guards(spark):
+    """Round-15 ADVICE + verdict task 4: every IMI entry point raises
+    loudly on a codebook/vector dim mismatch (F.slice + zip_with
+    silently truncate otherwise), imi_fit's dim probe trips on ragged
+    corpora, kmeans_fit validates explicit seeds, and the ka*kb probe
+    grid is bounded at IMI_MAX_GRID_CELLS with the boundary pinned."""
+    import pytest
+
+    from pandasvcf_spark.operators.similarity import (
+        IMI_MAX_GRID_CELLS,
+        imi_cell_expr,
+        imi_fit,
+        imi_pq_encode,
+        imi_topk,
+        kmeans_fit,
+    )
+
+    # ragged half-codebook: structural, raises at expression build
+    with pytest.raises(ValueError, match="ragged dims"):
+        imi_cell_expr("embedding", [[0.0, 0.0], [1.0]], [[0.0], [1.0]])
+
+    d = spark.createDataFrame(
+        [(i, [float(i), float(i) + 1, 0.0, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = d.select(F.col("vec_id").alias("query_id"), "embedding")
+    ca = [[0.0, 0.0], [1.0, 1.0]]
+    cb = [[0.0, 0.0], [1.0, 1.0]]
+
+    # PQ codebooks that do not tile da+db=4: 3 subspaces x 2 dims = 6
+    books_bad = [[[0.0, 0.0], [1.0, 1.0]]] * 3
+    with pytest.raises(ValueError, match="tile"):
+        imi_pq_encode(d, ca, cb, books_bad)
+
+    # ragged corpus dims trip imi_fit's fused min/max probe
+    ragged = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0, 3.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dims span"):
+        imi_fit(ragged, k=2)
+
+    # kmeans_fit: ragged seeds raise; wrong-dim seeds vs data raise
+    with pytest.raises(ValueError, match="ragged dims"):
+        kmeans_fit(d, k=2, init_centroids=[[0.0, 0.0], [1.0]])
+    with pytest.raises(ValueError, match="dim 2 but"):
+        kmeans_fit(d, k=2, init_centroids=[[0.0, 0.0], [1.0, 1.0]])
+
+    # grid bound: ka*kb == IMI_MAX_GRID_CELLS constructs (boundary),
+    # one more cell raises with the priced re-route in the message
+    ka32 = [[float(i), 0.0] for i in range(32)]
+    kb32 = [[0.0, float(i)] for i in range(32)]
+    assert 32 * 32 == IMI_MAX_GRID_CELLS
+    imi_topk(d, qs, ka32, kb32, k=1, n_probe_cells=1)  # builds the plan
+    kb33 = kb32 + [[0.0, 99.0]]
+    with pytest.raises(ValueError, match="IMI_MAX_GRID_CELLS"):
+        imi_topk(d, qs, ka32, kb33, k=1, n_probe_cells=1)
+
+
+def test_round15_opq_fit_rotation_and_recall(spark):
+    """Round-15 OPQ (Ge et al. 2013): (1) the trained R is orthogonal;
+    (2) opq_rotate_expr reproduces the numpy matmul; (3) on an
+    ANISOTROPIC planted corpus the OPQ rotation strictly reduces PQ
+    sample reconstruction error vs identity-rotation PQ — the trained
+    lever the round-14 SCALING.md named; (4) with n_subspaces=2 the
+    returned books are IMI half-space codebooks: full-probe imi_topk
+    over the rotated column reproduces exact cosine top-k of the
+    rotated vectors bit-for-bit (the repo's full-probe identity pin)."""
+    import numpy as np
+    import pytest
+
+    from pandasvcf_spark.operators.similarity import (
+        cosine_topk,
+        imi_topk,
+        opq_fit,
+        opq_rotate_expr,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(77)
+    # anisotropic: strong cross-subspace correlation via a random mixing
+    # of a few dominant latent directions
+    Z = rng.normal(0, 1, (400, 4))
+    A = rng.normal(0, 1, (4, 16)) * np.array([4.0, 2.0, 1.0, 0.5])[:, None]
+    V = Z @ A + rng.normal(0, 0.05, (400, 16))
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    R, books = opq_fit(d, n_subspaces=4, n_centroids=8, np_iters=3)
+    Rm = np.array(R)
+    assert np.abs(Rm @ Rm.T - np.eye(16)).max() < 1e-9  # orthogonal
+
+    # expression == numpy matmul
+    got = (
+        d.filter(F.col("vec_id") < 3)
+        .select("vec_id", opq_rotate_expr("embedding", R).alias("r"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    for row in got:
+        np.testing.assert_allclose(
+            np.array(row["r"]), V[row["vec_id"]] @ Rm.T, rtol=0, atol=1e-9
+        )
+
+    # reconstruction error: OPQ-rotated PQ < identity PQ on this corpus
+    def recon_err(X, books):
+        sub = X.shape[1] // len(books)
+        err = 0.0
+        for s, Cb in enumerate(books):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            Cb = np.array(Cb)
+            d2 = ((Xs[:, None, :] - Cb[None, :, :]) ** 2).sum(-1)
+            err += d2.min(1).sum()
+        return err
+
+    plain = pq_train_codebooks(d, n_subspaces=4, n_centroids=8)
+    e_plain = recon_err(V, plain)
+    e_opq = recon_err(V @ Rm.T, books)
+    assert e_opq < e_plain * 0.9, (e_opq, e_plain)
+
+    # n_subspaces=2: books ARE the IMI halves; full-probe identity on
+    # the rotated column
+    R2, half = opq_fit(d, n_subspaces=2, n_centroids=4, np_iters=2)
+    rot = d.select(
+        "vec_id", opq_rotate_expr("embedding", R2).alias("embedding")
+    )
+    qs = rot.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"], round(r["cossim"], 9))
+        for r in imi_topk(
+            rot, qs, half[0], half[1], k=4, n_probe_cells=16
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], round(r["cossim"], 9))
+        for r in cosine_topk(rot, qs, k=4).collect()
+    }
+    assert got == exact
+
+    with pytest.raises(ValueError, match="ragged"):
+        opq_rotate_expr("embedding", [[1.0, 0.0], [0.0]])
