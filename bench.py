@@ -629,6 +629,66 @@ def main() -> None:
         finally:
             shutil.rmtree(cell_dir, ignore_errors=True)
 
+    if os.environ.get("SPARK_GRAFT_BENCH_INGESTCKPT", "1") != "0":
+        # Round-15 additive keys (verdict task 2's Done clause): the
+        # per-batch INDEX READ cost in BATCH COUNT. A long-running
+        # ingest stream accretes one `_index` dir per micro-batch; the
+        # read of their union is what every new batch pays before any
+        # dedup work. 80 accreted dirs vs the one `_index_ckpt_N`
+        # roll-up `_maybe_compact_index` maintains — same rows, same
+        # schema; the delta is pure listing + footer + task-granularity
+        # overhead, the term that grows linearly in batch count without
+        # compaction and is CONSTANT with it.
+        import shutil as _sh
+
+        from pandasvcf_spark.functions.text import word_ngrams_expr
+        from pandasvcf_spark.operators.dedup import minhash_band_keys
+        from pandasvcf_spark.plans.bucketing import compact_parquet
+        from pandasvcf_spark.queries.tables import load
+
+        n_dirs = 80
+        root = tempfile.mkdtemp(prefix="pandasvcf_bench_ingestckpt_")
+        try:
+            docs = load(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            one = f"{root}/batch_id=0/_index"
+            minhash_band_keys(
+                docs.limit(500), "doc_id", word_ngrams_expr("text", 3)
+            ).coalesce(1).write.parquet(one)
+            for k in range(1, n_dirs):
+                _sh.copytree(one, f"{root}/batch_id={k}/_index")
+            dirs = [f"{root}/batch_id={k}/_index" for k in range(n_dirs)]
+
+            t0 = time.time()
+            compact_parquet(spark, dirs, f"{root}/_index_ckpt_{n_dirs - 1}")
+            compact_s = time.time() - t0
+
+            def _read(paths):
+                times = []
+                for _ in range(headline_runs):
+                    t0 = time.time()
+                    spark.read.parquet(*paths).count()
+                    times.append(time.time() - t0)
+                return min(times)
+
+            many = _read(dirs)
+            ckpt = _read([f"{root}/_index_ckpt_{n_dirs - 1}"])
+            result["ingest_index_read_80dirs_sec"] = round(many, 3)
+            result["ingest_index_read_ckpt_sec"] = round(ckpt, 3)
+            result["ingest_index_ckpt_compact_sec"] = round(compact_s, 3)
+            print(
+                f"# ingest index read: {n_dirs} accreted dirs "
+                f"{many:.2f}s vs one roll-up {ckpt:.2f}s "
+                f"min-of-{headline_runs} (one-time compaction "
+                f"{compact_s:.2f}s, amortized over every later batch) — "
+                "per-batch index cost is flat in BATCH COUNT with "
+                "index_compact_every, linear without",
+                file=sys.stderr,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     if os.environ.get("SPARK_GRAFT_BENCH_LD", "1") != "0":
         # Round-7 flagship: banded pairwise LD over the derived genotype
         # relation — additive key (frozen-roster discipline). The pair

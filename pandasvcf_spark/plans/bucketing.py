@@ -117,10 +117,11 @@ def zorder_key_expr(cols: list, bits: int = 16):
 
 def compact_parquet(
     spark: SparkSession,
-    in_path: str,
+    in_path: str | list,
     out_path: str,
     target_mb: int = 128,
     sort_by: list | None = None,
+    partition_by: list | None = None,
 ) -> int:
     """Small-files compaction: rewrite a parquet directory into ~`target_mb`
     output files — the maintenance pass every incremental sink eventually
@@ -136,23 +137,58 @@ def compact_parquet(
     (sortWithinPartitions — no global sort, but min/max footer stats
     become selective, the cheap cousin of a Z-order rewrite). Writes to a
     NEW directory — atomic adoption (rename/pointer swap) is the caller's
-    table-format concern, deliberately out of scope here."""
+    table-format concern, deliberately out of scope here.
+
+    `in_path` also accepts a LIST of parquet directories, unioned into
+    one compacted output — the streaming ingest's index-checkpoint
+    roll-up (round-15: thousands of per-batch `_index` dirs become one
+    `_index_ckpt=N`). `partition_by` preserves a partitioned layout in
+    the output: rows are hash-clustered on the partition columns first
+    (repartition(n, *cols)), so each Hive partition directory gets ~1
+    complete file instead of one shard per task — the cell-pruned read
+    path stays pruned after compaction."""
     if target_mb < 1:
         raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    in_paths = [in_path] if isinstance(in_path, str) else list(in_path)
+    if not in_paths:
+        raise ValueError("compact_parquet: no input paths")
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(in_path)
-    fs = root.getFileSystem(hconf)
-    total = fs.getContentSummary(root).getLength()
+    fs = jvm.org.apache.hadoop.fs.Path(in_paths[0]).getFileSystem(hconf)
+    total = sum(
+        int(
+            fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(p)
+            ).getLength()
+        )
+        for p in in_paths
+    )
     n_files = max(1, -(-int(total) // (int(target_mb) * 2**20)))
-    df = spark.read.parquet(in_path).repartition(n_files)
+    # one read PER ROOT, unioned: Hive-partitioned inputs rooted at
+    # different relative depths (batch_id=K/_index vs _index_ckpt_N)
+    # trip CONFLICTING_DIRECTORY_STRUCTURES in a single multi-path read
+    df = spark.read.parquet(in_paths[0])
+    for p in in_paths[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    if partition_by:
+        df = df.repartition(n_files, *partition_by)
+    else:
+        df = df.repartition(n_files)
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
-    df.write.mode("error").parquet(out_path)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
     out_root = jvm.org.apache.hadoop.fs.Path(out_path)
-    written = [
-        st
-        for st in fs.listStatus(out_root)
-        if st.getPath().getName().endswith(".parquet")
-    ]
-    return len(written)
+
+    def _count_parquet(p) -> int:
+        n = 0
+        for st in fs.listStatus(p):
+            if st.isDirectory():
+                n += _count_parquet(st.getPath())
+            elif st.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    return _count_parquet(out_root)

@@ -34,7 +34,7 @@ def _write_parquet_batch(spark, dirpath, name, rows, mtime):
     return p
 
 
-def _drain(spark, in_dir, corpus, ckpt, seed, cents):
+def _drain(spark, in_dir, corpus, ckpt, seed, cents, **kw):
     from pandasvcf_spark.streaming.ingest import semdedup_ingest_stream
 
     stream = (
@@ -50,6 +50,7 @@ def _drain(spark, in_dir, corpus, ckpt, seed, cents):
         threshold=0.99,
         seed_df=seed,
         query_name="t_semdedup_ingest",
+        **kw,
     )
     q.awaitTermination()
 
@@ -201,3 +202,83 @@ def test_semdedup_ingest_persists_cell_index_and_falls_back(
     # 31 dups seed-less base 12 (group 1), 32 dups 22 (group 2),
     # 33 is anti-parallel to group 0 — survives
     assert ids == [11, 12, 22, 33], ids
+
+
+def test_round15_semantic_index_checkpoint_compaction(spark, tmp_path):
+    """Round-15 (verdict task 2, semantic twin): with
+    index_compact_every=2 the per-batch cell-index dirs roll into one
+    committed `_index_ckpt_N` that KEEPS the by-cell partitioning
+    (cell=K subdirs — the touched-cell prune still prunes), a later
+    batch dedups against an early batch's survivor THROUGH the
+    checkpoint, and survivors equal the compaction-off run."""
+    import os as _os
+
+    from pandasvcf_spark.streaming.ingest import (
+        _latest_index_ckpt,
+        _list_prior_batch_dirs,
+        _prior_index_dirs,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    all_vecs = [(1, _vec(0)), (2, _vec(1)), (3, _vec(2)), (4, _vec(3))]
+    cents = _cents(spark, all_vecs)
+    now = time.time()
+    batches = {
+        0: [(11, _vec(0))],
+        1: [(21, _vec(1))],
+        2: [(31, _vec(2))],
+        3: [(41, _vec(3))],
+        # 51 dups batch 0's survivor — must drop VIA the checkpoint
+        4: [(51, _vec(0, eps=0.001)), (52, _vec(3, eps=0.3))],
+    }
+    for k, rows in batches.items():
+        _write_parquet_batch(spark, str(in_dir), f"b{k}", rows, now - 60 + k)
+
+    corpus = tmp_path / "corpus"
+    ckpt = tmp_path / "ckpt"
+    _drain(spark, str(in_dir), corpus, ckpt, None, cents,
+           index_compact_every=2)
+    ids = sorted(
+        r.vec_id
+        for r in spark.read.parquet(str(corpus)).select("vec_id").collect()
+    )
+    assert 51 not in ids and {11, 21, 31, 41}.issubset(set(ids)), ids
+
+    got_ckpt = _latest_index_ckpt(spark, str(corpus))
+    assert got_ckpt is not None
+    ck_path, upto = got_ckpt
+    assert upto >= 2
+    # by-cell layout preserved in the roll-up
+    cells = [
+        n for n in _os.listdir(ck_path.removeprefix("file:"))
+        if n.startswith("cell=")
+    ]
+    assert cells, "checkpoint lost the cell partitioning"
+    # roll-up rows == union of the covered per-batch index rows
+    want = {
+        (r.vec_id, r.cell)
+        for k in range(upto + 1)
+        for r in spark.read.parquet(
+            str(corpus / f"batch_id={k}" / "_index")
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(ck_path).collect()
+    }
+    assert got == want
+    # read set = [ckpt] + only dirs since it
+    prior = _list_prior_batch_dirs(spark, str(corpus), 5)
+    read_set = _prior_index_dirs(spark, str(corpus), prior)
+    assert read_set[0] == ck_path and len(read_set) == 1 + (4 - upto)
+
+    # compaction-off twin: identical survivors
+    corpus2 = tmp_path / "corpus_off"
+    _drain(spark, str(in_dir), corpus2, tmp_path / "ckpt_off", None,
+           cents, index_compact_every=None)
+    ids2 = sorted(
+        r.vec_id
+        for r in spark.read.parquet(str(corpus2)).select("vec_id").collect()
+    )
+    assert ids2 == ids
