@@ -60,6 +60,9 @@ def prepare_corpus(
     semantic_threshold: float = 0.95,
     semantic_centroids: list[list[float]] | None = None,
     semantic_max_cluster_size: int | None = 100_000,
+    audio_df: DataFrame | None = None,
+    audio_wav_col: str = "wav",
+    audio_min_matches: int = 5,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-cleaning funnel; returns
     ``(cleaned, report)`` where `cleaned` keeps the input schema (text
@@ -86,9 +89,15 @@ def prepare_corpus(
                         or `semantic_dedup_fit` trains them when None;
                         docs WITHOUT an embedding row pass through
                         (missing metadata must not silently drop data)
-      7 decontaminate — drop docs whose `contamination_ngram`-gram
+      7 audio_dedup   — audio-modality tier when `audio_df` (id_col +
+                        `audio_wav_col` PCM blobs) is given: survivors'
+                        clips near-dedup via `audio_dedup` (Wang-2003
+                        landmark fingerprints — same recording
+                        re-encoded/re-gained); docs WITHOUT an audio
+                        row pass through, like the semantic tier
+      8 decontaminate — drop docs whose `contamination_ngram`-gram
                         overlap with `eval_df` exceeds `max_overlap`
-      8 token_budget  — deterministic hash-ordered selection of
+      9 token_budget  — deterministic hash-ordered selection of
                         `budget_tokens` whitespace tokens
 
     Each stage boundary is `localCheckpoint`-ed: the funnel counts are
@@ -176,6 +185,28 @@ def prepare_corpus(
         dropped = emb.select(id_col).join(keep, on=id_col, how="left_anti")
         cur = cur.join(dropped, on=id_col, how="left_anti").localCheckpoint()
     stages.append(("semantic_dedup", cur.count()))
+
+    if audio_df is not None:
+        from pandasvcf_spark.operators.multimodal import audio_dedup
+
+        # clips restricted to CURRENT survivors, the semantic-tier rule:
+        # a dropped doc's audio must not win a dedup component
+        clips = (
+            audio_df.select(F.col(id_col), F.col(audio_wav_col))
+            .join(cur.select(id_col), on=id_col)
+            .localCheckpoint()
+        )
+        kept = audio_dedup(
+            clips,
+            wav_col=audio_wav_col,
+            id_col=id_col,
+            min_matches=audio_min_matches,
+        ).select(id_col)
+        dropped = clips.select(id_col).join(
+            kept, on=id_col, how="left_anti"
+        )
+        cur = cur.join(dropped, on=id_col, how="left_anti").localCheckpoint()
+    stages.append(("audio_dedup", cur.count()))
 
     if eval_df is not None:
         ov = contamination_overlap(

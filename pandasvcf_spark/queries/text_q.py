@@ -3867,3 +3867,68 @@ def t_temperature_mix(spark, sf_dir):
     return temperature_weights(
         d, "lang", alpha=0.3, weight_col="n_chars"
     ).orderBy("lang")
+
+
+@register(
+    "mm_audio_fp_pairs",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id AS id, (doc_id % 40) * 1024 + t.j AS fp
+      FROM documents CROSS JOIN generate_series(0, 9) AS t(j)
+      WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id AS id, 9999999 AS fp FROM documents WHERE doc_id < 200),
+    per AS (SELECT DISTINCT id, fp FROM fps),
+    hot AS (SELECT fp FROM per GROUP BY fp HAVING count(*) > 50),
+    pruned AS (
+      SELECT * FROM per WHERE fp NOT IN (SELECT fp FROM hot)),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_matches
+      FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_matches FROM pairs WHERE n_matches >= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_audio_fp_pairs(spark, sf_dir):
+    """Audio-fingerprint near-dup PAIR machinery (operators/multimodal.
+    audio_near_dup_pairs — the bucket stage of the Wang-2003 landmark
+    dedup, round-15's audio tier of the corpus funnel): distinct
+    per-clip hash sets, degenerate-hash skew prune (one count +
+    left_anti BEFORE the self-join — a hash in > max_bucket clips
+    identifies nothing and would quadratically blow the bucket), fp
+    equi-join (never a crossJoin; the pytest plan guard pins it),
+    match count + threshold. The landmark EXTRACTION (FFT peak
+    constellation) is not SQL-expressible and is pinned by the
+    numpy-replica pytest instead — the codec-shelf convention. Here
+    each synthetic clip (doc_id < 200) carries 10 arithmetic hashes
+    shared exactly within its doc_id%40 group plus ONE degenerate hash
+    shared by every clip: without the prune the output would be all
+    ~20k cross-group pairs; with it, only the 10-match group pairs —
+    the prune is load-bearing in the oracle comparison."""
+    from pandasvcf_spark.operators.multimodal import audio_near_dup_pairs
+
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("audio_id"))
+    )
+    ten = base.select(
+        "audio_id",
+        F.explode(
+            F.array(
+                *[
+                    (F.col("audio_id") % 40) * 1024 + F.lit(j).cast("long")
+                    for j in range(10)
+                ]
+            )
+        ).alias("fp"),
+    )
+    degen = base.select(
+        "audio_id", F.lit(9999999).cast("long").alias("fp")
+    )
+    out = audio_near_dup_pairs(
+        ten.unionByName(degen), min_matches=1, max_bucket=50
+    )
+    return out.select("id_a", "id_b", "n_matches").orderBy("id_a", "id_b")

@@ -2323,3 +2323,61 @@ def test_temperature_weights_alpha_limits_and_tail(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         temperature_weights(d, "lang", alpha=-0.1)
+
+
+def test_prepare_corpus_audio_tier(spark):
+    """Round-15 stage 7: the audio-modality dedup tier. Docs 1 and 5
+    carry the SAME melody at different gains (a re-encoded recording —
+    the text stages can't see it), doc 6 a different melody, docs 3-4
+    NO audio row (must pass through — missing metadata never silently
+    drops data). The min-id component survivor keeps doc 1."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.multimodal import pack_wav
+    from pandasvcf_spark.operators.pipeline import prepare_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the field with a steady pace for quite a while now"
+    )
+    rows = [
+        (1, good + " alpha", "en", "s1"),
+        (3, good.replace("fox", "owl").replace("dog", "cat")
+            .replace("field", "yard") + " beta", "en", "s1"),
+        (4, good.replace("quick", "slow").replace("lazy", "busy")
+            .replace("steady", "brisk") + " gamma", "en", "s2"),
+        (5, good.replace("brown", "grey").replace("running", "walking")
+            .replace("pace", "gait") + " delta", "en", "s2"),
+        (6, good.replace("jumps", "leaps").replace("keeps", "stops")
+            .replace("while", "bit") + " epsilon", "en", "s3"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    sr = 8000
+    seg = sr // 4
+
+    def clip(notes, gain=0.4):
+        t = np.arange(seg)
+        env = np.hanning(seg)
+        x = np.concatenate(
+            [np.sin(2 * np.pi * f * t / sr) * env for f in notes]
+        )
+        return pack_wav(sr, 1, (gain * x * 32767).astype("<i2").tobytes())
+
+    melody = [440.0, 975.0, 660.0, 1660.0, 520.0, 1240.0, 880.0, 330.0]
+    other = [613.0, 1330.0, 737.0, 2470.0, 413.0, 1790.0, 557.0, 2210.0]
+    audio = spark.createDataFrame(
+        [
+            (1, clip(melody)),
+            (5, clip(melody, gain=0.2)),  # same recording, -6 dB
+            (6, clip(other)),
+        ],
+        "doc_id long, wav binary",
+    )
+    cleaned, report = prepare_corpus(d, near_dup=False, audio_df=audio)
+    ids = sorted(r.doc_id for r in cleaned.collect())
+    assert ids == [1, 3, 4, 6], ids  # 5 drops: audio dup of 1
+    rep = {r.name: r.rows for r in report.collect()}
+    assert rep["audio_dedup"] == rep["semantic_dedup"] - 1

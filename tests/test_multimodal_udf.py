@@ -1145,3 +1145,124 @@ def test_audio_logmel_matches_numpy_replica(spark):
     )
     with pytest.raises(Exception, match="16-bit PCM|NotImplementedError"):
         audio_logmel(bad).collect()
+
+
+def test_audio_mfcc_matches_numpy_replica(spark):
+    """Round-15 MFCC: the Arrow kernel equals an independent numpy
+    replay (the logmel replica + an explicit orthonormal DCT-II) on a
+    440 Hz sine; c0 carries the (scaled) frame log-energy; the DCT
+    matrix is orthonormal (D·Dᵀ = I on the kept rows)."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.multimodal import (
+        audio_mfcc,
+        dct2_matrix,
+        mel_filterbank,
+        pack_wav,
+    )
+
+    sr, n_fft, hop, n_mels, n_mfcc = 8000, 256, 128, 20, 13
+    t = np.arange(sr)
+    sine = (0.5 * np.sin(2 * np.pi * 440.0 * t / sr) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, pack_wav(sr, 1, sine.tobytes()))], "audio_id long, wav binary"
+    )
+    row = audio_mfcc(
+        df, n_fft=n_fft, hop=hop, n_mels=n_mels, n_mfcc=n_mfcc
+    ).collect()[0]
+    # replica: logmel (as the round-14 pin) then DCT-II ortho
+    x = sine.astype(np.float64) / 32768.0
+    n_frames = 1 + (len(x) - n_fft) // hop
+    win = np.hanning(n_fft + 1)[:-1]
+    frames = np.stack(
+        [x[i * hop : i * hop + n_fft] * win for i in range(n_frames)]
+    )
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = mel_filterbank(sr, n_fft, n_mels)
+    lm = np.log10(np.maximum(spec @ fb.T, 1e-10)).astype(np.float32)
+    D = dct2_matrix(n_mels, n_mfcc)
+    want = (lm.astype(np.float64) @ D.T).astype(np.float32)
+    got = np.array(row["mfcc"], dtype=np.float32)
+    assert row["n_frames"] == n_frames and got.shape == (n_frames, n_mfcc)
+    assert np.allclose(got, want, atol=1e-5)
+    # orthonormal rows: D @ D.T == I_{n_mfcc}
+    assert np.allclose(D @ D.T, np.eye(n_mfcc), atol=1e-12)
+    # c0 == sqrt(1/n_mels) * sum(logmel) per frame
+    assert np.allclose(
+        got[:, 0], lm.sum(axis=1) * np.sqrt(1.0 / n_mels), atol=1e-4
+    )
+
+
+def test_audio_fingerprint_dedup_and_plan(spark):
+    """Round-15 audio fingerprint dedup (Wang 2003 landmarks): a
+    half-gain re-encode of a clip shares (nearly) all landmark hashes
+    with the original — amplitude invariance by construction — while a
+    different tone mix shares ~none; audio_dedup keeps min-id survivors
+    through the transitive closure; the bucket join is an equi-join
+    (NO CartesianProduct in the plan — the guard); degenerate hashes
+    above max_bucket are pruned out of the join."""
+    import numpy as np
+
+    from pandasvcf_spark.operators.multimodal import (
+        audio_dedup,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        pack_wav,
+    )
+
+    sr = 8000
+    seg = sr // 4  # 0.25 s notes — NON-stationary, like real audio
+    # (a stationary tone is the picker's worst case: time-plateaus make
+    # strict maxima flip on quantization noise; onsets localize peaks)
+
+    def clip(notes, gain=0.4):
+        t = np.arange(seg)
+        env = np.hanning(seg)  # per-note attack/decay
+        x = np.concatenate(
+            [np.sin(2 * np.pi * f * t / sr) * env for f in notes]
+        )
+        return pack_wav(
+            sr, 1, (gain * x * 32767).astype("<i2").tobytes()
+        )
+
+    melody = [440.0, 975.0, 660.0, 1660.0, 520.0, 1240.0, 880.0, 330.0]
+    other = [613.0, 1330.0, 737.0, 2470.0, 413.0, 1790.0, 557.0, 2210.0]
+    a = clip(melody)
+    a_half = clip(melody, gain=0.2)  # same recording, -6 dB
+    b = clip(other)
+    df = spark.createDataFrame(
+        [(1, a), (2, a_half), (3, b)], "audio_id long, wav binary"
+    )
+    fps = audio_fingerprints(df).localCheckpoint()
+    sets = {
+        aid: {r["fp"] for r in rows}
+        for aid, rows in __import__("itertools").groupby(
+            sorted(fps.collect(), key=lambda r: r["audio_id"]),
+            key=lambda r: r["audio_id"],
+        )
+    }
+    j12 = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    j13 = len(sets[1] & sets[3]) / len(sets[1] | sets[3])
+    assert j12 > 0.8, j12   # gain change: nearly identical constellation
+    assert j13 < 0.2, j13   # different recording: disjoint
+    pairs = audio_near_dup_pairs(fps, min_matches=5)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got_pairs == {(1, 2)}
+    # plan guard: bucket equi-join, never a cartesian
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    surv = sorted(
+        r["audio_id"]
+        for r in audio_dedup(df, min_matches=5).select("audio_id").collect()
+    )
+    assert surv == [1, 3]
+
+    # degenerate-hash prune: a hash shared by MANY clips must not join
+    import pyspark.sql.functions as F
+    many = spark.createDataFrame(
+        [(i, 7, 0) for i in range(50)], "audio_id long, fp long, t1 int"
+    )
+    assert audio_near_dup_pairs(
+        many, min_matches=1, max_bucket=10
+    ).count() == 0
