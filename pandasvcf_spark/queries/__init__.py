@@ -278,28 +278,76 @@ DRIVER_WINDOW = 50
 # (the broadcast kernel cell-grid fold stays via g_grm's panel-pair
 # grid and v_davies_bouldin's literal centroid-distance fold). All
 # eight remain continuously exact-checked by tests/test_contract.py.
+# The round-15 cut (the fifteenth) widens the swap quota to TWELVE —
+# the round-14 verdict's own ask (at net ~5 promotions/round the
+# 257-entry debt never converges; tools/check_contract.py now PRINTS
+# the computed debt every run). Promoted: the three round-14 builds
+# with no driver row (v_imi_topk, v_imi_pq_rerank, v_semdedup_fit),
+# the two round-15 builds (v_opq_adc_topk — the OPQ rotation
+# composition; mm_audio_fp_pairs — the audio-fingerprint dedup join
+# with its load-bearing skew prune), the survival nonparametrics
+# (m_kaplan_meier — the KM product-limit ladder; m_logrank — the
+# per-event-time 2×2 test), e_seasonal_mk (per-season Mann-Kendall
+# cells), t_winnow_fingerprints (the winnowing window-min fingerprint
+# device), and the three OLDEST never-driver-checked entries
+# (j_range_events — the range-join family's only candidate;
+# e_funnel — ordered stage windows; m_ols — the closed-form
+# normal-equation regression the causal/GLM shelf composes).
+# Demoted, each with machinery still driver-covered:
+# v_ivfpq_rerank (stage two rerank_exact is replayed VERBATIM by
+# v_imi_pq_rerank, whose stage one generalizes the coarse grid;
+# IVF/ADC stays exact-checked in the tail), v_semdedup
+# (semantic_dedup is replayed VERBATIM inside v_semdedup_fit's
+# trained-centroid run; v_semdedup_incr keeps the incremental
+# variant), v_cell_silhouette (cluster-quality telemetry stays via
+# v_davies_bouldin; the per-cell mean-distance agg via g_grm's panel
+# grid), m_conformal (the order-statistic ladder stays via
+# m_kaplan_meier's distinct-time risk-set ladder — the same
+# collapse-then-cumulate device — and w_pareto_front's envelope),
+# m_dml (its shared-X'X Cramer fits are exactly m_ols's device,
+# composed twice; Newton normal equations via m_cox_multi3),
+# t_dsir (hashed-grid LM scoring stays via t_ccnet_buckets' KN
+# scorer + sk_hll_distinct's hashed register grid), m_fisher_exact
+# (the per-stratum 2×2 collapse is m_logrank's per-event-time
+# counting; the support-walk pmf fold stays exact-checked via
+# m_binom_exact/m_mcnemar_exact in the tail), e_tumbling_hourly
+# (time-bucketed groupBy agg stays via e_funnel's stage windows and
+# e_seasonal_mk's per-season cells; e_sessionize keeps the streaming
+# family's window row and the stream≡batch twins stay pytest-pinned
+# every run), r1_explode_map (the wide→long explode+map is the FIRST
+# stage of flagship_annotate and f4_zygosity, both golden-pinned),
+# p6p8_sentinel_homref (hom-ref filter + sentinel map stay via
+# flagship_annotate's 755,801 drop_hom_ref golden +
+# a1_homref_window's hom-ref counts), agg_cube (grouping-set
+# expansion stays exact-checked via agg_rollup/agg_grouping_sets in
+# the tail; the multi-key grouped agg via agg_tpch_q1), and
+# g_communities (fixed unrolled iterative rounds with localCheckpoint
+# lineage control stay via v_mmr_rerank's greedy selection rounds;
+# the graph family keeps g_grm in-window). All twelve remain
+# continuously exact-checked by tests/test_contract.py.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
     "f4_zygosity",
-    "m_conformal",
-    "m_dml",
+    "m_kaplan_meier",
+    "m_logrank",
     "g_split_multiallelic",
     "f7_format_map",
     "f8_split_columns",
     "p5p7_missing_filters",
     "a1_homref_window",
     "j1_dedup_annotate",
-    "r1_explode_map",
-    "p6p8_sentinel_homref",
+    "m_ols",
+    "e_seasonal_mk",
     "t_bpe_tokens_arrow",
     "flagship_annotate",
     # genomics popgen + pairwise (round-7 classes): g_ld demoted in
     # re-cut #10 (pair machinery via g_grm), freeing a slot for the
     # forecasting-recursion family:
     "e_holt_winters",
-    # §2.10 streaming batch-twins (stream≡batch covered by pytest)
-    "e_tumbling_hourly",
+    # §2.10 events: funnel stage windows + streaming sessionization
+    # (stream≡batch covered by pytest)
+    "e_funnel",
     "e_sessionize",
     # §2.11 text analysis + dedup family
     "t_quality_score",
@@ -314,19 +362,20 @@ _PRIORITY = [
     "sk_hll_distinct",
     "t_temperature_mix",
     "v_cosine_topk_manyquery",
-    "t_dsir",
-    "g_communities",
-    "v_ivfpq_rerank",
+    "t_winnow_fingerprints",
+    "mm_audio_fp_pairs",
+    "v_imi_topk",
+    "v_imi_pq_rerank",
     "v_mmr_rerank",
     # §2.3-2.7 relational core: scan/distinct/aggs
     "s4_scan_project_filter",
     "p4_distinct",
     "t_pack_global",
     "agg_tpch_q1",
-    "agg_cube",
-    "v_semdedup",
+    "v_opq_adc_topk",
+    "v_semdedup_fit",
     "v_semdedup_incr",
-    "v_cell_silhouette",
+    "j_range_events",
     "v_davies_bouldin",
     # join family + skew mitigation (j_anti sits past the window: its
     # 0-row result passes rows/schema/hash trivially, so its slot carried
@@ -342,7 +391,6 @@ _PRIORITY = [
     # windows / sort / sets / reshape / map parsing
     "w_pareto_front",
     "m_welch_anova",
-    "m_fisher_exact",
     "e_adf",
     "m_cox_multi3",
     "r2_pivot",

@@ -28,34 +28,56 @@ def test_extension_surface_inside_window():
                                     # demoted re-cut #10) is replayed
                                     # VERBATIM as v_mmr_rerank's
                                     # candidate stage
-        "v_ivfpq_rerank",  # round-14 cut (#14): multi-probe IVFPQ +
-                           # exact-L2 rerank — stage one replays
-                           # ivfpq_topk VERBATIM (similarity.py:1958),
-                           # so it carries v_ivfpq_topk's coarse-cell +
-                           # ADC machinery (demoted to the tail) plus
-                           # the refine join
+        "v_imi_pq_rerank",  # round-15 cut (#15): IMI+PQ + exact-L2
+                            # rerank — stage two replays rerank_exact
+                            # VERBATIM from v_ivfpq_rerank (demoted),
+                            # stage one the finer product-cell grid;
+                            # carries the whole quantized-ANN refine
+                            # family
+        "v_imi_topk",       # round-15 cut (#15): inverted multi-index
+                            # ANN — two half-space codebooks, additive
+                            # probe bound, cell equi-join
+        "v_opq_adc_topk",   # round-15 cut (#15): OPQ rotation before
+                            # PQ/ADC (Ge et al. 2013) — the round-15
+                            # trained-quantizer lever, literal
+                            # orthogonal matmul replayed in SQL
+        "mm_audio_fp_pairs",  # round-15 cut (#15): audio-fingerprint
+                              # dedup bucket join + load-bearing skew
+                              # prune (the audio tier of the corpus
+                              # funnel; FFT extraction numpy-pinned)
         "v_mmr_rerank",  # round-12 re-cut #10: the diversified-rerank
                          # tier — fixed greedy rounds (anti-join +
                          # pair-sim max + argmax) over a checkpointed
                          # candidate table; also carries v_two_stage's
                          # coarse→exact rerank-join composition
-        "g_communities",  # round-13 re-cut #12: synchronous LPA —
-                          # fixed unrolled rounds + min-label struct
-                          # argmax, the graph family's iterative-label
-                          # entry (v_rq_topk demoted: two-level ADC
-                          # scoring stays via v_ivfpq_topk)
+        # g_communities demoted in re-cut #15: fixed unrolled iterative
+        # rounds stay via v_mmr_rerank's greedy selection rounds; the
+        # graph family keeps g_grm in-window
         "t_quality_score",
         "t_ccnet_buckets",  # round-12 re-cut #10: per-language exact
                             # ntile perplexity terciles — rank-interval
                             # overlap over (lang, score) cells, composed
                             # over the KN LM scorer
         "t_bm25_topk",
-        "m_conformal",   # re-cut #11: split conformal — the exact
-                         # order-statistic ladder + coverage audit
-        "m_dml",         # re-cut #11: double-ML partialling-out —
-                         # shared-X'X nuisance fits + residual fold
-        "t_dsir",        # re-cut #11: DSIR hashed-bigram weights —
-                         # the fixed-grid scale path of t_moore_lewis
+        "m_kaplan_meier",  # round-15 cut (#15): KM product-limit
+                           # ladder — the collapse-then-cumulate device
+                           # that also covers m_conformal's order-
+                           # statistic ladder (demoted)
+        "m_logrank",       # round-15 cut (#15): per-event-time 2×2
+                           # counting — covers m_fisher_exact's
+                           # stratum collapse (demoted)
+        "m_ols",           # round-15 cut (#15): closed-form normal-
+                           # equation OLS — the shared-X'X device
+                           # m_dml (demoted) composes twice
+        "e_seasonal_mk",   # round-15 cut (#15): seasonal Mann-Kendall
+                           # per-season trend cells
+        "t_winnow_fingerprints",  # round-15 cut (#15): winnowing
+                                  # window-min fingerprint device
+        "j_range_events",  # round-15 cut (#15): the range join —
+                           # oldest never-driver-checked entry
+        "e_funnel",        # round-15 cut (#15): ordered stage windows
+                           # — also the time-bucketed agg cover for
+                           # e_tumbling_hourly (demoted)
         "sk_hll_distinct",
         "t_temperature_mix",  # round-14 cut (#14): temperature
                               # mixture weights — group-sized agg +
@@ -74,8 +96,8 @@ def test_extension_surface_inside_window():
                            # device as m_fdr_bh (demoted), in its only
                            # strict-envelope mode; m_fdr_bh's position
                            # ladder stays via m_conformal
-        "v_cell_silhouette",  # round-14 cut (#14): per-cell simplified
-                              # silhouette — cluster-quality telemetry
+        # v_cell_silhouette demoted in re-cut #15: cluster-quality
+        # telemetry stays via v_davies_bouldin below
         "v_davies_bouldin",   # round-14 cut (#14): Davies-Bouldin —
                               # k-row agg + literal centroid-distance
                               # fold (m_ece demoted: the grouped-bin +
@@ -114,9 +136,9 @@ def test_extension_surface_inside_window():
         # plus m_bootstrap_ci, j_bloom_prune, agg_grouped_quantiles,
         # v_kmeans, g_link_pred; see queries/__init__.py for each
         # machinery-coverage justification)
-        "m_fisher_exact",   # exact-test support-walk device (carries
-                            # m_binom_exact / m_mcnemar_exact /
-                            # m_sign_test in the tail)
+        # m_fisher_exact demoted in re-cut #15: the 2×2 stratum
+        # collapse stays via m_logrank; the support walk stays
+        # contract-checked in the tail
         "e_adf",            # round-14 cut (#14): augmented
                             # Dickey-Fuller — the SAME banded
                             # position-lag join as e_kpss (demoted)
@@ -128,11 +150,12 @@ def test_extension_surface_inside_window():
                                  # shingle chain + interval-union
                                  # window + HOF token surgery
         "t_bpe_tokens_arrow",
-        "v_semdedup",  # round-13 continuation cut (#13): SemDeDup —
-                       # the embedding-space dedup composition no
-                       # other window entry replays (g_kcore demoted:
-                       # fixed-round iterative join+agg machinery
-                       # stays via g_communities' LPA rounds)
+        "v_semdedup_fit",  # round-15 cut (#15): one-call trained
+                           # SemDeDup — replays semantic_dedup
+                           # VERBATIM with trained centroids, so it
+                           # carries v_semdedup (demoted);
+                           # v_semdedup_incr keeps the incremental
+                           # variant in-window
         "t_pack_global",
         # §2 core must each keep >=1 green row
         "flagship_annotate",
@@ -143,7 +166,9 @@ def test_extension_surface_inside_window():
         "j_multiway_q5",
         "skew_salted_join",
         "agg_tpch_q1",
-        "e_tumbling_hourly",
+        # e_tumbling_hourly demoted in re-cut #15: time-bucketed aggs
+        # stay via e_funnel + e_seasonal_mk; stream≡batch twins stay
+        # pytest-pinned every run
         "e_sessionize",
     }
     assert required <= window, sorted(required - window)
@@ -239,9 +264,6 @@ def test_tail_entries_are_redundant_variants_only():
         "j_anti",                # 0-row result: window slot carried no
                                  # signal; same hash-join machinery as
                                  # j_semi, exact-checked by check_contract
-        "j_range_events",        # banded range join: distinct operator but
-                                 # guarded continuously by the contract
-                                 # pytest (round 5); window stays pinned
         "agg_percentiles",       # exact ordered stats: same guard
         "e_join_recent",         # stream-stream join batch twin: stream ≡
                                  # batch asserted in test_streaming; same
@@ -255,8 +277,6 @@ def test_tail_entries_are_redundant_variants_only():
         "t_redact_pii",          # PII scrub: same-literal-pattern oracle;
                                  # contract guard
         "t_chunk_windows",       # token-window chunking: same guard
-        "t_winnow_fingerprints", # winnowing under exact oracle (portable
-                                 # poly-hash family); same guard
         "dedup_components_star", # star-contraction variant of
                                  # dedup_components (same recursive-CTE
                                  # oracle, method='star'); chain +
@@ -362,10 +382,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # + map_concat with missing fill; long-
                                  # form oracle; real-fixture round-trip
                                  # + fill tests
-        "e_funnel",              # ordered k-step funnel: one groupBy +
-                                 # HOF fold (no per-step self-joins);
-                                 # list_reduce replay oracle; hand-case
-                                 # unit tests
         "t_corpus_split",        # train/val/test residue-band labels:
                                  # same portable-hash predicate family
                                  # as t_hash_sample; exact assignment
@@ -554,10 +570,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # self-join over v_cosine_topk_manyquery
                                  # machinery (in window); declarative
                                  # both-ways oracle; hub hand-case pytest
-        "m_ols",                 # one-pass OLS normal equations:
-                                 # partial-agged sums (agg family) +
-                                 # model-sized driver solve; Cramer
-                                 # replay oracle; lstsq-equality pytest
         "e_seasonal_profile",    # hour-of-day seasonal z profile:
                                  # groupBy collapse + keys*24 window
                                  # (e_rate_anomaly family); replay
@@ -615,11 +627,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # device, relational form); window +
                                  # island replay oracle; nested-interval
                                  # hand case
-        "m_kaplan_meier",        # KM survival curve: per-time counter
-                                 # groupBy + distinct-times cumulative
-                                 # windows (metrics family);
-                                 # ladder+product replay oracle;
-                                 # textbook hand case
         "t_naive_bayes",         # multinomial NB training: two-agg
                                  # sparse model (t_word_logprob /
                                  # t_bigram_lm family); smoothing
@@ -821,9 +828,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # 3-sum moment ratios
         "t_lorenz",              # concentration deciles: floor-rank
                                  # buckets + cumulative share ladder
-        "m_logrank",             # survival-curve difference test:
-                                 # kaplan_meier counters x2, integer
-                                 # at-risk ladders, 1-row O-E fold
         "e_extremes",            # Gumbel block-maxima fit: 3-sum
                                  # moments, digit-pinned constants,
                                  # 100-day return level
@@ -1156,10 +1160,6 @@ def test_tail_entries_are_redundant_variants_only():
                                  # by the harmonic c(m) driver scalar;
                                  # R p.adjust golden + regime-
                                  # equivalence pytest
-        "e_seasonal_mk",         # seasonal Mann-Kendall: the
-                                 # m_mann_kendall cell-grid sign fold
-                                 # (tail) with season in every key;
-                                 # one-season identity pytest
         "m_ipw",                 # IPW ATE: m_logit's unrolled IRLS
                                  # (rounded betas as literals) + one
                                  # weighted Hájek fold; planted-
@@ -1313,30 +1313,42 @@ def test_tail_entries_are_redundant_variants_only():
         "m_cox_multi",           # p=2 Cox: subsumed by m_cox_multi3's
                                  # general Newton (in window)
         "v_ivfpq_topk",          # replayed verbatim as
-                                 # v_ivfpq_rerank's stage one (window)
-        # round-14 registrations
-        "v_imi_pq_rerank",       # IMI+PQ+refine composition: product
-                                 # cells carry residual PQ codes, ADC
-                                 # shortlist, exact rerank — machinery
-                                 # is v_imi_topk's probe grid +
-                                 # v_ivfpq_rerank's ADC/refine (window);
-                                 # full-probe identity pytest; composed
-                                 # oracle; contract guard
-        "v_imi_topk",            # inverted multi-index ANN: two
-                                 # half-space codebooks -> product
-                                 # cells; probe ranking + rerank
-                                 # machinery is v_ivfpq_rerank's cell
-                                 # probe + v_mmr_rerank's rerank shape
-                                 # (both in window); full-probe ==
-                                 # exact identity pytest; literal-
-                                 # codebook oracle; contract guard;
-                                 # imi_recall_at_10_uniform bench key
-        "v_semdedup_fit",        # one-call trained SemDeDup: composes
-                                 # kmeans_fit (v_kmeans's 6dp pinned
-                                 # trajectory, here with explicit
-                                 # seeds) into v_semdedup's recipe (in
-                                 # window); trained-centroid oracle;
-                                 # contract guard + fit/dim pytest
+                                 # v_ivfpq_rerank's stage one (now
+                                 # itself in the tail; the refine
+                                 # composition stays driver-covered
+                                 # by v_imi_pq_rerank in-window)
+        # round-15 cut (#15) demotions — justifications in
+        # WINDOW_HISTORY.json; all stay exact-checked by
+        # tests/test_contract.py every run
+        "v_ivfpq_rerank",        # rerank stage replayed verbatim by
+                                 # v_imi_pq_rerank (window)
+        "v_semdedup",            # replayed verbatim inside
+                                 # v_semdedup_fit (window)
+        "v_cell_silhouette",     # cluster-quality telemetry via
+                                 # v_davies_bouldin (window)
+        "m_conformal",           # order-statistic ladder via
+                                 # m_kaplan_meier + w_pareto_front
+        "m_dml",                 # shared-X'X fits via m_ols (window)
+                                 # + m_cox_multi3's Newton equations
+        "t_dsir",                # hashed-grid LM scoring via
+                                 # t_ccnet_buckets + sk_hll_distinct
+        "m_fisher_exact",        # 2×2 stratum collapse via m_logrank;
+                                 # support walk via m_binom_exact et
+                                 # al. in the tail
+        "e_tumbling_hourly",     # time-bucketed aggs via e_funnel +
+                                 # e_seasonal_mk; stream≡batch twins
+                                 # pytest-pinned
+        "r1_explode_map",        # explode+map is flagship_annotate's
+                                 # and f4_zygosity's first stage
+        "p6p8_sentinel_homref",  # hom-ref filter via
+                                 # flagship_annotate's 755,801 golden
+                                 # + a1_homref_window
+        "agg_cube",              # grouping sets via agg_rollup /
+                                 # agg_grouping_sets (tail) +
+                                 # agg_tpch_q1 (window)
+        "g_communities",         # fixed unrolled rounds via
+                                 # v_mmr_rerank; graph family keeps
+                                 # g_grm in-window
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
@@ -1359,13 +1371,20 @@ def test_window_history_is_consistent():
     assert doc["window"] == _PRIORITY
     assert doc["catalog_size"] == len(QUERIES)
     window = set(_PRIORITY)
-    for cut in doc["cuts"]:
-        for name, why in cut["promoted"].items():
-            assert name in window, name
-            assert name in QUERIES and why.strip()
-        for name, why in cut["demoted"].items():
-            assert name not in window, name
-            assert name in QUERIES and why.strip()
+    # window membership is asserted for the LATEST cut only — an older
+    # cut's promotion may legitimately be demoted by a later one (cut 15
+    # demotes cut-14 promotions v_ivfpq_rerank / v_cell_silhouette);
+    # every recorded name must still be a registered query with a
+    # non-empty justification.
+    cuts = sorted(doc["cuts"], key=lambda c: c["cut"])
+    for cut in cuts:
+        for name, why in {**cut["promoted"], **cut["demoted"]}.items():
+            assert name in QUERIES and why.strip(), name
+    latest = cuts[-1]
+    for name in latest["promoted"]:
+        assert name in window, name
+    for name in latest["demoted"]:
+        assert name not in window, name
     seen = set()
     for f in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
         rnd = int(Path(f).stem.split("_r")[1])
@@ -1409,3 +1428,42 @@ def test_readme_count_matches_registry():
     m = re.search(r"declares (\d+) catalog queries", text)
     assert m, "README catalog-count sentence missing"
     assert int(m.group(1)) == len(QUERIES), (m.group(1), len(QUERIES))
+
+
+def test_driver_debt_telemetry():
+    """Round-15 (verdict task 7): tools/check_contract.driver_debt
+    computes the never-driver-checked count from WINDOW_HISTORY +
+    CORRECTNESS_r*.json — the rotation-debt number is now computed and
+    printed per run, not asserted in prose. Pin internal consistency
+    and equality with an independent recomputation."""
+    import glob
+    import json
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    from check_contract import driver_debt
+
+    d = driver_debt()
+    assert d["catalog"] == len(QUERIES)
+    assert d["never_driver_checked"] == len(d["never"])
+    assert (
+        d["driver_checked_ever"] + d["never_driver_checked"] == d["catalog"]
+    )
+    assert all(n in QUERIES for n in d["never"])
+    seen = set()
+    wh = json.loads((root / "WINDOW_HISTORY.json").read_text())
+    for k, v in wh.items():
+        if k.startswith("driver_green_ever") and isinstance(v, list):
+            seen |= set(v)
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        seen |= set(json.loads(Path(f).read_text()).keys())
+    assert d["never_driver_checked"] == len(
+        [n for n in QUERIES if n not in seen]
+    )
+    # every latest-cut promotion is either already covered or will
+    # leave the debt when its driver row lands — none can be BOTH
+    # in the window and miscounted as never-checkable
+    window = set(_PRIORITY)
+    assert set(d["never"]) & window <= window  # structural sanity

@@ -181,7 +181,50 @@ def run_contract(sf_dir, only=None, spark=None, out=print):
 
     n_run = len([n for n in qs if not only or n in only])
     out(f"\n{n_run - len(failures)}/{n_run} green" + (" (subset)" if only else ""))
+    debt = driver_debt()
+    out(
+        f"driver-debt: {debt['never_driver_checked']} of "
+        f"{debt['catalog']} catalog entries never driver-hash-checked "
+        f"({debt['driver_checked_ever']} ever green in a driver window)"
+    )
     return failures
+
+
+def driver_debt() -> dict:
+    """The rotation-debt number, COMPUTED instead of asserted in prose
+    (round-14 verdict task 7 for round 15): catalog entries that have
+    never had a driver-green hash row = registered catalog minus the
+    union of every CORRECTNESS_r*.json key set (plus WINDOW_HISTORY's
+    pre-r14 driver_green_ever list, which summarizes rounds whose
+    artifacts predate it). Returned dict carries the names so the
+    window re-cut can promote oldest-first."""
+    import glob  # noqa: F401  (documented dependency of the pattern)
+    import json
+
+    repo = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    wh = repo / "WINDOW_HISTORY.json"
+    if wh.exists():
+        try:
+            doc = json.loads(wh.read_text())
+            for k, v in doc.items():
+                if k.startswith("driver_green_ever") and isinstance(v, list):
+                    seen |= set(v)
+        except (OSError, ValueError):
+            pass
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.loads(f.read_text()).keys())
+        except (OSError, ValueError):
+            continue
+    names = list(entrymod.queries())
+    never = [n for n in names if n not in seen]
+    return {
+        "catalog": len(names),
+        "driver_checked_ever": len(names) - len(never),
+        "never_driver_checked": len(never),
+        "never": never,
+    }
 
 
 def changed_queries(
