@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandasvcf_spark.functions.text import fingerprint_expr, words_expr
+from pandasvcf_spark.functions.text import (
+    bound_expr,
+    fingerprint_expr,
+    words_expr,
+)
 
 
 def _c(col: Column | str) -> Column:
@@ -1663,3 +1667,245 @@ def semantic_dedup_incremental(
         F.col("__nw") & F.col("component").isNull()
     ).select(F.col(id_col), F.col("cell"))
     return singles.unionByName(in_comp)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — gear-hash rolling boundaries
+# ---------------------------------------------------------------------------
+
+#: Modulus of the portable hash family (functions/text.POLY_MOD).
+_CDC_P = (1 << 31) - 1
+#: Knuth multiplicative constant — spreads a code point into a gear value.
+_CDC_GEAR_MULT = 2654435761
+#: Rolling-hash window: a boundary decision sees only the last 16 chars,
+#: which is what makes chunk boundaries shift-resistant (an edit re-syncs
+#: after one window instead of moving every later boundary).
+CDC_WINDOW = 16
+
+
+def _cdc_gear_expr(text: Column) -> Column:
+    """ARRAY<BIGINT> per-character gear values: (codepoint * Knuth) mod p.
+    Portable by the same convention as `poly_hash_expr` — three arithmetic
+    ops per char, every intermediate < 2^52, ANSI-safe on both engines."""
+    p = F.lit(_CDC_P).cast("long")
+    return F.transform(
+        F.split(text, ""),
+        lambda c: (F.ascii(c).cast("long") * F.lit(_CDC_GEAR_MULT)) % p,
+    )
+
+
+def cdc_cuts_expr(
+    text: Column | str,
+    min_len: int = 32,
+    avg_len: int = 64,
+    max_len: int = 128,
+    window: int = CDC_WINDOW,
+) -> Column:
+    """ARRAY<INT> of content-defined chunk END positions (1-based,
+    inclusive) for gear-hash CDC (Xia et al. 2016 FastCDC family, the
+    rolling-hash variant of the original LBFS/Rabin chunking): position i
+    is a candidate boundary when the windowed rolling hash
+    ``h_i = fold((acc*31 + gear_j) mod p)`` over the last `window` chars
+    satisfies ``h_i mod divisor == 0`` with ``divisor = avg_len -
+    min_len``; a sequential walk enforces ``min_len <= chunk <= max_len``
+    (a cut is taken at the first candidate at least min_len past the last
+    cut, or force-cut at max_len), and the final partial chunk always ends
+    at length(text). Empty/NULL text yields no cuts.
+
+    Because the hash window is local, an insertion near the head changes
+    at most the boundaries inside one window past the edit — every later
+    chunk re-synchronizes and keeps its fingerprint. That re-sync is the
+    entire reason chunk-level dedup works on shifted content where
+    fixed-size blocks fail (pytest pins the property).
+
+    Pure HOF expression — no UDF, no shuffle: O(n·window) fold work per
+    row inside whole-stage codegen, with the gear and rolling-hash arrays
+    bound once (`bound_expr`) so nothing re-evaluates per element. The
+    hash family is the portable 31-bit polynomial, so the whole walk is
+    replayed exactly by the DuckDB oracle (t_cdc_chunks: per-position
+    lambda folds + a recursive-CTE cut walk)."""
+    if not (0 < min_len < avg_len <= max_len):
+        raise ValueError(
+            f"cdc_cuts_expr: need 0 < min_len < avg_len <= max_len, got "
+            f"min_len={min_len} avg_len={avg_len} max_len={max_len}"
+        )
+    divisor = avg_len - min_len
+    t = _c(text)
+    n = F.length(t)
+    p = F.lit(_CDC_P).cast("long")
+
+    def rolling(gs: Column) -> Column:
+        # h_i over the trailing `window`-char slice, one fold per position.
+        return F.transform(
+            F.sequence(F.lit(1), F.size(gs)),
+            lambda i: F.aggregate(
+                F.slice(
+                    gs,
+                    F.greatest(F.lit(1), i - (window - 1)),
+                    F.least(F.lit(window), i),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, g: (a * 31 + g) % p,
+            ),
+        )
+
+    def walk(hs: Column) -> Column:
+        init = F.struct(
+            F.lit(0).alias("last"),
+            F.array().cast("array<int>").alias("cuts"),
+        )
+
+        def step(acc, i):
+            gap = i - acc["last"]
+            cut = (gap >= F.lit(min_len)) & (
+                (F.element_at(hs, i) % F.lit(divisor) == 0)
+                | (gap >= F.lit(max_len))
+            )
+            return F.when(
+                cut,
+                F.struct(
+                    i.alias("last"),
+                    F.array_append(acc["cuts"], i).alias("cuts"),
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(hs)),
+            init,
+            step,
+            lambda acc: F.when(
+                acc["last"] < F.size(hs),
+                F.array_append(acc["cuts"], F.size(hs).cast("int")),
+            ).otherwise(acc["cuts"]),
+        )
+
+    walked = bound_expr(
+        bound_expr(_cdc_gear_expr(t), rolling), walk
+    )
+    return F.when(
+        t.isNull() | (n == 0), F.array().cast("array<int>")
+    ).otherwise(walked)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 32,
+    avg_len: int = 64,
+    max_len: int = 128,
+    window: int = CDC_WINDOW,
+    with_text: bool = False,
+) -> DataFrame:
+    """Exploded content-defined chunk relation: one row per chunk with
+    (id, chunk_idx INT, start INT, len INT, chunk_hash BIGINT) — start
+    1-based, chunk_hash the portable polynomial over the chunk substring.
+    `with_text=True` adds the chunk text itself (debug/store-building; the
+    default ships offsets + 8-byte fingerprints only, so downstream dedup
+    shuffles never move document bytes — the same scale rule as
+    `dedup_exact`).
+
+    This is the storage/dedup chunking a 100 TB mixed corpus needs where
+    document-level dedup is too coarse: boilerplate shared across pages,
+    quoted reply chains, or re-hosted file fragments dedup at chunk
+    granularity regardless of where they sit inside the document
+    (shift-resistance pytest). Downstream composes exactly like
+    `dedup_exact`: group on chunk_hash, count, join back on the 8-byte
+    key."""
+    cuts = cdc_cuts_expr(
+        text_col, min_len=min_len, avg_len=avg_len,
+        max_len=max_len, window=window,
+    )
+    d = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), cuts.alias("__cuts")
+    )
+    # __cuts is now an attribute, so lambda capture below is a cheap row
+    # reference, not a re-evaluated subtree.
+    ch = d.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__cuts")),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    (
+                        F.when(i == 1, F.lit(0)).otherwise(
+                            F.element_at(F.col("__cuts"), i - 1)
+                        )
+                        + 1
+                    ).cast("int").alias("start"),
+                    (
+                        F.element_at(F.col("__cuts"), i)
+                        - F.when(i == 1, F.lit(0)).otherwise(
+                            F.element_at(F.col("__cuts"), i - 1)
+                        )
+                    ).cast("int").alias("len"),
+                ),
+            )
+        ).alias("__c"),
+    ).filter(F.size("__cuts") > 0)
+    from pandasvcf_spark.functions.text import poly_hash_expr
+
+    body = F.col("__t").substr(F.col("__c.start"), F.col("__c.len"))
+    out = ch.select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.start").alias("start"),
+        F.col("__c.len").alias("len"),
+        poly_hash_expr(body).alias("chunk_hash"),
+        *([body.alias("chunk_text")] if with_text else []),
+    )
+    return out
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 32,
+    avg_len: int = 64,
+    max_len: int = 128,
+    window: int = CDC_WINDOW,
+) -> DataFrame:
+    """Per-document chunk-level duplication profile: (id, n_chunks INT,
+    n_chars BIGINT, dup_chunks INT, dup_chars BIGINT, dup_frac DOUBLE) —
+    a chunk is "dup" when its content hash occurs on more than one
+    (id, chunk) in the corpus, dup_frac = dup_chars / n_chars rounded to
+    6. The chunk-granular complement of `paragraph_dedup` for content
+    that shifts: the profile is the gate a curation pipeline thresholds
+    on ("drop docs >60% re-hosted content").
+
+    Plan shape at 100 TB: chunk rows are (8-byte hash, offsets) only; ONE
+    groupBy on chunk_hash builds the multiplicity table and ONE
+    hash-keyed join (never a crossJoin — plan guard) annotates the
+    chunks; the per-doc rollup re-shuffles by id. No document text ever
+    moves after the scan."""
+    ch = cdc_chunks(
+        df, text_col=text_col, id_col=id_col, min_len=min_len,
+        avg_len=avg_len, max_len=max_len, window=window,
+    )
+    multi = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("__copies")
+    )
+    annotated = ch.join(multi, "chunk_hash")
+    dup = F.col("__copies") > 1
+    return (
+        annotated.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("len").cast("long").alias("n_chars"),
+            F.sum(dup.cast("int")).cast("int").alias("dup_chunks"),
+            F.sum(F.when(dup, F.col("len")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_chars").cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            ),
+        )
+    )

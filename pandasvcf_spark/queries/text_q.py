@@ -2057,6 +2057,132 @@ def t_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(d, "doc_id", "text", delim=" the ", min_chars=8)
 
 
+def _cdc_chunks_sql(source: str) -> str:
+    """Chunk relation (doc_id, chunk_idx, start, len, chunk_hash) of the
+    gear-hash CDC walk over `source` (a relation exposing doc_id, text) —
+    the exact replay of operators/dedup.cdc_chunks at min=32 avg=64
+    max=128 window=16: per-position windowed rolling hash via lambda
+    folds (divisor = avg-min = 32), then the min/max-constrained cut walk
+    as a RECURSIVE CTE whose step is 'next cut = first position >= min
+    past the last cut that is a hash boundary or the max_len force'
+    (min() over the candidate set == the sequential scan, because the
+    force candidate is exactly last+max), tail chunk appended, chunk
+    hashes via the portable polynomial. Needs WITH RECURSIVE on the
+    enclosing query."""
+    return f"""
+    d AS (
+      SELECT doc_id, text AS t, len(text) AS n
+      FROM ({source}) src WHERE text IS NOT NULL AND len(text) > 0),
+    g AS (
+      SELECT doc_id, n, list_transform(string_split(t, ''),
+        c -> (CAST(ascii(c) AS BIGINT) * 2654435761) % 2147483647) AS gs
+      FROM d),
+    hpos AS (
+      SELECT doc_id, u.pos AS pos,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            gs[greatest(1, u.pos - 15):u.pos]),
+          (a, x) -> (a * 31 + x) % 2147483647) AS h
+      FROM g, LATERAL unnest(generate_series(1, n)) AS u(pos)),
+    cuts(doc_id, cut) AS (
+      SELECT doc_id, 0 FROM d
+      UNION ALL
+      SELECT s.doc_id, s.nxt FROM (
+        SELECT c.doc_id AS doc_id, (
+          SELECT min(pos) FROM hpos h
+          WHERE h.doc_id = c.doc_id AND h.pos - c.cut >= 32
+            AND (h.h % 32 = 0 OR h.pos - c.cut >= 128)) AS nxt
+        FROM cuts c) s
+      WHERE s.nxt IS NOT NULL),
+    allcuts AS (
+      SELECT doc_id, cut FROM cuts WHERE cut > 0
+      UNION ALL
+      SELECT d.doc_id AS doc_id, d.n AS cut FROM d
+      WHERE d.n > COALESCE((SELECT max(cut) FROM cuts c
+                            WHERE c.doc_id = d.doc_id), 0)),
+    chpos AS (
+      SELECT doc_id,
+        CAST(row_number() OVER w AS INT) AS chunk_idx,
+        CAST(COALESCE(lag(cut) OVER w, 0) + 1 AS INT) AS start,
+        CAST(cut - COALESCE(lag(cut) OVER w, 0) AS INT) AS len
+      FROM allcuts WINDOW w AS (PARTITION BY doc_id ORDER BY cut)),
+    cdc_chunks AS (
+      SELECT chpos.doc_id AS doc_id, chpos.chunk_idx, chpos.start,
+        chpos.len,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(substr(d.t, chpos.start, chpos.len),
+                                      ''),
+            c -> CAST(ascii(c) AS BIGINT))),
+          (a, c) -> (a * 31 + c) % 2147483647) AS chunk_hash
+      FROM chpos JOIN d ON chpos.doc_id = d.doc_id)"""
+
+
+@register(
+    "t_cdc_chunks",
+    oracle=f"""
+    WITH RECURSIVE
+    {_cdc_chunks_sql("SELECT doc_id, text FROM documents WHERE doc_id < 120")}
+    SELECT doc_id, chunk_idx, start, len, chunk_hash FROM cdc_chunks
+    """,
+)
+def t_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/dedup.cdc_chunks — gear-hash
+    CDC, the FastCDC/LBFS family): every chunk boundary is a pure
+    function of the trailing 16-char rolling hash, so boundaries — and
+    therefore chunk fingerprints — survive content shifts. Pure HOF
+    expression plan (no UDF, no shuffle before downstream grouping); the
+    oracle replays the per-position rolling hash and the min/max cut
+    walk as a recursive CTE, exact because the whole hash family is the
+    portable 31-bit polynomial."""
+    from pandasvcf_spark.operators.dedup import cdc_chunks
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return cdc_chunks(d, "text", "doc_id")
+
+
+@register(
+    "t_cdc_dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    {_cdc_chunks_sql(
+        "SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000 AS doc_id, 'PAD-' || text AS text "
+        "FROM documents WHERE doc_id < 40"
+    )},
+    multi AS (
+      SELECT chunk_hash, count(*) AS copies
+      FROM cdc_chunks GROUP BY chunk_hash)
+    SELECT c.doc_id AS doc_id,
+      CAST(count(*) AS INT) AS n_chunks,
+      CAST(sum(c.len) AS BIGINT) AS n_chars,
+      CAST(sum(CASE WHEN m.copies > 1 THEN 1 ELSE 0 END) AS INT)
+        AS dup_chunks,
+      CAST(sum(CASE WHEN m.copies > 1 THEN c.len ELSE 0 END) AS BIGINT)
+        AS dup_chars,
+      round(CAST(sum(CASE WHEN m.copies > 1 THEN c.len ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(sum(c.len) AS DOUBLE), 6) AS dup_frac
+    FROM cdc_chunks c JOIN multi m ON c.chunk_hash = m.chunk_hash
+    GROUP BY c.doc_id
+    """,
+)
+def t_cdc_dedup(spark, sf_dir):
+    """Chunk-level duplication profile (operators/dedup.cdc_dedup_stats)
+    over the corpus PLUS a 'PAD-'-shifted copy of the first 40 docs —
+    the planted shift makes the CDC property itself driver-checked: the
+    shifted copies share almost all chunk fingerprints with their
+    originals (high dup_frac), which fixed-size blocking would miss
+    entirely. Plan: one chunk_hash groupBy + one 8-byte-key join + one
+    per-doc rollup; document text never moves after the scan."""
+    from pandasvcf_spark.operators.dedup import cdc_dedup_stats
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("PAD-"), F.col("text")).alias("text"),
+    )
+    return cdc_dedup_stats(d.unionByName(shifted), "text", "doc_id")
+
+
 @register(
     "sk_hll_distinct",
     oracle=f"""

@@ -950,6 +950,17 @@ def test_tail_entries_are_redundant_variants_only():
                                  # hash-groupBy — demoted re-cut #7
                                  # (machinery stays via
                                  # dedup_minhash_lsh + p4_distinct)
+        "t_cdc_chunks",          # round-15 build: gear-hash CDC chunk
+                                 # relation — per-row HOF fold + explode
+                                 # (explode shape via r1/flagship; the
+                                 # portable-hash fold via
+                                 # t_winnow_fingerprints in-window);
+                                 # shift-resistance pytest-pinned
+        "t_cdc_dedup",           # round-15 build: chunk-level dedup
+                                 # profile — hash groupBy + 8-byte-key
+                                 # join-back, the dedup_exact/J1 shape
+                                 # (both window-covered); candidate for
+                                 # promotion in re-cut #16
         # round-10 distribution-comparison / association / survival-
         # ranking family (operators/stats.py)
         "m_ks_2sample",          # two-sample KS: ECDF cell ladder +
