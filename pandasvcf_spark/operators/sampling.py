@@ -845,3 +845,147 @@ def temperature_weights(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private releases — the Laplace mechanism
+# ---------------------------------------------------------------------------
+
+
+def _laplace_noise_expr(key: Column, scale_b: float, seed: str) -> Column:
+    """Seeded deterministic Laplace(b) draw per release cell, DOUBLE.
+
+    u = (poly_hash(seed || ':' || key) + 0.5) / p maps the portable hash
+    to (0, 1); the inverse CDF ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)``
+    turns it into a Laplace variate. Every step is plain arithmetic + one
+    ln, so the oracle replays the draw exactly (rounded to the catalog's
+    6 dp on both sides).
+
+    HONEST BOUNDARY: a hash-seeded draw gives the Laplace *calibration*
+    (the sensitivity/epsilon machinery, testable and reproducible — the
+    point of this module's determinism rule), NOT cryptographic
+    unpredictability: anyone knowing the seed can subtract the noise. A
+    production release must swap this one expression for a CSPRNG draw;
+    everything else (clamping, sensitivity accounting, the plan) is the
+    deployable part."""
+    u = (
+        poly_hash_expr(F.concat_ws(":", F.lit(seed), key)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(POLY_MOD))
+    centered = u - F.lit(0.5)
+    return (
+        -F.lit(float(scale_b))
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(centered))
+    )
+
+
+def dp_count(
+    df: DataFrame,
+    keys: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private histogram (Dwork et al. 2006): per-group
+    count + Laplace(1/epsilon) noise — counting queries have sensitivity
+    1 (one individual moves one cell by one). Returns (*keys,
+    n_dp DOUBLE round 6): the RELEASE only; the true count never leaves
+    the plan. Groups absent from the data are absent from the release
+    (the standard known-domain histogram caveat — enumerate the domain
+    and left-join before release when absence itself is sensitive).
+
+    Plan: ONE groupBy on the release key; the noise draw is one hash +
+    ln per OUTPUT cell, free at any scale. See `_laplace_noise_expr` for
+    the seeded-draw boundary."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    cell = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            *keys,
+            F.round(
+                F.col("__n").cast("double")
+                + _laplace_noise_expr(cell, 1.0 / epsilon, seed),
+                6,
+            ).alias("n_dp"),
+        )
+    )
+
+
+def dp_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lower: float,
+    upper: float,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private per-group sum: every contribution is
+    CLAMPED to [lower, upper] (the sensitivity bound — without the clamp
+    one outlier individual moves the sum arbitrarily and no finite noise
+    is private), then Laplace(max(|lower|, |upper|)/epsilon) noise is
+    added per cell. Returns (*keys, sum_dp DOUBLE round 6).
+
+    NULL values contribute nothing (they clamp inside coalesce to 0
+    only if 0 is inside [lower, upper]; otherwise they are dropped —
+    matching the 'absent individual' semantics, not the 'zero-valued
+    individual' one)."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if not lower < upper:
+        raise ValueError(f"need lower < upper, got [{lower}, {upper}]")
+    sens = max(abs(lower), abs(upper))
+    clamped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(float(lower))),
+        F.lit(float(upper)),
+    )
+    cell = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.sum(clamped).alias("__s"))
+        .select(
+            *keys,
+            F.round(
+                F.col("__s")
+                + _laplace_noise_expr(cell, sens / epsilon, seed),
+                6,
+            ).alias("sum_dp"),
+        )
+    )
+
+
+def dp_mean(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lower: float,
+    upper: float,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private per-group mean as noisy-sum / noisy-count
+    with the budget split evenly (epsilon/2 each — sequential
+    composition): the textbook release. The noisy denominator is floored
+    at 1 so an unlucky draw cannot flip its sign; the ratio is clamped
+    back into [lower, upper] (both post-processing — free under DP).
+    Returns (*keys, mean_dp DOUBLE round 6)."""
+    half = epsilon / 2.0
+    s = dp_sum(df, keys, value_col, lower, upper, half, seed=seed + ":s")
+    c = dp_count(
+        df.filter(F.col(value_col).isNotNull()), keys, half,
+        seed=seed + ":c",
+    )
+    ratio = F.col("sum_dp") / F.greatest(F.col("n_dp"), F.lit(1.0))
+    return s.join(c, keys).select(
+        *keys,
+        F.round(
+            F.least(
+                F.greatest(ratio, F.lit(float(lower))), F.lit(float(upper))
+            ),
+            6,
+        ).alias("mean_dp"),
+    )

@@ -1344,6 +1344,86 @@ def t_k_anonymize(spark, sf_dir):
     )
 
 
+def _sql_laplace(expr_u: str, b: str) -> str:
+    """round-6 Laplace inverse-CDF replay: -b * sign(u-1/2) * ln(1-2|u-1/2|).
+    `expr_u` must be a DOUBLE in (0,1)."""
+    return (
+        f"(-({b}) * sign(({expr_u}) - 0.5) "
+        f"* ln(1.0 - 2.0 * abs(({expr_u}) - 0.5)))"
+    )
+
+
+def _sql_cell_u(seed: str, cell_sql: str) -> str:
+    """The seeded uniform draw: portable poly hash of seed:cell -> (0,1)."""
+    h = _SQL_POLY_HASH.format(s=f"'{seed}:' || {cell_sql}")
+    return f"(CAST({h} AS DOUBLE) + 0.5) / 2147483647.0"
+
+
+@register(
+    "t_dp_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source,
+      round(n + {_sql_laplace(
+          _sql_cell_u("dp", "lang || chr(31) || source"), "1.0 / 0.5"
+      )}, 6) AS n_dp
+    FROM g
+    """,
+)
+def t_dp_counts(spark, sf_dir):
+    """Differentially-private histogram (operators/sampling.dp_count,
+    Dwork et al. 2006 Laplace mechanism, eps=0.5): per-(lang, source)
+    count + Laplace(1/eps) noise, released WITHOUT the true count. The
+    noise draw is the seeded portable-hash inverse-CDF (see
+    _laplace_noise_expr's honest CSPRNG boundary), which is exactly what
+    lets the oracle replay the release bit-for-bit (round 6): ONE
+    groupBy + one hash + one ln per output cell."""
+    from pandasvcf_spark.operators.sampling import dp_count
+
+    d = load(spark, sf_dir, "documents")
+    return dp_count(d, ["lang", "source"], epsilon=0.5, seed="dp")
+
+
+@register(
+    "t_dp_mean",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+        round(sum(least(greatest(CAST(n_chars AS DOUBLE), 0.0), 1000.0))
+          + {_sql_laplace(_sql_cell_u("dp:s", "lang"), "1000.0 / 0.25")},
+          6) AS sum_dp
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+    c AS (
+      SELECT lang,
+        round(CAST(count(*) AS DOUBLE)
+          + {_sql_laplace(_sql_cell_u("dp:c", "lang"), "1.0 / 0.25")},
+          6) AS n_dp
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+    SELECT s.lang AS lang,
+      round(least(greatest(s.sum_dp / greatest(c.n_dp, 1.0), 0.0),
+                  1000.0), 6) AS mean_dp
+    FROM s JOIN c ON s.lang = c.lang
+    """,
+)
+def t_dp_mean(spark, sf_dir):
+    """Differentially-private per-language mean document length
+    (operators/sampling.dp_mean, eps=0.5 split half/half over the noisy
+    sum and noisy count — sequential composition): contributions clamped
+    to [0, 1000] (the sensitivity bound), denominator floored at 1,
+    ratio clamped back into the value range (post-processing, free under
+    DP). The oracle replays both seeded draws and every round/clamp in
+    order."""
+    from pandasvcf_spark.operators.sampling import dp_mean
+
+    d = load(spark, sf_dir, "documents")
+    return dp_mean(
+        d, ["lang"], "n_chars", lower=0.0, upper=1000.0, epsilon=0.5,
+        seed="dp",
+    )
+
+
 @register(
     "t_repeated_spans",
     oracle="""

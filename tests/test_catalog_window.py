@@ -961,6 +961,14 @@ def test_tail_entries_are_redundant_variants_only():
                                  # join-back, the dedup_exact/J1 shape
                                  # (both window-covered); candidate for
                                  # promotion in re-cut #16
+        "t_dp_counts",           # round-15 build: DP histogram — one
+                                 # groupBy + seeded hash→ln draw (the
+                                 # grouped-count shape via agg_tpch_q1;
+                                 # the hash-keyed draw via t_hash_sample
+                                 # family); candidate for re-cut #16
+        "t_dp_mean",             # round-15 build: DP mean — budget-
+                                 # split noisy-sum/noisy-count join
+                                 # (J-family shape window-covered)
         # round-10 distribution-comparison / association / survival-
         # ranking family (operators/stats.py)
         "m_ks_2sample",          # two-sample KS: ECDF cell ladder +
