@@ -362,18 +362,30 @@ def main() -> None:
             file=sys.stderr,
         )
 
-        from pandasvcf_spark.queries.vectors_q import imi_opq_recall_at_10
+        from pandasvcf_spark.queries.vectors_q import imi_opq_probe_report
 
         t0 = time.time()
-        opq_recall = imi_opq_recall_at_10(spark, sf_dir)
+        opq_rep = imi_opq_probe_report(
+            spark, sf_dir, probe_curve=(24, 48, 96)
+        )
+        opq_recall = opq_rep["curve"][48]
         result["imi_opq_recall_at_10_uniform"] = round(opq_recall, 4)
+        result["imi_opq_probe_curve"] = {
+            str(npc): round(r, 4) for npc, r in opq_rep["curve"].items()
+        }
         print(
             f"# imi_opq_recall_at_10_uniform: {opq_recall:.4f} "
             f"({time.time() - t0:.1f}s, OPQ-rotated 16x16 multi-index "
             "at the SAME 48-of-256 probe budget as "
             "imi_recall_at_10_uniform — the delta vs that key is the "
             "pure Ge-et-al-2013 rotation gain; round-15's trained-"
-            "quantizer lever)",
+            "quantizer lever); probe curve 24/48/96 cells -> "
+            + "/".join(
+                f"{opq_rep['curve'][npc]:.4f}" for npc in (24, 48, 96)
+            )
+            + " (ONE fit + ONE ground truth reused — each extra point "
+            "costs one probed-cells pass; prices the remaining "
+            "'more probes' lever on the rotated index)",
             file=sys.stderr,
         )
 

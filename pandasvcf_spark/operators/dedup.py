@@ -1876,19 +1876,22 @@ def cdc_dedup_stats(
     that shifts: the profile is the gate a curation pipeline thresholds
     on ("drop docs >60% re-hosted content").
 
-    Plan shape at 100 TB: chunk rows are (8-byte hash, offsets) only; ONE
-    groupBy on chunk_hash builds the multiplicity table and ONE
-    hash-keyed join (never a crossJoin — plan guard) annotates the
-    chunks; the per-doc rollup re-shuffles by id. No document text ever
-    moves after the scan."""
+    Plan shape at 100 TB: chunk rows are (8-byte hash, offsets) only; the
+    multiplicity comes from ONE unordered window count over chunk_hash
+    (the k_anonymize device — no join back, no second evaluation of the
+    chunking expression; a groupBy+join variant re-runs the whole
+    chunker on the second branch because Spark does not share subtrees
+    across a self-join); the per-doc rollup re-shuffles by id. Two
+    shuffles total, both on small keys — no document text ever moves
+    after the scan, and never a crossJoin (plan guard)."""
     ch = cdc_chunks(
         df, text_col=text_col, id_col=id_col, min_len=min_len,
         avg_len=avg_len, max_len=max_len, window=window,
     )
-    multi = ch.groupBy("chunk_hash").agg(
-        F.count(F.lit(1)).alias("__copies")
+    annotated = ch.withColumn(
+        "__copies",
+        F.count(F.lit(1)).over(Window.partitionBy("chunk_hash")),
     )
-    annotated = ch.join(multi, "chunk_hash")
     dup = F.col("__copies") > 1
     return (
         annotated.groupBy(id_col)

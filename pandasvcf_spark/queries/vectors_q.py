@@ -573,6 +573,24 @@ def imi_opq_recall_at_10(
     n_probe_cells: int = 48,
     np_iters: int = 6,
 ) -> float:
+    """Headline single-point wrapper over `imi_opq_probe_report` (one
+    fit + one ground truth, measured at the default probe budget)."""
+    rep = imi_opq_probe_report(
+        spark, sf_dir, n_queries=n_queries, k=k, k_half=k_half,
+        probe_curve=(n_probe_cells,), np_iters=np_iters,
+    )
+    return rep["curve"][n_probe_cells]
+
+
+def imi_opq_probe_report(
+    spark,
+    sf_dir: str,
+    n_queries: int = 200,
+    k: int = 10,
+    k_half: int = 16,
+    probe_curve: tuple = (24, 48, 96),
+    np_iters: int = 6,
+) -> dict:
     """Measured recall@k of the OPQ-ROTATED inverted multi-index
     against exact cosine ground truth on the RAW `embeddings` table —
     the round-15 answer to SCALING.md's 'better quantizer' lever:
@@ -585,7 +603,14 @@ def imi_opq_recall_at_10(
     between the two keys is the pure rotation gain at unchanged probe
     cost. Rotation is orthogonal, so rotated-space cosine order ==
     raw-space cosine order; GT is exact cosine on the raw table and
-    candidate ids compare directly."""
+    candidate ids compare directly.
+
+    `probe_curve` prices the "more probes" lever ON the rotated index
+    (round-15 SCALING.md: after the rotation gain, probes are the
+    remaining recall lever on this near-uniform corpus): ONE fit + ONE
+    exact ground truth are reused across every probe setting, so the
+    marginal cost per extra curve point is just one probed-cells query
+    pass. Returns {"curve": {n_probe_cells: recall}}."""
     from pandasvcf_spark.operators.similarity import (
         cosine_topk,
         imi_topk,
@@ -610,13 +635,19 @@ def imi_opq_recall_at_10(
         (row["query_id"], row["vec_id"])
         for row in cosine_topk(e, q, k=k).collect()
     }
-    got = {
-        (row["query_id"], row["vec_id"])
-        for row in imi_topk(
-            rot, qrot, half[0], half[1], k=k, n_probe_cells=n_probe_cells
-        ).collect()
-    }
-    return len(gt & got) / len(gt) if gt else 1.0
+    curve = {}
+    for n_probe_cells in probe_curve:
+        got = {
+            (row["query_id"], row["vec_id"])
+            for row in imi_topk(
+                rot, qrot, half[0], half[1], k=k,
+                n_probe_cells=n_probe_cells,
+            ).collect()
+        }
+        curve[n_probe_cells] = (
+            len(gt & got) / len(gt) if gt else 1.0
+        )
+    return {"curve": curve}
 
 
 def _sql_int8(vec: str) -> str:
