@@ -1869,12 +1869,17 @@ def cdc_dedup_stats(
     window: int = CDC_WINDOW,
 ) -> DataFrame:
     """Per-document chunk-level duplication profile: (id, n_chunks INT,
-    n_chars BIGINT, dup_chunks INT, dup_chars BIGINT, dup_frac DOUBLE) —
-    a chunk is "dup" when its content hash occurs on more than one
-    (id, chunk) in the corpus, dup_frac = dup_chars / n_chars rounded to
-    6. The chunk-granular complement of `paragraph_dedup` for content
-    that shifts: the profile is the gate a curation pipeline thresholds
-    on ("drop docs >60% re-hosted content").
+    n_chars BIGINT, dup_chunks INT, dup_chars BIGINT, dup_frac DOUBLE,
+    foreign_chars BIGINT, foreign_frac DOUBLE) — a chunk is "dup" when
+    its content hash occurs on more than one (id, chunk) in the corpus;
+    it is "foreign" when its canonical owner (the MINIMUM id holding the
+    hash) is a different document. dup_frac is the symmetric profile
+    (both copies count); foreign_frac is the keep-first DROP GATE — the
+    canonical copy of shared content scores 0 on it, so thresholding
+    foreign_frac ("drop docs >60% re-hosted") never deletes all copies
+    of anything, exactly like dedup_exact's min-id survivor rule at
+    chunk granularity. Fractions rounded to 6. The chunk-granular
+    complement of `paragraph_dedup` for content that shifts.
 
     Plan shape at 100 TB: chunk rows are (8-byte hash, offsets) only; the
     multiplicity comes from ONE unordered window count over chunk_hash
@@ -1888,11 +1893,12 @@ def cdc_dedup_stats(
         df, text_col=text_col, id_col=id_col, min_len=min_len,
         avg_len=avg_len, max_len=max_len, window=window,
     )
+    w = Window.partitionBy("chunk_hash")
     annotated = ch.withColumn(
-        "__copies",
-        F.count(F.lit(1)).over(Window.partitionBy("chunk_hash")),
-    )
+        "__copies", F.count(F.lit(1)).over(w)
+    ).withColumn("__owner", F.min(id_col).over(w))
     dup = F.col("__copies") > 1
+    foreign = F.col("__owner") != F.col(id_col)
     return (
         annotated.groupBy(id_col)
         .agg(
@@ -1902,6 +1908,9 @@ def cdc_dedup_stats(
             F.sum(F.when(dup, F.col("len")).otherwise(0))
             .cast("long")
             .alias("dup_chars"),
+            F.sum(F.when(foreign, F.col("len")).otherwise(0))
+            .cast("long")
+            .alias("foreign_chars"),
         )
         .withColumn(
             "dup_frac",
@@ -1910,5 +1919,17 @@ def cdc_dedup_stats(
                 / F.col("n_chars").cast("double"),
                 6,
             ),
+        )
+        .withColumn(
+            "foreign_frac",
+            F.round(
+                F.col("foreign_chars").cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            ),
+        )
+        .select(
+            id_col, "n_chunks", "n_chars", "dup_chunks", "dup_chars",
+            "dup_frac", "foreign_chars", "foreign_frac",
         )
     )

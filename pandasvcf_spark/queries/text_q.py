@@ -2229,7 +2229,7 @@ def t_cdc_chunks(spark, sf_dir):
         "FROM documents WHERE doc_id < 40"
     )},
     multi AS (
-      SELECT chunk_hash, count(*) AS copies
+      SELECT chunk_hash, count(*) AS copies, min(doc_id) AS owner
       FROM cdc_chunks GROUP BY chunk_hash)
     SELECT c.doc_id AS doc_id,
       CAST(count(*) AS INT) AS n_chunks,
@@ -2240,7 +2240,12 @@ def t_cdc_chunks(spark, sf_dir):
         AS dup_chars,
       round(CAST(sum(CASE WHEN m.copies > 1 THEN c.len ELSE 0 END)
                  AS DOUBLE)
-            / CAST(sum(c.len) AS DOUBLE), 6) AS dup_frac
+            / CAST(sum(c.len) AS DOUBLE), 6) AS dup_frac,
+      CAST(sum(CASE WHEN m.owner <> c.doc_id THEN c.len ELSE 0 END)
+           AS BIGINT) AS foreign_chars,
+      round(CAST(sum(CASE WHEN m.owner <> c.doc_id THEN c.len ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(sum(c.len) AS DOUBLE), 6) AS foreign_frac
     FROM cdc_chunks c JOIN multi m ON c.chunk_hash = m.chunk_hash
     GROUP BY c.doc_id
     """,
@@ -2251,8 +2256,10 @@ def t_cdc_dedup(spark, sf_dir):
     the planted shift makes the CDC property itself driver-checked: the
     shifted copies share almost all chunk fingerprints with their
     originals (high dup_frac), which fixed-size blocking would miss
-    entirely. Plan: one chunk_hash groupBy + one 8-byte-key join + one
-    per-doc rollup; document text never moves after the scan."""
+    entirely — and the keep-first gate is visible too: originals own
+    their shared chunks (foreign_frac 0), the shifted copies carry
+    foreign_frac ≈ dup_frac. Plan: one unordered window over chunk_hash
+    + one per-doc rollup; document text never moves after the scan."""
     from pandasvcf_spark.operators.dedup import cdc_dedup_stats
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")

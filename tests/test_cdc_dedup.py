@@ -196,10 +196,14 @@ def test_dedup_stats_brute_force(spark):
         for (idx, st, ln, h) in ref_chunks(t):
             allc.append((did, ln, h))
     copies = Counter(h for (_, _, h) in allc)
+    owner = {}
+    for (d2, _, h) in allc:
+        owner[h] = min(owner.get(h, d2), d2)
     for did in (1, 2, 3):
         mine = [(ln, h) for (d2, ln, h) in allc if d2 == did]
         n_chars = sum(ln for ln, _ in mine)
         dup = [(ln, h) for ln, h in mine if copies[h] > 1]
+        foreign = sum(ln for ln, h in mine if owner[h] != did)
         r = stats[did]
         assert r.n_chunks == len(mine)
         assert r.n_chars == n_chars
@@ -207,10 +211,17 @@ def test_dedup_stats_brute_force(spark):
         assert r.dup_chars == sum(ln for ln, _ in dup)
         assert r.dup_frac == pytest.approx(
             round(sum(ln for ln, _ in dup) / n_chars, 6))
+        assert r.foreign_chars == foreign
+        assert r.foreign_frac == pytest.approx(
+            round(foreign / n_chars, 6))
     # the planted shifted pair actually dedups at chunk level
     assert stats[1].dup_frac > 0.5
     assert stats[2].dup_frac > 0.5
     assert stats[3].dup_frac == 0.0
+    # keep-first gate: the ORIGINAL owns every shared chunk (min id),
+    # so it passes the foreign_frac drop gate; the shifted copy fails it
+    assert stats[1].foreign_frac == 0.0
+    assert stats[2].foreign_frac > 0.5
 
 
 def test_plan_shapes(spark):
