@@ -1933,3 +1933,40 @@ def cdc_dedup_stats(
             "dup_frac", "foreign_chars", "foreign_frac",
         )
     )
+
+
+def cdc_dedup_documents(
+    df: DataFrame,
+    max_foreign_frac: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 32,
+    avg_len: int = 64,
+    max_len: int = 128,
+    window: int = CDC_WINDOW,
+) -> DataFrame:
+    """One-call chunk-level dedup gate: drop documents whose
+    `foreign_frac` (fraction of chars in chunks OWNED by a lower-id
+    document — see `cdc_dedup_stats`) exceeds `max_foreign_frac`; keep
+    everything else, including every chunk's canonical owner, so no
+    content disappears entirely. Documents producing no chunks (empty/
+    NULL text) pass through — absence of chunks is not evidence of
+    duplication. Returns the surviving rows of `df` unchanged.
+
+    The threshold semantics a curation pipeline wants ("drop docs that
+    are >60% re-hosted content") — sits between `near_dedup_documents`
+    (whole-document Jaccard) and `exact_substring_remove` (span
+    surgery): the document survives or dies whole, but the EVIDENCE is
+    chunk-granular and shift-resistant."""
+    if not 0.0 <= max_foreign_frac <= 1.0:
+        raise ValueError(
+            f"max_foreign_frac must be in [0, 1], got {max_foreign_frac}"
+        )
+    stats = cdc_dedup_stats(
+        df, text_col=text_col, id_col=id_col, min_len=min_len,
+        avg_len=avg_len, max_len=max_len, window=window,
+    )
+    doomed = stats.filter(
+        F.col("foreign_frac") > F.lit(float(max_foreign_frac))
+    ).select(id_col)
+    return df.join(doomed, on=id_col, how="left_anti")

@@ -51,6 +51,7 @@ def prepare_corpus(
     near_dup: bool = True,
     min_jaccard: float = 0.9,
     keep_best: bool = False,
+    cdc_max_foreign_frac: float | None = None,
     eval_df: DataFrame | None = None,
     max_overlap: float = 0.1,
     contamination_ngram: int = 3,
@@ -82,22 +83,31 @@ def prepare_corpus(
       5 near_dedup    — MinHash-LSH + components; `keep_best` keeps
                         each cluster's highest quality_score instead of
                         min id
-      6 semantic_dedup — SemDeDup paraphrase tier when `semantic_df`
+      6 cdc_dedup     — chunk-granular tier when `cdc_max_foreign_frac`
+                        is given: drop docs whose shift-resistant CDC
+                        `foreign_frac` (chars in chunks OWNED by a
+                        lower-id survivor) exceeds the threshold — the
+                        partially-re-hosted-content gate whole-document
+                        Jaccard underweights when the host adds enough
+                        of its own text; ownership is computed among
+                        CURRENT survivors only (a dropped doc must not
+                        make live content "foreign")
+      7 semantic_dedup — SemDeDup paraphrase tier when `semantic_df`
                         (id_col + `semantic_vec_col` embeddings) is
                         given: survivors' embeddings dedup via
                         `semantic_dedup` against `semantic_centroids`,
                         or `semantic_dedup_fit` trains them when None;
                         docs WITHOUT an embedding row pass through
                         (missing metadata must not silently drop data)
-      7 audio_dedup   — audio-modality tier when `audio_df` (id_col +
+      8 audio_dedup   — audio-modality tier when `audio_df` (id_col +
                         `audio_wav_col` PCM blobs) is given: survivors'
                         clips near-dedup via `audio_dedup` (Wang-2003
                         landmark fingerprints — same recording
                         re-encoded/re-gained); docs WITHOUT an audio
                         row pass through, like the semantic tier
-      8 decontaminate — drop docs whose `contamination_ngram`-gram
+      9 decontaminate — drop docs whose `contamination_ngram`-gram
                         overlap with `eval_df` exceeds `max_overlap`
-      9 token_budget  — deterministic hash-ordered selection of
+     10 token_budget  — deterministic hash-ordered selection of
                         `budget_tokens` whitespace tokens
 
     Each stage boundary is `localCheckpoint`-ed: the funnel counts are
@@ -150,6 +160,17 @@ def prepare_corpus(
             ),
         ).localCheckpoint()
     stages.append(("near_dedup", cur.count()))
+
+    if cdc_max_foreign_frac is not None:
+        from pandasvcf_spark.operators.dedup import cdc_dedup_documents
+
+        cur = cdc_dedup_documents(
+            cur,
+            max_foreign_frac=cdc_max_foreign_frac,
+            text_col=text_col,
+            id_col=id_col,
+        ).localCheckpoint()
+    stages.append(("cdc_dedup", cur.count()))
 
     if semantic_df is not None:
         from pandasvcf_spark.operators.dedup import (

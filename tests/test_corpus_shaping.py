@@ -2381,3 +2381,48 @@ def test_prepare_corpus_audio_tier(spark):
     assert ids == [1, 3, 4, 6], ids  # 5 drops: audio dup of 1
     rep = {r.name: r.rows for r in report.collect()}
     assert rep["audio_dedup"] == rep["semantic_dedup"] - 1
+
+
+def test_prepare_corpus_cdc_tier(spark):
+    """Round-15 stage 6: the chunk-granular CDC tier. Doc 5 embeds a
+    long verbatim run of doc 1 inside enough fresh text that
+    whole-document Jaccard stays under the near-dup threshold (the
+    partial-re-host blind spot), yet its CDC foreign_frac — chars in
+    chunks owned by the lower-id doc 1 — crosses the gate. The
+    canonical owner (doc 1) and the fully-original doc 6 survive; the
+    report carries the stage row and the tier is off by default."""
+    import random
+
+    from pandasvcf_spark.operators.pipeline import prepare_corpus
+
+    def rand_text(seed, n):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(3, 8)))
+            for _ in range(200)
+        ]
+        return " ".join(words)[:n]
+
+    a = rand_text(21, 500)
+    own = rand_text(22, 150)
+    rehost = own + " " + a[:400]           # 400 of doc 1 inside fresh text
+    c = rand_text(23, 480)
+    d = spark.createDataFrame(
+        [(1, a, "en", "s1"), (5, rehost, "en", "s2"), (6, c, "en", "s3")],
+        "doc_id long, text string, lang string, source string",
+    )
+    cleaned, report = prepare_corpus(
+        d, near_dup=True, min_jaccard=0.9, cdc_max_foreign_frac=0.4
+    )
+    rep = {r.name: r.rows for r in report.collect()}
+    # the re-host survives MinHash (its own text dilutes the Jaccard)...
+    assert rep["near_dedup"] == 3
+    # ...and dies at the CDC gate; owner + original survive
+    assert rep["cdc_dedup"] == 2
+    assert sorted(r.doc_id for r in cleaned.collect()) == [1, 6]
+    # off by default: pass-through row, nothing dropped
+    allpass, rep2 = prepare_corpus(d, near_dup=False)
+    r2 = {r.name: r.rows for r in rep2.collect()}
+    assert r2["cdc_dedup"] == r2["near_dedup"] == 3
+    assert allpass.count() == 3
