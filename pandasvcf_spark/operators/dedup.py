@@ -1970,3 +1970,84 @@ def cdc_dedup_documents(
         F.col("foreign_frac") > F.lit(float(max_foreign_frac))
     ).select(id_col)
     return df.join(doomed, on=id_col, how="left_anti")
+
+
+def cdc_chunk_hash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 32,
+    avg_len: int = 64,
+    max_len: int = 128,
+    window: int = CDC_WINDOW,
+) -> DataFrame:
+    """The persistable CDC index of an accepted corpus: DISTINCT
+    (chunk_hash BIGINT) — 8 bytes per distinct chunk, the membership
+    relation `cdc_dedup_incremental` probes so incremental batches never
+    re-chunk the accumulated base. Chunking parameters are part of the
+    index identity (change them → rebuild); duplicates across unioned
+    index files are harmless (membership semantics), which is what lets
+    per-batch indexes compact by plain file concatenation."""
+    return cdc_chunks(
+        df, text_col=text_col, id_col=id_col, min_len=min_len,
+        avg_len=avg_len, max_len=max_len, window=window,
+    ).select("chunk_hash").distinct()
+
+
+def cdc_dedup_incremental(
+    base_chunk_hashes: DataFrame,
+    new_df: DataFrame,
+    max_foreign_frac: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 32,
+    avg_len: int = 64,
+    max_len: int = 128,
+    window: int = CDC_WINDOW,
+) -> DataFrame:
+    """Incremental chunk-level dedup gate: drop rows of `new_df` whose
+    char fraction in chunks ALREADY PRESENT in the accepted corpus
+    (`base_chunk_hashes` — a `cdc_chunk_hash_index` relation, possibly a
+    union of persisted per-batch indexes) exceeds `max_foreign_frac`;
+    return the survivors of `new_df` unchanged. The base always owns
+    shared content — it was accepted first (arrival order, the same
+    precedence rule as `near_dedup_incremental`; numeric id comparison
+    is only an intra-batch device, see `cdc_dedup_documents`). Docs
+    producing no chunks pass through.
+
+    Plan: the batch is chunked ONCE (totals and foreign chars come from
+    the same relation via a left join against the distinct base-hash
+    membership table — a second branch would re-run the whole chunker);
+    the join and rollup shuffle 8-byte hashes and batch-sized rows only.
+    The base contributes a scan of its index relation, never its text —
+    per-batch cost scales with the batch, not the corpus."""
+    if not 0.0 <= max_foreign_frac <= 1.0:
+        raise ValueError(
+            f"max_foreign_frac must be in [0, 1], got {max_foreign_frac}"
+        )
+    ch = cdc_chunks(
+        new_df, text_col=text_col, id_col=id_col, min_len=min_len,
+        avg_len=avg_len, max_len=max_len, window=window,
+    )
+    bh = (
+        base_chunk_hashes.select("chunk_hash")
+        .distinct()
+        .withColumn("__inbase", F.lit(True))
+    )
+    doomed = (
+        ch.join(bh, "chunk_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("len").alias("__n_chars"),
+            F.sum(
+                F.when(F.col("__inbase"), F.col("len")).otherwise(0)
+            ).alias("__foreign"),
+        )
+        .filter(
+            F.col("__foreign").cast("double")
+            / F.col("__n_chars").cast("double")
+            > F.lit(float(max_foreign_frac))
+        )
+        .select(id_col)
+    )
+    return new_df.join(doomed, on=id_col, how="left_anti")

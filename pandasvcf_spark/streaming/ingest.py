@@ -520,3 +520,132 @@ def semdedup_ingest_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def cdc_ingest_stream(
+    stream_df: DataFrame,
+    corpus_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_foreign_frac: float = 0.6,
+    min_len: int = 32,
+    avg_len: int = 64,
+    max_len: int = 128,
+    seed_df: DataFrame | None = None,
+    seed_chunk_hashes: DataFrame | None = None,
+    query_name: str = "cdc_ingest",
+    trigger: dict | None = None,
+    index_compact_every: int | None = 16,
+):
+    """Streaming CHUNK-LEVEL corpus ingest — `dedup_ingest_stream`'s
+    contract carried to content-defined chunks (the third dedup tier to
+    get the micro-batch + persisted-index treatment, after MinHash and
+    SemDeDup): append every micro-batch's CDC survivors to
+    `corpus_path/batch_id=N`. This is the gate for partially-re-hosted
+    content in a continuous crawl — a page embedding a long verbatim run
+    of an already-accepted page inside fresh text passes whole-document
+    MinHash but fails the shift-resistant foreign-chars threshold.
+
+    Per micro-batch (inside foreachBatch, plain batch operators):
+      1. intra-batch `cdc_dedup_documents` (min-id chunk ownership —
+         deterministic, so a replayed batch reproduces its survivors);
+      2. `cdc_dedup_incremental` of the remainder against the
+         accumulated chunk-hash index = `seed_chunk_hashes` ∪ all
+         batch_id < N persisted `_index` relations (strictly smaller
+         ids — a replayed batch never sees its own earlier partial
+         write); the base always owns shared content (arrival order);
+      3. overwrite `corpus_path/batch_id=N` with the surviving rows,
+         then `corpus_path/batch_id=N/_index` with THEIR distinct
+         chunk hashes (`cdc_chunk_hash_index` — 8 bytes per distinct
+         chunk, underscore-hidden like the other tiers' indexes).
+
+    Scale shape: the accumulated corpus is never re-chunked — each
+    batch pays its own chunking plus a membership join against 8-byte
+    index rows, so per-batch cost scales with the batch, not the
+    corpus. `index_compact_every` rolls accreted per-batch `_index`
+    dirs into one `_index_ckpt_N` exactly as in `dedup_ingest_stream`
+    (same `_maybe_compact_index` machinery — duplicate hashes across
+    concatenated files are harmless membership rows, so compaction is
+    plain file consolidation); a corpus written without indexes falls
+    back losslessly to re-chunking the accumulated text. Sink
+    idempotence is layout-based (a replayed batch overwrites its own
+    directory, index included) — the `write_stream_partitioned`
+    contract shared by all three ingest tiers. Chunking parameters are
+    part of the index identity: change them → rebuild the indexes."""
+    from pandasvcf_spark.operators.dedup import (
+        cdc_chunk_hash_index,
+        cdc_dedup_documents,
+        cdc_dedup_incremental,
+    )
+
+    spark = stream_df.sparkSession
+    kw = dict(min_len=min_len, avg_len=avg_len, max_len=max_len)
+    seed_keys = seed_chunk_hashes
+    if seed_df is not None and seed_keys is None:
+        # chunk the seed ONCE per stream start, not once per micro-batch
+        seed_keys = cdc_chunk_hash_index(
+            seed_df, text_col=text_col, id_col=id_col, **kw
+        ).localCheckpoint(eager=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_clean = cdc_dedup_documents(
+            batch_df, max_foreign_frac=max_foreign_frac,
+            text_col=text_col, id_col=id_col, **kw,
+        )
+        base_keys = []
+        if seed_keys is not None:
+            base_keys.append(seed_keys)
+        prior_dirs = _list_prior_batch_dirs(spark, corpus_path, batch_id)
+        if prior_dirs:
+            _maybe_compact_index(
+                spark, corpus_path, prior_dirs, index_compact_every
+            )
+            idx_dirs = _prior_index_dirs(spark, corpus_path, prior_dirs)
+            if idx_dirs:
+                base_keys.append(spark.read.parquet(*idx_dirs))
+            else:
+                # legacy layout (some prior batch lacks _index/_SUCCESS):
+                # lossless fallback — re-chunk the accumulated text
+                base_keys.append(
+                    cdc_chunk_hash_index(
+                        spark.read.parquet(*prior_dirs),
+                        text_col=text_col, id_col=id_col, **kw,
+                    )
+                )
+        if base_keys:
+            keys = base_keys[0]
+            for extra in base_keys[1:]:
+                keys = keys.unionByName(extra, allowMissingColumns=False)
+            survivors = cdc_dedup_incremental(
+                keys,
+                batch_clean,
+                max_foreign_frac=max_foreign_frac,
+                text_col=text_col,
+                id_col=id_col,
+                **kw,
+            )
+        else:
+            survivors = batch_clean
+        # survivors feed both the sink and the index — pin the row set
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_path}/batch_id={batch_id}"
+        )
+        # index AFTER the survivor overwrite (which clears the batch
+        # directory, _index included) so a replay rebuilds both
+        cdc_chunk_hash_index(
+            survivors, text_col=text_col, id_col=id_col, **kw
+        ).write.mode("overwrite").parquet(
+            f"{corpus_path}/batch_id={batch_id}/{INDEX_DIR}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
