@@ -2271,6 +2271,67 @@ def t_cdc_dedup(spark, sf_dir):
 
 
 @register(
+    "t_cdc_incremental",
+    oracle=f"""
+    WITH RECURSIVE
+    {_cdc_chunks_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 250 "
+        "UNION ALL "
+        "SELECT doc_id + 10000 AS doc_id, 'NEWPREFIX-' || text AS text "
+        "FROM documents WHERE doc_id < 30 "
+        "UNION ALL "
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id >= 280 AND doc_id < 310"
+    )},
+    basehash AS (
+      SELECT DISTINCT chunk_hash FROM cdc_chunks WHERE doc_id < 250),
+    newch AS (
+      SELECT * FROM cdc_chunks WHERE doc_id >= 280),
+    gated AS (
+      SELECT n.doc_id AS doc_id,
+        CAST(sum(n.len) AS BIGINT) AS n_chars,
+        CAST(sum(CASE WHEN b.chunk_hash IS NOT NULL THEN n.len
+                      ELSE 0 END) AS BIGINT) AS foreign_chars
+      FROM newch n LEFT JOIN basehash b ON n.chunk_hash = b.chunk_hash
+      GROUP BY n.doc_id)
+    SELECT doc_id FROM gated
+    WHERE CAST(foreign_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 0.4
+    """,
+)
+def t_cdc_incremental(spark, sf_dir):
+    """Incremental chunk-level dedup gate (operators/dedup.
+    cdc_dedup_incremental): docs < 250 stand in as the accepted base
+    (contributing ONLY their chunk-hash index — `cdc_chunk_hash_index`,
+    the persisted relation the CDC ingest stream reads); the "new batch"
+    is 'NEWPREFIX-'-shifted RE-HOSTS of base docs 0-29 (re-identified
+    as 10000+id; the index must catch them THROUGH the shift — the CDC
+    property under an incremental oracle) plus docs 280-309 with no
+    base twin (must survive). Returns surviving doc_ids; the oracle
+    replays chunking for base and batch, the membership join, and the
+    0.4 gate."""
+    from pandasvcf_spark.operators.dedup import (
+        cdc_chunk_hash_index,
+        cdc_dedup_incremental,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 250)
+    rehosts = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("NEWPREFIX-"), F.col("text")).alias("text"),
+    )
+    fresh = d.filter(
+        (F.col("doc_id") >= 280) & (F.col("doc_id") < 310)
+    )
+    out = cdc_dedup_incremental(
+        cdc_chunk_hash_index(base),
+        rehosts.unionByName(fresh),
+        max_foreign_frac=0.4,
+    )
+    return out.select("doc_id")
+
+
+@register(
     "sk_hll_distinct",
     oracle=f"""
     WITH ph AS (

@@ -969,6 +969,12 @@ def test_tail_entries_are_redundant_variants_only():
         "t_dp_mean",             # round-15 build: DP mean — budget-
                                  # split noisy-sum/noisy-count join
                                  # (J-family shape window-covered)
+        "t_cdc_incremental",     # round-15 build: incremental CDC gate
+                                 # vs a base chunk-hash index — the
+                                 # batch-side op cdc_ingest_stream
+                                 # composes (membership join + rollup;
+                                 # shapes window-covered via
+                                 # j1_dedup_annotate + agg_tpch_q1)
         # round-10 distribution-comparison / association / survival-
         # ranking family (operators/stats.py)
         "m_ks_2sample",          # two-sample KS: ECDF cell ladder +
