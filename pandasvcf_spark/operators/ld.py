@@ -189,24 +189,25 @@ def king_kinship(
         )
     )
     n = F.size("g")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("g"), i + 1, n - i),
-                lambda y: F.struct(
-                    F.element_at(F.col("g"), i)["k"].alias("ka"),
-                    y["k"].alias("kb"),
-                    F.element_at(F.col("g"), i)["d"].alias("da"),
-                    y["d"].alias("db"),
-                ),
-            ),
-        )
-    )
+    # Streaming i<j pair expansion in two chained generators — same
+    # rewrite as graph.py's wedge expansion (round 15): the flattened
+    # nested-transform form materialized all C(panel, 2) structs as one
+    # array per site row before exploding.
     expanded = (
         per_site.filter(n >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.ka", "p.kb", "p.da", "p.db")
+        .select("g", F.posexplode("g").alias("__i", "__e"))
+        .select(
+            "__e",
+            F.explode(
+                F.slice(F.col("g"), F.col("__i") + 2, F.size("g"))
+            ).alias("__y"),
+        )
+        .select(
+            F.col("__e")["k"].alias("ka"),
+            F.col("__y")["k"].alias("kb"),
+            F.col("__e")["d"].alias("da"),
+            F.col("__y")["d"].alias("db"),
+        )
     )
     da, db = F.col("da"), F.col("db")
     agg = expanded.groupBy(
@@ -284,37 +285,48 @@ def grm(
     )
     # standardized per-call z = (d - 2p) / sqrt(2p(1-p)), computed once
     # per (site, sample) before pair expansion so each product is a
-    # single multiply inside the HOF.
+    # single multiply inside the HOF. try_divide, NOT /: the p ∈ (0,1)
+    # filter excludes the zero-variance rows, but Catalyst may evaluate
+    # this transform on pre-filter rows (e.g. a size(g) > 0 predicate
+    # inferred from the downstream generate lands in the same Filter),
+    # and under ANSI mode a plain divide then raises DIVIDE_BY_ZERO on
+    # monomorphic sites. try_divide is value-identical wherever the
+    # divisor is nonzero — i.e. on every row that survives the filter.
     z = F.transform(
         F.col("g"),
         lambda e: F.struct(
             e["k"].alias("k"),
-            (
-                (e["d"] - 2.0 * F.col("__p"))
-                / F.sqrt(2.0 * F.col("__p") * (1.0 - F.col("__p")))
+            F.try_divide(
+                e["d"] - 2.0 * F.col("__p"),
+                F.sqrt(2.0 * F.col("__p") * (1.0 - F.col("__p"))),
             ).alias("z"),
         ),
     )
     per_site = per_site.select(F.col("s"), z.alias("g"))
     n = F.size("g")
     self_off = 0 if include_diagonal else 1
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - self_off),
-            lambda i: F.transform(
-                F.slice(F.col("g"), i + self_off, n),
-                lambda y: F.struct(
-                    F.element_at(F.col("g"), i)["k"].alias("ka"),
-                    y["k"].alias("kb"),
-                    (F.element_at(F.col("g"), i)["z"] * y["z"]).alias("zz"),
-                ),
-            ),
-        )
-    )
+    # Streaming j<=k (or j<k) pair expansion in two chained generators —
+    # same rewrite as king_kinship's (round 15). posexplode is 0-based;
+    # the suffix slice starts at the element itself (diagonal) or the
+    # next one.
     expanded = (
         per_site.filter(n >= (1 if include_diagonal else 2))
-        .select(F.explode(pairs).alias("p"))
-        .select("p.ka", "p.kb", "p.zz")
+        .select("g", F.posexplode("g").alias("__i", "__e"))
+        .select(
+            "__e",
+            F.explode(
+                F.slice(
+                    F.col("g"),
+                    F.col("__i") + 1 + self_off,
+                    F.size("g"),
+                )
+            ).alias("__y"),
+        )
+        .select(
+            F.col("__e")["k"].alias("ka"),
+            F.col("__y")["k"].alias("kb"),
+            (F.col("__e")["z"] * F.col("__y")["z"]).alias("zz"),
+        )
     )
     agg = expanded.groupBy(
         F.col("ka").alias("sample_a"), F.col("kb").alias("sample_b")

@@ -1132,19 +1132,21 @@ def assoc_rules(
         .agg(F.count(F.lit(1)).alias("__n_item"))
     )
     n = F.size("g")
-    pairs = F.flatten(
-        F.transform(
-            F.col("g"),
-            lambda x: F.transform(
-                F.filter(F.col("g"), lambda y: y != x),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # Streaming ordered-pair expansion in two chained generators (explode
+    # each item, then explode the basket minus that item) — the flattened
+    # nested-transform form materialized all deg·(deg−1) structs as one
+    # array per basket row first. Same rewrite class as graph.py's wedge
+    # expansion (round 15).
     counted = (
         baskets.filter(n >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
+        .select("g", F.explode("g").alias("a"))
+        .select(
+            "a",
+            F.explode(
+                F.filter(F.col("g"), lambda y: y != F.col("a"))
+            ).alias("b"),
+        )
+        .groupBy(F.col("a").alias("item_a"), F.col("b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     out = (

@@ -175,6 +175,17 @@ def _typed_fixed_col(name: str, parts: Column, idx: int) -> Column:
     return raw.alias(name)
 
 
+def _spread_lines(body: DataFrame, n: int) -> DataFrame:
+    """Spread raw text lines over `n` partitions by HASH of the line, not
+    round-robin. A keyless repartition(n) first locally sorts its input
+    (sortBeforeRepartition — required so retried map tasks reproduce the
+    same row→partition assignment): for a non-splittable .gz that sort
+    runs inside the single decompress task over every line. Hashing the
+    line content is deterministic per row (same retry-safety, SPARK-38388)
+    with no sort; lines are ~all distinct, so the spread is uniform."""
+    return body.repartition(n, F.xxhash64(F.col("value")))
+
+
 def read_vcf(
     spark: SparkSession,
     path: str | list[str],
@@ -375,10 +386,10 @@ def read_vcf(
             and len(files) < parallelism
             and not dedup
         ):
-            body = body.repartition(parallelism)
+            body = _spread_lines(body, parallelism)
             spread = True
     elif repartition:
-        body = body.repartition(int(repartition))
+        body = _spread_lines(body, int(repartition))
         spread = True
 
     if dedup:
