@@ -522,6 +522,9 @@ def minhash_near_dup_pairs(
         carry = ["__nw"] if incremental_col else []
     # One grouped agg per (band, key) bucket; docs are unique within a bucket
     # (each doc emits one key per band), sorted for deterministic id_a < id_b.
+    # collect_list, not collect_set: ids are already unique per bucket, so
+    # the set's per-insert hash probe buys nothing — the list buffer is a
+    # plain append (round 15, guide §1.2 per-task work).
     # Incremental mode collects (id, new) structs instead of bare ids —
     # sort_array orders structs by their first field, so id order (and with
     # it the id_a < id_b contract) is unchanged.
@@ -530,7 +533,7 @@ def minhash_near_dup_pairs(
     )
     buckets = (
         bands_df.groupBy("__band")
-        .agg(F.sort_array(F.collect_set(elem)).alias("__ids"))
+        .agg(F.sort_array(F.collect_list(elem)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
     dropped = None
@@ -603,7 +606,12 @@ def minhash_near_dup_pairs(
     # O(corpus). A doc in k pairs tokenizes k times here; at scale
     # candidates ≪ corpus so that trade is right, and even on the
     # dup-heavy catalog corpus (50% planted copies — pair instances ≈
-    # corpus) it measured 8.3 s → 2.9 s at sf0.1 (round 6).
+    # corpus) it measured 8.3 s → 2.9 s at sf0.1 (round 6). (Round 15
+    # re-tested the once-per-distinct-candidate variant — group the pair
+    # list per doc before the broadcast, explode it back after the shingle
+    # projection: the extra pair-side aggregate + re-explode cost MORE
+    # than the saved tokenizations at every measured shape, 2.02 s →
+    # 2.48 s min-of-3; kept the instance-stacked form.)
     regroup = (
         df.join(
             F.broadcast(stacked), df[id_col] == F.col("__id")
@@ -625,10 +633,22 @@ def minhash_near_dup_pairs(
     )
     s0, s1 = F.col("__sa"), F.col("__sb")
     inter = F.size(F.array_intersect(s0, s1))
-    union = F.size(F.array_union(s0, s1))
+    # |A∪B| = |A| + |B| − |A∩B| — exact for the array_distinct'd operands,
+    # and skips materializing the union array (array_union builds a second
+    # per-pair hash set + output array; the sizes are already paid for —
+    # round 15, guide §1.2 per-task work).
+    union = F.size(s0) + F.size(s1) - inter
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+    # Generate barrier around the jaccard expression: the threshold filter
+    # otherwise substitutes the whole intersect subtree into a Filter node
+    # ABOVE the projection (both evaluated per pair — the before-plan's
+    # nodes 38/39 each carried the full CASE), doubling the per-pair set
+    # work. explode(array(...)) emits exactly one row and predicates cannot
+    # cross a Generate, so intersect runs once per pair.
     verified = (
-        regroup.withColumn("jaccard", jac)
+        regroup.select(
+            "id_a", "id_b", F.explode(F.array(jac)).alias("jaccard")
+        )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
@@ -639,7 +659,8 @@ def ngram_jaccard_expr(a_words: Column, b_words: Column) -> Column:
     """Exact Jaccard similarity of two (already-tokenized) arrays."""
     da, db = F.array_distinct(a_words), F.array_distinct(b_words)
     inter = F.size(F.array_intersect(da, db))
-    union = F.size(F.array_union(da, db))
+    # set identity |A∪B| = |A| + |B| − |A∩B|: skips the union array build
+    union = F.size(da) + F.size(db) - inter
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
 
 

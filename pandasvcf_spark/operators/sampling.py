@@ -592,29 +592,63 @@ def poisson_bootstrap_ci(
     Plan: the corpus explodes × n_reps but collapses to n_reps rows in
     the SAME stage (partial-agged groupBy(rep) of (Σw·x, Σw)) — the
     shuffle carries n_reps rows, and everything after runs on the
-    replicate-means table. n_reps × hash cost per row is the honest
-    price of bootstrap resampling; the row is pruned to (key, value)
-    before the explode."""
+    replicate-means table. The key-prefix hash is folded ONCE per data
+    row and extended per replicate by str(r)'s digit chars (the
+    polynomial hash factorizes over concatenation), so the interpreted
+    per-character fold is not paid n_reps times; the row is pruned to
+    (key, value) before the explode."""
     if n_reps < 2:
         raise ValueError(f"n_reps must be >= 2, got {n_reps}")
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
     import math
 
-    from pandasvcf_spark.functions.text import mix32_expr, poly_hash_expr
+    from pandasvcf_spark.functions.text import (
+        POLY_MOD,
+        mix32_expr,
+        poly_hash_expr,
+    )
 
     v = F.col(value_col).cast("double")
     k = F.col(key_col).cast("string")
     nn = df.filter(v.isNotNull()).select(v.alias("__x"), k.alias("__k"))
+    # The polynomial hash factorizes over concatenation:
+    # hash(key∥'#'∥r) = fold(digits of r, starting from hash(key∥'#')).
+    # So the per-CHARACTER fold (an interpreted higher-order function)
+    # runs ONCE per row on the key prefix, and each replicate row extends
+    # it by str(r)'s 1-2 digit chars as flat codegen arithmetic — the
+    # earlier shape re-folded the whole string per (row, replicate):
+    # n_reps× the interpreted work (round 15, guide §1.2/§4; full query
+    # 4.16 s → 1.20 s at sf0.1 min-of-3, bit-identical rows). Same
+    # recurrence, same order, same mod ⇒ bit-identical weights; the
+    # explode(array(..)) Generate barrier pins one evaluation of the fold
+    # (CollapseProject would otherwise inline it into every replicate).
+    h0 = poly_hash_expr(F.concat(F.col("__k"), F.lit("#")))
+    keyed = nn.select("__x", F.explode(F.array(h0)).alias("__h0"))
     rep = F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("__r")
-    ex = nn.select("__x", "__k", rep)
-    u32 = mix32_expr(
-        poly_hash_expr(F.concat(F.col("__k"), F.lit("#"),
-                                F.col("__r").cast("string")))
-    )
-    w = sum(
-        (u32 >= F.lit(t)).cast("int") for t in _POISSON1_CDF_U32
-    )
+    ex = keyed.select("__x", "__h0", rep)
+    pm = F.lit(POLY_MOD).cast("long")
+    L31 = F.lit(31).cast("long")
+    r = F.col("__r").cast("long")
+    # h = fold of str(r)'s decimal digit chars onto the prefix hash; one
+    # branch per digit COUNT (known bound: len(str(n_reps-1)) branches).
+    def _ext(nd: int) -> Column:
+        acc = F.col("__h0")
+        for i in range(nd - 1, -1, -1):
+            digit = F.floor(r / (10**i)) % 10
+            acc = (acc * L31 + (F.lit(48).cast("long") + digit)) % pm
+        return acc
+
+    max_digits = len(str(n_reps - 1))
+    if max_digits == 1:
+        h = _ext(1)
+    else:
+        h = F.when(r < 10, _ext(1))
+        for nd in range(2, max_digits):
+            h = h.when(r < 10**nd, _ext(nd))
+        h = h.otherwise(_ext(max_digits))
+    u32 = mix32_expr(h)
+    w = sum((u32 >= F.lit(t)).cast("int") for t in _POISSON1_CDF_U32)
     means = (
         ex.select("__r", "__x", w.alias("__w"))
         .groupBy("__r")
@@ -625,6 +659,13 @@ def poisson_bootstrap_ci(
         .filter(F.col("__sw") > 0)
         .select((F.col("__wx") / F.col("__sw")).alias("__m"))
     )
+    # Materialize the n_reps-row replicate-means table ONCE: it feeds the
+    # rank window, the replicate-count broadcast AND the band aggregate,
+    # and each broadcast-subquery job otherwise re-executes the whole
+    # weighted-sums pass over the corpus (the minhash verify-diamond
+    # lesson — exchange reuse does not span broadcast jobs). n_reps rows,
+    # so the checkpoint is free at any scale.
+    means = means.localCheckpoint()
     wq = Window.orderBy("__m")
     ranked = means.withColumn("__rn", F.row_number().over(wq)).crossJoin(
         F.broadcast(means.agg(F.count(F.lit(1)).alias("__R")))

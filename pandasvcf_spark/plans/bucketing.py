@@ -71,6 +71,13 @@ def write_ann_partitioned(
     planes = planes or default_planes(n_planes, dim)
     (
         df.withColumn("bucket", rp_bucket_expr(vec_col, planes))
+        # Cluster rows by the partition column BEFORE the dynamic-
+        # partition write: without it every write task holds rows of up
+        # to 2^n_planes buckets and opens one parquet writer per bucket —
+        # tasks × buckets small files plus a per-task sort (guide §6).
+        # Measured round 15 on the 64-cell semantic index (same write
+        # shape): 10.7 s / 2048 files → 2.5 s / 64 files, identical rows.
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(out_path)
