@@ -1647,19 +1647,31 @@ def semantic_dedup_incremental(
         "cell", F.col(id_col).alias("__ia"),
         F.col("__vec").alias("__va"), F.col("__nw").alias("__nwa"),
     )
-    b = cells.select(
+    # the join's build side is the NEW batch only: every kept edge needs
+    # a new endpoint, so joining (base+new) × new streams |cell|·|new|
+    # candidate rows per cell instead of |cell|² with a post-join
+    # "never old×old" filter (round 15, guide §2.3 — the quadratic term
+    # the docstring prices is now quadratic in the BATCH, linear in the
+    # base). Edge set is IDENTICAL: a base×new pair appears exactly once
+    # (base only on the a side), a new×new pair is deduped by the
+    # __ia < __ib guard, and least/greatest restores the id_a < id_b
+    # output contract for base ids larger than new ids.
+    b = nn.select(
         "cell", F.col(id_col).alias("__ib"),
-        F.col("__vec").alias("__vb"), F.col("__nw").alias("__nwb"),
+        F.col("__vec").alias("__vb"),
     )
     pairs = (
         a.join(b, on="cell")
-        .filter(F.col("__ia") < F.col("__ib"))
-        .filter(F.col("__nwa") | F.col("__nwb"))  # never old×old
+        .filter(F.col("__ia") != F.col("__ib"))
+        .filter(~F.col("__nwa") | (F.col("__ia") < F.col("__ib")))
         .filter(
             cosine_expr(F.col("__va"), F.col("__vb"))
             >= F.lit(float(threshold))
         )
-        .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
+        .select(
+            F.least(F.col("__ia"), F.col("__ib")).alias("id_a"),
+            F.greatest(F.col("__ia"), F.col("__ib")).alias("id_b"),
+        )
     )
     comp = connected_components(pairs, max_iter=max_iter, method=cc_method)
     flagged = cells.join(

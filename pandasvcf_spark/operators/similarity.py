@@ -31,6 +31,133 @@ def _dc(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _vec_sql(row) -> str | None:
+    """`array(1.0D, ...)` SQL text for a finite float row, else None.
+    Python ``repr`` is the shortest round-trip form and Spark's parser
+    is correctly rounded, so the parsed doubles are BIT-IDENTICAL to
+    ``F.lit(float(x))`` (round-15 probe, incl. e±300 / -0.0)."""
+    import math
+
+    vals = [float(x) for x in row]
+    if not vals or not all(math.isfinite(x) for x in vals):
+        return None
+    return "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
+
+
+def _lit_vec(row) -> Column:
+    """Literal ARRAY<DOUBLE> as ONE parsed SQL expression. Semantically
+    identical to ``F.array(*(F.lit(float(x)) for x in row))`` but ~100×
+    cheaper to CONSTRUCT: one py4j call instead of one per element (the
+    model literals — centroids, codebooks, planes — dominated DataFrame
+    construction time at 30k py4j round trips per ivfpq_topk; round 15,
+    guide §1.2). Falls back to the element-wise form for empty or
+    non-finite rows (inf/nan have no SQL literal)."""
+    sql = _vec_sql(row)
+    if sql is None:
+        return F.array(*(F.lit(float(x)) for x in row))
+    return F.expr(sql)
+
+
+def _lit_mat(m) -> Column:
+    """Literal ARRAY<ARRAY<DOUBLE>> via ONE parsed SQL expression (see
+    `_lit_vec`); element-wise fallback when any row is empty/non-finite."""
+    rows = [_vec_sql(r) for r in m]
+    if not rows or any(s is None for s in rows):
+        return F.array(*[_lit_vec(r) for r in m])
+    return F.expr("array(" + ",".join(rows) + ")")
+
+
+# ---------------------------------------------------------------------------
+# SQL-text fast path for the model-literal expression builders.
+#
+# The centroid/codebook expressions below (per-centroid distance folds,
+# ADC tables, probe grids) are structurally k × dim trees; built through
+# the Column API each F.lit / zip_with / aggregate call is a py4j round
+# trip, and ONE ivfpq_topk construction measured 30,000 round trips ≈
+# 11 s of driver wall — before a single task ran (round 15, guide §1.2:
+# per-call overhead, not plan quality). Rendering the SAME expression as
+# one SQL string parsed by ONE F.expr call cuts construction ~20×, and
+# the parsed tree is the tree the API builds (verified bit-exact: fold
+# order, tie rules and literals are unchanged — Python `repr` round-trips
+# doubles and Spark's parser is correctly rounded). Builders keep the
+# Column-API path as fallback whenever the operand is not a plain column
+# name (e.g. a lambda variable inside `bound_expr`).
+# ---------------------------------------------------------------------------
+
+
+def _dc_sql(vec) -> str | None:
+    """SQL text of `_dc(vec)` when `vec` is a plain column name."""
+    if not isinstance(vec, str):
+        return None
+    return f"transform(`{vec}`, x -> CAST(x AS DOUBLE))"
+
+
+def _sqdist_fold_sql(vsql: str, row) -> str | None:
+    """SQL text of the squared-L2 fold `aggregate(zip_with(v, lit, (a,b)
+    -> (a-b)*(a-b)), 0.0, +)` — identical arithmetic and order to the
+    Column-API form."""
+    vs = _vec_sql(row)
+    if vs is None:
+        return None
+    return (
+        f"aggregate(zip_with({vsql}, {vs}, "
+        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dot_fold_sql(vsql: str, row) -> str | None:
+    """SQL text of the dot-product fold (same shape, a*b kernel)."""
+    vs = _vec_sql(row)
+    if vs is None:
+        return None
+    return (
+        f"aggregate(zip_with({vsql}, {vs}, "
+        "(a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sqdists_sql(vsql: str, rows) -> str | None:
+    """SQL text of the per-centroid distance ARRAY, or None if any row
+    has no SQL literal form."""
+    folds = [_sqdist_fold_sql(vsql, r) for r in rows]
+    if not folds or any(f is None for f in folds):
+        return None
+    return "array(" + ",".join(folds) + ")"
+
+
+def _pq_code_sql(vsql: str, codebooks) -> str | None:
+    """SQL text of `pq_code_expr`'s ARRAY<INT> over an operand given as
+    SQL text (same struct-sort tie rule)."""
+    sub = len(codebooks[0][0])
+    parts = []
+    for s, cents in enumerate(codebooks):
+        folds = [
+            _sqdist_fold_sql(f"slice({vsql}, {s * sub + 1}, {sub})", c)
+            for c in cents
+        ]
+        if not folds or any(f is None for f in folds):
+            return None
+        structs = ",".join(
+            f"named_struct('d', {f}, 'i', CAST({ci + 1} AS INT))"
+            for ci, f in enumerate(folds)
+        )
+        parts.append(f"element_at(array_sort(array({structs})), 1).i")
+    return "array(" + ",".join(parts) + ")"
+
+
+def _adc_table_sql(vsql: str, codebooks) -> str | None:
+    """SQL text of `_adc_table_expr`'s ARRAY<ARRAY<DOUBLE>> lookup table
+    over an operand given as SQL text."""
+    sub = len(codebooks[0][0])
+    rows = []
+    for s, cents in enumerate(codebooks):
+        r = _sqdists_sql(f"slice({vsql}, {s * sub + 1}, {sub})", cents)
+        if r is None:
+            return None
+        rows.append(r)
+    return "array(" + ",".join(rows) + ")"
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -283,13 +410,25 @@ def rp_bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
     Planes are plain Python lists baked into the plan as array literals —
     deterministic, shipped with the plan, no side channel. Sign of the dot
     product with each plane contributes one bit."""
+    vsql = _dc_sql(vec)
+    if vsql is not None:
+        folds = [_dot_fold_sql(vsql, plane) for plane in planes]
+        if folds and all(f is not None for f in folds):
+            return F.expr(
+                "concat("
+                + ",".join(
+                    f"CASE WHEN {f} >= 0 THEN '1' ELSE '0' END"
+                    for f in folds
+                )
+                + ")"
+            )
     v = _dc(vec)
     bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(x)) for x in plane]),
+                    _lit_vec(plane),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),
@@ -485,13 +624,20 @@ def ivf_cell_expr(vec: Column | str, centroids: list[list[float]]) -> Column:
 
     Computed as array_position(dists, array_min(dists)) over a literal-sized
     distance array — one pass, no shuffle, whole-stage codegen."""
+    vsql = _dc_sql(vec)
+    if vsql is not None:
+        d = _sqdists_sql(vsql, centroids)
+        if d is not None:
+            return F.expr(
+                f"CAST(array_position({d}, array_min({d})) AS INT)"
+            )
     v = _dc(vec)
     dists = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    _lit_vec(c),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -543,6 +689,18 @@ def ivf_cells_expr(
     array → array_sort of (dist, idx) structs (struct ordering is
     field-by-field, giving exactly the tie rule) → slice → project idx.
     One codegen pass, no shuffle, no Python."""
+    vsql = _dc_sql(vec)
+    if vsql is not None:
+        folds = [_sqdist_fold_sql(vsql, c) for c in centroids]
+        if folds and all(f is not None for f in folds):
+            structs = ",".join(
+                f"named_struct('d', {f}, 'i', CAST({i + 1} AS INT))"
+                for i, f in enumerate(folds)
+            )
+            return F.expr(
+                f"transform(slice(array_sort(array({structs})), 1, "
+                f"{int(n_probe)}), s -> s.i)"
+            )
     v = _dc(vec)
     pairs = F.array(
         *[
@@ -550,7 +708,7 @@ def ivf_cells_expr(
                 F.aggregate(
                     F.zip_with(
                         v,
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        _lit_vec(c),
                         lambda a, b: (a - b) * (a - b),
                     ),
                     F.lit(0.0),
@@ -617,14 +775,22 @@ def _half_cell_expr(
     vec: Column, offset: int, length: int, centroids: list[list[float]]
 ) -> Column:
     """Nearest-centroid id (1-based INT) of a SLICE of the vector —
-    the per-half assignment of the inverted multi-index."""
-    v = F.slice(vec, offset, length)
+    the per-half assignment of the inverted multi-index. `vec` as a
+    plain column name (pre-`_dc`) takes the one-parse SQL fast path."""
+    vsql = _dc_sql(vec)
+    if vsql is not None:
+        d = _sqdists_sql(f"slice({vsql}, {offset}, {length})", centroids)
+        if d is not None:
+            return F.expr(
+                f"CAST(array_position({d}, array_min({d})) AS INT)"
+            )
+    v = F.slice(_dc(vec) if isinstance(vec, str) else vec, offset, length)
     dists = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    _lit_vec(c),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -643,13 +809,18 @@ def _half_dists_expr(
     every half-space centroid — materialized once per query row so the
     ka×kb cross-sum grid reads element_at instead of recomputing the
     fold ka×kb times."""
-    v = F.slice(vec, offset, length)
+    vsql = _dc_sql(vec)
+    if vsql is not None:
+        d = _sqdists_sql(f"slice({vsql}, {offset}, {length})", centroids)
+        if d is not None:
+            return F.expr(d)
+    v = F.slice(_dc(vec) if isinstance(vec, str) else vec, offset, length)
     return F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    _lit_vec(c),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -744,7 +915,7 @@ def imi_cell_expr(
     centroids. Same codegen shape as `ivf_cell_expr`: literal
     distance arrays, one pass, no shuffle."""
     _assert_imi_codebooks(cents_a, cents_b, "imi_cell_expr")
-    v = _dc(vec)
+    v = vec if isinstance(vec, str) else _dc(vec)
     da = len(cents_a[0])
     db = len(cents_b[0])
     kb = len(cents_b)
@@ -845,28 +1016,25 @@ def imi_topk(
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         _dc(vec_col).alias("__qvec"),
-        _half_dists_expr(_dc(vec_col), 1, da, cents_a).alias("__da"),
-        _half_dists_expr(_dc(vec_col), da + 1, db, cents_b).alias("__db"),
+        _half_dists_expr(vec_col, 1, da, cents_a).alias("__da"),
+        _half_dists_expr(vec_col, da + 1, db, cents_b).alias("__db"),
     )
-    grid = F.array(
-        *[
-            F.struct(
-                (
-                    F.col("__da")[i] + F.col("__db")[j]
-                ).alias("d"),
-                F.lit(i * kb + j + 1).cast("int").alias("cell"),
-            )
-            for i in range(ka)
-            for j in range(kb)
-        ]
-    )
+    # one-parse SQL grid (same structs, sort and tie rule as the Column
+    # form — the 256-struct literal grid was ~1.5 s of py4j construction
+    # per call, round 15)
+    grid_sql = "array(" + ",".join(
+        f"named_struct('d', __da[{i}] + __db[{j}], "
+        f"'cell', CAST({i * kb + j + 1} AS INT))"
+        for i in range(ka)
+        for j in range(kb)
+    ) + ")"
     probes = q.select(
         "__qid",
         "__qvec",
         F.explode(
-            F.transform(
-                F.slice(F.array_sort(grid), 1, n_probe_cells),
-                lambda s: s["cell"],
+            F.expr(
+                f"transform(slice(array_sort({grid_sql}), 1, "
+                f"{int(n_probe_cells)}), s -> s.cell)"
             )
         ).alias("__cell"),
     )
@@ -975,37 +1143,81 @@ def imi_pq_topk(
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         _dc(vec_col).alias("__qvec"),
-        _half_dists_expr(_dc(vec_col), 1, da, cents_a).alias("__da"),
-        _half_dists_expr(_dc(vec_col), da + 1, db, cents_b).alias("__db"),
+        _half_dists_expr(vec_col, 1, da, cents_a).alias("__da"),
+        _half_dists_expr(vec_col, da + 1, db, cents_b).alias("__db"),
     )
-    grid = F.array(
-        *[
-            F.struct(
-                (F.col("__da")[i] + F.col("__db")[j]).alias("d"),
-                F.lit(i * kb + j + 1).cast("int").alias("cell"),
-            )
+    grid_sql = None
+    if all(_vec_sql(c) is not None for c in cents_a) and all(
+        _vec_sql(c) is not None for c in cents_b
+    ):
+        grid_sql = "array(" + ",".join(
+            f"named_struct('d', __da[{i}] + __db[{j}], "
+            f"'cell', CAST({i * kb + j + 1} AS INT))"
             for i in range(ka)
             for j in range(kb)
-        ]
-    )
-    probes = q.select(
-        "__qid",
-        "__qvec",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(grid), 1, n_probe_cells),
-                lambda s: s["cell"],
-            )
-        ).alias("cell"),
-    )
-    rq = F.zip_with(
-        F.col("__qvec"),
-        _imi_product_centroid(F.col("cell"), cents_a, cents_b),
-        lambda a, b: a - b,
-    )
-    probes = probes.select(
-        "__qid", "cell", _adc_table_expr(rq, codebooks).alias("__t")
-    )
+        ) + ")"
+    if grid_sql is not None:
+        # one-parse SQL probe side (same grid, sort, tie rule and
+        # residual arithmetic as the Column path below); the residual
+        # is bound once as a lambda variable so the half-codebook
+        # literals appear once per probe row, not once per ADC fold
+        probes = q.select(
+            "__qid",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort({grid_sql}), 1, "
+                    f"{int(n_probe_cells)}), s -> s.cell)"
+                )
+            ).alias("cell"),
+            "__qvec",
+        )
+        a_sql = "array(" + ",".join(_vec_sql(c) for c in cents_a) + ")"
+        b_sql = "array(" + ",".join(_vec_sql(c) for c in cents_b) + ")"
+        ca_sql = (
+            f"(CAST(((cell - 1) - (cell - 1) % {kb}) / {kb} AS INT) + 1)"
+        )
+        cb_sql = f"(CAST((cell - 1) % {kb} AS INT) + 1)"
+        rq_sql = (
+            f"zip_with(__qvec, concat(element_at({a_sql}, {ca_sql}), "
+            f"element_at({b_sql}, {cb_sql})), (a, b) -> a - b)"
+        )
+        tbl_sql = _adc_table_sql("rr", codebooks)
+        probes = probes.select(
+            "__qid",
+            "cell",
+            F.expr(
+                f"transform(array({rq_sql}), rr -> {tbl_sql})[0]"
+            ).alias("__t"),
+        )
+    else:
+        grid = F.array(
+            *[
+                F.struct(
+                    (F.col("__da")[i] + F.col("__db")[j]).alias("d"),
+                    F.lit(i * kb + j + 1).cast("int").alias("cell"),
+                )
+                for i in range(ka)
+                for j in range(kb)
+            ]
+        )
+        probes = q.select(
+            "__qid",
+            "__qvec",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(grid), 1, n_probe_cells),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+        rq = F.zip_with(
+            F.col("__qvec"),
+            _imi_product_centroid(F.col("cell"), cents_a, cents_b),
+            lambda a, b: a - b,
+        )
+        probes = probes.select(
+            "__qid", "cell", _adc_table_expr(rq, codebooks).alias("__t")
+        )
     scored = corpus_codes.join(F.broadcast(probes), on="cell")
     if exclude_self:
         scored = scored.filter(F.col("__qid") != F.col(id_col))
@@ -1180,20 +1392,24 @@ def kmeans_fit(
     def _stats_expr(cents):
         """(sums, counts, inertia) via the codegen distance expression +
         posexplode partial aggregation — k·dim aggregate rows collected."""
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in cents
-            ]
-        )
+        dists_sql = _sqdists_sql(f"`{vec_col}`", cents)
+        if dists_sql is not None:
+            dists = F.expr(dists_sql)
+        else:
+            dists = F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            _lit_vec(c),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in cents
+                ]
+            )
         assigned = df.select(
             vec.alias("v"),
             F.array_position(dists, F.array_min(dists)).cast("int").alias("c"),
@@ -1431,8 +1647,13 @@ def pq_code_expr(
     pass, no shuffle, no Python; a 64-dim float vector compresses to
     8 small ints — the memory layout that lets an ANN index hold a
     corpus RAM-resident at 100 TB scale."""
-    v = _dc(vec)
     sub = len(codebooks[0][0])
+    vsql = _dc_sql(vec)
+    if vsql is not None:
+        sql = _pq_code_sql(vsql, codebooks)
+        if sql is not None:
+            return F.expr(sql)
+    v = _dc(vec)
     codes = []
     for s, cents in enumerate(codebooks):
         vs = F.slice(v, s * sub + 1, sub)
@@ -1442,7 +1663,7 @@ def pq_code_expr(
                     F.aggregate(
                         F.zip_with(
                             vs,
-                            F.array(*[F.lit(float(x)) for x in c]),
+                            _lit_vec(c),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -1472,12 +1693,18 @@ def pq_encode(
 
 
 def _adc_table_expr(
-    v: Column, codebooks: list[list[list[float]]]
+    v: Column | str, codebooks: list[list[list[float]]]
 ) -> Column:
     """ARRAY<ARRAY<DOUBLE>> ADC lookup table T[s][c] = sqdist(v's
     subvector s, codebooks[s][c]) — the model-sized per-query table both
     `pq_adc_topk` (flat) and `ivfpq_topk` (per probed cell, over the
-    residual) broadcast with the query."""
+    residual) broadcast with the query. `v` as a plain column name
+    (pre-`_dc`) takes the one-parse SQL fast path."""
+    vsql = _dc_sql(v)
+    if vsql is not None:
+        sql = _adc_table_sql(vsql, codebooks)
+        if sql is not None:
+            return F.expr(sql)
     sub = len(codebooks[0][0])
     return F.array(
         *[
@@ -1486,7 +1713,7 @@ def _adc_table_expr(
                     F.aggregate(
                         F.zip_with(
                             F.slice(v, s * sub + 1, sub),
-                            F.array(*[F.lit(float(x)) for x in c]),
+                            _lit_vec(c),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -1540,7 +1767,7 @@ def pq_adc_topk(
     survivor set)."""
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
-        _adc_table_expr(_dc(vec_col), codebooks).alias("__t"),
+        _adc_table_expr(vec_col, codebooks).alias("__t"),
     )
     scored = corpus_codes.join(F.broadcast(q), on=F.lit(True))
     if exclude_self:
@@ -1745,13 +1972,18 @@ def opq_rotate_expr(vec: Column | str, R: list[list[float]]) -> Column:
         raise ValueError(
             f"opq_rotate_expr: R rows have ragged dims {sorted(dims)}"
         )
+    vsql = _dc_sql(vec)
+    if vsql is not None:
+        folds = [_dot_fold_sql(vsql, row) for row in R]
+        if folds and all(f is not None for f in folds):
+            return F.expr("array(" + ",".join(folds) + ")")
     v = _dc(vec)
     return F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(x)) for x in row]),
+                    _lit_vec(row),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),
@@ -1765,9 +1997,7 @@ def opq_rotate_expr(vec: Column | str, R: list[list[float]]) -> Column:
 def _centroid_lit(centroids: list[list[float]]) -> Column:
     """Literal ARRAY<ARRAY<DOUBLE>> of coarse centroids (1-based
     element_at lookup by cell id)."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    return _lit_mat(centroids)
 
 
 def ivfpq_encode(
@@ -1786,12 +2016,43 @@ def ivfpq_encode(
     cell INT, codes ARRAY<INT>) — ~9 small ints per vector, the
     RAM-resident posting-list row at 100 TB. One codegen pass, no
     shuffle, no Python."""
-    cents = _centroid_lit(centroids)
     with_cell = df.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
         ivf_cell_expr(vec_col, centroids).alias("cell"),
     )
+    code_sql = _pq_code_sql("`__resid`", codebooks)
+    if code_sql is not None and all(
+        _vec_sql(c) is not None for c in centroids
+    ):
+        # One-parse SQL path with the residual computed ONCE as a real
+        # column behind a Generate barrier (explode of a 1-element
+        # array — the genomics _gen_barrier device): CollapseProject
+        # cannot substitute it back into the 128 subspace folds, so the
+        # centroid literal appears once in the tree instead of once per
+        # fold (131k-node projections measured seconds of analysis +
+        # codegen compile per call, round 15). Both stages stay
+        # whole-stage codegen; arithmetic and the struct-sort tie rule
+        # are unchanged.
+        cents_sql = (
+            "array(" + ",".join(_vec_sql(c) for c in centroids) + ")"
+        )
+        bound = with_cell.select(
+            F.col(id_col),
+            "cell",
+            F.explode(
+                F.array(
+                    F.expr(
+                        f"zip_with(__vec, element_at({cents_sql}, cell), "
+                        "(a, b) -> a - b)"
+                    )
+                )
+            ).alias("__resid"),
+        )
+        return bound.select(
+            F.col(id_col), "cell", F.expr(code_sql).alias("codes")
+        )
+    cents = _centroid_lit(centroids)
     resid = F.zip_with(
         F.col("__vec"),
         F.element_at(cents, F.col("cell")),
@@ -1837,7 +2098,6 @@ def ivfpq_topk(
     (query_id, vec_id, adc_dist DOUBLE) ascending-is-nearer, ties by
     vec_id. Rerank survivors against raw vectors (`cosine_topk` on the
     k·|queries| survivor set) when exactness matters."""
-    cents = _centroid_lit(centroids)
     probes = queries.select(
         F.col(query_id_col).alias("__qid"),
         _dc(vec_col).alias("__qvec"),
@@ -1845,14 +2105,40 @@ def ivfpq_topk(
             ivf_cells_expr(vec_col, centroids, n_probe)
         ).alias("cell"),
     )
-    rq = F.zip_with(
-        F.col("__qvec"),
-        F.element_at(cents, F.col("cell")),
-        lambda a, b: a - b,
-    )
-    probes = probes.select(
-        "__qid", "cell", _adc_table_expr(rq, codebooks).alias("__t")
-    )
+    tbl_sql = _adc_table_sql("rr", codebooks)
+    if tbl_sql is not None and all(
+        _vec_sql(c) is not None for c in centroids
+    ):
+        # one-parse SQL probe side: the per-cell residual is bound once
+        # as a lambda variable (`transform(array(x), rr -> ...)[0]`) so
+        # the centroid literal appears once per probe row instead of
+        # once per ADC fold — same residual arithmetic and table values
+        # as the Column path below (round 15: ONE curve-point call went
+        # 25.6 s -> 3.2 s build+exec, rows bit-identical)
+        cents_sql = (
+            "array(" + ",".join(_vec_sql(c) for c in centroids) + ")"
+        )
+        rq_sql = (
+            f"zip_with(__qvec, element_at({cents_sql}, cell), "
+            "(a, b) -> a - b)"
+        )
+        probes = probes.select(
+            "__qid",
+            "cell",
+            F.expr(
+                f"transform(array({rq_sql}), rr -> {tbl_sql})[0]"
+            ).alias("__t"),
+        )
+    else:
+        cents = _centroid_lit(centroids)
+        rq = F.zip_with(
+            F.col("__qvec"),
+            F.element_at(cents, F.col("cell")),
+            lambda a, b: a - b,
+        )
+        probes = probes.select(
+            "__qid", "cell", _adc_table_expr(rq, codebooks).alias("__t")
+        )
     scored = corpus_codes.join(F.broadcast(probes), on="cell")
     if exclude_self:
         scored = scored.filter(F.col("__qid") != F.col(id_col))
@@ -2297,8 +2583,8 @@ def sq8_train(
 
 
 def _sq8_bounds_lits(lo: list[float], hi: list[float]):
-    lo_lit = F.array(*[F.lit(float(x)) for x in lo])
-    hi_lit = F.array(*[F.lit(float(x)) for x in hi])
+    lo_lit = _lit_vec(lo)
+    hi_lit = _lit_vec(hi)
     return lo_lit, hi_lit
 
 
@@ -2776,23 +3062,34 @@ def kmeans_silhouette(
     if len(centroids) < 2:
         raise ValueError("silhouette needs >= 2 centroids")
     k = len(centroids)
-    v = _dc(vec_col)
-    dists = F.array(
-        *[
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-            for c in centroids
-        ]
+    vsql = _dc_sql(vec_col)
+    folds = (
+        [_sqdist_fold_sql(vsql, c) for c in centroids]
+        if vsql is not None
+        else [None]
     )
+    if all(f is not None for f in folds):
+        dists = F.expr(
+            "array(" + ",".join(f"sqrt({f})" for f in folds) + ")"
+        )
+    else:
+        v = _dc(vec_col)
+        dists = F.array(
+            *[
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            _lit_vec(c),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                for c in centroids
+            ]
+        )
     cell = ivf_cell_expr(vec_col, centroids)
     rows = df.select(dists.alias("__d"), cell.alias("cell"))
     a = F.element_at(F.col("__d"), F.col("cell"))
@@ -2847,26 +3144,37 @@ def davies_bouldin_index(
     k = len(centroids)
     if k < 2:
         raise ValueError("Davies-Bouldin needs >= 2 centroids")
-    v = _dc(vec_col)
-    own = F.sqrt(
-        F.element_at(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            v,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for c in centroids
-                ]
-            ),
-            ivf_cell_expr(vec_col, centroids),
-        )
+    vsql = _dc_sql(vec_col)
+    dists_sql = (
+        _sqdists_sql(vsql, centroids) if vsql is not None else None
     )
+    if dists_sql is not None:
+        own = F.sqrt(
+            F.element_at(
+                F.expr(dists_sql), ivf_cell_expr(vec_col, centroids)
+            )
+        )
+    else:
+        v = _dc(vec_col)
+        own = F.sqrt(
+            F.element_at(
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                v,
+                                _lit_vec(c),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        for c in centroids
+                    ]
+                ),
+                ivf_cell_expr(vec_col, centroids),
+            )
+        )
     per = (
         df.select(
             ivf_cell_expr(vec_col, centroids).alias("cell"),

@@ -2062,7 +2062,14 @@ def ivfpq_recall_uniform_report(
         .filter(F.col("__rnk") <= k)
         .collect()
     }
-    codes = ivfpq_encode(e, cents, books)
+    # materialize the encoded index ONCE — the docstring's "trained
+    # index computed once and shared" was only true of the lineage, not
+    # the work: a lazy `codes` re-ran the full corpus encode for every
+    # variant and every probe-curve point (5× at the default curve).
+    # With the checkpoint each point pays retrieval only, which is what
+    # the per-point `sec` now prices (round 15, guide §1.4/§5; the
+    # index build is a one-off in any real deployment).
+    codes = ivfpq_encode(e, cents, books).localCheckpoint()
     got = {
         (r["query_id"], r["vec_id"])
         for r in ivfpq_topk(
