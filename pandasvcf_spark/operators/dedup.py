@@ -1147,24 +1147,30 @@ def dedup_semantic(
     from pandasvcf_spark.operators.similarity import ivf_cell_expr
     from pandasvcf_spark.functions.vectors import cosine_expr
 
+    from pandasvcf_spark.functions.vectors import norm_expr
+
     pri = (quality if quality is not None else F.lit(0)).alias("__q")
+    dcv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # per-row norm computed once below the self-join: the pair filter's
+    # cosine then pays one dot fold per pair instead of three (round 15)
     cells = df.select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "__v"
-        ),
+        dcv.alias("__v"),
+        norm_expr(dcv).alias("__n"),
         pri,
         ivf_cell_expr(vec_col, centroids).alias("cell"),
     )
     a = cells.select(
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
         F.col("__q").alias("__qa"),
         "cell",
     )
     b = cells.select(
         F.col(id_col).alias("__idb"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.col("__q").alias("__qb"),
         "cell",
     )
@@ -1174,11 +1180,16 @@ def dedup_semantic(
         (F.col("__qa") == F.col("__qb"))
         & (F.col("__ida") < F.col("__idb"))
     )
+    from pandasvcf_spark.operators.similarity import _pair_cos
+
     losers = (
         a.join(b, on="cell")
         .filter(beats)
         .filter(
-            cosine_expr(F.col("__va"), F.col("__vb"))
+            _pair_cos(
+                F.col("__na"), F.col("__nb"),
+                F.col("__va"), F.col("__vb"),
+            )
             >= F.lit(float(threshold))
         )
         .select(F.col("__idb").alias(id_col))
@@ -1351,9 +1362,14 @@ def semantic_dedup(
         raise ValueError(
             f"keep must be 'far_from_centroid' or 'min_id', got {keep!r}"
         )
+    from pandasvcf_spark.functions.vectors import norm_expr
+
     cells = corpus.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
+        # norm stored once per row: the within-cell pair filter then
+        # pays one dot fold per pair instead of three (round 15)
+        norm_expr(_dc(vec_col)).alias("__n"),
         ivf_cell_expr(vec_col, centroids).alias("cell"),
     ).localCheckpoint(eager=True)  # pairs + closure + keep share one view
     # dim-mismatch tripwire (round-13 verdict task 4): zip_with
@@ -1387,21 +1403,28 @@ def semantic_dedup(
             cdim,
             "semantic_dedup",
         )
+    from pandasvcf_spark.operators.similarity import _pair_cos
+
     a = cells.select(
         F.col("cell"),
         F.col(id_col).alias("__ia"),
         F.col("__vec").alias("__va"),
+        F.col("__n").alias("__na"),
     )
     b = cells.select(
         F.col("cell"),
         F.col(id_col).alias("__ib"),
         F.col("__vec").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     pairs = (
         a.join(b, on="cell")
         .filter(F.col("__ia") < F.col("__ib"))
         .filter(
-            cosine_expr(F.col("__va"), F.col("__vb"))
+            _pair_cos(
+                F.col("__na"), F.col("__nb"),
+                F.col("__va"), F.col("__vb"),
+            )
             >= F.lit(float(threshold))
         )
         .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
@@ -1593,10 +1616,13 @@ def semantic_dedup_incremental(
         raise ValueError(
             "semantic_dedup_incremental: pass base or base_cells"
         )
+    from pandasvcf_spark.functions.vectors import norm_expr
+
     if base_cells is not None:
         bb = base_cells.select(
             F.col(id_col),
             _dc(vec_col).alias("__vec"),
+            norm_expr(_dc(vec_col)).alias("__n"),
             F.col("cell").cast("int").alias("cell"),
             F.lit(False).alias("__nw"),
         )
@@ -1604,12 +1630,14 @@ def semantic_dedup_incremental(
         bb = base.select(
             F.col(id_col),
             _dc(vec_col).alias("__vec"),
+            norm_expr(_dc(vec_col)).alias("__n"),
             ivf_cell_expr(vec_col, centroids).alias("cell"),
             F.lit(False).alias("__nw"),
         )
     nn = new.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
+        norm_expr(_dc(vec_col)).alias("__n"),
         ivf_cell_expr(vec_col, centroids).alias("cell"),
         F.lit(True).alias("__nw"),
     ).localCheckpoint(eager=True)  # one assignment pass feeds both the
@@ -1643,9 +1671,12 @@ def semantic_dedup_incremental(
             cdim,
             "semantic_dedup_incremental",
         )
+    from pandasvcf_spark.operators.similarity import _pair_cos
+
     a = cells.select(
         "cell", F.col(id_col).alias("__ia"),
-        F.col("__vec").alias("__va"), F.col("__nw").alias("__nwa"),
+        F.col("__vec").alias("__va"), F.col("__n").alias("__na"),
+        F.col("__nw").alias("__nwa"),
     )
     # the join's build side is the NEW batch only: every kept edge needs
     # a new endpoint, so joining (base+new) × new streams |cell|·|new|
@@ -1658,14 +1689,17 @@ def semantic_dedup_incremental(
     # output contract for base ids larger than new ids.
     b = nn.select(
         "cell", F.col(id_col).alias("__ib"),
-        F.col("__vec").alias("__vb"),
+        F.col("__vec").alias("__vb"), F.col("__n").alias("__nb"),
     )
     pairs = (
         a.join(b, on="cell")
         .filter(F.col("__ia") != F.col("__ib"))
         .filter(~F.col("__nwa") | (F.col("__ia") < F.col("__ib")))
         .filter(
-            cosine_expr(F.col("__va"), F.col("__vb"))
+            _pair_cos(
+                F.col("__na"), F.col("__nb"),
+                F.col("__va"), F.col("__vb"),
+            )
             >= F.lit(float(threshold))
         )
         .select(

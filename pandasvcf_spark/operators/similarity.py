@@ -23,12 +23,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandasvcf_spark.functions.vectors import cosine_expr
+from pandasvcf_spark.functions.vectors import (
+    cosine_expr,
+    dot_expr,
+    norm_expr,
+)
 
 
 def _dc(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
+
+
+def _pair_cos(qn: Column, cn: Column, qv: Column, v: Column) -> Column:
+    """Cosine of a candidate pair from PRECOMPUTED per-side norms —
+    bit-identical to `cosine_expr(qv, v)` (same norm folds, now computed
+    once per side below the join instead of once per pair; fp multiply
+    is commutative so the denom product matches bitwise; round 15,
+    guide §1.2 — the pair projection drops from 3 interpreted folds to
+    1)."""
+    denom = qn * cn
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_expr(qv, v) / denom
+    )
 
 
 def _vec_sql(row) -> str | None:
@@ -176,16 +193,31 @@ def cosine_topk(
     Output: query_id, vec_id, cossim (DOUBLE, raw — round at the edge if
     hashing). Deterministic: rank ties broken by vec_id.
     """
+    from pandasvcf_spark.functions.vectors import dot_expr, norm_expr
+
+    # Per-SIDE norms are computed below the join (once per corpus row /
+    # once per query row) instead of inside the pair projection, where
+    # `cosine_expr` re-ran both norm folds for every (corpus, query)
+    # pair — 3 interpreted-HOF folds per pair down to 1 (the dot).
+    # Bit-exact: same fold per norm, same product, same `== 0.0` guard,
+    # same division (round 15, guide §1.2; a projection below a join
+    # boundary cannot be re-inlined above it).
     q = queries.select(
         F.col(query_id_col).alias("__qid"), _dc(vec_col).alias("__qvec")
+    ).select("__qid", "__qvec", norm_expr("__qvec").alias("__qn"))
+    scored = (
+        corpus.select(F.col(id_col), _dc(vec_col).alias("__vec"))
+        .select(F.col(id_col), "__vec", norm_expr("__vec").alias("__cn"))
+        .join(F.broadcast(q), on=F.lit(True))
     )
-    scored = corpus.select(
-        F.col(id_col), _dc(vec_col).alias("__vec")
-    ).join(F.broadcast(q), on=F.lit(True))
     if exclude_self:
         scored = scored.filter(F.col("__qid") != F.col(id_col))
+    denom = F.col("__cn") * F.col("__qn")
     scored = scored.withColumn(
-        "cossim", cosine_expr(F.col("__vec"), F.col("__qvec"))
+        "cossim",
+        F.when(denom == 0.0, F.lit(0.0)).otherwise(
+            dot_expr(F.col("__vec"), F.col("__qvec")) / denom
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
     return (
@@ -471,16 +503,25 @@ def ann_bucket_topk(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
         rp_bucket_expr(vec_col, planes).alias("__bucket"),
+    ).select(
+        F.col(id_col), "__vec", "__bucket",
+        norm_expr("__vec").alias("__cn"),
     )
     a = bucketed.select(
         F.col(id_col).alias("query_id"),
         F.col("__vec").alias("__qvec"),
         "__bucket",
+        F.col("__cn").alias("__qn"),
     )
     pairs = a.join(bucketed, on="__bucket").filter(
         F.col("query_id") != F.col(id_col)
     )
-    pairs = pairs.withColumn("cossim", cosine_expr(F.col("__qvec"), F.col("__vec")))
+    pairs = pairs.withColumn(
+        "cossim",
+        _pair_cos(
+            F.col("__qn"), F.col("__cn"), F.col("__qvec"), F.col("__vec")
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cossim"), F.col(id_col))
     return (
         pairs.withColumn("__rnk", F.row_number().over(w))
@@ -544,15 +585,19 @@ def ann_banded_topk(
 
     Output: query_id, vec_id, cossim — comparable row-for-row with
     `cosine_topk` for recall measurement."""
+    # norm sits in the SAME select as the explode, so Generate evaluates
+    # it once per document and replicates it per band row
     bucketed = corpus.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
+        norm_expr(_dc(vec_col)).alias("__cn"),
         F.explode(banded_bucket_keys_expr(vec_col, planes, bands)).alias("__bk"),
     )
     a = bucketed.select(
         F.col(id_col).alias("query_id"),
         F.col("__vec").alias("__qvec"),
         "__bk",
+        F.col("__cn").alias("__qn"),
     )
     pairs = (
         a.join(bucketed, on="__bk")
@@ -561,7 +606,12 @@ def ann_banded_topk(
         # the rerank scores each candidate once
         .dropDuplicates(["query_id", id_col])
     )
-    pairs = pairs.withColumn("cossim", cosine_expr(F.col("__qvec"), F.col("__vec")))
+    pairs = pairs.withColumn(
+        "cossim",
+        _pair_cos(
+            F.col("__qn"), F.col("__cn"), F.col("__qvec"), F.col("__vec")
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cossim"), F.col(id_col))
     return (
         pairs.withColumn("__rnk", F.row_number().over(w))
@@ -594,11 +644,13 @@ def ann_banded_query_topk(
     bucketed = corpus.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
+        norm_expr(_dc(vec_col)).alias("__cn"),
         F.explode(banded_bucket_keys_expr(vec_col, planes, bands)).alias("__bk"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("__qid"),
         _dc(vec_col).alias("__qvec"),
+        norm_expr(_dc(vec_col)).alias("__qn"),
         F.explode(banded_bucket_keys_expr(vec_col, planes, bands)).alias("__bk"),
     )
     pairs = probes.join(bucketed, on="__bk")
@@ -607,7 +659,10 @@ def ann_banded_query_topk(
     # a pair can collide in several bands; dedup BEFORE the cosine so the
     # rerank scores each candidate once
     pairs = pairs.dropDuplicates(["__qid", id_col]).withColumn(
-        "cossim", cosine_expr(F.col("__qvec"), F.col("__vec"))
+        "cossim",
+        _pair_cos(
+            F.col("__qn"), F.col("__cn"), F.col("__qvec"), F.col("__vec")
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
     return (
@@ -665,13 +720,22 @@ def ivf_topk(
     cells = corpus.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
+        norm_expr(_dc(vec_col)).alias("__cn"),
         ivf_cell_expr(vec_col, centroids).alias("__cell"),
     )
     a = cells.select(
-        F.col(id_col).alias("query_id"), F.col("__vec").alias("__qvec"), "__cell"
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("__qvec"),
+        F.col("__cn").alias("__qn"),
+        "__cell",
     )
     pairs = a.join(cells, on="__cell").filter(F.col("query_id") != F.col(id_col))
-    pairs = pairs.withColumn("cossim", cosine_expr(F.col("__qvec"), F.col("__vec")))
+    pairs = pairs.withColumn(
+        "cossim",
+        _pair_cos(
+            F.col("__qn"), F.col("__cn"), F.col("__qvec"), F.col("__vec")
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cossim"), F.col(id_col))
     return (
         pairs.withColumn("__rnk", F.row_number().over(w))
@@ -748,11 +812,13 @@ def ivf_query_topk(
     cells = corpus.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
+        norm_expr(_dc(vec_col)).alias("__cn"),
         ivf_cell_expr(vec_col, centroids).alias("__cell"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("__qid"),
         _dc(vec_col).alias("__qvec"),
+        norm_expr(_dc(vec_col)).alias("__qn"),
         F.explode(ivf_cells_expr(vec_col, centroids, n_probe)).alias("__cell"),
     )
     pairs = probes.join(cells, on="__cell")
@@ -761,7 +827,10 @@ def ivf_query_topk(
     # corpus vectors live in ONE cell each, so multi-probe never produces
     # duplicate (query, candidate) pairs — no dedup needed before rerank
     pairs = pairs.withColumn(
-        "cossim", cosine_expr(F.col("__qvec"), F.col("__vec"))
+        "cossim",
+        _pair_cos(
+            F.col("__qn"), F.col("__cn"), F.col("__qvec"), F.col("__vec")
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
     return (
@@ -1011,11 +1080,13 @@ def imi_topk(
     cells = corpus.select(
         F.col(id_col),
         _dc(vec_col).alias("__vec"),
+        norm_expr(_dc(vec_col)).alias("__cn"),
         imi_cell_expr(vec_col, cents_a, cents_b).alias("__cell"),
     )
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         _dc(vec_col).alias("__qvec"),
+        norm_expr(_dc(vec_col)).alias("__qn"),
         _half_dists_expr(vec_col, 1, da, cents_a).alias("__da"),
         _half_dists_expr(vec_col, da + 1, db, cents_b).alias("__db"),
     )
@@ -1031,6 +1102,7 @@ def imi_topk(
     probes = q.select(
         "__qid",
         "__qvec",
+        "__qn",
         F.explode(
             F.expr(
                 f"transform(slice(array_sort({grid_sql}), 1, "
@@ -1043,7 +1115,10 @@ def imi_topk(
         pairs = pairs.filter(F.col("__qid") != F.col(id_col))
     # corpus vectors live in ONE product cell each — no dedup needed
     pairs = pairs.withColumn(
-        "cossim", cosine_expr(F.col("__qvec"), F.col("__vec"))
+        "cossim",
+        _pair_cos(
+            F.col("__qn"), F.col("__cn"), F.col("__qvec"), F.col("__vec")
+        ),
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cossim"), F.col(id_col))
     return (
@@ -1623,10 +1698,20 @@ def maxsim_score(
         "q_id int, q_vec array<double>",
     )
     doc = F.col(doc_col) if isinstance(doc_col, str) else doc_col
-    scored = df.join(F.broadcast(qdf), on=F.lit(True)).select(
+    qn = qdf.select(
+        "q_id", "q_vec", norm_expr("q_vec").alias("__qn")
+    )
+    corp = df.select(
         doc.alias("__doc"),
+        _dc(vec_col).alias("__dv"),
+        norm_expr(_dc(vec_col)).alias("__dn"),
+    )
+    scored = corp.join(F.broadcast(qn), on=F.lit(True)).select(
+        "__doc",
         F.col("q_id"),
-        cosine_expr(_dc(vec_col), F.col("q_vec")).alias("__cos"),
+        _pair_cos(
+            F.col("__dn"), F.col("__qn"), F.col("__dv"), F.col("q_vec")
+        ).alias("__cos"),
     )
     per_q = scored.groupBy("__doc", "q_id").agg(F.max("__cos").alias("__m"))
     return (
@@ -2810,17 +2895,26 @@ def rerank_exact(
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     q = queries.select(
-        F.col(query_id_col).alias("__qid"), _dc(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("__qid"),
+        _dc(vec_col).alias("__qvec"),
+        norm_expr(_dc(vec_col)).alias("__qn"),
     )
     cand = candidates.select(
         F.col(query_id_col).alias("__qid"), F.col(id_col)
     )
-    vecs = corpus.select(F.col(id_col), _dc(vec_col).alias("__vec"))
+    vecs = corpus.select(
+        F.col(id_col),
+        _dc(vec_col).alias("__vec"),
+        norm_expr(_dc(vec_col)).alias("__cn"),
+    )
     joined = cand.join(vecs, id_col).join(F.broadcast(q), "__qid")
     if metric == "cosine":
         score_col, order = "cossim", lambda c: F.desc(c)
         scored = joined.withColumn(
-            "cossim", cosine_expr(F.col("__vec"), F.col("__qvec"))
+            "cossim",
+            _pair_cos(
+                F.col("__qn"), F.col("__cn"), F.col("__qvec"), F.col("__vec")
+            ),
         )
     else:
         score_col, order = "sqdist", lambda c: F.asc(c)

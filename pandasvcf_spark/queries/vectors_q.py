@@ -622,9 +622,18 @@ def imi_opq_probe_report(
     R, half = opq_fit(
         e, n_subspaces=2, n_centroids=k_half, np_iters=np_iters
     )
+    # materialize the rotated corpus ONCE: `rot.embedding` is a d² =
+    # 4,096-literal rotation expression, and every downstream
+    # imi_topk/half-cell fold that references it would otherwise inline
+    # the whole subtree per fold (CollapseProject), re-paying analysis +
+    # codegen + the rotation itself per curve point. A real deployment
+    # stores the rotated vectors (or folds R into the encoder) — the
+    # rotation is index-build work, which this now prices once
+    # (round 15; the bench stage was 183 s of which ~150 s was this
+    # re-inlining, guide §5 localCheckpoint-for-reuse).
     rot = e.select(
         "vec_id", opq_rotate_expr("embedding", R).alias("embedding")
-    )
+    ).localCheckpoint()
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
