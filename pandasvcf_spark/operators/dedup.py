@@ -214,19 +214,33 @@ def near_dedup_incremental(
     u = b.unionByName(n)
     keys = None
     if base_band_keys is not None:
+        nk = minhash_band_keys(
+            new,
+            id_col,
+            shingles,
+            num_hashes=num_hashes,
+            bands=bands,
+            repartition_to=repartition_to,
+        ).localCheckpoint(eager=True)  # batch-sized; feeds the bucket
+        # union AND the touched-bucket prune below without re-hashing
+        # Touched-bucket prune (the semdedup touched-cell device carried
+        # to LSH): a base index row whose (band, key) no new doc shares
+        # can only sit in an old-only bucket, and old×old pairs are
+        # filtered inside the expansion anyway — so semi-joining the
+        # base index on the batch's ≤ |new|·bands distinct keys (a
+        # broadcast) is lossless for the pair set while the bucket
+        # aggregation's shuffle drops from O(|base|·bands) rows to the
+        # collided rows only (round 15, guide §2.3/§3.2 — prune the big
+        # side before the shuffle with a semi-join).
         keys = (
             base_band_keys.select("id", "band", "key")
-            .withColumn("new", F.lit(False))
-            .unionByName(
-                minhash_band_keys(
-                    new,
-                    id_col,
-                    shingles,
-                    num_hashes=num_hashes,
-                    bands=bands,
-                    repartition_to=repartition_to,
-                ).withColumn("new", F.lit(True))
+            .join(
+                F.broadcast(nk.select("band", "key").distinct()),
+                ["band", "key"],
+                "left_semi",
             )
+            .withColumn("new", F.lit(False))
+            .unionByName(nk.withColumn("new", F.lit(True)))
         )
     pairs = minhash_near_dup_pairs(
         u,
