@@ -1156,11 +1156,33 @@ def main() -> None:
     # to drop (they are what BENCH_r{N}.json exists to carry).
     if len(line) > 1900:
         compact.pop("ivfpq_mp_probe_curve", None)
-        compact["note"] = "probe curve in BENCH_LOCAL.json"
+        compact.pop("imi_opq_probe_curve", None)
+        compact["note"] = "probe curves in BENCH_LOCAL.json"
         line = json.dumps(compact)
     if len(line) > 1900:
         for k in [k for k in compact if k.startswith("ab_vs_")]:
             compact[k] = compact[k].get("verdict")
+        line = json.dumps(compact)
+    # The driver contract REQUIRES the queries dict (round-15 fix: with
+    # three ab_vs_* stamps + the round-15 telemetry keys the old ladder
+    # reached its queries-dropping last resort, which would have shipped
+    # a BENCH_r{N} without per-query walls). Everything shed below lives
+    # verbatim in BENCH_LOCAL.json; `queries` itself is shed only in the
+    # never-expected case that the roster alone exceeds the belt.
+    if len(line) > 1900:
+        for k in (
+            "ambient_load_note",
+            "loadavg_start_1m",
+            "loadavg_start_5m",
+            "loadavg_end_1m",
+            "bgzf_loadavg_1m",
+        ):
+            compact.pop(k, None)
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        for k in [k for k in compact if k.startswith("ab_vs_")]:
+            compact.pop(k, None)
+        compact["note"] = "probe curves + A/B in BENCH_LOCAL.json"
         line = json.dumps(compact)
     if len(line) > 1900:
         compact.pop("queries", None)
