@@ -325,6 +325,23 @@ DRIVER_WINDOW = 50
 # lineage control stay via v_mmr_rerank's greedy selection rounds;
 # the graph family keeps g_grm in-window). All twelve remain
 # continuously exact-checked by tests/test_contract.py.
+# The round-16 cut (the sixteenth) is a single-row correctness fix,
+# not a rotation: cut #15 promoted t_winnow_fingerprints whose output
+# carries an ARRAY<BIGINT> column (`fp`) — the driver's oracle
+# canonicalizer (pandas sort_values) cannot sort list columns, so the
+# row errored before comparison (CORRECTNESS_r15: "TypeError:
+# unhashable type: 'list'"; the query itself is exact vs DuckDB in
+# check_contract). Demoted: t_winnow_fingerprints (the winnowing
+# window-min fingerprint device stays exact-checked in the tail every
+# run; its portable-hash fold is driver-covered by dedup_minhash_lsh's
+# signature bands and t_cdc_chunks' gear-hash fold in the tail).
+# Promoted: g_hwe (per-site Hardy-Weinberg chi² — atomic BIGINT/DOUBLE
+# output, never driver-checked, the verdict-named candidate; its
+# grouped genotype-class agg + closed-form fold gets the driver's
+# hash). tests/test_catalog_window.py now additionally pins a
+# window-ELIGIBILITY guard: every _PRIORITY entry's output schema must
+# be atomic/sortable so a promotion can never again put a list column
+# in front of the driver's canonicalizer.
 _PRIORITY = [
     # §2.2-2.7 genomics core (F/P/A/J/R series + flagship)
     "f2f3_gt_parse",
@@ -362,7 +379,7 @@ _PRIORITY = [
     "sk_hll_distinct",
     "t_temperature_mix",
     "v_cosine_topk_manyquery",
-    "t_winnow_fingerprints",
+    "g_hwe",
     "mm_audio_fp_pairs",
     "v_imi_topk",
     "v_imi_pq_rerank",

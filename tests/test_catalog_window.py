@@ -71,8 +71,12 @@ def test_extension_surface_inside_window():
                            # m_dml (demoted) composes twice
         "e_seasonal_mk",   # round-15 cut (#15): seasonal Mann-Kendall
                            # per-season trend cells
-        "t_winnow_fingerprints",  # round-15 cut (#15): winnowing
-                                  # window-min fingerprint device
+        "g_hwe",           # round-16 cut (#16): per-site HWE chi² —
+                           # replaces t_winnow_fingerprints, whose
+                           # ARRAY<BIGINT> output the driver's pandas
+                           # canonicalizer cannot sort (the r15 red
+                           # row); see test_window_outputs_are_
+                           # driver_canonicalizable below
         "j_range_events",  # round-15 cut (#15): the range join —
                            # oldest never-driver-checked entry
         "e_funnel",        # round-15 cut (#15): ordered stage windows
@@ -1374,9 +1378,54 @@ def test_tail_entries_are_redundant_variants_only():
         "g_communities",         # fixed unrolled rounds via
                                  # v_mmr_rerank; graph family keeps
                                  # g_grm in-window
+        # round-16 cut (#16) demotion — justification in
+        # WINDOW_HISTORY.json; stays exact-checked by
+        # tests/test_contract.py every run
+        "t_winnow_fingerprints", # ARRAY<BIGINT> output fails the
+                                 # driver's pandas canonicalizer
+                                 # (r15 red row); portable-hash
+                                 # window-min device stays covered by
+                                 # dedup_minhash_lsh's bands in-window
     }
     unexpected = [n for n in tail if n not in allowed_tail]
     assert not unexpected, unexpected
+
+
+def test_window_outputs_are_driver_canonicalizable(spark):
+    """Window-ELIGIBILITY guard (round-16 verdict task 1): the driver's
+    oracle canonicalizer is pandas `sort_values` over every output
+    column, which cannot sort/hash list, map or struct cells — cut #15
+    promoted t_winnow_fingerprints (ARRAY<BIGINT> `fp`) and its window
+    row errored before any comparison (CORRECTNESS_r15: "TypeError:
+    unhashable type: 'list'"). Pin that every _PRIORITY entry's output
+    schema is atomic (sortable scalar types only) so a promotion can
+    never again put a non-canonicalizable column in front of the
+    driver. Schema inspection only — nothing is executed."""
+    import os
+
+    from pyspark.sql.types import AtomicType
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_CONTRACT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip(f"testdata {sf_dir} not present")
+    bad = {}
+    for name in _PRIORITY:
+        df = QUERIES[name].fn(spark, sf_dir)
+        offending = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if not isinstance(f.dataType, AtomicType)
+        ]
+        if offending:
+            bad[name] = offending
+    assert not bad, (
+        "driver-window queries with non-atomic (unsortable) output "
+        f"columns — the pandas canonicalizer will error on these: {bad}"
+    )
 
 
 def test_window_history_is_consistent():
