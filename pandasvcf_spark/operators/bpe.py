@@ -96,7 +96,11 @@ def bpe_train(
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("f"))
         .select(F.split("__w", "").alias("ss"), "f")
-        .localCheckpoint()
+        # lazy: each step's top-pair collect is the job that
+        # materializes the words table it reads — one job per merge
+        # step instead of checkpoint + collect, and the LAST step's
+        # re-merged words (never read) costs no job (round 16, §5)
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
     rules: list[tuple] = []
@@ -126,7 +130,7 @@ def bpe_train(
         rules.append((step, a, b, a + b, cnt))
         words = words.select(
             apply_merge_expr(F.col("ss"), a, b).alias("ss"), "f"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(rules, MERGES_SCHEMA)
 
 

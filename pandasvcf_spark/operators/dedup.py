@@ -1017,16 +1017,22 @@ def connected_components(
     # duplicates-sized, so materializing them is cheap at any scale;
     # measured 25.1 s → 9.1 s on the sf0.1 incremental-dedup pipeline
     # (and 15.3 s → 7.3 s on the equivalent union re-dedup).
+    # All checkpoints are LAZY (eager=False): the round's changed-count
+    # is the job that materializes them, so each round costs ONE job
+    # (count over the round's lazily-checkpointed labels) instead of a
+    # materialize job plus a count job — and bidir/labels materialize
+    # inside round 1's job rather than as two setup jobs (round 16,
+    # guide §5: same materializations, half the driver round-trips).
     bidir = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         bidir.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -1041,7 +1047,7 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce("nmin", "lbl")).alias("lbl"),
                 (F.col("nmin") < F.col("lbl")).alias("__chg"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("__chg")).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
@@ -1076,21 +1082,31 @@ def _cc_star(
 
     Vertices whose only pair was a self-loop never appear in the edge
     set; the final left-join against the input vertex set restores them
-    as singleton components, matching method='label'."""
+    as singleton components, matching method='label'.
+
+    Plan discipline (round 16, guide §5): the raw pair projection is
+    checkpointed ONCE (lazily — round 1's fixpoint probe materializes
+    it) and both the vertex set and the canonical edge set derive from
+    that persisted base, so the upstream pair pipeline (LSH signatures
+    + bucket expansion + Jaccard verify) executes exactly once instead
+    of once per eager checkpoint; each round's rewired edge set is a
+    lazy checkpoint consumed by the round's (count, hash) fixpoint
+    aggregate — one job per round, not materialize + probe."""
+    base = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
     vertices = (
-        pairs.select(F.col(src).alias("id"))
-        .union(pairs.select(F.col(dst).alias("id")))
+        base.select(F.col("a").alias("id"))
+        .union(base.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        base.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # round 1 reads it twice (bidir)
     )
     prev_sig = None
     for _ in range(max_iter):
@@ -1122,7 +1138,7 @@ def _cc_star(
                 F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sig = rewired.agg(
             F.count(F.lit(1)).alias("n"),

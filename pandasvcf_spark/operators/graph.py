@@ -60,16 +60,28 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).distinct().localCheckpoint()
+    # nodes/deg checkpoint LAZILY: the n-count materializes nodes and
+    # round 1's query materializes deg — two fewer setup jobs for the
+    # same materializations (round 16, guide §5). The PER-ROUND rank
+    # checkpoint stays EAGER deliberately: a lazy chain would defer all
+    # rounds to the final action, nesting each round's dangling-mass
+    # broadcast build inside the parent round's materialization `iters`
+    # deep — broadcastTimeout then prices the whole chain, not one
+    # round. e stays eager: two union legs read it in the same job.
     nodes = (
         e.select(F.col("a").alias("id"))
         .union(e.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
+    deg = (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         # 1-row dangling-mass aggregate, broadcast into the update plan —
@@ -133,10 +145,16 @@ def triangle_stats(
     BroadcastNestedLoopJoin, the pagerank dangling-fold device)."""
     a = F.col(src).cast("long")
     b = F.col(dst).cast("long")
+    # Materialize the canonical edge set once — it feeds the degree
+    # union, the orientation join and the wedge-closing semi-join, so
+    # without the checkpoint the upstream edge pipeline (often a
+    # self-join + distinct) plans and executes once per consumer
+    # (round 16, guide §2.4 — same device as link_prediction's).
     und = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("n"))
@@ -223,11 +241,14 @@ def kcore(
         raise ValueError(f"k must be >= 1, got {k}")
     a = F.col(src).cast("long")
     b = F.col(dst).cast("long")
+    # Lazy checkpoints throughout the peel loop: the round's edge count
+    # is the job that materializes the round's edge set — one job per
+    # round instead of materialize + count (round 16, guide §5).
     e = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     for _ in range(max_iters):
@@ -244,7 +265,7 @@ def kcore(
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         if n2 == n_edges:
@@ -459,10 +480,18 @@ def link_prediction(
     """
     a = F.col(src).cast("long")
     b = F.col(dst).cast("long")
+    # Materialize the canonical edge set once: it feeds BOTH adjacency
+    # legs and the existing-edge anti-join — without the checkpoint the
+    # upstream edge pipeline (here often a self-join + distinct) plans
+    # and executes three times (the before-plan's three identical
+    # scan+join+distinct subtrees; initial-plan ReusedExchange = 0).
+    # Edge lists are the graph itself — one materialization vs three
+    # executions is the right trade at any scale (round 16, guide §2.4).
     und = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     adj_dir = und.select(
         F.col("u").alias("w"), F.col("v").alias("x")
@@ -531,10 +560,14 @@ def local_clustering(
     """
     a = F.col(src).cast("long")
     b = F.col(dst).cast("long")
+    # Canonical edge set materialized once — three consumers (degree
+    # union, orientation join, triangle-closing join); see
+    # triangle_stats/link_prediction (round 16, guide §2.4).
     und = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("n"))

@@ -114,10 +114,24 @@ def prepare_corpus(
     then one cheap job per stage instead of re-executing the whole
     upstream per count, and the MinHash stage never recomputes the
     filters. Cost: the corpus materializes once per enabled stage —
-    exactly what a checkpointed production job does on purpose."""
+    exactly what a checkpointed production job does on purpose. The
+    checkpoint is LAZY (eager=False) so the stage's survivor count is
+    the job that materializes it — one job per stage, not a
+    materialize job plus a count job; and a SKIPPED stage reuses the
+    previous stage's count instead of re-counting the unchanged
+    checkpoint (same rows by construction — round 16, guide §5: the
+    report is identical, only the driver-side job count drops)."""
     stages: list[tuple[str, int]] = []
-    cur = df.localCheckpoint()
-    stages.append(("input", cur.count()))
+
+    def _stage(name: str, d: DataFrame) -> DataFrame:
+        ckpt = d.localCheckpoint(eager=False)
+        stages.append((name, ckpt.count()))
+        return ckpt
+
+    def _skip(name: str) -> None:
+        stages.append((name, stages[-1][1]))
+
+    cur = _stage("input", df)
 
     cond: Column = F.lit(True)
     if langs is not None:
@@ -127,11 +141,11 @@ def prepare_corpus(
             quality_score_expr(F.col(text_col)) >= F.lit(float(min_quality))
         )
     if langs is not None or min_quality is not None:
-        cur = cur.filter(cond).localCheckpoint()
-    stages.append(("lang_quality", cur.count()))
+        cur = _stage("lang_quality", cur.filter(cond))
+    else:
+        _skip("lang_quality")
 
-    cur = dedup_documents(cur, text_col=text_col).localCheckpoint()
-    stages.append(("exact_dedup", cur.count()))
+    cur = _stage("exact_dedup", dedup_documents(cur, text_col=text_col))
 
     if paragraph_delim is not None:
         kept_text = paragraph_dedup(
@@ -141,36 +155,43 @@ def prepare_corpus(
             delim=paragraph_delim,
             min_chars=paragraph_min_chars,
         )
-        cur = (
-            cur.drop(text_col)
-            .join(kept_text, on=id_col)
-            .select(*df.columns)
-            .localCheckpoint()
+        cur = _stage(
+            "paragraph_dedup",
+            cur.drop(text_col).join(kept_text, on=id_col).select(*df.columns),
         )
-    stages.append(("paragraph_dedup", cur.count()))
+    else:
+        _skip("paragraph_dedup")
 
     if near_dup:
-        cur = near_dedup_documents(
-            cur,
-            id_col,
-            word_ngrams_expr(F.col(text_col), 2),
-            min_jaccard=min_jaccard,
-            quality=(
-                quality_score_expr(F.col(text_col)) if keep_best else None
+        cur = _stage(
+            "near_dedup",
+            near_dedup_documents(
+                cur,
+                id_col,
+                word_ngrams_expr(F.col(text_col), 2),
+                min_jaccard=min_jaccard,
+                quality=(
+                    quality_score_expr(F.col(text_col)) if keep_best else None
+                ),
             ),
-        ).localCheckpoint()
-    stages.append(("near_dedup", cur.count()))
+        )
+    else:
+        _skip("near_dedup")
 
     if cdc_max_foreign_frac is not None:
         from pandasvcf_spark.operators.dedup import cdc_dedup_documents
 
-        cur = cdc_dedup_documents(
-            cur,
-            max_foreign_frac=cdc_max_foreign_frac,
-            text_col=text_col,
-            id_col=id_col,
-        ).localCheckpoint()
-    stages.append(("cdc_dedup", cur.count()))
+        cur = _stage(
+            "cdc_dedup",
+            cdc_dedup_documents(
+                cur,
+                max_foreign_frac=cdc_max_foreign_frac,
+                text_col=text_col,
+                id_col=id_col,
+            ),
+        )
+    else:
+        _skip("cdc_dedup")
 
     if semantic_df is not None:
         from pandasvcf_spark.operators.dedup import (
@@ -204,8 +225,12 @@ def prepare_corpus(
             )
             keep = keep_df.select(id_col)
         dropped = emb.select(id_col).join(keep, on=id_col, how="left_anti")
-        cur = cur.join(dropped, on=id_col, how="left_anti").localCheckpoint()
-    stages.append(("semantic_dedup", cur.count()))
+        cur = _stage(
+            "semantic_dedup",
+            cur.join(dropped, on=id_col, how="left_anti"),
+        )
+    else:
+        _skip("semantic_dedup")
 
     if audio_df is not None:
         from pandasvcf_spark.operators.multimodal import audio_dedup
@@ -226,8 +251,12 @@ def prepare_corpus(
         dropped = clips.select(id_col).join(
             kept, on=id_col, how="left_anti"
         )
-        cur = cur.join(dropped, on=id_col, how="left_anti").localCheckpoint()
-    stages.append(("audio_dedup", cur.count()))
+        cur = _stage(
+            "audio_dedup",
+            cur.join(dropped, on=id_col, how="left_anti"),
+        )
+    else:
+        _skip("audio_dedup")
 
     if eval_df is not None:
         ov = contamination_overlap(
@@ -237,19 +266,21 @@ def prepare_corpus(
             id_col=id_col,
             text_col=text_col,
         ).select(id_col, "overlap")
-        cur = (
+        cur = _stage(
+            "decontaminate",
             cur.join(ov, on=id_col, how="left")
             .filter(
                 F.coalesce(F.col("overlap"), F.lit(0.0))
                 <= F.lit(float(max_overlap))
             )
-            .drop("overlap")
-            .localCheckpoint()
+            .drop("overlap"),
         )
-    stages.append(("decontaminate", cur.count()))
+    else:
+        _skip("decontaminate")
 
     if budget_tokens is not None:
-        cur = (
+        cur = _stage(
+            "token_budget",
             cur.withColumn(
                 "__tok", whitespace_token_count_expr(F.col(text_col))
             )
@@ -258,10 +289,10 @@ def prepare_corpus(
                     d, "__tok", budget_tokens, F.col(id_col)
                 )
             )
-            .drop("__tok")
-            .localCheckpoint()
+            .drop("__tok"),
         )
-    stages.append(("token_budget", cur.count()))
+    else:
+        _skip("token_budget")
 
     spark = df.sparkSession
     report = spark.createDataFrame(
