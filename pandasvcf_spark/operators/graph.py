@@ -525,7 +525,20 @@ def link_prediction(
             "__w_aa",
         )
     )
-    scored = wedges.groupBy("u", "v").agg(
+    # Repartition by the pair key BEFORE the aggregation so both agg
+    # passes run post-exchange and the exchange carries raw narrow rows
+    # (u, v, __w_aa) instead of partial-agg buffers. Map-side partial
+    # aggregation is structurally near-useless for wedge aggregation: a
+    # pair's witnesses are DIFFERENT w rows, distributed across map
+    # tasks by the adjacency groupBy's w-partitioning, so within-map-
+    # task pair duplication is ~1 regardless of the graph (measured
+    # 10.17M wedges -> 9.00M distinct pairs at sf0.1, 1.13:1) — yet the
+    # partial pass builds a hash table over every wedge row per task.
+    # Measured (round 16, min-of-3 noop): scored agg 4.73 s -> 2.34 s;
+    # exchange-only floor 2.09 s. No partition count pinned: the
+    # exchange uses spark.sql.shuffle.partitions and stays
+    # AQE-coalescible (guide §1.2 per-task work, §2.3).
+    scored = wedges.repartition("u", "v").groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("cn"),
         F.round(F.sum("__w_aa"), 6).alias("aa"),
     )

@@ -360,6 +360,12 @@ def test_link_prediction_no_cartesian(spark):
     plan = _plan(link_prediction(e, top_n=10))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # rounded-score cut
+    # The pair-scoring aggregation exchanges RAW wedge rows (explicit
+    # repartition by the pair key; both agg passes post-shuffle) instead
+    # of a planner-inserted exchange above a map-side partial agg — a
+    # pair's witnesses never co-locate map-side, so the partial pass
+    # builds a wedge-sized hash table for ~no reduction (round 16).
+    assert "REPARTITION_BY_COL" in plan
 
 
 def test_wilson_topk_is_take_ordered(spark):
